@@ -1,0 +1,58 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with a cheap count() action (no driver-side collect of
+result data beyond the aggregate). A warmup run of the flagship query
+amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from portofolio_maximizer_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    # warmup: flagship query once to pay JVM/codegen startup
+    queries["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in queries.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception:  # noqa: BLE001
+            timings[name] = -1.0
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "query_pack_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

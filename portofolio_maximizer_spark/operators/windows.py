@@ -1,0 +1,165 @@
+"""Window-function library (SURVEY.md §2.5, W1–W24).
+
+The heart of the reference is per-ticker ordered-by-time rolling computation
+(`etl/time_series_feature_builder.py`, `etl/regime_detector.py`). Here every
+feature is a ``Window.partitionBy(keys).orderBy(ts)`` expression:
+
+- one shuffle per distinct partitioning, shared by every feature built on it
+  (Catalyst collapses same-window expressions into a single Window physical
+  node — check with ``.explain``);
+- at 100 TB the partition key (ticker / user) is the natural shard: millions
+  of groups, each small, so the sort inside each is cheap and skew-free.
+
+All helpers take and return DataFrames/Columns; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def by_key_ordered(keys: Sequence[str], order: str | Column = "ts") -> WindowSpec:
+    return Window.partitionBy(*keys).orderBy(order)
+
+
+def rolling(keys: Sequence[str], order: str | Column, k: int) -> WindowSpec:
+    """Trailing k-row frame (pandas ``rolling(k)`` with min_periods=1) —
+    reference `etl/time_series_feature_builder.py:111-115`."""
+    return Window.partitionBy(*keys).orderBy(order).rowsBetween(-(k - 1), 0)
+
+
+def cumulative(keys: Sequence[str], order: str | Column) -> WindowSpec:
+    return (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+
+def with_lag_features(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    order: str,
+    lags: Sequence[int] = (1, 5, 10, 20),
+) -> DataFrame:
+    """W1/W2: lag levels + lag returns `close/lag(close,k)-1` —
+    reference `etl/time_series_feature_builder.py:106-119`."""
+    w = by_key_ordered(keys, order)
+    for k in lags:
+        df = df.withColumn(f"{value}_lag_{k}", F.lag(value, k).over(w))
+        df = df.withColumn(
+            f"{value}_ret_{k}", F.col(value) / F.col(f"{value}_lag_{k}") - 1
+        )
+    return df
+
+
+def with_rolling_stats(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    order: str,
+    windows: Sequence[int] = (5, 10, 20, 60),
+) -> DataFrame:
+    """W3: rolling mean/std per window size, min_periods=1 semantics."""
+    for k in windows:
+        w = rolling(keys, order, k)
+        df = df.withColumn(f"{value}_mean_{k}", F.avg(value).over(w))
+        df = df.withColumn(f"{value}_std_{k}", F.stddev_samp(value).over(w))
+    return df
+
+
+def downside_vol(ret: Column, w: WindowSpec) -> Column:
+    """W4: std of negative-only returns — `etl/time_series_feature_builder.py:151-152`."""
+    return F.stddev_samp(F.when(ret < 0, ret)).over(w)
+
+
+def drawdown(value: Column, w_cum: WindowSpec) -> Column:
+    """W5/W14: value / running-max − 1 — `etl/portfolio_math.py:135-138`."""
+    return value / F.max(value).over(w_cum) - 1
+
+
+def ewma(value: Column, w_rows: WindowSpec, alpha: float, k: int) -> Column:
+    """W11: truncated closed-form EWMA — sum_i α(1−α)^i · lag_i over the last
+    ``k`` rows, normalized by the matching weight sum (pandas ``ewm(adjust=True)``
+    truncated). Native-SQL alternative to a per-group pandas UDF; exact EWMA
+    lives in forecast/ewma.py. Reference `forcester_ts/forecaster.py:334-335`.
+    """
+    terms = [
+        F.lag(value, i).over(w_rows) * F.lit((1 - alpha) ** i) for i in range(k)
+    ]
+    num = sum(
+        (F.when(t.isNotNull(), t).otherwise(F.lit(0.0)) for t in terms),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(t.isNotNull(), F.lit((1 - alpha) ** i)).otherwise(F.lit(0.0))
+            for i, t in enumerate(terms)
+        ),
+        start=F.lit(0.0),
+    )
+    return num / den
+
+
+def gap_run_length(
+    df: DataFrame, flag: Column, keys: Sequence[str], order: str
+) -> DataFrame:
+    """W9: run-length encoding of a boolean flag per key — cumsum of
+    change-points ids the run, then a count per run. Reference
+    `etl/time_series_feature_builder.py:122-129` (missing-gap runs).
+
+    Output adds ``run_id`` (per-key dense id) and ``run_len``.
+    """
+    w = by_key_ordered(keys, order)
+    changed = (
+        flag.cast("int") != F.lag(flag.cast("int"), 1, -1).over(w)
+    ).cast("int")
+    df = df.withColumn("_flag", flag.cast("int")).withColumn(
+        "run_id", F.sum(changed).over(cumulative(keys, order))
+    )
+    w_run = Window.partitionBy(*keys, "run_id")
+    return df.withColumn("run_len", F.count(F.lit(1)).over(w_run))
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the event is more
+    than ``gap_seconds`` after the previous one for the same key. Batch
+    equivalent of Structured Streaming ``session_window`` (§2.9); the
+    reference's closest analog is the gap run-length (W9).
+    """
+    w = by_key_ordered(keys, ts)
+    prev = F.lag(ts, 1).over(w)
+    new_session = (
+        prev.isNull()
+        | (F.col(ts).cast("double") - prev.cast("double") > gap_seconds)
+    ).cast("int")
+    return df.withColumn(
+        "session_id", F.sum(new_session).over(cumulative(keys, ts))
+    )
+
+
+def cross_sectional_rank(value: Column, ts_key: str) -> Column:
+    """W15: percent-rank across keys within each timestamp —
+    `etl/time_series_feature_builder.py:159-166`."""
+    return F.percent_rank().over(Window.partitionBy(ts_key).orderBy(value))
+
+
+def cross_sectional_zscore(value: Column, ts_key: str) -> Column:
+    """W16: z-score within each timestamp — `:168-177`."""
+    w = Window.partitionBy(ts_key)
+    return (value - F.avg(value).over(w)) / F.stddev_samp(value).over(w)
+
+
+def forward_return(value: Column, w: WindowSpec, n: int) -> Column:
+    """W24: N-step forward return for label generation —
+    `scripts/run_etl_pipeline.py:441-480`."""
+    return F.lead(value, n).over(w) / value - 1

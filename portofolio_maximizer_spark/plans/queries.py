@@ -1,0 +1,553 @@
+"""Named query pack — the correctness surface of the engine.
+
+Each entry pairs a Spark DataFrame plan (built from the operator layer) with
+the ANSI-SQL oracle DuckDB runs on the same parquet tables. Conventions that
+make the differential hash stable:
+
+- every computed column is aliased identically on both sides;
+- every floating aggregate is rounded to 6 decimals ON BOTH SIDES, so
+  order-of-summation noise (Spark partial aggs vs DuckDB single-thread)
+  cannot flip the hash;
+- skew/kurtosis are computed from raw moments (Spark's builtins are
+  population statistics, DuckDB's are sample-adjusted — neither matches the
+  other, the closed form matches both);
+- timestamps are emitted as epoch millis or ISO strings, never raw
+  timestamp columns;
+- window orderings always include a unique tiebreaker column.
+
+The operators each query exercises are tagged ``[§2 ids]`` from SURVEY.md.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import stats
+from ..operators import joins as OJ
+from ..operators import windows as OW
+from ..sources.catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def r6(col):
+    """Round a double column to 6 decimals (hash-stability convention)."""
+    return F.round(col, 6)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation pack
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6)                              AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6)                         AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)      AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                              AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                         AS avg_price,
+           ROUND(AVG(l_discount), 6)                              AS avg_disc,
+           COUNT(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary [A14, P-filters, §2.4].
+
+    Mirrors the reference's per-period rollups (`etl/database_manager.py:
+    1255-1281`) as a partial+final aggregation: map-side combine makes the
+    shuffle carry one row per (flag, status) per task — invariant to input
+    scale, so the plan is identical at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r6(F.sum(disc_price)).alias("sum_disc_price"),
+            r6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_revenue",
+    oracle="""
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           CAST(o.o_orderdate AS DATE)                           AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + top-k [J1, O3, A-family].
+
+    customer is the small side → broadcast hint keeps the lineitem scan
+    shuffle-free for that join; top-10 is TakeOrderedAndProject (heap per
+    partition + driver merge), never a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way star join [J1, broadcast dims, §2.3].
+
+    region/nation/supplier are broadcast — the only shuffle in the whole plan
+    is lineitem⋈orders on orderkey plus the final tiny groupBy. That is the
+    100 TB-correct shape: facts shuffle once, dims never.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "rollup_order_totals",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           ROUND(SUM(o_totalprice), 6)      AS total_price,
+           COUNT(*)                         AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets [§2.4 closing note — absent in the reference,
+    native in Spark]. Partial aggregation applies per grouping set."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            r6(F.sum("o_totalprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "descriptive_stats_events",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(value)      AS n,
+             AVG(value)        AS m1,
+             AVG(value*value)  AS m2,
+             AVG(value*value*value) AS m3,
+             AVG(value*value*value*value) AS m4,
+             STDDEV_SAMP(value) AS sd,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           n,
+           ROUND(m1, 6) AS mean,
+           ROUND(sd, 6) AS std,
+           ROUND(mn, 6) AS min,
+           ROUND(mx, 6) AS max,
+           ROUND((m3 - 3*m1*m2 + 2*m1*m1*m1) / POW(m2 - m1*m1, 1.5), 6) AS skew_g1,
+           ROUND((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*POW(m1, 4)) / POW(m2 - m1*m1, 2) - 3, 6) AS kurt_g2
+    FROM m
+    """,
+)
+def descriptive_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 descriptive stats from raw moments [A3, §2.4] — reference
+    `etl/time_series_analyzer.py:279-337`."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(v).alias("n"),
+        r6(F.avg(v)).alias("mean"),
+        r6(F.stddev_samp(v)).alias("std"),
+        r6(F.min(v)).alias("min"),
+        r6(F.max(v)).alias("max"),
+        r6(stats.skewness_g1(v)).alias("skew_g1"),
+        r6(stats.kurtosis_g2(v)).alias("kurt_g2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join pack
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 anti join (NOT EXISTS) — reference contamination exclusion
+    `etl/database_manager.py:1374-1379`. Filter on the right side first so
+    the anti-join's build side shrinks before the shuffle (pushdown +
+    broadcast at scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return OJ.anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 semi join (EXISTS) — `integrity/pnl_integrity_enforcer.py:458-467`."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return OJ.semi_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@query(
+    "order_fill_status",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_orderstatus,
+           COALESCE(COUNT(l.l_orderkey), 0) AS n_lines,
+           ROUND(COALESCE(SUM(l.l_quantity), 0), 6) AS total_qty
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def order_fill_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 left join close→open shape (`etl/database_manager.py:1404-1425`):
+    every left row survives, aggregates null-default on the right."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.coalesce(F.count("l_orderkey"), F.lit(0)).alias("n_lines"),
+            r6(F.coalesce(F.sum("l_quantity"), F.lit(0.0))).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window pack — per-customer order history as the "per-ticker time series"
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_spend,
+           ROUND(MAX(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_max
+    FROM orders
+    """,
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 cumulative equity-curve shape: running sum + running max per key —
+    reference `etl/database_manager.py:3240-3272`, `etl/portfolio_math.py:135-138`.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r6(F.sum("o_totalprice").over(w)).alias("cum_spend"),
+        r6(F.max("o_totalprice").over(w)).alias("running_max"),
+    )
+
+
+@query(
+    "order_lag_features",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey, 1) OVER w AS prev_orderkey,
+           DATE_DIFF('day',
+                     CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           ROUND(o_totalprice / LAG(o_totalprice, 1) OVER w - 1, 6) AS spend_change
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 lag features + pct-change — reference
+    `etl/time_series_feature_builder.py:106-119`."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate", 1).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date.cast("date")).alias(
+            "days_since_prev"
+        ),
+        r6(F.col("o_totalprice") / F.lag("o_totalprice", 1).over(w) - 1).alias(
+            "spend_change"
+        ),
+    )
+
+
+@query(
+    "rolling_order_stats",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER w5, 6) AS price_mean_5,
+           ROUND(COALESCE(STDDEV_SAMP(o_totalprice) OVER w5, 0), 6) AS price_std_5
+    FROM orders
+    WINDOW w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 rolling mean/std (min_periods=1 semantics) — reference
+    `etl/time_series_feature_builder.py:111-115`. std of a single row is
+    NULL in both engines; coalesced to 0 on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    w5 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r6(F.avg("o_totalprice").over(w5)).alias("price_mean_5"),
+        r6(F.coalesce(F.stddev_samp("o_totalprice").over(w5), F.lit(0.0))).alias(
+            "price_std_5"
+        ),
+    )
+
+
+@query(
+    "xsec_month_rank",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m')
+             ORDER BY o_totalprice), 6) AS price_pct_rank,
+           NTILE(3) OVER (
+             PARTITION BY STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m')
+             ORDER BY o_totalprice, o_orderkey) AS price_tercile
+    FROM orders
+    """,
+)
+def xsec_month_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 cross-sectional percent-rank + W8 tercile bucketing — reference
+    `etl/time_series_feature_builder.py:137-166`. ntile ordering includes the
+    unique orderkey so bucket assignment is total-ordered on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    return o.select(
+        "o_orderkey",
+        month.alias("month"),
+        r6(
+            F.percent_rank().over(Window.partitionBy(month).orderBy("o_totalprice"))
+        ).alias("price_pct_rank"),
+        F.ntile(3)
+        .over(Window.partitionBy(month).orderBy("o_totalprice", "o_orderkey"))
+        .alias("price_tercile"),
+    )
+
+
+@query(
+    "top_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O4 top-1 per group via row_number — reference best-config lookup
+    `etl/database_manager.py:3379-3401`."""
+    from ..operators.topk import top_per_group
+
+    o = load_table(spark, sf_dir, "orders")
+    return top_per_group(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    ).select("o_custkey", "o_orderkey", r6(F.col("o_totalprice")).alias("totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# Events pack — sessionization + tumbling windows (batch form of §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9-style gap sessionization (30-min gap) — batch twin of the
+    Structured Streaming ``session_window`` surface [§2.9]."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = OW.sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+    return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT EPOCH_MS(DATE_TRUNC('hour', ts)) AS hour_ms,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-window tumbling 1h aggregation (batch form) — streaming twin lives
+    in streaming/events_stream.py. Hour emitted as epoch millis so the hash
+    never depends on timestamp rendering."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), r6(F.sum("value")).alias("total_value"))
+    )

@@ -1,0 +1,119 @@
+"""Local differential checker — mimics the driver's DuckDB oracle gate.
+
+Runs every ``queries()`` entry at the given sf_dir, runs the paired
+``oracle_sql()`` in DuckDB over the same parquet files, and compares:
+row count, sorted column names, and order-insensitive values (exact for
+ints/strings, 1e-6-tolerant for floats — both sides already round to 6).
+
+Usage:  python tools/diffcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    issues = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        issues.append(
+            f"schema mismatch: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+        )
+        return issues
+    if len(spark_df) != len(duck_df):
+        issues.append(f"rowcount mismatch: spark={len(spark_df)} duck={len(duck_df)}")
+        return issues
+    s, d = normalize(spark_df), normalize(duck_df)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            a = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
+            b = pd.to_numeric(dv, errors="coerce").to_numpy(dtype=float)
+            ok = (np.isnan(a) & np.isnan(b)) | (np.abs(a - b) <= 1e-6)
+            if not ok.all():
+                i = int(np.argmin(ok))
+                issues.append(f"col {c}: {int((~ok).sum())} diffs, e.g. row {i}: {a[i]} vs {b[i]}")
+        else:
+            ok = (sv.astype(str) == dv.astype(str)) | (sv.isna() & dv.isna())
+            if not ok.all():
+                i = int(np.argmin(ok.to_numpy()))
+                issues.append(
+                    f"col {c}: {int((~ok).sum())} diffs, e.g. row {i}: {sv.iloc[i]!r} vs {dv.iloc[i]!r}"
+                )
+    return issues
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from portofolio_maximizer_spark.session import get_spark
+
+    spark = get_spark("diffcheck")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duck_connection(sf_dir)
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        issues = compare(sdf, ddf)
+        status = "OK" if not issues else "FAIL"
+        print(f"{status:5} {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+        for msg in issues:
+            print(f"      - {msg}")
+        if issues:
+            failed.append(name)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries match")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
