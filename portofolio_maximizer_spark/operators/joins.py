@@ -121,7 +121,9 @@ def fifo_allocate(
     lots = lots.withColumn(
         "cum_before", F.coalesce(F.sum(lot_qty).over(w), F.lit(0.0))
     )
-    joined = lots.join(F.broadcast(demand.select(*keys, demand_qty)), list(keys), "left")
+    # demand is one row per key — can be as large as the key domain, so no
+    # broadcast hint; AQE picks broadcast only when it actually fits.
+    joined = lots.join(demand.select(*keys, demand_qty), list(keys), "left")
     allocated = F.greatest(
         F.lit(0.0),
         F.least(F.col(lot_qty), F.coalesce(F.col(demand_qty), F.lit(0.0)) - F.col("cum_before")),

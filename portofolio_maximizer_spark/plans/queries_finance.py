@@ -1,0 +1,817 @@
+"""Query pack 2 — the portfolio/time-series analytics surface.
+
+The testdata has no bars table, so the reference's per-ticker OHLCV
+computations are exercised on the closest driver-provided analog: the
+``events`` stream treated as 15 per-user price series (``value`` > 0
+always), and per-customer order histories. The MAPPING is what is being
+verified — each query is the exact window/aggregation shape the reference
+computes over (ticker, ts, close), applied to (user_id, ts, value).
+
+Randomness convention: anything sampled (bootstrap, Monte Carlo) derives
+its draws from md5-based deterministic uniforms (`functions.scalars.
+hash_unit_interval`) so Spark and the DuckDB oracle agree bit-for-bit on
+which rows/paths are drawn — Spark's ``rand(seed)`` and DuckDB's RNG can
+never hash-match. Reference precedent for seeding everything:
+`forcester_ts/monte_carlo_simulator.py:143`, `etl/synthetic_extractor.py:430`.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import joins as OJ
+from ..operators import windows as OW
+from ..sources.catalog import load_table
+from .queries import query, r6
+
+PI = 3.141592653589793
+
+
+def _user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as per-user price series with log returns."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.log(F.col("value") / F.lag("value", 1).over(w)).alias("lr"),
+    )
+
+
+_USER_SERIES_SQL = """
+      SELECT user_id, ts, event_id, event_type, value,
+             LN(value / LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts)) AS lr
+      FROM events
+"""
+
+
+@query(
+    "user_return_metrics",
+    oracle=f"""
+    WITH s AS ({_USER_SERIES_SQL}),
+    base AS (
+      SELECT user_id,
+             COUNT(lr) AS n_rets,
+             AVG(lr) AS mean_lr,
+             STDDEV_SAMP(lr) AS vol,
+             SUM(lr) AS total_lr,
+             AVG(CASE WHEN lr < 0 THEN lr END) AS dmean,
+             STDDEV_SAMP(CASE WHEN lr < 0 THEN lr END) AS dvol,
+             QUANTILE_CONT(lr, 0.05) AS var_95,
+             SUM(GREATEST(lr, 0)) / SUM(GREATEST(-lr, 0)) AS omega,
+             LEAST(AVG(lr) / VAR_SAMP(lr), 0.25) AS kelly
+      FROM s GROUP BY user_id
+    ),
+    cvar AS (
+      SELECT s.user_id, AVG(s.lr) AS cvar_95
+      FROM s JOIN base b ON s.user_id = b.user_id
+      WHERE s.lr <= b.var_95
+      GROUP BY s.user_id
+    )
+    SELECT b.user_id, b.n_rets,
+           ROUND(b.mean_lr, 6) AS mean_lr,
+           ROUND(b.vol, 6) AS vol,
+           ROUND(b.total_lr, 6) AS total_lr,
+           ROUND(b.mean_lr / b.vol, 6) AS sharpe,
+           ROUND(b.mean_lr / b.dvol, 6) AS sortino,
+           ROUND(b.var_95, 6) AS var_95,
+           ROUND(c.cvar_95, 6) AS cvar_95,
+           ROUND(b.omega, 6) AS omega,
+           ROUND(b.kelly, 6) AS kelly
+    FROM base b JOIN cvar c ON b.user_id = c.user_id
+    """,
+)
+def user_return_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/A7 portfolio metrics suite per series [§2.4] — reference
+    `etl/portfolio_math.py:84-264` (Sharpe/Sortino/VaR/CVaR/omega/Kelly).
+
+    One groupBy pass for the moments + exact 5% quantile, then a join-back
+    for CVaR (mean of the tail past VaR) — two shuffles total on user_id;
+    at 100 TB the second pass rides the first's partitioning.
+    """
+    s = _user_series(spark, sf_dir)
+    lr = F.col("lr")
+    base = s.groupBy("user_id").agg(
+        F.count(lr).alias("n_rets"),
+        F.avg(lr).alias("mean_lr"),
+        F.stddev_samp(lr).alias("vol"),
+        F.sum(lr).alias("total_lr"),
+        F.stddev_samp(F.when(lr < 0, lr)).alias("dvol"),
+        F.percentile(lr, F.lit(0.05)).alias("var_95"),
+        (F.sum(F.greatest(lr, F.lit(0.0))) / F.sum(F.greatest(-lr, F.lit(0.0)))).alias(
+            "omega"
+        ),
+        F.least(F.avg(lr) / F.var_samp(lr), F.lit(0.25)).alias("kelly"),
+    )
+    cvar = (
+        s.join(base.select("user_id", "var_95"), "user_id")
+        .filter(lr <= F.col("var_95"))
+        .groupBy("user_id")
+        .agg(F.avg(lr).alias("cvar_95"))
+    )
+    return base.join(cvar, "user_id").select(
+        "user_id",
+        "n_rets",
+        r6("mean_lr").alias("mean_lr"),
+        r6("vol").alias("vol"),
+        r6("total_lr").alias("total_lr"),
+        r6(F.col("mean_lr") / F.col("vol")).alias("sharpe"),
+        r6(F.col("mean_lr") / F.col("dvol")).alias("sortino"),
+        r6("var_95").alias("var_95"),
+        r6("cvar_95").alias("cvar_95"),
+        r6("omega").alias("omega"),
+        r6("kelly").alias("kelly"),
+    )
+
+
+@query(
+    "user_drawdown",
+    oracle=f"""
+    WITH s AS ({_USER_SERIES_SQL}),
+    eq AS (
+      SELECT user_id, ts,
+             EXP(SUM(COALESCE(lr, 0)) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS equity
+      FROM s
+    ),
+    dd AS (
+      SELECT user_id,
+             equity / MAX(equity) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS drawdown,
+             equity
+      FROM eq
+    )
+    SELECT user_id,
+           ROUND(MIN(drawdown), 6) AS max_drawdown,
+           ROUND(LAST(equity ORDER BY equity), 6) AS max_equity
+    FROM dd GROUP BY user_id
+    """,
+)
+def user_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W14 wealth curve + max drawdown — reference
+    `etl/portfolio_math.py:135-138, 432-438`: cumprod(1+r) as
+    exp(running-sum(log r)) so the scan stays associative, running max via
+    the same window, min(dd) as the final aggregate."""
+    s = _user_series(spark, sf_dir)
+    w_cum = OW.cumulative(["user_id"], "ts")
+    eq = s.withColumn(
+        "equity", F.exp(F.sum(F.coalesce("lr", F.lit(0.0))).over(w_cum))
+    )
+    dd = eq.withColumn("drawdown", OW.drawdown(F.col("equity"), w_cum))
+    return dd.groupBy("user_id").agg(
+        r6(F.min("drawdown")).alias("max_drawdown"),
+        r6(F.max("equity")).alias("max_equity"),
+    )
+
+
+@query(
+    "hourly_bars_atr",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, EPOCH_MS(DATE_TRUNC('hour', ts)) AS hour_ms,
+             ARG_MIN(value, ts) AS open,
+             MAX(value) AS high,
+             MIN(value) AS low,
+             ARG_MAX(value, ts) AS close,
+             COUNT(*) AS n_ticks
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT user_id, hour_ms, open, high, low, close, n_ticks,
+             GREATEST(high - low,
+                      ABS(high - LAG(close) OVER w),
+                      ABS(low  - LAG(close) OVER w)) AS true_range
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY hour_ms)
+    )
+    SELECT user_id, hour_ms,
+           ROUND(open, 6) AS open, ROUND(high, 6) AS high,
+           ROUND(low, 6) AS low, ROUND(close, 6) AS close,
+           n_ticks,
+           ROUND(true_range, 6) AS true_range,
+           ROUND(AVG(true_range) OVER (PARTITION BY user_id ORDER BY hour_ms
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS atr_14
+    FROM tr
+    """,
+)
+def hourly_bars_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 ATR(14) over resampled OHLC bars — reference
+    `models/time_series_signal_generator.py:2019-2047`. Tick→bar resample is
+    one groupBy with arg_min/arg_max (no sort of the raw ticks); TR/ATR ride
+    a window over the (much smaller) bars table."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "user_id", F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    w = Window.partitionBy("user_id").orderBy("hour_ms")
+    from ..functions.scalars import true_range
+
+    tr = bars.withColumn(
+        "true_range",
+        true_range(F.col("high"), F.col("low"), F.lag("close", 1).over(w)),
+    )
+    w14 = Window.partitionBy("user_id").orderBy("hour_ms").rowsBetween(-13, 0)
+    return tr.select(
+        "user_id",
+        "hour_ms",
+        r6("open").alias("open"),
+        r6("high").alias("high"),
+        r6("low").alias("low"),
+        r6("close").alias("close"),
+        "n_ticks",
+        r6("true_range").alias("true_range"),
+        r6(F.avg("true_range").over(w14)).alias("atr_14"),
+    )
+
+
+def _ewma_oracle(alpha: float = 0.3, k: int = 10) -> str:
+    num = " + ".join(
+        f"COALESCE(LAG(value, {i}) OVER w * {(1 - alpha) ** i!r}, 0)" for i in range(k)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(value, {i}) OVER w IS NOT NULL THEN {(1 - alpha) ** i!r} ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"""
+    SELECT user_id, event_id,
+           ROUND(({num}) / ({den}), 6) AS ewma_10
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+
+
+@query("ewma_value", oracle=_ewma_oracle())
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 EWMA as the truncated closed form (k=10, α=0.3) — reference
+    `forcester_ts/forecaster.py:334-335` (`ewm(span)` exog). Native lag
+    arithmetic, no Python; the exact infinite-memory EWMA lives in
+    forecast/ (applyInPandas) where parity with pandas matters more than
+    SQL expressibility."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        r6(OW.ewma(F.col("value"), w, alpha=0.3, k=10)).alias("ewma_10"),
+    )
+
+
+@query(
+    "asof_click_context",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value, 1 AS side, NULL::DOUBLE AS click_value
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, NULL, NULL, 0, value FROM events WHERE event_type = 'click'
+    ),
+    filled AS (
+      SELECT user_id, ts, event_id, value, side,
+             LAST_VALUE(click_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+      FROM tagged
+    )
+    SELECT user_id, event_id,
+           ROUND(value, 6) AS value,
+           ROUND(last_click_value, 6) AS last_click_value,
+           ROUND(value - last_click_value, 6) AS click_gap
+    FROM filled WHERE side = 1
+    """,
+)
+def asof_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of join: each purchase gets the most recent prior click value —
+    the reference's ffill-reindexed macro context
+    (`etl/time_series_feature_builder.py:222-234`). Union + ignorenulls-last
+    window: one shuffle on user_id, no range cross-product."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = OJ.asof_join(
+        purchases, clicks, keys=["user_id"], ts="ts", right_value_cols=["click_value"]
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        r6("value").alias("value"),
+        r6("click_value").alias("last_click_value"),
+        r6(F.col("value") - F.col("click_value")).alias("click_gap"),
+    )
+
+
+@query(
+    "event_type_matrix",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END)    AS n_click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS n_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END)   AS n_signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END)    AS n_error,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 6)
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 long→wide pivot with a declared domain — reference ticker×date
+    matrix `backtesting/candidate_simulator.py:238-243`. Declared pivot
+    values skip the distinct-scan job; single shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    return counts.select(
+        "user_id",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}") for t in types],
+        r6(F.coalesce(F.col("purchase_v"), F.lit(0.0))).alias("purchase_value"),
+    )
+
+
+@query(
+    "fifo_lot_allocation",
+    oracle="""
+    WITH lots AS (
+      SELECT o_custkey, o_orderkey, o_totalprice AS lot_qty,
+             COALESCE(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM orders
+    ),
+    demand AS (
+      SELECT o_custkey, 0.6 * SUM(o_totalprice) AS demand_qty
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT l.o_custkey, l.o_orderkey,
+           ROUND(l.lot_qty, 6) AS lot_qty,
+           ROUND(GREATEST(0, LEAST(l.lot_qty, d.demand_qty - l.cum_before)), 6)
+             AS allocated
+    FROM lots l JOIN demand d ON l.o_custkey = d.o_custkey
+    """,
+)
+def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 FIFO lot matching as running-sum interval overlap — the closed
+    form of the reference's Python lot loop
+    (`execution/paper_trading_engine.py:344-453`). Each customer's demand
+    (60% of total spend) is consumed across lots in order-date order."""
+    o = load_table(spark, sf_dir, "orders")
+    lots = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").alias("lot_qty"),
+    )
+    demand = o.groupBy("o_custkey").agg(
+        (F.lit(0.6) * F.sum("o_totalprice")).alias("demand_qty")
+    )
+    out = OJ.fifo_allocate(
+        lots, demand, keys=["o_custkey"], lot_order=F.expr("struct(o_orderdate, o_orderkey)")
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        r6("lot_qty").alias("lot_qty"),
+        r6("allocated").alias("allocated"),
+    )
+
+
+@query(
+    "forward_return_labels",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(LEAD(value, 5) OVER w / value - 1, 6) AS fwd_ret_5,
+           CASE WHEN LEAD(value, 5) OVER w / value - 1 > 0 THEN 1
+                WHEN LEAD(value, 5) OVER w / value - 1 <= 0 THEN 0
+           END AS label_up
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def forward_return_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W24 forward-return label generation — reference
+    `scripts/run_etl_pipeline.py:441-480` classifier labels."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    fwd = OW.forward_return(F.col("value"), w, 5)
+    return ev.select(
+        "user_id",
+        "event_id",
+        r6(fwd).alias("fwd_ret_5"),
+        F.when(fwd > 0, 1).when(fwd <= 0, 0).alias("label_up"),
+    )
+
+
+@query(
+    "downside_vol_20",
+    oracle=f"""
+    WITH s AS ({_USER_SERIES_SQL})
+    SELECT user_id, event_id,
+           ROUND(COALESCE(STDDEV_SAMP(CASE WHEN lr < 0 THEN lr END) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 0), 6) AS downside_vol_20
+    FROM s
+    """,
+)
+def downside_vol_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 rolling downside volatility (negative returns only, 20-bar) —
+    reference `etl/time_series_feature_builder.py:151-152`."""
+    s = _user_series(spark, sf_dir)
+    w20 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-19, 0)
+    return s.select(
+        "user_id",
+        "event_id",
+        r6(
+            F.coalesce(OW.downside_vol(F.col("lr"), w20), F.lit(0.0))
+        ).alias("downside_vol_20"),
+    )
+
+
+@query(
+    "value_outlier_counts",
+    oracle="""
+    WITH z AS (
+      SELECT user_id,
+             (value - AVG(value) OVER (PARTITION BY user_id))
+               / STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS zscore
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n,
+           SUM(CASE WHEN ABS(zscore) > 3 THEN 1 ELSE 0 END) AS n_outliers_3s,
+           SUM(CASE WHEN ABS(zscore) > 2 THEN 1 ELSE 0 END) AS n_outliers_2s
+    FROM z GROUP BY user_id
+    """,
+)
+def value_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 3σ outlier rule via per-group z-scores — reference
+    `etl/data_validator.py:1-13`; grouped z-stats per A1
+    (`etl/preprocessor.py:216-268`)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = ev.withColumn(
+        "zscore",
+        (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w),
+    )
+    return z.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.abs(F.col("zscore")) > 3).cast("int")).alias("n_outliers_3s"),
+        F.sum((F.abs(F.col("zscore")) > 2).cast("int")).alias("n_outliers_2s"),
+    )
+
+
+@query(
+    "low_value_runs",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 20 THEN 1 ELSE 0 END AS low,
+             CASE WHEN CASE WHEN value < 20 THEN 1 ELSE 0 END
+                    <> COALESCE(LAG(CASE WHEN value < 20 THEN 1 ELSE 0 END) OVER w, -1)
+                  THEN 1 ELSE 0 END AS changed
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    runs AS (
+      SELECT user_id, ts, low,
+             SUM(changed) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, run_id,
+           COUNT(*) AS run_len,
+           EPOCH_MS(MIN(ts)) AS run_start_ms
+    FROM runs WHERE low = 1
+    GROUP BY user_id, run_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def low_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 run-length encoding (gap groups) — reference missing-gap runs
+    `etl/time_series_feature_builder.py:122-129`: change-flag cumsum ids the
+    run, per-run count filters to runs ≥ 3."""
+    ev = load_table(spark, sf_dir, "events")
+    flagged = OW.gap_run_length(
+        ev, F.col("value") < 20, keys=["user_id"], order="ts"
+    )
+    return (
+        flagged.filter(F.col("_flag") == 1)
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.unix_millis(F.min("ts")).alias("run_start_ms"),
+        )
+        .filter(F.col("run_len") >= 3)
+    )
+
+
+@query(
+    "model_rank_stability",
+    oracle="""
+    WITH halves AS (
+      SELECT user_id, event_type, value,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    <= COUNT(*) OVER (PARTITION BY user_id) / 2
+                  THEN 0 ELSE 1 END AS fold
+      FROM events
+    ),
+    scored AS (
+      SELECT user_id, fold, event_type, AVG(value) AS score
+      FROM halves GROUP BY user_id, fold, event_type
+    )
+    SELECT user_id, fold, event_type,
+           ROUND(score, 6) AS score,
+           RANK() OVER (PARTITION BY user_id, fold ORDER BY score DESC, event_type)
+             AS score_rank
+    FROM scored
+    """,
+)
+def model_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 per-fold rank of candidate scores — reference model-rank
+    stability `etl/statistical_tests.py:112-171`: two folds per user,
+    event_type standing in for the model id, rank with a total-order
+    tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    halves = ev.withColumn(
+        "fold",
+        F.when(
+            F.row_number().over(w)
+            <= F.count(F.lit(1)).over(Window.partitionBy("user_id")) / 2,
+            0,
+        ).otherwise(1),
+    )
+    scored = halves.groupBy("user_id", "fold", "event_type").agg(
+        F.avg("value").alias("score")
+    )
+    return scored.select(
+        "user_id",
+        "fold",
+        "event_type",
+        r6("score").alias("score"),
+        F.rank()
+        .over(
+            Window.partitionBy("user_id", "fold").orderBy(
+                F.desc("score"), F.asc("event_type")
+            )
+        )
+        .alias("score_rank"),
+    )
+
+
+@query(
+    "ensemble_blend",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, value,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS f_short,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS f_long
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND((0.6 * COALESCE(f_short, 0) + 0.4 * COALESCE(f_long, 0))
+             / NULLIF(0.6 * (CASE WHEN f_short IS NOT NULL THEN 1 ELSE 0 END)
+                    + 0.4 * (CASE WHEN f_long IS NOT NULL THEN 1 ELSE 0 END), 0), 6)
+             AS blended,
+           ROUND(value, 6) AS actual
+    FROM f
+    """,
+)
+def ensemble_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/F6 NaN-aware weighted forecast blend with weight renormalization —
+    reference `forcester_ts/ensemble.py:296-377`: two trailing-mean "models"
+    (5/20-bar, shifted one bar so they are genuine forecasts), weights
+    0.6/0.4 renormalized over the non-null models per row."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def trailing(k: int):
+        return F.avg("value").over(
+            Window.partitionBy("user_id").orderBy("ts").rowsBetween(-k, -1)
+        )
+
+    f = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        trailing(5).alias("f_short"),
+        trailing(20).alias("f_long"),
+    )
+    wsum = F.lit(0.6) * F.col("f_short").isNotNull().cast("double") + F.lit(
+        0.4
+    ) * F.col("f_long").isNotNull().cast("double")
+    num = F.lit(0.6) * F.coalesce("f_short", F.lit(0.0)) + F.lit(0.4) * F.coalesce(
+        "f_long", F.lit(0.0)
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        r6(num / F.nullif(wsum, F.lit(0.0))).alias("blended"),
+        r6("value").alias("actual"),
+    )
+
+
+_HASH_U = (
+    "(('0x' || SUBSTR(MD5(CAST({r} AS VARCHAR) || '|' || CAST({i} AS VARCHAR)), 1, 6))::BIGINT"
+    " / 16777216.0)"
+)
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (SELECT UNNEST(RANGE(100)) AS rep),
+    sampled AS (
+      SELECT r.rep, e.value
+      FROM events e CROSS JOIN reps r
+      WHERE {_HASH_U.format(r="r.rep", i="e.event_id")} < 0.5
+    ),
+    means AS (
+      SELECT rep, AVG(value) AS rep_mean FROM sampled GROUP BY rep
+    )
+    SELECT COUNT(*) AS n_reps,
+           ROUND(AVG(rep_mean), 6) AS mean_of_means,
+           ROUND(QUANTILE_CONT(rep_mean, 0.025), 6) AS ci_lo,
+           ROUND(QUANTILE_CONT(rep_mean, 0.975), 6) AS ci_hi
+    FROM means
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 bootstrap CI with deterministic hash-draws — reference bootstrap
+    resampling `etl/portfolio_math.py:388-429`, `etl/statistical_tests.py:
+    251-291` (500 seeded resamples). 100 half-samples drawn by md5(rep|id)
+    so Spark and DuckDB select identical rows; replicate means → exact
+    2.5/97.5% quantiles. The cross-join fans out map-side (no shuffle until
+    the tiny per-rep aggregation)."""
+    from ..functions.scalars import hash_unit_interval
+
+    ev = load_table(spark, sf_dir, "events")
+    reps = ev.sparkSession.range(100).select(F.col("id").alias("rep"))
+    sampled = ev.crossJoin(F.broadcast(reps)).filter(
+        hash_unit_interval(F.col("rep"), F.col("event_id")) < 0.5
+    )
+    means = sampled.groupBy("rep").agg(F.avg("value").alias("rep_mean"))
+    return means.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        r6(F.avg("rep_mean")).alias("mean_of_means"),
+        r6(F.percentile("rep_mean", F.lit(0.025))).alias("ci_lo"),
+        r6(F.percentile("rep_mean", F.lit(0.975))).alias("ci_hi"),
+    )
+
+
+@query(
+    "ar1_forecast",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id, value AS y,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS ylag
+      FROM events
+    ),
+    fit AS (
+      SELECT user_id,
+             COVAR_SAMP(y, ylag) / VAR_SAMP(ylag) AS phi,
+             AVG(y) - COVAR_SAMP(y, ylag) / VAR_SAMP(ylag) * AVG(ylag) AS intercept
+      FROM pairs WHERE ylag IS NOT NULL GROUP BY user_id
+    ),
+    last_obs AS (
+      SELECT user_id, ARG_MAX(value, ts) AS last_value FROM events GROUP BY user_id
+    )
+    SELECT f.user_id,
+           ROUND(f.phi, 6) AS phi,
+           ROUND(f.intercept, 6) AS intercept,
+           ROUND(f.intercept + f.phi * l.last_value, 6) AS forecast_1
+    FROM fit f JOIN last_obs l ON f.user_id = l.user_id
+    """,
+)
+def ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-lite: AR(1) fit + 1-step forecast in closed form (OLS slope =
+    covar/var) — the relational-algebra core of the reference's SARIMAX
+    surface (`forcester_ts/sarimax.py:708-1013`); full grid-fit lives in
+    forecast/ as an applyInPandas harness."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = ev.select(
+        "user_id",
+        F.col("value").alias("y"),
+        F.lag("value").over(w).alias("ylag"),
+        "ts",
+        "value",
+    )
+    fit = (
+        pairs.filter(F.col("ylag").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.covar_samp("y", "ylag") / F.var_samp("ylag")).alias("phi"),
+            (
+                F.avg("y")
+                - (F.covar_samp("y", "ylag") / F.var_samp("ylag")) * F.avg("ylag")
+            ).alias("intercept"),
+        )
+    )
+    last_obs = ev.groupBy("user_id").agg(F.max_by("value", "ts").alias("last_value"))
+    return fit.join(last_obs, "user_id").select(
+        "user_id",
+        r6("phi").alias("phi"),
+        r6("intercept").alias("intercept"),
+        r6(F.col("intercept") + F.col("phi") * F.col("last_value")).alias("forecast_1"),
+    )
+
+
+@query(
+    "mc_terminal_stats",
+    oracle=f"""
+    WITH params AS (
+      SELECT user_id,
+             AVG(lr) AS mu, STDDEV_SAMP(lr) AS sigma,
+             ARG_MAX(value, ts) AS last_value
+      FROM ({_USER_SERIES_SQL}) GROUP BY user_id
+    ),
+    grid AS (
+      SELECT p.user_id, p.mu, p.sigma, p.last_value, r1.range AS path, r2.range AS step
+      FROM params p, RANGE(50) r1, RANGE(1, 11) r2
+    ),
+    shocks AS (
+      SELECT user_id, path, mu, sigma, last_value,
+             SQRT(-2 * LN({_HASH_U.format(r="user_id || '-' || path || '-' || step", i="1")} + 1e-12))
+               * COS(2 * {PI!r} * {_HASH_U.format(r="user_id || '-' || path || '-' || step", i="2")})
+               AS z
+      FROM grid
+    ),
+    terminals AS (
+      SELECT user_id,
+             last_value * EXP(SUM(mu - 0.5 * sigma * sigma + sigma * z)) AS terminal
+      FROM shocks GROUP BY user_id, path, last_value
+    )
+    SELECT user_id,
+           COUNT(*) AS n_paths,
+           ROUND(AVG(terminal), 6) AS mean_terminal,
+           ROUND(QUANTILE_CONT(terminal, 0.05), 6) AS q05,
+           ROUND(QUANTILE_CONT(terminal, 0.95), 6) AS q95
+    FROM terminals GROUP BY user_id
+    """,
+)
+def mc_terminal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 Monte-Carlo GBM paths, fully native [UDTF-style explode] —
+    reference `forcester_ts/monte_carlo_simulator.py:86-190` (seeded shocks,
+    cumprod paths, quantile bands). Gaussian draws via Box-Muller over
+    md5-hash uniforms → deterministic AND identical in the oracle; paths
+    explode map-side (sequence+explode), one shuffle for the per-user
+    quantiles."""
+    from ..functions.scalars import hash_unit_interval
+
+    s = _user_series(spark, sf_dir)
+    params = s.groupBy("user_id").agg(
+        F.avg("lr").alias("mu"),
+        F.stddev_samp("lr").alias("sigma"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+    grid = (
+        params.select(
+            "user_id",
+            "mu",
+            "sigma",
+            "last_value",
+            F.explode(F.sequence(F.lit(0), F.lit(49))).alias("path"),
+        )
+        .select("*", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("step"))
+    )
+    key = F.concat_ws(
+        "-", F.col("user_id").cast("string"), F.col("path").cast("string"), F.col("step").cast("string")
+    )
+    u1 = hash_unit_interval(key, F.lit(1)) + F.lit(1e-12)
+    u2 = hash_unit_interval(key, F.lit(2))
+    z = F.sqrt(-2 * F.log(u1)) * F.cos(2 * F.lit(PI) * u2)
+    shocks = grid.withColumn("z", z)
+    terminals = shocks.groupBy("user_id", "path", "last_value").agg(
+        (
+            F.col("last_value")
+            * F.exp(
+                F.sum(
+                    F.col("mu") - 0.5 * F.col("sigma") * F.col("sigma") + F.col("sigma") * F.col("z")
+                )
+            )
+        ).alias("terminal")
+    ).select("user_id", "terminal")
+    return terminals.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        r6(F.avg("terminal")).alias("mean_terminal"),
+        r6(F.percentile("terminal", F.lit(0.05))).alias("q05"),
+        r6(F.percentile("terminal", F.lit(0.95))).alias("q95"),
+    )
