@@ -1,0 +1,166 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Charter extension (SURVEY.md §7.1 step 10). Design for 100 TB:
+
+- **exact**: one groupBy on a content hash — the only full-data shuffle,
+  and it shuffles 16-byte keys, not documents.
+- **MinHash+LSH**: signatures are computed in ONE aggregation pass (16
+  mins per group, map-side partials — no 16× row fan-out), candidate pairs
+  come from equi-joins on banded signatures (shuffle on 4-byte band keys).
+  The quadratic all-pairs comparison never happens; only LSH candidates
+  get exact verification.
+- **SimHash**: per-token hex-digit MSB votes, one aggregation; bucketing by
+  the 16-bit signature is an equi-join.
+- md5 is used for every hash so the DuckDB differential oracle can replay
+  the exact same draws (Spark's xxhash64/murmur are not portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+N_MINHASH = 16
+BAND_SIZE = 4  # 4 bands of 4 → catches pairs from J ≳ 0.5
+
+
+def shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram set (0-based Spark array subscripts)."""
+    toks = tokens(text)
+    # sequence(0, -1) would yield a DESCENDING [0,-1] — guard short docs
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+    )
+    return F.array_distinct(gram)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content md5, keep groups of ≥2."""
+    h = df.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+    return (
+        h.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n_gram: int = 2) -> DataFrame:
+    """MinHash signature per doc: 16 seed-salted md5 minima over the distinct
+    shingle set, computed in a single groupBy pass (no row fan-out)."""
+    sh = df.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n_gram)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (4 bands × 4 rows) and equi-join on band hashes.
+
+    Returns distinct (d1, d2) candidate pairs with the estimated Jaccard
+    (fraction of the 16 minhashes that agree).
+    """
+    n_bands = N_MINHASH // BAND_SIZE
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)])
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig.select("doc_id", *band_cols, *[f"mh{s}" for s in range(N_MINHASH)])
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    long = banded.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_expr}) as (band_id, band_hash)")
+    )
+    a = long.alias("a")
+    b = long.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        (F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}")).cast("int") for s in range(N_MINHASH)
+    )
+    return (
+        pairs.join(sa, pairs.d1 == F.col("sa.doc_id"))
+        .join(sb, pairs.d2 == F.col("sb.doc_id"))
+        .select("d1", "d2", (matches / F.lit(float(N_MINHASH))).alias("est_jaccard"))
+    )
+
+
+def exact_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", n_gram: int = 2
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only (LSH output),
+    via an intersection join on shingles — never all-pairs."""
+    sh = df.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n_gram)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("ja")
+    b = sh.alias("jb")
+    inter = (
+        pairs.join(a, pairs.d1 == F.col("ja.doc_id"))
+        .join(
+            b,
+            (pairs.d2 == F.col("jb.doc_id"))
+            & (F.col("ja.shingle") == F.col("jb.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["d1", "d2"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("set_size", "size1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("set_size", "size2"), "d2")
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    return out.select(
+        "d1",
+        "d2",
+        "est_jaccard",
+        (n_inter / (F.col("size1") + F.col("size2") - n_inter)).alias("jaccard"),
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over the distinct token set.
+
+    Bit i votes +1/−1 by the MSB of hex digit i of each token's md5; the
+    per-document signature sums votes and takes signs. Pure column algebra
+    (aggregate over the token array) — portable to the oracle because the
+    hex digits of md5 agree everywhere.
+    """
+    toks = F.array_distinct(tokens(text))
+
+    def voter(pos: int):
+        # closure (not a default arg): PySpark infers lambda arity from the
+        # signature, so the merge fn must be exactly (acc, t)
+        def merge(acc, t):
+            return acc + F.when(
+                F.substring(F.md5(t), pos + 1, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return merge
+
+    bits = []
+    for i in range(16):
+        vote = F.aggregate(toks, F.lit(0), voter(i))
+        bits.append(F.when(vote > 0, F.lit(2**i)).otherwise(F.lit(0)))
+    return sum(bits[1:], start=bits[0]).alias("simhash")

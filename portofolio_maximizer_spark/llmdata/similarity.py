@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Charter extension (SURVEY.md §7.1 step 10):
+
+- **brute-force cosine top-k** — the exactness baseline. The query set is
+  broadcast; each partition of the corpus computes dot products locally
+  (zip_with + aggregate, JVM-side, no shuffle of the corpus), and top-k per
+  query is a TakeOrdered-style window. At 100 TB the corpus never moves.
+- **hyperplane-LSH bucketed search** — the scale path: 8 deterministic
+  md5-derived hyperplanes hash every vector to a 8-bit bucket; search only
+  joins matching buckets (equi-join on a 1-byte key). Recall is tunable by
+  planes/tables; the plumbing (bucket column, equi-join, per-bucket top-k)
+  is what a real IVF/HNSW swap-in would reuse.
+
+Hyperplane weights are *Python-computed* md5 values embedded as literals,
+so Spark and the DuckDB oracle use byte-identical planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 8
+DIM = 64
+
+
+def _hash_unit(key: str) -> float:
+    """Python twin of functions.scalars.hash_unit_interval (md5 hex6 → [0,1))."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:6], 16) / float(16**6)
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic hyperplane weights: w[p][d] = hash_unit(f"{p}|{d}") − 0.5."""
+    return [
+        [_hash_unit(f"{p}|{d}") - 0.5 for d in range(dim)] for p in range(n_planes)
+    ]
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — same accumulation order as the
+    oracle's index-ordered sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the LSH bucket id (8-bit int from hyperplane signs)."""
+    v = as_double(F.col(vec_col))
+    planes = hyperplanes()
+    bucket = F.lit(0)
+    for p, w in enumerate(planes):
+        proj = dot(v, F.array(*[F.lit(x) for x in w]))
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, per-query window."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("de"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot(F.col("qe"), F.col("de")) / (norm(F.col("qe")) * norm(F.col("de")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "cosine", "rnk")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bucketed ANN: only same-bucket candidates are scored (equi-join on
+    the bucket id — the shuffle key is 1 byte, corpus vectors stay put
+    under AQE broadcast of the tiny query side)."""
+    qb = with_bucket(queries, vec_col).select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe"), "bucket"
+    )
+    cb = with_bucket(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("de"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "bucket",
+            (dot(F.col("qe"), F.col("de")) / (norm(F.col("qe")) * norm(F.col("de")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "bucket", "cosine", "rnk")
+    )

@@ -1,4 +1,5 @@
 from .queries import ORACLE, QUERIES
 from . import queries_finance  # noqa: F401  (registers pack 2)
+from . import queries_llmdata  # noqa: F401  (registers pack 3)
 
 __all__ = ["ORACLE", "QUERIES"]

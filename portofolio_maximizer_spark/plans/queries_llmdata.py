@@ -1,0 +1,367 @@
+"""Query pack 3 — LLM-data-pipeline operators over documents/embeddings.
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force cosine + hyperplane-LSH), text analysis (token stats, quality,
+language-ID, fingerprints), multimodal payload plumbing. All hashes are md5
+so the DuckDB oracle replays identical draws; hyperplanes are Python-md5
+literals embedded in both plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llmdata import dedup, multimodal, similarity, textstats
+from ..sources.catalog import load_table
+from .queries import query, r6
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKSTATS_SQL = """
+      SELECT doc_id, lang, source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 t -> t IN ('the','a','of','to','and','in','is'))) AS n_stop,
+             LENGTH(text) AS n_chars_m
+      FROM documents
+"""
+
+
+@query(
+    "text_quality_by_source",
+    oracle=f"""
+    WITH s AS ({_TOKSTATS_SQL})
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_tokens), 6) AS avg_tokens,
+           ROUND(AVG(n_distinct * 1.0 / n_tokens), 6) AS avg_ttr,
+           ROUND(AVG(n_stop * 1.0 / n_tokens), 6) AS avg_stopword_ratio,
+           ROUND(AVG(0.4 * LEAST(1.0, n_tokens / 100.0)
+                   + 0.3 * (1.0 - n_stop * 1.0 / n_tokens)
+                   + 0.3 * n_distinct * 1.0 / n_tokens), 6) AS avg_quality
+    FROM s GROUP BY lang, source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring rolled up per (lang, source) —
+    charter text-analysis operator; all JVM-side column algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = textstats.with_token_stats(docs)
+    return s.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("n_tokens")).alias("avg_tokens"),
+        r6(F.avg("ttr")).alias("avg_ttr"),
+        r6(F.avg("stopword_ratio")).alias("avg_stopword_ratio"),
+        r6(F.avg("quality_score")).alias("avg_quality"),
+    )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH s AS ({_TOKSTATS_SQL})
+    SELECT lang,
+           CASE WHEN n_stop * 1.0 / n_tokens >= 0.08 THEN 'en' ELSE 'other' END
+             AS lang_pred,
+           COUNT(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-mass detector) + confusion counts
+    against the labeled lang column — charter text-analysis operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = textstats.with_lang_pred(docs)
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "doc_fingerprint_dups",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    """,
+)
+def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup: md5 of the sorted distinct-token
+    set; groups of ≥2 are vocabulary-identical docs. One groupBy on a
+    16-byte key — the cheap first-pass dedup at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", textstats.bow_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "exact_dup_groups",
+    oracle="""
+    SELECT content_hash, n_docs, keep_doc_id FROM (
+      SELECT MD5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+      FROM documents GROUP BY MD5(text)
+    ) WHERE n_docs > 1
+    """,
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash — charter dedup operator. The shuffle
+    carries md5 keys, never document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MINS = ", ".join(
+    f"MIN(MD5('{s}' || '|' || shingle)) AS mh{s}" for s in range(dedup.N_MINHASH)
+)
+_BANDS = ", ".join(
+    f"MD5(mh{4 * b} || '|' || mh{4 * b + 1} || '|' || mh{4 * b + 2} || '|' || mh{4 * b + 3}) AS band{b}"
+    for b in range(dedup.N_MINHASH // dedup.BAND_SIZE)
+)
+_STACK = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM banded"
+    for b in range(dedup.N_MINHASH // dedup.BAND_SIZE)
+)
+_EST = " + ".join(
+    f"(sa.mh{s} = sb.mh{s})::INT" for s in range(dedup.N_MINHASH)
+)
+
+
+@query(
+    "minhash_lsh_neardups",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
+           FROM toks, UNNEST(RANGE(1, LEN(t))) AS u(i)),
+    sig AS (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
+    banded AS (SELECT *, {_BANDS} FROM sig),
+    long AS ({_STACK}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM long a JOIN long b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.d1, p.d2, ({_EST}) / 16.0 AS est_jaccard
+      FROM pairs p JOIN sig sa ON p.d1 = sa.doc_id JOIN sig sb ON p.d2 = sb.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.d1, p.d2, COUNT(*) AS ni
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.d1
+      JOIN sh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT e.d1, e.d2,
+             ROUND(e.est_jaccard, 6) AS est_jaccard,
+             ROUND(COALESCE(i.ni, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.ni, 0)), 6)
+               AS jaccard
+      FROM est e
+      LEFT JOIN inter i ON e.d1 = i.d1 AND e.d2 = i.d2
+      JOIN sizes sa ON e.d1 = sa.doc_id
+      JOIN sizes sb ON e.d2 = sb.doc_id
+    ) WHERE jaccard >= 0.3
+    """,
+)
+def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4×4 bands) near-dup detection with exact-Jaccard
+    verification of candidates only — charter dedup operator. Signatures
+    in one groupBy pass; candidates from band equi-joins; the all-pairs
+    comparison never materializes (the 100 TB-viable shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    verified = dedup.exact_jaccard(docs, pairs)
+    return verified.filter(F.col("jaccard") >= 0.3).select(
+        "d1",
+        "d2",
+        r6("est_jaccard").alias("est_jaccard"),
+        r6("jaccard").alias("jaccard"),
+    )
+
+
+_SIMHASH_VOTES = ", ".join(
+    "SUM(CASE WHEN SUBSTR(MD5(tok), {pos}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS v{i}".format(pos=i + 1, i=i)
+    for i in range(16)
+)
+_SIMHASH_SUM = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))
+
+
+@query(
+    "simhash_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok
+      FROM documents
+    ),
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM toks GROUP BY doc_id),
+    sigs AS (SELECT doc_id, ({_SIMHASH_SUM}) AS simhash FROM votes)
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM sigs GROUP BY simhash
+    """,
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures + bucket histogram — charter dedup
+    operator. Votes ride the token array in one aggregate expression (no
+    explode); bucketing is a groupBy on a 2-byte key."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", dedup.simhash16(F.col("text")))
+    return sigs.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_NORMS_SQL = """
+      SELECT vec_id,
+             SQRT(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+      FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY vec_id
+"""
+
+
+@query(
+    "embedding_knn",
+    oracle=f"""
+    WITH norms AS ({_NORMS_SQL}),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    dots AS (
+      SELECT q.qid, e.vec_id,
+             SUM(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dp
+      FROM q, embeddings e, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE e.vec_id <> q.qid
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.qid, d.vec_id, d.dp / (nq.nrm * nd.nrm) AS cosine
+      FROM dots d
+      JOIN norms nq ON d.qid = nq.vec_id
+      JOIN norms nd ON d.vec_id = nd.vec_id
+    )
+    SELECT qid, vec_id, ROUND(cosine, 6) AS cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 — charter similarity-search baseline.
+    Queries broadcast; corpus partitions score locally (zip_with fold,
+    JVM-side); per-query top-k via window. Corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("qid", "vec_id", r6("cosine").alias("cosine"), "rnk")
+
+
+def _planes_sql() -> str:
+    rows = ", ".join(
+        f"({p}, {list(w)!r})".replace("'", "")
+        for p, w in enumerate(similarity.hyperplanes())
+    )
+    return f"(VALUES {rows}) AS t(p, w)"
+
+
+@query(
+    "embedding_lsh_ann",
+    oracle=f"""
+    WITH norms AS ({_NORMS_SQL}),
+    planes AS (SELECT p, w FROM {_planes_sql()}),
+    projs AS (
+      SELECT e.vec_id, pl.p,
+             SUM(CAST(e.embedding[i] AS DOUBLE) * w[i]) AS proj
+      FROM embeddings e, planes pl, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN proj > 0 THEN POW(2, p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM projs GROUP BY vec_id
+    ),
+    q AS (SELECT b.vec_id AS qid, e.embedding AS qe, b.bucket
+          FROM buckets b JOIN embeddings e USING (vec_id) WHERE vec_id < 20),
+    cand AS (
+      SELECT q.qid, b.vec_id, q.bucket
+      FROM q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id <> q.qid
+    ),
+    dots AS (
+      SELECT c.qid, c.vec_id, c.bucket,
+             SUM(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dp
+      FROM cand c
+      JOIN q ON c.qid = q.qid
+      JOIN embeddings e ON c.vec_id = e.vec_id, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT d.qid, d.vec_id, d.bucket, d.dp / (nq.nrm * nd.nrm) AS cosine
+      FROM dots d
+      JOIN norms nq ON d.qid = nq.vec_id
+      JOIN norms nd ON d.vec_id = nd.vec_id
+    )
+    SELECT qid, vec_id, bucket, ROUND(cosine, 6) AS cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-3 — charter similarity-search scale
+    path: 8 md5-derived hyperplanes → 8-bit bucket; only same-bucket
+    candidates are scored (equi-join on a 1-byte key)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    return out.select("qid", "vec_id", "bucket", r6("cosine").alias("cosine"), "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,
+           ROUND(AVG(OCTET_LENGTH(ENCODE(text))), 6) AS avg_bytes,
+           COUNT(DISTINCT MD5(text)) AS n_distinct_payloads
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload column stats — charter multimodal plumbing: payloads
+    as `binary` + metadata columns, metadata queries never touch the blob
+    (parquet column pruning). Decode/feature-extract is the mapInPandas
+    stage in llmdata/multimodal.py (stubbed codec, tested plumbing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs)
+    joined = media.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        r6(F.avg("payload_bytes")).alias("avg_bytes"),
+        F.countDistinct("content_hash").alias("n_distinct_payloads"),
+    )

@@ -1,0 +1,64 @@
+"""Unit tests for the LLM-data operators not fully covered by the oracle
+gate: multimodal mapInPandas plumbing, LSH recall sanity, shingle guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from portofolio_maximizer_spark.llmdata import dedup, multimodal, similarity
+from portofolio_maximizer_spark.sources.catalog import load_table
+
+
+def test_multimodal_feature_extraction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.attach_payload(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.width >= 64 and r.height >= 64 and 1 <= r.n_frames <= 16
+        # deterministic featurizer: recompute and compare
+        assert (r.width, r.height, r.n_frames) == multimodal.fake_features(
+            b"x" * r.payload_bytes
+        )
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_metadata_query_prunes_payload(spark, sf_dir):
+    """Metadata-only aggregation must not read the binary column."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs)
+    plan = media.groupBy("media_type").agg(F.sum("payload_bytes"))._jdf.queryExecution().executedPlan().toString()
+    assert "payload_bytes" in plan
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one"), (2, "two words"), (3, "a b c")], "doc_id INT, text STRING")
+    out = df.select("doc_id", dedup.shingles(F.col("text"), 2).alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in out}
+    assert by_id[1] == []
+    assert by_id[2] == ["two words"]
+    assert by_id[3] == ["a b", "b c"]
+
+
+def test_lsh_finds_planted_neardups(spark, sf_dir):
+    """LSH candidates must include the highest-Jaccard pair found by the
+    exact (bounded) comparison on a subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    verified = dedup.exact_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5)
+    assert verified.count() > 0  # the synthetic corpus plants near-dups
+
+
+def test_bucket_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    b1 = {r.vec_id: r.bucket for r in similarity.with_bucket(emb).collect()}
+    b2 = {r.vec_id: r.bucket for r in similarity.with_bucket(emb).collect()}
+    assert b1 == b2
+    assert all(0 <= b < 256 for b in b1.values())
