@@ -25,6 +25,26 @@ from .textstats import tokens
 N_MINHASH = 16
 BAND_SIZE = 4  # 4 bands of 4 → catches pairs from J ≳ 0.5
 
+# Universal-hash family over a 32-bit md5 fingerprint: mh_s = (a_s·x + b_s) mod P.
+# ONE md5 per shingle instead of 16 (md5 dominates minhash cost at scale);
+# the affine mixes are integer ops. P = 2^31−1 keeps a·x < 2^62 (no overflow).
+MERSENNE_P = 2_147_483_647
+
+
+def _hash_params(n: int = N_MINHASH) -> list[tuple[int, int]]:
+    import hashlib
+
+    def h(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+    return [
+        ((h(f"a|{s}") % (MERSENNE_P - 1)) + 1, h(f"b|{s}") % MERSENNE_P)
+        for s in range(n)
+    ]
+
+
+HASH_PARAMS = _hash_params()
+
 
 def shingles(text: Column, n: int = 2) -> Column:
     """Distinct word n-gram set (0-based Spark array subscripts)."""
@@ -50,16 +70,22 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", n_gram: int = 2) -> DataFrame:
-    """MinHash signature per doc: 16 seed-salted md5 minima over the distinct
-    shingle set, computed in a single groupBy pass (no row fan-out)."""
+    """MinHash signature per doc: one 32-bit md5 fingerprint per distinct
+    shingle, then 16 universal-hash minima — a single groupBy pass, no row
+    fan-out, one md5 per shingle (not 16)."""
     sh = df.select(
         "doc_id", F.explode(shingles(F.col(text_col), n_gram)).alias("shingle")
     )
+    x = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        % MERSENNE_P
+    )
+    fp = sh.select("doc_id", x.alias("x"))
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(N_MINHASH)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"mh{s}")
+        for s, (a, b) in enumerate(HASH_PARAMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return fp.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -97,8 +123,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     matches = sum(
         (F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}")).cast("int") for s in range(N_MINHASH)
     )
+    # candidate pairs ≪ corpus: broadcast them so signatures never shuffle
     return (
-        pairs.join(sa, pairs.d1 == F.col("sa.doc_id"))
+        F.broadcast(pairs)
+        .join(sa, pairs.d1 == F.col("sa.doc_id"))
         .join(sb, pairs.d2 == F.col("sb.doc_id"))
         .select("d1", "d2", (matches / F.lit(float(N_MINHASH))).alias("est_jaccard"))
     )
@@ -116,7 +144,8 @@ def exact_jaccard(
     a = sh.alias("ja")
     b = sh.alias("jb")
     inter = (
-        pairs.join(a, pairs.d1 == F.col("ja.doc_id"))
+        F.broadcast(pairs)
+        .join(a, pairs.d1 == F.col("ja.doc_id"))
         .join(
             b,
             (pairs.d2 == F.col("jb.doc_id"))

@@ -128,7 +128,8 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MINS = ", ".join(
-    f"MIN(MD5('{s}' || '|' || shingle)) AS mh{s}" for s in range(dedup.N_MINHASH)
+    f"MIN(({a}::BIGINT * x + {b}) % {dedup.MERSENNE_P}) AS mh{s}"
+    for s, (a, b) in enumerate(dedup.HASH_PARAMS)
 )
 _BANDS = ", ".join(
     f"MD5(mh{4 * b} || '|' || mh{4 * b + 1} || '|' || mh{4 * b + 2} || '|' || mh{4 * b + 3}) AS band{b}"
@@ -149,7 +150,10 @@ _EST = " + ".join(
     WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
            FROM toks, UNNEST(RANGE(1, LEN(t))) AS u(i)),
-    sig AS (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
+    fp AS (SELECT doc_id, shingle,
+                  ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT % {dedup.MERSENNE_P} AS x
+           FROM sh),
+    sig AS (SELECT doc_id, {_MINS} FROM fp GROUP BY doc_id),
     banded AS (SELECT *, {_BANDS} FROM sig),
     long AS ({_STACK}),
     pairs AS (
