@@ -1,0 +1,1009 @@
+"""Query pack 4 — advanced windows + statistical test suite.
+
+Covers the SURVEY.md §2 rows the first two packs left open: rolling
+quantiles (W6), drift/vol-regime features (W7/W8), rolling t-test (W17),
+trend R² (W18), Hurst exponent (W19), seasonal decomposition (W20),
+calendar flags (W21), terminal-window metrics (W23), the statistical test
+suite (F10: Ljung-Box, Jarque-Bera, Diebold-Mariano), VaR backtests
+(F11: Kupiec POF, Christoffersen independence, pinball loss), pairwise
+covariance (A8) and the JSON metric rollup (A9).
+
+Every formula is written as the SAME closed form on the Spark side and in
+the DuckDB oracle, with division/log guards expressed identically, so the
+differential hash cannot diverge on edge cases. Threshold comparisons
+happen on values already rounded to 6 decimals on both sides (boundary
+flips from last-bit float noise are the one way an order-insensitive hash
+can break — see `plans/queries.py` docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .queries import query, r6
+
+# ---------------------------------------------------------------------------
+# Shared base: events as per-user series with row_number + log return.
+# ---------------------------------------------------------------------------
+
+_S_SQL = """
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             LN(value / LAG(value, 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS lr
+      FROM events
+"""
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.log(F.col("value") / F.lag("value", 1).over(w)).alias("lr"),
+    )
+
+
+def _w(frame: tuple[int, int] | None = None) -> Window:
+    w = Window.partitionBy("user_id").orderBy("rn")
+    return w.rowsBetween(*frame) if frame else w
+
+
+# ---------------------------------------------------------------------------
+# W6 — exact rolling quantile (CVaR proxy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_quantile_tail",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    q AS (
+      SELECT user_id, rn,
+             QUANTILE_CONT(lr, 0.05) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS q05
+      FROM s
+    )
+    SELECT user_id, COUNT(*) AS n_windows,
+           ROUND(AVG(q05), 6) AS avg_q05,
+           ROUND(MIN(q05), 6) AS min_q05
+    FROM q WHERE rn >= 21 GROUP BY user_id
+    """,
+)
+def rolling_quantile_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 exact rolling 5% quantile of returns (20-bar CVaR proxy) —
+    reference `etl/time_series_feature_builder.py:156`
+    (`returns.rolling(60).quantile(0.05)`).
+
+    Spark's exact ``percentile`` over a rows frame interpolates linearly,
+    identical to DuckDB QUANTILE_CONT — no approx sketch, so the hash
+    matches (SURVEY §7.3 flags percentile_approx as the mismatch trap).
+    """
+    s = _series(spark, sf_dir)
+    q05 = F.percentile(F.col("lr"), F.lit(0.05)).over(_w((-19, 0)))
+    return (
+        s.select("user_id", "rn", q05.alias("q05"))
+        .filter(F.col("rn") >= 21)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            r6(F.avg("q05")).alias("avg_q05"),
+            r6(F.min("q05")).alias("min_q05"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7 + W8 — drift intensity and volatility-regime terciles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "drift_vol_regimes",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    feat AS (
+      SELECT user_id,
+             ROUND(ABS(AVG(lr) OVER w5 - AVG(lr) OVER w20)
+                   / (STDDEV_SAMP(lr) OVER w20 + 1e-9), 6) AS drift,
+             ROUND(STDDEV_SAMP(lr) OVER w20, 6) AS s20,
+             rn
+      FROM s
+      WINDOW w5 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    kept AS (SELECT * FROM feat WHERE rn >= 21),
+    cuts AS (
+      SELECT ROUND(QUANTILE_CONT(s20, 0.3333333333333333), 6) AS q33,
+             ROUND(QUANTILE_CONT(s20, 0.6666666666666666), 6) AS q66
+      FROM kept
+    )
+    SELECT k.user_id,
+           CASE WHEN k.s20 <= c.q33 THEN 0
+                WHEN k.s20 <= c.q66 THEN 1 ELSE 2 END AS regime,
+           COUNT(*) AS n,
+           ROUND(AVG(k.drift), 6) AS avg_drift
+    FROM kept k CROSS JOIN cuts c
+    GROUP BY k.user_id, regime
+    """,
+)
+def drift_vol_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 drift intensity |μ5−μ20|/(σ20+ε) + W8 tercile vol-regime buckets —
+    reference `etl/time_series_feature_builder.py:132-148`.
+
+    The tercile cuts are GLOBAL quantiles of the rolling σ20: a scalar
+    aggregate cross-joined back (broadcast — one row), so the big side is
+    scanned once and never reshuffled. Regime boundaries compare values
+    both sides have already rounded to 6 decimals, killing boundary flips.
+    """
+    s = _series(spark, sf_dir)
+    feat = s.select(
+        "user_id",
+        "rn",
+        r6(
+            F.abs(F.avg("lr").over(_w((-4, 0))) - F.avg("lr").over(_w((-19, 0))))
+            / (F.stddev_samp("lr").over(_w((-19, 0))) + F.lit(1e-9))
+        ).alias("drift"),
+        r6(F.stddev_samp("lr").over(_w((-19, 0)))).alias("s20"),
+    ).filter(F.col("rn") >= 21)
+    cuts = feat.agg(
+        r6(F.percentile(F.col("s20"), F.lit(1.0 / 3.0))).alias("q33"),
+        r6(F.percentile(F.col("s20"), F.lit(2.0 / 3.0))).alias("q66"),
+    )
+    regime = (
+        F.when(F.col("s20") <= F.col("q33"), 0)
+        .when(F.col("s20") <= F.col("q66"), 1)
+        .otherwise(2)
+    )
+    return (
+        feat.crossJoin(F.broadcast(cuts))
+        .select("user_id", "drift", regime.alias("regime"))
+        .groupBy("user_id", "regime")
+        .agg(F.count(F.lit(1)).alias("n"), r6(F.avg("drift")).alias("avg_drift"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W17 — rolling one-sample t-test (current bar vs trailing window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_ttest",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    t AS (
+      SELECT user_id,
+             ROUND((lr - AVG(lr) OVER wt)
+                   / NULLIF(STDDEV_SAMP(lr) OVER wt / SQRT(20.0), 0), 6) AS tstat
+      FROM s
+      WINDOW wt AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      QUALIFY rn >= 22
+    )
+    SELECT user_id,
+           COUNT(tstat) AS n_tested,
+           SUM(CASE WHEN ABS(tstat) > 2 THEN 1 ELSE 0 END) AS n_sig,
+           ROUND(MAX(ABS(tstat)), 6) AS max_abs_t
+    FROM t GROUP BY user_id
+    """,
+)
+def rolling_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 rolling regime t-test: current return vs the trailing-20 window
+    (frame EXCLUDES the current row) — reference `etl/regime_detector.py:
+    47-130` one-sample t-test of current vs trailing stats."""
+    s = _series(spark, sf_dir)
+    wt = _w((-20, -1))
+    tstat = r6(
+        (F.col("lr") - F.avg("lr").over(wt))
+        / F.nullif(F.stddev_samp("lr").over(wt) / F.lit(20.0**0.5), F.lit(0.0))
+    )
+    return (
+        s.select("user_id", "rn", tstat.alias("tstat"))
+        .filter(F.col("rn") >= 22)
+        .groupBy("user_id")
+        .agg(
+            F.count("tstat").alias("n_tested"),
+            F.sum((F.abs(F.col("tstat")) > 2).cast("int")).alias("n_sig"),
+            r6(F.max(F.abs(F.col("tstat")))).alias("max_abs_t"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W18 — trend strength R² over a rolling window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trend_strength_r2",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    r AS (
+      SELECT user_id,
+             POWER(CORR(value, CAST(rn AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 2) AS r2
+      FROM s QUALIFY rn >= 20
+    )
+    SELECT user_id, COUNT(*) AS n,
+           ROUND(AVG(r2), 6) AS avg_r2,
+           ROUND(MAX(r2), 6) AS max_r2
+    FROM r GROUP BY user_id
+    """,
+)
+def trend_strength_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18 trend strength: R² of price vs time over a 20-bar lookback —
+    reference `forcester_ts/regime_detector.py:115-142` (linregress R²).
+    R² of simple regression ≡ corr², which both engines compute natively
+    inside the window — no UDF."""
+    s = _series(spark, sf_dir)
+    r2 = F.pow(
+        F.corr(F.col("value"), F.col("rn").cast("double")).over(_w((-19, 0))), 2
+    )
+    return (
+        s.select("user_id", "rn", r2.alias("r2"))
+        .filter(F.col("rn") >= 20)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg("r2")).alias("avg_r2"),
+            r6(F.max("r2")).alias("max_r2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W19 — Hurst exponent (log-log slope of lag-diff dispersion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hurst_exponent",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    d AS (
+      SELECT user_id,
+             value - LAG(value, 2)  OVER wp AS d2,
+             value - LAG(value, 4)  OVER wp AS d4,
+             value - LAG(value, 8)  OVER wp AS d8,
+             value - LAG(value, 16) OVER wp AS d16
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    sig AS (
+      SELECT user_id,
+             STDDEV_SAMP(d2) AS s2, STDDEV_SAMP(d4) AS s4,
+             STDDEV_SAMP(d8) AS s8, STDDEV_SAMP(d16) AS s16
+      FROM d GROUP BY user_id
+    ),
+    long AS (
+      SELECT user_id, 2.0 AS lag_k, s2 AS sd FROM sig
+      UNION ALL SELECT user_id, 4.0, s4 FROM sig
+      UNION ALL SELECT user_id, 8.0, s8 FROM sig
+      UNION ALL SELECT user_id, 16.0, s16 FROM sig
+    )
+    SELECT user_id, ROUND(REGR_SLOPE(LN(sd), LN(lag_k)), 6) AS hurst
+    FROM long WHERE sd IS NOT NULL AND sd > 0
+    GROUP BY user_id HAVING COUNT(*) = 4
+    """,
+)
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 Hurst exponent: slope of ln(std of k-lag diffs) vs ln(k) over
+    lags {2,4,8,16} — reference `forcester_ts/regime_detector.py:144-170`.
+
+    Fully native (no pandas UDF, unlike the SURVEY §2.5 fallback note):
+    fixed-lag diffs in one window pass, per-key stds in one groupBy, then
+    ``regr_slope`` over the unpivoted 4-point cloud. Plan depth is constant
+    in data size — scales to any corpus."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    d = s.select(
+        "user_id",
+        *[
+            (F.col("value") - F.lag("value", k).over(wp)).alias(f"d{k}")
+            for k in (2, 4, 8, 16)
+        ],
+    )
+    sig = d.groupBy("user_id").agg(
+        *[F.stddev_samp(f"d{k}").alias(f"s{k}") for k in (2, 4, 8, 16)]
+    )
+    long = sig.selectExpr(
+        "user_id",
+        "stack(4, 2.0D, s2, 4.0D, s4, 8.0D, s8, 16.0D, s16) AS (lag_k, sd)",
+    )
+    return (
+        long.filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+        .groupBy("user_id")
+        .agg(
+            r6(F.regr_slope(F.log("sd"), F.log("lag_k"))).alias("hurst"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") == 4)
+        .drop("_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W20 — seasonal decomposition strength
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_strength",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    t AS (
+      SELECT user_id, rn, value,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS trend
+      FROM s
+    ),
+    d AS (
+      SELECT user_id, (rn - 1) % 24 AS pos, value - trend AS detr
+      FROM t WHERE rn >= 24
+    ),
+    sea AS (
+      SELECT user_id, detr,
+             AVG(detr) OVER (PARTITION BY user_id, pos) AS seasonal
+      FROM d
+    )
+    SELECT user_id, COUNT(*) AS n,
+           ROUND(1 - VAR_SAMP(detr - seasonal) / NULLIF(VAR_SAMP(detr), 0), 6)
+             AS seasonal_strength
+    FROM sea GROUP BY user_id
+    """,
+)
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20 additive seasonal decomposition, period 24: trailing-MA trend,
+    period-position seasonal means, residual — reference
+    `etl/time_series_feature_builder.py:197-208` (one-sided decompose).
+    Strength = 1 − Var(resid)/Var(detrended) (Hyndman's seasonal-strength
+    statistic)."""
+    s = _series(spark, sf_dir)
+    t = s.select(
+        "user_id", "rn", "value", F.avg("value").over(_w((-23, 0))).alias("trend")
+    )
+    d = t.filter(F.col("rn") >= 24).select(
+        "user_id",
+        ((F.col("rn") - 1) % 24).alias("pos"),
+        (F.col("value") - F.col("trend")).alias("detr"),
+    )
+    sea = d.select(
+        "user_id",
+        "detr",
+        F.avg("detr").over(Window.partitionBy("user_id", "pos")).alias("seasonal"),
+    )
+    return sea.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(
+            1
+            - F.var_samp(F.col("detr") - F.col("seasonal"))
+            / F.nullif(F.var_samp("detr"), F.lit(0.0))
+        ).alias("seasonal_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W21 — calendar flags
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "calendar_order_flags",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN CAST(o_orderdate AS DATE) = LAST_DAY(CAST(o_orderdate AS DATE))
+                    THEN 1 ELSE 0 END) AS n_month_end,
+           SUM(CASE WHEN CAST(o_orderdate AS DATE) = LAST_DAY(CAST(o_orderdate AS DATE))
+                     AND EXTRACT(MONTH FROM o_orderdate) IN (3, 6, 9, 12)
+                    THEN 1 ELSE 0 END) AS n_quarter_end
+    FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)
+    """,
+)
+def calendar_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W21 calendar feature flags (`is_month_end`, `is_quarter_end`) —
+    reference `etl/time_series_feature_builder.py:211-214` — rolled up per
+    year over the orders table."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    month_end = (d == F.last_day(d)).cast("int")
+    return o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(month_end).alias("n_month_end"),
+        F.sum(
+            (
+                (d == F.last_day(d)) & F.month("o_orderdate").isin(3, 6, 9, 12)
+            ).cast("int")
+        ).alias("n_quarter_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W23 — terminal window metrics (directional persistence + CI coverage)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "terminal_window_metrics",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    g AS (
+      SELECT user_id, (rn - 1) // 20 AS win_id,
+             COUNT(*) AS n,
+             ARG_MIN(value, rn) AS first_v,
+             ARG_MAX(value, rn) AS last_v,
+             AVG(value) AS mean_v,
+             STDDEV_SAMP(value) AS sd_v
+      FROM s GROUP BY user_id, (rn - 1) // 20
+    ),
+    win AS (
+      SELECT user_id, win_id,
+             SIGN(last_v - first_v) AS dir,
+             CASE WHEN last_v BETWEEN mean_v - 2 * sd_v AND mean_v + 2 * sd_v
+                  THEN 1.0 ELSE 0.0 END AS ci_cover
+      FROM g WHERE n = 20
+    ),
+    p AS (
+      SELECT user_id, ci_cover,
+             CASE WHEN dir = LAG(dir) OVER (PARTITION BY user_id ORDER BY win_id)
+                  THEN 1.0
+                  WHEN LAG(dir) OVER (PARTITION BY user_id ORDER BY win_id) IS NULL
+                  THEN NULL ELSE 0.0 END AS persist
+      FROM win
+    )
+    SELECT user_id, COUNT(*) AS n_windows,
+           ROUND(AVG(ci_cover), 6) AS ci_cover_rate,
+           ROUND(AVG(persist), 6) AS dir_persistence
+    FROM p GROUP BY user_id
+    """,
+)
+def terminal_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W23 terminal-window metrics — reference `forcester_ts/metrics.py:
+    109-182`: terminal directional accuracy (sign of last−first) and
+    terminal CI coverage (last value inside mean±2σ), over consecutive
+    20-bar windows; persistence = fraction of windows whose direction
+    repeats the previous window's."""
+    s = _series(spark, sf_dir)
+    g = (
+        s.groupBy("user_id", ((F.col("rn") - 1) / 20).cast("long").alias("win_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", "rn").alias("first_v"),
+            F.max_by("value", "rn").alias("last_v"),
+            F.avg("value").alias("mean_v"),
+            F.stddev_samp("value").alias("sd_v"),
+        )
+        .filter(F.col("n") == 20)
+    )
+    win = g.select(
+        "user_id",
+        "win_id",
+        F.signum(F.col("last_v") - F.col("first_v")).alias("dir"),
+        F.when(
+            (F.col("last_v") >= F.col("mean_v") - 2 * F.col("sd_v"))
+            & (F.col("last_v") <= F.col("mean_v") + 2 * F.col("sd_v")),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("ci_cover"),
+    )
+    wprev = Window.partitionBy("user_id").orderBy("win_id")
+    prev_dir = F.lag("dir", 1).over(wprev)
+    p = win.select(
+        "user_id",
+        "ci_cover",
+        F.when(F.col("dir") == prev_dir, 1.0)
+        .when(prev_dir.isNull(), F.lit(None).cast("double"))
+        .otherwise(0.0)
+        .alias("persist"),
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        r6(F.avg("ci_cover")).alias("ci_cover_rate"),
+        r6(F.avg("persist")).alias("dir_persistence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — Ljung-Box autocorrelation test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ljung_box",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    l AS (
+      SELECT user_id, lr,
+             LAG(lr, 1) OVER wp AS l1, LAG(lr, 2) OVER wp AS l2,
+             LAG(lr, 3) OVER wp AS l3, LAG(lr, 4) OVER wp AS l4,
+             LAG(lr, 5) OVER wp AS l5, LAG(lr, 6) OVER wp AS l6
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    a AS (
+      SELECT user_id, COUNT(lr) AS n,
+             CORR(lr, l1) AS r1, CORR(lr, l2) AS r2, CORR(lr, l3) AS r3,
+             CORR(lr, l4) AS r4, CORR(lr, l5) AS r5, CORR(lr, l6) AS r6
+      FROM l GROUP BY user_id HAVING COUNT(lr) > 12
+    )
+    SELECT user_id, n,
+           ROUND(r1, 6) AS rho1, ROUND(r2, 6) AS rho2,
+           ROUND(n * (n + 2.0) * (
+             r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3) +
+             r4*r4/(n-4) + r5*r5/(n-5) + r6*r6/(n-6)), 6) AS lb_stat
+    FROM a
+    """,
+)
+def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 Ljung-Box portmanteau statistic, lags 1..6 — reference
+    `etl/statistical_tests.py:226-249`. Autocorrelations via lag columns +
+    CORR (pairwise-aligned, identical semantics in both engines); the
+    χ² p-value needs a CDF and is left to the caller (SURVEY §2.10 note:
+    distribution CDFs are the one non-relational piece)."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    l = s.select(
+        "user_id",
+        "lr",
+        *[F.lag("lr", k).over(wp).alias(f"l{k}") for k in range(1, 7)],
+    )
+    a = (
+        l.groupBy("user_id")
+        .agg(
+            F.count("lr").alias("n"),
+            *[F.corr("lr", f"l{k}").alias(f"r{k}") for k in range(1, 7)],
+        )
+        .filter(F.col("n") > 12)
+    )
+    n = F.col("n")
+    lb = n * (n + 2.0) * sum(
+        F.col(f"r{k}") * F.col(f"r{k}") / (n - k) for k in range(1, 7)
+    )
+    return a.select(
+        "user_id",
+        "n",
+        r6(F.col("r1")).alias("rho1"),
+        r6(F.col("r2")).alias("rho2"),
+        r6(lb).alias("lb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10/A3 — Jarque-Bera normality from raw moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jarque_bera",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    m AS (
+      SELECT user_id, COUNT(lr) AS n,
+             AVG(lr) AS m1, AVG(lr*lr) AS m2,
+             AVG(lr*lr*lr) AS m3, AVG(lr*lr*lr*lr) AS m4
+      FROM s GROUP BY user_id HAVING COUNT(lr) > 10
+    ),
+    c AS (
+      SELECT user_id, n,
+             m2 - m1*m1 AS c2,
+             m3 - 3*m1*m2 + 2*m1*m1*m1 AS c3,
+             m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1 AS c4
+      FROM m
+    )
+    SELECT user_id, n,
+           ROUND(c3 / POWER(c2, 1.5), 6) AS skew,
+           ROUND(c4 / (c2*c2) - 3, 6) AS kurt_excess,
+           ROUND(n / 6.0 * (POWER(c3 / POWER(c2, 1.5), 2)
+                 + POWER(c4 / (c2*c2) - 3, 2) / 4), 6) AS jb_stat
+    FROM c
+    """,
+)
+def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/A3 Jarque-Bera normality statistic from raw power sums —
+    reference `etl/time_series_analyzer.py:323-333`. Population central
+    moments are derived from E[x^k] identically on both sides — Spark's
+    builtin skewness/kurtosis and DuckDB's disagree on bias corrections,
+    the closed form agrees with itself (see `plans/queries.py` docstring)."""
+    s = _series(spark, sf_dir)
+    lr = F.col("lr")
+    m = (
+        s.groupBy("user_id")
+        .agg(
+            F.count(lr).alias("n"),
+            F.avg(lr).alias("m1"),
+            F.avg(lr * lr).alias("m2"),
+            F.avg(lr * lr * lr).alias("m3"),
+            F.avg(lr * lr * lr * lr).alias("m4"),
+        )
+        .filter(F.col("n") > 10)
+    )
+    m1, m2, m3, m4 = (F.col(c) for c in ("m1", "m2", "m3", "m4"))
+    c2 = m2 - m1 * m1
+    c3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+    c4 = m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    skew = c3 / F.pow(c2, 1.5)
+    kurt = c4 / (c2 * c2) - 3
+    return m.select(
+        "user_id",
+        "n",
+        r6(skew).alias("skew"),
+        r6(kurt).alias("kurt_excess"),
+        r6(F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4)).alias("jb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11 — Kupiec proportion-of-failures VaR backtest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "var_backtest_kupiec",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    stats AS (
+      SELECT user_id, AVG(lr) AS mu, STDDEV_SAMP(lr) AS sd
+      FROM s GROUP BY user_id
+    ),
+    v AS (
+      SELECT s.user_id,
+             COUNT(s.lr) AS n,
+             SUM(CASE WHEN s.lr < st.mu - 1.645 * st.sd THEN 1 ELSE 0 END) AS viol,
+             ROUND(ANY_VALUE(st.mu - 1.645 * st.sd), 6) AS var95
+      FROM s JOIN stats st ON s.user_id = st.user_id
+      WHERE s.lr IS NOT NULL
+      GROUP BY s.user_id
+    )
+    SELECT user_id, n, viol, var95,
+           ROUND(2 * (
+             (n - viol) * LN((1.0 - CAST(viol AS DOUBLE)/n) / 0.95)
+             + CASE WHEN viol = 0 THEN 0.0
+                    ELSE viol * LN((CAST(viol AS DOUBLE)/n) / 0.05) END), 6)
+             AS kupiec_lr
+    FROM v WHERE viol < n
+    """,
+)
+def var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 Kupiec POF test of parametric VaR95 violations — reference
+    `forcester_ts/var_backtest.py:41-130`. VaR = μ − 1.645σ per series;
+    LR_pof closed form with the v=0 branch CASE-guarded identically on
+    both sides (0·ln0 := 0)."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    stats = s.groupBy("user_id").agg(
+        F.avg("lr").alias("mu"), F.stddev_samp("lr").alias("sd")
+    )
+    var95 = F.col("mu") - 1.645 * F.col("sd")
+    v = (
+        s.join(F.broadcast(stats), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("lr").alias("n"),
+            F.sum((F.col("lr") < var95).cast("int")).alias("viol"),
+            r6(F.any_value(var95)).alias("var95"),
+        )
+        .filter(F.col("viol") < F.col("n"))
+    )
+    n, viol = F.col("n"), F.col("viol").cast("double")
+    lr_pof = 2 * (
+        (n - viol) * F.log((1.0 - viol / n) / 0.95)
+        + F.when(F.col("viol") == 0, 0.0).otherwise(viol * F.log((viol / n) / 0.05))
+    )
+    return v.select("user_id", "n", "viol", "var95", r6(lr_pof).alias("kupiec_lr"))
+
+
+# ---------------------------------------------------------------------------
+# F11 — Christoffersen independence test (violation transition counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "christoffersen_independence",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    stats AS (
+      SELECT user_id, AVG(lr) AS mu, STDDEV_SAMP(lr) AS sd
+      FROM s GROUP BY user_id
+    ),
+    i AS (
+      SELECT s.user_id, s.rn,
+             CASE WHEN s.lr < st.mu - 1.645 * st.sd THEN 1 ELSE 0 END AS hit
+      FROM s JOIN stats st ON s.user_id = st.user_id
+      WHERE s.lr IS NOT NULL
+    ),
+    p AS (
+      SELECT user_id, hit,
+             LAG(hit) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+      FROM i
+    ),
+    c AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev = 0 AND hit = 0 THEN 1 ELSE 0 END) AS n00,
+             SUM(CASE WHEN prev = 0 AND hit = 1 THEN 1 ELSE 0 END) AS n01,
+             SUM(CASE WHEN prev = 1 AND hit = 0 THEN 1 ELSE 0 END) AS n10,
+             SUM(CASE WHEN prev = 1 AND hit = 1 THEN 1 ELSE 0 END) AS n11
+      FROM p WHERE prev IS NOT NULL GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, n00, n01, n10, n11,
+             CAST(n01 + n11 AS DOUBLE) / (n00 + n01 + n10 + n11) AS pi,
+             CAST(n01 AS DOUBLE) / NULLIF(n00 + n01, 0) AS pi01,
+             CAST(n11 AS DOUBLE) / NULLIF(n10 + n11, 0) AS pi11
+      FROM c
+    )
+    SELECT user_id, n00, n01, n10, n11,
+           ROUND(2 * (
+               (CASE WHEN n00 = 0 OR pi01 = 1 THEN 0.0 ELSE n00 * LN(1 - pi01) END
+                + CASE WHEN n01 = 0 THEN 0.0 ELSE n01 * LN(pi01) END
+                + CASE WHEN n10 = 0 OR pi11 = 1 THEN 0.0 ELSE n10 * LN(1 - pi11) END
+                + CASE WHEN n11 = 0 THEN 0.0 ELSE n11 * LN(pi11) END)
+             - (CASE WHEN n00 + n10 = 0 OR pi = 1 THEN 0.0
+                     ELSE (n00 + n10) * LN(1 - pi) END
+                + CASE WHEN n01 + n11 = 0 THEN 0.0
+                     ELSE (n01 + n11) * LN(pi) END)), 6) AS lr_ind
+    FROM f WHERE pi > 0
+    """,
+)
+def christoffersen_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 Christoffersen independence test: VaR-violation transition counts
+    n00..n11 via lag+groupBy (exactly the SURVEY §2.10 note "transition
+    counts = lag+groupBy!"), then the LR_ind likelihood ratio — reference
+    `forcester_ts/var_backtest.py:132-198`."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    stats = s.groupBy("user_id").agg(
+        F.avg("lr").alias("mu"), F.stddev_samp("lr").alias("sd")
+    )
+    i = s.join(F.broadcast(stats), "user_id").select(
+        "user_id",
+        "rn",
+        (F.col("lr") < F.col("mu") - 1.645 * F.col("sd")).cast("int").alias("hit"),
+    )
+    p = i.select(
+        "user_id",
+        "hit",
+        F.lag("hit").over(Window.partitionBy("user_id").orderBy("rn")).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    c = p.groupBy("user_id").agg(
+        *[
+            F.sum(((F.col("prev") == a) & (F.col("hit") == b)).cast("int")).alias(
+                f"n{a}{b}"
+            )
+            for a in (0, 1)
+            for b in (0, 1)
+        ]
+    )
+    n00, n01, n10, n11 = (F.col(c_) for c_ in ("n00", "n01", "n10", "n11"))
+    total = (n00 + n01 + n10 + n11).cast("double")
+    pi = (n01 + n11).cast("double") / total
+    pi01 = n01.cast("double") / F.nullif((n00 + n01).cast("double"), F.lit(0.0))
+    pi11 = n11.cast("double") / F.nullif((n10 + n11).cast("double"), F.lit(0.0))
+
+    def term(count, prob):
+        return F.when(count == 0, 0.0).otherwise(count * F.log(prob))
+
+    ll_alt = (
+        F.when((n00 == 0) | (pi01 == 1), 0.0).otherwise(n00 * F.log(1 - pi01))
+        + term(n01, pi01)
+        + F.when((n10 == 0) | (pi11 == 1), 0.0).otherwise(n10 * F.log(1 - pi11))
+        + term(n11, pi11)
+    )
+    ll_null = F.when((n00 + n10 == 0) | (pi == 1), 0.0).otherwise(
+        (n00 + n10) * F.log(1 - pi)
+    ) + F.when(n01 + n11 == 0, 0.0).otherwise((n01 + n11) * F.log(pi))
+    return c.filter(pi > 0).select(
+        "user_id",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        r6(2 * (ll_alt - ll_null)).alias("lr_ind"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11 — pinball (quantile) loss of a parametric 95% quantile forecast
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pinball_loss",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    q AS (
+      SELECT user_id, lr,
+             AVG(lr) OVER wt + 1.645 * STDDEV_SAMP(lr) OVER wt AS q95
+      FROM s
+      WINDOW wt AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      QUALIFY rn >= 22
+    )
+    SELECT user_id, COUNT(*) AS n,
+           ROUND(AVG(CASE WHEN lr >= q95 THEN 0.95 * (lr - q95)
+                          ELSE 0.05 * (q95 - lr) END), 6) AS pinball_95
+    FROM q GROUP BY user_id
+    """,
+)
+def pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 pinball loss at τ=0.95 for a trailing parametric quantile
+    forecast (μ+1.645σ over the prior 20 bars, current row excluded —
+    no lookahead) — reference `forcester_ts/var_backtest.py:200-234`."""
+    s = _series(spark, sf_dir)
+    wt = _w((-20, -1))
+    q95 = F.avg("lr").over(wt) + 1.645 * F.stddev_samp("lr").over(wt)
+    q = s.select("user_id", "rn", "lr", q95.alias("q95")).filter(F.col("rn") >= 22)
+    loss = F.when(
+        F.col("lr") >= F.col("q95"), 0.95 * (F.col("lr") - F.col("q95"))
+    ).otherwise(0.05 * (F.col("q95") - F.col("lr")))
+    return q.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), r6(F.avg(loss)).alias("pinball_95")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — Diebold-Mariano forecast comparison with Newey-West variance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "diebold_mariano",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    e AS (
+      SELECT user_id, rn,
+             POWER(value - LAG(value, 1) OVER wp, 2)
+               - POWER(value - AVG(value) OVER wm, 2) AS d
+      FROM s
+      WINDOW wp AS (PARTITION BY user_id ORDER BY rn),
+             wm AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+      QUALIFY rn >= 6
+    ),
+    l AS (
+      SELECT user_id, d,
+             LAG(d) OVER (PARTITION BY user_id ORDER BY rn) AS dl,
+             AVG(d) OVER (PARTITION BY user_id) AS db
+      FROM e
+    ),
+    a AS (
+      SELECT user_id, COUNT(*) AS n, ANY_VALUE(db) AS dbar,
+             AVG((d - db) * (d - db)) AS g0,
+             AVG(CASE WHEN dl IS NOT NULL THEN (d - db) * (dl - db) END) AS g1
+      FROM l GROUP BY user_id HAVING COUNT(*) > 10
+    )
+    SELECT user_id, n, ROUND(dbar, 6) AS dbar,
+           ROUND(CASE WHEN g0 + 2 * g1 > 0
+                      THEN dbar / SQRT((g0 + 2 * g1) / n) END, 6) AS dm_stat
+    FROM a
+    """,
+)
+def diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 Diebold-Mariano test comparing two forecasters (naive lag-1 vs
+    trailing 5-bar mean) with Newey-West lag-1 variance — reference
+    `etl/statistical_tests.py:34-109`. Loss differential d = e1²−e2²;
+    DM = d̄ / √((γ0+2γ1)/n), NULL when the NW variance is non-positive
+    (guarded identically on both sides)."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    wm = _w((-5, -1))
+    d = F.pow(F.col("value") - F.lag("value", 1).over(wp), 2) - F.pow(
+        F.col("value") - F.avg("value").over(wm), 2
+    )
+    e = s.select("user_id", "rn", d.alias("d")).filter(F.col("rn") >= 6)
+    l = e.select(
+        "user_id",
+        "d",
+        F.lag("d").over(Window.partitionBy("user_id").orderBy("rn")).alias("dl"),
+        F.avg("d").over(Window.partitionBy("user_id")).alias("db"),
+    )
+    dc = F.col("d") - F.col("db")
+    a = (
+        l.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value(F.col("db")).alias("dbar"),
+            F.avg(dc * dc).alias("g0"),
+            F.avg(
+                F.when(F.col("dl").isNotNull(), dc * (F.col("dl") - F.col("db")))
+            ).alias("g1"),
+        )
+        .filter(F.col("n") > 10)
+    )
+    nw = F.col("g0") + 2 * F.col("g1")
+    dm = F.when(nw > 0, F.col("dbar") / F.sqrt(nw / F.col("n")))
+    return a.select(
+        "user_id", "n", r6(F.col("dbar")).alias("dbar"), r6(dm).alias("dm_stat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — JSON metric rollup (props column)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "props_json_rollup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(AVG(CAST(props->>'k' AS INTEGER)), 6) AS avg_k,
+           ROUND(AVG(CASE WHEN CAST(props->>'k' AS INTEGER) >= 50
+                          THEN value END), 6) AS avg_value_highk,
+           SUM(CASE WHEN CAST(props->>'k' AS INTEGER) >= 50
+                    THEN 1 ELSE 0 END) AS n_highk
+    FROM events GROUP BY event_type
+    """,
+)
+def props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 forecast-metric rollup out of a JSON column — reference
+    `etl/database_manager.py:2974-3066` (`json.loads` + filtered AVG over
+    diagnostics). ``get_json_object`` stays JVM-side (Catalyst JsonPath),
+    no Python in the hot path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.avg(k)).alias("avg_k"),
+        r6(F.avg(F.when(k >= 50, F.col("value")))).alias("avg_value_highk"),
+        F.sum((k >= 50).cast("int")).alias("n_highk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — pairwise covariance / correlation matrix (long form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pairwise_covariance",
+    oracle=f"""
+    WITH s AS ({_S_SQL})
+    SELECT a.user_id AS u1, b.user_id AS u2,
+           COUNT(*) AS n,
+           ROUND(COVAR_SAMP(a.lr, b.lr), 6) AS cov_lr,
+           ROUND(CORR(a.lr, b.lr), 6) AS corr_lr
+    FROM s a JOIN s b ON a.rn = b.rn AND a.user_id < b.user_id
+    WHERE a.user_id < 20 AND b.user_id < 20
+      AND a.lr IS NOT NULL AND b.lr IS NOT NULL
+    GROUP BY a.user_id, b.user_id
+    HAVING COUNT(*) > 10
+    """,
+)
+def pairwise_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 empirical covariance matrix in long form: series aligned on
+    per-key row number (the reference aligns on the shared DatetimeIndex),
+    upper triangle only — reference `etl/portfolio_math.py:239-310`.
+
+    Self-join on (rn) after filtering to the 20-key universe: both sides
+    of the join are tiny after the pushed-down filter, and the N×N output
+    is the classic long-form covariance at any scale (N keys, not N rows).
+    """
+    s = (
+        _series(spark, sf_dir)
+        .filter((F.col("user_id") < 20) & F.col("lr").isNotNull())
+        .select("user_id", "rn", "lr")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.rn") == F.col("b.rn"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.covar_samp("a.lr", "b.lr")).alias("cov_lr"),
+            r6(F.corr("a.lr", "b.lr")).alias("corr_lr"),
+        )
+        .filter(F.col("n") > 10)
+    )
