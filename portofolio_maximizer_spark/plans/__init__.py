@@ -2,5 +2,7 @@ from .queries import ORACLE, QUERIES
 from . import queries_finance  # noqa: F401  (registers pack 2)
 from . import queries_llmdata  # noqa: F401  (registers pack 3)
 from . import queries_stats  # noqa: F401  (registers pack 4)
+from . import queries_trades  # noqa: F401  (registers pack 5)
+from . import queries_eval  # noqa: F401  (registers pack 6)
 
 __all__ = ["ORACLE", "QUERIES"]

@@ -1,0 +1,248 @@
+"""Query pack 6 — model-evaluation machinery (CV folds, walk-forward
+metrics, Shapley attribution).
+
+Covers F8 (walk-forward evaluation), F9 (time-series CV fold builder) and
+F12 (exact power-set Shapley attribution) from SURVEY.md §2.10 — the three
+evaluation operators that are pure relational algebra in the new engine
+(the reference loops in Python; `forcester_ts/walk_forward_learner.py`,
+`etl/time_series_cv.py`, `forcester_ts/shapley_attribution.py`).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .queries import query, r6
+from .queries_stats import _S_SQL, _series, _w
+
+
+# ---------------------------------------------------------------------------
+# F9 — time-series CV fold boundaries (expanding-origin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cv_fold_bounds",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders
+    ),
+    folds AS (
+      SELECT dt, NTILE(5) OVER (ORDER BY dt) AS fold FROM d
+    ),
+    b AS (
+      SELECT fold, COUNT(*) AS n_dates,
+             CAST(MIN(dt) AS VARCHAR) AS test_start,
+             CAST(MAX(dt) AS VARCHAR) AS test_end
+      FROM folds GROUP BY fold
+    )
+    SELECT fold, n_dates, test_start, test_end,
+           LAG(test_end) OVER (ORDER BY fold) AS train_end
+    FROM b
+    """,
+)
+def cv_fold_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 expanding time-series CV splitter: distinct dates → 5 ntile
+    folds → per-fold boundaries, train window = everything before the
+    fold — reference `etl/time_series_cv.py:90-170` and
+    `etl/data_storage.py:179-301` (k-fold on unique dates, leak-free
+    boundaries). The distinct-date set is tiny at any scale, so fold
+    assignment is a near-free single-partition window."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(F.to_date("o_orderdate").alias("dt")).distinct()
+    folds = d.select("dt", F.ntile(5).over(Window.orderBy("dt")).alias("fold"))
+    b = folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_dates"),
+        F.min("dt").cast("string").alias("test_start"),
+        F.max("dt").cast("string").alias("test_end"),
+    )
+    return b.select(
+        "fold",
+        "n_dates",
+        "test_start",
+        "test_end",
+        F.lag("test_end").over(Window.orderBy("fold")).alias("train_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — walk-forward evaluation of a rolling-origin forecaster
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "walkforward_eval",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value,
+             LAG(value, 1) OVER (PARTITION BY user_id ORDER BY rn) AS fcast,
+             NTILE(5) OVER (PARTITION BY user_id ORDER BY rn) AS fold
+      FROM s
+    )
+    SELECT user_id, fold, COUNT(*) AS n,
+           ROUND(SQRT(AVG(POWER(value - fcast, 2))), 6) AS rmse,
+           ROUND(AVG(2 * ABS(value - fcast)
+                     / (ABS(value) + ABS(fcast))), 6) AS smape
+    FROM f WHERE fcast IS NOT NULL
+    GROUP BY user_id, fold
+    """,
+)
+def walkforward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 walk-forward evaluation: rolling-origin folds with per-fold
+    RMSE/sMAPE of a naive lag-1 forecaster — reference
+    `forcester_ts/walk_forward_learner.py:117-390` (`_aggregate`) +
+    `forcester_ts/metrics.py:18-36` (J4 inner-align is the lag join).
+    One window pass assigns folds and forecasts; one groupBy aggregates —
+    two shuffles total, both on user_id."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("fcast"),
+        F.ntile(5).over(wp).alias("fold"),
+    ).filter(F.col("fcast").isNotNull())
+    err = F.col("value") - F.col("fcast")
+    return f.groupBy("user_id", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sqrt(F.avg(F.pow(err, 2)))).alias("rmse"),
+        r6(
+            F.avg(2 * F.abs(err) / (F.abs(F.col("value")) + F.abs(F.col("fcast"))))
+        ).alias("smape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12 — exact Shapley attribution over the model power set
+# ---------------------------------------------------------------------------
+
+_MODELS = ("naive", "ma3", "ma10")
+# 3-player Shapley weights by coalition size s (s!(n-s-1)!/n!): {0:1/3, 1:1/6, 2:1/3}
+_WEIGHTS = {0: 1.0 / 3.0, 1: 1.0 / 6.0, 2: 1.0 / 3.0}
+
+
+def _coalitions():
+    out = []
+    for r in range(len(_MODELS) + 1):
+        out.extend(combinations(_MODELS, r))
+    return out
+
+
+def _mse_name(coal: tuple[str, ...]) -> str:
+    return "v_" + ("_".join(coal) if coal else "empty")
+
+
+def _shapley_expr(model: str, col) -> "F.Column":
+    """φ_m = Σ_{S ⊄ m} w(|S|) · [v(S ∪ m) − v(S)] with v = MSE."""
+    others = [m for m in _MODELS if m != model]
+    expr = F.lit(0.0)
+    for r in range(len(others) + 1):
+        for s in combinations(others, r):
+            with_m = tuple(sorted(s + (model,), key=_MODELS.index))
+            expr = expr + F.lit(_WEIGHTS[r]) * (
+                col(_mse_name(with_m)) - col(_mse_name(s))
+            )
+    return expr
+
+
+def _duck_shapley(model: str) -> str:
+    others = [m for m in _MODELS if m != model]
+    parts = []
+    for r in range(len(others) + 1):
+        for s in combinations(others, r):
+            with_m = "_".join(sorted(s + (model,), key=_MODELS.index))
+            base = "_".join(s) if s else "empty"
+            parts.append(f"{_WEIGHTS[r]!r} * (v_{with_m} - v_{base})")
+    return " + ".join(parts)
+
+
+_COAL_SQL = []
+for _c in _coalitions():
+    if _c:
+        _blend = "(" + " + ".join(f"f_{m}" for m in _c) + f") / {len(_c)}.0"
+    else:
+        _blend = "mu"
+    _COAL_SQL.append(f"AVG(POWER(value - ({_blend}), 2)) AS {_mse_name(_c)}")
+
+
+@query(
+    "shapley_attribution",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value,
+             LAG(value, 1) OVER wp AS f_naive,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS f_ma10,
+             AVG(value) OVER (PARTITION BY user_id) AS mu
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    ),
+    v AS (
+      SELECT user_id, COUNT(*) AS n, {", ".join(_COAL_SQL)}
+      FROM f GROUP BY user_id HAVING COUNT(*) > 10
+    )
+    SELECT user_id, n,
+           ROUND(v_naive_ma3_ma10, 6) AS v_full,
+           ROUND(v_empty, 6) AS v_empty,
+           ROUND({_duck_shapley("naive")}, 6) AS phi_naive,
+           ROUND({_duck_shapley("ma3")}, 6) AS phi_ma3,
+           ROUND({_duck_shapley("ma10")}, 6) AS phi_ma10
+    FROM v
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 exact power-set Shapley decomposition of ensemble loss across 3
+    forecasters (naive lag-1, trailing MA3, trailing MA10; coalition =
+    equal-weight blend, v = MSE, v(∅) = full-sample-mean forecast) —
+    reference `forcester_ts/shapley_attribution.py:37-232` (2^N marginal
+    loss decomposition, N=4 there).
+
+    All 8 coalition losses are columns of ONE groupBy pass (8 conditional
+    aggregates, not 8 scans); the Shapley weights are a closed-form
+    expression over those columns. Additivity (Σφ = v(full) − v(∅)) is
+    checked in tests."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("f_naive"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+        F.avg("value").over(Window.partitionBy("user_id")).alias("mu"),
+    ).filter(F.col("rn") >= 11)
+
+    def blend(coal: tuple[str, ...]):
+        if not coal:
+            return F.col("mu")
+        total = sum((F.col(f"f_{m}") for m in coal), start=F.lit(0.0))
+        return total / F.lit(float(len(coal)))
+
+    aggs = [
+        F.avg(F.pow(F.col("value") - blend(c), 2)).alias(_mse_name(c))
+        for c in _coalitions()
+    ]
+    v = (
+        f.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), *aggs)
+        .filter(F.col("n") > 10)
+    )
+    return v.select(
+        "user_id",
+        "n",
+        r6(F.col("v_naive_ma3_ma10")).alias("v_full"),
+        r6(F.col("v_empty")).alias("v_empty"),
+        r6(_shapley_expr("naive", F.col)).alias("phi_naive"),
+        r6(_shapley_expr("ma3", F.col)).alias("phi_ma3"),
+        r6(_shapley_expr("ma10", F.col)).alias("phi_ma10"),
+    )

@@ -1,0 +1,54 @@
+"""Algebraic invariant tests (SURVEY.md §5: property/contract tests) —
+checks that cannot be expressed as a DuckDB differential."""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def test_shapley_additivity(spark, sf_dir):
+    """Σφ_m = v(full) − v(∅) exactly (efficiency axiom) — reference
+    invariant `forcester_ts/shapley_attribution.py` decomposition sums to
+    the total marginal loss."""
+    rows = QUERIES["shapley_attribution"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        total = r.phi_naive + r.phi_ma3 + r.phi_ma10
+        assert math.isclose(total, r.v_full - r.v_empty, abs_tol=1e-4), (
+            r.user_id,
+            total,
+            r.v_full - r.v_empty,
+        )
+
+
+def test_pnl_metrics_consistency(spark, sf_dir):
+    """Win rate in [0,1]; largest_win >= avg_win; worst-decile ES <= avg_loss."""
+    row = QUERIES["pnl_canonical_metrics"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row.win_rate <= 1.0
+    assert row.largest_win >= row.avg_win
+    assert row.largest_loss <= row.avg_loss
+    if row.worst_decile_es is not None:
+        assert row.worst_decile_es <= row.avg_loss
+
+
+def test_round_trips_left_join_preserves_closes(spark, sf_dir):
+    """Every close lot appears exactly once, with or without an opener."""
+    df = QUERIES["round_trips"](spark, sf_dir)
+    total = df.count()
+    assert total == df.select("orderkey").distinct().count()
+    assert total > 0
+
+
+def test_cv_folds_are_leak_free(spark, sf_dir):
+    """Fold k's train_end < its test_start (no temporal leakage), folds
+    ordered and exhaustive."""
+    rows = {r.fold: r for r in QUERIES["cv_fold_bounds"](spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    for k, r in rows.items():
+        if r.train_end is not None:
+            assert r.train_end < r.test_start
+        assert r.test_start <= r.test_end
