@@ -1,0 +1,229 @@
+"""Per-key model-fitting harness (SURVEY.md §2.10, F1–F4 surrogates).
+
+The reference fits statsmodels/arch/sklearn models per ticker in a Python
+loop with a ≤4-thread pool (`scripts/run_auto_trader.py:1698-1717`). The
+Spark-native shape is ``groupBy(key).applyInPandas``: every key becomes
+one Arrow-batched task, so a 1000-executor cluster fits a million series
+concurrently with the same code that runs on local[32].
+
+The container has no statsmodels/arch/sklearn, and the engine does not
+need them: the model cores here are closed-form numpy (OLS AR-grid with
+AIC selection, exact recursive EWMA variance, Hankel-SVD SSA
+reconstruction) — the same *shapes* as the reference's SARIMAX/GARCH/
+SAMoSSA stages with the statistical machinery reduced to its linear-
+algebra core. Heavier models drop into the same harness unchanged.
+
+Determinism: every fit is a deterministic function of the input series
+(no random inits, fixed grids), so repeated runs hash identically — the
+property SURVEY §7.3 item 2 demands of everything in the engine.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# F1 surrogate — AR(p) grid, AIC-ranked (O4 top-1), recursive forecast + CI
+# ---------------------------------------------------------------------------
+
+AR_FORECAST_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("best_order", IntegerType()),
+        StructField("aic", DoubleType()),
+        StructField("horizon_step", IntegerType()),
+        StructField("yhat", DoubleType()),
+        StructField("lo", DoubleType()),
+        StructField("hi", DoubleType()),
+        StructField("sigma", DoubleType()),
+    ]
+)
+
+
+def _fit_ar(x: np.ndarray, p: int) -> tuple[np.ndarray, float, float]:
+    """OLS AR(p) with intercept; returns (coefs, sigma, aic)."""
+    n = len(x)
+    X = np.column_stack(
+        [np.ones(n - p)] + [x[p - k - 1 : n - k - 1] for k in range(p)]
+    )
+    y = x[p:]
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    rss = float(resid @ resid)
+    m = n - p
+    sigma = float(np.sqrt(rss / max(m - p - 1, 1)))
+    aic = m * np.log(max(rss / m, 1e-300)) + 2 * (p + 1)
+    return beta, sigma, float(aic)
+
+
+def ar_grid_forecast(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    orders: Iterable[int] = (1, 2, 3),
+    horizon: int = 5,
+) -> DataFrame:
+    """F1 surrogate: per-key AR(p) order grid → AIC top-1 (O4) → recursive
+    multi-step forecast with ±1.96σ intervals.
+
+    Reference shape: `forcester_ts/sarimax.py:431-679` (AIC-ranked order
+    grid), `:708-1013` (fit + forecast with CI). The grid is evaluated
+    inside ONE task per key (orders are cheap relative to Arrow transfer);
+    a wider grid would instead fan out as a (key, order) candidate table —
+    SURVEY §2.10 F1 note."""
+    orders = tuple(orders)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=float)
+        uid = int(pdf[key].iloc[0])
+        if len(x) < max(orders) + 8:
+            return pd.DataFrame(columns=[f.name for f in AR_FORECAST_SCHEMA])
+        fits = {p: _fit_ar(x, p) for p in orders}
+        best = min(orders, key=lambda p: fits[p][2])
+        beta, sigma, aic = fits[best]
+        hist = list(x)
+        rows = []
+        for step in range(1, horizon + 1):
+            yhat = beta[0] + sum(
+                beta[k + 1] * hist[-k - 1] for k in range(best)
+            )
+            hist.append(yhat)
+            band = 1.96 * sigma * np.sqrt(step)
+            rows.append(
+                (uid, best, round(aic, 6), step,
+                 round(yhat, 6), round(yhat - band, 6), round(yhat + band, 6),
+                 round(sigma, 6))
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in AR_FORECAST_SCHEMA])
+
+    return series.groupBy(key).applyInPandas(fit, AR_FORECAST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# F2 surrogate — exact recursive EWMA variance (the reference's GARCH
+# fallback path)
+# ---------------------------------------------------------------------------
+
+EWMA_VOL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rn", IntegerType()),
+        StructField("sigma", DoubleType()),
+    ]
+)
+
+
+def ewma_vol_forecast(
+    returns: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    ret_col: str = "lr",
+    lam: float = 0.94,
+) -> DataFrame:
+    """F2 surrogate: exact RiskMetrics EWMA variance recursion
+    σ²_t = λσ²_{t−1} + (1−λ)r²_{t−1}, seeded with the first squared
+    return — reference `forcester_ts/garch.py:580-633` (EWMA fallback
+    when GARCH fails to converge).
+
+    The recursion is inherently sequential per key → ``applyInPandas``
+    (SURVEY §4 "custom Spark work" item 1); the truncated closed-form
+    window alternative lives in `operators/windows.py:ewma`."""
+
+    def recurse(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        r = pdf[ret_col].to_numpy(dtype=float)
+        rn = pdf[order_col].to_numpy()
+        uid = int(pdf[key].iloc[0])
+        mask = ~np.isnan(r)
+        rv, rnv = r[mask], rn[mask]
+        if len(rv) < 2:
+            return pd.DataFrame(columns=[f.name for f in EWMA_VOL_SCHEMA])
+        var = rv[0] ** 2
+        out = []
+        for t in range(1, len(rv)):
+            var = lam * var + (1 - lam) * rv[t - 1] ** 2
+            out.append((uid, int(rnv[t]), round(float(np.sqrt(var)), 6)))
+        return pd.DataFrame(out, columns=[f.name for f in EWMA_VOL_SCHEMA])
+
+    return returns.groupBy(key).applyInPandas(recurse, EWMA_VOL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# F3 surrogate — SSA: Hankel trajectory matrix → truncated SVD →
+# diagonal-averaged reconstruction
+# ---------------------------------------------------------------------------
+
+SSA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", IntegerType()),
+        StructField("rank_used", IntegerType()),
+        StructField("evr", DoubleType()),
+        StructField("recon_rmse", DoubleType()),
+        StructField("naive_rmse", DoubleType()),
+    ]
+)
+
+
+def ssa_reconstruct(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    window: int = 12,
+    evr_target: float = 0.9,
+) -> DataFrame:
+    """F3 surrogate: SSA core — embed the series in a Hankel trajectory
+    matrix, truncate the SVD at the smallest rank reaching ``evr_target``
+    explained variance, reconstruct by diagonal averaging — reference
+    `forcester_ts/samossa.py:116-556` (auto rank by 90% EVR, Hankel/Page
+    embedding, diagonal-averaging reconstruction).
+
+    Emits per-key reconstruction RMSE vs the last-value-carried-forward
+    naive RMSE: the SSA smoother must beat naive on any series with
+    structure, which the tests assert."""
+
+    def ssa(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=float)
+        uid = int(pdf[key].iloc[0])
+        n = len(x)
+        L = min(window, n // 2)
+        if L < 2:
+            return pd.DataFrame(columns=[f.name for f in SSA_SCHEMA])
+        K = n - L + 1
+        H = np.column_stack([x[i : i + L] for i in range(K)])  # L×K Hankel
+        U, s, Vt = np.linalg.svd(H, full_matrices=False)
+        evr = np.cumsum(s**2) / np.sum(s**2)
+        r = int(np.searchsorted(evr, evr_target) + 1)
+        Hr = (U[:, :r] * s[:r]) @ Vt[:r]
+        # diagonal averaging back to a series
+        recon = np.zeros(n)
+        counts = np.zeros(n)
+        for i in range(K):
+            recon[i : i + L] += Hr[:, i]
+            counts[i : i + L] += 1
+        recon /= counts
+        rmse = float(np.sqrt(np.mean((x - recon) ** 2)))
+        naive = float(np.sqrt(np.mean(np.diff(x) ** 2)))
+        return pd.DataFrame(
+            [(uid, n, r, round(float(evr[r - 1]), 6), round(rmse, 6),
+              round(naive, 6))],
+            columns=[f.name for f in SSA_SCHEMA],
+        )
+
+    return series.groupBy(key).applyInPandas(ssa, SSA_SCHEMA)

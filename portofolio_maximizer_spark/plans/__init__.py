@@ -4,5 +4,6 @@ from . import queries_llmdata  # noqa: F401  (registers pack 3)
 from . import queries_stats  # noqa: F401  (registers pack 4)
 from . import queries_trades  # noqa: F401  (registers pack 5)
 from . import queries_eval  # noqa: F401  (registers pack 6)
+from . import queries_models  # noqa: F401  (registers pack 7)
 
 __all__ = ["ORACLE", "QUERIES"]

@@ -1,0 +1,50 @@
+"""Query pack 7 — model-fitting surface (grouped-UDF harness + MLlib).
+
+These are the genuinely non-SQL-expressible operators (SURVEY §2.10):
+iterative/recursive model fits per key. They register WITHOUT an oracle —
+the driver records the weaker rows-only check — but each has unit tests
+against an independent numpy/pandas implementation in
+`tests/test_forecast.py`, which is the correctness story SQL can't give.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..forecast import ar_grid_forecast, ewma_vol_forecast, ssa_reconstruct
+from ..forecast.classifier import train_eval_classifier
+from ..sources.catalog import load_table
+from .queries import query
+from .queries_stats import _series
+
+
+@query("ar_grid_best_aic_forecast")
+def ar_grid_best_aic_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+O4: per-key AR(p∈{1,2,3}) grid, AIC top-1, 5-step forecast with
+    95% CI — the SARIMAX-stage shape (`forcester_ts/sarimax.py:431-1013`)
+    on the grouped-map harness."""
+    return ar_grid_forecast(_series(spark, sf_dir).select("user_id", "rn", "value"))
+
+
+@query("ewma_vol_recursive")
+def ewma_vol_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: exact RiskMetrics EWMA σ recursion per key (GARCH fallback,
+    `forcester_ts/garch.py:580-633`) — sequential within key, parallel
+    across keys."""
+    return ewma_vol_forecast(_series(spark, sf_dir).select("user_id", "rn", "lr"))
+
+
+@query("ssa_reconstruction")
+def ssa_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: SSA Hankel-SVD reconstruction quality per key
+    (`forcester_ts/samossa.py:116-556`)."""
+    return ssa_reconstruct(_series(spark, sf_dir).select("user_id", "rn", "value"))
+
+
+@query("embedding_classifier_eval")
+def embedding_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: MLlib multinomial logistic regression on the embeddings table,
+    deterministic hash fold split (`forcester_ts/directional_classifier.py:
+    54-154`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return train_eval_classifier(emb)

@@ -1,0 +1,19 @@
+from .stream import (
+    dedupe_within_watermark,
+    events_stream,
+    run_to_memory,
+    session_rollup,
+    sliding_value_stats,
+    tumbling_value_rollup,
+    vol_spike_alerts,
+)
+
+__all__ = [
+    "dedupe_within_watermark",
+    "events_stream",
+    "run_to_memory",
+    "session_rollup",
+    "sliding_value_stats",
+    "tumbling_value_rollup",
+    "vol_spike_alerts",
+]

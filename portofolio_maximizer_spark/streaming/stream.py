@@ -1,0 +1,267 @@
+"""Structured Streaming surface (SURVEY.md §2.9, T1–T7).
+
+The reference's real-time layer is a polling generator emitting quote
+events and volatility alerts (`etl/real_time_extractor.py:115-350`); its
+"state" is a per-ticker ring buffer in process memory. Here the same
+semantics are Structured Streaming operators over an event stream:
+
+- T1 polling ingest        → file/parquet streaming source (micro-batch)
+- T2 vol-spike alerts      → ``applyInPandasWithState`` per key
+- T3 rolling history state → bounded buffer inside the state handle
+- T4/T5 dedupe guards      → ``withWatermark`` + ``dropDuplicates``
+- T6 late data             → event-time watermark (allowed lateness)
+- T7 windowed thresholds   → tumbling/sliding/session window aggregates
+
+Every operator is also meaningful at 100 TB/day: state is keyed (scales
+with key count, not event count), watermarks bound state size, and all
+aggregations are incremental (partial aggregation per micro-batch).
+
+Batch equivalence: each streaming operator has the same answer as the
+batch query on the replayed data (tests assert this with
+``trigger(availableNow=True)``) — the Structured Streaming guarantee the
+reference's imperative loop cannot make.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw parquet schema of the events table: ts is TIMESTAMP(NANOS), which the
+# reader surfaces as LONG under spark.sql.legacy.parquet.nanosAsLong.
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The parquet streaming source lists a DIRECTORY; the testdata keeps
+    all tables in one dir. Stage a per-sf_dir symlink directory holding
+    only events.parquet (testdata itself is read-only)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the events table replayed as a micro-batched stream.
+
+    File-source streaming over the same parquet the batch path reads —
+    the idiomatic replacement for the reference's poll loop
+    (`etl/real_time_extractor.py:115-178`): the trigger interval plays
+    ``update_frequency``, and a production deployment pointing this at a
+    landing directory gets incremental tail ingest (S12) for free.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW).parquet(_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_value_rollup(stream: DataFrame, width: str = "1 hour") -> DataFrame:
+    """T7: tumbling event-time window rollup with a 30-minute watermark.
+
+    The watermark bounds state: windows older than max(event time) − 30 min
+    are finalized and evicted, so state size is O(active windows), not
+    O(stream length).
+    """
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sliding_value_stats(
+    stream: DataFrame, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """T7: sliding windows (each event lands in width/slide windows) —
+    the streaming analog of the reference's trailing-N vol windows."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", width, slide).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("value"), 6).alias("vol"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "user_id", "n", "vol"
+        )
+    )
+
+
+def session_rollup(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """§2.9 note: native ``session_window`` (gap-closed sessions) — the
+    event-time generalization of the batch gap run-length (W9) /
+    ``operators.windows.sessionize``."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedupe_within_watermark(stream: DataFrame) -> DataFrame:
+    """T4/T5: stale/duplicate bar guard — drop re-deliveries of the same
+    (user_id, event_id) within the watermark horizon; state for ids older
+    than the watermark is evicted (reference keys by (ticker, bar_ts),
+    `scripts/run_auto_trader.py:461-515`)."""
+    return stream.withWatermark("ts", "30 minutes").dropDuplicates(
+        ["user_id", "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2/T3 — stateful volatility-spike circuit breaker
+# ---------------------------------------------------------------------------
+
+ALERT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("value", DoubleType()),
+        StructField("vol_ratio", DoubleType()),
+        StructField("n_history", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("history", StringType())])
+
+_HISTORY_CAP = 64  # T3 bounded ring buffer (reference keeps last N quotes)
+_BASELINE_MIN = 8
+_SPIKE_RATIO = 2.0
+_RECENT = 5
+
+
+def _vol_spike_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state,
+) -> Iterator[pd.DataFrame]:
+    """Per-key stateful scan: keep a bounded value history; emit an alert
+    row whenever the stddev of the last ``_RECENT`` absolute changes
+    exceeds ``_SPIKE_RATIO`` × the stddev of the full buffered history.
+
+    Mirrors `etl/real_time_extractor.py:289-350`: ring-buffer history (T3)
+    + current-vs-normal volatility ratio (T2). State is a JSON-encoded
+    float list — tiny and schema-stable across micro-batches.
+    """
+    import json
+
+    import numpy as np
+
+    (user_id,) = key
+    if state.exists:
+        (hist_json,) = state.get
+        history = json.loads(hist_json)
+    else:
+        history = []
+
+    alerts = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, event_id, value in zip(
+            pdf["ts"], pdf["event_id"], pdf["value"], strict=True
+        ):
+            history.append(float(value))
+            if len(history) > _HISTORY_CAP:
+                history = history[-_HISTORY_CAP:]
+            if len(history) >= _BASELINE_MIN + _RECENT:
+                diffs = np.abs(np.diff(np.asarray(history)))
+                base = diffs[:-_RECENT].std()
+                recent = diffs[-_RECENT:].std()
+                if base > 0 and recent / base > _SPIKE_RATIO:
+                    alerts.append(
+                        (
+                            int(user_id),
+                            int(pd.Timestamp(ts).value // 1_000_000),
+                            float(value),
+                            round(float(recent / base), 6),
+                            len(history),
+                        )
+                    )
+    state.update((json.dumps(history),))
+    if alerts:
+        yield pd.DataFrame(
+            alerts, columns=["user_id", "ts_ms", "value", "vol_ratio", "n_history"]
+        )
+
+
+def vol_spike_alerts(stream: DataFrame) -> DataFrame:
+    """T2 volatility-spike circuit breaker as a keyed stateful operator.
+
+    ``applyInPandasWithState`` scales with the key count: each user's
+    buffer lives in the state store, micro-batches arrive Arrow-batched,
+    and a 1000-executor cluster shards keys across state stores with no
+    code change."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _vol_spike_fn,
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a stream with ``availableNow`` into an in-memory table and
+    return it as a batch DataFrame — the test/driver harness for every
+    operator above (processes all available input, then stops, exactly
+    once)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,97 @@
+"""Structured Streaming operators (§2.9): batch-equivalence under
+availableNow replay — the streaming answer must equal the batch answer on
+the same data (and the stateful circuit breaker must be deterministic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from portofolio_maximizer_spark import streaming as ST
+from portofolio_maximizer_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_rollup_matches_batch(spark, sf_dir, batch_events):
+    out = ST.run_to_memory(
+        ST.tumbling_value_rollup(ST.events_stream(spark, sf_dir)),
+        "t_tumbling",
+        output_mode="append",
+    )
+    batch = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+    got = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in out.collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in batch.collect()
+    }
+    # availableNow + append emits only windows closed by the final watermark;
+    # every emitted window must agree exactly with the batch rollup.
+    assert got, "stream produced no finalized windows"
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) - 2  # at most the tail windows still open
+
+
+def test_session_rollup_matches_batch_sessionize(spark, sf_dir, batch_events):
+    from portofolio_maximizer_spark.operators.windows import sessionize
+
+    out = ST.run_to_memory(
+        ST.session_rollup(ST.events_stream(spark, sf_dir), gap="30 minutes"),
+        "t_sessions",
+    )
+    batch_n = (
+        sessionize(batch_events, ["user_id"], "ts", gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .count()
+    )
+    # Session count and event-per-session multiset must line up for every
+    # user whose sessions are all finalized (all but possibly the last).
+    got = out.groupBy("user_id").agg(
+        F.sum("n_events").alias("events"), F.count(F.lit(1)).alias("sessions")
+    )
+    want = batch_n.groupBy("user_id").agg(
+        F.sum("count").alias("events"), F.count(F.lit(1)).alias("sessions")
+    )
+    g = {r.user_id: (r.events, r.sessions) for r in got.collect()}
+    w = {r.user_id: (r.events, r.sessions) for r in want.collect()}
+    assert g, "no sessions emitted"
+    close_enough = sum(
+        1 for u in g if u in w and abs(g[u][1] - w[u][1]) <= 1 and g[u][0] <= w[u][0]
+    )
+    assert close_enough == len(g)
+
+
+def test_dedupe_within_watermark(spark, sf_dir):
+    stream = ST.events_stream(spark, sf_dir)
+    out = ST.run_to_memory(ST.dedupe_within_watermark(stream), "t_dedupe")
+    n = out.count()
+    distinct = out.select("user_id", "event_id").distinct().count()
+    assert n == distinct > 0
+
+
+def test_vol_spike_alerts_deterministic(spark, sf_dir):
+    out = ST.run_to_memory(
+        ST.vol_spike_alerts(ST.events_stream(spark, sf_dir)), "t_alerts"
+    ).collect()
+    # schema + bounded-history invariants; rerun must agree exactly
+    for r in out:
+        assert r.vol_ratio > 2.0
+        assert r.n_history <= 64
+    again = ST.run_to_memory(
+        ST.vol_spike_alerts(ST.events_stream(spark, sf_dir)), "t_alerts2"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
