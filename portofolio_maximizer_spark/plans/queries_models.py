@@ -48,3 +48,29 @@ def embedding_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     54-154`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return train_eval_classifier(emb)
+
+
+@query("paper_trading_trades")
+def paper_trading_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: stateful paper-trading simulation per key — momentum entries,
+    ATR stops with the W22 trailing ratchet, target/time/liquidation
+    exits (`execution/paper_trading_engine.py:486-1767`). Sequential per
+    key inside applyInPandas, parallel across keys."""
+    from ..operators.backtest import simulate_trades
+
+    from .queries_stats import _series
+
+    return simulate_trades(_series(spark, sf_dir).select("user_id", "rn", "value"))
+
+
+@query("paper_trading_summary")
+def paper_trading_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15+A10: exit-reason breakdown of the simulated trades (n, PnL,
+    win rate per exit reason) — reference `README.md:49-67` exit-reason
+    attribution table."""
+    from ..operators.backtest import backtest_summary, simulate_trades
+
+    from .queries_stats import _series
+
+    trades = simulate_trades(_series(spark, sf_dir).select("user_id", "rn", "value"))
+    return backtest_summary(trades)

@@ -1,0 +1,375 @@
+"""Query pack 8 — signal generation, hyper-param search, ensemble weights,
+data-quality gate.
+
+F14 (signal generation when-chains), F16 (candidate search + O2 top-1),
+F5 (ensemble confidence weighting), P2–P6 (the validator battery as one
+DQ snapshot query) — all pure relational algebra, all oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .queries import query, r6
+from .queries_stats import _S_SQL, _series, _w
+
+
+# ---------------------------------------------------------------------------
+# F14 — signal generation: forecast edge → action gate → ATR targets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "signal_generation",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    pre AS (
+      SELECT user_id, rn, value, lr,
+             ABS(value - LAG(value) OVER (PARTITION BY user_id ORDER BY rn))
+               AS adiff
+      FROM s
+    ),
+    feat AS (
+      SELECT user_id, rn, value,
+             AVG(value) OVER w5 AS ma5,
+             STDDEV_SAMP(lr) OVER w20 AS vol20,
+             AVG(adiff) OVER w14 AS atr14,
+             MAX(rn) OVER (PARTITION BY user_id) AS max_rn
+      FROM pre
+      WINDOW w5 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w14 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    latest AS (
+      SELECT user_id, value,
+             ROUND((ma5 - value) / value - 0.002, 6) AS expected_return,
+             ROUND(vol20, 6) AS vol20,
+             ROUND(atr14, 6) AS atr14
+      FROM feat WHERE rn = max_rn AND rn >= 21
+    )
+    SELECT user_id, ROUND(value, 6) AS price, expected_return, vol20, atr14,
+           CASE WHEN expected_return > 0.01 AND expected_return / vol20 > 0.5
+                THEN 'BUY'
+                WHEN expected_return < -0.01 AND -expected_return / vol20 > 0.5
+                THEN 'SELL'
+                ELSE 'HOLD' END AS action,
+           ROUND(LEAST(ABS(expected_return) / vol20, 1.0), 6) AS confidence,
+           ROUND(value + 2 * atr14, 6) AS target_price,
+           ROUND(value - 1 * atr14, 6) AS stop_price
+    FROM latest
+    """,
+)
+def signal_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 signal generation: latest-bar features → expected return net of
+    friction → SNR/confidence → BUY/SELL/HOLD gate → ATR-based target and
+    stop (R:R = 2) — reference `models/time_series_signal_generator.py`
+    (friction `:1313-1451`, confidence `:1587-1680`, action gate
+    `:1981-2017`, ATR targets `:2049-2101`; ATR W10 uses |Δprice| here —
+    the events table has no high/low).
+
+    Pure when-chains over one window pass — the whole reference module
+    collapses into column expressions Catalyst can pipeline."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    pre = s.select(
+        "user_id",
+        "rn",
+        "value",
+        "lr",
+        F.abs(F.col("value") - F.lag("value").over(wp)).alias("adiff"),
+    )
+    feat = pre.select(
+        "user_id",
+        "rn",
+        "value",
+        F.avg("value").over(_w((-4, 0))).alias("ma5"),
+        F.stddev_samp("lr").over(_w((-19, 0))).alias("vol20"),
+        F.avg("adiff").over(_w((-13, 0))).alias("atr14"),
+        F.max("rn").over(Window.partitionBy("user_id")).alias("max_rn"),
+    )
+    latest = feat.filter(
+        (F.col("rn") == F.col("max_rn")) & (F.col("rn") >= 21)
+    ).select(
+        "user_id",
+        "value",
+        r6((F.col("ma5") - F.col("value")) / F.col("value") - 0.002).alias(
+            "expected_return"
+        ),
+        r6(F.col("vol20")).alias("vol20"),
+        r6(F.col("atr14")).alias("atr14"),
+    )
+    er, vol = F.col("expected_return"), F.col("vol20")
+    return latest.select(
+        "user_id",
+        r6(F.col("value")).alias("price"),
+        "expected_return",
+        "vol20",
+        "atr14",
+        F.when((er > 0.01) & (er / vol > 0.5), "BUY")
+        .when((er < -0.01) & (-er / vol > 0.5), "SELL")
+        .otherwise("HOLD")
+        .alias("action"),
+        r6(F.least(F.abs(er) / vol, F.lit(1.0))).alias("confidence"),
+        r6(F.col("value") + 2 * F.col("atr14")).alias("target_price"),
+        r6(F.col("value") - 1 * F.col("atr14")).alias("stop_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F16 — hyper-parameter candidate search with O2 top-1 selection
+# ---------------------------------------------------------------------------
+
+
+_GRID_KS = (2, 3, 5, 8)
+
+_GRID_ARMS = "\n      UNION ALL ".join(
+    f"""SELECT user_id, rn, value, {k} AS k,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING) AS fk
+      FROM s"""
+    for k in _GRID_KS
+)
+
+
+@query(
+    "param_search_top1",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    grid AS (
+      {_GRID_ARMS}
+    ),
+    scored AS (
+      SELECT user_id, k,
+             ROUND(SQRT(AVG(POWER(value - fk, 2))), 6) AS rmse,
+             COUNT(*) AS n
+      FROM grid WHERE rn >= 10
+      GROUP BY user_id, k
+    )
+    SELECT user_id, k AS best_k, rmse, n
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY rmse, k) AS pick
+      FROM scored
+    ) WHERE pick = 1
+    """,
+)
+def param_search_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 candidate search: a 4-arm parameter grid (trailing-mean window
+    k ∈ {2,3,5,8} as the forecaster family), each arm scored by
+    walk-forward RMSE, O2 top-1 per key with deterministic (rmse, k)
+    tiebreak — reference `etl/strategy_optimizer.py:43-213` (sampled
+    candidates, caller-scored, best kept) + `etl/database_manager.py:
+    3379-3401` (ORDER BY score LIMIT 1).
+
+    Each arm is a window expression over the SAME (user_id) sort —
+    Catalyst computes all four in one Window node on one shuffle, then
+    the union is a zero-cost local concat of projections. Candidate count
+    scales the expression list, never the shuffle count."""
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    arms = [
+        s.select(
+            "user_id",
+            "rn",
+            "value",
+            F.lit(k).alias("k"),
+            F.avg("value").over(_w((-k, -1))).alias("fk"),
+        )
+        for k in _GRID_KS
+    ]
+    grid = arms[0]
+    for a in arms[1:]:
+        grid = grid.unionByName(a)
+    scored = (
+        grid.filter(F.col("rn") >= 10)
+        .groupBy("user_id", "k")
+        .agg(
+            r6(F.sqrt(F.avg(F.pow(F.col("value") - F.col("fk"), 2)))).alias("rmse"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pick = F.row_number().over(Window.partitionBy("user_id").orderBy("rmse", "k"))
+    return (
+        scored.withColumn("pick", pick)
+        .filter(F.col("pick") == 1)
+        .select("user_id", F.col("k").alias("best_k"), "rmse", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — ensemble confidence weights from inverse model RMSE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ensemble_weight_selection",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value,
+             LAG(value, 1) OVER wp AS f_naive,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS f_ma10
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    ),
+    e AS (
+      SELECT user_id,
+             SQRT(AVG(POWER(value - f_naive, 2))) AS rmse_naive,
+             SQRT(AVG(POWER(value - f_ma3, 2))) AS rmse_ma3,
+             SQRT(AVG(POWER(value - f_ma10, 2))) AS rmse_ma10,
+             COUNT(*) AS n
+      FROM f GROUP BY user_id HAVING COUNT(*) > 10
+    ),
+    w AS (
+      SELECT user_id, n, rmse_naive, rmse_ma3, rmse_ma10,
+             1/rmse_naive + 1/rmse_ma3 + 1/rmse_ma10 AS z
+      FROM e
+    )
+    SELECT user_id, n,
+           ROUND(rmse_naive, 6) AS rmse_naive,
+           ROUND((1/rmse_naive) / z, 6) AS w_naive,
+           ROUND((1/rmse_ma3) / z, 6) AS w_ma3,
+           ROUND((1/rmse_ma10) / z, 6) AS w_ma10
+    FROM w
+    """,
+)
+def ensemble_weight_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 ensemble confidence → weight selection: per-model walk-forward
+    RMSE → inverse-RMSE weights normalized to 1 — reference
+    `forcester_ts/ensemble.py:387-724` (`derive_model_confidence`:
+    RMSE-rank-driven confidence, normalized weight vector). The weights
+    feed the J5/F6 blend (`ensemble_blend` query). Invariant Σw = 1 is
+    hash-checked by the oracle and asserted in tests."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("f_naive"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(c):
+        return F.sqrt(F.avg(F.pow(F.col("value") - F.col(c), 2)))
+
+    e = (
+        f.groupBy("user_id")
+        .agg(
+            rmse("f_naive").alias("rmse_naive"),
+            rmse("f_ma3").alias("rmse_ma3"),
+            rmse("f_ma10").alias("rmse_ma10"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 10)
+    )
+    z = 1 / F.col("rmse_naive") + 1 / F.col("rmse_ma3") + 1 / F.col("rmse_ma10")
+    return e.select(
+        "user_id",
+        "n",
+        r6(F.col("rmse_naive")).alias("rmse_naive"),
+        r6((1 / F.col("rmse_naive")) / z).alias("w_naive"),
+        r6((1 / F.col("rmse_ma3")) / z).alias("w_ma3"),
+        r6((1 / F.col("rmse_ma10")) / z).alias("w_ma10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2–P6 — validator battery as one DQ snapshot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_snapshot_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    dup AS (
+      SELECT COUNT(*) AS n_dup_ids FROM (
+        SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1)
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_keys,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+           SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_nonpos_value,
+           SUM(CASE WHEN isnan(value) OR value = 'infinity'::DOUBLE
+                     OR value = '-infinity'::DOUBLE THEN 1 ELSE 0 END)
+             AS n_nonfinite,
+           SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                    THEN 1 ELSE 0 END) AS n_backwards_ts,
+           ROUND(MAX(EPOCH(ts) - EPOCH(prev_ts)), 6) AS max_gap_seconds,
+           (SELECT n_dup_ids FROM dup) AS n_dup_ids,
+           CASE WHEN SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+                 AND SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) = 0
+                 AND (SELECT n_dup_ids FROM dup) = 0
+                THEN 'PASS' ELSE 'FAIL' END AS verdict
+    FROM g
+    """,
+)
+def dq_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2–P6 validator battery in one pass: positivity (P2), null ratio
+    (P4), non-finite scrub counts (P8), monotonic-timestamp check and
+    max gap (P6), duplicate-id check (U3), PASS/FAIL verdict — reference
+    `etl/data_validator.py:36-90` + `etl/preprocessor.py:79-214`
+    (post-preprocess structural gate → PASS/WARN/FAIL).
+
+    One window pass + one aggregate; the dup check is a self-contained
+    groupBy that AQE runs as a cheap sub-aggregate. This is the shape of
+    a DQ gate you run on every 100 TB ingest batch."""
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lag("ts").over(wp).alias("prev_ts"),
+    )
+    n_dup = (
+        ev.groupBy("event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    v = F.col("value")
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.sum(v.isNull().cast("int")).alias("n_null_value"),
+        F.sum((v <= 0).cast("int")).alias("n_nonpos_value"),
+        F.sum(
+            (F.isnan(v) | (v == float("inf")) | (v == float("-inf"))).cast("int")
+        ).alias("n_nonfinite"),
+        F.sum(
+            (F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts"))).cast(
+                "int"
+            )
+        ).alias("n_backwards_ts"),
+        r6(
+            F.max(
+                F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+            )
+        ).alias("max_gap_seconds"),
+    )
+    return agg.select(
+        "*",
+        F.lit(n_dup).cast("bigint").alias("n_dup_ids"),
+        F.when(
+            (F.col("n_null_value") == 0)
+            & (F.col("n_nonpos_value") == 0)
+            & (F.lit(n_dup) == 0),
+            "PASS",
+        )
+        .otherwise("FAIL")
+        .alias("verdict"),
+    )
