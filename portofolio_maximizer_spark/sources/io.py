@@ -1,0 +1,144 @@
+"""Source/sink layer (SURVEY.md §2.1): atomic parquet sink, keyed upsert,
+content-hashed checkpoints, retention cleanup, format adapters.
+
+Reference mapping:
+- S5 atomic parquet sink      `etl/data_storage.py:55-120` (temp→rename)
+  → Spark's job-commit protocol IS the atomic rename; a partial write
+  never becomes visible.
+- S7 keyed upsert             `etl/database_manager.py:1603-1687`
+  (row-wise INSERT honoring UNIQUE(ticker,date,source))
+  → union + deterministic keep-newest dropDuplicates, rewritten by key.
+- S11 checkpointing           `etl/checkpoint_manager.py:107-252`
+  (pickle + SHA-256 content hash, latest-pointer lookup)
+  → parquet stage dumps + ORDER-INSENSITIVE content fingerprint
+  (sum of per-row xxhash64 — computable distributed, no sort).
+- S10 retention cleanup       `etl/data_storage.py:150-176`
+  → drop checkpoint generations beyond keep_n.
+- S2-adapters                 csv/json read/write with schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: atomic parquet sink — Spark's commit protocol only renames the
+    job output into place on success (the reference hand-rolls temp→rename
+    for the same guarantee)."""
+    df.write.mode(mode).parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    keys: list[str],
+    version_col: str = "_ingest_version",
+) -> DataFrame:
+    """S7: keyed upsert — new rows win over existing rows on key
+    collision, deterministically (row_number over version desc, never
+    arbitrary dropDuplicates pick). Full-key rewrite here; on a Delta
+    deployment this is MERGE, same semantics."""
+    new_tagged = new_df.withColumn(version_col, F.lit(1))
+    if os.path.exists(path):
+        old = spark.read.parquet(path).withColumn(version_col, F.lit(0))
+        unioned = old.unionByName(new_tagged)
+    else:
+        unioned = new_tagged
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    resolved = (
+        unioned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", version_col)
+    )
+    # materialize before overwriting the path being read
+    resolved_cached = resolved.localCheckpoint(eager=True)
+    write_parquet(resolved_cached, path)
+    return spark.read.parquet(path)
+
+
+def content_fingerprint(df: DataFrame) -> str:
+    """S11: order-insensitive content hash — per-row xxhash64 over every
+    column (null-tagged), summed as unsigned. Distributed-friendly: no
+    sort, no collect of data, stable across partitioning/layout."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in df.columns]
+    row_hash = F.xxhash64(*cols).cast("decimal(38,0)")
+    total = df.agg(
+        F.sum(row_hash).alias("h"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return f"{total['n']}:{int(total['h'] or 0):x}"
+
+
+def checkpoint_stage(
+    df: DataFrame, root: str, stage: str, run_id: str | None = None
+) -> dict:
+    """S11: persist a stage output with sidecar metadata (content hash,
+    row count, schema, timestamp); returns the metadata dict."""
+    run_id = run_id or time.strftime("%Y%m%dT%H%M%S")
+    path = os.path.join(root, stage, run_id)
+    write_parquet(df, path)
+    meta = {
+        "stage": stage,
+        "run_id": run_id,
+        "path": path,
+        "fingerprint": content_fingerprint(df),
+        "schema": df.schema.json(),
+        "created_at": time.time(),
+    }
+    with open(os.path.join(path, "_checkpoint.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def latest_checkpoint(
+    spark: SparkSession, root: str, stage: str
+) -> tuple[DataFrame, dict] | None:
+    """S11: latest-pointer lookup — newest run_id wins (lexicographic,
+    run ids are sortable timestamps)."""
+    stage_dir = os.path.join(root, stage)
+    if not os.path.isdir(stage_dir):
+        return None
+    runs = sorted(os.listdir(stage_dir))
+    if not runs:
+        return None
+    path = os.path.join(stage_dir, runs[-1])
+    with open(os.path.join(path, "_checkpoint.json")) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(path), meta
+
+
+def cleanup_checkpoints(root: str, stage: str, keep_n: int = 3) -> list[str]:
+    """S10: retention — drop all but the newest ``keep_n`` generations."""
+    stage_dir = os.path.join(root, stage)
+    if not os.path.isdir(stage_dir):
+        return []
+    runs = sorted(os.listdir(stage_dir))
+    doomed = runs[:-keep_n] if keep_n > 0 else runs
+    for r in doomed:
+        shutil.rmtree(os.path.join(stage_dir, r))
+    return doomed
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema is mandatory (inference double-scans and guesses types —
+    never acceptable on a 100 TB ingest)."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)

@@ -1,0 +1,114 @@
+"""S-layer: atomic sink, keyed upsert, content-hashed checkpoints,
+retention, format adapters, seeded synthetic bars (SURVEY §2.1 + §5
+statistical validation of the synthetic generator)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from portofolio_maximizer_spark.sources import io as IO
+from portofolio_maximizer_spark.sources.synthetic import synthetic_bars
+
+
+@pytest.fixture()
+def small_df(spark):
+    return spark.createDataFrame(
+        [(t, d, float(v)) for t, d, v in [
+            ("AAPL", "2024-01-01", 100.0),
+            ("AAPL", "2024-01-02", 101.0),
+            ("MSFT", "2024-01-01", 300.0),
+        ]],
+        "ticker string, date string, close double",
+    )
+
+
+def test_upsert_new_rows_win(spark, small_df, tmp_path):
+    path = str(tmp_path / "bars")
+    IO.write_parquet(small_df, path)
+    update = spark.createDataFrame(
+        [("AAPL", "2024-01-02", 999.0), ("GOOG", "2024-01-01", 150.0)],
+        "ticker string, date string, close double",
+    )
+    out = IO.upsert_parquet(spark, path, update, keys=["ticker", "date"])
+    rows = {(r.ticker, r.date): r.close for r in out.collect()}
+    assert rows[("AAPL", "2024-01-02")] == 999.0  # updated
+    assert rows[("AAPL", "2024-01-01")] == 100.0  # untouched
+    assert rows[("GOOG", "2024-01-01")] == 150.0  # inserted
+    assert len(rows) == 4
+
+
+def test_checkpoint_fingerprint_and_retention(spark, small_df, tmp_path):
+    root = str(tmp_path / "ckpt")
+    m1 = IO.checkpoint_stage(small_df, root, "clean", run_id="r1")
+    m2 = IO.checkpoint_stage(small_df, root, "clean", run_id="r2")
+    # same content → same fingerprint, regardless of run
+    assert m1["fingerprint"] == m2["fingerprint"]
+    # fingerprint is partition-layout independent
+    assert IO.content_fingerprint(small_df.repartition(7)) == m1["fingerprint"]
+    # different content → different fingerprint
+    assert (
+        IO.content_fingerprint(small_df.filter(F.col("ticker") == "AAPL"))
+        != m1["fingerprint"]
+    )
+    df, meta = IO.latest_checkpoint(spark, root, "clean")
+    assert meta["run_id"] == "r2"
+    assert df.count() == 3
+    IO.checkpoint_stage(small_df, root, "clean", run_id="r3")
+    doomed = IO.cleanup_checkpoints(root, "clean", keep_n=1)
+    assert doomed == ["r1", "r2"]
+    assert os.listdir(os.path.join(root, "clean")) == ["r3"]
+
+
+def test_csv_json_roundtrip(spark, small_df, tmp_path):
+    schema = "ticker string, date string, close double"
+    IO.write_csv(small_df, str(tmp_path / "c"))
+    IO.write_json(small_df, str(tmp_path / "j"))
+    c = IO.read_csv(spark, str(tmp_path / "c"), schema)
+    j = IO.read_json(spark, str(tmp_path / "j"), schema)
+    want = sorted(map(tuple, small_df.collect()))
+    assert sorted(map(tuple, c.collect())) == want
+    assert sorted(map(tuple, j.collect())) == want
+
+
+def test_synthetic_bars_statistics(spark):
+    """SURVEY §5: distributional checks on the seeded generator — GBM log
+    returns must match (μ−σ²/2, σ) and bars must be OHLC-consistent."""
+    mu, sigma = 0.0002, 0.02
+    bars = synthetic_bars(spark, ["A", "B", "C"], 2000, seed=7,
+                          mu=mu, sigma=sigma)
+    stats = (
+        bars.withColumn(
+            "lr",
+            F.log(
+                F.col("close")
+                / F.lag("close").over(
+                    Window.partitionBy("ticker").orderBy("bar_id")
+                )
+            ),
+        )
+        .agg(F.avg("lr").alias("m"), F.stddev_samp("lr").alias("s"))
+        .collect()[0]
+    )
+    drift = mu - 0.5 * sigma * sigma
+    assert math.isclose(stats.m, drift, abs_tol=3 * sigma / math.sqrt(6000))
+    assert math.isclose(stats.s, sigma, rel_tol=0.05)
+    bad = bars.filter(
+        (F.col("high") < F.col("low"))
+        | (F.col("high") < F.col("close"))
+        | (F.col("low") > F.col("close"))
+        | (F.col("close") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_synthetic_bars_deterministic(spark):
+    a = synthetic_bars(spark, ["A"], 50, seed=1).collect()
+    b = synthetic_bars(spark, ["A"], 50, seed=1).collect()
+    c = synthetic_bars(spark, ["A"], 50, seed=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
