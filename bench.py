@@ -24,7 +24,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    # OFF, not ERROR: Spark 4 structured logging writes JSON error lines to
+    # stdout, which would corrupt this script's one-JSON-line contract.
+    spark.sparkContext.setLogLevel("OFF")
 
     queries = entrymod.queries()
     # warmup: flagship query once to pay JVM/codegen startup

@@ -194,7 +194,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
            COALESCE(o_orderpriority, 'ALL') AS orderpriority,
-           ROUND(SUM(o_totalprice), 6)      AS total_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_price,
            COUNT(*)                         AS n_orders
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -202,12 +203,19 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets [§2.4 closing note — absent in the reference,
-    native in Spark]. Partial aggregation applies per grouping set."""
+    native in Spark]. Partial aggregation applies per grouping set.
+
+    Money sums go through DECIMAL(18,2): prices carry 2 decimal places,
+    so the decimal sum is EXACT and order-independent — at sf0.1 the
+    grand total is ~2.5e9 and a double sum's last-ulp noise exceeds the
+    6-decimal hash convention (SURVEY §7.3 item 6: prefer decimal for
+    declared t2 checks)."""
     o = load_table(spark, sf_dir, "orders")
+    dec_price = F.col("o_totalprice").cast("decimal(18,2)")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            r6(F.sum("o_totalprice")).alias("total_price"),
+            r6(F.sum(dec_price).cast("double")).alias("total_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -411,31 +419,60 @@ def order_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rolling_order_stats",
     oracle="""
+    WITH s AS (
+      SELECT o_custkey, o_orderkey,
+             COUNT(*) OVER w5 AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w5 AS DOUBLE)
+               AS s1,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) OVER w5 AS DOUBLE)
+               AS s2
+      FROM orders
+      WINDOW w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
     SELECT o_custkey, o_orderkey,
-           ROUND(AVG(o_totalprice) OVER w5, 6) AS price_mean_5,
-           ROUND(COALESCE(STDDEV_SAMP(o_totalprice) OVER w5, 0), 6) AS price_std_5
-    FROM orders
-    WINDOW w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           ROUND(s1 / n, 6) AS price_mean_5,
+           ROUND(CASE WHEN n > 1
+                      THEN SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0))
+                      ELSE 0 END, 6) AS price_std_5
+    FROM s
     """,
 )
 def rolling_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 rolling mean/std (min_periods=1 semantics) — reference
-    `etl/time_series_feature_builder.py:111-115`. std of a single row is
-    NULL in both engines; coalesced to 0 on both sides."""
+    `etl/time_series_feature_builder.py:111-115`.
+
+    Mean/std are derived from EXACT decimal window sums (prices have 2
+    decimal places; squares have 4): Spark's and DuckDB's incremental
+    stddev kernels disagree in the last ulp, which flips the 6-decimal
+    rounding at sf0.1 row counts — identical exact sums pushed through an
+    identical float formula cannot."""
     o = load_table(spark, sf_dir, "orders")
     w5 = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-4, 0)
     )
-    return o.select(
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.select(
         "o_custkey",
         "o_orderkey",
-        r6(F.avg("o_totalprice").over(w5)).alias("price_mean_5"),
-        r6(F.coalesce(F.stddev_samp("o_totalprice").over(w5), F.lit(0.0))).alias(
-            "price_std_5"
-        ),
+        F.count(F.lit(1)).over(w5).alias("n"),
+        F.sum(dec).over(w5).cast("double").alias("s1"),
+        F.sum(dec * dec).over(w5).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return s.select(
+        "o_custkey",
+        "o_orderkey",
+        r6(s1 / n).alias("price_mean_5"),
+        r6(
+            F.when(
+                n > 1,
+                F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))),
+            ).otherwise(0.0)
+        ).alias("price_std_5"),
     )
 
 

@@ -31,8 +31,11 @@ PI = 3.141592653589793
 
 
 def _user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as per-user price series with log returns."""
-    ev = load_table(spark, sf_dir, "events")
+    """events as per-user price series with log returns. Non-positive
+    prices are scrubbed first (P2, `etl/data_validator.py:52-61`) — also
+    keeps the log-return ANSI-safe (sf0.1 has value=0 rows; Spark 4's
+    default ANSI mode raises on x/0 in the driver's vanilla session)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     w = Window.partitionBy("user_id").orderBy("ts")
     return ev.select(
         "user_id",
@@ -47,7 +50,7 @@ def _user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 _USER_SERIES_SQL = """
       SELECT user_id, ts, event_id, event_type, value,
              LN(value / LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts)) AS lr
-      FROM events
+      FROM (SELECT * FROM events WHERE value > 0)
 """
 
 
@@ -397,9 +400,10 @@ def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forward_return_labels",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(LEAD(value, 5) OVER w / value - 1, 6) AS fwd_ret_5,
-           CASE WHEN LEAD(value, 5) OVER w / value - 1 > 0 THEN 1
-                WHEN LEAD(value, 5) OVER w / value - 1 <= 0 THEN 0
+           FLOOR((LEAD(value, 5) OVER w / NULLIF(value, 0) - 1) * 1000000 + 0.5)
+             / 1000000 AS fwd_ret_5,
+           CASE WHEN LEAD(value, 5) OVER w / NULLIF(value, 0) - 1 > 0 THEN 1
+                WHEN LEAD(value, 5) OVER w / NULLIF(value, 0) - 1 <= 0 THEN 0
            END AS label_up
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -407,14 +411,19 @@ def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def forward_return_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W24 forward-return label generation — reference
-    `scripts/run_etl_pipeline.py:441-480` classifier labels."""
+    `scripts/run_etl_pipeline.py:441-480` classifier labels. The base
+    price is NULLIF-guarded: sf0.1 carries value=0 rows and ANSI mode
+    raises on x/0. Rounding is FLOOR(x·1e6+0.5)/1e6 rather than ROUND:
+    both engines evaluate that float pipeline bit-identically, whereas
+    their ROUND implementations (BigDecimal vs libc) can disagree within
+    one ulp of the grid — observed once in 100k rows at sf0.1."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    fwd = OW.forward_return(F.col("value"), w, 5)
+    fwd = F.lead("value", 5).over(w) / F.nullif(F.col("value"), F.lit(0.0)) - 1
     return ev.select(
         "user_id",
         "event_id",
-        r6(fwd).alias("fwd_ret_5"),
+        (F.floor(fwd * 1000000 + 0.5) / 1000000).alias("fwd_ret_5"),
         F.when(fwd > 0, 1).when(fwd <= 0, 0).alias("label_up"),
     )
 

@@ -28,17 +28,21 @@ from .queries import query, r6
 # Shared base: events as per-user series with row_number + log return.
 # ---------------------------------------------------------------------------
 
+# Base scrubs non-positive prices (P2, `etl/data_validator.py:52-61`) BEFORE
+# the log-return — keeps every downstream division/log ANSI-safe: sf0.1
+# carries a handful of value=0 rows that would otherwise DIVIDE_BY_ZERO
+# under Spark's default ANSI mode (the driver runs a vanilla session).
 _S_SQL = """
       SELECT user_id, ts, event_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
              LN(value / LAG(value, 1)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS lr
-      FROM events
+      FROM (SELECT * FROM events WHERE value > 0)
 """
 
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id",
@@ -109,30 +113,47 @@ def rolling_quantile_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift_vol_regimes",
     oracle=f"""
     WITH s AS ({_S_SQL}),
-    feat AS (
-      SELECT user_id,
-             ROUND(ABS(AVG(lr) OVER w5 - AVG(lr) OVER w20)
-                   / (STDDEV_SAMP(lr) OVER w20 + 1e-9), 6) AS drift,
-             ROUND(STDDEV_SAMP(lr) OVER w20, 6) AS s20,
-             rn
+    q AS (
+      SELECT user_id, rn,
+             CAST(FLOOR(LEAST(GREATEST(value / LAG(value, 1)
+                     OVER (PARTITION BY user_id ORDER BY rn) - 1, -1.0), 10.0)
+                   * 1000000 + 0.5) AS BIGINT) AS lr6
       FROM s
+    ),
+    sums AS (
+      SELECT user_id, rn,
+             COUNT(lr6) OVER w5  AS n5,  SUM(lr6) OVER w5 AS t5,
+             COUNT(lr6) OVER w20 AS n20, SUM(lr6) OVER w20 AS t20,
+             SUM(lr6 * lr6) OVER w20 AS u20
+      FROM q
       WINDOW w5 AS (PARTITION BY user_id ORDER BY rn
                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
              w20 AS (PARTITION BY user_id ORDER BY rn
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     ),
-    kept AS (SELECT * FROM feat WHERE rn >= 21),
+    feat AS (
+      SELECT user_id,
+             CAST(FLOOR(ABS(CAST(t5 AS DOUBLE)/n5 - CAST(t20 AS DOUBLE)/n20)
+                   / (SQRT(GREATEST((CAST(u20 AS DOUBLE)
+                        - CAST(t20 AS DOUBLE)*CAST(t20 AS DOUBLE)/n20)
+                        / (n20 - 1), 0)) + 1e-3) * 1000000 + 0.5) AS BIGINT)
+               AS drift_i,
+             CAST(FLOOR(SQRT(GREATEST((CAST(u20 AS DOUBLE)
+                        - CAST(t20 AS DOUBLE)*CAST(t20 AS DOUBLE)/n20)
+                        / (n20 - 1), 0)) + 0.5) AS BIGINT) AS s20_i
+      FROM sums WHERE rn >= 21
+    ),
     cuts AS (
-      SELECT ROUND(QUANTILE_CONT(s20, 0.3333333333333333), 6) AS q33,
-             ROUND(QUANTILE_CONT(s20, 0.6666666666666666), 6) AS q66
-      FROM kept
+      SELECT QUANTILE_CONT(s20_i, 0.3333333333333333) AS q33,
+             QUANTILE_CONT(s20_i, 0.6666666666666666) AS q66
+      FROM feat
     )
     SELECT k.user_id,
-           CASE WHEN k.s20 <= c.q33 THEN 0
-                WHEN k.s20 <= c.q66 THEN 1 ELSE 2 END AS regime,
+           CASE WHEN k.s20_i <= c.q33 THEN 0
+                WHEN k.s20_i <= c.q66 THEN 1 ELSE 2 END AS regime,
            COUNT(*) AS n,
-           ROUND(AVG(k.drift), 6) AS avg_drift
-    FROM kept k CROSS JOIN cuts c
+           FLOOR(AVG(k.drift_i) + 0.5) / 1000000 AS avg_drift
+    FROM feat k CROSS JOIN cuts c
     GROUP BY k.user_id, regime
     """,
 )
@@ -140,35 +161,73 @@ def drift_vol_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 drift intensity |μ5−μ20|/(σ20+ε) + W8 tercile vol-regime buckets —
     reference `etl/time_series_feature_builder.py:132-148`.
 
-    The tercile cuts are GLOBAL quantiles of the rolling σ20: a scalar
-    aggregate cross-joined back (broadcast — one row), so the big side is
-    scanned once and never reshuffled. Regime boundaries compare values
-    both sides have already rounded to 6 decimals, killing boundary flips.
-    """
+    Returns are quantized to integer micro-units and the rolling moments
+    are built from EXACT integer window sums, then pushed through an
+    identical float formula on both sides: the engines' incremental
+    window-stddev kernels carry last-ulp noise that flips 6-decimal
+    rounding (and with it the tercile cut) at sf0.1 row counts; exact
+    sums make every s20/drift bit-identical before the cut compare.
+    The cuts themselves are GLOBAL quantiles cross-joined back as a
+    broadcast scalar — the big side never reshuffles."""
     s = _series(spark, sf_dir)
-    feat = s.select(
+    # simple returns, not log returns: IEEE division is exact-rounded and
+    # bit-identical across engines, while libm/JVM LN differ by 1 ulp —
+    # which is exactly the noise the integer quantization must not see.
+    ret = F.least(
+        F.greatest(F.col("value") / F.lag("value", 1).over(_w()) - 1, F.lit(-1.0)),
+        F.lit(10.0),  # P9 sanity clamp; also bounds the integer squares
+    )
+    q = s.select(
         "user_id",
         "rn",
-        r6(
-            F.abs(F.avg("lr").over(_w((-4, 0))) - F.avg("lr").over(_w((-19, 0))))
-            / (F.stddev_samp("lr").over(_w((-19, 0))) + F.lit(1e-9))
-        ).alias("drift"),
-        r6(F.stddev_samp("lr").over(_w((-19, 0)))).alias("s20"),
-    ).filter(F.col("rn") >= 21)
+        F.floor(ret * 1000000 + 0.5).cast("bigint").alias("lr6"),
+    )
+    sums = q.select(
+        "user_id",
+        "rn",
+        F.count("lr6").over(_w((-4, 0))).alias("n5"),
+        F.sum("lr6").over(_w((-4, 0))).alias("t5"),
+        F.count("lr6").over(_w((-19, 0))).alias("n20"),
+        F.sum("lr6").over(_w((-19, 0))).alias("t20"),
+        F.sum(F.col("lr6") * F.col("lr6")).over(_w((-19, 0))).alias("u20"),
+    )
+    t5d = F.col("t5").cast("double")
+    t20d = F.col("t20").cast("double")
+    u20d = F.col("u20").cast("double")
+    n5, n20 = F.col("n5"), F.col("n20")
+    # σ stays in integer micro-units; drift = |Δμ|/(σ+ε) is unit-free
+    sigma_micro = F.sqrt(
+        F.greatest((u20d - t20d * t20d / n20) / (n20 - 1), F.lit(0.0))
+    )
+    feat = sums.filter(F.col("rn") >= 21).select(
+        "user_id",
+        F.floor(
+            F.abs(t5d / n5 - t20d / n20)
+            / (sigma_micro + F.lit(1e-3))
+            * 1000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("drift_i"),
+        F.floor(sigma_micro + 0.5).cast("bigint").alias("s20_i"),
+    )
     cuts = feat.agg(
-        r6(F.percentile(F.col("s20"), F.lit(1.0 / 3.0))).alias("q33"),
-        r6(F.percentile(F.col("s20"), F.lit(2.0 / 3.0))).alias("q66"),
+        F.percentile(F.col("s20_i"), F.lit(1.0 / 3.0)).alias("q33"),
+        F.percentile(F.col("s20_i"), F.lit(2.0 / 3.0)).alias("q66"),
     )
     regime = (
-        F.when(F.col("s20") <= F.col("q33"), 0)
-        .when(F.col("s20") <= F.col("q66"), 1)
+        F.when(F.col("s20_i") <= F.col("q33"), 0)
+        .when(F.col("s20_i") <= F.col("q66"), 1)
         .otherwise(2)
     )
     return (
         feat.crossJoin(F.broadcast(cuts))
-        .select("user_id", "drift", regime.alias("regime"))
+        .select("user_id", "drift_i", regime.alias("regime"))
         .groupBy("user_id", "regime")
-        .agg(F.count(F.lit(1)).alias("n"), r6(F.avg("drift")).alias("avg_drift"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.avg("drift_i") + 0.5) / 1000000).alias("avg_drift"),
+        )
     )
 
 

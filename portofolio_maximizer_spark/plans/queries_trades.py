@@ -33,7 +33,8 @@ from .queries import query, r6
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 6) AS total_value
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_value
     FROM orders o
     WHERE o.o_orderstatus = 'F'
       AND NOT EXISTS (
@@ -62,7 +63,10 @@ def production_closed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            r6(F.sum("o_totalprice")).alias("total_value"),
+            # exact decimal sum: 2-dp money at ~1e9 magnitude exceeds what
+            # a double sum can hash-match at 6 decimals (SURVEY §7.3 item 6)
+            r6(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+            .alias("total_value"),
         )
     )
 
@@ -381,7 +385,8 @@ def pnl_canonical_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 6) AS total_value
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_value
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -396,7 +401,8 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            r6(F.sum("o_totalprice")).alias("total_value"),
+            r6(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+            .alias("total_value"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
