@@ -72,8 +72,17 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_signatures(df: DataFrame, text_col: str = "text", n_gram: int = 2) -> DataFrame:
     """MinHash signature per doc: one 32-bit md5 fingerprint per distinct
     shingle, then 16 universal-hash minima — a single groupBy pass, no row
-    fan-out, one md5 per shingle (not 16)."""
-    sh = df.select(
+    fan-out, one md5 per shingle (not 16).
+
+    Input is repartitioned by doc_id first: the shingle explode + md5 is
+    the CPU-heavy stage, and a corpus landing in few files (one, in the
+    testdata) would otherwise run it on as many cores as files. The
+    repartition also pre-shuffles on the groupBy key, so the signature
+    aggregation that follows is shuffle-free."""
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = spread.select(
         "doc_id", F.explode(shingles(F.col(text_col), n_gram)).alias("shingle")
     )
     x = (
@@ -136,8 +145,19 @@ def exact_jaccard(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", n_gram: int = 2
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only (LSH output),
-    via an intersection join on shingles — never all-pairs."""
-    sh = df.select(
+    via an intersection join on shingles — never all-pairs.
+
+    Only documents that appear in a candidate pair are shingled at all
+    (left-semi pushdown): candidates ≪ corpus after banding, so the
+    verify stage's explode touches a vanishing fraction of a 100 TB
+    corpus instead of re-shingling everything."""
+    cand_ids = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    docs = df.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col), n_gram)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
@@ -175,21 +195,26 @@ def simhash16(text: Column) -> Column:
     per-document signature sums votes and takes signs. Pure column algebra
     (aggregate over the token array) — portable to the oracle because the
     hex digits of md5 agree everywhere.
+
+    Each token is hashed ONCE (`transform` to its md5 hex), then all 16
+    bit-votes read substrings of that cached digest — md5 dominates the
+    cost and a per-bit rehash would be a 16× tax on a 100 TB corpus.
+    Values are unchanged versus hashing per bit (same digest).
     """
-    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(F.array_distinct(tokens(text)), lambda t: F.md5(t))
 
     def voter(pos: int):
         # closure (not a default arg): PySpark infers lambda arity from the
-        # signature, so the merge fn must be exactly (acc, t)
-        def merge(acc, t):
+        # signature, so the merge fn must be exactly (acc, h)
+        def merge(acc, h):
             return acc + F.when(
-                F.substring(F.md5(t), pos + 1, 1).isin(*"89abcdef"), F.lit(1)
+                F.substring(h, pos + 1, 1).isin(*"89abcdef"), F.lit(1)
             ).otherwise(F.lit(-1))
 
         return merge
 
     bits = []
     for i in range(16):
-        vote = F.aggregate(toks, F.lit(0), voter(i))
+        vote = F.aggregate(hashes, F.lit(0), voter(i))
         bits.append(F.when(vote > 0, F.lit(2**i)).otherwise(F.lit(0)))
     return sum(bits[1:], start=bits[0]).alias("simhash")

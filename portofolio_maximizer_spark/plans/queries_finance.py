@@ -637,23 +637,53 @@ def ensemble_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# md5-derived uniform in [0,1) — portable Spark/DuckDB seeded randomness
 _HASH_U = (
     "(('0x' || SUBSTR(MD5(CAST({r} AS VARCHAR) || '|' || CAST({i} AS VARCHAR)), 1, 6))::BIGINT"
     " / 16777216.0)"
+)
+
+# Universal-hash bootstrap draws: ONE md5 per event, 100 affine mixes —
+# same family as llmdata/dedup.py (md5 dominates cost; integer mixes are
+# ~free). Inclusion in replicate r: ((a_r·x + b_r) mod P) < P/2.
+_BOOT_P = 2_147_483_647
+_N_REPS = 100
+
+
+def _boot_params() -> list[tuple[int, int]]:
+    import hashlib
+
+    def h(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+    return [
+        ((h(f"ba|{r}") % (_BOOT_P - 1)) + 1, h(f"bb|{r}") % _BOOT_P)
+        for r in range(_N_REPS)
+    ]
+
+
+_BOOT_PARAMS = _boot_params()
+
+_BOOT_VALUES = ", ".join(
+    f"({r}, {a}, {b})" for r, (a, b) in enumerate(_BOOT_PARAMS)
 )
 
 
 @query(
     "bootstrap_mean_ci",
     oracle=f"""
-    WITH reps AS (SELECT UNNEST(RANGE(100)) AS rep),
-    sampled AS (
-      SELECT r.rep, e.value
-      FROM events e CROSS JOIN reps r
-      WHERE {_HASH_U.format(r="r.rep", i="e.event_id")} < 0.5
+    WITH x AS (
+      SELECT value,
+             ('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_BOOT_P} AS x
+      FROM events
     ),
+    params(rep, a, b) AS (VALUES {_BOOT_VALUES}),
     means AS (
-      SELECT rep, AVG(value) AS rep_mean FROM sampled GROUP BY rep
+      SELECT p.rep, AVG(e.value) AS rep_mean
+      FROM x e CROSS JOIN params p
+      WHERE (p.a * e.x + p.b) % {_BOOT_P} < {_BOOT_P // 2}
+      GROUP BY p.rep
     )
     SELECT COUNT(*) AS n_reps,
            ROUND(AVG(rep_mean), 6) AS mean_of_means,
@@ -665,16 +695,26 @@ _HASH_U = (
 def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 bootstrap CI with deterministic hash-draws — reference bootstrap
     resampling `etl/portfolio_math.py:388-429`, `etl/statistical_tests.py:
-    251-291` (500 seeded resamples). 100 half-samples drawn by md5(rep|id)
-    so Spark and DuckDB select identical rows; replicate means → exact
-    2.5/97.5% quantiles. The cross-join fans out map-side (no shuffle until
-    the tiny per-rep aggregation)."""
-    from ..functions.scalars import hash_unit_interval
+    251-291` (500 seeded resamples).
 
+    ONE md5 per event; membership in each of the 100 replicates is an
+    affine integer mix of that fingerprint (universal-hash family, same
+    as the MinHash pipeline). The 100× fan-out is a broadcast nested loop
+    whose rows die in the map-side partial aggregation — the shuffle
+    carries exactly 100 (rep, sum, count) rows at any corpus size."""
     ev = load_table(spark, sf_dir, "events")
-    reps = ev.sparkSession.range(100).select(F.col("id").alias("rep"))
-    sampled = ev.crossJoin(F.broadcast(reps)).filter(
-        hash_unit_interval(F.col("rep"), F.col("event_id")) < 0.5
+    x = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _BOOT_P
+    )
+    base = ev.select("value", x.alias("x"))
+    params = ev.sparkSession.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(_BOOT_PARAMS)],
+        "rep int, a long, b long",
+    )
+    sampled = base.crossJoin(F.broadcast(params)).filter(
+        (F.col("a") * F.col("x") + F.col("b")) % _BOOT_P < _BOOT_P // 2
     )
     means = sampled.groupBy("rep").agg(F.avg("value").alias("rep_mean"))
     return means.agg(

@@ -190,10 +190,16 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4×4 bands) near-dup detection with exact-Jaccard
     verification of candidates only — charter dedup operator. Signatures
     in one groupBy pass; candidates from band equi-joins; the all-pairs
-    comparison never materializes (the 100 TB-viable shape)."""
+    comparison never materializes (the 100 TB-viable shape).
+
+    The candidate-pair set is materialized (localCheckpoint) before the
+    verify stage references it twice (semi-join doc filter + the pair
+    join): without the cut, the whole shingle→signature→band pipeline
+    re-executes per reference — on a cluster this is a tiny intermediate
+    table you'd persist anyway."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs)
-    pairs = dedup.lsh_candidate_pairs(sig)
+    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
     verified = dedup.exact_jaccard(docs, pairs)
     return verified.filter(F.col("jaccard") >= 0.3).select(
         "d1",
