@@ -375,3 +375,50 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg("payload_bytes")).alias("avg_bytes"),
         F.countDistinct("content_hash").alias("n_distinct_payloads"),
     )
+
+
+@query(
+    "embedding_cosine_neardups",
+    oracle=f"""
+    WITH norms AS ({_NORMS_SQL}),
+    dots AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             SUM(CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)) AS dp
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id,
+      UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT d.v1, d.v2,
+           ROUND(d.dp / (n1.nrm * n2.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms n1 ON d.v1 = n1.vec_id
+    JOIN norms n2 ON d.v2 = n2.vec_id
+    WHERE d.dp / (n1.nrm * n2.nrm) >= 0.5
+    """,
+)
+def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charter dedup family: embedding-cosine near-duplicate pairs — the
+    brute-force all-pairs baseline over the upper triangle (the
+    LSH-bucketed scale path is `embedding_lsh_ann`). The dot product is
+    `F.zip_with` + `F.aggregate` column algebra — JVM-side, no UDF; the
+    N² pair join is the CORRECTNESS baseline the bucketed variant is
+    verified against, as the reference validates fast paths against
+    exact ones (`tests/` strategy, SURVEY §5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        similarity.as_double(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", F.sqrt(similarity.dot(F.col("v"), F.col("v"))))
+    a = vecs.select(
+        F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("v1") < F.col("v2"))
+    cosine = similarity.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select("v1", "v2", cosine.alias("c")).filter(
+        F.col("c") >= 0.5
+    ).select("v1", "v2", r6(F.col("c")).alias("cosine"))

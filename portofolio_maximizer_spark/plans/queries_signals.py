@@ -373,3 +373,103 @@ def dq_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("FAIL")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Integrity: PnL arithmetic reconciliation (enforcer check #7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_total_reconciliation",
+    oracle="""
+    WITH recomputed AS (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS stored_total,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(8,2)))
+                 * (1 + CAST(l.l_tax AS DECIMAL(8,2)))) AS recomputed_total
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    )
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN ABS(CAST(stored_total - recomputed_total AS DOUBLE))
+                         > 0.01 THEN 1 ELSE 0 END) AS n_mismatched,
+           ROUND(MAX(ABS(CAST(stored_total - recomputed_total AS DOUBLE))), 2)
+             AS max_abs_diff
+    FROM recomputed GROUP BY o_orderstatus
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity check #7, PnL arithmetic audit: the stored order total
+    must equal the recomputed sum of its legs — reference
+    `integrity/pnl_integrity_enforcer.py:1061-1108` (realized_pnl
+    arithmetic re-derivation with mismatch counting). All arithmetic in
+    exact DECIMAL; the tolerance compare happens on the exact difference
+    cast once to double."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    leg = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(8,2)"))
+    )
+    rec = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("stored_total"),
+        )
+        .agg(F.sum(leg).alias("recomputed_total"))
+    )
+    diff = F.abs(
+        (F.col("stored_total") - F.col("recomputed_total")).cast("double")
+    )
+    return rec.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((diff > 0.01).cast("int")).alias("n_mismatched"),
+        F.round(F.max(diff), 2).alias("max_abs_diff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — omega ratio threshold ladder
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "omega_ratio_ladder",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    thr(tau) AS (VALUES (0.0), (0.0005), (0.001), (0.002))
+    SELECT user_id, tau,
+           COUNT(lr) AS n,
+           ROUND(SUM(GREATEST(lr - tau, 0))
+                 / NULLIF(SUM(GREATEST(tau - lr, 0)), 0), 6) AS omega
+    FROM s CROSS JOIN thr
+    GROUP BY user_id, tau
+    """,
+)
+def omega_ratio_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 omega-ratio family over a threshold ladder — reference
+    `etl/portfolio_math.py:540-1030` (omega vs threshold ladder,
+    robustness summary). The 4-row threshold table fans out as a
+    broadcast nested loop; partial aggregation collapses it map-side."""
+    s = _series(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(0.0,), (0.0005,), (0.001,), (0.002,)], "tau double"
+    )
+    lr, tau = F.col("lr"), F.col("tau")
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .groupBy("user_id", "tau")
+        .agg(
+            F.count(lr).alias("n"),
+            r6(
+                F.sum(F.greatest(lr - tau, F.lit(0.0)))
+                / F.nullif(F.sum(F.greatest(tau - lr, F.lit(0.0))), F.lit(0.0))
+            ).alias("omega"),
+        )
+    )
