@@ -227,3 +227,63 @@ def ssa_reconstruct(
         )
 
     return series.groupBy(key).applyInPandas(ssa, SSA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# F4 surrogate — CUSUM change-point detection (the MSSA-RL stage's
+# change-point core; the Q-table policy itself is an offline artifact)
+# ---------------------------------------------------------------------------
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rn", IntegerType()),
+        StructField("direction", IntegerType()),  # +1 up-shift, -1 down-shift
+        StructField("cusum_stat", DoubleType()),
+    ]
+)
+
+
+def cusum_changepoints(
+    returns: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    ret_col: str = "lr",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """F4 surrogate: two-sided CUSUM change-point detector — reference
+    `forcester_ts/mssa_rl.py:616-649` (SSA + CUSUM change-points).
+
+    S⁺_t = max(0, S⁺_{t−1} + z_t − k), S⁻_t = max(0, S⁻_{t−1} − z_t − k);
+    an alarm fires when either exceeds ``h`` (then resets). The recursion
+    is sequential per key → ``applyInPandas``; z standardizes against the
+    key's own history."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        r = pdf[ret_col].to_numpy(dtype=float)
+        rn = pdf[order_col].to_numpy()
+        uid = int(pdf[key].iloc[0])
+        mask = ~np.isnan(r)
+        rv, rnv = r[mask], rn[mask]
+        if len(rv) < 10:
+            return pd.DataFrame(columns=[f.name for f in CUSUM_SCHEMA])
+        mu, sd = rv.mean(), rv.std(ddof=1)
+        if sd == 0:
+            return pd.DataFrame(columns=[f.name for f in CUSUM_SCHEMA])
+        z = (rv - mu) / sd
+        sp = sn = 0.0
+        out = []
+        for t in range(len(z)):
+            sp = max(0.0, sp + z[t] - k)
+            sn = max(0.0, sn - z[t] - k)
+            if sp > h:
+                out.append((uid, int(rnv[t]), 1, round(sp, 6)))
+                sp = 0.0
+            if sn > h:
+                out.append((uid, int(rnv[t]), -1, round(sn, 6)))
+                sn = 0.0
+        return pd.DataFrame(out, columns=[f.name for f in CUSUM_SCHEMA])
+
+    return returns.groupBy(key).applyInPandas(run, CUSUM_SCHEMA)

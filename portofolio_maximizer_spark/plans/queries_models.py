@@ -74,3 +74,17 @@ def paper_trading_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     trades = simulate_trades(_series(spark, sf_dir).select("user_id", "rn", "value"))
     return backtest_summary(trades)
+
+
+@query("cusum_changepoints")
+def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: two-sided CUSUM change-point alarms per key
+    (`forcester_ts/mssa_rl.py:616-649`) — recursive state, sequential per
+    key inside applyInPandas."""
+    from ..forecast.models import cusum_changepoints
+
+    from .queries_stats import _series
+
+    return cusum_changepoints(
+        _series(spark, sf_dir).select("user_id", "rn", "lr"), h=3.0
+    )

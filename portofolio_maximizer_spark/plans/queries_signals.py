@@ -473,3 +473,93 @@ def omega_ratio_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("omega"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W16 — cross-sectional z-score within each time bucket
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "xsec_zscore",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    b AS (
+      SELECT user_id, rn, value,
+             DATE_TRUNC('day', ts) AS day,
+             STDDEV_SAMP(value) OVER wd AS sd,
+             AVG(value) OVER wd AS mu,
+             COUNT(*) OVER wd AS n_in_day
+      FROM s
+      WINDOW wd AS (PARTITION BY DATE_TRUNC('day', ts))
+    )
+    SELECT user_id, rn,
+           ROUND((value - mu) / NULLIF(sd, 0), 6) AS xsec_z
+    FROM b WHERE n_in_day >= 10
+    """,
+)
+def xsec_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16 cross-sectional z-score: each observation standardized against
+    all keys' values in the same day bucket — reference
+    `etl/time_series_feature_builder.py:168-177` (z of 20-day return
+    within each date). The unordered partition window is a single hash
+    shuffle on the bucket; no sort."""
+    s = _series(spark, sf_dir)
+    wd = Window.partitionBy(F.date_trunc("day", F.col("ts")))
+    b = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.stddev_samp("value").over(wd).alias("sd"),
+        F.avg("value").over(wd).alias("mu"),
+        F.count(F.lit(1)).over(wd).alias("n_in_day"),
+    )
+    return b.filter(F.col("n_in_day") >= 10).select(
+        "user_id",
+        "rn",
+        r6((F.col("value") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)))
+        .alias("xsec_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — per-key mean imputation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "group_mean_impute",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN value > 0 THEN value END AS v_masked,
+             AVG(CASE WHEN value > 0 THEN value END)
+               OVER (PARTITION BY user_id) AS grp_mean
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN v_masked IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+           ROUND(AVG(COALESCE(v_masked, grp_mean)), 6) AS mean_after_impute
+    FROM flagged GROUP BY user_id
+    """,
+)
+def group_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 per-key mean imputation: invalid observations (non-positive
+    prices, P2) are replaced by the key's mean of valid ones —
+    reference `etl/preprocessor.py:69-74` (fillna with group mean) via
+    the `coalesce(col, avg over w)` idiom of SURVEY §2.4."""
+    ev = load_table(spark, sf_dir, "events")
+    v_masked = F.when(F.col("value") > 0, F.col("value"))
+    wg = Window.partitionBy("user_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        v_masked.alias("v_masked"),
+        F.avg(v_masked).over(wg).alias("grp_mean"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v_masked").isNull().cast("int")).alias("n_imputed"),
+        r6(F.avg(F.coalesce("v_masked", "grp_mean"))).alias("mean_after_impute"),
+    )

@@ -79,3 +79,28 @@ def test_classifier_fits_and_is_deterministic(spark, sf_dir):
     row2 = QUERIES["embedding_classifier_eval"](spark, sf_dir).collect()[0]
     assert row.accuracy == row2.accuracy
     assert row.train_accuracy == row2.train_accuracy
+
+
+def test_cusum_detects_injected_shift(spark):
+    """A mean shift of +3σ at t=100 must raise an up-shift alarm shortly
+    after the break, and a flat-noise series must raise none."""
+    import numpy as np
+    import pandas as pd
+
+    from portofolio_maximizer_spark.forecast.models import cusum_changepoints
+
+    rng = np.random.default_rng(3)
+    calm = rng.normal(0, 1, 100)
+    shifted = rng.normal(3, 1, 40)
+    lr = np.concatenate([calm, shifted])
+    pdf = pd.DataFrame({"user_id": 1, "rn": range(len(lr)), "lr": lr})
+    out = cusum_changepoints(spark.createDataFrame(pdf), h=3.0).toPandas()
+    ups = out[out.direction == 1]
+    assert len(ups) >= 1
+    assert ups.rn.min() >= 100  # no alarm before the break
+    assert ups.rn.min() <= 110  # detected within ~10 bars
+
+    # alarms in the calm pre-break segment must be rare (CUSUM standardizes
+    # against its own history, so iid noise fires only occasionally)
+    pre_break = out[out.rn < 100]
+    assert len(pre_break) <= 3
