@@ -201,32 +201,47 @@ def ssa_reconstruct(
         pdf = pdf.sort_values(order_col)
         x = pdf[value_col].to_numpy(dtype=float)
         uid = int(pdf[key].iloc[0])
-        n = len(x)
-        L = min(window, n // 2)
-        if L < 2:
+        core = ssa_core(x, window, evr_target)
+        if core is None:
             return pd.DataFrame(columns=[f.name for f in SSA_SCHEMA])
-        K = n - L + 1
-        H = np.column_stack([x[i : i + L] for i in range(K)])  # L×K Hankel
-        U, s, Vt = np.linalg.svd(H, full_matrices=False)
-        evr = np.cumsum(s**2) / np.sum(s**2)
-        r = int(np.searchsorted(evr, evr_target) + 1)
-        Hr = (U[:, :r] * s[:r]) @ Vt[:r]
-        # diagonal averaging back to a series
-        recon = np.zeros(n)
-        counts = np.zeros(n)
-        for i in range(K):
-            recon[i : i + L] += Hr[:, i]
-            counts[i : i + L] += 1
-        recon /= counts
-        rmse = float(np.sqrt(np.mean((x - recon) ** 2)))
-        naive = float(np.sqrt(np.mean(np.diff(x) ** 2)))
+        r, evr_r, rmse, naive = core
         return pd.DataFrame(
-            [(uid, n, r, round(float(evr[r - 1]), 6), round(rmse, 6),
-              round(naive, 6))],
+            [(uid, len(x), r, round(evr_r, 6), round(rmse, 6), round(naive, 6))],
             columns=[f.name for f in SSA_SCHEMA],
         )
 
     return series.groupBy(key).applyInPandas(ssa, SSA_SCHEMA)
+
+
+def ssa_core(
+    x: np.ndarray, window: int, evr_target: float
+) -> tuple[int, float, float, float] | None:
+    """Pure-numpy SSA kernel (exposed for property tests): returns
+    (rank_used, evr_at_rank, recon_rmse, naive_rmse) or None if the
+    series is too short."""
+    n = len(x)
+    L = min(window, n // 2)
+    if L < 2:
+        return None
+    K = n - L + 1
+    H = np.column_stack([x[i : i + L] for i in range(K)])  # L×K Hankel
+    U, s, Vt = np.linalg.svd(H, full_matrices=False)
+    total = np.sum(s**2)
+    if total == 0:
+        return (1, 1.0, 0.0, 0.0)
+    evr = np.cumsum(s**2) / total
+    r = int(np.searchsorted(evr, evr_target) + 1)
+    r = min(r, len(s))
+    Hr = (U[:, :r] * s[:r]) @ Vt[:r]
+    recon = np.zeros(n)
+    counts = np.zeros(n)
+    for i in range(K):
+        recon[i : i + L] += Hr[:, i]
+        counts[i : i + L] += 1
+    recon /= counts
+    rmse = float(np.sqrt(np.mean((x - recon) ** 2)))
+    naive = float(np.sqrt(np.mean(np.diff(x) ** 2)))
+    return (r, float(evr[r - 1]), rmse, naive)
 
 
 # ---------------------------------------------------------------------------

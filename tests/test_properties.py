@@ -1,0 +1,85 @@
+"""Property-based tests (Hypothesis) over the numpy model kernels —
+SURVEY §5's property-test lane (the reference runs 8 Hypothesis suites at
+300+ examples; these cover the new engine's UDF cores without paying a
+Spark job per example)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from portofolio_maximizer_spark.forecast.models import _fit_ar, ssa_core
+
+F = st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    phi=st.floats(min_value=-0.9, max_value=0.9),
+    c=st.floats(min_value=-5, max_value=5),
+    x0=st.floats(min_value=-10, max_value=10),
+)
+def test_fit_ar_recovers_noiseless_ar1(phi, c, x0):
+    """On an exactly-AR(1) series the OLS fit must recover (c, φ) and
+    produce ~zero residual σ (up to float conditioning)."""
+    n = 80
+    x = np.empty(n)
+    x[0] = x0
+    for t in range(1, n):
+        x[t] = c + phi * x[t - 1]
+    # degenerate fixed-point series carry no signal — skip those
+    if np.ptp(x) < 1e-6:
+        return
+    beta, sigma, _aic = _fit_ar(x, 1)
+    scale = max(1.0, np.abs(x).max())
+    assert abs(beta[1] - phi) < 1e-4
+    assert sigma < 1e-4 * scale
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.lists(F, min_size=24, max_size=120))
+def test_ssa_full_rank_reconstructs_exactly(data):
+    """With evr_target=1.0 the SVD keeps every component, so diagonal
+    averaging must reproduce the series exactly — for ANY input."""
+    x = np.asarray(data)
+    core = ssa_core(x, window=8, evr_target=1.0)
+    assert core is not None
+    _r, evr_r, rmse, _naive = core
+    scale = max(1.0, np.abs(x).max())
+    assert rmse <= 1e-8 * scale
+    assert evr_r >= 1.0 - 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.lists(F, min_size=24, max_size=120), rank_evr=st.floats(0.5, 0.99))
+def test_ssa_rank_monotone(data, rank_evr):
+    """A lower EVR target can never use a higher rank, and reconstruction
+    error can never improve when the rank shrinks."""
+    x = np.asarray(data)
+    lo = ssa_core(x, window=8, evr_target=rank_evr)
+    hi = ssa_core(x, window=8, evr_target=1.0)
+    assert lo is not None and hi is not None
+    assert lo[0] <= hi[0]
+    assert lo[2] >= hi[2] - 1e-9 * max(1.0, np.abs(x).max())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rets=st.lists(
+        st.floats(min_value=-0.5, max_value=0.5, allow_nan=False), min_size=2,
+        max_size=200,
+    ),
+    lam=st.floats(min_value=0.5, max_value=0.99),
+)
+def test_ewma_variance_stays_in_hull(rets, lam):
+    """The EWMA variance recursion is a convex combination at every step,
+    so σ²_t always lies within [min r², max r²] of the observations seen."""
+    r = np.asarray(rets)
+    var = r[0] ** 2
+    lo = hi = r[0] ** 2
+    for t in range(1, len(r)):
+        var = lam * var + (1 - lam) * r[t - 1] ** 2
+        lo = min(lo, r[t - 1] ** 2)
+        hi = max(hi, r[t - 1] ** 2)
+        assert lo - 1e-12 <= var <= hi + 1e-12
