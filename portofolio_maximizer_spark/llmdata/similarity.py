@@ -132,3 +132,104 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "bucket", "cosine", "rnk")
     )
+
+
+def dot_pandas():
+    """Arrow-vectorized dot product for HOT all-pairs paths.
+
+    `F.aggregate` folds element-by-element in the Catalyst interpreter —
+    fine for one projection per row, ~100× too slow for N²-pair scans.
+    This pandas UDF stacks each Arrow batch into an (n, dim) ndarray and
+    does one einsum per batch. Left-fold vs pairwise summation of 64
+    doubles agree far beyond the 6-decimal hash convention."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (resolved by the hint eval below)
+    from pyspark.sql.functions import pandas_udf
+
+    def _dot(a, b):
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", am, bm))
+
+    # explicit (non-string) annotations: the module uses
+    # `from __future__ import annotations`, which pandas_udf's hint
+    # inspection cannot evaluate for locally-imported names
+    _dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_dot, "double")
+
+
+def blocked_cosine_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block: int = 256,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via BLOCKED Gram matrices.
+
+    Vectors are tiled into ``block``-sized tiles; every tile pair
+    (b1 ≤ b2) becomes one ``applyInPandas`` task that runs a single
+    numpy matmul between its two tiles and emits only the above-threshold
+    (v1 < v2) pairs. Communication is O(N·#tiles) vector transfers and
+    compute is dense BLAS — versus shipping both vectors for every one of
+    the N²/2 pairs (the naive join), a ~block× traffic reduction. This is
+    the exactness baseline; hyperplane-LSH (`lsh_topk`) is the scale path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("v1", LongType()),
+            StructField("v2", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    tagged = emb.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("v"),
+        (F.col(id_col) / block).cast("long").alias("blk"),
+    )
+    blocks = tagged.select("blk").distinct()
+    bp = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
+        .select(F.col("x.blk").alias("b1"), F.col("y.blk").alias("b2"))
+    )
+    left = bp.join(tagged, bp.b1 == tagged.blk).select(
+        "b1", "b2", F.col("vid").alias("lid"), F.col("v").alias("lv")
+    )
+    right = bp.join(tagged, bp.b2 == tagged.blk).select(
+        "b1", "b2", F.col("vid").alias("rid"), F.col("v").alias("rv")
+    )
+    both = left.unionByName(
+        right.select(
+            "b1", "b2", F.col("rid").alias("lid"), F.col("rv").alias("lv")
+        ).withColumn("side", F.lit("r")),
+        allowMissingColumns=True,
+    ).withColumn("side", F.coalesce("side", F.lit("l")))
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        lefts = pdf[pdf.side == "l"]
+        rights = pdf[pdf.side == "r"]
+        if lefts.empty or rights.empty:
+            return pd.DataFrame(columns=["v1", "v2", "cosine"])
+        li = lefts.lid.to_numpy()
+        ri = rights.lid.to_numpy()
+        lm = np.stack(lefts.lv.to_numpy())
+        rm = np.stack(rights.lv.to_numpy())
+        ln = np.linalg.norm(lm, axis=1)
+        rn = np.linalg.norm(rm, axis=1)
+        g = (lm @ rm.T) / np.outer(ln, rn)
+        ii, jj = np.nonzero((g >= threshold) & (li[:, None] < ri[None, :]))
+        return pd.DataFrame(
+            {"v1": li[ii], "v2": ri[jj], "cosine": g[ii, jj]}
+        )
+
+    return both.groupBy("b1", "b2").applyInPandas(gram, out_schema)

@@ -407,18 +407,5 @@ def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against, as the reference validates fast paths against
     exact ones (`tests/` strategy, SURVEY §5)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id",
-        similarity.as_double(F.col("embedding")).alias("v"),
-    ).withColumn("nrm", F.sqrt(similarity.dot(F.col("v"), F.col("v"))))
-    a = vecs.select(
-        F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = vecs.select(
-        F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    pairs = a.join(b, F.col("v1") < F.col("v2"))
-    cosine = similarity.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return pairs.select("v1", "v2", cosine.alias("c")).filter(
-        F.col("c") >= 0.5
-    ).select("v1", "v2", r6(F.col("c")).alias("cosine"))
+    out = similarity.blocked_cosine_pairs(emb, threshold=0.5)
+    return out.select("v1", "v2", r6(F.col("cosine")).alias("cosine"))
