@@ -1066,3 +1066,76 @@ def pairwise_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") > 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — Dickey-Fuller stationarity test (native regr_* aggregates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "adf_test",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    d AS (
+      SELECT user_id,
+             value - LAG(value) OVER wp AS dy,
+             LAG(value) OVER wp AS ylag
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    fit AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             REGR_SLOPE(dy, ylag) AS beta,
+             REGR_SXX(dy, ylag) AS sxx,
+             REGR_SYY(dy, ylag) AS syy
+      FROM d WHERE dy IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) > 20
+    )
+    SELECT user_id, n,
+           ROUND(beta, 6) AS beta,
+           ROUND(beta / SQRT(((syy - beta * beta * sxx) / (n - 2))
+                             / NULLIF(sxx, 0)), 6) AS df_stat,
+           CASE WHEN beta / SQRT(((syy - beta * beta * sxx) / (n - 2))
+                                 / NULLIF(sxx, 0)) < -2.89
+                THEN 1 ELSE 0 END AS stationary_5pct
+    FROM fit
+    """,
+)
+def adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 Dickey-Fuller stationarity test (constant, lag 0):
+    Δy_t = α + β·y_{t−1} + ε, τ = β̂/se(β̂), reject unit root when
+    τ < −2.89 (5% critical value, n>25) — reference ADF usage
+    `etl/time_series_analyzer.py:338-438` and the joint ADF+KPSS verdict
+    `forcester_ts/forecaster.py:611-680`.
+
+    Everything is a native regression aggregate (regr_slope/sxx/syy) —
+    the OLS t-statistic in closed form, one groupBy pass, no UDF."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    d = s.select(
+        "user_id",
+        (F.col("value") - F.lag("value").over(wp)).alias("dy"),
+        F.lag("value").over(wp).alias("ylag"),
+    ).filter(F.col("dy").isNotNull())
+    fit = (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.regr_slope("dy", "ylag").alias("beta"),
+            F.regr_sxx("dy", "ylag").alias("sxx"),
+            F.regr_syy("dy", "ylag").alias("syy"),
+        )
+        .filter(F.col("n") > 20)
+    )
+    beta, sxx, syy, n = (F.col(c) for c in ("beta", "sxx", "syy", "n"))
+    tau = beta / F.sqrt(
+        ((syy - beta * beta * sxx) / (n - 2)) / F.nullif(sxx, F.lit(0.0))
+    )
+    return fit.select(
+        "user_id",
+        "n",
+        r6(beta).alias("beta"),
+        r6(tau).alias("df_stat"),
+        F.when(tau < -2.89, 1).otherwise(0).alias("stationary_5pct"),
+    )
