@@ -1139,3 +1139,167 @@ def adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(tau).alias("df_stat"),
         F.when(tau < -2.89, 1).otherwise(0).alias("stationary_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — KPSS stationarity test (completes the joint ADF+KPSS verdict)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kpss_test",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    base AS (
+      SELECT user_id, rn, lr,
+             lr - AVG(lr) OVER (PARTITION BY user_id) AS e
+      FROM s WHERE lr IS NOT NULL
+    ),
+    cum AS (
+      SELECT user_id, e,
+             LAG(e, 1) OVER wp AS e1, LAG(e, 2) OVER wp AS e2,
+             LAG(e, 3) OVER wp AS e3, LAG(e, 4) OVER wp AS e4,
+             SUM(e) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
+      FROM base WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(s_t * s_t) AS ss,
+             AVG(e * e) AS g0,
+             AVG(CASE WHEN e1 IS NOT NULL THEN e * e1 END) AS g1,
+             AVG(CASE WHEN e2 IS NOT NULL THEN e * e2 END) AS g2,
+             AVG(CASE WHEN e3 IS NOT NULL THEN e * e3 END) AS g3,
+             AVG(CASE WHEN e4 IS NOT NULL THEN e * e4 END) AS g4
+      FROM cum GROUP BY user_id HAVING COUNT(*) > 20
+    )
+    SELECT user_id, n,
+           ROUND(ss / (CAST(n AS DOUBLE) * n)
+                 / NULLIF(g0 + 2 * (0.8*g1 + 0.6*g2 + 0.4*g3 + 0.2*g4), 0), 6)
+             AS kpss_stat,
+           CASE WHEN ss / (CAST(n AS DOUBLE) * n)
+                     / NULLIF(g0 + 2 * (0.8*g1 + 0.6*g2 + 0.4*g3 + 0.2*g4), 0)
+                     > 0.463
+                THEN 0 ELSE 1 END AS stationary_5pct
+    FROM agg
+    """,
+)
+def kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 KPSS level-stationarity test: η = n⁻²·ΣS_t² / σ̂²_lr with a
+    Bartlett long-run variance (lag 4), reject stationarity above the
+    0.463 5% critical value — reference joint ADF+KPSS verdict
+    `forcester_ts/forecaster.py:611-680`.
+
+    Cumulative partial sums are one running-sum window; the Bartlett
+    autocovariances are lag columns + conditional AVGs — a single window
+    pass plus one groupBy, no UDF."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    wg = Window.partitionBy("user_id")
+    base = s.select(
+        "user_id", "rn", (F.col("lr") - F.avg("lr").over(wg)).alias("e")
+    )
+    wp = Window.partitionBy("user_id").orderBy("rn")
+    cum = base.select(
+        "user_id",
+        "e",
+        *[F.lag("e", j).over(wp).alias(f"e{j}") for j in range(1, 5)],
+        F.sum("e").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias("s_t"),
+    )
+    agg = (
+        cum.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_t") * F.col("s_t")).alias("ss"),
+            F.avg(F.col("e") * F.col("e")).alias("g0"),
+            *[
+                F.avg(
+                    F.when(
+                        F.col(f"e{j}").isNotNull(), F.col("e") * F.col(f"e{j}")
+                    )
+                ).alias(f"g{j}")
+                for j in range(1, 5)
+            ],
+        )
+        .filter(F.col("n") > 20)
+    )
+    n = F.col("n").cast("double")
+    lrv = F.col("g0") + 2 * (
+        0.8 * F.col("g1") + 0.6 * F.col("g2") + 0.4 * F.col("g3") + 0.2 * F.col("g4")
+    )
+    eta = F.col("ss") / (n * n) / F.nullif(lrv, F.lit(0.0))
+    return agg.select(
+        "user_id",
+        "n",
+        r6(eta).alias("kpss_stat"),
+        F.when(eta > 0.463, 0).otherwise(1).alias("stationary_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F16/A8 — minimum-variance two-asset weights (closed-form Markowitz core)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "min_variance_pair_weights",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             COUNT(*) AS n,
+             VAR_SAMP(a.lr) AS v1, VAR_SAMP(b.lr) AS v2,
+             COVAR_SAMP(a.lr, b.lr) AS c12
+      FROM s a JOIN s b ON a.rn = b.rn AND a.user_id < b.user_id
+      WHERE a.user_id < 10 AND b.user_id < 10
+        AND a.lr IS NOT NULL AND b.lr IS NOT NULL
+      GROUP BY a.user_id, b.user_id HAVING COUNT(*) > 10
+    )
+    SELECT u1, u2, n,
+           ROUND((v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0), 6) AS w1,
+           ROUND((v1 - c12) / NULLIF(v1 + v2 - 2 * c12, 0), 6) AS w2,
+           ROUND(SQRT(GREATEST((v1 * v2 - c12 * c12)
+                 / NULLIF(v1 + v2 - 2 * c12, 0), 0)), 6) AS min_vol
+    FROM pairs
+    """,
+)
+def min_variance_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/A8 Markowitz core in closed form: the two-asset minimum-variance
+    weights w1 = (σ2²−σ12)/(σ1²+σ2²−2σ12) and the resulting portfolio vol
+    — reference `etl/portfolio_math.py:312-382` (scipy minimize for N
+    assets; for N=2 the optimum is algebraic, so the whole optimizer is a
+    join + aggregate). Series aligned on per-key row number as in A8."""
+    s = (
+        _series(spark, sf_dir)
+        .filter((F.col("user_id") < 10) & F.col("lr").isNotNull())
+        .select("user_id", "rn", "lr")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.rn") == F.col("b.rn"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.var_samp("a.lr").alias("v1"),
+            F.var_samp("b.lr").alias("v2"),
+            F.covar_samp("a.lr", "b.lr").alias("c12"),
+        )
+        .filter(F.col("n") > 10)
+    )
+    v1, v2, c12 = F.col("v1"), F.col("v2"), F.col("c12")
+    den = F.nullif(v1 + v2 - 2 * c12, F.lit(0.0))
+    return pairs.select(
+        "u1",
+        "u2",
+        "n",
+        r6((v2 - c12) / den).alias("w1"),
+        r6((v1 - c12) / den).alias("w2"),
+        r6(F.sqrt(F.greatest((v1 * v2 - c12 * c12) / den, F.lit(0.0)))).alias(
+            "min_vol"
+        ),
+    )

@@ -52,3 +52,20 @@ def test_cv_folds_are_leak_free(spark, sf_dir):
         if r.train_end is not None:
             assert r.train_end < r.test_start
         assert r.test_start <= r.test_end
+
+
+def test_min_variance_weights_sum_to_one_and_dominate(spark, sf_dir):
+    """w1+w2 = 1 exactly, and the min-variance portfolio vol can never
+    exceed either asset's own vol (Markowitz dominance)."""
+    import math
+
+    rows = QUERIES["min_variance_pair_weights"](spark, sf_dir).collect()
+    assert rows
+    vols = {
+        r.user_id: r.vol
+        for r in QUERIES["user_return_metrics"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert math.isclose(r.w1 + r.w2, 1.0, abs_tol=2e-6)
+        cap = min(vols[r.u1], vols[r.u2]) + 1e-6
+        assert r.min_vol <= cap
