@@ -1303,3 +1303,115 @@ def min_variance_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_vol"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — Durbin-Watson on forecast errors + Welch two-sample t-test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "durbin_watson",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    e AS (
+      SELECT user_id, rn,
+             value - AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS err
+      FROM s QUALIFY rn >= 6
+    ),
+    l AS (
+      SELECT user_id, err,
+             LAG(err) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+      FROM e
+    )
+    SELECT user_id, COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN prev IS NOT NULL
+                          THEN (err - prev) * (err - prev) END)
+                 / NULLIF(SUM(err * err), 0), 6) AS dw_stat
+    FROM l GROUP BY user_id HAVING COUNT(*) > 10
+    """,
+)
+def durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 Durbin-Watson autocorrelation statistic over trailing-mean
+    forecast errors: DW = Σ(e_t−e_{t−1})²/Σe_t², ≈2 under independence —
+    reference `etl/statistical_tests.py:226-249` (Ljung-Box +
+    Durbin-Watson pair on model residuals)."""
+    s = _series(spark, sf_dir)
+    err = (F.col("value") - F.avg("value").over(_w((-5, -1)))).alias("err")
+    e = s.select("user_id", "rn", err).filter(F.col("rn") >= 6)
+    l = e.select(
+        "user_id",
+        "err",
+        F.lag("err").over(Window.partitionBy("user_id").orderBy("rn")).alias("prev"),
+    )
+    num = F.sum(
+        F.when(
+            F.col("prev").isNotNull(),
+            (F.col("err") - F.col("prev")) * (F.col("err") - F.col("prev")),
+        )
+    )
+    den = F.nullif(F.sum(F.col("err") * F.col("err")), F.lit(0.0))
+    return (
+        l.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), r6(num / den).alias("dw_stat"))
+        .filter(F.col("n") > 10)
+    )
+
+
+@query(
+    "welch_half_test",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    tagged AS (
+      SELECT user_id, lr,
+             CASE WHEN rn <= MAX(rn) OVER (PARTITION BY user_id) / 2
+                  THEN 0 ELSE 1 END AS half
+      FROM s WHERE lr IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, half, COUNT(*) AS n, AVG(lr) AS m, VAR_SAMP(lr) AS v
+      FROM tagged GROUP BY user_id, half
+    )
+    SELECT a.user_id,
+           a.n AS n1, b.n AS n2,
+           ROUND(a.m - b.m, 6) AS mean_diff,
+           ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 6) AS welch_t
+    FROM g a JOIN g b ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
+    WHERE a.n > 5 AND b.n > 5
+    """,
+)
+def welch_half_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 Welch two-sample t-test: first-half vs second-half returns per
+    key (unequal-variance t) — reference `etl/portfolio_math.py:453-481`
+    (Welch t-test + Levene between return regimes)."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    wg = Window.partitionBy("user_id")
+    tagged = s.select(
+        "user_id",
+        "lr",
+        F.when(F.col("rn") <= F.max("rn").over(wg) / 2, 0).otherwise(1).alias(
+            "half"
+        ),
+    )
+    g = tagged.groupBy("user_id", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("lr").alias("m"),
+        F.var_samp("lr").alias("v"),
+    )
+    a = g.filter(F.col("half") == 0).alias("a")
+    b = g.filter(F.col("half") == 1).alias("b")
+    t = (F.col("a.m") - F.col("b.m")) / F.sqrt(
+        F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    )
+    return (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter((F.col("a.n") > 5) & (F.col("b.n") > 5))
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+            r6(F.col("a.m") - F.col("b.m")).alias("mean_diff"),
+            r6(t).alias("welch_t"),
+        )
+    )

@@ -95,3 +95,23 @@ def test_vol_spike_alerts_deterministic(spark, sf_dir):
         ST.vol_spike_alerts(ST.events_stream(spark, sf_dir)), "t_alerts2"
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_sliding_window_stats(spark, sf_dir, batch_events):
+    """Sliding windows: every event lands in width/slide windows; each
+    emitted (window, user) vol must equal the batch computation."""
+    out = ST.run_to_memory(
+        ST.sliding_value_stats(ST.events_stream(spark, sf_dir)), "t_sliding"
+    )
+    batch = (
+        batch_events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.stddev_samp("value"), 6).alias("vol"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "n", "vol")
+    )
+    got = {(r.win_start, r.user_id): (r.n, r.vol) for r in out.collect()}
+    want = {(r.win_start, r.user_id): (r.n, r.vol) for r in batch.collect()}
+    assert got, "no sliding windows emitted"
+    for k, v in got.items():
+        assert want[k] == v
