@@ -246,3 +246,121 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(_shapley_expr("ma3", F.col)).alias("phi_ma3"),
         r6(_shapley_expr("ma10", F.col)).alias("phi_ma10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A13 (part 2) — pairwise rank order-preservation across folds
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rank_preservation_fraction",
+    oracle="""
+    WITH halves AS (
+      SELECT user_id, event_type, value,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                    <= COUNT(*) OVER (PARTITION BY user_id) / 2
+                  THEN 0 ELSE 1 END AS fold
+      FROM events
+    ),
+    scored AS (
+      SELECT user_id, fold, event_type, AVG(value) AS score
+      FROM halves GROUP BY user_id, fold, event_type
+    ),
+    ranked AS (
+      SELECT user_id, fold, event_type,
+             RANK() OVER (PARTITION BY user_id, fold
+                          ORDER BY score DESC, event_type) AS rnk
+      FROM scored
+    ),
+    pairs AS (
+      SELECT a.user_id,
+             CASE WHEN (a0.rnk < b0.rnk) = (a1.rnk < b1.rnk)
+                  THEN 1.0 ELSE 0.0 END AS preserved
+      FROM (SELECT DISTINCT user_id, event_type FROM ranked) a
+      JOIN (SELECT DISTINCT user_id, event_type FROM ranked) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      JOIN ranked a0 ON a0.user_id = a.user_id
+        AND a0.event_type = a.event_type AND a0.fold = 0
+      JOIN ranked b0 ON b0.user_id = a.user_id
+        AND b0.event_type = b.event_type AND b0.fold = 0
+      JOIN ranked a1 ON a1.user_id = a.user_id
+        AND a1.event_type = a.event_type AND a1.fold = 1
+      JOIN ranked b1 ON b1.user_id = a.user_id
+        AND b1.event_type = b.event_type AND b1.fold = 1
+    )
+    SELECT user_id, COUNT(*) AS n_pairs,
+           ROUND(AVG(preserved), 6) AS preservation_frac
+    FROM pairs GROUP BY user_id
+    """,
+)
+def rank_preservation_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 part 2: the pairwise order-preservation fraction between fold
+    ranks — reference `etl/statistical_tests.py:112-171` (per-fold model
+    ranks, then the fraction of model pairs whose order survives across
+    folds). Built by pivoting the per-fold ranks into a pair self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    halves = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.when(
+            F.row_number().over(wu)
+            <= F.count(F.lit(1)).over(Window.partitionBy("user_id")) / 2,
+            0,
+        )
+        .otherwise(1)
+        .alias("fold"),
+    )
+    scored = halves.groupBy("user_id", "fold", "event_type").agg(
+        F.avg("value").alias("score")
+    )
+    ranked = scored.select(
+        "user_id",
+        "fold",
+        "event_type",
+        F.rank()
+        .over(
+            Window.partitionBy("user_id", "fold").orderBy(
+                F.desc("score"), "event_type"
+            )
+        )
+        .alias("rnk"),
+    )
+    r0 = ranked.filter(F.col("fold") == 0)
+    r1 = ranked.filter(F.col("fold") == 1)
+    a0, b0 = r0.alias("a0"), r0.alias("b0")
+    a1, b1 = r1.alias("a1"), r1.alias("b1")
+    pairs = (
+        a0.join(
+            b0,
+            (F.col("a0.user_id") == F.col("b0.user_id"))
+            & (F.col("a0.event_type") < F.col("b0.event_type")),
+        )
+        .join(
+            a1,
+            (F.col("a1.user_id") == F.col("a0.user_id"))
+            & (F.col("a1.event_type") == F.col("a0.event_type")),
+        )
+        .join(
+            b1,
+            (F.col("b1.user_id") == F.col("a0.user_id"))
+            & (F.col("b1.event_type") == F.col("b0.event_type")),
+        )
+        .select(
+            F.col("a0.user_id").alias("user_id"),
+            F.when(
+                (F.col("a0.rnk") < F.col("b0.rnk"))
+                == (F.col("a1.rnk") < F.col("b1.rnk")),
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("preserved"),
+        )
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        r6(F.avg("preserved")).alias("preservation_frac"),
+    )

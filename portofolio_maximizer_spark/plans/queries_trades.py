@@ -411,3 +411,62 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: the reference's views as Spark SQL views + a spark.sql query
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_view_weekly_revenue",
+    oracle="""
+    WITH production AS (
+      SELECT o.o_orderkey, o.o_orderdate
+      FROM orders o
+      WHERE o.o_orderstatus = 'F'
+        AND NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_returnflag = 'R')
+    )
+    SELECT CAST(DATE_TRUNC('week', p.o_orderdate) AS DATE) AS week,
+           COUNT(DISTINCT p.o_orderkey) AS n_orders,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE), 6)
+             AS net_revenue
+    FROM production p JOIN lineitem l ON l.l_orderkey = p.o_orderkey
+    GROUP BY DATE_TRUNC('week', p.o_orderdate)
+    """,
+)
+def sql_view_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's view-over-view SQL surface on Spark SQL proper:
+    registers the production-orders view (P7 shape,
+    `etl/database_manager.py:1366-1380`) as a TEMP VIEW and queries it
+    with ``spark.sql`` — same Catalyst plan as the DataFrame API, proving
+    the engine's SQL entry point end-to-end. Weekly rollup in exact
+    decimals (A14 + the decimal-sum convention)."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW production_orders AS
+        SELECT o.o_orderkey, o.o_orderdate
+        FROM orders o
+        LEFT ANTI JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+                        WHERE l_returnflag = 'R') r
+          ON o.o_orderkey = r.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        """
+    )
+    return spark.sql(
+        """
+        SELECT CAST(DATE_TRUNC('week', p.o_orderdate) AS DATE) AS week,
+               COUNT(DISTINCT p.o_orderkey) AS n_orders,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE), 6)
+                 AS net_revenue
+        FROM production_orders p JOIN lineitem l ON l.l_orderkey = p.o_orderkey
+        GROUP BY DATE_TRUNC('week', p.o_orderdate)
+        """
+    )
