@@ -563,3 +563,75 @@ def group_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v_masked").isNull().cast("int")).alias("n_imputed"),
         r6(F.avg(F.coalesce("v_masked", "grp_mean"))).alias("mean_after_impute"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 null family — forward/backward fill over masked gaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ffill_masked_values",
+    oracle="""
+    WITH masked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(props->>'k' AS INTEGER) >= 10 THEN value END
+               AS v_masked
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id, v_masked,
+             LAST_VALUE(v_masked IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+             FIRST_VALUE(v_masked IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf
+      FROM masked
+    )
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN v_masked IS NULL THEN 1 ELSE 0 END) AS n_masked,
+           SUM(CASE WHEN v_masked IS NULL AND ff IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_ffilled,
+           ROUND(AVG(COALESCE(v_masked, ff, bf)), 6) AS mean_filled
+    FROM filled GROUP BY user_id
+    """,
+)
+def ffill_masked_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 null-handling family: ffill via `last(ignorenulls)` over an
+    ordered window with bfill fallback (`first(ignorenulls)` forward) —
+    reference `etl/preprocessor.py:50-60` (ffill/bfill/interpolate
+    cascade). Rows with small JSON `k` play the missing observations."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    masked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(k >= 10, F.col("value")).alias("v_masked"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = masked.select(
+        "user_id",
+        "v_masked",
+        F.last("v_masked", ignorenulls=True).over(wf).alias("ff"),
+        F.first("v_masked", ignorenulls=True).over(wb).alias("bf"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v_masked").isNull().cast("int")).alias("n_masked"),
+        F.sum(
+            (F.col("v_masked").isNull() & F.col("ff").isNotNull()).cast("int")
+        ).alias("n_ffilled"),
+        r6(F.avg(F.coalesce("v_masked", "ff", "bf"))).alias("mean_filled"),
+    )
