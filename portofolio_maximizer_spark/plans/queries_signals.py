@@ -635,3 +635,97 @@ def ffill_masked_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_ffilled"),
         r6(F.avg(F.coalesce("v_masked", "ff", "bf"))).alias("mean_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 UDTF shape — forecast horizon index on business days
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_horizon_index",
+    oracle="""
+    WITH last_bar AS (
+      SELECT user_id, CAST(MAX(ts) AS DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    expanded AS (
+      SELECT user_id, last_day,
+             UNNEST(GENERATE_SERIES(1, 10)) AS offset_days
+      FROM last_bar
+    ),
+    cand AS (
+      SELECT user_id, offset_days,
+             last_day + CAST(offset_days AS INTEGER) AS d
+      FROM expanded
+    ),
+    biz AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS horizon_step
+      FROM cand WHERE DAYOFWEEK(d) NOT IN (0, 6)
+    )
+    SELECT user_id, horizon_step, CAST(d AS VARCHAR) AS forecast_date
+    FROM biz WHERE horizon_step <= 5
+    """,
+)
+def forecast_horizon_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 UDTF shape: per-key forecast horizon index — explode a
+    date sequence after each key's last bar, keep business days, number
+    the first 5 — reference `forcester_ts/forecaster.py:1730-1751`
+    (horizon index build) + the business-day `date_range` idiom
+    (`etl/data_storage.py:138-139`). `explode(sequence(...))` is the
+    engine's one-row-in/many-out primitive (SURVEY §2.10 closing note)."""
+    ev = load_table(spark, sf_dir, "events")
+    last_bar = ev.groupBy("user_id").agg(F.max(F.to_date("ts")).alias("last_day"))
+    cand = last_bar.select(
+        "user_id",
+        "last_day",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("offset_days"),
+    ).select(
+        "user_id",
+        F.date_add(F.col("last_day"), F.col("offset_days")).alias("d"),
+    )
+    # DuckDB DAYOFWEEK: Sunday=0..Saturday=6; Spark dayofweek: Sunday=1..Saturday=7
+    biz = cand.filter(~F.dayofweek("d").isin(1, 7)).select(
+        "user_id",
+        "d",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("d"))
+        .alias("horizon_step"),
+    )
+    return biz.filter(F.col("horizon_step") <= 5).select(
+        "user_id", "horizon_step", F.col("d").cast("string").alias("forecast_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §1.4 telemetry — latency percentile rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latency_percentiles",
+    oracle="""
+    SELECT event_type AS stage,
+           COUNT(*) AS n,
+           ROUND(QUANTILE_CONT(value, 0.50), 6) AS p50,
+           ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95,
+           ROUND(QUANTILE_CONT(value, 0.99), 6) AS p99,
+           ROUND(MAX(value), 6) AS p_max
+    FROM events GROUP BY event_type
+    """,
+)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.4 telemetry surface: per-stage latency percentile rollup (p50/
+    p95/p99/max) — reference `latency_metrics` table
+    (`etl/database_manager.py:1117-1126`), with `value` playing the stage
+    latency. Exact interpolating percentiles (the approx sketch is the
+    100 TB path; exact is required for the oracle hash — SURVEY §7.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("stage")).agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.percentile("value", F.lit(0.50))).alias("p50"),
+        r6(F.percentile("value", F.lit(0.95))).alias("p95"),
+        r6(F.percentile("value", F.lit(0.99))).alias("p99"),
+        r6(F.max("value")).alias("p_max"),
+    )

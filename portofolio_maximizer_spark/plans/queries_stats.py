@@ -1415,3 +1415,149 @@ def welch_half_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(t).alias("welch_t"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — PACF via Yule-Walker closed form + Levene variance-equality test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pacf_yule_walker",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    l AS (
+      SELECT user_id, lr,
+             LAG(lr, 1) OVER wp AS l1, LAG(lr, 2) OVER wp AS l2
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    a AS (
+      SELECT user_id, COUNT(lr) AS n,
+             CORR(lr, l1) AS r1, CORR(lr, l2) AS r2
+      FROM l GROUP BY user_id HAVING COUNT(lr) > 12
+    )
+    SELECT user_id, n,
+           ROUND(r1, 6) AS pacf_1,
+           ROUND((r2 - r1 * r1) / NULLIF(1 - r1 * r1, 0), 6) AS pacf_2
+    FROM a
+    """,
+)
+def pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 partial autocorrelations at lags 1-2 via the Yule-Walker /
+    Durbin-Levinson closed form: φ11 = ρ1, φ22 = (ρ2−ρ1²)/(1−ρ1²) —
+    reference ACF/PACF usage `etl/time_series_analyzer.py:338-438`.
+    Sample autocorrelations come from the same lag-column CORR pattern as
+    `ljung_box`; the recursion collapses to algebra for the first two
+    lags, so the whole PACF is one groupBy."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    l = s.select(
+        "user_id",
+        "lr",
+        F.lag("lr", 1).over(wp).alias("l1"),
+        F.lag("lr", 2).over(wp).alias("l2"),
+    )
+    a = (
+        l.groupBy("user_id")
+        .agg(
+            F.count("lr").alias("n"),
+            F.corr("lr", "l1").alias("r1"),
+            F.corr("lr", "l2").alias("r2"),
+        )
+        .filter(F.col("n") > 12)
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    return a.select(
+        "user_id",
+        "n",
+        r6(r1).alias("pacf_1"),
+        r6((r2 - r1 * r1) / F.nullif(1 - r1 * r1, F.lit(0.0))).alias("pacf_2"),
+    )
+
+
+@query(
+    "levene_half_test",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    tagged AS (
+      SELECT user_id, lr,
+             CASE WHEN rn <= MAX(rn) OVER (PARTITION BY user_id) / 2
+                  THEN 0 ELSE 1 END AS half
+      FROM s WHERE lr IS NOT NULL
+    ),
+    med AS (
+      SELECT user_id, half, MEDIAN(lr) AS md
+      FROM tagged GROUP BY user_id, half
+    ),
+    z AS (
+      SELECT t.user_id, t.half, ABS(t.lr - m.md) AS zv
+      FROM tagged t JOIN med m ON t.user_id = m.user_id AND t.half = m.half
+    ),
+    g AS (
+      SELECT user_id, half, COUNT(*) AS n, AVG(zv) AS zbar,
+             SUM(zv * zv) AS zss
+      FROM z GROUP BY user_id, half
+    ),
+    f AS (
+      SELECT a.user_id,
+             a.n AS n1, b.n AS n2, a.zbar AS z1, b.zbar AS z2,
+             (a.n * a.zbar + b.n * b.zbar) / (a.n + b.n) AS zg,
+             (a.zss - a.n * a.zbar * a.zbar)
+               + (b.zss - b.n * b.zbar * b.zbar) AS ssw
+      FROM g a JOIN g b ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
+      WHERE a.n > 5 AND b.n > 5
+    )
+    SELECT user_id, n1, n2,
+           ROUND((n1 + n2 - 2)
+                 * (n1 * (z1 - zg) * (z1 - zg) + n2 * (z2 - zg) * (z2 - zg))
+                 / NULLIF(ssw, 0), 6) AS levene_w
+    FROM f
+    """,
+)
+def levene_half_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 Brown-Forsythe/Levene variance-equality test between the two
+    halves of each series (median-centered absolute deviations, k=2
+    one-way ANOVA closed form) — reference `etl/portfolio_math.py:453-481`
+    (Welch t-test + Levene pair). Exact MEDIAN (interpolating percentile)
+    on both sides."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    wg = Window.partitionBy("user_id")
+    tagged = s.select(
+        "user_id",
+        "lr",
+        F.when(F.col("rn") <= F.max("rn").over(wg) / 2, 0).otherwise(1).alias(
+            "half"
+        ),
+    )
+    med = tagged.groupBy("user_id", "half").agg(
+        F.percentile("lr", F.lit(0.5)).alias("md")
+    )
+    z = tagged.join(med, ["user_id", "half"]).select(
+        "user_id", "half", F.abs(F.col("lr") - F.col("md")).alias("zv")
+    )
+    g = z.groupBy("user_id", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("zv").alias("zbar"),
+        F.sum(F.col("zv") * F.col("zv")).alias("zss"),
+    )
+    a = g.filter(F.col("half") == 0).alias("a")
+    b = g.filter(F.col("half") == 1).alias("b")
+    n1, n2 = F.col("a.n"), F.col("b.n")
+    z1, z2 = F.col("a.zbar"), F.col("b.zbar")
+    zg = (n1 * z1 + n2 * z2) / (n1 + n2)
+    ssw = (F.col("a.zss") - n1 * z1 * z1) + (F.col("b.zss") - n2 * z2 * z2)
+    w = (
+        (n1 + n2 - 2)
+        * (n1 * (z1 - zg) * (z1 - zg) + n2 * (z2 - zg) * (z2 - zg))
+        / F.nullif(ssw, F.lit(0.0))
+    )
+    return (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter((n1 > 5) & (n2 > 5))
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            n1.alias("n1"),
+            n2.alias("n2"),
+            r6(w).alias("levene_w"),
+        )
+    )
