@@ -864,3 +864,110 @@ def mc_terminal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.percentile("terminal", F.lit(0.05))).alias("q05"),
         r6(F.percentile("terminal", F.lit(0.95))).alias("q95"),
     )
+
+
+@query(
+    "mc_path_bands",
+    oracle=f"""
+    WITH params AS (
+      SELECT user_id,
+             AVG(lr) AS mu, STDDEV_SAMP(lr) AS sigma,
+             ARG_MAX(value, ts) AS last_value
+      FROM ({_USER_SERIES_SQL}) GROUP BY user_id
+      HAVING COUNT(lr) > 10
+    ),
+    grid AS (
+      SELECT p.user_id, p.mu, p.sigma, p.last_value,
+             r1.range AS path, r2.range AS step
+      FROM params p, RANGE(32) r1, RANGE(1, 9) r2
+    ),
+    shocks AS (
+      SELECT user_id, path, step, mu, sigma, last_value,
+             SQRT(-2 * LN({_HASH_U.format(r="user_id || '-' || path || '-' || step", i="1")} + 1e-12))
+               * COS(2 * {PI!r} * {_HASH_U.format(r="user_id || '-' || path || '-' || step", i="2")})
+               AS z
+      FROM grid
+    ),
+    walk AS (
+      SELECT user_id, path, step, last_value,
+             last_value * EXP(SUM(mu - 0.5 * sigma * sigma + sigma * z) OVER (
+               PARTITION BY user_id, path ORDER BY step
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS px
+      FROM shocks
+    )
+    SELECT user_id, step,
+           ROUND(QUANTILE_CONT(px, 0.05), 6) AS band_lo,
+           ROUND(QUANTILE_CONT(px, 0.50), 6) AS band_mid,
+           ROUND(QUANTILE_CONT(px, 0.95), 6) AS band_hi,
+           ROUND(AVG(CASE WHEN px > last_value THEN 1.0 ELSE 0.0 END), 6)
+             AS prob_up
+    FROM walk
+    GROUP BY user_id, step
+    """,
+)
+def mc_path_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 Monte-Carlo price paths with PER-STEP quantile bands and
+    prob-up — reference `forcester_ts/monte_carlo_simulator.py:86-190`
+    (seeded shocks → cumulative-product paths → mean/quantile bands →
+    prob-up). Fully native: `explode(sequence)` fans out (path, step),
+    hash Box-Muller draws are portable to the oracle, the walk is a
+    running log-sum per (key, path), bands are exact per-step quantiles.
+    The fan-out (32×8 per key) dies into the per-(key,step) aggregate —
+    partial aggregation keeps the shuffle at bands-size rows."""
+    from ..functions.scalars import hash_unit_interval
+
+    s = _user_series(spark, sf_dir)
+    params = (
+        s.groupBy("user_id")
+        .agg(
+            F.avg("lr").alias("mu"),
+            F.stddev_samp("lr").alias("sigma"),
+            F.max_by("value", "ts").alias("last_value"),
+            F.count("lr").alias("n_lr"),
+        )
+        .filter(F.col("n_lr") > 10)
+        .drop("n_lr")
+    )
+    grid = params.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("path")
+    ).select("*", F.explode(F.sequence(F.lit(1), F.lit(8))).alias("step"))
+    seed = F.concat_ws(
+        "-", F.col("user_id"), F.col("path"), F.col("step")
+    )
+    u1 = hash_unit_interval(seed, F.lit(1))
+    u2 = hash_unit_interval(seed, F.lit(2))
+    z = F.sqrt(-2 * F.log(u1 + 1e-12)) * F.cos(2 * math.pi * u2)
+    shocks = grid.select(
+        "user_id", "path", "step", "mu", "sigma", "last_value", z.alias("z")
+    )
+    wpath = (
+        Window.partitionBy("user_id", "path")
+        .orderBy("step")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = shocks.select(
+        "user_id",
+        "path",
+        "step",
+        "last_value",
+        (
+            F.col("last_value")
+            * F.exp(
+                F.sum(
+                    F.col("mu")
+                    - 0.5 * F.col("sigma") * F.col("sigma")
+                    + F.col("sigma") * F.col("z")
+                ).over(wpath)
+            )
+        ).alias("px"),
+    )
+    return walk.groupBy("user_id", "step").agg(
+        r6(F.percentile("px", F.lit(0.05))).alias("band_lo"),
+        r6(F.percentile("px", F.lit(0.50))).alias("band_mid"),
+        r6(F.percentile("px", F.lit(0.95))).alias("band_hi"),
+        r6(
+            F.avg(
+                F.when(F.col("px") > F.col("last_value"), 1.0).otherwise(0.0)
+            )
+        ).alias("prob_up"),
+    )
