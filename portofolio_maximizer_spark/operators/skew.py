@@ -1,0 +1,74 @@
+"""Skew mitigation + co-located join machinery (charter: "broadcast()
+for small dims, repartition()/bucketing for co-located joins, salting for
+skew, AQE for runtime re-plan").
+
+AQE's skew-join splitting handles sort-merge joins automatically; the two
+helpers here cover the cases AQE cannot:
+
+- ``salted_aggregate`` — a hot GROUP BY key that funnels into one reducer.
+  Two-phase: partial aggregation on (key, salt) spreads the hot key over
+  ``n_salts`` reducers, the final pass combines the partials. Correct for
+  any algebra expressible as (partial, merge) — sum/count/min/max here.
+- ``salted_join`` — a skewed fact key joined to a dimension: the dim side
+  is replicated ``n_salts`` times (explode — dimension rows are small by
+  definition), the fact side gets a DETERMINISTIC hash salt, and the join
+  key becomes (key, salt): the hot key's rows land on n_salts reducers.
+
+Reference context: the pandas engine never shuffles so it has no skew
+problem; these are the 100 TB-design pieces SURVEY §7.1 step 10 calls
+partition-first design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(cols: Sequence[str], n_salts: int) -> Column:
+    """Deterministic per-row salt in [0, n_salts): hash of the full row
+    key-set — NOT rand(), so retries/replays land identically."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_by: Sequence[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation producing per-key
+    sum(value)/count/min/max — the partial pass groups on (keys, salt),
+    the final pass merges partials on keys alone."""
+    salted = df.withColumn("_salt", _salt(salt_by, n_salts))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.sum("value").alias("_s"),
+        F.count(F.lit(1)).alias("_c"),
+        F.min("value").alias("_mn"),
+        F.max("value").alias("_mx"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_s").alias("sum_value"),
+        F.sum("_c").alias("n"),
+        F.min("_mn").alias("min_value"),
+        F.max("_mx").alias("max_value"),
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_by: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: dim replicated per salt, fact salted by a
+    deterministic row hash; result equals ``fact.join(dim, key, how)``."""
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    fact_salted = fact.withColumn("_salt", _salt(salt_by, n_salts))
+    return fact_salted.join(dim_rep, [key, "_salt"], how).drop("_salt")

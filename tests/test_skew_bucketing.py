@@ -1,0 +1,107 @@
+"""Skew salting and bucketed co-located joins — the charter's
+partition-strategy checklist, verified at the RESULT level (salted ==
+unsalted) and at the PLAN level (co-bucketed join has no shuffle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from portofolio_maximizer_spark.operators.skew import salted_aggregate, salted_join
+from portofolio_maximizer_spark.sources.catalog import load_table
+
+
+def _rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = ev.groupBy("event_type").agg(
+        F.sum("value").alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    salted = salted_aggregate(
+        ev, keys=["event_type"], salt_by=["event_id"], n_salts=8
+    )
+    cols = ["event_type", "n", "min_value", "max_value"]
+    assert _rows(plain, cols) == _rows(salted, cols)
+    # float sums compared with tolerance (summation order differs by design)
+    p = {r.event_type: r.sum_value for r in plain.collect()}
+    s = {r.event_type: r.sum_value for r in salted.collect()}
+    for k in p:
+        assert abs(p[k] - s[k]) < 1e-6 * max(1.0, abs(p[k]))
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct().withColumn("type_tag", F.upper("event_type"))
+    )
+    plain = ev.join(dim, "event_type")
+    salted = salted_join(
+        ev, dim, key="event_type", salt_by=["event_id"], n_salts=8
+    )
+    cols = ["event_id", "event_type", "type_tag"]
+    assert _rows(plain, cols) == _rows(salted, cols)
+
+
+def test_salt_is_deterministic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = salted_aggregate(ev, ["event_type"], ["event_id"], 8).collect()
+    b = salted_aggregate(ev, ["event_type"], ["event_id"], 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@pytest.fixture()
+def bucketed_tables(spark, sf_dir, tmp_path):
+    """Write orders and customer co-bucketed on the join key."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("bktest.orders_bk")
+    )
+    (
+        c.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("bktest.customer_bk")
+    )
+    yield "bktest.orders_bk", "bktest.customer_bk"
+    spark.sql("DROP TABLE IF EXISTS bktest.orders_bk")
+    spark.sql("DROP TABLE IF EXISTS bktest.customer_bk")
+    spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucketed_tables):
+    """Charter: "repartition()/bucketing for co-located joins" — a join of
+    two tables bucketed on the join key must be a SortMergeJoin with NO
+    Exchange on either side (bucket layout replaces the shuffle)."""
+    ot, ct = bucketed_tables
+    joined = (
+        spark.table(ot)
+        .join(spark.table(ct), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+    # disable broadcast so the plan must choose sort-merge
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and it still returns the right rows
+    plain = load_table(spark, sf_dir, "orders").join(
+        load_table(spark, sf_dir, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    assert joined.count() == plain.count()
