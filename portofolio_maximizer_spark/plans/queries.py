@@ -588,3 +588,47 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), r6(F.sum("value")).alias("total_value"))
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'ECONOMY'
+      AND l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery: lines whose quantity
+    is under half their part's average — SURVEY §4 claims Catalyst's
+    subquery decorrelation for free; this query PROVES it (the correlated
+    subquery becomes an aggregate + join, no per-row re-scan).
+
+    Expressed through ``spark.sql`` so the decorrelation actually runs on
+    the SQL path; revenue in exact decimals per the hash convention."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               COUNT(*) AS n_lines,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / 7.0, 6) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'ECONOMY'
+          AND l.l_quantity < (
+            SELECT 0.5 * AVG(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        """
+    )
