@@ -105,3 +105,53 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("scale_x1000", IntegerType()),
+    ]
+)
+
+
+def resize_plan(features: DataFrame, target: int = 224) -> DataFrame:
+    """Resize planning (charter: image resize): computes the aspect-
+    preserving target geometry from METADATA ONLY — the actual pixel
+    resample would live inside the decode stub (`decode_image`), but the
+    geometry math, schema and partition behavior are the real pipeline.
+    Keeping this JVM-side means a 100 TB resize job prunes to metadata
+    columns for planning and only streams payload bytes through the
+    Arrow stage that materializes output images."""
+    scale = F.least(
+        F.lit(target) / F.col("width"), F.lit(target) / F.col("height")
+    )
+    return features.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("target_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("target_h"),
+        F.floor(scale * 1000).cast("int").alias("scale_x1000"),
+    )
+
+
+def sample_frames(features: DataFrame, k: int = 4) -> DataFrame:
+    """Frame sampling (charter: video frame-sample): emit up to ``k``
+    evenly-spaced frame indices per media row — `explode(sequence)` over
+    metadata, one row in → k out, no payload touched until the decode
+    stage consumes (doc_id, frame_idx) pairs."""
+    n = F.col("n_frames")
+    idx = F.explode(F.sequence(F.lit(0), F.least(n, F.lit(k)) - 1))
+    return features.select("doc_id", "n_frames", idx.alias("sample_slot")).select(
+        "doc_id",
+        "n_frames",
+        "sample_slot",
+        F.floor(F.col("sample_slot") * n / F.least(n, F.lit(k)))
+        .cast("int")
+        .alias("frame_idx"),
+    )

@@ -409,3 +409,63 @@ def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.blocked_cosine_pairs(emb, threshold=0.5)
     return out.select("v1", "v2", r6(F.col("cosine")).alias("cosine"))
+
+
+@query(
+    "bpe_token_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS bpe_ish_tokens,
+             LENGTH(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(ws_tokens), 6) AS avg_ws_tokens,
+           ROUND(AVG(bpe_ish_tokens), 6) AS avg_bpe_tokens,
+           ROUND(AVG(bpe_ish_tokens * 1.0 / NULLIF(ws_tokens, 0)), 6)
+             AS bpe_per_word,
+           ROUND(AVG(n_chars * 1.0 / NULLIF(bpe_ish_tokens, 0)), 6)
+             AS chars_per_token
+    FROM toks GROUP BY lang
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charter text-analysis: token counting with BOTH the whitespace
+    tokenizer and a BPE-ish regex (letter runs / digit runs / single
+    punctuation — the pre-tokenization split BPE vocabularies start
+    from). chars-per-token is the compression-ratio estimate an LLM data
+    pipeline budgets context with. Pure `regexp_extract_all` — JVM
+    regex, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+        )
+    )
+    toks = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("ws_tokens")).alias("avg_ws_tokens"),
+        r6(F.avg("bpe_ish_tokens")).alias("avg_bpe_tokens"),
+        r6(
+            F.avg(
+                F.col("bpe_ish_tokens")
+                / F.nullif(F.col("ws_tokens").cast("double"), F.lit(0.0))
+            )
+        ).alias("bpe_per_word"),
+        r6(
+            F.avg(
+                F.col("n_chars")
+                / F.nullif(F.col("bpe_ish_tokens").cast("double"), F.lit(0.0))
+            )
+        ).alias("chars_per_token"),
+    )

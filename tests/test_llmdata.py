@@ -62,3 +62,42 @@ def test_bucket_determinism(spark, sf_dir):
     b2 = {r.vec_id: r.bucket for r in similarity.with_bucket(emb).collect()}
     assert b1 == b2
     assert all(0 <= b < 256 for b in b1.values())
+
+
+def test_resize_plan_geometry(spark, sf_dir):
+    """Aspect-preserving resize: the longer side lands at the target and
+    the ratio is preserved within integer-floor error."""
+    from portofolio_maximizer_spark.llmdata import multimodal as MM
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.attach_payload(docs))
+    plan = MM.resize_plan(feats, target=224).collect()
+    assert plan
+    for r in plan:
+        assert max(r.target_w, r.target_h) <= 224
+        # scale applied to the larger dimension reaches the target (floor)
+        assert max(r.target_w, r.target_h) >= 224 - 2 or (
+            r.width <= 224 and r.height <= 224
+        )
+        assert r.target_w <= r.width * 224 // min(r.width, r.height) + 1
+
+
+def test_sample_frames_bounds(spark, sf_dir):
+    """Frame sampling emits ≤k strictly-valid, increasing frame indices."""
+    from portofolio_maximizer_spark.llmdata import multimodal as MM
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.attach_payload(docs))
+    samples = MM.sample_frames(feats, k=4).collect()
+    assert samples
+    by_doc = {}
+    for r in samples:
+        assert 0 <= r.frame_idx < r.n_frames
+        by_doc.setdefault(r.doc_id, []).append((r.sample_slot, r.frame_idx))
+    for doc, slots in by_doc.items():
+        slots.sort()
+        assert len(slots) <= 4
+        idxs = [i for _, i in slots]
+        assert idxs == sorted(idxs)
