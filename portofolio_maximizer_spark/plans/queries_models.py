@@ -88,3 +88,38 @@ def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(
         _series(spark, sf_dir).select("user_id", "rn", "lr"), h=3.0
     )
+
+
+@query("streaming_session_rollup")
+def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/§2.9: native event-time `session_window` aggregation executed as
+    a real Structured Streaming job (availableNow drain to a batch
+    result) — the reference's gap-session logic (W9) on the streaming
+    engine with watermark-bounded state. Rows-only: streaming output
+    depends on watermark finalization, which SQL cannot express."""
+    from ..streaming import events_stream, run_to_memory, session_rollup
+
+    out = run_to_memory(
+        session_rollup(events_stream(spark, sf_dir), gap="30 minutes"),
+        "q_stream_sessions",
+    )
+    from pyspark.sql import functions as FF
+
+    return out.select(
+        "user_id",
+        FF.unix_millis("session_start").alias("session_start_ms"),
+        "n_events",
+    )
+
+
+@query("streaming_vol_alerts")
+def streaming_vol_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3: the stateful volatility-spike circuit breaker run as a real
+    streaming job (applyInPandasWithState, bounded per-key history,
+    availableNow drain) — reference `etl/real_time_extractor.py:289-350`.
+    Deterministic across runs (asserted in tests/test_streaming.py)."""
+    from ..streaming import events_stream, run_to_memory, vol_spike_alerts
+
+    return run_to_memory(
+        vol_spike_alerts(events_stream(spark, sf_dir)), "q_stream_alerts"
+    )

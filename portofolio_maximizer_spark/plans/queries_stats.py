@@ -1561,3 +1561,45 @@ def levene_half_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(w).alias("levene_w"),
         )
     )
+
+
+@query(
+    "risk_parity_pair_weights",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    vols AS (
+      SELECT user_id, STDDEV_SAMP(lr) AS sd
+      FROM s WHERE lr IS NOT NULL
+      GROUP BY user_id HAVING COUNT(lr) > 10
+    )
+    SELECT a.user_id AS u1, b.user_id AS u2,
+           ROUND(b.sd / (a.sd + b.sd), 6) AS w1,
+           ROUND(a.sd / (a.sd + b.sd), 6) AS w2,
+           ROUND(b.sd / (a.sd + b.sd) * a.sd, 6) AS risk_contrib
+    FROM vols a JOIN vols b ON a.user_id < b.user_id
+    WHERE a.user_id < 10 AND b.user_id < 10
+    """,
+)
+def risk_parity_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 risk-parity core: the two-asset equal-risk-contribution
+    solution w_i ∝ 1/σ_i (exact for N=2 at any correlation: w1σ1 = w2σ2)
+    — reference `etl/portfolio_math.py:312-382` (risk-parity scipy
+    optimize; algebraic for pairs, so the optimizer is one join).
+    Both assets' risk contributions are equal by construction —
+    the emitted `risk_contrib` is that common value."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    vols = (
+        s.groupBy("user_id")
+        .agg(F.stddev_samp("lr").alias("sd"), F.count("lr").alias("n"))
+        .filter((F.col("n") > 10) & (F.col("user_id") < 10))
+        .drop("n")
+    )
+    a, b = vols.alias("a"), vols.alias("b")
+    sa, sb = F.col("a.sd"), F.col("b.sd")
+    return a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
+        F.col("a.user_id").alias("u1"),
+        F.col("b.user_id").alias("u2"),
+        r6(sb / (sa + sb)).alias("w1"),
+        r6(sa / (sa + sb)).alias("w2"),
+        r6(sb / (sa + sb) * sa).alias("risk_contrib"),
+    )
