@@ -123,3 +123,36 @@ def streaming_vol_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         vol_spike_alerts(events_stream(spark, sf_dir)), "q_stream_alerts"
     )
+
+
+@query("streaming_enriched_rollup")
+def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+J10 stream-static join: the event stream enriched per
+    micro-batch against a static dimension (broadcast, stateless), then
+    rolled up — the streaming analog of the reference's signal↔trade
+    linkage joins. Drained via availableNow; rows-only."""
+    from pyspark.sql import functions as FF
+
+    from ..streaming import enriched_stream, events_stream, run_to_memory
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("error", "ops"), ("login", "auth")],
+        "event_type string, category string",
+    )
+    enriched = enriched_stream(events_stream(spark, sf_dir), dim)
+    rollup = (
+        enriched.withWatermark("ts", "30 minutes")
+        .groupBy(FF.window("ts", "6 hours").alias("win"), "category")
+        .agg(
+            FF.count(FF.lit(1)).alias("n"),
+            FF.round(FF.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            FF.unix_millis(FF.col("win.start")).alias("win_start_ms"),
+            "category",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(rollup, "q_stream_enriched")

@@ -1,5 +1,6 @@
 from .stream import (
     dedupe_within_watermark,
+    enriched_stream,
     events_stream,
     run_to_memory,
     session_rollup,
@@ -10,6 +11,7 @@ from .stream import (
 
 __all__ = [
     "dedupe_within_watermark",
+    "enriched_stream",
     "events_stream",
     "run_to_memory",
     "session_rollup",

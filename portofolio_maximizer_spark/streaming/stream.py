@@ -265,3 +265,11 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def enriched_stream(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension (broadcast per batch, no state) — the streaming
+    analog of the signal↔trade linkage joins (J10) and the standard
+    shape for attaching reference data to a 100 TB/day event stream."""
+    return stream.join(F.broadcast(dim), "event_type", "left")

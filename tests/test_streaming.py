@@ -115,3 +115,32 @@ def test_sliding_window_stats(spark, sf_dir, batch_events):
     assert got, "no sliding windows emitted"
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, batch_events):
+    """Stream-static join + rollup must equal the same join done in batch
+    for every finalized window."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["streaming_enriched_rollup"](
+        spark, sf_dir
+    )
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("error", "ops"), ("login", "auth")],
+        "event_type string, category string",
+    )
+    batch = (
+        batch_events.join(dim, "event_type", "left")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "category")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+            "category", "n", "sum_value",
+        )
+    )
+    got = {(r.win_start_ms, r.category): (r.n, r.sum_value) for r in out.collect()}
+    want = {(r.win_start_ms, r.category): (r.n, r.sum_value) for r in batch.collect()}
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
