@@ -29,9 +29,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, SF0001)
 
 
+def _interleave(qs: dict[str, Callable]) -> dict[str, Callable]:
+    """Round-robin query names across their defining pack modules.
+
+    The driver's correctness gate checks a prefix of the registration
+    order; pack-sequential order would leave whole packs unchecked.
+    Interleaving puts entries from every pack (oracle-backed first within
+    each pack) inside any prefix window.
+    """
+    packs: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        packs.setdefault(fn.__module__, []).append(name)
+    queues = [
+        sorted(names, key=lambda n: (n not in ORACLE,))  # stable: oracle-backed first
+        for _, names in sorted(packs.items())
+    ]
+    order: list[str] = []
+    while queues:
+        for q in queues:
+            order.append(q.pop(0))
+        queues = [q for q in queues if q]
+    return {n: qs[n] for n in order}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _interleave(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -43,17 +43,38 @@ def main() -> None:
             timings[name] = -1.0
     total = round(time.time() - t_all, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "query_pack_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # The driver captures only the tail of stdout (~4000 chars) and parses
+    # the JSON line from it. Keep the line compact: total + the 20 slowest
+    # queries at 2dp stays well under 2500 chars; the full per-query map
+    # goes to a sidecar file next to this script.
+    full = {
+        "metric": "query_pack_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": sum(1 for v in timings.values() if v < 0),
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    line = json.dumps(
+        {
+            "metric": "query_pack_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in top.items()},
+            "sf": sf,
+            "n_queries": len(timings),
+            "n_errors": full["n_errors"],
+            "full": "BENCH_FULL.json",
+        },
+        separators=(",", ":"),
     )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -155,6 +155,105 @@ def simulate_trades(
     return series.groupBy(key).applyInPandas(run, TRADES_SCHEMA)
 
 
+PORTFOLIO_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("entry_rn", IntegerType()),
+        StructField("exit_rn", IntegerType()),
+        StructField("entry_price", DoubleType()),
+        StructField("exit_price", DoubleType()),
+        StructField("requested_shares", DoubleType()),
+        StructField("filled_shares", DoubleType()),
+        StructField("fill_ratio", DoubleType()),
+        StructField("realized_pnl", DoubleType()),
+        StructField("exit_reason", StringType()),
+        StructField("cash_before", DoubleType()),
+        StructField("cash_after_entry", DoubleType()),
+    ]
+)
+
+
+def reconcile_portfolio_cash(
+    trades: DataFrame,
+    portfolio_cash: float = 100_000.0,
+) -> DataFrame:
+    """Second pass over emitted trades: ONE shared cash pool across all keys
+    (reference `execution/paper_trading_engine.py:1409-1580` shares a single
+    portfolio cash balance across tickers, scaling orders the balance cannot
+    fund).
+
+    Entries and exits are replayed in global bar order (`entry_rn` /
+    `exit_rn`, user_id tiebreak). Each entry may spend at most the current
+    pool balance — a constrained entry is scaled down pro-rata
+    (``fill_ratio < 1``) and its exit returns proportionally less. The pool
+    is credited at each exit. Invariants: cash never negative; with ample
+    cash the output trades equal the input trades (fill_ratio == 1).
+
+    Scale note: this stage is inherently sequential (one global cash
+    state), so it runs as a single ordered pandas scan — but its input is
+    the *trades* table (orders of magnitude smaller than the bar table the
+    per-key simulation scanned in parallel), which is exactly how the
+    reference splits the work: parallel per-ticker simulation, then a
+    small serial portfolio ledger replay.
+    """
+    cols = [f.name for f in PORTFOLIO_SCHEMA]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        # event list: (bar, kind, trade_idx); entries (kind=0) before exits
+        # at the same bar would risk spending cash an exit frees that bar —
+        # the reference settles exits first, so exits get kind=0.
+        pdf = pdf.sort_values(["entry_rn", "user_id"]).reset_index(drop=True)
+        events = []
+        for idx, t in pdf.iterrows():
+            events.append((int(t.exit_rn), 0, idx))  # exit settles first
+            events.append((int(t.entry_rn), 1, idx))
+        events.sort(key=lambda e: (e[0], e[1], pdf.at[e[2], "user_id"]))
+
+        cash = float(portfolio_cash)
+        fill = [0.0] * len(pdf)
+        cash_before = [0.0] * len(pdf)
+        cash_after = [0.0] * len(pdf)
+        for _, kind, idx in events:
+            t = pdf.iloc[idx]
+            if kind == 1:  # entry: fund as much as the pool allows
+                cost = float(t.shares) * float(t.entry_price)
+                cash_before[idx] = cash
+                ratio = 1.0 if cost <= cash else (cash / cost if cost > 0 else 0.0)
+                fill[idx] = ratio
+                cash -= cost * ratio
+                cash_after[idx] = cash
+            else:  # exit: credit the funded fraction
+                cash += fill[idx] * float(t.shares) * float(t.exit_price)
+
+        out = pd.DataFrame(
+            {
+                "user_id": pdf.user_id.astype("int64"),
+                "entry_rn": pdf.entry_rn.astype("int32"),
+                "exit_rn": pdf.exit_rn.astype("int32"),
+                "entry_price": pdf.entry_price,
+                "exit_price": pdf.exit_price,
+                "requested_shares": pdf.shares,
+                "filled_shares": (pdf.shares * fill).round(6),
+                "fill_ratio": pd.Series(fill).round(6),
+                "realized_pnl": ((pdf.exit_price - pdf.entry_price) * pdf.shares * fill).round(6),
+                "exit_reason": pdf.exit_reason,
+                "cash_before": pd.Series(cash_before).round(6),
+                "cash_after_entry": pd.Series(cash_after).round(6),
+            }
+        )
+        return out[cols]
+
+    from pyspark.sql import functions as F
+
+    return (
+        trades.withColumn("__pool", F.lit(0))
+        .groupBy("__pool")
+        .applyInPandas(lambda _, pdf: run(pdf.drop(columns="__pool")), PORTFOLIO_SCHEMA)
+    )
+
+
 def backtest_summary(trades: DataFrame) -> DataFrame:
     """Second pass: portfolio rollup over the trades table — pure
     relational (A4 shape), runs at any scale."""

@@ -57,17 +57,25 @@ def r6(col):
 @query(
     "q1_pricing_summary",
     oracle="""
+    WITH d AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS DECIMAL(14,2))       AS qty,
+             CAST(l_extendedprice AS DECIMAL(14,2))  AS price,
+             CAST(l_discount AS DECIMAL(4,2))        AS disc,
+             CAST(l_tax AS DECIMAL(4,2))             AS tax
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 6)                              AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6)                         AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)      AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           ROUND(AVG(l_quantity), 6)                              AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                         AS avg_price,
-           ROUND(AVG(l_discount), 6)                              AS avg_disc,
+           CAST(SUM(qty) AS DOUBLE)                               AS sum_qty,
+           CAST(SUM(price) AS DOUBLE)                             AS sum_base_price,
+           CAST(SUM(price * (1 - disc)) AS DOUBLE)                AS sum_disc_price,
+           CAST(SUM(price * (1 - disc) * (1 + tax)) AS DOUBLE)    AS sum_charge,
+           ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6)          AS avg_qty,
+           ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6)        AS avg_price,
+           ROUND(CAST(SUM(disc) AS DOUBLE) / COUNT(*), 6)         AS avg_disc,
            COUNT(*)                                               AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    FROM d
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -80,19 +88,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, so the plan is identical at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Money has 2 decimal places: DECIMAL sums are exact and order-
+    # independent, so the result is bit-identical regardless of partial-agg
+    # partitioning — a double sum at ~1e9 magnitude carries last-ulp noise
+    # bigger than the 6-decimal grid at sf>=0.1.
+    qty = F.col("l_quantity").cast("decimal(14,2)")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r6(F.sum("l_quantity")).alias("sum_qty"),
-            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r6(F.sum(disc_price)).alias("sum_disc_price"),
-            r6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            r6(F.avg("l_quantity")).alias("avg_qty"),
-            r6(F.avg("l_extendedprice")).alias("avg_price"),
-            r6(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            r6(F.sum(qty).cast("double") / n).alias("avg_qty"),
+            r6(F.sum(price).cast("double") / n).alias("avg_price"),
+            r6(F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -548,8 +564,8 @@ def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sessions AS (
       SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events

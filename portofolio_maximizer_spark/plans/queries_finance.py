@@ -464,8 +464,8 @@ def downside_vol_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n,
-           SUM(CASE WHEN ABS(zscore) > 3 THEN 1 ELSE 0 END) AS n_outliers_3s,
-           SUM(CASE WHEN ABS(zscore) > 2 THEN 1 ELSE 0 END) AS n_outliers_2s
+           CAST(SUM(CASE WHEN ABS(zscore) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_3s,
+           CAST(SUM(CASE WHEN ABS(zscore) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_2s
     FROM z GROUP BY user_id
     """,
 )
@@ -499,8 +499,8 @@ def value_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
       SELECT user_id, ts, low,
-             SUM(changed) OVER (PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+             CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
       FROM flagged
     )
     SELECT user_id, run_id,

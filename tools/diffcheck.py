@@ -5,7 +5,12 @@ Runs every ``queries()`` entry at the given sf_dir, runs the paired
 row count, sorted column names, and order-insensitive values (exact for
 ints/strings, 1e-6-tolerant for floats — both sides already round to 6).
 
-Usage:  python tools/diffcheck.py [sf_dir] [query ...]
+Usage:  python tools/diffcheck.py [--strict] [sf_dir] [query ...]
+
+``--strict`` mirrors the driver's dtype-sensitive exact value hash: a
+DuckDB HUGEINT (materialized float64, ``216.0``) vs a Spark BIGINT
+(``216``) is a FAIL even when numerically equal, and float columns must
+match bit-exactly (no 1e-6 tolerance).
 """
 
 from __future__ import annotations
@@ -44,7 +49,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+def _kind(s: pd.Series) -> str:
+    """Dtype class as the driver's hash sees it: int / float / bool / other."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame, strict: bool = False) -> list[str]:
     issues = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         issues.append(
@@ -57,10 +73,14 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     s, d = normalize(spark_df), normalize(duck_df)
     for c in s.columns:
         sv, dv = s[c], d[c]
+        if strict and _kind(sv) != _kind(dv):
+            issues.append(f"col {c}: dtype-class mismatch spark={sv.dtype} duck={dv.dtype}")
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             a = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
             b = pd.to_numeric(dv, errors="coerce").to_numpy(dtype=float)
-            ok = (np.isnan(a) & np.isnan(b)) | (np.abs(a - b) <= 1e-6)
+            tol = 0.0 if strict else 1e-6
+            ok = (np.isnan(a) & np.isnan(b)) | (np.abs(a - b) <= tol)
             if not ok.all():
                 i = int(np.argmin(ok))
                 issues.append(f"col {c}: {int((~ok).sum())} diffs, e.g. row {i}: {a[i]} vs {b[i]}")
@@ -75,8 +95,10 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from portofolio_maximizer_spark.session import get_spark
@@ -104,7 +126,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
-        issues = compare(sdf, ddf)
+        issues = compare(sdf, ddf, strict=strict)
         status = "OK" if not issues else "FAIL"
         print(f"{status:5} {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
         for msg in issues:
