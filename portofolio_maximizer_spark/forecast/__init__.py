@@ -1,3 +1,15 @@
-from .models import ar_grid_forecast, ewma_vol_forecast, ssa_reconstruct
+from .models import (
+    ar_candidate_fits,
+    ar_grid_forecast,
+    ar_grid_forecast_fanout,
+    ewma_vol_forecast,
+    ssa_reconstruct,
+)
 
-__all__ = ["ar_grid_forecast", "ewma_vol_forecast", "ssa_reconstruct"]
+__all__ = [
+    "ar_candidate_fits",
+    "ar_grid_forecast",
+    "ar_grid_forecast_fanout",
+    "ewma_vol_forecast",
+    "ssa_reconstruct",
+]

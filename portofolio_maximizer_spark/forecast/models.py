@@ -113,6 +113,97 @@ def ar_grid_forecast(
     return series.groupBy(key).applyInPandas(fit, AR_FORECAST_SCHEMA)
 
 
+AR_CANDIDATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("p", IntegerType()),
+        StructField("aic", DoubleType()),
+        StructField("horizon_step", IntegerType()),
+        StructField("yhat", DoubleType()),
+        StructField("lo", DoubleType()),
+        StructField("hi", DoubleType()),
+        StructField("sigma", DoubleType()),
+    ]
+)
+
+
+def ar_candidate_fits(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    orders: Iterable[int] = (1, 2, 3),
+    horizon: int = 5,
+) -> DataFrame:
+    """Candidate-grid fan-out (SURVEY §2.10 F1, reference
+    `forcester_ts/sarimax.py:431-679`): broadcast the order grid onto the
+    series so each (key, order) candidate becomes its OWN Spark task.
+
+    The reference evaluates its SARIMAX order grid in a ≤4-thread pool per
+    ticker; here the grid is a first-class dimension of the shuffle key —
+    a wide grid over a million keys schedules keys×orders independent
+    fits across the cluster. Each candidate emits its full forecast path
+    tagged with its AIC, so top-1 selection (O4) is a pure window over
+    the candidate table with no second pass over the raw series."""
+    spark = series.sparkSession
+    grid = spark.createDataFrame([(int(p),) for p in orders], "p int")
+    fanned = series.join(F.broadcast(grid))  # cross: one series copy per order
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=float)
+        uid = int(pdf[key].iloc[0])
+        p = int(pdf["p"].iloc[0])
+        if len(x) < max(int(q) for q in orders) + 8:
+            return pd.DataFrame(columns=[f.name for f in AR_CANDIDATE_SCHEMA])
+        beta, sigma, aic = _fit_ar(x, p)
+        hist = list(x)
+        rows = []
+        for step in range(1, horizon + 1):
+            yhat = beta[0] + sum(beta[k + 1] * hist[-k - 1] for k in range(p))
+            hist.append(yhat)
+            band = 1.96 * sigma * np.sqrt(step)
+            # aic stays full-precision here: top-1 selection must rank on
+            # the exact value (the in-task path selects before rounding)
+            rows.append(
+                (uid, p, float(aic), step,
+                 round(yhat, 6), round(yhat - band, 6), round(yhat + band, 6),
+                 round(sigma, 6))
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in AR_CANDIDATE_SCHEMA])
+
+    return fanned.groupBy(key, "p").applyInPandas(fit_one, AR_CANDIDATE_SCHEMA)
+
+
+def ar_grid_forecast_fanout(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    orders: Iterable[int] = (1, 2, 3),
+    horizon: int = 5,
+) -> DataFrame:
+    """F1 fan-out + O4 top-1: dense_rank the candidate table by (aic, p)
+    per key and keep the winner's forecast path. Output is identical to
+    ``ar_grid_forecast`` (same numpy kernel, same tie-break: lowest AIC,
+    then lowest order) — asserted in tests — but the fit stage
+    parallelizes per candidate instead of per key."""
+    from pyspark.sql import Window
+
+    cand = ar_candidate_fits(series, key, order_col, value_col, orders, horizon)
+    w = Window.partitionBy(key).orderBy("aic", "p")
+    return (
+        cand.withColumn("__rk", F.dense_rank().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(key),
+            F.col("p").alias("best_order"),
+            F.round("aic", 6).alias("aic"),
+            "horizon_step", "yhat", "lo", "hi", "sigma",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # F2 surrogate — exact recursive EWMA variance (the reference's GARCH
 # fallback path)

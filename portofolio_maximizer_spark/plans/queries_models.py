@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..forecast import ar_grid_forecast, ewma_vol_forecast, ssa_reconstruct
+from ..forecast import ar_grid_forecast_fanout, ewma_vol_forecast, ssa_reconstruct
 from ..forecast.classifier import train_eval_classifier
 from ..sources.catalog import load_table
 from .queries import query
@@ -20,10 +20,13 @@ from .queries_stats import _series
 
 @query("ar_grid_best_aic_forecast")
 def ar_grid_best_aic_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1+O4: per-key AR(p∈{1,2,3}) grid, AIC top-1, 5-step forecast with
-    95% CI — the SARIMAX-stage shape (`forcester_ts/sarimax.py:431-1013`)
-    on the grouped-map harness."""
-    return ar_grid_forecast(_series(spark, sf_dir).select("user_id", "rn", "value"))
+    """F1+O4: AR(p∈{1,2,3}) candidate grid fanned out as (key, order)
+    tasks, AIC top-1 via window, 5-step forecast with 95% CI — the
+    SARIMAX-stage shape (`forcester_ts/sarimax.py:431-1013`) with the
+    order grid as a first-class shuffle dimension."""
+    return ar_grid_forecast_fanout(
+        _series(spark, sf_dir).select("user_id", "rn", "value")
+    )
 
 
 @query("ewma_vol_recursive")

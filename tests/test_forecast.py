@@ -104,3 +104,54 @@ def test_cusum_detects_injected_shift(spark):
     # against its own history, so iid noise fires only occasionally)
     pre_break = out[out.rn < 100]
     assert len(pre_break) <= 3
+
+
+def test_ar_fanout_matches_intask_and_fans_per_candidate(spark):
+    """The (key, order) candidate fan-out must produce byte-identical
+    output to the in-task grid, and the candidate table must contain one
+    independent fit per (key, order) — the unit of parallelism."""
+    rng = np.random.default_rng(11)
+    frames = []
+    for uid, phi in [(1, 0.7), (2, -0.4), (3, 0.2)]:
+        n = 120
+        x = np.zeros(n)
+        for t in range(1, n):
+            x[t] = 1.0 + phi * x[t - 1] + rng.normal(0, 0.2)
+        frames.append(pd.DataFrame({"user_id": uid, "rn": np.arange(n), "value": x}))
+    sdf = spark.createDataFrame(pd.concat(frames))
+
+    from portofolio_maximizer_spark.forecast import (
+        ar_candidate_fits,
+        ar_grid_forecast,
+        ar_grid_forecast_fanout,
+    )
+
+    cand = ar_candidate_fits(sdf).toPandas()
+    # one fit (5 forecast rows) per (key, order) candidate: 3 keys × 3 orders
+    combos = cand.groupby(["user_id", "p"]).size()
+    assert len(combos) == 9
+    assert (combos == 5).all()
+
+    intask = (
+        ar_grid_forecast(sdf).toPandas()
+        .sort_values(["user_id", "horizon_step"]).reset_index(drop=True)
+    )
+    fanout = (
+        ar_grid_forecast_fanout(sdf).toPandas()
+        .sort_values(["user_id", "horizon_step"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(intask, fanout, check_exact=True)
+
+
+def test_ar_fanout_plan_groups_by_candidate(spark):
+    """The fit stage's grouping key must include the order column — i.e.
+    candidates, not just keys, are the distributed unit."""
+    pdf = pd.DataFrame({"user_id": 1, "rn": range(40), "value": np.sin(np.arange(40))})
+    from portofolio_maximizer_spark.forecast import ar_candidate_fits
+
+    plan = ar_candidate_fits(spark.createDataFrame(pdf))._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    # grouping expressions carry both user_id and the candidate order p
+    import re
+    seg = plan[plan.index("FlatMapGroupsInPandas"):].split("\n")[0]
+    assert "user_id" in seg and re.search(r"\bp\b|p#", seg)
