@@ -1,0 +1,157 @@
+"""N-asset portfolio optimization (SURVEY §2.10 F16 / §2.4 A8).
+
+Reference: `etl/portfolio_math.py:312-382` — scipy SLSQP long-only
+Markowitz min-variance and equal-risk-contribution (risk parity) over the
+full N×N covariance matrix. The closed-form 2-asset versions live in
+`plans/queries_stats.py` (min_variance_pair_weights /
+risk_parity_pair_weights); this module is the general-N path.
+
+Scale split (the same split the reference makes): the O(rows) work — the
+pairwise covariance aggregation — is fully distributed (self-join on the
+aligned row number, one shuffle, N²/2 output rows). Only the O(N²) solve
+runs on the driver: for a tradable universe N is hundreds at most, so the
+collected matrix is a few KB even when the returns table is 100 TB. The
+solved weight vector is re-emitted as a DataFrame for downstream joins.
+
+Both solvers are deterministic (fixed iteration counts, no random
+starts), replacing scipy's SLSQP with:
+- min-variance long-only: exact active-set elimination on the KKT system
+  (solve Σ⁻¹1; drop negative-weight assets; re-solve) — the textbook
+  closed form the SLSQP converges to;
+- risk parity: damped fixed-point iteration w_i ∝ 1/(Σw)_i (Maillard,
+  Roncalli & Teïletche), run to a 1e-12 fixed point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def covariance_long(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    ret_col: str = "lr",
+    min_obs: int = 10,
+) -> DataFrame:
+    """Full covariance matrix in long form (u1 <= u2, diagonal included),
+    aligned on the shared row number — distributed: one self-join shuffle
+    keyed on ``order_col``, partial-aggregated covariances."""
+    s = series.filter(F.col(ret_col).isNotNull()).select(key, order_col, ret_col)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{order_col}") == F.col(f"b.{order_col}"))
+            & (F.col(f"a.{key}") <= F.col(f"b.{key}")),
+        )
+        .groupBy(F.col(f"a.{key}").alias("u1"), F.col(f"b.{key}").alias("u2"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.covar_samp(f"a.{ret_col}", f"b.{ret_col}").alias("cov"),
+        )
+        .filter(F.col("n") > min_obs)
+    )
+
+
+def _collect_sigma(cov_long: DataFrame) -> tuple[list[int], np.ndarray]:
+    """Materialize the long-form covariance into a dense symmetric Σ.
+    Driver-side by design: N assets → N(N+1)/2 rows, KBs not GBs."""
+    rows = cov_long.select("u1", "u2", "cov").collect()
+    keys = sorted({r.u1 for r in rows} | {r.u2 for r in rows})
+    idx = {k: i for i, k in enumerate(keys)}
+    n = len(keys)
+    sigma = np.zeros((n, n))
+    for r in rows:
+        i, j = idx[r.u1], idx[r.u2]
+        sigma[i, j] = sigma[j, i] = float(r.cov)
+    return keys, sigma
+
+
+def minvar_longonly(sigma: np.ndarray) -> np.ndarray:
+    """Long-only minimum-variance weights by active-set elimination:
+    solve w ∝ Σ⁻¹1 on the active set, drop the most negative weight,
+    repeat. Exact for positive-definite Σ (what SLSQP with w≥0, Σw=1
+    converges to in `etl/portfolio_math.py:312-347`)."""
+    n = sigma.shape[0]
+    active = list(range(n))
+    while True:
+        sub = sigma[np.ix_(active, active)]
+        ones = np.ones(len(active))
+        try:
+            x = np.linalg.solve(sub, ones)
+        except np.linalg.LinAlgError:
+            x = np.linalg.lstsq(sub, ones, rcond=None)[0]
+        w_act = x / x.sum()
+        if (w_act >= -1e-12).all() or len(active) == 1:
+            w = np.zeros(n)
+            w[active] = np.clip(w_act, 0.0, None)
+            return w / w.sum()
+        active.pop(int(np.argmin(w_act)))
+
+
+def riskparity(sigma: np.ndarray, iters: int = 10000, tol: float = 1e-14) -> np.ndarray:
+    """Equal-risk-contribution weights via cyclical coordinate descent on
+    f(w) = σ(w) − Σ b·ln(w) (Griveau-Billion et al. 2013) — converges for
+    any positive-definite Σ, including negative covariances where the
+    naive w_i ∝ 1/(Σw)_i fixed point oscillates. Matches the optimum of
+    `etl/portfolio_math.py:349-382`'s SLSQP objective.
+
+    At the unnormalized optimum w_i(Σw)_i = b_i·σ(w) exactly; normalizing
+    to Σw_i = 1 rescales all contributions equally, so equality of risk
+    contributions survives."""
+    n = sigma.shape[0]
+    if n == 1:
+        return np.ones(1)
+    b = np.ones(n) / n
+    diag = np.diag(sigma)
+    w = np.ones(n) / np.sqrt(max(sigma.sum(), 1e-300))
+    for _ in range(iters):
+        w_prev = w.copy()
+        for i in range(n):
+            sig = float(np.sqrt(max(w @ sigma @ w, 1e-300)))
+            c = float(sigma[i] @ w - diag[i] * w[i])
+            w[i] = (-c + np.sqrt(c * c + 4.0 * diag[i] * b[i] * sig)) / (2.0 * diag[i])
+        if np.max(np.abs(w - w_prev)) < tol * max(1.0, float(np.max(np.abs(w)))):
+            break
+    return w / w.sum()
+
+
+def _emit_weights(
+    spark, keys: list[int], sigma: np.ndarray, w: np.ndarray, method: str
+) -> DataFrame:
+    port_var = float(w @ sigma @ w)
+    port_vol = float(np.sqrt(max(port_var, 0.0)))
+    mrc = sigma @ w
+    rc = w * mrc / port_vol if port_vol > 0 else np.zeros_like(w)
+    rows = [
+        (
+            int(k),
+            method,
+            round(float(w[i]), 6),
+            round(float(rc[i]), 6),
+            round(port_vol, 6),
+        )
+        for i, k in enumerate(keys)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, method string, weight double, risk_contrib double, port_vol double"
+    )
+
+
+def min_variance_weights(series: DataFrame, **kw) -> DataFrame:
+    """Distributed covariance → driver active-set solve → weights DF."""
+    cov = covariance_long(series, **kw)
+    keys, sigma = _collect_sigma(cov)
+    w = minvar_longonly(sigma)
+    return _emit_weights(series.sparkSession, keys, sigma, w, "min_variance")
+
+
+def risk_parity_weights(series: DataFrame, **kw) -> DataFrame:
+    """Distributed covariance → driver fixed-point ERC solve → weights DF."""
+    cov = covariance_long(series, **kw)
+    keys, sigma = _collect_sigma(cov)
+    w = riskparity(sigma)
+    return _emit_weights(series.sparkSession, keys, sigma, w, "risk_parity")

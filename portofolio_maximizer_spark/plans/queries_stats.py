@@ -1603,3 +1603,44 @@ def risk_parity_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(sa / (sa + sb)).alias("w2"),
         r6(sb / (sa + sb) * sa).alias("risk_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F16 — N-asset portfolio optimization (general-N path; pairs above are
+# the closed-form special case)
+# ---------------------------------------------------------------------------
+
+
+@query("min_variance_weights_n")
+def min_variance_weights_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 long-only minimum-variance weights over the full N-asset
+    covariance matrix (N=20 universe) — reference
+    `etl/portfolio_math.py:312-347` SLSQP, solved here by exact active-set
+    elimination on the driver after a distributed covariance aggregation.
+    Rows-only: the N×N inverse is not SQL-expressible; invariants
+    (sum=1, w>=0, dominates equal-weight and every pair solution) are
+    pytest-asserted."""
+    from ..operators.portfolio import min_variance_weights
+
+    s = (
+        _series(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "rn", "lr")
+    )
+    return min_variance_weights(s)
+
+
+@query("risk_parity_weights_n")
+def risk_parity_weights_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 N-asset equal-risk-contribution weights (N=20 universe) —
+    reference `etl/portfolio_math.py:349-382`, damped fixed-point on the
+    driver over the distributed covariance. Rows-only; equal risk
+    contributions asserted in pytest."""
+    from ..operators.portfolio import risk_parity_weights
+
+    s = (
+        _series(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "rn", "lr")
+    )
+    return risk_parity_weights(s)
