@@ -729,3 +729,247 @@ def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.percentile("value", F.lit(0.99))).alias("p99"),
         r6(F.max("value")).alias("p_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F5 — full ensemble confidence derivation (the reference's most
+# distinctive model-selection behavior)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ensemble_confidence_weights",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value,
+             LAG(value) OVER wp AS prev,
+             LAG(value) OVER wp AS f_naive,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS f_ma10
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             SQRT(AVG(POW(value - f_naive, 2))) AS rmse_naive,
+             SQRT(AVG(POW(value - f_ma3, 2)))   AS rmse_ma3,
+             SQRT(AVG(POW(value - f_ma10, 2)))  AS rmse_ma10,
+             STDDEV_SAMP(value - f_naive) AS te_naive,
+             STDDEV_SAMP(value - f_ma3)   AS te_ma3,
+             STDDEV_SAMP(value - f_ma10)  AS te_ma10,
+             AVG(CASE WHEN SIGN(f_naive - prev) = SIGN(value - prev)
+                      THEN 1.0 ELSE 0.0 END) AS da_naive,
+             AVG(CASE WHEN SIGN(f_ma3 - prev) = SIGN(value - prev)
+                      THEN 1.0 ELSE 0.0 END) AS da_ma3,
+             AVG(CASE WHEN SIGN(f_ma10 - prev) = SIGN(value - prev)
+                      THEN 1.0 ELSE 0.0 END) AS da_ma10
+      FROM f GROUP BY user_id HAVING COUNT(*) > 30
+    ),
+    long AS (
+      SELECT user_id, n, 'naive' AS model, rmse_naive AS rmse, te_naive AS te,
+             da_naive AS da, rmse_naive AS bl_rmse, te_naive AS bl_te FROM m
+      UNION ALL
+      SELECT user_id, n, 'ma3', rmse_ma3, te_ma3, da_ma3, rmse_naive, te_naive FROM m
+      UNION ALL
+      SELECT user_id, n, 'ma10', rmse_ma10, te_ma10, da_ma10, rmse_naive, te_naive FROM m
+    ),
+    scored AS (
+      SELECT user_id, n, model, rmse, te, da,
+             LEAST(GREATEST(1.0 / (1.0 + 1.5 * (rmse / bl_rmse - 1.0)), 0.05), 0.95) AS rel_rmse,
+             LEAST(GREATEST(1.0 / (1.0 + 1.2 * (te / bl_te - 1.0)), 0.05), 0.95)     AS rel_te,
+             LEAST(GREATEST(GREATEST((da - 0.5) / 0.5, 0.0), 0.05), 0.95)            AS da_score,
+             LEAST(GREATEST(
+               1.0 - (rmse - MIN(rmse) OVER wk)
+                     / (MAX(rmse) OVER wk - MIN(rmse) OVER wk + 1e-10),
+               0.05), 0.95) AS rmse_rank
+      FROM long WINDOW wk AS (PARTITION BY user_id)
+    ),
+    conf AS (
+      SELECT user_id, n, model, rmse, te, da,
+             LEAST(GREATEST(
+               (LEAST(GREATEST(
+                  0.6 * ((rel_rmse + rel_te) / 2.0) + 0.4 * da_score,
+                  0.05), 0.95) + rmse_rank) / 2.0,
+               0.05), 0.95) AS confidence
+      FROM scored
+    ),
+    raw AS (
+      SELECT user_id, n, model, rmse, te, da, confidence,
+             confidence / SUM(confidence) OVER (PARTITION BY user_id) AS w_raw,
+             da < 0.10 AS penalized
+      FROM conf
+    ),
+    capped AS (
+      SELECT *,
+             MAX(CASE WHEN penalized AND w_raw > 0.10 THEN 1 ELSE 0 END)
+               OVER wk AS has_capped,
+             CASE WHEN penalized
+                  THEN CASE WHEN w_raw > 0.10 THEN 0.10 ELSE w_raw END END AS fixed,
+             SUM(CASE WHEN penalized
+                  THEN CASE WHEN w_raw > 0.10 THEN 0.10 ELSE w_raw END END)
+               OVER wk AS sum_fixed,
+             SUM(CASE WHEN NOT penalized THEN w_raw END) OVER wk AS np_total
+      FROM raw WINDOW wk AS (PARTITION BY user_id)
+    )
+    SELECT user_id, model, n,
+           ROUND(rmse, 6) AS rmse,
+           ROUND(te, 6) AS te,
+           ROUND(da, 6) AS da,
+           ROUND(confidence, 6) AS confidence,
+           ROUND(CASE WHEN has_capped = 0 THEN w_raw
+                      WHEN penalized THEN fixed
+                      ELSE w_raw / np_total * GREATEST(1.0 - sum_fixed, 0.0)
+                 END, 6) AS weight
+    FROM capped
+    WHERE np_total IS NOT NULL
+    """,
+)
+def ensemble_confidence_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 full confidence derivation — reference
+    `forcester_ts/ensemble.py:387-724` (`derive_model_confidence`) and
+    `:26-96` (`_apply_da_cap`), per key and per candidate model:
+
+    - relative-RMSE score vs the baseline model (1/(1+1.5·(ratio−1)),
+      the reference's `_relative_rmse_score` curve);
+    - relative tracking-error score (1.2 slope, `_relative_te_score`);
+    - directional-accuracy score ((DA−0.5)/0.5, `_score_from_metrics`);
+    - Phase-10 RMSE-rank hybrid (rank-normalized across the key's models);
+    - 60/40 fit/prediction blend, every stage clipped to [0.05, 0.95];
+    - confidence-scaled equal-candidate weights, then the Phase-7.17 DA
+      cap: models with DA < 0.10 are capped at weight 0.10 and the freed
+      mass is redistributed pro-rata to non-penalized models.
+
+    The naive model (f_t = value_{t-1}) has 1-step DA ≈ 0 by construction
+    — exactly the reference's "SAMOSSA DA=0 anomaly" — so the DA-cap
+    branch is exercised on real data, not just fixtures. Pure window
+    algebra: no UDF, one aggregation pass, scales per key."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+
+    def clip(c):
+        return F.least(F.greatest(c, F.lit(0.05)), F.lit(0.95))
+
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value").over(wp).alias("prev"),
+        F.lag("value").over(wp).alias("f_naive"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(c):
+        return F.sqrt(F.avg(F.pow(F.col("value") - F.col(c), 2)))
+
+    def te(c):
+        return F.stddev_samp(F.col("value") - F.col(c))
+
+    def da(c):
+        return F.avg(
+            F.when(
+                F.signum(F.col(c) - F.col("prev"))
+                == F.signum(F.col("value") - F.col("prev")),
+                1.0,
+            ).otherwise(0.0)
+        )
+
+    m = (
+        f.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rmse("f_naive").alias("rmse_naive"),
+            rmse("f_ma3").alias("rmse_ma3"),
+            rmse("f_ma10").alias("rmse_ma10"),
+            te("f_naive").alias("te_naive"),
+            te("f_ma3").alias("te_ma3"),
+            te("f_ma10").alias("te_ma10"),
+            da("f_naive").alias("da_naive"),
+            da("f_ma3").alias("da_ma3"),
+            da("f_ma10").alias("da_ma10"),
+        )
+        .filter(F.col("n") > 30)
+    )
+    long = m.select(
+        "user_id",
+        "n",
+        F.col("rmse_naive").alias("bl_rmse"),
+        F.col("te_naive").alias("bl_te"),
+        F.expr(
+            "stack(3,"
+            " 'naive', rmse_naive, te_naive, da_naive,"
+            " 'ma3',   rmse_ma3,   te_ma3,   da_ma3,"
+            " 'ma10',  rmse_ma10,  te_ma10,  da_ma10"
+            ") as (model, rmse, te, da)"
+        ),
+    )
+    wk = Window.partitionBy("user_id")
+    rmse_c, te_c, da_c = F.col("rmse"), F.col("te"), F.col("da")
+    scored = long.select(
+        "user_id",
+        "n",
+        "model",
+        "rmse",
+        "te",
+        "da",
+        clip(1.0 / (1.0 + 1.5 * (rmse_c / F.col("bl_rmse") - 1.0))).alias("rel_rmse"),
+        clip(1.0 / (1.0 + 1.2 * (te_c / F.col("bl_te") - 1.0))).alias("rel_te"),
+        clip(F.greatest((da_c - 0.5) / 0.5, F.lit(0.0))).alias("da_score"),
+        clip(
+            1.0
+            - (rmse_c - F.min("rmse").over(wk))
+            / (F.max("rmse").over(wk) - F.min("rmse").over(wk) + 1e-10)
+        ).alias("rmse_rank"),
+    )
+    conf = scored.select(
+        "user_id",
+        "n",
+        "model",
+        "rmse",
+        "te",
+        "da",
+        clip(
+            (
+                clip(
+                    0.6 * ((F.col("rel_rmse") + F.col("rel_te")) / 2.0)
+                    + 0.4 * F.col("da_score")
+                )
+                + F.col("rmse_rank")
+            )
+            / 2.0
+        ).alias("confidence"),
+    )
+    raw = conf.select(
+        "*",
+        (F.col("confidence") / F.sum("confidence").over(wk)).alias("w_raw"),
+        (da_c < 0.10).alias("penalized"),
+    )
+    pen, w_raw = F.col("penalized"), F.col("w_raw")
+    fixed = F.when(pen, F.when(w_raw > 0.10, F.lit(0.10)).otherwise(w_raw))
+    capped = raw.select(
+        "*",
+        F.max(F.when(pen & (w_raw > 0.10), 1).otherwise(0)).over(wk).alias("has_capped"),
+        fixed.alias("fixed"),
+        F.sum(fixed).over(wk).alias("sum_fixed"),
+        F.sum(F.when(~pen, w_raw)).over(wk).alias("np_total"),
+    )
+    weight = (
+        F.when(F.col("has_capped") == 0, w_raw)
+        .when(pen, F.col("fixed"))
+        .otherwise(
+            w_raw / F.col("np_total") * F.greatest(1.0 - F.col("sum_fixed"), F.lit(0.0))
+        )
+    )
+    return capped.filter(F.col("np_total").isNotNull()).select(
+        "user_id",
+        "model",
+        "n",
+        r6("rmse").alias("rmse"),
+        r6("te").alias("te"),
+        r6("da").alias("da"),
+        r6("confidence").alias("confidence"),
+        r6(weight).alias("weight"),
+    )

@@ -94,3 +94,78 @@ def test_n_asset_queries_invariants(spark, sf_dir):
     pair = QUERIES["min_variance_pair_weights"](spark, sf_dir).toPandas()
     if len(pair):
         assert mv.port_vol.iloc[0] <= pair.min_vol.min() + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# F5 ensemble confidence derivation (reference forcester_ts/ensemble.py:
+# 387-724 + _apply_da_cap :26-96)
+# ---------------------------------------------------------------------------
+
+
+def _reference_confidence_replay(rmse, te, da, bl_rmse, bl_te):
+    """Independent numpy replay of the scoring pipeline the query encodes:
+    relative-RMSE / relative-TE curves, DA score, RMSE-rank hybrid,
+    60/40 fit-prediction blend, [0.05, 0.95] clips."""
+    clip = lambda x: np.clip(x, 0.05, 0.95)
+    rel_rmse = clip(1.0 / (1.0 + 1.5 * (rmse / bl_rmse - 1.0)))
+    rel_te = clip(1.0 / (1.0 + 1.2 * (te / bl_te - 1.0)))
+    da_score = clip(np.maximum((da - 0.5) / 0.5, 0.0))
+    rmse_rank = clip(1.0 - (rmse - rmse.min()) / (rmse.max() - rmse.min() + 1e-10))
+    blended = clip(0.6 * (rel_rmse + rel_te) / 2.0 + 0.4 * da_score)
+    return clip((blended + rmse_rank) / 2.0)
+
+
+def _reference_da_cap(w, da, floor=0.10, cap=0.10):
+    """Replay of _apply_da_cap's contract."""
+    penalized = da < floor
+    capped = penalized & (w > cap)
+    if not capped.any():
+        return w
+    fixed = np.where(w > cap, cap, w)
+    sum_fixed = fixed[penalized].sum()
+    out = w.copy()
+    out[penalized] = fixed[penalized]
+    np_mask = ~penalized
+    out[np_mask] = w[np_mask] / w[np_mask].sum() * max(1.0 - sum_fixed, 0.0)
+    return out
+
+
+def test_ensemble_confidence_matches_reference_replay(spark, sf_dir):
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    out = QUERIES["ensemble_confidence_weights"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for uid, g in out.groupby("user_id"):
+        g = g.set_index("model")
+        assert set(g.index) == {"naive", "ma3", "ma10"}
+        # weights sum to 1 after cap+redistribution (6dp rounding)
+        assert abs(g.weight.sum() - 1.0) < 1e-4
+        # naive's 1-step DA is ~0 by construction -> penalized, capped at 0.10
+        assert g.loc["naive", "da"] < 0.10
+        assert g.loc["naive", "weight"] <= 0.10 + 1e-9
+        # replay confidence independently
+        rmse = g.loc[["naive", "ma3", "ma10"], "rmse"].to_numpy()
+        te = g.loc[["naive", "ma3", "ma10"], "te"].to_numpy()
+        da = g.loc[["naive", "ma3", "ma10"], "da"].to_numpy()
+        conf = _reference_confidence_replay(rmse, te, da, rmse[0], te[0])
+        got = g.loc[["naive", "ma3", "ma10"], "confidence"].to_numpy()
+        np.testing.assert_allclose(got, conf, atol=2e-5)
+        w = _reference_da_cap(conf / conf.sum(), da)
+        np.testing.assert_allclose(
+            g.loc[["naive", "ma3", "ma10"], "weight"].to_numpy(), w, atol=2e-5
+        )
+
+
+def test_da_cap_contract_invariants():
+    """The _apply_da_cap contract on synthetic weight/DA fixtures: capped
+    models never exceed the cap, non-penalized absorb the freed mass,
+    sum stays 1."""
+    w = np.array([0.5, 0.3, 0.2])
+    da = np.array([0.02, 0.55, 0.60])
+    out = _reference_da_cap(w, da)
+    assert abs(out.sum() - 1.0) < 1e-12
+    assert out[0] == 0.10
+    assert out[1] > w[1] and out[2] > w[2]
+    # no cap binding -> identity
+    da_ok = np.array([0.5, 0.55, 0.60])
+    np.testing.assert_array_equal(_reference_da_cap(w, da_ok), w)
