@@ -112,3 +112,72 @@ def test_synthetic_bars_deterministic(spark):
     c = synthetic_bars(spark, ["A"], 50, seed=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def _partition_files(path):
+    """Map partition dir -> {filename: sha256} for every data file."""
+    import hashlib
+
+    out = {}
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if not os.path.isdir(full) or "=" not in d:
+            continue
+        files = {}
+        for f in sorted(os.listdir(full)):
+            if f.endswith(".parquet"):
+                with open(os.path.join(full, f), "rb") as fh:
+                    files[f] = hashlib.sha256(fh.read()).hexdigest()
+        out[d] = files
+    return out
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "bars_part")
+    base = spark.createDataFrame(
+        [
+            ("AAPL", "2024-01", "2024-01-05", 100.0),
+            ("AAPL", "2024-02", "2024-02-05", 110.0),
+            ("MSFT", "2024-01", "2024-01-05", 300.0),
+            ("MSFT", "2024-03", "2024-03-05", 310.0),
+        ],
+        "ticker string, month string, date string, close double",
+    )
+    IO.upsert_parquet_partitioned(
+        spark, path, base, keys=["ticker", "date"], partition_col="month"
+    )
+    before = _partition_files(path)
+    assert set(before) == {"month=2024-01", "month=2024-02", "month=2024-03"}
+
+    update = spark.createDataFrame(
+        [
+            ("AAPL", "2024-02", "2024-02-05", 999.0),   # update in 2024-02
+            ("GOOG", "2024-02", "2024-02-06", 150.0),   # insert in 2024-02
+        ],
+        "ticker string, month string, date string, close double",
+    )
+    out = IO.upsert_parquet_partitioned(
+        spark, path, update, keys=["ticker", "date"], partition_col="month"
+    )
+    after = _partition_files(path)
+
+    # untouched partitions byte-identical (same files, same content)
+    assert after["month=2024-01"] == before["month=2024-01"]
+    assert after["month=2024-03"] == before["month=2024-03"]
+    # touched partition rewritten
+    assert after["month=2024-02"] != before["month=2024-02"]
+
+    rows = {(r.ticker, r.date): r.close for r in out.collect()}
+    assert rows[("AAPL", "2024-02-05")] == 999.0   # newest wins
+    assert rows[("GOOG", "2024-02-06")] == 150.0   # inserted
+    assert rows[("AAPL", "2024-01-05")] == 100.0   # untouched partition intact
+    assert rows[("MSFT", "2024-03-05")] == 310.0
+    assert len(rows) == 5
+
+
+def test_partitioned_upsert_missing_partition_col_raises(spark, tmp_path):
+    df = spark.createDataFrame([("A", 1.0)], "ticker string, close double")
+    with pytest.raises(ValueError):
+        IO.upsert_parquet_partitioned(
+            spark, str(tmp_path / "x"), df, keys=["ticker"], partition_col="month"
+        )
