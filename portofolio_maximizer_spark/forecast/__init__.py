@@ -4,6 +4,7 @@ from .models import (
     ar_grid_forecast_fanout,
     ewma_vol_forecast,
     ssa_reconstruct,
+    walkforward_refit,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "ar_grid_forecast_fanout",
     "ewma_vol_forecast",
     "ssa_reconstruct",
+    "walkforward_refit",
 ]

@@ -364,3 +364,16 @@ def rank_preservation_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         r6(F.avg("preserved")).alias("preservation_frac"),
     )
+
+
+@query("walkforward_refit_eval")
+def walkforward_refit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8+F1 walk-forward with refit-per-fold: (key, fold) fan-out, AR
+    grid refit on each expanding train window, frozen-coefficient
+    1-step-ahead scoring over the fold, skill vs naive — reference
+    `forcester_ts/walk_forward_learner.py:117-390` (refit per fold).
+    Rows-only: per-fold OLS refits are not SQL-expressible."""
+    from ..forecast import walkforward_refit
+    from .queries_stats import _series
+
+    return walkforward_refit(_series(spark, sf_dir).select("user_id", "rn", "value"))

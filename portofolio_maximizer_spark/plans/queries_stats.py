@@ -1644,3 +1644,175 @@ def risk_parity_weights_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "rn", "lr")
     )
     return risk_parity_weights(s)
+
+
+# ---------------------------------------------------------------------------
+# F4 — MSSA-RL Q-table policy stage: variance-ratio state discretization
+# + broadcast policy-artifact lookup with support gating
+# ---------------------------------------------------------------------------
+
+# The offline policy artifact (reference `forcester_ts/mssa_rl.py:271-430`
+# builds it; `:650-800` loads and gates it). Deterministic literal here —
+# states are digitize(variance_ratio, bins=[0.8, 1.0, 1.2]), actions are
+# {0: risk-on, 1: HOLD, 2: risk-off}; best_action = argmax Q precomputed
+# exactly as `build_mssa_offline_policy_artifact` ranks mean rewards.
+_MSSA_POLICY = [
+    # (state, best_action, q_value, support)
+    (0, 0, 0.61, 64),
+    (1, 1, 0.58, 55),
+    (2, 2, 0.59, 9),
+    (3, 2, 0.63, 31),
+]
+_MSSA_MIN_SUPPORT = 20
+_MSSA_POLICY_VALUES = ", ".join(f"({s}, {a}, {q}, {n})" for s, a, q, n in _MSSA_POLICY)
+
+
+@query(
+    "mssa_policy_actions",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             value / LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 1.0 AS sr
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    q AS (
+      SELECT user_id, rn,
+             CAST(FLOOR(LEAST(GREATEST(sr, -10.0), 10.0) * 1000000.0 + 0.5)
+                  AS BIGINT) AS qr
+      FROM s0 WHERE sr IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, rn, qr,
+             COUNT(*) OVER wr AS wn,
+             SUM(qr) OVER wr AS ws,
+             SUM(qr * qr) OVER wr AS wss
+      FROM q
+      WINDOW wr AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ),
+    base AS (
+      SELECT user_id,
+             COUNT(*) AS bn, SUM(qr) AS bs, SUM(qr * qr) AS bss
+      FROM q GROUP BY user_id HAVING COUNT(*) > 20
+    ),
+    r AS (
+      SELECT w.user_id, w.rn,
+             CASE WHEN w.wn < 5 OR (bss - CAST(bs AS DOUBLE) * bs / bn) <= 0
+                  THEN 1.0
+                  ELSE ((wss - CAST(ws AS DOUBLE) * ws / wn) / (wn - 1))
+                       / ((bss - CAST(bs AS DOUBLE) * bs / bn) / (bn - 1))
+             END AS vratio,
+             ROW_NUMBER() OVER (PARTITION BY w.user_id ORDER BY w.rn DESC) AS rk
+      FROM w JOIN base ON w.user_id = base.user_id
+    ),
+    st AS (
+      SELECT user_id,
+             ROUND(vratio, 6) AS variance_ratio,
+             CASE WHEN vratio < 0.8 THEN 0
+                  WHEN vratio < 1.0 THEN 1
+                  WHEN vratio < 1.2 THEN 2
+                  ELSE 3 END AS state
+      FROM r WHERE rk = 1
+    ),
+    policy(state, best_action, q_value, support) AS (
+      VALUES {_MSSA_POLICY_VALUES}
+    )
+    SELECT st.user_id, st.variance_ratio, st.state,
+           p.best_action, p.q_value, p.support,
+           CASE WHEN p.support >= {_MSSA_MIN_SUPPORT} THEN 'ready'
+                ELSE 'insufficient_support' END AS policy_status,
+           CASE WHEN p.support >= {_MSSA_MIN_SUPPORT} THEN p.best_action
+                ELSE 1 END AS selected_action
+    FROM st JOIN policy p ON st.state = p.state
+    """,
+)
+def mssa_policy_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 MSSA-RL policy stage — reference `forcester_ts/mssa_rl.py:
+    653-664` (`_compute_state_series`: rolling-variance ratio vs baseline
+    digitized at bins [0.8, 1.0, 1.2]) and `:700-800` (Q-table lookup
+    with `min_policy_state_support` gating; under-supported states fall
+    back to the neutral HOLD action 1).
+
+    Spark-first shape: the Q-table is a tiny broadcast dimension joined
+    on the discretized state — at 100 TB the fact side shuffles zero
+    bytes for the policy lookup. Cross-engine exactness: returns are
+    quantized to integers (FLOOR(x·1e6 + 0.5), bit-identical in both
+    engines) so windowed variance comes from EXACT integer sums and the
+    digitize thresholds cannot flip between Spark and DuckDB kernels
+    (simple returns, not log returns: LN differs by 1 ulp across libm)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s0 = ev.select(
+        "user_id",
+        F.row_number().over(wp).alias("rn"),
+        (F.col("value") / F.lag("value").over(wp) - 1.0).alias("sr"),
+    ).filter(F.col("sr").isNotNull())
+    # P9 sanity clamp (±1000%) bounds the integer squares so ANSI-mode
+    # window sums cannot overflow on pathological return outliers
+    sr_c = F.least(F.greatest(F.col("sr"), F.lit(-10.0)), F.lit(10.0))
+    q = s0.select(
+        "user_id",
+        "rn",
+        F.floor(sr_c * 1000000.0 + 0.5).cast("bigint").alias("qr"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-9, 0)
+    w = q.select(
+        "user_id",
+        "rn",
+        F.count(F.lit(1)).over(wr).alias("wn"),
+        F.sum("qr").over(wr).alias("ws"),
+        F.sum(F.col("qr") * F.col("qr")).over(wr).alias("wss"),
+    )
+    base = (
+        q.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("qr").alias("bs"),
+            F.sum(F.col("qr") * F.col("qr")).alias("bss"),
+        )
+        .filter(F.col("bn") > 20)
+    )
+    bvar_num = F.col("bss") - F.col("bs").cast("double") * F.col("bs") / F.col("bn")
+    wvar = (F.col("wss") - F.col("ws").cast("double") * F.col("ws") / F.col("wn")) / (
+        F.col("wn") - 1
+    )
+    r = (
+        w.join(base, "user_id")
+        .select(
+            "user_id",
+            "rn",
+            F.when((F.col("wn") < 5) | (bvar_num <= 0), F.lit(1.0))
+            .otherwise(wvar / (bvar_num / (F.col("bn") - 1)))
+            .alias("vratio"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("rn"))),
+        )
+    )
+    vr = F.col("vratio")
+    st = r.filter(F.col("rk") == 1).select(
+        "user_id",
+        r6(vr).alias("variance_ratio"),
+        F.when(vr < 0.8, 0)
+        .when(vr < 1.0, 1)
+        .when(vr < 1.2, 2)
+        .otherwise(3)
+        .alias("state"),
+    )
+    policy = spark.createDataFrame(
+        _MSSA_POLICY, "state int, best_action int, q_value double, support int"
+    )
+    ready = F.col("support") >= _MSSA_MIN_SUPPORT
+    return st.join(F.broadcast(policy), "state").select(
+        "user_id",
+        "variance_ratio",
+        "state",
+        "best_action",
+        "q_value",
+        "support",
+        F.when(ready, "ready").otherwise("insufficient_support").alias("policy_status"),
+        F.when(ready, F.col("best_action")).otherwise(F.lit(1)).alias("selected_action"),
+    )

@@ -155,3 +155,101 @@ def test_ar_fanout_plan_groups_by_candidate(spark):
     import re
     seg = plan[plan.index("FlatMapGroupsInPandas"):].split("\n")[0]
     assert "user_id" in seg and re.search(r"\bp\b|p#", seg)
+
+
+def test_walkforward_refit_is_leakfree_and_skillful(spark):
+    """Refit-per-fold walk-forward: coefficients must come from the train
+    window only (leak-free), and on a strongly AR series the refit model
+    must beat the naive forecaster on most folds."""
+    rng = np.random.default_rng(3)
+    n, phi, c = 250, 0.9, 1.0
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = c + phi * x[t - 1] + rng.normal(0, 0.1)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"user_id": 1, "rn": np.arange(n), "value": x})
+    )
+    from portofolio_maximizer_spark.forecast import walkforward_refit
+
+    out = walkforward_refit(sdf).toPandas().sort_values("fold")
+    assert list(out.fold) == [2, 3, 4, 5]
+    # expanding window: train size strictly grows fold to fold
+    assert out.n_train.is_monotonic_increasing and out.n_train.iloc[0] > 0
+    # every fold picked an order from the grid, and the refit model beats
+    # naive on most folds (on the largest train window AIC identifies
+    # AR(1) — small-window AIC may legitimately prefer order 2)
+    assert out.best_order.isin([1, 2]).all()
+    assert out[out.n_train >= 150].best_order.eq(1).all()
+    assert (out.skill > 0).mean() >= 0.75
+
+    # leak-freedom: corrupting fold-5 test values must not change the
+    # fold-5 model (same train window -> same AIC); only its scores move
+    x2 = x.copy()
+    fold_size = n // 5
+    x2[4 * fold_size:] += 100.0
+    sdf2 = spark.createDataFrame(
+        pd.DataFrame({"user_id": 1, "rn": np.arange(n), "value": x2})
+    )
+    out2 = walkforward_refit(sdf2).toPandas().sort_values("fold")
+    f5, f5b = out[out.fold == 5].iloc[0], out2[out2.fold == 5].iloc[0]
+    assert f5.aic == f5b.aic and f5.n_train == f5b.n_train
+    assert f5b.rmse != f5.rmse
+
+
+def test_walkforward_refit_replay_numpy(spark):
+    """Fold-2 metrics must equal an independent numpy replay of the
+    expanding-window AR fit + 1-step scoring."""
+    rng = np.random.default_rng(5)
+    n = 150
+    x = np.cumsum(rng.normal(0.1, 1.0, n)) + 50
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"user_id": 7, "rn": np.arange(n), "value": x})
+    )
+    from portofolio_maximizer_spark.forecast import walkforward_refit
+    from portofolio_maximizer_spark.forecast.models import _fit_ar
+
+    out = walkforward_refit(sdf, orders=(1, 2)).toPandas()
+    row = out[out.fold == 2].iloc[0]
+    # replay: ntile(5) boundaries — first fold gets ceil(n/5) when uneven
+    sizes = [n // 5 + (1 if i < n % 5 else 0) for i in range(5)]
+    b1 = sizes[0]
+    train, test = x[:b1], x[b1 : b1 + sizes[1]]
+    fits = {p: _fit_ar(train, p) for p in (1, 2)}
+    best = min((1, 2), key=lambda p: fits[p][2])
+    beta = fits[best][0]
+    full = np.concatenate([train, test])
+    preds = [
+        beta[0] + sum(beta[j + 1] * full[t - j - 1] for j in range(best))
+        for t in range(len(train), len(full))
+    ]
+    rmse = float(np.sqrt(np.mean((test - np.array(preds)) ** 2)))
+    assert row.best_order == best
+    assert abs(row.rmse - round(rmse, 6)) < 1e-9
+    assert row.n_train == b1 and row.n_test == sizes[1]
+
+
+def test_mssa_policy_actions_semantics(spark, sf_dir):
+    """Q-table policy stage: states in range, under-supported states fall
+    back to HOLD, ready states select the table's best action, and the
+    policy lookup is a broadcast join."""
+    from portofolio_maximizer_spark.plans import QUERIES
+    from portofolio_maximizer_spark.plans.queries_stats import (
+        _MSSA_MIN_SUPPORT,
+        _MSSA_POLICY,
+    )
+
+    df = QUERIES["mssa_policy_actions"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    out = df.toPandas()
+    assert len(out) > 0
+    assert out.state.isin([0, 1, 2, 3]).all()
+    table = {s: (a, q, n) for s, a, q, n in _MSSA_POLICY}
+    for _, row in out.iterrows():
+        a, q, n = table[row.state]
+        assert row.best_action == a and row.support == n
+        if n >= _MSSA_MIN_SUPPORT:
+            assert row.policy_status == "ready" and row.selected_action == a
+        else:
+            assert row.policy_status == "insufficient_support"
+            assert row.selected_action == 1  # HOLD fallback
