@@ -469,3 +469,118 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (charter dedup op 4): rare-shingle candidate
+# generation + exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+_NGJ_MAXDF = 5  # shingles appearing in more docs generate no candidates
+
+
+@query(
+    "ngram_jaccard_neardups",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
+           FROM toks, UNNEST(RANGE(1, LEN(t))) AS u(i)),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    rare AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+      WHERE d.df BETWEEN 2 AND {_NGJ_MAXDF}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.d1, p.d2, COUNT(*) AS ni
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.d1
+      JOIN sh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT i.d1, i.d2,
+             CAST(i.ni AS BIGINT) AS n_shared,
+             ROUND(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.d1 = sa.doc_id
+      JOIN sizes sb ON i.d2 = sb.doc_id
+    ) WHERE jaccard >= 0.3
+    """,
+)
+def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charter dedup op: word-bigram Jaccard near-duplicates with
+    document-frequency-pruned candidate generation — reference dedup
+    intent per `etl/database_manager.py` UNIQUE-constraint dedup, scaled
+    out as the classic token-join with prefix-style pruning.
+
+    Scale path: only shingles with document frequency in [2, MAXDF]
+    generate candidate pairs, capping the self-join fan-out per shingle
+    at MAXDF²; stop-bigrams ("of the") — the quadratic blowup in a naive
+    shingle join — never reach the join. Pairs sharing only frequent
+    shingles are the MinHash path's recall job (`minhash_lsh_neardups`);
+    this op is the exact complement for the rare-overlap regime. Exact
+    Jaccard then runs only on candidates (semi-join pushdown shape)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # five consumers read the shingle table (df-count, rare filter, sizes,
+    # both sides of the intersection join) — materialize the explode once
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"))).alias("shingle")
+    ).localCheckpoint(eager=True)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        dfreq.filter(F.col("df").between(2, _NGJ_MAXDF)), "shingle"
+    ).select("doc_id", "shingle")
+    a, b = rare.alias("a"), rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; read 3× below
+    )
+    # verify stage touches only candidate docs' shingles — semi-join
+    # pushdown cuts the intersection join from the full corpus to the
+    # candidate set (same shape as dedup.exact_jaccard)
+    cand_docs = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .union(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb2 = shc.alias("sa"), shc.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(
+            sb2,
+            (F.col("d2") == F.col("sb.doc_id"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    out = (
+        inter.join(za, F.col("d1") == F.col("za.doc_id"))
+        .join(zb, F.col("d2") == F.col("zb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.col("ni").cast("bigint").alias("n_shared"),
+            r6(
+                F.col("ni") * 1.0 / (F.col("za.n") + F.col("zb.n") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+    return out
