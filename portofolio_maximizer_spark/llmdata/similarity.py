@@ -233,3 +233,78 @@ def blocked_cosine_pairs(
         )
 
     return both.groupBy("b1", "b2").applyInPandas(gram, out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the charter's other scale path beside
+    hyperplane LSH: a seeded MLlib KMeans coarse quantizer partitions the
+    corpus into ``n_lists`` inverted lists; each query probes only its
+    ``n_probe`` nearest centroids, so the scored candidate set is
+    ~n_probe/n_lists of the corpus.
+
+    100 TB shape: centroids are a driver-side array (n_lists × dim — KBs),
+    probes broadcast with the queries; the corpus is scored in place via
+    an equi-join on list_id and never shuffles. Training samples the
+    corpus once; at real scale the quantizer trains on a sample and the
+    model is a broadcast artifact, exactly like the reference's offline
+    policy artifacts."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("de")
+    )
+    with_feats = c.withColumn("features", array_to_vector("de"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(
+        with_feats.select("features")
+    )
+    assigned = model.transform(with_feats).select(
+        "vec_id", "de", F.col("prediction").alias("list_id")
+    )
+    cents = [
+        (i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(cents, "list_id int, ce array<double>")
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "qid",
+        "qe",
+        "list_id",
+        (dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))))
+        .alias("csim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("list_id"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "qe", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "list_id",
+            (dot(F.col("qe"), F.col("de")) / (norm(F.col("qe")) * norm(F.col("de"))))
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "list_id", "cosine", "rnk")
+    )

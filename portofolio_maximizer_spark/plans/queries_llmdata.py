@@ -584,3 +584,15 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.3)
     )
     return out
+
+
+@query("embedding_ivf_ann")
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table: seeded KMeans coarse quantizer,
+    4-of-16 list probing, cosine top-5 — the charter's IVF scale path
+    beside `embedding_lsh_ann`. Rows-only: the KMeans fit is not
+    SQL-expressible; recall vs the brute-force baseline and run-to-run
+    determinism are pytest-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("qid", "vec_id", "list_id", r6("cosine").alias("cosine"), "rnk")

@@ -101,3 +101,50 @@ def test_sample_frames_bounds(spark, sf_dir):
         assert len(slots) <= 4
         idxs = [i for _, i in slots]
         assert idxs == sorted(idxs)
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    """On clustered vectors the KMeans quantizer recovers the clusters, so
+    probing 2-of-8 lists finds the true neighbors (high recall vs brute
+    force); the whole pipeline is run-to-run deterministic (seeded fit)."""
+    import numpy as np
+    import pandas as pd
+
+    from portofolio_maximizer_spark.llmdata.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(4, 16)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(0, 0.3, 16)).tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(pdf)
+    qs = emb.filter("vec_id < 4")  # one query per cluster
+
+    exact = brute_force_topk(emb, qs, k=5).toPandas()
+    ivf = ivf_topk(emb, qs, k=5, n_lists=8, n_probe=2).toPandas()
+    recalls = []
+    for qid in range(4):
+        truth = set(exact[exact.qid == qid].vec_id)
+        got = set(ivf[ivf.qid == qid].vec_id)
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.8
+
+    ivf2 = ivf_topk(emb, qs, k=5, n_lists=8, n_probe=2).toPandas()
+    a = sorted(map(tuple, ivf[["qid", "vec_id", "rnk"]].to_numpy()))
+    b = sorted(map(tuple, ivf2[["qid", "vec_id", "rnk"]].to_numpy()))
+    assert a == b
+
+
+def test_ivf_ann_query_runs(spark, sf_dir):
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    out = QUERIES["embedding_ivf_ann"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.rnk <= 5).all()
+    assert out.groupby("qid").size().le(5).all()
+    assert (out.cosine.abs() <= 1.0 + 1e-9).all()
