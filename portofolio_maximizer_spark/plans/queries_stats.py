@@ -1428,23 +1428,37 @@ def welch_half_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS ({_S_SQL}),
     l AS (
       SELECT user_id, lr,
-             LAG(lr, 1) OVER wp AS l1, LAG(lr, 2) OVER wp AS l2
+             LAG(lr, 1) OVER wp AS l1, LAG(lr, 2) OVER wp AS l2,
+             LAG(lr, 3) OVER wp AS l3
       FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
     ),
     a AS (
       SELECT user_id, COUNT(lr) AS n,
-             CORR(lr, l1) AS r1, CORR(lr, l2) AS r2
+             CORR(lr, l1) AS r1, CORR(lr, l2) AS r2, CORR(lr, l3) AS r3
       FROM l GROUP BY user_id HAVING COUNT(lr) > 12
+    ),
+    dl AS (
+      SELECT user_id, n, r1, r2, r3,
+             (r2 - r1 * r1) / NULLIF(1 - r1 * r1, 0) AS p22
+      FROM a
+    ),
+    dl2 AS (
+      SELECT user_id, n, r1, r2, r3, p22,
+             r1 * (1 - p22) AS p21
+      FROM dl
     )
     SELECT user_id, n,
            ROUND(r1, 6) AS pacf_1,
-           ROUND((r2 - r1 * r1) / NULLIF(1 - r1 * r1, 0), 6) AS pacf_2
-    FROM a
+           ROUND(p22, 6) AS pacf_2,
+           ROUND((r3 - p21 * r2 - p22 * r1)
+                 / NULLIF(1 - p21 * r1 - p22 * r2, 0), 6) AS pacf_3
+    FROM dl2
     """,
 )
 def pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F10 partial autocorrelations at lags 1-2 via the Yule-Walker /
-    Durbin-Levinson closed form: φ11 = ρ1, φ22 = (ρ2−ρ1²)/(1−ρ1²) —
+    """F10 partial autocorrelations at lags 1-3 via the Yule-Walker /
+    Durbin-Levinson recursion: φ11 = ρ1, φ22 = (ρ2−ρ1²)/(1−ρ1²),
+    φ21 = ρ1(1−φ22), φ33 = (ρ3−φ21ρ2−φ22ρ1)/(1−φ21ρ1−φ22ρ2) —
     reference ACF/PACF usage `etl/time_series_analyzer.py:338-438`.
     Sample autocorrelations come from the same lag-column CORR pattern as
     `ljung_box`; the recursion collapses to algebra for the first two
@@ -1456,6 +1470,7 @@ def pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lr",
         F.lag("lr", 1).over(wp).alias("l1"),
         F.lag("lr", 2).over(wp).alias("l2"),
+        F.lag("lr", 3).over(wp).alias("l3"),
     )
     a = (
         l.groupBy("user_id")
@@ -1463,15 +1478,27 @@ def pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("lr").alias("n"),
             F.corr("lr", "l1").alias("r1"),
             F.corr("lr", "l2").alias("r2"),
+            F.corr("lr", "l3").alias("r3"),
         )
         .filter(F.col("n") > 12)
     )
-    r1, r2 = F.col("r1"), F.col("r2")
-    return a.select(
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = a.select(
+        "user_id", "n", "r1", "r2", "r3",
+        ((r2 - r1 * r1) / F.nullif(1 - r1 * r1, F.lit(0.0))).alias("p22"),
+    )
+    p22 = F.col("p22")
+    dl2 = dl.select("*", (r1 * (1 - p22)).alias("p21"))
+    p21 = F.col("p21")
+    return dl2.select(
         "user_id",
         "n",
         r6(r1).alias("pacf_1"),
-        r6((r2 - r1 * r1) / F.nullif(1 - r1 * r1, F.lit(0.0))).alias("pacf_2"),
+        r6(p22).alias("pacf_2"),
+        r6(
+            (r3 - p21 * r2 - p22 * r1)
+            / F.nullif(1 - p21 * r1 - p22 * r2, F.lit(0.0))
+        ).alias("pacf_3"),
     )
 
 

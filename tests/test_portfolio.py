@@ -169,3 +169,26 @@ def test_da_cap_contract_invariants():
     # no cap binding -> identity
     da_ok = np.array([0.5, 0.55, 0.60])
     np.testing.assert_array_equal(_reference_da_cap(w, da_ok), w)
+
+
+def test_pacf3_matches_yule_walker_solve(spark, sf_dir):
+    """φ33 from the Durbin-Levinson algebra must equal the last
+    coefficient of the exact 3x3 Yule-Walker solve."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    out = QUERIES["pacf_yule_walker"](spark, sf_dir).toPandas()
+    assert {"pacf_1", "pacf_2", "pacf_3"} <= set(out.columns)
+    # replay on raw autocorrelations from the same series
+    from portofolio_maximizer_spark.plans.queries_stats import _series
+
+    s = _series(spark, sf_dir).toPandas()
+    for uid in out.user_id.head(5):
+        lr = s[s.user_id == uid].sort_values("rn").lr.dropna().to_numpy()
+        rho = [
+            np.corrcoef(lr[k:], lr[: len(lr) - k])[0, 1] if k else 1.0
+            for k in range(4)
+        ]
+        R = np.array([[1, rho[1], rho[2]], [rho[1], 1, rho[1]], [rho[2], rho[1], 1]])
+        phi = np.linalg.solve(R, np.array(rho[1:4]))
+        got = out[out.user_id == uid].iloc[0]
+        assert abs(got.pacf_3 - phi[2]) < 5e-3  # corr-vs-acov estimator gap
