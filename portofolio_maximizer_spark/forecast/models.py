@@ -145,17 +145,20 @@ def ar_candidate_fits(
     fits across the cluster. Each candidate emits its full forecast path
     tagged with its AIC, so top-1 selection (O4) is a pure window over
     the candidate table with no second pass over the raw series."""
+    from ..operators.arrowgroup import grouped_numpy
+
     spark = series.sparkSession
     grid = spark.createDataFrame([(int(p),) for p in orders], "p int")
     fanned = series.join(F.broadcast(grid))  # cross: one series copy per order
+    min_len = max(int(q) for q in orders) + 8
 
-    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        x = pdf[value_col].to_numpy(dtype=float)
-        uid = int(pdf[key].iloc[0])
-        p = int(pdf["p"].iloc[0])
-        if len(x) < max(int(q) for q in orders) + 8:
-            return pd.DataFrame(columns=[f.name for f in AR_CANDIDATE_SCHEMA])
+    def fit_one(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        p = int(cols["p"][0])
+        if len(x) < min_len:
+            return []
         beta, sigma, aic = _fit_ar(x, p)
         hist = list(x)
         rows = []
@@ -170,9 +173,9 @@ def ar_candidate_fits(
                  round(yhat, 6), round(yhat - band, 6), round(yhat + band, 6),
                  round(sigma, 6))
             )
-        return pd.DataFrame(rows, columns=[f.name for f in AR_CANDIDATE_SCHEMA])
+        return rows
 
-    return fanned.groupBy(key, "p").applyInPandas(fit_one, AR_CANDIDATE_SCHEMA)
+    return grouped_numpy(fanned, [key, "p"], AR_CANDIDATE_SCHEMA, fit_one)
 
 
 def ar_grid_forecast_fanout(
@@ -234,23 +237,25 @@ def ewma_vol_forecast(
     (SURVEY §4 "custom Spark work" item 1); the truncated closed-form
     window alternative lives in `operators/windows.py:ewma`."""
 
-    def recurse(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        r = pdf[ret_col].to_numpy(dtype=float)
-        rn = pdf[order_col].to_numpy()
-        uid = int(pdf[key].iloc[0])
+    from ..operators.arrowgroup import grouped_numpy
+
+    def recurse(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        r = cols[ret_col][order].astype(float)
+        rn = cols[order_col][order]
+        uid = int(cols[key][0])
         mask = ~np.isnan(r)
         rv, rnv = r[mask], rn[mask]
         if len(rv) < 2:
-            return pd.DataFrame(columns=[f.name for f in EWMA_VOL_SCHEMA])
+            return []
         var = rv[0] ** 2
         out = []
         for t in range(1, len(rv)):
             var = lam * var + (1 - lam) * rv[t - 1] ** 2
             out.append((uid, int(rnv[t]), round(float(np.sqrt(var)), 6)))
-        return pd.DataFrame(out, columns=[f.name for f in EWMA_VOL_SCHEMA])
+        return out
 
-    return returns.groupBy(key).applyInPandas(recurse, EWMA_VOL_SCHEMA)
+    return grouped_numpy(returns, [key], EWMA_VOL_SCHEMA, recurse)
 
 
 # ---------------------------------------------------------------------------
@@ -288,20 +293,19 @@ def ssa_reconstruct(
     naive RMSE: the SSA smoother must beat naive on any series with
     structure, which the tests assert."""
 
-    def ssa(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        x = pdf[value_col].to_numpy(dtype=float)
-        uid = int(pdf[key].iloc[0])
+    from ..operators.arrowgroup import grouped_numpy
+
+    def ssa(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
         core = ssa_core(x, window, evr_target)
         if core is None:
-            return pd.DataFrame(columns=[f.name for f in SSA_SCHEMA])
+            return []
         r, evr_r, rmse, naive = core
-        return pd.DataFrame(
-            [(uid, len(x), r, round(evr_r, 6), round(rmse, 6), round(naive, 6))],
-            columns=[f.name for f in SSA_SCHEMA],
-        )
+        return [(uid, len(x), r, round(evr_r, 6), round(rmse, 6), round(naive, 6))]
 
-    return series.groupBy(key).applyInPandas(ssa, SSA_SCHEMA)
+    return grouped_numpy(series, [key], SSA_SCHEMA, ssa)
 
 
 def ssa_core(
@@ -366,18 +370,20 @@ def cusum_changepoints(
     is sequential per key → ``applyInPandas``; z standardizes against the
     key's own history."""
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        r = pdf[ret_col].to_numpy(dtype=float)
-        rn = pdf[order_col].to_numpy()
-        uid = int(pdf[key].iloc[0])
+    from ..operators.arrowgroup import grouped_numpy
+
+    def run(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        r = cols[ret_col][order].astype(float)
+        rn = cols[order_col][order]
+        uid = int(cols[key][0])
         mask = ~np.isnan(r)
         rv, rnv = r[mask], rn[mask]
         if len(rv) < 10:
-            return pd.DataFrame(columns=[f.name for f in CUSUM_SCHEMA])
+            return []
         mu, sd = rv.mean(), rv.std(ddof=1)
         if sd == 0:
-            return pd.DataFrame(columns=[f.name for f in CUSUM_SCHEMA])
+            return []
         z = (rv - mu) / sd
         sp = sn = 0.0
         out = []
@@ -390,9 +396,9 @@ def cusum_changepoints(
             if sn > h:
                 out.append((uid, int(rnv[t]), -1, round(sn, 6)))
                 sn = 0.0
-        return pd.DataFrame(out, columns=[f.name for f in CUSUM_SCHEMA])
+        return out
 
-    return returns.groupBy(key).applyInPandas(run, CUSUM_SCHEMA)
+    return grouped_numpy(returns, [key], CUSUM_SCHEMA, run)
 
 
 # ---------------------------------------------------------------------------
@@ -454,15 +460,16 @@ def walkforward_refit(
         F.broadcast(evals), F.col("__fold") <= F.col("eval_fold")
     )
 
-    def fit_fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = [f.name for f in WALKFORWARD_REFIT_SCHEMA]
-        pdf = pdf.sort_values(order_col)
-        uid = int(pdf[key].iloc[0])
-        k = int(pdf["eval_fold"].iloc[0])
-        train = pdf[pdf["__fold"] < k][value_col].to_numpy(dtype=float)
-        test = pdf[pdf["__fold"] == k][value_col].to_numpy(dtype=float)
+    def fit_fold(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        vals = cols[value_col][order].astype(float)
+        folds = cols["__fold"][order]
+        uid = int(cols[key][0])
+        k = int(cols["eval_fold"][0])
+        train = vals[folds < k]
+        test = vals[folds == k]
         if len(train) < max(orders) + 8 or len(test) < 2:
-            return pd.DataFrame(columns=cols)
+            return []
         fits = {p: _fit_ar(train, p) for p in orders}
         best = min(orders, key=lambda p: fits[p][2])
         beta, _, aic = fits[best]
@@ -481,16 +488,15 @@ def walkforward_refit(
         rmse = float(np.sqrt(np.mean((test - preds) ** 2)))
         rmse_naive = float(np.sqrt(np.mean((test - naive) ** 2)))
         skill = 1.0 - rmse / rmse_naive if rmse_naive > 0 else 0.0
-        return pd.DataFrame(
-            [
-                (
-                    uid, k, len(train), len(test), best, round(float(aic), 6),
-                    round(rmse, 6), round(rmse_naive, 6), round(float(skill), 6),
-                )
-            ],
-            columns=cols,
-        )
+        return [
+            (
+                uid, k, len(train), len(test), best, round(float(aic), 6),
+                round(rmse, 6), round(rmse_naive, 6), round(float(skill), 6),
+            )
+        ]
 
-    return fanned.groupBy(key, "eval_fold").applyInPandas(
-        fit_fold, WALKFORWARD_REFIT_SCHEMA
+    from ..operators.arrowgroup import grouped_numpy
+
+    return grouped_numpy(
+        fanned, [key, "eval_fold"], WALKFORWARD_REFIT_SCHEMA, fit_fold
     )

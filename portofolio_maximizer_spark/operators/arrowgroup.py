@@ -1,0 +1,52 @@
+"""Grouped numpy kernels on the Arrow fast path.
+
+``groupBy().applyInPandas`` pays a full Arrow→pandas DataFrame
+conversion (block manager + index) per group on both directions; for
+model-fit kernels that only read numpy arrays and emit a few rows, that
+conversion is most of the wall time (measured ~3× the pure-Arrow
+identity on the sf0.1 series). ``grouped_numpy`` runs the same kernels
+on ``applyInArrow``: columns are extracted zero-copy(ish) to numpy and
+results are built directly as an Arrow table in the declared schema's
+types — no pandas on either side.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql.pandas.types import to_arrow_schema
+from pyspark.sql.types import StructType
+
+
+def grouped_numpy(
+    df: DataFrame,
+    keys: list[str],
+    schema: StructType,
+    kernel: Callable[[dict[str, np.ndarray]], list[tuple]],
+) -> DataFrame:
+    """Run ``kernel`` once per group on numpy columns; rows it returns
+    become the output table. The kernel sees every input column as a
+    numpy array (strings as object arrays) and must emit tuples in
+    ``schema`` field order."""
+    arrow_schema = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {
+            c: t.column(c).to_numpy(zero_copy_only=False) for c in t.column_names
+        }
+        rows = kernel(cols)
+        if rows:
+            columns = list(zip(*rows))
+        else:
+            columns = [[] for _ in names]
+        arrays = [
+            pa.array(list(vals), type=arrow_schema.field(i).type)
+            for i, vals in enumerate(columns)
+        ]
+        return pa.Table.from_arrays(arrays, schema=arrow_schema)
+
+    return df.groupBy(*keys).applyInArrow(fn, schema)

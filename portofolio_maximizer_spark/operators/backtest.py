@@ -73,16 +73,15 @@ def simulate_trades(
 ) -> DataFrame:
     """Run the stateful per-key simulation; returns the trades table."""
     cfg = config or BacktestConfig()
-    cols = [f.name for f in TRADES_SCHEMA]
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        px = pdf[value_col].to_numpy(dtype=float)
-        rn = pdf[order_col].to_numpy()
-        uid = int(pdf[key].iloc[0])
+    def run(cols_np: dict) -> list[tuple]:
+        order = np.argsort(cols_np[order_col], kind="stable")
+        px = cols_np[value_col][order].astype(float)
+        rn = cols_np[order_col][order]
+        uid = int(cols_np[key][0])
         n = len(px)
         if n < cfg.momentum_k + cfg.atr_k + 2:
-            return pd.DataFrame(columns=cols)
+            return []
 
         adiff = np.abs(np.diff(px, prepend=px[0]))
         atr = pd.Series(adiff).rolling(cfg.atr_k, min_periods=1).mean().to_numpy()
@@ -150,9 +149,11 @@ def simulate_trades(
                     stop = entry_px - cfg.stop_atr * atr[i]
                     target = entry_px + cfg.target_atr * atr[i]
                     ratchets = 0
-        return pd.DataFrame(trades, columns=cols)
+        return trades
 
-    return series.groupBy(key).applyInPandas(run, TRADES_SCHEMA)
+    from .arrowgroup import grouped_numpy
+
+    return grouped_numpy(series, [key], TRADES_SCHEMA, run)
 
 
 PORTFOLIO_SCHEMA = StructType(

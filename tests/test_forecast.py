@@ -150,10 +150,10 @@ def test_ar_fanout_plan_groups_by_candidate(spark):
     from portofolio_maximizer_spark.forecast import ar_candidate_fits
 
     plan = ar_candidate_fits(spark.createDataFrame(pdf))._jdf.queryExecution().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInArrow" in plan  # numpy kernels on the Arrow fast path
     # grouping expressions carry both user_id and the candidate order p
     import re
-    seg = plan[plan.index("FlatMapGroupsInPandas"):].split("\n")[0]
+    seg = plan[plan.index("FlatMapGroupsInArrow"):].split("\n")[0]
     assert "user_id" in seg and re.search(r"\bp\b|p#", seg)
 
 
