@@ -973,3 +973,66 @@ def ensemble_confidence_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("confidence").alias("confidence"),
         r6(weight).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S3 — provider failover as priority-resolved union
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_failover_coverage",
+    oracle="""
+    WITH src_a AS (
+      SELECT event_id, user_id, value, 'primary' AS _source, 0 AS _priority
+      FROM events WHERE user_id % 3 <> 0
+    ),
+    src_b AS (
+      SELECT event_id, user_id, value * 0.5 AS value,
+             'secondary' AS _source, 1 AS _priority
+      FROM events
+    ),
+    u AS (SELECT * FROM src_a UNION ALL SELECT * FROM src_b),
+    resolved AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY _priority, _source) AS _rk
+      FROM u
+    )
+    SELECT _source, CAST(_priority AS INT) AS _priority,
+           COUNT(*) AS n_keys_served,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+    FROM resolved WHERE _rk = 1
+    GROUP BY _source, _priority
+    """,
+)
+def source_failover_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 failover manager — reference `etl/data_source_manager.py:95-160`
+    (priority order) and `:369-437` (fallback until a source yields the
+    key), resolved declaratively: a simulated primary outage (every
+    third user's rows missing) fails those keys over to the
+    lower-priority secondary feed; per-source coverage counts fall out
+    of the same window pass. DECIMAL sum keeps the value checksum
+    order-independent."""
+    from ..sources.failover import failover_health, failover_union
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    primary = ev.filter(F.col("user_id") % 3 != 0)
+    secondary = ev.withColumn("value", F.col("value") * 0.5)
+    resolved = failover_union(
+        [("primary", 0, primary), ("secondary", 1, secondary)], keys=["event_id"]
+    )
+    health = failover_health(resolved)
+    sums = (
+        resolved.groupBy("_source")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("sum_value")
+        )
+    )
+    return health.join(sums, "_source").select(
+        "_source",
+        F.col("_priority").cast("int").alias("_priority"),
+        "n_keys_served",
+        "sum_value",
+    )

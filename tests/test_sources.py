@@ -181,3 +181,37 @@ def test_partitioned_upsert_missing_partition_col_raises(spark, tmp_path):
         IO.upsert_parquet_partitioned(
             spark, str(tmp_path / "x"), df, keys=["ticker"], partition_col="month"
         )
+
+
+def test_failover_union_priority_semantics(spark):
+    """Reference data_source_manager fallback mode: lowest priority
+    number present wins per key; secondary serves only keys the primary
+    misses."""
+    from portofolio_maximizer_spark.sources.failover import (
+        failover_health,
+        failover_union,
+    )
+
+    a = spark.createDataFrame(
+        [("AAPL", "2024-01-01", 100.0), ("MSFT", "2024-01-01", 300.0)],
+        "ticker string, date string, close double",
+    )
+    b = spark.createDataFrame(
+        [
+            ("AAPL", "2024-01-01", 999.0),   # shadowed by primary
+            ("GOOG", "2024-01-01", 150.0),   # only in secondary -> failover
+        ],
+        "ticker string, date string, close double",
+    )
+    out = failover_union(
+        [("alpha", 0, a), ("beta", 1, b)], keys=["ticker", "date"]
+    ).toPandas()
+    rows = {(r.ticker): (r.close, r._source) for _, r in out.iterrows()}
+    assert rows["AAPL"] == (100.0, "alpha")   # primary wins on collision
+    assert rows["MSFT"] == (300.0, "alpha")
+    assert rows["GOOG"] == (150.0, "beta")    # failover fills the gap
+    health = failover_health(
+        failover_union([("alpha", 0, a), ("beta", 1, b)], keys=["ticker", "date"])
+    ).toPandas()
+    served = dict(zip(health._source, health.n_keys_served))
+    assert served == {"alpha": 2, "beta": 1}
