@@ -3,6 +3,7 @@ from .stream import (
     enriched_stream,
     events_stream,
     run_to_memory,
+    run_upsert_sink,
     session_rollup,
     sliding_value_stats,
     tumbling_value_rollup,
@@ -14,6 +15,7 @@ __all__ = [
     "enriched_stream",
     "events_stream",
     "run_to_memory",
+    "run_upsert_sink",
     "session_rollup",
     "sliding_value_stats",
     "tumbling_value_rollup",

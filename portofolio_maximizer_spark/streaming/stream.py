@@ -273,3 +273,37 @@ def enriched_stream(stream: DataFrame, dim: DataFrame) -> DataFrame:
     analog of the signal↔trade linkage joins (J10) and the standard
     shape for attaching reference data to a 100 TB/day event stream."""
     return stream.join(F.broadcast(dim), "event_type", "left")
+
+
+def run_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """T1+S7: stream into a partitioned parquet table via foreachBatch
+    keyed upsert — the canonical streaming-ingest sink. Each micro-batch
+    merges through ``upsert_parquet_partitioned``: newest-wins per key,
+    only partitions the batch touches get rewritten, and the checkpoint
+    makes the whole sink restartable (reference
+    `etl/real_time_extractor.py` polls into the SQLite upsert
+    `etl/database_manager.py:1603-1687`; this is that loop as a
+    restartable Structured Streaming job)."""
+    from ..sources.io import upsert_parquet_partitioned
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet_partitioned(
+            batch_df.sparkSession, path, batch_df, keys=keys,
+            partition_col=partition_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
