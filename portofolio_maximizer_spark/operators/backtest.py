@@ -202,31 +202,36 @@ def reconcile_portfolio_cash(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(columns=cols)
-        # event list: (bar, kind, trade_idx); entries (kind=0) before exits
-        # at the same bar would risk spending cash an exit frees that bar —
-        # the reference settles exits first, so exits get kind=0.
         pdf = pdf.sort_values(["entry_rn", "user_id"]).reset_index(drop=True)
-        events = []
-        for idx, t in pdf.iterrows():
-            events.append((int(t.exit_rn), 0, idx))  # exit settles first
-            events.append((int(t.entry_rn), 1, idx))
-        events.sort(key=lambda e: (e[0], e[1], pdf.at[e[2], "user_id"]))
+        n = len(pdf)
+        uid = pdf.user_id.to_numpy()
+        entry_rn = pdf.entry_rn.to_numpy()
+        exit_rn = pdf.exit_rn.to_numpy()
+        shares = pdf.shares.to_numpy(dtype=float)
+        epx = pdf.entry_price.to_numpy(dtype=float)
+        xpx = pdf.exit_price.to_numpy(dtype=float)
+        # event list: (bar, kind, trade_idx); entries (kind=1) after exits
+        # at the same bar would otherwise miss cash an exit frees that bar —
+        # the reference settles exits first, so exits get kind=0.
+        events = [(int(exit_rn[i]), 0, i) for i in range(n)] + [
+            (int(entry_rn[i]), 1, i) for i in range(n)
+        ]
+        events.sort(key=lambda e: (e[0], e[1], uid[e[2]]))
 
         cash = float(portfolio_cash)
-        fill = [0.0] * len(pdf)
-        cash_before = [0.0] * len(pdf)
-        cash_after = [0.0] * len(pdf)
+        fill = np.zeros(n)
+        cash_before = np.zeros(n)
+        cash_after = np.zeros(n)
         for _, kind, idx in events:
-            t = pdf.iloc[idx]
             if kind == 1:  # entry: fund as much as the pool allows
-                cost = float(t.shares) * float(t.entry_price)
+                cost = shares[idx] * epx[idx]
                 cash_before[idx] = cash
                 ratio = 1.0 if cost <= cash else (cash / cost if cost > 0 else 0.0)
                 fill[idx] = ratio
                 cash -= cost * ratio
                 cash_after[idx] = cash
             else:  # exit: credit the funded fraction
-                cash += fill[idx] * float(t.shares) * float(t.exit_price)
+                cash += fill[idx] * shares[idx] * xpx[idx]
 
         out = pd.DataFrame(
             {
@@ -236,12 +241,12 @@ def reconcile_portfolio_cash(
                 "entry_price": pdf.entry_price,
                 "exit_price": pdf.exit_price,
                 "requested_shares": pdf.shares,
-                "filled_shares": (pdf.shares * fill).round(6),
-                "fill_ratio": pd.Series(fill).round(6),
-                "realized_pnl": ((pdf.exit_price - pdf.entry_price) * pdf.shares * fill).round(6),
+                "filled_shares": np.round(shares * fill, 6),
+                "fill_ratio": np.round(fill, 6),
+                "realized_pnl": np.round((xpx - epx) * shares * fill, 6),
                 "exit_reason": pdf.exit_reason,
-                "cash_before": pd.Series(cash_before).round(6),
-                "cash_after_entry": pd.Series(cash_after).round(6),
+                "cash_before": np.round(cash_before, 6),
+                "cash_after_entry": np.round(cash_after, 6),
             }
         )
         return out[cols]
