@@ -180,3 +180,47 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(rollup, "q_stream_enriched")
+
+
+@query("streaming_upsert_landed")
+def streaming_upsert_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+S7: the events stream drained through the restartable
+    foreachBatch keyed-upsert sink into a partitioned parquet table, then
+    the landed table's per-partition counts — the full streaming-ingest
+    round trip (reference `etl/real_time_extractor.py` poll loop into
+    `etl/database_manager.py:1603-1687` SQLite upsert). Rows-only:
+    streaming sink side effects are not SQL-expressible."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from ..streaming import events_stream, run_upsert_sink
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_upsert_landed_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    stream = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    run_upsert_sink(
+        stream,
+        os.path.join(root, "table"),
+        keys=["event_id"],
+        partition_col="event_type",
+        checkpoint_dir=os.path.join(root, "ck"),
+    )
+    landed = spark.read.parquet(os.path.join(root, "table"))
+    out = (
+        landed.groupBy("event_type")
+        .agg(
+            FF.count(FF.lit(1)).alias("n_rows"),
+            FF.countDistinct("event_id").alias("n_distinct_ids"),
+        )
+        .orderBy("event_type")
+    )
+    # detach the result from the temp files (a later invocation wipes the
+    # directory for a fresh drain)
+    return out.localCheckpoint(eager=True)
