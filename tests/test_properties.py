@@ -83,3 +83,55 @@ def test_ewma_variance_stays_in_hull(rets, lam):
         lo = min(lo, r[t - 1] ** 2)
         hi = max(hi, r[t - 1] ** 2)
         assert lo - 1e-12 <= var <= hi + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# F16 N-asset optimizers (operators/portfolio.py) — optimality and ERC
+# properties over random positive-definite covariances
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(2, 6),
+    seed=st.integers(0, 10_000),
+)
+def test_minvar_dominates_random_longonly_portfolios(n, seed):
+    """Active-set min-variance must (weakly) beat every random long-only
+    weight vector on the same covariance."""
+    import numpy as np
+
+    from portofolio_maximizer_spark.operators.portfolio import minvar_longonly
+
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n + 2))
+    sigma = A @ A.T / (n + 2) + np.eye(n) * 1e-9
+    w = minvar_longonly(sigma)
+    assert abs(w.sum() - 1) < 1e-8 and (w >= -1e-10).all()
+    best = w @ sigma @ w
+    for _ in range(25):
+        r = rng.random(n)
+        r /= r.sum()
+        assert best <= r @ sigma @ r + 1e-8
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(2, 6),
+    seed=st.integers(0, 10_000),
+)
+def test_riskparity_equal_contributions_property(n, seed):
+    """Cyclical coordinate descent must deliver equal risk contributions
+    for any positive-definite covariance, including negative correlations."""
+    import numpy as np
+
+    from portofolio_maximizer_spark.operators.portfolio import riskparity
+
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n + 2))
+    sigma = A @ A.T / (n + 2) + np.eye(n) * 1e-9
+    w = riskparity(sigma)
+    assert abs(w.sum() - 1) < 1e-8 and (w > 0).all()
+    rc = w * (sigma @ w)
+    scale = max(float(rc.mean()), 1e-300)
+    assert np.max(np.abs(rc - rc.mean())) / scale < 1e-6
