@@ -224,3 +224,26 @@ def streaming_upsert_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detach the result from the temp files (a later invocation wipes the
     # directory for a fresh drain)
     return out.localCheckpoint(eager=True)
+
+
+@query("streaming_view_purchase_join")
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T: stream-stream interval join run as a real streaming job — each
+    purchase matched to the same user's views in the trailing 6 hours,
+    rolled up per user. Watermarks on both sides bound the join state.
+    Rows-only (stream-stream emission timing is not SQL-expressible);
+    batch-equivalence asserted in tests/test_streaming.py."""
+    from pyspark.sql import functions as FF
+
+    from ..streaming import events_stream, run_to_memory, view_purchase_interval_join
+
+    joined = view_purchase_interval_join(events_stream(spark, sf_dir))
+    out = run_to_memory(joined, "q_stream_vpjoin")
+    return (
+        out.groupBy(FF.col("b_user").alias("user_id"))
+        .agg(
+            FF.count(FF.lit(1)).alias("n_attributed_views"),
+            FF.countDistinct("buy_id").alias("n_purchases"),
+            FF.round(FF.sum("view_value"), 6).alias("sum_view_value"),
+        )
+    )

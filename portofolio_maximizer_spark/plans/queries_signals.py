@@ -1036,3 +1036,22 @@ def source_failover_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys_served",
         "sum_value",
     )
+
+
+@query("latency_percentiles_sketch")
+def latency_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.4 at 100 TB: the same percentile rollup on `approx_percentile`
+    (Greenwald-Khanna sketch, mergeable across partitions — bounded
+    memory per executor where exact percentile must shuffle every value).
+    Rows-only: the sketch's cut points are engine-specific; the pytest
+    gate bounds its error against the exact query's p50/p95/p99 instead
+    of a value hash."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = F.lit(10000)
+    return ev.groupBy(F.col("event_type").alias("stage")).agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.approx_percentile("value", F.lit(0.50), acc)).alias("p50"),
+        r6(F.approx_percentile("value", F.lit(0.95), acc)).alias("p95"),
+        r6(F.approx_percentile("value", F.lit(0.99), acc)).alias("p99"),
+        r6(F.max("value")).alias("p_max"),
+    )

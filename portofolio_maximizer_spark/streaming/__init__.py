@@ -4,6 +4,7 @@ from .stream import (
     events_stream,
     run_to_memory,
     run_upsert_sink,
+    view_purchase_interval_join,
     session_rollup,
     sliding_value_stats,
     tumbling_value_rollup,
@@ -16,6 +17,7 @@ __all__ = [
     "events_stream",
     "run_to_memory",
     "run_upsert_sink",
+    "view_purchase_interval_join",
     "session_rollup",
     "sliding_value_stats",
     "tumbling_value_rollup",

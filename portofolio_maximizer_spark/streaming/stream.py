@@ -307,3 +307,40 @@ def run_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def view_purchase_interval_join(stream: DataFrame, horizon: str = "6 hours") -> DataFrame:
+    """T-coverage: stream-STREAM interval join — each purchase joins the
+    same user's view events from the preceding ``horizon``. Both sides
+    carry watermarks, so join state is bounded: a buffered view can be
+    dropped once the purchase-side watermark passes its interval upper
+    bound (attribution-window semantics; the reference joins signals to
+    trades post-hoc in SQLite, J10 — this is that join with both sides
+    unbounded streams)."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("buy_value"),
+        )
+    )
+    return buys.join(
+        views,
+        F.expr(
+            f"b_user = v_user AND view_ts <= buy_ts "
+            f"AND view_ts >= buy_ts - INTERVAL {horizon}"
+        ),
+        "inner",
+    )

@@ -192,3 +192,37 @@ def test_pacf3_matches_yule_walker_solve(spark, sf_dir):
         phi = np.linalg.solve(R, np.array(rho[1:4]))
         got = out[out.user_id == uid].iloc[0]
         assert abs(got.pacf_3 - phi[2]) < 5e-3  # corr-vs-acov estimator gap
+
+
+def test_percentile_sketch_tracks_exact(spark, sf_dir):
+    """approx_percentile (the 100 TB path) must track the exact rollup
+    within sketch tolerance on every stage."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    exact = (
+        QUERIES["latency_percentiles"](spark, sf_dir)
+        .toPandas()
+        .set_index("stage")
+        .sort_index()
+    )
+    approx = (
+        QUERIES["latency_percentiles_sketch"](spark, sf_dir)
+        .toPandas()
+        .set_index("stage")
+        .sort_index()
+    )
+    assert list(exact.index) == list(approx.index)
+    assert (exact.n == approx.n).all()
+    # GK guarantees RANK error (<= 1/accuracy), not value error: check the
+    # empirical CDF at each sketch cut, with a small-n boundary allowance
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    vals = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    for stage, row in approx.iterrows():
+        v = np.sort(vals[vals.event_type == stage].value.to_numpy())
+        n = len(v)
+        eps = 1e-4 + 2.0 / n  # sketch rank error + discrete-grid allowance
+        for col, q in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99)):
+            rank = np.searchsorted(v, row[col], side="right") / n
+            assert q - eps <= rank <= q + eps, (stage, col, rank)
+    assert (exact.p_max == approx.p_max).all()

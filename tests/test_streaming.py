@@ -176,3 +176,53 @@ def test_foreachbatch_upsert_sink_matches_batch(spark, sf_dir, tmp_path):
         checkpoint_dir=ck,
     )
     assert spark.read.parquet(path).count() == landed.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The streaming interval join must emit exactly the batch join's
+    matches once drained (availableNow processes everything; watermarks
+    only bound state)."""
+    from pyspark.sql import functions as F
+
+    from portofolio_maximizer_spark.plans import QUERIES
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    got = (
+        QUERIES["streaming_view_purchase_join"](spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    batch = (
+        buys.join(
+            views,
+            F.expr(
+                "b_user = v_user AND view_ts <= buy_ts "
+                "AND view_ts >= buy_ts - INTERVAL 6 hours"
+            ),
+        )
+        .groupBy(F.col("b_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed_views"),
+            F.countDistinct("buy_id").alias("n_purchases"),
+            F.round(F.sum("view_value"), 6).alias("sum_view_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    assert len(got) == len(batch) > 0
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
