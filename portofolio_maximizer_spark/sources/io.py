@@ -195,3 +195,84 @@ def write_json(df: DataFrame, path: str) -> None:
 
 def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_col: str | None = None,
+) -> dict:
+    """S10-adjacent maintenance: rewrite a table into ~target-sized files.
+
+    Streaming upserts and micro-batch sinks accrete small files; at scale
+    the file count (not the byte count) throttles scans (one task +
+    footer fetch per file). Coalesce count = ceil(bytes / target), floor
+    1. Returns before/after file counts. Partitioned tables compact
+    per-partition via dynamic overwrite (layout preserved)."""
+    import math
+
+    def _data_files(p: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+        return out
+
+    before = _data_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    if partition_col:
+        (
+            df.repartition(n_files, partition_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(path)
+    after = _data_files(path)
+    return {
+        "bytes": total_bytes,
+        "files_before": len(before),
+        "files_after": len(after),
+    }
+
+
+def table_file_stats(path: str, columns: list[str] | None = None):
+    """Scan-planning observability: per-file row counts and column
+    min/max straight from parquet footers (no data read) — what a file-
+    skipping audit inspects to verify clustering actually prunes.
+    Returns a list of dicts (driver-side; one entry per file — file
+    COUNT is the thing being audited, so this is small by definition
+    when the table is healthy)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            meta = pq.ParquetFile(fp).metadata
+            entry = {"file": fp, "rows": meta.num_rows, "columns": {}}
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if columns and name not in columns:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    cur = entry["columns"].get(name)
+                    mn, mx = st.min, st.max
+                    if cur is None:
+                        entry["columns"][name] = {"min": mn, "max": mx}
+                    else:
+                        cur["min"] = min(cur["min"], mn)
+                        cur["max"] = max(cur["max"], mx)
+            out.append(entry)
+    return out

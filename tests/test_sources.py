@@ -215,3 +215,30 @@ def test_failover_union_priority_semantics(spark):
     ).toPandas()
     served = dict(zip(health._source, health.n_keys_served))
     assert served == {"alpha": 2, "beta": 1}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2.0)
+    df.repartition(40).write.parquet(path)   # fragment: 40 small files
+    from portofolio_maximizer_spark.sources import io as IO
+
+    stats = IO.compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1          # tiny table -> one file
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).collect()[0][0] == float(10_000 * 9_999)
+
+
+def test_table_file_stats_reads_footers(spark, tmp_path):
+    path = str(tmp_path / "stats")
+    df = spark.range(0, 1000).withColumn("v", F.col("id").cast("double"))
+    df.orderBy("id").coalesce(2).write.parquet(path)
+    from portofolio_maximizer_spark.sources import io as IO
+
+    st = IO.table_file_stats(path, columns=["id"])
+    assert sum(e["rows"] for e in st) == 1000
+    mins = [e["columns"]["id"]["min"] for e in st if "id" in e["columns"]]
+    maxs = [e["columns"]["id"]["max"] for e in st if "id" in e["columns"]]
+    assert min(mins) == 0 and max(maxs) == 999
