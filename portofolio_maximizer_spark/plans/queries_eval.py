@@ -377,3 +377,148 @@ def walkforward_refit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_stats import _series
 
     return walkforward_refit(_series(spark, sf_dir).select("user_id", "rn", "value"))
+
+
+# ---------------------------------------------------------------------------
+# F12 at scale — permutation-sampled Shapley over 5 forecasters
+# ---------------------------------------------------------------------------
+
+_M5 = ("naive", "lag2", "ma3", "ma5", "ma10")
+# Fixed permutation sample (seeded, deterministic): the scale path when
+# 2^N coalition columns stop fitting one aggregation pass. 12 of 120
+# permutations; each contributes one telescoping marginal chain.
+import random as _random
+
+_rng = _random.Random(42)
+_PERMS = []
+for _ in range(12):
+    p = list(_M5)
+    _rng.shuffle(p)
+    _PERMS.append(tuple(p))
+
+
+def _canon(subset) -> tuple[str, ...]:
+    return tuple(sorted(subset, key=_M5.index))
+
+
+def _prefix_subsets() -> list[tuple[str, ...]]:
+    seen = {(), _canon(_M5)}
+    for perm in _PERMS:
+        for i in range(1, len(perm)):
+            seen.add(_canon(perm[:i]))
+    return sorted(seen, key=lambda s: (len(s), s))
+
+
+def _mse5_name(coal) -> str:
+    return "v5_" + ("_".join(_canon(coal)) if coal else "empty")
+
+
+def _phi5_terms(model: str) -> list[tuple[str, str]]:
+    """(with, without) MSE column-name pairs, one per sampled permutation."""
+    out = []
+    for perm in _PERMS:
+        i = perm.index(model)
+        before = _canon(perm[:i])
+        out.append((_mse5_name(before + (model,)), _mse5_name(before)))
+    return out
+
+
+def _duck_phi5(model: str) -> str:
+    terms = " + ".join(f"({w} - {wo})" for w, wo in _phi5_terms(model))
+    return f"({terms}) / {float(len(_PERMS))}"
+
+
+_F5_SQL = """
+      SELECT user_id, rn, value,
+             LAG(value, 1) OVER wp AS f_naive,
+             LAG(value, 2) OVER wp AS f_lag2,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS f_ma5,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS f_ma10,
+             AVG(value) OVER (PARTITION BY user_id) AS mu
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+"""
+
+
+def _duck_blend5(coal) -> str:
+    if not coal:
+        return "mu"
+    num = " + ".join(f"f_{m}" for m in coal)
+    return f"(({num}) / {float(len(coal))})"
+
+
+@query(
+    "shapley_sampled_5model",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS ({_F5_SQL}),
+    v AS (
+      SELECT user_id, COUNT(*) AS n,
+             {", ".join(f"AVG(POW(value - {_duck_blend5(c)}, 2)) AS {_mse5_name(c)}" for c in _prefix_subsets())}
+      FROM f GROUP BY user_id HAVING COUNT(*) > 10
+    )
+    SELECT user_id, n,
+           ROUND({_mse5_name(_M5)}, 6) AS v_full,
+           ROUND(v5_empty, 6) AS v_empty,
+           {", ".join(f"ROUND({_duck_phi5(m)}, 6) AS phi_{m}" for m in _M5)}
+    FROM v
+    """,
+)
+def shapley_sampled_5model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 scale path: permutation-SAMPLED Shapley over 5 forecasters —
+    reference `forcester_ts/shapley_attribution.py:37-232` computes the
+    exact 2^N decomposition; at N models where 2^N coalition aggregates
+    stop fitting one pass, the estimator averages marginal contributions
+    over a fixed seeded permutation sample (12 of 120 here). Only the
+    prefix subsets the sample visits are materialized (~40 conditional
+    aggregates instead of 32 — the gap widens exponentially with N).
+    Additivity Σφ = v(full) − v(∅) still holds EXACTLY (each permutation
+    chain telescopes) — pytest-asserted. Deterministic: the sample is a
+    module literal, replayed verbatim in the oracle."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("f_naive"),
+        F.lag("value", 2).over(wp).alias("f_lag2"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-5, -1))).alias("f_ma5"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+        F.avg("value").over(Window.partitionBy("user_id")).alias("mu"),
+    ).filter(F.col("rn") >= 11)
+
+    def blend(coal):
+        if not coal:
+            return F.col("mu")
+        total = sum((F.col(f"f_{m}") for m in coal), start=F.lit(0.0))
+        return total / F.lit(float(len(coal)))
+
+    aggs = [
+        F.avg(F.pow(F.col("value") - blend(c), 2)).alias(_mse5_name(c))
+        for c in _prefix_subsets()
+    ]
+    v = (
+        f.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), *aggs)
+        .filter(F.col("n") > 10)
+    )
+
+    def phi(model: str):
+        total = F.lit(0.0)
+        for w_col, wo_col in _phi5_terms(model):
+            total = total + (F.col(w_col) - F.col(wo_col))
+        return total / F.lit(float(len(_PERMS)))
+
+    return v.select(
+        "user_id",
+        "n",
+        r6(F.col(_mse5_name(_M5))).alias("v_full"),
+        r6(F.col("v5_empty")).alias("v_empty"),
+        *[r6(phi(m)).alias(f"phi_{m}") for m in _M5],
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import itertools
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from portofolio_maximizer_spark.operators.portfolio import (
@@ -226,3 +227,21 @@ def test_percentile_sketch_tracks_exact(spark, sf_dir):
             rank = np.searchsorted(v, row[col], side="right") / n
             assert q - eps <= rank <= q + eps, (stage, col, rank)
     assert (exact.p_max == approx.p_max).all()
+
+
+def test_sampled_shapley_additivity_and_determinism(spark, sf_dir):
+    """Permutation-sampled Shapley: each sampled chain telescopes, so
+    additivity (sum(phi) == v_full - v_empty) holds exactly even with a
+    partial sample; the fixed seed makes it run-to-run deterministic."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    out = QUERIES["shapley_sampled_5model"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    phis = out[[c for c in out.columns if c.startswith("phi_")]].sum(axis=1)
+    # all quantities rounded to 6dp independently -> tolerance ~n_models*5e-7
+    assert np.max(np.abs(phis - (out.v_full - out.v_empty))) < 1e-5
+    out2 = QUERIES["shapley_sampled_5model"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("user_id").reset_index(drop=True),
+        out2.sort_values("user_id").reset_index(drop=True),
+    )
