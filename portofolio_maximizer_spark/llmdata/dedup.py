@@ -223,3 +223,60 @@ def simhash16(text: Column) -> Column:
         vote = F.aggregate(hashes, F.lit(0), voter(i))
         bits.append(F.when(vote > 0, F.lit(2**i)).otherwise(F.lit(0)))
     return sum(bits[1:], start=bits[0]).alias("simhash")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list ``(d1, d2)`` —
+    the clustering stage that turns pairwise near-dup hits into dedup
+    groups (keep one doc per component), mirroring the reference's
+    duplicate-group resolution (`etl/data_validator.py` duplicate
+    handling) at corpus scale.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round a node adopts the minimum label among itself and
+    its neighbors. Converges in O(component diameter) rounds — near-dup
+    components are clique-ish (diameter 2-3 in practice), so a handful of
+    joins. Each round is one shuffle on node id; ``localCheckpoint`` cuts
+    lineage so the loop's plan does not snowball. For adversarial
+    long-chain graphs the alternating large-star/small-star variant
+    (O(log n) rounds) drops in without changing the interface.
+
+    Returns ``(node, component)`` with ``component`` = min node id
+    reachable — deterministic, so oracle-replayable via a recursive CTE.
+    """
+    sym = edges.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).unionByName(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

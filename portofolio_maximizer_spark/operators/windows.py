@@ -163,3 +163,62 @@ def forward_return(value: Column, w: WindowSpec, n: int) -> Column:
     """W24: N-step forward return for label generation —
     `scripts/run_etl_pipeline.py:441-480`."""
     return F.lead(value, n).over(w) / value - 1
+
+
+def scalable_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Globally-ordered running sum WITHOUT a single-partition window.
+
+    ``SUM(x) OVER (ORDER BY ...)`` funnels the whole table through one
+    task — fine at sf0.1, fatal at 100 TB. This is the classic two-pass
+    prefix sum instead:
+
+    1. range-repartition on the order keys (partition i holds a contiguous
+       key range, ranges ascend with partition id — the contract
+       ``repartitionByRange`` provides and ``sortWithinPartitions`` relies
+       on), pinned with ``localCheckpoint`` so the partition assignment is
+       computed once;
+    2. per-partition local cumulative sums (parallel windows, no global
+       sort);
+    3. per-partition totals — a ``num_partitions``-row aggregate collected
+       to the driver (the same driver-side step ``zipWithIndex`` uses) and
+       broadcast back as exclusive prefix offsets.
+
+    ``offset(pid) + local_cum`` equals the global running sum exactly for
+    integral ``value_col`` regardless of where the range boundaries fall.
+    Ties across partition boundaries are impossible when ``order_cols``
+    ends in a unique tiebreaker (every caller here orders by a key suffix
+    that is unique).
+    """
+    part = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        part.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_tot"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.sum(value_col).over(w_local))
+        .drop("_pid", "_offset")
+    )

@@ -144,10 +144,11 @@ _EST = " + ".join(
 )
 
 
-@query(
-    "minhash_lsh_neardups",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+# Shared CTE chain: shingles → minhash signatures → LSH bands → candidate
+# pairs → exact-Jaccard verification. Used by the near-dup query and by the
+# connected-components clustering built on its verified edges.
+_NEARDUP_CTES = f"""
+    toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
            FROM toks, UNNEST(RANGE(1, LEN(t))) AS u(i)),
     fp AS (SELECT doc_id, shingle,
@@ -173,8 +174,8 @@ _EST = " + ".join(
       JOIN sh a ON a.doc_id = p.d1
       JOIN sh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
       GROUP BY 1, 2
-    )
-    SELECT * FROM (
+    ),
+    verified AS (
       SELECT e.d1, e.d2,
              ROUND(e.est_jaccard, 6) AS est_jaccard,
              ROUND(COALESCE(i.ni, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.ni, 0)), 6)
@@ -183,7 +184,14 @@ _EST = " + ".join(
       LEFT JOIN inter i ON e.d1 = i.d1 AND e.d2 = i.d2
       JOIN sizes sa ON e.d1 = sa.doc_id
       JOIN sizes sb ON e.d2 = sb.doc_id
-    ) WHERE jaccard >= 0.3
+    )"""
+
+
+@query(
+    "minhash_lsh_neardups",
+    oracle=f"""
+    WITH {_NEARDUP_CTES}
+    SELECT * FROM verified WHERE jaccard >= 0.3
     """,
 )
 def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,6 +214,61 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d2",
         r6("est_jaccard").alias("est_jaccard"),
         r6("jaccard").alias("jaccard"),
+    )
+
+
+@query(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_CTES},
+    edges AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.3),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+            UNION SELECT d2, d1 FROM edges),
+    vertices AS (SELECT DISTINCT src AS node FROM sym),
+    walk AS (
+      SELECT node, node AS reach FROM vertices
+      UNION
+      SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component_id FROM walk GROUP BY node)
+    SELECT component_id,
+           COUNT(*) AS n_members,
+           ARRAY_TO_STRING(LIST_SORT(LIST(node)), ',') AS members
+    FROM comp GROUP BY component_id
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: verified MinHash-LSH pairs → connected
+    components → one dedup group per component (charter dedup operator's
+    resolution stage — pairwise hits alone cannot say "keep one of these
+    five", components can).
+
+    Spark side is iterative min-label propagation (`llmdata/dedup.py
+    connected_components`) — one equi-join shuffle per round, O(diameter)
+    rounds; the oracle replays it as a recursive reachability CTE. The
+    only driver-side value is the loop's convergence counter."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    edges = (
+        dedup.exact_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    labels = dedup.connected_components(edges)
+    return (
+        labels.select(F.col("component").alias("component_id"), "node")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+                ),
+            ).alias("members"),
+        )
     )
 
 
