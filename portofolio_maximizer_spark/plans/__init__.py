@@ -6,5 +6,6 @@ from . import queries_trades  # noqa: F401  (registers pack 5)
 from . import queries_eval  # noqa: F401  (registers pack 6)
 from . import queries_models  # noqa: F401  (registers pack 7)
 from . import queries_signals  # noqa: F401  (registers pack 8)
+from . import queries_pipeline  # noqa: F401  (registers pack 9)
 
 __all__ = ["ORACLE", "QUERIES"]

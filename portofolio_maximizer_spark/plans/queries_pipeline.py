@@ -1,0 +1,404 @@
+"""Query pack 9 — training-data-pipeline operators over the documents corpus.
+
+The stages a large-scale LLM training-data pipeline runs between "raw
+corpus" and "training batches": quality filtering (C4-style rule cascade),
+decontamination against an eval set, deterministic domain mixing, sequence
+packing into fixed token windows, and tokenizer-prep vocabulary statistics.
+Near-dup clustering (the other stage) lives in the dedup pack
+(``neardup_components``).
+
+Every stage is deterministic (md5-derived randomness) so the DuckDB oracle
+replays the exact same sample/shuffle decisions. Scale notes per query: the
+only global ordering (sequence packing) uses the two-pass prefix sum from
+``operators/windows.scalable_running_sum`` instead of a single-partition
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..llmdata import dedup, textstats
+from ..operators import windows as OW
+from ..sources.catalog import load_table
+from .queries import query, r6
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel (C4-style cascade)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_RULES = [
+    (1, "min_tokens"),
+    (2, "max_tokens"),
+    (3, "stopword_ratio"),
+    (4, "type_token_ratio"),
+    (5, "dup_fingerprint"),
+]
+
+
+@query(
+    "quality_filter_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 t -> t IN ('the','a','of','to','and','in','is'))) AS n_stop,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+             MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+               AS fp
+      FROM documents
+    ),
+    d AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM s),
+    f AS (SELECT CASE
+            WHEN n < 25 THEN 1
+            WHEN n > 90 THEN 2
+            WHEN n_stop * 1.0 / n > 0.10 THEN 3
+            WHEN n_distinct * 1.0 / n < 0.35 THEN 4
+            WHEN doc_id != keep_id THEN 5
+            ELSE 0 END AS first_fail
+          FROM d),
+    r AS (SELECT first_fail, COUNT(*) AS c FROM f GROUP BY first_fail),
+    rules AS (SELECT * FROM (VALUES
+        (1,'min_tokens'), (2,'max_tokens'), (3,'stopword_ratio'),
+        (4,'type_token_ratio'), (5,'dup_fingerprint')) AS v(rule_id, rule)),
+    j AS (SELECT rule_id, rule, CAST(COALESCE(c, 0) AS BIGINT) AS n_rejected
+          FROM rules LEFT JOIN r ON r.first_fail = rule_id),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM f)
+    SELECT rule_id, rule,
+           CAST(total - COALESCE(SUM(n_rejected) OVER (ORDER BY rule_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS n_in,
+           n_rejected,
+           CAST(total - SUM(n_rejected) OVER (ORDER BY rule_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_out
+    FROM j, t
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality-filter cascade with a per-rule rejection funnel —
+    the shape of the reference's multi-rule data gating
+    (`etl/data_validator.py` production predicate, P6/P7) re-targeted at a
+    text corpus: length band, stopword mass, lexical diversity, then
+    fingerprint dedup, applied in a fixed order; each doc charges its
+    FIRST failing rule.
+
+    Scale: one pass computes per-doc features + a window over the 16-byte
+    fingerprint; the funnel itself aggregates to 5 rows before the
+    (driver-light) cumulative windows. No per-rule rescan of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = textstats.with_token_stats(docs).withColumn(
+        "fp", textstats.bow_fingerprint(F.col("text"))
+    )
+    keep = F.min("doc_id").over(Window.partitionBy("fp"))
+    first_fail = (
+        F.when(F.col("n_tokens") < 25, 1)
+        .when(F.col("n_tokens") > 90, 2)
+        .when(F.col("stopword_ratio") > 0.10, 3)
+        .when(F.col("ttr") < 0.35, 4)
+        .when(F.col("doc_id") != F.col("keep_id"), 5)
+        .otherwise(0)
+    )
+    f = s.withColumn("keep_id", keep).select(first_fail.alias("first_fail"))
+    counts = f.groupBy("first_fail").agg(F.count(F.lit(1)).alias("c"))
+    rules = spark.createDataFrame(_FUNNEL_RULES, "rule_id int, rule string")
+    j = (
+        rules.join(counts, rules.rule_id == counts.first_fail, "left")
+        .select(
+            "rule_id",
+            "rule",
+            F.coalesce("c", F.lit(0)).cast("long").alias("n_rejected"),
+        )
+    )
+    total = f.count()  # one scalar to the driver; corpus never collected
+    w_prev = Window.orderBy("rule_id").rowsBetween(Window.unboundedPreceding, -1)
+    w_cur = Window.orderBy("rule_id").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "rule_id",
+        "rule",
+        (F.lit(total) - F.coalesce(F.sum("n_rejected").over(w_prev), F.lit(0)))
+        .cast("long")
+        .alias("n_in"),
+        "n_rejected",
+        (F.lit(total) - F.sum("n_rejected").over(w_cur)).cast("long").alias("n_out"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination against an eval split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decontamination_overlap",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t FROM documents),
+    g AS (SELECT DISTINCT doc_id, source,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                   AS gram
+          FROM toks, UNNEST(RANGE(1, LEN(t) - 3)) AS u(i)),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    tg AS (SELECT doc_id, source, gram FROM g WHERE doc_id % 20 != 0),
+    tot AS (SELECT doc_id, source, COUNT(*) AS ng FROM tg GROUP BY doc_id, source),
+    ov AS (SELECT tg.doc_id, COUNT(*) AS no FROM tg JOIN eg USING (gram)
+           GROUP BY tg.doc_id),
+    per AS (SELECT t.doc_id, t.source, t.ng, COALESCE(o.no, 0) AS no
+            FROM tot t LEFT JOIN ov o ON t.doc_id = o.doc_id)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(no * 1.0 / ng), 6) AS avg_overlap_frac,
+           CAST(SUM(CASE WHEN no * 2 >= ng THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM per GROUP BY source
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training docs whose word-5-gram
+    sets overlap an eval split (doc_id % 20 == 0) — the standard
+    benchmark-leak scrub run before LLM training. A doc is contaminated
+    when ≥ half its distinct 5-grams appear in the eval set (compared in
+    integers: ``2·overlap ≥ n_grams`` — no float threshold to flip).
+
+    Scale: the eval side is distinct 5-grams of a small split —
+    broadcast; the training side streams through one semi-join, so the
+    corpus is shingled exactly once and never shuffled by gram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    evald = docs.filter(F.col("doc_id") % 20 == 0)
+    tg = train.select(
+        "doc_id", "source", F.explode(dedup.shingles(F.col("text"), 5)).alias("gram")
+    )
+    eg = evald.select(
+        F.explode(dedup.shingles(F.col("text"), 5)).alias("gram")
+    ).distinct()
+    tot = tg.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("ng"))
+    ov = (
+        tg.join(F.broadcast(eg), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("no"))
+    )
+    per = tot.join(ov, "doc_id", "left").withColumn(
+        "no", F.coalesce("no", F.lit(0))
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg(F.col("no") * F.lit(1.0) / F.col("ng"))).alias("avg_overlap_frac"),
+        F.sum(F.when(F.col("no") * 2 >= F.col("ng"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing into fixed token windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sequence_packing_stats",
+    oracle="""
+    WITH s AS (SELECT doc_id,
+                      LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                      ('0x' || SUBSTR(MD5(doc_id::VARCHAR), 1, 8))::BIGINT
+                        AS shuffle_key
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM s)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin_start,
+           CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS bin_end,
+           CAST(FLOOR((cum - 1) / 512.0) - FLOOR((cum - n_tokens) / 512.0) + 1
+             AS BIGINT) AS n_bins_spanned,
+           CASE WHEN FLOOR((cum - 1) / 512.0) > FLOOR((cum - n_tokens) / 512.0)
+                THEN 1 ELSE 0 END AS is_split
+    FROM c
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): deterministically shuffle the
+    corpus (md5 of doc_id), lay token counts end-to-end, and cut fixed
+    512-token context windows — each doc learns which bins it lands in
+    and whether a bin boundary splits it. This is the packing layout an
+    LLM data loader materializes; downstream per-bin stats (fill, splits)
+    fall out of a groupBy on ``bin_start``.
+
+    Scale: the global running sum uses the two-pass prefix sum
+    (``operators/windows.scalable_running_sum``) — range-partitioned
+    local cumsums plus a partition-count-sized offset broadcast — NOT a
+    single-partition ``ORDER BY`` window, so the layout computation
+    parallelizes at 100 TB. The oracle replays it as the plain global
+    window (values identical by construction).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("shuffle_key"),
+    )
+    c = OW.scalable_running_sum(
+        s, ["shuffle_key", "doc_id"], "n_tokens", out_col="cum", num_partitions=8
+    )
+    bin_start = F.floor((F.col("cum") - F.col("n_tokens")) / 512.0)
+    bin_end = F.floor((F.col("cum") - 1) / 512.0)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        bin_start.alias("bin_start"),
+        bin_end.alias("bin_end"),
+        (bin_end - bin_start + 1).alias("n_bins_spanned"),
+        F.when(bin_end > bin_start, 1).otherwise(0).alias("is_split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic domain mixing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "domain_mixing_sample",
+    oracle="""
+    WITH src AS (SELECT source, COUNT(*) AS n_s,
+                        1 + (SUBSTR(source, 4)::INT % 3) AS weight
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS tn,
+                   CAST(SUM(weight) AS BIGINT) AS tw FROM src),
+    rates AS (SELECT source, n_s, weight,
+                     LEAST(1.0, (0.5 * tn) * (weight * 1.0 / tw) / n_s) AS rate
+              FROM src, tot),
+    u AS (SELECT source,
+                 (('0x' || SUBSTR(MD5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+                   / 1000000.0 AS u
+          FROM documents)
+    SELECT r.source,
+           CAST(r.n_s AS BIGINT) AS n_docs,
+           r.weight AS weight,
+           ROUND(r.rate, 6) AS rate,
+           CAST(SUM(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           ROUND(SUM(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END) * 1.0 / r.n_s, 6)
+             AS achieved_frac
+    FROM rates r JOIN u ON u.source = r.source
+    GROUP BY r.source, r.n_s, r.weight, r.rate
+    """,
+)
+def domain_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified domain mixing: each source gets a target
+    mixture weight (here ``1 + (source_num mod 3)`` as the fixture
+    policy), the pipeline derives a per-source acceptance rate that hits
+    a 50%-of-corpus sample at those proportions, and each doc's keep
+    decision is ``md5(doc_id) < rate`` — reproducible across runs,
+    engines, and re-partitioning (the property a training pipeline needs
+    for resumable sampling).
+
+    Scale: rates come from a sources-sized aggregate (tiny) broadcast
+    back onto the corpus; the corpus itself is touched once, with no
+    shuffle — the sample decision is embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")).withColumn(
+        "weight", (F.lit(1) + F.substring("source", 4, 10).cast("int") % 3)
+    )
+    tot = src.agg(
+        F.sum("n_s").alias("tn"), F.sum("weight").alias("tw")
+    )
+    rates = src.crossJoin(F.broadcast(tot)).withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.5) * F.col("tn"))
+            * (F.col("weight") * F.lit(1.0) / F.col("tw"))
+            / F.col("n_s"),
+        ),
+    )
+    u = docs.select(
+        "source",
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                ).cast("long")
+                % 1000000
+            )
+            / 1000000.0
+        ).alias("u"),
+    )
+    flag = F.when(F.col("u") < F.col("rate"), 1).otherwise(0)
+    return (
+        u.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_s", "weight", "rate")
+        .agg(
+            F.sum(flag).cast("long").alias("n_sampled"),
+            r6(F.sum(flag) * F.lit(1.0) / F.col("n_s").cast("double")).alias(
+                "achieved_frac"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_docs"),
+            "weight",
+            r6(F.col("rate")).alias("rate"),
+            "n_sampled",
+            "achieved_frac",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-prep vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_vocab_coverage",
+    oracle="""
+    WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    r AS (SELECT token, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT)
+                   AS token_rank,
+                 SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+                 SUM(n) OVER () AS tot
+          FROM c)
+    SELECT token, n AS n_occurrences, token_rank,
+           ROUND(cum * 1.0 / tot, 6) AS cum_frac
+    FROM r
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary table: corpus-wide token frequencies,
+    Zipf rank, and cumulative coverage fraction — the statistic that
+    decides a vocab-size cutoff ("top-k tokens cover 99.5% of the
+    corpus") before training a tokenizer.
+
+    Scale: the corpus-wide explode+count shrinks to vocabulary
+    cardinality FIRST (map-side combined groupBy); the single-partition
+    ranking windows then run over vocab-sized data (≪ corpus — a few
+    hundred thousand rows even web-scale), which is the standard shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(textstats.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), "token")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return c.select(
+        "token",
+        F.col("n").alias("n_occurrences"),
+        F.row_number().over(w_rank).alias("token_rank"),
+        r6(
+            F.sum("n").over(w_cum) * F.lit(1.0) / F.sum("n").over(w_all)
+        ).alias("cum_frac"),
+    )

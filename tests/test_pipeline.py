@@ -1,0 +1,90 @@
+"""Unit tests for the training-data-pipeline operators (pack 9) and the
+graph/prefix-sum primitives they are built on. Oracle equivalence is covered
+by tests/test_queries_oracle.py; these are structural invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from portofolio_maximizer_spark.llmdata.dedup import connected_components
+from portofolio_maximizer_spark.operators.windows import scalable_running_sum
+from portofolio_maximizer_spark.plans.queries_pipeline import (
+    quality_filter_funnel,
+    sequence_packing_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scalable_running_sum_matches_global_window(spark):
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10))
+        .cast("long")
+        .alias("k"),
+        ((F.col("id") * 37) % 101).alias("v"),
+    )
+    got = scalable_running_sum(df, ["k", "id"], "v", out_col="rs", num_partitions=7)
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("rs", F.sum("v").over(w))
+    assert (
+        got.select("id", "rs")
+        .exceptAll(want.select("id", "rs"))
+        .union(want.select("id", "rs").exceptAll(got.select("id", "rs")))
+        .count()
+        == 0
+    )
+
+
+def test_scalable_running_sum_partition_invariant(spark):
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 13).alias("v")
+    )
+    a = scalable_running_sum(df, ["id"], "v", num_partitions=1)
+    b = scalable_running_sum(df, ["id"], "v", num_partitions=11)
+    assert sorted(a.select("id", "running_sum").collect()) == sorted(
+        b.select("id", "running_sum").collect()
+    )
+
+
+def test_connected_components_fixture_graph(spark):
+    # chain 1-2-3-4, triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "d1 long, d2 long",
+    )
+    labels = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # worst case for min-label propagation: a path graph; still must converge
+    n = 24
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 long, d2 long"
+    )
+    out = connected_components(edges)
+    assert out.select("component").distinct().collect()[0]["component"] == 0
+    assert out.count() == n + 1
+
+
+def test_funnel_telescopes(spark):
+    rows = quality_filter_funnel(spark, SF).orderBy("rule_id").collect()
+    assert [r["rule_id"] for r in rows] == [1, 2, 3, 4, 5]
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["n_out"] == cur["n_in"]
+    for r in rows:
+        assert r["n_out"] == r["n_in"] - r["n_rejected"]
+        assert r["n_rejected"] >= 0
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    rows = sequence_packing_stats(spark, SF).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    # last bin index must cover exactly the total token run
+    assert max(r["bin_end"] for r in rows) == (total - 1) // 512
+    for r in rows:
+        assert r["bin_start"] <= r["bin_end"]
+        assert r["n_bins_spanned"] == r["bin_end"] - r["bin_start"] + 1
+        assert r["is_split"] == (1 if r["bin_end"] > r["bin_start"] else 0)
