@@ -648,3 +648,95 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.p_brand
         """
     )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    WITH d AS (
+      SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(14,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+    )
+    SELECT ROUND((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                          AS DOUBLE))
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS promo_revenue_pct,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+             AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM d
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share [J1 broadcast dim, A14, §2.3].
+
+    The month filter prunes the fact scan (pushed to parquet row groups);
+    ``part`` broadcasts, so the fact table joins with zero shuffle and the
+    final aggregate is a single scalar — the plan a 100 TB fact table
+    wants. Exact DECIMAL revenue per the hash convention."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    d = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "p_type", rev.alias("rev")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0))
+    return d.agg(
+        F.round(
+            (F.lit(100.0) * promo.cast("double")) / F.sum("rev").cast("double"), 6
+        ).alias("promo_revenue_pct"),
+        promo.cast("double").alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue [J1, §2.3].
+
+    The OR-of-ANDs mixes fact-side (quantity) and dim-side (brand, size)
+    predicates: Catalyst still broadcasts ``part`` and evaluates the
+    disjunction post-join, while the common fact-side residual
+    (``l_quantity <= 30``-ish bounds) and column pruning reach the scan.
+    The classic stress test that hand-built plans get wrong."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(pt), pt.p_partkey == li.l_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    br = F.col("p_brand")
+    cond = (
+        ((br == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((br == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((br == "Brand#15") & sz.between(1, 15) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
