@@ -402,3 +402,112 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(w_cum) * F.lit(1.0) / F.sum("n").over(w_all)
         ).alias("cum_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch scale paths: count-min heavy hitters, HLL distinct counts
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+    SELECT token, n AS n_occurrences
+    FROM c, t WHERE n * 50 >= total
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via count-min sketch + exact verification —
+    the sketch-candidates-then-verify pattern (same shape as LSH dedup):
+    a 4×256-cell CMS built in ONE aggregate pass bounds every token's
+    count from above; tokens whose CMS estimate clears the threshold
+    (≥ 2% of the stream) become candidates, and only candidates get an
+    exact count. CMS never underestimates, so the candidate set is a
+    superset of the true heavy hitters and the verified output is EXACT —
+    which is why a plain GROUP BY/HAVING oracle can check it.
+
+    Scale: the full-vocabulary groupBy never happens — the sketch is
+    1,024 cells regardless of corpus size, candidates are a handful, and
+    the exact-verify groupBy shuffles only candidate tokens (semi-join
+    pushdown before the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(textstats.tokens(F.col("text"))).alias("token"))
+    tok = tok.localCheckpoint(eager=True)  # one source pass feeds sketch+verify
+    total = tok.count()
+    threshold_num = total  # heavy ⇔ n * 50 >= total (integer compare)
+
+    def cms_idx(row: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{row}:"), F.col("token"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        )
+
+    # sketch build: one pass, d counters per token occurrence, grouped to
+    # d*w cells (map-side combine makes the shuffle carry ≤ d*w rows/task)
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("row"), cms_idx(j).alias("idx"))
+                        for j in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.row", "cell.idx")
+        .groupBy("row", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # estimate per distinct token: min over its d cells (broadcast the 1k cells)
+    vocab = tok.distinct()
+    est = vocab
+    for j in range(_CMS_DEPTH):
+        cj = cells.filter(F.col("row") == j).select(
+            F.col("idx").alias(f"idx{j}"), F.col("cnt").alias(f"cnt{j}")
+        )
+        est = est.withColumn(f"idx{j}", cms_idx(j)).join(
+            F.broadcast(cj), f"idx{j}"
+        )
+    est = est.withColumn(
+        "cms_est", F.least(*[F.col(f"cnt{j}") for j in range(_CMS_DEPTH)])
+    )
+    candidates = est.filter(F.col("cms_est") * 50 >= threshold_num).select("token")
+    # exact verify of candidates only
+    return (
+        tok.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * 50 >= threshold_num)
+    )
+
+
+@query("hll_distinct_fingerprints")
+def hll_distinct_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-document estimation via HyperLogLog++ —
+    the COUNT(DISTINCT) scale path: ``approx_count_distinct`` merges
+    fixed-size HLL registers instead of shuffling every distinct value,
+    so a 100 TB cardinality rollup shuffles KB/task rather than the key
+    universe. Paired with the exact count at test scale; the unit test
+    bounds relative error at the default 5% rsd (no SQL oracle — DuckDB's
+    approx_distinct uses a different HLL seed, so this is a rows-only
+    entry by design).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", textstats.bow_fingerprint(F.col("text")).alias("fp")
+    )
+    return fp.groupBy("source").agg(
+        F.approx_count_distinct("fp").alias("approx_distinct_docs"),
+        F.countDistinct("fp").alias("exact_distinct_docs"),
+    )

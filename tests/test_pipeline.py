@@ -88,3 +88,37 @@ def test_sequence_packing_conserves_tokens(spark):
         assert r["bin_start"] <= r["bin_end"]
         assert r["n_bins_spanned"] == r["bin_end"] - r["bin_start"] + 1
         assert r["is_split"] == (1 if r["bin_end"] > r["bin_start"] else 0)
+
+
+def test_hll_distinct_within_rsd(spark):
+    from portofolio_maximizer_spark.plans.queries_pipeline import (
+        hll_distinct_fingerprints,
+    )
+
+    rows = hll_distinct_fingerprints(spark, SF).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_distinct_docs"]
+        approx = r["approx_distinct_docs"]
+        assert abs(approx - exact) <= max(2, 0.1 * exact), (r["source"], exact, approx)
+
+
+def test_heavy_hitters_equal_exact(spark):
+    from portofolio_maximizer_spark.llmdata.textstats import tokens
+    from portofolio_maximizer_spark.plans.queries_pipeline import heavy_hitter_tokens
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    got = {
+        (r["token"], r["n_occurrences"])
+        for r in heavy_hitter_tokens(spark, SF).collect()
+    }
+    tok = load_table(spark, SF, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    total = tok.count()
+    want = {
+        (r["token"], r["n"])
+        for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] * 50 >= total
+    }
+    assert got == want
