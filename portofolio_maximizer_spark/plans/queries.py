@@ -740,3 +740,67 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "followup_orders_in_window",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS anchor_key, o_custkey,
+             o_orderdate AS w_start,
+             o_orderdate + INTERVAL 7 DAY AS w_end
+      FROM orders WHERE o_totalprice > 450000
+    ),
+    m AS (
+      SELECT a.anchor_key, COUNT(*) AS n,
+             CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s_dbl
+      FROM a JOIN orders o2
+        ON o2.o_custkey = a.o_custkey
+       AND o2.o_orderdate >= a.w_start AND o2.o_orderdate <= a.w_end
+       AND o2.o_orderkey != a.anchor_key
+      GROUP BY a.anchor_key
+    )
+    SELECT a.anchor_key,
+           CAST(COALESCE(m.n, 0) AS BIGINT) AS n_followups,
+           ROUND(COALESCE(m.s_dbl, 0.0), 6) AS followup_value
+    FROM a LEFT JOIN m ON m.anchor_key = a.anchor_key
+    """,
+)
+def followup_orders_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: orders that follow a high-value anchor order by the
+    same customer within 7 days [J1/J4 range variant, §2.3].
+
+    Implemented with ``operators/rangejoin.bucketed_interval_join`` —
+    the interval side explodes into ≤2 week-buckets and the match is a
+    (custkey, bucket) EQUI-join + residual range filter, never the
+    ``BroadcastNestedLoopJoin`` a bare BETWEEN join plans to (pinned by
+    tests/test_plans.py). The oracle states the same join as the naive
+    BETWEEN — semantics identical, physical strategy the scale-safe one.
+    """
+    from ..operators.rangejoin import bucketed_interval_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchors = orders.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_orderkey").alias("anchor_key"),
+        "o_custkey",
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("w_end"),
+    )
+    points = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("p_key"),
+        F.col("o_orderdate").alias("p_ts"),
+        F.col("o_totalprice").alias("p_price"),
+    )
+    matched = bucketed_interval_join(
+        points, anchors, "p_ts", "w_start", "w_end", 7 * 86400, keys=["o_custkey"]
+    ).filter(F.col("p_key") != F.col("anchor_key"))
+    m = matched.groupBy("anchor_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_price").cast("decimal(18,2)")).cast("double").alias("s_dbl"),
+    )
+    return anchors.join(m, "anchor_key", "left").select(
+        "anchor_key",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_followups"),
+        r6(F.coalesce("s_dbl", F.lit(0.0))).alias("followup_value"),
+    )
