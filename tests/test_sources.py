@@ -242,3 +242,39 @@ def test_table_file_stats_reads_footers(spark, tmp_path):
     mins = [e["columns"]["id"]["min"] for e in st if "id" in e["columns"]]
     maxs = [e["columns"]["id"]["max"] for e in st if "id" in e["columns"]]
     assert min(mins) == 0 and max(maxs) == 999
+
+
+def test_orc_roundtrip_and_pushdown(spark, small_df, tmp_path):
+    import sys
+
+    sys.path.insert(0, "tools")
+    from planaudit import plan_text
+
+    path = str(tmp_path / "orc")
+    IO.write_orc(small_df, path)
+    back = IO.read_orc(spark, path)
+    assert sorted(back.collect()) == sorted(small_df.collect())
+    first_col = small_df.columns[0]
+    plan = plan_text(back.filter(F.col(first_col).isNotNull()))
+    assert "PushedFilters: [IsNotNull(" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "tools")
+    from planaudit import plan_text
+
+    path = str(tmp_path / "by_month")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 12).cast("int").alias("month"),
+        (F.col("id") * 3 % 97).alias("v"),
+    )
+    df.write.mode("overwrite").partitionBy("month").parquet(path)
+    read = spark.read.parquet(path).filter(F.col("month") == 3)
+    plan = plan_text(read)
+    # the partition predicate must become a PartitionFilters entry (metadata
+    # pruning — no data files outside month=3 are ever opened)
+    assert "PartitionFilters: [" in plan and "month" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert read.count() == df.filter(F.col("month") == 3).count()
