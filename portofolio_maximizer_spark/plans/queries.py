@@ -804,3 +804,87 @@ def followup_orders_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_followups"),
         r6(F.coalesce("s_dbl", F.lit(0.0))).alias("followup_value"),
     )
+
+
+@query(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS over a correlated date condition [J3, §2.3].
+
+    Catalyst decorrelates the EXISTS into a left-semi join on
+    ``l_orderkey`` with the shipdate-vs-orderdate residual — the quarter
+    filter prunes the orders scan first, so the semi join probes only one
+    quarter of the fact table. Runs through ``spark.sql`` so the SQL
+    decorrelation path itself is exercised."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH pos AS (SELECT c_custkey, c_nationkey, c_acctbal
+                 FROM customer WHERE c_acctbal > 0.0),
+    t AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            AS thr FROM pos),
+    rich AS (SELECT p.* FROM pos p, t WHERE p.c_acctbal > t.thr)
+    SELECT c_nationkey, COUNT(*) AS n_custs,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_acctbal
+    FROM rich r
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers with no RECENT
+    orders (none since 2000-01-01), rolled up per nation [J2 anti join + scalar subquery, §2.3/2.7].
+
+    Two decorrelations in one query: the scalar AVG subquery becomes a
+    broadcast single-row join, the NOT EXISTS a left-anti join on
+    ``o_custkey``. The threshold is an exact-decimal sum divided once —
+    bit-identical across engines, per the hash convention."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH pos AS (SELECT c_custkey, c_nationkey, c_acctbal
+                     FROM customer WHERE c_acctbal > 0.0),
+        t AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS thr FROM pos),
+        rich AS (SELECT p.* FROM pos p, t WHERE p.c_acctbal > t.thr)
+        SELECT c_nationkey, COUNT(*) AS n_custs,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6)
+                 AS total_acctbal
+        FROM rich r
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+        """
+    )
