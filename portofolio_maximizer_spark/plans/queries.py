@@ -888,3 +888,152 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS t2
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM events)
+    SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users,
+           ROUND(COUNT(*) * 1.0 / MIN(u.n_total), 6) AS frac_of_users,
+           CAST(NULL AS DOUBLE) AS avg_hours_from_prev
+    FROM s1, u
+    UNION ALL
+    SELECT 2, 'click', COUNT(*), ROUND(COUNT(*) * 1.0 / MIN(u.n_total), 6),
+           ROUND(AVG((EPOCH_MS(t2) - EPOCH_MS(t1)) / 3600000.0), 6)
+    FROM s2, u
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*), ROUND(COUNT(*) * 1.0 / MIN(u.n_total), 6),
+           ROUND(AVG((EPOCH_MS(t3) - EPOCH_MS(t2)) / 3600000.0), 6)
+    FROM s3, u
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase) with per-step
+    conversion and mean step latency [A-family analytics; events surface].
+
+    Each step's "first qualifying time" chains off the previous step
+    (earliest click AT OR AFTER the first view, ...), computed as K tiny
+    per-user aggregates joined on ``user_id`` — every join is an
+    equi-join on the user key, so at 100 TB this is K co-partitioned
+    passes, not a self-join blow-up.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+    n_total = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+
+    def hours(a: str, b: str):
+        return (F.unix_millis(F.col(a)) - F.unix_millis(F.col(b))) / 3600000.0
+
+    r1 = s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit(1).alias("step"),
+        F.lit("view").alias("event_type"),
+        "n_users",
+        r6(F.col("n_users") * 1.0 / n_total).alias("frac_of_users"),
+        F.lit(None).cast("double").alias("avg_hours_from_prev"),
+    )
+    r2 = s2.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        r6(F.avg(hours("t2", "t1"))).alias("avg_hours_from_prev"),
+    ).select(
+        F.lit(2).alias("step"),
+        F.lit("click").alias("event_type"),
+        "n_users",
+        r6(F.col("n_users") * 1.0 / n_total).alias("frac_of_users"),
+        "avg_hours_from_prev",
+    )
+    r3 = s3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        r6(F.avg(hours("t3", "t2"))).alias("avg_hours_from_prev"),
+    ).select(
+        F.lit(3).alias("step"),
+        F.lit("purchase").alias("event_type"),
+        "n_users",
+        r6(F.col("n_users") * 1.0 / n_total).alias("frac_of_users"),
+        "avg_hours_from_prev",
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+@query(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS act_week FROM events),
+    j AS (SELECT f.cohort_week,
+                 CAST(DATE_DIFF('day', f.cohort_week, a.act_week) / 7 AS INT)
+                   AS week_offset,
+                 a.user_id
+          FROM f JOIN a ON a.user_id = f.user_id),
+    c AS (SELECT cohort_week, COUNT(DISTINCT user_id) AS n0 FROM f
+          GROUP BY cohort_week)
+    SELECT EPOCH_MS(j.cohort_week) AS cohort_week_ms, j.week_offset,
+           COUNT(DISTINCT j.user_id) AS n_active,
+           ROUND(COUNT(DISTINCT j.user_id) * 1.0 / MIN(c.n0), 6) AS retention
+    FROM j JOIN c ON c.cohort_week = j.cohort_week
+    GROUP BY j.cohort_week, j.week_offset
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users bucketed by first-activity
+    week, retention = fraction of each cohort active N weeks later
+    [A14/W14-family analytics; events surface].
+
+    Shape: two user-keyed aggregates (first week, distinct active weeks)
+    joined on ``user_id``, then a cohort-sized rollup — the distinct
+    pre-aggregation means the big table is shuffled once on the user key
+    and everything after is cohort×week sized (tiny at any scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    j = f.join(a, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    c = f.groupBy("cohort_week").agg(F.countDistinct("user_id").alias("n0"))
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(c, "cohort_week")
+        .select(
+            F.unix_millis(F.col("cohort_week")).alias("cohort_week_ms"),
+            "week_offset",
+            "n_active",
+            r6(F.col("n_active") * 1.0 / F.col("n0")).alias("retention"),
+        )
+    )
