@@ -1037,3 +1037,78 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("n_active") * 1.0 / F.col("n0")).alias("retention"),
         )
     )
+
+
+@query(
+    "order_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping-bit disambiguation [A14 §2.4
+    closing note — generalizes the cube/rollup pair]. One pass computes
+    the per-priority, per-status, and grand-total rollups; the expand
+    node triples rows BEFORE the partial aggregate, so the shuffle still
+    carries only group keys."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "customer_spend_deciles",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (SELECT o_custkey, spend,
+                 NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+          FROM s)
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(MIN(spend) AS DOUBLE), 6) AS min_spend,
+           ROUND(CAST(MAX(spend) AS DOUBLE), 6) AS max_spend,
+           ROUND(CAST(SUM(spend) AS DOUBLE), 6) AS total_spend
+    FROM d GROUP BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/W15 variant: customer lifetime-spend deciles via NTILE with a
+    deterministic tiebreak, per-decile envelope stats. The NTILE window
+    is global but runs on the customer-level aggregate (≪ fact table);
+    exact-decimal spends keep the decile cuts engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    d = s.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        r6(F.min("spend").cast("double")).alias("min_spend"),
+        r6(F.max("spend").cast("double")).alias("max_spend"),
+        r6(F.sum("spend").cast("double")).alias("total_spend"),
+    )
