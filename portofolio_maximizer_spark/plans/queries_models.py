@@ -10,6 +10,7 @@ against an independent numpy/pandas implementation in
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..forecast import ar_grid_forecast_fanout, ewma_vol_forecast, ssa_reconstruct
 from ..forecast.classifier import train_eval_classifier
@@ -260,4 +261,30 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             FF.countDistinct("buy_id").alias("n_purchases"),
             FF.round(FF.sum("view_value"), 6).alias("sum_view_value"),
         )
+    )
+
+
+@query("pyds_provider_bars_summary")
+def pyds_provider_bars_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 via the Spark Python DataSource API: mount the provider
+    adapter as ``spark.read.format("synthetic_bars")`` (one InputPartition
+    per ticker — the reference's per-SDK fetch loop as cluster fan-out,
+    `etl/yfinance_extractor.py:1-120`) and summarize each symbol's
+    history. Rows-only: the source is generated, not parquet-backed; its
+    bit-compat with the native generator is pinned in tests."""
+    from ..sources import pydatasource
+
+    pydatasource.register(spark)
+    bars = (
+        spark.read.format("synthetic_bars")
+        .option("tickers", ",".join(f"SYM{i}" for i in range(8)))
+        .option("n_bars", 252)
+        .option("seed", 7)
+        .load()
+    )
+    return bars.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.min_by("close", "bar_id"), 6).alias("first_close"),
+        F.round(F.max_by("close", "bar_id"), 6).alias("last_close"),
+        F.round(F.sum(F.col("volume").cast("double")), 6).alias("total_volume"),
     )

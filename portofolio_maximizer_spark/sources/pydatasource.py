@@ -1,0 +1,120 @@
+"""S1/S2 — provider adapter as a first-class Spark Python DataSource.
+
+The reference mounts market-data providers through per-SDK extractor
+classes (`etl/yfinance_extractor.py`, `etl/alpha_vantage_extractor.py` —
+fetch loop per ticker, retry, normalize). The Spark-native equivalent is
+the DataSource V2 Python API (public `pyspark.sql.datasource`, Spark 4):
+a provider becomes ``spark.read.format("synthetic_bars")`` with
+
+- one ``InputPartition`` PER TICKER → each executor task fetches/produces
+  one symbol's history independently (the reference's fetch loop becomes
+  cluster-parallel fan-out, rate limits amortize per partition);
+- options for the request surface (tickers, range, seed here; api keys /
+  intervals in a live provider);
+- schema declared up front, so Catalyst prunes/plans over it like any
+  other source.
+
+A LIVE provider drops in by replacing ``_bars_for_ticker`` with an HTTP
+fetch — partitioning, schema, registration, and the landed-bronze write
+path stay identical. Here the payload is the deterministic GBM generator,
+bit-compatible (to float ulp) with the native-column generator in
+``sources/synthetic.py`` — asserted in tests, which is what makes the
+adapter honestly testable without network access.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_EPOCH0 = 1704067200  # 2024-01-01, matches sources/synthetic.py
+_TWO_PI = 2.0 * math.pi
+
+
+def _hash_unit(*parts) -> float:
+    """Python twin of functions/scalars.hash_unit_interval (md5 of
+    '|'-joined string forms, first 6 hex digits / 16^6)."""
+    s = "|".join(str(p) for p in parts)
+    return int(hashlib.md5(s.encode()).hexdigest()[:6], 16) / float(16**6)
+
+
+def _round6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _bars_for_ticker(
+    ticker: str, n_bars: int, seed: int, s0: float, mu: float, sigma: float
+):
+    """Sequential per-ticker GBM walk — one partition's payload. The
+    in-partition recursion is exactly why the ticker is the split key."""
+    logp = math.log(s0)
+    prev_close = s0
+    for bar_id in range(n_bars):
+        u1 = 1.0 - _hash_unit("u1", seed, ticker, bar_id)
+        u2 = _hash_unit("u2", seed, ticker, bar_id)
+        z = math.sqrt(-2.0 * math.log(u1)) * math.cos(_TWO_PI * u2)
+        logp += (mu - 0.5 * sigma * sigma) + sigma * z
+        close = math.exp(logp)
+        u_hi = _hash_unit(seed, "hi", ticker, bar_id)
+        u_lo = _hash_unit(seed, "lo", ticker, bar_id)
+        u_vol = _hash_unit(seed, "v", ticker, bar_id)
+        open_ = prev_close
+        hi = max(open_, close) * (1.0 + 0.01 * u_hi)
+        lo = min(open_, close) * (1.0 - 0.01 * u_lo)
+        yield (
+            ticker,
+            bar_id,
+            datetime.fromtimestamp(_EPOCH0 + bar_id * 86400, tz=timezone.utc),
+            _round6(open_),
+            _round6(hi),
+            _round6(lo),
+            _round6(close),
+            100000 + int(u_vol * 900000),
+            _round6(0.0001 + 0.0004 * u_hi),
+        )
+        prev_close = close
+
+
+class SyntheticBarsDataSource(DataSource):
+    """``spark.read.format("synthetic_bars")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_bars"
+
+    def schema(self) -> str:
+        return (
+            "ticker string, bar_id bigint, ts timestamp, open double, "
+            "high double, low double, close double, volume bigint, "
+            "spread double"
+        )
+
+    def reader(self, schema) -> "SyntheticBarsReader":
+        return SyntheticBarsReader(self.options)
+
+
+class SyntheticBarsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.tickers = [
+            t for t in options.get("tickers", "SYN1,SYN2").split(",") if t
+        ]
+        self.n_bars = int(options.get("n_bars", 252))
+        self.seed = int(options.get("seed", 42))
+        self.s0 = float(options.get("s0", 100.0))
+        self.mu = float(options.get("mu", 0.0002))
+        self.sigma = float(options.get("sigma", 0.02))
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(t) for t in self.tickers]
+
+    def read(self, partition: InputPartition):
+        yield from _bars_for_ticker(
+            partition.value, self.n_bars, self.seed, self.s0, self.mu, self.sigma
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticBarsDataSource)
