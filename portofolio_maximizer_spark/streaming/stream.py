@@ -344,3 +344,83 @@ def view_purchase_interval_join(stream: DataFrame, horizon: str = "6 hours") -> 
         ),
         "inner",
     )
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class _VolSpikeProcessor(StatefulProcessor):
+    """T2/T3 on the transformWithState API (Spark 4's arbitrary-state
+    successor to ``applyInPandasWithState``): identical ring-buffer +
+    spike-ratio semantics to ``_vol_spike_fn``, with the buffer in a
+    typed ``ValueState`` cell instead of a positional state tuple.
+    Batch-equivalence with the classic operator is pinned in tests."""
+
+    def init(self, handle) -> None:
+        self._hist = handle.getValueState("history", "history string")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import json
+
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        got = self._hist.get() if self._hist.exists() else None
+        history = json.loads(got[0]) if got else []
+        alerts = []
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"], strict=True):
+                history.append(float(value))
+                if len(history) > _HISTORY_CAP:
+                    history = history[-_HISTORY_CAP:]
+                if len(history) >= _BASELINE_MIN + _RECENT:
+                    diffs = np.abs(np.diff(np.asarray(history)))
+                    base = diffs[:-_RECENT].std()
+                    recent = diffs[-_RECENT:].std()
+                    if base > 0 and recent / base > _SPIKE_RATIO:
+                        alerts.append(
+                            (
+                                int(user_id),
+                                int(pd.Timestamp(ts).value // 1_000_000),
+                                float(value),
+                                round(float(recent / base), 6),
+                                len(history),
+                            )
+                        )
+        self._hist.update((json.dumps(history),))
+        if alerts:
+            yield pd.DataFrame(
+                alerts,
+                columns=["user_id", "ts_ms", "value", "vol_ratio", "n_history"],
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def vol_spike_alerts_tws(stream: DataFrame) -> DataFrame:
+    """T2 circuit breaker on ``transformWithStateInPandas``. Requires the
+    RocksDB state store (set by the caller/session) and ``google.protobuf``
+    in the Python env (Spark's TWS wire protocol — absent in this
+    container, so the equivalence test self-skips; the classic
+    ``applyInPandasWithState`` operator remains the executed path). Same
+    sharding story as the classic operator — keys partition across state
+    stores."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_VolSpikeProcessor(),
+            outputStructType=ALERT_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
+    )

@@ -226,3 +226,65 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
 
     assert len(got) == len(batch) > 0
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+import importlib.util
+
+import pytest
+
+
+def _has_protobuf() -> bool:
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+)
+def test_transform_with_state_matches_classic(spark, sf_dir):
+    """The transformWithState (Spark 4) vol-spike operator must emit
+    exactly the rows the classic applyInPandasWithState operator emits
+    on the same drained input."""
+    from portofolio_maximizer_spark.streaming.stream import (
+        run_to_memory,
+        vol_spike_alerts,
+        vol_spike_alerts_tws,
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        classic = run_to_memory(
+            vol_spike_alerts(
+                ST.events_stream(spark, sf_dir).filter(F.col("user_id") < 30)
+            ),
+            "t_vol_classic",
+        ).collect()
+        prev_prov = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            modern = run_to_memory(
+                vol_spike_alerts_tws(
+                    ST.events_stream(spark, sf_dir).filter(F.col("user_id") < 30)
+                ),
+                "t_vol_tws",
+            ).collect()
+        finally:
+            if prev_prov:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_prov
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert sorted(map(tuple, modern)) == sorted(map(tuple, classic))
+    assert len(classic) > 0  # the fixture actually produces alerts
