@@ -1112,3 +1112,116 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.max("spend").cast("double")).alias("max_spend"),
         r6(F.sum("spend").cast("double")).alias("total_spend"),
     )
+
+
+@query(
+    "hourly_grid_interpolation",
+    oracle="""
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+               WHERE user_id < 30),
+    b AS (SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS t0,
+                 DATE_TRUNC('hour', MAX(ts)) AS t1
+          FROM e GROUP BY user_id),
+    g AS (SELECT user_id, UNNEST(GENERATE_SERIES(t0, t1, INTERVAL 1 HOUR)) AS t
+          FROM b),
+    u AS (
+      SELECT user_id, ts AS t, 0 AS kind, value AS v, ts AS ts_event FROM e
+      UNION ALL
+      SELECT user_id, t, 1 AS kind, NULL, NULL FROM g
+    ),
+    w AS (
+      SELECT user_id, t, kind,
+             LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+             LAST_VALUE(ts_event IGNORE NULLS) OVER wp AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+             FIRST_VALUE(ts_event IGNORE NULLS) OVER wf AS nt
+      FROM u
+      WINDOW wp AS (PARTITION BY user_id ORDER BY t, kind
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY t, kind
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, EPOCH_MS(t) AS hour_ms,
+           ROUND(CASE
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             WHEN EPOCH_MS(nt) = EPOCH_MS(pt) THEN pv
+             ELSE pv + (nv - pv) * (EPOCH_MS(t) - EPOCH_MS(pt)) * 1.0
+                       / (EPOCH_MS(nt) - EPOCH_MS(pt))
+           END, 6) AS value_interp
+    FROM w WHERE kind = 1
+    """,
+)
+def hourly_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample irregular event series onto a regular hourly grid with
+    linear interpolation (ffill/bfill at the edges) [§2.8 null-handling
+    family + W-windows; the reference's reindex/interpolate step in
+    `etl/time_series_feature_builder.py` preprocessing].
+
+    Union-then-window: grid points (null value) interleave with real
+    events in ONE per-user ordered window pass — no per-gap join, no
+    UDF; the grid explode is `sequence()` (UDTF-style). Scales as one
+    shuffle on the series key."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    e = ev.select("user_id", "ts", "value")
+    b = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    g = b.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("t"),
+    )
+    u = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("value").alias("v"),
+        F.col("ts").alias("ts_event"),
+    ).unionByName(
+        g.select(
+            "user_id",
+            "t",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(None).cast("timestamp").alias("ts_event"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "user_id",
+        "t",
+        "kind",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last("ts_event", ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first("ts_event", ignorenulls=True).over(wf).alias("nt"),
+    )
+    tms = F.unix_millis(F.col("t"))
+    ptms = F.unix_millis(F.col("pt"))
+    ntms = F.unix_millis(F.col("nt"))
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(ntms == ptms, F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv")) * (tms - ptms) * F.lit(1.0) / (ntms - ptms)
+        )
+    )
+    return w.filter(F.col("kind") == 1).select(
+        "user_id",
+        tms.alias("hour_ms"),
+        r6(interp).alias("value_interp"),
+    )
