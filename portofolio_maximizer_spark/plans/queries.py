@@ -1225,3 +1225,63 @@ def hourly_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tms.alias("hour_ms"),
         r6(interp).alias("value_interp"),
     )
+
+
+@query(
+    "q10_returned_item_customers",
+    oracle="""
+    WITH r AS (
+      SELECT o.o_custkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(CAST(r.rev AS DOUBLE), 6) AS revenue
+    FROM r
+    JOIN customer c ON c.c_custkey = r.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY r.rev DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top returned-item revenue customers in a quarter
+    [J1 multi-join + O3 top-k, §2.3/2.6].
+
+    Fact-side predicates (returnflag, quarter) prune the scans; the
+    orders join shuffles once on orderkey; customer/nation broadcast;
+    the LIMIT compiles to TakeOrderedAndProject (no global sort
+    materialization). Deterministic tiebreak on custkey keeps the top-20
+    hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    return (
+        r.join(F.broadcast(c), r.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .orderBy(F.col("rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            r6(F.col("rev").cast("double")).alias("revenue"),
+        )
+    )

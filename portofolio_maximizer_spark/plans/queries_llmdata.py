@@ -659,3 +659,63 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
     return out.select("qid", "vec_id", "list_id", r6("cosine").alias("cosine"), "rnk")
+
+
+@query(
+    "dedup_keep_manifest",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_CTES},
+    edges AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.3),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+            UNION SELECT d2, d1 FROM edges),
+    vertices AS (SELECT DISTINCT src AS node FROM sym),
+    walk AS (
+      SELECT node, node AS reach FROM vertices
+      UNION
+      SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component_id FROM walk GROUP BY node),
+    drops AS (SELECT node AS doc_id FROM comp WHERE node != component_id)
+    SELECT d.source,
+           COUNT(*) AS n_docs_before,
+           CAST(COUNT(*) - SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_docs_after,
+           CAST(SUM(LENGTH(d.text)) AS BIGINT) AS chars_before,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN LENGTH(d.text) ELSE 0 END)
+             AS BIGINT) AS chars_after
+    FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of near-dup dedup: components → keep the
+    min-id doc per cluster, drop the rest — reported as a per-source
+    before/after manifest (doc and char counts), i.e. what a training-
+    data pipeline actually writes out after L2+L5 run.
+
+    The drop set is components-minus-representatives (tiny — only docs
+    in near-dup clusters), broadcast against the corpus as a left join;
+    the corpus itself is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    edges = (
+        dedup.exact_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    comp = dedup.connected_components(edges)
+    drops = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("dropped")
+    )
+    j = docs.join(F.broadcast(drops), "doc_id", "left")
+    kept = F.col("dropped").isNull()
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_before"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_docs_after"),
+        F.sum(F.length("text")).cast("long").alias("chars_before"),
+        F.sum(F.when(kept, F.length("text")).otherwise(0))
+        .cast("long")
+        .alias("chars_after"),
+    )
