@@ -1285,3 +1285,141 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("rev").cast("double")).alias("revenue"),
         )
     )
+
+
+@query(
+    "q7_nation_trade_flows",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_name IN ('NATION_0', 'NATION_1')
+      AND nc.n_name IN ('NATION_0', 'NATION_1')
+      AND ns.n_name != nc.n_name
+    GROUP BY ns.n_name, nc.n_name, YEAR(o.o_orderdate)
+    """,
+)
+def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade flows [J1 five-way join, A14].
+
+    The join tree a 100 TB star schema wants: the two facts (lineitem,
+    orders) shuffle once on orderkey; supplier/customer/nation all
+    broadcast; the nation-pair filters push into the broadcast sides so
+    the fact stream is filtered during the probe, not after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_0", "NATION_1")
+    ns = n.filter(pair).select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.filter(pair).select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        r6(F.sum(rev).cast("double")).alias("revenue"),
+    )
+
+
+@query(
+    "scd2_tier_at_order",
+    oracle="""
+    WITH q AS (
+      SELECT o_custkey,
+             DATE_TRUNC('quarter', o_orderdate) AS eff_start,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey, DATE_TRUNC('quarter', o_orderdate)
+    ),
+    dim AS (
+      SELECT o_custkey, eff_start,
+             COALESCE(LEAD(eff_start) OVER (PARTITION BY o_custkey
+                                            ORDER BY eff_start),
+                      TIMESTAMP '2999-01-01') AS eff_end,
+             CASE WHEN spend >= 300000.0 THEN 'high'
+                  WHEN spend >= 150000.0 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM q
+    )
+    SELECT d.tier,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS revenue
+    FROM orders o
+    JOIN dim d ON d.o_custkey = o.o_custkey
+              AND o.o_orderdate >= d.eff_start
+              AND o.o_orderdate <  d.eff_end
+    GROUP BY d.tier
+    """,
+)
+def scd2_tier_at_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time dimension lookup [J6 as-of family, §2.3]: a
+    versioned customer-tier dimension (quarterly spend tiers, intervals
+    closed by LEAD — the standard type-2 effective-dating build), each
+    fact row joined to the version effective AT ITS OWN timestamp, never
+    the latest one — the correctness property backtests need (no lookahead
+    into future dimension versions; reference analog: signal validity
+    windows in `models/signal_router.py`).
+
+    Scale: the interval predicate rides on a custkey EQUI-join — per-key
+    version lists are short, so this is a hash join with a residual
+    filter, not a range blow-up; the dimension build is one groupBy +
+    one LEAD window on dimension-sized data."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    q = o.groupBy(
+        "o_custkey", F.date_trunc("quarter", F.col("o_orderdate")).alias("eff_start")
+    ).agg(spend.alias("spend"))
+    w = Window.partitionBy("o_custkey").orderBy("eff_start")
+    dim = q.select(
+        F.col("o_custkey").alias("d_custkey"),
+        "eff_start",
+        F.coalesce(
+            F.lead("eff_start").over(w), F.lit("2999-01-01").cast("timestamp")
+        ).alias("eff_end"),
+        F.when(F.col("spend") >= 300000.0, "high")
+        .when(F.col("spend") >= 150000.0, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    j = o.join(
+        dim,
+        (F.col("o_custkey") == F.col("d_custkey"))
+        & (F.col("o_orderdate") >= F.col("eff_start"))
+        & (F.col("o_orderdate") < F.col("eff_end")),
+    )
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        r6(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")).alias(
+            "revenue"
+        ),
+    )
