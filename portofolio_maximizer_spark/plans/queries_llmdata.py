@@ -719,3 +719,94 @@ def dedup_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_after"),
     )
+
+
+@query(
+    "embedding_label_separation",
+    oracle="""
+    WITH v AS (SELECT vec_id, label,
+                      CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                      UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim
+               FROM embeddings),
+    c AS (SELECT label AS cmp_label, dim, AVG(val) AS cv
+          FROM v GROUP BY label, dim),
+    dots AS (
+      SELECT v.vec_id, v.label AS own_label, c.cmp_label,
+             SUM(v.val * c.cv) AS dot,
+             SUM(v.val * v.val) AS vv,
+             SUM(c.cv * c.cv) AS cc
+      FROM v JOIN c ON c.dim = v.dim
+      GROUP BY v.vec_id, v.label, c.cmp_label
+    ),
+    cs AS (SELECT vec_id, own_label, cmp_label,
+                  dot / (SQRT(vv) * SQRT(cc)) AS cos_sim FROM dots),
+    own AS (SELECT vec_id, own_label, cos_sim AS cos_own
+            FROM cs WHERE cmp_label = own_label),
+    othr AS (SELECT vec_id, MAX(cos_sim) AS cos_best_other
+             FROM cs WHERE cmp_label != own_label GROUP BY vec_id)
+    SELECT o.own_label AS label, COUNT(*) AS n_vectors,
+           ROUND(AVG(o.cos_own), 6) AS avg_cos_own,
+           ROUND(AVG(t.cos_best_other), 6) AS avg_cos_best_other,
+           ROUND(AVG(o.cos_own - t.cos_best_other), 6) AS avg_margin
+    FROM own o JOIN othr t ON t.vec_id = o.vec_id
+    GROUP BY o.own_label
+    """,
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality audit: per-label centroid cohesion (mean
+    cosine to own centroid) vs the nearest OTHER centroid, and the
+    silhouette-style margin between them — the check a training pipeline
+    runs on labeled/clustered embeddings before trusting them for
+    classifier training or dedup thresholds.
+
+    Shape: dimension-wise explode → centroid groupBy (label×dim rows) →
+    one equi-join on ``dim`` against the centroid table (labels ≪ data,
+    so the multiply-out is |vectors|·|labels| partial products collapsed
+    by map-side combine). Values are cast float32→double at extraction on
+    both sides so engine arithmetic is bit-comparable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "valf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    c = (
+        v.groupBy(F.col("label").alias("cmp_label"), "dim")
+        .agg(F.avg("val").alias("cv"))
+    )
+    dots = (
+        v.join(F.broadcast(c), "dim")
+        .groupBy(F.col("vec_id"), F.col("label").alias("own_label"), "cmp_label")
+        .agg(
+            F.sum(F.col("val") * F.col("cv")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("vv"),
+            F.sum(F.col("cv") * F.col("cv")).alias("cc"),
+        )
+    )
+    cs = dots.select(
+        "vec_id",
+        "own_label",
+        "cmp_label",
+        (F.col("dot") / (F.sqrt("vv") * F.sqrt("cc"))).alias("cos_sim"),
+    )
+    own = cs.filter(F.col("cmp_label") == F.col("own_label")).select(
+        "vec_id", "own_label", F.col("cos_sim").alias("cos_own")
+    )
+    othr = (
+        cs.filter(F.col("cmp_label") != F.col("own_label"))
+        .groupBy("vec_id")
+        .agg(F.max("cos_sim").alias("cos_best_other"))
+    )
+    return (
+        own.join(othr, "vec_id")
+        .groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            r6(F.avg("cos_own")).alias("avg_cos_own"),
+            r6(F.avg("cos_best_other")).alias("avg_cos_best_other"),
+            r6(F.avg(F.col("cos_own") - F.col("cos_best_other"))).alias("avg_margin"),
+        )
+    )
