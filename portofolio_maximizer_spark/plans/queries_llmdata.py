@@ -9,7 +9,7 @@ literals embedded in both plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..llmdata import dedup, multimodal, similarity, textstats
@@ -808,5 +808,98 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.avg("cos_own")).alias("avg_cos_own"),
             r6(F.avg("cos_best_other")).alias("avg_cos_best_other"),
             r6(F.avg(F.col("cos_own") - F.col("cos_best_other"))).alias("avg_margin"),
+        )
+    )
+
+
+@query(
+    "cdc_span_overlap_pairs",
+    oracle="""
+    WITH pos AS (SELECT doc_id, text,
+                        UNNEST(RANGE(1, LENGTH(text) - 6)) AS i
+                 FROM documents),
+    b AS (SELECT doc_id, i FROM pos
+          WHERE ('0x' || SUBSTR(MD5(SUBSTR(text, i, 8)), 1, 8))::BIGINT % 32 = 0),
+    bb AS (SELECT doc_id, i FROM b
+           UNION SELECT doc_id, 1 FROM documents
+           UNION SELECT doc_id, LENGTH(text) + 1 FROM documents),
+    spans AS (SELECT doc_id, i AS st,
+                     LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+              FROM bb),
+    chunks AS (SELECT s.doc_id, SUBSTR(d.text, s.st, s.nxt - s.st) AS chunk
+               FROM spans s JOIN documents d USING (doc_id)
+               WHERE s.nxt IS NOT NULL AND s.nxt - s.st >= 24),
+    ch AS (SELECT DISTINCT doc_id, MD5(chunk) AS h, LENGTH(chunk) AS clen
+           FROM chunks)
+    SELECT a.doc_id AS d1, b2.doc_id AS d2,
+           COUNT(*) AS n_shared_chunks,
+           CAST(SUM(a.clen) AS BIGINT) AS shared_chars
+    FROM ch a JOIN ch b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def cdc_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplication detection via content-defined chunking: an
+    8-char window hash marks chunk boundaries (boundary ⇔ hash ≡ 0
+    mod 32, so boundaries realign on shared content regardless of
+    position shifts — the rsync/CDC property), chunks ≥ 24 chars are
+    content-hashed, and documents sharing chunk hashes pair up with the
+    shared span mass. Catches copy-pasted SPANS inside otherwise
+    different documents — the case whole-document MinHash (L2) dilutes
+    away.
+
+    Scale: the pair join is an equi-join on chunk hash — bucketed like
+    LSH bands; a pathologically popular chunk (boilerplate) fans out
+    quadratically in its doc-frequency, so production runs drop
+    top-frequency chunk hashes first (same stop-list discipline as
+    shingle dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    wnd = F.col("text").substr(F.col("i"), F.lit(8))
+    b = pos.filter(
+        F.conv(F.substring(F.md5(wnd), 1, 8), 16, 10).cast("long") % 32 == 0
+    ).select("doc_id", "i")
+    bb = (
+        b.unionByName(docs.select("doc_id", F.lit(1).alias("i")))
+        .unionByName(docs.select("doc_id", (F.length("text") + 1).alias("i")))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = bb.select(
+        "doc_id", F.col("i").alias("st"), F.lead("i").over(w).alias("nxt")
+    )
+    chunks = (
+        spans.filter(
+            F.col("nxt").isNotNull() & (F.col("nxt") - F.col("st") >= 24)
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("text").substr(F.col("st"), (F.col("nxt") - F.col("st"))).alias(
+                "chunk"
+            ),
+        )
+    )
+    ch = chunks.select(
+        "doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
+    ).distinct()
+    a = ch.alias("a")
+    b2 = ch.alias("b2")
+    return (
+        a.join(
+            b2,
+            (F.col("a.h") == F.col("b2.h"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b2.doc_id").alias("d2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_chunks"),
+            F.sum("a.clen").cast("long").alias("shared_chars"),
         )
     )
