@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     p_audit.add_argument("names", nargs="*")
     p_audit.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_pipe = sub.add_parser("pipeline", help="run a config-driven pipeline")
+    p_pipe.add_argument("--config", required=True)
+    p_pipe.add_argument("--run-id", default=None)
+
     args = ap.parse_args(argv)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo_root)
@@ -57,6 +61,16 @@ def main(argv: list[str] | None = None) -> int:
         runpy.run_path(
             os.path.join(repo_root, "tools", "planaudit.py"), run_name="__main__"
         )
+        return 0
+
+    if args.cmd == "pipeline":
+        from portofolio_maximizer_spark.pipeline import run_pipeline_file
+        from portofolio_maximizer_spark.session import get_spark
+
+        spark = get_spark("pipeline")
+        spark.sparkContext.setLogLevel("WARN")
+        for meta in run_pipeline_file(spark, args.config, run_id=args.run_id):
+            print(f"{meta['stage']}\t{meta['query']}\t{meta['fingerprint']}\t{meta['path']}")
         return 0
 
     import __spark_entry__ as entrymod
