@@ -4,6 +4,11 @@ Captures ``explain("formatted")`` for every registered query and flags the
 anti-patterns that break at 100 TB even when sf0.1 results are correct:
 
 - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` anywhere (all-pairs);
+  CARTESIAN is the only HARD failure. BNLJ is flagged soft because it is
+  the *correct* plan when one side is a broadcast scalar/tiny aggregate
+  (``crossJoin(broadcast(agg))`` — bootstrap CI, mixing-rate, threshold
+  scalars all plan this way) and a bug only when both sides scale with
+  the data — the reviewer decides from the side cardinalities;
 - parquet scans with empty ``PushedFilters`` under a query that filters;
 - ``ReadSchema`` wider than ~12 columns (no column pruning);
 - more than a soft cap of ``Exchange`` nodes (shuffle storms).
