@@ -1423,3 +1423,116 @@ def scd2_tier_at_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query(
+    "q6_quantity_band_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 6)
+             AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_quantity_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change scan [S6 pure pushdown].
+
+    No join at all: the entire predicate set (date band, discount band,
+    quantity cap) pushes to the parquet scan and the aggregate is one
+    scalar — the query whose plan is ONLY as good as its pushdown, which
+    is why it's pinned in the plan tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r6(F.sum(rev).cast("double")).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q12_late_shipment_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+           ROUND(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS late_frac
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q12_late_shipment_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-SLA rollup (adapted: priority instead of
+    shipmode, 60-day lateness) [J1 + conditional aggregation].
+
+    One orderkey-shuffle join, conditional sums in a single aggregate
+    pass — the dual-CASE pattern that replaces two separate filtered
+    scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.sum(F.when(~late, 1).otherwise(0)).cast("long").alias("n_ontime"),
+        r6(
+            F.sum(F.when(late, 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1))
+        ).alias("late_frac"),
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+          FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6)
+             AS transition_prob
+    FROM t
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    [W1 lag family → sequence mining]: bigram counts via one LEAD window,
+    row-normalized into transition probabilities with a per-source-state
+    window over the 25-cell matrix. The sequence pass is one shuffle on
+    the user key; everything after is state-space sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        r6(F.col("n") * F.lit(1.0) / F.sum("n").over(wf)).alias("transition_prob"),
+    )

@@ -511,3 +511,45 @@ def hll_distinct_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("fp").alias("approx_distinct_docs"),
         F.countDistinct("fp").alias("exact_distinct_docs"),
     )
+
+
+@query(
+    "padding_waste_by_bucket",
+    oracle="""
+    WITH s AS (SELECT LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+    b AS (SELECT n, CAST(CEIL(n / 32.0) * 32 AS BIGINT) AS padded_len FROM s)
+    SELECT padded_len, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * padded_len AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - CAST(SUM(n) AS BIGINT) * 1.0 / (COUNT(*) * padded_len), 6)
+             AS waste_frac
+    FROM b GROUP BY padded_len
+    """,
+)
+def padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding efficiency audit: bucket documents to the 32-token
+    padded length a fixed-shape batcher would allocate, and measure the
+    fraction of padded positions wasted per bucket — the number that
+    decides between padding, packing (L14), and length-sorted batching
+    in a training data loader. Complements ``sequence_packing_stats``:
+    that one measures the packed layout, this one what padding would
+    have cost instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(textstats.tokens(F.col("text")))
+    b = docs.select(
+        n.alias("n"),
+        (F.ceil(n / F.lit(32.0)) * 32).cast("long").alias("padded_len"),
+    )
+    return b.groupBy("padded_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) * F.col("padded_len").cast("long"))
+        .cast("long")
+        .alias("padded_tokens"),
+        r6(
+            F.lit(1.0)
+            - F.sum("n").cast("long")
+            * F.lit(1.0)
+            / (F.count(F.lit(1)) * F.col("padded_len"))
+        ).alias("waste_frac"),
+    )
