@@ -1536,3 +1536,73 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r6(F.col("n") * F.lit(1.0) / F.sum("n").over(wf)).alias("transition_prob"),
     )
+
+
+@query(
+    "q8_nation_market_share",
+    oracle="""
+    WITH sales AS (
+      SELECT CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+             ns.n_name AS supp_nation,
+             CAST(l.l_extendedprice AS DECIMAL(14,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS market_share,
+           COUNT(*) AS n_lines
+    FROM sales GROUP BY order_year
+    """,
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share [J1 six-way star join + share-of-total
+    conditional aggregation]: one nation's share of all revenue delivered
+    into one customer region, per year. Facts shuffle once on orderkey;
+    all four dims broadcast; the share is two exact-decimal sums in ONE
+    aggregate pass (CASE inside SUM), not two scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "supp_nation",
+            rev.alias("rev"),
+        )
+    )
+    target = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("rev")).otherwise(0)
+    )
+    return sales.groupBy("order_year").agg(
+        F.round(target.cast("double") / F.sum("rev").cast("double"), 6).alias(
+            "market_share"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
