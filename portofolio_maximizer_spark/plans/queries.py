@@ -132,16 +132,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped join + top-k [J1, O3, A-family].
 
-    customer is the small side → broadcast hint keeps the lineitem scan
-    shuffle-free for that join; top-10 is TakeOrderedAndProject (heap per
-    partition + driver merge), never a global sort.
+    customer scales with sf, so it carries NO broadcast hint — at small sf
+    Catalyst/AQE broadcast it from size stats for free; at 100 TB it is
+    billions of rows and a forced hint would OOM the build side, so the
+    optimizer must stay free to pick sort-merge. Top-10 is
+    TakeOrderedAndProject (heap per partition + driver merge), never a
+    global sort.
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            o.join(c, o.o_custkey == c.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -179,9 +182,11 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multi-way star join [J1, broadcast dims, §2.3].
 
-    region/nation/supplier are broadcast — the only shuffle in the whole plan
-    is lineitem⋈orders on orderkey plus the final tiny groupBy. That is the
-    100 TB-correct shape: facts shuffle once, dims never.
+    Only the constant-cardinality dims (region: 5 rows, nation: 25) carry
+    explicit broadcast hints. supplier scales with sf, so its join is left
+    to Catalyst/AQE — broadcast at small sf from size stats, sort-merge at
+    100 TB. The fact shuffle is lineitem⋈orders on orderkey plus the final
+    tiny groupBy: facts shuffle once, constant dims never.
     """
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
@@ -190,8 +195,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    dims = F.broadcast(
-        s.join(n, s.s_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    dims = s.join(
+        F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == n.n_nationkey,
     )
     return (
         li.join(dims, li.l_suppkey == dims.s_suppkey)
@@ -674,9 +680,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped promo-revenue share [J1 broadcast dim, A14, §2.3].
 
     The month filter prunes the fact scan (pushed to parquet row groups);
-    ``part`` broadcasts, so the fact table joins with zero shuffle and the
-    final aggregate is a single scalar — the plan a 100 TB fact table
-    wants. Exact DECIMAL revenue per the hash convention."""
+    ``part`` scales with sf so the join is unhinted — AQE broadcasts it at
+    small sf and falls back to shuffle join at 100 TB; the final aggregate
+    is a single scalar. Exact DECIMAL revenue per the hash convention."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -685,7 +691,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
-    d = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+    d = li.join(pt, li.l_partkey == pt.p_partkey).select(
         "p_type", rev.alias("rev")
     )
     promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0))
@@ -718,13 +724,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19-shaped disjunctive-predicate revenue [J1, §2.3].
 
     The OR-of-ANDs mixes fact-side (quantity) and dim-side (brand, size)
-    predicates: Catalyst still broadcasts ``part`` and evaluates the
-    disjunction post-join, while the common fact-side residual
-    (``l_quantity <= 30``-ish bounds) and column pruning reach the scan.
-    The classic stress test that hand-built plans get wrong."""
+    predicates: the ``part`` join is unhinted (part scales with sf — AQE
+    broadcasts it at small sf, shuffle-joins at 100 TB) and Catalyst
+    evaluates the disjunction post-join, while the common fact-side
+    residual and column pruning reach the scan. The classic stress test
+    that hand-built plans get wrong."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(pt), pt.p_partkey == li.l_partkey)
+    j = li.join(pt, pt.p_partkey == li.l_partkey)
     q = F.col("l_quantity")
     sz = F.col("p_size")
     br = F.col("p_brand")
@@ -1254,10 +1261,11 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     [J1 multi-join + O3 top-k, §2.3/2.6].
 
     Fact-side predicates (returnflag, quarter) prune the scans; the
-    orders join shuffles once on orderkey; customer/nation broadcast;
-    the LIMIT compiles to TakeOrderedAndProject (no global sort
-    materialization). Deterministic tiebreak on custkey keeps the top-20
-    hash-stable."""
+    orders join shuffles once on orderkey; nation (25 rows, constant)
+    broadcasts, customer is unhinted (sf-scaling — AQE broadcasts small,
+    shuffle-joins at 100 TB); the LIMIT compiles to TakeOrderedAndProject
+    (no global sort materialization). Deterministic tiebreak on custkey
+    keeps the top-20 hash-stable."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1274,7 +1282,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("rev"))
     )
     return (
-        r.join(F.broadcast(c), r.o_custkey == c.c_custkey)
+        r.join(c, r.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .orderBy(F.col("rev").desc(), "c_custkey")
         .limit(20)
@@ -1313,9 +1321,10 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-shaped bilateral trade flows [J1 five-way join, A14].
 
     The join tree a 100 TB star schema wants: the two facts (lineitem,
-    orders) shuffle once on orderkey; supplier/customer/nation all
-    broadcast; the nation-pair filters push into the broadcast sides so
-    the fact stream is filtered during the probe, not after."""
+    orders) shuffle once on orderkey; the nation pair (constant 25-row
+    table) broadcasts with its filters pushed into the build side;
+    supplier/customer are sf-scaling so their joins are unhinted — AQE
+    broadcasts them at small sf, sort-merges at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -1333,8 +1342,8 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1567,8 +1576,10 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped market share [J1 six-way star join + share-of-total
     conditional aggregation]: one nation's share of all revenue delivered
     into one customer region, per year. Facts shuffle once on orderkey;
-    all four dims broadcast; the share is two exact-decimal sums in ONE
-    aggregate pass (CASE inside SUM), not two scans."""
+    the constant dims (nation projections, region) broadcast; customer
+    and supplier scale with sf so their joins are unhinted (AQE
+    broadcasts small, sort-merges at 100 TB); the share is two
+    exact-decimal sums in ONE aggregate pass (CASE inside SUM)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1586,10 +1597,10 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sales = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .select(
             F.year("o_orderdate").cast("int").alias("order_year"),

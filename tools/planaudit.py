@@ -4,11 +4,22 @@ Captures ``explain("formatted")`` for every registered query and flags the
 anti-patterns that break at 100 TB even when sf0.1 results are correct:
 
 - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` anywhere (all-pairs);
-  CARTESIAN is the only HARD failure. BNLJ is flagged soft because it is
+  CARTESIAN is a HARD failure. BNLJ is flagged soft because it is
   the *correct* plan when one side is a broadcast scalar/tiny aggregate
   (``crossJoin(broadcast(agg))`` — bootstrap CI, mixing-rate, threshold
   scalars all plan this way) and a bug only when both sides scale with
   the data — the reviewer decides from the side cardinalities;
+- ``FORCED_BROADCAST`` (HARD): a hand-written ``F.broadcast()`` hint whose
+  build side scans an sf-scaling base table (lineitem/orders/customer/
+  supplier/part/events/documents/embeddings) without anything that bounds
+  its cardinality. At sf0.1 such a hint is free speed; at 100 TB it OOMs
+  the build side — it is exactly the decision AQE must stay free to make.
+  Detected from the optimized logical plan, where hints survive as
+  ``leftHint=/rightHint=(strategy=broadcast)``; cost-based broadcasts
+  chosen by Catalyst at small sf carry no hint marker and do not flag.
+  A hinted side is considered bounded (allowed) when its subtree shrinks
+  through an ``Aggregate``/``Deduplicate``/``Limit`` or a constant id-range
+  filter (``vec_id < 5``-style fixed query sets);
 - parquet scans with empty ``PushedFilters`` under a query that filters;
 - ``ReadSchema`` wider than ~12 columns (no column pruning);
 - more than a soft cap of ``Exchange`` nodes (shuffle storms).
@@ -35,6 +46,78 @@ def plan_text(df) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def optimized_plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    txt = buf.getvalue()
+    m = re.search(r"== Optimized Logical Plan ==\n(.*?)\n== Physical Plan ==", txt, re.S)
+    return m.group(1) if m else ""
+
+
+# Tables whose row counts scale with the data (vs the constant-cardinality
+# region/nation and in-memory rule/param tables), identified in Relation
+# lines by a marker column unique to each table.
+_SF_SCALING_MARKERS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+_SHRINK_RE = re.compile(r"\b(Aggregate|Deduplicate|GlobalLimit|LocalLimit)\b")
+# constant id-range predicate => fixed-size query set regardless of sf
+_ID_BOUND_RE = re.compile(r"Filter [^\n]*\w*id#\d+L? (?:<=?|=) \d+")
+
+
+def _node_col(line: str) -> int:
+    return len(re.match(r"^[ :+\-]*", line).group(0))
+
+
+def _scan_tables(subtree: str) -> set[str]:
+    tables: set[str] = set()
+    for m in re.finditer(r"Relation \[([^\]]*)\]", subtree):
+        cols = {re.sub(r"#\d+L?$", "", c) for c in m.group(1).split(",")}
+        for table, marker in _SF_SCALING_MARKERS.items():
+            if marker in cols:
+                tables.add(table)
+    return tables
+
+
+def forced_broadcast_flags(opt_plan: str) -> list[str]:
+    """HARD-flag hand-written broadcast hints on unbounded sf-scaling scans."""
+    flags: list[str] = []
+    lines = opt_plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Hint=(strategy=broadcast" not in ln:
+            continue
+        p = _node_col(ln)
+        sub: list[str] = []
+        j = i + 1
+        while j < len(lines) and _node_col(lines[j]) > p:
+            sub.append(lines[j])
+            j += 1
+        child_starts = [k for k, l in enumerate(sub) if _node_col(l) == p + 3]
+        sides: list[str] = []
+        if "leftHint=(strategy=broadcast" in ln and child_starts:
+            end = child_starts[1] if len(child_starts) > 1 else len(sub)
+            sides.append("\n".join(sub[child_starts[0] : end]))
+        if "rightHint=(strategy=broadcast" in ln and len(child_starts) > 1:
+            sides.append("\n".join(sub[child_starts[1] :]))
+        for side in sides:
+            tables = _scan_tables(side)
+            if not tables:
+                continue
+            if _SHRINK_RE.search(side) or _ID_BOUND_RE.search(side):
+                continue
+            flags.append(f"FORCED_BROADCAST[{','.join(sorted(tables))}]")
+    return flags
 
 
 def audit(plan: str) -> list[str]:
@@ -74,12 +157,14 @@ def main() -> None:
     hard = 0
     for name, fn in queries.items():
         try:
-            flags = audit(plan_text(fn(spark, sf_dir)))
+            df = fn(spark, sf_dir)
+            flags = audit(plan_text(df))
+            flags += forced_broadcast_flags(optimized_plan_text(df))
         except Exception as exc:  # noqa: BLE001
             print(f"ERR   {name}: {exc}")
             hard += 1
             continue
-        if any(f == "CARTESIAN" for f in flags):
+        if any(f == "CARTESIAN" or f.startswith("FORCED_BROADCAST") for f in flags):
             hard += 1
         print(f"{'FLAG' if flags else 'ok  '}  {name}: {', '.join(flags) or 'clean'}")
     print(f"\n{len(queries)} plans audited, {hard} hard failures")
