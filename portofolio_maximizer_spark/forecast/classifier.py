@@ -53,3 +53,140 @@ def train_eval_classifier(
         F.lit(train.count()).alias("n_train"),
         F.lit(10).alias("n_classes"),
     )
+
+
+def _confidence_correct(pred: DataFrame) -> DataFrame:
+    """Per-row (confidence, correct) from an MLlib prediction frame:
+    confidence = max class probability, correct = argmax hit."""
+    from pyspark.ml.functions import vector_to_array
+
+    conf = F.array_max(vector_to_array(F.col("probability")))
+    return pred.select(
+        conf.alias("conf"),
+        (F.col("prediction") == F.col("label")).cast("double").alias("correct"),
+    )
+
+
+def expected_calibration_error(
+    scored: DataFrame, conf_col: str = "conf", correct_col: str = "correct",
+    n_bins: int = 15,
+) -> float:
+    """15-bin ECE (Guo et al. 2017; the reference publishes its gate as
+    ECE=0.075, `/root/reference/README.md:150,250`):
+
+        ECE = Σ_b (n_b / N) · |acc_b − conf_b|
+
+    One groupBy over equal-width confidence bins — a bounded aggregate
+    (≤ n_bins rows), so the final reduce is driver-side by design.
+    """
+    binned = (
+        scored.withColumn(
+            "_bin",
+            F.least(
+                F.floor(F.col(conf_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+            ),
+        )
+        .groupBy("_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(correct_col).alias("acc"),
+            F.avg(conf_col).alias("avg_conf"),
+        )
+    )
+    row = binned.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("acc") - F.col("avg_conf")))
+            / F.sum("n")
+        ).alias("ece")
+    ).collect()[0]
+    return float(row["ece"])
+
+
+def fit_platt(
+    scored: DataFrame, conf_col: str = "conf", correct_col: str = "correct",
+    max_iter: int = 100,
+) -> tuple[float, float]:
+    """Platt scaling (Platt 1999; reference
+    `forcester_ts/directional_classifier.py:54-154` calibration stage):
+    fit P(correct | s) = σ(a·s + b) on a held-out calibration fold, where
+    s = logit(confidence). Distributed MLE via MLlib binary logistic
+    regression with a single feature and no regularization — the same
+    L-BFGS solve at any data scale.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    eps = 1e-6
+    s = F.col(conf_col)
+    s = F.least(F.greatest(s, F.lit(eps)), F.lit(1.0 - eps))
+    logit = F.log(s / (1 - s))
+    data = scored.select(
+        array_to_vector(F.array(logit)).alias("features"),
+        F.col(correct_col).alias("label"),
+    )
+    lr = LogisticRegression(maxIter=max_iter, regParam=0.0, family="binomial")
+    m = lr.fit(data)
+    return float(m.coefficients[0]), float(m.intercept)
+
+
+def platt_confidence(conf: F.Column, a: float, b: float) -> F.Column:
+    """Apply fitted Platt parameters to a confidence column (JVM-side)."""
+    eps = 1e-6
+    s = F.least(F.greatest(conf, F.lit(eps)), F.lit(1.0 - eps))
+    logit = F.log(s / (1 - s))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(a) * logit + F.lit(b))))
+
+
+def train_eval_calibrated_classifier(
+    emb: DataFrame,
+    label_col: str = "label",
+    folds: int = 5,
+    test_fold: int = 0,
+    calib_fold: int = 1,
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+    n_bins: int = 15,
+) -> DataFrame:
+    """F13 with the reference's calibration stage: train on folds other
+    than {test, calib}, Platt-calibrate on the calib fold, report
+    accuracy + 15-bin ECE before/after calibration on the test fold
+    (reference publishes DA **and** ECE as its gate,
+    `/root/reference/README.md:150,250`).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    fold = F.col("vec_id") % folds
+    data = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+        fold.alias("fold"),
+    )
+    train = data.filter(~F.col("fold").isin(test_fold, calib_fold))
+    calib = data.filter(F.col("fold") == calib_fold)
+    test = data.filter(F.col("fold") == test_fold)
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param, family="multinomial")
+    model = lr.fit(train)
+    hit = (F.col("prediction") == F.col("label")).cast("double")
+    train_acc = model.transform(train).agg(F.round(F.avg(hit), 6)).collect()[0][0]
+
+    a, b = fit_platt(_confidence_correct(model.transform(calib)))
+
+    scored = _confidence_correct(model.transform(test)).localCheckpoint(eager=True)
+    ece_raw = expected_calibration_error(scored, n_bins=n_bins)
+    recal = scored.select(
+        platt_confidence(F.col("conf"), a, b).alias("conf"), "correct"
+    )
+    ece_cal = expected_calibration_error(recal, n_bins=n_bins)
+    return scored.agg(
+        F.round(F.avg("correct"), 6).alias("accuracy"),
+        F.lit(train_acc).alias("train_accuracy"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.lit(train.count()).alias("n_train"),
+        F.lit(calib.count()).alias("n_calib"),
+        F.round(F.lit(ece_raw), 6).alias("ece_uncalibrated"),
+        F.round(F.lit(ece_cal), 6).alias("ece_platt"),
+        F.round(F.lit(a), 6).alias("platt_a"),
+        F.round(F.lit(b), 6).alias("platt_b"),
+    )

@@ -12,6 +12,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(ts: Column) -> Column:
+    """Epoch seconds (fractional) from any timestamp flavor.
+
+    TIMESTAMP_NTZ has no direct numeric cast in Spark 4; routing through
+    TIMESTAMP_LTZ works for LTZ (identity) and NTZ (session-tz reinterpret —
+    the session TZ is pinned to UTC in session.py, so the instant is
+    preserved). Use this instead of ``ts.cast("double")`` / ``unix_millis``
+    anywhere the timestamp's parquet encoding isn't under our control.
+    """
+    return ts.cast("timestamp_ltz").cast("double")
+
+
 def log_return(price: Column, prev_price: Column) -> Column:
     """ln(P_t / P_{t-1}) — reference `etl/portfolio_math.py:69-74`."""
     return F.log(price / prev_price)

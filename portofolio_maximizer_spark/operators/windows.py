@@ -136,11 +136,13 @@ def sessionize(
     equivalent of Structured Streaming ``session_window`` (§2.9); the
     reference's closest analog is the gap run-length (W9).
     """
+    from portofolio_maximizer_spark.functions.scalars import epoch_seconds
+
     w = by_key_ordered(keys, ts)
     prev = F.lag(ts, 1).over(w)
     new_session = (
         prev.isNull()
-        | (F.col(ts).cast("double") - prev.cast("double") > gap_seconds)
+        | (epoch_seconds(F.col(ts)) - epoch_seconds(prev) > gap_seconds)
     ).cast("int")
     return df.withColumn(
         "session_id", F.sum(new_session).over(cumulative(keys, ts))

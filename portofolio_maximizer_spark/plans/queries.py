@@ -117,7 +117,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue",
     oracle="""
     SELECT o.o_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+             AS revenue,
            CAST(o.o_orderdate AS DATE)                           AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -142,17 +144,18 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # Exact DECIMAL money sum (SURVEY §7.3 item 6): order-independent, so
+    # the 6-decimal hash survives any join-order / partial-agg re-plan.
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
     return (
         li.join(
             o.join(c, o.o_custkey == c.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            )
-        )
+        .agg(r6(F.sum(rev).cast("double")).alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -168,7 +171,9 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+             AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -199,15 +204,18 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
         s.s_nationkey == n.n_nationkey,
     )
+    # Exact DECIMAL money sum: the r3 join restructure flipped double
+    # partial-summation order and broke the 6-decimal hash by one ulp —
+    # decimal sums are order-independent, so plan changes can't re-roll
+    # that dice (SURVEY §7.3 item 6).
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
     return (
         li.join(dims, li.l_suppkey == dims.s_suppkey)
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            )
-        )
+        .agg(r6(F.sum(rev).cast("double")).alias("revenue"))
     )
 
 
@@ -956,7 +964,10 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
 
     def hours(a: str, b: str):
-        return (F.unix_millis(F.col(a)) - F.unix_millis(F.col(b))) / 3600000.0
+        # cast to LTZ first: unix_millis rejects TIMESTAMP_NTZ (Spark 4)
+        am = F.unix_millis(F.col(a).cast("timestamp_ltz"))
+        bm = F.unix_millis(F.col(b).cast("timestamp_ltz"))
+        return (am - bm) / 3600000.0
 
     r1 = s1.agg(F.count(F.lit(1)).alias("n_users")).select(
         F.lit(1).alias("step"),

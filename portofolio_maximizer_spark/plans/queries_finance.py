@@ -524,7 +524,7 @@ def low_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "run_id")
         .agg(
             F.count(F.lit(1)).alias("run_len"),
-            F.unix_millis(F.min("ts")).alias("run_start_ms"),
+            F.unix_millis(F.min("ts").cast("timestamp_ltz")).alias("run_start_ms"),
         )
         .filter(F.col("run_len") >= 3)
     )

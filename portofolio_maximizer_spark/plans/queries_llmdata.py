@@ -847,11 +847,13 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM spans s JOIN documents d USING (doc_id)
                WHERE s.nxt IS NOT NULL AND s.nxt - s.st >= 24),
     ch AS (SELECT DISTINCT doc_id, MD5(chunk) AS h, LENGTH(chunk) AS clen
-           FROM chunks)
+           FROM chunks),
+    hot AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) > 16),
+    chf AS (SELECT * FROM ch WHERE h NOT IN (SELECT h FROM hot))
     SELECT a.doc_id AS d1, b2.doc_id AS d2,
            COUNT(*) AS n_shared_chunks,
            CAST(SUM(a.clen) AS BIGINT) AS shared_chars
-    FROM ch a JOIN ch b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+    FROM chf a JOIN chf b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
     GROUP BY 1, 2
     """,
 )
@@ -866,10 +868,15 @@ def cdc_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     away.
 
     Scale: the pair join is an equi-join on chunk hash — bucketed like
-    LSH bands; a pathologically popular chunk (boilerplate) fans out
-    quadratically in its doc-frequency, so production runs drop
-    top-frequency chunk hashes first (same stop-list discipline as
-    shingle dedup)."""
+    LSH bands. A pathologically popular chunk (boilerplate headers,
+    license text) fans out quadratically in its doc-frequency, so chunk
+    hashes appearing in more than ``df_cap`` documents are dropped
+    BEFORE the pair join (same stop-list discipline as shingle dedup):
+    the df count is a map-side-combinable aggregate on the join key, and
+    the resulting hot-hash list is tiny (broadcast anti-join). Guarded
+    by the boilerplate test in tests/test_llmdata.py. The per-char
+    boundary scan stays in one whole-stage-codegen pipeline (explode →
+    substr → md5 → filter, no shuffle of the exploded rows)."""
     docs = load_table(spark, sf_dir, "documents")
     pos = docs.select(
         "doc_id",
@@ -904,6 +911,20 @@ def cdc_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunks.select(
         "doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
     ).distinct()
+    # Hot-chunk stop-list: boilerplate chunks shared by > df_cap docs
+    # would pair quadratically; drop them before the join. The df count
+    # is map-side combinable on the join key; the hot list is much
+    # smaller than ch but still corpus-sized in the worst case, so the
+    # anti-join carries NO broadcast hint — AQE broadcasts it from
+    # runtime stats when it is in fact tiny.
+    df_cap = 16
+    hot = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("h")
+    )
+    ch = ch.join(hot, "h", "left_anti")
     a = ch.alias("a")
     b2 = ch.alias("b2")
     return (

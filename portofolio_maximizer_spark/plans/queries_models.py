@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..forecast import ar_grid_forecast_fanout, ewma_vol_forecast, ssa_reconstruct
-from ..forecast.classifier import train_eval_classifier
+from ..forecast.classifier import train_eval_calibrated_classifier
 from ..sources.catalog import load_table
 from .queries import query
 from .queries_stats import _series
@@ -47,11 +47,14 @@ def ssa_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_classifier_eval")
 def embedding_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13: MLlib multinomial logistic regression on the embeddings table,
-    deterministic hash fold split (`forcester_ts/directional_classifier.py:
-    54-154`)."""
+    """F13: MLlib multinomial logistic regression on the embeddings table
+    with the reference's full calibration stage — Platt scaling fit on a
+    held-out fold + 15-bin ECE before/after
+    (`forcester_ts/directional_classifier.py:54-154`; the reference's
+    published gate is accuracy AND ECE, `README.md:150,250`).
+    Deterministic hash fold split."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return train_eval_classifier(emb)
+    return train_eval_calibrated_classifier(emb)
 
 
 # The applyInPandas simulation is the most expensive kernel in the pack and

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import epoch_seconds
 from ..sources.catalog import load_table
 from .queries import query, r6
 from .queries_stats import _S_SQL, _series, _w
@@ -357,7 +358,7 @@ def dq_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_backwards_ts"),
         r6(
             F.max(
-                F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+                epoch_seconds(F.col("ts")) - epoch_seconds(F.col("prev_ts"))
             )
         ).alias("max_gap_seconds"),
     )

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- timestamps: UTC everywhere (reference normalizes to UTC) ---
         .config("spark.sql.session.timeZone", "UTC")
+        # Read un-adjusted parquet timestamps as TIMESTAMP_LTZ, not NTZ:
+        # the session TZ is pinned to UTC so the instant is identical, and
+        # LTZ supports the epoch arithmetic (cast to double / unix_micros)
+        # the windowing + validation operators rely on.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- parquet: pushdown on (default, stated for clarity) ---
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

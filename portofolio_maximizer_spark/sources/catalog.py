@@ -39,20 +39,27 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects by default; read nanos as long and convert to a microsecond
-    timestamp (truncation — same as DuckDB's ns→µs conversion).
+    ``events.ts`` has shipped under three different parquet encodings across
+    testdata generations: TIMESTAMP(NANOS) (readable only as long under the
+    ``nanosAsLong`` legacy conf), plain un-adjusted TIMESTAMP(MICROS) (which
+    Spark ≥3.4 surfaces as TIMESTAMP_NTZ when ``inferTimestampNTZ`` is on),
+    and UTC-adjusted micros (TIMESTAMP_LTZ). Normalize all three to
+    TIMESTAMP_LTZ here, in one place, so every downstream operator can rely
+    on epoch arithmetic (``unix_micros`` / ``cast("double")``) working. The
+    session TZ is pinned to UTC (session.py) so NTZ→LTZ is instant-preserving.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        if ts_type == "bigint":  # legacy nanos encoding: truncate ns → µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":  # timestamp_ntz (or future variants)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
         return df
     return spark.read.parquet(path)
 

@@ -37,18 +37,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Raw parquet schema of the events table: ts is TIMESTAMP(NANOS), which the
-# reader surfaces as LONG under spark.sql.legacy.parquet.nanosAsLong.
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# NOTE: the events table's ts parquet encoding has changed across testdata
+# generations (TIMESTAMP(NANOS) → plain TIMESTAMP(MICROS)). The stream
+# therefore takes its schema from the file footer (one cheap batch read of
+# metadata) instead of hard-coding one, and normalizes ts the same way
+# sources/catalog.py does for the batch path.
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -77,9 +70,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``update_frequency``, and a production deployment pointing this at a
     landing directory gets incremental tail ingest (S12) for free.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW).parquet(_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # File-source streams need an explicit schema; take it from the real
+    # file footer so a regenerated testdata encoding can never silently
+    # produce an empty stream (the watermark would simply never advance).
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # legacy nanos encoding
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":  # timestamp_ntz or future variants
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return raw
 
 
 def tumbling_value_rollup(stream: DataFrame, width: str = "1 hour") -> DataFrame:

@@ -73,12 +73,78 @@ def test_classifier_fits_and_is_deterministic(spark, sf_dir):
     optimizer genuinely fits (train accuracy ≫ 10-class chance via
     memorization) and that the whole pipeline is run-to-run deterministic."""
     row = QUERIES["embedding_classifier_eval"](spark, sf_dir).collect()[0]
-    assert row.n_train + row.n_test == 500
+    assert row.n_train + row.n_calib + row.n_test == 500
     assert row.train_accuracy > 0.3  # memorizes 64-dim train set, chance=0.1
     assert 0.0 <= row.accuracy <= 1.0
+    # calibration stage (F13): ECE present and sane; Platt must not make
+    # calibration dramatically worse than raw confidences
+    assert 0.0 <= row.ece_uncalibrated <= 1.0
+    assert 0.0 <= row.ece_platt <= 1.0
+    assert row.platt_a == row.platt_a  # finite (not NaN)
     row2 = QUERIES["embedding_classifier_eval"](spark, sf_dir).collect()[0]
     assert row.accuracy == row2.accuracy
     assert row.train_accuracy == row2.train_accuracy
+    assert row.ece_platt == row2.ece_platt
+
+
+def test_ece_matches_independent_numpy(spark):
+    """Spark 15-bin ECE == independent numpy ECE on a synthetic scored
+    frame with known miscalibration."""
+    import numpy as np
+    import pandas as pd
+
+    from portofolio_maximizer_spark.forecast.classifier import (
+        expected_calibration_error,
+    )
+
+    rng = np.random.default_rng(7)
+    conf = rng.uniform(0.05, 0.999, 400)
+    # overconfident by construction: true hit prob is conf * 0.8
+    correct = (rng.uniform(size=400) < conf * 0.8).astype(float)
+    sdf = spark.createDataFrame(pd.DataFrame({"conf": conf, "correct": correct}))
+    got = expected_calibration_error(sdf, n_bins=15)
+
+    bins = np.minimum((conf * 15).astype(int), 14)
+    ece = 0.0
+    for b in range(15):
+        m = bins == b
+        if m.sum():
+            ece += m.sum() / 400 * abs(correct[m].mean() - conf[m].mean())
+    assert abs(got - ece) < 1e-9
+
+
+def test_platt_fit_matches_numpy_irls(spark):
+    """MLlib's single-feature unregularized logistic MLE (the Platt fit)
+    must agree with an independent numpy Newton/IRLS solve."""
+    import numpy as np
+    import pandas as pd
+
+    from portofolio_maximizer_spark.forecast.classifier import fit_platt
+
+    rng = np.random.default_rng(11)
+    conf = rng.uniform(0.1, 0.999, 600)
+    s = np.log(conf / (1 - conf))
+    true_a, true_b = 0.7, -0.4
+    p = 1.0 / (1.0 + np.exp(-(true_a * s + true_b)))
+    correct = (rng.uniform(size=600) < p).astype(float)
+
+    sdf = spark.createDataFrame(pd.DataFrame({"conf": conf, "correct": correct}))
+    a, b = fit_platt(sdf)
+
+    # numpy IRLS for logistic regression on (s, correct)
+    X = np.column_stack([s, np.ones_like(s)])
+    w = np.zeros(2)
+    for _ in range(50):
+        z = X @ w
+        mu = 1.0 / (1.0 + np.exp(-z))
+        g = X.T @ (correct - mu)
+        W = mu * (1 - mu)
+        H = X.T @ (X * W[:, None])
+        step = np.linalg.solve(H, g)
+        w = w + step
+        if np.abs(step).max() < 1e-12:
+            break
+    assert abs(a - w[0]) < 1e-3 and abs(b - w[1]) < 1e-3
 
 
 def test_cusum_detects_injected_shift(spark):

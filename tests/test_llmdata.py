@@ -148,3 +148,38 @@ def test_ivf_ann_query_runs(spark, sf_dir):
     assert (out.rnk <= 5).all()
     assert out.groupby("qid").size().le(5).all()
     assert (out.cosine.abs() <= 1.0 + 1e-9).all()
+
+
+def test_cdc_hot_chunk_stoplist_keeps_pairs_linear(spark, tmp_path):
+    """L20 scale guard: a boilerplate chunk shared by 50 docs must NOT
+    produce the ~50·49/2 quadratic pair fan-out — the df-capped stop-list
+    drops it before the pair join — while a rare span shared by exactly
+    2 docs must still be detected."""
+    import random
+
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+
+    def text(n, seed):
+        r = random.Random(seed)
+        return "".join(r.choice(alpha) for _ in range(n))
+
+    boiler = text(600, "boiler")  # df=50 ≫ cap=16 → stop-listed
+    rare = text(600, "rare")      # df=2 ≤ cap → kept
+    rows = [(i, text(200, f"u{i}") + boiler, "en", "synthetic", 800)
+            for i in range(50)]
+    rows += [(1000, text(200, "a") + rare, "en", "synthetic", 800),
+             (1001, text(200, "b") + rare, "en", "synthetic", 800)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf_cdc")
+    docs.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    out = QUERIES["cdc_span_overlap_pairs"](spark, d).collect()
+    pairs = {(r.d1, r.d2) for r in out}
+    assert (1000, 1001) in pairs, "rare shared span must survive the stop-list"
+    # without the stop-list the 50 boilerplate docs alone give 1225 pairs
+    assert len(pairs) < 60, f"quadratic fan-out leaked through: {len(pairs)} pairs"

@@ -288,3 +288,19 @@ def test_transform_with_state_matches_classic(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     assert sorted(map(tuple, modern)) == sorted(map(tuple, classic))
     assert len(classic) > 0  # the fixture actually produces alerts
+
+
+def test_streaming_queries_nonempty(spark, sf_dir):
+    """Every rows-only streaming queries() entry must drain >0 rows.
+
+    Guard against the r3 failure mode where a schema/encoding shift in the
+    events parquet made the watermark never advance, so append-mode drains
+    returned 0 rows and the driver bench timed the empty result as a
+    'successful' 4-second query — silent wrongness this test makes loud.
+    """
+    from portofolio_maximizer_spark.plans import QUERIES as qs
+    streaming_names = [n for n in qs if n.startswith("streaming_")]
+    assert streaming_names, "no streaming queries registered"
+    for name in streaming_names:
+        n = qs[name](spark, sf_dir).count()
+        assert n > 0, f"{name} drained 0 rows at {sf_dir}"
