@@ -49,6 +49,15 @@ TRADES_SCHEMA = StructType(
     ]
 )
 
+# LOB-fill mode adds the mids so per-trade slippage is auditable.
+LOB_TRADES_SCHEMA = StructType(
+    TRADES_SCHEMA.fields
+    + [
+        StructField("entry_mid", DoubleType()),
+        StructField("exit_mid", DoubleType()),
+    ]
+)
+
 
 @dataclass(frozen=True)
 class BacktestConfig:
@@ -62,6 +71,61 @@ class BacktestConfig:
     max_hold: int = 20
     size_frac: float = 0.25
     initial_cash: float = 10_000.0
+    # LOB fill model (reference execution/lob_simulator.py:12-19 defaults)
+    lob_levels: int = 10
+    lob_tick_bps: float = 1.0
+    lob_alpha: float = 0.8
+    lob_exhaust_levels: int = 25
+
+
+def lob_vwap_fill(
+    mid: np.ndarray,
+    half_spread: np.ndarray,
+    depth_notional: np.ndarray,
+    shares: np.ndarray,
+    side: int = 1,
+    levels: int = 10,
+    tick_bps: float = 1.0,
+    alpha: float = 0.8,
+    exhaust_levels: int = 25,
+) -> np.ndarray:
+    """Vectorized market-order VWAP against an exponential-depth ladder
+    (reference `execution/lob_simulator.py:51-166`): the order starts at
+    mid ± half_spread and walks ``levels`` price ticks, each holding an
+    e^(-alpha·i) share of ``depth_notional``; whatever the book cannot
+    absorb fills at a deep exhaust tail. All array ops — one call prices
+    a whole batch of orders, no per-order Python loop.
+
+    side=+1 buys (walks up), side=-1 sells (walks down, floored at one
+    tick). Returns the per-order VWAP; buy VWAP ≥ start ≥ mid and the
+    symmetric bound for sells (invariant-tested).
+    """
+    mid = np.asarray(mid, dtype=float)
+    hs = np.abs(np.asarray(half_spread, dtype=float))
+    depth = np.asarray(depth_notional, dtype=float)
+    req = np.asarray(shares, dtype=float)
+
+    tick = np.maximum(mid * tick_bps / 1e4, np.maximum(1e-9, mid * 1e-4))
+    start = np.maximum(mid + side * hs, tick)
+
+    w = np.exp(-alpha * np.arange(levels))
+    w = w / w.sum()
+    # price and share depth at each ladder level: (n_orders, levels)
+    px = start[:, None] + side * np.arange(levels)[None, :] * tick[:, None]
+    px = np.maximum(px, tick[:, None])
+    avail = depth[:, None] * w[None, :] / px
+    cum_before = np.concatenate(
+        [np.zeros((len(mid), 1)), np.cumsum(avail, axis=1)[:, :-1]], axis=1
+    )
+    filled = np.clip(req[:, None] - cum_before, 0.0, avail)
+    cost = (filled * px).sum(axis=1)
+    # exhaust tail: residual fills max(levels, exhaust_levels) ticks out
+    remaining = np.maximum(req - filled.sum(axis=1), 0.0)
+    tail_px = np.maximum(
+        start + side * max(levels, exhaust_levels) * tick, tick
+    )
+    cost = cost + remaining * tail_px
+    return np.where(req > 0, cost / np.where(req > 0, req, 1.0), start)
 
 
 def simulate_trades(
@@ -70,15 +134,49 @@ def simulate_trades(
     key: str = "user_id",
     order_col: str = "rn",
     value_col: str = "value",
+    half_spread_col: str | None = None,
+    depth_col: str | None = None,
 ) -> DataFrame:
-    """Run the stateful per-key simulation; returns the trades table."""
+    """Run the stateful per-key simulation; returns the trades table.
+
+    With ``half_spread_col`` + ``depth_col`` set, entries and exits fill
+    at the LOB ladder VWAP (``lob_vwap_fill``) instead of the bar price —
+    the reference's depth-walk fill model (`execution/lob_simulator.py:
+    51-166` wired through `execution/paper_trading_engine.py`); exit
+    TRIGGERS (stop/target/ratchet) still evaluate on the mid, as the
+    reference does. The output then carries ``entry_mid``/``exit_mid``
+    so slippage is auditable per trade.
+    """
     cfg = config or BacktestConfig()
+    lob = half_spread_col is not None and depth_col is not None
+    schema = LOB_TRADES_SCHEMA if lob else TRADES_SCHEMA
 
     def run(cols_np: dict) -> list[tuple]:
         order = np.argsort(cols_np[order_col], kind="stable")
         px = cols_np[value_col][order].astype(float)
         rn = cols_np[order_col][order]
         uid = int(cols_np[key][0])
+        if lob:
+            hs_arr = cols_np[half_spread_col][order].astype(float)
+            dp_arr = cols_np[depth_col][order].astype(float)
+
+        def fill(i: int, shares: float, side: int) -> float:
+            if not lob:
+                return float(px[i])
+            return float(
+                lob_vwap_fill(
+                    px[i : i + 1],
+                    hs_arr[i : i + 1],
+                    dp_arr[i : i + 1],
+                    np.array([shares]),
+                    side=side,
+                    levels=cfg.lob_levels,
+                    tick_bps=cfg.lob_tick_bps,
+                    alpha=cfg.lob_alpha,
+                    exhaust_levels=cfg.lob_exhaust_levels,
+                )[0]
+            )
+
         n = len(px)
         if n < cfg.momentum_k + cfg.atr_k + 2:
             return []
@@ -97,22 +195,24 @@ def simulate_trades(
 
         def close(i: int, reason: str) -> None:
             nonlocal cash, pos_shares, entry_i, ratchets
-            pnl = (px[i] - entry_px) * pos_shares
-            cash += pos_shares * px[i]
-            trades.append(
-                (
-                    uid,
-                    int(rn[entry_i]),
-                    int(rn[i]),
-                    round(entry_px, 6),
-                    round(float(px[i]), 6),
-                    round(pos_shares, 6),
-                    round(float(pnl), 6),
-                    reason,
-                    int(i - entry_i),
-                    ratchets,
-                )
+            exit_px = fill(i, pos_shares, -1)
+            pnl = (exit_px - entry_px) * pos_shares
+            cash += pos_shares * exit_px
+            row = (
+                uid,
+                int(rn[entry_i]),
+                int(rn[i]),
+                round(entry_px, 6),
+                round(exit_px, 6),
+                round(pos_shares, 6),
+                round(float(pnl), 6),
+                reason,
+                int(i - entry_i),
+                ratchets,
             )
+            if lob:
+                row = row + (round(float(px[entry_i]), 6), round(float(px[i]), 6))
+            trades.append(row)
             pos_shares = 0.0
             entry_i = -1
             ratchets = 0
@@ -142,10 +242,13 @@ def simulate_trades(
                 equity = cash
                 spend = equity * cfg.size_frac
                 if spend > 0 and px[i] > 0:
+                    # requested shares priced at mid (reference order_value
+                    # semantics); the fill VWAP walks the ladder, so the
+                    # cash outlay exceeds `spend` by exactly the slippage
                     pos_shares = spend / px[i]
-                    cash -= spend
+                    entry_px = fill(i, pos_shares, +1)
+                    cash -= pos_shares * entry_px
                     entry_i = i
-                    entry_px = float(px[i])
                     stop = entry_px - cfg.stop_atr * atr[i]
                     target = entry_px + cfg.target_atr * atr[i]
                     ratchets = 0
@@ -153,7 +256,7 @@ def simulate_trades(
 
     from .arrowgroup import grouped_numpy
 
-    return grouped_numpy(series, [key], TRADES_SCHEMA, run)
+    return grouped_numpy(series, [key], schema, run)
 
 
 PORTFOLIO_SCHEMA = StructType(

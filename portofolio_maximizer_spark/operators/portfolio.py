@@ -149,6 +149,89 @@ def min_variance_weights(series: DataFrame, **kw) -> DataFrame:
     return _emit_weights(series.sparkSession, keys, sigma, w, "min_variance")
 
 
+def ledoit_wolf_lambda(
+    series: DataFrame,
+    sigma_sample: np.ndarray,
+    n_assets: int,
+    key: str = "user_id",
+    order_col: str = "rn",
+    ret_col: str = "lr",
+) -> float:
+    """Ledoit-Wolf (2004) optimal shrinkage intensity toward μI
+    (reference `etl/portfolio_math.py:266-310` via sklearn ``LedoitWolf``;
+    formula re-derived from the paper — λ = β/δ with
+    δ = ‖S − μI‖²_F/p and β = (Σ_k‖x_kx_kᵀ − S‖²_F)/(n²p)).
+
+    Everything O(rows) is distributed: the only data-dependent fourth
+    moment, q = Σ_k (x_k·x_k)², reduces to one per-time-point aggregate
+    over centered returns (x_k is the cross-sectional return vector at
+    time k). The remaining terms come from the already-collected N×N Σ.
+    Time points missing any asset are excluded (aligned-panel discipline,
+    same as the pairwise covariance path).
+    """
+    s = series.filter(F.col(ret_col).isNotNull()).select(key, order_col, ret_col)
+    mu_by_asset = s.groupBy(key).agg(F.avg(ret_col).alias("_mu"))
+    centered = s.join(mu_by_asset, key).select(
+        order_col, (F.col(ret_col) - F.col("_mu")).alias("_c")
+    )
+    per_t = centered.groupBy(order_col).agg(
+        F.count(F.lit(1)).alias("_n_assets"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ssq"),
+    ).filter(F.col("_n_assets") == n_assets)
+    row = per_t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_ssq") * F.col("_ssq")).alias("q"),
+    ).collect()[0]
+    n, q = int(row["n"]), float(row["q"])
+    if n <= 1:
+        return 0.0
+    p = n_assets
+    # covariance_long uses the unbiased (n−1) estimator; the LW formula is
+    # stated for the biased 1/n one — rescale before mixing with q.
+    sb = sigma_sample * (n - 1) / n
+    frob = float((sb**2).sum())
+    mu = float(np.trace(sb)) / p
+    delta = (frob - 2.0 * mu * float(np.trace(sb)) + p * mu * mu) / p
+    beta = (q / n - frob) / (n * p)
+    beta = max(0.0, min(beta, delta))
+    return float(beta / delta) if delta > 0 else 0.0
+
+
+def min_variance_weights_shrunk(
+    series: DataFrame, shrinkage: float | None = None, **kw
+) -> DataFrame:
+    """Long-only min-variance on the Ledoit-Wolf-shrunk covariance
+    Σ_λ = (1−λ)·S + λ·μI (reference `etl/portfolio_math.py:266-310`,
+    method="ledoit_wolf"). λ is estimated from the data unless pinned via
+    ``shrinkage`` (used by the monotonicity invariant tests). The λ-blend
+    itself is a driver-side matrix op — Σ is N×N, KBs — while both inputs
+    (pairwise covariances, the LW fourth-moment) are distributed
+    aggregates."""
+    cov = covariance_long(series, **kw)
+    keys, sigma = _collect_sigma(cov)
+    # covar_samp is the unbiased (n−1) estimator; LW is stated for the
+    # biased 1/n one. The (n−1)/n rescale cancels in the weights but not
+    # in λ, so rescale with the panel length used by the λ estimator.
+    lam = shrinkage
+    n_assets = len(keys)
+    mu = float(np.trace(sigma)) / max(n_assets, 1)
+    if lam is None:
+        lam = ledoit_wolf_lambda(
+            series,
+            sigma,
+            n_assets,
+            key=kw.get("key", "user_id"),
+            order_col=kw.get("order_col", "rn"),
+            ret_col=kw.get("ret_col", "lr"),
+        )
+    sigma_sh = (1.0 - lam) * sigma + lam * mu * np.eye(n_assets)
+    w = minvar_longonly(sigma_sh)
+    out = _emit_weights(
+        series.sparkSession, keys, sigma_sh, w, "min_variance_lw"
+    )
+    return out.withColumn("shrinkage", F.round(F.lit(float(lam)), 6))
+
+
 def risk_parity_weights(series: DataFrame, **kw) -> DataFrame:
     """Distributed covariance → driver fixed-point ERC solve → weights DF."""
     cov = covariance_long(series, **kw)

@@ -911,6 +911,13 @@ def cdc_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunks.select(
         "doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
     ).distinct()
+    # The (doc_id, h, clen) chunk set feeds THREE consumers (hot list +
+    # both sides of the pair join) and Catalyst does not share the subtree
+    # across joins (0 ReusedExchange, 4 repeats of the per-char chunk
+    # scan). Materialize it once: it is ~100× smaller than the text scan
+    # that produces it. At cluster scale this is the stage boundary you'd
+    # persist or write to a staging table.
+    ch = ch.localCheckpoint(eager=True)
     # Hot-chunk stop-list: boilerplate chunks shared by > df_cap docs
     # would pair quadratically; drop them before the join. The df count
     # is map-side combinable on the join key; the hot list is much

@@ -67,9 +67,35 @@ _TRADES_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _simulated_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _TRADES_CACHE:
+        from ..functions.scalars import hash_unit_interval
         from ..operators.backtest import simulate_trades
 
-        trades = simulate_trades(_series(spark, sf_dir).select("user_id", "rn", "value"))
+        # Deterministic microstructure columns (hash uniforms, same idiom
+        # as sources/synthetic.py): half-spread 1–5 bps of mid, visible
+        # depth 50k–500k notional. Fills then walk the LOB ladder
+        # (reference execution/lob_simulator.py:51-166) instead of
+        # assuming infinite liquidity at the bar price.
+        s = _series(spark, sf_dir).select(
+            "user_id",
+            "rn",
+            "value",
+            (
+                F.col("value")
+                * (
+                    F.lit(0.0001)
+                    + F.lit(0.0004)
+                    * hash_unit_interval(F.lit(7), F.col("user_id"), F.col("rn"))
+                )
+            ).alias("half_spread"),
+            (
+                F.lit(50_000.0)
+                + F.lit(450_000.0)
+                * hash_unit_interval(F.lit(11), F.col("user_id"), F.col("rn"))
+            ).alias("depth_notional"),
+        )
+        trades = simulate_trades(
+            s, half_spread_col="half_spread", depth_col="depth_notional"
+        )
         _TRADES_CACHE[key] = trades.localCheckpoint(eager=True)
     return _TRADES_CACHE[key]
 

@@ -1657,6 +1657,24 @@ def min_variance_weights_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_variance_weights(s)
 
 
+@query("min_variance_weights_shrunk")
+def min_variance_weights_shrunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 long-only min-variance on the Ledoit-Wolf-shrunk covariance
+    Σ_λ = (1−λ)S + λμI, with λ estimated from the data (reference
+    `etl/portfolio_math.py:266-310`, method="ledoit_wolf" via sklearn;
+    re-derived here with the fourth-moment statistic computed as a
+    distributed per-time-point aggregate). Rows-only; λ-monotonicity and
+    the numpy cross-check live in tests/test_portfolio.py."""
+    from ..operators.portfolio import min_variance_weights_shrunk
+
+    s = (
+        _series(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "rn", "lr")
+    )
+    return min_variance_weights_shrunk(s)
+
+
 @query("risk_parity_weights_n")
 def risk_parity_weights_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F16 N-asset equal-risk-contribution weights (N=20 universe) —

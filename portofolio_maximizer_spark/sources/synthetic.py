@@ -89,4 +89,8 @@ def synthetic_bars(
         F.round("close", 6).alias("close"),
         (F.lit(100000) + (u_vol * 900000).cast("long")).alias("volume"),
         F.round(0.0001 + 0.0004 * u_hi, 6).alias("spread"),
+        # visible book depth in notional (reference microstructure column
+        # set, `etl/synthetic_extractor.py:459-467`: Spread/Depth/…) —
+        # feeds the LOB VWAP fill model in operators/backtest.py
+        F.round(50_000.0 + 450_000.0 * u_lo, 2).alias("depth_notional"),
     )

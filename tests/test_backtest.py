@@ -186,3 +186,112 @@ def test_portfolio_cash_never_negative(spark, sf_dir):
         assert (
             np.abs(out.filled_shares - out.requested_shares * out.fill_ratio) <= tol
         ).all()
+
+
+# ---------------------------------------------------------------------------
+# LOB VWAP fill model (reference execution/lob_simulator.py:51-166)
+# ---------------------------------------------------------------------------
+
+
+def _run_lob(spark, prices, half_spread, depth, cfg=CFG):
+    pdf = pd.DataFrame(
+        {
+            "user_id": 1,
+            "rn": range(len(prices)),
+            "value": [float(p) for p in prices],
+            "half_spread": [float(h) for h in half_spread],
+            "depth_notional": [float(d) for d in depth],
+        }
+    )
+    from portofolio_maximizer_spark.operators.backtest import simulate_trades
+
+    return simulate_trades(
+        spark.createDataFrame(pdf),
+        cfg,
+        half_spread_col="half_spread",
+        depth_col="depth_notional",
+    ).toPandas()
+
+
+def test_lob_fill_diverges_from_mid_under_wide_spread(spark):
+    prices = [100] * 6 + [110, 118, 126, 134, 142, 150, 120]
+    n = len(prices)
+    out = _run_lob(spark, prices, [p * 0.01 for p in prices], [1e6] * n)
+    assert len(out) >= 1
+    t = out.iloc[0]
+    # wide spread: buy fills above mid, sell fills below mid
+    assert t.entry_price > t.entry_mid
+    assert t.exit_price < t.exit_mid
+    # 1% half-spread → at least ~100bps adverse on each side
+    assert (t.entry_price - t.entry_mid) / t.entry_mid >= 0.009
+
+
+def test_lob_slippage_bounded_by_exhaust_tail(spark):
+    import numpy as np
+
+    from portofolio_maximizer_spark.operators.backtest import lob_vwap_fill
+
+    mid = np.array([100.0])
+    hs = np.array([0.05])
+    # book far too thin for the order: most fills at the exhaust tail
+    vwap = lob_vwap_fill(mid, hs, np.array([500.0]), np.array([1000.0]), side=1)
+    start = 100.05
+    tick = 100.0 * 1e-4
+    tail = start + 25 * tick
+    assert start < vwap[0] <= tail
+    # sell side: symmetric, floored at one tick
+    vs = lob_vwap_fill(mid, hs, np.array([500.0]), np.array([1000.0]), side=-1)
+    assert (start_s := 100.0 - 0.05) > vs[0] >= start_s - 25 * tick
+
+
+def test_lob_zero_spread_deep_book_equals_bar_fill(spark):
+    """With zero spread and a bottomless book the LOB path must reproduce
+    the plain bar-price simulation (back-compat equivalence)."""
+    prices = [100] * 6 + [110, 118, 126, 134, 142, 150, 120]
+    n = len(prices)
+    base = _run(spark, prices)
+    lob = _run_lob(spark, prices, [0.0] * n, [1e12] * n)
+    assert len(base) == len(lob)
+    for c in ["entry_rn", "exit_rn", "shares", "exit_reason"]:
+        assert list(base[c]) == list(lob[c])
+    # VWAP of level-0-only fill at zero spread == mid == bar price (the
+    # only residue is the first level's tick rounding at float precision)
+    assert np.allclose(base.entry_price, lob.entry_price, rtol=1e-9)
+    assert np.allclose(base.exit_price, lob.exit_price, rtol=1e-9)
+
+
+def test_lob_vwap_vectorized_matches_scalar_walk(spark):
+    """The vectorized ladder walk must equal an independent per-order
+    scalar reimplementation of the reference algorithm."""
+    import math
+
+    import numpy as np
+
+    from portofolio_maximizer_spark.operators.backtest import lob_vwap_fill
+
+    rng = np.random.default_rng(5)
+    n = 50
+    mid = rng.uniform(10, 500, n)
+    hs = mid * rng.uniform(0, 0.01, n)
+    depth = rng.uniform(1e3, 1e6, n)
+    shares = rng.uniform(1, 5000, n)
+    got = lob_vwap_fill(mid, hs, depth, shares, side=1)
+
+    levels, alpha, tick_bps, exhaust = 10, 0.8, 1.0, 25
+    w = [math.exp(-alpha * i) for i in range(levels)]
+    W = sum(w)
+    for j in range(n):
+        tick = max(mid[j] * tick_bps / 1e4, max(1e-9, mid[j] * 1e-4))
+        start = max(mid[j] + hs[j], tick)
+        remaining, cost = shares[j], 0.0
+        for i in range(levels):
+            if remaining <= 0:
+                break
+            px = start + i * tick
+            avail = depth[j] * (w[i] / W) / px
+            fill = min(remaining, avail)
+            remaining -= fill
+            cost += fill * px
+        if remaining > 0:
+            cost += remaining * (start + max(levels, exhaust) * tick)
+        assert abs(got[j] - cost / shares[j]) < 1e-9 * max(1.0, cost / shares[j])

@@ -245,3 +245,94 @@ def test_sampled_shapley_additivity_and_determinism(spark, sf_dir):
         out.sort_values("user_id").reset_index(drop=True),
         out2.sort_values("user_id").reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ledoit-Wolf shrinkage (reference etl/portfolio_math.py:266-310)
+# ---------------------------------------------------------------------------
+
+
+def _panel_df(spark, n_assets=6, n_t=120, seed=3):
+    rng = np.random.default_rng(seed)
+    # correlated returns: factor + idiosyncratic
+    f = rng.normal(0, 0.02, n_t)
+    rows = []
+    for a in range(n_assets):
+        beta = 0.5 + 0.1 * a
+        r = beta * f + rng.normal(0, 0.01 * (1 + a / 4), n_t)
+        rows += [(a, t, float(r[t])) for t in range(n_t)]
+    return spark.createDataFrame(rows, "user_id long, rn long, lr double"), rows
+
+
+def test_lw_lambda_matches_independent_numpy(spark):
+    """Distributed λ must equal the Ledoit-Wolf 2004 formula computed
+    directly on the collected returns matrix in numpy."""
+    from portofolio_maximizer_spark.operators.portfolio import (
+        covariance_long,
+        ledoit_wolf_lambda,
+        _collect_sigma,
+    )
+
+    sdf, rows = _panel_df(spark)
+    keys, sigma = _collect_sigma(covariance_long(sdf, min_obs=10))
+    lam = ledoit_wolf_lambda(sdf, sigma, len(keys))
+
+    # independent numpy implementation (sklearn ledoit_wolf_shrinkage form)
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "rn", "lr"])
+    X = pdf.pivot(index="rn", columns="user_id", values="lr").to_numpy()
+    n, p = X.shape
+    Xc = X - X.mean(axis=0)
+    S = Xc.T @ Xc / n
+    mu = np.trace(S) / p
+    delta = ((S - mu * np.eye(p)) ** 2).sum() / p
+    beta_ = sum(float((x @ x) ** 2) for x in Xc)
+    beta = max(0.0, min((beta_ / n - (S**2).sum()) / (n * p), delta))
+    expect = beta / delta
+    assert 0.0 < lam < 1.0
+    assert abs(lam - expect) < 1e-9
+
+
+def test_shrunk_weights_monotone_toward_equal_weight(spark):
+    """λ=0 reproduces the empirical min-variance solution, λ=1 gives
+    exactly equal weights, and the shrunk solution sits between the two
+    (distance to equal-weight shrinks as λ grows)."""
+    from portofolio_maximizer_spark.operators.portfolio import (
+        min_variance_weights,
+        min_variance_weights_shrunk,
+    )
+
+    sdf, _ = _panel_df(spark)
+    emp = min_variance_weights(sdf).toPandas().sort_values("user_id")
+    w0 = min_variance_weights_shrunk(sdf, shrinkage=0.0).toPandas().sort_values("user_id")
+    w1 = min_variance_weights_shrunk(sdf, shrinkage=1.0).toPandas().sort_values("user_id")
+    wmid = min_variance_weights_shrunk(sdf, shrinkage=0.5).toPandas().sort_values("user_id")
+    west = min_variance_weights_shrunk(sdf).toPandas().sort_values("user_id")
+
+    n = len(emp)
+    eq = np.ones(n) / n
+    np.testing.assert_allclose(w0.weight.to_numpy(), emp.weight.to_numpy(), atol=1e-6)
+    np.testing.assert_allclose(w1.weight.to_numpy(), eq, atol=1e-6)
+
+    def dist(df):
+        return float(np.abs(df.weight.to_numpy() - eq).max())
+
+    assert dist(wmid) <= dist(w0) + 1e-9
+    assert dist(w1) <= dist(wmid) + 1e-9
+    # estimated λ recorded in the output and inside (0, 1)
+    lam = west.shrinkage.iloc[0]
+    assert 0.0 < lam < 1.0
+    assert dist(west) <= dist(w0) + 1e-9
+    assert (west.weight >= 0).all() and abs(west.weight.sum() - 1) < 1e-5
+
+
+def test_shrunk_query_registered(spark, sf_dir):
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    out = QUERIES["min_variance_weights_shrunk"](spark, sf_dir).toPandas()
+    assert len(out) >= 3
+    assert abs(out.weight.sum() - 1) < 1e-5
+    assert (out.weight >= 0).all()
+    assert out.shrinkage.nunique() == 1
+    assert 0.0 <= out.shrinkage.iloc[0] <= 1.0
