@@ -22,7 +22,23 @@ from .queries import query, r6
 # (session, sf_dir) with an eager localCheckpoint so each consumer pays
 # only its own aggregation cost. Bounded to one entry (cleared on key
 # change) so long-lived drivers do not pin stale sessions' checkpoints.
+#
+# Assumptions (documented, with an explicit escape hatch):
+# - SAME-SESSION STALENESS: the cache key is (session, sf_dir) — if the
+#   parquet under sf_dir is regenerated while the session lives, the
+#   cached labels are stale. Call ``invalidate_neardup_cache()`` after
+#   rewriting testdata in-session (tests that rewrite documents do).
+# - RECOVERABILITY: localCheckpoint blocks are executor-local and
+#   non-recoverable on executor loss; on a long-lived cluster job, prefer
+#   a reliable checkpoint dir or a staging table write. In this pack the
+#   driver process is the executor (local mode), so the trade is free.
 _NEARDUP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def invalidate_neardup_cache() -> None:
+    """Drop cached near-dup component labels (call after regenerating the
+    documents parquet within a live session)."""
+    _NEARDUP_CACHE.clear()
 
 
 def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

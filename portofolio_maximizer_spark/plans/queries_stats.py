@@ -738,12 +738,15 @@ def var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
     LR_pof closed form with the v=0 branch CASE-guarded identically on
     both sides (0·ln0 := 0)."""
     s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    # per-key stats scale with the key count — NO broadcast hint (AQE
+    # broadcasts from runtime stats at small sf; at 100 TB the join is a
+    # co-partitioned shuffle on user_id, which is the plan you want)
     stats = s.groupBy("user_id").agg(
         F.avg("lr").alias("mu"), F.stddev_samp("lr").alias("sd")
     )
     var95 = F.col("mu") - 1.645 * F.col("sd")
     v = (
-        s.join(F.broadcast(stats), "user_id")
+        s.join(stats, "user_id")
         .groupBy("user_id")
         .agg(
             F.count("lr").alias("n"),
@@ -818,10 +821,12 @@ def christoffersen_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = lag+groupBy!"), then the LR_ind likelihood ratio — reference
     `forcester_ts/var_backtest.py:132-198`."""
     s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    # per-key stats scale with the key count — unhinted join (see
+    # var_backtest_kupiec)
     stats = s.groupBy("user_id").agg(
         F.avg("lr").alias("mu"), F.stddev_samp("lr").alias("sd")
     )
-    i = s.join(F.broadcast(stats), "user_id").select(
+    i = s.join(stats, "user_id").select(
         "user_id",
         "rn",
         (F.col("lr") < F.col("mu") - 1.645 * F.col("sd")).cast("int").alias("hit"),

@@ -18,8 +18,14 @@ anti-patterns that break at 100 TB even when sf0.1 results are correct:
   ``leftHint=/rightHint=(strategy=broadcast)``; cost-based broadcasts
   chosen by Catalyst at small sf carry no hint marker and do not flag.
   A hinted side is considered bounded (allowed) when its subtree shrinks
-  through an ``Aggregate``/``Deduplicate``/``Limit`` or a constant id-range
-  filter (``vec_id < 5``-style fixed query sets);
+  through a scalar/constant-keyed ``Aggregate``, a ``Limit``, or a constant
+  id-range filter (``vec_id < 5``-style fixed query sets). An Aggregate or
+  Deduplicate keyed on a HIGH-CARDINALITY entity id (doc_id, user_id, …)
+  emits one row per entity and still scales with sf, so it does NOT exempt
+  the hint — it downgrades it to a soft ``FORCED_BROADCAST_KEYED_AGG`` for
+  reviewer judgment. ``localCheckpoint``-truncated lineage (``LogicalRDD``)
+  is matched by its column list against the same sf-scaling markers, so
+  checkpointed big data cannot hide a forced broadcast;
 - parquet scans with empty ``PushedFilters`` under a query that filters;
 - ``ReadSchema`` wider than ~12 columns (no column pruning);
 - more than a soft cap of ``Exchange`` nodes (shuffle storms).
@@ -71,9 +77,15 @@ _SF_SCALING_MARKERS = {
     "embeddings": "vec_id",
 }
 
-_SHRINK_RE = re.compile(r"\b(Aggregate|Deduplicate|GlobalLimit|LocalLimit)\b")
 # constant id-range predicate => fixed-size query set regardless of sf
 _ID_BOUND_RE = re.compile(r"Filter [^\n]*\w*id#\d+L? (?:<=?|=) \d+")
+# grouping/dedup keys that scale with the data: the sf-scaling tables'
+# id markers plus the high-cardinality entity keys they carry. An
+# Aggregate/Deduplicate keyed on one of these does NOT bound its subtree
+# (one output row per entity ≈ input scale), so it must not exempt a
+# forced broadcast.
+_HIGH_CARD_COLS = set(_SF_SCALING_MARKERS.values()) | {"user_id", "l_suppkey", "o_custkey"}
+_AGG_KEYS_RE = re.compile(r"\b(?:Aggregate|Deduplicate) \[([^\]]*)\]")
 
 
 def _node_col(line: str) -> int:
@@ -81,17 +93,49 @@ def _node_col(line: str) -> int:
 
 
 def _scan_tables(subtree: str) -> set[str]:
+    # LogicalRDD included: localCheckpoint truncates lineage to LogicalRDD
+    # but keeps the column list, so checkpointed sf-scaling data is still
+    # recognized by its marker columns (it would otherwise be a
+    # FORCED_BROADCAST blind spot).
     tables: set[str] = set()
-    for m in re.finditer(r"Relation \[([^\]]*)\]", subtree):
-        cols = {re.sub(r"#\d+L?$", "", c) for c in m.group(1).split(",")}
+    for m in re.finditer(r"(?:Relation|LogicalRDD) \[([^\]]*)\]", subtree):
+        cols = {re.sub(r"#\d+L?$", "", c.strip()) for c in m.group(1).split(",")}
         for table, marker in _SF_SCALING_MARKERS.items():
             if marker in cols:
                 tables.add(table)
     return tables
 
 
+def _bounded(side: str) -> tuple[bool, bool]:
+    """(bounded, keyed_agg_only): whether anything in the hinted subtree
+    bounds its cardinality independent of sf.
+
+    Bounding: a scalar aggregate or one grouped purely on constant-
+    cardinality columns, a Limit, or a constant id-range filter. An
+    Aggregate/Deduplicate keyed on a high-cardinality entity id emits one
+    row per entity — that SCALES, so it does not bound; if it is the only
+    shrink node present, the hint is reported as a soft KEYED_AGG flag
+    rather than silently allowed."""
+    if re.search(r"\b(GlobalLimit|LocalLimit)\b", side) or _ID_BOUND_RE.search(side):
+        return True, False
+    keyed_only = False
+    for m in _AGG_KEYS_RE.finditer(side):
+        keys = {
+            re.sub(r"#\d+L?$", "", c.strip())
+            for c in m.group(1).split(",")
+            if c.strip()
+        }
+        if not keys or not (keys & _HIGH_CARD_COLS):
+            return True, False  # scalar or constant-cardinality grouping
+        keyed_only = True
+    return False, keyed_only
+
+
 def forced_broadcast_flags(opt_plan: str) -> list[str]:
-    """HARD-flag hand-written broadcast hints on unbounded sf-scaling scans."""
+    """Flag hand-written broadcast hints on unbounded sf-scaling scans.
+    FORCED_BROADCAST is HARD; FORCED_BROADCAST_KEYED_AGG (the build side
+    shrinks only through a high-cardinality grouped aggregate, which still
+    scales with sf) is soft — the reviewer judges the key's cardinality."""
     flags: list[str] = []
     lines = opt_plan.splitlines()
     for i, ln in enumerate(lines):
@@ -114,9 +158,11 @@ def forced_broadcast_flags(opt_plan: str) -> list[str]:
             tables = _scan_tables(side)
             if not tables:
                 continue
-            if _SHRINK_RE.search(side) or _ID_BOUND_RE.search(side):
+            bounded, keyed_only = _bounded(side)
+            if bounded:
                 continue
-            flags.append(f"FORCED_BROADCAST[{','.join(sorted(tables))}]")
+            kind = "FORCED_BROADCAST_KEYED_AGG" if keyed_only else "FORCED_BROADCAST"
+            flags.append(f"{kind}[{','.join(sorted(tables))}]")
     return flags
 
 
@@ -164,7 +210,7 @@ def main() -> None:
             print(f"ERR   {name}: {exc}")
             hard += 1
             continue
-        if any(f == "CARTESIAN" or f.startswith("FORCED_BROADCAST") for f in flags):
+        if any(f == "CARTESIAN" or f.startswith("FORCED_BROADCAST[") for f in flags):
             hard += 1
         print(f"{'FLAG' if flags else 'ok  '}  {name}: {', '.join(flags) or 'clean'}")
     print(f"\n{len(queries)} plans audited, {hard} hard failures")
