@@ -964,3 +964,129 @@ def cdc_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("a.clen").cast("long").alias("shared_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L24 — intra-document repetition filter (Gopher-style repetition gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_repetition_stats",
+    oracle="""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM w, UNNEST(RANGE(1, LEN(ws) - 1)) AS t(i)
+          WHERE LEN(ws) >= 3),
+    c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+    d AS (SELECT doc_id,
+                 CAST(SUM(n) AS BIGINT)  AS n_grams,
+                 COUNT(*)                AS n_distinct,
+                 CAST(MAX(n) AS BIGINT)  AS max_gram_n
+          FROM c GROUP BY 1)
+    SELECT doc_id, n_grams, n_distinct,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_frac,
+           ROUND(CAST(max_gram_n AS DOUBLE) / n_grams, 6)       AS top_gram_frac
+    FROM d
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24: intra-document repetition metrics — the Gopher/MassiveText
+    repetition gate (duplicate word-n-gram fraction + most-frequent-gram
+    share) that catches templated/degenerate documents whole-corpus dedup
+    (L1/L2) cannot: the repetition is INSIDE one document.
+
+    Scale: explode to (doc, 3-gram) rows, count per (doc, gram) — map-
+    side combinable on the same key the explode is already clustered by,
+    then one row per doc. Linear in corpus size, no joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 2),"
+                " i -> concat_ws(' ', element_at(ws, i),"
+                " element_at(ws, i + 1), element_at(ws, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    c = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    return c.groupBy("doc_id").agg(
+        F.sum("n").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("n"), 6).alias("rep_frac"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_gram_frac"),
+    ).select("doc_id", "n_grams", "n_distinct", "rep_frac", "top_gram_frac")
+
+
+# ---------------------------------------------------------------------------
+# L25 — PII scan + redaction census
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@query(
+    "pii_scan_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             LEN(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+             LEN(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+             LEN(regexp_extract_all(text, '{_PII_IPV4}'))  AS n_ip
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*)                                        AS n_docs,
+           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+           CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+           CAST(SUM(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)    AS n_ip_docs,
+           CAST(SUM(n_email) AS BIGINT)                    AS total_emails,
+           CAST(SUM(n_phone) AS BIGINT)                    AS total_phones,
+           CAST(SUM(n_ip) AS BIGINT)                       AS total_ips
+    FROM s GROUP BY source
+    """,
+)
+def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25: PII census per source — email / phone / IPv4 regex detection,
+    the scrubbing gate every training-data pipeline runs before release.
+    Patterns restricted to the RE2∩Java-regex common subset so Spark and
+    the DuckDB oracle agree token-for-token; ``pii_redact`` (below) is
+    the rewrite half, exercised on planted PII in tests/test_llmdata.py
+    (the driver corpus is synthetic word soup with zero PII, so this
+    query's oracle check pins the zero-count path).
+
+    Scale: pure per-row column algebra + one aggregate. Linear, no joins,
+    regex runs JVM-side inside codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "source",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).alias("n_ip"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_email") > 0).cast("int")).cast("bigint").alias("n_email_docs"),
+        F.sum((F.col("n_phone") > 0).cast("int")).cast("bigint").alias("n_phone_docs"),
+        F.sum((F.col("n_ip") > 0).cast("int")).cast("bigint").alias("n_ip_docs"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_phone").cast("bigint").alias("total_phones"),
+        F.sum("n_ip").cast("bigint").alias("total_ips"),
+    )
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L25 rewrite half: replace every email/phone/IPv4 occurrence with a
+    typed placeholder. Chained ``regexp_replace`` — JVM-side, codegen."""
+    out = F.regexp_replace(F.col(text_col), _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_PHONE, "<PHONE>")
+    out = F.regexp_replace(out, _PII_IPV4, "<IP>")
+    return docs.withColumn(text_col, out)

@@ -183,3 +183,57 @@ def test_cdc_hot_chunk_stoplist_keeps_pairs_linear(spark, tmp_path):
     assert (1000, 1001) in pairs, "rare shared span must survive the stop-list"
     # without the stop-list the 50 boilerplate docs alone give 1225 pairs
     assert len(pairs) < 60, f"quadratic fan-out leaked through: {len(pairs)} pairs"
+
+
+def test_repetition_gate_flags_degenerate_doc(spark, tmp_path):
+    """A doc that repeats one phrase must score rep_frac ≈ 1 and a clean
+    doc of distinct words must score 0 (L24 Gopher-style gate)."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    rows = [
+        (1, "spam ham eggs " * 50, "en", "s", 700),       # one 3-gram cycle
+        (2, " ".join(f"w{i}" for i in range(60)), "en", "s", 300),  # all distinct
+    ]
+    docs = spark.createDataFrame(
+        [(d, t.strip(), l, s, n) for d, t, l, s, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf_rep")
+    docs.coalesce(1).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in QUERIES["doc_repetition_stats"](spark, d).collect()}
+    assert out[1].rep_frac > 0.95
+    assert out[1].top_gram_frac > 0.3
+    assert out[2].rep_frac == 0.0
+    assert out[2].n_grams == out[2].n_distinct == 58
+
+
+def test_pii_scan_and_redact_planted(spark, tmp_path):
+    """Planted emails/phones/IPs must be counted by the census and fully
+    removed by the redaction rewrite (L25)."""
+    from portofolio_maximizer_spark.plans import QUERIES
+    from portofolio_maximizer_spark.plans.queries_llmdata import pii_redact
+
+    rows = [
+        (1, "contact alice@example.com or bob.smith@corp.io today", "en", "web", 50),
+        (2, "call 555-123-4567 or 555.987.6543 now", "en", "web", 40),
+        (3, "server at 192.168.1.100 and 10.0.0.1 is up", "en", "logs", 40),
+        (4, "nothing sensitive here at all", "en", "web", 30),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf_pii")
+    docs.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    out = {r.source: r for r in QUERIES["pii_scan_stats"](spark, d).collect()}
+    assert out["web"].total_emails == 2
+    assert out["web"].total_phones == 2
+    assert out["web"].n_email_docs == 1 and out["web"].n_phone_docs == 1
+    assert out["logs"].total_ips == 2
+    assert out["web"].total_ips == 0
+
+    red = {r.doc_id: r.text for r in pii_redact(docs).collect()}
+    assert "<EMAIL>" in red[1] and "@" not in red[1]
+    assert "<PHONE>" in red[2] and "555" not in red[2]
+    assert "<IP>" in red[3] and "192.168" not in red[3]
+    assert red[4] == rows[3][1]  # clean doc untouched
