@@ -1090,3 +1090,85 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = F.regexp_replace(out, _PII_PHONE, "<PHONE>")
     out = F.regexp_replace(out, _PII_IPV4, "<IP>")
     return docs.withColumn(text_col, out)
+
+
+# ---------------------------------------------------------------------------
+# L26 — dedup-aware train/val/test split (leakage-free at the cluster grain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_aware_split",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_CTES},
+    edges AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.3),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+            UNION SELECT d2, d1 FROM edges),
+    vertices AS (SELECT DISTINCT src AS node FROM sym),
+    walk AS (
+      SELECT node, node AS reach FROM vertices
+      UNION
+      SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component_id FROM walk GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, LENGTH(d.text) AS n_chars,
+             COALESCE(c.component_id, d.doc_id) AS component,
+             (('0x' || SUBSTR(MD5('13|' || CAST(COALESCE(c.component_id, d.doc_id)
+                                             AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000) / 1000000.0 AS u
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    s AS (SELECT *,
+                 CASE WHEN u < 0.8 THEN 'train'
+                      WHEN u < 0.9 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM assigned)
+    SELECT split,
+           COUNT(*)                          AS n_docs,
+           COUNT(DISTINCT component)         AS n_components,
+           CAST(SUM(n_chars) AS BIGINT)      AS n_chars
+    FROM s GROUP BY split
+    """,
+)
+def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26: leakage-free train/val/test split — the unit of assignment is
+    the NEAR-DUP COMPONENT, not the document, so two near-duplicate docs
+    can never land in different splits (the classic eval-contamination
+    bug whole-corpus random splits have). Assignment is an md5 uniform on
+    the component id: deterministic across runs, engines, and partition
+    layouts — resumable pipelines re-derive the same split forever.
+
+    Scale: the component labels are the shared checkpointed LSH chain
+    (computed once per session); the corpus joins them once (unhinted —
+    the label table scales with the corpus) and the rollup is 3 rows.
+    No-span invariant is pinned in tests/test_llmdata.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _neardup_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    assigned = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.coalesce("component", "doc_id").alias("component"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(13), F.col("component"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+    s = assigned.withColumn(
+        "split",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"),
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component").alias("n_components"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )

@@ -49,9 +49,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session TZ is pinned to UTC (session.py) so NTZ→LTZ is instant-preserving.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Applies to EVERY table: the testdata writes un-adjusted timestamp[us]
+    # for orders/lineitem/events alike, so a vanilla (driver-built) session
+    # would read them all as TIMESTAMP_NTZ and epoch math (unix_millis on
+    # o_orderdate cohorts, etc.) would throw. Setting the conf at read time
+    # keeps the scans native-LTZ — no cast nodes, predicate pushdown intact.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F

@@ -237,3 +237,45 @@ def test_pii_scan_and_redact_planted(spark, tmp_path):
     assert "<PHONE>" in red[2] and "555" not in red[2]
     assert "<IP>" in red[3] and "192.168" not in red[3]
     assert red[4] == rows[3][1]  # clean doc untouched
+
+
+def test_dedup_aware_split_never_splits_a_component(spark, sf_dir):
+    """L26 invariant: every near-dup component lands in exactly one split,
+    and the splits partition the corpus."""
+    from portofolio_maximizer_spark.plans import QUERIES
+    from portofolio_maximizer_spark.plans.queries_llmdata import _neardup_labels
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    out = QUERIES["dedup_aware_split"](spark, sf_dir).toPandas()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert out.n_docs.sum() == n_docs_total
+    assert set(out.split) <= {"train", "val", "test"}
+
+    # recompute the per-doc assignment and check component purity
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = _neardup_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    assigned = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(13), F.col("component"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+    s = assigned.withColumn(
+        "split", F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    leaky = (
+        s.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaky == 0
