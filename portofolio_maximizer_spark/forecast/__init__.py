@@ -3,6 +3,7 @@ from .models import (
     ar_grid_forecast,
     ar_grid_forecast_fanout,
     ewma_vol_forecast,
+    garch11_fit,
     ssa_reconstruct,
     walkforward_refit,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "ar_grid_forecast",
     "ar_grid_forecast_fanout",
     "ewma_vol_forecast",
+    "garch11_fit",
     "ssa_reconstruct",
     "walkforward_refit",
 ]

@@ -259,6 +259,124 @@ def ewma_vol_forecast(
 
 
 # ---------------------------------------------------------------------------
+# F2 — real GARCH(1,1) MLE (no `arch` needed: numpy likelihood, variance
+# targeting, deterministic two-stage grid refine)
+# ---------------------------------------------------------------------------
+
+GARCH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_obs", IntegerType()),
+        StructField("omega", DoubleType()),
+        StructField("alpha", DoubleType()),
+        StructField("beta", DoubleType()),
+        StructField("persistence", DoubleType()),
+        StructField("loglik", DoubleType()),
+        StructField("uncond_vol", DoubleType()),
+        StructField("sigma_next", DoubleType()),
+        StructField("igarch_guard", IntegerType()),
+    ]
+)
+
+
+def _garch11_loglik_grid(
+    r2: np.ndarray, var0: float, alphas: np.ndarray, betas: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gaussian GARCH(1,1) log-likelihood for a whole candidate grid at
+    once. Variance targeting pins ω = var0·(1−α−β), so the search is 2-D.
+    The σ² recursion is sequential in t but fully vectorized across the
+    candidate axis — one O(T·|grid|) numpy pass, no Python-per-candidate
+    loop."""
+    a = alphas[:, None] * np.ones_like(betas)[None, :]
+    b = np.ones_like(alphas)[:, None] * betas[None, :]
+    keep = (a + b) < 0.999
+    a, b = a[keep], b[keep]
+    omega = var0 * (1.0 - a - b)
+    s2 = np.full(a.shape, var0)
+    ll = np.zeros(a.shape)
+    for t in range(1, len(r2)):
+        s2 = omega + a * r2[t - 1] + b * s2
+        ll -= 0.5 * (np.log(s2) + r2[t] / s2)
+    return a, b, ll
+
+
+def garch11_fit(
+    returns: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    ret_col: str = "lr",
+) -> DataFrame:
+    """F2 proper: per-key GARCH(1,1) maximum likelihood
+    σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1} — reference
+    `forcester_ts/garch.py:129-475` (arch-lib fit, persistence guard at
+    α+β ≥ 0.97 `:351-380`, EWMA fallback `:580-633` kept as the separate
+    ``ewma_vol_forecast``). The container has no `arch`; the Gaussian
+    QMLE needs only the likelihood, so the optimizer here is a
+    deterministic coarse-to-fine grid with variance targeting
+    (ω = σ̄²(1−α−β)) — no random starts, bit-identical across runs and
+    partition layouts.
+
+    Emits per key: fitted (ω, α, β), persistence, log-likelihood,
+    unconditional vol, the 1-step-ahead vol forecast, and the IGARCH
+    guard flag (persistence ≥ 0.97, mirroring the reference's stability
+    fallback trigger).
+
+    Scale: one Arrow task per key — a million series fit concurrently on
+    a real cluster; the per-key cost is O(T · grid) vectorized numpy.
+    """
+    from ..operators.arrowgroup import grouped_numpy
+
+    coarse_a = np.linspace(0.01, 0.35, 12)
+    coarse_b = np.linspace(0.40, 0.98, 16)
+
+    def fit(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        r = cols[ret_col][order].astype(float)
+        r = r[~np.isnan(r)]
+        if len(r) < 30:
+            return []
+        uid = int(cols[key][0])
+        r = r - r.mean()
+        r2 = r * r
+        var0 = float(r2.mean())
+        if var0 <= 0:
+            return []
+
+        a, b, ll = _garch11_loglik_grid(r2, var0, coarse_a, coarse_b)
+        i = int(np.argmax(ll))
+        # local refine around the coarse winner (one zoom is enough for
+        # 6-decimal output stability; the surface is smooth in (α, β))
+        fa = np.linspace(max(a[i] - 0.03, 1e-4), min(a[i] + 0.03, 0.5), 13)
+        fb = np.linspace(max(b[i] - 0.04, 0.0), min(b[i] + 0.04, 0.9985), 13)
+        a2, b2, ll2 = _garch11_loglik_grid(r2, var0, fa, fb)
+        j = int(np.argmax(ll2))
+        alpha, beta, best_ll = float(a2[j]), float(b2[j]), float(ll2[j])
+        omega = var0 * (1.0 - alpha - beta)
+        persistence = alpha + beta
+
+        # 1-step forecast: run the fitted recursion to the end of sample
+        s2 = var0
+        for t in range(1, len(r2) + 1):
+            s2 = omega + alpha * r2[t - 1] + beta * s2
+        return [
+            (
+                uid,
+                int(len(r)),
+                round(omega, 10),
+                round(alpha, 6),
+                round(beta, 6),
+                round(persistence, 6),
+                round(best_ll, 6),
+                round(float(np.sqrt(var0)), 6),
+                round(float(np.sqrt(s2)), 6),
+                int(persistence >= 0.97),
+            )
+        ]
+
+    return grouped_numpy(returns, [key], GARCH_SCHEMA, fit)
+
+
+# ---------------------------------------------------------------------------
 # F3 surrogate — SSA: Hankel trajectory matrix → truncated SVD →
 # diagonal-averaged reconstruction
 # ---------------------------------------------------------------------------

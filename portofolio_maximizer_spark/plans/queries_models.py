@@ -38,6 +38,18 @@ def ewma_vol_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_vol_forecast(_series(spark, sf_dir).select("user_id", "rn", "lr"))
 
 
+@query("garch11_fit")
+def garch11_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 proper: per-key GARCH(1,1) Gaussian QMLE — variance-targeted
+    deterministic grid refine, persistence/IGARCH guard, 1-step vol
+    forecast (`forcester_ts/garch.py:129-475`; guard `:351-380`).
+    Rows-only: an iterative per-key MLE is not SQL-expressible; parameter
+    recovery on simulated GARCH paths is pinned in tests/test_forecast.py."""
+    from ..forecast import garch11_fit
+
+    return garch11_fit(_series(spark, sf_dir).select("user_id", "rn", "lr"))
+
+
 @query("ssa_reconstruction")
 def ssa_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: SSA Hankel-SVD reconstruction quality per key

@@ -319,3 +319,81 @@ def test_mssa_policy_actions_semantics(spark, sf_dir):
         else:
             assert row.policy_status == "insufficient_support"
             assert row.selected_action == 1  # HOLD fallback
+
+
+def test_garch11_recovers_simulated_parameters(spark):
+    """Fit on simulated GARCH(1,1) paths: recovered (alpha, beta) must be
+    near truth, the fitted likelihood must beat the true-parameter
+    likelihood evaluated on the same grid-free recursion (MLE property,
+    up to grid resolution), and the fit must be deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from portofolio_maximizer_spark.forecast import garch11_fit
+
+    rng = np.random.default_rng(17)
+    omega, alpha, beta = 4e-6, 0.08, 0.88
+    rows = []
+    for uid in range(3):
+        n = 2000
+        r = np.zeros(n)
+        s2 = omega / (1 - alpha - beta)
+        for t in range(1, n):
+            s2 = omega + alpha * r[t - 1] ** 2 + beta * s2
+            r[t] = rng.normal(0, np.sqrt(s2))
+        rows += [(uid, t, float(r[t])) for t in range(n)]
+    sdf = spark.createDataFrame(rows, "user_id long, rn long, lr double")
+
+    out = garch11_fit(sdf).toPandas().sort_values("user_id")
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        assert abs(row.alpha - alpha) < 0.06
+        assert abs(row.beta - beta) < 0.10
+        assert row.persistence < 0.999
+        assert row.igarch_guard in (0, 1)
+        assert row.sigma_next > 0
+
+        # MLE property: fitted ll >= ll at the true parameters
+        r = np.array([v for (u, t, v) in rows if u == row.user_id])
+        r = r - r.mean()
+        r2 = r * r
+        var0 = r2.mean()
+
+        def ll_of(a, b, w):
+            s2, ll = var0, 0.0
+            for t in range(1, len(r2)):
+                s2 = w + a * r2[t - 1] + b * s2
+                ll -= 0.5 * (np.log(s2) + r2[t] / s2)
+            return ll
+
+        ll_true = ll_of(alpha, beta, omega)
+        assert row.loglik >= ll_true - 1.0  # within grid resolution
+
+    again = garch11_fit(sdf).toPandas().sort_values("user_id")
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), again.reset_index(drop=True)
+    )
+
+
+def test_garch11_flags_near_igarch_series(spark):
+    """A near-integrated simulated path (alpha+beta ≈ 0.99) must trip the
+    reference's persistence guard flag."""
+    import numpy as np
+
+    from portofolio_maximizer_spark.forecast import garch11_fit
+
+    rng = np.random.default_rng(23)
+    omega, alpha, beta = 1e-6, 0.15, 0.845
+    n = 3000
+    r = np.zeros(n)
+    s2 = omega / (1 - alpha - beta)
+    for t in range(1, n):
+        s2 = omega + alpha * r[t - 1] ** 2 + beta * s2
+        r[t] = rng.normal(0, np.sqrt(s2))
+    sdf = spark.createDataFrame(
+        [(1, t, float(r[t])) for t in range(n)], "user_id long, rn long, lr double"
+    )
+    out = garch11_fit(sdf).toPandas()
+    assert len(out) == 1
+    assert out.persistence.iloc[0] > 0.95
+    assert out.igarch_guard.iloc[0] == 1
