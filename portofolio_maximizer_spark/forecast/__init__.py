@@ -2,6 +2,7 @@ from .models import (
     ar_candidate_fits,
     ar_grid_forecast,
     ar_grid_forecast_fanout,
+    arima_hr_forecast,
     ewma_vol_forecast,
     garch11_fit,
     ssa_reconstruct,
@@ -12,6 +13,7 @@ __all__ = [
     "ar_candidate_fits",
     "ar_grid_forecast",
     "ar_grid_forecast_fanout",
+    "arima_hr_forecast",
     "ewma_vol_forecast",
     "garch11_fit",
     "ssa_reconstruct",

@@ -259,6 +259,165 @@ def ewma_vol_forecast(
 
 
 # ---------------------------------------------------------------------------
+# F1 — ARIMA(p,d,q) via Hannan–Rissanen (closed-form two-step OLS: no
+# statsmodels, no iterative optimizer, fully deterministic)
+# ---------------------------------------------------------------------------
+
+ARIMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("p", IntegerType()),
+        StructField("d", IntegerType()),
+        StructField("q", IntegerType()),
+        StructField("aic", DoubleType()),
+        StructField("horizon_step", IntegerType()),
+        StructField("yhat", DoubleType()),
+        StructField("lo", DoubleType()),
+        StructField("hi", DoubleType()),
+        StructField("sigma", DoubleType()),
+    ]
+)
+
+
+def _fit_arma_hr(
+    y: np.ndarray, p: int, q: int, e_long: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, float, float, np.ndarray] | None:
+    """Hannan–Rissanen step 2: OLS of y_t on [1, y lags, long-AR residual
+    lags] → (phi, theta, sigma, aic, fitted residuals). ``e_long`` is the
+    step-1 long-AR residual series aligned with ``y`` (zeros before the
+    long-AR burn-in)."""
+    n = len(y)
+    t0 = max(p, q)
+    if n - t0 < p + q + 8:
+        return None
+    cols = [np.ones(n - t0)]
+    cols += [y[t0 - i : n - i] for i in range(1, p + 1)]
+    cols += [e_long[t0 - j : n - j] for j in range(1, q + 1)]
+    X = np.column_stack(cols)
+    yy = y[t0:]
+    beta, *_ = np.linalg.lstsq(X, yy, rcond=None)
+    resid = yy - X @ beta
+    rss = float(resid @ resid)
+    m = n - t0
+    k = p + q + 1
+    sigma = float(np.sqrt(rss / max(m - k, 1)))
+    aic = m * np.log(max(rss / m, 1e-300)) + 2 * k
+    e_fit = np.zeros(n)
+    e_fit[t0:] = resid
+    theta = beta[p + 1 : p + 1 + q]
+    return beta, theta, sigma, float(aic), e_fit
+
+
+def _psi_weights(phi: np.ndarray, theta: np.ndarray, h: int) -> np.ndarray:
+    """MA(∞) psi-weight recursion ψ_j = θ_j + Σ φ_i ψ_{j−i} (ψ_0 = 1) —
+    the forecast-variance kernel Var_h = σ²·Σ_{j<h} ψ_j²."""
+    psi = np.zeros(h)
+    psi[0] = 1.0
+    for j in range(1, h):
+        v = theta[j - 1] if j - 1 < len(theta) else 0.0
+        for i in range(1, min(j, len(phi)) + 1):
+            v += phi[i - 1] * psi[j - i]
+        psi[j] = v
+    return psi
+
+
+def arima_hr_forecast(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    horizon: int = 5,
+) -> DataFrame:
+    """F1 proper: per-key ARIMA(p,d,q) over the grid p,q ∈ {0,1,2},
+    d ∈ {0,1}, fitted by Hannan–Rissanen two-step OLS (long-AR residuals
+    proxy the innovations; both steps are closed-form least squares —
+    deterministic, no optimizer, no statsmodels). AIC-ranked top-1 per
+    key, recursive forecast with MA(∞)-psi-weight variance bands, d=1
+    paths integrated back to the level scale. Reference
+    `forcester_ts/sarimax.py:431-1013` (order-grid fit + forecast + CI);
+    this drops the seasonal/exog terms the testdata cannot express but
+    fits genuine MA dynamics the AR-only surrogate cannot.
+
+    Scale: one Arrow task per key, O(grid · n · (p+q)) closed-form OLS
+    per key — the same shape as the AR grid, so the (key, order) fan-out
+    harness applies unchanged if the grid widens."""
+    from ..operators.arrowgroup import grouped_numpy
+
+    pq_grid = [(p, q) for p in (0, 1, 2) for q in (0, 1, 2) if p + q > 0]
+
+    def fit(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        if len(x) < 40:
+            return []
+        # d is NOT selectable by AIC (different scales across differencing)
+        # — real pipelines use a unit-root test (KPSS/ADF). Deterministic
+        # near-unit-root rule: d=1 iff the level AR(1) coefficient ≥ 0.97
+        # (the same persistence threshold the GARCH stability guard uses).
+        b1, _, _ = _fit_ar(x, 1)
+        d = 1 if abs(float(b1[1])) >= 0.97 else 0
+        best = None
+        for p, q in pq_grid:
+            y = np.diff(x, d) if d else x
+            n = len(y)
+            m_long = min(max(8, p + q + 4), n // 4)
+            bl, _, _ = _fit_ar(y, m_long)
+            e_long = np.zeros(n)
+            Xl = np.column_stack(
+                [np.ones(n - m_long)]
+                + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+            )
+            e_long[m_long:] = y[m_long:] - Xl @ bl
+            r = _fit_arma_hr(y, p, q, e_long)
+            if r is None:
+                continue
+            beta, theta, sigma, aic, e_fit = r
+            if best is None or aic < best[0]:
+                best = (aic, p, d, q, beta, theta, sigma, y, e_fit)
+        if best is None:
+            return []
+        aic, p, d, q, beta, theta, sigma, y, e_fit = best
+        phi = beta[1 : p + 1]
+        c = float(beta[0])
+        hist = list(y)
+        errs = list(e_fit)
+        preds = []
+        for h in range(1, horizon + 1):
+            v = c
+            for i in range(1, p + 1):
+                v += phi[i - 1] * hist[-i]
+            for j in range(1, q + 1):
+                v += (theta[j - 1] * errs[-j]) if len(errs) >= j else 0.0
+            hist.append(v)
+            errs.append(0.0)
+            preds.append(v)
+        psi = _psi_weights(phi, theta, horizon)
+        if d:  # integrate: level forecast = last level + cumsum of diffs;
+            # variance uses the cumulated psi weights
+            level = float(x[-1]) + np.cumsum(preds)
+            psi_i = np.cumsum(psi)
+            var = sigma * sigma * np.cumsum(psi_i * psi_i)
+            yhat = level
+        else:
+            var = sigma * sigma * np.cumsum(psi * psi)
+            yhat = np.array(preds)
+        rows = []
+        for h in range(1, horizon + 1):
+            band = 1.96 * float(np.sqrt(var[h - 1]))
+            rows.append(
+                (uid, p, d, q, round(aic, 6), h,
+                 round(float(yhat[h - 1]), 6),
+                 round(float(yhat[h - 1]) - band, 6),
+                 round(float(yhat[h - 1]) + band, 6),
+                 round(sigma, 6))
+            )
+        return rows
+
+    return grouped_numpy(series, [key], ARIMA_SCHEMA, fit)
+
+
+# ---------------------------------------------------------------------------
 # F2 — real GARCH(1,1) MLE (no `arch` needed: numpy likelihood, variance
 # targeting, deterministic two-stage grid refine)
 # ---------------------------------------------------------------------------

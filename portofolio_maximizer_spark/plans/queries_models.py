@@ -30,6 +30,17 @@ def ar_grid_best_aic_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("arima_hr_forecast")
+def arima_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 proper: ARIMA(p,d,q) grid (p,q ∈ {0,1,2}, d ∈ {0,1}) fitted by
+    Hannan–Rissanen two-step closed-form OLS, AIC top-1, psi-weight CI,
+    d=1 integration (`forcester_ts/sarimax.py:431-1013`). Rows-only;
+    ARMA parameter recovery pinned in tests/test_forecast.py."""
+    from ..forecast import arima_hr_forecast
+
+    return arima_hr_forecast(_series(spark, sf_dir).select("user_id", "rn", "value"))
+
+
 @query("ewma_vol_recursive")
 def ewma_vol_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: exact RiskMetrics EWMA σ recursion per key (GARCH fallback,

@@ -397,3 +397,52 @@ def test_garch11_flags_near_igarch_series(spark):
     assert len(out) == 1
     assert out.persistence.iloc[0] > 0.95
     assert out.igarch_guard.iloc[0] == 1
+
+
+def test_arima_hr_recovers_arma11(spark):
+    """Simulated ARMA(1,1) with a strong MA term: the grid must select a
+    model with q >= 1 (the AR-only surrogate cannot express it), recover
+    (phi, theta)-implied dynamics, and forecast near the true conditional
+    mean."""
+    rng = np.random.default_rng(29)
+    n, phi, theta, c = 1500, 0.6, 0.55, 1.0
+    e = rng.normal(0, 0.2, n)
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = c + phi * x[t - 1] + e[t] + theta * e[t - 1]
+    sdf = spark.createDataFrame(
+        [(1, t, float(x[t])) for t in range(n)], "user_id long, rn long, value double"
+    )
+    from portofolio_maximizer_spark.forecast import arima_hr_forecast
+
+    out = arima_hr_forecast(sdf).toPandas().sort_values("horizon_step")
+    assert len(out) == 5
+    assert out.d.iloc[0] == 0
+    assert out.q.iloc[0] >= 1  # MA structure detected
+    step1 = out.iloc[0]
+    expect = c + phi * x[-1] + theta * e[-1]
+    assert abs(step1.yhat - expect) < 0.15
+    assert step1.lo < step1.yhat < step1.hi
+    # bands widen with horizon (psi-weight variance is nondecreasing)
+    widths = (out.hi - out.lo).to_numpy()
+    assert (np.diff(widths) >= -1e-9).all()
+
+
+def test_arima_hr_selects_differencing_on_random_walk(spark):
+    """A random-walk-with-drift series must select d=1 and forecast the
+    level continuing from the last observation plus the drift."""
+    rng = np.random.default_rng(31)
+    n, drift = 1200, 0.5
+    x = np.cumsum(drift + rng.normal(0, 0.3, n))
+    sdf = spark.createDataFrame(
+        [(1, t, float(x[t])) for t in range(n)], "user_id long, rn long, value double"
+    )
+    from portofolio_maximizer_spark.forecast import arima_hr_forecast
+
+    out = arima_hr_forecast(sdf).toPandas().sort_values("horizon_step")
+    assert out.d.iloc[0] == 1
+    step5 = out[out.horizon_step == 5].iloc[0]
+    assert abs(step5.yhat - (x[-1] + 5 * drift)) < 1.0
+    # integrated forecasts: variance grows superlinearly vs the d=0 case
+    widths = (out.hi - out.lo).to_numpy()
+    assert widths[-1] > widths[0]
