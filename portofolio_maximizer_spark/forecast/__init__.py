@@ -5,6 +5,7 @@ from .models import (
     arima_hr_forecast,
     ewma_vol_forecast,
     garch11_fit,
+    samossa_forecast,
     ssa_reconstruct,
     walkforward_refit,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "arima_hr_forecast",
     "ewma_vol_forecast",
     "garch11_fit",
+    "samossa_forecast",
     "ssa_reconstruct",
     "walkforward_refit",
 ]

@@ -616,6 +616,118 @@ def ssa_core(
     return (r, float(evr[r - 1]), rmse, naive)
 
 
+SAMOSSA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rank_used", IntegerType()),
+        StructField("horizon_step", IntegerType()),
+        StructField("yhat", DoubleType()),
+        StructField("trend_part", DoubleType()),
+        StructField("resid_part", DoubleType()),
+        StructField("sigma", DoubleType()),
+    ]
+)
+
+
+def samossa_forecast(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    window: int = 12,
+    evr_target: float = 0.9,
+    horizon: int = 5,
+) -> DataFrame:
+    """F3 proper: SAMoSSA forecasting — SSA signal extraction + AR on the
+    stochastic residual (reference `forcester_ts/samossa.py:116-556`:
+    Hankel SVD, auto rank by EVR, then the autoregressive stage on the
+    remainder — the SAMoSSA model's two components).
+
+    The deterministic part extrapolates by SSA *recurrent forecasting*:
+    with P_i the leading eigenvectors, π_i their last components and
+    ν² = Σπ_i², the signal obeys the linear recurrence
+    x̂_{t} = Σ_j R_j x̂_{t−j},  R = (1/(1−ν²)) Σ_i π_i P_i^∇
+    (Golyandina et al., the standard R-forecast). The residual
+    x − reconstruction is fit with the AR grid and forecast recursively;
+    the emitted path is trend + residual with the residual-AR σ as the
+    uncertainty scale. Guard: ν² ≥ 0.999 (degenerate verticality) falls
+    back to last-reconstruction carry-forward, mirroring the reference's
+    stability fallbacks."""
+    from ..operators.arrowgroup import grouped_numpy
+
+    def fc(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        n = len(x)
+        L = min(window, n // 2)
+        if L < 3 or n < 40:
+            return []
+        K = n - L + 1
+        H = np.column_stack([x[i : i + L] for i in range(K)])
+        U, s, Vt = np.linalg.svd(H, full_matrices=False)
+        total = float(np.sum(s**2))
+        if total == 0:
+            return []
+        evr = np.cumsum(s**2) / total
+        r = min(int(np.searchsorted(evr, evr_target) + 1), len(s))
+        Hr = (U[:, :r] * s[:r]) @ Vt[:r]
+        recon = np.zeros(n)
+        counts = np.zeros(n)
+        for i in range(K):
+            recon[i : i + L] += Hr[:, i]
+            counts[i : i + L] += 1
+        recon /= counts
+
+        # SSA linear recurrence (R-forecast) from the signal subspace
+        pi = U[L - 1, :r]
+        nu2 = float(pi @ pi)
+        if nu2 >= 0.999:
+            trend_fc = np.full(horizon, recon[-1])
+        else:
+            R = (U[: L - 1, :r] @ pi) / (1.0 - nu2)  # R_j multiplies x_{t-(L-1-j)}
+            hist = list(recon)
+            trend_fc = np.zeros(horizon)
+            for h in range(horizon):
+                v = float(np.dot(R, hist[-(L - 1) :]))
+                hist.append(v)
+                trend_fc[h] = v
+
+        # AR grid on the stochastic residual (SAMoSSA's second stage)
+        resid = x - recon
+        best = None
+        for p in (1, 2, 3):
+            if len(resid) < p + 10:
+                continue
+            beta, sigma, aic = _fit_ar(resid, p)
+            if best is None or aic < best[0]:
+                best = (aic, p, beta, sigma)
+        if best is None:
+            return []
+        _, p, beta, sigma = best
+        rhist = list(resid)
+        resid_fc = np.zeros(horizon)
+        for h in range(horizon):
+            v = beta[0] + sum(beta[k + 1] * rhist[-k - 1] for k in range(p))
+            rhist.append(v)
+            resid_fc[h] = v
+
+        return [
+            (
+                uid,
+                int(r),
+                h + 1,
+                round(float(trend_fc[h] + resid_fc[h]), 6),
+                round(float(trend_fc[h]), 6),
+                round(float(resid_fc[h]), 6),
+                round(float(sigma), 6),
+            )
+            for h in range(horizon)
+        ]
+
+    return grouped_numpy(series, [key], SAMOSSA_SCHEMA, fc)
+
+
 # ---------------------------------------------------------------------------
 # F4 surrogate — CUSUM change-point detection (the MSSA-RL stage's
 # change-point core; the Q-table policy itself is an offline artifact)

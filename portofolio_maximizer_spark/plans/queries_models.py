@@ -68,6 +68,17 @@ def ssa_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ssa_reconstruct(_series(spark, sf_dir).select("user_id", "rn", "value"))
 
 
+@query("samossa_forecast")
+def samossa_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 proper: SAMoSSA forecast = SSA recurrent (R-) forecast of the
+    extracted signal + AR forecast of the stochastic residual
+    (`forcester_ts/samossa.py:116-556`). Rows-only; sine-recovery and
+    beats-naive properties pinned in tests/test_forecast.py."""
+    from ..forecast import samossa_forecast
+
+    return samossa_forecast(_series(spark, sf_dir).select("user_id", "rn", "value"))
+
+
 @query("embedding_classifier_eval")
 def embedding_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: MLlib multinomial logistic regression on the embeddings table

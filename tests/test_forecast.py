@@ -446,3 +446,43 @@ def test_arima_hr_selects_differencing_on_random_walk(spark):
     # integrated forecasts: variance grows superlinearly vs the d=0 case
     widths = (out.hi - out.lo).to_numpy()
     assert widths[-1] > widths[0]
+
+
+def test_samossa_forecasts_periodic_signal(spark):
+    """SSA R-forecast must continue a noisy sine wave: the combined
+    trend+AR forecast must beat last-value-carry-forward by a wide margin
+    on the held-out continuation, and be deterministic."""
+    rng = np.random.default_rng(41)
+    n, period, amp = 240, 12, 5.0
+    t = np.arange(n + 5)
+    signal = amp * np.sin(2 * np.pi * t / period) + 0.02 * t
+    noise = rng.normal(0, 0.3, n + 5)
+    x_full = signal + noise
+    x, future = x_full[:n], x_full[n:]
+
+    sdf = spark.createDataFrame(
+        [(1, int(i), float(x[i])) for i in range(n)],
+        "user_id long, rn long, value double",
+    )
+    from portofolio_maximizer_spark.forecast import samossa_forecast
+
+    out = samossa_forecast(sdf).toPandas().sort_values("horizon_step")
+    assert len(out) == 5
+    yhat = out.yhat.to_numpy()
+    rmse_model = np.sqrt(np.mean((yhat - future) ** 2))
+    rmse_naive = np.sqrt(np.mean((x[-1] - future) ** 2))
+    assert rmse_model < 0.5 * rmse_naive
+    # the deterministic trend does the heavy lifting on a periodic signal
+    assert np.abs(out.trend_part.to_numpy() - signal[n:]).max() < 1.5
+
+    again = samossa_forecast(sdf).toPandas().sort_values("horizon_step")
+    assert (again.yhat.to_numpy() == yhat).all()
+
+
+def test_samossa_query_runs(spark, sf_dir):
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    out = QUERIES["samossa_forecast"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert set(out.horizon_step) == {1, 2, 3, 4, 5}
+    assert out.sigma.gt(0).all()
