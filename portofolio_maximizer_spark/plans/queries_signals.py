@@ -1056,3 +1056,262 @@ def latency_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.approx_percentile("value", F.lit(0.99), acc)).alias("p99"),
         r6(F.max("value")).alias("p_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F5+ — REGIME-CONDITIONAL ensemble weight selection (the reference's
+# headline published capability)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "regime_ensemble_weights",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    q AS (
+      SELECT user_id, rn, value,
+             CAST(FLOOR(LEAST(GREATEST(value / LAG(value, 1) OVER wp - 1,
+                                       -1.0), 10.0) * 1000000 + 0.5) AS BIGINT)
+               AS lr6,
+             LAG(value, 1) OVER wp AS f_naive,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+               AS f_ma10,
+             MAX(rn) OVER (PARTITION BY user_id) AS n_k
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    sig AS (
+      SELECT user_id, rn, value, f_naive, f_ma3, f_ma10, n_k,
+             COUNT(lr6) OVER w20 AS n20,
+             SUM(lr6) OVER w20 AS t20,
+             SUM(lr6 * lr6) OVER w20 AS u20
+      FROM q
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    feat AS (
+      SELECT user_id, rn, value, f_naive, f_ma3, f_ma10,
+             CAST(FLOOR(SQRT(GREATEST((CAST(u20 AS DOUBLE)
+                    - CAST(t20 AS DOUBLE)*CAST(t20 AS DOUBLE)/n20)
+                    / (n20 - 1), 0)) + 0.5) AS BIGINT) AS s20_i,
+             CASE WHEN rn <= CAST(FLOOR(n_k * 0.7) AS BIGINT)
+                  THEN 1 ELSE 0 END AS is_train
+      FROM sig WHERE rn >= 21
+    ),
+    cuts AS (
+      SELECT QUANTILE_CONT(s20_i, 0.3333333333333333) AS q33,
+             QUANTILE_CONT(s20_i, 0.6666666666666666) AS q66
+      FROM feat WHERE is_train = 1
+    ),
+    lab AS (
+      SELECT f.*, CASE WHEN f.s20_i <= c.q33 THEN 0
+                       WHEN f.s20_i <= c.q66 THEN 1 ELSE 2 END AS regime
+      FROM feat f CROSS JOIN cuts c
+    ),
+    rw AS (
+      SELECT user_id, regime,
+             SQRT(AVG(POWER(value - f_naive, 2))) AS r_n,
+             SQRT(AVG(POWER(value - f_ma3, 2)))   AS r_3,
+             SQRT(AVG(POWER(value - f_ma10, 2)))  AS r_10
+      FROM lab WHERE is_train = 1
+      GROUP BY user_id, regime
+    ),
+    rwn AS (
+      SELECT user_id, regime,
+             ROUND((1/r_n)  / (1/r_n + 1/r_3 + 1/r_10), 6) AS wr_n,
+             ROUND((1/r_3)  / (1/r_n + 1/r_3 + 1/r_10), 6) AS wr_3,
+             ROUND((1/r_10) / (1/r_n + 1/r_3 + 1/r_10), 6) AS wr_10
+      FROM rw
+    ),
+    gw AS (
+      SELECT user_id,
+             SQRT(AVG(POWER(value - f_naive, 2))) AS r_n,
+             SQRT(AVG(POWER(value - f_ma3, 2)))   AS r_3,
+             SQRT(AVG(POWER(value - f_ma10, 2)))  AS r_10
+      FROM lab WHERE is_train = 1
+      GROUP BY user_id
+    ),
+    gwn AS (
+      SELECT user_id,
+             ROUND((1/r_n)  / (1/r_n + 1/r_3 + 1/r_10), 6) AS wg_n,
+             ROUND((1/r_3)  / (1/r_n + 1/r_3 + 1/r_10), 6) AS wg_3,
+             ROUND((1/r_10) / (1/r_n + 1/r_3 + 1/r_10), 6) AS wg_10
+      FROM gw
+    ),
+    ho AS (
+      SELECT l.user_id, l.value, l.regime,
+             COALESCE(r.wr_n,  g.wg_n)  * l.f_naive
+           + COALESCE(r.wr_3,  g.wg_3)  * l.f_ma3
+           + COALESCE(r.wr_10, g.wg_10) * l.f_ma10 AS b_r,
+             g.wg_n * l.f_naive + g.wg_3 * l.f_ma3
+           + g.wg_10 * l.f_ma10 AS b_g
+      FROM lab l
+      JOIN gwn g ON g.user_id = l.user_id
+      LEFT JOIN rwn r ON r.user_id = l.user_id AND r.regime = l.regime
+      WHERE l.is_train = 0
+    )
+    SELECT user_id, COUNT(*) AS n_holdout,
+           COUNT(DISTINCT regime) AS n_regimes_holdout,
+           ROUND(SQRT(AVG(POWER(value - b_r, 2))), 6) AS rmse_regime,
+           ROUND(SQRT(AVG(POWER(value - b_g, 2))), 6) AS rmse_global
+    FROM ho GROUP BY user_id
+    """,
+)
+def regime_ensemble_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 regime-CONDITIONAL ensemble weight selection — the reference's
+    headline published capability: per-regime weight optimization is where
+    its 60.7-65.1% RMSE improvement comes from (reference
+    `README.md:412-418` — e.g. 72% SAMOSSA weight in CRISIS, 90% in
+    MODERATE_TRENDING — and `forcester_ts/ensemble.py:158-294`, weight
+    selection conditioned on the market-regime label from
+    `market_analyzer`).
+
+    Spark-first re-expression: one window pass builds the three
+    forecasters AND the W8 vol-regime feature (20-bar sigma of quantized
+    returns — exact integer sums, the `drift_vol_regimes` trick, so the
+    tercile cut is bit-stable across engines); rows split 70/30
+    train/holdout per key on the row index; inverse-RMSE weights are
+    selected per (key, regime) on train (vs one global weight vector per
+    key); both blends are scored on the HOLDOUT — the output exposes
+    held-out `rmse_regime` vs `rmse_global` per key so the improvement
+    claim is directly auditable. Weights are rounded to 6dp before
+    blending on BOTH engines (collapses sub-ulp drift in the weight
+    ratios). A holdout regime unseen in training falls back to the
+    global weights via COALESCE (the reference's deterministic-fallback
+    behavior, `ensemble.py:146-156`).
+
+    Scale shape: two window passes on the (user_id)-clustered series, the
+    tercile cut is a broadcast scalar, weight tables join back on
+    (user_id[, regime]) — facts shuffle once; weight tables are
+    key-cardinality (tiny) and AQE broadcasts them."""
+    lab, rwn, gwn = regime_weight_frames(spark, sf_dir)
+    ho = (
+        lab.filter(F.col("is_train") == 0)
+        .join(gwn, "user_id")
+        .join(rwn, ["user_id", "regime"], "left")
+        .select(
+            "user_id",
+            "value",
+            "regime",
+            (
+                F.coalesce(F.col("wr_n"), F.col("wg_n")) * F.col("f_naive")
+                + F.coalesce(F.col("wr_3"), F.col("wg_3")) * F.col("f_ma3")
+                + F.coalesce(F.col("wr_10"), F.col("wg_10")) * F.col("f_ma10")
+            ).alias("b_r"),
+            (
+                F.col("wg_n") * F.col("f_naive")
+                + F.col("wg_3") * F.col("f_ma3")
+                + F.col("wg_10") * F.col("f_ma10")
+            ).alias("b_g"),
+        )
+    )
+    return ho.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_holdout"),
+        F.countDistinct("regime").alias("n_regimes_holdout"),
+        r6(F.sqrt(F.avg(F.pow(F.col("value") - F.col("b_r"), 2)))).alias(
+            "rmse_regime"
+        ),
+        r6(F.sqrt(F.avg(F.pow(F.col("value") - F.col("b_g"), 2)))).alias(
+            "rmse_global"
+        ),
+    )
+
+
+def regime_weight_frames(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Shared frames for regime-conditional weighting: the labelled series
+    (`lab`: forecasts + regime + train/holdout flag), the per-(key, regime)
+    weight table (`rwn`) and the per-key global weight table (`gwn`)."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    ret = F.least(
+        F.greatest(F.col("value") / F.lag("value", 1).over(wp) - 1, F.lit(-1.0)),
+        F.lit(10.0),
+    )
+    q = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.floor(ret * 1000000 + 0.5).cast("bigint").alias("lr6"),
+        F.lag("value", 1).over(wp).alias("f_naive"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+        F.max("rn").over(Window.partitionBy("user_id")).alias("n_k"),
+    )
+    w20 = _w((-19, 0))
+    sig = q.select(
+        "user_id",
+        "rn",
+        "value",
+        "f_naive",
+        "f_ma3",
+        "f_ma10",
+        "n_k",
+        F.count("lr6").over(w20).alias("n20"),
+        F.sum("lr6").over(w20).alias("t20"),
+        F.sum(F.col("lr6") * F.col("lr6")).over(w20).alias("u20"),
+    )
+    t20d = F.col("t20").cast("double")
+    u20d = F.col("u20").cast("double")
+    n20 = F.col("n20")
+    sigma_micro = F.sqrt(
+        F.greatest((u20d - t20d * t20d / n20) / (n20 - 1), F.lit(0.0))
+    )
+    feat = sig.filter(F.col("rn") >= 21).select(
+        "user_id",
+        "rn",
+        "value",
+        "f_naive",
+        "f_ma3",
+        "f_ma10",
+        F.floor(sigma_micro + 0.5).cast("bigint").alias("s20_i"),
+        F.when(
+            F.col("rn") <= F.floor(F.col("n_k") * 0.7).cast("bigint"), 1
+        )
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    cuts = feat.filter(F.col("is_train") == 1).agg(
+        F.percentile(F.col("s20_i"), F.lit(1.0 / 3.0)).alias("q33"),
+        F.percentile(F.col("s20_i"), F.lit(2.0 / 3.0)).alias("q66"),
+    )
+    regime = (
+        F.when(F.col("s20_i") <= F.col("q33"), 0)
+        .when(F.col("s20_i") <= F.col("q66"), 1)
+        .otherwise(2)
+    )
+    lab = feat.crossJoin(F.broadcast(cuts)).withColumn("regime", regime)
+
+    def rmse(c):
+        return F.sqrt(F.avg(F.pow(F.col("value") - F.col(c), 2)))
+
+    train = lab.filter(F.col("is_train") == 1)
+    rw = train.groupBy("user_id", "regime").agg(
+        rmse("f_naive").alias("r_n"),
+        rmse("f_ma3").alias("r_3"),
+        rmse("f_ma10").alias("r_10"),
+    )
+    z = 1 / F.col("r_n") + 1 / F.col("r_3") + 1 / F.col("r_10")
+    rwn = rw.select(
+        "user_id",
+        "regime",
+        r6((1 / F.col("r_n")) / z).alias("wr_n"),
+        r6((1 / F.col("r_3")) / z).alias("wr_3"),
+        r6((1 / F.col("r_10")) / z).alias("wr_10"),
+    )
+    gw = train.groupBy("user_id").agg(
+        rmse("f_naive").alias("r_n"),
+        rmse("f_ma3").alias("r_3"),
+        rmse("f_ma10").alias("r_10"),
+    )
+    gwn = gw.select(
+        "user_id",
+        r6((1 / F.col("r_n")) / z).alias("wg_n"),
+        r6((1 / F.col("r_3")) / z).alias("wg_3"),
+        r6((1 / F.col("r_10")) / z).alias("wg_10"),
+    )
+    return lab, rwn, gwn

@@ -91,3 +91,72 @@ def test_readme_matrix_names_are_real():
         and n not in {"spark", "sql", "embedding", "queries"}
     }
     assert not missing, f"README names unknown queries: {sorted(missing)}"
+
+
+def _regime_switch_events(spark, tmp_path):
+    """Synthetic regime-switching series: alternating 80-row blocks of
+    (a) a low-vol random walk (naive lag-1 is the best forecaster) and
+    (b) high-vol iid noise around a level (trailing MA10 is the best
+    forecaster). Written as an events.parquet dir so the real query runs
+    unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3):
+        rng = np.random.default_rng(100 + uid)
+        vals = []
+        level = 100.0
+        for block in range(8):
+            if block % 2 == 0:  # low-vol random walk
+                steps = rng.normal(0.0, 0.05, 80)
+                for s in steps:
+                    level = max(level + s, 1.0)
+                    vals.append(level)
+            else:  # high-vol iid noise around the current level
+                noise = rng.normal(0.0, 4.0, 80)
+                for z in noise:
+                    vals.append(max(level + z, 1.0))
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), uid, "tick", float(v), "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "sf_regime")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d + "/events.parquet")
+    return d
+
+
+def test_regime_weights_differ_and_improve_holdout(spark, tmp_path):
+    """Regime-conditional weights (the reference's headline capability,
+    `forcester_ts/ensemble.py:158-294`, README.md:412-418): on a
+    regime-switching series the selected weights must actually differ
+    across vol regimes (naive dominates the calm regime, MA10 the noisy
+    one) and the regime-switching blend must beat the global blend on
+    held-out rows."""
+    from portofolio_maximizer_spark.plans.queries_signals import (
+        regime_weight_frames,
+    )
+
+    d = _regime_switch_events(spark, tmp_path)
+    _, rwn, _ = regime_weight_frames(spark, d)
+    w = {(r.user_id, r.regime): r for r in rwn.collect()}
+    for uid in (1, 2, 3):
+        lo, hi = w[(uid, 0)], w[(uid, 2)]
+        # calm regime: lag-1 carries the most weight; noisy regime: MA10
+        assert lo.wr_n > hi.wr_n, (lo, hi)
+        assert hi.wr_10 > lo.wr_10, (lo, hi)
+        for r in (lo, hi):
+            assert math.isclose(r.wr_n + r.wr_3 + r.wr_10, 1.0, abs_tol=2e-6)
+
+    out = {r.user_id: r for r in QUERIES["regime_ensemble_weights"](spark, d).collect()}
+    assert set(out) == {1, 2, 3}
+    for uid, r in out.items():
+        assert r.n_regimes_holdout >= 2, r
+        assert r.rmse_regime <= r.rmse_global + 1e-9, r
+    mean_gain = sum(r.rmse_global - r.rmse_regime for r in out.values()) / 3
+    assert mean_gain > 0.0
