@@ -201,28 +201,35 @@ def simhash16(text: Column) -> Column:
     (aggregate over the token array) — portable to the oracle because the
     hex digits of md5 agree everywhere.
 
-    Each token is hashed ONCE (`transform` to its md5 hex), then all 16
-    bit-votes read substrings of that cached digest — md5 dominates the
-    cost and a per-bit rehash would be a 16× tax on a 100 TB corpus.
-    Values are unchanged versus hashing per bit (same digest).
+    Each token is hashed ONCE (`transform` to its md5 hex) and the 16
+    bit-votes ride ONE ``aggregate`` fold whose accumulator is a 16-element
+    int array (``zip_with`` adds each digest's ±1 vote vector) — a single
+    pass over the array and a 16× smaller expression tree than the earlier
+    one-aggregate-per-bit form, which showed up as pure codegen/analysis
+    cost at bench time. Values are bit-identical to the per-bit form (same
+    digests, same votes, same signs).
     """
     hashes = F.transform(F.array_distinct(tokens(text)), lambda t: F.md5(t))
 
-    def voter(pos: int):
-        # closure (not a default arg): PySpark infers lambda arity from the
-        # signature, so the merge fn must be exactly (acc, h)
-        def merge(acc, h):
-            return acc + F.when(
-                F.substring(h, pos + 1, 1).isin(*"89abcdef"), F.lit(1)
-            ).otherwise(F.lit(-1))
+    def step(acc, h):
+        votes = F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.when(
+                F.substring(h, i, F.lit(1)).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        return F.zip_with(acc, votes, lambda a, v: a + v)
 
-        return merge
-
-    bits = []
-    for i in range(16):
-        vote = F.aggregate(hashes, F.lit(0), voter(i))
-        bits.append(F.when(vote > 0, F.lit(2**i)).otherwise(F.lit(0)))
-    return sum(bits[1:], start=bits[0]).alias("simhash")
+    votes = F.aggregate(hashes, F.array_repeat(F.lit(0), 16), step)
+    weights = F.array(*[F.lit(2**i) for i in range(16)])
+    sig = F.aggregate(
+        F.zip_with(
+            votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return sig.alias("simhash")
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
