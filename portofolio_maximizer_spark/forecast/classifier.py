@@ -10,6 +10,8 @@ partition-order dependent, which would break run-to-run hashing).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,14 +106,18 @@ def expected_calibration_error(
 
 def fit_platt(
     scored: DataFrame, conf_col: str = "conf", correct_col: str = "correct",
-    max_iter: int = 100,
+    max_iter: int = 100, reg_param: float = 1e-6,
 ) -> tuple[float, float]:
     """Platt scaling (Platt 1999; reference
     `forcester_ts/directional_classifier.py:54-154` calibration stage):
     fit P(correct | s) = σ(a·s + b) on a held-out calibration fold, where
     s = logit(confidence). Distributed MLE via MLlib binary logistic
-    regression with a single feature and no regularization — the same
-    L-BFGS solve at any data scale.
+    regression with a single feature and a TINY ridge (1e-6): on a
+    completely separable or single-class calibration fold (plausible on a
+    small fold of a memorized train set) the unregularized MLE diverges
+    and MLlib returns huge coefficients that make downstream ECE
+    arbitrarily bad. Degenerate folds (one class, or a still-exploded
+    fit) fall back to the identity calibration (a=1, b=0).
     """
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
@@ -124,9 +130,17 @@ def fit_platt(
         array_to_vector(F.array(logit)).alias("features"),
         F.col(correct_col).alias("label"),
     )
-    lr = LogisticRegression(maxIter=max_iter, regParam=0.0, family="binomial")
+    n_classes = data.select("label").distinct().count()
+    if n_classes < 2:
+        return 1.0, 0.0
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, family="binomial"
+    )
     m = lr.fit(data)
-    return float(m.coefficients[0]), float(m.intercept)
+    a, b = float(m.coefficients[0]), float(m.intercept)
+    if not (math.isfinite(a) and math.isfinite(b)) or abs(a) > 50 or abs(b) > 50:
+        return 1.0, 0.0
+    return a, b
 
 
 def platt_confidence(conf: F.Column, a: float, b: float) -> F.Column:

@@ -280,14 +280,18 @@ ARIMA_SCHEMA = StructType(
 
 
 def _fit_arma_hr(
-    y: np.ndarray, p: int, q: int, e_long: np.ndarray
+    y: np.ndarray, p: int, q: int, e_long: np.ndarray, t0_min: int = 0
 ) -> tuple[np.ndarray, np.ndarray, float, float, np.ndarray] | None:
     """Hannan–Rissanen step 2: OLS of y_t on [1, y lags, long-AR residual
     lags] → (phi, theta, sigma, aic, fitted residuals). ``e_long`` is the
     step-1 long-AR residual series aligned with ``y`` (zeros before the
-    long-AR burn-in)."""
+    long-AR burn-in). ``t0_min`` forces a common conditioning window
+    across a candidate grid (t0 = max(t0_min, p, q)) so every candidate's
+    AIC is computed on the SAME effective sample m — without it, AICs
+    with different m are not strictly comparable and order selection is
+    mildly biased toward small (p, q)."""
     n = len(y)
-    t0 = max(p, q)
+    t0 = max(t0_min, p, q)
     if n - t0 < p + q + 8:
         return None
     cols = [np.ones(n - t0)]
@@ -306,6 +310,43 @@ def _fit_arma_hr(
     e_fit[t0:] = resid
     theta = beta[p + 1 : p + 1 + q]
     return beta, theta, sigma, float(aic), e_fit
+
+
+def _adf_tau(y: np.ndarray, k: int = 1) -> float:
+    """Closed-form OLS ADF τ statistic (constant, no trend, ``k`` lagged
+    differences): Δy_t = a + b·y_{t−1} + Σ γ_i Δy_{t−i} + ε, τ = b̂/se(b̂).
+    Unit root is REJECTED (series stationary) when τ < the 5% critical
+    value −2.86 — the reference's stationarity gate runs ADF+KPSS via
+    statsmodels (`forcester_ts/forecaster.py:611-680`); this is the same
+    Dickey–Fuller regression as a two-line least squares. Returns 0.0
+    (non-rejecting) when the regression is degenerate (constant series)."""
+    dy = np.diff(y)
+    m = len(dy)
+    if m - k < 10:
+        return 0.0
+    X = np.column_stack(
+        [np.ones(m - k), y[k:m]]
+        + [dy[k - i : m - i] for i in range(1, k + 1)]
+    )
+    t = dy[k:m]
+    xtx = X.T @ X
+    try:
+        xtx_inv = np.linalg.inv(xtx)
+    except np.linalg.LinAlgError:
+        return 0.0
+    beta = xtx_inv @ (X.T @ t)
+    resid = t - X @ beta
+    dof = (m - k) - X.shape[1]
+    if dof <= 0:
+        return 0.0
+    s2 = float(resid @ resid) / dof
+    se_b = float(np.sqrt(max(s2 * xtx_inv[1, 1], 0.0)))
+    if not np.isfinite(se_b) or se_b <= 0.0:
+        return 0.0
+    return float(beta[1] / se_b)
+
+
+_ADF_CRIT_5PCT = -2.86  # constant-only DF regression, large-n 5% critical value
 
 
 def _psi_weights(phi: np.ndarray, theta: np.ndarray, h: int) -> np.ndarray:
@@ -352,11 +393,13 @@ def arima_hr_forecast(
         if len(x) < 40:
             return []
         # d is NOT selectable by AIC (different scales across differencing)
-        # — real pipelines use a unit-root test (KPSS/ADF). Deterministic
-        # near-unit-root rule: d=1 iff the level AR(1) coefficient ≥ 0.97
-        # (the same persistence threshold the GARCH stability guard uses).
-        b1, _, _ = _fit_ar(x, 1)
-        d = 1 if abs(float(b1[1])) >= 0.97 else 0
+        # — use the ADF unit-root decision like the reference
+        # (`forcester_ts/forecaster.py:611-680`, ADF+KPSS): difference
+        # exactly when the τ statistic fails to reject a unit root at 5%.
+        d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
+        # common conditioning window across the grid: every candidate's
+        # AIC uses the same effective sample m = n − max_grid(p, q)
+        t0_common = max(max(p, q) for p, q in pq_grid)
         best = None
         for p, q in pq_grid:
             y = np.diff(x, d) if d else x
@@ -369,7 +412,7 @@ def arima_hr_forecast(
                 + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
             )
             e_long[m_long:] = y[m_long:] - Xl @ bl
-            r = _fit_arma_hr(y, p, q, e_long)
+            r = _fit_arma_hr(y, p, q, e_long, t0_min=t0_common)
             if r is None:
                 continue
             beta, theta, sigma, aic, e_fit = r

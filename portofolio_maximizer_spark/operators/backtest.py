@@ -105,7 +105,10 @@ def lob_vwap_fill(
     depth = np.asarray(depth_notional, dtype=float)
     req = np.asarray(shares, dtype=float)
 
-    tick = np.maximum(mid * tick_bps / 1e4, np.maximum(1e-9, mid * 1e-4))
+    # tick fallback ONLY where tick <= 0 (reference lob_simulator.py:104-107)
+    # — a configured tick_bps below 1.0 must not be silently floored away.
+    tick = mid * tick_bps / 1e4
+    tick = np.where(tick <= 0, np.maximum(1e-9, mid * 1e-4), tick)
     start = np.maximum(mid + side * hs, tick)
 
     w = np.exp(-alpha * np.arange(levels))
@@ -125,7 +128,10 @@ def lob_vwap_fill(
         start + side * max(levels, exhaust_levels) * tick, tick
     )
     cost = cost + remaining * tail_px
-    return np.where(req > 0, cost / np.where(req > 0, req, 1.0), start)
+    vwap = np.where(req > 0, cost / np.where(req > 0, req, 1.0), start)
+    # no book at all → fill at the start price (reference's depth_total<=0
+    # early return, lob_simulator.py:117-125), not the exhaust tail
+    return np.where(depth > 0, vwap, start)
 
 
 def simulate_trades(

@@ -149,6 +149,27 @@ def min_variance_weights(series: DataFrame, **kw) -> DataFrame:
     return _emit_weights(series.sparkSession, keys, sigma, w, "min_variance")
 
 
+def align_panel(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    ret_col: str = "lr",
+) -> DataFrame:
+    """Restrict a long (asset, time, return) panel to the time points where
+    EVERY asset has a non-null return — the aligned-panel discipline the
+    Ledoit-Wolf estimator's single-n algebra requires. One groupBy on the
+    time key + a semi-join; both shuffle on ``order_col`` only."""
+    s = series.filter(F.col(ret_col).isNotNull()).select(key, order_col, ret_col)
+    n_assets = s.select(key).distinct().count()
+    full_t = (
+        s.groupBy(order_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == n_assets)
+        .select(order_col)
+    )
+    return s.join(full_t, order_col, "left_semi")
+
+
 def ledoit_wolf_lambda(
     series: DataFrame,
     sigma_sample: np.ndarray,
@@ -166,8 +187,13 @@ def ledoit_wolf_lambda(
     moment, q = Σ_k (x_k·x_k)², reduces to one per-time-point aggregate
     over centered returns (x_k is the cross-sectional return vector at
     time k). The remaining terms come from the already-collected N×N Σ.
-    Time points missing any asset are excluded (aligned-panel discipline,
-    same as the pairwise covariance path).
+
+    The single-n algebra (the (n−1)/n rescale and the β denominator)
+    is only valid on a COMPLETE panel — ``sigma_sample`` built from
+    pairwise-complete counts would silently bias λ per-pair. An
+    incomplete panel therefore raises instead of returning a biased
+    value; align with ``align_panel`` first (what
+    ``min_variance_weights_shrunk`` does).
     """
     s = series.filter(F.col(ret_col).isNotNull()).select(key, order_col, ret_col)
     mu_by_asset = s.groupBy(key).agg(F.avg(ret_col).alias("_mu"))
@@ -177,12 +203,22 @@ def ledoit_wolf_lambda(
     per_t = centered.groupBy(order_col).agg(
         F.count(F.lit(1)).alias("_n_assets"),
         F.sum(F.col("_c") * F.col("_c")).alias("_ssq"),
-    ).filter(F.col("_n_assets") == n_assets)
+    )
     row = per_t.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("_ssq") * F.col("_ssq")).alias("q"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("_n_assets") == n_assets).cast("int")).alias("n"),
+        F.sum(
+            F.when(F.col("_n_assets") == n_assets, F.col("_ssq") * F.col("_ssq"))
+        ).alias("q"),
     ).collect()[0]
-    n, q = int(row["n"]), float(row["q"])
+    n_total, n = int(row["n_total"]), int(row["n"] or 0)
+    if n < n_total:
+        raise ValueError(
+            f"ledoit_wolf_lambda requires a complete panel: {n_total - n} of "
+            f"{n_total} time points are missing at least one of the "
+            f"{n_assets} assets — align the panel first (align_panel)"
+        )
+    q = float(row["q"] or 0.0)
     if n <= 1:
         return 0.0
     p = n_assets
@@ -206,7 +242,18 @@ def min_variance_weights_shrunk(
     ``shrinkage`` (used by the monotonicity invariant tests). The λ-blend
     itself is a driver-side matrix op — Σ is N×N, KBs — while both inputs
     (pairwise covariances, the LW fourth-moment) are distributed
-    aggregates."""
+    aggregates.
+
+    When λ is estimated, the panel is ALIGNED first (``align_panel``) and
+    both the covariance and the fourth-moment statistic are computed from
+    the same complete panel — the single-n rescale inside the λ formula
+    is exact by construction instead of silently biased on ragged data
+    (``ledoit_wolf_lambda`` raises on incomplete panels)."""
+    key_c = kw.get("key", "user_id")
+    order_c = kw.get("order_col", "rn")
+    ret_c = kw.get("ret_col", "lr")
+    if shrinkage is None:
+        series = align_panel(series, key=key_c, order_col=order_c, ret_col=ret_c)
     cov = covariance_long(series, **kw)
     keys, sigma = _collect_sigma(cov)
     # covar_samp is the unbiased (n−1) estimator; LW is stated for the

@@ -295,3 +295,28 @@ def test_lob_vwap_vectorized_matches_scalar_walk(spark):
         if remaining > 0:
             cost += remaining * (start + max(levels, exhaust) * tick)
         assert abs(got[j] - cost / shares[j]) < 1e-9 * max(1.0, cost / shares[j])
+
+
+def test_lob_sub_bps_tick_honored_and_zero_depth_fills_at_start():
+    """Reference parity (lob_simulator.py:104-125): tick_bps below 1.0 must
+    change the ladder spacing (no silent 1bp floor), and a zero-depth book
+    fills the whole order at the start price, not the exhaust tail."""
+    import numpy as np
+
+    from portofolio_maximizer_spark.operators.backtest import lob_vwap_fill
+
+    mid = np.array([100.0])
+    hs = np.array([0.05])
+    depth = np.array([5000.0])
+    shares = np.array([200.0])
+    v_half_bp = lob_vwap_fill(mid, hs, depth, shares, side=1, tick_bps=0.5)
+    v_one_bp = lob_vwap_fill(mid, hs, depth, shares, side=1, tick_bps=1.0)
+    # tighter ticks → shallower walk → strictly better (lower) buy VWAP
+    assert v_half_bp[0] < v_one_bp[0]
+    # tick<=0 falls back to the 1bp-of-mid default
+    v_zero_bp = lob_vwap_fill(mid, hs, depth, shares, side=1, tick_bps=0.0)
+    assert np.isclose(v_zero_bp[0], v_one_bp[0])
+
+    start = mid[0] + hs[0]
+    v_dry = lob_vwap_fill(mid, hs, np.array([0.0]), shares, side=1)
+    assert np.isclose(v_dry[0], start)

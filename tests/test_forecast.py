@@ -486,3 +486,49 @@ def test_samossa_query_runs(spark, sf_dir):
     assert len(out) > 0
     assert set(out.horizon_step) == {1, 2, 3, 4, 5}
     assert out.sigma.gt(0).all()
+
+
+def test_arima_adf_differencing_decision(spark):
+    """ADF-based d-selection (reference `forcester_ts/forecaster.py:
+    611-680` stationarity gate): a TRUE random walk whose small-sample
+    AR(1) coefficient is ~0.95 — which the old persistence-threshold rule
+    (d=1 iff coef >= 0.97) left undifferenced — must now select d=1,
+    while a genuinely stationary near-unit-root AR(1) (phi=0.95, long
+    sample) must stay d=0."""
+    from portofolio_maximizer_spark.forecast import arima_hr_forecast
+    from portofolio_maximizer_spark.forecast.models import _adf_tau, _fit_ar
+
+    rng = np.random.default_rng(45)
+    rw = np.cumsum(rng.normal(0, 1, 150))
+    b1, _, _ = _fit_ar(rw, 1)
+    assert abs(float(b1[1])) < 0.97  # the old rule would have chosen d=0
+    sdf = spark.createDataFrame(
+        [(1, t, float(rw[t])) for t in range(len(rw))],
+        "user_id long, rn long, value double",
+    )
+    out = arima_hr_forecast(sdf).toPandas()
+    assert out.d.iloc[0] == 1
+
+    ar = np.zeros(3000)
+    e = rng.normal(0, 1, 3000)
+    for t in range(1, 3000):
+        ar[t] = 0.95 * ar[t - 1] + e[t]
+    assert _adf_tau(ar) < -2.86
+    sdf2 = spark.createDataFrame(
+        [(1, t, float(ar[t])) for t in range(len(ar))],
+        "user_id long, rn long, value double",
+    )
+    out2 = arima_hr_forecast(sdf2).toPandas()
+    assert out2.d.iloc[0] == 0
+
+
+def test_platt_degenerate_fold_falls_back_to_identity(spark):
+    """A single-class calibration fold (every prediction correct) must not
+    explode the Platt fit — identity calibration (a=1, b=0) instead."""
+    from portofolio_maximizer_spark.forecast.classifier import fit_platt
+
+    scored = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.95, 1.0), (0.7, 1.0)], "conf double, correct double"
+    )
+    a, b = fit_platt(scored)
+    assert (a, b) == (1.0, 0.0)

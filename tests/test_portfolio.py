@@ -336,3 +336,34 @@ def test_shrunk_query_registered(spark, sf_dir):
     assert (out.weight >= 0).all()
     assert out.shrinkage.nunique() == 1
     assert 0.0 <= out.shrinkage.iloc[0] <= 1.0
+
+
+def test_ledoit_wolf_rejects_ragged_panel_and_shrunk_aligns(spark):
+    """An incomplete panel must fail loudly in the lambda estimator (the
+    single-n rescale is wrong per-pair on ragged data), and
+    min_variance_weights_shrunk must keep working by aligning the panel
+    before estimating lambda."""
+    import numpy as np
+    import pytest
+
+    from portofolio_maximizer_spark.operators.portfolio import (
+        covariance_long,
+        _collect_sigma,
+        ledoit_wolf_lambda,
+        min_variance_weights_shrunk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for uid in range(4):
+        n = 60 if uid < 3 else 45  # asset 3 has a shorter (ragged) history
+        for t in range(n):
+            rows.append((uid, t, float(rng.normal(0, 0.01))))
+    sdf = spark.createDataFrame(rows, "user_id long, rn long, lr double")
+    keys, sigma = _collect_sigma(covariance_long(sdf, min_obs=5))
+    with pytest.raises(ValueError, match="complete panel"):
+        ledoit_wolf_lambda(sdf, sigma, len(keys))
+    out = min_variance_weights_shrunk(sdf, min_obs=5).toPandas()
+    assert len(out) == 4
+    lam = out.shrinkage.iloc[0]
+    assert 0.0 <= lam <= 1.0

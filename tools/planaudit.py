@@ -79,13 +79,35 @@ _SF_SCALING_MARKERS = {
 
 # constant id-range predicate => fixed-size query set regardless of sf
 _ID_BOUND_RE = re.compile(r"Filter [^\n]*\w*id#\d+L? (?:<=?|=) \d+")
-# grouping/dedup keys that scale with the data: the sf-scaling tables'
-# id markers plus the high-cardinality entity keys they carry. An
-# Aggregate/Deduplicate keyed on one of these does NOT bound its subtree
-# (one output row per entity ≈ input scale), so it must not exempt a
-# forced broadcast.
-_HIGH_CARD_COLS = set(_SF_SCALING_MARKERS.values()) | {"user_id", "l_suppkey", "o_custkey"}
-_AGG_KEYS_RE = re.compile(r"\b(?:Aggregate|Deduplicate) \[([^\]]*)\]")
+# Grouping keys with CONSTANT cardinality regardless of sf — the only keys
+# whose Aggregate/Deduplicate bounds its subtree. Everything else (unknown
+# keys included: chunk hashes, grams, component ids all scale with the
+# corpus) is treated as scaling and surfaces as the soft KEYED_AGG flag —
+# the safe default is "scales until proven constant", not the reverse.
+_CONST_CARD_COLS = {
+    "source",
+    "lang",
+    "event_type",
+    "event_type_clean",
+    "stage",
+    "regime",
+    "fold",
+    "split",
+    "action",
+    "l_returnflag",
+    "l_linestatus",
+    "r_name",
+    "n_name",
+    "verdict",
+    "reason",
+    "model",
+    "bucket",
+    "side",
+}
+# grouped Aggregate prints TWO lists (`Aggregate [keys], [outputs]`);
+# scalar prints one (`Aggregate [outputs]`) — or, fully column-pruned,
+# none at all (bare `Aggregate`). Deduplicate's single list IS its keys.
+_AGG_KEYS_RE = re.compile(r"\b(Aggregate|Deduplicate)(?: \[([^\]]*)\])?(, \[)?")
 
 
 def _node_col(line: str) -> int:
@@ -110,23 +132,26 @@ def _bounded(side: str) -> tuple[bool, bool]:
     """(bounded, keyed_agg_only): whether anything in the hinted subtree
     bounds its cardinality independent of sf.
 
-    Bounding: a scalar aggregate or one grouped purely on constant-
-    cardinality columns, a Limit, or a constant id-range filter. An
-    Aggregate/Deduplicate keyed on a high-cardinality entity id emits one
-    row per entity — that SCALES, so it does not bound; if it is the only
-    shrink node present, the hint is reported as a soft KEYED_AGG flag
-    rather than silently allowed."""
+    Bounding: a scalar aggregate or one grouped purely on allowlisted
+    constant-cardinality columns, a Limit, or a constant id-range filter.
+    An Aggregate/Deduplicate keyed on anything else (entity ids, chunk
+    hashes, grams, component labels — or any UNKNOWN key) emits one row
+    per key value, which scales with sf, so it does not bound; if it is
+    the only shrink node present, the hint is reported as a soft
+    KEYED_AGG flag rather than silently allowed."""
     if re.search(r"\b(GlobalLimit|LocalLimit)\b", side) or _ID_BOUND_RE.search(side):
         return True, False
     keyed_only = False
     for m in _AGG_KEYS_RE.finditer(side):
+        if m.group(1) == "Aggregate" and not m.group(3):
+            return True, False  # scalar aggregate (single list = outputs)
         keys = {
             re.sub(r"#\d+L?$", "", c.strip())
-            for c in m.group(1).split(",")
+            for c in (m.group(2) or "").split(",")
             if c.strip()
         }
-        if not keys or not (keys & _HIGH_CARD_COLS):
-            return True, False  # scalar or constant-cardinality grouping
+        if not keys or keys <= _CONST_CARD_COLS:
+            return True, False  # empty or constant-cardinality grouping
         keyed_only = True
     return False, keyed_only
 
