@@ -6,6 +6,7 @@ from .models import (
     ewma_vol_forecast,
     garch11_fit,
     samossa_forecast,
+    sarimax_hr_forecast,
     ssa_reconstruct,
     walkforward_refit,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "ewma_vol_forecast",
     "garch11_fit",
     "samossa_forecast",
+    "sarimax_hr_forecast",
     "ssa_reconstruct",
     "walkforward_refit",
 ]

@@ -461,6 +461,224 @@ def arima_hr_forecast(
 
 
 # ---------------------------------------------------------------------------
+# F1 seasonal — SARIMAX via the same Hannan–Rissanen harness: additive
+# seasonal AR/MA lags at an ACF-autodetected period + optional exogenous
+# regressors. Closed-form OLS throughout; no statsmodels.
+# ---------------------------------------------------------------------------
+
+SARIMAX_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("p", IntegerType()),
+        StructField("d", IntegerType()),
+        StructField("q", IntegerType()),
+        StructField("sp", IntegerType()),
+        StructField("sq", IntegerType()),
+        StructField("s", IntegerType()),
+        StructField("aic", DoubleType()),
+        StructField("horizon_step", IntegerType()),
+        StructField("yhat", DoubleType()),
+        StructField("lo", DoubleType()),
+        StructField("hi", DoubleType()),
+        StructField("sigma", DoubleType()),
+    ]
+)
+
+
+def _acf_at(y: np.ndarray, lag: int) -> float:
+    yc = y - y.mean()
+    denom = float(yc @ yc)
+    if denom <= 0.0 or len(y) <= lag:
+        return 0.0
+    return float(yc[lag:] @ yc[:-lag]) / denom
+
+
+def detect_seasonal_period(
+    y: np.ndarray, candidates: tuple[int, ...] = (7, 12, 24, 52)
+) -> int:
+    """ACF-based seasonality autodetect over the reference's candidate
+    periods (`forcester_ts/sarimax.py:212-222`: trading-calendar ladder
+    7/12/24/52): pick the candidate with the largest ACF above the
+    2/√n significance band, 0 if none qualifies or the series is too
+    short (< 3 full periods)."""
+    n = len(y)
+    if n < 3:
+        return 0
+    best_s, best_r = 0, 2.0 / np.sqrt(n)
+    for s in candidates:
+        if n < 3 * s:
+            continue
+        r = _acf_at(y, s)
+        if r > best_r:
+            best_s, best_r = s, r
+    return best_s
+
+
+def _fit_lagged_hr(
+    y: np.ndarray,
+    ar_lags: list[int],
+    ma_lags: list[int],
+    e_long: np.ndarray,
+    t0: int,
+    exog: np.ndarray | None = None,
+) -> tuple[np.ndarray, float, float, np.ndarray] | None:
+    """Hannan–Rissanen step 2 on an ARBITRARY lag set: OLS of y_t on
+    [1, y lags, step-1 residual lags, exog] → (beta, sigma, aic, fitted
+    residuals). The seasonal extension of ``_fit_arma_hr`` — the design
+    matrix just carries extra columns at lag s; the estimator stays the
+    same closed-form least squares."""
+    n = len(y)
+    n_exog = exog.shape[1] if exog is not None else 0
+    k = 1 + len(ar_lags) + len(ma_lags) + n_exog
+    if n - t0 < k + 8:
+        return None
+    cols = [np.ones(n - t0)]
+    cols += [y[t0 - l : n - l] for l in ar_lags]
+    cols += [e_long[t0 - l : n - l] for l in ma_lags]
+    if exog is not None:
+        cols += [exog[t0:, j] for j in range(n_exog)]
+    X = np.column_stack(cols)
+    yy = y[t0:]
+    beta, *_ = np.linalg.lstsq(X, yy, rcond=None)
+    resid = yy - X @ beta
+    rss = float(resid @ resid)
+    m = n - t0
+    sigma = float(np.sqrt(rss / max(m - k, 1)))
+    aic = m * np.log(max(rss / m, 1e-300)) + 2 * k
+    e_fit = np.zeros(n)
+    e_fit[t0:] = resid
+    return beta, sigma, float(aic), e_fit
+
+
+def sarimax_hr_forecast(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    horizon: int = 5,
+    exog_cols: list[str] | None = None,
+) -> DataFrame:
+    """F1 seasonal+exog: per-key SARIMAX via the Hannan–Rissanen harness —
+    reference `forcester_ts/sarimax.py:212-222` (seasonality autodetect)
+    and `:708-1013` (seasonal-order fit + exog alignment), re-expressed
+    without statsmodels: the HR step-2 design matrix simply gains
+    ADDITIVE seasonal AR/MA columns at the ACF-detected period s and the
+    exog columns, and stays closed-form OLS. (Additive seasonal lags, not
+    the multiplicative polynomial product — documented fidelity trade;
+    the grid covers (p,q) ∈ {0,1,2}², (P,Q) ∈ {0,1}² at the detected s,
+    all AICs on a common conditioning window.)
+
+    Exogenous regressors are differenced alongside y when d=1 and frozen
+    at their last observed value over the forecast horizon (no future
+    exog is available inside the engine — callers with known future exog
+    should append it and re-fit).
+
+    Scale: identical (key)-grouped Arrow fan-out to ``arima_hr_forecast``
+    — one closed-form fit grid per key, no optimizer, no Python loop over
+    rows beyond the O(grid·n) design builds."""
+    from ..operators.arrowgroup import grouped_numpy
+
+    exog_cols = list(exog_cols or [])
+
+    def fit(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        if len(x) < 40:
+            return []
+        ex_full = (
+            np.column_stack([cols[c][order].astype(float) for c in exog_cols])
+            if exog_cols
+            else None
+        )
+        d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
+        y = np.diff(x, d) if d else x
+        ex = None
+        if ex_full is not None:
+            ex = np.diff(ex_full, d, axis=0) if d else ex_full
+        n = len(y)
+        s = detect_seasonal_period(y)
+        pq_grid = [(p, q) for p in (0, 1, 2) for q in (0, 1, 2)]
+        spq_grid = [(0, 0), (1, 0), (0, 1), (1, 1)] if s else [(0, 0)]
+        t0_common = max(2, s)
+        m_long = min(max(8, (s or 0) + 4, 8), max(n // 4, 1))
+        bl, _, _ = _fit_ar(y, m_long)
+        e_long = np.zeros(n)
+        Xl = np.column_stack(
+            [np.ones(n - m_long)]
+            + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+        )
+        e_long[m_long:] = y[m_long:] - Xl @ bl
+        best = None
+        for p, q in pq_grid:
+            for P, Q in spq_grid:
+                ar_lags = list(range(1, p + 1)) + ([s] if P else [])
+                ma_lags = list(range(1, q + 1)) + ([s] if Q else [])
+                if not ar_lags and not ma_lags:
+                    continue
+                r = _fit_lagged_hr(y, ar_lags, ma_lags, e_long, t0_common, ex)
+                if r is None:
+                    continue
+                beta, sigma, aic, e_fit = r
+                if best is None or aic < best[0]:
+                    best = (aic, p, q, P, Q, ar_lags, ma_lags, beta, sigma, e_fit)
+        if best is None:
+            return []
+        aic, p, q, P, Q, ar_lags, ma_lags, beta, sigma, e_fit = best
+        n_ar, n_ma = len(ar_lags), len(ma_lags)
+        c = float(beta[0])
+        b_ar = beta[1 : 1 + n_ar]
+        b_ma = beta[1 + n_ar : 1 + n_ar + n_ma]
+        b_ex = beta[1 + n_ar + n_ma :]
+        ex_future = float(ex[-1] @ b_ex) if ex is not None and len(b_ex) else 0.0
+        hist = list(y)
+        errs = list(e_fit)
+        preds = []
+        for _h in range(horizon):
+            v = c + ex_future
+            for lag, coef in zip(ar_lags, b_ar):
+                v += coef * hist[-lag]
+            for lag, coef in zip(ma_lags, b_ma):
+                v += coef * errs[-lag] if len(errs) >= lag else 0.0
+            hist.append(v)
+            errs.append(0.0)
+            preds.append(v)
+        max_lag = max(ar_lags + ma_lags)
+        phi_dense = np.zeros(max_lag)
+        for lag, coef in zip(ar_lags, b_ar):
+            phi_dense[lag - 1] = coef
+        theta_dense = np.zeros(max_lag)
+        for lag, coef in zip(ma_lags, b_ma):
+            theta_dense[lag - 1] = coef
+        psi = _psi_weights(phi_dense, theta_dense, horizon)
+        if d:
+            yhat = float(x[-1]) + np.cumsum(preds)
+            psi_i = np.cumsum(psi)
+            var = sigma * sigma * np.cumsum(psi_i * psi_i)
+        else:
+            yhat = np.array(preds)
+            var = sigma * sigma * np.cumsum(psi * psi)
+        rows = []
+        for h in range(1, horizon + 1):
+            band = 1.96 * float(np.sqrt(var[h - 1]))
+            rows.append(
+                (uid, p, d, q, P, Q, s, round(aic, 6), h,
+                 round(float(yhat[h - 1]), 6),
+                 round(float(yhat[h - 1]) - band, 6),
+                 round(float(yhat[h - 1]) + band, 6),
+                 round(sigma, 6))
+            )
+        return rows
+
+    return grouped_numpy(
+        series.select(key, order_col, value_col, *exog_cols),
+        [key],
+        SARIMAX_SCHEMA,
+        fit,
+    )
+
+
+# ---------------------------------------------------------------------------
 # F2 — real GARCH(1,1) MLE (no `arch` needed: numpy likelihood, variance
 # targeting, deterministic two-stage grid refine)
 # ---------------------------------------------------------------------------

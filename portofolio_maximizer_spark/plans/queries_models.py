@@ -41,6 +41,21 @@ def arima_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arima_hr_forecast(_series(spark, sf_dir).select("user_id", "rn", "value"))
 
 
+@query("sarimax_hr_forecast")
+def sarimax_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 seasonal: SARIMAX — additive seasonal AR/MA lags at the
+    ACF-autodetected period + the non-seasonal grid, Hannan–Rissanen
+    closed-form OLS, AIC top-1 on a common conditioning window
+    (`forcester_ts/sarimax.py:212-222` autodetect, `:708-1013` seasonal
+    fit). Rows-only; period recovery + seasonal-beats-plain-ARIMA AIC
+    pinned in tests/test_forecast.py."""
+    from ..forecast import sarimax_hr_forecast
+
+    return sarimax_hr_forecast(
+        _series(spark, sf_dir).select("user_id", "rn", "value")
+    )
+
+
 @query("ewma_vol_recursive")
 def ewma_vol_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: exact RiskMetrics EWMA σ recursion per key (GARCH fallback,

@@ -532,3 +532,65 @@ def test_platt_degenerate_fold_falls_back_to_identity(spark):
     )
     a, b = fit_platt(scored)
     assert (a, b) == (1.0, 0.0)
+
+
+def test_sarimax_recovers_seasonal_period_and_beats_plain_arima(spark):
+    """Synthetic seasonal series (period 12 + AR(1) noise): the ACF
+    autodetect must recover s=12, select at least one seasonal term, beat
+    the non-seasonal ARIMA's AIC on the same series, and forecast the
+    seasonal pattern's continuation."""
+    from portofolio_maximizer_spark.forecast import (
+        arima_hr_forecast,
+        sarimax_hr_forecast,
+    )
+
+    rng = np.random.default_rng(53)
+    n, s_true = 600, 12
+    season = 3.0 * np.sin(2 * np.pi * np.arange(n) / s_true)
+    ar = np.zeros(n)
+    e = rng.normal(0, 0.3, n)
+    for t in range(1, n):
+        ar[t] = 0.4 * ar[t - 1] + e[t]
+    x = 10.0 + season + ar
+    sdf = spark.createDataFrame(
+        [(1, t, float(x[t])) for t in range(n)], "user_id long, rn long, value double"
+    )
+    out = sarimax_hr_forecast(sdf).toPandas().sort_values("horizon_step")
+    assert len(out) == 5
+    assert out.s.iloc[0] == s_true
+    assert out.sp.iloc[0] + out.sq.iloc[0] >= 1  # seasonal structure selected
+    plain = arima_hr_forecast(sdf).toPandas()
+    assert out.aic.iloc[0] < plain.aic.iloc[0]
+    # forecasts continue the seasonal pattern: step-h ~ level + season(n+h)
+    for _, r in out.iterrows():
+        expect = 10.0 + 3.0 * np.sin(2 * np.pi * (n + r.horizon_step - 1) / s_true)
+        assert abs(r.yhat - expect) < 1.0, (r.horizon_step, r.yhat, expect)
+
+
+def test_sarimax_exog_coefficient_recovered(spark):
+    """y = 2·x_exog + AR(1) noise: the HR design's exog column must
+    absorb the dependence — forecasts with the exog column present track
+    the exog-driven level far better than without it."""
+    from portofolio_maximizer_spark.forecast import sarimax_hr_forecast
+
+    rng = np.random.default_rng(59)
+    n = 400
+    exog = np.where((np.arange(n) // 25) % 2 == 0, 1.0, -1.0)
+    ar = np.zeros(n)
+    e = rng.normal(0, 0.2, n)
+    for t in range(1, n):
+        ar[t] = 0.3 * ar[t - 1] + e[t]
+    y = 2.0 * exog + ar
+    sdf = spark.createDataFrame(
+        [(1, t, float(y[t]), float(exog[t])) for t in range(n)],
+        "user_id long, rn long, value double, x1 double",
+    )
+    with_ex = sarimax_hr_forecast(sdf, exog_cols=["x1"]).toPandas()
+    no_ex = sarimax_hr_forecast(sdf.select("user_id", "rn", "value")).toPandas()
+    # exog frozen at its last value (+1 block): step-1 forecast near 2.0
+    step1 = with_ex[with_ex.horizon_step == 1].iloc[0]
+    truth = 2.0 * exog[-1]
+    assert abs(step1.yhat - truth) < 0.6
+    err_with = abs(step1.yhat - truth)
+    err_without = abs(no_ex[no_ex.horizon_step == 1].iloc[0].yhat - truth)
+    assert err_with <= err_without + 1e-9
