@@ -5,6 +5,7 @@ from .models import (
     arima_hr_forecast,
     ewma_vol_forecast,
     garch11_fit,
+    garch_grid_fit,
     samossa_forecast,
     sarimax_hr_forecast,
     ssa_reconstruct,
@@ -18,6 +19,7 @@ __all__ = [
     "arima_hr_forecast",
     "ewma_vol_forecast",
     "garch11_fit",
+    "garch_grid_fit",
     "samossa_forecast",
     "sarimax_hr_forecast",
     "ssa_reconstruct",

@@ -61,3 +61,43 @@ def grouped_numpy(
         return pa.Table.from_arrays(arrays, schema=arrow_schema)
 
     return df.groupBy(*keys).applyInArrow(fn, schema)
+
+
+def partitioned_numpy(
+    df: DataFrame,
+    keys: list[str],
+    schema: StructType,
+    kernel: Callable[[dict[str, np.ndarray]], list[tuple]],
+) -> DataFrame:
+    """Like ``grouped_numpy`` but ONE kernel call per hash-clustered
+    PARTITION (all of a key's rows land in the same call; a call sees
+    many keys). For kernels that vectorize across keys — e.g. a grid-fit
+    whose sequential-in-time likelihood loop can batch every key in the
+    partition into one wide numpy axis, the Python loop then runs once
+    per partition instead of once per key. On a 1000-executor cluster the
+    shape is identical: partitions spread across executors, each kernel
+    call burns one core on a (keys_in_partition × candidates) matrix."""
+    arrow_schema = to_arrow_schema(schema)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, *keys)
+
+    def fn(batches):
+        tabs = list(batches)
+        if not tabs:
+            return
+        t = pa.Table.from_batches(tabs)
+        if t.num_rows == 0:
+            return
+        cols = {
+            c: t.column(c).to_numpy(zero_copy_only=False) for c in t.column_names
+        }
+        rows = kernel(cols)
+        if not rows:
+            return
+        columns = list(zip(*rows))
+        arrays = [
+            pa.array(list(vals), type=arrow_schema.field(i).type)
+            for i, vals in enumerate(columns)
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return df.mapInArrow(fn, schema)

@@ -56,6 +56,18 @@ def sarimax_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("garch_grid_fit")
+def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 full: GARCH(p,q) order grid (p,q ∈ {1,2}) + normal→Student-t
+    distribution ladder, AIC-selected per key (`forcester_ts/garch.py:
+    129-475`). Gaussian QMLE coarse-to-fine grids per family; ν profiled
+    on the fitted variance path. Rows-only; t-parameter recovery and
+    AIC-prefers-t pinned in tests/test_forecast.py."""
+    from ..forecast import garch_grid_fit
+
+    return garch_grid_fit(_series(spark, sf_dir).select("user_id", "rn", "lr"))
+
+
 @query("ewma_vol_recursive")
 def ewma_vol_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: exact RiskMetrics EWMA σ recursion per key (GARCH fallback,

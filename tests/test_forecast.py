@@ -594,3 +594,39 @@ def test_sarimax_exog_coefficient_recovered(spark):
     err_with = abs(step1.yhat - truth)
     err_without = abs(no_ex[no_ex.horizon_step == 1].iloc[0].yhat - truth)
     assert err_with <= err_without + 1e-9
+
+
+def test_garch_grid_prefers_t_on_fat_tails_and_recovers_nu(spark):
+    """Simulated GARCH(1,1) with Student-t(5) innovations: the ladder must
+    pick dist='t' with ν near 5, recover (α, β) approximately, and the
+    same ladder must pick 'normal' on Gaussian innovations."""
+    from portofolio_maximizer_spark.forecast import garch_grid_fit
+
+    rng = np.random.default_rng(61)
+    n, alpha, beta, omega = 3000, 0.10, 0.80, 0.05
+    nu = 5.0
+    # standardized t innovations (unit variance)
+    z = rng.standard_t(nu, n) / np.sqrt(nu / (nu - 2.0))
+    zg = rng.normal(0, 1, n)
+    rows = []
+    for uid, innov in ((1, z), (2, zg)):
+        s2, r = omega / (1 - alpha - beta), np.zeros(n)
+        for t in range(n):
+            if t:
+                s2 = omega + alpha * r[t - 1] ** 2 + beta * s2
+            r[t] = np.sqrt(s2) * innov[t]
+        rows += [(uid, t, float(r[t])) for t in range(n)]
+    sdf = spark.createDataFrame(rows, "user_id long, rn long, lr double")
+    out = garch_grid_fit(sdf).toPandas().set_index("user_id")
+    t_fit, g_fit = out.loc[1], out.loc[2]
+    assert t_fit.dist == "t"
+    assert 4.0 <= t_fit.nu <= 8.0  # true nu=5 within the ladder's resolution
+    assert abs(t_fit.alpha1 + t_fit.alpha2 - alpha) < 0.06
+    # persistence (α+β) is the robustly-identified quantity under QMLE;
+    # tolerance sized to the ~0.05 sampling se on a 2000-point t(5) window
+    assert abs(t_fit.persistence - (alpha + beta)) < 0.12
+    assert g_fit.dist == "normal"
+    assert g_fit.nu == 0.0
+    for f in (t_fit, g_fit):
+        assert f.persistence < 0.999
+        assert f.sigma_next > 0
