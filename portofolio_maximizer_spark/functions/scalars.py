@@ -79,3 +79,37 @@ def hash_unit_interval(*cols: Column) -> Column:
     return F.conv(F.substring(stable_hash(*cols), 1, 6), 16, 10).cast("double") / F.lit(
         float(16**6)
     )
+
+
+def chi2_sf1(stat: Column) -> Column:
+    """Survival function of χ²(1): P(X > stat) = erfc(√(stat/2)) — the
+    p-value for one-dof likelihood-ratio tests (Kupiec POF,
+    Christoffersen independence; reference `forcester_ts/var_backtest.py:
+    81-198` emits decision-ready p-values via scipy).
+
+    Neither Spark nor DuckDB ships erfc, so this is the Abramowitz &
+    Stegun 7.1.26 rational approximation (|ε| ≤ 1.5e-7) — plain
+    +,*,/,exp,sqrt arithmetic both engines evaluate the same way. Feed it
+    the 6-DECIMAL-ROUNDED statistic (which already hash-matches across
+    engines) so both sides start from bit-identical inputs. The SQL twin
+    is ``chi2_sf1_sql``; keep the two formulas in lockstep."""
+    t = 1.0 / (1.0 + 0.3275911 * F.sqrt(stat / 2.0))
+    poly = t * (
+        0.254829592
+        + t
+        * (
+            -0.284496736
+            + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+        )
+    )
+    return poly * F.exp(-(stat / 2.0))
+
+
+def chi2_sf1_sql(x: str) -> str:
+    """DuckDB twin of ``chi2_sf1`` (same A&S 7.1.26 constants, same op
+    order). ``x`` is substituted textually — pass a short column name."""
+    t = f"(1.0 / (1.0 + 0.3275911 * SQRT(({x}) / 2.0)))"
+    return (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741 + "
+        f"{t} * (-1.453152027 + {t} * 1.061405429)))) * EXP(-(({x}) / 2.0)))"
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import chi2_sf1, chi2_sf1_sql
 from ..sources.catalog import load_table
 from .queries import query, r6
 
@@ -722,14 +723,21 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s JOIN stats st ON s.user_id = st.user_id
       WHERE s.lr IS NOT NULL
       GROUP BY s.user_id
+    ),
+    lr AS (
+      SELECT user_id, n, viol, var95,
+             ROUND(2 * (
+               (n - viol) * LN((1.0 - CAST(viol AS DOUBLE)/n) / 0.95)
+               + CASE WHEN viol = 0 THEN 0.0
+                      ELSE viol * LN((CAST(viol AS DOUBLE)/n) / 0.05) END), 6)
+               AS kupiec_lr
+      FROM v WHERE viol < n
     )
-    SELECT user_id, n, viol, var95,
-           ROUND(2 * (
-             (n - viol) * LN((1.0 - CAST(viol AS DOUBLE)/n) / 0.95)
-             + CASE WHEN viol = 0 THEN 0.0
-                    ELSE viol * LN((CAST(viol AS DOUBLE)/n) / 0.05) END), 6)
-             AS kupiec_lr
-    FROM v WHERE viol < n
+    SELECT user_id, n, viol, var95, kupiec_lr,
+           ROUND({chi2_sf1_sql("kupiec_lr")}, 6) AS kupiec_p,
+           CASE WHEN ROUND({chi2_sf1_sql("kupiec_lr")}, 6) < 0.05
+                THEN 'REJECT' ELSE 'ACCEPT' END AS verdict
+    FROM lr
     """,
 )
 def var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,7 +768,15 @@ def var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - viol) * F.log((1.0 - viol / n) / 0.95)
         + F.when(F.col("viol") == 0, 0.0).otherwise(viol * F.log((viol / n) / 0.05))
     )
-    return v.select("user_id", "n", "viol", "var95", r6(lr_pof).alias("kupiec_lr"))
+    lr = v.select("user_id", "n", "viol", "var95", r6(lr_pof).alias("kupiec_lr"))
+    # p-value from the ROUNDED statistic (bit-identical across engines),
+    # and the decision flag the reference emits (var_backtest.py:81-130)
+    p = r6(chi2_sf1(F.col("kupiec_lr")))
+    return lr.select(
+        "*",
+        p.alias("kupiec_p"),
+        F.when(p < 0.05, "REJECT").otherwise("ACCEPT").alias("verdict"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -801,18 +817,25 @@ def var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(n01 AS DOUBLE) / NULLIF(n00 + n01, 0) AS pi01,
              CAST(n11 AS DOUBLE) / NULLIF(n10 + n11, 0) AS pi11
       FROM c
+    ),
+    g AS (
+      SELECT user_id, n00, n01, n10, n11,
+             ROUND(2 * (
+                 (CASE WHEN n00 = 0 OR pi01 = 1 THEN 0.0 ELSE n00 * LN(1 - pi01) END
+                  + CASE WHEN n01 = 0 THEN 0.0 ELSE n01 * LN(pi01) END
+                  + CASE WHEN n10 = 0 OR pi11 = 1 THEN 0.0 ELSE n10 * LN(1 - pi11) END
+                  + CASE WHEN n11 = 0 THEN 0.0 ELSE n11 * LN(pi11) END)
+               - (CASE WHEN n00 + n10 = 0 OR pi = 1 THEN 0.0
+                       ELSE (n00 + n10) * LN(1 - pi) END
+                  + CASE WHEN n01 + n11 = 0 THEN 0.0
+                       ELSE (n01 + n11) * LN(pi) END)), 6) AS lr_ind
+      FROM f WHERE pi > 0
     )
-    SELECT user_id, n00, n01, n10, n11,
-           ROUND(2 * (
-               (CASE WHEN n00 = 0 OR pi01 = 1 THEN 0.0 ELSE n00 * LN(1 - pi01) END
-                + CASE WHEN n01 = 0 THEN 0.0 ELSE n01 * LN(pi01) END
-                + CASE WHEN n10 = 0 OR pi11 = 1 THEN 0.0 ELSE n10 * LN(1 - pi11) END
-                + CASE WHEN n11 = 0 THEN 0.0 ELSE n11 * LN(pi11) END)
-             - (CASE WHEN n00 + n10 = 0 OR pi = 1 THEN 0.0
-                     ELSE (n00 + n10) * LN(1 - pi) END
-                + CASE WHEN n01 + n11 = 0 THEN 0.0
-                     ELSE (n01 + n11) * LN(pi) END)), 6) AS lr_ind
-    FROM f WHERE pi > 0
+    SELECT user_id, n00, n01, n10, n11, lr_ind,
+           ROUND({chi2_sf1_sql("GREATEST(lr_ind, 0.0)")}, 6) AS lr_ind_p,
+           CASE WHEN ROUND({chi2_sf1_sql("GREATEST(lr_ind, 0.0)")}, 6) < 0.05
+                THEN 'REJECT' ELSE 'ACCEPT' END AS verdict
+    FROM g
     """,
 )
 def christoffersen_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,13 +886,21 @@ def christoffersen_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ll_null = F.when((n00 + n10 == 0) | (pi == 1), 0.0).otherwise(
         (n00 + n10) * F.log(1 - pi)
     ) + F.when(n01 + n11 == 0, 0.0).otherwise((n01 + n11) * F.log(pi))
-    return c.filter(pi > 0).select(
+    g = c.filter(pi > 0).select(
         "user_id",
         "n00",
         "n01",
         "n10",
         "n11",
         r6(2 * (ll_alt - ll_null)).alias("lr_ind"),
+    )
+    # LR_ind can round to a tiny negative under boundary counts; clamp
+    # before the χ² survival function exactly as the oracle does
+    p = r6(chi2_sf1(F.greatest(F.col("lr_ind"), F.lit(0.0))))
+    return g.select(
+        "*",
+        p.alias("lr_ind_p"),
+        F.when(p < 0.05, "REJECT").otherwise("ACCEPT").alias("verdict"),
     )
 
 

@@ -160,3 +160,23 @@ def test_regime_weights_differ_and_improve_holdout(spark, tmp_path):
         assert r.rmse_regime <= r.rmse_global + 1e-9, r
     mean_gain = sum(r.rmse_global - r.rmse_regime for r in out.values()) / 3
     assert mean_gain > 0.0
+
+
+def test_chi2_sf1_matches_math_erfc(spark):
+    """The portable A&S 7.1.26 χ²(1) survival function must agree with
+    Python's exact math.erfc(√(x/2)) to the documented 1.5e-7 and emit a
+    sane decision boundary (p(3.841) ≈ 0.05)."""
+    from pyspark.sql import functions as F
+
+    from portofolio_maximizer_spark.functions.scalars import chi2_sf1
+
+    stats = [0.01, 0.5, 1.0, 2.0, 3.841, 5.0, 10.0, 25.0]
+    df = spark.createDataFrame([(s,) for s in stats], "stat double")
+    got = {
+        r.stat: r.p
+        for r in df.select("stat", chi2_sf1(F.col("stat")).alias("p")).collect()
+    }
+    for s in stats:
+        exact = math.erfc(math.sqrt(s / 2.0))
+        assert abs(got[s] - exact) < 2e-7, (s, got[s], exact)
+    assert abs(got[3.841] - 0.05) < 1e-3
