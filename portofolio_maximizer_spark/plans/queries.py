@@ -49,6 +49,25 @@ def r6(col):
     return F.round(col, 6)
 
 
+# Queries whose INPUT is engine-generated (Python DataSource, streaming
+# sink output, simulation) can still get a value-level oracle: the Spark
+# side STAGES its input table here at query-build time and the oracle SQL
+# re-derives the OUTPUT from the staged rows independently — the
+# aggregation/dedup logic is what gets differentially checked. The driver
+# always executes the Spark query before its oracle, so the stage exists.
+ORACLE_STAGE = "/root/repo/spark-warehouse/oracle_stage"
+
+
+def stage_for_oracle(df: DataFrame, name: str) -> str:
+    """Write ``df`` to the oracle staging area; returns the parquet glob
+    DuckDB can read (``read_parquet('<glob>')``)."""
+    import os
+
+    path = os.path.join(ORACLE_STAGE, name)
+    df.write.mode("overwrite").parquet(path)
+    return os.path.join(path, "*.parquet")
+
+
 # ---------------------------------------------------------------------------
 # Aggregation pack
 # ---------------------------------------------------------------------------

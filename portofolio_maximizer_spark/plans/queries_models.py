@@ -16,7 +16,7 @@ from ..forecast import ar_grid_forecast_fanout, ewma_vol_forecast, ssa_reconstru
 from ..forecast.classifier import train_eval_calibrated_classifier
 from ..sources.catalog import load_table
 from .queries import query
-from .queries_stats import _series
+from .queries_stats import _S_SQL, _series
 
 
 @query("ar_grid_best_aic_forecast")
@@ -68,11 +68,34 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return garch_grid_fit(_series(spark, sf_dir).select("user_id", "rn", "lr"))
 
 
-@query("ewma_vol_recursive")
+@query(
+    "ewma_vol_recursive",
+    oracle=f"""
+    WITH RECURSIVE s AS ({_S_SQL}),
+    d AS (
+      SELECT user_id, rn, lr,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS seq
+      FROM s WHERE lr IS NOT NULL
+    ),
+    rec AS (
+      SELECT user_id, seq, lr, lr * lr AS var, rn
+      FROM d WHERE seq = 0
+      UNION ALL
+      SELECT d.user_id, d.seq, d.lr,
+             0.94 * rec.var + (1 - 0.94) * (rec.lr * rec.lr) AS var,
+             d.rn
+      FROM rec JOIN d ON d.user_id = rec.user_id AND d.seq = rec.seq + 1
+    )
+    SELECT user_id, CAST(rn AS INTEGER) AS rn, ROUND(SQRT(var), 6) AS sigma
+    FROM rec WHERE seq >= 1
+    """,
+)
 def ewma_vol_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: exact RiskMetrics EWMA σ recursion per key (GARCH fallback,
     `forcester_ts/garch.py:580-633`) — sequential within key, parallel
-    across keys."""
+    across keys. The oracle replays the recursion EXACTLY as a DuckDB
+    recursive CTE (same literal λ, same operation order, so the doubles
+    agree bit-for-bit before rounding)."""
     return ewma_vol_forecast(_series(spark, sf_dir).select("user_id", "rn", "lr"))
 
 
@@ -170,14 +193,35 @@ def paper_trading_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simulated_trades(spark, sf_dir)
 
 
-@query("paper_trading_summary")
+@query(
+    "paper_trading_summary",
+    oracle="""
+    SELECT exit_reason,
+           COUNT(*) AS n_trades,
+           ROUND(SUM(realized_pnl), 6) AS total_pnl,
+           ROUND(AVG(realized_pnl), 6) AS avg_pnl,
+           ROUND(AVG(CASE WHEN realized_pnl > 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS win_rate,
+           ROUND(AVG(bars_held), 6) AS avg_bars_held,
+           CAST(SUM(stop_ratchets) AS BIGINT) AS total_ratchets
+    FROM read_parquet(
+      '/root/repo/spark-warehouse/oracle_stage/paper_trades/*.parquet')
+    GROUP BY exit_reason
+    """,
+)
 def paper_trading_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15+A10: exit-reason breakdown of the simulated trades (n, PnL,
     win rate per exit reason) — reference `README.md:49-67` exit-reason
-    attribution table. Reuses the checkpointed simulation output."""
+    attribution table. The simulated trades table is STAGED for the
+    oracle, which re-derives the rollup from the raw trades — the
+    aggregation half of the operator is differentially checked; the
+    stateful simulation itself stays pinned by scenario tests."""
     from ..operators.backtest import backtest_summary
+    from .queries import stage_for_oracle
 
-    return backtest_summary(_simulated_trades(spark, sf_dir))
+    trades = _simulated_trades(spark, sf_dir)
+    stage_for_oracle(trades, "paper_trades")
+    return backtest_summary(trades)
 
 
 @query("paper_trading_portfolio")
@@ -191,11 +235,60 @@ def paper_trading_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconcile_portfolio_cash(_simulated_trades(spark, sf_dir))
 
 
-@query("cusum_changepoints")
+@query(
+    "cusum_changepoints",
+    oracle=f"""
+    WITH RECURSIVE s AS ({_S_SQL}),
+    d AS (
+      SELECT user_id, rn, lr,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS seq
+      FROM s WHERE lr IS NOT NULL
+    ),
+    st AS (
+      SELECT user_id, AVG(lr) AS mu, STDDEV_SAMP(lr) AS sd
+      FROM d GROUP BY user_id
+      HAVING COUNT(*) >= 10 AND STDDEV_SAMP(lr) > 0
+    ),
+    z AS (
+      SELECT d.user_id, d.seq, d.rn, (d.lr - st.mu) / st.sd AS z
+      FROM d JOIN st USING (user_id)
+    ),
+    rec AS (
+      SELECT user_id, seq, rn,
+             GREATEST(0.0, (0.0 + z) - 0.5) AS sp_raw,
+             GREATEST(0.0, (0.0 - z) - 0.5) AS sn_raw,
+             CASE WHEN GREATEST(0.0, (0.0 + z) - 0.5) > 3.0
+                  THEN 0.0 ELSE GREATEST(0.0, (0.0 + z) - 0.5) END AS sp,
+             CASE WHEN GREATEST(0.0, (0.0 - z) - 0.5) > 3.0
+                  THEN 0.0 ELSE GREATEST(0.0, (0.0 - z) - 0.5) END AS sn
+      FROM z WHERE seq = 0
+      UNION ALL
+      SELECT z.user_id, z.seq, z.rn,
+             GREATEST(0.0, (rec.sp + z.z) - 0.5),
+             GREATEST(0.0, (rec.sn - z.z) - 0.5),
+             CASE WHEN GREATEST(0.0, (rec.sp + z.z) - 0.5) > 3.0
+                  THEN 0.0 ELSE GREATEST(0.0, (rec.sp + z.z) - 0.5) END,
+             CASE WHEN GREATEST(0.0, (rec.sn - z.z) - 0.5) > 3.0
+                  THEN 0.0 ELSE GREATEST(0.0, (rec.sn - z.z) - 0.5) END
+      FROM rec JOIN z ON z.user_id = rec.user_id AND z.seq = rec.seq + 1
+    )
+    SELECT user_id, CAST(rn AS INTEGER) AS rn, direction,
+           ROUND(stat, 6) AS cusum_stat
+    FROM (
+      SELECT user_id, rn, 1 AS direction, sp_raw AS stat
+      FROM rec WHERE sp_raw > 3.0
+      UNION ALL
+      SELECT user_id, rn, -1 AS direction, sn_raw AS stat
+      FROM rec WHERE sn_raw > 3.0
+    )
+    """,
+)
 def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: two-sided CUSUM change-point alarms per key
     (`forcester_ts/mssa_rl.py:616-649`) — recursive state, sequential per
-    key inside applyInPandas."""
+    key inside the Arrow kernel. The oracle replays the alarm/reset
+    recursion exactly as a DuckDB recursive CTE (same k=0.5, h=3.0, same
+    operation order as the kernel)."""
     from ..forecast.models import cusum_changepoints
 
     from .queries_stats import _series
@@ -273,14 +366,28 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(rollup, "q_stream_enriched")
 
 
-@query("streaming_upsert_landed")
+@query(
+    "streaming_upsert_landed",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_distinct_ids
+    FROM read_parquet(
+      '/root/repo/spark-warehouse/oracle_stage/upsert_landed/*.parquet')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def streaming_upsert_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1+S7: the events stream drained through the restartable
     foreachBatch keyed-upsert sink into a partitioned parquet table, then
     the landed table's per-partition counts — the full streaming-ingest
     round trip (reference `etl/real_time_extractor.py` poll loop into
-    `etl/database_manager.py:1603-1687` SQLite upsert). Rows-only:
-    streaming sink side effects are not SQL-expressible."""
+    `etl/database_manager.py:1603-1687` SQLite upsert). The LANDED table
+    is staged for the oracle, which recomputes the per-partition counts
+    and the id-uniqueness evidence (n_rows vs n_distinct_ids) from the
+    sink's actual output files — upsert key violations would surface as a
+    value mismatch."""
     import hashlib
     import os
     import shutil
@@ -304,6 +411,9 @@ def streaming_upsert_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(root, "ck"),
     )
     landed = spark.read.parquet(os.path.join(root, "table"))
+    from .queries import stage_for_oracle
+
+    stage_for_oracle(landed.select("event_id", "event_type"), "upsert_landed")
     out = (
         landed.groupBy("event_type")
         .agg(
@@ -354,15 +464,30 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pyds_provider_bars_summary")
+@query(
+    "pyds_provider_bars_summary",
+    oracle="""
+    SELECT ticker,
+           COUNT(*) AS n_bars,
+           ROUND(ARG_MIN(close, bar_id), 6) AS first_close,
+           ROUND(ARG_MAX(close, bar_id), 6) AS last_close,
+           ROUND(SUM(CAST(volume AS DOUBLE)), 6) AS total_volume
+    FROM read_parquet(
+      '/root/repo/spark-warehouse/oracle_stage/pyds_bars/*.parquet')
+    GROUP BY ticker
+    """,
+)
 def pyds_provider_bars_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2 via the Spark Python DataSource API: mount the provider
     adapter as ``spark.read.format("synthetic_bars")`` (one InputPartition
     per ticker — the reference's per-SDK fetch loop as cluster fan-out,
     `etl/yfinance_extractor.py:1-120`) and summarize each symbol's
-    history. Rows-only: the source is generated, not parquet-backed; its
-    bit-compat with the native generator is pinned in tests."""
+    history. The generated bars are STAGED for the oracle
+    (``stage_for_oracle``), which re-derives the per-ticker summary from
+    the raw rows — the aggregation is differentially checked; the
+    generator's bit-compat with the native source is pinned in tests."""
     from ..sources import pydatasource
+    from .queries import stage_for_oracle
 
     pydatasource.register(spark)
     bars = (
@@ -372,6 +497,7 @@ def pyds_provider_bars_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("seed", 7)
         .load()
     )
+    stage_for_oracle(bars, "pyds_bars")
     return bars.groupBy("ticker").agg(
         F.count(F.lit(1)).alias("n_bars"),
         F.round(F.min_by("close", "bar_id"), 6).alias("first_close"),
