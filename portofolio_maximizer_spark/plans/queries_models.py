@@ -151,31 +151,44 @@ _TRADES_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _simulated_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _TRADES_CACHE:
-        from ..functions.scalars import hash_unit_interval
-        from ..operators.backtest import simulate_trades
+        from pyspark.sql import Window
 
-        # Deterministic microstructure columns (hash uniforms, same idiom
-        # as sources/synthetic.py): half-spread 1–5 bps of mid, visible
-        # depth 50k–500k notional. Fills then walk the LOB ladder
-        # (reference execution/lob_simulator.py:51-166) instead of
-        # assuming infinite liquidity at the bar price.
+        from ..operators.backtest import simulate_trades
+        from ..sources.synthetic import microstructure_columns
+
+        # Microstructure from the reference's book model
+        # (`etl/synthetic_data/microstructure.py:7-42` via
+        # sources/synthetic.microstructure_columns): spread/depth derived
+        # from the series' OWN instantaneous volatility and shock (return
+        # z-scored at the generator's σ=0.02), not ad-hoc hash uniforms.
+        # Fills then walk the LOB ladder (reference
+        # execution/lob_simulator.py:51-166) instead of assuming infinite
+        # liquidity at the bar price.
+        wp = Window.partitionBy("user_id").orderBy("rn")
+        ret = F.coalesce(
+            F.least(
+                F.greatest(
+                    F.col("value") / F.lag("value").over(wp) - 1, F.lit(-1.0)
+                ),
+                F.lit(10.0),
+            ),
+            F.lit(0.0),
+        )
+        sigma_ref = 0.02
+        micro = microstructure_columns(
+            F.col("value"),
+            F.greatest(F.abs(ret), F.lit(sigma_ref)),
+            ret / F.lit(sigma_ref),
+            F.lit(13),
+            F.col("user_id"),
+            F.col("rn"),
+        )
         s = _series(spark, sf_dir).select(
             "user_id",
             "rn",
             "value",
-            (
-                F.col("value")
-                * (
-                    F.lit(0.0001)
-                    + F.lit(0.0004)
-                    * hash_unit_interval(F.lit(7), F.col("user_id"), F.col("rn"))
-                )
-            ).alias("half_spread"),
-            (
-                F.lit(50_000.0)
-                + F.lit(450_000.0)
-                * hash_unit_interval(F.lit(11), F.col("user_id"), F.col("rn"))
-            ).alias("depth_notional"),
+            (micro["spread"] / 2.0).alias("half_spread"),
+            micro["depth"].alias("depth_notional"),
         )
         trades = simulate_trades(
             s, half_spread_col="half_spread", depth_col="depth_notional"

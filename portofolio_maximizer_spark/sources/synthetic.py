@@ -79,6 +79,20 @@ def synthetic_bars(
     open_ = prev_close
     hi = F.greatest(open_, F.col("close")) * (1.0 + 0.01 * u_hi)
     lo = F.least(open_, F.col("close")) * (1.0 - 0.01 * u_lo)
+    # reference microstructure column set (`etl/synthetic_extractor.py:
+    # 459-467`: Spread/Depth/OrderImbalance/TxnCostBps/ImpactBps) from the
+    # shared model — inst_vol/shock per the reference's gbm branch
+    # (inst_vol = max(|ret|, σ), shock = the gaussian driving the bar)
+    z2 = gaussian_hash(F.lit(seed), F.col("ticker"), F.col("bar_id"))
+    step2 = F.lit(mu - 0.5 * sigma * sigma) + F.lit(sigma) * z2
+    micro = microstructure_columns(
+        F.col("close"),
+        F.greatest(F.abs(step2), F.lit(sigma)),
+        z2,
+        F.lit(seed),
+        F.col("ticker"),
+        F.col("bar_id"),
+    )
     return bars.select(
         "ticker",
         "bar_id",
@@ -88,9 +102,62 @@ def synthetic_bars(
         F.round(lo, 6).alias("low"),
         F.round("close", 6).alias("close"),
         (F.lit(100000) + (u_vol * 900000).cast("long")).alias("volume"),
-        F.round(0.0001 + 0.0004 * u_hi, 6).alias("spread"),
-        # visible book depth in notional (reference microstructure column
-        # set, `etl/synthetic_extractor.py:459-467`: Spread/Depth/…) —
+        F.round(micro["spread"], 6).alias("spread"),
+        F.round(micro["slippage"], 6).alias("slippage"),
         # feeds the LOB VWAP fill model in operators/backtest.py
-        F.round(50_000.0 + 450_000.0 * u_lo, 2).alias("depth_notional"),
+        F.round(micro["depth"], 2).alias("depth_notional"),
+        F.round(micro["order_imbalance"], 6).alias("order_imbalance"),
+        F.round(micro["txn_cost_bps"], 6).alias("txn_cost_bps"),
+        F.round(micro["impact_bps"], 6).alias("impact_bps"),
     )
+
+
+def microstructure_columns(
+    mid: "F.Column",
+    inst_vol: "F.Column",
+    shock: "F.Column",
+    *seed_cols: "F.Column",
+    regime_widen: "F.Column | None" = None,
+    order_size: float = 1.0,
+) -> dict[str, "F.Column"]:
+    """The reference's microstructure model
+    (`etl/synthetic_data/microstructure.py:7-42`) as pure column algebra —
+    default config values baked in:
+
+    - ``spread``    = mid · 5bps · (1 + 20·inst_vol) · regime_widen
+    - ``slippage``  = mid · 3bps · (1 + 10·|shock| + 0.1·order_size)
+    - ``depth``     = max(1e6 · (1 − 15·inst_vol), 50k)
+    - ``order_imbalance`` = N(0, 0.15) + 0.8·shock   (hash gaussian)
+    - ``txn_cost_bps``    = (spread + slippage)/mid · 1e4
+    - ``impact_bps``      = max(0, slippage/max(depth, 1)) · 1e4
+
+    Deterministic in ``seed_cols`` (imbalance noise is a hash gaussian),
+    so any consumer — the bar generator, the LOB-fill trade sim — derives
+    the SAME book state for the same row at any partitioning."""
+    spread = mid * F.lit(5.0 / 10_000.0) * (1.0 + 20.0 * inst_vol)
+    if regime_widen is not None:
+        spread = spread * regime_widen
+    slippage = (
+        mid
+        * F.lit(3.0 / 10_000.0)
+        * (1.0 + 10.0 * F.abs(shock) + 0.1 * F.lit(order_size))
+    )
+    depth = F.greatest(
+        F.lit(1_000_000.0) * (1.0 - 15.0 * inst_vol), F.lit(50_000.0)
+    )
+    imbalance = (
+        0.15 * gaussian_hash(F.lit("imb"), *seed_cols) + 0.8 * shock
+    )
+    txn_cost_bps = (spread + slippage) / mid * 10_000.0
+    impact_bps = (
+        F.greatest(slippage / F.greatest(depth, F.lit(1.0)), F.lit(0.0))
+        * 10_000.0
+    )
+    return {
+        "spread": spread,
+        "slippage": slippage,
+        "depth": depth,
+        "order_imbalance": imbalance,
+        "txn_cost_bps": txn_cost_bps,
+        "impact_bps": impact_bps,
+    }

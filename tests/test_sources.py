@@ -278,3 +278,56 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruning — no data files outside month=3 are ever opened)
     assert "PartitionFilters: [" in plan and "month" in plan.split("PartitionFilters:")[1].splitlines()[0]
     assert read.count() == df.filter(F.col("month") == 3).count()
+
+
+def test_microstructure_matches_reference_formulas(spark):
+    """The column-algebra microstructure model must reproduce the
+    reference's closed-form book state (etl/synthetic_data/
+    microstructure.py:7-42 defaults) for known (mid, vol, shock)."""
+    from pyspark.sql import functions as F
+
+    from portofolio_maximizer_spark.sources.synthetic import (
+        microstructure_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(100.0, 0.02, 1.5), (50.0, 0.10, -2.0), (10.0, 0.0001, 0.0)],
+        "mid double, iv double, shock double",
+    )
+    m = microstructure_columns(
+        F.col("mid"), F.col("iv"), F.col("shock"), F.lit(1), F.col("mid")
+    )
+    rows = df.select(
+        "mid", "iv", "shock",
+        m["spread"].alias("spread"),
+        m["slippage"].alias("slippage"),
+        m["depth"].alias("depth"),
+        m["txn_cost_bps"].alias("txn"),
+        m["impact_bps"].alias("impact"),
+    ).collect()
+    for r in rows:
+        spread = r.mid * 5.0 / 1e4 * (1 + 20 * r.iv)
+        slip = r.mid * 3.0 / 1e4 * (1 + 10 * abs(r.shock) + 0.1)
+        depth = max(1_000_000.0 * (1 - 15 * r.iv), 50_000.0)
+        assert abs(r.spread - spread) < 1e-9
+        assert abs(r.slippage - slip) < 1e-9
+        assert abs(r.depth - depth) < 1e-6
+        assert abs(r.txn - (spread + slip) / r.mid * 1e4) < 1e-9
+        assert abs(r.impact - max(0.0, slip / max(depth, 1.0)) * 1e4) < 1e-9
+
+
+def test_synthetic_bars_emit_microstructure_columns(spark):
+    from portofolio_maximizer_spark.sources.synthetic import synthetic_bars
+
+    bars = synthetic_bars(spark, ["AAA"], 20)
+    cols = set(bars.columns)
+    assert {
+        "spread", "slippage", "depth_notional", "order_imbalance",
+        "txn_cost_bps", "impact_bps",
+    } <= cols
+    pdf = bars.toPandas()
+    assert (pdf.spread > 0).all()
+    assert (pdf.depth_notional >= 50_000.0).all()
+    # spread widens with the bar's own shock-driven vol: correlation > 0
+    iv_proxy = (pdf.close / pdf.open - 1).abs()
+    assert pdf.spread.corr(pdf.close * (1 + iv_proxy)) > 0
