@@ -1315,3 +1315,178 @@ def regime_weight_frames(
         r6((1 / F.col("r_10")) / z).alias("wg_10"),
     )
     return lab, rwn, gwn
+
+
+# ---------------------------------------------------------------------------
+# F5 — candidate-weight selection ladder (the reference's select_weights)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ensemble_candidate_selection",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value,
+             LAG(value, 1) OVER wp AS prev,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+               AS f_ma10
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             SQRT(AVG(POWER(value - prev, 2)))  AS r_n,
+             SQRT(AVG(POWER(value - f_ma3, 2))) AS r_3,
+             SQRT(AVG(POWER(value - f_ma10, 2))) AS r_10,
+             AVG(CASE WHEN SIGN(value - prev) = 0 THEN 1.0 ELSE 0.0 END)
+               AS da_n,
+             AVG(CASE WHEN SIGN(f_ma3 - prev) = SIGN(value - prev)
+                      THEN 1.0 ELSE 0.0 END) AS da_3,
+             AVG(CASE WHEN SIGN(f_ma10 - prev) = SIGN(value - prev)
+                      THEN 1.0 ELSE 0.0 END) AS da_10
+      FROM f GROUP BY user_id HAVING COUNT(*) > 10
+    ),
+    c AS (
+      SELECT user_id, n, da_n, da_3, da_10,
+             (1/r_n)  / (1/r_n + 1/r_3 + 1/r_10) AS c_n,
+             (1/r_3)  / (1/r_n + 1/r_3 + 1/r_10) AS c_3,
+             (1/r_10) / (1/r_n + 1/r_3 + 1/r_10) AS c_10,
+             GREATEST(0.0, (da_n  - 0.40) / 0.20) AS dw_n,
+             GREATEST(0.0, (da_3  - 0.40) / 0.20) AS dw_3,
+             GREATEST(0.0, (da_10 - 0.40) / 0.20) AS dw_10
+      FROM m
+    ),
+    sc AS (
+      SELECT user_id, n, c_n, c_3, c_10, dw_n, dw_3, dw_10,
+             (c_n + c_3 + c_10) / 3.0 AS s_equal,
+             0.6*c_n + 0.2*c_3 + 0.2*c_10 AS s_momentum,
+             0.2*c_n + 0.4*c_3 + 0.4*c_10 AS s_smooth,
+             CASE WHEN dw_n + dw_3 + dw_10 = 0 THEN -1.0
+                  ELSE (dw_n*c_n + dw_3*c_3 + dw_10*c_10)
+                       / (dw_n + dw_3 + dw_10) END AS s_da
+      FROM c
+    )
+    SELECT user_id, n,
+           CASE GREATEST(s_equal, s_momentum, s_smooth, s_da)
+                WHEN s_da THEN 'auto_directional'
+                WHEN s_momentum THEN 'momentum'
+                WHEN s_smooth THEN 'smooth'
+                ELSE 'equal' END AS candidate,
+           ROUND(GREATEST(s_equal, s_momentum, s_smooth, s_da), 6)
+             AS selection_score,
+           ROUND(s_equal, 6) AS s_equal,
+           ROUND(s_momentum, 6) AS s_momentum,
+           ROUND(s_smooth, 6) AS s_smooth,
+           ROUND(s_da, 6) AS s_da
+    FROM sc
+    """,
+)
+def ensemble_candidate_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 proper: the reference's candidate-weight selection ladder
+    (`forcester_ts/ensemble.py:158-294` ``select_weights``): a fixed
+    candidate list (equal / momentum-heavy / smoothing-heavy) PLUS the
+    Phase-7.10b data-driven ``auto_directional`` candidate whose weights
+    are proportional to max(0, (DA − 0.40)/0.20) per model
+    (`ensemble.py:180-195`), each scored by the confidence-weighted
+    expected quality Σ w·confidence (confidence = normalized inverse
+    walk-forward RMSE, the `derive_model_confidence` shape) — argmax
+    candidate wins; a DA candidate with no qualifying model is excluded
+    exactly as the reference drops empty candidates. Ties resolve in the
+    reference's candidate order (adaptive/DA first). Pure column algebra:
+    one window pass, one groupBy, a four-way CASE — no explode, no UDF.
+
+    The naive lag-1 model's predicted direction is 0 (no change), so its
+    DA is the no-change hit rate — the same degenerate-DA behavior the
+    reference's DA cap exists for (`_apply_da_cap`)."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(c):
+        return F.sqrt(F.avg(F.pow(F.col("value") - F.col(c), 2)))
+
+    def da(c):
+        return F.avg(
+            (
+                F.signum(F.col(c) - F.col("prev"))
+                == F.signum(F.col("value") - F.col("prev"))
+            ).cast("double")
+        )
+
+    m = (
+        f.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rmse("prev").alias("r_n"),
+            rmse("f_ma3").alias("r_3"),
+            rmse("f_ma10").alias("r_10"),
+            F.avg(
+                (F.signum(F.col("value") - F.col("prev")) == 0).cast("double")
+            ).alias("da_n"),
+            da("f_ma3").alias("da_3"),
+            da("f_ma10").alias("da_10"),
+        )
+        .filter(F.col("n") > 10)
+    )
+    z = 1 / F.col("r_n") + 1 / F.col("r_3") + 1 / F.col("r_10")
+    c = m.select(
+        "user_id",
+        "n",
+        ((1 / F.col("r_n")) / z).alias("c_n"),
+        ((1 / F.col("r_3")) / z).alias("c_3"),
+        ((1 / F.col("r_10")) / z).alias("c_10"),
+        F.greatest(F.lit(0.0), (F.col("da_n") - 0.40) / 0.20).alias("dw_n"),
+        F.greatest(F.lit(0.0), (F.col("da_3") - 0.40) / 0.20).alias("dw_3"),
+        F.greatest(F.lit(0.0), (F.col("da_10") - 0.40) / 0.20).alias("dw_10"),
+    )
+    zd = F.col("dw_n") + F.col("dw_3") + F.col("dw_10")
+    sc = c.select(
+        "user_id",
+        "n",
+        ((F.col("c_n") + F.col("c_3") + F.col("c_10")) / 3.0).alias("s_equal"),
+        (0.6 * F.col("c_n") + 0.2 * F.col("c_3") + 0.2 * F.col("c_10")).alias(
+            "s_momentum"
+        ),
+        (0.2 * F.col("c_n") + 0.4 * F.col("c_3") + 0.4 * F.col("c_10")).alias(
+            "s_smooth"
+        ),
+        F.when(zd == 0, -1.0)
+        .otherwise(
+            (
+                F.col("dw_n") * F.col("c_n")
+                + F.col("dw_3") * F.col("c_3")
+                + F.col("dw_10") * F.col("c_10")
+            )
+            / zd
+        )
+        .alias("s_da"),
+    )
+    best = F.greatest("s_equal", "s_momentum", "s_smooth", "s_da")
+    candidate = (
+        F.when(best == F.col("s_da"), "auto_directional")
+        .when(best == F.col("s_momentum"), "momentum")
+        .when(best == F.col("s_smooth"), "smooth")
+        .otherwise("equal")
+    )
+    return sc.select(
+        "user_id",
+        "n",
+        candidate.alias("candidate"),
+        r6(best).alias("selection_score"),
+        r6(F.col("s_equal")).alias("s_equal"),
+        r6(F.col("s_momentum")).alias("s_momentum"),
+        r6(F.col("s_smooth")).alias("s_smooth"),
+        r6(F.col("s_da")).alias("s_da"),
+    )

@@ -180,3 +180,27 @@ def test_chi2_sf1_matches_math_erfc(spark):
         exact = math.erfc(math.sqrt(s / 2.0))
         assert abs(got[s] - exact) < 2e-7, (s, got[s], exact)
     assert abs(got[3.841] - 0.05) < 1e-3
+
+
+def test_candidate_selection_picks_argmax(spark, sf_dir):
+    """select_weights semantics: the emitted candidate is the argmax of
+    the four candidate scores, scores are confidence-convex-combinations
+    (≤ max normalized confidence ≤ 1), and an excluded DA candidate is
+    marked with the -1 sentinel rather than winning."""
+    rows = QUERIES["ensemble_candidate_selection"](spark, sf_dir).collect()
+    assert rows
+    names = {"equal", "momentum", "smooth", "auto_directional"}
+    for r in rows:
+        scores = {
+            "equal": r.s_equal,
+            "momentum": r.s_momentum,
+            "smooth": r.s_smooth,
+            "auto_directional": r.s_da,
+        }
+        assert r.candidate in names
+        best = max(scores.values())
+        assert math.isclose(r.selection_score, best, abs_tol=2e-6)
+        assert math.isclose(scores[r.candidate], best, abs_tol=2e-6)
+        assert r.selection_score <= 1.0 + 1e-9
+        if r.s_da == -1.0:
+            assert r.candidate != "auto_directional"
