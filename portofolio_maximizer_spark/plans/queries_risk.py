@@ -1,0 +1,1330 @@
+"""Query pack 10 — risk layer: barbell allocation, NAV budgets,
+real-time risk monitoring, promotion gate, ensemble/residual
+diagnostics, warm-start order cache.
+
+Covers the reference's `risk/` module and the forecasting diagnostics
+that round 4's inventory left implicit:
+- `risk/barbell_policy.py:90-190` — bucket weights + feasible-region
+  projection (R1, R2),
+- `risk/barbell_sizing.py:129-356` — confidence sizing with soft-cap
+  ratio penalties and the binary path-risk audit (R3),
+- `risk/nav_allocator.py:35-76` — NAV bucket budgets (R4),
+- `risk/real_time_risk_manager.py:102-331` — drawdown/daily-loss/vol/
+  VaR alerting (R5),
+- `risk/barbell_promotion_gate.py:248-428` — two-arm promotion checks
+  (R6, staged-input oracle),
+- `forcester_ts/ensemble_diagnostics.py:121-167` — ensemble error
+  decomposition vs best single model (R7),
+- `forcester_ts/residual_diagnostics.py:19-98` — Ljung-Box +
+  Jarque-Bera white-noise verdict on model residuals (R8),
+- `forcester_ts/order_learner.py:233-323` — warm-start order
+  suggestion ladder + skip-grid decision (R9).
+
+Data mapping: portfolios = customer market segments, symbols = nations
+(weights = value share of orders), market context per order from its
+lineitems, series = the per-user events table. Every constant is
+defined ONCE in `operators/risk.py` and interpolated into both the
+Spark plan and the DuckDB oracle, so the two sides cannot drift.
+
+Scale: the fact tables shuffle once into bounded aggregates
+(segments x nations, per-order, per-user); every projection/sizing step
+after that is column algebra or a window over the bounded frame. The
+only global ordered window is R6's cumulative-PnL ledger (same shape as
+`reconcile_portfolio_cash`; two-pass running-sum path documented in
+`operators/windows.py:168`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import risk as R
+from ..sources.catalog import load_table
+from .queries import query, r6, stage_for_oracle
+from .queries_stats import _S_SQL, _series, _w
+
+# ---------------------------------------------------------------------------
+# SQL fragment generators — all constants come from operators/risk.py.
+# ---------------------------------------------------------------------------
+
+
+def _sql_in(vals: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+_BUCKET_CASE = f"""CASE
+           WHEN n_name IN {_sql_in(R.SAFE_SYMBOLS)} THEN 'safe'
+           WHEN n_name IN {_sql_in(R.CORE_SYMBOLS)} THEN 'core'
+           WHEN n_name IN {_sql_in(R.SPEC_SYMBOLS)} THEN 'spec'
+           ELSE 'other' END"""
+
+# Per-(segment, nation) value weights — the shared base of R1/R2/R4.
+_W0_SQL = f"""
+    bw AS (
+      SELECT c_mktsegment AS segment, n_name AS symbol,
+             {_BUCKET_CASE} AS bucket,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS notional
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    w0 AS (
+      SELECT segment, symbol, bucket, notional,
+             notional / SUM(notional) OVER (PARTITION BY segment) AS w
+      FROM bw
+    )"""
+
+
+def _bucket_mult_sql(col: str = "bucket") -> str:
+    whens = " ".join(
+        f"WHEN '{b}' THEN {m}" for b, m in R.BUCKET_MULT.items()
+    )
+    return f"CASE {col} {whens} ELSE 1.0 END"
+
+
+def _regime_mult_sql(bucket: str = "bucket", regime: str = "regime") -> str:
+    clauses = []
+    for reg, table in R.REGIME_MULT.items():
+        for bkt, mult in table.items():
+            clauses.append(
+                f"WHEN {regime} = '{reg}' AND {bucket} = '{bkt}' THEN {mult}"
+            )
+    return "CASE " + " ".join(clauses) + " ELSE 1.0 END"
+
+
+def _pen_sql(r: str, cap: float, floor: float) -> str:
+    return (
+        f"CASE WHEN {r} IS NULL OR {r} <= {cap} THEN 1.0 "
+        f"ELSE GREATEST({floor}, LEAST(1.0, "
+        f"1.0 / (1.0 + ({r} - {cap}) / {cap}))) END"
+    )
+
+
+def _weights_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of _W0_SQL: per-(segment, nation) value weights.
+    orders shuffles once on the group keys; customer/nation are
+    AQE-broadcast dims (unhinted — AQE decides, co-partitioned shuffle
+    at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    bw = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("symbol"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("notional")
+        )
+        .withColumn("bucket", R.bucket_expr(F.col("symbol")))
+    )
+    seg = Window.partitionBy("segment")
+    return bw.withColumn("w", F.col("notional") / F.sum("notional").over(seg))
+
+
+# ---------------------------------------------------------------------------
+# R1 — barbell bucket weights + concentration check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "barbell_bucket_weights",
+    oracle=f"""
+    WITH {_W0_SQL}
+    SELECT segment,
+           COUNT(*) AS n_symbols,
+           ROUND(SUM(CASE WHEN bucket = 'safe' THEN w ELSE 0 END), 6) AS w_safe,
+           ROUND(SUM(CASE WHEN bucket = 'core' THEN w ELSE 0 END), 6) AS w_core,
+           ROUND(SUM(CASE WHEN bucket = 'spec' THEN w ELSE 0 END), 6) AS w_spec,
+           ROUND(SUM(CASE WHEN bucket = 'other' THEN w ELSE 0 END), 6) AS w_other,
+           ROUND(MAX(w), 6) AS max_position_pct,
+           ROUND(MAX(w), 6) > 0.40 AS concentration_alert,
+           ROUND(SUM(CASE WHEN bucket IN ('core', 'spec') THEN w ELSE 0 END), 6)
+             <= {R.RISK_MAX} AS risk_within_cap
+    FROM w0
+    GROUP BY segment
+    """,
+)
+def barbell_bucket_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: safe/core/spec/other bucket weights per portfolio segment
+    (`risk/barbell_policy.py:100-118` bucket_weights) plus the 40%
+    single-position concentration alert
+    (`risk/real_time_risk_manager.py:284-316`) and the raw risk-cap
+    feasibility flag. One orders shuffle -> bounded segment x nation
+    aggregate -> per-segment rollup."""
+    w0 = _weights_frame(spark, sf_dir)
+    return w0.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_symbols"),
+        *[
+            r6(
+                F.sum(F.when(F.col("bucket") == b, F.col("w")).otherwise(0.0))
+            ).alias(f"w_{b}")
+            for b in ("safe", "core", "spec", "other")
+        ],
+        r6(F.max("w")).alias("max_position_pct"),
+        (r6(F.max("w")) > 0.40).alias("concentration_alert"),
+        (
+            r6(
+                F.sum(
+                    F.when(
+                        F.col("bucket").isin("core", "spec"), F.col("w")
+                    ).otherwise(0.0)
+                )
+            )
+            <= R.RISK_MAX
+        ).alias("risk_within_cap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — projection into the barbell-feasible region
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "barbell_projection",
+    oracle=f"""
+    WITH {_W0_SQL},
+    t1 AS (
+      SELECT *,
+             SUM(CASE WHEN bucket IN ('core','spec') THEN w ELSE 0 END)
+               OVER (PARTITION BY segment) AS risk0,
+             SUM(w) OVER (PARTITION BY segment) AS total0
+      FROM w0
+    ),
+    t1b AS (
+      SELECT *, CASE WHEN bucket IN ('core','spec') AND risk0 > {R.RISK_MAX}
+                     THEN w * {R.RISK_MAX} / risk0 ELSE w END AS w1
+      FROM t1
+    ),
+    t2 AS (
+      SELECT *,
+             SUM(CASE WHEN bucket = 'core' THEN w1 ELSE 0 END)
+               OVER (PARTITION BY segment) AS core1,
+             SUM(CASE WHEN bucket = 'spec' THEN w1 ELSE 0 END)
+               OVER (PARTITION BY segment) AS spec1
+      FROM t1b
+    ),
+    t2b AS (
+      SELECT *, CASE WHEN bucket = 'core' AND core1 > {R.CORE_MAX}
+                     THEN w1 * {R.CORE_MAX} / core1
+                     WHEN bucket = 'spec' AND spec1 > {R.SPEC_MAX}
+                     THEN w1 * {R.SPEC_MAX} / spec1
+                     ELSE w1 END AS w2
+      FROM t2
+    ),
+    t3 AS (
+      SELECT *,
+             SUM(CASE WHEN bucket = 'safe' THEN w2 ELSE 0 END)
+               OVER (PARTITION BY segment) AS safe2,
+             SUM(w2) OVER (PARTITION BY segment) AS total2
+      FROM t2b
+    ),
+    t3b AS (
+      SELECT *, CASE WHEN safe2 < {R.SAFE_MIN} AND (total2 - safe2) > 0
+                          AND safe2 > 0
+                     THEN CASE WHEN bucket <> 'safe'
+                          THEN w2 * (1.0 - ({R.SAFE_MIN} - safe2)
+                                           / (total2 - safe2))
+                          ELSE w2 * (1.0 + ({R.SAFE_MIN} - safe2) / safe2) END
+                     ELSE w2 END AS w3
+      FROM t3
+    ),
+    t4 AS (
+      SELECT *, CASE WHEN SUM(w3) OVER (PARTITION BY segment) > 0
+                     THEN w3 * total0 / SUM(w3) OVER (PARTITION BY segment)
+                     ELSE w3 END AS w_proj
+      FROM t3b
+    )
+    SELECT segment, bucket, COUNT(*) AS n_symbols,
+           ROUND(SUM(w), 6) AS w_before,
+           ROUND(SUM(w_proj), 6) AS w_after
+    FROM t4
+    GROUP BY segment, bucket
+    """,
+)
+def barbell_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: project raw segment weights into the barbell-feasible region
+    (`risk/barbell_policy.py:120-190` project_to_feasible): risk-cap
+    scale -> per-bucket caps -> safe-minimum redistribution ->
+    renormalisation, each step a window over the bounded
+    segment x nation aggregate. Feasibility invariants (risk <= cap,
+    safe >= min, total preserved) are asserted in tests/test_risk.py."""
+    w0 = _weights_frame(spark, sf_dir)
+    proj = R.project_barbell(w0)
+    return proj.groupBy("segment", "bucket").agg(
+        F.count(F.lit(1)).alias("n_symbols"),
+        r6(F.sum("w")).alias("w_before"),
+        r6(F.sum("w_proj")).alias("w_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 — confidence sizing with soft-cap ratio penalties + path-risk audit
+# ---------------------------------------------------------------------------
+
+_CAPS = R.EDGE_CAPS
+_FLOORS = R.FLOORS
+
+_CTX_SQL = f"""
+    la AS (
+      SELECT l_orderkey,
+             AVG(l_discount) AS edge,
+             10000.0 * AVG(l_tax) AS cost_bps,
+             (MAX(l_extendedprice) - MIN(l_extendedprice))
+               / SUM(l_extendedprice) AS gap_risk,
+             AVG(l_quantity) / 10.0 AS funding_bpd,
+             COUNT(*) AS horizon,
+             SUM(l_extendedprice) AS depth_notional,
+             1.0 + MAX(l_linenumber) / 10.0 AS leverage
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ctx AS (
+      SELECT o.o_orderkey,
+             {_BUCKET_CASE} AS bucket,
+             CASE o_orderpriority
+                  WHEN '1-URGENT' THEN 'CRISIS'
+                  WHEN '2-HIGH' THEN 'HIGH_VOL_TRENDING'
+                  WHEN '3-MEDIUM' THEN 'MODERATE_TRENDING'
+                  WHEN '4-NOT SPECIFIED' THEN 'LIQUID_RANGEBOUND'
+                  ELSE NULL END AS regime,
+             LEAST(CAST(o_totalprice AS DOUBLE) / 500000.0, 1.0) AS base_conf,
+             la.edge, la.edge * 10000.0 AS edge_bps, la.cost_bps, la.gap_risk,
+             la.funding_bpd, la.horizon, la.depth_notional, la.leverage,
+             CAST(o_totalprice AS DOUBLE) / 20.0 AS order_notional
+      FROM orders o
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN la ON la.l_orderkey = o.o_orderkey
+    ),
+    rat AS (
+      SELECT *,
+             CASE WHEN edge_bps > 0 THEN ROUND(cost_bps / edge_bps, 6) END
+               AS r_cost,
+             CASE WHEN edge > 0 THEN ROUND(gap_risk / edge, 6) END AS r_gap,
+             CASE WHEN edge_bps > 0
+                  THEN ROUND(funding_bpd * horizon / edge_bps, 6) END AS r_fund,
+             CASE WHEN depth_notional > 0
+                  THEN ROUND(order_notional / depth_notional, 6) END AS r_liq,
+             ROUND(leverage, 6) AS lev
+      FROM ctx
+    ),
+    pen AS (
+      SELECT *,
+             {_pen_sql('r_cost', _CAPS['roundtrip_cost_to_edge'], _FLOORS['cost'])} AS p_cost,
+             {_pen_sql('r_gap', _CAPS['gap_risk_to_edge'], _FLOORS['gap'])} AS p_gap,
+             {_pen_sql('r_fund', _CAPS['funding_to_edge'], _FLOORS['funding'])} AS p_fund,
+             {_pen_sql('r_liq', _CAPS['liquidity_to_depth'], _FLOORS['liquidity'])} AS p_liq,
+             CASE WHEN lev > 1.0
+                  THEN GREATEST({_FLOORS['leverage']}, LEAST(1.0, 1.0 / lev))
+                  ELSE 1.0 END AS p_lev
+      FROM rat
+    ),
+    m AS (
+      SELECT *,
+             GREATEST(0.0, LEAST(1.0, LEAST(
+               COALESCE(p_cost, 1.0), COALESCE(p_gap, 1.0),
+               COALESCE(p_fund, 1.0), COALESCE(p_liq, 1.0), p_lev)))
+               AS market_mult,
+             {_bucket_mult_sql()} AS bucket_mult,
+             {_regime_mult_sql()} AS regime_mult
+      FROM pen
+    )"""
+
+
+@query(
+    "barbell_confidence_sizing",
+    oracle=f"""
+    WITH {_CTX_SQL}
+    SELECT bucket, COALESCE(regime, 'NONE') AS regime,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(base_conf), 6) AS avg_base_conf,
+           ROUND(AVG(market_mult), 6) AS avg_market_mult,
+           ROUND(AVG(bucket_mult * regime_mult * market_mult), 6)
+             AS avg_multiplier,
+           ROUND(AVG(GREATEST(0.0, LEAST(1.0,
+             base_conf * bucket_mult * regime_mult * market_mult))), 6)
+             AS avg_effective_conf,
+           CAST(SUM(CASE WHEN
+                 COALESCE(r_cost <= {_CAPS['roundtrip_cost_to_edge']}, TRUE)
+             AND COALESCE(r_gap <= {_CAPS['gap_risk_to_edge']}, TRUE)
+             AND COALESCE(r_fund <= {_CAPS['funding_to_edge']}, TRUE)
+             AND COALESCE(r_liq <= {_CAPS['liquidity_to_depth']}, TRUE)
+             AND lev <= 1.0 / {_FLOORS['leverage']}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_path_ok,
+           CAST(SUM(CASE WHEN r_cost > {_CAPS['roundtrip_cost_to_edge']}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_cost_fail,
+           CAST(SUM(CASE WHEN r_gap > {_CAPS['gap_risk_to_edge']}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_fail,
+           CAST(SUM(CASE WHEN r_fund > {_CAPS['funding_to_edge']}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_funding_fail,
+           CAST(SUM(CASE WHEN r_liq > {_CAPS['liquidity_to_depth']}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_liquidity_fail,
+           CAST(SUM(CASE WHEN lev > 1.0 / {_FLOORS['leverage']}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_leverage_fail
+    FROM m
+    GROUP BY bucket, COALESCE(regime, 'NONE')
+    """,
+)
+def barbell_confidence_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: apply_barbell_confidence + evaluate_barbell_path_risk
+    (`risk/barbell_sizing.py:164-356`): per-order market context
+    (cost/gap/funding/liquidity/leverage ratios from the order's
+    lineitems), soft-cap penalties floored per ratio, market multiplier
+    = min of applied penalties, x bucket x regime multiplier, effective
+    confidence clamped to [0,1]; plus the binary path-risk audit counts.
+    Ratios are rounded to 6 decimals BEFORE every penalty/threshold
+    comparison on both sides (house boundary-stability rule).
+
+    lineitem aggregates per order (one shuffle), dims broadcast by AQE;
+    the sizing itself is pure codegen column algebra — linear scan at
+    any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    la = li.groupBy("l_orderkey").agg(
+        F.avg("l_discount").alias("edge"),
+        (10000.0 * F.avg("l_tax")).alias("cost_bps"),
+        (
+            (F.max("l_extendedprice") - F.min("l_extendedprice"))
+            / F.sum("l_extendedprice")
+        ).alias("gap_risk"),
+        (F.avg("l_quantity") / 10.0).alias("funding_bpd"),
+        F.count(F.lit(1)).alias("horizon"),
+        F.sum("l_extendedprice").alias("depth_notional"),
+        (1.0 + F.max("l_linenumber") / 10.0).alias("leverage"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ctx = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(la, la.l_orderkey == o.o_orderkey)
+        .select(
+            R.bucket_expr(F.col("n_name")).alias("bucket"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", "CRISIS")
+            .when(F.col("o_orderpriority") == "2-HIGH", "HIGH_VOL_TRENDING")
+            .when(F.col("o_orderpriority") == "3-MEDIUM", "MODERATE_TRENDING")
+            .when(
+                F.col("o_orderpriority") == "4-NOT SPECIFIED",
+                "LIQUID_RANGEBOUND",
+            )
+            .alias("regime"),
+            F.least(
+                F.col("o_totalprice").cast("double") / 500000.0, F.lit(1.0)
+            ).alias("base_conf"),
+            "edge",
+            (F.col("edge") * 10000.0).alias("edge_bps"),
+            "cost_bps",
+            "gap_risk",
+            "funding_bpd",
+            "horizon",
+            "depth_notional",
+            "leverage",
+            (F.col("o_totalprice").cast("double") / 20.0).alias("order_notional"),
+        )
+    )
+    rat = ctx.select(
+        "*",
+        F.when(
+            F.col("edge_bps") > 0, F.round(F.col("cost_bps") / F.col("edge_bps"), 6)
+        ).alias("r_cost"),
+        F.when(
+            F.col("edge") > 0, F.round(F.col("gap_risk") / F.col("edge"), 6)
+        ).alias("r_gap"),
+        F.when(
+            F.col("edge_bps") > 0,
+            F.round(F.col("funding_bpd") * F.col("horizon") / F.col("edge_bps"), 6),
+        ).alias("r_fund"),
+        F.when(
+            F.col("depth_notional") > 0,
+            F.round(F.col("order_notional") / F.col("depth_notional"), 6),
+        ).alias("r_liq"),
+        F.round(F.col("leverage"), 6).alias("lev"),
+    )
+    pen = rat.select(
+        "*",
+        R.ratio_penalty(
+            F.col("r_cost"), _CAPS["roundtrip_cost_to_edge"], _FLOORS["cost"]
+        ).alias("p_cost"),
+        R.ratio_penalty(
+            F.col("r_gap"), _CAPS["gap_risk_to_edge"], _FLOORS["gap"]
+        ).alias("p_gap"),
+        R.ratio_penalty(
+            F.col("r_fund"), _CAPS["funding_to_edge"], _FLOORS["funding"]
+        ).alias("p_fund"),
+        R.ratio_penalty(
+            F.col("r_liq"), _CAPS["liquidity_to_depth"], _FLOORS["liquidity"]
+        ).alias("p_liq"),
+        F.when(
+            F.col("lev") > 1.0,
+            F.greatest(
+                F.lit(_FLOORS["leverage"]), F.least(F.lit(1.0), 1.0 / F.col("lev"))
+            ),
+        )
+        .otherwise(1.0)
+        .alias("p_lev"),
+    )
+    m = pen.select(
+        "*",
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                F.least(
+                    F.coalesce(F.col("p_cost"), F.lit(1.0)),
+                    F.coalesce(F.col("p_gap"), F.lit(1.0)),
+                    F.coalesce(F.col("p_fund"), F.lit(1.0)),
+                    F.coalesce(F.col("p_liq"), F.lit(1.0)),
+                    F.col("p_lev"),
+                ),
+            ),
+        ).alias("market_mult"),
+        R.bucket_mult_expr(F.col("bucket")).alias("bucket_mult"),
+        R.regime_mult_expr(F.col("bucket"), F.col("regime")).alias("regime_mult"),
+    )
+    lev_cap = 1.0 / _FLOORS["leverage"]
+
+    def ok(col: str, cap: float):
+        return F.coalesce(F.col(col) <= cap, F.lit(True))
+
+    path_ok = (
+        ok("r_cost", _CAPS["roundtrip_cost_to_edge"])
+        & ok("r_gap", _CAPS["gap_risk_to_edge"])
+        & ok("r_fund", _CAPS["funding_to_edge"])
+        & ok("r_liq", _CAPS["liquidity_to_depth"])
+        & (F.col("lev") <= lev_cap)
+    )
+    mult = F.col("bucket_mult") * F.col("regime_mult") * F.col("market_mult")
+    return m.groupBy(
+        "bucket", F.coalesce(F.col("regime"), F.lit("NONE")).alias("regime")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r6(F.avg("base_conf")).alias("avg_base_conf"),
+        r6(F.avg("market_mult")).alias("avg_market_mult"),
+        r6(F.avg(mult)).alias("avg_multiplier"),
+        r6(
+            F.avg(
+                F.greatest(
+                    F.lit(0.0), F.least(F.lit(1.0), F.col("base_conf") * mult)
+                )
+            )
+        ).alias("avg_effective_conf"),
+        F.sum(path_ok.cast("long")).alias("n_path_ok"),
+        F.sum(
+            (F.col("r_cost") > _CAPS["roundtrip_cost_to_edge"]).cast("long")
+        ).alias("n_cost_fail"),
+        F.sum((F.col("r_gap") > _CAPS["gap_risk_to_edge"]).cast("long")).alias(
+            "n_gap_fail"
+        ),
+        F.sum((F.col("r_fund") > _CAPS["funding_to_edge"]).cast("long")).alias(
+            "n_funding_fail"
+        ),
+        F.sum(
+            (F.col("r_liq") > _CAPS["liquidity_to_depth"]).cast("long")
+        ).alias("n_liquidity_fail"),
+        F.sum((F.col("lev") > lev_cap).cast("long")).alias("n_leverage_fail"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4 — NAV bucket allocation
+# ---------------------------------------------------------------------------
+
+
+def _nav_case(table: dict[str, float], col: str = "bucket") -> str:
+    whens = " ".join(f"WHEN '{b}' THEN {v}" for b, v in table.items())
+    return f"CASE {col} {whens} ELSE 0.0 END"
+
+
+@query(
+    "nav_bucket_allocation",
+    oracle=f"""
+    WITH {_W0_SQL},
+    br AS (
+      SELECT segment, bucket, COUNT(*) AS n_symbols,
+             SUM(w) AS rel_w, SUM(notional) AS bucket_notional,
+             SUM(SUM(notional)) OVER (PARTITION BY segment) AS nav
+      FROM w0 GROUP BY segment, bucket
+    )
+    SELECT segment, bucket, n_symbols,
+           ROUND(rel_w, 6) AS w_before,
+           ROUND(CASE WHEN rel_w > 0
+                 THEN LEAST(GREATEST({_nav_case(R.NAV_BASE)},
+                                     {_nav_case(R.NAV_MIN)}),
+                            {_nav_case(R.NAV_MAX)})
+                 ELSE 0.0 END, 6) AS w_after,
+           ROUND(CASE WHEN rel_w > 0
+                 THEN LEAST(GREATEST({_nav_case(R.NAV_BASE)},
+                                     {_nav_case(R.NAV_MIN)}),
+                            {_nav_case(R.NAV_MAX)})
+                 ELSE 0.0 END * nav, 2) AS bucket_nav
+    FROM br
+    """,
+)
+def nav_bucket_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: NAV bucket budgets (`risk/nav_allocator.py:35-76`
+    apply_nav_allocator): per-bucket relative weights are replaced by
+    the clamped NAV fraction target (base clamped to [min, max]) when
+    the bucket holds any weight; symbol-level redistribution within a
+    bucket is proportional, so the bucket grain IS the target fraction.
+    Emitted per (segment, bucket) with the absolute bucket NAV."""
+    w0 = _weights_frame(spark, sf_dir)
+
+    def nav_expr(table: dict[str, float]):
+        expr = F.lit(0.0)
+        for b, v in table.items():
+            expr = F.when(F.col("bucket") == b, F.lit(v)).otherwise(expr)
+        return expr
+
+    seg = Window.partitionBy("segment")
+    br = (
+        w0.groupBy("segment", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_symbols"),
+            F.sum("w").alias("rel_w"),
+            F.sum("notional").alias("bucket_notional"),
+        )
+        .withColumn("nav", F.sum("bucket_notional").over(seg))
+    )
+    target = F.when(
+        F.col("rel_w") > 0,
+        F.least(
+            F.greatest(nav_expr(R.NAV_BASE), nav_expr(R.NAV_MIN)),
+            nav_expr(R.NAV_MAX),
+        ),
+    ).otherwise(0.0)
+    return br.select(
+        "segment",
+        "bucket",
+        "n_symbols",
+        r6(F.col("rel_w")).alias("w_before"),
+        r6(target).alias("w_after"),
+        F.round(target * F.col("nav"), 2).alias("bucket_nav"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R5 — real-time portfolio risk alerts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "portfolio_risk_alerts",
+    oracle=f"""
+    WITH sv AS (SELECT user_id, ts, event_id, value
+                FROM events WHERE value > 0),
+    s AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER w AS rn,
+             ROUND((MAX(value) OVER pk - value) / MAX(value) OVER pk, 6) AS dd,
+             ROUND(value / LAG(value) OVER w - 1.0, 6) AS ret
+      FROM sv
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             pk AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, COUNT(*) AS n_bars,
+           ROUND(MAX(dd), 6) AS max_drawdown,
+           ROUND(MAX_BY(dd, rn), 6) AS final_drawdown,
+           CASE WHEN COUNT(ret) >= 2
+                THEN ROUND(STDDEV_POP(ret) * SQRT(252.0), 6)
+                ELSE 0.0 END AS vol_annualized,
+           CASE WHEN COUNT(ret) >= 10
+                THEN ROUND(ABS(AVG(ret) + ({R.Z_05}) * STDDEV_POP(ret)), 6)
+                ELSE 0.0 END AS var95,
+           CAST(SUM(CASE WHEN dd >= {R.MAX_DRAWDOWN} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_critical_dd,
+           CAST(SUM(CASE WHEN dd >= {R.WARNING_DRAWDOWN}
+                          AND dd < {R.MAX_DRAWDOWN} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_warning_dd,
+           CAST(SUM(CASE WHEN ret < -{R.MAX_DAILY_LOSS} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_daily_loss,
+           (CASE WHEN COUNT(ret) >= 2
+                 THEN ROUND(STDDEV_POP(ret) * SQRT(252.0), 6)
+                 ELSE 0.0 END) > {R.VOLATILITY_THRESHOLD} AS vol_alert,
+           CASE WHEN SUM(CASE WHEN dd >= {R.MAX_DRAWDOWN} THEN 1 ELSE 0 END) > 0
+                  OR SUM(CASE WHEN ret < -{R.MAX_DAILY_LOSS} THEN 1 ELSE 0 END) > 0
+                THEN 'CRITICAL'
+                WHEN SUM(CASE WHEN dd >= {R.WARNING_DRAWDOWN}
+                              AND dd < {R.MAX_DRAWDOWN} THEN 1 ELSE 0 END) > 0
+                  OR (CASE WHEN COUNT(ret) >= 2
+                           THEN ROUND(STDDEV_POP(ret) * SQRT(252.0), 6)
+                           ELSE 0.0 END) > {R.VOLATILITY_THRESHOLD}
+                THEN 'WARNING'
+                ELSE 'NORMAL' END AS status
+    FROM s GROUP BY user_id
+    """,
+)
+def portfolio_risk_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: batch replay of the real-time risk monitor
+    (`risk/real_time_risk_manager.py:102-331`): running-peak drawdown
+    vs the 10%/15% warning/critical limits, 5% daily-loss breaches,
+    full-history annualised volatility (np.std ddof=0 -> STDDEV_POP),
+    parametric VaR(95) with the z = norm.ppf(0.05) literal shared by
+    both engines, severity rollup to CRITICAL/WARNING/NORMAL. One
+    window pass + one aggregation per user."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.col("value"),
+    )
+    return R.risk_alert_summary(series, key="user_id", order_col="rn")
+
+
+# ---------------------------------------------------------------------------
+# R6 — barbell promotion gate (staged-input oracle)
+# ---------------------------------------------------------------------------
+
+_PROMO_GLOB = (
+    "/root/repo/spark-warehouse/oracle_stage/promotion_trades/*.parquet"
+)
+
+_PROMO_BUCKET = (
+    "CASE WHEN user_id % 5 = 0 THEN 'safe' "
+    "WHEN user_id % 5 IN (1, 2) THEN 'core' "
+    "WHEN user_id % 5 = 3 THEN 'spec' ELSE 'other' END"
+)
+
+
+@query(
+    "barbell_promotion_decision",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, entry_rn, exit_rn, realized_pnl,
+             {_PROMO_BUCKET} AS bucket
+      FROM read_parquet('{_PROMO_GLOB}')
+    ),
+    arms AS (
+      SELECT 'ts_only' AS arm, user_id, entry_rn, exit_rn,
+             CAST(CAST(ROUND(realized_pnl, 6) AS DECIMAL(18,6))
+                  AS DECIMAL(22,8)) AS pnl
+      FROM t
+      UNION ALL
+      SELECT 'barbell_sized', user_id, entry_rn, exit_rn,
+             CAST(CAST(ROUND(realized_pnl, 6) AS DECIMAL(18,6))
+                  * CAST({_bucket_mult_sql()} AS DECIMAL(3,2))
+                  AS DECIMAL(22,8))
+      FROM t
+    ),
+    c1 AS (
+      SELECT arm, user_id, entry_rn, exit_rn, pnl,
+             SUM(pnl) OVER (PARTITION BY arm
+               ORDER BY exit_rn, user_id, entry_rn
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             NTILE(10) OVER (PARTITION BY arm
+               ORDER BY pnl, user_id, entry_rn) AS decile
+      FROM arms
+    ),
+    c2 AS (
+      SELECT arm, pnl, decile,
+             MAX(cum) OVER (PARTITION BY arm
+               ORDER BY exit_rn, user_id, entry_rn
+               ROWS UNBOUNDED PRECEDING) - cum AS dd
+      FROM c1
+    ),
+    per_arm AS (
+      SELECT arm,
+             COUNT(*) AS n_trades,
+             CAST(SUM(CASE WHEN pnl < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS losing,
+             CAST(SUM(pnl) AS DOUBLE) AS total_pnl,
+             ROUND(CAST(SUM(CASE WHEN pnl > 0 THEN pnl
+                               ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
+               / GREATEST(CAST(ABS(SUM(CASE WHEN pnl < 0 THEN pnl
+                               ELSE CAST(0 AS DECIMAL(22,8)) END)) AS DOUBLE),
+                          1e-9), 6) AS profit_factor,
+             CAST(MAX(dd) AS DOUBLE) AS max_drawdown,
+             ROUND(CAST(SUM(CASE WHEN decile = 1 THEN pnl
+                               ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
+               / GREATEST(SUM(CASE WHEN decile = 1 THEN 1 ELSE 0 END), 1), 6)
+               AS expected_shortfall,
+             ROUND((CAST(SUM(CASE WHEN pnl > 0 THEN pnl
+                               ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
+                    / GREATEST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END), 1))
+               / GREATEST(
+                   CAST(ABS(SUM(CASE WHEN pnl < 0 THEN pnl
+                               ELSE CAST(0 AS DECIMAL(22,8)) END)) AS DOUBLE)
+                   / GREATEST(SUM(CASE WHEN pnl < 0 THEN 1 ELSE 0 END), 1),
+                   1e-9), 6) AS payoff_asymmetry,
+             ROUND(CAST(MAX(CASE WHEN pnl > 0 THEN pnl
+                               ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
+               / GREATEST(CAST(SUM(CASE WHEN pnl > 0 THEN pnl
+                               ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE),
+                          1e-9), 6) AS winner_concentration
+      FROM c2 GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'ts_only' THEN total_pnl END) AS base_total_pnl,
+        MAX(CASE WHEN arm = 'ts_only' THEN profit_factor END) AS base_pf,
+        MAX(CASE WHEN arm = 'ts_only' THEN max_drawdown END) AS base_dd,
+        MAX(CASE WHEN arm = 'ts_only' THEN expected_shortfall END) AS base_es,
+        MAX(CASE WHEN arm = 'barbell_sized' THEN n_trades END) AS bb_n,
+        MAX(CASE WHEN arm = 'barbell_sized' THEN losing END) AS bb_losing,
+        MAX(CASE WHEN arm = 'barbell_sized' THEN total_pnl END) AS bb_total_pnl,
+        MAX(CASE WHEN arm = 'barbell_sized' THEN profit_factor END) AS bb_pf,
+        MAX(CASE WHEN arm = 'barbell_sized' THEN max_drawdown END) AS bb_dd,
+        MAX(CASE WHEN arm = 'barbell_sized' THEN expected_shortfall END)
+          AS bb_es,
+        MAX(CASE WHEN arm = 'barbell_sized' THEN payoff_asymmetry END)
+          AS bb_payoff,
+        MAX(CASE WHEN arm = 'barbell_sized' THEN winner_concentration END)
+          AS bb_wc
+      FROM per_arm
+    ),
+    checks AS (
+      SELECT 'trade_support' AS check_name,
+             bb_n >= {R.MIN_TOTAL_TRADES} AS passed,
+             CAST(bb_n AS DOUBLE) AS observed,
+             CAST({R.MIN_TOTAL_TRADES} AS DOUBLE) AS threshold FROM wide
+      UNION ALL
+      SELECT 'loss_support', bb_losing >= {R.MIN_LOSING_TRADES},
+             CAST(bb_losing AS DOUBLE), CAST({R.MIN_LOSING_TRADES} AS DOUBLE)
+      FROM wide
+      UNION ALL
+      SELECT 'pnl_delta',
+             ROUND(bb_total_pnl - base_total_pnl, 6) > 0
+               OR ROUND(bb_pf - base_pf, 6) > 0,
+             ROUND(bb_total_pnl - base_total_pnl, 6), 0.0 FROM wide
+      UNION ALL
+      SELECT 'drawdown_regression', ROUND(bb_dd - base_dd, 6) <= 0,
+             ROUND(bb_dd - base_dd, 6), 0.0 FROM wide
+      UNION ALL
+      SELECT 'expected_shortfall_regression', bb_es >= base_es,
+             ROUND(bb_es - base_es, 6), 0.0 FROM wide
+      UNION ALL
+      SELECT 'payoff_asymmetry_effective',
+             bb_payoff >= {R.MIN_PAYOFF_ASYMMETRY}, bb_payoff,
+             {R.MIN_PAYOFF_ASYMMETRY} FROM wide
+      UNION ALL
+      SELECT 'winner_concentration',
+             bb_wc <= {R.MAX_WINNER_CONCENTRATION}, bb_wc,
+             {R.MAX_WINNER_CONCENTRATION} FROM wide
+      UNION ALL
+      SELECT 'promote',
+             bb_n >= {R.MIN_TOTAL_TRADES}
+             AND bb_losing >= {R.MIN_LOSING_TRADES}
+             AND (ROUND(bb_total_pnl - base_total_pnl, 6) > 0
+                  OR ROUND(bb_pf - base_pf, 6) > 0)
+             AND ROUND(bb_dd - base_dd, 6) <= 0
+             AND bb_es >= base_es
+             AND bb_payoff >= {R.MIN_PAYOFF_ASYMMETRY}
+             AND bb_wc <= {R.MAX_WINNER_CONCENTRATION},
+             CAST(NULL AS DOUBLE), 0.0 FROM wide
+    )
+    SELECT * FROM checks
+    """,
+)
+def barbell_promotion_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: the barbell promotion gate
+    (`risk/barbell_promotion_gate.py:248-428` decide_promotion_from_
+    report): baseline (ts_only) vs barbell-sized arm metrics over the
+    cached paper-trading simulation, threshold checks (trade/loss
+    support, PnL delta, drawdown & expected-shortfall regression,
+    payoff asymmetry, winner concentration) and the final promote
+    verdict. Trades are STAGED so the oracle re-derives both arms and
+    every check from the raw rows — the gate logic is what gets
+    differentially verified (the simulation itself stays pinned by
+    scenario tests). The omega-antifragility trio needs the reference's
+    separate candidate-backtest harness and is documented out of scope
+    rather than silently passed."""
+    from .queries_models import _simulated_trades
+
+    trades = _simulated_trades(spark, sf_dir)
+    stage_for_oracle(
+        trades.select("user_id", "entry_rn", "exit_rn", "realized_pnl"),
+        "promotion_trades",
+    )
+    bucket = (
+        F.when(F.col("user_id") % 5 == 0, "safe")
+        .when((F.col("user_id") % 5).isin(1, 2), "core")
+        .when(F.col("user_id") % 5 == 3, "spec")
+        .otherwise("other")
+    )
+    return R.promotion_checks(trades, bucket)
+
+
+# ---------------------------------------------------------------------------
+# R7 — ensemble error decomposition
+# ---------------------------------------------------------------------------
+
+_F_SQL = f"""
+    f AS (
+      SELECT user_id, rn, value,
+             LAG(value, 1) OVER wp AS f_naive,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS f_ma10
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    )"""
+
+_BEST_CASE = """CASE
+             WHEN ROUND(rmse_ma10, 6) <= ROUND(rmse_ma3, 6)
+              AND ROUND(rmse_ma10, 6) <= ROUND(rmse_naive, 6) THEN 'ma10'
+             WHEN ROUND(rmse_ma3, 6) <= ROUND(rmse_naive, 6) THEN 'ma3'
+             ELSE 'naive' END"""
+
+
+@query(
+    "ensemble_error_decomposition",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    {_F_SQL},
+    e AS (
+      SELECT user_id, COUNT(*) AS n,
+             SQRT(AVG(POWER(value - f_naive, 2))) AS rmse_naive,
+             SQRT(AVG(POWER(value - f_ma3, 2))) AS rmse_ma3,
+             SQRT(AVG(POWER(value - f_ma10, 2))) AS rmse_ma10
+      FROM f GROUP BY user_id HAVING COUNT(*) > 10
+    ),
+    w AS (
+      SELECT *, 1/rmse_naive + 1/rmse_ma3 + 1/rmse_ma10 AS z,
+             {_BEST_CASE} AS best_model,
+             LEAST(rmse_naive, rmse_ma3, rmse_ma10) AS best_rmse
+      FROM e
+    ),
+    j AS (
+      SELECT f.user_id, w.best_model, w.best_rmse,
+             f.value - ((1/w.rmse_naive)/w.z * f.f_naive
+                        + (1/w.rmse_ma3)/w.z * f.f_ma3
+                        + (1/w.rmse_ma10)/w.z * f.f_ma10) AS e_ens,
+             f.value - f.f_naive AS e_naive,
+             f.value - f.f_ma3 AS e_ma3,
+             f.value - f.f_ma10 AS e_ma10
+      FROM f JOIN w ON f.user_id = w.user_id
+    )
+    SELECT user_id, COUNT(*) AS n,
+           ANY_VALUE(best_model) AS best_model,
+           ROUND(ANY_VALUE(best_rmse), 6) AS best_model_rmse,
+           ROUND(SQRT(AVG(POWER(e_ens, 2))), 6) AS ensemble_rmse,
+           ROUND(SQRT(AVG(POWER(e_ens, 2))) / ANY_VALUE(best_rmse), 6)
+             AS rmse_ratio,
+           ROUND(SQRT(AVG(POWER(e_ens, 2))) - ANY_VALUE(best_rmse), 6)
+             AS excess_error,
+           ROUND(POWER(AVG(e_ens), 2), 6) AS bias_squared,
+           ROUND(VAR_POP(e_ens), 6) AS ensemble_variance,
+           ROUND(CASE ANY_VALUE(best_model)
+                 WHEN 'ma10' THEN VAR_POP(e_ma10)
+                 WHEN 'ma3' THEN VAR_POP(e_ma3)
+                 ELSE VAR_POP(e_naive) END, 6) AS best_model_variance,
+           ROUND(VAR_POP(e_ens) - CASE ANY_VALUE(best_model)
+                 WHEN 'ma10' THEN VAR_POP(e_ma10)
+                 WHEN 'ma3' THEN VAR_POP(e_ma3)
+                 ELSE VAR_POP(e_naive) END, 6) AS excess_variance
+    FROM j GROUP BY user_id
+    """,
+)
+def ensemble_error_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: ensemble error decomposition vs the best single model
+    (`forcester_ts/ensemble_diagnostics.py:121-167`
+    compute_error_decomposition): inverse-RMSE-weighted ensemble errors
+    split into bias-squared + population variance (the identity
+    ensemble_rmse^2 = bias^2 + variance is asserted in tests), RMSE
+    ratio / excess error / excess variance vs the per-key best model
+    (min RMSE, alphabetical tiebreak on rounded values). Two passes
+    over the same per-key window frame: one to fit the weights, one to
+    score the weighted errors — both shuffle on user_id only."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("f_naive"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(c: str):
+        return F.sqrt(F.avg(F.pow(F.col("value") - F.col(c), 2)))
+
+    e = (
+        f.groupBy("user_id")
+        .agg(
+            rmse("f_naive").alias("rmse_naive"),
+            rmse("f_ma3").alias("rmse_ma3"),
+            rmse("f_ma10").alias("rmse_ma10"),
+            F.count(F.lit(1)).alias("n_fit"),
+        )
+        .filter(F.col("n_fit") > 10)
+    )
+    r10, r3, rn_ = (
+        F.round(F.col("rmse_ma10"), 6),
+        F.round(F.col("rmse_ma3"), 6),
+        F.round(F.col("rmse_naive"), 6),
+    )
+    w = e.select(
+        "user_id",
+        "rmse_naive",
+        "rmse_ma3",
+        "rmse_ma10",
+        (
+            1 / F.col("rmse_naive") + 1 / F.col("rmse_ma3") + 1 / F.col("rmse_ma10")
+        ).alias("z"),
+        F.when((r10 <= r3) & (r10 <= rn_), "ma10")
+        .when(r3 <= rn_, "ma3")
+        .otherwise("naive")
+        .alias("best_model"),
+        F.least("rmse_naive", "rmse_ma3", "rmse_ma10").alias("best_rmse"),
+    )
+    j = f.join(w, "user_id").select(
+        "user_id",
+        "best_model",
+        "best_rmse",
+        (
+            F.col("value")
+            - (
+                (1 / F.col("rmse_naive")) / F.col("z") * F.col("f_naive")
+                + (1 / F.col("rmse_ma3")) / F.col("z") * F.col("f_ma3")
+                + (1 / F.col("rmse_ma10")) / F.col("z") * F.col("f_ma10")
+            )
+        ).alias("e_ens"),
+        (F.col("value") - F.col("f_naive")).alias("e_naive"),
+        (F.col("value") - F.col("f_ma3")).alias("e_ma3"),
+        (F.col("value") - F.col("f_ma10")).alias("e_ma10"),
+    )
+    best_var = (
+        F.when(
+            F.first("best_model") == "ma10", F.var_pop("e_ma10")
+        )
+        .when(F.first("best_model") == "ma3", F.var_pop("e_ma3"))
+        .otherwise(F.var_pop("e_naive"))
+    )
+    ens_rmse = F.sqrt(F.avg(F.pow(F.col("e_ens"), 2)))
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("best_model").alias("best_model"),
+        r6(F.first("best_rmse")).alias("best_model_rmse"),
+        r6(ens_rmse).alias("ensemble_rmse"),
+        r6(ens_rmse / F.first("best_rmse")).alias("rmse_ratio"),
+        r6(ens_rmse - F.first("best_rmse")).alias("excess_error"),
+        r6(F.pow(F.avg("e_ens"), 2)).alias("bias_squared"),
+        r6(F.var_pop("e_ens")).alias("ensemble_variance"),
+        r6(best_var).alias("best_model_variance"),
+        r6(F.var_pop("e_ens") - best_var).alias("excess_variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8 — residual white-noise verdict
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "residual_white_noise",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    {_F_SQL},
+    r AS (SELECT user_id, rn, value - f_ma3 AS resid FROM f),
+    l AS (
+      SELECT user_id, resid,
+             LAG(resid, 1) OVER wp AS l1, LAG(resid, 2) OVER wp AS l2,
+             LAG(resid, 3) OVER wp AS l3, LAG(resid, 4) OVER wp AS l4,
+             LAG(resid, 5) OVER wp AS l5, LAG(resid, 6) OVER wp AS l6
+      FROM r WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    a AS (
+      SELECT user_id, COUNT(resid) AS n,
+             CORR(resid, l1) AS r1, CORR(resid, l2) AS r2,
+             CORR(resid, l3) AS r3, CORR(resid, l4) AS r4,
+             CORR(resid, l5) AS r5, CORR(resid, l6) AS r6,
+             AVG(resid) AS m1, AVG(resid*resid) AS m2,
+             AVG(resid*resid*resid) AS m3,
+             AVG(resid*resid*resid*resid) AS m4
+      FROM l GROUP BY user_id HAVING COUNT(resid) >= 13
+    ),
+    st AS (
+      SELECT user_id, n,
+             ROUND(n * (n + 2.0) * (
+               r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3) +
+               r4*r4/(n-4) + r5*r5/(n-5) + r6*r6/(n-6)), 6) AS lb_stat,
+             ROUND(n / 6.0 * (
+               POWER((m3 - 3*m1*m2 + 2*m1*m1*m1)
+                     / POWER(m2 - m1*m1, 1.5), 2)
+               + POWER((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1)
+                       / POWER(m2 - m1*m1, 2) - 3, 2) / 4), 6) AS jb_stat
+      FROM a
+    ),
+    p AS (
+      SELECT user_id, n, lb_stat,
+             ROUND(EXP(-lb_stat/2.0)
+                   * (1.0 + lb_stat/2.0 + lb_stat*lb_stat/8.0), 6)
+               AS lb_pvalue,
+             jb_stat,
+             ROUND(EXP(-jb_stat/2.0), 6) AS jb_pvalue
+      FROM st
+    )
+    SELECT user_id, n, lb_stat, lb_pvalue, jb_stat, jb_pvalue,
+           lb_pvalue > 0.05 AND jb_pvalue > 0.05 AS white_noise
+    FROM p
+    """,
+)
+def residual_white_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: the shared residual diagnostic
+    (`forcester_ts/residual_diagnostics.py:19-98` run_residual_
+    diagnostics): Ljung-Box (lags 1..6) + Jarque-Bera on the MA(3)
+    forecaster's residuals per key, with closed-form chi-square
+    p-values (chi2(6) even-dof series, chi2(2) = exp(-x/2)) and the
+    combined white-noise verdict (both p > 0.05). Same one-window +
+    one-agg shape as the `ljung_box` query."""
+    s = _series(spark, sf_dir)
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+    ).filter(F.col("rn") >= 11)
+    resid = f.select(
+        "user_id", "rn", (F.col("value") - F.col("f_ma3")).alias("resid")
+    )
+    return R.white_noise_verdict(resid)
+
+
+# ---------------------------------------------------------------------------
+# R9 — warm-start order suggestion ladder
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_warmstart_suggest",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    obs AS (
+      SELECT user_id, lr,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS idx,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_full,
+             STDDEV_SAMP(lr) OVER (PARTITION BY user_id) AS sd_full
+      FROM s WHERE lr IS NOT NULL
+    ),
+    arms AS (
+      SELECT user_id, 1 AS fitted_at, lr, idx, n_full, sd_full FROM obs
+      WHERE idx <= FLOOR(n_full / 2.0)
+      UNION ALL
+      SELECT user_id, 2 AS fitted_at, lr, idx, n_full, sd_full FROM obs
+      WHERE idx <= FLOOR(3.0 * n_full / 4.0)
+    ),
+    lagd AS (
+      SELECT user_id, fitted_at, lr, n_full, sd_full,
+             LAG(lr, 1) OVER wp AS l1, LAG(lr, 2) OVER wp AS l2
+      FROM arms WINDOW wp AS (PARTITION BY user_id, fitted_at ORDER BY idx)
+    ),
+    m AS (
+      SELECT user_id, fitted_at, COUNT(lr) AS n_obs,
+             VAR_POP(lr) AS c0, CORR(lr, l1) AS rho1, CORR(lr, l2) AS rho2,
+             STDDEV_SAMP(lr) AS sd, ANY_VALUE(sd_full) AS sd_full
+      FROM lagd GROUP BY user_id, fitted_at
+      HAVING COUNT(lr) >= 12 AND VAR_POP(lr) > 0
+             AND ABS(CORR(lr, l1)) < 1.0
+    ),
+    yw AS (
+      SELECT *,
+             c0 * (1 - rho1*rho1) AS sig1,
+             (rho2 - rho1*rho1) / (1 - rho1*rho1) AS phi2,
+             rho1 * (1 - rho2) / (1 - rho1*rho1) AS phi1
+      FROM m
+    ),
+    aic AS (
+      SELECT user_id, fitted_at, n_obs, sd, sd_full,
+             CASE WHEN sig1 > 0 THEN n_obs * LN(sig1) + 4.0 END AS aic1,
+             CASE WHEN c0 * (1 - phi1*rho1 - phi2*rho2) > 0
+                  THEN n_obs * LN(c0 * (1 - phi1*rho1 - phi2*rho2)) + 6.0
+             END AS aic2
+      FROM yw
+    ),
+    fits AS (
+      SELECT user_id, fitted_at, n_obs,
+             CASE WHEN aic2 IS NOT NULL
+                       AND (aic1 IS NULL OR ROUND(aic2, 6) < ROUND(aic1, 6))
+                  THEN 2 ELSE 1 END AS best_p,
+             ROUND(CASE WHEN aic2 IS NOT NULL
+                        AND (aic1 IS NULL OR ROUND(aic2, 6) < ROUND(aic1, 6))
+                   THEN aic2 ELSE aic1 END, 6) AS aic,
+             CASE WHEN ROUND(sd / sd_full, 6) < 0.9 THEN 'LIQUID_RANGEBOUND'
+                  WHEN ROUND(sd / sd_full, 6) <= 1.1 THEN 'MODERATE_TRENDING'
+                  ELSE 'HIGH_VOL_TRENDING' END AS regime
+      FROM aic WHERE aic1 IS NOT NULL
+    ),
+    rec AS (
+      SELECT user_id, STDDEV_SAMP(lr) AS sd, COUNT(*) AS n_rec,
+             ANY_VALUE(sd_full) AS sd_full, ANY_VALUE(n_full) AS n_full
+      FROM obs WHERE idx > FLOOR(3.0 * n_full / 4.0)
+      GROUP BY user_id
+      HAVING COUNT(*) >= 5 AND STDDEV_SAMP(lr) IS NOT NULL
+             AND ANY_VALUE(sd_full) > 0
+    ),
+    cur AS (
+      SELECT user_id,
+             CASE WHEN ROUND(sd / sd_full, 6) < 0.9 THEN 'LIQUID_RANGEBOUND'
+                  WHEN ROUND(sd / sd_full, 6) <= 1.1 THEN 'MODERATE_TRENDING'
+                  ELSE 'HIGH_VOL_TRENDING' END AS regime,
+             n_full AS n_obs
+      FROM rec
+    ),
+    exact AS (
+      SELECT user_id, regime, best_p AS exact_p, aic AS exact_aic,
+             n_obs AS exact_n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, regime
+                  ORDER BY fitted_at DESC, aic ASC, best_p ASC) AS rk
+            FROM fits) WHERE rk = 1
+    ),
+    gsel AS (
+      SELECT user_id, best_p AS global_p
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY fitted_at DESC, aic ASC, best_p ASC) AS rk
+            FROM fits) WHERE rk = 1
+    ),
+    pop AS (
+      SELECT regime, best_p AS pop_p
+      FROM (SELECT regime, best_p, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY regime
+                     ORDER BY COUNT(*) DESC, best_p ASC) AS rk
+            FROM fits GROUP BY regime, best_p) WHERE rk = 1
+    )
+    SELECT cur.user_id, cur.regime AS current_regime,
+           COALESCE(exact_p, global_p, pop_p) AS suggested_p,
+           CASE WHEN exact_p IS NOT NULL THEN 'regime'
+                WHEN global_p IS NOT NULL THEN 'global'
+                WHEN pop_p IS NOT NULL THEN 'population'
+                ELSE 'none' END AS source,
+           COALESCE(exact_p IS NOT NULL
+                    AND exact_n >= {R.SKIP_FRACTION} * cur.n_obs, FALSE)
+             AS skip_grid,
+           exact_aic AS cache_aic
+    FROM cur
+    LEFT JOIN exact ON cur.user_id = exact.user_id
+                   AND cur.regime = exact.regime
+    LEFT JOIN gsel ON cur.user_id = gsel.user_id
+    LEFT JOIN pop ON cur.regime = pop.regime
+    """,
+)
+def order_warmstart_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9: warm-start order cache (`forcester_ts/order_learner.py:
+    160-323`): a fits history (two nested training windows per key,
+    AR(1)/AR(2) chosen by closed-form Yule-Walker AIC, regime = the
+    window's vol relative to the key's full-series vol) queried with
+    the reference's fallback ladder — exact (key, regime) latest fit ->
+    latest fit in ANY regime (GLOBAL) -> population-modal order for the
+    regime — plus the skip-grid decision (cached fit covers >=
+    SKIP_FRACTION of the current window). The current regime comes from
+    the most recent quarter, so regime shifts genuinely exercise the
+    global fallback. Everything is per-key maps + key-partitioned
+    joins; the population table is regime-cardinality (broadcast)."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    wu = Window.partitionBy("user_id")
+    obs = s.select(
+        "user_id",
+        "lr",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("rn")).alias(
+            "idx"
+        ),
+        F.count(F.lit(1)).over(wu).alias("n_full"),
+        F.stddev_samp("lr").over(wu).alias("sd_full"),
+    )
+    arms = obs.filter(
+        F.col("idx") <= F.floor(F.col("n_full") / 2.0)
+    ).withColumn("fitted_at", F.lit(1)).unionByName(
+        obs.filter(
+            F.col("idx") <= F.floor(3.0 * F.col("n_full") / 4.0)
+        ).withColumn("fitted_at", F.lit(2))
+    )
+    wp = Window.partitionBy("user_id", "fitted_at").orderBy("idx")
+    lagd = arms.select(
+        "user_id",
+        "fitted_at",
+        "lr",
+        "sd_full",
+        F.lag("lr", 1).over(wp).alias("l1"),
+        F.lag("lr", 2).over(wp).alias("l2"),
+    )
+    m = (
+        lagd.groupBy("user_id", "fitted_at")
+        .agg(
+            F.count("lr").alias("n_obs"),
+            F.var_pop("lr").alias("c0"),
+            F.corr("lr", "l1").alias("rho1"),
+            F.corr("lr", "l2").alias("rho2"),
+            F.stddev_samp("lr").alias("sd"),
+            F.first("sd_full").alias("sd_full"),
+        )
+        .filter(
+            (F.col("n_obs") >= 12)
+            & (F.col("c0") > 0)
+            & (F.abs(F.col("rho1")) < 1.0)
+        )
+    )
+    c0, rho1, rho2 = F.col("c0"), F.col("rho1"), F.col("rho2")
+    sig1 = c0 * (1 - rho1 * rho1)
+    phi2 = (rho2 - rho1 * rho1) / (1 - rho1 * rho1)
+    phi1 = rho1 * (1 - rho2) / (1 - rho1 * rho1)
+    sig2 = c0 * (1 - phi1 * rho1 - phi2 * rho2)
+    aic = m.select(
+        "user_id",
+        "fitted_at",
+        "n_obs",
+        "sd",
+        "sd_full",
+        F.when(sig1 > 0, F.col("n_obs") * F.log(sig1) + 4.0).alias("aic1"),
+        F.when(sig2 > 0, F.col("n_obs") * F.log(sig2) + 6.0).alias("aic2"),
+    )
+    pick2 = F.col("aic2").isNotNull() & (
+        F.col("aic1").isNull()
+        | (F.round(F.col("aic2"), 6) < F.round(F.col("aic1"), 6))
+    )
+
+    def regime_case(sd_col: str, full_col: str):
+        ratio = F.round(F.col(sd_col) / F.col(full_col), 6)
+        return (
+            F.when(ratio < 0.9, "LIQUID_RANGEBOUND")
+            .when(ratio <= 1.1, "MODERATE_TRENDING")
+            .otherwise("HIGH_VOL_TRENDING")
+        )
+
+    fits = aic.filter(F.col("aic1").isNotNull()).select(
+        "user_id",
+        "fitted_at",
+        "n_obs",
+        F.when(pick2, 2).otherwise(1).alias("best_p"),
+        F.round(F.when(pick2, F.col("aic2")).otherwise(F.col("aic1")), 6).alias(
+            "aic"
+        ),
+        regime_case("sd", "sd_full").alias("regime"),
+    )
+    rec = (
+        obs.filter(F.col("idx") > F.floor(3.0 * F.col("n_full") / 4.0))
+        .groupBy("user_id")
+        .agg(
+            F.stddev_samp("lr").alias("sd"),
+            F.count(F.lit(1)).alias("n_rec"),
+            F.first("sd_full").alias("sd_full"),
+            F.first("n_full").alias("n_full"),
+        )
+        .filter(
+            (F.col("n_rec") >= 5)
+            & F.col("sd").isNotNull()
+            & (F.col("sd_full") > 0)
+        )
+    )
+    cur = rec.select(
+        "user_id",
+        regime_case("sd", "sd_full").alias("regime"),
+        F.col("n_full").alias("n_obs"),
+    )
+    # The reference's order cache is a MATERIALIZED store (SQLite table,
+    # `order_learner.py:109-158`); materialize the bounded per-key fits
+    # history the same way. This also sidesteps a Spark plan-reuse
+    # anomaly: composing the suggest joins over the shared
+    # window-over-union lineage duplicates every output row (verified
+    # sf0.001: 30 rows instead of 15; correct with lineage broken).
+    fits = fits.localCheckpoint(eager=True)
+    cur = cur.localCheckpoint(eager=True)
+    return R.warmstart_suggest(fits, cur)

@@ -1,0 +1,295 @@
+"""Risk-layer operator tests (reference `risk/` module +
+residual/ensemble diagnostics + warm-start cache): feasibility
+invariants of the barbell projection, penalty bounds, alert-severity
+scenarios, white-noise verdicts on known series, promotion-gate
+metrics vs hand computation, the warm-start fallback ladder, and the
+bias/variance identity of the error decomposition."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from portofolio_maximizer_spark.operators import risk as R
+from portofolio_maximizer_spark.plans import QUERIES
+
+
+# ---------------------------------------------------------------------------
+# Barbell projection (risk/barbell_policy.py:120-190)
+# ---------------------------------------------------------------------------
+
+
+def _weights_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "segment string, symbol string, bucket string, w double"
+    )
+
+
+def test_barbell_projection_feasibility(spark):
+    # Segment A violates everything: risk = 0.8 >> RISK_MAX, safe far
+    # below SAFE_MIN. Segment B is already feasible.
+    rows = [
+        ("A", "s1", "safe", 0.05),
+        ("A", "s2", "safe", 0.05),
+        ("A", "c1", "core", 0.30),
+        ("A", "c2", "core", 0.20),
+        ("A", "p1", "spec", 0.30),
+        ("A", "o1", "other", 0.10),
+        ("B", "s1", "safe", 0.60),
+        ("B", "c1", "core", 0.05),
+        ("B", "p1", "spec", 0.02),
+        ("B", "o1", "other", 0.33),
+    ]
+    out = R.project_barbell(_weights_df(spark, rows)).toPandas()
+    for seg, grp in out.groupby("segment"):
+        total_before = grp.w.sum()
+        total_after = grp.w_proj.sum()
+        assert total_after == pytest.approx(total_before, abs=1e-9)
+        by_bucket = grp.groupby("bucket").w_proj.sum()
+        assert by_bucket.get("core", 0.0) + by_bucket.get("spec", 0.0) <= (
+            R.RISK_MAX + 1e-9
+        )
+        assert by_bucket.get("spec", 0.0) <= R.SPEC_MAX + 1e-9
+        assert by_bucket.get("core", 0.0) <= R.CORE_MAX + 1e-9
+    # Feasible segment B: safe stays dominant, projection ~identity up
+    # to the final renormalisation.
+    b = out[out.segment == "B"].set_index("symbol")
+    assert b.loc["s1", "w_proj"] == pytest.approx(0.60, abs=1e-6)
+    # Violating segment A: safe was boosted toward SAFE_MIN.
+    a = out[out.segment == "A"]
+    assert a[a.bucket == "safe"].w_proj.sum() >= R.SAFE_MIN - 1e-6
+
+
+def test_barbell_projection_zero_risk_segment(spark):
+    rows = [
+        ("C", "s1", "safe", 0.70),
+        ("C", "o1", "other", 0.30),
+    ]
+    out = R.project_barbell(_weights_df(spark, rows)).toPandas()
+    assert out.w_proj.sum() == pytest.approx(1.0, abs=1e-9)
+    assert out[out.bucket == "safe"].w_proj.iloc[0] >= R.SAFE_MIN
+
+
+# ---------------------------------------------------------------------------
+# Ratio penalty (risk/barbell_sizing.py:164-175)
+# ---------------------------------------------------------------------------
+
+
+def test_ratio_penalty_bounds(spark):
+    df = spark.range(1).select(
+        R.ratio_penalty(F.lit(None).cast("double"), 0.35, 0.55).alias("p_null"),
+        R.ratio_penalty(F.lit(0.2), 0.35, 0.55).alias("p_under"),
+        R.ratio_penalty(F.lit(0.35), 0.35, 0.55).alias("p_at"),
+        R.ratio_penalty(F.lit(0.70), 0.35, 0.55).alias("p_2x"),
+        R.ratio_penalty(F.lit(100.0), 0.35, 0.55).alias("p_huge"),
+    )
+    row = df.collect()[0]
+    assert row.p_null == 1.0
+    assert row.p_under == 1.0
+    assert row.p_at == 1.0
+    # 2x the cap: excess = 1 -> 1/(1+1) = 0.5, floored at 0.55.
+    assert row.p_2x == pytest.approx(0.55)
+    assert row.p_huge == pytest.approx(0.55)
+
+
+# ---------------------------------------------------------------------------
+# Real-time risk alerts (risk/real_time_risk_manager.py:102-331)
+# ---------------------------------------------------------------------------
+
+
+def _series_df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, rn int, value double")
+
+
+def test_risk_alert_crash_is_critical(spark):
+    # 30% crash in 10% daily steps: drawdown crosses 15% AND daily
+    # losses breach the 5% limit.
+    vals = [100.0, 110.0, 99.0, 89.0, 80.0, 72.0, 65.0]
+    rows = [(1, i + 1, v) for i, v in enumerate(vals)]
+    out = R.risk_alert_summary(_series_df(spark, rows)).collect()[0]
+    assert out.status == "CRITICAL"
+    assert out.n_critical_dd > 0
+    assert out.n_daily_loss > 0
+    assert out.max_drawdown == pytest.approx((110 - 65) / 110, abs=1e-6)
+
+
+def test_risk_alert_flat_is_normal(spark):
+    rows = [(2, i + 1, 100.0 + 0.1 * (i % 3)) for i in range(20)]
+    out = R.risk_alert_summary(_series_df(spark, rows)).collect()[0]
+    assert out.status == "NORMAL"
+    assert out.n_critical_dd == 0 and out.n_daily_loss == 0
+
+
+def test_risk_alert_mild_drawdown_is_warning(spark):
+    # Glide from 100 to 88 in 1%-ish steps: drawdown in [10%, 15%),
+    # no daily-loss breach, vol < 40%.
+    vals = [100.0 - 1.0 * i for i in range(13)]  # 100 .. 88
+    rows = [(3, i + 1, v) for i, v in enumerate(vals)]
+    out = R.risk_alert_summary(_series_df(spark, rows)).collect()[0]
+    assert out.status == "WARNING"
+    assert out.n_warning_dd > 0 and out.n_critical_dd == 0
+
+
+# ---------------------------------------------------------------------------
+# Residual white-noise verdict (forcester_ts/residual_diagnostics.py)
+# ---------------------------------------------------------------------------
+
+
+def _resid_df(spark, key, values):
+    return spark.createDataFrame(
+        [(key, i + 1, float(v)) for i, v in enumerate(values)],
+        "user_id long, rn int, resid double",
+    )
+
+
+def test_white_noise_accepts_gaussian(spark):
+    rng = np.random.default_rng(7)
+    out = R.white_noise_verdict(_resid_df(spark, 1, rng.normal(size=300)))
+    row = out.collect()[0]
+    assert row.white_noise is True
+    assert row.lb_pvalue > 0.05 and row.jb_pvalue > 0.05
+
+
+def test_white_noise_rejects_autocorrelated(spark):
+    rng = np.random.default_rng(7)
+    walk = np.cumsum(rng.normal(size=300))  # strongly autocorrelated
+    row = R.white_noise_verdict(_resid_df(spark, 2, walk)).collect()[0]
+    assert row.white_noise is False
+    assert row.lb_pvalue < 0.05
+
+
+def test_chi2_sf6_matches_known_values(spark):
+    # chi2(6) survival at its own mean (6.0) is ~0.4232.
+    df = spark.range(1).select(
+        R.chi2_sf6(F.lit(6.0)).alias("p6"),
+        R.chi2_sf6(F.lit(12.592)).alias("p05"),  # 5% critical value
+    )
+    row = df.collect()[0]
+    assert row.p6 == pytest.approx(0.42319, abs=1e-4)
+    assert row.p05 == pytest.approx(0.05, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Promotion gate (risk/barbell_promotion_gate.py:248-428)
+# ---------------------------------------------------------------------------
+
+
+def test_promotion_checks_metrics(spark):
+    # 40 trades: 28 winners of +10, 12 losers of -5 for the 'other'
+    # bucket (user_id % 5 == 4 -> mult 0.85 scales both sides equally).
+    rows = [
+        (4, i, i + 1, 10.0 if i % 10 < 7 else -5.0) for i in range(40)
+    ]
+    trades = spark.createDataFrame(
+        rows, "user_id long, entry_rn int, exit_rn int, realized_pnl double"
+    )
+    bucket = F.lit("other")
+    out = {
+        r.check_name: r for r in R.promotion_checks(trades, bucket).collect()
+    }
+    assert len(out) == 8
+    assert out["trade_support"].passed is True  # 40 >= 30
+    assert out["loss_support"].passed is True  # 12 >= 5
+    # Uniform 0.85 scaling shrinks total PnL and cannot raise the
+    # profit factor -> pnl_delta fails; drawdown shrinks -> passes.
+    assert out["pnl_delta"].passed is False
+    assert out["drawdown_regression"].passed is True
+    # Payoff asymmetry = 10/5 = 2 >= 1.10.
+    assert out["payoff_asymmetry_effective"].passed is True
+    assert out["payoff_asymmetry_effective"].observed == pytest.approx(2.0)
+    # 28 equal winners -> concentration 1/28 <= 0.60.
+    assert out["winner_concentration"].passed is True
+    assert out["promote"].passed is False  # pnl_delta fails
+
+
+# ---------------------------------------------------------------------------
+# Warm-start suggestion ladder (forcester_ts/order_learner.py:233-323)
+# ---------------------------------------------------------------------------
+
+
+def test_warmstart_ladder_sources(spark):
+    fits = spark.createDataFrame(
+        [
+            (1, "A", 1, 2, 10.0, 50),
+            (1, "A", 2, 1, 9.0, 95),
+            (1, "B", 1, 2, 8.0, 40),
+            (2, "A", 2, 1, 5.0, 60),
+        ],
+        "user_id long, regime string, fitted_at int, best_p int, "
+        "aic double, n_obs int",
+    )
+    cur = spark.createDataFrame(
+        [(1, "A", 100), (2, "C", 80), (3, "A", 90)],
+        "user_id long, regime string, n_obs int",
+    )
+    out = {
+        r.user_id: r for r in R.warmstart_suggest(fits, cur).collect()
+    }
+    # user 1: exact (A) hit, latest fit (fitted_at=2, p=1), covers
+    # 95/100 >= SKIP_FRACTION -> skip.
+    assert out[1].source == "regime" and out[1].suggested_p == 1
+    assert out[1].skip_grid is True and out[1].cache_aic == pytest.approx(9.0)
+    # user 2: regime C never fitted -> global fallback, no skip.
+    assert out[2].source == "global" and out[2].suggested_p == 1
+    assert out[2].skip_grid is False
+    # user 3: no fits at all -> population mode for regime A (p=1
+    # and p=2 tie at one fit each -> smaller p wins).
+    assert out[3].source == "population" and out[3].suggested_p == 1
+    assert out[3].skip_grid is False
+
+
+def test_warmstart_skip_respects_fraction(spark):
+    fits = spark.createDataFrame(
+        [(1, "A", 1, 2, 10.0, 60)],
+        "user_id long, regime string, fitted_at int, best_p int, "
+        "aic double, n_obs int",
+    )
+    cur = spark.createDataFrame(
+        [(1, "A", 100)], "user_id long, regime string, n_obs int"
+    )
+    row = R.warmstart_suggest(fits, cur).collect()[0]
+    # 60 < 0.7 * 100: cache hit but stale -> re-fit, keep suggestion.
+    assert row.source == "regime" and row.skip_grid is False
+
+
+# ---------------------------------------------------------------------------
+# Ensemble error decomposition (forcester_ts/ensemble_diagnostics.py)
+# ---------------------------------------------------------------------------
+
+
+def test_error_decomposition_identity(spark, sf_dir):
+    out = QUERIES["ensemble_error_decomposition"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        # Population identity: E[e^2] = (E[e])^2 + Var_pop(e).
+        assert r.ensemble_rmse**2 == pytest.approx(
+            r.bias_squared + r.ensemble_variance, rel=1e-3, abs=1e-4
+        )
+        assert r.rmse_ratio == pytest.approx(
+            r.ensemble_rmse / r.best_model_rmse, rel=1e-3
+        )
+        assert r.best_model in ("naive", "ma3", "ma10")
+
+
+# ---------------------------------------------------------------------------
+# Query-level sanity at sf0.001 (oracle equality runs in
+# tests/test_queries_oracle.py; these pin the semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_projection_query_feasible_at_sf(spark, sf_dir):
+    out = QUERIES["barbell_projection"](spark, sf_dir).toPandas()
+    for seg, grp in out.groupby("segment"):
+        by = grp.set_index("bucket").w_after
+        assert by.get("core", 0.0) + by.get("spec", 0.0) <= R.RISK_MAX + 1e-4
+        assert grp.w_after.sum() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_risk_alert_statuses_present(spark, sf_dir):
+    out = QUERIES["portfolio_risk_alerts"](spark, sf_dir).toPandas()
+    assert set(out.status) <= {"CRITICAL", "WARNING", "NORMAL"}
+    assert (out.vol_annualized >= 0).all()
+    assert (out.max_drawdown >= out.final_drawdown - 1e-9).all()
