@@ -311,13 +311,42 @@ def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_session_rollup")
+@query(
+    "streaming_session_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN gap_ms IS NULL OR gap_ms >= 1800000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM e
+    ),
+    mx AS (SELECT EPOCH_MS(MAX(ts)) - 1800000 AS watermark_ms FROM events)
+    SELECT user_id, EPOCH_MS(MIN(ts)) AS session_start_ms,
+           COUNT(*) AS n_events
+    FROM s, mx GROUP BY user_id, sid, watermark_ms
+    HAVING EPOCH_MS(MAX(ts)) + 1800000 <= watermark_ms
+    """,
+)
 def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7/§2.9: native event-time `session_window` aggregation executed as
     a real Structured Streaming job (availableNow drain to a batch
     result) — the reference's gap-session logic (W9) on the streaming
-    engine with watermark-bounded state. Rows-only: streaming output
-    depends on watermark finalization, which SQL cannot express."""
+    engine with watermark-bounded state.
+
+    Oracle: the availableNow drain finalizes every window (single-file
+    source -> single micro-batch, so the watermark can drop nothing;
+    streaming==batch equality is additionally pinned in
+    tests/test_streaming.py), so the batch gap-session SQL IS the
+    expected output: Spark merges sessions whose [ts, ts+gap) windows
+    overlap, i.e. a new session starts exactly when the gap to the
+    previous event is >= the 30-minute gap."""
     from ..streaming import events_stream, run_to_memory, session_rollup
 
     out = run_to_memory(
@@ -346,12 +375,38 @@ def streaming_vol_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_enriched_rollup")
+@query(
+    "streaming_enriched_rollup",
+    oracle="""
+    WITH mx AS (SELECT EPOCH_MS(MAX(ts)) - 1800000 AS watermark_ms
+                FROM events)
+    SELECT CAST(FLOOR(EPOCH_MS(ts) / 21600000.0) * 21600000 AS BIGINT)
+             AS win_start_ms,
+           CASE event_type
+                WHEN 'click' THEN 'engagement'
+                WHEN 'view' THEN 'engagement'
+                WHEN 'purchase' THEN 'revenue'
+                WHEN 'error' THEN 'ops'
+                WHEN 'login' THEN 'auth'
+                ELSE NULL END AS category,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events, mx
+    GROUP BY 1, 2, watermark_ms
+    HAVING CAST(FLOOR(EPOCH_MS(ts) / 21600000.0) * 21600000 AS BIGINT)
+             + 21600000 <= watermark_ms
+    """,
+)
 def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1+J10 stream-static join: the event stream enriched per
     micro-batch against a static dimension (broadcast, stateless), then
     rolled up — the streaming analog of the reference's signal↔trade
-    linkage joins. Drained via availableNow; rows-only."""
+    linkage joins. Drained via availableNow.
+
+    Oracle: stream-static left join + tumbling 6h windows drain to the
+    batch answer (windows align to the 1970 epoch, Spark's default
+    origin; single-file source -> single micro-batch, nothing is
+    watermark-dropped), so the equivalent batch SQL is the oracle."""
     from pyspark.sql import functions as FF
 
     from ..streaming import enriched_stream, events_stream, run_to_memory
@@ -440,13 +495,37 @@ def streaming_upsert_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.localCheckpoint(eager=True)
 
 
-@query("streaming_view_purchase_join")
+@query(
+    "streaming_view_purchase_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view' AND user_id < 50
+    ),
+    b AS (
+      SELECT user_id, event_id AS buy_id, ts AS buy_ts
+      FROM events WHERE event_type = 'purchase' AND user_id < 50
+    )
+    SELECT b.user_id,
+           COUNT(*) AS n_attributed_views,
+           COUNT(DISTINCT buy_id) AS n_purchases,
+           ROUND(SUM(view_value), 6) AS sum_view_value
+    FROM b JOIN v ON b.user_id = v.user_id
+                 AND view_ts <= buy_ts
+                 AND view_ts >= buy_ts - INTERVAL 2 HOUR
+    GROUP BY b.user_id
+    """,
+)
 def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T: stream-stream interval join run as a real streaming job — each
-    purchase matched to the same user's views in the trailing 6 hours,
+    purchase matched to the same user's views in the trailing window,
     rolled up per user. Watermarks on both sides bound the join state.
-    Rows-only (stream-stream emission timing is not SQL-expressible);
-    batch-equivalence asserted in tests/test_streaming.py."""
+
+    Oracle: on an availableNow drain of a single-file source the interval
+    join emits exactly the batch join result (both sides fully buffered
+    in one micro-batch before the final watermark advance; equality also
+    pinned in tests/test_streaming.py), so the batch interval-join SQL
+    is the oracle."""
     from pyspark.sql import functions as FF
 
     from pyspark.sql import functions as F
