@@ -362,12 +362,46 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_vol_alerts")
+@query(
+    "streaming_vol_alerts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER w AS rn,
+             ABS(value - LAG(value) OVER w) AS adiff
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    f AS (
+      SELECT user_id, ts, value, rn,
+             STDDEV_POP(adiff) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 62 PRECEDING AND 5 PRECEDING) AS base,
+             STDDEV_POP(adiff) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS recent,
+             LEAST(rn, 64) AS n_history
+      FROM s
+    )
+    SELECT user_id, EPOCH_MS(ts) AS ts_ms, value,
+           ROUND(recent / base, 6) AS vol_ratio,
+           n_history
+    FROM f
+    WHERE rn >= 13 AND base > 0 AND recent / base > 2.0
+    """,
+)
 def streaming_vol_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T3: the stateful volatility-spike circuit breaker run as a real
     streaming job (applyInPandasWithState, bounded per-key history,
     availableNow drain) — reference `etl/real_time_extractor.py:289-350`.
-    Deterministic across runs (asserted in tests/test_streaming.py)."""
+    Deterministic across runs (asserted in tests/test_streaming.py).
+
+    Oracle: the ring-buffer scan is algebraically a SLIDING-WINDOW
+    computation — at each event the buffer holds the last min(rn, 64)
+    values, so base = pop-std of |diff| over the frame ending 5 rows
+    back (lower bound 62 PRECEDING; partition clipping + the NULL first
+    diff reproduce the short-buffer case exactly) and recent = pop-std
+    of the last 5 |diff|s. Alerts = rows with rn >= 13 (BASELINE_MIN +
+    RECENT), base > 0, ratio > 2.0 — the kernel's emission rule as
+    batch window SQL."""
     from ..streaming import events_stream, run_to_memory, vol_spike_alerts
 
     return run_to_memory(
