@@ -3,6 +3,7 @@ from .models import (
     ar_grid_forecast,
     ar_grid_forecast_fanout,
     arima_hr_forecast,
+    arima_hr_warmstart_forecast,
     ewma_vol_forecast,
     garch11_fit,
     garch_grid_fit,
@@ -17,6 +18,7 @@ __all__ = [
     "ar_grid_forecast",
     "ar_grid_forecast_fanout",
     "arima_hr_forecast",
+    "arima_hr_warmstart_forecast",
     "ewma_vol_forecast",
     "garch11_fit",
     "garch_grid_fit",

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -363,6 +364,86 @@ def _psi_weights(phi: np.ndarray, theta: np.ndarray, h: int) -> np.ndarray:
     return psi
 
 
+_ARIMA_PQ_GRID = tuple((p, q) for p in (0, 1, 2) for q in (0, 1, 2) if p + q > 0)
+# common conditioning start shared by every candidate (and by warm-start
+# single-candidate fits, so cached AICs stay comparable to grid AICs)
+_ARIMA_T0_COMMON = max(max(p, q) for p, q in _ARIMA_PQ_GRID)
+
+
+def _arima_rows(uid, x, pq_grid, horizon):
+    """Shared per-key ARIMA(p,d,q) HR fit + forecast core: ADF d-decision,
+    candidate loop over ``pq_grid`` (AICs conditioned at the full grid's
+    common t0), psi-weight CI, d=1 integration. Returns the standard
+    10-field rows or []."""
+    if len(x) < 40:
+        return []
+    # d is NOT selectable by AIC (different scales across differencing)
+    # — use the ADF unit-root decision like the reference
+    # (`forcester_ts/forecaster.py:611-680`, ADF+KPSS): difference
+    # exactly when the τ statistic fails to reject a unit root at 5%.
+    d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
+    # common conditioning window across the FULL grid: every candidate's
+    # AIC uses the same effective sample m = n − max_grid(p, q), even
+    # when pq_grid is a warm-start singleton
+    t0_common = _ARIMA_T0_COMMON
+    best = None
+    for p, q in pq_grid:
+        y = np.diff(x, d) if d else x
+        n = len(y)
+        m_long = min(max(8, p + q + 4), n // 4)
+        bl, _, _ = _fit_ar(y, m_long)
+        e_long = np.zeros(n)
+        Xl = np.column_stack(
+            [np.ones(n - m_long)]
+            + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+        )
+        e_long[m_long:] = y[m_long:] - Xl @ bl
+        r = _fit_arma_hr(y, p, q, e_long, t0_min=t0_common)
+        if r is None:
+            continue
+        beta, theta, sigma, aic, e_fit = r
+        if best is None or aic < best[0]:
+            best = (aic, p, d, q, beta, theta, sigma, y, e_fit)
+    if best is None:
+        return []
+    aic, p, d, q, beta, theta, sigma, y, e_fit = best
+    phi = beta[1 : p + 1]
+    c = float(beta[0])
+    hist = list(y)
+    errs = list(e_fit)
+    preds = []
+    for h in range(1, horizon + 1):
+        v = c
+        for i in range(1, p + 1):
+            v += phi[i - 1] * hist[-i]
+        for j in range(1, q + 1):
+            v += (theta[j - 1] * errs[-j]) if len(errs) >= j else 0.0
+        hist.append(v)
+        errs.append(0.0)
+        preds.append(v)
+    psi = _psi_weights(phi, theta, horizon)
+    if d:  # integrate: level forecast = last level + cumsum of diffs;
+        # variance uses the cumulated psi weights
+        level = float(x[-1]) + np.cumsum(preds)
+        psi_i = np.cumsum(psi)
+        var = sigma * sigma * np.cumsum(psi_i * psi_i)
+        yhat = level
+    else:
+        var = sigma * sigma * np.cumsum(psi * psi)
+        yhat = np.array(preds)
+    rows = []
+    for h in range(1, horizon + 1):
+        band = 1.96 * float(np.sqrt(var[h - 1]))
+        rows.append(
+            (uid, p, d, q, round(aic, 6), h,
+             round(float(yhat[h - 1]), 6),
+             round(float(yhat[h - 1]) - band, 6),
+             round(float(yhat[h - 1]) + band, 6),
+             round(sigma, 6))
+        )
+    return rows
+
+
 def arima_hr_forecast(
     series: DataFrame,
     key: str = "user_id",
@@ -385,80 +466,91 @@ def arima_hr_forecast(
     harness applies unchanged if the grid widens."""
     from ..operators.arrowgroup import grouped_numpy
 
-    pq_grid = [(p, q) for p in (0, 1, 2) for q in (0, 1, 2) if p + q > 0]
+    def fit(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        return _arima_rows(uid, x, list(_ARIMA_PQ_GRID), horizon)
+
+    return grouped_numpy(series, [key], ARIMA_SCHEMA, fit)
+
+
+ARIMA_WARM_SCHEMA = StructType(
+    list(ARIMA_SCHEMA.fields)
+    + [
+        StructField("n_candidates", IntegerType()),
+        StructField("warm_hit", BooleanType()),
+    ]
+)
+
+
+def arima_hr_warmstart_forecast(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    horizon: int = 5,
+    train_frac: float = 0.75,
+) -> DataFrame:
+    """F1 + OrderLearner: the ARIMA(p,d,q) grid with the warm-start order
+    cache wired in — the reference's `forcester_ts/order_learner.py`
+    exists precisely to skip the SARIMAX order grid when a prior fit's
+    order is still fresh (`record_fit`/`suggest`/`should_skip_grid`,
+    `:160-323`).
+
+    Two stages model one cache cycle inside a single deterministic
+    query: (1) "yesterday's run" — the full grid fitted on the first
+    ``train_frac`` of each series, its chosen (p, q) recorded as the
+    cache; (2) "today's run" — the full series fitted with the cached
+    order as a SINGLE candidate wherever the cache hit (8x fewer fits
+    per cached key; in steady state the cache hits every run, which is
+    the reference's measured SARIMAX speedup lever). Keys without a
+    cache row (series too short yesterday) fall back to the full grid.
+    Output adds ``n_candidates`` (fits actually run today) and
+    ``warm_hit`` so the pruning is observable and testable.
+
+    Scale: the cache is derived and joined per key — no driver-side
+    collect; the join is key-partitioned and the fit fan-out keeps the
+    grouped-Arrow shape of the plain grid."""
+    from pyspark.sql import Window
+
+    from ..operators.arrowgroup import grouped_numpy
+
+    # Stage 1 — yesterday's grid run on the leading train_frac window.
+    wk = Window.partitionBy(key)
+    train = (
+        series.withColumn("_n_full", F.count(F.lit(1)).over(wk))
+        .filter(F.col(order_col) <= F.floor(F.lit(train_frac) * F.col("_n_full")))
+        .drop("_n_full")
+    )
+    cache = (
+        arima_hr_forecast(train, key, order_col, value_col, horizon=1)
+        .filter(F.col("horizon_step") == 1)
+        .select(
+            F.col(key),
+            F.col("p").alias("warm_p"),
+            F.col("q").alias("warm_q"),
+        )
+    )
+
+    # Stage 2 — today's run consumes the cache (left join: cache misses
+    # run the full grid).
+    enriched = series.join(cache, on=key, how="left")
 
     def fit(cols: dict) -> list[tuple]:
         order = np.argsort(cols[order_col], kind="stable")
         x = cols[value_col][order].astype(float)
         uid = int(cols[key][0])
-        if len(x) < 40:
-            return []
-        # d is NOT selectable by AIC (different scales across differencing)
-        # — use the ADF unit-root decision like the reference
-        # (`forcester_ts/forecaster.py:611-680`, ADF+KPSS): difference
-        # exactly when the τ statistic fails to reject a unit root at 5%.
-        d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
-        # common conditioning window across the grid: every candidate's
-        # AIC uses the same effective sample m = n − max_grid(p, q)
-        t0_common = max(max(p, q) for p, q in pq_grid)
-        best = None
-        for p, q in pq_grid:
-            y = np.diff(x, d) if d else x
-            n = len(y)
-            m_long = min(max(8, p + q + 4), n // 4)
-            bl, _, _ = _fit_ar(y, m_long)
-            e_long = np.zeros(n)
-            Xl = np.column_stack(
-                [np.ones(n - m_long)]
-                + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
-            )
-            e_long[m_long:] = y[m_long:] - Xl @ bl
-            r = _fit_arma_hr(y, p, q, e_long, t0_min=t0_common)
-            if r is None:
-                continue
-            beta, theta, sigma, aic, e_fit = r
-            if best is None or aic < best[0]:
-                best = (aic, p, d, q, beta, theta, sigma, y, e_fit)
-        if best is None:
-            return []
-        aic, p, d, q, beta, theta, sigma, y, e_fit = best
-        phi = beta[1 : p + 1]
-        c = float(beta[0])
-        hist = list(y)
-        errs = list(e_fit)
-        preds = []
-        for h in range(1, horizon + 1):
-            v = c
-            for i in range(1, p + 1):
-                v += phi[i - 1] * hist[-i]
-            for j in range(1, q + 1):
-                v += (theta[j - 1] * errs[-j]) if len(errs) >= j else 0.0
-            hist.append(v)
-            errs.append(0.0)
-            preds.append(v)
-        psi = _psi_weights(phi, theta, horizon)
-        if d:  # integrate: level forecast = last level + cumsum of diffs;
-            # variance uses the cumulated psi weights
-            level = float(x[-1]) + np.cumsum(preds)
-            psi_i = np.cumsum(psi)
-            var = sigma * sigma * np.cumsum(psi_i * psi_i)
-            yhat = level
+        wp = cols["warm_p"][0]
+        warm = wp is not None and not (isinstance(wp, float) and np.isnan(wp))
+        if warm:
+            pq_grid = [(int(cols["warm_p"][0]), int(cols["warm_q"][0]))]
         else:
-            var = sigma * sigma * np.cumsum(psi * psi)
-            yhat = np.array(preds)
-        rows = []
-        for h in range(1, horizon + 1):
-            band = 1.96 * float(np.sqrt(var[h - 1]))
-            rows.append(
-                (uid, p, d, q, round(aic, 6), h,
-                 round(float(yhat[h - 1]), 6),
-                 round(float(yhat[h - 1]) - band, 6),
-                 round(float(yhat[h - 1]) + band, 6),
-                 round(sigma, 6))
-            )
-        return rows
+            pq_grid = list(_ARIMA_PQ_GRID)
+        rows = _arima_rows(uid, x, pq_grid, horizon)
+        return [r + (len(pq_grid), bool(warm)) for r in rows]
 
-    return grouped_numpy(series, [key], ARIMA_SCHEMA, fit)
+    return grouped_numpy(enriched, [key], ARIMA_WARM_SCHEMA, fit)
 
 
 # ---------------------------------------------------------------------------

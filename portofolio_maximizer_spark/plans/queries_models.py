@@ -41,6 +41,21 @@ def arima_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arima_hr_forecast(_series(spark, sf_dir).select("user_id", "rn", "value"))
 
 
+@query("arima_warmstart_forecast")
+def arima_warmstart_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 + OrderLearner (R9 made functional): the ARIMA grid consuming
+    the warm-start order cache — yesterday's grid choice on the leading
+    3/4 window becomes today's single candidate on a cache hit (8x fewer
+    fits per cached key; `forcester_ts/order_learner.py:160-323`).
+    Rows-only (numpy HR fits); pruning-vs-full-grid agreement pinned in
+    tests/test_forecast.py."""
+    from ..forecast import arima_hr_warmstart_forecast
+
+    return arima_hr_warmstart_forecast(
+        _series(spark, sf_dir).select("user_id", "rn", "value")
+    )
+
+
 @query("sarimax_hr_forecast")
 def sarimax_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 seasonal: SARIMAX — additive seasonal AR/MA lags at the

@@ -630,3 +630,29 @@ def test_garch_grid_prefers_t_on_fat_tails_and_recovers_nu(spark):
     for f in (t_fit, g_fit):
         assert f.persistence < 0.999
         assert f.sigma_next > 0
+
+
+def test_arima_warmstart_prunes_and_agrees(spark, sf_dir):
+    """OrderLearner wiring: cache hits fit exactly one candidate; cache
+    misses run the full 8-candidate grid; where the cached order equals
+    the full grid's choice the forecasts are bit-identical (same kernel,
+    same conditioning window)."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    warm = QUERIES["arima_warmstart_forecast"](spark, sf_dir).toPandas()
+    full = QUERIES["arima_hr_forecast"](spark, sf_dir).toPandas()
+    assert warm.warm_hit.any(), "no cache hits at all"
+    assert (warm[warm.warm_hit].n_candidates == 1).all()
+    assert (warm[~warm.warm_hit].n_candidates == 8).all()
+    w1 = warm[warm.horizon_step == 1].set_index("user_id")
+    f1 = full[full.horizon_step == 1].set_index("user_id")
+    same_order = [
+        uid
+        for uid in w1.index
+        if uid in f1.index
+        and (w1.loc[uid, "p"], w1.loc[uid, "q"])
+        == (f1.loc[uid, "p"], f1.loc[uid, "q"])
+    ]
+    assert same_order, "cache never matched the full-grid order"
+    for uid in same_order:
+        assert abs(w1.loc[uid, "yhat"] - f1.loc[uid, "yhat"]) < 1e-9
