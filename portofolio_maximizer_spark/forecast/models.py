@@ -517,11 +517,18 @@ def arima_hr_warmstart_forecast(
     from ..operators.arrowgroup import grouped_numpy
 
     # Stage 1 — yesterday's grid run on the leading train_frac window.
+    # Rank by order_col rather than filtering on its raw values: the
+    # contract everywhere else only requires order_col to be SORTABLE
+    # (timestamps, sparse ids), not a dense 1..n sequence.
     wk = Window.partitionBy(key)
     train = (
-        series.withColumn("_n_full", F.count(F.lit(1)).over(wk))
-        .filter(F.col(order_col) <= F.floor(F.lit(train_frac) * F.col("_n_full")))
-        .drop("_n_full")
+        series.withColumn(
+            "_idx",
+            F.row_number().over(Window.partitionBy(key).orderBy(order_col)),
+        )
+        .withColumn("_n_full", F.count(F.lit(1)).over(wk))
+        .filter(F.col("_idx") <= F.floor(F.lit(train_frac) * F.col("_n_full")))
+        .drop("_idx", "_n_full")
     )
     cache = (
         arima_hr_forecast(train, key, order_col, value_col, horizon=1)

@@ -175,22 +175,26 @@ def project_barbell(
         .otherwise(F.col("_w1")),
     )
 
-    # Step 3 — safe-minimum redistribution. Donors (non-safe) give
-    # deficit/donor_total of themselves; safe symbols are boosted by
-    # deficit/safe_current (reference lines 166-183: safe unchanged when
-    # the donors are scaled, so the boost denominator is the pre-boost
-    # safe sum).
+    # Step 3 — safe-minimum redistribution, exactly the reference's
+    # arithmetic (`barbell_policy.py:166-183`): the donor pool is the
+    # ORIGINAL total minus current safe (`donor_total = total - safe`),
+    # donors are scaled by max(0, 1 - deficit/donor_total) — the clamp
+    # matters when the post-cap donor mass is smaller than the deficit,
+    # where an unclamped factor would go negative — and safe symbols are
+    # boosted by deficit/safe_current (safe is unchanged by the donor
+    # scaling, so the boost denominator is the pre-boost safe sum).
     safe2 = bsum("_w2", "safe")
-    total2 = F.sum("_w2").over(seg)
-    donor2 = total2 - safe2
+    donor0 = F.col("_total0") - safe2
     deficit = SAFE_MIN - safe2
     df = df.withColumn(
         "_w3",
         F.when(
-            (safe2 < SAFE_MIN) & (donor2 > 0) & (safe2 > 0),
-            F.when(b != "safe", F.col("_w2") * (1.0 - deficit / donor2)).otherwise(
-                F.col("_w2") * (1.0 + deficit / safe2)
-            ),
+            (safe2 < SAFE_MIN) & (donor0 > 0) & (safe2 > 0),
+            F.when(
+                b != "safe",
+                F.col("_w2")
+                * F.greatest(F.lit(0.0), 1.0 - deficit / donor0),
+            ).otherwise(F.col("_w2") * (1.0 + deficit / safe2)),
         ).otherwise(F.col("_w2")),
     )
 
@@ -588,8 +592,8 @@ def warmstart_suggest(
     latest fit in the exact (key, regime) -> latest fit for the key in
     ANY regime (GLOBAL) -> population-modal order for the regime.
     ``skip_grid`` mirrors `should_skip_grid` (`:283-323`): an exact-hit
-    whose training size is within 10% of the current window skips the
-    grid re-fit.
+    whose cached training size covers at least ``SKIP_FRACTION`` (70%)
+    of the current window skips the grid re-fit.
 
     ``fits``: key, regime, fitted_at (int), best_p, aic, n_obs.
     ``current``: key, regime, n_obs.

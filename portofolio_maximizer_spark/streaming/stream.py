@@ -205,8 +205,15 @@ def _vol_spike_fn(
         history = []
 
     alerts = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # Concatenate ALL Arrow chunks for the key before sorting: a key whose
+    # batch spans multiple record batches (> arrow.maxRecordsPerBatch)
+    # receives them in arbitrary shuffle order, and a per-chunk sort would
+    # build the ring buffer out of event-time order at scale.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
         for ts, event_id, value in zip(
             pdf["ts"], pdf["event_id"], pdf["value"], strict=True
         ):
@@ -374,8 +381,14 @@ class _VolSpikeProcessor(StatefulProcessor):
         got = self._hist.get() if self._hist.exists() else None
         history = json.loads(got[0]) if got else []
         alerts = []
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # same chunk-order guard as _vol_spike_fn: concat all chunks,
+        # sort once — per-chunk sorting breaks event-time order when a
+        # key spans multiple Arrow record batches
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for ts, value in zip(pdf["ts"], pdf["value"], strict=True):
                 history.append(float(value))
                 if len(history) > _HISTORY_CAP:

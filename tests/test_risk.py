@@ -28,9 +28,59 @@ def _weights_df(spark, rows):
     )
 
 
+def _reference_project(weights: dict, buckets: dict) -> dict:
+    """Pure-python replica of the reference's project_to_feasible
+    (`risk/barbell_policy.py:120-190`) with this repo's cap constants —
+    the ground truth the DataFrame projection must reproduce."""
+    w = dict(weights)
+    total = sum(w.values()) or 1.0
+
+    def bucket_sum(kind):
+        return sum(v for s, v in w.items() if buckets[s] == kind)
+
+    risk = bucket_sum("core") + bucket_sum("spec")
+    if risk > R.RISK_MAX:
+        scale = R.RISK_MAX / risk
+        for s in w:
+            if buckets[s] in ("core", "spec"):
+                w[s] *= scale
+    core = bucket_sum("core")
+    if core > R.CORE_MAX > 0:
+        for s in w:
+            if buckets[s] == "core":
+                w[s] *= R.CORE_MAX / core
+    spec = bucket_sum("spec")
+    if spec > R.SPEC_MAX > 0:
+        for s in w:
+            if buckets[s] == "spec":
+                w[s] *= R.SPEC_MAX / spec
+    safe = bucket_sum("safe")
+    if safe < R.SAFE_MIN:
+        deficit = R.SAFE_MIN - safe
+        donor_total = total - safe
+        if donor_total > 0:
+            frac = deficit / donor_total
+            for s in w:
+                if buckets[s] != "safe":
+                    w[s] *= max(0.0, 1.0 - frac)
+            safe_current = bucket_sum("safe")
+            if safe_current > 0:
+                boost = deficit / safe_current
+                for s in w:
+                    if buckets[s] == "safe":
+                        w[s] *= 1.0 + boost
+    new_total = sum(w.values()) or 1.0
+    if new_total != total:
+        for s in w:
+            w[s] *= total / new_total
+    return w
+
+
 def test_barbell_projection_feasibility(spark):
     # Segment A violates everything: risk = 0.8 >> RISK_MAX, safe far
-    # below SAFE_MIN. Segment B is already feasible.
+    # below SAFE_MIN (and the post-cap donor pool is SMALLER than the
+    # safe deficit, exercising the max(0, .) donor clamp). Segment B is
+    # already feasible.
     rows = [
         ("A", "s1", "safe", 0.05),
         ("A", "s2", "safe", 0.05),
@@ -44,16 +94,29 @@ def test_barbell_projection_feasibility(spark):
         ("B", "o1", "other", 0.33),
     ]
     out = R.project_barbell(_weights_df(spark, rows)).toPandas()
+    assert (out.w_proj >= -1e-12).all(), "projection produced negative weights"
     for seg, grp in out.groupby("segment"):
         total_before = grp.w.sum()
         total_after = grp.w_proj.sum()
         assert total_after == pytest.approx(total_before, abs=1e-9)
-        by_bucket = grp.groupby("bucket").w_proj.sum()
-        assert by_bucket.get("core", 0.0) + by_bucket.get("spec", 0.0) <= (
-            R.RISK_MAX + 1e-9
+        # Symbol-level agreement with the reference algorithm is THE
+        # contract. (Note a reference property faithfully reproduced:
+        # when the safe-min boost shrinks the interim total, the final
+        # renormalisation scales risk back up and can land it slightly
+        # ABOVE RISK_MAX — the caps are guaranteed only when no safe
+        # deficit redistribution fires, as in segment B below.)
+        seg_rows = [r for r in rows if r[0] == seg]
+        want = _reference_project(
+            {r[1]: r[3] for r in seg_rows}, {r[1]: r[2] for r in seg_rows}
         )
-        assert by_bucket.get("spec", 0.0) <= R.SPEC_MAX + 1e-9
-        assert by_bucket.get("core", 0.0) <= R.CORE_MAX + 1e-9
+        got = grp.set_index("symbol").w_proj
+        for sym, exp in want.items():
+            assert got[sym] == pytest.approx(exp, abs=1e-9), (seg, sym)
+    # No-deficit segment B: every cap holds exactly.
+    bb = out[out.segment == "B"].groupby("bucket").w_proj.sum()
+    assert bb.get("core", 0.0) + bb.get("spec", 0.0) <= R.RISK_MAX + 1e-9
+    assert bb.get("spec", 0.0) <= R.SPEC_MAX + 1e-9
+    assert bb.get("core", 0.0) <= R.CORE_MAX + 1e-9
     # Feasible segment B: safe stays dominant, projection ~identity up
     # to the final renormalisation.
     b = out[out.segment == "B"].set_index("symbol")
@@ -217,6 +280,7 @@ def test_warmstart_ladder_sources(spark):
             (1, "A", 2, 1, 9.0, 95),
             (1, "B", 1, 2, 8.0, 40),
             (2, "A", 2, 1, 5.0, 60),
+            (2, "A", 1, 2, 6.0, 55),
         ],
         "user_id long, regime string, fitted_at int, best_p int, "
         "aic double, n_obs int",
@@ -232,11 +296,13 @@ def test_warmstart_ladder_sources(spark):
     # 95/100 >= SKIP_FRACTION -> skip.
     assert out[1].source == "regime" and out[1].suggested_p == 1
     assert out[1].skip_grid is True and out[1].cache_aic == pytest.approx(9.0)
-    # user 2: regime C never fitted -> global fallback, no skip.
+    # user 2: regime C never fitted -> global fallback (latest fit is
+    # fitted_at=2 -> p=1), no skip.
     assert out[2].source == "global" and out[2].suggested_p == 1
     assert out[2].skip_grid is False
-    # user 3: no fits at all -> population mode for regime A (p=1
-    # and p=2 tie at one fit each -> smaller p wins).
+    # user 3: no fits at all -> population mode for regime A: a TRUE
+    # count tie (p=1 twice, p=2 twice) resolved by the smaller-p
+    # tiebreak.
     assert out[3].source == "population" and out[3].suggested_p == 1
     assert out[3].skip_grid is False
 
@@ -282,9 +348,15 @@ def test_error_decomposition_identity(spark, sf_dir):
 
 def test_projection_query_feasible_at_sf(spark, sf_dir):
     out = QUERIES["barbell_projection"](spark, sf_dir).toPandas()
+    assert (out.w_after >= -1e-9).all()
     for seg, grp in out.groupby("segment"):
         by = grp.set_index("bucket").w_after
-        assert by.get("core", 0.0) + by.get("spec", 0.0) <= R.RISK_MAX + 1e-4
+        # the safe floor survives the renormalisation (factor >= 1);
+        # risk stays near its cap but may exceed it slightly when the
+        # safe-deficit redistribution fired (reference property — see
+        # test_barbell_projection_feasibility)
+        assert by.get("safe", 0.0) >= R.SAFE_MIN - 1e-4
+        assert by.get("core", 0.0) + by.get("spec", 0.0) <= R.RISK_MAX * 1.5
         assert grp.w_after.sum() == pytest.approx(1.0, abs=1e-4)
 
 
