@@ -109,6 +109,28 @@ MIN_LOSING_TRADES = 5
 MIN_PAYOFF_ASYMMETRY = 1.10
 MAX_WINNER_CONCENTRATION = 0.60
 
+# Omega antifragility constants (`etl/portfolio_math.py:528-1032`): the
+# NGN-calibrated daily hurdle (28% annual inflation + 3% P2P friction,
+# compounded to daily over 252 trading days), the execution-drag add-on
+# for the cost-adjusted rung, the finite cap standing in for infinite
+# omega (the reference's score arithmetic caps at 100; its bootstrap
+# uses a 1e6 sentinel), and the anti-omega gate thresholds.
+TRADING_DAYS = 252
+NGN_ANNUAL_INFLATION = 0.28
+NGN_P2P_FRICTION = 0.03
+DAILY_NGN_THRESHOLD = (
+    (1.0 + NGN_ANNUAL_INFLATION + NGN_P2P_FRICTION) ** (1.0 / TRADING_DAYS) - 1.0
+)
+EXECUTION_DRAG = 0.0005
+OMEGA_CAP = 100.0
+OMEGA_INF_SENTINEL = 1.0e6
+CLIFF_DROP_MAX = 0.60
+ES_TAIL_PCT = 0.10
+ES_EDGE_BOUND = 10.0
+TRIM_FRACTION = 0.10
+MIN_WINS = 3
+MIN_LOSSES = 3
+
 
 def _in(col: Column, values: tuple[str, ...]) -> Column:
     return col.isin(*values)

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..operators import risk as R
 from ..sources.catalog import load_table
-from .queries import query, r6, stage_for_oracle
+from .queries import ORACLE, query, r6, stage_for_oracle
 from .queries_stats import _S_SQL, _series, _w
 
 # ---------------------------------------------------------------------------
@@ -837,9 +837,10 @@ def barbell_promotion_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict. Trades are STAGED so the oracle re-derives both arms and
     every check from the raw rows — the gate logic is what gets
     differentially verified (the simulation itself stays pinned by
-    scenario tests). The omega-antifragility trio needs the reference's
-    separate candidate-backtest harness and is documented out of scope
-    rather than silently passed."""
+    scenario tests). The omega-antifragility evidence the reference
+    gate additionally consumes is produced by the companion queries
+    `omega_robustness_curve` (R11), `omega_bootstrap_gate` (R12) and
+    `es_payoff_support_gate` (R13)."""
     from .queries_models import _simulated_trades
 
     trades = _simulated_trades(spark, sf_dir)
@@ -1332,3 +1333,719 @@ def order_warmstart_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits = fits.localCheckpoint(eager=True)
     cur = cur.localCheckpoint(eager=True)
     return R.warmstart_suggest(fits, cur)
+
+
+# ---------------------------------------------------------------------------
+# R11 — omega robustness across the hurdle ladder
+# ---------------------------------------------------------------------------
+
+def _omega_sql(gain: str, loss: str) -> str:
+    return (
+        f"ROUND(CASE WHEN {loss} > 0 THEN LEAST({gain} / {loss}, 100.0) "
+        f"ELSE 100.0 END, 6)"
+    )
+
+
+@query("omega_robustness_curve")
+def omega_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: omega across the hurdle ladder (zero -> NGN hurdle ->
+    cost-adjusted) with the reference's robustness scoring
+    (`etl/portfolio_math.py:540-756`): monotonicity check, cliff-drop
+    ratio vs the 60% guard, above-hurdle margin, and the weighted
+    robustness score (0.4 hurdle-strength + 0.3 drag-strength + 0.2
+    retention + 0.1 threshold-stability, halved on non-monotonicity and
+    again on a cliff failure). Omegas are capped at the reference's own
+    100.0 score-arithmetic cap BEFORE derivation, so the infinite-omega
+    branches resolve identically in both engines (a hash-stability
+    requirement: inf vs inf compares as NaN). One aggregation per key —
+    pure column algebra, linear at any scale."""
+    th, tc = R.DAILY_NGN_THRESHOLD, R.DAILY_NGN_THRESHOLD + R.EXECUTION_DRAG
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+
+    def gl(tau: float):
+        g = F.sum(F.greatest(F.col("lr") - tau, F.lit(0.0)))
+        l = F.sum(F.greatest(F.lit(tau) - F.col("lr"), F.lit(0.0)))
+        return g, l
+
+    gz, lz = gl(0.0)
+    gh, lh = gl(th)
+    gc, lc = gl(tc)
+
+    def omega(g, l):
+        return F.round(
+            F.when(l > 0, F.least(g / l, F.lit(R.OMEGA_CAP))).otherwise(
+                R.OMEGA_CAP
+            ),
+            6,
+        )
+
+    a = (
+        s.groupBy("user_id")
+        .agg(
+            F.count("lr").alias("n"),
+            omega(gz, lz).alias("omega_zero"),
+            omega(gh, lh).alias("omega_hurdle"),
+            omega(gc, lc).alias("omega_cost"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    oz, oh, oc = (
+        F.col("omega_zero"),
+        F.col("omega_hurdle"),
+        F.col("omega_cost"),
+    )
+    mono = (oh <= oz + 1e-9) & (oc <= oh + 1e-9)
+    cliff = F.round(
+        F.when(
+            oz > 1e-9,
+            F.least(F.greatest((oz - oh) / oz, F.lit(0.0)), F.lit(1.0)),
+        ),
+        6,
+    )
+    d = a.select(
+        "user_id",
+        "n",
+        "omega_zero",
+        "omega_hurdle",
+        "omega_cost",
+        mono.alias("monotonicity_ok"),
+        F.round(oh - 1.0, 6).alias("above_hurdle_margin"),
+        cliff.alias("cliff_drop_ratio"),
+    )
+    cliff_ok = F.col("cliff_drop_ratio").isNotNull() & (
+        F.col("cliff_drop_ratio") <= R.CLIFF_DROP_MAX
+    )
+
+    def clip01(c):
+        return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+
+    oh2, oc2, oz2 = (
+        F.col("omega_hurdle"),
+        F.col("omega_cost"),
+        F.col("omega_zero"),
+    )
+    score = (
+        0.40 * clip01(oh2 - 1.0)
+        + 0.30 * clip01(oc2 - 1.0)
+        + 0.20 * clip01(oc2 / F.greatest(oh2, F.lit(1e-6)))
+        + 0.10 * clip01(oh2 / F.greatest(oz2, F.lit(1e-6)))
+    )
+    score = score * F.when(F.col("monotonicity_ok"), 1.0).otherwise(0.5)
+    score = score * F.when(cliff_ok, 1.0).otherwise(0.5)
+    return d.select(
+        "*",
+        cliff_ok.alias("cliff_ok"),
+        F.round(clip01(score), 6).alias("robustness_score"),
+    )
+
+
+# DuckDB oracle for R11 — same float literals via repr interpolation.
+_TH_R = repr(R.DAILY_NGN_THRESHOLD)
+_TC_R = repr(R.DAILY_NGN_THRESHOLD + R.EXECUTION_DRAG)
+ORACLE["omega_robustness_curve"] = f"""
+    WITH s AS ({_S_SQL}),
+    g AS (
+      SELECT user_id, COUNT(lr) AS n,
+             SUM(GREATEST(lr - 0.0, 0)) AS gz,
+             SUM(GREATEST(0.0 - lr, 0)) AS lz,
+             SUM(GREATEST(lr - {_TH_R}, 0)) AS gh,
+             SUM(GREATEST({_TH_R} - lr, 0)) AS lh,
+             SUM(GREATEST(lr - {_TC_R}, 0)) AS gc,
+             SUM(GREATEST({_TC_R} - lr, 0)) AS lc2
+      FROM s WHERE lr IS NOT NULL
+      GROUP BY user_id HAVING COUNT(lr) >= 10
+    ),
+    o AS (
+      SELECT user_id, n,
+             {_omega_sql('gz', 'lz')} AS omega_zero,
+             {_omega_sql('gh', 'lh')} AS omega_hurdle,
+             {_omega_sql('gc', 'lc2')} AS omega_cost
+      FROM g
+    ),
+    d AS (
+      SELECT *,
+             (omega_hurdle <= omega_zero + 1e-9
+              AND omega_cost <= omega_hurdle + 1e-9) AS monotonicity_ok,
+             ROUND(omega_hurdle - 1.0, 6) AS above_hurdle_margin,
+             ROUND(CASE WHEN omega_zero > 1e-9
+                   THEN LEAST(GREATEST(
+                          (omega_zero - omega_hurdle) / omega_zero, 0.0), 1.0)
+                   END, 6) AS cliff_drop_ratio
+      FROM o
+    ),
+    sc AS (
+      SELECT *,
+             (cliff_drop_ratio IS NOT NULL
+              AND cliff_drop_ratio <= {R.CLIFF_DROP_MAX}) AS cliff_ok,
+             (0.40 * LEAST(GREATEST(omega_hurdle - 1.0, 0.0), 1.0)
+              + 0.30 * LEAST(GREATEST(omega_cost - 1.0, 0.0), 1.0)
+              + 0.20 * LEAST(GREATEST(
+                  omega_cost / GREATEST(omega_hurdle, 1e-6), 0.0), 1.0)
+              + 0.10 * LEAST(GREATEST(
+                  omega_hurdle / GREATEST(omega_zero, 1e-6), 0.0), 1.0))
+               AS raw_score
+      FROM d
+    )
+    SELECT user_id, n, omega_zero, omega_hurdle, omega_cost,
+           monotonicity_ok, above_hurdle_margin, cliff_drop_ratio, cliff_ok,
+           ROUND(LEAST(GREATEST(raw_score
+             * CASE WHEN monotonicity_ok THEN 1.0 ELSE 0.5 END
+             * CASE WHEN cliff_ok THEN 1.0 ELSE 0.5 END, 0.0), 1.0), 6)
+             AS robustness_score
+    FROM sc
+"""
+
+
+# ---------------------------------------------------------------------------
+# R12 — omega bootstrap CI (anti-omega failure mode 2: right tail)
+# ---------------------------------------------------------------------------
+
+
+@query("omega_bootstrap_gate")
+def omega_bootstrap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: bootstrap confidence interval around the per-key omega at the
+    NGN hurdle — the reference's right-tail test
+    (`etl/portfolio_math.py:758-851` omega_bootstrap_ci): a single lucky
+    fat-tail winner can inflate the point omega, so the barbell claim
+    must survive the CI lower bound >= 1.0. Resampling uses the repo's
+    deterministic universal-hash draws (same family as
+    `bootstrap_mean_ci`: one md5 per row, affine integer mixes per
+    replicate — a ~half subsample rather than the reference's
+    with-replacement draw, documented deviation shared by A12). Infinite
+    omega is replaced by the reference's own 1e6 sentinel. The replicate
+    fan-out dies in map-side partial aggregation: the shuffle carries
+    (key x replicate) rows only."""
+    from .queries_finance import _BOOT_P, _BOOT_PARAMS
+
+    th = R.DAILY_NGN_THRESHOLD
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    x = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("user_id").cast("string"),
+                        F.col("rn").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BOOT_P
+    )
+    base = s.select("user_id", "lr", x.alias("x"))
+
+    def omega_agg():
+        g = F.sum(F.greatest(F.col("lr") - th, F.lit(0.0)))
+        l = F.sum(F.greatest(F.lit(th) - F.col("lr"), F.lit(0.0)))
+        return F.round(
+            F.when(l > 0, F.least(g / l, F.lit(R.OMEGA_INF_SENTINEL))).otherwise(
+                R.OMEGA_INF_SENTINEL
+            ),
+            6,
+        )
+
+    point = (
+        base.groupBy("user_id")
+        .agg(F.count("lr").alias("n"), omega_agg().alias("omega_point"))
+        .filter(F.col("n") >= 10)
+    )
+    params = spark.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(_BOOT_PARAMS)],
+        "rep int, a long, b long",
+    )
+    reps = (
+        base.crossJoin(F.broadcast(params))
+        .filter((F.col("a") * F.col("x") + F.col("b")) % _BOOT_P < _BOOT_P // 2)
+        .groupBy("user_id", "rep")
+        .agg(omega_agg().alias("rep_omega"))
+    )
+    ci = reps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.percentile("rep_omega", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("rep_omega", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+    return point.join(ci, "user_id").select(
+        "user_id",
+        "n",
+        "omega_point",
+        "n_reps",
+        "ci_lo",
+        "ci_hi",
+        (F.col("ci_lo") >= 1.0).alias("right_tail_ok"),
+        F.round(F.col("ci_hi") - F.col("ci_lo"), 6).alias("ci_width"),
+    )
+
+
+def _omega_sql_sent(gain: str, loss: str) -> str:
+    return (
+        f"ROUND(CASE WHEN {loss} > 0 THEN LEAST({gain} / {loss}, 1000000.0) "
+        f"ELSE 1000000.0 END, 6)"
+    )
+
+
+def _boot_values() -> str:
+    from .queries_finance import _BOOT_PARAMS
+
+    return ", ".join(
+        f"({r}, {a}, {b})" for r, (a, b) in enumerate(_BOOT_PARAMS)
+    )
+
+
+ORACLE["omega_bootstrap_gate"] = f"""
+    WITH s AS ({_S_SQL}),
+    x AS (
+      SELECT user_id, lr,
+             ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR) || '|'
+                             || CAST(rn AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483647 AS x
+      FROM s WHERE lr IS NOT NULL
+    ),
+    pt AS (
+      SELECT user_id, COUNT(lr) AS n,
+             {_omega_sql_sent(
+                 f"SUM(GREATEST(lr - {repr(R.DAILY_NGN_THRESHOLD)}, 0))",
+                 f"SUM(GREATEST({repr(R.DAILY_NGN_THRESHOLD)} - lr, 0))")}
+               AS omega_point
+      FROM x GROUP BY user_id HAVING COUNT(lr) >= 10
+    ),
+    params(rep, a, b) AS (VALUES {_boot_values()}),
+    reps AS (
+      SELECT e.user_id, p.rep,
+             {_omega_sql_sent(
+                 f"SUM(GREATEST(lr - {repr(R.DAILY_NGN_THRESHOLD)}, 0))",
+                 f"SUM(GREATEST({repr(R.DAILY_NGN_THRESHOLD)} - lr, 0))")}
+               AS rep_omega
+      FROM x e CROSS JOIN params p
+      WHERE (p.a * e.x + p.b) % 2147483647 < 1073741823
+      GROUP BY e.user_id, p.rep
+    ),
+    ci AS (
+      SELECT user_id, COUNT(*) AS n_reps,
+             ROUND(QUANTILE_CONT(rep_omega, 0.025), 6) AS ci_lo,
+             ROUND(QUANTILE_CONT(rep_omega, 0.975), 6) AS ci_hi
+      FROM reps GROUP BY user_id
+    )
+    SELECT pt.user_id, pt.n, pt.omega_point, ci.n_reps, ci.ci_lo, ci.ci_hi,
+           ci.ci_lo >= 1.0 AS right_tail_ok,
+           ROUND(ci.ci_hi - ci.ci_lo, 6) AS ci_width
+    FROM pt JOIN ci ON pt.user_id = ci.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# R13 — ES-to-edge + support-aware payoff asymmetry (anti-omega modes 3+)
+# ---------------------------------------------------------------------------
+
+
+@query("es_payoff_support_gate")
+def es_payoff_support_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: the remaining anti-omega evidence
+    (`etl/portfolio_math.py:852-1032`): expected shortfall as a multiple
+    of the expected daily edge (left tail bounded iff |ES|/edge <= 10,
+    edge = positive-return mean proxy) and support-aware payoff
+    asymmetry (raw avg-win/avg-loss, 10%-trimmed variant, winner
+    concentration, the 3-win/3-loss support gate, and the effective
+    ratio = min(raw, trimmed) when supported else 0). Tail membership
+    uses per-key ranks; boundary ties share the same value so every
+    tail/trim MEAN is order-independent. Infinite ratios are capped at
+    the reference's 1e6 sentinel (hash-stability). Linear: two ranked
+    window passes + one aggregation per key."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    wu = Window.partitionBy("user_id")
+    asc = Window.partitionBy("user_id").orderBy("lr", "rn")
+    ranked = s.select(
+        "user_id",
+        "lr",
+        "rn",
+        F.row_number().over(asc).alias("rk_asc"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    ).filter(F.col("n") >= 5)
+    tail_n = F.greatest(F.lit(1), F.floor(F.col("n") * R.ES_TAIL_PCT))
+    es = ranked.groupBy("user_id").agg(
+        F.first("n").alias("n"),
+        F.round(
+            F.avg(F.when(F.col("rk_asc") <= tail_n, F.col("lr"))), 6
+        ).alias("es_raw"),
+    )
+
+    wdesc = Window.partitionBy("user_id").orderBy(F.col("lr").desc(), "rn")
+    wins = (
+        s.filter(F.col("lr") > 0)
+        .select(
+            "user_id",
+            "lr",
+            F.row_number().over(wdesc).alias("rk"),
+            F.count(F.lit(1)).over(wu).alias("nw"),
+        )
+    )
+    trim_w = F.floor(F.col("nw") * R.TRIM_FRACTION)
+    wagg = wins.groupBy("user_id").agg(
+        F.first("nw").alias("n_wins"),
+        F.sum("lr").alias("gross_profit"),
+        F.avg("lr").alias("avg_win"),
+        F.max("lr").alias("max_win"),
+        F.sum(F.when(F.col("rk") > trim_w, F.col("lr"))).alias("trim_win_sum"),
+        F.sum((F.col("rk") > trim_w).cast("long")).alias("trim_win_n"),
+    )
+    ldesc = Window.partitionBy("user_id").orderBy(F.col("lr").asc(), "rn")
+    losses = (
+        s.filter(F.col("lr") < 0)
+        .select(
+            "user_id",
+            (-F.col("lr")).alias("al"),
+            F.row_number().over(ldesc).alias("rk"),
+            F.count(F.lit(1)).over(wu).alias("nl"),
+        )
+    )
+    trim_l = F.floor(F.col("nl") * R.TRIM_FRACTION)
+    lagg = losses.groupBy("user_id").agg(
+        F.first("nl").alias("n_losses"),
+        F.avg("al").alias("avg_loss"),
+        F.sum(F.when(F.col("rk") > trim_l, F.col("al"))).alias("trim_loss_sum"),
+        F.sum((F.col("rk") > trim_l).cast("long")).alias("trim_loss_n"),
+    )
+    j = es.join(wagg, "user_id", "left").join(lagg, "user_id", "left")
+    n_wins = F.coalesce(F.col("n_wins"), F.lit(0))
+    n_losses = F.coalesce(F.col("n_losses"), F.lit(0))
+    edge = F.col("avg_win")
+    ratio = F.when(
+        edge.isNotNull(),
+        F.round(F.abs(F.col("es_raw")) / F.greatest(edge, F.lit(1e-12)), 6),
+    )
+    sent = F.lit(R.OMEGA_INF_SENTINEL)
+    payoff_raw = F.round(
+        F.when(
+            (n_losses == 0) | F.col("avg_loss").isNull(),
+            F.when(n_wins > 0, sent).otherwise(0.0),
+        ).otherwise(
+            F.coalesce(F.col("avg_win"), F.lit(0.0))
+            / F.greatest(F.col("avg_loss"), F.lit(1e-12))
+        ),
+        6,
+    )
+    trim_avg_win = F.col("trim_win_sum") / F.greatest(
+        F.col("trim_win_n"), F.lit(1)
+    )
+    trim_avg_loss = F.col("trim_loss_sum") / F.greatest(
+        F.col("trim_loss_n"), F.lit(1)
+    )
+    trimmed = F.round(
+        F.when(
+            (n_losses == 0) | (F.coalesce(F.col("trim_loss_n"), F.lit(0)) == 0),
+            F.when(
+                F.coalesce(F.col("trim_win_n"), F.lit(0)) > 0, sent
+            ).otherwise(0.0),
+        )
+        .when(F.coalesce(F.col("trim_win_n"), F.lit(0)) == 0, 0.0)
+        .otherwise(trim_avg_win / F.greatest(trim_avg_loss, F.lit(1e-12))),
+        6,
+    )
+    wc = F.round(
+        F.when(
+            n_wins > 0,
+            F.col("max_win") / F.greatest(F.col("gross_profit"), F.lit(1e-12)),
+        ).otherwise(0.0),
+        6,
+    )
+    support = (
+        (n_wins >= R.MIN_WINS)
+        & (n_losses >= R.MIN_LOSSES)
+        & (wc <= R.MAX_WINNER_CONCENTRATION)
+    )
+    return j.select(
+        "user_id",
+        "n",
+        "es_raw",
+        ratio.alias("es_to_edge"),
+        F.when(ratio.isNotNull(), ratio <= R.ES_EDGE_BOUND).alias(
+            "es_bounded"
+        ),
+        n_wins.alias("n_wins"),
+        n_losses.alias("n_losses"),
+        payoff_raw.alias("payoff_asymmetry"),
+        wc.alias("winner_concentration"),
+        trimmed.alias("trimmed_payoff"),
+        support.alias("support_ok"),
+        F.round(
+            F.when(support, F.least(payoff_raw, trimmed)).otherwise(0.0), 6
+        ).alias("payoff_effective"),
+    )
+
+
+ORACLE["es_payoff_support_gate"] = f"""
+    WITH s AS ({_S_SQL}),
+    v AS (SELECT user_id, lr, rn FROM s WHERE lr IS NOT NULL),
+    ranked AS (
+      SELECT user_id, lr,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lr, rn)
+               AS rk_asc,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM v
+    ),
+    es AS (
+      SELECT user_id, ANY_VALUE(n) AS n,
+             ROUND(AVG(CASE WHEN rk_asc <= GREATEST(1, FLOOR(n * {R.ES_TAIL_PCT}))
+                       THEN lr END), 6) AS es_raw
+      FROM ranked WHERE n >= 5 GROUP BY user_id
+    ),
+    w AS (
+      SELECT user_id, lr,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lr DESC, rn)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY user_id) AS nw
+      FROM v WHERE lr > 0
+    ),
+    wagg AS (
+      SELECT user_id, ANY_VALUE(nw) AS n_wins, SUM(lr) AS gross_profit,
+             AVG(lr) AS avg_win, MAX(lr) AS max_win,
+             SUM(CASE WHEN rk > FLOOR(nw * {R.TRIM_FRACTION}) THEN lr END)
+               AS trim_win_sum,
+             CAST(SUM(CASE WHEN rk > FLOOR(nw * {R.TRIM_FRACTION})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS trim_win_n
+      FROM w GROUP BY user_id
+    ),
+    l AS (
+      SELECT user_id, -lr AS al,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lr ASC, rn)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY user_id) AS nl
+      FROM v WHERE lr < 0
+    ),
+    lagg AS (
+      SELECT user_id, ANY_VALUE(nl) AS n_losses, AVG(al) AS avg_loss,
+             SUM(CASE WHEN rk > FLOOR(nl * {R.TRIM_FRACTION}) THEN al END)
+               AS trim_loss_sum,
+             CAST(SUM(CASE WHEN rk > FLOOR(nl * {R.TRIM_FRACTION})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS trim_loss_n
+      FROM l GROUP BY user_id
+    ),
+    j AS (
+      SELECT es.user_id, es.n, es.es_raw,
+             COALESCE(wagg.n_wins, 0) AS n_wins,
+             COALESCE(lagg.n_losses, 0) AS n_losses,
+             wagg.gross_profit, wagg.avg_win, wagg.max_win,
+             wagg.trim_win_sum, COALESCE(wagg.trim_win_n, 0) AS trim_win_n,
+             lagg.avg_loss, lagg.trim_loss_sum,
+             COALESCE(lagg.trim_loss_n, 0) AS trim_loss_n
+      FROM es
+      LEFT JOIN wagg ON es.user_id = wagg.user_id
+      LEFT JOIN lagg ON es.user_id = lagg.user_id
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN avg_win IS NOT NULL
+                  THEN ROUND(ABS(es_raw) / GREATEST(avg_win, 1e-12), 6)
+             END AS es_to_edge,
+             ROUND(CASE WHEN n_losses = 0 OR avg_loss IS NULL
+                   THEN CASE WHEN n_wins > 0 THEN 1000000.0 ELSE 0.0 END
+                   ELSE COALESCE(avg_win, 0.0) / GREATEST(avg_loss, 1e-12)
+                   END, 6) AS payoff_asymmetry,
+             ROUND(CASE
+                   WHEN n_losses = 0 OR trim_loss_n = 0
+                   THEN CASE WHEN trim_win_n > 0 THEN 1000000.0 ELSE 0.0 END
+                   WHEN trim_win_n = 0 THEN 0.0
+                   ELSE (trim_win_sum / GREATEST(trim_win_n, 1))
+                        / GREATEST(trim_loss_sum / GREATEST(trim_loss_n, 1),
+                                   1e-12)
+                   END, 6) AS trimmed_payoff,
+             ROUND(CASE WHEN n_wins > 0
+                   THEN max_win / GREATEST(gross_profit, 1e-12)
+                   ELSE 0.0 END, 6) AS winner_concentration
+      FROM j
+    )
+    SELECT user_id, n, es_raw, es_to_edge,
+           CASE WHEN es_to_edge IS NOT NULL
+                THEN es_to_edge <= {R.ES_EDGE_BOUND} END AS es_bounded,
+           n_wins, n_losses, payoff_asymmetry, winner_concentration,
+           trimmed_payoff,
+           (n_wins >= {R.MIN_WINS} AND n_losses >= {R.MIN_LOSSES}
+            AND winner_concentration <= {R.MAX_WINNER_CONCENTRATION})
+             AS support_ok,
+           ROUND(CASE WHEN (n_wins >= {R.MIN_WINS}
+                            AND n_losses >= {R.MIN_LOSSES}
+                            AND winner_concentration
+                                <= {R.MAX_WINNER_CONCENTRATION})
+                 THEN LEAST(payoff_asymmetry, trimmed_payoff)
+                 ELSE 0.0 END, 6) AS payoff_effective
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# R14 — split drift diagnostics (PSI) for the train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query("split_drift_psi")
+def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14: Population Stability Index drift between the training split
+    and each holdout split — reference `etl/split_diagnostics.py:25-80`
+    (PSI over 10 train-decile bins with the 1e-9 smoothing, mean/std
+    deltas, volatility ratio). Splits are the portable md5 80/10/10
+    assignment (the same family as L26's dedup-aware split); bins come
+    from the train split's exact deciles (broadcast cut row — the W8
+    global-quantile pattern), with values and cuts rounded to 6 decimals
+    before the bin comparison on both sides so an interpolation ulp
+    cannot flip a bin. One pass for cuts, one for binning — linear."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    from ..functions.scalars import hash_unit_interval
+
+    u = hash_unit_interval(F.col("event_id"))
+    sp = (
+        F.when(u < 0.8, "train").when(u < 0.9, "validation").otherwise("test")
+    )
+    v = s.select(F.round(F.col("lr"), 6).alias("lr"), sp.alias("split"))
+    cuts = (
+        v.filter(F.col("split") == "train")
+        .agg(
+            *[
+                F.round(F.percentile("lr", F.lit(k / 10.0)), 6).alias(f"c{k}")
+                for k in range(1, 10)
+            ]
+        )
+    )
+    binned = v.crossJoin(F.broadcast(cuts)).select(
+        "split",
+        "lr",
+        sum(
+            (F.col("lr") >= F.col(f"c{k}")).cast("int") for k in range(1, 10)
+        ).alias("bin"),
+    )
+    # ONE pass over the binned fact yields both the histogram and the
+    # moment sums; per-split stats re-aggregate the 10-bin partials, so
+    # events is scanned twice total (cuts + binning), not three times.
+    counts = binned.groupBy("split", "bin").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("lr").alias("s1"),
+        F.sum(F.col("lr") * F.col("lr")).alias("s2"),
+    )
+    n_, s1_, s2_ = F.sum("c"), F.sum("s1"), F.sum("s2")
+    stats = counts.groupBy("split").agg(
+        n_.alias("n"),
+        (s1_ / n_).alias("mu"),
+        F.sqrt((s2_ - s1_ * s1_ / n_) / (n_ - 1)).alias("sd"),
+    )
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    splits = spark.createDataFrame(
+        [("train",), ("validation",), ("test",)], "split string"
+    )
+    dense = (
+        splits.crossJoin(bins)
+        .join(counts, ["split", "bin"], "left")
+        .join(stats.select("split", "n"), "split")
+        .select(
+            "split",
+            "bin",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("n")).alias("share"),
+        )
+    )
+    base = dense.filter(F.col("split") == "train").select(
+        F.col("bin").alias("b_bin"), F.col("share").alias("p")
+    )
+    cmp_ = dense.filter(F.col("split") != "train")
+    psi = (
+        cmp_.join(base, cmp_.bin == base.b_bin)
+        .groupBy("split")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("share"))
+                    * F.log((F.col("p") + 1e-9) / (F.col("share") + 1e-9))
+                ),
+                6,
+            ).alias("psi")
+        )
+    )
+    tr = stats.filter(F.col("split") == "train").select(
+        F.col("n").alias("n_base"), F.col("mu").alias("mu0"),
+        F.col("sd").alias("sd0"),
+    )
+    other = stats.filter(F.col("split") != "train")
+    return (
+        other.crossJoin(F.broadcast(tr))
+        .join(psi, "split")
+        .select(
+            "split",
+            "n_base",
+            F.col("n").alias("n_cmp"),
+            "psi",
+            F.round(F.abs(F.col("mu0") - F.col("mu")), 6).alias("mean_delta"),
+            F.round(F.abs(F.col("sd0") - F.col("sd")), 6).alias("std_delta"),
+            F.round(
+                F.when(F.col("sd0") > 0, F.col("sd") / F.col("sd0")).otherwise(
+                    1.0
+                ),
+                6,
+            ).alias("volatility_ratio"),
+        )
+    )
+
+
+_PSI_CUTS = ", ".join(
+    f"ROUND(QUANTILE_CONT(lr, {k / 10.0}), 6) AS c{k}" for k in range(1, 10)
+)
+_PSI_BIN = " + ".join(
+    f"CASE WHEN lr >= c{k} THEN 1 ELSE 0 END" for k in range(1, 10)
+)
+
+ORACLE["split_drift_psi"] = f"""
+    WITH s AS ({_S_SQL}),
+    v AS (
+      SELECT ROUND(lr, 6) AS lr,
+             CASE WHEN ('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 6))
+                       ::BIGINT / 16777216.0 < 0.8 THEN 'train'
+                  WHEN ('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 6))
+                       ::BIGINT / 16777216.0 < 0.9 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM s WHERE lr IS NOT NULL
+    ),
+    cuts AS (SELECT {_PSI_CUTS} FROM v WHERE split = 'train'),
+    binned AS (
+      SELECT split, lr, {_PSI_BIN} AS bin FROM v CROSS JOIN cuts
+    ),
+    counts AS (
+      SELECT split, bin, COUNT(*) AS c,
+             SUM(lr) AS s1, SUM(lr * lr) AS s2
+      FROM binned GROUP BY split, bin
+    ),
+    stats AS (
+      SELECT split, SUM(c) AS n, SUM(s1) / SUM(c) AS mu,
+             SQRT((SUM(s2) - SUM(s1) * SUM(s1) / SUM(c)) / (SUM(c) - 1))
+               AS sd
+      FROM counts GROUP BY split
+    ),
+    bins(bin) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)),
+    splits(split) AS (VALUES ('train'),('validation'),('test')),
+    dense AS (
+      SELECT sp.split, b.bin,
+             COALESCE(c.c, 0) * 1.0 / st.n AS share
+      FROM splits sp CROSS JOIN bins b
+      JOIN stats st ON st.split = sp.split
+      LEFT JOIN counts c ON c.split = sp.split AND c.bin = b.bin
+    ),
+    psi AS (
+      SELECT d.split,
+             ROUND(SUM((base.share - d.share)
+                   * LN((base.share + 1e-9) / (d.share + 1e-9))), 6) AS psi
+      FROM dense d
+      JOIN (SELECT bin, share FROM dense WHERE split = 'train') base
+        ON base.bin = d.bin
+      WHERE d.split <> 'train'
+      GROUP BY d.split
+    )
+    SELECT o.split,
+           tr.n AS n_base, o.n AS n_cmp, psi.psi,
+           ROUND(ABS(tr.mu - o.mu), 6) AS mean_delta,
+           ROUND(ABS(tr.sd - o.sd), 6) AS std_delta,
+           ROUND(CASE WHEN tr.sd > 0 THEN o.sd / tr.sd ELSE 1.0 END, 6)
+             AS volatility_ratio
+    FROM stats o
+    CROSS JOIN (SELECT n, mu, sd FROM stats WHERE split = 'train') tr
+    JOIN psi ON psi.split = o.split
+    WHERE o.split <> 'train'
+"""

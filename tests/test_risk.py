@@ -365,3 +365,90 @@ def test_risk_alert_statuses_present(spark, sf_dir):
     assert set(out.status) <= {"CRITICAL", "WARNING", "NORMAL"}
     assert (out.vol_annualized >= 0).all()
     assert (out.max_drawdown >= out.final_drawdown - 1e-9).all()
+
+
+# ---------------------------------------------------------------------------
+# Omega antifragility suite (etl/portfolio_math.py:540-1032)
+# ---------------------------------------------------------------------------
+
+
+def _user_lr(sf_dir, uid):
+    """Independent numpy log-return series for one user, straight from
+    the parquet (no engine code)."""
+    import duckdb
+
+    df = duckdb.sql(
+        f"SELECT value FROM read_parquet('{sf_dir}/events.parquet') "
+        f"WHERE user_id = {uid} AND value > 0 ORDER BY ts, event_id"
+    ).df()
+    v = df.value.to_numpy(dtype=float)
+    return np.log(v[1:] / v[:-1])
+
+
+def _omega_ref(lr, tau):
+    """Reference omega_ratio (portfolio_math.py:540-586) in numpy."""
+    excess = lr - tau
+    gain = np.clip(excess, 0, None).sum()
+    loss = np.clip(-excess, 0, None).sum()
+    return gain / loss if loss > 0 else float("inf")
+
+
+def test_omega_curve_matches_reference_formula(spark, sf_dir):
+    out = QUERIES["omega_robustness_curve"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert ((out.robustness_score >= 0) & (out.robustness_score <= 1)).all()
+    assert ((out.omega_zero > 0) & (out.omega_zero <= R.OMEGA_CAP)).all()
+    row = out[out.user_id == out.user_id.min()].iloc[0]
+    lr = _user_lr(sf_dir, int(row.user_id))
+    want = min(_omega_ref(lr, R.DAILY_NGN_THRESHOLD), R.OMEGA_CAP)
+    assert row.omega_hurdle == pytest.approx(want, abs=1e-5)
+    want0 = min(_omega_ref(lr, 0.0), R.OMEGA_CAP)
+    assert row.omega_zero == pytest.approx(want0, abs=1e-5)
+
+
+def test_omega_bootstrap_gate_invariants(spark, sf_dir):
+    out = QUERIES["omega_bootstrap_gate"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.ci_lo <= out.ci_hi).all()
+    assert (out.n_reps <= 100).all() and (out.n_reps > 50).all()
+    for _, r in out.iterrows():
+        assert bool(r.right_tail_ok) == bool(r.ci_lo >= 1.0)
+        assert r.ci_width == pytest.approx(r.ci_hi - r.ci_lo, abs=2e-6)
+
+
+def test_es_payoff_gate_matches_reference_formula(spark, sf_dir):
+    out = QUERIES["es_payoff_support_gate"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    # unsupported keys must zero the effective ratio
+    unsupported = out[~out.support_ok]
+    assert (unsupported.payoff_effective == 0).all()
+    supported = out[out.support_ok]
+    assert (
+        supported.payoff_effective
+        <= supported.payoff_asymmetry + 1e-6
+    ).all()
+    row = out[out.user_id == out.user_id.min()].iloc[0]
+    lr = _user_lr(sf_dir, int(row.user_id))
+    tail_n = max(1, int(np.floor(len(lr) * R.ES_TAIL_PCT)))
+    es_want = np.sort(lr)[:tail_n].mean()
+    assert row.es_raw == pytest.approx(es_want, abs=1e-5)
+    wins, losses = lr[lr > 0], -lr[lr < 0]
+    assert row.payoff_asymmetry == pytest.approx(
+        wins.mean() / losses.mean(), abs=1e-5
+    )
+    assert row.winner_concentration == pytest.approx(
+        wins.max() / wins.sum(), abs=1e-5
+    )
+
+
+def test_split_drift_psi_same_population(spark, sf_dir):
+    """A uniform hash split draws all three splits from the same
+    distribution: PSI must be near zero and vol ratio near 1."""
+    out = QUERIES["split_drift_psi"](spark, sf_dir).toPandas()
+    assert set(out.split) == {"validation", "test"}
+    # sf0.001 holdouts hold only ~100 log-returns, so the PSI estimator
+    # is small-sample noisy; "same distribution" still means well under
+    # the 0.25 industry drift-alarm level with headroom for noise.
+    assert (out.psi.abs() < 0.5).all()
+    assert ((out.volatility_ratio > 0.5) & (out.volatility_ratio < 2.0)).all()
+    assert (out.n_base > out.n_cmp).all()
