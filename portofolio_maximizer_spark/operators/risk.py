@@ -131,6 +131,21 @@ TRIM_FRACTION = 0.10
 MIN_WINS = 3
 MIN_LOSSES = 3
 
+# Stress scenarios (portfolio_math.py:488-540 shape: additive daily
+# shocks) and Sharpe risk-free rate; Kelly fat-tail params (:1033-1082).
+DEFAULT_RISK_FREE_RATE = 0.02
+STRESS_SCENARIOS = {
+    "baseline": 0.0,
+    "mild_selloff": -0.005,
+    "moderate_selloff": -0.01,
+    "crisis": -0.03,
+    "melt_up": 0.01,
+}
+KELLY_LAMBDA = 0.25
+KELLY_CAP = 0.20
+KELLY_MIN_STAKE = 0.01
+KELLY_MIN_OBS = 30
+
 
 def _in(col: Column, values: tuple[str, ...]) -> Column:
     return col.isin(*values)

@@ -2049,3 +2049,183 @@ ORACLE["split_drift_psi"] = f"""
     JOIN psi ON psi.split = o.split
     WHERE o.split <> 'train'
 """
+
+
+# ---------------------------------------------------------------------------
+# R15 — portfolio stress scenarios
+# ---------------------------------------------------------------------------
+
+
+@query("stress_test_scenarios")
+def stress_test_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15: scenario shock testing (`etl/portfolio_math.py:488-540`
+    stress_test_portfolio): each named additive daily shock is applied to
+    every key's return series and the stressed Sharpe (population std,
+    rf = 2%/252), max drawdown on the compounded equity curve
+    (exp-sum-log running max — the same closed form in both engines),
+    exact 5%/1% percentile VaR and the cumulative shock loss are
+    reported. The scenario dimension is a broadcast literal table; the
+    facts shuffle once on (key, scenario)."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    scen = spark.createDataFrame(
+        list(R.STRESS_SCENARIOS.items()), "scenario string, shock double"
+    )
+    x = s.crossJoin(F.broadcast(scen)).select(
+        "user_id",
+        "rn",
+        "scenario",
+        "shock",
+        (F.col("lr") + F.col("shock")).alias("r"),
+    )
+    w = Window.partitionBy("user_id", "scenario").orderBy("rn")
+    cum = F.exp(
+        F.sum(F.log(F.greatest(1.0 + F.col("r"), F.lit(1e-12)))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    runmax = F.max(cum).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    dd = 1.0 - cum / runmax
+    e = x.select("user_id", "scenario", "shock", "r", dd.alias("dd"))
+    rf_daily = R.DEFAULT_RISK_FREE_RATE / R.TRADING_DAYS
+    sharpe = F.when(
+        F.stddev_pop("r") > 1e-8,
+        (F.avg("r") - rf_daily)
+        / F.stddev_pop("r")
+        * F.sqrt(F.lit(float(R.TRADING_DAYS))),
+    ).otherwise(0.0)
+    return e.groupBy("user_id", "scenario").agg(
+        F.first("shock").alias("shock_magnitude"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(sharpe, 6).alias("stressed_sharpe"),
+        F.round(F.max("dd"), 6).alias("stressed_max_drawdown"),
+        F.round(F.percentile("r", F.lit(0.05)), 6).alias("stressed_var_95"),
+        F.round(F.percentile("r", F.lit(0.01)), 6).alias("stressed_var_99"),
+        F.round(F.first("shock") * F.count(F.lit(1)), 6).alias(
+            "portfolio_loss"
+        ),
+    )
+
+
+_SCEN_VALUES = ", ".join(
+    f"('{k}', {repr(v)})" for k, v in R.STRESS_SCENARIOS.items()
+)
+_RF_D = repr(R.DEFAULT_RISK_FREE_RATE / R.TRADING_DAYS)
+
+ORACLE["stress_test_scenarios"] = f"""
+    WITH s AS ({_S_SQL}),
+    scen(scenario, shock) AS (VALUES {_SCEN_VALUES}),
+    x AS (
+      SELECT user_id, rn, scenario, shock, lr + shock AS r
+      FROM s CROSS JOIN scen WHERE lr IS NOT NULL
+    ),
+    c0 AS (
+      SELECT user_id, rn, scenario, shock, r,
+             EXP(SUM(LN(GREATEST(1.0 + r, 1e-12))) OVER w) AS cum
+      FROM x
+      WINDOW w AS (PARTITION BY user_id, scenario ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+      SELECT user_id, scenario, shock, r, cum,
+             MAX(cum) OVER (PARTITION BY user_id, scenario ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM c0
+    )
+    SELECT user_id, scenario,
+           ANY_VALUE(shock) AS shock_magnitude,
+           COUNT(*) AS n,
+           ROUND(CASE WHEN STDDEV_POP(r) > 1e-8
+                 THEN (AVG(r) - {_RF_D}) / STDDEV_POP(r) * SQRT(252.0)
+                 ELSE 0.0 END, 6) AS stressed_sharpe,
+           ROUND(MAX(1.0 - cum / runmax), 6) AS stressed_max_drawdown,
+           ROUND(QUANTILE_CONT(r, 0.05), 6) AS stressed_var_95,
+           ROUND(QUANTILE_CONT(r, 0.01), 6) AS stressed_var_99,
+           ROUND(ANY_VALUE(shock) * COUNT(*), 6) AS portfolio_loss
+    FROM c GROUP BY user_id, scenario
+"""
+
+
+# ---------------------------------------------------------------------------
+# R16 — fractional Kelly with fat-tail correction
+# ---------------------------------------------------------------------------
+
+
+@query("kelly_fat_tail_fraction")
+def kelly_fat_tail_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16: fractional Kelly with the excess-kurtosis dampener
+    (`etl/portfolio_math.py:1033-1082` fractional_kelly_fat_tail):
+    f* = [(mu - rf) / sigma^2] x [1 / (1 + max(kappa - 3, 0) / 4)] x
+    0.25, clipped to [0, 0.20], with the 0.01 minimum stake below 30
+    observations. kappa is pandas' bias-corrected G2 excess kurtosis,
+    expanded from raw power sums identically in both engines (the same
+    rationale as the `jarque_bera` closed form). rf = the NGN daily
+    hurdle, matching the reference default. One aggregation per key."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    lr = F.col("lr")
+    m = s.groupBy("user_id").agg(
+        F.count(lr).alias("n"),
+        F.avg(lr).alias("mu"),
+        F.var_samp(lr).alias("sigma2"),
+        F.avg(lr * lr).alias("m2"),
+        F.avg(lr * lr * lr).alias("m3"),
+        F.avg(lr * lr * lr * lr).alias("m4"),
+    )
+    n = F.col("n").cast("double")
+    mu, m2, m3, m4 = (F.col(c) for c in ("mu", "m2", "m3", "m4"))
+    # central fourth moment sum from raw power sums
+    sum4 = n * (
+        m4 - 4 * mu * m3 + 6 * mu * mu * m2 - 3 * mu * mu * mu * mu
+    )
+    s2 = F.col("sigma2")
+    g2 = (
+        n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * sum4 / (s2 * s2)
+        - 3 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
+    )
+    rf = R.DAILY_NGN_THRESHOLD
+    full = (mu - rf) / s2
+    corr = 1.0 / (1.0 + F.greatest(g2 - 3.0, F.lit(0.0)) / 4.0)
+    f_star = F.least(
+        F.greatest(full * corr * R.KELLY_LAMBDA, F.lit(0.0)),
+        F.lit(R.KELLY_CAP),
+    )
+    return m.select(
+        "user_id",
+        "n",
+        F.round(mu, 6).alias("mu"),
+        F.round(s2, 6).alias("sigma2"),
+        F.round(g2, 6).alias("excess_kurtosis"),
+        F.round(
+            F.when(F.col("n") < R.KELLY_MIN_OBS, R.KELLY_MIN_STAKE)
+            .when(s2 == 0.0, 0.0)
+            .otherwise(f_star),
+            6,
+        ).alias("kelly_fraction"),
+    )
+
+
+ORACLE["kelly_fat_tail_fraction"] = f"""
+    WITH s AS ({_S_SQL}),
+    m AS (
+      SELECT user_id, COUNT(lr) AS n, AVG(lr) AS mu, VAR_SAMP(lr) AS sigma2,
+             AVG(lr*lr) AS m2, AVG(lr*lr*lr) AS m3, AVG(lr*lr*lr*lr) AS m4
+      FROM s WHERE lr IS NOT NULL GROUP BY user_id
+    ),
+    k AS (
+      SELECT user_id, n, mu, sigma2,
+             CAST(n AS DOUBLE) * (n + 1) / ((n - 1.0) * (n - 2) * (n - 3))
+               * (n * (m4 - 4*mu*m3 + 6*mu*mu*m2 - 3*mu*mu*mu*mu))
+               / (sigma2 * sigma2)
+             - 3.0 * (n - 1) * (n - 1) / ((n - 2.0) * (n - 3)) AS g2
+      FROM m
+    )
+    SELECT user_id, n, ROUND(mu, 6) AS mu, ROUND(sigma2, 6) AS sigma2,
+           ROUND(g2, 6) AS excess_kurtosis,
+           ROUND(CASE WHEN n < {R.KELLY_MIN_OBS} THEN {R.KELLY_MIN_STAKE}
+                 WHEN sigma2 = 0.0 THEN 0.0
+                 ELSE LEAST(GREATEST(
+                   (mu - {repr(R.DAILY_NGN_THRESHOLD)}) / sigma2
+                   * (1.0 / (1.0 + GREATEST(g2 - 3.0, 0.0) / 4.0))
+                   * {R.KELLY_LAMBDA}, 0.0), {R.KELLY_CAP}) END, 6)
+             AS kelly_fraction
+    FROM k
+"""

@@ -452,3 +452,53 @@ def test_split_drift_psi_same_population(spark, sf_dir):
     assert (out.psi.abs() < 0.5).all()
     assert ((out.volatility_ratio > 0.5) & (out.volatility_ratio < 2.0)).all()
     assert (out.n_base > out.n_cmp).all()
+
+
+def test_stress_scenarios_match_reference_formula(spark, sf_dir):
+    out = QUERIES["stress_test_scenarios"](spark, sf_dir).toPandas()
+    assert set(out.scenario) == set(R.STRESS_SCENARIOS)
+    uid = int(out.user_id.min())
+    lr = _user_lr(sf_dir, uid)
+    row = out[(out.user_id == uid) & (out.scenario == "crisis")].iloc[0]
+    stressed = lr + R.STRESS_SCENARIOS["crisis"]
+    sharpe = (
+        (stressed.mean() - R.DEFAULT_RISK_FREE_RATE / R.TRADING_DAYS)
+        / stressed.std()  # ddof=0: np.std population, as the reference
+        * np.sqrt(R.TRADING_DAYS)
+    )
+    assert row.stressed_sharpe == pytest.approx(sharpe, abs=1e-4)
+    # equity-curve factors are clamped at 1e-12: synthetic log returns
+    # can dip below -100%, where the reference's raw cumprod would flip
+    # sign and produce drawdowns > 1 (undefined); the clamp keeps the
+    # curve positive and the drawdown in [0, 1]
+    cum = np.cumprod(np.maximum(1 + stressed, 1e-12))
+    dd = (1 - cum / np.maximum.accumulate(cum)).max()
+    assert row.stressed_max_drawdown == pytest.approx(dd, abs=1e-5)
+    assert row.stressed_var_95 == pytest.approx(
+        np.percentile(stressed, 5), abs=1e-5
+    )
+    assert row.portfolio_loss == pytest.approx(
+        R.STRESS_SCENARIOS["crisis"] * len(lr), abs=1e-6
+    )
+    # shocks only shift location: drawdown worsens monotonically with
+    # shock severity for every key
+    piv = out.pivot_table(
+        index="user_id", columns="scenario", values="stressed_max_drawdown"
+    )
+    assert (piv["crisis"] >= piv["baseline"] - 1e-9).all()
+
+
+def test_kelly_fat_tail_matches_reference_formula(spark, sf_dir):
+    import pandas as pd
+
+    out = QUERIES["kelly_fat_tail_fraction"](spark, sf_dir).toPandas()
+    assert ((out.kelly_fraction >= 0) & (out.kelly_fraction <= 0.20)).all()
+    uid = int(out.user_id.min())
+    lr = pd.Series(_user_lr(sf_dir, uid))
+    row = out[out.user_id == uid].iloc[0]
+    assert row.excess_kurtosis == pytest.approx(lr.kurtosis(), abs=1e-4)
+    if len(lr) >= R.KELLY_MIN_OBS:
+        full = (lr.mean() - R.DAILY_NGN_THRESHOLD) / lr.var()
+        corr = 1.0 / (1.0 + max(lr.kurtosis() - 3.0, 0.0) / 4.0)
+        want = float(np.clip(full * corr * R.KELLY_LAMBDA, 0.0, R.KELLY_CAP))
+        assert row.kelly_fraction == pytest.approx(want, abs=1e-4)
