@@ -146,6 +146,19 @@ KELLY_CAP = 0.20
 KELLY_MIN_STAKE = 0.01
 KELLY_MIN_OBS = 30
 
+# Order-manager pre-trade gate (execution/order_manager.py:105-378
+# defaults; max_trades_per_day tightened from 25 to 3 so the daily
+# circuit breaker actually fires at events-table signal density, same
+# rationale as the barbell cap levels). Free margin is modelled as a
+# drawdown-shrinking fraction of equity: margin availability contracts
+# exactly when the account is under water.
+ACCOUNT_EQUITY = 100_000.0
+MAX_POSITION_RISK = 0.02
+MIN_CONFIDENCE = 0.50
+MAX_TRADES_PER_DAY = 3
+FREE_MARGIN_FRAC = 0.025
+EQUITY_POSITION_FRAC = 0.06
+
 
 def _in(col: Column, values: tuple[str, ...]) -> Column:
     return col.isin(*values)

@@ -502,3 +502,23 @@ def test_kelly_fat_tail_matches_reference_formula(spark, sf_dir):
         corr = 1.0 / (1.0 + max(lr.kurtosis() - 3.0, 0.0) / 4.0)
         want = float(np.clip(full * corr * R.KELLY_LAMBDA, 0.0, R.KELLY_CAP))
         assert row.kelly_fraction == pytest.approx(want, abs=1e-4)
+
+
+def test_pretrade_gate_counts_consistent(spark, sf_dir):
+    out = QUERIES["pretrade_check_gate"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.n_passed <= out.n_signals).all()
+    # each failure counter is bounded by the signal count and the pass
+    # count excludes every row with any failure
+    for c in (
+        "n_conf_fail",
+        "n_cash_fail",
+        "n_position_fail",
+        "n_daily_fail",
+        "n_risk_fail",
+    ):
+        assert (out[c] <= out.n_signals).all()
+        assert (out.n_passed + out[c] <= out.n_signals).all()
+    assert (out.volume_passed >= 0).all()
+    # passed orders carry at least 1 share each
+    assert (out.volume_passed >= out.n_passed).all()
