@@ -2014,7 +2014,7 @@ ORACLE["split_drift_psi"] = f"""
       FROM binned GROUP BY split, bin
     ),
     stats AS (
-      SELECT split, SUM(c) AS n, SUM(s1) / SUM(c) AS mu,
+      SELECT split, CAST(SUM(c) AS BIGINT) AS n, SUM(s1) / SUM(c) AS mu,
              SQRT((SUM(s2) - SUM(s1) * SUM(s1) / SUM(c)) / (SUM(c) - 1))
                AS sd
       FROM counts GROUP BY split
