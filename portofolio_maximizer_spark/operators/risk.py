@@ -719,3 +719,88 @@ def warmstart_suggest(
         skip.alias("skip_grid"),
         F.round(F.col("exact_aic"), 6).alias("cache_aic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Omega hurdle-ladder derivation (portfolio_math.py:637-756)
+# ---------------------------------------------------------------------------
+
+
+def omega_ladder_derive(curve: DataFrame) -> DataFrame:
+    """Derive the robustness summary from sentinel-coded ladder omegas —
+    the reference's omega_robustness_summary (`etl/portfolio_math.py:
+    637-756`) with ``OMEGA_INF_SENTINEL`` standing in for infinity
+    (loss == 0 <-> sentinel by construction; emitting real Inf would
+    break the value hash, where inf - inf compares as NaN).
+
+    Input columns: omega_zero / omega_hurdle / omega_cost (rounded,
+    capped at the sentinel). Appends:
+    - monotonicity_ok over CONSECUTIVE FINITE ladder points (infinite
+      rungs are dropped from the sequence, exactly like the reference's
+      finite_points filter — so z->c adjacency applies when h is
+      infinite);
+    - above_hurdle_margin (NULL when the hurdle omega is infinite);
+    - cliff_drop_ratio / cliff_ok: inf->inf = no cliff (0.0, ok);
+      inf->finite = maximum cliff (1.0, fail); finite z > 1e-9 uses
+      (z - h)/z with an infinite h treated as no drop; degenerate z
+      yields NULLs;
+    - robustness_score: weighted strengths on values capped at
+      ``OMEGA_CAP`` (the reference's score-arithmetic cap), halved on
+      non-monotonicity and halved again ONLY when cliff_ok is
+      explicitly False (a NULL cliff does not penalise)."""
+    z, h, c = (
+        F.col("omega_zero"),
+        F.col("omega_hurdle"),
+        F.col("omega_cost"),
+    )
+    zf = z < OMEGA_INF_SENTINEL
+    hf = h < OMEGA_INF_SENTINEL
+    cf = c < OMEGA_INF_SENTINEL
+    pair_zh = ~(zf & hf) | (h <= z + 1e-9)
+    pair_hc = ~(hf & cf) | (c <= h + 1e-9)
+    pair_zc = ~(zf & cf & ~hf) | (c <= z + 1e-9)
+    mono = pair_zh & pair_hc & pair_zc
+    margin = F.when(hf, F.round(h - 1.0, 6))
+    cliff = (
+        F.when(~zf & ~hf, F.lit(0.0))
+        .when(~zf & hf, F.lit(1.0))
+        .when(
+            zf & (z > 1e-9),
+            F.round(
+                F.least(
+                    F.greatest(
+                        (z - F.when(hf, h).otherwise(z)) / z, F.lit(0.0)
+                    ),
+                    F.lit(1.0),
+                ),
+                6,
+            ),
+        )
+    )
+    cliff_ok = F.when(cliff.isNotNull(), cliff <= CLIFF_DROP_MAX)
+
+    def cap(x):
+        return F.least(F.greatest(x, F.lit(0.0)), F.lit(OMEGA_CAP))
+
+    def clip01(x):
+        return F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))
+
+    zc, hc_, cc = cap(z), cap(h), cap(c)
+    score = (
+        0.40 * clip01(hc_ - 1.0)
+        + 0.30 * clip01(cc - 1.0)
+        + 0.20 * clip01(cc / F.greatest(hc_, F.lit(1e-6)))
+        + 0.10 * clip01(hc_ / F.greatest(zc, F.lit(1e-6)))
+    )
+    score = score * F.when(mono, 1.0).otherwise(0.5)
+    score = score * F.when(cliff_ok.eqNullSafe(F.lit(False)), 0.5).otherwise(
+        1.0
+    )
+    return curve.select(
+        "*",
+        mono.alias("monotonicity_ok"),
+        margin.alias("above_hurdle_margin"),
+        cliff.alias("cliff_drop_ratio"),
+        cliff_ok.alias("cliff_ok"),
+        F.round(clip01(score), 6).alias("robustness_score"),
+    )

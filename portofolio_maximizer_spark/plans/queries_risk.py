@@ -1339,26 +1339,23 @@ def order_warmstart_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # R11 — omega robustness across the hurdle ladder
 # ---------------------------------------------------------------------------
 
-def _omega_sql(gain: str, loss: str) -> str:
-    return (
-        f"ROUND(CASE WHEN {loss} > 0 THEN LEAST({gain} / {loss}, 100.0) "
-        f"ELSE 100.0 END, 6)"
-    )
-
-
 @query("omega_robustness_curve")
 def omega_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R11: omega across the hurdle ladder (zero -> NGN hurdle ->
     cost-adjusted) with the reference's robustness scoring
-    (`etl/portfolio_math.py:540-756`): monotonicity check, cliff-drop
-    ratio vs the 60% guard, above-hurdle margin, and the weighted
-    robustness score (0.4 hurdle-strength + 0.3 drag-strength + 0.2
-    retention + 0.1 threshold-stability, halved on non-monotonicity and
-    again on a cliff failure). Omegas are capped at the reference's own
-    100.0 score-arithmetic cap BEFORE derivation, so the infinite-omega
-    branches resolve identically in both engines (a hash-stability
-    requirement: inf vs inf compares as NaN). One aggregation per key —
-    pure column algebra, linear at any scale."""
+    (`etl/portfolio_math.py:540-756`): monotonicity over consecutive
+    FINITE ladder points, the cliff-drop guard with its inf->finite
+    maximum-cliff rule, above-hurdle margin, and the weighted score
+    (0.4 hurdle-strength + 0.3 drag-strength + 0.2 retention + 0.1
+    threshold-stability on values capped at the reference's 100.0
+    score cap, halved on non-monotonicity and halved again only on an
+    explicit cliff failure). Infinite omega (zero losses above the
+    threshold) is sentinel-coded as 1e6 — the reference's own bootstrap
+    sentinel — so the derivation branches on infinity exactly while the
+    emitted values stay hashable. Derivation logic lives in
+    `operators/risk.py:omega_ladder_derive` (unit-tested against a
+    pure-python replica of the reference, including the infinite
+    cases). One aggregation per key — linear."""
     th, tc = R.DAILY_NGN_THRESHOLD, R.DAILY_NGN_THRESHOLD + R.EXECUTION_DRAG
     s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
 
@@ -1373,9 +1370,9 @@ def omega_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def omega(g, l):
         return F.round(
-            F.when(l > 0, F.least(g / l, F.lit(R.OMEGA_CAP))).otherwise(
-                R.OMEGA_CAP
-            ),
+            F.when(
+                l > 0, F.least(g / l, F.lit(R.OMEGA_INF_SENTINEL))
+            ).otherwise(R.OMEGA_INF_SENTINEL),
             6,
         )
 
@@ -1389,59 +1386,15 @@ def omega_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") >= 10)
     )
-    oz, oh, oc = (
-        F.col("omega_zero"),
-        F.col("omega_hurdle"),
-        F.col("omega_cost"),
-    )
-    mono = (oh <= oz + 1e-9) & (oc <= oh + 1e-9)
-    cliff = F.round(
-        F.when(
-            oz > 1e-9,
-            F.least(F.greatest((oz - oh) / oz, F.lit(0.0)), F.lit(1.0)),
-        ),
-        6,
-    )
-    d = a.select(
-        "user_id",
-        "n",
-        "omega_zero",
-        "omega_hurdle",
-        "omega_cost",
-        mono.alias("monotonicity_ok"),
-        F.round(oh - 1.0, 6).alias("above_hurdle_margin"),
-        cliff.alias("cliff_drop_ratio"),
-    )
-    cliff_ok = F.col("cliff_drop_ratio").isNotNull() & (
-        F.col("cliff_drop_ratio") <= R.CLIFF_DROP_MAX
-    )
-
-    def clip01(c):
-        return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
-
-    oh2, oc2, oz2 = (
-        F.col("omega_hurdle"),
-        F.col("omega_cost"),
-        F.col("omega_zero"),
-    )
-    score = (
-        0.40 * clip01(oh2 - 1.0)
-        + 0.30 * clip01(oc2 - 1.0)
-        + 0.20 * clip01(oc2 / F.greatest(oh2, F.lit(1e-6)))
-        + 0.10 * clip01(oh2 / F.greatest(oz2, F.lit(1e-6)))
-    )
-    score = score * F.when(F.col("monotonicity_ok"), 1.0).otherwise(0.5)
-    score = score * F.when(cliff_ok, 1.0).otherwise(0.5)
-    return d.select(
-        "*",
-        cliff_ok.alias("cliff_ok"),
-        F.round(clip01(score), 6).alias("robustness_score"),
-    )
+    return R.omega_ladder_derive(a)
 
 
-# DuckDB oracle for R11 — same float literals via repr interpolation.
+# DuckDB oracle for R11 — same float literals via repr interpolation;
+# the derivation CTEs mirror operators/risk.py:omega_ladder_derive.
 _TH_R = repr(R.DAILY_NGN_THRESHOLD)
 _TC_R = repr(R.DAILY_NGN_THRESHOLD + R.EXECUTION_DRAG)
+_SENT = repr(R.OMEGA_INF_SENTINEL)
+
 ORACLE["omega_robustness_curve"] = f"""
     WITH s AS ({_S_SQL}),
     g AS (
@@ -1457,42 +1410,67 @@ ORACLE["omega_robustness_curve"] = f"""
     ),
     o AS (
       SELECT user_id, n,
-             {_omega_sql('gz', 'lz')} AS omega_zero,
-             {_omega_sql('gh', 'lh')} AS omega_hurdle,
-             {_omega_sql('gc', 'lc2')} AS omega_cost
+             ROUND(CASE WHEN lz > 0 THEN LEAST(gz / lz, {_SENT})
+                   ELSE {_SENT} END, 6) AS omega_zero,
+             ROUND(CASE WHEN lh > 0 THEN LEAST(gh / lh, {_SENT})
+                   ELSE {_SENT} END, 6) AS omega_hurdle,
+             ROUND(CASE WHEN lc2 > 0 THEN LEAST(gc / lc2, {_SENT})
+                   ELSE {_SENT} END, 6) AS omega_cost
       FROM g
     ),
     d AS (
       SELECT *,
-             (omega_hurdle <= omega_zero + 1e-9
-              AND omega_cost <= omega_hurdle + 1e-9) AS monotonicity_ok,
-             ROUND(omega_hurdle - 1.0, 6) AS above_hurdle_margin,
-             ROUND(CASE WHEN omega_zero > 1e-9
-                   THEN LEAST(GREATEST(
-                          (omega_zero - omega_hurdle) / omega_zero, 0.0), 1.0)
-                   END, 6) AS cliff_drop_ratio
+             omega_zero < {_SENT} AS zf,
+             omega_hurdle < {_SENT} AS hf,
+             omega_cost < {_SENT} AS cf
       FROM o
     ),
-    sc AS (
+    e AS (
       SELECT *,
-             (cliff_drop_ratio IS NOT NULL
-              AND cliff_drop_ratio <= {R.CLIFF_DROP_MAX}) AS cliff_ok,
-             (0.40 * LEAST(GREATEST(omega_hurdle - 1.0, 0.0), 1.0)
-              + 0.30 * LEAST(GREATEST(omega_cost - 1.0, 0.0), 1.0)
-              + 0.20 * LEAST(GREATEST(
-                  omega_cost / GREATEST(omega_hurdle, 1e-6), 0.0), 1.0)
-              + 0.10 * LEAST(GREATEST(
-                  omega_hurdle / GREATEST(omega_zero, 1e-6), 0.0), 1.0))
-               AS raw_score
+             ((NOT (zf AND hf)) OR omega_hurdle <= omega_zero + 1e-9)
+             AND ((NOT (hf AND cf)) OR omega_cost <= omega_hurdle + 1e-9)
+             AND ((NOT (zf AND cf AND NOT hf))
+                  OR omega_cost <= omega_zero + 1e-9) AS monotonicity_ok,
+             CASE WHEN hf THEN ROUND(omega_hurdle - 1.0, 6) END
+               AS above_hurdle_margin,
+             CASE WHEN NOT zf AND NOT hf THEN 0.0
+                  WHEN NOT zf AND hf THEN 1.0
+                  WHEN zf AND omega_zero > 1e-9
+                  THEN ROUND(LEAST(GREATEST(
+                    (omega_zero - CASE WHEN hf THEN omega_hurdle
+                                       ELSE omega_zero END) / omega_zero,
+                    0.0), 1.0), 6)
+             END AS cliff_drop_ratio
       FROM d
+    ),
+    f AS (
+      SELECT *,
+             CASE WHEN cliff_drop_ratio IS NOT NULL
+                  THEN cliff_drop_ratio <= {R.CLIFF_DROP_MAX} END AS cliff_ok,
+             (0.40 * LEAST(GREATEST(
+                 LEAST(GREATEST(omega_hurdle, 0.0), {R.OMEGA_CAP}) - 1.0,
+                 0.0), 1.0)
+              + 0.30 * LEAST(GREATEST(
+                 LEAST(GREATEST(omega_cost, 0.0), {R.OMEGA_CAP}) - 1.0,
+                 0.0), 1.0)
+              + 0.20 * LEAST(GREATEST(
+                 LEAST(GREATEST(omega_cost, 0.0), {R.OMEGA_CAP})
+                 / GREATEST(LEAST(GREATEST(omega_hurdle, 0.0),
+                                  {R.OMEGA_CAP}), 1e-6), 0.0), 1.0)
+              + 0.10 * LEAST(GREATEST(
+                 LEAST(GREATEST(omega_hurdle, 0.0), {R.OMEGA_CAP})
+                 / GREATEST(LEAST(GREATEST(omega_zero, 0.0),
+                                  {R.OMEGA_CAP}), 1e-6), 0.0), 1.0))
+               AS raw_score
+      FROM e
     )
     SELECT user_id, n, omega_zero, omega_hurdle, omega_cost,
            monotonicity_ok, above_hurdle_margin, cliff_drop_ratio, cliff_ok,
            ROUND(LEAST(GREATEST(raw_score
              * CASE WHEN monotonicity_ok THEN 1.0 ELSE 0.5 END
-             * CASE WHEN cliff_ok THEN 1.0 ELSE 0.5 END, 0.0), 1.0), 6)
-             AS robustness_score
-    FROM sc
+             * CASE WHEN cliff_ok IS NOT NULL AND NOT cliff_ok THEN 0.5
+                    ELSE 1.0 END, 0.0), 1.0), 6) AS robustness_score
+    FROM f
 """
 
 
@@ -1589,11 +1567,9 @@ def _omega_sql_sent(gain: str, loss: str) -> str:
 
 
 def _boot_values() -> str:
-    from .queries_finance import _BOOT_PARAMS
+    from .queries_finance import _BOOT_VALUES
 
-    return ", ".join(
-        f"({r}, {a}, {b})" for r, (a, b) in enumerate(_BOOT_PARAMS)
-    )
+    return _BOOT_VALUES
 
 
 ORACLE["omega_bootstrap_gate"] = f"""
@@ -2162,13 +2138,19 @@ def kelly_fat_tail_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     hurdle, matching the reference default. One aggregation per key."""
     s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
     lr = F.col("lr")
-    m = s.groupBy("user_id").agg(
-        F.count(lr).alias("n"),
-        F.avg(lr).alias("mu"),
-        F.var_samp(lr).alias("sigma2"),
-        F.avg(lr * lr).alias("m2"),
-        F.avg(lr * lr * lr).alias("m3"),
-        F.avg(lr * lr * lr * lr).alias("m4"),
+    m = (
+        s.groupBy("user_id")
+        .agg(
+            F.count(lr).alias("n"),
+            F.avg(lr).alias("mu"),
+            F.var_samp(lr).alias("sigma2"),
+            F.avg(lr * lr).alias("m2"),
+            F.avg(lr * lr * lr).alias("m3"),
+            F.avg(lr * lr * lr * lr).alias("m4"),
+        )
+        # the G2 denominator needs n >= 4 and positive variance; keys
+        # below that would split NULL (Spark) vs Inf (DuckDB ieee mode)
+        .filter((F.col("n") >= 5) & (F.col("sigma2") > 0))
     )
     n = F.col("n").cast("double")
     mu, m2, m3, m4 = (F.col(c) for c in ("mu", "m2", "m3", "m4"))
@@ -2209,6 +2191,7 @@ ORACLE["kelly_fat_tail_fraction"] = f"""
       SELECT user_id, COUNT(lr) AS n, AVG(lr) AS mu, VAR_SAMP(lr) AS sigma2,
              AVG(lr*lr) AS m2, AVG(lr*lr*lr) AS m3, AVG(lr*lr*lr*lr) AS m4
       FROM s WHERE lr IS NOT NULL GROUP BY user_id
+      HAVING COUNT(lr) >= 5 AND VAR_SAMP(lr) > 0
     ),
     k AS (
       SELECT user_id, n, mu, sigma2,
@@ -2317,23 +2300,36 @@ def pretrade_check_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("action"),
         F.round(F.least(F.abs(er) / vol, F.lit(1.0)), 6).alias("confidence"),
     ).filter(F.col("action") != "HOLD")
-    day_rank = F.row_number().over(
-        Window.partitionBy("user_id", F.to_date("ts")).orderBy("rn")
-    )
     conf = F.col("confidence")
     notional = F.greatest(
         F.lit(0.0),
-        F.lit(100000.0 * R.MAX_POSITION_RISK)
+        F.lit(R.ACCOUNT_EQUITY * R.MAX_POSITION_RISK)
         * F.when(conf > 0, conf).otherwise(R.MIN_CONFIDENCE),
     )
-    free_margin = F.lit(100000.0 * R.FREE_MARGIN_FRAC) * F.col("curve")
-    checks = sig.withColumn("day_rank", day_rank)
+    free_margin = F.lit(R.ACCOUNT_EQUITY * R.FREE_MARGIN_FRAC) * F.col("curve")
     conf_ok = conf >= R.MIN_CONFIDENCE
     cash_ok = F.round(free_margin, 6) >= F.round(notional, 6)
-    pos_ok = F.round(notional, 6) <= 100000.0 * R.MAX_POSITION_RISK * 1.2
-    daily_ok = F.col("day_rank") <= R.MAX_TRADES_PER_DAY
+    pos_ok = (
+        F.round(notional, 6) <= R.ACCOUNT_EQUITY * R.MAX_POSITION_RISK * 1.2
+    )
     risk_ok = ~F.col("risk_blocked")
-    passed = conf_ok & cash_ok & pos_ok & daily_ok & risk_ok
+    # The reference's daily counter increments only on EXECUTED trades
+    # (`order_manager.py:201`), so the daily check sees the number of
+    # prior signals that cleared every other gate — not the raw signal
+    # rank. Execution requires eligibility AND budget, and the budget
+    # only shrinks on execution, so executed-before = min(prior
+    # eligible, limit) and the check reduces to prior-eligible < limit.
+    eligible = conf_ok & cash_ok & pos_ok & risk_ok
+    prior_elig = F.sum(eligible.cast("long")).over(
+        Window.partitionBy("user_id", F.to_date("ts"))
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    checks = sig.withColumn(
+        "daily_ok", F.coalesce(prior_elig, F.lit(0)) < R.MAX_TRADES_PER_DAY
+    )
+    daily_ok = F.col("daily_ok")
+    passed = eligible & daily_ok
     volume = F.greatest(
         F.lit(1.0),
         F.floor(notional / F.greatest(F.col("value"), F.lit(1e-6))),
@@ -2356,7 +2352,7 @@ ORACLE["pretrade_check_gate"] = f"""
     WITH s AS ({_S_SQL}),
     pre AS (
       SELECT user_id, ts, rn, value, lr,
-             ROUND(0.06
+             ROUND({R.EQUITY_POSITION_FRAC}
                * COALESCE(value / LAG(value) OVER wp - 1.0, 0.0), 6)
                AS eq_ret
       FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
@@ -2388,8 +2384,8 @@ ORACLE["pretrade_check_gate"] = f"""
     ),
     f2 AS (
       SELECT *,
-             SUM(CASE WHEN dd_eq >= 0.15
-                       OR eq_ret < -0.05
+             SUM(CASE WHEN dd_eq >= {R.MAX_DRAWDOWN}
+                       OR eq_ret < -{R.MAX_DAILY_LOSS}
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY rn
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0
@@ -2410,24 +2406,30 @@ ORACLE["pretrade_check_gate"] = f"""
       FROM f2
     ),
     c AS (
-      SELECT user_id, value, curve, confidence, risk_blocked,
-             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                                ORDER BY rn) AS day_rank,
-             GREATEST(0.0, 2000.0
+      SELECT user_id, ts, rn, value, curve, confidence, risk_blocked,
+             GREATEST(0.0, {R.ACCOUNT_EQUITY * R.MAX_POSITION_RISK}
                * CASE WHEN confidence > 0 THEN confidence
-                      ELSE 0.5 END) AS notional,
-             2500.0 * curve AS free_margin
+                      ELSE {R.MIN_CONFIDENCE} END) AS notional,
+             {R.ACCOUNT_EQUITY * R.FREE_MARGIN_FRAC} * curve AS free_margin
       FROM sig WHERE action <> 'HOLD'
+    ),
+    k0 AS (
+      SELECT *,
+             confidence >= {R.MIN_CONFIDENCE} AS conf_ok,
+             ROUND(free_margin, 6) >= ROUND(notional, 6) AS cash_ok,
+             ROUND(notional, 6)
+               <= {R.ACCOUNT_EQUITY * R.MAX_POSITION_RISK * 1.2} AS pos_ok,
+             NOT risk_blocked AS risk_ok
+      FROM c
     ),
     k AS (
       SELECT *,
-             confidence >= 0.5 AS conf_ok,
-             ROUND(free_margin, 6) >= ROUND(notional, 6) AS cash_ok,
-             ROUND(notional, 6)
-               <= 2400.0 AS pos_ok,
-             day_rank <= 3 AS daily_ok,
-             NOT risk_blocked AS risk_ok
-      FROM c
+             COALESCE(SUM(CASE WHEN conf_ok AND cash_ok AND pos_ok
+                                AND risk_ok THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               < {R.MAX_TRADES_PER_DAY} AS daily_ok
+      FROM k0
     )
     SELECT user_id, COUNT(*) AS n_signals,
            CAST(SUM(CASE WHEN conf_ok AND cash_ok AND pos_ok AND daily_ok

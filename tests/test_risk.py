@@ -522,3 +522,81 @@ def test_pretrade_gate_counts_consistent(spark, sf_dir):
     assert (out.volume_passed >= 0).all()
     # passed orders carry at least 1 share each
     assert (out.volume_passed >= out.n_passed).all()
+
+
+def _reference_omega_summary(z, h, c):
+    """Pure-python replica of omega_robustness_summary's derivation
+    (`etl/portfolio_math.py:637-756`) on a (zero, hurdle, cost) omega
+    triple; float('inf') marks infinite omega."""
+    pts = [p for p in (z, h, c) if math.isfinite(p)]
+    mono = all(r <= l + 1e-9 for l, r in zip(pts, pts[1:]))
+    margin = h - 1.0 if math.isfinite(h) else None
+    if not math.isfinite(z) and not math.isfinite(h):
+        cliff, cliff_ok = 0.0, True
+    elif not math.isfinite(z):
+        cliff = 1.0
+        cliff_ok = cliff <= R.CLIFF_DROP_MAX
+    elif z > 1e-9:
+        hf = h if math.isfinite(h) else z
+        cliff = min(max((z - hf) / z, 0.0), 1.0)
+        cliff_ok = cliff <= R.CLIFF_DROP_MAX
+    else:
+        cliff, cliff_ok = None, None
+
+    def cap(x):
+        return min(max(x, 0.0), R.OMEGA_CAP)
+
+    def clip01(x):
+        return min(max(x, 0.0), 1.0)
+
+    zf, hf_, cf = cap(z), cap(h), cap(c)
+    score = (
+        0.40 * clip01(hf_ - 1.0)
+        + 0.30 * clip01(cf - 1.0)
+        + 0.20 * clip01(cf / max(hf_, 1e-6))
+        + 0.10 * clip01(hf_ / max(zf, 1e-6))
+    )
+    if not mono:
+        score *= 0.5
+    if cliff_ok is False:
+        score *= 0.5
+    return mono, margin, cliff, cliff_ok, clip01(score)
+
+
+def test_omega_ladder_derive_infinity_cases(spark):
+    SENT = R.OMEGA_INF_SENTINEL
+    cases = [
+        (1, 2.0, 1.5, 1.2),       # ordinary decreasing ladder
+        (2, SENT, SENT, SENT),    # always above threshold: no cliff
+        (3, SENT, 1.4, 1.1),      # inf -> finite: maximum cliff
+        (4, 3.0, SENT, 1.2),      # hurdle inf: dropped from the sequence
+        (5, 0.8, 0.9, 1.2),       # increasing ladder: non-monotone
+        (6, 500.0, 50.0, 40.0),   # big finite cliff: 0.9 > 0.6 -> fail
+    ]
+    df = spark.createDataFrame(
+        [(u, z, h, c) for u, z, h, c in cases],
+        "user_id long, omega_zero double, omega_hurdle double, "
+        "omega_cost double",
+    )
+    out = {r.user_id: r for r in R.omega_ladder_derive(df).collect()}
+    for uid, z, h, c in cases:
+        inf = float("inf")
+        zz = inf if z >= SENT else z
+        hh = inf if h >= SENT else h
+        cc = inf if c >= SENT else c
+        mono, margin, cliff, cliff_ok, score = _reference_omega_summary(
+            zz, hh, cc
+        )
+        # the score arithmetic caps sentinel at 100 exactly as inf
+        row = out[uid]
+        assert row.monotonicity_ok == mono, uid
+        if margin is None:
+            assert row.above_hurdle_margin is None, uid
+        else:
+            assert row.above_hurdle_margin == pytest.approx(margin, abs=1e-6)
+        if cliff is None:
+            assert row.cliff_drop_ratio is None and row.cliff_ok is None, uid
+        else:
+            assert row.cliff_drop_ratio == pytest.approx(cliff, abs=1e-6), uid
+            assert row.cliff_ok == cliff_ok, uid
+        assert row.robustness_score == pytest.approx(score, abs=1e-6), uid
