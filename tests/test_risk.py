@@ -600,3 +600,55 @@ def test_omega_ladder_derive_infinity_cases(spark):
             assert row.cliff_drop_ratio == pytest.approx(cliff, abs=1e-6), uid
             assert row.cliff_ok == cliff_ok, uid
         assert row.robustness_score == pytest.approx(score, abs=1e-6), uid
+
+
+def test_barbell_projection_random_panel(spark):
+    """Bulk property test: 60 random Dirichlet weight vectors (plus
+    crafted edge segments) projected in ONE Spark job must match the
+    pure-python reference replica symbol-for-symbol, stay non-negative
+    and preserve each segment's total."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for seg in range(60):
+        k = int(rng.integers(2, 9))
+        buckets = rng.choice(["safe", "core", "spec", "other"], size=k)
+        w = rng.dirichlet(np.ones(k))
+        for i in range(k):
+            rows.append((f"s{seg}", f"sym{i}", str(buckets[i]), float(w[i])))
+    # crafted edges: all-safe, no-safe, single symbol, tiny weights
+    rows += [
+        ("edge_allsafe", "a", "safe", 0.7),
+        ("edge_allsafe", "b", "safe", 0.3),
+        ("edge_nosafe", "a", "core", 0.5),
+        ("edge_nosafe", "b", "other", 0.5),
+        ("edge_single", "a", "spec", 1.0),
+        ("edge_tiny", "a", "safe", 1e-9),
+        ("edge_tiny", "b", "other", 1.0 - 1e-9),
+    ]
+    out = R.project_barbell(_weights_df(spark, rows)).toPandas()
+    assert (out.w_proj >= -1e-12).all()
+    for seg, grp in out.groupby("segment"):
+        seg_rows = [r for r in rows if r[0] == seg]
+        want = _reference_project(
+            {r[1]: r[3] for r in seg_rows}, {r[1]: r[2] for r in seg_rows}
+        )
+        got = grp.set_index("symbol").w_proj
+        for sym, exp in want.items():
+            assert got[sym] == pytest.approx(exp, abs=1e-9), (seg, sym)
+        assert grp.w_proj.sum() == pytest.approx(grp.w.sum(), abs=1e-9)
+
+
+def test_ratio_penalty_monotone_panel(spark):
+    """Penalty must be non-increasing in the ratio and bounded by
+    [floor, 1] across a dense grid — one Spark job."""
+    ratios = [i / 50.0 for i in range(0, 201)]
+    df = spark.createDataFrame([(r,) for r in ratios], "ratio double")
+    out = (
+        df.select(
+            "ratio", R.ratio_penalty(F.col("ratio"), 0.35, 0.55).alias("p")
+        )
+        .orderBy("ratio")
+        .toPandas()
+    )
+    assert ((out.p >= 0.55 - 1e-12) & (out.p <= 1.0 + 1e-12)).all()
+    assert (out.p.diff().dropna() <= 1e-12).all()
