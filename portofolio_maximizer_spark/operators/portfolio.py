@@ -122,6 +122,12 @@ def riskparity(sigma: np.ndarray, iters: int = 10000, tol: float = 1e-14) -> np.
 def _emit_weights(
     spark, keys: list[int], sigma: np.ndarray, w: np.ndarray, method: str
 ) -> DataFrame:
+    # The risk decomposition is computed from the ROUNDED weights (the
+    # exact values the row emits / the oracle stage sees), so the
+    # verification oracle can reproduce risk_contrib and port_vol from
+    # the staged weights plus an SQL-computed covariance bit-for-bit at
+    # the 6-decimal grain.
+    w = np.round(w, 6)
     port_var = float(w @ sigma @ w)
     port_vol = float(np.sqrt(max(port_var, 0.0)))
     mrc = sigma @ w
@@ -271,12 +277,15 @@ def min_variance_weights_shrunk(
             order_col=kw.get("order_col", "rn"),
             ret_col=kw.get("ret_col", "lr"),
         )
+    # round λ to the emitted 6-decimal grain BEFORE blending so the
+    # staged shrinkage value reproduces Σ_λ exactly in the oracle
+    lam = round(float(lam), 6)
     sigma_sh = (1.0 - lam) * sigma + lam * mu * np.eye(n_assets)
     w = minvar_longonly(sigma_sh)
     out = _emit_weights(
         series.sparkSession, keys, sigma_sh, w, "min_variance_lw"
     )
-    return out.withColumn("shrinkage", F.round(F.lit(float(lam)), 6))
+    return out.withColumn("shrinkage", F.lit(float(lam)))
 
 
 def risk_parity_weights(series: DataFrame, **kw) -> DataFrame:

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import chi2_sf1, chi2_sf1_sql
 from ..sources.catalog import load_table
-from .queries import query, r6
+from .queries import ORACLE, query, r6
 
 # ---------------------------------------------------------------------------
 # Shared base: events as per-user series with row_number + log return.
@@ -1674,23 +1674,117 @@ def risk_parity_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _weights_verify_sql(
+    staged_glob: str,
+    method: str,
+    aligned: bool = False,
+    shrunk: bool = False,
+    extra_cols: str = "",
+) -> str:
+    """Verification oracle for the driver-solved weight queries: read the
+    STAGED weights, recompute the covariance in SQL (same pairwise /
+    aligned-panel semantics as ``operators.portfolio.covariance_long``),
+    and re-derive risk_contrib + port_vol independently. The solve stays
+    pytest-pinned (KKT / fixed-point vs numpy); the oracle checks that
+    the emitted risk decomposition is consistent with the data."""
+    align_cte = (
+        """
+    nass AS (SELECT COUNT(DISTINCT user_id) AS na FROM base),
+    full_t AS (
+      SELECT rn FROM base CROSS JOIN nass
+      GROUP BY rn, na HAVING COUNT(*) = ANY_VALUE(na)
+    ),
+    ab AS (SELECT base.* FROM base JOIN full_t USING (rn)),"""
+        if aligned
+        else """
+    ab AS (SELECT * FROM base),"""
+    )
+    if shrunk:
+        sigma_cte = """
+    mu AS (
+      SELECT SUM(cov) / COUNT(*) AS mu FROM full_m WHERE u1 = u2
+    ),
+    lamv AS (
+      SELECT ANY_VALUE(shrinkage) AS lam
+      FROM read_parquet('""" + staged_glob + """')
+    ),
+    sig AS (
+      SELECT u1, u2,
+             (1.0 - lam) * cov
+               + CASE WHEN u1 = u2 THEN lam * mu ELSE 0.0 END AS cov
+      FROM full_m CROSS JOIN mu CROSS JOIN lamv
+    )"""
+    else:
+        sigma_cte = """
+    sig AS (SELECT u1, u2, cov FROM full_m)"""
+    return f"""
+    WITH s AS ({{s_sql}}),
+    base AS (
+      SELECT user_id, rn, lr FROM s
+      WHERE user_id < 20 AND lr IS NOT NULL
+    ),{align_cte}
+    tri AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             COVAR_SAMP(a.lr, b.lr) AS cov, COUNT(*) AS n
+      FROM ab a JOIN ab b
+        ON a.rn = b.rn AND a.user_id <= b.user_id
+      GROUP BY 1, 2 HAVING COUNT(*) > 10
+    ),
+    full_m AS (
+      SELECT u1, u2, cov FROM tri
+      UNION ALL
+      SELECT u2, u1, cov FROM tri WHERE u1 <> u2
+    ),{sigma_cte},
+    w AS (
+      SELECT user_id, weight{extra_cols}
+      FROM read_parquet('{staged_glob}')
+    ),
+    mrc AS (
+      SELECT sig.u1 AS user_id, SUM(sig.cov * w2.weight) AS mrc
+      FROM sig JOIN w w2 ON sig.u2 = w2.user_id
+      GROUP BY sig.u1
+    ),
+    pv AS (
+      SELECT SQRT(SUM(w.weight * mrc.mrc)) AS port_vol
+      FROM w JOIN mrc USING (user_id)
+    )
+    SELECT w.user_id, '{method}' AS method, w.weight,
+           ROUND(w.weight * mrc.mrc / pv.port_vol, 6) AS risk_contrib,
+           ROUND(pv.port_vol, 6) AS port_vol{extra_cols}
+    FROM w JOIN mrc USING (user_id) CROSS JOIN pv
+    """
+
+
 @query("min_variance_weights_n")
 def min_variance_weights_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F16 long-only minimum-variance weights over the full N-asset
     covariance matrix (N=20 universe) — reference
     `etl/portfolio_math.py:312-347` SLSQP, solved here by exact active-set
     elimination on the driver after a distributed covariance aggregation.
-    Rows-only: the N×N inverse is not SQL-expressible; invariants
-    (sum=1, w>=0, dominates equal-weight and every pair solution) are
-    pytest-asserted."""
+
+    The N×N inverse itself is not SQL-expressible, but the output IS
+    value-checked: the solved weights are STAGED and the oracle
+    recomputes the covariance in SQL and re-derives risk_contrib and
+    port_vol from the staged weights independently — the risk
+    decomposition (and therefore the weights' consistency with the
+    data) is differentially verified, while the solve stays pinned by
+    the KKT/numpy tests."""
     from ..operators.portfolio import min_variance_weights
+    from .queries import stage_for_oracle
 
     s = (
         _series(spark, sf_dir)
         .filter(F.col("user_id") < 20)
         .select("user_id", "rn", "lr")
     )
-    return min_variance_weights(s)
+    out = min_variance_weights(s)
+    stage_for_oracle(out.select("user_id", "weight"), "minvar_weights")
+    return out
+
+
+ORACLE["min_variance_weights_n"] = _weights_verify_sql(
+    "/root/repo/spark-warehouse/oracle_stage/minvar_weights/*.parquet", "min_variance"
+).format(s_sql=_S_SQL)
 
 
 @query("min_variance_weights_shrunk")
@@ -1699,32 +1793,60 @@ def min_variance_weights_shrunk_q(spark: SparkSession, sf_dir: str) -> DataFrame
     Σ_λ = (1−λ)S + λμI, with λ estimated from the data (reference
     `etl/portfolio_math.py:266-310`, method="ledoit_wolf" via sklearn;
     re-derived here with the fourth-moment statistic computed as a
-    distributed per-time-point aggregate). Rows-only; λ-monotonicity and
-    the numpy cross-check live in tests/test_portfolio.py."""
+    distributed per-time-point aggregate). Staged-verification oracle:
+    the oracle rebuilds Σ_λ from its OWN aligned-panel SQL covariance
+    plus the staged λ and re-derives the risk decomposition; the λ
+    estimate itself stays pinned against numpy in
+    tests/test_portfolio.py."""
     from ..operators.portfolio import min_variance_weights_shrunk
+    from .queries import stage_for_oracle
 
     s = (
         _series(spark, sf_dir)
         .filter(F.col("user_id") < 20)
         .select("user_id", "rn", "lr")
     )
-    return min_variance_weights_shrunk(s)
+    out = min_variance_weights_shrunk(s)
+    stage_for_oracle(
+        out.select("user_id", "weight", "shrinkage"), "minvar_shrunk_weights"
+    )
+    return out
+
+
+ORACLE["min_variance_weights_shrunk"] = _weights_verify_sql(
+    "/root/repo/spark-warehouse/oracle_stage/minvar_shrunk_weights/*.parquet",
+    "min_variance_lw",
+    aligned=True,
+    shrunk=True,
+    extra_cols=", shrinkage",
+).format(s_sql=_S_SQL)
 
 
 @query("risk_parity_weights_n")
 def risk_parity_weights_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F16 N-asset equal-risk-contribution weights (N=20 universe) —
     reference `etl/portfolio_math.py:349-382`, damped fixed-point on the
-    driver over the distributed covariance. Rows-only; equal risk
-    contributions asserted in pytest."""
+    driver over the distributed covariance. Staged-verification oracle
+    (same scheme as `min_variance_weights_n`): the oracle's independent
+    risk_contrib recomputation IS the ERC optimality check — unequal
+    contributions would surface as a value mismatch against the near-
+    equal ones the fixed point emits."""
     from ..operators.portfolio import risk_parity_weights
+    from .queries import stage_for_oracle
 
     s = (
         _series(spark, sf_dir)
         .filter(F.col("user_id") < 20)
         .select("user_id", "rn", "lr")
     )
-    return risk_parity_weights(s)
+    out = risk_parity_weights(s)
+    stage_for_oracle(out.select("user_id", "weight"), "riskparity_weights")
+    return out
+
+
+ORACLE["risk_parity_weights_n"] = _weights_verify_sql(
+    "/root/repo/spark-warehouse/oracle_stage/riskparity_weights/*.parquet", "risk_parity"
+).format(s_sql=_S_SQL)
 
 
 # ---------------------------------------------------------------------------
