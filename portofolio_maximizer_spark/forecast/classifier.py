@@ -160,6 +160,7 @@ def train_eval_calibrated_classifier(
     max_iter: int = 50,
     reg_param: float = 0.01,
     n_bins: int = 15,
+    stage_fn=None,
 ) -> DataFrame:
     """F13 with the reference's calibration stage: train on folds other
     than {test, calib}, Platt-calibrate on the calib fold, report
@@ -193,6 +194,21 @@ def train_eval_calibrated_classifier(
         platt_confidence(F.col("conf"), a, b).alias("conf"), "correct"
     )
     ece_cal = expected_calibration_error(recal, n_bins=n_bins)
+    if stage_fn is not None:
+        # stage the raw test-fold predictions + the fit's scalar outputs
+        # so a SQL oracle can re-derive accuracy and both ECEs
+        # independently (the LR/Platt FITS stay pytest-pinned)
+        stage_fn(
+            scored.select(
+                "conf",
+                "correct",
+                F.lit(float(a)).alias("platt_a"),
+                F.lit(float(b)).alias("platt_b"),
+                F.lit(float(train_acc)).alias("train_accuracy"),
+                F.lit(train.count()).alias("n_train"),
+                F.lit(calib.count()).alias("n_calib"),
+            )
+        )
     return scored.agg(
         F.round(F.avg("correct"), 6).alias("accuracy"),
         F.lit(train_acc).alias("train_accuracy"),

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..forecast import ar_grid_forecast_fanout, ewma_vol_forecast, ssa_reconstruct
 from ..forecast.classifier import train_eval_calibrated_classifier
 from ..sources.catalog import load_table
-from .queries import query
+from .queries import ORACLE, query
 from .queries_stats import _S_SQL, _series
 
 
@@ -151,9 +151,63 @@ def embedding_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out fold + 15-bin ECE before/after
     (`forcester_ts/directional_classifier.py:54-154`; the reference's
     published gate is accuracy AND ECE, `README.md:150,250`).
-    Deterministic hash fold split."""
+    Deterministic hash fold split.
+
+    Staged-verification oracle: the test-fold (confidence, correct)
+    predictions and the fit's scalar outputs are STAGED; the oracle
+    re-derives accuracy and BOTH ECEs (re-applying the Platt transform
+    to the staged confidences with the staged a, b) from the raw rows
+    independently — the evaluation metrics are differentially checked
+    while the LR and Platt fits stay pinned by the numpy/IRLS tests."""
+    from .queries import stage_for_oracle
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return train_eval_calibrated_classifier(emb)
+    return train_eval_calibrated_classifier(
+        emb, stage_fn=lambda df: stage_for_oracle(df, "classifier_scored")
+    )
+
+
+ORACLE["embedding_classifier_eval"] = """
+    WITH t AS (
+      SELECT * FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/classifier_scored/*.parquet')
+    ),
+    meta AS (
+      SELECT ANY_VALUE(platt_a) AS a, ANY_VALUE(platt_b) AS b,
+             ANY_VALUE(train_accuracy) AS train_accuracy,
+             ANY_VALUE(n_train) AS n_train, ANY_VALUE(n_calib) AS n_calib
+      FROM t
+    ),
+    rb AS (
+      SELECT LEAST(CAST(FLOOR(conf * 15) AS INT), 14) AS bin,
+             COUNT(*) AS n, AVG(correct) AS acc, AVG(conf) AS ac
+      FROM t GROUP BY 1
+    ),
+    er AS (SELECT SUM(n * ABS(acc - ac)) / SUM(n) AS e FROM rb),
+    cal AS (
+      SELECT 1.0 / (1.0 + EXP(-(meta.a
+               * LN(LEAST(GREATEST(conf, 1e-6), 1.0 - 1e-6)
+                    / (1.0 - LEAST(GREATEST(conf, 1e-6), 1.0 - 1e-6)))
+               + meta.b))) AS conf, correct
+      FROM t CROSS JOIN meta
+    ),
+    cb AS (
+      SELECT LEAST(CAST(FLOOR(conf * 15) AS INT), 14) AS bin,
+             COUNT(*) AS n, AVG(correct) AS acc, AVG(conf) AS ac
+      FROM cal GROUP BY 1
+    ),
+    ec AS (SELECT SUM(n * ABS(acc - ac)) / SUM(n) AS e FROM cb)
+    SELECT ROUND(AVG(t.correct), 6) AS accuracy,
+           ANY_VALUE(meta.train_accuracy) AS train_accuracy,
+           COUNT(*) AS n_test,
+           ANY_VALUE(meta.n_train) AS n_train,
+           ANY_VALUE(meta.n_calib) AS n_calib,
+           ROUND(ANY_VALUE(er.e), 6) AS ece_uncalibrated,
+           ROUND(ANY_VALUE(ec.e), 6) AS ece_platt,
+           ROUND(ANY_VALUE(meta.a), 6) AS platt_a,
+           ROUND(ANY_VALUE(meta.b), 6) AS platt_b
+    FROM t CROSS JOIN meta CROSS JOIN er CROSS JOIN ec
+"""
 
 
 # The applyInPandas simulation is the most expensive kernel in the pack and
