@@ -870,25 +870,32 @@ def garch11_fit(
         fb = np.linspace(max(b[i] - 0.04, 0.0), min(b[i] + 0.04, 0.9985), 13)
         a2, b2, ll2 = _garch11_loglik_grid(r2, var0, fa, fb)
         j = int(np.argmax(ll2))
-        alpha, beta, best_ll = float(a2[j]), float(b2[j]), float(ll2[j])
+        # Emit-grain discipline: round (alpha, beta) to the 6-decimal
+        # output grain FIRST and derive omega, the likelihood and the
+        # forecast from the rounded values — the staged parameters then
+        # reproduce the whole recursion exactly, which is what lets the
+        # recursive-CTE verification oracle re-derive loglik/sigma_next.
+        alpha = round(float(a2[j]), 6)
+        beta = round(float(b2[j]), 6)
         omega = var0 * (1.0 - alpha - beta)
-        persistence = alpha + beta
-
-        # 1-step forecast: run the fitted recursion to the end of sample
+        persistence = round(alpha + beta, 6)
         s2 = var0
-        for t in range(1, len(r2) + 1):
+        ll = 0.0
+        for t in range(1, len(r2)):
             s2 = omega + alpha * r2[t - 1] + beta * s2
+            ll -= 0.5 * (np.log(s2) + r2[t] / s2)
+        s2_next = omega + alpha * r2[-1] + beta * s2
         return [
             (
                 uid,
                 int(len(r)),
-                round(omega, 10),
-                round(alpha, 6),
-                round(beta, 6),
-                round(persistence, 6),
-                round(best_ll, 6),
+                round(omega, 6),
+                alpha,
+                beta,
+                persistence,
+                round(float(ll), 6),
                 round(float(np.sqrt(var0)), 6),
-                round(float(np.sqrt(s2)), 6),
+                round(float(np.sqrt(s2_next)), 6),
                 int(persistence >= 0.97),
             )
         ]

@@ -119,11 +119,90 @@ def garch11_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 proper: per-key GARCH(1,1) Gaussian QMLE — variance-targeted
     deterministic grid refine, persistence/IGARCH guard, 1-step vol
     forecast (`forcester_ts/garch.py:129-475`; guard `:351-380`).
-    Rows-only: an iterative per-key MLE is not SQL-expressible; parameter
-    recovery on simulated GARCH paths is pinned in tests/test_forecast.py."""
-    from ..forecast import garch11_fit
+    Parameter recovery on simulated GARCH paths is pinned in
+    tests/test_forecast.py.
 
-    return garch11_fit(_series(spark, sf_dir).select("user_id", "rn", "lr"))
+    Staged-verification oracle: the grid SEARCH is not SQL-expressible,
+    but given the staged (alpha, beta) the entire output is — a
+    recursive CTE replays the variance recursion sigma2_t = omega +
+    alpha r2_{t-1} + beta sigma2_{t-1} from the SQL-computed demeaned
+    squares (the `ewma_vol_recursive` pattern) and re-derives omega,
+    persistence, the Gaussian log-likelihood, the unconditional vol,
+    the 1-step forecast and the IGARCH flag independently."""
+    from ..forecast import garch11_fit
+    from .queries import stage_for_oracle
+
+    out = garch11_fit(_series(spark, sf_dir).select("user_id", "rn", "lr"))
+    out = out.localCheckpoint(eager=True)
+    stage_for_oracle(out.select("user_id", "alpha", "beta"), "garch11_params")
+    return out
+
+
+ORACLE["garch11_fit"] = f"""
+    WITH RECURSIVE s AS ({_S_SQL}),
+    base AS (
+      SELECT user_id, lr,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS seq
+      FROM s WHERE lr IS NOT NULL
+    ),
+    cnt AS (
+      SELECT user_id, COUNT(*) AS n, AVG(lr) AS mu
+      FROM base GROUP BY user_id HAVING COUNT(*) >= 30
+    ),
+    d AS (
+      SELECT b.user_id, b.seq, (b.lr - c.mu) * (b.lr - c.mu) AS r2
+      FROM base b JOIN cnt c USING (user_id)
+    ),
+    v AS (
+      SELECT user_id, AVG(r2) AS var0 FROM d GROUP BY user_id
+      HAVING AVG(r2) > 0
+    ),
+    p AS (
+      SELECT w.user_id, w.alpha, w.beta, v.var0,
+             v.var0 * (1.0 - w.alpha - w.beta) AS omega
+      FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/garch11_params/*.parquet') w
+      JOIN v USING (user_id)
+    ),
+    rec AS (
+      SELECT p.user_id, 0 AS seq, CAST(p.var0 AS DOUBLE) AS s2,
+             CAST(0.0 AS DOUBLE) AS ll FROM p
+      UNION ALL
+      SELECT rec.user_id, rec.seq + 1,
+             p.omega + p.alpha * dp.r2 + p.beta * rec.s2,
+             rec.ll - 0.5 * (LN(p.omega + p.alpha * dp.r2 + p.beta * rec.s2)
+               + dc.r2 / (p.omega + p.alpha * dp.r2 + p.beta * rec.s2))
+      FROM rec
+      JOIN p ON p.user_id = rec.user_id
+      JOIN d dp ON dp.user_id = rec.user_id AND dp.seq = rec.seq
+      JOIN d dc ON dc.user_id = rec.user_id AND dc.seq = rec.seq + 1
+    ),
+    fin AS (
+      SELECT r.user_id, r.s2, r.ll
+      FROM rec r
+      JOIN cnt c ON c.user_id = r.user_id
+      WHERE r.seq = c.n - 1
+    ),
+    last_r2 AS (
+      SELECT d.user_id, d.r2
+      FROM d JOIN cnt c ON c.user_id = d.user_id AND d.seq = c.n - 1
+    )
+    SELECT p.user_id,
+           CAST(c.n AS INTEGER) AS n_obs,
+           ROUND(p.omega, 6) AS omega,
+           p.alpha, p.beta,
+           ROUND(p.alpha + p.beta, 6) AS persistence,
+           ROUND(fin.ll, 6) AS loglik,
+           ROUND(SQRT(p.var0), 6) AS uncond_vol,
+           ROUND(SQRT(p.omega + p.alpha * last_r2.r2 + p.beta * fin.s2), 6)
+             AS sigma_next,
+           CAST(CASE WHEN ROUND(p.alpha + p.beta, 6) >= 0.97
+                THEN 1 ELSE 0 END AS INTEGER) AS igarch_guard
+    FROM p
+    JOIN cnt c USING (user_id)
+    JOIN fin USING (user_id)
+    JOIN last_r2 USING (user_id)
+"""
 
 
 @query("ssa_reconstruction")
