@@ -125,6 +125,12 @@ AR_CANDIDATE_SCHEMA = StructType(
         StructField("lo", DoubleType()),
         StructField("hi", DoubleType()),
         StructField("sigma", DoubleType()),
+        # full-precision fitted coefficients (0.0 beyond order p) — the
+        # staged-verification oracle replays the fit/forecast from these
+        StructField("beta0", DoubleType()),
+        StructField("beta1", DoubleType()),
+        StructField("beta2", DoubleType()),
+        StructField("beta3", DoubleType()),
     ]
 )
 
@@ -170,10 +176,11 @@ def ar_candidate_fits(
             band = 1.96 * sigma * np.sqrt(step)
             # aic stays full-precision here: top-1 selection must rank on
             # the exact value (the in-task path selects before rounding)
+            b = [float(beta[i]) if i < len(beta) else 0.0 for i in range(4)]
             rows.append(
                 (uid, p, float(aic), step,
                  round(yhat, 6), round(yhat - band, 6), round(yhat + band, 6),
-                 round(sigma, 6))
+                 round(sigma, 6), b[0], b[1], b[2], b[3])
             )
         return rows
 
@@ -187,6 +194,7 @@ def ar_grid_forecast_fanout(
     value_col: str = "value",
     orders: Iterable[int] = (1, 2, 3),
     horizon: int = 5,
+    stage_fn=None,
 ) -> DataFrame:
     """F1 fan-out + O4 top-1: dense_rank the candidate table by (aic, p)
     per key and keep the winner's forecast path. Output is identical to
@@ -197,15 +205,25 @@ def ar_grid_forecast_fanout(
 
     cand = ar_candidate_fits(series, key, order_col, value_col, orders, horizon)
     w = Window.partitionBy(key).orderBy("aic", "p")
-    return (
-        cand.withColumn("__rk", F.dense_rank().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(
-            F.col(key),
-            F.col("p").alias("best_order"),
-            F.round("aic", 6).alias("aic"),
-            "horizon_step", "yhat", "lo", "hi", "sigma",
+    winner = cand.withColumn("__rk", F.dense_rank().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    if stage_fn is not None:
+        stage_fn(
+            winner.filter(F.col("horizon_step") == 1).select(
+                F.col(key),
+                F.col("p"),
+                "beta0",
+                "beta1",
+                "beta2",
+                "beta3",
+            )
         )
+    return winner.select(
+        F.col(key),
+        F.col("p").alias("best_order"),
+        F.round("aic", 6).alias("aic"),
+        "horizon_step", "yhat", "lo", "hi", "sigma",
     )
 
 

@@ -24,10 +24,94 @@ def ar_grid_best_aic_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1+O4: AR(p∈{1,2,3}) candidate grid fanned out as (key, order)
     tasks, AIC top-1 via window, 5-step forecast with 95% CI — the
     SARIMAX-stage shape (`forcester_ts/sarimax.py:431-1013`) with the
-    order grid as a first-class shuffle dimension."""
+    order grid as a first-class shuffle dimension.
+
+    Staged-verification oracle: the winning order's full-precision OLS
+    coefficients are STAGED; the oracle recomputes the residuals, RSS,
+    sigma and AIC from the raw series in SQL and replays the recursive
+    5-step forecast with its confidence bands in a recursive CTE — so
+    every emitted value is re-derived independently given the
+    coefficients, while the least-squares solve itself stays pinned by
+    the AR-recovery property tests."""
+    from .queries import stage_for_oracle
+
     return ar_grid_forecast_fanout(
-        _series(spark, sf_dir).select("user_id", "rn", "value")
+        _series(spark, sf_dir).select("user_id", "rn", "value"),
+        stage_fn=lambda df: stage_for_oracle(df, "ar_grid_winner"),
     )
+
+
+ORACLE["ar_grid_best_aic_forecast"] = f"""
+    WITH RECURSIVE s AS ({_S_SQL}),
+    obs AS (
+      SELECT user_id, value AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS idx,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM s
+    ),
+    g AS (
+      SELECT w.user_id, w.p, w.beta0, w.beta1, w.beta2, w.beta3,
+             ANY_VALUE(o.n) AS n
+      FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/ar_grid_winner/*.parquet') w
+      JOIN obs o USING (user_id)
+      GROUP BY 1, 2, 3, 4, 5, 6
+      HAVING ANY_VALUE(o.n) >= 11
+    ),
+    lagged AS (
+      SELECT o.user_id, o.idx, o.x,
+             COALESCE(LAG(o.x, 1) OVER wp, 0.0) AS x1,
+             COALESCE(LAG(o.x, 2) OVER wp, 0.0) AS x2,
+             COALESCE(LAG(o.x, 3) OVER wp, 0.0) AS x3
+      FROM obs o
+      WINDOW wp AS (PARTITION BY o.user_id ORDER BY o.idx)
+    ),
+    res AS (
+      SELECT g.user_id, g.p, g.n,
+             SUM(POWER(l.x - (g.beta0 + ((g.beta1 * l.x1 + g.beta2 * l.x2)
+                                         + g.beta3 * l.x3)), 2)) AS rss
+      FROM lagged l JOIN g ON g.user_id = l.user_id
+      WHERE l.idx >= g.p
+      GROUP BY 1, 2, 3
+    ),
+    fitstat AS (
+      SELECT user_id, p, n, rss,
+             SQRT(rss / GREATEST(n - p - p - 1, 1)) AS sigma,
+             (n - p) * LN(GREATEST(rss / (n - p), 1e-300)) + 2 * (p + 1)
+               AS aic
+      FROM res
+    ),
+    lastv AS (
+      SELECT user_id,
+             MAX(CASE WHEN idx = n - 1 THEN x END) AS h1,
+             MAX(CASE WHEN idx = n - 2 THEN x END) AS h2,
+             MAX(CASE WHEN idx = n - 3 THEN x END) AS h3
+      FROM obs GROUP BY user_id
+    ),
+    fc AS (
+      SELECT g.user_id, 1 AS step,
+             g.beta0 + ((g.beta1 * l.h1 + g.beta2 * l.h2)
+                        + g.beta3 * l.h3) AS yhat,
+             l.h1 AS l1, l.h2 AS l2
+      FROM g JOIN lastv l USING (user_id)
+      UNION ALL
+      SELECT fc.user_id, fc.step + 1,
+             g.beta0 + ((g.beta1 * fc.yhat + g.beta2 * fc.l1)
+                        + g.beta3 * fc.l2),
+             fc.yhat, fc.l1
+      FROM fc JOIN g ON g.user_id = fc.user_id
+      WHERE fc.step < 5
+    )
+    SELECT f.user_id,
+           fs.p AS best_order,
+           ROUND(fs.aic, 6) AS aic,
+           f.step AS horizon_step,
+           ROUND(f.yhat, 6) AS yhat,
+           ROUND(f.yhat - 1.96 * fs.sigma * SQRT(f.step), 6) AS lo,
+           ROUND(f.yhat + 1.96 * fs.sigma * SQRT(f.step), 6) AS hi,
+           ROUND(fs.sigma, 6) AS sigma
+    FROM fc f JOIN fitstat fs USING (user_id)
+"""
 
 
 @query("arima_hr_forecast")
