@@ -1493,6 +1493,11 @@ WALKFORWARD_REFIT_SCHEMA = StructType(
         StructField("rmse", DoubleType()),
         StructField("rmse_naive", DoubleType()),
         StructField("skill", DoubleType()),
+        # full-precision per-fold coefficients (0.0 beyond order) for the
+        # staged-verification oracle; dropped from the query output
+        StructField("beta0", DoubleType()),
+        StructField("beta1", DoubleType()),
+        StructField("beta2", DoubleType()),
     ]
 )
 
@@ -1564,10 +1569,12 @@ def walkforward_refit(
         rmse = float(np.sqrt(np.mean((test - preds) ** 2)))
         rmse_naive = float(np.sqrt(np.mean((test - naive) ** 2)))
         skill = 1.0 - rmse / rmse_naive if rmse_naive > 0 else 0.0
+        b = [float(beta[i]) if i < len(beta) else 0.0 for i in range(3)]
         return [
             (
                 uid, k, len(train), len(test), best, round(float(aic), 6),
                 round(rmse, 6), round(rmse_naive, 6), round(float(skill), 6),
+                b[0], b[1], b[2],
             )
         ]
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import query, r6
+from .queries import ORACLE, query, r6
 from .queries_stats import _S_SQL, _series, _w
 
 
@@ -372,11 +372,91 @@ def walkforward_refit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid refit on each expanding train window, frozen-coefficient
     1-step-ahead scoring over the fold, skill vs naive — reference
     `forcester_ts/walk_forward_learner.py:117-390` (refit per fold).
-    Rows-only: per-fold OLS refits are not SQL-expressible."""
+
+    Staged-verification oracle: the per-fold winning coefficients are
+    STAGED; the oracle rebuilds the ntile folds, recomputes the train
+    AIC from the staged betas with the kernel's exact formulas, replays
+    the frozen-coefficient 1-step-ahead scoring over each fold via lag
+    algebra, and re-derives both RMSEs and the skill — the per-fold OLS
+    solve itself stays pinned by the AR-recovery property tests."""
     from ..forecast import walkforward_refit
+    from .queries import stage_for_oracle
     from .queries_stats import _series
 
-    return walkforward_refit(_series(spark, sf_dir).select("user_id", "rn", "value"))
+    out = walkforward_refit(
+        _series(spark, sf_dir).select("user_id", "rn", "value")
+    ).localCheckpoint(eager=True)
+    stage_for_oracle(
+        out.select("user_id", "fold", "best_order", "beta0", "beta1", "beta2"),
+        "wf_refit_params",
+    )
+    return out.drop("beta0", "beta1", "beta2")
+
+
+from .queries_stats import _S_SQL as _WF_S_SQL
+
+ORACLE["walkforward_refit_eval"] = f"""
+    WITH s AS ({_WF_S_SQL}),
+    tagged AS (
+      SELECT user_id, value AS x, rn,
+             NTILE(5) OVER (PARTITION BY user_id ORDER BY rn) AS fold,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS pos
+      FROM s
+    ),
+    lagged AS (
+      SELECT *,
+             COALESCE(LAG(x, 1) OVER wp, 0.0) AS x1,
+             COALESCE(LAG(x, 2) OVER wp, 0.0) AS x2
+      FROM tagged
+      WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    g AS (
+      SELECT user_id, fold AS eval_fold, best_order AS p,
+             beta0, beta1, beta2
+      FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/wf_refit_params/*.parquet')
+    ),
+    train_res AS (
+      SELECT g.user_id, g.eval_fold, g.p,
+             COUNT(*) AS n_train,
+             SUM(CASE WHEN l.pos > g.p
+                 THEN POWER(l.x - (g.beta0 + ((g.beta1 * l.x1)
+                                              + g.beta2 * l.x2)), 2)
+                 END) AS rss
+      FROM lagged l
+      JOIN g ON g.user_id = l.user_id AND l.fold < g.eval_fold
+      GROUP BY 1, 2, 3
+    ),
+    fitstat AS (
+      SELECT user_id, eval_fold, p, n_train,
+             (n_train - p) * LN(GREATEST(rss / (n_train - p), 1e-300))
+               + 2 * (p + 1) AS aic
+      FROM train_res
+    ),
+    test_sc AS (
+      SELECT g.user_id, g.eval_fold,
+             COUNT(*) AS n_test,
+             SQRT(AVG(POWER(l.x - (g.beta0 + ((g.beta1 * l.x1)
+                                              + g.beta2 * l.x2)), 2)))
+               AS rmse,
+             SQRT(AVG(POWER(l.x - l.x1, 2))) AS rmse_naive
+      FROM lagged l
+      JOIN g ON g.user_id = l.user_id AND l.fold = g.eval_fold
+      GROUP BY 1, 2
+    )
+    SELECT f.user_id, f.eval_fold AS fold,
+           CAST(f.n_train AS INTEGER) AS n_train,
+           CAST(t.n_test AS INTEGER) AS n_test,
+           f.p AS best_order,
+           ROUND(f.aic, 6) AS aic,
+           ROUND(t.rmse, 6) AS rmse,
+           ROUND(t.rmse_naive, 6) AS rmse_naive,
+           ROUND(CASE WHEN t.rmse_naive > 0
+                 THEN 1.0 - t.rmse / t.rmse_naive ELSE 0.0 END, 6) AS skill
+    FROM fitstat f
+    JOIN test_sc t ON t.user_id = f.user_id AND t.eval_fold = f.eval_fold
+    WHERE f.n_train >= 10 AND t.n_test >= 2
+"""
 
 
 # ---------------------------------------------------------------------------
