@@ -1490,3 +1490,212 @@ def ensemble_candidate_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("s_smooth")).alias("s_smooth"),
         r6(F.col("s_da")).alias("s_da"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Strategy optimizer — sampled candidates, constraint gate, capped scoring
+# ---------------------------------------------------------------------------
+
+# Reference `etl/strategy_optimizer.py`: candidate count, the score cap
+# (`:152`, _BARBELL_SCORE_CAP), objective weights and min/max constraints
+# (config-driven there; pinned constants here, interpolated into BOTH
+# engines).
+_SO_N_CANDS = 64
+_SO_SCORE_CAP = 1e6
+_SO_MIN_TRADES = 10
+_SO_MIN_WINRATE = 0.30
+_SO_MAX_VOL = 10.0
+_SO_W_SHARPE, _SO_W_WINRATE, _SO_W_PF = 0.5, 0.3, 0.2
+_SO_TOPK = 10
+
+_SO_HASH = "('0x' || SUBSTR(MD5('cand|' || i || '|{tag}'), 1, 6))::BIGINT / 16777216.0"
+
+
+@query(
+    "strategy_candidate_search",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value,
+             value / LAG(value, 1) OVER wp - 1 AS mom1,
+             value / LAG(value, 2) OVER wp - 1 AS mom2,
+             value / LAG(value, 3) OVER wp - 1 AS mom3,
+             value / LAG(value, 4) OVER wp - 1 AS mom4,
+             LEAD(value, 1) OVER wp / value - 1 AS fwd
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    cand AS (
+      SELECT i AS cand_id,
+             0.05 + ({_SO_HASH.format(tag="t")}) * 1.95 AS threshold,
+             CAST(1 + FLOOR(({_SO_HASH.format(tag="k")}) * 4) AS INT) AS lookback,
+             CASE WHEN {_SO_HASH.format(tag="s")} < 0.5
+                  THEN 'long' ELSE 'both' END AS side
+      FROM (SELECT UNNEST(RANGE(0, {_SO_N_CANDS})) AS i)
+    ),
+    tr AS (
+      SELECT c.cand_id, c.threshold, c.lookback, c.side,
+             CASE WHEN (CASE c.lookback WHEN 1 THEN f.mom1 WHEN 2 THEN f.mom2
+                             WHEN 3 THEN f.mom3 ELSE f.mom4 END) > c.threshold
+                    THEN f.fwd
+                  WHEN c.side = 'both'
+                   AND (CASE c.lookback WHEN 1 THEN f.mom1 WHEN 2 THEN f.mom2
+                             WHEN 3 THEN f.mom3 ELSE f.mom4 END) < -c.threshold
+                    THEN -f.fwd
+             END AS pnl
+      FROM f CROSS JOIN cand c
+      WHERE f.fwd IS NOT NULL
+    ),
+    m AS (
+      SELECT cand_id, threshold, lookback, side,
+             COUNT(*) AS n_trades,
+             SUM(pnl) AS s1, SUM(pnl * pnl) AS s2,
+             AVG(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END) AS win_rate,
+             SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END) AS gross_win,
+             SUM(CASE WHEN pnl < 0 THEN -pnl ELSE 0 END) AS gross_loss
+      FROM tr WHERE pnl IS NOT NULL
+      GROUP BY cand_id, threshold, lookback, side
+    ),
+    sc AS (
+      SELECT *, s1 / n_trades AS mean_ret,
+             SQRT((s2 - s1 * s1 / n_trades) / (n_trades - 1)) AS vol
+      FROM m WHERE n_trades >= {_SO_MIN_TRADES}
+    ),
+    scored AS (
+      SELECT cand_id, threshold, lookback, side, n_trades, win_rate,
+             mean_ret / vol AS sharpe,
+             CASE WHEN gross_loss = 0 THEN {_SO_SCORE_CAP}
+                  ELSE LEAST(gross_win / gross_loss, {_SO_SCORE_CAP})
+             END AS profit_factor
+      FROM sc
+      WHERE vol > 0 AND win_rate >= {_SO_MIN_WINRATE} AND vol <= {_SO_MAX_VOL}
+    )
+    SELECT CAST(cand_id AS BIGINT) AS cand_id,
+           ROUND(threshold, 6) AS threshold, lookback, side,
+           CAST(n_trades AS BIGINT) AS n_trades,
+           ROUND(win_rate, 6) AS win_rate,
+           ROUND(sharpe, 6) AS sharpe,
+           ROUND(profit_factor, 6) AS profit_factor,
+           ROUND({_SO_W_SHARPE} * GREATEST(-{_SO_SCORE_CAP}, LEAST({_SO_SCORE_CAP}, sharpe))
+               + {_SO_W_WINRATE} * GREATEST(-{_SO_SCORE_CAP}, LEAST({_SO_SCORE_CAP}, win_rate))
+               + {_SO_W_PF} * GREATEST(-{_SO_SCORE_CAP}, LEAST({_SO_SCORE_CAP}, profit_factor)),
+               6) AS score
+    FROM scored
+    ORDER BY score DESC, cand_id
+    LIMIT {_SO_TOPK}
+    """,
+)
+def strategy_candidate_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's StrategyOptimizer as one declarative query —
+    `etl/strategy_optimizer.py:43-213`: sample a typed search space
+    (continuous threshold, integer lookback, categorical side,
+    `sample_candidate` `:71-90`), evaluate every candidate on history,
+    fail-closed constraint gate (`_apply_constraints` `:92-140`:
+    total_trades > 0, min/max metric thresholds, NaN rejects), weighted-sum
+    score with the ±1e6 cap on infinite metrics (`score_metrics`
+    `:142-169`), and descending-score selection (`run` `:171-208`).
+
+    Candidates are md5-derived (portable seeded sampling — Spark rand()
+    and the reference's random.Random can never agree; the hash can).
+    The momentum features (4 lookbacks + forward return) are computed ONCE
+    in a single window pass; the 64-candidate dim is broadcast onto the
+    feature stream, so the fact table is scanned once and the only
+    shuffle is the per-candidate partial aggregation — candidate count
+    scales the broadcast row count, never the shuffle count. Infinite
+    profit factor (zero gross loss) hits the cap exactly like the
+    reference; zero-trade and degenerate-volatility candidates drop out
+    fail-closed. Top-k is ORDER BY rounded score LIMIT k
+    (TakeOrderedAndProject)."""
+    from ..functions.scalars import hash_unit_interval
+
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        *[
+            (F.col("value") / F.lag("value", k).over(wp) - 1).alias(f"mom{k}")
+            for k in (1, 2, 3, 4)
+        ],
+        (F.lead("value", 1).over(wp) / F.col("value") - 1).alias("fwd"),
+    ).filter(F.col("fwd").isNotNull())
+
+    def hu(tag: str):
+        return hash_unit_interval(F.lit("cand"), F.col("id"), F.lit(tag))
+
+    cands = spark.range(_SO_N_CANDS).select(
+        F.col("id").alias("cand_id"),
+        (0.05 + hu("t") * 1.95).alias("threshold"),
+        (1 + F.floor(hu("k") * 4)).cast("int").alias("lookback"),
+        F.when(hu("s") < 0.5, "long").otherwise("both").alias("side"),
+    )
+    joined = f.crossJoin(F.broadcast(cands))
+    mom = (
+        F.when(F.col("lookback") == 1, F.col("mom1"))
+        .when(F.col("lookback") == 2, F.col("mom2"))
+        .when(F.col("lookback") == 3, F.col("mom3"))
+        .otherwise(F.col("mom4"))
+    )
+    pnl = F.when(mom > F.col("threshold"), F.col("fwd")).when(
+        (F.col("side") == "both") & (mom < -F.col("threshold")), -F.col("fwd")
+    )
+    trades = joined.select(
+        "cand_id", "threshold", "lookback", "side", pnl.alias("pnl")
+    ).filter(F.col("pnl").isNotNull())
+    p = F.col("pnl")
+    m = trades.groupBy("cand_id", "threshold", "lookback", "side").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(p).alias("s1"),
+        F.sum(p * p).alias("s2"),
+        F.avg(F.when(p > 0, 1.0).otherwise(0.0)).alias("win_rate"),
+        F.sum(F.when(p > 0, p).otherwise(0.0)).alias("gross_win"),
+        F.sum(F.when(p < 0, -p).otherwise(0.0)).alias("gross_loss"),
+    )
+    n = F.col("n_trades")
+    sc = (
+        m.filter(n >= _SO_MIN_TRADES)
+        .withColumn("mean_ret", F.col("s1") / n)
+        .withColumn(
+            "vol",
+            F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)),
+        )
+    )
+    scored = sc.filter(
+        (F.col("vol") > 0)
+        & (F.col("win_rate") >= _SO_MIN_WINRATE)
+        & (F.col("vol") <= _SO_MAX_VOL)
+    ).select(
+        "cand_id",
+        "threshold",
+        "lookback",
+        "side",
+        "n_trades",
+        "win_rate",
+        (F.col("mean_ret") / F.col("vol")).alias("sharpe"),
+        F.when(F.col("gross_loss") == 0, _SO_SCORE_CAP)
+        .otherwise(F.least(F.col("gross_win") / F.col("gross_loss"), F.lit(_SO_SCORE_CAP)))
+        .alias("profit_factor"),
+    )
+
+    def cap(c):
+        return F.greatest(F.lit(-_SO_SCORE_CAP), F.least(F.lit(_SO_SCORE_CAP), c))
+
+    return (
+        scored.select(
+            F.col("cand_id").cast("long").alias("cand_id"),
+            r6(F.col("threshold")).alias("threshold"),
+            "lookback",
+            "side",
+            F.col("n_trades").cast("long").alias("n_trades"),
+            r6(F.col("win_rate")).alias("win_rate"),
+            r6(F.col("sharpe")).alias("sharpe"),
+            r6(F.col("profit_factor")).alias("profit_factor"),
+            r6(
+                _SO_W_SHARPE * cap(F.col("sharpe"))
+                + _SO_W_WINRATE * cap(F.col("win_rate"))
+                + _SO_W_PF * cap(F.col("profit_factor"))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "cand_id")
+        .limit(_SO_TOPK)
+    )

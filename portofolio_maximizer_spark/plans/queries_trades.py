@@ -470,3 +470,321 @@ def sql_view_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY DATE_TRUNC('week', p.o_orderdate)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Full integrity audit — run_full_integrity_audit as ONE query
+# ---------------------------------------------------------------------------
+
+# Reference defaults (`integrity/pnl_integrity_enforcer.py:82-84`); the age
+# cutoff is absolute here because the dataset is fixed (the reference uses
+# now() - 3 days, meaningless against a static corpus).
+_DRIFT_W = 30
+_DRIFT_MIN = 15
+_DRIFT_TH = 0.15
+_QTY_TOL = 0.02
+_STALE_CUTOFF = "1999-01-01"
+
+
+@query(
+    "integrity_audit_report",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_orderkey,
+             COALESCE(SUM(CASE WHEN l_linenumber = 1 THEN l_quantity END), 0)
+               AS open_qty,
+             MAX(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS has_open,
+             COALESCE(SUM(CASE WHEN l_linenumber = 1 AND l_returnflag = 'R'
+                                THEN 1 ELSE 0 END), 0) AS open_flagged,
+             COALESCE(SUM(CASE WHEN l_linenumber = 1 AND l_returnflag = 'R'
+                                THEN l_quantity END), 0) AS open_flagged_qty,
+             COALESCE(SUM(CASE WHEN l_linenumber > 1 AND l_returnflag = 'R'
+                                THEN l_quantity END), 0) AS close_qty,
+             COALESCE(SUM(CASE WHEN l_linenumber > 1 AND l_returnflag = 'R'
+                                THEN 1 ELSE 0 END), 0) AS n_closes,
+             COALESCE(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0)
+               AS null_flag_legs,
+             COALESCE(SUM(CASE WHEN l_linestatus = 'O' AND l_returnflag <> 'R'
+                                THEN 1 ELSE 0 END), 0) AS open_status_unflagged,
+             COALESCE(SUM(CASE WHEN l_linenumber > 1 AND l_returnflag <> 'R'
+                                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                               END), 0) AS untagged_late_net,
+             COALESCE(SUM(CASE WHEN l_linenumber > 1 AND l_returnflag <> 'R'
+                                THEN 1 ELSE 0 END), 0) AS n_untagged_late,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE)
+               AS charge_sum,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)
+                   * CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END), 6) AS pnl
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT p.*, o.o_orderstatus, o.o_orderdate, o.o_totalprice
+      FROM per p JOIN orders o ON o.o_orderkey = p.l_orderkey
+    ),
+    s AS (
+      SELECT
+        CAST(COALESCE(SUM(open_flagged), 0) AS BIGINT) AS c1_n,
+        ROUND(COALESCE(SUM(open_flagged_qty), 0), 6) AS c1_m,
+        CAST(COALESCE(SUM(null_flag_legs), 0) AS BIGINT) AS c2_n,
+        CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' AND n_closes >= 1
+                           AND open_qty - close_qty > {_QTY_TOL}
+                           AND o_orderdate < TIMESTAMP '{_STALE_CUTOFF}'
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3_n,
+        ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' AND n_closes >= 1
+                           AND open_qty - close_qty > {_QTY_TOL}
+                           AND o_orderdate < TIMESTAMP '{_STALE_CUTOFF}'
+                          THEN open_qty - close_qty END), 0), 6) AS c3_m,
+        CAST(COALESCE(SUM(CASE WHEN open_flagged > 0 AND n_closes = 0
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4_n,
+        CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                          THEN open_status_unflagged ELSE 0 END), 0) AS BIGINT)
+          AS c5_n,
+        CAST(COALESCE(SUM(CASE WHEN open_flagged > 0
+                          THEN n_untagged_late ELSE 0 END), 0) AS BIGINT) AS c6_n,
+        ROUND(CAST(COALESCE(SUM(CASE WHEN open_flagged > 0
+                          THEN untagged_late_net END), 0) AS DOUBLE), 6) AS c6_m,
+        CAST(COALESCE(SUM(CASE WHEN n_closes > 0 AND has_open = 0
+                          THEN n_closes ELSE 0 END), 0) AS BIGINT) AS c7_n,
+        CAST(COALESCE(SUM(CASE WHEN ABS(o_totalprice - charge_sum) > {_QTY_TOL}
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS c8_n,
+        ROUND(COALESCE(MAX(ABS(o_totalprice - charge_sum)), 0), 6) AS c8_m,
+        CAST(COALESCE(SUM(CASE WHEN has_open = 1 AND n_closes > 1
+                           AND close_qty > open_qty + {_QTY_TOL}
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS c9_n,
+        ROUND(COALESCE(SUM(CASE WHEN has_open = 1 AND n_closes > 1
+                           AND close_qty > open_qty + {_QTY_TOL}
+                          THEN close_qty - open_qty END), 0), 6) AS c9_m
+      FROM j
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS wins
+      FROM j WHERE o_orderstatus = 'F'
+    ),
+    roll AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS roll_n,
+             CAST(COALESCE(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS roll_wins
+      FROM (SELECT pnl FROM j WHERE o_orderstatus = 'F'
+            ORDER BY o_orderdate DESC, l_orderkey DESC LIMIT {_DRIFT_W})
+    ),
+    dd AS (
+      SELECT CASE WHEN t.n >= {_DRIFT_MIN + _DRIFT_W} AND r.roll_n > 0
+                   AND t.n - r.roll_n > 0
+                  THEN CAST(t.wins - r.roll_wins AS DOUBLE) / (t.n - r.roll_n)
+                       - CAST(r.roll_wins AS DOUBLE) / r.roll_n
+                  ELSE 0.0 END AS drift
+      FROM tot t, roll r
+    )
+    SELECT 'OPENING_LEG_HAS_PNL' AS check_name, 'CRITICAL' AS severity,
+           c1_n AS n_violations, CAST(c1_m AS DOUBLE) AS metric FROM s
+    UNION ALL SELECT 'NULL_PRODUCTION_FLAGS', 'CRITICAL', c2_n,
+           CAST(0.0 AS DOUBLE) FROM s
+    UNION ALL SELECT 'ORPHANED_POSITION', 'HIGH', c3_n,
+           CAST(c3_m AS DOUBLE) FROM s
+    UNION ALL SELECT 'SHORT_ORPHANED_POSITION', 'HIGH', c4_n,
+           CAST(0.0 AS DOUBLE) FROM s
+    UNION ALL SELECT 'DIAGNOSTIC_NOT_FLAGGED', 'HIGH', c5_n,
+           CAST(0.0 AS DOUBLE) FROM s
+    UNION ALL SELECT 'CROSS_MODE_CONTAMINATION', 'HIGH', c6_n,
+           CAST(c6_m AS DOUBLE) FROM s
+    UNION ALL SELECT 'CLOSE_WITHOUT_ENTRY_LINK', 'MEDIUM', c7_n,
+           CAST(0.0 AS DOUBLE) FROM s
+    UNION ALL SELECT 'PNL_ARITHMETIC_MISMATCH', 'MEDIUM', c8_n,
+           CAST(c8_m AS DOUBLE) FROM s
+    UNION ALL SELECT 'DUPLICATE_CLOSE_FOR_ENTRY', 'HIGH', c9_n,
+           CAST(c9_m AS DOUBLE) FROM s
+    UNION ALL SELECT 'METRICS_DRIFT', 'HIGH',
+           CAST(CASE WHEN ABS(drift) > {_DRIFT_TH} THEN {_DRIFT_W}
+                     ELSE 0 END AS BIGINT),
+           CAST(ROUND(drift, 6) AS DOUBLE) FROM dd
+    """,
+)
+def integrity_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``run_full_integrity_audit`` as ONE query: all ten
+    PnL-integrity checks (`integrity/pnl_integrity_enforcer.py:485-498`)
+    evaluated in a single pass and emitted as a violations-report table
+    (check_name, severity, n_violations, metric).
+
+    Check mapping onto the star-schema trades model (opening leg =
+    line 1, closing leg = later lines flagged 'R'):
+
+    - OPENING_LEG_HAS_PNL (`:500-520`): a close-only marker on an opening
+      leg (line-1 leg flagged 'R' inside an order that also has later legs
+      — counted unconditionally, like the reference counts every
+      is_close=0 row carrying realized_pnl).
+    - NULL_PRODUCTION_FLAGS (`:522-552`): legs with a NULL flag column.
+    - ORPHANED_POSITION (`:553-758`): partially-closed stale orders —
+      closes exist but leave unconsumed opener quantity, order is final
+      (not active inventory) and older than the cutoff.
+    - SHORT_ORPHANED_POSITION (`:760+`): flagged line-1 legs ("SELL
+      opens") never followed by a closing leg.
+    - DIAGNOSTIC_NOT_FLAGGED (`:877-898`): mode marker inconsistent with
+      flags — open-status ('O') legs inside final orders, unflagged.
+    - CROSS_MODE_CONTAMINATION (`:900-956`): untagged late legs whose
+      opener is flagged — phantom PnL measured as their net sum.
+    - CLOSE_WITHOUT_ENTRY_LINK (`:1010-1059`): closing legs in orders
+      with no line-1 opener at all.
+    - PNL_ARITHMETIC_MISMATCH (`:1061-1108`): header total vs leg-derived
+      charge total beyond the 2-cent tolerance (exact DECIMAL leg sums).
+    - DUPLICATE_CLOSE_FOR_ENTRY (`:1109-1169`): over-closed openers — the
+      J9 condition as a count.
+    - METRICS_DRIFT (`:956-1008`): last-30 closed-trade win rate vs
+      historical, 15 pp threshold, 45-trade warmup — the rolling set is
+      TakeOrderedAndProject (ORDER BY date DESC LIMIT 30), never a global
+      window, so the check costs two bounded aggregates at any scale.
+
+    100 TB shape: ONE lineitem scan → per-order partial aggregation
+    (map-side combine, shuffle carries one row per order) → join to
+    orders → a single 1-row global aggregate per check family. The final
+    10-row report is built from three 1-row frames; the crossJoins are
+    the documented broadcast-tiny class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    qty = F.col("l_quantity")
+    line1 = F.col("l_linenumber") == 1
+    late = F.col("l_linenumber") > 1
+    flagged = F.col("l_returnflag") == "R"
+    unflagged = F.col("l_returnflag") != "R"
+    net_dec = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,2)")
+    )
+    charge_dec = net_dec * (1 + F.col("l_tax").cast("decimal(8,2)"))
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def csum(cond, val):
+        return F.coalesce(F.sum(F.when(cond, val)), F.lit(0))
+
+    per = li.groupBy("l_orderkey").agg(
+        csum(line1, qty).alias("open_qty"),
+        F.max(F.when(line1, 1).otherwise(0)).alias("has_open"),
+        csum(line1 & flagged, F.lit(1)).alias("open_flagged"),
+        csum(line1 & flagged, qty).alias("open_flagged_qty"),
+        csum(late & flagged, qty).alias("close_qty"),
+        csum(late & flagged, F.lit(1)).alias("n_closes"),
+        csum(F.col("l_returnflag").isNull(), F.lit(1)).alias("null_flag_legs"),
+        csum((F.col("l_linestatus") == "O") & unflagged, F.lit(1)).alias(
+            "open_status_unflagged"
+        ),
+        csum(late & unflagged, net_dec).alias("untagged_late_net"),
+        csum(late & unflagged, F.lit(1)).alias("n_untagged_late"),
+        F.sum(charge_dec).cast("double").alias("charge_sum"),
+        r6(
+            F.sum(net * F.when(flagged, -1).otherwise(1))
+        ).alias("pnl"),
+    )
+    j = per.join(
+        o.select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"),
+        per.l_orderkey == F.col("o_orderkey"),
+    )
+    is_final = F.col("o_orderstatus") == "F"
+    stale = F.col("o_orderdate") < F.lit(_STALE_CUTOFF).cast("timestamp")
+    orphan_cond = (
+        is_final
+        & (F.col("n_closes") >= 1)
+        & (F.col("open_qty") - F.col("close_qty") > _QTY_TOL)
+        & stale
+    )
+    # the reference JOINs the opener row, so an opener must exist
+    # (`pnl_integrity_enforcer.py:1121-1129`); +0.02 is its share tolerance
+    dup_cond = (
+        (F.col("has_open") == 1)
+        & (F.col("n_closes") > 1)
+        & (F.col("close_qty") > F.col("open_qty") + _QTY_TOL)
+    )
+    arith_diff = F.abs(F.col("o_totalprice") - F.col("charge_sum"))
+    s = j.agg(
+        csum(F.lit(True), F.col("open_flagged")).cast("long").alias("c1_n"),
+        r6(csum(F.lit(True), F.col("open_flagged_qty"))).alias("c1_m"),
+        csum(F.lit(True), F.col("null_flag_legs")).cast("long").alias("c2_n"),
+        csum(orphan_cond, F.lit(1)).cast("long").alias("c3_n"),
+        r6(csum(orphan_cond, F.col("open_qty") - F.col("close_qty"))).alias("c3_m"),
+        csum((F.col("open_flagged") > 0) & (F.col("n_closes") == 0), F.lit(1))
+        .cast("long")
+        .alias("c4_n"),
+        csum(is_final, F.col("open_status_unflagged")).cast("long").alias("c5_n"),
+        csum(F.col("open_flagged") > 0, F.col("n_untagged_late"))
+        .cast("long")
+        .alias("c6_n"),
+        r6(
+            csum(F.col("open_flagged") > 0, F.col("untagged_late_net")).cast(
+                "double"
+            )
+        ).alias("c6_m"),
+        csum((F.col("n_closes") > 0) & (F.col("has_open") == 0), F.col("n_closes"))
+        .cast("long")
+        .alias("c7_n"),
+        csum(arith_diff > _QTY_TOL, F.lit(1)).cast("long").alias("c8_n"),
+        r6(F.coalesce(F.max(arith_diff), F.lit(0.0))).alias("c8_m"),
+        csum(dup_cond, F.lit(1)).cast("long").alias("c9_n"),
+        r6(csum(dup_cond, F.col("close_qty") - F.col("open_qty"))).alias("c9_m"),
+    )
+    prod = j.filter(is_final).select("pnl", "o_orderdate", "l_orderkey")
+    win = F.when(F.col("pnl") > 0, 1).otherwise(0)
+    tot = prod.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(win), F.lit(0)).cast("long").alias("wins"),
+    )
+    roll = (
+        prod.orderBy(F.desc("o_orderdate"), F.desc("l_orderkey"))
+        .limit(_DRIFT_W)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("roll_n"),
+            F.coalesce(F.sum(win), F.lit(0)).cast("long").alias("roll_wins"),
+        )
+    )
+    dd = (
+        tot.crossJoin(roll)
+        .select(
+            F.when(
+                (F.col("n") >= _DRIFT_MIN + _DRIFT_W)
+                & (F.col("roll_n") > 0)
+                & (F.col("n") - F.col("roll_n") > 0),
+                (F.col("wins") - F.col("roll_wins")).cast("double")
+                / (F.col("n") - F.col("roll_n"))
+                - F.col("roll_wins").cast("double") / F.col("roll_n"),
+            )
+            .otherwise(0.0)
+            .alias("drift")
+        )
+    )
+
+    def chk(name: str, sev: str, n_col, m_col):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.lit(sev).alias("severity"),
+            n_col.cast("long").alias("n_violations"),
+            m_col.cast("double").alias("metric"),
+        )
+
+    zero = F.lit(0.0)
+    report = (
+        s.crossJoin(dd)
+        .select(
+            F.explode(
+                F.array(
+                    chk("OPENING_LEG_HAS_PNL", "CRITICAL", F.col("c1_n"), F.col("c1_m")),
+                    chk("NULL_PRODUCTION_FLAGS", "CRITICAL", F.col("c2_n"), zero),
+                    chk("ORPHANED_POSITION", "HIGH", F.col("c3_n"), F.col("c3_m")),
+                    chk("SHORT_ORPHANED_POSITION", "HIGH", F.col("c4_n"), zero),
+                    chk("DIAGNOSTIC_NOT_FLAGGED", "HIGH", F.col("c5_n"), zero),
+                    chk("CROSS_MODE_CONTAMINATION", "HIGH", F.col("c6_n"), F.col("c6_m")),
+                    chk("CLOSE_WITHOUT_ENTRY_LINK", "MEDIUM", F.col("c7_n"), zero),
+                    chk("PNL_ARITHMETIC_MISMATCH", "MEDIUM", F.col("c8_n"), F.col("c8_m")),
+                    chk("DUPLICATE_CLOSE_FOR_ENTRY", "HIGH", F.col("c9_n"), F.col("c9_m")),
+                    chk(
+                        "METRICS_DRIFT",
+                        "HIGH",
+                        F.when(F.abs(F.col("drift")) > _DRIFT_TH, _DRIFT_W).otherwise(0),
+                        r6(F.col("drift")),
+                    ),
+                )
+            ).alias("v")
+        )
+        .select("v.*")
+    )
+    return report

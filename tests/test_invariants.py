@@ -204,3 +204,55 @@ def test_candidate_selection_picks_argmax(spark, sf_dir):
         assert r.selection_score <= 1.0 + 1e-9
         if r.s_da == -1.0:
             assert r.candidate != "auto_directional"
+
+
+def test_integrity_audit_report_is_consistent(spark, sf_dir):
+    """The consolidated audit agrees with the standalone checks it
+    subsumes: DUPLICATE_CLOSE_FOR_ENTRY must count exactly the orders the
+    J9 `duplicate_close_overlap` query returns, every check emits one row
+    with the reference's severity, and counts are non-negative."""
+    rows = QUERIES["integrity_audit_report"](spark, sf_dir).collect()
+    rep = {r["check_name"]: r for r in rows}
+    assert len(rows) == 10 and len(rep) == 10
+    dup = QUERIES["duplicate_close_overlap"](spark, sf_dir).count()
+    assert rep["DUPLICATE_CLOSE_FOR_ENTRY"]["n_violations"] == dup
+    sev = {
+        "OPENING_LEG_HAS_PNL": "CRITICAL",
+        "NULL_PRODUCTION_FLAGS": "CRITICAL",
+        "ORPHANED_POSITION": "HIGH",
+        "SHORT_ORPHANED_POSITION": "HIGH",
+        "DIAGNOSTIC_NOT_FLAGGED": "HIGH",
+        "CROSS_MODE_CONTAMINATION": "HIGH",
+        "CLOSE_WITHOUT_ENTRY_LINK": "MEDIUM",
+        "PNL_ARITHMETIC_MISMATCH": "MEDIUM",
+        "DUPLICATE_CLOSE_FOR_ENTRY": "HIGH",
+        "METRICS_DRIFT": "HIGH",
+    }
+    for name, s in sev.items():
+        assert rep[name]["severity"] == s
+        assert rep[name]["n_violations"] >= 0
+    # the drift metric is a win-rate delta: bounded by construction
+    assert abs(rep["METRICS_DRIFT"]["metric"]) <= 1.0
+
+
+def test_strategy_candidate_search_contract(spark, sf_dir):
+    """Reference StrategyOptimizer semantics (`etl/strategy_optimizer.py`):
+    every surviving candidate satisfies the constraint gate, scores are
+    the capped weighted sum of its metrics, and results arrive in
+    descending-score order."""
+    rows = QUERIES["strategy_candidate_search"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["n_trades"] >= 10
+        assert r["win_rate"] >= 0.30 - 1e-9
+        assert 1 <= r["lookback"] <= 4
+        assert r["side"] in ("long", "both")
+        assert 0.05 <= r["threshold"] <= 2.0
+        cap = lambda x: max(-1e6, min(1e6, x))
+        expected = 0.5 * cap(r["sharpe"]) + 0.3 * cap(r["win_rate"]) + 0.2 * cap(
+            r["profit_factor"]
+        )
+        # output metrics are rounded to 6dp, so allow rounding slack
+        assert abs(r["score"] - expected) < 5e-6
