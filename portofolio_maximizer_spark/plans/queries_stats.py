@@ -2019,3 +2019,234 @@ def mssa_policy_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ready, "ready").otherwise("insufficient_support").alias("policy_status"),
         F.when(ready, F.col("best_action")).otherwise(F.lit(1)).alias("selected_action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-analyzer diagnostics: ACF with significance flags
+# ---------------------------------------------------------------------------
+
+_ACF_NLAGS = 20
+
+
+def _acf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key biased ACF at lags 1.._ACF_NLAGS: (user_id, lag, rho, n)."""
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    st = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        (
+            F.sum(F.col("value") * F.col("value"))
+            - F.sum("value") * F.sum("value") / F.count(F.lit(1))
+        ).alias("ssd"),
+    )
+    lags_dim = spark.range(1, _ACF_NLAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    left = s.select("user_id", F.col("rn").alias("rn_t"), F.col("value").alias("y_t"))
+    probe = (
+        s.select("user_id", "rn", F.col("value").alias("y_s"))
+        .crossJoin(F.broadcast(lags_dim))
+        .select("user_id", "lag", (F.col("rn") + F.col("lag")).alias("rn_t"), "y_s")
+    )
+    pairs = left.join(probe, ["user_id", "rn_t"])
+    return (
+        pairs.join(F.broadcast(st), "user_id")
+        .groupBy("user_id", "lag")
+        .agg(
+            (
+                F.sum((F.col("y_t") - F.col("mu")) * (F.col("y_s") - F.col("mu")))
+                / F.max("ssd")
+            ).alias("rho"),
+            F.max("n").alias("n"),
+        )
+    )
+
+
+@query(
+    "acf_significant_lags",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    st AS (
+      SELECT user_id, COUNT(*) AS n, AVG(value) AS mu,
+             SUM(value * value) - SUM(value) * SUM(value) / COUNT(*) AS ssd
+      FROM s GROUP BY user_id
+    ),
+    shifted AS (
+      SELECT a.user_id, i.lag, a.value AS y_t, b.value AS y_s
+      FROM s a
+      JOIN (SELECT UNNEST(RANGE(1, {_ACF_NLAGS + 1})) AS lag) i ON TRUE
+      JOIN s b ON b.user_id = a.user_id AND b.rn + i.lag = a.rn
+    ),
+    acf AS (
+      SELECT sh.user_id, sh.lag,
+             SUM((sh.y_t - st.mu) * (sh.y_s - st.mu)) / MAX(st.ssd) AS rho,
+             MAX(st.n) AS n
+      FROM shifted sh JOIN st ON st.user_id = sh.user_id
+      GROUP BY sh.user_id, sh.lag
+    )
+    SELECT user_id, CAST(lag AS INT) AS lag,
+           ROUND(rho, 6) AS acf,
+           ROUND(1.96 / SQRT(n), 6) AS conf_int,
+           CAST(CASE WHEN ABS(rho) > 1.96 / SQRT(n) THEN 1 ELSE 0 END AS INT)
+             AS is_significant
+    FROM acf
+    """,
+)
+def acf_significant_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-analyzer autocorrelation profile — reference
+    `etl/time_series_analyzer.py:388-437` (`compute_autocorrelation`):
+    per-key ACF at lags 1..20 with the biased (statsmodels-default)
+    estimator rho(k) = sum_t>k (y_t - mu)(y_t-k - mu) / sum_t (y_t - mu)^2,
+    the 1.96/sqrt(n) 95% band, and the significant-lag flag the reference
+    reports.
+
+    Plan: per-key mean/ssd is ONE aggregate (broadcast back); the lagged
+    pairs come from a single co-partitioned self-equijoin on
+    (user_id, rn - lag) with the 20-row lags dim broadcast onto the
+    probe side — rn is dense per key, so the join is exact. Both sides
+    shuffle once on user_id (AQE can co-locate them); pair count is
+    nlags x n rows, linear in the fact, never quadratic. Spark's lag()
+    window needs a literal offset, so the join IS the idiomatic
+    variable-lag formulation."""
+    acf = _acf_frame(spark, sf_dir)
+    ci = 1.96 / F.sqrt(F.col("n"))
+    return acf.select(
+        "user_id",
+        "lag",
+        r6(F.col("rho")).alias("acf"),
+        r6(ci).alias("conf_int"),
+        F.when(F.abs(F.col("rho")) > ci, 1).otherwise(0).cast("int").alias(
+            "is_significant"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PACF via Durbin-Levinson on the per-key ACF vector
+# ---------------------------------------------------------------------------
+
+_PACF_NLAGS = 10
+
+
+@query(
+    "pacf_durbin_levinson",
+    oracle=f"""
+    WITH RECURSIVE s AS ({_S_SQL}),
+    st AS (
+      SELECT user_id, COUNT(*) AS n, AVG(value) AS mu,
+             SUM(value * value) - SUM(value) * SUM(value) / COUNT(*) AS ssd
+      FROM s GROUP BY user_id
+    ),
+    shifted AS (
+      SELECT a.user_id, i.lag, a.value AS y_t, b.value AS y_s
+      FROM s a
+      JOIN (SELECT UNNEST(RANGE(1, {_ACF_NLAGS + 1})) AS lag) i ON TRUE
+      JOIN s b ON b.user_id = a.user_id AND b.rn + i.lag = a.rn
+    ),
+    acf AS (
+      SELECT sh.user_id, sh.lag,
+             ROUND(SUM((sh.y_t - st.mu) * (sh.y_s - st.mu)) / MAX(st.ssd), 6)
+               AS rho,
+             MAX(st.n) AS n
+      FROM shifted sh JOIN st ON st.user_id = sh.user_id
+      GROUP BY sh.user_id, sh.lag
+    ),
+    rhov AS (
+      SELECT user_id, LIST(rho ORDER BY lag) AS rho, MAX(n) AS n
+      FROM acf GROUP BY user_id
+    ),
+    dl AS (
+      SELECT user_id, 1 AS k, [rho[1]] AS phi, rho[1] AS pacf, rho, n
+      FROM rhov
+      UNION ALL
+      SELECT d.user_id, d.k + 1,
+             list_concat(
+               list_transform(range(1, d.k + 1),
+                              j -> d.phi[j] - l.pk * d.phi[d.k + 1 - j]),
+               [l.pk]) AS phi,
+             l.pk AS pacf, d.rho, d.n
+      FROM dl d, LATERAL (
+        SELECT (d.rho[d.k + 1]
+                - list_sum(list_transform(range(1, d.k + 1),
+                                          j -> d.phi[j] * d.rho[d.k + 1 - j])))
+               / (1 - list_sum(list_transform(range(1, d.k + 1),
+                                              j -> d.phi[j] * d.rho[j]))) AS pk
+      ) l
+      WHERE d.k < {_PACF_NLAGS}
+    )
+    SELECT user_id, CAST(k AS INT) AS lag, ROUND(pacf, 6) AS pacf,
+           ROUND(1.96 / SQRT(n), 6) AS conf_int,
+           CAST(CASE WHEN ABS(pacf) > 1.96 / SQRT(n) THEN 1 ELSE 0 END AS INT)
+             AS is_significant
+    FROM dl
+    """,
+)
+def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1..10 via the Durbin-Levinson
+    recursion on the per-key ACF vector — reference
+    `etl/time_series_analyzer.py:388-437` (statsmodels `pacf`; this is
+    the Yule-Walker variant on the biased ACF, which keeps |pacf| <= 1
+    by construction), with the same 1.96/sqrt(n) significance band.
+
+    The recursion input is the ROUNDED ACF (6 dp) on both engines, so
+    the DL iterations start from bit-identical values. Spark runs DL as
+    ten successive narrow projections over an array column — each step
+    materializes pacf_k as a column, so the expression tree stays linear
+    in the lag count (naive inlining is 3^k) and everything remains
+    JVM-side whole-stage codegen: zip_with/reverse/aggregate, no UDF.
+    One row per key; the oracle replays the identical recursion as a
+    recursive CTE over DuckDB lists."""
+    acf = _acf_frame(spark, sf_dir)
+    rhov = acf.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("lag"), r6(F.col("rho")).alias("r")))
+            ),
+            lambda x: x["r"],
+        ).alias("rho"),
+        F.max("n").alias("n"),
+    )
+    df = rhov.select(
+        "user_id",
+        "n",
+        "rho",
+        F.element_at("rho", 1).alias("pacf1"),
+        F.array(F.element_at("rho", 1)).alias("phi"),
+    )
+    for k in range(1, _PACF_NLAGS):
+        rho, phi = F.col("rho"), F.col("phi")
+        num = F.element_at(rho, k + 1) - F.aggregate(
+            F.zip_with(phi, F.reverse(F.slice(rho, 1, k)), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        den = F.lit(1.0) - F.aggregate(
+            F.zip_with(phi, F.slice(rho, 1, k), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        df = df.withColumn(f"pacf{k + 1}", num / den)
+        pk = F.col(f"pacf{k + 1}")
+        df = df.withColumn(
+            "phi",
+            F.concat(
+                F.zip_with(phi, F.reverse(phi), lambda a, b: a - pk * b),
+                F.array(pk),
+            ),
+        )
+    stack = ", ".join(f"{k}, pacf{k}" for k in range(1, _PACF_NLAGS + 1))
+    long = df.select(
+        "user_id",
+        "n",
+        F.expr(f"stack({_PACF_NLAGS}, {stack}) as (lag, pacf)"),
+    )
+    ci = 1.96 / F.sqrt(F.col("n"))
+    return long.select(
+        "user_id",
+        F.col("lag").cast("int").alias("lag"),
+        r6(F.col("pacf")).alias("pacf"),
+        r6(ci).alias("conf_int"),
+        F.when(F.abs(F.col("pacf")) > ci, 1).otherwise(0).cast("int").alias(
+            "is_significant"
+        ),
+    )

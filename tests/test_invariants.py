@@ -256,3 +256,34 @@ def test_strategy_candidate_search_contract(spark, sf_dir):
         )
         # output metrics are rounded to 6dp, so allow rounding slack
         assert abs(r["score"] - expected) < 5e-6
+
+
+def test_pacf_matches_independent_numpy_durbin_levinson(spark, sf_dir):
+    """Replay Durbin-Levinson in numpy from the engine's own ACF output
+    and require the PACF query to agree; also pin pacf(1) == acf(1) and
+    the |pacf| <= 1 guarantee of the Yule-Walker(biased) variant."""
+    import numpy as np
+
+    acf_rows = QUERIES["acf_significant_lags"](spark, sf_dir).collect()
+    pacf_rows = QUERIES["pacf_durbin_levinson"](spark, sf_dir).collect()
+    rho_by_user = {}
+    for r in acf_rows:
+        rho_by_user.setdefault(r["user_id"], {})[r["lag"]] = r["acf"]
+    pacf_by_user = {}
+    for r in pacf_rows:
+        pacf_by_user.setdefault(r["user_id"], {})[r["lag"]] = r["pacf"]
+        assert abs(r["pacf"]) <= 1.0 + 1e-6
+    assert pacf_by_user.keys() == rho_by_user.keys()
+    for uid, rho_map in rho_by_user.items():
+        rho = np.array([rho_map[k] for k in range(1, 21)])
+        phi = np.array([rho[0]])
+        expect = {1: rho[0]}
+        for k in range(1, 10):
+            num = rho[k] - float(phi @ rho[:k][::-1])
+            den = 1.0 - float(phi @ rho[:k])
+            pk = num / den
+            phi = np.concatenate([phi - pk * phi[::-1], [pk]])
+            expect[k + 1] = pk
+        for k in range(1, 11):
+            assert abs(pacf_by_user[uid][k] - expect[k]) < 5e-6, (uid, k)
+        assert abs(pacf_by_user[uid][1] - rho_map[1]) < 2e-6
