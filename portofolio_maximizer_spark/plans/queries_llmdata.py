@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..llmdata import dedup, multimodal, similarity, textstats
 from ..sources.catalog import load_table
-from .queries import query, r6
+from .queries import ORACLE, query, r6
 
 # The MinHash→LSH→verify→components chain is the most expensive dedup
 # kernel and two queries consume its output (neardup_components,
@@ -1172,3 +1172,245 @@ def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("component").alias("n_components"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L27 — character-trigram LM perplexity scoring (CCNet-style quality)
+# ---------------------------------------------------------------------------
+
+# Add-k smoothing constant; the head/middle/tail split is mu +- 0.25 sd of
+# the per-doc mean NLL (a fixed-cut variant of CCNet's perplexity terciles
+# that needs no global sort — the cuts come from a 1-row broadcast agg).
+_LM_ALPHA = 0.1
+_LM_CUT_SD = 0.25
+
+
+@query(
+    "ngram_lm_perplexity",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, SUBSTR(text, i, 3) AS tri, SUBSTR(text, i, 2) AS pre
+      FROM documents, UNNEST(RANGE(1, LEN(text) - 1)) AS u(i)
+    ),
+    tc AS (SELECT tri, COUNT(*) AS c_tri FROM tri GROUP BY tri),
+    pc AS (SELECT pre, COUNT(*) AS c_pre FROM tri GROUP BY pre),
+    v AS (SELECT COUNT(DISTINCT SUBSTR(tri, 3, 1)) AS vsize FROM tri),
+    nll AS (
+      SELECT t.doc_id,
+             -LN((tc.c_tri + {_LM_ALPHA}) / (pc.c_pre + {_LM_ALPHA} * v.vsize))
+               AS nll
+      FROM tri t
+      JOIN tc ON tc.tri = t.tri
+      JOIN pc ON pc.pre = t.pre
+      CROSS JOIN v
+    ),
+    doc AS (
+      SELECT doc_id, COUNT(*) AS n_trigrams, AVG(nll) AS avg_nll
+      FROM nll GROUP BY doc_id
+    ),
+    cuts AS (
+      SELECT AVG(avg_nll) AS mu, STDDEV_SAMP(avg_nll) AS sd FROM doc
+    )
+    SELECT d.doc_id,
+           CAST(d.n_trigrams AS BIGINT) AS n_trigrams,
+           ROUND(d.avg_nll, 6) AS avg_nll,
+           ROUND(EXP(d.avg_nll), 6) AS ppl,
+           CASE WHEN d.avg_nll < c.mu - {_LM_CUT_SD} * c.sd THEN 'head'
+                WHEN d.avg_nll > c.mu + {_LM_CUT_SD} * c.sd THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM doc d CROSS JOIN cuts c
+    """,
+)
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27 CCNet-style LM quality scoring (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    train a character-trigram language model ON the corpus itself
+    (add-k smoothed counts), score every document by its mean negative
+    log-likelihood, and bucket documents head/middle/tail the way CCNet
+    gates its Common Crawl shards. Charter §2.11 text-quality family,
+    beyond the reference (which has no LM scorer).
+
+    100 TB shape: trigram explode is O(total chars) rows; the LM itself
+    is vocabulary-bounded (|charset|^3 keys — KBs here, MBs on real
+    text), so the count tables broadcast and scoring is a map-side join;
+    per-doc aggregation shuffles one row per doc; the head/tail cuts are
+    a 1-row global aggregate broadcast back (NO global sort — this is
+    the fixed-cut variant of CCNet's terciles chosen specifically so the
+    plan has no rank-the-whole-corpus stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr("substring(text, i, 3)").alias("tri"),
+        F.expr("substring(text, i, 2)").alias("pre"),
+    )
+    tc = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("c_tri"))
+    pc = tri.groupBy("pre").agg(F.count(F.lit(1)).alias("c_pre"))
+    v = tri.select(F.substring("tri", 3, 1).alias("c3")).agg(
+        F.countDistinct("c3").alias("vsize")
+    )
+    nll = (
+        tri.join(tc, "tri")
+        .join(pc, "pre")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("c_tri") + _LM_ALPHA)
+                    / (F.col("c_pre") + _LM_ALPHA * F.col("vsize"))
+                )
+            ).alias("nll"),
+        )
+    )
+    doc = nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.avg("nll").alias("avg_nll"),
+    )
+    cuts = doc.agg(
+        F.avg("avg_nll").alias("mu"), F.stddev_samp("avg_nll").alias("sd")
+    )
+    lo = F.col("mu") - _LM_CUT_SD * F.col("sd")
+    hi = F.col("mu") + _LM_CUT_SD * F.col("sd")
+    return doc.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_trigrams",
+        r6(F.col("avg_nll")).alias("avg_nll"),
+        r6(F.exp(F.col("avg_nll"))).alias("ppl"),
+        F.when(F.col("avg_nll") < lo, "head")
+        .when(F.col("avg_nll") > hi, "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L28 — SemDeDup: semantic dedup via cluster-then-prune
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.35
+_SEMDEDUP_SEED = 7
+
+
+@query("semantic_dedup_keeplist")
+def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): k-means
+    cluster the embedding space, then prune semantic duplicates ONLY
+    within each cluster — a pair is a semantic dup when cosine >= tau,
+    and the keep-list retains the lowest vec_id of each dup
+    neighborhood. Charter §2.11 dedup family, beyond the reference.
+
+    100 TB shape: the pairwise stage is confined to clusters (N^2/k
+    work, the paper's own trick); the quantizer is the IVF coarse
+    quantizer already in the engine (`llmdata/similarity.py:238`,
+    seeded MLlib KMeans) whose centroids are a KB-scale broadcast
+    artifact; cluster count grows with N at production so per-cluster
+    population stays bounded. Cosines stay JVM-side (zip_with/aggregate
+    fold).
+
+    Staged-verification oracle: the KMeans FIT is the only
+    non-SQL-expressible step. Its centroids are staged, and the oracle
+    re-derives everything downstream independently — Euclidean argmin
+    assignment, within-cluster pairwise cosines, the tau gate and the
+    lowest-id keep rule — from the raw embeddings table."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..llmdata.similarity import as_double, dot, norm
+    from .queries import stage_for_oracle
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("de")
+    )
+    feats = emb.withColumn("features", array_to_vector("de"))
+    model = KMeans(
+        k=_SEMDEDUP_K, seed=_SEMDEDUP_SEED, maxIter=20
+    ).fit(feats.select("features"))
+    cents = [
+        (i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(cents, "list_id int, ce array<double>")
+    stage_for_oracle(cent_df, "semdedup_centroids")
+    assigned = model.transform(feats).select(
+        "vec_id", "de", F.col("prediction").cast("int").alias("cluster")
+    )
+    a1 = assigned.select(
+        F.col("vec_id").alias("v1"), F.col("de").alias("e1"), "cluster"
+    )
+    a2 = assigned.select(
+        F.col("vec_id").alias("v2"), F.col("de").alias("e2"), "cluster"
+    )
+    pairs = a1.join(a2, "cluster").filter(F.col("v1") < F.col("v2"))
+    cos = dot(F.col("e1"), F.col("e2")) / (
+        norm(F.col("e1")) * norm(F.col("e2"))
+    )
+    dups = (
+        pairs.select("cluster", "v1", "v2", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        .groupBy(F.col("v2").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_neighbors"),
+            F.when(F.col("n_dup").isNull(), 1).otherwise(0).cast("int").alias(
+                "kept"
+            ),
+        )
+    )
+
+
+ORACLE["semantic_dedup_keeplist"] = f"""
+    WITH c AS (
+      SELECT list_id, ce FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/semdedup_centroids/*.parquet')
+    ),
+    d AS (
+      SELECT e.vec_id, c.list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.ce[i], 2)) AS d2
+      FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY e.vec_id, c.list_id
+    ),
+    a AS (
+      SELECT vec_id, list_id AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, list_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    nrm AS (
+      SELECT vec_id,
+             SQRT(SUM(POWER(CAST(embedding[i] AS DOUBLE), 2))) AS nv
+      FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY vec_id
+    ),
+    p AS (
+      SELECT a1.vec_id AS v1, a2.vec_id AS v2,
+             SUM(CAST(e1.embedding[i] AS DOUBLE)
+                 * CAST(e2.embedding[i] AS DOUBLE)) AS dp
+      FROM a a1
+      JOIN a a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+      JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+      JOIN embeddings e2 ON e2.vec_id = a2.vec_id,
+      UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY a1.vec_id, a2.vec_id
+    ),
+    dup AS (
+      SELECT p.v2 AS vec_id, COUNT(*) AS n_dup
+      FROM p JOIN nrm n1 ON n1.vec_id = p.v1
+             JOIN nrm n2 ON n2.vec_id = p.v2
+      WHERE p.dp / (n1.nv * n2.nv) >= {_SEMDEDUP_TAU}
+      GROUP BY p.v2
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+           CAST(COALESCE(dp.n_dup, 0) AS BIGINT) AS n_dup_neighbors,
+           CAST(CASE WHEN dp.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM a LEFT JOIN dup dp ON dp.vec_id = a.vec_id
+    """

@@ -6,8 +6,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+import __spark_entry__ as entrymod
 from portofolio_maximizer_spark.llmdata import dedup, multimodal, similarity
 from portofolio_maximizer_spark.sources.catalog import load_table
+
+QUERIES = entrymod.queries()
 
 
 def test_multimodal_feature_extraction(spark, sf_dir):
@@ -279,3 +282,33 @@ def test_dedup_aware_split_never_splits_a_component(spark, sf_dir):
         .count()
     )
     assert leaky == 0
+
+
+def test_ngram_lm_perplexity_contract(spark, sf_dir):
+    """Smoothed trigram NLL is positive, ppl = exp(avg_nll), and the
+    head/middle/tail buckets partition the corpus."""
+    import math
+
+    rows = QUERIES["ngram_lm_perplexity"](spark, sf_dir).collect()
+    assert rows
+    buckets = {r["bucket"] for r in rows}
+    assert buckets <= {"head", "middle", "tail"}
+    assert "middle" in buckets
+    for r in rows:
+        assert r["avg_nll"] > 0
+        assert r["n_trigrams"] > 0
+        assert abs(r["ppl"] - math.exp(r["avg_nll"])) < max(1e-4, r["ppl"] * 1e-5)
+
+
+def test_semantic_dedup_keeplist_contract(spark, sf_dir):
+    """SemDeDup keep rule: kept <=> no smaller-id dup neighbor; the
+    minimum id of every cluster's dup neighborhood survives, so every
+    cluster retains at least one vector."""
+    rows = QUERIES["semantic_dedup_keeplist"](spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        assert r["kept"] == (1 if r["n_dup_neighbors"] == 0 else 0)
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        assert any(m["kept"] == 1 for m in members), cl
