@@ -244,6 +244,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    on_centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the charter's other scale path beside
     hyperplane LSH: a seeded MLlib KMeans coarse quantizer partitions the
@@ -275,6 +276,10 @@ def ivf_topk(
         (i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())
     ]
     cent_df = spark.createDataFrame(cents, "list_id int, ce array<double>")
+    if on_centroids is not None:
+        # staged-verification hook: lets a caller persist the fitted
+        # quantizer so an external oracle can replay assignment + probing
+        on_centroids(cent_df)
     q = queries.select(
         F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
     )

@@ -689,12 +689,93 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the embeddings table: seeded KMeans coarse quantizer,
     4-of-16 list probing, cosine top-5 — the charter's IVF scale path
-    beside `embedding_lsh_ann`. Rows-only: the KMeans fit is not
-    SQL-expressible; recall vs the brute-force baseline and run-to-run
-    determinism are pytest-asserted."""
+    beside `embedding_lsh_ann`. Recall vs the brute-force baseline and
+    run-to-run determinism are pytest-asserted.
+
+    Staged-verification oracle (upgraded from rows-only): the KMeans FIT
+    is the only non-SQL step; its centroids are staged and the oracle
+    independently replays Euclidean list assignment, the 4-probe
+    selection by centroid cosine, candidate scoring and the per-query
+    top-5 from the raw embeddings table."""
+    from .queries import stage_for_oracle
+
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    out = similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        on_centroids=lambda cdf: stage_for_oracle(cdf, "ivf_centroids"),
+    )
     return out.select("qid", "vec_id", "list_id", r6("cosine").alias("cosine"), "rnk")
+
+
+ORACLE["embedding_ivf_ann"] = """
+    WITH c AS (
+      SELECT list_id, ce FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/ivf_centroids/*.parquet')
+    ),
+    d AS (
+      SELECT e.vec_id, c.list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.ce[i], 2)) AS d2
+      FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY e.vec_id, c.list_id
+    ),
+    a AS (
+      SELECT vec_id, list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, list_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    nrm AS (
+      SELECT vec_id,
+             SQRT(SUM(POWER(CAST(embedding[i] AS DOUBLE), 2))) AS nv
+      FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY vec_id
+    ),
+    cn AS (
+      SELECT list_id, SQRT(SUM(POWER(ce[i], 2))) AS cnv
+      FROM c, UNNEST(RANGE(1, 65)) AS u(i) GROUP BY list_id
+    ),
+    qc AS (
+      SELECT q.vec_id AS qid, c.list_id,
+             SUM(CAST(q.embedding[i] AS DOUBLE) * c.ce[i]) AS qcdot
+      FROM embeddings q, c, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.list_id
+    ),
+    probes AS (
+      SELECT qid, list_id FROM (
+        SELECT qc.qid, qc.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qc.qid
+                 ORDER BY qc.qcdot / (nq.nv * cn.cnv) DESC, qc.list_id) AS pr
+        FROM qc JOIN nrm nq ON nq.vec_id = qc.qid
+                JOIN cn ON cn.list_id = qc.list_id
+      ) WHERE pr <= 4
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id, a.list_id,
+             SUM(CAST(q.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)) AS dp
+      FROM probes p
+      JOIN a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN embeddings e ON e.vec_id = a.vec_id,
+      UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY p.qid, a.vec_id, a.list_id
+    )
+    SELECT qid, vec_id, list_id,
+           ROUND(cosine, 6) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT s.qid, s.vec_id, s.list_id,
+             s.dp / (nq.nv * nv.nv) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.qid
+               ORDER BY s.dp / (nq.nv * nv.nv) DESC, s.vec_id) AS rnk
+      FROM scored s JOIN nrm nq ON nq.vec_id = s.qid
+                    JOIN nrm nv ON nv.vec_id = s.vec_id
+    ) WHERE rnk <= 5
+    """
 
 
 @query(

@@ -862,3 +862,226 @@ def pyds_provider_bars_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("close", "bar_id"), 6).alias("last_close"),
         F.round(F.sum(F.col("volume").cast("double")), 6).alias("total_volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-profile selection ladder (sleeve x volatility regime)
+# ---------------------------------------------------------------------------
+
+# Profile registry — reference `etl/model_profiles.py` loads these from
+# config; pinned literals here, one row per (profile, priority). Sleeves
+# and regimes are '|'-delimited sets with '*' as the match-all sleeve.
+_PROFILES = [
+    # (profile, priority, sleeves, regimes)
+    ("crisis_momentum", 1, "*", "high_vol"),
+    ("equity_trend", 2, "equity", "normal_vol|low_vol"),
+    ("fx_meanrev", 3, "fx", "normal_vol"),
+    ("crypto_vol", 4, "crypto", "high_vol|default"),
+    ("default", 5, "*", "default"),
+]
+_PROFILE_VALUES = ", ".join(
+    f"('{p}', {pr}, '{sl}', '{rg}')" for p, pr, sl, rg in _PROFILES
+)
+# two-sided 5% critical value of Student-t with window-1 = 19 dof — the
+# closed-form stand-in for the reference's scipy ttest_1samp p-value
+_REGIME_W = 20
+_REGIME_TCRIT = 2.093
+
+
+@query(
+    "model_profile_selection",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    rv AS (
+      SELECT user_id, rn,
+             STDDEV_SAMP(lr) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN {_REGIME_W - 1} PRECEDING AND CURRENT ROW) AS vol,
+             COUNT(lr) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN {_REGIME_W - 1} PRECEDING AND CURRENT ROW) AS nv,
+             MAX(rn) OVER (PARTITION BY user_id) AS max_rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_obs
+      FROM s
+    ),
+    cur AS (
+      SELECT user_id, vol AS current_vol, n_obs FROM rv
+      WHERE rn = max_rn AND nv = {_REGIME_W}
+    ),
+    hist AS (
+      SELECT rv.user_id,
+             AVG(rv.vol) AS mu_h, STDDEV_SAMP(rv.vol) AS sd_h,
+             COUNT(*) AS n_h
+      FROM rv JOIN cur ON cur.user_id = rv.user_id
+      WHERE rv.rn BETWEEN rv.max_rn - {_REGIME_W} AND rv.max_rn - 1
+        AND rv.nv = {_REGIME_W}
+      GROUP BY rv.user_id
+    ),
+    regime AS (
+      SELECT c.user_id,
+             CASE (c.user_id % 3) WHEN 0 THEN 'equity'
+                                  WHEN 1 THEN 'fx' ELSE 'crypto' END AS sleeve,
+             ROUND(c.current_vol, 6) AS current_vol,
+             CASE
+               WHEN c.n_obs < {2 * _REGIME_W} OR h.n_h < 2 OR h.sd_h = 0
+                 THEN 'insufficient_data'
+               WHEN ABS((h.mu_h - c.current_vol)
+                        / (h.sd_h / SQRT(h.n_h))) > {_REGIME_TCRIT}
+                 THEN CASE WHEN c.current_vol > h.mu_h
+                           THEN 'high_vol' ELSE 'low_vol' END
+               ELSE 'normal_vol'
+             END AS regime
+      FROM cur c JOIN hist h ON h.user_id = c.user_id
+    ),
+    profiles(profile, priority, sleeves, regimes) AS (
+      VALUES {_PROFILE_VALUES}
+    ),
+    eligible AS (
+      SELECT r.user_id, r.sleeve, r.current_vol, r.regime,
+             p.profile, p.priority,
+             CASE
+               WHEN POSITION('|' || r.regime || '|'
+                             IN '|' || p.regimes || '|') > 0 THEN 0
+               WHEN POSITION('|default|'
+                             IN '|' || p.regimes || '|') > 0 THEN 1
+               WHEN p.profile = 'default' THEN 2
+               ELSE 3
+             END AS match_rank
+      FROM regime r
+      JOIN profiles p
+        ON p.sleeves = '*' OR p.sleeves = r.sleeve
+    )
+    SELECT user_id, sleeve, current_vol, regime, profile,
+           CASE match_rank WHEN 0 THEN 'exact_regime'
+                           WHEN 1 THEN 'default_regime'
+                           WHEN 2 THEN 'global_default'
+                           ELSE 'sleeve_fallback' END AS match_type
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY match_rank, priority) AS pick
+      FROM eligible
+    ) WHERE pick = 1
+    """,
+)
+def model_profile_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-profile selection — reference `etl/model_profiles.py:169-231`
+    (`select_profile_for_sleeve_and_returns`): detect the volatility
+    regime (`etl/regime_detector.py:47-87`: rolling-W std, one-sample
+    t-test of the historical rolling vols against the current vol; the
+    scipy p-value becomes the closed-form |t| > t_crit(5%, W-1) test),
+    then walk the selection ladder per (sleeve, regime): profiles whose
+    sleeves include the key's sleeve, preferring exact regime membership,
+    then 'default'-regime profiles, then the global default — priority
+    breaks ties exactly like the reference's dict order.
+
+    Plan: the regime stage is two window passes + per-key aggregates;
+    the profile registry is a 5-row broadcast dim; selection is a
+    min-(rank, priority) row_number per key. Everything shuffles once on
+    user_id."""
+    s = _series(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    wroll = (
+        W.partitionBy("user_id").orderBy("rn").rowsBetween(-(_REGIME_W - 1), 0)
+    )
+    wall = W.partitionBy("user_id")
+    rv = s.select(
+        "user_id",
+        "rn",
+        F.stddev_samp("lr").over(wroll).alias("vol"),
+        F.count("lr").over(wroll).alias("nv"),
+        F.max("rn").over(wall).alias("max_rn"),
+        F.count(F.lit(1)).over(wall).alias("n_obs"),
+    )
+    cur = rv.filter(
+        (F.col("rn") == F.col("max_rn")) & (F.col("nv") == _REGIME_W)
+    ).select("user_id", F.col("vol").alias("current_vol"), "n_obs")
+    hist = (
+        rv.join(cur.select("user_id"), "user_id")
+        .filter(
+            F.col("rn").between(
+                F.col("max_rn") - _REGIME_W, F.col("max_rn") - 1
+            )
+            & (F.col("nv") == _REGIME_W)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.avg("vol").alias("mu_h"),
+            F.stddev_samp("vol").alias("sd_h"),
+            F.count(F.lit(1)).alias("n_h"),
+        )
+    )
+    t = F.abs(
+        (F.col("mu_h") - F.col("current_vol"))
+        / (F.col("sd_h") / F.sqrt(F.col("n_h")))
+    )
+    regime = cur.join(hist, "user_id").select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, "equity")
+        .when(F.col("user_id") % 3 == 1, "fx")
+        .otherwise("crypto")
+        .alias("sleeve"),
+        F.round("current_vol", 6).alias("current_vol"),
+        F.when(
+            (F.col("n_obs") < 2 * _REGIME_W)
+            | (F.col("n_h") < 2)
+            | (F.col("sd_h") == 0),
+            "insufficient_data",
+        )
+        .when(
+            t > _REGIME_TCRIT,
+            F.when(F.col("current_vol") > F.col("mu_h"), "high_vol").otherwise(
+                "low_vol"
+            ),
+        )
+        .otherwise("normal_vol")
+        .alias("regime"),
+    )
+    profiles = regime.sparkSession.createDataFrame(
+        _PROFILES, "profile string, priority int, sleeves string, regimes string"
+    )
+    elig = regime.join(
+        F.broadcast(profiles),
+        (F.col("sleeves") == "*") | (F.col("sleeves") == F.col("sleeve")),
+    )
+    in_regimes = (
+        F.instr(
+            F.concat(F.lit("|"), F.col("regimes"), F.lit("|")),
+            F.concat(F.lit("|"), F.col("regime"), F.lit("|")),
+        )
+        > 0
+    )
+    has_default = (
+        F.instr(F.concat(F.lit("|"), F.col("regimes"), F.lit("|")), F.lit("|default|"))
+        > 0
+    )
+    ranked = elig.select(
+        "user_id",
+        "sleeve",
+        "current_vol",
+        "regime",
+        "profile",
+        "priority",
+        F.when(in_regimes, 0)
+        .when(has_default, 1)
+        .when(F.col("profile") == "default", 2)
+        .otherwise(3)
+        .alias("match_rank"),
+    )
+    pick = F.row_number().over(
+        W.partitionBy("user_id").orderBy("match_rank", "priority")
+    )
+    return (
+        ranked.withColumn("pick", pick)
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            "sleeve",
+            "current_vol",
+            "regime",
+            "profile",
+            F.when(F.col("match_rank") == 0, "exact_regime")
+            .when(F.col("match_rank") == 1, "default_regime")
+            .when(F.col("match_rank") == 2, "global_default")
+            .otherwise("sleeve_fallback")
+            .alias("match_type"),
+        )
+    )

@@ -788,3 +788,136 @@ def integrity_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v.*")
     )
     return report
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-position mark-to-market (option intrinsics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "synthetic_mtm_valuation",
+    oracle="""
+    WITH spot AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice) / SUM(l_quantity) AS spot
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 0
+      GROUP BY l_partkey
+    ),
+    legs AS (
+      SELECT l.l_orderkey, l.l_partkey, l.l_quantity AS qty,
+             l.l_extendedprice / l.l_quantity AS strike,
+             CASE l.l_returnflag WHEN 'N' THEN 'spot'
+                                 WHEN 'A' THEN 'call'
+                                 ELSE 'put' END AS leg_type,
+             CASE WHEN l.l_linenumber % 2 = 1 THEN 1 ELSE -1 END AS direction,
+             1 + (l.l_linenumber % 3) AS multiplier
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'O' AND l.l_quantity > 0
+    ),
+    valued AS (
+      SELECT lg.l_orderkey,
+             CASE WHEN s.spot IS NULL THEN 0 ELSE 1 END AS priced,
+             CASE
+               WHEN s.spot IS NULL THEN 0.0
+               WHEN lg.leg_type = 'spot' THEN
+                 lg.direction * lg.qty * s.spot * lg.multiplier
+               WHEN lg.leg_type = 'call' THEN
+                 CASE WHEN lg.strike <= 0 OR s.spot <= 0 THEN 0.0
+                      ELSE lg.direction * lg.qty
+                           * GREATEST(s.spot - lg.strike, 0.0) * lg.multiplier
+                 END
+               ELSE
+                 CASE WHEN lg.strike <= 0 OR s.spot <= 0 THEN 0.0
+                      ELSE lg.direction * lg.qty
+                           * GREATEST(lg.strike - s.spot, 0.0) * lg.multiplier
+                 END
+             END AS leg_value
+      FROM legs lg LEFT JOIN spot s ON s.l_partkey = lg.l_partkey
+    )
+    SELECT l_orderkey AS orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_legs,
+           CAST(SUM(priced) AS BIGINT) AS n_priced_legs,
+           ROUND(SUM(leg_value), 6) AS mtm
+    FROM valued GROUP BY l_orderkey
+    """,
+)
+def synthetic_mtm_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-position mark-to-market — reference
+    `etl/synthetic_pricer.py:104-164` (`compute_synthetic_mtm` +
+    `_option_intrinsic`): MTM = sum_i direction_i * qty_i * unit_value_i
+    where spot/cash legs price at spot x multiplier, call/put legs at
+    plain intrinsic value (max(S-K,0) / max(K-S,0)) x multiplier,
+    degenerate strikes or spots value to zero, unknown leg types value
+    to zero ("avoid fantasy PnL"), and legs without a spot reference are
+    skipped (`:140-142`) — reported via the n_priced_legs column.
+
+    Mapping: open ('O') orders are the synthetic positions, their
+    lineitems the legs; the spot book is the quantity-weighted recent
+    unit price per part (legs shipped 2000+). Leg attributes
+    (type/direction/multiplier/strike) derive deterministically from the
+    leg row. Plan shape: the spot book is a per-part aggregate joined
+    back (AQE broadcast when small, shuffle join at scale), then one
+    per-order aggregation — two shuffles total at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    spot = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 0)
+        )
+        .groupBy("l_partkey")
+        .agg((F.sum("l_extendedprice") / F.sum("l_quantity")).alias("spot"))
+    )
+    legs = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "O").select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_quantity").alias("qty"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("strike"),
+            F.when(F.col("l_returnflag") == "N", "spot")
+            .when(F.col("l_returnflag") == "A", "call")
+            .otherwise("put")
+            .alias("leg_type"),
+            F.when(F.col("l_linenumber") % 2 == 1, 1).otherwise(-1).alias(
+                "direction"
+            ),
+            (1 + F.col("l_linenumber") % 3).alias("multiplier"),
+        )
+    )
+    j = legs.join(spot, "l_partkey", "left")
+    base = F.col("direction") * F.col("qty") * F.col("multiplier")
+    degenerate = (F.col("strike") <= 0) | (F.col("spot") <= 0)
+    leg_value = (
+        F.when(F.col("spot").isNull(), 0.0)
+        .when(F.col("leg_type") == "spot", base * F.col("spot"))
+        .when(
+            F.col("leg_type") == "call",
+            F.when(degenerate, 0.0).otherwise(
+                base * F.greatest(F.col("spot") - F.col("strike"), F.lit(0.0))
+            ),
+        )
+        .otherwise(
+            F.when(degenerate, 0.0).otherwise(
+                base * F.greatest(F.col("strike") - F.col("spot"), F.lit(0.0))
+            )
+        )
+    )
+    priced = F.when(F.col("spot").isNull(), 0).otherwise(1)
+    return (
+        j.select(
+            "l_orderkey", priced.alias("priced"), leg_value.alias("leg_value")
+        )
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_legs"),
+            F.sum("priced").cast("long").alias("n_priced_legs"),
+            r6(F.sum("leg_value")).alias("mtm"),
+        )
+    )
