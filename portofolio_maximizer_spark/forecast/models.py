@@ -1278,6 +1278,19 @@ def ssa_core(
     """Pure-numpy SSA kernel (exposed for property tests): returns
     (rank_used, evr_at_rank, recon_rmse, naive_rmse) or None if the
     series is too short."""
+    full = ssa_core_full(x, window, evr_target)
+    if full is None:
+        return None
+    r, evr_r, rmse, naive, _, _ = full
+    return (r, evr_r, rmse, naive)
+
+
+def ssa_core_full(
+    x: np.ndarray, window: int, evr_target: float
+) -> tuple[int, float, float, float, np.ndarray, np.ndarray] | None:
+    """ssa_core plus the staging artifacts: the diagonal-averaged
+    reconstruction at the chosen rank and the full singular-value vector
+    (what the staged-verification oracle re-derives rank/EVR/RMSE from)."""
     n = len(x)
     L = min(window, n // 2)
     if L < 2:
@@ -1287,7 +1300,7 @@ def ssa_core(
     U, s, Vt = np.linalg.svd(H, full_matrices=False)
     total = np.sum(s**2)
     if total == 0:
-        return (1, 1.0, 0.0, 0.0)
+        return (1, 1.0, 0.0, 0.0, x.copy(), s)
     evr = np.cumsum(s**2) / total
     r = int(np.searchsorted(evr, evr_target) + 1)
     r = min(r, len(s))
@@ -1300,7 +1313,49 @@ def ssa_core(
     recon /= counts
     rmse = float(np.sqrt(np.mean((x - recon) ** 2)))
     naive = float(np.sqrt(np.mean(np.diff(x) ** 2)))
-    return (r, float(evr[r - 1]), rmse, naive)
+    return (r, float(evr[r - 1]), rmse, naive, recon, s)
+
+
+SSA_COMP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("kind", IntegerType()),
+        StructField("idx", IntegerType()),
+        StructField("val", DoubleType()),
+    ]
+)
+
+
+def ssa_components(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    window: int = 12,
+    evr_target: float = 0.9,
+) -> DataFrame:
+    """The SVD-stage artifacts of `ssa_reconstruct` as a long table:
+    kind 0 = the rank-truncated diagonal-averaged reconstruction
+    (idx = 1-based series position), kind 1 = the singular values
+    (idx = component number). Everything the SSA summary reports is
+    derivable from these rows plus the raw series by relational algebra
+    alone — which is exactly how `ssa_reconstruction` and its oracle
+    both consume them."""
+    from ..operators.arrowgroup import grouped_numpy
+
+    def kern(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        full = ssa_core_full(x, window, evr_target)
+        if full is None:
+            return []
+        _, _, _, _, recon, s = full
+        rows = [(uid, 0, i + 1, float(v)) for i, v in enumerate(recon)]
+        rows += [(uid, 1, j + 1, float(v)) for j, v in enumerate(s)]
+        return rows
+
+    return grouped_numpy(series, [key], SSA_COMP_SCHEMA, kern)
 
 
 SAMOSSA_SCHEMA = StructType(

@@ -292,8 +292,122 @@ ORACLE["garch11_fit"] = f"""
 @query("ssa_reconstruction")
 def ssa_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: SSA Hankel-SVD reconstruction quality per key
-    (`forcester_ts/samossa.py:116-556`)."""
-    return ssa_reconstruct(_series(spark, sf_dir).select("user_id", "rn", "value"))
+    (`forcester_ts/samossa.py:116-556`).
+
+    Staged-verification oracle (upgraded from rows-only): the SVD is the
+    only non-SQL step. Its artifacts — the rank-truncated reconstruction
+    and the singular values — are staged, and BOTH engines then derive
+    the summary independently by relational algebra: n and the naive
+    diff-RMSE from the raw series alone, the reconstruction RMSE from
+    raw joined to the staged recon, and the rank/EVR by replaying the
+    90%-EVR cumulative scan over the staged singular values."""
+    from pyspark.sql import Window as W
+
+    from ..forecast.models import ssa_components
+    from .queries import stage_for_oracle
+
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    comp = ssa_components(s).localCheckpoint(eager=True)
+    stage_for_oracle(comp, "ssa_components")
+    wp = W.partitionBy("user_id").orderBy("rn")
+    raw = s.select(
+        "user_id",
+        "value",
+        F.row_number().over(wp).alias("idx"),
+        F.lag("value").over(wp).alias("prev"),
+    )
+    base = raw.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.sqrt(F.avg(F.pow(F.col("value") - F.col("prev"), 2))).alias("naive_rmse"),
+    )
+    recon = comp.filter(F.col("kind") == 0).select(
+        "user_id", "idx", F.col("val").alias("recon")
+    )
+    rmse = (
+        raw.join(recon, ["user_id", "idx"])
+        .groupBy("user_id")
+        .agg(
+            F.sqrt(F.avg(F.pow(F.col("value") - F.col("recon"), 2))).alias(
+                "recon_rmse"
+            )
+        )
+    )
+    sv = comp.filter(F.col("kind") == 1).select("user_id", "idx", "val")
+    wj = W.partitionBy("user_id").orderBy("idx")
+    evr = sv.select(
+        "user_id",
+        "idx",
+        (
+            F.sum(F.col("val") * F.col("val")).over(wj)
+            / F.sum(F.col("val") * F.col("val")).over(W.partitionBy("user_id"))
+        ).alias("evr_j"),
+    )
+    rank = (
+        evr.filter(F.col("evr_j") >= 0.9)
+        .groupBy("user_id")
+        .agg(F.min("idx").cast("int").alias("rank_used"))
+    )
+    evr_at = rank.join(evr, "user_id").filter(
+        F.col("idx") == F.col("rank_used")
+    ).select("user_id", "rank_used", F.col("evr_j").alias("evr"))
+    return (
+        base.join(rmse, "user_id")
+        .join(evr_at, "user_id")
+        .select(
+            "user_id",
+            "n",
+            "rank_used",
+            F.round("evr", 6).alias("evr"),
+            F.round("recon_rmse", 6).alias("recon_rmse"),
+            F.round("naive_rmse", 6).alias("naive_rmse"),
+        )
+    )
+
+
+ORACLE["ssa_reconstruction"] = f"""
+    WITH s AS ({_S_SQL}),
+    comp AS (
+      SELECT user_id, kind, idx, val FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/ssa_components/*.parquet')
+    ),
+    raw AS (
+      SELECT user_id, value, rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS idx,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+      FROM s
+    ),
+    base AS (
+      SELECT user_id, CAST(COUNT(*) AS INT) AS n,
+             SQRT(AVG(POWER(value - prev, 2))) AS naive_rmse
+      FROM raw GROUP BY user_id
+    ),
+    rmse AS (
+      SELECT r.user_id,
+             SQRT(AVG(POWER(r.value - c.val, 2))) AS recon_rmse
+      FROM raw r JOIN comp c
+        ON c.user_id = r.user_id AND c.kind = 0 AND c.idx = r.idx
+      GROUP BY r.user_id
+    ),
+    evr AS (
+      SELECT user_id, idx,
+             SUM(val * val) OVER (PARTITION BY user_id ORDER BY idx
+               ROWS UNBOUNDED PRECEDING)
+             / SUM(val * val) OVER (PARTITION BY user_id) AS evr_j
+      FROM comp WHERE kind = 1
+    ),
+    rk AS (
+      SELECT user_id, CAST(MIN(idx) AS INT) AS rank_used
+      FROM evr WHERE evr_j >= 0.9 GROUP BY user_id
+    )
+    SELECT b.user_id, b.n, rk.rank_used,
+           ROUND(e.evr_j, 6) AS evr,
+           ROUND(m.recon_rmse, 6) AS recon_rmse,
+           ROUND(b.naive_rmse, 6) AS naive_rmse
+    FROM base b
+    JOIN rmse m ON m.user_id = b.user_id
+    JOIN rk ON rk.user_id = b.user_id
+    JOIN evr e ON e.user_id = b.user_id AND e.idx = rk.rank_used
+    """
 
 
 @query("samossa_forecast")
