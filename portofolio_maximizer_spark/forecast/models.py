@@ -493,6 +493,78 @@ def arima_hr_forecast(
     return grouped_numpy(series, [key], ARIMA_SCHEMA, fit)
 
 
+ARIMA_COMP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("kind", IntegerType()),
+        StructField("idx", IntegerType()),
+        StructField("val", DoubleType()),
+    ]
+)
+
+
+def arima_hr_components(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+) -> DataFrame:
+    """The solver artifacts of `arima_hr_forecast`'s WINNING candidate as
+    a long table, for the staged-verification oracle: kind 0 = the
+    parameter vector (idx 1..9 = p, d, q, c, phi1, phi2, theta1, theta2,
+    t0 — phi/theta zero-padded to the grid max), kind 1 = the step-1
+    long-AR residual series e_long aligned with the (differenced) y
+    (idx = 1-based position). Given these rows plus the raw series,
+    every output of the forecast query — step-2 residuals, RSS, sigma,
+    AIC, the recursive forecast path, psi-weight variance bands, d=1
+    integration — is re-derivable by relational algebra; only the two
+    least-squares solves stay kernel-side (pinned by the ARMA-recovery
+    property tests)."""
+    from ..operators.arrowgroup import grouped_numpy
+
+    def kern(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        if len(x) < 40:
+            return []
+        d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
+        t0_common = _ARIMA_T0_COMMON
+        best = None
+        for p_, q_ in _ARIMA_PQ_GRID:
+            y = np.diff(x, d) if d else x
+            n = len(y)
+            m_long = min(max(8, p_ + q_ + 4), n // 4)
+            bl, _, _ = _fit_ar(y, m_long)
+            e_long = np.zeros(n)
+            Xl = np.column_stack(
+                [np.ones(n - m_long)]
+                + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+            )
+            e_long[m_long:] = y[m_long:] - Xl @ bl
+            r = _fit_arma_hr(y, p_, q_, e_long, t0_min=t0_common)
+            if r is None:
+                continue
+            beta, theta, sigma, aic, e_fit = r
+            if best is None or aic < best[0]:
+                best = (aic, p_, d, q_, beta, theta, e_long, y)
+        if best is None:
+            return []
+        aic, p_, d, q_, beta, theta, e_long, y = best
+        phi = list(beta[1 : p_ + 1]) + [0.0] * (2 - p_)
+        th = list(theta) + [0.0] * (2 - q_)
+        t0 = max(t0_common, p_, q_)
+        params = [
+            float(p_), float(d), float(q_), float(beta[0]),
+            phi[0], phi[1], th[0], th[1], float(t0),
+        ]
+        rows = [(uid, 0, i + 1, v) for i, v in enumerate(params)]
+        rows += [(uid, 1, i + 1, float(v)) for i, v in enumerate(e_long)]
+        return rows
+
+    return grouped_numpy(series, [key], ARIMA_COMP_SCHEMA, kern)
+
+
 ARIMA_WARM_SCHEMA = StructType(
     list(ARIMA_SCHEMA.fields)
     + [

@@ -1319,6 +1319,14 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed-cut variant of CCNet's terciles chosen specifically so the
     plan has no rank-the-whole-corpus stage)."""
     docs = load_table(spark, sf_dir, "documents")
+    # the explode multiplies rows ~n_chars x, so byte-based input splits
+    # underestimate the CPU downstream: a single small parquet file would
+    # run the whole trigram stream in ONE task. Re-split only when the
+    # scan is under-parallelized (on a real cluster maxPartitionBytes
+    # already yields enough splits and this is a no-op).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     tri = docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
@@ -1328,14 +1336,27 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, i, 3)").alias("tri"),
         F.expr("substring(text, i, 2)").alias("pre"),
     )
-    tc = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("c_tri"))
-    pc = tri.groupBy("pre").agg(F.count(F.lit(1)).alias("c_pre"))
-    v = tri.select(F.substring("tri", 3, 1).alias("c3")).agg(
-        F.countDistinct("c3").alias("vsize")
+    # ONE corpus-wide shuffle builds the trigram LM; the prefix counts and
+    # the vocab size roll up from it (every trigram occurrence IS a prefix
+    # occurrence over the same index range), so the corpus is never
+    # re-shuffled for them. The LM tables are vocab-bounded — broadcast.
+    # The count table is localCheckpoint'd: it has |charset|^3-bounded rows
+    # but three consumers (broadcast LM, prefix rollup, vocab size), and
+    # without the checkpoint each consumer would re-run the corpus explode.
+    tc = (
+        tri.groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("c_tri"))
+        .localCheckpoint(eager=True)
+    )
+    pc = tc.groupBy(F.substring("tri", 1, 2).alias("pre")).agg(
+        F.sum("c_tri").alias("c_pre")
+    )
+    v = tc.agg(
+        F.countDistinct(F.substring("tri", 3, 1)).alias("vsize")
     )
     nll = (
-        tri.join(tc, "tri")
-        .join(pc, "pre")
+        tri.join(F.broadcast(tc), "tri")
+        .join(F.broadcast(pc), "pre")
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
@@ -1347,9 +1368,16 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
-    doc = nll.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-        F.avg("nll").alias("avg_nll"),
+    # per-doc scores feed both the head/tail cut aggregate and the final
+    # projection — checkpoint one row per doc so the corpus-wide scoring
+    # join runs once, not twice
+    doc = (
+        nll.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.avg("nll").alias("avg_nll"),
+        )
+        .localCheckpoint(eager=True)
     )
     cuts = doc.agg(
         F.avg("avg_nll").alias("mu"), F.stddev_samp("avg_nll").alias("sd")
