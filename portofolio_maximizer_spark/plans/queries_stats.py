@@ -2039,18 +2039,20 @@ def _acf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("value") * F.sum("value") / F.count(F.lit(1))
         ).alias("ssd"),
     )
-    lags_dim = spark.range(1, _ACF_NLAGS + 1).select(
-        F.col("id").cast("int").alias("lag")
-    )
     left = s.select("user_id", F.col("rn").alias("rn_t"), F.col("value").alias("y_t"))
-    probe = (
-        s.select("user_id", "rn", F.col("value").alias("y_s"))
-        .crossJoin(F.broadcast(lags_dim))
-        .select("user_id", "lag", (F.col("rn") + F.col("lag")).alias("rn_t"), "y_s")
-    )
+    # the lags dimension is exploded in-row (no join node, no broadcast
+    # nested loop); the per-key stats join is UNHINTED — st has one row
+    # per key, which is broadcastable at test scale but corpus-keyed at
+    # 100 TB, so AQE must make the call
+    probe = s.select(
+        "user_id",
+        "rn",
+        F.col("value").alias("y_s"),
+        F.explode(F.sequence(F.lit(1), F.lit(_ACF_NLAGS))).alias("lag"),
+    ).select("user_id", "lag", (F.col("rn") + F.col("lag")).alias("rn_t"), "y_s")
     pairs = left.join(probe, ["user_id", "rn_t"])
     return (
-        pairs.join(F.broadcast(st), "user_id")
+        pairs.join(st, "user_id")
         .groupBy("user_id", "lag")
         .agg(
             (
