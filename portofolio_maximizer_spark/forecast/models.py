@@ -740,6 +740,82 @@ def _fit_lagged_hr(
     return beta, sigma, float(aic), e_fit
 
 
+def sarimax_hr_components(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+) -> DataFrame:
+    """The solver artifacts of `sarimax_hr_forecast`'s winning candidate
+    (no-exog configuration) as a long table for the staged-verification
+    oracle: kind 0 = the parameter vector (idx 1..14 = p, d, q, P, Q, s,
+    t0, c, phi1, phi2, phi_s, th1, th2, th_s — seasonal coefficients
+    zero when absent), kind 1 = the step-1 long-AR residual series.
+    Because every detected period (7/12/24/52) exceeds the 5-step
+    horizon, seasonal terms in the forecast recursion always reference
+    OBSERVED values, so the oracle replay needs only the same
+    two-lag recursion state as plain ARIMA plus equi-joins at lag s."""
+    from ..operators.arrowgroup import grouped_numpy
+
+    def kern(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        if len(x) < 40:
+            return []
+        d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
+        y = np.diff(x, d) if d else x
+        n = len(y)
+        s = detect_seasonal_period(y)
+        pq_grid = [(p_, q_) for p_ in (0, 1, 2) for q_ in (0, 1, 2)]
+        spq_grid = [(0, 0), (1, 0), (0, 1), (1, 1)] if s else [(0, 0)]
+        t0_common = max(2, s)
+        m_long = min(max(8, (s or 0) + 4, 8), max(n // 4, 1))
+        bl, _, _ = _fit_ar(y, m_long)
+        e_long = np.zeros(n)
+        Xl = np.column_stack(
+            [np.ones(n - m_long)]
+            + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+        )
+        e_long[m_long:] = y[m_long:] - Xl @ bl
+        best = None
+        for p_, q_ in pq_grid:
+            for P_, Q_ in spq_grid:
+                ar_lags = list(range(1, p_ + 1)) + ([s] if P_ else [])
+                ma_lags = list(range(1, q_ + 1)) + ([s] if Q_ else [])
+                if not ar_lags and not ma_lags:
+                    continue
+                r = _fit_lagged_hr(y, ar_lags, ma_lags, e_long, t0_common, None)
+                if r is None:
+                    continue
+                beta, sigma, aic, e_fit = r
+                if best is None or aic < best[0]:
+                    best = (aic, p_, q_, P_, Q_, ar_lags, ma_lags, beta)
+        if best is None:
+            return []
+        aic, p_, q_, P_, Q_, ar_lags, ma_lags, beta = best
+        n_ar = len(ar_lags)
+        b_ar = list(beta[1 : 1 + n_ar])
+        b_ma = list(beta[1 + n_ar :])
+        phi1 = b_ar[0] if p_ >= 1 else 0.0
+        phi2 = b_ar[1] if p_ >= 2 else 0.0
+        phis = b_ar[-1] if P_ else 0.0
+        th1 = b_ma[0] if q_ >= 1 else 0.0
+        th2 = b_ma[1] if q_ >= 2 else 0.0
+        ths = b_ma[-1] if Q_ else 0.0
+        params = [
+            float(p_), float(d), float(q_), float(P_), float(Q_),
+            float(s), float(t0_common), float(beta[0]),
+            float(phi1), float(phi2), float(phis),
+            float(th1), float(th2), float(ths),
+        ]
+        rows = [(uid, 0, i + 1, v) for i, v in enumerate(params)]
+        rows += [(uid, 1, i + 1, float(v)) for i, v in enumerate(e_long)]
+        return rows
+
+    return grouped_numpy(series, [key], ARIMA_COMP_SCHEMA, kern)
+
+
 def sarimax_hr_forecast(
     series: DataFrame,
     key: str = "user_id",

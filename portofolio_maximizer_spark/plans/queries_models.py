@@ -316,13 +316,208 @@ def sarimax_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACF-autodetected period + the non-seasonal grid, Hannan–Rissanen
     closed-form OLS, AIC top-1 on a common conditioning window
     (`forcester_ts/sarimax.py:212-222` autodetect, `:708-1013` seasonal
-    fit). Rows-only; period recovery + seasonal-beats-plain-ARIMA AIC
-    pinned in tests/test_forecast.py."""
-    from ..forecast import sarimax_hr_forecast
+    fit). Period recovery + seasonal-beats-plain-ARIMA AIC pinned in
+    tests/test_forecast.py.
 
-    return sarimax_hr_forecast(
-        _series(spark, sf_dir).select("user_id", "rn", "value")
+    Staged-verification oracle (upgraded from rows-only), same scheme as
+    `arima_hr_forecast` with the seasonal twist: every detected period
+    (7/12/24/52) exceeds the 5-step horizon, so the seasonal terms in
+    the forecast recursion always hit OBSERVED values — the recursive
+    CTE keeps the plain two-lag state and picks up the lag-s terms by
+    equi-join. Seasonal coefficients never enter psi_1..psi_4 (s > 4),
+    so the variance ladder is the ARIMA unroll unchanged."""
+    from ..forecast import sarimax_hr_forecast
+    from ..forecast.models import sarimax_hr_components
+    from .queries import stage_for_oracle
+
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    stage_for_oracle(sarimax_hr_components(s), "sarimax_components")
+    return sarimax_hr_forecast(s)
+
+
+_SARIMAX_PAR_SQL = """
+      SELECT user_id,
+             MAX(CASE idx WHEN 1 THEN val END) AS p,
+             MAX(CASE idx WHEN 2 THEN val END) AS d,
+             MAX(CASE idx WHEN 3 THEN val END) AS q,
+             MAX(CASE idx WHEN 4 THEN val END) AS sp,
+             MAX(CASE idx WHEN 5 THEN val END) AS sq,
+             MAX(CASE idx WHEN 6 THEN val END) AS s,
+             MAX(CASE idx WHEN 7 THEN val END) AS t0,
+             MAX(CASE idx WHEN 8 THEN val END) AS c,
+             MAX(CASE idx WHEN 9 THEN val END) AS phi1,
+             MAX(CASE idx WHEN 10 THEN val END) AS phi2,
+             MAX(CASE idx WHEN 11 THEN val END) AS phis,
+             MAX(CASE idx WHEN 12 THEN val END) AS th1,
+             MAX(CASE idx WHEN 13 THEN val END) AS th2,
+             MAX(CASE idx WHEN 14 THEN val END) AS ths
+      FROM comp WHERE kind = 0 GROUP BY user_id
+"""
+
+
+ORACLE["sarimax_hr_forecast"] = f"""
+    WITH RECURSIVE s AS ({_S_SQL}),
+    comp AS (
+      SELECT user_id, kind, idx, val FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/sarimax_components/*.parquet')
+    ),
+    par AS ({_SARIMAX_PAR_SQL}),
+    obs AS (
+      SELECT user_id, value AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS nx
+      FROM s
+    ),
+    lastx AS (SELECT user_id, x FROM obs WHERE i = nx - 1),
+    y AS (
+      SELECT o.user_id,
+             CASE WHEN par.d = 1
+                  THEN o.x - LAG(o.x) OVER (PARTITION BY o.user_id ORDER BY o.i)
+                  ELSE o.x END AS y,
+             CASE WHEN par.d = 1 THEN o.i - 1 ELSE o.i END AS t
+      FROM obs o JOIN par ON par.user_id = o.user_id
+      QUALIFY t >= 0 AND y IS NOT NULL
+    ),
+    el AS (SELECT user_id, idx - 1 AS t, val AS e FROM comp WHERE kind = 1),
+    resid AS (
+      SELECT yy.user_id, yy.t,
+             yy.y - (par.c
+                     + par.phi1 * y1.y + par.phi2 * y2.y
+                     + par.phis * COALESCE(ys.y, 0)
+                     + par.th1 * e1.e + par.th2 * e2.e
+                     + par.ths * COALESCE(es.e, 0)) AS r
+      FROM y yy
+      JOIN par ON par.user_id = yy.user_id
+      JOIN y y1 ON y1.user_id = yy.user_id AND y1.t = yy.t - 1
+      JOIN y y2 ON y2.user_id = yy.user_id AND y2.t = yy.t - 2
+      LEFT JOIN y ys ON ys.user_id = yy.user_id
+                    AND par.s > 0 AND ys.t = yy.t - par.s
+      JOIN el e1 ON e1.user_id = yy.user_id AND e1.t = yy.t - 1
+      JOIN el e2 ON e2.user_id = yy.user_id AND e2.t = yy.t - 2
+      LEFT JOIN el es ON es.user_id = yy.user_id
+                     AND par.s > 0 AND es.t = yy.t - par.s
+      WHERE yy.t >= par.t0
+    ),
+    sig AS (
+      SELECT f.user_id, f.m,
+             par.p + par.q + par.sp + par.sq + 1 AS k,
+             SQRT(f.rss / GREATEST(f.m - (par.p + par.q + par.sp + par.sq + 1),
+                                   1)) AS sigma,
+             f.m * LN(GREATEST(f.rss / f.m, 1e-300))
+               + 2 * (par.p + par.q + par.sp + par.sq + 1) AS aic
+      FROM (SELECT user_id, SUM(r * r) AS rss, COUNT(*) AS m
+            FROM resid GROUP BY user_id) f
+      JOIN par ON par.user_id = f.user_id
+    ),
+    tmax AS (SELECT user_id, MAX(t) AS tm FROM y GROUP BY user_id),
+    efit AS (
+      -- the kernel's errs vector: zeros before t0, step-2 residuals after
+      SELECT yy.user_id, yy.t, COALESCE(r.r, 0.0) AS e
+      FROM y yy LEFT JOIN resid r ON r.user_id = yy.user_id AND r.t = yy.t
+    ),
+    st0 AS (
+      SELECT t.user_id, ya.y AS h1, yb.y AS h2, ea.e AS e1, eb.e AS e2, t.tm
+      FROM tmax t
+      JOIN y ya ON ya.user_id = t.user_id AND ya.t = t.tm
+      JOIN y yb ON yb.user_id = t.user_id AND yb.t = t.tm - 1
+      JOIN efit ea ON ea.user_id = t.user_id AND ea.t = t.tm
+      JOIN efit eb ON eb.user_id = t.user_id AND eb.t = t.tm - 1
+    ),
+    fc AS (
+      SELECT user_id, 0 AS h, h1, h2, e1, e2, tm, CAST(NULL AS DOUBLE) AS pred
+      FROM st0
+      UNION ALL
+      SELECT f.user_id, f.h + 1,
+             par.c + par.phi1 * f.h1 + par.phi2 * f.h2
+               + par.phis * COALESCE(ys.y, 0)
+               + par.th1 * f.e1 + par.th2 * f.e2
+               + par.ths * COALESCE(es.e, 0),
+             f.h1,
+             0.0,
+             f.e1,
+             f.tm,
+             par.c + par.phi1 * f.h1 + par.phi2 * f.h2
+               + par.phis * COALESCE(ys.y, 0)
+               + par.th1 * f.e1 + par.th2 * f.e2
+               + par.ths * COALESCE(es.e, 0)
+      FROM fc f
+      JOIN par ON par.user_id = f.user_id
+      LEFT JOIN y ys ON ys.user_id = f.user_id
+                    AND par.s > 0 AND ys.t = f.tm + f.h + 1 - par.s
+      LEFT JOIN efit es ON es.user_id = f.user_id
+                       AND par.s > 0 AND es.t = f.tm + f.h + 1 - par.s
+      WHERE f.h < 5
+    ),
+    preds AS (
+      SELECT user_id, h, pred,
+             SUM(pred) OVER (PARTITION BY user_id ORDER BY h) AS cpred
+      FROM fc WHERE h >= 1
+    ),
+    ps AS (SELECT user_id, 1.0 AS psi0, phi1 + th1 AS psi1 FROM par),
+    ps2 AS (
+      SELECT p.user_id, p.psi0, p.psi1,
+             par.phi1 * p.psi1 + par.phi2 + par.th2 AS psi2
+      FROM ps p JOIN par ON par.user_id = p.user_id
+    ),
+    ps3 AS (
+      SELECT p.user_id, p.psi0, p.psi1, p.psi2,
+             par.phi1 * p.psi2 + par.phi2 * p.psi1 AS psi3
+      FROM ps2 p JOIN par ON par.user_id = p.user_id
+    ),
+    ps4 AS (
+      SELECT p.user_id, p.psi0, p.psi1, p.psi2, p.psi3,
+             par.phi1 * p.psi3 + par.phi2 * p.psi2 AS psi4
+      FROM ps3 p JOIN par ON par.user_id = p.user_id
+    ),
+    pv AS (
+      SELECT p.user_id, par.d,
+             psi0, psi1, psi2, psi3, psi4,
+             psi0 AS pi0,
+             psi0 + psi1 AS pi1,
+             psi0 + psi1 + psi2 AS pi2,
+             psi0 + psi1 + psi2 + psi3 AS pi3,
+             psi0 + psi1 + psi2 + psi3 + psi4 AS pi4
+      FROM ps4 p JOIN par ON par.user_id = p.user_id
+    ),
+    vr AS (
+      SELECT user_id, hh.h,
+             CASE WHEN d = 1 THEN
+               CASE hh.h WHEN 1 THEN pi0*pi0
+                         WHEN 2 THEN pi0*pi0 + pi1*pi1
+                         WHEN 3 THEN pi0*pi0 + pi1*pi1 + pi2*pi2
+                         WHEN 4 THEN pi0*pi0 + pi1*pi1 + pi2*pi2 + pi3*pi3
+                         ELSE pi0*pi0 + pi1*pi1 + pi2*pi2 + pi3*pi3 + pi4*pi4
+               END
+             ELSE
+               CASE hh.h WHEN 1 THEN psi0*psi0
+                         WHEN 2 THEN psi0*psi0 + psi1*psi1
+                         WHEN 3 THEN psi0*psi0 + psi1*psi1 + psi2*psi2
+                         WHEN 4 THEN psi0*psi0 + psi1*psi1 + psi2*psi2 + psi3*psi3
+                         ELSE psi0*psi0 + psi1*psi1 + psi2*psi2 + psi3*psi3 + psi4*psi4
+               END
+             END AS vfac
+      FROM pv, (SELECT UNNEST(RANGE(1, 6)) AS h) hh
     )
+    SELECT pr.user_id,
+           CAST(par.p AS INT) AS p, CAST(par.d AS INT) AS d,
+           CAST(par.q AS INT) AS q,
+           CAST(par.sp AS INT) AS sp, CAST(par.sq AS INT) AS sq,
+           CAST(par.s AS INT) AS s,
+           ROUND(sig.aic, 6) AS aic,
+           CAST(pr.h AS INT) AS horizon_step,
+           ROUND(CASE WHEN par.d = 1 THEN lx.x + pr.cpred ELSE pr.pred END, 6)
+             AS yhat,
+           ROUND((CASE WHEN par.d = 1 THEN lx.x + pr.cpred ELSE pr.pred END)
+                 - 1.96 * SQRT(sig.sigma * sig.sigma * vr.vfac), 6) AS lo,
+           ROUND((CASE WHEN par.d = 1 THEN lx.x + pr.cpred ELSE pr.pred END)
+                 + 1.96 * SQRT(sig.sigma * sig.sigma * vr.vfac), 6) AS hi,
+           ROUND(sig.sigma, 6) AS sigma
+    FROM preds pr
+    JOIN par ON par.user_id = pr.user_id
+    JOIN sig ON sig.user_id = pr.user_id
+    JOIN lastx lx ON lx.user_id = pr.user_id
+    JOIN vr ON vr.user_id = pr.user_id AND vr.h = pr.h
+    """
 
 
 @query("garch_grid_fit")
