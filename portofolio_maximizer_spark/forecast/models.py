@@ -1167,6 +1167,7 @@ def garch_grid_fit(
     key: str = "user_id",
     order_col: str = "rn",
     ret_col: str = "lr",
+    round_out: bool = True,
 ) -> DataFrame:
     """F2 full: per-key GARCH(p,q) over p,q ∈ {1,2} with the reference's
     distribution ladder (normal → Student-t) — reference
@@ -1257,8 +1258,14 @@ def garch_grid_fit(
             s2 = omega + a1 * R2[:, t - 1][:, None] + a2 * R2[:, t - 2][:, None]
             s2 += b1 * s2_prev + b2 * s2_prev2
             np.maximum(s2, 1e-300, out=s2)
+            live = valid[:, t][:, None]
+            # hold the state at var0 until each key's own conditioning
+            # start: without this, left-padded (shorter) keys warm the
+            # recursion up one step early and their likelihood disagrees
+            # with the per-key sigma^2 path the output reports
+            s2 = np.where(live > 0, s2, np.broadcast_to(var0[:, None], shape))
             step = _LOG2PI + np.log(s2) + R2[:, t][:, None] / s2
-            ll -= 0.5 * valid[:, t][:, None] * step
+            ll -= 0.5 * live * step
             s2_prev2, s2_prev = s2_prev, s2
         return ll
 
@@ -1353,16 +1360,20 @@ def garch_grid_fit(
                 dist, nu, ll_best, aic_best = "t", float(nu_best), ll_t_best, aic_t
             else:
                 dist, nu, ll_best, aic_best = "normal", 0.0, ll_n, aic_n
+            # round_out=False keeps solver precision so the coefficients
+            # can be STAGED for the verification oracle (rounding then
+            # happens once, at the query layer, on both engines)
+            rr = (lambda v, nd=6: round(v, nd)) if round_out else (lambda v, nd=6: v)
             out.append(
                 (
-                    uid, p, q, dist, round(nu, 6),
-                    round(omega, 10), round(float(al[0]), 6),
-                    round(float(al[1]) if p > 1 else 0.0, 6),
-                    round(float(be[0]), 6),
-                    round(float(be[1]) if q > 1 else 0.0, 6),
-                    round(pers, 6),
-                    round(ll_best, 6), round(aic_best, 6),
-                    round(sigma_next, 6), int(pers >= 0.97),
+                    uid, p, q, dist, rr(nu),
+                    rr(omega, 10), rr(float(al[0])),
+                    rr(float(al[1]) if p > 1 else 0.0),
+                    rr(float(be[0])),
+                    rr(float(be[1]) if q > 1 else 0.0),
+                    rr(pers),
+                    rr(ll_best), rr(aic_best),
+                    rr(sigma_next), int(pers >= 0.97),
                 )
             )
         return out

@@ -525,11 +525,159 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 full: GARCH(p,q) order grid (p,q ∈ {1,2}) + normal→Student-t
     distribution ladder, AIC-selected per key (`forcester_ts/garch.py:
     129-475`). Gaussian QMLE coarse-to-fine grids per family; ν profiled
-    on the fitted variance path. Rows-only; t-parameter recovery and
-    AIC-prefers-t pinned in tests/test_forecast.py."""
-    from ..forecast import garch_grid_fit
+    on the fitted variance path. t-parameter recovery and AIC-prefers-t
+    pinned in tests/test_forecast.py.
 
-    return garch_grid_fit(_series(spark, sf_dir).select("user_id", "rn", "lr"))
+    Staged-verification oracle (upgraded from rows-only): only the
+    winning (p, q, alpha, beta) vector is staged — at FULL precision,
+    rounding happens here at the query layer. The oracle re-derives
+    everything else from the raw return series: the demeaned windowed
+    squares, var0 and omega via variance targeting, the full sigma^2
+    recursion as a recursive CTE, the Gaussian log-likelihood, the
+    ENTIRE Student-t nu ladder (lgamma closed form), the normal-vs-t
+    AIC decision, the 1-step vol forecast and the IGARCH guard."""
+    from ..forecast import garch_grid_fit
+    from .queries import stage_for_oracle
+
+    raw = garch_grid_fit(
+        _series(spark, sf_dir).select("user_id", "rn", "lr"), round_out=False
+    ).localCheckpoint(eager=True)
+    stage_for_oracle(
+        raw.select("user_id", "p", "q", "alpha1", "alpha2", "beta1", "beta2"),
+        "garch_grid_params",
+    )
+    r6_ = lambda c: F.round(c, 6)  # noqa: E731
+    return raw.select(
+        "user_id",
+        "p",
+        "q",
+        "dist",
+        r6_(F.col("nu")).alias("nu"),
+        F.round(F.col("omega"), 10).alias("omega"),
+        r6_(F.col("alpha1")).alias("alpha1"),
+        r6_(F.col("alpha2")).alias("alpha2"),
+        r6_(F.col("beta1")).alias("beta1"),
+        r6_(F.col("beta2")).alias("beta2"),
+        r6_(F.col("persistence")).alias("persistence"),
+        r6_(F.col("loglik")).alias("loglik"),
+        r6_(F.col("aic")).alias("aic"),
+        r6_(F.col("sigma_next")).alias("sigma_next"),
+        "igarch_guard",
+    )
+
+
+_GARCH_NU_VALUES = "(4.0), (5.0), (6.0), (8.0), (10.0), (15.0), (20.0), (30.0)"
+
+
+ORACLE["garch_grid_fit"] = f"""
+    WITH RECURSIVE s AS ({_S_SQL}),
+    par AS (
+      SELECT user_id, p, q, alpha1 AS a1, alpha2 AS a2, beta1 AS b1,
+             beta2 AS b2, alpha1 + alpha2 + beta1 + beta2 AS pers
+      FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/garch_grid_params/*.parquet')
+    ),
+    obs0 AS (
+      SELECT user_id, lr,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS seq,
+             COUNT(*) OVER (PARTITION BY user_id) AS nn
+      FROM s WHERE lr IS NOT NULL
+    ),
+    win AS (
+      SELECT user_id, lr, seq - (nn - LEAST(nn, 2000)) - 1 AS t
+      FROM obs0 WHERE seq > nn - 2000
+    ),
+    dm AS (
+      SELECT user_id, t,
+             POWER(lr - AVG(lr) OVER (PARTITION BY user_id), 2) AS r2
+      FROM win
+    ),
+    v0 AS (
+      SELECT user_id, AVG(r2) AS var0, CAST(COUNT(*) AS BIGINT) AS n
+      FROM dm GROUP BY user_id HAVING COUNT(*) >= 40 AND AVG(r2) > 0
+    ),
+    rec AS (
+      SELECT p.user_id, 2 AS t,
+             GREATEST(v.var0 * (1 - p.pers)
+                      + p.a1 * r1.r2 + p.a2 * r0.r2
+                      + (p.b1 + p.b2) * v.var0, 1e-300) AS s2,
+             v.var0 AS s2_prev,
+             v.var0, v.n
+      FROM par p
+      JOIN v0 v ON v.user_id = p.user_id
+      JOIN dm r1 ON r1.user_id = p.user_id AND r1.t = 1
+      JOIN dm r0 ON r0.user_id = p.user_id AND r0.t = 0
+      UNION ALL
+      SELECT r.user_id, r.t + 1,
+             GREATEST(r.var0 * (1 - p.pers)
+                      + p.a1 * ra.r2 + p.a2 * rb.r2
+                      + p.b1 * r.s2 + p.b2 * r.s2_prev, 1e-300),
+             r.s2,
+             r.var0, r.n
+      FROM rec r
+      JOIN par p ON p.user_id = r.user_id
+      JOIN dm ra ON ra.user_id = r.user_id AND ra.t = r.t
+      JOIN dm rb ON rb.user_id = r.user_id AND rb.t = r.t - 1
+      WHERE r.t < r.n
+    ),
+    lln AS (
+      SELECT r.user_id,
+             -0.5 * SUM(LN(2 * PI()) + LN(r.s2) + d.r2 / r.s2) AS ll_n,
+             SUM(LN(r.s2)) AS sum_ln_s2,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM rec r JOIN dm d ON d.user_id = r.user_id AND d.t = r.t
+      GROUP BY r.user_id
+    ),
+    tll AS (
+      SELECT r.user_id, nu.v AS nu,
+             CAST(COUNT(*) AS BIGINT)
+               * (LGAMMA((nu.v + 1) / 2) - LGAMMA(nu.v / 2)
+                  - 0.5 * LN((nu.v - 2) * PI()))
+             - 0.5 * SUM(LN(r.s2))
+             - (nu.v + 1) / 2 * SUM(LN(1 + (d.r2 / r.s2) / (nu.v - 2)))
+               AS ll_t
+      FROM rec r
+      JOIN dm d ON d.user_id = r.user_id AND d.t = r.t
+      CROSS JOIN (VALUES {_GARCH_NU_VALUES}) AS nu(v)
+      GROUP BY r.user_id, nu.v
+    ),
+    tbest AS (
+      SELECT user_id, nu, ll_t FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ll_t DESC, nu DESC) AS rk
+        FROM tll) WHERE rk = 1
+    ),
+    signext AS (
+      SELECT r.user_id, SQRT(r.s2) AS sigma_next
+      FROM rec r JOIN v0 v ON v.user_id = r.user_id
+      WHERE r.t = v.n
+    ),
+    dec AS (
+      SELECT p.user_id, p.p, p.q, p.a1, p.a2, p.b1, p.b2, p.pers,
+             v.var0 * (1 - p.pers) AS omega,
+             l.ll_n, 2 * (p.p + p.q + 1) - 2 * l.ll_n AS aic_n,
+             tb.nu, tb.ll_t, 2 * (p.p + p.q + 2) - 2 * tb.ll_t AS aic_t,
+             sn.sigma_next
+      FROM par p
+      JOIN v0 v ON v.user_id = p.user_id
+      JOIN lln l ON l.user_id = p.user_id
+      JOIN tbest tb ON tb.user_id = p.user_id
+      JOIN signext sn ON sn.user_id = p.user_id
+    )
+    SELECT user_id, CAST(p AS INT) AS p, CAST(q AS INT) AS q,
+           CASE WHEN aic_t < aic_n THEN 't' ELSE 'normal' END AS dist,
+           ROUND(CASE WHEN aic_t < aic_n THEN nu ELSE 0.0 END, 6) AS nu,
+           ROUND(omega, 10) AS omega,
+           ROUND(a1, 6) AS alpha1, ROUND(a2, 6) AS alpha2,
+           ROUND(b1, 6) AS beta1, ROUND(b2, 6) AS beta2,
+           ROUND(pers, 6) AS persistence,
+           ROUND(CASE WHEN aic_t < aic_n THEN ll_t ELSE ll_n END, 6) AS loglik,
+           ROUND(CASE WHEN aic_t < aic_n THEN aic_t ELSE aic_n END, 6) AS aic,
+           ROUND(sigma_next, 6) AS sigma_next,
+           CAST(CASE WHEN pers >= 0.97 THEN 1 ELSE 0 END AS INT)
+             AS igarch_guard
+    FROM dec
+    """
 
 
 @query(
