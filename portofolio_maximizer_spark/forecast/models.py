@@ -1629,6 +1629,76 @@ def samossa_forecast(
     return grouped_numpy(series, [key], SAMOSSA_SCHEMA, fc)
 
 
+def samossa_components(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    window: int = 12,
+    evr_target: float = 0.9,
+) -> DataFrame:
+    """The solver artifacts of `samossa_forecast` as a long table for the
+    staged-verification oracle: kind 0 = params (idx 1..8 = rank, nu2, L,
+    ar_p, b0, b1, b2, b3 — AR coefficients zero-padded to 3), kind 1 =
+    the SSA reconstruction (idx = 1-based position), kind 2 = the
+    R-forecast recurrence coefficients (idx = j+1 for R_j). Given these
+    plus the raw series, the oracle re-derives the residual series, the
+    AR sigma, and both forecast recursions relationally; the SVD and the
+    two least-squares solves stay kernel-side."""
+    from ..operators.arrowgroup import grouped_numpy
+
+    def kern(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        n = len(x)
+        L = min(window, n // 2)
+        if L < 3 or n < 40:
+            return []
+        K = n - L + 1
+        H = np.column_stack([x[i : i + L] for i in range(K)])
+        U, s, Vt = np.linalg.svd(H, full_matrices=False)
+        total = float(np.sum(s**2))
+        if total == 0:
+            return []
+        evr = np.cumsum(s**2) / total
+        r = min(int(np.searchsorted(evr, evr_target) + 1), len(s))
+        Hr = (U[:, :r] * s[:r]) @ Vt[:r]
+        recon = np.zeros(n)
+        counts = np.zeros(n)
+        for i in range(K):
+            recon[i : i + L] += Hr[:, i]
+            counts[i : i + L] += 1
+        recon /= counts
+        pi = U[L - 1, :r]
+        nu2 = float(pi @ pi)
+        if nu2 >= 0.999:
+            R = np.zeros(L - 1)
+        else:
+            R = (U[: L - 1, :r] @ pi) / (1.0 - nu2)
+        resid = x - recon
+        best = None
+        for p_ in (1, 2, 3):
+            if len(resid) < p_ + 10:
+                continue
+            beta, sigma, aic = _fit_ar(resid, p_)
+            if best is None or aic < best[0]:
+                best = (aic, p_, beta)
+        if best is None:
+            return []
+        _, p_, beta = best
+        b = list(beta) + [0.0] * (4 - len(beta))
+        params = [
+            float(r), nu2, float(L), float(p_), b[0], b[1], b[2], b[3]
+        ]
+        rows = [(uid, 0, i + 1, float(v)) for i, v in enumerate(params)]
+        rows += [(uid, 1, i + 1, float(v)) for i, v in enumerate(recon)]
+        rows += [(uid, 2, j + 1, float(v)) for j, v in enumerate(R)]
+        return rows
+
+    return grouped_numpy(series, [key], ARIMA_COMP_SCHEMA, kern)
+
+
 # ---------------------------------------------------------------------------
 # F4 surrogate — CUSUM change-point detection (the MSSA-RL stage's
 # change-point core; the Q-table policy itself is an offline artifact)

@@ -927,11 +927,163 @@ ORACLE["ssa_reconstruction"] = f"""
 def samossa_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 proper: SAMoSSA forecast = SSA recurrent (R-) forecast of the
     extracted signal + AR forecast of the stochastic residual
-    (`forcester_ts/samossa.py:116-556`). Rows-only; sine-recovery and
-    beats-naive properties pinned in tests/test_forecast.py."""
-    from ..forecast import samossa_forecast
+    (`forcester_ts/samossa.py:116-556`). Sine-recovery and beats-naive
+    properties pinned in tests/test_forecast.py.
 
-    return samossa_forecast(_series(spark, sf_dir).select("user_id", "rn", "value"))
+    Staged-verification oracle (upgraded from rows-only): the SVD and
+    the two least-squares solves are staged as artifacts (recon series,
+    R-forecast coefficients, AR coefficients); the oracle re-derives the
+    residual series and the AR sigma from raw data, then replays BOTH
+    forecast recursions. The R-forecast window is L-1 = 11 > horizon, so
+    each step splits into an observed part (a join-aggregate against the
+    staged recon per horizon step) plus at most four predicted terms
+    whose coefficients sit at FIXED positions R_10..R_7 — the recursive
+    CTE carries just those four values."""
+    from ..forecast import samossa_forecast
+    from ..forecast.models import samossa_components
+    from .queries import stage_for_oracle
+
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    stage_for_oracle(samossa_components(s), "samossa_components")
+    return samossa_forecast(s)
+
+
+ORACLE["samossa_forecast"] = f"""
+    WITH RECURSIVE s AS ({_S_SQL}),
+    comp AS (
+      SELECT user_id, kind, idx, val FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/samossa_components/*.parquet')
+    ),
+    par AS (
+      SELECT user_id,
+             MAX(CASE idx WHEN 1 THEN val END) AS rank_used,
+             MAX(CASE idx WHEN 2 THEN val END) AS nu2,
+             MAX(CASE idx WHEN 3 THEN val END) AS L,
+             MAX(CASE idx WHEN 4 THEN val END) AS p,
+             MAX(CASE idx WHEN 5 THEN val END) AS b0,
+             MAX(CASE idx WHEN 6 THEN val END) AS b1,
+             MAX(CASE idx WHEN 7 THEN val END) AS b2,
+             MAX(CASE idx WHEN 8 THEN val END) AS b3
+      FROM comp WHERE kind = 0 GROUP BY user_id
+    ),
+    recon AS (
+      SELECT user_id, idx - 1 AS pos, val AS rec
+      FROM comp WHERE kind = 1
+    ),
+    rc AS (SELECT user_id, idx - 1 AS j, val AS rj FROM comp WHERE kind = 2),
+    nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM recon
+           GROUP BY user_id),
+    reclast AS (
+      SELECT r.user_id, r.rec AS rec_last
+      FROM recon r JOIN nn ON nn.user_id = r.user_id
+      WHERE r.pos = nn.n - 1
+    ),
+    -- observed part of the R-forecast window, per horizon step: position
+    -- n + h - 12 + j is observed when <= n - 1
+    obspart AS (
+      SELECT rc.user_id, hh.h,
+             COALESCE(SUM(rc.rj * re.rec), 0.0) AS obs
+      FROM rc
+      CROSS JOIN (SELECT UNNEST(RANGE(1, 6)) AS h) hh
+      JOIN nn ON nn.user_id = rc.user_id
+      JOIN recon re ON re.user_id = rc.user_id
+                   AND re.pos = nn.n + hh.h - 12 + rc.j
+                   AND re.pos <= nn.n - 1
+      GROUP BY rc.user_id, hh.h
+    ),
+    rcoef AS (
+      SELECT n.user_id,
+             COALESCE(MAX(CASE j WHEN 10 THEN rj END), 0.0) AS r10,
+             COALESCE(MAX(CASE j WHEN 9 THEN rj END), 0.0) AS r9,
+             COALESCE(MAX(CASE j WHEN 8 THEN rj END), 0.0) AS r8,
+             COALESCE(MAX(CASE j WHEN 7 THEN rj END), 0.0) AS r7
+      FROM rc n GROUP BY n.user_id
+    ),
+    tfc AS (
+      SELECT p.user_id, 0 AS h,
+             CAST(0.0 AS DOUBLE) AS t1, CAST(0.0 AS DOUBLE) AS t2,
+             CAST(0.0 AS DOUBLE) AS t3, CAST(0.0 AS DOUBLE) AS t4,
+             CAST(NULL AS DOUBLE) AS trend
+      FROM par p
+      UNION ALL
+      SELECT f.user_id, f.h + 1,
+             CASE WHEN p.nu2 >= 0.999 THEN rl.rec_last
+                  ELSE o.obs + c.r10 * f.t1 + c.r9 * f.t2
+                       + c.r8 * f.t3 + c.r7 * f.t4 END,
+             f.t1, f.t2, f.t3,
+             CASE WHEN p.nu2 >= 0.999 THEN rl.rec_last
+                  ELSE o.obs + c.r10 * f.t1 + c.r9 * f.t2
+                       + c.r8 * f.t3 + c.r7 * f.t4 END
+      FROM tfc f
+      JOIN par p ON p.user_id = f.user_id
+      JOIN rcoef c ON c.user_id = f.user_id
+      JOIN reclast rl ON rl.user_id = f.user_id
+      JOIN obspart o ON o.user_id = f.user_id AND o.h = f.h + 1
+      WHERE f.h < 5
+    ),
+    resid AS (
+      SELECT o.user_id,
+             ROW_NUMBER() OVER (PARTITION BY o.user_id ORDER BY o.rn) - 1
+               AS t,
+             o.value - re.rec AS rv
+      FROM (SELECT user_id, rn, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1
+                     AS pos
+            FROM s) o
+      JOIN recon re ON re.user_id = o.user_id AND re.pos = o.pos
+    ),
+    arres AS (
+      SELECT r.user_id,
+             SUM(POWER(r.rv - (p.b0 + p.b1 * r1.rv
+                               + p.b2 * COALESCE(r2.rv, 0)
+                               + p.b3 * COALESCE(r3.rv, 0)), 2)) AS rss,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM resid r
+      JOIN par p ON p.user_id = r.user_id
+      JOIN resid r1 ON r1.user_id = r.user_id AND r1.t = r.t - 1
+      LEFT JOIN resid r2 ON r2.user_id = r.user_id AND r2.t = r.t - 2
+      LEFT JOIN resid r3 ON r3.user_id = r.user_id AND r3.t = r.t - 3
+      WHERE r.t >= p.p
+      GROUP BY r.user_id
+    ),
+    sig AS (
+      SELECT a.user_id,
+             SQRT(a.rss / GREATEST(a.m - p.p - 1, 1)) AS sigma
+      FROM arres a JOIN par p ON p.user_id = a.user_id
+    ),
+    rlast AS (
+      SELECT r.user_id,
+             MAX(CASE WHEN r.t = nn.n - 1 THEN r.rv END) AS rv1,
+             MAX(CASE WHEN r.t = nn.n - 2 THEN r.rv END) AS rv2,
+             MAX(CASE WHEN r.t = nn.n - 3 THEN r.rv END) AS rv3
+      FROM resid r JOIN nn ON nn.user_id = r.user_id
+      GROUP BY r.user_id
+    ),
+    rfc AS (
+      SELECT p.user_id, 0 AS h, rl.rv1 AS x1, rl.rv2 AS x2, rl.rv3 AS x3,
+             CAST(NULL AS DOUBLE) AS rpred
+      FROM par p JOIN rlast rl ON rl.user_id = p.user_id
+      UNION ALL
+      SELECT f.user_id, f.h + 1,
+             p.b0 + p.b1 * f.x1 + p.b2 * f.x2 + p.b3 * f.x3,
+             f.x1, f.x2,
+             p.b0 + p.b1 * f.x1 + p.b2 * f.x2 + p.b3 * f.x3
+      FROM rfc f JOIN par p ON p.user_id = f.user_id
+      WHERE f.h < 5
+    )
+    SELECT t.user_id,
+           CAST(par.rank_used AS INT) AS rank_used,
+           CAST(t.h AS INT) AS horizon_step,
+           ROUND(t.trend + r.rpred, 6) AS yhat,
+           ROUND(t.trend, 6) AS trend_part,
+           ROUND(r.rpred, 6) AS resid_part,
+           ROUND(sig.sigma, 6) AS sigma
+    FROM tfc t
+    JOIN rfc r ON r.user_id = t.user_id AND r.h = t.h
+    JOIN par ON par.user_id = t.user_id
+    JOIN sig ON sig.user_id = t.user_id
+    WHERE t.h >= 1
+    """
 
 
 @query("embedding_classifier_eval")
