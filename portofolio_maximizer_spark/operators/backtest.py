@@ -286,6 +286,7 @@ PORTFOLIO_SCHEMA = StructType(
 def reconcile_portfolio_cash(
     trades: DataFrame,
     portfolio_cash: float = 100_000.0,
+    with_raw_fill: bool = False,
 ) -> DataFrame:
     """Second pass over emitted trades: ONE shared cash pool across all keys
     (reference `execution/paper_trading_engine.py:1409-1580` shares a single
@@ -306,7 +307,12 @@ def reconcile_portfolio_cash(
     reference splits the work: parallel per-ticker simulation, then a
     small serial portfolio ledger replay.
     """
-    cols = [f.name for f in PORTFOLIO_SCHEMA]
+    schema = PORTFOLIO_SCHEMA
+    if with_raw_fill:
+        schema = StructType(
+            list(PORTFOLIO_SCHEMA.fields) + [StructField("fill_raw", DoubleType())]
+        )
+    cols = [f.name for f in schema]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -358,6 +364,11 @@ def reconcile_portfolio_cash(
                 "cash_after_entry": np.round(cash_after, 6),
             }
         )
+        if with_raw_fill:
+            # full-precision fill for the staged-verification oracle: the
+            # ledger recursion unrolls into a prefix sum over staged
+            # earlier fills, so each trade's fill is re-derivable
+            out["fill_raw"] = fill
         return out[cols]
 
     from pyspark.sql import functions as F
@@ -365,7 +376,7 @@ def reconcile_portfolio_cash(
     return (
         trades.withColumn("__pool", F.lit(0))
         .groupBy("__pool")
-        .applyInPandas(lambda _, pdf: run(pdf.drop(columns="__pool")), PORTFOLIO_SCHEMA)
+        .applyInPandas(lambda _, pdf: run(pdf.drop(columns="__pool")), schema)
     )
 
 

@@ -1252,11 +1252,86 @@ def paper_trading_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def paper_trading_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15 portfolio pass: replay the per-key trades against ONE shared
     cash pool in global bar order, scaling entries the pool cannot fund
-    (`execution/paper_trading_engine.py:1409-1580`). Rows-only: global
-    sequential ledger state is not SQL-expressible."""
-    from ..operators.backtest import reconcile_portfolio_cash
+    (`execution/paper_trading_engine.py:1409-1580`).
 
-    return reconcile_portfolio_cash(_simulated_trades(spark, sf_dir))
+    Staged-verification oracle (upgraded from rows-only): the global
+    ledger recursion UNROLLS — each entry's cash_before depends only on
+    strictly-earlier events, so given the staged full-precision fill
+    ratios the oracle re-derives every trade's cash_before via a prefix
+    sum over the (bar, exits-first, user) event order, re-applies the
+    funding rule to re-derive its OWN fill independently, and recomputes
+    every output column from that derived fill. A wrong fill anywhere
+    breaks the induction and the hash."""
+    from ..operators.backtest import reconcile_portfolio_cash
+    from .queries import stage_for_oracle
+
+    trades = _simulated_trades(spark, sf_dir)
+    stage_for_oracle(
+        trades.select(
+            "user_id", "entry_rn", "exit_rn", "shares",
+            "entry_price", "exit_price", "exit_reason",
+        ),
+        "portfolio_trades",
+    )
+    port = reconcile_portfolio_cash(trades, with_raw_fill=True).localCheckpoint(
+        eager=True
+    )
+    stage_for_oracle(
+        port.select("user_id", "entry_rn", "fill_raw"), "portfolio_fills"
+    )
+    return port.drop("fill_raw")
+
+
+ORACLE["paper_trading_portfolio"] = """
+    WITH t AS (
+      SELECT tr.user_id, tr.entry_rn, tr.exit_rn, tr.shares,
+             tr.entry_price, tr.exit_price, tr.exit_reason,
+             f.fill_raw,
+             tr.shares * tr.entry_price AS cost
+      FROM read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/portfolio_trades/*.parquet') tr
+      JOIN read_parquet(
+        '/root/repo/spark-warehouse/oracle_stage/portfolio_fills/*.parquet') f
+        ON f.user_id = tr.user_id AND f.entry_rn = tr.entry_rn
+    ),
+    ev AS (
+      SELECT user_id, entry_rn, exit_rn AS bar, 0 AS kind,
+             fill_raw * shares * exit_price AS delta
+      FROM t
+      UNION ALL
+      SELECT user_id, entry_rn, entry_rn AS bar, 1 AS kind,
+             -(cost * fill_raw) AS delta
+      FROM t
+    ),
+    pre AS (
+      SELECT user_id, entry_rn, bar, kind,
+             100000.0 + COALESCE(SUM(delta) OVER (
+               ORDER BY bar, kind, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS cash_at
+      FROM ev
+    )
+    SELECT t.user_id,
+           CAST(t.entry_rn AS INT) AS entry_rn,
+           CAST(t.exit_rn AS INT) AS exit_rn,
+           t.entry_price, t.exit_price,
+           t.shares AS requested_shares,
+           ROUND(t.shares * d.ratio, 6) AS filled_shares,
+           ROUND(d.ratio, 6) AS fill_ratio,
+           ROUND((t.exit_price - t.entry_price) * t.shares * d.ratio, 6)
+             AS realized_pnl,
+           t.exit_reason,
+           ROUND(p.cash_at, 6) AS cash_before,
+           ROUND(p.cash_at - t.cost * d.ratio, 6) AS cash_after_entry
+    FROM t
+    JOIN pre p ON p.user_id = t.user_id AND p.entry_rn = t.entry_rn
+              AND p.kind = 1
+    CROSS JOIN LATERAL (
+      SELECT CASE WHEN t.cost <= p.cash_at THEN 1.0
+                  WHEN t.cost > 0 THEN p.cash_at / t.cost
+                  ELSE 0.0 END AS ratio
+    ) d
+    """
 
 
 @query(
