@@ -526,43 +526,104 @@ def arima_hr_components(
         order = np.argsort(cols[order_col], kind="stable")
         x = cols[value_col][order].astype(float)
         uid = int(cols[key][0])
-        if len(x) < 40:
-            return []
-        d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
-        t0_common = _ARIMA_T0_COMMON
-        best = None
-        for p_, q_ in _ARIMA_PQ_GRID:
-            y = np.diff(x, d) if d else x
-            n = len(y)
-            m_long = min(max(8, p_ + q_ + 4), n // 4)
-            bl, _, _ = _fit_ar(y, m_long)
-            e_long = np.zeros(n)
-            Xl = np.column_stack(
-                [np.ones(n - m_long)]
-                + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
-            )
-            e_long[m_long:] = y[m_long:] - Xl @ bl
-            r = _fit_arma_hr(y, p_, q_, e_long, t0_min=t0_common)
-            if r is None:
-                continue
-            beta, theta, sigma, aic, e_fit = r
-            if best is None or aic < best[0]:
-                best = (aic, p_, d, q_, beta, theta, e_long, y)
-        if best is None:
-            return []
-        aic, p_, d, q_, beta, theta, e_long, y = best
-        phi = list(beta[1 : p_ + 1]) + [0.0] * (2 - p_)
-        th = list(theta) + [0.0] * (2 - q_)
-        t0 = max(t0_common, p_, q_)
-        params = [
-            float(p_), float(d), float(q_), float(beta[0]),
-            phi[0], phi[1], th[0], th[1], float(t0),
-        ]
-        rows = [(uid, 0, i + 1, v) for i, v in enumerate(params)]
-        rows += [(uid, 1, i + 1, float(v)) for i, v in enumerate(e_long)]
-        return rows
+        return _arima_component_rows(uid, x, list(_ARIMA_PQ_GRID))
 
     return grouped_numpy(series, [key], ARIMA_COMP_SCHEMA, kern)
+
+
+def _arima_component_rows(uid, x, pq_grid):
+    """Winner-candidate staging rows shared by the plain and warm-start
+    component kernels — same selection loop as `_arima_rows`, emitting
+    (params, e_long) instead of forecasts."""
+    if len(x) < 40:
+        return []
+    d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
+    t0_common = _ARIMA_T0_COMMON
+    best = None
+    for p_, q_ in pq_grid:
+        y = np.diff(x, d) if d else x
+        n = len(y)
+        m_long = min(max(8, p_ + q_ + 4), n // 4)
+        bl, _, _ = _fit_ar(y, m_long)
+        e_long = np.zeros(n)
+        Xl = np.column_stack(
+            [np.ones(n - m_long)]
+            + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+        )
+        e_long[m_long:] = y[m_long:] - Xl @ bl
+        r = _fit_arma_hr(y, p_, q_, e_long, t0_min=t0_common)
+        if r is None:
+            continue
+        beta, theta, sigma, aic, e_fit = r
+        if best is None or aic < best[0]:
+            best = (aic, p_, d, q_, beta, theta, e_long, y)
+    if best is None:
+        return []
+    aic, p_, d, q_, beta, theta, e_long, y = best
+    phi = list(beta[1 : p_ + 1]) + [0.0] * (2 - p_)
+    th = list(theta) + [0.0] * (2 - q_)
+    t0 = max(t0_common, p_, q_)
+    params = [
+        float(p_), float(d), float(q_), float(beta[0]),
+        phi[0], phi[1], th[0], th[1], float(t0),
+    ]
+    rows = [(uid, 0, i + 1, v) for i, v in enumerate(params)]
+    rows += [(uid, 1, i + 1, float(v)) for i, v in enumerate(e_long)]
+    return rows
+
+
+def arima_warm_components(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    train_frac: float = 0.75,
+) -> DataFrame:
+    """Staging twin of `arima_hr_warmstart_forecast`: reproduces its
+    cache cycle (train-window grid -> cached (p, q) -> warm singleton or
+    full-grid fallback) and emits the winner's component rows for the
+    staged-verification oracle. The warm/cold DECISION itself is
+    re-derived independently by the oracle from raw counts (a key is
+    warm exactly when its train window reaches the 40-observation fit
+    minimum), so only the least-squares artifacts are taken on trust."""
+    from pyspark.sql import Window
+
+    from ..operators.arrowgroup import grouped_numpy
+
+    wk = Window.partitionBy(key)
+    train = (
+        series.withColumn(
+            "_idx",
+            F.row_number().over(Window.partitionBy(key).orderBy(order_col)),
+        )
+        .withColumn("_n_full", F.count(F.lit(1)).over(wk))
+        .filter(F.col("_idx") <= F.floor(F.lit(train_frac) * F.col("_n_full")))
+        .drop("_idx", "_n_full")
+    )
+    cache = (
+        arima_hr_forecast(train, key, order_col, value_col, horizon=1)
+        .filter(F.col("horizon_step") == 1)
+        .select(
+            F.col(key),
+            F.col("p").alias("warm_p"),
+            F.col("q").alias("warm_q"),
+        )
+    )
+    enriched = series.join(cache, on=key, how="left")
+
+    def kern(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        wp = cols["warm_p"][0]
+        warm = wp is not None and not (isinstance(wp, float) and np.isnan(wp))
+        if warm:
+            pq_grid = [(int(cols["warm_p"][0]), int(cols["warm_q"][0]))]
+        else:
+            pq_grid = list(_ARIMA_PQ_GRID)
+        return _arima_component_rows(uid, x, pq_grid)
+
+    return grouped_numpy(enriched, [key], ARIMA_COMP_SCHEMA, kern)
 
 
 ARIMA_WARM_SCHEMA = StructType(

@@ -295,19 +295,55 @@ ORACLE["arima_hr_forecast"] = f"""
     """
 
 
+ORACLE["arima_warmstart_forecast"] = (
+    ORACLE["arima_hr_forecast"]
+    .replace("oracle_stage/arima_components", "oracle_stage/arima_warm_components")
+    .replace(
+        """    )
+    SELECT pr.user_id,""",
+        """    ),
+    warm AS (
+      SELECT user_id, FLOOR(0.75 * COUNT(*)) >= 40 AS warm
+      FROM s GROUP BY user_id
+    )
+    SELECT pr.user_id,""",
+    )
+    .replace(
+        "ROUND(sig.sigma, 6) AS sigma\n    FROM preds pr",
+        "ROUND(sig.sigma, 6) AS sigma,\n"
+        "           CAST(CASE WHEN w.warm THEN 1 ELSE 8 END AS INT)"
+        " AS n_candidates,\n"
+        "           w.warm AS warm_hit\n    FROM preds pr",
+    )
+    .replace(
+        "JOIN vr ON vr.user_id = pr.user_id AND vr.h = pr.h",
+        "JOIN vr ON vr.user_id = pr.user_id AND vr.h = pr.h\n"
+        "    JOIN warm w ON w.user_id = pr.user_id",
+    )
+)
+
 @query("arima_warmstart_forecast")
 def arima_warmstart_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 + OrderLearner (R9 made functional): the ARIMA grid consuming
     the warm-start order cache — yesterday's grid choice on the leading
     3/4 window becomes today's single candidate on a cache hit (8x fewer
     fits per cached key; `forcester_ts/order_learner.py:160-323`).
-    Rows-only (numpy HR fits); pruning-vs-full-grid agreement pinned in
-    tests/test_forecast.py."""
-    from ..forecast import arima_hr_warmstart_forecast
+    Pruning-vs-full-grid agreement pinned in tests/test_forecast.py.
 
-    return arima_hr_warmstart_forecast(
-        _series(spark, sf_dir).select("user_id", "rn", "value")
-    )
+    Staged-verification oracle (upgraded from rows-only): the same ARIMA
+    replay as `arima_hr_forecast` against the warm kernel's staged
+    winner, PLUS the warm/cold decision re-derived independently from
+    raw counts — a key is warm exactly when its 3/4 train window reaches
+    the 40-observation fit minimum, which is when yesterday's cache row
+    exists — so n_candidates and warm_hit are checked, not passed
+    through."""
+    from ..forecast import arima_hr_warmstart_forecast
+    from ..forecast.models import arima_warm_components
+    from .queries import stage_for_oracle
+
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    stage_for_oracle(arima_warm_components(s), "arima_warm_components")
+    return arima_hr_warmstart_forecast(s)
 
 
 @query("sarimax_hr_forecast")
