@@ -1699,3 +1699,286 @@ def strategy_candidate_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "cand_id")
         .limit(_SO_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Signal quality validation — the 5-layer LLM-signal QA gate
+# ---------------------------------------------------------------------------
+
+# Reference thresholds (`ai_llm/signal_quality_validator.py:54-63`), with
+# the return/vol magnitudes rescaled to this corpus (the reference's 2%/15%
+# are daily-equity scales; the events series runs ~100x hotter). The
+# reasoning-length gate uses a deterministic synthetic length (no prose in
+# the engine) so the branch is exercised identically on both engines.
+_SQ_MIN_CONF = 0.6
+_SQ_MIN_ER = 0.05
+_SQ_MAX_RISK = 4.0
+_SQ_RATIO_MIN = 0.5
+_SQ_VOL20_WARN = 2.0
+_SQ_VOL10_OVERCONF = 2.0
+_SQ_CONF_OVERCONF = 0.9
+_SQ_CONF_LOWDATA = 0.8
+_SQ_MIN_N = 10
+_SQ_REASON_MIN = 60
+
+
+@query(
+    "signal_quality_validation",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    pre AS (
+      SELECT user_id, rn, value, lr,
+             ABS(value - LAG(value) OVER wp) AS adiff,
+             value - LAG(value) OVER wp AS d,
+             value / LAG(value) OVER wp - 1 AS pret
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    feat AS (
+      SELECT user_id, rn, value,
+             AVG(value) OVER w5 AS ma5,
+             STDDEV_SAMP(lr) OVER w20 AS vol20,
+             AVG(adiff) OVER w14 AS atr14,
+             CASE WHEN COUNT(d) OVER w14 = 14
+                  THEN AVG(GREATEST(d, 0)) OVER w14 END AS gain14,
+             CASE WHEN COUNT(d) OVER w14 = 14
+                  THEN AVG(GREATEST(-d, 0)) OVER w14 END AS loss14,
+             CASE WHEN COUNT(value) OVER w20 = 20
+                  THEN AVG(value) OVER w20 END AS ma20,
+             CASE WHEN COUNT(value) OVER w50 = 50
+                  THEN AVG(value) OVER w50 END AS ma50,
+             CASE WHEN COUNT(pret) OVER w20 = 20
+                  THEN STDDEV_SAMP(pret) OVER w20 END AS vol20p,
+             CASE WHEN COUNT(pret) OVER w10 = 10
+                  THEN STDDEV_SAMP(pret) OVER w10 END AS vol10p,
+             MAX(rn) OVER (PARTITION BY user_id) AS max_rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_obs
+      FROM pre
+      WINDOW w5 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w10 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+             w14 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             w50 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    ),
+    sig AS (
+      SELECT user_id, value AS price, n_obs,
+             (ma5 - value) / value - 0.002 AS er,
+             vol20, ma20, ma50, vol20p, vol10p,
+             CASE WHEN loss14 = 0 AND gain14 = 0 THEN NULL
+                  WHEN loss14 = 0 THEN 100.0
+                  ELSE 100 - 100 / (1 + gain14 / loss14) END AS rsi,
+             CASE WHEN (ma5 - value) / value - 0.002 > 0.01
+                    AND ((ma5 - value) / value - 0.002) / vol20 > 0.5
+                  THEN 'BUY'
+                  WHEN (ma5 - value) / value - 0.002 < -0.01
+                    AND -((ma5 - value) / value - 0.002) / vol20 > 0.5
+                  THEN 'SELL' ELSE 'HOLD' END AS action,
+             LEAST(ABS((ma5 - value) / value - 0.002) / vol20, 1.0)
+               AS confidence,
+             40 + (user_id % 40) AS rlen
+      FROM feat WHERE rn = max_rn AND rn >= 21
+    ),
+    lay AS (
+      SELECT *,
+             CASE WHEN confidence >= 0 AND confidence <= 1
+                   AND confidence >= {_SQ_MIN_CONF}
+                   AND rlen >= {_SQ_REASON_MIN}
+                   AND price > 0 THEN 1 ELSE 0 END AS l1,
+             1 AS l2,
+             CASE WHEN ABS(er) < {_SQ_MIN_ER} THEN 0
+                  WHEN vol20 IS NOT NULL AND vol20 > {_SQ_MAX_RISK} THEN 0
+                  WHEN vol20 IS NOT NULL
+                   AND ABS(er) / vol20 < {_SQ_RATIO_MIN} THEN 0
+                  ELSE 1 END AS l3,
+             1 AS l4,
+             CASE WHEN n_obs < {_SQ_MIN_N}
+                   AND confidence > {_SQ_CONF_LOWDATA} THEN 0
+                  WHEN vol10p IS NOT NULL AND vol10p > {_SQ_VOL10_OVERCONF}
+                   AND confidence > {_SQ_CONF_OVERCONF} THEN 0
+                  ELSE 1 END AS l5,
+             (CASE WHEN vol20p > {_SQ_VOL20_WARN} THEN 1 ELSE 0 END
+              + CASE WHEN action = 'BUY' AND rsi > 70 THEN 1 ELSE 0 END
+              + CASE WHEN action = 'SELL' AND rsi < 30 THEN 1 ELSE 0 END
+              + CASE WHEN action = 'BUY' AND price < ma20 THEN 1 ELSE 0 END
+              + CASE WHEN action = 'BUY' AND ma20 < ma50 THEN 1 ELSE 0 END
+              + CASE WHEN action = 'SELL' AND price > ma20 THEN 1 ELSE 0 END
+              + CASE WHEN action = 'SELL' AND ma20 > ma50 THEN 1 ELSE 0 END)
+               AS n_warnings
+      FROM sig WHERE action IN ('BUY', 'SELL')
+    )
+    SELECT user_id, action,
+           ROUND(confidence, 6) AS confidence,
+           CAST(l1 AS INT) AS basic_ok, CAST(l2 AS INT) AS context_ok,
+           CAST(l3 AS INT) AS risk_ok, CAST(l4 AS INT) AS technical_ok,
+           CAST(l5 AS INT) AS calibration_ok,
+           CAST(n_warnings AS INT) AS n_warnings,
+           ROUND((l1 + l2 + l3 + l4 + l5) / 5.0, 6) AS overall_score,
+           CAST(l1 * l2 * l3 * l4 * l5 AS INT) AS is_valid,
+           CASE WHEN l1 * l2 * l3 * l4 * l5 = 1
+                 AND (l1 + l2 + l3 + l4 + l5) / 5.0 >= 0.8
+                THEN 'STRONG_' || action
+                WHEN l1 * l2 * l3 * l4 * l5 = 1
+                 AND (l1 + l2 + l3 + l4 + l5) / 5.0 >= 0.6
+                THEN action
+                WHEN (l1 + l2 + l3 + l4 + l5) / 5.0 >= 0.4
+                THEN 'WEAK_' || action
+                ELSE 'HOLD' END AS recommendation
+    FROM lay
+    """,
+)
+def signal_quality_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 5-layer LLM-signal quality gate — reference
+    `ai_llm/signal_quality_validator.py:46-275` (`validate_signal`):
+    basic structure (confidence range/floor, reasoning length, price
+    positivity, `:125-150`), market context (always-advisory volatility
+    warning, `:151-179`), risk/return (edge floor, risk cap, 0.5
+    risk-adjusted ratio, fail-closed, `:180-204`), technical advisory
+    (RSI-14 overbought/oversold + MA20/MA50 trend alignment — warnings
+    only, `:205-247`), and confidence calibration (overconfidence under
+    thin data or high volatility, `:248-266`). Overall score = mean of
+    the layer indicators; the recommendation ladder (STRONG_x / x /
+    WEAK_x / HOLD) follows `:106-117` verbatim.
+
+    Signals come from the engine's own F14 gate (same feature
+    expressions as `signal_generation`); RSI mirrors the reference's
+    simple rolling-mean form including its pandas min-periods semantics
+    (indicators null until their window fills — the COUNT(...) = w
+    gates). One window pass, one latest-row filter, pure when-chains:
+    the whole validator is a projection."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    d = F.col("value") - F.lag("value").over(wp)
+    pre = s.select(
+        "user_id",
+        "rn",
+        "value",
+        "lr",
+        F.abs(d).alias("adiff"),
+        d.alias("d"),
+        (F.col("value") / F.lag("value").over(wp) - 1).alias("pret"),
+    )
+
+    def gated(col, w, width):
+        return F.when(F.count(col).over(_w((-(width - 1), 0))) == width, w)
+
+    feat = pre.select(
+        "user_id",
+        "rn",
+        "value",
+        F.avg("value").over(_w((-4, 0))).alias("ma5"),
+        F.stddev_samp("lr").over(_w((-19, 0))).alias("vol20"),
+        F.avg("adiff").over(_w((-13, 0))).alias("atr14"),
+        gated(F.col("d"), F.avg(F.greatest(F.col("d"), F.lit(0))).over(_w((-13, 0))), 14).alias("gain14"),
+        gated(F.col("d"), F.avg(F.greatest(-F.col("d"), F.lit(0))).over(_w((-13, 0))), 14).alias("loss14"),
+        gated(F.col("value"), F.avg("value").over(_w((-19, 0))), 20).alias("ma20"),
+        gated(F.col("value"), F.avg("value").over(_w((-49, 0))), 50).alias("ma50"),
+        gated(F.col("pret"), F.stddev_samp("pret").over(_w((-19, 0))), 20).alias("vol20p"),
+        gated(F.col("pret"), F.stddev_samp("pret").over(_w((-9, 0))), 10).alias("vol10p"),
+        F.max("rn").over(Window.partitionBy("user_id")).alias("max_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_obs"),
+    )
+    er = (F.col("ma5") - F.col("value")) / F.col("value") - 0.002
+    sig = feat.filter((F.col("rn") == F.col("max_rn")) & (F.col("rn") >= 21)).select(
+        "user_id",
+        F.col("value").alias("price"),
+        "n_obs",
+        er.alias("er"),
+        "vol20",
+        "ma20",
+        "ma50",
+        "vol20p",
+        "vol10p",
+        F.when((F.col("loss14") == 0) & (F.col("gain14") == 0), F.lit(None))
+        .when(F.col("loss14") == 0, 100.0)
+        .otherwise(100 - 100 / (1 + F.col("gain14") / F.col("loss14")))
+        .alias("rsi"),
+        F.when((er > 0.01) & (er / F.col("vol20") > 0.5), "BUY")
+        .when((er < -0.01) & (-er / F.col("vol20") > 0.5), "SELL")
+        .otherwise("HOLD")
+        .alias("action"),
+        F.least(F.abs(er) / F.col("vol20"), F.lit(1.0)).alias("confidence"),
+        (40 + F.col("user_id") % 40).alias("rlen"),
+    ).filter(F.col("action").isin("BUY", "SELL"))
+    conf = F.col("confidence")
+    l1 = (
+        F.when(
+            (conf >= 0)
+            & (conf <= 1)
+            & (conf >= _SQ_MIN_CONF)
+            & (F.col("rlen") >= _SQ_REASON_MIN)
+            & (F.col("price") > 0),
+            1,
+        ).otherwise(0)
+    )
+    l3 = (
+        F.when(F.abs(F.col("er")) < _SQ_MIN_ER, 0)
+        .when(F.col("vol20").isNotNull() & (F.col("vol20") > _SQ_MAX_RISK), 0)
+        .when(
+            F.col("vol20").isNotNull()
+            & (F.abs(F.col("er")) / F.col("vol20") < _SQ_RATIO_MIN),
+            0,
+        )
+        .otherwise(1)
+    )
+    l5 = (
+        F.when((F.col("n_obs") < _SQ_MIN_N) & (conf > _SQ_CONF_LOWDATA), 0)
+        .when(
+            F.col("vol10p").isNotNull()
+            & (F.col("vol10p") > _SQ_VOL10_OVERCONF)
+            & (conf > _SQ_CONF_OVERCONF),
+            0,
+        )
+        .otherwise(1)
+    )
+
+    def warn(cond):
+        return F.when(cond, 1).otherwise(0)
+
+    buy = F.col("action") == "BUY"
+    sell = F.col("action") == "SELL"
+    n_warn = (
+        warn(F.col("vol20p") > _SQ_VOL20_WARN)
+        + warn(buy & (F.col("rsi") > 70))
+        + warn(sell & (F.col("rsi") < 30))
+        + warn(buy & (F.col("price") < F.col("ma20")))
+        + warn(buy & (F.col("ma20") < F.col("ma50")))
+        + warn(sell & (F.col("price") > F.col("ma20")))
+        + warn(sell & (F.col("ma20") > F.col("ma50")))
+    )
+    lay = sig.select(
+        "user_id",
+        "action",
+        conf.alias("confidence"),
+        l1.alias("l1"),
+        F.lit(1).alias("l2"),
+        l3.alias("l3"),
+        F.lit(1).alias("l4"),
+        l5.alias("l5"),
+        n_warn.alias("n_warnings"),
+    )
+    tot = (
+        F.col("l1") + F.col("l2") + F.col("l3") + F.col("l4") + F.col("l5")
+    ) / 5.0
+    allv = F.col("l1") * F.col("l2") * F.col("l3") * F.col("l4") * F.col("l5")
+    return lay.select(
+        "user_id",
+        "action",
+        r6(F.col("confidence")).alias("confidence"),
+        F.col("l1").cast("int").alias("basic_ok"),
+        F.col("l2").cast("int").alias("context_ok"),
+        F.col("l3").cast("int").alias("risk_ok"),
+        F.col("l4").cast("int").alias("technical_ok"),
+        F.col("l5").cast("int").alias("calibration_ok"),
+        F.col("n_warnings").cast("int").alias("n_warnings"),
+        r6(tot).alias("overall_score"),
+        allv.cast("int").alias("is_valid"),
+        F.when((allv == 1) & (tot >= 0.8), F.concat(F.lit("STRONG_"), F.col("action")))
+        .when((allv == 1) & (tot >= 0.6), F.col("action"))
+        .when(tot >= 0.4, F.concat(F.lit("WEAK_"), F.col("action")))
+        .otherwise("HOLD")
+        .alias("recommendation"),
+    )

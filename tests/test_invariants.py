@@ -287,3 +287,25 @@ def test_pacf_matches_independent_numpy_durbin_levinson(spark, sf_dir):
         for k in range(1, 11):
             assert abs(pacf_by_user[uid][k] - expect[k]) < 5e-6, (uid, k)
         assert abs(pacf_by_user[uid][1] - rho_map[1]) < 2e-6
+
+
+def test_signal_quality_validation_contract(spark, sf_dir):
+    """Reference validator semantics (`ai_llm/signal_quality_validator.py`):
+    is_valid iff every layer passes, the overall score is the layer mean,
+    and the recommendation ladder is consistent with (is_valid, score)."""
+    rows = QUERIES["signal_quality_validation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        layers = [
+            r["basic_ok"], r["context_ok"], r["risk_ok"],
+            r["technical_ok"], r["calibration_ok"],
+        ]
+        assert all(v in (0, 1) for v in layers)
+        assert r["is_valid"] == int(all(layers))
+        assert abs(r["overall_score"] - sum(layers) / 5.0) < 1e-9
+        if r["is_valid"] and r["overall_score"] >= 0.8:
+            assert r["recommendation"] == f"STRONG_{r['action']}"
+        elif r["overall_score"] < 0.4:
+            assert r["recommendation"] == "HOLD"
+        assert r["n_warnings"] >= 0
+        assert r["action"] in ("BUY", "SELL")
