@@ -36,6 +36,8 @@ only global ordered window is R6's cumulative-PnL ledger (same shape as
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2452,3 +2454,241 @@ ORACLE["pretrade_check_gate"] = f"""
                      ELSE 0.0 END), 6) AS volume_passed
     FROM k GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# R24 — LLM risk-assessor fallback (deterministic rule-based assessment)
+# ---------------------------------------------------------------------------
+
+# Reference rule cuts (`ai_llm/risk_assessor.py:212-252`) rescaled to this
+# corpus's return magnitudes (its 40%/20% annual-vol and -35%/-15% drawdown
+# cuts are daily-equity scales; the events series runs ~500x hotter).
+_RF_VOL_HIGH = 30000.0
+_RF_DD_HIGH = -99.75
+_RF_VOL_LOW = 15000.0
+_RF_DD_LOW = -99.6
+_RF_SHARPE_LOW = 4.5
+
+
+@query(
+    "risk_fallback_assessment",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    r AS (
+      SELECT user_id, rn,
+             value / LAG(value) OVER (PARTITION BY user_id ORDER BY rn) - 1
+               AS ret
+      FROM s
+    ),
+    rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+    m AS (
+      SELECT user_id,
+             STDDEV_SAMP(ret) * SQRT(252) * 100 AS vol_ann,
+             CASE WHEN STDDEV_SAMP(ret) > 0
+                  THEN AVG(ret) / STDDEV_SAMP(ret) * SQRT(252)
+                  ELSE 0 END AS sharpe,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM rr GROUP BY user_id
+    ),
+    cum AS (
+      SELECT user_id, rn,
+             EXP(SUM(LN(1 + ret)) OVER (PARTITION BY user_id ORDER BY rn))
+               AS c
+      FROM rr WHERE ret > -1
+    ),
+    cm AS (
+      SELECT user_id, c,
+             MAX(c) OVER (PARTITION BY user_id ORDER BY rn) AS mx
+      FROM cum
+    ),
+    dd AS (
+      SELECT user_id, MIN((c - mx) / mx * 100) AS maxdd FROM cm
+      GROUP BY user_id
+    ),
+    q AS (
+      SELECT a.user_id,
+             (lo.ret + ((a.n - 1) * 0.05 - FLOOR((a.n - 1) * 0.05))
+                       * (hi.ret - lo.ret)) * 100 AS var95
+      FROM m a
+      JOIN (SELECT user_id, ret,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ret, rn) AS rk
+            FROM rr) lo
+        ON lo.user_id = a.user_id
+       AND lo.rk = CAST(FLOOR((a.n - 1) * 0.05) AS BIGINT) + 1
+      JOIN (SELECT user_id, ret,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ret, rn) AS rk
+            FROM rr) hi
+        ON hi.user_id = a.user_id
+       AND hi.rk = CAST(CEIL((a.n - 1) * 0.05) AS BIGINT) + 1
+    ),
+    lvl AS (
+      SELECT m.user_id,
+             m.vol_ann, d.maxdd, q.var95, m.sharpe,
+             CASE
+               WHEN m.vol_ann > {_RF_VOL_HIGH} OR d.maxdd < {_RF_DD_HIGH}
+                 THEN 'high'
+               WHEN m.vol_ann < {_RF_VOL_LOW} AND d.maxdd > {_RF_DD_LOW}
+                 AND m.sharpe > {_RF_SHARPE_LOW}
+                 THEN 'low'
+               ELSE 'medium'
+             END AS risk_level
+      FROM m JOIN dd d ON d.user_id = m.user_id
+             JOIN q ON q.user_id = m.user_id
+    )
+    SELECT user_id,
+           ROUND(vol_ann, 2) AS volatility_annual_pct,
+           ROUND(maxdd, 2) AS max_drawdown_pct,
+           ROUND(var95, 2) AS var_95_pct,
+           ROUND(sharpe, 2) AS sharpe_ratio,
+           risk_level,
+           CAST(CASE risk_level WHEN 'high' THEN 80
+                                WHEN 'low' THEN 40
+                                ELSE 60 END AS INT) AS risk_score,
+           CAST(CASE risk_level WHEN 'low' THEN 0 ELSE 1 END AS INT)
+             AS n_concerns,
+           CASE risk_level
+             WHEN 'high' THEN 'Reduce exposure until volatility normalises'
+             WHEN 'low' THEN 'Position size acceptable within risk budget'
+             ELSE 'Maintain position with existing limits'
+           END AS recommendation
+    FROM lvl
+    """,
+)
+def risk_fallback_assessment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24: the LLM risk assessor's deterministic FALLBACK path —
+    reference `ai_llm/risk_assessor.py:135-252`: per-asset risk metrics
+    (annualized pct volatility, compounded max drawdown, interpolated
+    5% VaR, zero-rf Sharpe, `_compute_risk_metrics`) feeding the
+    rule-based assessment the engine uses whenever the LLM endpoint is
+    unavailable (`_fallback_assessment`): the high/medium/low ladder,
+    its 80/60/40 risk score, concern count, and the recommendation
+    strings — emitted verbatim. The endpoint path itself is out of
+    charter scope; this IS the reference's documented degraded mode.
+
+    Plan: one window pass for returns, a cumulative-product drawdown via
+    log-sum prefix windows, the VaR as two order-statistic equi-joins
+    (no full sort collected anywhere), one per-key aggregate; the ladder
+    is a projection."""
+    from pyspark.sql import Window as W
+
+    s = _series(spark, sf_dir)
+    wp = W.partitionBy("user_id").orderBy("rn")
+    r = s.select(
+        "user_id",
+        "rn",
+        (F.col("value") / F.lag("value").over(wp) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    m = r.groupBy("user_id").agg(
+        (F.stddev_samp("ret") * math.sqrt(252) * 100).alias("vol_ann"),
+        F.when(
+            F.stddev_samp("ret") > 0,
+            F.avg("ret") / F.stddev_samp("ret") * math.sqrt(252),
+        )
+        .otherwise(0.0)
+        .alias("sharpe"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cum = r.filter(F.col("ret") > -1).select(
+        "user_id",
+        "rn",
+        F.exp(F.sum(F.log(1 + F.col("ret"))).over(wp)).alias("c"),
+    )
+    cm = cum.select(
+        "user_id", "c", F.max("c").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias("mx")
+    )
+    dd = cm.groupBy("user_id").agg(
+        F.min((F.col("c") - F.col("mx")) / F.col("mx") * 100).alias("maxdd")
+    )
+    rk = r.select(
+        "user_id",
+        "ret",
+        F.row_number().over(W.partitionBy("user_id").orderBy("ret", "rn")).alias(
+            "rk"
+        ),
+    )
+    var = (
+        m.select("user_id", "n")
+        .withColumn("pos", (F.col("n") - 1) * 0.05)
+        .withColumn("k_lo", F.floor(F.col("pos")).cast("long"))
+        .withColumn("k_hi", F.ceil(F.col("pos")).cast("long"))
+        .join(
+            rk.select(
+                "user_id", F.col("rk").alias("rk1"), F.col("ret").alias("r_lo")
+            ),
+            ["user_id"],
+        )
+        .filter(F.col("rk1") == F.col("k_lo") + 1)
+        .join(
+            rk.select(
+                "user_id", F.col("rk").alias("rk2"), F.col("ret").alias("r_hi")
+            ),
+            ["user_id"],
+        )
+        .filter(F.col("rk2") == F.col("k_hi") + 1)
+        .select(
+            "user_id",
+            (
+                (
+                    F.col("r_lo")
+                    + (F.col("pos") - F.floor(F.col("pos")))
+                    * (F.col("r_hi") - F.col("r_lo"))
+                )
+                * 100
+            ).alias("var95"),
+        )
+    )
+    lvl = (
+        m.join(dd, "user_id")
+        .join(var, "user_id")
+        .select(
+            "user_id",
+            "vol_ann",
+            "maxdd",
+            "var95",
+            "sharpe",
+            F.when(
+                (F.col("vol_ann") > _RF_VOL_HIGH) | (F.col("maxdd") < _RF_DD_HIGH),
+                "high",
+            )
+            .when(
+                (F.col("vol_ann") < _RF_VOL_LOW)
+                & (F.col("maxdd") > _RF_DD_LOW)
+                & (F.col("sharpe") > _RF_SHARPE_LOW),
+                "low",
+            )
+            .otherwise("medium")
+            .alias("risk_level"),
+        )
+    )
+    score = (
+        F.when(F.col("risk_level") == "high", 80)
+        .when(F.col("risk_level") == "low", 40)
+        .otherwise(60)
+    )
+    rec = (
+        F.when(
+            F.col("risk_level") == "high",
+            "Reduce exposure until volatility normalises",
+        )
+        .when(
+            F.col("risk_level") == "low",
+            "Position size acceptable within risk budget",
+        )
+        .otherwise("Maintain position with existing limits")
+    )
+    return lvl.select(
+        "user_id",
+        F.round("vol_ann", 2).alias("volatility_annual_pct"),
+        F.round("maxdd", 2).alias("max_drawdown_pct"),
+        F.round("var95", 2).alias("var_95_pct"),
+        F.round("sharpe", 2).alias("sharpe_ratio"),
+        "risk_level",
+        score.cast("int").alias("risk_score"),
+        F.when(F.col("risk_level") == "low", 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("n_concerns"),
+        rec.alias("recommendation"),
+    )
