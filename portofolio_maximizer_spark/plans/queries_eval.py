@@ -602,3 +602,222 @@ def shapley_sampled_5model(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("v5_empty")).alias("v_empty"),
         *[r6(phi(m)).alias(f"phi_{m}") for m in _M5],
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked walk-forward validation harness (analysis/time_series_validation)
+# ---------------------------------------------------------------------------
+
+_BCV_PF_CAP = 999999.0
+
+
+@query(
+    "blocked_cv_validation",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    base AS (
+      SELECT user_id, rn, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS seq,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM s
+    ),
+    bounds AS (
+      SELECT DISTINCT user_id, n,
+             (n // 3) + CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END AS b1,
+             2 * (n // 3) + CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END
+               + CASE WHEN n % 3 >= 2 THEN 1 ELSE 0 END AS b2
+      FROM base
+    ),
+    folds AS (
+      SELECT b.user_id, f.fold,
+             CASE f.fold WHEN 1 THEN b.b1 ELSE b.b2 END AS train_end,
+             CASE f.fold WHEN 1 THEN b.b2 ELSE b.n END AS test_end
+      FROM bounds b CROSS JOIN (SELECT UNNEST(RANGE(1, 3)) AS fold) f
+      WHERE CASE f.fold WHEN 1 THEN b.b1 ELSE b.b2 END >= 10
+        AND CASE f.fold WHEN 1 THEN b.b2 ELSE b.n END
+            > CASE f.fold WHEN 1 THEN b.b1 ELSE b.b2 END
+    ),
+    preds AS (
+      SELECT f.user_id, f.fold, f.train_end, f.test_end, m.model,
+             CASE m.model WHEN 'naive' THEN lt.value ELSE ma.ma5 END AS pred,
+             lt.value AS last_train
+      FROM folds f
+      CROSS JOIN (SELECT UNNEST(['naive', 'ma5']) AS model) m
+      JOIN base lt ON lt.user_id = f.user_id AND lt.seq = f.train_end
+      JOIN (SELECT user_id, seq, AVG(value) OVER (
+              PARTITION BY user_id ORDER BY seq
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5
+            FROM base) ma
+        ON ma.user_id = f.user_id AND ma.seq = f.train_end
+    ),
+    test AS (
+      SELECT p.user_id, p.fold, p.model, p.pred, p.last_train,
+             b.seq, b.value,
+             LEAD(b.value) OVER (PARTITION BY p.user_id, p.fold, p.model
+                                 ORDER BY b.seq) AS nxt,
+             p.test_end
+      FROM preds p
+      JOIN base b ON b.user_id = p.user_id
+                 AND b.seq > p.train_end AND b.seq <= p.test_end
+    ),
+    per_fold AS (
+      SELECT user_id, fold, model,
+             AVG(ABS(value - pred)) AS mae,
+             SQRT(AVG(POWER(value - pred, 2))) AS rmse,
+             COALESCE(SUM(CASE WHEN nxt IS NOT NULL THEN
+               SIGN(pred - last_train) * (value - nxt) END), 0.0) AS profit
+      FROM test GROUP BY user_id, fold, model
+    )
+    SELECT user_id, model,
+           ROUND(CASE
+             WHEN SUM(CASE WHEN profit < 0 THEN -profit ELSE 0 END) > 0
+               THEN LEAST(SUM(CASE WHEN profit > 0 THEN profit ELSE 0 END)
+                    / SUM(CASE WHEN profit < 0 THEN -profit ELSE 0 END),
+                    {_BCV_PF_CAP})
+             WHEN SUM(CASE WHEN profit > 0 THEN profit ELSE 0 END) > 0
+               THEN {_BCV_PF_CAP}
+             ELSE 0.0 END, 6) AS profit_factor,
+           ROUND(LEAST(MIN(profit), 0.0), 6) AS max_drawdown,
+           ROUND(AVG(CASE WHEN profit > 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS hit_rate,
+           ROUND(AVG(rmse), 6) AS rmse,
+           ROUND(AVG(profit), 6) AS mean_profit,
+           CAST(COUNT(*) AS BIGINT) AS n_folds
+    FROM per_fold
+    GROUP BY user_id, model
+    """,
+)
+def blocked_cv_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's lightweight validation harness — reference
+    `analysis/time_series_validation.py:25-113` (`TimeSeriesValidation`):
+    blocked 3-way split per key (numpy array_split size semantics — the
+    first n%3 blocks get the extra row), expanding walk-forward over the
+    later blocks with a >=10-row train guard, constant-forecast models
+    (the harness's naive fallback `:84` plus the trailing-MA5 forecaster),
+    per-fold MAE/RMSE and the signed directional PROFIT metric `:61`,
+    rolled up to the report metrics `:88-106`: profit factor (infinite
+    capped), max drawdown = most-negative fold profit floored at 0, hit
+    rate, mean RMSE, and the Diebold-Mariano stand-in mean profit.
+
+    Naive's profit is identically zero (its prediction IS the last train
+    value, so the sign term vanishes) — the harness reports it as the
+    degenerate baseline, exactly as the reference's fallback would.
+
+    Plan: fold bounds from one per-key aggregate; predictions from two
+    keyed equi-joins at the boundary row; per-fold and per-model rollups
+    are ordinary grouped aggregates — no per-key iteration anywhere."""
+    from pyspark.sql import Window as W
+
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    wkey = W.partitionBy("user_id")
+    base = s.select(
+        "user_id",
+        "value",
+        F.row_number().over(wkey.orderBy("rn")).alias("seq"),
+        F.count(F.lit(1)).over(wkey).alias("n"),
+    )
+    n = F.col("n")
+    b1 = (n / 3).cast("long") + F.when(n % 3 >= 1, 1).otherwise(0)
+    b2 = (
+        2 * (n / 3).cast("long")
+        + F.when(n % 3 >= 1, 1).otherwise(0)
+        + F.when(n % 3 >= 2, 1).otherwise(0)
+    )
+    bounds = base.select("user_id", "n", b1.alias("b1"), b2.alias("b2")).distinct()
+    folds = (
+        bounds.crossJoin(
+            F.broadcast(
+                s.sparkSession.range(1, 3).select(F.col("id").cast("int").alias("fold"))
+            )
+        )
+        .select(
+            "user_id",
+            "fold",
+            F.when(F.col("fold") == 1, F.col("b1")).otherwise(F.col("b2")).alias(
+                "train_end"
+            ),
+            F.when(F.col("fold") == 1, F.col("b2")).otherwise(F.col("n")).alias(
+                "test_end"
+            ),
+        )
+        .filter((F.col("train_end") >= 10) & (F.col("test_end") > F.col("train_end")))
+    )
+    ma = base.select(
+        "user_id",
+        "seq",
+        F.avg("value").over(wkey.orderBy("seq").rowsBetween(-4, 0)).alias("ma5"),
+    )
+    models = s.sparkSession.createDataFrame(
+        [("naive",), ("ma5",)], "model string"
+    )
+    lt = base.select(
+        F.col("user_id").alias("u1"), F.col("seq").alias("lt_seq"), F.col("value").alias("last_train")
+    )
+    mm = ma.select(
+        F.col("user_id").alias("u2"), F.col("seq").alias("ma_seq"), "ma5"
+    )
+    preds = (
+        folds.crossJoin(F.broadcast(models))
+        .join(lt, (F.col("user_id") == F.col("u1")) & (F.col("train_end") == F.col("lt_seq")))
+        .join(mm, (F.col("user_id") == F.col("u2")) & (F.col("train_end") == F.col("ma_seq")))
+        .select(
+            "user_id",
+            "fold",
+            "model",
+            "train_end",
+            "test_end",
+            F.when(F.col("model") == "naive", F.col("last_train"))
+            .otherwise(F.col("ma5"))
+            .alias("pred"),
+            "last_train",
+        )
+    )
+    tb = base.select(
+        F.col("user_id").alias("u3"), F.col("seq").alias("t_seq"), F.col("value").alias("t_val")
+    )
+    test = preds.join(
+        tb,
+        (F.col("user_id") == F.col("u3"))
+        & (F.col("t_seq") > F.col("train_end"))
+        & (F.col("t_seq") <= F.col("test_end")),
+    ).select(
+        "user_id",
+        "fold",
+        "model",
+        "pred",
+        "last_train",
+        "t_seq",
+        "t_val",
+        F.lead("t_val")
+        .over(W.partitionBy("user_id", "fold", "model").orderBy("t_seq"))
+        .alias("nxt"),
+    )
+    per_fold = test.groupBy("user_id", "fold", "model").agg(
+        F.avg(F.abs(F.col("t_val") - F.col("pred"))).alias("mae"),
+        F.sqrt(F.avg(F.pow(F.col("t_val") - F.col("pred"), 2))).alias("rmse"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.signum(F.col("pred") - F.col("last_train"))
+                    * (F.col("t_val") - F.col("nxt")),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("profit"),
+    )
+    pr = F.col("profit")
+    gross_win = F.sum(F.when(pr > 0, pr).otherwise(0.0))
+    gross_loss = F.sum(F.when(pr < 0, -pr).otherwise(0.0))
+    return per_fold.groupBy("user_id", "model").agg(
+        r6(
+            F.when(gross_loss > 0, F.least(gross_win / gross_loss, F.lit(_BCV_PF_CAP)))
+            .when(gross_win > 0, F.lit(_BCV_PF_CAP))
+            .otherwise(0.0)
+        ).alias("profit_factor"),
+        r6(F.least(F.min(pr), F.lit(0.0))).alias("max_drawdown"),
+        r6(F.avg(F.when(pr > 0, 1.0).otherwise(0.0))).alias("hit_rate"),
+        r6(F.avg("rmse")).alias("rmse"),
+        r6(F.avg(pr)).alias("mean_profit"),
+        F.count(F.lit(1)).cast("long").alias("n_folds"),
+    )

@@ -16,6 +16,8 @@ the reference has none; the Spark surface exposes them).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -920,4 +922,380 @@ def synthetic_mtm_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("priced").cast("long").alias("n_priced_legs"),
             r6(F.sum("leg_value")).alias("mtm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Performance dashboard snapshot — generate_live_metrics as ONE query
+# ---------------------------------------------------------------------------
+
+# Reference `monitoring/performance_dashboard.py:46-117`; the lookback is
+# relative to the dataset's own max date (the reference anchors at now()).
+_DB_LOOKBACK_DAYS = 180
+
+
+@query(
+    "dashboard_snapshot",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    pnl AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                   * CASE WHEN l.l_returnflag = 'R' THEN -1 ELSE 1 END), 6)
+               AS pnl
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      CROSS JOIN mx
+      WHERE o.o_orderstatus = 'F'
+        AND o.o_orderdate >= mx.mx - INTERVAL {_DB_LOOKBACK_DAYS} DAY
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    perf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_trades,
+             AVG(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END) AS win_rate,
+             SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END)
+               / NULLIF(SUM(CASE WHEN pnl < 0 THEN -pnl ELSE 0 END), 0)
+               AS profit_factor,
+             SUM(pnl) AS total_profit,
+             AVG(pnl) AS avg_profit
+      FROM pnl
+    ),
+    daily AS (
+      SELECT d, SUM(pnl) AS day_pnl FROM pnl GROUP BY d
+    ),
+    eq AS MATERIALIZED (
+      SELECT d, 100000.0 + SUM(day_pnl) OVER (ORDER BY d) AS equity
+      FROM daily
+    ),
+    eqx AS MATERIALIZED (
+      SELECT d, equity,
+             MAX(equity) OVER (ORDER BY d) AS runmax,
+             LAG(equity) OVER (ORDER BY d) AS prev,
+             ROW_NUMBER() OVER (ORDER BY d DESC) AS rdesc
+      FROM eq
+    ),
+    rets AS (
+      SELECT d, CASE WHEN prev <> 0 THEN (equity - prev) / prev END AS ret
+      FROM eqx WHERE prev IS NOT NULL
+    ),
+    pm AS (
+      SELECT STDDEV_SAMP(ret) * SQRT(252) AS vol,
+             CASE WHEN STDDEV_SAMP(ret) > 0
+                  THEN AVG(ret) / STDDEV_SAMP(ret) * SQRT(252) ELSE 0 END
+               AS sharpe,
+             CAST(COUNT(ret) AS BIGINT) AS nret
+      FROM rets WHERE ret IS NOT NULL
+    ),
+    mdd AS (
+      SELECT MAX(CASE WHEN runmax <> 0 THEN 1 - equity / runmax ELSE 0 END)
+               AS max_drawdown,
+             MAX(CASE WHEN rdesc = 1 AND runmax <> 0
+                      THEN 1 - equity / runmax
+                      WHEN rdesc = 1 THEN 0.0 END) AS current_drawdown
+      FROM eqx
+    ),
+    v95 AS (
+      SELECT (lo.ret + ((p.nret - 1) * 0.05 - FLOOR((p.nret - 1) * 0.05))
+              * (hi.ret - lo.ret)) AS var_95
+      FROM pm p
+      JOIN (SELECT ret, ROW_NUMBER() OVER (ORDER BY ret, d) AS rk
+            FROM rets WHERE ret IS NOT NULL) lo
+        ON lo.rk = CAST(FLOOR((p.nret - 1) * 0.05) AS BIGINT) + 1
+      JOIN (SELECT ret, ROW_NUMBER() OVER (ORDER BY ret, d) AS rk
+            FROM rets WHERE ret IS NOT NULL) hi
+        ON hi.rk = CAST(CEIL((p.nret - 1) * 0.05) AS BIGINT) + 1
+    ),
+    sigseries AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    siglr AS (
+      SELECT user_id, rn, n, value,
+             LN(value / LAG(value) OVER (PARTITION BY user_id ORDER BY rn))
+               AS lr
+      FROM sigseries
+    ),
+    sigfeat AS (
+      SELECT user_id, rn, n, value,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5,
+             STDDEV_SAMP(lr) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol20,
+             LEAD(value) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+      FROM siglr
+    ),
+    sigs AS (
+      SELECT user_id,
+             (ma5 - value) / value - 0.002 AS er,
+             vol20,
+             nxt / value - 1 AS actual_return,
+             LEAST(ABS((ma5 - value) / value - 0.002) / vol20, 1.0) AS conf,
+             CASE WHEN (ma5 - value) / value - 0.002 > 0.01
+                   AND ((ma5 - value) / value - 0.002) / vol20 > 0.5
+                  THEN 'BUY'
+                  WHEN (ma5 - value) / value - 0.002 < -0.01
+                   AND -((ma5 - value) / value - 0.002) / vol20 > 0.5
+                  THEN 'SELL' ELSE 'HOLD' END AS action
+      FROM sigfeat WHERE rn = n - 1 AND rn >= 21
+    ),
+    sacc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS signal_count,
+             AVG(CASE WHEN (action = 'BUY' AND actual_return > 0)
+                        OR (action = 'SELL' AND actual_return < 0)
+                        OR (action = 'HOLD' AND ABS(actual_return) < 1e-6)
+                      THEN 1.0 ELSE 0.0 END) AS signal_accuracy,
+             AVG(conf) AS avg_confidence
+      FROM sigs
+    ),
+    dq AS (
+      SELECT AVG(CASE WHEN value IS NOT NULL AND value > 0
+                      THEN 1.0 ELSE 0.0 END) AS data_quality_score,
+             AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END)
+               AS avg_missing_pct
+      FROM events
+    ),
+    lat AS (
+      SELECT AVG(CASE WHEN event_type = 'view' THEN value END) AS avg_ts_ms,
+             AVG(CASE WHEN event_type = 'click' THEN value END) AS avg_llm_ms
+      FROM events
+    )
+    SELECT perf.total_trades,
+           ROUND(perf.win_rate, 6) AS win_rate,
+           ROUND(perf.profit_factor, 6) AS profit_factor,
+           ROUND(perf.total_profit, 6) AS total_profit,
+           ROUND(perf.avg_profit, 6) AS avg_profit_per_trade,
+           sacc.signal_count,
+           ROUND(sacc.signal_accuracy, 6) AS signal_accuracy,
+           ROUND(sacc.avg_confidence, 6) AS avg_confidence,
+           ROUND(mdd.current_drawdown, 6) AS current_drawdown,
+           ROUND(pm.vol, 6) AS portfolio_volatility,
+           ROUND(pm.sharpe, 6) AS sharpe_ratio,
+           ROUND(mdd.max_drawdown, 6) AS max_drawdown,
+           ROUND(v95.var_95, 6) AS var_95,
+           ROUND(dq.data_quality_score, 6) AS data_quality_score,
+           ROUND(lat.avg_ts_ms + lat.avg_llm_ms, 6) AS avg_latency_ms,
+           CAST(1
+                + CASE WHEN dq.data_quality_score < 0.9 THEN 1 ELSE 0 END
+                + CASE WHEN perf.profit_factor < 1.0 THEN 1 ELSE 0 END
+                + CASE WHEN mdd.current_drawdown > 0.2 THEN 1 ELSE 0 END
+                + CASE WHEN lat.avg_ts_ms + lat.avg_llm_ms > 5000
+                       THEN 1 ELSE 0 END
+                + CASE WHEN dq.avg_missing_pct > 0.05 THEN 1 ELSE 0 END
+             AS INT) AS n_alerts,
+           CAST(0 AS INT) AS profitability_proof,
+           'synthetic' AS data_origin
+    FROM perf, pm, mdd, v95, sacc, dq, lat
+    """,
+)
+def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's live performance-dashboard snapshot as ONE query —
+    `monitoring/performance_dashboard.py:46-117` (`generate_live_metrics`):
+    the lookback performance summary (trades/win-rate/profit-factor),
+    the DAY-grain equity curve with current and max drawdown
+    (`_current_drawdown` `:258-266`), annualized vol / Sharpe /
+    interpolated 5% VaR over equity returns (`_compute_portfolio_metrics`
+    `:217-246`), directional signal accuracy + average confidence over
+    the latest signals (`_calculate_signal_accuracy` `:268-283`), the
+    data-quality and latency summaries (`:167-216`), the alert census
+    (`_build_alerts` `:318-339`), and the profitability-proof flag —
+    pinned FALSE with the mandatory synthetic-data alert, exactly the
+    reference's rule for non-live data origins (`:106-109`).
+
+    Scale: every input collapses to a bounded aggregate before any
+    window — pnl at order grain (map-side), the equity curve at DAY
+    grain (bounded rows), signals one per key, quality/latency single
+    aggregates. The only ordered windows run over the day-grain curve."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    signed = F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.when(
+        F.col("l_returnflag") == "R", -1
+    ).otherwise(1)
+    pnl = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("o_orderdate")
+            >= F.col("mx") - F.expr(f"INTERVAL {_DB_LOOKBACK_DAYS} DAY")
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d"))
+        .agg(r6(F.sum(signed)).alias("pnl"))
+    )
+    p = F.col("pnl")
+    perf = pnl.agg(
+        F.count(F.lit(1)).cast("long").alias("total_trades"),
+        F.avg(F.when(p > 0, 1.0).otherwise(0.0)).alias("win_rate"),
+        (
+            F.sum(F.when(p > 0, p).otherwise(0.0))
+            / F.nullif(F.sum(F.when(p < 0, -p).otherwise(0.0)), F.lit(0.0))
+        ).alias("profit_factor"),
+        F.sum(p).alias("total_profit"),
+        F.avg(p).alias("avg_profit"),
+    )
+    wd = W.orderBy("d")
+    eq = (
+        pnl.groupBy("d")
+        .agg(F.sum("pnl").alias("day_pnl"))
+        .select(
+            "d", (100000.0 + F.sum("day_pnl").over(wd.rowsBetween(W.unboundedPreceding, 0))).alias("equity")
+        )
+    )
+    eqx = eq.select(
+        "d",
+        "equity",
+        F.max("equity").over(wd.rowsBetween(W.unboundedPreceding, 0)).alias("runmax"),
+        F.lag("equity").over(wd).alias("prev"),
+        F.row_number().over(W.orderBy(F.desc("d"))).alias("rdesc"),
+    )
+    rets = eqx.filter(F.col("prev").isNotNull()).select(
+        "d",
+        F.when(F.col("prev") != 0, (F.col("equity") - F.col("prev")) / F.col("prev")).alias("ret"),
+    )
+    rr = rets.filter(F.col("ret").isNotNull())
+    pm = rr.agg(
+        (F.stddev_samp("ret") * math.sqrt(252)).alias("vol"),
+        F.when(
+            F.stddev_samp("ret") > 0,
+            F.avg("ret") / F.stddev_samp("ret") * math.sqrt(252),
+        )
+        .otherwise(0.0)
+        .alias("sharpe"),
+        F.count("ret").cast("long").alias("nret"),
+    )
+    mdd = eqx.agg(
+        F.max(
+            F.when(F.col("runmax") != 0, 1 - F.col("equity") / F.col("runmax")).otherwise(0.0)
+        ).alias("max_drawdown"),
+        F.max(
+            F.when(
+                (F.col("rdesc") == 1) & (F.col("runmax") != 0),
+                1 - F.col("equity") / F.col("runmax"),
+            ).when(F.col("rdesc") == 1, 0.0)
+        ).alias("current_drawdown"),
+    )
+    rk = rr.select(
+        "ret", F.row_number().over(W.orderBy("ret", "d")).alias("rk")
+    )
+    pos = (F.col("nret") - 1) * 0.05
+    v95 = (
+        pm.select("nret")
+        .withColumn("pos", pos)
+        .withColumn("k_lo", F.floor(F.col("pos")).cast("long"))
+        .withColumn("k_hi", F.ceil(F.col("pos")).cast("long"))
+        .join(rk.select(F.col("rk").alias("rk1"), F.col("ret").alias("r_lo")))
+        .filter(F.col("rk1") == F.col("k_lo") + 1)
+        .join(rk.select(F.col("rk").alias("rk2"), F.col("ret").alias("r_hi")))
+        .filter(F.col("rk2") == F.col("k_hi") + 1)
+        .select(
+            (
+                F.col("r_lo")
+                + (F.col("pos") - F.floor(F.col("pos")))
+                * (F.col("r_hi") - F.col("r_lo"))
+            ).alias("var_95")
+        )
+    )
+    wp = W.partitionBy("user_id").orderBy("rn")
+    sigseries = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            "user_id",
+            "value",
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+        )
+    )
+    lrcol = F.log(F.col("value") / F.lag("value").over(wp))
+    sigfeat = sigseries.select(
+        "user_id",
+        "rn",
+        "n",
+        "value",
+        F.avg("value").over(wp.rowsBetween(-4, 0)).alias("ma5"),
+        F.stddev_samp(lrcol).over(wp.rowsBetween(-19, 0)).alias("vol20"),
+        F.lead("value").over(wp).alias("nxt"),
+    )
+    er = (F.col("ma5") - F.col("value")) / F.col("value") - 0.002
+    sigs = sigfeat.filter(
+        (F.col("rn") == F.col("n") - 1) & (F.col("rn") >= 21)
+    ).select(
+        (F.col("nxt") / F.col("value") - 1).alias("actual_return"),
+        F.least(F.abs(er) / F.col("vol20"), F.lit(1.0)).alias("conf"),
+        F.when((er > 0.01) & (er / F.col("vol20") > 0.5), "BUY")
+        .when((er < -0.01) & (-er / F.col("vol20") > 0.5), "SELL")
+        .otherwise("HOLD")
+        .alias("action"),
+    )
+    correct = (
+        ((F.col("action") == "BUY") & (F.col("actual_return") > 0))
+        | ((F.col("action") == "SELL") & (F.col("actual_return") < 0))
+        | ((F.col("action") == "HOLD") & (F.abs(F.col("actual_return")) < 1e-6))
+    )
+    sacc = sigs.agg(
+        F.count(F.lit(1)).cast("long").alias("signal_count"),
+        F.avg(F.when(correct, 1.0).otherwise(0.0)).alias("signal_accuracy"),
+        F.avg("conf").alias("avg_confidence"),
+    )
+    dq = ev.agg(
+        F.avg(
+            F.when(F.col("value").isNotNull() & (F.col("value") > 0), 1.0).otherwise(
+                0.0
+            )
+        ).alias("data_quality_score"),
+        F.avg(F.when(F.col("value").isNull(), 1.0).otherwise(0.0)).alias(
+            "avg_missing_pct"
+        ),
+    )
+    lat = ev.agg(
+        F.avg(F.when(F.col("event_type") == "view", F.col("value"))).alias(
+            "avg_ts_ms"
+        ),
+        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias(
+            "avg_llm_ms"
+        ),
+    )
+    snap = (
+        perf.crossJoin(pm)
+        .crossJoin(mdd)
+        .crossJoin(v95)
+        .crossJoin(sacc)
+        .crossJoin(dq)
+        .crossJoin(lat)
+    )
+    total_lat = F.col("avg_ts_ms") + F.col("avg_llm_ms")
+    n_alerts = (
+        F.lit(1)
+        + F.when(F.col("data_quality_score") < 0.9, 1).otherwise(0)
+        + F.when(F.col("profit_factor") < 1.0, 1).otherwise(0)
+        + F.when(F.col("current_drawdown") > 0.2, 1).otherwise(0)
+        + F.when(total_lat > 5000, 1).otherwise(0)
+        + F.when(F.col("avg_missing_pct") > 0.05, 1).otherwise(0)
+    )
+    return snap.select(
+        "total_trades",
+        r6(F.col("win_rate")).alias("win_rate"),
+        r6(F.col("profit_factor")).alias("profit_factor"),
+        r6(F.col("total_profit")).alias("total_profit"),
+        r6(F.col("avg_profit")).alias("avg_profit_per_trade"),
+        "signal_count",
+        r6(F.col("signal_accuracy")).alias("signal_accuracy"),
+        r6(F.col("avg_confidence")).alias("avg_confidence"),
+        r6(F.col("current_drawdown")).alias("current_drawdown"),
+        r6(F.col("vol")).alias("portfolio_volatility"),
+        r6(F.col("sharpe")).alias("sharpe_ratio"),
+        r6(F.col("max_drawdown")).alias("max_drawdown"),
+        r6(F.col("var_95")).alias("var_95"),
+        r6(F.col("data_quality_score")).alias("data_quality_score"),
+        r6(total_lat).alias("avg_latency_ms"),
+        n_alerts.cast("int").alias("n_alerts"),
+        F.lit(0).cast("int").alias("profitability_proof"),
+        F.lit("synthetic").alias("data_origin"),
     )

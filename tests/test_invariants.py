@@ -309,3 +309,34 @@ def test_signal_quality_validation_contract(spark, sf_dir):
             assert r["recommendation"] == "HOLD"
         assert r["n_warnings"] >= 0
         assert r["action"] in ("BUY", "SELL")
+
+
+def test_dashboard_snapshot_contract(spark, sf_dir):
+    """Reference dashboard semantics (`monitoring/performance_dashboard.py`):
+    synthetic data can never be profitability proof and always carries
+    its alert; the metric ranges are sane."""
+    row = QUERIES["dashboard_snapshot"](spark, sf_dir).collect()[0]
+    assert row["profitability_proof"] == 0
+    assert row["data_origin"] == "synthetic"
+    assert row["n_alerts"] >= 1  # the synthetic-data alert is mandatory
+    assert 0.0 <= row["win_rate"] <= 1.0
+    assert row["signal_accuracy"] is None or 0.0 <= row["signal_accuracy"] <= 1.0
+    assert 0.0 <= row["current_drawdown"] <= 1.0
+    assert row["max_drawdown"] >= row["current_drawdown"] - 1e-9
+
+
+def test_blocked_cv_naive_profit_is_degenerate(spark, sf_dir):
+    """The harness's naive fallback predicts the last train value, so its
+    directional profit term vanishes identically (sign(0) = 0) and the
+    rollup reports the degenerate baseline: pf = 0, hit rate 0."""
+    rows = QUERIES["blocked_cv_validation"](spark, sf_dir).collect()
+    assert rows
+    models = {r["model"] for r in rows}
+    assert models == {"naive", "ma5"}
+    for r in rows:
+        assert 1 <= r["n_folds"] <= 2
+        assert r["rmse"] >= 0
+        if r["model"] == "naive":
+            assert r["mean_profit"] == 0.0
+            assert r["profit_factor"] == 0.0
+            assert r["hit_rate"] == 0.0
