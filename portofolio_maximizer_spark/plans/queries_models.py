@@ -130,13 +130,16 @@ def arima_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion), RSS/sigma/AIC, the recursive h=1..5 forecast (recursive
     CTE over the (y, e) state), the psi-weight variance ladder, and the
     d=1 integration back to levels."""
-    from ..forecast import arima_hr_forecast
     from ..forecast.models import arima_hr_components
     from .queries import stage_for_oracle
 
     s = _series(spark, sf_dir).select("user_id", "rn", "value")
-    stage_for_oracle(arima_hr_components(s), "arima_components")
-    return arima_hr_forecast(s)
+    comp = arima_hr_components(s).localCheckpoint(eager=True)
+    stage_for_oracle(comp, "arima_components")
+    # the fit runs ONCE (components kernel); the output is the Spark twin
+    # of the oracle replay, so both engines derive every value from the
+    # same staged artifacts
+    return _arima_replay(s, comp)
 
 
 _ARIMA_PAR_SQL = """
@@ -337,13 +340,40 @@ def arima_warmstart_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 40-observation fit minimum, which is when yesterday's cache row
     exists — so n_candidates and warm_hit are checked, not passed
     through."""
-    from ..forecast import arima_hr_warmstart_forecast
+    from pyspark.sql import Window as W
+
     from ..forecast.models import arima_warm_components
     from .queries import stage_for_oracle
 
     s = _series(spark, sf_dir).select("user_id", "rn", "value")
-    stage_for_oracle(arima_warm_components(s), "arima_warm_components")
-    return arima_hr_warmstart_forecast(s)
+    comp = arima_warm_components(s).localCheckpoint(eager=True)
+    stage_for_oracle(comp, "arima_warm_components")
+    # single fit + shared replay; the warm decision re-derived from raw
+    # counts exactly as the oracle does (train window >= the fit minimum)
+    warm = (
+        s.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "user_id",
+            (F.floor(0.75 * F.col("n_obs")) >= 40).alias("warm_hit"),
+        )
+    )
+    return (
+        _arima_replay(s, comp)
+        .join(warm, "user_id")
+        .select(
+            "*",
+            F.when(F.col("warm_hit"), 1).otherwise(8).cast("int").alias(
+                "n_candidates"
+            ),
+        )
+        .drop("warm_hit")
+        .join(warm, "user_id")
+        .select(
+            "user_id", "p", "d", "q", "aic", "horizon_step", "yhat", "lo",
+            "hi", "sigma", "n_candidates", "warm_hit",
+        )
+    )
 
 
 @query("sarimax_hr_forecast")
@@ -1975,3 +2005,194 @@ def model_profile_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("match_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared ARIMA replay: derive the forecast output from staged components
+# ---------------------------------------------------------------------------
+
+
+def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
+    """Spark twin of the ARIMA staged-verification oracle: given the raw
+    series and the component rows (winner params + long-AR residuals),
+    derive the full ARIMA_SCHEMA output relationally — the SAME
+    derivation the DuckDB oracle replays, so the least-squares fit runs
+    ONCE (in the components kernel) instead of twice, and both engines
+    re-compute every emitted value independently from the staged
+    artifacts."""
+    from pyspark.sql import Window as W
+
+    par = (
+        comp.filter(F.col("kind") == 0)
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("idx") == i, F.col("val"))).alias(name)
+                for i, name in enumerate(
+                    ["p", "d", "q", "c", "phi1", "phi2", "th1", "th2", "t0"], 1
+                )
+            ]
+        )
+    )
+    wp = W.partitionBy("user_id").orderBy("i")
+    obs = s.select(
+        "user_id",
+        F.col("value").alias("x"),
+        (F.row_number().over(W.partitionBy("user_id").orderBy("rn")) - 1).alias(
+            "i"
+        ),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("nx"),
+    )
+    lastx = obs.filter(F.col("i") == F.col("nx") - 1).select(
+        "user_id", F.col("x").alias("last_x")
+    )
+    yd = (
+        obs.join(par.select("user_id", "d"), "user_id")
+        .select(
+            "user_id",
+            F.when(
+                F.col("d") == 1, F.col("x") - F.lag("x").over(wp)
+            )
+            .otherwise(F.col("x"))
+            .alias("y"),
+            F.when(F.col("d") == 1, F.col("i") - 1)
+            .otherwise(F.col("i"))
+            .alias("t"),
+        )
+        .filter((F.col("t") >= 0) & F.col("y").isNotNull())
+    )
+    el = comp.filter(F.col("kind") == 1).select(
+        "user_id", (F.col("idx") - 1).alias("t"), F.col("val").alias("e")
+    )
+    wt = W.partitionBy("user_id").orderBy("t")
+    je = yd.join(el, ["user_id", "t"]).select(
+        "user_id",
+        "t",
+        "y",
+        "e",
+        F.lag("y", 1).over(wt).alias("y1"),
+        F.lag("y", 2).over(wt).alias("y2"),
+        F.lag("e", 1).over(wt).alias("e1"),
+        F.lag("e", 2).over(wt).alias("e2"),
+    )
+    resid = (
+        je.join(par, "user_id")
+        .filter(F.col("t") >= F.col("t0"))
+        .withColumn(
+            "r",
+            F.col("y")
+            - (
+                F.col("c")
+                + F.col("phi1") * F.col("y1")
+                + F.col("phi2") * F.col("y2")
+                + F.col("th1") * F.col("e1")
+                + F.col("th2") * F.col("e2")
+            ),
+        )
+    )
+    k = F.col("p") + F.col("q") + 1
+    sig = (
+        resid.groupBy("user_id")
+        .agg(
+            F.sum(F.col("r") * F.col("r")).alias("rss"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .join(par.select("user_id", "p", "q"), "user_id")
+        .select(
+            "user_id",
+            F.sqrt(
+                F.col("rss") / F.greatest(F.col("m") - k, F.lit(1))
+            ).alias("sigma"),
+            (
+                F.col("m")
+                * F.log(F.greatest(F.col("rss") / F.col("m"), F.lit(1e-300)))
+                + 2 * k
+            ).alias("aic"),
+        )
+    )
+    tmax = yd.groupBy("user_id").agg(F.max("t").alias("tm"))
+    st = (
+        resid.join(tmax, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("t") == F.col("tm"), F.col("y"))).alias("s_h1"),
+            F.max(F.when(F.col("t") == F.col("tm") - 1, F.col("y"))).alias(
+                "s_h2"
+            ),
+            F.max(F.when(F.col("t") == F.col("tm"), F.col("r"))).alias("s_e1"),
+            F.max(F.when(F.col("t") == F.col("tm") - 1, F.col("r"))).alias(
+                "s_e2"
+            ),
+        )
+    )
+    base = st.join(par, "user_id").join(sig, "user_id").join(lastx, "user_id")
+    # unrolled 5-step recursion: each step materializes its prediction as
+    # a column, the state advances by name (linear expression tree)
+    h1, h2, e1, e2 = "s_h1", "s_h2", "s_e1", "s_e2"
+    for h in range(1, 6):
+        base = base.withColumn(
+            f"pred{h}",
+            F.col("c")
+            + F.col("phi1") * F.col(h1)
+            + F.col("phi2") * F.col(h2)
+            + F.col("th1") * F.col(e1)
+            + F.col("th2") * F.col(e2),
+        )
+        if h < 5:
+            base = base.withColumn(f"z{h}", F.lit(0.0))
+            h2, h1 = h1, f"pred{h}"
+            e2, e1 = e1, f"z{h}"
+    # cumulative predictions (d = 1 integration)
+    cum = F.lit(0.0)
+    for h in range(1, 6):
+        cum = cum + F.col(f"pred{h}")
+        base = base.withColumn(f"cpred{h}", cum)
+    # psi ladder (seasonal-free: only phi1/phi2/th1/th2 enter psi_1..4)
+    base = (
+        base.withColumn("psi0", F.lit(1.0))
+        .withColumn("psi1", F.col("phi1") + F.col("th1"))
+        .withColumn(
+            "psi2", F.col("phi1") * F.col("psi1") + F.col("phi2") + F.col("th2")
+        )
+        .withColumn(
+            "psi3",
+            F.col("phi1") * F.col("psi2") + F.col("phi2") * F.col("psi1"),
+        )
+        .withColumn(
+            "psi4",
+            F.col("phi1") * F.col("psi3") + F.col("phi2") * F.col("psi2"),
+        )
+    )
+    pis = []
+    acc = None
+    for j in range(5):
+        acc = F.col(f"psi{j}") if acc is None else acc + F.col(f"psi{j}")
+        base = base.withColumn(f"pi{j}", acc)
+        acc = F.col(f"pi{j}")
+    def vfac(h):
+        d0 = sum((F.col(f"psi{j}") * F.col(f"psi{j}") for j in range(h)), F.lit(0.0))
+        d1 = sum((F.col(f"pi{j}") * F.col(f"pi{j}") for j in range(h)), F.lit(0.0))
+        return F.when(F.col("d") == 1, d1).otherwise(d0)
+
+    rows = []
+    for h in range(1, 6):
+        yhat = F.when(
+            F.col("d") == 1, F.col("last_x") + F.col(f"cpred{h}")
+        ).otherwise(F.col(f"pred{h}"))
+        band = 1.96 * F.sqrt(F.col("sigma") * F.col("sigma") * vfac(h))
+        rows.append(
+            F.struct(
+                F.col("p").cast("int").alias("p"),
+                F.col("d").cast("int").alias("d"),
+                F.col("q").cast("int").alias("q"),
+                F.round(F.col("aic"), 6).alias("aic"),
+                F.lit(h).cast("int").alias("horizon_step"),
+                F.round(yhat, 6).alias("yhat"),
+                F.round(yhat - band, 6).alias("lo"),
+                F.round(yhat + band, 6).alias("hi"),
+                F.round(F.col("sigma"), 6).alias("sigma"),
+            )
+        )
+    return base.select(
+        "user_id", F.explode(F.array(*rows)).alias("v")
+    ).select("user_id", "v.*")
