@@ -821,3 +821,220 @@ def blocked_cv_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg(pr)).alias("mean_profit"),
         F.count(F.lit(1)).cast("long").alias("n_folds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast regression-metric suite (forcester_ts/metrics.py, complete)
+# ---------------------------------------------------------------------------
+
+_FM_EPS = 1e-9
+_FM_TRAIN_FRAC = 0.8
+
+
+@query(
+    "forecast_metrics_suite",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    base AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS seq,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM s
+    ),
+    pred AS (
+      SELECT user_id, seq, n, value,
+             CAST(FLOOR({_FM_TRAIN_FRAC} * n) AS BIGINT) AS split,
+             LAG(value) OVER wp AS p_naive,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY seq
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS p_ma5,
+             COUNT(value) OVER (PARTITION BY user_id ORDER BY seq
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS ma_n
+      FROM base WINDOW wp AS (PARTITION BY user_id ORDER BY seq)
+    ),
+    long AS (
+      SELECT p.user_id, p.seq, p.n, p.split, p.value, m.model,
+             CASE m.model WHEN 'naive' THEN p.p_naive
+                          ELSE CASE WHEN p.ma_n = 5 THEN p.p_ma5 END
+             END AS pred
+      FROM pred p
+      CROSS JOIN (SELECT UNNEST(['naive', 'ma5']) AS model) m
+    ),
+    sig_train AS (
+      SELECT user_id, model,
+             STDDEV_SAMP(pred - value) AS sigma_train
+      FROM long WHERE seq <= split AND pred IS NOT NULL
+      GROUP BY user_id, model
+    ),
+    test AS (
+      SELECT l.*,
+             LAG(l.value) OVER wt AS a_prev,
+             LAG(l.pred) OVER wt AS p_prev,
+             ROW_NUMBER() OVER wt AS trow,
+             COUNT(*) OVER (PARTITION BY l.user_id, l.model) AS tn
+      FROM long l
+      WHERE l.seq > l.split AND l.pred IS NOT NULL
+      WINDOW wt AS (PARTITION BY l.user_id, l.model ORDER BY l.seq)
+    ),
+    agg AS (
+      SELECT t.user_id, t.model,
+             SQRT(AVG(POWER(t.pred - t.value, 2))) AS rmse,
+             2.0 * AVG(ABS(t.pred - t.value)
+                   / GREATEST(ABS(t.value) + ABS(t.pred), {_FM_EPS}))
+               AS smape,
+             SQRT(AVG(POWER(t.pred - t.value, 2))
+                  - POWER(AVG(t.pred - t.value), 2)) AS tracking_error,
+             AVG(CASE WHEN t.a_prev IS NOT NULL THEN
+               CASE WHEN SIGN(t.value - t.a_prev) = SIGN(t.pred - t.p_prev)
+                    THEN 1.0 ELSE 0.0 END END) AS directional_accuracy,
+             MAX(CASE WHEN t.trow = 1 THEN t.value END) AS a_first,
+             MAX(CASE WHEN t.trow = t.tn THEN t.value END) AS a_last,
+             MAX(CASE WHEN t.trow = 1 THEN t.pred END) AS p_first,
+             MAX(CASE WHEN t.trow = t.tn THEN t.pred END) AS p_last,
+             CAST(MAX(t.tn) AS BIGINT) AS n_test
+      FROM test t GROUP BY t.user_id, t.model
+    )
+    SELECT a.user_id, a.model,
+           ROUND(a.rmse, 6) AS rmse,
+           ROUND(a.smape, 6) AS smape,
+           ROUND(a.tracking_error, 6) AS tracking_error,
+           ROUND(a.directional_accuracy, 6) AS directional_accuracy,
+           CAST(CASE WHEN SIGN(a.p_last - a.p_first) = 0
+                      OR SIGN(a.a_last - a.a_first) = 0 THEN 0
+                     WHEN SIGN(a.p_last - a.p_first)
+                          = SIGN(a.a_last - a.a_first) THEN 1
+                     ELSE 0 END AS INT) AS terminal_da,
+           CAST(CASE WHEN a.a_last BETWEEN a.p_last - 1.96 * st.sigma_train
+                                       AND a.p_last + 1.96 * st.sigma_train
+                     THEN 1 ELSE 0 END AS INT) AS terminal_ci_covered,
+           a.n_test
+    FROM agg a JOIN sig_train st
+      ON st.user_id = a.user_id AND st.model = a.model
+    """,
+)
+def forecast_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE forecast regression-metric suite — reference
+    `forcester_ts/metrics.py:39-185`: RMSE, symmetric MAPE with the 1e-9
+    epsilon guard, tracking error (population std of residuals,
+    `:67-82`), one-step directional accuracy (sign-match of consecutive
+    changes, `:84-107`), TERMINAL directional accuracy (first-to-last
+    sign, flat counted incorrect, `:109-141` — "the metric that maps
+    directly to multi-step trade P&L"), and terminal CI coverage
+    (`:144-183`) with a 1.96-sigma band from train residuals.
+
+    Evaluated walk-forward on the last 20% holdout per key for the naive
+    and trailing-MA5 one-step forecasters (the harness's model
+    interface). One window pass builds both predictors; per-(key, model)
+    aggregates do the rest — the suite is a projection over one shuffle."""
+    from pyspark.sql import Window as W
+
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    wkey = W.partitionBy("user_id")
+    base = s.select(
+        "user_id",
+        "value",
+        F.row_number().over(wkey.orderBy("rn")).alias("seq"),
+        F.count(F.lit(1)).over(wkey).alias("n"),
+    )
+    wp = wkey.orderBy("seq")
+    pred = base.select(
+        "user_id",
+        "seq",
+        "n",
+        "value",
+        F.floor(_FM_TRAIN_FRAC * F.col("n")).cast("long").alias("split"),
+        F.lag("value").over(wp).alias("p_naive"),
+        F.avg("value").over(wp.rowsBetween(-5, -1)).alias("p_ma5"),
+        F.count("value").over(wp.rowsBetween(-5, -1)).alias("ma_n"),
+    )
+    models = s.sparkSession.createDataFrame([("naive",), ("ma5",)], "model string")
+    long = pred.crossJoin(F.broadcast(models)).select(
+        "user_id",
+        "seq",
+        "n",
+        "split",
+        "value",
+        "model",
+        F.when(F.col("model") == "naive", F.col("p_naive"))
+        .otherwise(F.when(F.col("ma_n") == 5, F.col("p_ma5")))
+        .alias("pred"),
+    )
+    sig_train = (
+        long.filter((F.col("seq") <= F.col("split")) & F.col("pred").isNotNull())
+        .groupBy("user_id", "model")
+        .agg(F.stddev_samp(F.col("pred") - F.col("value")).alias("sigma_train"))
+    )
+    wt = W.partitionBy("user_id", "model").orderBy("seq")
+    test = (
+        long.filter((F.col("seq") > F.col("split")) & F.col("pred").isNotNull())
+        .select(
+            "user_id",
+            "model",
+            "seq",
+            "value",
+            "pred",
+            F.lag("value").over(wt).alias("a_prev"),
+            F.lag("pred").over(wt).alias("p_prev"),
+            F.row_number().over(wt).alias("trow"),
+            F.count(F.lit(1)).over(W.partitionBy("user_id", "model")).alias("tn"),
+        )
+    )
+    resid = F.col("pred") - F.col("value")
+    da_term = F.when(
+        F.col("a_prev").isNotNull(),
+        F.when(
+            F.signum(F.col("value") - F.col("a_prev"))
+            == F.signum(F.col("pred") - F.col("p_prev")),
+            1.0,
+        ).otherwise(0.0),
+    )
+    agg = test.groupBy("user_id", "model").agg(
+        F.sqrt(F.avg(F.pow(resid, 2))).alias("rmse"),
+        (
+            2.0
+            * F.avg(
+                F.abs(resid)
+                / F.greatest(
+                    F.abs(F.col("value")) + F.abs(F.col("pred")), F.lit(_FM_EPS)
+                )
+            )
+        ).alias("smape"),
+        F.sqrt(F.avg(F.pow(resid, 2)) - F.pow(F.avg(resid), 2)).alias(
+            "tracking_error"
+        ),
+        F.avg(da_term).alias("directional_accuracy"),
+        F.max(F.when(F.col("trow") == 1, F.col("value"))).alias("a_first"),
+        F.max(F.when(F.col("trow") == F.col("tn"), F.col("value"))).alias(
+            "a_last"
+        ),
+        F.max(F.when(F.col("trow") == 1, F.col("pred"))).alias("p_first"),
+        F.max(F.when(F.col("trow") == F.col("tn"), F.col("pred"))).alias(
+            "p_last"
+        ),
+        F.max("tn").cast("long").alias("n_test"),
+    )
+    psign = F.signum(F.col("p_last") - F.col("p_first"))
+    asign = F.signum(F.col("a_last") - F.col("a_first"))
+    return agg.join(sig_train, ["user_id", "model"]).select(
+        "user_id",
+        "model",
+        r6(F.col("rmse")).alias("rmse"),
+        r6(F.col("smape")).alias("smape"),
+        r6(F.col("tracking_error")).alias("tracking_error"),
+        r6(F.col("directional_accuracy")).alias("directional_accuracy"),
+        F.when((psign == 0) | (asign == 0), 0)
+        .when(psign == asign, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("terminal_da"),
+        F.when(
+            F.col("a_last").between(
+                F.col("p_last") - 1.96 * F.col("sigma_train"),
+                F.col("p_last") + 1.96 * F.col("sigma_train"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("terminal_ci_covered"),
+        "n_test",
+    )
