@@ -54,3 +54,20 @@ def test_pipeline_unknown_query_raises(spark, tmp_path):
                 "stages": [{"name": "x", "query": "nope"}],
             },
         )
+
+
+def test_example_pipeline_configs_name_real_queries():
+    """Every shipped pipeline config must reference registered queries —
+    the configs are the documented §3 entry-point examples."""
+    import glob
+    import json
+
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    configs = glob.glob("pipelines/*.json")
+    assert len(configs) >= 3
+    for path in configs:
+        cfg = json.load(open(path))
+        assert cfg["stages"], path
+        for stage in cfg["stages"]:
+            assert stage["query"] in QUERIES, (path, stage["query"])
