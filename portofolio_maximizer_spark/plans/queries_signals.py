@@ -1982,3 +1982,216 @@ def signal_quality_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("HOLD")
         .alias("recommendation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Confidence-threshold calibration (quantile bins vs outcomes)
+# ---------------------------------------------------------------------------
+
+_CC_NBINS = 5
+
+
+@query(
+    "confidence_threshold_calibration",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    feat AS (
+      SELECT user_id, rn, value,
+             AVG(value) OVER w5 AS ma5,
+             STDDEV_SAMP(lr) OVER w20 AS vol20,
+             LEAD(value) OVER wp AS nxt,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM s
+      WINDOW wp AS (PARTITION BY user_id ORDER BY rn),
+             w5 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    sig AS (
+      SELECT user_id,
+             ROUND(LEAST(ABS((ma5 - value) / value - 0.002) / vol20, 1.0), 6)
+               AS conf,
+             CASE WHEN (ma5 - value) / value - 0.002 > 0.01
+                   AND ((ma5 - value) / value - 0.002) / vol20 > 0.5 THEN 1
+                  WHEN (ma5 - value) / value - 0.002 < -0.01
+                   AND -((ma5 - value) / value - 0.002) / vol20 > 0.5 THEN -1
+                  ELSE 0 END AS dir,
+             nxt / value - 1 AS actual
+      FROM feat WHERE rn = n - 1 AND rn >= 21
+    ),
+    tr AS (
+      SELECT user_id, conf,
+             CASE WHEN dir * actual > 0 THEN 1 ELSE 0 END AS win,
+             dir * actual AS pnl
+      FROM sig WHERE dir <> 0
+    ),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
+    ranked AS (
+      SELECT conf, ROW_NUMBER() OVER (ORDER BY conf, user_id) AS rk FROM tr
+    ),
+    qs AS (SELECT UNNEST([0.0, 0.2, 0.4, 0.6, 0.8, 1.0]) AS q),
+    edges0 AS (
+      SELECT DISTINCT
+             lo.conf + ((c.n - 1) * qs.q - FLOOR((c.n - 1) * qs.q))
+               * (hi.conf - lo.conf) AS edge
+      FROM qs CROSS JOIN cnt c
+      JOIN ranked lo ON lo.rk = CAST(FLOOR((c.n - 1) * qs.q) AS BIGINT) + 1
+      JOIN ranked hi ON hi.rk = CAST(CEIL((c.n - 1) * qs.q) AS BIGINT) + 1
+    ),
+    edges AS (
+      SELECT edge AS lo,
+             LEAD(edge) OVER (ORDER BY edge) AS hi,
+             ROW_NUMBER() OVER (ORDER BY edge) AS b,
+             COUNT(*) OVER () AS nb
+      FROM edges0
+    ),
+    pf AS (
+      SELECT AVG(CASE WHEN win = 1 THEN pnl END) AS mean_win,
+             AVG(CASE WHEN win = 0 THEN pnl END) AS mean_loss
+      FROM tr
+    ),
+    binned AS (
+      SELECT e.b, e.lo, e.hi, e.nb, t.win, t.pnl
+      FROM tr t JOIN edges e
+        ON e.hi IS NOT NULL
+       AND t.conf >= e.lo
+       AND (t.conf < e.hi OR (e.b = e.nb - 1 AND t.conf <= e.hi))
+    )
+    SELECT CAST(b.b AS INT) AS bin,
+           ROUND(b.lo, 4) AS conf_low,
+           ROUND(b.hi, 4) AS conf_high,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           ROUND(AVG(CASE WHEN b.win = 1 THEN 1.0 ELSE 0.0 END), 4)
+             AS win_rate,
+           ROUND(AVG(b.pnl), 4) AS mean_pnl,
+           ROUND(SUM(b.pnl), 4) AS total_pnl,
+           ROUND(CASE WHEN p.mean_loss < 0
+                      THEN 1.0 / (1.0 + p.mean_win / ABS(p.mean_loss))
+                 END, 4) AS breakeven_win_rate
+    FROM binned b CROSS JOIN pf p
+    GROUP BY b.b, b.lo, b.hi, p.mean_win, p.mean_loss
+    """,
+)
+def confidence_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-threshold calibration — reference
+    `scripts/calibrate_confidence_thresholds.py:85-180`: directional
+    signals binned by QUANTILE edges of their confidence (numpy.quantile
+    linear interpolation, duplicate edges collapsed, last bin inclusive
+    `:96-101`), per-bin trade count / win rate / mean and total PnL, and
+    the breakeven win rate 1/(1 + profit factor) derived from mean win
+    and loss (`:147-156`) — the number each bin's win rate is compared
+    against to pick the minimum executable confidence. Mechanical exits
+    are excluded (`:124-128`); in the signal model that is the HOLD
+    class. PnL is the direction-signed forward return.
+
+    Plan: signals one row per key; the quantile edges come from two
+    order-statistic equi-joins against a ranked frame (bounded: one row
+    per signal); binning is a range join against the <=5-row edge dim;
+    the rollup is a grouped aggregate."""
+    from pyspark.sql import Window as W
+
+    s = _series(spark, sf_dir)
+    wp = W.partitionBy("user_id").orderBy("rn")
+    feat = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.avg("value").over(wp.rowsBetween(-4, 0)).alias("ma5"),
+        F.stddev_samp("lr").over(wp.rowsBetween(-19, 0)).alias("vol20"),
+        F.lead("value").over(wp).alias("nxt"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+    )
+    er = (F.col("ma5") - F.col("value")) / F.col("value") - 0.002
+    sig = feat.filter((F.col("rn") == F.col("n") - 1) & (F.col("rn") >= 21)).select(
+        "user_id",
+        r6(F.least(F.abs(er) / F.col("vol20"), F.lit(1.0))).alias("conf"),
+        F.when((er > 0.01) & (er / F.col("vol20") > 0.5), 1)
+        .when((er < -0.01) & (-er / F.col("vol20") > 0.5), -1)
+        .otherwise(0)
+        .alias("dir"),
+        (F.col("nxt") / F.col("value") - 1).alias("actual"),
+    )
+    tr = sig.filter(F.col("dir") != 0).select(
+        "user_id",
+        "conf",
+        F.when(F.col("dir") * F.col("actual") > 0, 1).otherwise(0).alias("win"),
+        (F.col("dir") * F.col("actual")).alias("pnl"),
+    )
+    cnt = tr.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = tr.select(
+        "conf", F.row_number().over(W.orderBy("conf", "user_id")).alias("rk")
+    )
+    qs = s.sparkSession.createDataFrame(
+        [(q,) for q in (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)], "q double"
+    )
+    pos = (F.col("n") - 1) * F.col("q")
+    edges0 = (
+        qs.crossJoin(F.broadcast(cnt))
+        .withColumn("pos", pos)
+        .withColumn("k_lo", F.floor(F.col("pos")).cast("long"))
+        .withColumn("k_hi", F.ceil(F.col("pos")).cast("long"))
+        .join(
+            ranked.select(F.col("rk").alias("rk1"), F.col("conf").alias("c_lo")),
+            F.col("rk1") == F.col("k_lo") + 1,
+        )
+        .join(
+            ranked.select(F.col("rk").alias("rk2"), F.col("conf").alias("c_hi")),
+            F.col("rk2") == F.col("k_hi") + 1,
+        )
+        .select(
+            (
+                F.col("c_lo")
+                + (F.col("pos") - F.floor(F.col("pos")))
+                * (F.col("c_hi") - F.col("c_lo"))
+            ).alias("edge")
+        )
+        .distinct()
+    )
+    we = W.orderBy("edge")
+    edges = edges0.select(
+        F.col("edge").alias("lo"),
+        F.lead("edge").over(we).alias("hi"),
+        F.row_number().over(we).alias("b"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nb"),
+    ).filter(F.col("hi").isNotNull())
+    pf = tr.agg(
+        F.avg(F.when(F.col("win") == 1, F.col("pnl"))).alias("mean_win"),
+        F.avg(F.when(F.col("win") == 0, F.col("pnl"))).alias("mean_loss"),
+    )
+    binned = tr.join(
+        F.broadcast(edges),
+        (F.col("conf") >= F.col("lo"))
+        & (
+            (F.col("conf") < F.col("hi"))
+            | ((F.col("b") == F.col("nb") - 1) & (F.col("conf") <= F.col("hi")))
+        ),
+    )
+    return (
+        binned.crossJoin(F.broadcast(pf))
+        .groupBy("b", "lo", "hi", "mean_win", "mean_loss")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.round(F.avg(F.when(F.col("win") == 1, 1.0).otherwise(0.0)), 4).alias(
+                "win_rate"
+            ),
+            F.round(F.avg("pnl"), 4).alias("mean_pnl"),
+            F.round(F.sum("pnl"), 4).alias("total_pnl"),
+        )
+        .select(
+            F.col("b").cast("int").alias("bin"),
+            F.round("lo", 4).alias("conf_low"),
+            F.round("hi", 4).alias("conf_high"),
+            "n_trades",
+            "win_rate",
+            "mean_pnl",
+            "total_pnl",
+            F.round(
+                F.when(
+                    F.col("mean_loss") < 0,
+                    1.0 / (1.0 + F.col("mean_win") / F.abs(F.col("mean_loss"))),
+                ),
+                4,
+            ).alias("breakeven_win_rate"),
+        )
+    )
