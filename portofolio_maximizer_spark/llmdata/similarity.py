@@ -235,6 +235,29 @@ def blocked_cosine_pairs(
     return both.groupBy("b1", "b2").applyInPandas(gram, out_schema)
 
 
+def fit_coarse_quantizer(
+    vectors: DataFrame, n_lists: int, seed: int, vec_col: str = "de"
+):
+    """Seeded MLlib KMeans coarse quantizer shared by the IVF index and
+    SemDeDup: returns (model, centroid DataFrame with the staging schema
+    ``list_id int, ce array<double>``). One definition so quantizer
+    params / centroid schema cannot drift between consumers."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.withColumn("features", array_to_vector(vec_col))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(
+        feats.select("features")
+    )
+    cents = [
+        (i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())
+    ]
+    cent_df = vectors.sparkSession.createDataFrame(
+        cents, "list_id int, ce array<double>"
+    )
+    return model, feats, cent_df
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -258,24 +281,13 @@ def ivf_topk(
     corpus once; at real scale the quantizer trains on a sample and the
     model is a broadcast artifact, exactly like the reference's offline
     policy artifacts."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    spark = corpus.sparkSession
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("de")
     )
-    with_feats = c.withColumn("features", array_to_vector("de"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(
-        with_feats.select("features")
-    )
+    model, with_feats, cent_df = fit_coarse_quantizer(c, n_lists, seed)
     assigned = model.transform(with_feats).select(
         "vec_id", "de", F.col("prediction").alias("list_id")
     )
-    cents = [
-        (i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(cents, "list_id int, ce array<double>")
     if on_centroids is not None:
         # staged-verification hook: lets a caller persist the fitted
         # quantizer so an external oracle can replay assignment + probing

@@ -680,6 +680,7 @@ _BCV_PF_CAP = 999999.0
            ROUND(LEAST(MIN(profit), 0.0), 6) AS max_drawdown,
            ROUND(AVG(CASE WHEN profit > 0 THEN 1.0 ELSE 0.0 END), 6)
              AS hit_rate,
+           ROUND(AVG(mae), 6) AS mae,
            ROUND(AVG(rmse), 6) AS rmse,
            ROUND(AVG(profit), 6) AS mean_profit,
            CAST(COUNT(*) AS BIGINT) AS n_folds
@@ -817,6 +818,7 @@ def blocked_cv_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("profit_factor"),
         r6(F.least(F.min(pr), F.lit(0.0))).alias("max_drawdown"),
         r6(F.avg(F.when(pr > 0, 1.0).otherwise(0.0))).alias("hit_rate"),
+        r6(F.avg("mae")).alias("mae"),
         r6(F.avg("rmse")).alias("rmse"),
         r6(F.avg(pr)).alias("mean_profit"),
         F.count(F.lit(1)).cast("long").alias("n_folds"),
@@ -881,8 +883,8 @@ _FM_TRAIN_FRAC = 0.8
              2.0 * AVG(ABS(t.pred - t.value)
                    / GREATEST(ABS(t.value) + ABS(t.pred), {_FM_EPS}))
                AS smape,
-             SQRT(AVG(POWER(t.pred - t.value, 2))
-                  - POWER(AVG(t.pred - t.value), 2)) AS tracking_error,
+             SQRT(GREATEST(AVG(POWER(t.pred - t.value, 2))
+                  - POWER(AVG(t.pred - t.value), 2), 0)) AS tracking_error,
              AVG(CASE WHEN t.a_prev IS NOT NULL THEN
                CASE WHEN SIGN(t.value - t.a_prev) = SIGN(t.pred - t.p_prev)
                     THEN 1.0 ELSE 0.0 END END) AS directional_accuracy,
@@ -998,9 +1000,11 @@ def forecast_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("smape"),
-        F.sqrt(F.avg(F.pow(resid, 2)) - F.pow(F.avg(resid), 2)).alias(
-            "tracking_error"
-        ),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.pow(resid, 2)) - F.pow(F.avg(resid), 2), F.lit(0.0)
+            )
+        ).alias("tracking_error"),
         F.avg(da_term).alias("directional_accuracy"),
         F.max(F.when(F.col("trow") == 1, F.col("value"))).alias("a_first"),
         F.max(F.when(F.col("trow") == F.col("tn"), F.col("value"))).alias(

@@ -1272,6 +1272,7 @@ _LM_CUT_SD = 0.25
     WITH tri AS (
       SELECT doc_id, SUBSTR(text, i, 3) AS tri, SUBSTR(text, i, 2) AS pre
       FROM documents, UNNEST(RANGE(1, LEN(text) - 1)) AS u(i)
+      WHERE LEN(text) >= 3
     ),
     tc AS (SELECT tri, COUNT(*) AS c_tri FROM tri GROUP BY tri),
     pc AS (SELECT pre, COUNT(*) AS c_pre FROM tri GROUP BY pre),
@@ -1318,7 +1319,11 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row global aggregate broadcast back (NO global sort — this is
     the fixed-cut variant of CCNet's terciles chosen specifically so the
     plan has no rank-the-whole-corpus stage)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # guard: Spark's sequence(1, len-2) DESCENDS when len < 3 and would
+    # emit phantom trigrams for sub-3-char docs (DuckDB's RANGE is empty)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 3
+    )
     # the explode multiplies rows ~n_chars x, so byte-based input splits
     # underestimate the CPU downstream: a single small parquet file would
     # run the whole trigram stream in ONE task. Re-split only when the
@@ -1427,23 +1432,15 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives everything downstream independently — Euclidean argmin
     assignment, within-cluster pairwise cosines, the tau gate and the
     lowest-id keep rule — from the raw embeddings table."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from ..llmdata.similarity import as_double, dot, norm
+    from ..llmdata.similarity import as_double, dot, fit_coarse_quantizer, norm
     from .queries import stage_for_oracle
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("de")
     )
-    feats = emb.withColumn("features", array_to_vector("de"))
-    model = KMeans(
-        k=_SEMDEDUP_K, seed=_SEMDEDUP_SEED, maxIter=20
-    ).fit(feats.select("features"))
-    cents = [
-        (i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(cents, "list_id int, ce array<double>")
+    model, feats, cent_df = fit_coarse_quantizer(
+        emb, _SEMDEDUP_K, _SEMDEDUP_SEED
+    )
     stage_for_oracle(cent_df, "semdedup_centroids")
     assigned = model.transform(feats).select(
         "vec_id", "de", F.col("prediction").cast("int").alias("cluster")

@@ -298,31 +298,39 @@ ORACLE["arima_hr_forecast"] = f"""
     """
 
 
-ORACLE["arima_warmstart_forecast"] = (
-    ORACLE["arima_hr_forecast"]
-    .replace("oracle_stage/arima_components", "oracle_stage/arima_warm_components")
-    .replace(
-        """    )
+def _checked_replace(text: str, old: str, new: str) -> str:
+    """str.replace that REFUSES to no-op: a silent miss here would yield a
+    structurally wrong derived oracle (review finding)."""
+    assert old in text, f"oracle-derivation anchor vanished: {old[:60]!r}"
+    return text.replace(old, new)
+
+
+ORACLE["arima_warmstart_forecast"] = _checked_replace(
+    _checked_replace(
+        _checked_replace(
+            _checked_replace(
+                ORACLE["arima_hr_forecast"],
+                "oracle_stage/arima_components",
+                "oracle_stage/arima_warm_components",
+            ),
+            """    )
     SELECT pr.user_id,""",
-        """    ),
+            """    ),
     warm AS (
       SELECT user_id, FLOOR(0.75 * COUNT(*)) >= 40 AS warm
       FROM s GROUP BY user_id
     )
     SELECT pr.user_id,""",
-    )
-    .replace(
+        ),
         "ROUND(sig.sigma, 6) AS sigma\n    FROM preds pr",
         "ROUND(sig.sigma, 6) AS sigma,\n"
         "           CAST(CASE WHEN w.warm THEN 1 ELSE 8 END AS INT)"
         " AS n_candidates,\n"
         "           w.warm AS warm_hit\n    FROM preds pr",
-    )
-    .replace(
-        "JOIN vr ON vr.user_id = pr.user_id AND vr.h = pr.h",
-        "JOIN vr ON vr.user_id = pr.user_id AND vr.h = pr.h\n"
-        "    JOIN warm w ON w.user_id = pr.user_id",
-    )
+    ),
+    "JOIN vr ON vr.user_id = pr.user_id AND vr.h = pr.h",
+    "JOIN vr ON vr.user_id = pr.user_id AND vr.h = pr.h\n"
+    "    JOIN warm w ON w.user_id = pr.user_id",
 )
 
 @query("arima_warmstart_forecast")
@@ -362,16 +370,12 @@ def arima_warmstart_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arima_replay(s, comp)
         .join(warm, "user_id")
         .select(
-            "*",
+            "user_id", "p", "d", "q", "aic", "horizon_step", "yhat", "lo",
+            "hi", "sigma",
             F.when(F.col("warm_hit"), 1).otherwise(8).cast("int").alias(
                 "n_candidates"
             ),
-        )
-        .drop("warm_hit")
-        .join(warm, "user_id")
-        .select(
-            "user_id", "p", "d", "q", "aic", "horizon_step", "yhat", "lo",
-            "hi", "sigma", "n_candidates", "warm_hit",
+            "warm_hit",
         )
     )
 

@@ -1557,7 +1557,8 @@ _SO_HASH = "('0x' || SUBSTR(MD5('cand|' || i || '|{tag}'), 1, 6))::BIGINT / 1677
     ),
     sc AS (
       SELECT *, s1 / n_trades AS mean_ret,
-             SQRT((s2 - s1 * s1 / n_trades) / (n_trades - 1)) AS vol
+             SQRT(GREATEST((s2 - s1 * s1 / n_trades) / (n_trades - 1), 0))
+               AS vol
       FROM m WHERE n_trades >= {_SO_MIN_TRADES}
     ),
     scored AS (
@@ -1657,7 +1658,12 @@ def strategy_candidate_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mean_ret", F.col("s1") / n)
         .withColumn(
             "vol",
-            F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)),
+            F.sqrt(
+                F.greatest(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1),
+                    F.lit(0.0),
+                )
+            ),
         )
     )
     scored = sc.filter(

@@ -993,7 +993,7 @@ _DB_LOOKBACK_DAYS = 180
                       WHEN rdesc = 1 THEN 0.0 END) AS current_drawdown
       FROM eqx
     ),
-    v95 AS (
+    v95raw AS (
       SELECT (lo.ret + ((p.nret - 1) * 0.05 - FLOOR((p.nret - 1) * 0.05))
               * (hi.ret - lo.ret)) AS var_95
       FROM pm p
@@ -1003,6 +1003,11 @@ _DB_LOOKBACK_DAYS = 180
       JOIN (SELECT ret, ROW_NUMBER() OVER (ORDER BY ret, d) AS rk
             FROM rets WHERE ret IS NOT NULL) hi
         ON hi.rk = CAST(CEIL((p.nret - 1) * 0.05) AS BIGINT) + 1
+    ),
+    v95 AS (
+      -- aggregate wrapper: guarantees ONE row (null var) even when the
+      -- equity curve has < 2 days, so the snapshot row never vanishes
+      SELECT MAX(var_95) AS var_95 FROM v95raw
     ),
     sigseries AS (
       SELECT user_id, value,
@@ -1200,6 +1205,9 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("r_hi") - F.col("r_lo"))
             ).alias("var_95")
         )
+        # aggregate wrapper: one row even when the curve has < 2 days,
+        # so the crossJoin chain cannot erase the snapshot row
+        .agg(F.max("var_95").alias("var_95"))
     )
     wp = W.partitionBy("user_id").orderBy("rn")
     sigseries = (
