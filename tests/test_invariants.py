@@ -340,3 +340,74 @@ def test_blocked_cv_naive_profit_is_degenerate(spark, sf_dir):
             assert r["mean_profit"] == 0.0
             assert r["profit_factor"] == 0.0
             assert r["hit_rate"] == 0.0
+
+
+def test_integrity_audit_counts_planted_violations(spark, tmp_path):
+    """Every check in the consolidated audit must count exactly the
+    violations planted in a hand-built trades fixture."""
+    import datetime as dt
+
+    def leg(ok, ln, qty, price, flag, status, ship):
+        return (ok, 1, 1, ln, float(qty), float(price), 0.0, 0.0, flag,
+                status, dt.datetime(*ship))
+
+    legs = [
+        # order 1: partially-closed stale orphan; line1 has the
+        # diagnostic-looking 'O' linestatus
+        leg(1, 1, 10, 100.0, "N", "O", (1995, 6, 2)),
+        leg(1, 2, 4, 40.0, "R", "F", (1995, 7, 2)),
+        # order 2: flagged opening leg, never closed (short orphan +
+        # opening-leg-has-pnl)
+        leg(2, 1, 5, 50.0, "R", "F", (2000, 1, 2)),
+        # order 3: over-closed opener (duplicate close)
+        leg(3, 1, 5, 50.0, "N", "F", (2000, 2, 2)),
+        leg(3, 2, 4, 40.0, "R", "F", (2000, 2, 3)),
+        leg(3, 3, 3, 30.0, "R", "F", (2000, 2, 4)),
+        # order 4: closes with no opening leg at all
+        leg(4, 2, 2, 20.0, "R", "F", (2000, 3, 2)),
+        leg(4, 3, 1, 10.0, "R", "F", (2000, 3, 3)),
+        # order 5: flagged opener + untagged late leg (cross-mode)
+        leg(5, 1, 3, 30.0, "R", "F", (2000, 4, 2)),
+        leg(5, 2, 2, 20.0, "N", "F", (2000, 4, 3)),
+        # order 6 (open status): NULL flag leg
+        leg(6, 1, 1, 10.0, None, "F", (2000, 5, 2)),
+    ]
+    li = spark.createDataFrame(
+        legs,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    # header totals equal the leg charge sums except order 5 (+100)
+    totals = {1: 140.0, 2: 50.0, 3: 120.0, 4: 30.0, 5: 150.0, 6: 10.0}
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "F", totals[1], dt.datetime(1995, 6, 1), "1-URGENT"),
+            (2, 1, "F", totals[2], dt.datetime(2000, 1, 1), "1-URGENT"),
+            (3, 1, "F", totals[3], dt.datetime(2000, 2, 1), "1-URGENT"),
+            (4, 1, "F", totals[4], dt.datetime(2000, 3, 1), "1-URGENT"),
+            (5, 1, "F", totals[5], dt.datetime(2000, 4, 1), "1-URGENT"),
+            (6, 1, "P", totals[6], dt.datetime(2000, 5, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "sf_audit")
+    li.coalesce(1).write.parquet(d + "/lineitem.parquet")
+    orders.coalesce(1).write.parquet(d + "/orders.parquet")
+
+    rep = {
+        r["check_name"]: r["n_violations"]
+        for r in QUERIES["integrity_audit_report"](spark, d).collect()
+    }
+    assert rep["OPENING_LEG_HAS_PNL"] == 2          # orders 2 and 5
+    assert rep["NULL_PRODUCTION_FLAGS"] == 1        # order 6's NULL flag
+    assert rep["ORPHANED_POSITION"] == 1            # order 1 (stale remainder)
+    assert rep["SHORT_ORPHANED_POSITION"] == 2      # orders 2 and 5
+    assert rep["DIAGNOSTIC_NOT_FLAGGED"] == 1       # order 1 line 1
+    assert rep["CROSS_MODE_CONTAMINATION"] == 1     # order 5's untagged leg
+    assert rep["CLOSE_WITHOUT_ENTRY_LINK"] == 2     # order 4's two closes
+    assert rep["PNL_ARITHMETIC_MISMATCH"] == 1      # order 5's +100 header
+    assert rep["DUPLICATE_CLOSE_FOR_ENTRY"] == 1    # order 3
+    assert rep["METRICS_DRIFT"] == 0                # far below warmup
