@@ -411,3 +411,53 @@ def test_integrity_audit_counts_planted_violations(spark, tmp_path):
     assert rep["PNL_ARITHMETIC_MISMATCH"] == 1      # order 5's +100 header
     assert rep["DUPLICATE_CLOSE_FOR_ENTRY"] == 1    # order 3
     assert rep["METRICS_DRIFT"] == 0                # far below warmup
+
+
+def test_synthetic_mtm_planted_option_intrinsics(spark, tmp_path):
+    """Hand-checkable MtM fixture: a spot leg and a short call priced off
+    a planted spot book, an unpriced leg skipped, and a put's intrinsic."""
+    import datetime as dt
+
+    def leg(ok, part, ln, qty, ext, flag, ship):
+        return (ok, part, 1, ln, float(qty), float(ext), 0.0, 0.0, flag,
+                "F", dt.datetime(*ship))
+
+    li = spark.createDataFrame(
+        [
+            # position legs (shipdate < 2000: excluded from the spot book)
+            leg(10, 100, 1, 2, 100.0, "N", (1999, 1, 2)),   # spot leg
+            leg(10, 100, 2, 1, 50.0, "A", (1999, 1, 3)),    # call, K=50
+            leg(10, 200, 3, 5, 500.0, "R", (1999, 1, 4)),   # no spot: skip
+            leg(12, 100, 1, 1, 150.0, "R", (1999, 2, 2)),   # put, K=150
+            # spot book: part 100 priced at 400/4 = 100
+            leg(11, 100, 1, 4, 400.0, "N", (2000, 2, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 650.0, dt.datetime(1999, 1, 1), "1-URGENT"),
+            (11, 1, "F", 400.0, dt.datetime(2000, 1, 31), "1-URGENT"),
+            (12, 1, "O", 150.0, dt.datetime(1999, 2, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "sf_mtm")
+    li.coalesce(1).write.parquet(d + "/lineitem.parquet")
+    orders.coalesce(1).write.parquet(d + "/orders.parquet")
+
+    out = {
+        r["orderkey"]: r
+        for r in QUERIES["synthetic_mtm_valuation"](spark, d).collect()
+    }
+    # order 10: spot leg +1*2*100*2 = 400; short call -1*1*max(100-50,0)*3
+    # = -150; part-200 leg unpriced and skipped
+    assert out[10]["n_legs"] == 3 and out[10]["n_priced_legs"] == 2
+    assert abs(out[10]["mtm"] - 250.0) < 1e-6
+    # order 12: long put +1*1*max(150-100,0)*2 = 100
+    assert out[12]["n_legs"] == 1 and out[12]["n_priced_legs"] == 1
+    assert abs(out[12]["mtm"] - 100.0) < 1e-6
