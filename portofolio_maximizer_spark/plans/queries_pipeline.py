@@ -553,3 +553,105 @@ def padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.col("padded_len"))
         ).alias("waste_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L29 — sliding-window chunking with overlap (context-window prep)
+# ---------------------------------------------------------------------------
+
+_SW_WINDOW = 128
+_SW_STRIDE = 96  # 32-token overlap
+
+
+@query(
+    "sliding_window_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= {_SW_WINDOW} THEN 1
+                  ELSE CAST(CEIL((n_tokens - {_SW_WINDOW})
+                                 / {_SW_STRIDE}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM d
+    ),
+    chunks AS (
+      SELECT s.doc_id, s.n_tokens, s.n_chunks, u.i AS chunk_id,
+             (u.i - 1) * {_SW_STRIDE} AS start_tok,
+             LEAST((u.i - 1) * {_SW_STRIDE} + {_SW_WINDOW}, s.n_tokens)
+               AS end_tok
+      FROM spans s, UNNEST(RANGE(1, s.n_chunks + 1)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(end_tok - start_tok) AS BIGINT) AS chunk_tokens,
+           ROUND(SUM(end_tok - start_tok) * 1.0 / MAX(n_tokens), 6)
+             AS duplication_factor,
+           CAST(MAX(CASE WHEN chunk_id = n_chunks
+                         THEN end_tok - start_tok END) AS BIGINT)
+             AS last_chunk_len,
+           CAST(CASE WHEN MAX(n_chunks) > 1
+                     THEN {_SW_WINDOW - _SW_STRIDE} ELSE 0 END AS BIGINT)
+             AS overlap_tokens
+    FROM chunks GROUP BY doc_id
+    """,
+)
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29 context-window chunking: split each document into 128-token
+    windows advancing by a 96-token stride (32-token overlap)
+    (the standard overlap-chunking used to preserve cross-boundary
+    context when a tokenizer packs long documents into fixed windows —
+    the complement of L14's concat-and-chunk packing, which has no
+    overlap). Emits per-doc chunk counts, the token duplication factor
+    the overlap costs (the number a data-loader budget needs), and the
+    short-tail length of the final chunk.
+
+    Chunk math is closed-form from the token count — the chunk rows are
+    generated by an in-row explode (no join), aggregated straight back;
+    the whole operator is one scan + one per-doc aggregate and never
+    materializes chunk text."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(textstats.tokens(F.col("text")))
+    spans = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n <= _SW_WINDOW, F.lit(1))
+        .otherwise(
+            F.ceil((n - _SW_WINDOW) / float(_SW_STRIDE)).cast("long") + 1
+        )
+        .cast("long")
+        .alias("n_chunks"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(1), F.col("n_chunks"))).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        "chunk_id",
+        ((F.col("chunk_id") - 1) * _SW_STRIDE).alias("start_tok"),
+        F.least(
+            (F.col("chunk_id") - 1) * _SW_STRIDE + _SW_WINDOW,
+            F.col("n_tokens"),
+        ).alias("end_tok"),
+    )
+    clen = F.col("end_tok") - F.col("start_tok")
+    return chunks.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.max("n_chunks").cast("long").alias("n_chunks"),
+        F.sum(clen).cast("long").alias("chunk_tokens"),
+        r6(F.sum(clen) * 1.0 / F.max("n_tokens")).alias("duplication_factor"),
+        F.max(F.when(F.col("chunk_id") == F.col("n_chunks"), clen))
+        .cast("long")
+        .alias("last_chunk_len"),
+        F.when(F.max("n_chunks") > 1, _SW_WINDOW - _SW_STRIDE)
+        .otherwise(0)
+        .cast("long")
+        .alias("overlap_tokens"),
+    )
