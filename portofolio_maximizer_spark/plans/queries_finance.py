@@ -971,3 +971,146 @@ def mc_path_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("prob_up"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-relative metrics vs the equal-weight universe
+# ---------------------------------------------------------------------------
+
+_BM_TRADING_DAYS = 252
+
+
+@query(
+    "benchmark_relative_metrics",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM events WHERE value > 0),
+    dayrows AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM ev
+    ),
+    daily AS (SELECT user_id, d, value FROM dayrows WHERE rk = 1),
+    rets AS (
+      SELECT user_id, d,
+             value / LAG(value) OVER (PARTITION BY user_id ORDER BY d) - 1
+               AS r
+      FROM daily
+    ),
+    rr AS (SELECT * FROM rets WHERE r IS NOT NULL),
+    bench AS (SELECT d, AVG(r) AS rb FROM rr GROUP BY d),
+    j AS (
+      SELECT rr.user_id, rr.r AS rp, b.rb, rr.r - b.rb AS ex
+      FROM rr JOIN bench b ON b.d = rr.d
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(ex) AS mean_ex,
+             SQRT(AVG(ex * ex) - AVG(ex) * AVG(ex)) AS sd_ex,
+             AVG(rp) AS mean_p, AVG(rb) AS mean_b,
+             COVAR_POP(rb, rp) AS cov_bp,
+             VAR_POP(rb) AS var_b, VAR_POP(rp) AS var_p
+      FROM j GROUP BY user_id
+    )
+    SELECT user_id, n AS n_periods,
+           ROUND(sd_ex * SQRT({_BM_TRADING_DAYS}), 6) AS tracking_error,
+           ROUND(CASE WHEN sd_ex * SQRT({_BM_TRADING_DAYS}) > 1e-8
+                      THEN mean_ex * SQRT({_BM_TRADING_DAYS})
+                           / (sd_ex * SQRT({_BM_TRADING_DAYS}))
+                      ELSE 0.0 END, 6) AS information_ratio,
+           ROUND(CASE WHEN n < 2 OR SQRT(var_b) <= 1e-12
+                      THEN mean_ex * {_BM_TRADING_DAYS}
+                      ELSE (mean_p - (cov_bp / var_b) * mean_b)
+                           * {_BM_TRADING_DAYS} END, 6) AS alpha,
+           ROUND(CASE WHEN n < 2 OR SQRT(var_b) <= 1e-12 THEN 0.0
+                      ELSE cov_bp / var_b END, 6) AS beta,
+           ROUND(CASE WHEN n < 2 OR SQRT(var_b) <= 1e-12 OR var_p <= 0
+                      THEN 0.0
+                      ELSE (cov_bp * cov_bp) / (var_b * var_p) END, 6)
+             AS r_squared
+    FROM agg
+    """,
+)
+def benchmark_relative_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-relative performance vs the equal-weight universe —
+    reference `backtesting/candidate_backtester.py:25-130` (the
+    BacktestResult benchmark block) with the metric math from
+    `etl/portfolio_math.py:169-210` and the benchmark construction from
+    `backtesting/candidate_simulator.py:234-259`: day-grain per-key
+    returns (last observation per day), the benchmark as the
+    cross-sectional mean return per day, then per key the annualized
+    tracking error (population std of excess x sqrt252), information
+    ratio (zero when TE degenerate), and the linregress alpha
+    (intercept x 252) / beta (slope) / R^2 with the reference's
+    degenerate-benchmark fallback (alpha from mean excess, beta = 0).
+
+    Plan: one day-grain dedup window, one lag window, the benchmark as a
+    per-day aggregate joined back (AQE decides broadcast vs shuffle),
+    one per-key aggregate. The benchmark join key is the DAY — bounded
+    cardinality at any corpus size."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wday = W.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            "value",
+            F.row_number().over(wday).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    wd = W.partitionBy("user_id").orderBy("d")
+    rr = daily.select(
+        "user_id",
+        "d",
+        (F.col("value") / F.lag("value").over(wd) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    bench = rr.groupBy("d").agg(F.avg("r").alias("rb"))
+    j = rr.join(bench, "d").select(
+        "user_id",
+        F.col("r").alias("rp"),
+        "rb",
+        (F.col("r") - F.col("rb")).alias("ex"),
+    )
+    agg = j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("ex").alias("mean_ex"),
+        F.sqrt(
+            F.avg(F.col("ex") * F.col("ex")) - F.avg("ex") * F.avg("ex")
+        ).alias("sd_ex"),
+        F.avg("rp").alias("mean_p"),
+        F.avg("rb").alias("mean_b"),
+        F.covar_pop("rb", "rp").alias("cov_bp"),
+        F.var_pop("rb").alias("var_b"),
+        F.var_pop("rp").alias("var_p"),
+    )
+    sq = math.sqrt(_BM_TRADING_DAYS)
+    te = F.col("sd_ex") * sq
+    degenerate = (F.col("n") < 2) | (F.sqrt(F.col("var_b")) <= 1e-12)
+    beta = F.col("cov_bp") / F.col("var_b")
+    return agg.select(
+        "user_id",
+        F.col("n").alias("n_periods"),
+        r6(te).alias("tracking_error"),
+        r6(
+            F.when(te > 1e-8, F.col("mean_ex") * sq / te).otherwise(0.0)
+        ).alias("information_ratio"),
+        r6(
+            F.when(degenerate, F.col("mean_ex") * _BM_TRADING_DAYS).otherwise(
+                (F.col("mean_p") - beta * F.col("mean_b")) * _BM_TRADING_DAYS
+            )
+        ).alias("alpha"),
+        r6(F.when(degenerate, 0.0).otherwise(beta)).alias("beta"),
+        r6(
+            F.when(degenerate | (F.col("var_p") <= 0), 0.0).otherwise(
+                (F.col("cov_bp") * F.col("cov_bp"))
+                / (F.col("var_b") * F.col("var_p"))
+            )
+        ).alias("r_squared"),
+    )
