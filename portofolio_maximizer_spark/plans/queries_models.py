@@ -1011,13 +1011,14 @@ def samossa_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged recon per horizon step) plus at most four predicted terms
     whose coefficients sit at FIXED positions R_10..R_7 — the recursive
     CTE carries just those four values."""
-    from ..forecast import samossa_forecast
     from ..forecast.models import samossa_components
     from .queries import stage_for_oracle
 
     s = _series(spark, sf_dir).select("user_id", "rn", "value")
-    stage_for_oracle(samossa_components(s), "samossa_components")
-    return samossa_forecast(s)
+    comp = samossa_components(s).localCheckpoint(eager=True)
+    stage_for_oracle(comp, "samossa_components")
+    # single SVD: the output is the Spark twin of the oracle replay
+    return _samossa_replay(s, comp)
 
 
 ORACLE["samossa_forecast"] = f"""
@@ -2462,6 +2463,192 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
                 F.round(yhat, 6).alias("yhat"),
                 F.round(yhat - band, 6).alias("lo"),
                 F.round(yhat + band, 6).alias("hi"),
+                F.round(F.col("sigma"), 6).alias("sigma"),
+            )
+        )
+    return base.select(
+        "user_id", F.explode(F.array(*rows)).alias("v")
+    ).select("user_id", "v.*")
+
+
+def _samossa_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
+    """Spark twin of the SAMoSSA staged-verification oracle: derive the
+    forecast output from the staged SSA artifacts (recon series,
+    R-forecast coefficients, AR coefficients) plus the raw series — the
+    SVD and both least-squares solves run once, in the components
+    kernel. The R-forecast window (11) exceeds the horizon (5): each
+    step's observed part is a per-step join-aggregate over the staged
+    reconstruction and the predicted part uses the fixed R10..R7
+    coefficient slots, unrolled as columns."""
+    from pyspark.sql import Window as W
+
+    par = (
+        comp.filter(F.col("kind") == 0)
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("idx") == i, F.col("val"))).alias(name)
+                for i, name in enumerate(
+                    ["rank_used", "nu2", "L", "ar_p", "b0", "b1", "b2", "b3"], 1
+                )
+            ]
+        )
+    )
+    recon = comp.filter(F.col("kind") == 1).select(
+        "user_id", (F.col("idx") - 1).alias("pos"), F.col("val").alias("rec")
+    )
+    rc = comp.filter(F.col("kind") == 2).select(
+        "user_id", (F.col("idx") - 1).alias("j"), F.col("val").alias("rj")
+    )
+    nn = recon.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    reclast = recon.join(nn, "user_id").filter(
+        F.col("pos") == F.col("n") - 1
+    ).select("user_id", F.col("rec").alias("rec_last"))
+    hsteps = s.sparkSession.range(1, 6).select(
+        F.col("id").cast("int").alias("h")
+    )
+    # observed part of each step's R-forecast window (position
+    # n + h - 12 + j, kept when <= n - 1), pivoted wide per h
+    obspart = (
+        rc.join(nn, "user_id")
+        .crossJoin(F.broadcast(hsteps))
+        .join(
+            recon.select(
+                F.col("user_id").alias("u2"),
+                F.col("pos").alias("p2"),
+                F.col("rec").alias("r2"),
+            ),
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("p2") == F.col("n") + F.col("h") - 12 + F.col("j"))
+            & (F.col("p2") <= F.col("n") - 1),
+        )
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("h") == h, F.col("rj") * F.col("r2"))
+                    ),
+                    F.lit(0.0),
+                ).alias(f"obs{h}")
+                for h in range(1, 6)
+            ]
+        )
+    )
+    rcoef = rc.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("j") == j, F.col("rj"))), F.lit(0.0)
+            ).alias(f"r{j}")
+            for j in (10, 9, 8, 7)
+        ]
+    )
+    # residual series and AR sigma from raw minus staged recon
+    wkey = W.partitionBy("user_id").orderBy("rn")
+    raw = s.select(
+        "user_id",
+        "value",
+        (F.row_number().over(wkey) - 1).alias("pos"),
+    )
+    resid = raw.join(recon, ["user_id", "pos"]).select(
+        "user_id",
+        F.col("pos").alias("t"),
+        (F.col("value") - F.col("rec")).alias("rv"),
+    )
+    wt = W.partitionBy("user_id").orderBy("t")
+    rl = resid.select(
+        "user_id",
+        "t",
+        "rv",
+        F.lag("rv", 1).over(wt).alias("r1"),
+        F.lag("rv", 2).over(wt).alias("r2l"),
+        F.lag("rv", 3).over(wt).alias("r3l"),
+    )
+    arres = (
+        rl.join(par, "user_id")
+        .filter(F.col("t") >= F.col("ar_p"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.pow(
+                    F.col("rv")
+                    - (
+                        F.col("b0")
+                        + F.col("b1") * F.col("r1")
+                        + F.col("b2") * F.coalesce(F.col("r2l"), F.lit(0.0))
+                        + F.col("b3") * F.coalesce(F.col("r3l"), F.lit(0.0))
+                    ),
+                    2,
+                )
+            ).alias("rss"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    sig = arres.join(par.select("user_id", "ar_p"), "user_id").select(
+        "user_id",
+        F.sqrt(
+            F.col("rss")
+            / F.greatest(F.col("m") - F.col("ar_p") - 1, F.lit(1))
+        ).alias("sigma"),
+    )
+    rlast = (
+        resid.join(nn, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("t") == F.col("n") - 1, F.col("rv"))).alias(
+                "x1"
+            ),
+            F.max(F.when(F.col("t") == F.col("n") - 2, F.col("rv"))).alias(
+                "x2"
+            ),
+            F.max(F.when(F.col("t") == F.col("n") - 3, F.col("rv"))).alias(
+                "x3"
+            ),
+        )
+    )
+    base = (
+        par.join(obspart, "user_id")
+        .join(rcoef, "user_id")
+        .join(reclast, "user_id")
+        .join(sig, "user_id")
+        .join(rlast, "user_id")
+    )
+    # trend recursion (R-forecast) unrolled: state = last four predictions
+    t1 = t2 = t3 = t4 = None
+    for h in range(1, 6):
+        pred_part = F.lit(0.0)
+        for coef, state in (("r10", t1), ("r9", t2), ("r8", t3), ("r7", t4)):
+            if state is not None:
+                pred_part = pred_part + F.col(coef) * F.col(state)
+        base = base.withColumn(
+            f"trend{h}",
+            F.when(F.col("nu2") >= 0.999, F.col("rec_last")).otherwise(
+                F.col(f"obs{h}") + pred_part
+            ),
+        )
+        t4, t3, t2, t1 = t3, t2, t1, f"trend{h}"
+    # residual AR recursion unrolled: state = last three values
+    x1, x2, x3 = "x1", "x2", "x3"
+    for h in range(1, 6):
+        base = base.withColumn(
+            f"rfc{h}",
+            F.col("b0")
+            + F.col("b1") * F.col(x1)
+            + F.col("b2") * F.col(x2)
+            + F.col("b3") * F.col(x3),
+        )
+        x3, x2, x1 = x2, x1, f"rfc{h}"
+    rows = []
+    for h in range(1, 6):
+        rows.append(
+            F.struct(
+                F.col("rank_used").cast("int").alias("rank_used"),
+                F.lit(h).cast("int").alias("horizon_step"),
+                F.round(F.col(f"trend{h}") + F.col(f"rfc{h}"), 6).alias(
+                    "yhat"
+                ),
+                F.round(F.col(f"trend{h}"), 6).alias("trend_part"),
+                F.round(F.col(f"rfc{h}"), 6).alias("resid_part"),
                 F.round(F.col("sigma"), 6).alias("sigma"),
             )
         )
