@@ -461,3 +461,57 @@ def test_synthetic_mtm_planted_option_intrinsics(spark, tmp_path):
     # order 12: long put +1*1*max(150-100,0)*2 = 100
     assert out[12]["n_legs"] == 1 and out[12]["n_priced_legs"] == 1
     assert abs(out[12]["mtm"] - 100.0) < 1e-6
+
+
+def test_model_profile_selection_detects_planted_regimes(spark, tmp_path):
+    """Planted vol regimes must steer the selection ladder: a key whose
+    final window jumps to 10x volatility lands in high_vol and picks the
+    all-sleeve crisis profile; a key whose vol collapses lands in
+    low_vol — and the two low-vol keys must exercise BOTH default-regime
+    fallbacks (sleeve-specific profile vs global default)."""
+    import datetime as dt
+    import math
+
+    def series(uid, vols):
+        rows, v = [], 100.0
+        for i, vol in enumerate(vols):
+            # deterministic alternating shocks at the target volatility
+            v *= math.exp(vol if i % 2 == 0 else -vol)
+            rows.append(
+                (uid, dt.datetime(2020, 1, 1) + dt.timedelta(hours=i),
+                 i, "view", float(v))
+            )
+        return rows
+
+    base = [0.01] * 60
+    # user 5 oscillates mildly so the rolling vol VARIES (a perfectly
+    # constant vol is the t-test's 0/0 knife edge in the reference too)
+    osc = ([0.008] * 5 + [0.012] * 5) * 8
+    rows = (
+        series(3, base + [0.1] * 20)     # equity sleeve, vol explodes: high
+        + series(4, [0.1] * 60 + [0.001] * 20)  # fx sleeve, vol dies: low
+        + series(5, osc)                 # crypto sleeve, steady: normal
+    )
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    d = str(tmp_path / "sf_regime")
+    ev.coalesce(1).write.parquet(d + "/events.parquet")
+
+    out = {r["user_id"]: r for r in
+           QUERIES["model_profile_selection"](spark, d).collect()}
+    # exact-regime branch: vol explosion -> high_vol -> all-sleeve crisis
+    assert out[3]["regime"] == "high_vol"
+    assert out[3]["profile"] == "crisis_momentum"
+    assert out[3]["match_type"] == "exact_regime"
+    # default-regime fallbacks: both keys land low_vol (the overlapping-
+    # window t-test rejects readily - faithful to the reference's math);
+    # fx has no low_vol profile so it falls to the global default, while
+    # crypto's own profile carries 'default' and wins on priority
+    assert out[4]["regime"] == "low_vol"
+    assert out[4]["profile"] == "default"
+    assert out[4]["match_type"] == "default_regime"
+    assert out[5]["regime"] == "low_vol"
+    assert out[5]["profile"] == "crypto_vol"
+    assert out[5]["match_type"] == "default_regime"
