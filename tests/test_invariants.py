@@ -515,3 +515,47 @@ def test_model_profile_selection_detects_planted_regimes(spark, tmp_path):
     assert out[5]["regime"] == "low_vol"
     assert out[5]["profile"] == "crypto_vol"
     assert out[5]["match_type"] == "default_regime"
+
+
+def test_risk_fallback_ladder_planted_profiles(spark, tmp_path):
+    """Planted return profiles must land in all three rungs of the
+    fallback ladder: a crash path (drawdown beyond the cut) is high
+    risk, a strong steady oscillator (low vol, shallow drawdown, high
+    Sharpe) is low risk, and a mild oscillator whose Sharpe misses the
+    low-risk bar stays medium — with the reference's scores and
+    recommendation strings."""
+    import datetime as dt
+    import math
+
+    def series(uid, shocks):
+        rows, v = [], 100.0
+        for i, sh in enumerate(shocks):
+            v *= math.exp(sh)
+            rows.append(
+                (uid, dt.datetime(2020, 1, 1) + dt.timedelta(hours=i),
+                 i, "view", float(v))
+            )
+        return rows
+
+    alt = lambda v, n: [v if i % 2 == 0 else -v for i in range(n)]
+    crash = alt(0.05, 40) + [-0.35] * 20  # cumulative -99.9% drawdown
+    rows = (
+        series(7, crash)
+        + series(8, alt(0.65, 60))   # low: sharpe ~5, vol_ann ~11k, dd -48%
+        + series(9, alt(0.30, 60))   # medium: sharpe ~2.4 misses the bar
+    )
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    d = str(tmp_path / "sf_riskfb")
+    ev.coalesce(1).write.parquet(d + "/events.parquet")
+
+    out = {r["user_id"]: r for r in
+           QUERIES["risk_fallback_assessment"](spark, d).collect()}
+    assert out[7]["risk_level"] == "high" and out[7]["risk_score"] == 80
+    assert out[7]["recommendation"].startswith("Reduce exposure")
+    assert out[8]["risk_level"] == "low" and out[8]["risk_score"] == 40
+    assert out[8]["n_concerns"] == 0
+    assert out[9]["risk_level"] == "medium" and out[9]["risk_score"] == 60
+    assert out[9]["recommendation"].startswith("Maintain position")
