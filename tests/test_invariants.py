@@ -559,3 +559,43 @@ def test_risk_fallback_ladder_planted_profiles(spark, tmp_path):
     assert out[8]["n_concerns"] == 0
     assert out[9]["risk_level"] == "medium" and out[9]["risk_score"] == 60
     assert out[9]["recommendation"].startswith("Maintain position")
+
+
+def test_benchmark_relative_metrics_exact_regression(spark, tmp_path):
+    """Two users whose daily returns are exact multiples of a common
+    factor (r and 3r) make the equal-weight benchmark 2r: the regression
+    must recover beta 0.5 and 1.5 exactly, alpha 0 and R^2 1 for both,
+    with symmetric nonzero tracking error."""
+    import datetime as dt
+
+    def series(uid, mult):
+        rows, v = [], 100.0
+        rows.append((uid, dt.datetime(2020, 1, 1), 0, "view", v))
+        for i in range(1, 41):
+            x = 0.01 if i % 2 == 0 else -0.01
+            v *= 1.0 + mult * x
+            rows.append(
+                (uid, dt.datetime(2020, 1, 1) + dt.timedelta(days=i),
+                 i, "view", float(v))
+            )
+        return rows
+
+    ev = spark.createDataFrame(
+        series(1, 1.0) + series(2, 3.0),
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    d = str(tmp_path / "sf_bm")
+    ev.coalesce(1).write.parquet(d + "/events.parquet")
+
+    out = {r["user_id"]: r for r in
+           QUERIES["benchmark_relative_metrics"](spark, d).collect()}
+    assert abs(out[1]["beta"] - 0.5) < 1e-6
+    assert abs(out[2]["beta"] - 1.5) < 1e-6
+    for uid in (1, 2):
+        assert abs(out[uid]["alpha"]) < 1e-6
+        assert abs(out[uid]["r_squared"] - 1.0) < 1e-6
+        assert out[uid]["tracking_error"] > 0
+        assert out[uid]["n_periods"] == 40
+    # excess streams are mirror images: equal tracking error
+    assert abs(out[1]["tracking_error"] - out[2]["tracking_error"]) < 1e-6
