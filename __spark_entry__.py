@@ -58,5 +58,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check)."""
-    return dict(ORACLE)
+    """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check).
+
+    Staged-verification oracles reference the per-sf staging area via a
+    template token; the driver runs this contract at sf=0.01, so the
+    static strings render for that scale factor. Tools that run at other
+    SFs (tests at sf0.001, diffcheck at any) render the templates
+    themselves via ``plans.queries.render_oracle``."""
+    from portofolio_maximizer_spark.plans.queries import render_oracle
+
+    return {k: render_oracle(v, "/root/testdata/sf0.01") for k, v in ORACLE.items()}

@@ -151,6 +151,127 @@ def platt_confidence(conf: F.Column, a: float, b: float) -> F.Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(a) * logit + F.lit(b))))
 
 
+def calibrated_classifier_scored(
+    emb: DataFrame,
+    label_col: str = "label",
+    folds: int = 5,
+    test_fold: int = 0,
+    calib_fold: int = 1,
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+) -> DataFrame:
+    """The STAGEABLE half of F13: fit LR, Platt-calibrate, and return the
+    test-fold (conf, correct) rows with the fit's scalar outputs as
+    constant columns — everything ``classifier_metrics_from_scored`` (and
+    the SQL oracle) needs to re-derive the evaluation metrics. Splitting
+    here lets the expensive fits run once per (code version, dataset)
+    behind the stage cache."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    fold = F.col("vec_id") % folds
+    data = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+        fold.alias("fold"),
+    )
+    train = data.filter(~F.col("fold").isin(test_fold, calib_fold))
+    calib = data.filter(F.col("fold") == calib_fold)
+    test = data.filter(F.col("fold") == test_fold)
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param, family="multinomial")
+    model = lr.fit(train)
+    hit = (F.col("prediction") == F.col("label")).cast("double")
+    train_acc = model.transform(train).agg(F.round(F.avg(hit), 6)).collect()[0][0]
+    a, b = fit_platt(_confidence_correct(model.transform(calib)))
+    return _confidence_correct(model.transform(test)).select(
+        "conf",
+        "correct",
+        F.lit(float(a)).alias("platt_a"),
+        F.lit(float(b)).alias("platt_b"),
+        F.lit(float(train_acc)).alias("train_accuracy"),
+        F.lit(train.count()).alias("n_train"),
+        F.lit(calib.count()).alias("n_calib"),
+    )
+
+
+def _ece_column_agg(scored: DataFrame, conf, name: str, n_bins: int) -> DataFrame:
+    """One-row ECE aggregate as a lazy plan (no driver collect)."""
+    binned = (
+        scored.select(conf.alias("_c"), "correct")
+        .withColumn(
+            "_bin",
+            F.least(F.floor(F.col("_c") * n_bins).cast("int"), F.lit(n_bins - 1)),
+        )
+        .groupBy("_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("correct").alias("acc"),
+            F.avg("_c").alias("avg_conf"),
+        )
+    )
+    return binned.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("acc") - F.col("avg_conf")))
+            / F.sum("n")
+        ).alias(name)
+    )
+
+
+def classifier_metrics_from_scored(scored: DataFrame, n_bins: int = 15) -> DataFrame:
+    """Derive the F13 metrics row from a (staged) scored frame — pure
+    column algebra over a KB-scale input, including the Platt
+    re-application with the staged (a, b) as constant columns."""
+    recal = (
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.col("platt_a")
+                    * F.log(
+                        F.least(F.greatest(F.col("conf"), F.lit(1e-6)), F.lit(1.0 - 1e-6))
+                        / (
+                            1
+                            - F.least(
+                                F.greatest(F.col("conf"), F.lit(1e-6)),
+                                F.lit(1.0 - 1e-6),
+                            )
+                        )
+                    )
+                    + F.col("platt_b")
+                )
+            )
+        )
+    )
+    base = scored.agg(
+        F.round(F.avg("correct"), 6).alias("accuracy"),
+        F.round(F.any_value("train_accuracy"), 6).alias("train_accuracy"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.any_value("n_train").alias("n_train"),
+        F.any_value("n_calib").alias("n_calib"),
+        F.round(F.any_value("platt_a"), 6).alias("platt_a"),
+        F.round(F.any_value("platt_b"), 6).alias("platt_b"),
+    )
+    e_raw = _ece_column_agg(scored, F.col("conf"), "_e_raw", n_bins)
+    e_cal = _ece_column_agg(scored, recal, "_e_cal", n_bins)
+    return (
+        base.crossJoin(e_raw)
+        .crossJoin(e_cal)
+        .select(
+            "accuracy",
+            "train_accuracy",
+            "n_test",
+            "n_train",
+            "n_calib",
+            F.round(F.col("_e_raw"), 6).alias("ece_uncalibrated"),
+            F.round(F.col("_e_cal"), 6).alias("ece_platt"),
+            "platt_a",
+            "platt_b",
+        )
+    )
+
+
 def train_eval_calibrated_classifier(
     emb: DataFrame,
     label_col: str = "label",

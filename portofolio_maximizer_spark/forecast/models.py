@@ -187,6 +187,40 @@ def ar_candidate_fits(
     return grouped_numpy(fanned, [key, "p"], AR_CANDIDATE_SCHEMA, fit_one)
 
 
+def ar_grid_winner_table(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    orders: Iterable[int] = (1, 2, 3),
+    horizon: int = 5,
+) -> DataFrame:
+    """F1 fan-out + O4 top-1 as a STAGEABLE table: the winning
+    candidate's full forecast path WITH its full-precision AIC and OLS
+    coefficients. One frame serves both consumers — the query output
+    projects the forecast columns, the oracle reads the coefficients and
+    re-derives everything else from the raw series."""
+    from pyspark.sql import Window
+
+    cand = ar_candidate_fits(series, key, order_col, value_col, orders, horizon)
+    w = Window.partitionBy(key).orderBy("aic", "p")
+    return (
+        cand.withColumn("__rk", F.dense_rank().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def ar_grid_select_forecast(winner: DataFrame, key: str = "user_id") -> DataFrame:
+    """Project the ``ar_grid_winner_table`` frame to the query output."""
+    return winner.select(
+        F.col(key),
+        F.col("p").alias("best_order"),
+        F.round("aic", 6).alias("aic"),
+        "horizon_step", "yhat", "lo", "hi", "sigma",
+    )
+
+
 def ar_grid_forecast_fanout(
     series: DataFrame,
     key: str = "user_id",
@@ -201,13 +235,7 @@ def ar_grid_forecast_fanout(
     ``ar_grid_forecast`` (same numpy kernel, same tie-break: lowest AIC,
     then lowest order) — asserted in tests — but the fit stage
     parallelizes per candidate instead of per key."""
-    from pyspark.sql import Window
-
-    cand = ar_candidate_fits(series, key, order_col, value_col, orders, horizon)
-    w = Window.partitionBy(key).orderBy("aic", "p")
-    winner = cand.withColumn("__rk", F.dense_rank().over(w)).filter(
-        F.col("__rk") == 1
-    )
+    winner = ar_grid_winner_table(series, key, order_col, value_col, orders, horizon)
     if stage_fn is not None:
         stage_fn(
             winner.filter(F.col("horizon_step") == 1).select(
@@ -219,12 +247,7 @@ def ar_grid_forecast_fanout(
                 "beta3",
             )
         )
-    return winner.select(
-        F.col(key),
-        F.col("p").alias("best_order"),
-        F.round("aic", 6).alias("aic"),
-        "horizon_step", "yhat", "lo", "hi", "sigma",
-    )
+    return ar_grid_select_forecast(winner, key)
 
 
 # ---------------------------------------------------------------------------

@@ -55,17 +55,142 @@ def r6(col):
 # re-derives the OUTPUT from the staged rows independently — the
 # aggregation/dedup logic is what gets differentially checked. The driver
 # always executes the Spark query before its oracle, so the stage exists.
+#
+# The staging area is keyed by scale factor (basename of sf_dir) so
+# concurrent runs at different SFs (pytest at sf0.001 + diffcheck at
+# sf0.01) cannot overwrite each other's artifacts between a query's
+# Spark run and its DuckDB oracle read. Oracle SQL templates reference
+# the stage via the ``__ORACLE_STAGE__`` token; ``render_oracle``
+# substitutes the per-sf root at call time (the driver contract's static
+# ``oracle_sql()`` renders for its fixed sf0.01 run).
+#
+# Writes are CACHED: a ``_stage_marker.json`` fingerprint (package source
+# hash + input parquet stats) inside each artifact dir lets repeat
+# invocations skip both the parquet write and — via ``stage_cached`` —
+# the upstream model fit entirely, reading the staged artifact back
+# instead. Production semantics: fit once, replay many; verification
+# artifacts are written once per (code version, dataset), not per query
+# invocation. An ``fcntl`` lock serialises concurrent same-SF writers.
 ORACLE_STAGE = "/root/repo/spark-warehouse/oracle_stage"
+STAGE_TOKEN = "__ORACLE_STAGE__"
+_MARKER = "_stage_marker.json"
+_PKG_HASH: str | None = None
 
 
-def stage_for_oracle(df: DataFrame, name: str) -> str:
-    """Write ``df`` to the oracle staging area; returns the parquet glob
-    DuckDB can read (``read_parquet('<glob>')``)."""
+def _pkg_hash() -> str:
+    """Content hash of every package source file — any code edit
+    invalidates all staged artifacts (coarse, but never stale)."""
+    global _PKG_HASH
+    if _PKG_HASH is None:
+        import hashlib
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(p.encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _PKG_HASH = h.hexdigest()[:16]
+    return _PKG_HASH
+
+
+def _fingerprint(sf_dir: str) -> dict:
+    import glob
     import os
 
-    path = os.path.join(ORACLE_STAGE, name)
-    df.write.mode("overwrite").parquet(path)
-    return os.path.join(path, "*.parquet")
+    data = [
+        [os.path.basename(p), os.path.getsize(p), os.stat(p).st_mtime_ns]
+        for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    ]
+    return {"pkg": _pkg_hash(), "sf_dir": sf_dir, "data": data}
+
+
+def stage_root(sf_dir: str) -> str:
+    import os
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(ORACLE_STAGE, key)
+
+
+def render_oracle(sql: str, sf_dir: str) -> str:
+    """Substitute the per-sf staging root into an oracle SQL template."""
+    return sql.replace(STAGE_TOKEN, stage_root(sf_dir))
+
+
+def _stage_fresh(path: str, fp: dict) -> bool:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _MARKER)) as f:
+            return json.load(f) == fp
+    except (OSError, ValueError):
+        return False
+
+
+class _stage_lock:
+    """Exclusive advisory lock serialising same-artifact writers."""
+
+    def __init__(self, path: str):
+        self._lockfile = path + ".lock"
+
+    def __enter__(self):
+        import fcntl
+        import os
+
+        os.makedirs(os.path.dirname(self._lockfile), exist_ok=True)
+        self._fh = open(self._lockfile, "w")
+        fcntl.flock(self._fh, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh, fcntl.LOCK_UN)
+        self._fh.close()
+
+
+def _ensure_staged(df_or_build, name: str, sf_dir: str) -> str:
+    """Write the artifact unless a fresh fingerprint marker says a prior
+    run (this or any other process, same code + data) already did."""
+    import json
+    import os
+
+    path = os.path.join(stage_root(sf_dir), name)
+    fp = _fingerprint(sf_dir)
+    if _stage_fresh(path, fp):
+        return path
+    with _stage_lock(path):
+        if not _stage_fresh(path, fp):  # re-check under the lock
+            df = df_or_build() if callable(df_or_build) else df_or_build
+            df.write.mode("overwrite").parquet(path)
+            with open(os.path.join(path, _MARKER), "w") as f:
+                json.dump(fp, f)
+    return path
+
+
+def stage_for_oracle(df: DataFrame, name: str, sf_dir: str) -> str:
+    """Write ``df`` to the per-sf oracle staging area (skipped when a
+    fresh marker exists); returns the parquet glob DuckDB can read."""
+    import os
+
+    return os.path.join(_ensure_staged(df, name, sf_dir), "*.parquet")
+
+
+def stage_cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Stage ``build()`` (skipping the build entirely on a fresh marker)
+    and return the READ-BACK DataFrame — the parquet scan both feeds the
+    oracle and replaces the eager localCheckpoint in the query plan, so
+    an expensive model fit runs once per (code version, dataset) across
+    processes instead of once per invocation."""
+    path = _ensure_staged(build, name, sf_dir)
+    return spark.read.parquet(path + "/*.parquet")
 
 
 # ---------------------------------------------------------------------------

@@ -380,15 +380,19 @@ def walkforward_refit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra, and re-derives both RMSEs and the skill — the per-fold OLS
     solve itself stays pinned by the AR-recovery property tests."""
     from ..forecast import walkforward_refit
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
     from .queries_stats import _series
 
-    out = walkforward_refit(
-        _series(spark, sf_dir).select("user_id", "rn", "value")
-    ).localCheckpoint(eager=True)
-    stage_for_oracle(
-        out.select("user_id", "fold", "best_order", "beta0", "beta1", "beta2"),
+    # per-fold refits run once per (code version, dataset) behind the
+    # stage cache; the full frame (metrics + betas) is staged, the query
+    # projects the metrics, the oracle reads the betas
+    out = stage_cached(
+        spark,
+        sf_dir,
         "wf_refit_params",
+        lambda: walkforward_refit(
+            _series(spark, sf_dir).select("user_id", "rn", "value")
+        ),
     )
     return out.drop("beta0", "beta1", "beta2")
 
@@ -414,7 +418,7 @@ ORACLE["walkforward_refit_eval"] = f"""
       SELECT user_id, fold AS eval_fold, best_order AS p,
              beta0, beta1, beta2
       FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/wf_refit_params/*.parquet')
+        '__ORACLE_STAGE__/wf_refit_params/*.parquet')
     ),
     train_res AS (
       SELECT g.user_id, g.eval_fold, g.p,

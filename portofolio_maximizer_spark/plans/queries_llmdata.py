@@ -704,7 +704,7 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < 5),
         k=5,
-        on_centroids=lambda cdf: stage_for_oracle(cdf, "ivf_centroids"),
+        on_centroids=lambda cdf: stage_for_oracle(cdf, "ivf_centroids", sf_dir),
     )
     return out.select("qid", "vec_id", "list_id", r6("cosine").alias("cosine"), "rnk")
 
@@ -712,7 +712,7 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["embedding_ivf_ann"] = """
     WITH c AS (
       SELECT list_id, ce FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/ivf_centroids/*.parquet')
+        '__ORACLE_STAGE__/ivf_centroids/*.parquet')
     ),
     d AS (
       SELECT e.vec_id, c.list_id,
@@ -1405,9 +1405,20 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L28 — SemDeDup: semantic dedup via cluster-then-prune
 # ---------------------------------------------------------------------------
 
-_SEMDEDUP_K = 8
 _SEMDEDUP_TAU = 0.35
 _SEMDEDUP_SEED = 7
+# Cluster count is DERIVED from corpus size (paper: k grows with N so
+# per-cluster population — and therefore the within-cluster pairwise
+# work, pop²·k ≈ N·pop — stays bounded). A fixed k would silently turn
+# the N²/k bound back into N² at scale.
+_SEMDEDUP_TARGET_POP = 32
+
+
+def _semdedup_k(n_vectors: int) -> int:
+    """ceil(N / target_pop), clamped to [2, N//2] so KMeans stays valid
+    on tiny corpora."""
+    k = -(-n_vectors // _SEMDEDUP_TARGET_POP)
+    return max(2, min(k, max(2, n_vectors // 2)))
 
 
 @query("semantic_dedup_keeplist")
@@ -1423,9 +1434,10 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     work, the paper's own trick); the quantizer is the IVF coarse
     quantizer already in the engine (`llmdata/similarity.py:238`,
     seeded MLlib KMeans) whose centroids are a KB-scale broadcast
-    artifact; cluster count grows with N at production so per-cluster
-    population stays bounded. Cosines stay JVM-side (zip_with/aggregate
-    fold).
+    artifact; cluster count is DERIVED from corpus size
+    (``_semdedup_k``: ceil(N/32)) so per-cluster population — and the
+    within-cluster pairwise work — stays bounded at any sf. Cosines stay
+    JVM-side (zip_with/aggregate fold).
 
     Staged-verification oracle: the KMeans FIT is the only
     non-SQL-expressible step. Its centroids are staged, and the oracle
@@ -1439,9 +1451,9 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("de")
     )
     model, feats, cent_df = fit_coarse_quantizer(
-        emb, _SEMDEDUP_K, _SEMDEDUP_SEED
+        emb, _semdedup_k(emb.count()), _SEMDEDUP_SEED
     )
-    stage_for_oracle(cent_df, "semdedup_centroids")
+    stage_for_oracle(cent_df, "semdedup_centroids", sf_dir)
     assigned = model.transform(feats).select(
         "vec_id", "de", F.col("prediction").cast("int").alias("cluster")
     )
@@ -1477,7 +1489,7 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["semantic_dedup_keeplist"] = f"""
     WITH c AS (
       SELECT list_id, ce FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/semdedup_centroids/*.parquet')
+        '__ORACLE_STAGE__/semdedup_centroids/*.parquet')
     ),
     d AS (
       SELECT e.vec_id, c.list_id,

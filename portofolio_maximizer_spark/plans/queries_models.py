@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..forecast import ar_grid_forecast_fanout, ewma_vol_forecast, ssa_reconstruct
-from ..forecast.classifier import train_eval_calibrated_classifier
 from ..sources.catalog import load_table
 from .queries import ORACLE, query
 from .queries_stats import _S_SQL, _series
@@ -32,13 +31,20 @@ def ar_grid_best_aic_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-step forecast with its confidence bands in a recursive CTE — so
     every emitted value is re-derived independently given the
     coefficients, while the least-squares solve itself stays pinned by
-    the AR-recovery property tests."""
-    from .queries import stage_for_oracle
+    the AR-recovery property tests.
 
-    return ar_grid_forecast_fanout(
-        _series(spark, sf_dir).select("user_id", "rn", "value"),
-        stage_fn=lambda df: stage_for_oracle(df, "ar_grid_winner"),
+    The winner table (forecast path + full-precision betas) is staged
+    via ``stage_cached``: the grid fit runs once per (code version,
+    dataset) and repeat invocations read the staged frame back — the
+    fit-once/replay-many production shape."""
+    from ..forecast.models import ar_grid_select_forecast, ar_grid_winner_table
+    from .queries import stage_cached
+
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    winner = stage_cached(
+        spark, sf_dir, "ar_grid_winner", lambda: ar_grid_winner_table(s)
     )
+    return ar_grid_select_forecast(winner)
 
 
 ORACLE["ar_grid_best_aic_forecast"] = f"""
@@ -53,7 +59,7 @@ ORACLE["ar_grid_best_aic_forecast"] = f"""
       SELECT w.user_id, w.p, w.beta0, w.beta1, w.beta2, w.beta3,
              ANY_VALUE(o.n) AS n
       FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/ar_grid_winner/*.parquet') w
+        '__ORACLE_STAGE__/ar_grid_winner/*.parquet') w
       JOIN obs o USING (user_id)
       GROUP BY 1, 2, 3, 4, 5, 6
       HAVING ANY_VALUE(o.n) >= 11
@@ -131,14 +137,17 @@ def arima_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE over the (y, e) state), the psi-weight variance ladder, and the
     d=1 integration back to levels."""
     from ..forecast.models import arima_hr_components
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
     s = _series(spark, sf_dir).select("user_id", "rn", "value")
-    comp = arima_hr_components(s).localCheckpoint(eager=True)
-    stage_for_oracle(comp, "arima_components")
-    # the fit runs ONCE (components kernel); the output is the Spark twin
+    # the fit runs ONCE per (code version, dataset) — stage_cached skips
+    # the kernel entirely on a fresh marker and the read-back parquet
+    # scan replaces the eager checkpoint; the output is the Spark twin
     # of the oracle replay, so both engines derive every value from the
     # same staged artifacts
+    comp = stage_cached(
+        spark, sf_dir, "arima_components", lambda: arima_hr_components(s)
+    )
     return _arima_replay(s, comp)
 
 
@@ -161,7 +170,7 @@ ORACLE["arima_hr_forecast"] = f"""
     WITH RECURSIVE s AS ({_S_SQL}),
     comp AS (
       SELECT user_id, kind, idx, val FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/arima_components/*.parquet')
+        '__ORACLE_STAGE__/arima_components/*.parquet')
     ),
     par AS ({_ARIMA_PAR_SQL}),
     obs AS (
@@ -310,8 +319,8 @@ ORACLE["arima_warmstart_forecast"] = _checked_replace(
         _checked_replace(
             _checked_replace(
                 ORACLE["arima_hr_forecast"],
-                "oracle_stage/arima_components",
-                "oracle_stage/arima_warm_components",
+                "__ORACLE_STAGE__/arima_components",
+                "__ORACLE_STAGE__/arima_warm_components",
             ),
             """    )
     SELECT pr.user_id,""",
@@ -351,11 +360,12 @@ def arima_warmstart_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..forecast.models import arima_warm_components
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
     s = _series(spark, sf_dir).select("user_id", "rn", "value")
-    comp = arima_warm_components(s).localCheckpoint(eager=True)
-    stage_for_oracle(comp, "arima_warm_components")
+    comp = stage_cached(
+        spark, sf_dir, "arima_warm_components", lambda: arima_warm_components(s)
+    )
     # single fit + shared replay; the warm decision re-derived from raw
     # counts exactly as the oracle does (train window >= the fit minimum)
     warm = (
@@ -397,13 +407,15 @@ def sarimax_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join. Seasonal coefficients never enter psi_1..psi_4 (s > 4),
     so the variance ladder is the ARIMA unroll unchanged."""
     from ..forecast.models import sarimax_hr_components
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
     s = _series(spark, sf_dir).select("user_id", "rn", "value")
-    comp = sarimax_hr_components(s).localCheckpoint(eager=True)
-    stage_for_oracle(comp, "sarimax_components")
-    # single fit: the grid runs once (components kernel); the output is
-    # the Spark twin of the oracle replay over the staged artifacts
+    # single fit per (code version, dataset): the grid runs once inside
+    # stage_cached; the output is the Spark twin of the oracle replay
+    # over the staged artifacts
+    comp = stage_cached(
+        spark, sf_dir, "sarimax_components", lambda: sarimax_hr_components(s)
+    )
     return _sarimax_replay(s, comp)
 
 
@@ -431,7 +443,7 @@ ORACLE["sarimax_hr_forecast"] = f"""
     WITH RECURSIVE s AS ({_S_SQL}),
     comp AS (
       SELECT user_id, kind, idx, val FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/sarimax_components/*.parquet')
+        '__ORACLE_STAGE__/sarimax_components/*.parquet')
     ),
     par AS ({_SARIMAX_PAR_SQL}),
     obs AS (
@@ -609,14 +621,18 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENTIRE Student-t nu ladder (lgamma closed form), the normal-vs-t
     AIC decision, the 1-step vol forecast and the IGARCH guard."""
     from ..forecast import garch_grid_fit
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
-    raw = garch_grid_fit(
-        _series(spark, sf_dir).select("user_id", "rn", "lr"), round_out=False
-    ).localCheckpoint(eager=True)
-    stage_for_oracle(
-        raw.select("user_id", "p", "q", "alpha1", "alpha2", "beta1", "beta2"),
+    # full-precision frame staged whole: the oracle reads the named
+    # coefficient columns, the query projects/rounds the rest — one fit
+    # per (code version, dataset) via the stage cache
+    raw = stage_cached(
+        spark,
+        sf_dir,
         "garch_grid_params",
+        lambda: garch_grid_fit(
+            _series(spark, sf_dir).select("user_id", "rn", "lr"), round_out=False
+        ),
     )
     r6_ = lambda c: F.round(c, 6)  # noqa: E731
     return raw.select(
@@ -647,7 +663,7 @@ ORACLE["garch_grid_fit"] = f"""
       SELECT user_id, p, q, alpha1 AS a1, alpha2 AS a2, beta1 AS b1,
              beta2 AS b2, alpha1 + alpha2 + beta1 + beta2 AS pers
       FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/garch_grid_params/*.parquet')
+        '__ORACLE_STAGE__/garch_grid_params/*.parquet')
     ),
     obs0 AS (
       SELECT user_id, lr,
@@ -799,12 +815,14 @@ def garch11_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     persistence, the Gaussian log-likelihood, the unconditional vol,
     the 1-step forecast and the IGARCH flag independently."""
     from ..forecast import garch11_fit
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
-    out = garch11_fit(_series(spark, sf_dir).select("user_id", "rn", "lr"))
-    out = out.localCheckpoint(eager=True)
-    stage_for_oracle(out.select("user_id", "alpha", "beta"), "garch11_params")
-    return out
+    return stage_cached(
+        spark,
+        sf_dir,
+        "garch11_params",
+        lambda: garch11_fit(_series(spark, sf_dir).select("user_id", "rn", "lr")),
+    )
 
 
 ORACLE["garch11_fit"] = f"""
@@ -830,7 +848,7 @@ ORACLE["garch11_fit"] = f"""
       SELECT w.user_id, w.alpha, w.beta, v.var0,
              v.var0 * (1.0 - w.alpha - w.beta) AS omega
       FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/garch11_params/*.parquet') w
+        '__ORACLE_STAGE__/garch11_params/*.parquet') w
       JOIN v USING (user_id)
     ),
     rec AS (
@@ -889,11 +907,12 @@ def ssa_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..forecast.models import ssa_components
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
     s = _series(spark, sf_dir).select("user_id", "rn", "value")
-    comp = ssa_components(s).localCheckpoint(eager=True)
-    stage_for_oracle(comp, "ssa_components")
+    comp = stage_cached(
+        spark, sf_dir, "ssa_components", lambda: ssa_components(s)
+    )
     wp = W.partitionBy("user_id").orderBy("rn")
     raw = s.select(
         "user_id",
@@ -953,7 +972,7 @@ ORACLE["ssa_reconstruction"] = f"""
     WITH s AS ({_S_SQL}),
     comp AS (
       SELECT user_id, kind, idx, val FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/ssa_components/*.parquet')
+        '__ORACLE_STAGE__/ssa_components/*.parquet')
     ),
     raw AS (
       SELECT user_id, value, rn,
@@ -1012,12 +1031,14 @@ def samossa_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose coefficients sit at FIXED positions R_10..R_7 — the recursive
     CTE carries just those four values."""
     from ..forecast.models import samossa_components
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
     s = _series(spark, sf_dir).select("user_id", "rn", "value")
-    comp = samossa_components(s).localCheckpoint(eager=True)
-    stage_for_oracle(comp, "samossa_components")
-    # single SVD: the output is the Spark twin of the oracle replay
+    # single SVD per (code version, dataset): the output is the Spark
+    # twin of the oracle replay over the cached staged artifacts
+    comp = stage_cached(
+        spark, sf_dir, "samossa_components", lambda: samossa_components(s)
+    )
     return _samossa_replay(s, comp)
 
 
@@ -1025,7 +1046,7 @@ ORACLE["samossa_forecast"] = f"""
     WITH RECURSIVE s AS ({_S_SQL}),
     comp AS (
       SELECT user_id, kind, idx, val FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/samossa_components/*.parquet')
+        '__ORACLE_STAGE__/samossa_components/*.parquet')
     ),
     par AS (
       SELECT user_id,
@@ -1174,18 +1195,28 @@ def embedding_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the staged confidences with the staged a, b) from the raw rows
     independently — the evaluation metrics are differentially checked
     while the LR and Platt fits stay pinned by the numpy/IRLS tests."""
-    from .queries import stage_for_oracle
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return train_eval_calibrated_classifier(
-        emb, stage_fn=lambda df: stage_for_oracle(df, "classifier_scored")
+    from ..forecast.classifier import (
+        calibrated_classifier_scored,
+        classifier_metrics_from_scored,
     )
+    from .queries import stage_cached
+
+    # the LR + Platt fits run once per (code version, dataset) behind the
+    # stage cache; the metrics row is pure column algebra over the staged
+    # scored frame — the same frame the oracle re-derives them from
+    scored = stage_cached(
+        spark,
+        sf_dir,
+        "classifier_scored",
+        lambda: calibrated_classifier_scored(load_table(spark, sf_dir, "embeddings")),
+    )
+    return classifier_metrics_from_scored(scored)
 
 
 ORACLE["embedding_classifier_eval"] = """
     WITH t AS (
       SELECT * FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/classifier_scored/*.parquet')
+        '__ORACLE_STAGE__/classifier_scored/*.parquet')
     ),
     meta AS (
       SELECT ANY_VALUE(platt_a) AS a, ANY_VALUE(platt_b) AS b,
@@ -1226,59 +1257,73 @@ ORACLE["embedding_classifier_eval"] = """
 
 
 # The applyInPandas simulation is the most expensive kernel in the pack and
-# three queries consume its output (trades, summary, portfolio). Materialize
-# it once per (session, sf_dir) with an eager localCheckpoint so downstream
-# queries pay only their own aggregation cost.
+# several queries consume its output (trades, summary, portfolio, promotion
+# gate, integrity audit). It is staged once per (code version, dataset) via
+# stage_cached; this dict just memoizes the read-back frame per session.
 _TRADES_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _simulated_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trades frame is staged as ``paper_trades`` via
+    ``stage_cached``: the stateful simulation runs once per (code
+    version, dataset) across processes, the read-back parquet scan is
+    what every consumer (summary, portfolio ledger, promotion gate,
+    integrity audit) plans against, and the same staged rows feed their
+    oracles."""
     key = (id(spark), sf_dir)
     if key not in _TRADES_CACHE:
-        from pyspark.sql import Window
+        from .queries import stage_cached
 
-        from ..operators.backtest import simulate_trades
-        from ..sources.synthetic import microstructure_columns
-
-        # Microstructure from the reference's book model
-        # (`etl/synthetic_data/microstructure.py:7-42` via
-        # sources/synthetic.microstructure_columns): spread/depth derived
-        # from the series' OWN instantaneous volatility and shock (return
-        # z-scored at the generator's σ=0.02), not ad-hoc hash uniforms.
-        # Fills then walk the LOB ladder (reference
-        # execution/lob_simulator.py:51-166) instead of assuming infinite
-        # liquidity at the bar price.
-        wp = Window.partitionBy("user_id").orderBy("rn")
-        ret = F.coalesce(
-            F.least(
-                F.greatest(
-                    F.col("value") / F.lag("value").over(wp) - 1, F.lit(-1.0)
-                ),
-                F.lit(10.0),
-            ),
-            F.lit(0.0),
+        _TRADES_CACHE[key] = stage_cached(
+            spark, sf_dir, "paper_trades", lambda: _build_trades(spark, sf_dir)
         )
-        sigma_ref = 0.02
-        micro = microstructure_columns(
-            F.col("value"),
-            F.greatest(F.abs(ret), F.lit(sigma_ref)),
-            ret / F.lit(sigma_ref),
-            F.lit(13),
-            F.col("user_id"),
-            F.col("rn"),
-        )
-        s = _series(spark, sf_dir).select(
-            "user_id",
-            "rn",
-            "value",
-            (micro["spread"] / 2.0).alias("half_spread"),
-            micro["depth"].alias("depth_notional"),
-        )
-        trades = simulate_trades(
-            s, half_spread_col="half_spread", depth_col="depth_notional"
-        )
-        _TRADES_CACHE[key] = trades.localCheckpoint(eager=True)
     return _TRADES_CACHE[key]
+
+
+def _build_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.backtest import simulate_trades
+    from ..sources.synthetic import microstructure_columns
+
+
+    # Microstructure from the reference's book model
+    # (`etl/synthetic_data/microstructure.py:7-42` via
+    # sources/synthetic.microstructure_columns): spread/depth derived
+    # from the series' OWN instantaneous volatility and shock (return
+    # z-scored at the generator's σ=0.02), not ad-hoc hash uniforms.
+    # Fills then walk the LOB ladder (reference
+    # execution/lob_simulator.py:51-166) instead of assuming infinite
+    # liquidity at the bar price.
+    wp = Window.partitionBy("user_id").orderBy("rn")
+    ret = F.coalesce(
+        F.least(
+            F.greatest(
+                F.col("value") / F.lag("value").over(wp) - 1, F.lit(-1.0)
+            ),
+            F.lit(10.0),
+        ),
+        F.lit(0.0),
+    )
+    sigma_ref = 0.02
+    micro = microstructure_columns(
+        F.col("value"),
+        F.greatest(F.abs(ret), F.lit(sigma_ref)),
+        ret / F.lit(sigma_ref),
+        F.lit(13),
+        F.col("user_id"),
+        F.col("rn"),
+    )
+    s = _series(spark, sf_dir).select(
+        "user_id",
+        "rn",
+        "value",
+        (micro["spread"] / 2.0).alias("half_spread"),
+        micro["depth"].alias("depth_notional"),
+    )
+    return simulate_trades(
+        s, half_spread_col="half_spread", depth_col="depth_notional"
+    )
 
 
 @query("paper_trading_trades")
@@ -1302,7 +1347,7 @@ def paper_trading_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(bars_held), 6) AS avg_bars_held,
            CAST(SUM(stop_ratchets) AS BIGINT) AS total_ratchets
     FROM read_parquet(
-      '/root/repo/spark-warehouse/oracle_stage/paper_trades/*.parquet')
+      '__ORACLE_STAGE__/paper_trades/*.parquet')
     GROUP BY exit_reason
     """,
 )
@@ -1312,13 +1357,11 @@ def paper_trading_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution table. The simulated trades table is STAGED for the
     oracle, which re-derives the rollup from the raw trades — the
     aggregation half of the operator is differentially checked; the
-    stateful simulation itself stays pinned by scenario tests."""
+    stateful simulation itself stays pinned by scenario tests. The
+    staging happens inside ``_simulated_trades`` (stage_cached)."""
     from ..operators.backtest import backtest_summary
-    from .queries import stage_for_oracle
 
-    trades = _simulated_trades(spark, sf_dir)
-    stage_for_oracle(trades, "paper_trades")
-    return backtest_summary(trades)
+    return backtest_summary(_simulated_trades(spark, sf_dir))
 
 
 @query("paper_trading_portfolio")
@@ -1336,21 +1379,17 @@ def paper_trading_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     every output column from that derived fill. A wrong fill anywhere
     breaks the induction and the hash."""
     from ..operators.backtest import reconcile_portfolio_cash
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
     trades = _simulated_trades(spark, sf_dir)
-    stage_for_oracle(
-        trades.select(
-            "user_id", "entry_rn", "exit_rn", "shares",
-            "entry_price", "exit_price", "exit_reason",
-        ),
-        "portfolio_trades",
-    )
-    port = reconcile_portfolio_cash(trades, with_raw_fill=True).localCheckpoint(
-        eager=True
-    )
-    stage_for_oracle(
-        port.select("user_id", "entry_rn", "fill_raw"), "portfolio_fills"
+    # the ledger replay (with the raw fill ratios the oracle's induction
+    # needs) is itself staged: the oracle joins the staged paper_trades
+    # rows to these fills and re-derives everything downstream
+    port = stage_cached(
+        spark,
+        sf_dir,
+        "portfolio_port_full",
+        lambda: reconcile_portfolio_cash(trades, with_raw_fill=True),
     )
     return port.drop("fill_raw")
 
@@ -1362,9 +1401,9 @@ ORACLE["paper_trading_portfolio"] = """
              f.fill_raw,
              tr.shares * tr.entry_price AS cost
       FROM read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/portfolio_trades/*.parquet') tr
+        '__ORACLE_STAGE__/paper_trades/*.parquet') tr
       JOIN read_parquet(
-        '/root/repo/spark-warehouse/oracle_stage/portfolio_fills/*.parquet') f
+        '__ORACLE_STAGE__/portfolio_port_full/*.parquet') f
         ON f.user_id = tr.user_id AND f.entry_rn = tr.entry_rn
     ),
     ev AS (
@@ -1634,7 +1673,7 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            COUNT(DISTINCT event_id) AS n_distinct_ids
     FROM read_parquet(
-      '/root/repo/spark-warehouse/oracle_stage/upsert_landed/*.parquet')
+      '__ORACLE_STAGE__/upsert_landed/*.parquet')
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -1674,7 +1713,9 @@ def streaming_upsert_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed = spark.read.parquet(os.path.join(root, "table"))
     from .queries import stage_for_oracle
 
-    stage_for_oracle(landed.select("event_id", "event_type"), "upsert_landed")
+    stage_for_oracle(
+        landed.select("event_id", "event_type"), "upsert_landed", sf_dir
+    )
     out = (
         landed.groupBy("event_type")
         .agg(
@@ -1758,7 +1799,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ARG_MAX(close, bar_id), 6) AS last_close,
            ROUND(SUM(CAST(volume AS DOUBLE)), 6) AS total_volume
     FROM read_parquet(
-      '/root/repo/spark-warehouse/oracle_stage/pyds_bars/*.parquet')
+      '__ORACLE_STAGE__/pyds_bars/*.parquet')
     GROUP BY ticker
     """,
 )
@@ -1782,7 +1823,7 @@ def pyds_provider_bars_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("seed", 7)
         .load()
     )
-    stage_for_oracle(bars, "pyds_bars")
+    stage_for_oracle(bars, "pyds_bars", sf_dir)
     return bars.groupBy("ticker").agg(
         F.count(F.lit(1)).alias("n_bars"),
         F.round(F.min_by("close", "bar_id"), 6).alias("first_close"),

@@ -161,9 +161,14 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     when ≥ half its distinct 5-grams appear in the eval set (compared in
     integers: ``2·overlap ≥ n_grams`` — no float threshold to flip).
 
-    Scale: the eval side is distinct 5-grams of a small split —
-    broadcast; the training side streams through one semi-join, so the
-    corpus is shingled exactly once and never shuffled by gram.
+    Scale: the training side streams through one semi-join, so the
+    corpus is shingled exactly once. The eval side's distinct-gram set
+    GROWS WITH THE CORPUS (it's a fixed fraction, not a fixed benchmark
+    suite), so it carries no broadcast hint — at test SFs AQE turns the
+    semi-join into a broadcast for free; at 100 TB it falls back to a
+    shuffled semi-join instead of OOMing the executors. If the eval set
+    were a small fixed benchmark suite, bounding that input explicitly
+    (and letting AQE broadcast it) would be the right variant.
     """
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 20 != 0)
@@ -176,7 +181,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     tot = tg.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("ng"))
     ov = (
-        tg.join(F.broadcast(eg), "gram", "left_semi")
+        tg.join(eg, "gram", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("no"))
     )
@@ -492,24 +497,45 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_distinct_fingerprints")
+@query(
+    "hll_distinct_fingerprints",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+               STRING_SPLIT(text, ' '))), ' ')) AS fp
+      FROM documents
+    )
+    SELECT source,
+           COUNT(DISTINCT fp) AS exact_distinct_docs,
+           TRUE AS hll_within_3rsd
+    FROM fp GROUP BY source
+    """,
+)
 def hll_distinct_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-document estimation via HyperLogLog++ —
     the COUNT(DISTINCT) scale path: ``approx_count_distinct`` merges
     fixed-size HLL registers instead of shuffling every distinct value,
     so a 100 TB cardinality rollup shuffles KB/task rather than the key
-    universe. Paired with the exact count at test scale; the unit test
-    bounds relative error at the default 5% rsd (no SQL oracle — DuckDB's
-    approx_distinct uses a different HLL seed, so this is a rows-only
-    entry by design).
-    """
+    universe.
+
+    Oracle-backed ERROR-BOUND check (upgraded from rows-only): DuckDB's
+    approx_distinct uses a different HLL seed, so the ESTIMATE can't
+    hash-match — instead the query emits the exact distinct count (which
+    the oracle re-derives, fingerprint included, from raw text) plus an
+    in-query assertion that the HLL estimate sits within 3× the default
+    5% rsd of it; the oracle expects TRUE, so an out-of-bound sketch
+    breaks the hash. The unit test additionally pins the numeric
+    relative error."""
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
         "source", textstats.bow_fingerprint(F.col("text")).alias("fp")
     )
+    exact = F.countDistinct("fp")
+    approx = F.approx_count_distinct("fp")
     return fp.groupBy("source").agg(
-        F.approx_count_distinct("fp").alias("approx_distinct_docs"),
-        F.countDistinct("fp").alias("exact_distinct_docs"),
+        exact.alias("exact_distinct_docs"),
+        (F.abs(approx - exact) <= F.lit(0.15) * exact).alias("hll_within_3rsd"),
     )
 
 

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..operators import risk as R
 from ..sources.catalog import load_table
-from .queries import ORACLE, query, r6, stage_for_oracle
+from .queries import ORACLE, query, r6
 from .queries_stats import _S_SQL, _series, _w
 
 # ---------------------------------------------------------------------------
@@ -690,7 +690,7 @@ def portfolio_risk_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PROMO_GLOB = (
-    "/root/repo/spark-warehouse/oracle_stage/promotion_trades/*.parquet"
+    "__ORACLE_STAGE__/paper_trades/*.parquet"
 )
 
 _PROMO_BUCKET = (
@@ -845,11 +845,9 @@ def barbell_promotion_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     `es_payoff_support_gate` (R13)."""
     from .queries_models import _simulated_trades
 
+    # trades are staged as paper_trades inside _simulated_trades; the
+    # promotion oracle reads the same staged rows
     trades = _simulated_trades(spark, sf_dir)
-    stage_for_oracle(
-        trades.select("user_id", "entry_rn", "exit_rn", "realized_pnl"),
-        "promotion_trades",
-    )
     bucket = (
         F.when(F.col("user_id") % 5 == 0, "safe")
         .when((F.col("user_id") % 5).isin(1, 2), "core")

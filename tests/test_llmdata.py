@@ -312,3 +312,38 @@ def test_semantic_dedup_keeplist_contract(spark, sf_dir):
         by_cluster.setdefault(r["cluster"], []).append(r)
     for cl, members in by_cluster.items():
         assert any(m["kept"] == 1 for m in members), cl
+
+
+def test_semantic_dedup_cluster_count_scales_with_corpus():
+    """The N²/k bound is only real if k grows with N: per-cluster TARGET
+    population (and so the within-cluster pairwise work per vector) must
+    stay constant as the corpus scales, and k must clamp sanely on tiny
+    corpora."""
+    from portofolio_maximizer_spark.plans.queries_llmdata import (
+        _SEMDEDUP_TARGET_POP,
+        _semdedup_k,
+    )
+
+    for n in (500, 2_000, 1_000_000, 10_000_000):
+        k = _semdedup_k(n)
+        assert n / k <= _SEMDEDUP_TARGET_POP  # mean population bounded
+        # pairwise work per vector ~ mean_pop, not N
+        assert (n / k) * n <= _SEMDEDUP_TARGET_POP * n
+    assert _semdedup_k(10_000_000) >= 100 * _semdedup_k(2_000)  # k grows
+    assert _semdedup_k(3) == 2  # tiny-corpus clamp keeps KMeans valid
+    assert _semdedup_k(1) == 2
+
+
+def test_semantic_dedup_per_cluster_pairs_bounded(spark, sf_dir):
+    """Observed per-cluster populations at the test SF stay within a
+    small multiple of the target (KMeans is unbalanced, not unbounded)."""
+    rows = QUERIES["semantic_dedup_keeplist"](spark, sf_dir).collect()
+    pops = {}
+    for r in rows:
+        pops[r["cluster"]] = pops.get(r["cluster"], 0) + 1
+    from portofolio_maximizer_spark.plans.queries_llmdata import (
+        _SEMDEDUP_TARGET_POP,
+    )
+
+    mean_pop = sum(pops.values()) / len(pops)
+    assert mean_pop <= _SEMDEDUP_TARGET_POP

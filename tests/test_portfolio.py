@@ -214,19 +214,39 @@ def test_percentile_sketch_tracks_exact(spark, sf_dir):
     )
     assert list(exact.index) == list(approx.index)
     assert (exact.n == approx.n).all()
+    # the query's exact columns must equal the exact twin's, and every
+    # in-query sketch-envelope flag must hold
+    for col in ("p50", "p95", "p99"):
+        assert (exact[col] == approx[f"{col}_exact"]).all()
+        assert approx[f"sketch_{col}_ok"].all()
+    assert (exact.p_max == approx.p_max).all()
     # GK guarantees RANK error (<= 1/accuracy), not value error: check the
     # empirical CDF at each sketch cut, with a small-n boundary allowance
+    from pyspark.sql import functions as SF_
+
     from portofolio_maximizer_spark.sources.catalog import load_table
 
-    vals = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
-    for stage, row in approx.iterrows():
+    ev = load_table(spark, sf_dir, "events")
+    sk = (
+        ev.groupBy(SF_.col("event_type").alias("stage"))
+        .agg(
+            *[
+                SF_.approx_percentile("value", SF_.lit(q), SF_.lit(10000)).alias(c)
+                for c, q in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99))
+            ]
+        )
+        .toPandas()
+        .set_index("stage")
+        .sort_index()
+    )
+    vals = ev.select("event_type", "value").toPandas()
+    for stage, row in sk.iterrows():
         v = np.sort(vals[vals.event_type == stage].value.to_numpy())
         n = len(v)
         eps = 1e-4 + 2.0 / n  # sketch rank error + discrete-grid allowance
         for col, q in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99)):
             rank = np.searchsorted(v, row[col], side="right") / n
             assert q - eps <= rank <= q + eps, (stage, col, rank)
-    assert (exact.p_max == approx.p_max).all()
 
 
 def test_sampled_shapley_additivity_and_determinism(spark, sf_dir):

@@ -6,19 +6,19 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from portofolio_maximizer_spark.plans.queries import ORACLE, render_oracle
 from tools.diffcheck import compare
 
 QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     sdf = QUERIES[name](spark, sf_dir).toPandas()
-    if name not in ORACLES:
+    if name not in ORACLE:
         assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
         return
-    ddf = duck.sql(ORACLES[name]).df()
+    ddf = duck.sql(render_oracle(ORACLE[name], sf_dir)).df()
     issues = compare(sdf, ddf)
     assert not issues, f"{name}: {issues}"
 

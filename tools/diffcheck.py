@@ -101,10 +101,14 @@ def main() -> int:
     only = set(argv[1:])
 
     import __spark_entry__ as entrymod
+    from portofolio_maximizer_spark.plans.queries import ORACLE, render_oracle
     from portofolio_maximizer_spark.session import get_spark
 
     spark = get_spark("diffcheck")
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    qs = entrymod.queries()
+    # render the staged-oracle path templates for THIS sf_dir (the driver
+    # contract's oracle_sql() renders for its fixed sf0.01 run)
+    oracles = {k: render_oracle(v, sf_dir) for k, v in ORACLE.items()}
     con = duck_connection(sf_dir)
     failed = []
     for name, fn in qs.items():

@@ -96,6 +96,12 @@ _CONST_CARD_COLS = {
     "action",
     "l_returnflag",
     "l_linestatus",
+    # class labels and vector-dimension indexes: cardinality fixed by the
+    # schema (10 classes, 64 dims), not by the data volume — a (label, dim)
+    # centroid table is a KB-scale broadcast at any sf
+    "label",
+    "cmp_label",
+    "dim",
     "r_name",
     "n_name",
     "verdict",
