@@ -1164,6 +1164,7 @@ GARCH_GRID_SCHEMA = StructType(
         StructField("q", IntegerType()),
         StructField("dist", StringType()),
         StructField("nu", DoubleType()),
+        StructField("lam", DoubleType()),
         StructField("omega", DoubleType()),
         StructField("alpha1", DoubleType()),
         StructField("alpha2", DoubleType()),
@@ -1246,6 +1247,37 @@ def _student_t_loglik(r2_tail: np.ndarray, s2: np.ndarray, nu: float) -> float:
     return float(ll)
 
 
+_SKEWT_LAM_GRID = (-0.4, -0.25, -0.1, 0.1, 0.25, 0.4)
+
+
+def _hansen_skewt_loglik(
+    r_tail: np.ndarray, s2: np.ndarray, nu: float, lam: float
+) -> float:
+    """Hansen (1994) standardized skew-t log-likelihood on a fitted σ²
+    path (zero-mean, unit-variance parameterization; 2 < ν, |λ| < 1):
+
+        c = Γ((ν+1)/2) / (√(π(ν−2)) Γ(ν/2))
+        a = 4λc(ν−2)/(ν−1),  b² = 1 + 3λ² − a²
+        ln f(z) = ln b + ln c − (ν+1)/2 · ln(1 + u²/(ν−2)),
+        u = (bz + a) / (1 − λ)  if z < −a/b  else  (bz + a) / (1 + λ)
+
+    summed over z_t = r_t/σ_t with the −½lnσ² Jacobian. λ = 0 reduces to
+    the symmetric standardized t."""
+    from math import lgamma, pi, sqrt
+
+    c = np.exp(lgamma((nu + 1.0) / 2.0) - lgamma(nu / 2.0)) / sqrt(
+        pi * (nu - 2.0)
+    )
+    a = 4.0 * lam * c * (nu - 2.0) / (nu - 1.0)
+    b = sqrt(1.0 + 3.0 * lam * lam - a * a)
+    z = r_tail / np.sqrt(s2)
+    denom = np.where(z < -a / b, 1.0 - lam, 1.0 + lam)
+    u = (b * z + a) / denom
+    ll = len(z) * (np.log(b) + np.log(c)) - 0.5 * float(np.sum(np.log(s2)))
+    ll -= (nu + 1.0) / 2.0 * float(np.sum(np.log1p(u * u / (nu - 2.0))))
+    return float(ll)
+
+
 def garch_grid_fit(
     returns: DataFrame,
     key: str = "user_id",
@@ -1254,7 +1286,7 @@ def garch_grid_fit(
     round_out: bool = True,
 ) -> DataFrame:
     """F2 full: per-key GARCH(p,q) over p,q ∈ {1,2} with the reference's
-    distribution ladder (normal → Student-t) — reference
+    FULL distribution ladder (skew-t → Student-t → normal) — reference
     `forcester_ts/garch.py:129-475` grids (p, q) and tries
     skewt→t→normal likelihoods via `arch`. No `arch` in the container, so:
 
@@ -1263,8 +1295,10 @@ def garch_grid_fit(
       GAUSSIAN QMLE (consistent for (ω, α, β) even under fat-tailed
       innovations — Bollerslev & Wooldridge 1992);
     - the t degrees-of-freedom ν are then PROFILED on the fitted σ² path
-      over a fixed ladder (4…30), and normal-vs-t is decided by AIC with
-      the extra ν parameter charged to the t model.
+      over a fixed ladder (4…30), and the Hansen (1994) skew-t over the
+      joint (ν, λ) ladder with the SIGNED standardized residuals; the
+      normal-vs-t-vs-skewt decision is by AIC with the extra ν (and λ)
+      parameters charged to the heavier models.
 
     All likelihoods carry their constants and condition from the common
     t0 = max_grid(p) = 2, so AICs are comparable across every (p, q,
@@ -1369,16 +1403,16 @@ def garch_grid_fit(
             r = r - r.mean()
             r2 = r * r
             if float(r2.mean()) > 0:
-                series.append((int(uid), r2))
+                series.append((int(uid), r2, r))
         if not series:
             return []
         n_k = len(series)
-        L = max(len(r2) for _, r2 in series)
+        L = max(len(r2) for _, r2, _ in series)
         R2 = np.empty((n_k, L))
         valid = np.zeros((n_k, L), dtype=float)
         var0 = np.empty(n_k)
         pads = np.empty(n_k, dtype=int)
-        for i, (_, r2) in enumerate(series):
+        for i, (_, r2, _r) in enumerate(series):
             v0 = float(r2.mean())
             pad = L - len(r2)
             R2[i, :pad] = v0
@@ -1420,9 +1454,9 @@ def garch_grid_fit(
             Zpad[i, len(Z) :] = Z[0]  # repeats: same ll, argmax takes first
         ll_z = _ll_keys_cands(R2, valid, var0, Zpad)
         zj = np.argmax(ll_z, axis=1)
-        # --- per-key finish: winner path, t ladder, AIC decision ---
+        # --- per-key finish: winner path, skewt/t ladders, AIC decision ---
         out = []
-        for i, (uid, _) in enumerate(series):
+        for i, (uid, _, r_signed) in enumerate(series):
             p, q = z_meta[i]
             W = Zpad[i, zj[i]]
             ll_n = float(ll_z[i, zj[i]])
@@ -1435,22 +1469,35 @@ def garch_grid_fit(
             s2_path = _garch_sigma2_path(r2, var0[i], omega, al, be, t0)
             s2_fit, sigma_next = s2_path[:-1], float(np.sqrt(s2_path[-1]))
             r2_tail = r2[t0:]
+            r_tail = r_signed[t0:]
             ll_t_best, nu_best = max(
                 (_student_t_loglik(r2_tail, s2_fit, nu), nu) for nu in _T_NU_GRID
             )
+            ll_st_best, nu_st, lam_st = max(
+                (_hansen_skewt_loglik(r_tail, s2_fit, nu, lam), nu, lam)
+                for nu in _T_NU_GRID
+                for lam in _SKEWT_LAM_GRID
+            )
             aic_n = 2 * k_n - 2 * ll_n
             aic_t = 2 * (k_n + 1) - 2 * ll_t_best
-            if aic_t < aic_n:
-                dist, nu, ll_best, aic_best = "t", float(nu_best), ll_t_best, aic_t
-            else:
-                dist, nu, ll_best, aic_best = "normal", 0.0, ll_n, aic_n
+            aic_st = 2 * (k_n + 2) - 2 * ll_st_best
+            # ladder decision: simplest model unless STRICTLY better AIC
+            dist, nu, lam, ll_best, aic_best = "normal", 0.0, 0.0, ll_n, aic_n
+            if aic_t < aic_best:
+                dist, nu, lam, ll_best, aic_best = (
+                    "t", float(nu_best), 0.0, ll_t_best, aic_t,
+                )
+            if aic_st < aic_best:
+                dist, nu, lam, ll_best, aic_best = (
+                    "skewt", float(nu_st), float(lam_st), ll_st_best, aic_st,
+                )
             # round_out=False keeps solver precision so the coefficients
             # can be STAGED for the verification oracle (rounding then
             # happens once, at the query layer, on both engines)
             rr = (lambda v, nd=6: round(v, nd)) if round_out else (lambda v, nd=6: v)
             out.append(
                 (
-                    uid, p, q, dist, rr(nu),
+                    uid, p, q, dist, rr(nu), rr(lam),
                     rr(omega, 10), rr(float(al[0])),
                     rr(float(al[1]) if p > 1 else 0.0),
                     rr(float(be[0])),

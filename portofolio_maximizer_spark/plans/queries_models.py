@@ -606,11 +606,13 @@ ORACLE["sarimax_hr_forecast"] = f"""
 
 @query("garch_grid_fit")
 def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 full: GARCH(p,q) order grid (p,q ∈ {1,2}) + normal→Student-t
-    distribution ladder, AIC-selected per key (`forcester_ts/garch.py:
-    129-475`). Gaussian QMLE coarse-to-fine grids per family; ν profiled
-    on the fitted variance path. t-parameter recovery and AIC-prefers-t
-    pinned in tests/test_forecast.py.
+    """F2 full: GARCH(p,q) order grid (p,q ∈ {1,2}) + the reference's
+    full skewt→t→normal distribution ladder, AIC-selected per key
+    (`forcester_ts/garch.py:129-475`). Gaussian QMLE coarse-to-fine
+    grids per family; ν profiled on the fitted variance path, the Hansen
+    skew-t (ν, λ) jointly profiled on the SIGNED standardized residuals.
+    t- and skew-t-parameter recovery and the AIC ladder ordering pinned
+    in tests/test_forecast.py.
 
     Staged-verification oracle (upgraded from rows-only): only the
     winning (p, q, alpha, beta) vector is staged — at FULL precision,
@@ -618,8 +620,9 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything else from the raw return series: the demeaned windowed
     squares, var0 and omega via variance targeting, the full sigma^2
     recursion as a recursive CTE, the Gaussian log-likelihood, the
-    ENTIRE Student-t nu ladder (lgamma closed form), the normal-vs-t
-    AIC decision, the 1-step vol forecast and the IGARCH guard."""
+    ENTIRE Student-t nu ladder AND the Hansen skew-t (nu, λ) ladder
+    (lgamma closed form, signed residuals), the three-way AIC decision,
+    the 1-step vol forecast and the IGARCH guard."""
     from ..forecast import garch_grid_fit
     from .queries import stage_cached
 
@@ -641,6 +644,7 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         "dist",
         r6_(F.col("nu")).alias("nu"),
+        r6_(F.col("lam")).alias("lam"),
         F.round(F.col("omega"), 10).alias("omega"),
         r6_(F.col("alpha1")).alias("alpha1"),
         r6_(F.col("alpha2")).alias("alpha2"),
@@ -655,6 +659,7 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GARCH_NU_VALUES = "(4.0), (5.0), (6.0), (8.0), (10.0), (15.0), (20.0), (30.0)"
+_GARCH_LAM_VALUES = "(-0.4), (-0.25), (-0.1), (0.1), (0.25), (0.4)"
 
 
 ORACLE["garch_grid_fit"] = f"""
@@ -677,6 +682,7 @@ ORACLE["garch_grid_fit"] = f"""
     ),
     dm AS (
       SELECT user_id, t,
+             lr - AVG(lr) OVER (PARTITION BY user_id) AS rd,
              POWER(lr - AVG(lr) OVER (PARTITION BY user_id), 2) AS r2
       FROM win
     ),
@@ -735,6 +741,42 @@ ORACLE["garch_grid_fit"] = f"""
                    ORDER BY ll_t DESC, nu DESC) AS rk
         FROM tll) WHERE rk = 1
     ),
+    stgrid AS (
+      SELECT nu.v AS nu, lm.v AS lam,
+             EXP(LGAMMA((nu.v + 1) / 2) - LGAMMA(nu.v / 2))
+               / SQRT(PI() * (nu.v - 2)) AS c
+      FROM (VALUES {_GARCH_NU_VALUES}) AS nu(v)
+      CROSS JOIN (VALUES {_GARCH_LAM_VALUES}) AS lm(v)
+    ),
+    stconst AS (
+      SELECT nu, lam, c,
+             4 * lam * c * (nu - 2) / (nu - 1) AS a
+      FROM stgrid
+    ),
+    stconst2 AS (
+      SELECT nu, lam, c, a, SQRT(1 + 3 * lam * lam - a * a) AS b
+      FROM stconst
+    ),
+    stll AS (
+      SELECT r.user_id, g.nu, g.lam,
+             CAST(COUNT(*) AS BIGINT) * (LN(g.b) + LN(g.c))
+             - 0.5 * SUM(LN(r.s2))
+             - (g.nu + 1) / 2 * SUM(LN(1 + POWER(
+                 (g.b * (d.rd / SQRT(r.s2)) + g.a)
+                 / (CASE WHEN d.rd / SQRT(r.s2) < -g.a / g.b
+                         THEN 1 - g.lam ELSE 1 + g.lam END), 2)
+                 / (g.nu - 2))) AS ll_st
+      FROM rec r
+      JOIN dm d ON d.user_id = r.user_id AND d.t = r.t
+      CROSS JOIN stconst2 g
+      GROUP BY r.user_id, g.nu, g.lam, g.a, g.b, g.c
+    ),
+    stbest AS (
+      SELECT user_id, nu, lam, ll_st FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ll_st DESC, nu DESC, lam DESC) AS rk
+        FROM stll) WHERE rk = 1
+    ),
     signext AS (
       SELECT r.user_id, SQRT(r.s2) AS sigma_next
       FROM rec r JOIN v0 v ON v.user_id = r.user_id
@@ -745,26 +787,42 @@ ORACLE["garch_grid_fit"] = f"""
              v.var0 * (1 - p.pers) AS omega,
              l.ll_n, 2 * (p.p + p.q + 1) - 2 * l.ll_n AS aic_n,
              tb.nu, tb.ll_t, 2 * (p.p + p.q + 2) - 2 * tb.ll_t AS aic_t,
+             sb.nu AS nu_st, sb.lam AS lam_st, sb.ll_st,
+             2 * (p.p + p.q + 3) - 2 * sb.ll_st AS aic_st,
              sn.sigma_next
       FROM par p
       JOIN v0 v ON v.user_id = p.user_id
       JOIN lln l ON l.user_id = p.user_id
       JOIN tbest tb ON tb.user_id = p.user_id
+      JOIN stbest sb ON sb.user_id = p.user_id
       JOIN signext sn ON sn.user_id = p.user_id
+    ),
+    dec2 AS (
+      SELECT *,
+             CASE WHEN aic_t < aic_n THEN aic_t ELSE aic_n END AS aic_nt,
+             CASE WHEN aic_st < (CASE WHEN aic_t < aic_n
+                                      THEN aic_t ELSE aic_n END)
+                  THEN 'skewt'
+                  WHEN aic_t < aic_n THEN 't' ELSE 'normal' END AS dist
+      FROM dec
     )
     SELECT user_id, CAST(p AS INT) AS p, CAST(q AS INT) AS q,
-           CASE WHEN aic_t < aic_n THEN 't' ELSE 'normal' END AS dist,
-           ROUND(CASE WHEN aic_t < aic_n THEN nu ELSE 0.0 END, 6) AS nu,
+           dist,
+           ROUND(CASE dist WHEN 'skewt' THEN nu_st
+                           WHEN 't' THEN nu ELSE 0.0 END, 6) AS nu,
+           ROUND(CASE dist WHEN 'skewt' THEN lam_st ELSE 0.0 END, 6) AS lam,
            ROUND(omega, 10) AS omega,
            ROUND(a1, 6) AS alpha1, ROUND(a2, 6) AS alpha2,
            ROUND(b1, 6) AS beta1, ROUND(b2, 6) AS beta2,
            ROUND(pers, 6) AS persistence,
-           ROUND(CASE WHEN aic_t < aic_n THEN ll_t ELSE ll_n END, 6) AS loglik,
-           ROUND(CASE WHEN aic_t < aic_n THEN aic_t ELSE aic_n END, 6) AS aic,
+           ROUND(CASE dist WHEN 'skewt' THEN ll_st
+                           WHEN 't' THEN ll_t ELSE ll_n END, 6) AS loglik,
+           ROUND(CASE dist WHEN 'skewt' THEN aic_st
+                           ELSE aic_nt END, 6) AS aic,
            ROUND(sigma_next, 6) AS sigma_next,
            CAST(CASE WHEN pers >= 0.97 THEN 1 ELSE 0 END AS INT)
              AS igarch_guard
-    FROM dec
+    FROM dec2
     """
 
 

@@ -627,9 +627,75 @@ def test_garch_grid_prefers_t_on_fat_tails_and_recovers_nu(spark):
     assert abs(t_fit.persistence - (alpha + beta)) < 0.12
     assert g_fit.dist == "normal"
     assert g_fit.nu == 0.0
+    assert t_fit.lam == 0.0 and g_fit.lam == 0.0
     for f in (t_fit, g_fit):
         assert f.persistence < 0.999
         assert f.sigma_next > 0
+
+
+def _hansen_skewt_sample(rng, nu, lam, n):
+    """Sample Hansen (1994) skew-t via its two-piece construction: w =
+    ±|standardized t_nu| with P(+) = (1+λ)/2, z = ((1 ± λ)w − a)/b."""
+    v = np.abs(rng.standard_t(nu, n) / np.sqrt(nu / (nu - 2.0)))
+    s = np.where(rng.uniform(0, 1, n) < (1 + lam) / 2.0, 1.0, -1.0)
+    from math import lgamma, pi, sqrt
+
+    c = np.exp(lgamma((nu + 1) / 2) - lgamma(nu / 2)) / sqrt(pi * (nu - 2))
+    a = 4 * lam * c * (nu - 2) / (nu - 1)
+    b = sqrt(1 + 3 * lam * lam - a * a)
+    return ((1 + s * lam) * s * v - a) / b
+
+
+def test_garch_grid_prefers_skewt_on_skewed_tails_and_recovers_params(spark):
+    """Simulated GARCH(1,1) with Hansen skew-t(ν=6, λ=−0.3) innovations:
+    the full ladder must pick dist='skewt' with λ on the negative side
+    and ν in range, and the per-rung log-likelihoods must order
+    skewt > t > normal on the fitted path (the AIC ladder's premise)."""
+    from portofolio_maximizer_spark.forecast import garch_grid_fit
+    from portofolio_maximizer_spark.forecast.models import (
+        _garch_sigma2_path,
+        _hansen_skewt_loglik,
+        _student_t_loglik,
+    )
+
+    rng = np.random.default_rng(83)
+    n, alpha, beta, omega = 3000, 0.10, 0.80, 0.05
+    nu, lam = 6.0, -0.3
+    z = _hansen_skewt_sample(rng, nu, lam, n)
+    # the construction must deliver a unit-variance, left-skewed sample
+    assert abs(np.var(z) - 1.0) < 0.1
+    assert np.mean(z**3) < -0.2
+    s2, r = omega / (1 - alpha - beta), np.zeros(n)
+    for t in range(n):
+        if t:
+            s2 = omega + alpha * r[t - 1] ** 2 + beta * s2
+        r[t] = np.sqrt(s2) * z[t]
+    sdf = spark.createDataFrame(
+        [(1, t, float(r[t])) for t in range(n)],
+        "user_id long, rn long, lr double",
+    )
+    fit = garch_grid_fit(sdf).toPandas().iloc[0]
+    assert fit.dist == "skewt"
+    assert fit.lam < 0.0  # skew direction recovered
+    assert 4.0 <= fit.nu <= 10.0
+    assert abs(fit.persistence - (alpha + beta)) < 0.12
+    # rung ordering on the same fitted sigma^2 path (independent replay)
+    rr = r[-2000:] - r[-2000:].mean()
+    r2 = rr * rr
+    var0 = float(r2.mean())
+    al = np.array([fit.alpha1] + ([fit.alpha2] if fit.p == 2 else []))
+    be = np.array([fit.beta1] + ([fit.beta2] if fit.q == 2 else []))
+    path = _garch_sigma2_path(r2, var0, fit.omega, al, be, 2)[:-1]
+    ll_st = _hansen_skewt_loglik(rr[2:], path, float(fit.nu), float(fit.lam))
+    ll_t = max(_student_t_loglik(r2[2:], path, v) for v in (4.0, 6.0, 8.0, 10.0))
+    ll_n = float(
+        -0.5 * np.sum(np.log(2 * np.pi) + np.log(path) + r2[2:] / path)
+    )
+    assert ll_st > ll_t > ll_n
+    # AIC ladder: the winner's reported AIC beats the t rung's even after
+    # the extra-lambda charge
+    k = fit.p + fit.q + 1
+    assert fit.aic <= 2 * (k + 1) - 2 * ll_t + 1e-6
 
 
 def test_arima_warmstart_prunes_and_agrees(spark, sf_dir):
