@@ -824,6 +824,135 @@ def _fit_lagged_hr(
     return beta, sigma, float(aic), e_fit
 
 
+def _fit_sarma_mult(
+    y: np.ndarray,
+    p: int,
+    q: int,
+    P: int,
+    Q: int,
+    s: int,
+    e_long: np.ndarray,
+    t0: int,
+    exog: np.ndarray | None = None,
+    n_iter: int = 3,
+) -> tuple | None:
+    """MULTIPLICATIVE seasonal Hannan–Rissanen step 2 — the reference's
+    (p,d,q)(P,D,Q,s) polynomial product (`forcester_ts/sarimax.py:
+    708-1013` via statsmodels), estimated without an optimizer by
+    alternating closed-form least squares:
+
+        (1 − Σφ_iB^i)(1 − ΦB^s) y = c + (1 + Σθ_jB^j)(1 + ΘB^s) e
+
+    expands to cross-product lag terms −φ_iΦ·y_{t−s−i} and
+    +θ_jΘ·e_{t−s−j}. Given (Φ, Θ), the model is LINEAR in (c, φ, θ) on
+    filtered regressors (y_{t−i} − Φy_{t−s−i}, e_{t−j} + Θe_{t−s−j});
+    given (φ, θ) it is linear in (Φ, Θ). Three zig-zag iterations from
+    (Φ, Θ) = 0 converge to well under the coefficient grid's resolution
+    (deterministic — no random restarts). AIC/σ come from the FULL
+    multiplicative-prediction residuals with k = p+q+P+Q+1 (+exog), so
+    the staged-oracle replay can re-derive them from the staged
+    (c, φ, Φ, θ, Θ) alone.
+
+    Returns (c, phi[p], th[q], Phi, Th, b_ex, sigma, aic, e_fit)."""
+    n = len(y)
+    n_exog = exog.shape[1] if exog is not None else 0
+    k = 1 + p + q + P + Q + n_exog
+    if n - t0 < k + 8:
+        return None
+    idx = np.arange(t0, n)
+    yy = y[idx]
+
+    def yl(lag):
+        return y[idx - lag]
+
+    def el(lag):
+        return e_long[idx - lag]
+
+    Phi, Th = 0.0, 0.0
+    c0, phi, th = 0.0, np.zeros(p), np.zeros(q)
+    b_ex = np.zeros(n_exog)
+    for _ in range(n_iter):
+        cols = [np.ones(len(idx))]
+        cols += [yl(i) - Phi * yl(s + i) for i in range(1, p + 1)]
+        cols += [el(j) + Th * el(s + j) for j in range(1, q + 1)]
+        if exog is not None:
+            cols += [exog[idx, c] for c in range(n_exog)]
+        X = np.column_stack(cols)
+        target = yy - (Phi * yl(s) if P else 0.0) - (Th * el(s) if Q else 0.0)
+        beta, *_ = np.linalg.lstsq(X, target, rcond=None)
+        c0 = float(beta[0])
+        phi = beta[1 : 1 + p]
+        th = beta[1 + p : 1 + p + q]
+        b_ex = beta[1 + p + q :]
+        if not (P or Q):
+            break
+        base = yy - c0
+        for i in range(1, p + 1):
+            base = base - phi[i - 1] * yl(i)
+        for j in range(1, q + 1):
+            base = base - th[j - 1] * el(j)
+        if exog is not None and n_exog:
+            base = base - exog[idx] @ b_ex
+        colsB = []
+        if P:
+            colP = yl(s).copy()
+            for i in range(1, p + 1):
+                colP -= phi[i - 1] * yl(s + i)
+            colsB.append(colP)
+        if Q:
+            colQ = el(s).copy()
+            for j in range(1, q + 1):
+                colQ += th[j - 1] * el(s + j)
+            colsB.append(colQ)
+        g, *_ = np.linalg.lstsq(np.column_stack(colsB), base, rcond=None)
+        gi = 0
+        if P:
+            Phi = float(g[gi])
+            gi += 1
+        if Q:
+            Th = float(g[gi])
+    # final residuals from the FULL multiplicative prediction
+    pred = np.full(len(idx), c0)
+    for i in range(1, p + 1):
+        pred += phi[i - 1] * yl(i)
+    if P:
+        pred += Phi * yl(s)
+        for i in range(1, p + 1):
+            pred -= Phi * phi[i - 1] * yl(s + i)
+    for j in range(1, q + 1):
+        pred += th[j - 1] * el(j)
+    if Q:
+        pred += Th * el(s)
+        for j in range(1, q + 1):
+            pred += Th * th[j - 1] * el(s + j)
+    if exog is not None and n_exog:
+        pred += exog[idx] @ b_ex
+    resid = yy - pred
+    rss = float(resid @ resid)
+    m = len(idx)
+    sigma = float(np.sqrt(rss / max(m - k, 1)))
+    aic = float(m * np.log(max(rss / m, 1e-300)) + 2 * k)
+    e_fit = np.zeros(n)
+    e_fit[t0:] = resid
+    return c0, phi, th, Phi, Th, b_ex, sigma, aic, e_fit
+
+
+def _sarma_terms(
+    p: int, q: int, P: int, Q: int, s: int, phi, th, Phi: float, Th: float
+) -> tuple[list, list]:
+    """(lag, coef) expansion of the multiplicative polynomials for the
+    forecast recursion and psi-weight construction."""
+    ar_terms = [(i, float(phi[i - 1])) for i in range(1, p + 1)]
+    if P:
+        ar_terms += [(s, Phi)]
+        ar_terms += [(s + i, -Phi * float(phi[i - 1])) for i in range(1, p + 1)]
+    ma_terms = [(j, float(th[j - 1])) for j in range(1, q + 1)]
+    if Q:
+        ma_terms += [(s, Th)]
+        ma_terms += [(s + j, Th * float(th[j - 1])) for j in range(1, q + 1)]
+    return ar_terms, ma_terms
+
+
 def sarimax_hr_components(
     series: DataFrame,
     key: str = "user_id",
@@ -833,12 +962,14 @@ def sarimax_hr_components(
     """The solver artifacts of `sarimax_hr_forecast`'s winning candidate
     (no-exog configuration) as a long table for the staged-verification
     oracle: kind 0 = the parameter vector (idx 1..14 = p, d, q, P, Q, s,
-    t0, c, phi1, phi2, phi_s, th1, th2, th_s — seasonal coefficients
-    zero when absent), kind 1 = the step-1 long-AR residual series.
-    Because every detected period (7/12/24/52) exceeds the 5-step
-    horizon, seasonal terms in the forecast recursion always reference
-    OBSERVED values, so the oracle replay needs only the same
-    two-lag recursion state as plain ARIMA plus equi-joins at lag s."""
+    t0, c, phi1, phi2, Phi, th1, th2, Th — seasonal coefficients zero
+    when absent; the multiplicative cross-term coefficients are the
+    PRODUCTS −φ_iΦ / +θ_jΘ, so they need no slots of their own), kind 1
+    = the step-1 long-AR residual series. Because every detected period
+    (7/12/24/52) exceeds horizon+2, all seasonal and cross-product terms
+    in the forecast recursion reference OBSERVED values, so the oracle
+    replay needs only the same two-lag recursion state as plain ARIMA
+    plus equi-joins at lags s, s+1, s+2."""
     from ..operators.arrowgroup import grouped_numpy
 
     def kern(cols: dict) -> list[tuple]:
@@ -853,7 +984,7 @@ def sarimax_hr_components(
         s = detect_seasonal_period(y)
         pq_grid = [(p_, q_) for p_ in (0, 1, 2) for q_ in (0, 1, 2)]
         spq_grid = [(0, 0), (1, 0), (0, 1), (1, 1)] if s else [(0, 0)]
-        t0_common = max(2, s)
+        t0_common = max(2, s + 2) if s else 2
         m_long = min(max(8, (s or 0) + 4, 8), max(n // 4, 1))
         bl, _, _ = _fit_ar(y, m_long)
         e_long = np.zeros(n)
@@ -865,31 +996,26 @@ def sarimax_hr_components(
         best = None
         for p_, q_ in pq_grid:
             for P_, Q_ in spq_grid:
-                ar_lags = list(range(1, p_ + 1)) + ([s] if P_ else [])
-                ma_lags = list(range(1, q_ + 1)) + ([s] if Q_ else [])
-                if not ar_lags and not ma_lags:
+                if p_ + q_ + P_ + Q_ == 0:
                     continue
-                r = _fit_lagged_hr(y, ar_lags, ma_lags, e_long, t0_common, None)
+                r = _fit_sarma_mult(y, p_, q_, P_, Q_, s, e_long, t0_common)
                 if r is None:
                     continue
-                beta, sigma, aic, e_fit = r
+                aic = r[7]
                 if best is None or aic < best[0]:
-                    best = (aic, p_, q_, P_, Q_, ar_lags, ma_lags, beta)
+                    best = (aic, p_, q_, P_, Q_, r)
         if best is None:
             return []
-        aic, p_, q_, P_, Q_, ar_lags, ma_lags, beta = best
-        n_ar = len(ar_lags)
-        b_ar = list(beta[1 : 1 + n_ar])
-        b_ma = list(beta[1 + n_ar :])
-        phi1 = b_ar[0] if p_ >= 1 else 0.0
-        phi2 = b_ar[1] if p_ >= 2 else 0.0
-        phis = b_ar[-1] if P_ else 0.0
-        th1 = b_ma[0] if q_ >= 1 else 0.0
-        th2 = b_ma[1] if q_ >= 2 else 0.0
-        ths = b_ma[-1] if Q_ else 0.0
+        aic, p_, q_, P_, Q_, (c0, phi, th, Phi, Th, _bx, _sg, _a2, _ef) = best
+        phi1 = float(phi[0]) if p_ >= 1 else 0.0
+        phi2 = float(phi[1]) if p_ >= 2 else 0.0
+        phis = float(Phi) if P_ else 0.0
+        th1 = float(th[0]) if q_ >= 1 else 0.0
+        th2 = float(th[1]) if q_ >= 2 else 0.0
+        ths = float(Th) if Q_ else 0.0
         params = [
             float(p_), float(d), float(q_), float(P_), float(Q_),
-            float(s), float(t0_common), float(beta[0]),
+            float(s), float(t0_common), float(c0),
             float(phi1), float(phi2), float(phis),
             float(th1), float(th2), float(ths),
         ]
@@ -911,12 +1037,13 @@ def sarimax_hr_forecast(
     """F1 seasonal+exog: per-key SARIMAX via the Hannan–Rissanen harness —
     reference `forcester_ts/sarimax.py:212-222` (seasonality autodetect)
     and `:708-1013` (seasonal-order fit + exog alignment), re-expressed
-    without statsmodels: the HR step-2 design matrix simply gains
-    ADDITIVE seasonal AR/MA columns at the ACF-detected period s and the
-    exog columns, and stays closed-form OLS. (Additive seasonal lags, not
-    the multiplicative polynomial product — documented fidelity trade;
-    the grid covers (p,q) ∈ {0,1,2}², (P,Q) ∈ {0,1}² at the detected s,
-    all AICs on a common conditioning window.)
+    without statsmodels: each candidate is the MULTIPLICATIVE
+    (p,d,q)(P,D,Q,s) polynomial product fitted by ``_fit_sarma_mult``'s
+    alternating closed-form least squares (cross-product lag terms
+    −φ_iΦ·y_{t−s−i}, +θ_jΘ·e_{t−s−j} — structurally the reference's
+    seasonal polynomial, profiled rather than jointly MLE'd). The grid
+    covers (p,q) ∈ {0,1,2}², (P,Q) ∈ {0,1}² at the detected s, all AICs
+    on a common conditioning window t0 = s+2.
 
     Exogenous regressors are differenced alongside y when d=1 and frozen
     at their last observed value over the forecast horizon (no future
@@ -950,7 +1077,7 @@ def sarimax_hr_forecast(
         s = detect_seasonal_period(y)
         pq_grid = [(p, q) for p in (0, 1, 2) for q in (0, 1, 2)]
         spq_grid = [(0, 0), (1, 0), (0, 1), (1, 1)] if s else [(0, 0)]
-        t0_common = max(2, s)
+        t0_common = max(2, s + 2) if s else 2
         m_long = min(max(8, (s or 0) + 4, 8), max(n // 4, 1))
         bl, _, _ = _fit_ar(y, m_long)
         e_long = np.zeros(n)
@@ -962,43 +1089,37 @@ def sarimax_hr_forecast(
         best = None
         for p, q in pq_grid:
             for P, Q in spq_grid:
-                ar_lags = list(range(1, p + 1)) + ([s] if P else [])
-                ma_lags = list(range(1, q + 1)) + ([s] if Q else [])
-                if not ar_lags and not ma_lags:
+                if p + q + P + Q == 0:
                     continue
-                r = _fit_lagged_hr(y, ar_lags, ma_lags, e_long, t0_common, ex)
+                r = _fit_sarma_mult(y, p, q, P, Q, s, e_long, t0_common, ex)
                 if r is None:
                     continue
-                beta, sigma, aic, e_fit = r
+                aic = r[7]
                 if best is None or aic < best[0]:
-                    best = (aic, p, q, P, Q, ar_lags, ma_lags, beta, sigma, e_fit)
+                    best = (aic, p, q, P, Q, r)
         if best is None:
             return []
-        aic, p, q, P, Q, ar_lags, ma_lags, beta, sigma, e_fit = best
-        n_ar, n_ma = len(ar_lags), len(ma_lags)
-        c = float(beta[0])
-        b_ar = beta[1 : 1 + n_ar]
-        b_ma = beta[1 + n_ar : 1 + n_ar + n_ma]
-        b_ex = beta[1 + n_ar + n_ma :]
+        aic, p, q, P, Q, (c, phi, th, Phi, Th, b_ex, sigma, _aic2, e_fit) = best
+        ar_terms, ma_terms = _sarma_terms(p, q, P, Q, s, phi, th, Phi, Th)
         ex_future = float(ex[-1] @ b_ex) if ex is not None and len(b_ex) else 0.0
         hist = list(y)
         errs = list(e_fit)
         preds = []
         for _h in range(horizon):
             v = c + ex_future
-            for lag, coef in zip(ar_lags, b_ar):
+            for lag, coef in ar_terms:
                 v += coef * hist[-lag]
-            for lag, coef in zip(ma_lags, b_ma):
+            for lag, coef in ma_terms:
                 v += coef * errs[-lag] if len(errs) >= lag else 0.0
             hist.append(v)
             errs.append(0.0)
             preds.append(v)
-        max_lag = max(ar_lags + ma_lags)
+        max_lag = max([lag for lag, _ in ar_terms + ma_terms] or [1])
         phi_dense = np.zeros(max_lag)
-        for lag, coef in zip(ar_lags, b_ar):
+        for lag, coef in ar_terms:
             phi_dense[lag - 1] = coef
         theta_dense = np.zeros(max_lag)
-        for lag, coef in zip(ma_lags, b_ma):
+        for lag, coef in ma_terms:
             theta_dense[lag - 1] = coef
         psi = _psi_weights(phi_dense, theta_dense, horizon)
         if d:

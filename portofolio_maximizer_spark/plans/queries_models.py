@@ -392,20 +392,25 @@ def arima_warmstart_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sarimax_hr_forecast")
 def sarimax_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 seasonal: SARIMAX — additive seasonal AR/MA lags at the
-    ACF-autodetected period + the non-seasonal grid, Hannan–Rissanen
-    closed-form OLS, AIC top-1 on a common conditioning window
+    """F1 seasonal: SARIMAX — the MULTIPLICATIVE (p,d,q)(P,D,Q,s)
+    polynomial at the ACF-autodetected period, fitted by alternating
+    closed-form least squares (Hannan–Rissanen with cross-product lag
+    terms), AIC top-1 on a common conditioning window
     (`forcester_ts/sarimax.py:212-222` autodetect, `:708-1013` seasonal
-    fit). Period recovery + seasonal-beats-plain-ARIMA AIC pinned in
+    fit — statsmodels' multiplicative polynomial, profiled here instead
+    of jointly MLE'd). Period recovery, multiplicative-parameter
+    recovery and multiplicative-beats-additive AIC pinned in
     tests/test_forecast.py.
 
     Staged-verification oracle (upgraded from rows-only), same scheme as
     `arima_hr_forecast` with the seasonal twist: every detected period
-    (7/12/24/52) exceeds the 5-step horizon, so the seasonal terms in
-    the forecast recursion always hit OBSERVED values — the recursive
-    CTE keeps the plain two-lag state and picks up the lag-s terms by
-    equi-join. Seasonal coefficients never enter psi_1..psi_4 (s > 4),
-    so the variance ladder is the ARIMA unroll unchanged."""
+    (7/12/24/52) exceeds horizon+2, so the seasonal AND cross-product
+    terms in the forecast recursion always hit OBSERVED values — the
+    recursive CTE keeps the plain two-lag state and picks up the lag-s,
+    s+1, s+2 terms by equi-join, with the cross coefficients formed as
+    products of the staged (φ, Φ, θ, Θ). Seasonal coefficients never
+    enter psi_1..psi_4 (s ≥ 7 > 4), so the variance ladder is the ARIMA
+    unroll unchanged."""
     from ..forecast.models import sarimax_hr_components
     from .queries import stage_cached
 
@@ -468,18 +473,30 @@ ORACLE["sarimax_hr_forecast"] = f"""
              yy.y - (par.c
                      + par.phi1 * y1.y + par.phi2 * y2.y
                      + par.phis * COALESCE(ys.y, 0)
+                     - par.phis * (par.phi1 * COALESCE(ys1.y, 0)
+                                   + par.phi2 * COALESCE(ys2.y, 0))
                      + par.th1 * e1.e + par.th2 * e2.e
-                     + par.ths * COALESCE(es.e, 0)) AS r
+                     + par.ths * COALESCE(es.e, 0)
+                     + par.ths * (par.th1 * COALESCE(es1.e, 0)
+                                  + par.th2 * COALESCE(es2.e, 0))) AS r
       FROM y yy
       JOIN par ON par.user_id = yy.user_id
       JOIN y y1 ON y1.user_id = yy.user_id AND y1.t = yy.t - 1
       JOIN y y2 ON y2.user_id = yy.user_id AND y2.t = yy.t - 2
       LEFT JOIN y ys ON ys.user_id = yy.user_id
                     AND par.s > 0 AND ys.t = yy.t - par.s
+      LEFT JOIN y ys1 ON ys1.user_id = yy.user_id
+                     AND par.s > 0 AND ys1.t = yy.t - par.s - 1
+      LEFT JOIN y ys2 ON ys2.user_id = yy.user_id
+                     AND par.s > 0 AND ys2.t = yy.t - par.s - 2
       JOIN el e1 ON e1.user_id = yy.user_id AND e1.t = yy.t - 1
       JOIN el e2 ON e2.user_id = yy.user_id AND e2.t = yy.t - 2
       LEFT JOIN el es ON es.user_id = yy.user_id
                      AND par.s > 0 AND es.t = yy.t - par.s
+      LEFT JOIN el es1 ON es1.user_id = yy.user_id
+                      AND par.s > 0 AND es1.t = yy.t - par.s - 1
+      LEFT JOIN el es2 ON es2.user_id = yy.user_id
+                      AND par.s > 0 AND es2.t = yy.t - par.s - 2
       WHERE yy.t >= par.t0
     ),
     sig AS (
@@ -514,22 +531,38 @@ ORACLE["sarimax_hr_forecast"] = f"""
       SELECT f.user_id, f.h + 1,
              par.c + par.phi1 * f.h1 + par.phi2 * f.h2
                + par.phis * COALESCE(ys.y, 0)
+               - par.phis * (par.phi1 * COALESCE(ys1.y, 0)
+                             + par.phi2 * COALESCE(ys2.y, 0))
                + par.th1 * f.e1 + par.th2 * f.e2
-               + par.ths * COALESCE(es.e, 0),
+               + par.ths * COALESCE(es.e, 0)
+               + par.ths * (par.th1 * COALESCE(es1.e, 0)
+                            + par.th2 * COALESCE(es2.e, 0)),
              f.h1,
              0.0,
              f.e1,
              f.tm,
              par.c + par.phi1 * f.h1 + par.phi2 * f.h2
                + par.phis * COALESCE(ys.y, 0)
+               - par.phis * (par.phi1 * COALESCE(ys1.y, 0)
+                             + par.phi2 * COALESCE(ys2.y, 0))
                + par.th1 * f.e1 + par.th2 * f.e2
                + par.ths * COALESCE(es.e, 0)
+               + par.ths * (par.th1 * COALESCE(es1.e, 0)
+                            + par.th2 * COALESCE(es2.e, 0))
       FROM fc f
       JOIN par ON par.user_id = f.user_id
       LEFT JOIN y ys ON ys.user_id = f.user_id
                     AND par.s > 0 AND ys.t = f.tm + f.h + 1 - par.s
+      LEFT JOIN y ys1 ON ys1.user_id = f.user_id
+                     AND par.s > 0 AND ys1.t = f.tm + f.h - par.s
+      LEFT JOIN y ys2 ON ys2.user_id = f.user_id
+                     AND par.s > 0 AND ys2.t = f.tm + f.h - 1 - par.s
       LEFT JOIN efit es ON es.user_id = f.user_id
                        AND par.s > 0 AND es.t = f.tm + f.h + 1 - par.s
+      LEFT JOIN efit es1 ON es1.user_id = f.user_id
+                        AND par.s > 0 AND es1.t = f.tm + f.h - par.s
+      LEFT JOIN efit es2 ON es2.user_id = f.user_id
+                        AND par.s > 0 AND es2.t = f.tm + f.h - 1 - par.s
       WHERE f.h < 5
     ),
     preds AS (
@@ -2396,6 +2429,16 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         )
         .drop("u_ys", "t_ys", "u_es", "t_es")
     )
+    # multiplicative cross-product lags s+1, s+2: with t dense per key,
+    # y_{t-s-1} is just lag(y_{t-s}) — no extra joins
+    ws = W.partitionBy("user_id").orderBy("t")
+    seasoned = (
+        seasoned.withColumn("y_s1", F.lag("y_s", 1).over(ws))
+        .withColumn("y_s2", F.lag("y_s", 2).over(ws))
+        .withColumn("e_s1", F.lag("e_s", 1).over(ws))
+        .withColumn("e_s2", F.lag("e_s", 2).over(ws))
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
     resid = seasoned.filter(F.col("t") >= F.col("t0")).withColumn(
         "r",
         F.col("y")
@@ -2403,10 +2446,14 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             F.col("c")
             + F.col("phi1") * F.col("y1")
             + F.col("phi2") * F.col("y2")
-            + F.col("phis") * F.coalesce(F.col("y_s"), F.lit(0.0))
+            + F.col("phis") * z("y_s")
+            - F.col("phis")
+            * (F.col("phi1") * z("y_s1") + F.col("phi2") * z("y_s2"))
             + F.col("th1") * F.col("e1")
             + F.col("th2") * F.col("e2")
-            + F.col("ths") * F.coalesce(F.col("e_s"), F.lit(0.0))
+            + F.col("ths") * z("e_s")
+            + F.col("ths")
+            * (F.col("th1") * z("e_s1") + F.col("th2") * z("e_s2"))
         ),
     )
     k = F.col("p") + F.col("q") + F.col("sp") + F.col("sq") + 1
@@ -2450,14 +2497,16 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             ),
         )
     )
-    # seasonal terms per horizon step: t = tm + h - s, always observed
-    # (s > horizon); pivot wide per h before the unrolled recursion
-    hsteps = s.sparkSession.range(1, 6).select(F.col("id").cast("int").alias("h"))
+    # seasonal terms per horizon step: the multiplicative expansion needs
+    # y/e at t = tm + h - s - i for i in {0,1,2}; pivot index j maps to
+    # t = tm + (j-1) - s, so step h reads j = h+1 (lag s), h (s+1),
+    # h-1 (s+2) — all observed (s > horizon+2 never required: s >= 7 > 5)
+    hsteps = s.sparkSession.range(0, 7).select(F.col("id").cast("int").alias("j"))
     seas = (
         tmax.join(par.select("user_id", "s_per"), "user_id")
         .crossJoin(F.broadcast(hsteps))
         .withColumn(
-            "tk", F.col("tm") + F.col("h") - F.col("s_per").cast("long")
+            "tk", F.col("tm") + F.col("j") - 1 - F.col("s_per").cast("long")
         )
         .join(
             efit.select(
@@ -2475,15 +2524,15 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .agg(
             *[
                 F.coalesce(
-                    F.max(F.when(F.col("h") == h, F.col("ysv"))), F.lit(0.0)
-                ).alias(f"sy{h}")
-                for h in range(1, 6)
+                    F.max(F.when(F.col("j") == j, F.col("ysv"))), F.lit(0.0)
+                ).alias(f"syj{j}")
+                for j in range(0, 7)
             ],
             *[
                 F.coalesce(
-                    F.max(F.when(F.col("h") == h, F.col("esv"))), F.lit(0.0)
-                ).alias(f"se{h}")
-                for h in range(1, 6)
+                    F.max(F.when(F.col("j") == j, F.col("esv"))), F.lit(0.0)
+                ).alias(f"sej{j}")
+                for j in range(0, 7)
             ],
         )
     )
@@ -2500,10 +2549,20 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             F.col("c")
             + F.col("phi1") * F.col(h1)
             + F.col("phi2") * F.col(h2)
-            + F.col("phis") * F.col(f"sy{h}")
+            + F.col("phis") * F.col(f"syj{h + 1}")
+            - F.col("phis")
+            * (
+                F.col("phi1") * F.col(f"syj{h}")
+                + F.col("phi2") * F.col(f"syj{h - 1}")
+            )
             + F.col("th1") * F.col(e1)
             + F.col("th2") * F.col(e2)
-            + F.col("ths") * F.col(f"se{h}"),
+            + F.col("ths") * F.col(f"sej{h + 1}")
+            + F.col("ths")
+            * (
+                F.col("th1") * F.col(f"sej{h}")
+                + F.col("th2") * F.col(f"sej{h - 1}")
+            ),
         )
         if h < 5:
             base = base.withColumn(f"z{h}", F.lit(0.0))

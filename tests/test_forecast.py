@@ -567,6 +567,49 @@ def test_sarimax_recovers_seasonal_period_and_beats_plain_arima(spark):
         assert abs(r.yhat - expect) < 1.0, (r.horizon_step, r.yhat, expect)
 
 
+def test_sarimax_multiplicative_recovery_beats_additive():
+    """Parameter recovery on a pure multiplicative SAR(1)(1)_12 synthetic
+    y_t = φy_{t−1} + Φy_{t−12} − φΦy_{t−13} + e: the alternating-LS fit
+    must recover (φ, Φ) and its AIC must beat the ADDITIVE fit (free
+    lags 1, 12 — the engine's pre-round-6 form) on the same series,
+    because only the multiplicative design carries the −φΦ cross term."""
+    from portofolio_maximizer_spark.forecast.models import (
+        _fit_ar,
+        _fit_lagged_hr,
+        _fit_sarma_mult,
+    )
+
+    rng = np.random.default_rng(71)
+    n, s, phi_true, Phi_true = 900, 12, 0.5, 0.6
+    y = np.zeros(n)
+    e = rng.normal(0, 0.5, n)
+    for t in range(s + 1, n):
+        y[t] = (
+            phi_true * y[t - 1]
+            + Phi_true * y[t - s]
+            - phi_true * Phi_true * y[t - s - 1]
+            + e[t]
+        )
+    t0 = s + 2
+    m_long = s + 4
+    bl, _, _ = _fit_ar(y, m_long)
+    e_long = np.zeros(n)
+    Xl = np.column_stack(
+        [np.ones(n - m_long)]
+        + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+    )
+    e_long[m_long:] = y[m_long:] - Xl @ bl
+    c0, phi, th, Phi, Th, _bx, sigma, aic_mult, _ef = _fit_sarma_mult(
+        y, 1, 0, 1, 0, s, e_long, t0
+    )
+    assert abs(phi[0] - phi_true) < 0.08
+    assert abs(Phi - Phi_true) < 0.08
+    assert abs(sigma - 0.5) < 0.08
+    # additive fit with free lags {1, s} on the same window
+    _beta, _sg, aic_add, _e = _fit_lagged_hr(y, [1, s], [], e_long, t0)
+    assert aic_mult < aic_add
+
+
 def test_sarimax_exog_coefficient_recovered(spark):
     """y = 2·x_exog + AR(1) noise: the HR design's exog column must
     absorb the dependence — forecasts with the exog column present track
