@@ -1737,6 +1737,124 @@ SSA_COMP_SCHEMA = StructType(
 )
 
 
+MSSA_REWARD_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("train_end", IntegerType()),
+        StructField("state", IntegerType()),
+        StructField("action", IntegerType()),
+        StructField("reward", DoubleType()),
+        StructField("rmse", DoubleType()),
+        StructField("baseline_rmse", DoubleType()),
+    ]
+)
+
+
+def mssa_reward_windows(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    window: int = 12,
+    horizon: int = 5,
+    min_train: int = 60,
+    step: int = 10,
+    tail: int = 240,
+) -> DataFrame:
+    """F4 proper — the MSSA-RL offline policy LEARNING loop's experience
+    table (reference `forcester_ts/mssa_rl.py:271-430`,
+    ``build_mssa_offline_policy_artifact``): walk-forward windows per
+    key; per window an SSA decomposition yields three action-specific
+    rank-truncated reconstructions (cutoffs 25%/90%/100% of singular
+    mass, with the reference's strict r90 >= r25+1 separation,
+    `:581-607`), the state is the digitized rolling-variance ratio of
+    the action-1 residuals (bins [0.8, 1.0, 1.2], `:653-664`), each
+    action forecasts last_obs + clipped reconstruction slope
+    (`:825-860`, the ±5%-total-drift clamp; change-point decay omitted —
+    the decay path needs the CUSUM day-density bookkeeping that the
+    companion `cusum_changepoints` query carries), and the reward is the
+    clipped relative RMSE improvement over the random-walk baseline
+    (`:349-356`).
+
+    Scale: one (key)-grouped Arrow kernel; per-window cost is O(L²·tail)
+    and the refit tail is capped at ``tail`` observations, so per-key
+    cost is linear in series length with bounded constants — the
+    walk-forward-refit shape. The LEARNING aggregation (mean reward and
+    the Q-update fold per (state, action), argmax policy) happens
+    downstream in relational algebra where the oracle can re-derive it."""
+    from ..operators.arrowgroup import grouped_numpy
+
+    bins = np.array([0.8, 1.0, 1.2])
+
+    def recon_for_rank(U, s, Vt, r, m, L, K):
+        Hr = (U[:, :r] * s[:r]) @ Vt[:r]
+        recon = np.zeros(m)
+        counts = np.zeros(m)
+        for i in range(K):
+            recon[i : i + L] += Hr[:, i]
+            counts[i : i + L] += 1
+        return recon / counts
+
+    def kern(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        n = len(x)
+        rows: list[tuple] = []
+        for te in range(min_train, n - horizon + 1, step):
+            tr = x[max(0, te - tail) : te]
+            m = len(tr)
+            L = min(window, m // 2)
+            if L < 2:
+                continue
+            K = m - L + 1
+            H = np.column_stack([tr[i : i + L] for i in range(K)])
+            U, s, Vt = np.linalg.svd(H, full_matrices=False)
+            tot = float(np.sum(s))
+            cum = np.cumsum(s) / tot if tot > 0 and np.isfinite(tot) else np.ones(len(s))
+
+            def rk(c):
+                b = min(max(c, 0.05), 1.0)
+                return max(1, min(int(np.searchsorted(cum, b)) + 1, len(s)))
+
+            r25, r90, rall = rk(0.25), rk(0.90), rk(1.00)
+            r90 = min(max(r25 + 1, r90), rall)
+            recons = [
+                recon_for_rank(U, s, Vt, r, m, L, K) for r in (r25, r90, rall)
+            ]
+            resid = tr - recons[1]
+            bvar = max(float(np.var(resid)), 1e-12)
+            seg = resid[-min(max(window // 2, 5), len(resid)) :]
+            vr = float(np.var(seg, ddof=1)) / bvar if len(seg) >= 5 else 1.0
+            state = int(np.digitize([vr], bins)[0])
+            last_obs = float(tr[-1])
+            hold = x[te : te + horizon]
+            b_rmse = float(np.sqrt(np.mean((hold - last_obs) ** 2)))
+            if not np.isfinite(b_rmse) or b_rmse <= 0.0:
+                continue
+            hs = np.arange(1, horizon + 1, dtype=float)
+            for a in range(3):
+                rec = recons[a]
+                k2 = min(window, len(rec))
+                slope = (
+                    float(np.polyfit(np.arange(k2), rec[-k2:], 1)[0])
+                    if k2 >= 2
+                    else 0.0
+                )
+                if last_obs != 0.0:
+                    mx = abs(last_obs) * 0.05 / horizon
+                    slope = float(np.clip(slope, -mx, mx))
+                fc = last_obs + slope * hs
+                rmse = float(np.sqrt(np.mean((hold - fc) ** 2)))
+                if not np.isfinite(rmse):
+                    continue
+                reward = float(np.clip((b_rmse - rmse) / b_rmse, -1.0, 1.0))
+                rows.append((uid, te, state, a, reward, rmse, b_rmse))
+        return rows
+
+    return grouped_numpy(series, [key], MSSA_REWARD_SCHEMA, kern)
+
+
 def ssa_components(
     series: DataFrame,
     key: str = "user_id",

@@ -1860,15 +1860,132 @@ ORACLE["risk_parity_weights_n"] = _weights_verify_sql(
 # states are digitize(variance_ratio, bins=[0.8, 1.0, 1.2]), actions are
 # {0: risk-on, 1: HOLD, 2: risk-off}; best_action = argmax Q precomputed
 # exactly as `build_mssa_offline_policy_artifact` ranks mean rewards.
-_MSSA_POLICY = [
-    # (state, best_action, q_value, support)
-    (0, 0, 0.61, 64),
-    (1, 1, 0.58, 55),
-    (2, 2, 0.59, 9),
-    (3, 2, 0.63, 31),
-]
 _MSSA_MIN_SUPPORT = 20
-_MSSA_POLICY_VALUES = ", ".join(f"({s}, {a}, {q}, {n})" for s, a, q, n in _MSSA_POLICY)
+_MSSA_Q_ALPHA = 0.3  # reference q_learning_alpha (`mssa_rl.py:151`)
+
+
+def _mssa_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The walk-forward (state, action, reward) experience table from the
+    SSA action-forecast kernel, staged once per (code version, dataset)
+    — shared by the learning query and the policy-application query."""
+    from ..forecast.models import mssa_reward_windows
+    from .queries import stage_cached
+
+    return stage_cached(
+        spark,
+        sf_dir,
+        "mssa_rewards",
+        lambda: mssa_reward_windows(
+            _series(spark, sf_dir).select("user_id", "rn", "value")
+        ),
+    )
+
+
+_MSSA_CELL_SQL = """
+      SELECT state, action,
+             CAST(COUNT(*) AS BIGINT) AS support,
+             AVG(reward) AS av,
+             {alpha} * SUM(reward * POWER(1.0 - {alpha}, cnt - idx)) AS qtd
+      FROM (SELECT state, action, reward,
+                   ROW_NUMBER() OVER (PARTITION BY state, action
+                                      ORDER BY user_id, train_end) AS idx,
+                   COUNT(*) OVER (PARTITION BY state, action) AS cnt
+            FROM read_parquet('__ORACLE_STAGE__/mssa_rewards/*.parquet'))
+      GROUP BY state, action
+""".format(alpha=_MSSA_Q_ALPHA)
+
+
+@query(
+    "mssa_q_iteration",
+    oracle=f"""
+    WITH cell AS ({_MSSA_CELL_SQL}),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY state
+                 ORDER BY av DESC, action ASC) AS rnk
+      FROM cell
+    ),
+    stv AS (
+      SELECT state,
+             MAX(CASE WHEN rnk = 1 THEN action END) AS best_action,
+             MAX(CASE WHEN rnk = 1 THEN av END) AS best_av,
+             MAX(CASE WHEN rnk = 2 THEN av END) AS second_av
+      FROM rk GROUP BY state
+    )
+    SELECT r.state, r.action, r.support,
+           ROUND(r.av, 6) AS action_value,
+           ROUND(r.qtd, 6) AS q_td,
+           CAST(s.best_action AS INT) AS best_action,
+           r.rnk = 1 AS is_best,
+           ROUND(s.best_av - s.second_av, 6) AS action_margin
+    FROM rk r JOIN stv s USING (state)
+    """,
+)
+def mssa_q_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 proper — the MSSA-RL offline policy LEARNING itself (reference
+    `forcester_ts/mssa_rl.py:271-430` `build_mssa_offline_policy_
+    artifact`): walk-forward SSA action-forecast rewards per (state,
+    action) cell, aggregated two ways — the reference artifact's
+    mean-reward action value (`:371-383`; its "q_table" is the flattened
+    action-value dict, `:650`) AND the incremental Q-update fold
+    Q ← (1−α)Q + αr at the config's q_learning_alpha=0.3 (`:151`),
+    evaluated in closed form α·Σ(1−α)^(N−i)·r_i over the chronological
+    experience stream. best_action/margin rank exactly as the artifact
+    builder ranks (value desc, lowest action on ties).
+
+    The SVD/forecast kernel output is STAGED (stage_cached); both
+    engines re-derive every aggregate, the rank, the argmax policy and
+    the margin independently from the staged rows — the LEARNING half is
+    differentially verified while the SSA kernel stays pytest-pinned
+    (planted regime-switch recovery in tests/test_forecast.py).
+
+    Scale: the experience table is (keys × windows × 3) rows; both
+    aggregations are single shuffles on the (state, action) grid and the
+    TD fold's closed form is a distributed weighted SUM, not a
+    sequential driver loop."""
+    rew = _mssa_rewards(spark, sf_dir)
+    wc = Window.partitionBy("state", "action").orderBy("user_id", "train_end")
+    wcn = Window.partitionBy("state", "action")
+    a = _MSSA_Q_ALPHA
+    cell = (
+        rew.select(
+            "state",
+            "action",
+            "reward",
+            F.row_number().over(wc).alias("idx"),
+            F.count(F.lit(1)).over(wcn).alias("cnt"),
+        )
+        .groupBy("state", "action")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.avg("reward").alias("av"),
+            (
+                F.lit(a)
+                * F.sum(
+                    F.col("reward")
+                    * F.pow(F.lit(1.0 - a), F.col("cnt") - F.col("idx"))
+                )
+            ).alias("qtd"),
+        )
+    )
+    wst = Window.partitionBy("state").orderBy(F.desc("av"), F.asc("action"))
+    wst_all = Window.partitionBy("state")
+    rk = cell.withColumn("rnk", F.row_number().over(wst))
+    return rk.select(
+        "state",
+        "action",
+        "support",
+        r6(F.col("av")).alias("action_value"),
+        r6(F.col("qtd")).alias("q_td"),
+        F.max(F.when(F.col("rnk") == 1, F.col("action")))
+        .over(wst_all)
+        .cast("int")
+        .alias("best_action"),
+        (F.col("rnk") == 1).alias("is_best"),
+        r6(
+            F.max(F.when(F.col("rnk") == 1, F.col("av"))).over(wst_all)
+            - F.max(F.when(F.col("rnk") == 2, F.col("av"))).over(wst_all)
+        ).alias("action_margin"),
+    )
 
 
 @query(
@@ -1920,16 +2037,26 @@ _MSSA_POLICY_VALUES = ", ".join(f"({s}, {a}, {q}, {n})" for s, a, q, n in _MSSA_
                   ELSE 3 END AS state
       FROM r WHERE rk = 1
     ),
-    policy(state, best_action, q_value, support) AS (
-      VALUES {_MSSA_POLICY_VALUES}
+    cell AS ({_MSSA_CELL_SQL}),
+    policy AS (
+      SELECT state,
+             MAX(CASE WHEN rnk = 1 THEN action END) AS best_action,
+             MAX(CASE WHEN rnk = 1 THEN av END) AS q_value,
+             MAX(CASE WHEN rnk = 1 THEN support END) AS support
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY state
+                       ORDER BY av DESC, action ASC) AS rnk FROM cell)
+      GROUP BY state
     )
     SELECT st.user_id, st.variance_ratio, st.state,
-           p.best_action, p.q_value, p.support,
-           CASE WHEN p.support >= {_MSSA_MIN_SUPPORT} THEN 'ready'
-                ELSE 'insufficient_support' END AS policy_status,
-           CASE WHEN p.support >= {_MSSA_MIN_SUPPORT} THEN p.best_action
+           CAST(COALESCE(p.best_action, 1) AS INT) AS best_action,
+           ROUND(COALESCE(p.q_value, 0.0), 6) AS q_value,
+           CAST(COALESCE(p.support, 0) AS BIGINT) AS support,
+           CASE WHEN COALESCE(p.support, 0) >= {_MSSA_MIN_SUPPORT}
+                THEN 'ready' ELSE 'insufficient_support' END AS policy_status,
+           CASE WHEN COALESCE(p.support, 0) >= {_MSSA_MIN_SUPPORT}
+                THEN COALESCE(p.best_action, 1)
                 ELSE 1 END AS selected_action
-    FROM st JOIN policy p ON st.state = p.state
+    FROM st LEFT JOIN policy p ON st.state = p.state
     """,
 )
 def mssa_policy_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,9 +2066,12 @@ def mssa_policy_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     with `min_policy_state_support` gating; under-supported states fall
     back to the neutral HOLD action 1).
 
-    Spark-first shape: the Q-table is a tiny broadcast dimension joined
-    on the discretized state — at 100 TB the fact side shuffles zero
-    bytes for the policy lookup. Cross-engine exactness: returns are
+    Spark-first shape: the Q-table is LEARNED by `mssa_q_iteration`'s
+    experience aggregation (shared staged table) and joined as a tiny
+    broadcast dimension on the discretized state — at 100 TB the fact
+    side shuffles zero bytes for the policy lookup; states the
+    experience never visited fall back to HOLD with status
+    insufficient_support, exactly the reference's unready-policy path. Cross-engine exactness: returns are
     quantized to integers (FLOOR(x·1e6 + 0.5), bit-identical in both
     engines) so windowed variance comes from EXACT integer sums and the
     digitize thresholds cannot flip between Spark and DuckDB kernels
@@ -2006,19 +2136,36 @@ def mssa_policy_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .alias("state"),
     )
-    policy = spark.createDataFrame(
-        _MSSA_POLICY, "state int, best_action int, q_value double, support int"
+    # the LEARNED policy from the staged experience table (the output of
+    # mssa_q_iteration's learning pass) — a tiny broadcast dimension
+    rew = _mssa_rewards(spark, sf_dir)
+    cell = rew.groupBy("state", "action").agg(
+        F.count(F.lit(1)).alias("support"), F.avg("reward").alias("av")
     )
-    ready = F.col("support") >= _MSSA_MIN_SUPPORT
-    return st.join(F.broadcast(policy), "state").select(
+    wst = Window.partitionBy("state").orderBy(F.desc("av"), F.asc("action"))
+    policy = (
+        cell.withColumn("rnk", F.row_number().over(wst))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "state",
+            F.col("action").cast("int").alias("best_action"),
+            F.col("av").alias("q_value"),
+            "support",
+        )
+    )
+    ready = F.coalesce(F.col("support"), F.lit(0)) >= _MSSA_MIN_SUPPORT
+    return st.join(F.broadcast(policy), "state", "left").select(
         "user_id",
         "variance_ratio",
         "state",
-        "best_action",
-        "q_value",
-        "support",
+        F.coalesce(F.col("best_action"), F.lit(1)).cast("int").alias("best_action"),
+        r6(F.coalesce(F.col("q_value"), F.lit(0.0))).alias("q_value"),
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
         F.when(ready, "ready").otherwise("insufficient_support").alias("policy_status"),
-        F.when(ready, F.col("best_action")).otherwise(F.lit(1)).alias("selected_action"),
+        F.when(ready, F.coalesce(F.col("best_action"), F.lit(1)))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("selected_action"),
     )
 
 

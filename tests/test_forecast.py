@@ -294,15 +294,51 @@ def test_walkforward_refit_replay_numpy(spark):
     assert row.n_train == b1 and row.n_test == sizes[1]
 
 
+def test_mssa_q_iteration_learned_policy_beats_uniform(spark):
+    """Planted regime-switch series (calm trend → high-vol random walk):
+    the offline learning loop must visit multiple variance-ratio states
+    and its greedy per-state policy must achieve a strictly higher mean
+    reward than the uniform (action-agnostic) policy on the experience
+    it learned from — the artifact builder's own validation notion
+    (reference `mssa_rl.py:425-437` mean_reward of best actions)."""
+    from portofolio_maximizer_spark.forecast.models import mssa_reward_windows
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for uid in range(4):
+        n = 400
+        x = np.zeros(n)
+        lvl = 100.0
+        for t in range(n):
+            if t < n // 2:
+                lvl += 0.3 + rng.normal(0, 0.2)  # calm trend regime
+            else:
+                lvl += rng.normal(0, 3.0)  # high-vol random regime
+            x[t] = lvl
+        rows += [(uid, t, float(x[t])) for t in range(n)]
+    sdf = spark.createDataFrame(rows, "user_id long, rn long, value double")
+    pdf = mssa_reward_windows(sdf).toPandas()
+    assert pdf.state.nunique() >= 3  # the regime switch moves the state
+    assert set(pdf.action) == {0, 1, 2}
+    cell = pdf.groupby(["state", "action"]).reward.agg(["mean", "count"])
+    best = cell["mean"].groupby(level=0).idxmax()
+    learned = sum(
+        cell.loc[b, "mean"] * cell.loc[b, "count"] for b in best
+    ) / sum(cell.loc[b, "count"] for b in best)
+    uniform = pdf.reward.mean()
+    assert learned > uniform + 0.02
+    # rewards are the clipped relative-RMSE-improvement definition
+    assert pdf.reward.between(-1.0, 1.0).all()
+    assert (pdf.baseline_rmse > 0).all()
+
+
 def test_mssa_policy_actions_semantics(spark, sf_dir):
-    """Q-table policy stage: states in range, under-supported states fall
-    back to HOLD, ready states select the table's best action, and the
-    policy lookup is a broadcast join."""
+    """Learned-policy stage: states in range, the applied policy equals
+    the one mssa_q_iteration learns from the shared experience table,
+    under-supported/unseen states fall back to HOLD, and the policy
+    lookup is a broadcast join."""
     from portofolio_maximizer_spark.plans import QUERIES
-    from portofolio_maximizer_spark.plans.queries_stats import (
-        _MSSA_MIN_SUPPORT,
-        _MSSA_POLICY,
-    )
+    from portofolio_maximizer_spark.plans.queries_stats import _MSSA_MIN_SUPPORT
 
     df = QUERIES["mssa_policy_actions"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -310,10 +346,19 @@ def test_mssa_policy_actions_semantics(spark, sf_dir):
     out = df.toPandas()
     assert len(out) > 0
     assert out.state.isin([0, 1, 2, 3]).all()
-    table = {s: (a, q, n) for s, a, q, n in _MSSA_POLICY}
+    learned = QUERIES["mssa_q_iteration"](spark, sf_dir).toPandas()
+    table = {
+        int(r.state): (int(r.action), round(float(r.action_value), 6), int(r.support))
+        for _, r in learned[learned.is_best].iterrows()
+    }
     for _, row in out.iterrows():
+        if row.state not in table:  # state never visited in training
+            assert row.policy_status == "insufficient_support"
+            assert row.selected_action == 1 and row.support == 0
+            continue
         a, q, n = table[row.state]
         assert row.best_action == a and row.support == n
+        assert abs(row.q_value - q) < 1e-9
         if n >= _MSSA_MIN_SUPPORT:
             assert row.policy_status == "ready" and row.selected_action == a
         else:
