@@ -281,17 +281,48 @@ def ivf_topk(
     corpus once; at real scale the quantizer trains on a sample and the
     model is a broadcast artifact, exactly like the reference's offline
     policy artifacts."""
+    assigned, cent_df = ivf_build_index(corpus, n_lists, seed, vec_col, id_col)
+    if on_centroids is not None:
+        # staged-verification hook: lets a caller persist the fitted
+        # quantizer so an external oracle can replay assignment + probing
+        on_centroids(cent_df)
+    return ivf_probe(assigned, cent_df, queries, k, n_probe, vec_col, id_col)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The OFFLINE half of IVF: fit the coarse quantizer and assign every
+    corpus vector to its inverted list. Returns (assigned, centroids) —
+    both are persistable artifacts (the production shape: the index is
+    built once and probed many times; `embedding_ivf_ann` stages both
+    through the stage cache so repeat queries skip the KMeans fit and
+    the assignment pass entirely)."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("de")
     )
     model, with_feats, cent_df = fit_coarse_quantizer(c, n_lists, seed)
     assigned = model.transform(with_feats).select(
-        "vec_id", "de", F.col("prediction").alias("list_id")
+        "vec_id", "de", F.col("prediction").cast("int").alias("list_id")
     )
-    if on_centroids is not None:
-        # staged-verification hook: lets a caller persist the fitted
-        # quantizer so an external oracle can replay assignment + probing
-        on_centroids(cent_df)
+    return assigned, cent_df
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ONLINE half of IVF: select each query's ``n_probe`` nearest
+    centroids by cosine, score only those lists' members, keep top-k."""
     q = queries.select(
         F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
     )
