@@ -287,57 +287,12 @@ def train_eval_calibrated_classifier(
     than {test, calib}, Platt-calibrate on the calib fold, report
     accuracy + 15-bin ECE before/after calibration on the test fold
     (reference publishes DA **and** ECE as its gate,
-    `/root/reference/README.md:150,250`).
-    """
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.functions import array_to_vector
-
-    fold = F.col("vec_id") % folds
-    data = emb.select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-        F.col(label_col).cast("double").alias("label"),
-        fold.alias("fold"),
-    )
-    train = data.filter(~F.col("fold").isin(test_fold, calib_fold))
-    calib = data.filter(F.col("fold") == calib_fold)
-    test = data.filter(F.col("fold") == test_fold)
-    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param, family="multinomial")
-    model = lr.fit(train)
-    hit = (F.col("prediction") == F.col("label")).cast("double")
-    train_acc = model.transform(train).agg(F.round(F.avg(hit), 6)).collect()[0][0]
-
-    a, b = fit_platt(_confidence_correct(model.transform(calib)))
-
-    scored = _confidence_correct(model.transform(test)).localCheckpoint(eager=True)
-    ece_raw = expected_calibration_error(scored, n_bins=n_bins)
-    recal = scored.select(
-        platt_confidence(F.col("conf"), a, b).alias("conf"), "correct"
-    )
-    ece_cal = expected_calibration_error(recal, n_bins=n_bins)
+    `/root/reference/README.md:150,250`). One-call composition of
+    ``calibrated_classifier_scored`` + ``classifier_metrics_from_scored``
+    (the query layer stages the scored half through the cache instead)."""
+    scored = calibrated_classifier_scored(
+        emb, label_col, folds, test_fold, calib_fold, max_iter, reg_param
+    ).localCheckpoint(eager=True)
     if stage_fn is not None:
-        # stage the raw test-fold predictions + the fit's scalar outputs
-        # so a SQL oracle can re-derive accuracy and both ECEs
-        # independently (the LR/Platt FITS stay pytest-pinned)
-        stage_fn(
-            scored.select(
-                "conf",
-                "correct",
-                F.lit(float(a)).alias("platt_a"),
-                F.lit(float(b)).alias("platt_b"),
-                F.lit(float(train_acc)).alias("train_accuracy"),
-                F.lit(train.count()).alias("n_train"),
-                F.lit(calib.count()).alias("n_calib"),
-            )
-        )
-    return scored.agg(
-        F.round(F.avg("correct"), 6).alias("accuracy"),
-        F.lit(train_acc).alias("train_accuracy"),
-        F.count(F.lit(1)).alias("n_test"),
-        F.lit(train.count()).alias("n_train"),
-        F.lit(calib.count()).alias("n_calib"),
-        F.round(F.lit(ece_raw), 6).alias("ece_uncalibrated"),
-        F.round(F.lit(ece_cal), 6).alias("ece_platt"),
-        F.round(F.lit(a), 6).alias("platt_a"),
-        F.round(F.lit(b), 6).alias("platt_b"),
-    )
+        stage_fn(scored)
+    return classifier_metrics_from_scored(scored, n_bins=n_bins)

@@ -208,13 +208,26 @@ def audit(plan: str) -> list[str]:
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     if n_exchange > 12:
         flags.append(f"EXCHANGES={n_exchange}")
-    wide = [
-        m.group(1)
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
-        if m.group(1).count(",") + 1 > 12
+    # WIDE_SCAN applies to sf-scaling TABLE scans (no column pruning on a
+    # fact table is a 100 TB hazard). Scans of oracle_stage artifacts are
+    # model-cardinality verification outputs read back whole by design —
+    # split the formatted plan into per-scan detail blocks so the
+    # Location line can exempt them.
+    bounds = [m.start() for m in re.finditer(r"^\(\d+\) ", plan, re.M)] + [len(plan)]
+    scan_blocks = [
+        plan[a:b]
+        for a, b in zip(bounds, bounds[1:])
+        if plan[a:].startswith(tuple(f"({d}" for d in "0123456789"))
+        and re.match(r"\(\d+\) Scan parquet", plan[a:b])
     ]
-    if wide:
-        flags.append(f"WIDE_SCAN={wide[0].count(',') + 1}cols")
+    for block in scan_blocks:
+        m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        if not m or "oracle_stage" in block:
+            continue
+        ncols = m.group(1).count(",") + 1
+        if ncols > 12:
+            flags.append(f"WIDE_SCAN={ncols}cols")
+            break
     return flags
 
 
