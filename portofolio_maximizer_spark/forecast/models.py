@@ -748,6 +748,7 @@ SARIMAX_SCHEMA = StructType(
         StructField("q", IntegerType()),
         StructField("sp", IntegerType()),
         StructField("sq", IntegerType()),
+        StructField("sd", IntegerType()),
         StructField("s", IntegerType()),
         StructField("aic", DoubleType()),
         StructField("horizon_step", IntegerType()),
@@ -953,6 +954,78 @@ def _sarma_terms(
     return ar_terms, ma_terms
 
 
+def _long_ar_resid(y: np.ndarray, s: int) -> np.ndarray:
+    """Hannan–Rissanen step 1 on a target series: long-AR residuals
+    (zeros before the long-AR order), shared by both SARIMAX kernels."""
+    n = len(y)
+    m_long = min(max(8, (s or 0) + 4, 8), max(n // 4, 1))
+    bl, _, _ = _fit_ar(y, m_long)
+    e = np.zeros(n)
+    Xl = np.column_stack(
+        [np.ones(n - m_long)]
+        + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+    )
+    e[m_long:] = y[m_long:] - Xl @ bl
+    return e
+
+
+def _sarimax_candidate_search(y: np.ndarray, s: int, exog=None):
+    """The shared SARIMAX grid: (p,q) ∈ {0,1,2}² × seasonal candidates.
+    Mirrors the reference's candidate set (`forcester_ts/sarimax.py:
+    519-532`): one NON-seasonal rung (D=0, no seasonal terms) plus, when
+    a period is detected, multiplicative (P,1,Q,s) rungs for
+    (P,Q) ∈ {0,1}² — every seasonal candidate carries ONE seasonal
+    difference (max_D=1), including the pure (0,1,0,s) seasonal random
+    walk. All candidates' residuals live on the same y-scale (the
+    seasonal difference shifts the target, not the residual:
+    r_t = w_t − ŵ_t = y_t − ŷ_t) and are conditioned on the COMMON
+    y-time window t ≥ t0, so their RSS/AICs are directly comparable.
+
+    Returns (aic, p, q, P, Q, D, fitres, target, e_target, t0_target,
+    t0_common) for the winner, or None."""
+    n = len(y)
+    e_y = _long_ar_resid(y, s)
+    pq_grid = [(p_, q_) for p_ in (0, 1, 2) for q_ in (0, 1, 2)]
+    max_k = 7  # c + p2 + q2 + P1 + Q1
+    t0_full = 2 * s + 2 if s else 2
+    use_d = bool(s) and (n - t0_full >= max_k + 8)
+    if use_d:
+        t0_common = t0_full
+        w = y[s:] - y[:-s]
+        e_w = _long_ar_resid(w, s)
+        t0_w = t0_common - s  # same y-time window, w-index terms
+        spq = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    else:
+        t0_common = max(2, s + 2) if s else 2
+        w = e_w = None
+        t0_w = 0
+        spq = [(0, 0), (1, 0), (0, 1), (1, 1)] if s else []
+    best = None
+    for p_, q_ in pq_grid:
+        # non-seasonal rung on y
+        if p_ + q_ > 0:
+            r = _fit_sarma_mult(y, p_, q_, 0, 0, s, e_y, t0_common, exog)
+            if r is not None and (best is None or r[7] < best[0]):
+                best = (r[7], p_, q_, 0, 0, 0, r, y, e_y, t0_common)
+        # seasonal rungs
+        for P_, Q_ in spq:
+            if use_d:
+                # the seasonal difference applies to the whole mean
+                # equation, exog included: w = (X_t - X_{t-s})b + SARMA
+                ex_w = exog[s:] - exog[:-s] if exog is not None else None
+                r = _fit_sarma_mult(w, p_, q_, P_, Q_, s, e_w, t0_w, ex_w)
+                if r is not None and (best is None or r[7] < best[0]):
+                    best = (r[7], p_, q_, P_, Q_, 1, r, w, e_w, t0_w)
+            elif P_ + Q_ > 0:
+                # short-series fallback: multiplicative, no differencing
+                r = _fit_sarma_mult(y, p_, q_, P_, Q_, s, e_y, t0_common, exog)
+                if r is not None and (best is None or r[7] < best[0]):
+                    best = (r[7], p_, q_, P_, Q_, 0, r, y, e_y, t0_common)
+    if best is None:
+        return None
+    return best + (t0_common,)
+
+
 def sarimax_hr_components(
     series: DataFrame,
     key: str = "user_id",
@@ -961,11 +1034,12 @@ def sarimax_hr_components(
 ) -> DataFrame:
     """The solver artifacts of `sarimax_hr_forecast`'s winning candidate
     (no-exog configuration) as a long table for the staged-verification
-    oracle: kind 0 = the parameter vector (idx 1..14 = p, d, q, P, Q, s,
-    t0, c, phi1, phi2, Phi, th1, th2, Th — seasonal coefficients zero
+    oracle: kind 0 = the parameter vector (idx 1..15 = p, d, q, P, Q, s,
+    t0, c, phi1, phi2, Phi, th1, th2, Th, D — seasonal coefficients zero
     when absent; the multiplicative cross-term coefficients are the
     PRODUCTS −φ_iΦ / +θ_jΘ, so they need no slots of their own), kind 1
-    = the step-1 long-AR residual series. Because every detected period
+    = the step-1 long-AR residual series of the WINNER's modeling target
+    re-indexed to y-time (the D=1 rungs model w = y_t − y_{t−s}). Because every detected period
     (7/12/24/52) exceeds horizon+2, all seasonal and cross-product terms
     in the forecast recursion reference OBSERVED values, so the oracle
     replay needs only the same two-lag recursion state as plain ARIMA
@@ -980,33 +1054,13 @@ def sarimax_hr_components(
             return []
         d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
         y = np.diff(x, d) if d else x
-        n = len(y)
         s = detect_seasonal_period(y)
-        pq_grid = [(p_, q_) for p_ in (0, 1, 2) for q_ in (0, 1, 2)]
-        spq_grid = [(0, 0), (1, 0), (0, 1), (1, 1)] if s else [(0, 0)]
-        t0_common = max(2, s + 2) if s else 2
-        m_long = min(max(8, (s or 0) + 4, 8), max(n // 4, 1))
-        bl, _, _ = _fit_ar(y, m_long)
-        e_long = np.zeros(n)
-        Xl = np.column_stack(
-            [np.ones(n - m_long)]
-            + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
-        )
-        e_long[m_long:] = y[m_long:] - Xl @ bl
-        best = None
-        for p_, q_ in pq_grid:
-            for P_, Q_ in spq_grid:
-                if p_ + q_ + P_ + Q_ == 0:
-                    continue
-                r = _fit_sarma_mult(y, p_, q_, P_, Q_, s, e_long, t0_common)
-                if r is None:
-                    continue
-                aic = r[7]
-                if best is None or aic < best[0]:
-                    best = (aic, p_, q_, P_, Q_, r)
+        best = _sarimax_candidate_search(y, s)
         if best is None:
             return []
-        aic, p_, q_, P_, Q_, (c0, phi, th, Phi, Th, _bx, _sg, _a2, _ef) = best
+        (aic, p_, q_, P_, Q_, D_,
+         (c0, phi, th, Phi, Th, _bx, _sg, _a2, _ef),
+         _tgt, e_long, _t0_tgt, t0_common) = best
         phi1 = float(phi[0]) if p_ >= 1 else 0.0
         phi2 = float(phi[1]) if p_ >= 2 else 0.0
         phis = float(Phi) if P_ else 0.0
@@ -1018,9 +1072,16 @@ def sarimax_hr_components(
             float(s), float(t0_common), float(c0),
             float(phi1), float(phi2), float(phis),
             float(th1), float(th2), float(ths),
+            float(D_),
         ]
         rows = [(uid, 0, i + 1, v) for i, v in enumerate(params)]
-        rows += [(uid, 1, i + 1, float(v)) for i, v in enumerate(e_long)]
+        # the winner's step-1 residuals are re-indexed to Y-TIME (w-index
+        # j lives at y-time j+s when D=1) so the oracle's equi-joins on t
+        # line up regardless of the differencing rung
+        off = s if D_ else 0
+        rows += [
+            (uid, 1, (i + off) + 1, float(v)) for i, v in enumerate(e_long)
+        ]
         return rows
 
     return grouped_numpy(series, [key], ARIMA_COMP_SCHEMA, kern)
@@ -1040,10 +1101,13 @@ def sarimax_hr_forecast(
     without statsmodels: each candidate is the MULTIPLICATIVE
     (p,d,q)(P,D,Q,s) polynomial product fitted by ``_fit_sarma_mult``'s
     alternating closed-form least squares (cross-product lag terms
-    −φ_iΦ·y_{t−s−i}, +θ_jΘ·e_{t−s−j} — structurally the reference's
-    seasonal polynomial, profiled rather than jointly MLE'd). The grid
-    covers (p,q) ∈ {0,1,2}², (P,Q) ∈ {0,1}² at the detected s, all AICs
-    on a common conditioning window t0 = s+2.
+    −φ_iΦ·z_{t−s−i}, +θ_jΘ·e_{t−s−j} — structurally the reference's
+    seasonal polynomial, profiled rather than jointly MLE'd). Every
+    seasonal candidate carries ONE seasonal difference (D=1, reference
+    `sarimax.py:523`); the grid covers (p,q) ∈ {0,1,2}² × ({D=0
+    non-seasonal} ∪ {D=1, (P,Q) ∈ {0,1}²}) at the detected s, all
+    candidates' residuals on the same y-scale over the common y-time
+    window t0 = 2s+2 so their AICs are directly comparable.
 
     Exogenous regressors are differenced alongside y when d=1 and frozen
     at their last observed value over the forecast horizon (no future
@@ -1075,36 +1139,23 @@ def sarimax_hr_forecast(
             ex = np.diff(ex_full, d, axis=0) if d else ex_full
         n = len(y)
         s = detect_seasonal_period(y)
-        pq_grid = [(p, q) for p in (0, 1, 2) for q in (0, 1, 2)]
-        spq_grid = [(0, 0), (1, 0), (0, 1), (1, 1)] if s else [(0, 0)]
-        t0_common = max(2, s + 2) if s else 2
-        m_long = min(max(8, (s or 0) + 4, 8), max(n // 4, 1))
-        bl, _, _ = _fit_ar(y, m_long)
-        e_long = np.zeros(n)
-        Xl = np.column_stack(
-            [np.ones(n - m_long)]
-            + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
-        )
-        e_long[m_long:] = y[m_long:] - Xl @ bl
-        best = None
-        for p, q in pq_grid:
-            for P, Q in spq_grid:
-                if p + q + P + Q == 0:
-                    continue
-                r = _fit_sarma_mult(y, p, q, P, Q, s, e_long, t0_common, ex)
-                if r is None:
-                    continue
-                aic = r[7]
-                if best is None or aic < best[0]:
-                    best = (aic, p, q, P, Q, r)
+        best = _sarimax_candidate_search(y, s, ex)
         if best is None:
             return []
-        aic, p, q, P, Q, (c, phi, th, Phi, Th, b_ex, sigma, _aic2, e_fit) = best
+        (aic, p, q, P, Q, D,
+         (c, phi, th, Phi, Th, b_ex, sigma, _aic2, e_fit),
+         tgt, _e_tgt, _t0_tgt, _t0c) = best
         ar_terms, ma_terms = _sarma_terms(p, q, P, Q, s, phi, th, Phi, Th)
-        ex_future = float(ex[-1] @ b_ex) if ex is not None and len(b_ex) else 0.0
-        hist = list(y)
+        if ex is not None and len(b_ex):
+            ex_last = ex[-1] - ex[-1 - s] if D else ex[-1]
+            ex_future = float(ex_last @ b_ex)
+        else:
+            ex_future = 0.0
+        # recursion runs on the modeling target (w = y_t − y_{t−s} when
+        # D=1); h ≤ horizon < s keeps every seasonal/cross lag observed
+        hist = list(tgt)
         errs = list(e_fit)
-        preds = []
+        preds_z = []
         for _h in range(horizon):
             v = c + ex_future
             for lag, coef in ar_terms:
@@ -1113,7 +1164,15 @@ def sarimax_hr_forecast(
                 v += coef * errs[-lag] if len(errs) >= lag else 0.0
             hist.append(v)
             errs.append(0.0)
-            preds.append(v)
+            preds_z.append(v)
+        if D:
+            # integrate the seasonal difference: ŷ_{n-1+h} = ẑ + y_{n-1+h-s}
+            preds = [
+                preds_z[h - 1] + float(y[n - 1 + h - s])
+                for h in range(1, horizon + 1)
+            ]
+        else:
+            preds = preds_z
         max_lag = max([lag for lag, _ in ar_terms + ma_terms] or [1])
         phi_dense = np.zeros(max_lag)
         for lag, coef in ar_terms:
@@ -1121,6 +1180,9 @@ def sarimax_hr_forecast(
         theta_dense = np.zeros(max_lag)
         for lag, coef in ma_terms:
             theta_dense[lag - 1] = coef
+        # psi weights live on the z scale; the seasonal-difference offset
+        # is observed for h <= horizon < s, so the h-step error variance
+        # in y equals the z variance (the d-integration ladder unchanged)
         psi = _psi_weights(phi_dense, theta_dense, horizon)
         if d:
             yhat = float(x[-1]) + np.cumsum(preds)
@@ -1133,7 +1195,7 @@ def sarimax_hr_forecast(
         for h in range(1, horizon + 1):
             band = 1.96 * float(np.sqrt(var[h - 1]))
             rows.append(
-                (uid, p, d, q, P, Q, s, round(aic, 6), h,
+                (uid, p, d, q, P, Q, int(D), s, round(aic, 6), h,
                  round(float(yhat[h - 1]), 6),
                  round(float(yhat[h - 1]) - band, 6),
                  round(float(yhat[h - 1]) + band, 6),
@@ -1227,6 +1289,7 @@ def garch11_fit(
         if len(r) < 30:
             return []
         uid = int(cols[key][0])
+        r = _clip_return_tails(r)
         r = r - r.mean()
         r2 = r * r
         var0 = float(r2.mean())
@@ -1353,6 +1416,23 @@ def _garch_sigma2_path(
 
 
 _T_NU_GRID = (4.0, 5.0, 6.0, 8.0, 10.0, 15.0, 20.0, 30.0)
+
+
+def _clip_return_tails(r: np.ndarray) -> np.ndarray:
+    """The reference's numerical-overflow guard before any GARCH fit
+    (`forcester_ts/garch.py:155-168`): clip |r| at
+    max(p99.5(|r|), 10·median(|r|)). Linear-interpolated percentile and
+    median match DuckDB's QUANTILE_CONT/MEDIAN, so the oracle replays
+    the cap exactly."""
+    ar = np.abs(r[np.isfinite(r)])
+    if not len(ar):
+        return r
+    p995 = float(np.nanpercentile(ar, 99.5))
+    med = float(np.nanmedian(ar))
+    cap = max(p995, med * 10.0) if med > 0 else p995
+    if np.isfinite(cap) and cap > 0:
+        return np.clip(r, -cap, cap)
+    return r
 
 
 def _student_t_loglik(r2_tail: np.ndarray, s2: np.ndarray, nu: float) -> float:
@@ -1520,7 +1600,7 @@ def garch_grid_fit(
             r = r[~np.isnan(r)]
             if len(r) < 40:
                 continue
-            r = r[-fit_window:]
+            r = _clip_return_tails(r[-fit_window:])
             r = r - r.mean()
             r2 = r * r
             if float(r2.mean()) > 0:

@@ -403,14 +403,16 @@ def arima_warmstart_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sarimax_hr_forecast")
 def sarimax_hr_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 seasonal: SARIMAX — the MULTIPLICATIVE (p,d,q)(P,D,Q,s)
-    polynomial at the ACF-autodetected period, fitted by alternating
-    closed-form least squares (Hannan–Rissanen with cross-product lag
-    terms), AIC top-1 on a common conditioning window
+    polynomial at the ACF-autodetected period with ONE seasonal
+    difference on every seasonal candidate (the reference's max_D=1
+    grid, `sarimax.py:519-532`), fitted by alternating closed-form
+    least squares (Hannan–Rissanen with cross-product lag terms), AIC
+    top-1 on a common conditioning window
     (`forcester_ts/sarimax.py:212-222` autodetect, `:708-1013` seasonal
     fit — statsmodels' multiplicative polynomial, profiled here instead
     of jointly MLE'd). Period recovery, multiplicative-parameter
-    recovery and multiplicative-beats-additive AIC pinned in
-    tests/test_forecast.py.
+    recovery, multiplicative-beats-additive AIC and D=1 selection on a
+    planted seasonal random walk pinned in tests/test_forecast.py.
 
     Staged-verification oracle (upgraded from rows-only), same scheme as
     `arima_hr_forecast` with the seasonal twist: every detected period
@@ -452,7 +454,8 @@ _SARIMAX_PAR_SQL = """
              MAX(CASE idx WHEN 11 THEN val END) AS phis,
              MAX(CASE idx WHEN 12 THEN val END) AS th1,
              MAX(CASE idx WHEN 13 THEN val END) AS th2,
-             MAX(CASE idx WHEN 14 THEN val END) AS ths
+             MAX(CASE idx WHEN 14 THEN val END) AS ths,
+             COALESCE(MAX(CASE idx WHEN 15 THEN val END), 0.0) AS sd
       FROM comp WHERE kind = 0 GROUP BY user_id
 """
 
@@ -481,36 +484,47 @@ ORACLE["sarimax_hr_forecast"] = f"""
       QUALIFY t >= 0 AND y IS NOT NULL
     ),
     el AS (SELECT user_id, idx - 1 AS t, val AS e FROM comp WHERE kind = 1),
+    z AS (
+      -- the modeling target: the winner's seasonal difference of y
+      SELECT yy.user_id,
+             CASE WHEN par.sd = 1 THEN yy.y - yo.y ELSE yy.y END AS z,
+             yy.t
+      FROM y yy
+      JOIN par ON par.user_id = yy.user_id
+      LEFT JOIN y yo ON yo.user_id = yy.user_id AND par.sd = 1
+                    AND yo.t = yy.t - par.s
+      WHERE par.sd = 0 OR yy.t >= par.s
+    ),
     resid AS (
-      SELECT yy.user_id, yy.t,
-             yy.y - (par.c
-                     + par.phi1 * y1.y + par.phi2 * y2.y
-                     + par.phis * COALESCE(ys.y, 0)
-                     - par.phis * (par.phi1 * COALESCE(ys1.y, 0)
-                                   + par.phi2 * COALESCE(ys2.y, 0))
+      SELECT zz.user_id, zz.t,
+             zz.z - (par.c
+                     + par.phi1 * z1.z + par.phi2 * z2.z
+                     + par.phis * COALESCE(zs.z, 0)
+                     - par.phis * (par.phi1 * COALESCE(zs1.z, 0)
+                                   + par.phi2 * COALESCE(zs2.z, 0))
                      + par.th1 * e1.e + par.th2 * e2.e
                      + par.ths * COALESCE(es.e, 0)
                      + par.ths * (par.th1 * COALESCE(es1.e, 0)
                                   + par.th2 * COALESCE(es2.e, 0))) AS r
-      FROM y yy
-      JOIN par ON par.user_id = yy.user_id
-      JOIN y y1 ON y1.user_id = yy.user_id AND y1.t = yy.t - 1
-      JOIN y y2 ON y2.user_id = yy.user_id AND y2.t = yy.t - 2
-      LEFT JOIN y ys ON ys.user_id = yy.user_id
-                    AND par.s > 0 AND ys.t = yy.t - par.s
-      LEFT JOIN y ys1 ON ys1.user_id = yy.user_id
-                     AND par.s > 0 AND ys1.t = yy.t - par.s - 1
-      LEFT JOIN y ys2 ON ys2.user_id = yy.user_id
-                     AND par.s > 0 AND ys2.t = yy.t - par.s - 2
-      JOIN el e1 ON e1.user_id = yy.user_id AND e1.t = yy.t - 1
-      JOIN el e2 ON e2.user_id = yy.user_id AND e2.t = yy.t - 2
-      LEFT JOIN el es ON es.user_id = yy.user_id
-                     AND par.s > 0 AND es.t = yy.t - par.s
-      LEFT JOIN el es1 ON es1.user_id = yy.user_id
-                      AND par.s > 0 AND es1.t = yy.t - par.s - 1
-      LEFT JOIN el es2 ON es2.user_id = yy.user_id
-                      AND par.s > 0 AND es2.t = yy.t - par.s - 2
-      WHERE yy.t >= par.t0
+      FROM z zz
+      JOIN par ON par.user_id = zz.user_id
+      JOIN z z1 ON z1.user_id = zz.user_id AND z1.t = zz.t - 1
+      JOIN z z2 ON z2.user_id = zz.user_id AND z2.t = zz.t - 2
+      LEFT JOIN z zs ON zs.user_id = zz.user_id
+                    AND par.s > 0 AND zs.t = zz.t - par.s
+      LEFT JOIN z zs1 ON zs1.user_id = zz.user_id
+                     AND par.s > 0 AND zs1.t = zz.t - par.s - 1
+      LEFT JOIN z zs2 ON zs2.user_id = zz.user_id
+                     AND par.s > 0 AND zs2.t = zz.t - par.s - 2
+      JOIN el e1 ON e1.user_id = zz.user_id AND e1.t = zz.t - 1
+      JOIN el e2 ON e2.user_id = zz.user_id AND e2.t = zz.t - 2
+      LEFT JOIN el es ON es.user_id = zz.user_id
+                     AND par.s > 0 AND es.t = zz.t - par.s
+      LEFT JOIN el es1 ON es1.user_id = zz.user_id
+                      AND par.s > 0 AND es1.t = zz.t - par.s - 1
+      LEFT JOIN el es2 ON es2.user_id = zz.user_id
+                      AND par.s > 0 AND es2.t = zz.t - par.s - 2
+      WHERE zz.t >= par.t0
     ),
     sig AS (
       SELECT f.user_id, f.m,
@@ -525,15 +539,16 @@ ORACLE["sarimax_hr_forecast"] = f"""
     ),
     tmax AS (SELECT user_id, MAX(t) AS tm FROM y GROUP BY user_id),
     efit AS (
-      -- the kernel's errs vector: zeros before t0, step-2 residuals after
-      SELECT yy.user_id, yy.t, COALESCE(r.r, 0.0) AS e
-      FROM y yy LEFT JOIN resid r ON r.user_id = yy.user_id AND r.t = yy.t
+      -- the kernel's errs vector on the z domain: zeros before t0,
+      -- step-2 residuals after
+      SELECT zz.user_id, zz.t, COALESCE(r.r, 0.0) AS e
+      FROM z zz LEFT JOIN resid r ON r.user_id = zz.user_id AND r.t = zz.t
     ),
     st0 AS (
-      SELECT t.user_id, ya.y AS h1, yb.y AS h2, ea.e AS e1, eb.e AS e2, t.tm
+      SELECT t.user_id, za.z AS h1, zb.z AS h2, ea.e AS e1, eb.e AS e2, t.tm
       FROM tmax t
-      JOIN y ya ON ya.user_id = t.user_id AND ya.t = t.tm
-      JOIN y yb ON yb.user_id = t.user_id AND yb.t = t.tm - 1
+      JOIN z za ON za.user_id = t.user_id AND za.t = t.tm
+      JOIN z zb ON zb.user_id = t.user_id AND zb.t = t.tm - 1
       JOIN efit ea ON ea.user_id = t.user_id AND ea.t = t.tm
       JOIN efit eb ON eb.user_id = t.user_id AND eb.t = t.tm - 1
     ),
@@ -543,9 +558,9 @@ ORACLE["sarimax_hr_forecast"] = f"""
       UNION ALL
       SELECT f.user_id, f.h + 1,
              par.c + par.phi1 * f.h1 + par.phi2 * f.h2
-               + par.phis * COALESCE(ys.y, 0)
-               - par.phis * (par.phi1 * COALESCE(ys1.y, 0)
-                             + par.phi2 * COALESCE(ys2.y, 0))
+               + par.phis * COALESCE(zs.z, 0)
+               - par.phis * (par.phi1 * COALESCE(zs1.z, 0)
+                             + par.phi2 * COALESCE(zs2.z, 0))
                + par.th1 * f.e1 + par.th2 * f.e2
                + par.ths * COALESCE(es.e, 0)
                + par.ths * (par.th1 * COALESCE(es1.e, 0)
@@ -555,21 +570,21 @@ ORACLE["sarimax_hr_forecast"] = f"""
              f.e1,
              f.tm,
              par.c + par.phi1 * f.h1 + par.phi2 * f.h2
-               + par.phis * COALESCE(ys.y, 0)
-               - par.phis * (par.phi1 * COALESCE(ys1.y, 0)
-                             + par.phi2 * COALESCE(ys2.y, 0))
+               + par.phis * COALESCE(zs.z, 0)
+               - par.phis * (par.phi1 * COALESCE(zs1.z, 0)
+                             + par.phi2 * COALESCE(zs2.z, 0))
                + par.th1 * f.e1 + par.th2 * f.e2
                + par.ths * COALESCE(es.e, 0)
                + par.ths * (par.th1 * COALESCE(es1.e, 0)
                             + par.th2 * COALESCE(es2.e, 0))
       FROM fc f
       JOIN par ON par.user_id = f.user_id
-      LEFT JOIN y ys ON ys.user_id = f.user_id
-                    AND par.s > 0 AND ys.t = f.tm + f.h + 1 - par.s
-      LEFT JOIN y ys1 ON ys1.user_id = f.user_id
-                     AND par.s > 0 AND ys1.t = f.tm + f.h - par.s
-      LEFT JOIN y ys2 ON ys2.user_id = f.user_id
-                     AND par.s > 0 AND ys2.t = f.tm + f.h - 1 - par.s
+      LEFT JOIN z zs ON zs.user_id = f.user_id
+                    AND par.s > 0 AND zs.t = f.tm + f.h + 1 - par.s
+      LEFT JOIN z zs1 ON zs1.user_id = f.user_id
+                     AND par.s > 0 AND zs1.t = f.tm + f.h - par.s
+      LEFT JOIN z zs2 ON zs2.user_id = f.user_id
+                     AND par.s > 0 AND zs2.t = f.tm + f.h - 1 - par.s
       LEFT JOIN efit es ON es.user_id = f.user_id
                        AND par.s > 0 AND es.t = f.tm + f.h + 1 - par.s
       LEFT JOIN efit es1 ON es1.user_id = f.user_id
@@ -578,10 +593,21 @@ ORACLE["sarimax_hr_forecast"] = f"""
                         AND par.s > 0 AND es2.t = f.tm + f.h - 1 - par.s
       WHERE f.h < 5
     ),
+    predy AS (
+      -- integrate the seasonal difference with the OBSERVED y offset
+      SELECT f.user_id, f.h,
+             f.pred + CASE WHEN par.sd = 1 THEN COALESCE(yo.y, 0)
+                           ELSE 0.0 END AS pred
+      FROM fc f
+      JOIN par ON par.user_id = f.user_id
+      LEFT JOIN y yo ON yo.user_id = f.user_id AND par.sd = 1
+                    AND yo.t = f.tm + f.h - par.s
+      WHERE f.h >= 1
+    ),
     preds AS (
       SELECT user_id, h, pred,
              SUM(pred) OVER (PARTITION BY user_id ORDER BY h) AS cpred
-      FROM fc WHERE h >= 1
+      FROM predy
     ),
     ps AS (SELECT user_id, 1.0 AS psi0, phi1 + th1 AS psi1 FROM par),
     ps2 AS (
@@ -632,6 +658,7 @@ ORACLE["sarimax_hr_forecast"] = f"""
            CAST(par.p AS INT) AS p, CAST(par.d AS INT) AS d,
            CAST(par.q AS INT) AS q,
            CAST(par.sp AS INT) AS sp, CAST(par.sq AS INT) AS sq,
+           CAST(par.sd AS INT) AS sd,
            CAST(par.s AS INT) AS s,
            ROUND(sig.aic, 6) AS aic,
            CAST(pr.h AS INT) AS horizon_step,
@@ -726,11 +753,26 @@ ORACLE["garch_grid_fit"] = f"""
       SELECT user_id, lr, seq - (nn - LEAST(nn, 2000)) - 1 AS t
       FROM obs0 WHERE seq > nn - 2000
     ),
+    capv AS (
+      SELECT user_id,
+             CASE WHEN MEDIAN(ABS(lr)) > 0
+                  THEN GREATEST(QUANTILE_CONT(ABS(lr), 0.995),
+                                10 * MEDIAN(ABS(lr)))
+                  ELSE QUANTILE_CONT(ABS(lr), 0.995) END AS cap
+      FROM win GROUP BY user_id
+    ),
+    wc AS (
+      SELECT w.user_id, w.t,
+             CASE WHEN c.cap > 0
+                  THEN LEAST(GREATEST(w.lr, -c.cap), c.cap)
+                  ELSE w.lr END AS lr
+      FROM win w JOIN capv c USING (user_id)
+    ),
     dm AS (
       SELECT user_id, t,
              lr - AVG(lr) OVER (PARTITION BY user_id) AS rd,
              POWER(lr - AVG(lr) OVER (PARTITION BY user_id), 2) AS r2
-      FROM win
+      FROM wc
     ),
     v0 AS (
       SELECT user_id, AVG(r2) AS var0, CAST(COUNT(*) AS BIGINT) AS n
@@ -936,13 +978,28 @@ ORACLE["garch11_fit"] = f"""
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS seq
       FROM s WHERE lr IS NOT NULL
     ),
+    capv AS (
+      SELECT user_id,
+             CASE WHEN MEDIAN(ABS(lr)) > 0
+                  THEN GREATEST(QUANTILE_CONT(ABS(lr), 0.995),
+                                10 * MEDIAN(ABS(lr)))
+                  ELSE QUANTILE_CONT(ABS(lr), 0.995) END AS cap
+      FROM base GROUP BY user_id
+    ),
+    bc AS (
+      SELECT w.user_id, w.seq,
+             CASE WHEN c.cap > 0
+                  THEN LEAST(GREATEST(w.lr, -c.cap), c.cap)
+                  ELSE w.lr END AS lr
+      FROM base w JOIN capv c USING (user_id)
+    ),
     cnt AS (
       SELECT user_id, COUNT(*) AS n, AVG(lr) AS mu
-      FROM base GROUP BY user_id HAVING COUNT(*) >= 30
+      FROM bc GROUP BY user_id HAVING COUNT(*) >= 30
     ),
     d AS (
       SELECT b.user_id, b.seq, (b.lr - c.mu) * (b.lr - c.mu) AS r2
-      FROM base b JOIN cnt c USING (user_id)
+      FROM bc b JOIN cnt c USING (user_id)
     ),
     v AS (
       SELECT user_id, AVG(r2) AS var0 FROM d GROUP BY user_id
@@ -2355,23 +2412,29 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
 
 def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
     """Spark twin of the SARIMAX staged-verification oracle — the
-    seasonal extension of `_arima_replay`: lag-s terms come from keyed
-    equi-joins (the lag offset varies per key, so window lags cannot
-    express them), and because every detected period exceeds the 5-step
-    horizon the forecast's seasonal terms always reference OBSERVED
-    values, pivoted wide per horizon step before the unrolled recursion."""
+    seasonal extension of `_arima_replay`. The modeling target z is y
+    after the winner's seasonal differencing (z = y_t − y_{t−s} when
+    D=1, else y); lag-s and cross-product (s+1, s+2) terms come from a
+    keyed equi-join on z plus window lags (t is dense per key), and
+    because every detected period exceeds horizon+2 the forecast's
+    seasonal, cross-product AND integration terms always reference
+    OBSERVED values — z for the model terms, y for the seasonal
+    integration offset — pivoted wide per horizon step before the
+    unrolled recursion."""
     from pyspark.sql import Window as W
 
     names = [
         "p", "d", "q", "sp", "sq", "s_per", "t0", "c",
-        "phi1", "phi2", "phis", "th1", "th2", "ths",
+        "phi1", "phi2", "phis", "th1", "th2", "ths", "sd",
     ]
     par = (
         comp.filter(F.col("kind") == 0)
         .groupBy("user_id")
         .agg(
             *[
-                F.max(F.when(F.col("idx") == i, F.col("val"))).alias(name)
+                F.coalesce(
+                    F.max(F.when(F.col("idx") == i, F.col("val"))), F.lit(0.0)
+                ).alias(name)
                 for i, name in enumerate(names, 1)
             ]
         )
@@ -2401,27 +2464,52 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         )
         .filter((F.col("t") >= 0) & F.col("y").isNotNull())
     )
+    # modeling target z: the winner's seasonal difference of y
+    wt = W.partitionBy("user_id").orderBy("t")
+    pz = par.select("user_id", "sd", F.col("s_per").cast("long").alias("sl"))
+    yoff = yd.select(
+        F.col("user_id").alias("u_o"),
+        F.col("t").alias("t_o"),
+        F.col("y").alias("y_off"),
+    )
+    zd = (
+        yd.join(pz, "user_id")
+        .join(
+            yoff,
+            (F.col("user_id") == F.col("u_o"))
+            & (F.col("sd") == 1)
+            & (F.col("t") - F.col("sl") == F.col("t_o")),
+            "left",
+        )
+        .filter((F.col("sd") == 0) | (F.col("t") >= F.col("sl")))
+        .select(
+            "user_id",
+            "t",
+            F.when(F.col("sd") == 1, F.col("y") - F.col("y_off"))
+            .otherwise(F.col("y"))
+            .alias("z"),
+        )
+    )
     el = comp.filter(F.col("kind") == 1).select(
         "user_id", (F.col("idx") - 1).alias("t"), F.col("val").alias("e")
     )
-    wt = W.partitionBy("user_id").orderBy("t")
-    je = yd.join(el, ["user_id", "t"]).select(
+    je = zd.join(el, ["user_id", "t"]).select(
         "user_id",
         "t",
-        "y",
+        "z",
         "e",
-        F.lag("y", 1).over(wt).alias("y1"),
-        F.lag("y", 2).over(wt).alias("y2"),
+        F.lag("z", 1).over(wt).alias("z1"),
+        F.lag("z", 2).over(wt).alias("z2"),
         F.lag("e", 1).over(wt).alias("e1"),
         F.lag("e", 2).over(wt).alias("e2"),
     )
     jp = je.join(par, "user_id").withColumn(
         "ts_key", F.col("t") - F.col("s_per").cast("long")
     )
-    ys = yd.select(
+    zs = zd.select(
         F.col("user_id").alias("u_ys"),
         F.col("t").alias("t_ys"),
-        F.col("y").alias("y_s"),
+        F.col("z").alias("z_s"),
     )
     es = el.select(
         F.col("user_id").alias("u_es"),
@@ -2430,7 +2518,7 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
     )
     seasoned = (
         jp.join(
-            ys,
+            zs,
             (F.col("user_id") == F.col("u_ys"))
             & (F.col("s_per") > 0)
             & (F.col("ts_key") == F.col("t_ys")),
@@ -2446,30 +2534,30 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .drop("u_ys", "t_ys", "u_es", "t_es")
     )
     # multiplicative cross-product lags s+1, s+2: with t dense per key,
-    # y_{t-s-1} is just lag(y_{t-s}) — no extra joins
+    # z_{t-s-1} is just lag(z_{t-s}) — no extra joins
     ws = W.partitionBy("user_id").orderBy("t")
     seasoned = (
-        seasoned.withColumn("y_s1", F.lag("y_s", 1).over(ws))
-        .withColumn("y_s2", F.lag("y_s", 2).over(ws))
+        seasoned.withColumn("z_s1", F.lag("z_s", 1).over(ws))
+        .withColumn("z_s2", F.lag("z_s", 2).over(ws))
         .withColumn("e_s1", F.lag("e_s", 1).over(ws))
         .withColumn("e_s2", F.lag("e_s", 2).over(ws))
     )
-    z = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
+    zf = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
     resid = seasoned.filter(F.col("t") >= F.col("t0")).withColumn(
         "r",
-        F.col("y")
+        F.col("z")
         - (
             F.col("c")
-            + F.col("phi1") * F.col("y1")
-            + F.col("phi2") * F.col("y2")
-            + F.col("phis") * z("y_s")
+            + F.col("phi1") * F.col("z1")
+            + F.col("phi2") * F.col("z2")
+            + F.col("phis") * zf("z_s")
             - F.col("phis")
-            * (F.col("phi1") * z("y_s1") + F.col("phi2") * z("y_s2"))
+            * (F.col("phi1") * zf("z_s1") + F.col("phi2") * zf("z_s2"))
             + F.col("th1") * F.col("e1")
             + F.col("th2") * F.col("e2")
-            + F.col("ths") * z("e_s")
+            + F.col("ths") * zf("e_s")
             + F.col("ths")
-            * (F.col("th1") * z("e_s1") + F.col("th2") * z("e_s2"))
+            * (F.col("th1") * zf("e_s1") + F.col("th2") * zf("e_s2"))
         ),
     )
     k = F.col("p") + F.col("q") + F.col("sp") + F.col("sq") + 1
@@ -2493,16 +2581,17 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         )
     )
     tmax = yd.groupBy("user_id").agg(F.max("t").alias("tm"))
-    # the kernel's errs vector: zeros before t0, step-2 residuals after
-    efit = yd.join(
+    # the kernel's errs vector: zeros before t0, step-2 residuals after —
+    # on the z domain
+    efit = zd.join(
         resid.select("user_id", "t", "r"), ["user_id", "t"], "left"
-    ).select("user_id", "t", "y", F.coalesce("r", F.lit(0.0)).alias("ef"))
+    ).select("user_id", "t", "z", F.coalesce("r", F.lit(0.0)).alias("ef"))
     st = (
         efit.join(tmax, "user_id")
         .groupBy("user_id")
         .agg(
-            F.max(F.when(F.col("t") == F.col("tm"), F.col("y"))).alias("s_h1"),
-            F.max(F.when(F.col("t") == F.col("tm") - 1, F.col("y"))).alias(
+            F.max(F.when(F.col("t") == F.col("tm"), F.col("z"))).alias("s_h1"),
+            F.max(F.when(F.col("t") == F.col("tm") - 1, F.col("z"))).alias(
                 "s_h2"
             ),
             F.max(F.when(F.col("t") == F.col("tm"), F.col("ef"))).alias(
@@ -2513,11 +2602,20 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             ),
         )
     )
-    # seasonal terms per horizon step: the multiplicative expansion needs
-    # y/e at t = tm + h - s - i for i in {0,1,2}; pivot index j maps to
-    # t = tm + (j-1) - s, so step h reads j = h+1 (lag s), h (s+1),
-    # h-1 (s+2) — all observed (s > horizon+2 never required: s >= 7 > 5)
+    # pivot index j maps to t = tm + (j-1) - s: step h reads z at
+    # j = h+1 (lag s), h (s+1), h-1 (s+2), plus the y-scale integration
+    # offset at j = h+1 — all observed (s >= 7 > horizon)
     hsteps = s.sparkSession.range(0, 7).select(F.col("id").cast("int").alias("j"))
+    pivsrc = yd.join(
+        efit.select(
+            F.col("user_id").alias("u_p"),
+            F.col("t").alias("t_p"),
+            F.col("z").alias("zv"),
+            F.col("ef").alias("ev"),
+        ),
+        (F.col("user_id") == F.col("u_p")) & (F.col("t") == F.col("t_p")),
+        "left",
+    ).select("user_id", "t", "y", "zv", "ev")
     seas = (
         tmax.join(par.select("user_id", "s_per"), "user_id")
         .crossJoin(F.broadcast(hsteps))
@@ -2525,11 +2623,12 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             "tk", F.col("tm") + F.col("j") - 1 - F.col("s_per").cast("long")
         )
         .join(
-            efit.select(
+            pivsrc.select(
                 F.col("user_id").alias("u2"),
                 F.col("t").alias("t2"),
-                F.col("y").alias("ysv"),
-                F.col("ef").alias("esv"),
+                F.col("y").alias("yiv"),
+                F.col("zv").alias("ysv"),
+                F.col("ev").alias("esv"),
             ),
             (F.col("user_id") == F.col("u2"))
             & (F.col("s_per") > 0)
@@ -2550,6 +2649,12 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
                 ).alias(f"sej{j}")
                 for j in range(0, 7)
             ],
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("j") == j, F.col("yiv"))), F.lit(0.0)
+                ).alias(f"yij{j}")
+                for j in range(0, 7)
+            ],
         )
     )
     base = (
@@ -2560,8 +2665,10 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
     )
     h1, h2, e1, e2 = "s_h1", "s_h2", "s_e1", "s_e2"
     for h in range(1, 6):
+        # the recursion runs on the z scale; predz feeds the state,
+        # predy adds the observed seasonal-integration offset
         base = base.withColumn(
-            f"pred{h}",
+            f"predz{h}",
             F.col("c")
             + F.col("phi1") * F.col(h1)
             + F.col("phi2") * F.col(h2)
@@ -2579,11 +2686,15 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
                 F.col("th1") * F.col(f"sej{h}")
                 + F.col("th2") * F.col(f"sej{h - 1}")
             ),
+        ).withColumn(
+            f"pred{h}",
+            F.col(f"predz{h}")
+            + F.when(F.col("sd") == 1, F.col(f"yij{h + 1}")).otherwise(0.0),
         )
         if h < 5:
-            base = base.withColumn(f"z{h}", F.lit(0.0))
-            h2, h1 = h1, f"pred{h}"
-            e2, e1 = e1, f"z{h}"
+            base = base.withColumn(f"zz{h}", F.lit(0.0))
+            h2, h1 = h1, f"predz{h}"
+            e2, e1 = e1, f"zz{h}"
     cum = F.lit(0.0)
     for h in range(1, 6):
         cum = cum + F.col(f"pred{h}")
@@ -2631,6 +2742,7 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
                 F.col("q").cast("int").alias("q"),
                 F.col("sp").cast("int").alias("sp"),
                 F.col("sq").cast("int").alias("sq"),
+                F.col("sd").cast("int").alias("sd"),
                 F.col("s_per").cast("int").alias("s"),
                 F.round(F.col("aic"), 6).alias("aic"),
                 F.lit(h).cast("int").alias("horizon_step"),

@@ -591,7 +591,12 @@ def test_sarimax_recovers_seasonal_period_and_beats_plain_arima(spark):
 
     rng = np.random.default_rng(53)
     n, s_true = 600, 12
-    season = 3.0 * np.sin(2 * np.pi * np.arange(n) / s_true)
+    # a RANDOM 12-point seasonal profile: unlike a sinusoid (which obeys
+    # a 2-lag recurrence and is therefore representable by plain AR(2)),
+    # an arbitrary profile needs genuine seasonal structure — seasonal
+    # difference or lag-12 terms — to model
+    profile = rng.normal(0.0, 2.0, s_true)
+    season = profile[np.arange(n) % s_true]
     ar = np.zeros(n)
     e = rng.normal(0, 0.3, n)
     for t in range(1, n):
@@ -603,12 +608,38 @@ def test_sarimax_recovers_seasonal_period_and_beats_plain_arima(spark):
     out = sarimax_hr_forecast(sdf).toPandas().sort_values("horizon_step")
     assert len(out) == 5
     assert out.s.iloc[0] == s_true
-    assert out.sp.iloc[0] + out.sq.iloc[0] >= 1  # seasonal structure selected
+    # seasonal structure selected: seasonal AR/MA terms or the seasonal
+    # difference (the reference's every seasonal candidate carries D=1)
+    assert out.sp.iloc[0] + out.sq.iloc[0] + out.sd.iloc[0] >= 1
     plain = arima_hr_forecast(sdf).toPandas()
     assert out.aic.iloc[0] < plain.aic.iloc[0]
     # forecasts continue the seasonal pattern: step-h ~ level + season(n+h)
     for _, r in out.iterrows():
-        expect = 10.0 + 3.0 * np.sin(2 * np.pi * (n + r.horizon_step - 1) / s_true)
+        expect = 10.0 + profile[(n + int(r.horizon_step) - 1) % s_true]
+        assert abs(r.yhat - expect) < 1.0, (r.horizon_step, r.yhat, expect)
+
+
+def test_sarimax_seasonal_difference_selected_on_seasonal_random_walk(spark):
+    """Planted seasonal random walk y_t = y_{t−12} + ε: only the D=1
+    rung models it (every seasonal candidate carries one seasonal
+    difference, reference sarimax.py:523); the winner must select sd=1
+    and its forecast must continue each slot's own random-walk level."""
+    from portofolio_maximizer_spark.forecast import sarimax_hr_forecast
+
+    rng = np.random.default_rng(37)
+    n, s_true = 600, 12
+    x = np.zeros(n)
+    x[:s_true] = rng.normal(10.0, 1.0, s_true)
+    for t in range(s_true, n):
+        x[t] = x[t - s_true] + rng.normal(0, 0.2)
+    sdf = spark.createDataFrame(
+        [(1, t, float(x[t])) for t in range(n)], "user_id long, rn long, value double"
+    )
+    out = sarimax_hr_forecast(sdf).toPandas().sort_values("horizon_step")
+    assert out.s.iloc[0] == s_true
+    assert out.sd.iloc[0] == 1
+    for _, r in out.iterrows():
+        expect = x[n + int(r.horizon_step) - 1 - s_true]
         assert abs(r.yhat - expect) < 1.0, (r.horizon_step, r.yhat, expect)
 
 
@@ -719,6 +750,30 @@ def test_garch_grid_prefers_t_on_fat_tails_and_recovers_nu(spark):
     for f in (t_fit, g_fit):
         assert f.persistence < 0.999
         assert f.sigma_next > 0
+
+
+def test_garch_tail_clipping_guards_against_outliers(spark):
+    """The reference's pre-fit overflow guard (garch.py:155-168): a
+    single 50x price-error spike must not blow up the fitted volatility
+    — the clip caps it at max(p99.5, 10*median), so sigma_next on the
+    corrupted series stays within a small factor of the clean fit."""
+    from portofolio_maximizer_spark.forecast import garch11_fit
+    from portofolio_maximizer_spark.forecast.models import _clip_return_tails
+
+    rng = np.random.default_rng(29)
+    r = rng.normal(0, 0.01, 800)
+    clipped = _clip_return_tails(np.append(r, 0.5))
+    assert clipped[-1] < 0.5  # the spike is capped...
+    assert clipped[-1] >= 10 * np.median(np.abs(r)) * 0.5  # ...not zeroed
+    assert np.array_equal(_clip_return_tails(r)[:-1], r[:-1])  # tails only
+
+    corrupted = r.copy()
+    corrupted[400] = 0.5  # 50-sigma spike
+    rows = [(1, t, float(v)) for t, v in enumerate(r)]
+    rows += [(2, t, float(v)) for t, v in enumerate(corrupted)]
+    sdf = spark.createDataFrame(rows, "user_id long, rn long, lr double")
+    out = garch11_fit(sdf).toPandas().set_index("user_id")
+    assert out.loc[2, "sigma_next"] < 3.0 * out.loc[1, "sigma_next"]
 
 
 def _hansen_skewt_sample(rng, nu, lam, n):
