@@ -1349,6 +1349,8 @@ GARCH_GRID_SCHEMA = StructType(
         StructField("dist", StringType()),
         StructField("nu", DoubleType()),
         StructField("lam", DoubleType()),
+        StructField("mu", DoubleType()),
+        StructField("rho", DoubleType()),
         StructField("omega", DoubleType()),
         StructField("alpha1", DoubleType()),
         StructField("alpha2", DoubleType()),
@@ -1601,19 +1603,34 @@ def garch_grid_fit(
             if len(r) < 40:
                 continue
             r = _clip_return_tails(r[-fit_window:])
-            r = r - r.mean()
-            r2 = r * r
+            if len(r) < 41:
+                continue
+            # AR(1) conditional mean (the reference's default mean="AR",
+            # `garch.py:373`): eps_t = r_t − (mu + rho·r_{t−1}), GARCH on
+            # the innovations. The SUM-form OLS below is the exact
+            # expression the oracle replays.
+            x0, x1 = r[1:], r[:-1]
+            m = float(len(x0))
+            den = float(np.sum(x1 * x1) - np.sum(x1) * np.sum(x1) / m)
+            rho = (
+                float(np.sum(x0 * x1) - np.sum(x0) * np.sum(x1) / m) / den
+                if den > 0
+                else 0.0
+            )
+            mu = float(np.mean(x0)) - rho * float(np.mean(x1))
+            eps = x0 - mu - rho * x1
+            r2 = eps * eps
             if float(r2.mean()) > 0:
-                series.append((int(uid), r2, r))
+                series.append((int(uid), r2, eps, mu, rho))
         if not series:
             return []
         n_k = len(series)
-        L = max(len(r2) for _, r2, _ in series)
+        L = max(len(r2) for _, r2, _, _, _ in series)
         R2 = np.empty((n_k, L))
         valid = np.zeros((n_k, L), dtype=float)
         var0 = np.empty(n_k)
         pads = np.empty(n_k, dtype=int)
-        for i, (_, r2, _r) in enumerate(series):
+        for i, (_, r2, _r, _mu, _rho) in enumerate(series):
             v0 = float(r2.mean())
             pad = L - len(r2)
             R2[i, :pad] = v0
@@ -1657,7 +1674,7 @@ def garch_grid_fit(
         zj = np.argmax(ll_z, axis=1)
         # --- per-key finish: winner path, skewt/t ladders, AIC decision ---
         out = []
-        for i, (uid, _, r_signed) in enumerate(series):
+        for i, (uid, _, r_signed, mu, rho) in enumerate(series):
             p, q = z_meta[i]
             W = Zpad[i, zj[i]]
             ll_n = float(ll_z[i, zj[i]])
@@ -1698,7 +1715,7 @@ def garch_grid_fit(
             rr = (lambda v, nd=6: round(v, nd)) if round_out else (lambda v, nd=6: v)
             out.append(
                 (
-                    uid, p, q, dist, rr(nu), rr(lam),
+                    uid, p, q, dist, rr(nu), rr(lam), rr(mu), rr(rho),
                     rr(omega, 10), rr(float(al[0])),
                     rr(float(al[1]) if p > 1 else 0.0),
                     rr(float(be[0])),

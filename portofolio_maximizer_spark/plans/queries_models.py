@@ -682,8 +682,11 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 full: GARCH(p,q) order grid (p,q ∈ {1,2}) + the reference's
     full skewt→t→normal distribution ladder, AIC-selected per key
     (`forcester_ts/garch.py:129-475`). Gaussian QMLE coarse-to-fine
-    grids per family; ν profiled on the fitted variance path, the Hansen
-    skew-t (ν, λ) jointly profiled on the SIGNED standardized residuals.
+    grids per family on the AR(1)-conditional-mean innovations (the
+    reference's default mean="AR", `garch.py:373`; the closed-form OLS
+    (mu, rho) are output columns the oracle re-derives independently);
+    ν profiled on the fitted variance path, the Hansen skew-t (ν, λ)
+    jointly profiled on the SIGNED standardized residuals.
     t- and skew-t-parameter recovery and the AIC ladder ordering pinned
     in tests/test_forecast.py.
 
@@ -718,6 +721,8 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         r6_(F.col("nu")).alias("nu"),
         r6_(F.col("lam")).alias("lam"),
+        r6_(F.col("mu")).alias("mu"),
+        r6_(F.col("rho")).alias("rho"),
         F.round(F.col("omega"), 10).alias("omega"),
         r6_(F.col("alpha1")).alias("alpha1"),
         r6_(F.col("alpha2")).alias("alpha2"),
@@ -768,11 +773,25 @@ ORACLE["garch_grid_fit"] = f"""
                   ELSE w.lr END AS lr
       FROM win w JOIN capv c USING (user_id)
     ),
+    prs AS (
+      SELECT a.user_id, a.t, a.lr AS x0, b.lr AS x1
+      FROM wc a JOIN wc b ON b.user_id = a.user_id AND b.t = a.t - 1
+    ),
+    arp AS (
+      -- AR(1) conditional mean, SUM-form OLS (the kernel's exact form)
+      SELECT user_id,
+             CASE WHEN (SUM(x1 * x1) - SUM(x1) * SUM(x1) / COUNT(*)) > 0
+                  THEN (SUM(x0 * x1) - SUM(x0) * SUM(x1) / COUNT(*))
+                       / (SUM(x1 * x1) - SUM(x1) * SUM(x1) / COUNT(*))
+                  ELSE 0.0 END AS rho,
+             AVG(x0) AS m0, AVG(x1) AS m1
+      FROM prs GROUP BY user_id HAVING COUNT(*) >= 40
+    ),
     dm AS (
-      SELECT user_id, t,
-             lr - AVG(lr) OVER (PARTITION BY user_id) AS rd,
-             POWER(lr - AVG(lr) OVER (PARTITION BY user_id), 2) AS r2
-      FROM wc
+      SELECT p.user_id, p.t - 1 AS t,
+             p.x0 - (ar.m0 - ar.rho * ar.m1) - ar.rho * p.x1 AS rd,
+             POWER(p.x0 - (ar.m0 - ar.rho * ar.m1) - ar.rho * p.x1, 2) AS r2
+      FROM prs p JOIN arp ar ON ar.user_id = p.user_id
     ),
     v0 AS (
       SELECT user_id, AVG(r2) AS var0, CAST(COUNT(*) AS BIGINT) AS n
@@ -877,12 +896,14 @@ ORACLE["garch_grid_fit"] = f"""
              tb.nu, tb.ll_t, 2 * (p.p + p.q + 2) - 2 * tb.ll_t AS aic_t,
              sb.nu AS nu_st, sb.lam AS lam_st, sb.ll_st,
              2 * (p.p + p.q + 3) - 2 * sb.ll_st AS aic_st,
+             ar.m0 - ar.rho * ar.m1 AS mu, ar.rho,
              sn.sigma_next
       FROM par p
       JOIN v0 v ON v.user_id = p.user_id
       JOIN lln l ON l.user_id = p.user_id
       JOIN tbest tb ON tb.user_id = p.user_id
       JOIN stbest sb ON sb.user_id = p.user_id
+      JOIN arp ar ON ar.user_id = p.user_id
       JOIN signext sn ON sn.user_id = p.user_id
     ),
     dec2 AS (
@@ -899,6 +920,8 @@ ORACLE["garch_grid_fit"] = f"""
            ROUND(CASE dist WHEN 'skewt' THEN nu_st
                            WHEN 't' THEN nu ELSE 0.0 END, 6) AS nu,
            ROUND(CASE dist WHEN 'skewt' THEN lam_st ELSE 0.0 END, 6) AS lam,
+           ROUND(mu, 6) AS mu,
+           ROUND(rho, 6) AS rho,
            ROUND(omega, 10) AS omega,
            ROUND(a1, 6) AS alpha1, ROUND(a2, 6) AS alpha2,
            ROUND(b1, 6) AS beta1, ROUND(b2, 6) AS beta2,

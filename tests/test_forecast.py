@@ -789,6 +789,32 @@ def _hansen_skewt_sample(rng, nu, lam, n):
     return ((1 + s * lam) * s * v - a) / b
 
 
+def test_garch_grid_recovers_ar1_conditional_mean(spark):
+    """Reference mean='AR' (garch.py:373): r_t = mu + rho*r_{t-1} + eps
+    with GARCH(1,1) innovations — the closed-form mean stage must
+    recover (mu, rho) and the variance fit then runs on the innovations
+    (persistence recovered too, not polluted by the AR mean)."""
+    from portofolio_maximizer_spark.forecast import garch_grid_fit
+
+    rng = np.random.default_rng(47)
+    n, alpha, beta, omega = 3000, 0.10, 0.80, 0.05
+    mu_true, rho_true = 0.5, 0.3
+    z = rng.normal(0, 1, n)
+    s2, eps, r = omega / (1 - alpha - beta), np.zeros(n), np.zeros(n)
+    for t in range(n):
+        if t:
+            s2 = omega + alpha * eps[t - 1] ** 2 + beta * s2
+        eps[t] = np.sqrt(s2) * z[t]
+        r[t] = mu_true + rho_true * (r[t - 1] if t else 0.0) + eps[t]
+    sdf = spark.createDataFrame(
+        [(1, t, float(r[t])) for t in range(n)], "user_id long, rn long, lr double"
+    )
+    fit = garch_grid_fit(sdf).toPandas().iloc[0]
+    assert abs(fit.rho - rho_true) < 0.06
+    assert abs(fit.mu - mu_true) < 0.1
+    assert abs(fit.persistence - (alpha + beta)) < 0.12
+
+
 def test_garch_grid_prefers_skewt_on_skewed_tails_and_recovers_params(spark):
     """Simulated GARCH(1,1) with Hansen skew-t(ν=6, λ=−0.3) innovations:
     the full ladder must pick dist='skewt' with λ on the negative side
