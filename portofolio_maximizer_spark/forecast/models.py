@@ -1595,16 +1595,15 @@ def garch_grid_fit(
         kcol = cols[key][order]
         rcol = cols[ret_col][order].astype(float)
         uids, starts = np.unique(kcol, return_index=True)
-        series: list[tuple[int, np.ndarray]] = []
+        series: list[tuple] = []
+        out_short: list[tuple] = []
         for idx, uid in enumerate(uids):
             hi = starts[idx + 1] if idx + 1 < len(uids) else len(kcol)
             r = rcol[starts[idx] : hi]
             r = r[~np.isnan(r)]
-            if len(r) < 40:
+            if len(r) < 12:
                 continue
             r = _clip_return_tails(r[-fit_window:])
-            if len(r) < 41:
-                continue
             # AR(1) conditional mean (the reference's default mean="AR",
             # `garch.py:373`): eps_t = r_t − (mu + rho·r_{t−1}), GARCH on
             # the innovations. The SUM-form OLS below is the exact
@@ -1620,10 +1619,40 @@ def garch_grid_fit(
             mu = float(np.mean(x0)) - rho * float(np.mean(x1))
             eps = x0 - mu - rho * x1
             r2 = eps * eps
-            if float(r2.mean()) > 0:
-                series.append((int(uid), r2, eps, mu, rho))
+            if float(r2.mean()) <= 0:
+                continue
+            if len(eps) < 40:
+                # the reference's insufficient-sample fallback
+                # (`garch.py:212-222`): EWMA(lambda=0.94) vol — GARCH(1,1)
+                # with omega=0, alpha=1-lambda, beta=lambda (an IGARCH
+                # special case), so the same sigma^2 recursion, Gaussian
+                # likelihood and oracle replay apply verbatim
+                v0 = float(r2.mean())
+                al_e, be_e = np.array([0.06]), np.array([0.94])
+                path = _garch_sigma2_path(r2, v0, 0.0, al_e, be_e, t0)
+                s2f, sig_next = path[:-1], float(np.sqrt(path[-1]))
+                r2t = r2[t0:]
+                ll_e = float(
+                    -0.5
+                    * np.sum(np.log(2.0 * np.pi) + np.log(s2f) + r2t / s2f)
+                )
+                rr = (
+                    (lambda v, nd=6: round(v, nd))
+                    if round_out
+                    else (lambda v, nd=6: v)
+                )
+                out_short.append(
+                    (
+                        int(uid), 1, 1, "ewma", 0.0, 0.0, rr(mu), rr(rho),
+                        0.0, 0.06, 0.0, 0.94, 0.0, 1.0,
+                        rr(ll_e), rr(2 * 3 - 2 * ll_e),
+                        rr(sig_next), 1,
+                    )
+                )
+                continue
+            series.append((int(uid), r2, eps, mu, rho))
         if not series:
-            return []
+            return out_short
         n_k = len(series)
         L = max(len(r2) for _, r2, _, _, _ in series)
         R2 = np.empty((n_k, L))
@@ -1725,7 +1754,7 @@ def garch_grid_fit(
                     rr(sigma_next), int(pers >= 0.97),
                 )
             )
-        return out
+        return out_short + out
 
     return partitioned_numpy(returns, [key], GARCH_GRID_SCHEMA, fit)
 

@@ -785,7 +785,7 @@ ORACLE["garch_grid_fit"] = f"""
                        / (SUM(x1 * x1) - SUM(x1) * SUM(x1) / COUNT(*))
                   ELSE 0.0 END AS rho,
              AVG(x0) AS m0, AVG(x1) AS m1
-      FROM prs GROUP BY user_id HAVING COUNT(*) >= 40
+      FROM prs GROUP BY user_id HAVING COUNT(*) >= 11
     ),
     dm AS (
       SELECT p.user_id, p.t - 1 AS t,
@@ -794,8 +794,11 @@ ORACLE["garch_grid_fit"] = f"""
       FROM prs p JOIN arp ar ON ar.user_id = p.user_id
     ),
     v0 AS (
+      -- keys with 11 <= n < 40 innovations take the reference's EWMA
+      -- fallback rung; their staged params (0, 0.06, 0.94) flow through
+      -- the SAME recursion (omega = var0*(1-1) = 0)
       SELECT user_id, AVG(r2) AS var0, CAST(COUNT(*) AS BIGINT) AS n
-      FROM dm GROUP BY user_id HAVING COUNT(*) >= 40 AND AVG(r2) > 0
+      FROM dm GROUP BY user_id HAVING COUNT(*) >= 11 AND AVG(r2) > 0
     ),
     rec AS (
       SELECT p.user_id, 2 AS t,
@@ -892,7 +895,7 @@ ORACLE["garch_grid_fit"] = f"""
     dec AS (
       SELECT p.user_id, p.p, p.q, p.a1, p.a2, p.b1, p.b2, p.pers,
              v.var0 * (1 - p.pers) AS omega,
-             l.ll_n, 2 * (p.p + p.q + 1) - 2 * l.ll_n AS aic_n,
+             l.ll_n, l.m, 2 * (p.p + p.q + 1) - 2 * l.ll_n AS aic_n,
              tb.nu, tb.ll_t, 2 * (p.p + p.q + 2) - 2 * tb.ll_t AS aic_t,
              sb.nu AS nu_st, sb.lam AS lam_st, sb.ll_st,
              2 * (p.p + p.q + 3) - 2 * sb.ll_st AS aic_st,
@@ -909,7 +912,8 @@ ORACLE["garch_grid_fit"] = f"""
     dec2 AS (
       SELECT *,
              CASE WHEN aic_t < aic_n THEN aic_t ELSE aic_n END AS aic_nt,
-             CASE WHEN aic_st < (CASE WHEN aic_t < aic_n
+             CASE WHEN m < 40 THEN 'ewma'
+                  WHEN aic_st < (CASE WHEN aic_t < aic_n
                                       THEN aic_t ELSE aic_n END)
                   THEN 'skewt'
                   WHEN aic_t < aic_n THEN 't' ELSE 'normal' END AS dist
@@ -919,6 +923,8 @@ ORACLE["garch_grid_fit"] = f"""
            dist,
            ROUND(CASE dist WHEN 'skewt' THEN nu_st
                            WHEN 't' THEN nu ELSE 0.0 END, 6) AS nu,
+           -- ('ewma' rows fall into the ELSE arms: nu=lam=0,
+           --  gaussian loglik/aic on the lambda=0.94 path)
            ROUND(CASE dist WHEN 'skewt' THEN lam_st ELSE 0.0 END, 6) AS lam,
            ROUND(mu, 6) AS mu,
            ROUND(rho, 6) AS rho,
@@ -929,6 +935,7 @@ ORACLE["garch_grid_fit"] = f"""
            ROUND(CASE dist WHEN 'skewt' THEN ll_st
                            WHEN 't' THEN ll_t ELSE ll_n END, 6) AS loglik,
            ROUND(CASE dist WHEN 'skewt' THEN aic_st
+                           WHEN 'ewma' THEN aic_n
                            ELSE aic_nt END, 6) AS aic,
            ROUND(sigma_next, 6) AS sigma_next,
            CAST(CASE WHEN pers >= 0.97 THEN 1 ELSE 0 END AS INT)

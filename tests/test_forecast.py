@@ -789,7 +789,38 @@ def _hansen_skewt_sample(rng, nu, lam, n):
     return ((1 + s * lam) * s * v - a) / b
 
 
-def test_garch_grid_recovers_ar1_conditional_mean(spark):
+def test_garch_grid_short_series_ewma_fallback(spark):
+    """Reference insufficient-sample fallback (garch.py:212-222): keys
+    with fewer than 40 innovations get the EWMA(0.94) vol rung — emitted
+    as the IGARCH special case (omega=0, alpha=0.06, beta=0.94) so the
+    same recursion/oracle replay applies — while long keys fit the full
+    grid. Pinned against an independent numpy EWMA replay."""
+    from portofolio_maximizer_spark.forecast import garch_grid_fit
+
+    rng = np.random.default_rng(11)
+    rows = [(1, t, float(v)) for t, v in enumerate(rng.normal(0, 0.02, 25))]
+    rows += [(2, t, float(v)) for t, v in enumerate(rng.normal(0, 0.02, 300))]
+    sdf = spark.createDataFrame(rows, "user_id long, rn long, lr double")
+    out = garch_grid_fit(sdf).toPandas().set_index("user_id")
+    short, full = out.loc[1], out.loc[2]
+    assert short.dist == "ewma"
+    assert (short.alpha1, short.beta1) == (0.06, 0.94)
+    assert short.igarch_guard == 1 and short.persistence == 1.0
+    assert full.dist in ("normal", "t", "skewt")
+    # independent EWMA replay on the AR(1)-mean innovations
+    r = np.array([v for _, _, v in rows[:25]])
+    x0, x1 = r[1:], r[:-1]
+    m = float(len(x0))
+    den = float(np.sum(x1 * x1) - np.sum(x1) * np.sum(x1) / m)
+    rho = float(np.sum(x0 * x1) - np.sum(x0) * np.sum(x1) / m) / den
+    mu = float(np.mean(x0)) - rho * float(np.mean(x1))
+    eps2 = (x0 - mu - rho * x1) ** 2
+    s2 = float(eps2.mean())
+    # replicate _garch_sigma2_path(t0=2): state held at var0 before t0
+    path = [s2]
+    for t in range(2, len(eps2) + 1):
+        path.append(0.06 * eps2[t - 1] + 0.94 * path[-1])
+    assert abs(short.sigma_next - np.sqrt(path[-1])) < 1e-6
     """Reference mean='AR' (garch.py:373): r_t = mu + rho*r_{t-1} + eps
     with GARCH(1,1) innovations — the closed-form mean stage must
     recover (mu, rho) and the variance fit then runs on the innovations
