@@ -1895,12 +1895,13 @@ def mssa_reward_windows(
     mass, with the reference's strict r90 >= r25+1 separation,
     `:581-607`), the state is the digitized rolling-variance ratio of
     the action-1 residuals (bins [0.8, 1.0, 1.2], `:653-664`), each
-    action forecasts last_obs + clipped reconstruction slope
-    (`:825-860`, the ±5%-total-drift clamp; change-point decay omitted —
-    the decay path needs the CUSUM day-density bookkeeping that the
-    companion `cusum_changepoints` query carries), and the reward is the
-    clipped relative RMSE improvement over the random-walk baseline
-    (`:349-356`).
+    action forecasts last_obs + clipped reconstruction slope with the
+    reference's change-point decay (`:825-870`: when the last CUSUM
+    change point — Page test at 4σ on the std-floored standardized
+    residuals, `:616-649` — is within L//4 observations AND the
+    change-point density is ≥ 0.1, the forecast is damped by
+    linspace(0.998, 0.99)), and the reward is the clipped relative RMSE
+    improvement over the random-walk baseline (`:349-356`).
 
     Scale: one (key)-grouped Arrow kernel; per-window cost is O(L²·tail)
     and the refit tail is capped at ``tail`` observations, so per-key
@@ -1953,6 +1954,32 @@ def mssa_reward_windows(
             seg = resid[-min(max(window // 2, 5), len(resid)) :]
             vr = float(np.var(seg, ddof=1)) / bvar if len(seg) >= 5 else 1.0
             state = int(np.digitize([vr], bins)[0])
+            # reference change-point bookkeeping (`mssa_rl.py:616-649`,
+            # `:853-862`): one-sided CUSUM at 4 sigma on std-floored
+            # standardized residuals; decay applies when the last change
+            # point is recent AND change points are dense
+            rstd = float(np.std(resid))
+            cps: list[int] = []
+            if rstd > 0 and np.isfinite(rstd):
+                centered = (resid - float(resid.mean())) / (
+                    max(rstd, 1.0) + 1e-12
+                )
+                pos = neg = 0.0
+                for ci, cv in enumerate(centered):
+                    pos = max(0.0, pos + float(cv))
+                    neg = min(0.0, neg + float(cv))
+                    if pos > 4.0 or neg < -4.0:
+                        cps.append(ci)
+                        pos = neg = 0.0
+            density = len(cps) / max(len(resid), 1)
+            recent = (len(resid) - 1 - cps[-1]) if cps else None
+            decay = (
+                np.linspace(0.998, 0.99, num=horizon)
+                if recent is not None
+                and recent <= max(1, window // 4)
+                and density >= 0.1
+                else None
+            )
             last_obs = float(tr[-1])
             hold = x[te : te + horizon]
             b_rmse = float(np.sqrt(np.mean((hold - last_obs) ** 2)))
@@ -1971,6 +1998,8 @@ def mssa_reward_windows(
                     mx = abs(last_obs) * 0.05 / horizon
                     slope = float(np.clip(slope, -mx, mx))
                 fc = last_obs + slope * hs
+                if decay is not None:
+                    fc = fc * decay
                 rmse = float(np.sqrt(np.mean((hold - fc) ** 2)))
                 if not np.isfinite(rmse):
                     continue
