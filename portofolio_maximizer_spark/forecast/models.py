@@ -1346,6 +1346,7 @@ GARCH_GRID_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("p", IntegerType()),
         StructField("q", IntegerType()),
+        StructField("dd", IntegerType()),
         StructField("dist", StringType()),
         StructField("nu", DoubleType()),
         StructField("lam", DoubleType()),
@@ -1360,6 +1361,10 @@ GARCH_GRID_SCHEMA = StructType(
         StructField("loglik", DoubleType()),
         StructField("aic", DoubleType()),
         StructField("sigma_next", DoubleType()),
+        StructField("sigma_h2", DoubleType()),
+        StructField("sigma_h3", DoubleType()),
+        StructField("sigma_h4", DoubleType()),
+        StructField("sigma_h5", DoubleType()),
         StructField("igarch_guard", IntegerType()),
     ]
 )
@@ -1604,6 +1609,18 @@ def garch_grid_fit(
             if len(r) < 12:
                 continue
             r = _clip_return_tails(r[-fit_window:])
+            # ADF stationarity guard (reference garch.py:185-199,
+            # Phase 7.10b): returns are generally stationary, but a
+            # levels-fed-as-returns series has a unit root — difference
+            # once when the constant-only DF tau fails the 5% critical
+            # value. d is staged with the coefficients (the ARIMA
+            # precedent: the oracle applies the staged d, the ADF rule
+            # itself stays pytest-pinned).
+            dd = 1 if _adf_tau(r) > _ADF_CRIT_5PCT else 0
+            if dd:
+                r = np.diff(r)
+            if len(r) < 12:
+                continue
             # AR(1) conditional mean (the reference's default mean="AR",
             # `garch.py:373`): eps_t = r_t − (mu + rho·r_{t−1}), GARCH on
             # the innovations. The SUM-form OLS below is the exact
@@ -1643,23 +1660,24 @@ def garch_grid_fit(
                 )
                 out_short.append(
                     (
-                        int(uid), 1, 1, "ewma", 0.0, 0.0, rr(mu), rr(rho),
+                        int(uid), 1, 1, dd, "ewma", 0.0, 0.0, rr(mu), rr(rho),
                         0.0, 0.06, 0.0, 0.94, 0.0, 1.0,
                         rr(ll_e), rr(2 * 3 - 2 * ll_e),
-                        rr(sig_next), 1,
+                        rr(sig_next), rr(sig_next), rr(sig_next),
+                        rr(sig_next), rr(sig_next), 1,
                     )
                 )
                 continue
-            series.append((int(uid), r2, eps, mu, rho))
+            series.append((int(uid), r2, eps, mu, rho, dd))
         if not series:
             return out_short
         n_k = len(series)
-        L = max(len(r2) for _, r2, _, _, _ in series)
+        L = max(len(r2) for _, r2, *_ in series)
         R2 = np.empty((n_k, L))
         valid = np.zeros((n_k, L), dtype=float)
         var0 = np.empty(n_k)
         pads = np.empty(n_k, dtype=int)
-        for i, (_, r2, _r, _mu, _rho) in enumerate(series):
+        for i, (_, r2, *_rest) in enumerate(series):
             v0 = float(r2.mean())
             pad = L - len(r2)
             R2[i, :pad] = v0
@@ -1703,7 +1721,7 @@ def garch_grid_fit(
         zj = np.argmax(ll_z, axis=1)
         # --- per-key finish: winner path, skewt/t ladders, AIC decision ---
         out = []
-        for i, (uid, _, r_signed, mu, rho) in enumerate(series):
+        for i, (uid, _, r_signed, mu, rho, dd) in enumerate(series):
             p, q = z_meta[i]
             W = Zpad[i, zj[i]]
             ll_n = float(ll_z[i, zj[i]])
@@ -1738,20 +1756,29 @@ def garch_grid_fit(
                 dist, nu, lam, ll_best, aic_best = (
                     "skewt", float(nu_st), float(lam_st), ll_st_best, aic_st,
                 )
+            # multi-step vol forecast (reference garch.py:643-738):
+            # sigma^2(h) = omega + persistence * sigma^2(h-1) — the
+            # closed GARCH variance ladder, identical in SQL
+            s2h = sigma_next * sigma_next
+            sig_h = [sigma_next]
+            for _h in range(4):
+                s2h = omega + pers * s2h
+                sig_h.append(float(np.sqrt(s2h)))
             # round_out=False keeps solver precision so the coefficients
             # can be STAGED for the verification oracle (rounding then
             # happens once, at the query layer, on both engines)
             rr = (lambda v, nd=6: round(v, nd)) if round_out else (lambda v, nd=6: v)
             out.append(
                 (
-                    uid, p, q, dist, rr(nu), rr(lam), rr(mu), rr(rho),
+                    uid, p, q, dd, dist, rr(nu), rr(lam), rr(mu), rr(rho),
                     rr(omega, 10), rr(float(al[0])),
                     rr(float(al[1]) if p > 1 else 0.0),
                     rr(float(be[0])),
                     rr(float(be[1]) if q > 1 else 0.0),
                     rr(pers),
                     rr(ll_best), rr(aic_best),
-                    rr(sigma_next), int(pers >= 0.97),
+                    rr(sig_h[0]), rr(sig_h[1]), rr(sig_h[2]),
+                    rr(sig_h[3]), rr(sig_h[4]), int(pers >= 0.97),
                 )
             )
         return out_short + out

@@ -718,6 +718,7 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "p",
         "q",
+        "dd",
         "dist",
         r6_(F.col("nu")).alias("nu"),
         r6_(F.col("lam")).alias("lam"),
@@ -732,6 +733,10 @@ def garch_grid_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6_(F.col("loglik")).alias("loglik"),
         r6_(F.col("aic")).alias("aic"),
         r6_(F.col("sigma_next")).alias("sigma_next"),
+        r6_(F.col("sigma_h2")).alias("sigma_h2"),
+        r6_(F.col("sigma_h3")).alias("sigma_h3"),
+        r6_(F.col("sigma_h4")).alias("sigma_h4"),
+        r6_(F.col("sigma_h5")).alias("sigma_h5"),
         "igarch_guard",
     )
 
@@ -743,7 +748,7 @@ _GARCH_LAM_VALUES = "(-0.4), (-0.25), (-0.1), (0.1), (0.25), (0.4)"
 ORACLE["garch_grid_fit"] = f"""
     WITH RECURSIVE s AS ({_S_SQL}),
     par AS (
-      SELECT user_id, p, q, alpha1 AS a1, alpha2 AS a2, beta1 AS b1,
+      SELECT user_id, p, q, dd, alpha1 AS a1, alpha2 AS a2, beta1 AS b1,
              beta2 AS b2, alpha1 + alpha2 + beta1 + beta2 AS pers
       FROM read_parquet(
         '__ORACLE_STAGE__/garch_grid_params/*.parquet')
@@ -773,9 +778,21 @@ ORACLE["garch_grid_fit"] = f"""
                   ELSE w.lr END AS lr
       FROM win w JOIN capv c USING (user_id)
     ),
+    wd AS (
+      -- the staged ADF decision: difference the clipped window once
+      -- when dd=1 (the kernel's stationarity guard)
+      SELECT w.user_id,
+             CASE WHEN p.dd = 1 THEN w.t - 1 ELSE w.t END AS t,
+             CASE WHEN p.dd = 1
+                  THEN w.lr - LAG(w.lr) OVER (PARTITION BY w.user_id
+                                              ORDER BY w.t)
+                  ELSE w.lr END AS lr
+      FROM wc w JOIN par p ON p.user_id = w.user_id
+      QUALIFY lr IS NOT NULL
+    ),
     prs AS (
       SELECT a.user_id, a.t, a.lr AS x0, b.lr AS x1
-      FROM wc a JOIN wc b ON b.user_id = a.user_id AND b.t = a.t - 1
+      FROM wd a JOIN wd b ON b.user_id = a.user_id AND b.t = a.t - 1
     ),
     arp AS (
       -- AR(1) conditional mean, SUM-form OLS (the kernel's exact form)
@@ -893,7 +910,7 @@ ORACLE["garch_grid_fit"] = f"""
       WHERE r.t = v.n
     ),
     dec AS (
-      SELECT p.user_id, p.p, p.q, p.a1, p.a2, p.b1, p.b2, p.pers,
+      SELECT p.user_id, p.p, p.q, p.dd, p.a1, p.a2, p.b1, p.b2, p.pers,
              v.var0 * (1 - p.pers) AS omega,
              l.ll_n, l.m, 2 * (p.p + p.q + 1) - 2 * l.ll_n AS aic_n,
              tb.nu, tb.ll_t, 2 * (p.p + p.q + 2) - 2 * tb.ll_t AS aic_t,
@@ -920,6 +937,7 @@ ORACLE["garch_grid_fit"] = f"""
       FROM dec
     )
     SELECT user_id, CAST(p AS INT) AS p, CAST(q AS INT) AS q,
+           CAST(dd AS INT) AS dd,
            dist,
            ROUND(CASE dist WHEN 'skewt' THEN nu_st
                            WHEN 't' THEN nu ELSE 0.0 END, 6) AS nu,
@@ -938,6 +956,15 @@ ORACLE["garch_grid_fit"] = f"""
                            WHEN 'ewma' THEN aic_n
                            ELSE aic_nt END, 6) AS aic,
            ROUND(sigma_next, 6) AS sigma_next,
+           ROUND(SQRT(omega + pers * (sigma_next * sigma_next)), 6)
+             AS sigma_h2,
+           ROUND(SQRT(omega + pers * (omega + pers
+                 * (sigma_next * sigma_next))), 6) AS sigma_h3,
+           ROUND(SQRT(omega + pers * (omega + pers * (omega + pers
+                 * (sigma_next * sigma_next)))), 6) AS sigma_h4,
+           ROUND(SQRT(omega + pers * (omega + pers * (omega + pers
+                 * (omega + pers * (sigma_next * sigma_next))))), 6)
+             AS sigma_h5,
            CAST(CASE WHEN pers >= 0.97 THEN 1 ELSE 0 END AS INT)
              AS igarch_guard
     FROM dec2

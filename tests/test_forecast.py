@@ -789,6 +789,36 @@ def _hansen_skewt_sample(rng, nu, lam, n):
     return ((1 + s * lam) * s * v - a) / b
 
 
+def test_garch_grid_adf_differencing_and_vol_ladder(spark):
+    """Reference garch.py:185-199 (ADF guard) + :643-738 (multi-step
+    forecast): a random walk fed as 'returns' must trigger one
+    difference (dd=1) while true returns stay undifferenced (dd=0), and
+    the h-step vol ladder must follow sigma^2(h) = omega +
+    pers*sigma^2(h-1), converging toward the unconditional vol."""
+    from portofolio_maximizer_spark.forecast import garch_grid_fit
+
+    rng = np.random.default_rng(19)
+    rw = np.cumsum(rng.normal(0, 0.02, 1500)) + 5.0  # unit root
+    ret = rng.normal(0, 0.02, 1500)  # stationary
+    rows = [(1, t, float(v)) for t, v in enumerate(rw)]
+    rows += [(2, t, float(v)) for t, v in enumerate(ret)]
+    sdf = spark.createDataFrame(rows, "user_id long, rn long, lr double")
+    out = garch_grid_fit(sdf).toPandas().set_index("user_id")
+    assert out.loc[1, "dd"] == 1
+    assert out.loc[2, "dd"] == 0
+    for uid in (1, 2):
+        f = out.loc[uid]
+        s2 = f.sigma_next**2
+        for col in ("sigma_h2", "sigma_h3", "sigma_h4", "sigma_h5"):
+            s2 = f.omega + f.persistence * s2
+            assert abs(f[col] - np.sqrt(s2)) < 1e-5, (uid, col)
+        if f.persistence < 1.0:
+            uncond = f.omega / (1.0 - f.persistence)
+            gaps = [abs(f[c] ** 2 - uncond) for c in
+                    ("sigma_next", "sigma_h2", "sigma_h3", "sigma_h4", "sigma_h5")]
+            assert gaps == sorted(gaps, reverse=True)  # monotone approach
+
+
 def test_garch_grid_short_series_ewma_fallback(spark):
     """Reference insufficient-sample fallback (garch.py:212-222): keys
     with fewer than 40 innovations get the EWMA(0.94) vol rung — emitted
