@@ -1527,6 +1527,293 @@ def ensemble_candidate_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F5 — minimum-component pruning + diversity-preferred final selection
+# ---------------------------------------------------------------------------
+
+# Reference EnsembleConfig defaults (`forcester_ts/ensemble.py:99-134`):
+# minimum_component_weight = 0.05, diversity_tolerance = 0.35.
+_ENS_MIN_W = 0.05
+_ENS_DIV_TOL = 0.35
+
+
+@query(
+    "ensemble_diversified_selection",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value,
+             LAG(value, 1) OVER wp AS prev,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+               AS f_ma10
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             SQRT(AVG(POWER(value - prev, 2)))  AS r_n,
+             SQRT(AVG(POWER(value - f_ma3, 2))) AS r_3,
+             SQRT(AVG(POWER(value - f_ma10, 2))) AS r_10
+      FROM f GROUP BY user_id HAVING COUNT(*) > 10
+    ),
+    c AS (
+      SELECT user_id, n,
+             (1/r_n)  / (1/r_n + 1/r_3 + 1/r_10) AS c_n,
+             (1/r_3)  / (1/r_n + 1/r_3 + 1/r_10) AS c_3,
+             (1/r_10) / (1/r_n + 1/r_3 + 1/r_10) AS c_10
+      FROM m
+    ),
+    cand(ord, candidate, w_n, w_3, w_10) AS (
+      VALUES (1, 'equal',      1.0/3.0, 1.0/3.0, 1.0/3.0),
+             (2, 'momentum',   0.6, 0.2, 0.2),
+             (3, 'smooth',     0.2, 0.4, 0.4),
+             (4, 'pure_naive', 1.0, 0.0, 0.0),
+             (5, 'pure_ma10',  0.0, 0.0, 1.0)
+    ),
+    norm AS (
+      SELECT c.user_id, c.n, cand.ord, cand.candidate, c.c_n, c.c_3, c.c_10,
+             cand.w_n*c.c_n / (cand.w_n*c.c_n + cand.w_3*c.c_3 + cand.w_10*c.c_10) AS nw_n,
+             cand.w_3*c.c_3 / (cand.w_n*c.c_n + cand.w_3*c.c_3 + cand.w_10*c.c_10) AS nw_3,
+             cand.w_10*c.c_10 / (cand.w_n*c.c_n + cand.w_3*c.c_3 + cand.w_10*c.c_10) AS nw_10
+      FROM c CROSS JOIN cand
+    ),
+    pruned AS (
+      SELECT *,
+             CASE WHEN nw_n  >= {_ENS_MIN_W} THEN nw_n  ELSE 0.0 END
+           + CASE WHEN nw_3  >= {_ENS_MIN_W} THEN nw_3  ELSE 0.0 END
+           + CASE WHEN nw_10 >= {_ENS_MIN_W} THEN nw_10 ELSE 0.0 END AS ks,
+             CASE WHEN nw_n  >= {_ENS_MIN_W} THEN 1 ELSE 0 END
+           + CASE WHEN nw_3  >= {_ENS_MIN_W} THEN 1 ELSE 0 END
+           + CASE WHEN nw_10 >= {_ENS_MIN_W} THEN 1 ELSE 0 END AS n_comp
+      FROM norm
+    ),
+    scored AS (
+      SELECT user_id, n, ord, candidate, n_comp,
+             CASE WHEN nw_n  >= {_ENS_MIN_W} THEN nw_n  / ks ELSE 0.0 END AS fw_n,
+             CASE WHEN nw_3  >= {_ENS_MIN_W} THEN nw_3  / ks ELSE 0.0 END AS fw_3,
+             CASE WHEN nw_10 >= {_ENS_MIN_W} THEN nw_10 / ks ELSE 0.0 END AS fw_10,
+             CASE WHEN nw_n  >= {_ENS_MIN_W} THEN nw_n  / ks ELSE 0.0 END * c_n
+           + CASE WHEN nw_3  >= {_ENS_MIN_W} THEN nw_3  / ks ELSE 0.0 END * c_3
+           + CASE WHEN nw_10 >= {_ENS_MIN_W} THEN nw_10 / ks ELSE 0.0 END * c_10 AS score
+      FROM pruned
+    ),
+    ranked AS (
+      SELECT *,
+             MAX(score) OVER (PARTITION BY user_id) AS top_score,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY score DESC, ord)
+               AS rn_all
+      FROM scored
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN n_comp >= 2
+                   AND score >= top_score * (1.0 - {_ENS_DIV_TOL})
+                  THEN 1 ELSE 0 END AS q
+      FROM ranked
+    ),
+    dranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY q DESC, score DESC, ord) AS rn_div
+      FROM flagged
+    ),
+    best AS (SELECT * FROM dranked WHERE rn_all = 1),
+    dv   AS (SELECT * FROM dranked WHERE rn_div = 1 AND q = 1)
+    SELECT b.user_id, b.n,
+           b.candidate AS best_candidate,
+           ROUND(b.score, 6) AS best_score,
+           b.n_comp AS best_n_components,
+           CASE WHEN b.n_comp <= 1 AND d.candidate IS NOT NULL
+                THEN d.candidate ELSE b.candidate END AS selected_candidate,
+           ROUND(CASE WHEN b.n_comp <= 1 AND d.candidate IS NOT NULL
+                      THEN d.score ELSE b.score END, 6) AS selected_score,
+           CASE WHEN b.n_comp <= 1 AND d.candidate IS NOT NULL
+                 AND d.candidate <> b.candidate
+                THEN 1 ELSE 0 END AS diversified_override,
+           ROUND(CASE WHEN b.n_comp <= 1 AND d.candidate IS NOT NULL
+                      THEN d.fw_n ELSE b.fw_n END, 6) AS w_naive,
+           ROUND(CASE WHEN b.n_comp <= 1 AND d.candidate IS NOT NULL
+                      THEN d.fw_3 ELSE b.fw_3 END, 6) AS w_ma3,
+           ROUND(CASE WHEN b.n_comp <= 1 AND d.candidate IS NOT NULL
+                      THEN d.fw_10 ELSE b.fw_10 END, 6) AS w_ma10
+    FROM best b LEFT JOIN dv d ON b.user_id = d.user_id
+    """,
+)
+def ensemble_diversified_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 final-selection semantics the candidate ladder omitted — reference
+    `forcester_ts/ensemble.py:145-156` (``_apply_minimum_component_weight``:
+    confidence-scaled candidate weights below 0.05 are pruned and the
+    remainder renormalized) and `:262-271` (``prefer_diversified_candidate``:
+    when the argmax candidate has a single surviving component, the
+    best-scoring candidate with >= 2 components within the 35% diversity
+    tolerance wins instead). Candidate list mirrors the reference's shape —
+    three blended candidates plus two single-model ones (`ensemble.py:
+    111-126` ends in pure {"garch":1.0}-style entries), so the pure
+    candidates genuinely contend: a pure candidate scores its model's full
+    confidence c while a blend scores ~ sum(c^2) < max(c), which is exactly
+    why the reference needs the diversity override. The DA cap that runs
+    between pruning and scoring is covered by `ensemble_confidence_weights`.
+
+    The all-components-pruned fallback (`ensemble.py:151-155`, top model at
+    1.0) is structurally dead here: three normalized weights cannot all be
+    below 0.05, so the CASE ladder never needs that branch.
+
+    Scale: one window pass + one groupBy per user, then a 5-row broadcast
+    candidate dim and two per-user single-row frames joined on user_id —
+    every post-agg frame is key-cardinality, never row-cardinality."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(c):
+        return F.sqrt(F.avg(F.pow(F.col("value") - F.col(c), 2)))
+
+    m = (
+        f.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rmse("prev").alias("r_n"),
+            rmse("f_ma3").alias("r_3"),
+            rmse("f_ma10").alias("r_10"),
+        )
+        .filter(F.col("n") > 10)
+    )
+    z = 1 / F.col("r_n") + 1 / F.col("r_3") + 1 / F.col("r_10")
+    c = m.select(
+        "user_id",
+        "n",
+        ((1 / F.col("r_n")) / z).alias("c_n"),
+        ((1 / F.col("r_3")) / z).alias("c_3"),
+        ((1 / F.col("r_10")) / z).alias("c_10"),
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "equal", 1.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0),
+            (2, "momentum", 0.6, 0.2, 0.2),
+            (3, "smooth", 0.2, 0.4, 0.4),
+            (4, "pure_naive", 1.0, 0.0, 0.0),
+            (5, "pure_ma10", 0.0, 0.0, 1.0),
+        ],
+        "ord INT, candidate STRING, w_n DOUBLE, w_3 DOUBLE, w_10 DOUBLE",
+    )
+    tot = (
+        F.col("w_n") * F.col("c_n")
+        + F.col("w_3") * F.col("c_3")
+        + F.col("w_10") * F.col("c_10")
+    )
+    norm = c.crossJoin(F.broadcast(cand)).select(
+        "user_id",
+        "n",
+        "ord",
+        "candidate",
+        "c_n",
+        "c_3",
+        "c_10",
+        (F.col("w_n") * F.col("c_n") / tot).alias("nw_n"),
+        (F.col("w_3") * F.col("c_3") / tot).alias("nw_3"),
+        (F.col("w_10") * F.col("c_10") / tot).alias("nw_10"),
+    )
+
+    def kept(col):
+        return F.when(F.col(col) >= _ENS_MIN_W, F.col(col)).otherwise(F.lit(0.0))
+
+    ks = kept("nw_n") + kept("nw_3") + kept("nw_10")
+    n_comp = (
+        (F.col("nw_n") >= _ENS_MIN_W).cast("int")
+        + (F.col("nw_3") >= _ENS_MIN_W).cast("int")
+        + (F.col("nw_10") >= _ENS_MIN_W).cast("int")
+    )
+    pruned = norm.select(
+        "user_id",
+        "n",
+        "ord",
+        "candidate",
+        "c_n",
+        "c_3",
+        "c_10",
+        ks.alias("ks"),
+        n_comp.alias("n_comp"),
+        *[F.col(f"nw_{t}") for t in ("n", "3", "10")],
+    )
+
+    def fw(t):
+        return F.when(
+            F.col(f"nw_{t}") >= _ENS_MIN_W, F.col(f"nw_{t}") / F.col("ks")
+        ).otherwise(F.lit(0.0))
+
+    scored = pruned.select(
+        "user_id",
+        "n",
+        "ord",
+        "candidate",
+        "n_comp",
+        fw("n").alias("fw_n"),
+        fw("3").alias("fw_3"),
+        fw("10").alias("fw_10"),
+        (
+            fw("n") * F.col("c_n")
+            + fw("3") * F.col("c_3")
+            + fw("10") * F.col("c_10")
+        ).alias("score"),
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = scored.select(
+        "*",
+        F.max("score").over(wu).alias("top_score"),
+        F.row_number()
+        .over(wu.orderBy(F.col("score").desc(), "ord"))
+        .alias("rn_all"),
+    )
+    flagged = ranked.withColumn(
+        "q",
+        (
+            (F.col("n_comp") >= 2)
+            & (F.col("score") >= F.col("top_score") * (1.0 - _ENS_DIV_TOL))
+        ).cast("int"),
+    )
+    dranked = flagged.withColumn(
+        "rn_div",
+        F.row_number().over(
+            wu.orderBy(F.col("q").desc(), F.col("score").desc(), "ord")
+        ),
+    )
+    best = dranked.filter(F.col("rn_all") == 1).alias("b")
+    dv = (
+        dranked.filter((F.col("rn_div") == 1) & (F.col("q") == 1)).alias("d")
+    )
+    use_div = (F.col("b.n_comp") <= 1) & F.col("d.candidate").isNotNull()
+
+    def pick(col):
+        return F.when(use_div, F.col(f"d.{col}")).otherwise(F.col(f"b.{col}"))
+
+    return best.join(dv, F.col("b.user_id") == F.col("d.user_id"), "left").select(
+        F.col("b.user_id").alias("user_id"),
+        F.col("b.n").alias("n"),
+        F.col("b.candidate").alias("best_candidate"),
+        r6(F.col("b.score")).alias("best_score"),
+        F.col("b.n_comp").alias("best_n_components"),
+        pick("candidate").alias("selected_candidate"),
+        r6(pick("score")).alias("selected_score"),
+        (use_div & (F.col("d.candidate") != F.col("b.candidate")))
+        .cast("int")
+        .alias("diversified_override"),
+        r6(pick("fw_n")).alias("w_naive"),
+        r6(pick("fw_3")).alias("w_ma3"),
+        r6(pick("fw_10")).alias("w_ma10"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Strategy optimizer — sampled candidates, constraint gate, capped scoring
 # ---------------------------------------------------------------------------
 

@@ -206,6 +206,36 @@ def test_candidate_selection_picks_argmax(spark, sf_dir):
             assert r.candidate != "auto_directional"
 
 
+def test_diversified_selection_invariants(spark, sf_dir):
+    """prefer_diversified_candidate semantics (`ensemble.py:262-271`):
+    selected weights are a normalized, min-component-pruned distribution;
+    an override only ever replaces a single-component argmax with a >=2
+    component candidate inside the 35% tolerance; and the override branch
+    genuinely fires — a pure candidate scores its model's full confidence
+    while every blend scores a strict convex combination, so the argmax is
+    single-component whenever naive or MA10 carries the top confidence."""
+    rows = QUERIES["ensemble_diversified_selection"](spark, sf_dir).collect()
+    assert rows
+    fired = 0
+    for r in rows:
+        assert math.isclose(r.w_naive + r.w_ma3 + r.w_ma10, 1.0, abs_tol=3e-6)
+        for w in (r.w_naive, r.w_ma3, r.w_ma10):
+            # pruned components are exactly 0; kept ones only grow past
+            # the 0.05 floor under renormalization
+            assert w == 0.0 or w >= 0.05 - 1e-9, r
+        n_sel = sum(1 for w in (r.w_naive, r.w_ma3, r.w_ma10) if w > 0)
+        assert r.selected_score <= r.best_score + 2e-6, r
+        if r.diversified_override:
+            fired += 1
+            assert r.best_n_components <= 1, r
+            assert n_sel >= 2, r
+            assert r.selected_score >= r.best_score * (1.0 - 0.35) - 2e-6, r
+        else:
+            assert r.selected_candidate == r.best_candidate, r
+            assert n_sel == r.best_n_components, r
+    assert fired >= 1
+
+
 def test_integrity_audit_report_is_consistent(spark, sf_dir):
     """The consolidated audit agrees with the standalone checks it
     subsumes: DUPLICATE_CLOSE_FOR_ENTRY must count exactly the orders the
