@@ -1046,3 +1046,320 @@ def forecast_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("terminal_ci_covered"),
         "n_test",
     )
+
+
+# ---------------------------------------------------------------------------
+# Ensemble safety policy + strict preselection gate (audit-history driven)
+# ---------------------------------------------------------------------------
+
+# Reference `forcester_ts/forecaster.py`: the audit-history stats
+# (`:2732-2748`) feed two gates — `_enforce_ensemble_safety` (`:3179-3259`,
+# the KEEP / DISABLE_DEFAULT / RESEARCH_ONLY policy ladder) and
+# `_preselection_default_gate` (`:3045-3098`). Config-driven knobs pinned
+# here, interpolated into BOTH engines. max-ratio / lift / preselection
+# values are the reference's `_HARDENED_RMSE_MONITOR_DEFAULTS` (`:53-61`);
+# promotion margin / lift-gate knobs use a deployment-style override so
+# every ladder branch is live (the pure dataclass defaults zero them out).
+_ESAFE_BLOCK = 15  # rows per audit window (full windows only)
+_ESAFE_MAX_RATIO = 1.1  # max_rmse_ratio_vs_baseline
+_ESAFE_MIN_LIFT_RMSE = 0.02  # min_lift_rmse_ratio -> lift when ratio < 0.98
+_ESAFE_PROMOTION_MARGIN = 0.05
+_ESAFE_MIN_LIFT_FRACTION = 0.30
+_ESAFE_MIN_EFFECTIVE = 3  # also max(min_effective_audits, holding_period)
+_PRESEL_RECENT_WINDOW = 5  # strict_preselection_recent_window
+_PRESEL_MIN_EFFECTIVE = 3  # strict_preselection_min_effective_audits
+
+_AUDIT_SQL = f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value,
+             LAG(value, 1) OVER wp AS prev,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+               AS f_ma10
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(FLOOR((rn - 11) / {_ESAFE_BLOCK}) AS INT) AS audit_id,
+             COUNT(*) AS bn,
+             SQRT(AVG(POWER(value - prev, 2)))   AS r_n,
+             SQRT(AVG(POWER(value - f_ma3, 2)))  AS r_3,
+             SQRT(AVG(POWER(value - f_ma10, 2))) AS r_10,
+             SQRT(AVG(POWER(value - (prev + f_ma3 + f_ma10) / 3.0, 2)))
+               AS r_e
+      FROM f
+      GROUP BY user_id, CAST(FLOOR((rn - 11) / {_ESAFE_BLOCK}) AS INT)
+      HAVING COUNT(*) = {_ESAFE_BLOCK}
+    ),
+    r AS (
+      SELECT user_id, audit_id,
+             r_e / LEAST(r_n, r_3, r_10) AS ratio,
+             LEAST(r_n, r_3, r_10) AS best_rmse, r_e,
+             CASE WHEN r_n <= r_3 AND r_n <= r_10 THEN 'naive'
+                  WHEN r_3 <= r_10 THEN 'ma3' ELSE 'ma10' END AS best_model,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY audit_id DESC)
+               AS recency
+      FROM a
+    )
+"""
+
+
+@query(
+    "ensemble_safety_policy",
+    oracle=f"""
+    {_AUDIT_SQL},
+    h AS (
+      SELECT user_id, COUNT(*) AS effective_n,
+             AVG(CASE WHEN ratio > {_ESAFE_MAX_RATIO} THEN 1.0 ELSE 0.0 END)
+               AS violation_rate,
+             AVG(CASE WHEN ratio < 1.0 - {_ESAFE_MIN_LIFT_RMSE}
+                      THEN 1.0 ELSE 0.0 END) AS lift_fraction
+      FROM r GROUP BY user_id
+    ),
+    cur AS (SELECT * FROM r WHERE recency = 1),
+    d AS (
+      SELECT cur.user_id, h.effective_n, cur.ratio, cur.r_e, cur.best_rmse,
+             cur.best_model, h.violation_rate, h.lift_fraction,
+             CASE WHEN cur.ratio > {_ESAFE_MAX_RATIO} THEN 'DISABLE_DEFAULT'
+                  WHEN h.effective_n >= {_ESAFE_MIN_EFFECTIVE}
+                       AND h.lift_fraction < {_ESAFE_MIN_LIFT_FRACTION}
+                  THEN 'DISABLE_DEFAULT'
+                  WHEN cur.ratio > 1.0 - {_ESAFE_PROMOTION_MARGIN}
+                  THEN 'RESEARCH_ONLY'
+                  ELSE 'KEEP' END AS decision,
+             CASE WHEN cur.ratio > {_ESAFE_MAX_RATIO} THEN 'rmse_regression'
+                  WHEN h.effective_n >= {_ESAFE_MIN_EFFECTIVE}
+                       AND h.lift_fraction < {_ESAFE_MIN_LIFT_FRACTION}
+                  THEN 'insufficient_lift'
+                  WHEN cur.ratio > 1.0 - {_ESAFE_PROMOTION_MARGIN}
+                  THEN 'no_margin_lift'
+                  ELSE 'ensemble_within_tolerance' END AS reason
+      FROM cur JOIN h ON cur.user_id = h.user_id
+    )
+    SELECT user_id, effective_n,
+           ROUND(ratio, 6) AS rmse_ratio,
+           ROUND(r_e, 6) AS ensemble_rmse,
+           ROUND(best_rmse, 6) AS best_model_rmse,
+           best_model,
+           ROUND(violation_rate, 6) AS violation_rate,
+           ROUND(lift_fraction, 6) AS lift_fraction,
+           decision, reason,
+           CASE WHEN decision <> 'KEEP' THEN UPPER(best_model)
+                ELSE 'ENSEMBLE' END AS default_model
+    FROM d
+    """,
+)
+def ensemble_safety_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's post-evaluation ensemble policy ladder —
+    `forcester_ts/forecaster.py:3179-3259` (`_enforce_ensemble_safety`)
+    over `:2732-2748` audit-history stats. The series is cut into
+    consecutive full 15-row audit windows (one window = one audit file);
+    each audit's RMSE ratio is equal-weight-ensemble vs the best single
+    model; history stats (violation_rate: ratio > 1.1, lift_fraction:
+    ratio < 0.98) aggregate all audits; the CURRENT audit (latest window)
+    drives the ladder: rmse regression (ratio > max_ratio) ->
+    DISABLE_DEFAULT, chronic insufficient lift with enough audit evidence
+    -> DISABLE_DEFAULT, inside the promotion margin -> RESEARCH_ONLY, else
+    KEEP; any non-KEEP decision demotes the default model to the best
+    single (`:3229-3231`). The index-mismatch branch (`:3211-3213`) cannot
+    occur here — both sides derive forecasts from the same aligned frame.
+
+    Scale: one window pass, one (user, audit) groupBy, then
+    key-cardinality frames joined on user_id. No UDF, no collect."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id",
+            F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int"),
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse(
+                (F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0
+            ).alias("r_e"),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    best = F.least("r_n", "r_3", "r_10")
+    r = a.select(
+        "user_id",
+        "audit_id",
+        (F.col("r_e") / best).alias("ratio"),
+        best.alias("best_rmse"),
+        "r_e",
+        F.when(
+            (F.col("r_n") <= F.col("r_3")) & (F.col("r_n") <= F.col("r_10")),
+            "naive",
+        )
+        .when(F.col("r_3") <= F.col("r_10"), "ma3")
+        .otherwise("ma10")
+        .alias("best_model"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("audit_id").desc()))
+        .alias("recency"),
+    )
+    h = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("effective_n"),
+        F.avg((F.col("ratio") > _ESAFE_MAX_RATIO).cast("double")).alias(
+            "violation_rate"
+        ),
+        F.avg(
+            (F.col("ratio") < 1.0 - _ESAFE_MIN_LIFT_RMSE).cast("double")
+        ).alias("lift_fraction"),
+    )
+    cur = r.filter(F.col("recency") == 1)
+    j = cur.join(h, "user_id")
+    ratio = F.col("ratio")
+    no_lift = (F.col("effective_n") >= _ESAFE_MIN_EFFECTIVE) & (
+        F.col("lift_fraction") < _ESAFE_MIN_LIFT_FRACTION
+    )
+    decision = (
+        F.when(ratio > _ESAFE_MAX_RATIO, "DISABLE_DEFAULT")
+        .when(no_lift, "DISABLE_DEFAULT")
+        .when(ratio > 1.0 - _ESAFE_PROMOTION_MARGIN, "RESEARCH_ONLY")
+        .otherwise("KEEP")
+    )
+    reason = (
+        F.when(ratio > _ESAFE_MAX_RATIO, "rmse_regression")
+        .when(no_lift, "insufficient_lift")
+        .when(ratio > 1.0 - _ESAFE_PROMOTION_MARGIN, "no_margin_lift")
+        .otherwise("ensemble_within_tolerance")
+    )
+    return j.select(
+        "user_id",
+        "effective_n",
+        r6(ratio).alias("rmse_ratio"),
+        r6(F.col("r_e")).alias("ensemble_rmse"),
+        r6(F.col("best_rmse")).alias("best_model_rmse"),
+        "best_model",
+        r6(F.col("violation_rate")).alias("violation_rate"),
+        r6(F.col("lift_fraction")).alias("lift_fraction"),
+        decision.alias("decision"),
+        reason.alias("reason"),
+        F.when(decision != "KEEP", F.upper(F.col("best_model")))
+        .otherwise("ENSEMBLE")
+        .alias("default_model"),
+    )
+
+
+@query(
+    "preselection_default_gate",
+    oracle=f"""
+    {_AUDIT_SQL},
+    g AS (
+      SELECT user_id,
+             COUNT(*) AS effective_n,
+             AVG(CASE WHEN recency <= {_PRESEL_RECENT_WINDOW}
+                      THEN ratio END) AS recent_ratio
+      FROM r GROUP BY user_id
+    )
+    SELECT user_id, effective_n,
+           {_PRESEL_RECENT_WINDOW} AS recent_window,
+           ROUND(recent_ratio, 6) AS recent_rmse_ratio,
+           CASE WHEN effective_n < {_PRESEL_MIN_EFFECTIVE} THEN 1
+                WHEN recent_ratio > {_ESAFE_MAX_RATIO} THEN 0
+                ELSE 1 END AS allow_as_default,
+           CASE WHEN effective_n < {_PRESEL_MIN_EFFECTIVE}
+                THEN 'insufficient_effective_audits'
+                WHEN recent_ratio > {_ESAFE_MAX_RATIO}
+                THEN 'recent_ratio_above_threshold'
+                ELSE 'preselection_gate_passed' END AS reason
+    FROM g
+    """,
+)
+def preselection_default_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict preselection gate — `forcester_ts/forecaster.py:
+    3045-3098` (`_preselection_default_gate`) with the hardened defaults
+    (`:53-61`): mean RMSE ratio over the 5 most recent audit windows;
+    fewer than 3 effective audits keeps the ensemble allowed (one noisy
+    ratio is not signal — the reference's comment), a recent mean ratio
+    above 1.1 demotes the ensemble from default BEFORE any holdout runs.
+    The no-recent-ratios branch collapses into the insufficient-audits one
+    here (a user with zero audits has no row at all). Same audit-window
+    frame as `ensemble_safety_policy`; key-cardinality aggregation."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id",
+            F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int"),
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse(
+                (F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0
+            ).alias("r_e"),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    r = a.select(
+        "user_id",
+        (F.col("r_e") / F.least("r_n", "r_3", "r_10")).alias("ratio"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("audit_id").desc()))
+        .alias("recency"),
+    )
+    g = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("effective_n"),
+        F.avg(
+            F.when(F.col("recency") <= _PRESEL_RECENT_WINDOW, F.col("ratio"))
+        ).alias("recent_ratio"),
+    )
+    return g.select(
+        "user_id",
+        "effective_n",
+        F.lit(_PRESEL_RECENT_WINDOW).alias("recent_window"),
+        r6(F.col("recent_ratio")).alias("recent_rmse_ratio"),
+        F.when(F.col("effective_n") < _PRESEL_MIN_EFFECTIVE, 1)
+        .when(F.col("recent_ratio") > _ESAFE_MAX_RATIO, 0)
+        .otherwise(1)
+        .alias("allow_as_default"),
+        F.when(
+            F.col("effective_n") < _PRESEL_MIN_EFFECTIVE,
+            "insufficient_effective_audits",
+        )
+        .when(
+            F.col("recent_ratio") > _ESAFE_MAX_RATIO,
+            "recent_ratio_above_threshold",
+        )
+        .otherwise("preselection_gate_passed")
+        .alias("reason"),
+    )

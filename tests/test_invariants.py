@@ -629,3 +629,44 @@ def test_benchmark_relative_metrics_exact_regression(spark, tmp_path):
         assert out[uid]["n_periods"] == 40
     # excess streams are mirror images: equal tracking error
     assert abs(out[1]["tracking_error"] - out[2]["tracking_error"]) < 1e-6
+
+
+def test_ensemble_safety_policy_ladder(spark, sf_dir):
+    """`_enforce_ensemble_safety` ladder consistency: every decision
+    agrees with its own emitted evidence (ratio / lift_fraction /
+    effective_n), non-KEEP rows demote the default to the best single
+    model, and the preselection gate's insufficient-audits branch matches
+    the safety policy's effective_n for the same user."""
+    rows = QUERIES["ensemble_safety_policy"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r.decision)
+        if r.decision == "KEEP":
+            assert r.rmse_ratio <= 1.1 + 1e-9 and r.default_model == "ENSEMBLE", r
+            assert r.rmse_ratio <= 0.95 + 1e-9, r
+        else:
+            assert r.default_model == r.best_model.upper(), r
+        if r.reason == "rmse_regression":
+            assert r.rmse_ratio > 1.1, r
+        if r.reason == "insufficient_lift":
+            assert r.effective_n >= 3 and r.lift_fraction < 0.30, r
+        if r.reason == "no_margin_lift":
+            assert 0.95 < r.rmse_ratio <= 1.1 + 1e-9, r
+        assert 0.0 <= r.violation_rate <= 1.0 and 0.0 <= r.lift_fraction <= 1.0
+    assert len(seen) >= 2, seen
+
+    gate = {
+        r.user_id: r
+        for r in QUERIES["preselection_default_gate"](spark, sf_dir).collect()
+    }
+    pol = {r.user_id: r for r in rows}
+    assert set(gate) == set(pol)
+    for uid, g in gate.items():
+        assert g.effective_n == pol[uid].effective_n, (g, pol[uid])
+        if g.reason == "insufficient_effective_audits":
+            assert g.effective_n < 3 and g.allow_as_default == 1, g
+        elif g.reason == "recent_ratio_above_threshold":
+            assert g.recent_rmse_ratio > 1.1 and g.allow_as_default == 0, g
+        else:
+            assert g.allow_as_default == 1, g
