@@ -2400,3 +2400,203 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# VIF screening of SARIMAX exogenous features (closed-form, fully unrolled)
+# ---------------------------------------------------------------------------
+
+# Reference `forcester_ts/forecaster.py:403-478` (`_drop_high_vif_features`):
+# iteratively drop the highest-VIF feature until all VIFs <= 10, keeping at
+# most max_features=3 columns. Because the cap is enforced BEFORE VIF is
+# computed, the loop only ever sees <= 3 features — so every VIF is a
+# function of the three pairwise correlations (R^2 of one feature on the
+# other two has a closed form), and the whole while-loop unrolls into two
+# CASE stages: at most one drop from 3 features, then at most one drop from
+# the surviving pair (reference `vifs.index(max_vif)` keeps the FIRST
+# argmax — ties resolve to the lower original column index).
+_VIF_THRESHOLD = 10.0
+
+
+@query(
+    "vif_exog_screening",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+               AS x1,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS x2,
+             STDDEV_SAMP(lr) OVER (PARTITION BY user_id ORDER BY rn
+                                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS x3,
+             rn
+      FROM s
+      QUALIFY rn >= 21
+    ),
+    c AS (
+      SELECT user_id, COUNT(*) AS n,
+             CORR(x1, x2) AS r12, CORR(x1, x3) AS r13, CORR(x2, x3) AS r23
+      FROM f GROUP BY user_id
+      HAVING COUNT(*) >= 20
+         AND CORR(x1, x2) IS NOT NULL AND CORR(x1, x3) IS NOT NULL
+         AND CORR(x2, x3) IS NOT NULL
+    ),
+    v AS (
+      SELECT *,
+             1.0 / (1.0 - (r12*r12 + r13*r13 - 2*r12*r13*r23) / (1.0 - r23*r23))
+               AS vif1,
+             1.0 / (1.0 - (r12*r12 + r23*r23 - 2*r12*r23*r13) / (1.0 - r13*r13))
+               AS vif2,
+             1.0 / (1.0 - (r13*r13 + r23*r23 - 2*r13*r23*r12) / (1.0 - r12*r12))
+               AS vif3
+      FROM c
+    ),
+    d1 AS (
+      SELECT *,
+             CASE WHEN GREATEST(vif1, vif2, vif3) <= {_VIF_THRESHOLD} THEN 0
+                  WHEN vif1 >= vif2 AND vif1 >= vif3 THEN 1
+                  WHEN vif2 >= vif3 THEN 2
+                  ELSE 3 END AS drop1
+      FROM v
+    ),
+    d2 AS (
+      SELECT *,
+             CASE drop1 WHEN 0 THEN NULL
+                        WHEN 1 THEN 1.0 / (1.0 - r23*r23)
+                        WHEN 2 THEN 1.0 / (1.0 - r13*r13)
+                        ELSE 1.0 / (1.0 - r12*r12) END AS vif_pair,
+             CASE WHEN drop1 = 0 THEN 0
+                  WHEN (CASE drop1 WHEN 1 THEN 1.0 / (1.0 - r23*r23)
+                                   WHEN 2 THEN 1.0 / (1.0 - r13*r13)
+                                   ELSE 1.0 / (1.0 - r12*r12) END)
+                       <= {_VIF_THRESHOLD} THEN 0
+                  WHEN drop1 = 1 THEN 2
+                  ELSE 1 END AS drop2
+      FROM d1
+    )
+    SELECT user_id, n,
+           ROUND(r12, 6) AS r12, ROUND(r13, 6) AS r13, ROUND(r23, 6) AS r23,
+           ROUND(vif1, 6) AS vif_ma9,
+           ROUND(vif2, 6) AS vif_ma10,
+           ROUND(vif3, 6) AS vif_vol20,
+           CASE drop1 WHEN 0 THEN 'none' WHEN 1 THEN 'ma9'
+                      WHEN 2 THEN 'ma10' ELSE 'vol20' END AS dropped_first,
+           ROUND(vif_pair, 6) AS vif_pair,
+           CASE drop2 WHEN 0 THEN 'none' WHEN 1 THEN 'ma9'
+                      WHEN 2 THEN 'ma10' ELSE 'vol20' END AS dropped_second,
+           CONCAT_WS(',',
+             CASE WHEN drop1 <> 1 AND drop2 <> 1 THEN 'ma9' END,
+             CASE WHEN drop1 <> 2 AND drop2 <> 2 THEN 'ma10' END,
+             CASE WHEN drop1 <> 3 AND drop2 <> 3 THEN 'vol20' END)
+             AS kept_features,
+           3 - CASE WHEN drop1 = 0 THEN 0 ELSE 1 END
+             - CASE WHEN drop2 = 0 THEN 0 ELSE 1 END AS n_kept
+    FROM d2
+    """,
+)
+def vif_exog_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-8.4 VIF screening of the SARIMAX exogenous design —
+    reference `forcester_ts/forecaster.py:403-478`
+    (`_drop_high_vif_features`): drop the highest-VIF feature until all
+    VIFs <= 10, max 3 features kept. The reference applies the
+    max-features cap BEFORE computing VIF, so the screen only ever sees 3
+    columns — VIF_i = 1/(1 - R^2_i) where R^2 of one feature regressed on
+    the other two is closed-form in the three pairwise correlations, and
+    the while-loop fully unrolls: one possible drop from {{ma9, ma10,
+    vol20}}, then one possible drop from the surviving pair (first-argmax
+    tie order preserved). The trailing MA pair is genuinely collinear on
+    wandering series (|r| often > 0.95 <=> VIF > 10) so both the drop and
+    the keep-all branches fire on real data.
+
+    Scale: one window pass + one CORR aggregation per user —
+    key-cardinality output, no UDF, no iteration at runtime."""
+    s = _series(spark, sf_dir)
+    f = s.select(
+        "user_id",
+        "rn",
+        F.avg("value").over(_w((-8, 0))).alias("x1"),
+        F.avg("value").over(_w((-9, 0))).alias("x2"),
+        F.stddev_samp("lr").over(_w((-19, 0))).alias("x3"),
+    ).filter(F.col("rn") >= 21)
+    c = (
+        f.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.corr("x1", "x2").alias("r12"),
+            F.corr("x1", "x3").alias("r13"),
+            F.corr("x2", "x3").alias("r23"),
+        )
+        .filter(
+            (F.col("n") >= 20)
+            & F.col("r12").isNotNull()
+            & F.col("r13").isNotNull()
+            & F.col("r23").isNotNull()
+        )
+    )
+    r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
+    v = c.select(
+        "*",
+        (1.0 / (1.0 - (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23) / (1.0 - r23 * r23))).alias("vif1"),
+        (1.0 / (1.0 - (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13) / (1.0 - r13 * r13))).alias("vif2"),
+        (1.0 / (1.0 - (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12) / (1.0 - r12 * r12))).alias("vif3"),
+    )
+    vif1, vif2, vif3 = F.col("vif1"), F.col("vif2"), F.col("vif3")
+    d1 = v.withColumn(
+        "drop1",
+        F.when(F.greatest(vif1, vif2, vif3) <= _VIF_THRESHOLD, 0)
+        .when((vif1 >= vif2) & (vif1 >= vif3), 1)
+        .when(vif2 >= vif3, 2)
+        .otherwise(3),
+    )
+    pair_vif = (
+        F.when(F.col("drop1") == 0, F.lit(None).cast("double"))
+        .when(F.col("drop1") == 1, 1.0 / (1.0 - r23 * r23))
+        .when(F.col("drop1") == 2, 1.0 / (1.0 - r13 * r13))
+        .otherwise(1.0 / (1.0 - r12 * r12))
+    )
+    d2 = d1.withColumn("vif_pair", pair_vif).withColumn(
+        "drop2",
+        F.when(F.col("drop1") == 0, 0)
+        .when(F.col("vif_pair") <= _VIF_THRESHOLD, 0)
+        .when(F.col("drop1") == 1, 2)
+        .otherwise(1),
+    )
+
+    def fname(col):
+        return (
+            F.when(F.col(col) == 0, "none")
+            .when(F.col(col) == 1, "ma9")
+            .when(F.col(col) == 2, "ma10")
+            .otherwise("vol20")
+        )
+
+    def kept(idx, name):
+        return F.when(
+            (F.col("drop1") != idx) & (F.col("drop2") != idx), name
+        )
+
+    return d2.select(
+        "user_id",
+        "n",
+        r6(r12).alias("r12"),
+        r6(r13).alias("r13"),
+        r6(r23).alias("r23"),
+        r6(vif1).alias("vif_ma9"),
+        r6(vif2).alias("vif_ma10"),
+        r6(vif3).alias("vif_vol20"),
+        fname("drop1").alias("dropped_first"),
+        r6(F.col("vif_pair")).alias("vif_pair"),
+        fname("drop2").alias("dropped_second"),
+        F.concat_ws(
+            ",", kept(1, "ma9"), kept(2, "ma10"), kept(3, "vol20")
+        ).alias("kept_features"),
+        (
+            F.lit(3)
+            - F.when(F.col("drop1") == 0, 0).otherwise(1)
+            - F.when(F.col("drop2") == 0, 0).otherwise(1)
+        ).alias("n_kept"),
+    )

@@ -670,3 +670,60 @@ def test_ensemble_safety_policy_ladder(spark, sf_dir):
             assert g.recent_rmse_ratio > 1.1 and g.allow_as_default == 0, g
         else:
             assert g.allow_as_default == 1, g
+
+
+def test_vif_screening_matches_numpy(spark, sf_dir):
+    """The closed-form pairwise-correlation VIFs must equal the textbook
+    definition (1/(1-R^2) from an actual OLS of each feature on the other
+    two, statsmodels' variance_inflation_factor semantics minus the
+    intercept handling the reference relies on), and the drop ladder must
+    be internally consistent: kept_features excludes exactly the dropped
+    names and a second drop can only follow a first."""
+    import numpy as np
+
+    rows = QUERIES["vif_exog_screening"](spark, sf_dir).collect()
+    assert rows
+    # independent recomputation from the raw series
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    feats = con.execute("""
+        WITH s AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 LN(value / LAG(value,1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS lr
+          FROM (SELECT * FROM events WHERE value > 0)
+        )
+        SELECT user_id,
+               AVG(value) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS x1,
+               AVG(value) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS x2,
+               STDDEV_SAMP(lr) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS x3,
+               rn
+        FROM s QUALIFY rn >= 21 ORDER BY user_id, rn
+    """).df()
+    for r in rows:
+        sub = feats[feats.user_id == r.user_id]
+        X = sub[["x1", "x2", "x3"]].to_numpy(float)
+        Xc = X - X.mean(axis=0)  # centered -> correlation-scale R^2
+        got = {"vif_ma9": r.vif_ma9, "vif_ma10": r.vif_ma10, "vif_vol20": r.vif_vol20}
+        for i, name in enumerate(["vif_ma9", "vif_ma10", "vif_vol20"]):
+            y = Xc[:, i]
+            A = np.delete(Xc, i, axis=1)
+            beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+            resid = y - A @ beta
+            r2 = 1.0 - resid @ resid / (y @ y)
+            vif = 1.0 / (1.0 - r2)
+            assert abs(got[name] - vif) < max(1e-4, 1e-4 * vif), (
+                r.user_id, name, got[name], vif,
+            )
+        dropped = {r.dropped_first, r.dropped_second} - {"none"}
+        kept = set(r.kept_features.split(","))
+        assert kept == {"ma9", "ma10", "vol20"} - dropped, r
+        assert r.n_kept == 3 - len(dropped), r
+        if r.dropped_second != "none":
+            assert r.dropped_first != "none" and r.vif_pair > 10.0, r
+        if r.dropped_first == "none":
+            assert max(r.vif_ma9, r.vif_ma10, r.vif_vol20) <= 10.0 + 1e-6, r
