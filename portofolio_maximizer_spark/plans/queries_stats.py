@@ -2600,3 +2600,173 @@ def vif_exog_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.when(F.col("drop2") == 0, 0).otherwise(1)
         ).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Joint ADF+KPSS stationarity verdict (Phase 8.3 series diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stationarity_verdict",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    u AS (
+      SELECT user_id, rn, 'level' AS series, value AS y FROM s
+      UNION ALL
+      SELECT user_id, rn, 'log_return' AS series, lr AS y
+      FROM s WHERE lr IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, series, rn, y,
+             y - LAG(y) OVER wp AS dy,
+             LAG(y) OVER wp AS ylag,
+             y - AVG(y) OVER (PARTITION BY user_id, series) AS e
+      FROM u WINDOW wp AS (PARTITION BY user_id, series ORDER BY rn)
+    ),
+    cum AS (
+      SELECT *,
+             LAG(e, 1) OVER wp AS e1, LAG(e, 2) OVER wp AS e2,
+             LAG(e, 3) OVER wp AS e3, LAG(e, 4) OVER wp AS e4,
+             SUM(e) OVER (PARTITION BY user_id, series ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
+      FROM d WINDOW wp AS (PARTITION BY user_id, series ORDER BY rn)
+    ),
+    agg AS (
+      SELECT user_id, series, COUNT(*) AS n,
+             COUNT(dy) AS n_adf,
+             REGR_SLOPE(dy, ylag) AS beta,
+             REGR_SXX(dy, ylag) AS sxx,
+             REGR_SYY(dy, ylag) AS syy,
+             SUM(s_t * s_t) AS ss,
+             AVG(e * e) AS g0,
+             AVG(CASE WHEN e1 IS NOT NULL THEN e * e1 END) AS g1,
+             AVG(CASE WHEN e2 IS NOT NULL THEN e * e2 END) AS g2,
+             AVG(CASE WHEN e3 IS NOT NULL THEN e * e3 END) AS g3,
+             AVG(CASE WHEN e4 IS NOT NULL THEN e * e4 END) AS g4
+      FROM cum GROUP BY user_id, series HAVING COUNT(dy) > 20
+    ),
+    stats AS (
+      SELECT user_id, series, n,
+             beta / SQRT(((syy - beta * beta * sxx) / (n_adf - 2))
+                         / NULLIF(sxx, 0)) AS tau,
+             ss / (CAST(n AS DOUBLE) * n)
+               / NULLIF(g0 + 2 * (0.8*g1 + 0.6*g2 + 0.4*g3 + 0.2*g4), 0)
+               AS eta
+      FROM agg
+    ),
+    verd AS (
+      SELECT user_id, series, n, tau, eta,
+             CASE WHEN tau < -2.89 THEN 1 ELSE 0 END AS adf_stationary,
+             CASE WHEN eta > 0.463 THEN 0 ELSE 1 END AS kpss_stationary
+      FROM stats
+    )
+    SELECT user_id, series, n,
+           ROUND(tau, 6) AS df_stat,
+           ROUND(eta, 6) AS kpss_stat,
+           adf_stationary, kpss_stationary,
+           CASE WHEN adf_stationary = 1 AND kpss_stationary = 1
+                THEN 'stationary'
+                WHEN adf_stationary = 0 AND kpss_stationary = 0
+                THEN 'non_stationary'
+                ELSE 'conflicted' END AS stationarity_verdict,
+           CASE WHEN adf_stationary = 1 AND kpss_stationary = 1
+                THEN 0 ELSE 1 END AS force_difference
+    FROM verd
+    """,
+)
+def stationarity_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-8.3 joint stationarity verdict — reference
+    `forcester_ts/forecaster.py:646-669` (`_capture_series_diagnostics`):
+    ADF (H0 = unit root; reject -> stationary) and KPSS (H0 = stationary;
+    reject -> non-stationary) at the 5% level combine into
+    stationary / non_stationary / conflicted, where disagreement is
+    treated as a likely structural break and conservatively forces
+    differencing (`force_difference`). Run per user on BOTH the level
+    series and the log-return series (the two series the pipeline feeds
+    through diagnostics), so all three verdict branches occur: levels
+    wander (non_stationary), returns are stationary, and the boundary
+    cases conflict. Test statistics are the engine's own closed forms
+    (`adf_test`, `kpss_test` above) over a two-branch UNION frame —
+    one window pass per (user, series), no UDF."""
+    s = _series(spark, sf_dir)
+    u = s.select(
+        "user_id", "rn", F.lit("level").alias("series"), F.col("value").alias("y")
+    ).unionAll(
+        s.filter(F.col("lr").isNotNull()).select(
+            "user_id", "rn", F.lit("log_return").alias("series"),
+            F.col("lr").alias("y"),
+        )
+    )
+    wp = Window.partitionBy("user_id", "series").orderBy("rn")
+    wg = Window.partitionBy("user_id", "series")
+    d = u.select(
+        "user_id",
+        "series",
+        "rn",
+        "y",
+        (F.col("y") - F.lag("y").over(wp)).alias("dy"),
+        F.lag("y").over(wp).alias("ylag"),
+        (F.col("y") - F.avg("y").over(wg)).alias("e"),
+    )
+    cum = d.select(
+        "*",
+        *[F.lag("e", j).over(wp).alias(f"e{j}") for j in range(1, 5)],
+        F.sum("e").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias("s_t"),
+    )
+    agg = (
+        cum.groupBy("user_id", "series")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("dy").alias("n_adf"),
+            F.regr_slope("dy", "ylag").alias("beta"),
+            F.regr_sxx("dy", "ylag").alias("sxx"),
+            F.regr_syy("dy", "ylag").alias("syy"),
+            F.sum(F.col("s_t") * F.col("s_t")).alias("ss"),
+            F.avg(F.col("e") * F.col("e")).alias("g0"),
+            *[
+                F.avg(
+                    F.when(
+                        F.col(f"e{j}").isNotNull(), F.col("e") * F.col(f"e{j}")
+                    )
+                ).alias(f"g{j}")
+                for j in range(1, 5)
+            ],
+        )
+        .filter(F.col("n_adf") > 20)
+    )
+    beta, sxx, syy = F.col("beta"), F.col("sxx"), F.col("syy")
+    tau = beta / F.sqrt(
+        ((syy - beta * beta * sxx) / (F.col("n_adf") - 2))
+        / F.nullif(sxx, F.lit(0.0))
+    )
+    nd = F.col("n").cast("double")
+    lrv = F.col("g0") + 2 * (
+        0.8 * F.col("g1") + 0.6 * F.col("g2") + 0.4 * F.col("g3") + 0.2 * F.col("g4")
+    )
+    eta = F.col("ss") / (nd * nd) / F.nullif(lrv, F.lit(0.0))
+    verd = agg.select(
+        "user_id",
+        "series",
+        "n",
+        tau.alias("tau"),
+        eta.alias("eta"),
+        F.when(tau < -2.89, 1).otherwise(0).alias("adf_stationary"),
+        F.when(eta > 0.463, 0).otherwise(1).alias("kpss_stationary"),
+    )
+    both = (F.col("adf_stationary") == 1) & (F.col("kpss_stationary") == 1)
+    neither = (F.col("adf_stationary") == 0) & (F.col("kpss_stationary") == 0)
+    return verd.select(
+        "user_id",
+        "series",
+        "n",
+        r6(F.col("tau")).alias("df_stat"),
+        r6(F.col("eta")).alias("kpss_stat"),
+        "adf_stationary",
+        "kpss_stationary",
+        F.when(both, "stationary")
+        .when(neither, "non_stationary")
+        .otherwise("conflicted")
+        .alias("stationarity_verdict"),
+        F.when(both, 0).otherwise(1).alias("force_difference"),
+    )

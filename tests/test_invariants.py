@@ -727,3 +727,53 @@ def test_vif_screening_matches_numpy(spark, sf_dir):
             assert r.dropped_first != "none" and r.vif_pair > 10.0, r
         if r.dropped_first == "none":
             assert max(r.vif_ma9, r.vif_ma10, r.vif_vol20) <= 10.0 + 1e-6, r
+
+
+def test_stationarity_verdict_branches(spark, sf_dir, tmp_path):
+    """Phase-8.3 verdict semantics (`forecaster.py:646-669`): the verdict
+    must agree with its own emitted ADF/KPSS flags, force_difference is 1
+    exactly when the verdict is not 'stationary', and on a planted true
+    random walk the level series comes out non_stationary (ADF cannot
+    reject a unit root; KPSS rejects level-stationarity) while its
+    increments come out stationary."""
+    import numpy as np
+    import pandas as pd
+
+    rows = QUERIES["stationarity_verdict"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        both = r.adf_stationary == 1 and r.kpss_stationary == 1
+        neither = r.adf_stationary == 0 and r.kpss_stationary == 0
+        want = "stationary" if both else ("non_stationary" if neither else "conflicted")
+        assert r.stationarity_verdict == want, r
+        assert r.force_difference == (0 if both else 1), r
+        assert (r.df_stat < -2.89) == (r.adf_stationary == 1), r
+        assert (r.kpss_stat <= 0.463) == (r.kpss_stationary == 1), r
+
+    # planted random walk: sigma large enough that the driftless walk
+    # wanders far from its mean within 400 steps
+    recs, eid = [], 0
+    for uid in (1, 2):
+        rng = np.random.default_rng(7 + uid)
+        level = 1000.0
+        for i in range(400):
+            level = max(level + rng.normal(0.0, 2.0), 1.0)
+            recs.append(
+                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), uid, "tick", float(level), "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        recs, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "sf_rw")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d + "/events.parquet")
+    out = {
+        (r.user_id, r.series): r
+        for r in QUERIES["stationarity_verdict"](spark, d).collect()
+    }
+    for uid in (1, 2):
+        lvl, ret = out[(uid, "level")], out[(uid, "log_return")]
+        assert lvl.stationarity_verdict == "non_stationary", lvl
+        assert lvl.force_difference == 1
+        assert ret.stationarity_verdict == "stationary", ret
+        assert ret.force_difference == 0
