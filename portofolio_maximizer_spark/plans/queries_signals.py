@@ -2522,3 +2522,350 @@ def confidence_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("breakeven_win_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplex-constrained ensemble weight optimization (closed-form QP)
+# ---------------------------------------------------------------------------
+
+# Reference `forcester_ts/ensemble_diagnostics.py:217-283`
+# (`optimize_weights`): scipy SLSQP minimizing ensemble RMSE over the
+# probability simplex. For the 3-model stack the strictly convex QP solves
+# EXACTLY by active-set enumeration: the optimum's support S is one of the
+# 7 non-empty model subsets, and on each S the equality-constrained
+# least-squares (sum w = 1) is closed-form — a cofactor 3x3 inverse plus a
+# Lagrange step for the full set, a scalar ratio for pairs, trivial for
+# singletons. The global optimum is the feasible (all-nonnegative)
+# candidate with minimal RMSE, so no iterative solver survives into the
+# engine at all.
+
+
+@query(
+    "ensemble_weight_optimization",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value AS a,
+             LAG(value, 1) OVER wp AS p1,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS p2,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+               AS p3
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    ),
+    k AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(p1*p1) AS g11, SUM(p1*p2) AS g12, SUM(p1*p3) AS g13,
+             SUM(p2*p2) AS g22, SUM(p2*p3) AS g23, SUM(p3*p3) AS g33,
+             SUM(p1*a) AS b1, SUM(p2*a) AS b2, SUM(p3*a) AS b3,
+             SUM(a*a) AS aa
+      FROM f GROUP BY user_id HAVING COUNT(*) > 10
+    ),
+    inv AS (
+      SELECT *,
+             g11*(g22*g33 - g23*g23) - g12*(g12*g33 - g23*g13)
+               + g13*(g12*g23 - g22*g13) AS det
+      FROM k
+    ),
+    uvw AS (
+      SELECT *,
+             ((g22*g33 - g23*g23)*b1 + (g13*g23 - g12*g33)*b2
+               + (g12*g23 - g13*g22)*b3) / NULLIF(det, 0) AS u1,
+             ((g13*g23 - g12*g33)*b1 + (g11*g33 - g13*g13)*b2
+               + (g12*g13 - g11*g23)*b3) / NULLIF(det, 0) AS u2,
+             ((g12*g23 - g13*g22)*b1 + (g12*g13 - g11*g23)*b2
+               + (g11*g22 - g12*g12)*b3) / NULLIF(det, 0) AS u3,
+             ((g22*g33 - g23*g23) + (g13*g23 - g12*g33)
+               + (g12*g23 - g13*g22)) / NULLIF(det, 0) AS v1,
+             ((g13*g23 - g12*g33) + (g11*g33 - g13*g13)
+               + (g12*g13 - g11*g23)) / NULLIF(det, 0) AS v2,
+             ((g12*g23 - g13*g22) + (g12*g13 - g11*g23)
+               + (g11*g22 - g12*g12)) / NULLIF(det, 0) AS v3
+      FROM inv
+    ),
+    cand AS (
+      SELECT *,
+             u1 + (1.0 - (u1+u2+u3)) / NULLIF(v1+v2+v3, 0) * v1 AS wf1,
+             u2 + (1.0 - (u1+u2+u3)) / NULLIF(v1+v2+v3, 0) * v2 AS wf2,
+             u3 + (1.0 - (u1+u2+u3)) / NULLIF(v1+v2+v3, 0) * v3 AS wf3,
+             ((b1 - b2) + (g22 - g12)) / NULLIF(g11 - 2.0*g12 + g22, 0)
+               AS w12,
+             ((b1 - b3) + (g33 - g13)) / NULLIF(g11 - 2.0*g13 + g33, 0)
+               AS w13,
+             ((b2 - b3) + (g33 - g23)) / NULLIF(g22 - 2.0*g23 + g33, 0)
+               AS w23
+      FROM uvw
+    ),
+    r2 AS (
+      SELECT *,
+             CASE WHEN wf1 >= 0 AND wf2 >= 0 AND wf3 >= 0 THEN
+               (aa - 2.0*(wf1*b1 + wf2*b2 + wf3*b3)
+                + (wf1*wf1*g11 + wf2*wf2*g22 + wf3*wf3*g33
+                   + 2.0*(wf1*wf2*g12 + wf1*wf3*g13 + wf2*wf3*g23))) / n
+             END AS r2_full,
+             CASE WHEN w12 >= 0 AND w12 <= 1 THEN
+               (aa - 2.0*(w12*b1 + (1.0-w12)*b2)
+                + (w12*w12*g11 + (1.0-w12)*(1.0-w12)*g22
+                   + 2.0*(w12*(1.0-w12)*g12))) / n
+             END AS r2_12,
+             CASE WHEN w13 >= 0 AND w13 <= 1 THEN
+               (aa - 2.0*(w13*b1 + (1.0-w13)*b3)
+                + (w13*w13*g11 + (1.0-w13)*(1.0-w13)*g33
+                   + 2.0*(w13*(1.0-w13)*g13))) / n
+             END AS r2_13,
+             CASE WHEN w23 >= 0 AND w23 <= 1 THEN
+               (aa - 2.0*(w23*b2 + (1.0-w23)*b3)
+                + (w23*w23*g22 + (1.0-w23)*(1.0-w23)*g33
+                   + 2.0*(w23*(1.0-w23)*g23))) / n
+             END AS r2_23,
+             (aa - 2.0*b1 + g11) / n AS r2_1,
+             (aa - 2.0*b2 + g22) / n AS r2_2,
+             (aa - 2.0*b3 + g33) / n AS r2_3,
+             (aa - 2.0*((b1+b2+b3)/3.0)
+              + (g11+g22+g33 + 2.0*(g12+g13+g23))/9.0) / n AS r2_ew
+      FROM cand
+    ),
+    pick AS (
+      SELECT *,
+             LEAST(COALESCE(r2_full, 1e308), COALESCE(r2_12, 1e308),
+                   COALESCE(r2_13, 1e308), COALESCE(r2_23, 1e308),
+                   r2_1, r2_2, r2_3) AS r2_min
+      FROM r2
+    )
+    SELECT user_id, n,
+           CASE WHEN r2_full IS NOT NULL AND r2_full = r2_min
+                THEN 'naive+ma3+ma10'
+                WHEN r2_12 IS NOT NULL AND r2_12 = r2_min THEN 'naive+ma3'
+                WHEN r2_13 IS NOT NULL AND r2_13 = r2_min THEN 'naive+ma10'
+                WHEN r2_23 IS NOT NULL AND r2_23 = r2_min THEN 'ma3+ma10'
+                WHEN r2_1 = r2_min THEN 'naive'
+                WHEN r2_2 = r2_min THEN 'ma3'
+                ELSE 'ma10' END AS active_set,
+           ROUND(CASE WHEN r2_full IS NOT NULL AND r2_full = r2_min THEN wf1
+                      WHEN r2_12 IS NOT NULL AND r2_12 = r2_min THEN w12
+                      WHEN r2_13 IS NOT NULL AND r2_13 = r2_min THEN w13
+                      WHEN r2_23 IS NOT NULL AND r2_23 = r2_min THEN 0.0
+                      WHEN r2_1 = r2_min THEN 1.0
+                      ELSE 0.0 END, 6) AS w_naive,
+           ROUND(CASE WHEN r2_full IS NOT NULL AND r2_full = r2_min THEN wf2
+                      WHEN r2_12 IS NOT NULL AND r2_12 = r2_min
+                      THEN 1.0 - w12
+                      WHEN r2_13 IS NOT NULL AND r2_13 = r2_min THEN 0.0
+                      WHEN r2_23 IS NOT NULL AND r2_23 = r2_min THEN w23
+                      WHEN r2_2 = r2_min THEN 1.0
+                      ELSE 0.0 END, 6) AS w_ma3,
+           ROUND(CASE WHEN r2_full IS NOT NULL AND r2_full = r2_min THEN wf3
+                      WHEN r2_12 IS NOT NULL AND r2_12 = r2_min THEN 0.0
+                      WHEN r2_13 IS NOT NULL AND r2_13 = r2_min
+                      THEN 1.0 - w13
+                      WHEN r2_23 IS NOT NULL AND r2_23 = r2_min
+                      THEN 1.0 - w23
+                      WHEN r2_1 = r2_min OR r2_2 = r2_min THEN 0.0
+                      ELSE 1.0 END, 6) AS w_ma10,
+           ROUND(SQRT(r2_min), 6) AS optimal_rmse,
+           ROUND(SQRT(r2_ew), 6) AS current_rmse,
+           ROUND((SQRT(r2_ew) - SQRT(r2_min)) / SQRT(r2_ew) * 100.0, 6)
+             AS improvement_pct
+    FROM pick
+    """,
+)
+def ensemble_weight_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scipy-SLSQP ensemble weight optimization —
+    `forcester_ts/ensemble_diagnostics.py:217-283` (`optimize_weights`,
+    RMSE objective, weights on the probability simplex) — solved EXACTLY
+    instead of iteratively: for the 3-model stack the strictly convex QP's
+    optimum has one of 7 supports; each support's equality-constrained
+    least squares is closed-form (cofactor 3x3 inverse + Lagrange step for
+    the full set, a scalar ratio for pairs); the global optimum is the
+    minimal-RMSE candidate among the feasible (componentwise >= 0) ones.
+    `current_rmse` is the uniform-initial-guess ensemble the reference
+    reports improvement against (`:271-272`). The equal-weight point is
+    always feasible, so optimal_rmse <= current_rmse holds by
+    construction; the KKT conditions are verified against an independent
+    projected-gradient check in tests.
+
+    Everything derives from ONE aggregation pass per user: the Gram
+    matrix entries (g11..g33), the cross-moments b1..b3 and aa — the
+    optimizer itself is scalar column algebra on a key-cardinality frame,
+    exactly what a 1000-executor cluster wants (the per-key fit never
+    sees row data twice)."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        F.col("value").alias("a"),
+        F.lag("value", 1).over(wp).alias("p1"),
+        F.avg("value").over(_w((-3, -1))).alias("p2"),
+        F.avg("value").over(_w((-10, -1))).alias("p3"),
+    ).filter(F.col("rn") >= 11)
+    k = (
+        f.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p1") * F.col("p1")).alias("g11"),
+            F.sum(F.col("p1") * F.col("p2")).alias("g12"),
+            F.sum(F.col("p1") * F.col("p3")).alias("g13"),
+            F.sum(F.col("p2") * F.col("p2")).alias("g22"),
+            F.sum(F.col("p2") * F.col("p3")).alias("g23"),
+            F.sum(F.col("p3") * F.col("p3")).alias("g33"),
+            F.sum(F.col("p1") * F.col("a")).alias("b1"),
+            F.sum(F.col("p2") * F.col("a")).alias("b2"),
+            F.sum(F.col("p3") * F.col("a")).alias("b3"),
+            F.sum(F.col("a") * F.col("a")).alias("aa"),
+        )
+        .filter(F.col("n") > 10)
+    )
+    g11, g12, g13 = F.col("g11"), F.col("g12"), F.col("g13")
+    g22, g23, g33 = F.col("g22"), F.col("g23"), F.col("g33")
+    b1, b2, b3, aa = F.col("b1"), F.col("b2"), F.col("b3"), F.col("aa")
+    inv = k.withColumn(
+        "det",
+        g11 * (g22 * g33 - g23 * g23)
+        - g12 * (g12 * g33 - g23 * g13)
+        + g13 * (g12 * g23 - g22 * g13),
+    )
+    det = F.nullif(F.col("det"), F.lit(0.0))
+    # cofactor rows of G^-1 (shared sub-expressions spelled out once)
+    c11, c12, c13 = (
+        g22 * g33 - g23 * g23,
+        g13 * g23 - g12 * g33,
+        g12 * g23 - g13 * g22,
+    )
+    c22, c23, c33 = (
+        g11 * g33 - g13 * g13,
+        g12 * g13 - g11 * g23,
+        g11 * g22 - g12 * g12,
+    )
+    uvw = inv.select(
+        "*",
+        ((c11 * b1 + c12 * b2 + c13 * b3) / det).alias("u1"),
+        ((c12 * b1 + c22 * b2 + c23 * b3) / det).alias("u2"),
+        ((c13 * b1 + c23 * b2 + c33 * b3) / det).alias("u3"),
+        ((c11 + c12 + c13) / det).alias("v1"),
+        ((c12 + c22 + c23) / det).alias("v2"),
+        ((c13 + c23 + c33) / det).alias("v3"),
+    )
+    u1, u2, u3 = F.col("u1"), F.col("u2"), F.col("u3")
+    v1, v2, v3 = F.col("v1"), F.col("v2"), F.col("v3")
+    lam = (1.0 - (u1 + u2 + u3)) / F.nullif(v1 + v2 + v3, F.lit(0.0))
+    cand = uvw.select(
+        "*",
+        (u1 + lam * v1).alias("wf1"),
+        (u2 + lam * v2).alias("wf2"),
+        (u3 + lam * v3).alias("wf3"),
+        (((b1 - b2) + (g22 - g12)) / F.nullif(g11 - 2.0 * g12 + g22, F.lit(0.0))).alias("w12"),
+        (((b1 - b3) + (g33 - g13)) / F.nullif(g11 - 2.0 * g13 + g33, F.lit(0.0))).alias("w13"),
+        (((b2 - b3) + (g33 - g23)) / F.nullif(g22 - 2.0 * g23 + g33, F.lit(0.0))).alias("w23"),
+    )
+    n = F.col("n")
+    wf1, wf2, wf3 = F.col("wf1"), F.col("wf2"), F.col("wf3")
+    w12, w13, w23 = F.col("w12"), F.col("w13"), F.col("w23")
+
+    def pair_r2(w, bi, bj, gii, gjj, gij):
+        return (
+            aa
+            - 2.0 * (w * bi + (1.0 - w) * bj)
+            + (w * w * gii + (1.0 - w) * (1.0 - w) * gjj + 2.0 * (w * (1.0 - w) * gij))
+        ) / n
+
+    r2 = cand.select(
+        "*",
+        F.when(
+            (wf1 >= 0) & (wf2 >= 0) & (wf3 >= 0),
+            (
+                aa
+                - 2.0 * (wf1 * b1 + wf2 * b2 + wf3 * b3)
+                + (
+                    wf1 * wf1 * g11
+                    + wf2 * wf2 * g22
+                    + wf3 * wf3 * g33
+                    + 2.0 * (wf1 * wf2 * g12 + wf1 * wf3 * g13 + wf2 * wf3 * g23)
+                )
+            )
+            / n,
+        ).alias("r2_full"),
+        F.when((w12 >= 0) & (w12 <= 1), pair_r2(w12, b1, b2, g11, g22, g12)).alias("r2_12"),
+        F.when((w13 >= 0) & (w13 <= 1), pair_r2(w13, b1, b3, g11, g33, g13)).alias("r2_13"),
+        F.when((w23 >= 0) & (w23 <= 1), pair_r2(w23, b2, b3, g22, g33, g23)).alias("r2_23"),
+        ((aa - 2.0 * b1 + g11) / n).alias("r2_1"),
+        ((aa - 2.0 * b2 + g22) / n).alias("r2_2"),
+        ((aa - 2.0 * b3 + g33) / n).alias("r2_3"),
+        (
+            (
+                aa
+                - 2.0 * ((b1 + b2 + b3) / 3.0)
+                + (g11 + g22 + g33 + 2.0 * (g12 + g13 + g23)) / 9.0
+            )
+            / n
+        ).alias("r2_ew"),
+    )
+    big = F.lit(1e308)
+    pick = r2.withColumn(
+        "r2_min",
+        F.least(
+            F.coalesce(F.col("r2_full"), big),
+            F.coalesce(F.col("r2_12"), big),
+            F.coalesce(F.col("r2_13"), big),
+            F.coalesce(F.col("r2_23"), big),
+            F.col("r2_1"),
+            F.col("r2_2"),
+            F.col("r2_3"),
+        ),
+    )
+    rmin = F.col("r2_min")
+
+    def is_(c):
+        return F.col(c).isNotNull() & (F.col(c) == rmin)
+
+    active = (
+        F.when(is_("r2_full"), "naive+ma3+ma10")
+        .when(is_("r2_12"), "naive+ma3")
+        .when(is_("r2_13"), "naive+ma10")
+        .when(is_("r2_23"), "ma3+ma10")
+        .when(F.col("r2_1") == rmin, "naive")
+        .when(F.col("r2_2") == rmin, "ma3")
+        .otherwise("ma10")
+    )
+    wn = (
+        F.when(is_("r2_full"), wf1)
+        .when(is_("r2_12"), w12)
+        .when(is_("r2_13"), w13)
+        .when(is_("r2_23"), F.lit(0.0))
+        .when(F.col("r2_1") == rmin, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    wm3 = (
+        F.when(is_("r2_full"), wf2)
+        .when(is_("r2_12"), 1.0 - w12)
+        .when(is_("r2_13"), F.lit(0.0))
+        .when(is_("r2_23"), w23)
+        .when(F.col("r2_2") == rmin, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    wm10 = (
+        F.when(is_("r2_full"), wf3)
+        .when(is_("r2_12"), F.lit(0.0))
+        .when(is_("r2_13"), 1.0 - w13)
+        .when(is_("r2_23"), 1.0 - w23)
+        .when((F.col("r2_1") == rmin) | (F.col("r2_2") == rmin), F.lit(0.0))
+        .otherwise(F.lit(1.0))
+    )
+    return pick.select(
+        "user_id",
+        "n",
+        active.alias("active_set"),
+        r6(wn).alias("w_naive"),
+        r6(wm3).alias("w_ma3"),
+        r6(wm10).alias("w_ma10"),
+        r6(F.sqrt(rmin)).alias("optimal_rmse"),
+        r6(F.sqrt(F.col("r2_ew"))).alias("current_rmse"),
+        r6(
+            (F.sqrt(F.col("r2_ew")) - F.sqrt(rmin))
+            / F.sqrt(F.col("r2_ew"))
+            * 100.0
+        ).alias("improvement_pct"),
+    )

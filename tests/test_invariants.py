@@ -777,3 +777,55 @@ def test_stationarity_verdict_branches(spark, sf_dir, tmp_path):
         assert lvl.force_difference == 1
         assert ret.stationarity_verdict == "stationary", ret
         assert ret.force_difference == 0
+
+
+def test_weight_optimization_satisfies_kkt(spark, sf_dir):
+    """The closed-form active-set QP must return the true constrained
+    optimum of the reference's SLSQP problem: KKT conditions on the
+    simplex (equal gradients on the support, no descent direction off
+    it), reported RMSE consistent with the weights, and never worse than
+    the always-feasible equal-weight and single-model candidates."""
+    import duckdb
+    import numpy as np
+
+    rows = QUERIES["ensemble_weight_optimization"](spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    raw = con.execute("""
+        WITH s AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM (SELECT * FROM events WHERE value > 0)
+        )
+        SELECT user_id, value AS a,
+               LAG(value,1) OVER wp AS p1,
+               AVG(value) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS p2,
+               AVG(value) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS p3,
+               rn
+        FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+        QUALIFY rn >= 11 ORDER BY user_id, rn
+    """).df()
+    for r in rows:
+        sub = raw[raw.user_id == r.user_id]
+        P = sub[["p1", "p2", "p3"]].to_numpy(float)
+        a = sub["a"].to_numpy(float)
+        n = len(a)
+        G, b = P.T @ P, P.T @ a
+        w = np.array([r.w_naive, r.w_ma3, r.w_ma10])
+        assert abs(w.sum() - 1.0) < 3e-6 and (w >= -1e-9).all(), r
+        rmse = float(np.sqrt(np.mean((P @ w - a) ** 2)))
+        assert abs(rmse - r.optimal_rmse) < max(1e-3, 1e-4 * rmse), (r, rmse)
+        assert r.optimal_rmse <= r.current_rmse + 1e-6, r
+        # singletons are always feasible candidates
+        for i in range(3):
+            e = np.zeros(3); e[i] = 1.0
+            single = float(np.sqrt(np.mean((P @ e - a) ** 2)))
+            assert r.optimal_rmse <= single + 1e-6, (r, i, single)
+        # KKT: on the support all gradients equal nu; off it grad >= nu
+        grad = 2.0 * (G @ w - b) / n
+        scale = max(1.0, float(np.abs(grad).max()))
+        support = w > 1e-5
+        nu = grad[support].mean()
+        assert np.abs(grad[support] - nu).max() < 1e-2 * scale, (r, grad)
+        assert (grad[~support] >= nu - 1e-2 * scale).all(), (r, grad)
