@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..forecast import ar_grid_forecast_fanout, ewma_vol_forecast, ssa_reconstruct
 from ..sources.catalog import load_table
-from .queries import ORACLE, query
+from .queries import ORACLE, query, r6
 from .queries_stats import _S_SQL, _series
 
 
@@ -1667,10 +1667,9 @@ ORACLE["paper_trading_portfolio"] = """
     """
 
 
-@query(
-    "cusum_changepoints",
-    oracle=f"""
-    WITH RECURSIVE s AS ({_S_SQL}),
+# Shared recursive-CTE chain for the two-sided CUSUM replay (k=0.5, h=3.0)
+# — used by `cusum_changepoints` and `changepoint_confidence_boost`.
+_CUSUM_CTE = f"""s AS ({_S_SQL}),
     d AS (
       SELECT user_id, rn, lr,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS seq
@@ -1703,7 +1702,13 @@ ORACLE["paper_trading_portfolio"] = """
              CASE WHEN GREATEST(0.0, (rec.sn - z.z) - 0.5) > 3.0
                   THEN 0.0 ELSE GREATEST(0.0, (rec.sn - z.z) - 0.5) END
       FROM rec JOIN z ON z.user_id = rec.user_id AND z.seq = rec.seq + 1
-    )
+    )"""
+
+
+@query(
+    "cusum_changepoints",
+    oracle=f"""
+    WITH RECURSIVE {_CUSUM_CTE}
     SELECT user_id, CAST(rn AS INTEGER) AS rn, direction,
            ROUND(stat, 6) AS cusum_stat
     FROM (
@@ -2998,3 +3003,153 @@ def _samossa_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
     return base.select(
         "user_id", F.explode(F.array(*rows)).alias("v")
     ).select("user_id", "v.*")
+
+
+@query(
+    "changepoint_confidence_boost",
+    oracle=f"""
+    WITH RECURSIVE {_CUSUM_CTE},
+    cp AS (
+      SELECT user_id, rn FROM rec WHERE sp_raw > 3.0 OR sn_raw > 3.0
+    ),
+    nobs AS (
+      SELECT user_id, COUNT(*) AS n_obs FROM d GROUP BY user_id
+    ),
+    lastts AS (
+      SELECT user_id, MAX(ts) AS last_ts FROM s GROUP BY user_id
+    ),
+    cps AS (
+      SELECT user_id, COUNT(*) AS n_cp, MAX(rn) AS last_cp_rn
+      FROM cp GROUP BY user_id
+    ),
+    j AS (
+      SELECT st.user_id, n.n_obs,
+             COALESCE(c.n_cp, 0) AS n_cp,
+             COALESCE(c.n_cp, 0) / CAST(GREATEST(n.n_obs, 1) AS DOUBLE)
+               AS density,
+             CASE WHEN c.n_cp IS NOT NULL THEN
+               CAST(FLOOR((EPOCH(lt.last_ts) - EPOCH(ct.ts)) / 86400.0)
+                    AS INTEGER) END AS recent_days
+      FROM st
+      JOIN nobs n ON n.user_id = st.user_id
+      JOIN lastts lt ON lt.user_id = st.user_id
+      LEFT JOIN cps c ON c.user_id = st.user_id
+      LEFT JOIN s ct ON ct.user_id = st.user_id AND ct.rn = c.last_cp_rn
+    )
+    SELECT user_id, n_obs, n_cp,
+           ROUND(density, 6) AS density,
+           recent_days,
+           ROUND(CASE
+             WHEN recent_days IS NULL THEN NULL
+             WHEN recent_days <= 7 THEN
+               LEAST(GREATEST(0.2 + 0.6 * GREATEST(0.0, 1.0 - recent_days / 7.0)
+                              + 0.2 * LEAST(density * 10.0, 1.0), 0.0), 1.0)
+             WHEN density > 0.05 THEN
+               LEAST(GREATEST(0.2 * density * 10.0, 0.0), 0.6)
+             END, 6) AS boost,
+           CASE WHEN recent_days IS NULL THEN 'none'
+                WHEN recent_days <= 7 THEN 'recent'
+                WHEN density > 0.05 THEN 'density'
+                ELSE 'none' END AS boost_branch
+    FROM j
+    """,
+)
+def changepoint_confidence_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MSSA-RL change-point confidence boost — reference
+    `forcester_ts/ensemble.py:684-695` (`_change_point_boost`) over the
+    summary statistics `forcester_ts/mssa_rl.py:995-1004` computes after
+    every fit: density = change points / cleaned length, recency = whole
+    days between the last observation and the last change point
+    (pandas `.days` truncation = FLOOR of the epoch difference). A change
+    point inside the last 7 days boosts confidence by
+    0.2 + 0.6*recency + 0.2*min(10*density, 1) clipped to [0,1]; with no
+    recent alarm a dense history (> 0.05) still earns the capped
+    0.2*10*density boost; otherwise no boost (NULL, 'none').
+
+    Spark side reuses the CUSUM Arrow kernel the `cusum_changepoints`
+    query runs; the oracle re-derives the alarms through the shared
+    recursive CTE and aggregates independently. Post-kernel everything is
+    key-cardinality joins."""
+    from ..forecast.models import cusum_changepoints
+
+    from ..functions.scalars import epoch_seconds
+    from .queries_stats import _series
+
+    s = _series(spark, sf_dir)
+    d = s.filter(F.col("lr").isNotNull())
+    st = (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.stddev_samp("lr").alias("sd"),
+        )
+        .filter((F.col("n_obs") >= 10) & (F.col("sd") > 0))
+        .select("user_id", "n_obs")
+    )
+    lastts = s.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    cp = cusum_changepoints(s.select("user_id", "rn", "lr"), h=3.0)
+    cps = cp.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_cp"), F.max("rn").alias("last_cp_rn")
+    )
+    ct = s.select("user_id", "rn", F.col("ts").alias("cp_ts"))
+    j = (
+        st.join(lastts, "user_id")
+        .join(cps, "user_id", "left")
+        .join(
+            ct,
+            (st["user_id"] == ct["user_id"])
+            & (F.col("last_cp_rn") == ct["rn"]),
+            "left",
+        )
+        .select(
+            st["user_id"].alias("user_id"),
+            "n_obs",
+            F.coalesce(F.col("n_cp"), F.lit(0)).alias("n_cp"),
+            (
+                F.coalesce(F.col("n_cp"), F.lit(0))
+                / F.greatest(F.col("n_obs"), F.lit(1)).cast("double")
+            ).alias("density"),
+            F.when(
+                F.col("n_cp").isNotNull(),
+                F.floor(
+                    (epoch_seconds(F.col("last_ts")) - epoch_seconds(F.col("cp_ts")))
+                    / 86400.0
+                ).cast("int"),
+            ).alias("recent_days"),
+        )
+    )
+    rd, dens = F.col("recent_days"), F.col("density")
+    boost = (
+        F.when(rd.isNull(), F.lit(None).cast("double"))
+        .when(
+            rd <= 7,
+            F.least(
+                F.greatest(
+                    0.2
+                    + 0.6 * F.greatest(F.lit(0.0), 1.0 - rd / 7.0)
+                    + 0.2 * F.least(dens * 10.0, F.lit(1.0)),
+                    F.lit(0.0),
+                ),
+                F.lit(1.0),
+            ),
+        )
+        .when(
+            dens > 0.05,
+            F.least(F.greatest(0.2 * dens * 10.0, F.lit(0.0)), F.lit(0.6)),
+        )
+    )
+    branch = (
+        F.when(rd.isNull(), "none")
+        .when(rd <= 7, "recent")
+        .when(dens > 0.05, "density")
+        .otherwise("none")
+    )
+    return j.select(
+        "user_id",
+        "n_obs",
+        "n_cp",
+        r6(dens).alias("density"),
+        rd.alias("recent_days"),
+        r6(boost).alias("boost"),
+        branch.alias("boost_branch"),
+    )

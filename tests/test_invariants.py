@@ -829,3 +829,63 @@ def test_weight_optimization_satisfies_kkt(spark, sf_dir):
         nu = grad[support].mean()
         assert np.abs(grad[support] - nu).max() < 1e-2 * scale, (r, grad)
         assert (grad[~support] >= nu - 1e-2 * scale).all(), (r, grad)
+
+
+def test_changepoint_boost_branches(spark, tmp_path):
+    """`_change_point_boost` ladder (`ensemble.py:684-695`): a change
+    point within 7 days earns the recency boost, a dense but stale alarm
+    history earns the capped density boost, a quiet series earns none.
+    Deterministic noise-free construction: background log-returns 0.001,
+    spike days 0.08 — the spike z-scores exceed the CUSUM threshold on
+    consecutive spike days while background days decay the statistic."""
+    import math as _m
+
+    import numpy as np
+    import pandas as pd
+
+    def series(uid, spikes, n=100):
+        lr = np.full(n, 0.001)
+        if uid == 3:
+            lr[::2] = -0.001  # tiny alternation: sd > 0, no alarms
+        for s0, s1 in spikes:
+            lr[s0:s1] = 0.08
+        vals = 100.0 * np.exp(np.cumsum(lr))
+        return [
+            (pd.Timestamp("2024-01-01") + pd.Timedelta(days=i), uid, float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    rows = []
+    rows += series(1, [(96, 99)])                     # recent shift
+    rows += series(2, [(10, 13), (22, 25), (34, 37), (46, 49), (58, 61)])
+    rows += series(3, [])                             # quiet
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["event_type"] = "tick"
+    pdf["props"] = "{}"
+    d = str(tmp_path / "sf_cpb")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d + "/events.parquet")
+
+    out = {
+        r.user_id: r
+        for r in QUERIES["changepoint_confidence_boost"](spark, d).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    r1, r2, r3 = out[1], out[2], out[3]
+    assert r1.boost_branch == "recent" and r1.recent_days <= 7, r1
+    expect1 = min(
+        max(
+            0.2
+            + 0.6 * max(0.0, 1.0 - r1.recent_days / 7.0)
+            + 0.2 * min(r1.density * 10.0, 1.0),
+            0.0,
+        ),
+        1.0,
+    )
+    assert _m.isclose(r1.boost, expect1, abs_tol=2e-6), (r1, expect1)
+    assert r2.boost_branch == "density" and r2.recent_days > 7, r2
+    assert r2.density > 0.05, r2
+    assert _m.isclose(
+        r2.boost, min(max(0.2 * r2.density * 10.0, 0.0), 0.6), abs_tol=2e-6
+    ), r2
+    assert r3.boost_branch == "none" and r3.boost is None and r3.n_cp == 0, r3
