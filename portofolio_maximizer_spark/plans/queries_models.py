@@ -9,7 +9,7 @@ against an independent numpy/pandas implementation in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..forecast import ar_grid_forecast_fanout, ewma_vol_forecast, ssa_reconstruct
@@ -745,15 +745,11 @@ _GARCH_NU_VALUES = "(4.0), (5.0), (6.0), (8.0), (10.0), (15.0), (20.0), (30.0)"
 _GARCH_LAM_VALUES = "(-0.4), (-0.25), (-0.1), (0.1), (0.25), (0.4)"
 
 
-ORACLE["garch_grid_fit"] = f"""
-    WITH RECURSIVE s AS ({_S_SQL}),
-    par AS (
-      SELECT user_id, p, q, dd, alpha1 AS a1, alpha2 AS a2, beta1 AS b1,
-             beta2 AS b2, alpha1 + alpha2 + beta1 + beta2 AS pers
-      FROM read_parquet(
-        '__ORACLE_STAGE__/garch_grid_params/*.parquet')
-    ),
-    obs0 AS (
+# Shared innovation-reconstruction chain for the GARCH replays: the
+# last-2000 window, the 99.5%-cap clip, the staged ADF difference, the
+# AR(1) conditional mean re-derivation and the demeaned innovations —
+# `par` (must provide user_id, dd) and `s` are defined by the caller.
+_GARCH_INNOV_CTE = f"""obs0 AS (
       SELECT user_id, lr,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS seq,
              COUNT(*) OVER (PARTITION BY user_id) AS nn
@@ -809,8 +805,19 @@ ORACLE["garch_grid_fit"] = f"""
              p.x0 - (ar.m0 - ar.rho * ar.m1) - ar.rho * p.x1 AS rd,
              POWER(p.x0 - (ar.m0 - ar.rho * ar.m1) - ar.rho * p.x1, 2) AS r2
       FROM prs p JOIN arp ar ON ar.user_id = p.user_id
+    )"""
+
+
+ORACLE["garch_grid_fit"] = f"""
+    WITH RECURSIVE s AS ({_S_SQL}),
+    par AS (
+      SELECT user_id, p, q, dd, alpha1 AS a1, alpha2 AS a2, beta1 AS b1,
+             beta2 AS b2, alpha1 + alpha2 + beta1 + beta2 AS pers
+      FROM read_parquet(
+        '__ORACLE_STAGE__/garch_grid_params/*.parquet')
     ),
-    v0 AS (
+    {_GARCH_INNOV_CTE},
+        v0 AS (
       -- keys with 11 <= n < 40 innovations take the reference's EWMA
       -- fallback rung; their staged params (0, 0.06, 0.94) flow through
       -- the SAME recursion (omega = var0*(1-1) = 0)
@@ -3153,3 +3160,372 @@ def changepoint_confidence_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(boost).alias("boost"),
         branch.alias("boost_branch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GARCH price-path enrichment: return forecasts -> price CIs + inflation
+# ---------------------------------------------------------------------------
+
+# chi^2 5% critical values for df 1..10 — the p > 0.05 white-noise decision
+# compares the statistic against these (equivalent, closed-form).
+_CHI2_CRIT_5PCT = {
+    1: 3.8414588206941285, 2: 5.991464547107979, 3: 7.814727903251179,
+    4: 9.487729036781154, 5: 11.070497693516351, 6: 12.591587243743977,
+    7: 14.067140449340169, 8: 15.507313055865453, 9: 16.918977604620448,
+    10: 18.307038053275146,
+}
+
+
+def _garch_ci_sql() -> str:
+    """Build the oracle for garch_price_forecast_ci (5-step unroll)."""
+    rexpr = {1: "(c + rho * r_t)"}
+    for h in range(2, 6):
+        rexpr[h] = f"(c + rho * {rexpr[h - 1]})"
+    pexpr = {0: "p0"}
+    for h in range(1, 6):
+        pexpr[h] = f"({pexpr[h - 1]} * (1.0 + {rexpr[h]}))"
+    crit = "CASE eff_lags " + " ".join(
+        f"WHEN {k} THEN {v!r}" for k, v in _CHI2_CRIT_5PCT.items()
+    ) + " END"
+    lb_terms = " + ".join(
+        f"CASE WHEN {k} <= LEAST(10, n // 4) THEN POWER(c{k} / s2e, 2) / (n - {k}) ELSE 0.0 END"
+        for k in range(1, 11)
+    )
+    lags = ", ".join(f"LAG(e, {k}) OVER w AS e{k}" for k in range(1, 11))
+    csums = ", ".join(f"SUM(e * e{k}) AS c{k}" for k in range(1, 11))
+    out_cols = []
+    for h in range(1, 6):
+        p = pexpr[h]
+        lo = f"GREATEST(0.0, {p} * (1.0 - 1.96 * sg{h}))"
+        hi = f"{p} * (1.0 + 1.96 * sg{h})"
+        out_cols.append(f"ROUND({p}, 6) AS price_h{h}")
+        out_cols.append(
+            f"ROUND(CASE WHEN ci_inflated = 1 THEN GREATEST(0.0, {p} - ({p} - {lo}) * 1.2) ELSE {lo} END, 6) AS lo_h{h}"
+        )
+        out_cols.append(
+            f"ROUND(CASE WHEN ci_inflated = 1 THEN {p} + ({hi} - {p}) * 1.2 ELSE {hi} END, 6) AS hi_h{h}"
+        )
+    outs = ",\n           ".join(out_cols)
+    return f"""
+    WITH s AS ({_S_SQL}),
+    par AS (
+      SELECT user_id, dd, dist, sigma_next AS sg1, sigma_h2 AS sg2,
+             sigma_h3 AS sg3, sigma_h4 AS sg4, sigma_h5 AS sg5
+      FROM read_parquet(
+        '__ORACLE_STAGE__/garch_grid_params/*.parquet')
+    ),
+    {_GARCH_INNOV_CTE},
+    e0 AS (
+      SELECT user_id, t, rd - AVG(rd) OVER (PARTITION BY user_id) AS e
+      FROM dm
+    ),
+    el AS (
+      SELECT user_id, t, e, {lags}
+      FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    diag AS (
+      SELECT user_id, COUNT(*) AS n, SUM(e * e) AS s2e,
+             {csums},
+             SUM(e * e * e) AS m3s, SUM(e * e * e * e) AS m4s
+      FROM el GROUP BY user_id
+    ),
+    lbjb AS (
+      SELECT user_id, n, LEAST(10, n // 4) AS eff_lags,
+             n * (n + 2.0) * ({lb_terms}) AS lb_stat,
+             n / 6.0 * (POWER((m3s / n) / POWER(s2e / n, 1.5), 2)
+                        + POWER((m4s / n) / POWER(s2e / n, 2) - 3.0, 2)
+                          / 4.0) AS jb_stat
+      FROM diag
+    ),
+    wn AS (
+      SELECT user_id, n, eff_lags, lb_stat, jb_stat,
+             CASE WHEN lb_stat < ({crit})
+                   AND jb_stat < 5.991464547107979
+                  THEN 1 ELSE 0 END AS white_noise
+      FROM lbjb
+    ),
+    lastret AS (
+      SELECT user_id, lr AS r_t FROM (
+        SELECT user_id, lr,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC) AS rk
+        FROM wd) WHERE rk = 1
+    ),
+    lastpx AS (
+      SELECT user_id, value AS p0 FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rk
+        FROM s) WHERE rk = 1
+    ),
+    mp AS (
+      SELECT p.user_id, p.dist, p.sg1, p.sg2, p.sg3, p.sg4, p.sg5,
+             w.n, w.eff_lags, w.lb_stat, w.jb_stat, w.white_noise,
+             CASE WHEN w.white_noise = 0 AND w.n >= 10 THEN 1 ELSE 0 END
+               AS ci_inflated,
+             ar.m0 - ar.rho * ar.m1 AS c, ar.rho, lr.r_t, px.p0
+      FROM par p
+      JOIN wn w ON w.user_id = p.user_id
+      JOIN arp ar ON ar.user_id = p.user_id
+      JOIN lastret lr ON lr.user_id = p.user_id
+      JOIN lastpx px ON px.user_id = p.user_id
+    )
+    SELECT user_id, dist, CAST(n AS BIGINT) AS n,
+           CAST(eff_lags AS INT) AS eff_lags,
+           ROUND(lb_stat, 6) AS lb_stat,
+           ROUND(jb_stat, 6) AS jb_stat,
+           white_noise, ci_inflated,
+           {outs}
+    FROM mp
+    """
+
+
+@query("garch_price_forecast_ci", oracle=_garch_ci_sql())
+def garch_price_forecast_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH forecast enrichment — reference `forcester_ts/forecaster.py:
+    1752-1844` (`_enrich_garch_forecast`): the AR(1)-conditional-mean
+    return forecasts compound into a price path from the last observed
+    price (`:1768-1775`), the per-horizon vol ladder becomes a price CI
+    p*(1 +/- 1.96*sigma_h) clamped at zero (`:1786-1792`), and the CI
+    half-width inflates 1.2x when the residual diagnostics fail the
+    white-noise check with n >= 10 (`:1794-1817`;
+    `residual_diagnostics.py:19-98`: Ljung-Box at min(10, n//4) lags AND
+    Jarque-Bera, both p > 0.05 — decided here against the equivalent
+    chi^2 5% critical values in closed form). The reference's 1.5x
+    non-convergence inflation (`:1819-1841`) is structurally dead in the
+    engine: the QMLE grid search cannot fail to converge, so no branch
+    exists for it. dd=1 keys compound their DIFFERENCED returns exactly
+    as the reference compounds whatever mean_forecast the payload holds —
+    and like the reference's blind ``cur *= (1+r)`` loop (`:1771-1775`,
+    only non-finite r is guarded), a key whose log-returns exceed -1 in
+    magnitude can legally compound through zero; no clamp exists there,
+    so none exists here.
+
+    Spark side re-derives the innovation series (window/clip/difference/
+    AR mean) in pure column algebra from raw data + the staged dd flag;
+    only the vol ladder comes from the staged artifact. The oracle
+    repeats the whole derivation independently through the shared
+    innovation CTE chain. Key-cardinality joins after one window pass."""
+    from .queries import stage_cached
+    from ..forecast import garch_grid_fit
+
+    staged = stage_cached(
+        spark,
+        sf_dir,
+        "garch_grid_params",
+        lambda: garch_grid_fit(
+            _series(spark, sf_dir).select("user_id", "rn", "lr"), round_out=False
+        ),
+    )
+    par = staged.select(
+        "user_id",
+        "dd",
+        "dist",
+        F.col("sigma_next").alias("sg1"),
+        F.col("sigma_h2").alias("sg2"),
+        F.col("sigma_h3").alias("sg3"),
+        F.col("sigma_h4").alias("sg4"),
+        F.col("sigma_h5").alias("sg5"),
+    )
+    s = _series(spark, sf_dir)
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("rn")
+    obs0 = s.filter(F.col("lr").isNotNull()).select(
+        "user_id",
+        "lr",
+        F.row_number().over(wo).alias("seq"),
+        F.count(F.lit(1)).over(wu).alias("nn"),
+    )
+    win = obs0.filter(F.col("seq") > F.col("nn") - 2000).select(
+        "user_id",
+        "lr",
+        (F.col("seq") - (F.col("nn") - F.least(F.col("nn"), F.lit(2000))) - 1).alias("t"),
+    )
+    capv = win.groupBy("user_id").agg(
+        F.expr("percentile(abs(lr), 0.995)").alias("q995"),
+        F.expr("percentile(abs(lr), 0.5)").alias("med"),
+    ).select(
+        "user_id",
+        F.when(
+            F.col("med") > 0,
+            F.greatest(F.col("q995"), 10 * F.col("med")),
+        )
+        .otherwise(F.col("q995"))
+        .alias("cap"),
+    )
+    wc = win.join(capv, "user_id").select(
+        "user_id",
+        "t",
+        F.when(
+            F.col("cap") > 0,
+            F.least(F.greatest(F.col("lr"), -F.col("cap")), F.col("cap")),
+        )
+        .otherwise(F.col("lr"))
+        .alias("lr"),
+    )
+    wt = Window.partitionBy("user_id").orderBy("t")
+    wd = (
+        wc.join(par.select("user_id", "dd"), "user_id")
+        .select(
+            "user_id",
+            F.when(F.col("dd") == 1, F.col("t") - 1).otherwise(F.col("t")).alias("t"),
+            F.when(
+                F.col("dd") == 1, F.col("lr") - F.lag("lr").over(wt)
+            )
+            .otherwise(F.col("lr"))
+            .alias("lr"),
+        )
+        .filter(F.col("lr").isNotNull())
+    )
+    prs = wd.select(
+        "user_id",
+        "t",
+        F.col("lr").alias("x0"),
+        F.lag("lr").over(wt).alias("x1"),
+    ).filter(F.col("x1").isNotNull())
+    cnt = F.count(F.lit(1))
+    arp = (
+        prs.groupBy("user_id")
+        .agg(
+            F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+            F.sum("x1").alias("s1"),
+            F.sum(F.col("x0") * F.col("x1")).alias("s01"),
+            F.sum("x0").alias("s0"),
+            F.avg("x0").alias("m0"),
+            F.avg("x1").alias("m1"),
+            cnt.alias("np"),
+        )
+        .filter(F.col("np") >= 11)
+        .select(
+            "user_id",
+            "m0",
+            "m1",
+            F.when(
+                (F.col("s11") - F.col("s1") * F.col("s1") / F.col("np")) > 0,
+                (F.col("s01") - F.col("s0") * F.col("s1") / F.col("np"))
+                / (F.col("s11") - F.col("s1") * F.col("s1") / F.col("np")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rho"),
+        )
+    )
+    dm = prs.join(arp, "user_id").select(
+        "user_id",
+        (F.col("t") - 1).alias("t"),
+        (
+            F.col("x0")
+            - (F.col("m0") - F.col("rho") * F.col("m1"))
+            - F.col("rho") * F.col("x1")
+        ).alias("rd"),
+    )
+    e0 = dm.select(
+        "user_id", "t", (F.col("rd") - F.avg("rd").over(wu)).alias("e")
+    )
+    el = e0.select(
+        "user_id",
+        "t",
+        "e",
+        *[F.lag("e", k).over(wt).alias(f"e{k}") for k in range(1, 11)],
+    )
+    diag = el.groupBy("user_id").agg(
+        cnt.alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("s2e"),
+        *[F.sum(F.col("e") * F.col(f"e{k}")).alias(f"c{k}") for k in range(1, 11)],
+        F.sum(F.col("e") * F.col("e") * F.col("e")).alias("m3s"),
+        F.sum(F.col("e") * F.col("e") * F.col("e") * F.col("e")).alias("m4s"),
+    )
+    n = F.col("n")
+    eff = F.least(F.lit(10), F.floor(n / 4)).cast("int")
+    lb_terms = None
+    for k in range(1, 11):
+        term = F.when(
+            F.lit(k) <= F.least(F.lit(10), F.floor(n / 4)),
+            F.pow(F.col(f"c{k}") / F.col("s2e"), 2) / (n - k),
+        ).otherwise(F.lit(0.0))
+        lb_terms = term if lb_terms is None else lb_terms + term
+    lb = n * (n + 2.0) * lb_terms
+    m2 = F.col("s2e") / n
+    jb = n / 6.0 * (
+        F.pow((F.col("m3s") / n) / F.pow(m2, 1.5), 2)
+        + F.pow((F.col("m4s") / n) / F.pow(m2, 2) - 3.0, 2) / 4.0
+    )
+    crit = None
+    for k, v in _CHI2_CRIT_5PCT.items():
+        cond = F.when(F.col("eff_lags") == k, F.lit(v))
+        crit = cond if crit is None else crit.when(F.col("eff_lags") == k, F.lit(v))
+    wn = diag.select(
+        "user_id",
+        "n",
+        eff.alias("eff_lags"),
+        lb.alias("lb_stat"),
+        jb.alias("jb_stat"),
+    ).select(
+        "*",
+        F.when(
+            (F.col("lb_stat") < crit) & (F.col("jb_stat") < 5.991464547107979), 1
+        )
+        .otherwise(0)
+        .alias("white_noise"),
+    )
+    lastret = (
+        wd.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("user_id").orderBy(F.col("t").desc()))
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("lr").alias("r_t"))
+    )
+    lastpx = (
+        s.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("user_id").orderBy(F.col("rn").desc()))
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("value").alias("p0"))
+    )
+    mp = (
+        par.join(wn, "user_id")
+        .join(arp.select("user_id", "m0", "m1", "rho"), "user_id")
+        .join(lastret, "user_id")
+        .join(lastpx, "user_id")
+        .select(
+            "*",
+            (F.col("m0") - F.col("rho") * F.col("m1")).alias("c"),
+            F.when(
+                (F.col("white_noise") == 0) & (F.col("n") >= 10), 1
+            )
+            .otherwise(0)
+            .alias("ci_inflated"),
+        )
+    )
+    c, rho = F.col("c"), F.col("rho")
+    r = {1: c + rho * F.col("r_t")}
+    for h in range(2, 6):
+        r[h] = c + rho * r[h - 1]
+    p = {0: F.col("p0")}
+    for h in range(1, 6):
+        p[h] = p[h - 1] * (1.0 + r[h])
+    out = [
+        "user_id",
+        "dist",
+        F.col("n").cast("long").alias("n"),
+        "eff_lags",
+        F.round(F.col("lb_stat"), 6).alias("lb_stat"),
+        F.round(F.col("jb_stat"), 6).alias("jb_stat"),
+        "white_noise",
+        "ci_inflated",
+    ]
+    infl = F.col("ci_inflated") == 1
+    for h in range(1, 6):
+        sg = F.col(f"sg{h}")
+        lo = F.greatest(F.lit(0.0), p[h] * (1.0 - 1.96 * sg))
+        hi = p[h] * (1.0 + 1.96 * sg)
+        out.append(F.round(p[h], 6).alias(f"price_h{h}"))
+        out.append(
+            F.round(
+                F.when(infl, F.greatest(F.lit(0.0), p[h] - (p[h] - lo) * 1.2)).otherwise(lo),
+                6,
+            ).alias(f"lo_h{h}")
+        )
+        out.append(
+            F.round(
+                F.when(infl, p[h] + (hi - p[h]) * 1.2).otherwise(hi), 6
+            ).alias(f"hi_h{h}")
+        )
+    return mp.select(*out)

@@ -889,3 +889,37 @@ def test_changepoint_boost_branches(spark, tmp_path):
         r2.boost, min(max(0.2 * r2.density * 10.0, 0.0), 0.6), abs_tol=2e-6
     ), r2
     assert r3.boost_branch == "none" and r3.boost is None and r3.n_cp == 0, r3
+
+
+def test_garch_ci_inflation_rules(spark, sf_dir):
+    """`_enrich_garch_forecast` gating: CI inflation fires exactly when
+    the white-noise check fails with n >= 10; eff_lags = min(10, n//4);
+    the white-noise flag agrees with the emitted LB/JB statistics against
+    the chi^2 critical values; non-inflated rows keep the plain 1.96-sigma
+    band (hi/price ratio consistent across horizons via the vol ladder's
+    monotone approach)."""
+    from portofolio_maximizer_spark.plans.queries_models import _CHI2_CRIT_5PCT
+
+    rows = QUERIES["garch_price_forecast_ci"](spark, sf_dir).collect()
+    assert rows
+    branches = set()
+    for r in rows:
+        branches.add(r.ci_inflated)
+        assert r.eff_lags == min(10, r.n // 4), r
+        lb_ok = r.lb_stat < _CHI2_CRIT_5PCT[r.eff_lags] + 1e-6
+        jb_ok = r.jb_stat < _CHI2_CRIT_5PCT[2] + 1e-6
+        if r.white_noise:
+            assert lb_ok and jb_ok, r
+        else:
+            assert r.lb_stat > _CHI2_CRIT_5PCT[r.eff_lags] - 1e-6 or \
+                   r.jb_stat > _CHI2_CRIT_5PCT[2] - 1e-6, r
+        assert r.ci_inflated == (0 if r.white_noise or r.n < 10 else 1), r
+        for h in range(1, 6):
+            p, lo, hi = (
+                getattr(r, f"price_h{h}"),
+                getattr(r, f"lo_h{h}"),
+                getattr(r, f"hi_h{h}"),
+            )
+            assert lo >= 0.0, r  # zero-clamp always applied
+            if p > 0:
+                assert hi >= p - 1e-6, r  # band brackets positive prices
