@@ -1363,3 +1363,135 @@ def preselection_default_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("preselection_gate_passed")
         .alias("reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian order prior from the walk-forward fit history
+# ---------------------------------------------------------------------------
+
+
+@query("bayesian_order_prior")
+def bayesian_order_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian warm-start prior — reference `forcester_ts/
+    parameter_cache.py:222-357` (`compute_bayesian_prior`): each
+    historical fit is one ParameterRecord; per order the prior weight is
+    frequency-of-appearance x inverse performance (1/(1+avg rmse), the
+    lower-is-better arm), normalized into order probabilities; the argmax
+    order becomes the prior with its probability as confidence, and
+    hyperparameter means come from the top-30% performers (numpy
+    30th-percentile threshold = linear-interpolated quantile). The fit
+    history here is the engine's own walk-forward refit ledger (one
+    record per (key, fold), the `walkforward_refit_eval` staged frame),
+    so the prior derives from real expanding-window fits, not synthetic
+    rows; min_observations = 3 gates exactly as the reference. Ties in
+    the argmax resolve to the smaller order (the reference's dict-
+    insertion first-max is record-order dependent; a deterministic rule
+    is required for a distributed engine and float ties are measure-zero
+    anyway).
+
+    Both engines read the SAME staged full-precision artifacts and
+    aggregate independently — pure key-cardinality groupBys."""
+    from ..forecast import walkforward_refit
+    from .queries import stage_cached
+    from .queries_stats import _series
+
+    rec = stage_cached(
+        spark,
+        sf_dir,
+        "wf_refit_params",
+        lambda: walkforward_refit(
+            _series(spark, sf_dir).select("user_id", "rn", "value")
+        ),
+    )
+    base = (
+        rec.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.expr("percentile(rmse, 0.30D)").alias("thr"),
+            F.sum((F.col("best_order") == 1).cast("long")).alias("c1"),
+            F.sum((F.col("best_order") == 2).cast("long")).alias("c2"),
+            F.avg(F.when(F.col("best_order") == 1, F.col("rmse"))).alias("r1"),
+            F.avg(F.when(F.col("best_order") == 2, F.col("rmse"))).alias("r2"),
+        )
+        .filter(F.col("n_obs") >= 3)
+    )
+    nd = F.col("n_obs").cast("double")
+    s1 = F.coalesce(
+        (F.col("c1") / nd) * (1.0 / (1.0 + F.col("r1"))), F.lit(0.0)
+    )
+    s2 = F.coalesce(
+        (F.col("c2") / nd) * (1.0 / (1.0 + F.col("r2"))), F.lit(0.0)
+    )
+    pr = base.select(
+        "*", (s1 / (s1 + s2)).alias("p1"), (s2 / (s1 + s2)).alias("p2")
+    )
+    good = (
+        rec.join(base.select("user_id", "thr"), "user_id")
+        .filter(F.col("rmse") <= F.col("thr"))
+        .groupBy("user_id")
+        .agg(
+            F.avg("beta0").alias("mb0"),
+            F.avg("beta1").alias("mb1"),
+            F.avg("beta2").alias("mb2"),
+        )
+    )
+    return pr.join(good, "user_id").select(
+        "user_id",
+        "n_obs",
+        F.col("c1").alias("n_order1"),
+        F.col("c2").alias("n_order2"),
+        F.round(F.col("p1"), 6).alias("prob_order1"),
+        F.round(F.col("p2"), 6).alias("prob_order2"),
+        F.when(F.col("p1") >= F.col("p2"), 1).otherwise(2).alias("best_order"),
+        F.round(F.greatest(F.col("p1"), F.col("p2")), 6).alias("confidence"),
+        F.round(F.col("thr"), 6).alias("perf_threshold"),
+        F.round(F.col("mb0"), 6).alias("mean_beta0"),
+        F.round(F.col("mb1"), 6).alias("mean_beta1"),
+        F.round(F.col("mb2"), 6).alias("mean_beta2"),
+    )
+
+
+ORACLE["bayesian_order_prior"] = """
+    WITH rec AS (
+      SELECT user_id, fold, best_order, rmse, beta0, beta1, beta2
+      FROM read_parquet('__ORACLE_STAGE__/wf_refit_params/*.parquet')
+    ),
+    base AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             QUANTILE_CONT(rmse, 0.30) AS thr,
+             CAST(SUM(CASE WHEN best_order = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN best_order = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2,
+             AVG(CASE WHEN best_order = 1 THEN rmse END) AS r1,
+             AVG(CASE WHEN best_order = 2 THEN rmse END) AS r2
+      FROM rec GROUP BY user_id HAVING COUNT(*) >= 3
+    ),
+    sc AS (
+      SELECT *,
+             COALESCE((c1 / CAST(n_obs AS DOUBLE)) * (1.0 / (1.0 + r1)), 0.0)
+               AS s1,
+             COALESCE((c2 / CAST(n_obs AS DOUBLE)) * (1.0 / (1.0 + r2)), 0.0)
+               AS s2
+      FROM base
+    ),
+    pr AS (
+      SELECT *, s1 / (s1 + s2) AS p1, s2 / (s1 + s2) AS p2 FROM sc
+    ),
+    good AS (
+      SELECT r.user_id, AVG(r.beta0) AS mb0, AVG(r.beta1) AS mb1,
+             AVG(r.beta2) AS mb2
+      FROM rec r JOIN base b ON b.user_id = r.user_id
+      WHERE r.rmse <= b.thr GROUP BY r.user_id
+    )
+    SELECT p.user_id, p.n_obs, p.c1 AS n_order1, p.c2 AS n_order2,
+           ROUND(p.p1, 6) AS prob_order1,
+           ROUND(p.p2, 6) AS prob_order2,
+           CASE WHEN p.p1 >= p.p2 THEN 1 ELSE 2 END AS best_order,
+           ROUND(GREATEST(p.p1, p.p2), 6) AS confidence,
+           ROUND(p.thr, 6) AS perf_threshold,
+           ROUND(g.mb0, 6) AS mean_beta0,
+           ROUND(g.mb1, 6) AS mean_beta1,
+           ROUND(g.mb2, 6) AS mean_beta2
+    FROM pr p JOIN good g ON g.user_id = p.user_id
+    """

@@ -923,3 +923,22 @@ def test_garch_ci_inflation_rules(spark, sf_dir):
             assert lo >= 0.0, r  # zero-clamp always applied
             if p > 0:
                 assert hi >= p - 1e-6, r  # band brackets positive prices
+
+
+def test_bayesian_prior_probabilities(spark, sf_dir):
+    """`compute_bayesian_prior` semantics: order probabilities are a
+    normalized frequency x inverse-performance product (sum to 1), the
+    reported best order carries the max probability as its confidence,
+    record counts partition the history, and an order that both appears
+    more often and performs better must dominate the prior."""
+    rows = QUERIES["bayesian_order_prior"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_obs >= 3
+        assert r.n_order1 + r.n_order2 == r.n_obs, r
+        assert math.isclose(r.prob_order1 + r.prob_order2, 1.0, abs_tol=3e-6), r
+        best_prob = max(r.prob_order1, r.prob_order2)
+        assert math.isclose(r.confidence, best_prob, abs_tol=2e-6), r
+        want = 1 if r.prob_order1 >= r.prob_order2 else 2
+        assert r.best_order == want, r
+        assert 0.0 < r.confidence <= 1.0, r
