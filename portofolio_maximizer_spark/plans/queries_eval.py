@@ -1495,3 +1495,251 @@ ORACLE["bayesian_order_prior"] = """
            ROUND(g.mb2, 6) AS mean_beta2
     FROM pr p JOIN good g ON g.user_id = p.user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Parameter-cache retrain decision ladder
+# ---------------------------------------------------------------------------
+
+# Reference `forcester_ts/parameter_cache.py:396-447` (`should_retrain`)
+# with the `_compute_data_hash` fingerprint (`:84-102`). Constants are the
+# reference defaults: 7-day max cache age, 20 new points, and a 30-row
+# minimum for a cache entry to exist at all. The fingerprint hash is
+# compared FIELD-WISE (length, end timestamp, 6dp mean/std, first/last-10
+# sample) — logically identical to the reference's frozenset hash equality
+# minus collision risk, and free of cross-engine float-formatting hazards.
+_RETRAIN_MAX_AGE_DAYS = 7
+_RETRAIN_MIN_NEW_POINTS = 20
+_RETRAIN_MIN_CACHE_ROWS = 30
+
+
+@query(
+    "retrain_decision_ladder",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    cp AS (SELECT 'stale' AS checkpoint UNION ALL SELECT 'fresh'),
+    cuts AS (
+      SELECT DISTINCT s.user_id, s.n, cp.checkpoint,
+             CASE cp.checkpoint
+                  WHEN 'stale' THEN CAST(CEIL(0.8 * s.n) AS BIGINT)
+                  ELSE s.n END AS cut
+      FROM s CROSS JOIN cp
+    ),
+    pref AS (
+      SELECT c.user_id, c.checkpoint, c.cut, c.n,
+             COUNT(*) AS len,
+             AVG(s.value) AS mean_raw,
+             STDDEV_SAMP(s.value) AS std_raw,
+             MAX(EPOCH(s.ts)) AS end_epoch,
+             STRING_AGG(CASE WHEN s.rn <= 10
+                             THEN CAST(ROUND(s.value, 6) AS VARCHAR) END,
+                        ',' ORDER BY s.rn) AS first10,
+             STRING_AGG(CASE WHEN s.rn > c.cut - 10
+                             THEN CAST(ROUND(s.value, 6) AS VARCHAR) END,
+                        ',' ORDER BY s.rn) AS last10
+      FROM cuts c JOIN s ON s.user_id = c.user_id AND s.rn <= c.cut
+      GROUP BY c.user_id, c.checkpoint, c.cut, c.n
+    ),
+    cur AS (
+      SELECT user_id, len AS c_len, mean_raw AS c_mean, std_raw AS c_std,
+             end_epoch AS c_end, first10 AS c_first, last10 AS c_last
+      FROM pref WHERE checkpoint = 'fresh'
+    ),
+    j AS (
+      SELECT p.user_id, p.checkpoint, p.cut AS n_cached, p.n AS n_current,
+             CAST(FLOOR((c.c_end - p.end_epoch) / 86400.0) AS INTEGER)
+               AS age_days,
+             p.n - p.cut AS new_points,
+             CASE WHEN p.len = c.c_len
+                   AND ABS(p.mean_raw - c.c_mean)
+                       <= 1e-9 * GREATEST(ABS(c.c_mean), 1e-12)
+                   AND ABS(p.std_raw - c.c_std)
+                       <= 1e-9 * GREATEST(ABS(c.c_std), 1e-12)
+                   AND p.end_epoch = c.c_end
+                   AND p.first10 = c.c_first AND p.last10 = c.c_last
+                  THEN 1 ELSE 0 END AS hash_match
+      FROM pref p JOIN cur c ON c.user_id = p.user_id
+    )
+    SELECT user_id, checkpoint, n_cached, n_current, age_days,
+           new_points, hash_match,
+           CASE WHEN n_cached < {_RETRAIN_MIN_CACHE_ROWS} THEN 1
+                WHEN age_days > {_RETRAIN_MAX_AGE_DAYS} THEN 1
+                WHEN new_points >= {_RETRAIN_MIN_NEW_POINTS} THEN 1
+                WHEN hash_match = 0 THEN 1
+                ELSE 0 END AS should_retrain,
+           CASE WHEN n_cached < {_RETRAIN_MIN_CACHE_ROWS}
+                THEN 'no_cached_parameters'
+                WHEN age_days > {_RETRAIN_MAX_AGE_DAYS} THEN 'cache_too_old'
+                WHEN new_points >= {_RETRAIN_MIN_NEW_POINTS} THEN 'new_data'
+                WHEN hash_match = 0 THEN 'data_distribution_changed'
+                ELSE 'cache_valid' END AS reason
+    FROM j
+    """,
+)
+def retrain_decision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parameter-cache retrain gate — reference
+    `forcester_ts/parameter_cache.py:396-447` (`should_retrain`): no
+    cached parameters -> train; cache older than 7 days -> retrain; >= 20
+    new points since the cached fit -> retrain; data-fingerprint change
+    (`_compute_data_hash`, `:84-102`: length + date range + 6dp mean/std
+    + first/last-10 sample) -> retrain; else the cache holds. Evaluated
+    at TWO checkpoints per key: 'stale' (cached at the 80% prefix — the
+    mid-ingest case) and 'fresh' (cached on the full series — the
+    call-right-after-training case that exercises cache_valid and the
+    zero-age path). Because the fingerprint includes length, ANY new data
+    fails the hash rung — so the 1..19-new-points band lands in
+    data_distribution_changed exactly as the reference behaves.
+
+    The fingerprint comparison is field-wise (collision-free hash
+    equality); mean/std compare under a 1e-9 relative tolerance — two
+    within-engine computations of the same aggregate differ by ~1e-12
+    from parallel summation order while genuinely different prefixes
+    differ macroscopically, so the tolerance sits in the dead band (6dp
+    ROUND equality flickered at rounding boundaries across runs). One prefix-join aggregation per
+    checkpoint; key-cardinality everywhere after."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    cp = spark.createDataFrame(
+        [("stale",), ("fresh",)], "checkpoint STRING"
+    )
+    cuts = (
+        s.select("user_id", "n")
+        .distinct()
+        .crossJoin(F.broadcast(cp))
+        .select(
+            "user_id",
+            "n",
+            "checkpoint",
+            F.when(
+                F.col("checkpoint") == "stale",
+                F.ceil(0.8 * F.col("n")).cast("long"),
+            )
+            .otherwise(F.col("n"))
+            .alias("cut"),
+        )
+    )
+    from ..functions.scalars import epoch_seconds
+
+    vs = F.col("value")
+    joined = cuts.join(
+        s.select(
+            "user_id", "rn", "ts", "value"
+        ).withColumnRenamed("user_id", "s_uid"),
+        (F.col("user_id") == F.col("s_uid")) & (F.col("rn") <= F.col("cut")),
+    )
+    pref = joined.groupBy("user_id", "checkpoint", "cut", "n").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.avg(vs).alias("mean_raw"),
+        F.stddev_samp(vs).alias("std_raw"),
+        F.max(epoch_seconds(F.col("ts"))).alias("end_epoch"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= 10,
+                            F.struct(
+                                F.col("rn"),
+                                F.round(vs, 6).cast("string").alias("v"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            ",",
+        ).alias("first10"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") > F.col("cut") - 10,
+                            F.struct(
+                                F.col("rn"),
+                                F.round(vs, 6).cast("string").alias("v"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            ",",
+        ).alias("last10"),
+    )
+    cur = pref.filter(F.col("checkpoint") == "fresh").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("len").alias("c_len"),
+        F.col("mean_raw").alias("c_mean"),
+        F.col("std_raw").alias("c_std"),
+        F.col("end_epoch").alias("c_end"),
+        F.col("first10").alias("c_first"),
+        F.col("last10").alias("c_last"),
+    )
+    j = pref.join(cur, pref["user_id"] == cur["c_uid"]).select(
+        "user_id",
+        "checkpoint",
+        F.col("cut").alias("n_cached"),
+        F.col("n").alias("n_current"),
+        F.floor((F.col("c_end") - F.col("end_epoch")) / 86400.0)
+        .cast("int")
+        .alias("age_days"),
+        (F.col("n") - F.col("cut")).alias("new_points"),
+        (
+            (F.col("len") == F.col("c_len"))
+            & (
+                F.abs(F.col("mean_raw") - F.col("c_mean"))
+                <= 1e-9 * F.greatest(F.abs(F.col("c_mean")), F.lit(1e-12))
+            )
+            & (
+                F.abs(F.col("std_raw") - F.col("c_std"))
+                <= 1e-9 * F.greatest(F.abs(F.col("c_std")), F.lit(1e-12))
+            )
+            & (F.col("end_epoch") == F.col("c_end"))
+            & (F.col("first10") == F.col("c_first"))
+            & (F.col("last10") == F.col("c_last"))
+        )
+        .cast("int")
+        .alias("hash_match"),
+    )
+    retrain = (
+        F.when(F.col("n_cached") < _RETRAIN_MIN_CACHE_ROWS, 1)
+        .when(F.col("age_days") > _RETRAIN_MAX_AGE_DAYS, 1)
+        .when(F.col("new_points") >= _RETRAIN_MIN_NEW_POINTS, 1)
+        .when(F.col("hash_match") == 0, 1)
+        .otherwise(0)
+    )
+    reason = (
+        F.when(
+            F.col("n_cached") < _RETRAIN_MIN_CACHE_ROWS, "no_cached_parameters"
+        )
+        .when(F.col("age_days") > _RETRAIN_MAX_AGE_DAYS, "cache_too_old")
+        .when(F.col("new_points") >= _RETRAIN_MIN_NEW_POINTS, "new_data")
+        .when(F.col("hash_match") == 0, "data_distribution_changed")
+        .otherwise("cache_valid")
+    )
+    return j.select(
+        "user_id",
+        "checkpoint",
+        "n_cached",
+        "n_current",
+        "age_days",
+        "new_points",
+        "hash_match",
+        retrain.alias("should_retrain"),
+        reason.alias("reason"),
+    )

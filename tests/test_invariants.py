@@ -942,3 +942,43 @@ def test_bayesian_prior_probabilities(spark, sf_dir):
         want = 1 if r.prob_order1 >= r.prob_order2 else 2
         assert r.best_order == want, r
         assert 0.0 < r.confidence <= 1.0, r
+
+
+def test_retrain_ladder_branches(spark, tmp_path):
+    """`should_retrain` rung order on planted series: a short series has
+    no cache entry; an old cache ages out before the new-data rung; >= 20
+    new points trigger retraining; 1..19 new points fall through to the
+    fingerprint rung (length is part of the hash, so ANY growth changes
+    it); an untouched cache holds."""
+    import numpy as np
+    import pandas as pd
+
+    rows, eid = [], 0
+    specs = {1: (150, "min"), 2: (30, "min"), 3: (60, "D"), 4: (60, "min")}
+    for uid, (n, freq) in specs.items():
+        rng = np.random.default_rng(uid)
+        vals = 100 + np.cumsum(rng.normal(0, 1, n))
+        step = pd.Timedelta(minutes=1) if freq == "min" else pd.Timedelta(days=1)
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, pd.Timestamp("2024-01-01") + i * step, uid, "tick", float(abs(v) + 1.0), "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "sf_retrain")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d + "/events.parquet")
+    out = {
+        (r.user_id, r.checkpoint): r
+        for r in QUERIES["retrain_decision_ladder"](spark, d).collect()
+    }
+    assert out[(1, "stale")].reason == "new_data" and out[(1, "stale")].new_points == 30
+    assert out[(2, "stale")].reason == "no_cached_parameters"
+    assert out[(3, "stale")].reason == "cache_too_old" and out[(3, "stale")].age_days == 12
+    assert out[(4, "stale")].reason == "data_distribution_changed"
+    assert out[(4, "stale")].new_points == 12 and out[(4, "stale")].hash_match == 0
+    for uid in specs:
+        f = out[(uid, "fresh")]
+        assert f.reason == "cache_valid" and f.should_retrain == 0, f
+        assert f.hash_match == 1 and f.age_days == 0 and f.new_points == 0, f
