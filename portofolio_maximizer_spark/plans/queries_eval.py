@@ -1743,3 +1743,188 @@ def retrain_decision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrain.alias("should_retrain"),
         reason.alias("reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling skewness feature (pandas bias-corrected G1, min_periods=1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_skew_features",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    m AS (
+      SELECT user_id, rn,
+             COUNT(*) OVER w AS n,
+             SUM(value) OVER w AS s1,
+             SUM(value * value) OVER w AS s2,
+             SUM(value * value * value) OVER w AS s3
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, rn,
+           ROUND(CASE WHEN n >= 3 AND (s2 - s1 * s1 / n) > 0 THEN
+             (CAST(n AS DOUBLE) * n / ((n - 1.0) * (n - 2.0)))
+             * ((s3 - 3.0 * (s1 / n) * s2 + 2.0 * n * POWER(s1 / n, 3)) / n)
+             / POWER((s2 - n * POWER(s1 / n, 2)) / (n - 1.0), 1.5)
+           ELSE 0.0 END, 6) AS skew20
+    FROM m
+    """,
+)
+def rolling_skew_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row skewness — reference `etl/
+    time_series_feature_builder.py:111-115` (`roll.skew().fillna(0.0)`):
+    pandas' adjusted Fisher-Pearson G1 (n^2/((n-1)(n-2)) * m3/s^3 with
+    the ddof=1 std), NaN below 3 observations or at zero variance, then
+    zero-filled. Expressed from windowed raw moments (one window pass,
+    three SUMs — the repo's documented moment convention), so the whole
+    feature is JVM-side column algebra; pandas agreement is pinned in
+    tests against `rolling(20, min_periods=1).skew()` directly."""
+    s = _series(spark, sf_dir)
+    w = _w((-19, 0))
+    v = F.col("value")
+    m = s.select(
+        "user_id",
+        "rn",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("s2"),
+        F.sum(v * v * v).over(w).alias("s3"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, s3 = F.col("s1"), F.col("s2"), F.col("s3")
+    mean = s1 / n
+    m3 = (s3 - 3.0 * mean * s2 + 2.0 * n * F.pow(mean, 3)) / n
+    var1 = (s2 - n * F.pow(mean, 2)) / (n - 1.0)
+    g1 = (n * n / ((n - 1.0) * (n - 2.0))) * m3 / F.pow(var1, 1.5)
+    return m.select(
+        "user_id",
+        "rn",
+        r6(
+            F.when((F.col("n") >= 3) & ((s2 - s1 * s1 / n) > 0), g1).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("skew20"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-health telemetry report (Signal Quality B)
+# ---------------------------------------------------------------------------
+
+# Reference `etl/time_series_feature_builder.py:23-54,243-288`
+# (`FeatureHealth`): per-build degradation telemetry. Thresholds are the
+# reference constants: 20% cross-sectional fallback warning, 2x126-row
+# minimum for the period-126 seasonal decomposition.
+_FH_FALLBACK_WARN = 0.20
+_FH_SEASONAL_MIN_ROWS = 252
+
+
+@query(
+    "feature_health_report",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    base AS (
+      SELECT user_id, COUNT(*) AS total_rows,
+             GREATEST(COUNT(*) - 20, 0) AS output_rows
+      FROM s GROUP BY user_id
+    ),
+    modes AS (SELECT 'single' AS build_mode UNION ALL SELECT 'cross'),
+    j AS (
+      SELECT b.user_id, m.build_mode, b.total_rows, b.output_rows,
+             CASE WHEN m.build_mode = 'cross' THEN 1 ELSE 0 END
+               AS cross_sectional_active,
+             CASE WHEN m.build_mode = 'cross' THEN 0
+                  ELSE b.output_rows END AS fallback_rows
+      FROM base b CROSS JOIN modes m
+    ),
+    r AS (
+      SELECT *,
+             CASE WHEN output_rows > 0
+                  THEN ROUND(CAST(fallback_rows AS DOUBLE) / output_rows, 4)
+                  ELSE 0.0 END AS fallback_rate,
+             CASE WHEN total_rows >= {_FH_SEASONAL_MIN_ROWS} THEN 1 ELSE 0 END
+               AS seasonal_decomp_available
+      FROM j
+    )
+    SELECT user_id, build_mode, total_rows, output_rows,
+           cross_sectional_active, fallback_rows, fallback_rate,
+           seasonal_decomp_available,
+           0 AS microstructure_ohlcv_available,
+           0 AS macro_context_available,
+           CONCAT_WS(';',
+             CASE WHEN fallback_rate > {_FH_FALLBACK_WARN}
+                  THEN 'cross_sectional_neutralized' END,
+             CASE WHEN seasonal_decomp_available = 0
+                  THEN 'seasonal_decomp_unavailable' END,
+             'microstructure_close_only') AS warnings,
+           CASE WHEN fallback_rate > {_FH_FALLBACK_WARN} THEN 1 ELSE 0 END
+           + CASE WHEN seasonal_decomp_available = 0 THEN 1 ELSE 0 END
+           + 1 AS n_warnings
+    FROM r
+    """,
+)
+def feature_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-Quality-B feature-health telemetry — reference
+    `etl/time_series_feature_builder.py:23-54,243-288` (`FeatureHealth`):
+    per build, total vs post-dropna output rows (the 20-lag features are
+    the only non-filled NaNs, so survivors = max(n-20, 0)), the
+    cross-sectional neutralization census (single-key builds fall back to
+    neutral rank=0.5/zscore=0.0 on every row; multi-key builds count 0 —
+    both arms emitted via a build_mode dim), the period-126 seasonal
+    availability gate (needs 2 complete cycles = 252 rows, `:197-208`),
+    OHLCV / macro availability (absent for the events table — close-diff
+    ATR fallback, exactly the reference's single-source shape), and the
+    reference's warning ladder (>20% fallback, missing decomposition,
+    close-only microstructure). Key-cardinality aggregation; the warning
+    strings are the stable identifiers, not the reference's interpolated
+    prose."""
+    s = _series(spark, sf_dir)
+    base = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.greatest(F.count(F.lit(1)) - 20, F.lit(0)).alias("output_rows"),
+    )
+    modes = spark.createDataFrame([("single",), ("cross",)], "build_mode STRING")
+    j = base.crossJoin(F.broadcast(modes)).select(
+        "user_id",
+        "build_mode",
+        "total_rows",
+        "output_rows",
+        (F.col("build_mode") == "cross").cast("int").alias("cross_sectional_active"),
+        F.when(F.col("build_mode") == "cross", F.lit(0).cast("long"))
+        .otherwise(F.col("output_rows"))
+        .alias("fallback_rows"),
+    )
+    rate = F.when(
+        F.col("output_rows") > 0,
+        F.round(F.col("fallback_rows").cast("double") / F.col("output_rows"), 4),
+    ).otherwise(F.lit(0.0))
+    r = j.select(
+        "*",
+        rate.alias("fallback_rate"),
+        (F.col("total_rows") >= _FH_SEASONAL_MIN_ROWS)
+        .cast("int")
+        .alias("seasonal_decomp_available"),
+    )
+    warn1 = F.col("fallback_rate") > _FH_FALLBACK_WARN
+    warn2 = F.col("seasonal_decomp_available") == 0
+    return r.select(
+        "user_id",
+        "build_mode",
+        "total_rows",
+        "output_rows",
+        "cross_sectional_active",
+        "fallback_rows",
+        "fallback_rate",
+        "seasonal_decomp_available",
+        F.lit(0).alias("microstructure_ohlcv_available"),
+        F.lit(0).alias("macro_context_available"),
+        F.concat_ws(
+            ";",
+            F.when(warn1, "cross_sectional_neutralized"),
+            F.when(warn2, "seasonal_decomp_unavailable"),
+            F.lit("microstructure_close_only"),
+        ).alias("warnings"),
+        (warn1.cast("int") + warn2.cast("int") + 1).alias("n_warnings"),
+    )

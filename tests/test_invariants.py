@@ -982,3 +982,57 @@ def test_retrain_ladder_branches(spark, tmp_path):
         f = out[(uid, "fresh")]
         assert f.reason == "cache_valid" and f.should_retrain == 0, f
         assert f.hash_match == 1 and f.age_days == 0 and f.new_points == 0, f
+
+
+def test_rolling_skew_matches_pandas(spark, sf_dir):
+    """The raw-moment rolling skew must reproduce pandas
+    `rolling(20, min_periods=1).skew().fillna(0)` — the exact call the
+    reference feature builder makes — per row, for every user."""
+    import duckdb
+    import pandas as pd
+
+    rows = QUERIES["rolling_skew_features"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    raw = con.execute("""
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM (SELECT * FROM events WHERE value > 0) ORDER BY user_id, rn
+    """).df()
+    got = rows.set_index(["user_id", "rn"])["skew20"]
+    for uid, sub in raw.groupby("user_id"):
+        want = (
+            sub.set_index("rn")["value"]
+            .rolling(20, min_periods=1)
+            .skew()
+            .fillna(0.0)
+        )
+        for rn, w in want.items():
+            g = got.loc[(uid, rn)]
+            assert abs(g - w) < max(1e-5, 1e-5 * abs(w)), (uid, rn, g, w)
+
+
+def test_feature_health_report_semantics(spark, sf_dir):
+    """FeatureHealth contract: output_rows = max(total-20, 0); the
+    single-key build neutralizes every output row (rate 1.0, warning
+    fires past the 20% threshold); the cross-sectional build counts zero
+    fallbacks; the close-only microstructure warning is unconditional for
+    the events table; warning count matches the warning string."""
+    rows = QUERIES["feature_health_report"](spark, sf_dir).collect()
+    assert rows
+    by = {(r.user_id, r.build_mode): r for r in rows}
+    users = {u for u, _ in by}
+    for u in users:
+        s, c = by[(u, "single")], by[(u, "cross")]
+        assert s.output_rows == max(s.total_rows - 20, 0)
+        assert s.fallback_rows == s.output_rows and c.fallback_rows == 0
+        if s.output_rows > 0:
+            assert s.fallback_rate == 1.0 and c.fallback_rate == 0.0
+            assert "cross_sectional_neutralized" in s.warnings
+            assert "cross_sectional_neutralized" not in c.warnings
+        for r in (s, c):
+            assert "microstructure_close_only" in r.warnings
+            assert r.n_warnings == len(r.warnings.split(";")), r
+            if r.total_rows < 252:
+                assert r.seasonal_decomp_available == 0
+                assert "seasonal_decomp_unavailable" in r.warnings
