@@ -2869,3 +2869,175 @@ def ensemble_weight_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100.0
         ).alias("improvement_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Signal routing: Time-Series primary -> LLM-rule fallback
+# ---------------------------------------------------------------------------
+
+# Reference `models/signal_router.py:147-303` (`route_signal`) with the
+# default feature flags (`:103-106`: TS primary on, LLM fallback on,
+# redundancy off). The quality floor is the reference's 0.6 (`:218`).
+# The config-driven TS-disabled ticker list (`:177-181`,
+# config/forecaster_monitoring.yml) is pinned here as the deterministic
+# user_id % 7 == 0 subset so the disabled path is exercised; the "LLM"
+# fallback generator is the engine's rule-based fallback (the charter
+# excludes live LLM endpoints): sign of the MA5-vs-MA20 momentum gap.
+_ROUTE_QUALITY_MIN = 0.6
+
+
+@query(
+    "signal_routing_decision",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    feat AS (
+      SELECT user_id, rn, value,
+             AVG(value) OVER w5 AS ma5,
+             AVG(value) OVER w20m AS ma20,
+             STDDEV_SAMP(lr) OVER w20m AS vol20,
+             MAX(rn) OVER (PARTITION BY user_id) AS max_rn
+      FROM s
+      WINDOW w5 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20m AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    q AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE value > 0)
+               / CAST(COUNT(*) AS DOUBLE) AS quality_score
+      FROM events GROUP BY user_id
+    ),
+    latest AS (
+      SELECT f.user_id, f.value, f.ma5, f.ma20,
+             ROUND(q.quality_score, 6) AS quality_score,
+             CASE WHEN f.user_id % 7 = 0 THEN 0 ELSE 1 END AS ts_available,
+             CASE WHEN (f.ma5 - f.value) / f.value - 0.002 > 0.01
+                   AND ((f.ma5 - f.value) / f.value - 0.002)
+                       / NULLIF(f.vol20, 0) > 0.5 THEN 'BUY'
+                  WHEN (f.ma5 - f.value) / f.value - 0.002 < -0.01
+                   AND (-((f.ma5 - f.value) / f.value - 0.002))
+                       / NULLIF(f.vol20, 0) > 0.5 THEN 'SELL'
+                  ELSE 'HOLD' END AS ts_action,
+             CASE WHEN f.ma5 > f.ma20 THEN 'BUY'
+                  WHEN f.ma5 < f.ma20 THEN 'SELL'
+                  ELSE 'HOLD' END AS llm_action
+      FROM feat f JOIN q ON q.user_id = f.user_id
+      WHERE f.rn = f.max_rn AND f.rn >= 21
+    ),
+    route AS (
+      SELECT user_id, quality_score, ts_available,
+             CASE WHEN ts_available = 1 THEN ts_action END AS primary_ts,
+             llm_action,
+             CASE WHEN ts_available = 0 THEN 'ts_disabled'
+                  WHEN ts_action = 'HOLD' THEN 'ts_hold'
+                  WHEN quality_score < {_ROUTE_QUALITY_MIN}
+                  THEN 'quality_too_low'
+                  ELSE 'none' END AS fallback_trigger
+      FROM latest
+    )
+    SELECT user_id, quality_score, ts_available,
+           primary_ts AS ts_action,
+           fallback_trigger,
+           CASE WHEN fallback_trigger <> 'none' THEN 1 ELSE 0 END
+             AS fallback_generated,
+           CASE WHEN fallback_trigger <> 'none' THEN llm_action END
+             AS fallback_action,
+           CASE WHEN primary_ts IS NOT NULL THEN 'TIME_SERIES'
+                ELSE 'LLM' END AS primary_source,
+           COALESCE(primary_ts,
+                    CASE WHEN fallback_trigger <> 'none' THEN llm_action END)
+             AS primary_action,
+           CASE WHEN primary_ts IS NULL AND fallback_trigger <> 'none'
+                THEN 1 ELSE 0 END AS fallback_promoted
+    FROM route
+    """,
+)
+def signal_routing_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TS-primary / LLM-fallback signal router — reference
+    `models/signal_router.py:147-303` under the default feature flags:
+    Time Series generates the primary signal unless the key is on the
+    TS-disabled list; the fallback generator runs when there is no
+    primary, the primary is HOLD, or the quality score is below 0.6
+    (`:217-220`); a fallback is promoted to primary ONLY when Time Series
+    produced nothing (`:280-286`) — a HOLD primary keeps primacy even
+    with a fallback alongside, exactly the reference's subtle semantics.
+    The TS arm is the engine's `signal_generation` gate; the "LLM" arm is
+    the rule-based momentum fallback (live endpoints are out of charter);
+    quality is the key's valid-row fraction. One window pass + one
+    aggregate, key-cardinality joins."""
+    from ..sources.catalog import load_table as _lt
+
+    s = _series(spark, sf_dir)
+    wp = _w()
+    feat = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.avg("value").over(_w((-4, 0))).alias("ma5"),
+        F.avg("value").over(_w((-19, 0))).alias("ma20"),
+        F.stddev_samp("lr").over(_w((-19, 0))).alias("vol20"),
+        F.max("rn").over(Window.partitionBy("user_id")).alias("max_rn"),
+    )
+    ev = _lt(spark, sf_dir, "events")
+    q = ev.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("value") > 0, 1))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("quality_score")
+    )
+    er = (F.col("ma5") - F.col("value")) / F.col("value") - 0.002
+    cv = F.nullif(F.col("vol20"), F.lit(0.0))
+    ts_action = (
+        F.when((er > 0.01) & (er / cv > 0.5), "BUY")
+        .when((er < -0.01) & ((-er) / cv > 0.5), "SELL")
+        .otherwise("HOLD")
+    )
+    llm_action = (
+        F.when(F.col("ma5") > F.col("ma20"), "BUY")
+        .when(F.col("ma5") < F.col("ma20"), "SELL")
+        .otherwise("HOLD")
+    )
+    latest = (
+        feat.filter((F.col("rn") == F.col("max_rn")) & (F.col("rn") >= 21))
+        .join(q, "user_id")
+        .select(
+            "user_id",
+            r6(F.col("quality_score")).alias("quality_score"),
+            F.when(F.col("user_id") % 7 == 0, 0).otherwise(1).alias("ts_available"),
+            ts_action.alias("ts_action_raw"),
+            llm_action.alias("llm_action"),
+        )
+    )
+    primary_ts = F.when(F.col("ts_available") == 1, F.col("ts_action_raw"))
+    trigger = (
+        F.when(F.col("ts_available") == 0, "ts_disabled")
+        .when(F.col("ts_action_raw") == "HOLD", "ts_hold")
+        .when(F.col("quality_score") < _ROUTE_QUALITY_MIN, "quality_too_low")
+        .otherwise("none")
+    )
+    route = latest.select(
+        "user_id",
+        "quality_score",
+        "ts_available",
+        primary_ts.alias("primary_ts"),
+        "llm_action",
+        trigger.alias("fallback_trigger"),
+    )
+    fb = F.col("fallback_trigger") != "none"
+    return route.select(
+        "user_id",
+        "quality_score",
+        "ts_available",
+        F.col("primary_ts").alias("ts_action"),
+        "fallback_trigger",
+        fb.cast("int").alias("fallback_generated"),
+        F.when(fb, F.col("llm_action")).alias("fallback_action"),
+        F.when(F.col("primary_ts").isNotNull(), "TIME_SERIES")
+        .otherwise("LLM")
+        .alias("primary_source"),
+        F.coalesce(
+            F.col("primary_ts"), F.when(fb, F.col("llm_action"))
+        ).alias("primary_action"),
+        (F.col("primary_ts").isNull() & fb).cast("int").alias("fallback_promoted"),
+    )

@@ -1036,3 +1036,56 @@ def test_feature_health_report_semantics(spark, sf_dir):
             if r.total_rows < 252:
                 assert r.seasonal_decomp_available == 0
                 assert "seasonal_decomp_unavailable" in r.warnings
+
+
+def test_signal_routing_consistency(spark, sf_dir, tmp_path):
+    """route_signal semantics: the TS arm equals the standalone
+    signal_generation action for every routed key; fallback promotion
+    happens ONLY when Time Series produced nothing (a HOLD primary keeps
+    primacy); the quality_too_low trigger fires on a planted key whose
+    valid-row fraction drops below 0.6."""
+    import numpy as np
+    import pandas as pd
+
+    routed = {r.user_id: r for r in QUERIES["signal_routing_decision"](spark, sf_dir).collect()}
+    sig = {r.user_id: r for r in QUERIES["signal_generation"](spark, sf_dir).collect()}
+    assert routed
+    for uid, r in routed.items():
+        if r.ts_available:
+            assert r.ts_action == sig[uid].action, (r, sig[uid])
+            assert r.primary_source == "TIME_SERIES" and r.fallback_promoted == 0
+            if r.ts_action == "HOLD":
+                assert r.fallback_trigger == "ts_hold" and r.fallback_generated == 1
+        else:
+            assert r.fallback_trigger == "ts_disabled"
+            assert r.primary_source == "LLM" and r.fallback_promoted == 1
+            assert r.primary_action == r.fallback_action
+
+    # planted low-quality key: 45% of rows nonpositive -> quality < 0.6.
+    # user_id=1 (not divisible by 7, so TS stays enabled) with a strong
+    # uptrend so the TS action is BUY (not HOLD) and only the quality
+    # rung can trigger the fallback.
+    rng = np.random.default_rng(3)
+    n = 120
+    vals = 100 * np.exp(np.cumsum(np.full(n, 0.02) + rng.normal(0, 0.001, n)))
+    bad = rng.choice(n, size=int(n * 0.45), replace=False)
+    vals2 = vals.copy()
+    vals2[bad] = -1.0
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i) for i in range(n)],
+            "user_id": 1,
+            "event_type": "tick",
+            "value": vals2,
+            "props": "{}",
+        }
+    )
+    d = str(tmp_path / "sf_route")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d + "/events.parquet")
+    out = {r.user_id: r for r in QUERIES["signal_routing_decision"](spark, d).collect()}
+    r = out[1]
+    assert r.quality_score < 0.6, r
+    if r.ts_action != "HOLD":
+        assert r.fallback_trigger == "quality_too_low", r
+        assert r.primary_source == "TIME_SERIES" and r.fallback_generated == 1, r
