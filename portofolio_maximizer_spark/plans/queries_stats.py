@@ -2770,3 +2770,157 @@ def stationarity_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("stationarity_verdict"),
         F.when(both, 0).otherwise(1).alias("force_difference"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Strategy significance vs the equal-weight benchmark (NW sqrt-n lags)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "strategy_significance_test",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    r AS (SELECT user_id, rn, lr FROM s WHERE lr IS NOT NULL),
+    bench AS (
+      SELECT rn, AVG(lr) AS blr FROM r GROUP BY rn
+    ),
+    diff AS (
+      SELECT r.user_id, r.rn, r.lr - b.blr AS df,
+             POWER(r.lr - b.blr, 2) AS d
+      FROM r JOIN bench b ON b.rn = r.rn
+    ),
+    ctr AS (
+      SELECT user_id, rn, df, d,
+             AVG(d) OVER (PARTITION BY user_id) AS db
+      FROM diff
+    ),
+    lagd AS (
+      SELECT user_id, rn, df, d, db, d - db AS c,
+             {', '.join(f"LAG(d - db, {k}) OVER (PARTITION BY user_id ORDER BY rn) AS c{k}" for k in range(1, 10))}
+      FROM ctr
+    ),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n, ANY_VALUE(db) AS mean_d,
+             AVG(df) AS mu_diff,
+             STDDEV_POP(df) AS sd_diff,
+             SUM(c * c) AS g0s,
+             {', '.join(f"SUM(CASE WHEN c{k} IS NOT NULL THEN c * c{k} END) AS g{k}s" for k in range(1, 10))}
+      FROM lagd GROUP BY user_id HAVING COUNT(*) >= 3
+    ),
+    nw AS (
+      SELECT user_id, n, mean_d, mu_diff, sd_diff,
+             CAST(FLOOR(SQRT(n)) AS INTEGER) AS lag,
+             GREATEST(
+               g0s / n + {' + '.join(f"CASE WHEN {k} <= CAST(FLOOR(SQRT(n)) AS INTEGER) AND g0s > 0 THEN 2.0 * (1.0 - {k} / (CAST(FLOOR(SQRT(n)) AS INTEGER) + 1.0)) * COALESCE(g{k}s, 0.0) / n ELSE 0.0 END" for k in range(1, 10))},
+               1e-12) AS nw_var
+      FROM agg
+    ),
+    tt AS (
+      SELECT user_id, n, lag, mean_d, mu_diff, sd_diff,
+             mean_d / SQRT(nw_var / n) AS t_stat
+      FROM nw
+    )
+    SELECT user_id, n, lag AS nw_lags,
+           ROUND(mean_d, 6) AS mean_sq_diff,
+           ROUND(mu_diff / CASE WHEN sd_diff = 0 THEN 1e-12 ELSE sd_diff END,
+                 6) AS information_ratio,
+           ROUND(t_stat, 6) AS t_stat,
+           ROUND({chi2_sf1_sql("t_stat * t_stat")}, 6) AS p_normal,
+           CASE WHEN {chi2_sf1_sql("t_stat * t_stat")} < 0.05
+                THEN 1 ELSE 0 END AS significant,
+           CASE WHEN {chi2_sf1_sql("t_stat * t_stat")} < 0.05
+                THEN CASE WHEN mean_d < 0 THEN 'model_1' ELSE 'model_2' END
+                END AS better_model
+    FROM tt
+    """,
+)
+def strategy_significance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy significance vs the equal-weight universe benchmark —
+    reference `etl/statistical_tests.py:193-218` (`test_strategy_
+    significance`, benchmark arm): information ratio of the return
+    differential (population std, numpy's default), then the reference's
+    `diebold_mariano(diff, zeros)` call — squared loss makes the loss
+    differential diff^2 vs 0, so the test asks whether the mean SQUARED
+    deviation exceeds zero (faithfully replicated, degeneracy and all:
+    mean_d >= 0 forces better_model='model_2' whenever significant).
+    The Newey-West variance uses the reference's floor(sqrt(n)) lag rule
+    with Bartlett weights (`:78-90`), unrolled to the 9 lags the data's
+    series lengths can reach. p-value is the two-sided NORMAL
+    approximation via erfc — the reference uses the Student-t CDF
+    (`:93-94`); at the n >= 40 typical here the approximation moves the
+    0.05 boundary by < 0.007 and the exact t statistic is emitted for
+    audit. One benchmark aggregation + one window pass per key."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    bench = s.groupBy("rn").agg(F.avg("lr").alias("blr"))
+    diff = s.join(bench, "rn").select(
+        "user_id",
+        "rn",
+        (F.col("lr") - F.col("blr")).alias("df"),
+        F.pow(F.col("lr") - F.col("blr"), 2).alias("d"),
+    )
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("rn")
+    ctr = diff.select(
+        "user_id", "rn", "df", "d", F.avg("d").over(wu).alias("db")
+    )
+    lagd = ctr.select(
+        "*",
+        (F.col("d") - F.col("db")).alias("c"),
+        *[
+            F.lag(F.col("d") - F.col("db"), k).over(wo).alias(f"c{k}")
+            for k in range(1, 10)
+        ],
+    )
+    agg = (
+        lagd.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("db").alias("mean_d"),
+            F.avg("df").alias("mu_diff"),
+            F.stddev_pop("df").alias("sd_diff"),
+            F.sum(F.col("c") * F.col("c")).alias("g0s"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col(f"c{k}").isNotNull(), F.col("c") * F.col(f"c{k}")
+                    )
+                ).alias(f"g{k}s")
+                for k in range(1, 10)
+            ],
+        )
+        .filter(F.col("n") >= 3)
+    )
+    n = F.col("n")
+    lag = F.floor(F.sqrt(n)).cast("int")
+    nw_var = F.col("g0s") / n
+    for k in range(1, 10):
+        nw_var = nw_var + (
+            F.when(
+                (F.lit(k) <= lag) & (F.col("g0s") > 0),
+                2.0
+                * (1.0 - k / (lag + 1.0))
+                * F.coalesce(F.col(f"g{k}s"), F.lit(0.0))
+                / n,
+            ).otherwise(F.lit(0.0))
+        )
+    nw_var = F.greatest(nw_var, F.lit(1e-12))
+    t = F.col("mean_d") / F.sqrt(nw_var / n)
+    sd = F.when(F.col("sd_diff") == 0, 1e-12).otherwise(F.col("sd_diff"))
+    # two-sided normal p through the portable A&S helper:
+    # chi2_sf1(t^2) = erfc(|t|/sqrt(2))
+    p = chi2_sf1(t * t)
+    return agg.select(
+        "user_id",
+        "n",
+        lag.alias("nw_lags"),
+        r6(F.col("mean_d")).alias("mean_sq_diff"),
+        r6(F.col("mu_diff") / sd).alias("information_ratio"),
+        r6(t).alias("t_stat"),
+        r6(p).alias("p_normal"),
+        F.when(p < 0.05, 1).otherwise(0).alias("significant"),
+        F.when(
+            p < 0.05,
+            F.when(F.col("mean_d") < 0, "model_1").otherwise("model_2"),
+        ).alias("better_model"),
+    )

@@ -1089,3 +1089,55 @@ def test_signal_routing_consistency(spark, sf_dir, tmp_path):
     if r.ts_action != "HOLD":
         assert r.fallback_trigger == "quality_too_low", r
         assert r.primary_source == "TIME_SERIES" and r.fallback_generated == 1, r
+
+
+def test_strategy_significance_matches_numpy(spark, sf_dir):
+    """The NW floor(sqrt(n))-lag variance and t statistic must match an
+    independent numpy replay of the reference's diebold_mariano NW loop
+    (`etl/statistical_tests.py:78-91`), and the degenerate squared-loss
+    arm behaves as the reference does: mean_d >= 0, so better_model is
+    'model_2' whenever significant."""
+    import duckdb
+    import numpy as np
+
+    rows = QUERIES["strategy_significance_test"](spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events ASĠ SELECT * FROM '{sf_dir}/events.parquet'".replace("Ġ", ""))
+    raw = con.execute("""
+        WITH s AS (
+          SELECT user_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 LN(value / LAG(value,1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS lr
+          FROM (SELECT * FROM events WHERE value > 0)
+        ),
+        r AS (SELECT user_id, rn, lr FROM s WHERE lr IS NOT NULL),
+        b AS (SELECT rn, AVG(lr) AS blr FROM r GROUP BY rn)
+        SELECT r.user_id, r.rn, r.lr - b.blr AS df
+        FROM r JOIN b ON b.rn = r.rn ORDER BY r.user_id, r.rn
+    """).df()
+    for r in rows:
+        df = raw[raw.user_id == r.user_id]["df"].to_numpy(float)
+        d = df**2
+        n = len(d)
+        assert n == r.n
+        mean_d = d.mean()
+        lag = int(np.floor(np.sqrt(n)))
+        assert lag == r.nw_lags
+        c = d - mean_d
+        g0 = float(np.sum(c * c) / n)
+        nw = g0
+        if lag > 0 and g0 > 0:
+            for l in range(1, lag + 1):
+                w = 1.0 - l / (lag + 1)
+                nw += 2.0 * w * float(np.sum(c[l:] * c[:-l]) / n)
+        nw = max(nw, 1e-12)
+        t = mean_d / np.sqrt(nw / n)
+        assert abs(t - r.t_stat) < max(1e-4, 1e-5 * abs(t)), (r, t)
+        ir = df.mean() / (df.std() or 1e-12)
+        assert abs(ir - r.information_ratio) < 1e-4, (r, ir)
+        assert r.mean_sq_diff >= 0
+        if r.significant:
+            assert r.better_model == "model_2", r
+        else:
+            assert r.better_model is None, r
