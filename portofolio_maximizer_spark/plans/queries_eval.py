@@ -1928,3 +1928,127 @@ def feature_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("warnings"),
         (warn1.cast("int") + warn2.cast("int") + 1).alias("n_warnings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# No-refit normalization: train-split stats applied to the serving split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "normalization_apply_no_refit",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    tr AS (SELECT * FROM s WHERE rn <= n // 2),
+    te AS (SELECT * FROM s WHERE rn > n // 2),
+    pk AS (
+      SELECT user_id, event_type,
+             AVG(value) AS mean_t, STDDEV_SAMP(value) AS std_t
+      FROM tr GROUP BY user_id, event_type
+    ),
+    gl AS (
+      SELECT user_id, AVG(value) AS mean_g, STDDEV_SAMP(value) AS std_g
+      FROM tr GROUP BY user_id
+    ),
+    app AS (
+      SELECT te.user_id, te.event_type, te.value,
+             COALESCE(pk.mean_t, gl.mean_g) AS mean_used,
+             COALESCE(pk.std_t, gl.std_g) AS std_used,
+             CASE WHEN pk.std_t IS NOT NULL AND pk.std_t <> 0
+                  THEN 'per_key'
+                  WHEN COALESCE(pk.std_t, gl.std_g) = 0
+                    OR COALESCE(pk.std_t, gl.std_g) IS NULL THEN 'zero_std'
+                  ELSE 'global_fallback' END AS stats_source
+      FROM te
+      LEFT JOIN pk ON pk.user_id = te.user_id
+                  AND pk.event_type = te.event_type
+      LEFT JOIN gl ON gl.user_id = te.user_id
+    ),
+    nz AS (
+      SELECT user_id, event_type, stats_source,
+             CASE WHEN std_used IS NULL OR std_used = 0 THEN 0.0
+                  ELSE (value - mean_used) / std_used END AS z,
+             mean_used, std_used
+      FROM app
+    )
+    SELECT user_id, event_type, stats_source,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(ANY_VALUE(mean_used), 6) AS mean_used,
+           ROUND(ANY_VALUE(std_used), 6) AS std_used,
+           ROUND(AVG(z), 6) AS avg_z,
+           ROUND(STDDEV_SAMP(z), 6) AS std_z,
+           ROUND(MAX(ABS(z)), 6) AS max_abs_z
+    FROM nz
+    GROUP BY user_id, event_type, stats_source
+    """,
+)
+def normalization_apply_no_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free serving-time normalization — reference
+    `etl/preprocessor.py:270-328` (`apply_normalization`): z-score stats
+    FITTED on the training window are applied to new data WITHOUT refit;
+    per-key stats where the key was seen in training, the global fit
+    stats where it was not (pandas' map + fillna fallback — a 1-row
+    training key whose sample std is NaN falls back the same way), and a
+    zero/undefined std yields 0.0 exactly as the reference's
+    std_safe/fillna(0) chain. The train window is the first half of each
+    key's series; event types that only appear in the second half
+    exercise the global-fallback arm on real data. Grouped output per
+    (key, event_type) with the z-moment census; two key-cardinality
+    aggregations plus one fact-side join that co-partitions on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    tr = s.filter(F.col("rn") <= F.floor(F.col("n") / 2))
+    te = s.filter(F.col("rn") > F.floor(F.col("n") / 2))
+    pk = tr.groupBy("user_id", "event_type").agg(
+        F.avg("value").alias("mean_t"), F.stddev_samp("value").alias("std_t")
+    )
+    gl = tr.groupBy("user_id").agg(
+        F.avg("value").alias("mean_g"), F.stddev_samp("value").alias("std_g")
+    )
+    app = (
+        te.join(pk, ["user_id", "event_type"], "left")
+        .join(gl, "user_id", "left")
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.coalesce(F.col("mean_t"), F.col("mean_g")).alias("mean_used"),
+            F.coalesce(F.col("std_t"), F.col("std_g")).alias("std_used"),
+            F.when(
+                F.col("std_t").isNotNull() & (F.col("std_t") != 0), "per_key"
+            )
+            .when(
+                F.coalesce(F.col("std_t"), F.col("std_g")).isNull()
+                | (F.coalesce(F.col("std_t"), F.col("std_g")) == 0),
+                "zero_std",
+            )
+            .otherwise("global_fallback")
+            .alias("stats_source"),
+        )
+    )
+    z = F.when(
+        F.col("std_used").isNull() | (F.col("std_used") == 0), F.lit(0.0)
+    ).otherwise((F.col("value") - F.col("mean_used")) / F.col("std_used"))
+    nz = app.select("user_id", "event_type", "stats_source", z.alias("z"),
+                    "mean_used", "std_used")
+    return nz.groupBy("user_id", "event_type", "stats_source").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        r6(F.any_value("mean_used")).alias("mean_used"),
+        r6(F.any_value("std_used")).alias("std_used"),
+        r6(F.avg("z")).alias("avg_z"),
+        r6(F.stddev_samp("z")).alias("std_z"),
+        r6(F.max(F.abs(F.col("z")))).alias("max_abs_z"),
+    )

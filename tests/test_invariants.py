@@ -1141,3 +1141,23 @@ def test_strategy_significance_matches_numpy(spark, sf_dir):
             assert r.better_model == "model_2", r
         else:
             assert r.better_model is None, r
+
+
+def test_normalization_no_refit_semantics(spark, sf_dir):
+    """apply_normalization contract: per-key groups use the training
+    stats of that (key, event_type); fallback groups use the key's
+    global training stats; zero/undefined std yields exactly zero
+    z-scores; and no serving row is normalized with stats it could not
+    have had at training time (the stats_source labels partition the
+    output)."""
+    rows = QUERIES["normalization_apply_no_refit"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r.stats_source)
+        assert r.n_test > 0
+        if r.stats_source == "zero_std":
+            assert r.avg_z == 0.0 and r.max_abs_z == 0.0, r
+        else:
+            assert r.std_used is not None and r.std_used != 0.0, r
+    assert "per_key" in seen and "global_fallback" in seen, seen
