@@ -1160,4 +1160,33 @@ def test_normalization_no_refit_semantics(spark, sf_dir):
             assert r.avg_z == 0.0 and r.max_abs_z == 0.0, r
         else:
             assert r.std_used is not None and r.std_used != 0.0, r
-    assert "per_key" in seen and "global_fallback" in seen, seen
+    assert "per_key" in seen, seen
+
+
+def test_normalization_no_refit_fallback_arms(spark, tmp_path):
+    """Planted arms: an event type that only appears in the serving half
+    uses the key's global training stats; a constant-valued training
+    key (std 0 everywhere) normalizes to exactly zero."""
+    import pandas as pd
+
+    rows = []
+    # user 1: 40 'tick' rows then 10 'rare' rows (rare unseen in train)
+    for i in range(50):
+        et = "rare" if i >= 40 else "tick"
+        rows.append((i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), 1, et, 100.0 + (i % 7), "{}"))
+    # user 2: constant value -> std 0 at every level
+    for i in range(40):
+        rows.append((100 + i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), 2, "tick", 50.0, "{}"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = str(tmp_path / "sf_norm")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d + "/events.parquet")
+    out = {
+        (r.user_id, r.event_type): r
+        for r in QUERIES["normalization_apply_no_refit"](spark, d).collect()
+    }
+    rare = out[(1, "rare")]
+    assert rare.stats_source == "global_fallback", rare
+    assert rare.n_test == 10
+    const = out[(2, "tick")]
+    assert const.stats_source == "zero_std", const
+    assert const.avg_z == 0.0 and const.max_abs_z == 0.0, const
