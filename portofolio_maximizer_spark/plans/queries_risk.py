@@ -553,9 +553,12 @@ def _nav_case(table: dict[str, float], col: str = "bucket") -> str:
     oracle=f"""
     WITH {_W0_SQL},
     br AS (
+      -- DECIMAL sums: order-independent, so the 2dp rounding of
+      -- target*nav cannot flip with aggregation order
       SELECT segment, bucket, COUNT(*) AS n_symbols,
-             SUM(w) AS rel_w, SUM(notional) AS bucket_notional,
-             SUM(SUM(notional)) OVER (PARTITION BY segment) AS nav
+             SUM(w) AS rel_w,
+             CAST(SUM(SUM(CAST(notional AS DECIMAL(28,6))))
+                  OVER (PARTITION BY segment) AS DOUBLE) AS nav
       FROM w0 GROUP BY segment, bucket
     )
     SELECT segment, bucket, n_symbols,
@@ -589,14 +592,20 @@ def nav_bucket_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return expr
 
     seg = Window.partitionBy("segment")
+    # DECIMAL notional sums: exact and order-independent, so the 2dp
+    # rounding of target*nav is stable across runs and engines
     br = (
         w0.groupBy("segment", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_symbols"),
             F.sum("w").alias("rel_w"),
-            F.sum("notional").alias("bucket_notional"),
+            F.sum(F.col("notional").cast("decimal(28,6)")).alias(
+                "bucket_notional"
+            ),
         )
-        .withColumn("nav", F.sum("bucket_notional").over(seg))
+        .withColumn(
+            "nav", F.sum("bucket_notional").over(seg).cast("double")
+        )
     )
     target = F.when(
         F.col("rel_w") > 0,
