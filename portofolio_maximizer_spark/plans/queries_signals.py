@@ -3041,3 +3041,160 @@ def signal_routing_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("primary_action"),
         (F.col("primary_ts").isNull() & fb).cast("int").alias("fallback_promoted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F17 — deterministic market-analysis fallback (LLM-unavailable path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "market_analysis_fallback",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             DATE_TRUNC('hour', ts) AS hr,
+             ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events WHERE value > 0
+    ),
+    bars AS (
+      SELECT user_id, hr,
+             MAX(CASE WHEN rk = 1 THEN value END) AS close,
+             COUNT(*) AS vol
+      FROM e GROUP BY user_id, hr
+    ),
+    seq AS (
+      SELECT user_id, hr, close, vol,
+             ROW_NUMBER() OVER w AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hr DESC)
+               AS rn_desc,
+             close / LAG(close) OVER w - 1.0 AS pc
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY hr)
+    ),
+    st AS (
+      SELECT user_id,
+             COUNT(*) AS n_hours,
+             ROUND(MAX_BY(close, rn), 2) AS current_price,
+             ROUND((MAX_BY(close, rn) - MIN_BY(close, rn))
+                   / MIN_BY(close, rn) * 100.0, 2) AS price_change_pct,
+             ROUND(STDDEV_SAMP(pc) * 100.0, 2) AS volatility_pct,
+             CAST(AVG(vol) AS BIGINT) AS avg_volume,
+             ROUND((AVG(CASE WHEN rn_desc <= 5 THEN CAST(vol AS DOUBLE) END)
+                    - AVG(CASE WHEN rn <= 5 THEN CAST(vol AS DOUBLE) END))
+                   / AVG(CASE WHEN rn <= 5 THEN CAST(vol AS DOUBLE) END)
+                   * 100.0, 2) AS volume_trend_pct,
+             ROUND(MAX(close), 2) AS high_52w,
+             ROUND(MIN(close), 2) AS low_52w
+      FROM seq GROUP BY user_id HAVING COUNT(*) >= 10
+    )
+    SELECT user_id, n_hours, current_price, price_change_pct,
+           volatility_pct, avg_volume, volume_trend_pct, high_52w, low_52w,
+           CASE WHEN price_change_pct > 1.5 THEN 'bullish'
+                WHEN price_change_pct < -1.5 THEN 'bearish'
+                ELSE 'neutral' END AS trend,
+           CAST(LEAST(10.0, GREATEST(1.0,
+                FLOOR(ABS(price_change_pct)) + 4)) AS INTEGER) AS strength,
+           CASE WHEN volatility_pct > 2.5 THEN 'volatile'
+                WHEN ABS(volume_trend_pct) > 20 THEN 'trending'
+                ELSE 'stable' END AS regime,
+           1 AS fallback
+    FROM st
+    """,
+)
+def market_analysis_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM market analyzer's deterministic fallback — reference
+    `ai_llm/market_analyzer.py:150-256` (`_fallback_analysis` over
+    `_compute_statistics`): first-to-last price change, pct-change
+    volatility, first-5-vs-last-5 volume trend (all rounded to 2dp
+    BEFORE the ladder reads them, as the stats dict is), then
+    bullish/bearish at the +/-1.5% gates, strength = clamp(floor(|pc|)
+    + 4, 1, 10) (the reference's `// 1` floor-divide), and the
+    volatile (> 2.5%) / trending (|volume trend| > 20%) / stable regime
+    ladder. Bars are hourly closes with the event count as volume (the
+    events table's natural volume proxy); the MIN_BY/MAX_BY(close, rn)
+    endpoints are the reference's iloc[0]/iloc[-1]. Pure aggregation —
+    the entire "analysis" costs one groupBy per key, which is exactly
+    what the LLM path degrades to at scale when the endpoint is down."""
+    from ..functions.scalars import epoch_seconds as _ep  # noqa: F401
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    e = ev.select(
+        "user_id", "ts", "event_id", "value", F.date_trunc("hour", "ts").alias("hr")
+    )
+    whr = Window.partitionBy("user_id", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bars = (
+        e.withColumn("rk", F.row_number().over(whr))
+        .groupBy("user_id", "hr")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("vol"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hr")
+    wd = Window.partitionBy("user_id").orderBy(F.col("hr").desc())
+    seq = bars.select(
+        "user_id",
+        "hr",
+        "close",
+        "vol",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(wd).alias("rn_desc"),
+        (F.col("close") / F.lag("close").over(w) - 1.0).alias("pc"),
+    )
+    vold = F.col("vol").cast("double")
+    st = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.max_by("close", F.col("rn")), 2).alias("current_price"),
+            F.round(
+                (F.max_by("close", F.col("rn")) - F.min_by("close", F.col("rn")))
+                / F.min_by("close", F.col("rn"))
+                * 100.0,
+                2,
+            ).alias("price_change_pct"),
+            F.round(F.stddev_samp("pc") * 100.0, 2).alias("volatility_pct"),
+            F.avg("vol").cast("long").alias("avg_volume"),
+            F.round(
+                (
+                    F.avg(F.when(F.col("rn_desc") <= 5, vold))
+                    - F.avg(F.when(F.col("rn") <= 5, vold))
+                )
+                / F.avg(F.when(F.col("rn") <= 5, vold))
+                * 100.0,
+                2,
+            ).alias("volume_trend_pct"),
+            F.round(F.max("close"), 2).alias("high_52w"),
+            F.round(F.min("close"), 2).alias("low_52w"),
+        )
+        .filter(F.col("n_hours") >= 10)
+    )
+    pc = F.col("price_change_pct")
+    return st.select(
+        "user_id",
+        "n_hours",
+        "current_price",
+        "price_change_pct",
+        "volatility_pct",
+        "avg_volume",
+        "volume_trend_pct",
+        "high_52w",
+        "low_52w",
+        F.when(pc > 1.5, "bullish")
+        .when(pc < -1.5, "bearish")
+        .otherwise("neutral")
+        .alias("trend"),
+        F.least(
+            F.lit(10.0), F.greatest(F.lit(1.0), F.floor(F.abs(pc)) + 4)
+        )
+        .cast("int")
+        .alias("strength"),
+        F.when(F.col("volatility_pct") > 2.5, "volatile")
+        .when(F.abs(F.col("volume_trend_pct")) > 20, "trending")
+        .otherwise("stable")
+        .alias("regime"),
+        F.lit(1).alias("fallback"),
+    )

@@ -1190,3 +1190,39 @@ def test_normalization_no_refit_fallback_arms(spark, tmp_path):
     const = out[(2, "tick")]
     assert const.stats_source == "zero_std", const
     assert const.avg_z == 0.0 and const.max_abs_z == 0.0, const
+
+
+def test_market_analysis_fallback_ladder(spark, tmp_path):
+    """`_fallback_analysis` ladders on planted series: a calm drifting
+    series with surging late-hour volume reads 'trending'; a calm
+    constant-volume series reads 'stable'; strength is the clamped
+    floor(|price change|)+4 of the 2dp-rounded stat; key levels bracket
+    the closes."""
+    import numpy as np
+    import pandas as pd
+
+    rows, eid = [], 0
+    # 24 hours; user 1: 2 events/hour for first hours, 12/hour for last 5
+    # user 2: constant 4 events/hour; both with tiny price drift (+3% total)
+    for uid in (1, 2):
+        for h in range(24):
+            per = 4 if uid == 2 else (12 if h >= 19 else 2)
+            for j in range(per):
+                px = 100.0 * (1 + 0.0013 * h)  # ~ +3% over 24h, no noise
+                rows.append(
+                    (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h, minutes=j), uid, "tick", px, "{}")
+                )
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = str(tmp_path / "sf_ma")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d + "/events.parquet")
+    out = {r.user_id: r for r in QUERIES["market_analysis_fallback"](spark, d).collect()}
+    r1, r2 = out[1], out[2]
+    for r in (r1, r2):
+        assert r.trend == "bullish" and r.price_change_pct > 1.5, r
+        assert r.low_52w <= r.current_price <= r.high_52w, r
+        expect_strength = int(min(10, max(1, abs(r.price_change_pct) // 1 + 4)))
+        assert r.strength == expect_strength, r
+        assert r.volatility_pct <= 2.5, r
+    assert r1.regime == "trending" and abs(r1.volume_trend_pct) > 20, r1
+    assert r2.regime == "stable" and r2.volume_trend_pct == 0.0, r2
