@@ -3198,3 +3198,298 @@ def market_analysis_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("regime"),
         F.lit(1).alias("fallback"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM model-selection optimizer (EMA telemetry state + use-case argmax)
+# ---------------------------------------------------------------------------
+
+# Reference `ai_llm/performance_optimizer.py` (`LLMPerformanceOptimizer`):
+# thresholds `:52-57`, EMA update + clamped success-rate walk `:84-125`,
+# constraint filter + per-use-case selection `:127-194,217-261`. The
+# telemetry stream is deterministic hash-derived inference events (no live
+# endpoint in the charter): each key's last _LLM_TEL_WINDOW calls per
+# model, with per-model level offsets so the constraint filter genuinely
+# excludes some models.
+_LLM_TEL_WINDOW = 100
+_LLM_MAX_TIME = 30.0
+_LLM_MIN_SUCCESS = 0.95
+_LLM_MIN_ACC = 0.60
+
+_LLM_HU = "('0x' || SUBSTR(MD5('llm|' || event_id || '|{tag}'), 1, 6))::BIGINT / 16777216.0"
+_LLM_HM = "('0x' || SUBSTR(MD5('llm|' || event_type || '|{tag}'), 1, 6))::BIGINT / 16777216.0"
+
+
+def _llm_state_kernel(cols):
+    """Fold the EMA + clamped-success-rate state over one model's
+    telemetry (reference `performance_optimizer.py:84-125`)."""
+    import numpy as np
+
+    order = np.argsort(cols["seq"], kind="stable")
+    t = cols["t_inf"][order]
+    k = cols["tps"][order]
+    s = cols["succ"][order]
+    a = cols["acc"][order]
+    model = str(cols["event_type"][0])
+    alpha = 0.1
+    avg_t, avg_k, acc = float(t[0]), float(k[0]), float(a[0])
+    sr = 1.0 if bool(s[0]) else 0.0
+    for i in range(1, len(t)):
+        avg_t = alpha * float(t[i]) + (1 - alpha) * avg_t
+        avg_k = alpha * float(k[i]) + (1 - alpha) * avg_k
+        acc = alpha * float(a[i]) + (1 - alpha) * acc
+        sr = min(1.0, sr + 0.01) if bool(s[i]) else max(0.0, sr - 0.05)
+    return [(model, int(len(t)), avg_t, avg_k, sr, acc)]
+
+
+@query(
+    "llm_model_selection",
+    oracle=f"""
+    WITH RECURSIVE ranked AS (
+      SELECT event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    ),
+    tel AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS seq,
+             1.0 + 40.0 * {_LLM_HM.format(tag='mt')}
+                 * (0.5 + {_LLM_HU.format(tag='t')}) AS t_inf,
+             30.0 * {_LLM_HM.format(tag='mk')}
+                 * (0.5 + {_LLM_HU.format(tag='k')}) AS tps,
+             {_LLM_HU.format(tag='s')} < 0.95 AS succ,
+             LEAST(0.25 + 0.7 * {_LLM_HM.format(tag='ma')}
+                   * (0.5 + {_LLM_HU.format(tag='a')}), 0.99) AS acc
+      FROM ranked WHERE rd <= {_LLM_TEL_WINDOW}
+    ),
+    rec AS (
+      SELECT event_type, 1 AS i,
+             t_inf AS avg_t, tps AS avg_k,
+             CASE WHEN succ THEN 1.0 ELSE 0.0 END AS sr, acc
+      FROM tel WHERE seq = 1
+      UNION ALL
+      SELECT t.event_type, r.i + 1,
+             0.1 * t.t_inf + 0.9 * r.avg_t,
+             0.1 * t.tps + 0.9 * r.avg_k,
+             CASE WHEN t.succ THEN LEAST(1.0, r.sr + 0.01)
+                  ELSE GREATEST(0.0, r.sr - 0.05) END,
+             0.1 * t.acc + 0.9 * r.acc
+      FROM rec r JOIN tel t ON t.event_type = r.event_type
+                           AND t.seq = r.i + 1
+    ),
+    nmax AS (SELECT event_type, MAX(seq) AS n FROM tel GROUP BY event_type),
+    state AS (
+      SELECT r.event_type AS model, n.n, r.avg_t, r.avg_k, r.sr, r.acc
+      FROM rec r JOIN nmax n ON n.event_type = r.event_type AND r.i = n.n
+    ),
+    suitable AS (
+      SELECT * FROM state
+      WHERE avg_t <= {_LLM_MAX_TIME} AND acc >= {_LLM_MIN_ACC}
+        AND sr >= {_LLM_MIN_SUCCESS}
+    ),
+    usecases(use_case) AS (
+      VALUES ('fast'), ('accurate'), ('real_time'), ('balanced')
+    ),
+    scored AS (
+      SELECT u.use_case, s.model, s.avg_t, s.acc,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.use_case
+               ORDER BY CASE u.use_case
+                 WHEN 'fast' THEN s.avg_t
+                 WHEN 'accurate' THEN -s.acc
+                 WHEN 'real_time'
+                 THEN -(0.6 * (1.0 / GREATEST(s.avg_t, 0.1)) + 0.4 * s.acc)
+                 ELSE -((1.0 / GREATEST(s.avg_t, 0.1)) + s.avg_k / 20.0
+                        + s.acc + s.sr) / 4.0 END ASC,
+                 CASE WHEN u.use_case IN ('fast', 'accurate')
+                      THEN s.model END ASC,
+                 CASE WHEN u.use_case IN ('real_time', 'balanced')
+                      THEN s.model END DESC
+             ) AS rk
+      FROM usecases u CROSS JOIN suitable s
+    ),
+    best AS (SELECT * FROM scored WHERE rk = 1),
+    alts AS (
+      SELECT b.use_case, s.model,
+             ROW_NUMBER() OVER (PARTITION BY b.use_case ORDER BY s.model)
+               AS ra
+      FROM best b JOIN suitable s ON s.model <> b.model
+    ),
+    altp AS (
+      SELECT use_case,
+             MAX(CASE WHEN ra = 1 THEN model END) AS alt1,
+             MAX(CASE WHEN ra = 2 THEN model END) AS alt2
+      FROM alts GROUP BY use_case
+    )
+    SELECT u.use_case,
+           (SELECT COUNT(*) FROM suitable) AS n_suitable,
+           COALESCE(b.model, 'default_fallback') AS recommended_model,
+           ROUND(COALESCE(b.avg_t, 20.0), 6) AS expected_inference_time,
+           ROUND(COALESCE(b.acc, 0.60), 6) AS expected_accuracy,
+           CASE WHEN b.model IS NULL THEN 'no_suitable_models_default'
+                ELSE 'optimized_' || u.use_case END AS optimization_reason,
+           a.alt1, a.alt2
+    FROM usecases u
+    LEFT JOIN best b ON b.use_case = u.use_case
+    LEFT JOIN altp a ON a.use_case = u.use_case
+    """,
+)
+def llm_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM performance optimizer — reference
+    `ai_llm/performance_optimizer.py:50-261`: per-model telemetry folds
+    through the alpha=0.1 EMA (inference time, token rate, accuracy) and
+    the clamped success-rate walk (+0.01 capped at 1 on success, -0.05
+    floored at 0 on failure — bounded sequential state, the CUSUM
+    recursion family); models passing the 30s / 0.60 accuracy / 0.95
+    success thresholds contend per use case: fastest, most accurate,
+    0.6*speed+0.4*accuracy (real_time), and the equal-weight 4-factor
+    blend (balanced); alternatives are the other suitable models; an
+    empty suitable set yields the reference's default-fallback row
+    (20.0s / 0.60). Telemetry is hash-derived per (model, call) with
+    per-model level offsets so the constraint filter genuinely excludes
+    models (no live endpoint in the charter); tie order is pinned
+    (the reference's tuple sort is name-DESC on score ties, its min/max
+    are insertion-order — a distributed engine needs a total order).
+
+    Spark side folds the state in an Arrow kernel per model (5 groups x
+    100 rows); the oracle replays it as a recursive CTE."""
+    from ..functions.scalars import hash_unit_interval
+    from ..operators.arrowgroup import grouped_numpy
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wa = Window.partitionBy("event_type").orderBy("ts", "event_id")
+
+    def hu(tag):
+        return hash_unit_interval(F.lit("llm"), F.col("event_id"), F.lit(tag))
+
+    def hm(tag):
+        return hash_unit_interval(F.lit("llm"), F.col("event_type"), F.lit(tag))
+
+    tel = (
+        ev.withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= _LLM_TEL_WINDOW)
+        .select(
+            "event_type",
+            F.row_number().over(wa).alias("seq"),
+            (1.0 + 40.0 * hm("mt") * (0.5 + hu("t"))).alias("t_inf"),
+            (30.0 * hm("mk") * (0.5 + hu("k"))).alias("tps"),
+            (hu("s") < 0.95).alias("succ"),
+            F.least(
+                0.25 + 0.7 * hm("ma") * (0.5 + hu("a")), F.lit(0.99)
+            ).alias("acc"),
+        )
+    )
+    schema = StructType(
+        [
+            StructField("model", StringType()),
+            StructField("n", IntegerType()),
+            StructField("avg_t", DoubleType()),
+            StructField("avg_k", DoubleType()),
+            StructField("sr", DoubleType()),
+            StructField("acc", DoubleType()),
+        ]
+    )
+    state = grouped_numpy(tel, ["event_type"], schema, _llm_state_kernel)
+    suitable = state.filter(
+        (F.col("avg_t") <= _LLM_MAX_TIME)
+        & (F.col("acc") >= _LLM_MIN_ACC)
+        & (F.col("sr") >= _LLM_MIN_SUCCESS)
+    )
+    usecases = spark.createDataFrame(
+        [("fast",), ("accurate",), ("real_time",), ("balanced",)],
+        "use_case STRING",
+    )
+    ord_key = (
+        F.when(F.col("use_case") == "fast", F.col("avg_t"))
+        .when(F.col("use_case") == "accurate", -F.col("acc"))
+        .when(
+            F.col("use_case") == "real_time",
+            -(0.6 * (1.0 / F.greatest(F.col("avg_t"), F.lit(0.1))) + 0.4 * F.col("acc")),
+        )
+        .otherwise(
+            -(
+                (1.0 / F.greatest(F.col("avg_t"), F.lit(0.1)))
+                + F.col("avg_k") / 20.0
+                + F.col("acc")
+                + F.col("sr")
+            )
+            / 4.0
+        )
+    )
+    tie_asc = F.when(
+        F.col("use_case").isin("fast", "accurate"), F.col("model")
+    )
+    tie_desc = F.when(
+        F.col("use_case").isin("real_time", "balanced"), F.col("model")
+    )
+    # no broadcast hint: `suitable` is an events-derived aggregate, and
+    # the static hint would pattern-match the corpus-scaling hazard class
+    # planaudit guards; AQE broadcasts the <=|event_type| rows at runtime
+    scored = usecases.crossJoin(suitable).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("use_case").orderBy(
+                ord_key.asc(), tie_asc.asc(), tie_desc.desc()
+            )
+        ),
+    )
+    best = scored.filter(F.col("rk") == 1).select(
+        "use_case",
+        F.col("model").alias("b_model"),
+        F.col("avg_t").alias("b_t"),
+        F.col("acc").alias("b_acc"),
+    )
+    alts = (
+        best.join(
+            suitable.select(F.col("model").alias("a_model")),
+            F.col("a_model") != F.col("b_model"),
+        )
+        .withColumn(
+            "ra",
+            F.row_number().over(
+                Window.partitionBy("use_case").orderBy("a_model")
+            ),
+        )
+        .groupBy("use_case")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("a_model"))).alias("alt1"),
+            F.max(F.when(F.col("ra") == 2, F.col("a_model"))).alias("alt2"),
+        )
+    )
+    n_suit = suitable.count()
+    return (
+        usecases.join(best, "use_case", "left")
+        .join(alts, "use_case", "left")
+        .select(
+            "use_case",
+            F.lit(n_suit).cast("long").alias("n_suitable"),
+            F.coalesce(F.col("b_model"), F.lit("default_fallback")).alias(
+                "recommended_model"
+            ),
+            r6(F.coalesce(F.col("b_t"), F.lit(20.0))).alias(
+                "expected_inference_time"
+            ),
+            r6(F.coalesce(F.col("b_acc"), F.lit(0.60))).alias(
+                "expected_accuracy"
+            ),
+            F.when(
+                F.col("b_model").isNull(), "no_suitable_models_default"
+            )
+            .otherwise(F.concat(F.lit("optimized_"), F.col("use_case")))
+            .alias("optimization_reason"),
+            "alt1",
+            "alt2",
+        )
+    )

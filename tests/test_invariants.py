@@ -1226,3 +1226,73 @@ def test_market_analysis_fallback_ladder(spark, tmp_path):
         assert r.volatility_pct <= 2.5, r
     assert r1.regime == "trending" and abs(r1.volume_trend_pct) > 20, r1
     assert r2.regime == "stable" and r2.volume_trend_pct == 0.0, r2
+
+
+def test_llm_model_selection_replay(spark, sf_dir):
+    """Replay the optimizer end-to-end in pure python — hash telemetry
+    from DuckDB, the EMA + clamped success walk fold, the constraint
+    filter and all four use-case argmaxes — and demand the query's four
+    rows match exactly."""
+    import duckdb
+
+    rows = {r.use_case: r for r in QUERIES["llm_model_selection"](spark, sf_dir).collect()}
+    assert set(rows) == {"fast", "accurate", "real_time", "balanced"}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    tel = con.execute("""
+      WITH ranked AS (
+        SELECT event_type, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rd
+        FROM events
+      )
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS seq,
+             1.0 + 40.0 * (('0x' || SUBSTR(MD5('llm|' || event_type || '|mt'),1,6))::BIGINT / 16777216.0)
+                 * (0.5 + ('0x' || SUBSTR(MD5('llm|' || event_id || '|t'),1,6))::BIGINT / 16777216.0) AS t_inf,
+             30.0 * (('0x' || SUBSTR(MD5('llm|' || event_type || '|mk'),1,6))::BIGINT / 16777216.0)
+                 * (0.5 + ('0x' || SUBSTR(MD5('llm|' || event_id || '|k'),1,6))::BIGINT / 16777216.0) AS tps,
+             ('0x' || SUBSTR(MD5('llm|' || event_id || '|s'),1,6))::BIGINT / 16777216.0 < 0.95 AS succ,
+             LEAST(0.25 + 0.7 * (('0x' || SUBSTR(MD5('llm|' || event_type || '|ma'),1,6))::BIGINT / 16777216.0)
+                 * (0.5 + ('0x' || SUBSTR(MD5('llm|' || event_id || '|a'),1,6))::BIGINT / 16777216.0), 0.99) AS acc
+      FROM ranked WHERE rd <= 100 ORDER BY event_type, seq
+    """).df()
+    state = {}
+    for model, sub in tel.groupby("event_type"):
+        t = sub["t_inf"].to_numpy()
+        k = sub["tps"].to_numpy()
+        s = sub["succ"].to_numpy()
+        a = sub["acc"].to_numpy()
+        avg_t, avg_k, acc = float(t[0]), float(k[0]), float(a[0])
+        sr = 1.0 if bool(s[0]) else 0.0
+        for i in range(1, len(t)):
+            avg_t = 0.1 * float(t[i]) + 0.9 * avg_t
+            avg_k = 0.1 * float(k[i]) + 0.9 * avg_k
+            acc = 0.1 * float(a[i]) + 0.9 * acc
+            sr = min(1.0, sr + 0.01) if bool(s[i]) else max(0.0, sr - 0.05)
+        state[model] = (avg_t, avg_k, sr, acc)
+    suit = {
+        m: v for m, v in state.items()
+        if v[0] <= 30.0 and v[3] >= 0.60 and v[2] >= 0.95
+    }
+    assert rows["fast"].n_suitable == len(suit)
+    if suit:
+        fast = min(suit, key=lambda m: (suit[m][0], m))
+        accu = min(suit, key=lambda m: (-suit[m][3], m))
+        rt = max(suit, key=lambda m: (0.6 / max(suit[m][0], 0.1) + 0.4 * suit[m][3], m))
+        bal = max(
+            suit,
+            key=lambda m: (
+                (1.0 / max(suit[m][0], 0.1) + suit[m][1] / 20.0 + suit[m][3] + suit[m][2]) / 4.0,
+                m,
+            ),
+        )
+        assert rows["fast"].recommended_model == fast
+        assert rows["accurate"].recommended_model == accu
+        assert rows["real_time"].recommended_model == rt
+        assert rows["balanced"].recommended_model == bal
+        import math as _m
+        assert _m.isclose(rows["fast"].expected_inference_time, suit[fast][0], abs_tol=2e-6)
+        assert _m.isclose(rows["accurate"].expected_accuracy, suit[accu][3], abs_tol=2e-6)
+    else:
+        for r in rows.values():
+            assert r.recommended_model == "default_fallback"
