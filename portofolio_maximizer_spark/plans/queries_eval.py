@@ -2052,3 +2052,263 @@ def normalization_apply_no_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.stddev_samp("z")).alias("std_z"),
         r6(F.max(F.abs(F.col("z")))).alias("max_abs_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Live ensemble monitor: per-ticker status + fleet recommendations
+# ---------------------------------------------------------------------------
+
+# Reference `dashboard/live_ensemble_monitor.py`: per-ticker analysis
+# `:148-209`, automated recommendations `:211-295`, thresholds `:29-30`
+# (baseline 1.682 from Phase-7.3 diagnostics, target 1.100).
+_MON_BASELINE = 1.682
+_MON_TARGET = 1.100
+
+_MON_BASE_SQL = f"""
+    {_AUDIT_SQL},
+    wts AS (
+      SELECT user_id, audit_id,
+             (1/r_10) / ((1/r_n) + (1/r_3) + (1/r_10)) AS w10,
+             r_e / LEAST(r_n, r_3, r_10) AS ratio
+      FROM a
+    ),
+    tick AS (
+      SELECT user_id,
+             COUNT(*) AS forecast_count,
+             AVG(w10) AS avg_gw, MAX(w10) AS max_gw,
+             AVG(ratio) AS avg_ratio, MIN(ratio) AS min_ratio,
+             MAX(ratio) AS max_ratio
+      FROM wts GROUP BY user_id
+    )
+"""
+
+
+@query(
+    "ensemble_monitor_status",
+    oracle=f"""
+    {_MON_BASE_SQL}
+    SELECT user_id, forecast_count,
+           ROUND(avg_gw, 6) AS avg_garch_weight,
+           ROUND(max_gw, 6) AS max_garch_weight,
+           ROUND(avg_ratio, 6) AS avg_rmse_ratio,
+           ROUND(min_ratio, 6) AS min_rmse_ratio,
+           ROUND(max_ratio, 6) AS max_rmse_ratio,
+           CASE WHEN avg_ratio < {_MON_TARGET} THEN 'TARGET_ACHIEVED'
+                WHEN avg_ratio < {_MON_BASELINE} THEN 'IMPROVING'
+                ELSE 'REGRESSING' END AS status,
+           ROUND(CASE WHEN avg_ratio >= {_MON_TARGET}
+                       AND avg_ratio < {_MON_BASELINE}
+                      THEN ({_MON_BASELINE} - avg_ratio)
+                           / ({_MON_BASELINE} - {_MON_TARGET}) * 100.0 END, 6)
+             AS progress_to_target_pct,
+           ROUND(({_MON_BASELINE} - avg_ratio) / {_MON_BASELINE} * 100.0, 6)
+             AS improvement_pct,
+           ROUND(avg_ratio - {_MON_TARGET}, 6) AS gap_to_target
+    FROM tick
+    """,
+)
+def ensemble_monitor_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker ensemble monitoring — reference
+    `dashboard/live_ensemble_monitor.py:148-209`
+    (`analyze_ticker_performance`): per audit window the vol-model
+    (MA10-analog) inverse-RMSE weight and the ensemble-vs-best-single
+    RMSE ratio, aggregated into the dashboard's stat block; the status
+    ladder compares the average ratio against the Phase-7.3 baseline
+    (1.682) and the 1.100 target, with the IMPROVING branch's
+    progress-to-target percentage emitted as its own column (the
+    reference interpolates it into the status string). Same audit-window
+    frame as `ensemble_safety_policy`; one groupBy per key."""
+    base = _monitor_tick_frame(spark, sf_dir)
+    ar = F.col("avg_ratio")
+    return base.select(
+        "user_id",
+        "forecast_count",
+        r6(F.col("avg_gw")).alias("avg_garch_weight"),
+        r6(F.col("max_gw")).alias("max_garch_weight"),
+        r6(ar).alias("avg_rmse_ratio"),
+        r6(F.col("min_ratio")).alias("min_rmse_ratio"),
+        r6(F.col("max_ratio")).alias("max_rmse_ratio"),
+        F.when(ar < _MON_TARGET, "TARGET_ACHIEVED")
+        .when(ar < _MON_BASELINE, "IMPROVING")
+        .otherwise("REGRESSING")
+        .alias("status"),
+        r6(
+            F.when(
+                (ar >= _MON_TARGET) & (ar < _MON_BASELINE),
+                (_MON_BASELINE - ar) / (_MON_BASELINE - _MON_TARGET) * 100.0,
+            )
+        ).alias("progress_to_target_pct"),
+        r6((_MON_BASELINE - ar) / _MON_BASELINE * 100.0).alias(
+            "improvement_pct"
+        ),
+        r6(ar - _MON_TARGET).alias("gap_to_target"),
+    )
+
+
+def _monitor_tick_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-ticker stat block for the two monitor queries."""
+    from .queries_stats import _series, _w
+
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id", F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int")
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse((F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0).alias(
+                "r_e"
+            ),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    w10 = (1 / F.col("r_10")) / (
+        (1 / F.col("r_n")) + (1 / F.col("r_3")) + (1 / F.col("r_10"))
+    )
+    ratio = F.col("r_e") / F.least("r_n", "r_3", "r_10")
+    wts = a.select("user_id", "audit_id", w10.alias("w10"), ratio.alias("ratio"))
+    return wts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("forecast_count"),
+        F.avg("w10").alias("avg_gw"),
+        F.max("w10").alias("max_gw"),
+        F.avg("ratio").alias("avg_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+    )
+
+
+@query(
+    "ensemble_monitor_recommendations",
+    oracle=f"""
+    {_MON_BASE_SQL},
+    fleet AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN avg_gw > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS garch_selected,
+             CAST(SUM(CASE WHEN avg_ratio < {_MON_TARGET} THEN 1 ELSE 0 END)
+               AS BIGINT) AS at_target,
+             CAST(SUM(CASE WHEN avg_ratio >= {_MON_BASELINE} THEN 1 ELSE 0 END)
+               AS BIGINT) AS regressing,
+             AVG(avg_ratio - {_MON_TARGET}) AS gap_avg
+      FROM tick
+    )
+    SELECT * FROM (
+      SELECT 'HIGH' AS priority, 'model_selection' AS category,
+             'garch_rarely_selected' AS rec_code,
+             CAST(NULL AS BIGINT) AS user_id,
+             CAST(garch_selected AS DOUBLE) AS metric_a,
+             CAST(total AS DOUBLE) AS metric_b
+      FROM fleet WHERE garch_selected < total * 0.3
+      UNION ALL
+      SELECT 'MEDIUM', 'performance', 'tickers_above_target', NULL,
+             CAST(total - at_target AS DOUBLE), ROUND(gap_avg, 6)
+      FROM fleet WHERE at_target < total
+      UNION ALL
+      SELECT 'CRITICAL', 'regression', 'tickers_regressing', NULL,
+             CAST(regressing AS DOUBLE), CAST(total AS DOUBLE)
+      FROM fleet WHERE regressing > 0
+      UNION ALL
+      SELECT 'MEDIUM', 'ticker_specific', 'garch_dominant_underperforming',
+             user_id, ROUND(avg_gw, 6), ROUND(avg_ratio, 6)
+      FROM tick WHERE avg_gw > 0.7 AND avg_ratio > 1.3
+      UNION ALL
+      SELECT 'LOW', 'ticker_specific', 'no_garch_underperforming',
+             user_id, ROUND(avg_gw, 6), ROUND(avg_ratio, 6)
+      FROM tick WHERE avg_gw < 0.1 AND avg_ratio > 1.4
+      UNION ALL
+      SELECT 'LOW', 'next_phase', 'begin_neural_phase', NULL,
+             CAST(at_target AS DOUBLE), CAST(total AS DOUBLE)
+      FROM fleet WHERE at_target >= total * 0.7
+    )
+    """,
+)
+def ensemble_monitor_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's automated recommendation generator — reference
+    `dashboard/live_ensemble_monitor.py:211-295`
+    (`generate_recommendations`): fleet-level rules (GARCH selected in
+    under 30% of tickers -> HIGH; any ticker above target -> MEDIUM with
+    the average gap; any ticker regressing past the baseline ->
+    CRITICAL; 70%+ at target -> the Phase-8 trigger) plus the two
+    per-ticker rules (vol-model-dominant yet ratio > 1.3; vol-model
+    absent yet ratio > 1.4). Interpolated prose becomes stable rec_codes
+    with the numbers as metric columns. Every branch is a filtered
+    SELECT over one fleet-aggregate row or the per-ticker stat block —
+    the whole advisory engine is a UNION of predicates."""
+    base = _monitor_tick_frame(spark, sf_dir)
+    fleet = base.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("avg_gw") > 0.5).cast("long")).alias("garch_selected"),
+        F.sum((F.col("avg_ratio") < _MON_TARGET).cast("long")).alias(
+            "at_target"
+        ),
+        F.sum((F.col("avg_ratio") >= _MON_BASELINE).cast("long")).alias(
+            "regressing"
+        ),
+        F.avg(F.col("avg_ratio") - _MON_TARGET).alias("gap_avg"),
+    )
+    nb = F.lit(None).cast("bigint")
+
+    def fleet_rule(cond, priority, category, code, ma, mb):
+        return fleet.filter(cond).select(
+            F.lit(priority).alias("priority"),
+            F.lit(category).alias("category"),
+            F.lit(code).alias("rec_code"),
+            nb.alias("user_id"),
+            ma.cast("double").alias("metric_a"),
+            mb.cast("double").alias("metric_b"),
+        )
+
+    r1 = fleet_rule(
+        F.col("garch_selected") < F.col("total") * 0.3,
+        "HIGH", "model_selection", "garch_rarely_selected",
+        F.col("garch_selected"), F.col("total"),
+    )
+    r2 = fleet_rule(
+        F.col("at_target") < F.col("total"),
+        "MEDIUM", "performance", "tickers_above_target",
+        F.col("total") - F.col("at_target"), F.round(F.col("gap_avg"), 6),
+    )
+    r3 = fleet_rule(
+        F.col("regressing") > 0,
+        "CRITICAL", "regression", "tickers_regressing",
+        F.col("regressing"), F.col("total"),
+    )
+    r4 = base.filter((F.col("avg_gw") > 0.7) & (F.col("avg_ratio") > 1.3)).select(
+        F.lit("MEDIUM").alias("priority"),
+        F.lit("ticker_specific").alias("category"),
+        F.lit("garch_dominant_underperforming").alias("rec_code"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        r6(F.col("avg_gw")).alias("metric_a"),
+        r6(F.col("avg_ratio")).alias("metric_b"),
+    )
+    r5 = base.filter((F.col("avg_gw") < 0.1) & (F.col("avg_ratio") > 1.4)).select(
+        F.lit("LOW").alias("priority"),
+        F.lit("ticker_specific").alias("category"),
+        F.lit("no_garch_underperforming").alias("rec_code"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        r6(F.col("avg_gw")).alias("metric_a"),
+        r6(F.col("avg_ratio")).alias("metric_b"),
+    )
+    r6_ = fleet_rule(
+        F.col("at_target") >= F.col("total") * 0.7,
+        "LOW", "next_phase", "begin_neural_phase",
+        F.col("at_target"), F.col("total"),
+    )
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6_)

@@ -1296,3 +1296,42 @@ def test_llm_model_selection_replay(spark, sf_dir):
     else:
         for r in rows.values():
             assert r.recommended_model == "default_fallback"
+
+
+def test_ensemble_monitor_consistency(spark, sf_dir):
+    """Monitor contract: the status ladder agrees with the emitted
+    ratios (target 1.100, baseline 1.682), the IMPROVING progress
+    percentage is the documented interpolation, and every fleet
+    recommendation's metrics re-derive from the per-ticker status rows."""
+    status = QUERIES["ensemble_monitor_status"](spark, sf_dir).collect()
+    recs = QUERIES["ensemble_monitor_recommendations"](spark, sf_dir).collect()
+    assert status
+    for r in status:
+        if r.avg_rmse_ratio < 1.100:
+            assert r.status == "TARGET_ACHIEVED" and r.progress_to_target_pct is None
+        elif r.avg_rmse_ratio < 1.682:
+            assert r.status == "IMPROVING"
+            want = (1.682 - r.avg_rmse_ratio) / (1.682 - 1.100) * 100.0
+            assert math.isclose(r.progress_to_target_pct, want, abs_tol=1e-3), r
+        else:
+            assert r.status == "REGRESSING"
+        assert r.min_rmse_ratio <= r.avg_rmse_ratio <= r.max_rmse_ratio
+        assert 0.0 < r.avg_garch_weight < 1.0 and r.max_garch_weight >= r.avg_garch_weight
+
+    total = len(status)
+    at_target = sum(1 for r in status if r.avg_rmse_ratio < 1.100)
+    regressing = sum(1 for r in status if r.status == "REGRESSING")
+    garch_sel = sum(1 for r in status if r.avg_garch_weight > 0.5)
+    by_code = {}
+    for r in recs:
+        by_code.setdefault(r.rec_code, []).append(r)
+    if garch_sel < total * 0.3:
+        assert by_code["garch_rarely_selected"][0].metric_a == garch_sel
+    if at_target < total:
+        assert by_code["tickers_above_target"][0].metric_a == total - at_target
+    if regressing:
+        assert by_code["tickers_regressing"][0].metric_a == regressing
+    else:
+        assert "tickers_regressing" not in by_code
+    if at_target >= total * 0.7:
+        assert by_code["begin_neural_phase"][0].metric_a == at_target
