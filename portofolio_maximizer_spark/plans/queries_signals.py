@@ -3493,3 +3493,476 @@ def llm_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alt2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 5-layer LLM signal validation (SignalValidator, strict mode)
+# ---------------------------------------------------------------------------
+
+# Reference `ai_llm/signal_validator.py`: regime detector `:100-135`,
+# market context `:362-427`, the five layers `:599-767,769-...,956-1082`,
+# verdict assembly `:429-597`; Kelly helper `etl/portfolio_math.py:
+# 249-263`. Strict-mode defaults (risk_mode config absent): counter-trend
+# and regime filters block, max 2 warnings per layer. Constants are the
+# constructor defaults `:186-203`.
+_SV_MIN_CONF = 0.55
+_SV_MAX_VOL_PCTL = 0.95
+_SV_MAX_POS = 0.02
+_SV_TXN_COST = 0.001
+_SV_REGIME_WINDOW = 60
+
+# two-sided 5% Student-t critical values, df 1..40; beyond 40 the 2.0
+# approximation is within 0.02 of the exact value (t_0.975,60 = 2.0003)
+_T_CRIT_5PCT = {
+    1: 12.7062, 2: 4.3027, 3: 3.1824, 4: 2.7764, 5: 2.5706, 6: 2.4469,
+    7: 2.3646, 8: 2.3060, 9: 2.2622, 10: 2.2281, 11: 2.2010, 12: 2.1788,
+    13: 2.1604, 14: 2.1448, 15: 2.1314, 16: 2.1199, 17: 2.1098,
+    18: 2.1009, 19: 2.0930, 20: 2.0860, 21: 2.0796, 22: 2.0739,
+    23: 2.0687, 24: 2.0639, 25: 2.0595, 26: 2.0555, 27: 2.0518,
+    28: 2.0484, 29: 2.0452, 30: 2.0423, 31: 2.0395, 32: 2.0369,
+    33: 2.0345, 34: 2.0322, 35: 2.0301, 36: 2.0281, 37: 2.0262,
+    38: 2.0244, 39: 2.0227, 40: 2.0211,
+}
+
+
+def _t_crit_sql(df_expr: str) -> str:
+    whens = " ".join(f"WHEN {k} THEN {v}" for k, v in _T_CRIT_5PCT.items())
+    return f"CASE {df_expr} {whens} ELSE 2.0 END"
+
+
+def _t_crit_col(df_col):
+    expr = None
+    for k, v in _T_CRIT_5PCT.items():
+        expr = (
+            F.when(df_col == k, F.lit(v))
+            if expr is None
+            else expr.when(df_col == k, F.lit(v))
+        )
+    return expr.otherwise(F.lit(2.0))
+
+
+@query(
+    "llm_signal_validation",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    feat AS (
+      SELECT user_id, rn, value, lr,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS ma5,
+             STDDEV_SAMP(lr) OVER (PARTITION BY user_id ORDER BY rn
+                                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS vol20,
+             STDDEV_SAMP(value) OVER (PARTITION BY user_id ORDER BY rn
+                                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS rv,
+             STDDEV_SAMP(lr) OVER (PARTITION BY user_id ORDER BY rn
+                                   ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+               AS rvr,
+             COUNT(lr) OVER (PARTITION BY user_id ORDER BY rn
+                             ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+               AS rvr_n,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS rv_n,
+             value / LAG(value) OVER (PARTITION BY user_id ORDER BY rn) - 1.0
+               AS pc,
+             MAX(rn) OVER (PARTITION BY user_id) AS n
+      FROM s
+    ),
+    -- pandas rolling(20).std() is NULL below 20 obs; the 60-window return
+    -- vol likewise needs 60 lr values
+    f2 AS (
+      SELECT user_id, rn, value, lr, ma5, vol20,
+             CASE WHEN rv_n >= 20 THEN rv END AS rv,
+             CASE WHEN rvr_n >= 60 THEN rvr END AS rvr,
+             pc, n
+      FROM feat
+    ),
+    ctx AS (
+      SELECT user_id, ANY_VALUE(n) AS n,
+             MAX(CASE WHEN rn = n THEN value END) AS cp,
+             AVG(CASE WHEN rn > n - 20 THEN value END) AS sma20_raw,
+             AVG(CASE WHEN rn > n - 50 THEN value END) AS sma50_raw,
+             AVG(lr) AS mean_lr,
+             STDDEV_POP(lr) AS sd_lr_pop,
+             MAX(CASE WHEN rn = n THEN rv END) AS rv_last,
+             MAX(CASE WHEN rn = n THEN rvr END) AS current_vol,
+             COUNT(CASE WHEN rn > n - 60 THEN rvr END) AS m_recent,
+             AVG(CASE WHEN rn > n - 60 THEN rvr END) AS mean_recent,
+             STDDEV_SAMP(CASE WHEN rn > n - 60 THEN rvr END) AS sd_recent,
+             SUM(CASE WHEN rn > n - 59 THEN pc END) AS trend,
+             MAX(CASE WHEN rn = n THEN ma5 END) AS ma5_last,
+             MAX(CASE WHEN rn = n THEN vol20 END) AS vol20_last,
+             AVG(CASE WHEN lr > 0 THEN lr END) AS avg_win_raw,
+             ABS(AVG(CASE WHEN lr < 0 THEN lr END)) AS avg_loss_raw,
+             COUNT(CASE WHEN lr > 0 THEN 1 END) AS n_win,
+             COUNT(CASE WHEN lr < 0 THEN 1 END) AS n_loss
+      FROM f2 GROUP BY user_id HAVING ANY_VALUE(n) >= 21
+    ),
+    vp AS (
+      SELECT c.user_id,
+             SUM(CASE WHEN f.rv IS NOT NULL AND c.rv_last > f.rv
+                      THEN 1.0 ELSE 0.0 END) / c.n AS vol_percentile
+      FROM ctx c JOIN f2 f ON f.user_id = c.user_id
+      GROUP BY c.user_id, c.n
+    ),
+    sig AS (
+      SELECT c.*, v.vol_percentile,
+             CASE WHEN c.n >= 20 THEN c.sma20_raw ELSE c.cp END AS sma20,
+             CASE WHEN c.n >= 50 THEN c.sma50_raw
+                  WHEN c.n >= 20 THEN c.sma20_raw ELSE c.cp END AS sma50,
+             c.sd_lr_pop * SQRT(252.0) AS ann_vol,
+             (c.ma5_last - c.cp) / c.cp - 0.002 AS er,
+             COALESCE(c.avg_win_raw, 0.01) AS avg_win,
+             COALESCE(c.avg_loss_raw, 0.01) AS avg_loss
+      FROM ctx c JOIN vp v ON v.user_id = c.user_id
+    ),
+    act AS (
+      SELECT *,
+             CASE WHEN er > 0.01 AND er / NULLIF(vol20_last, 0) > 0.5
+                  THEN 'BUY'
+                  WHEN er < -0.01 AND -er / NULLIF(vol20_last, 0) > 0.5
+                  THEN 'SELL'
+                  ELSE 'HOLD' END AS action,
+             LEAST(ABS(er) / NULLIF(vol20_last, 0), 1.0) AS confidence,
+             CASE WHEN sd_lr_pop * SQRT(252.0) > 0.4 THEN 'high'
+                  WHEN sd_lr_pop * SQRT(252.0) > 0.2 THEN 'medium'
+                  ELSE 'low' END AS risk_level
+      FROM sig
+    ),
+    reg AS (
+      SELECT *,
+             CASE
+               WHEN n < {_SV_REGIME_WINDOW} + 1 THEN 'insufficient'
+               WHEN m_recent < 2 OR current_vol IS NULL THEN 'sideways'
+               WHEN sd_recent = 0
+                 OR ABS((mean_recent - current_vol)
+                        / (sd_recent / SQRT(m_recent)))
+                    > ({_t_crit_sql("CAST(m_recent - 1 AS INTEGER)")})
+               THEN CASE WHEN current_vol > mean_recent
+                         THEN 'high_vol' ELSE 'low_vol' END
+               ELSE 'normal' END AS vol_regime
+      FROM act
+    ),
+    reg2 AS (
+      SELECT *,
+             CASE WHEN vol_regime = 'insufficient' THEN 'sideways_insufficient'
+                  WHEN trend > 0.05 THEN 'bull_' || vol_regime
+                  WHEN trend < -0.05 THEN 'bear_' || vol_regime
+                  ELSE 'sideways_' || vol_regime END AS market_regime
+      FROM reg
+    ),
+    lay AS (
+      SELECT *,
+             CASE WHEN action = 'BUY' AND cp < sma20 THEN 1 ELSE 0 END
+           + CASE WHEN action = 'BUY' AND sma20 < sma50 THEN 1 ELSE 0 END
+           + CASE WHEN action = 'SELL' AND cp > sma20 THEN 1 ELSE 0 END
+           + CASE WHEN action = 'SELL' AND sma20 > sma50 THEN 1 ELSE 0 END
+           + CASE WHEN vol_percentile > {_SV_MAX_VOL_PCTL} THEN 1 ELSE 0 END
+               AS w1,
+             CASE WHEN market_regime LIKE 'bear%' AND action = 'BUY'
+                  THEN 1 ELSE 0 END
+           + CASE WHEN market_regime LIKE 'bull%' AND action = 'SELL'
+                   AND confidence < 0.7 THEN 1 ELSE 0 END
+           + CASE WHEN market_regime LIKE '%high_vol%'
+                   AND risk_level = 'high' THEN 1 ELSE 0 END AS w2,
+             GREATEST(0.0, LEAST(
+               GREATEST(0.0, LEAST(
+                 ((avg_win / avg_loss) * GREATEST(0.51, confidence)
+                  - (1.0 - GREATEST(0.51, confidence)))
+                 / (avg_win / avg_loss), 0.25)) * 0.5,
+               {_SV_MAX_POS})) AS rec_frac
+      FROM reg2
+    ),
+    lay2 AS (
+      SELECT *,
+             CASE WHEN rec_frac < 0.005 THEN 1 ELSE 0 END
+           + CASE WHEN confidence < 0.6 AND rec_frac > 0.015
+                  THEN 1 ELSE 0 END
+           + CASE WHEN ann_vol > 0.4 THEN 1 ELSE 0 END AS w3,
+             CASE WHEN action = 'BUY' THEN 1 ELSE 0 END AS w4,
+             CASE WHEN ABS(er) IS NOT NULL
+                   AND (GREATEST(0.0, ABS(er) - 2.0 * {_SV_TXN_COST}) * 1e4)
+                       / (2.0 * {_SV_TXN_COST} * 1e4) < 1.0
+                  THEN 1 ELSE 0 END AS w5
+      FROM lay
+    ),
+    verdict AS (
+      SELECT *,
+             CASE WHEN w1 < 2 THEN 1 ELSE 0 END AS l1,
+             CASE WHEN w2 < 2 THEN 1 ELSE 0 END AS l2,
+             CASE WHEN w3 < 2 THEN 1 ELSE 0 END AS l3,
+             1 AS l4,
+             CASE WHEN w5 < 2 THEN 1 ELSE 0 END AS l5,
+             w1 + w2 + w3 + w4 + w5 AS n_warnings
+      FROM lay2
+    ),
+    adj AS (
+      SELECT *,
+             (5 - (l1 + l2 + l3 + l4 + l5)) AS failed_layers,
+             GREATEST(0.0, LEAST(1.0,
+               confidence
+               * GREATEST(0.0, 1.0 - 0.15 * (5 - (l1 + l2 + l3 + l4 + l5)))
+               * CASE WHEN w1 + w2 + w3 + w4 + w5 > 0
+                      THEN GREATEST(0.0,
+                           1.0 - 0.05 * (w1 + w2 + w3 + w4 + w5))
+                      ELSE 1.0 END)) AS adj_conf
+      FROM verdict
+    )
+    SELECT user_id, action,
+           ROUND(confidence, 6) AS confidence,
+           risk_level, market_regime,
+           ROUND(vol_percentile, 6) AS vol_percentile,
+           ROUND(rec_frac, 6) AS recommended_fraction,
+           CAST(w1 AS INTEGER) AS w_statistical,
+           CAST(w2 AS INTEGER) AS w_regime,
+           CAST(w3 AS INTEGER) AS w_position,
+           CAST(w4 AS INTEGER) AS w_correlation,
+           CAST(w5 AS INTEGER) AS w_costs,
+           CAST(n_warnings AS INTEGER) AS n_warnings,
+           CAST(failed_layers AS INTEGER) AS failed_layers,
+           ROUND(adj_conf, 6) AS adjusted_confidence,
+           CASE WHEN l1 + l2 + l3 + l4 + l5 = 5
+                 AND adj_conf >= {_SV_MIN_CONF} THEN 1 ELSE 0 END AS is_valid,
+           CASE WHEN l1 + l2 + l3 + l4 + l5 = 5
+                 AND adj_conf >= {_SV_MIN_CONF} THEN 'EXECUTE'
+                WHEN l1 + l2 + l3 + l4 + l5 = 5 AND adj_conf >= 0.45
+                THEN 'MONITOR'
+                ELSE 'REJECT' END AS recommendation
+    FROM adj
+    """,
+)
+def llm_signal_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SignalValidator's 5-layer pre-execution gate — reference
+    `ai_llm/signal_validator.py:429-597` in strict mode (risk_mode
+    config absent), fed by the engine's own signal_generation gate:
+
+    - Layer 1 (`:599-662`): counter-trend checks against SMA(20)/SMA(50)
+      plus the 95th-percentile volatility ceiling (pandas' price-level
+      rolling(20).std percent-rank); valid while < 2 warnings.
+    - Layer 2 (`:664-728`): the `detect_market_regime` t-test (`:100-135`,
+      rolling 60-window return vol vs its recent mean — significance via
+      the two-sided 5% Student-t critical values, exact for the df these
+      series produce) composed with the +/-5% trend into
+      bull/bear/sideways x high/low/normal vol; bear-BUY, modest-
+      confidence bull-SELL and high-risk-in-high-vol warnings.
+    - Layer 3 (`:730-767`): half-Kelly sizing (`portfolio_math.py:
+      249-263`, 25% cap) capped at the 2% position ceiling; too-small /
+      low-confidence-oversized / high-annualized-vol warnings.
+    - Layer 4 (`:769-...`): without a portfolio snapshot the reference
+      emits the BUY notice and passes — replicated literally.
+    - Layer 5 (`:956-1082`): edge-vs-roundtrip-cost ratio from the
+      signal's expected return and the 2x10bp engine cost; the
+      cost-vs-position-size rule is arithmetically dead at these
+      constants (0.002 > 0.02 never holds), as in the reference.
+
+    Verdict (`:515-589`): failed layers scale confidence by 15% each,
+    every warning by 5%, clamp to [0,1]; EXECUTE needs all layers and
+    adjusted confidence >= 0.55, MONITOR >= 0.45, else REJECT. The
+    weather overlay and provenance edge adjustment are inert here (no
+    commodity tickers, no decision context) and documented as such.
+    One window pass + two groupBys per key; the validator never touches
+    row data twice."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    n_w = Window.partitionBy("user_id")
+    feat = s.select(
+        "user_id",
+        "rn",
+        "value",
+        "lr",
+        F.avg("value").over(_w((-4, 0))).alias("ma5"),
+        F.stddev_samp("lr").over(_w((-19, 0))).alias("vol20"),
+        F.when(
+            F.count(F.lit(1)).over(_w((-19, 0))) >= 20,
+            F.stddev_samp("value").over(_w((-19, 0))),
+        ).alias("rv"),
+        F.when(
+            F.count("lr").over(_w((-59, 0))) >= 60,
+            F.stddev_samp("lr").over(_w((-59, 0))),
+        ).alias("rvr"),
+        (F.col("value") / F.lag("value").over(wp) - 1.0).alias("pc"),
+        F.max("rn").over(n_w).alias("n"),
+    )
+    n = F.col("n")
+    rn = F.col("rn")
+    ctx = (
+        feat.groupBy("user_id")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.max(F.when(rn == n, F.col("value"))).alias("cp"),
+            F.avg(F.when(rn > n - 20, F.col("value"))).alias("sma20_raw"),
+            F.avg(F.when(rn > n - 50, F.col("value"))).alias("sma50_raw"),
+            F.avg("lr").alias("mean_lr"),
+            F.stddev_pop("lr").alias("sd_lr_pop"),
+            F.max(F.when(rn == n, F.col("rv"))).alias("rv_last"),
+            F.max(F.when(rn == n, F.col("rvr"))).alias("current_vol"),
+            F.count(F.when(rn > n - 60, F.col("rvr"))).alias("m_recent"),
+            F.avg(F.when(rn > n - 60, F.col("rvr"))).alias("mean_recent"),
+            F.stddev_samp(F.when(rn > n - 60, F.col("rvr"))).alias("sd_recent"),
+            F.sum(F.when(rn > n - 59, F.col("pc"))).alias("trend"),
+            F.max(F.when(rn == n, F.col("ma5"))).alias("ma5_last"),
+            F.max(F.when(rn == n, F.col("vol20"))).alias("vol20_last"),
+            F.avg(F.when(F.col("lr") > 0, F.col("lr"))).alias("avg_win_raw"),
+            F.abs(F.avg(F.when(F.col("lr") < 0, F.col("lr")))).alias(
+                "avg_loss_raw"
+            ),
+        )
+        .filter(F.col("n") >= 21)
+    )
+    vp = (
+        ctx.select("user_id", "rv_last", F.col("n").alias("nn"))
+        .join(feat.select("user_id", "rv"), "user_id")
+        .groupBy("user_id", "nn")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("rv").isNotNull()
+                        & (F.col("rv_last") > F.col("rv")),
+                        1.0,
+                    ).otherwise(0.0)
+                )
+                / F.col("nn")
+            ).alias("vol_percentile")
+        )
+        .select("user_id", "vol_percentile")
+    )
+    sig = ctx.join(vp, "user_id")
+    cp = F.col("cp")
+    sma20 = F.when(F.col("n") >= 20, F.col("sma20_raw")).otherwise(cp)
+    sma50 = (
+        F.when(F.col("n") >= 50, F.col("sma50_raw"))
+        .when(F.col("n") >= 20, F.col("sma20_raw"))
+        .otherwise(cp)
+    )
+    ann_vol = F.col("sd_lr_pop") * F.sqrt(F.lit(252.0))
+    er = (F.col("ma5_last") - cp) / cp - 0.002
+    sig = sig.select(
+        "*",
+        sma20.alias("sma20"),
+        sma50.alias("sma50"),
+        ann_vol.alias("ann_vol"),
+        er.alias("er"),
+        F.coalesce(F.col("avg_win_raw"), F.lit(0.01)).alias("avg_win"),
+        F.coalesce(F.col("avg_loss_raw"), F.lit(0.01)).alias("avg_loss"),
+    )
+    erc = F.col("er")
+    v20 = F.nullif(F.col("vol20_last"), F.lit(0.0))
+    act = sig.select(
+        "*",
+        F.when((erc > 0.01) & (erc / v20 > 0.5), "BUY")
+        .when((erc < -0.01) & (-erc / v20 > 0.5), "SELL")
+        .otherwise("HOLD")
+        .alias("action"),
+        F.least(F.abs(erc) / v20, F.lit(1.0)).alias("confidence"),
+        F.when(F.col("ann_vol") > 0.4, "high")
+        .when(F.col("ann_vol") > 0.2, "medium")
+        .otherwise("low")
+        .alias("risk_level"),
+    )
+    tstat = F.abs(
+        (F.col("mean_recent") - F.col("current_vol"))
+        / (F.col("sd_recent") / F.sqrt(F.col("m_recent")))
+    )
+    vol_regime = (
+        F.when(F.col("n") < _SV_REGIME_WINDOW + 1, "insufficient")
+        .when(
+            (F.col("m_recent") < 2) | F.col("current_vol").isNull(), "sideways"
+        )
+        .when(
+            (F.col("sd_recent") == 0)
+            | (tstat > _t_crit_col((F.col("m_recent") - 1).cast("int"))),
+            F.when(
+                F.col("current_vol") > F.col("mean_recent"), "high_vol"
+            ).otherwise("low_vol"),
+        )
+        .otherwise("normal")
+    )
+    reg = act.withColumn("vol_regime", vol_regime)
+    market_regime = (
+        F.when(F.col("vol_regime") == "insufficient", "sideways_insufficient")
+        .when(F.col("trend") > 0.05, F.concat(F.lit("bull_"), F.col("vol_regime")))
+        .when(F.col("trend") < -0.05, F.concat(F.lit("bear_"), F.col("vol_regime")))
+        .otherwise(F.concat(F.lit("sideways_"), F.col("vol_regime")))
+    )
+    reg2 = reg.withColumn("market_regime", market_regime)
+    a = F.col("action")
+    mr = F.col("market_regime")
+    w1 = (
+        ((a == "BUY") & (cp < F.col("sma20"))).cast("int")
+        + ((a == "BUY") & (F.col("sma20") < F.col("sma50"))).cast("int")
+        + ((a == "SELL") & (cp > F.col("sma20"))).cast("int")
+        + ((a == "SELL") & (F.col("sma20") > F.col("sma50"))).cast("int")
+        + (F.col("vol_percentile") > _SV_MAX_VOL_PCTL).cast("int")
+    )
+    w2 = (
+        (mr.startswith("bear") & (a == "BUY")).cast("int")
+        + (mr.startswith("bull") & (a == "SELL") & (F.col("confidence") < 0.7)).cast("int")
+        + (mr.contains("high_vol") & (F.col("risk_level") == "high")).cast("int")
+    )
+    b = F.col("avg_win") / F.col("avg_loss")
+    p = F.greatest(F.lit(0.51), F.col("confidence"))
+    kelly = F.greatest(
+        F.lit(0.0), F.least((b * p - (1.0 - p)) / b, F.lit(0.25))
+    )
+    rec_frac = F.greatest(
+        F.lit(0.0), F.least(kelly * 0.5, F.lit(_SV_MAX_POS))
+    )
+    lay = reg2.select(
+        "*", w1.alias("w1"), w2.alias("w2"), rec_frac.alias("rec_frac")
+    )
+    w3 = (
+        (F.col("rec_frac") < 0.005).cast("int")
+        + ((F.col("confidence") < 0.6) & (F.col("rec_frac") > 0.015)).cast("int")
+        + (F.col("ann_vol") > 0.4).cast("int")
+    )
+    w4 = (a == "BUY").cast("int")
+    edge_ratio = (
+        F.greatest(F.lit(0.0), F.abs(F.col("er")) - 2.0 * _SV_TXN_COST) * 1e4
+    ) / (2.0 * _SV_TXN_COST * 1e4)
+    w5 = (edge_ratio < 1.0).cast("int")
+    lay2 = lay.select("*", w3.alias("w3"), w4.alias("w4"), w5.alias("w5"))
+    l1 = (F.col("w1") < 2).cast("int")
+    l2 = (F.col("w2") < 2).cast("int")
+    l3 = (F.col("w3") < 2).cast("int")
+    l4 = F.lit(1)
+    l5 = (F.col("w5") < 2).cast("int")
+    nw = F.col("w1") + F.col("w2") + F.col("w3") + F.col("w4") + F.col("w5")
+    layers = l1 + l2 + l3 + l4 + l5
+    failed = 5 - layers
+    adj = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.col("confidence")
+            * F.greatest(F.lit(0.0), 1.0 - 0.15 * failed)
+            * F.when(
+                nw > 0, F.greatest(F.lit(0.0), 1.0 - 0.05 * nw)
+            ).otherwise(F.lit(1.0)),
+        ),
+    )
+    out = lay2.select(
+        "user_id",
+        "action",
+        r6(F.col("confidence")).alias("confidence"),
+        "risk_level",
+        "market_regime",
+        r6(F.col("vol_percentile")).alias("vol_percentile"),
+        r6(F.col("rec_frac")).alias("recommended_fraction"),
+        F.col("w1").alias("w_statistical"),
+        F.col("w2").alias("w_regime"),
+        F.col("w3").alias("w_position"),
+        F.col("w4").alias("w_correlation"),
+        F.col("w5").alias("w_costs"),
+        nw.alias("n_warnings"),
+        failed.alias("failed_layers"),
+        r6(adj).alias("adjusted_confidence"),
+        ((layers == 5) & (adj >= _SV_MIN_CONF)).cast("int").alias("is_valid"),
+        F.when((layers == 5) & (adj >= _SV_MIN_CONF), "EXECUTE")
+        .when((layers == 5) & (adj >= 0.45), "MONITOR")
+        .otherwise("REJECT")
+        .alias("recommendation"),
+    )
+    return out

@@ -1335,3 +1335,48 @@ def test_ensemble_monitor_consistency(spark, sf_dir):
         assert "tickers_regressing" not in by_code
     if at_target >= total * 0.7:
         assert by_code["begin_neural_phase"][0].metric_a == at_target
+
+
+def test_llm_signal_validation_verdict_arithmetic(spark, sf_dir):
+    """validate_llm_signal verdict assembly: the adjusted confidence is
+    exactly conf * (1 - 0.15*failed_layers) * (1 - 0.05*n_warnings)
+    clamped to [0,1]; layer validity thresholds (< 2 warnings, layer 4
+    always passes, the BUY notice counted as its warning); EXECUTE /
+    MONITOR / REJECT gates at 0.55 / 0.45."""
+    rows = QUERIES["llm_signal_validation"](spark, sf_dir).collect()
+    assert rows
+    seen_rec = set()
+    for r in rows:
+        seen_rec.add(r.recommendation)
+        assert r.w_correlation == (1 if r.action == "BUY" else 0), r
+        layers = (
+            int(r.w_statistical < 2)
+            + int(r.w_regime < 2)
+            + int(r.w_position < 2)
+            + 1
+            + int(r.w_costs < 2)
+        )
+        assert r.failed_layers == 5 - layers, r
+        nw = (
+            r.w_statistical + r.w_regime + r.w_position
+            + r.w_correlation + r.w_costs
+        )
+        assert r.n_warnings == nw, r
+        adj = r.confidence * max(0.0, 1 - 0.15 * r.failed_layers)
+        if nw:
+            adj *= max(0.0, 1 - 0.05 * nw)
+        adj = max(0.0, min(1.0, adj))
+        assert math.isclose(r.adjusted_confidence, adj, abs_tol=2e-4), (r, adj)
+        want_valid = int(r.failed_layers == 0 and r.adjusted_confidence >= 0.55 - 1e-9)
+        assert r.is_valid == want_valid, r
+        if r.is_valid:
+            assert r.recommendation == "EXECUTE"
+        elif r.failed_layers == 0 and r.adjusted_confidence >= 0.45 - 1e-9:
+            assert r.recommendation == "MONITOR", r
+        else:
+            assert r.recommendation == "REJECT", r
+        assert 0.0 <= r.recommended_fraction <= 0.02 + 1e-9, r
+        parts = r.market_regime.split("_", 1)
+        assert parts[0] in {"bull", "bear", "sideways"}, r
+        assert parts[1] in {"high_vol", "low_vol", "normal", "sideways", "insufficient"}, r
+    assert "REJECT" in seen_rec
