@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import epoch_seconds
+from ..functions.scalars import chi2_sf1, chi2_sf1_sql, epoch_seconds
 from ..sources.catalog import load_table
 from .queries import query, r6
 from .queries_stats import _S_SQL, _series, _w
@@ -3966,3 +3966,338 @@ def llm_signal_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recommendation"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Historical signal-quality backtest (BacktestReport)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "signal_backtest_report",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    feat AS (
+      SELECT user_id, rn, value,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS ma5,
+             STDDEV_SAMP(lr) OVER (PARTITION BY user_id ORDER BY rn
+                                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS vol20,
+             LEAD(value, 5) OVER (PARTITION BY user_id ORDER BY rn) AS fwd5
+      FROM s
+    ),
+    sigrows AS (
+      SELECT user_id, rn,
+             (ma5 - value) / value - 0.002 AS er, vol20, value, fwd5,
+             CASE WHEN (ma5 - value) / value - 0.002 > 0.01
+                   AND ((ma5 - value) / value - 0.002)
+                       / NULLIF(vol20, 0) > 0.5 THEN 'BUY'
+                  WHEN (ma5 - value) / value - 0.002 < -0.01
+                   AND (-((ma5 - value) / value - 0.002))
+                       / NULLIF(vol20, 0) > 0.5 THEN 'SELL'
+                  ELSE 'HOLD' END AS action,
+             LEAST(ABS((ma5 - value) / value - 0.002)
+                   / NULLIF(vol20, 0), 1.0) AS conf
+      FROM feat WHERE rn >= 21
+    ),
+    trades AS (
+      SELECT user_id, rn, action, conf,
+             fwd5 / value - 1.0 AS aret,
+             CASE WHEN action = 'BUY' THEN fwd5 / value - 1.0
+                  ELSE -(fwd5 / value - 1.0) END AS tret,
+             CASE WHEN action = 'BUY' THEN 1.0 ELSE -1.0 END AS pdir,
+             SIGN(fwd5 / value - 1.0) AS adir
+      FROM sigrows
+      WHERE action <> 'HOLD' AND fwd5 IS NOT NULL
+    ),
+    tstats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trades,
+             AVG(CASE WHEN (action = 'BUY' AND aret > 0)
+                       OR (action = 'SELL' AND aret < 0)
+                      THEN 1.0 ELSE 0.0 END) AS hit_rate,
+             SUM(CASE WHEN (action = 'BUY' AND aret > 0)
+                       OR (action = 'SELL' AND aret < 0)
+                      THEN ABS(aret) ELSE 0.0 END) AS gross_profit,
+             SUM(CASE WHEN (action = 'BUY' AND aret > 0)
+                       OR (action = 'SELL' AND aret < 0)
+                      THEN 0.0 ELSE ABS(aret) END) AS gross_loss,
+             AVG(tret) AS mean_r, STDDEV_POP(tret) AS sd_r,
+             SUM(CASE WHEN 1.0 + tret < 0 THEN 1 ELSE 0 END) AS n_neg_base,
+             SUM(CASE WHEN 1.0 + tret = 0 THEN 1 ELSE 0 END) AS n_zero_base,
+             SUM(LN(ABS(NULLIF(1.0 + tret, 0)))) AS sum_ln_abs,
+             COVAR_POP(pdir, adir)
+               / NULLIF(STDDEV_POP(pdir) * STDDEV_POP(adir), 0) AS ic
+      FROM trades GROUP BY user_id
+    ),
+    -- NW sqrt(m)-lag significance on the squared strategy-vs-benchmark
+    -- differential (the reference routes through test_strategy_significance)
+    dif AS (
+      SELECT user_id, rn, POWER(tret - aret, 2) AS d
+      FROM trades
+    ),
+    ctr AS (
+      SELECT user_id, rn, d, AVG(d) OVER (PARTITION BY user_id) AS db,
+             AVG(CASE WHEN 1 = 1 THEN d END) OVER (PARTITION BY user_id)
+               AS _db2
+      FROM dif
+    ),
+    lagd AS (
+      SELECT user_id, rn, d, db, d - db AS c,
+             {', '.join(f"LAG(d - db, {k}) OVER (PARTITION BY user_id ORDER BY rn) AS c{k}" for k in range(1, 10))}
+      FROM ctr
+    ),
+    nw AS (
+      SELECT user_id, COUNT(*) AS m, ANY_VALUE(db) AS mean_d,
+             SUM(c * c) AS g0s,
+             {', '.join(f"SUM(CASE WHEN c{k} IS NOT NULL THEN c * c{k} END) AS g{k}s" for k in range(1, 10))}
+      FROM lagd GROUP BY user_id
+    ),
+    sigtest AS (
+      SELECT user_id, m, mean_d,
+             mean_d / SQRT(GREATEST(
+               g0s / m + {' + '.join(f"CASE WHEN {k} <= CAST(FLOOR(SQRT(m)) AS INTEGER) AND g0s > 0 THEN 2.0 * (1.0 - {k} / (CAST(FLOOR(SQRT(m)) AS INTEGER) + 1.0)) * COALESCE(g{k}s, 0.0) / m ELSE 0.0 END" for k in range(1, 10))},
+               1e-12) / m) AS t_stat
+      FROM nw WHERE m >= 3
+    ),
+    irx AS (
+      SELECT t.user_id,
+             AVG(t.tret - t.aret)
+               / CASE WHEN STDDEV_POP(t.tret - t.aret) = 0
+                      THEN 1e-12 ELSE STDDEV_POP(t.tret - t.aret) END AS ir
+      FROM trades t GROUP BY t.user_id
+    ),
+    allconf AS (
+      SELECT user_id, AVG(LEAST(GREATEST(COALESCE(conf, 0.5), 0.0), 1.0))
+               AS avg_confidence
+      FROM sigrows GROUP BY user_id
+    )
+    SELECT ts.user_id,
+           ts.n_trades AS trades_analyzed,
+           ROUND(ts.hit_rate, 6) AS hit_rate,
+           ROUND(CASE WHEN ts.gross_loss > 0
+                      THEN ts.gross_profit / ts.gross_loss END, 6)
+             AS profit_factor,
+           ROUND(CASE WHEN ts.sd_r > 0
+                      THEN ts.mean_r / ts.sd_r * SQRT(252.0)
+                      ELSE 0.0 END, 6) AS sharpe_ratio,
+           -- log of the annualization base: ln(1+annual_return)/1 =
+           -- (252/30)*ln(1+cum). The raw compounded value reaches 1e40+
+           -- on these series and cannot round hash-stably; the log form
+           -- is the same information at tame magnitude. NULL exactly
+           -- where numpy's (1+cum)**8.4 is nan (negative base) or cum=-1.
+           ROUND(CASE
+             WHEN ts.n_zero_base > 0 THEN NULL
+             WHEN ts.n_neg_base % 2 = 1 THEN NULL
+             ELSE 252.0 / 30.0 * ts.sum_ln_abs END, 6)
+             AS annual_log_return,
+           ROUND(ac.avg_confidence, 6) AS avg_confidence,
+           ROUND(COALESCE(ts.ic, 0.0), 6) AS information_coefficient,
+           ROUND(COALESCE(ir.ir, 0.0), 6) AS information_ratio,
+           ROUND(COALESCE(st.t_stat, 0.0), 6) AS t_stat,
+           ROUND(COALESCE({chi2_sf1_sql("st.t_stat * st.t_stat")}, 1.0), 6)
+             AS p_normal,
+           CASE WHEN st.t_stat IS NOT NULL
+                 AND {chi2_sf1_sql("st.t_stat * st.t_stat")} < 0.05
+                THEN 1 ELSE 0 END AS statistically_significant,
+           CASE WHEN ts.hit_rate >= 0.55
+                 AND (ts.gross_loss = 0
+                      OR ts.gross_profit / ts.gross_loss >= 1.5)
+                THEN 'APPROVE_FOR_LIVE_TRADING'
+                WHEN ts.hit_rate >= 0.52 THEN 'CONTINUE_PAPER_TRADING'
+                ELSE 'IMPROVE_SIGNALS' END AS recommendation
+    FROM tstats ts
+    JOIN allconf ac ON ac.user_id = ts.user_id
+    LEFT JOIN irx ir ON ir.user_id = ts.user_id
+    LEFT JOIN sigtest st ON st.user_id = ts.user_id
+    """,
+)
+def signal_backtest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 30-day signal-quality backtest — reference
+    `ai_llm/signal_validator.py:1084-1267` (`backtest_signal_quality`):
+    every historical non-HOLD signal is scored against the 5th future
+    bar; hit rate, profit factor (NULL when no losing side, the
+    reference's infinity), population-std annualized Sharpe, the
+    prod(1+r)-compounded annual return (sign-tracked exp-sum-log; a
+    negative compounding base yields NULL exactly where numpy yields
+    nan), average clamped confidence over ALL signals, the
+    direction-correlation information coefficient, and the
+    test_strategy_significance arm (information ratio + NW sqrt(m)-lag
+    DM on the squared strategy-vs-benchmark differential — for BUY
+    trades the differential is zero by construction, so significance is
+    carried entirely by SELLs, faithfully). Verdict ladder: hit >= 0.55
+    with PF >= 1.5 approves for live trading, hit >= 0.52 continues
+    paper trading, else improve. Signals are the engine's own gate
+    applied per bar; fewer than 3 trades skips significance with the
+    reference's p=1 defaults. One window pass + per-key aggregations."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    feat = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.avg("value").over(_w((-4, 0))).alias("ma5"),
+        F.stddev_samp("lr").over(_w((-19, 0))).alias("vol20"),
+        F.lead("value", 5).over(wp).alias("fwd5"),
+    )
+    er = (F.col("ma5") - F.col("value")) / F.col("value") - 0.002
+    v = F.nullif(F.col("vol20"), F.lit(0.0))
+    sigrows = feat.filter(F.col("rn") >= 21).select(
+        "user_id",
+        "rn",
+        "value",
+        "fwd5",
+        er.alias("er"),
+        F.when((er > 0.01) & (er / v > 0.5), "BUY")
+        .when((er < -0.01) & (-er / v > 0.5), "SELL")
+        .otherwise("HOLD")
+        .alias("action"),
+        F.least(F.abs(er) / v, F.lit(1.0)).alias("conf"),
+    )
+    aret = F.col("fwd5") / F.col("value") - 1.0
+    trades = sigrows.filter(
+        (F.col("action") != "HOLD") & F.col("fwd5").isNotNull()
+    ).select(
+        "user_id",
+        "rn",
+        "action",
+        aret.alias("aret"),
+        F.when(F.col("action") == "BUY", aret).otherwise(-aret).alias("tret"),
+        F.when(F.col("action") == "BUY", 1.0).otherwise(-1.0).alias("pdir"),
+        F.signum(aret).alias("adir"),
+    )
+    hit = ((F.col("action") == "BUY") & (F.col("aret") > 0)) | (
+        (F.col("action") == "SELL") & (F.col("aret") < 0)
+    )
+    base = F.lit(1.0) + F.col("tret")
+    tstats = trades.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.avg(hit.cast("double")).alias("hit_rate"),
+        F.sum(F.when(hit, F.abs(F.col("aret"))).otherwise(0.0)).alias(
+            "gross_profit"
+        ),
+        F.sum(F.when(hit, 0.0).otherwise(F.abs(F.col("aret")))).alias(
+            "gross_loss"
+        ),
+        F.avg("tret").alias("mean_r"),
+        F.stddev_pop("tret").alias("sd_r"),
+        F.sum((base < 0).cast("long")).alias("n_neg_base"),
+        F.sum((base == 0).cast("long")).alias("n_zero_base"),
+        F.sum(F.log(F.abs(F.nullif(base, F.lit(0.0))))).alias("sum_ln_abs"),
+        (
+            F.covar_pop("pdir", "adir")
+            / F.nullif(
+                F.stddev_pop("pdir") * F.stddev_pop("adir"), F.lit(0.0)
+            )
+        ).alias("ic"),
+    )
+    # NW significance on the squared differential
+    wo = Window.partitionBy("user_id").orderBy("rn")
+    dif = trades.select(
+        "user_id", "rn", F.pow(F.col("tret") - F.col("aret"), 2).alias("d")
+    )
+    ctr = dif.select(
+        "user_id", "rn", "d",
+        F.avg("d").over(Window.partitionBy("user_id")).alias("db"),
+    )
+    lagd = ctr.select(
+        "*",
+        (F.col("d") - F.col("db")).alias("c"),
+        *[
+            F.lag(F.col("d") - F.col("db"), k).over(wo).alias(f"c{k}")
+            for k in range(1, 10)
+        ],
+    )
+    nwagg = lagd.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.any_value("db").alias("mean_d"),
+        F.sum(F.col("c") * F.col("c")).alias("g0s"),
+        *[
+            F.sum(
+                F.when(F.col(f"c{k}").isNotNull(), F.col("c") * F.col(f"c{k}"))
+            ).alias(f"g{k}s")
+            for k in range(1, 10)
+        ],
+    )
+    m = F.col("m")
+    lag = F.floor(F.sqrt(m)).cast("int")
+    nw_var = F.col("g0s") / m
+    for k in range(1, 10):
+        nw_var = nw_var + F.when(
+            (F.lit(k) <= lag) & (F.col("g0s") > 0),
+            2.0 * (1.0 - k / (lag + 1.0)) * F.coalesce(F.col(f"g{k}s"), F.lit(0.0)) / m,
+        ).otherwise(F.lit(0.0))
+    sigtest = nwagg.filter(m >= 3).select(
+        "user_id",
+        (F.col("mean_d") / F.sqrt(F.greatest(nw_var, F.lit(1e-12)) / m)).alias(
+            "t_stat"
+        ),
+    )
+    irx = trades.groupBy("user_id").agg(
+        (
+            F.avg(F.col("tret") - F.col("aret"))
+            / F.when(
+                F.stddev_pop(F.col("tret") - F.col("aret")) == 0, 1e-12
+            ).otherwise(F.stddev_pop(F.col("tret") - F.col("aret")))
+        ).alias("ir")
+    )
+    allconf = sigrows.groupBy("user_id").agg(
+        F.avg(
+            F.least(
+                F.greatest(F.coalesce(F.col("conf"), F.lit(0.5)), F.lit(0.0)),
+                F.lit(1.0),
+            )
+        ).alias("avg_confidence")
+    )
+    annual = (
+        F.when(F.col("n_zero_base") > 0, F.lit(None).cast("double"))
+        .when(F.col("n_neg_base") % 2 == 1, F.lit(None).cast("double"))
+        .otherwise(252.0 / 30.0 * F.col("sum_ln_abs"))
+    )
+    p = chi2_sf1(F.col("t_stat") * F.col("t_stat"))
+    pf_pass = (F.col("gross_loss") == 0) | (
+        F.col("gross_profit") / F.nullif(F.col("gross_loss"), F.lit(0.0))
+        >= 1.5
+    )
+    return (
+        tstats.join(allconf, "user_id")
+        .join(irx, "user_id", "left")
+        .join(sigtest, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("n_trades").alias("trades_analyzed"),
+            r6(F.col("hit_rate")).alias("hit_rate"),
+            r6(
+                F.when(
+                    F.col("gross_loss") > 0,
+                    F.col("gross_profit") / F.col("gross_loss"),
+                )
+            ).alias("profit_factor"),
+            r6(
+                F.when(
+                    F.col("sd_r") > 0,
+                    F.col("mean_r") / F.col("sd_r") * F.sqrt(F.lit(252.0)),
+                ).otherwise(F.lit(0.0))
+            ).alias("sharpe_ratio"),
+            r6(annual).alias("annual_log_return"),
+            r6(F.col("avg_confidence")).alias("avg_confidence"),
+            r6(F.coalesce(F.col("ic"), F.lit(0.0))).alias(
+                "information_coefficient"
+            ),
+            r6(F.coalesce(F.col("ir"), F.lit(0.0))).alias("information_ratio"),
+            r6(F.coalesce(F.col("t_stat"), F.lit(0.0))).alias("t_stat"),
+            r6(F.coalesce(p, F.lit(1.0))).alias("p_normal"),
+            F.when(F.col("t_stat").isNotNull() & (p < 0.05), 1)
+            .otherwise(0)
+            .alias("statistically_significant"),
+            F.when(
+                (F.col("hit_rate") >= 0.55) & pf_pass,
+                "APPROVE_FOR_LIVE_TRADING",
+            )
+            .when(F.col("hit_rate") >= 0.52, "CONTINUE_PAPER_TRADING")
+            .otherwise("IMPROVE_SIGNALS")
+            .alias("recommendation"),
+        )
+    )

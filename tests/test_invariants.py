@@ -1380,3 +1380,76 @@ def test_llm_signal_validation_verdict_arithmetic(spark, sf_dir):
         assert parts[0] in {"bull", "bear", "sideways"}, r
         assert parts[1] in {"high_vol", "low_vol", "normal", "sideways", "insufficient"}, r
     assert "REJECT" in seen_rec
+
+
+def test_signal_backtest_report_replay(spark, sf_dir, tmp_path):
+    """backtest_signal_quality contract: hit rate / profit factor /
+    Sharpe re-derive from an independent pandas replay of the per-bar
+    signal gate and 5-bar forward scoring; the verdict ladder gates at
+    0.55/1.5 and 0.52; a planted pure random walk denies approval."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rows = {r.user_id: r for r in QUERIES["signal_backtest_report"](spark, sf_dir).collect()}
+    assert rows
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    raw = con.execute("""
+        WITH s AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 LN(value / LAG(value,1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS lr
+          FROM (SELECT * FROM events WHERE value > 0)
+        )
+        SELECT user_id, rn, value,
+               AVG(value) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5,
+               STDDEV_SAMP(lr) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol20,
+               LEAD(value, 5) OVER (PARTITION BY user_id ORDER BY rn) AS fwd5
+        FROM s ORDER BY user_id, rn
+    """).df()
+    for uid, r in list(rows.items())[:5]:
+        sub = raw[(raw.user_id == uid) & (raw.rn >= 21)]
+        hits = n = gp = gl = 0
+        for _, row in sub.iterrows():
+            er = (row.ma5 - row.value) / row.value - 0.002
+            v = row.vol20 if row.vol20 else np.nan
+            if er > 0.01 and er / v > 0.5:
+                act = "BUY"
+            elif er < -0.01 and -er / v > 0.5:
+                act = "SELL"
+            else:
+                continue
+            if np.isnan(row.fwd5):
+                continue
+            aret = row.fwd5 / row.value - 1
+            ok = (act == "BUY" and aret > 0) or (act == "SELL" and aret < 0)
+            hits += ok; n += 1
+            if ok: gp += abs(aret)
+            else: gl += abs(aret)
+        assert n == r.trades_analyzed, (uid, n, r.trades_analyzed)
+        assert math.isclose(r.hit_rate, hits / n, abs_tol=2e-6), (uid, r)
+        if gl > 0:
+            assert math.isclose(r.profit_factor, gp / gl, rel_tol=1e-4), (uid, r)
+        else:
+            assert r.profit_factor is None
+        want = (
+            "APPROVE_FOR_LIVE_TRADING"
+            if r.hit_rate >= 0.55 and (r.profit_factor is None or r.profit_factor >= 1.5)
+            else ("CONTINUE_PAPER_TRADING" if r.hit_rate >= 0.52 else "IMPROVE_SIGNALS")
+        )
+        assert r.recommendation == want, (uid, r)
+
+    # planted driftless random walk: the MA5-reversion edge vanishes
+    rng = np.random.default_rng(11)
+    vals = 100 * np.exp(np.cumsum(rng.normal(0, 0.02, 400)))
+    pdf = pd.DataFrame({
+        "event_id": range(400),
+        "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i) for i in range(400)],
+        "user_id": 1, "event_type": "tick", "value": vals, "props": "{}",
+    })
+    d = str(tmp_path / "sf_bt")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d + "/events.parquet")
+    out = QUERIES["signal_backtest_report"](spark, d).collect()
+    if out:  # signals may not fire at all on a calm walk
+        assert out[0].recommendation != "APPROVE_FOR_LIVE_TRADING" or out[0].trades_analyzed < 10
