@@ -4301,3 +4301,150 @@ def signal_backtest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recommendation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM inference-telemetry summary (performance monitor)
+# ---------------------------------------------------------------------------
+
+# Reference `ai_llm/performance_monitor.py:40-267`: thresholds `:44-48`
+# (30s max time, 5 tok/s min, 5% max error rate; >25% fallback share
+# degrades), summary `:164-214`, per-model breakdown `:216-232`, status
+# ladder `:234-267`. Same hash-telemetry stream as `llm_model_selection`;
+# a call is a fallback event when its fallback draw < 0.1 (stage tagged
+# by the draw's quartile, mirroring record_latency_fallback's stages).
+
+
+@query(
+    "llm_performance_summary",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    ),
+    tel AS (
+      SELECT event_type AS model,
+             1.0 + 40.0 * {_LLM_HM.format(tag='mt')}
+                 * (0.5 + {_LLM_HU.format(tag='t')}) AS t_inf,
+             30.0 * {_LLM_HM.format(tag='mk')}
+                 * (0.5 + {_LLM_HU.format(tag='k')}) AS tps,
+             {_LLM_HU.format(tag='s')} < 0.95 AS succ,
+             {_LLM_HU.format(tag='f')} AS fdraw
+      FROM ranked WHERE rd <= {_LLM_TEL_WINDOW}
+    ),
+    per_model AS (
+      SELECT model,
+             CAST(COUNT(*) AS BIGINT) AS total_inferences,
+             CAST(SUM(CASE WHEN succ THEN 1 ELSE 0 END) AS BIGINT)
+               AS successful,
+             AVG(CASE WHEN succ THEN 1.0 ELSE 0.0 END) AS success_rate,
+             AVG(CASE WHEN succ THEN t_inf END) AS avg_inference_time,
+             MEDIAN(CASE WHEN succ THEN t_inf END) AS median_inference_time,
+             MAX(CASE WHEN succ THEN t_inf END) AS max_inference_time,
+             AVG(CASE WHEN succ THEN tps END) AS avg_tokens_per_second,
+             MEDIAN(CASE WHEN succ THEN tps END) AS median_tokens_per_second,
+             CAST(SUM(CASE WHEN fdraw < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fallback_events
+      FROM tel GROUP BY model
+    )
+    SELECT model, total_inferences, successful,
+           total_inferences - successful AS failed,
+           ROUND(success_rate, 6) AS success_rate,
+           ROUND(avg_inference_time, 6) AS avg_inference_time,
+           ROUND(median_inference_time, 6) AS median_inference_time,
+           ROUND(max_inference_time, 6) AS max_inference_time,
+           ROUND(avg_tokens_per_second, 6) AS avg_tokens_per_second,
+           ROUND(median_tokens_per_second, 6) AS median_tokens_per_second,
+           fallback_events,
+           CASE
+             WHEN successful = 0 THEN 'CRITICAL'
+             WHEN 1.0 - success_rate > 0.05 THEN 'DEGRADED'
+             WHEN avg_inference_time > 30.0 THEN 'SLOW'
+             WHEN avg_tokens_per_second < 5.0 THEN 'SLOW'
+             WHEN CAST(fallback_events AS DOUBLE)
+                  / GREATEST(total_inferences, 1) > 0.25 THEN 'DEGRADED'
+             ELSE 'HEALTHY' END AS performance_status
+    FROM per_model
+    """,
+)
+def llm_performance_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM performance monitor's summary — reference
+    `ai_llm/performance_monitor.py:164-267`: per model, total/successful/
+    failed counts, success-only mean/median/max inference time and token
+    rates (failures excluded exactly as the reference filters them), the
+    fallback-event census, and the status ladder in the reference's
+    check order: no successes -> CRITICAL, error rate > 5% -> DEGRADED,
+    mean time > 30s or mean rate < 5 tok/s -> SLOW, fallback share >
+    25% -> DEGRADED, else HEALTHY. The telemetry stream and window are
+    shared with `llm_model_selection` (one consistent synthetic call
+    ledger); medians are interpolating on both engines. One aggregation
+    per model — the monitor never re-reads history."""
+    from ..functions.scalars import hash_unit_interval
+
+    ev = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def hu(tag):
+        return hash_unit_interval(F.lit("llm"), F.col("event_id"), F.lit(tag))
+
+    def hm(tag):
+        return hash_unit_interval(F.lit("llm"), F.col("event_type"), F.lit(tag))
+
+    tel = (
+        ev.withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= _LLM_TEL_WINDOW)
+        .select(
+            F.col("event_type").alias("model"),
+            (1.0 + 40.0 * hm("mt") * (0.5 + hu("t"))).alias("t_inf"),
+            (30.0 * hm("mk") * (0.5 + hu("k"))).alias("tps"),
+            (hu("s") < 0.95).alias("succ"),
+            hu("f").alias("fdraw"),
+        )
+    )
+    sc = F.col("succ")
+    pm = tel.groupBy("model").agg(
+        F.count(F.lit(1)).alias("total_inferences"),
+        F.sum(sc.cast("long")).alias("successful"),
+        F.avg(sc.cast("double")).alias("success_rate"),
+        F.avg(F.when(sc, F.col("t_inf"))).alias("avg_inference_time"),
+        F.expr("percentile(CASE WHEN succ THEN t_inf END, 0.5D)").alias(
+            "median_inference_time"
+        ),
+        F.max(F.when(sc, F.col("t_inf"))).alias("max_inference_time"),
+        F.avg(F.when(sc, F.col("tps"))).alias("avg_tokens_per_second"),
+        F.expr("percentile(CASE WHEN succ THEN tps END, 0.5D)").alias(
+            "median_tokens_per_second"
+        ),
+        F.sum((F.col("fdraw") < 0.1).cast("long")).alias("fallback_events"),
+    )
+    status = (
+        F.when(F.col("successful") == 0, "CRITICAL")
+        .when(1.0 - F.col("success_rate") > 0.05, "DEGRADED")
+        .when(F.col("avg_inference_time") > 30.0, "SLOW")
+        .when(F.col("avg_tokens_per_second") < 5.0, "SLOW")
+        .when(
+            F.col("fallback_events").cast("double")
+            / F.greatest(F.col("total_inferences"), F.lit(1).cast("long"))
+            > 0.25,
+            "DEGRADED",
+        )
+        .otherwise("HEALTHY")
+    )
+    return pm.select(
+        "model",
+        "total_inferences",
+        "successful",
+        (F.col("total_inferences") - F.col("successful")).alias("failed"),
+        r6(F.col("success_rate")).alias("success_rate"),
+        r6(F.col("avg_inference_time")).alias("avg_inference_time"),
+        r6(F.col("median_inference_time")).alias("median_inference_time"),
+        r6(F.col("max_inference_time")).alias("max_inference_time"),
+        r6(F.col("avg_tokens_per_second")).alias("avg_tokens_per_second"),
+        r6(F.col("median_tokens_per_second")).alias("median_tokens_per_second"),
+        "fallback_events",
+        status.alias("performance_status"),
+    )

@@ -1453,3 +1453,29 @@ def test_signal_backtest_report_replay(spark, sf_dir, tmp_path):
     out = QUERIES["signal_backtest_report"](spark, d).collect()
     if out:  # signals may not fire at all on a calm walk
         assert out[0].recommendation != "APPROVE_FOR_LIVE_TRADING" or out[0].trades_analyzed < 10
+
+
+def test_llm_performance_summary_status_order(spark, sf_dir):
+    """Status ladder check order: CRITICAL before DEGRADED before SLOW;
+    successful+failed partitions totals; the selection optimizer and the
+    monitor agree on the shared telemetry (a model the optimizer deems
+    suitable cannot be CRITICAL here)."""
+    rows = {r.model: r for r in QUERIES["llm_performance_summary"](spark, sf_dir).collect()}
+    assert rows
+    for m, r in rows.items():
+        assert r.successful + r.failed == r.total_inferences, r
+        if r.successful == 0:
+            assert r.performance_status == "CRITICAL"
+        elif 1.0 - r.success_rate > 0.05:
+            assert r.performance_status == "DEGRADED", r
+        elif r.avg_inference_time > 30.0 or r.avg_tokens_per_second < 5.0:
+            assert r.performance_status == "SLOW", r
+        elif r.fallback_events / max(r.total_inferences, 1) > 0.25:
+            assert r.performance_status == "DEGRADED", r
+        else:
+            assert r.performance_status == "HEALTHY", r
+        assert r.median_inference_time <= r.max_inference_time + 1e-9, r
+    sel = {r.use_case: r for r in QUERIES["llm_model_selection"](spark, sf_dir).collect()}
+    for r in sel.values():
+        if r.recommended_model in rows:
+            assert rows[r.recommended_model].performance_status != "CRITICAL"
