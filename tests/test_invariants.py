@@ -1479,3 +1479,101 @@ def test_llm_performance_summary_status_order(spark, sf_dir):
     for r in sel.values():
         if r.recommended_model in rows:
             assert rows[r.recommended_model].performance_status != "CRITICAL"
+
+
+def test_llm_state_kernel_properties():
+    """Hypothesis properties of the EMA + clamped-success-walk fold
+    (`performance_optimizer.py:84-125` semantics): the success rate
+    stays in [0,1] for any success sequence; each EMA stays inside the
+    running min/max envelope of its inputs; and an all-success run never
+    decreases the rate below its start."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from portofolio_maximizer_spark.plans.queries_signals import (
+        _llm_state_kernel,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.floats(0.1, 100.0),
+                st.floats(0.1, 100.0),
+                st.booleans(),
+                st.floats(0.0, 1.0),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(rows):
+        t = np.array([r[0] for r in rows])
+        k = np.array([r[1] for r in rows])
+        s = np.array([r[2] for r in rows])
+        a = np.array([r[3] for r in rows])
+        cols = {
+            "seq": np.arange(len(rows)),
+            "t_inf": t,
+            "tps": k,
+            "succ": s,
+            "acc": a,
+            "event_type": np.array(["m"] * len(rows), dtype=object),
+        }
+        (model, n, avg_t, avg_k, sr, acc), = _llm_state_kernel(cols)
+        assert n == len(rows)
+        assert 0.0 <= sr <= 1.0
+        assert t.min() - 1e-9 <= avg_t <= t.max() + 1e-9
+        assert k.min() - 1e-9 <= avg_k <= k.max() + 1e-9
+        assert a.min() - 1e-9 <= acc <= a.max() + 1e-9
+        if s.all():
+            start = 1.0
+            assert sr >= min(start, 1.0) - 1e-9  # never decreases from 1.0 cap
+
+    check()
+
+
+def test_rolling_skew_closed_form_property():
+    """Hypothesis: the raw-moment G1 formula agrees with pandas
+    rolling(20, min_periods=1).skew() on arbitrary positive series
+    (the exact closed form `rolling_skew_features` evaluates in SQL)."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(st.floats(0.01, 1e4), min_size=1, max_size=50)
+    )
+    def check(vals):
+        v = pd.Series(np.asarray(vals, dtype=float))
+        want = v.rolling(20, min_periods=1).skew().fillna(0.0)
+        for i in range(len(v)):
+            w = v.iloc[max(0, i - 19): i + 1].to_numpy()
+            n = len(w)
+            s1, s2, s3 = w.sum(), (w**2).sum(), (w**3).sum()
+            mean = s1 / n
+            var1 = (s2 - n * mean**2) / (n - 1) if n > 1 else 0.0
+            if n >= 3 and (s2 - s1 * s1 / n) > 0 and var1 > 0:
+                m3 = (s3 - 3 * mean * s2 + 2 * n * mean**3) / n
+                g1 = (n * n / ((n - 1) * (n - 2))) * m3 / var1**1.5
+            else:
+                g1 = 0.0
+            ref = want.iloc[i]
+            if not np.isfinite(ref):
+                ref = 0.0
+            # raw-moment cancellation (the repo's documented skew
+            # convention) amplifies float error by ~mean^2/variance on
+            # near-constant windows; tolerance tracks that conditioning
+            # pandas' streaming kernel itself is only ~1e-4-accurate on
+            # short adversarial windows (skew([1,1,0.5]) = -sqrt(3)
+            # exactly; pandas returns -1.73203...), and our raw-moment
+            # third-moment cancellation scales with (mean/sd)^3 — the
+            # tolerance covers both error sources
+            cond = (mean * mean / var1) ** 1.5 if var1 > 0 else 0.0
+            tol = max(2e-4, 1e-12 * cond, 2e-4 * abs(ref))
+            assert abs(g1 - ref) < tol, (i, g1, ref, cond)
+
+    check()
