@@ -4448,3 +4448,78 @@ def llm_performance_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fallback_events",
         status.alias("performance_status"),
     )
+
+
+@query(
+    "signal_routing_stats",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    feat AS (
+      SELECT user_id, rn, value,
+             AVG(value) OVER w5 AS ma5,
+             AVG(value) OVER w20m AS ma20,
+             STDDEV_SAMP(lr) OVER w20m AS vol20,
+             MAX(rn) OVER (PARTITION BY user_id) AS max_rn
+      FROM s
+      WINDOW w5 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20m AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    q AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE value > 0)
+               / CAST(COUNT(*) AS DOUBLE) AS quality_score
+      FROM events GROUP BY user_id
+    ),
+    latest AS (
+      SELECT f.user_id,
+             ROUND(q.quality_score, 6) AS quality_score,
+             CASE WHEN f.user_id % 7 = 0 THEN 0 ELSE 1 END AS ts_available,
+             CASE WHEN (f.ma5 - f.value) / f.value - 0.002 > 0.01
+                   AND ((f.ma5 - f.value) / f.value - 0.002)
+                       / NULLIF(f.vol20, 0) > 0.5 THEN 'BUY'
+                  WHEN (f.ma5 - f.value) / f.value - 0.002 < -0.01
+                   AND (-((f.ma5 - f.value) / f.value - 0.002))
+                       / NULLIF(f.vol20, 0) > 0.5 THEN 'SELL'
+                  ELSE 'HOLD' END AS ts_action
+      FROM feat f JOIN q ON q.user_id = f.user_id
+      WHERE f.rn = f.max_rn AND f.rn >= 21
+    )
+    SELECT
+      CAST(SUM(ts_available) AS BIGINT) AS time_series_signals,
+      CAST(SUM(CASE WHEN ts_available = 0 OR ts_action = 'HOLD'
+                     OR quality_score < {_ROUTE_QUALITY_MIN}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS llm_fallback_signals,
+      CAST(0 AS BIGINT) AS redundancy_signals,
+      CAST(0 AS BIGINT) AS failed_routes,
+      CAST(SUM(ts_available)
+           + SUM(CASE WHEN ts_available = 0 OR ts_action = 'HOLD'
+                       OR quality_score < {_ROUTE_QUALITY_MIN}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS total_signals,
+      'TIME_SERIES_PRIMARY_LLM_FALLBACK' AS routing_mode
+    FROM latest
+    """,
+)
+def signal_routing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router's fleet statistics — reference `models/signal_router.py:
+    405-436` (`get_routing_stats` / `_get_routing_mode`): counts of
+    TS-primary and LLM-fallback signal generations across the fleet
+    under the default flags (redundancy off -> zero; the engine's
+    deterministic generators cannot fail -> failed_routes zero by
+    construction), total = sum of the counters, and the routing-mode
+    descriptor the flag combination resolves to. One aggregate over the
+    same per-key routing frame as `signal_routing_decision`."""
+    routed = signal_routing_decision(spark, sf_dir)
+    return routed.agg(
+        F.sum(F.col("ts_available").cast("long")).alias("time_series_signals"),
+        F.sum(F.col("fallback_generated").cast("long")).alias(
+            "llm_fallback_signals"
+        ),
+        F.lit(0).cast("long").alias("redundancy_signals"),
+        F.lit(0).cast("long").alias("failed_routes"),
+        (
+            F.sum(F.col("ts_available").cast("long"))
+            + F.sum(F.col("fallback_generated").cast("long"))
+        ).alias("total_signals"),
+    ).withColumn("routing_mode", F.lit("TIME_SERIES_PRIMARY_LLM_FALLBACK"))
