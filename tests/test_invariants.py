@@ -1535,23 +1535,24 @@ def test_llm_state_kernel_properties():
 
 
 def test_rolling_skew_closed_form_property():
-    """Hypothesis: the raw-moment G1 formula agrees with pandas
-    rolling(20, min_periods=1).skew() on arbitrary positive series
-    (the exact closed form `rolling_skew_features` evaluates in SQL)."""
+    """Hypothesis: the raw-moment G1 formula agrees with the TEXTBOOK
+    centered computation (pandas' definition) on arbitrary positive
+    series. Pandas' own streaming rolling-skew kernel is compared only
+    on well-conditioned real data (the integration test above) because
+    hypothesis showed it drifts up to ~1e-3 on adversarial windows
+    where the centered and raw-moment forms agree to 1e-9."""
     import numpy as np
-    import pandas as pd
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=100, deadline=None)
+    @settings(max_examples=150, deadline=None)
     @given(
         st.lists(st.floats(0.01, 1e4), min_size=1, max_size=50)
     )
     def check(vals):
-        v = pd.Series(np.asarray(vals, dtype=float))
-        want = v.rolling(20, min_periods=1).skew().fillna(0.0)
+        v = np.asarray(vals, dtype=float)
         for i in range(len(v)):
-            w = v.iloc[max(0, i - 19): i + 1].to_numpy()
+            w = v[max(0, i - 19): i + 1]
             n = len(w)
             s1, s2, s3 = w.sum(), (w**2).sum(), (w**3).sum()
             mean = s1 / n
@@ -1561,19 +1562,17 @@ def test_rolling_skew_closed_form_property():
                 g1 = (n * n / ((n - 1) * (n - 2))) * m3 / var1**1.5
             else:
                 g1 = 0.0
-            ref = want.iloc[i]
-            if not np.isfinite(ref):
+            # textbook centered form (pandas' definition, computed
+            # directly - well-conditioned)
+            c = w - w.mean()
+            cvar1 = (c @ c) / (n - 1) if n > 1 else 0.0
+            if n >= 3 and cvar1 > 0 and (s2 - s1 * s1 / n) > 0:
+                ref = (n * n / ((n - 1) * (n - 2))) * ((c**3).mean()) / cvar1**1.5
+            else:
                 ref = 0.0
-            # raw-moment cancellation (the repo's documented skew
-            # convention) amplifies float error by ~mean^2/variance on
-            # near-constant windows; tolerance tracks that conditioning
-            # pandas' streaming kernel itself is only ~1e-4-accurate on
-            # short adversarial windows (skew([1,1,0.5]) = -sqrt(3)
-            # exactly; pandas returns -1.73203...), and our raw-moment
-            # third-moment cancellation scales with (mean/sd)^3 — the
-            # tolerance covers both error sources
+            # raw-moment third-moment cancellation scales with (mean/sd)^3
             cond = (mean * mean / var1) ** 1.5 if var1 > 0 else 0.0
-            tol = max(2e-4, 1e-12 * cond, 2e-4 * abs(ref))
+            tol = max(1e-7, 1e-12 * cond, 1e-7 * abs(ref))
             assert abs(g1 - ref) < tol, (i, g1, ref, cond)
 
     check()
