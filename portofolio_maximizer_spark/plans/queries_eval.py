@@ -2312,3 +2312,261 @@ def ensemble_monitor_recommendations(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("at_target"), F.col("total"),
     )
     return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6_)
+
+
+# ---------------------------------------------------------------------------
+# Fleet forecast-audit gate (check_forecast_audits.py RMSE gate)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/check_forecast_audits.py`: per-audit ratio/violation
+# extraction (`:1520-1599`), fleet aggregates + linear-interpolation
+# percentiles (`:2163-2257`), recent-window checks (`:2520-2570`),
+# warmup inconclusiveness (`:2572-2630`) and the KEEP / RESEARCH_ONLY /
+# DISABLE_DEFAULT decision ladder (`:2651-2747`). Thresholds are the
+# monitoring-config knobs pinned as engine constants and interpolated
+# into BOTH engines. Each key's first audit window (audit_id = 0) is the
+# ensemble warm-up: its ensemble metrics are absent, exercising the
+# reference's ensemble_missing path (`:1548-1560`, metrics absent ->
+# violation=False, excluded from the effective denominator but counted
+# by the missing-rate gate).
+_FAG_TOLERANCE = 0.10        # rmse_tolerance -> violation when ratio > 1.10
+_FAG_MIN_LIFT_RMSE = 0.02    # min_lift_rmse_ratio -> lift when ratio < 0.98
+_FAG_PROMO_MARGIN = 0.05     # promotion_margin -> margin lift when < 0.95
+_FAG_MAX_MISSING = 0.35      # max_missing_ensemble_rate (each key warms up
+                             # 1 of ~3 windows -> fleet missing ~0.30; the
+                             # gate must not trip on structural warm-up)
+_FAG_MAX_VIOL = 0.40         # max_violation_rate
+_FAG_MIN_LIFT_FRACTION = 0.30
+_FAG_WARMUP = 20             # max(min_effective_audits, holding_period)
+_FAG_RECENT_REQUIRED = 10    # recent_window_audits
+_FAG_RECENT_MAX_VIOL = 0.50  # recent_window_max_violation_rate
+_FAG_RECENT_MAX_P90 = 1.25   # recent_window_max_p90_rmse_ratio
+
+
+@query(
+    "forecast_audit_fleet_gate",
+    oracle=f"""
+    {_AUDIT_SQL},
+    rows AS (
+      SELECT user_id, audit_id, recency,
+             CASE WHEN audit_id = 0 THEN NULL ELSE ratio END AS ratio,
+             CASE WHEN audit_id = 0 THEN 1 ELSE 0 END AS missing
+      FROM r
+    ),
+    fleet AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(COUNT(ratio) AS BIGINT) AS effective,
+             CAST(SUM(CASE WHEN ratio > 1.0 + {_FAG_TOLERANCE}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS viol,
+             CAST(SUM(missing) AS BIGINT) AS miss,
+             CAST(SUM(CASE WHEN ratio < 1.0 - {_FAG_MIN_LIFT_RMSE}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS lift_n,
+             CAST(SUM(CASE WHEN ratio < 1.0 - {_FAG_PROMO_MARGIN}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS margin_n,
+             QUANTILE_CONT(ratio, 0.1) AS p10,
+             QUANTILE_CONT(ratio, 0.5) AS p50,
+             QUANTILE_CONT(ratio, 0.9) AS p90
+      FROM rows
+    ),
+    recent AS (
+      SELECT CAST(COUNT(ratio) AS BIGINT) AS r_eff,
+             CAST(SUM(CASE WHEN ratio > 1.0 + {_FAG_TOLERANCE}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r_viol,
+             QUANTILE_CONT(ratio, 0.9) AS r_p90
+      FROM rows WHERE recency = 1
+    ),
+    g AS (
+      SELECT f.*, r.r_eff, r.r_viol, r.r_p90,
+             CAST(f.miss AS DOUBLE) / f.total AS missing_rate,
+             CAST(f.viol AS DOUBLE) / f.effective AS viol_rate,
+             CAST(f.lift_n AS DOUBLE) / f.effective AS lift_fraction,
+             CAST(f.margin_n AS DOUBLE) / f.effective AS margin_lift_fraction,
+             CAST(r.r_viol AS DOUBLE) / r.r_eff AS r_viol_rate
+      FROM fleet f, recent r
+    )
+    SELECT total AS total_unique_audits,
+           effective AS effective_audits,
+           miss AS ensemble_missing_count,
+           ROUND(missing_rate, 6) AS ensemble_missing_rate,
+           viol AS violation_count,
+           ROUND(viol_rate, 6) AS violation_rate,
+           ROUND(lift_fraction, 6) AS lift_fraction,
+           ROUND(margin_lift_fraction, 6) AS margin_lift_fraction,
+           ROUND(p10, 6) AS ratio_p10,
+           ROUND(p50, 6) AS ratio_p50,
+           ROUND(p90, 6) AS ratio_p90,
+           r_eff AS recent_effective_audits,
+           ROUND(r_viol_rate, 6) AS recent_violation_rate,
+           ROUND(r_p90, 6) AS recent_ratio_p90,
+           CASE WHEN missing_rate > {_FAG_MAX_MISSING} THEN 'RESEARCH_ONLY'
+                WHEN r_eff >= {_FAG_RECENT_REQUIRED}
+                     AND r_viol_rate > {_FAG_RECENT_MAX_VIOL}
+                THEN 'RESEARCH_ONLY'
+                WHEN r_eff >= {_FAG_RECENT_REQUIRED}
+                     AND r_p90 > {_FAG_RECENT_MAX_P90} THEN 'RESEARCH_ONLY'
+                WHEN effective < {_FAG_WARMUP} THEN 'INCONCLUSIVE'
+                WHEN lift_fraction < {_FAG_MIN_LIFT_FRACTION}
+                THEN 'DISABLE_DEFAULT'
+                WHEN viol_rate > {_FAG_MAX_VIOL} THEN 'RESEARCH_ONLY'
+                WHEN margin_lift_fraction <= 0.0 THEN 'RESEARCH_ONLY'
+                ELSE 'KEEP' END AS decision,
+           CASE WHEN missing_rate > {_FAG_MAX_MISSING}
+                THEN 'missing_ensemble_rate_exceeds_max'
+                WHEN r_eff >= {_FAG_RECENT_REQUIRED}
+                     AND r_viol_rate > {_FAG_RECENT_MAX_VIOL}
+                THEN 'recent_violation_rate_exceeds_max'
+                WHEN r_eff >= {_FAG_RECENT_REQUIRED}
+                     AND r_p90 > {_FAG_RECENT_MAX_P90}
+                THEN 'recent_p90_ratio_exceeds_max'
+                WHEN effective < {_FAG_WARMUP}
+                THEN 'insufficient_effective_audits'
+                WHEN lift_fraction < {_FAG_MIN_LIFT_FRACTION}
+                THEN 'insufficient_lift_vs_baseline'
+                WHEN viol_rate > {_FAG_MAX_VIOL}
+                THEN 'violation_rate_exceeds_max'
+                WHEN margin_lift_fraction <= 0.0
+                THEN 'no_lift_beyond_promotion_margin'
+                ELSE 'ensemble_within_tolerance' END AS decision_reason
+    FROM g
+    """,
+)
+def forecast_audit_fleet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet-level forecast-audit RMSE gate — reference
+    `scripts/check_forecast_audits.py:1520-1599` (per-audit ratio and
+    violation extraction), `:2163-2257` (fleet aggregates and the
+    linear-interpolation ratio percentiles), `:2520-2570` (recent-window
+    violation-rate and p90 checks, skipped while the recent cohort is
+    under-filled), `:2572-2630` (warmup inconclusiveness) and
+    `:2651-2747` (the decision ladder: insufficient holding-period lift
+    -> DISABLE_DEFAULT, violation rate -> RESEARCH_ONLY, zero lift
+    beyond the promotion margin -> RESEARCH_ONLY, else KEEP). One audit
+    window = one audit file; each key's first window is the ensemble
+    warm-up whose ensemble metrics are absent (the reference's
+    ensemble_missing path `:1548-1560`: kept in the census for the
+    missing-rate gate, excluded from the effective denominator). The
+    recent cohort is each key's latest audit (per-user recency window —
+    the reference's most-recent-files slice re-expressed without a
+    global sort).
+
+    Scale: per-key windows plus two bounded fleet aggregates (partial
+    agg native) cross-joined as broadcast single-row scalars; exact
+    percentiles run on the bounded (key x window) audit frame, never on
+    raw rows. No UDF, no collect, no global row-ordering stage."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id", F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int")
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse((F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0).alias(
+                "r_e"
+            ),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    raw_ratio = F.col("r_e") / F.least("r_n", "r_3", "r_10")
+    rows = a.select(
+        "user_id",
+        "audit_id",
+        F.when(F.col("audit_id") == 0, F.lit(None).cast("double"))
+        .otherwise(raw_ratio)
+        .alias("ratio"),
+        F.when(F.col("audit_id") == 0, 1).otherwise(0).alias("missing"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("audit_id").desc()))
+        .alias("recency"),
+    )
+    viol = F.when(F.col("ratio") > 1.0 + _FAG_TOLERANCE, 1).otherwise(0)
+    fleet = rows.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("ratio").alias("effective"),
+        F.sum(viol).alias("viol"),
+        F.sum("missing").alias("miss"),
+        F.sum(
+            F.when(F.col("ratio") < 1.0 - _FAG_MIN_LIFT_RMSE, 1).otherwise(0)
+        ).alias("lift_n"),
+        F.sum(
+            F.when(F.col("ratio") < 1.0 - _FAG_PROMO_MARGIN, 1).otherwise(0)
+        ).alias("margin_n"),
+        F.expr("percentile(ratio, 0.1)").alias("p10"),
+        F.expr("percentile(ratio, 0.5)").alias("p50"),
+        F.expr("percentile(ratio, 0.9)").alias("p90"),
+    )
+    recent = rows.filter(F.col("recency") == 1).agg(
+        F.count("ratio").alias("r_eff"),
+        F.sum(viol).alias("r_viol"),
+        F.expr("percentile(ratio, 0.9)").alias("r_p90"),
+    )
+    g = (
+        fleet.crossJoin(recent)
+        .withColumn("missing_rate", F.col("miss").cast("double") / F.col("total"))
+        .withColumn("viol_rate", F.col("viol").cast("double") / F.col("effective"))
+        .withColumn(
+            "lift_fraction", F.col("lift_n").cast("double") / F.col("effective")
+        )
+        .withColumn(
+            "margin_lift_fraction",
+            F.col("margin_n").cast("double") / F.col("effective"),
+        )
+        .withColumn(
+            "r_viol_rate", F.col("r_viol").cast("double") / F.col("r_eff")
+        )
+    )
+    recent_full = F.col("r_eff") >= _FAG_RECENT_REQUIRED
+    arms = [
+        (F.col("missing_rate") > _FAG_MAX_MISSING,
+         "RESEARCH_ONLY", "missing_ensemble_rate_exceeds_max"),
+        (recent_full & (F.col("r_viol_rate") > _FAG_RECENT_MAX_VIOL),
+         "RESEARCH_ONLY", "recent_violation_rate_exceeds_max"),
+        (recent_full & (F.col("r_p90") > _FAG_RECENT_MAX_P90),
+         "RESEARCH_ONLY", "recent_p90_ratio_exceeds_max"),
+        (F.col("effective") < _FAG_WARMUP,
+         "INCONCLUSIVE", "insufficient_effective_audits"),
+        (F.col("lift_fraction") < _FAG_MIN_LIFT_FRACTION,
+         "DISABLE_DEFAULT", "insufficient_lift_vs_baseline"),
+        (F.col("viol_rate") > _FAG_MAX_VIOL,
+         "RESEARCH_ONLY", "violation_rate_exceeds_max"),
+        (F.col("margin_lift_fraction") <= 0.0,
+         "RESEARCH_ONLY", "no_lift_beyond_promotion_margin"),
+    ]
+    decision = F.lit("KEEP")
+    reason = F.lit("ensemble_within_tolerance")
+    for cond, dec, why in reversed(arms):
+        decision = F.when(cond, dec).otherwise(decision)
+        reason = F.when(cond, why).otherwise(reason)
+    return g.select(
+        F.col("total").alias("total_unique_audits"),
+        F.col("effective").alias("effective_audits"),
+        F.col("miss").cast("bigint").alias("ensemble_missing_count"),
+        r6(F.col("missing_rate")).alias("ensemble_missing_rate"),
+        F.col("viol").cast("bigint").alias("violation_count"),
+        r6(F.col("viol_rate")).alias("violation_rate"),
+        r6(F.col("lift_fraction")).alias("lift_fraction"),
+        r6(F.col("margin_lift_fraction")).alias("margin_lift_fraction"),
+        r6(F.col("p10")).alias("ratio_p10"),
+        r6(F.col("p50")).alias("ratio_p50"),
+        r6(F.col("p90")).alias("ratio_p90"),
+        F.col("r_eff").alias("recent_effective_audits"),
+        r6(F.col("r_viol_rate")).alias("recent_violation_rate"),
+        r6(F.col("r_p90")).alias("recent_ratio_p90"),
+        decision.alias("decision"),
+        reason.alias("decision_reason"),
+    )
