@@ -2570,3 +2570,261 @@ def forecast_audit_fleet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         decision.alias("decision"),
         reason.alias("decision_reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic admission ladder + census (check_forecast_audits.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/check_forecast_audits.py`: `_derive_semantic_admission`
+# (`:486-631`, the legacy-derived branch: ordered reason codes ->
+# admissibility -> ELIGIBLE / ACCEPTED_NONELIGIBLE / QUARANTINED bucket),
+# `_summarize_admission_entries` (`:455-485`, the census) and
+# `_counts_toward_readiness_denominator` (`:387-405`). Entry attributes are
+# derived from the events table: context from the event type, manifest
+# verification from a portable md5 bucket (the reference verifies a sha256
+# manifest — `:1278-1340`), duplicate conflicts from a real same-key
+# density window, quarantine from the value clamp, production labeling
+# from the user cohort, and NOT_DUE from the expected-close horizon
+# (`compute_expected_close`, `:213-243`) against the corpus end.
+_ADM_SQL = """
+      SELECT e.event_id, e.user_id, e.event_type, e.value, e.ts,
+             CAST(e.props->>'k' AS INTEGER) AS k,
+             COUNT(*) OVER (PARTITION BY e.user_id, e.event_type,
+                            CAST(e.ts AS DATE)) AS key_n,
+             CASE WHEN e.event_type IN ('purchase', 'click') THEN 'TRADE'
+                  WHEN e.event_type = 'error' THEN 'INVALID'
+                  ELSE 'NON_TRADE' END AS context_type,
+             CASE WHEN ('0x' || SUBSTR(MD5('manifest|' ||
+                        CAST(e.event_id AS VARCHAR)), 1, 6))::BIGINT
+                       / 16777216.0 < 0.05 THEN 'missing'
+                  WHEN ('0x' || SUBSTR(MD5('manifest|' ||
+                        CAST(e.event_id AS VARCHAR)), 1, 6))::BIGINT
+                       / 16777216.0 < 0.10 THEN 'mismatch'
+                  ELSE 'verified' END AS manifest_status,
+             e.value > 250 AS quarantined,
+             e.user_id % 10 <> 0 AS production_labeled,
+             CAST(e.ts AS DATE) + ((CAST(e.props->>'k' AS INTEGER) % 7) + 1)
+               > (SELECT CAST(MAX(ts) AS DATE) FROM events) AS not_due
+      FROM events e
+"""
+
+_ADM_LADDER_SQL = f"""
+    ent AS ({_ADM_SQL}),
+    lad AS (
+      SELECT event_id, user_id, context_type, manifest_status,
+             CASE WHEN context_type = 'INVALID' THEN 'INVALID_CONTEXT'
+                  WHEN context_type <> 'TRADE' THEN 'NON_TRADE_CONTEXT'
+                  WHEN k IS NULL THEN 'OUTCOMES_NOT_LOADED'
+                  WHEN not_due THEN 'NOT_DUE'
+                  WHEN key_n > 2 THEN 'AMBIGUOUS'
+                  ELSE 'MATCHED' END AS outcome_status,
+             CAST(key_n > 2 AS INTEGER) AS duplicate_conflict,
+             CAST(quarantined AS INTEGER) AS quarantined,
+             CAST(production_labeled AS INTEGER) AS production_labeled,
+             CONCAT_WS(',',
+               CASE WHEN NOT production_labeled
+                    THEN 'NOT_PRODUCTION_LABELED' END,
+               CASE WHEN context_type <> 'TRADE'
+                    THEN 'NON_TRADE_CONTEXT' END,
+               CASE WHEN manifest_status <> 'verified'
+                    THEN 'MANIFEST_' || UPPER(manifest_status) END,
+               CASE WHEN key_n > 2 THEN 'DUPLICATE_CONFLICT' END,
+               CASE WHEN quarantined THEN 'QUARANTINED' END) AS codes
+      FROM ent
+    ),
+    adm AS (
+      SELECT *, CAST(codes = '' AS INTEGER) AS admissible,
+             CASE WHEN quarantined = 1 OR duplicate_conflict = 1
+                  THEN 'QUARANTINED'
+                  WHEN codes = '' THEN 'ELIGIBLE'
+                  ELSE 'ACCEPTED_NONELIGIBLE' END AS gate_bucket,
+             CASE WHEN codes = '' THEN 'READY'
+                  ELSE COALESCE(NULLIF(codes, ''), 'NON_ELIGIBLE') END
+               AS admission_reason_code,
+             CASE WHEN codes = '' AND context_type = 'TRADE'
+                       AND outcome_status
+                           NOT IN ('INVALID_CONTEXT', 'NON_TRADE_CONTEXT',
+                                   'OUTCOMES_NOT_LOADED', 'NOT_DUE')
+                  THEN 1 ELSE 0 END AS counts_toward_readiness
+      FROM lad
+    )
+"""
+
+
+@query(
+    "audit_admission_ladder",
+    oracle=f"""
+    WITH {_ADM_LADDER_SQL}
+    SELECT event_id, user_id, context_type, manifest_status, outcome_status,
+           duplicate_conflict, quarantined, production_labeled, gate_bucket,
+           admission_reason_code, admissible, counts_toward_readiness
+    FROM adm
+    """,
+)
+def audit_admission_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-grain semantic-admission ladder — reference
+    `scripts/check_forecast_audits.py:486-631` (legacy-derived branch):
+    ordered reason codes (NOT_PRODUCTION_LABELED -> NON_TRADE_CONTEXT ->
+    MANIFEST_* -> DUPLICATE_CONFLICT -> QUARANTINED), admissibility =
+    accepted with zero codes, bucket ladder (quarantine/duplicate ->
+    QUARANTINED, admissible -> ELIGIBLE, else ACCEPTED_NONELIGIBLE), the
+    outcome-status classification (`_classify_execution_rejection` family
+    `:162-243`) and the readiness-denominator predicate (`:387-405`:
+    gate-eligible TRADE entries whose outcome status is conclusive).
+
+    Scale: one same-key density window + pure column algebra; the
+    corpus-end date is a broadcast scalar. No UDF, no collect."""
+    from ..functions.scalars import hash_unit_interval
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    wkey = Window.partitionBy("user_id", "event_type", F.to_date("ts"))
+    mx = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    u = hash_unit_interval(F.lit("manifest"), F.col("event_id"))
+    ent = ev.crossJoin(F.broadcast(mx)).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        k.alias("k"),
+        F.count(F.lit(1)).over(wkey).alias("key_n"),
+        F.when(F.col("event_type").isin("purchase", "click"), "TRADE")
+        .when(F.col("event_type") == "error", "INVALID")
+        .otherwise("NON_TRADE")
+        .alias("context_type"),
+        F.when(u < 0.05, "missing")
+        .when(u < 0.10, "mismatch")
+        .otherwise("verified")
+        .alias("manifest_status"),
+        (F.col("value") > 250).alias("quarantined"),
+        (F.col("user_id") % 10 != 0).alias("production_labeled"),
+        (
+            F.date_add(F.to_date("ts"), (k % 7) + 1) > F.col("max_d")
+        ).alias("not_due"),
+    )
+    outcome = (
+        F.when(F.col("context_type") == "INVALID", "INVALID_CONTEXT")
+        .when(F.col("context_type") != "TRADE", "NON_TRADE_CONTEXT")
+        .when(F.col("k").isNull(), "OUTCOMES_NOT_LOADED")
+        .when(F.col("not_due"), "NOT_DUE")
+        .when(F.col("key_n") > 2, "AMBIGUOUS")
+        .otherwise("MATCHED")
+    )
+    codes = F.concat_ws(
+        ",",
+        F.when(~F.col("production_labeled"), "NOT_PRODUCTION_LABELED"),
+        F.when(F.col("context_type") != "TRADE", "NON_TRADE_CONTEXT"),
+        F.when(
+            F.col("manifest_status") != "verified",
+            F.concat(F.lit("MANIFEST_"), F.upper("manifest_status")),
+        ),
+        F.when(F.col("key_n") > 2, "DUPLICATE_CONFLICT"),
+        F.when(F.col("quarantined"), "QUARANTINED"),
+    )
+    lad = ent.select(
+        "event_id",
+        "user_id",
+        "context_type",
+        "manifest_status",
+        outcome.alias("outcome_status"),
+        (F.col("key_n") > 2).cast("int").alias("duplicate_conflict"),
+        F.col("quarantined").cast("int").alias("quarantined"),
+        F.col("production_labeled").cast("int").alias("production_labeled"),
+        codes.alias("codes"),
+    )
+    admissible = (F.col("codes") == "").cast("int")
+    return lad.select(
+        "event_id",
+        "user_id",
+        "context_type",
+        "manifest_status",
+        "outcome_status",
+        "duplicate_conflict",
+        "quarantined",
+        "production_labeled",
+        F.when(
+            (F.col("quarantined") == 1) | (F.col("duplicate_conflict") == 1),
+            "QUARANTINED",
+        )
+        .when(F.col("codes") == "", "ELIGIBLE")
+        .otherwise("ACCEPTED_NONELIGIBLE")
+        .alias("gate_bucket"),
+        F.when(F.col("codes") == "", "READY")
+        .otherwise(F.coalesce(F.nullif("codes", F.lit("")), F.lit("NON_ELIGIBLE")))
+        .alias("admission_reason_code"),
+        admissible.alias("admissible"),
+        F.when(
+            (F.col("codes") == "")
+            & (F.col("context_type") == "TRADE")
+            & ~F.col("outcome_status").isin(
+                "INVALID_CONTEXT",
+                "NON_TRADE_CONTEXT",
+                "OUTCOMES_NOT_LOADED",
+                "NOT_DUE",
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("counts_toward_readiness"),
+    )
+
+
+@query(
+    "audit_admission_census",
+    oracle=f"""
+    WITH {_ADM_LADDER_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_entries,
+           CAST(COUNT(*) AS BIGINT) AS accepted_records,
+           CAST(SUM(admissible) AS BIGINT) AS eligible_records,
+           CAST(SUM(CASE WHEN gate_bucket = 'ACCEPTED_NONELIGIBLE'
+                    THEN 1 ELSE 0 END) AS BIGINT)
+             AS accepted_noneligible_records,
+           CAST(SUM(CASE WHEN gate_bucket = 'QUARANTINED' THEN 1 ELSE 0 END)
+             AS BIGINT) AS quarantined_records,
+           CAST(SUM(duplicate_conflict) AS BIGINT) AS duplicate_conflicts,
+           CAST(SUM(CASE WHEN manifest_status = 'missing' THEN 1 ELSE 0 END)
+             AS BIGINT) AS manifest_missing,
+           CAST(SUM(CASE WHEN manifest_status = 'mismatch' THEN 1 ELSE 0 END)
+             AS BIGINT) AS manifest_mismatch,
+           CAST(SUM(counts_toward_readiness) AS BIGINT)
+             AS readiness_denominator,
+           ROUND(CAST(SUM(counts_toward_readiness) AS DOUBLE) / COUNT(*), 6)
+             AS readiness_fraction
+    FROM adm
+    """,
+)
+def audit_admission_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission census — reference
+    `scripts/check_forecast_audits.py:455-485`
+    (`_summarize_admission_entries`: accepted / eligible /
+    accepted-noneligible / quarantined / duplicate-conflict counts plus
+    the manifest-verification tallies `:1321-1340`) and the readiness
+    denominator over the same entries (`:387-405`). Single bounded
+    aggregation over the entry-grain ladder frame."""
+    lad = audit_admission_ladder(spark, sf_dir)
+    return lad.agg(
+        F.count(F.lit(1)).alias("total_entries"),
+        F.count(F.lit(1)).alias("accepted_records"),
+        F.sum("admissible").cast("bigint").alias("eligible_records"),
+        F.sum((F.col("gate_bucket") == "ACCEPTED_NONELIGIBLE").cast("int"))
+        .cast("bigint")
+        .alias("accepted_noneligible_records"),
+        F.sum((F.col("gate_bucket") == "QUARANTINED").cast("int"))
+        .cast("bigint")
+        .alias("quarantined_records"),
+        F.sum("duplicate_conflict").cast("bigint").alias("duplicate_conflicts"),
+        F.sum((F.col("manifest_status") == "missing").cast("int"))
+        .cast("bigint")
+        .alias("manifest_missing"),
+        F.sum((F.col("manifest_status") == "mismatch").cast("int"))
+        .cast("bigint")
+        .alias("manifest_mismatch"),
+        F.sum("counts_toward_readiness")
+        .cast("bigint")
+        .alias("readiness_denominator"),
+        r6(
+            F.sum("counts_toward_readiness").cast("double")
+            / F.count(F.lit(1))
+        ).alias("readiness_fraction"),
+    )
