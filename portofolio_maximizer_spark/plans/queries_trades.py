@@ -1307,3 +1307,336 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("profitability_proof"),
         F.lit("synthetic").alias("data_origin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exit-quality audit: per-reason breakdown + direction-gap diagnosis
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/exit_quality_audit.py`: trade loading + derived
+# columns (`:45-114`: is_winner, ATR-proxy risk unit, r_multiple,
+# correct-direction-negative-PnL flags), per-exit-reason breakdown
+# (`:116-143`) and the direction-gap interpretation ladder (`:145-218`).
+# The trade frame is the round-trip world of this pack: order = trade,
+# aggregated open/close lots (deterministic under line-number ties), the
+# close lot's shipmode playing the exit_reason channel and its unit-price
+# spread playing the single-bar high/low ATR proxy.
+_EXQ_SQL = """
+      WITH mx AS (
+        SELECT l_orderkey, MAX(l_linenumber) AS maxline
+        FROM lineitem GROUP BY l_orderkey
+      ),
+      closes AS (
+        SELECT l.l_orderkey,
+               SUM(l.l_quantity) AS cq,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+               MAX(l.l_shipdate) AS cship,
+               MIN(l.l_tax) AS ctax,
+               MAX(l.l_extendedprice / l.l_quantity) AS bar_high,
+               MIN(l.l_extendedprice / l.l_quantity) AS bar_low
+        FROM lineitem l
+        JOIN mx ON mx.l_orderkey = l.l_orderkey
+               AND l.l_linenumber = mx.maxline
+        GROUP BY l.l_orderkey
+      ),
+      opens AS (
+        SELECT l_orderkey,
+               SUM(l_quantity) AS oq,
+               SUM(l_extendedprice * (1 - l_discount)) AS onet,
+               MIN(l_shipdate) AS oship,
+               MAX(l_linestatus) AS ostatus
+        FROM lineitem
+        WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+        GROUP BY l_orderkey
+      ),
+      raw AS (
+        SELECT c.l_orderkey AS orderkey,
+               CASE WHEN o2.ostatus = 'O' THEN 'BUY' ELSE 'SELL' END AS action,
+               CASE WHEN c.ctax < 0.015 THEN 'stop_loss'
+                    WHEN c.ctax < 0.045 THEN 'time_exit'
+                    WHEN c.ctax < 0.075 THEN 'signal_exit'
+                    ELSE 'unknown' END AS exit_reason,
+               ROUND(c.cnet - o2.onet, 6) AS pnl,
+               o2.onet / o2.oq AS entry_price,
+               c.cnet / c.cq AS exit_price,
+               c.bar_high, c.bar_low,
+               DATEDIFF('day', o2.oship, c.cship) AS holding_days
+        FROM closes c
+        JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+        JOIN orders o ON o.o_orderkey = c.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+      ),
+      trades AS (
+        SELECT *,
+               CASE WHEN pnl > 0 THEN 1 ELSE 0 END AS is_winner,
+               CASE WHEN bar_high IS NOT NULL AND bar_low IS NOT NULL
+                         AND entry_price > 0 AND bar_high > bar_low
+                    THEN bar_high - bar_low
+                    WHEN entry_price > 0 THEN entry_price * 0.015
+                    END AS atr_proxy,
+               CASE WHEN (action = 'BUY' AND exit_price > entry_price
+                          AND pnl < 0)
+                         OR (action = 'SELL' AND exit_price < entry_price
+                             AND pnl < 0)
+                    THEN 1 ELSE 0 END AS correct_dir_neg_pnl
+        FROM raw
+      ),
+      tr AS (
+        SELECT *,
+               pnl / NULLIF(atr_proxy * 1.5, 0.0) AS r_multiple
+        FROM trades
+      )
+"""
+
+
+@query(
+    "exit_quality_breakdown",
+    oracle=f"""
+    {_EXQ_SQL}
+    SELECT exit_reason,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM tr), 6) AS pct_of_total,
+           ROUND(AVG(CAST(is_winner AS DOUBLE)), 6) AS win_rate,
+           ROUND(AVG(pnl), 6) AS mean_pnl,
+           ROUND(QUANTILE_CONT(pnl, 0.5), 6) AS median_pnl,
+           ROUND(QUANTILE_CONT(r_multiple, 0.5), 6) AS median_r_multiple
+    FROM tr GROUP BY exit_reason
+    """,
+)
+def exit_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-exit-reason trade statistics — reference
+    `scripts/exit_quality_audit.py:116-143`
+    (`compute_exit_reason_breakdown`): count, share of total, win rate,
+    mean/median PnL and the median R-multiple, where the R-multiple is
+    realized PnL over 1.5x the single-bar ATR proxy (bar range, entry
+    fallback 1.5%) — `:92-103`.
+
+    Scale: two lot aggregations + one bounded per-reason groupBy; the
+    fleet total is a broadcast scalar. Exact medians run on the
+    per-reason frames (bounded reason cardinality)."""
+    tr = _exit_trades_frame(spark, sf_dir)
+    total = tr.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tr.groupBy("exit_reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.avg(F.col("is_winner").cast("double")).alias("wr"),
+            F.avg("pnl").alias("mean_pnl"),
+            F.expr("percentile(pnl, 0.5)").alias("med_pnl"),
+            F.expr("percentile(r_multiple, 0.5)").alias("med_r"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "exit_reason",
+            "n_trades",
+            r6(F.col("n_trades").cast("double") / F.col("total")).alias(
+                "pct_of_total"
+            ),
+            r6(F.col("wr")).alias("win_rate"),
+            r6(F.col("mean_pnl")).alias("mean_pnl"),
+            r6(F.col("med_pnl")).alias("median_pnl"),
+            r6(F.col("med_r")).alias("median_r_multiple"),
+        )
+    )
+
+
+def _exit_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared production round-trip frame with exit-quality columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+            F.min("l_tax").alias("ctax"),
+            F.max(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "bar_high"
+            ),
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "bar_low"
+            ),
+        )
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("oq"),
+            F.sum(net).alias("onet"),
+            F.min("l_shipdate").alias("oship"),
+            F.max("l_linestatus").alias("ostatus"),
+        )
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    raw = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.col("c.l_orderkey").alias("orderkey"),
+            F.when(F.col("ostatus") == "O", "BUY").otherwise("SELL").alias(
+                "action"
+            ),
+            F.when(F.col("ctax") < 0.015, "stop_loss")
+            .when(F.col("ctax") < 0.045, "time_exit")
+            .when(F.col("ctax") < 0.075, "signal_exit")
+            .otherwise("unknown")
+            .alias("exit_reason"),
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            (F.col("onet") / F.col("oq")).alias("entry_price"),
+            (F.col("cnet") / F.col("cq")).alias("exit_price"),
+            "bar_high",
+            "bar_low",
+            F.datediff(F.to_date("cship"), F.to_date("oship")).alias(
+                "holding_days"
+            ),
+        )
+    )
+    atr = (
+        F.when(
+            F.col("bar_high").isNotNull()
+            & F.col("bar_low").isNotNull()
+            & (F.col("entry_price") > 0)
+            & (F.col("bar_high") > F.col("bar_low")),
+            F.col("bar_high") - F.col("bar_low"),
+        )
+        .when(F.col("entry_price") > 0, F.col("entry_price") * 0.015)
+    )
+    dir_neg = (
+        (F.col("action") == "BUY")
+        & (F.col("exit_price") > F.col("entry_price"))
+        & (F.col("pnl") < 0)
+    ) | (
+        (F.col("action") == "SELL")
+        & (F.col("exit_price") < F.col("entry_price"))
+        & (F.col("pnl") < 0)
+    )
+    trades = raw.select(
+        "*",
+        F.when(F.col("pnl") > 0, 1).otherwise(0).alias("is_winner"),
+        atr.alias("atr_proxy"),
+        F.when(dir_neg, 1).otherwise(0).alias("correct_dir_neg_pnl"),
+    )
+    return trades.withColumn(
+        "r_multiple",
+        F.col("pnl") / F.nullif(F.col("atr_proxy") * 1.5, F.lit(0.0)),
+    )
+
+
+@query(
+    "direction_gap_diagnosis",
+    oracle=f"""
+    {_EXQ_SQL},
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_trades,
+             AVG(CAST(is_winner AS DOUBLE)) AS overall_wr,
+             AVG(CASE WHEN exit_reason = 'stop_loss' THEN 1.0 ELSE 0.0 END)
+               AS stop_pct,
+             AVG(CASE WHEN exit_reason = 'time_exit' THEN 1.0 ELSE 0.0 END)
+               AS time_pct,
+             AVG(CASE WHEN exit_reason = 'signal_exit' THEN 1.0 ELSE 0.0 END)
+               AS signal_pct,
+             AVG(CASE WHEN exit_reason = 'stop_loss'
+                      THEN CAST(is_winner AS DOUBLE) END) AS stop_wr,
+             AVG(CASE WHEN exit_reason = 'time_exit'
+                      THEN CAST(is_winner AS DOUBLE) END) AS time_wr,
+             AVG(CASE WHEN exit_reason = 'signal_exit'
+                      THEN CAST(is_winner AS DOUBLE) END) AS signal_wr,
+             CAST(SUM(correct_dir_neg_pnl) AS BIGINT) AS n_dir_neg,
+             AVG(CAST(correct_dir_neg_pnl AS DOUBLE)) AS pct_dir_neg,
+             AVG(CASE WHEN is_winner = 1
+                      THEN CAST(holding_days AS DOUBLE) END) AS hold_win,
+             AVG(CASE WHEN is_winner = 0
+                      THEN CAST(holding_days AS DOUBLE) END) AS hold_lose
+      FROM tr
+    )
+    SELECT total_trades,
+           ROUND(overall_wr, 6) AS overall_win_rate,
+           ROUND(stop_pct, 6) AS stop_loss_pct,
+           ROUND(time_pct, 6) AS time_exit_pct,
+           ROUND(signal_pct, 6) AS signal_exit_pct,
+           ROUND(stop_wr, 6) AS stop_loss_win_rate,
+           ROUND(time_wr, 6) AS time_exit_win_rate,
+           ROUND(signal_wr, 6) AS signal_exit_win_rate,
+           n_dir_neg AS correct_direction_negative_pnl,
+           ROUND(pct_dir_neg, 6) AS pct_correct_dir_neg_pnl,
+           ROUND(hold_win, 6) AS mean_holding_days_winners,
+           ROUND(hold_lose, 6) AS mean_holding_days_losers,
+           CASE WHEN stop_pct > 0.40 THEN 'stop_too_tight'
+                WHEN time_pct > 0.40 AND COALESCE(time_wr, 0.5) < 0.45
+                THEN 'holding_too_short'
+                ELSE 'mix' END AS interpretation
+    FROM g
+    """,
+)
+def direction_gap_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecast-DA-to-win-rate gap diagnosis — reference
+    `scripts/exit_quality_audit.py:145-218` (`diagnose_direction_gap`):
+    exit-reason mix, per-reason win rates, the correct-direction-but-
+    negative-PnL census, winner/loser holding periods and the
+    interpretation ladder (stop share > 40% -> stop_too_tight; time-exit
+    share > 40% with sub-45% time-exit win rate -> holding_too_short;
+    else mix). One bounded fleet aggregation over the shared trade
+    frame."""
+    tr = _exit_trades_frame(spark, sf_dir)
+    iw = F.col("is_winner").cast("double")
+    reason = F.col("exit_reason")
+    g = tr.agg(
+        F.count(F.lit(1)).alias("total_trades"),
+        F.avg(iw).alias("overall_wr"),
+        F.avg(F.when(reason == "stop_loss", 1.0).otherwise(0.0)).alias(
+            "stop_pct"
+        ),
+        F.avg(F.when(reason == "time_exit", 1.0).otherwise(0.0)).alias(
+            "time_pct"
+        ),
+        F.avg(F.when(reason == "signal_exit", 1.0).otherwise(0.0)).alias(
+            "signal_pct"
+        ),
+        F.avg(F.when(reason == "stop_loss", iw)).alias("stop_wr"),
+        F.avg(F.when(reason == "time_exit", iw)).alias("time_wr"),
+        F.avg(F.when(reason == "signal_exit", iw)).alias("signal_wr"),
+        F.sum("correct_dir_neg_pnl").cast("bigint").alias("n_dir_neg"),
+        F.avg(F.col("correct_dir_neg_pnl").cast("double")).alias("pct_dir_neg"),
+        F.avg(
+            F.when(F.col("is_winner") == 1, F.col("holding_days").cast("double"))
+        ).alias("hold_win"),
+        F.avg(
+            F.when(F.col("is_winner") == 0, F.col("holding_days").cast("double"))
+        ).alias("hold_lose"),
+    )
+    return g.select(
+        "total_trades",
+        r6(F.col("overall_wr")).alias("overall_win_rate"),
+        r6(F.col("stop_pct")).alias("stop_loss_pct"),
+        r6(F.col("time_pct")).alias("time_exit_pct"),
+        r6(F.col("signal_pct")).alias("signal_exit_pct"),
+        r6(F.col("stop_wr")).alias("stop_loss_win_rate"),
+        r6(F.col("time_wr")).alias("time_exit_win_rate"),
+        r6(F.col("signal_wr")).alias("signal_exit_win_rate"),
+        F.col("n_dir_neg").alias("correct_direction_negative_pnl"),
+        r6(F.col("pct_dir_neg")).alias("pct_correct_dir_neg_pnl"),
+        r6(F.col("hold_win")).alias("mean_holding_days_winners"),
+        r6(F.col("hold_lose")).alias("mean_holding_days_losers"),
+        F.when(F.col("stop_pct") > 0.40, "stop_too_tight")
+        .when(
+            (F.col("time_pct") > 0.40)
+            & (F.coalesce(F.col("time_wr"), F.lit(0.5)) < 0.45),
+            "holding_too_short",
+        )
+        .otherwise("mix")
+        .alias("interpretation"),
+    )
