@@ -2828,3 +2828,561 @@ def audit_admission_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("readiness_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unified 4-layer model-improvement checker
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/check_model_improvement.py`: layer 1 forecast quality
+# (`:298-653`: lift fractions, SAMOSSA-style DA=0 anomaly, coverage-ratio
+# escalation, normal-CI lift significance arms), layer 2 gate status
+# (`:655-754`, surface-only pass/fail census), layer 3 trade quality
+# (`:756-882`: win rate / profit factor / interpretation), layer 4
+# calibration (`:882-1010`: tier ladder + Brier/ECE thresholds). The
+# reference bootstraps the lift CI; the engine uses the closed-form
+# normal approximation mean +/- 1.96*sd/sqrt(n) (deterministic on both
+# engines) — the spans-zero / definitively-negative arms are identical.
+_MIL_LIFT_WARN = 0.05
+_MIL_LIFT_FAIL = 0.01
+_MIL_DA_ZERO_WARN = 0.40
+_MIL_MIN_WINDOWS_FAIL = 100
+_MIL_COVERAGE_N_WARN = 50
+_MIL_COVERAGE_RATIO_WARN = 0.20
+_MIL_COVERAGE_RATIO_FAIL = 0.05
+_MIL_WR_WARN = 0.45
+_MIL_PF_WARN = 1.30
+_MIL_ECE_WARN = 0.15
+_MIL_MIN_PAIRS = 50
+
+from .queries_trades import _EXQ_SQL as _EXQ_FULL_SQL
+
+# the exit-quality CTE chain without its leading WITH, so it can splice
+# into a larger WITH list
+_EXQ_ORACLE_BODY = _EXQ_FULL_SQL.strip()[len("WITH"):].strip()
+
+
+@query(
+    "model_improvement_layers",
+    oracle=f"""
+    {_AUDIT_SQL},
+    mil_rows AS (
+      SELECT r.*,
+             CASE WHEN r.audit_id = 0 THEN NULL ELSE ratio END AS mratio,
+             a2.da10
+      FROM r JOIN (
+        SELECT user_id,
+               CAST(FLOOR((rn - 11) / {_ESAFE_BLOCK}) AS INT) AS audit_id,
+               AVG(CASE WHEN (f_ma10 - prev) * (value - prev) > 0
+                        THEN 1.0 ELSE 0.0 END) AS da10
+        FROM f
+        GROUP BY user_id, CAST(FLOOR((rn - 11) / {_ESAFE_BLOCK}) AS INT)
+        HAVING COUNT(*) = {_ESAFE_BLOCK}
+      ) a2 ON a2.user_id = r.user_id AND a2.audit_id = r.audit_id
+    ),
+    l1 AS (
+      SELECT n_total, n_used, coverage_ratio, lift_global, lift_recent,
+             da_zero_pct,
+             lift_mean - 1.96 * lift_sd / SQRT(n_used) AS ci_low,
+             lift_mean + 1.96 * lift_sd / SQRT(n_used) AS ci_high
+      FROM (
+        SELECT COUNT(*) AS n_total,
+               COUNT(mratio) AS n_used,
+               CAST(COUNT(mratio) AS DOUBLE) / COUNT(*) AS coverage_ratio,
+               AVG(CASE WHEN mratio < 1.0 - {_ESAFE_MIN_LIFT_RMSE}
+                        THEN 1.0 WHEN mratio IS NOT NULL THEN 0.0 END)
+                 AS lift_global,
+               AVG(CASE WHEN recency = 1
+                             AND mratio < 1.0 - {_ESAFE_MIN_LIFT_RMSE}
+                        THEN 1.0 WHEN recency = 1 AND mratio IS NOT NULL
+                        THEN 0.0 END) AS lift_recent,
+               AVG(CASE WHEN mratio IS NOT NULL AND da10 = 0 THEN 1.0
+                        WHEN mratio IS NOT NULL THEN 0.0 END) AS da_zero_pct,
+               AVG(CASE WHEN mratio IS NOT NULL THEN 1.0 - mratio END)
+                 AS lift_mean,
+               STDDEV_SAMP(CASE WHEN mratio IS NOT NULL
+                           THEN 1.0 - mratio END) AS lift_sd
+        FROM mil_rows
+      )
+    ),
+    l1row AS (
+      SELECT 1 AS layer, 'forecast_quality' AS layer_name,
+             CASE WHEN (coverage_ratio < {_MIL_COVERAGE_RATIO_FAIL}
+                        AND n_used >= 50)
+                       OR (n_used >= {_MIL_MIN_WINDOWS_FAIL}
+                           AND lift_global < {_MIL_LIFT_FAIL})
+                       OR (n_used >= 20 AND ci_high < 0.0) THEN 'FAIL'
+                  WHEN lift_global < {_MIL_LIFT_WARN}
+                       OR da_zero_pct > {_MIL_DA_ZERO_WARN}
+                       OR n_used < {_MIL_COVERAGE_N_WARN}
+                       OR coverage_ratio < {_MIL_COVERAGE_RATIO_WARN}
+                       OR (n_used >= 20 AND ci_low <= 0.0 AND ci_high >= 0.0)
+                  THEN 'WARN' ELSE 'PASS' END AS status,
+             ROUND(lift_global, 6) AS metric_a,
+             ROUND(lift_recent, 6) AS metric_b,
+             ROUND(da_zero_pct, 6) AS metric_c,
+             ROUND(coverage_ratio, 6) AS metric_d,
+             CONCAT_WS(',',
+               CASE WHEN coverage_ratio < {_MIL_COVERAGE_RATIO_FAIL}
+                         AND n_used >= 50 THEN 'coverage_fail' END,
+               CASE WHEN n_used >= {_MIL_MIN_WINDOWS_FAIL}
+                         AND lift_global < {_MIL_LIFT_FAIL}
+                    THEN 'lift_global_fail' END,
+               CASE WHEN n_used >= 20 AND ci_high < 0.0
+                    THEN 'lift_ci_negative' END,
+               CASE WHEN lift_global < {_MIL_LIFT_WARN}
+                    THEN 'lift_global_warn' END,
+               CASE WHEN da_zero_pct > {_MIL_DA_ZERO_WARN}
+                    THEN 'da_zero_warn' END,
+               CASE WHEN n_used < {_MIL_COVERAGE_N_WARN}
+                    THEN 'low_window_count' END,
+               CASE WHEN coverage_ratio < {_MIL_COVERAGE_RATIO_WARN}
+                    THEN 'coverage_warn' END,
+               CASE WHEN n_used >= 20 AND ci_low <= 0.0 AND ci_high >= 0.0
+                    THEN 'lift_ci_spans_zero' END) AS reasons
+      FROM l1
+    ),
+    l2g AS (
+      SELECT AVG(CASE WHEN value <= 0 THEN 1.0 ELSE 0.0 END) AS nonpos_rate,
+             AVG(CASE WHEN CAST(props->>'k' AS INTEGER) IS NULL
+                      THEN 1.0 ELSE 0.0 END) AS missing_rate,
+             COUNT(*) AS n_rows
+      FROM events
+    ),
+    l2o AS (
+      SELECT AVG(CASE WHEN ABS(e.value - m.mu) > 3 * m.sd
+                      THEN 1.0 ELSE 0.0 END) AS outlier_rate
+      FROM events e JOIN (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+        FROM events GROUP BY event_type
+      ) m ON m.event_type = e.event_type
+    ),
+    l2 AS (
+      SELECT (CASE WHEN nonpos_rate = 0 THEN 1 ELSE 0 END
+              + CASE WHEN missing_rate < 0.05 THEN 1 ELSE 0 END
+              + CASE WHEN outlier_rate < 0.01 THEN 1 ELSE 0 END
+              + CASE WHEN n_rows >= 100 THEN 1 ELSE 0 END) AS passed,
+             nonpos_rate, missing_rate, outlier_rate, n_rows
+      FROM l2g, l2o
+    ),
+    l2row AS (
+      SELECT 2 AS layer, 'gate_status' AS layer_name,
+             CASE WHEN passed < 4 THEN 'FAIL' ELSE 'PASS' END AS status,
+             CAST(4 AS DOUBLE) AS metric_a,
+             CAST(passed AS DOUBLE) AS metric_b,
+             CAST(4 - passed AS DOUBLE) AS metric_c,
+             ROUND(outlier_rate, 6) AS metric_d,
+             CONCAT_WS(',',
+               CASE WHEN nonpos_rate > 0 THEN 'positivity_gate' END,
+               CASE WHEN missing_rate >= 0.05 THEN 'missing_gate' END,
+               CASE WHEN outlier_rate >= 0.01 THEN 'outlier_gate' END,
+               CASE WHEN n_rows < 100 THEN 'volume_gate' END) AS reasons
+      FROM l2
+    ),
+    {_EXQ_ORACLE_BODY},
+    l3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_trades,
+             AVG(CAST(is_winner AS DOUBLE)) AS win_rate,
+             SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END)
+               / NULLIF(SUM(CASE WHEN pnl < 0 THEN -pnl ELSE 0 END), 0)
+               AS profit_factor,
+             SUM(pnl) AS total_pnl,
+             AVG(CASE WHEN exit_reason = 'stop_loss' THEN 1.0 ELSE 0.0 END)
+               AS stop_pct,
+             AVG(CASE WHEN exit_reason = 'time_exit' THEN 1.0 ELSE 0.0 END)
+               AS time_pct,
+             AVG(CASE WHEN exit_reason = 'time_exit'
+                      THEN CAST(is_winner AS DOUBLE) END) AS time_wr
+      FROM tr
+    ),
+    l3row AS (
+      SELECT 3 AS layer, 'trade_quality' AS layer_name,
+             CASE WHEN win_rate < {_MIL_WR_WARN}
+                       OR profit_factor < {_MIL_PF_WARN}
+                       OR (CASE WHEN stop_pct > 0.40 THEN 'stop_too_tight'
+                                WHEN time_pct > 0.40
+                                     AND COALESCE(time_wr, 0.5) < 0.45
+                                THEN 'holding_too_short'
+                                ELSE 'mix' END) <> 'mix'
+                  THEN 'WARN' ELSE 'PASS' END AS status,
+             ROUND(win_rate, 6) AS metric_a,
+             ROUND(profit_factor, 6) AS metric_b,
+             ROUND(total_pnl, 6) AS metric_c,
+             CAST(n_trades AS DOUBLE) AS metric_d,
+             CONCAT_WS(',',
+               CASE WHEN win_rate < {_MIL_WR_WARN} THEN 'low_win_rate' END,
+               CASE WHEN profit_factor < {_MIL_PF_WARN}
+                    THEN 'low_profit_factor' END,
+               CASE WHEN (CASE WHEN stop_pct > 0.40 THEN 'stop_too_tight'
+                               WHEN time_pct > 0.40
+                                    AND COALESCE(time_wr, 0.5) < 0.45
+                               THEN 'holding_too_short'
+                               ELSE 'mix' END) <> 'mix'
+                    THEN 'exit_interpretation' END) AS reasons
+      FROM l3
+    ),
+    cal_s AS ({_S_SQL}),
+    cal_f AS (
+      SELECT user_id, rn, value,
+             AVG(value) OVER w20 AS ma20,
+             STDDEV_SAMP(value) OVER w20 AS sd20,
+             COUNT(*) OVER w20 AS n20,
+             LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY rn)
+               AS next_value
+      FROM cal_s
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    cal_p AS (
+      SELECT ROUND(1.0 / (1.0 + EXP(-ROUND((value - ma20)
+                                           / NULLIF(sd20, 0.0), 6))), 6)
+               AS conf,
+             CASE WHEN next_value > value THEN 1.0 ELSE 0.0 END AS outcome
+      FROM cal_f
+      WHERE n20 = 20 AND next_value IS NOT NULL AND sd20 > 0
+    ),
+    cal_b AS (
+      SELECT LEAST(CAST(FLOOR(conf * 10) AS INT), 9) AS bin,
+             COUNT(*) AS bn, AVG(conf) AS avg_conf, AVG(outcome) AS avg_out
+      FROM cal_p GROUP BY 1
+    ),
+    l4 AS (
+      SELECT (SELECT COUNT(*) FROM cal_p) AS n_pairs,
+             (SELECT AVG((conf - outcome) * (conf - outcome)) FROM cal_p)
+               AS brier,
+             SUM(CAST(bn AS DOUBLE) / (SELECT COUNT(*) FROM cal_p)
+                 * ABS(avg_conf - avg_out)) AS ece
+      FROM cal_b
+    ),
+    l4row AS (
+      SELECT 4 AS layer, 'calibration' AS layer_name,
+             CASE WHEN n_pairs = 0 THEN 'FAIL'
+                  WHEN ece > {_MIL_ECE_WARN} OR n_pairs < {_MIL_MIN_PAIRS}
+                  THEN 'WARN' ELSE 'PASS' END AS status,
+             ROUND(brier, 6) AS metric_a,
+             ROUND(ece, 6) AS metric_b,
+             CAST(n_pairs AS DOUBLE) AS metric_c,
+             CAST(NULL AS DOUBLE) AS metric_d,
+             CONCAT_WS(',',
+               CASE WHEN n_pairs = 0 THEN 'tier_inactive' END,
+               CASE WHEN ece > {_MIL_ECE_WARN} THEN 'high_ece' END,
+               CASE WHEN n_pairs > 0 AND n_pairs < {_MIL_MIN_PAIRS}
+                    THEN 'few_pairs' END) AS reasons
+      FROM l4
+    )
+    SELECT * FROM l1row UNION ALL SELECT * FROM l2row
+    UNION ALL SELECT * FROM l3row UNION ALL SELECT * FROM l4row
+    """,
+)
+def model_improvement_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified 4-layer model-improvement health checker — reference
+    `scripts/check_model_improvement.py`: layer 1 forecast quality
+    (`:298-653`: global/recent lift fractions vs the 0.98 lift threshold,
+    DA=0 anomaly share, coverage-ratio WARN/FAIL escalation, lift-CI
+    spans-zero and definitively-negative arms — the reference bootstraps
+    the CI, the engine's is the closed-form normal approximation), layer
+    2 gate status as a surface-only pass/fail census over the engine's
+    P2-P5 data-quality gates (`:655-754`), layer 3 trade quality over the
+    exit-quality trade frame (`:756-882`), layer 4 calibration with
+    Brier + 10-bin ECE of the logistic momentum confidence (`:882-1010`).
+    One row per layer: status PASS/WARN/FAIL + four generic metric slots
+    + the comma-joined reason codes.
+
+    Scale: every layer is a bounded aggregation (audit windows, gate
+    census, trade lots, calibration bins); the union is 4 rows. No UDF,
+    no collect."""
+    from .queries_trades import _exit_trades_frame
+
+    # layer 1 — audit-window frame with per-window MA10 direction accuracy
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id", F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int")
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse((F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0).alias(
+                "r_e"
+            ),
+            F.avg(
+                F.when(
+                    (F.col("f_ma10") - F.col("prev"))
+                    * (F.col("value") - F.col("prev"))
+                    > 0,
+                    1.0,
+                ).otherwise(0.0)
+            ).alias("da10"),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    ratio = F.col("r_e") / F.least("r_n", "r_3", "r_10")
+    rows = a.select(
+        "user_id",
+        "audit_id",
+        "da10",
+        F.when(F.col("audit_id") == 0, F.lit(None).cast("double"))
+        .otherwise(ratio)
+        .alias("mratio"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("audit_id").desc()))
+        .alias("recency"),
+    )
+    lift = F.when(F.col("mratio") < 1.0 - _ESAFE_MIN_LIFT_RMSE, 1.0).when(
+        F.col("mratio").isNotNull(), 0.0
+    )
+    l1 = rows.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("mratio").alias("n_used"),
+        F.avg(lift).alias("lift_global"),
+        F.avg(F.when(F.col("recency") == 1, lift)).alias("lift_recent"),
+        F.avg(
+            F.when(F.col("mratio").isNotNull() & (F.col("da10") == 0), 1.0)
+            .when(F.col("mratio").isNotNull(), 0.0)
+        ).alias("da_zero_pct"),
+        F.avg(1.0 - F.col("mratio")).alias("lift_mean"),
+        F.stddev_samp(1.0 - F.col("mratio")).alias("lift_sd"),
+    ).select(
+        "*",
+        (F.col("n_used").cast("double") / F.col("n_total")).alias(
+            "coverage_ratio"
+        ),
+        (
+            F.col("lift_mean")
+            - 1.96 * F.col("lift_sd") / F.sqrt(F.col("n_used"))
+        ).alias("ci_low"),
+        (
+            F.col("lift_mean")
+            + 1.96 * F.col("lift_sd") / F.sqrt(F.col("n_used"))
+        ).alias("ci_high"),
+    )
+    cov_fail = (F.col("coverage_ratio") < _MIL_COVERAGE_RATIO_FAIL) & (
+        F.col("n_used") >= 50
+    )
+    lift_fail = (F.col("n_used") >= _MIL_MIN_WINDOWS_FAIL) & (
+        F.col("lift_global") < _MIL_LIFT_FAIL
+    )
+    ci_neg = (F.col("n_used") >= 20) & (F.col("ci_high") < 0.0)
+    lift_warn = F.col("lift_global") < _MIL_LIFT_WARN
+    da_warn = F.col("da_zero_pct") > _MIL_DA_ZERO_WARN
+    n_warn = F.col("n_used") < _MIL_COVERAGE_N_WARN
+    cov_warn = F.col("coverage_ratio") < _MIL_COVERAGE_RATIO_WARN
+    ci_span = (
+        (F.col("n_used") >= 20)
+        & (F.col("ci_low") <= 0.0)
+        & (F.col("ci_high") >= 0.0)
+    )
+    l1row = l1.select(
+        F.lit(1).alias("layer"),
+        F.lit("forecast_quality").alias("layer_name"),
+        F.when(cov_fail | lift_fail | ci_neg, "FAIL")
+        .when(lift_warn | da_warn | n_warn | cov_warn | ci_span, "WARN")
+        .otherwise("PASS")
+        .alias("status"),
+        r6(F.col("lift_global")).alias("metric_a"),
+        r6(F.col("lift_recent")).alias("metric_b"),
+        r6(F.col("da_zero_pct")).alias("metric_c"),
+        r6(F.col("coverage_ratio")).alias("metric_d"),
+        F.concat_ws(
+            ",",
+            F.when(cov_fail, "coverage_fail"),
+            F.when(lift_fail, "lift_global_fail"),
+            F.when(ci_neg, "lift_ci_negative"),
+            F.when(lift_warn, "lift_global_warn"),
+            F.when(da_warn, "da_zero_warn"),
+            F.when(n_warn, "low_window_count"),
+            F.when(cov_warn, "coverage_warn"),
+            F.when(ci_span, "lift_ci_spans_zero"),
+        ).alias("reasons"),
+    )
+
+    # layer 2 — data-quality gate census over events
+    ev = load_table(spark, sf_dir, "events")
+    kcol = F.get_json_object("props", "$.k").cast("int")
+    g1 = ev.agg(
+        F.avg(F.when(F.col("value") <= 0, 1.0).otherwise(0.0)).alias(
+            "nonpos_rate"
+        ),
+        F.avg(F.when(kcol.isNull(), 1.0).otherwise(0.0)).alias("missing_rate"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    g2 = (
+        ev.join(m, "event_type")
+        .agg(
+            F.avg(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"), 1.0
+                ).otherwise(0.0)
+            ).alias("outlier_rate")
+        )
+    )
+    l2 = g1.crossJoin(g2).select(
+        "*",
+        (
+            F.when(F.col("nonpos_rate") == 0, 1).otherwise(0)
+            + F.when(F.col("missing_rate") < 0.05, 1).otherwise(0)
+            + F.when(F.col("outlier_rate") < 0.01, 1).otherwise(0)
+            + F.when(F.col("n_rows") >= 100, 1).otherwise(0)
+        ).alias("passed"),
+    )
+    l2row = l2.select(
+        F.lit(2).alias("layer"),
+        F.lit("gate_status").alias("layer_name"),
+        F.when(F.col("passed") < 4, "FAIL").otherwise("PASS").alias("status"),
+        F.lit(4.0).alias("metric_a"),
+        F.col("passed").cast("double").alias("metric_b"),
+        (4 - F.col("passed")).cast("double").alias("metric_c"),
+        r6(F.col("outlier_rate")).alias("metric_d"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("nonpos_rate") > 0, "positivity_gate"),
+            F.when(F.col("missing_rate") >= 0.05, "missing_gate"),
+            F.when(F.col("outlier_rate") >= 0.01, "outlier_gate"),
+            F.when(F.col("n_rows") < 100, "volume_gate"),
+        ).alias("reasons"),
+    )
+
+    # layer 3 — trade quality over the exit-quality frame
+    tr = _exit_trades_frame(spark, sf_dir)
+    iw = F.col("is_winner").cast("double")
+    l3 = tr.agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.avg(iw).alias("win_rate"),
+        (
+            F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
+            / F.nullif(
+                F.sum(F.when(F.col("pnl") < 0, -F.col("pnl")).otherwise(0.0)),
+                F.lit(0.0),
+            )
+        ).alias("profit_factor"),
+        F.sum("pnl").alias("total_pnl"),
+        F.avg(
+            F.when(F.col("exit_reason") == "stop_loss", 1.0).otherwise(0.0)
+        ).alias("stop_pct"),
+        F.avg(
+            F.when(F.col("exit_reason") == "time_exit", 1.0).otherwise(0.0)
+        ).alias("time_pct"),
+        F.avg(F.when(F.col("exit_reason") == "time_exit", iw)).alias("time_wr"),
+    )
+    interp = (
+        F.when(F.col("stop_pct") > 0.40, "stop_too_tight")
+        .when(
+            (F.col("time_pct") > 0.40)
+            & (F.coalesce(F.col("time_wr"), F.lit(0.5)) < 0.45),
+            "holding_too_short",
+        )
+        .otherwise("mix")
+    )
+    wr_warn = F.col("win_rate") < _MIL_WR_WARN
+    pf_warn = F.col("profit_factor") < _MIL_PF_WARN
+    in_warn = interp != "mix"
+    l3row = l3.select(
+        F.lit(3).alias("layer"),
+        F.lit("trade_quality").alias("layer_name"),
+        F.when(wr_warn | pf_warn | in_warn, "WARN")
+        .otherwise("PASS")
+        .alias("status"),
+        r6(F.col("win_rate")).alias("metric_a"),
+        r6(F.col("profit_factor")).alias("metric_b"),
+        r6(F.col("total_pnl")).alias("metric_c"),
+        F.col("n_trades").cast("double").alias("metric_d"),
+        F.concat_ws(
+            ",",
+            F.when(wr_warn, "low_win_rate"),
+            F.when(pf_warn, "low_profit_factor"),
+            F.when(in_warn, "exit_interpretation"),
+        ).alias("reasons"),
+    )
+
+    # layer 4 — calibration of the logistic momentum confidence
+    w20 = _w((-19, 0))
+    calf = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.avg("value").over(w20).alias("ma20"),
+        F.stddev_samp("value").over(w20).alias("sd20"),
+        F.count(F.lit(1)).over(w20).alias("n20"),
+        F.lead("value", 1).over(_w()).alias("next_value"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("ma20")) / F.nullif(F.col("sd20"), F.lit(0.0)),
+        6,
+    )
+    calp = calf.filter(
+        (F.col("n20") == 20)
+        & F.col("next_value").isNotNull()
+        & (F.col("sd20") > 0)
+    ).select(
+        F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("conf"),
+        F.when(F.col("next_value") > F.col("value"), 1.0)
+        .otherwise(0.0)
+        .alias("outcome"),
+    )
+    calb = calp.groupBy(
+        F.least(F.floor(F.col("conf") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.avg("conf").alias("avg_conf"),
+        F.avg("outcome").alias("avg_out"),
+    )
+    tot = calp.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(
+            (F.col("conf") - F.col("outcome"))
+            * (F.col("conf") - F.col("outcome"))
+        ).alias("brier"),
+    )
+    l4 = calb.crossJoin(F.broadcast(tot)).agg(
+        F.any_value("n_pairs").alias("n_pairs"),
+        F.any_value("brier").alias("brier"),
+        F.sum(
+            F.col("bn").cast("double")
+            / F.col("n_pairs")
+            * F.abs(F.col("avg_conf") - F.col("avg_out"))
+        ).alias("ece"),
+    )
+    l4row = l4.select(
+        F.lit(4).alias("layer"),
+        F.lit("calibration").alias("layer_name"),
+        F.when(F.col("n_pairs") == 0, "FAIL")
+        .when(
+            (F.col("ece") > _MIL_ECE_WARN) | (F.col("n_pairs") < _MIL_MIN_PAIRS),
+            "WARN",
+        )
+        .otherwise("PASS")
+        .alias("status"),
+        r6(F.col("brier")).alias("metric_a"),
+        r6(F.col("ece")).alias("metric_b"),
+        F.col("n_pairs").cast("double").alias("metric_c"),
+        F.lit(None).cast("double").alias("metric_d"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_pairs") == 0, "tier_inactive"),
+            F.when(F.col("ece") > _MIL_ECE_WARN, "high_ece"),
+            F.when(
+                (F.col("n_pairs") > 0) & (F.col("n_pairs") < _MIL_MIN_PAIRS),
+                "few_pairs",
+            ),
+        ).alias("reasons"),
+    )
+    return l1row.unionByName(l2row).unionByName(l3row).unionByName(l4row)
