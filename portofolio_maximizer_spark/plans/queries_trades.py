@@ -1640,3 +1640,215 @@ def direction_gap_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("mix")
         .alias("interpretation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-cost estimation + slippage-window analysis
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/estimate_transaction_costs.py`: per-group cost stats
+# (`:155-231`: commission raw + bps, |mid-slippage| bps, total and 2x
+# round-trip cost, linear-interpolation percentiles `:98-110`) over the
+# trade_executions ledger, with the prefix-based asset-class bucketing
+# (`:112-129`). The execution frame here is one lineitem leg per fill:
+# gross unit price plays the fill price, net unit price plays the mid,
+# the tax charge plays the commission, and the asset class is a
+# deterministic key bucket (the reference buckets on ticker suffixes).
+_TC_SQL = """
+      SELECT CASE l_partkey % 5 WHEN 0 THEN 'US_EQUITY'
+                  WHEN 1 THEN 'INTL_EQUITY' WHEN 2 THEN 'FX'
+                  WHEN 3 THEN 'CRYPTO' ELSE 'INDEX' END AS asset_class,
+             l_tax * l_extendedprice AS commission,
+             l_extendedprice AS total_value,
+             CASE WHEN l_extendedprice > 0
+                  THEN l_tax * 1e4 ELSE 0.0 END AS commission_bps,
+             ABS((l_discount / (1 - l_discount)) * 1e4) AS slippage_bps,
+             l_extendedprice * (1 - l_discount)
+               * CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END AS pnl
+      FROM lineitem
+"""
+
+
+@query(
+    "transaction_cost_estimates",
+    oracle=f"""
+    WITH ex AS ({_TC_SQL}),
+    c AS (
+      SELECT asset_class,
+             commission, commission_bps, slippage_bps,
+             commission_bps + slippage_bps AS total_cost_bps, pnl
+      FROM ex
+    )
+    SELECT asset_class,
+           CAST(COUNT(*) AS BIGINT) AS trades,
+           ROUND(QUANTILE_CONT(commission, 0.5), 6) AS commission_median,
+           ROUND(AVG(commission), 6) AS commission_mean,
+           ROUND(QUANTILE_CONT(commission, 0.95), 6) AS commission_p95,
+           ROUND(QUANTILE_CONT(commission_bps, 0.5), 6)
+             AS commission_median_bps,
+           ROUND(AVG(commission_bps), 6) AS commission_mean_bps,
+           ROUND(QUANTILE_CONT(slippage_bps, 0.5), 6) AS slippage_median_bps,
+           ROUND(AVG(slippage_bps), 6) AS slippage_mean_bps,
+           ROUND(QUANTILE_CONT(slippage_bps, 0.95), 6) AS slippage_p95_bps,
+           ROUND(QUANTILE_CONT(total_cost_bps, 0.5), 6)
+             AS total_cost_median_bps,
+           ROUND(AVG(total_cost_bps), 6) AS total_cost_mean_bps,
+           ROUND(QUANTILE_CONT(total_cost_bps, 0.95), 6)
+             AS total_cost_p95_bps,
+           ROUND(2.0 * QUANTILE_CONT(total_cost_bps, 0.5), 6)
+             AS roundtrip_cost_median_bps,
+           ROUND(2.0 * AVG(total_cost_bps), 6) AS roundtrip_cost_mean_bps,
+           ROUND(QUANTILE_CONT(pnl, 0.5), 6) AS pnl_median,
+           ROUND(AVG(pnl), 6) AS pnl_mean
+    FROM c GROUP BY asset_class
+    """,
+)
+def transaction_cost_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset-class transaction-cost profile — reference
+    `scripts/estimate_transaction_costs.py:155-231`
+    (`_compute_group_stats`): commission (raw and bps of traded value),
+    absolute mid-price slippage bps, total cost bps and its 2x
+    round-trip projection, each as mean + linear-interpolation
+    median/p95, plus the realized-PnL location stats.
+
+    Scale: one pass, one bounded per-class groupBy (5 classes); exact
+    percentiles run per class. No UDF, no collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ex = li.select(
+        (F.col("l_partkey") % 5).alias("b"),
+        (F.col("l_tax") * F.col("l_extendedprice")).alias("commission"),
+        F.when(
+            F.col("l_extendedprice") > 0, F.col("l_tax") * 1e4
+        ).otherwise(0.0).alias("commission_bps"),
+        F.abs(
+            F.col("l_discount") / (1 - F.col("l_discount")) * 1e4
+        ).alias("slippage_bps"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * F.when(F.col("l_returnflag") == "R", -1).otherwise(1)
+        ).alias("pnl"),
+    ).select(
+        F.when(F.col("b") == 0, "US_EQUITY")
+        .when(F.col("b") == 1, "INTL_EQUITY")
+        .when(F.col("b") == 2, "FX")
+        .when(F.col("b") == 3, "CRYPTO")
+        .otherwise("INDEX")
+        .alias("asset_class"),
+        "commission",
+        "commission_bps",
+        "slippage_bps",
+        (F.col("commission_bps") + F.col("slippage_bps")).alias(
+            "total_cost_bps"
+        ),
+        "pnl",
+    )
+
+    def med(c):
+        return F.expr(f"percentile({c}, 0.5)")
+
+    def p95(c):
+        return F.expr(f"percentile({c}, 0.95)")
+
+    return ex.groupBy("asset_class").agg(
+        F.count(F.lit(1)).alias("trades"),
+        r6(med("commission")).alias("commission_median"),
+        r6(F.avg("commission")).alias("commission_mean"),
+        r6(p95("commission")).alias("commission_p95"),
+        r6(med("commission_bps")).alias("commission_median_bps"),
+        r6(F.avg("commission_bps")).alias("commission_mean_bps"),
+        r6(med("slippage_bps")).alias("slippage_median_bps"),
+        r6(F.avg("slippage_bps")).alias("slippage_mean_bps"),
+        r6(p95("slippage_bps")).alias("slippage_p95_bps"),
+        r6(med("total_cost_bps")).alias("total_cost_median_bps"),
+        r6(F.avg("total_cost_bps")).alias("total_cost_mean_bps"),
+        r6(p95("total_cost_bps")).alias("total_cost_p95_bps"),
+        r6(2.0 * med("total_cost_bps")).alias("roundtrip_cost_median_bps"),
+        r6(2.0 * F.avg("total_cost_bps")).alias("roundtrip_cost_mean_bps"),
+        r6(med("pnl")).alias("pnl_median"),
+        r6(F.avg("pnl")).alias("pnl_mean"),
+    )
+
+
+@query(
+    "slippage_window_analysis",
+    oracle="""
+    WITH mid AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, AVG(value) AS mid_price
+      FROM events WHERE value > 0
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    ev AS (
+      SELECT e.event_type,
+             EXTRACT(HOUR FROM e.ts) AS hour_utc,
+             (e.value - m.mid_price) / m.mid_price * 1e4 AS slip_bp
+      FROM events e
+      JOIN mid m ON m.user_id = e.user_id AND m.d = CAST(e.ts AS DATE)
+      WHERE e.value > 0 AND m.mid_price > 0
+    )
+    SELECT 'hour' AS dimension, CAST(hour_utc AS VARCHAR) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS records,
+           ROUND(QUANTILE_CONT(slip_bp, 0.5), 6) AS mid_slippage_median_bp,
+           ROUND(QUANTILE_CONT(slip_bp, 0.9), 6) AS mid_slippage_p90_bp
+    FROM ev GROUP BY hour_utc
+    UNION ALL
+    SELECT 'group', event_type, CAST(COUNT(*) AS BIGINT),
+           ROUND(QUANTILE_CONT(slip_bp, 0.5), 6),
+           ROUND(QUANTILE_CONT(slip_bp, 0.9), 6)
+    FROM ev GROUP BY event_type
+    """,
+)
+def slippage_window_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-price slippage windows — reference
+    `scripts/analyze_slippage_windows.py:91-186`: per-fill slippage in
+    basis points against the session mid (here the same-key same-day
+    average price), profiled along BOTH report dimensions — hour-of-day
+    (the liquidity-window view the script was built for) and instrument
+    group — with linear-interpolation median/p90 per bucket.
+
+    Scale: one (key, day) mid aggregation, an equi-join back (AQE
+    broadcast at small SF, shuffle-hash beyond), two bounded groupBys.
+    No UDF, no collect."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    mid = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.avg("value").alias("mid_price")
+    )
+    e = ev.select(
+        "user_id", "event_type", "value",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("hour_utc"),
+    )
+    j = (
+        e.join(mid, ["user_id", "d"])
+        .filter(F.col("mid_price") > 0)
+        .select(
+            "event_type",
+            "hour_utc",
+            (
+                (F.col("value") - F.col("mid_price"))
+                / F.col("mid_price")
+                * 1e4
+            ).alias("slip_bp"),
+        )
+    )
+
+    def stats(g, dim, key):
+        return g.agg(
+            F.count(F.lit(1)).alias("records"),
+            r6(F.expr("percentile(slip_bp, 0.5)")).alias(
+                "mid_slippage_median_bp"
+            ),
+            r6(F.expr("percentile(slip_bp, 0.9)")).alias(
+                "mid_slippage_p90_bp"
+            ),
+        ).select(
+            F.lit(dim).alias("dimension"),
+            F.col(key).cast("string").alias("bucket"),
+            "records",
+            "mid_slippage_median_bp",
+            "mid_slippage_p90_bp",
+        )
+
+    by_hour = stats(j.groupBy("hour_utc"), "hour", "hour_utc")
+    by_group = stats(j.groupBy("event_type"), "group", "event_type")
+    return by_hour.unionByName(by_group)
