@@ -1852,3 +1852,474 @@ def slippage_window_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_hour = stats(j.groupBy("hour_utc"), "hour", "hour_utc")
     by_group = stats(j.groupBy("event_type"), "group", "event_type")
     return by_hour.unionByName(by_group)
+
+
+# ---------------------------------------------------------------------------
+# Per-ticker eligibility classification (HEALTHY / WEAK / LAB_ONLY)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/compute_ticker_eligibility.py`: per-ticker rolling
+# stats over production_closed_trades (`:66-185`: win rate, 99-capped
+# profit factor, per-trade capital-at-risk returns feeding the
+# NGN-hurdle omega and the support-aware payoff asymmetry from
+# `etl/portfolio_math.py`, TAKE_PROFIT frequency) and the strict
+# classification ladder (`:186-251`): explicit lab-only override ->
+# TAKE_PROFIT-policy HEALTHY gate -> sufficient-weak-evidence WEAK ->
+# LAB_ONLY with diagnostic reason codes. Thresholds from
+# `etl/domain_objective.py` (omega floor 1.0, amplitude target 2.0) and
+# `scripts/robustness_thresholds.py` / `capital_readiness_check.py:64-66`
+# (R3 floors, WEAK_MIN_TRADES). Ticker = 25-way customer sleeve; the
+# close lot's tax band plays the eligibility exit-reason vocabulary
+# (TAKE_PROFIT / STOP_LOSS / TIME_EXIT).
+from ..operators.risk import (
+    DAILY_NGN_THRESHOLD as _ELG_TAU,
+    MIN_LOSSES as _ELG_MIN_LOSSES,
+    MIN_WINS as _ELG_MIN_WINS,
+    MAX_WINNER_CONCENTRATION as _ELG_MAX_WC,
+    OMEGA_INF_SENTINEL as _ELG_SENT,
+    TRIM_FRACTION as _ELG_TRIM,
+)
+
+_ELG_HEALTHY_N = 20       # R3_MIN_TRADES
+_ELG_WEAK_N = 5           # WEAK_MIN_TRADES
+_ELG_WR_FLOOR = 0.45      # R3_MIN_WIN_RATE (diagnostic)
+_ELG_PF_FLOOR = 1.30      # R3_MIN_PROFIT_FACTOR (diagnostic)
+_ELG_OMEGA_FLOOR = 1.0    # MIN_OMEGA_VS_HURDLE
+_ELG_PAYOFF_FLOOR = 2.0   # TARGET_AMPLITUDE_MULTIPLIER
+_ELG_TP_FLOOR = 0.05      # min_take_profit_frequency_live
+
+_ELG_SQL = f"""
+      WITH mx AS (
+        SELECT l_orderkey, MAX(l_linenumber) AS maxline
+        FROM lineitem GROUP BY l_orderkey
+      ),
+      closes AS (
+        SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+               MIN(l.l_tax) AS ctax
+        FROM lineitem l
+        JOIN mx ON mx.l_orderkey = l.l_orderkey
+               AND l.l_linenumber = mx.maxline
+        GROUP BY l.l_orderkey
+      ),
+      opens AS (
+        SELECT l_orderkey, SUM(l_quantity) AS oq,
+               SUM(l_extendedprice * (1 - l_discount)) AS onet
+        FROM lineitem
+        WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+        GROUP BY l_orderkey
+      ),
+      trades AS (
+        SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+               c.l_orderkey AS orderkey,
+               ROUND(c.cnet - o2.onet, 6) AS pnl,
+               CASE WHEN c.ctax < 0.015 THEN 'STOP_LOSS'
+                    WHEN c.ctax < 0.045 THEN 'TIME_EXIT'
+                    WHEN c.ctax < 0.075 THEN 'TAKE_PROFIT'
+                    ELSE 'OTHER' END AS exit_reason,
+               CASE WHEN ABS(o2.onet / o2.oq) * c.cq > 1e-9
+                    THEN ROUND(c.cnet - o2.onet, 6)
+                         / (ABS(o2.onet / o2.oq) * c.cq) END AS r
+        FROM closes c
+        JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+        JOIN orders o ON o.o_orderkey = c.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+      ),
+      t AS (
+        SELECT ticker,
+               CAST(COUNT(*) AS BIGINT) AS n_trades,
+               AVG(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END) AS win_rate,
+               SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END) AS gross_win,
+               SUM(CASE WHEN pnl <= 0 THEN ABS(pnl) ELSE 0 END) AS gross_loss,
+               ROUND(SUM(pnl), 2) AS total_pnl,
+               AVG(CASE WHEN exit_reason = 'TAKE_PROFIT'
+                        THEN 1.0 ELSE 0.0 END) AS tp_freq,
+               COUNT(r) AS n_ret,
+               SUM(GREATEST(r - {_ELG_TAU!r}, 0.0)) AS o_gain,
+               SUM(GREATEST({_ELG_TAU!r} - r, 0.0)) AS o_loss
+        FROM trades GROUP BY ticker
+      ),
+      wins AS (
+        SELECT ticker, r,
+               ROW_NUMBER() OVER (PARTITION BY ticker
+                                  ORDER BY r DESC, orderkey) AS rk,
+               COUNT(*) OVER (PARTITION BY ticker) AS nw
+        FROM trades WHERE r > 0
+      ),
+      w AS (
+        SELECT ticker, CAST(ANY_VALUE(nw) AS BIGINT) AS n_wins,
+               SUM(r) AS wsum, AVG(r) AS avg_win, MAX(r) AS max_win,
+               SUM(CASE WHEN rk > FLOOR(nw * {_ELG_TRIM})
+                        THEN r END) AS trim_win_sum,
+               CAST(SUM(CASE WHEN rk > FLOOR(nw * {_ELG_TRIM})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS trim_win_n
+        FROM wins GROUP BY ticker
+      ),
+      losses AS (
+        SELECT ticker, -r AS al, orderkey,
+               ROW_NUMBER() OVER (PARTITION BY ticker
+                                  ORDER BY r ASC, orderkey) AS rk,
+               COUNT(*) OVER (PARTITION BY ticker) AS nl
+        FROM trades WHERE r < 0
+      ),
+      l AS (
+        SELECT ticker, CAST(ANY_VALUE(nl) AS BIGINT) AS n_losses,
+               AVG(al) AS avg_loss,
+               SUM(CASE WHEN rk > FLOOR(nl * {_ELG_TRIM})
+                        THEN al END) AS trim_loss_sum,
+               CAST(SUM(CASE WHEN rk > FLOOR(nl * {_ELG_TRIM})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS trim_loss_n
+        FROM losses GROUP BY ticker
+      ),
+      j AS (
+        SELECT t.*,
+               COALESCE(w.n_wins, 0) AS n_wins,
+               COALESCE(l.n_losses, 0) AS n_losses,
+               CASE WHEN t.gross_loss > 1e-9
+                    THEN LEAST(t.gross_win / t.gross_loss, 99.0)
+                    WHEN t.gross_win > 0 THEN 99.0 ELSE 0.0 END
+                 AS profit_factor,
+               CASE WHEN t.n_ret < 10 THEN 0.0
+                    WHEN t.o_loss = 0.0 THEN {_ELG_SENT!r}
+                    ELSE t.o_gain / t.o_loss END AS omega,
+               ROUND(CASE
+                 WHEN COALESCE(l.n_losses, 0) = 0 OR l.avg_loss IS NULL
+                 THEN CASE WHEN COALESCE(w.n_wins, 0) > 0
+                           THEN {_ELG_SENT!r} ELSE 0.0 END
+                 ELSE COALESCE(w.avg_win, 0.0)
+                      / GREATEST(l.avg_loss, 1e-12) END, 6) AS payoff_raw,
+               ROUND(CASE
+                 WHEN COALESCE(l.trim_loss_n, 0) = 0
+                 THEN CASE WHEN COALESCE(w.trim_win_n, 0) > 0
+                           THEN {_ELG_SENT!r} ELSE 0.0 END
+                 WHEN COALESCE(w.trim_win_n, 0) = 0 THEN 0.0
+                 ELSE (w.trim_win_sum / GREATEST(w.trim_win_n, 1))
+                      / GREATEST(l.trim_loss_sum
+                                 / GREATEST(l.trim_loss_n, 1), 1e-12)
+                 END, 6) AS payoff_trimmed,
+               ROUND(CASE WHEN COALESCE(w.n_wins, 0) > 0
+                          THEN w.max_win / GREATEST(w.wsum, 1e-12)
+                          ELSE 0.0 END, 6) AS wc
+        FROM t LEFT JOIN w ON w.ticker = t.ticker
+               LEFT JOIN l ON l.ticker = t.ticker
+      ),
+      cls AS (
+        SELECT ticker, n_trades, win_rate, profit_factor, total_pnl,
+               tp_freq, omega,
+               CASE WHEN n_wins >= {_ELG_MIN_WINS}
+                         AND n_losses >= {_ELG_MIN_LOSSES}
+                         AND wc <= {_ELG_MAX_WC}
+                    THEN LEAST(payoff_raw, payoff_trimmed)
+                    ELSE 0.0 END AS payoff_eff
+        FROM j
+      )
+"""
+
+
+@query(
+    "ticker_eligibility_classification",
+    oracle=f"""
+    {_ELG_SQL}
+    SELECT ticker, n_trades,
+           ROUND(win_rate, 6) AS win_rate,
+           ROUND(profit_factor, 6) AS profit_factor,
+           total_pnl,
+           ROUND(omega, 6) AS omega_ratio,
+           ROUND(payoff_eff, 6) AS payoff_asymmetry_effective,
+           ROUND(tp_freq, 6) AS take_profit_frequency,
+           CASE WHEN ticker = 'T7' THEN 'LAB_ONLY'
+                WHEN n_trades >= {_ELG_HEALTHY_N}
+                     AND omega >= {_ELG_OMEGA_FLOOR}
+                     AND payoff_eff >= {_ELG_PAYOFF_FLOOR}
+                     AND tp_freq >= {_ELG_TP_FLOOR} THEN 'HEALTHY'
+                WHEN n_trades >= {_ELG_WEAK_N}
+                     AND (omega >= {_ELG_OMEGA_FLOOR}
+                          OR payoff_eff >= {_ELG_PAYOFF_FLOOR}
+                          OR tp_freq >= {_ELG_TP_FLOOR}) THEN 'WEAK'
+                ELSE 'LAB_ONLY' END AS status,
+           CASE
+             WHEN ticker = 'T7' THEN 'explicit_lab_only_override'
+             WHEN n_trades >= {_ELG_HEALTHY_N}
+                  AND omega >= {_ELG_OMEGA_FLOOR}
+                  AND payoff_eff >= {_ELG_PAYOFF_FLOOR}
+                  AND tp_freq >= {_ELG_TP_FLOOR}
+             THEN 'meets_take_profit_policy'
+             WHEN n_trades >= {_ELG_WEAK_N}
+                  AND (omega >= {_ELG_OMEGA_FLOOR}
+                       OR payoff_eff >= {_ELG_PAYOFF_FLOOR}
+                       OR tp_freq >= {_ELG_TP_FLOOR})
+             THEN CONCAT_WS(',',
+               CASE WHEN omega < {_ELG_OMEGA_FLOOR}
+                    THEN 'omega_below_hurdle' END,
+               CASE WHEN payoff_eff < {_ELG_PAYOFF_FLOOR}
+                    THEN 'payoff_below_target' END,
+               CASE WHEN tp_freq < {_ELG_TP_FLOOR}
+                    THEN 'take_profit_frequency_below_floor' END,
+               'sufficient_weak_evidence')
+             ELSE COALESCE(NULLIF(CONCAT_WS(',',
+               CASE WHEN n_trades < {_ELG_HEALTHY_N}
+                    THEN 'insufficient_trade_count' END,
+               CASE WHEN win_rate < {_ELG_WR_FLOOR}
+                    THEN 'diagnostic_win_rate_below_r3_floor' END,
+               CASE WHEN profit_factor < {_ELG_PF_FLOOR}
+                    THEN 'diagnostic_profit_factor_below_r3_floor' END,
+               CASE WHEN omega >= {_ELG_OMEGA_FLOOR}
+                         AND payoff_eff >= {_ELG_PAYOFF_FLOOR}
+                         AND tp_freq >= {_ELG_TP_FLOOR}
+                    THEN 'primary_metrics_below_floor' END), ''),
+               'manual_research_only') END AS reasons
+    FROM cls
+    """,
+)
+def ticker_eligibility_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-ticker eligibility — reference
+    `scripts/compute_ticker_eligibility.py:66-251`: rolling per-ticker
+    stats (win rate, 99-capped profit factor, capital-at-risk returns),
+    the NGN-hurdle omega (`etl/portfolio_math.py:540-613`, <10 returns
+    -> 0, zero-loss -> the 1e6 sentinel), the support-aware effective
+    payoff asymmetry (`:990-1032`: min(raw, 10%-trimmed) when the
+    3-win/3-loss/winner-concentration support gate holds, else 0) and
+    TAKE_PROFIT frequency, classified by the strict ladder: explicit
+    lab-only override -> HEALTHY (meets the full TAKE_PROFIT policy) ->
+    WEAK (>=5 trades with at least one primary metric at floor) ->
+    LAB_ONLY with the diagnostic reason codes (`:186-251`). The
+    'primary_metrics_below_floor' code fires exactly when no primary
+    weak-reason exists — mirroring the reference's empty-weak_reasons
+    branch.
+
+    Scale: per-order lot aggregation, two per-ticker rank windows for
+    the trimmed tails, key-cardinality joins. No UDF, no collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.min("l_tax").alias("ctax"),
+        )
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    pnl = F.round(F.col("cnet") - F.col("onet"), 6)
+    capital = F.abs(F.col("onet") / F.col("oq")) * F.col("cq")
+    trades = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
+                "ticker"
+            ),
+            F.col("c.l_orderkey").alias("orderkey"),
+            pnl.alias("pnl"),
+            F.when(F.col("ctax") < 0.015, "STOP_LOSS")
+            .when(F.col("ctax") < 0.045, "TIME_EXIT")
+            .when(F.col("ctax") < 0.075, "TAKE_PROFIT")
+            .otherwise("OTHER")
+            .alias("exit_reason"),
+            F.when(capital > 1e-9, pnl / capital).alias("r"),
+        )
+    )
+    t = trades.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias("win_rate"),
+        F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0)).alias(
+            "gross_win"
+        ),
+        F.sum(
+            F.when(F.col("pnl") <= 0, F.abs(F.col("pnl"))).otherwise(0.0)
+        ).alias("gross_loss"),
+        F.round(F.sum("pnl"), 2).alias("total_pnl"),
+        F.avg(
+            F.when(F.col("exit_reason") == "TAKE_PROFIT", 1.0).otherwise(0.0)
+        ).alias("tp_freq"),
+        F.count("r").alias("n_ret"),
+        F.sum(F.greatest(F.col("r") - _ELG_TAU, F.lit(0.0))).alias("o_gain"),
+        F.sum(F.greatest(F.lit(_ELG_TAU) - F.col("r"), F.lit(0.0))).alias(
+            "o_loss"
+        ),
+    )
+    wt = Window.partitionBy("ticker")
+    wdesc = Window.partitionBy("ticker").orderBy(F.col("r").desc(), "orderkey")
+    wins = trades.filter(F.col("r") > 0).select(
+        "ticker",
+        "r",
+        F.row_number().over(wdesc).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("nw"),
+    )
+    trim_w = F.floor(F.col("nw") * _ELG_TRIM)
+    w = wins.groupBy("ticker").agg(
+        F.any_value("nw").alias("n_wins"),
+        F.sum("r").alias("wsum"),
+        F.avg("r").alias("avg_win"),
+        F.max("r").alias("max_win"),
+        F.sum(F.when(F.col("rk") > trim_w, F.col("r"))).alias("trim_win_sum"),
+        F.sum((F.col("rk") > trim_w).cast("long")).alias("trim_win_n"),
+    )
+    lasc = Window.partitionBy("ticker").orderBy(F.col("r").asc(), "orderkey")
+    losses = trades.filter(F.col("r") < 0).select(
+        "ticker",
+        (-F.col("r")).alias("al"),
+        F.row_number().over(lasc).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("nl"),
+    )
+    trim_l = F.floor(F.col("nl") * _ELG_TRIM)
+    lo = losses.groupBy("ticker").agg(
+        F.any_value("nl").alias("n_losses"),
+        F.avg("al").alias("avg_loss"),
+        F.sum(F.when(F.col("rk") > trim_l, F.col("al"))).alias("trim_loss_sum"),
+        F.sum((F.col("rk") > trim_l).cast("long")).alias("trim_loss_n"),
+    )
+    j = t.join(w, "ticker", "left").join(lo, "ticker", "left")
+    n_wins = F.coalesce(F.col("n_wins"), F.lit(0))
+    n_losses = F.coalesce(F.col("n_losses"), F.lit(0))
+    pf = (
+        F.when(
+            F.col("gross_loss") > 1e-9,
+            F.least(F.col("gross_win") / F.col("gross_loss"), F.lit(99.0)),
+        )
+        .when(F.col("gross_win") > 0, 99.0)
+        .otherwise(0.0)
+    )
+    omega = (
+        F.when(F.col("n_ret") < 10, 0.0)
+        .when(F.col("o_loss") == 0.0, _ELG_SENT)
+        .otherwise(F.col("o_gain") / F.col("o_loss"))
+    )
+    payoff_raw = F.round(
+        F.when(
+            (n_losses == 0) | F.col("avg_loss").isNull(),
+            F.when(n_wins > 0, _ELG_SENT).otherwise(0.0),
+        ).otherwise(
+            F.coalesce(F.col("avg_win"), F.lit(0.0))
+            / F.greatest(F.col("avg_loss"), F.lit(1e-12))
+        ),
+        6,
+    )
+    trim_avg_win = F.col("trim_win_sum") / F.greatest(
+        F.col("trim_win_n"), F.lit(1)
+    )
+    trim_avg_loss = F.col("trim_loss_sum") / F.greatest(
+        F.col("trim_loss_n"), F.lit(1)
+    )
+    payoff_trimmed = F.round(
+        F.when(
+            F.coalesce(F.col("trim_loss_n"), F.lit(0)) == 0,
+            F.when(
+                F.coalesce(F.col("trim_win_n"), F.lit(0)) > 0, _ELG_SENT
+            ).otherwise(0.0),
+        )
+        .when(F.coalesce(F.col("trim_win_n"), F.lit(0)) == 0, 0.0)
+        .otherwise(trim_avg_win / F.greatest(trim_avg_loss, F.lit(1e-12))),
+        6,
+    )
+    wc = F.round(
+        F.when(
+            n_wins > 0,
+            F.col("max_win") / F.greatest(F.col("wsum"), F.lit(1e-12)),
+        ).otherwise(0.0),
+        6,
+    )
+    support = (
+        (n_wins >= _ELG_MIN_WINS)
+        & (n_losses >= _ELG_MIN_LOSSES)
+        & (wc <= _ELG_MAX_WC)
+    )
+    cls = j.select(
+        "ticker",
+        "n_trades",
+        "win_rate",
+        pf.alias("profit_factor"),
+        "total_pnl",
+        "tp_freq",
+        omega.alias("omega"),
+        F.when(support, F.least(payoff_raw, payoff_trimmed))
+        .otherwise(0.0)
+        .alias("payoff_eff"),
+    )
+    healthy = (
+        (F.col("n_trades") >= _ELG_HEALTHY_N)
+        & (F.col("omega") >= _ELG_OMEGA_FLOOR)
+        & (F.col("payoff_eff") >= _ELG_PAYOFF_FLOOR)
+        & (F.col("tp_freq") >= _ELG_TP_FLOOR)
+    )
+    weak = (F.col("n_trades") >= _ELG_WEAK_N) & (
+        (F.col("omega") >= _ELG_OMEGA_FLOOR)
+        | (F.col("payoff_eff") >= _ELG_PAYOFF_FLOOR)
+        | (F.col("tp_freq") >= _ELG_TP_FLOOR)
+    )
+    override = F.col("ticker") == "T7"
+    weak_codes = F.concat_ws(
+        ",",
+        F.when(F.col("omega") < _ELG_OMEGA_FLOOR, "omega_below_hurdle"),
+        F.when(F.col("payoff_eff") < _ELG_PAYOFF_FLOOR, "payoff_below_target"),
+        F.when(
+            F.col("tp_freq") < _ELG_TP_FLOOR,
+            "take_profit_frequency_below_floor",
+        ),
+        F.lit("sufficient_weak_evidence"),
+    )
+    lab_codes = F.coalesce(
+        F.nullif(
+            F.concat_ws(
+                ",",
+                F.when(
+                    F.col("n_trades") < _ELG_HEALTHY_N,
+                    "insufficient_trade_count",
+                ),
+                F.when(
+                    F.col("win_rate") < _ELG_WR_FLOOR,
+                    "diagnostic_win_rate_below_r3_floor",
+                ),
+                F.when(
+                    F.col("profit_factor") < _ELG_PF_FLOOR,
+                    "diagnostic_profit_factor_below_r3_floor",
+                ),
+                F.when(
+                    (F.col("omega") >= _ELG_OMEGA_FLOOR)
+                    & (F.col("payoff_eff") >= _ELG_PAYOFF_FLOOR)
+                    & (F.col("tp_freq") >= _ELG_TP_FLOOR),
+                    "primary_metrics_below_floor",
+                ),
+            ),
+            F.lit(""),
+        ),
+        F.lit("manual_research_only"),
+    )
+    return cls.select(
+        "ticker",
+        "n_trades",
+        r6(F.col("win_rate")).alias("win_rate"),
+        r6(F.col("profit_factor")).alias("profit_factor"),
+        "total_pnl",
+        r6(F.col("omega")).alias("omega_ratio"),
+        r6(F.col("payoff_eff")).alias("payoff_asymmetry_effective"),
+        r6(F.col("tp_freq")).alias("take_profit_frequency"),
+        F.when(override, "LAB_ONLY")
+        .when(healthy, "HEALTHY")
+        .when(weak, "WEAK")
+        .otherwise("LAB_ONLY")
+        .alias("status"),
+        F.when(override, "explicit_lab_only_override")
+        .when(healthy, "meets_take_profit_policy")
+        .when(weak, weak_codes)
+        .otherwise(lab_codes)
+        .alias("reasons"),
+    )
