@@ -1114,3 +1114,164 @@ def benchmark_relative_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Directional-accuracy failure diagnosis (per-ticker issue census)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/diagnose_directional_accuracy.py:91-143`
+# (`diagnose_model_issues`): per-ticker quant-validation metrics checked
+# against four issue patterns — overfitting (deeply negative Sharpe AND
+# Sortino), trend reversal (annual return < -15%), volatility spike
+# (max drawdown > 30% OR volatility > 20%) and insufficient data
+# (lookback < 200 bars). The engine computes the metric block per key
+# from the log-return series (annualized x252; Sortino over the
+# below-zero semideviation; drawdown from the running peak of the
+# cumulative log return) — the reference reads the same fields from the
+# quant_validation payload. The fleet recommendation union (`:145-253`)
+# shares its shape with `ensemble_monitor_recommendations`.
+_DAD_SHARPE = -1.5
+_DAD_SORTINO = -2.0
+_DAD_ANN_RET = -0.15
+_DAD_MAX_DD = 0.30
+_DAD_VOL = 0.20
+_DAD_MIN_BARS = 200
+
+
+@query(
+    "directional_accuracy_diagnosis",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             LN(value / LAG(value, 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS lr
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    cum1 AS (
+      SELECT user_id, rn, lr,
+             SUM(lr) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_lr
+      FROM s WHERE lr IS NOT NULL
+    ),
+    cum AS (
+      SELECT user_id, rn, lr, cum_lr,
+             MAX(cum_lr) OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS peak
+      FROM cum1
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS lookback_bars,
+             AVG(lr) * 252 AS annual_return,
+             STDDEV_SAMP(lr) * SQRT(252) AS volatility,
+             CASE WHEN STDDEV_SAMP(lr) > 0
+                  THEN AVG(lr) / STDDEV_SAMP(lr) * SQRT(252) END AS sharpe,
+             CASE WHEN SQRT(AVG(CASE WHEN lr < 0 THEN lr * lr
+                                     ELSE 0.0 END)) > 0
+                  THEN AVG(lr) / SQRT(AVG(CASE WHEN lr < 0 THEN lr * lr
+                                               ELSE 0.0 END)) * SQRT(252)
+                  END AS sortino,
+             MAX(1.0 - EXP(cum_lr - peak)) AS max_drawdown
+      FROM cum GROUP BY user_id
+    )
+    SELECT user_id,
+           lookback_bars,
+           ROUND(annual_return, 6) AS annual_return,
+           ROUND(volatility, 6) AS volatility,
+           ROUND(sharpe, 6) AS sharpe_ratio,
+           ROUND(sortino, 6) AS sortino_ratio,
+           ROUND(max_drawdown, 6) AS max_drawdown,
+           CAST(sharpe < {_DAD_SHARPE} AND sortino < {_DAD_SORTINO}
+                AS INTEGER) AS overfitting,
+           CAST(annual_return < {_DAD_ANN_RET} AS INTEGER)
+             AS trend_reversal,
+           CAST(max_drawdown > {_DAD_MAX_DD} OR volatility > {_DAD_VOL}
+                AS INTEGER) AS volatility_spike,
+           CAST(lookback_bars < {_DAD_MIN_BARS} AS INTEGER)
+             AS insufficient_data,
+           CAST(sharpe < {_DAD_SHARPE} AND sortino < {_DAD_SORTINO}
+                AS INTEGER)
+             + CAST(annual_return < {_DAD_ANN_RET} AS INTEGER)
+             + CAST(max_drawdown > {_DAD_MAX_DD} OR volatility > {_DAD_VOL}
+                    AS INTEGER)
+             + CAST(lookback_bars < {_DAD_MIN_BARS} AS INTEGER)
+             AS issue_count
+    FROM m
+    """,
+)
+def directional_accuracy_diagnosis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-ticker model-issue diagnosis — reference
+    `scripts/diagnose_directional_accuracy.py:91-143`: the four issue
+    patterns (overfitting: Sharpe < -1.5 AND Sortino < -2; trend
+    reversal: annualized return < -15%; volatility spike: max drawdown
+    > 30% OR volatility > 20%; insufficient data: < 200 lookback bars)
+    over per-key metrics — x252 annualization, Sortino over the
+    below-zero semideviation, drawdown off the running cumulative-return
+    peak.
+
+    Scale: one ordered window pass per key + one groupBy. No UDF."""
+    from .queries_stats import _series
+
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = s.select(
+        "user_id",
+        "rn",
+        "lr",
+        F.sum("lr").over(w).alias("cum_lr"),
+    ).withColumn("peak", F.max("cum_lr").over(w))
+    down = F.sqrt(
+        F.avg(F.when(F.col("lr") < 0, F.col("lr") * F.col("lr")).otherwise(0.0))
+    )
+    m = cum.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("lookback_bars"),
+        (F.avg("lr") * 252).alias("annual_return"),
+        (F.stddev_samp("lr") * math.sqrt(252)).alias("volatility"),
+        F.when(
+            F.stddev_samp("lr") > 0,
+            F.avg("lr") / F.stddev_samp("lr") * math.sqrt(252),
+        ).alias("sharpe"),
+        F.when(down > 0, F.avg("lr") / down * math.sqrt(252)).alias("sortino"),
+        F.max(1.0 - F.exp(F.col("cum_lr") - F.col("peak"))).alias(
+            "max_drawdown"
+        ),
+    )
+    overfit = (F.col("sharpe") < _DAD_SHARPE) & (
+        F.col("sortino") < _DAD_SORTINO
+    )
+    reversal = F.col("annual_return") < _DAD_ANN_RET
+    spike = (F.col("max_drawdown") > _DAD_MAX_DD) | (
+        F.col("volatility") > _DAD_VOL
+    )
+    insuff = F.col("lookback_bars") < _DAD_MIN_BARS
+
+    def flag(c):
+        return F.coalesce(c.cast("int"), F.lit(0))
+
+    return m.select(
+        "user_id",
+        "lookback_bars",
+        r6(F.col("annual_return")).alias("annual_return"),
+        r6(F.col("volatility")).alias("volatility"),
+        r6(F.col("sharpe")).alias("sharpe_ratio"),
+        r6(F.col("sortino")).alias("sortino_ratio"),
+        r6(F.col("max_drawdown")).alias("max_drawdown"),
+        overfit.cast("int").alias("overfitting"),
+        reversal.cast("int").alias("trend_reversal"),
+        spike.cast("int").alias("volatility_spike"),
+        insuff.cast("int").alias("insufficient_data"),
+        (
+            flag(overfit) + flag(reversal) + flag(spike) + flag(insuff)
+        ).alias("issue_count"),
+    )

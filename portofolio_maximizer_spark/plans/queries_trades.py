@@ -2323,3 +2323,235 @@ def ticker_eligibility_classification(
         .otherwise(lab_codes)
         .alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted capital utilization
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/compute_capital_utilization.py:42-182`: the pinned
+# core formula deployment = notional_days / (capital * total_days) over
+# production closed round-trips, the formula-audit intermediates, ROI/edge
+# metrics and the two throughput projection scenarios (`_project`,
+# `:157-179`: identical per-trade edge scaled to a target trades/day).
+# The confirmed capital base plays the portfolio_cash_state row.
+_CU_CAPITAL = 1_000_000.0
+_CU_SCN_A = 0.95
+_CU_SCN_B = 1.40
+
+
+@query(
+    "capital_utilization_report",
+    oracle=f"""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             MAX(l.l_shipdate) AS cship
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet,
+             MIN(l_shipdate) AS oship
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    trips AS (
+      SELECT c.l_orderkey,
+             o2.onet AS notional,
+             ROUND(c.cnet - o2.onet, 6) AS pnl,
+             GREATEST(DATEDIFF('day', o2.oship, c.cship), 0) AS hold_days,
+             CAST(o2.oship AS DATE) AS open_d,
+             CAST(c.cship AS DATE) AS close_d
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_trips,
+             SUM(notional * hold_days) AS notional_days,
+             AVG(notional) AS avg_notional,
+             AVG(CAST(hold_days AS DOUBLE)) AS avg_hold_days,
+             SUM(pnl) AS total_pnl,
+             SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS n_wins,
+             MIN(open_d) AS first_open, MAX(close_d) AS last_close
+      FROM trips
+    ),
+    k AS (
+      SELECT *,
+             GREATEST(DATEDIFF('day', first_open, last_close), 1)
+               AS total_days,
+             notional_days
+               / GREATEST(DATEDIFF('day', first_open, last_close), 1)
+               AS twc_per_day
+      FROM agg
+    )
+    SELECT n_trips,
+           total_days,
+           CAST(first_open AS VARCHAR) AS first_open,
+           CAST(last_close AS VARCHAR) AS last_close,
+           ROUND(notional_days, 2) AS notional_days,
+           ROUND(twc_per_day, 2) AS twc_per_day,
+           ROUND(twc_per_day / {_CU_CAPITAL}, 6) AS deployment_fraction,
+           ROUND(twc_per_day / {_CU_CAPITAL} * 100, 2) AS deployment_pct,
+           ROUND(avg_notional, 2) AS avg_notional_per_trade,
+           ROUND(avg_hold_days, 2) AS avg_hold_days,
+           ROUND(CASE WHEN twc_per_day > 0
+                      THEN avg_notional / twc_per_day END, 2)
+             AS avg_notional_overstatement_factor,
+           ROUND(total_pnl, 2) AS total_pnl,
+           ROUND(CAST(n_wins AS DOUBLE) / n_trips, 4) AS win_rate,
+           ROUND(total_pnl / {_CU_CAPITAL} * 100, 4) AS roi_cum_pct,
+           ROUND(total_pnl / {_CU_CAPITAL} * 365.0 / total_days * 100, 2)
+             AS roi_ann_pct,
+           ROUND(CAST(n_trips AS DOUBLE) / total_days, 3) AS trades_per_day,
+           ROUND({_CU_SCN_A} / (CAST(n_trips AS DOUBLE) / total_days), 2)
+             AS scn_partial_scale_factor,
+           ROUND(total_pnl * ({_CU_SCN_A}
+                 / (CAST(n_trips AS DOUBLE) / total_days)), 2)
+             AS scn_partial_proj_pnl,
+           ROUND(total_pnl * ({_CU_SCN_A}
+                 / (CAST(n_trips AS DOUBLE) / total_days))
+                 / {_CU_CAPITAL} * 365.0 / total_days * 100, 1)
+             AS scn_partial_roi_ann_pct,
+           ROUND({_CU_SCN_B} / (CAST(n_trips AS DOUBLE) / total_days), 2)
+             AS scn_target_scale_factor,
+           ROUND(total_pnl * ({_CU_SCN_B}
+                 / (CAST(n_trips AS DOUBLE) / total_days)), 2)
+             AS scn_target_proj_pnl,
+           ROUND(total_pnl * ({_CU_SCN_B}
+                 / (CAST(n_trips AS DOUBLE) / total_days))
+                 / {_CU_CAPITAL} * 365.0 / total_days * 100, 1)
+             AS scn_target_roi_ann_pct
+    FROM k
+    """,
+)
+def capital_utilization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted capital utilization — reference
+    `scripts/compute_capital_utilization.py:42-182`: the pinned core
+    formula (deployment = notional_days / (capital x total_days)), the
+    formula-audit intermediates (avg notional, overstatement factor),
+    the edge metrics (win rate, cumulative and x365-annualized ROI,
+    trades/day) and both throughput scenarios (`_project`: identical
+    per-trade edge scaled to 0.95 and 1.40 trades/day). The confirmed
+    capital base is the engine's pinned 1e6 (the reference reads
+    portfolio_cash_state). Single bounded fleet aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+        )
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("oq"),
+            F.sum(net).alias("onet"),
+            F.min("l_shipdate").alias("oship"),
+        )
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    trips = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.col("onet").alias("notional"),
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            F.greatest(
+                F.datediff(F.to_date("cship"), F.to_date("oship")), F.lit(0)
+            ).alias("hold_days"),
+            F.to_date("oship").alias("open_d"),
+            F.to_date("cship").alias("close_d"),
+        )
+    )
+    agg = trips.agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.sum(F.col("notional") * F.col("hold_days")).alias("notional_days"),
+        F.avg("notional").alias("avg_notional"),
+        F.avg(F.col("hold_days").cast("double")).alias("avg_hold_days"),
+        F.sum("pnl").alias("total_pnl"),
+        F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0)).alias("n_wins"),
+        F.min("open_d").alias("first_open"),
+        F.max("close_d").alias("last_close"),
+    )
+    k = agg.select(
+        "*",
+        F.greatest(
+            F.datediff("last_close", "first_open"), F.lit(1)
+        ).alias("total_days"),
+    ).withColumn("twc_per_day", F.col("notional_days") / F.col("total_days"))
+    tpd = F.col("n_trips").cast("double") / F.col("total_days")
+
+    def scenario(target):
+        scale = target / tpd
+        proj = F.col("total_pnl") * scale
+        roi = proj / _CU_CAPITAL * 365.0 / F.col("total_days") * 100
+        return scale, proj, roi
+
+    sa, pa, ra = scenario(F.lit(_CU_SCN_A))
+    sb, pb, rb = scenario(F.lit(_CU_SCN_B))
+    return k.select(
+        "n_trips",
+        "total_days",
+        F.col("first_open").cast("string").alias("first_open"),
+        F.col("last_close").cast("string").alias("last_close"),
+        F.round("notional_days", 2).alias("notional_days"),
+        F.round("twc_per_day", 2).alias("twc_per_day"),
+        F.round(F.col("twc_per_day") / _CU_CAPITAL, 6).alias(
+            "deployment_fraction"
+        ),
+        F.round(F.col("twc_per_day") / _CU_CAPITAL * 100, 2).alias(
+            "deployment_pct"
+        ),
+        F.round("avg_notional", 2).alias("avg_notional_per_trade"),
+        F.round("avg_hold_days", 2).alias("avg_hold_days"),
+        F.round(
+            F.when(
+                F.col("twc_per_day") > 0,
+                F.col("avg_notional") / F.col("twc_per_day"),
+            ),
+            2,
+        ).alias("avg_notional_overstatement_factor"),
+        F.round("total_pnl", 2).alias("total_pnl"),
+        F.round(F.col("n_wins").cast("double") / F.col("n_trips"), 4).alias(
+            "win_rate"
+        ),
+        F.round(F.col("total_pnl") / _CU_CAPITAL * 100, 4).alias(
+            "roi_cum_pct"
+        ),
+        F.round(
+            F.col("total_pnl") / _CU_CAPITAL * 365.0 / F.col("total_days") * 100,
+            2,
+        ).alias("roi_ann_pct"),
+        F.round(tpd, 3).alias("trades_per_day"),
+        F.round(sa, 2).alias("scn_partial_scale_factor"),
+        F.round(pa, 2).alias("scn_partial_proj_pnl"),
+        F.round(ra, 1).alias("scn_partial_roi_ann_pct"),
+        F.round(sb, 2).alias("scn_target_scale_factor"),
+        F.round(pb, 2).alias("scn_target_proj_pnl"),
+        F.round(rb, 1).alias("scn_target_roi_ann_pct"),
+    )
