@@ -3386,3 +3386,237 @@ def model_improvement_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("reasons"),
     )
     return l1row.unionByName(l2row).unionByName(l3row).unionByName(l4row)
+
+
+# ---------------------------------------------------------------------------
+# Data-sufficiency monitor
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/data_sufficiency_monitor.py:33-247`: layer-3 trade
+# stats vs the R3 hard gates and the 50-trade statistical target,
+# layer-1 audit coverage vs the 50-window / 20%-ratio targets, the
+# advisory lift-CI arm, the per-ticker weak census (>=3 trades with
+# win rate < 30%) and the SUFFICIENT / INSUFFICIENT verdict (sufficient
+# iff no recommendation fires).
+_DSM_TARGET_TRADES = 50
+_DSM_TARGET_COVERAGE = 0.20
+_DSM_TARGET_N_USED = 50
+_DSM_R3_TRADES = 20
+_DSM_R3_WR = 0.45
+_DSM_R3_PF = 1.30
+_DSM_WEAK_WR = 0.30
+_DSM_WEAK_N = 3
+
+
+@query(
+    "data_sufficiency_report",
+    oracle=f"""
+    {_AUDIT_SQL},
+    arow AS (
+      SELECT user_id, audit_id, recency,
+             CASE WHEN audit_id = 0 THEN NULL ELSE ratio END AS mratio
+      FROM r
+    ),
+    l1 AS (
+      SELECT CAST(COUNT(mratio) AS BIGINT) AS n_used,
+             CAST(COUNT(mratio) AS DOUBLE) / COUNT(*) AS coverage_ratio,
+             AVG(CASE WHEN mratio < 1.0 - {_ESAFE_MIN_LIFT_RMSE} THEN 1.0
+                      WHEN mratio IS NOT NULL THEN 0.0 END) AS lift_global,
+             AVG(CASE WHEN recency = 1
+                           AND mratio < 1.0 - {_ESAFE_MIN_LIFT_RMSE} THEN 1.0
+                      WHEN recency = 1 AND mratio IS NOT NULL
+                      THEN 0.0 END) AS lift_recent,
+             AVG(CASE WHEN mratio IS NOT NULL THEN 1.0 - mratio END)
+               - 1.96 * STDDEV_SAMP(CASE WHEN mratio IS NOT NULL
+                                         THEN 1.0 - mratio END)
+                 / SQRT(COUNT(mratio)) AS lift_ci_low
+      FROM arow
+    ),
+    {_EXQ_ORACLE_BODY},
+    l3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_trades,
+             AVG(CAST(is_winner AS DOUBLE)) AS win_rate,
+             SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END)
+               / NULLIF(SUM(CASE WHEN pnl < 0 THEN -pnl ELSE 0 END), 0)
+               AS profit_factor
+      FROM tr
+    ),
+    pt AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             COUNT(*) AS n,
+             AVG(CASE WHEN t.pnl > 0 THEN 1.0 ELSE 0.0 END) AS wr
+      FROM tr t JOIN orders o ON o.o_orderkey = t.orderkey
+      GROUP BY 1
+    ),
+    weak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS weak_ticker_count
+      FROM pt WHERE n >= {_DSM_WEAK_N} AND wr < {_DSM_WEAK_WR}
+    ),
+    g AS (SELECT * FROM l1, l3, weak),
+    rec AS (
+      SELECT *,
+             CONCAT_WS(',',
+               CASE WHEN n_trades < {_DSM_R3_TRADES}
+                    THEN 'TRADE_COUNT_HARD'
+                    WHEN n_trades < {_DSM_TARGET_TRADES}
+                    THEN 'TRADE_COUNT_TARGET' END,
+               CASE WHEN win_rate < {_DSM_R3_WR} THEN 'WIN_RATE' END,
+               CASE WHEN profit_factor < {_DSM_R3_PF}
+                    THEN 'PROFIT_FACTOR' END,
+               CASE WHEN coverage_ratio < {_DSM_TARGET_COVERAGE}
+                         OR n_used < {_DSM_TARGET_N_USED}
+                    THEN 'AUDIT_COVERAGE' END,
+               CASE WHEN lift_ci_low <= 0.0 THEN 'LIFT_ADVISORY' END,
+               CASE WHEN weak_ticker_count > 0 THEN 'WEAK_TICKERS' END)
+               AS recommendations
+      FROM g
+    )
+    SELECT n_trades,
+           ROUND(win_rate, 4) AS win_rate,
+           ROUND(profit_factor, 4) AS profit_factor,
+           n_used AS n_used_audit_windows,
+           ROUND(coverage_ratio, 4) AS coverage_ratio,
+           ROUND(lift_global, 4) AS lift_fraction_global,
+           ROUND(lift_recent, 4) AS lift_fraction_recent,
+           ROUND(lift_ci_low, 6) AS lift_ci_low,
+           weak_ticker_count,
+           recommendations,
+           CASE WHEN recommendations = '' THEN 'SUFFICIENT'
+                ELSE 'INSUFFICIENT' END AS status,
+           CAST(recommendations = '' AS INTEGER) AS sufficient
+    FROM rec
+    """,
+)
+def data_sufficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-sufficiency monitor — reference
+    `scripts/data_sufficiency_monitor.py:124-247`: fleet trade stats
+    checked against the R3 hard gates (20 trades / 45% WR / 1.30 PF) and
+    the 50-trade statistical target, audit-window coverage against the
+    50-window / 20%-ratio targets, the advisory lift-CI arm (CI low <= 0
+    -> keep accumulating), the per-ticker weak census (>=3 trades under
+    30% win rate, `:84-122`) and the SUFFICIENT verdict that requires
+    every recommendation channel silent. Trade-count recommendation
+    keeps the reference's two rungs as distinct codes (hard gate vs
+    target).
+
+    Scale: three bounded aggregates + a sleeve-cardinality census,
+    cross-joined as single-row scalars. No UDF, no collect."""
+    from .queries_trades import _exit_trades_frame
+
+    # layer 1 — audit-window lift with the ensemble warm-up plant
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id", F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int")
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse((F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0).alias(
+                "r_e"
+            ),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    ratio = F.col("r_e") / F.least("r_n", "r_3", "r_10")
+    arow = a.select(
+        "user_id",
+        F.when(F.col("audit_id") == 0, F.lit(None).cast("double"))
+        .otherwise(ratio)
+        .alias("mratio"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("audit_id").desc()))
+        .alias("recency"),
+    )
+    lift = F.when(F.col("mratio") < 1.0 - _ESAFE_MIN_LIFT_RMSE, 1.0).when(
+        F.col("mratio").isNotNull(), 0.0
+    )
+    lm = F.avg(1.0 - F.col("mratio"))
+    lsd = F.stddev_samp(1.0 - F.col("mratio"))
+    l1 = arow.agg(
+        F.count("mratio").alias("n_used"),
+        (F.count("mratio").cast("double") / F.count(F.lit(1))).alias(
+            "coverage_ratio"
+        ),
+        F.avg(lift).alias("lift_global"),
+        F.avg(F.when(F.col("recency") == 1, lift)).alias("lift_recent"),
+        (lm - 1.96 * lsd / F.sqrt(F.count("mratio"))).alias("lift_ci_low"),
+    )
+
+    tr = _exit_trades_frame(spark, sf_dir)
+    l3 = tr.agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.avg(F.col("is_winner").cast("double")).alias("win_rate"),
+        (
+            F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
+            / F.nullif(
+                F.sum(F.when(F.col("pnl") < 0, -F.col("pnl")).otherwise(0.0)),
+                F.lit(0.0),
+            )
+        ).alias("profit_factor"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    pt = (
+        tr.join(o, F.col("o_orderkey") == F.col("orderkey"))
+        .groupBy(
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
+                "ticker"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias("wr"),
+        )
+    )
+    weak = pt.filter(
+        (F.col("n") >= _DSM_WEAK_N) & (F.col("wr") < _DSM_WEAK_WR)
+    ).agg(F.count(F.lit(1)).alias("weak_ticker_count"))
+    g = l1.crossJoin(l3).crossJoin(weak)
+    recs = F.concat_ws(
+        ",",
+        F.when(F.col("n_trades") < _DSM_R3_TRADES, "TRADE_COUNT_HARD").when(
+            F.col("n_trades") < _DSM_TARGET_TRADES, "TRADE_COUNT_TARGET"
+        ),
+        F.when(F.col("win_rate") < _DSM_R3_WR, "WIN_RATE"),
+        F.when(F.col("profit_factor") < _DSM_R3_PF, "PROFIT_FACTOR"),
+        F.when(
+            (F.col("coverage_ratio") < _DSM_TARGET_COVERAGE)
+            | (F.col("n_used") < _DSM_TARGET_N_USED),
+            "AUDIT_COVERAGE",
+        ),
+        F.when(F.col("lift_ci_low") <= 0.0, "LIFT_ADVISORY"),
+        F.when(F.col("weak_ticker_count") > 0, "WEAK_TICKERS"),
+    )
+    rec = g.withColumn("recommendations", recs)
+    return rec.select(
+        "n_trades",
+        F.round("win_rate", 4).alias("win_rate"),
+        F.round("profit_factor", 4).alias("profit_factor"),
+        F.col("n_used").alias("n_used_audit_windows"),
+        F.round("coverage_ratio", 4).alias("coverage_ratio"),
+        F.round("lift_global", 4).alias("lift_fraction_global"),
+        F.round("lift_recent", 4).alias("lift_fraction_recent"),
+        r6(F.col("lift_ci_low")).alias("lift_ci_low"),
+        "weak_ticker_count",
+        "recommendations",
+        F.when(F.col("recommendations") == "", "SUFFICIENT")
+        .otherwise("INSUFFICIENT")
+        .alias("status"),
+        (F.col("recommendations") == "").cast("int").alias("sufficient"),
+    )
