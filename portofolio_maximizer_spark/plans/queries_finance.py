@@ -1275,3 +1275,95 @@ def directional_accuracy_diagnosis(
             flag(overfit) + flag(reversal) + flag(spike) + flag(insuff)
         ).alias("issue_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLCV duplicate audit with both dedupe strategies
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ohlcv_duplicate_audit",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events WHERE value > 0
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS total_rows,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS unique_dates,
+             CAST(COUNT(*) - COUNT(DISTINCT d) AS BIGINT) AS duplicates,
+             CAST(MIN(d) AS VARCHAR) AS first_date,
+             CAST(MAX(d) AS VARCHAR) AS last_date,
+             AVG(CASE WHEN rk = 1 THEN value END) AS close_keep_last
+      FROM bars GROUP BY user_id
+    ),
+    mm AS (
+      SELECT user_id, AVG(day_mean) AS close_mean_agg
+      FROM (SELECT user_id, d, AVG(value) AS day_mean
+            FROM bars GROUP BY user_id, d)
+      GROUP BY user_id
+    )
+    SELECT p.user_id, total_rows, unique_dates, duplicates,
+           first_date, last_date,
+           ROUND(close_keep_last, 6) AS close_keep_last,
+           ROUND(close_mean_agg, 6) AS close_mean_agg,
+           ROUND(close_keep_last - close_mean_agg, 6) AS strategy_divergence
+    FROM per p JOIN mm ON mm.user_id = p.user_id
+    """,
+)
+def ohlcv_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bar audit — reference
+    `scripts/audit_ohlcv_duplicates.py:34-104`: per-ticker row count vs
+    unique bar dates, the duplicate census and date range, plus BOTH
+    dedupe strategies summarized side-by-side (`_dedupe`, `:46-57`:
+    keep-last under the deterministic (ts, id) order vs numeric
+    mean-aggregation) with their divergence — the audit's reason to
+    exist is showing when the two disagree.
+
+    Scale: one rank window + two bounded per-key aggregations."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bars = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rk"),
+    )
+    per = bars.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("d").alias("unique_dates"),
+        (F.count(F.lit(1)) - F.countDistinct("d")).alias("duplicates"),
+        F.min("d").cast("string").alias("first_date"),
+        F.max("d").cast("string").alias("last_date"),
+        F.avg(F.when(F.col("rk") == 1, F.col("value"))).alias(
+            "close_keep_last"
+        ),
+    )
+    mm = (
+        bars.groupBy("user_id", "d")
+        .agg(F.avg("value").alias("day_mean"))
+        .groupBy("user_id")
+        .agg(F.avg("day_mean").alias("close_mean_agg"))
+    )
+    return per.join(mm, "user_id").select(
+        "user_id",
+        "total_rows",
+        "unique_dates",
+        "duplicates",
+        "first_date",
+        "last_date",
+        r6(F.col("close_keep_last")).alias("close_keep_last"),
+        r6(F.col("close_mean_agg")).alias("close_mean_agg"),
+        r6(F.col("close_keep_last") - F.col("close_mean_agg")).alias(
+            "strategy_divergence"
+        ),
+    )

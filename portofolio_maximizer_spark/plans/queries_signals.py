@@ -4523,3 +4523,112 @@ def signal_routing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.sum(F.col("fallback_generated").cast("long"))
         ).alias("total_signals"),
     ).withColumn("routing_mode", F.lit("TIME_SERIES_PRIMARY_LLM_FALLBACK"))
+
+
+# ---------------------------------------------------------------------------
+# Quant-validation fail-rate headroom
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/quant_validation_headroom.py:80-139`
+# (`summarize_headroom`): FAIL rate over the scoped window of
+# quant-validation entries, headroom to the red gate, the
+# GREEN/YELLOW/RED status ladder and the per-ticker fail census. The
+# engine's validation entry is one per return observation, FAIL when
+# the bar moves more than 3% against the prior close (the quant
+# validator's price-sanity rejection); the scoped window is the
+# corpus's final 7 days (the reference slices the jsonl tail).
+_QVH_RED = 25.0
+_QVH_WARN = 15.0
+_QVH_DROP = 0.03
+_QVH_WINDOW_DAYS = 7
+
+
+@query(
+    "quant_validation_headroom",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    scoped AS (
+      SELECT s.user_id,
+             CASE WHEN ABS(s.lr) > {_QVH_DROP} THEN 1 ELSE 0 END AS failed
+      FROM s, mx
+      WHERE s.lr IS NOT NULL
+        AND s.ts >= mx.max_ts - INTERVAL {_QVH_WINDOW_DAYS} DAY
+    ),
+    per AS (
+      SELECT 'T' || CAST(user_id % 25 AS VARCHAR) AS ticker,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(failed) AS BIGINT) AS fail_count
+      FROM scoped GROUP BY 1
+    ),
+    fleet AS (
+      SELECT 'ALL' AS ticker,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(failed) AS BIGINT) AS fail_count
+      FROM scoped
+    ),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM fleet)
+    SELECT ticker, total, fail_count,
+           ROUND(CAST(fail_count AS DOUBLE) / total * 100.0, 3)
+             AS fail_rate_pct,
+           ROUND({_QVH_RED} - CAST(fail_count AS DOUBLE) / total * 100.0, 3)
+             AS headroom_to_red_gate_pct,
+           CASE WHEN CAST(fail_count AS DOUBLE) / total * 100.0
+                     >= {_QVH_RED} THEN 'RED'
+                WHEN CAST(fail_count AS DOUBLE) / total * 100.0
+                     >= {_QVH_WARN} THEN 'YELLOW'
+                ELSE 'GREEN' END AS status
+    FROM u
+    """,
+)
+def quant_validation_headroom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quant-validation fail-rate headroom — reference
+    `scripts/quant_validation_headroom.py:80-139`: FAIL rate over the
+    scoped entry window, headroom to the 25% red gate, the
+    GREEN/YELLOW/RED ladder (warn at 15%) and the per-ticker fail
+    census plus the fleet row. The validation entry is one per return
+    observation (FAIL = >3% absolute move, the price-sanity rejection);
+    the scope is the corpus's final 7 days via a broadcast max-ts
+    scalar — no global tail sort.
+
+    Scale: one filtered pass + two bounded groupBys."""
+    s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
+    mx = load_table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_ts")
+    )
+    scoped = (
+        s.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("ts")
+            >= F.col("max_ts") - F.expr(f"INTERVAL {_QVH_WINDOW_DAYS} DAY")
+        )
+        .select(
+            "user_id",
+            (F.abs(F.col("lr")) > _QVH_DROP).cast("int").alias("failed"),
+        )
+    )
+    per = scoped.groupBy(
+        F.concat(F.lit("T"), (F.col("user_id") % 25).cast("string")).alias(
+            "ticker"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum("failed").cast("bigint").alias("fail_count"),
+    )
+    fleet = scoped.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum("failed").cast("bigint").alias("fail_count"),
+    ).select(F.lit("ALL").alias("ticker"), "total", "fail_count")
+    u = per.unionByName(fleet)
+    rate = F.col("fail_count").cast("double") / F.col("total") * 100.0
+    return u.select(
+        "ticker",
+        "total",
+        "fail_count",
+        F.round(rate, 3).alias("fail_rate_pct"),
+        F.round(F.lit(_QVH_RED) - rate, 3).alias("headroom_to_red_gate_pct"),
+        F.when(rate >= _QVH_RED, "RED")
+        .when(rate >= _QVH_WARN, "YELLOW")
+        .otherwise("GREEN")
+        .alias("status"),
+    )
