@@ -3620,3 +3620,496 @@ def data_sufficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         (F.col("recommendations") == "").cast("int").alias("sufficient"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Production-gate failure decomposition
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/gate_failure_decomposition.py:309-503`
+# (`_build_decomposition`): the production gate's failure surface split
+# into PERFORMANCE / LINKAGE / HYGIENE blocker components, each a set of
+# (metric, value, threshold, pass) rows, plus the linkage waterfall
+# stages, the per-component status and the phase-3 strict readiness
+# verdict (all components must pass). Engine derivations: the lift gate
+# from the audit-window frame, the profitability proof from production
+# round-trips, linkage + hygiene from the semantic-admission entry frame
+# (EXECUTION_REJECTED = the k%3 slice of invalid-context entries — the
+# reference's clean HOLD/blocked rejections excluded from hygiene).
+_GFD_MAX_VIOL = 0.40
+_GFD_MIN_LIFT = 0.30
+_GFD_MIN_PF = 1.30
+_GFD_MIN_CLOSED = 30
+_GFD_MIN_DAYS = 21
+_GFD_MIN_MATCHED = 10
+_GFD_MIN_RATIO = 0.80
+
+
+@query(
+    "gate_failure_decomposition",
+    oracle=f"""
+    {_AUDIT_SQL},
+    {_ADM_LADDER_SQL},
+    lg AS (
+      SELECT AVG(CASE WHEN ratio > 1.1 THEN 1.0 ELSE 0.0 END)
+               AS violation_rate,
+             AVG(CASE WHEN ratio < 0.98 THEN 1.0 ELSE 0.0 END)
+               AS lift_fraction
+      FROM r
+    ),
+    pmx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    pcloses AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             MAX(l.l_shipdate) AS cship
+      FROM lineitem l
+      JOIN pmx ON pmx.l_orderkey = l.l_orderkey
+              AND l.l_linenumber = pmx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    popens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    ptrips AS (
+      SELECT ROUND(c.cnet - o2.onet, 6) AS pnl,
+             CAST(c.cship AS DATE) AS close_d
+      FROM pcloses c
+      JOIN popens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    proof AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS closed_trades,
+             CAST(COUNT(DISTINCT close_d) AS BIGINT) AS trading_days,
+             AVG(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END) AS win_rate,
+             SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END)
+               / NULLIF(SUM(CASE WHEN pnl < 0 THEN -pnl ELSE 0 END), 0)
+               AS profit_factor,
+             SUM(pnl) AS total_pnl
+      FROM ptrips
+    ),
+    lw AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS raw_candidates,
+             CAST(SUM(production_labeled) AS BIGINT) AS production_only,
+             CAST(SUM(CASE WHEN production_labeled = 1
+                                AND manifest_status = 'verified'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS linked,
+             CAST(SUM(CASE WHEN production_labeled = 1
+                                AND manifest_status = 'verified'
+                                AND duplicate_conflict = 0
+                                AND quarantined = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hygiene_pass_n,
+             CAST(SUM(CASE WHEN production_labeled = 1
+                                AND manifest_status = 'verified'
+                                AND duplicate_conflict = 0
+                                AND quarantined = 0
+                                AND outcome_status = 'MATCHED'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+             CAST(SUM(counts_toward_readiness) AS BIGINT) AS eligible,
+             CAST(SUM(CASE WHEN production_labeled = 1
+                                AND context_type = 'NON_TRADE'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS non_trade,
+             CAST(SUM(CASE WHEN production_labeled = 1
+                                AND context_type = 'INVALID'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS invalid_total
+      FROM adm
+    ),
+    lw2 AS (
+      SELECT lw.*,
+             (SELECT CAST(SUM(CASE WHEN production_labeled
+                                        AND context_type = 'INVALID'
+                                        AND k % 3 = 0
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM ent) AS execution_rejected
+      FROM lw
+    ),
+    g AS (
+      SELECT lg.violation_rate, lg.lift_fraction,
+             proof.closed_trades, proof.trading_days, proof.win_rate,
+             proof.profit_factor, proof.total_pnl,
+             lw2.*,
+             lw2.invalid_total - lw2.execution_rejected AS dirty_invalid,
+             CAST(lw2.matched AS DOUBLE) / NULLIF(lw2.eligible, 0)
+               AS matched_ratio,
+             (proof.profit_factor >= {_GFD_MIN_PF}
+              AND proof.closed_trades >= {_GFD_MIN_CLOSED}
+              AND proof.trading_days >= {_GFD_MIN_DAYS}
+              AND proof.total_pnl > 0) AS proof_pass
+      FROM lg, proof, lw2
+    ),
+    t AS (
+      SELECT 'PERFORMANCE_BLOCKER' AS component,
+             'lift_violation_rate' AS metric,
+             ROUND(violation_rate, 6) AS value,
+             '<= {_GFD_MAX_VIOL}' AS threshold,
+             CAST(violation_rate <= {_GFD_MAX_VIOL} AS INTEGER) AS pass
+      FROM g
+      UNION ALL SELECT 'PERFORMANCE_BLOCKER', 'lift_fraction',
+        ROUND(lift_fraction, 6), '>= {_GFD_MIN_LIFT}',
+        CAST(lift_fraction >= {_GFD_MIN_LIFT} AS INTEGER) FROM g
+      UNION ALL SELECT 'PERFORMANCE_BLOCKER', 'proof_pass',
+        CAST(proof_pass AS INTEGER), 'must_be_true',
+        CAST(proof_pass AS INTEGER) FROM g
+      UNION ALL SELECT 'PERFORMANCE_BLOCKER', 'profit_factor',
+        ROUND(profit_factor, 6), '>= {_GFD_MIN_PF}',
+        CAST(profit_factor >= {_GFD_MIN_PF} AS INTEGER) FROM g
+      UNION ALL SELECT 'PERFORMANCE_BLOCKER', 'win_rate',
+        ROUND(win_rate, 6), 'diagnostic', 1 FROM g
+      UNION ALL SELECT 'PERFORMANCE_BLOCKER', 'total_pnl',
+        ROUND(total_pnl, 6), 'context_metric', 1 FROM g
+      UNION ALL SELECT 'PERFORMANCE_BLOCKER', 'closed_trades',
+        CAST(closed_trades AS DOUBLE), '>= {_GFD_MIN_CLOSED}_runway',
+        CAST(closed_trades >= {_GFD_MIN_CLOSED} AS INTEGER) FROM g
+      UNION ALL SELECT 'PERFORMANCE_BLOCKER', 'trading_days',
+        CAST(trading_days AS DOUBLE), '>= {_GFD_MIN_DAYS}_runway',
+        CAST(trading_days >= {_GFD_MIN_DAYS} AS INTEGER) FROM g
+      UNION ALL SELECT 'LINKAGE_BLOCKER', 'outcome_matched',
+        CAST(matched AS DOUBLE), '>= {_GFD_MIN_MATCHED}',
+        CAST(matched >= {_GFD_MIN_MATCHED} AS INTEGER) FROM g
+      UNION ALL SELECT 'LINKAGE_BLOCKER', 'outcome_eligible',
+        CAST(eligible AS DOUBLE), 'context_metric',
+        CAST(eligible > 0 AS INTEGER) FROM g
+      UNION ALL SELECT 'LINKAGE_BLOCKER', 'matched_over_eligible',
+        ROUND(matched_ratio, 6), '>= {_GFD_MIN_RATIO}',
+        CAST(matched_ratio >= {_GFD_MIN_RATIO} AS INTEGER) FROM g
+      UNION ALL SELECT 'LINKAGE_WATERFALL', 'raw_candidates',
+        CAST(raw_candidates AS DOUBLE), 'waterfall_stage', 1 FROM g
+      UNION ALL SELECT 'LINKAGE_WATERFALL', 'production_only',
+        CAST(production_only AS DOUBLE), 'waterfall_stage', 1 FROM g
+      UNION ALL SELECT 'LINKAGE_WATERFALL', 'linked',
+        CAST(linked AS DOUBLE), 'waterfall_stage', 1 FROM g
+      UNION ALL SELECT 'LINKAGE_WATERFALL', 'hygiene_pass',
+        CAST(hygiene_pass_n AS DOUBLE), 'waterfall_stage', 1 FROM g
+      UNION ALL SELECT 'LINKAGE_WATERFALL', 'matched',
+        CAST(matched AS DOUBLE), 'waterfall_stage', 1 FROM g
+      UNION ALL SELECT 'HYGIENE_BLOCKER', 'non_trade_context_count',
+        CAST(non_trade AS DOUBLE), '== 0',
+        CAST(non_trade = 0 AS INTEGER) FROM g
+      UNION ALL SELECT 'HYGIENE_BLOCKER', 'dirty_invalid_count',
+        CAST(dirty_invalid AS DOUBLE), '== 0',
+        CAST(dirty_invalid = 0 AS INTEGER) FROM g
+      UNION ALL SELECT 'HYGIENE_BLOCKER', 'execution_rejected_count',
+        CAST(execution_rejected AS DOUBLE), 'excluded_from_hygiene', 1
+        FROM g
+      UNION ALL SELECT 'HYGIENE_BLOCKER', 'invalid_context_total',
+        CAST(invalid_total AS DOUBLE), 'informational',
+        CAST(invalid_total = 0 AS INTEGER) FROM g
+      UNION ALL SELECT 'COMPONENT_STATUS', 'performance_pass',
+        CAST(CAST(violation_rate <= {_GFD_MAX_VIOL}
+                  AND lift_fraction >= {_GFD_MIN_LIFT}
+                  AND proof_pass AS INTEGER) AS DOUBLE),
+        'component_pass',
+        CAST(violation_rate <= {_GFD_MAX_VIOL}
+             AND lift_fraction >= {_GFD_MIN_LIFT}
+             AND proof_pass AS INTEGER) FROM g
+      UNION ALL SELECT 'COMPONENT_STATUS', 'linkage_pass',
+        CAST(CAST(matched >= {_GFD_MIN_MATCHED}
+                  AND matched_ratio >= {_GFD_MIN_RATIO}
+                  AS INTEGER) AS DOUBLE),
+        'component_pass',
+        CAST(matched >= {_GFD_MIN_MATCHED}
+             AND matched_ratio >= {_GFD_MIN_RATIO} AS INTEGER) FROM g
+      UNION ALL SELECT 'COMPONENT_STATUS', 'hygiene_pass',
+        CAST(CAST(non_trade = 0 AND dirty_invalid = 0 AS INTEGER)
+             AS DOUBLE),
+        'component_pass',
+        CAST(non_trade = 0 AND dirty_invalid = 0 AS INTEGER) FROM g
+      UNION ALL SELECT 'PHASE3', 'phase3_strict_ready',
+        CAST(CAST(violation_rate <= {_GFD_MAX_VIOL}
+                  AND lift_fraction >= {_GFD_MIN_LIFT} AND proof_pass
+                  AND matched >= {_GFD_MIN_MATCHED}
+                  AND matched_ratio >= {_GFD_MIN_RATIO}
+                  AND non_trade = 0 AND dirty_invalid = 0
+                  AS INTEGER) AS DOUBLE),
+        CASE WHEN NOT (violation_rate <= {_GFD_MAX_VIOL}
+                       AND lift_fraction >= {_GFD_MIN_LIFT} AND proof_pass)
+             THEN 'performance_blocker'
+             WHEN NOT (matched >= {_GFD_MIN_MATCHED}
+                       AND matched_ratio >= {_GFD_MIN_RATIO})
+             THEN 'linkage_blocker'
+             WHEN NOT (non_trade = 0 AND dirty_invalid = 0)
+             THEN 'hygiene_blocker'
+             ELSE 'ready' END,
+        CAST(violation_rate <= {_GFD_MAX_VIOL}
+             AND lift_fraction >= {_GFD_MIN_LIFT} AND proof_pass
+             AND matched >= {_GFD_MIN_MATCHED}
+             AND matched_ratio >= {_GFD_MIN_RATIO}
+             AND non_trade = 0 AND dirty_invalid = 0 AS INTEGER) FROM g
+    )
+    SELECT * FROM t
+    """,
+)
+def gate_failure_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-gate failure decomposition — reference
+    `scripts/gate_failure_decomposition.py:309-503`: the
+    (component, metric, value, threshold, pass) table across the
+    PERFORMANCE / LINKAGE / HYGIENE blockers, the linkage waterfall
+    stages, per-component status and the phase-3 strict verdict whose
+    threshold column carries the blocking component (the reference's
+    phase3_reason). Lift gate = the audit-window frame; profitability
+    proof = production round-trips; linkage + hygiene = the
+    semantic-admission entry frame with EXECUTION_REJECTED (clean
+    HOLD/blocked rejections) excluded from the dirty-invalid count.
+
+    Scale: three bounded sub-aggregates cross-joined as single-row
+    scalars; the union is a constant ~23 rows. No UDF, no collect."""
+    # lift gate over the audit-window frame
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id", F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int")
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse((F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0).alias(
+                "r_e"
+            ),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    ratio = F.col("r_e") / F.least("r_n", "r_3", "r_10")
+    lg = a.select(ratio.alias("ratio")).agg(
+        F.avg(F.when(F.col("ratio") > 1.1, 1.0).otherwise(0.0)).alias(
+            "violation_rate"
+        ),
+        F.avg(F.when(F.col("ratio") < 0.98, 1.0).otherwise(0.0)).alias(
+            "lift_fraction"
+        ),
+    )
+
+    # profitability proof over production round-trips
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pmx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    pcloses = (
+        li.join(
+            pmx,
+            (li.l_orderkey == pmx.l_orderkey)
+            & (li.l_linenumber == pmx.maxline),
+        )
+        .drop(pmx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+        )
+    )
+    popens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = pcloses.alias("c"), popens.alias("op")
+    ptrips = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            F.to_date("cship").alias("close_d"),
+        )
+    )
+    proof = ptrips.agg(
+        F.count(F.lit(1)).alias("closed_trades"),
+        F.countDistinct("close_d").alias("trading_days"),
+        F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias("win_rate"),
+        (
+            F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
+            / F.nullif(
+                F.sum(F.when(F.col("pnl") < 0, -F.col("pnl")).otherwise(0.0)),
+                F.lit(0.0),
+            )
+        ).alias("profit_factor"),
+        F.sum("pnl").alias("total_pnl"),
+    )
+
+    # linkage waterfall + hygiene over the admission entry frame
+    adm = audit_admission_ladder(spark, sf_dir)
+    prod = F.col("production_labeled") == 1
+    linked = prod & (F.col("manifest_status") == "verified")
+    hyg = (
+        linked
+        & (F.col("duplicate_conflict") == 0)
+        & (F.col("quarantined") == 0)
+    )
+    lw = adm.agg(
+        F.count(F.lit(1)).alias("raw_candidates"),
+        F.sum("production_labeled").cast("bigint").alias("production_only"),
+        F.sum(linked.cast("int")).cast("bigint").alias("linked"),
+        F.sum(hyg.cast("int")).cast("bigint").alias("hygiene_pass_n"),
+        F.sum((hyg & (F.col("outcome_status") == "MATCHED")).cast("int"))
+        .cast("bigint")
+        .alias("matched"),
+        F.sum("counts_toward_readiness").cast("bigint").alias("eligible"),
+        F.sum((prod & (F.col("context_type") == "NON_TRADE")).cast("int"))
+        .cast("bigint")
+        .alias("non_trade"),
+        F.sum((prod & (F.col("context_type") == "INVALID")).cast("int"))
+        .cast("bigint")
+        .alias("invalid_total"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    er = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        k.alias("k"),
+    ).agg(
+        F.sum(
+            (
+                (F.col("user_id") % 10 != 0)
+                & (F.col("event_type") == "error")
+                & (F.col("k") % 3 == 0)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("execution_rejected")
+    )
+    g = (
+        lg.crossJoin(proof)
+        .crossJoin(lw)
+        .crossJoin(F.broadcast(er))
+        .withColumn(
+            "dirty_invalid",
+            F.col("invalid_total") - F.col("execution_rejected"),
+        )
+        .withColumn(
+            "matched_ratio",
+            F.col("matched").cast("double")
+            / F.nullif(F.col("eligible"), F.lit(0)),
+        )
+        .withColumn(
+            "proof_pass",
+            (F.col("profit_factor") >= _GFD_MIN_PF)
+            & (F.col("closed_trades") >= _GFD_MIN_CLOSED)
+            & (F.col("trading_days") >= _GFD_MIN_DAYS)
+            & (F.col("total_pnl") > 0),
+        )
+    )
+    viol_ok = F.col("violation_rate") <= _GFD_MAX_VIOL
+    lift_ok = F.col("lift_fraction") >= _GFD_MIN_LIFT
+    perf = viol_ok & lift_ok & F.col("proof_pass")
+    link = (F.col("matched") >= _GFD_MIN_MATCHED) & (
+        F.col("matched_ratio") >= _GFD_MIN_RATIO
+    )
+    hygp = (F.col("non_trade") == 0) & (F.col("dirty_invalid") == 0)
+    ready = perf & link & hygp
+    reason = (
+        F.when(~perf, "performance_blocker")
+        .when(~link, "linkage_blocker")
+        .when(~hygp, "hygiene_blocker")
+        .otherwise("ready")
+    )
+
+    def row(component, metric, value, threshold, passed):
+        return F.struct(
+            F.lit(component).alias("component"),
+            F.lit(metric).alias("metric"),
+            value.cast("double").alias("value"),
+            (
+                threshold
+                if not isinstance(threshold, str)
+                else F.lit(threshold)
+            ).alias("threshold"),
+            (
+                passed
+                if not isinstance(passed, int)
+                else F.lit(passed)
+            ).cast("int").alias("pass"),
+        )
+
+    rows = [
+        row("PERFORMANCE_BLOCKER", "lift_violation_rate",
+            F.round("violation_rate", 6), f"<= {_GFD_MAX_VIOL}",
+            viol_ok.cast("int")),
+        row("PERFORMANCE_BLOCKER", "lift_fraction",
+            F.round("lift_fraction", 6), f">= {_GFD_MIN_LIFT}",
+            lift_ok.cast("int")),
+        row("PERFORMANCE_BLOCKER", "proof_pass",
+            F.col("proof_pass").cast("int"), "must_be_true",
+            F.col("proof_pass").cast("int")),
+        row("PERFORMANCE_BLOCKER", "profit_factor",
+            F.round("profit_factor", 6), f">= {_GFD_MIN_PF}",
+            (F.col("profit_factor") >= _GFD_MIN_PF).cast("int")),
+        row("PERFORMANCE_BLOCKER", "win_rate",
+            F.round("win_rate", 6), "diagnostic", 1),
+        row("PERFORMANCE_BLOCKER", "total_pnl",
+            F.round("total_pnl", 6), "context_metric", 1),
+        row("PERFORMANCE_BLOCKER", "closed_trades",
+            F.col("closed_trades"), f">= {_GFD_MIN_CLOSED}_runway",
+            (F.col("closed_trades") >= _GFD_MIN_CLOSED).cast("int")),
+        row("PERFORMANCE_BLOCKER", "trading_days",
+            F.col("trading_days"), f">= {_GFD_MIN_DAYS}_runway",
+            (F.col("trading_days") >= _GFD_MIN_DAYS).cast("int")),
+        row("LINKAGE_BLOCKER", "outcome_matched",
+            F.col("matched"), f">= {_GFD_MIN_MATCHED}",
+            (F.col("matched") >= _GFD_MIN_MATCHED).cast("int")),
+        row("LINKAGE_BLOCKER", "outcome_eligible",
+            F.col("eligible"), "context_metric",
+            (F.col("eligible") > 0).cast("int")),
+        row("LINKAGE_BLOCKER", "matched_over_eligible",
+            F.round("matched_ratio", 6), f">= {_GFD_MIN_RATIO}",
+            (F.col("matched_ratio") >= _GFD_MIN_RATIO).cast("int")),
+        row("LINKAGE_WATERFALL", "raw_candidates",
+            F.col("raw_candidates"), "waterfall_stage", 1),
+        row("LINKAGE_WATERFALL", "production_only",
+            F.col("production_only"), "waterfall_stage", 1),
+        row("LINKAGE_WATERFALL", "linked",
+            F.col("linked"), "waterfall_stage", 1),
+        row("LINKAGE_WATERFALL", "hygiene_pass",
+            F.col("hygiene_pass_n"), "waterfall_stage", 1),
+        row("LINKAGE_WATERFALL", "matched",
+            F.col("matched"), "waterfall_stage", 1),
+        row("HYGIENE_BLOCKER", "non_trade_context_count",
+            F.col("non_trade"), "== 0",
+            (F.col("non_trade") == 0).cast("int")),
+        row("HYGIENE_BLOCKER", "dirty_invalid_count",
+            F.col("dirty_invalid"), "== 0",
+            (F.col("dirty_invalid") == 0).cast("int")),
+        row("HYGIENE_BLOCKER", "execution_rejected_count",
+            F.col("execution_rejected"), "excluded_from_hygiene", 1),
+        row("HYGIENE_BLOCKER", "invalid_context_total",
+            F.col("invalid_total"), "informational",
+            (F.col("invalid_total") == 0).cast("int")),
+        row("COMPONENT_STATUS", "performance_pass",
+            perf.cast("int"), "component_pass", perf.cast("int")),
+        row("COMPONENT_STATUS", "linkage_pass",
+            link.cast("int"), "component_pass", link.cast("int")),
+        row("COMPONENT_STATUS", "hygiene_pass",
+            hygp.cast("int"), "component_pass", hygp.cast("int")),
+        row("PHASE3", "phase3_strict_ready",
+            ready.cast("int"), reason, ready.cast("int")),
+    ]
+    # one evaluation of the composed scalar row, exploded into the table —
+    # a 24-way union would re-execute the whole pipeline per metric row
+    return g.select(F.explode(F.array(*rows)).alias("m")).select("m.*")
