@@ -2555,3 +2555,247 @@ def capital_utilization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 2).alias("scn_target_proj_pnl"),
         F.round(rb, 1).alias("scn_target_roi_ann_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sleeve summary + promotion plan
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/summarize_sleeves.py:44-223` (per-(sleeve, ticker)
+# PnL rollup over production_closed_trades with the barbell-bucket
+# classifier and the min-trades floor) and
+# `scripts/evaluate_sleeve_promotions.py:26-130` (`_decide_move`: the
+# PROMOTE / DEMOTE / HOLD ladder — speculative promotes on 0.55 WR +
+# 1.2 PF, core demotes on 0.45 WR or 0.9 PF, 10-trade evidence floor,
+# safe has no move rule). Ticker = the 25-way customer sleeve; the
+# barbell bucket is its deterministic range (0-7 safe, 8-16 core,
+# 17-24 speculative — barbell.yml's symbol lists). Infinite profit
+# factors carry the reference family's 1e6 sentinel.
+_SLV_MIN_TRADES = 5
+_SLV_PROMO_MIN_TRADES = 10
+_SLV_PROMOTE_WR = 0.55
+_SLV_PROMOTE_PF = 1.2
+_SLV_DEMOTE_WR = 0.45
+_SLV_DEMOTE_PF = 0.9
+
+_SLV_AGG_SQL = f"""
+    sleeve_rows AS (
+      SELECT CASE WHEN CAST(SUBSTR(ticker, 2) AS INTEGER) < 8 THEN 'safe'
+                  WHEN CAST(SUBSTR(ticker, 2) AS INTEGER) < 17 THEN 'core'
+                  ELSE 'speculative' END AS sleeve,
+             ticker, pnl
+      FROM trades
+    ),
+    slv AS (
+      SELECT sleeve, ticker,
+             CAST(COUNT(*) AS BIGINT) AS trades,
+             CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins,
+             CAST(SUM(CASE WHEN pnl < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS losses,
+             SUM(pnl) AS total_profit,
+             SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END) AS gross_profit,
+             SUM(CASE WHEN pnl < 0 THEN ABS(pnl) ELSE 0 END) AS gross_loss
+      FROM sleeve_rows GROUP BY sleeve, ticker
+    ),
+    slv2 AS (
+      SELECT *,
+             CAST(wins AS DOUBLE) / trades AS win_rate,
+             CASE WHEN gross_loss > 0 THEN gross_profit / gross_loss
+                  WHEN gross_profit > 0 THEN {_ELG_SENT!r}
+                  ELSE 0.0 END AS profit_factor
+      FROM slv WHERE trades >= {_SLV_MIN_TRADES}
+    )
+"""
+
+
+@query(
+    "sleeve_summary",
+    oracle=f"""
+    {_ELG_SQL.replace('      cls AS', '      cls_unused AS')},
+    {_SLV_AGG_SQL}
+    SELECT sleeve, ticker, trades, wins, losses,
+           ROUND(win_rate, 6) AS win_rate,
+           ROUND(total_profit, 6) AS total_profit,
+           ROUND(profit_factor, 6) AS profit_factor,
+           ROUND(gross_profit, 6) AS gross_profit,
+           ROUND(gross_loss, 6) AS gross_loss
+    FROM slv2
+    """,
+)
+def sleeve_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(sleeve, ticker) PnL summary — reference
+    `scripts/summarize_sleeves.py:150-223`: trades/wins/losses, win
+    rate, total profit, gross profit/loss and the profit factor
+    (zero-loss -> the 1e6 sentinel standing in for the reference's
+    float('inf')), grouped under the barbell-bucket sleeve classifier
+    and gated by the 5-trade reporting floor.
+
+    Scale: the shared lot aggregation + one (sleeve, ticker) groupBy."""
+    tr = _sleeve_trades_frame(spark, sf_dir)
+    slv = (
+        tr.groupBy("sleeve", "ticker")
+        .agg(
+            F.count(F.lit(1)).alias("trades"),
+            F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("wins"),
+            F.sum(F.when(F.col("pnl") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("losses"),
+            F.sum("pnl").alias("total_profit"),
+            F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0)).alias(
+                "gross_profit"
+            ),
+            F.sum(
+                F.when(F.col("pnl") < 0, F.abs(F.col("pnl"))).otherwise(0.0)
+            ).alias("gross_loss"),
+        )
+        .filter(F.col("trades") >= _SLV_MIN_TRADES)
+    )
+    pf = (
+        F.when(F.col("gross_loss") > 0, F.col("gross_profit") / F.col("gross_loss"))
+        .when(F.col("gross_profit") > 0, _ELG_SENT)
+        .otherwise(0.0)
+    )
+    return slv.select(
+        "sleeve",
+        "ticker",
+        "trades",
+        "wins",
+        "losses",
+        r6(F.col("wins").cast("double") / F.col("trades")).alias("win_rate"),
+        r6(F.col("total_profit")).alias("total_profit"),
+        r6(pf).alias("profit_factor"),
+        r6(F.col("gross_profit")).alias("gross_profit"),
+        r6(F.col("gross_loss")).alias("gross_loss"),
+    )
+
+
+def _sleeve_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production round-trips tagged with (sleeve, ticker)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("cq"), F.sum(net).alias("cnet"))
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    sid = F.col("o_custkey") % 25
+    return (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.when(sid < 8, "safe")
+            .when(sid < 17, "core")
+            .otherwise("speculative")
+            .alias("sleeve"),
+            F.concat(F.lit("T"), sid.cast("string")).alias("ticker"),
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+        )
+    )
+
+
+@query(
+    "sleeve_promotion_plan",
+    oracle=f"""
+    {_ELG_SQL.replace('      cls AS', '      cls_unused AS')},
+    {_SLV_AGG_SQL}
+    SELECT ticker, sleeve AS from_bucket,
+           CASE WHEN trades < {_SLV_PROMO_MIN_TRADES} THEN sleeve
+                WHEN sleeve = 'speculative'
+                     AND win_rate >= {_SLV_PROMOTE_WR}
+                     AND profit_factor >= {_SLV_PROMOTE_PF} THEN 'core'
+                WHEN sleeve = 'core'
+                     AND (win_rate <= {_SLV_DEMOTE_WR}
+                          OR profit_factor <= {_SLV_DEMOTE_PF})
+                THEN 'speculative'
+                ELSE sleeve END AS to_bucket,
+           CASE WHEN trades < {_SLV_PROMO_MIN_TRADES} THEN 'HOLD'
+                WHEN sleeve = 'speculative'
+                     AND win_rate >= {_SLV_PROMOTE_WR}
+                     AND profit_factor >= {_SLV_PROMOTE_PF} THEN 'PROMOTE'
+                WHEN sleeve = 'core'
+                     AND (win_rate <= {_SLV_DEMOTE_WR}
+                          OR profit_factor <= {_SLV_DEMOTE_PF})
+                THEN 'DEMOTE'
+                ELSE 'HOLD' END AS action,
+           CASE WHEN trades < {_SLV_PROMO_MIN_TRADES}
+                THEN 'hold_insufficient_trades'
+                WHEN sleeve = 'speculative'
+                     AND win_rate >= {_SLV_PROMOTE_WR}
+                     AND profit_factor >= {_SLV_PROMOTE_PF}
+                THEN 'promote_evidence'
+                WHEN sleeve = 'speculative' THEN 'hold_below_promote_floor'
+                WHEN sleeve = 'core'
+                     AND (win_rate <= {_SLV_DEMOTE_WR}
+                          OR profit_factor <= {_SLV_DEMOTE_PF})
+                THEN 'demote_evidence'
+                WHEN sleeve = 'core' THEN 'hold_above_demote_floor'
+                ELSE 'hold_unassigned_bucket' END AS reason,
+           ROUND(win_rate, 6) AS win_rate,
+           ROUND(profit_factor, 6) AS profit_factor,
+           trades AS total_trades
+    FROM slv2
+    """,
+)
+def sleeve_promotion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sleeve promotion/demotion plan — reference
+    `scripts/evaluate_sleeve_promotions.py:26-130` (`_decide_move` over
+    the sleeve summary): 10-trade evidence floor, speculative PROMOTEs
+    to core on 0.55 win rate + 1.2 profit factor, core DEMOTEs to
+    speculative on 0.45 win rate or 0.9 profit factor, the safe bucket
+    has no move rule (the reference's unassigned-bucket hold).
+
+    Scale: the sleeve summary plus pure column logic."""
+    slv = sleeve_summary(spark, sf_dir)
+    promote = (
+        (F.col("sleeve") == "speculative")
+        & (F.col("win_rate") >= _SLV_PROMOTE_WR)
+        & (F.col("profit_factor") >= _SLV_PROMOTE_PF)
+    )
+    demote = (F.col("sleeve") == "core") & (
+        (F.col("win_rate") <= _SLV_DEMOTE_WR)
+        | (F.col("profit_factor") <= _SLV_DEMOTE_PF)
+    )
+    under = F.col("trades") < _SLV_PROMO_MIN_TRADES
+    return slv.select(
+        "ticker",
+        F.col("sleeve").alias("from_bucket"),
+        F.when(under, F.col("sleeve"))
+        .when(promote, "core")
+        .when(demote, "speculative")
+        .otherwise(F.col("sleeve"))
+        .alias("to_bucket"),
+        F.when(under, "HOLD")
+        .when(promote, "PROMOTE")
+        .when(demote, "DEMOTE")
+        .otherwise("HOLD")
+        .alias("action"),
+        F.when(under, "hold_insufficient_trades")
+        .when(promote, "promote_evidence")
+        .when(F.col("sleeve") == "speculative", "hold_below_promote_floor")
+        .when(demote, "demote_evidence")
+        .when(F.col("sleeve") == "core", "hold_above_demote_floor")
+        .otherwise("hold_unassigned_bucket")
+        .alias("reason"),
+        F.col("win_rate"),
+        F.col("profit_factor"),
+        F.col("trades").alias("total_trades"),
+    )
