@@ -2593,9 +2593,12 @@ _SLV_AGG_SQL = f"""
                AS wins,
              CAST(SUM(CASE WHEN pnl < 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS losses,
-             SUM(pnl) AS total_profit,
-             SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END) AS gross_profit,
-             SUM(CASE WHEN pnl < 0 THEN ABS(pnl) ELSE 0 END) AS gross_loss
+             CAST(SUM(CAST(pnl AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_profit,
+             CAST(SUM(CASE WHEN pnl > 0 THEN CAST(pnl AS DECIMAL(28,6))
+                           ELSE 0 END) AS DOUBLE) AS gross_profit,
+             CAST(SUM(CASE WHEN pnl < 0 THEN CAST(ABS(pnl) AS DECIMAL(28,6))
+                           ELSE 0 END) AS DOUBLE) AS gross_loss
       FROM sleeve_rows GROUP BY sleeve, ticker
     ),
     slv2 AS (
@@ -2643,13 +2646,23 @@ def sleeve_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("pnl") < 0, 1).otherwise(0))
             .cast("bigint")
             .alias("losses"),
-            F.sum("pnl").alias("total_profit"),
-            F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0)).alias(
-                "gross_profit"
-            ),
+            F.sum(F.col("pnl").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_profit"),
             F.sum(
-                F.when(F.col("pnl") < 0, F.abs(F.col("pnl"))).otherwise(0.0)
-            ).alias("gross_loss"),
+                F.when(
+                    F.col("pnl") > 0, F.col("pnl").cast("decimal(28,6)")
+                ).otherwise(F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("double")
+            .alias("gross_profit"),
+            F.sum(
+                F.when(
+                    F.col("pnl") < 0, F.abs(F.col("pnl")).cast("decimal(28,6)")
+                ).otherwise(F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("double")
+            .alias("gross_loss"),
         )
         .filter(F.col("trades") >= _SLV_MIN_TRADES)
     )
@@ -2798,4 +2811,309 @@ def sleeve_promotion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win_rate"),
         F.col("profit_factor"),
         F.col("trades").alias("total_trades"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-quality report (regime x confidence-bin trade quality)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/compute_context_quality.py:41-285`: per-regime,
+# per-confidence-bin and per-(ticker, regime) trade-quality summaries
+# (n, win rate, 99-capped profit factor `_safe_pf`, total PnL), the
+# no-confidence / out-of-range censuses, and the advisory extremes
+# (worst/best regime and worst confidence bin among groups with >= 3
+# trades, UNKNOWN excluded; ties resolve to the lexicographically
+# first group — the reference's sorted-iteration min/max). The regime
+# channel is the order priority; the confidence channel is the
+# portable-md5 uniform (NULL slice plays missing confidence, the >1
+# slice plays out-of-range values).
+_CTX_MIN_N = 3
+
+
+@query(
+    "context_quality_report",
+    oracle=f"""
+    {_ELG_SQL.replace('      cls AS', '      cls_unused AS')},
+    ctx AS (
+      SELECT t.ticker, t.pnl,
+             CASE o.o_orderpriority
+                  WHEN '1-URGENT' THEN 'VOLATILE'
+                  WHEN '2-HIGH' THEN 'TRENDING'
+                  WHEN '3-MEDIUM' THEN 'RANGING'
+                  WHEN '5-LOW' THEN 'RANGING'
+                  ELSE 'UNKNOWN' END AS regime,
+             CASE WHEN u < 0.08 THEN NULL
+                  WHEN u > 0.95 THEN 1.0 + u
+                  ELSE 0.5 + u / 2 END AS confidence
+      FROM (
+        SELECT *,
+               ('0x' || SUBSTR(MD5('conf|' || CAST(orderkey AS VARCHAR)),
+                               1, 6))::BIGINT / 16777216.0 AS u
+        FROM trades
+      ) t
+      JOIN orders o ON o.o_orderkey = t.orderkey
+    ),
+    binned AS (
+      SELECT *,
+             CASE WHEN confidence IS NULL THEN NULL
+                  WHEN confidence < 0.5 OR confidence > 1.0 THEN NULL
+                  WHEN confidence < 0.6 THEN '0.50-0.60'
+                  WHEN confidence < 0.7 THEN '0.60-0.70'
+                  WHEN confidence < 0.8 THEN '0.70-0.80'
+                  WHEN confidence < 0.9 THEN '0.80-0.90'
+                  ELSE '0.90-1.00' END AS conf_bin
+      FROM ctx
+    ),
+    summ AS (
+      SELECT dimension, key1, key2,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END), 4)
+               AS win_rate,
+             ROUND(LEAST(CASE WHEN CAST(SUM(CASE WHEN pnl <= 0
+                                                 THEN CAST(ABS(pnl) AS DECIMAL(28,6))
+                                                 ELSE 0 END) AS DOUBLE) < 1e-9
+                              THEN CASE WHEN SUM(CASE WHEN pnl > 0 THEN pnl
+                                                      ELSE 0 END) > 0
+                                        THEN 99.0 ELSE 0.0 END
+                              ELSE CAST(SUM(CASE WHEN pnl > 0
+                                            THEN CAST(pnl AS DECIMAL(28,6))
+                                            ELSE 0 END) AS DOUBLE)
+                                   / CAST(SUM(CASE WHEN pnl <= 0
+                                              THEN CAST(ABS(pnl) AS DECIMAL(28,6))
+                                              ELSE 0 END) AS DOUBLE)
+                              END, 99.0), 4)
+               AS profit_factor,
+             ROUND(CAST(SUM(CAST(pnl AS DECIMAL(28,6))) AS DOUBLE), 2)
+               AS total_pnl
+      FROM (
+        SELECT 'regime' AS dimension, regime AS key1,
+               CAST(NULL AS VARCHAR) AS key2, pnl FROM binned
+        UNION ALL
+        SELECT 'conf_bin', conf_bin, NULL, pnl FROM binned
+        WHERE conf_bin IS NOT NULL
+        UNION ALL
+        SELECT 'ticker_regime', ticker, regime, pnl FROM binned
+      )
+      GROUP BY dimension, key1, key2
+    ),
+    censuses AS (
+      SELECT 'census' AS dimension, 'no_confidence' AS key1,
+             CAST(NULL AS VARCHAR) AS key2,
+             CAST(SUM(CASE WHEN confidence IS NULL
+                                OR confidence < 0.5 OR confidence > 1.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(NULL AS DOUBLE) AS win_rate,
+             CAST(NULL AS DOUBLE) AS profit_factor,
+             CAST(NULL AS DOUBLE) AS total_pnl
+      FROM binned
+      UNION ALL
+      SELECT 'census', 'out_of_range', NULL,
+             CAST(SUM(CASE WHEN confidence IS NOT NULL
+                                AND (confidence < 0.0 OR confidence > 1.0)
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             NULL, NULL, NULL
+      FROM binned
+      UNION ALL
+      SELECT 'census', 'total_trades', NULL,
+             CAST(COUNT(*) AS BIGINT), NULL, NULL, NULL
+      FROM binned
+    ),
+    advisory AS (
+      SELECT 'advisory' AS dimension, 'worst_regime' AS key1, key1 AS key2,
+             n, win_rate, profit_factor, total_pnl
+      FROM summ
+      WHERE dimension = 'regime' AND key1 <> 'UNKNOWN'
+            AND n >= {_CTX_MIN_N}
+      ORDER BY win_rate ASC, key1 ASC LIMIT 1
+    ),
+    advisory2 AS (
+      SELECT 'advisory' AS dimension, 'best_regime' AS key1, key1 AS key2,
+             n, win_rate, profit_factor, total_pnl
+      FROM summ
+      WHERE dimension = 'regime' AND key1 <> 'UNKNOWN'
+            AND n >= {_CTX_MIN_N}
+      ORDER BY win_rate DESC, key1 ASC LIMIT 1
+    ),
+    advisory3 AS (
+      SELECT 'advisory' AS dimension, 'worst_conf_bin' AS key1,
+             key1 AS key2, n, win_rate, profit_factor, total_pnl
+      FROM summ
+      WHERE dimension = 'conf_bin' AND n >= {_CTX_MIN_N}
+      ORDER BY win_rate ASC, key1 ASC LIMIT 1
+    )
+    SELECT * FROM summ
+    UNION ALL SELECT * FROM censuses
+    UNION ALL SELECT * FROM advisory
+    UNION ALL SELECT * FROM advisory2
+    UNION ALL SELECT * FROM advisory3
+    """,
+)
+def context_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-conditional trade quality — reference
+    `scripts/compute_context_quality.py:52-285`: quality summaries per
+    regime, per confidence bin (the 0.50-1.00 half-open ladder) and per
+    (ticker, regime); the missing / out-of-range confidence censuses;
+    and the advisory extreme rows (worst/best regime, worst bin, >= 3
+    trades, UNKNOWN excluded, lexicographic tie-break mirroring the
+    reference's sorted-iteration argmin/argmax).
+
+    Scale: bounded-cardinality groupBys over the trade frame; advisory
+    rows are top-1 selections over the tiny summary frame."""
+    from ..functions.scalars import hash_unit_interval
+
+    tr = _sleeve_trades_frame(spark, sf_dir)
+    # _sleeve_trades_frame lacks orderkey/priority; rebuild the join here
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("cq"), F.sum(net).alias("cnet"))
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    u = hash_unit_interval(F.lit("conf"), F.col("c.l_orderkey"))
+    ctx = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
+                "ticker"
+            ),
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", "VOLATILE")
+            .when(F.col("o_orderpriority") == "2-HIGH", "TRENDING")
+            .when(F.col("o_orderpriority") == "3-MEDIUM", "RANGING")
+            .when(F.col("o_orderpriority") == "5-LOW", "RANGING")
+            .otherwise("UNKNOWN")
+            .alias("regime"),
+            F.when(u < 0.08, F.lit(None).cast("double"))
+            .when(u > 0.95, 1.0 + u)
+            .otherwise(0.5 + u / 2)
+            .alias("confidence"),
+        )
+    )
+    conf = F.col("confidence")
+    binned = ctx.withColumn(
+        "conf_bin",
+        F.when(conf.isNull() | (conf < 0.5) | (conf > 1.0), F.lit(None))
+        .when(conf < 0.6, "0.50-0.60")
+        .when(conf < 0.7, "0.60-0.70")
+        .when(conf < 0.8, "0.70-0.80")
+        .when(conf < 0.9, "0.80-0.90")
+        .otherwise("0.90-1.00"),
+    )
+    stacked = (
+        binned.select(
+            F.lit("regime").alias("dimension"),
+            F.col("regime").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            "pnl",
+        )
+        .unionByName(
+            binned.filter(F.col("conf_bin").isNotNull()).select(
+                F.lit("conf_bin").alias("dimension"),
+                F.col("conf_bin").alias("key1"),
+                F.lit(None).cast("string").alias("key2"),
+                "pnl",
+            )
+        )
+        .unionByName(
+            binned.select(
+                F.lit("ticker_regime").alias("dimension"),
+                F.col("ticker").alias("key1"),
+                F.col("regime").alias("key2"),
+                "pnl",
+            )
+        )
+    )
+    dec = "decimal(28,6)"
+    gw = F.sum(
+        F.when(F.col("pnl") > 0, F.col("pnl").cast(dec)).otherwise(
+            F.lit(0).cast(dec)
+        )
+    ).cast("double")
+    gl = F.sum(
+        F.when(F.col("pnl") <= 0, F.abs(F.col("pnl")).cast(dec)).otherwise(
+            F.lit(0).cast(dec)
+        )
+    ).cast("double")
+    pf = F.least(
+        F.when(gl < 1e-9, F.when(gw > 0, 99.0).otherwise(0.0)).otherwise(
+            gw / gl
+        ),
+        F.lit(99.0),
+    )
+    summarize = stacked.groupBy("dimension", "key1", "key2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)), 4).alias(
+            "win_rate"
+        ),
+        F.round(pf, 4).alias("profit_factor"),
+        F.round(
+            F.sum(F.col("pnl").cast(dec)).cast("double"), 2
+        ).alias("total_pnl"),
+    )
+    no_conf = conf.isNull() | (conf < 0.5) | (conf > 1.0)
+    oor = conf.isNotNull() & ((conf < 0.0) | (conf > 1.0))
+    censuses = binned.agg(
+        F.sum(no_conf.cast("int")).cast("bigint").alias("n_no_conf"),
+        F.sum(oor.cast("int")).cast("bigint").alias("n_oor"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+    def census_row(key, col):
+        return censuses.select(
+            F.lit("census").alias("dimension"),
+            F.lit(key).alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            F.col(col).alias("n"),
+            F.lit(None).cast("double").alias("win_rate"),
+            F.lit(None).cast("double").alias("profit_factor"),
+            F.lit(None).cast("double").alias("total_pnl"),
+        )
+
+    def advisory_row(key, dim, ascending):
+        base = summarize.filter(
+            (F.col("dimension") == dim)
+            & (F.col("n") >= _CTX_MIN_N)
+            & (F.col("key1") != "UNKNOWN")
+        )
+        order = (
+            [F.col("win_rate").asc(), F.col("key1").asc()]
+            if ascending
+            else [F.col("win_rate").desc(), F.col("key1").asc()]
+        )
+        return base.orderBy(*order).limit(1).select(
+            F.lit("advisory").alias("dimension"),
+            F.lit(key).alias("key1"),
+            F.col("key1").alias("key2"),
+            "n",
+            "win_rate",
+            "profit_factor",
+            "total_pnl",
+        )
+
+    return (
+        summarize.unionByName(census_row("no_confidence", "n_no_conf"))
+        .unionByName(census_row("out_of_range", "n_oor"))
+        .unionByName(census_row("total_trades", "n_total"))
+        .unionByName(advisory_row("worst_regime", "regime", True))
+        .unionByName(advisory_row("best_regime", "regime", False))
+        .unionByName(advisory_row("worst_conf_bin", "conf_bin", True))
     )
