@@ -681,3 +681,362 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Directional classifier training data (signal -> forward-price labels)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/build_directional_training_data.py:107-253`
+# (`build_dataset`): every logged signal with classifier features gets a
+# direction label from the FORWARD price at the signal's horizon
+# (forward close > current close), independent of the action taken; the
+# PnL win flag is the fallback label for production entries when no
+# forward price exists (end-of-series), synthetic entries are skipped
+# on the fallback path, and the cold-start verdict requires 50 labeled
+# rows with at least 10 per class. Signals are the click events;
+# prices are the per-key series; the horizon is the JSON k field's
+# 1-5-bar band.
+_DTD_COLD_START_N = 50
+_DTD_MIN_CLASS = 10
+
+
+@query(
+    "directional_training_dataset",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(props->>'k' AS INTEGER) AS k,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             LN(value / LAG(value, 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS lr,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS f_ma5,
+             STDDEV_SAMP(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS f_vol10
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    sig AS (
+      SELECT * FROM s WHERE event_type = 'click' AND k IS NOT NULL
+    ),
+    lab AS (
+      SELECT g.user_id, g.event_id, g.rn, g.value, g.k, g.lr,
+             g.f_ma5, g.f_vol10,
+             (g.k % 5) + 1 AS horizon,
+             fwd.value AS forward_close
+      FROM sig g
+      LEFT JOIN s fwd ON fwd.user_id = g.user_id
+                     AND fwd.rn = g.rn + (g.k % 5) + 1
+    )
+    SELECT event_id AS ts_signal_id,
+           'T' || CAST(user_id % 25 AS VARCHAR) AS ticker,
+           rn AS entry_rn,
+           horizon,
+           CASE WHEN forward_close IS NOT NULL
+                THEN CASE WHEN forward_close > value THEN 1 ELSE 0 END
+                WHEN user_id % 10 <> 0 AND lr IS NOT NULL
+                THEN CASE WHEN lr > 0 THEN 1 ELSE 0 END
+                END AS y_directional,
+           CASE WHEN forward_close IS NOT NULL THEN 'price_forward'
+                WHEN user_id % 10 <> 0 AND lr IS NOT NULL
+                THEN 'pnl_fallback' END AS label_source,
+           ROUND(f_ma5, 6) AS f_ma5,
+           ROUND(f_vol10, 6) AS f_vol10,
+           k AS f_k
+    FROM lab
+    WHERE (forward_close IS NOT NULL)
+       OR (user_id % 10 <> 0 AND lr IS NOT NULL)
+    """,
+)
+def directional_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled direction-classifier rows — reference
+    `scripts/build_directional_training_data.py:107-253`: all signals
+    with classifier features (any action — the reference's
+    selection-bias note), labeled by the forward close at the signal's
+    horizon; the PnL win flag backs up end-of-series signals for
+    production entries only (synthetic entries skipped on the fallback
+    path, `:180-190`); unlabelable signals are dropped. Features carry
+    the 5-bar mean and 10-bar vol at entry.
+
+    Scale: one window pass + a self equi-join on (key, rn + horizon) —
+    co-partitioned, shuffle on the key only. No UDF."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.get_json_object("props", "$.k").cast("int")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+        k.alias("k"),
+        F.row_number().over(w).alias("rn"),
+        F.log(F.col("value") / F.lag("value", 1).over(w)).alias("lr"),
+        F.avg("value").over(w.rowsBetween(-4, 0)).alias("f_ma5"),
+        F.stddev_samp("value").over(w.rowsBetween(-9, 0)).alias("f_vol10"),
+    )
+    sig = s.filter((F.col("event_type") == "click") & F.col("k").isNotNull())
+    fwd = s.select(
+        F.col("user_id").alias("f_user"),
+        F.col("rn").alias("f_rn"),
+        F.col("value").alias("forward_close"),
+    )
+    g = sig.withColumn("horizon", (F.col("k") % 5) + 1)
+    lab = g.join(
+        fwd,
+        (F.col("f_user") == F.col("user_id"))
+        & (F.col("f_rn") == F.col("rn") + F.col("horizon")),
+        "left",
+    )
+    prod = (F.col("user_id") % 10 != 0) & F.col("lr").isNotNull()
+    has_fwd = F.col("forward_close").isNotNull()
+    return lab.filter(has_fwd | prod).select(
+        F.col("event_id").alias("ts_signal_id"),
+        F.concat(F.lit("T"), (F.col("user_id") % 25).cast("string")).alias(
+            "ticker"
+        ),
+        F.col("rn").alias("entry_rn"),
+        "horizon",
+        F.when(
+            has_fwd,
+            F.when(F.col("forward_close") > F.col("value"), 1).otherwise(0),
+        )
+        .when(prod, F.when(F.col("lr") > 0, 1).otherwise(0))
+        .alias("y_directional"),
+        F.when(has_fwd, "price_forward")
+        .when(prod, "pnl_fallback")
+        .alias("label_source"),
+        r6(F.col("f_ma5")).alias("f_ma5"),
+        r6(F.col("f_vol10")).alias("f_vol10"),
+        F.col("k").alias("f_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier label accumulation (signal <-> outcome join + censuses)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/accumulate_classifier_labels.py:181-343`
+# (`accumulate`): JSONL signal candidates joined to outcome-linked
+# trades, already-accumulated signal ids skipped as duplicates, dual
+# labels (y_directional from realized PnL, y_take_profit from the exit
+# reason), the per-ticker eligibility status snapshot attached, and the
+# summary censuses (matched / no-outcome / duplicate, label-source
+# breakdown, feature fill rates). Signals are click events; outcomes
+# are each signal key's same-day purchase (first by time — the
+# outcome-linkage order); the existing dataset is the corpus's first
+# 60% of days (the already-accumulated prefix).
+_ACC_EXISTING_FRAC = 0.6
+
+
+@query(
+    "classifier_label_accumulation",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(props->>'k' AS INTEGER) AS k,
+             CAST(ts AS DATE) AS d
+      FROM events WHERE value > 0
+    ),
+    bounds AS (
+      SELECT MIN(d) AS d0,
+             CAST(MIN(d) + CAST(FLOOR((DATEDIFF('day', MIN(d), MAX(d)) + 1)
+                                      * {_ACC_EXISTING_FRAC}) AS INTEGER)
+                  AS DATE) AS cutoff
+      FROM ev
+    ),
+    sig AS (
+      SELECT e.* FROM ev e
+      WHERE e.event_type = 'click' AND e.k IS NOT NULL
+    ),
+    outc AS (
+      SELECT user_id, d, value AS exit_value, k AS ok,
+             ROW_NUMBER() OVER (PARTITION BY user_id, d
+                                ORDER BY ts, event_id) AS ork
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT s.event_id AS ts_signal_id,
+             'T' || CAST(s.user_id % 25 AS VARCHAR) AS ticker,
+             s.d, s.value AS entry_value, s.k,
+             o.exit_value, o.ok,
+             b.cutoff,
+             s.d <= b.cutoff AS is_existing
+      FROM sig s
+      LEFT JOIN outc o ON o.user_id = s.user_id AND o.d = s.d AND o.ork = 1
+      CROSS JOIN bounds b
+    ),
+    new_rows AS (
+      SELECT ts_signal_id, ticker,
+             ROUND(exit_value - entry_value, 6) AS realized_pnl,
+             CASE WHEN exit_value > entry_value THEN 1 ELSE 0 END
+               AS y_directional,
+             CASE WHEN ok % 7 < 2 THEN 'TAKE_PROFIT'
+                  WHEN ok % 7 < 4 THEN 'STOP_LOSS'
+                  ELSE 'TIME_EXIT' END AS exit_reason,
+             CASE WHEN ok % 7 < 2 THEN 1 ELSE 0 END AS y_take_profit,
+             CASE WHEN CAST(SUBSTR(ticker, 2) AS INTEGER) < 8 THEN 'HEALTHY'
+                  WHEN CAST(SUBSTR(ticker, 2) AS INTEGER) < 17 THEN 'WEAK'
+                  ELSE 'LAB_ONLY' END AS ticker_status_snapshot
+      FROM joined
+      WHERE NOT is_existing AND exit_value IS NOT NULL
+    ),
+    census AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN NOT is_existing AND exit_value IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             CAST(SUM(CASE WHEN NOT is_existing AND exit_value IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skipped_no_outcome,
+             CAST(SUM(CASE WHEN is_existing THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skipped_duplicate
+      FROM joined
+    )
+    SELECT 'row' AS record_type, ts_signal_id, ticker, realized_pnl,
+           y_directional, y_take_profit, exit_reason,
+           ticker_status_snapshot,
+           CAST(NULL AS BIGINT) AS census_value
+    FROM new_rows
+    UNION ALL
+    SELECT 'census', NULL, 'n_candidates', NULL, NULL, NULL, NULL, NULL,
+           n_candidates FROM census
+    UNION ALL
+    SELECT 'census', NULL, 'n_matched', NULL, NULL, NULL, NULL, NULL,
+           n_matched FROM census
+    UNION ALL
+    SELECT 'census', NULL, 'n_skipped_no_outcome', NULL, NULL, NULL, NULL,
+           NULL, n_skipped_no_outcome FROM census
+    UNION ALL
+    SELECT 'census', NULL, 'n_skipped_duplicate', NULL, NULL, NULL, NULL,
+           NULL, n_skipped_duplicate FROM census
+    """,
+)
+def classifier_label_accumulation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Outcome-linked label accumulation — reference
+    `scripts/accumulate_classifier_labels.py:181-343`: signal candidates
+    joined to their outcome-linked trades (first same-key same-day
+    execution), already-accumulated ids (the corpus's first 60% of
+    days) skipped as duplicates, unmatched candidates counted as
+    no-outcome, and each new row carrying the dual labels
+    (y_directional from realized PnL, y_take_profit from the
+    TAKE_PROFIT exit reason) plus the ticker-eligibility status
+    snapshot. Census rows carry the reference's summary counters.
+
+    Scale: a per-(key, day) first-execution window + one equi-join; the
+    cutoff date is a broadcast scalar. No UDF."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    k = F.get_json_object("props", "$.k").cast("int")
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+        k.alias("k"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = e.agg(
+        F.min("d").alias("d0"),
+        F.date_add(
+            F.min("d"),
+            F.floor(
+                (F.datediff(F.max("d"), F.min("d")) + 1) * _ACC_EXISTING_FRAC
+            ).cast("int"),
+        ).alias("cutoff"),
+    )
+    sig = e.filter((F.col("event_type") == "click") & F.col("k").isNotNull())
+    outc = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("d").alias("o_d"),
+            F.col("value").alias("exit_value"),
+            F.col("k").alias("ok"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+            )
+            .alias("ork"),
+        )
+        .filter(F.col("ork") == 1)
+    )
+    joined = (
+        sig.join(
+            outc,
+            (F.col("o_user") == F.col("user_id"))
+            & (F.col("o_d") == F.col("d")),
+            "left",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("event_id").alias("ts_signal_id"),
+            F.concat(F.lit("T"), (F.col("user_id") % 25).cast("string")).alias(
+                "ticker"
+            ),
+            F.col("value").alias("entry_value"),
+            "exit_value",
+            "ok",
+            (F.col("d") <= F.col("cutoff")).alias("is_existing"),
+        )
+    )
+    matched = ~F.col("is_existing") & F.col("exit_value").isNotNull()
+    tnum = F.substring("ticker", 2, 10).cast("int")
+    new_rows = joined.filter(matched).select(
+        F.lit("row").alias("record_type"),
+        "ts_signal_id",
+        "ticker",
+        F.round(F.col("exit_value") - F.col("entry_value"), 6).alias(
+            "realized_pnl"
+        ),
+        F.when(F.col("exit_value") > F.col("entry_value"), 1)
+        .otherwise(0)
+        .alias("y_directional"),
+        F.when(F.col("ok") % 7 < 2, 1).otherwise(0).alias("y_take_profit"),
+        F.when(F.col("ok") % 7 < 2, "TAKE_PROFIT")
+        .when(F.col("ok") % 7 < 4, "STOP_LOSS")
+        .otherwise("TIME_EXIT")
+        .alias("exit_reason"),
+        F.when(tnum < 8, "HEALTHY")
+        .when(tnum < 17, "WEAK")
+        .otherwise("LAB_ONLY")
+        .alias("ticker_status_snapshot"),
+        F.lit(None).cast("bigint").alias("census_value"),
+    )
+    census = joined.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(matched.cast("int")).cast("bigint").alias("n_matched"),
+        F.sum(
+            (~F.col("is_existing") & F.col("exit_value").isNull()).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_skipped_no_outcome"),
+        F.sum(F.col("is_existing").cast("int"))
+        .cast("bigint")
+        .alias("n_skipped_duplicate"),
+    )
+
+    def crow(key, col):
+        return census.select(
+            F.lit("census").alias("record_type"),
+            F.lit(None).cast("bigint").alias("ts_signal_id"),
+            F.lit(key).alias("ticker"),
+            F.lit(None).cast("double").alias("realized_pnl"),
+            F.lit(None).cast("int").alias("y_directional"),
+            F.lit(None).cast("int").alias("y_take_profit"),
+            F.lit(None).cast("string").alias("exit_reason"),
+            F.lit(None).cast("string").alias("ticker_status_snapshot"),
+            F.col(col).alias("census_value"),
+        )
+
+    return (
+        new_rows.unionByName(crow("n_candidates", "n_candidates"))
+        .unionByName(crow("n_matched", "n_matched"))
+        .unionByName(crow("n_skipped_no_outcome", "n_skipped_no_outcome"))
+        .unionByName(crow("n_skipped_duplicate", "n_skipped_duplicate"))
+    )
