@@ -3117,3 +3117,325 @@ def context_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(advisory_row("best_regime", "regime", False))
         .unionByName(advisory_row("worst_conf_bin", "conf_bin", True))
     )
+
+
+# ---------------------------------------------------------------------------
+# Profitability-proof validation
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/validate_profitability_proof.py:34-390`: trade stats
+# from the production view only (`get_trade_stats`), the data-quality
+# audits over the RAW table (NULL data-source share, synthetic-opener
+# census — the contamination class production_closed_trades excludes),
+# lifecycle BUY/SELL balance, and the violation/warning ladder with the
+# default requirements (`:36-57`: 30 closed trades, 21 trading days,
+# 0.85 max win rate, 1.1 min profit factor, full data-source coverage).
+_PPV_MIN_CLOSED = 30
+_PPV_MIN_DAYS = 21
+_PPV_MAX_WR = 0.85
+_PPV_MIN_PF = 1.1
+
+
+@query(
+    "profitability_proof_validation",
+    oracle=f"""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             MAX(l.l_shipdate) AS cship
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    trades AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             ROUND(c.cnet - o2.onet, 6) AS pnl,
+             CAST(c.cship AS DATE) AS close_d
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_trades,
+             CAST(COUNT(DISTINCT ticker) AS BIGINT) AS unique_tickers,
+             CAST(COUNT(DISTINCT close_d) AS BIGINT) AS trading_days,
+             CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS winning_trades,
+             CAST(SUM(CASE WHEN pnl < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS losing_trades,
+             CAST(SUM(CASE WHEN pnl IS NULL OR pnl = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS no_pnl_trades,
+             CAST(SUM(CAST(pnl AS DECIMAL(28,6))) AS DOUBLE) AS total_pnl,
+             CAST(SUM(CASE WHEN pnl > 0 THEN CAST(pnl AS DECIMAL(28,6))
+                           ELSE 0 END) AS DOUBLE) AS gross_profit,
+             CAST(SUM(CASE WHEN pnl < 0 THEN CAST(ABS(pnl) AS DECIMAL(28,6))
+                           ELSE 0 END) AS DOUBLE) AS gross_loss
+      FROM trades
+    ),
+    raw_quality AS (
+      SELECT AVG(CASE WHEN l_discount = 0 AND l_tax = 0
+                      THEN 1.0 ELSE 0.0 END) AS null_source_pct,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linenumber = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS synthetic_count,
+             CAST(SUM(CASE WHEN l_linenumber = 1 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS buy_count,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linenumber > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS sell_count
+      FROM lineitem
+    ),
+    holds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS hold_count
+      FROM orders WHERE o_orderstatus = 'P'
+    ),
+    g AS (
+      SELECT s.*, r.null_source_pct, r.synthetic_count, r.buy_count,
+             r.sell_count, h.hold_count,
+             CAST(s.winning_trades AS DOUBLE)
+               / NULLIF(s.winning_trades + s.losing_trades, 0) AS win_rate,
+             CASE WHEN s.gross_loss > 0
+                  THEN s.gross_profit / s.gross_loss END AS profit_factor,
+             s.winning_trades + s.losing_trades AS closed_trades
+      FROM stats s, raw_quality r, holds h
+    ),
+    v AS (
+      SELECT *,
+             CONCAT_WS(',',
+               CASE WHEN total_trades = 0 THEN 'no_production_trades' END,
+               CASE WHEN win_rate > {_PPV_MAX_WR}
+                    THEN 'win_rate_suspicious' END,
+               CASE WHEN buy_count > 0 AND sell_count = 0
+                    THEN 'positions_never_closed' END,
+               CASE WHEN closed_trades < {_PPV_MIN_CLOSED}
+                    THEN 'insufficient_closed_trades' END) AS violations,
+             CONCAT_WS(',',
+               CASE WHEN null_source_pct > 0.0
+                    THEN 'null_data_source_present' END,
+               CASE WHEN synthetic_count > 0
+                    THEN 'synthetic_contamination_flagged' END,
+               CASE WHEN buy_count > sell_count * 5
+                    THEN 'lifecycle_imbalance' END,
+               CASE WHEN trading_days < {_PPV_MIN_DAYS}
+                    THEN 'insufficient_trading_days' END,
+               CASE WHEN profit_factor < {_PPV_MIN_PF}
+                    THEN 'low_profit_factor' END) AS warnings
+      FROM g
+    )
+    SELECT total_trades, unique_tickers, trading_days, winning_trades,
+           losing_trades, no_pnl_trades, closed_trades,
+           ROUND(total_pnl, 2) AS total_pnl,
+           ROUND(win_rate, 6) AS win_rate,
+           ROUND(profit_factor, 6) AS profit_factor,
+           ROUND(null_source_pct, 6) AS null_data_source_pct,
+           synthetic_count AS synthetic_ticker_count,
+           buy_count, sell_count, hold_count,
+           violations, warnings,
+           CAST(violations = '' AS INTEGER) AS is_proof_valid,
+           CAST(violations = '' AND total_pnl > 0 AS INTEGER)
+             AS is_profitable
+    FROM v
+    """,
+)
+def profitability_proof_validation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The profitability-proof gate — reference
+    `scripts/validate_profitability_proof.py:231-390`: PnL metrics from
+    the production view only, data-quality audits over the RAW legs
+    (missing-pricing-metadata share as the NULL data-source proxy,
+    synthetic-opener census), the BUY/SELL lifecycle balance with the
+    pending-order HOLD count, and the violation/warning ladder
+    (suspicious >85% win rate, never-closed positions, <30 closed
+    trades; warnings for coverage, contamination, 5x lifecycle skew,
+    <21 trading days, <1.1 profit factor). Proof valid = zero
+    violations; profitable = valid AND positive total PnL.
+
+    Scale: one lot aggregation + two raw-table passes, all bounded
+    single-row aggregates cross-joined. No UDF, no collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+        )
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    trades = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
+                "ticker"
+            ),
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            F.to_date("cship").alias("close_d"),
+        )
+    )
+    dec = "decimal(28,6)"
+    stats = trades.agg(
+        F.count(F.lit(1)).alias("total_trades"),
+        F.countDistinct("ticker").alias("unique_tickers"),
+        F.countDistinct("close_d").alias("trading_days"),
+        F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("winning_trades"),
+        F.sum(F.when(F.col("pnl") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("losing_trades"),
+        F.sum(
+            F.when(F.col("pnl").isNull() | (F.col("pnl") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("no_pnl_trades"),
+        F.sum(F.col("pnl").cast(dec)).cast("double").alias("total_pnl"),
+        F.sum(
+            F.when(F.col("pnl") > 0, F.col("pnl").cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        )
+        .cast("double")
+        .alias("gross_profit"),
+        F.sum(
+            F.when(F.col("pnl") < 0, F.abs(F.col("pnl")).cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        )
+        .cast("double")
+        .alias("gross_loss"),
+    )
+    raw_quality = li.agg(
+        F.avg(
+            F.when(
+                (F.col("l_discount") == 0) & (F.col("l_tax") == 0), 1.0
+            ).otherwise(0.0)
+        ).alias("null_source_pct"),
+        F.sum(
+            (
+                (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("synthetic_count"),
+        F.sum(
+            (
+                (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("buy_count"),
+        F.sum(
+            (
+                (F.col("l_returnflag") == "R") & (F.col("l_linenumber") > 1)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("sell_count"),
+    )
+    holds = o.filter(F.col("o_orderstatus") == "P").agg(
+        F.count(F.lit(1)).alias("hold_count")
+    )
+    g = (
+        stats.crossJoin(raw_quality)
+        .crossJoin(F.broadcast(holds))
+        .withColumn(
+            "win_rate",
+            F.col("winning_trades").cast("double")
+            / F.nullif(
+                F.col("winning_trades") + F.col("losing_trades"), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "profit_factor",
+            F.when(
+                F.col("gross_loss") > 0,
+                F.col("gross_profit") / F.col("gross_loss"),
+            ),
+        )
+        .withColumn(
+            "closed_trades", F.col("winning_trades") + F.col("losing_trades")
+        )
+    )
+    violations = F.concat_ws(
+        ",",
+        F.when(F.col("total_trades") == 0, "no_production_trades"),
+        F.when(F.col("win_rate") > _PPV_MAX_WR, "win_rate_suspicious"),
+        F.when(
+            (F.col("buy_count") > 0) & (F.col("sell_count") == 0),
+            "positions_never_closed",
+        ),
+        F.when(
+            F.col("closed_trades") < _PPV_MIN_CLOSED,
+            "insufficient_closed_trades",
+        ),
+    )
+    warnings = F.concat_ws(
+        ",",
+        F.when(F.col("null_source_pct") > 0.0, "null_data_source_present"),
+        F.when(
+            F.col("synthetic_count") > 0, "synthetic_contamination_flagged"
+        ),
+        F.when(
+            F.col("buy_count") > F.col("sell_count") * 5,
+            "lifecycle_imbalance",
+        ),
+        F.when(
+            F.col("trading_days") < _PPV_MIN_DAYS, "insufficient_trading_days"
+        ),
+        F.when(F.col("profit_factor") < _PPV_MIN_PF, "low_profit_factor"),
+    )
+    v = g.withColumn("violations", violations).withColumn(
+        "warnings", warnings
+    )
+    return v.select(
+        "total_trades",
+        "unique_tickers",
+        "trading_days",
+        "winning_trades",
+        "losing_trades",
+        "no_pnl_trades",
+        "closed_trades",
+        F.round("total_pnl", 2).alias("total_pnl"),
+        r6(F.col("win_rate")).alias("win_rate"),
+        r6(F.col("profit_factor")).alias("profit_factor"),
+        r6(F.col("null_source_pct")).alias("null_data_source_pct"),
+        F.col("synthetic_count").alias("synthetic_ticker_count"),
+        "buy_count",
+        "sell_count",
+        "hold_count",
+        "violations",
+        "warnings",
+        (F.col("violations") == "").cast("int").alias("is_proof_valid"),
+        ((F.col("violations") == "") & (F.col("total_pnl") > 0))
+        .cast("int")
+        .alias("is_profitable"),
+    )
