@@ -4113,3 +4113,462 @@ def gate_failure_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one evaluation of the composed scalar row, exploded into the table —
     # a 24-way union would re-execute the whole pipeline per metric row
     return g.select(F.explode(F.array(*rows)).alias("m")).select("m.*")
+
+
+# ---------------------------------------------------------------------------
+# Capital readiness check (6-rule verdict)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/capital_readiness_check.py:64-428`: the six
+# readiness rules — R1 adversarial findings (confirmed CRITICAL/HIGH =
+# the duplicate-close overlap class), R2 gate artifact fresh and passed
+# (the data-quality gate census plays the artifact), R3 trade quality
+# (20 trades / 1.30 PF hard floors, win rate diagnostic), R4
+# calibration (tier active, Brier < 0.25), R5 lift CI (definitively
+# negative = hard fail, spans zero = advisory), R6 lifecycle integrity
+# (close-before-entry + orphan closes are HIGH violations) — combined
+# into the PASS / FAIL verdict (reasons empty = ready).
+_CRC_R3_TRADES = 20
+_CRC_R3_PF = 1.30
+_CRC_R4_BRIER = 0.25
+_CRC_R5_MIN_N = 20
+
+
+@query(
+    "capital_readiness_check",
+    oracle=f"""
+    {_AUDIT_SQL},
+    lift AS (
+      SELECT COUNT(*) AS n_used,
+             AVG(1.0 - ratio) AS lm,
+             STDDEV_SAMP(1.0 - ratio) AS lsd
+      FROM r
+    ),
+    r5 AS (
+      SELECT n_used,
+             lm - 1.96 * lsd / SQRT(n_used) AS ci_low,
+             lm + 1.96 * lsd / SQRT(n_used) AS ci_high
+      FROM lift
+    ),
+    pmx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    pcloses AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             MAX(l.l_shipdate) AS cship,
+             COUNT(*) AS n_close_legs
+      FROM lineitem l
+      JOIN pmx ON pmx.l_orderkey = l.l_orderkey
+              AND l.l_linenumber = pmx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    popens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet,
+             MIN(l_shipdate) AS oship
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    ptr AS (
+      SELECT ROUND(c.cnet - o2.onet, 6) AS pnl,
+             CAST(c.cship AS DATE) < CAST(o2.oship AS DATE)
+               AS close_before_entry
+      FROM pcloses c
+      JOIN popens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    r3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_trades,
+             AVG(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END) AS win_rate,
+             CAST(SUM(CASE WHEN pnl > 0 THEN CAST(pnl AS DECIMAL(28,6))
+                           ELSE 0 END) AS DOUBLE)
+               / NULLIF(CAST(SUM(CASE WHEN pnl < 0
+                                 THEN CAST(-pnl AS DECIMAL(28,6))
+                                 ELSE 0 END) AS DOUBLE), 0)
+               AS profit_factor,
+             CAST(SUM(CASE WHEN close_before_entry THEN 1 ELSE 0 END)
+               AS BIGINT) AS close_before_entry_count
+      FROM ptr
+    ),
+    orphan AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphan_close_count
+      FROM pcloses c
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND NOT EXISTS (SELECT 1 FROM popens p
+                        WHERE p.l_orderkey = c.l_orderkey AND p.oq > 0)
+    ),
+    r1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_critical_high
+      FROM (
+        SELECT l.l_orderkey
+        FROM lineitem l
+        JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 6) AS opener_qty
+              FROM lineitem WHERE l_linenumber = 1
+              GROUP BY l_orderkey) o ON o.l_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R' AND l.l_linenumber > 1
+        GROUP BY l.l_orderkey, o.opener_qty
+        HAVING COUNT(*) > 1 AND ROUND(SUM(l.l_quantity), 6) > o.opener_qty
+      )
+    ),
+    r2 AS (
+      SELECT (CASE WHEN AVG(CASE WHEN value <= 0 THEN 1.0 ELSE 0.0 END) = 0
+                   THEN 1 ELSE 0 END
+              + CASE WHEN AVG(CASE WHEN CAST(props->>'k' AS INTEGER) IS NULL
+                                   THEN 1.0 ELSE 0.0 END) < 0.05
+                     THEN 1 ELSE 0 END
+              + CASE WHEN COUNT(*) >= 100 THEN 1 ELSE 0 END) = 3
+               AS gate_overall_passed
+      FROM events
+    ),
+    cal_s AS ({_S_SQL}),
+    cal_f AS (
+      SELECT user_id, rn, value,
+             AVG(value) OVER w20 AS ma20,
+             STDDEV_SAMP(value) OVER w20 AS sd20,
+             COUNT(*) OVER w20 AS n20,
+             LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY rn)
+               AS next_value
+      FROM cal_s
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    cal_p AS (
+      SELECT ROUND(1.0 / (1.0 + EXP(-ROUND((value - ma20)
+                                           / NULLIF(sd20, 0.0), 6))), 6)
+               AS conf,
+             CASE WHEN next_value > value THEN 1.0 ELSE 0.0 END AS outcome
+      FROM cal_f
+      WHERE n20 = 20 AND next_value IS NOT NULL AND sd20 > 0
+    ),
+    r4 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             AVG((conf - outcome) * (conf - outcome)) AS brier
+      FROM cal_p
+    ),
+    g AS (
+      SELECT r1.n_critical_high, r2.gate_overall_passed,
+             r3.n_trades, r3.win_rate, r3.profit_factor,
+             r3.close_before_entry_count, orphan.orphan_close_count,
+             r4.n_pairs, r4.brier,
+             r5.n_used, r5.ci_low, r5.ci_high,
+             CASE WHEN r4.n_pairs >= 50 THEN 'db_local'
+                  WHEN r4.n_pairs > 0 THEN 'jsonl'
+                  ELSE 'inactive' END AS calibration_tier
+      FROM r1, r2, r3, orphan, r4, r5
+    ),
+    v AS (
+      SELECT *,
+             CONCAT_WS(',',
+               CASE WHEN n_critical_high > 0
+                    THEN 'R1_adversarial_findings' END,
+               CASE WHEN NOT gate_overall_passed
+                    THEN 'R2_gate_artifact_failed' END,
+               CASE WHEN n_trades < {_CRC_R3_TRADES}
+                    THEN 'R3_insufficient_trades' END,
+               CASE WHEN profit_factor < {_CRC_R3_PF}
+                    THEN 'R3_low_profit_factor' END,
+               CASE WHEN calibration_tier = 'inactive'
+                    THEN 'R4_calibration_inactive' END,
+               CASE WHEN brier >= {_CRC_R4_BRIER}
+                    THEN 'R4_miscalibrated' END,
+               CASE WHEN n_used >= {_CRC_R5_MIN_N} AND ci_high < 0.0
+                    THEN 'R5_lift_definitively_negative' END,
+               CASE WHEN close_before_entry_count + orphan_close_count > 0
+                    THEN 'R6_lifecycle_violations' END) AS reasons,
+             CONCAT_WS(',',
+               CASE WHEN n_used >= {_CRC_R5_MIN_N} AND ci_low <= 0.0
+                         AND ci_high >= 0.0
+                    THEN 'R5_lift_ci_spans_zero' END) AS warnings
+      FROM g
+    )
+    SELECT n_critical_high,
+           CAST(gate_overall_passed AS INTEGER) AS gate_overall_passed,
+           n_trades,
+           ROUND(win_rate, 6) AS win_rate,
+           ROUND(profit_factor, 6) AS profit_factor,
+           calibration_tier,
+           ROUND(brier, 6) AS brier_score,
+           n_pairs AS calibration_pairs,
+           ROUND(ci_low, 6) AS lift_ci_low,
+           ROUND(ci_high, 6) AS lift_ci_high,
+           close_before_entry_count,
+           orphan_close_count,
+           reasons, warnings,
+           CASE WHEN reasons = '' THEN 'PASS' ELSE 'FAIL' END AS verdict,
+           CAST(reasons = '' AS INTEGER) AS ready
+    FROM v
+    """,
+)
+def capital_readiness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 6-rule capital-readiness verdict — reference
+    `scripts/capital_readiness_check.py:64-428`: R1 zero confirmed
+    CRITICAL/HIGH adversarial findings (the duplicate-close overlap
+    census), R2 gate artifact passed (the data-quality gate census
+    plays the always-fresh artifact), R3 trade-quality hard floors (20
+    trades, 1.30 PF; win rate diagnostic only), R4 calibration tier
+    active with Brier < 0.25, R5 the lift-CI rule (definitively
+    negative with >= 20 windows -> hard fail; spans zero -> advisory
+    warning), R6 lifecycle integrity (close-before-entry + orphan-close
+    HIGH violations). Ready iff every reason channel is silent.
+
+    Scale: six bounded aggregates cross-joined as single-row scalars.
+    No UDF, no collect."""
+    # R5 — lift CI over audit windows
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id", F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int")
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse((F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0).alias(
+                "r_e"
+            ),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    ratio = F.col("r_e") / F.least("r_n", "r_3", "r_10")
+    lift = a.select((1.0 - ratio).alias("l")).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.avg("l").alias("lm"),
+        F.stddev_samp("l").alias("lsd"),
+    )
+    r5 = lift.select(
+        "n_used",
+        (F.col("lm") - 1.96 * F.col("lsd") / F.sqrt(F.col("n_used"))).alias(
+            "ci_low"
+        ),
+        (F.col("lm") + 1.96 * F.col("lsd") / F.sqrt(F.col("n_used"))).alias(
+            "ci_high"
+        ),
+    )
+
+    # R3 + R6 — production round-trips with lifecycle dates
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pmx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    pcloses = (
+        li.join(
+            pmx,
+            (li.l_orderkey == pmx.l_orderkey)
+            & (li.l_linenumber == pmx.maxline),
+        )
+        .drop(pmx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+        )
+    )
+    popens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("oq"),
+            F.sum(net).alias("onet"),
+            F.min("l_shipdate").alias("oship"),
+        )
+    )
+    c, op = pcloses.alias("c"), popens.alias("op")
+    of = o.filter(F.col("o_orderstatus") == "F")
+    ptr = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(of, F.col("o_orderkey") == F.col("c.l_orderkey"))
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            (F.to_date("cship") < F.to_date("oship")).alias(
+                "close_before_entry"
+            ),
+        )
+    )
+    dec = "decimal(28,6)"
+    r3 = ptr.agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias("win_rate"),
+        (
+            F.sum(
+                F.when(F.col("pnl") > 0, F.col("pnl").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).cast("double")
+            / F.nullif(
+                F.sum(
+                    F.when(F.col("pnl") < 0, (-F.col("pnl")).cast(dec)).otherwise(
+                        F.lit(0).cast(dec)
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("profit_factor"),
+        F.sum(F.col("close_before_entry").cast("int"))
+        .cast("bigint")
+        .alias("close_before_entry_count"),
+    )
+    orphan = (
+        pcloses.join(of, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            popens.filter(F.col("oq") > 0).select("l_orderkey"),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_close_count"))
+    )
+
+    # R1 — duplicate-close overlap census (the adversarial HIGH class)
+    opener = li.filter(F.col("l_linenumber") == 1).groupBy("l_orderkey").agg(
+        F.round(F.sum("l_quantity"), 6).alias("opener_qty")
+    )
+    r1 = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linenumber") > 1))
+        .join(opener, "l_orderkey")
+        .groupBy("l_orderkey", "opener_qty")
+        .agg(
+            F.count(F.lit(1)).alias("n_closes"),
+            F.round(F.sum("l_quantity"), 6).alias("closed_qty"),
+        )
+        .filter(
+            (F.col("n_closes") > 1) & (F.col("closed_qty") > F.col("opener_qty"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_critical_high"))
+    )
+
+    # R2 — gate census (positivity, missing-k, volume)
+    ev = load_table(spark, sf_dir, "events")
+    kcol = F.get_json_object("props", "$.k").cast("int")
+    r2 = ev.agg(
+        (
+            (
+                F.when(
+                    F.avg(F.when(F.col("value") <= 0, 1.0).otherwise(0.0)) == 0,
+                    1,
+                ).otherwise(0)
+                + F.when(
+                    F.avg(F.when(kcol.isNull(), 1.0).otherwise(0.0)) < 0.05, 1
+                ).otherwise(0)
+                + F.when(F.count(F.lit(1)) >= 100, 1).otherwise(0)
+            )
+            == 3
+        ).alias("gate_overall_passed")
+    )
+
+    # R4 — calibration pairs + Brier
+    w20 = _w((-19, 0))
+    calf = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.avg("value").over(w20).alias("ma20"),
+        F.stddev_samp("value").over(w20).alias("sd20"),
+        F.count(F.lit(1)).over(w20).alias("n20"),
+        F.lead("value", 1).over(_w()).alias("next_value"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("ma20")) / F.nullif(F.col("sd20"), F.lit(0.0)),
+        6,
+    )
+    calp = calf.filter(
+        (F.col("n20") == 20)
+        & F.col("next_value").isNotNull()
+        & (F.col("sd20") > 0)
+    ).select(
+        F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("conf"),
+        F.when(F.col("next_value") > F.col("value"), 1.0)
+        .otherwise(0.0)
+        .alias("outcome"),
+    )
+    r4 = calp.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(
+            (F.col("conf") - F.col("outcome"))
+            * (F.col("conf") - F.col("outcome"))
+        ).alias("brier"),
+    )
+
+    g = (
+        r1.crossJoin(F.broadcast(r2))
+        .crossJoin(r3)
+        .crossJoin(F.broadcast(orphan))
+        .crossJoin(r4)
+        .crossJoin(r5)
+        .withColumn(
+            "calibration_tier",
+            F.when(F.col("n_pairs") >= 50, "db_local")
+            .when(F.col("n_pairs") > 0, "jsonl")
+            .otherwise("inactive"),
+        )
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_critical_high") > 0, "R1_adversarial_findings"),
+        F.when(~F.col("gate_overall_passed"), "R2_gate_artifact_failed"),
+        F.when(F.col("n_trades") < _CRC_R3_TRADES, "R3_insufficient_trades"),
+        F.when(F.col("profit_factor") < _CRC_R3_PF, "R3_low_profit_factor"),
+        F.when(
+            F.col("calibration_tier") == "inactive", "R4_calibration_inactive"
+        ),
+        F.when(F.col("brier") >= _CRC_R4_BRIER, "R4_miscalibrated"),
+        F.when(
+            (F.col("n_used") >= _CRC_R5_MIN_N) & (F.col("ci_high") < 0.0),
+            "R5_lift_definitively_negative",
+        ),
+        F.when(
+            F.col("close_before_entry_count") + F.col("orphan_close_count")
+            > 0,
+            "R6_lifecycle_violations",
+        ),
+    )
+    warnings = F.concat_ws(
+        ",",
+        F.when(
+            (F.col("n_used") >= _CRC_R5_MIN_N)
+            & (F.col("ci_low") <= 0.0)
+            & (F.col("ci_high") >= 0.0),
+            "R5_lift_ci_spans_zero",
+        ),
+    )
+    v = g.withColumn("reasons", reasons).withColumn("warnings", warnings)
+    return v.select(
+        "n_critical_high",
+        F.col("gate_overall_passed").cast("int").alias("gate_overall_passed"),
+        "n_trades",
+        r6(F.col("win_rate")).alias("win_rate"),
+        r6(F.col("profit_factor")).alias("profit_factor"),
+        "calibration_tier",
+        r6(F.col("brier")).alias("brier_score"),
+        F.col("n_pairs").alias("calibration_pairs"),
+        r6(F.col("ci_low")).alias("lift_ci_low"),
+        r6(F.col("ci_high")).alias("lift_ci_high"),
+        "close_before_entry_count",
+        "orphan_close_count",
+        "reasons",
+        "warnings",
+        F.when(F.col("reasons") == "", "PASS").otherwise("FAIL").alias(
+            "verdict"
+        ),
+        (F.col("reasons") == "").cast("int").alias("ready"),
+    )
