@@ -3009,6 +3009,9 @@ def context_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     conf = F.col("confidence")
+    # eight downstream consumers (3-way stack + censuses + 3 advisory
+    # top-1s) would each re-run the lot join; materialize the bounded
+    # per-trade frame once
     binned = ctx.withColumn(
         "conf_bin",
         F.when(conf.isNull() | (conf < 0.5) | (conf > 1.0), F.lit(None))
@@ -3017,7 +3020,7 @@ def context_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(conf < 0.8, "0.70-0.80")
         .when(conf < 0.9, "0.80-0.90")
         .otherwise("0.90-1.00"),
-    )
+    ).localCheckpoint()
     stacked = (
         binned.select(
             F.lit("regime").alias("dimension"),
