@@ -3442,3 +3442,319 @@ def profitability_proof_validation(
         .cast("int")
         .alias("is_profitable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NAV rebalance plan
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/build_nav_rebalance_plan.py:49-630`: per-ticker plan
+# rows — eligibility status -> target bucket (HEALTHY -> ts_core, WEAK ->
+# cash_reserve, LAB_ONLY -> research_only, `:49-53`), the eligibility
+# score (`_score_from_eligibility`, `:133-148`: clamped omega/payoff/TP
+# components 0.45/0.35/0.20, HEALTHY floor 0.1, WEAK x0.15 floor 0.01),
+# the PROMOTE/DEMOTE/RESEARCH_ONLY/HOLD action, promotion-plan
+# membership codes, and HEALTHY NAV fractions via the bucket allocator
+# (`risk/nav_allocator.py:35-76`: proportional within the clamped
+# ts_core budget); plus the per-bucket allocation rows (configured /
+# allocated / reserve, `:419-438`). Reason codes are emitted sorted —
+# the reference's sorted(set(...)).
+_NRP_BUDGETS = {
+    # bucket: (base, min, max) NAV fractions (risk_buckets.yml shadow set)
+    "safe": (0.60, 0.50, 0.70),
+    "ts_core": (0.25, 0.10, 0.40),
+    "speculative": (0.10, 0.00, 0.15),
+    "cash_reserve": (0.05, 0.00, 1.00),
+    "research_only": (0.00, 0.00, 0.00),
+}
+_NRP_TSCORE_EFF = min(max(0.25, 0.10), 0.40)  # clamped ts_core budget
+
+
+@query(
+    "nav_rebalance_plan",
+    oracle=f"""
+    {_ELG_SQL},
+    {_SLV_AGG_SQL},
+    plan AS (
+      SELECT ticker,
+             CASE WHEN trades < {_SLV_PROMO_MIN_TRADES} THEN 'HOLD'
+                  WHEN sleeve = 'speculative'
+                       AND win_rate >= {_SLV_PROMOTE_WR}
+                       AND profit_factor >= {_SLV_PROMOTE_PF} THEN 'PROMOTE'
+                  WHEN sleeve = 'core'
+                       AND (win_rate <= {_SLV_DEMOTE_WR}
+                            OR profit_factor <= {_SLV_DEMOTE_PF})
+                  THEN 'DEMOTE'
+                  ELSE 'HOLD' END AS plan_action
+      FROM slv2
+    ),
+    el AS (
+      -- status from RAW values (exactly R62's ladder inputs); rounded
+      -- copies feed the score so both engines blend identical numbers
+      SELECT ticker, n_trades,
+             ROUND(win_rate, 6) AS win_rate,
+             ROUND(profit_factor, 6) AS profit_factor,
+             ROUND(tp_freq, 6) AS tp_freq,
+             ROUND(omega, 6) AS omega,
+             ROUND(payoff_eff, 6) AS payoff_eff,
+             CASE WHEN ticker = 'T7' THEN 'LAB_ONLY'
+                  WHEN n_trades >= {_ELG_HEALTHY_N}
+                       AND omega >= {_ELG_OMEGA_FLOOR}
+                       AND payoff_eff >= {_ELG_PAYOFF_FLOOR}
+                       AND tp_freq >= {_ELG_TP_FLOOR} THEN 'HEALTHY'
+                  WHEN n_trades >= {_ELG_WEAK_N}
+                       AND (omega >= {_ELG_OMEGA_FLOOR}
+                            OR payoff_eff >= {_ELG_PAYOFF_FLOOR}
+                            OR tp_freq >= {_ELG_TP_FLOOR}) THEN 'WEAK'
+                  ELSE 'LAB_ONLY' END AS status,
+             CASE WHEN CAST(SUBSTR(ticker, 2) AS INTEGER) < 8 THEN 'safe'
+                  WHEN CAST(SUBSTR(ticker, 2) AS INTEGER) < 17
+                  THEN 'ts_core'
+                  ELSE 'speculative' END AS current_bucket
+      FROM cls
+    ),
+    scored AS (
+      SELECT e.*,
+             COALESCE(p.plan_action, 'HOLD') AS plan_action,
+             CASE e.status WHEN 'HEALTHY' THEN 'ts_core'
+                  WHEN 'WEAK' THEN 'cash_reserve'
+                  ELSE 'research_only' END AS target_bucket,
+             CASE WHEN e.status = 'HEALTHY' AND e.current_bucket <> 'ts_core'
+                  THEN 'PROMOTE'
+                  WHEN e.status = 'HEALTHY' THEN 'HOLD'
+                  WHEN e.status = 'WEAK' THEN 'DEMOTE'
+                  ELSE 'RESEARCH_ONLY' END AS action,
+             CASE WHEN e.status = 'HEALTHY'
+                  THEN GREATEST(0.45 * GREATEST(0.0, LEAST(e.omega, 3.0))
+                       + 0.35 * GREATEST(0.0, LEAST(e.payoff_eff / 2.0, 3.0))
+                       + 0.20 * GREATEST(0.0, LEAST(e.tp_freq / 0.095, 3.0)),
+                       0.1)
+                  WHEN e.status = 'WEAK'
+                  THEN GREATEST((0.45 * GREATEST(0.0, LEAST(e.omega, 3.0))
+                       + 0.35 * GREATEST(0.0, LEAST(e.payoff_eff / 2.0, 3.0))
+                       + 0.20 * GREATEST(0.0, LEAST(e.tp_freq / 0.095, 3.0)))
+                       * 0.15, 0.01)
+                  ELSE 0.0 END AS score
+      FROM el e LEFT JOIN plan p ON p.ticker = e.ticker
+    ),
+    hsum AS (
+      SELECT SUM(CASE WHEN status = 'HEALTHY' THEN score END) AS total_score
+      FROM scored
+    ),
+    rows_out AS (
+      SELECT s.ticker, s.status, s.current_bucket, s.target_bucket,
+             s.action,
+             ROUND(s.score, 6) AS score,
+             ROUND(CASE WHEN s.status = 'HEALTHY' AND h.total_score > 0
+                        THEN s.score / h.total_score * {_NRP_TSCORE_EFF}
+                        ELSE 0.0 END, 8) AS target_nav_frac,
+             ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(CONCAT_WS(',',
+               CASE s.status WHEN 'HEALTHY' THEN 'status_healthy'
+                    WHEN 'WEAK' THEN 'status_weak'
+                    ELSE 'status_lab_only' END,
+               CASE WHEN s.plan_action = 'PROMOTE'
+                    THEN 'in_promotion_plan' END,
+               CASE WHEN s.plan_action = 'DEMOTE'
+                    THEN 'in_demotion_plan' END), ',')), ',')
+               AS reason_codes,
+             ROUND(s.omega, 6) AS omega_ratio,
+             ROUND(s.payoff_eff, 6) AS payoff_asymmetry_effective,
+             ROUND(s.tp_freq, 6) AS take_profit_frequency,
+             ROUND(s.win_rate, 6) AS win_rate,
+             ROUND(s.profit_factor, 6) AS profit_factor
+      FROM scored s, hsum h
+    )
+    SELECT 'ticker' AS record_type, ticker, status, current_bucket,
+           target_bucket, action, score, target_nav_frac, reason_codes,
+           omega_ratio, payoff_asymmetry_effective, take_profit_frequency,
+           win_rate, profit_factor,
+           CAST(NULL AS DOUBLE) AS configured_nav_frac,
+           CAST(NULL AS DOUBLE) AS allocated_nav_frac,
+           CAST(NULL AS DOUBLE) AS reserve_nav_frac,
+           CAST(NULL AS BIGINT) AS n_symbols
+    FROM rows_out
+    UNION ALL
+    SELECT 'bucket', b.bucket, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL,
+           ROUND(b.configured, 8),
+           ROUND(COALESCE(a.allocated, 0.0), 8),
+           ROUND(GREATEST(0.0, b.configured - COALESCE(a.allocated, 0.0)), 8),
+           COALESCE(a.n_symbols, 0)
+    FROM (VALUES {", ".join(
+        f"('{b}', CAST({min(max(v[0], v[1]), v[2])!r} AS DOUBLE))"
+        for b, v in _NRP_BUDGETS.items()
+    )}) AS b(bucket, configured)
+    LEFT JOIN (
+      SELECT target_bucket,
+             SUM(target_nav_frac) AS allocated,
+             CAST(COUNT(*) AS BIGINT) AS n_symbols
+      FROM rows_out GROUP BY target_bucket
+    ) a ON a.target_bucket = b.bucket
+    """,
+)
+def nav_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NAV rebalance plan — reference
+    `scripts/build_nav_rebalance_plan.py:271-630`: per-ticker rows
+    (eligibility status -> target bucket, eligibility score with the
+    reference's clamped 0.45/0.35/0.20 blend and HEALTHY/WEAK floors,
+    PROMOTE/DEMOTE/RESEARCH_ONLY/HOLD action, sorted reason codes with
+    promotion-plan membership, proportional ts_core NAV fractions via
+    the clamped bucket budget — `risk/nav_allocator.py:35-76`) plus the
+    per-bucket allocation rows (configured / allocated / reserve NAV
+    fractions and symbol counts).
+
+    Scale: reuses the eligibility and sleeve frames (key-cardinality),
+    one broadcast total-score scalar, a constant bucket table. No UDF."""
+    el = ticker_eligibility_classification(spark, sf_dir).select(
+        "ticker",
+        "status",
+        "omega_ratio",
+        "payoff_asymmetry_effective",
+        "take_profit_frequency",
+        "win_rate",
+        "profit_factor",
+    )
+    plan = sleeve_promotion_plan(spark, sf_dir).select(
+        "ticker", F.col("action").alias("plan_action")
+    )
+    tnum = F.substring("ticker", 2, 10).cast("int")
+    e = el.join(plan, "ticker", "left").select(
+        "*",
+        F.when(tnum < 8, "safe")
+        .when(tnum < 17, "ts_core")
+        .otherwise("speculative")
+        .alias("current_bucket"),
+    )
+    base = (
+        0.45 * F.greatest(F.lit(0.0), F.least(F.col("omega_ratio"), F.lit(3.0)))
+        + 0.35
+        * F.greatest(
+            F.lit(0.0),
+            F.least(F.col("payoff_asymmetry_effective") / 2.0, F.lit(3.0)),
+        )
+        + 0.20
+        * F.greatest(
+            F.lit(0.0),
+            F.least(F.col("take_profit_frequency") / 0.095, F.lit(3.0)),
+        )
+    )
+    score = (
+        F.when(F.col("status") == "HEALTHY", F.greatest(base, F.lit(0.1)))
+        .when(F.col("status") == "WEAK", F.greatest(base * 0.15, F.lit(0.01)))
+        .otherwise(0.0)
+    )
+    scored = e.select(
+        "*",
+        F.when(F.col("status") == "HEALTHY", "ts_core")
+        .when(F.col("status") == "WEAK", "cash_reserve")
+        .otherwise("research_only")
+        .alias("target_bucket"),
+        F.when(
+            (F.col("status") == "HEALTHY")
+            & (F.col("current_bucket") != "ts_core"),
+            "PROMOTE",
+        )
+        .when(F.col("status") == "HEALTHY", "HOLD")
+        .when(F.col("status") == "WEAK", "DEMOTE")
+        .otherwise("RESEARCH_ONLY")
+        .alias("action"),
+        score.alias("score"),
+    )
+    hsum = scored.agg(
+        F.sum(F.when(F.col("status") == "HEALTHY", F.col("score"))).alias(
+            "total_score"
+        )
+    )
+    codes = F.array_join(
+        F.array_sort(
+            F.split(
+                F.concat_ws(
+                    ",",
+                    F.when(F.col("status") == "HEALTHY", "status_healthy")
+                    .when(F.col("status") == "WEAK", "status_weak")
+                    .otherwise("status_lab_only"),
+                    F.when(
+                        F.col("plan_action") == "PROMOTE", "in_promotion_plan"
+                    ),
+                    F.when(
+                        F.col("plan_action") == "DEMOTE", "in_demotion_plan"
+                    ),
+                ),
+                ",",
+            )
+        ),
+        ",",
+    )
+    rows_out = scored.crossJoin(F.broadcast(hsum)).select(
+        F.lit("ticker").alias("record_type"),
+        "ticker",
+        "status",
+        "current_bucket",
+        "target_bucket",
+        "action",
+        r6(F.col("score")).alias("score"),
+        F.round(
+            F.when(
+                (F.col("status") == "HEALTHY") & (F.col("total_score") > 0),
+                F.col("score") / F.col("total_score") * _NRP_TSCORE_EFF,
+            ).otherwise(0.0),
+            8,
+        ).alias("target_nav_frac"),
+        codes.alias("reason_codes"),
+        F.col("omega_ratio"),
+        F.col("payoff_asymmetry_effective"),
+        F.col("take_profit_frequency"),
+        F.col("win_rate"),
+        F.col("profit_factor"),
+        F.lit(None).cast("double").alias("configured_nav_frac"),
+        F.lit(None).cast("double").alias("allocated_nav_frac"),
+        F.lit(None).cast("double").alias("reserve_nav_frac"),
+        F.lit(None).cast("bigint").alias("n_symbols"),
+    )
+    buckets = spark.createDataFrame(
+        [
+            (b, float(min(max(v[0], v[1]), v[2])))
+            for b, v in _NRP_BUDGETS.items()
+        ],
+        ["bucket", "configured"],
+    )
+    alloc = rows_out.groupBy("target_bucket").agg(
+        F.sum("target_nav_frac").alias("allocated"),
+        F.count(F.lit(1)).alias("n_symbols_a"),
+    )
+    brow = (
+        buckets.join(
+            alloc, buckets.bucket == alloc.target_bucket, "left"
+        ).select(
+            F.lit("bucket").alias("record_type"),
+            F.col("bucket").alias("ticker"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("string").alias("current_bucket"),
+            F.lit(None).cast("string").alias("target_bucket"),
+            F.lit(None).cast("string").alias("action"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("double").alias("target_nav_frac"),
+            F.lit(None).cast("string").alias("reason_codes"),
+            F.lit(None).cast("double").alias("omega_ratio"),
+            F.lit(None).cast("double").alias("payoff_asymmetry_effective"),
+            F.lit(None).cast("double").alias("take_profit_frequency"),
+            F.lit(None).cast("double").alias("win_rate"),
+            F.lit(None).cast("double").alias("profit_factor"),
+            F.round(F.col("configured"), 8).alias("configured_nav_frac"),
+            F.round(F.coalesce(F.col("allocated"), F.lit(0.0)), 8).alias(
+                "allocated_nav_frac"
+            ),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("configured")
+                    - F.coalesce(F.col("allocated"), F.lit(0.0)),
+                ),
+                8,
+            ).alias("reserve_nav_frac"),
+            F.coalesce(F.col("n_symbols_a"), F.lit(0))
+            .cast("bigint")
+            .alias("n_symbols"),
+        )
+    )
+    return rows_out.unionByName(brow)
