@@ -4572,3 +4572,337 @@ def capital_readiness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("reasons") == "").cast("int").alias("ready"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Platt calibration contract audit
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/platt_contract_audit.py`: the data-driven findings —
+# hold_inflation (`:142-181`: HOLD share of outcome-pending entries,
+# WARN above 30%), calibration_active_tier (`:276-356`: TIER_1_JSONL /
+# TIER_3_DB_GLOBAL / TIER_3_PARTIAL / NONE ladder on the 30-pair floor),
+# calibration_quality (`:364-453`: Brier + 10-bin ECE over actionable
+# outcome pairs, WARN past ECE 0.15 / no-skill Brier 0.25) and
+# ts_closes_in_db (`:188-250`: closed TS trades present). The two code-
+# introspection findings (classifier identity, fallback chain order)
+# have no data surface and are out of scope. Signals/outcomes reuse the
+# accumulation pack's frame: a signal's outcome is its key's first
+# same-day purchase; the confidence channel is the portable-md5 uniform.
+_PCA_MIN_PAIRS = 30
+_PCA_HOLD_WARN = 30.0
+_PCA_ECE_WARN = 0.15
+_PCA_BRIER_WARN = 0.25
+
+
+@query(
+    "platt_contract_audit",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(props->>'k' AS INTEGER) AS k,
+             CAST(ts AS DATE) AS d,
+             ('0x' || SUBSTR(MD5('conf|' || CAST(event_id AS VARCHAR)),
+                             1, 6))::BIGINT / 16777216.0 AS u
+      FROM events WHERE value > 0
+    ),
+    sig AS (
+      SELECT * FROM ev
+      WHERE event_type IN ('click', 'view') AND k IS NOT NULL
+    ),
+    outc AS (
+      SELECT user_id, d, value AS exit_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, d
+                                ORDER BY ts, event_id) AS ork
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT s.event_id, s.event_type, s.value AS entry_value,
+             CASE WHEN s.u < 0.08 THEN NULL ELSE 0.5 + s.u / 2 END AS conf,
+             o.exit_value
+      FROM sig s
+      LEFT JOIN outc o ON o.user_id = s.user_id AND o.d = s.d AND o.ork = 1
+    ),
+    hold AS (
+      SELECT CAST(SUM(CASE WHEN exit_value IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pending,
+             CAST(SUM(CASE WHEN exit_value IS NULL
+                                AND event_type = 'view'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hold
+      FROM joined
+    ),
+    pairs AS (
+      SELECT ROUND(conf, 6) AS conf,
+             CASE WHEN exit_value > entry_value THEN 1.0 ELSE 0.0 END AS win
+      FROM joined
+      WHERE event_type = 'click' AND exit_value IS NOT NULL
+            AND conf IS NOT NULL
+    ),
+    db_pairs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_db
+      FROM (
+        SELECT l.l_orderkey FROM lineitem l
+        JOIN (SELECT l_orderkey AS ok2, MAX(l_linenumber) AS maxline
+              FROM lineitem GROUP BY l_orderkey) m
+          ON m.ok2 = l.l_orderkey AND l.l_linenumber = m.maxline
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey
+      )
+    ),
+    quality AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             AVG((conf - win) * (conf - win)) AS brier
+      FROM pairs
+    ),
+    bins AS (
+      SELECT LEAST(CAST(FLOOR(conf * 10) AS INT), 9) AS bin,
+             COUNT(*) AS bn, AVG(conf) AS mean_conf, AVG(win) AS win_rate
+      FROM pairs GROUP BY 1
+    ),
+    ece AS (
+      SELECT SUM(CAST(bn AS DOUBLE) / (SELECT n_pairs FROM quality)
+                 * ABS(mean_conf - win_rate)) AS ece
+      FROM bins
+    ),
+    g AS (
+      SELECT h.n_pending, h.n_hold,
+             CAST(h.n_hold AS DOUBLE) / NULLIF(h.n_pending, 0) * 100.0
+               AS hold_pct,
+             q.n_pairs, q.brier, e.ece, d.n_db
+      FROM hold h, quality q, ece e, db_pairs d
+    ),
+    findings AS (
+      SELECT 'hold_inflation' AS check_name,
+             CASE WHEN hold_pct > {_PCA_HOLD_WARN} THEN 'WARN'
+                  ELSE 'PASS' END AS status,
+             CAST(n_hold AS DOUBLE) AS metric_a,
+             CAST(n_pending AS DOUBLE) AS metric_b,
+             ROUND(hold_pct, 6) AS metric_c
+      FROM g
+      UNION ALL
+      SELECT 'calibration_active_tier',
+             CASE WHEN n_pairs >= {_PCA_MIN_PAIRS} THEN 'PASS'
+                  WHEN n_db >= {_PCA_MIN_PAIRS} THEN 'PASS'
+                  WHEN n_db >= 10 THEN 'WARN' ELSE 'FAIL' END,
+             CAST(n_pairs AS DOUBLE), CAST(n_db AS DOUBLE),
+             CASE WHEN n_pairs >= {_PCA_MIN_PAIRS} THEN 1.0
+                  WHEN n_db >= {_PCA_MIN_PAIRS} THEN 3.0
+                  WHEN n_db >= 10 THEN 3.5 ELSE 0.0 END
+      FROM g
+      UNION ALL
+      SELECT 'calibration_quality',
+             CASE WHEN n_pairs < {_PCA_MIN_PAIRS} THEN 'SKIP'
+                  WHEN ece > {_PCA_ECE_WARN} OR brier > {_PCA_BRIER_WARN}
+                  THEN 'WARN' ELSE 'PASS' END,
+             ROUND(ece, 6), ROUND(brier, 6), CAST(n_pairs AS DOUBLE)
+      FROM g
+      UNION ALL
+      SELECT 'ts_closes_in_db',
+             CASE WHEN n_db > 0 THEN 'PASS' ELSE 'FAIL' END,
+             CAST(n_db AS DOUBLE), NULL, NULL
+      FROM g
+    )
+    SELECT * FROM findings
+    UNION ALL
+    SELECT 'overall',
+           CASE WHEN BOOL_OR(status = 'FAIL') THEN 'FAIL'
+                WHEN BOOL_OR(status = 'WARN') THEN 'WARN'
+                ELSE 'PASS' END,
+           NULL, NULL, NULL
+    FROM findings
+    """,
+)
+def platt_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Platt calibration contract audit — reference
+    `scripts/platt_contract_audit.py:42-465`: hold-inflation share of
+    outcome-pending entries (HOLD signals are structurally
+    unreconcilable; WARN past 30%), the calibration tier ladder (JSONL
+    primary at >= 30 pairs, DB global fallback, partial-DB WARN, no-tier
+    FAIL — metric_c carries the tier number), calibration quality
+    (Brier vs the 0.25 no-skill baseline + 10-bin ECE vs 0.15) and the
+    closed-TS-trades existence check, with the overall status folded
+    exactly as `run_layer4_calibration` consumes it (FAIL > WARN >
+    PASS).
+
+    Scale: the signal-outcome join (key, day) + bounded censuses; the
+    union is a constant 5 rows. No UDF, no collect."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    from ..functions.scalars import hash_unit_interval
+
+    k = F.get_json_object("props", "$.k").cast("int")
+    u = hash_unit_interval(F.lit("conf"), F.col("event_id"))
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+        k.alias("k"),
+        F.to_date("ts").alias("d"),
+        u.alias("u"),
+    )
+    sig = e.filter(
+        F.col("event_type").isin("click", "view") & F.col("k").isNotNull()
+    )
+    outc = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("d").alias("o_d"),
+            F.col("value").alias("exit_value"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+            )
+            .alias("ork"),
+        )
+        .filter(F.col("ork") == 1)
+    )
+    joined = sig.join(
+        outc,
+        (F.col("o_user") == F.col("user_id")) & (F.col("o_d") == F.col("d")),
+        "left",
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("entry_value"),
+        F.when(F.col("u") < 0.08, F.lit(None).cast("double"))
+        .otherwise(0.5 + F.col("u") / 2)
+        .alias("conf"),
+        "exit_value",
+    )
+    hold = joined.agg(
+        F.sum(F.col("exit_value").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_pending"),
+        F.sum(
+            (F.col("exit_value").isNull() & (F.col("event_type") == "view"))
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("n_hold"),
+    )
+    pairs = joined.filter(
+        (F.col("event_type") == "click")
+        & F.col("exit_value").isNotNull()
+        & F.col("conf").isNotNull()
+    ).select(
+        F.round("conf", 6).alias("conf"),
+        F.when(F.col("exit_value") > F.col("entry_value"), 1.0)
+        .otherwise(0.0)
+        .alias("win"),
+    )
+    quality = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(
+            (F.col("conf") - F.col("win")) * (F.col("conf") - F.col("win"))
+        ).alias("brier"),
+    )
+    bins = pairs.groupBy(
+        F.least(F.floor(F.col("conf") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.avg("conf").alias("mean_conf"),
+        F.avg("win").alias("win_rate"),
+    )
+    ece = bins.crossJoin(F.broadcast(quality.select("n_pairs"))).agg(
+        F.sum(
+            F.col("bn").cast("double")
+            / F.col("n_pairs")
+            * F.abs(F.col("mean_conf") - F.col("win_rate"))
+        ).alias("ece")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    m = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    db_pairs = (
+        li.join(
+            m,
+            (li.l_orderkey == m.l_orderkey) & (li.l_linenumber == m.maxline),
+        )
+        .drop(m.l_orderkey)
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_db"))
+    )
+    g = (
+        hold.crossJoin(quality)
+        .crossJoin(F.broadcast(ece))
+        .crossJoin(F.broadcast(db_pairs))
+        .withColumn(
+            "hold_pct",
+            F.col("n_hold").cast("double")
+            / F.nullif(F.col("n_pending"), F.lit(0))
+            * 100.0,
+        )
+    )
+    rows = [
+        F.struct(
+            F.lit("hold_inflation").alias("check_name"),
+            F.when(F.col("hold_pct") > _PCA_HOLD_WARN, "WARN")
+            .otherwise("PASS")
+            .alias("status"),
+            F.col("n_hold").cast("double").alias("metric_a"),
+            F.col("n_pending").cast("double").alias("metric_b"),
+            F.round("hold_pct", 6).alias("metric_c"),
+        ),
+        F.struct(
+            F.lit("calibration_active_tier").alias("check_name"),
+            F.when(F.col("n_pairs") >= _PCA_MIN_PAIRS, "PASS")
+            .when(F.col("n_db") >= _PCA_MIN_PAIRS, "PASS")
+            .when(F.col("n_db") >= 10, "WARN")
+            .otherwise("FAIL")
+            .alias("status"),
+            F.col("n_pairs").cast("double").alias("metric_a"),
+            F.col("n_db").cast("double").alias("metric_b"),
+            F.when(F.col("n_pairs") >= _PCA_MIN_PAIRS, 1.0)
+            .when(F.col("n_db") >= _PCA_MIN_PAIRS, 3.0)
+            .when(F.col("n_db") >= 10, 3.5)
+            .otherwise(0.0)
+            .alias("metric_c"),
+        ),
+        F.struct(
+            F.lit("calibration_quality").alias("check_name"),
+            F.when(F.col("n_pairs") < _PCA_MIN_PAIRS, "SKIP")
+            .when(
+                (F.col("ece") > _PCA_ECE_WARN)
+                | (F.col("brier") > _PCA_BRIER_WARN),
+                "WARN",
+            )
+            .otherwise("PASS")
+            .alias("status"),
+            F.round("ece", 6).alias("metric_a"),
+            F.round("brier", 6).alias("metric_b"),
+            F.col("n_pairs").cast("double").alias("metric_c"),
+        ),
+        F.struct(
+            F.lit("ts_closes_in_db").alias("check_name"),
+            F.when(F.col("n_db") > 0, "PASS").otherwise("FAIL").alias(
+                "status"
+            ),
+            F.col("n_db").cast("double").alias("metric_a"),
+            F.lit(None).cast("double").alias("metric_b"),
+            F.lit(None).cast("double").alias("metric_c"),
+        ),
+    ]
+    findings = g.select(F.explode(F.array(*rows)).alias("m")).select("m.*")
+    overall = findings.agg(
+        F.max(F.when(F.col("status") == "FAIL", 2))
+        .alias("has_fail"),
+        F.max(F.when(F.col("status") == "WARN", 1)).alias("has_warn"),
+    ).select(
+        F.lit("overall").alias("check_name"),
+        F.when(F.col("has_fail") == 2, "FAIL")
+        .when(F.col("has_warn") == 1, "WARN")
+        .otherwise("PASS")
+        .alias("status"),
+        F.lit(None).cast("double").alias("metric_a"),
+        F.lit(None).cast("double").alias("metric_b"),
+        F.lit(None).cast("double").alias("metric_c"),
+    )
+    return findings.unionByName(overall)
