@@ -3758,3 +3758,261 @@ def nav_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows_out.unionByName(brow)
+
+
+# ---------------------------------------------------------------------------
+# TS threshold sweep (confidence x min-expected-return grid)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/sweep_ts_thresholds.py:53-269`: per (ticker,
+# confidence_threshold, min_expected_return) gridpoint the realized
+# trades that would have passed those thresholds are summarized
+# (`_summarise_trades`: trades, win rate, profit factor, total profit,
+# and PnL annualized over the observed span from the gridpoint's first
+# trade to the window end), then per ticker the best gridpoint is
+# selected under the qualification rules (`_select_best_by_rules`:
+# >= 10 trades, PF >= 1.1, WR >= 0.5, argmax by (annualized PnL, total
+# profit, PF) — grid order breaks exact ties deterministically). The
+# trade confidence/expected-return channels are the portable-md5
+# uniforms; the default CLI grid is pinned.
+_TSW_GRID_CONF = (0.50, 0.55, 0.60)
+_TSW_GRID_RET = (0.001, 0.002, 0.003)
+_TSW_MIN_TRADES = 10
+_TSW_MIN_PF = 1.1
+_TSW_MIN_WR = 0.5
+
+
+@query(
+    "ts_threshold_sweep",
+    oracle=f"""
+    {_ELG_SQL.replace('      cls AS', '      cls_unused AS')},
+    tr2 AS (
+      SELECT t.ticker, t.orderkey, t.pnl,
+             c2.cship_d AS close_d,
+             0.5 + ('0x' || SUBSTR(MD5('conf|' || CAST(t.orderkey AS VARCHAR)),
+                             1, 6))::BIGINT / 16777216.0 / 2 AS conf,
+             ('0x' || SUBSTR(MD5('er|' || CAST(t.orderkey AS VARCHAR)),
+                             1, 6))::BIGINT / 16777216.0 * 0.004 AS exp_ret
+      FROM trades t
+      JOIN (SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS cship_d
+            FROM lineitem GROUP BY l_orderkey) c2
+        ON c2.l_orderkey = t.orderkey
+    ),
+    wend AS (SELECT MAX(close_d) AS window_end FROM tr2),
+    grid AS (
+      SELECT * FROM (VALUES {", ".join(f"({c!r})" for c in _TSW_GRID_CONF)})
+        AS gc(conf_thr)
+      CROSS JOIN (VALUES {", ".join(f"({r!r})" for r in _TSW_GRID_RET)})
+        AS gr(ret_thr)
+    ),
+    gp AS (
+      SELECT t.ticker, g.conf_thr, g.ret_thr,
+             CAST(COUNT(*) AS BIGINT) AS total_trades,
+             AVG(CASE WHEN t.pnl > 0 THEN 1.0 ELSE 0.0 END) AS win_rate,
+             CAST(SUM(CASE WHEN t.pnl > 0 THEN CAST(t.pnl AS DECIMAL(28,6))
+                           ELSE 0 END) AS DOUBLE) AS gross_profit,
+             CAST(SUM(CASE WHEN t.pnl < 0
+                           THEN CAST(ABS(t.pnl) AS DECIMAL(28,6))
+                           ELSE 0 END) AS DOUBLE) AS gross_loss,
+             MIN(t.close_d) AS first_trade_d
+      FROM tr2 t CROSS JOIN grid g
+      WHERE t.conf >= g.conf_thr AND t.exp_ret >= g.ret_thr
+      GROUP BY t.ticker, g.conf_thr, g.ret_thr
+    ),
+    gp2 AS (
+      SELECT gp.*,
+             CASE WHEN gross_loss > 0
+                  THEN LEAST(gross_profit / gross_loss, {_ELG_SENT!r})
+                  WHEN gross_profit > 0 THEN {_ELG_SENT!r}
+                  ELSE 0.0 END AS profit_factor,
+             gross_profit - gross_loss AS total_profit,
+             (gross_profit - gross_loss)
+               * (365.0 / GREATEST(DATEDIFF('day', first_trade_d,
+                                            w.window_end), 1))
+               AS annualized_pnl
+      FROM gp, wend w
+    ),
+    sel AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY ticker
+                                ORDER BY annualized_pnl DESC,
+                                         total_profit DESC,
+                                         profit_factor DESC,
+                                         conf_thr ASC, ret_thr ASC) AS rk
+      FROM gp2
+      WHERE total_trades >= {_TSW_MIN_TRADES}
+        AND profit_factor >= {_TSW_MIN_PF}
+        AND win_rate >= {_TSW_MIN_WR}
+    )
+    SELECT 'gridpoint' AS record_type, ticker, conf_thr, ret_thr,
+           total_trades,
+           ROUND(win_rate, 6) AS win_rate,
+           ROUND(profit_factor, 6) AS profit_factor,
+           ROUND(total_profit, 6) AS total_profit,
+           ROUND(annualized_pnl, 6) AS annualized_pnl
+    FROM gp2
+    UNION ALL
+    SELECT 'selection', ticker, conf_thr, ret_thr, total_trades,
+           ROUND(win_rate, 6), ROUND(profit_factor, 6),
+           ROUND(total_profit, 6), ROUND(annualized_pnl, 6)
+    FROM sel WHERE rk = 1
+    """,
+)
+def ts_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The confidence/expected-return threshold sweep — reference
+    `scripts/sweep_ts_thresholds.py:127-269`: each (ticker, grid point)
+    summarizes the trades that pass both thresholds (win rate,
+    sentinel-capped profit factor, total profit, span-annualized PnL
+    from the gridpoint's first trade to the window end), and the
+    per-ticker selection applies the qualification rules (>= 10 trades,
+    PF >= 1.1, WR >= 0.5) with the reference's (annualized PnL, total
+    profit, PF) argmax — grid order breaks exact ties.
+
+    Scale: the trade frame crossed with a 9-point constant grid
+    (bounded fan-out), one (ticker, gridpoint) groupBy, one
+    key-partitioned rank window. No UDF."""
+    from ..functions.scalars import hash_unit_interval
+
+    tr = _sleeve_trades_frame(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    cship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").cast("date").alias("close_d")
+    )
+    # _sleeve_trades_frame drops orderkey; rebuild with it
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("cq"), F.sum(net).alias("cnet"))
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    tr2 = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .join(cship, F.col("c.l_orderkey") == cship.l_orderkey)
+        .select(
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
+                "ticker"
+            ),
+            F.col("c.l_orderkey").alias("orderkey"),
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            "close_d",
+            (
+                0.5
+                + hash_unit_interval(F.lit("conf"), F.col("c.l_orderkey")) / 2
+            ).alias("conf"),
+            (
+                hash_unit_interval(F.lit("er"), F.col("c.l_orderkey")) * 0.004
+            ).alias("exp_ret"),
+        )
+        .localCheckpoint()
+    )
+    wend = tr2.agg(F.max("close_d").alias("window_end"))
+    grid = spark.createDataFrame(
+        [(c_, r_) for c_ in _TSW_GRID_CONF for r_ in _TSW_GRID_RET],
+        ["conf_thr", "ret_thr"],
+    )
+    dec = "decimal(28,6)"
+    gp = (
+        tr2.crossJoin(F.broadcast(grid))
+        .filter(
+            (F.col("conf") >= F.col("conf_thr"))
+            & (F.col("exp_ret") >= F.col("ret_thr"))
+        )
+        .groupBy("ticker", "conf_thr", "ret_thr")
+        .agg(
+            F.count(F.lit(1)).alias("total_trades"),
+            F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias(
+                "win_rate"
+            ),
+            F.sum(
+                F.when(F.col("pnl") > 0, F.col("pnl").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            )
+            .cast("double")
+            .alias("gross_profit"),
+            F.sum(
+                F.when(
+                    F.col("pnl") < 0, F.abs(F.col("pnl")).cast(dec)
+                ).otherwise(F.lit(0).cast(dec))
+            )
+            .cast("double")
+            .alias("gross_loss"),
+            F.min("close_d").alias("first_trade_d"),
+        )
+    )
+    pf = (
+        F.when(
+            F.col("gross_loss") > 0,
+            F.least(
+                F.col("gross_profit") / F.col("gross_loss"), F.lit(_ELG_SENT)
+            ),
+        )
+        .when(F.col("gross_profit") > 0, _ELG_SENT)
+        .otherwise(0.0)
+    )
+    gp2 = gp.crossJoin(F.broadcast(wend)).select(
+        "*",
+        pf.alias("profit_factor"),
+        (F.col("gross_profit") - F.col("gross_loss")).alias("total_profit"),
+        (
+            (F.col("gross_profit") - F.col("gross_loss"))
+            * (
+                365.0
+                / F.greatest(
+                    F.datediff("window_end", "first_trade_d"), F.lit(1)
+                )
+            )
+        ).alias("annualized_pnl"),
+    )
+
+    def out(df, rtype):
+        return df.select(
+            F.lit(rtype).alias("record_type"),
+            "ticker",
+            "conf_thr",
+            "ret_thr",
+            "total_trades",
+            r6(F.col("win_rate")).alias("win_rate"),
+            r6(F.col("profit_factor")).alias("profit_factor"),
+            r6(F.col("total_profit")).alias("total_profit"),
+            r6(F.col("annualized_pnl")).alias("annualized_pnl"),
+        )
+
+    sel = (
+        gp2.filter(
+            (F.col("total_trades") >= _TSW_MIN_TRADES)
+            & (F.col("profit_factor") >= _TSW_MIN_PF)
+            & (F.col("win_rate") >= _TSW_MIN_WR)
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("ticker").orderBy(
+                    F.col("annualized_pnl").desc(),
+                    F.col("total_profit").desc(),
+                    F.col("profit_factor").desc(),
+                    F.col("conf_thr").asc(),
+                    F.col("ret_thr").asc(),
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return out(gp2, "gridpoint").unionByName(out(sel, "selection"))
