@@ -4906,3 +4906,154 @@ def platt_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("metric_c"),
     )
     return findings.unionByName(overall)
+
+
+# ---------------------------------------------------------------------------
+# Forecast model comparison (per-ticker model aggregates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_model_comparison",
+    oracle=f"""
+    {_AUDIT_SQL},
+    da AS (
+      SELECT user_id,
+             CAST(FLOOR((rn - 11) / {_ESAFE_BLOCK}) AS INT) AS audit_id,
+             AVG(CASE WHEN (prev - prev) * (value - prev) > 0
+                      THEN 1.0 ELSE 0.0 END) AS da_n,
+             AVG(CASE WHEN (f_ma3 - prev) * (value - prev) > 0
+                      THEN 1.0 ELSE 0.0 END) AS da_3,
+             AVG(CASE WHEN (f_ma10 - prev) * (value - prev) > 0
+                      THEN 1.0 ELSE 0.0 END) AS da_10,
+             AVG(CASE WHEN ((prev + f_ma3 + f_ma10) / 3.0 - prev)
+                           * (value - prev) > 0
+                      THEN 1.0 ELSE 0.0 END) AS da_e
+      FROM f
+      GROUP BY user_id, CAST(FLOOR((rn - 11) / {_ESAFE_BLOCK}) AS INT)
+      HAVING COUNT(*) = {_ESAFE_BLOCK}
+    ),
+    m AS (
+      SELECT a.user_id,
+             COUNT(*) AS n_windows,
+             AVG(a.r_n) AS rmse_naive, AVG(a.r_3) AS rmse_ma3,
+             AVG(a.r_10) AS rmse_ma10, AVG(a.r_e) AS rmse_ensemble,
+             AVG(d.da_n) AS da_naive, AVG(d.da_3) AS da_ma3,
+             AVG(d.da_10) AS da_ma10, AVG(d.da_e) AS da_ensemble
+      FROM a JOIN da d ON d.user_id = a.user_id AND d.audit_id = a.audit_id
+      GROUP BY a.user_id
+    )
+    SELECT user_id, CAST(n_windows AS BIGINT) AS n_windows,
+           ROUND(rmse_naive, 6) AS rmse_naive,
+           ROUND(rmse_ma3, 6) AS rmse_ma3,
+           ROUND(rmse_ma10, 6) AS rmse_ma10,
+           ROUND(rmse_ensemble, 6) AS rmse_ensemble,
+           ROUND(da_naive, 6) AS da_naive,
+           ROUND(da_ma3, 6) AS da_ma3,
+           ROUND(da_ma10, 6) AS da_ma10,
+           ROUND(da_ensemble, 6) AS da_ensemble,
+           CASE WHEN rmse_naive <= rmse_ma3 AND rmse_naive <= rmse_ma10
+                     AND rmse_naive <= rmse_ensemble THEN 'naive'
+                WHEN rmse_ma3 <= rmse_ma10 AND rmse_ma3 <= rmse_ensemble
+                THEN 'ma3'
+                WHEN rmse_ma10 <= rmse_ensemble THEN 'ma10'
+                ELSE 'ensemble' END AS best_model,
+           ROUND((LEAST(rmse_naive, rmse_ma3, rmse_ma10) - rmse_ensemble)
+                 / LEAST(rmse_naive, rmse_ma3, rmse_ma10) * 100.0, 6)
+             AS ensemble_improvement_pct
+    FROM m
+    """,
+)
+def forecast_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker model comparison — reference
+    `scripts/compare_forecast_models.py:36-160` (`_aggregate_by_ticker`
+    + the report): mean RMSE and mean directional accuracy per model
+    type across a ticker's forecast windows, the best model by mean
+    RMSE (deterministic tie order naive < ma3 < ma10 < ensemble) and
+    the ensemble's improvement over the best single model as a
+    percentage (the script's headline column).
+
+    Scale: one window pass + two (key, window) aggregations joined on
+    their co-partitioned key. No UDF."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    def da(pred):
+        return F.avg(
+            F.when(
+                (pred - F.col("prev")) * (F.col("value") - F.col("prev")) > 0,
+                1.0,
+            ).otherwise(0.0)
+        )
+
+    ens = (F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0
+    a = (
+        f.withColumn(
+            "audit_id", F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int")
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse(ens).alias("r_e"),
+            da(F.col("prev")).alias("da_n"),
+            da(F.col("f_ma3")).alias("da_3"),
+            da(F.col("f_ma10")).alias("da_10"),
+            da(ens).alias("da_e"),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    m = a.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.avg("r_n").alias("rmse_naive"),
+        F.avg("r_3").alias("rmse_ma3"),
+        F.avg("r_10").alias("rmse_ma10"),
+        F.avg("r_e").alias("rmse_ensemble"),
+        F.avg("da_n").alias("da_naive"),
+        F.avg("da_3").alias("da_ma3"),
+        F.avg("da_10").alias("da_ma10"),
+        F.avg("da_e").alias("da_ensemble"),
+    )
+    best_single = F.least("rmse_naive", "rmse_ma3", "rmse_ma10")
+    return m.select(
+        "user_id",
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+        r6(F.col("rmse_naive")).alias("rmse_naive"),
+        r6(F.col("rmse_ma3")).alias("rmse_ma3"),
+        r6(F.col("rmse_ma10")).alias("rmse_ma10"),
+        r6(F.col("rmse_ensemble")).alias("rmse_ensemble"),
+        r6(F.col("da_naive")).alias("da_naive"),
+        r6(F.col("da_ma3")).alias("da_ma3"),
+        r6(F.col("da_ma10")).alias("da_ma10"),
+        r6(F.col("da_ensemble")).alias("da_ensemble"),
+        F.when(
+            (F.col("rmse_naive") <= F.col("rmse_ma3"))
+            & (F.col("rmse_naive") <= F.col("rmse_ma10"))
+            & (F.col("rmse_naive") <= F.col("rmse_ensemble")),
+            "naive",
+        )
+        .when(
+            (F.col("rmse_ma3") <= F.col("rmse_ma10"))
+            & (F.col("rmse_ma3") <= F.col("rmse_ensemble")),
+            "ma3",
+        )
+        .when(F.col("rmse_ma10") <= F.col("rmse_ensemble"), "ma10")
+        .otherwise("ensemble")
+        .alias("best_model"),
+        r6(
+            (best_single - F.col("rmse_ensemble")) / best_single * 100.0
+        ).alias("ensemble_improvement_pct"),
+    )

@@ -4016,3 +4016,219 @@ def ts_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
     )
     return out(gp2, "gridpoint").unionByName(out(sel, "selection"))
+
+
+# ---------------------------------------------------------------------------
+# Quant-validation summary (tier ladder over per-day validation entries)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/summarize_quant_validation.py:29-258`: per-ticker
+# median metrics over validation entries (profit factor, win rate,
+# annual return), PASS/FAIL censuses, the failed-criteria counter, and
+# the GREEN / YELLOW / RED tier ladder (production thresholds gate
+# GREEN, softer research thresholds gate YELLOW) with production-driven
+# alert codes. The engine's validation entry is one (ticker, close-day)
+# run over that day's closed trades.
+_QVS_MIN_PF = 1.3
+_QVS_MIN_WR = 0.45
+_QVS_MIN_AR = 0.0
+_QVS_MIN_PASS = 0.5
+_QVS_WARN_PF = 1.1
+_QVS_WARN_WR = 0.40
+_QVS_WARN_AR = -0.05
+_QVS_WARN_PASS = 0.4
+_QVS_CAPITAL = 1_000_000.0
+
+
+@query(
+    "quant_validation_summary",
+    oracle=f"""
+    {_ELG_SQL.replace('      cls AS', '      cls_unused AS')},
+    entries AS (
+      SELECT t.ticker, c2.close_d,
+             CAST(COUNT(*) AS BIGINT) AS n_trades,
+             AVG(CASE WHEN t.pnl > 0 THEN 1.0 ELSE 0.0 END) AS wr,
+             CASE WHEN CAST(SUM(CASE WHEN t.pnl < 0
+                             THEN CAST(ABS(t.pnl) AS DECIMAL(28,6))
+                             ELSE 0 END) AS DOUBLE) > 0
+                  THEN LEAST(CAST(SUM(CASE WHEN t.pnl > 0
+                                   THEN CAST(t.pnl AS DECIMAL(28,6))
+                                   ELSE 0 END) AS DOUBLE)
+                             / CAST(SUM(CASE WHEN t.pnl < 0
+                                     THEN CAST(ABS(t.pnl) AS DECIMAL(28,6))
+                                     ELSE 0 END) AS DOUBLE), {_ELG_SENT!r})
+                  WHEN CAST(SUM(CASE WHEN t.pnl > 0
+                               THEN CAST(t.pnl AS DECIMAL(28,6))
+                               ELSE 0 END) AS DOUBLE) > 0
+                  THEN {_ELG_SENT!r} ELSE 0.0 END AS pf,
+             CAST(SUM(CAST(t.pnl AS DECIMAL(28,6))) AS DOUBLE)
+               / {_QVS_CAPITAL} * 365.0 AS ar,
+             CASE WHEN CAST(SUM(CAST(t.pnl AS DECIMAL(28,6))) AS DOUBLE) > 0
+                  THEN 'PASS' ELSE 'FAIL' END AS status
+      FROM trades t
+      JOIN (SELECT l.l_orderkey, CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+            FROM lineitem l
+            JOIN mx ON mx.l_orderkey = l.l_orderkey
+                   AND l.l_linenumber = mx.maxline
+            GROUP BY l.l_orderkey) c2
+        ON c2.l_orderkey = t.orderkey
+      GROUP BY t.ticker, c2.close_d
+    ),
+    per AS (
+      SELECT ticker,
+             CAST(COUNT(*) AS BIGINT) AS n_entries,
+             CAST(SUM(CASE WHEN status = 'PASS' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pass_count,
+             CAST(SUM(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_count,
+             QUANTILE_CONT(pf, 0.5) AS med_pf,
+             QUANTILE_CONT(wr, 0.5) AS med_wr,
+             QUANTILE_CONT(ar, 0.5) AS med_ar
+      FROM entries GROUP BY ticker
+    ),
+    tiered AS (
+      SELECT *,
+             CAST(pass_count AS DOUBLE) / n_entries AS pass_rate,
+             (med_pf >= {_QVS_MIN_PF} AND med_wr >= {_QVS_MIN_WR}
+              AND med_ar >= {_QVS_MIN_AR}
+              AND CAST(pass_count AS DOUBLE) / n_entries >= {_QVS_MIN_PASS})
+               AS production_ok,
+             (med_pf >= {_QVS_WARN_PF} AND med_wr >= {_QVS_WARN_WR}
+              AND med_ar >= {_QVS_WARN_AR}
+              AND CAST(pass_count AS DOUBLE) / n_entries >= {_QVS_WARN_PASS})
+               AS research_ok
+      FROM per
+    )
+    SELECT ticker, n_entries, pass_count, fail_count,
+           ROUND(med_pf, 6) AS median_profit_factor,
+           ROUND(med_wr, 6) AS median_win_rate,
+           ROUND(med_ar, 6) AS median_annual_return,
+           ROUND(pass_rate, 6) AS pass_rate,
+           CASE WHEN production_ok THEN 'GREEN'
+                WHEN research_ok THEN 'YELLOW' ELSE 'RED' END AS tier,
+           CONCAT_WS(',',
+             CASE WHEN med_pf < {_QVS_MIN_PF} THEN 'PF<min' END,
+             CASE WHEN med_wr < {_QVS_MIN_WR} THEN 'WR<min' END,
+             CASE WHEN med_ar < {_QVS_MIN_AR} THEN 'AnnRet<min' END,
+             CASE WHEN pass_rate < {_QVS_MIN_PASS}
+                  THEN 'PASS_rate<min' END) AS alerts
+    FROM tiered
+    """,
+)
+def quant_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker quant-validation rollup — reference
+    `scripts/summarize_quant_validation.py:82-258`: median profit
+    factor / win rate / annual return over validation entries (here one
+    entry per ticker-day of closed trades), PASS/FAIL counts and pass
+    rate, the GREEN/YELLOW/RED tier ladder (production thresholds gate
+    GREEN, the softer research rung gates YELLOW) and the
+    production-threshold alert codes.
+
+    Scale: one (ticker, day) groupBy + one per-ticker median
+    aggregation. No UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").cast("date").alias("close_d"),
+        )
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    trades = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
+                "ticker"
+            ),
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            "close_d",
+        )
+    )
+    dec = "decimal(28,6)"
+    gp = F.sum(
+        F.when(F.col("pnl") > 0, F.col("pnl").cast(dec)).otherwise(
+            F.lit(0).cast(dec)
+        )
+    ).cast("double")
+    gl = F.sum(
+        F.when(F.col("pnl") < 0, F.abs(F.col("pnl")).cast(dec)).otherwise(
+            F.lit(0).cast(dec)
+        )
+    ).cast("double")
+    tot = F.sum(F.col("pnl").cast(dec)).cast("double")
+    entries = trades.groupBy("ticker", "close_d").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias("wr"),
+        F.when(gl > 0, F.least(gp / gl, F.lit(_ELG_SENT)))
+        .when(gp > 0, _ELG_SENT)
+        .otherwise(0.0)
+        .alias("pf"),
+        (tot / _QVS_CAPITAL * 365.0).alias("ar"),
+        F.when(tot > 0, "PASS").otherwise("FAIL").alias("status"),
+    )
+    per = entries.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum((F.col("status") == "PASS").cast("int"))
+        .cast("bigint")
+        .alias("pass_count"),
+        F.sum((F.col("status") == "FAIL").cast("int"))
+        .cast("bigint")
+        .alias("fail_count"),
+        F.expr("percentile(pf, 0.5)").alias("med_pf"),
+        F.expr("percentile(wr, 0.5)").alias("med_wr"),
+        F.expr("percentile(ar, 0.5)").alias("med_ar"),
+    )
+    pass_rate = F.col("pass_count").cast("double") / F.col("n_entries")
+    production_ok = (
+        (F.col("med_pf") >= _QVS_MIN_PF)
+        & (F.col("med_wr") >= _QVS_MIN_WR)
+        & (F.col("med_ar") >= _QVS_MIN_AR)
+        & (pass_rate >= _QVS_MIN_PASS)
+    )
+    research_ok = (
+        (F.col("med_pf") >= _QVS_WARN_PF)
+        & (F.col("med_wr") >= _QVS_WARN_WR)
+        & (F.col("med_ar") >= _QVS_WARN_AR)
+        & (pass_rate >= _QVS_WARN_PASS)
+    )
+    return per.select(
+        "ticker",
+        "n_entries",
+        "pass_count",
+        "fail_count",
+        r6(F.col("med_pf")).alias("median_profit_factor"),
+        r6(F.col("med_wr")).alias("median_win_rate"),
+        r6(F.col("med_ar")).alias("median_annual_return"),
+        r6(pass_rate).alias("pass_rate"),
+        F.when(production_ok, "GREEN")
+        .when(research_ok, "YELLOW")
+        .otherwise("RED")
+        .alias("tier"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("med_pf") < _QVS_MIN_PF, "PF<min"),
+            F.when(F.col("med_wr") < _QVS_MIN_WR, "WR<min"),
+            F.when(F.col("med_ar") < _QVS_MIN_AR, "AnnRet<min"),
+            F.when(pass_rate < _QVS_MIN_PASS, "PASS_rate<min"),
+        ).alias("alerts"),
+    )
