@@ -18,6 +18,8 @@ can break — see `plans/queries.py` docstring).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2924,3 +2926,359 @@ def strategy_significance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("mean_d") < 0, "model_1").otherwise("model_2"),
         ).alias("better_model"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral density profile (periodogram)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "spectral_density_profile",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    x AS (
+      SELECT user_id, rn, value,
+             value - AVG(value) OVER (PARTITION BY user_id) AS xc,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM s
+    ),
+    freqs AS (
+      SELECT DISTINCT user_id, n, k
+      FROM x, (SELECT UNNEST(RANGE(1, 201)) AS k)
+      WHERE k <= n // 2
+    ),
+    dft AS (
+      SELECT f.user_id, f.k, f.n,
+             SUM(x.xc * COS(2 * PI() * f.k * (x.rn - 1) / f.n)) AS re,
+             SUM(x.xc * SIN(2 * PI() * f.k * (x.rn - 1) / f.n)) AS im
+      FROM freqs f
+      JOIN x ON x.user_id = f.user_id
+      GROUP BY f.user_id, f.k, f.n
+    ),
+    psd AS (
+      SELECT user_id, k, n,
+             ROUND(k * 1.0 / n, 6) AS frequency,
+             ROUND((re * re + im * im) / n, 6) AS power
+      FROM dft
+    ),
+    dom AS (
+      SELECT user_id, k AS dom_k,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY power DESC, k ASC) AS rk
+      FROM psd
+    )
+    SELECT p.user_id, p.k, p.frequency, p.power,
+           ROUND(p.n * 1.0 / p.k, 6) AS period,
+           CAST(p.k = d.dom_k AS INTEGER) AS is_dominant
+    FROM psd p
+    JOIN (SELECT user_id, dom_k FROM dom WHERE rk = 1) d
+      ON d.user_id = p.user_id
+    """,
+)
+def spectral_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain profile — reference
+    `etl/visualizer.py:441-493` (`plot_spectral_density`): the power
+    spectral density S(f) = |DFT(x)|^2/n of each key's demeaned series
+    at the Fourier frequencies k/n (k = 1..n/2), with the dominant
+    frequency flagged (argmax over the rounded powers, smallest-k
+    tie-break) and the implied period. The reference plots Welch's
+    averaged estimate; the engine computes the single-segment
+    (boxcar) periodogram Welch reduces to when nperseg = n —
+    documented divergence, the dominant-frequency semantics match.
+
+    Scale: the frequency fan-out is bounded (k <= n/2 <= 200 per key)
+    and the DFT sums are per-(key, k) partial aggregations — O(n^2/2)
+    work per key with bounded n per key, shuffled once on the key.
+    No UDF, no FFT library."""
+    s = _series(spark, sf_dir)
+    wk = Window.partitionBy("user_id")
+    x = s.select(
+        "user_id",
+        "rn",
+        (F.col("value") - F.avg("value").over(wk)).alias("xc"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    ks = spark.range(1, 201).select(F.col("id").cast("int").alias("k"))
+    freqs = (
+        x.select("user_id", "n")
+        .distinct()
+        .join(F.broadcast(ks), F.col("k") <= F.col("n") / 2)
+    )
+    dft = (
+        freqs.join(x.withColumnRenamed("n", "n2"), "user_id")
+        .groupBy("user_id", "k", "n")
+        .agg(
+            F.sum(
+                F.col("xc")
+                * F.cos(
+                    2 * math.pi * F.col("k") * (F.col("rn") - 1) / F.col("n")
+                )
+            ).alias("re"),
+            F.sum(
+                F.col("xc")
+                * F.sin(
+                    2 * math.pi * F.col("k") * (F.col("rn") - 1) / F.col("n")
+                )
+            ).alias("im"),
+        )
+    )
+    psd = dft.select(
+        "user_id",
+        "k",
+        "n",
+        F.round(F.col("k") / F.col("n"), 6).alias("frequency"),
+        F.round(
+            (F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+            / F.col("n"),
+            6,
+        ).alias("power"),
+    )
+    dom = (
+        psd.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("power").desc(), F.col("k").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("k").alias("dom_k"))
+    )
+    return psd.join(dom, "user_id").select(
+        "user_id",
+        "k",
+        "frequency",
+        "power",
+        F.round(F.col("n") / F.col("k"), 6).alias("period"),
+        (F.col("k") == F.col("dom_k")).cast("int").alias("is_dominant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-analysis profile (normal fit + QQ deciles + box-plot fences)
+# ---------------------------------------------------------------------------
+
+# Inverse normal CDF (Acklam's rational approximation, |eps| < 1.15e-9) —
+# evaluated identically by both engines on the same rational arithmetic.
+# Used for the QQ-plot's theoretical quantiles; the reference calls
+# scipy.stats.probplot.
+_PPF_SQL = """(
+  CASE WHEN {p} < 0.02425 THEN
+    (((((-7.784894002430293e-03 * q1 - 3.223964580411365e-01) * q1
+        - 2.400758277161838e+00) * q1 - 2.549732539343734e+00) * q1
+        + 4.374664141464968e+00) * q1 + 2.938163982698783e+00)
+    / ((((7.784695709041462e-03 * q1 + 3.224671290700398e-01) * q1
+        + 2.445134137142996e+00) * q1 + 3.754408661907416e+00) * q1 + 1.0)
+  WHEN {p} > 0.97575 THEN
+    -((((( -7.784894002430293e-03 * q2 - 3.223964580411365e-01) * q2
+        - 2.400758277161838e+00) * q2 - 2.549732539343734e+00) * q2
+        + 4.374664141464968e+00) * q2 + 2.938163982698783e+00)
+    / ((((7.784695709041462e-03 * q2 + 3.224671290700398e-01) * q2
+        + 2.445134137142996e+00) * q2 + 3.754408661907416e+00) * q2 + 1.0)
+  ELSE
+    (((((-3.969683028665376e+01 * r + 2.209460984245205e+02) * r
+        - 2.759285104469687e+02) * r + 1.383577518672690e+02) * r
+        - 3.066479806614716e+01) * r + 2.506628277459239e+00) * qm
+    / (((((-5.447609879822406e+01 * r + 1.615858368580409e+02) * r
+        - 1.556989798598866e+02) * r + 6.680131188771972e+01) * r
+        - 1.328068155288572e+01) * r + 1.0)
+  END
+)"""
+
+
+def _ppf_sql(p: str) -> str:
+    return _PPF_SQL.format(p=p)
+
+
+def _ppf_col(p):
+    """Acklam inverse-normal-CDF as a Column expression (twin of _PPF_SQL)."""
+    q1 = F.sqrt(-2.0 * F.log(p))
+    q2 = F.sqrt(-2.0 * F.log(1.0 - p))
+    qm = p - 0.5
+    r = qm * qm
+    lo = (
+        ((((-7.784894002430293e-03 * q1 - 3.223964580411365e-01) * q1
+           - 2.400758277161838e+00) * q1 - 2.549732539343734e+00) * q1
+         + 4.374664141464968e+00) * q1 + 2.938163982698783e+00
+    ) / (
+        (((7.784695709041462e-03 * q1 + 3.224671290700398e-01) * q1
+          + 2.445134137142996e+00) * q1 + 3.754408661907416e+00) * q1 + 1.0
+    )
+    hi = -(
+        ((((-7.784894002430293e-03 * q2 - 3.223964580411365e-01) * q2
+           - 2.400758277161838e+00) * q2 - 2.549732539343734e+00) * q2
+         + 4.374664141464968e+00) * q2 + 2.938163982698783e+00
+    ) / (
+        (((7.784695709041462e-03 * q2 + 3.224671290700398e-01) * q2
+          + 2.445134137142996e+00) * q2 + 3.754408661907416e+00) * q2 + 1.0
+    )
+    mid = (
+        ((((-3.969683028665376e+01 * r + 2.209460984245205e+02) * r
+           - 2.759285104469687e+02) * r + 1.383577518672690e+02) * r
+         - 3.066479806614716e+01) * r + 2.506628277459239e+00
+    ) * qm / (
+        ((((-5.447609879822406e+01 * r + 1.615858368580409e+02) * r
+           - 1.556989798598866e+02) * r + 6.680131188771972e+01) * r
+         - 1.328068155288572e+01) * r + 1.0
+    )
+    return F.when(p < 0.02425, lo).when(p > 0.97575, hi).otherwise(mid)
+
+
+@query(
+    "distribution_analysis_profile",
+    oracle=f"""
+    WITH s AS ({_S_SQL}),
+    stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(value) AS mu, STDDEV_SAMP(value) AS sigma,
+             MIN(value) AS vmin, MAX(value) AS vmax,
+             QUANTILE_CONT(value, 0.1) AS q10v,
+             QUANTILE_CONT(value, 0.25) AS q1v,
+             QUANTILE_CONT(value, 0.5) AS medv,
+             QUANTILE_CONT(value, 0.75) AS q3v,
+             QUANTILE_CONT(value, 0.9) AS q90v
+      FROM s GROUP BY user_id
+    ),
+    fences AS (
+      SELECT *, q3v - q1v AS iqr,
+             q1v - 1.5 * (q3v - q1v) AS lo_fence,
+             q3v + 1.5 * (q3v - q1v) AS hi_fence
+      FROM stats
+    ),
+    outl AS (
+      SELECT s.user_id,
+             CAST(SUM(CASE WHEN s.value < f.lo_fence THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers_low,
+             CAST(SUM(CASE WHEN s.value > f.hi_fence THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers_high
+      FROM s JOIN fences f ON f.user_id = s.user_id
+      GROUP BY s.user_id
+    ),
+    dec AS (
+      SELECT user_id, 0.1 AS p, ROUND(q10v, 6) AS sample_q FROM fences
+      UNION ALL SELECT user_id, 0.25, ROUND(q1v, 6) FROM fences
+      UNION ALL SELECT user_id, 0.5, ROUND(medv, 6) FROM fences
+      UNION ALL SELECT user_id, 0.75, ROUND(q3v, 6) FROM fences
+      UNION ALL SELECT user_id, 0.9, ROUND(q90v, 6) FROM fences
+    ),
+    qq AS (
+      SELECT d.user_id, d.p, d.sample_q,
+             ROUND(f.mu + f.sigma * {_ppf_sql('d.p')}, 6) AS normal_q
+      FROM (
+        SELECT *, SQRT(-2.0 * LN(p)) AS q1, SQRT(-2.0 * LN(1.0 - p)) AS q2,
+               (p - 0.5) * (p - 0.5) AS r, p - 0.5 AS qm
+        FROM dec
+      ) d JOIN fences f ON f.user_id = d.user_id
+    )
+    SELECT 'stats' AS record_type, f.user_id,
+           CAST(NULL AS DOUBLE) AS p,
+           CAST(f.n AS DOUBLE) AS metric_a,
+           ROUND(f.mu, 6) AS metric_b,
+           ROUND(f.sigma, 6) AS metric_c,
+           ROUND(f.iqr, 6) AS metric_d,
+           CAST(o.n_outliers_low AS DOUBLE) AS metric_e,
+           CAST(o.n_outliers_high AS DOUBLE) AS metric_f
+    FROM fences f JOIN outl o ON o.user_id = f.user_id
+    UNION ALL
+    SELECT 'qq', user_id, p, sample_q, normal_q,
+           ROUND(sample_q - normal_q, 6), NULL, NULL, NULL
+    FROM qq
+    """,
+)
+def distribution_analysis_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-analysis panel data — reference
+    `etl/visualizer.py:162-262` (`plot_distribution_analysis`): the
+    per-key normal fit (mu, sigma), box-plot five-number summary with
+    1.5-IQR fences and the low/high outlier censuses, and the QQ-plot
+    pairs (sample quantile vs the normal-fit theoretical quantile at
+    p in {{0.1, 0.25, 0.5, 0.75, 0.9}}) with their deviation — scipy's
+    probplot replaced by the Acklam inverse-normal-CDF rational
+    approximation both engines evaluate identically.
+
+    Scale: two bounded per-key aggregations + a constant 5-point
+    quantile fan-out. No UDF."""
+    s = _series(spark, sf_dir)
+    stats = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.expr("percentile(value, 0.1)").alias("q10v"),
+        F.expr("percentile(value, 0.25)").alias("q1v"),
+        F.expr("percentile(value, 0.5)").alias("medv"),
+        F.expr("percentile(value, 0.75)").alias("q3v"),
+        F.expr("percentile(value, 0.9)").alias("q90v"),
+    )
+    fences = stats.select(
+        "*",
+        (F.col("q3v") - F.col("q1v")).alias("iqr"),
+        (F.col("q1v") - 1.5 * (F.col("q3v") - F.col("q1v"))).alias("lo_fence"),
+        (F.col("q3v") + 1.5 * (F.col("q3v") - F.col("q1v"))).alias("hi_fence"),
+    )
+    outl = (
+        s.join(fences.select("user_id", "lo_fence", "hi_fence"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("value") < F.col("lo_fence")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers_low"),
+            F.sum((F.col("value") > F.col("hi_fence")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers_high"),
+        )
+    )
+    qpairs = [
+        (0.1, "q10v"), (0.25, "q1v"), (0.5, "medv"),
+        (0.75, "q3v"), (0.9, "q90v"),
+    ]
+    dec = fences.select(
+        "user_id",
+        "mu",
+        "sigma",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pv).alias("p"),
+                        F.round(F.col(cn), 6).alias("sample_q"),
+                    )
+                    for pv, cn in qpairs
+                ]
+            )
+        ).alias("q"),
+    ).select("user_id", "mu", "sigma", "q.p", "q.sample_q")
+    qq = dec.select(
+        "user_id",
+        "p",
+        "sample_q",
+        F.round(
+            F.col("mu") + F.col("sigma") * _ppf_col(F.col("p")), 6
+        ).alias("normal_q"),
+    )
+    srow = fences.join(outl, "user_id").select(
+        F.lit("stats").alias("record_type"),
+        "user_id",
+        F.lit(None).cast("double").alias("p"),
+        F.col("n").cast("double").alias("metric_a"),
+        F.round("mu", 6).alias("metric_b"),
+        F.round("sigma", 6).alias("metric_c"),
+        F.round("iqr", 6).alias("metric_d"),
+        F.col("n_outliers_low").cast("double").alias("metric_e"),
+        F.col("n_outliers_high").cast("double").alias("metric_f"),
+    )
+    qrow = qq.select(
+        F.lit("qq").alias("record_type"),
+        "user_id",
+        "p",
+        F.col("sample_q").alias("metric_a"),
+        F.col("normal_q").alias("metric_b"),
+        F.round(F.col("sample_q") - F.col("normal_q"), 6).alias("metric_c"),
+        F.lit(None).cast("double").alias("metric_d"),
+        F.lit(None).cast("double").alias("metric_e"),
+        F.lit(None).cast("double").alias("metric_f"),
+    )
+    return srow.unionByName(qrow)
