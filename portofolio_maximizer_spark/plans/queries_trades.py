@@ -4232,3 +4232,360 @@ def quant_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(pass_rate < _QVS_MIN_PASS, "PASS_rate<min"),
         ).alias("alerts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Barbell PnL evaluation (baseline vs barbell-sized arms)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/run_barbell_pnl_evaluation.py:122-387`: the
+# trade-history replay runs TWO arms — baseline (raw realized PnL) and
+# barbell-sized (PnL scaled by the bucket multiplier before
+# accumulation) — each producing trade stats, the sequential equity
+# curve with its max drawdown (`_max_drawdown`, `:144-154`), and the
+# distribution metrics over sequential equity-relative trade returns
+# (`_augment_distribution_metrics`, `:163-252`: NGN-hurdle omega, raw
+# payoff asymmetry, 10%-tail expected shortfall). The delta row carries
+# the sized-minus-baseline comparison the evaluation exists to make.
+# Bucket multipliers are the deployment-style barbell sizing set.
+_BPE_MULT = {"safe": 1.2, "core": 1.0, "speculative": 0.6}
+_BPE_CAPITAL = 1_000_000.0
+
+
+@query(
+    "barbell_pnl_evaluation",
+    oracle=f"""
+    {_ELG_SQL.replace('      cls AS', '      cls_unused AS')},
+    tr3 AS (
+      SELECT t.ticker, t.orderkey, t.pnl,
+             c2.close_d,
+             CASE WHEN CAST(SUBSTR(t.ticker, 2) AS INTEGER) < 8
+                  THEN {_BPE_MULT['safe']!r}
+                  WHEN CAST(SUBSTR(t.ticker, 2) AS INTEGER) < 17
+                  THEN {_BPE_MULT['core']!r}
+                  ELSE {_BPE_MULT['speculative']!r} END AS mult
+      FROM trades t
+      JOIN (SELECT l.l_orderkey, CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+            FROM lineitem l
+            JOIN mx ON mx.l_orderkey = l.l_orderkey
+                   AND l.l_linenumber = mx.maxline
+            GROUP BY l.l_orderkey) c2 ON c2.l_orderkey = t.orderkey
+    ),
+    arms AS (
+      SELECT 'baseline' AS arm, ticker, orderkey, close_d, pnl FROM tr3
+      UNION ALL
+      SELECT 'barbell_sized', ticker, orderkey, close_d,
+             ROUND(pnl * mult, 6) FROM tr3
+    ),
+    eq AS (
+      SELECT arm, ticker, orderkey, close_d, pnl,
+             {_BPE_CAPITAL} + SUM(pnl) OVER w AS equity,
+             {_BPE_CAPITAL}
+               + COALESCE(SUM(pnl) OVER (PARTITION BY arm
+                   ORDER BY close_d, orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS equity_before
+      FROM arms
+      WINDOW w AS (PARTITION BY arm ORDER BY close_d, orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    eq2 AS (
+      SELECT *,
+             MAX(equity) OVER (PARTITION BY arm ORDER BY close_d, orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS peak,
+             pnl / CASE WHEN ABS(equity_before) > 1e-9
+                        THEN equity_before ELSE {_BPE_CAPITAL} END AS tret
+      FROM eq
+    ),
+    rr AS (
+      SELECT arm, tret,
+             ROW_NUMBER() OVER (PARTITION BY arm ORDER BY tret, orderkey)
+               AS rk_asc,
+             COUNT(*) OVER (PARTITION BY arm) AS n
+      FROM eq2
+    ),
+    summ2 AS (
+      SELECT e.arm,
+             CAST(COUNT(*) AS BIGINT) AS total_trades,
+             AVG(CASE WHEN e.pnl > 0 THEN 1.0 ELSE 0.0 END) AS win_rate,
+             CAST(SUM(CASE WHEN e.pnl > 0 THEN CAST(e.pnl AS DECIMAL(28,6))
+                           ELSE 0 END) AS DOUBLE) AS gross_profit,
+             CAST(SUM(CASE WHEN e.pnl < 0
+                           THEN CAST(ABS(e.pnl) AS DECIMAL(28,6))
+                           ELSE 0 END) AS DOUBLE) AS gross_loss,
+             MAX((e.peak - e.equity) / e.peak) AS max_drawdown,
+             SUM(GREATEST(e.tret - {_ELG_TAU!r}, 0.0)) AS o_gain,
+             SUM(GREATEST({_ELG_TAU!r} - e.tret, 0.0)) AS o_loss,
+             AVG(CASE WHEN e.tret > 0 THEN e.tret END) AS avg_win_r,
+             AVG(CASE WHEN e.tret < 0 THEN -e.tret END) AS avg_loss_r
+      FROM eq2 e GROUP BY e.arm
+    ),
+    es AS (
+      SELECT r.arm,
+             AVG(CASE WHEN r.rk_asc <= GREATEST(1, FLOOR(r.n * 0.10))
+                      THEN r.tret END) AS es_raw
+      FROM rr r GROUP BY r.arm
+    ),
+    m AS (
+      SELECT s.arm, s.total_trades,
+             ROUND(s.win_rate, 6) AS win_rate,
+             ROUND(s.gross_profit - s.gross_loss, 2) AS total_profit,
+             ROUND((s.gross_profit - s.gross_loss) / {_BPE_CAPITAL}, 6)
+               AS total_return_pct,
+             ROUND(CASE WHEN s.gross_loss > 0
+                        THEN LEAST(s.gross_profit / s.gross_loss,
+                                   {_ELG_SENT!r})
+                        WHEN s.gross_profit > 0 THEN {_ELG_SENT!r}
+                        ELSE 0.0 END, 6) AS profit_factor,
+             ROUND(s.max_drawdown, 6) AS max_drawdown,
+             ROUND(CASE WHEN s.o_loss = 0.0 THEN {_ELG_SENT!r}
+                        ELSE s.o_gain / s.o_loss END, 6) AS omega_ratio,
+             ROUND(CASE WHEN s.avg_loss_r IS NULL OR s.avg_loss_r = 0
+                        THEN {_ELG_SENT!r}
+                        ELSE COALESCE(s.avg_win_r, 0.0)
+                             / GREATEST(s.avg_loss_r, 1e-12) END, 6)
+               AS payoff_asymmetry,
+             ROUND(e.es_raw, 6) AS expected_shortfall
+      FROM summ2 s JOIN es e ON e.arm = s.arm
+    )
+    SELECT arm, total_trades, win_rate, total_profit, total_return_pct,
+           profit_factor, max_drawdown, omega_ratio, payoff_asymmetry,
+           expected_shortfall
+    FROM m
+    UNION ALL
+    SELECT 'delta',
+           MAX(CASE WHEN arm = 'barbell_sized' THEN total_trades END)
+             - MAX(CASE WHEN arm = 'baseline' THEN total_trades END),
+           ROUND(MAX(CASE WHEN arm = 'barbell_sized' THEN win_rate END)
+             - MAX(CASE WHEN arm = 'baseline' THEN win_rate END), 6),
+           ROUND(MAX(CASE WHEN arm = 'barbell_sized' THEN total_profit END)
+             - MAX(CASE WHEN arm = 'baseline' THEN total_profit END), 2),
+           ROUND(MAX(CASE WHEN arm = 'barbell_sized'
+                          THEN total_return_pct END)
+             - MAX(CASE WHEN arm = 'baseline' THEN total_return_pct END), 6),
+           ROUND(MAX(CASE WHEN arm = 'barbell_sized' THEN profit_factor END)
+             - MAX(CASE WHEN arm = 'baseline' THEN profit_factor END), 6),
+           ROUND(MAX(CASE WHEN arm = 'barbell_sized' THEN max_drawdown END)
+             - MAX(CASE WHEN arm = 'baseline' THEN max_drawdown END), 6),
+           ROUND(MAX(CASE WHEN arm = 'barbell_sized' THEN omega_ratio END)
+             - MAX(CASE WHEN arm = 'baseline' THEN omega_ratio END), 6),
+           ROUND(MAX(CASE WHEN arm = 'barbell_sized'
+                          THEN payoff_asymmetry END)
+             - MAX(CASE WHEN arm = 'baseline' THEN payoff_asymmetry END), 6),
+           ROUND(MAX(CASE WHEN arm = 'barbell_sized'
+                          THEN expected_shortfall END)
+             - MAX(CASE WHEN arm = 'baseline' THEN expected_shortfall END), 6)
+    FROM m
+    """,
+)
+def barbell_pnl_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-arm barbell PnL evaluation — reference
+    `scripts/run_barbell_pnl_evaluation.py:122-387,609-764`: the same
+    trade history replayed as the baseline arm and the barbell-sized
+    arm (bucket multiplier applied to each trade's PnL), each producing
+    win rate / profit factor / total return, the sequential equity
+    curve's max drawdown, and the distribution metrics over sequential
+    equity-relative trade returns (NGN-hurdle omega, raw payoff
+    asymmetry, 10%-tail expected shortfall), with the delta row the
+    gate consumes.
+
+    Scale: the equity ledger is inherently sequential (per-arm ordered
+    windows over the bounded TRADE grain, not raw rows) — the same
+    ledger class as the oracle-checked paper-trading replay; everything
+    else is bounded aggregation. No UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").cast("date").alias("close_d"),
+        )
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    sid = F.col("o_custkey") % 25
+    tr3 = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.concat(F.lit("T"), sid.cast("string")).alias("ticker"),
+            F.col("c.l_orderkey").alias("orderkey"),
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            "close_d",
+            F.when(sid < 8, _BPE_MULT["safe"])
+            .when(sid < 17, _BPE_MULT["core"])
+            .otherwise(_BPE_MULT["speculative"])
+            .alias("mult"),
+        )
+    )
+    arms = tr3.select(
+        F.lit("baseline").alias("arm"), "ticker", "orderkey", "close_d", "pnl"
+    ).unionByName(
+        tr3.select(
+            F.lit("barbell_sized").alias("arm"),
+            "ticker",
+            "orderkey",
+            "close_d",
+            F.round(F.col("pnl") * F.col("mult"), 6).alias("pnl"),
+        )
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("close_d", "orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wprev = (
+        Window.partitionBy("arm")
+        .orderBy("close_d", "orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    eq = arms.select(
+        "*",
+        (_BPE_CAPITAL + F.sum("pnl").over(w)).alias("equity"),
+        (
+            _BPE_CAPITAL + F.coalesce(F.sum("pnl").over(wprev), F.lit(0.0))
+        ).alias("equity_before"),
+    )
+    eq2 = eq.select(
+        "*",
+        F.max("equity").over(w).alias("peak"),
+        (
+            F.col("pnl")
+            / F.when(
+                F.abs(F.col("equity_before")) > 1e-9, F.col("equity_before")
+            ).otherwise(_BPE_CAPITAL)
+        ).alias("tret"),
+    )
+    dec = "decimal(28,6)"
+    summ2 = eq2.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("total_trades"),
+        F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias("win_rate"),
+        F.sum(
+            F.when(F.col("pnl") > 0, F.col("pnl").cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        )
+        .cast("double")
+        .alias("gross_profit"),
+        F.sum(
+            F.when(F.col("pnl") < 0, F.abs(F.col("pnl")).cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        )
+        .cast("double")
+        .alias("gross_loss"),
+        F.max((F.col("peak") - F.col("equity")) / F.col("peak")).alias(
+            "max_drawdown"
+        ),
+        F.sum(F.greatest(F.col("tret") - _ELG_TAU, F.lit(0.0))).alias(
+            "o_gain"
+        ),
+        F.sum(F.greatest(F.lit(_ELG_TAU) - F.col("tret"), F.lit(0.0))).alias(
+            "o_loss"
+        ),
+        F.avg(F.when(F.col("tret") > 0, F.col("tret"))).alias("avg_win_r"),
+        F.avg(F.when(F.col("tret") < 0, -F.col("tret"))).alias("avg_loss_r"),
+    )
+    rr = eq2.select(
+        "arm",
+        "tret",
+        F.row_number()
+        .over(Window.partitionBy("arm").orderBy("tret", "orderkey"))
+        .alias("rk_asc"),
+        F.count(F.lit(1)).over(Window.partitionBy("arm")).alias("n"),
+    )
+    es = rr.groupBy("arm").agg(
+        F.avg(
+            F.when(
+                F.col("rk_asc")
+                <= F.greatest(F.lit(1), F.floor(F.col("n") * 0.10)),
+                F.col("tret"),
+            )
+        ).alias("es_raw")
+    )
+    m = summ2.join(es, "arm").select(
+        "arm",
+        "total_trades",
+        r6(F.col("win_rate")).alias("win_rate"),
+        F.round(F.col("gross_profit") - F.col("gross_loss"), 2).alias(
+            "total_profit"
+        ),
+        r6(
+            (F.col("gross_profit") - F.col("gross_loss")) / _BPE_CAPITAL
+        ).alias("total_return_pct"),
+        r6(
+            F.when(
+                F.col("gross_loss") > 0,
+                F.least(
+                    F.col("gross_profit") / F.col("gross_loss"),
+                    F.lit(_ELG_SENT),
+                ),
+            )
+            .when(F.col("gross_profit") > 0, _ELG_SENT)
+            .otherwise(0.0)
+        ).alias("profit_factor"),
+        r6(F.col("max_drawdown")).alias("max_drawdown"),
+        r6(
+            F.when(F.col("o_loss") == 0.0, _ELG_SENT).otherwise(
+                F.col("o_gain") / F.col("o_loss")
+            )
+        ).alias("omega_ratio"),
+        r6(
+            F.when(
+                F.col("avg_loss_r").isNull() | (F.col("avg_loss_r") == 0),
+                _ELG_SENT,
+            ).otherwise(
+                F.coalesce(F.col("avg_win_r"), F.lit(0.0))
+                / F.greatest(F.col("avg_loss_r"), F.lit(1e-12))
+            )
+        ).alias("payoff_asymmetry"),
+        r6(F.col("es_raw")).alias("expected_shortfall"),
+    )
+
+    def pick(arm, col):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    delta = m.agg(
+        *[
+            (
+                F.round(
+                    pick("barbell_sized", cname) - pick("baseline", cname),
+                    2 if cname == "total_profit" else 6,
+                ).alias(cname)
+                if cname != "total_trades"
+                else (
+                    pick("barbell_sized", cname) - pick("baseline", cname)
+                ).alias(cname)
+            )
+            for cname in [
+                "total_trades",
+                "win_rate",
+                "total_profit",
+                "total_return_pct",
+                "profit_factor",
+                "max_drawdown",
+                "omega_ratio",
+                "payoff_asymmetry",
+                "expected_shortfall",
+            ]
+        ]
+    ).select(F.lit("delta").alias("arm"), "*")
+    return m.unionByName(delta.select(m.columns))
