@@ -1040,3 +1040,303 @@ def classifier_label_accumulation(
         .unionByName(crow("n_skipped_no_outcome", "n_skipped_no_outcome"))
         .unionByName(crow("n_skipped_duplicate", "n_skipped_duplicate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Family calibration report (per-model-family SNR gate telemetry)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/family_calibration_writer.py:32-470`
+# (`build_family_calibration_row`): per model family — signals seen,
+# SNR-gate and evidence-gate block counts, the observed-SNR percentile
+# summary (p5/p25/p50/p75/p95), the median forward return the BLOCKED
+# signals would have realized (the gate's opportunity-cost telemetry),
+# and the closed-trade attribution (count, total PnL, win rate); plus
+# the fleet analysis gate (>= 20 cycles, >= 2 regimes, >= 10 days
+# span). Families come from the signal's k band; SNR is the |price -
+# MA5| / sigma10 proxy; blocked-signal forward returns replay the
+# signal's own horizon.
+_FCW_MIN_CYCLES = 20
+_FCW_MIN_REGIMES = 2
+_FCW_MIN_DAYS = 10
+_FCW_SNR_BLOCK = 0.5
+
+
+@query(
+    "family_calibration_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(props->>'k' AS INTEGER) AS k,
+             CAST(ts AS DATE) AS d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS ma5,
+             STDDEV_SAMP(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS sd10,
+             ('0x' || SUBSTR(MD5('ev|' || CAST(event_id AS VARCHAR)), 1, 6))
+               ::BIGINT / 16777216.0 AS u
+      FROM events WHERE value > 0
+    ),
+    sig AS (
+      SELECT *,
+             CASE k % 4 WHEN 0 THEN 'SARIMAX' WHEN 1 THEN 'GARCH'
+                  WHEN 2 THEN 'SAMOSSA' ELSE 'MSSA_RL' END AS family,
+             CASE k % 3 WHEN 0 THEN 'TRENDING' WHEN 1 THEN 'RANGING'
+                  ELSE 'VOLATILE' END AS regime,
+             CASE WHEN sd10 > 0 THEN ABS(value - ma5) / sd10 END AS snr,
+             (k % 5) + 1 AS horizon
+      FROM s WHERE event_type = 'click' AND k IS NOT NULL
+    ),
+    sig2 AS (
+      SELECT g.*,
+             COALESCE(g.snr, 0.0) < {_FCW_SNR_BLOCK} AS blocked_by_snr,
+             g.u < 0.1 AS blocked_by_evidence,
+             CASE WHEN fwd.value IS NOT NULL AND g.value > 0
+                  THEN (fwd.value - g.value) / g.value END AS fwd_ret
+      FROM sig g
+      LEFT JOIN s fwd ON fwd.user_id = g.user_id
+                     AND fwd.rn = g.rn + (g.k % 5) + 1
+    ),
+    outc AS (
+      SELECT user_id, d, value AS exit_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, d
+                                ORDER BY ts, event_id) AS ork
+      FROM s WHERE event_type = 'purchase'
+    ),
+    closed AS (
+      SELECT g.family,
+             CAST(COUNT(*) AS BIGINT) AS closed_count,
+             ROUND(CAST(SUM(CAST(o.exit_value - g.value AS DECIMAL(28,6)))
+                   AS DOUBLE), 2) AS closed_total_pnl,
+             ROUND(AVG(CASE WHEN o.exit_value > g.value
+                            THEN 1.0 ELSE 0.0 END), 6) AS closed_win_rate
+      FROM sig2 g
+      JOIN outc o ON o.user_id = g.user_id AND o.d = g.d AND o.ork = 1
+      GROUP BY g.family
+    ),
+    fam AS (
+      SELECT family,
+             CAST(COUNT(*) AS BIGINT) AS signals_seen,
+             CAST(SUM(CASE WHEN blocked_by_snr THEN 1 ELSE 0 END)
+               AS BIGINT) AS blocked_by_snr,
+             CAST(SUM(CASE WHEN blocked_by_evidence THEN 1 ELSE 0 END)
+               AS BIGINT) AS blocked_by_evidence,
+             ROUND(QUANTILE_CONT(snr, 0.05), 6) AS snr_p5,
+             ROUND(QUANTILE_CONT(snr, 0.25), 6) AS snr_p25,
+             ROUND(QUANTILE_CONT(snr, 0.5), 6) AS snr_p50,
+             ROUND(QUANTILE_CONT(snr, 0.75), 6) AS snr_p75,
+             ROUND(QUANTILE_CONT(snr, 0.95), 6) AS snr_p95,
+             ROUND(QUANTILE_CONT(CASE WHEN blocked_by_snr
+                                      OR blocked_by_evidence
+                                 THEN fwd_ret END, 0.5), 6)
+               AS blocked_forward_return_median
+      FROM sig2 GROUP BY family
+    ),
+    gate AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS window_cycles,
+             CAST(COUNT(DISTINCT regime) AS BIGINT) AS regime_count,
+             DATEDIFF('day', MIN(d), MAX(d)) AS days_span
+      FROM sig2
+    )
+    SELECT f.family, f.signals_seen, f.blocked_by_snr,
+           f.blocked_by_evidence, f.snr_p5, f.snr_p25, f.snr_p50,
+           f.snr_p75, f.snr_p95, f.blocked_forward_return_median,
+           COALESCE(c.closed_count, 0) AS closed_count,
+           COALESCE(c.closed_total_pnl, 0.0) AS closed_total_pnl,
+           c.closed_win_rate,
+           g.window_cycles, g.regime_count, g.days_span,
+           CONCAT_WS(',',
+             CASE WHEN g.window_cycles < {_FCW_MIN_CYCLES}
+                  THEN 'window_cycles_below_min' END,
+             CASE WHEN g.regime_count < {_FCW_MIN_REGIMES}
+                  THEN 'regime_diversity_insufficient' END,
+             CASE WHEN g.days_span < {_FCW_MIN_DAYS}
+                  THEN 'window_span_days_below_min' END)
+             AS analysis_gate_reasons
+    FROM fam f
+    LEFT JOIN closed c ON c.family = f.family
+    CROSS JOIN gate g
+    """,
+)
+def family_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-family SNR-gate calibration telemetry — reference
+    `scripts/family_calibration_writer.py:327-470`: signals seen and
+    SNR/evidence block counts per model family, the observed-SNR
+    percentile summary, the median forward return blocked signals would
+    have realized (opportunity-cost telemetry for gate tuning),
+    outcome-linked closed-trade attribution, and the fleet analysis
+    gate (cycles / regime-diversity / span minimums) whose reason codes
+    ride on every row.
+
+    Scale: one window pass, a co-partitioned forward self-join, two
+    bounded family groupBys, a broadcast gate scalar. No UDF."""
+    from ..functions.scalars import hash_unit_interval
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.get_json_object("props", "$.k").cast("int")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+        k.alias("k"),
+        F.to_date("ts").alias("d"),
+        F.row_number().over(w).alias("rn"),
+        F.avg("value").over(w.rowsBetween(-4, 0)).alias("ma5"),
+        F.stddev_samp("value").over(w.rowsBetween(-9, 0)).alias("sd10"),
+        hash_unit_interval(F.lit("ev"), F.col("event_id")).alias("u"),
+    )
+    sig = s.filter(
+        (F.col("event_type") == "click") & F.col("k").isNotNull()
+    ).select(
+        "*",
+        F.when(F.col("k") % 4 == 0, "SARIMAX")
+        .when(F.col("k") % 4 == 1, "GARCH")
+        .when(F.col("k") % 4 == 2, "SAMOSSA")
+        .otherwise("MSSA_RL")
+        .alias("family"),
+        F.when(F.col("k") % 3 == 0, "TRENDING")
+        .when(F.col("k") % 3 == 1, "RANGING")
+        .otherwise("VOLATILE")
+        .alias("regime"),
+        F.when(
+            F.col("sd10") > 0, F.abs(F.col("value") - F.col("ma5")) / F.col("sd10")
+        ).alias("snr"),
+    )
+    fwd = s.select(
+        F.col("user_id").alias("f_user"),
+        F.col("rn").alias("f_rn"),
+        F.col("value").alias("f_value"),
+    )
+    sig2 = (
+        sig.join(
+            fwd,
+            (F.col("f_user") == F.col("user_id"))
+            & (F.col("f_rn") == F.col("rn") + (F.col("k") % 5) + 1),
+            "left",
+        )
+        .select(
+            "*",
+            (F.coalesce(F.col("snr"), F.lit(0.0)) < _FCW_SNR_BLOCK).alias(
+                "blocked_by_snr"
+            ),
+            (F.col("u") < 0.1).alias("blocked_by_evidence"),
+            F.when(
+                F.col("f_value").isNotNull() & (F.col("value") > 0),
+                (F.col("f_value") - F.col("value")) / F.col("value"),
+            ).alias("fwd_ret"),
+        )
+    )
+    outc = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("d").alias("o_d"),
+            F.col("value").alias("exit_value"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+            )
+            .alias("ork"),
+        )
+        .filter(F.col("ork") == 1)
+    )
+    closed = (
+        sig2.join(
+            outc,
+            (F.col("o_user") == F.col("user_id"))
+            & (F.col("o_d") == F.col("d")),
+        )
+        .groupBy("family")
+        .agg(
+            F.count(F.lit(1)).alias("closed_count"),
+            F.round(
+                F.sum(
+                    (F.col("exit_value") - F.col("value")).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("closed_total_pnl"),
+            F.round(
+                F.avg(
+                    F.when(F.col("exit_value") > F.col("value"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("closed_win_rate"),
+        )
+    )
+    blocked = F.col("blocked_by_snr") | F.col("blocked_by_evidence")
+    fam = sig2.groupBy("family").agg(
+        F.count(F.lit(1)).alias("signals_seen"),
+        F.sum(F.col("blocked_by_snr").cast("int"))
+        .cast("bigint")
+        .alias("blocked_by_snr"),
+        F.sum(F.col("blocked_by_evidence").cast("int"))
+        .cast("bigint")
+        .alias("blocked_by_evidence"),
+        r6(F.expr("percentile(snr, 0.05)")).alias("snr_p5"),
+        r6(F.expr("percentile(snr, 0.25)")).alias("snr_p25"),
+        r6(F.expr("percentile(snr, 0.5)")).alias("snr_p50"),
+        r6(F.expr("percentile(snr, 0.75)")).alias("snr_p75"),
+        r6(F.expr("percentile(snr, 0.95)")).alias("snr_p95"),
+        r6(
+            F.expr("percentile(CASE WHEN blocked_by_snr OR "
+                   "blocked_by_evidence THEN fwd_ret END, 0.5)")
+        ).alias("blocked_forward_return_median"),
+    )
+    gate = sig2.agg(
+        F.count(F.lit(1)).alias("window_cycles"),
+        F.countDistinct("regime").alias("regime_count"),
+        F.datediff(F.max("d"), F.min("d")).alias("days_span"),
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(
+            F.col("window_cycles") < _FCW_MIN_CYCLES,
+            "window_cycles_below_min",
+        ),
+        F.when(
+            F.col("regime_count") < _FCW_MIN_REGIMES,
+            "regime_diversity_insufficient",
+        ),
+        F.when(
+            F.col("days_span") < _FCW_MIN_DAYS, "window_span_days_below_min"
+        ),
+    )
+    return (
+        fam.join(closed, "family", "left")
+        .crossJoin(F.broadcast(gate))
+        .select(
+            "family",
+            "signals_seen",
+            "blocked_by_snr",
+            "blocked_by_evidence",
+            "snr_p5",
+            "snr_p25",
+            "snr_p50",
+            "snr_p75",
+            "snr_p95",
+            "blocked_forward_return_median",
+            F.coalesce(F.col("closed_count"), F.lit(0))
+            .cast("bigint")
+            .alias("closed_count"),
+            F.coalesce(F.col("closed_total_pnl"), F.lit(0.0)).alias(
+                "closed_total_pnl"
+            ),
+            F.col("closed_win_rate"),
+            "window_cycles",
+            "regime_count",
+            "days_span",
+            reasons.alias("analysis_gate_reasons"),
+        )
+    )
