@@ -5057,3 +5057,253 @@ def forecast_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             (best_single - F.col("rmse_ensemble")) / best_single * 100.0
         ).alias("ensemble_improvement_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-learner cache replay evidence
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/replay_order_learner_cache.py:197-375`
+# (`_summarize_cache_evidence` + `_summarize_fit_events`): the replay
+# proves the cache actually learns — a BEFORE snapshot (the replay's
+# starting cache) is diffed against the AFTER snapshot per model type:
+# row counts, qualified rows (>= min_fits with a best AIC), n_fits
+# deltas, new vs touched keys, and the actual fit events reconciled
+# against cache writes (fits that did not produce a write are the
+# anomaly the replay hunts). The engine's fit ledger is the audit-window
+# frame — one fit per (key, window); the BEFORE snapshot is the first
+# 60% of each key's windows.
+_OCR_MIN_FITS = 3
+_OCR_BEFORE_FRAC = 0.6
+
+
+@query(
+    "order_cache_replay_evidence",
+    oracle=f"""
+    {_AUDIT_SQL},
+    fits AS (
+      SELECT a.user_id,
+             CASE a.user_id % 4 WHEN 0 THEN 'SARIMAX' WHEN 1 THEN 'GARCH'
+                  WHEN 2 THEN 'SAMOSSA' ELSE 'MSSA_RL' END AS model_type,
+             a.audit_id,
+             a.r_e / LEAST(a.r_n, a.r_3, a.r_10) AS aic_proxy,
+             MAX(a.audit_id) OVER (PARTITION BY a.user_id) AS max_aid
+      FROM a
+    ),
+    snap AS (
+      SELECT user_id, model_type,
+             CAST(SUM(CASE WHEN audit_id
+                           <= FLOOR(max_aid * {_OCR_BEFORE_FRAC})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_fits_before,
+             CAST(COUNT(*) AS BIGINT) AS n_fits_after,
+             MIN(CASE WHEN audit_id <= FLOOR(max_aid * {_OCR_BEFORE_FRAC})
+                      THEN aic_proxy END) AS best_aic_before,
+             MIN(aic_proxy) AS best_aic_after
+      FROM fits GROUP BY user_id, model_type
+    ),
+    per AS (
+      SELECT model_type,
+             CAST(SUM(CASE WHEN n_fits_before > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS rows_before,
+             CAST(SUM(CASE WHEN n_fits_after > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS rows_after,
+             CAST(SUM(CASE WHEN n_fits_before >= {_OCR_MIN_FITS}
+                                AND best_aic_before IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS qualified_before,
+             CAST(SUM(CASE WHEN n_fits_after >= {_OCR_MIN_FITS}
+                                AND best_aic_after IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS qualified_after,
+             CAST(SUM(n_fits_after - n_fits_before) AS BIGINT)
+               AS n_fits_delta,
+             CAST(SUM(CASE WHEN n_fits_before = 0 AND n_fits_after > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS new_rows,
+             CAST(SUM(CASE WHEN n_fits_before > 0
+                                AND n_fits_after > n_fits_before
+                           THEN 1 ELSE 0 END) AS BIGINT) AS touched_rows
+      FROM snap GROUP BY model_type
+    ),
+    ev2 AS (
+      SELECT CASE user_id % 4 WHEN 0 THEN 'SARIMAX' WHEN 1 THEN 'GARCH'
+                  WHEN 2 THEN 'SAMOSSA' ELSE 'MSSA_RL' END AS model_type,
+             CAST(SUM(CASE WHEN audit_id
+                           > FLOOR(max_aid * {_OCR_BEFORE_FRAC})
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS actual_fit_events
+      FROM fits GROUP BY 1
+    ),
+    j AS (
+      SELECT p.*, e.actual_fit_events,
+             GREATEST(0, e.actual_fit_events - p.n_fits_delta)
+               AS actual_without_cache_write
+      FROM per p JOIN ev2 e ON e.model_type = p.model_type
+    )
+    SELECT model_type, rows_before, rows_after,
+           rows_after - rows_before AS row_count_delta,
+           qualified_before, qualified_after,
+           qualified_after - qualified_before AS qualified_delta,
+           n_fits_delta, new_rows, touched_rows,
+           actual_fit_events, actual_without_cache_write
+    FROM j
+    UNION ALL
+    SELECT 'ALL', CAST(SUM(rows_before) AS BIGINT),
+           CAST(SUM(rows_after) AS BIGINT),
+           CAST(SUM(rows_after - rows_before) AS BIGINT),
+           CAST(SUM(qualified_before) AS BIGINT),
+           CAST(SUM(qualified_after) AS BIGINT),
+           CAST(SUM(qualified_after - qualified_before) AS BIGINT),
+           CAST(SUM(n_fits_delta) AS BIGINT),
+           CAST(SUM(new_rows) AS BIGINT),
+           CAST(SUM(touched_rows) AS BIGINT),
+           CAST(SUM(actual_fit_events) AS BIGINT),
+           CAST(SUM(actual_without_cache_write) AS BIGINT)
+    FROM j
+    """,
+)
+def order_cache_replay_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-learner cache replay's learning evidence — reference
+    `scripts/replay_order_learner_cache.py:197-375`: BEFORE vs AFTER
+    cache snapshots diffed per model type (row counts, qualified rows
+    with >= 3 fits and a best AIC, n_fits deltas, new vs touched keys)
+    and the fit-event reconciliation (actual fits vs cache writes —
+    fits without a write are the replay's anomaly). The fit ledger is
+    one fit per audit window; BEFORE = each key's first 60% of windows.
+
+    Scale: one (key, window) frame + two bounded model-type
+    aggregations. No UDF."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id", F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int")
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse((F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0).alias(
+                "r_e"
+            ),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    model = (
+        F.when(F.col("user_id") % 4 == 0, "SARIMAX")
+        .when(F.col("user_id") % 4 == 1, "GARCH")
+        .when(F.col("user_id") % 4 == 2, "SAMOSSA")
+        .otherwise("MSSA_RL")
+    )
+    fits = a.select(
+        "user_id",
+        model.alias("model_type"),
+        "audit_id",
+        (F.col("r_e") / F.least("r_n", "r_3", "r_10")).alias("aic_proxy"),
+        F.max("audit_id").over(Window.partitionBy("user_id")).alias("max_aid"),
+    )
+    cutoff = F.floor(F.col("max_aid") * _OCR_BEFORE_FRAC)
+    snap = fits.groupBy("user_id", "model_type").agg(
+        F.sum(F.when(F.col("audit_id") <= cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fits_before"),
+        F.count(F.lit(1)).alias("n_fits_after"),
+        F.min(F.when(F.col("audit_id") <= cutoff, F.col("aic_proxy"))).alias(
+            "best_aic_before"
+        ),
+        F.min("aic_proxy").alias("best_aic_after"),
+    )
+    per = snap.groupBy("model_type").agg(
+        F.sum(F.when(F.col("n_fits_before") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_before"),
+        F.sum(F.when(F.col("n_fits_after") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_after"),
+        F.sum(
+            F.when(
+                (F.col("n_fits_before") >= _OCR_MIN_FITS)
+                & F.col("best_aic_before").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("qualified_before"),
+        F.sum(
+            F.when(
+                (F.col("n_fits_after") >= _OCR_MIN_FITS)
+                & F.col("best_aic_after").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("qualified_after"),
+        F.sum(F.col("n_fits_after") - F.col("n_fits_before"))
+        .cast("bigint")
+        .alias("n_fits_delta"),
+        F.sum(
+            F.when(
+                (F.col("n_fits_before") == 0) & (F.col("n_fits_after") > 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("new_rows"),
+        F.sum(
+            F.when(
+                (F.col("n_fits_before") > 0)
+                & (F.col("n_fits_after") > F.col("n_fits_before")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("touched_rows"),
+    )
+    ev2 = fits.groupBy("model_type").agg(
+        F.sum(F.when(F.col("audit_id") > cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("actual_fit_events")
+    )
+    j = per.join(ev2, "model_type").withColumn(
+        "actual_without_cache_write",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("actual_fit_events") - F.col("n_fits_delta"),
+        ),
+    )
+    out = j.select(
+        "model_type",
+        "rows_before",
+        "rows_after",
+        (F.col("rows_after") - F.col("rows_before")).alias("row_count_delta"),
+        "qualified_before",
+        "qualified_after",
+        (F.col("qualified_after") - F.col("qualified_before")).alias(
+            "qualified_delta"
+        ),
+        "n_fits_delta",
+        "new_rows",
+        "touched_rows",
+        "actual_fit_events",
+        "actual_without_cache_write",
+    )
+    allrow = out.agg(
+        *[
+            F.sum(cname).cast("bigint").alias(cname)
+            for cname in out.columns
+            if cname != "model_type"
+        ]
+    ).select(F.lit("ALL").alias("model_type"), "*")
+    return out.unionByName(allrow.select(out.columns))
