@@ -5307,3 +5307,402 @@ def order_cache_replay_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).select(F.lit("ALL").alias("model_type"), "*")
     return out.unionByName(allrow.select(out.columns))
+
+
+# ---------------------------------------------------------------------------
+# Order-learner health check + SARIMAX convergence budget
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/check_order_learner_health.py:59-194`: coverage
+# (qualified cache entries exist), AIC drift (cached best mean AIC vs
+# recent fits per model, alert past 10% relative drift) and staleness
+# (entries unused for the trailing window, WARN past 30%); and
+# `scripts/check_sarimax_convergence_budget.py:27-150`: the CI
+# convergence-budget gate (primary non-convergence, fallback usage and
+# fallback non-convergence rates vs their thresholds). The cache/fit
+# frame is the audit-window ledger shared with the replay evidence.
+_OLH_MIN_FITS = 3
+_OLH_DRIFT = 0.10
+_OLH_STALE_WINDOWS = 3
+_OLH_STALE_WARN_PCT = 30.0
+_SCB_MAX_PRIMARY = 0.50
+_SCB_MAX_FB_NONCONV = 0.20
+_SCB_MAX_FB_USAGE = 0.50
+_SCB_POOR_FIT = 1.2
+_SCB_BAD_FIT = 1.5
+
+_OLH_FITS_SQL = f"""
+    fits AS (
+      SELECT a.user_id,
+             CASE a.user_id % 4 WHEN 0 THEN 'SARIMAX' WHEN 1 THEN 'GARCH'
+                  WHEN 2 THEN 'SAMOSSA' ELSE 'MSSA_RL' END AS model_type,
+             a.audit_id,
+             a.r_e / LEAST(a.r_n, a.r_3, a.r_10) AS aic_proxy,
+             a.r_n <= a.r_3 AND a.r_n <= a.r_10 AS fallback_used,
+             MAX(a.audit_id) OVER () AS global_max_aid
+      FROM a
+    )
+"""
+
+
+@query(
+    "order_learner_health_check",
+    oracle=f"""
+    {_AUDIT_SQL},
+    {_OLH_FITS_SQL},
+    cache AS (
+      SELECT user_id, model_type,
+             CAST(COUNT(*) AS BIGINT) AS n_fits,
+             MIN(aic_proxy) AS best_aic,
+             AVG(aic_proxy) AS mean_aic,
+             MAX(audit_id) AS last_used_aid,
+             ANY_VALUE(global_max_aid) AS gmax
+      FROM fits GROUP BY user_id, model_type
+    ),
+    cov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_entries,
+             CAST(SUM(CASE WHEN n_fits >= {_OLH_MIN_FITS}
+                                AND best_aic IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS qualified_entries
+      FROM cache
+    ),
+    recent AS (
+      SELECT model_type, AVG(aic_proxy) AS recent_mean
+      FROM fits
+      WHERE audit_id > global_max_aid - {_OLH_STALE_WINDOWS}
+      GROUP BY model_type
+    ),
+    cached_best AS (
+      SELECT model_type, MIN(mean_aic) AS cached_mean
+      FROM cache WHERE n_fits > 0 AND best_aic IS NOT NULL
+      GROUP BY model_type
+    ),
+    drift AS (
+      SELECT cb.model_type,
+             ROUND(cb.cached_mean, 6) AS cached_mean_aic,
+             ROUND(r.recent_mean, 6) AS recent_mean_aic,
+             ROUND((cb.cached_mean - r.recent_mean)
+                   / ABS(r.recent_mean) * 100, 1) AS drift_pct
+      FROM cached_best cb
+      JOIN recent r ON r.model_type = cb.model_type
+      WHERE r.recent_mean > 0
+        AND (cb.cached_mean - r.recent_mean) / ABS(r.recent_mean)
+            > {_OLH_DRIFT}
+    ),
+    stale AS (
+      SELECT CAST(SUM(CASE WHEN last_used_aid
+                           < gmax - {_OLH_STALE_WINDOWS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stale_entries,
+             CAST(COUNT(*) AS BIGINT) AS total_entries
+      FROM cache
+    )
+    SELECT 'coverage' AS check_name,
+           CASE WHEN qualified_entries > 0 THEN 'OK' ELSE 'WARN' END
+             AS status,
+           CAST(NULL AS VARCHAR) AS model_type,
+           CAST(total_entries AS DOUBLE) AS metric_a,
+           CAST(qualified_entries AS DOUBLE) AS metric_b,
+           CAST(NULL AS DOUBLE) AS metric_c
+    FROM cov
+    UNION ALL
+    SELECT 'aic_drift',
+           CASE WHEN (SELECT COUNT(*) FROM drift) > 0 THEN 'WARN'
+                ELSE 'OK' END,
+           NULL, CAST((SELECT COUNT(*) FROM drift) AS DOUBLE), NULL, NULL
+    UNION ALL
+    SELECT 'aic_drift_alert', 'WARN', model_type,
+           cached_mean_aic, recent_mean_aic, drift_pct
+    FROM drift
+    UNION ALL
+    SELECT 'stale',
+           CASE WHEN CAST(stale_entries AS DOUBLE) / total_entries * 100
+                     > {_OLH_STALE_WARN_PCT}
+                THEN 'WARN' ELSE 'OK' END,
+           NULL,
+           CAST(stale_entries AS DOUBLE),
+           CAST(total_entries AS DOUBLE),
+           ROUND(CAST(stale_entries AS DOUBLE) / total_entries * 100, 1)
+    FROM stale
+    """,
+)
+def order_learner_health_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-learner cache health — reference
+    `scripts/check_order_learner_health.py:59-194`: the coverage check
+    (qualified entries with >= 3 fits and a best AIC exist), the AIC
+    drift check (cached best mean AIC per model vs the recent-fit mean,
+    alert rows past 10% relative drift) and the staleness check
+    (entries unused over the trailing windows, WARN past 30%).
+
+    Scale: the audit-window fit ledger + three bounded aggregations.
+    No UDF."""
+    cache, fits = _olh_frames(spark, sf_dir)
+    cov = cache.agg(
+        F.count(F.lit(1)).alias("total_entries"),
+        F.sum(
+            F.when(
+                (F.col("n_fits") >= _OLH_MIN_FITS)
+                & F.col("best_aic").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("qualified_entries"),
+    )
+    recent = (
+        fits.filter(
+            F.col("audit_id") > F.col("global_max_aid") - _OLH_STALE_WINDOWS
+        )
+        .groupBy("model_type")
+        .agg(F.avg("aic_proxy").alias("recent_mean"))
+    )
+    cached_best = (
+        cache.filter((F.col("n_fits") > 0) & F.col("best_aic").isNotNull())
+        .groupBy("model_type")
+        .agg(F.min("mean_aic").alias("cached_mean"))
+    )
+    drift = (
+        cached_best.join(recent, "model_type")
+        .filter(
+            (F.col("recent_mean") > 0)
+            & (
+                (F.col("cached_mean") - F.col("recent_mean"))
+                / F.abs(F.col("recent_mean"))
+                > _OLH_DRIFT
+            )
+        )
+        .select(
+            "model_type",
+            F.round("cached_mean", 6).alias("cached_mean_aic"),
+            F.round("recent_mean", 6).alias("recent_mean_aic"),
+            F.round(
+                (F.col("cached_mean") - F.col("recent_mean"))
+                / F.abs(F.col("recent_mean"))
+                * 100,
+                1,
+            ).alias("drift_pct"),
+        )
+    )
+    stale = cache.agg(
+        F.sum(
+            F.when(
+                F.col("last_used_aid") < F.col("gmax") - _OLH_STALE_WINDOWS, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("stale_entries"),
+        F.count(F.lit(1)).alias("total_entries"),
+    )
+    n_drift = drift.agg(F.count(F.lit(1)).alias("n_alerts"))
+    covrow = cov.select(
+        F.lit("coverage").alias("check_name"),
+        F.when(F.col("qualified_entries") > 0, "OK")
+        .otherwise("WARN")
+        .alias("status"),
+        F.lit(None).cast("string").alias("model_type"),
+        F.col("total_entries").cast("double").alias("metric_a"),
+        F.col("qualified_entries").cast("double").alias("metric_b"),
+        F.lit(None).cast("double").alias("metric_c"),
+    )
+    driftrow = n_drift.select(
+        F.lit("aic_drift").alias("check_name"),
+        F.when(F.col("n_alerts") > 0, "WARN").otherwise("OK").alias("status"),
+        F.lit(None).cast("string").alias("model_type"),
+        F.col("n_alerts").cast("double").alias("metric_a"),
+        F.lit(None).cast("double").alias("metric_b"),
+        F.lit(None).cast("double").alias("metric_c"),
+    )
+    alertrows = drift.select(
+        F.lit("aic_drift_alert").alias("check_name"),
+        F.lit("WARN").alias("status"),
+        F.col("model_type"),
+        F.col("cached_mean_aic").alias("metric_a"),
+        F.col("recent_mean_aic").alias("metric_b"),
+        F.col("drift_pct").alias("metric_c"),
+    )
+    stale_pct = (
+        F.col("stale_entries").cast("double") / F.col("total_entries") * 100
+    )
+    stalerow = stale.select(
+        F.lit("stale").alias("check_name"),
+        F.when(stale_pct > _OLH_STALE_WARN_PCT, "WARN")
+        .otherwise("OK")
+        .alias("status"),
+        F.lit(None).cast("string").alias("model_type"),
+        F.col("stale_entries").cast("double").alias("metric_a"),
+        F.col("total_entries").cast("double").alias("metric_b"),
+        F.round(stale_pct, 1).alias("metric_c"),
+    )
+    return (
+        covrow.unionByName(driftrow)
+        .unionByName(alertrows)
+        .unionByName(stalerow)
+    )
+
+
+def _olh_frames(spark: SparkSession, sf_dir: str):
+    """(cache, fits) frames shared by the learner-health and budget checks."""
+    s = _series(spark, sf_dir)
+    wp = _w()
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("prev"),
+        F.avg("value").over(_w((-3, -1))).alias("f_ma3"),
+        F.avg("value").over(_w((-10, -1))).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    a = (
+        f.withColumn(
+            "audit_id", F.floor((F.col("rn") - 11) / _ESAFE_BLOCK).cast("int")
+        )
+        .groupBy("user_id", "audit_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            rmse(F.col("prev")).alias("r_n"),
+            rmse(F.col("f_ma3")).alias("r_3"),
+            rmse(F.col("f_ma10")).alias("r_10"),
+            rmse((F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0).alias(
+                "r_e"
+            ),
+        )
+        .filter(F.col("bn") == _ESAFE_BLOCK)
+    )
+    model = (
+        F.when(F.col("user_id") % 4 == 0, "SARIMAX")
+        .when(F.col("user_id") % 4 == 1, "GARCH")
+        .when(F.col("user_id") % 4 == 2, "SAMOSSA")
+        .otherwise("MSSA_RL")
+    )
+    fits = a.select(
+        "user_id",
+        model.alias("model_type"),
+        "audit_id",
+        (F.col("r_e") / F.least("r_n", "r_3", "r_10")).alias("aic_proxy"),
+        (
+            (F.col("r_n") <= F.col("r_3")) & (F.col("r_n") <= F.col("r_10"))
+        ).alias("fallback_used"),
+        F.max("audit_id").over(Window.partitionBy()).alias("global_max_aid"),
+    )
+    cache = fits.groupBy("user_id", "model_type").agg(
+        F.count(F.lit(1)).alias("n_fits"),
+        F.min("aic_proxy").alias("best_aic"),
+        F.avg("aic_proxy").alias("mean_aic"),
+        F.max("audit_id").alias("last_used_aid"),
+        F.any_value("global_max_aid").alias("gmax"),
+    )
+    return cache, fits
+
+
+@query(
+    "sarimax_convergence_budget",
+    oracle=f"""
+    {_AUDIT_SQL},
+    {_OLH_FITS_SQL},
+    sx AS (SELECT * FROM fits WHERE model_type = 'SARIMAX'),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_runs,
+             CAST(SUM(CASE WHEN aic_proxy > {_SCB_POOR_FIT}
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS primary_nonconverged,
+             CAST(SUM(CASE WHEN fallback_used THEN 1 ELSE 0 END) AS BIGINT)
+               AS fallback_used,
+             CAST(SUM(CASE WHEN fallback_used AND aic_proxy > {_SCB_BAD_FIT}
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS fallback_nonconverged
+      FROM sx
+    )
+    SELECT total_runs, primary_nonconverged, fallback_used,
+           fallback_nonconverged,
+           ROUND(CAST(primary_nonconverged AS DOUBLE) / total_runs, 6)
+             AS primary_nonconverged_rate,
+           ROUND(CAST(fallback_used AS DOUBLE) / total_runs, 6)
+             AS fallback_usage_rate,
+           ROUND(CAST(fallback_nonconverged AS DOUBLE)
+                 / NULLIF(fallback_used, 0), 6)
+             AS fallback_nonconverged_rate,
+           CONCAT_WS(',',
+             CASE WHEN CAST(primary_nonconverged AS DOUBLE) / total_runs
+                       > {_SCB_MAX_PRIMARY}
+                  THEN 'primary_nonconverged_over_budget' END,
+             CASE WHEN CAST(fallback_used AS DOUBLE) / total_runs
+                       > {_SCB_MAX_FB_USAGE}
+                  THEN 'fallback_usage_over_budget' END,
+             CASE WHEN CAST(fallback_nonconverged AS DOUBLE)
+                       / NULLIF(fallback_used, 0) > {_SCB_MAX_FB_NONCONV}
+                  THEN 'fallback_nonconverged_over_budget' END)
+             AS violations,
+           CASE WHEN CAST(primary_nonconverged AS DOUBLE) / total_runs
+                     <= {_SCB_MAX_PRIMARY}
+                  AND CAST(fallback_used AS DOUBLE) / total_runs
+                      <= {_SCB_MAX_FB_USAGE}
+                  AND COALESCE(CAST(fallback_nonconverged AS DOUBLE)
+                       / NULLIF(fallback_used, 0), 0.0)
+                      <= {_SCB_MAX_FB_NONCONV}
+                THEN 'PASS' ELSE 'FAIL' END AS gate_status
+    FROM g
+    """,
+)
+def sarimax_convergence_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SARIMAX convergence-budget CI gate — reference
+    `scripts/check_sarimax_convergence_budget.py:27-150`: the primary
+    non-convergence rate (0.50 budget), fallback-usage rate (0.50) and
+    fallback non-convergence rate (0.20) over the SARIMAX fit events,
+    failing the gate when any budget is exceeded. Non-convergence =
+    the fit's RMSE ratio exceeds the poor-fit band; fallback = the
+    naive model won the window.
+
+    Scale: one bounded census over the fit ledger. No UDF."""
+    _, fits = _olh_frames(spark, sf_dir)
+    sx = fits.filter(F.col("model_type") == "SARIMAX")
+    g = sx.agg(
+        F.count(F.lit(1)).alias("total_runs"),
+        F.sum(F.when(F.col("aic_proxy") > _SCB_POOR_FIT, 1).otherwise(0))
+        .cast("bigint")
+        .alias("primary_nonconverged"),
+        F.sum(F.col("fallback_used").cast("int"))
+        .cast("bigint")
+        .alias("fallback_used"),
+        F.sum(
+            F.when(
+                F.col("fallback_used") & (F.col("aic_proxy") > _SCB_BAD_FIT),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fallback_nonconverged"),
+    )
+    pr = F.col("primary_nonconverged").cast("double") / F.col("total_runs")
+    fu = F.col("fallback_used").cast("double") / F.col("total_runs")
+    fn = F.col("fallback_nonconverged").cast("double") / F.nullif(
+        F.col("fallback_used"), F.lit(0)
+    )
+    return g.select(
+        "total_runs",
+        "primary_nonconverged",
+        "fallback_used",
+        "fallback_nonconverged",
+        r6(pr).alias("primary_nonconverged_rate"),
+        r6(fu).alias("fallback_usage_rate"),
+        r6(fn).alias("fallback_nonconverged_rate"),
+        F.concat_ws(
+            ",",
+            F.when(pr > _SCB_MAX_PRIMARY, "primary_nonconverged_over_budget"),
+            F.when(fu > _SCB_MAX_FB_USAGE, "fallback_usage_over_budget"),
+            F.when(
+                fn > _SCB_MAX_FB_NONCONV, "fallback_nonconverged_over_budget"
+            ),
+        ).alias("violations"),
+        F.when(
+            (pr <= _SCB_MAX_PRIMARY)
+            & (fu <= _SCB_MAX_FB_USAGE)
+            & (F.coalesce(fn, F.lit(0.0)) <= _SCB_MAX_FB_NONCONV),
+            "PASS",
+        )
+        .otherwise("FAIL")
+        .alias("gate_status"),
+    )
