@@ -8,5 +8,6 @@ from . import queries_models  # noqa: F401  (registers pack 7)
 from . import queries_signals  # noqa: F401  (registers pack 8)
 from . import queries_pipeline  # noqa: F401  (registers pack 9)
 from . import queries_risk  # noqa: F401  (registers pack 10)
+from . import queries_ops  # noqa: F401  (registers pack 11)
 
 __all__ = ["ORACLE", "QUERIES"]

@@ -1,0 +1,1649 @@
+"""Query pack 11 — operational reconciliation and lifecycle-repair audits.
+
+Reference surface: the reference's outcome-reconciliation and trade-
+lifecycle repair scripts (`scripts/update_platt_outcomes.py`,
+`scripts/repair_unlinked_closes.py`, `scripts/cleanup_orphaned_positions.py`,
+`scripts/retire_zombie_opens.py`, `scripts/replay_trade_evidence_chain.py`).
+These are the "keep the ledger honest" operators a production deployment
+runs daily; each is re-expressed as a declarative Spark plan over the
+engine's canonical trade/signal frames with a full DuckDB oracle.
+
+Engine data mapping (shared with the trades pack): a closed trade is a
+TPC-H order with ``o_orderstatus='F'`` whose open leg is lineitem 1
+(returnflag != 'R') and close leg is the max-linenumber lineitem;
+ticker = 'T' || o_custkey % 25; pnl = close net - open net.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .queries import query, r6
+
+# ---------------------------------------------------------------------------
+# Platt outcome reconciliation — reference scripts/update_platt_outcomes.py
+# ---------------------------------------------------------------------------
+# Constants mirror the reference: MATCH_TIME_TOLERANCE_MINUTES=90 (`:44`),
+# MATCH_TIME_TOLERANCE_DAYS=1 (`:43`), ELIGIBILITY_BUFFER=5min (`:46`),
+# DATE_FALLBACK_SLO_MAX_RATE_DEFAULT=0.05 (`:48`).
+_PLT_TOL_SEC = 90 * 60
+_PLT_TOL_DAYS = 1
+_PLT_AS_OF = "1998-08-01"  # reconciliation run date (dataset ends 1998-08-02)
+_PLT_SLO_MAX = 0.05
+
+# The deterministic engine mapping of the reference's two stores:
+#
+# quant_validation.jsonl entries  <-  orders (one signal per order):
+#   symbol          = 'T' || o_custkey % 25
+#   action          = HOLD for '5-LOW' priority, SELL for '1-URGENT', else BUY
+#   horizon (days)  = 1 + o_orderkey % 5
+#   expected_close  = o_orderdate + horizon        (ecd)
+#   already-has-outcome when o_orderkey % 11 = 0   (reference `:984` skip)
+#   ts_signal_id    = 'SIG-' || o_orderkey when o_orderkey % 3 = 0
+#                     (else the entry only has the stable symbol/time key
+#                      and takes the symbol_time_fallback path, `:1169`)
+#
+# trade_executions closed rows    <-  the canonical closed-trade frame:
+#   ts_signal_id    = 'SIG-' || orderkey when orderkey % 2 = 0
+#   ticker          = 'T' || (o_custkey + (orderkey%13=0)) % 25
+#                     (the %13 perturbation plants SYMBOL_MISMATCH rows)
+#   trade_date      = close-leg ship date
+#   close_ts        = trade_date 00:00 + (orderkey % 288) * 5 minutes;
+#                     DATE-ONLY (fallback-grade, reference `:604-606`)
+#                     when orderkey % 7 = 0
+#   open (unclosed) signals = 'O'-status orders with orderkey % 2 = 0
+#                     (reference `_fetch_open_signal_ids`, `:513`)
+_PLT_SQL = f"""
+    WITH ent AS (
+      SELECT o_orderkey AS entry_id,
+             'T' || CAST(o_custkey % 25 AS VARCHAR) AS symbol,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 'HOLD'
+                  WHEN o_orderpriority = '1-URGENT' THEN 'SELL'
+                  ELSE 'BUY' END AS action,
+             (o_orderkey % 11 = 0) AS has_outcome,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN 'SIG-' || CAST(o_orderkey AS VARCHAR) END
+               AS ts_signal_id,
+             CAST(o_orderdate AS DATE)
+               + CAST(1 + o_orderkey % 5 AS INTEGER) AS ecd
+      FROM orders
+    ),
+    mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             MAX(l.l_shipdate) AS cship
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    tr AS (
+      SELECT c.l_orderkey AS orderkey,
+             'T' || CAST((o.o_custkey
+                          + CASE WHEN c.l_orderkey % 13 = 0
+                                 THEN 1 ELSE 0 END) % 25 AS VARCHAR)
+               AS ticker,
+             CAST(c.cship AS DATE) AS trade_date,
+             (c.l_orderkey % 7 = 0) AS date_only,
+             CAST(c.l_orderkey % 288 AS INTEGER) AS off,
+             CASE WHEN c.l_orderkey % 2 = 0
+                  THEN 'SIG-' || CAST(c.l_orderkey AS VARCHAR) END AS tsid,
+             ROUND(c.cnet - o2.onet, 6) AS pnl,
+             ROUND((c.cnet - o2.onet) / o2.onet, 6) AS pnl_pct
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    open_ids AS (
+      SELECT 'SIG-' || CAST(o_orderkey AS VARCHAR) AS tsid
+      FROM orders
+      WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+    ),
+    pend AS (
+      SELECT * FROM ent
+      WHERE NOT has_outcome AND action <> 'HOLD'
+        AND ecd <= DATE '{_PLT_AS_OF}'
+    ),
+    pairs AS (
+      -- mode A: direct ts_signal_id candidates (symbol NOT pre-filtered,
+      -- reference `_fetch_outcome_candidates_for_signals`)
+      SELECT e.entry_id, 'ts_signal_id' AS mode, e.ts_signal_id, e.ecd,
+             t.orderkey, t.pnl, t.pnl_pct,
+             CASE WHEN t.orderkey IS NULL THEN NULL
+                  WHEN t.ticker = e.symbol THEN TRUE ELSE FALSE END AS sym_ok,
+             t.date_only, t.trade_date, t.off
+      FROM (SELECT * FROM pend WHERE ts_signal_id IS NOT NULL) e
+      LEFT JOIN tr t ON t.tsid = e.ts_signal_id
+      UNION ALL
+      -- mode B: symbol + trade_date within +/-1 day of the expected close
+      -- (reference `_fetch_symbol_time_candidates` applies the symbol
+      -- filter at fetch time, so sym_ok is TRUE by construction)
+      SELECT e.entry_id, 'symbol_time_fallback', e.ts_signal_id, e.ecd,
+             t.orderkey, t.pnl, t.pnl_pct,
+             CASE WHEN t.orderkey IS NULL THEN NULL ELSE TRUE END,
+             t.date_only, t.trade_date, t.off
+      FROM (SELECT * FROM pend WHERE ts_signal_id IS NULL) e
+      LEFT JOIN tr t
+        ON t.ticker = e.symbol
+       AND t.trade_date BETWEEN e.ecd - {_PLT_TOL_DAYS}
+                            AND e.ecd + {_PLT_TOL_DAYS}
+    ),
+    flagged AS (
+      SELECT *,
+             (trade_date - ecd) * 86400 + off * 300 AS diff_sec,
+             (sym_ok AND NOT date_only
+              AND ABS((trade_date - ecd) * 86400 + off * 300)
+                  <= {_PLT_TOL_SEC}) AS valid_ts,
+             (sym_ok AND date_only
+              AND ABS(trade_date - ecd) <= {_PLT_TOL_DAYS}) AS valid_fb
+      FROM pairs
+    ),
+    agg AS (
+      SELECT entry_id, ANY_VALUE(mode) AS mode,
+             ANY_VALUE(ts_signal_id) AS ts_signal_id,
+             COUNT(orderkey) AS n_cand,
+             COALESCE(SUM(CASE WHEN sym_ok THEN 1 ELSE 0 END), 0) AS n_symok,
+             COALESCE(SUM(CASE WHEN valid_ts OR valid_fb
+                               THEN 1 ELSE 0 END), 0) AS n_valid,
+             COALESCE(SUM(CASE WHEN sym_ok
+                                    AND NOT COALESCE(valid_ts, FALSE)
+                                    AND NOT COALESCE(valid_fb, FALSE)
+                               THEN 1 ELSE 0 END), 0) AS n_time_mm,
+             MAX(CASE WHEN valid_ts THEN 1
+                      WHEN valid_fb THEN 0 END) AS sel_is_ts,
+             MAX(CASE WHEN valid_ts OR valid_fb THEN orderkey END)
+               AS sel_orderkey,
+             MAX(CASE WHEN valid_ts OR valid_fb THEN pnl END) AS sel_pnl,
+             MAX(CASE WHEN valid_ts OR valid_fb THEN pnl_pct END)
+               AS sel_pnl_pct
+      FROM flagged GROUP BY entry_id
+    ),
+    classified AS (
+      SELECT a.entry_id, a.mode,
+             CASE
+               WHEN a.n_cand = 0 OR (a.n_symok > 0 AND a.n_valid = 0
+                                     AND a.n_time_mm = 0)
+                 THEN CASE WHEN a.ts_signal_id IS NOT NULL
+                                AND oi.tsid IS NOT NULL
+                           THEN 'OPEN_ONLY_LIFECYCLE_LAG' ELSE 'NO_ROW' END
+               WHEN a.n_symok = 0 THEN 'SYMBOL_MISMATCH'
+               WHEN a.n_valid = 0 THEN 'TIME_MISMATCH'
+               WHEN a.n_valid > 1 THEN 'MULTIPLE_ROWS'
+               ELSE 'MATCHED'
+             END AS match_status,
+             CASE WHEN a.n_symok > 0 AND a.n_valid = 1
+                  THEN CASE WHEN a.sel_is_ts = 1
+                            THEN 'timestamp' ELSE 'date_fallback' END
+             END AS match_anchor,
+             a.sel_orderkey, a.sel_pnl, a.sel_pnl_pct
+      FROM agg a LEFT JOIN open_ids oi ON oi.tsid = a.ts_signal_id
+    ),
+    recon AS (
+      SELECT e.entry_id,
+             CASE WHEN e.has_outcome THEN 'skip'
+                  WHEN e.action = 'HOLD' THEN 'skip'
+                  WHEN e.ecd > DATE '{_PLT_AS_OF}' THEN 'eligibility'
+                  ELSE c.mode END AS mode,
+             CASE WHEN e.has_outcome THEN 'ALREADY_DONE'
+                  WHEN e.action = 'HOLD' THEN 'HOLD_SKIPPED'
+                  WHEN e.ecd > DATE '{_PLT_AS_OF}' THEN 'NOT_YET_ELIGIBLE'
+                  ELSE c.match_status END AS match_status,
+             CASE WHEN c.match_status = 'MATCHED'
+                  THEN c.match_anchor END AS match_anchor,
+             CASE WHEN c.match_status = 'MATCHED'
+                       AND c.match_anchor = 'date_fallback'
+                  THEN 'DATE_FALLBACK_USED' END AS reason_code,
+             CASE WHEN c.match_status = 'MATCHED'
+                  THEN CASE WHEN c.sel_pnl > 0 THEN 1 ELSE 0 END
+             END AS outcome_win,
+             CASE WHEN c.match_status = 'MATCHED'
+                  THEN ROUND(c.sel_pnl, 4) END AS outcome_pnl,
+             CASE WHEN c.match_status = 'MATCHED'
+                  THEN c.sel_pnl_pct END AS outcome_pnl_pct,
+             CASE WHEN c.match_status = 'MATCHED'
+                  THEN c.sel_orderkey END AS matched_orderkey
+      FROM ent e LEFT JOIN classified c ON c.entry_id = e.entry_id
+    )
+"""
+
+
+@query(
+    "platt_outcome_reconciliation",
+    oracle=f"""
+    {_PLT_SQL}
+    SELECT * FROM recon
+    """,
+)
+def platt_outcome_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-grain Platt outcome reconciliation — reference
+    `scripts/update_platt_outcomes.py:899-1300` (`reconcile`): each
+    signal entry is skipped (already-reconciled `:984`, HOLD `:988`) or
+    eligibility-gated (`:270-277`), then matched to a closed trade via
+    the two-mode ladder — direct ``ts_signal_id`` lookup (`:363-451`)
+    else symbol + trade-date window fetch (`:453-511`) — and classified
+    by `_select_candidate_for_record` (`:545-648`): symbol filter first,
+    then the 90-minute timestamp tolerance (date-only close timestamps
+    are fallback-grade evidence, `:604-606`), then the ±1-day date
+    fallback; statuses NO_ROW / SYMBOL_MISMATCH / TIME_MISMATCH /
+    MULTIPLE_ROWS / MATCHED, with NO_ROW on an id that is open-only
+    upgraded to OPEN_ONLY_LIFECYCLE_LAG (`:1192-1197`) and matched
+    date-fallback rows stamped DATE_FALLBACK_USED (`:644-646`). The
+    matched entry receives the trade's outcome payload: win flag, pnl
+    rounded to 4dp, pnl_pct (`:308-338`).
+
+    Scale shape: mode A is an equi-join on ts_signal_id (key cardinality
+    grows with data); mode B joins on (symbol, ±1-day date bucket) — the
+    entry side explodes to exactly 3 date-bucket rows, so the join stays
+    an equi-join whose key space grows with the calendar, never a range
+    scan. Both aggregations are per-entry groupBys; no window over the
+    full frame, no broadcast of a corpus-scaled side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = F.col("o_orderkey")
+
+    ent = o.select(
+        ok.alias("entry_id"),
+        F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
+            "symbol"
+        ),
+        F.when(F.col("o_orderpriority") == "5-LOW", "HOLD")
+        .when(F.col("o_orderpriority") == "1-URGENT", "SELL")
+        .otherwise("BUY")
+        .alias("action"),
+        (ok % 11 == 0).alias("has_outcome"),
+        F.when(
+            ok % 3 == 0, F.concat(F.lit("SIG-"), ok.cast("string"))
+        ).alias("ts_signal_id"),
+        F.expr(
+            "date_add(o_orderdate, CAST(1 + o_orderkey % 5 AS INT))"
+        ).alias("ecd"),
+    )
+
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey)
+            & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+        )
+    )
+    opens = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    tk = F.col("c.l_orderkey")
+    tr = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            tk.alias("orderkey"),
+            F.concat(
+                F.lit("T"),
+                (
+                    (
+                        F.col("o_custkey")
+                        + F.when(tk % 13 == 0, 1).otherwise(0)
+                    )
+                    % 25
+                ).cast("string"),
+            ).alias("ticker"),
+            F.to_date("cship").alias("trade_date"),
+            (tk % 7 == 0).alias("date_only"),
+            (tk % 288).cast("int").alias("off"),
+            F.when(
+                tk % 2 == 0, F.concat(F.lit("SIG-"), tk.cast("string"))
+            ).alias("tsid"),
+            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+            F.round(
+                (F.col("cnet") - F.col("onet")) / F.col("onet"), 6
+            ).alias("pnl_pct"),
+        )
+    )
+
+    open_ids = (
+        o.filter((F.col("o_orderstatus") == "O") & (ok % 2 == 0))
+        .select(
+            F.concat(F.lit("SIG-"), ok.cast("string")).alias("open_tsid")
+        )
+    )
+
+    as_of = F.lit(_PLT_AS_OF).cast("date")
+    pend = ent.filter(
+        (~F.col("has_outcome"))
+        & (F.col("action") != "HOLD")
+        & (F.col("ecd") <= as_of)
+    )
+
+    t = tr.alias("t")
+    pairs_a = (
+        pend.filter(F.col("ts_signal_id").isNotNull())
+        .alias("e")
+        .join(t, F.col("t.tsid") == F.col("e.ts_signal_id"), "left")
+        .select(
+            F.col("e.entry_id").alias("entry_id"),
+            F.lit("ts_signal_id").alias("mode"),
+            F.col("e.ts_signal_id").alias("ts_signal_id"),
+            F.col("e.ecd").alias("ecd"),
+            F.col("t.orderkey").alias("orderkey"),
+            F.col("t.pnl").alias("pnl"),
+            F.col("t.pnl_pct").alias("pnl_pct"),
+            F.when(F.col("t.orderkey").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.col("t.ticker") == F.col("e.symbol"))
+            .alias("sym_ok"),
+            F.col("t.date_only").alias("date_only"),
+            F.col("t.trade_date").alias("trade_date"),
+            F.col("t.off").alias("off"),
+        )
+    )
+    grid = pend.filter(F.col("ts_signal_id").isNull()).withColumn(
+        "gd",
+        F.explode(
+            F.array(
+                F.date_sub(F.col("ecd"), _PLT_TOL_DAYS),
+                F.col("ecd"),
+                F.date_add(F.col("ecd"), _PLT_TOL_DAYS),
+            )
+        ),
+    )
+    pairs_b = (
+        grid.alias("e")
+        .join(
+            t,
+            (F.col("t.ticker") == F.col("e.symbol"))
+            & (F.col("t.trade_date") == F.col("e.gd")),
+            "left",
+        )
+        .select(
+            F.col("e.entry_id").alias("entry_id"),
+            F.lit("symbol_time_fallback").alias("mode"),
+            F.col("e.ts_signal_id").alias("ts_signal_id"),
+            F.col("e.ecd").alias("ecd"),
+            F.col("t.orderkey").alias("orderkey"),
+            F.col("t.pnl").alias("pnl"),
+            F.col("t.pnl_pct").alias("pnl_pct"),
+            F.when(
+                F.col("t.orderkey").isNull(), F.lit(None).cast("boolean")
+            )
+            .otherwise(F.lit(True))
+            .alias("sym_ok"),
+            F.col("t.date_only").alias("date_only"),
+            F.col("t.trade_date").alias("trade_date"),
+            F.col("t.off").alias("off"),
+        )
+    )
+
+    diff_sec = (
+        F.datediff(F.col("trade_date"), F.col("ecd")) * 86400
+        + F.col("off") * 300
+    )
+    valid_ts = (
+        F.col("sym_ok")
+        & ~F.col("date_only")
+        & (F.abs(diff_sec) <= _PLT_TOL_SEC)
+    )
+    valid_fb = (
+        F.col("sym_ok")
+        & F.col("date_only")
+        & (
+            F.abs(F.datediff(F.col("trade_date"), F.col("ecd")))
+            <= _PLT_TOL_DAYS
+        )
+    )
+    valid = valid_ts | valid_fb
+    flagged = pairs_a.unionByName(pairs_b).select(
+        "*",
+        valid_ts.alias("valid_ts"),
+        valid_fb.alias("valid_fb"),
+        valid.alias("valid"),
+    )
+
+    agg = flagged.groupBy("entry_id").agg(
+        F.any_value("mode").alias("mode"),
+        F.any_value("ts_signal_id").alias("ts_signal_id"),
+        F.count("orderkey").alias("n_cand"),
+        F.coalesce(
+            F.sum(F.when(F.col("sym_ok"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_symok"),
+        F.coalesce(
+            F.sum(F.when(F.col("valid"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_valid"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("sym_ok")
+                    & ~F.coalesce(F.col("valid"), F.lit(False)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_time_mm"),
+        F.max(
+            F.when(F.col("valid_ts"), 1).when(F.col("valid_fb"), 0)
+        ).alias("sel_is_ts"),
+        F.max(F.when(F.col("valid"), F.col("orderkey"))).alias(
+            "sel_orderkey"
+        ),
+        F.max(F.when(F.col("valid"), F.col("pnl"))).alias("sel_pnl"),
+        F.max(F.when(F.col("valid"), F.col("pnl_pct"))).alias(
+            "sel_pnl_pct"
+        ),
+    )
+
+    no_row = (F.col("n_cand") == 0) | (
+        (F.col("n_symok") > 0)
+        & (F.col("n_valid") == 0)
+        & (F.col("n_time_mm") == 0)
+    )
+    classified = agg.join(
+        open_ids, F.col("open_tsid") == F.col("ts_signal_id"), "left"
+    ).select(
+        "entry_id",
+        "mode",
+        F.when(
+            no_row,
+            F.when(
+                F.col("ts_signal_id").isNotNull()
+                & F.col("open_tsid").isNotNull(),
+                "OPEN_ONLY_LIFECYCLE_LAG",
+            ).otherwise("NO_ROW"),
+        )
+        .when(F.col("n_symok") == 0, "SYMBOL_MISMATCH")
+        .when(F.col("n_valid") == 0, "TIME_MISMATCH")
+        .when(F.col("n_valid") > 1, "MULTIPLE_ROWS")
+        .otherwise("MATCHED")
+        .alias("match_status"),
+        F.when(
+            (F.col("n_symok") > 0) & (F.col("n_valid") == 1),
+            F.when(F.col("sel_is_ts") == 1, "timestamp").otherwise(
+                "date_fallback"
+            ),
+        ).alias("match_anchor"),
+        "sel_orderkey",
+        "sel_pnl",
+        "sel_pnl_pct",
+    )
+
+    cl = classified.alias("cl")
+    matched = F.col("cl.match_status") == "MATCHED"
+    return (
+        ent.alias("e")
+        .join(cl, F.col("cl.entry_id") == F.col("e.entry_id"), "left")
+        .select(
+            F.col("e.entry_id").alias("entry_id"),
+            F.when(F.col("e.has_outcome"), "skip")
+            .when(F.col("e.action") == "HOLD", "skip")
+            .when(F.col("e.ecd") > as_of, "eligibility")
+            .otherwise(F.col("cl.mode"))
+            .alias("mode"),
+            F.when(F.col("e.has_outcome"), "ALREADY_DONE")
+            .when(F.col("e.action") == "HOLD", "HOLD_SKIPPED")
+            .when(F.col("e.ecd") > as_of, "NOT_YET_ELIGIBLE")
+            .otherwise(F.col("cl.match_status"))
+            .alias("match_status"),
+            F.when(matched, F.col("cl.match_anchor")).alias("match_anchor"),
+            F.when(
+                matched & (F.col("cl.match_anchor") == "date_fallback"),
+                "DATE_FALLBACK_USED",
+            ).alias("reason_code"),
+            F.when(
+                matched, F.when(F.col("cl.sel_pnl") > 0, 1).otherwise(0)
+            ).alias("outcome_win"),
+            F.when(matched, F.round(F.col("cl.sel_pnl"), 4)).alias(
+                "outcome_pnl"
+            ),
+            F.when(matched, F.col("cl.sel_pnl_pct")).alias(
+                "outcome_pnl_pct"
+            ),
+            F.when(matched, F.col("cl.sel_orderkey")).alias(
+                "matched_orderkey"
+            ),
+        )
+    )
+
+
+@query(
+    "date_fallback_slo_gate",
+    oracle=f"""
+    {_PLT_SQL},
+    census AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS total_entries,
+        CAST(SUM(CASE WHEN match_status = 'ALREADY_DONE'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS already_done,
+        CAST(SUM(CASE WHEN match_status = 'HOLD_SKIPPED'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS hold_skipped,
+        CAST(SUM(CASE WHEN match_status = 'NOT_YET_ELIGIBLE'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS not_yet_eligible,
+        CAST(SUM(CASE WHEN match_status NOT IN
+                      ('ALREADY_DONE','HOLD_SKIPPED','NOT_YET_ELIGIBLE')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+        CAST(SUM(CASE WHEN match_status = 'MATCHED'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS matched_new,
+        CAST(SUM(CASE WHEN match_anchor = 'timestamp'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS timestamp_matched,
+        CAST(SUM(CASE WHEN match_anchor = 'date_fallback'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS date_fallback_matched
+      FROM recon
+    )
+    SELECT total_entries, already_done, hold_skipped, not_yet_eligible,
+           pending, matched_new,
+           pending - matched_new AS still_pending,
+           timestamp_matched, date_fallback_matched,
+           ROUND(CASE WHEN matched_new > 0
+                 THEN CAST(timestamp_matched AS DOUBLE) / matched_new
+                 ELSE 0.0 END, 6) AS timestamp_match_rate,
+           ROUND(CASE WHEN matched_new > 0
+                 THEN CAST(date_fallback_matched AS DOUBLE) / matched_new
+                 ELSE 0.0 END, 6) AS date_fallback_rate,
+           {_PLT_SLO_MAX} AS slo_max_rate,
+           CASE WHEN (CASE WHEN matched_new > 0
+                      THEN CAST(date_fallback_matched AS DOUBLE) / matched_new
+                      ELSE 0.0 END) <= {_PLT_SLO_MAX}
+                THEN 'PASS' ELSE 'FAIL' END AS slo_verdict
+    FROM census
+    """,
+)
+def date_fallback_slo_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reconciliation run's date-fallback SLO — reference
+    `scripts/update_platt_outcomes.py:100-152`
+    (`_evaluate_date_fallback_slo`) + the run summary counters
+    (`:1203-1219`): matched_new, timestamp vs date-fallback anchor
+    censuses, timestamp_match_rate and date_fallback_rate (both 0.0 when
+    nothing matched, `:1218-1219`), and the PASS/FAIL verdict against
+    the 5% max fallback rate (`:48`). Single-run window: the reference's
+    rolling history over prior runs degenerates to this run's rate.
+
+    Scale: a single aggregate over the entry-grain reconciliation frame
+    — one shuffle-free final fold after the reconciliation's joins."""
+    recon = platt_outcome_reconciliation(spark, sf_dir)
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+    census = recon.agg(
+        F.count(F.lit(1)).alias("total_entries"),
+        cnt(F.col("match_status") == "ALREADY_DONE").alias("already_done"),
+        cnt(F.col("match_status") == "HOLD_SKIPPED").alias("hold_skipped"),
+        cnt(F.col("match_status") == "NOT_YET_ELIGIBLE").alias(
+            "not_yet_eligible"
+        ),
+        cnt(
+            ~F.col("match_status").isin(
+                "ALREADY_DONE", "HOLD_SKIPPED", "NOT_YET_ELIGIBLE"
+            )
+        ).alias("pending"),
+        cnt(F.col("match_status") == "MATCHED").alias("matched_new"),
+        cnt(F.col("match_anchor") == "timestamp").alias(
+            "timestamp_matched"
+        ),
+        cnt(F.col("match_anchor") == "date_fallback").alias(
+            "date_fallback_matched"
+        ),
+    )
+    mn = F.col("matched_new")
+    fb_rate = F.when(
+        mn > 0, F.col("date_fallback_matched").cast("double") / mn
+    ).otherwise(F.lit(0.0))
+    return census.select(
+        "total_entries",
+        "already_done",
+        "hold_skipped",
+        "not_yet_eligible",
+        "pending",
+        "matched_new",
+        (F.col("pending") - mn).alias("still_pending"),
+        "timestamp_matched",
+        "date_fallback_matched",
+        r6(
+            F.when(
+                mn > 0, F.col("timestamp_matched").cast("double") / mn
+            ).otherwise(F.lit(0.0))
+        ).alias("timestamp_match_rate"),
+        r6(fb_rate).alias("date_fallback_rate"),
+        F.lit(_PLT_SLO_MAX).alias("slo_max_rate"),
+        F.when(fb_rate <= _PLT_SLO_MAX, "PASS")
+        .otherwise("FAIL")
+        .alias("slo_verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unlinked-close repair plan — reference scripts/repair_unlinked_closes.py
+# ---------------------------------------------------------------------------
+# Engine mapping of the reference's trade_executions ledger: every lineitem
+# is an execution leg (leg_id = l_orderkey*10 + l_linenumber); the
+# max-linenumber leg of a multi-line order is its closing SELL, every other
+# leg an opening BUY. Position state (position_before/position_after) is the
+# per-ticker running sum of signed quantities in (trade_date, leg_id) order
+# — the reference stores these columns, the engine derives them from the
+# same ledger. Linkage state: closes with l_orderkey % 5 != 0 already carry
+# trade_close_linkages rows (FIFO against their own order's open legs);
+# closes with l_orderkey % 5 = 0 are the unlinked population to repair.
+# Mode/hygiene flags: synthetic when l_orderkey % 4 = 0, contaminated when
+# l_orderkey % 17 = 0 (plants the clean-live refusal rung).
+_UCR_EPS = 1e-9
+_UCR_KEYMUL = 1_000_000_000_000  # sortkey = epoch_days * mul + leg_id
+
+_UCR_SQL = f"""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    legs0 AS (
+      -- leg grain = (orderkey, linenumber); the synthetic lineitem can
+      -- repeat a linenumber, so legs collapse to SUM(qty)/MAX(shipdate)
+      SELECT l.l_orderkey * 10 + l.l_linenumber AS leg_id,
+             l.l_orderkey AS orderkey, l.l_linenumber AS ln,
+             ANY_VALUE('T' || CAST(o.o_custkey % 25 AS VARCHAR)) AS ticker,
+             MAX(CAST(l.l_shipdate AS DATE)) AS trade_date,
+             SUM(CAST(l.l_quantity AS DOUBLE)) AS shares,
+             (l.l_linenumber = ANY_VALUE(m.maxline)
+              AND ANY_VALUE(m.maxline) > 1) AS is_close,
+             (l.l_orderkey % 4 = 0) AS is_synthetic,
+             (l.l_orderkey % 17 = 0) AS is_contaminated
+      FROM lineitem l
+      JOIN mx m ON m.l_orderkey = l.l_orderkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, l.l_linenumber
+    ),
+    legs1 AS (
+      SELECT *,
+             (CAST(trade_date - DATE '1970-01-01' AS BIGINT))
+               * {_UCR_KEYMUL} + leg_id AS sortkey,
+             CASE WHEN is_close THEN -shares ELSE shares END AS signed_qty
+      FROM legs0
+    ),
+    legs2 AS (
+      SELECT *,
+             SUM(signed_qty) OVER (PARTITION BY ticker ORDER BY sortkey
+               ROWS UNBOUNDED PRECEDING) AS position_after
+      FROM legs1
+    ),
+    legs3 AS (
+      SELECT *,
+             CAST(SIGN(position_after) AS INTEGER) AS sign_after,
+             LAG(CAST(SIGN(position_after) AS INTEGER))
+               OVER (PARTITION BY ticker ORDER BY sortkey) AS prev_sign0
+      FROM legs2
+    ),
+    legs AS (
+      SELECT *,
+             SUM(CASE WHEN prev_sign0 IS NULL
+                        OR sign_after <> prev_sign0
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY ticker ORDER BY sortkey
+                     ROWS UNBOUNDED PRECEDING) AS seg
+      FROM legs3
+    ),
+    -- existing linkages: linked closes FIFO-consume their own order's opens
+    linked_used AS (
+      SELECT e.leg_id AS entry_leg_id,
+             GREATEST(LEAST(
+               c.shares - COALESCE(SUM(e2.shares), 0.0), e.shares), 0.0)
+               AS used_qty
+      FROM legs e
+      JOIN legs c ON c.orderkey = e.orderkey AND c.is_close
+                 AND c.orderkey % 5 <> 0
+      LEFT JOIN legs e2 ON e2.orderkey = e.orderkey AND NOT e2.is_close
+                       AND e2.ln < e.ln
+      WHERE NOT e.is_close
+      GROUP BY e.leg_id, e.shares, c.shares
+    ),
+    orphans AS (
+      SELECT g.*, COALESCE(u.used_qty, 0.0) AS used_qty,
+             GREATEST(g.shares - COALESCE(u.used_qty, 0.0), 0.0)
+               AS remaining_qty
+      FROM legs g
+      LEFT JOIN linked_used u ON u.entry_leg_id = g.leg_id
+      WHERE NOT g.is_close
+        AND GREATEST(g.shares - COALESCE(u.used_qty, 0.0), 0.0) > 0.0
+    ),
+    uncl AS (
+      SELECT l.*,
+             LAG(l.seg) OVER (PARTITION BY l.ticker ORDER BY l.sortkey)
+               AS prev_seg
+      FROM legs l
+    ),
+    closes AS (
+      SELECT leg_id AS close_id, ticker, trade_date AS close_date,
+             sortkey, shares AS close_size,
+             COALESCE(prev_sign0, 0) AS target_sign, prev_seg,
+             (NOT is_synthetic AND NOT is_contaminated) AS clean_live
+      FROM uncl
+      WHERE is_close AND orderkey % 5 = 0
+    ),
+    tick_inv AS (
+      SELECT ticker, SUM(remaining_qty) AS broad_inv,
+             CAST(COUNT(*) AS BIGINT) AS n_orphans
+      FROM orphans GROUP BY ticker
+    ),
+    run_inv AS (
+      SELECT c.close_id,
+             SUM(o.remaining_qty) AS run_inv_all,
+             SUM(CASE WHEN NOT o.is_synthetic
+                      THEN o.remaining_qty ELSE 0.0 END) AS run_inv_clean
+      FROM closes c
+      JOIN orphans o ON o.ticker = c.ticker AND o.seg = c.prev_seg
+                    AND o.sortkey < c.sortkey
+      GROUP BY c.close_id
+    ),
+    strat AS (
+      SELECT c.*,
+             COALESCE(t.n_orphans, 0) AS n_orphans,
+             COALESCE(t.broad_inv, 0.0) AS broad_inv,
+             CASE WHEN c.clean_live
+                  THEN COALESCE(r.run_inv_clean, 0.0)
+                  ELSE COALESCE(r.run_inv_all, 0.0) END AS run_inv,
+             CASE
+               WHEN COALESCE(t.n_orphans, 0) = 0 THEN 'no_orphans'
+               WHEN c.target_sign <> 0
+                    AND (CASE WHEN c.clean_live
+                         THEN COALESCE(r.run_inv_clean, 0.0)
+                         ELSE COALESCE(r.run_inv_all, 0.0) END)
+                        >= c.close_size - {_UCR_EPS}
+                    AND c.close_size > 0
+                 THEN 'current_position_run'
+               WHEN c.clean_live THEN 'clean_live_no_current_run_match'
+               WHEN COALESCE(t.broad_inv, 0.0) >= c.close_size - {_UCR_EPS}
+                    AND c.close_size > 0
+                 THEN 'broad_orphan_match'
+               ELSE 'insufficient_orphan_inventory'
+             END AS strategy
+      FROM closes c
+      LEFT JOIN tick_inv t ON t.ticker = c.ticker
+      LEFT JOIN run_inv r ON r.close_id = c.close_id
+    ),
+    pool AS (
+      SELECT s.close_id, s.close_size, o.leg_id AS entry_id,
+             o.sortkey AS esort, o.remaining_qty,
+             (o.trade_date <= s.close_date) AS date_ok
+      FROM strat s
+      JOIN orphans o ON o.ticker = s.ticker AND o.seg = s.prev_seg
+                    AND o.sortkey < s.sortkey
+                    AND (NOT s.clean_live OR NOT o.is_synthetic)
+      WHERE s.strategy = 'current_position_run'
+      UNION ALL
+      SELECT s.close_id, s.close_size, o.leg_id, o.sortkey,
+             o.remaining_qty, (o.trade_date <= s.close_date)
+      FROM strat s
+      JOIN orphans o ON o.ticker = s.ticker
+      WHERE s.strategy = 'broad_orphan_match'
+    ),
+    fifo0 AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN date_ok THEN remaining_qty END)
+               OVER (PARTITION BY close_id ORDER BY esort
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0) AS prefix_before
+      FROM pool
+    ),
+    fifo AS (
+      SELECT close_id,
+             SUM(CASE WHEN date_ok THEN remaining_qty ELSE 0.0 END)
+               AS avail,
+             (SUM(CASE WHEN date_ok THEN remaining_qty ELSE 0.0 END)
+               >= ANY_VALUE(close_size) - {_UCR_EPS}) AS complete,
+             SUM(CASE WHEN date_ok
+                       AND prefix_before < close_size - {_UCR_EPS}
+                       AND remaining_qty > {_UCR_EPS}
+                      THEN 1 ELSE 0 END) AS n_alloc,
+             MIN(CASE WHEN date_ok
+                       AND prefix_before < close_size - {_UCR_EPS}
+                       AND remaining_qty > {_UCR_EPS}
+                      THEN esort END) AS first_sort,
+             MAX(CASE WHEN date_ok
+                       AND prefix_before < close_size - {_UCR_EPS}
+                       AND remaining_qty > {_UCR_EPS}
+                      THEN esort END) AS last_sort
+      FROM fifo0 GROUP BY close_id
+    ),
+    plan AS (
+      SELECT s.close_id, s.ticker,
+             CAST(s.close_date AS VARCHAR) AS close_date,
+             ROUND(s.close_size, 6) AS close_size,
+             CASE WHEN s.clean_live THEN 1 ELSE 0 END AS clean_live,
+             s.target_sign, s.strategy,
+             ROUND(s.run_inv, 6) AS run_inventory,
+             ROUND(s.broad_inv, 6) AS broad_inventory,
+             ROUND(COALESCE(f.avail, 0.0), 6) AS fifo_available,
+             CASE WHEN COALESCE(f.complete, FALSE) THEN 1 ELSE 0 END
+               AS fifo_complete,
+             CASE WHEN COALESCE(f.complete, FALSE)
+                  THEN CAST(f.n_alloc AS BIGINT) ELSE 0 END
+               AS n_allocations,
+             ROUND(CASE WHEN COALESCE(f.complete, FALSE)
+                   THEN s.close_size ELSE 0.0 END, 6) AS allocated_total,
+             CASE WHEN COALESCE(f.complete, FALSE)
+                  THEN f.first_sort % {_UCR_KEYMUL} END AS first_entry_id,
+             CASE WHEN COALESCE(f.complete, FALSE)
+                  THEN f.last_sort % {_UCR_KEYMUL} END AS last_entry_id,
+             CASE WHEN COALESCE(f.complete, FALSE)
+                    THEN 'matched_existing_orphan_entry:' || s.strategy
+                  WHEN s.strategy = 'clean_live_no_current_run_match'
+                    THEN 'refused_clean_live_broad_repair'
+                  ELSE 'no_match' END AS repair_reason
+      FROM strat s
+      LEFT JOIN fifo f ON f.close_id = s.close_id
+    )
+"""
+
+
+def _ucr_frames(spark: SparkSession, sf_dir: str):
+    """Shared ledger frames for the unlinked-close repair: legs with
+    derived position state, the orphan open-lot inventory, and the
+    unlinked-close population."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    ok = F.col("l_orderkey")
+    legs0 = (
+        li.join(mx, "l_orderkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.any_value(
+                F.concat(
+                    F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+                )
+            ).alias("ticker"),
+            F.max(F.to_date("l_shipdate")).alias("trade_date"),
+            F.sum(F.col("l_quantity").cast("double")).alias("shares"),
+            (
+                (F.col("l_linenumber") == F.any_value("maxline"))
+                & (F.any_value("maxline") > 1)
+            ).alias("is_close"),
+        )
+        .select(
+            (ok * 10 + F.col("l_linenumber")).alias("leg_id"),
+            ok.alias("orderkey"),
+            F.col("l_linenumber").alias("ln"),
+            "ticker",
+            "trade_date",
+            "shares",
+            "is_close",
+            (ok % 4 == 0).alias("is_synthetic"),
+            (ok % 17 == 0).alias("is_contaminated"),
+        )
+        .withColumn(
+            "sortkey",
+            F.datediff(F.col("trade_date"), F.lit("1970-01-01")).cast(
+                "long"
+            )
+            * _UCR_KEYMUL
+            + F.col("leg_id"),
+        )
+        .withColumn(
+            "signed_qty",
+            F.when(F.col("is_close"), -F.col("shares")).otherwise(
+                F.col("shares")
+            ),
+        )
+    )
+    w = Window.partitionBy("ticker").orderBy("sortkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    legs = (
+        legs0.withColumn("position_after", F.sum("signed_qty").over(wcum))
+        .withColumn(
+            "sign_after", F.signum(F.col("position_after")).cast("int")
+        )
+        .withColumn("prev_sign0", F.lag("sign_after").over(w))
+        .withColumn(
+            "seg",
+            F.sum(
+                F.when(
+                    F.col("prev_sign0").isNull()
+                    | (F.col("sign_after") != F.col("prev_sign0")),
+                    1,
+                ).otherwise(0)
+            ).over(wcum),
+        )
+        .withColumn("prev_seg", F.lag("seg").over(w))
+    )
+
+    # linked closes FIFO-consume their own order's open legs
+    worder = Window.partitionBy("orderkey").orderBy("ln")
+    entries = legs.filter(~F.col("is_close")).withColumn(
+        "prefix_shares",
+        F.coalesce(
+            F.sum("shares").over(
+                worder.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ),
+    )
+    linked_close_sz = (
+        legs.filter(F.col("is_close") & (F.col("orderkey") % 5 != 0))
+        .groupBy("orderkey")
+        .agg(F.any_value("shares").alias("close_shares"))
+    )
+    orphans = (
+        entries.join(linked_close_sz, "orderkey", "left")
+        .withColumn(
+            "used_qty",
+            F.when(
+                F.col("close_shares").isNotNull(),
+                F.greatest(
+                    F.least(
+                        F.col("close_shares") - F.col("prefix_shares"),
+                        F.col("shares"),
+                    ),
+                    F.lit(0.0),
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "remaining_qty",
+            F.greatest(
+                F.col("shares") - F.col("used_qty"), F.lit(0.0)
+            ),
+        )
+        .filter(F.col("remaining_qty") > 0.0)
+        # consumed by 4 downstream joins (tick_inv, run_inv, both pools):
+        # materialize once instead of re-deriving the windowed ledger
+        .localCheckpoint()
+    )
+
+    closes = legs.filter(
+        F.col("is_close") & (F.col("orderkey") % 5 == 0)
+    ).select(
+        F.col("leg_id").alias("close_id"),
+        "ticker",
+        F.col("trade_date").alias("close_date"),
+        F.col("sortkey").alias("csort"),
+        F.col("shares").alias("close_size"),
+        F.coalesce(F.col("prev_sign0"), F.lit(0)).alias("target_sign"),
+        "prev_seg",
+        (~F.col("is_synthetic") & ~F.col("is_contaminated")).alias(
+            "clean_live"
+        ),
+    ).localCheckpoint()
+    return orphans, closes
+
+
+@query("unlinked_close_repair_plan", oracle=f"{_UCR_SQL} SELECT * FROM plan")
+def unlinked_close_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run repair plan for closing legs with no entry linkage —
+    reference `scripts/repair_unlinked_closes.py`: unlinked-close
+    discovery (`find_unlinked_closes:150-176`), the orphan open-lot
+    inventory with linkage-consumed quantities
+    (`find_orphaned_entries:178-213`), the current-position-run
+    boundary scan (last prior row whose position sign is zero or
+    opposite the close's position_before sign,
+    `_current_position_run_entry_ids:223-258`), the candidate-selection
+    ladder (`_select_candidate_entries:265-296`: current-run inventory
+    first, clean live closes refuse broad repair, broad orphan pool
+    otherwise, insufficient-inventory fall-through) and FIFO allocation
+    in (entry_date, entry_id) order over lots dated at or before the
+    close (`match_fifo_allocations:298-344`; all-or-nothing: a close
+    whose pool cannot cover it yields no allocations). One row per
+    unlinked close with the chosen strategy, inventories, allocation
+    census and the repair/refusal reason (`repair_linkage:539-640`).
+
+    Dry-run grain (the script's default): each close is planned against
+    the linkage state as stored — allocations are not replayed into the
+    next close's inventory, matching `--dry-run` semantics.
+
+    Scale: position state is a per-ticker ordered running sum (the
+    ledger's own grain); run-pool pairing is an equi-join on
+    (ticker, sign-streak segment); the broad-pool join is keyed on
+    ticker — the reference's own per-close full-orphan scan, bounded by
+    the orphan inventory per symbol. No broadcast of a corpus-scaled
+    side; FIFO is one window prefix-sum per close pool."""
+    orphans, closes = _ucr_frames(spark, sf_dir)
+    from pyspark.sql import Window
+
+    tick_inv = orphans.groupBy("ticker").agg(
+        F.sum("remaining_qty").alias("broad_inv"),
+        F.count(F.lit(1)).alias("n_orphans"),
+    )
+    o_, c_ = orphans.alias("o"), closes.alias("c")
+    run_inv = (
+        c_.join(
+            o_,
+            (F.col("o.ticker") == F.col("c.ticker"))
+            & (F.col("o.seg") == F.col("c.prev_seg"))
+            & (F.col("o.sortkey") < F.col("c.csort")),
+        )
+        .groupBy("c.close_id")
+        .agg(
+            F.sum("o.remaining_qty").alias("run_inv_all"),
+            F.sum(
+                F.when(
+                    ~F.col("o.is_synthetic"), F.col("o.remaining_qty")
+                ).otherwise(0.0)
+            ).alias("run_inv_clean"),
+        )
+        .select(F.col("close_id"), "run_inv_all", "run_inv_clean")
+    )
+    run_inv_pick = F.when(
+        F.col("clean_live"), F.coalesce(F.col("run_inv_clean"), F.lit(0.0))
+    ).otherwise(F.coalesce(F.col("run_inv_all"), F.lit(0.0)))
+    strat = (
+        closes.join(tick_inv, "ticker", "left")
+        .join(run_inv, "close_id", "left")
+        .select(
+            "*",
+            F.coalesce(F.col("n_orphans"), F.lit(0)).alias("n_orph"),
+            F.coalesce(F.col("broad_inv"), F.lit(0.0)).alias("binv"),
+            run_inv_pick.alias("rinv"),
+        )
+        .withColumn(
+            "strategy",
+            F.when(F.col("n_orph") == 0, "no_orphans")
+            .when(
+                (F.col("target_sign") != 0)
+                & (F.col("rinv") >= F.col("close_size") - _UCR_EPS)
+                & (F.col("close_size") > 0),
+                "current_position_run",
+            )
+            .when(F.col("clean_live"), "clean_live_no_current_run_match")
+            .when(
+                (F.col("binv") >= F.col("close_size") - _UCR_EPS)
+                & (F.col("close_size") > 0),
+                "broad_orphan_match",
+            )
+            .otherwise("insufficient_orphan_inventory"),
+        )
+    )
+
+    s_ = strat.alias("s")
+    pool_cols = [
+        F.col("s.close_id").alias("close_id"),
+        F.col("s.close_size").alias("close_size"),
+        F.col("o.leg_id").alias("entry_id"),
+        F.col("o.sortkey").alias("esort"),
+        F.col("o.remaining_qty").alias("remaining_qty"),
+        (F.col("o.trade_date") <= F.col("s.close_date")).alias("date_ok"),
+    ]
+    pool_run = (
+        s_.filter(F.col("strategy") == "current_position_run")
+        .join(
+            o_,
+            (F.col("o.ticker") == F.col("s.ticker"))
+            & (F.col("o.seg") == F.col("s.prev_seg"))
+            & (F.col("o.sortkey") < F.col("s.csort"))
+            & (~F.col("s.clean_live") | ~F.col("o.is_synthetic")),
+        )
+        .select(*pool_cols)
+    )
+    pool_broad = (
+        s_.filter(F.col("strategy") == "broad_orphan_match")
+        .join(o_, F.col("o.ticker") == F.col("s.ticker"))
+        .select(*pool_cols)
+    )
+    wfifo = Window.partitionBy("close_id").orderBy("esort")
+    fifo0 = pool_run.unionByName(pool_broad).withColumn(
+        "prefix_before",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("date_ok"), F.col("remaining_qty"))
+            ).over(wfifo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ),
+    )
+    alloc = (
+        F.col("date_ok")
+        & (F.col("prefix_before") < F.col("close_size") - _UCR_EPS)
+        & (F.col("remaining_qty") > _UCR_EPS)
+    )
+    fifo = fifo0.groupBy("close_id").agg(
+        F.sum(
+            F.when(F.col("date_ok"), F.col("remaining_qty")).otherwise(0.0)
+        ).alias("avail"),
+        (
+            F.sum(
+                F.when(F.col("date_ok"), F.col("remaining_qty")).otherwise(
+                    0.0
+                )
+            )
+            >= F.any_value(F.col("close_size")) - _UCR_EPS
+        ).alias("complete"),
+        F.sum(F.when(alloc, 1).otherwise(0)).alias("n_alloc"),
+        F.min(F.when(alloc, F.col("esort"))).alias("first_sort"),
+        F.max(F.when(alloc, F.col("esort"))).alias("last_sort"),
+    )
+
+    done = F.coalesce(F.col("complete"), F.lit(False))
+    return strat.join(fifo, "close_id", "left").select(
+        "close_id",
+        "ticker",
+        F.col("close_date").cast("string").alias("close_date"),
+        r6(F.col("close_size")).alias("close_size"),
+        F.when(F.col("clean_live"), 1).otherwise(0).alias("clean_live"),
+        "target_sign",
+        "strategy",
+        r6(F.col("rinv")).alias("run_inventory"),
+        r6(F.col("binv")).alias("broad_inventory"),
+        r6(F.coalesce(F.col("avail"), F.lit(0.0))).alias("fifo_available"),
+        F.when(done, 1).otherwise(0).alias("fifo_complete"),
+        F.when(done, F.col("n_alloc").cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_allocations"),
+        r6(
+            F.when(done, F.col("close_size")).otherwise(F.lit(0.0))
+        ).alias("allocated_total"),
+        F.when(done, F.col("first_sort") % _UCR_KEYMUL).alias(
+            "first_entry_id"
+        ),
+        F.when(done, F.col("last_sort") % _UCR_KEYMUL).alias(
+            "last_entry_id"
+        ),
+        F.when(
+            done,
+            F.concat(
+                F.lit("matched_existing_orphan_entry:"), F.col("strategy")
+            ),
+        )
+        .when(
+            F.col("strategy") == "clean_live_no_current_run_match",
+            "refused_clean_live_broad_repair",
+        )
+        .otherwise("no_match")
+        .alias("repair_reason"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Directional-classifier evaluation suite —
+# reference scripts/evaluate_directional_classifier.py
+# ---------------------------------------------------------------------------
+# Constants mirror the reference: _ECE_N_BINS=10 (`:46`), cold-start floor
+# n>=60 with >=10 per class (`:45,459`), counterfactual thresholds 0.55/0.55
+# (`:213-217`), sweep grid 0.50..0.90 step 0.05 with min_gated=10
+# (`:364-381`), fallback threshold 0.55 (`:385`).
+_DCE_MIN_N = 60
+_DCE_MIN_CLASS = 10
+_DCE_MIN_GATED = 10
+_DCE_THRESH = [0.50, 0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90]
+_DCE_BUY_T = 0.55
+_DCE_SELL_T = 0.55
+
+# Evaluation pairs reuse the accumulation pack's signal/outcome frame
+# (click events whose key's first same-day purchase supplies the label);
+# the calibrated probability channel is a deterministic planted-signal
+# fixture: p = clamp(0.35 + 0.45*u + 0.15*y) with u the portable-md5
+# uniform — correlated with the label so gate lift is non-degenerate.
+_DCE_PAIRS_SQL = """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(ts AS DATE) AS d,
+             ('0x' || SUBSTR(MD5('dce|' || CAST(event_id AS VARCHAR)),
+                             1, 6))::BIGINT / 16777216.0 AS u
+      FROM events WHERE value > 0
+    ),
+    outc AS (
+      SELECT user_id, d, value AS exit_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, d
+                                ORDER BY ts, event_id) AS ork
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT s.event_id,
+             CASE WHEN o.exit_value > s.value THEN 1.0 ELSE 0.0 END AS y,
+             LEAST(0.999, GREATEST(0.001,
+               ROUND(0.35 + 0.45 * s.u
+                     + 0.15 * CASE WHEN o.exit_value > s.value
+                              THEN 1.0 ELSE 0.0 END, 6))) AS p
+      FROM ev s
+      JOIN outc o ON o.user_id = s.user_id AND o.d = s.d AND o.ork = 1
+      WHERE s.event_type = 'click'
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+             AVG(y) AS baseline_wr
+      FROM pairs
+    )
+"""
+
+_DCE_TLIST = ", ".join(f"{t:.2f}" for t in _DCE_THRESH)
+
+@query(
+    "directional_classifier_eval",
+    oracle=f"""
+    {_DCE_PAIRS_SQL},
+    cold AS (
+      SELECT (n_total < {_DCE_MIN_N} OR n_pos < {_DCE_MIN_CLASS}
+              OR n_neg < {_DCE_MIN_CLASS}) AS cold_start
+      FROM tot
+    ),
+    bins AS (
+      SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             AVG(p) AS conf, AVG(y) AS acc
+      FROM pairs GROUP BY 1
+    ),
+    bin_grid AS (
+      SELECT t.b, COALESCE(bi.cnt, 0) AS cnt, bi.conf, bi.acc,
+             CAST(COALESCE(bi.cnt, 0) AS DOUBLE)
+               / (SELECT n_total FROM tot) AS frac
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS b) t
+      LEFT JOIN bins bi ON bi.b = t.b
+    ),
+    ece AS (
+      SELECT SUM(frac * ABS(conf - acc)) AS ece
+      FROM bin_grid WHERE cnt > 0
+    ),
+    cf AS (
+      SELECT CAST(SUM(CASE WHEN p >= {_DCE_BUY_T} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_buy,
+             AVG(CASE WHEN p >= {_DCE_BUY_T} THEN y END) AS buy_wr,
+             CAST(SUM(CASE WHEN p <= 1.0 - {_DCE_SELL_T}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
+             AVG(CASE WHEN p <= 1.0 - {_DCE_SELL_T} THEN 1.0 - y END)
+               AS sell_wr,
+             CAST(SUM(CASE WHEN p < {_DCE_BUY_T}
+                            AND p > 1.0 - {_DCE_SELL_T}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+      FROM pairs
+    ),
+    sweep AS (
+      SELECT t.thresh,
+             CAST(COALESCE(SUM(CASE WHEN p.p >= t.thresh
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gated,
+             AVG(CASE WHEN p.p >= t.thresh THEN p.y END) AS gated_wr
+      FROM (SELECT UNNEST([{_DCE_TLIST}]) AS thresh) t
+      CROSS JOIN pairs p
+      GROUP BY t.thresh
+    ),
+    sweep2 AS (
+      SELECT s.thresh, s.n_gated, s.gated_wr,
+             ROUND(s.gated_wr - (SELECT baseline_wr FROM tot), 6) AS lift6,
+             (s.n_gated >= {_DCE_MIN_GATED}) AS eligible
+      FROM sweep s
+    ),
+    best AS (
+      SELECT * FROM sweep2 WHERE eligible
+      ORDER BY lift6 DESC, thresh ASC LIMIT 1
+    ),
+    out AS (
+      SELECT 'summary' AS section, 'cold_start_check' AS key,
+             n_total AS n, CAST(n_pos AS DOUBLE) AS m1,
+             CAST(n_neg AS DOUBLE) AS m2, CAST(NULL AS DOUBLE) AS m3,
+             CASE WHEN (SELECT cold_start FROM cold)
+                  THEN 'COLD_START' ELSE 'OK' END AS verdict
+      FROM tot
+      UNION ALL
+      SELECT 'summary', 'ece', (SELECT n_total FROM tot),
+             ROUND(ece, 4), NULL, NULL, NULL
+      FROM ece WHERE NOT (SELECT cold_start FROM cold)
+      UNION ALL
+      SELECT 'ece_bin', PRINTF('%.2f-%.2f', b / 10.0, (b + 1) / 10.0),
+             cnt, ROUND(conf, 4), ROUND(acc, 4), ROUND(frac, 4), NULL
+      FROM bin_grid WHERE NOT (SELECT cold_start FROM cold)
+      UNION ALL
+      SELECT 'counterfactual', 'baseline', n_total,
+             ROUND(baseline_wr, 4), NULL, NULL, NULL
+      FROM tot WHERE NOT (SELECT cold_start FROM cold)
+      UNION ALL
+      SELECT 'counterfactual', 'gated_buy', n_buy, ROUND(buy_wr, 4),
+             NULL, ROUND(buy_wr - (SELECT baseline_wr FROM tot), 4), NULL
+      FROM cf WHERE NOT (SELECT cold_start FROM cold)
+      UNION ALL
+      SELECT 'counterfactual', 'gated_sell', n_sell, ROUND(sell_wr, 4),
+             NULL, NULL, NULL
+      FROM cf WHERE NOT (SELECT cold_start FROM cold)
+      UNION ALL
+      SELECT 'counterfactual', 'blocked', n_blocked, NULL, NULL, NULL,
+             NULL
+      FROM cf WHERE NOT (SELECT cold_start FROM cold)
+      UNION ALL
+      SELECT 'gate_sweep', PRINTF('%.2f', thresh), n_gated,
+             ROUND(gated_wr, 4), NULL, ROUND(lift6, 4),
+             CASE WHEN eligible THEN 'eligible' ELSE 'below_min' END
+      FROM sweep2 WHERE NOT (SELECT cold_start FROM cold)
+      UNION ALL
+      SELECT 'gate_optimal',
+             PRINTF('%.2f', COALESCE((SELECT thresh FROM best), 0.55)),
+             COALESCE((SELECT n_gated FROM best), 0),
+             ROUND((SELECT gated_wr FROM best), 4), NULL,
+             ROUND((SELECT lift6 FROM best), 4),
+             CASE WHEN EXISTS (SELECT 1 FROM best)
+                  THEN 'optimized' ELSE 'fallback_uncalibrated' END
+      WHERE NOT (SELECT cold_start FROM cold)
+    )
+    SELECT * FROM out
+    """,
+)
+def directional_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional-classifier evaluation suite — reference
+    `scripts/evaluate_directional_classifier.py`: the cold-start gate
+    (n>=60 with >=10 per class, `:45,459-471`), the 10-bin ECE
+    decomposition with empty-bin rows (`_ece_decomposition:165-210`),
+    the win-rate counterfactual at the production 0.55/0.55 gate —
+    gated-BUY and gated-SELL win rates vs the all-BUY baseline and the
+    blocked census (`_win_rate_counterfactual:213-266`) — and the
+    data-driven gate-threshold sweep over 0.50..0.90 step 0.05 with the
+    10-example eligibility floor and the explicit uncalibrated-0.55
+    fallback verdict (`_optimal_gate_threshold:364-410`). The sklearn
+    walk-forward refit itself (`_walk_forward_da:53-158`) is the same
+    harness shape as the engine's `blocked_cv_validation` /
+    `walkforward_refit_eval`; this query carries the evaluation
+    algebra. Probability channel: deterministic planted-signal fixture
+    (documented above `_DCE_PAIRS_SQL`).
+
+    Scale: one scan builds the pairs frame (checkpointed once); every
+    section is a bounded aggregate over it — the bin grid is 10 rows,
+    the sweep 9 thresholds folded in a single grouped pass; the argmax
+    is over 9 rows. No corpus-scaled broadcast, no window over the full
+    frame except the per-(user,day) first-purchase rank the
+    accumulation pack already uses."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            "event_type",
+            F.to_date("ts").alias("d"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("dce|"), F.col("event_id").cast("string")
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / 16777216.0
+            ).alias("u"),
+        )
+    )
+    from pyspark.sql import Window
+
+    outc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "ork",
+            F.row_number().over(
+                Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("ork") == 1)
+        .select("user_id", "d", F.col("value").alias("exit_value"))
+    )
+    y = F.when(F.col("exit_value") > F.col("value"), 1.0).otherwise(0.0)
+    pairs = (
+        ev.filter(F.col("event_type") == "click")
+        .join(outc, ["user_id", "d"])
+        .select(
+            "event_id",
+            y.alias("y"),
+            F.least(
+                F.lit(0.999),
+                F.greatest(
+                    F.lit(0.001),
+                    F.round(
+                        0.35 + 0.45 * F.col("u") + 0.15 * y, 6
+                    ),
+                ),
+            ).alias("p"),
+        )
+        .localCheckpoint()
+    )
+
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+        F.avg("y").alias("baseline_wr"),
+    ).collect()[0]
+    n_total, n_pos, n_neg = tot["n_total"], tot["n_pos"], tot["n_neg"]
+    baseline = tot["baseline_wr"]
+    cold = (
+        n_total < _DCE_MIN_N
+        or n_pos < _DCE_MIN_CLASS
+        or n_neg < _DCE_MIN_CLASS
+    )
+
+    def row_schema(df):
+        return df.select(
+            F.col("section").cast("string"),
+            F.col("key").cast("string"),
+            F.col("n").cast("long"),
+            F.col("m1").cast("double"),
+            F.col("m2").cast("double"),
+            F.col("m3").cast("double"),
+            F.col("verdict").cast("string"),
+        )
+
+    summary = spark.createDataFrame(
+        [
+            (
+                "summary",
+                "cold_start_check",
+                n_total,
+                float(n_pos),
+                float(n_neg),
+                None,
+                "COLD_START" if cold else "OK",
+            )
+        ],
+        "section string, key string, n long, m1 double, m2 double, "
+        "m3 double, verdict string",
+    )
+    if cold:
+        return summary
+
+    bins = pairs.groupBy(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.avg("p").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    grid = (
+        spark.range(10)
+        .select(F.col("id").cast("int").alias("b"))
+        .join(bins, "b", "left")
+        .select(
+            "b",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+            "conf",
+            "acc",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / n_total
+            ).alias("frac"),
+        )
+        .localCheckpoint()
+    )
+    ece_row = grid.filter(F.col("cnt") > 0).agg(
+        F.round(F.sum(F.col("frac") * F.abs(F.col("conf") - F.col("acc"))), 4)
+        .alias("ece")
+    )
+    ece_out = ece_row.select(
+        F.lit("summary").alias("section"),
+        F.lit("ece").alias("key"),
+        F.lit(n_total).alias("n"),
+        F.col("ece").alias("m1"),
+        F.lit(None).alias("m2"),
+        F.lit(None).alias("m3"),
+        F.lit(None).alias("verdict"),
+    )
+    bins_out = grid.select(
+        F.lit("ece_bin").alias("section"),
+        F.format_string(
+            "%.2f-%.2f", F.col("b") / 10.0, (F.col("b") + 1) / 10.0
+        ).alias("key"),
+        F.col("cnt").alias("n"),
+        F.round("conf", 4).alias("m1"),
+        F.round("acc", 4).alias("m2"),
+        F.round("frac", 4).alias("m3"),
+        F.lit(None).alias("verdict"),
+    )
+
+    cf = pairs.agg(
+        F.sum(F.when(F.col("p") >= _DCE_BUY_T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_buy"),
+        F.avg(F.when(F.col("p") >= _DCE_BUY_T, F.col("y"))).alias("buy_wr"),
+        F.sum(F.when(F.col("p") <= 1.0 - _DCE_SELL_T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sell"),
+        F.avg(
+            F.when(F.col("p") <= 1.0 - _DCE_SELL_T, 1.0 - F.col("y"))
+        ).alias("sell_wr"),
+        F.sum(
+            F.when(
+                (F.col("p") < _DCE_BUY_T)
+                & (F.col("p") > 1.0 - _DCE_SELL_T),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_blocked"),
+    ).localCheckpoint()
+    cf_out = (
+        cf.select(
+            F.lit("counterfactual").alias("section"),
+            F.lit("baseline").alias("key"),
+            F.lit(n_total).alias("n"),
+            F.round(F.lit(baseline), 4).alias("m1"),
+            F.lit(None).alias("m2"),
+            F.lit(None).alias("m3"),
+            F.lit(None).alias("verdict"),
+        )
+        .unionByName(
+            cf.select(
+                F.lit("counterfactual").alias("section"),
+                F.lit("gated_buy").alias("key"),
+                F.col("n_buy").alias("n"),
+                F.round("buy_wr", 4).alias("m1"),
+                F.lit(None).alias("m2"),
+                F.round(F.col("buy_wr") - baseline, 4).alias("m3"),
+                F.lit(None).alias("verdict"),
+            )
+        )
+        .unionByName(
+            cf.select(
+                F.lit("counterfactual").alias("section"),
+                F.lit("gated_sell").alias("key"),
+                F.col("n_sell").alias("n"),
+                F.round("sell_wr", 4).alias("m1"),
+                F.lit(None).alias("m2"),
+                F.lit(None).alias("m3"),
+                F.lit(None).alias("verdict"),
+            )
+        )
+        .unionByName(
+            cf.select(
+                F.lit("counterfactual").alias("section"),
+                F.lit("blocked").alias("key"),
+                F.col("n_blocked").alias("n"),
+                F.lit(None).alias("m1"),
+                F.lit(None).alias("m2"),
+                F.lit(None).alias("m3"),
+                F.lit(None).alias("verdict"),
+            )
+        )
+    )
+
+    tgrid = spark.createDataFrame(
+        [(t,) for t in _DCE_THRESH], "thresh double"
+    )
+    sweep = (
+        tgrid.crossJoin(pairs)
+        .groupBy("thresh")
+        .agg(
+            F.sum(F.when(F.col("p") >= F.col("thresh"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gated"),
+            F.avg(
+                F.when(F.col("p") >= F.col("thresh"), F.col("y"))
+            ).alias("gated_wr"),
+        )
+        .withColumn("lift6", F.round(F.col("gated_wr") - baseline, 6))
+        .withColumn("eligible", F.col("n_gated") >= _DCE_MIN_GATED)
+        .localCheckpoint()
+    )
+    sweep_out = sweep.select(
+        F.lit("gate_sweep").alias("section"),
+        F.format_string("%.2f", F.col("thresh")).alias("key"),
+        F.col("n_gated").alias("n"),
+        F.round("gated_wr", 4).alias("m1"),
+        F.lit(None).alias("m2"),
+        F.round("lift6", 4).alias("m3"),
+        F.when(F.col("eligible"), "eligible")
+        .otherwise("below_min")
+        .alias("verdict"),
+    )
+    best = (
+        sweep.filter(F.col("eligible"))
+        .orderBy(F.col("lift6").desc(), F.col("thresh").asc())
+        .limit(1)
+        .collect()
+    )
+    if best:
+        b = best[0]
+        opt_row = (
+            "gate_optimal",
+            f"{b['thresh']:.2f}",
+            b["n_gated"],
+            round(b["gated_wr"], 4),
+            None,
+            round(b["lift6"], 4),
+            "optimized",
+        )
+    else:
+        opt_row = (
+            "gate_optimal",
+            f"{0.55:.2f}",
+            0,
+            None,
+            None,
+            None,
+            "fallback_uncalibrated",
+        )
+    opt_out = spark.createDataFrame(
+        [opt_row],
+        "section string, key string, n long, m1 double, m2 double, "
+        "m3 double, verdict string",
+    )
+
+    return (
+        row_schema(summary)
+        .unionByName(row_schema(ece_out))
+        .unionByName(row_schema(bins_out))
+        .unionByName(row_schema(cf_out))
+        .unionByName(row_schema(sweep_out))
+        .unionByName(row_schema(opt_out))
+    )
