@@ -1647,3 +1647,432 @@ def directional_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row_schema(sweep_out))
         .unionByName(row_schema(opt_out))
     )
+
+
+# ---------------------------------------------------------------------------
+# TS model search — reference scripts/run_ts_model_search.py +
+# scripts/summarize_ts_candidates.py
+# ---------------------------------------------------------------------------
+# The reference's candidate grid (sarimax_only / samossa_only /
+# sarimax_samossa, `_build_candidate_configs:82-150`) maps to the engine's
+# closed-form forecaster trio over the per-key event series: naive lag-1,
+# trailing MA(3), and their ensemble blend (primary model COMBINED per
+# `_select_primary_model:152-161`). Rolling-window CV = 5 ntile folds over
+# the evaluable rows; score/stability/DM algebra is reproduced exactly.
+_TMS_FOLDS = 5
+_TMS_BASELINE = "sarimax_only"
+_TMS_CURRENT_REGIME = "NEUTRAL"
+# engine equivalent of config/regime_similarity_weights.yml (row = current)
+_TMS_W_LOW = 0.8
+_TMS_W_HIGH = 0.6
+
+_TMS_SQL = f"""
+    WITH s0 AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             LN(value / LAG(value, 1) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) AS lr,
+             LAG(value, 1) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS fc_naive,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS fc_ma3
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    s AS (
+      SELECT user_id, rn, value, fc_naive, fc_ma3,
+             NTILE({_TMS_FOLDS}) OVER (PARTITION BY user_id ORDER BY rn)
+               AS fold
+      FROM s0 WHERE rn >= 4
+    ),
+    melted AS (
+      SELECT user_id, fold, '{_TMS_BASELINE}' AS candidate,
+             value - fc_naive AS err FROM s
+      UNION ALL
+      SELECT user_id, fold, 'samossa_only', value - fc_ma3 FROM s
+      UNION ALL
+      SELECT user_id, fold, 'sarimax_samossa',
+             value - (fc_naive + fc_ma3) / 2 FROM s
+    ),
+    foldr AS (
+      SELECT user_id, candidate, fold,
+             SQRT(AVG(err * err)) AS rmse
+      FROM melted GROUP BY user_id, candidate, fold
+    ),
+    cand AS (
+      SELECT user_id, candidate,
+             CAST(COUNT(*) AS BIGINT) AS fold_count,
+             AVG(rmse) AS rmse_mean,
+             CASE WHEN COUNT(*) >= 2 THEN STDDEV_SAMP(rmse) END AS rmse_sd
+      FROM foldr GROUP BY user_id, candidate
+    ),
+    dm0 AS (
+      SELECT c.user_id, c.candidate, c.fold,
+             b.rmse - c.rmse AS d
+      FROM foldr c
+      JOIN foldr b ON b.user_id = c.user_id AND b.fold = c.fold
+                  AND b.candidate = '{_TMS_BASELINE}'
+      WHERE c.candidate <> '{_TMS_BASELINE}'
+    ),
+    dm1 AS (
+      SELECT *, AVG(d) OVER (PARTITION BY user_id, candidate) AS dbar,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, candidate)
+               AS BIGINT) AS m
+      FROM dm0
+    ),
+    dm2 AS (
+      SELECT user_id, candidate, fold, m, dbar, d - dbar AS c0,
+             LAG(d - dbar, 1) OVER (PARTITION BY user_id, candidate
+                                    ORDER BY fold) AS c1,
+             LAG(d - dbar, 2) OVER (PARTITION BY user_id, candidate
+                                    ORDER BY fold) AS c2
+      FROM dm1
+    ),
+    dm3 AS (
+      SELECT user_id, candidate, ANY_VALUE(m) AS m,
+             ANY_VALUE(dbar) AS dbar,
+             SUM(c0 * c0) / ANY_VALUE(m) AS g0,
+             COALESCE(SUM(c0 * c1), 0.0) / ANY_VALUE(m) AS g1,
+             COALESCE(SUM(c0 * c2), 0.0) / ANY_VALUE(m) AS g2
+      FROM dm2 GROUP BY user_id, candidate
+    ),
+    dm AS (
+      -- NW lag = floor(sqrt(m)); m=5 folds -> lag 2, weights 1-l/3
+      SELECT user_id, candidate, m, dbar,
+             CASE WHEN m >= 3 THEN dbar / SQRT(GREATEST(
+               CASE WHEN g0 > 0
+                    THEN g0 + 2 * (1.0 - 1.0 / (FLOOR(SQRT(m)) + 1)) * g1
+                           + 2 * (1.0 - 2.0 / (FLOOR(SQRT(m)) + 1))
+                             * CASE WHEN FLOOR(SQRT(m)) >= 2
+                                    THEN g2 ELSE 0.0 END
+                    ELSE g0 END, 1e-12) / m)
+                  ELSE 0.0 END AS t_stat
+      FROM dm3
+    ),
+    dmp AS (
+      -- two-sided p from exact Student-t CDF closed forms, df = m-1:
+      --   df=2: F = 1/2 + t / (2 sqrt(t^2+2))
+      --   df=3: F = 1/2 + (1/pi)( (t/sqrt(3))/(1+t^2/3) + atan(t/sqrt(3)) )
+      --   df=4: F = 1/2 + (3/8)(t/sqrt(u))(1 - t^2/(12u)), u = 1 + t^2/4
+      SELECT user_id, candidate, t_stat,
+             CASE
+               WHEN m = 3 THEN 2.0 * (1.0 - (0.5
+                 + ABS(t_stat) / (2.0 * SQRT(t_stat * t_stat + 2.0))))
+               WHEN m = 4 THEN 2.0 * (1.0 - (0.5 + (1.0 / PI())
+                 * ((ABS(t_stat) / SQRT(3.0))
+                      / (1.0 + t_stat * t_stat / 3.0)
+                    + ATAN(ABS(t_stat) / SQRT(3.0)))))
+               WHEN m >= 5 THEN
+                 2.0 * (1.0 - (0.5 + 0.375
+                   * (ABS(t_stat) / SQRT(1.0 + t_stat * t_stat / 4.0))
+                   * (1.0 - t_stat * t_stat
+                      / (12.0 * (1.0 + t_stat * t_stat / 4.0)))))
+               ELSE 1.0 END AS p_value
+      FROM dm
+    ),
+    vol AS (
+      SELECT user_id, STDDEV_SAMP(lr) AS sd FROM s0 GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT QUANTILE_CONT(sd, 1.0/3) AS p33,
+             QUANTILE_CONT(sd, 2.0/3) AS p66
+      FROM vol
+    ),
+    regime AS (
+      SELECT v.user_id,
+             CASE WHEN v.sd < c.p33 THEN 'LOW_VOL'
+                  WHEN v.sd > c.p66 THEN 'HIGH_VOL'
+                  ELSE 'NEUTRAL' END AS observed_regime
+      FROM vol v CROSS JOIN cuts c
+    ),
+    scored AS (
+      SELECT c.user_id, c.candidate,
+             CASE WHEN c.candidate = 'sarimax_samossa'
+                  THEN 'COMBINED' ELSE c.candidate END AS primary_model,
+             c.fold_count, c.rmse_mean, c.rmse_sd,
+             CASE WHEN c.fold_count >= 2 AND c.rmse_mean > 0
+                       AND c.rmse_sd >= 0
+                  THEN GREATEST(0.0, LEAST(1.0,
+                       1.0 / (1.0 + c.rmse_sd / c.rmse_mean))) END
+               AS stability,
+             -c.rmse_mean AS base_score,
+             r.observed_regime,
+             CASE WHEN r.observed_regime = '{_TMS_CURRENT_REGIME}'
+                    THEN 1.0
+                  WHEN r.observed_regime = 'LOW_VOL' THEN {_TMS_W_LOW}
+                  ELSE {_TMS_W_HIGH} END AS similarity_weight,
+             p.t_stat, p.p_value
+      FROM cand c
+      JOIN regime r ON r.user_id = c.user_id
+      LEFT JOIN dmp p ON p.user_id = c.user_id
+                     AND p.candidate = c.candidate
+    ),
+    eff AS (
+      SELECT *,
+             CASE WHEN stability IS NULL
+                  THEN base_score * similarity_weight
+                  ELSE base_score * similarity_weight
+                       * (0.5 + 0.5 * stability) END AS effective_score
+      FROM scored
+    )
+    SELECT user_id AS ticker, candidate, primary_model, fold_count,
+           ROUND(rmse_mean, 6) AS rmse_mean,
+           ROUND(stability, 6) AS stability,
+           ROUND(base_score, 6) AS base_score,
+           observed_regime, similarity_weight,
+           ROUND(effective_score, 6) AS effective_score,
+           ROUND(t_stat, 6) AS dm_stat,
+           ROUND(p_value, 6) AS dm_p_value,
+           CASE WHEN p_value < 0.05
+                THEN CASE WHEN dm_stat_raw < 0
+                          THEN 'model_1' ELSE 'model_2' END END
+             AS dm_better_model,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ROUND(effective_score, 6) DESC, candidate)
+                = 1 THEN 1 ELSE 0 END AS is_best
+    FROM (SELECT *, t_stat AS dm_stat_raw FROM eff) z
+"""
+
+
+@query("ts_model_search_report", oracle=_TMS_SQL)
+def ts_model_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS model hyper-parameter search evidence — reference
+    `scripts/run_ts_model_search.py`: the compact candidate grid
+    (`_build_candidate_configs:82-150`; engine candidates are the
+    closed-form naive / MA(3) / blend trio, ensemble candidate's
+    primary model is COMBINED per `_select_primary_model:152-161`),
+    rolling-window CV fold RMSEs, the coefficient-of-variation
+    stability score clamp(1/(1+cv)) (`:516-527`), base score =
+    -RMSE fallback (`_score_candidate:209-233`), the regime-similarity
+    weight from the observed-vs-current regime matrix
+    (`_regime_similarity_weight:191-206`; observed regime = the key's
+    vol tercile, current = NEUTRAL), the effective score
+    base*w*(0.5+0.5*stability) (`:529-533`), and the Diebold-Mariano
+    comparison vs the sarimax_only baseline over per-fold RMSEs with
+    absolute loss, floor(sqrt(m))-lag Newey-West variance and the
+    closed-form Student-t(df=4) two-sided p-value
+    (`:535-553`; `etl/statistical_tests.py:34-111` — statistic 0 /
+    p 1 below 3 folds, better_model only under p<0.05). is_best marks
+    the per-ticker score argmax (`scripts/summarize_ts_candidates.py:
+    84-101`).
+
+    Scale: two window passes over the per-key series build all three
+    forecasters at once; fold RMSE and candidate aggregation are keyed
+    groupBys; the DM join is per (key, fold); the vol-tercile cuts are
+    a broadcast scalar pair. Nothing quadratic, nothing driver-side."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s0 = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.log(F.col("value") / F.lag("value", 1).over(w)).alias("lr"),
+        F.lag("value", 1).over(w).alias("fc_naive"),
+        F.avg("value").over(w.rowsBetween(-3, -1)).alias("fc_ma3"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    s = (
+        s0.filter(F.col("rn") >= 4)
+        .withColumn("fold", F.ntile(_TMS_FOLDS).over(wr))
+        .localCheckpoint()
+    )
+    melted = (
+        s.select(
+            "user_id",
+            "fold",
+            F.lit(_TMS_BASELINE).alias("candidate"),
+            (F.col("value") - F.col("fc_naive")).alias("err"),
+        )
+        .unionByName(
+            s.select(
+                "user_id",
+                "fold",
+                F.lit("samossa_only").alias("candidate"),
+                (F.col("value") - F.col("fc_ma3")).alias("err"),
+            )
+        )
+        .unionByName(
+            s.select(
+                "user_id",
+                "fold",
+                F.lit("sarimax_samossa").alias("candidate"),
+                (
+                    F.col("value")
+                    - (F.col("fc_naive") + F.col("fc_ma3")) / 2
+                ).alias("err"),
+            )
+        )
+    )
+    foldr = (
+        melted.groupBy("user_id", "candidate", "fold")
+        .agg(F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"))
+        .localCheckpoint()
+    )
+    cand = foldr.groupBy("user_id", "candidate").agg(
+        F.count(F.lit(1)).cast("long").alias("fold_count"),
+        F.avg("rmse").alias("rmse_mean"),
+        F.when(
+            F.count(F.lit(1)) >= 2, F.stddev_samp("rmse")
+        ).alias("rmse_sd"),
+    )
+
+    b = foldr.filter(F.col("candidate") == _TMS_BASELINE).select(
+        F.col("user_id").alias("b_uid"),
+        F.col("fold").alias("b_fold"),
+        F.col("rmse").alias("b_rmse"),
+    )
+    dm0 = (
+        foldr.filter(F.col("candidate") != _TMS_BASELINE)
+        .join(
+            b,
+            (F.col("b_uid") == F.col("user_id"))
+            & (F.col("b_fold") == F.col("fold")),
+        )
+        .select(
+            "user_id",
+            "candidate",
+            "fold",
+            (F.col("b_rmse") - F.col("rmse")).alias("d"),
+        )
+    )
+    wdc = Window.partitionBy("user_id", "candidate")
+    wdf = wdc.orderBy("fold")
+    dm2 = (
+        dm0.withColumn("dbar", F.avg("d").over(wdc))
+        .withColumn("m", F.count(F.lit(1)).over(wdc).cast("long"))
+        .withColumn("c0", F.col("d") - F.col("dbar"))
+        .withColumn("c1", F.lag("c0", 1).over(wdf))
+        .withColumn("c2", F.lag("c0", 2).over(wdf))
+    )
+    dm3 = dm2.groupBy("user_id", "candidate").agg(
+        F.any_value("m").alias("m"),
+        F.any_value("dbar").alias("dbar"),
+        (F.sum(F.col("c0") * F.col("c0")) / F.any_value("m")).alias("g0"),
+        (
+            F.coalesce(F.sum(F.col("c0") * F.col("c1")), F.lit(0.0))
+            / F.any_value("m")
+        ).alias("g1"),
+        (
+            F.coalesce(F.sum(F.col("c0") * F.col("c2")), F.lit(0.0))
+            / F.any_value("m")
+        ).alias("g2"),
+    )
+    lag = F.floor(F.sqrt(F.col("m")))
+    nw = F.when(
+        F.col("g0") > 0,
+        F.col("g0")
+        + 2 * (1.0 - 1.0 / (lag + 1)) * F.col("g1")
+        + 2
+        * (1.0 - 2.0 / (lag + 1))
+        * F.when(lag >= 2, F.col("g2")).otherwise(0.0),
+    ).otherwise(F.col("g0"))
+    t_stat = F.when(
+        F.col("m") >= 3,
+        F.col("dbar")
+        / F.sqrt(F.greatest(nw, F.lit(1e-12)) / F.col("m")),
+    ).otherwise(F.lit(0.0))
+    ts2 = F.col("t_stat") * F.col("t_stat")
+    u = 1.0 + ts2 / 4.0
+    cdf4 = 0.5 + 0.375 * (F.abs(F.col("t_stat")) / F.sqrt(u)) * (
+        1.0 - ts2 / (12.0 * u)
+    )
+    cdf2 = 0.5 + F.abs(F.col("t_stat")) / (2.0 * F.sqrt(ts2 + 2.0))
+    x3 = F.abs(F.col("t_stat")) / F.sqrt(F.lit(3.0))
+    cdf3 = 0.5 + (1.0 / F.lit(3.141592653589793)) * (
+        x3 / (1.0 + ts2 / 3.0) + F.atan(x3)
+    )
+    dmp = dm3.withColumn("t_stat", t_stat).withColumn(
+        "p_value",
+        F.when(F.col("m") == 3, 2.0 * (1.0 - cdf2))
+        .when(F.col("m") == 4, 2.0 * (1.0 - cdf3))
+        .when(F.col("m") >= 5, 2.0 * (1.0 - cdf4))
+        .otherwise(F.lit(1.0)),
+    )
+
+    vol = s0.groupBy("user_id").agg(F.stddev_samp("lr").alias("sd"))
+    cuts = vol.agg(
+        F.expr("percentile(sd, 1.0D/3)").alias("p33"),
+        F.expr("percentile(sd, 2.0D/3)").alias("p66"),
+    )
+    regime = vol.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        F.when(F.col("sd") < F.col("p33"), "LOW_VOL")
+        .when(F.col("sd") > F.col("p66"), "HIGH_VOL")
+        .otherwise("NEUTRAL")
+        .alias("observed_regime"),
+    )
+
+    scored = (
+        cand.join(regime, "user_id")
+        .join(
+            dmp.select("user_id", "candidate", "t_stat", "p_value"),
+            ["user_id", "candidate"],
+            "left",
+        )
+        .select(
+            "*",
+            F.when(F.col("candidate") == "sarimax_samossa", "COMBINED")
+            .otherwise(F.col("candidate"))
+            .alias("primary_model"),
+            F.when(
+                (F.col("fold_count") >= 2)
+                & (F.col("rmse_mean") > 0)
+                & (F.col("rmse_sd") >= 0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(
+                        F.lit(1.0),
+                        1.0
+                        / (1.0 + F.col("rmse_sd") / F.col("rmse_mean")),
+                    ),
+                ),
+            ).alias("stability"),
+            (-F.col("rmse_mean")).alias("base_score"),
+            F.when(
+                F.col("observed_regime") == _TMS_CURRENT_REGIME, 1.0
+            )
+            .when(F.col("observed_regime") == "LOW_VOL", _TMS_W_LOW)
+            .otherwise(_TMS_W_HIGH)
+            .alias("similarity_weight"),
+        )
+        .withColumn(
+            "effective_score",
+            F.when(
+                F.col("stability").isNull(),
+                F.col("base_score") * F.col("similarity_weight"),
+            ).otherwise(
+                F.col("base_score")
+                * F.col("similarity_weight")
+                * (0.5 + 0.5 * F.col("stability"))
+            ),
+        )
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.round(F.col("effective_score"), 6).desc(), F.col("candidate")
+    )
+    return scored.select(
+        F.col("user_id").alias("ticker"),
+        "candidate",
+        "primary_model",
+        "fold_count",
+        r6(F.col("rmse_mean")).alias("rmse_mean"),
+        r6(F.col("stability")).alias("stability"),
+        r6(F.col("base_score")).alias("base_score"),
+        "observed_regime",
+        "similarity_weight",
+        r6(F.col("effective_score")).alias("effective_score"),
+        r6(F.col("t_stat")).alias("dm_stat"),
+        r6(F.col("p_value")).alias("dm_p_value"),
+        F.when(
+            F.col("p_value") < 0.05,
+            F.when(F.col("t_stat") < 0, "model_1").otherwise("model_2"),
+        ).alias("dm_better_model"),
+        F.when(F.row_number().over(wbest) == 1, 1)
+        .otherwise(0)
+        .alias("is_best"),
+    )

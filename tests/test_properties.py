@@ -135,3 +135,36 @@ def test_riskparity_equal_contributions_property(n, seed):
     rc = w * (sigma @ w)
     scale = max(float(rc.mean()), 1e-300)
     assert np.max(np.abs(rc - rc.mean())) / scale < 1e-6
+
+
+@settings(max_examples=60, deadline=None)
+@given(t=st.floats(-8.0, 8.0), df=st.sampled_from([2, 3, 4]))
+def test_student_t_cdf_closed_forms(t, df):
+    """The ops pack's DM p-values use exact Student-t CDF closed forms
+    at df=2/3/4 (reference scipy.stats.t.cdf at df = folds-1,
+    `etl/statistical_tests.py:95`); pin them against numerical
+    integration of the t pdf."""
+    import math
+
+    import numpy as np
+
+    def pdf(x):
+        return (
+            math.gamma((df + 1) / 2)
+            / (math.sqrt(df * math.pi) * math.gamma(df / 2))
+            * (1 + x * x / df) ** (-(df + 1) / 2)
+        )
+
+    xs = np.linspace(0.0, abs(t), 20001)
+    num = 0.5 + np.trapz([pdf(x) for x in xs], xs)
+    if df == 2:
+        closed = 0.5 + abs(t) / (2 * math.sqrt(t * t + 2))
+    elif df == 3:
+        x3 = abs(t) / math.sqrt(3)
+        closed = 0.5 + (1 / math.pi) * (x3 / (1 + t * t / 3) + math.atan(x3))
+    else:
+        u = 1 + t * t / 4
+        closed = 0.5 + 0.375 * (abs(t) / math.sqrt(u)) * (
+            1 - t * t / (12 * u)
+        )
+    assert abs(num - closed) < 1e-6
