@@ -2076,3 +2076,311 @@ def ts_model_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM signal tracking — reference scripts/track_llm_signals.py
+# ---------------------------------------------------------------------------
+# One tracked signal per event-series key: entry = the key's first price,
+# observations = every later event, action from the key hash
+# (BUY/SELL/HOLD). The validation ladder and summary reproduce the
+# reference exactly; the "backtest_results" channel (alpha, sharpe) is
+# computed from the observation series itself: alpha = key mean log-return
+# minus the equal-weight universe mean, sharpe = annualized mean/sd.
+_LST_MIN_DAYS = 30     # validation_period required (`:240-253`)
+_LST_MIN_ANNUAL = 0.10  # annual return hurdle (`:256-273`)
+
+_LST_SQL = """
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             LN(value / LAG(value, 1) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) AS lr
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    sig AS (
+      SELECT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 'BUY'
+                  WHEN user_id % 3 = 1 THEN 'SELL'
+                  ELSE 'HOLD' END AS action,
+             MAX(CASE WHEN rn = 1 THEN value END) AS entry_price,
+             MAX(CASE WHEN rn = mx THEN value END) AS last_price,
+             CAST(ANY_VALUE(mx) - 1 AS BIGINT) AS days_tracked,
+             AVG(lr) AS mean_lr,
+             STDDEV_SAMP(lr) AS sd_lr
+      FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM s) z
+      GROUP BY user_id
+    ),
+    bench AS (SELECT AVG(lr) AS mkt_lr FROM s),
+    perf AS (
+      SELECT g.user_id, g.action, g.days_tracked,
+             CASE WHEN g.action = 'BUY'
+                    THEN (g.last_price - g.entry_price) / g.entry_price
+                  WHEN g.action = 'SELL'
+                    THEN (g.entry_price - g.last_price) / g.entry_price
+                  ELSE 0.0 END AS current_return,
+             g.mean_lr - b.mkt_lr AS alpha,
+             CASE WHEN g.sd_lr > 0
+                  THEN g.mean_lr / g.sd_lr * SQRT(252.0) END AS sharpe
+      FROM sig g CROSS JOIN bench b
+    ),
+    checks AS (
+      SELECT *,
+             CASE WHEN 1.0 + current_return > 0 AND days_tracked > 0
+                  THEN POWER(1.0 + current_return, 365.0 / days_tracked)
+                       - 1.0 END AS annual_return
+      FROM perf
+    ),
+    val AS (
+      SELECT user_id, action, days_tracked,
+             ROUND(current_return, 6) AS current_return,
+             ROUND(annual_return, 6) AS annual_return,
+             ROUND(alpha, 6) AS alpha,
+             ROUND(sharpe, 6) AS sharpe,
+             CASE WHEN days_tracked >= 30 THEN 1 ELSE 0 END AS chk_period,
+             CASE WHEN annual_return > 0.10 THEN 1 ELSE 0 END AS chk_annual,
+             CASE WHEN alpha > 0 THEN 1 ELSE 0 END AS chk_alpha,
+             CASE WHEN sharpe > 0 THEN 1 ELSE 0 END AS chk_sharpe,
+             CASE WHEN days_tracked >= 30 AND annual_return > 0.10
+                       AND alpha > 0 AND sharpe > 0
+                  THEN 1 ELSE 0 END AS passed
+      FROM checks
+    ),
+    final AS (
+      SELECT *, passed AS ready_for_trading,
+             CASE WHEN passed = 1 THEN 'validated'
+                  ELSE 'failed' END AS validation_status
+      FROM val
+    )
+"""
+
+
+@query(
+    "llm_signal_tracking_validation",
+    oracle=f"""
+    {_LST_SQL}
+    SELECT user_id, action, days_tracked, current_return, annual_return,
+           alpha, sharpe, chk_period, chk_annual, chk_alpha, chk_sharpe,
+           passed, ready_for_trading, validation_status
+    FROM final
+    """,
+)
+def llm_signal_tracking_validation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-signal LLM validation ladder — reference
+    `scripts/track_llm_signals.py:211-326` (`validate_signal`): the
+    30-observation validation-period floor, the >10% annualized-return
+    hurdle ((1+r)^(365/days)-1 from the tracked return, `:262-273`),
+    the beats-buy-and-hold alpha>0 and sharpe>0 backtest checks
+    (`:275-291`), all-checks `passed` fold and the ready_for_trading
+    conjunction with the period check (`:293-307`); returns use the
+    action-aware sign (BUY long / SELL short / HOLD zero, `:196-203`).
+    A non-positive compounding base yields a NULL annual return and a
+    failed check (numpy would produce NaN, which also fails the
+    comparison).
+
+    Scale: one window pass per key plus one keyed groupBy; the
+    benchmark mean is a broadcast scalar."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.log(F.col("value") / F.lag("value", 1).over(w)).alias("lr"),
+    ).withColumn("mx", F.max("rn").over(Window.partitionBy("user_id")))
+    sig = s.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias(
+            "entry_price"
+        ),
+        F.max(F.when(F.col("rn") == F.col("mx"), F.col("value"))).alias(
+            "last_price"
+        ),
+        (F.any_value("mx") - 1).cast("long").alias("days_tracked"),
+        F.avg("lr").alias("mean_lr"),
+        F.stddev_samp("lr").alias("sd_lr"),
+    )
+    bench = s.agg(F.avg("lr").alias("mkt_lr"))
+    action = (
+        F.when(F.col("user_id") % 3 == 0, "BUY")
+        .when(F.col("user_id") % 3 == 1, "SELL")
+        .otherwise("HOLD")
+    )
+    cur = (
+        F.when(
+            action == "BUY",
+            (F.col("last_price") - F.col("entry_price"))
+            / F.col("entry_price"),
+        )
+        .when(
+            action == "SELL",
+            (F.col("entry_price") - F.col("last_price"))
+            / F.col("entry_price"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    perf = sig.crossJoin(F.broadcast(bench)).select(
+        "user_id",
+        action.alias("action"),
+        "days_tracked",
+        cur.alias("current_return"),
+        (F.col("mean_lr") - F.col("mkt_lr")).alias("alpha"),
+        F.when(
+            F.col("sd_lr") > 0,
+            F.col("mean_lr") / F.col("sd_lr") * F.sqrt(F.lit(252.0)),
+        ).alias("sharpe"),
+    )
+    checks = perf.withColumn(
+        "annual_return",
+        F.when(
+            (1.0 + F.col("current_return") > 0)
+            & (F.col("days_tracked") > 0),
+            F.pow(
+                1.0 + F.col("current_return"),
+                365.0 / F.col("days_tracked"),
+            )
+            - 1.0,
+        ),
+    )
+    chk_period = F.when(
+        F.col("days_tracked") >= _LST_MIN_DAYS, 1
+    ).otherwise(0)
+    chk_annual = F.when(
+        F.col("annual_return") > _LST_MIN_ANNUAL, 1
+    ).otherwise(0)
+    chk_alpha = F.when(F.col("alpha") > 0, 1).otherwise(0)
+    chk_sharpe = F.when(F.col("sharpe") > 0, 1).otherwise(0)
+    passed = F.when(
+        (F.col("days_tracked") >= _LST_MIN_DAYS)
+        & (F.col("annual_return") > _LST_MIN_ANNUAL)
+        & (F.col("alpha") > 0)
+        & (F.col("sharpe") > 0),
+        1,
+    ).otherwise(0)
+    return checks.select(
+        "user_id",
+        "action",
+        "days_tracked",
+        r6(F.col("current_return")).alias("current_return"),
+        r6(F.col("annual_return")).alias("annual_return"),
+        r6(F.col("alpha")).alias("alpha"),
+        r6(F.col("sharpe")).alias("sharpe"),
+        chk_period.alias("chk_period"),
+        chk_annual.alias("chk_annual"),
+        chk_alpha.alias("chk_alpha"),
+        chk_sharpe.alias("chk_sharpe"),
+        passed.alias("passed"),
+        passed.alias("ready_for_trading"),
+        F.when(passed == 1, "validated")
+        .otherwise("failed")
+        .alias("validation_status"),
+    )
+
+
+@query(
+    "llm_signal_tracking_summary",
+    oracle=f"""
+    {_LST_SQL},
+    tick AS (
+      SELECT 'by_ticker' AS section,
+             'U' || CAST(user_id % 25 AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(passed) AS BIGINT) AS validated,
+             ROUND(CASE WHEN SUM(passed) > 0
+                   THEN SUM(CASE WHEN passed = 1
+                            THEN current_return ELSE 0 END)
+                        / SUM(passed) END, 6) AS avg_return
+      FROM final GROUP BY user_id % 25
+    ),
+    act AS (
+      SELECT 'by_action', action, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(passed) AS BIGINT), CAST(NULL AS DOUBLE)
+      FROM final GROUP BY action
+    ),
+    top AS (
+      SELECT 'overall', 'fleet', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(passed) AS BIGINT),
+             ROUND(CAST(SUM(passed) AS DOUBLE) / COUNT(*), 6)
+      FROM final
+    ),
+    rdy AS (
+      SELECT 'overall', 'ready_for_trading',
+             CAST(SUM(ready_for_trading) AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      FROM final
+    )
+    SELECT * FROM tick UNION ALL SELECT * FROM act
+    UNION ALL SELECT * FROM top UNION ALL SELECT * FROM rdy
+    """,
+)
+def llm_signal_tracking_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet performance summary over the tracked LLM signals —
+    reference `scripts/track_llm_signals.py:328-367`
+    (`get_performance_summary`): per-ticker total/validated censuses
+    with mean tracked return over validated signals (`:342-363`),
+    per-action censuses, the fleet validation rate (`:339-340`) and
+    the ready-for-trading count. Ticker bucket = key % 25 (the
+    tracking DB groups per ticker; the engine's signal grain is the
+    event-series key).
+
+    Scale: three bounded groupBys over the validation frame."""
+    final = llm_signal_tracking_validation(spark, sf_dir).localCheckpoint()
+    tick = final.groupBy((F.col("user_id") % 25).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum("passed").cast("long").alias("validated"),
+        F.round(
+            F.when(
+                F.sum("passed") > 0,
+                F.sum(
+                    F.when(
+                        F.col("passed") == 1, F.col("current_return")
+                    ).otherwise(0.0)
+                )
+                / F.sum("passed"),
+            ),
+            6,
+        ).alias("avg_return"),
+    ).select(
+        F.lit("by_ticker").alias("section"),
+        F.concat(F.lit("U"), F.col("b").cast("string")).alias("key"),
+        "total",
+        "validated",
+        "avg_return",
+    )
+    act = final.groupBy("action").agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum("passed").cast("long").alias("validated"),
+    ).select(
+        F.lit("by_action").alias("section"),
+        F.col("action").alias("key"),
+        "total",
+        "validated",
+        F.lit(None).cast("double").alias("avg_return"),
+    )
+    top = final.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum("passed").cast("long").alias("validated"),
+        F.round(
+            F.sum("passed").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_return"),
+    ).select(
+        F.lit("overall").alias("section"),
+        F.lit("fleet").alias("key"),
+        "total",
+        "validated",
+        "avg_return",
+    )
+    rdy = final.agg(
+        F.sum("ready_for_trading").cast("long").alias("total")
+    ).select(
+        F.lit("overall").alias("section"),
+        F.lit("ready_for_trading").alias("key"),
+        "total",
+        F.lit(None).cast("long").alias("validated"),
+        F.lit(None).cast("double").alias("avg_return"),
+    )
+    return tick.unionByName(act).unionByName(top).unionByName(rdy)
