@@ -2384,3 +2384,349 @@ def llm_signal_tracking_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_return"),
     )
     return tick.unionByName(act).unionByName(top).unionByName(rdy)
+
+
+# ---------------------------------------------------------------------------
+# Zombie open-leg retirement — reference scripts/retire_zombie_opens.py
+# ---------------------------------------------------------------------------
+# Unmatched open legs = open legs never consumed by a close linkage
+# (used_qty = 0 in the ledger mapping above; reference `_get_open_lots:26-43`
+# selects opens not referenced as entry_trade_id). The authoritative live
+# portfolio state (reference portfolio_state table, `:45-69`) maps to the
+# per-ticker count of 'P'-status orders — the engine's pending-position
+# snapshot. Keep the NEWEST n_keep non-synthetic lots per ticker (highest
+# leg ids), retire the rest; synthetic lots are flagged separately (`:100-126`).
+_ZOR_SQL = f"""
+    {_UCR_SQL.split("    uncl AS")[0].rstrip().rstrip(',')},
+    zombies AS (
+      SELECT o.* FROM orphans o WHERE o.used_qty = 0.0
+    ),
+    live AS (
+      SELECT 'T' || CAST(o_custkey % 25 AS VARCHAR) AS ticker,
+             CAST(COUNT(*) AS BIGINT) AS n_keep
+      FROM orders WHERE o_orderstatus = 'P'
+      GROUP BY o_custkey % 25
+    ),
+    ranked AS (
+      SELECT z.ticker, z.leg_id, CAST(z.trade_date AS VARCHAR) AS trade_date,
+             z.is_synthetic,
+             COALESCE(l.n_keep, 0) AS n_keep,
+             CASE WHEN NOT z.is_synthetic
+                  THEN ROW_NUMBER() OVER (
+                    PARTITION BY z.ticker, z.is_synthetic
+                    ORDER BY z.leg_id DESC) END AS recency_rank
+      FROM zombies z LEFT JOIN live l ON l.ticker = z.ticker
+    )
+    SELECT ticker, leg_id, trade_date,
+           CASE WHEN is_synthetic THEN 1 ELSE 0 END AS is_synthetic,
+           n_keep, recency_rank,
+           CASE WHEN is_synthetic THEN 'ALREADY_SYNTHETIC'
+                WHEN recency_rank <= n_keep THEN 'KEEP'
+                ELSE 'RETIRE' END AS decision
+    FROM ranked
+"""
+
+
+@query("zombie_open_retirement", oracle=_ZOR_SQL)
+def zombie_open_retirement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zombie open-leg retirement plan — reference
+    `scripts/retire_zombie_opens.py:26-130`: unmatched open legs per
+    ticker (never consumed by a close linkage, `_get_open_lots:26-43`)
+    reconciled against the authoritative live position snapshot
+    (`_load_live_portfolio_state:45-69`; engine snapshot = per-ticker
+    'P'-status order count): keep the NEWEST n_keep non-synthetic lots
+    (highest ids carry the freshest audit coverage, `:100-112`), retire
+    the older surplus, and flag synthetic lots separately (`:113-115`).
+
+    Scale: one keyed window (per-ticker recency rank over the zombie
+    subset) + an equi-join on ticker to the bounded live snapshot."""
+    from pyspark.sql import Window
+
+    orphans, _closes = _ucr_frames(spark, sf_dir)
+    zombies = orphans.filter(F.col("used_qty") == 0.0)
+    o = load_table(spark, sf_dir, "orders")
+    live = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy((F.col("o_custkey") % 25).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keep"))
+        .select(
+            F.concat(F.lit("T"), F.col("b").cast("string")).alias("lt"),
+            "n_keep",
+        )
+    )
+    wrk = Window.partitionBy("ticker", "is_synthetic").orderBy(
+        F.col("leg_id").desc()
+    )
+    ranked = (
+        zombies.join(live, F.col("lt") == F.col("ticker"), "left")
+        .withColumn(
+            "recency_rank",
+            F.when(~F.col("is_synthetic"), F.row_number().over(wrk)),
+        )
+        .withColumn("nk", F.coalesce(F.col("n_keep"), F.lit(0)))
+    )
+    return ranked.select(
+        "ticker",
+        "leg_id",
+        F.col("trade_date").cast("string").alias("trade_date"),
+        F.when(F.col("is_synthetic"), 1).otherwise(0).alias("is_synthetic"),
+        F.col("nk").alias("n_keep"),
+        "recency_rank",
+        F.when(F.col("is_synthetic"), "ALREADY_SYNTHETIC")
+        .when(F.col("recency_rank") <= F.col("nk"), "KEEP")
+        .otherwise("RETIRE")
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orphaned-position cleanup — reference scripts/cleanup_orphaned_positions.py
+# ---------------------------------------------------------------------------
+# Each orphaned open (engine anchor: every 23rd bar of a key's series, past
+# the 14-bar ATR warm-up) is closed by replaying the proof-mode ATR-adaptive
+# exit on the key's own price history (`_replay_atr_exit:60-139`): ATR(14)
+# from the bar range proxy |Δvalue|, the volatility ladder (atr_pct>3% →
+# horizon 3 / 1.0σ stop / 1.5σ target; >1.5% → 5 / 1.25 / 1.75; else
+# 7 / 1.25 / 1.75), then a bar-by-bar scan of the next horizon+4 bars —
+# STOP_LOSS before TAKE_PROFIT before TIME_EXIT at each bar — with the
+# end-of-history TIME_EXIT fallback.
+_OPC_SQL = """
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    tr AS (
+      SELECT *, ABS(value - LAG(value) OVER (PARTITION BY user_id
+                                             ORDER BY rn)) AS bar_range
+      FROM s
+    ),
+    atr AS (
+      SELECT *, AVG(bar_range) OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr14,
+             MAX(rn) OVER (PARTITION BY user_id) AS mx
+      FROM tr
+    ),
+    anchors AS (
+      SELECT user_id, rn AS entry_rn, value AS entry_price,
+             CAST(1 + user_id % 9 AS DOUBLE) AS shares, atr14, mx,
+             atr14 / value AS atr_pct,
+             CASE WHEN atr14 / value > 0.03 THEN 3
+                  WHEN atr14 / value > 0.015 THEN 5
+                  ELSE 7 END AS horizon,
+             CASE WHEN atr14 / value > 0.03 THEN 1.0 ELSE 1.25 END
+               AS stop_mult,
+             CASE WHEN atr14 / value > 0.03 THEN 1.5 ELSE 1.75 END
+               AS target_mult
+      FROM atr
+      WHERE rn % 23 = 0 AND rn >= 15
+    ),
+    scan AS (
+      SELECT a.user_id, a.entry_rn, a.entry_price, a.shares, a.horizon,
+             o.off, b.value AS px, b.rn AS bar_rn,
+             CASE
+               WHEN b.value <= a.entry_price - a.stop_mult * a.atr14
+                 THEN 0  -- STOP_LOSS
+               WHEN b.value >= a.entry_price + a.target_mult * a.atr14
+                 THEN 1  -- TAKE_PROFIT
+               WHEN o.off >= a.horizon THEN 2  -- TIME_EXIT
+             END AS pri
+      FROM anchors a
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 11)) AS off) o
+      JOIN s b ON b.user_id = a.user_id AND b.rn = a.entry_rn + o.off
+      WHERE o.off <= a.horizon + 4
+    ),
+    hit AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, entry_rn
+               ORDER BY off * 4 + pri) AS hr
+      FROM scan WHERE pri IS NOT NULL
+    ),
+    lastbar AS (
+      SELECT user_id, rn, value FROM atr WHERE rn = mx
+    ),
+    resolved AS (
+      SELECT a.user_id, a.entry_rn,
+             ROUND(a.entry_price, 6) AS entry_price, a.shares,
+             ROUND(a.atr14, 6) AS atr14, a.horizon, a.stop_mult,
+             a.target_mult,
+             COALESCE(h.bar_rn, lb.rn) AS exit_rn,
+             CASE WHEN h.pri = 0 THEN 'STOP_LOSS'
+                  WHEN h.pri = 1 THEN 'TAKE_PROFIT'
+                  ELSE 'TIME_EXIT' END AS exit_reason,
+             CAST(COALESCE(h.off, lb.rn - a.entry_rn) AS BIGINT)
+               AS bars_held,
+             COALESCE(h.px, lb.value) AS exit_price
+      FROM anchors a
+      LEFT JOIN hit h ON h.user_id = a.user_id
+                     AND h.entry_rn = a.entry_rn AND h.hr = 1
+      JOIN lastbar lb ON lb.user_id = a.user_id
+    )
+    SELECT user_id, entry_rn, entry_price, shares, atr14, horizon,
+           stop_mult, target_mult, exit_rn, exit_reason, bars_held,
+           ROUND(exit_price, 6) AS exit_price,
+           ROUND((exit_price - entry_price) * shares, 6) AS pnl,
+           ROUND((exit_price - entry_price) / entry_price, 6) AS pnl_pct
+    FROM resolved
+"""
+
+
+@query("orphaned_position_cleanup", oracle=_OPC_SQL)
+def orphaned_position_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-position cleanup via the proof-mode ATR-exit replay —
+    reference `scripts/cleanup_orphaned_positions.py:60-139`
+    (`_replay_atr_exit`): ATR(14) at the entry bar, the volatility
+    ladder choosing holding horizon and stop/target multipliers, the
+    bar-by-bar scan over the next horizon+4 bars with the STOP_LOSS →
+    TAKE_PROFIT → TIME_EXIT precedence per bar, and the end-of-history
+    TIME_EXIT fallback with bars_held = len - entry - 1 (`:125-129`).
+    Engine anchors are every 23rd bar past the ATR warm-up; the bar
+    range proxy is |Δvalue| (events carry one price channel).
+
+    Scale: the scan is a bounded explode (≤11 offsets per anchor)
+    joined as an equi-join on (key, bar index) — no range scan, no
+    per-anchor driver loop; candidate choice is one keyed window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint()
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    atr = (
+        s.withColumn(
+            "bar_range", F.abs(F.col("value") - F.lag("value").over(wr))
+        )
+        .withColumn(
+            "atr14",
+            F.avg("bar_range").over(wr.rowsBetween(-13, 0)),
+        )
+        .withColumn("mx", F.max("rn").over(Window.partitionBy("user_id")))
+    )
+    atr_pct = F.col("atr14") / F.col("value")
+    anchors = (
+        atr.filter((F.col("rn") % 23 == 0) & (F.col("rn") >= 15))
+        .select(
+            "user_id",
+            F.col("rn").alias("entry_rn"),
+            F.col("value").alias("entry_price"),
+            (1 + F.col("user_id") % 9).cast("double").alias("shares"),
+            "atr14",
+            "mx",
+            F.when(atr_pct > 0.03, 3)
+            .when(atr_pct > 0.015, 5)
+            .otherwise(7)
+            .alias("horizon"),
+            F.when(atr_pct > 0.03, 1.0).otherwise(1.25).alias("stop_mult"),
+            F.when(atr_pct > 0.03, 1.5).otherwise(1.75).alias(
+                "target_mult"
+            ),
+        )
+        .localCheckpoint()
+    )
+    scan = (
+        anchors.withColumn(
+            "off", F.explode(F.expr("sequence(1, horizon + 4)"))
+        )
+        .alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.rn") == F.col("a.entry_rn") + F.col("off")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            "entry_rn",
+            "off",
+            F.col("b.value").alias("px"),
+            F.col("b.rn").alias("bar_rn"),
+            F.when(
+                F.col("b.value")
+                <= F.col("entry_price")
+                - F.col("stop_mult") * F.col("atr14"),
+                0,
+            )
+            .when(
+                F.col("b.value")
+                >= F.col("entry_price")
+                + F.col("target_mult") * F.col("atr14"),
+                1,
+            )
+            .when(F.col("off") >= F.col("horizon"), 2)
+            .alias("pri"),
+        )
+    )
+    whit = Window.partitionBy("user_id", "entry_rn").orderBy(
+        F.col("off") * 4 + F.col("pri")
+    )
+    hit = (
+        scan.filter(F.col("pri").isNotNull())
+        .withColumn("hr", F.row_number().over(whit))
+        .filter(F.col("hr") == 1)
+        .select(
+            F.col("user_id").alias("h_uid"),
+            F.col("entry_rn").alias("h_rn"),
+            F.col("off").alias("h_off"),
+            F.col("px").alias("h_px"),
+            F.col("bar_rn").alias("h_bar"),
+            F.col("pri").alias("h_pri"),
+        )
+    )
+    lastbar = atr.filter(F.col("rn") == F.col("mx")).select(
+        F.col("user_id").alias("l_uid"),
+        F.col("rn").alias("l_rn"),
+        F.col("value").alias("l_val"),
+    )
+    resolved = (
+        anchors.join(
+            hit,
+            (F.col("h_uid") == F.col("user_id"))
+            & (F.col("h_rn") == F.col("entry_rn")),
+            "left",
+        )
+        .join(lastbar, F.col("l_uid") == F.col("user_id"))
+        .select(
+            "user_id",
+            "entry_rn",
+            r6(F.col("entry_price")).alias("entry_price"),
+            "shares",
+            r6(F.col("atr14")).alias("atr14"),
+            "horizon",
+            "stop_mult",
+            "target_mult",
+            F.coalesce(F.col("h_bar"), F.col("l_rn")).alias("exit_rn"),
+            F.when(F.col("h_pri") == 0, "STOP_LOSS")
+            .when(F.col("h_pri") == 1, "TAKE_PROFIT")
+            .otherwise("TIME_EXIT")
+            .alias("exit_reason"),
+            F.coalesce(
+                F.col("h_off"), F.col("l_rn") - F.col("entry_rn")
+            )
+            .cast("long")
+            .alias("bars_held"),
+            F.coalesce(F.col("h_px"), F.col("l_val")).alias("exit_raw"),
+        )
+        .withColumn("exit_price", r6(F.col("exit_raw")))
+    )
+    ent_raw = F.col("entry_price")  # already rounded on both sides
+    return resolved.select(
+        "user_id",
+        "entry_rn",
+        "entry_price",
+        "shares",
+        "atr14",
+        "horizon",
+        "stop_mult",
+        "target_mult",
+        "exit_rn",
+        "exit_reason",
+        "bars_held",
+        "exit_price",
+        r6((F.col("exit_raw") - ent_raw) * F.col("shares")).alias("pnl"),
+        r6((F.col("exit_raw") - ent_raw) / ent_raw).alias("pnl_pct"),
+    )
