@@ -2730,3 +2730,228 @@ def orphaned_position_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6((F.col("exit_raw") - ent_raw) * F.col("shares")).alias("pnl"),
         r6((F.col("exit_raw") - ent_raw) / ent_raw).alias("pnl_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quant-validation health gate — reference scripts/check_quant_validation_health.py
+# ---------------------------------------------------------------------------
+# Thresholds from config/forecaster_monitoring.yml: hard RED ceilings
+# max_fail_fraction=0.85 / max_negative_expected_profit_fraction=0.50,
+# YELLOW warning bands 0.80 / 0.40. Entries reuse the trades pack's
+# validation grain — one entry per (ticker, close-day) over that day's
+# closed trades; expected_profit = day PnL net of the 50.0/trade cost drag;
+# proof-mode entries (close-day-of-month % 5 = 0) are excluded from the
+# gate exactly like the script's canonical ``--exclude-mode proof`` usage;
+# the scope window drops entries before the last trailing year.
+_QVH_RED_FAIL = 0.85
+_QVH_RED_NEG = 0.50
+_QVH_WARN_FAIL = 0.80
+_QVH_WARN_NEG = 0.40
+_QVH_COST_DRAG = 50.0
+_QVH_SINCE = "1997-08-01"
+
+_QVH_SQL = f"""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    trades AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             c.close_d, c.cnet - o2.onet AS pnl
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    entries AS (
+      SELECT ticker, close_d,
+             CAST(COUNT(*) AS BIGINT) AS n_trades,
+             SUM(CAST(pnl AS DECIMAL(28,6))) AS pnl_sum
+      FROM trades GROUP BY ticker, close_d
+    ),
+    scoped AS (
+      SELECT *,
+             CASE WHEN CAST(pnl_sum AS DOUBLE) > 0
+                  THEN 'PASS' ELSE 'FAIL' END AS status,
+             CAST(pnl_sum AS DOUBLE) - {_QVH_COST_DRAG} * n_trades
+               AS expected_profit,
+             CASE WHEN DAY(close_d) % 5 = 0 THEN 'proof'
+                  ELSE 'live' END AS execution_mode,
+             (close_d < DATE '{_QVH_SINCE}') AS out_of_scope
+      FROM entries
+    ),
+    census AS (
+      SELECT
+        CAST(SUM(CASE WHEN NOT out_of_scope
+                       AND execution_mode <> 'proof'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS total,
+        CAST(SUM(CASE WHEN NOT out_of_scope
+                       AND execution_mode <> 'proof'
+                       AND status = 'PASS'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS pass_count,
+        CAST(SUM(CASE WHEN NOT out_of_scope
+                       AND execution_mode <> 'proof'
+                       AND status = 'FAIL'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fail_count,
+        CAST(SUM(CASE WHEN NOT out_of_scope
+                       AND execution_mode <> 'proof'
+                       AND expected_profit < 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS neg_exp_profit,
+        CAST(SUM(CASE WHEN NOT out_of_scope
+                       AND execution_mode = 'proof'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS skipped_mode,
+        CAST(SUM(CASE WHEN out_of_scope THEN 1 ELSE 0 END) AS BIGINT)
+          AS skipped_scope
+      FROM scoped
+    )
+    SELECT total, pass_count, fail_count, neg_exp_profit, skipped_mode,
+           skipped_scope,
+           ROUND(CASE WHEN total > 0
+                 THEN CAST(fail_count AS DOUBLE) / total
+                 ELSE 0.0 END, 6) AS fail_fraction,
+           ROUND(CASE WHEN total > 0
+                 THEN CAST(neg_exp_profit AS DOUBLE) / total
+                 ELSE 0.0 END, 6) AS neg_fraction,
+           CASE
+             WHEN total = 0 THEN 'GREEN'
+             WHEN CAST(fail_count AS DOUBLE) / total > {_QVH_RED_FAIL}
+               OR CAST(neg_exp_profit AS DOUBLE) / total > {_QVH_RED_NEG}
+               THEN 'RED'
+             WHEN CAST(fail_count AS DOUBLE) / total > {_QVH_WARN_FAIL}
+               OR CAST(neg_exp_profit AS DOUBLE) / total > {_QVH_WARN_NEG}
+               THEN 'YELLOW'
+             ELSE 'GREEN'
+           END AS global_state
+    FROM census
+"""
+
+
+@query("quant_validation_health_gate", oracle=_QVH_SQL)
+def quant_validation_health_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CI quant-validation health gate — reference
+    `scripts/check_quant_validation_health.py:129-223`
+    (`_summarize_global`) + `config/forecaster_monitoring.yml`: scoped
+    PASS/FAIL census (since-window scope skips, proof-mode exclusion
+    from the gate — the script's canonical ``--exclude-mode proof``),
+    the FAIL fraction vs the 0.80 YELLOW band and 0.85 hard RED
+    ceiling, the negative-expected-profit fraction vs 0.40/0.50, and
+    the GREEN/YELLOW/RED fold (RED exits non-zero in CI, `:16`).
+
+    Scale: one (ticker, day) groupBy over the closed-trade frame, one
+    global fold; money sums DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey)
+            & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.to_date(F.max("l_shipdate")).alias("close_d"),
+        )
+    )
+    opens = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    trades = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.concat(
+                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+            ).alias("ticker"),
+            "close_d",
+            (F.col("cnet") - F.col("onet")).alias("pnl"),
+        )
+    )
+    entries = trades.groupBy("ticker", "close_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.sum(F.col("pnl").cast("decimal(28,6)")).alias("pnl_sum"),
+    )
+    scoped = entries.select(
+        "*",
+        F.when(F.col("pnl_sum").cast("double") > 0, "PASS")
+        .otherwise("FAIL")
+        .alias("status"),
+        (
+            F.col("pnl_sum").cast("double")
+            - _QVH_COST_DRAG * F.col("n_trades")
+        ).alias("expected_profit"),
+        F.when(F.dayofmonth("close_d") % 5 == 0, "proof")
+        .otherwise("live")
+        .alias("execution_mode"),
+        (F.col("close_d") < F.lit(_QVH_SINCE).cast("date")).alias(
+            "out_of_scope"
+        ),
+    )
+    in_gate = ~F.col("out_of_scope") & (F.col("execution_mode") != "proof")
+    cnt = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+    census = scoped.agg(
+        cnt(in_gate).alias("total"),
+        cnt(in_gate & (F.col("status") == "PASS")).alias("pass_count"),
+        cnt(in_gate & (F.col("status") == "FAIL")).alias("fail_count"),
+        cnt(in_gate & (F.col("expected_profit") < 0)).alias(
+            "neg_exp_profit"
+        ),
+        cnt(
+            ~F.col("out_of_scope") & (F.col("execution_mode") == "proof")
+        ).alias("skipped_mode"),
+        cnt(F.col("out_of_scope")).alias("skipped_scope"),
+    )
+    ff = F.when(
+        F.col("total") > 0,
+        F.col("fail_count").cast("double") / F.col("total"),
+    ).otherwise(F.lit(0.0))
+    nf = F.when(
+        F.col("total") > 0,
+        F.col("neg_exp_profit").cast("double") / F.col("total"),
+    ).otherwise(F.lit(0.0))
+    return census.select(
+        "total",
+        "pass_count",
+        "fail_count",
+        "neg_exp_profit",
+        "skipped_mode",
+        "skipped_scope",
+        r6(ff).alias("fail_fraction"),
+        r6(nf).alias("neg_fraction"),
+        F.when(F.col("total") == 0, "GREEN")
+        .when((ff > _QVH_RED_FAIL) | (nf > _QVH_RED_NEG), "RED")
+        .when((ff > _QVH_WARN_FAIL) | (nf > _QVH_WARN_NEG), "YELLOW")
+        .otherwise("GREEN")
+        .alias("global_state"),
+    )
