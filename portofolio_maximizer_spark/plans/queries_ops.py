@@ -2955,3 +2955,161 @@ def quant_validation_health_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("GREEN")
         .alias("global_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regime/exploration state — reference scripts/update_regime_state.py
+# ---------------------------------------------------------------------------
+_RSU_LOOKBACK = 20     # lookback_trades (`:50`)
+_RSU_MIN_EXPLOIT = 20  # min_trades_for_exploitation (`:51`)
+_RSU_S_HIGH = 0.5
+_RSU_S_LOW = -0.2
+_RSU_EPS = 1e-8
+
+_RSU_SQL = f"""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    trades AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             c.l_orderkey AS orderkey, c.close_d,
+             c.cnet - o2.onet AS pnl
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    recent AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ticker
+               ORDER BY close_d DESC, orderkey DESC) AS rk
+      FROM trades
+    ),
+    bucket AS (
+      SELECT ticker, CAST(COUNT(*) AS BIGINT) AS n_trades,
+             AVG(pnl) AS mean_pnl,
+             CASE WHEN COUNT(*) > 1 THEN STDDEV_POP(pnl)
+                  ELSE 0.0 END AS std_pnl
+      FROM recent WHERE rk <= {_RSU_LOOKBACK}
+      GROUP BY ticker
+    )
+    SELECT ticker, n_trades,
+           CASE WHEN n_trades >= {_RSU_MIN_EXPLOIT}
+                THEN ROUND(mean_pnl / (std_pnl + {_RSU_EPS}), 6) END
+             AS sharpe_n,
+           CASE WHEN n_trades < {_RSU_MIN_EXPLOIT} THEN 'exploration'
+                ELSE 'exploitation' END AS mode,
+           CASE WHEN n_trades < {_RSU_MIN_EXPLOIT} THEN 'neutral'
+                WHEN mean_pnl / (std_pnl + {_RSU_EPS}) > {_RSU_S_HIGH}
+                  THEN 'green'
+                WHEN mean_pnl / (std_pnl + {_RSU_EPS}) < {_RSU_S_LOW}
+                  THEN 'red'
+                ELSE 'neutral' END AS state
+    FROM bucket
+"""
+
+
+@query("regime_state_update", oracle=_RSU_SQL)
+def regime_state_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker regime/exploration state from realised PnL —
+    reference `scripts/update_regime_state.py:48-113`
+    (`_compute_regime_state`): the newest 20 closed trades per ticker,
+    Sharpe-like mean/(population-std + 1e-8), exploration mode below
+    the 20-trade exploitation floor (sharpe withheld), and the
+    green / red / neutral state at the +0.5 / -0.2 bands.
+
+    Scale: one per-ticker recency window over the closed-trade frame,
+    one keyed groupBy."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey)
+            & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.to_date(F.max("l_shipdate")).alias("close_d"),
+        )
+    )
+    opens = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    trades = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.concat(
+                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+            ).alias("ticker"),
+            F.col("c.l_orderkey").alias("orderkey"),
+            "close_d",
+            (F.col("cnet") - F.col("onet")).alias("pnl"),
+        )
+    )
+    wrec = Window.partitionBy("ticker").orderBy(
+        F.col("close_d").desc(), F.col("orderkey").desc()
+    )
+    bucket = (
+        trades.withColumn("rk", F.row_number().over(wrec))
+        .filter(F.col("rk") <= _RSU_LOOKBACK)
+        .groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.avg("pnl").alias("mean_pnl"),
+            F.when(
+                F.count(F.lit(1)) > 1, F.stddev_pop("pnl")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("std_pnl"),
+        )
+    )
+    sharpe = F.col("mean_pnl") / (F.col("std_pnl") + _RSU_EPS)
+    return bucket.select(
+        "ticker",
+        "n_trades",
+        F.when(F.col("n_trades") >= _RSU_MIN_EXPLOIT, r6(sharpe)).alias(
+            "sharpe_n"
+        ),
+        F.when(F.col("n_trades") < _RSU_MIN_EXPLOIT, "exploration")
+        .otherwise("exploitation")
+        .alias("mode"),
+        F.when(F.col("n_trades") < _RSU_MIN_EXPLOIT, "neutral")
+        .when(sharpe > _RSU_S_HIGH, "green")
+        .when(sharpe < _RSU_S_LOW, "red")
+        .otherwise("neutral")
+        .alias("state"),
+    )
