@@ -3113,3 +3113,258 @@ def regime_state_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier readiness — reference scripts/check_classifier_readiness.py
+# ---------------------------------------------------------------------------
+# Over the directional training dataset (queries_pipeline's frame): label
+# sources map outcome_linked <- pnl_fallback (labels tied to realized
+# outcomes) and parquet_scan <- price_forward (forward-price scan labels).
+# Key-feature fill floor 0.70, gate floor 500 outcome-linked examples,
+# APPROACHING band at 250, milestones 100/250/500, accumulation rate =
+# outcome-linked count over its timestamp span (floor one day, >=2 stamps).
+_CRD_MIN_FILL = 0.70
+_CRD_GATE_N = 500
+_CRD_APPROACH_N = 250
+
+_CRD_SQL = f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(props->>'k' AS INTEGER) AS k,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             LN(value / LAG(value, 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS lr,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS f_ma5,
+             STDDEV_SAMP(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS f_vol10
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    sig AS (
+      SELECT * FROM s WHERE event_type = 'click' AND k IS NOT NULL
+    ),
+    lab AS (
+      SELECT g.user_id, g.ts, g.event_id, g.lr, g.f_ma5, g.f_vol10, g.k,
+             fwd.value AS forward_close
+      FROM sig g
+      LEFT JOIN s fwd ON fwd.user_id = g.user_id
+                     AND fwd.rn = g.rn + (g.k % 5) + 1
+    ),
+    ds AS (
+      SELECT *,
+             CASE WHEN forward_close IS NOT NULL THEN 'parquet_scan'
+                  WHEN user_id % 10 <> 0 AND lr IS NOT NULL
+                  THEN 'outcome_linked' END AS label_source
+      FROM lab
+      WHERE (forward_close IS NOT NULL)
+         OR (user_id % 10 <> 0 AND lr IS NOT NULL)
+    ),
+    rate AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ol,
+             CASE WHEN COUNT(*) >= 2
+                  THEN COUNT(*) / GREATEST(1.0,
+                       (EPOCH(MAX(ts)) - EPOCH(MIN(ts))) / 86400.0)
+                  ELSE 0.0 END AS daily_rate
+      FROM ds WHERE label_source = 'outcome_linked'
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN label_source = 'parquet_scan'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_parquet_scan,
+             AVG(CASE WHEN f_ma5 IS NULL THEN 0.0 ELSE 1.0 END)
+               AS fill_f_ma5,
+             AVG(CASE WHEN f_vol10 IS NULL THEN 0.0 ELSE 1.0 END)
+               AS fill_f_vol10,
+             AVG(CASE WHEN k IS NULL THEN 0.0 ELSE 1.0 END) AS fill_f_k
+      FROM ds
+    ),
+    j AS (
+      SELECT a.*, r.n_ol AS n_outcome_linked, r.daily_rate,
+             (CASE WHEN r.n_ol < {_CRD_GATE_N} THEN 1 ELSE 0 END
+              + CASE WHEN a.fill_f_ma5 < {_CRD_MIN_FILL}
+                     THEN 1 ELSE 0 END
+              + CASE WHEN a.fill_f_vol10 < {_CRD_MIN_FILL}
+                     THEN 1 ELSE 0 END
+              + CASE WHEN a.fill_f_k < {_CRD_MIN_FILL}
+                     THEN 1 ELSE 0 END) AS n_blockers
+      FROM agg a CROSS JOIN rate r
+    )
+    SELECT n_total, n_outcome_linked, n_parquet_scan,
+           ROUND(fill_f_ma5, 3) AS fill_f_ma5,
+           ROUND(fill_f_vol10, 3) AS fill_f_vol10,
+           ROUND(fill_f_k, 3) AS fill_f_k,
+           ROUND(daily_rate, 3) AS daily_accumulation_rate,
+           CASE WHEN n_outcome_linked >= 100 THEN 1 ELSE 0 END
+             AS m100_reached,
+           CASE WHEN daily_rate > 0 AND n_outcome_linked < 100
+                THEN CAST(CEIL((100 - n_outcome_linked) / daily_rate)
+                     AS BIGINT) END AS m100_days,
+           CASE WHEN n_outcome_linked >= 250 THEN 1 ELSE 0 END
+             AS m250_reached,
+           CASE WHEN daily_rate > 0 AND n_outcome_linked < 250
+                THEN CAST(CEIL((250 - n_outcome_linked) / daily_rate)
+                     AS BIGINT) END AS m250_days,
+           CASE WHEN n_outcome_linked >= 500 THEN 1 ELSE 0 END
+             AS m500_reached,
+           CASE WHEN daily_rate > 0 AND n_outcome_linked < 500
+                THEN CAST(CEIL((500 - n_outcome_linked) / daily_rate)
+                     AS BIGINT) END AS m500_days,
+           n_blockers,
+           CASE WHEN daily_rate > 0
+                     AND NOT (n_outcome_linked >= {_CRD_GATE_N}
+                              AND n_blockers = 0)
+                     AND n_outcome_linked < {_CRD_GATE_N}
+                THEN CAST(CEIL(({_CRD_GATE_N} - n_outcome_linked)
+                               / daily_rate) AS BIGINT) END
+             AS days_to_ready_estimate,
+           CASE WHEN n_outcome_linked >= {_CRD_GATE_N} AND n_blockers = 0
+                  THEN 'READY'
+                WHEN n_outcome_linked >= {_CRD_APPROACH_N}
+                  THEN 'APPROACHING'
+                ELSE 'NOT_READY' END AS verdict
+    FROM j
+"""
+
+
+@query("classifier_readiness_check", oracle=_CRD_SQL)
+def classifier_readiness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional-classifier activation readiness — reference
+    `scripts/check_classifier_readiness.py:41-188` (`check_readiness`):
+    label-source breakdown (outcome-linked vs parquet-scan), feature
+    fill rates vs the 70% key-feature floor, the daily accumulation
+    rate from the outcome-linked timestamp span (floor one day, >=2
+    stamps, `:124-133`), milestone progress at 100/250/500 with
+    ceil((target-current)/rate) days-remaining (`:65-72`), the blocker
+    census (gate-floor shortfall + under-filled key features,
+    `:146-156`) and the READY / APPROACHING / NOT_READY verdict with
+    the days-to-ready estimate (`:158-171`).
+
+    Scale: the dataset frame is the pipeline pack's one-window-pass +
+    forward self-join; readiness is two global folds joined as
+    broadcast scalars."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.get_json_object("props", "$.k").cast("int")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+        k.alias("k"),
+        F.row_number().over(w).alias("rn"),
+        F.log(F.col("value") / F.lag("value", 1).over(w)).alias("lr"),
+        F.avg("value").over(w.rowsBetween(-4, 0)).alias("f_ma5"),
+        F.stddev_samp("value").over(w.rowsBetween(-9, 0)).alias("f_vol10"),
+    )
+    sig = s.filter(
+        (F.col("event_type") == "click") & F.col("k").isNotNull()
+    )
+    fwd = s.select(
+        F.col("user_id").alias("f_user"),
+        F.col("rn").alias("f_rn"),
+        F.col("value").alias("forward_close"),
+    )
+    lab = sig.join(
+        fwd,
+        (F.col("f_user") == F.col("user_id"))
+        & (F.col("f_rn") == F.col("rn") + (F.col("k") % 5) + 1),
+        "left",
+    )
+    prod = (F.col("user_id") % 10 != 0) & F.col("lr").isNotNull()
+    has_fwd = F.col("forward_close").isNotNull()
+    ds = (
+        lab.filter(has_fwd | prod)
+        .select(
+            "user_id",
+            "ts",
+            "lr",
+            "f_ma5",
+            "f_vol10",
+            "k",
+            F.when(has_fwd, "parquet_scan")
+            .when(prod, "outcome_linked")
+            .alias("label_source"),
+        )
+        .localCheckpoint()
+    )
+    ol = ds.filter(F.col("label_source") == "outcome_linked")
+    rate = ol.agg(
+        F.count(F.lit(1)).cast("long").alias("n_outcome_linked"),
+        F.when(
+            F.count(F.lit(1)) >= 2,
+            F.count(F.lit(1))
+            / F.greatest(
+                F.lit(1.0),
+                (
+                    F.unix_timestamp(F.max("ts"))
+                    - F.unix_timestamp(F.min("ts"))
+                )
+                / 86400.0,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("daily_rate"),
+    )
+    fill = lambda c: F.avg(  # noqa: E731
+        F.when(F.col(c).isNull(), 0.0).otherwise(1.0)
+    )
+    agg = ds.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.col("label_source") == "parquet_scan", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_parquet_scan"),
+        fill("f_ma5").alias("fill_f_ma5"),
+        fill("f_vol10").alias("fill_f_vol10"),
+        fill("k").alias("fill_f_k"),
+    )
+    j = agg.crossJoin(F.broadcast(rate)).withColumn(
+        "n_blockers",
+        F.when(F.col("n_outcome_linked") < _CRD_GATE_N, 1).otherwise(0)
+        + F.when(F.col("fill_f_ma5") < _CRD_MIN_FILL, 1).otherwise(0)
+        + F.when(F.col("fill_f_vol10") < _CRD_MIN_FILL, 1).otherwise(0)
+        + F.when(F.col("fill_f_k") < _CRD_MIN_FILL, 1).otherwise(0),
+    )
+    nol = F.col("n_outcome_linked")
+    rt = F.col("daily_rate")
+
+    def days_to(target):
+        return F.when(
+            (rt > 0) & (nol < target),
+            F.ceil((target - nol) / rt).cast("long"),
+        )
+
+    ready = (nol >= _CRD_GATE_N) & (F.col("n_blockers") == 0)
+    return j.select(
+        "n_total",
+        "n_outcome_linked",
+        "n_parquet_scan",
+        F.round("fill_f_ma5", 3).alias("fill_f_ma5"),
+        F.round("fill_f_vol10", 3).alias("fill_f_vol10"),
+        F.round("fill_f_k", 3).alias("fill_f_k"),
+        F.round("daily_rate", 3).alias("daily_accumulation_rate"),
+        F.when(nol >= 100, 1).otherwise(0).alias("m100_reached"),
+        days_to(100).alias("m100_days"),
+        F.when(nol >= 250, 1).otherwise(0).alias("m250_reached"),
+        days_to(250).alias("m250_days"),
+        F.when(nol >= 500, 1).otherwise(0).alias("m500_reached"),
+        days_to(500).alias("m500_days"),
+        "n_blockers",
+        F.when(
+            ~ready & (rt > 0) & (nol < _CRD_GATE_N),
+            F.ceil((_CRD_GATE_N - nol) / rt).cast("long"),
+        ).alias("days_to_ready_estimate"),
+        F.when(ready, "READY")
+        .when(nol >= _CRD_APPROACH_N, "APPROACHING")
+        .otherwise("NOT_READY")
+        .alias("verdict"),
+    )
