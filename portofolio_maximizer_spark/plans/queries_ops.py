@@ -3368,3 +3368,190 @@ def classifier_readiness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("NOT_READY")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ensemble diagnostics — reference scripts/run_ensemble_diagnostics.py
+# ---------------------------------------------------------------------------
+# Per (key, model) forecast diagnostics: the CI-width-derived confidence
+# channel (narrow CI = high confidence, rescaled to [0.5, 1.0]; 0.75 when
+# the width channel is degenerate, `:100-113`), the standard error metrics
+# (RMSE / MAE / MAPE over non-zero actuals / sign-product directional
+# accuracy, `compute_metrics:155-189`) and the default equal model weights
+# when no logged weights exist (`:316-320`). Models are the engine's
+# closed-form trio; the CI is the forecaster's ±1.96·rolling-σ band.
+_ECD_SQL = """
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             LAG(value, 1) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS f_naive,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS f_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+               AS f_ma10,
+             STDDEV_SAMP(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+               AS sigma
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    melted AS (
+      SELECT user_id, rn, value, 'naive' AS model, f_naive AS fcast,
+             2 * 1.96 * sigma AS ci_width
+      FROM s WHERE rn >= 12
+      UNION ALL
+      SELECT user_id, rn, value, 'ma3', f_ma3, 2 * 1.96 * sigma
+      FROM s WHERE rn >= 12
+      UNION ALL
+      SELECT user_id, rn, value, 'ma10', f_ma10, 2 * 1.96 * sigma
+      FROM s WHERE rn >= 12
+    ),
+    conf AS (
+      SELECT *,
+             MAX(ci_width) OVER (PARTITION BY user_id, model) AS max_w,
+             LAG(fcast) OVER (PARTITION BY user_id, model ORDER BY rn)
+               AS prev_f,
+             LAG(value) OVER (PARTITION BY user_id, model ORDER BY rn)
+               AS prev_a
+      FROM melted
+    ),
+    scored AS (
+      SELECT user_id, model, value, fcast,
+             CASE WHEN max_w > 0
+                  THEN 0.5 + 0.5 * (1.0 - ci_width / max_w)
+                  ELSE 0.75 END AS confidence,
+             CASE WHEN prev_f IS NOT NULL
+                  THEN CASE WHEN (fcast - prev_f) * (value - prev_a) > 0
+                            THEN 1.0 ELSE 0.0 END END AS dir_ok
+      FROM conf
+    )
+    SELECT user_id, model,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SQRT(AVG((fcast - value) * (fcast - value))), 6) AS rmse,
+           ROUND(AVG(ABS(fcast - value)), 6) AS mae,
+           ROUND(COALESCE(AVG(CASE WHEN value <> 0
+                 THEN ABS((fcast - value) / value) END) * 100, 0.0), 6)
+             AS mape,
+           ROUND(COALESCE(AVG(dir_ok), 0.0), 6) AS directional_accuracy,
+           ROUND(AVG(confidence), 6) AS mean_confidence,
+           ROUND(1.0 / 3.0, 6) AS weight
+    FROM scored
+    GROUP BY user_id, model
+"""
+
+
+@query("ensemble_ci_diagnostics", oracle=_ECD_SQL)
+def ensemble_ci_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(key, model) ensemble diagnostics — reference
+    `scripts/run_ensemble_diagnostics.py`: the CI-width confidence
+    channel (1 − width/max-width rescaled to [0.5, 1.0], 0.75
+    degenerate default, `extract_forecast_data_from_db:100-113`), the
+    standard metric set — RMSE, MAE, MAPE over non-zero actuals, and
+    sign-product directional accuracy over consecutive forecast/actual
+    diffs (`compute_metrics:155-189`) — and the default equal weights
+    when no logged ensemble weights exist (`:316-320`).
+
+    Scale: one window pass builds all three forecasters and the σ
+    band; the melt triples rows; metrics are one keyed groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value", 1).over(w).alias("f_naive"),
+        F.avg("value").over(w.rowsBetween(-3, -1)).alias("f_ma3"),
+        F.avg("value").over(w.rowsBetween(-10, -1)).alias("f_ma10"),
+        F.stddev_samp("value").over(w.rowsBetween(-10, -1)).alias("sigma"),
+    ).filter(F.col("rn") >= 12)
+    ciw = (2 * 1.96 * F.col("sigma")).alias("ci_width")
+    melted = (
+        s.select(
+            "user_id",
+            "rn",
+            "value",
+            F.lit("naive").alias("model"),
+            F.col("f_naive").alias("fcast"),
+            ciw,
+        )
+        .unionByName(
+            s.select(
+                "user_id",
+                "rn",
+                "value",
+                F.lit("ma3").alias("model"),
+                F.col("f_ma3").alias("fcast"),
+                ciw,
+            )
+        )
+        .unionByName(
+            s.select(
+                "user_id",
+                "rn",
+                "value",
+                F.lit("ma10").alias("model"),
+                F.col("f_ma10").alias("fcast"),
+                ciw,
+            )
+        )
+    )
+    wkm = Window.partitionBy("user_id", "model")
+    wkmo = wkm.orderBy("rn")
+    conf = melted.select(
+        "*",
+        F.max("ci_width").over(wkm).alias("max_w"),
+        F.lag("fcast").over(wkmo).alias("prev_f"),
+        F.lag("value").over(wkmo).alias("prev_a"),
+    )
+    scored = conf.select(
+        "user_id",
+        "model",
+        "value",
+        "fcast",
+        F.when(
+            F.col("max_w") > 0,
+            0.5 + 0.5 * (1.0 - F.col("ci_width") / F.col("max_w")),
+        )
+        .otherwise(F.lit(0.75))
+        .alias("confidence"),
+        F.when(
+            F.col("prev_f").isNotNull(),
+            F.when(
+                (F.col("fcast") - F.col("prev_f"))
+                * (F.col("value") - F.col("prev_a"))
+                > 0,
+                1.0,
+            ).otherwise(0.0),
+        ).alias("dir_ok"),
+    )
+    err = F.col("fcast") - F.col("value")
+    return scored.groupBy("user_id", "model").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r6(F.sqrt(F.avg(err * err))).alias("rmse"),
+        r6(F.avg(F.abs(err))).alias("mae"),
+        r6(
+            F.coalesce(
+                F.avg(
+                    F.when(
+                        F.col("value") != 0,
+                        F.abs(err / F.col("value")),
+                    )
+                )
+                * 100,
+                F.lit(0.0),
+            )
+        ).alias("mape"),
+        r6(F.coalesce(F.avg("dir_ok"), F.lit(0.0))).alias(
+            "directional_accuracy"
+        ),
+        r6(F.avg("confidence")).alias("mean_confidence"),
+        r6(F.lit(1.0 / 3.0)).alias("weight"),
+    )
