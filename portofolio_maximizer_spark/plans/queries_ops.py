@@ -3555,3 +3555,345 @@ def ensemble_ci_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg("confidence")).alias("mean_confidence"),
         r6(F.lit(1.0 / 3.0)).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Box-bounded ensemble weight optimization —
+# reference scripts/optimize_ensemble_weights.py
+# ---------------------------------------------------------------------------
+# scipy SLSQP minimizing ensemble RMSE over the simplex WITH the per-model
+# box bounds [0.05, 0.95] (`EnsembleWeightOptimizer.__init__:64-72`,
+# `optimize_weights:74-189`). For the 3-model stack the strictly convex
+# bounded QP solves EXACTLY by active-set enumeration: each weight is at
+# its lower bound, upper bound, or free — 19 structurally distinct
+# candidates (interior; one weight pinned ×6; two pinned ×12). Each
+# candidate's free weights are closed-form equality-constrained least
+# squares; the optimum is the feasible candidate with minimal RMSE, so no
+# iterative solver survives into the engine. The candidate table below is
+# GENERATED once and rendered into both the Spark plan and the DuckDB
+# oracle, so the two sides cannot drift.
+_EWB_LO = 0.05
+_EWB_HI = 0.95
+
+
+def _ewb_candidates() -> list[tuple[str, str, str, str, str]]:
+    """(name, w1, w2, w3, feasible) SQL-expression tuples over the gram
+    columns g11..g33/b1..b3 and the interior solution wf1..wf3."""
+    lo, hi = repr(_EWB_LO), repr(_EWB_HI)
+    gg = {
+        (1, 1): "g11", (2, 2): "g22", (3, 3): "g33",
+        (1, 2): "g12", (2, 1): "g12", (1, 3): "g13",
+        (3, 1): "g13", (2, 3): "g23", (3, 2): "g23",
+    }
+    cands: list[tuple[str, str, str, str, str]] = []
+    # interior (R36 closed form, bounds checked)
+    cands.append((
+        "interior", "wf1", "wf2", "wf3",
+        f"wf1 BETWEEN {lo} AND {hi} AND wf2 BETWEEN {lo} AND {hi}"
+        f" AND wf3 BETWEEN {lo} AND {hi}",
+    ))
+    # one pinned, two free: t* = (b_i - b_j + beta(g_jk - g_ik)
+    #                             + S(g_jj - g_ij)) / (g_ii + g_jj - 2g_ij)
+    for k in (1, 2, 3):
+        i, j = [m for m in (1, 2, 3) if m != k]
+        for beta in (lo, hi):
+            s = f"(1.0 - {beta})"
+            t = (
+                f"((b{i} - b{j} + {beta} * ({gg[(j, k)]} - {gg[(i, k)]})"
+                f" + {s} * ({gg[(j, j)]} - {gg[(i, j)]}))"
+                f" / NULLIF({gg[(i, i)]} + {gg[(j, j)]}"
+                f" - 2.0 * {gg[(i, j)]}, 0))"
+            )
+            w = {k: beta, i: t, j: f"({s} - {t})"}
+            feas = (
+                f"{t} BETWEEN {lo} AND {hi}"
+                f" AND ({s} - {t}) BETWEEN {lo} AND {hi}"
+            )
+            cands.append((
+                f"pin{k}@{beta}", w[1], w[2], w[3], feas,
+            ))
+    # two pinned, third determined
+    for k, l in ((1, 2), (1, 3), (2, 3)):
+        m = [x for x in (1, 2, 3) if x not in (k, l)][0]
+        for bk in (lo, hi):
+            for bl in (lo, hi):
+                wm = f"(1.0 - {bk} - {bl})"
+                w = {k: bk, l: bl, m: wm}
+                cands.append((
+                    f"pin{k}@{bk}+pin{l}@{bl}", w[1], w[2], w[3],
+                    f"{wm} BETWEEN {lo} AND {hi}",
+                ))
+    return cands
+
+
+def _ewb_obj(w1: str, w2: str, w3: str) -> str:
+    return (
+        f"(aa - 2.0 * ({w1} * b1 + {w2} * b2 + {w3} * b3)"
+        f" + ({w1} * {w1} * g11 + {w2} * {w2} * g22 + {w3} * {w3} * g33"
+        f" + 2.0 * ({w1} * {w2} * g12 + {w1} * {w3} * g13"
+        f" + {w2} * {w3} * g23))) / n"
+    )
+
+
+_EWB_CAND_SQL = "\n      UNION ALL\n".join(
+    f"""      SELECT user_id, n, aa, '{name}' AS cand,
+             {w1} AS w1, {w2} AS w2, {w3} AS w3,
+             {_ewb_obj(w1, w2, w3)} AS j
+      FROM uvw WHERE {feas}"""
+    for name, w1, w2, w3, feas in _ewb_candidates()
+)
+
+_EWB_SQL = f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    f AS (
+      SELECT user_id, rn, value AS a,
+             LAG(value, 1) OVER wp AS p1,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS p2,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+               AS p3
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    ),
+    k AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(p1*p1) AS g11, SUM(p1*p2) AS g12, SUM(p1*p3) AS g13,
+             SUM(p2*p2) AS g22, SUM(p2*p3) AS g23, SUM(p3*p3) AS g33,
+             SUM(p1*a) AS b1, SUM(p2*a) AS b2, SUM(p3*a) AS b3,
+             SUM(a*a) AS aa
+      FROM f GROUP BY user_id HAVING COUNT(*) > 10
+    ),
+    inv AS (
+      SELECT *,
+             g11*(g22*g33 - g23*g23) - g12*(g12*g33 - g23*g13)
+               + g13*(g12*g23 - g22*g13) AS det
+      FROM k
+    ),
+    uvw0 AS (
+      SELECT *,
+             ((g22*g33 - g23*g23)*b1 + (g13*g23 - g12*g33)*b2
+               + (g12*g23 - g13*g22)*b3) / NULLIF(det, 0) AS u1,
+             ((g13*g23 - g12*g33)*b1 + (g11*g33 - g13*g13)*b2
+               + (g12*g13 - g11*g23)*b3) / NULLIF(det, 0) AS u2,
+             ((g12*g23 - g13*g22)*b1 + (g12*g13 - g11*g23)*b2
+               + (g11*g22 - g12*g12)*b3) / NULLIF(det, 0) AS u3,
+             ((g22*g33 - g23*g23) + (g13*g23 - g12*g33)
+               + (g12*g23 - g13*g22)) / NULLIF(det, 0) AS v1,
+             ((g13*g23 - g12*g33) + (g11*g33 - g13*g13)
+               + (g12*g13 - g11*g23)) / NULLIF(det, 0) AS v2,
+             ((g12*g23 - g13*g22) + (g12*g13 - g11*g23)
+               + (g11*g22 - g12*g12)) / NULLIF(det, 0) AS v3
+      FROM inv
+    ),
+    uvw AS (
+      SELECT *,
+             u1 + (1.0 - (u1+u2+u3)) / NULLIF(v1+v2+v3, 0) * v1 AS wf1,
+             u2 + (1.0 - (u1+u2+u3)) / NULLIF(v1+v2+v3, 0) * v2 AS wf2,
+             u3 + (1.0 - (u1+u2+u3)) / NULLIF(v1+v2+v3, 0) * v3 AS wf3
+      FROM uvw0
+    ),
+    cands AS (
+{_EWB_CAND_SQL}
+    ),
+    best AS (
+      -- selection by the gram-expanded objective (rounded to absorb
+      -- partial-sum noise); RMSEs re-derived per-row below, where the
+      -- positive residual sum has no cancellation
+      SELECT user_id, n, cand,
+             ROUND(w1, 4) AS w1, ROUND(w2, 4) AS w2, ROUND(w3, 4) AS w3
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ROUND(j, 3), cand) AS rk
+            FROM cands WHERE j IS NOT NULL) z
+      WHERE rk = 1
+    ),
+    scoredrows AS (
+      SELECT b.user_id, b.n, b.cand, b.w1, b.w2, b.w3,
+             POWER(f.a - (b.w1 * f.p1 + b.w2 * f.p2 + b.w3 * f.p3), 2)
+               AS res2,
+             POWER(f.a - (f.p1 + f.p2 + f.p3) / 3.0, 2) AS res2_uni
+      FROM best b JOIN f ON f.user_id = b.user_id
+    )
+    SELECT user_id, ANY_VALUE(n) AS n, ANY_VALUE(cand) AS active_set,
+           ANY_VALUE(w1) AS w_naive,
+           ANY_VALUE(w2) AS w_ma3,
+           ANY_VALUE(w3) AS w_ma10,
+           ROUND(SQRT(AVG(res2)), 4) AS final_rmse,
+           ROUND(SQRT(AVG(res2_uni)), 4) AS initial_rmse,
+           ROUND((SQRT(AVG(res2_uni)) - SQRT(AVG(res2)))
+                 / SQRT(AVG(res2_uni)) * 100.0, 4) AS improvement_pct
+    FROM scoredrows GROUP BY user_id
+"""
+
+
+@query("ensemble_weight_optimization_bounded", oracle=_EWB_SQL)
+def ensemble_weight_optimization_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Box-bounded ensemble weight optimization — reference
+    `scripts/optimize_ensemble_weights.py:74-189` (`optimize_weights`):
+    scipy SLSQP minimizing ensemble RMSE over the probability simplex
+    with per-model bounds [0.05, 0.95] and uniform initial weights; the
+    reported improvement_pct is (initial−final)/initial RMSE (`:172-177`).
+    The engine solves the strictly convex bounded QP EXACTLY by
+    enumerating the 19 bound-activity patterns (interior / one pinned /
+    two pinned), solving each reduced equality-constrained LS in closed
+    form, and taking the feasible minimum — the same no-iterative-solver
+    discipline as `ensemble_weight_optimization` (R36), extended to box
+    constraints. Candidate expressions are generated once and rendered
+    into BOTH the Spark plan and the oracle SQL.
+
+    Scale: one Gram aggregation per key; the 19-candidate enumeration is
+    per-key column algebra on the one-row-per-key frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+    )
+    f = s.select(
+        "user_id",
+        "rn",
+        F.col("value").alias("a"),
+        F.lag("value", 1).over(wr).alias("p1"),
+        F.avg("value").over(wr.rowsBetween(-3, -1)).alias("p2"),
+        F.avg("value").over(wr.rowsBetween(-10, -1)).alias("p3"),
+    ).filter(F.col("rn") >= 11)
+    k = (
+        f.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("p1") * F.col("p1")).alias("g11"),
+            F.sum(F.col("p1") * F.col("p2")).alias("g12"),
+            F.sum(F.col("p1") * F.col("p3")).alias("g13"),
+            F.sum(F.col("p2") * F.col("p2")).alias("g22"),
+            F.sum(F.col("p2") * F.col("p3")).alias("g23"),
+            F.sum(F.col("p3") * F.col("p3")).alias("g33"),
+            F.sum(F.col("p1") * F.col("a")).alias("b1"),
+            F.sum(F.col("p2") * F.col("a")).alias("b2"),
+            F.sum(F.col("p3") * F.col("a")).alias("b3"),
+            F.sum(F.col("a") * F.col("a")).alias("aa"),
+        )
+        .filter(F.col("n") > 10)
+    )
+    # interior solution columns via the same SQL fragments (selectExpr
+    # keeps the algebra literally identical to the oracle)
+    uvw = k.selectExpr(
+        "*",
+        "g11*(g22*g33 - g23*g23) - g12*(g12*g33 - g23*g13)"
+        " + g13*(g12*g23 - g22*g13) AS det",
+    ).selectExpr(
+        "*",
+        "((g22*g33 - g23*g23)*b1 + (g13*g23 - g12*g33)*b2"
+        " + (g12*g23 - g13*g22)*b3) / NULLIF(det, 0) AS u1",
+        "((g13*g23 - g12*g33)*b1 + (g11*g33 - g13*g13)*b2"
+        " + (g12*g13 - g11*g23)*b3) / NULLIF(det, 0) AS u2",
+        "((g12*g23 - g13*g22)*b1 + (g12*g13 - g11*g23)*b2"
+        " + (g11*g22 - g12*g12)*b3) / NULLIF(det, 0) AS u3",
+        "((g22*g33 - g23*g23) + (g13*g23 - g12*g33)"
+        " + (g12*g23 - g13*g22)) / NULLIF(det, 0) AS v1",
+        "((g13*g23 - g12*g33) + (g11*g33 - g13*g13)"
+        " + (g12*g13 - g11*g23)) / NULLIF(det, 0) AS v2",
+        "((g12*g23 - g13*g22) + (g12*g13 - g11*g23)"
+        " + (g11*g22 - g12*g12)) / NULLIF(det, 0) AS v3",
+    ).selectExpr(
+        "*",
+        "u1 + (1.0 - (u1+u2+u3)) / NULLIF(v1+v2+v3, 0) * v1 AS wf1",
+        "u2 + (1.0 - (u1+u2+u3)) / NULLIF(v1+v2+v3, 0) * v2 AS wf2",
+        "u3 + (1.0 - (u1+u2+u3)) / NULLIF(v1+v2+v3, 0) * v3 AS wf3",
+    )
+    cand_struct = ", ".join(
+        f"CASE WHEN {feas} THEN named_struct("
+        f"'cand', '{name}', 'w1', CAST({w1} AS DOUBLE),"
+        f" 'w2', CAST({w2} AS DOUBLE), 'w3', CAST({w3} AS DOUBLE),"
+        f" 'j', CAST({_ewb_obj(w1, w2, w3)} AS DOUBLE)) END"
+        for name, w1, w2, w3, feas in _ewb_candidates()
+    )
+    cands = (
+        uvw.selectExpr(
+            "user_id",
+            "n",
+            "aa",
+            f"{_ewb_obj('(1.0/3.0)', '(1.0/3.0)', '(1.0/3.0)')} AS j0",
+            f"array({cand_struct}) AS cs",
+        )
+        .select(
+            "user_id",
+            "n",
+            "j0",
+            F.explode(F.expr("filter(cs, x -> x IS NOT NULL)")).alias("c"),
+        )
+        .select(
+            "user_id",
+            "n",
+            "j0",
+            F.col("c.cand").alias("cand"),
+            F.col("c.w1").alias("w1"),
+            F.col("c.w2").alias("w2"),
+            F.col("c.w3").alias("w3"),
+            F.col("c.j").alias("j"),
+        )
+        .filter(F.col("j").isNotNull())
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.round(F.col("j"), 3), F.col("cand")
+    )
+    best = (
+        cands.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("user_id").alias("b_uid"),
+            "n",
+            "cand",
+            F.round("w1", 4).alias("w1"),
+            F.round("w2", 4).alias("w2"),
+            F.round("w3", 4).alias("w3"),
+        )
+    )
+    # RMSEs re-derived per-row (positive residual sum, no cancellation)
+    scored = best.join(f, F.col("b_uid") == f.user_id).select(
+        "b_uid",
+        "n",
+        "cand",
+        "w1",
+        "w2",
+        "w3",
+        F.pow(
+            F.col("a")
+            - (
+                F.col("w1") * F.col("p1")
+                + F.col("w2") * F.col("p2")
+                + F.col("w3") * F.col("p3")
+            ),
+            2,
+        ).alias("res2"),
+        F.pow(
+            F.col("a")
+            - (F.col("p1") + F.col("p2") + F.col("p3")) / 3.0,
+            2,
+        ).alias("res2_uni"),
+    )
+    fin = F.sqrt(F.avg("res2"))
+    ini = F.sqrt(F.avg("res2_uni"))
+    return scored.groupBy("b_uid").agg(
+        F.any_value("n").alias("n"),
+        F.any_value("cand").alias("active_set"),
+        F.any_value("w1").alias("w_naive"),
+        F.any_value("w2").alias("w_ma3"),
+        F.any_value("w3").alias("w_ma10"),
+        F.round(fin, 4).alias("final_rmse"),
+        F.round(ini, 4).alias("initial_rmse"),
+        F.round((ini - fin) / ini * 100.0, 4).alias("improvement_pct"),
+    ).withColumnRenamed("b_uid", "user_id")

@@ -168,3 +168,65 @@ def test_student_t_cdf_closed_forms(t, df):
             1 - t * t / (12 * u)
         )
     assert abs(num - closed) < 1e-6
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_bounded_weight_qp_enumeration(seed):
+    """The ops pack's 19-candidate active-set enumeration (box-bounded
+    simplex QP, reference scipy SLSQP in
+    `scripts/optimize_ensemble_weights.py:74-189`) must match a dense
+    grid search over the feasible simplex."""
+    import numpy as np
+
+    lo, hi = 0.05, 0.95
+    rng = np.random.default_rng(seed)
+    n = 40
+    P = rng.normal(size=(n, 3)) * rng.uniform(0.5, 2.0, size=3)
+    a = P @ rng.dirichlet([1, 1, 1]) + rng.normal(scale=0.3, size=n)
+
+    def obj(w):
+        r = P @ w - a
+        return float(r @ r) / n
+
+    # dense feasible grid
+    best_grid = np.inf
+    for w1 in np.linspace(lo, hi, 181):
+        for w2 in np.linspace(lo, min(hi, 1 - w1 - lo), 181):
+            w3 = 1 - w1 - w2
+            if lo - 1e-12 <= w3 <= hi + 1e-12:
+                best_grid = min(best_grid, obj(np.array([w1, w2, w3])))
+
+    # replicate the enumeration (same algebra as the query's spec)
+    G = P.T @ P
+    b = P.T @ a
+    cands = []
+    # interior: equality-constrained LS
+    Gi = np.linalg.inv(G)
+    u = Gi @ b
+    v = Gi @ np.ones(3)
+    wf = u + (1 - u.sum()) / v.sum() * v
+    if all(lo <= x <= hi for x in wf):
+        cands.append(wf)
+    for k in range(3):
+        i, j = [m for m in range(3) if m != k]
+        for beta in (lo, hi):
+            S = 1 - beta
+            den = G[i, i] + G[j, j] - 2 * G[i, j]
+            t = (b[i] - b[j] + beta * (G[j, k] - G[i, k])
+                 + S * (G[j, j] - G[i, j])) / den
+            if lo <= t <= hi and lo <= S - t <= hi:
+                w = np.zeros(3)
+                w[k], w[i], w[j] = beta, t, S - t
+                cands.append(w)
+    for k, l in ((0, 1), (0, 2), (1, 2)):
+        m = [x for x in range(3) if x not in (k, l)][0]
+        for bk in (lo, hi):
+            for bl in (lo, hi):
+                wm = 1 - bk - bl
+                if lo <= wm <= hi:
+                    w = np.zeros(3)
+                    w[k], w[l], w[m] = bk, bl, wm
+                    cands.append(w)
+    best_enum = min(obj(w) for w in cands)
+    assert best_enum <= best_grid + 1e-6
