@@ -3897,3 +3897,238 @@ def ensemble_weight_optimization_bounded(
         F.round(ini, 4).alias("initial_rmse"),
         F.round((ini - fin) / ini * 100.0, 4).alias("improvement_pct"),
     ).withColumnRenamed("b_uid", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-trade contamination audit —
+# reference scripts/cleanup_synthetic_trades.py
+# ---------------------------------------------------------------------------
+# Dry-run semantics (the script's default before --apply): every census is
+# computed against the stored state. Provenance channels on the closed-trade
+# frame: data_source NULL when orderkey%19=0, execution_mode NULL when
+# orderkey%23=0, pipeline_id NULL when orderkey%29=0, run_id NULL when
+# orderkey%31=0, already-tagged is_test_data when orderkey%37=0; the
+# synthetic ticker bucket (custkey%25=24) prints as 'SYN24'.
+_SCA_SQL = """
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    tr AS (
+      SELECT c.l_orderkey AS orderkey,
+             CASE WHEN o.o_custkey % 25 = 24
+                  THEN 'SYN' || CAST(o.o_custkey % 25 AS VARCHAR)
+                  ELSE 'T' || CAST(o.o_custkey % 25 AS VARCHAR) END
+               AS ticker,
+             c.close_d, c.cnet - o2.onet AS pnl,
+             (c.l_orderkey % 19 = 0) AS null_source,
+             (c.l_orderkey % 23 = 0) AS null_mode,
+             (c.l_orderkey % 29 = 0) AS null_pipeline,
+             (c.l_orderkey % 31 = 0) AS null_run,
+             (c.l_orderkey % 37 = 0) AS tagged
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    stats AS (
+      SELECT 'stats' AS section, 'total_trades' AS key,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(NULL AS DOUBLE) AS total_pnl,
+             CAST(NULL AS VARCHAR) AS first_trade,
+             CAST(NULL AS VARCHAR) AS last_trade
+      FROM tr
+      UNION ALL SELECT 'stats', 'null_source',
+             CAST(SUM(CASE WHEN null_source THEN 1 ELSE 0 END) AS BIGINT),
+             NULL, NULL, NULL FROM tr
+      UNION ALL SELECT 'stats', 'null_exec_mode',
+             CAST(SUM(CASE WHEN null_mode THEN 1 ELSE 0 END) AS BIGINT),
+             NULL, NULL, NULL FROM tr
+      UNION ALL SELECT 'stats', 'synthetic_tickers',
+             CAST(SUM(CASE WHEN ticker LIKE 'SYN%' THEN 1 ELSE 0 END)
+               AS BIGINT), NULL, NULL, NULL FROM tr
+      UNION ALL SELECT 'stats', 'null_pipeline_id',
+             CAST(SUM(CASE WHEN null_pipeline THEN 1 ELSE 0 END)
+               AS BIGINT), NULL, NULL, NULL FROM tr
+      UNION ALL SELECT 'stats', 'null_run_id',
+             CAST(SUM(CASE WHEN null_run THEN 1 ELSE 0 END) AS BIGINT),
+             NULL, NULL, NULL FROM tr
+      UNION ALL SELECT 'stats', 'already_tagged',
+             CAST(SUM(CASE WHEN tagged THEN 1 ELSE 0 END) AS BIGINT),
+             NULL, NULL, NULL FROM tr
+      UNION ALL SELECT 'tag_plan', 'tag_null_sources',
+             CAST(SUM(CASE WHEN (null_source OR null_mode)
+                                AND NOT tagged THEN 1 ELSE 0 END)
+               AS BIGINT), NULL, NULL, NULL FROM tr
+      UNION ALL SELECT 'tag_plan', 'tag_synthetic_tickers',
+             CAST(SUM(CASE WHEN ticker LIKE 'SYN%'
+                                AND NOT tagged THEN 1 ELSE 0 END)
+               AS BIGINT), NULL, NULL, NULL FROM tr
+      UNION ALL SELECT 'production_view', 'production_trades',
+             CAST(SUM(CASE WHEN NOT (tagged OR null_source OR null_mode
+                                     OR ticker LIKE 'SYN%')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             NULL, NULL, NULL FROM tr
+      UNION ALL
+      SELECT 'syn_ticker', ticker, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(COALESCE(pnl, 0.0)), 6),
+             CAST(MIN(close_d) AS VARCHAR), CAST(MAX(close_d) AS VARCHAR)
+      FROM tr WHERE ticker LIKE 'SYN%' GROUP BY ticker
+    )
+    SELECT * FROM stats
+"""
+
+
+@query("synthetic_contamination_audit", oracle=_SCA_SQL)
+def synthetic_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-trade contamination audit — reference
+    `scripts/cleanup_synthetic_trades.py`: the contamination censuses
+    (`analyze_contamination:108-189`: NULL data_source /
+    execution_mode / pipeline_id / run_id, SYN-prefixed tickers,
+    already-tagged rows), the two dry-run tag plans — null-provenance
+    rows and synthetic-ticker rows not yet tagged
+    (`tag_null_sources:191-245`, `tag_synthetic_tickers:246-283`) —
+    the production_trades view census (rows surviving both tag rules,
+    `create_production_view:284-300`) and the per-SYN-ticker detail
+    rows (`get_synthetic_ticker_details:301-329`).
+
+    Scale: single-pass censuses over the closed-trade frame; the SYN
+    detail groupBy is bounded by the synthetic-ticker bucket count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey)
+            & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.to_date(F.max("l_shipdate")).alias("close_d"),
+        )
+    )
+    opens = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    okc = F.col("c.l_orderkey")
+    tr = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            okc.alias("orderkey"),
+            F.when(
+                F.col("o_custkey") % 25 == 24,
+                F.concat(
+                    F.lit("SYN"), (F.col("o_custkey") % 25).cast("string")
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+                )
+            )
+            .alias("ticker"),
+            "close_d",
+            (F.col("cnet") - F.col("onet")).alias("pnl"),
+            (okc % 19 == 0).alias("null_source"),
+            (okc % 23 == 0).alias("null_mode"),
+            (okc % 29 == 0).alias("null_pipeline"),
+            (okc % 31 == 0).alias("null_run"),
+            (okc % 37 == 0).alias("tagged"),
+        )
+        .localCheckpoint()
+    )
+    syn = F.col("ticker").startswith("SYN")
+    cnt = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+
+    def srow(section, key, n_col):
+        return tr.agg(n_col.alias("n")).select(
+            F.lit(section).alias("section"),
+            F.lit(key).alias("key"),
+            "n",
+            F.lit(None).cast("double").alias("total_pnl"),
+            F.lit(None).cast("string").alias("first_trade"),
+            F.lit(None).cast("string").alias("last_trade"),
+        )
+
+    out = srow("stats", "total_trades", F.count(F.lit(1)).cast("long"))
+    for key, cond in [
+        ("null_source", F.col("null_source")),
+        ("null_exec_mode", F.col("null_mode")),
+        ("synthetic_tickers", syn),
+        ("null_pipeline_id", F.col("null_pipeline")),
+        ("null_run_id", F.col("null_run")),
+        ("already_tagged", F.col("tagged")),
+    ]:
+        out = out.unionByName(srow("stats", key, cnt(cond)))
+    out = out.unionByName(
+        srow(
+            "tag_plan",
+            "tag_null_sources",
+            cnt(
+                (F.col("null_source") | F.col("null_mode"))
+                & ~F.col("tagged")
+            ),
+        )
+    ).unionByName(
+        srow("tag_plan", "tag_synthetic_tickers", cnt(syn & ~F.col("tagged")))
+    ).unionByName(
+        srow(
+            "production_view",
+            "production_trades",
+            cnt(
+                ~(
+                    F.col("tagged")
+                    | F.col("null_source")
+                    | F.col("null_mode")
+                    | syn
+                )
+            ),
+        )
+    )
+    details = tr.filter(syn).groupBy("ticker").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r6(F.sum(F.coalesce(F.col("pnl"), F.lit(0.0)))).alias("total_pnl"),
+        F.min("close_d").cast("string").alias("first_trade"),
+        F.max("close_d").cast("string").alias("last_trade"),
+    ).select(
+        F.lit("syn_ticker").alias("section"),
+        F.col("ticker").alias("key"),
+        "n",
+        "total_pnl",
+        "first_trade",
+        "last_trade",
+    )
+    return out.unionByName(details)
