@@ -4132,3 +4132,393 @@ def synthetic_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         "last_trade",
     )
     return out.unionByName(details)
+
+
+# ---------------------------------------------------------------------------
+# Open-trade liquidation plan — reference scripts/liquidate_open_trades.py
+# ---------------------------------------------------------------------------
+# Per open trade: the spot-price ladder (local last close -> vendor ->
+# entry-price fallback; no network here, so the vendor rung resolves to the
+# fallback, `_build_spot_price_map:137-162`), the mark-to-market policies
+# (`_mark_to_market:236-300`: neutral spot, conservative no-unrealised-gain
+# clamp, option intrinsic) and full Black-Scholes with the 60-day realised
+# vol, the 0.02 risk-free default (`_load_risk_free_rate:198-208`) and the
+# erf-based normal CDF (`_black_scholes_price:210-234`) — portable here via
+# the engine's A&S erfc helper (Phi(d) = 1 - 0.5*erfc_as(d^2) for d>=0).
+# Instrument channels on open ('O'-status) orders: call when orderkey%11=0,
+# put when orderkey%13=0 (call wins overlap), else spot; strike =
+# entry*(0.9 + (orderkey%5)*0.05); expiry = orderdate + 90 + orderkey%180
+# days; valuation as-of 1998-08-01. Every BS input is rounded to 6dp on
+# both sides before the formula (the chi2_sf1 input discipline).
+_LIQ_AS_OF = "1998-08-01"
+_LIQ_RATE = 0.02
+
+
+def _liq_phi_sql(d: str) -> str:
+    from ..functions.scalars import chi2_sf1_sql
+
+    e = chi2_sf1_sql(f"({d}) * ({d})")
+    return (
+        f"(CASE WHEN ({d}) >= 0 THEN 1.0 - 0.5 * {e}"
+        f" ELSE 0.5 * {e} END)"
+    )
+
+
+_LIQ_SQL = f"""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(28,8))) AS DOUBLE) AS cnet,
+             CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    closed AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             c.l_orderkey AS orderkey, c.close_d,
+             c.cnet / c.cq AS px
+      FROM closes c
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND c.cq > 0
+    ),
+    lastpx AS (
+      SELECT ticker, px AS spot_db
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ticker
+                 ORDER BY close_d DESC, orderkey DESC) AS rk
+            FROM closed) z
+      WHERE rk = 1
+    ),
+    volser AS (
+      SELECT ticker, px,
+             LAG(px) OVER (PARTITION BY ticker
+                           ORDER BY close_d, orderkey) AS prev_px
+      FROM closed
+      WHERE close_d BETWEEN DATE '{_LIQ_AS_OF}' - 60
+                        AND DATE '{_LIQ_AS_OF}'
+    ),
+    vol AS (
+      SELECT ticker,
+             CASE WHEN COUNT(LN(GREATEST(px / prev_px, 1e-12))) >= 2
+                  THEN STDDEV_SAMP(LN(GREATEST(px / prev_px, 1e-12)))
+             END AS rv
+      FROM volser WHERE prev_px > 0
+      GROUP BY ticker
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(28,8))) AS DOUBLE) AS onet,
+             MAX(l_linestatus) AS ostatus
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    open_tr AS (
+      SELECT op.l_orderkey AS orderkey,
+             'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             CASE WHEN op.ostatus = 'O' THEN 'BUY' ELSE 'SELL' END
+               AS action,
+             op.oq AS shares,
+             FLOOR(op.onet / op.oq * 1e6 + 0.5) / 1e6 AS entry,
+             CASE WHEN op.l_orderkey % 11 = 0 THEN 'call'
+                  WHEN op.l_orderkey % 13 = 0 THEN 'put'
+                  ELSE 'spot' END AS instrument,
+             FLOOR(op.onet / op.oq * 1e6 + 0.5) / 1e6
+               * CAST(90 + (op.l_orderkey % 5) * 5 AS DOUBLE)
+               / 100.0 AS strike,
+             CAST(o.o_orderdate AS DATE)
+               + CAST(90 + op.l_orderkey % 180 AS INTEGER) AS expiry
+      FROM opens op
+      JOIN orders o ON o.o_orderkey = op.l_orderkey
+      WHERE o.o_orderstatus = 'O' AND op.oq > 0
+    ),
+    enriched AS (
+      SELECT t.*,
+             FLOOR(COALESCE(lp.spot_db, t.entry) * 1e6 + 0.5) / 1e6
+               AS spot,
+             FLOOR(t.strike * 1e6 + 0.5) / 1e6 AS k,
+             ROUND(COALESCE(v.rv, 0.0), 6) AS rv,
+             ROUND(GREATEST(expiry - DATE '{_LIQ_AS_OF}', 0)
+                   / 365.0, 6) AS t_years
+      FROM open_tr t
+      LEFT JOIN lastpx lp ON lp.ticker = t.ticker
+      LEFT JOIN vol v ON v.ticker = t.ticker
+    ),
+    bs AS (
+      SELECT *,
+             CASE WHEN instrument = 'call' THEN GREATEST(spot - k, 0.0)
+                  WHEN instrument = 'put' THEN GREATEST(k - spot, 0.0)
+             END AS intrinsic,
+             (LN(spot / k) + ({_LIQ_RATE} + 0.5 * rv * rv) * t_years)
+               / NULLIF(rv * SQRT(t_years), 0) AS d1
+      FROM enriched
+    ),
+    bs2 AS (
+      SELECT *, d1 - rv * SQRT(t_years) AS d2 FROM bs
+    ),
+    priced AS (
+      SELECT *,
+             CASE
+               WHEN instrument = 'spot' THEN NULL
+               WHEN spot <= 0 OR k <= 0 OR rv <= 0 OR t_years <= 0
+                 THEN intrinsic
+               WHEN instrument = 'call' THEN
+                 spot * {_liq_phi_sql('d1')}
+                 - k * EXP(-{_LIQ_RATE} * t_years) * {_liq_phi_sql('d2')}
+               ELSE
+                 k * EXP(-{_LIQ_RATE} * t_years) * {_liq_phi_sql('(-d2)')}
+                 - spot * {_liq_phi_sql('(-d1)')}
+             END AS bs_price
+      FROM bs2
+    )
+    SELECT orderkey, ticker, instrument, action,
+           ROUND(shares, 6) AS shares,
+           entry AS entry_price,
+           spot, k AS strike, rv AS realized_vol, t_years,
+           CASE WHEN instrument = 'spot' THEN spot END AS mtm_neutral,
+           CASE WHEN instrument = 'spot' THEN
+                 CASE WHEN action = 'BUY' THEN LEAST(spot, entry)
+                      ELSE GREATEST(spot, entry) END END
+             AS mtm_conservative,
+           FLOOR(intrinsic * 1e6 + 0.5) / 1e6 AS mtm_intrinsic,
+           FLOOR(bs_price * 1e6 + 0.5) / 1e6 AS mtm_bs,
+           FLOOR((CASE WHEN action = 'BUY' THEN 1.0 ELSE -1.0 END
+                 * (COALESCE(CASE WHEN instrument = 'spot' THEN spot
+                             ELSE bs_price END, entry) - entry)
+                 * shares) * 1e6 + 0.5) / 1e6 AS unrealized_pnl
+    FROM priced
+"""
+
+
+@query("open_trade_liquidation_plan", oracle=_LIQ_SQL)
+def open_trade_liquidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-trade liquidation marks — reference
+    `scripts/liquidate_open_trades.py`: the spot ladder (local last
+    close, vendor, entry fallback — no network, so vendor resolves to
+    the fallback, `_build_spot_price_map:137-162`), neutral and
+    conservative spot MtM (clamp away unrealised gains per side,
+    `_mark_to_market:258-264`), option intrinsic value, and the full
+    Black-Scholes mark with 60-day realised vol
+    (`_estimate_realised_vol:189-196`), the 0.02 risk-free default and
+    the erf-based normal CDF (`_black_scholes_price:210-234`) —
+    rendered portable through the engine's A&S 7.1.26 erfc helper with
+    6dp-rounded inputs. unrealized_pnl uses the policy-neutral mark.
+
+    Scale: per-ticker last-close and vol windows over the closed-trade
+    frame; open trades join them on ticker. BS is per-row column
+    algebra — no UDF."""
+    from pyspark.sql import Window
+
+    from ..functions.scalars import chi2_sf1
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey)
+            & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net.cast("decimal(28,8)")).cast("double").alias("cnet"),
+            F.to_date(F.max("l_shipdate")).alias("close_d"),
+        )
+    )
+    closed = (
+        closes.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("cq") > 0)
+        .select(
+            F.concat(
+                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+            ).alias("ticker"),
+            F.col("l_orderkey").alias("orderkey"),
+            "close_d",
+            (F.col("cnet") / F.col("cq")).alias("px"),
+        )
+        .localCheckpoint()
+    )
+    wlast = Window.partitionBy("ticker").orderBy(
+        F.col("close_d").desc(), F.col("orderkey").desc()
+    )
+    lastpx = (
+        closed.withColumn("rk", F.row_number().over(wlast))
+        .filter(F.col("rk") == 1)
+        .select(F.col("ticker").alias("lt"), F.col("px").alias("spot_db"))
+    )
+    as_of = F.lit(_LIQ_AS_OF).cast("date")
+    wvol = Window.partitionBy("ticker").orderBy("close_d", "orderkey")
+    volser = closed.filter(
+        (F.col("close_d") >= F.date_sub(as_of, 60))
+        & (F.col("close_d") <= as_of)
+    ).withColumn("prev_px", F.lag("px").over(wvol))
+    lr = F.log(F.greatest(F.col("px") / F.col("prev_px"), F.lit(1e-12)))
+    vol = (
+        volser.filter(F.col("prev_px") > 0)
+        .groupBy("ticker")
+        .agg(
+            F.when(F.count(lr) >= 2, F.stddev_samp(lr)).alias("rv")
+        )
+        .select(F.col("ticker").alias("vt"), "rv")
+    )
+    opens = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("oq"),
+            F.sum(net.cast("decimal(28,8)")).cast("double").alias("onet"),
+            F.max("l_linestatus").alias("ostatus"),
+        )
+    )
+    ok = F.col("l_orderkey")
+    entry = F.col("onet") / F.col("oq")
+    open_tr = (
+        opens.join(
+            o.filter(F.col("o_orderstatus") == "O"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("oq") > 0)
+        .select(
+            ok.alias("orderkey"),
+            F.concat(
+                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+            ).alias("ticker"),
+            F.when(F.col("ostatus") == "O", "BUY")
+            .otherwise("SELL")
+            .alias("action"),
+            F.col("oq").alias("shares"),
+            (F.floor(entry * 1e6 + 0.5) / 1e6).alias("entry"),
+            F.when(ok % 11 == 0, "call")
+            .when(ok % 13 == 0, "put")
+            .otherwise("spot")
+            .alias("instrument"),
+            (
+                F.floor(entry * 1e6 + 0.5)
+                / 1e6
+                * (90 + (ok % 5) * 5).cast("double")
+                / 100.0
+            ).alias("strike"),
+            F.expr(
+                "date_add(CAST(o_orderdate AS DATE),"
+                " CAST(90 + l_orderkey % 180 AS INT))"
+            ).alias("expiry"),
+        )
+    )
+    enriched = (
+        open_tr.join(lastpx, F.col("lt") == F.col("ticker"), "left")
+        .join(vol, F.col("vt") == F.col("ticker"), "left")
+        .select(
+            "orderkey",
+            "ticker",
+            "action",
+            "shares",
+            "entry",
+            "instrument",
+            (
+                F.floor(
+                    F.coalesce(F.col("spot_db"), F.col("entry")) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("spot"),
+            (F.floor(F.col("strike") * 1e6 + 0.5) / 1e6).alias("k"),
+            F.round(F.coalesce(F.col("rv"), F.lit(0.0)), 6).alias("rv"),
+            F.round(
+                F.greatest(
+                    F.datediff(F.col("expiry"), as_of), F.lit(0)
+                )
+                / 365.0,
+                6,
+            ).alias("t_years"),
+        )
+    )
+    intrinsic = F.when(
+        F.col("instrument") == "call",
+        F.greatest(F.col("spot") - F.col("k"), F.lit(0.0)),
+    ).when(
+        F.col("instrument") == "put",
+        F.greatest(F.col("k") - F.col("spot"), F.lit(0.0)),
+    )
+    d1 = (
+        F.log(F.col("spot") / F.col("k"))
+        + (_LIQ_RATE + 0.5 * F.col("rv") * F.col("rv")) * F.col("t_years")
+    ) / F.nullif(F.col("rv") * F.sqrt(F.col("t_years")), F.lit(0.0))
+    bs2 = enriched.withColumn("intrinsic", intrinsic).withColumn(
+        "d1", d1
+    ).withColumn("d2", F.col("d1") - F.col("rv") * F.sqrt(F.col("t_years")))
+
+    def phi(d):
+        e = chi2_sf1(d * d)
+        return F.when(d >= 0, 1.0 - 0.5 * e).otherwise(0.5 * e)
+
+    disc = F.exp(F.lit(-_LIQ_RATE) * F.col("t_years"))
+    bs_price = (
+        F.when(F.col("instrument") == "spot", F.lit(None).cast("double"))
+        .when(
+            (F.col("spot") <= 0)
+            | (F.col("k") <= 0)
+            | (F.col("rv") <= 0)
+            | (F.col("t_years") <= 0),
+            F.col("intrinsic"),
+        )
+        .when(
+            F.col("instrument") == "call",
+            F.col("spot") * phi(F.col("d1"))
+            - F.col("k") * disc * phi(F.col("d2")),
+        )
+        .otherwise(
+            F.col("k") * disc * phi(-F.col("d2"))
+            - F.col("spot") * phi(-F.col("d1"))
+        )
+    )
+    priced = bs2.withColumn("bs_price", bs_price)
+    side = F.when(F.col("action") == "BUY", 1.0).otherwise(-1.0)
+    mark = F.coalesce(
+        F.when(F.col("instrument") == "spot", F.col("spot")).otherwise(
+            F.col("bs_price")
+        ),
+        F.col("entry"),
+    )
+    hr6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return priced.select(
+        "orderkey",
+        "ticker",
+        "instrument",
+        "action",
+        r6(F.col("shares")).alias("shares"),
+        F.col("entry").alias("entry_price"),
+        "spot",
+        F.col("k").alias("strike"),
+        F.col("rv").alias("realized_vol"),
+        "t_years",
+        F.when(F.col("instrument") == "spot", F.col("spot")).alias(
+            "mtm_neutral"
+        ),
+        F.when(
+            F.col("instrument") == "spot",
+            F.when(
+                F.col("action") == "BUY",
+                F.least(F.col("spot"), F.col("entry")),
+            ).otherwise(F.greatest(F.col("spot"), F.col("entry"))),
+        ).alias("mtm_conservative"),
+        hr6(F.col("intrinsic")).alias("mtm_intrinsic"),
+        hr6(F.col("bs_price")).alias("mtm_bs"),
+        hr6(side * (mark - F.col("entry")) * F.col("shares")).alias(
+            "unrealized_pnl"
+        ),
+    )
