@@ -4522,3 +4522,182 @@ def open_trade_liquidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unrealized_pnl"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline input validation — reference scripts/validate_pipeline_inputs.py
+# ---------------------------------------------------------------------------
+# The engine's bar store is the per-key event series (one "checkpoint
+# parquet" per key). Checks carried: V2 coverage (>=90-row lookback+horizon
+# floor `:115`, degenerate-price std/mean < 0.001 detection `:295-307`,
+# coverage window), V5 duplicate stores (keys whose first close collides at
+# 4dp — the synthetic-duplicate fingerprint `:616-700`), V6 edge cases
+# (trivially small stores; stale stores whose last bar lags the global max
+# by >30 days).
+_PIV_MIN_ROWS = 90
+_PIV_DEGEN = 0.001
+_PIV_STALE_DAYS = 30
+
+_PIV_SQL = f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    per AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS start_d,
+             CAST(MAX(CAST(ts AS DATE)) AS VARCHAR) AS end_d,
+             MAX(CAST(ts AS DATE)) AS end_raw,
+             ROUND(MAX(CASE WHEN rn = 1 THEN value END), 4) AS close0,
+             STDDEV_POP(value) / (AVG(value) + 1e-10) AS pct_std
+      FROM s GROUP BY user_id
+    ),
+    gmax AS (SELECT MAX(end_raw) AS g FROM per),
+    v2 AS (
+      SELECT 'V2.coverage' AS check_id,
+             CAST(user_id AS VARCHAR) AS key,
+             CASE WHEN n_rows < {_PIV_MIN_ROWS} THEN 'FAIL'
+                  WHEN n_rows > 10 AND pct_std < {_PIV_DEGEN} THEN 'FAIL'
+                  ELSE 'PASS' END AS status,
+             CASE WHEN n_rows < {_PIV_MIN_ROWS} THEN 'too_short'
+                  WHEN n_rows > 10 AND pct_std < {_PIV_DEGEN}
+                    THEN 'degenerate_prices'
+                  ELSE 'ok' END AS reason,
+             n_rows, start_d, end_d,
+             ROUND(pct_std, 6) AS metric
+      FROM per
+    ),
+    coll AS (
+      SELECT close0, CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM per GROUP BY close0 HAVING COUNT(*) >= 2
+    ),
+    v5 AS (
+      SELECT 'V5.duplicates' AS check_id,
+             CAST(p.user_id AS VARCHAR) AS key,
+             'FAIL' AS status, 'identical_first_close' AS reason,
+             c.n_keys AS n_rows,
+             CAST(NULL AS VARCHAR) AS start_d,
+             CAST(NULL AS VARCHAR) AS end_d,
+             p.close0 AS metric
+      FROM per p JOIN coll c ON c.close0 = p.close0
+    ),
+    v6 AS (
+      SELECT 'V6.edge' AS check_id, CAST(p.user_id AS VARCHAR) AS key,
+             CASE WHEN p.n_rows < 2 THEN 'FAIL'
+                  WHEN p.end_raw < g.g - {_PIV_STALE_DAYS}
+                    THEN 'WARN' ELSE 'PASS' END AS status,
+             CASE WHEN p.n_rows < 2 THEN 'empty_store'
+                  WHEN p.end_raw < g.g - {_PIV_STALE_DAYS}
+                    THEN 'stale_store' ELSE 'ok' END AS reason,
+             p.n_rows, p.start_d, p.end_d,
+             CAST(g.g - p.end_raw AS DOUBLE) AS metric
+      FROM per p CROSS JOIN gmax g
+    )
+    SELECT * FROM v2 UNION ALL SELECT * FROM v5
+    UNION ALL SELECT * FROM v6
+"""
+
+
+@query("pipeline_input_validation", oracle=_PIV_SQL)
+def pipeline_input_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline input validation report — reference
+    `scripts/validate_pipeline_inputs.py`: the V2 per-store coverage
+    check (90-row lookback+horizon floor `:115,275-281`; nearly-constant
+    close detection std/mean < 0.001 flags degenerate/synthetic data
+    `:295-307`; coverage window + first close in the PASS payload), the
+    V5 duplicate-store check (stores resolving to identical first
+    closes at 4dp — the synthetic collision fingerprint, `:616-700`)
+    and the V6 edge cases (empty stores; stale stores lagging the
+    fleet's newest bar by >30 days, `:711-830`).
+
+    Scale: one per-key aggregate; the collision check is a groupBy on
+    the 4dp first-close fingerprint; the global max is a broadcast
+    scalar."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+    )
+    per = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("d").cast("string").alias("start_d"),
+        F.max("d").cast("string").alias("end_d"),
+        F.max("d").alias("end_raw"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))), 4
+        ).alias("close0"),
+        (F.stddev_pop("value") / (F.avg("value") + 1e-10)).alias(
+            "pct_std"
+        ),
+    ).localCheckpoint()
+    key = F.col("user_id").cast("string").alias("key")
+    v2 = per.select(
+        F.lit("V2.coverage").alias("check_id"),
+        key,
+        F.when(F.col("n_rows") < _PIV_MIN_ROWS, "FAIL")
+        .when(
+            (F.col("n_rows") > 10) & (F.col("pct_std") < _PIV_DEGEN),
+            "FAIL",
+        )
+        .otherwise("PASS")
+        .alias("status"),
+        F.when(F.col("n_rows") < _PIV_MIN_ROWS, "too_short")
+        .when(
+            (F.col("n_rows") > 10) & (F.col("pct_std") < _PIV_DEGEN),
+            "degenerate_prices",
+        )
+        .otherwise("ok")
+        .alias("reason"),
+        "n_rows",
+        "start_d",
+        "end_d",
+        F.round("pct_std", 6).alias("metric"),
+    )
+    coll = (
+        per.groupBy("close0")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .filter(F.col("n_keys") >= 2)
+    )
+    v5 = per.join(coll, "close0").select(
+        F.lit("V5.duplicates").alias("check_id"),
+        key,
+        F.lit("FAIL").alias("status"),
+        F.lit("identical_first_close").alias("reason"),
+        F.col("n_keys").alias("n_rows"),
+        F.lit(None).cast("string").alias("start_d"),
+        F.lit(None).cast("string").alias("end_d"),
+        F.col("close0").alias("metric"),
+    )
+    gmax = per.agg(F.max("end_raw").alias("g"))
+    v6 = per.crossJoin(F.broadcast(gmax)).select(
+        F.lit("V6.edge").alias("check_id"),
+        key,
+        F.when(F.col("n_rows") < 2, "FAIL")
+        .when(
+            F.col("end_raw") < F.date_sub(F.col("g"), _PIV_STALE_DAYS),
+            "WARN",
+        )
+        .otherwise("PASS")
+        .alias("status"),
+        F.when(F.col("n_rows") < 2, "empty_store")
+        .when(
+            F.col("end_raw") < F.date_sub(F.col("g"), _PIV_STALE_DAYS),
+            "stale_store",
+        )
+        .otherwise("ok")
+        .alias("reason"),
+        "n_rows",
+        "start_d",
+        "end_d",
+        F.datediff(F.col("g"), F.col("end_raw"))
+        .cast("double")
+        .alias("metric"),
+    )
+    return v2.unionByName(v5).unionByName(v6)
