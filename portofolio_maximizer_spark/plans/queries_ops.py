@@ -4701,3 +4701,223 @@ def pipeline_input_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("metric"),
     )
     return v2.unionByName(v5).unionByName(v6)
+
+
+# ---------------------------------------------------------------------------
+# Error monitor — reference scripts/error_monitor.py
+# ---------------------------------------------------------------------------
+# The error stream is the deterministic planted channel over events: every
+# 50th event_id is an error line; its type cycles
+# TypeError / ValueError / ConnectionError / Other on event_id % 4.
+# "now" = the stream's newest timestamp. Thresholds are the reference
+# defaults (`:36-41`): >5 errors/hour, >20 errors/24h, any critical type
+# (TypeError/ValueError/ConnectionError) in the 24h window.
+_EMR_HOUR_MAX = 5
+_EMR_DAY_MAX = 20
+_EMR_REPORT_DAYS = 7
+
+_EMR_SQL = f"""
+    WITH errs AS (
+      SELECT ts,
+             CASE WHEN event_id % 4 = 0 THEN 'TypeError'
+                  WHEN event_id % 4 = 1 THEN 'ValueError'
+                  WHEN event_id % 4 = 2 THEN 'ConnectionError'
+                  ELSE 'Other' END AS err_type
+      FROM events WHERE event_id % 50 = 0
+    ),
+    now_ AS (SELECT MAX(ts) AS now FROM errs),
+    recent AS (
+      SELECT e.*, n.now FROM errs e CROSS JOIN now_ n
+      WHERE e.ts >= n.now - INTERVAL 24 HOUR
+    ),
+    census AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_errors,
+             CAST(SUM(CASE WHEN ts >= now - INTERVAL 1 HOUR
+                      THEN 1 ELSE 0 END) AS BIGINT) AS errors_last_hour,
+             CAST(SUM(CASE WHEN err_type = 'TypeError'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_type,
+             CAST(SUM(CASE WHEN err_type = 'ValueError'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
+             CAST(SUM(CASE WHEN err_type = 'ConnectionError'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_conn,
+             CAST(SUM(CASE WHEN err_type = 'Other'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+      FROM recent
+    ),
+    summary AS (
+      SELECT 'summary' AS section, 'last_24h' AS key,
+             total_errors AS n,
+             CAST(errors_last_hour AS DOUBLE) AS metric,
+             CASE WHEN errors_last_hour > {_EMR_HOUR_MAX}
+                    OR total_errors > {_EMR_DAY_MAX}
+                    OR n_type > 0 OR n_value > 0 OR n_conn > 0
+                  THEN 'ALERT' ELSE 'OK' END AS verdict
+      FROM census
+      UNION ALL
+      SELECT 'category', 'TypeError', n_type, NULL,
+             CASE WHEN n_type > 0 THEN 'CRITICAL' END FROM census
+      UNION ALL
+      SELECT 'category', 'ValueError', n_value, NULL,
+             CASE WHEN n_value > 0 THEN 'CRITICAL' END FROM census
+      UNION ALL
+      SELECT 'category', 'ConnectionError', n_conn, NULL,
+             CASE WHEN n_conn > 0 THEN 'CRITICAL' END FROM census
+      UNION ALL
+      SELECT 'category', 'Other', n_other, NULL, NULL FROM census
+    ),
+    weekly AS (
+      SELECT e.ts, e.err_type FROM errs e CROSS JOIN now_ n
+      WHERE e.ts >= n.now - INTERVAL {_EMR_REPORT_DAYS} DAY
+    ),
+    by_day AS (
+      SELECT 'errors_by_day' AS section,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(NULL AS DOUBLE) AS metric,
+             CAST(NULL AS VARCHAR) AS verdict
+      FROM weekly GROUP BY CAST(ts AS DATE)
+    ),
+    report AS (
+      SELECT 'report' AS section, 'week' AS key,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(COUNT(*) AS DOUBLE)
+                   / GREATEST(COUNT(DISTINCT CAST(ts AS DATE)), 1), 6)
+               AS metric,
+             (SELECT err_type FROM weekly GROUP BY err_type
+              ORDER BY COUNT(*) DESC, err_type LIMIT 1) AS verdict
+      FROM weekly
+    )
+    SELECT * FROM summary UNION ALL SELECT * FROM by_day
+    UNION ALL SELECT * FROM report
+"""
+
+
+@query("error_monitor_report", oracle=_EMR_SQL)
+def error_monitor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-monitor status — reference `scripts/error_monitor.py`:
+    the 24h/1h error censuses with type categorisation
+    (`_analyze_recent_errors:111-165`), the alert fold — hourly >5,
+    daily >20, or any critical TypeError/ValueError/ConnectionError
+    (`_check_error_thresholds:167-186` with the `:36-41` defaults) —
+    and the 7-day report: per-day counts, average errors/day over
+    active days, most-common type (`generate_error_report:469-516`).
+    "now" anchors to the stream's newest timestamp.
+
+    Scale: the error channel is a filtered scan; censuses are single
+    folds; the per-day rollup is a bounded (7-day) groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_id") % 50 == 0).select(
+        "ts",
+        F.when(F.col("event_id") % 4 == 0, "TypeError")
+        .when(F.col("event_id") % 4 == 1, "ValueError")
+        .when(F.col("event_id") % 4 == 2, "ConnectionError")
+        .otherwise("Other")
+        .alias("err_type"),
+    ).localCheckpoint()
+    now = errs.agg(F.max("ts").alias("now"))
+    recent = errs.crossJoin(F.broadcast(now)).filter(
+        F.col("ts") >= F.col("now") - F.expr("INTERVAL 24 HOUR")
+    )
+    census = recent.agg(
+        F.count(F.lit(1)).cast("long").alias("total_errors"),
+        F.sum(
+            F.when(
+                F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("errors_last_hour"),
+        *[
+            F.sum(F.when(F.col("err_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(a)
+            for t, a in [
+                ("TypeError", "n_type"),
+                ("ValueError", "n_value"),
+                ("ConnectionError", "n_conn"),
+                ("Other", "n_other"),
+            ]
+        ],
+    ).localCheckpoint()
+    alert = (
+        (F.col("errors_last_hour") > _EMR_HOUR_MAX)
+        | (F.col("total_errors") > _EMR_DAY_MAX)
+        | (F.col("n_type") > 0)
+        | (F.col("n_value") > 0)
+        | (F.col("n_conn") > 0)
+    )
+    summary = census.select(
+        F.lit("summary").alias("section"),
+        F.lit("last_24h").alias("key"),
+        F.col("total_errors").alias("n"),
+        F.col("errors_last_hour").cast("double").alias("metric"),
+        F.when(alert, "ALERT").otherwise("OK").alias("verdict"),
+    )
+    for t, a in [
+        ("TypeError", "n_type"),
+        ("ValueError", "n_value"),
+        ("ConnectionError", "n_conn"),
+    ]:
+        summary = summary.unionByName(
+            census.select(
+                F.lit("category").alias("section"),
+                F.lit(t).alias("key"),
+                F.col(a).alias("n"),
+                F.lit(None).cast("double").alias("metric"),
+                F.when(F.col(a) > 0, "CRITICAL").alias("verdict"),
+            )
+        )
+    summary = summary.unionByName(
+        census.select(
+            F.lit("category").alias("section"),
+            F.lit("Other").alias("key"),
+            F.col("n_other").alias("n"),
+            F.lit(None).cast("double").alias("metric"),
+            F.lit(None).cast("string").alias("verdict"),
+        )
+    )
+    weekly = (
+        errs.crossJoin(F.broadcast(now))
+        .filter(
+            F.col("ts")
+            >= F.col("now") - F.expr(f"INTERVAL {_EMR_REPORT_DAYS} DAY")
+        )
+        .localCheckpoint()
+    )
+    by_day = weekly.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(
+        F.lit("errors_by_day").alias("section"),
+        F.col("d").cast("string").alias("key"),
+        "n",
+        F.lit(None).cast("double").alias("metric"),
+        F.lit(None).cast("string").alias("verdict"),
+    )
+    top = (
+        weekly.groupBy("err_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "err_type")
+        .limit(1)
+        .select(F.col("err_type").alias("most_common"))
+    )
+    report = (
+        weekly.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.greatest(
+                    F.countDistinct(F.to_date("ts")), F.lit(1).cast("long")
+                ),
+                6,
+            ).alias("metric"),
+        )
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.lit("report").alias("section"),
+            F.lit("week").alias("key"),
+            "n",
+            "metric",
+            F.col("most_common").alias("verdict"),
+        )
+    )
+    return summary.unionByName(by_day).unionByName(report)
