@@ -4921,3 +4921,373 @@ def error_monitor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary.unionByName(by_day).unionByName(report)
+
+
+# ---------------------------------------------------------------------------
+# NAV reallocation application — reference scripts/apply_nav_reallocation.py
+# ---------------------------------------------------------------------------
+# Constraints `:52-69`: safe>=0.75 NAV, core<=0.20, spec<=0.10; evidence
+# thresholds min_coverage 0.30, max_missing 0.50, max_imputed 0.30,
+# max_padding 0.20. Current sleeves by ticker bucket (0-4 safe, 5-14 core,
+# 15-24 speculative); moves from the R70 promotion ladder (spec->core on
+# WR>=0.55 & PF>=1.2, core->spec on WR<0.45 or PF<0.9, 10-trade floor).
+# Evidence metrics are deterministic md5-uniform channels per ticker;
+# oos_source_kind ladder: u<0.2 HEURISTIC_UNGROUNDED (blocks), <0.5
+# HEURISTIC_ALLOWED, <0.9 GENUINE_OOS, else UNKNOWN; provenance untrusted
+# when bucket%11=0, synthetic data_source when bucket%7=0. Demotions record
+# the gate but are NOT gate-blocked (reference `:229-248` checks
+# membership only).
+_NRA_MIN_COV = 0.30
+_NRA_MAX_MISS = 0.50
+_NRA_MAX_IMP = 0.30
+_NRA_MAX_PAD = 0.20
+
+_NRA_U = (
+    "('0x' || SUBSTR(MD5('{ch}|' || ticker), 1, 6))::BIGINT / 16777216.0"
+)
+
+_NRA_SQL = f"""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    trades AS (
+      SELECT o.o_custkey % 25 AS bucket,
+             'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             c.cnet - o2.onet AS pnl
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    perf AS (
+      SELECT bucket, ticker, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END) AS wr,
+             CASE WHEN SUM(CASE WHEN pnl < 0 THEN ABS(pnl) ELSE 0 END) > 0
+                  THEN SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END)
+                       / SUM(CASE WHEN pnl < 0 THEN ABS(pnl) ELSE 0 END)
+                  ELSE 99.0 END AS pf
+      FROM trades GROUP BY bucket, ticker
+    ),
+    gated AS (
+      SELECT *,
+             CASE WHEN bucket <= 4 THEN 'safe'
+                  WHEN bucket <= 14 THEN 'core'
+                  ELSE 'speculative' END AS sleeve,
+             {_NRA_U.format(ch='cov')} * 0.8 + 0.2 AS coverage,
+             {_NRA_U.format(ch='miss')} * 0.8 AS missing_frac,
+             {_NRA_U.format(ch='imp')} * 0.5 AS imputed_frac,
+             {_NRA_U.format(ch='pad')} * 0.35 AS padding_frac,
+             {_NRA_U.format(ch='src')} AS u_src
+      FROM perf
+    ),
+    moves AS (
+      SELECT *,
+             CASE WHEN sleeve = 'speculative' AND n >= 10
+                       AND wr >= 0.55 AND pf >= 1.2 THEN 'promotion'
+                  WHEN sleeve = 'core' AND n >= 10
+                       AND (wr < 0.45 OR pf < 0.9) THEN 'demotion'
+             END AS move_type,
+             CASE WHEN u_src < 0.2 THEN 'HEURISTIC_UNGROUNDED'
+                  WHEN u_src < 0.5 THEN 'HEURISTIC_ALLOWED'
+                  WHEN u_src < 0.9 THEN 'GENUINE_OOS'
+                  ELSE 'UNKNOWN' END AS evidence_class,
+             CONCAT_WS(',',
+               CASE WHEN coverage < {_NRA_MIN_COV}
+                    THEN 'OOS_COVERAGE_THIN' END,
+               CASE WHEN missing_frac > {_NRA_MAX_MISS}
+                    THEN 'OOS_MISSING_METRICS' END,
+               CASE WHEN imputed_frac > {_NRA_MAX_IMP}
+                         OR padding_frac > {_NRA_MAX_PAD}
+                    THEN 'PREPROCESS_DISTORTION' END,
+               CASE WHEN u_src < 0.2 THEN 'HEURISTIC_FALLBACK' END,
+               CASE WHEN bucket % 11 = 0 OR bucket % 7 = 0
+                    THEN 'PROVENANCE_UNTRUSTED' END) AS blocking
+      FROM gated
+    ),
+    decided AS (
+      SELECT ticker, sleeve, move_type, evidence_class, blocking,
+             ROUND(wr, 6) AS win_rate, ROUND(LEAST(pf, 99.0), 6)
+               AS profit_factor, n,
+             CASE
+               WHEN move_type = 'promotion' AND blocking <> ''
+                 THEN 'SKIPPED'
+               WHEN move_type IS NOT NULL THEN 'APPLIED'
+             END AS outcome
+      FROM moves
+    ),
+    move_rows AS (
+      SELECT 'move' AS section, ticker AS key, move_type, evidence_class,
+             CASE WHEN outcome = 'SKIPPED' THEN blocking END
+               AS skip_reason,
+             outcome, n, win_rate, profit_factor
+      FROM decided WHERE move_type IS NOT NULL
+    ),
+    final_sleeve AS (
+      SELECT ticker,
+             CASE
+               WHEN move_type = 'promotion' AND outcome = 'APPLIED'
+                 THEN 'core'
+               WHEN move_type = 'demotion' AND outcome = 'APPLIED'
+                 THEN 'speculative'
+               ELSE sleeve END AS sleeve_after
+      FROM decided
+    ),
+    sleeve_rows AS (
+      SELECT 'sleeve' AS section, sleeve_after AS key,
+             CAST(NULL AS VARCHAR) AS move_type,
+             CAST(NULL AS VARCHAR) AS evidence_class,
+             CAST(NULL AS VARCHAR) AS skip_reason,
+             CAST(NULL AS VARCHAR) AS outcome,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CASE WHEN sleeve_after = 'safe' THEN 0.75
+                  WHEN sleeve_after = 'core' THEN 0.20
+                  ELSE 0.10 END AS win_rate,
+             CAST(NULL AS DOUBLE) AS profit_factor
+      FROM final_sleeve GROUP BY sleeve_after
+    ),
+    summary AS (
+      SELECT 'summary', 'apply',
+             NULL, NULL, NULL,
+             CAST(SUM(CASE WHEN outcome = 'APPLIED'
+                      THEN 1 ELSE 0 END) AS VARCHAR)
+               || ' applied, '
+               || CAST(SUM(CASE WHEN outcome = 'SKIPPED'
+                           THEN 1 ELSE 0 END) AS VARCHAR) || ' skipped',
+             CAST(COUNT(*) AS BIGINT), NULL, NULL
+      FROM decided WHERE move_type IS NOT NULL
+    )
+    SELECT * FROM move_rows UNION ALL SELECT * FROM sleeve_rows
+    UNION ALL SELECT * FROM summary
+"""
+
+
+@query("nav_reallocation_application", oracle=_NRA_SQL)
+def nav_reallocation_application(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAV reallocation application — reference
+    `scripts/apply_nav_reallocation.py`: the per-ticker evidence-health
+    gate (`_check_evidence_gate:89-152`: OOS coverage vs 0.30,
+    missing-metrics vs 0.50, imputed/padding distortion vs 0.30/0.20,
+    the heuristic-classification ladder where HEURISTIC_UNGROUNDED
+    blocks, and the provenance-untrusted rule) and the barbell
+    promotion/demotion application (`apply_reallocation:157-288`):
+    promotions speculative→core are gate-blocked and skipped with
+    reasons; demotions core→speculative record the gate but apply on
+    membership alone (`:229-248`); the artifact carries the final
+    sleeve memberships with the 0.75/0.20/0.10 weight constraints and
+    the applied/skipped summary.
+
+    Scale: one ticker-grain aggregate over the closed-trade frame; the
+    gate channels are hash columns; sleeve rollups are bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey)
+            & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("cq"), F.sum(net).alias("cnet"))
+    )
+    opens = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    trades = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            (F.col("o_custkey") % 25).alias("bucket"),
+            F.concat(
+                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+            ).alias("ticker"),
+            (F.col("cnet") - F.col("onet")).alias("pnl"),
+        )
+    )
+    gross_loss = F.sum(F.when(F.col("pnl") < 0, F.abs(F.col("pnl"))).otherwise(0.0))
+    gross_win = F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
+    perf = trades.groupBy("bucket", "ticker").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias("wr"),
+        F.when(gross_loss > 0, gross_win / gross_loss)
+        .otherwise(F.lit(99.0))
+        .alias("pf"),
+    )
+
+    def u(ch):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{ch}|"), F.col("ticker"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            / 16777216.0
+        )
+
+    gated = perf.select(
+        "*",
+        F.when(F.col("bucket") <= 4, "safe")
+        .when(F.col("bucket") <= 14, "core")
+        .otherwise("speculative")
+        .alias("sleeve"),
+        (u("cov") * 0.8 + 0.2).alias("coverage"),
+        (u("miss") * 0.8).alias("missing_frac"),
+        (u("imp") * 0.5).alias("imputed_frac"),
+        (u("pad") * 0.35).alias("padding_frac"),
+        u("src").alias("u_src"),
+    )
+    moves = gated.select(
+        "*",
+        F.when(
+            (F.col("sleeve") == "speculative")
+            & (F.col("n") >= 10)
+            & (F.col("wr") >= 0.55)
+            & (F.col("pf") >= 1.2),
+            "promotion",
+        )
+        .when(
+            (F.col("sleeve") == "core")
+            & (F.col("n") >= 10)
+            & ((F.col("wr") < 0.45) | (F.col("pf") < 0.9)),
+            "demotion",
+        )
+        .alias("move_type"),
+        F.when(F.col("u_src") < 0.2, "HEURISTIC_UNGROUNDED")
+        .when(F.col("u_src") < 0.5, "HEURISTIC_ALLOWED")
+        .when(F.col("u_src") < 0.9, "GENUINE_OOS")
+        .otherwise("UNKNOWN")
+        .alias("evidence_class"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("coverage") < _NRA_MIN_COV, "OOS_COVERAGE_THIN"),
+            F.when(
+                F.col("missing_frac") > _NRA_MAX_MISS,
+                "OOS_MISSING_METRICS",
+            ),
+            F.when(
+                (F.col("imputed_frac") > _NRA_MAX_IMP)
+                | (F.col("padding_frac") > _NRA_MAX_PAD),
+                "PREPROCESS_DISTORTION",
+            ),
+            F.when(F.col("u_src") < 0.2, "HEURISTIC_FALLBACK"),
+            F.when(
+                (F.col("bucket") % 11 == 0) | (F.col("bucket") % 7 == 0),
+                "PROVENANCE_UNTRUSTED",
+            ),
+        ).alias("blocking"),
+    )
+    decided = moves.select(
+        "ticker",
+        "sleeve",
+        "move_type",
+        "evidence_class",
+        "blocking",
+        r6(F.col("wr")).alias("win_rate"),
+        r6(F.least(F.col("pf"), F.lit(99.0))).alias("profit_factor"),
+        "n",
+        F.when(
+            (F.col("move_type") == "promotion") & (F.col("blocking") != ""),
+            "SKIPPED",
+        )
+        .when(F.col("move_type").isNotNull(), "APPLIED")
+        .alias("outcome"),
+    ).localCheckpoint()
+    move_rows = decided.filter(F.col("move_type").isNotNull()).select(
+        F.lit("move").alias("section"),
+        F.col("ticker").alias("key"),
+        "move_type",
+        "evidence_class",
+        F.when(F.col("outcome") == "SKIPPED", F.col("blocking")).alias(
+            "skip_reason"
+        ),
+        "outcome",
+        "n",
+        "win_rate",
+        "profit_factor",
+    )
+    sleeve_after = (
+        F.when(
+            (F.col("move_type") == "promotion")
+            & (F.col("outcome") == "APPLIED"),
+            "core",
+        )
+        .when(
+            (F.col("move_type") == "demotion")
+            & (F.col("outcome") == "APPLIED"),
+            "speculative",
+        )
+        .otherwise(F.col("sleeve"))
+    )
+    sleeve_rows = (
+        decided.select(sleeve_after.alias("sleeve_after"))
+        .groupBy("sleeve_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.lit("sleeve").alias("section"),
+            F.col("sleeve_after").alias("key"),
+            F.lit(None).cast("string").alias("move_type"),
+            F.lit(None).cast("string").alias("evidence_class"),
+            F.lit(None).cast("string").alias("skip_reason"),
+            F.lit(None).cast("string").alias("outcome"),
+            "n",
+            F.when(F.col("sleeve_after") == "safe", 0.75)
+            .when(F.col("sleeve_after") == "core", 0.20)
+            .otherwise(0.10)
+            .alias("win_rate"),
+            F.lit(None).cast("double").alias("profit_factor"),
+        )
+    )
+    summary = decided.filter(F.col("move_type").isNotNull()).agg(
+        F.sum(F.when(F.col("outcome") == "APPLIED", 1).otherwise(0)).alias(
+            "na"
+        ),
+        F.sum(F.when(F.col("outcome") == "SKIPPED", 1).otherwise(0)).alias(
+            "ns"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        F.lit("summary").alias("section"),
+        F.lit("apply").alias("key"),
+        F.lit(None).cast("string").alias("move_type"),
+        F.lit(None).cast("string").alias("evidence_class"),
+        F.lit(None).cast("string").alias("skip_reason"),
+        F.concat(
+            F.col("na").cast("string"),
+            F.lit(" applied, "),
+            F.col("ns").cast("string"),
+            F.lit(" skipped"),
+        ).alias("outcome"),
+        "n",
+        F.lit(None).cast("double").alias("win_rate"),
+        F.lit(None).cast("double").alias("profit_factor"),
+    )
+    return move_rows.unionByName(sleeve_rows).unionByName(summary)
