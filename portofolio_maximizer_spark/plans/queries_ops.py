@@ -5291,3 +5291,148 @@ def nav_reallocation_application(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("profit_factor"),
     )
     return move_rows.unionByName(sleeve_rows).unionByName(summary)
+
+
+# ---------------------------------------------------------------------------
+# CHECK-constraint migration validation —
+# reference scripts/migrate_add_check_constraints.py
+# ---------------------------------------------------------------------------
+# Spark tables carry no CHECK constraints (SURVEY §1.2), so the migration's
+# validation pass IS the engine's enforcement surface. Ledger channels:
+# opening leg carries a spurious realized_pnl when orderkey%41=0; closes
+# lack their entry link when orderkey%5=0 (the unlinked population);
+# is_diagnostic when orderkey%43=0; execution_mode is 'synthetic' when
+# orderkey%4=0 EXCEPT orderkey%52=0 rows mislabeled 'live' (plants the
+# synthetic-in-live violation); everything else runs 'live'.
+_CCV_SQL = """
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    legs AS (
+      SELECT l.l_orderkey AS orderkey, l.l_linenumber AS ln,
+             (l.l_linenumber = m.maxline AND m.maxline > 1) AS is_close,
+             (l.l_orderkey % 41 = 0) AS opening_pnl_planted,
+             (l.l_orderkey % 5 = 0) AS unlinked,
+             (l.l_orderkey % 43 = 0) AS is_diagnostic,
+             (l.l_orderkey % 4 = 0) AS is_synthetic,
+             CASE WHEN l.l_orderkey % 4 = 0
+                       AND l.l_orderkey % 52 <> 0
+                  THEN 'synthetic' ELSE 'live' END AS execution_mode
+      FROM lineitem l
+      JOIN mx m ON m.l_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, l.l_linenumber, m.maxline
+    ),
+    v AS (
+      SELECT
+        CAST(SUM(CASE WHEN NOT is_close AND opening_pnl_planted
+                 THEN 1 ELSE 0 END) AS BIGINT) AS opening_has_pnl,
+        CAST(SUM(CASE WHEN is_close AND unlinked
+                 THEN 1 ELSE 0 END) AS BIGINT) AS closing_no_entry,
+        CAST(SUM(CASE WHEN is_diagnostic AND execution_mode = 'live'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS diagnostic_in_live,
+        CAST(SUM(CASE WHEN is_synthetic AND execution_mode = 'live'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS synthetic_in_live
+      FROM legs
+    ),
+    rows_ AS (
+      SELECT 'opening_has_pnl' AS constraint_name, opening_has_pnl AS n,
+             'BLOCKING' AS severity FROM v
+      UNION ALL
+      SELECT 'closing_no_entry', closing_no_entry, 'WARNING' FROM v
+      UNION ALL
+      SELECT 'diagnostic_in_live', diagnostic_in_live, 'BLOCKING' FROM v
+      UNION ALL
+      SELECT 'synthetic_in_live', synthetic_in_live, 'BLOCKING' FROM v
+    )
+    SELECT * FROM rows_
+    UNION ALL
+    SELECT 'migration_ready',
+           CASE WHEN opening_has_pnl = 0 AND diagnostic_in_live = 0
+                     AND synthetic_in_live = 0 THEN 1 ELSE 0 END,
+           CASE WHEN opening_has_pnl = 0 AND diagnostic_in_live = 0
+                     AND synthetic_in_live = 0
+                THEN 'READY' ELSE 'BLOCKED' END
+    FROM v
+"""
+
+
+@query("check_constraint_validation", oracle=_CCV_SQL)
+def check_constraint_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint migration validation — reference
+    `scripts/migrate_add_check_constraints.py:62-96`
+    (`validate_existing_data`): the four ledger-integrity constraints —
+    opening legs must carry no realized PnL, closing legs must link an
+    entry (warning-grade, backfill may lag), diagnostic and synthetic
+    trades must never run in live mode (`:98-173` CHECK clauses) — plus
+    the migration-ready fold (blocking constraints must be clean before
+    the rename-copy-drop rebuild, `:18-22`). Spark has no table CHECK
+    constraints, so this census IS the enforcement surface (SURVEY
+    §1.2).
+
+    Scale: one leg-grain scan with a single global fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    ok = F.col("l_orderkey")
+    legs = (
+        li.join(mx, "l_orderkey")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.any_value("maxline").alias("maxline"))
+        .select(
+            (
+                (F.col("l_linenumber") == F.col("maxline"))
+                & (F.col("maxline") > 1)
+            ).alias("is_close"),
+            (ok % 41 == 0).alias("opening_pnl_planted"),
+            (ok % 5 == 0).alias("unlinked"),
+            (ok % 43 == 0).alias("is_diagnostic"),
+            (ok % 4 == 0).alias("is_synthetic"),
+            F.when(
+                (ok % 4 == 0) & (ok % 52 != 0), "synthetic"
+            )
+            .otherwise("live")
+            .alias("execution_mode"),
+        )
+    )
+    cnt = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+    v = legs.agg(
+        cnt(~F.col("is_close") & F.col("opening_pnl_planted")).alias(
+            "opening_has_pnl"
+        ),
+        cnt(F.col("is_close") & F.col("unlinked")).alias(
+            "closing_no_entry"
+        ),
+        cnt(
+            F.col("is_diagnostic") & (F.col("execution_mode") == "live")
+        ).alias("diagnostic_in_live"),
+        cnt(
+            F.col("is_synthetic") & (F.col("execution_mode") == "live")
+        ).alias("synthetic_in_live"),
+    ).localCheckpoint()
+    out = None
+    for name, sev in [
+        ("opening_has_pnl", "BLOCKING"),
+        ("closing_no_entry", "WARNING"),
+        ("diagnostic_in_live", "BLOCKING"),
+        ("synthetic_in_live", "BLOCKING"),
+    ]:
+        row = v.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(name).alias("n"),
+            F.lit(sev).alias("severity"),
+        )
+        out = row if out is None else out.unionByName(row)
+    ready = (
+        (F.col("opening_has_pnl") == 0)
+        & (F.col("diagnostic_in_live") == 0)
+        & (F.col("synthetic_in_live") == 0)
+    )
+    return out.unionByName(
+        v.select(
+            F.lit("migration_ready").alias("constraint_name"),
+            F.when(ready, 1).otherwise(0).cast("long").alias("n"),
+            F.when(ready, "READY").otherwise("BLOCKED").alias("severity"),
+        )
+    )
