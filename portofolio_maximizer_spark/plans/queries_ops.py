@@ -5436,3 +5436,359 @@ def check_constraint_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ready, "READY").otherwise("BLOCKED").alias("severity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM signal backtest — reference scripts/backtest_llm_signals.py
+# ---------------------------------------------------------------------------
+# The portfolio recursion (confidence-sized integer share buys/sells over
+# the signal sequence, `execute_signal:91-120`) is irreducibly sequential
+# per key: the Spark side runs it as an Arrow-batched applyInPandas kernel
+# (sequential within a key, parallel across keys); the oracle re-derives
+# the SAME states independently with a recursive CTE, then both sides
+# compute the per-bar equity curve and metrics declaratively. Signal
+# channels: click events, action u<0.4 BUY / u<0.7 SELL / else HOLD,
+# confidence = 0.5 + u2/2. Initial capital 100k (`:51`). win_rate counts
+# SELL executions over executed trades — the reference's own quirk
+# (`:214-217`). The reference feeds raw VALUES into its returns-shaped
+# max-drawdown helper (`:212`), degenerating it; the engine computes the
+# equity-curve drawdown the call intends.
+_LLB_CAPITAL = 100_000.0
+_LLB_RATE = 0.02
+
+
+def _llb_states(pdf):
+    """Per-key sequential portfolio fold over the signal sequence."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("rn")
+    pos, cap = 0, _LLB_CAPITAL
+    rows = []
+    for r in pdf.itertuples():
+        executed = 0
+        if r.action == "BUY" and cap >= r.price:
+            shares = int((cap * r.conf * 0.95) / r.price)
+            if shares > 0:
+                pos += shares
+                cap -= shares * r.price
+                executed = 1
+        elif r.action == "SELL" and pos > 0:
+            sell = int(pos * r.conf)
+            if sell > 0:
+                pos -= sell
+                cap += sell * r.price
+                executed = 1
+        rows.append(
+            (r.user_id, int(r.rn), float(cap), int(pos), executed, r.action)
+        )
+    return pd.DataFrame(
+        rows, columns=["user_id", "rn", "cap", "pos", "executed", "action"]
+    )
+
+
+_LLB_SQL = f"""
+    WITH RECURSIVE s AS (
+      SELECT user_id, ts, event_id, value AS price, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    sig0 AS (
+      SELECT user_id, rn, price,
+             ('0x' || SUBSTR(MD5('act|' || CAST(event_id AS VARCHAR)),
+                             1, 6))::BIGINT / 16777216.0 AS u1,
+             ('0x' || SUBSTR(MD5('cnf|' || CAST(event_id AS VARCHAR)),
+                             1, 6))::BIGINT / 16777216.0 AS u2
+      FROM s WHERE event_type = 'click'
+    ),
+    sig AS (
+      SELECT user_id, rn, price,
+             CASE WHEN u1 < 0.4 THEN 'BUY'
+                  WHEN u1 < 0.7 THEN 'SELL' ELSE 'HOLD' END AS action,
+             0.5 + u2 / 2.0 AS conf,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+               AS sidx
+      FROM sig0
+    ),
+    rec AS (
+      SELECT user_id, 0 AS sidx, CAST(0 AS BIGINT) AS rn,
+             CAST({_LLB_CAPITAL} AS DOUBLE) AS cap,
+             CAST(0 AS BIGINT) AS pos, 0 AS executed,
+             CAST(NULL AS VARCHAR) AS action
+      FROM (SELECT DISTINCT user_id FROM sig)
+      UNION ALL
+      SELECT g.user_id, g.sidx, CAST(g.rn AS BIGINT),
+             CASE
+               WHEN g.action = 'BUY' AND r.cap >= g.price
+                    AND FLOOR(r.cap * g.conf * 0.95 / g.price) > 0
+                 THEN r.cap - FLOOR(r.cap * g.conf * 0.95 / g.price)
+                      * g.price
+               WHEN g.action = 'SELL' AND r.pos > 0
+                    AND FLOOR(r.pos * g.conf) > 0
+                 THEN r.cap + FLOOR(r.pos * g.conf) * g.price
+               ELSE r.cap END,
+             CASE
+               WHEN g.action = 'BUY' AND r.cap >= g.price
+                    AND FLOOR(r.cap * g.conf * 0.95 / g.price) > 0
+                 THEN r.pos + CAST(FLOOR(r.cap * g.conf * 0.95
+                                         / g.price) AS BIGINT)
+               WHEN g.action = 'SELL' AND r.pos > 0
+                    AND FLOOR(r.pos * g.conf) > 0
+                 THEN r.pos - CAST(FLOOR(r.pos * g.conf) AS BIGINT)
+               ELSE r.pos END,
+             CASE
+               WHEN g.action = 'BUY' AND r.cap >= g.price
+                    AND FLOOR(r.cap * g.conf * 0.95 / g.price) > 0
+                 THEN 1
+               WHEN g.action = 'SELL' AND r.pos > 0
+                    AND FLOOR(r.pos * g.conf) > 0
+                 THEN 1
+               ELSE 0 END,
+             g.action
+      FROM rec r
+      JOIN sig g ON g.user_id = r.user_id AND g.sidx = r.sidx + 1
+    ),
+    states AS (SELECT * FROM rec),
+    curve0 AS (
+      SELECT b.user_id, b.rn, b.price,
+             MAX(st.sidx) AS last_sidx
+      FROM s b
+      LEFT JOIN states st ON st.user_id = b.user_id AND st.rn <= b.rn
+      GROUP BY b.user_id, b.rn, b.price
+    ),
+    curve AS (
+      SELECT c.user_id, c.rn, c.price,
+             st.cap + st.pos * c.price AS value
+      FROM curve0 c
+      JOIN states st ON st.user_id = c.user_id
+                    AND st.sidx = COALESCE(c.last_sidx, 0)
+    ),
+    rets AS (
+      SELECT *,
+             value / LAG(value) OVER (PARTITION BY user_id ORDER BY rn)
+               - 1.0 AS ret,
+             value / MAX(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS UNBOUNDED PRECEDING) AS rel
+      FROM curve
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS trading_days,
+             MAX(CASE WHEN rn = 1 THEN price END) AS p0,
+             MAX(CASE WHEN rn = mxr THEN price END) AS p1,
+             MAX(CASE WHEN rn = mxr THEN value END) AS final_value,
+             STDDEV_POP(ret) AS ret_sd,
+             MAX(1.0 - rel) AS max_dd
+      FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mxr
+            FROM rets) z
+      GROUP BY user_id
+    ),
+    tcount AS (
+      SELECT user_id,
+             CAST(SUM(executed) AS BIGINT) AS total_trades,
+             CAST(SUM(CASE WHEN executed = 1 AND action = 'SELL'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS sells
+      FROM states GROUP BY user_id
+    ),
+    fin AS (
+      SELECT m.user_id, m.trading_days, m.final_value,
+             (m.final_value - {_LLB_CAPITAL}) / {_LLB_CAPITAL}
+               AS total_return,
+             POWER(1.0 + (m.final_value - {_LLB_CAPITAL})
+                   / {_LLB_CAPITAL}, 252.0 / m.trading_days) - 1.0
+               AS annual_return,
+             (m.p1 - m.p0) / m.p0 AS buy_hold_return,
+             m.ret_sd * SQRT(252.0) AS vol_ann,
+             m.max_dd,
+             COALESCE(t.total_trades, 0) AS total_trades,
+             COALESCE(t.sells, 0) AS sells
+      FROM m LEFT JOIN tcount t ON t.user_id = m.user_id
+    )
+    SELECT user_id, trading_days,
+           ROUND(final_value, 4) AS final_value,
+           ROUND(total_return, 6) AS total_return,
+           ROUND(annual_return, 6) AS annual_return,
+           ROUND(buy_hold_return, 6) AS buy_hold_return,
+           ROUND(annual_return - buy_hold_return, 6) AS alpha,
+           ROUND(CASE WHEN vol_ann > 1e-8
+                 THEN (annual_return - {_LLB_RATE}) / vol_ann
+                 ELSE 0.0 END, 6) AS sharpe_ratio,
+           ROUND(max_dd, 6) AS max_drawdown,
+           total_trades,
+           ROUND(CASE WHEN total_trades > 0
+                 THEN CAST(sells AS DOUBLE) / total_trades
+                 ELSE 0.0 END, 6) AS win_rate,
+           CASE WHEN annual_return > 0.10
+                     AND annual_return - buy_hold_return > 0
+                     AND trading_days >= 30
+                THEN 1 ELSE 0 END AS passed_validation
+    FROM fin
+"""
+
+
+@query("llm_signal_backtest", oracle=_LLB_SQL)
+def llm_signal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LLM-signal portfolio backtest — reference
+    `scripts/backtest_llm_signals.py:91-268` (`execute_signal` +
+    `backtest_ticker`): confidence-sized integer share execution with
+    the 95% cash buffer, the per-bar equity curve, total/annualized
+    returns (years = days/252), the buy-and-hold baseline and alpha,
+    the annualized Sharpe vs the 0.02 risk-free rate
+    (`etl/portfolio_math.py:110-121`), equity-curve max drawdown, the
+    SELL-count win-rate quirk (`:214-217`), and the validation fold
+    (annual>10%, alpha>0, >=30 days — `:246-268`).
+
+    Spark-first shape: the irreducible per-key recursion runs in one
+    Arrow-batched applyInPandas kernel (sequential within key, parallel
+    across keys); the equity curve, returns and every metric are
+    declarative window/aggregate algebra. The oracle re-derives the
+    recursion itself with a recursive CTE — full value-level check, no
+    staging."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").alias("price"),
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint()
+
+    def u(ch):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{ch}|"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / 16777216.0
+        )
+
+    sig = s.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "rn",
+        "price",
+        F.when(u("act") < 0.4, "BUY")
+        .when(u("act") < 0.7, "SELL")
+        .otherwise("HOLD")
+        .alias("action"),
+        (0.5 + u("cnf") / 2.0).alias("conf"),
+    )
+    states = sig.groupBy("user_id").applyInPandas(
+        _llb_states,
+        "user_id long, rn long, cap double, pos long, executed int,"
+        " action string",
+    ).localCheckpoint()
+
+    # carry the post-trade state forward across bars (as-of by rn)
+    st = states.select(
+        "user_id",
+        "rn",
+        F.col("cap").alias("s_cap"),
+        F.col("pos").alias("s_pos"),
+    )
+    bars = s.select("user_id", "rn", "price")
+    carried = (
+        bars.join(st, ["user_id", "rn"], "left")
+        .withColumn(
+            "cap",
+            F.coalesce(
+                F.last("s_cap", ignorenulls=True).over(
+                    Window.partitionBy("user_id")
+                    .orderBy("rn")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(_LLB_CAPITAL),
+            ),
+        )
+        .withColumn(
+            "pos",
+            F.coalesce(
+                F.last("s_pos", ignorenulls=True).over(
+                    Window.partitionBy("user_id")
+                    .orderBy("rn")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("value", F.col("cap") + F.col("pos") * F.col("price"))
+    )
+    wr_ = Window.partitionBy("user_id").orderBy("rn")
+    rets = carried.withColumn(
+        "ret", F.col("value") / F.lag("value").over(wr_) - 1.0
+    ).withColumn(
+        "rel",
+        F.col("value")
+        / F.max("value").over(
+            wr_.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("mxr", F.max("rn").over(Window.partitionBy("user_id")))
+    m = rets.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("trading_days"),
+        F.max(F.when(F.col("rn") == 1, F.col("price"))).alias("p0"),
+        F.max(F.when(F.col("rn") == F.col("mxr"), F.col("price"))).alias(
+            "p1"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.col("mxr"), F.col("value"))
+        ).alias("final_value"),
+        F.stddev_pop("ret").alias("ret_sd"),
+        F.max(1.0 - F.col("rel")).alias("max_dd"),
+    )
+    tcount = states.groupBy("user_id").agg(
+        F.sum("executed").cast("long").alias("total_trades"),
+        F.sum(
+            F.when(
+                (F.col("executed") == 1) & (F.col("action") == "SELL"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sells"),
+    )
+    tr = (F.col("final_value") - _LLB_CAPITAL) / _LLB_CAPITAL
+    ann = F.pow(1.0 + tr, 252.0 / F.col("trading_days")) - 1.0
+    bh = (F.col("p1") - F.col("p0")) / F.col("p0")
+    vol_ann = F.col("ret_sd") * F.sqrt(F.lit(252.0))
+    fin = m.join(tcount, "user_id", "left").select(
+        "user_id",
+        "trading_days",
+        F.round("final_value", 4).alias("final_value"),
+        r6(tr).alias("total_return"),
+        r6(ann).alias("annual_return"),
+        r6(bh).alias("buy_hold_return"),
+        r6(ann - bh).alias("alpha"),
+        r6(
+            F.when(
+                vol_ann > 1e-8, (ann - _LLB_RATE) / vol_ann
+            ).otherwise(F.lit(0.0))
+        ).alias("sharpe_ratio"),
+        r6(F.col("max_dd")).alias("max_drawdown"),
+        F.coalesce(F.col("total_trades"), F.lit(0).cast("long")).alias(
+            "total_trades"
+        ),
+        r6(
+            F.when(
+                F.coalesce(F.col("total_trades"), F.lit(0)) > 0,
+                F.coalesce(F.col("sells"), F.lit(0)).cast("double")
+                / F.col("total_trades"),
+            ).otherwise(F.lit(0.0))
+        ).alias("win_rate"),
+        F.when(
+            (ann > 0.10) & (ann - bh > 0) & (F.col("trading_days") >= 30),
+            1,
+        )
+        .otherwise(0)
+        .alias("passed_validation"),
+    )
+    return fin
