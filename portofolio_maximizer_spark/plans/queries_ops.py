@@ -5792,3 +5792,180 @@ def llm_signal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("passed_validation"),
     )
     return fin
+
+
+# ---------------------------------------------------------------------------
+# Performance chart data — reference scripts/generate_performance_charts.py
+# ---------------------------------------------------------------------------
+# The two data loaders behind the dashboard charts: per-ticker WR/PF/PnL
+# (PF capped at 99, the no-loss sentinel, `:49,108-123`) and the cumulative
+# win-rate walk over closed trades in trade-date order (`:131-160`).
+_PCD_PF_CAP = 99.0
+
+_PCD_SQL = f"""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    trades AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             c.l_orderkey AS orderkey, c.close_d,
+             c.cnet - o2.onet AS pnl
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    per_ticker AS (
+      SELECT 'per_ticker' AS section, ticker AS key,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END), 6)
+               AS win_rate,
+             ROUND(CASE
+               WHEN SUM(CASE WHEN pnl <= 0 THEN ABS(pnl) ELSE 0 END) > 0
+                 THEN LEAST(SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END)
+                            / SUM(CASE WHEN pnl <= 0 THEN ABS(pnl)
+                                  ELSE 0 END), {_PCD_PF_CAP})
+               WHEN SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END) > 0
+                 THEN {_PCD_PF_CAP} ELSE 0.0 END, 6) AS profit_factor,
+             ROUND(SUM(pnl), 2) AS total_pnl
+      FROM trades GROUP BY ticker
+    ),
+    walk AS (
+      SELECT 'wr_over_time' AS section,
+             CAST(close_d AS VARCHAR) || '#'
+               || CAST(orderkey AS VARCHAR) AS key,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS n,
+             ROUND(CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END)
+                        OVER w AS DOUBLE)
+                   / ROW_NUMBER() OVER w, 6) AS win_rate,
+             CAST(NULL AS DOUBLE) AS profit_factor,
+             CAST(NULL AS DOUBLE) AS total_pnl
+      FROM trades
+      WINDOW w AS (ORDER BY close_d, orderkey
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT * FROM per_ticker UNION ALL SELECT * FROM walk
+"""
+
+
+@query("performance_chart_data", oracle=_PCD_SQL)
+def performance_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard chart data frames — reference
+    `scripts/generate_performance_charts.py`: the per-ticker WR / PF /
+    total-PnL loader with the 99.0 no-loss PF sentinel
+    (`_load_per_ticker:81-129`) and the cumulative win-rate walk over
+    closed trades in (trade_date, id) order
+    (`_load_wr_over_time:131-160`).
+
+    Scale: one ticker groupBy plus one global ordered running window —
+    the walk is the reference's own single-sequence semantics; at fleet
+    scale it would shard per ticker like the engine's
+    `scalable_running_sum` two-pass pattern (documented trade-off, the
+    chart is one global line)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey)
+            & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.to_date(F.max("l_shipdate")).alias("close_d"),
+        )
+    )
+    opens = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    trades = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.concat(
+                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+            ).alias("ticker"),
+            F.col("c.l_orderkey").alias("orderkey"),
+            "close_d",
+            (F.col("cnet") - F.col("onet")).alias("pnl"),
+        )
+        .localCheckpoint()
+    )
+    gw = F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
+    gl = F.sum(F.when(F.col("pnl") <= 0, F.abs(F.col("pnl"))).otherwise(0.0))
+    per_ticker = trades.groupBy("ticker").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r6(F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0))).alias(
+            "win_rate"
+        ),
+        r6(
+            F.when(gl > 0, F.least(gw / gl, F.lit(_PCD_PF_CAP)))
+            .when(gw > 0, F.lit(_PCD_PF_CAP))
+            .otherwise(F.lit(0.0))
+        ).alias("profit_factor"),
+        F.round(F.sum("pnl"), 2).alias("total_pnl"),
+    ).select(
+        F.lit("per_ticker").alias("section"),
+        F.col("ticker").alias("key"),
+        "n",
+        "win_rate",
+        "profit_factor",
+        "total_pnl",
+    )
+    wwalk = Window.orderBy("close_d", "orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walk = trades.select(
+        F.lit("wr_over_time").alias("section"),
+        F.concat(
+            F.col("close_d").cast("string"),
+            F.lit("#"),
+            F.col("orderkey").cast("string"),
+        ).alias("key"),
+        F.row_number()
+        .over(Window.orderBy("close_d", "orderkey"))
+        .cast("long")
+        .alias("n"),
+        r6(
+            F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0))
+            .over(wwalk)
+            .cast("double")
+            / F.row_number().over(Window.orderBy("close_d", "orderkey"))
+        ).alias("win_rate"),
+        F.lit(None).cast("double").alias("profit_factor"),
+        F.lit(None).cast("double").alias("total_pnl"),
+    )
+    return per_ticker.unionByName(walk)
