@@ -5969,3 +5969,276 @@ def performance_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("total_pnl"),
     )
     return per_ticker.unionByName(walk)
+
+
+# ---------------------------------------------------------------------------
+# Canonical snapshot — reference scripts/emit_canonical_snapshot.py
+# ---------------------------------------------------------------------------
+# The snapshot's data queries: 14-day close-rate coverage (closes whose
+# ts_signal_id is audit-covered — engine channel orderkey%2=0 — vs total,
+# both as daily rates over the fixed 14-day divisor, `_query_close_rates:
+# 299-331`), the canonical closed-PnL rollup (`_query_closed_pnl:333-365`),
+# per-ticker open risk over non-synthetic open lots (`_query_open_risk:
+# 383-399`) and the exit-proximity fraction |price-stop|/|target-stop| per
+# open lot (`_exit_proximity_fraction:284-297`; stop/target = entry ∓ 5%/
+# +10%, current = the ticker's last close). Reference date = 1998-08-01.
+_CSN_AS_OF = "1998-08-01"
+
+_CSN_SQL = f"""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    trades AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             c.l_orderkey AS orderkey, c.close_d,
+             c.cnet - o2.onet AS pnl, c.cnet / c.cq AS px
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    cr AS (
+      SELECT 'close_rates' AS section, 'window_14d' AS key,
+             CAST(SUM(CASE WHEN orderkey % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n,
+             ROUND(SUM(CASE WHEN orderkey % 2 = 0
+                       THEN 1 ELSE 0 END) / 14.0, 6) AS m1,
+             ROUND(GREATEST(COUNT(*) / 14.0
+                   - SUM(CASE WHEN orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                     / 14.0, 0.0), 6) AS m2,
+             CAST(COUNT(*) AS VARCHAR) AS note
+      FROM trades
+      WHERE close_d >= DATE '{_CSN_AS_OF}' - 14
+    ),
+    cp AS (
+      SELECT 'closed_pnl', 'all',
+             CAST(COUNT(*) AS BIGINT),
+             ROUND(CASE WHEN COUNT(*) > 0
+                   THEN CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) END, 4),
+             ROUND(CASE WHEN SUM(CASE WHEN pnl < 0 THEN ABS(pnl)
+                             ELSE 0 END) > 0
+                   THEN SUM(CASE WHEN pnl > 0 THEN pnl ELSE 0 END)
+                        / SUM(CASE WHEN pnl < 0 THEN ABS(pnl)
+                              ELSE 0 END) END, 3),
+             CAST(CAST(ROUND(SUM(pnl), 2) AS DECIMAL(28,2)) AS VARCHAR)
+      FROM trades
+    ),
+    open_lots AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             op.l_orderkey AS orderkey,
+             op.oq * (op.onet / op.oq) AS notional,
+             op.onet / op.oq AS entry
+      FROM opens op
+      JOIN orders o ON o.o_orderkey = op.l_orderkey
+      WHERE o.o_orderstatus = 'O' AND op.oq > 0
+        AND op.l_orderkey % 4 <> 0
+    ),
+    lastpx AS (
+      SELECT ticker, px FROM (
+        SELECT ticker, px, ROW_NUMBER() OVER (PARTITION BY ticker
+               ORDER BY close_d DESC, orderkey DESC) AS rk
+        FROM trades) z
+      WHERE rk = 1
+    ),
+    orisk AS (
+      SELECT 'open_risk', ol.ticker,
+             CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(ol.notional), 2),
+             ROUND(AVG(ABS(lp.px - ol.entry * 0.95)
+                       / ABS(ol.entry * 1.10 - ol.entry * 0.95)), 6),
+             CAST(NULL AS VARCHAR)
+      FROM open_lots ol
+      LEFT JOIN lastpx lp ON lp.ticker = ol.ticker
+      GROUP BY ol.ticker
+    ),
+    tot AS (
+      SELECT 'open_risk', 'TOTAL', CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(notional), 2), CAST(NULL AS DOUBLE),
+             CAST(NULL AS VARCHAR)
+      FROM open_lots
+    )
+    SELECT * FROM cr UNION ALL SELECT * FROM cp
+    UNION ALL SELECT * FROM orisk UNION ALL SELECT * FROM tot
+"""
+
+
+@query("canonical_snapshot", oracle=_CSN_SQL)
+def canonical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical operational snapshot — reference
+    `scripts/emit_canonical_snapshot.py`: the 14-day close-rate
+    coverage pair (audit-covered daily close rate and the
+    new-round-trip remainder, `_query_close_rates:299-331`), the
+    canonical closed-PnL rollup (count, win rate 4dp, profit factor
+    3dp, total 2dp, `_query_closed_pnl:333-365`), per-ticker open risk
+    over non-synthetic open lots with total notional
+    (`_query_open_risk:383-399`) and the mean exit-proximity fraction
+    |price−stop|/|target−stop| using the ticker's last close against
+    the ±5%/+10% stop/target band (`_exit_proximity_fraction:284-297`).
+
+    Scale: bounded folds over the closed-trade frame plus one
+    per-ticker open-lot groupBy joined to the last-close window."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey)
+            & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.to_date(F.max("l_shipdate")).alias("close_d"),
+        )
+    )
+    opens = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    trades = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            F.concat(
+                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+            ).alias("ticker"),
+            F.col("c.l_orderkey").alias("orderkey"),
+            "close_d",
+            (F.col("cnet") - F.col("onet")).alias("pnl"),
+            (F.col("cnet") / F.col("cq")).alias("px"),
+        )
+        .localCheckpoint()
+    )
+    as_of = F.lit(_CSN_AS_OF).cast("date")
+    cr = trades.filter(F.col("close_d") >= F.date_sub(as_of, 14)).agg(
+        F.sum(F.when(F.col("orderkey") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cov"),
+        F.count(F.lit(1)).alias("tot"),
+    ).select(
+        F.lit("close_rates").alias("section"),
+        F.lit("window_14d").alias("key"),
+        F.col("cov").alias("n"),
+        F.round(F.col("cov") / 14.0, 6).alias("m1"),
+        F.round(
+            F.greatest(
+                F.col("tot") / 14.0 - F.col("cov") / 14.0, F.lit(0.0)
+            ),
+            6,
+        ).alias("m2"),
+        F.col("tot").cast("string").alias("note"),
+    )
+    gl = F.sum(F.when(F.col("pnl") < 0, F.abs(F.col("pnl"))).otherwise(0.0))
+    gw = F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
+    cp = trades.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+            ),
+            4,
+        ).alias("m1"),
+        F.round(F.when(gl > 0, gw / gl), 3).alias("m2"),
+        F.round(F.sum("pnl"), 2)
+        .cast("decimal(28,2)")
+        .cast("string")
+        .alias("note"),
+    ).select(
+        F.lit("closed_pnl").alias("section"),
+        F.lit("all").alias("key"),
+        "n",
+        "m1",
+        "m2",
+        "note",
+    )
+    open_lots = (
+        opens.join(
+            o.filter(F.col("o_orderstatus") == "O"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("l_orderkey") % 4 != 0))
+        .select(
+            F.concat(
+                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
+            ).alias("ticker"),
+            F.col("onet").alias("notional"),
+            (F.col("onet") / F.col("oq")).alias("entry"),
+        )
+        .localCheckpoint()
+    )
+    wlast = Window.partitionBy("ticker").orderBy(
+        F.col("close_d").desc(), F.col("orderkey").desc()
+    )
+    lastpx = (
+        trades.withColumn("rk", F.row_number().over(wlast))
+        .filter(F.col("rk") == 1)
+        .select(F.col("ticker").alias("lt"), "px")
+    )
+    prox = F.abs(F.col("px") - F.col("entry") * 0.95) / F.abs(
+        F.col("entry") * 1.10 - F.col("entry") * 0.95
+    )
+    orisk = (
+        open_lots.join(lastpx, F.col("lt") == F.col("ticker"), "left")
+        .groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("notional"), 2).alias("m1"),
+            F.round(F.avg(prox), 6).alias("m2"),
+        )
+        .select(
+            F.lit("open_risk").alias("section"),
+            F.col("ticker").alias("key"),
+            "n",
+            "m1",
+            "m2",
+            F.lit(None).cast("string").alias("note"),
+        )
+    )
+    tot = open_lots.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("notional"), 2).alias("m1"),
+    ).select(
+        F.lit("open_risk").alias("section"),
+        F.lit("TOTAL").alias("key"),
+        "n",
+        "m1",
+        F.lit(None).cast("double").alias("m2"),
+        F.lit(None).cast("string").alias("note"),
+    )
+    return cr.unionByName(cp).unionByName(orisk).unionByName(tot)
