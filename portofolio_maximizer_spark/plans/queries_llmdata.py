@@ -1546,3 +1546,213 @@ ORACLE["semantic_dedup_keeplist"] = f"""
            CAST(CASE WHEN dp.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
     FROM a LEFT JOIN dup dp ON dp.vec_id = a.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# L30 — exact substring deduplication spans (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+# Any k-token substring occurring more than once in the corpus marks its
+# span duplicated; a document's duplicated-token mass is the LENGTH OF THE
+# UNION of its duplicated k-gram intervals (overlapping spans merged by a
+# running-max window), and the corpus row carries the total savings
+# fraction the dedup pass would reclaim. k = 5 whitespace tokens (the
+# paper's suffix-array threshold scaled to the fixture corpus).
+_ESD_K = 5
+
+
+@query(
+    "substring_dedup_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS arr
+      FROM documents
+    ),
+    toks0 AS (
+      SELECT doc_id, UNNEST(arr) AS tok,
+             UNNEST(GENERATE_SERIES(1, LEN(arr))) AS rawpos
+      FROM base
+    ),
+    toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rawpos)
+               - 1 AS pos
+      FROM toks0 WHERE tok <> ''
+    ),
+    doc_tok AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             MD5(tok || ' ' || LEAD(tok, 1) OVER w || ' '
+                 || LEAD(tok, 2) OVER w || ' ' || LEAD(tok, 3) OVER w
+                 || ' ' || LEAD(tok, 4) OVER w) AS ghash
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY LEAD(tok, {_ESD_K - 1}) OVER w IS NOT NULL
+    ),
+    dupg AS (
+      SELECT ghash FROM grams GROUP BY ghash HAVING COUNT(*) >= 2
+    ),
+    dspans AS (
+      SELECT g.doc_id, g.pos FROM grams g
+      JOIN dupg ON dupg.ghash = g.ghash
+    ),
+    cov0 AS (
+      SELECT doc_id, pos,
+             MAX(pos + {_ESD_K}) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM dspans
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+             CAST(SUM(GREATEST(0, pos + {_ESD_K}
+                  - GREATEST(pos, COALESCE(pme, pos)))) AS BIGINT)
+               AS dup_tokens
+      FROM cov0 GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.n_tokens,
+             COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
+             COALESCE(c.dup_tokens, 0) AS dup_tokens,
+             ROUND(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+                   / t.n_tokens, 6) AS dup_fraction
+      FROM doc_tok t LEFT JOIN cov c ON c.doc_id = t.doc_id
+    )
+    SELECT * FROM per_doc
+    UNION ALL
+    SELECT -1, CAST(SUM(n_tokens) AS BIGINT),
+           CAST(SUM(n_dup_grams) AS BIGINT),
+           CAST(SUM(dup_tokens) AS BIGINT),
+           ROUND(CAST(SUM(dup_tokens) AS DOUBLE) / SUM(n_tokens), 6)
+    FROM per_doc
+    """,
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30 exact substring deduplication — the Lee et al. (2021)
+    training-data pass: every 5-token substring occurring >=2 times in
+    the corpus marks its span duplicated; per-document duplicated-token
+    mass is the merged-interval union of those spans, and the corpus
+    row (doc_id = -1) reports the total token savings the dedup pass
+    would reclaim. Beyond the reference per the charter's
+    training-data-pipeline mandate.
+
+    100 TB shape: the k-gram explode is linear in corpus tokens (the
+    suffix array's streaming analogue); duplicate detection is ONE
+    shuffle on the gram hash; span merging is a per-document window.
+    No pairwise stage anywhere — cost is O(tokens) + one hash
+    aggregation, exactly how a production pass (e.g. deduplicate-
+    text-datasets' hash variant) shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.col("tok"),
+            (
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("pos")
+                )
+                - 1
+            ).alias("pos"),
+        )
+    )
+    doc_tok = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.md5(
+        F.concat_ws(
+            " ",
+            F.col("tok"),
+            F.lead("tok", 1).over(w),
+            F.lead("tok", 2).over(w),
+            F.lead("tok", 3).over(w),
+            F.lead("tok", 4).over(w),
+        )
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.lead("tok", _ESD_K - 1).over(w).alias("tail"),
+            gram.alias("ghash"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .drop("tail")
+        .localCheckpoint()
+    )
+    dupg = (
+        grams.groupBy("ghash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("ghash")
+    )
+    dspans = grams.join(dupg, "ghash").select("doc_id", "pos")
+    pme = F.max(F.col("pos") + _ESD_K).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        dspans.withColumn("pme", pme)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+            F.sum(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("pos")
+                    + _ESD_K
+                    - F.greatest(
+                        F.col("pos"), F.coalesce(F.col("pme"), F.col("pos"))
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+    )
+    per_doc = (
+        doc_tok.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long")).alias(
+                "n_dup_grams"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias(
+                "dup_tokens"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+        .localCheckpoint()
+    )
+    corpus = per_doc.agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_dup_grams").cast("long").alias("n_dup_grams"),
+        F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+        F.round(
+            F.sum("dup_tokens").cast("double") / F.sum("n_tokens"), 6
+        ).alias("dup_fraction"),
+    ).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_dup_grams",
+        "dup_tokens",
+        "dup_fraction",
+    )
+    return per_doc.unionByName(corpus)

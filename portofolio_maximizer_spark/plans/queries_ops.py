@@ -929,6 +929,10 @@ def _ucr_frames(spark: SparkSession, sf_dir: str):
             ).over(wcum),
         )
         .withColumn("prev_seg", F.lag("seg").over(w))
+        # one materialization feeds every downstream frame (orphans,
+        # closes, linked-size lookup) instead of re-running the joins
+        # and the three window passes per consumer
+        .localCheckpoint()
     )
 
     # linked closes FIFO-consume their own order's open legs

@@ -1340,3 +1340,89 @@ def family_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             reasons.alias("analysis_gate_reasons"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L31 — temperature-based domain mixture reweighting (multilingual
+# sampling a la XLM-R / mT5: p_d ∝ n_d^alpha)
+# ---------------------------------------------------------------------------
+_TMX_ALPHA = 0.7
+_TMX_BUDGET_EPOCHS = 2.0  # token budget = 2x the corpus
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             CAST(LENGTH(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+               AS BIGINT) AS n_tokens
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    dom AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS t_tokens,
+             SUM(POWER(n_tokens, {_TMX_ALPHA})) AS t_pow
+      FROM dom
+    )
+    SELECT d.lang, d.n_docs, d.n_tokens,
+           ROUND(d.n_tokens / t.t_tokens, 6) AS natural_share,
+           ROUND(POWER(d.n_tokens, {_TMX_ALPHA}) / t.t_pow, 6)
+             AS tempered_share,
+           ROUND((POWER(d.n_tokens, {_TMX_ALPHA}) / t.t_pow)
+                 / (d.n_tokens / t.t_tokens), 6) AS upsampling_factor,
+           ROUND(POWER(d.n_tokens, {_TMX_ALPHA}) / t.t_pow
+                 * {_TMX_BUDGET_EPOCHS} * t.t_tokens / d.n_tokens, 6)
+             AS effective_epochs
+    FROM dom d CROSS JOIN tot t
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31 temperature-based mixture reweighting — the multilingual
+    sampling rule (XLM-R / mT5): domain sampling share p_d ∝ n_d^0.7,
+    reported against the natural share with the implied upsampling
+    factor and the effective epochs each domain sustains under a
+    2x-corpus token budget (the data-constrained-scaling diagnostic:
+    effective epochs >> 1 on small domains signal memorization risk).
+    Beyond the reference per the charter's training-data mandate.
+
+    Scale: one linear token count per doc, one domain aggregate, one
+    broadcast scalar pair — no shuffle beyond the domain groupBy."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    dom = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    tot = dom.agg(
+        F.sum("n_tokens").cast("double").alias("t_tokens"),
+        F.sum(F.pow(F.col("n_tokens"), _TMX_ALPHA)).alias("t_pow"),
+    )
+    p_nat = F.col("n_tokens") / F.col("t_tokens")
+    p_temp = F.pow(F.col("n_tokens"), _TMX_ALPHA) / F.col("t_pow")
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(p_nat, 6).alias("natural_share"),
+        F.round(p_temp, 6).alias("tempered_share"),
+        F.round(p_temp / p_nat, 6).alias("upsampling_factor"),
+        F.round(
+            p_temp
+            * _TMX_BUDGET_EPOCHS
+            * F.col("t_tokens")
+            / F.col("n_tokens"),
+            6,
+        ).alias("effective_epochs"),
+    )
