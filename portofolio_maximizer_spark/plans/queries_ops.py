@@ -991,7 +991,7 @@ def _ucr_frames(spark: SparkSession, sf_dir: str):
         (~F.col("is_synthetic") & ~F.col("is_contaminated")).alias(
             "clean_live"
         ),
-    ).localCheckpoint()
+    )  # cheap filter over the checkpointed legs — no re-materialization
     return orphans, closes
 
 
