@@ -1756,3 +1756,185 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_fraction",
     )
     return per_doc.unionByName(corpus)
+
+
+# ---------------------------------------------------------------------------
+# L32 — ANN recall benchmark: IVF top-5 vs exact brute-force top-5
+# ---------------------------------------------------------------------------
+
+
+@query("ann_recall_eval")
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L32 ANN quality benchmark — recall@5 of the IVF index
+    (`embedding_ivf_ann`'s staged coarse quantizer, 4-of-16 probes)
+    against the exact brute-force cosine top-5, per query and fleet
+    mean (qid = -1). The standard ANN acceptance gate a production
+    similarity service runs before switching the scale path on.
+
+    Scale: the exact side is bounded by the QUERY SAMPLE (20 queries ×
+    corpus — the eval cost, not the serving cost); the IVF side probes
+    4 lists. The staged index is shared with `embedding_ivf_ann`
+    (stage-cache key), so the KMeans fit runs once per (code, dataset).
+    The oracle replays assignment, probing and both top-5 sets
+    independently from the staged centroids + raw embeddings."""
+    from .queries import stage_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, q, k=5).select(
+        "qid", F.col("vec_id").alias("evid")
+    )
+    built: dict = {}
+
+    def _index():
+        if not built:
+            built["a"], built["c"] = similarity.ivf_build_index(emb)
+        return built
+
+    cent = stage_cached(
+        spark, sf_dir, "ivf_centroids", lambda: _index()["c"]
+    )
+    assigned = stage_cached(
+        spark, sf_dir, "ivf_assigned", lambda: _index()["a"]
+    )
+    approx = similarity.ivf_probe(assigned, cent, q, k=5).select(
+        "qid", F.col("vec_id").alias("avid")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.qid == approx.qid) & (F.col("evid") == F.col("avid")),
+        )
+        .groupBy(exact.qid)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    per = (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 6),
+        )
+        .localCheckpoint()
+    )
+    fleet = per.agg(
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.round(
+            F.sum("n_hits").cast("double") / F.sum("n_exact"), 6
+        ).alias("recall"),
+    ).select(F.lit(-1).cast("long").alias("qid"), "n_exact", "n_hits", "recall")
+    return per.unionByName(fleet)
+
+
+ORACLE["ann_recall_eval"] = """
+    WITH nrm AS (
+      SELECT vec_id,
+             SQRT(SUM(POWER(CAST(embedding[i] AS DOUBLE), 2))) AS nv
+      FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe
+          FROM embeddings WHERE vec_id < 20),
+    xdots AS (
+      SELECT q.qid, e.vec_id,
+             SUM(CAST(q.qe[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)) AS dp
+      FROM q, embeddings e, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE e.vec_id <> q.qid
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT d.qid, d.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY d.qid
+                 ORDER BY d.dp / (nq.nv * nd.nv) DESC, d.vec_id) AS rnk
+        FROM xdots d
+        JOIN nrm nq ON d.qid = nq.vec_id
+        JOIN nrm nd ON d.vec_id = nd.vec_id
+      ) WHERE rnk <= 5
+    ),
+    c AS (
+      SELECT list_id, ce FROM read_parquet(
+        '__ORACLE_STAGE__/ivf_centroids/*.parquet')
+    ),
+    d AS (
+      SELECT e.vec_id, c.list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.ce[i], 2)) AS d2
+      FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY e.vec_id, c.list_id
+    ),
+    a AS (
+      SELECT vec_id, list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, list_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    cn AS (
+      SELECT list_id, SQRT(SUM(POWER(ce[i], 2))) AS cnv
+      FROM c, UNNEST(RANGE(1, 65)) AS u(i) GROUP BY list_id
+    ),
+    qc AS (
+      SELECT q.qid, c.list_id,
+             SUM(CAST(q.qe[i] AS DOUBLE) * c.ce[i]) AS qcdot
+      FROM q, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY q.qid, c.list_id
+    ),
+    probes AS (
+      SELECT qid, list_id FROM (
+        SELECT qc.qid, qc.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qc.qid
+                 ORDER BY qc.qcdot / (nq.nv * cn.cnv) DESC, qc.list_id)
+                 AS pr
+        FROM qc JOIN nrm nq ON nq.vec_id = qc.qid
+                JOIN cn ON cn.list_id = qc.list_id
+      ) WHERE pr <= 4
+    ),
+    iscored AS (
+      SELECT p.qid, a.vec_id,
+             SUM(CAST(qq.qe[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)) AS dp
+      FROM probes p
+      JOIN a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+      JOIN q qq ON qq.qid = p.qid
+      JOIN embeddings e ON e.vec_id = a.vec_id,
+      UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY p.qid, a.vec_id
+    ),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.qid
+                 ORDER BY s.dp / (nq.nv * nv.nv) DESC, s.vec_id) AS rnk
+        FROM iscored s JOIN nrm nq ON nq.vec_id = s.qid
+                       JOIN nrm nv ON nv.vec_id = s.vec_id
+      ) WHERE rnk <= 5
+    ),
+    hits AS (
+      SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM exact e JOIN ivf v ON v.qid = e.qid AND v.vec_id = e.vec_id
+      GROUP BY e.qid
+    ),
+    per AS (
+      SELECT x.qid, x.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+             ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / x.n_exact, 6)
+               AS recall
+      FROM (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM exact GROUP BY qid) x
+      LEFT JOIN hits h ON h.qid = x.qid
+    )
+    SELECT * FROM per
+    UNION ALL
+    SELECT -1, CAST(SUM(n_exact) AS BIGINT), CAST(SUM(n_hits) AS BIGINT),
+           ROUND(CAST(SUM(n_hits) AS DOUBLE) / SUM(n_exact), 6)
+    FROM per
+"""
