@@ -30,7 +30,7 @@ from .queries import query, r6
 # DATE_FALLBACK_SLO_MAX_RATE_DEFAULT=0.05 (`:48`).
 _PLT_TOL_SEC = 90 * 60
 _PLT_TOL_DAYS = 1
-_PLT_AS_OF = "1998-08-01"  # reconciliation run date (dataset ends 1998-08-02)
+_PLT_AS_OF = "2001-06-01"  # reconciliation run date (dataset ends 2001-11)
 _PLT_SLO_MAX = 0.05
 
 # The deterministic engine mapping of the reference's two stores:
@@ -38,8 +38,10 @@ _PLT_SLO_MAX = 0.05
 # quant_validation.jsonl entries  <-  orders (one signal per order):
 #   symbol          = 'T' || o_custkey % 25
 #   action          = HOLD for '5-LOW' priority, SELL for '1-URGENT', else BUY
-#   horizon (days)  = 1 + o_orderkey % 5
-#   expected_close  = o_orderdate + horizon        (ecd)
+#   expected_close  = the order's final ship date + ((orderkey div 3)%3
+#                     - 1) days of plan jitter (ecd) — production
+#                     horizons track realized closes; the jitter plants
+#                     matches, date fallbacks and TIME_MISMATCH rows
 #   already-has-outcome when o_orderkey % 11 = 0   (reference `:984` skip)
 #   ts_signal_id    = 'SIG-' || o_orderkey when o_orderkey % 3 = 0
 #                     (else the entry only has the stable symbol/time key
@@ -50,13 +52,17 @@ _PLT_SLO_MAX = 0.05
 #   ticker          = 'T' || (o_custkey + (orderkey%13=0)) % 25
 #                     (the %13 perturbation plants SYMBOL_MISMATCH rows)
 #   trade_date      = close-leg ship date
-#   close_ts        = trade_date 00:00 + (orderkey % 288) * 5 minutes;
+#   close_ts        = trade_date 00:00 + (orderkey % 48) * 5 minutes;
 #                     DATE-ONLY (fallback-grade, reference `:604-606`)
 #                     when orderkey % 7 = 0
 #   open (unclosed) signals = 'O'-status orders with orderkey % 2 = 0
 #                     (reference `_fetch_open_signal_ids`, `:513`)
 _PLT_SQL = f"""
-    WITH ent AS (
+    WITH shipmax AS (
+      SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS smax
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ent AS (
       SELECT o_orderkey AS entry_id,
              'T' || CAST(o_custkey % 25 AS VARCHAR) AS symbol,
              CASE WHEN o_orderpriority = '5-LOW' THEN 'HOLD'
@@ -66,9 +72,10 @@ _PLT_SQL = f"""
              CASE WHEN o_orderkey % 3 = 0
                   THEN 'SIG-' || CAST(o_orderkey AS VARCHAR) END
                AS ts_signal_id,
-             CAST(o_orderdate AS DATE)
-               + CAST(1 + o_orderkey % 5 AS INTEGER) AS ecd
-      FROM orders
+             COALESCE(sm.smax, CAST(o.o_orderdate AS DATE))
+               + CAST((o_orderkey // 3) % 3 - 1 AS INTEGER) AS ecd
+      FROM orders o
+      LEFT JOIN shipmax sm ON sm.l_orderkey = o.o_orderkey
     ),
     mx AS (
       SELECT l_orderkey, MAX(l_linenumber) AS maxline
@@ -98,7 +105,7 @@ _PLT_SQL = f"""
                AS ticker,
              CAST(c.cship AS DATE) AS trade_date,
              (c.l_orderkey % 7 = 0) AS date_only,
-             CAST(c.l_orderkey % 288 AS INTEGER) AS off,
+             CAST(c.l_orderkey % 48 AS INTEGER) AS off,
              CASE WHEN c.l_orderkey % 2 = 0
                   THEN 'SIG-' || CAST(c.l_orderkey AS VARCHAR) END AS tsid,
              ROUND(c.cnet - o2.onet, 6) AS pnl,
@@ -255,7 +262,12 @@ def platt_outcome_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ok = F.col("o_orderkey")
 
-    ent = o.select(
+    shipmax = li.groupBy("l_orderkey").agg(
+        F.to_date(F.max("l_shipdate")).alias("smax")
+    )
+    ent = o.join(
+        shipmax, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).select(
         ok.alias("entry_id"),
         F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
             "symbol"
@@ -269,7 +281,8 @@ def platt_outcome_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok % 3 == 0, F.concat(F.lit("SIG-"), ok.cast("string"))
         ).alias("ts_signal_id"),
         F.expr(
-            "date_add(o_orderdate, CAST(1 + o_orderkey % 5 AS INT))"
+            "date_add(coalesce(smax, CAST(o_orderdate AS DATE)),"
+            " CAST((o_orderkey div 3) % 3 - 1 AS INT))"
         ).alias("ecd"),
     )
 
@@ -319,7 +332,7 @@ def platt_outcome_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ticker"),
             F.to_date("cship").alias("trade_date"),
             (tk % 7 == 0).alias("date_only"),
-            (tk % 288).cast("int").alias("off"),
+            (tk % 48).cast("int").alias("off"),
             F.when(
                 tk % 2 == 0, F.concat(F.lit("SIG-"), tk.cast("string"))
             ).alias("tsid"),
