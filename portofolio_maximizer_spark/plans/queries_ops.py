@@ -6259,3 +6259,128 @@ def canonical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("note"),
     )
     return cr.unionByName(cp).unionByName(orisk).unionByName(tot)
+
+
+# ---------------------------------------------------------------------------
+# Unified signal adapter validation — reference models/signal_adapter.py
+# ---------------------------------------------------------------------------
+# Two source shapes normalize into the unified schema (TS signals = click
+# events, LLM signals = view events; LLM defaults: action HOLD, confidence
+# 0.5, entry 0.0 on null — `from_llm_signal:100-147`). Planted defect
+# channels: blank ticker when event_id%31=0, invalid action token when
+# %29=0, out-of-range confidence when %23=0, non-positive entry when
+# %19=0. The validation ladder short-circuits in reference order:
+# ticker -> action -> confidence -> entry price (`validate_signal:238-261`).
+_SAV_SQL = """
+    WITH raw AS (
+      SELECT event_id AS signal_id,
+             CASE WHEN event_type = 'click' THEN 'TS' ELSE 'LLM' END
+               AS source,
+             CASE WHEN event_id % 31 = 0 THEN ''
+                  ELSE 'T' || CAST(user_id % 25 AS VARCHAR) END AS ticker,
+             CASE WHEN event_id % 29 = 0 THEN 'LONG'
+                  WHEN event_id % 3 = 0 THEN 'BUY'
+                  WHEN event_id % 3 = 1 THEN 'SELL'
+                  ELSE 'HOLD' END AS action,
+             CASE WHEN event_id % 23 = 0 THEN 1.2
+                  ELSE ('0x' || SUBSTR(MD5('sv|'
+                       || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+                       / 16777216.0 END AS confidence,
+             CASE WHEN event_id % 19 = 0 THEN 0.0 ELSE value END
+               AS entry_price
+      FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    validated AS (
+      SELECT *,
+             CASE WHEN ticker = '' THEN 'missing_ticker'
+                  WHEN action NOT IN ('BUY', 'SELL', 'HOLD')
+                    THEN 'invalid_action'
+                  WHEN confidence < 0.0 OR confidence > 1.0
+                    THEN 'confidence_out_of_range'
+                  WHEN entry_price <= 0 THEN 'invalid_entry_price'
+             END AS error_class
+      FROM raw
+    )
+    SELECT source, COALESCE(error_class, 'valid') AS error_class,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CASE WHEN error_class IS NULL
+                     THEN confidence END), 6) AS mean_valid_confidence
+    FROM validated
+    GROUP BY source, COALESCE(error_class, 'valid')
+"""
+
+
+@query("signal_adapter_validation", oracle=_SAV_SQL)
+def signal_adapter_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified-signal adapter validation census — reference
+    `models/signal_adapter.py`: TS and LLM source shapes normalized
+    into the unified schema with the LLM defaults (HOLD action, 0.5
+    confidence, 0.0 entry on null — `from_llm_signal:100-147`), then
+    the short-circuit validation ladder — missing ticker, invalid
+    action token, confidence outside [0,1], non-positive entry price
+    (`validate_signal:238-261`) — rolled up per (source, error class)
+    with the mean confidence of the surviving signals.
+
+    Scale: one filtered scan + one bounded groupBy."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    eid = F.col("event_id")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sv|"), eid.cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 16777216.0
+    )
+    raw = ev.select(
+        eid.alias("signal_id"),
+        F.when(F.col("event_type") == "click", "TS")
+        .otherwise("LLM")
+        .alias("source"),
+        F.when(eid % 31 == 0, "")
+        .otherwise(
+            F.concat(F.lit("T"), (F.col("user_id") % 25).cast("string"))
+        )
+        .alias("ticker"),
+        F.when(eid % 29 == 0, "LONG")
+        .when(eid % 3 == 0, "BUY")
+        .when(eid % 3 == 1, "SELL")
+        .otherwise("HOLD")
+        .alias("action"),
+        F.when(eid % 23 == 0, F.lit(1.2)).otherwise(u).alias("confidence"),
+        F.when(eid % 19 == 0, F.lit(0.0))
+        .otherwise(F.col("value"))
+        .alias("entry_price"),
+    )
+    err = (
+        F.when(F.col("ticker") == "", "missing_ticker")
+        .when(
+            ~F.col("action").isin("BUY", "SELL", "HOLD"), "invalid_action"
+        )
+        .when(
+            (F.col("confidence") < 0.0) | (F.col("confidence") > 1.0),
+            "confidence_out_of_range",
+        )
+        .when(F.col("entry_price") <= 0, "invalid_entry_price")
+    )
+    validated = raw.withColumn("error_class", err)
+    return validated.groupBy(
+        "source",
+        F.coalesce(F.col("error_class"), F.lit("valid")).alias(
+            "error_class"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r6(
+            F.avg(
+                F.when(
+                    F.col("error_class").isNull(), F.col("confidence")
+                )
+            )
+        ).alias("mean_valid_confidence"),
+    )
