@@ -192,7 +192,10 @@ def test_bounded_weight_qp_enumeration(seed):
     # dense feasible grid
     best_grid = np.inf
     for w1 in np.linspace(lo, hi, 181):
-        for w2 in np.linspace(lo, min(hi, 1 - w1 - lo), 181):
+        w2_hi = min(hi, 1 - w1 - lo)
+        if w2_hi < lo:  # descending linspace would leak w2 < lo
+            continue
+        for w2 in np.linspace(lo, w2_hi, 181):
             w3 = 1 - w1 - w2
             if lo - 1e-12 <= w3 <= hi + 1e-12:
                 best_grid = min(best_grid, obj(np.array([w1, w2, w3])))
