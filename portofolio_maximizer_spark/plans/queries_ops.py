@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import query, r6
+from .queries import ORACLE, QUERIES, query, r6
 
 # ---------------------------------------------------------------------------
 # Platt outcome reconciliation — reference scripts/update_platt_outcomes.py
@@ -6384,3 +6384,146 @@ def signal_adapter_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mean_valid_confidence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Config proposal generation — reference scripts/generate_config_proposals.py
+# ---------------------------------------------------------------------------
+# Composes the two automation artifacts the script consumes — the TS
+# threshold sweep (R78) and the transaction-cost estimates (R60) — into
+# actionable config proposals: per-ticker best gridpoint under the
+# 10-trade / PF>=1.1 / WR>=0.5 constraints with the (annualized_pnl,
+# total_profit, profit_factor) argmax (`_select_best_thresholds:110-175`),
+# and per-group roundtrip-cost suggestions with the 2x-total-median
+# fallback ladder and the +5bps safety buffer (`_derive_cost_proposals:
+# 177-215`).
+_CPG_MIN_TRADES = 10
+_CPG_MIN_PF = 1.1
+_CPG_MIN_WR = 0.5
+_CPG_BUFFER_BPS = 5.0
+
+
+def _cpg_oracle() -> str:
+    from .queries import ORACLE
+
+    sweep = ORACLE["ts_threshold_sweep"]
+    costs = ORACLE["transaction_cost_estimates"]
+    return f"""
+    WITH sweep AS ({sweep}),
+    costs AS ({costs}),
+    cand AS (
+      SELECT * FROM sweep
+      WHERE record_type = 'gridpoint'
+        AND total_trades >= {_CPG_MIN_TRADES}
+        AND profit_factor >= {_CPG_MIN_PF}
+        AND win_rate >= {_CPG_MIN_WR}
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ticker
+               ORDER BY annualized_pnl DESC, total_profit DESC,
+                        profit_factor DESC, conf_thr, ret_thr) AS rk
+        FROM cand) z
+      WHERE rk = 1
+    ),
+    ts_rows AS (
+      SELECT 'ts_threshold' AS section, ticker AS key,
+             conf_thr AS confidence_threshold,
+             ret_thr AS min_expected_return,
+             CAST(total_trades AS BIGINT) AS n,
+             win_rate, profit_factor,
+             ROUND(total_profit, 6) AS m1,
+             ROUND(annualized_pnl, 6) AS m2
+      FROM best
+    ),
+    cost_rows AS (
+      SELECT 'roundtrip_cost' AS section, asset_class AS key,
+             CAST(NULL AS DOUBLE) AS confidence_threshold,
+             CAST(NULL AS DOUBLE) AS min_expected_return,
+             CAST(trades AS BIGINT) AS n,
+             CAST(NULL AS DOUBLE) AS win_rate,
+             CAST(NULL AS DOUBLE) AS profit_factor,
+             ROUND(COALESCE(roundtrip_cost_median_bps,
+                   2.0 * total_cost_median_bps,
+                   2.0 * commission_median_bps, 0.0), 6) AS m1,
+             ROUND(GREATEST(0.0, COALESCE(roundtrip_cost_median_bps,
+                   2.0 * total_cost_median_bps,
+                   2.0 * commission_median_bps, 0.0)
+                   + {_CPG_BUFFER_BPS}), 6) AS m2
+      FROM costs
+    )
+    SELECT * FROM ts_rows UNION ALL SELECT * FROM cost_rows
+    """
+
+
+@query("config_proposal_generation")
+def config_proposal_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated config proposals — reference
+    `scripts/generate_config_proposals.py`: per-ticker TS threshold
+    proposals from the sweep's gridpoints under the 10-trade /
+    PF>=1.1 / WR>=0.5 floors with the (annualized_pnl, total_profit,
+    profit_factor) argmax (`_select_best_thresholds:110-175`; the
+    honour-the-selection branch reduces to this ladder when the
+    sweeper's rule set matches), and per-group roundtrip-cost
+    suggestions via the 2x-total-median / 2x-commission fallback
+    ladder plus the +5bps safety buffer
+    (`_derive_cost_proposals:177-215`).
+
+    Scale: composes the two existing artifact frames (R78, R60); the
+    proposal ladder is one per-ticker window over the sweep grid and a
+    column map over the bounded cost groups."""
+    from pyspark.sql import Window
+
+    sweep = QUERIES["ts_threshold_sweep"](spark, sf_dir)
+    costs = QUERIES["transaction_cost_estimates"](spark, sf_dir)
+    cand = sweep.filter(
+        (F.col("record_type") == "gridpoint")
+        & (F.col("total_trades") >= _CPG_MIN_TRADES)
+        & (F.col("profit_factor") >= _CPG_MIN_PF)
+        & (F.col("win_rate") >= _CPG_MIN_WR)
+    )
+    wbest = Window.partitionBy("ticker").orderBy(
+        F.col("annualized_pnl").desc(),
+        F.col("total_profit").desc(),
+        F.col("profit_factor").desc(),
+        "conf_thr",
+        "ret_thr",
+    )
+    ts_rows = (
+        cand.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.lit("ts_threshold").alias("section"),
+            F.col("ticker").alias("key"),
+            F.col("conf_thr").alias("confidence_threshold"),
+            F.col("ret_thr").alias("min_expected_return"),
+            F.col("total_trades").cast("long").alias("n"),
+            "win_rate",
+            "profit_factor",
+            F.round("total_profit", 6).alias("m1"),
+            F.round("annualized_pnl", 6).alias("m2"),
+        )
+    )
+    rt = F.coalesce(
+        F.col("roundtrip_cost_median_bps"),
+        2.0 * F.col("total_cost_median_bps"),
+        2.0 * F.col("commission_median_bps"),
+        F.lit(0.0),
+    )
+    cost_rows = costs.select(
+        F.lit("roundtrip_cost").alias("section"),
+        F.col("asset_class").alias("key"),
+        F.lit(None).cast("double").alias("confidence_threshold"),
+        F.lit(None).cast("double").alias("min_expected_return"),
+        F.col("trades").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("win_rate"),
+        F.lit(None).cast("double").alias("profit_factor"),
+        F.round(rt, 6).alias("m1"),
+        F.round(
+            F.greatest(F.lit(0.0), rt + _CPG_BUFFER_BPS), 6
+        ).alias("m2"),
+    )
+    return ts_rows.unionByName(cost_rows)
+
+
+ORACLE["config_proposal_generation"] = _cpg_oracle()
