@@ -6527,3 +6527,67 @@ def config_proposal_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["config_proposal_generation"] = _cpg_oracle()
+
+
+# ---------------------------------------------------------------------------
+# TS model config proposals —
+# reference scripts/generate_ts_model_config_proposals.py
+# ---------------------------------------------------------------------------
+_TCP_MIN_STAB = 0.85
+_TCP_MAX_DM_P = 0.10
+
+
+def _tcp_oracle() -> str:
+    return f"""
+    WITH search AS ({ORACLE["ts_model_search_report"]})
+    SELECT ticker, observed_regime AS regime,
+           candidate AS candidate_name,
+           effective_score AS score, stability,
+           dm_better_model, dm_p_value,
+           similarity_weight AS regime_similarity_weight,
+           'suggest_profile_update' AS action
+    FROM search
+    WHERE is_best = 1
+      AND (stability IS NULL OR stability >= {_TCP_MIN_STAB})
+      AND (dm_p_value IS NULL OR dm_p_value <= {_TCP_MAX_DM_P})
+    """
+
+
+@query("ts_model_config_proposals")
+def ts_model_config_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advisory TS model config proposals — reference
+    `scripts/generate_ts_model_config_proposals.py:66-231`: the best
+    candidate per (ticker, regime) by score (R92's per-ticker argmax),
+    emitted only when stability clears the 0.85 floor (when measured)
+    and the DM p-value is baseline-null or <= 0.10 — the advisory
+    suggest_profile_update rows the automation writes for human review.
+    The amplitude-hit-rate gate is vacuous here (the engine's search
+    carries no amplitude metric, mirroring the reference's
+    None-passes-through semantics).
+
+    Scale: a filter over the R92 frame — no additional shuffle."""
+    s = QUERIES["ts_model_search_report"](spark, sf_dir)
+    return s.filter(
+        (F.col("is_best") == 1)
+        & (
+            F.col("stability").isNull()
+            | (F.col("stability") >= _TCP_MIN_STAB)
+        )
+        & (
+            F.col("dm_p_value").isNull()
+            | (F.col("dm_p_value") <= _TCP_MAX_DM_P)
+        )
+    ).select(
+        "ticker",
+        F.col("observed_regime").alias("regime"),
+        F.col("candidate").alias("candidate_name"),
+        F.col("effective_score").alias("score"),
+        "stability",
+        "dm_better_model",
+        "dm_p_value",
+        F.col("similarity_weight").alias("regime_similarity_weight"),
+        F.lit("suggest_profile_update").alias("action"),
+    )
+
+
+ORACLE["ts_model_config_proposals"] = _tcp_oracle()
