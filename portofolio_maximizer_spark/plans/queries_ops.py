@@ -6591,3 +6591,279 @@ def ts_model_config_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["ts_model_config_proposals"] = _tcp_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MVS paper window — reference scripts/run_mvs_paper_window.py
+# ---------------------------------------------------------------------------
+# Momentum + time-exit replay per key: enter long when price > SMA20 >
+# SMA50 and the 5-bar momentum clears 0.5% (history floor 60 bars); exit
+# after 10 calendar days held or on price < SMA20; liquidate any open
+# position at the final bar (`:300-416`). The MVS gate: profit > 0,
+# WR > 0.45, PF > 1.0, >= 30 trades (`:420-425`). Determinism: prices are
+# half-up-rounded to 6dp and the SMAs are EXACT DECIMAL window sums, so
+# both engines walk bit-identical state paths; the position recursion runs
+# in an applyInPandas kernel and the oracle replays it with a recursive
+# CTE over the bar index.
+_MVS_MOM_LB = 5
+_MVS_MOM_TH = 0.005
+_MVS_HOLD_MAX = 10
+_MVS_HIST = 60
+_MVS_PF_CAP = 99.0
+
+
+def _mvs_states(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values("rn")
+    pos, entry, held_d = 0, 0.0, None
+    last_pr = None
+    trades = []
+    for r in pdf.itertuples():
+        last_pr = r.pr
+        if pos == 0:
+            if (
+                r.rn >= _MVS_HIST
+                and r.s20 is not None
+                and r.s50 is not None
+                and r.mom is not None
+                and r.pr > r.s20
+                and r.s20 > r.s50
+                and r.mom >= _MVS_MOM_TH
+            ):
+                pos, entry, held_d = 1, r.pr, r.d
+        else:
+            held_days = (r.d - held_d).days
+            if held_days >= _MVS_HOLD_MAX or (
+                r.s20 is not None and r.pr < r.s20
+            ):
+                trades.append((r.user_id, entry, r.pr))
+                pos = 0
+    if pos == 1 and last_pr is not None:
+        trades.append((pdf.user_id.iloc[0], entry, last_pr))
+    return pd.DataFrame(
+        trades, columns=["user_id", "entry_price", "exit_price"]
+    )
+
+
+_MVS_SQL = f"""
+    WITH RECURSIVE s0 AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             FLOOR(value * 1e6 + 0.5) / 1e6 AS pr,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM (SELECT * FROM events WHERE value > 0)
+    ),
+    bars AS (
+      SELECT user_id, rn, d, pr,
+             CASE WHEN rn >= 20 THEN CAST(SUM(
+               CAST(pr AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+               ORDER BY rn ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 20.0 END AS s20,
+             CASE WHEN rn >= 50 THEN CAST(SUM(
+               CAST(pr AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+               ORDER BY rn ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 50.0 END AS s50,
+             pr / LAG(pr, {_MVS_MOM_LB}) OVER (PARTITION BY user_id
+               ORDER BY rn) - 1.0 AS mom,
+             MAX(rn) OVER (PARTITION BY user_id) AS mxr
+      FROM s0
+    ),
+    rec AS (
+      SELECT user_id, 0 AS rn, 0 AS pos,
+             CAST(0.0 AS DOUBLE) AS entry, CAST(NULL AS DATE) AS held_d,
+             CAST(NULL AS DOUBLE) AS exit_px
+      FROM (SELECT DISTINCT user_id FROM bars)
+      UNION ALL
+      SELECT b.user_id, b.rn,
+             CASE
+               WHEN r.pos = 0 AND b.rn >= {_MVS_HIST}
+                    AND b.s20 IS NOT NULL AND b.s50 IS NOT NULL
+                    AND b.mom IS NOT NULL AND b.pr > b.s20
+                    AND b.s20 > b.s50 AND b.mom >= {_MVS_MOM_TH}
+                 THEN 1
+               WHEN r.pos = 1 AND (b.d - r.held_d >= {_MVS_HOLD_MAX}
+                    OR (b.s20 IS NOT NULL AND b.pr < b.s20))
+                 THEN 0
+               ELSE r.pos END,
+             CASE
+               WHEN r.pos = 0 AND b.rn >= {_MVS_HIST}
+                    AND b.s20 IS NOT NULL AND b.s50 IS NOT NULL
+                    AND b.mom IS NOT NULL AND b.pr > b.s20
+                    AND b.s20 > b.s50 AND b.mom >= {_MVS_MOM_TH}
+                 THEN b.pr
+               ELSE r.entry END,
+             CASE
+               WHEN r.pos = 0 AND b.rn >= {_MVS_HIST}
+                    AND b.s20 IS NOT NULL AND b.s50 IS NOT NULL
+                    AND b.mom IS NOT NULL AND b.pr > b.s20
+                    AND b.s20 > b.s50 AND b.mom >= {_MVS_MOM_TH}
+                 THEN b.d
+               WHEN r.pos = 1 AND (b.d - r.held_d >= {_MVS_HOLD_MAX}
+                    OR (b.s20 IS NOT NULL AND b.pr < b.s20))
+                 THEN NULL
+               ELSE r.held_d END,
+             CASE WHEN r.pos = 1 AND (b.d - r.held_d >= {_MVS_HOLD_MAX}
+                       OR (b.s20 IS NOT NULL AND b.pr < b.s20))
+                  THEN b.pr END
+      FROM rec r
+      JOIN bars b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    ),
+    closed AS (
+      -- entry persists through the sell row (it only resets on the
+      -- next BUY), so the sell row itself carries the pair
+      SELECT user_id, entry AS entry_price, exit_px AS exit_price
+      FROM rec WHERE exit_px IS NOT NULL
+      UNION ALL
+      -- final-bar liquidation of a still-open position
+      SELECT r.user_id, r.entry, b.pr
+      FROM rec r
+      JOIN bars b ON b.user_id = r.user_id AND b.rn = r.rn
+                 AND b.rn = b.mxr
+      WHERE r.pos = 1
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trades,
+             ROUND(SUM(exit_price - entry_price), 6) AS total_profit,
+             ROUND(AVG(CASE WHEN exit_price > entry_price
+                       THEN 1.0 ELSE 0.0 END), 6) AS win_rate,
+             ROUND(CASE
+               WHEN SUM(CASE WHEN exit_price <= entry_price
+                        THEN entry_price - exit_price ELSE 0 END) > 0
+                 THEN LEAST(SUM(CASE WHEN exit_price > entry_price
+                            THEN exit_price - entry_price ELSE 0 END)
+                      / SUM(CASE WHEN exit_price <= entry_price
+                            THEN entry_price - exit_price ELSE 0 END),
+                      {_MVS_PF_CAP})
+               WHEN SUM(CASE WHEN exit_price > entry_price
+                        THEN exit_price - entry_price ELSE 0 END) > 0
+                 THEN {_MVS_PF_CAP} ELSE 0.0 END, 6) AS profit_factor
+      FROM closed GROUP BY user_id
+    ),
+    fleet AS (
+      SELECT CAST(-1 AS BIGINT) AS user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trades,
+             ROUND(SUM(exit_price - entry_price), 6) AS total_profit,
+             ROUND(AVG(CASE WHEN exit_price > entry_price
+                       THEN 1.0 ELSE 0.0 END), 6) AS win_rate,
+             ROUND(CASE
+               WHEN SUM(CASE WHEN exit_price <= entry_price
+                        THEN entry_price - exit_price ELSE 0 END) > 0
+                 THEN LEAST(SUM(CASE WHEN exit_price > entry_price
+                            THEN exit_price - entry_price ELSE 0 END)
+                      / SUM(CASE WHEN exit_price <= entry_price
+                            THEN entry_price - exit_price ELSE 0 END),
+                      {_MVS_PF_CAP})
+               WHEN SUM(CASE WHEN exit_price > entry_price
+                        THEN exit_price - entry_price ELSE 0 END) > 0
+                 THEN {_MVS_PF_CAP} ELSE 0.0 END, 6) AS profit_factor
+      FROM closed
+    )
+    SELECT user_id, n_trades, total_profit, win_rate, profit_factor,
+           CAST(NULL AS VARCHAR) AS mvs_status
+    FROM per
+    UNION ALL
+    SELECT user_id, n_trades, total_profit, win_rate, profit_factor,
+           CASE WHEN total_profit > 0 AND win_rate > 0.45
+                     AND profit_factor > 1.0 AND n_trades >= 30
+                THEN 'PASS' ELSE 'FAIL' END
+    FROM fleet
+"""
+
+
+@query("mvs_paper_window_report", oracle=_MVS_SQL)
+def mvs_paper_window_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVS paper-window momentum replay — reference
+    `scripts/run_mvs_paper_window.py:300-425`: the trend-entry rule
+    (price > SMA20 > SMA50 with the 5-bar momentum >= 0.5% and the
+    60-bar history floor), the 10-calendar-day / price-below-SMA20
+    exits, the final-bar liquidation of open positions, per-key and
+    fleet realized-trade metrics, and the MVS gate (profit > 0,
+    WR > 0.45, PF > 1.0, >= 30 trades → PASS).
+
+    Determinism discipline: half-up 6dp prices + exact DECIMAL window
+    sums for the SMAs give both engines bit-identical state inputs; the
+    position recursion runs in an applyInPandas kernel, value-checked
+    by the oracle's recursive CTE over the bar index."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s0 = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        (F.floor(F.col("value") * 1e6 + 0.5) / 1e6).alias("pr"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wr_ = Window.partitionBy("user_id").orderBy("rn")
+    dec = F.col("pr").cast("decimal(18,6)")
+    bars = s0.select(
+        "user_id",
+        "rn",
+        "d",
+        "pr",
+        F.when(
+            F.col("rn") >= 20,
+            F.sum(dec).over(wr_.rowsBetween(-19, 0)).cast("double") / 20.0,
+        ).alias("s20"),
+        F.when(
+            F.col("rn") >= 50,
+            F.sum(dec).over(wr_.rowsBetween(-49, 0)).cast("double") / 50.0,
+        ).alias("s50"),
+        (F.col("pr") / F.lag("pr", _MVS_MOM_LB).over(wr_) - 1.0).alias(
+            "mom"
+        ),
+    )
+    closed = bars.groupBy("user_id").applyInPandas(
+        _mvs_states,
+        "user_id long, entry_price double, exit_price double",
+    ).localCheckpoint()
+    win = F.when(F.col("exit_price") > F.col("entry_price"), 1.0).otherwise(
+        0.0
+    )
+    gw = F.sum(
+        F.when(
+            F.col("exit_price") > F.col("entry_price"),
+            F.col("exit_price") - F.col("entry_price"),
+        ).otherwise(0.0)
+    )
+    gl = F.sum(
+        F.when(
+            F.col("exit_price") <= F.col("entry_price"),
+            F.col("entry_price") - F.col("exit_price"),
+        ).otherwise(0.0)
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.round(
+            F.sum(F.col("exit_price") - F.col("entry_price")), 6
+        ).alias("total_profit"),
+        F.round(F.avg(win), 6).alias("win_rate"),
+        F.round(
+            F.when(gl > 0, F.least(gw / gl, F.lit(_MVS_PF_CAP)))
+            .when(gw > 0, F.lit(_MVS_PF_CAP))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("profit_factor"),
+    ]
+    per = closed.groupBy("user_id").agg(*aggs).withColumn(
+        "mvs_status", F.lit(None).cast("string")
+    )
+    fleet = closed.agg(*aggs).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        "n_trades",
+        "total_profit",
+        "win_rate",
+        "profit_factor",
+        F.when(
+            (F.col("total_profit") > 0)
+            & (F.col("win_rate") > 0.45)
+            & (F.col("profit_factor") > 1.0)
+            & (F.col("n_trades") >= 30),
+            "PASS",
+        )
+        .otherwise("FAIL")
+        .alias("mvs_status"),
+    )
+    return per.unionByName(fleet)
