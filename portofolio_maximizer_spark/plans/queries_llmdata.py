@@ -1938,3 +1938,203 @@ ORACLE["ann_recall_eval"] = """
            ROUND(CAST(SUM(n_hits) AS DOUBLE) / SUM(n_exact), 6)
     FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# L33 — Naive Bayes document-quality classifier (train/score/eval in one
+# declarative plan — no iterative fit, so the oracle is exact SQL)
+# ---------------------------------------------------------------------------
+# The fastText-style quality filter a training pipeline runs at ingest,
+# reduced to its closed-form core: hashed bag-of-words (64 buckets),
+# multinomial NB with Laplace smoothing, an 80/20 hash split, and the
+# held-out confusion matrix. Label fixture: "long documents are
+# high-quality" (n_chars >= 250).
+_NBQ_BUCKETS = 64
+_NBQ_LABEL_CHARS = 250
+
+
+@query(
+    "nb_quality_classifier",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS arr,
+             CASE WHEN n_chars >= {_NBQ_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
+             (doc_id % 5 = 0) AS is_test
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, y, is_test,
+             CAST(('0x' || SUBSTR(MD5(UNNEST(arr)), 1, 6))::BIGINT
+               % {_NBQ_BUCKETS} AS INTEGER) AS b
+      FROM base
+    ),
+    toks_clean AS (SELECT * FROM toks),
+    cls AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS tot
+      FROM toks_clean WHERE NOT is_test GROUP BY y
+    ),
+    cnt AS (
+      SELECT y, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks_clean WHERE NOT is_test GROUP BY y, b
+    ),
+    grid AS (
+      SELECT g.b, cl.y, cl.tot, COALESCE(cn.c, 0) AS c
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, {_NBQ_BUCKETS - 1})) AS b) g
+      CROSS JOIN cls cl
+      LEFT JOIN cnt cn ON cn.b = g.b AND cn.y = cl.y
+    ),
+    w AS (
+      SELECT b,
+             MAX(CASE WHEN y = 1 THEN LN((c + 1.0)
+                 / (tot + {_NBQ_BUCKETS})) END)
+             - MAX(CASE WHEN y = 0 THEN LN((c + 1.0)
+                 / (tot + {_NBQ_BUCKETS})) END) AS lw
+      FROM grid GROUP BY b
+    ),
+    prior AS (
+      SELECT LN(CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)) AS lp
+      FROM base WHERE NOT is_test
+    ),
+    scored AS (
+      SELECT t.doc_id, ANY_VALUE(t.y) AS y,
+             ROUND(SUM(w.lw) + ANY_VALUE(p.lp), 6) AS score
+      FROM toks_clean t
+      JOIN w ON w.b = t.b
+      CROSS JOIN prior p
+      WHERE t.is_test
+      GROUP BY t.doc_id
+    ),
+    confm AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 AND score > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND score > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN y = 0 AND score <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN y = 1 AND score <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored
+    )
+    SELECT tp, fp, tn, fn,
+           ROUND(CAST(tp + tn AS DOUBLE)
+                 / GREATEST(tp + fp + tn + fn, 1), 6) AS accuracy,
+           ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 6)
+             AS precision,
+           ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fn, 1), 6) AS recall
+    FROM confm
+    """,
+)
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33 closed-form quality classifier — the fastText-style ingest
+    filter reduced to multinomial Naive Bayes over a 64-bucket hashed
+    bag-of-words with Laplace smoothing, trained on the 80% hash split
+    and evaluated on the held-out 20% (confusion matrix + accuracy /
+    precision / recall). No iterative fit anywhere, so the WHOLE
+    train/score/eval pipeline is one declarative plan with an exact
+    SQL oracle. Beyond the reference per the charter's training-data
+    mandate.
+
+    Scale: training is one (class, bucket) aggregate (128 rows); the
+    weight table is a broadcast map-side join onto test tokens; scoring
+    is a per-doc sum. Linear in corpus tokens, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split(F.col("text"), r"\s+").alias("arr"),
+        F.when(F.col("n_chars") >= _NBQ_LABEL_CHARS, 1)
+        .otherwise(0)
+        .alias("y"),
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+    )
+    toks = (
+        base.select(
+            "doc_id", "y", "is_test", F.explode(F.col("arr")).alias("tok")
+        )
+        .select(
+            "doc_id",
+            "y",
+            "is_test",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10)
+                .cast("long")
+                % _NBQ_BUCKETS
+            )
+            .cast("int")
+            .alias("b"),
+        )
+        .localCheckpoint()
+    )
+    train = toks.filter(~F.col("is_test"))
+    cls = train.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    cnt = train.groupBy("y", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        spark.range(_NBQ_BUCKETS)
+        .select(F.col("id").cast("int").alias("b"))
+        .crossJoin(F.broadcast(cls))
+        .join(cnt, ["b", "y"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    lsm = F.log((F.col("c") + 1.0) / (F.col("tot") + _NBQ_BUCKETS))
+    w = grid.groupBy("b").agg(
+        (
+            F.max(F.when(F.col("y") == 1, lsm))
+            - F.max(F.when(F.col("y") == 0, lsm))
+        ).alias("lw")
+    )
+    prior = base.filter(~F.col("is_test")).agg(
+        F.log(
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        ).alias("lp")
+    )
+    scored = (
+        toks.filter(F.col("is_test"))
+        .join(F.broadcast(w), "b")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("y").alias("y"),
+            F.round(F.sum("lw") + F.any_value("lp"), 6).alias("score"),
+        )
+    )
+    pred_pos = F.col("score") > 0
+    conf = scored.agg(
+        F.sum(F.when((F.col("y") == 1) & pred_pos, 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & pred_pos, 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 0) & ~pred_pos, 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.when((F.col("y") == 1) & ~pred_pos, 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    tot = F.greatest(
+        F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn"),
+        F.lit(1).cast("long"),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round((F.col("tp") + F.col("tn")).cast("double") / tot, 6).alias(
+            "accuracy"
+        ),
+        F.round(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1).cast("long")),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1).cast("long")),
+            6,
+        ).alias("recall"),
+    )
