@@ -2138,3 +2138,81 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L34 — tokenizer fertility & byte economics per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang, doc_id,
+             LENGTH(text) AS n_chars_t,
+             STRLEN(text) AS n_bytes,
+             CAST(LENGTH(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+               AS BIGINT) AS n_toks
+      FROM documents WHERE TRIM(text) <> ''
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_chars_t) AS DOUBLE) / SUM(n_toks), 6)
+             AS chars_per_token,
+           ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_chars_t), 6)
+             AS bytes_per_char,
+           ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_toks), 6)
+             AS bytes_per_token,
+           ROUND(QUANTILE_CONT(CAST(n_chars_t AS DOUBLE) / n_toks, 0.5),
+                 6) AS doc_cpt_p50,
+           ROUND(QUANTILE_CONT(CAST(n_chars_t AS DOUBLE) / n_toks, 0.9),
+                 6) AS doc_cpt_p90
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34 tokenizer fertility diagnostics — the multilingual budget
+    planner's table: per language, whitespace-token counts,
+    characters-per-token (fertility), UTF-8 bytes-per-character (the
+    CJK cost multiplier) and bytes-per-token, plus the per-doc
+    fertility p50/p90. These ratios drive tokenizer-budget and
+    mixture decisions (a lang with 3x bytes/char pays 3x storage and
+    I/O per character of signal). Beyond the reference per the
+    charter's training-data mandate.
+
+    Scale: one linear scan with per-doc arithmetic, one bounded
+    language groupBy; the exact quantiles run per-language on doc-grain
+    ratios (bounded group count)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    per_doc = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars_t"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    cpt = F.col("n_chars_t").cast("double") / F.col("n_toks")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        r6(
+            F.sum("n_chars_t").cast("double") / F.sum("n_toks")
+        ).alias("chars_per_token"),
+        r6(
+            F.sum("n_bytes").cast("double") / F.sum("n_chars_t")
+        ).alias("bytes_per_char"),
+        r6(F.sum("n_bytes").cast("double") / F.sum("n_toks")).alias(
+            "bytes_per_token"
+        ),
+        r6(F.expr("percentile(n_chars_t / CAST(n_toks AS DOUBLE), 0.5D)")).alias(
+            "doc_cpt_p50"
+        ),
+        r6(F.expr("percentile(n_chars_t / CAST(n_toks AS DOUBLE), 0.9D)")).alias(
+            "doc_cpt_p90"
+        ),
+    )
