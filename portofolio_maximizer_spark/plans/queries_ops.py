@@ -6867,3 +6867,249 @@ def mvs_paper_window_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mvs_status"),
     )
     return per.unionByName(fleet)
+
+
+# ---------------------------------------------------------------------------
+# LLM fallback signal + generation rules — reference ai_llm/signal_generator.py
+# ---------------------------------------------------------------------------
+# The deterministic no-LLM path (`_fallback_signal:255-310`): SMA20/SMA50
+# cross with trend support and the RSI 75/25 override ladder, conservative
+# 0.35 base / 0.55 setup / 0.5 RSI confidences; then the generation rules
+# (`_apply_generation_rules:311-357`): reasoning under 30 chars → HOLD,
+# confidence under min_confidence_for_action (0.6) → HOLD, conservative
+# bias demotes BUY/SELL under max(min_conf, 0.75). Trend = the market
+# analyzer's price-vs-SMA ladder (R46). Indicators at each key's last bar.
+_LFS_MIN_CONF = 0.6
+_LFS_CONS_TH = 0.75
+
+_LFS_SQL = f"""
+    WITH s0 AS (
+      SELECT user_id, value AS px,
+             ROW_NUMBER() OVER w AS rn,
+             AVG(value) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS sma20,
+             AVG(value) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+               AS sma50,
+             GREATEST(value - LAG(value) OVER w, 0) AS du,
+             GREATEST(LAG(value) OVER w - value, 0) AS dd
+      FROM (SELECT * FROM events WHERE value > 0)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, px, rn, sma20, sma50,
+             AVG(du) OVER (w2 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS gain,
+             AVG(dd) OVER (w2 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS loss,
+             MAX(rn) OVER (PARTITION BY user_id) AS mx
+      FROM s0
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    last_bar AS (
+      SELECT user_id, px, sma20, sma50,
+             100.0 - 100.0 / (1.0 + CASE WHEN loss <> 0
+                              THEN gain / loss ELSE 0 END) AS rsi,
+             CASE WHEN px > sma20 AND sma20 > sma50 THEN 'bullish'
+                  WHEN px < sma20 AND sma20 < sma50 THEN 'bearish'
+                  ELSE 'neutral' END AS trend
+      FROM s WHERE rn = mx AND rn >= 51
+    ),
+    fb AS (
+      SELECT *,
+             CASE
+               WHEN rsi > 75 THEN 'SELL'
+               WHEN rsi < 25 THEN 'BUY'
+               WHEN sma20 > sma50 AND trend = 'bullish' AND rsi < 70
+                 THEN 'BUY'
+               WHEN sma20 < sma50 AND trend = 'bearish' AND rsi > 30
+                 THEN 'SELL'
+               ELSE 'HOLD' END AS fb_action,
+             CASE
+               WHEN rsi > 75 OR rsi < 25 THEN
+                 GREATEST(CASE WHEN (sma20 > sma50 AND trend = 'bullish'
+                                     AND rsi < 70)
+                                 OR (sma20 < sma50 AND trend = 'bearish'
+                                     AND rsi > 30)
+                          THEN 0.55 ELSE 0.35 END, 0.5)
+               WHEN (sma20 > sma50 AND trend = 'bullish' AND rsi < 70)
+                 OR (sma20 < sma50 AND trend = 'bearish' AND rsi > 30)
+                 THEN 0.55
+               ELSE 0.35 END AS fb_confidence,
+             CASE
+               WHEN (sma20 > sma50 AND trend = 'bullish' AND rsi < 70)
+                 OR (sma20 < sma50 AND trend = 'bearish' AND rsi > 30)
+                 OR rsi > 75 OR rsi < 25 THEN 55
+               ELSE 48 END AS reasoning_len
+      FROM last_bar
+    )
+    SELECT user_id, ROUND(px, 6) AS px, ROUND(sma20, 6) AS sma20,
+           ROUND(sma50, 6) AS sma50, ROUND(rsi, 6) AS rsi_14, trend,
+           fb_action, fb_confidence, reasoning_len,
+           CASE
+             WHEN fb_action = 'HOLD' THEN 'HOLD'
+             WHEN reasoning_len < 30 THEN 'HOLD'
+             WHEN fb_confidence < {_LFS_MIN_CONF} THEN 'HOLD'
+             WHEN fb_confidence < GREATEST({_LFS_MIN_CONF}, {_LFS_CONS_TH})
+               THEN 'HOLD'
+             ELSE fb_action END AS final_action,
+           CASE
+             WHEN fb_action = 'HOLD' THEN 'none'
+             WHEN reasoning_len < 30 THEN 'reasoning_short'
+             WHEN fb_confidence < {_LFS_MIN_CONF} THEN 'below_min_conf'
+             WHEN fb_confidence < GREATEST({_LFS_MIN_CONF}, {_LFS_CONS_TH})
+               THEN 'conservative_bias'
+             ELSE 'none' END AS adjustment
+    FROM fb
+"""
+
+
+@query("llm_fallback_signal_rules", oracle=_LFS_SQL)
+def llm_fallback_signal_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LLM-fallback signal + generation rules — reference
+    `ai_llm/signal_generator.py`: the conservative heuristic signal
+    when the LLM is unavailable (`_fallback_signal:255-310`: SMA20/50
+    cross gated by the analyzer trend and RSI<70/>30, the RSI 75/25
+    overbought/oversold override, the 0.35/0.55/0.5 confidence
+    ladder), the simplified Wilder RSI (`_compute_indicators:159-188`:
+    14-bar mean gain/loss, rs=0 when losses vanish), and the
+    generation-rule ladder that demotes to HOLD on short reasoning,
+    sub-0.6 confidence, or the 0.75 conservative-bias floor
+    (`_apply_generation_rules:311-357`) — which caps every fallback
+    signal at HOLD by construction (fallback confidence tops out at
+    0.55), exactly the reference's conservative design.
+
+    Scale: one window pass per key, evaluated at each key's last bar."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta_up = F.greatest(
+        F.col("value") - F.lag("value").over(w), F.lit(0.0)
+    )
+    delta_dn = F.greatest(
+        F.lag("value").over(w) - F.col("value"), F.lit(0.0)
+    )
+    s = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("value").alias("px"),
+            F.row_number().over(w).alias("rn"),
+            F.avg("value").over(w.rowsBetween(-19, 0)).alias("sma20"),
+            F.avg("value").over(w.rowsBetween(-49, 0)).alias("sma50"),
+            delta_up.alias("du"),
+            delta_dn.alias("dd"),
+        )
+        .withColumn(
+            "gain",
+            F.avg("du").over(
+                Window.partitionBy("user_id")
+                .orderBy("rn")
+                .rowsBetween(-13, 0)
+            ),
+        )
+        .withColumn(
+            "loss",
+            F.avg("dd").over(
+                Window.partitionBy("user_id")
+                .orderBy("rn")
+                .rowsBetween(-13, 0)
+            ),
+        )
+        .withColumn("mx", F.max("rn").over(Window.partitionBy("user_id")))
+    )
+    rsi = 100.0 - 100.0 / (
+        1.0
+        + F.when(F.col("loss") != 0, F.col("gain") / F.col("loss")).otherwise(
+            F.lit(0.0)
+        )
+    )
+    lb = s.filter((F.col("rn") == F.col("mx")) & (F.col("rn") >= 51)).select(
+        "user_id",
+        "px",
+        "sma20",
+        "sma50",
+        rsi.alias("rsi"),
+        F.when(
+            (F.col("px") > F.col("sma20"))
+            & (F.col("sma20") > F.col("sma50")),
+            "bullish",
+        )
+        .when(
+            (F.col("px") < F.col("sma20"))
+            & (F.col("sma20") < F.col("sma50")),
+            "bearish",
+        )
+        .otherwise("neutral")
+        .alias("trend"),
+    )
+    setup = (
+        (F.col("sma20") > F.col("sma50"))
+        & (F.col("trend") == "bullish")
+        & (F.col("rsi") < 70)
+    ) | (
+        (F.col("sma20") < F.col("sma50"))
+        & (F.col("trend") == "bearish")
+        & (F.col("rsi") > 30)
+    )
+    rsi_ovr = (F.col("rsi") > 75) | (F.col("rsi") < 25)
+    fb = lb.select(
+        "*",
+        F.when(F.col("rsi") > 75, "SELL")
+        .when(F.col("rsi") < 25, "BUY")
+        .when(
+            (F.col("sma20") > F.col("sma50"))
+            & (F.col("trend") == "bullish")
+            & (F.col("rsi") < 70),
+            "BUY",
+        )
+        .when(
+            (F.col("sma20") < F.col("sma50"))
+            & (F.col("trend") == "bearish")
+            & (F.col("rsi") > 30),
+            "SELL",
+        )
+        .otherwise("HOLD")
+        .alias("fb_action"),
+        F.when(
+            rsi_ovr,
+            F.greatest(
+                F.when(setup, 0.55).otherwise(0.35), F.lit(0.5)
+            ),
+        )
+        .when(setup, F.lit(0.55))
+        .otherwise(F.lit(0.35))
+        .alias("fb_confidence"),
+        F.when(setup | rsi_ovr, 55).otherwise(48).alias("reasoning_len"),
+    )
+    hold = F.col("fb_action") == "HOLD"
+    return fb.select(
+        "user_id",
+        r6(F.col("px")).alias("px"),
+        r6(F.col("sma20")).alias("sma20"),
+        r6(F.col("sma50")).alias("sma50"),
+        r6(F.col("rsi")).alias("rsi_14"),
+        "trend",
+        "fb_action",
+        "fb_confidence",
+        "reasoning_len",
+        F.when(hold, "HOLD")
+        .when(F.col("reasoning_len") < 30, "HOLD")
+        .when(F.col("fb_confidence") < _LFS_MIN_CONF, "HOLD")
+        .when(
+            F.col("fb_confidence") < max(_LFS_MIN_CONF, _LFS_CONS_TH),
+            "HOLD",
+        )
+        .otherwise(F.col("fb_action"))
+        .alias("final_action"),
+        F.when(hold, "none")
+        .when(F.col("reasoning_len") < 30, "reasoning_short")
+        .when(F.col("fb_confidence") < _LFS_MIN_CONF, "below_min_conf")
+        .when(
+            F.col("fb_confidence") < max(_LFS_MIN_CONF, _LFS_CONS_TH),
+            "conservative_bias",
+        )
+        .otherwise("none")
+        .alias("adjustment"),
+    )
