@@ -7113,3 +7113,107 @@ def llm_fallback_signal_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("adjustment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM report: signal accuracy — reference scripts/generate_llm_report.py
+# ---------------------------------------------------------------------------
+
+
+def _lar_oracle() -> str:
+    return f"""
+    WITH v AS ({ORACLE["llm_signal_tracking_validation"]}),
+    sig AS (
+      SELECT *, 0.5 + ('0x' || SUBSTR(MD5('rc|'
+             || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+             / 16777216.0 / 2.0 AS confidence
+      FROM v WHERE validation_status = 'validated'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_signals,
+           CAST(SUM(CASE WHEN action = 'BUY' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_buy,
+           CAST(SUM(CASE WHEN action = 'SELL' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_sell,
+           CAST(SUM(CASE WHEN action = 'HOLD' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hold,
+           ROUND(AVG(confidence), 6) AS avg_confidence,
+           ROUND(AVG(annual_return) * 100, 6) AS avg_annual_return_pct,
+           ROUND(AVG(sharpe), 6) AS avg_sharpe_ratio,
+           ROUND(AVG(alpha) * 100, 6) AS avg_alpha_pct,
+           CAST(SUM(CASE WHEN confidence >= 0.7 THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_confidence_signals,
+           CAST(SUM(CASE WHEN confidence >= 0.5 AND confidence < 0.7
+                    THEN 1 ELSE 0 END) AS BIGINT)
+             AS medium_confidence_signals,
+           CAST(SUM(CASE WHEN confidence < 0.5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_confidence_signals,
+           CASE WHEN AVG(annual_return) > 0.10 THEN 1 ELSE 0 END
+             AS crit_return_above_10pct,
+           CASE WHEN AVG(sharpe) > 0 THEN 1 ELSE 0 END
+             AS crit_sharpe_positive,
+           CASE WHEN AVG(alpha) > 0 THEN 1 ELSE 0 END
+             AS crit_positive_alpha
+    FROM sig
+    """
+
+
+@query("llm_signal_accuracy_report")
+def llm_signal_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM signal-accuracy report — reference
+    `scripts/generate_llm_report.py:136-197`
+    (`generate_signal_accuracy_report`): over VALIDATED signals —
+    action censuses, mean confidence (the portable-md5 0.5-1.0
+    channel), mean backtest annual return / Sharpe / alpha (from the
+    R93 validation frame), the 0.7/0.5 confidence-tier censuses and
+    the three success-criteria folds (mean return > 10%, positive
+    Sharpe, positive alpha).
+
+    Scale: one fold over the R93 frame."""
+    v = QUERIES["llm_signal_tracking_validation"](spark, sf_dir)
+    conf = (
+        0.5
+        + F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rc|"), F.col("user_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 16777216.0
+        / 2.0
+    )
+    sig = v.filter(F.col("validation_status") == "validated").withColumn(
+        "confidence", conf
+    )
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+    return sig.agg(
+        F.count(F.lit(1)).cast("long").alias("total_signals"),
+        cnt(F.col("action") == "BUY").alias("n_buy"),
+        cnt(F.col("action") == "SELL").alias("n_sell"),
+        cnt(F.col("action") == "HOLD").alias("n_hold"),
+        r6(F.avg("confidence")).alias("avg_confidence"),
+        r6(F.avg("annual_return") * 100).alias("avg_annual_return_pct"),
+        r6(F.avg("sharpe")).alias("avg_sharpe_ratio"),
+        r6(F.avg("alpha") * 100).alias("avg_alpha_pct"),
+        cnt(F.col("confidence") >= 0.7).alias("high_confidence_signals"),
+        cnt(
+            (F.col("confidence") >= 0.5) & (F.col("confidence") < 0.7)
+        ).alias("medium_confidence_signals"),
+        cnt(F.col("confidence") < 0.5).alias("low_confidence_signals"),
+        F.when(F.avg("annual_return") > 0.10, 1)
+        .otherwise(0)
+        .alias("crit_return_above_10pct"),
+        F.when(F.avg("sharpe") > 0, 1)
+        .otherwise(0)
+        .alias("crit_sharpe_positive"),
+        F.when(F.avg("alpha") > 0, 1)
+        .otherwise(0)
+        .alias("crit_positive_alpha"),
+    )
+
+
+ORACLE["llm_signal_accuracy_report"] = _lar_oracle()
