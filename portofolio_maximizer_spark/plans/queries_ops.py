@@ -7217,3 +7217,53 @@ def llm_signal_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["llm_signal_accuracy_report"] = _lar_oracle()
+
+
+# ---------------------------------------------------------------------------
+# LLM report: risk assessment — reference scripts/generate_llm_report.py
+# ---------------------------------------------------------------------------
+
+
+def _rar_oracle() -> str:
+    return f"""
+    WITH r AS ({ORACLE["risk_fallback_assessment"]})
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_assessments,
+           CAST(SUM(CASE WHEN risk_level = 'high' THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_risk_tickers,
+           CAST(SUM(CASE WHEN risk_level = 'medium' THEN 1 ELSE 0 END)
+             AS BIGINT) AS medium_risk_tickers,
+           CAST(SUM(CASE WHEN risk_level = 'low' THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_risk_tickers,
+           ROUND(AVG(risk_score), 6) AS avg_risk_score,
+           ROUND(AVG(volatility_annual_pct), 6) AS avg_volatility_pct,
+           ROUND(AVG(max_drawdown_pct), 6) AS avg_max_drawdown_pct
+    FROM r
+    """
+
+
+@query("llm_risk_assessment_report")
+def llm_risk_assessment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM risk-assessment report — reference
+    `scripts/generate_llm_report.py:197-244`
+    (`generate_risk_assessment_report`): the risk-level distribution,
+    mean risk score, and mean volatility / max-drawdown percentages
+    over the stored assessments — here the R24 deterministic-fallback
+    frame, the engine's llm_risks equivalent.
+
+    Scale: one fold over the R24 frame."""
+    r = QUERIES["risk_fallback_assessment"](spark, sf_dir)
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("total_assessments"),
+        cnt(F.col("risk_level") == "high").alias("high_risk_tickers"),
+        cnt(F.col("risk_level") == "medium").alias("medium_risk_tickers"),
+        cnt(F.col("risk_level") == "low").alias("low_risk_tickers"),
+        r6(F.avg("risk_score")).alias("avg_risk_score"),
+        r6(F.avg("volatility_annual_pct")).alias("avg_volatility_pct"),
+        r6(F.avg("max_drawdown_pct")).alias("avg_max_drawdown_pct"),
+    )
+
+
+ORACLE["llm_risk_assessment_report"] = _rar_oracle()
