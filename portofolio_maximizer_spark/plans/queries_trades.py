@@ -4589,3 +4589,995 @@ def barbell_pnl_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).select(F.lit("delta").alias("arm"), "*")
     return m.unionByName(delta.select(m.columns))
+
+
+# ---------------------------------------------------------------------------
+# Outcome-linkage attribution: stop-loss toxicity + direction-right-negative-
+# PnL evidence on audit-linked closed trades
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/outcome_linkage_attribution_report.py`: closed trades
+# joined to the forecast-audit index via ts_signal_id (`:26-66` audit index,
+# `:151-180` trade load), per-record attribution columns (`:195-280`:
+# direction match, correct-direction-negative-PnL, causality/missing-exit
+# integrity reasons, rr_ratio, take-profit + fast-take-profit flags, target
+# amplitude), equal-frequency SNR terciles with beta-binomial posteriors
+# (`:118-149`), the multiway (snr x rr x regime) table gated on >=30 TP
+# records (`:352-390`), and the summary block with the observed/fallback
+# take-profit filter threshold ladder (`:392-446`).
+#
+# World mapping (same round-trip conventions as `_exit_trades_frame`):
+# order = closed trade (status F, open lot = line 1 non-R, close lot =
+# max-line), the close lot's min tax band plays the exit-reason channel —
+# here with a TAKE_PROFIT band and an empty-string band so the reference's
+# MISSING_EXIT_REASON integrity reason has real support; ts_signal_id is
+# 'ts_<key>' for even keys / 'llm_<key>' for %5 keys (the reference's
+# `_is_ts_trade_signal_id` prefix split `:103-105`), and the audit index
+# covers keys %4==0 so exactly half the ts trades are outcome-linked.
+# The posterior interval uses the reference's documented no-scipy fallback
+# branch (`:120-127`: normal approximation, clamped) — scipy is not in this
+# container, same environment-forced choice the reference itself ships.
+_OLA_Z975 = 1.959963984540054  # NormalDist().inv_cdf(0.975), ref `:125`
+
+_OLA_SQL = """
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey,
+             SUM(l.l_quantity) AS cq,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(5,2))) AS cnet,
+             MAX(l.l_shipdate) AS cship,
+             MIN(l.l_tax) AS ctax
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey,
+             SUM(l_quantity) AS oq,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(5,2))) AS onet,
+             MIN(l_shipdate) AS oship,
+             MAX(l_linestatus) AS ostatus
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    audit AS (
+      SELECT 'ts_' || CAST(o_orderkey AS VARCHAR) AS aud_id,
+             ROUND(CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT)
+                        % 97 AS DOUBLE) * 3 / 97, 6) AS snr,
+             CAST(1 + o_orderkey % 5 AS BIGINT) AS forecast_horizon,
+             CASE o_orderpriority WHEN '1-URGENT' THEN 'TRENDING'
+                  WHEN '2-HIGH' THEN 'VOLATILE'
+                  WHEN '3-MEDIUM' THEN 'NEUTRAL' END AS regime,
+             ROUND(CAST(o_totalprice AS DOUBLE) / 100
+                   * (CAST(104 AS DOUBLE) / 100), 6) AS target_price,
+             ROUND(CAST(o_totalprice AS DOUBLE) / 100
+                   * (CAST(97 AS DOUBLE) / 100), 6) AS stop_loss,
+             CASE WHEN o_orderkey % 3 <> 0
+                  THEN ROUND(CAST(o_orderkey % 41 - 20 AS DOUBLE) / 205, 6)
+                  END AS expected_return
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    rawt AS (
+      SELECT c.l_orderkey AS close_id,
+             'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             CASE WHEN op.ostatus = 'O' THEN 'BUY' ELSE 'SELL' END
+               AS forecast_direction,
+             CASE WHEN c.ctax < 0.015 THEN 'STOP_LOSS'
+                  WHEN c.ctax < 0.045 THEN 'TAKE_PROFIT'
+                  WHEN c.ctax < 0.075 THEN 'SIGNAL_EXIT'
+                  ELSE '' END AS exit_reason,
+             ROUND(CAST(c.cnet - op.onet AS DOUBLE), 6) AS pnl,
+             ROUND(CAST(op.onet AS DOUBLE) / op.oq, 6) AS entry_price,
+             ROUND(CAST(c.cnet AS DOUBLE) / c.cq, 6) AS exit_price,
+             CAST(op.oship AS DATE) AS entry_d,
+             CAST(c.cship AS DATE) AS close_d,
+             CAST(DATEDIFF('day', CAST(op.oship AS DATE),
+                           CAST(c.cship AS DATE)) AS BIGINT) AS holding_days,
+             CASE WHEN c.l_orderkey % 2 = 0
+                    THEN 'ts_' || CAST(c.l_orderkey AS VARCHAR)
+                  WHEN c.l_orderkey % 5 = 0
+                    THEN 'llm_' || CAST(c.l_orderkey AS VARCHAR) END
+               AS ts_signal_id
+      FROM closes c
+      JOIN opens op ON op.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND op.oq > 0 AND c.cq > 0
+    ),
+    rec AS (
+      SELECT r.*,
+             a.aud_id IS NOT NULL AS outcome_linked,
+             a.snr, a.forecast_horizon, a.regime, a.target_price,
+             a.stop_loss, a.expected_return,
+             CASE WHEN ABS(r.exit_price - r.entry_price) < 1e-9 THEN 'FLAT'
+                  WHEN r.exit_price > r.entry_price THEN 'UP'
+                  ELSE 'DOWN' END AS realized_direction,
+             r.close_d < r.entry_d AS causality_violation,
+             r.exit_reason = '' AS missing_exit_reason
+      FROM rawt r LEFT JOIN audit a ON a.aud_id = r.ts_signal_id
+    ),
+    rec2 AS (
+      SELECT *,
+             causality_violation OR missing_exit_reason AS integrity_blocking,
+             CASE WHEN realized_direction = 'FLAT' THEN FALSE
+                  ELSE (forecast_direction = 'BUY'
+                        AND realized_direction = 'UP')
+                    OR (forecast_direction = 'SELL'
+                        AND realized_direction = 'DOWN') END
+               AS direction_match,
+             exit_reason = 'TAKE_PROFIT' AS take_profit_hit,
+             CASE WHEN outcome_linked
+                       AND ABS(entry_price - stop_loss) > 1e-9
+                  THEN ROUND(ABS(target_price - entry_price)
+                             / ABS(entry_price - stop_loss), 6)
+                  END AS rr_ratio,
+             CASE WHEN outcome_linked AND ABS(entry_price) > 1e-9
+                  THEN ROUND(ABS(target_price - entry_price)
+                             / ABS(entry_price), 6)
+                  END AS target_amplitude_fraction
+      FROM rec
+    ),
+    rec3 AS (
+      SELECT *,
+             direction_match AND pnl < 0 AS correct_direction_negative_pnl,
+             CASE WHEN target_amplitude_fraction IS NOT NULL
+                       AND expected_return IS NOT NULL
+                  THEN CAST(ABS(expected_return)
+                            >= target_amplitude_fraction AS BIGINT)
+                  END AS target_amplitude_hit,
+             outcome_linked AND NOT integrity_blocking AS in_analysis,
+             COALESCE(SUBSTR(ts_signal_id, 1, 3) = 'ts_', FALSE)
+               AS is_ts_trade
+      FROM rec2
+    ),
+    med AS (
+      SELECT QUANTILE_CONT(holding_days, 0.5) AS tp_med_raw,
+             CAST(FLOOR(QUANTILE_CONT(holding_days, 0.5)) AS BIGINT)
+               AS tp_med,
+             CAST(COUNT(*) AS BIGINT) AS tp_med_support
+      FROM rec3 WHERE in_analysis AND take_profit_hit
+    ),
+    rec4 AS (
+      SELECT r.*, m.tp_med_raw, m.tp_med, m.tp_med_support,
+             COALESCE(r.in_analysis AND r.take_profit_hit
+                      AND m.tp_med IS NOT NULL
+                      AND r.holding_days <= m.tp_med, FALSE)
+               AS fast_take_profit_hit
+      FROM rec3 r CROSS JOIN med m
+    ),
+    usable AS (
+      SELECT close_id, snr, ts_signal_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY snr, ts_signal_id) AS BIGINT)
+               - 1 AS idx,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_usable
+      FROM rec4 WHERE in_analysis AND snr IS NOT NULL
+    ),
+    bins AS (
+      SELECT close_id,
+             'snr_tercile_' || CAST(1 + (idx * 3) // n_usable AS VARCHAR)
+               AS snr_tercile
+      FROM usable
+    ),
+    recf AS (
+      SELECT r.*, b.snr_tercile
+      FROM rec4 r LEFT JOIN bins b ON b.close_id = r.close_id
+    )
+"""
+
+
+def _ola_recf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared attribution record frame (the ``recf`` CTE of `_OLA_SQL`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    # decimal-exact net so the exposed price quotients are bit-identical
+    # to the oracle (SURVEY §7.3 item 6: money sums in DECIMAL)
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+            F.min("l_tax").alias("ctax"),
+        )
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("oq"),
+            F.sum(net).alias("onet"),
+            F.min("l_shipdate").alias("oship"),
+            F.max("l_linestatus").alias("ostatus"),
+        )
+    )
+    audit = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.concat(F.lit("ts_"), F.col("o_orderkey").cast("string")).alias(
+            "aud_id"
+        ),
+        r6(
+            F.expr(
+                "CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT)"
+                " % 97 AS DOUBLE) * 3 / 97"
+            )
+        ).alias("snr"),
+        (F.lit(1) + F.col("o_orderkey") % 5).cast("bigint").alias(
+            "forecast_horizon"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "TRENDING")
+        .when(F.col("o_orderpriority") == "2-HIGH", "VOLATILE")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "NEUTRAL")
+        .alias("regime"),
+        r6(
+            F.col("o_totalprice").cast("double")
+            / 100
+            * (F.lit(104).cast("double") / 100)
+        ).alias("target_price"),
+        r6(
+            F.col("o_totalprice").cast("double")
+            / 100
+            * (F.lit(97).cast("double") / 100)
+        ).alias("stop_loss"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0,
+            r6((F.col("o_orderkey") % 41 - 20).cast("double") / 205),
+        ).alias("expected_return"),
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    key = F.col("c.l_orderkey")
+    rawt = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            key.alias("close_id"),
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string"))
+            .alias("ticker"),
+            F.when(F.col("ostatus") == "O", "BUY")
+            .otherwise("SELL")
+            .alias("forecast_direction"),
+            F.when(F.col("ctax") < 0.015, "STOP_LOSS")
+            .when(F.col("ctax") < 0.045, "TAKE_PROFIT")
+            .when(F.col("ctax") < 0.075, "SIGNAL_EXIT")
+            .otherwise("")
+            .alias("exit_reason"),
+            F.round((F.col("cnet") - F.col("onet")).cast("double"), 6).alias(
+                "pnl"
+            ),
+            r6(F.col("onet").cast("double") / F.col("oq")).alias(
+                "entry_price"
+            ),
+            r6(F.col("cnet").cast("double") / F.col("cq")).alias(
+                "exit_price"
+            ),
+            F.to_date("oship").alias("entry_d"),
+            F.to_date("cship").alias("close_d"),
+            F.datediff(F.to_date("cship"), F.to_date("oship"))
+            .cast("bigint")
+            .alias("holding_days"),
+            F.when(
+                key % 2 == 0,
+                F.concat(F.lit("ts_"), key.cast("string")),
+            )
+            .when(
+                key % 5 == 0,
+                F.concat(F.lit("llm_"), key.cast("string")),
+            )
+            .alias("ts_signal_id"),
+        )
+    )
+    pdiff = F.col("exit_price") - F.col("entry_price")
+    rec = (
+        rawt.join(audit, rawt.ts_signal_id == audit.aud_id, "left")
+        .withColumn("outcome_linked", F.col("aud_id").isNotNull())
+        .withColumn(
+            "realized_direction",
+            F.when(F.abs(pdiff) < 1e-9, "FLAT")
+            .when(pdiff > 0, "UP")
+            .otherwise("DOWN"),
+        )
+        .withColumn("causality_violation", F.col("close_d") < F.col("entry_d"))
+        .withColumn("missing_exit_reason", F.col("exit_reason") == "")
+        .drop("aud_id")
+    )
+    rec2 = (
+        rec.withColumn(
+            "integrity_blocking",
+            F.col("causality_violation") | F.col("missing_exit_reason"),
+        )
+        .withColumn(
+            "direction_match",
+            F.when(F.col("realized_direction") == "FLAT", F.lit(False)).otherwise(
+                (
+                    (F.col("forecast_direction") == "BUY")
+                    & (F.col("realized_direction") == "UP")
+                )
+                | (
+                    (F.col("forecast_direction") == "SELL")
+                    & (F.col("realized_direction") == "DOWN")
+                )
+            ),
+        )
+        .withColumn("take_profit_hit", F.col("exit_reason") == "TAKE_PROFIT")
+        .withColumn(
+            "rr_ratio",
+            F.when(
+                F.col("outcome_linked")
+                & (F.abs(F.col("entry_price") - F.col("stop_loss")) > 1e-9),
+                r6(
+                    F.abs(F.col("target_price") - F.col("entry_price"))
+                    / F.abs(F.col("entry_price") - F.col("stop_loss"))
+                ),
+            ),
+        )
+        .withColumn(
+            "target_amplitude_fraction",
+            F.when(
+                F.col("outcome_linked") & (F.abs(F.col("entry_price")) > 1e-9),
+                r6(
+                    F.abs(F.col("target_price") - F.col("entry_price"))
+                    / F.abs(F.col("entry_price"))
+                ),
+            ),
+        )
+    )
+    rec3 = (
+        rec2.withColumn(
+            "correct_direction_negative_pnl",
+            F.col("direction_match") & (F.col("pnl") < 0),
+        )
+        .withColumn(
+            "target_amplitude_hit",
+            F.when(
+                F.col("target_amplitude_fraction").isNotNull()
+                & F.col("expected_return").isNotNull(),
+                (
+                    F.abs(F.col("expected_return"))
+                    >= F.col("target_amplitude_fraction")
+                ).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "in_analysis",
+            F.col("outcome_linked") & ~F.col("integrity_blocking"),
+        )
+        .withColumn(
+            "is_ts_trade",
+            F.coalesce(
+                F.substring(F.col("ts_signal_id"), 1, 3) == "ts_",
+                F.lit(False),
+            ),
+        )
+        # one materialization feeds the median scalar, the tercile window
+        # and every downstream consumer (the ledger-frame pattern)
+        .localCheckpoint()
+    )
+    med = rec3.filter(F.col("in_analysis") & F.col("take_profit_hit")).agg(
+        F.expr("percentile(holding_days, 0.5)").alias("tp_med_raw"),
+        F.floor(F.expr("percentile(holding_days, 0.5)"))
+        .cast("bigint")
+        .alias("tp_med"),
+        F.count(F.lit(1)).cast("bigint").alias("tp_med_support"),
+    )
+    rec4 = rec3.crossJoin(F.broadcast(med)).withColumn(
+        "fast_take_profit_hit",
+        F.coalesce(
+            F.col("in_analysis")
+            & F.col("take_profit_hit")
+            & F.col("tp_med").isNotNull()
+            & (F.col("holding_days") <= F.col("tp_med")),
+            F.lit(False),
+        ),
+    )
+    usable = rec4.filter(
+        F.col("in_analysis") & F.col("snr").isNotNull()
+    ).select("close_id", "snr", "ts_signal_id")
+    nrow = usable.agg(F.count(F.lit(1)).cast("bigint").alias("n_usable"))
+    wbin = Window.orderBy("snr", "ts_signal_id")
+    bins = (
+        usable.withColumn(
+            "idx", F.row_number().over(wbin).cast("bigint") - 1
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "close_id",
+            F.concat(
+                F.lit("snr_tercile_"),
+                (F.expr("(idx * 3) div n_usable") + 1).cast("string"),
+            ).alias("snr_tercile"),
+        )
+    )
+    return rec4.join(bins, "close_id", "left")
+
+
+@query(
+    "outcome_linkage_attribution",
+    oracle=f"""
+    {_OLA_SQL}
+    SELECT close_id, ticker, ts_signal_id, regime, forecast_direction,
+           realized_direction, direction_match,
+           correct_direction_negative_pnl, outcome_linked, exit_reason,
+           pnl, holding_days, entry_price, exit_price, target_price,
+           stop_loss, expected_return, forecast_horizon, rr_ratio, snr,
+           snr_tercile, take_profit_hit, fast_take_profit_hit,
+           target_amplitude_fraction, target_amplitude_hit,
+           CASE WHEN integrity_blocking THEN 'HIGH' ELSE 'OK' END
+             AS integrity_status,
+           integrity_blocking, causality_violation, missing_exit_reason,
+           is_ts_trade,
+           NOT integrity_blocking AS counts_toward_readiness_denominator,
+           in_analysis AS counts_toward_linkage_denominator
+    FROM recf
+    """,
+)
+def outcome_linkage_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-grain closed-trade attribution with forecast linkage —
+    reference `scripts/outcome_linkage_attribution_report.py:195-295`
+    (`build_report` record loop): direction match vs realized move,
+    correct-direction-negative-PnL, CAUSALITY_VIOLATION /
+    MISSING_EXIT_REASON integrity reasons with the readiness/linkage
+    denominator flags (`:282-294`), rr_ratio from signal target/stop vs
+    trade entry (`:240-247`), take-profit + fast-take-profit (holding <=
+    floor(median TP holding), `:306-318`) and the equal-frequency SNR
+    tercile label (`:128-149`: global (snr, ts_signal_id) rank,
+    bin = idx*3 div n).
+
+    Scale: lot aggregations + equi-joins shuffle once on orderkey; the
+    audit join is an equi-join on the signal id. The only global sort is
+    the tercile rank over the AUDIT-LINKED analysis cohort — bounded by
+    audit volume, not corpus size (at 100 TB swap in approx-quantile
+    cuts; the reference semantics is itself a global sort). The fast-TP
+    median and bin count are broadcast one-row scalars."""
+    recf = _ola_recf(spark, sf_dir)
+    return recf.select(
+        "close_id",
+        "ticker",
+        "ts_signal_id",
+        "regime",
+        "forecast_direction",
+        "realized_direction",
+        "direction_match",
+        "correct_direction_negative_pnl",
+        "outcome_linked",
+        "exit_reason",
+        "pnl",
+        "holding_days",
+        "entry_price",
+        "exit_price",
+        "target_price",
+        "stop_loss",
+        "expected_return",
+        "forecast_horizon",
+        "rr_ratio",
+        "snr",
+        "snr_tercile",
+        "take_profit_hit",
+        "fast_take_profit_hit",
+        "target_amplitude_fraction",
+        "target_amplitude_hit",
+        F.when(F.col("integrity_blocking"), "HIGH")
+        .otherwise("OK")
+        .alias("integrity_status"),
+        "integrity_blocking",
+        "causality_violation",
+        "missing_exit_reason",
+        "is_ts_trade",
+        (~F.col("integrity_blocking")).alias(
+            "counts_toward_readiness_denominator"
+        ),
+        F.col("in_analysis").alias("counts_toward_linkage_denominator"),
+    )
+
+
+@query(
+    "attribution_snr_terciles",
+    oracle=f"""
+    {_OLA_SQL}
+    , tstats AS (
+      SELECT snr_tercile AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(snr) AS snr_min, MAX(snr) AS snr_max,
+             CAST(SUM(CASE WHEN take_profit_hit THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp_successes,
+             CAST(SUM(CASE WHEN fast_take_profit_hit THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fast_successes
+      FROM recf WHERE snr_tercile IS NOT NULL
+      GROUP BY snr_tercile
+    ),
+    post AS (
+      SELECT bin, n, snr_min, snr_max,
+             tp_successes, n - tp_successes AS tp_failures,
+             fast_successes, n - fast_successes AS fast_failures,
+             CAST(tp_successes + 1 AS DOUBLE) AS ta,
+             CAST(n - tp_successes + 1 AS DOUBLE) AS tb,
+             CAST(fast_successes + 1 AS DOUBLE) AS fa,
+             CAST(n - fast_successes + 1 AS DOUBLE) AS fb
+      FROM tstats
+    ),
+    post2 AS (
+      SELECT *,
+             ta / (ta + tb) AS tmean,
+             SQRT((ta * tb) / (((ta + tb) * (ta + tb)) * (ta + tb + 1)))
+               AS tsd,
+             fa / (fa + fb) AS fmean,
+             SQRT((fa * fb) / (((fa + fb) * (fa + fb)) * (fa + fb + 1)))
+               AS fsd
+      FROM post
+    )
+    SELECT bin, n, ROUND(snr_min, 6) AS snr_min,
+           ROUND(snr_max, 6) AS snr_max,
+           CASE WHEN n < 5 THEN 'low_sample' ELSE 'supported' END
+             AS reliability,
+           CAST(5 AS BIGINT) AS reliability_support_threshold,
+           tp_successes, tp_failures,
+           ROUND(tmean, 6) AS tp_posterior_mean,
+           ROUND(GREATEST(CAST(0 AS DOUBLE),
+                 tmean - CAST(1.959963984540054 AS DOUBLE) * tsd), 6)
+             AS tp_ci_lo,
+           ROUND(LEAST(CAST(1 AS DOUBLE),
+                 tmean + CAST(1.959963984540054 AS DOUBLE) * tsd), 6)
+             AS tp_ci_hi,
+           fast_successes, fast_failures,
+           ROUND(fmean, 6) AS fast_posterior_mean,
+           ROUND(GREATEST(CAST(0 AS DOUBLE),
+                 fmean - CAST(1.959963984540054 AS DOUBLE) * fsd), 6)
+             AS fast_ci_lo,
+           ROUND(LEAST(CAST(1 AS DOUBLE),
+                 fmean + CAST(1.959963984540054 AS DOUBLE) * fsd), 6)
+             AS fast_ci_hi
+    FROM post2
+    """,
+)
+def attribution_snr_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency SNR terciles with beta-binomial take-profit
+    posteriors — reference
+    `scripts/outcome_linkage_attribution_report.py:106-149,330-351`:
+    per-bin (successes+1, failures+1) posterior, mean and 95% interval.
+    The interval is the reference's documented no-scipy fallback branch
+    (`:120-127`: normal approximation on the posterior sd, clamped to
+    [0,1]) — same environment-forced path the reference ships without
+    scipy; this container has no scipy either.
+
+    Scale: the tercile label is computed once in the shared frame; this
+    is a 3-row bounded groupBy with closed-form posterior arithmetic."""
+    recf = _ola_recf(spark, sf_dir)
+    z = F.lit(_OLA_Z975)
+    t = (
+        recf.filter(F.col("snr_tercile").isNotNull())
+        .groupBy(F.col("snr_tercile").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("snr").alias("snr_min"),
+            F.max("snr").alias("snr_max"),
+            F.sum(F.col("take_profit_hit").cast("long"))
+            .cast("bigint")
+            .alias("tp_successes"),
+            F.sum(F.col("fast_take_profit_hit").cast("long"))
+            .cast("bigint")
+            .alias("fast_successes"),
+        )
+    )
+    ta = (F.col("tp_successes") + 1).cast("double")
+    tb = (F.col("n") - F.col("tp_successes") + 1).cast("double")
+    fa = (F.col("fast_successes") + 1).cast("double")
+    fb = (F.col("n") - F.col("fast_successes") + 1).cast("double")
+    tmean = ta / (ta + tb)
+    tsd = F.sqrt((ta * tb) / (((ta + tb) * (ta + tb)) * (ta + tb + 1)))
+    fmean = fa / (fa + fb)
+    fsd = F.sqrt((fa * fb) / (((fa + fb) * (fa + fb)) * (fa + fb + 1)))
+    return t.select(
+        "bin",
+        "n",
+        r6(F.col("snr_min")).alias("snr_min"),
+        r6(F.col("snr_max")).alias("snr_max"),
+        F.when(F.col("n") < 5, "low_sample")
+        .otherwise("supported")
+        .alias("reliability"),
+        F.lit(5).cast("bigint").alias("reliability_support_threshold"),
+        "tp_successes",
+        (F.col("n") - F.col("tp_successes")).alias("tp_failures"),
+        r6(tmean).alias("tp_posterior_mean"),
+        r6(F.greatest(F.lit(0.0), tmean - z * tsd)).alias("tp_ci_lo"),
+        r6(F.least(F.lit(1.0), tmean + z * tsd)).alias("tp_ci_hi"),
+        "fast_successes",
+        (F.col("n") - F.col("fast_successes")).alias("fast_failures"),
+        r6(fmean).alias("fast_posterior_mean"),
+        r6(F.greatest(F.lit(0.0), fmean - z * fsd)).alias("fast_ci_lo"),
+        r6(F.least(F.lit(1.0), fmean + z * fsd)).alias("fast_ci_hi"),
+    )
+
+
+@query(
+    "attribution_linkage_summary",
+    oracle=f"""
+    {_OLA_SQL}
+    , s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_closed_trades,
+             CAST(SUM(CASE WHEN outcome_linked THEN 1 ELSE 0 END)
+                  AS BIGINT) AS linked_closed_trades,
+             CAST(SUM(CASE WHEN in_analysis THEN 1 ELSE 0 END)
+                  AS BIGINT) AS analysis_closed_trades,
+             CAST(SUM(CASE WHEN is_ts_trade THEN 1 ELSE 0 END)
+                  AS BIGINT) AS total_ts_trades,
+             CAST(SUM(CASE WHEN is_ts_trade AND outcome_linked
+                      THEN 1 ELSE 0 END) AS BIGINT) AS linked_ts_trades,
+             CAST(SUM(CASE WHEN in_analysis AND take_profit_hit
+                      THEN 1 ELSE 0 END) AS BIGINT) AS take_profit_count,
+             CAST(SUM(CASE WHEN fast_take_profit_hit THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fast_take_profit_count,
+             CAST(SUM(CASE WHEN in_analysis
+                           AND LOWER(exit_reason) LIKE 'stop%'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS all_stop_loss_count,
+             CAST(SUM(CASE WHEN causality_violation THEN 1 ELSE 0 END)
+                  AS BIGINT) AS close_before_entry_count,
+             CAST(SUM(CASE WHEN missing_exit_reason THEN 1 ELSE 0 END)
+                  AS BIGINT) AS closed_missing_exit_reason_count,
+             CAST(SUM(CASE WHEN integrity_blocking THEN 1 ELSE 0 END)
+                  AS BIGINT) AS readiness_denominator_exclusion_count,
+             CAST(SUM(CASE WHEN in_analysis AND take_profit_hit
+                           AND pnl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp_support_count,
+             AVG(CASE WHEN in_analysis AND take_profit_hit AND pnl > 0
+                      THEN pnl END) AS tp_avg_raw,
+             AVG(CASE WHEN in_analysis
+                      AND LOWER(exit_reason) LIKE 'stop%'
+                      THEN ABS(pnl) END) AS stop_avg_raw,
+             MAX(tp_med_raw) AS tp_med_raw,
+             MAX(tp_med_support) AS tp_med_support
+      FROM recf
+    ),
+    s2 AS (
+      SELECT *,
+             CASE WHEN analysis_closed_trades > 0
+                  THEN CAST(take_profit_count AS DOUBLE)
+                       / analysis_closed_trades
+                  ELSE CAST(0 AS DOUBLE) END AS tp_rate_raw,
+             GREATEST(CAST(0 AS BIGINT), 30 - take_profit_count)
+               AS multiway_table_tp_needed,
+             tp_avg_raw IS NOT NULL AND stop_avg_raw IS NOT NULL
+               AND tp_support_count >= 5 AND all_stop_loss_count >= 5
+               AS threshold_observed
+      FROM s
+    )
+    SELECT total_closed_trades, linked_closed_trades,
+           ROUND(CAST(linked_closed_trades AS DOUBLE)
+                 / total_closed_trades, 6) AS linked_trade_ratio,
+           analysis_closed_trades,
+           ROUND(CAST(analysis_closed_trades AS DOUBLE)
+                 / total_closed_trades, 6) AS analysis_trade_ratio,
+           total_ts_trades, linked_ts_trades,
+           CASE WHEN total_ts_trades > 0
+                THEN ROUND(CAST(linked_ts_trades AS DOUBLE)
+                           / total_ts_trades, 6)
+                ELSE CAST(0 AS DOUBLE) END AS ts_trade_coverage,
+           take_profit_count,
+           ROUND(tp_rate_raw, 6) AS take_profit_rate,
+           fast_take_profit_count,
+           CASE WHEN analysis_closed_trades > 0
+                THEN ROUND(CAST(fast_take_profit_count AS DOUBLE)
+                           / analysis_closed_trades, 6)
+                ELSE CAST(0 AS DOUBLE) END AS fast_take_profit_rate,
+           ROUND(tp_med_raw, 6) AS median_tp_holding,
+           tp_med_support >= 10 AS fast_take_profit_median_reliable,
+           tp_med_support AS fast_take_profit_median_support,
+           ROUND(tp_avg_raw, 6) AS tp_avg_pnl,
+           ROUND(stop_avg_raw, 6) AS stop_avg_pnl,
+           CASE WHEN threshold_observed
+                     AND (tp_avg_raw + stop_avg_raw) > 0
+                THEN ROUND(stop_avg_raw / (tp_avg_raw + stop_avg_raw), 6)
+                ELSE ROUND(CAST(15 AS DOUBLE) / 100, 6) END
+             AS take_profit_filter_threshold,
+           CASE WHEN threshold_observed THEN 'observed'
+                ELSE 'fallback_0.15' END
+             AS take_profit_filter_threshold_source,
+           tp_support_count AS threshold_tp_support,
+           all_stop_loss_count AS threshold_stop_support,
+           CASE WHEN take_profit_count >= 30 THEN 'VISIBLE'
+                ELSE 'HIDDEN_UNTIL_SUPPORT' END AS multiway_table_status,
+           multiway_table_tp_needed,
+           CASE WHEN tp_rate_raw > 0
+                THEN ROUND(CAST(multiway_table_tp_needed AS DOUBLE)
+                           / tp_rate_raw, 2) END
+             AS multiway_table_estimated_trading_days,
+           all_stop_loss_count,
+           ROUND(CAST(all_stop_loss_count AS DOUBLE)
+                 / total_closed_trades, 6) AS all_stop_loss_rate,
+           close_before_entry_count, closed_missing_exit_reason_count,
+           close_before_entry_count + closed_missing_exit_reason_count
+             AS high_integrity_violation_count,
+           readiness_denominator_exclusion_count
+    FROM s2
+    """,
+)
+def attribution_linkage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row attribution summary — reference
+    `scripts/outcome_linkage_attribution_report.py:392-446` (`summary`
+    block): linkage/analysis coverage ratios, ts-trade coverage,
+    take-profit and fast-take-profit rates, the observed-vs-fallback
+    take-profit filter threshold ladder (`:412-419`: observed =
+    stop_avg/(tp_avg+stop_avg) when both sides have >=5 supporting
+    trades, else the 0.15 fallback), the multiway-table visibility gate
+    with its estimated-days-to-support projection (`:355-361`), and the
+    integrity-violation census.
+
+    Scale: one aggregation pass over the shared record frame plus the
+    broadcast fast-TP median scalars; everything downstream is scalar
+    arithmetic on a single row."""
+    recf = _ola_recf(spark, sf_dir)
+    b = lambda c: F.sum(c.cast("long")).cast("bigint")  # noqa: E731
+    stop_hit = F.lower(F.col("exit_reason")).startswith("stop")
+    s = recf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_closed_trades"),
+        b(F.col("outcome_linked")).alias("linked_closed_trades"),
+        b(F.col("in_analysis")).alias("analysis_closed_trades"),
+        b(F.col("is_ts_trade")).alias("total_ts_trades"),
+        b(F.col("is_ts_trade") & F.col("outcome_linked")).alias(
+            "linked_ts_trades"
+        ),
+        b(F.col("in_analysis") & F.col("take_profit_hit")).alias(
+            "take_profit_count"
+        ),
+        b(F.col("fast_take_profit_hit")).alias("fast_take_profit_count"),
+        b(F.col("in_analysis") & stop_hit).alias("all_stop_loss_count"),
+        b(F.col("causality_violation")).alias("close_before_entry_count"),
+        b(F.col("missing_exit_reason")).alias(
+            "closed_missing_exit_reason_count"
+        ),
+        b(F.col("integrity_blocking")).alias(
+            "readiness_denominator_exclusion_count"
+        ),
+        b(
+            F.col("in_analysis")
+            & F.col("take_profit_hit")
+            & (F.col("pnl") > 0)
+        ).alias("tp_support_count"),
+        F.avg(
+            F.when(
+                F.col("in_analysis")
+                & F.col("take_profit_hit")
+                & (F.col("pnl") > 0),
+                F.col("pnl"),
+            )
+        ).alias("tp_avg_raw"),
+        F.avg(
+            F.when(F.col("in_analysis") & stop_hit, F.abs(F.col("pnl")))
+        ).alias("stop_avg_raw"),
+        F.max("tp_med_raw").alias("tp_med_raw"),
+        F.max("tp_med_support").alias("tp_med_support"),
+    )
+    tp_rate_raw = F.when(
+        F.col("analysis_closed_trades") > 0,
+        F.col("take_profit_count").cast("double")
+        / F.col("analysis_closed_trades"),
+    ).otherwise(F.lit(0.0))
+    needed = F.greatest(
+        F.lit(0).cast("bigint"),
+        (F.lit(30) - F.col("take_profit_count")).cast("bigint"),
+    )
+    observed = (
+        F.col("tp_avg_raw").isNotNull()
+        & F.col("stop_avg_raw").isNotNull()
+        & (F.col("tp_support_count") >= 5)
+        & (F.col("all_stop_loss_count") >= 5)
+    )
+    s2 = s.select(
+        "*",
+        tp_rate_raw.alias("tp_rate_raw"),
+        needed.alias("multiway_table_tp_needed"),
+        observed.alias("threshold_observed"),
+    )
+    return s2.select(
+        "total_closed_trades",
+        "linked_closed_trades",
+        r6(
+            F.col("linked_closed_trades").cast("double")
+            / F.col("total_closed_trades")
+        ).alias("linked_trade_ratio"),
+        "analysis_closed_trades",
+        r6(
+            F.col("analysis_closed_trades").cast("double")
+            / F.col("total_closed_trades")
+        ).alias("analysis_trade_ratio"),
+        "total_ts_trades",
+        "linked_ts_trades",
+        F.when(
+            F.col("total_ts_trades") > 0,
+            r6(
+                F.col("linked_ts_trades").cast("double")
+                / F.col("total_ts_trades")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ts_trade_coverage"),
+        "take_profit_count",
+        r6(F.col("tp_rate_raw")).alias("take_profit_rate"),
+        "fast_take_profit_count",
+        F.when(
+            F.col("analysis_closed_trades") > 0,
+            r6(
+                F.col("fast_take_profit_count").cast("double")
+                / F.col("analysis_closed_trades")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fast_take_profit_rate"),
+        r6(F.col("tp_med_raw")).alias("median_tp_holding"),
+        (F.col("tp_med_support") >= 10).alias(
+            "fast_take_profit_median_reliable"
+        ),
+        F.col("tp_med_support").alias("fast_take_profit_median_support"),
+        r6(F.col("tp_avg_raw")).alias("tp_avg_pnl"),
+        r6(F.col("stop_avg_raw")).alias("stop_avg_pnl"),
+        F.when(
+            F.col("threshold_observed")
+            & ((F.col("tp_avg_raw") + F.col("stop_avg_raw")) > 0),
+            r6(
+                F.col("stop_avg_raw")
+                / (F.col("tp_avg_raw") + F.col("stop_avg_raw"))
+            ),
+        )
+        .otherwise(r6(F.lit(15).cast("double") / 100))
+        .alias("take_profit_filter_threshold"),
+        F.when(F.col("threshold_observed"), "observed")
+        .otherwise("fallback_0.15")
+        .alias("take_profit_filter_threshold_source"),
+        F.col("tp_support_count").alias("threshold_tp_support"),
+        F.col("all_stop_loss_count").alias("threshold_stop_support"),
+        F.when(F.col("take_profit_count") >= 30, "VISIBLE")
+        .otherwise("HIDDEN_UNTIL_SUPPORT")
+        .alias("multiway_table_status"),
+        "multiway_table_tp_needed",
+        F.when(
+            F.col("tp_rate_raw") > 0,
+            F.round(
+                F.col("multiway_table_tp_needed").cast("double")
+                / F.col("tp_rate_raw"),
+                2,
+            ),
+        ).alias("multiway_table_estimated_trading_days"),
+        "all_stop_loss_count",
+        r6(
+            F.col("all_stop_loss_count").cast("double")
+            / F.col("total_closed_trades")
+        ).alias("all_stop_loss_rate"),
+        "close_before_entry_count",
+        "closed_missing_exit_reason_count",
+        (
+            F.col("close_before_entry_count")
+            + F.col("closed_missing_exit_reason_count")
+        ).alias("high_integrity_violation_count"),
+        "readiness_denominator_exclusion_count",
+    )
+
+
+@query(
+    "attribution_multiway_table",
+    oracle=f"""
+    {_OLA_SQL}
+    , medsnr AS (
+      SELECT AVG(snr) AS snr_med FROM usable
+      WHERE idx + 1 IN ((n_usable + 1) // 2, (n_usable + 2) // 2)
+    ),
+    gate AS (
+      SELECT CAST(SUM(CASE WHEN in_analysis AND take_profit_hit
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp_cnt
+      FROM recf
+    )
+    SELECT CASE WHEN m.snr_med IS NOT NULL AND r.snr >= m.snr_med
+                THEN 'high' ELSE 'low' END AS snr_side,
+           CASE WHEN r.rr_ratio >= CAST(2 AS DOUBLE)
+                THEN 'high' ELSE 'low' END AS rr_side,
+           COALESCE(r.regime, 'UNKNOWN') AS regime,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN r.take_profit_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS take_profit,
+           CAST(SUM(CASE WHEN r.fast_take_profit_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS fast_take_profit,
+           ROUND(CAST(SUM(CASE WHEN r.take_profit_hit THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS take_profit_rate,
+           ROUND(CAST(SUM(CASE WHEN r.fast_take_profit_hit
+                          THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS fast_take_profit_rate
+    FROM recf r CROSS JOIN medsnr m CROSS JOIN gate g
+    WHERE r.in_analysis AND r.snr IS NOT NULL AND r.rr_ratio IS NOT NULL
+      AND g.tp_cnt >= 30
+    GROUP BY 1, 2, 3
+    """,
+)
+def attribution_multiway_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway (snr-side x rr-side x regime) take-profit table —
+    reference `scripts/outcome_linkage_attribution_report.py:352-390`:
+    hidden until >=30 linked take-profit records (the gate empties the
+    result below support, mirroring `multiway_table_status`), splits on
+    the SNR median and the rr>=2.0 threshold, regime NULL folded to
+    UNKNOWN. The SNR median is the exact rank-midpoint average (the
+    reference's `statistics.median`), computed identically on both
+    sides rather than by interpolated-percentile so a record whose SNR
+    equals the cut lands on the same side in Spark and the oracle.
+
+    Scale: the median picks two rows by global rank over the linked
+    cohort (audit-bounded); cells are a bounded 2x2xR groupBy; the gate
+    and median are broadcast one-row scalars."""
+    recf = _ola_recf(spark, sf_dir)
+    usable = recf.filter(
+        F.col("in_analysis") & F.col("snr").isNotNull()
+    ).select("close_id", "snr", "ts_signal_id")
+    nrow = usable.agg(F.count(F.lit(1)).cast("bigint").alias("n_usable"))
+    wbin = Window.orderBy("snr", "ts_signal_id")
+    medsnr = (
+        usable.withColumn("rn", F.row_number().over(wbin).cast("bigint"))
+        .crossJoin(F.broadcast(nrow))
+        .filter(
+            (F.col("rn") == F.expr("(n_usable + 1) div 2"))
+            | (F.col("rn") == F.expr("(n_usable + 2) div 2"))
+        )
+        .agg(F.avg("snr").alias("snr_med"))
+    )
+    gate = recf.agg(
+        F.sum((F.col("in_analysis") & F.col("take_profit_hit")).cast("long"))
+        .cast("bigint")
+        .alias("tp_cnt")
+    )
+    return (
+        recf.filter(
+            F.col("in_analysis")
+            & F.col("snr").isNotNull()
+            & F.col("rr_ratio").isNotNull()
+        )
+        .crossJoin(F.broadcast(medsnr))
+        .crossJoin(F.broadcast(gate))
+        .filter(F.col("tp_cnt") >= 30)
+        .groupBy(
+            F.when(
+                F.col("snr_med").isNotNull()
+                & (F.col("snr") >= F.col("snr_med")),
+                "high",
+            )
+            .otherwise("low")
+            .alias("snr_side"),
+            F.when(F.col("rr_ratio") >= F.lit(2).cast("double"), "high")
+            .otherwise("low")
+            .alias("rr_side"),
+            F.coalesce(F.col("regime"), F.lit("UNKNOWN")).alias("regime"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("take_profit_hit").cast("long"))
+            .cast("bigint")
+            .alias("take_profit"),
+            F.sum(F.col("fast_take_profit_hit").cast("long"))
+            .cast("bigint")
+            .alias("fast_take_profit"),
+        )
+        .select(
+            "snr_side",
+            "rr_side",
+            "regime",
+            "n",
+            "take_profit",
+            "fast_take_profit",
+            r6(F.col("take_profit").cast("double") / F.col("n")).alias(
+                "take_profit_rate"
+            ),
+            r6(F.col("fast_take_profit").cast("double") / F.col("n")).alias(
+                "fast_take_profit_rate"
+            ),
+        )
+    )
