@@ -5581,3 +5581,575 @@ def attribution_multiway_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-dataset curation: fail-closed eligibility gating + exclusion
+# censuses over the trades and forecast-audit frames
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/build_training_dataset.py`: eligibility-state ladder
+# (`:42-63`: HEALTHY-only set; an eligibility source that explicitly yields
+# ZERO healthy tickers fails CLOSED — empty outputs, never include-all),
+# the production-closed-trades curation with date-cutoff and healthy-ticker
+# exclusion censuses (`:75-135`: confidence = COALESCE(base_confidence,
+# confidence_calibrated, effective_confidence)), the forecast-audit frame
+# with format/date/ticker exclusions and the ensemble-vs-best-single
+# rmse_ratio (`:137-205`), and the summary block with the
+# low-ticker-diversity warning and PASS/WARN status fold (`:206-290`).
+# The healthy set composes this pack's `ticker_eligibility_classification`
+# (reference `compute_ticker_eligibility.py`) — same status ladder, same
+# constants — so curation consumes the eligibility artifact exactly as the
+# reference pipeline does.
+_TCU_MIN_DATE = "1995-06-01"  # PHASE_715F_CUTOFF equivalent (`:40`)
+
+_TCU_SQL = f"""
+    , healthy AS (
+      SELECT ticker FROM cls
+      WHERE ticker <> 'T7' AND n_trades >= {_ELG_HEALTHY_N}
+        AND omega >= {_ELG_OMEGA_FLOOR}
+        AND payoff_eff >= {_ELG_PAYOFF_FLOOR}
+        AND tp_freq >= {_ELG_TP_FLOOR}
+    ),
+    hcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_healthy FROM healthy),
+    cmx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ccloses AS (
+      SELECT l.l_orderkey,
+             SUM(l.l_quantity) AS cq,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(5,2))) AS cnet,
+             MAX(l.l_shipdate) AS cship,
+             MIN(l.l_tax) AS ctax
+      FROM lineitem l
+      JOIN cmx ON cmx.l_orderkey = l.l_orderkey
+              AND l.l_linenumber = cmx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    copens AS (
+      SELECT l_orderkey,
+             SUM(l_quantity) AS oq,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(5,2))) AS onet,
+             MIN(l_shipdate) AS oship,
+             MAX(l_linestatus) AS ostatus
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    ctr AS (
+      SELECT c.l_orderkey AS id,
+             'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             CAST(c.cship AS DATE) AS trade_date,
+             CASE WHEN op.ostatus = 'O' THEN 'BUY' ELSE 'SELL' END
+               AS action,
+             ROUND(CAST(op.onet AS DOUBLE) / op.oq, 6) AS price,
+             ROUND(CAST(c.cnet AS DOUBLE) / c.cq, 6) AS exit_price,
+             ROUND(CAST(c.cnet - op.onet AS DOUBLE), 6) AS realized_pnl,
+             CAST(DATEDIFF('day', CAST(op.oship AS DATE),
+                           CAST(c.cship AS DATE)) AS BIGINT)
+               AS holding_period_days,
+             CASE WHEN c.ctax < 0.015 THEN 'STOP_LOSS'
+                  WHEN c.ctax < 0.045 THEN 'TIME_EXIT'
+                  WHEN c.ctax < 0.075 THEN 'TAKE_PROFIT'
+                  ELSE 'OTHER' END AS exit_reason,
+             ROUND(COALESCE(
+               CASE WHEN c.l_orderkey % 3 = 0
+                    THEN CAST(c.l_orderkey % 100 AS DOUBLE) / 100 END,
+               CASE WHEN c.l_orderkey % 3 = 1
+                    THEN CAST(c.l_orderkey % 83 AS DOUBLE) / 83 END,
+               CASE WHEN c.l_orderkey % 3 = 2
+                    THEN CAST(c.l_orderkey % 61 AS DOUBLE) / 61 END), 6)
+               AS confidence,
+             CASE WHEN c.l_orderkey % 2 = 0
+                    THEN 'ts_' || CAST(c.l_orderkey AS VARCHAR)
+                  WHEN c.l_orderkey % 5 = 0
+                    THEN 'llm_' || CAST(c.l_orderkey AS VARCHAR) END
+               AS ts_signal_id
+      FROM ccloses c
+      JOIN copens op ON op.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND op.oq > 0 AND c.cq > 0
+    ),
+    ctr_dated AS (
+      SELECT * FROM ctr WHERE trade_date >= DATE '{_TCU_MIN_DATE}'
+    ),
+    ctr_kept AS (
+      SELECT t.* FROM ctr_dated t
+      JOIN healthy h ON h.ticker = t.ticker
+      CROSS JOIN hcnt WHERE hcnt.n_healthy > 0
+    ),
+    aud_raw AS (
+      SELECT 'forecast_audit_' || CAST(o_orderkey AS VARCHAR) AS file,
+             'T' || CAST(o_custkey % 25 AS VARCHAR) AS ticker,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 180 AS INT) AS window_end,
+             o_orderkey % 7 <> 0 AS valid_format,
+             ROUND(CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT)
+                        % 211 AS DOUBLE) / 100
+                   + CAST(5 AS DOUBLE) / 100, 6) AS ensemble_rmse,
+             ROUND(CAST(o_orderkey % 157 AS DOUBLE) / 100
+                   + CAST(5 AS DOUBLE) / 100, 6) AS best_single_rmse,
+             CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'SARIMAX'
+                  WHEN 1 THEN 'ARIMA' WHEN 2 THEN 'GARCH'
+                  ELSE 'SAMOSSA' END AS best_single_model,
+             CASE WHEN o_orderkey % 11 <> 0
+                  THEN ROUND(CAST(o_orderkey % 53 AS DOUBLE) / 53, 6) END
+               AS lift_fraction_global
+      FROM orders WHERE o_orderkey % 6 = 3
+    ),
+    aud_valid AS (SELECT * FROM aud_raw WHERE valid_format),
+    aud_dated AS (
+      SELECT * FROM aud_valid WHERE window_end >= DATE '{_TCU_MIN_DATE}'
+    ),
+    aud_kept AS (
+      SELECT a.file, a.ticker, a.window_end,
+             a.ensemble_rmse, a.best_single_rmse, a.best_single_model,
+             ROUND(a.ensemble_rmse / a.best_single_rmse, 6) AS rmse_ratio,
+             a.lift_fraction_global
+      FROM aud_dated a
+      JOIN healthy h ON h.ticker = a.ticker
+      CROSS JOIN hcnt WHERE hcnt.n_healthy > 0
+    )
+"""
+
+
+def _tcu_healthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEALTHY ticker set from the eligibility classification artifact.
+
+    Checkpointed: the count gate and the semi join both consume it, and
+    the eligibility lineage (two rank windows + three joins) should run
+    once per query, not once per consumer."""
+    return (
+        ticker_eligibility_classification(spark, sf_dir)
+        .filter(F.col("status") == "HEALTHY")
+        .select("ticker")
+        .localCheckpoint()
+    )
+
+
+def _tcu_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation trade source frame (the ``ctr`` CTE of `_TCU_SQL`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+            F.min("l_tax").alias("ctax"),
+        )
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("oq"),
+            F.sum(net).alias("onet"),
+            F.min("l_shipdate").alias("oship"),
+            F.max("l_linestatus").alias("ostatus"),
+        )
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    key = F.col("c.l_orderkey")
+    return (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
+        .select(
+            key.alias("id"),
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string"))
+            .alias("ticker"),
+            F.to_date("cship").alias("trade_date"),
+            F.when(F.col("ostatus") == "O", "BUY")
+            .otherwise("SELL")
+            .alias("action"),
+            r6(F.col("onet").cast("double") / F.col("oq")).alias("price"),
+            r6(F.col("cnet").cast("double") / F.col("cq")).alias(
+                "exit_price"
+            ),
+            F.round((F.col("cnet") - F.col("onet")).cast("double"), 6).alias(
+                "realized_pnl"
+            ),
+            F.datediff(F.to_date("cship"), F.to_date("oship"))
+            .cast("bigint")
+            .alias("holding_period_days"),
+            F.when(F.col("ctax") < 0.015, "STOP_LOSS")
+            .when(F.col("ctax") < 0.045, "TIME_EXIT")
+            .when(F.col("ctax") < 0.075, "TAKE_PROFIT")
+            .otherwise("OTHER")
+            .alias("exit_reason"),
+            r6(
+                F.coalesce(
+                    F.when(
+                        key % 3 == 0, (key % 100).cast("double") / 100
+                    ),
+                    F.when(key % 3 == 1, (key % 83).cast("double") / 83),
+                    F.when(key % 3 == 2, (key % 61).cast("double") / 61),
+                )
+            ).alias("confidence"),
+            F.when(
+                key % 2 == 0, F.concat(F.lit("ts_"), key.cast("string"))
+            )
+            .when(key % 5 == 0, F.concat(F.lit("llm_"), key.cast("string")))
+            .alias("ts_signal_id"),
+        )
+    )
+
+
+def _tcu_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-audit source frame (the ``aud_raw`` CTE of `_TCU_SQL`)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    return o.filter(key % 6 == 3).select(
+        F.concat(F.lit("forecast_audit_"), key.cast("string")).alias("file"),
+        F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
+            "ticker"
+        ),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE),"
+            " CAST(o_orderkey % 180 AS INT))"
+        ).alias("window_end"),
+        (key % 7 != 0).alias("valid_format"),
+        r6(
+            F.expr(
+                "CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT)"
+                " % 211 AS DOUBLE) / 100"
+            )
+            + F.lit(5).cast("double") / 100
+        ).alias("ensemble_rmse"),
+        r6(
+            (key % 157).cast("double") / 100 + F.lit(5).cast("double") / 100
+        ).alias("best_single_rmse"),
+        F.when(key % 4 == 0, "SARIMAX")
+        .when(key % 4 == 1, "ARIMA")
+        .when(key % 4 == 2, "GARCH")
+        .otherwise("SAMOSSA")
+        .alias("best_single_model"),
+        F.when(key % 11 != 0, r6((key % 53).cast("double") / 53)).alias(
+            "lift_fraction_global"
+        ),
+    )
+
+
+@query(
+    "training_curation_trades",
+    oracle=f"""
+    {_ELG_SQL}{_TCU_SQL}
+    SELECT id, ticker, trade_date, action, price, exit_price,
+           realized_pnl, holding_period_days, exit_reason, confidence,
+           ts_signal_id
+    FROM ctr_kept
+    """,
+)
+def training_curation_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated training trades — reference
+    `scripts/build_training_dataset.py:75-135` (`_build_trades_df`):
+    production closed trades with the COALESCE(base_confidence,
+    confidence_calibrated, effective_confidence) ladder (`:99-103`),
+    date-cutoff filter, HEALTHY-ticker filter from the eligibility
+    artifact, and the fail-closed rule — an eligibility state with zero
+    HEALTHY tickers yields an EMPTY dataset, never include-all
+    (`:214-235`).
+
+    Scale: lot aggregation + equi-joins shuffle once on orderkey; the
+    healthy set is a per-ticker (bounded-cardinality) broadcast; the
+    fail-closed gate is a one-row broadcast scalar."""
+    healthy = _tcu_healthy(spark, sf_dir)
+    hcnt = healthy.agg(F.count(F.lit(1)).cast("bigint").alias("n_healthy"))
+    return (
+        _tcu_trades(spark, sf_dir)
+        .filter(F.col("trade_date") >= F.lit(_TCU_MIN_DATE).cast("date"))
+        .join(healthy, "ticker", "left_semi")
+        .crossJoin(F.broadcast(hcnt))
+        .filter(F.col("n_healthy") > 0)
+        .select(
+            "id",
+            "ticker",
+            "trade_date",
+            "action",
+            "price",
+            "exit_price",
+            "realized_pnl",
+            "holding_period_days",
+            "exit_reason",
+            "confidence",
+            "ts_signal_id",
+        )
+    )
+
+
+@query(
+    "training_curation_audits",
+    oracle=f"""
+    {_ELG_SQL}{_TCU_SQL}
+    SELECT file, ticker, window_end, ensemble_rmse, best_single_rmse,
+           best_single_model, rmse_ratio, lift_fraction_global
+    FROM aud_kept
+    """,
+)
+def training_curation_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated forecast-audit frame — reference
+    `scripts/build_training_dataset.py:137-205` (`_build_audits_df`):
+    format-invalid payloads dropped first, then the window-end date
+    cutoff, then the HEALTHY-ticker filter; each kept audit carries the
+    ensemble-vs-best-single `rmse_ratio` (`:186-193`, `_safe_ratio`
+    guard) and the global lift fraction. Fail-closed like the trades
+    half.
+
+    Scale: a single filtered scan of the audit dimension + a bounded
+    per-ticker semi join; no shuffle beyond the semi join."""
+    healthy = _tcu_healthy(spark, sf_dir)
+    hcnt = healthy.agg(F.count(F.lit(1)).cast("bigint").alias("n_healthy"))
+    return (
+        _tcu_audits(spark, sf_dir)
+        .filter(F.col("valid_format"))
+        .filter(F.col("window_end") >= F.lit(_TCU_MIN_DATE).cast("date"))
+        .join(healthy, "ticker", "left_semi")
+        .crossJoin(F.broadcast(hcnt))
+        .filter(F.col("n_healthy") > 0)
+        .select(
+            "file",
+            "ticker",
+            "window_end",
+            "ensemble_rmse",
+            "best_single_rmse",
+            "best_single_model",
+            r6(F.col("ensemble_rmse") / F.col("best_single_rmse")).alias(
+                "rmse_ratio"
+            ),
+            "lift_fraction_global",
+        )
+    )
+
+
+@query(
+    "training_curation_summary",
+    oracle=f"""
+    {_ELG_SQL}{_TCU_SQL}
+    , tstat AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t_total,
+             CAST(SUM(CASE WHEN t.trade_date < DATE '{_TCU_MIN_DATE}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS t_excl_date,
+             CAST(SUM(CASE WHEN t.trade_date >= DATE '{_TCU_MIN_DATE}'
+                           AND h.ticker IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS t_excl_ticker,
+             CAST(SUM(CASE WHEN t.trade_date >= DATE '{_TCU_MIN_DATE}'
+                           AND h.ticker IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS t_kept,
+             CAST(COUNT(DISTINCT CASE
+                    WHEN t.trade_date >= DATE '{_TCU_MIN_DATE}'
+                         AND h.ticker IS NOT NULL
+                    THEN t.ticker END) AS BIGINT) AS t_tickers
+      FROM ctr t LEFT JOIN healthy h ON h.ticker = t.ticker
+    ),
+    astat AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS a_total,
+             CAST(SUM(CASE WHEN NOT a.valid_format THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a_excl_format,
+             CAST(SUM(CASE WHEN a.valid_format
+                           AND a.window_end < DATE '{_TCU_MIN_DATE}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a_excl_date,
+             CAST(SUM(CASE WHEN a.valid_format
+                           AND a.window_end >= DATE '{_TCU_MIN_DATE}'
+                           AND h.ticker IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a_excl_ticker,
+             CAST(SUM(CASE WHEN a.valid_format
+                           AND a.window_end >= DATE '{_TCU_MIN_DATE}'
+                           AND h.ticker IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a_kept
+      FROM aud_raw a LEFT JOIN healthy h ON h.ticker = a.ticker
+    ),
+    fold AS (
+      SELECT hcnt.n_healthy = 0 AS fail_closed, hcnt.n_healthy,
+             t.*, a.*
+      FROM hcnt CROSS JOIN tstat t CROSS JOIN astat a
+    )
+    SELECT CASE WHEN fail_closed THEN 'explicit_zero_healthy'
+                ELSE 'healthy_only' END AS eligibility_mode,
+           fail_closed,
+           CASE WHEN fail_closed
+                THEN 'eligibility_exists_with_zero_healthy_tickers' END
+             AS fail_closed_reason,
+           n_healthy AS n_healthy_tickers,
+           CASE WHEN fail_closed THEN 0 ELSE t_total END
+             AS trades_n_total,
+           CASE WHEN fail_closed THEN 0 ELSE t_excl_date END
+             AS trades_n_excluded_date,
+           CASE WHEN fail_closed THEN 0 ELSE t_excl_ticker END
+             AS trades_n_excluded_ticker,
+           CASE WHEN fail_closed THEN 0 ELSE t_kept END
+             AS trades_n_filtered,
+           CASE WHEN fail_closed THEN 0 ELSE t_tickers END
+             AS trades_n_tickers_included,
+           CASE WHEN fail_closed THEN 'skipped (fail-closed)'
+                WHEN t_kept = 0 THEN 'skipped (empty dataset)'
+                ELSE 'data/training/trades_filtered.parquet' END
+             AS trades_output,
+           CASE WHEN fail_closed THEN 0 ELSE a_total END
+             AS audits_n_total,
+           CASE WHEN fail_closed THEN 0 ELSE a_excl_format END
+             AS audits_n_excluded_format,
+           CASE WHEN fail_closed THEN 0 ELSE a_excl_date END
+             AS audits_n_excluded_date,
+           CASE WHEN fail_closed THEN 0 ELSE a_excl_ticker END
+             AS audits_n_excluded_ticker,
+           CASE WHEN fail_closed THEN 0 ELSE a_kept END
+             AS audits_n_filtered,
+           CASE WHEN fail_closed THEN 'skipped (fail-closed)'
+                WHEN a_kept = 0 THEN 'skipped (empty dataset)'
+                ELSE 'data/training/audits_filtered.parquet' END
+             AS audits_output,
+           NOT fail_closed AND t_kept > 0 AND t_tickers < 2
+             AS warn_low_ticker_diversity,
+           CASE WHEN fail_closed
+                     OR (NOT fail_closed AND t_kept > 0 AND t_tickers < 2)
+                THEN 'WARN' ELSE 'PASS' END AS status
+    FROM fold
+    """,
+)
+def training_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row curation summary — reference
+    `scripts/build_training_dataset.py:206-290`
+    (`build_training_datasets`): eligibility mode + fail-closed reason,
+    both exclusion censuses (date/ticker for trades,
+    format/date/ticker for audits — zeroed under fail-closed exactly as
+    the reference skips the build), output-path ladder (fail-closed /
+    empty-dataset / written), the <2-ticker low-diversity warning
+    (`:270-276`) and the PASS/WARN status fold.
+
+    Scale: two conditional-aggregation passes (trades, audits) with a
+    bounded per-ticker broadcast join; the fold is scalar arithmetic on
+    one row."""
+    healthy = _tcu_healthy(spark, sf_dir)
+    hcnt = healthy.agg(F.count(F.lit(1)).cast("bigint").alias("n_healthy"))
+    cutoff = F.lit(_TCU_MIN_DATE).cast("date")
+    t = (
+        _tcu_trades(spark, sf_dir)
+        .join(
+            healthy.select(F.col("ticker").alias("h_ticker")),
+            F.col("ticker") == F.col("h_ticker"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("t_total"),
+            F.sum((F.col("trade_date") < cutoff).cast("long"))
+            .cast("bigint")
+            .alias("t_excl_date"),
+            F.sum(
+                (
+                    (F.col("trade_date") >= cutoff)
+                    & F.col("h_ticker").isNull()
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("t_excl_ticker"),
+            F.sum(
+                (
+                    (F.col("trade_date") >= cutoff)
+                    & F.col("h_ticker").isNotNull()
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("t_kept"),
+            F.countDistinct(
+                F.when(
+                    (F.col("trade_date") >= cutoff)
+                    & F.col("h_ticker").isNotNull(),
+                    F.col("ticker"),
+                )
+            )
+            .cast("bigint")
+            .alias("t_tickers"),
+        )
+    )
+    a = (
+        _tcu_audits(spark, sf_dir)
+        .join(
+            healthy.select(F.col("ticker").alias("h_ticker")),
+            F.col("ticker") == F.col("h_ticker"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("a_total"),
+            F.sum((~F.col("valid_format")).cast("long"))
+            .cast("bigint")
+            .alias("a_excl_format"),
+            F.sum(
+                (
+                    F.col("valid_format") & (F.col("window_end") < cutoff)
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("a_excl_date"),
+            F.sum(
+                (
+                    F.col("valid_format")
+                    & (F.col("window_end") >= cutoff)
+                    & F.col("h_ticker").isNull()
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("a_excl_ticker"),
+            F.sum(
+                (
+                    F.col("valid_format")
+                    & (F.col("window_end") >= cutoff)
+                    & F.col("h_ticker").isNotNull()
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("a_kept"),
+        )
+    )
+    fold = hcnt.crossJoin(t).crossJoin(a).withColumn(
+        "fail_closed", F.col("n_healthy") == 0
+    )
+    fc = F.col("fail_closed")
+    z = lambda c: F.when(fc, F.lit(0).cast("bigint")).otherwise(c)  # noqa: E731
+    warn_div = ~fc & (F.col("t_kept") > 0) & (F.col("t_tickers") < 2)
+    return fold.select(
+        F.when(fc, "explicit_zero_healthy")
+        .otherwise("healthy_only")
+        .alias("eligibility_mode"),
+        fc.alias("fail_closed"),
+        F.when(fc, "eligibility_exists_with_zero_healthy_tickers").alias(
+            "fail_closed_reason"
+        ),
+        F.col("n_healthy").alias("n_healthy_tickers"),
+        z(F.col("t_total")).alias("trades_n_total"),
+        z(F.col("t_excl_date")).alias("trades_n_excluded_date"),
+        z(F.col("t_excl_ticker")).alias("trades_n_excluded_ticker"),
+        z(F.col("t_kept")).alias("trades_n_filtered"),
+        z(F.col("t_tickers")).alias("trades_n_tickers_included"),
+        F.when(fc, "skipped (fail-closed)")
+        .when(F.col("t_kept") == 0, "skipped (empty dataset)")
+        .otherwise("data/training/trades_filtered.parquet")
+        .alias("trades_output"),
+        z(F.col("a_total")).alias("audits_n_total"),
+        z(F.col("a_excl_format")).alias("audits_n_excluded_format"),
+        z(F.col("a_excl_date")).alias("audits_n_excluded_date"),
+        z(F.col("a_excl_ticker")).alias("audits_n_excluded_ticker"),
+        z(F.col("a_kept")).alias("audits_n_filtered"),
+        F.when(fc, "skipped (fail-closed)")
+        .when(F.col("a_kept") == 0, "skipped (empty dataset)")
+        .otherwise("data/training/audits_filtered.parquet")
+        .alias("audits_output"),
+        warn_div.alias("warn_low_ticker_diversity"),
+        F.when(fc | warn_div, "WARN").otherwise("PASS").alias("status"),
+    )
