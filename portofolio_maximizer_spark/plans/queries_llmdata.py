@@ -2216,3 +2216,511 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_cpt_p90"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# L35 — LLM fine-tune dataset preparation (extraction ladder + secret
+# redaction + keep-first dedupe + tail cap)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/prepare_llm_finetune_dataset.py`: per-event-type
+# extraction ladder (`:84-160` `_extract_record`: llm_request /
+# orchestration / tool_call / self_improvement, empty-field rejection),
+# three-pattern secret redaction (`:33-50`: sk- keys, Bearer tokens,
+# base64-ish >=32 runs -> '[REDACTED]', then strip), order-preserving
+# sha256(source|instruction|output|labels_json) dedupe keeping the FIRST
+# occurrence (`:161-174`), and the tail cap `deduped[-max_records:]`
+# (`:247-249`). The events table plays the activity log: view ->
+# llm_request, click -> orchestration, purchase -> tool_call, error ->
+# self_improvement, signup -> unrecognized; prompt/response previews are
+# synthesized deterministically with planted sk-/Bearer/base64 secrets so
+# redaction (and redaction-induced dedupe) has real support. Lookback =
+# 14 days from the corpus max date (the reference's now-14d file cutoff).
+# Self-improvement label payloads mirror json.dumps(sort_keys=True):
+# '{"applied": ..., "approved": ..., "resolved": ...}'.
+_FTD_MAX = 500  # max_records equivalent (`:272`, scaled to the corpus)
+
+# RE2-and-Java-safe redaction patterns (reference `:33-38`), applied in
+# reference order. Doubled braces survive the f-string render below.
+_FTD_PATTERNS = (
+    r"\bsk-[A-Za-z0-9_-]{16,}\b",
+    r"(?i)\bBearer\s+[A-Za-z0-9\-\._~\+/=]{16,}\b",
+    r"\b[A-Za-z0-9+/]{32,}={0,2}\b",
+)
+
+
+def _ftd_redact_sql(col: str) -> str:
+    out = col
+    for pat in _FTD_PATTERNS:
+        esc = pat.replace("'", "''")
+        out = f"REGEXP_REPLACE({out}, '{esc}', '[REDACTED]', 'g')"
+    return f"TRIM({out})"
+
+
+def _ftd_redact_spark(col):
+    out = col
+    for pat in _FTD_PATTERNS:
+        out = F.regexp_replace(out, pat, "[REDACTED]")
+    return F.trim(out)
+
+
+_FTD_SQL = f"""
+    WITH cutoff AS (
+      SELECT CAST(MAX(ts) AS DATE) - 14 AS cut FROM events
+    ),
+    src AS (
+      SELECT e.event_id, e.ts, e.user_id, e.event_type,
+             json_extract_string(e.props, '$.k') AS k
+      FROM events e CROSS JOIN cutoff c
+      WHERE CAST(e.ts AS DATE) >= c.cut
+    ),
+    ext0 AS (
+      SELECT event_id, ts, user_id, event_type, k,
+             CAST(k AS BIGINT) AS kn
+      FROM src
+      WHERE event_type IN ('view', 'click', 'purchase', 'error')
+    ),
+    ext1 AS (
+      SELECT *,
+             CASE event_type
+               WHEN 'view' THEN 'llm_request'
+               WHEN 'click' THEN 'orchestration'
+               WHEN 'purchase' THEN 'tool_call'
+               ELSE 'self_improvement' END AS source,
+             'tool_' || CAST(kn % 5 AS VARCHAR) AS tool,
+             'etl/module_' || CAST(kn % 9 AS VARCHAR) || '.py' AS target,
+             CASE WHEN event_id % 13 = 0 THEN ''
+                  ELSE 'fix rounding in bucket '
+                       || CAST(event_id % 20 AS VARCHAR) END AS descr,
+             CASE WHEN event_id % 4 = 0 THEN ''
+                  ELSE '@@ -1 +1 @@ clamp '
+                       || CAST(event_id % 6 AS VARCHAR) END AS diffp,
+             event_id % 2 = 0 AS approved,
+             event_id % 3 = 0 AS applied,
+             event_id % 5 = 0 AS resolved
+      FROM ext0
+    ),
+    ext2 AS (
+      SELECT *,
+             CASE event_type
+               WHEN 'view' THEN {_ftd_redact_sql('''
+                 'forecast review for T' || CAST(user_id % 5 AS VARCHAR)
+                 || ' window ' || k
+                 || CASE WHEN event_id % 17 = 0
+                         THEN ' key sk-FT' || CAST(event_id AS VARCHAR)
+                              || 'A0B1C2D3E4F5G6H7'
+                         ELSE '' END''')}
+               WHEN 'click' THEN {_ftd_redact_sql('''
+                 'orchestrate step ' || k
+                 || CASE WHEN event_id % 23 = 0
+                         THEN ' auth Bearer tok' || CAST(event_id AS VARCHAR)
+                              || 'XYZ1234567890abc'
+                         ELSE '' END''')}
+               WHEN 'purchase' THEN
+                 'Use tool ' || tool || ' with args {{"k": ' || k || '}}'
+               ELSE TRIM('Review self-improvement action patch on '
+                    || target || ': ' || descr) END AS instruction,
+             CASE event_type
+               WHEN 'view' THEN {_ftd_redact_sql('''
+                 CASE WHEN event_id % 13 = 0 THEN ''
+                      ELSE 'signal BUY conf 0.'
+                           || CAST(event_id % 10 AS VARCHAR) END''')}
+               WHEN 'click' THEN {_ftd_redact_sql('''
+                 CASE WHEN event_id % 13 = 0 THEN ''
+                      ELSE 'routed to agent '
+                           || CAST(user_id % 7 AS VARCHAR) END''')}
+               WHEN 'purchase' THEN {_ftd_redact_sql('''
+                 CASE WHEN event_id % 13 = 0 THEN ''
+                      ELSE 'rows=' || CAST(event_id % 50 AS VARCHAR)
+                           || CASE WHEN event_id % 31 = 0
+                                   THEN ' blob Qm9vdHN0cmFwQm9vdHN0cmFwQm9vdHN0cmFw'
+                                   ELSE '' END END''')}
+               ELSE CASE WHEN diffp <> '' THEN diffp || ' | ' ELSE '' END
+                    || 'approved='
+                    || CASE WHEN approved THEN 'True' ELSE 'False' END
+                    || ' | applied='
+                    || CASE WHEN applied THEN 'True' ELSE 'False' END
+                    || ' | resolved='
+                    || CASE WHEN resolved THEN 'True' ELSE 'False' END
+               END AS output,
+             CASE event_type
+               WHEN 'view' THEN 'm' || CAST(event_id % 3 AS VARCHAR)
+               ELSE 'qwen3:8b' END AS model,
+             CASE event_type
+               WHEN 'view' THEN 'forecast'
+               WHEN 'click' THEN 'orchestration'
+               WHEN 'purchase' THEN 'tool_call:' || tool
+               ELSE 'self_improvement' END AS task_type,
+             CASE WHEN event_type = 'error'
+                  THEN '{{"applied": '
+                       || CASE WHEN applied THEN 'true' ELSE 'false' END
+                       || ', "approved": '
+                       || CASE WHEN approved THEN 'true' ELSE 'false' END
+                       || ', "resolved": '
+                       || CASE WHEN resolved THEN 'true' ELSE 'false' END
+                       || '}}'
+                  ELSE '' END AS labels_key
+      FROM ext1
+    ),
+    ext AS (
+      SELECT *,
+             sha256(source || '|' || instruction || '|' || output || '|'
+                    || labels_key) AS record_key
+      FROM ext2
+      WHERE CASE event_type
+              WHEN 'error' THEN NOT (descr = '' AND diffp = '')
+              ELSE instruction <> '' AND output <> '' END
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY record_key
+                                     ORDER BY ts, event_id) AS rn
+        FROM ext
+      ) WHERE rn = 1
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY ts DESC, event_id DESC)
+                    AS rtail
+        FROM deduped
+      ) WHERE rtail <= {_FTD_MAX}
+    )
+"""
+
+
+def _ftd_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookback-filtered activity frame (the ``src`` CTE of `_FTD_SQL`)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.date_sub(F.to_date(F.max("ts")), 14).alias("cut")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cut))
+        .filter(F.to_date("ts") >= F.col("cut"))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+    )
+
+
+def _ftd_ext(src: DataFrame) -> DataFrame:
+    """Extracted + redacted records (the ``ext`` CTE of `_FTD_SQL`)."""
+    eid, uid = F.col("event_id"), F.col("user_id")
+    kn = F.col("k").cast("bigint")
+    tool = F.concat(F.lit("tool_"), (kn % 5).cast("string"))
+    target = F.concat(
+        F.lit("etl/module_"), (kn % 9).cast("string"), F.lit(".py")
+    )
+    descr = F.when(eid % 13 == 0, "").otherwise(
+        F.concat(
+            F.lit("fix rounding in bucket "), (eid % 20).cast("string")
+        )
+    )
+    diffp = F.when(eid % 4 == 0, "").otherwise(
+        F.concat(F.lit("@@ -1 +1 @@ clamp "), (eid % 6).cast("string"))
+    )
+    approved, applied, resolved = eid % 2 == 0, eid % 3 == 0, eid % 5 == 0
+    pybool = lambda c: F.when(c, "True").otherwise("False")  # noqa: E731
+    jbool = lambda c: F.when(c, "true").otherwise("false")  # noqa: E731
+    view_instr = _ftd_redact_spark(
+        F.concat(
+            F.lit("forecast review for T"),
+            (uid % 5).cast("string"),
+            F.lit(" window "),
+            F.col("k"),
+            F.when(
+                eid % 17 == 0,
+                F.concat(
+                    F.lit(" key sk-FT"),
+                    eid.cast("string"),
+                    F.lit("A0B1C2D3E4F5G6H7"),
+                ),
+            ).otherwise(""),
+        )
+    )
+    click_instr = _ftd_redact_spark(
+        F.concat(
+            F.lit("orchestrate step "),
+            F.col("k"),
+            F.when(
+                eid % 23 == 0,
+                F.concat(
+                    F.lit(" auth Bearer tok"),
+                    eid.cast("string"),
+                    F.lit("XYZ1234567890abc"),
+                ),
+            ).otherwise(""),
+        )
+    )
+    purch_instr = F.concat(
+        F.lit("Use tool "), tool, F.lit(' with args {"k": '),
+        F.col("k"), F.lit("}"),
+    )
+    err_instr = F.trim(
+        F.concat(
+            F.lit("Review self-improvement action patch on "),
+            target,
+            F.lit(": "),
+            descr,
+        )
+    )
+    view_out = _ftd_redact_spark(
+        F.when(eid % 13 == 0, "").otherwise(
+            F.concat(
+                F.lit("signal BUY conf 0."), (eid % 10).cast("string")
+            )
+        )
+    )
+    click_out = _ftd_redact_spark(
+        F.when(eid % 13 == 0, "").otherwise(
+            F.concat(F.lit("routed to agent "), (uid % 7).cast("string"))
+        )
+    )
+    purch_out = _ftd_redact_spark(
+        F.when(eid % 13 == 0, "").otherwise(
+            F.concat(
+                F.lit("rows="),
+                (eid % 50).cast("string"),
+                F.when(
+                    eid % 31 == 0,
+                    " blob Qm9vdHN0cmFwQm9vdHN0cmFwQm9vdHN0cmFw",
+                ).otherwise(""),
+            )
+        )
+    )
+    err_out = F.concat(
+        F.when(diffp != "", F.concat(diffp, F.lit(" | "))).otherwise(""),
+        F.lit("approved="),
+        pybool(approved),
+        F.lit(" | applied="),
+        pybool(applied),
+        F.lit(" | resolved="),
+        pybool(resolved),
+    )
+    et = F.col("event_type")
+    out = (
+        src.filter(et.isin("view", "click", "purchase", "error"))
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(et == "view", "llm_request")
+            .when(et == "click", "orchestration")
+            .when(et == "purchase", "tool_call")
+            .otherwise("self_improvement")
+            .alias("source"),
+            F.when(et == "view", view_instr)
+            .when(et == "click", click_instr)
+            .when(et == "purchase", purch_instr)
+            .otherwise(err_instr)
+            .alias("instruction"),
+            F.when(et == "view", view_out)
+            .when(et == "click", click_out)
+            .when(et == "purchase", purch_out)
+            .otherwise(err_out)
+            .alias("output"),
+            F.when(
+                et == "view",
+                F.concat(F.lit("m"), (eid % 3).cast("string")),
+            )
+            .otherwise("qwen3:8b")
+            .alias("model"),
+            F.when(et == "view", F.lit("forecast"))
+            .when(et == "click", F.lit("orchestration"))
+            .when(et == "purchase", F.concat(F.lit("tool_call:"), tool))
+            .otherwise("self_improvement")
+            .alias("task_type"),
+            F.when(
+                et == "error",
+                F.concat(
+                    F.lit('{"applied": '),
+                    jbool(applied),
+                    F.lit(', "approved": '),
+                    jbool(approved),
+                    F.lit(', "resolved": '),
+                    jbool(resolved),
+                    F.lit("}"),
+                ),
+            )
+            .otherwise("")
+            .alias("labels_key"),
+            descr.alias("descr"),
+            diffp.alias("diffp"),
+        )
+        .filter(
+            F.when(
+                et == "error",
+                ~((F.col("descr") == "") & (F.col("diffp") == "")),
+            ).otherwise(
+                (F.col("instruction") != "") & (F.col("output") != "")
+            )
+        )
+    )
+    return out.withColumn(
+        "record_key",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("source"),
+                F.col("instruction"),
+                F.col("output"),
+                F.col("labels_key"),
+            ),
+            256,
+        ),
+    )
+
+
+@query(
+    "llm_finetune_dataset",
+    oracle=f"""
+    {_FTD_SQL}
+    SELECT record_key, source, model, task_type, instruction, output,
+           NULLIF(labels_key, '') AS labels_json
+    FROM capped
+    """,
+)
+def llm_finetune_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35a — curated instruction-tuning dataset from activity logs —
+    reference `scripts/prepare_llm_finetune_dataset.py:84-174,240-254`:
+    the four-way extraction ladder with empty-field rejection, secret
+    redaction to '[REDACTED]', sha256 keep-FIRST dedupe in scan order,
+    and the `deduped[-max_records:]` tail cap.
+
+    Scale: redaction and key hashing are JVM-side column ops; dedupe is
+    a per-key window (shuffle on record_key, no skew — keys are
+    hashes). The tail cap is the only global rank; at 100 TB replace
+    with a count + per-partition boundary offset (the reference
+    semantics is a tail slice of an ordered scan, inherently global)."""
+    ext = _ftd_ext(_ftd_src(spark, sf_dir))
+    wkey = Window.partitionBy("record_key").orderBy("ts", "event_id")
+    wtail = Window.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ext.withColumn("rn", F.row_number().over(wkey))
+        .filter(F.col("rn") == 1)
+        .withColumn("rtail", F.row_number().over(wtail))
+        .filter(F.col("rtail") <= _FTD_MAX)
+        .select(
+            "record_key",
+            "source",
+            "model",
+            "task_type",
+            "instruction",
+            "output",
+            F.nullif(F.col("labels_key"), F.lit("")).alias("labels_json"),
+        )
+    )
+
+
+@query(
+    "llm_finetune_summary",
+    oracle=f"""
+    {_FTD_SQL}
+    , scn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scanned FROM src),
+    exs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_extracted,
+             CAST(SUM(CASE WHEN source = 'llm_request' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_llm_request,
+             CAST(SUM(CASE WHEN source = 'orchestration' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orchestration,
+             CAST(SUM(CASE WHEN source = 'tool_call' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tool_call,
+             CAST(SUM(CASE WHEN source = 'self_improvement'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_self_improvement,
+             CAST(SUM(CASE WHEN instruction LIKE '%[REDACTED]%'
+                           OR output LIKE '%[REDACTED]%'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
+      FROM ext
+    ),
+    dds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deduped FROM deduped),
+    cps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_written FROM capped)
+    SELECT CAST(14 AS BIGINT) AS lookback_days,
+           CAST({_FTD_MAX} AS BIGINT) AS max_records,
+           n_scanned AS source_entries_scanned,
+           n_extracted AS records_before_dedupe,
+           n_llm_request, n_orchestration, n_tool_call,
+           n_self_improvement, n_redacted,
+           n_deduped AS records_after_dedupe,
+           n_extracted - n_deduped AS dedupe_removed,
+           n_written AS records_written,
+           'data/training/llm_finetune/latest_dataset.jsonl'
+             AS dataset_path
+    FROM scn CROSS JOIN exs CROSS JOIN dds CROSS JOIN cps
+    """,
+)
+def llm_finetune_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35b — fine-tune dataset preparation summary — reference
+    `scripts/prepare_llm_finetune_dataset.py:272-284`: entries scanned,
+    records before dedupe, records written, plus the per-source and
+    redaction censuses that make the conservative-extraction contract
+    auditable.
+
+    Scale: three aggregation passes over the shared extraction frame
+    (scan, dedupe count, cap count) — each a map-side-combinable
+    count; the fold is a one-row crossJoin."""
+    src = _ftd_src(spark, sf_dir).localCheckpoint()
+    ext = _ftd_ext(src).localCheckpoint()
+    scn = src.agg(F.count(F.lit(1)).cast("bigint").alias("n_scanned"))
+    exs = ext.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_extracted"),
+        F.sum((F.col("source") == "llm_request").cast("long"))
+        .cast("bigint")
+        .alias("n_llm_request"),
+        F.sum((F.col("source") == "orchestration").cast("long"))
+        .cast("bigint")
+        .alias("n_orchestration"),
+        F.sum((F.col("source") == "tool_call").cast("long"))
+        .cast("bigint")
+        .alias("n_tool_call"),
+        F.sum((F.col("source") == "self_improvement").cast("long"))
+        .cast("bigint")
+        .alias("n_self_improvement"),
+        F.sum(
+            (
+                F.col("instruction").contains("[REDACTED]")
+                | F.col("output").contains("[REDACTED]")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_redacted"),
+    )
+    wkey = Window.partitionBy("record_key").orderBy("ts", "event_id")
+    dd = (
+        ext.withColumn("rn", F.row_number().over(wkey))
+        .filter(F.col("rn") == 1)
+    )
+    dds = dd.agg(F.count(F.lit(1)).cast("bigint").alias("n_deduped"))
+    wtail = Window.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    cps = (
+        dd.withColumn("rtail", F.row_number().over(wtail))
+        .filter(F.col("rtail") <= _FTD_MAX)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_written"))
+    )
+    return (
+        scn.crossJoin(exs)
+        .crossJoin(dds)
+        .crossJoin(cps)
+        .select(
+            F.lit(14).cast("bigint").alias("lookback_days"),
+            F.lit(_FTD_MAX).cast("bigint").alias("max_records"),
+            F.col("n_scanned").alias("source_entries_scanned"),
+            F.col("n_extracted").alias("records_before_dedupe"),
+            "n_llm_request",
+            "n_orchestration",
+            "n_tool_call",
+            "n_self_improvement",
+            "n_redacted",
+            F.col("n_deduped").alias("records_after_dedupe"),
+            (F.col("n_extracted") - F.col("n_deduped")).alias(
+                "dedupe_removed"
+            ),
+            F.col("n_written").alias("records_written"),
+            F.lit("data/training/llm_finetune/latest_dataset.jsonl").alias(
+                "dataset_path"
+            ),
+        )
+    )
