@@ -3282,3 +3282,428 @@ def distribution_analysis_profile(
         F.lit(None).cast("double").alias("metric_f"),
     )
     return srow.unionByName(qrow)
+
+
+# ---------------------------------------------------------------------------
+# Dataset analyzer: missing-data profile + temporal-structure profile
+# ---------------------------------------------------------------------------
+
+# Reference `etl/time_series_analyzer.py:122-278` (the two analyzer phases
+# `scripts/analyze_dataset.py` drives that were still uncovered):
+# `analyze_missing_data` (`:122-180`) — per-column missing counts/rates,
+# overall rate, MIT severity ladder, Shannon entropy of the per-ROW
+# missing-count distribution (scipy `stats.entropy` on normalized counts
+# + 1e-10, which re-normalizes before the log), max per-row missing; and
+# `identify_temporal_structure` (`:183-278`) — modal sampling period from
+# the diff distribution, frequency-classification ladder, Nyquist
+# frequency, 3-sigma temporal-gap census and the 1 - sd/mean regularity
+# score. The events table plays the dataset; the four analyzed columns
+# use the pack's deterministic masking conventions (JSON k < 10 masks
+# `value` — same rule as `ffill_masked_values` — plus two modular masks)
+# so every severity branch has support without touching the testdata.
+# Diffs are computed in integer MICROSECONDS so the modal-bucket groupBy
+# is exact on both engines (double-seconds diffs would split equal
+# deltas on last-bit noise).
+
+_DSP_SQL = """
+    WITH masked AS (
+      SELECT event_id,
+             CASE WHEN CAST(props->>'k' AS INTEGER) < 10
+                  THEN 1 ELSE 0 END AS m_value,
+             CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END AS m_score,
+             CASE WHEN event_type = 'error' AND event_id % 2 = 0
+                  THEN 1 ELSE 0 END AS m_latency,
+             0 AS m_count
+      FROM events
+    ),
+    rowm AS (
+      SELECT event_id,
+             m_value + m_score + m_latency + m_count AS rm
+      FROM masked
+    ),
+    dist AS (
+      SELECT rm, CAST(COUNT(*) AS BIGINT) AS c FROM rowm GROUP BY rm
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(MAX(rm) AS BIGINT) AS max_row_missing
+      FROM dist
+    ),
+    ent0 AS (
+      SELECT SUM(CAST(c AS DOUBLE) / tot.n + 1e-10) AS s
+      FROM dist CROSS JOIN tot GROUP BY tot.n
+    ),
+    ent AS (
+      SELECT -SUM(((CAST(c AS DOUBLE) / tot.n + 1e-10) / ent0.s)
+                  * LN((CAST(c AS DOUBLE) / tot.n + 1e-10) / ent0.s))
+               AS pattern_entropy
+      FROM dist CROSS JOIN tot CROSS JOIN ent0
+      GROUP BY tot.n, ent0.s
+    ),
+    colstats AS (
+      SELECT CAST(SUM(m_value) AS BIGINT) AS c_value,
+             CAST(SUM(m_score) AS BIGINT) AS c_score,
+             CAST(SUM(m_latency) AS BIGINT) AS c_latency,
+             CAST(SUM(m_count) AS BIGINT) AS c_count
+      FROM masked
+    ),
+    fold AS (
+      SELECT tot.n, tot.max_row_missing, ent.pattern_entropy,
+             cs.c_value, cs.c_score, cs.c_latency, cs.c_count,
+             cs.c_value + cs.c_score + cs.c_latency + cs.c_count
+               AS total_missing,
+             CAST(cs.c_value + cs.c_score + cs.c_latency + cs.c_count
+                  AS DOUBLE) / (tot.n * 4) * 100 AS overall_rate,
+             CAST(CASE WHEN cs.c_value > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN cs.c_score > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN cs.c_latency > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN cs.c_count > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_cols_missing
+      FROM tot CROSS JOIN ent CROSS JOIN colstats cs
+    ),
+    percol AS (
+      SELECT 'value' AS column_name, c_value AS n_missing, * FROM fold
+      UNION ALL
+      SELECT 'score', c_score, * FROM fold
+      UNION ALL
+      SELECT 'latency', c_latency, * FROM fold
+      UNION ALL
+      SELECT 'count', c_count, * FROM fold
+    )
+    SELECT column_name, n_missing,
+           ROUND(CAST(n_missing AS DOUBLE) / n * 100, 6) AS missing_pct,
+           n_missing = n AS completely_missing,
+           n AS total_rows,
+           CAST(4 AS BIGINT) AS total_columns,
+           total_missing AS total_missing_values,
+           ROUND(overall_rate, 6) AS overall_missing_rate,
+           CASE WHEN overall_rate = 0 THEN 'Complete data (rho = 0)'
+                WHEN overall_rate < 1 THEN 'Minimal missing data (rho < 1%)'
+                WHEN overall_rate < 5 THEN 'Seldom missing data (rho < 5%)'
+                ELSE 'Substantial missing data (rho = '
+                     || printf('%.2f', overall_rate) || '%)' END
+             AS missing_category,
+           CASE WHEN overall_rate < 1 THEN 'excellent'
+                WHEN overall_rate < 5 THEN 'acceptable'
+                ELSE 'concerning' END AS severity,
+           ROUND(pattern_entropy, 6) AS pattern_entropy,
+           max_row_missing,
+           n_cols_missing AS n_columns_with_missing
+    FROM percol
+"""
+
+
+@query("dataset_missing_profile", oracle=_DSP_SQL)
+def dataset_missing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data profile — reference
+    `etl/time_series_analyzer.py:122-180` (`analyze_missing_data`):
+    per-column missing counts and percentages, the overall rate with
+    the MIT severity ladder (complete/minimal/seldom/substantial ->
+    excellent/acceptable/concerning), the Shannon entropy of the
+    per-row missing-count distribution (scipy-compatible: normalized
+    counts + 1e-10, re-normalized inside the log), and the maximum
+    per-row missing count. Masks follow this repo's deterministic
+    conventions (JSON k < 10 on `value`, two modular masks) so the
+    ladder has non-trivial support.
+
+    Scale: one conditional-aggregation pass for the column census, one
+    bounded groupBy (per-row missing count has <= 5 distinct values)
+    for the entropy — both map-side combinable; the fold is scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    masked = ev.select(
+        "event_id",
+        F.when(k < 10, 1).otherwise(0).alias("m_value"),
+        F.when(F.col("event_id") % 37 == 0, 1).otherwise(0).alias("m_score"),
+        F.when(
+            (F.col("event_type") == "error") & (F.col("event_id") % 2 == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("m_latency"),
+        F.lit(0).alias("m_count"),
+    )
+    rm = (
+        F.col("m_value")
+        + F.col("m_score")
+        + F.col("m_latency")
+        + F.col("m_count")
+    )
+    dist = (
+        masked.select(rm.alias("rm"))
+        .groupBy("rm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = dist.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.max("rm").cast("bigint").alias("max_row_missing"),
+    )
+    d2 = dist.crossJoin(F.broadcast(tot))
+    ent0 = d2.groupBy("n").agg(
+        F.sum(F.col("c").cast("double") / F.col("n") + 1e-10).alias("s")
+    )
+    v = F.col("c").cast("double") / F.col("n") + 1e-10
+    ent = (
+        d2.crossJoin(F.broadcast(ent0.select("s")))
+        .groupBy("n", "s")
+        .agg(
+            (-F.sum((v / F.col("s")) * F.log(v / F.col("s")))).alias(
+                "pattern_entropy"
+            )
+        )
+        .select("pattern_entropy")
+    )
+    cs = masked.agg(
+        F.sum("m_value").cast("bigint").alias("c_value"),
+        F.sum("m_score").cast("bigint").alias("c_score"),
+        F.sum("m_latency").cast("bigint").alias("c_latency"),
+        F.sum("m_count").cast("bigint").alias("c_count"),
+    )
+    tm = (
+        F.col("c_value")
+        + F.col("c_score")
+        + F.col("c_latency")
+        + F.col("c_count")
+    )
+    nz = lambda c: F.when(c > 0, 1).otherwise(0)  # noqa: E731
+    fold = (
+        tot.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(cs))
+        .select(
+            "*",
+            tm.alias("total_missing"),
+            (tm.cast("double") / (F.col("n") * 4) * 100).alias(
+                "overall_rate"
+            ),
+            (
+                nz(F.col("c_value"))
+                + nz(F.col("c_score"))
+                + nz(F.col("c_latency"))
+                + nz(F.col("c_count"))
+            )
+            .cast("bigint")
+            .alias("n_cols_missing"),
+        )
+        .localCheckpoint()
+    )
+    percol = None
+    for cname, ccol in (
+        ("value", "c_value"),
+        ("score", "c_score"),
+        ("latency", "c_latency"),
+        ("count", "c_count"),
+    ):
+        row = fold.select(
+            F.lit(cname).alias("column_name"),
+            F.col(ccol).alias("n_missing"),
+            "*",
+        )
+        percol = row if percol is None else percol.unionByName(row)
+    rate = F.col("overall_rate")
+    return percol.select(
+        "column_name",
+        "n_missing",
+        r6(F.col("n_missing").cast("double") / F.col("n") * 100).alias(
+            "missing_pct"
+        ),
+        (F.col("n_missing") == F.col("n")).alias("completely_missing"),
+        F.col("n").alias("total_rows"),
+        F.lit(4).cast("bigint").alias("total_columns"),
+        F.col("total_missing").alias("total_missing_values"),
+        r6(rate).alias("overall_missing_rate"),
+        F.when(rate == 0, "Complete data (rho = 0)")
+        .when(rate < 1, "Minimal missing data (rho < 1%)")
+        .when(rate < 5, "Seldom missing data (rho < 5%)")
+        .otherwise(
+            F.concat(
+                F.lit("Substantial missing data (rho = "),
+                F.format_string("%.2f", rate),
+                F.lit("%)"),
+            )
+        )
+        .alias("missing_category"),
+        F.when(rate < 1, "excellent")
+        .when(rate < 5, "acceptable")
+        .otherwise("concerning")
+        .alias("severity"),
+        r6(F.col("pattern_entropy")).alias("pattern_entropy"),
+        "max_row_missing",
+        F.col("n_cols_missing").alias("n_columns_with_missing"),
+    )
+
+
+_DTP_SQL = """
+    WITH ts_us AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS tus, event_id FROM events
+    ),
+    diffs AS (
+      SELECT tus - LAG(tus) OVER (ORDER BY tus, event_id) AS d
+      FROM ts_us
+    ),
+    dd AS (SELECT d FROM diffs WHERE d IS NOT NULL),
+    modal AS (
+      SELECT d AS modal_us FROM (
+        SELECT d, COUNT(*) AS c FROM dd GROUP BY d
+      ) ORDER BY c DESC, d ASC LIMIT 1
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_diffs,
+             AVG(CAST(d AS DOUBLE)) AS mean_us,
+             STDDEV_SAMP(CAST(d AS DOUBLE)) AS sd_us
+      FROM dd
+    ),
+    sp AS (
+      SELECT CAST(MIN(tus) AS BIGINT) AS min_us,
+             CAST(MAX(tus) AS BIGINT) AS max_us,
+             CAST(COUNT(*) AS BIGINT) AS total_periods
+      FROM ts_us
+    ),
+    gaps AS (
+      SELECT CAST(SUM(CASE WHEN CAST(d.d AS DOUBLE)
+                                > m.modal_us + 3 * s.sd_us
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+      FROM dd d CROSS JOIN modal m CROSS JOIN st s
+    ),
+    fold AS (
+      SELECT m.modal_us,
+             CAST(m.modal_us AS DOUBLE) / 86400000000 AS spd,
+             s.n_diffs, s.mean_us, s.sd_us,
+             sp.min_us, sp.max_us, sp.total_periods, g.n_gaps
+      FROM modal m CROSS JOIN st s CROSS JOIN sp CROSS JOIN gaps g
+    )
+    SELECT TRUE AS is_time_series,
+           'ts' AS date_column,
+           CASE WHEN spd = 1 THEN 'Daily'
+                WHEN spd = 7 THEN 'Weekly'
+                WHEN spd >= 28 AND spd <= 31 THEN 'Monthly'
+                WHEN spd >= 89 AND spd <= 92 THEN 'Quarterly'
+                WHEN spd >= 365 AND spd <= 366 THEN 'Annual'
+                ELSE 'Custom (dt = ' || printf('%.2f', spd) || ' days)'
+                END AS sampling_frequency,
+           CASE WHEN spd = 1 THEN 'D'
+                WHEN spd = 7 THEN 'W'
+                WHEN spd >= 28 AND spd <= 31 THEN 'M'
+                WHEN spd >= 89 AND spd <= 92 THEN 'Q'
+                WHEN spd >= 365 AND spd <= 366 THEN 'Y'
+                ELSE 'custom' END AS frequency_code,
+           ROUND(spd, 6) AS sampling_period_days,
+           ROUND(1 / (2 * spd), 6) AS nyquist_frequency,
+           min_us AS span_start_us,
+           max_us AS span_end_us,
+           total_periods,
+           CAST(FLOOR(CAST(max_us - min_us AS DOUBLE) / 86400000000)
+                AS BIGINT) AS duration_days,
+           n_gaps AS temporal_gaps_detected,
+           ROUND(CAST(n_gaps AS DOUBLE) / n_diffs, 6) AS gap_rate,
+           ROUND(1 - sd_us / mean_us, 6) AS temporal_regularity
+    FROM fold
+"""
+
+
+@query("dataset_temporal_profile", oracle=_DTP_SQL)
+def dataset_temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-structure profile — reference
+    `etl/time_series_analyzer.py:183-278`
+    (`identify_temporal_structure`): modal sampling period from the
+    timestamp-diff distribution (max count, smallest-diff tiebreak —
+    pandas `value_counts` head made deterministic), the
+    Daily/Weekly/Monthly/Quarterly/Annual/Custom classification ladder,
+    Nyquist frequency, the 3-sigma temporal-gap census over the diffs,
+    the time-span block and the 1 - sd/mean regularity score. Diffs are
+    integer MICROSECONDS so modal grouping is exact on both engines.
+
+    Scale: the lag-diff is the one global-order window (inherently
+    sequential — at 100 TB swap in the two-pass partition-boundary
+    exchange used by `scalable_running_sum`); everything downstream is
+    a bounded groupBy over distinct diffs + broadcast scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = ev.select(
+        F.unix_micros(F.col("ts")).cast("bigint").alias("tus"), "event_id"
+    )
+    w = Window.orderBy("tus", "event_id")
+    dd = (
+        ts_us.select(
+            (F.col("tus") - F.lag("tus").over(w)).alias("d")
+        ).filter(F.col("d").isNotNull())
+    ).localCheckpoint()
+    modal = (
+        dd.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("d").asc())
+        .limit(1)
+        .select(F.col("d").alias("modal_us"))
+    )
+    st = dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_diffs"),
+        F.avg(F.col("d").cast("double")).alias("mean_us"),
+        F.stddev_samp(F.col("d").cast("double")).alias("sd_us"),
+    )
+    sp = ts_us.agg(
+        F.min("tus").cast("bigint").alias("min_us"),
+        F.max("tus").cast("bigint").alias("max_us"),
+        F.count(F.lit(1)).cast("bigint").alias("total_periods"),
+    )
+    gaps = (
+        dd.crossJoin(F.broadcast(modal))
+        .crossJoin(F.broadcast(st.select("sd_us")))
+        .agg(
+            F.sum(
+                (
+                    F.col("d").cast("double")
+                    > F.col("modal_us") + 3 * F.col("sd_us")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_gaps")
+        )
+    )
+    spd = F.col("modal_us").cast("double") / F.lit(86400000000)
+    fold = (
+        modal.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(sp))
+        .crossJoin(F.broadcast(gaps))
+        .select("*", spd.alias("spd"))
+    )
+    s = F.col("spd")
+    return fold.select(
+        F.lit(True).alias("is_time_series"),
+        F.lit("ts").alias("date_column"),
+        F.when(s == 1, "Daily")
+        .when(s == 7, "Weekly")
+        .when((s >= 28) & (s <= 31), "Monthly")
+        .when((s >= 89) & (s <= 92), "Quarterly")
+        .when((s >= 365) & (s <= 366), "Annual")
+        .otherwise(
+            F.concat(
+                F.lit("Custom (dt = "),
+                F.format_string("%.2f", s),
+                F.lit(" days)"),
+            )
+        )
+        .alias("sampling_frequency"),
+        F.when(s == 1, "D")
+        .when(s == 7, "W")
+        .when((s >= 28) & (s <= 31), "M")
+        .when((s >= 89) & (s <= 92), "Q")
+        .when((s >= 365) & (s <= 366), "Y")
+        .otherwise("custom")
+        .alias("frequency_code"),
+        r6(s).alias("sampling_period_days"),
+        r6(F.lit(1) / (2 * s)).alias("nyquist_frequency"),
+        F.col("min_us").alias("span_start_us"),
+        F.col("max_us").alias("span_end_us"),
+        "total_periods",
+        F.floor(
+            (F.col("max_us") - F.col("min_us")).cast("double")
+            / F.lit(86400000000)
+        )
+        .cast("bigint")
+        .alias("duration_days"),
+        F.col("n_gaps").alias("temporal_gaps_detected"),
+        r6(F.col("n_gaps").cast("double") / F.col("n_diffs")).alias(
+            "gap_rate"
+        ),
+        r6(F.lit(1) - F.col("sd_us") / F.col("mean_us")).alias(
+            "temporal_regularity"
+        ),
+    )
