@@ -16,7 +16,7 @@ ticker = 'T' || o_custkey % 25; pnl = close net - open net.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -7267,3 +7267,431 @@ def llm_risk_assessment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["llm_risk_assessment_report"] = _rar_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Baseline snapshot comparison: file sha diff + metric A/B/delta table
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/compare_baseline_snapshots.py`: two captured baseline
+# snapshots are diffed on (a) their manifest file->sha256 maps per
+# category — changed / added / removed buckets (`:62-73` `diff_files`) —
+# and (b) a fixed metric-key table extracted from run_summary and
+# horizon-backtest artifacts, reported as (A, B, delta) with delta only
+# when both sides are numeric (`:115-124` `diff_metrics`). The part table
+# plays the manifest file universe (p_name = path, md5 plays sha256;
+# membership and content-drift are modular rules so every bucket has
+# support), and the two snapshot arms split the round-trip trade world by
+# customer parity so the metric table carries REAL aggregate deltas, not
+# planted constants.
+
+
+@query(
+    "baseline_snapshot_file_diff",
+    oracle="""
+    WITH universe AS (
+      SELECT p_partkey AS k, p_name,
+             CASE WHEN p_partkey % 2 = 0 THEN 'configs' ELSE 'code' END
+               AS category
+      FROM part
+    ),
+    snap_a AS (
+      SELECT category, p_name AS file, md5(p_name) AS sha
+      FROM universe WHERE k % 11 <> 0
+    ),
+    snap_b AS (
+      SELECT category, p_name AS file,
+             CASE WHEN k % 7 = 0 THEN md5(p_name || ':v2')
+                  ELSE md5(p_name) END AS sha
+      FROM universe WHERE k % 13 <> 0
+    ),
+    joined AS (
+      SELECT COALESCE(a.category, b.category) AS category,
+             COALESCE(a.file, b.file) AS file,
+             a.sha AS sha_a, b.sha AS sha_b
+      FROM snap_a a FULL OUTER JOIN snap_b b
+        ON a.category = b.category AND a.file = b.file
+    )
+    SELECT category,
+           CASE WHEN sha_a IS NULL THEN 'added'
+                WHEN sha_b IS NULL THEN 'removed'
+                ELSE 'changed' END AS bucket,
+           file, sha_a, sha_b
+    FROM joined
+    WHERE sha_a IS NULL OR sha_b IS NULL OR sha_a <> sha_b
+    """,
+)
+def baseline_snapshot_file_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category manifest diff — reference
+    `scripts/compare_baseline_snapshots.py:44-73` (`_file_sha_map` +
+    `diff_files`): full-outer join of the two snapshots' file->sha maps,
+    bucketed added (B only) / removed (A only) / changed (sha drift),
+    per manifest category (configs, code).
+
+    Scale: a single full-outer equi-join on (category, file) — the
+    manifest key — with no window and no global sort; buckets are
+    column logic on join-null patterns."""
+    p = load_table(spark, sf_dir, "part")
+    universe = p.select(
+        F.col("p_partkey").alias("k"),
+        "p_name",
+        F.when(F.col("p_partkey") % 2 == 0, "configs")
+        .otherwise("code")
+        .alias("category"),
+    )
+    snap_a = universe.filter(F.col("k") % 11 != 0).select(
+        "category",
+        F.col("p_name").alias("file"),
+        F.md5(F.col("p_name")).alias("sha_a"),
+    )
+    snap_b = universe.filter(F.col("k") % 13 != 0).select(
+        "category",
+        F.col("p_name").alias("file"),
+        F.when(
+            F.col("k") % 7 == 0,
+            F.md5(F.concat(F.col("p_name"), F.lit(":v2"))),
+        )
+        .otherwise(F.md5(F.col("p_name")))
+        .alias("sha_b"),
+    )
+    joined = snap_a.join(snap_b, ["category", "file"], "full_outer")
+    return (
+        joined.filter(
+            F.col("sha_a").isNull()
+            | F.col("sha_b").isNull()
+            | (F.col("sha_a") != F.col("sha_b"))
+        )
+        .select(
+            "category",
+            F.when(F.col("sha_a").isNull(), "added")
+            .when(F.col("sha_b").isNull(), "removed")
+            .otherwise("changed")
+            .alias("bucket"),
+            "file",
+            "sha_a",
+            "sha_b",
+        )
+    )
+
+
+_BSD_SQL = """
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey,
+             SUM(l.l_quantity) AS cq,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(5,2))) AS cnet,
+             MAX(l.l_shipdate) AS cship
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey,
+             SUM(l_quantity) AS oq,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(5,2))) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    tr AS (
+      SELECT c.l_orderkey AS id,
+             CASE WHEN o.o_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+             CAST(c.cship AS DATE) AS trade_date,
+             ROUND(CAST(c.cnet - op.onet AS DOUBLE), 6) AS pnl,
+             CAST(op.onet AS DOUBLE) AS capital
+      FROM closes c
+      JOIN opens op ON op.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND op.oq > 0 AND c.cq > 0
+        AND CAST(op.onet AS DOUBLE) > 0
+    ),
+    dd AS (
+      SELECT arm, MAX(peak - cum) AS max_drawdown FROM (
+        SELECT arm, cum,
+               MAX(cum) OVER (PARTITION BY arm
+                              ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+        FROM (
+          SELECT arm, cum,
+                 ROW_NUMBER() OVER (PARTITION BY arm
+                                    ORDER BY trade_date, id) AS rn
+          FROM (
+            SELECT arm, trade_date, id,
+                   SUM(pnl) OVER (PARTITION BY arm
+                                  ORDER BY trade_date, id) AS cum
+            FROM tr
+          )
+        )
+      ) GROUP BY arm
+    ),
+    op_side AS (
+      SELECT CASE WHEN o_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n_open,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS open_notional
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    ),
+    arms AS (
+      SELECT t.arm,
+             SUM(t.pnl) AS pnl_dollars,
+             SUM(t.pnl) / SUM(t.capital) * 100 AS pnl_pct,
+             CASE WHEN SUM(CASE WHEN t.pnl < 0 THEN -t.pnl END) > 0
+                  THEN SUM(CASE WHEN t.pnl > 0 THEN t.pnl END)
+                       / SUM(CASE WHEN t.pnl < 0 THEN -t.pnl END)
+                  END AS profit_factor,
+             AVG(CASE WHEN t.pnl > 0 THEN 1.0 ELSE 0.0 END) AS win_rate,
+             CAST(COUNT(*) AS DOUBLE) AS trades,
+             CAST(SUM(CASE WHEN t.pnl <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS realized_trades,
+             100000 + SUM(t.pnl) AS cash,
+             SQRT(AVG((t.pnl / t.capital) * (t.pnl / t.capital)))
+               AS rmse_ensemble,
+             STDDEV_POP(t.pnl / t.capital) AS rmse_baseline,
+             AVG(CASE WHEN t.pnl / t.capital < -0.05
+                      THEN 1.0 ELSE 0.0 END) AS fail_fraction,
+             AVG(CASE WHEN t.pnl / t.capital < 0
+                      THEN 1.0 ELSE 0.0 END) AS neg_exp_fraction,
+             SUM(t.pnl / t.capital) AS total_return
+      FROM tr t GROUP BY t.arm
+    ),
+    armx AS (
+      SELECT a.arm,
+             a.pnl_dollars, a.pnl_pct, a.profit_factor, a.win_rate,
+             a.trades, a.realized_trades, a.cash,
+             a.cash + CAST(COALESCE(o.open_notional, 0) AS DOUBLE) / 1000
+               AS total_value,
+             a.cash / (a.cash
+                       + CAST(COALESCE(o.open_notional, 0) AS DOUBLE)
+                         / 1000) AS cash_ratio,
+             CAST(COALESCE(o.n_open, 0) AS DOUBLE) AS open_positions,
+             a.rmse_ensemble, a.rmse_baseline,
+             CASE WHEN a.rmse_baseline > 0
+                  THEN a.rmse_ensemble / a.rmse_baseline END AS rmse_ratio,
+             a.fail_fraction, a.neg_exp_fraction, a.total_return,
+             d.max_drawdown
+      FROM arms a
+      LEFT JOIN op_side o ON o.arm = a.arm
+      LEFT JOIN dd d ON d.arm = a.arm
+    ),
+    ab AS (
+      SELECT x.*
+      FROM (SELECT * FROM armx WHERE arm = 'a') x
+    ),
+    bb AS (
+      SELECT x.*
+      FROM (SELECT * FROM armx WHERE arm = 'b') x
+    )
+"""
+
+
+_BSD_METRICS = [
+    ("profitability.pnl_dollars", "pnl_dollars"),
+    ("profitability.pnl_pct", "pnl_pct"),
+    ("profitability.profit_factor", "profit_factor"),
+    ("profitability.win_rate", "win_rate"),
+    ("profitability.trades", "trades"),
+    ("profitability.realized_trades", "realized_trades"),
+    ("liquidity.cash", "cash"),
+    ("liquidity.total_value", "total_value"),
+    ("liquidity.cash_ratio", "cash_ratio"),
+    ("liquidity.open_positions", "open_positions"),
+    ("forecaster.rmse.ensemble", "rmse_ensemble"),
+    ("forecaster.rmse.baseline", "rmse_baseline"),
+    ("forecaster.rmse.ratio", "rmse_ratio"),
+    ("quant.fail_fraction", "fail_fraction"),
+    ("quant.negative_expected_profit_fraction", "neg_exp_fraction"),
+    ("backtest.total_trades", "trades"),
+    ("backtest.total_return", "total_return"),
+    ("backtest.win_rate", "win_rate"),
+    ("backtest.profit_factor", "profit_factor"),
+    ("backtest.max_drawdown", "max_drawdown"),
+]
+
+
+def _bsd_metric_oracle() -> str:
+    rows = "\n      UNION ALL\n".join(
+        f"""      SELECT '{key}' AS metric,
+             ROUND(ab.{col}, 6) AS a_val, ROUND(bb.{col}, 6) AS b_val,
+             CASE WHEN ab.{col} IS NOT NULL AND bb.{col} IS NOT NULL
+                  THEN ROUND(bb.{col} - ab.{col}, 6) END AS delta
+      FROM ab CROSS JOIN bb"""
+        for key, col in _BSD_METRICS
+    )
+    return f"{_BSD_SQL}\n{rows}"
+
+
+@query("baseline_snapshot_metric_diff", oracle=_bsd_metric_oracle())
+def baseline_snapshot_metric_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot metric A/B/delta table — reference
+    `scripts/compare_baseline_snapshots.py:75-124`
+    (`extract_run_metrics` + `extract_backtest_metrics` +
+    `diff_metrics`): the fixed metric-key list over the
+    profitability / liquidity / forecaster-rmse / quant-validation /
+    horizon-backtest blocks, delta emitted only when both sides are
+    numeric (profit_factor is NULL when an arm has no losses — the
+    reference's 'n/a'). The two snapshots split the round-trip trade
+    world by customer parity, so deltas are real aggregate drift, not
+    planted constants; max_drawdown replays each arm's equity curve
+    (running peak minus cumulative PnL).
+
+    Scale: one lot-aggregation pass shared by both arms, one ordered
+    window per arm for the drawdown (partitioned by arm), bounded
+    2-row fold; the 20-row metric table is plan-side union of scalar
+    selects."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+        )
+    )
+    opens = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
+    )
+    c, op = closes.alias("c"), opens.alias("op")
+    tr = (
+        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("c.l_orderkey"),
+        )
+        .filter(
+            (F.col("oq") > 0)
+            & (F.col("cq") > 0)
+            & (F.col("onet").cast("double") > 0)
+        )
+        .select(
+            F.col("c.l_orderkey").alias("id"),
+            F.when(F.col("o_custkey") % 2 == 0, "a")
+            .otherwise("b")
+            .alias("arm"),
+            F.to_date("cship").alias("trade_date"),
+            F.round((F.col("cnet") - F.col("onet")).cast("double"), 6).alias(
+                "pnl"
+            ),
+            F.col("onet").cast("double").alias("capital"),
+        )
+        .localCheckpoint()
+    )
+    wcum = Window.partitionBy("arm").orderBy("trade_date", "id")
+    wpeak = wcum.rowsBetween(Window.unboundedPreceding, 0)
+    dd = (
+        tr.withColumn("cum", F.sum("pnl").over(wcum))
+        .withColumn("peak", F.max("cum").over(wpeak))
+        .groupBy("arm")
+        .agg(F.max(F.col("peak") - F.col("cum")).alias("max_drawdown"))
+    )
+    r = F.col("pnl") / F.col("capital")
+    arms = tr.groupBy("arm").agg(
+        F.sum("pnl").alias("pnl_dollars"),
+        (F.sum("pnl") / F.sum("capital") * 100).alias("pnl_pct"),
+        F.when(
+            F.sum(F.when(F.col("pnl") < 0, -F.col("pnl"))) > 0,
+            F.sum(F.when(F.col("pnl") > 0, F.col("pnl")))
+            / F.sum(F.when(F.col("pnl") < 0, -F.col("pnl"))),
+        ).alias("profit_factor"),
+        F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias(
+            "win_rate"
+        ),
+        F.count(F.lit(1)).cast("double").alias("trades"),
+        F.sum(F.when(F.col("pnl") != 0, 1).otherwise(0))
+        .cast("double")
+        .alias("realized_trades"),
+        (F.lit(100000) + F.sum("pnl")).alias("cash"),
+        F.sqrt(F.avg(r * r)).alias("rmse_ensemble"),
+        F.stddev_pop(r).alias("rmse_baseline"),
+        F.avg(F.when(r < -0.05, 1.0).otherwise(0.0)).alias(
+            "fail_fraction"
+        ),
+        F.avg(F.when(r < 0, 1.0).otherwise(0.0)).alias("neg_exp_fraction"),
+        F.sum(r).alias("total_return"),
+    )
+    op_side = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(
+            F.when(F.col("o_custkey") % 2 == 0, "a")
+            .otherwise("b")
+            .alias("arm")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_open"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "open_notional"
+            ),
+        )
+    )
+    tv = (
+        F.col("cash")
+        + F.coalesce(F.col("open_notional"), F.lit(0)).cast("double") / 1000
+    )
+    armx = (
+        arms.join(op_side, "arm", "left")
+        .join(dd, "arm", "left")
+        .select(
+            "arm",
+            "pnl_dollars",
+            "pnl_pct",
+            "profit_factor",
+            "win_rate",
+            "trades",
+            "realized_trades",
+            "cash",
+            tv.alias("total_value"),
+            (F.col("cash") / tv).alias("cash_ratio"),
+            F.coalesce(F.col("n_open"), F.lit(0))
+            .cast("double")
+            .alias("open_positions"),
+            "rmse_ensemble",
+            "rmse_baseline",
+            F.when(
+                F.col("rmse_baseline") > 0,
+                F.col("rmse_ensemble") / F.col("rmse_baseline"),
+            ).alias("rmse_ratio"),
+            "fail_fraction",
+            "neg_exp_fraction",
+            "total_return",
+            "max_drawdown",
+        )
+        .localCheckpoint()
+    )
+    ab = armx.filter(F.col("arm") == "a")
+    bb = armx.filter(F.col("arm") == "b")
+    cols = [c for c in armx.columns if c != "arm"]
+    joined = ab.select(
+        *[F.col(c).alias(f"a_{c}") for c in cols]
+    ).crossJoin(bb.select(*[F.col(c).alias(f"b_{c}") for c in cols]))
+    out = None
+    for key, col in _BSD_METRICS:
+        a_c, b_c = F.col(f"a_{col}"), F.col(f"b_{col}")
+        row = joined.select(
+            F.lit(key).alias("metric"),
+            r6(a_c).alias("a_val"),
+            r6(b_c).alias("b_val"),
+            F.when(
+                a_c.isNotNull() & b_c.isNotNull(), r6(b_c - a_c)
+            ).alias("delta"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
