@@ -7695,3 +7695,508 @@ def baseline_snapshot_metric_diff(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Ticker-universe resolution: order-preserving merge + provider blocklist +
+# validator census
+# ---------------------------------------------------------------------------
+
+# Reference `etl/data_universe.py:34-99` (`resolve_ticker_universe`),
+# `etl/frontier_markets.py:88-110` (`_normalize` + `merge_frontier_tickers`:
+# strip/upper normalization, order-preserving dedupe of the explicit list,
+# frontier overlay appended in catalog order for symbols not yet seen) and
+# `etl/ticker_discovery/ticker_validator.py:11-51` (`TickerValidator`:
+# ^[A-Z0-9.\-]{1,10}$ regex, disallowed-prefix rule, keep-first dedupe in
+# `filter_valid` where only VALID symbols enter the seen set). The nation x
+# region tables play the frontier catalog ('F<nation>_<i>' per nation, two
+# per market, ordered by nation key); the explicit base list comes from an
+# orders sample in file order with planted lowercase/whitespace/frontier-
+# overlap noise; the provider blocklist is the ASIA region's frontier
+# symbols (the reference's yfinance Sri-Lanka blocklist equivalent,
+# `data_universe.py:22-27`), applied to the MERGED list as the reference
+# does — a base-origin symbol that collides with a blocked frontier symbol
+# is dropped too.
+
+_TUV_SQL = """
+    WITH frontier AS (
+      SELECT 'F' || CAST(n.n_nationkey AS VARCHAR) || '_'
+               || CAST(i AS VARCHAR) AS ticker,
+             r.r_name AS region,
+             n.n_nationkey * 2 + i AS fpos,
+             n.n_regionkey = 2 AS blocked
+      FROM nation n
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      CROSS JOIN (SELECT UNNEST(ARRAY[1, 2]) AS i)
+    ),
+    base_raw AS (
+      SELECT o_orderkey AS ord,
+             CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 't' || CAST(o_custkey % 20 AS VARCHAR)
+               WHEN 1 THEN ' T' || CAST(o_custkey % 20 AS VARCHAR) || ' '
+               WHEN 2 THEN CASE WHEN o_orderkey % 50 = 2 THEN '   '
+                                ELSE 'T' || CAST(o_custkey % 20 AS VARCHAR)
+                                END
+               ELSE CASE WHEN o_orderkey % 40 = 3
+                         THEN 'F' || CAST(o_custkey % 25 AS VARCHAR)
+                              || '_1'
+                         ELSE 'T' || CAST(o_custkey % 20 AS VARCHAR) END
+               END AS raw
+      FROM orders WHERE o_orderkey % 10 < 3
+    ),
+    base_norm AS (
+      SELECT ord, UPPER(TRIM(raw)) AS sym FROM base_raw
+      WHERE UPPER(TRIM(raw)) <> ''
+    ),
+    base_first AS (
+      SELECT sym, MIN(ord) AS first_ord FROM base_norm GROUP BY sym
+    ),
+    base_pos AS (
+      SELECT sym, ROW_NUMBER() OVER (ORDER BY first_ord) AS mpos
+      FROM base_first
+    ),
+    nbase AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM base_pos),
+    front_app AS (
+      SELECT f.ticker AS sym, f.region, nb.n_base
+             + ROW_NUMBER() OVER (ORDER BY f.fpos) AS mpos
+      FROM frontier f CROSS JOIN nbase nb
+      WHERE f.ticker NOT IN (SELECT sym FROM base_pos)
+    ),
+    merged AS (
+      SELECT b.sym, 'base' AS origin, CAST(NULL AS VARCHAR) AS region,
+             b.mpos
+      FROM base_pos b
+      UNION ALL
+      SELECT fa.sym, 'frontier', fa.region, fa.mpos FROM front_app fa
+    ),
+    blocklist AS (
+      SELECT ticker AS sym FROM frontier WHERE blocked
+    ),
+    finalu AS (
+      SELECT m.sym, m.origin, m.region,
+             ROW_NUMBER() OVER (ORDER BY m.mpos) AS position
+      FROM merged m
+      WHERE m.sym NOT IN (SELECT sym FROM blocklist)
+    )
+"""
+
+
+@query(
+    "ticker_universe_resolution",
+    oracle=f"""
+    {_TUV_SQL}
+    SELECT CAST(position AS BIGINT) AS position, sym AS ticker, origin,
+           region,
+           'yfinance' AS active_source,
+           'explicit+frontier' AS universe_source
+    FROM finalu
+    """,
+)
+def ticker_universe_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved ticker universe — reference
+    `etl/data_universe.py:47-70` + `etl/frontier_markets.py:91-110`:
+    normalize (strip/upper, drop empties), order-preserving dedupe of
+    the explicit list, frontier catalog appended in order for unseen
+    symbols, then the provider blocklist filter over the MERGED list
+    with positions compressed.
+
+    Scale: first-occurrence dedupe is a groupBy(min(ord)); the two
+    global ranks order the UNIVERSE (bounded symbol cardinality, not
+    the corpus); frontier and blocklist are nation-bounded broadcast
+    dims."""
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    frontier = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .crossJoin(
+            F.broadcast(
+                o.sparkSession.range(1, 3).select(
+                    F.col("id").cast("int").alias("i")
+                )
+            )
+        )
+        .select(
+            F.concat(
+                F.lit("F"),
+                F.col("n_nationkey").cast("string"),
+                F.lit("_"),
+                F.col("i").cast("string"),
+            ).alias("ticker"),
+            F.col("r_name").alias("region"),
+            (F.col("n_nationkey") * 2 + F.col("i")).alias("fpos"),
+            (F.col("n_regionkey") == 2).alias("blocked"),
+        )
+    )
+    ck = (F.col("o_custkey") % 20).cast("string")
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.concat(F.lit("t"), ck))
+        .when(
+            F.col("o_orderkey") % 4 == 1,
+            F.concat(F.lit(" T"), ck, F.lit(" ")),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.when(F.col("o_orderkey") % 50 == 2, "   ").otherwise(
+                F.concat(F.lit("T"), ck)
+            ),
+        )
+        .otherwise(
+            F.when(
+                F.col("o_orderkey") % 40 == 3,
+                F.concat(
+                    F.lit("F"),
+                    (F.col("o_custkey") % 25).cast("string"),
+                    F.lit("_1"),
+                ),
+            ).otherwise(F.concat(F.lit("T"), ck))
+        )
+    )
+    base_norm = (
+        o.filter(F.col("o_orderkey") % 10 < 3)
+        .select(
+            F.col("o_orderkey").alias("ord"),
+            F.upper(F.trim(raw)).alias("sym"),
+        )
+        .filter(F.col("sym") != "")
+    )
+    base_pos = (
+        base_norm.groupBy("sym")
+        .agg(F.min("ord").alias("first_ord"))
+        .withColumn(
+            "mpos", F.row_number().over(Window.orderBy("first_ord"))
+        )
+        .select("sym", "mpos")
+        .localCheckpoint()
+    )
+    nbase = base_pos.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base")
+    )
+    front_app = (
+        frontier.join(base_pos, frontier.ticker == base_pos.sym, "left_anti")
+        .crossJoin(F.broadcast(nbase))
+        .withColumn(
+            "mpos",
+            F.col("n_base") + F.row_number().over(Window.orderBy("fpos")),
+        )
+        .select(
+            F.col("ticker").alias("sym"),
+            F.lit("frontier").alias("origin"),
+            "region",
+            "mpos",
+        )
+    )
+    merged = base_pos.select(
+        "sym",
+        F.lit("base").alias("origin"),
+        F.lit(None).cast("string").alias("region"),
+        "mpos",
+    ).unionByName(front_app)
+    blocklist = frontier.filter(F.col("blocked")).select(
+        F.col("ticker").alias("bsym")
+    )
+    return (
+        merged.join(
+            F.broadcast(blocklist),
+            merged.sym == F.col("bsym"),
+            "left_anti",
+        )
+        .withColumn(
+            "position",
+            F.row_number().over(Window.orderBy("mpos")).cast("bigint"),
+        )
+        .select(
+            "position",
+            F.col("sym").alias("ticker"),
+            "origin",
+            "region",
+            F.lit("yfinance").alias("active_source"),
+            F.lit("explicit+frontier").alias("universe_source"),
+        )
+    )
+
+
+@query(
+    "ticker_universe_summary",
+    oracle=f"""
+    {_TUV_SQL}
+    , braw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_raw FROM base_raw),
+    bnorm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_normalized FROM base_norm
+    ),
+    bd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base_deduped FROM base_pos),
+    ft AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_frontier_total FROM frontier
+    ),
+    fa AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_frontier_appended
+      FROM front_app
+    ),
+    blk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocked,
+             STRING_AGG(m.sym, ',' ORDER BY m.sym) AS blocked_list
+      FROM merged m WHERE m.sym IN (SELECT sym FROM blocklist)
+    ),
+    fin AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_final FROM finalu)
+    SELECT braw.n_raw AS n_base_raw,
+           bnorm.n_normalized AS n_base_normalized,
+           bd.n_base_deduped,
+           ft.n_frontier_total,
+           fa.n_frontier_appended,
+           blk.n_blocked,
+           CASE WHEN blk.n_blocked > 0
+                THEN 'yfinance: ' || blk.blocked_list END
+             AS provider_blocklist_note,
+           fin.n_final,
+           'yfinance' AS active_source,
+           'explicit+frontier' AS universe_source
+    FROM braw CROSS JOIN bnorm CROSS JOIN bd CROSS JOIN ft
+    CROSS JOIN fa CROSS JOIN blk CROSS JOIN fin
+    """,
+)
+def ticker_universe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universe-resolution censuses + the provider-blocklist note —
+    reference `etl/data_universe.py:55-63`: the
+    'provider: t1,t2,...' note built from the SORTED removed set, plus
+    raw/normalized/deduped/frontier-appended/final counts.
+
+    Scale: counts over the bounded symbol dimension; the note is a
+    sorted string_agg over the blocked subset (nation-bounded)."""
+    res = ticker_universe_resolution(spark, sf_dir).localCheckpoint()
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    braw = o.filter(F.col("o_orderkey") % 10 < 3).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base_raw")
+    )
+    ck = (F.col("o_custkey") % 20).cast("string")
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.concat(F.lit("t"), ck))
+        .when(
+            F.col("o_orderkey") % 4 == 1,
+            F.concat(F.lit(" T"), ck, F.lit(" ")),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.when(F.col("o_orderkey") % 50 == 2, "   ").otherwise(
+                F.concat(F.lit("T"), ck)
+            ),
+        )
+        .otherwise(
+            F.when(
+                F.col("o_orderkey") % 40 == 3,
+                F.concat(
+                    F.lit("F"),
+                    (F.col("o_custkey") % 25).cast("string"),
+                    F.lit("_1"),
+                ),
+            ).otherwise(F.concat(F.lit("T"), ck))
+        )
+    )
+    base_norm = (
+        o.filter(F.col("o_orderkey") % 10 < 3)
+        .select(F.upper(F.trim(raw)).alias("sym"))
+        .filter(F.col("sym") != "")
+    ).localCheckpoint()
+    bnorm = base_norm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base_normalized")
+    )
+    bd = base_norm.select("sym").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base_deduped")
+    )
+    ft = n.crossJoin(
+        o.sparkSession.range(1, 3)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_frontier_total"))
+    blocked_syms = (
+        n.filter(F.col("n_regionkey") == 2)
+        .crossJoin(
+            F.broadcast(
+                o.sparkSession.range(1, 3).select(
+                    F.col("id").cast("int").alias("i")
+                )
+            )
+        )
+        .select(
+            F.concat(
+                F.lit("F"),
+                F.col("n_nationkey").cast("string"),
+                F.lit("_"),
+                F.col("i").cast("string"),
+            ).alias("sym")
+        )
+    ).localCheckpoint()
+    merged_syms = base_norm.select("sym").distinct().unionByName(
+        n.crossJoin(
+            F.broadcast(
+                o.sparkSession.range(1, 3).select(
+                    F.col("id").cast("int").alias("i")
+                )
+            )
+        )
+        .select(
+            F.concat(
+                F.lit("F"),
+                F.col("n_nationkey").cast("string"),
+                F.lit("_"),
+                F.col("i").cast("string"),
+            ).alias("sym")
+        )
+        .join(base_norm.select("sym").distinct(), "sym", "left_anti")
+    )
+    blk = (
+        merged_syms.join(F.broadcast(blocked_syms), "sym", "left_semi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocked"),
+            F.array_join(
+                F.array_sort(F.collect_list("sym")), ","
+            ).alias("blocked_list"),
+        )
+    )
+    fapp = merged_syms.join(
+        base_norm.select("sym").distinct(), "sym", "left_anti"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_frontier_appended"))
+    fin = res.agg(F.count(F.lit(1)).cast("bigint").alias("n_final"))
+    return (
+        braw.crossJoin(bnorm)
+        .crossJoin(bd)
+        .crossJoin(ft)
+        .crossJoin(fapp)
+        .crossJoin(blk)
+        .crossJoin(fin)
+        .select(
+            "n_base_raw",
+            "n_base_normalized",
+            "n_base_deduped",
+            "n_frontier_total",
+            "n_frontier_appended",
+            "n_blocked",
+            F.when(
+                F.col("n_blocked") > 0,
+                F.concat(F.lit("yfinance: "), F.col("blocked_list")),
+            ).alias("provider_blocklist_note"),
+            "n_final",
+            F.lit("yfinance").alias("active_source"),
+            F.lit("explicit+frontier").alias("universe_source"),
+        )
+    )
+
+
+@query(
+    "ticker_validator_census",
+    oracle="""
+    WITH cand AS (
+      SELECT p_partkey AS ord,
+             CASE CAST(p_partkey % 6 AS INT)
+               WHEN 0 THEN 't' || CAST(p_partkey % 30 AS VARCHAR)
+               WHEN 1 THEN ' T' || CAST(p_partkey % 30 AS VARCHAR) || ' '
+               WHEN 2 THEN 'T$' || CAST(p_partkey % 30 AS VARCHAR)
+               WHEN 3 THEN 'VERYLONGTICKER'
+                           || CAST(p_partkey % 100 AS VARCHAR)
+               WHEN 4 THEN 'ZZ' || CAST(p_partkey % 30 AS VARCHAR)
+               ELSE '' END AS raw
+      FROM part
+    ),
+    norm AS (
+      SELECT ord, raw, UPPER(TRIM(raw)) AS normalized FROM cand
+    ),
+    judged AS (
+      SELECT *,
+             normalized <> ''
+               AND regexp_matches(normalized, '^[A-Z0-9\\.\\-]{1,10}$')
+               AND NOT normalized LIKE 'ZZ%' AS is_valid
+      FROM norm
+    ),
+    ranked AS (
+      SELECT *,
+             CASE WHEN is_valid
+                  THEN ROW_NUMBER() OVER (PARTITION BY is_valid, normalized
+                                          ORDER BY ord) END AS vrank
+      FROM judged
+    ),
+    verdicts AS (
+      SELECT ord, raw, normalized,
+             CASE WHEN normalized = '' THEN 'empty'
+                  WHEN is_valid AND vrank > 1 THEN 'duplicate'
+                  WHEN NOT regexp_matches(normalized,
+                                          '^[A-Z0-9\\.\\-]{1,10}$')
+                    THEN 'invalid_format'
+                  WHEN normalized LIKE 'ZZ%' THEN 'prefix_blocked'
+                  ELSE 'kept' END AS verdict
+      FROM ranked
+    ),
+    kept_pos AS (
+      SELECT ord, CAST(ROW_NUMBER() OVER (ORDER BY ord) AS BIGINT)
+               AS kept_position
+      FROM verdicts WHERE verdict = 'kept'
+    )
+    SELECT v.ord, v.raw, v.normalized, v.verdict, k.kept_position
+    FROM verdicts v LEFT JOIN kept_pos k ON k.ord = v.ord
+    """,
+)
+def ticker_validator_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate validator verdicts — reference
+    `etl/ticker_discovery/ticker_validator.py:25-51`: normalize
+    (upper/strip), the ^[A-Z0-9.\\-]{1,10}$ format rule, the
+    disallowed-prefix rule, and `filter_valid`'s keep-first dedupe
+    where only VALID symbols enter the seen set (an invalid duplicate
+    stays classified by its own failure, not as 'duplicate'). Planted
+    candidate shapes exercise every verdict: lowercase-valid,
+    whitespace-valid, bad character, over-length, blocked prefix,
+    empty.
+
+    Scale: one regex pass + a per-normalized-symbol keep-first window
+    (bounded key cardinality); the kept-position rank orders the kept
+    UNIVERSE, not the corpus."""
+    p = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    raw = (
+        F.when(pk % 6 == 0, F.concat(F.lit("t"), (pk % 30).cast("string")))
+        .when(
+            pk % 6 == 1,
+            F.concat(F.lit(" T"), (pk % 30).cast("string"), F.lit(" ")),
+        )
+        .when(pk % 6 == 2, F.concat(F.lit("T$"), (pk % 30).cast("string")))
+        .when(
+            pk % 6 == 3,
+            F.concat(F.lit("VERYLONGTICKER"), (pk % 100).cast("string")),
+        )
+        .when(pk % 6 == 4, F.concat(F.lit("ZZ"), (pk % 30).cast("string")))
+        .otherwise("")
+    )
+    norm = p.select(
+        pk.alias("ord"),
+        raw.alias("raw"),
+        F.upper(F.trim(raw)).alias("normalized"),
+    )
+    fmt_ok = F.col("normalized").rlike(r"^[A-Z0-9\.\-]{1,10}$")
+    judged = norm.withColumn(
+        "is_valid",
+        (F.col("normalized") != "")
+        & fmt_ok
+        & ~F.col("normalized").startswith("ZZ"),
+    )
+    wv = Window.partitionBy("is_valid", "normalized").orderBy("ord")
+    ranked = judged.withColumn(
+        "vrank",
+        F.when(F.col("is_valid"), F.row_number().over(wv)),
+    )
+    verdicts = ranked.select(
+        "ord",
+        "raw",
+        "normalized",
+        F.when(F.col("normalized") == "", "empty")
+        .when(F.col("is_valid") & (F.col("vrank") > 1), "duplicate")
+        .when(~fmt_ok, "invalid_format")
+        .when(F.col("normalized").startswith("ZZ"), "prefix_blocked")
+        .otherwise("kept")
+        .alias("verdict"),
+    ).localCheckpoint()
+    kept_pos = (
+        verdicts.filter(F.col("verdict") == "kept")
+        .select(
+            "ord",
+            F.row_number().over(Window.orderBy("ord")).cast("bigint").alias(
+                "kept_position"
+            ),
+        )
+    )
+    return verdicts.join(kept_pos, "ord", "left")
