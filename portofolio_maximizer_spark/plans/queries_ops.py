@@ -8200,3 +8200,231 @@ def ticker_validator_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verdicts.join(kept_pos, "ord", "left")
+
+
+# ---------------------------------------------------------------------------
+# Dashboard forecast bundle: latest-date selection + price-scale rescaling
+# ---------------------------------------------------------------------------
+
+# Reference `etl/dashboard_loader.py:28-160` (`DashboardDataLoader`):
+# forecasts are loaded for the LATEST forecast_date per ticker only
+# (`:81-95` correlated MAX subquery), indexed to forecast_date + horizon
+# days per model, and run through the `_needs_rescaling` heuristic
+# (`:68-77`): when median(|forecast|) / |latest_close| < 0.2 the stored
+# series is in return/delta space, and every value (and both CI bands)
+# is shifted by +latest_close before display. The stored-forecast world
+# plants one model per ticker in delta space so the heuristic has
+# support; latest_close is the close price of the ticker's last round
+# trip (deterministic (date, orderkey) tiebreak).
+
+_FBR_SQL = """
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey,
+             SUM(l.l_quantity) AS cq,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(5,2))) AS cnet,
+             MAX(l.l_shipdate) AS cship
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    px AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             CAST(c.cship AS DATE) AS d, c.l_orderkey AS okey,
+             ROUND(CAST(c.cnet AS DOUBLE) / c.cq, 6) AS close
+      FROM closes c
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND c.cq > 0
+    ),
+    latest AS (
+      SELECT ticker, close AS latest_close FROM (
+        SELECT ticker, close,
+               ROW_NUMBER() OVER (PARTITION BY ticker
+                                  ORDER BY d DESC, okey DESC) AS rn
+        FROM px
+      ) WHERE rn = 1
+    ),
+    fc_raw AS (
+      SELECT 'T' || CAST(o_custkey % 25 AS VARCHAR) AS ticker,
+             CAST(o_orderdate AS DATE) AS forecast_date,
+             o_orderkey AS fkey,
+             CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'arima'
+                  WHEN 1 THEN 'garch' ELSE 'ensemble' END AS model_type,
+             CAST(1 + o_orderkey % 5 AS BIGINT) AS horizon,
+             CAST(o_orderkey % 2 = 1 AND o_orderkey % 3 = 2 AS BOOLEAN)
+               AS delta_space,
+             ROUND(CAST(o_orderkey % 41 - 20 AS DOUBLE) / 410, 6) AS drift
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    fc_latest AS (
+      SELECT f.* FROM fc_raw f
+      JOIN (
+        SELECT ticker, MAX(forecast_date) AS md
+        FROM fc_raw GROUP BY ticker
+      ) m ON m.ticker = f.ticker AND f.forecast_date = m.md
+    ),
+    fc AS (
+      SELECT f.ticker, f.forecast_date, f.model_type, f.horizon, f.fkey,
+             l.latest_close,
+             CASE WHEN f.delta_space
+                  THEN ROUND(l.latest_close * f.drift
+                             * CAST(f.horizon AS DOUBLE), 6)
+                  ELSE ROUND(l.latest_close
+                             * (1 + f.drift * CAST(f.horizon AS DOUBLE)),
+                             6) END AS forecast_value
+      FROM fc_latest f JOIN latest l ON l.ticker = f.ticker
+    ),
+    med AS (
+      SELECT ticker, model_type,
+             MEDIAN(ABS(forecast_value)) AS median_abs
+      FROM fc GROUP BY ticker, model_type
+    ),
+    flagged AS (
+      SELECT f.*,
+             CASE WHEN f.latest_close <> 0
+                       AND m.median_abs / ABS(f.latest_close) < 0.2
+                  THEN TRUE ELSE FALSE END AS needs_rescaling
+      FROM fc f
+      JOIN med m ON m.ticker = f.ticker AND m.model_type = f.model_type
+    )
+"""
+
+
+@query(
+    "forecast_bundle_rescaling",
+    oracle=f"""
+    {_FBR_SQL}
+    SELECT ticker, model_type, horizon, forecast_date,
+           forecast_date + CAST(horizon AS INT) AS target_date,
+           forecast_value,
+           ROUND(latest_close, 6) AS latest_close,
+           needs_rescaling,
+           ROUND(CASE WHEN needs_rescaling
+                      THEN forecast_value + latest_close
+                      ELSE forecast_value END, 6) AS display_value
+    FROM flagged
+    """,
+)
+def forecast_bundle_rescaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-forecast bundle with the scale-mismatch shift — reference
+    `etl/dashboard_loader.py:68-160`: only the latest forecast_date per
+    ticker survives, each (ticker, model) series is indexed to
+    forecast_date + horizon, and when median(|forecast|) falls below
+    20% of |latest_close| the series is treated as delta-space and
+    shifted by +latest_close for display (`_needs_rescaling` +
+    `get_forecast_bundle`). One model per ticker is planted in delta
+    space so both branches carry rows.
+
+    Scale: latest-date selection is a per-ticker groupBy-max join (no
+    global sort); the per-(ticker, model) median runs over exactly the
+    horizon set (bounded 5 rows per group); latest_close is a
+    per-ticker rank-1 window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
+        )
+        .drop(mx.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cq"),
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+        )
+    )
+    px = (
+        closes.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("o_orderstatus") == "F") & (F.col("cq") > 0))
+        .select(
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string"))
+            .alias("ticker"),
+            F.to_date("cship").alias("d"),
+            F.col("l_orderkey").alias("okey"),
+            r6(F.col("cnet").cast("double") / F.col("cq")).alias("close"),
+        )
+    )
+    wl = Window.partitionBy("ticker").orderBy(
+        F.col("d").desc(), F.col("okey").desc()
+    )
+    latest = (
+        px.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("ticker", F.col("close").alias("latest_close"))
+    )
+    ok = F.col("o_orderkey")
+    fc_raw = o.filter(ok % 7 == 0).select(
+        F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string"))
+        .alias("ticker"),
+        F.to_date("o_orderdate").alias("forecast_date"),
+        ok.alias("fkey"),
+        F.when(ok % 3 == 0, "arima")
+        .when(ok % 3 == 1, "garch")
+        .otherwise("ensemble")
+        .alias("model_type"),
+        (F.lit(1) + ok % 5).cast("bigint").alias("horizon"),
+        ((ok % 2 == 1) & (ok % 3 == 2)).alias("delta_space"),
+        r6((ok % 41 - 20).cast("double") / 410).alias("drift"),
+    )
+    fc_latest = fc_raw.join(
+        fc_raw.groupBy("ticker").agg(
+            F.max("forecast_date").alias("forecast_date")
+        ),
+        ["ticker", "forecast_date"],
+    )
+    h = F.col("horizon").cast("double")
+    fc = (
+        fc_latest.join(latest, "ticker")
+        .withColumn(
+            "forecast_value",
+            F.when(
+                F.col("delta_space"),
+                r6(F.col("latest_close") * F.col("drift") * h),
+            ).otherwise(
+                r6(F.col("latest_close") * (1 + F.col("drift") * h))
+            ),
+        )
+        .localCheckpoint()
+    )
+    med = fc.groupBy("ticker", "model_type").agg(
+        F.expr("percentile(ABS(forecast_value), 0.5)").alias("median_abs")
+    )
+    flagged = fc.join(med, ["ticker", "model_type"]).withColumn(
+        "needs_rescaling",
+        F.when(
+            (F.col("latest_close") != 0)
+            & (
+                F.col("median_abs") / F.abs(F.col("latest_close"))
+                < 0.2
+            ),
+            F.lit(True),
+        ).otherwise(F.lit(False)),
+    )
+    return flagged.select(
+        "ticker",
+        "model_type",
+        "horizon",
+        "forecast_date",
+        F.expr(
+            "date_add(forecast_date, CAST(horizon AS INT))"
+        ).alias("target_date"),
+        "forecast_value",
+        r6(F.col("latest_close")).alias("latest_close"),
+        "needs_rescaling",
+        r6(
+            F.when(
+                F.col("needs_rescaling"),
+                F.col("forecast_value") + F.col("latest_close"),
+            ).otherwise(F.col("forecast_value"))
+        ).alias("display_value"),
+    )
