@@ -8428,3 +8428,127 @@ def forecast_bundle_rescaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("forecast_value"))
         ).alias("display_value"),
     )
+
+
+@query(
+    "order_learner_purge_plan",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderkey AS id,
+             CASE CAST(o_orderkey % 8 AS INT)
+               WHEN 0 THEN 'T' || CAST(o_custkey % 25 AS VARCHAR)
+               WHEN 1 THEN 'close'
+               WHEN 2 THEN 'Adj_Close'
+               WHEN 3 THEN 'NONE'
+               WHEN 4 THEN 'NaN'
+               WHEN 5 THEN '  '
+               WHEN 6 THEN ' returns '
+               ELSE 'T' || CAST(o_custkey % 25 AS VARCHAR) END AS ticker,
+             CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'arima'
+                  WHEN 1 THEN 'garch' ELSE 'sarimax' END AS model_type,
+             CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'TRENDING'
+                  WHEN 1 THEN 'VOLATILE' WHEN 2 THEN 'NEUTRAL'
+                  ELSE '' END AS regime,
+             CAST(1 + o_orderkey % 9 AS BIGINT) AS n_fits,
+             ROUND(CAST(o_orderkey % 97 AS DOUBLE) * 10 + 100, 6)
+               AS best_aic
+      FROM orders WHERE o_orderkey % 9 = 5
+    ),
+    judged AS (
+      SELECT *,
+             TRIM(ticker) AS candidate,
+             LOWER(TRIM(REPLACE(TRIM(ticker), '_', ' '))) AS normalized
+      FROM stats
+    )
+    SELECT id, ticker, model_type, regime, n_fits, best_aic,
+           CASE WHEN candidate = '' THEN 'empty'
+                WHEN UPPER(candidate) IN ('NONE', 'NAN') THEN 'none_nan'
+                ELSE 'generic_label' END AS reason
+    FROM judged
+    WHERE candidate = ''
+       OR UPPER(candidate) IN ('NONE', 'NAN')
+       OR normalized IN ('close', 'adj close', 'adj_close', 'open',
+                         'high', 'low', 'price', 'returns', 'return')
+    """,
+)
+def order_learner_purge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalid cache-identity purge plan — reference
+    `scripts/purge_invalid_order_learner_rows.py:29-75` +
+    `forcester_ts/order_learner.py:86-97` (`_clean_ticker_key`): a
+    model-order-stats row is purgeable when its ticker label is empty
+    after strip, literal NONE/NAN (case-insensitive), or a generic
+    series label (close / adj close / open / high / low / price /
+    returns — underscores folded to spaces, lowered) — generic labels
+    must never become warm-start cache identities. Dry-run plan grain:
+    the rows the --apply mode would delete, with the failing rule.
+
+    Scale: a single filtered projection — pure column logic, no
+    shuffle at all."""
+    o = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    ticker = (
+        F.when(
+            ok % 8 == 0,
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")),
+        )
+        .when(ok % 8 == 1, "close")
+        .when(ok % 8 == 2, "Adj_Close")
+        .when(ok % 8 == 3, "NONE")
+        .when(ok % 8 == 4, "NaN")
+        .when(ok % 8 == 5, "  ")
+        .when(ok % 8 == 6, " returns ")
+        .otherwise(
+            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string"))
+        )
+    )
+    stats = o.filter(ok % 9 == 5).select(
+        ok.alias("id"),
+        ticker.alias("ticker"),
+        F.when(ok % 3 == 0, "arima")
+        .when(ok % 3 == 1, "garch")
+        .otherwise("sarimax")
+        .alias("model_type"),
+        F.when(ok % 4 == 0, "TRENDING")
+        .when(ok % 4 == 1, "VOLATILE")
+        .when(ok % 4 == 2, "NEUTRAL")
+        .otherwise("")
+        .alias("regime"),
+        (F.lit(1) + ok % 9).cast("bigint").alias("n_fits"),
+        r6((ok % 97).cast("double") * 10 + 100).alias("best_aic"),
+    )
+    cand = F.trim(F.col("ticker"))
+    norm = F.lower(F.trim(F.regexp_replace(cand, "_", " ")))
+    generic = [
+        "close",
+        "adj close",
+        "adj_close",
+        "open",
+        "high",
+        "low",
+        "price",
+        "returns",
+        "return",
+    ]
+    return (
+        stats.withColumn("candidate", cand)
+        .withColumn("normalized", norm)
+        .filter(
+            (F.col("candidate") == "")
+            | F.upper(F.col("candidate")).isin("NONE", "NAN")
+            | F.col("normalized").isin(*generic)
+        )
+        .select(
+            "id",
+            "ticker",
+            "model_type",
+            "regime",
+            "n_fits",
+            "best_aic",
+            F.when(F.col("candidate") == "", "empty")
+            .when(
+                F.upper(F.col("candidate")).isin("NONE", "NAN"), "none_nan"
+            )
+            .otherwise("generic_label")
+            .alias("reason"),
+        )
+    )
