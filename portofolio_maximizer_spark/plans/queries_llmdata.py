@@ -2333,7 +2333,7 @@ _FTD_SQL = f"""
                  CASE WHEN event_id % 13 = 0 THEN ''
                       ELSE 'rows=' || CAST(event_id % 50 AS VARCHAR)
                            || CASE WHEN event_id % 31 = 0
-                                   THEN ' blob Qm9vdHN0cmFwQm9vdHN0cmFwQm9vdHN0cmFw'
+                                   THEN ' blob ' || REPEAT('Qm9vdHN0cmFw', 3)
                                    ELSE '' END END''')}
                ELSE CASE WHEN diffp <> '' THEN diffp || ' | ' ELSE '' END
                     || 'approved='
@@ -2487,7 +2487,7 @@ def _ftd_ext(src: DataFrame) -> DataFrame:
                 (eid % 50).cast("string"),
                 F.when(
                     eid % 31 == 0,
-                    " blob Qm9vdHN0cmFwQm9vdHN0cmFwQm9vdHN0cmFw",
+                    " blob " + "Qm9vdHN0cmFw" * 3,
                 ).otherwise(""),
             )
         )
