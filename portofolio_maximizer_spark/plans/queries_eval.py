@@ -5706,3 +5706,713 @@ def sarimax_convergence_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("FAIL")
         .alias("gate_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ensemble health audit (scripts/ensemble_health_audit.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/ensemble_health_audit.py`: per-model OOS decomposition
+# over deduplicated audit windows (`compute_per_model_summary`, `:296-331`),
+# the adaptive candidate-weight formula (`compute_adaptive_weights`,
+# `:383-580`: exp-decay on mean-RMSE/median ratio, hard zero past 1.2x the
+# median, DA-floor penalty capping low-DA models at da_cap_weight with the
+# all-DA-zero RMSE-only fallback, post-normalization cap redistribution to
+# non-penalized models only, and the 0.90 diversity guard), and the
+# bootstrap lift-significance CI (`compute_lift_significance`, `:600-680`).
+# The engine equivalent derives audit windows from the events series the
+# same way the ensemble-safety frame does (naive / trailing-MA3 / MA10
+# single models + their mean as the ensemble, 15-row windows), mirrors the
+# reference's window exclusion rule (ensemble RMSE > 3x best single,
+# `extract_window_metrics:231-239`) and its best-single tie-break
+# (min RMSE, then min sMAPE, then model order, `:221-229`). Ensemble
+# weights per window are the previous window's normalized inverse RMSE
+# (first window uniform) — the engine's stand-in for the stored
+# `ensemble_weights` payload the reference reads back from audit JSONs.
+_EH_BLOCK = 15          # rows per audit window (full windows only)
+_EH_RECENT = 4          # recent_n windows per key for adaptive weights
+_EH_DA_FLOOR = 0.10     # da_floor
+_EH_DA_CAP = 0.10       # da_cap_weight
+_EH_TOP_CLAMP = 0.90    # diversity guard top-weight clamp
+
+_EH_SQL = f"""
+    WITH s AS ({_S_SQL}),
+    f AS (
+      SELECT user_id, rn, value,
+             LAG(value, 1) OVER wp AS p_naive,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS p_ma3,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+               AS p_ma10
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+      QUALIFY rn >= 11
+    ),
+    e AS (
+      SELECT user_id, rn, value,
+             CAST(FLOOR((rn - 11) / {_EH_BLOCK}) AS INT) AS audit_id,
+             p_naive, p_ma3, p_ma10,
+             (p_naive + p_ma3 + p_ma10) / 3.0 AS p_ens
+      FROM f
+    ),
+    long AS (
+      SELECT e.user_id, e.audit_id, e.rn, e.value, m.model, m.model_ord,
+             CASE m.model WHEN 'naive' THEN e.p_naive
+                          WHEN 'ma3' THEN e.p_ma3
+                          WHEN 'ma10' THEN e.p_ma10
+                          ELSE e.p_ens END AS pred
+      FROM e CROSS JOIN (VALUES ('naive', 0), ('ma3', 1), ('ma10', 2),
+                                ('ens', 3)) AS m(model, model_ord)
+    ),
+    lagd AS (
+      SELECT long.*,
+             LAG(value) OVER wlm AS a_prev,
+             LAG(pred) OVER wlm AS p_prev
+      FROM long
+      WINDOW wlm AS (PARTITION BY user_id, audit_id, model ORDER BY rn)
+    ),
+    wm AS (
+      SELECT user_id, audit_id, model, model_ord,
+             SQRT(AVG(POWER(value - pred, 2))) AS rmse,
+             2.0 * AVG(ABS(value - pred)
+                   / GREATEST(ABS(value) + ABS(pred), {_FM_EPS})) AS smape,
+             AVG(CASE WHEN a_prev IS NOT NULL THEN
+               CASE WHEN SIGN(value - a_prev) = SIGN(pred - p_prev)
+                    THEN 1.0 ELSE 0.0 END END) AS da
+      FROM lagd
+      GROUP BY user_id, audit_id, model, model_ord
+      HAVING COUNT(*) = {_EH_BLOCK}
+    ),
+    wwin AS (
+      SELECT user_id, audit_id,
+             MIN(CASE WHEN model <> 'ens' THEN rmse END) AS best_rmse,
+             MAX(CASE WHEN model = 'ens' THEN rmse END) AS ens_rmse
+      FROM wm GROUP BY user_id, audit_id
+    ),
+    best AS (
+      SELECT user_id, audit_id, model AS best_model
+      FROM (SELECT wm.*, ROW_NUMBER() OVER (
+                PARTITION BY user_id, audit_id
+                ORDER BY rmse, smape, model_ord) AS brn
+            FROM wm WHERE model <> 'ens') b
+      WHERE brn = 1
+    ),
+    win AS (
+      SELECT w.user_id, w.audit_id, w.best_rmse, w.ens_rmse, b.best_model,
+             w.ens_rmse / w.best_rmse AS rmse_ratio
+      FROM wwin w JOIN best b ON b.user_id = w.user_id
+                             AND b.audit_id = w.audit_id
+      WHERE w.ens_rmse <= 3.0 * w.best_rmse
+    ),
+    mw AS (
+      SELECT t.user_id, t.audit_id, t.model, t.model_ord,
+             t.rmse, t.smape, t.da,
+             LAG(t.rmse) OVER (PARTITION BY t.user_id, t.model
+                               ORDER BY t.audit_id) AS rmse_prev
+      FROM wm t JOIN win w ON w.user_id = t.user_id
+                          AND w.audit_id = t.audit_id
+      WHERE t.model <> 'ens'
+    ),
+    wts AS (
+      SELECT user_id, audit_id, model, model_ord, rmse, smape, da,
+             CASE WHEN SUM(CASE WHEN rmse_prev IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER wu = 3
+                  THEN (1.0 / GREATEST(rmse_prev, {_FM_EPS}))
+                       / SUM(1.0 / GREATEST(rmse_prev, {_FM_EPS})) OVER wu
+                  ELSE 1.0 / 3.0 END AS weight
+      FROM mw WINDOW wu AS (PARTITION BY user_id, audit_id)
+    )
+"""
+
+
+def _eh_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(wts, win) — the ensemble-health audit-window frames.
+
+    ``wts``: one row per (key, window, single model) with window RMSE /
+    sMAPE / directional accuracy plus the ensemble weight used in that
+    window (previous surviving window's normalized inverse RMSE, uniform
+    on the first). ``win``: one row per surviving window with the
+    best-single winner (RMSE → sMAPE → model-order tie-break) and the
+    ensemble RMSE; windows whose ensemble RMSE exceeds 3x the best single
+    are excluded, mirroring `extract_window_metrics`'s skip rule. All
+    window math partitions by user_id; the per-(key, window, model)
+    aggregate is map-side combinable, so the frame costs one shuffle on
+    the series plus one fine-grained groupBy at any scale."""
+    s = _series(spark, sf_dir).select("user_id", "rn", "value")
+    wp = Window.partitionBy("user_id").orderBy("rn")
+    f = s.select(
+        "user_id",
+        "rn",
+        "value",
+        F.lag("value", 1).over(wp).alias("p_naive"),
+        F.avg("value").over(wp.rowsBetween(-3, -1)).alias("p_ma3"),
+        F.avg("value").over(wp.rowsBetween(-10, -1)).alias("p_ma10"),
+    ).filter(F.col("rn") >= 11)
+    e = f.select(
+        "user_id",
+        "rn",
+        "value",
+        F.floor((F.col("rn") - 11) / _EH_BLOCK).cast("int").alias("audit_id"),
+        "p_naive",
+        "p_ma3",
+        "p_ma10",
+        ((F.col("p_naive") + F.col("p_ma3") + F.col("p_ma10")) / 3.0).alias(
+            "p_ens"
+        ),
+    )
+    models = spark.createDataFrame(
+        [("naive", 0), ("ma3", 1), ("ma10", 2), ("ens", 3)],
+        "model string, model_ord int",
+    )
+    long = e.crossJoin(F.broadcast(models)).select(
+        "user_id",
+        "audit_id",
+        "rn",
+        "value",
+        "model",
+        "model_ord",
+        F.when(F.col("model") == "naive", F.col("p_naive"))
+        .when(F.col("model") == "ma3", F.col("p_ma3"))
+        .when(F.col("model") == "ma10", F.col("p_ma10"))
+        .otherwise(F.col("p_ens"))
+        .alias("pred"),
+    )
+    wlm = Window.partitionBy("user_id", "audit_id", "model").orderBy("rn")
+    lagd = long.select(
+        "*",
+        F.lag("value").over(wlm).alias("a_prev"),
+        F.lag("pred").over(wlm).alias("p_prev"),
+    )
+    resid = F.col("value") - F.col("pred")
+    da_term = F.when(
+        F.col("a_prev").isNotNull(),
+        F.when(
+            F.signum(F.col("value") - F.col("a_prev"))
+            == F.signum(F.col("pred") - F.col("p_prev")),
+            1.0,
+        ).otherwise(0.0),
+    )
+    wm = (
+        lagd.groupBy("user_id", "audit_id", "model", "model_ord")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sqrt(F.avg(F.pow(resid, 2))).alias("rmse"),
+            (
+                2.0
+                * F.avg(
+                    F.abs(resid)
+                    / F.greatest(
+                        F.abs(F.col("value")) + F.abs(F.col("pred")),
+                        F.lit(_FM_EPS),
+                    )
+                )
+            ).alias("smape"),
+            F.avg(da_term).alias("da"),
+        )
+        .filter(F.col("bn") == _EH_BLOCK)
+        .drop("bn")
+    )
+    wwin = wm.groupBy("user_id", "audit_id").agg(
+        F.min(F.when(F.col("model") != "ens", F.col("rmse"))).alias(
+            "best_rmse"
+        ),
+        F.max(F.when(F.col("model") == "ens", F.col("rmse"))).alias(
+            "ens_rmse"
+        ),
+    )
+    wbest = Window.partitionBy("user_id", "audit_id").orderBy(
+        "rmse", "smape", "model_ord"
+    )
+    best = (
+        wm.filter(F.col("model") != "ens")
+        .select("user_id", "audit_id", "model", F.row_number().over(wbest).alias("brn"))
+        .filter(F.col("brn") == 1)
+        .select("user_id", "audit_id", F.col("model").alias("best_model"))
+    )
+    win = (
+        wwin.join(best, ["user_id", "audit_id"])
+        .filter(F.col("ens_rmse") <= 3.0 * F.col("best_rmse"))
+        .select(
+            "user_id",
+            "audit_id",
+            "best_rmse",
+            "ens_rmse",
+            "best_model",
+            (F.col("ens_rmse") / F.col("best_rmse")).alias("rmse_ratio"),
+        )
+    )
+    wlagm = Window.partitionBy("user_id", "model").orderBy("audit_id")
+    mw = (
+        wm.filter(F.col("model") != "ens")
+        .join(win.select("user_id", "audit_id"), ["user_id", "audit_id"])
+        .select(
+            "user_id",
+            "audit_id",
+            "model",
+            "model_ord",
+            "rmse",
+            "smape",
+            "da",
+            F.lag("rmse").over(wlagm).alias("rmse_prev"),
+        )
+    )
+    wu = Window.partitionBy("user_id", "audit_id")
+    inv_prev = 1.0 / F.greatest(F.col("rmse_prev"), F.lit(_FM_EPS))
+    wts = mw.select(
+        "user_id",
+        "audit_id",
+        "model",
+        "model_ord",
+        "rmse",
+        "smape",
+        "da",
+        F.when(
+            F.sum(
+                F.when(F.col("rmse_prev").isNotNull(), 1).otherwise(0)
+            ).over(wu)
+            == 3,
+            inv_prev / F.sum(inv_prev).over(wu),
+        )
+        .otherwise(1.0 / 3.0)
+        .alias("weight"),
+    )
+    return wts, win
+
+
+@query(
+    "ensemble_health_model_summary",
+    oracle=f"""
+    {_EH_SQL},
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_windows FROM win)
+    SELECT t.model,
+           ROUND(AVG(t.rmse), 6) AS mean_rmse,
+           ROUND(QUANTILE_CONT(t.rmse, 0.5), 6) AS median_rmse,
+           ROUND(AVG(t.da), 6) AS mean_da,
+           CAST(SUM(CASE WHEN w.best_model = t.model THEN 1 ELSE 0 END)
+                AS BIGINT) AS times_best_single,
+           ROUND(SUM(CASE WHEN w.best_model = t.model THEN 1.0 ELSE 0.0 END)
+                 / MAX(tt.n_windows), 6) AS pct_best_single,
+           ROUND(AVG(t.weight), 6) AS mean_weight_when_selected,
+           CAST(SUM(CASE WHEN t.da < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS da_zero_windows,
+           CAST(MAX(tt.n_windows) AS BIGINT) AS n_windows
+    FROM wts t
+    JOIN win w ON w.user_id = t.user_id AND w.audit_id = t.audit_id
+    CROSS JOIN tot tt
+    GROUP BY t.model
+    """,
+)
+def ensemble_health_model_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-model health decomposition across all audit windows — reference
+    `scripts/ensemble_health_audit.py:296-331` (`compute_per_model_summary`):
+    mean/median RMSE, mean directional accuracy, times-best-single under
+    the reference tie-break (min RMSE, then min sMAPE, then model order,
+    `:221-229`), the DA=0 anomaly census (DA < 0.01 windows — the
+    near-flat-forecast pathology the report warns about, `:720-727`) and
+    the mean ensemble weight each model carried when selected. Three
+    output rows; the whole fleet reduces map-side after the shared
+    window-frame shuffle."""
+    wts, win = _eh_frames(spark, sf_dir)
+    tot = win.agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+    joined = wts.join(win, ["user_id", "audit_id"]).crossJoin(F.broadcast(tot))
+    is_best = F.when(F.col("best_model") == F.col("model"), 1).otherwise(0)
+    return joined.groupBy("model").agg(
+        r6(F.avg("rmse")).alias("mean_rmse"),
+        r6(F.percentile("rmse", F.lit(0.5))).alias("median_rmse"),
+        r6(F.avg("da")).alias("mean_da"),
+        F.sum(is_best).cast("long").alias("times_best_single"),
+        r6(F.sum(is_best.cast("double")) / F.max("n_windows")).alias(
+            "pct_best_single"
+        ),
+        r6(F.avg("weight")).alias("mean_weight_when_selected"),
+        F.sum(F.when(F.col("da") < 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("da_zero_windows"),
+        F.max("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+def eh_adaptive_weight_frame(recm: DataFrame) -> DataFrame:
+    """The adaptive candidate-weight algebra of
+    `scripts/ensemble_health_audit.py:383-580` over a per-key frame of
+    (user_id, model, model_ord, mean_rmse, mean_da) rows, three models
+    per key. Every step is a window expression over the 3-row key group:
+    exp-decay raw weights with the hard zero past 1.2x the median RMSE
+    (median of three = sum - max - min, interpolation-free), the DA-floor
+    penalty with pre- and post-normalization caps and redistribution of
+    the remaining budget to non-penalized models only, the all-DA-zero
+    RMSE-only fallback, and the 0.90 diversity clamp with proportional
+    redistribution. Factored out so planted-fixture tests can drive every
+    branch (real series rarely trip the DA floor)."""
+    wu = Window.partitionBy("user_id")
+    m1 = recm.select(
+        "*",
+        (
+            F.sum("mean_rmse").over(wu)
+            - F.max("mean_rmse").over(wu)
+            - F.min("mean_rmse").over(wu)
+        ).alias("med"),
+        F.max(
+            F.when(F.col("mean_da") >= _EH_DA_FLOOR, 1).otherwise(0)
+        )
+        .over(wu)
+        .alias("any_da_ok"),
+    )
+    m2 = m1.select(
+        "*",
+        F.when(F.col("mean_rmse") * 10.0 > F.col("med") * 12.0, 0.0)
+        .when(F.col("med") > 0, F.exp(-F.col("mean_rmse") / F.col("med")))
+        .otherwise(F.exp(F.lit(-1.0)))
+        .alias("raw0"),
+        F.when(
+            (F.col("any_da_ok") == 1) & (F.col("mean_da") < _EH_DA_FLOOR), 1
+        )
+        .otherwise(0)
+        .alias("pen"),
+    )
+    m2b = m2.select(
+        "*",
+        F.when(
+            (F.col("pen") == 1) & (F.col("raw0") > _EH_DA_CAP),
+            F.lit(_EH_DA_CAP),
+        )
+        .otherwise(F.col("raw0"))
+        .alias("raw"),
+    )
+    m3 = m2b.select(
+        "*",
+        F.when(
+            F.sum("raw").over(wu) <= 0, 1.0 / 3.0
+        )
+        .otherwise(F.col("raw") / F.sum("raw").over(wu))
+        .alias("adaptive"),
+    )
+    m4 = m3.select(
+        "*",
+        F.when(
+            (F.col("pen") == 1) & (F.col("adaptive") > _EH_DA_CAP), 1
+        )
+        .otherwise(0)
+        .alias("cap_flag"),
+    ).select(
+        "*",
+        F.max("cap_flag").over(wu).alias("capped_any"),
+        F.when(F.col("cap_flag") == 1, F.lit(_EH_DA_CAP))
+        .otherwise(F.col("adaptive"))
+        .alias("a2"),
+    )
+    m5 = m4.select(
+        "*",
+        F.sum(F.when(F.col("pen") == 1, F.col("a2")).otherwise(0.0))
+        .over(wu)
+        .alias("pen_sum"),
+        F.sum(F.when(F.col("pen") == 0, F.col("a2")).otherwise(0.0))
+        .over(wu)
+        .alias("np_sum"),
+        F.sum(F.when(F.col("pen") == 0, 1).otherwise(0))
+        .over(wu)
+        .alias("np_cnt"),
+    ).select(
+        "*",
+        F.when(F.col("capped_any") == 0, F.col("adaptive"))
+        .when(F.col("pen") == 1, F.col("a2"))
+        .when(
+            F.col("np_sum") > 0,
+            F.col("a2")
+            / F.col("np_sum")
+            * F.greatest(F.lit(0.0), 1.0 - F.col("pen_sum")),
+        )
+        .otherwise(
+            F.greatest(F.lit(0.0), 1.0 - F.col("pen_sum")) / F.col("np_cnt")
+        )
+        .alias("a3"),
+    )
+    wrnk = Window.partitionBy("user_id").orderBy(
+        F.col("a3").desc(), "model_ord"
+    )
+    m6 = m5.select("*", F.row_number().over(wrnk).alias("rnk"))
+    m7 = m6.select(
+        "*",
+        F.max(F.when(F.col("rnk") == 1, F.col("a3"))).over(wu).alias("top_w"),
+        F.sum(F.when(F.col("rnk") > 1, F.col("a3")).otherwise(0.0))
+        .over(wu)
+        .alias("oth"),
+    )
+    return m7.select(
+        "*",
+        F.when(F.col("top_w") <= _EH_TOP_CLAMP, F.col("a3"))
+        .when(F.col("rnk") == 1, F.lit(_EH_TOP_CLAMP))
+        .when(
+            F.col("oth") > 0,
+            F.col("a3")
+            + (F.col("top_w") - _EH_TOP_CLAMP) * F.col("a3") / F.col("oth"),
+        )
+        .otherwise(F.col("a3") + (F.col("top_w") - _EH_TOP_CLAMP) / 2.0)
+        .alias("final"),
+    )
+
+
+@query(
+    "ensemble_adaptive_weights",
+    oracle=f"""
+    {_EH_SQL},
+    rec AS (
+      SELECT user_id, audit_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY audit_id DESC)
+               AS rec_rank
+      FROM win
+    ),
+    recm AS (
+      SELECT t.user_id, t.model, t.model_ord,
+             AVG(t.rmse) AS mean_rmse, AVG(t.da) AS mean_da
+      FROM wts t JOIN rec r ON r.user_id = t.user_id
+                           AND r.audit_id = t.audit_id
+      WHERE r.rec_rank <= {_EH_RECENT}
+      GROUP BY t.user_id, t.model, t.model_ord
+    ),
+    m1 AS (
+      SELECT *,
+             SUM(mean_rmse) OVER wu - MAX(mean_rmse) OVER wu
+               - MIN(mean_rmse) OVER wu AS med,
+             MAX(CASE WHEN mean_da >= {_EH_DA_FLOOR} THEN 1 ELSE 0 END)
+               OVER wu AS any_da_ok
+      FROM recm WINDOW wu AS (PARTITION BY user_id)
+    ),
+    m2 AS (
+      SELECT *,
+             CASE WHEN mean_rmse * 10.0 > med * 12.0 THEN 0.0
+                  WHEN med > 0 THEN EXP(-mean_rmse / med)
+                  ELSE EXP(-1.0) END AS raw0,
+             CASE WHEN any_da_ok = 1 AND mean_da < {_EH_DA_FLOOR}
+                  THEN 1 ELSE 0 END AS pen
+      FROM m1
+    ),
+    m2b AS (
+      SELECT *,
+             CASE WHEN pen = 1 AND raw0 > {_EH_DA_CAP}
+                  THEN {_EH_DA_CAP} ELSE raw0 END AS raw
+      FROM m2
+    ),
+    m3 AS (
+      SELECT *,
+             CASE WHEN SUM(raw) OVER wu <= 0 THEN 1.0 / 3.0
+                  ELSE raw / SUM(raw) OVER wu END AS adaptive
+      FROM m2b WINDOW wu AS (PARTITION BY user_id)
+    ),
+    m4 AS (
+      SELECT *,
+             MAX(cap_flag) OVER wu AS capped_any,
+             CASE WHEN cap_flag = 1 THEN {_EH_DA_CAP}
+                  ELSE adaptive END AS a2
+      FROM (SELECT *,
+                   CASE WHEN pen = 1 AND adaptive > {_EH_DA_CAP}
+                        THEN 1 ELSE 0 END AS cap_flag
+            FROM m3) c
+      WINDOW wu AS (PARTITION BY user_id)
+    ),
+    m5 AS (
+      SELECT *,
+             CASE WHEN capped_any = 0 THEN adaptive
+                  WHEN pen = 1 THEN a2
+                  WHEN np_sum > 0
+                  THEN a2 / np_sum * GREATEST(0.0, 1.0 - pen_sum)
+                  ELSE GREATEST(0.0, 1.0 - pen_sum) / np_cnt END AS a3
+      FROM (SELECT *,
+                   SUM(CASE WHEN pen = 1 THEN a2 ELSE 0.0 END) OVER wu
+                     AS pen_sum,
+                   SUM(CASE WHEN pen = 0 THEN a2 ELSE 0.0 END) OVER wu
+                     AS np_sum,
+                   SUM(CASE WHEN pen = 0 THEN 1 ELSE 0 END) OVER wu
+                     AS np_cnt
+            FROM m4 WINDOW wu AS (PARTITION BY user_id)) p
+    ),
+    m6 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY a3 DESC, model_ord) AS rnk
+      FROM m5
+    ),
+    m7 AS (
+      SELECT *,
+             MAX(CASE WHEN rnk = 1 THEN a3 END) OVER wu AS top_w,
+             SUM(CASE WHEN rnk > 1 THEN a3 ELSE 0.0 END) OVER wu AS oth
+      FROM m6 WINDOW wu AS (PARTITION BY user_id)
+    ),
+    m8 AS (
+      SELECT *,
+             CASE WHEN top_w <= {_EH_TOP_CLAMP} THEN a3
+                  WHEN rnk = 1 THEN {_EH_TOP_CLAMP}
+                  WHEN oth > 0
+                  THEN a3 + (top_w - {_EH_TOP_CLAMP}) * a3 / oth
+                  ELSE a3 + (top_w - {_EH_TOP_CLAMP}) / 2.0 END AS final
+      FROM m7
+    )
+    SELECT user_id, model,
+           ROUND(final, 6) AS weight_primary,
+           final > 0.001 AS in_primary,
+           CASE WHEN rnk = 1 THEN 0.7 WHEN rnk = 2 THEN 0.3
+                ELSE 0.0 END AS hedge_weight,
+           CASE WHEN rnk = 1 THEN 1.0 ELSE 0.0 END AS winner_weight,
+           any_da_ok = 0 AS degraded_da_fallback,
+           top_w > {_EH_TOP_CLAMP} AS diversity_clamped,
+           ROUND(mean_rmse, 6) AS mean_rmse,
+           ROUND(mean_da, 6) AS mean_da
+    FROM m8
+    """,
+)
+def ensemble_adaptive_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key adaptive candidate weights from the most recent audit
+    windows — reference `scripts/ensemble_health_audit.py:383-580`
+    (`compute_adaptive_weights`): exp(-mean_rmse / median) decay with the
+    hard zero past 1.2x the median, the DA-floor penalty (pre- and
+    post-normalization caps at da_cap_weight, redistribution of the
+    remaining budget to non-penalized models only), the all-DA-zero
+    RMSE-only fallback, and the 0.90 diversity guard. Emits the three
+    reference candidates per key in wide form: the primary adaptive
+    weight (with its > 0.001 inclusion flag — on this algebra weights are
+    either exactly 0 or >= the cap, so the reference's drop-tiny rule
+    never breaks the sum-to-1 contract), the 0.70/0.30 top-2 hedge and
+    the pure-winner weight, ranked by post-clamp weight with the
+    reference's stable model-order tie-break. The fleet is 3 rows per
+    key; every step is a window expression over that bounded group, so
+    the query is one shuffle at any scale."""
+    wts, win = _eh_frames(spark, sf_dir)
+    wrec = Window.partitionBy("user_id").orderBy(F.col("audit_id").desc())
+    rec = win.select(
+        "user_id", "audit_id", F.row_number().over(wrec).alias("rec_rank")
+    ).filter(F.col("rec_rank") <= _EH_RECENT)
+    recm = (
+        wts.join(rec.select("user_id", "audit_id"), ["user_id", "audit_id"])
+        .groupBy("user_id", "model", "model_ord")
+        .agg(
+            F.avg("rmse").alias("mean_rmse"), F.avg("da").alias("mean_da")
+        )
+    )
+    m8 = eh_adaptive_weight_frame(recm)
+    return m8.select(
+        "user_id",
+        "model",
+        r6(F.col("final")).alias("weight_primary"),
+        (F.col("final") > 0.001).alias("in_primary"),
+        F.when(F.col("rnk") == 1, 0.7)
+        .when(F.col("rnk") == 2, 0.3)
+        .otherwise(0.0)
+        .alias("hedge_weight"),
+        F.when(F.col("rnk") == 1, 1.0).otherwise(0.0).alias("winner_weight"),
+        (F.col("any_da_ok") == 0).alias("degraded_da_fallback"),
+        (F.col("top_w") > _EH_TOP_CLAMP).alias("diversity_clamped"),
+        r6(F.col("mean_rmse")).alias("mean_rmse"),
+        r6(F.col("mean_da")).alias("mean_da"),
+    )
+
+
+@query("ensemble_lift_significance")
+def ensemble_lift_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet bootstrap CI for ensemble lift — reference
+    `scripts/ensemble_health_audit.py:600-680` (`compute_lift_significance`):
+    per-window lift delta = best-single RMSE - ensemble RMSE (positive =
+    the ensemble wins the window), mean lift with a bootstrap confidence
+    interval and the win fraction, plus the insufficient-data guard
+    (n < 5 windows). Resampling uses the repo's deterministic
+    universal-hash draws (one md5 per window, affine integer mixes per
+    replicate — a ~half subsample rather than the reference's
+    with-replacement numpy draw, the documented deviation shared by A12 /
+    R12). Single-row output; the replicate fan-out dies in map-side
+    partial aggregation."""
+    from .queries_finance import _BOOT_P, _BOOT_PARAMS
+
+    _, win = _eh_frames(spark, sf_dir)
+    x = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("user_id").cast("string"),
+                        F.col("audit_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BOOT_P
+    )
+    d = win.select(
+        "user_id",
+        "audit_id",
+        (F.col("best_rmse") - F.col("ens_rmse")).alias("delta"),
+        x.alias("x"),
+    )
+    pt = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.avg("delta").alias("mean_lift"),
+        F.avg(F.when(F.col("delta") > 0, 1.0).otherwise(0.0)).alias(
+            "lift_win_fraction"
+        ),
+    )
+    params = spark.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(_BOOT_PARAMS)],
+        "rep int, a long, b long",
+    )
+    reps = (
+        d.crossJoin(F.broadcast(params))
+        .filter((F.col("a") * F.col("x") + F.col("b")) % _BOOT_P < _BOOT_P // 2)
+        .groupBy("rep")
+        .agg(F.avg("delta").alias("rep_mean"))
+    )
+    ci = reps.agg(
+        F.round(F.percentile("rep_mean", F.lit(0.025)), 6).alias("ci_low"),
+        F.round(F.percentile("rep_mean", F.lit(0.975)), 6).alias("ci_high"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_windows",
+        r6(F.col("mean_lift")).alias("mean_lift"),
+        "ci_low",
+        "ci_high",
+        r6(F.col("lift_win_fraction")).alias("lift_win_fraction"),
+        (F.col("n_windows") < 5).alias("insufficient_data"),
+        (F.col("ci_low") > 0.0).alias("lift_significant"),
+    )
+
+
+from .queries_finance import _BOOT_VALUES as _EH_BOOT_VALUES  # noqa: E402
+
+ORACLE["ensemble_lift_significance"] = f"""
+    {_EH_SQL},
+    d AS (
+      SELECT user_id, audit_id, best_rmse - ens_rmse AS delta,
+             ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR) || '|'
+                             || CAST(audit_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483647 AS x
+      FROM win
+    ),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+             AVG(delta) AS mean_lift,
+             AVG(CASE WHEN delta > 0 THEN 1.0 ELSE 0.0 END)
+               AS lift_win_fraction
+      FROM d
+    ),
+    params(rep, a, b) AS (VALUES {_EH_BOOT_VALUES}),
+    reps AS (
+      SELECT p.rep, AVG(d.delta) AS rep_mean
+      FROM d CROSS JOIN params p
+      WHERE (p.a * d.x + p.b) % 2147483647 < 1073741823
+      GROUP BY p.rep
+    ),
+    ci AS (
+      SELECT ROUND(QUANTILE_CONT(rep_mean, 0.025), 6) AS ci_low,
+             ROUND(QUANTILE_CONT(rep_mean, 0.975), 6) AS ci_high
+      FROM reps
+    )
+    SELECT pt.n_windows,
+           ROUND(pt.mean_lift, 6) AS mean_lift,
+           ci.ci_low, ci.ci_high,
+           ROUND(pt.lift_win_fraction, 6) AS lift_win_fraction,
+           pt.n_windows < 5 AS insufficient_data,
+           ci.ci_low > 0.0 AS lift_significant
+    FROM pt CROSS JOIN ci
+"""

@@ -203,3 +203,169 @@ def test_dataset_profiles_sanity(spark):
     assert t.sampling_period_days > 0
     assert t.temporal_gaps_detected >= 0
     assert t.gap_rate <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Ensemble health audit pack
+# ---------------------------------------------------------------------------
+
+
+def _eh_weights(spark, rows):
+    """Run the adaptive-weight algebra on planted (user, model, ord,
+    mean_rmse, mean_da) rows and return {model: (final, rnk, flags)}."""
+    from portofolio_maximizer_spark.plans.queries_eval import (
+        eh_adaptive_weight_frame,
+    )
+
+    df = spark.createDataFrame(
+        rows,
+        "user_id int, model string, model_ord int, "
+        "mean_rmse double, mean_da double",
+    )
+    out = eh_adaptive_weight_frame(df).collect()
+    return {
+        r.model: {
+            "final": r.final,
+            "rnk": r.rnk,
+            "degraded": r.any_da_ok == 0,
+            "clamped": r.top_w > 0.90,
+        }
+        for r in out
+    }
+
+
+def test_eh_adaptive_plain_exp_decay(spark):
+    # healthy DA everywhere -> pure exp-decay weights, sum to 1
+    w = _eh_weights(
+        spark,
+        [
+            (1, "naive", 0, 1.0, 0.5),
+            (1, "ma3", 1, 1.1, 0.5),
+            (1, "ma10", 2, 1.15, 0.5),
+        ],
+    )
+    tot = sum(v["final"] for v in w.values())
+    assert abs(tot - 1.0) < 1e-9
+    assert w["naive"]["final"] > w["ma3"]["final"] > w["ma10"]["final"]
+    assert not w["naive"]["degraded"] and not w["naive"]["clamped"]
+    med = 1.1
+    raw = {m: math.exp(-r / med) for m, r in
+           [("naive", 1.0), ("ma3", 1.1), ("ma10", 1.15)]}
+    s = sum(raw.values())
+    for m in raw:
+        assert abs(w[m]["final"] - raw[m] / s) < 1e-12
+
+
+def test_eh_adaptive_hard_zero_and_diversity_clamp(spark):
+    # one model way past 1.2x median -> hard zero; survivor dominance
+    # trips the 0.90 diversity clamp and redistributes the excess
+    w = _eh_weights(
+        spark,
+        [
+            (1, "naive", 0, 1.0, 0.5),
+            (1, "ma3", 1, 40.0, 0.5),
+            (1, "ma10", 2, 50.0, 0.5),
+        ],
+    )
+    # median = 40 -> ma10 (50 > 48) hard-zeroed; naive & ma3 survive:
+    # naive raw = exp(-1/40) ~ 0.975, ma3 raw = exp(-1) ~ 0.368 ->
+    # naive normalized ~ 0.726 -> no clamp
+    assert w["ma10"]["final"] == 0.0
+    assert abs(sum(v["final"] for v in w.values()) - 1.0) < 1e-9
+    w2 = _eh_weights(
+        spark,
+        [
+            (1, "naive", 0, 0.01, 0.5),
+            (1, "ma3", 1, 40.0, 0.5),
+            (1, "ma10", 2, 200.0, 0.5),
+        ],
+    )
+    # median = 40: ma10 zeroed; naive raw ~ exp(-0.00025) ~ 1,
+    # ma3 raw = exp(-1) ~ 0.368 -> naive ~ 0.731 -> still no clamp.
+    # Force the clamp with a capped penalized model instead:
+    w3 = _eh_weights(
+        spark,
+        [
+            (1, "naive", 0, 1.0, 0.8),
+            (1, "ma3", 1, 1.0, 0.01),
+            (1, "ma10", 2, 40.0, 0.8),
+        ],
+    )
+    # ma10 hard-zeroed (40 > 1.2*1.0); ma3 penalized (da .01 < .10):
+    # raw naive = exp(-1), ma3 capped at 0.10 -> normalize ->
+    # naive = .368/.468 ~ .786, ma3 ~ .214 > cap -> post-norm cap .10,
+    # remaining .90 all to naive -> naive = 0.90 exactly (no clamp excess)
+    assert abs(w3["naive"]["final"] - 0.90) < 1e-9
+    assert abs(w3["ma3"]["final"] - 0.10) < 1e-9
+    assert w3["ma10"]["final"] == 0.0
+    assert w2["naive"]["rnk"] == 1
+
+
+def test_eh_adaptive_da_cap_redistribution(spark):
+    # best-RMSE model has degenerate DA -> capped at 0.10, budget
+    # redistributed to the healthy models proportionally
+    w = _eh_weights(
+        spark,
+        [
+            (1, "naive", 0, 0.9, 0.01),
+            (1, "ma3", 1, 1.0, 0.5),
+            (1, "ma10", 2, 1.05, 0.5),
+        ],
+    )
+    assert abs(w["naive"]["final"] - 0.10) < 1e-9
+    assert abs(sum(v["final"] for v in w.values()) - 1.0) < 1e-9
+    # healthy pair keeps exp-decay proportions
+    med = 1.0
+    r3, r10 = math.exp(-1.0 / med), math.exp(-1.05 / med)
+    assert abs(
+        w["ma3"]["final"] / w["ma10"]["final"] - r3 / r10
+    ) < 1e-9
+    assert not w["ma3"]["degraded"]
+
+
+def test_eh_adaptive_all_da_zero_fallback(spark):
+    # every model below the DA floor -> RMSE-only weighting, flag set
+    w = _eh_weights(
+        spark,
+        [
+            (1, "naive", 0, 1.0, 0.0),
+            (1, "ma3", 1, 1.1, 0.05),
+            (1, "ma10", 2, 1.15, 0.0),
+        ],
+    )
+    assert all(v["degraded"] for v in w.values())
+    med = 1.1
+    raw = {m: math.exp(-r / med) for m, r in
+           [("naive", 1.0), ("ma3", 1.1), ("ma10", 1.15)]}
+    s = sum(raw.values())
+    for m in raw:
+        assert abs(w[m]["final"] - raw[m] / s) < 1e-12
+
+
+def test_eh_summary_and_lift_consistency(spark):
+    rows = Q["ensemble_health_model_summary"](spark, SF).collect()
+    assert {r.model for r in rows} == {"naive", "ma3", "ma10"}
+    n_win = rows[0].n_windows
+    assert n_win > 0
+    assert sum(r.times_best_single for r in rows) == n_win
+    for r in rows:
+        assert abs(r.pct_best_single - r.times_best_single / n_win) < 1e-5
+        assert 0.0 <= r.mean_da <= 1.0
+        assert r.median_rmse > 0
+    lift = Q["ensemble_lift_significance"](spark, SF).collect()[0]
+    assert lift.n_windows == n_win
+    assert not lift.insufficient_data
+    assert lift.ci_low <= lift.mean_lift <= lift.ci_high
+    assert 0.0 <= lift.lift_win_fraction <= 1.0
+    aw = Q["ensemble_adaptive_weights"](spark, SF).collect()
+    by_user = {}
+    for r in aw:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows_u in by_user.values():
+        assert len(rows_u) == 3
+        assert abs(sum(r.weight_primary for r in rows_u) - 1.0) < 5e-6
+        assert abs(sum(r.hedge_weight for r in rows_u) - 1.0) < 1e-9
+        assert sum(r.winner_weight for r in rows_u) == 1.0
+        for r in rows_u:
+            assert r.weight_primary >= 0.0
+            assert r.in_primary == (r.weight_primary > 0.001)
