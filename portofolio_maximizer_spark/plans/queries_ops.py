@@ -8552,3 +8552,341 @@ def order_learner_purge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reason"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Production forecast-audit sanitization (sanitize_production_forecast_audits)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/sanitize_production_forecast_audits.py`: two
+# classification rules over the production audit directory —
+# (1) RMSE-only relocation (`classify_rmse_only_relocation:100-121`): an
+# artifact with NO trade metadata (`_has_trade_metadata:71-86`: run_id /
+# entry_ts / ts_signal_id / expected_close_ts / signal_executed all absent)
+# but WITH rmse-only markers (`_has_rmse_only_markers:89-97`) whose event
+# type is blank or FORECAST_AUDIT — or whose evidence context is already
+# stamped RMSE_ONLY — belongs in the eval directory (EXPLICIT vs LEGACY
+# reason split on the stamp); (2) suspect time-indexing
+# (`classify_audit:155-202`): for TRADE-context TRADE_FORECAST_AUDIT rows
+# (blank event type DEFAULTS to TRADE_FORECAST_AUDIT — the `or` chain),
+# the entry-vs-dataset-end gap beyond +7.0 / below -1.0 days flags
+# ENTRY_AFTER_DATASET_END_EXCESSIVE / ENTRY_BEFORE_DATASET_END, and with
+# require_missing_expected_close_source=True (the default) a row is only
+# quarantine-suspect when it ALSO lacks an expected-close source
+# (MISSING_EXPECTED_CLOSE_SOURCE appended). The summary payload counts
+# reason codes over SUSPECTS only (`:315-317`).
+#
+# Engine mapping: one audit record per order; the JSON metadata fields the
+# reference probes are synthesized per-record from salted md5 draws (the
+# repo's portable hash family), and the entry-vs-end gap is drawn directly
+# in days on a 0.1-day grid spanning both thresholds, so every branch of
+# both classifiers is live at any SF.
+_SAN_POS_GAP = 7.0   # max_positive_gap_days default
+_SAN_NEG_GAP = 1.0   # max_negative_gap_days default
+
+
+def _san_hash(salt: str, col, mod: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def _san_hash_sql(salt: str, mod: int) -> str:
+    return (
+        f"('0x' || SUBSTR(MD5('{salt}|' || CAST(o_orderkey AS VARCHAR)), "
+        f"1, 6))::BIGINT % {mod}"
+    )
+
+
+def _san_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-audit classification frame for the sanitization queries."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(
+        k.alias("audit_id"),
+        (_san_hash("sanr", k, 5) != 0).alias("run_id_present"),
+        (_san_hash("sane", k, 6) != 0).alias("entry_present"),
+        (_san_hash("sanm", k, 3) != 0).alias("rmse_markers"),
+        F.when(_san_hash("sanv", k, 4) == 0, "")
+        .when(_san_hash("sanv", k, 4) == 1, "FORECAST_AUDIT")
+        .otherwise("TRADE_FORECAST_AUDIT")
+        .alias("event_type"),
+        (_san_hash("sanc", k, 10) == 0).alias("evidence_rmse_only"),
+        F.when(_san_hash("sanx", k, 8) == 0, "RESEARCH")
+        .otherwise("TRADE")
+        .alias("context_type"),
+        ((_san_hash("sang", k, 200) - 40) / 10.0).alias("gap_raw"),
+        (_san_hash("sans", k, 3) != 0).alias("close_source_present"),
+    )
+    trade_meta = F.col("run_id_present") | F.col("entry_present")
+    gap = F.when(F.col("entry_present"), F.col("gap_raw"))
+    rmse_only = (
+        (~trade_meta)
+        & F.col("rmse_markers")
+        & (
+            F.col("event_type").isin("", "FORECAST_AUDIT")
+            | F.col("evidence_rmse_only")
+        )
+    )
+    event_eff = F.when(
+        F.col("event_type") == "", "TRADE_FORECAST_AUDIT"
+    ).otherwise(F.col("event_type"))
+    in_scope = (
+        (~rmse_only)
+        & (F.col("context_type") == "TRADE")
+        & (event_eff == "TRADE_FORECAST_AUDIT")
+        & gap.isNotNull()
+    )
+    after_f = in_scope & (gap > _SAN_POS_GAP)
+    before_f = in_scope & (gap < -_SAN_NEG_GAP)
+    time_reason = after_f | before_f
+    suspect = time_reason & (~F.col("close_source_present"))
+    return base.select(
+        "audit_id",
+        rmse_only.alias("rmse_only"),
+        F.when(
+            rmse_only & F.col("evidence_rmse_only"),
+            "EXPLICIT_RMSE_ONLY_PRODUCTION_ARTIFACT",
+        )
+        .when(rmse_only, "LEGACY_RMSE_ONLY_PRODUCTION_ARTIFACT")
+        .alias("rmse_reason"),
+        after_f.alias("after_f"),
+        before_f.alias("before_f"),
+        suspect.alias("suspect"),
+        gap.alias("gap_days"),
+        F.when(F.col("close_source_present"), "atr_exit").alias(
+            "close_source"
+        ),
+    )
+
+
+_SAN_FRAME_SQL = f"""
+      SELECT o_orderkey AS audit_id,
+             ({_san_hash_sql('sanr', 5)}) <> 0 AS run_id_present,
+             ({_san_hash_sql('sane', 6)}) <> 0 AS entry_present,
+             ({_san_hash_sql('sanm', 3)}) <> 0 AS rmse_markers,
+             CASE ({_san_hash_sql('sanv', 4)})
+               WHEN 0 THEN '' WHEN 1 THEN 'FORECAST_AUDIT'
+               ELSE 'TRADE_FORECAST_AUDIT' END AS event_type,
+             ({_san_hash_sql('sanc', 10)}) = 0 AS evidence_rmse_only,
+             CASE WHEN ({_san_hash_sql('sanx', 8)}) = 0 THEN 'RESEARCH'
+                  ELSE 'TRADE' END AS context_type,
+             (({_san_hash_sql('sang', 200)}) - 40) / 10.0 AS gap_raw,
+             ({_san_hash_sql('sans', 3)}) <> 0 AS close_source_present
+      FROM orders
+"""
+
+_SAN_CLASS_SQL = f"""
+    WITH base AS ({_SAN_FRAME_SQL}),
+    cls AS (
+      SELECT audit_id,
+             (NOT (run_id_present OR entry_present)) AND rmse_markers
+               AND (event_type IN ('', 'FORECAST_AUDIT')
+                    OR evidence_rmse_only) AS rmse_only,
+             evidence_rmse_only,
+             CASE WHEN event_type = '' THEN 'TRADE_FORECAST_AUDIT'
+                  ELSE event_type END AS event_eff,
+             context_type,
+             CASE WHEN entry_present THEN gap_raw END AS gap_days,
+             close_source_present
+      FROM base
+    ),
+    c2 AS (
+      SELECT audit_id, rmse_only,
+             CASE WHEN rmse_only AND evidence_rmse_only
+                  THEN 'EXPLICIT_RMSE_ONLY_PRODUCTION_ARTIFACT'
+                  WHEN rmse_only
+                  THEN 'LEGACY_RMSE_ONLY_PRODUCTION_ARTIFACT' END
+               AS rmse_reason,
+             (NOT rmse_only) AND context_type = 'TRADE'
+               AND event_eff = 'TRADE_FORECAST_AUDIT'
+               AND gap_days IS NOT NULL
+               AND gap_days > {_SAN_POS_GAP} AS after_f,
+             (NOT rmse_only) AND context_type = 'TRADE'
+               AND event_eff = 'TRADE_FORECAST_AUDIT'
+               AND gap_days IS NOT NULL
+               AND gap_days < -{_SAN_NEG_GAP} AS before_f,
+             gap_days, close_source_present,
+             CASE WHEN close_source_present THEN 'atr_exit' END
+               AS close_source
+      FROM cls
+    ),
+    c3 AS (
+      SELECT *, (after_f OR before_f) AND NOT close_source_present
+               AS suspect
+      FROM c2
+    )
+"""
+
+
+@query(
+    "audit_sanitization_census",
+    oracle=f"""
+    {_SAN_CLASS_SQL},
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS scanned,
+             CAST(SUM(CASE WHEN rmse_only THEN 1 ELSE 0 END) AS BIGINT)
+               AS rmse_n,
+             CAST(SUM(CASE WHEN suspect THEN 1 ELSE 0 END) AS BIGINT)
+               AS susp_n,
+             CAST(SUM(CASE WHEN suspect AND after_f THEN 1 ELSE 0 END)
+                  AS BIGINT) AS after_n,
+             CAST(SUM(CASE WHEN suspect AND before_f THEN 1 ELSE 0 END)
+                  AS BIGINT) AS before_n,
+             CAST(SUM(CASE WHEN rmse_reason LIKE 'EXPLICIT%' THEN 1
+                           ELSE 0 END) AS BIGINT) AS expl_n,
+             CAST(SUM(CASE WHEN rmse_reason LIKE 'LEGACY%' THEN 1
+                           ELSE 0 END) AS BIGINT) AS leg_n
+      FROM c3
+    )
+    SELECT row_kind, key, n FROM (
+      SELECT 'total' AS row_kind, 'audits_scanned' AS key, scanned AS n
+        FROM t
+      UNION ALL
+      SELECT 'total', 'rmse_only_candidates', rmse_n FROM t
+      UNION ALL
+      SELECT 'total', 'suspects', susp_n FROM t
+      UNION ALL
+      SELECT 'reason_code', 'ENTRY_AFTER_DATASET_END_EXCESSIVE', after_n
+        FROM t WHERE after_n > 0
+      UNION ALL
+      SELECT 'reason_code', 'ENTRY_BEFORE_DATASET_END', before_n
+        FROM t WHERE before_n > 0
+      UNION ALL
+      SELECT 'reason_code', 'MISSING_EXPECTED_CLOSE_SOURCE', susp_n
+        FROM t WHERE susp_n > 0
+      UNION ALL
+      SELECT 'rmse_only_reason', 'EXPLICIT_RMSE_ONLY_PRODUCTION_ARTIFACT',
+             expl_n FROM t WHERE expl_n > 0
+      UNION ALL
+      SELECT 'rmse_only_reason', 'LEGACY_RMSE_ONLY_PRODUCTION_ARTIFACT',
+             leg_n FROM t WHERE leg_n > 0
+    ) u
+    """,
+)
+def audit_sanitization_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary census of the production-audit sanitizer — reference
+    `scripts/sanitize_production_forecast_audits.py:220-327`
+    (`sanitize_production_forecast_audits` totals + `reason_code_counts`
+    over suspects only + `rmse_only_reason_counts`), dry-run semantics
+    (apply=False: nothing quarantined or relocated). Reason-code rows are
+    emitted only when non-zero, mirroring the reference's `Counter`.
+    The whole census is one map-side-combinable aggregate over the
+    synthesized audit frame — a single bounded-output reduction at any
+    scale."""
+    c = _san_frame(spark, sf_dir)
+    t = c.agg(
+        F.count(F.lit(1)).cast("long").alias("scanned"),
+        F.sum(F.col("rmse_only").cast("int")).cast("long").alias("rmse_n"),
+        F.sum(F.col("suspect").cast("int")).cast("long").alias("susp_n"),
+        F.sum((F.col("suspect") & F.col("after_f")).cast("int"))
+        .cast("long")
+        .alias("after_n"),
+        F.sum((F.col("suspect") & F.col("before_f")).cast("int"))
+        .cast("long")
+        .alias("before_n"),
+        F.sum(F.col("rmse_reason").startswith("EXPLICIT").cast("int"))
+        .cast("long")
+        .alias("expl_n"),
+        F.sum(F.col("rmse_reason").startswith("LEGACY").cast("int"))
+        .cast("long")
+        .alias("leg_n"),
+    )
+    # one aggregate row -> 8 census rows via stack (single scan), the
+    # gated (Counter-style) rows filtered to non-zero counts
+    stacked = t.select(
+        F.expr(
+            "stack(8, "
+            "'total', 'audits_scanned', scanned, 0, "
+            "'total', 'rmse_only_candidates', rmse_n, 0, "
+            "'total', 'suspects', susp_n, 0, "
+            "'reason_code', 'ENTRY_AFTER_DATASET_END_EXCESSIVE', after_n, 1, "
+            "'reason_code', 'ENTRY_BEFORE_DATASET_END', before_n, 1, "
+            "'reason_code', 'MISSING_EXPECTED_CLOSE_SOURCE', susp_n, 1, "
+            "'rmse_only_reason', 'EXPLICIT_RMSE_ONLY_PRODUCTION_ARTIFACT', "
+            "expl_n, 1, "
+            "'rmse_only_reason', 'LEGACY_RMSE_ONLY_PRODUCTION_ARTIFACT', "
+            "leg_n, 1) AS (row_kind, key, n, gated)"
+        )
+    )
+    return stacked.filter((F.col("gated") == 0) | (F.col("n") > 0)).drop(
+        "gated"
+    )
+
+
+@query(
+    "audit_sanitization_examples",
+    oracle=f"""
+    {_SAN_CLASS_SQL},
+    susp AS (
+      SELECT 'suspect' AS classification, audit_id,
+             CONCAT_WS(',',
+               CASE WHEN after_f THEN 'ENTRY_AFTER_DATASET_END_EXCESSIVE'
+                    END,
+               CASE WHEN before_f THEN 'ENTRY_BEFORE_DATASET_END' END,
+               'MISSING_EXPECTED_CLOSE_SOURCE') AS reason_codes,
+             ROUND(gap_days, 6) AS gap_days, close_source,
+             ROW_NUMBER() OVER (ORDER BY audit_id) AS rk
+      FROM c3 WHERE suspect
+    ),
+    ro AS (
+      SELECT 'rmse_only' AS classification, audit_id,
+             rmse_reason AS reason_codes,
+             CAST(NULL AS DOUBLE) AS gap_days,
+             CAST(NULL AS VARCHAR) AS close_source,
+             ROW_NUMBER() OVER (ORDER BY audit_id) AS rk
+      FROM c3 WHERE rmse_only
+    )
+    SELECT classification, audit_id, reason_codes, gap_days, close_source
+    FROM (SELECT * FROM susp WHERE rk <= 25
+          UNION ALL
+          SELECT * FROM ro WHERE rk <= 25) u
+    """,
+)
+def audit_sanitization_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sanitizer's bounded example lists — reference
+    `scripts/sanitize_production_forecast_audits.py:318-321`
+    (`suspect_examples`/`rmse_only_examples`: first 25 rows of each class
+    in file order; file order = audit id here). Reason codes join in the
+    reference's append order (after / before / missing). Top-25-per-class
+    is a TakeOrdered per branch — no global sort."""
+    c = _san_frame(spark, sf_dir)
+    susp = (
+        c.filter(F.col("suspect"))
+        .orderBy("audit_id")
+        .limit(25)
+        .select(
+            F.lit("suspect").alias("classification"),
+            "audit_id",
+            F.concat_ws(
+                ",",
+                F.when(
+                    F.col("after_f"), "ENTRY_AFTER_DATASET_END_EXCESSIVE"
+                ),
+                F.when(F.col("before_f"), "ENTRY_BEFORE_DATASET_END"),
+                F.lit("MISSING_EXPECTED_CLOSE_SOURCE"),
+            ).alias("reason_codes"),
+            r6(F.col("gap_days")).alias("gap_days"),
+            "close_source",
+        )
+    )
+    ro = (
+        c.filter(F.col("rmse_only"))
+        .orderBy("audit_id")
+        .limit(25)
+        .select(
+            F.lit("rmse_only").alias("classification"),
+            "audit_id",
+            F.col("rmse_reason").alias("reason_codes"),
+            F.lit(None).cast("double").alias("gap_days"),
+            F.lit(None).cast("string").alias("close_source"),
+        )
+    )
+    return susp.unionAll(ro)

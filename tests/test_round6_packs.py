@@ -369,3 +369,36 @@ def test_eh_summary_and_lift_consistency(spark):
         for r in rows_u:
             assert r.weight_primary >= 0.0
             assert r.in_primary == (r.weight_primary > 0.001)
+
+
+def test_audit_sanitization_consistency(spark):
+    cen = {
+        (r.row_kind, r.key): r.n
+        for r in Q["audit_sanitization_census"](spark, SF).collect()
+    }
+    n_scanned = cen[("total", "audits_scanned")]
+    n_susp = cen[("total", "suspects")]
+    n_rmse = cen[("total", "rmse_only_candidates")]
+    assert n_scanned > 0
+    assert n_susp + n_rmse <= n_scanned
+    # missing-source code is appended to every suspect (require_missing
+    # default) so its count equals the suspect total
+    if n_susp > 0:
+        assert cen[("reason_code", "MISSING_EXPECTED_CLOSE_SOURCE")] == n_susp
+        after = cen.get(("reason_code", "ENTRY_AFTER_DATASET_END_EXCESSIVE"), 0)
+        before = cen.get(("reason_code", "ENTRY_BEFORE_DATASET_END"), 0)
+        # the two time codes are mutually exclusive per row
+        assert after + before == n_susp
+    ex = Q["audit_sanitization_examples"](spark, SF).collect()
+    susp_ex = [r for r in ex if r.classification == "suspect"]
+    rmse_ex = [r for r in ex if r.classification == "rmse_only"]
+    assert len(susp_ex) == min(n_susp, 25)
+    assert len(rmse_ex) == min(n_rmse, 25)
+    for r in susp_ex:
+        assert r.reason_codes.endswith("MISSING_EXPECTED_CLOSE_SOURCE")
+        assert r.close_source is None
+        assert r.gap_days is not None
+        assert r.gap_days > 7.0 or r.gap_days < -1.0
+    for r in rmse_ex:
+        assert r.reason_codes.endswith("RMSE_ONLY_PRODUCTION_ARTIFACT")
+        assert r.gap_days is None
