@@ -6416,3 +6416,151 @@ ORACLE["ensemble_lift_significance"] = f"""
            ci.ci_low > 0.0 AS lift_significant
     FROM pt CROSS JOIN ci
 """
+
+
+@query(
+    "ensemble_proxy_shapley",
+    oracle=f"""
+    {_EH_SQL},
+    wide AS (
+      SELECT t.user_id, t.audit_id,
+             MAX(CASE WHEN t.model = 'naive' THEN t.rmse END) AS ra,
+             MAX(CASE WHEN t.model = 'ma3' THEN t.rmse END) AS rb,
+             MAX(CASE WHEN t.model = 'ma10' THEN t.rmse END) AS rc,
+             MAX(CASE WHEN t.model = 'naive' THEN t.weight END) AS wa,
+             MAX(CASE WHEN t.model = 'ma3' THEN t.weight END) AS wb,
+             MAX(CASE WHEN t.model = 'ma10' THEN t.weight END) AS wc
+      FROM wts t GROUP BY t.user_id, t.audit_id
+    ),
+    ls AS (
+      SELECT user_id, audit_id, ra, rb, rc,
+             (ra + rb + rc) / 3.0 AS l0,
+             (wa * ra + wb * rb)
+               / (CASE WHEN wa + wb <= 0 THEN 1.0 ELSE wa + wb END) AS lab,
+             (wa * ra + wc * rc)
+               / (CASE WHEN wa + wc <= 0 THEN 1.0 ELSE wa + wc END) AS lac,
+             (wb * rb + wc * rc)
+               / (CASE WHEN wb + wc <= 0 THEN 1.0 ELSE wb + wc END) AS lbc,
+             (wa * ra + wb * rb + wc * rc)
+               / (CASE WHEN wa + wb + wc <= 0 THEN 1.0
+                       ELSE wa + wb + wc END) AS labc
+      FROM wide
+    ),
+    phi AS (
+      SELECT user_id, audit_id,
+             (ra - l0) / 3.0 + (lab - rb) / 6.0 + (lac - rc) / 6.0
+               + (labc - lbc) / 3.0 AS phi_a,
+             (rb - l0) / 3.0 + (lab - ra) / 6.0 + (lbc - rc) / 6.0
+               + (labc - lac) / 3.0 AS phi_b,
+             (rc - l0) / 3.0 + (lac - ra) / 6.0 + (lbc - rb) / 6.0
+               + (labc - lab) / 3.0 AS phi_c
+      FROM ls
+    ),
+    el AS (SELECT AVG(ens_rmse) AS ens_loss FROM win),
+    m AS (
+      SELECT u.model, AVG(u.phi) AS sv, CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM (
+        SELECT user_id, audit_id, 'naive' AS model, phi_a AS phi FROM phi
+        UNION ALL
+        SELECT user_id, audit_id, 'ma3', phi_b FROM phi
+        UNION ALL
+        SELECT user_id, audit_id, 'ma10', phi_c FROM phi
+      ) u
+      GROUP BY u.model
+    )
+    SELECT m.model, ROUND(m.sv, 6) AS mean_shapley, m.n_windows,
+           CASE WHEN ABS(m.sv) > 0.05 * el.ens_loss
+                THEN CASE WHEN m.sv > 0 THEN 'dominant driver'
+                          ELSE 'dominant reducer' END
+                ELSE 'neutral' END AS interpretation
+    FROM m CROSS JOIN el
+    """,
+)
+def ensemble_proxy_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy Shapley attribution over the audit windows — reference
+    `scripts/ensemble_health_audit.py:336-380` (`compute_shapley_attribution`:
+    RMSE-as-constant-forecast proxy against a zero actual, MAE loss, the
+    window's stored ensemble weights) driving
+    `forcester_ts/shapley_attribution.py:37-170` (exact power-set Shapley
+    with subset-renormalized weights; the empty coalition is the
+    unweighted grand mean of all components). With constant forecast
+    arrays every subset loss collapses to the renormalized weighted mean
+    of the member RMSEs, so the 2^3 enumeration is closed-form column
+    algebra per window — no UDF, no explode. Mean per-window value per
+    model, with the report's interpretation rule (`:745-750`: |value|
+    vs 5% of the mean ensemble RMSE -> dominant driver / reducer /
+    neutral). Cited caveat as in the reference: a directional indicator,
+    not causal attribution."""
+    wts, win = _eh_frames(spark, sf_dir)
+
+    def piv(col: str, model: str):
+        return F.max(F.when(F.col("model") == model, F.col(col)))
+
+    wide = wts.groupBy("user_id", "audit_id").agg(
+        piv("rmse", "naive").alias("ra"),
+        piv("rmse", "ma3").alias("rb"),
+        piv("rmse", "ma10").alias("rc"),
+        piv("weight", "naive").alias("wa"),
+        piv("weight", "ma3").alias("wb"),
+        piv("weight", "ma10").alias("wc"),
+    )
+
+    def norm(num, den):
+        return num / F.when(den <= 0, 1.0).otherwise(den)
+
+    ra, rb, rc = F.col("ra"), F.col("rb"), F.col("rc")
+    wa, wb, wc = F.col("wa"), F.col("wb"), F.col("wc")
+    ls = wide.select(
+        "user_id",
+        "audit_id",
+        "ra",
+        "rb",
+        "rc",
+        ((ra + rb + rc) / 3.0).alias("l0"),
+        norm(wa * ra + wb * rb, wa + wb).alias("lab"),
+        norm(wa * ra + wc * rc, wa + wc).alias("lac"),
+        norm(wb * rb + wc * rc, wb + wc).alias("lbc"),
+        norm(wa * ra + wb * rb + wc * rc, wa + wb + wc).alias("labc"),
+    )
+    l0, lab, lac = F.col("l0"), F.col("lab"), F.col("lac")
+    lbc, labc = F.col("lbc"), F.col("labc")
+    phi = ls.select(
+        "user_id",
+        "audit_id",
+        (
+            (ra - l0) / 3.0 + (lab - rb) / 6.0 + (lac - rc) / 6.0
+            + (labc - lbc) / 3.0
+        ).alias("phi_a"),
+        (
+            (rb - l0) / 3.0 + (lab - ra) / 6.0 + (lbc - rc) / 6.0
+            + (labc - lac) / 3.0
+        ).alias("phi_b"),
+        (
+            (rc - l0) / 3.0 + (lac - ra) / 6.0 + (lbc - rb) / 6.0
+            + (labc - lab) / 3.0
+        ).alias("phi_c"),
+    )
+    long = phi.select(
+        F.expr(
+            "stack(3, 'naive', phi_a, 'ma3', phi_b, 'ma10', phi_c)"
+            " AS (model, phi)"
+        )
+    )
+    m = long.groupBy("model").agg(
+        F.avg("phi").alias("sv"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    )
+    el = win.agg(F.avg("ens_rmse").alias("ens_loss"))
+    return m.crossJoin(F.broadcast(el)).select(
+        "model",
+        r6(F.col("sv")).alias("mean_shapley"),
+        "n_windows",
+        F.when(
+            F.abs(F.col("sv")) > 0.05 * F.col("ens_loss"),
+            F.when(F.col("sv") > 0, "dominant driver").otherwise(
+                "dominant reducer"
+            ),
+        )
+        .otherwise("neutral")
+        .alias("interpretation"),
+    )

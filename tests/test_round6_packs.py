@@ -402,3 +402,56 @@ def test_audit_sanitization_consistency(spark):
     for r in rmse_ex:
         assert r.reason_codes.endswith("RMSE_ONLY_PRODUCTION_ARTIFACT")
         assert r.gap_days is None
+
+
+def test_eh_proxy_shapley_matches_reference_formula(spark):
+    # independent power-set replica of the attributor on the same frame
+    from itertools import combinations
+
+    from portofolio_maximizer_spark.plans.queries_eval import _eh_frames
+
+    wts, _ = _eh_frames(spark, SF)
+    rows = wts.collect()
+    win_data = {}
+    for r in rows:
+        win_data.setdefault((r.user_id, r.audit_id), {})[r.model] = (
+            r.rmse,
+            r.weight,
+        )
+    players = ["naive", "ma3", "ma10"]
+    import math as _m
+
+    acc = {p: [] for p in players}
+    for (_, _), mm in win_data.items():
+        rm = {p: mm[p][0] for p in players}
+        w = {p: mm[p][1] for p in players}
+
+        def loss(subset):
+            if not subset:
+                return sum(rm.values()) / 3.0
+            tw = sum(w[k] for k in subset)
+            tw = tw if tw > 0 else 1.0
+            return sum(w[k] / tw * rm[k] for k in subset)
+
+        for p in players:
+            others = [q for q in players if q != p]
+            phi = 0.0
+            for size in range(3):
+                for combo in combinations(others, size):
+                    s = set(combo)
+                    wgt = (
+                        _m.factorial(size) * _m.factorial(3 - size - 1)
+                        / _m.factorial(3)
+                    )
+                    phi += wgt * (loss(s | {p}) - loss(s))
+            acc[p].append(phi)
+    expected = {p: sum(v) / len(v) for p, v in acc.items()}
+    out = {
+        r.model: r for r in Q["ensemble_proxy_shapley"](spark, SF).collect()
+    }
+    for p in players:
+        assert abs(out[p].mean_shapley - expected[p]) < 1e-5
+        assert out[p].n_windows == len(acc[p])
+        assert out[p].interpretation in (
+            "dominant driver", "dominant reducer", "neutral",
+        )
