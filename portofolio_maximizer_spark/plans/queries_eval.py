@@ -6564,3 +6564,199 @@ def ensemble_proxy_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("interpretation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-ticker ensemble validation rollup (analyze_multi_ticker_results.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/analyze_multi_ticker_results.py`: parses the pipeline
+# log's ENSEMBLE build_complete lines and rolls up (13-75) per-build GARCH
+# weight classification (dominant >= 0.5 / zero / mixed), per-ticker weight
+# and RMSE-ratio stats (only ratios > 1.0 are tracked, `:71-73`), the 1.100
+# target gate with distance-to-goal against the 1.682 Phase-7.3 baseline
+# (`:110-124`), and the overall validation status block (`:128-143`). The
+# engine equivalent reads the same facts from its audit-window frame
+# instead of a log: one "ensemble build" = one surviving audit window, the
+# tracked weight = the naive model's window weight (the first-listed
+# component, the reference's garch slot), the RMSE ratio = the window's
+# ensemble-vs-best-single ratio.
+_MTV_DOMINANT = 0.5
+_MTV_TARGET = 1.100
+_MTV_BASELINE = 1.682
+
+
+@query(
+    "multi_ticker_ensemble_rollup",
+    oracle=f"""
+    {_EH_SQL},
+    b AS (
+      SELECT t.user_id, t.audit_id, t.weight, w.rmse_ratio
+      FROM wts t JOIN win w ON w.user_id = t.user_id
+                           AND w.audit_id = t.audit_id
+      WHERE t.model = 'naive'
+    ),
+    g AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_builds,
+             AVG(weight) AS w_avg, MAX(weight) AS w_max,
+             MIN(weight) AS w_min,
+             CAST(COUNT(CASE WHEN rmse_ratio > 1.0 THEN 1 END) AS BIGINT)
+               AS n_tracked,
+             AVG(CASE WHEN rmse_ratio > 1.0 THEN rmse_ratio END) AS r_avg,
+             MIN(CASE WHEN rmse_ratio > 1.0 THEN rmse_ratio END) AS r_best,
+             MAX(CASE WHEN rmse_ratio > 1.0 THEN rmse_ratio END) AS r_worst
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id, n_builds,
+           ROUND(w_avg, 6) AS weight_avg,
+           ROUND(w_max, 6) AS weight_max,
+           ROUND(w_min, 6) AS weight_min,
+           n_tracked,
+           ROUND(r_avg, 6) AS ratio_avg,
+           ROUND(r_best, 6) AS ratio_best,
+           ROUND(r_worst, 6) AS ratio_worst,
+           CASE WHEN r_avg IS NULL THEN NULL
+                ELSE r_avg < {_MTV_TARGET} END AS target_achieved,
+           CASE WHEN r_avg IS NOT NULL AND r_avg >= {_MTV_TARGET}
+                THEN ROUND(r_avg - {_MTV_TARGET}, 6) END AS target_gap,
+           CASE WHEN r_avg IS NOT NULL AND r_avg >= {_MTV_TARGET}
+                THEN ROUND(({_MTV_BASELINE} - r_avg)
+                           / ({_MTV_BASELINE} - {_MTV_TARGET}) * 100.0, 6)
+                END AS goal_reached_pct
+    FROM g
+    """,
+)
+def multi_ticker_ensemble_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker block of the multi-ticker validation summary — reference
+    `scripts/analyze_multi_ticker_results.py:95-124`: builds count,
+    tracked-weight avg/max/min, the worse-than-best RMSE-ratio stats
+    (only ratios > 1.0 enter the census, `:71-73`), and the 1.100 target
+    verdict with the distance-to-goal percentage against the 1.682
+    baseline (`:117-124`). One groupBy over the shared audit-window
+    frame."""
+    wts, win = _eh_frames(spark, sf_dir)
+    b = (
+        wts.filter(F.col("model") == "naive")
+        .join(win.select("user_id", "audit_id", "rmse_ratio"),
+              ["user_id", "audit_id"])
+    )
+    tracked = F.when(F.col("rmse_ratio") > 1.0, F.col("rmse_ratio"))
+    g = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_builds"),
+        F.avg("weight").alias("w_avg"),
+        F.max("weight").alias("w_max"),
+        F.min("weight").alias("w_min"),
+        F.count(tracked).cast("long").alias("n_tracked"),
+        F.avg(tracked).alias("r_avg"),
+        F.min(tracked).alias("r_best"),
+        F.max(tracked).alias("r_worst"),
+    )
+    r_avg = F.col("r_avg")
+    return g.select(
+        "user_id",
+        "n_builds",
+        r6(F.col("w_avg")).alias("weight_avg"),
+        r6(F.col("w_max")).alias("weight_max"),
+        r6(F.col("w_min")).alias("weight_min"),
+        "n_tracked",
+        r6(r_avg).alias("ratio_avg"),
+        r6(F.col("r_best")).alias("ratio_best"),
+        r6(F.col("r_worst")).alias("ratio_worst"),
+        F.when(r_avg.isNotNull(), r_avg < _MTV_TARGET).alias(
+            "target_achieved"
+        ),
+        F.when(
+            r_avg.isNotNull() & (r_avg >= _MTV_TARGET),
+            r6(r_avg - _MTV_TARGET),
+        ).alias("target_gap"),
+        F.when(
+            r_avg.isNotNull() & (r_avg >= _MTV_TARGET),
+            r6(
+                (_MTV_BASELINE - r_avg)
+                / (_MTV_BASELINE - _MTV_TARGET)
+                * 100.0
+            ),
+        ).alias("goal_reached_pct"),
+    )
+
+
+@query(
+    "multi_ticker_validation_status",
+    oracle=f"""
+    {_EH_SQL},
+    b AS (
+      SELECT t.user_id, t.audit_id, t.weight, w.rmse_ratio
+      FROM wts t JOIN win w ON w.user_id = t.user_id
+                           AND w.audit_id = t.audit_id
+      WHERE t.model = 'naive'
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_ensembles,
+             CAST(SUM(CASE WHEN weight >= {_MTV_DOMINANT} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dominant_n,
+             CAST(SUM(CASE WHEN weight = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_n,
+             CAST(SUM(CASE WHEN weight > 0.0 AND weight < {_MTV_DOMINANT}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS mixed_n,
+             AVG(CASE WHEN rmse_ratio > 1.0 THEN rmse_ratio END)
+               AS overall_avg
+      FROM b
+    )
+    SELECT total_ensembles, dominant_n,
+           ROUND(100.0 * CAST(dominant_n AS DOUBLE) / GREATEST(total_ensembles, 1), 6)
+             AS dominant_pct,
+           zero_n,
+           ROUND(100.0 * CAST(zero_n AS DOUBLE) / GREATEST(total_ensembles, 1), 6)
+             AS zero_pct,
+           mixed_n,
+           ROUND(100.0 * CAST(mixed_n AS DOUBLE) / GREATEST(total_ensembles, 1), 6)
+             AS mixed_pct,
+           dominant_n > 0 AS integration_success,
+           ROUND(overall_avg, 6) AS overall_avg_ratio,
+           ROUND(({_MTV_BASELINE} - overall_avg) / {_MTV_BASELINE} * 100.0,
+                 6) AS improvement_pct
+    FROM s
+    """,
+)
+def multi_ticker_validation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overall validation-status block — reference
+    `scripts/analyze_multi_ticker_results.py:56-65` (the per-build
+    dominant / zero / mixed classification with percentage shares) and
+    `:128-143` (integration success = any dominant build; overall RMSE
+    improvement vs the 1.682 baseline). Single bounded aggregate."""
+    wts, win = _eh_frames(spark, sf_dir)
+    b = (
+        wts.filter(F.col("model") == "naive")
+        .join(win.select("user_id", "audit_id", "rmse_ratio"),
+              ["user_id", "audit_id"])
+    )
+    w = F.col("weight")
+    s = b.agg(
+        F.count(F.lit(1)).cast("long").alias("total_ensembles"),
+        F.sum((w >= _MTV_DOMINANT).cast("int"))
+        .cast("long")
+        .alias("dominant_n"),
+        F.sum((w == 0.0).cast("int")).cast("long").alias("zero_n"),
+        F.sum(((w > 0.0) & (w < _MTV_DOMINANT)).cast("int"))
+        .cast("long")
+        .alias("mixed_n"),
+        F.avg(F.when(F.col("rmse_ratio") > 1.0, F.col("rmse_ratio"))).alias(
+            "overall_avg"
+        ),
+    )
+    tot = F.greatest(F.col("total_ensembles"), F.lit(1))
+    return s.select(
+        "total_ensembles",
+        "dominant_n",
+        r6(100.0 * F.col("dominant_n") / tot).alias("dominant_pct"),
+        "zero_n",
+        r6(100.0 * F.col("zero_n") / tot).alias("zero_pct"),
+        "mixed_n",
+        r6(100.0 * F.col("mixed_n") / tot).alias("mixed_pct"),
+        (F.col("dominant_n") > 0).alias("integration_success"),
+        r6(F.col("overall_avg")).alias("overall_avg_ratio"),
+        r6(
+            (_MTV_BASELINE - F.col("overall_avg")) / _MTV_BASELINE * 100.0
+        ).alias("improvement_pct"),
+    )
