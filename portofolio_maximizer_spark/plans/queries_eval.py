@@ -6691,7 +6691,7 @@ def multi_ticker_ensemble_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AND w.audit_id = t.audit_id
       WHERE t.model = 'naive'
     ),
-    s AS (
+    stat AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS total_ensembles,
              CAST(SUM(CASE WHEN weight >= {_MTV_DOMINANT} THEN 1 ELSE 0 END)
                   AS BIGINT) AS dominant_n,
@@ -6716,7 +6716,7 @@ def multi_ticker_ensemble_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(overall_avg, 6) AS overall_avg_ratio,
            ROUND(({_MTV_BASELINE} - overall_avg) / {_MTV_BASELINE} * 100.0,
                  6) AS improvement_pct
-    FROM s
+    FROM stat
     """,
 )
 def multi_ticker_validation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
