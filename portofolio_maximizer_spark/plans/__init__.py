@@ -9,5 +9,6 @@ from . import queries_signals  # noqa: F401  (registers pack 8)
 from . import queries_pipeline  # noqa: F401  (registers pack 9)
 from . import queries_risk  # noqa: F401  (registers pack 10)
 from . import queries_ops  # noqa: F401  (registers pack 11)
+from . import queries_adversarial  # noqa: F401  (registers pack 12)
 
 __all__ = ["ORACLE", "QUERIES"]

@@ -1,0 +1,158 @@
+"""Adversarial forecaster suite (pack 12, R135-R137).
+
+Generator properties pin the planted regime structure the scenarios exist
+to stress; the run-row replica re-derives one matrix cell end-to-end in
+independent numpy/pandas against the Spark query output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from portofolio_maximizer_spark.forecast.adversarial import (
+    HORIZON,
+    N_POINTS,
+    SCENARIOS,
+    SEEDS,
+    TRAIN_N,
+    gen_scenario,
+)
+from portofolio_maximizer_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_generator_deterministic():
+    for kind in SCENARIOS:
+        a = gen_scenario(kind, N_POINTS, 101)
+        b = gen_scenario(kind, N_POINTS, 101)
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (N_POINTS,)
+        assert np.isfinite(a).all()
+
+
+def test_fat_tail_crash_has_crash_window():
+    # the planted 3-day crash (reference :196-202) must dominate every
+    # other 3-day move in the path
+    for seed in SEEDS:
+        y = gen_scenario("fat_tail_crash", N_POINTS, seed)
+        lr = np.diff(np.log(y))
+        roll3 = np.convolve(lr, np.ones(3), mode="valid")
+        start = N_POINTS // 3
+        # crash magnitude is 3 * chosen shift in {-.36,-.30,-.24} plus noise
+        assert roll3.min() < -0.20
+        assert abs(int(np.argmin(roll3)) - (start - 1)) <= 1
+
+
+def test_crisis_recovery_recovers():
+    # phase-2 drift (+0.8%/day over ~213 bars) must end far above the
+    # phase-1 trough region for every seed (reference :204-218)
+    for seed in SEEDS:
+        y = gen_scenario("crisis_recovery", N_POINTS, seed)
+        third = N_POINTS // 3
+        assert y[-1] > y[third - 1] * 1.5
+        assert (y >= 1.0).all()
+
+
+def test_trend_seasonal_favors_seasonal_model(spark):
+    rows = {
+        (r["scenario"], r["seed"]): r
+        for r in QUERIES["adversarial_scenario_matrix"](spark, SF).collect()
+    }
+    assert len(rows) == len(SCENARIOS) * len(SEEDS)
+    seas = [rows[("trend_seasonal", s)]["rmse_seas"] for s in SEEDS]
+    drift = [rows[("trend_seasonal", s)]["rmse_drift"] for s in SEEDS]
+    ma10 = [rows[("trend_seasonal", s)]["rmse_ma10"] for s in SEEDS]
+    # the period-14 seasonal proxy captures the planted seasonality the
+    # trendless flat models can't; ma10 is comparable (the +0.18/day
+    # trend makes the stale season drift over the horizon), so the pinned
+    # ordering is seasonal-vs-drift only
+    assert np.mean(seas) < np.mean(drift)
+    assert np.mean(ma10) < np.mean(drift)
+    # and the mean-of-three ensemble must beat the RW baseline here
+    for s in SEEDS:
+        assert rows[("trend_seasonal", s)]["rmse_ens"] < rows[
+            ("trend_seasonal", s)
+        ]["rmse_rw"]
+
+
+def test_run_row_numpy_replica(spark):
+    # one cell re-derived entirely outside Spark/DuckDB
+    kind, seed = "random_walk", 202
+    y = gen_scenario(kind, N_POINTS, seed)
+    train, test = y[:TRAIN_N], y[TRAIN_N:]
+    h = np.arange(HORIZON, dtype=float)
+    last, first = train[-1], train[0]
+    p_drift = last + (last - first) / (TRAIN_N - 1) * (h + 1)
+    p_ma10 = np.full(HORIZON, train[-10:].mean())
+    season = train[TRAIN_N - 14:]
+    p_seas = season[(np.arange(HORIZON) % 14)]
+    p_ens = (p_drift + p_ma10 + p_seas) / 3.0
+    sd1 = np.std(np.diff(train), ddof=1)
+    lo = p_ens - 1.96 * sd1 * np.sqrt(h + 1)
+    hi = p_ens + 1.96 * sd1 * np.sqrt(h + 1)
+
+    def rmse(p):
+        return float(np.sqrt(np.mean((test - p) ** 2)))
+
+    row = next(
+        r
+        for r in QUERIES["adversarial_scenario_matrix"](spark, SF).collect()
+        if r["scenario"] == kind and r["seed"] == seed
+    )
+    assert row["rmse_drift"] == pytest.approx(rmse(p_drift), abs=2e-6)
+    assert row["rmse_ma10"] == pytest.approx(rmse(p_ma10), abs=2e-6)
+    assert row["rmse_seas"] == pytest.approx(rmse(p_seas), abs=2e-6)
+    assert row["rmse_ens"] == pytest.approx(rmse(p_ens), abs=2e-6)
+    assert row["rmse_rw"] == pytest.approx(
+        rmse(np.full(HORIZON, last)), abs=2e-6
+    )
+    best = min(rmse(p_drift), rmse(p_ma10), rmse(p_seas))
+    assert row["ratio_vs_best"] == pytest.approx(rmse(p_ens) / best, abs=2e-6)
+
+    entry, exit_ = train[-1], test[-1]
+    aret = (exit_ - entry) / entry
+    direction = np.sign(p_ens[-1] - p_ens[0])
+    a_dir = np.sign(test[-1] - test[0])
+    tda = 0.0 if (direction == 0 or a_dir == 0) else float(direction == a_dir)
+    assert row["terminal_da"] == pytest.approx(tda)
+    assert row["trade_return"] == pytest.approx(direction * aret, abs=2e-6)
+    assert row["ci_coverage"] == pytest.approx(
+        float(lo[-1] <= test[-1] <= hi[-1])
+    )
+    rets = pd.Series(test).pct_change().dropna()
+    cum = (1.0 + rets).cumprod()
+    dd = (cum - cum.cummax()) / cum.cummax()
+    assert row["max_drawdown"] == pytest.approx(abs(dd.min()), abs=2e-6)
+
+
+def test_summary_and_gate_consistency(spark):
+    matrix = QUERIES["adversarial_scenario_matrix"](spark, SF).collect()
+    summary = {
+        r["scope"]: r
+        for r in QUERIES["adversarial_suite_summary"](spark, SF).collect()
+    }
+    overall = summary["overall"]
+    assert overall["runs"] == len(matrix)
+    assert overall["under_best_n"] == sum(r["under_best"] for r in matrix)
+    assert overall["worse_rw_n"] == sum(r["worse_than_rw"] for r in matrix)
+    # scenario rows partition the matrix
+    assert sum(v["runs"] for k, v in summary.items() if k != "overall") == len(
+        matrix
+    )
+
+    gate = QUERIES["adversarial_barbell_gate"](spark, SF).collect()[0]
+    trs = [r["trade_return"] for r in matrix]
+    tau = 1.31 ** (1.0 / 252.0) - 1.0
+    gain = sum(max(t - tau, 0.0) for t in trs)
+    loss = sum(max(tau - t, 0.0) for t in trs)
+    assert gate["n_trades"] == len(trs)
+    if loss > 0:
+        assert gate["omega_ratio"] == pytest.approx(gain / loss, abs=2e-5)
+        assert gate["omega_above_1"] == (gain / loss > 1.0)
+    wins = [t for t in trs if t > 0]
+    assert gate["win_rate"] == pytest.approx(len(wins) / len(trs), abs=1e-6)
+    assert gate["barbell_status"] in ("PASS", "FAIL")
+    assert gate["gate_tda"] == (gate["tda_pass_rate"] >= 0.45)
