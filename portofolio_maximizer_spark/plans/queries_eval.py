@@ -6760,3 +6760,284 @@ def multi_ticker_validation_status(spark: SparkSession, sf_dir: str) -> DataFram
             (_MTV_BASELINE - F.col("overall_avg")) / _MTV_BASELINE * 100.0
         ).alias("improvement_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Directional classifier label generation (generate_classifier_training_labels)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/generate_classifier_training_labels.py`: scan a price
+# series at a fixed stride, emit a synthetic signal per bar with the
+# price-derivable feature subset (`_compute_price_features`, `:104-205`) and
+# the forward-price directional label (`generate_labels`, `:330-402`):
+# y = 1 iff Close[t+horizon] > Close[t], action BUY/SELL from the label,
+# deterministic ts_signal_id, non-positive closes skipped, features computed
+# on the lookback window ending at the bar with
+# effective_lookback = min(lookback, n - horizon - 1) and series shorter
+# than min_lookback + horizon rejected. Constants rescaled to the engine's
+# 49-88-row series (reference 252/60/10/30 → 30/15/5/10); forecast-derived
+# features (ensemble_pred_return, snr, confidences) plus the heavyweight
+# hurst/ADF diagnostics are emitted NULL per the reference's own contract —
+# "written as NaN and handled by the SimpleImputer" (`:24-27`; hurst and ADF
+# are served standalone by `hurst_exponent` / the F10 stat suite).
+_DL_LOOKBACK = 30
+_DL_MIN_LB = 15
+_DL_STEP = 5
+_DL_HORIZON = 10
+
+_DL_SQL = f"""
+    WITH s AS ({_S_SQL}),
+    b AS (
+      SELECT user_id, ts, rn - 1 AS bar, value,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             value / LAG(value) OVER w - 1.0 AS ret,
+             value / LAG(value, 5) OVER w - 1.0 AS r5,
+             LEAD(value, {_DL_HORIZON}) OVER w AS fwd
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    f AS (
+      SELECT *,
+             LEAST({_DL_LOOKBACK}, n - {_DL_HORIZON} - 1) AS eff,
+             STDDEV_SAMP(ret) OVER w29 AS vol_w,
+             STDDEV_SAMP(ret) OVER w4 AS vol5,
+             POWER(CORR(CAST(bar AS DOUBLE), value) OVER w30, 2) AS r2_raw,
+             VAR_SAMP(value) OVER w30
+               * (COUNT(value) OVER w30 - 1) AS ss_tot
+      FROM b
+      WINDOW
+        w30 AS (PARTITION BY user_id ORDER BY bar
+                ROWS BETWEEN {_DL_LOOKBACK} PRECEDING AND CURRENT ROW),
+        w29 AS (PARTITION BY user_id ORDER BY bar
+                ROWS BETWEEN {_DL_LOOKBACK - 1} PRECEDING AND CURRENT ROW),
+        w4 AS (PARTITION BY user_id ORDER BY bar
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ),
+    lab AS (
+      SELECT user_id, bar, ts, value, fwd, r5,
+             CASE WHEN fwd > value THEN 1 ELSE 0 END AS y_directional,
+             CASE WHEN vol_w > 0 THEN vol5 / vol_w END AS recent_vol_ratio,
+             vol_w * SQRT(252.0) AS rv_ann,
+             CASE WHEN ss_tot <= 1e-12 THEN 0.0 ELSE r2_raw END AS tstr
+      FROM f
+      WHERE eff >= {_DL_MIN_LB} AND bar >= eff
+        AND bar < n - {_DL_HORIZON} AND (bar - eff) % {_DL_STEP} = 0
+        AND value > 0 AND fwd > 0
+    )
+"""
+
+_DL_REGIME = """
+      CASE WHEN rv_ann > 0.40 THEN 'crisis'
+           WHEN rv_ann > 0.20 AND tstr > 0.30 THEN 'high_vol_trending'
+           WHEN tstr > 0.40 THEN 'moderate_trending'
+           ELSE 'liquid_rangebound' END
+"""
+
+
+@query(
+    "directional_training_labels",
+    oracle=f"""
+    {_DL_SQL}
+    SELECT 'gen_' || CAST(user_id AS VARCHAR) || '_'
+             || CAST(bar AS VARCHAR) AS ts_signal_id,
+           user_id, CAST(bar AS INT) AS bar,
+           EPOCH_MS(ts) AS entry_ms,
+           CASE WHEN y_directional = 1 THEN 'BUY' ELSE 'SELL' END AS action,
+           CAST(y_directional AS INT) AS y_directional,
+           'price_parquet_scan' AS label_source,
+           ROUND(r5, 6) AS recent_return_5d,
+           ROUND(recent_vol_ratio, 6) AS recent_vol_ratio,
+           ROUND(rv_ann, 6) AS realized_vol_annualized,
+           ROUND(tstr, 6) AS trend_strength,
+           CASE WHEN {_DL_REGIME} = 'liquid_rangebound' THEN 1.0 ELSE 0.0
+             END AS regime_liquid_rangebound,
+           CASE WHEN {_DL_REGIME} = 'moderate_trending' THEN 1.0 ELSE 0.0
+             END AS regime_moderate_trending,
+           CASE WHEN {_DL_REGIME} = 'high_vol_trending' THEN 1.0 ELSE 0.0
+             END AS regime_high_vol_trending,
+           CASE WHEN {_DL_REGIME} = 'crisis' THEN 1.0 ELSE 0.0
+             END AS regime_crisis,
+           CAST(NULL AS DOUBLE) AS ensemble_pred_return,
+           CAST(NULL AS DOUBLE) AS ci_width_normalized,
+           CAST(NULL AS DOUBLE) AS snr,
+           CAST(NULL AS DOUBLE) AS model_agreement,
+           CAST(NULL AS DOUBLE) AS hurst_exponent,
+           CAST(NULL AS DOUBLE) AS adf_pvalue
+    FROM lab
+    """,
+)
+def directional_training_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R138: forward-price directional labels generated straight from the
+    price series at a fixed stride — reference
+    `scripts/generate_classifier_training_labels.py:330-402` (the Phase-9
+    bootstrap that bypasses the JSONL timestamp mismatch) with the
+    price-derivable feature subset of `:104-205` and the regime one-hot
+    ladder aligned with the RegimeDetector thresholds (`:180-196`).
+
+    Plan: one shuffle on user_id feeds every window (lags, leads, the
+    three frame aggregates); the stride/lookback gates are row-local
+    predicates. No joins, no UDFs — linear at any scale."""
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("rn")
+    wp = Window.partitionBy("user_id")
+    w30 = w.rowsBetween(-_DL_LOOKBACK, 0)
+    w29 = w.rowsBetween(-(_DL_LOOKBACK - 1), 0)
+    w4 = w.rowsBetween(-4, 0)
+    bar = (F.col("rn") - 1).alias("bar")
+    b = s.select(
+        "user_id",
+        "ts",
+        bar,
+        "value",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        (F.col("value") / F.lag("value").over(w) - 1.0).alias("ret"),
+        (F.col("value") / F.lag("value", 5).over(w) - 1.0).alias("r5"),
+        F.lead("value", _DL_HORIZON).over(w).alias("fwd"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("bar")
+    wb30 = wb.rowsBetween(-_DL_LOOKBACK, 0)
+    wb29 = wb.rowsBetween(-(_DL_LOOKBACK - 1), 0)
+    wb4 = wb.rowsBetween(-4, 0)
+    f = b.select(
+        "*",
+        F.least(F.lit(_DL_LOOKBACK), F.col("n") - _DL_HORIZON - 1).alias(
+            "eff"
+        ),
+        F.stddev_samp("ret").over(wb29).alias("vol_w"),
+        F.stddev_samp("ret").over(wb4).alias("vol5"),
+        F.pow(
+            F.corr(F.col("bar").cast("double"), F.col("value")).over(wb30), 2
+        ).alias("r2_raw"),
+        (
+            F.var_samp("value").over(wb30)
+            * (F.count("value").over(wb30) - 1)
+        ).alias("ss_tot"),
+    )
+    lab = f.filter(
+        (F.col("eff") >= _DL_MIN_LB)
+        & (F.col("bar") >= F.col("eff"))
+        & (F.col("bar") < F.col("n") - _DL_HORIZON)
+        & ((F.col("bar") - F.col("eff")) % _DL_STEP == 0)
+        & (F.col("value") > 0)
+        & (F.col("fwd") > 0)
+    ).select(
+        "user_id",
+        "bar",
+        "ts",
+        "r5",
+        F.when(F.col("fwd") > F.col("value"), 1).otherwise(0).alias(
+            "y_directional"
+        ),
+        F.when(F.col("vol_w") > 0, F.col("vol5") / F.col("vol_w")).alias(
+            "recent_vol_ratio"
+        ),
+        (F.col("vol_w") * F.sqrt(F.lit(252.0))).alias("rv_ann"),
+        F.when(F.col("ss_tot") <= 1e-12, 0.0)
+        .otherwise(F.col("r2_raw"))
+        .alias("tstr"),
+    )
+    regime = (
+        F.when(F.col("rv_ann") > 0.40, "crisis")
+        .when(
+            (F.col("rv_ann") > 0.20) & (F.col("tstr") > 0.30),
+            "high_vol_trending",
+        )
+        .when(F.col("tstr") > 0.40, "moderate_trending")
+        .otherwise("liquid_rangebound")
+    )
+    null_d = F.lit(None).cast("double")
+    return lab.select(
+        F.concat(
+            F.lit("gen_"),
+            F.col("user_id").cast("string"),
+            F.lit("_"),
+            F.col("bar").cast("string"),
+        ).alias("ts_signal_id"),
+        "user_id",
+        F.col("bar").cast("int").alias("bar"),
+        F.unix_millis(F.col("ts")).alias("entry_ms"),
+        F.when(F.col("y_directional") == 1, "BUY")
+        .otherwise("SELL")
+        .alias("action"),
+        F.col("y_directional").cast("int").alias("y_directional"),
+        F.lit("price_parquet_scan").alias("label_source"),
+        r6(F.col("r5")).alias("recent_return_5d"),
+        r6(F.col("recent_vol_ratio")).alias("recent_vol_ratio"),
+        r6(F.col("rv_ann")).alias("realized_vol_annualized"),
+        r6(F.col("tstr")).alias("trend_strength"),
+        (regime == "liquid_rangebound")
+        .cast("double")
+        .alias("regime_liquid_rangebound"),
+        (regime == "moderate_trending")
+        .cast("double")
+        .alias("regime_moderate_trending"),
+        (regime == "high_vol_trending")
+        .cast("double")
+        .alias("regime_high_vol_trending"),
+        (regime == "crisis").cast("double").alias("regime_crisis"),
+        null_d.alias("ensemble_pred_return"),
+        null_d.alias("ci_width_normalized"),
+        null_d.alias("snr"),
+        null_d.alias("model_agreement"),
+        null_d.alias("hurst_exponent"),
+        null_d.alias("adf_pvalue"),
+    )
+
+
+@query(
+    "directional_labels_summary",
+    oracle=f"""
+    {_DL_SQL},
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_labeled,
+             CAST(SUM(y_directional) AS BIGINT) AS n_positive,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_tickers
+      FROM lab
+    )
+    SELECT n_labeled, n_positive,
+           n_labeled - n_positive AS n_negative,
+           n_tickers,
+           'price_parquet_scan' AS label_source,
+           CASE WHEN n_labeled > 0
+                THEN ROUND(CAST(n_positive AS DOUBLE) / n_labeled, 6)
+                END AS win_rate,
+           n_labeled < 60 OR n_positive < 10
+             OR (n_labeled - n_positive) < 10 AS cold_start,
+           CASE WHEN n_labeled < 60 OR n_positive < 10
+                  OR (n_labeled - n_positive) < 10
+                THEN 'n=' || CAST(n_labeled AS VARCHAR)
+                     || ' < 60 or class imbalance'
+                END AS cold_start_reason
+    FROM g
+    """,
+)
+def directional_labels_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R139: the training-dataset summary gate — reference
+    `_write_summary` (`generate_classifier_training_labels.py:446-474`):
+    label/class counts, win rate, and the cold-start verdict
+    (n < 60 or either class below 10) with its reason string."""
+    lab = directional_training_labels(spark, sf_dir)
+    g = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labeled"),
+        F.sum("y_directional").cast("long").alias("n_positive"),
+        F.countDistinct("user_id").cast("long").alias("n_tickers"),
+    )
+    n, pos = F.col("n_labeled"), F.col("n_positive")
+    neg = n - pos
+    cold = (n < 60) | (pos < 10) | (neg < 10)
+    return g.select(
+        "n_labeled",
+        "n_positive",
+        neg.alias("n_negative"),
+        "n_tickers",
+        F.lit("price_parquet_scan").alias("label_source"),
+        F.when(n > 0, r6(pos.cast("double") / n)).alias("win_rate"),
+        cold.alias("cold_start"),
+        F.when(
+            cold,
+            F.concat(
+                F.lit("n="),
+                n.cast("string"),
+                F.lit(" < 60 or class imbalance"),
+            ),
+        ).alias("cold_start_reason"),
+    )

@@ -1,4 +1,5 @@
-"""Adversarial forecaster suite (pack 12, R135-R137).
+"""Adversarial forecaster suite (pack 12, R135-R137) and the
+directional-label bootstrap (R138/R139).
 
 Generator properties pin the planted regime structure the scenarios exist
 to stress; the run-row replica re-derives one matrix cell end-to-end in
@@ -156,3 +157,63 @@ def test_summary_and_gate_consistency(spark):
     assert gate["win_rate"] == pytest.approx(len(wins) / len(trs), abs=1e-6)
     assert gate["barbell_status"] in ("PASS", "FAIL")
     assert gate["gate_tda"] == (gate["tda_pass_rate"] >= 0.45)
+
+
+# ---------------------------------------------------------------------------
+# Directional label bootstrap (R138/R139) — pandas replica of one key
+# ---------------------------------------------------------------------------
+
+
+def test_directional_labels_pandas_replica(spark, duck):
+    import math
+
+    rows = QUERIES["directional_training_labels"](spark, SF).collect()
+    assert rows, "labels frame is empty"
+    key = rows[0]["user_id"]
+    ser = duck.execute(
+        "SELECT value FROM events WHERE value > 0 AND user_id = ? "
+        "ORDER BY ts, event_id",
+        [key],
+    ).fetchdf()["value"].astype(float)
+    n = len(ser)
+    eff = min(30, n - 11)
+    got = {r["bar"]: r for r in rows if r["user_id"] == key}
+    expect_bars = list(range(eff, n - 10, 5))
+    assert sorted(got) == expect_bars
+    for bar in expect_bars:
+        r = got[bar]
+        cur, fwd = ser.iloc[bar], ser.iloc[bar + 10]
+        assert r["y_directional"] == (1 if fwd > cur else 0)
+        assert r["action"] == ("BUY" if fwd > cur else "SELL")
+        win = ser.iloc[max(0, bar - eff): bar + 1]
+        rets = win.pct_change().dropna()
+        assert r["recent_return_5d"] == pytest.approx(
+            cur / ser.iloc[bar - 5] - 1.0, abs=2e-6
+        )
+        assert r["realized_vol_annualized"] == pytest.approx(
+            rets.std() * math.sqrt(252.0), abs=2e-6
+        )
+        vol5 = rets.iloc[-5:].std()
+        assert r["recent_vol_ratio"] == pytest.approx(
+            vol5 / rets.std(), abs=2e-6
+        )
+        x = np.arange(len(win), dtype=float)
+        ts_r2 = float(np.corrcoef(x, win.values)[0, 1] ** 2)
+        assert r["trend_strength"] == pytest.approx(ts_r2, abs=2e-6)
+        onehots = [
+            r["regime_liquid_rangebound"],
+            r["regime_moderate_trending"],
+            r["regime_high_vol_trending"],
+            r["regime_crisis"],
+        ]
+        assert sum(onehots) == 1.0
+        assert r["hurst_exponent"] is None and r["snr"] is None
+
+    summ = QUERIES["directional_labels_summary"](spark, SF).collect()[0]
+    assert summ["n_labeled"] == len(rows)
+    assert summ["n_positive"] == sum(r["y_directional"] for r in rows)
+    assert summ["cold_start"] == (
+        summ["n_labeled"] < 60
+        or summ["n_positive"] < 10
+        or summ["n_negative"] < 10
+    )
