@@ -4632,3 +4632,140 @@ def quant_validation_headroom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("GREEN")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Signal-validation backfill (scripts/backfill_signal_validation.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/backfill_signal_validation.py:253-333`: replay every
+# PENDING signal through the active SignalValidator and persist a status
+# transition — `archived` when the market-data window is too thin to
+# validate (`:296-305`), `failed` when the verdict is invalid or the
+# recommendation is REJECT/HOLD (`:322-326`), `validated` otherwise, with
+# validator_version 'v2-backfill' stamped on every replayed record
+# (`:331`). Engine mapping: one pending signal per key; "insufficient
+# market data" = the series is too short for the validator's market
+# context (the R50 frame's n >= 21 floor), so archived keys are exactly
+# those the validation frame drops. MONITOR verdicts carry is_valid = 0
+# and therefore fail, matching the reference's is_valid-driven branch.
+from .queries import ORACLE as _ORACLE_REG
+
+
+@query("signal_validation_backfill")
+def signal_validation_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R140: per-signal backfill status transition — the reference's
+    pending → validated / failed / archived ladder over the R50
+    validator verdicts, with archived rows carrying NULL verdict fields
+    (no validation record is inserted for them, `:296-305`)."""
+    v = llm_signal_validation(spark, sf_dir).select(
+        "user_id",
+        "recommendation",
+        "adjusted_confidence",
+        (F.col("is_valid") == 1).alias("ok"),
+    )
+    keys = _series(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bars")
+    )
+    j = keys.join(v, "user_id", "left")
+    return j.select(
+        "user_id",
+        "n_bars",
+        F.lit("pending").alias("prior_status"),
+        F.when(F.col("recommendation").isNull(), "archived")
+        .when(F.col("ok"), "validated")
+        .otherwise("failed")
+        .alias("new_status"),
+        "recommendation",
+        "adjusted_confidence",
+        F.when(
+            F.col("recommendation").isNotNull(), "v2-backfill"
+        ).alias("validator_version"),
+    )
+
+
+_ORACLE_REG["signal_validation_backfill"] = f"""
+    WITH s0 AS ({_S_SQL}),
+    keys AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_bars
+      FROM s0 GROUP BY user_id
+    ),
+    fin AS ({_ORACLE_REG["llm_signal_validation"]})
+    SELECT k.user_id, k.n_bars,
+           'pending' AS prior_status,
+           CASE WHEN f.recommendation IS NULL THEN 'archived'
+                WHEN f.is_valid = 1 THEN 'validated'
+                ELSE 'failed' END AS new_status,
+           f.recommendation, f.adjusted_confidence,
+           CASE WHEN f.recommendation IS NOT NULL
+                THEN 'v2-backfill' END AS validator_version
+    FROM keys k LEFT JOIN fin f ON f.user_id = k.user_id
+"""
+
+
+@query("signal_backfill_census")
+def signal_backfill_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R141: the BackfillStats summary (`backfill_signal_validation.py:
+    94-107,386-398`) — processed / validated / failed / archived counts
+    (errors are structurally zero in the engine's deterministic replay)
+    with status shares."""
+    b = signal_validation_backfill(spark, sf_dir)
+    g = b.agg(
+        F.count(F.lit(1)).cast("long").alias("processed"),
+        F.sum((F.col("new_status") == "validated").cast("int"))
+        .cast("long")
+        .alias("validated"),
+        F.sum((F.col("new_status") == "failed").cast("int"))
+        .cast("long")
+        .alias("failed"),
+        F.sum((F.col("new_status") == "archived").cast("int"))
+        .cast("long")
+        .alias("archived"),
+    )
+    tot = F.greatest(F.col("processed"), F.lit(1))
+    return g.select(
+        "processed",
+        "validated",
+        "failed",
+        "archived",
+        F.lit(0).cast("long").alias("errors"),
+        r6(F.col("validated").cast("double") / tot).alias("validated_share"),
+        r6(F.col("failed").cast("double") / tot).alias("failed_share"),
+        r6(F.col("archived").cast("double") / tot).alias("archived_share"),
+    )
+
+
+_ORACLE_REG["signal_backfill_census"] = f"""
+    WITH s0 AS ({_S_SQL}),
+    keys AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_bars
+      FROM s0 GROUP BY user_id
+    ),
+    fin AS ({_ORACLE_REG["llm_signal_validation"]}),
+    b AS (
+      SELECT k.user_id,
+             CASE WHEN f.recommendation IS NULL THEN 'archived'
+                  WHEN f.is_valid = 1 THEN 'validated'
+                  ELSE 'failed' END AS new_status
+      FROM keys k LEFT JOIN fin f ON f.user_id = k.user_id
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS processed,
+             CAST(SUM(CASE WHEN new_status = 'validated' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS validated,
+             CAST(SUM(CASE WHEN new_status = 'failed' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS failed,
+             CAST(SUM(CASE WHEN new_status = 'archived' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS archived
+      FROM b
+    )
+    SELECT processed, validated, failed, archived,
+           CAST(0 AS BIGINT) AS errors,
+           ROUND(CAST(validated AS DOUBLE) / GREATEST(processed, 1), 6)
+             AS validated_share,
+           ROUND(CAST(failed AS DOUBLE) / GREATEST(processed, 1), 6)
+             AS failed_share,
+           ROUND(CAST(archived AS DOUBLE) / GREATEST(processed, 1), 6)
+             AS archived_share
+    FROM g
+"""

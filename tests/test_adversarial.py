@@ -217,3 +217,39 @@ def test_directional_labels_pandas_replica(spark, duck):
         or summ["n_positive"] < 10
         or summ["n_negative"] < 10
     )
+
+
+# ---------------------------------------------------------------------------
+# Signal-validation backfill (R140/R141)
+# ---------------------------------------------------------------------------
+
+
+def test_backfill_transition_consistency(spark):
+    val = {
+        r["user_id"]: r
+        for r in QUERIES["llm_signal_validation"](spark, SF).collect()
+    }
+    back = QUERIES["signal_validation_backfill"](spark, SF).collect()
+    assert len(back) >= len(val)  # archived keys extend the frame
+    for r in back:
+        assert r["prior_status"] == "pending"
+        v = val.get(r["user_id"])
+        if v is None:
+            assert r["new_status"] == "archived"
+            assert r["recommendation"] is None
+            assert r["validator_version"] is None
+        else:
+            expect = "validated" if v["is_valid"] == 1 else "failed"
+            assert r["new_status"] == expect
+            assert r["recommendation"] == v["recommendation"]
+            assert r["validator_version"] == "v2-backfill"
+
+    cen = QUERIES["signal_backfill_census"](spark, SF).collect()[0]
+    assert cen["processed"] == len(back)
+    assert cen["validated"] == sum(
+        1 for r in back if r["new_status"] == "validated"
+    )
+    assert cen["validated"] + cen["failed"] + cen["archived"] == cen[
+        "processed"
+    ]
+    assert cen["errors"] == 0
