@@ -3707,3 +3707,327 @@ def dataset_temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "temporal_regularity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fresh-data regime validation scan (validate_regime_on_fresh_data.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/validate_regime_on_fresh_data.py`: load the freshest
+# price snapshot, dedupe duplicate timestamps keep-last (`_dedupe_series`,
+# `:65-69`), then scan every prefix (`_scan_regime_hits`, `:115-138`)
+# classifying the trailing-lookback window with the RegimeDetector and
+# recording the FIRST date each regime appears; the summary logs row/dupe
+# censuses, the date range and the latest as-of classification. Features
+# and ladder from `forcester_ts/regime_detector.py`: realized vol =
+# ann. std of the last-W returns, trend strength = linregress R² over the
+# last-W prices with the <14-point and flat-series zero guards
+# (`:116-143`), classify ladder `:202-244` (CRISIS vol>0.40; HVT on
+# (vol>0.30 ∧ trend>0.30) ∨ (vol>0.15 ∧ trend>0.60); rangebound on
+# vol<0.15 ∧ trend<0.30; MODERATE_TRENDING on trend>0.30; else
+# MODERATE_MIXED). The rangebound hurst/ADF sub-split (LIQUID vs
+# MODERATE_RANGEBOUND) is merged into one RANGEBOUND class here — the
+# scan's target regimes never depend on it and both diagnostics are
+# served standalone (`hurst_exponent`, the F10 ADF suite). Lookback/
+# min_len rescaled 60/80 → 20/25 for the engine's 49-88-bar series, and
+# the vol/trend cutoffs are rescaled from the reference's
+# annualized-equity calibration (0.15/0.30/0.40 vol, 0.30/0.60 trend) to
+# the engine series' per-bar grain (its raw window vol sits in [1, 1e3],
+# trend R² in [0, 0.5]) so every ladder branch is reachable: vol
+# 4/14/40 ≈ the scan distribution's p25/p75/p90, trend 0.05/0.13 ≈
+# p70/p90. Structure and branch order are the reference's exactly.
+_RFH_W = 20
+_RFH_MIN_LEN = 25
+_RFH_VOL_LOW = 4.0
+_RFH_VOL_HIGH = 14.0
+_RFH_VOL_CRISIS = 40.0
+_RFH_TR_WEAK = 0.05
+_RFH_TR_STRONG = 0.13
+
+_RFH_SQL = f"""
+    dd AS (
+      SELECT user_id, ts, event_id, value
+      FROM (SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS dup_rk,
+                   COUNT(*) OVER (PARTITION BY user_id, ts) AS dup_n
+            FROM events WHERE value > 0)
+      WHERE dup_rk = 1
+    ),
+    sb AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER wk - 1 AS bar,
+             value / LAG(value) OVER wk - 1.0 AS ret
+      FROM dd WINDOW wk AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    ft AS (
+      SELECT user_id, ts, bar, value,
+             STDDEV_SAMP(ret) OVER wr AS vol_raw,
+             COUNT(ret) OVER wr AS n_ret,
+             CASE WHEN COUNT(value) OVER wr < 14
+                       OR STDDEV_POP(value) OVER wr < 1e-10 THEN 0.0
+                  ELSE POWER(CORR(CAST(bar AS DOUBLE), value) OVER wr, 2)
+                  END AS trend_raw
+      FROM sb
+      WINDOW wr AS (PARTITION BY user_id ORDER BY bar
+                    ROWS BETWEEN {_RFH_W - 1} PRECEDING AND CURRENT ROW)
+    ),
+    cls AS (
+      SELECT user_id, ts, bar,
+             COALESCE(vol_raw, 0.0) AS vol,
+             COALESCE(trend_raw, 0.0) AS trend,
+             CASE WHEN COALESCE(vol_raw, 0.0) > {_RFH_VOL_CRISIS}
+                    THEN 'CRISIS'
+                  WHEN COALESCE(vol_raw, 0.0) > {_RFH_VOL_HIGH}
+                       AND COALESCE(trend_raw, 0.0) > {_RFH_TR_WEAK}
+                    THEN 'HIGH_VOL_TRENDING'
+                  WHEN COALESCE(vol_raw, 0.0) > {_RFH_VOL_LOW}
+                       AND COALESCE(trend_raw, 0.0) > {_RFH_TR_STRONG}
+                    THEN 'HIGH_VOL_TRENDING'
+                  WHEN COALESCE(vol_raw, 0.0) < {_RFH_VOL_LOW}
+                       AND COALESCE(trend_raw, 0.0) < {_RFH_TR_WEAK}
+                    THEN 'RANGEBOUND'
+                  WHEN COALESCE(trend_raw, 0.0) > {_RFH_TR_WEAK}
+                    THEN 'MODERATE_TRENDING'
+                  ELSE 'MODERATE_MIXED' END AS regime
+      FROM ft
+      WHERE bar >= {_RFH_MIN_LEN} AND bar + 1 >= {_RFH_W} + 5
+        AND bar >= {_RFH_W} AND n_ret = {_RFH_W}
+    )
+"""
+
+
+@query(
+    "regime_first_hit_scan",
+    oracle=f"""
+    WITH {_RFH_SQL}
+    SELECT user_id, regime,
+           CAST(bar AS INT) AS first_bar,
+           EPOCH_MS(ts) AS first_ms,
+           CAST(bar + 1 AS BIGINT) AS raw_len,
+           ROUND(vol, 6) AS realized_volatility,
+           ROUND(trend, 6) AS trend_strength
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, regime
+                                       ORDER BY bar) AS rk
+          FROM cls)
+    WHERE rk = 1
+    """,
+)
+def regime_first_hit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R142: first-occurrence-per-regime prefix scan — the reference's
+    `_scan_regime_hits` loop collapsed into one windowed pass: trailing
+    (vol, trend-R²) features at every qualifying bar, the RegimeDetector
+    ladder, then min-bar per (key, regime). One shuffle on user_id;
+    every feature is a frame aggregate, the first-hit pick a window
+    rank — linear at any scale (the reference refits per prefix,
+    O(n²))."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dd = (
+        ev.withColumn("dup_rk", F.row_number().over(wdup))
+        .filter(F.col("dup_rk") == 1)
+        .select("user_id", "ts", "value")
+    )
+    wk = Window.partitionBy("user_id").orderBy("ts")
+    sb = dd.select(
+        "user_id",
+        "ts",
+        "value",
+        (F.row_number().over(wk) - 1).alias("bar"),
+        (F.col("value") / F.lag("value").over(wk) - 1.0).alias("ret"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("bar").rowsBetween(
+        -(_RFH_W - 1), 0
+    )
+    ft = sb.select(
+        "user_id",
+        "ts",
+        "bar",
+        "value",
+        F.stddev_samp("ret").over(wr).alias("vol_raw"),
+        F.count("ret").over(wr).alias("n_ret"),
+        F.when(
+            (F.count("value").over(wr) < 14)
+            | (F.stddev_pop("value").over(wr) < 1e-10),
+            0.0,
+        )
+        .otherwise(
+            F.pow(F.corr(F.col("bar").cast("double"), F.col("value")).over(wr), 2)
+        )
+        .alias("trend_raw"),
+    )
+    vol = F.coalesce(F.col("vol_raw"), F.lit(0.0))
+    trend = F.coalesce(F.col("trend_raw"), F.lit(0.0))
+    regime = (
+        F.when(vol > _RFH_VOL_CRISIS, "CRISIS")
+        .when((vol > _RFH_VOL_HIGH) & (trend > _RFH_TR_WEAK),
+              "HIGH_VOL_TRENDING")
+        .when((vol > _RFH_VOL_LOW) & (trend > _RFH_TR_STRONG),
+              "HIGH_VOL_TRENDING")
+        .when((vol < _RFH_VOL_LOW) & (trend < _RFH_TR_WEAK), "RANGEBOUND")
+        .when(trend > _RFH_TR_WEAK, "MODERATE_TRENDING")
+        .otherwise("MODERATE_MIXED")
+    )
+    cls = ft.filter(
+        (F.col("bar") >= _RFH_MIN_LEN)
+        & (F.col("bar") + 1 >= _RFH_W + 5)
+        & (F.col("bar") >= _RFH_W)
+        & (F.col("n_ret") == _RFH_W)
+    ).select(
+        "user_id", "ts", "bar",
+        vol.alias("vol"), trend.alias("trend"), regime.alias("regime"),
+    )
+    whit = Window.partitionBy("user_id", "regime").orderBy("bar")
+    return (
+        cls.withColumn("rk", F.row_number().over(whit))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "regime",
+            F.col("bar").cast("int").alias("first_bar"),
+            F.unix_millis(F.col("ts")).alias("first_ms"),
+            (F.col("bar") + 1).cast("long").alias("raw_len"),
+            r6(F.col("vol")).alias("realized_volatility"),
+            r6(F.col("trend")).alias("trend_strength"),
+        )
+    )
+
+
+@query(
+    "fresh_data_validation_summary",
+    oracle=f"""
+    WITH {_RFH_SQL},
+    dup AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(dup_extra) AS BIGINT) AS dupes_removed,
+             MIN(ts) AS ts_min, MAX(ts) AS ts_max
+      FROM (SELECT user_id, ts, MAX(dup_n) - 1 AS dup_extra
+            FROM (SELECT user_id, ts, event_id,
+                         COUNT(*) OVER (PARTITION BY user_id, ts) AS dup_n
+                  FROM events WHERE value > 0)
+            GROUP BY user_id, ts) d
+      GROUP BY user_id
+    ),
+    latest AS (
+      SELECT user_id, regime AS latest_regime,
+             ROUND(vol, 6) AS latest_volatility,
+             ROUND(trend, 6) AS latest_trend
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY bar DESC) AS rk
+            FROM cls)
+      WHERE rk = 1
+    ),
+    seen AS (
+      SELECT user_id, CAST(COUNT(DISTINCT regime) AS BIGINT)
+               AS n_regimes_seen
+      FROM cls GROUP BY user_id
+    )
+    SELECT d.user_id, d.n_rows, d.dupes_removed,
+           EPOCH_MS(d.ts_min) AS start_ms,
+           EPOCH_MS(d.ts_max) AS end_ms,
+           l.latest_regime, l.latest_volatility, l.latest_trend,
+           COALESCE(s.n_regimes_seen, 0) AS n_regimes_seen
+    FROM dup d
+    LEFT JOIN latest l ON l.user_id = d.user_id
+    LEFT JOIN seen s ON s.user_id = d.user_id
+    """,
+)
+def fresh_data_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R143: the per-file validation block (`validate_regime_on_fresh_
+    data.py:215-238`): deduped row count, duplicate-timestamp census,
+    date range, and the LATEST as-of classification with its features,
+    plus the count of distinct regimes the scan surfaced."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    per_ts = ev.groupBy("user_id", "ts").agg(
+        (F.count(F.lit(1)) - 1).alias("dup_extra")
+    )
+    dup = per_ts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("dup_extra").cast("long").alias("dupes_removed"),
+        F.unix_millis(F.min("ts")).alias("start_ms"),
+        F.unix_millis(F.max("ts")).alias("end_ms"),
+    )
+    # rebuild the scan frame (shares the plan up to `cls` with R142)
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dd = (
+        ev.withColumn("dup_rk", F.row_number().over(wdup))
+        .filter(F.col("dup_rk") == 1)
+        .select("user_id", "ts", "value")
+    )
+    wk = Window.partitionBy("user_id").orderBy("ts")
+    sb = dd.select(
+        "user_id",
+        "ts",
+        "value",
+        (F.row_number().over(wk) - 1).alias("bar"),
+        (F.col("value") / F.lag("value").over(wk) - 1.0).alias("ret"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("bar").rowsBetween(
+        -(_RFH_W - 1), 0
+    )
+    ft = sb.select(
+        "user_id",
+        "bar",
+        F.stddev_samp("ret").over(wr).alias("vol_raw"),
+        F.count("ret").over(wr).alias("n_ret"),
+        F.when(
+            (F.count("value").over(wr) < 14)
+            | (F.stddev_pop("value").over(wr) < 1e-10),
+            0.0,
+        )
+        .otherwise(
+            F.pow(F.corr(F.col("bar").cast("double"), F.col("value")).over(wr), 2)
+        )
+        .alias("trend_raw"),
+    )
+    vol = F.coalesce(F.col("vol_raw"), F.lit(0.0))
+    trend = F.coalesce(F.col("trend_raw"), F.lit(0.0))
+    regime = (
+        F.when(vol > _RFH_VOL_CRISIS, "CRISIS")
+        .when((vol > _RFH_VOL_HIGH) & (trend > _RFH_TR_WEAK),
+              "HIGH_VOL_TRENDING")
+        .when((vol > _RFH_VOL_LOW) & (trend > _RFH_TR_STRONG),
+              "HIGH_VOL_TRENDING")
+        .when((vol < _RFH_VOL_LOW) & (trend < _RFH_TR_WEAK), "RANGEBOUND")
+        .when(trend > _RFH_TR_WEAK, "MODERATE_TRENDING")
+        .otherwise("MODERATE_MIXED")
+    )
+    cls = ft.filter(
+        (F.col("bar") >= _RFH_MIN_LEN)
+        & (F.col("bar") + 1 >= _RFH_W + 5)
+        & (F.col("bar") >= _RFH_W)
+        & (F.col("n_ret") == _RFH_W)
+    ).select("user_id", "bar", vol.alias("vol"), trend.alias("trend"),
+             regime.alias("regime"))
+    wlast = Window.partitionBy("user_id").orderBy(F.col("bar").desc())
+    latest = (
+        cls.withColumn("rk", F.row_number().over(wlast))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("regime").alias("latest_regime"),
+            r6(F.col("vol")).alias("latest_volatility"),
+            r6(F.col("trend")).alias("latest_trend"),
+        )
+    )
+    seen = cls.groupBy("user_id").agg(
+        F.countDistinct("regime").cast("long").alias("n_regimes_seen")
+    )
+    return (
+        dup.join(latest, "user_id", "left")
+        .join(seen, "user_id", "left")
+        .select(
+            "user_id",
+            "n_rows",
+            "dupes_removed",
+            "start_ms",
+            "end_ms",
+            "latest_regime",
+            "latest_volatility",
+            "latest_trend",
+            F.coalesce(F.col("n_regimes_seen"), F.lit(0).cast("long")).alias(
+                "n_regimes_seen"
+            ),
+        )
+    )

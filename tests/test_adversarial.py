@@ -253,3 +253,79 @@ def test_backfill_transition_consistency(spark):
         "processed"
     ]
     assert cen["errors"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Regime first-hit scan (R142/R143) — pandas replica of one key
+# ---------------------------------------------------------------------------
+
+
+def test_regime_scan_pandas_replica(spark, duck):
+    from portofolio_maximizer_spark.plans.queries_stats import (
+        _RFH_MIN_LEN,
+        _RFH_TR_STRONG,
+        _RFH_TR_WEAK,
+        _RFH_VOL_CRISIS,
+        _RFH_VOL_HIGH,
+        _RFH_VOL_LOW,
+        _RFH_W,
+    )
+
+    hits = QUERIES["regime_first_hit_scan"](spark, SF).collect()
+    assert hits
+    key = hits[0]["user_id"]
+    ser = duck.execute(
+        "SELECT ts, value FROM (SELECT ts, value, ROW_NUMBER() OVER "
+        "(PARTITION BY ts ORDER BY event_id DESC) rk FROM events "
+        "WHERE value > 0 AND user_id = ?) WHERE rk = 1 ORDER BY ts",
+        [key],
+    ).fetchdf()
+    vals = ser["value"].astype(float).reset_index(drop=True)
+    rets = vals.pct_change()
+    first = {}
+    for bar in range(_RFH_MIN_LEN, len(vals)):
+        if bar < _RFH_W or bar + 1 < _RFH_W + 5:
+            continue
+        r = rets.iloc[bar - _RFH_W + 1: bar + 1]
+        if r.notna().sum() != _RFH_W:
+            continue
+        vol = float(r.std())
+        win = vals.iloc[bar - _RFH_W + 1: bar + 1]
+        if win.std(ddof=0) < 1e-10:
+            trend = 0.0
+        else:
+            x = np.arange(len(win), dtype=float)
+            trend = float(np.corrcoef(x, win.values)[0, 1] ** 2)
+        if vol > _RFH_VOL_CRISIS:
+            reg = "CRISIS"
+        elif vol > _RFH_VOL_HIGH and trend > _RFH_TR_WEAK:
+            reg = "HIGH_VOL_TRENDING"
+        elif vol > _RFH_VOL_LOW and trend > _RFH_TR_STRONG:
+            reg = "HIGH_VOL_TRENDING"
+        elif vol < _RFH_VOL_LOW and trend < _RFH_TR_WEAK:
+            reg = "RANGEBOUND"
+        elif trend > _RFH_TR_WEAK:
+            reg = "MODERATE_TRENDING"
+        else:
+            reg = "MODERATE_MIXED"
+        if reg not in first:
+            first[reg] = (bar, vol, trend)
+
+    got = {r["regime"]: r for r in hits if r["user_id"] == key}
+    assert sorted(got) == sorted(first)
+    for reg, (bar, vol, trend) in first.items():
+        assert got[reg]["first_bar"] == bar
+        assert got[reg]["realized_volatility"] == pytest.approx(vol, abs=2e-6)
+        assert got[reg]["trend_strength"] == pytest.approx(trend, abs=2e-6)
+
+    summ = {
+        r["user_id"]: r
+        for r in QUERIES["fresh_data_validation_summary"](spark, SF).collect()
+    }
+    s = summ[key]
+    assert s["n_rows"] == len(vals)
+    assert s["n_regimes_seen"] == len(first)
+    assert s["latest_regime"] in (
+        "CRISIS", "HIGH_VOL_TRENDING", "MODERATE_TRENDING",
+        "MODERATE_MIXED", "RANGEBOUND",
+    )
