@@ -1367,3 +1367,290 @@ def ohlcv_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "strategy_divergence"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-dataset TA feature factory (generate_synthetic_dataset.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/generate_synthetic_dataset.py:61-128`
+# (`build_feature_frames`): per-ticker technical features over the close
+# series with pandas rolling semantics (min_periods = max(1, w//2), sample
+# std) — SMA(5/20), rolling return vol(10), forward returns (1/5 bars,
+# `pct_change(h).shift(-h)`), RSI(14) in the simple-rolling-mean variant
+# with the loss→NaN guard, MACD(12/26/9) on `ewm(adjust=False)` EMAs,
+# Bollinger(20, 2σ), and rolling z-score(20). The factor-beta stub stays
+# disabled (factor_exposures defaults to [], `:73,116-123`).
+#
+# EMA(adjust=False) is computed EXACTLY by factoring the recursion into a
+# prefix sum: ema_t = (1-α)^t · (x_0 + α·Σ_{i=1..t} x_i·(1-α)^{-i}). The
+# (1-α)^{-i} terms stay ≤ ~1e9 for the engine's ≤100-bar series; for
+# unbounded-length series the Arrow-kernel exact recursion
+# (`forecast/ewma.py`) is the scale path, exactly like W11.
+_TAF_SPANS = (12, 26, 9)  # MACD fast/slow/signal
+
+
+def _taf_alpha(span: int) -> float:
+    return 2.0 / (span + 1.0)
+
+
+_TAF_A_FAST = _taf_alpha(12)
+_TAF_A_SLOW = _taf_alpha(26)
+_TAF_A_SIG = _taf_alpha(9)
+
+_TAF_SQL = f"""
+    s AS (
+      SELECT user_id, value AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS bar
+      FROM events WHERE value > 0
+    ),
+    d AS (
+      SELECT user_id, bar, x,
+             x / LAG(x) OVER wk - 1.0 AS ret,
+             x - LAG(x) OVER wk AS delta,
+             LEAD(x, 1) OVER wk AS x_f1,
+             LEAD(x, 5) OVER wk AS x_f5,
+             CASE WHEN bar = 0 THEN x
+                  ELSE {_TAF_A_FAST} * x * POWER(1.0 - {_TAF_A_FAST}, -bar)
+                  END AS uf,
+             CASE WHEN bar = 0 THEN x
+                  ELSE {_TAF_A_SLOW} * x * POWER(1.0 - {_TAF_A_SLOW}, -bar)
+                  END AS us
+      FROM s WINDOW wk AS (PARTITION BY user_id ORDER BY bar)
+    ),
+    e AS (
+      SELECT user_id, bar, x, ret, delta, x_f1, x_f5,
+             POWER(1.0 - {_TAF_A_FAST}, bar)
+               * SUM(uf) OVER wc AS ema_fast,
+             POWER(1.0 - {_TAF_A_SLOW}, bar)
+               * SUM(us) OVER wc AS ema_slow,
+             AVG(x) OVER w5 AS sma5_raw, COUNT(x) OVER w5 AS n5,
+             AVG(x) OVER w20 AS sma20_raw, COUNT(x) OVER w20 AS n20,
+             STDDEV_SAMP(ret) OVER w10 AS vol10_raw,
+             COUNT(ret) OVER w10 AS nr10,
+             AVG(GREATEST(delta, 0.0)) OVER w14 AS gain14,
+             AVG(GREATEST(-delta, 0.0)) OVER w14 AS loss14,
+             COUNT(delta) OVER w14 AS nd14,
+             STDDEV_SAMP(x) OVER w20 AS std20_raw
+      FROM d
+      WINDOW
+        wc AS (PARTITION BY user_id ORDER BY bar
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w5 AS (PARTITION BY user_id ORDER BY bar
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        w10 AS (PARTITION BY user_id ORDER BY bar
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        w14 AS (PARTITION BY user_id ORDER BY bar
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+        w20 AS (PARTITION BY user_id ORDER BY bar
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    g AS (
+      SELECT *, ema_fast - ema_slow AS macd_line,
+             CASE WHEN bar = 0 THEN ema_fast - ema_slow
+                  ELSE {_TAF_A_SIG} * (ema_fast - ema_slow)
+                       * POWER(1.0 - {_TAF_A_SIG}, -bar) END AS ug
+      FROM e
+    ),
+    h AS (
+      SELECT *, POWER(1.0 - {_TAF_A_SIG}, bar)
+                  * SUM(ug) OVER (PARTITION BY user_id ORDER BY bar
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS macd_signal_raw
+      FROM g
+    ),
+    taf AS (
+      SELECT user_id, CAST(bar AS INT) AS bar,
+             CASE WHEN n5 >= 2 THEN sma5_raw END AS sma_5,
+             CASE WHEN n20 >= 10 THEN sma20_raw END AS sma_20,
+             CASE WHEN nr10 >= 5 THEN vol10_raw END AS vol_10,
+             x_f1 / x - 1.0 AS return_fwd_1,
+             x_f5 / x - 1.0 AS return_fwd_5,
+             CASE WHEN nd14 >= 7 AND loss14 > 0
+                  THEN 100.0 - 100.0 / (1.0 + gain14 / loss14)
+                  END AS rsi_14,
+             macd_line AS macd,
+             macd_signal_raw AS macd_signal,
+             macd_line - macd_signal_raw AS macd_hist,
+             CASE WHEN n20 >= 10 THEN sma20_raw END AS boll_mid,
+             CASE WHEN n20 >= 10 THEN sma20_raw + 2.0 * std20_raw
+                  END AS boll_upper,
+             CASE WHEN n20 >= 10 THEN sma20_raw - 2.0 * std20_raw
+                  END AS boll_lower,
+             CASE WHEN n20 >= 10 THEN
+               (x - sma20_raw) / NULLIF(std20_raw, 0.0) END AS zscore_20
+      FROM h
+    )
+"""
+
+
+@query(
+    "ta_feature_frame",
+    oracle=f"""
+    WITH {_TAF_SQL}
+    SELECT user_id, bar,
+           ROUND(sma_5, 6) AS sma_5,
+           ROUND(sma_20, 6) AS sma_20,
+           ROUND(vol_10, 6) AS vol_10,
+           ROUND(return_fwd_1, 6) AS return_fwd_1,
+           ROUND(return_fwd_5, 6) AS return_fwd_5,
+           ROUND(rsi_14, 6) AS rsi_14,
+           ROUND(macd, 6) AS macd,
+           ROUND(macd_signal, 6) AS macd_signal,
+           ROUND(macd_hist, 6) AS macd_hist,
+           ROUND(boll_mid, 6) AS boll_mid,
+           ROUND(boll_upper, 6) AS boll_upper,
+           ROUND(boll_lower, 6) AS boll_lower,
+           ROUND(zscore_20, 6) AS zscore_20
+    FROM taf
+    """,
+)
+def ta_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R144: the synthetic-dataset TA feature factory — one windowed pass
+    per key; the two close EMAs and the signal EMA are exact
+    adjust=False recursions via factored prefix sums, everything else is
+    frame aggregates with pandas min_periods gates. Linear, one shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("value").alias("x"),
+        (F.row_number().over(wk) - 1).alias("bar"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("bar")
+    af, asl, asg = _TAF_A_FAST, _TAF_A_SLOW, _TAF_A_SIG
+    x = F.col("x")
+    bar = F.col("bar")
+    d = s.select(
+        "user_id",
+        "bar",
+        "x",
+        (x / F.lag("x").over(wb) - 1.0).alias("ret"),
+        (x - F.lag("x").over(wb)).alias("delta"),
+        F.lead("x", 1).over(wb).alias("x_f1"),
+        F.lead("x", 5).over(wb).alias("x_f5"),
+        F.when(bar == 0, x)
+        .otherwise(af * x * F.pow(F.lit(1.0 - af), -bar))
+        .alias("uf"),
+        F.when(bar == 0, x)
+        .otherwise(asl * x * F.pow(F.lit(1.0 - asl), -bar))
+        .alias("us"),
+    )
+    wc = wb.rowsBetween(Window.unboundedPreceding, 0)
+    w5 = wb.rowsBetween(-4, 0)
+    w10 = wb.rowsBetween(-9, 0)
+    w14 = wb.rowsBetween(-13, 0)
+    w20 = wb.rowsBetween(-19, 0)
+    e = d.select(
+        "*",
+        (F.pow(F.lit(1.0 - af), bar) * F.sum("uf").over(wc)).alias(
+            "ema_fast"
+        ),
+        (F.pow(F.lit(1.0 - asl), bar) * F.sum("us").over(wc)).alias(
+            "ema_slow"
+        ),
+        F.avg("x").over(w5).alias("sma5_raw"),
+        F.count("x").over(w5).alias("n5"),
+        F.avg("x").over(w20).alias("sma20_raw"),
+        F.count("x").over(w20).alias("n20"),
+        F.stddev_samp("ret").over(w10).alias("vol10_raw"),
+        F.count("ret").over(w10).alias("nr10"),
+        F.avg(F.greatest(F.col("delta"), F.lit(0.0))).over(w14).alias(
+            "gain14"
+        ),
+        F.avg(F.greatest(-F.col("delta"), F.lit(0.0))).over(w14).alias(
+            "loss14"
+        ),
+        F.count("delta").over(w14).alias("nd14"),
+        F.stddev_samp("x").over(w20).alias("std20_raw"),
+    )
+    macd_line = F.col("ema_fast") - F.col("ema_slow")
+    g = e.select(
+        "*",
+        macd_line.alias("macd_line"),
+        F.when(bar == 0, macd_line)
+        .otherwise(asg * macd_line * F.pow(F.lit(1.0 - asg), -bar))
+        .alias("ug"),
+    )
+    h = g.select(
+        "*",
+        (F.pow(F.lit(1.0 - asg), bar) * F.sum("ug").over(wc)).alias(
+            "macd_signal_raw"
+        ),
+    )
+    m20 = F.col("n20") >= 10
+    return h.select(
+        "user_id",
+        bar.cast("int").alias("bar"),
+        r6(F.when(F.col("n5") >= 2, F.col("sma5_raw"))).alias("sma_5"),
+        r6(F.when(m20, F.col("sma20_raw"))).alias("sma_20"),
+        r6(F.when(F.col("nr10") >= 5, F.col("vol10_raw"))).alias("vol_10"),
+        r6(F.col("x_f1") / x - 1.0).alias("return_fwd_1"),
+        r6(F.col("x_f5") / x - 1.0).alias("return_fwd_5"),
+        r6(
+            F.when(
+                (F.col("nd14") >= 7) & (F.col("loss14") > 0),
+                100.0 - 100.0 / (1.0 + F.col("gain14") / F.col("loss14")),
+            )
+        ).alias("rsi_14"),
+        r6(F.col("macd_line")).alias("macd"),
+        r6(F.col("macd_signal_raw")).alias("macd_signal"),
+        r6(F.col("macd_line") - F.col("macd_signal_raw")).alias("macd_hist"),
+        r6(F.when(m20, F.col("sma20_raw"))).alias("boll_mid"),
+        r6(
+            F.when(m20, F.col("sma20_raw") + 2.0 * F.col("std20_raw"))
+        ).alias("boll_upper"),
+        r6(
+            F.when(m20, F.col("sma20_raw") - 2.0 * F.col("std20_raw"))
+        ).alias("boll_lower"),
+        r6(
+            F.when(
+                m20,
+                (x - F.col("sma20_raw"))
+                / F.nullif(F.col("std20_raw"), F.lit(0.0)),
+            )
+        ).alias("zscore_20"),
+    )
+
+
+@query(
+    "series_calibration_stats",
+    oracle=f"""
+    WITH {_TAF_SQL},
+    lr AS (
+      SELECT user_id, ret,
+             LN(x) - LN(LAG(x) OVER (PARTITION BY user_id ORDER BY bar))
+               AS logret
+      FROM d
+    )
+    SELECT user_id,
+           CAST(COUNT(ret) AS BIGINT) AS observations,
+           ROUND(COALESCE(AVG(ret), 0.0), 6) AS mean_return,
+           ROUND(COALESCE(STDDEV_SAMP(ret), 0.0), 6) AS volatility,
+           ROUND(COALESCE(AVG(logret), 0.0), 6) AS log_return_mean,
+           ROUND(COALESCE(VAR_SAMP(logret), 0.0), 6) AS log_return_variance
+    FROM lr GROUP BY user_id
+    """,
+)
+def series_calibration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R145: per-ticker calibration stats (`generate_synthetic_dataset
+    .py:139-152`, `compute_calibration_stats`): simple-return mean/vol
+    and log-return mean/variance with the empty-series zero defaults.
+    One map-side-combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        (F.col("value") / F.lag("value").over(wk) - 1.0).alias("ret"),
+        (F.log("value") - F.log(F.lag("value").over(wk))).alias("logret"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count("ret").cast("long").alias("observations"),
+        r6(F.coalesce(F.avg("ret"), F.lit(0.0))).alias("mean_return"),
+        r6(F.coalesce(F.stddev_samp("ret"), F.lit(0.0))).alias("volatility"),
+        r6(F.coalesce(F.avg("logret"), F.lit(0.0))).alias("log_return_mean"),
+        r6(F.coalesce(F.var_samp("logret"), F.lit(0.0))).alias(
+            "log_return_variance"
+        ),
+    )

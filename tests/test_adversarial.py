@@ -329,3 +329,71 @@ def test_regime_scan_pandas_replica(spark, duck):
         "CRISIS", "HIGH_VOL_TRENDING", "MODERATE_TRENDING",
         "MODERATE_MIXED", "RANGEBOUND",
     )
+
+
+# ---------------------------------------------------------------------------
+# TA feature factory (R144/R145) — replica against REAL pandas semantics
+# ---------------------------------------------------------------------------
+
+
+def test_ta_features_match_pandas(spark, duck):
+    rows = QUERIES["ta_feature_frame"](spark, SF).collect()
+    key = rows[0]["user_id"]
+    got = {r["bar"]: r for r in rows if r["user_id"] == key}
+    close = duck.execute(
+        "SELECT value FROM events WHERE value > 0 AND user_id = ? "
+        "ORDER BY ts, event_id",
+        [key],
+    ).fetchdf()["value"].astype(float).reset_index(drop=True)
+    rets = close.pct_change()
+    exp = pd.DataFrame(
+        {
+            "sma_5": close.rolling(5, min_periods=2).mean(),
+            "sma_20": close.rolling(20, min_periods=10).mean(),
+            "vol_10": rets.rolling(10, min_periods=5).std(),
+            "return_fwd_1": close.pct_change(1).shift(-1),
+            "return_fwd_5": close.pct_change(5).shift(-5),
+        }
+    )
+    delta = close.diff()
+    gain = delta.clip(lower=0).rolling(14, min_periods=7).mean()
+    loss = (-delta.clip(upper=0)).rolling(14, min_periods=7).mean()
+    rs = gain / loss.replace(0, np.nan)
+    exp["rsi_14"] = 100 - 100 / (1 + rs)
+    ema_fast = close.ewm(span=12, adjust=False).mean()
+    ema_slow = close.ewm(span=26, adjust=False).mean()
+    macd = ema_fast - ema_slow
+    exp["macd"] = macd
+    exp["macd_signal"] = macd.ewm(span=9, adjust=False).mean()
+    exp["macd_hist"] = exp["macd"] - exp["macd_signal"]
+    ma20 = close.rolling(20, min_periods=10).mean()
+    sd20 = close.rolling(20, min_periods=10).std()
+    exp["boll_mid"] = ma20
+    exp["boll_upper"] = ma20 + 2.0 * sd20
+    exp["boll_lower"] = ma20 - 2.0 * sd20
+    exp["zscore_20"] = (close - ma20) / sd20
+
+    assert sorted(got) == list(range(len(close)))
+    for bar in range(len(close)):
+        r = got[bar]
+        for col in exp.columns:
+            want = exp[col].iloc[bar]
+            have = r[col]
+            if pd.isna(want):
+                assert have is None, (col, bar, have)
+            else:
+                assert have == pytest.approx(float(want), abs=3e-6), (
+                    col, bar, have, float(want),
+                )
+
+    cal = {
+        r["user_id"]: r
+        for r in QUERIES["series_calibration_stats"](spark, SF).collect()
+    }
+    c = cal[key]
+    lr = np.log(close).diff().dropna()
+    assert c["observations"] == len(rets.dropna())
+    assert c["mean_return"] == pytest.approx(rets.mean(), abs=2e-6)
+    assert c["volatility"] == pytest.approx(rets.std(), abs=2e-6)
+    assert c["log_return_mean"] == pytest.approx(lr.mean(), abs=2e-6)
+    assert c["log_return_variance"] == pytest.approx(lr.var(), abs=2e-6)
