@@ -1654,3 +1654,268 @@ def series_calibration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_return_variance"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window cross-validation aggregate (forcester_ts/cross_validation)
+# ---------------------------------------------------------------------------
+
+# Reference `forcester_ts/cross_validation.py` (RollingWindowValidator):
+# expanding-train folds from min_train_size at step_size stride, each
+# evaluated on the next `horizon` bars with the full
+# `compute_regression_metrics` bundle (`forcester_ts/metrics.py:39-107`:
+# rmse, eps-guarded smape, tracking error = population std of residuals,
+# one-step directional accuracy with zero-zero counted correct, terminal
+# DA with the flat-forecast-is-wrong rule), then mean-aggregated per
+# (model, metric) across folds (`_aggregate_metrics`, `:134-148`).
+# Constants rescaled 180/5/5 → 30/5/5 for the engine's 49-88-bar series;
+# the model set is the engine's stand-in convention (naive / MA(3) flat
+# holds + the drift line, so terminal DA has one non-degenerate arm).
+_CV_MIN_TRAIN = 30
+_CV_HORIZON = 5
+_CV_EPS = 1e-9
+
+_RCV_SQL = f"""
+    s AS (
+      SELECT user_id, value AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS bar,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE value > 0
+    ),
+    anch AS (
+      SELECT user_id, bar AS a_bar, x AS p_naive,
+             AVG(x) OVER w3 AS p_ma3,
+             (x - MAX(CASE WHEN bar = 0 THEN x END)
+                    OVER (PARTITION BY user_id)) / bar AS slope
+      FROM s
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY bar
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      QUALIFY bar >= {_CV_MIN_TRAIN - 1}
+         AND (bar - {_CV_MIN_TRAIN - 1}) % {_CV_HORIZON} = 0
+    ),
+    te AS (
+      SELECT s.user_id, s.bar, s.x,
+             CAST(FLOOR((s.bar - {_CV_MIN_TRAIN})
+                        / {_CV_HORIZON}) AS INT) AS fold_id,
+             s.bar - {_CV_MIN_TRAIN}
+               - {_CV_HORIZON} * FLOOR((s.bar - {_CV_MIN_TRAIN})
+                                       / {_CV_HORIZON}) AS h
+      FROM s
+      WHERE s.bar >= {_CV_MIN_TRAIN}
+        AND {_CV_MIN_TRAIN} + {_CV_HORIZON}
+            * (FLOOR((s.bar - {_CV_MIN_TRAIN}) / {_CV_HORIZON}) + 1) <= s.n
+    ),
+    pr AS (
+      SELECT t.user_id, t.fold_id, t.bar, t.x, m.model, m.model_ord,
+             CASE m.model
+               WHEN 'naive' THEN a.p_naive
+               WHEN 'ma3' THEN a.p_ma3
+               ELSE a.p_naive + a.slope * (t.h + 1) END AS pred
+      FROM te t
+      JOIN anch a ON a.user_id = t.user_id
+                 AND a.a_bar = {_CV_MIN_TRAIN} - 1
+                               + {_CV_HORIZON} * t.fold_id
+      CROSS JOIN (VALUES ('naive', 0), ('ma3', 1), ('drift', 2))
+        AS m(model, model_ord)
+    ),
+    lg AS (
+      SELECT *, LAG(x) OVER wf AS a_prev, LAG(pred) OVER wf AS p_prev
+      FROM pr WINDOW wf AS (PARTITION BY user_id, fold_id, model
+                            ORDER BY bar)
+    ),
+    fm AS (
+      SELECT user_id, fold_id, model, model_ord,
+             SQRT(AVG(POWER(pred - x, 2))) AS f_rmse,
+             2.0 * AVG(ABS(pred - x)
+                   / GREATEST(ABS(x) + ABS(pred), {_CV_EPS})) AS f_smape,
+             STDDEV_POP(pred - x) AS f_te,
+             AVG(CASE WHEN a_prev IS NOT NULL THEN
+               CASE WHEN SIGN(x - a_prev) = SIGN(pred - p_prev)
+                    THEN 1.0 ELSE 0.0 END END) AS f_da,
+             MAX(CASE WHEN h_first THEN x END) AS a0,
+             MAX(CASE WHEN h_last THEN x END) AS an,
+             MAX(CASE WHEN h_first THEN pred END) AS p0,
+             MAX(CASE WHEN h_last THEN pred END) AS pn,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM (SELECT *,
+              bar = MIN(bar) OVER (PARTITION BY user_id, fold_id, model)
+                AS h_first,
+              bar = MAX(bar) OVER (PARTITION BY user_id, fold_id, model)
+                AS h_last
+            FROM lg)
+      GROUP BY user_id, fold_id, model, model_ord
+      HAVING COUNT(*) = {_CV_HORIZON}
+    ),
+    fm2 AS (
+      SELECT *,
+             CASE WHEN SIGN(pn - p0) = 0 OR SIGN(an - a0) = 0 THEN 0.0
+                  WHEN SIGN(pn - p0) = SIGN(an - a0) THEN 1.0
+                  ELSE 0.0 END AS f_tda
+      FROM fm
+    )
+"""
+
+
+@query(
+    "rolling_cv_aggregate",
+    oracle=f"""
+    WITH {_RCV_SQL}
+    SELECT user_id, model,
+           CAST(COUNT(*) AS BIGINT) AS fold_count,
+           CAST({_CV_HORIZON} AS INT) AS horizon,
+           ROUND(AVG(f_rmse), 6) AS mean_rmse,
+           ROUND(AVG(f_smape), 6) AS mean_smape,
+           ROUND(AVG(f_te), 6) AS mean_tracking_error,
+           ROUND(AVG(f_da), 6) AS mean_directional_accuracy,
+           ROUND(AVG(f_tda), 6) AS mean_terminal_da,
+           ROUND(AVG(CAST(n_obs AS DOUBLE)), 6) AS mean_n_observations
+    FROM fm2
+    GROUP BY user_id, model
+    """,
+)
+def rolling_cv_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R146: the RollingWindowValidator collapsed into window algebra —
+    expanding-train fold grid, per-fold regression-metric bundle per
+    model, cross-fold means per (key, model). The reference refits per
+    fold (O(folds × fit)); the engine's fold anchors are one window pass
+    and the metric bundle one fine-grained groupBy — linear."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        F.col("value").alias("x"),
+        (F.row_number().over(wk) - 1).alias("bar"),
+    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    wb = Window.partitionBy("user_id").orderBy("bar")
+    anch = (
+        s.select(
+            "user_id",
+            "bar",
+            "x",
+            F.avg("x").over(wb.rowsBetween(-2, 0)).alias("p_ma3"),
+            F.max(F.when(F.col("bar") == 0, F.col("x"))).over(wp).alias(
+                "x0"
+            ),
+        )
+        .filter(
+            (F.col("bar") >= _CV_MIN_TRAIN - 1)
+            & ((F.col("bar") - (_CV_MIN_TRAIN - 1)) % _CV_HORIZON == 0)
+        )
+        .select(
+            "user_id",
+            F.col("bar").alias("a_bar"),
+            F.col("x").alias("p_naive"),
+            "p_ma3",
+            ((F.col("x") - F.col("x0")) / F.col("bar")).alias("slope"),
+        )
+    )
+    fold_id = F.floor(
+        (F.col("bar") - _CV_MIN_TRAIN) / _CV_HORIZON
+    ).cast("int")
+    te = s.filter(
+        (F.col("bar") >= _CV_MIN_TRAIN)
+        & (
+            _CV_MIN_TRAIN
+            + _CV_HORIZON
+            * (F.floor((F.col("bar") - _CV_MIN_TRAIN) / _CV_HORIZON) + 1)
+            <= F.col("n")
+        )
+    ).select(
+        "user_id",
+        "bar",
+        "x",
+        fold_id.alias("fold_id"),
+        (
+            F.col("bar")
+            - _CV_MIN_TRAIN
+            - _CV_HORIZON
+            * F.floor((F.col("bar") - _CV_MIN_TRAIN) / _CV_HORIZON)
+        ).alias("h"),
+    )
+    models = spark.createDataFrame(
+        [("naive", 0), ("ma3", 1), ("drift", 2)],
+        "model string, model_ord int",
+    )
+    pr = (
+        te.withColumn(
+            "a_bar",
+            F.lit(_CV_MIN_TRAIN - 1) + _CV_HORIZON * F.col("fold_id"),
+        )
+        .join(anch, ["user_id", "a_bar"])
+        .crossJoin(F.broadcast(models))
+        .select(
+            "user_id",
+            "fold_id",
+            "bar",
+            "x",
+            "model",
+            F.when(F.col("model") == "naive", F.col("p_naive"))
+            .when(F.col("model") == "ma3", F.col("p_ma3"))
+            .otherwise(F.col("p_naive") + F.col("slope") * (F.col("h") + 1))
+            .alias("pred"),
+        )
+    )
+    wf = Window.partitionBy("user_id", "fold_id", "model").orderBy("bar")
+    wfu = Window.partitionBy("user_id", "fold_id", "model")
+    lg = pr.select(
+        "*",
+        F.lag("x").over(wf).alias("a_prev"),
+        F.lag("pred").over(wf).alias("p_prev"),
+        (F.col("bar") == F.min("bar").over(wfu)).alias("h_first"),
+        (F.col("bar") == F.max("bar").over(wfu)).alias("h_last"),
+    )
+    resid = F.col("pred") - F.col("x")
+    da_term = F.when(
+        F.col("a_prev").isNotNull(),
+        F.when(
+            F.signum(F.col("x") - F.col("a_prev"))
+            == F.signum(F.col("pred") - F.col("p_prev")),
+            1.0,
+        ).otherwise(0.0),
+    )
+    fm = (
+        lg.groupBy("user_id", "fold_id", "model")
+        .agg(
+            F.sqrt(F.avg(F.pow(resid, 2))).alias("f_rmse"),
+            (
+                2.0
+                * F.avg(
+                    F.abs(resid)
+                    / F.greatest(
+                        F.abs(F.col("x")) + F.abs(F.col("pred")),
+                        F.lit(_CV_EPS),
+                    )
+                )
+            ).alias("f_smape"),
+            F.stddev_pop(resid).alias("f_te"),
+            F.avg(da_term).alias("f_da"),
+            F.max(F.when(F.col("h_first"), F.col("x"))).alias("a0"),
+            F.max(F.when(F.col("h_last"), F.col("x"))).alias("an"),
+            F.max(F.when(F.col("h_first"), F.col("pred"))).alias("p0"),
+            F.max(F.when(F.col("h_last"), F.col("pred"))).alias("pn"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+        .filter(F.col("n_obs") == _CV_HORIZON)
+    )
+    p_dir = F.signum(F.col("pn") - F.col("p0"))
+    a_dir = F.signum(F.col("an") - F.col("a0"))
+    fm2 = fm.withColumn(
+        "f_tda",
+        F.when((p_dir == 0) | (a_dir == 0), 0.0)
+        .when(p_dir == a_dir, 1.0)
+        .otherwise(0.0),
+    )
+    return fm2.groupBy("user_id", "model").agg(
+        F.count(F.lit(1)).cast("long").alias("fold_count"),
+        F.lit(_CV_HORIZON).cast("int").alias("horizon"),
+        r6(F.avg("f_rmse")).alias("mean_rmse"),
+        r6(F.avg("f_smape")).alias("mean_smape"),
+        r6(F.avg("f_te")).alias("mean_tracking_error"),
+        r6(F.avg("f_da")).alias("mean_directional_accuracy"),
+        r6(F.avg("f_tda")).alias("mean_terminal_da"),
+        r6(F.avg(F.col("n_obs").cast("double"))).alias(
+            "mean_n_observations"
+        ),
+    )

@@ -397,3 +397,70 @@ def test_ta_features_match_pandas(spark, duck):
     assert c["volatility"] == pytest.approx(rets.std(), abs=2e-6)
     assert c["log_return_mean"] == pytest.approx(lr.mean(), abs=2e-6)
     assert c["log_return_variance"] == pytest.approx(lr.var(), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Rolling CV aggregate (R146) — pandas replica of one key's drift arm
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_cv_pandas_replica(spark, duck):
+    rows = QUERIES["rolling_cv_aggregate"](spark, SF).collect()
+    key = rows[0]["user_id"]
+    close = duck.execute(
+        "SELECT value FROM events WHERE value > 0 AND user_id = ? "
+        "ORDER BY ts, event_id",
+        [key],
+    ).fetchdf()["value"].astype(float).reset_index(drop=True)
+    n = len(close)
+    MIN_T, H = 30, 5
+    folds = []
+    f = MIN_T
+    while f + H <= n:
+        folds.append(f)
+        f += H
+    per_model = {"naive": [], "ma3": [], "drift": []}
+    for f in folds:
+        test = close.iloc[f: f + H].values
+        anchor = close.iloc[f - 1]
+        preds = {
+            "naive": np.full(H, anchor),
+            "ma3": np.full(H, close.iloc[f - 3: f].mean()),
+            "drift": anchor
+            + (anchor - close.iloc[0]) / (f - 1) * (np.arange(H) + 1),
+        }
+        for m, p in preds.items():
+            resid = p - test
+            den = np.maximum(np.abs(test) + np.abs(p), 1e-9)
+            da = np.mean(
+                np.sign(np.diff(test)) == np.sign(np.diff(p))
+            )
+            pdir, adir = np.sign(p[-1] - p[0]), np.sign(test[-1] - test[0])
+            tda = (
+                0.0 if (pdir == 0 or adir == 0) else float(pdir == adir)
+            )
+            per_model[m].append(
+                (
+                    np.sqrt(np.mean(resid**2)),
+                    2.0 * np.mean(np.abs(resid) / den),
+                    np.std(resid),
+                    da,
+                    tda,
+                )
+            )
+    got = {(r["user_id"], r["model"]): r for r in rows}
+    for m, vals in per_model.items():
+        r = got[(key, m)]
+        arr = np.array(vals)
+        assert r["fold_count"] == len(folds)
+        assert r["mean_rmse"] == pytest.approx(arr[:, 0].mean(), abs=2e-6)
+        assert r["mean_smape"] == pytest.approx(arr[:, 1].mean(), abs=2e-6)
+        assert r["mean_tracking_error"] == pytest.approx(
+            arr[:, 2].mean(), abs=2e-6
+        )
+        assert r["mean_directional_accuracy"] == pytest.approx(
+            arr[:, 3].mean(), abs=2e-6
+        )
+        assert r["mean_terminal_da"] == pytest.approx(
+            arr[:, 4].mean(), abs=2e-6
+        )
