@@ -4769,3 +4769,230 @@ _ORACLE_REG["signal_backfill_census"] = f"""
              AS archived_share
     FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Comprehensive LLM-system health report (monitor_llm_system.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/monitor_llm_system.py` (`LLMSystemMonitor`): the
+# comprehensive-monitoring fold over the component checks — per-component
+# status rows, `_assess_system_health` (`:658-673`: overall DEGRADED when
+# ANY component status is outside {HEALTHY, NO_DATA} — including the
+# default-DISABLED ollama client, which the reference therefore always
+# reports as an issue) and `_generate_recommendations` (`:674-701`: the
+# three rule arms). Component statuses come from the engine's own R50-R52
+# frames: performance = worst per-model ladder state mapped onto the
+# monitor's FAILED/DEGRADED_LATENCY/HEALTHY vocabulary, signal quality =
+# validation census over the 5-layer verdicts, backtests = the per-key
+# report census, database integration = core-table readability counts.
+_MLS_REC_FAILED = "Investigate LLM inference failures"
+_MLS_REC_LATENCY = (
+    "Latency above benchmark - review caching/fallback tuning"
+)
+_MLS_REC_SLOW_INF = (
+    "Consider optimizing model selection for faster inference"
+)
+_MLS_REC_QUALITY = "Review signal generation quality - low validation rate"
+_MLS_REC_DB = "Fix database integration issues"
+
+
+@query("llm_system_health_report")
+def llm_system_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R147: one row per monitored component plus the overall fold —
+    status, detail, issue flag (status outside HEALTHY/NO_DATA) and the
+    monitor's recommendation string where a rule fires."""
+    perf = llm_performance_summary(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_models"),
+        F.sum((F.col("performance_status") == "CRITICAL").cast("int")).alias(
+            "n_crit"
+        ),
+        F.sum((F.col("performance_status") == "DEGRADED").cast("int")).alias(
+            "n_degr"
+        ),
+        F.max("avg_inference_time").alias("max_avg_t"),
+    )
+    p_status = (
+        F.when(F.col("n_crit") > 0, "FAILED")
+        .when(F.col("n_degr") > 0, "DEGRADED_LATENCY")
+        .otherwise("HEALTHY")
+    )
+    perf_row = perf.select(
+        F.lit("llm_performance").alias("component"),
+        p_status.alias("status"),
+        F.concat(F.lit("models_checked="), F.col("n_models").cast("string"))
+        .alias("detail"),
+        F.when(F.col("n_crit") > 0, _MLS_REC_FAILED)
+        .when(F.col("n_degr") > 0, _MLS_REC_LATENCY)
+        .when(F.col("max_avg_t") > 30.0, _MLS_REC_SLOW_INF)
+        .alias("recommendation"),
+    )
+    val = llm_signal_validation(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("analyzed"),
+        F.sum("is_valid").cast("long").alias("valid"),
+        F.avg("adjusted_confidence").alias("avg_conf"),
+    )
+    rate = F.col("valid").cast("double") / F.greatest(
+        F.col("analyzed"), F.lit(1)
+    )
+    val_row = val.select(
+        F.lit("signal_quality").alias("component"),
+        F.when(F.col("analyzed") > 0, "HEALTHY")
+        .otherwise("PENDING_INPUT")
+        .alias("status"),
+        F.concat(
+            F.lit("validation_rate="),
+            F.round(rate, 6).cast("string"),
+            F.lit(" avg_confidence="),
+            F.round(F.col("avg_conf"), 6).cast("string"),
+        ).alias("detail"),
+        F.when(rate < 0.8, _MLS_REC_QUALITY).alias("recommendation"),
+    )
+    bt = signal_backtest_report(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("trades_analyzed").cast("long").alias("n_trades"),
+    )
+    bt_row = bt.select(
+        F.lit("signal_backtests").alias("component"),
+        F.when(F.col("n_keys") > 0, "HEALTHY")
+        .otherwise("NO_DATA")
+        .alias("status"),
+        F.concat(
+            F.lit("tickers="),
+            F.col("n_keys").cast("string"),
+            F.lit(" trades="),
+            F.col("n_trades").cast("string"),
+        ).alias("detail"),
+        F.lit(None).cast("string").alias("recommendation"),
+    )
+    ev_n = load_table(spark, sf_dir, "events").count()
+    ord_n = load_table(spark, sf_dir, "orders").count()
+    db_ok = ev_n > 0 and ord_n > 0
+    db_row = spark.createDataFrame(
+        [
+            (
+                "database_integration",
+                "HEALTHY" if db_ok else "FAILED",
+                f"events={ev_n} orders={ord_n}",
+                None if db_ok else _MLS_REC_DB,
+            ),
+            (
+                "ollama_client",
+                "DISABLED",
+                "ollama integration disabled by default",
+                None,
+            ),
+        ],
+        "component string, status string, detail string, recommendation string",
+    )
+    comps = perf_row.unionByName(val_row).unionByName(bt_row).unionByName(
+        db_row
+    )
+    issue = ~F.col("status").isin("HEALTHY", "NO_DATA")
+    comps2 = comps.select("*", issue.alias("issue"))
+    overall = comps2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_comp"),
+        F.sum(F.col("issue").cast("int")).cast("long").alias("n_issues"),
+    ).select(
+        F.lit("overall").alias("component"),
+        F.when(F.col("n_issues") > 0, "DEGRADED")
+        .otherwise("HEALTHY")
+        .alias("status"),
+        F.concat(
+            F.lit("components_checked="),
+            F.col("n_comp").cast("string"),
+            F.lit(" issues="),
+            F.col("n_issues").cast("string"),
+        ).alias("detail"),
+        F.lit(None).cast("string").alias("recommendation"),
+        (F.col("n_issues") > 0).alias("issue"),
+    )
+    return comps2.unionByName(overall)
+
+
+_ORACLE_REG["llm_system_health_report"] = f"""
+    WITH pf AS ({_ORACLE_REG["llm_performance_summary"]}),
+    pfa AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_models,
+             SUM(CASE WHEN performance_status = 'CRITICAL'
+                      THEN 1 ELSE 0 END) AS n_crit,
+             SUM(CASE WHEN performance_status = 'DEGRADED'
+                      THEN 1 ELSE 0 END) AS n_degr,
+             MAX(avg_inference_time) AS max_avg_t
+      FROM pf
+    ),
+    vl AS ({_ORACLE_REG["llm_signal_validation"]}),
+    vla AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS analyzed,
+             CAST(SUM(is_valid) AS BIGINT) AS valid,
+             AVG(adjusted_confidence) AS avg_conf
+      FROM vl
+    ),
+    bt AS ({_ORACLE_REG["signal_backtest_report"]}),
+    bta AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(trades_analyzed) AS BIGINT) AS n_trades
+      FROM bt
+    ),
+    dbi AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS ev_n,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS ord_n
+    ),
+    comps AS (
+      SELECT 'llm_performance' AS component,
+             CASE WHEN n_crit > 0 THEN 'FAILED'
+                  WHEN n_degr > 0 THEN 'DEGRADED_LATENCY'
+                  ELSE 'HEALTHY' END AS status,
+             'models_checked=' || CAST(n_models AS VARCHAR) AS detail,
+             CASE WHEN n_crit > 0 THEN '{_MLS_REC_FAILED}'
+                  WHEN n_degr > 0 THEN '{_MLS_REC_LATENCY}'
+                  WHEN max_avg_t > 30.0 THEN '{_MLS_REC_SLOW_INF}'
+                  END AS recommendation
+      FROM pfa
+      UNION ALL
+      SELECT 'signal_quality',
+             CASE WHEN analyzed > 0 THEN 'HEALTHY'
+                  ELSE 'PENDING_INPUT' END,
+             'validation_rate='
+               || CAST(ROUND(CAST(valid AS DOUBLE)
+                             / GREATEST(analyzed, 1), 6) AS VARCHAR)
+               || ' avg_confidence='
+               || CAST(ROUND(avg_conf, 6) AS VARCHAR),
+             CASE WHEN CAST(valid AS DOUBLE) / GREATEST(analyzed, 1) < 0.8
+                  THEN '{_MLS_REC_QUALITY}' END
+      FROM vla
+      UNION ALL
+      SELECT 'signal_backtests',
+             CASE WHEN n_keys > 0 THEN 'HEALTHY' ELSE 'NO_DATA' END,
+             'tickers=' || CAST(n_keys AS VARCHAR)
+               || ' trades=' || CAST(n_trades AS VARCHAR),
+             NULL
+      FROM bta
+      UNION ALL
+      SELECT 'database_integration',
+             CASE WHEN ev_n > 0 AND ord_n > 0 THEN 'HEALTHY'
+                  ELSE 'FAILED' END,
+             'events=' || CAST(ev_n AS VARCHAR)
+               || ' orders=' || CAST(ord_n AS VARCHAR),
+             CASE WHEN ev_n > 0 AND ord_n > 0 THEN NULL
+                  ELSE '{_MLS_REC_DB}' END
+      FROM dbi
+      UNION ALL
+      SELECT 'ollama_client', 'DISABLED',
+             'ollama integration disabled by default', NULL
+    ),
+    comps2 AS (
+      SELECT *, status NOT IN ('HEALTHY', 'NO_DATA') AS issue FROM comps
+    )
+    SELECT component, status, detail, recommendation, issue FROM comps2
+    UNION ALL
+    SELECT 'overall',
+           CASE WHEN SUM(CASE WHEN issue THEN 1 ELSE 0 END) > 0
+                THEN 'DEGRADED' ELSE 'HEALTHY' END,
+           'components_checked=' || CAST(COUNT(*) AS VARCHAR)
+             || ' issues='
+             || CAST(SUM(CASE WHEN issue THEN 1 ELSE 0 END) AS VARCHAR),
+           NULL,
+           SUM(CASE WHEN issue THEN 1 ELSE 0 END) > 0
+    FROM comps2
+"""

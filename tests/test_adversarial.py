@@ -464,3 +464,29 @@ def test_rolling_cv_pandas_replica(spark, duck):
         assert r["mean_terminal_da"] == pytest.approx(
             arr[:, 4].mean(), abs=2e-6
         )
+
+
+# ---------------------------------------------------------------------------
+# LLM system health fold (R147)
+# ---------------------------------------------------------------------------
+
+
+def test_llm_system_health_fold(spark):
+    rows = {
+        r["component"]: r
+        for r in QUERIES["llm_system_health_report"](spark, SF).collect()
+    }
+    assert set(rows) == {
+        "llm_performance", "signal_quality", "signal_backtests",
+        "database_integration", "ollama_client", "overall",
+    }
+    # the default-DISABLED ollama client is always an issue (reference
+    # _assess_system_health treats anything outside HEALTHY/NO_DATA as one)
+    assert rows["ollama_client"]["status"] == "DISABLED"
+    assert rows["ollama_client"]["issue"] is True
+    assert rows["overall"]["status"] == "DEGRADED"
+    n_issues = sum(
+        1 for c, r in rows.items() if c != "overall" and r["issue"]
+    )
+    assert f"issues={n_issues}" in rows["overall"]["detail"]
+    assert rows["database_integration"]["status"] == "HEALTHY"
