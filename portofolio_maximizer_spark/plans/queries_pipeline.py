@@ -1426,3 +1426,167 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("effective_epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L36 — epoch-capped token-budget allocation (data-constrained scaling)
+# ---------------------------------------------------------------------------
+
+# Beyond the reference per the charter's training-data mandate. The
+# allocation rule is the published data-constrained-scaling recipe
+# (Muennighoff et al. 2023: repeated data is near-free up to ~4 epochs,
+# then decays): target domain weights w_d ∝ share^α over a token budget
+# B, demand w_d·B per domain, HARD-CAP each domain at E_max epochs of its
+# available tokens, then redistribute the capped surplus proportionally
+# to the uncapped domains' weights in ONE pass (second-round overflow is
+# reported as unallocated budget, not silently re-looped — the "no silent
+# caps" rule). α = 2 sharpens toward bigger domains so both branches of
+# the cap exercise on the near-uniform synthetic corpus.
+_TBE_ALPHA = 2.0
+_TBE_BUDGET_EPOCHS = 3.8   # B = 3.8x total corpus tokens
+_TBE_EMAX = 4.0            # epoch cap per domain
+
+
+@query(
+    "token_budget_epoch_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(LENGTH(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+               AS BIGINT) AS n_tokens
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    dom AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS avail
+      FROM toks GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(avail) AS t_tokens,
+             SUM(POWER(avail, {_TBE_ALPHA})) AS t_pow
+      FROM dom
+    ),
+    dem AS (
+      SELECT d.source, d.n_docs, d.avail,
+             d.avail / t.t_tokens AS natural_share,
+             POWER(d.avail, {_TBE_ALPHA}) / t.t_pow AS w,
+             POWER(d.avail, {_TBE_ALPHA}) / t.t_pow
+               * {_TBE_BUDGET_EPOCHS} * t.t_tokens AS desired,
+             {_TBE_BUDGET_EPOCHS} * t.t_tokens AS budget
+      FROM dom d CROSS JOIN tot t
+    ),
+    cap AS (
+      SELECT *,
+             desired / avail AS epochs_raw,
+             desired > {_TBE_EMAX} * avail AS capped,
+             LEAST(desired, {_TBE_EMAX} * avail) AS alloc1
+      FROM dem
+    ),
+    red AS (
+      SELECT SUM(desired - alloc1) AS deficit,
+             SUM(CASE WHEN NOT capped THEN w END) AS w_uncapped
+      FROM cap
+    ),
+    fin AS (
+      SELECT c.*,
+             CASE WHEN NOT c.capped AND r.deficit > 0
+                       AND r.w_uncapped > 0
+                  THEN LEAST(c.alloc1 + r.deficit * c.w / r.w_uncapped,
+                             {_TBE_EMAX} * c.avail)
+                  ELSE c.alloc1 END AS alloc2
+      FROM cap c CROSS JOIN red r
+    ),
+    fint AS (SELECT SUM(alloc2) AS t_alloc FROM fin)
+    SELECT f.source, f.n_docs, f.avail AS available_tokens,
+           ROUND(f.natural_share, 6) AS natural_share,
+           ROUND(f.w, 6) AS target_weight,
+           ROUND(f.desired, 6) AS desired_tokens,
+           ROUND(f.epochs_raw, 6) AS epochs_raw,
+           f.capped,
+           ROUND(f.alloc2, 6) AS allocated_tokens,
+           ROUND(f.alloc2 / f.avail, 6) AS epochs_final,
+           ROUND(f.alloc2 / t.t_alloc, 6) AS final_share,
+           ROUND(f.budget - t.t_alloc, 6) AS budget_unallocated
+    FROM fin f CROSS JOIN fint t
+    """,
+)
+def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36 epoch-capped token-budget allocation — demand per domain from
+    sharpened target weights, the E_max-epoch cap, one proportional
+    redistribution pass to uncapped domains, and the honestly-reported
+    unallocated remainder.
+
+    Scale: per-doc token count is linear; everything after the domain
+    groupBy operates on |domains| rows with two broadcast scalar frames
+    (totals, redistribution pool) — identical plan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    dom = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("avail"),
+    )
+    tot = dom.agg(
+        F.sum("avail").cast("double").alias("t_tokens"),
+        F.sum(F.pow(F.col("avail"), _TBE_ALPHA)).alias("t_pow"),
+    )
+    w = F.pow(F.col("avail"), _TBE_ALPHA) / F.col("t_pow")
+    dem = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "avail",
+        (F.col("avail") / F.col("t_tokens")).alias("natural_share"),
+        w.alias("w"),
+        (w * _TBE_BUDGET_EPOCHS * F.col("t_tokens")).alias("desired"),
+        (F.lit(_TBE_BUDGET_EPOCHS) * F.col("t_tokens")).alias("budget"),
+    )
+    cap = dem.select(
+        "*",
+        (F.col("desired") / F.col("avail")).alias("epochs_raw"),
+        (F.col("desired") > _TBE_EMAX * F.col("avail")).alias("capped"),
+        F.least(F.col("desired"), _TBE_EMAX * F.col("avail")).alias(
+            "alloc1"
+        ),
+    )
+    red = cap.agg(
+        F.sum(F.col("desired") - F.col("alloc1")).alias("deficit"),
+        F.sum(F.when(~F.col("capped"), F.col("w"))).alias("w_uncapped"),
+    )
+    fin = cap.crossJoin(F.broadcast(red)).select(
+        "*",
+        F.when(
+            ~F.col("capped")
+            & (F.col("deficit") > 0)
+            & (F.col("w_uncapped") > 0),
+            F.least(
+                F.col("alloc1")
+                + F.col("deficit") * F.col("w") / F.col("w_uncapped"),
+                _TBE_EMAX * F.col("avail"),
+            ),
+        )
+        .otherwise(F.col("alloc1"))
+        .alias("alloc2"),
+    )
+    fint = fin.agg(F.sum("alloc2").alias("t_alloc"))
+    return fin.crossJoin(F.broadcast(fint)).select(
+        "source",
+        "n_docs",
+        F.col("avail").alias("available_tokens"),
+        F.round(F.col("natural_share"), 6).alias("natural_share"),
+        F.round(F.col("w"), 6).alias("target_weight"),
+        F.round(F.col("desired"), 6).alias("desired_tokens"),
+        F.round(F.col("epochs_raw"), 6).alias("epochs_raw"),
+        "capped",
+        F.round(F.col("alloc2"), 6).alias("allocated_tokens"),
+        F.round(F.col("alloc2") / F.col("avail"), 6).alias("epochs_final"),
+        F.round(F.col("alloc2") / F.col("t_alloc"), 6).alias("final_share"),
+        F.round(F.col("budget") - F.col("t_alloc"), 6).alias(
+            "budget_unallocated"
+        ),
+    )

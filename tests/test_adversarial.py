@@ -490,3 +490,35 @@ def test_llm_system_health_fold(spark):
     )
     assert f"issues={n_issues}" in rows["overall"]["detail"]
     assert rows["database_integration"]["status"] == "HEALTHY"
+
+
+# ---------------------------------------------------------------------------
+# Token-budget epoch plan (L36) — allocation invariants
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_epoch_plan_invariants(spark):
+    rows = QUERIES["token_budget_epoch_plan"](spark, SF).collect()
+    assert rows
+    emax = 4.0
+    total_alloc = sum(r["allocated_tokens"] for r in rows)
+    budget = rows[0]["budget_unallocated"] + total_alloc
+    for r in rows:
+        # the epoch cap is a hard invariant
+        assert r["epochs_final"] <= emax + 1e-6
+        assert r["allocated_tokens"] <= emax * r["available_tokens"] + 1e-3
+        if r["capped"]:
+            assert r["epochs_raw"] > emax
+            # capped domains sit exactly at the cap
+            assert r["epochs_final"] == pytest.approx(emax, abs=1e-6)
+        else:
+            assert r["epochs_raw"] <= emax
+            # redistribution only raises, never lowers
+            assert r["allocated_tokens"] >= r["desired_tokens"] - 1e-3
+    # shares sum to 1, budget never over-allocated
+    assert sum(r["final_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert rows[0]["budget_unallocated"] >= -1e-6
+    assert total_alloc <= budget + 1e-3
+    # both branches exercised at this SF
+    assert any(r["capped"] for r in rows)
+    assert any(not r["capped"] for r in rows)
