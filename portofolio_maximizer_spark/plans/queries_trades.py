@@ -6153,3 +6153,153 @@ def training_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         warn_div.alias("warn_low_ticker_diversity"),
         F.when(fc | warn_div, "WARN").otherwise("PASS").alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trading-objective significance report (llm_multi_model_orchestrator.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/llm_multi_model_orchestrator.py:2487-2610`
+# (`_build_trading_objective_report` + `_wilson_lower_bound`): the
+# orchestrator's conservative trading objective over production round
+# trips — Wilson lower bound on the win rate at z=1.96, conservative
+# error-rate upper bound (1 − wilson), objective value = that bound minus
+# the 0.42 target, a normal-approximation binomial test against the
+# 50/50 baseline, and the PASS / LIMITED (sufficient sample but failing)
+# / FAIL (insufficient sample) ladder with per-rule limitation flags.
+# Malformed counts fold into losses (`:2531-2533`); two-sided normal
+# p-value = erfc(|z|/√2) = the engine's χ²(1) survival function on z².
+_TOB_MIN_TRADES = 40
+_TOB_TARGET_ERR = 0.42
+_TOB_MIN_WILSON = 0.55
+_TOB_PVALUE_MAX = 0.05
+_TOB_Z = 1.96
+
+from ..functions.scalars import chi2_sf1, chi2_sf1_sql
+from .queries import ORACLE as _TOB_ORACLE
+
+
+@query("trading_objective_report")
+def trading_objective_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R148: the orchestrator's trading-objective fold over the engine's
+    round-trip frame — single bounded aggregate, the Wilson/binomial
+    algebra on two counts."""
+    rt = round_trips(spark, sf_dir).filter(F.col("gross_pnl").isNotNull())
+    g = rt.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum((F.col("gross_pnl") > 0).cast("int"))
+        .cast("long")
+        .alias("wins"),
+    )
+    total = F.col("total").cast("double")
+    wins = F.col("wins").cast("double")
+    losses = total - wins
+    p_hat = F.greatest(F.lit(0.0), F.least(F.lit(1.0), wins / total))
+    z2 = F.lit(_TOB_Z * _TOB_Z)
+    denom = 1.0 + z2 / total
+    centre = p_hat + z2 / (2.0 * total)
+    variance = p_hat * (1.0 - p_hat) / total + z2 / (4.0 * total * total)
+    margin = _TOB_Z * F.sqrt(F.greatest(F.lit(0.0), variance))
+    wilson = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), (centre - margin) / denom)
+    )
+    err_upper = F.greatest(F.lit(0.0), 1.0 - wilson)
+    zscore = (wins - 0.5 * total) / F.sqrt(0.25 * total)
+    pval = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0), chi2_sf1(F.round(zscore * zscore, 6))),
+    )
+    suff = F.col("total") >= _TOB_MIN_TRADES
+    signif = suff & (pval <= _TOB_PVALUE_MAX)
+    passes = (
+        signif & (wilson >= _TOB_MIN_WILSON) & (err_upper <= _TOB_TARGET_ERR)
+    )
+    return g.select(
+        F.when(F.col("total") <= 0, "LIMITED")
+        .when(passes, "PASS")
+        .when(suff, "LIMITED")
+        .otherwise("FAIL")
+        .alias("status"),
+        r6(err_upper - _TOB_TARGET_ERR).alias("objective_value"),
+        F.col("total").alias("sample_size"),
+        F.col("wins"),
+        losses.cast("long").alias("losses"),
+        r6(wins / total).alias("win_rate"),
+        r6(losses / total).alias("error_rate"),
+        r6(wilson).alias("wilson_win_rate_lower"),
+        r6(err_upper).alias("conservative_error_rate_upper"),
+        r6(zscore).alias("z_score"),
+        r6(pval).alias("p_value"),
+        suff.alias("sufficient_sample_size"),
+        signif.alias("significant_vs_random_baseline"),
+        (~suff).alias("lim_sample_size"),
+        (pval > _TOB_PVALUE_MAX).alias("lim_pvalue"),
+        (wilson < _TOB_MIN_WILSON).alias("lim_wilson"),
+        (err_upper > _TOB_TARGET_ERR).alias("lim_error_bound"),
+    )
+
+
+_TOB_ORACLE["trading_objective_report"] = f"""
+    WITH rt AS ({_TOB_ORACLE["round_trips"]}),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN gross_pnl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins
+      FROM rt WHERE gross_pnl IS NOT NULL
+    ),
+    c AS (
+      SELECT total, wins,
+             CAST(total AS DOUBLE) AS td, CAST(wins AS DOUBLE) AS wd,
+             {_TOB_Z} * {_TOB_Z} AS z2
+      FROM g
+    ),
+    w AS (
+      SELECT *,
+             GREATEST(0.0, LEAST(1.0, wd / td)) AS p_hat,
+             1.0 + z2 / td AS denom,
+             GREATEST(0.0, LEAST(1.0, wd / td)) + z2 / (2.0 * td) AS centre,
+             GREATEST(0.0, LEAST(1.0, wd / td)) *
+               (1.0 - GREATEST(0.0, LEAST(1.0, wd / td))) / td
+               + z2 / (4.0 * td * td) AS variance,
+             (wd - 0.5 * td) / SQRT(0.25 * td) AS zscore
+      FROM c
+    ),
+    w2 AS (
+      SELECT *,
+             GREATEST(0.0, LEAST(1.0,
+               (centre - {_TOB_Z} * SQRT(GREATEST(0.0, variance)))
+               / denom)) AS wilson,
+             ROUND(zscore * zscore, 6) AS zsq
+      FROM w
+    ),
+    w3 AS (
+      SELECT *,
+             GREATEST(0.0, 1.0 - wilson) AS err_upper,
+             GREATEST(0.0, LEAST(1.0, {chi2_sf1_sql('zsq')})) AS pval,
+             total >= {_TOB_MIN_TRADES} AS suff
+      FROM w2
+    )
+    SELECT CASE WHEN total <= 0 THEN 'LIMITED'
+                WHEN suff AND pval <= {_TOB_PVALUE_MAX}
+                     AND wilson >= {_TOB_MIN_WILSON}
+                     AND err_upper <= {_TOB_TARGET_ERR} THEN 'PASS'
+                WHEN suff THEN 'LIMITED'
+                ELSE 'FAIL' END AS status,
+           ROUND(err_upper - {_TOB_TARGET_ERR}, 6) AS objective_value,
+           total AS sample_size, wins,
+           CAST(td - wd AS BIGINT) AS losses,
+           ROUND(wd / td, 6) AS win_rate,
+           ROUND((td - wd) / td, 6) AS error_rate,
+           ROUND(wilson, 6) AS wilson_win_rate_lower,
+           ROUND(err_upper, 6) AS conservative_error_rate_upper,
+           ROUND(zscore, 6) AS z_score,
+           ROUND(pval, 6) AS p_value,
+           suff AS sufficient_sample_size,
+           suff AND pval <= {_TOB_PVALUE_MAX}
+             AS significant_vs_random_baseline,
+           NOT suff AS lim_sample_size,
+           pval > {_TOB_PVALUE_MAX} AS lim_pvalue,
+           wilson < {_TOB_MIN_WILSON} AS lim_wilson,
+           err_upper > {_TOB_TARGET_ERR} AS lim_error_bound
+    FROM w3
+"""

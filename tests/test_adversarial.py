@@ -522,3 +522,45 @@ def test_token_budget_epoch_plan_invariants(spark):
     # both branches exercised at this SF
     assert any(r["capped"] for r in rows)
     assert any(not r["capped"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Trading-objective report (R148) — scipy-free Wilson/binomial replica
+# ---------------------------------------------------------------------------
+
+
+def test_trading_objective_replica(spark):
+    import math
+
+    rt = QUERIES["round_trips"](spark, SF).collect()
+    pnls = [r["gross_pnl"] for r in rt if r["gross_pnl"] is not None]
+    total, wins = len(pnls), sum(1 for p in pnls if p > 0)
+    z = 1.96
+    p_hat = min(1.0, max(0.0, wins / total))
+    denom = 1.0 + z * z / total
+    centre = p_hat + z * z / (2 * total)
+    var = p_hat * (1 - p_hat) / total + z * z / (4 * total * total)
+    wilson = max(0.0, min(1.0, (centre - z * math.sqrt(var)) / denom))
+    err_up = max(0.0, 1.0 - wilson)
+    zscore = (wins - 0.5 * total) / math.sqrt(0.25 * total)
+    pval = min(1.0, max(0.0, math.erfc(abs(zscore) / math.sqrt(2.0))))
+
+    r = QUERIES["trading_objective_report"](spark, SF).collect()[0]
+    assert r["sample_size"] == total and r["wins"] == wins
+    assert r["wilson_win_rate_lower"] == pytest.approx(wilson, abs=2e-6)
+    assert r["conservative_error_rate_upper"] == pytest.approx(
+        err_up, abs=2e-6
+    )
+    assert r["z_score"] == pytest.approx(zscore, abs=2e-6)
+    # A&S 7.1.26 erfc approximation fed the 6dp-rounded z-squared: the
+    # input rounding alone moves p by ~2e-6 near z=0
+    assert r["p_value"] == pytest.approx(pval, abs=1e-5)
+    assert r["objective_value"] == pytest.approx(
+        err_up - 0.42, abs=2e-6
+    )
+    suff = total >= 40
+    signif = suff and pval <= 0.05
+    passes = signif and wilson >= 0.55 and err_up <= 0.42
+    expect = "PASS" if passes else ("LIMITED" if suff else "FAIL")
+    assert r["status"] == expect
+    assert r["lim_wilson"] == (wilson < 0.55)
