@@ -1584,7 +1584,12 @@ _RETRAIN_MIN_CACHE_ROWS = 30
 )
 def retrain_decision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The parameter-cache retrain gate — reference
-    `forcester_ts/parameter_cache.py:396-447` (`should_retrain`): no
+    `forcester_ts/parameter_cache.py:396-447` (`should_retrain`); the
+    model-snapshot store's load-eligibility ladder is the same rule
+    family with the signs flipped (`forcester_ts/model_snapshot_store
+    .py:213-292`: stale age → obs delta > 20 → optional strict hash →
+    refuse), so this query is the engine equivalent of BOTH caches'
+    freshness gates: no
     cached parameters -> train; cache older than 7 days -> retrain; >= 20
     new points since the cached fit -> retrain; data-fingerprint change
     (`_compute_data_hash`, `:84-102`: length + date range + 6dp mean/std
