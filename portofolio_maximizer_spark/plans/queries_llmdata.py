@@ -2724,3 +2724,155 @@ def llm_finetune_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L37 — centroid silhouette report (embedding cluster-quality diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@query("cluster_silhouette_report")
+def cluster_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37 centroid-based silhouette over the shared IVF index — the
+    simplified silhouette used for large-scale cluster diagnostics
+    (a = distance to own centroid, b = nearest other centroid,
+    s = (b−a)/max(a,b)): per-list population, mean/min/max silhouette,
+    mean a/b and the misassignment share (s < 0), plus the overall row.
+    Charter addition: the quality gate for every centroid-backed
+    operator here (IVF ANN, SemDeDup) — a list with negative mean
+    silhouette is a quantizer failure the downstream dedup/recall
+    numbers would silently inherit.
+
+    Scale: distances are N × n_lists JVM-side zip_with/aggregate lambdas
+    over a BROADCAST centroid table (n_lists × dim — KBs at any corpus
+    size); one groupBy per vector then one per list. No corpus
+    self-join, no Python. The oracle re-derives the assignment from the
+    staged centroids independently (same differential discipline as
+    `embedding_ivf_ann`)."""
+    from .queries import stage_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    built: dict = {}
+
+    def _index():
+        if not built:
+            built["a"], built["c"] = similarity.ivf_build_index(emb)
+        return built
+
+    cent = stage_cached(
+        spark, sf_dir, "ivf_centroids", lambda: _index()["c"]
+    )
+    assigned = stage_cached(
+        spark, sf_dir, "ivf_assigned", lambda: _index()["a"]
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("de"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = assigned.select(
+        "vec_id", F.col("list_id").alias("own_list"), "de"
+    ).crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "own_list",
+        "list_id",
+        d2.alias("d2"),
+    )
+    per = pairs.groupBy("vec_id", "own_list").agg(
+        F.sqrt(F.min(F.when(F.col("list_id") == F.col("own_list"),
+                            F.col("d2")))).alias("a_dist"),
+        F.sqrt(F.min(F.when(F.col("list_id") != F.col("own_list"),
+                            F.col("d2")))).alias("b_dist"),
+    )
+    mx = F.greatest(F.col("a_dist"), F.col("b_dist"))
+    s = F.when(mx > 0, (F.col("b_dist") - F.col("a_dist")) / mx).otherwise(
+        0.0
+    )
+    sil = per.select("vec_id", "own_list", s.alias("s"),
+                     "a_dist", "b_dist")
+
+    def _roll(df, scope_col):
+        return df.agg(
+            scope_col.alias("scope"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.round(F.min("s"), 6).alias("min_silhouette"),
+            F.round(F.max("s"), 6).alias("max_silhouette"),
+            F.round(F.avg("a_dist"), 6).alias("mean_intra_dist"),
+            F.round(F.avg("b_dist"), 6).alias("mean_nearest_other_dist"),
+            F.round(
+                F.avg(F.when(F.col("s") < 0, 1.0).otherwise(0.0)), 6
+            ).alias("misassigned_share"),
+        )
+
+    per_list = sil.groupBy("own_list").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        F.round(F.min("s"), 6).alias("min_silhouette"),
+        F.round(F.max("s"), 6).alias("max_silhouette"),
+        F.round(F.avg("a_dist"), 6).alias("mean_intra_dist"),
+        F.round(F.avg("b_dist"), 6).alias("mean_nearest_other_dist"),
+        F.round(
+            F.avg(F.when(F.col("s") < 0, 1.0).otherwise(0.0)), 6
+        ).alias("misassigned_share"),
+    ).select(
+        F.col("own_list").cast("string").alias("scope"),
+        "n_vectors", "mean_silhouette", "min_silhouette",
+        "max_silhouette", "mean_intra_dist", "mean_nearest_other_dist",
+        "misassigned_share",
+    )
+    overall = _roll(sil, F.lit("overall"))
+    return per_list.unionByName(overall)
+
+
+ORACLE["cluster_silhouette_report"] = """
+    WITH c AS (
+      SELECT list_id, ce FROM read_parquet(
+        '__ORACLE_STAGE__/ivf_centroids/*.parquet')
+    ),
+    d AS (
+      SELECT e.vec_id, c.list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.ce[i], 2)) AS d2
+      FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY e.vec_id, c.list_id
+    ),
+    a AS (
+      SELECT vec_id, list_id AS own_list FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, list_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    per AS (
+      SELECT d.vec_id, a.own_list,
+             SQRT(MIN(CASE WHEN d.list_id = a.own_list THEN d.d2 END))
+               AS a_dist,
+             SQRT(MIN(CASE WHEN d.list_id <> a.own_list THEN d.d2 END))
+               AS b_dist
+      FROM d JOIN a ON a.vec_id = d.vec_id
+      GROUP BY d.vec_id, a.own_list
+    ),
+    sil AS (
+      SELECT vec_id, own_list, a_dist, b_dist,
+             CASE WHEN GREATEST(a_dist, b_dist) > 0
+                  THEN (b_dist - a_dist) / GREATEST(a_dist, b_dist)
+                  ELSE 0.0 END AS s
+      FROM per
+    )
+    SELECT CAST(own_list AS VARCHAR) AS scope,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(s), 6) AS mean_silhouette,
+           ROUND(MIN(s), 6) AS min_silhouette,
+           ROUND(MAX(s), 6) AS max_silhouette,
+           ROUND(AVG(a_dist), 6) AS mean_intra_dist,
+           ROUND(AVG(b_dist), 6) AS mean_nearest_other_dist,
+           ROUND(AVG(CASE WHEN s < 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS misassigned_share
+    FROM sil GROUP BY own_list
+    UNION ALL
+    SELECT 'overall',
+           CAST(COUNT(*) AS BIGINT),
+           ROUND(AVG(s), 6), ROUND(MIN(s), 6), ROUND(MAX(s), 6),
+           ROUND(AVG(a_dist), 6), ROUND(AVG(b_dist), 6),
+           ROUND(AVG(CASE WHEN s < 0 THEN 1.0 ELSE 0.0 END), 6)
+    FROM sil
+"""

@@ -564,3 +564,25 @@ def test_trading_objective_replica(spark):
     expect = "PASS" if passes else ("LIMITED" if suff else "FAIL")
     assert r["status"] == expect
     assert r["lim_wilson"] == (wilson < 0.55)
+
+
+# ---------------------------------------------------------------------------
+# Centroid silhouette (L37) — bounds and consistency
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_silhouette_invariants(spark):
+    rows = QUERIES["cluster_silhouette_report"](spark, SF).collect()
+    per = [r for r in rows if r["scope"] != "overall"]
+    overall = next(r for r in rows if r["scope"] == "overall")
+    assert per and overall["n_vectors"] == sum(r["n_vectors"] for r in per)
+    for r in rows:
+        # silhouette is bounded in [-1, 1]
+        assert -1.0 - 1e-9 <= r["min_silhouette"] <= r["max_silhouette"] <= 1.0 + 1e-9
+        assert r["min_silhouette"] <= r["mean_silhouette"] <= r["max_silhouette"]
+        assert 0.0 <= r["misassigned_share"] <= 1.0
+        assert r["mean_intra_dist"] >= 0.0
+        # assignment picks the NEAREST centroid, so s < 0 is impossible
+        # under exact re-derivation — misassignment share must be zero
+        assert r["misassigned_share"] == 0.0
+        assert r["min_silhouette"] >= 0.0
