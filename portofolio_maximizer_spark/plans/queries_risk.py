@@ -2228,30 +2228,11 @@ ORACLE["kelly_fat_tail_fraction"] = f"""
 # ---------------------------------------------------------------------------
 
 
-@query("pretrade_check_gate")
-def pretrade_check_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R17: the order lifecycle's pre-trade checks
-    (`execution/order_manager.py:305-378`) per non-HOLD signal:
-    confidence >= 0.50, free margin covers the confidence-scaled 2%%
-    target notional, the 1.2x position-risk cap, the daily trade
-    circuit breaker (rank within the signal's calendar day), and the
-    risk manager's status gate. The account state is an EQUITY curve —
-    the instrument's simple returns scaled by the 10%% position
-    fraction and compounded (exp-sum-log, clamped) — because the
-    monitor and margin watch the ACCOUNT, not the raw instrument (the
-    raw synthetic series spends 96%% of its bars beyond the 15%%
-    drawdown limit, which would block every order). The risk gate
-    fires on a critical equity drawdown or equity daily-loss breach in
-    the trailing 20 bars; free margin is the margin fraction of current
-    equity while the target notional sizes off initial equity. At the
-    6%% position fraction the gate splits three ways on sf0.01 (291
-    clean passes, 2352 risk-blocked, 36 daily-limited); the cash and
-    1.2x-cap checks are structural passes on this mean-reverting
-    synthetic equity (they bind only under sustained decay /
-    confidence > 1.2) — present for fidelity, not silently dropped.
-    Signals
-    come from the F14 feature chain at EVERY bar (latest-bar variant:
-    `signal_generation`). Linear: one window pass + one aggregation."""
+def _ptg_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal pre-trade decision frame shared by the R17 gate and the
+    run-execution summary: every non-HOLD signal with its check flags
+    (confidence / cash / position / daily / risk), pass verdict, sized
+    volume and the signal's expected-return edge."""
     s = _series(spark, sf_dir)
     wp = _w()
     pos = R.EQUITY_POSITION_FRAC
@@ -2303,6 +2284,7 @@ def pretrade_check_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "curve",
         "risk_blocked",
+        er.alias("er"),
         F.when((er > 0.01) & (er / vol > 0.5), "BUY")
         .when((er < -0.01) & (-er / vol > 0.5), "SELL")
         .otherwise("HOLD")
@@ -2334,30 +2316,65 @@ def pretrade_check_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rn")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    checks = sig.withColumn(
+    checks = sig.withColumn("notional", notional).withColumn(
         "daily_ok", F.coalesce(prior_elig, F.lit(0)) < R.MAX_TRADES_PER_DAY
     )
-    daily_ok = F.col("daily_ok")
-    passed = eligible & daily_ok
-    volume = F.greatest(
-        F.lit(1.0),
-        F.floor(notional / F.greatest(F.col("value"), F.lit(1e-6))),
+    return checks.select(
+        "*",
+        conf_ok.alias("conf_ok"),
+        cash_ok.alias("cash_ok"),
+        pos_ok.alias("pos_ok"),
+        risk_ok.alias("risk_ok"),
+        (eligible & F.col("daily_ok")).alias("passed"),
+        F.greatest(
+            F.lit(1.0),
+            F.floor(F.col("notional") / F.greatest(F.col("value"), F.lit(1e-6))),
+        ).alias("volume"),
     )
+
+
+@query("pretrade_check_gate")
+def pretrade_check_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R17: the order lifecycle's pre-trade checks
+    (`execution/order_manager.py:305-378`) per non-HOLD signal:
+    confidence >= 0.50, free margin covers the confidence-scaled 2%%
+    target notional, the 1.2x position-risk cap, the daily trade
+    circuit breaker (rank within the signal's calendar day), and the
+    risk manager's status gate. The account state is an EQUITY curve —
+    the instrument's simple returns scaled by the 10%% position
+    fraction and compounded (exp-sum-log, clamped) — because the
+    monitor and margin watch the ACCOUNT, not the raw instrument (the
+    raw synthetic series spends 96%% of its bars beyond the 15%%
+    drawdown limit, which would block every order). The risk gate
+    fires on a critical equity drawdown or equity daily-loss breach in
+    the trailing 20 bars; free margin is the margin fraction of current
+    equity while the target notional sizes off initial equity. At the
+    6%% position fraction the gate splits three ways on sf0.01 (291
+    clean passes, 2352 risk-blocked, 36 daily-limited); the cash and
+    1.2x-cap checks are structural passes on this mean-reverting
+    synthetic equity (they bind only under sustained decay /
+    confidence > 1.2) — present for fidelity, not silently dropped.
+    Signals
+    come from the F14 feature chain at EVERY bar (latest-bar variant:
+    `signal_generation`). Linear: one window pass + one aggregation.
+    Decision frame shared with `run_execution_summary` via
+    ``_ptg_decisions``."""
+    checks = _ptg_decisions(spark, sf_dir)
     return checks.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_signals"),
-        F.sum(passed.cast("long")).alias("n_passed"),
-        F.sum((~conf_ok).cast("long")).alias("n_conf_fail"),
-        F.sum((~cash_ok).cast("long")).alias("n_cash_fail"),
-        F.sum((~pos_ok).cast("long")).alias("n_position_fail"),
-        F.sum((~daily_ok).cast("long")).alias("n_daily_fail"),
-        F.sum((~risk_ok).cast("long")).alias("n_risk_fail"),
-        F.round(F.sum(F.when(passed, volume).otherwise(0.0)), 6).alias(
-            "volume_passed"
-        ),
+        F.sum(F.col("passed").cast("long")).alias("n_passed"),
+        F.sum((~F.col("conf_ok")).cast("long")).alias("n_conf_fail"),
+        F.sum((~F.col("cash_ok")).cast("long")).alias("n_cash_fail"),
+        F.sum((~F.col("pos_ok")).cast("long")).alias("n_position_fail"),
+        F.sum((~F.col("daily_ok")).cast("long")).alias("n_daily_fail"),
+        F.sum((~F.col("risk_ok")).cast("long")).alias("n_risk_fail"),
+        F.round(
+            F.sum(F.when(F.col("passed"), F.col("volume")).otherwise(0.0)), 6
+        ).alias("volume_passed"),
     )
 
 
-ORACLE["pretrade_check_gate"] = f"""
+_PTG_SQL = f"""
     WITH s AS ({_S_SQL}),
     pre AS (
       SELECT user_id, ts, rn, value, lr,
@@ -2403,6 +2420,7 @@ ORACLE["pretrade_check_gate"] = f"""
     ),
     sig AS (
       SELECT user_id, ts, rn, value, curve, risk_blocked,
+             ROUND((ma5 - value) / value - 0.002, 6) AS er,
              CASE WHEN ROUND((ma5 - value) / value - 0.002, 6) > 0.01
                        AND ROUND((ma5 - value) / value - 0.002, 6)
                            / ROUND(vol20, 6) > 0.5 THEN 'BUY'
@@ -2415,7 +2433,7 @@ ORACLE["pretrade_check_gate"] = f"""
       FROM f2
     ),
     c AS (
-      SELECT user_id, ts, rn, value, curve, confidence, risk_blocked,
+      SELECT user_id, ts, rn, value, curve, confidence, er, risk_blocked,
              GREATEST(0.0, {R.ACCOUNT_EQUITY * R.MAX_POSITION_RISK}
                * CASE WHEN confidence > 0 THEN confidence
                       ELSE {R.MIN_CONFIDENCE} END) AS notional,
@@ -2440,6 +2458,11 @@ ORACLE["pretrade_check_gate"] = f"""
                < {R.MAX_TRADES_PER_DAY} AS daily_ok
       FROM k0
     )
+"""
+
+
+ORACLE["pretrade_check_gate"] = f"""
+    {_PTG_SQL}
     SELECT user_id, COUNT(*) AS n_signals,
            CAST(SUM(CASE WHEN conf_ok AND cash_ok AND pos_ok AND daily_ok
                           AND risk_ok THEN 1 ELSE 0 END) AS BIGINT)
@@ -2699,3 +2722,185 @@ def risk_fallback_assessment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_concerns"),
         rec.alias("recommendation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-run execution summary (scripts/summarize_latest_run.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/summarize_latest_run.py:45-140`: select the LATEST
+# run, bound the execution events to the last 200 (`deque(maxlen=200)`,
+# `:69-73`), census statuses, count rejection reasons (top 5,
+# `most_common(5)`), and average slippage/confidence/expected-return over
+# EXECUTED events only. Engine mapping: one run = one calendar day of the
+# pre-trade decision frame (latest day), status = EXECUTED iff the R17
+# gate passed, rejection reason = the FIRST failing check in the order
+# manager's sequence (confidence → margin → position cap → daily limit →
+# risk block, `execution/order_manager.py:305-378`); slippage has no
+# analogue in the decision frame and is omitted rather than faked.
+_RES_LIMIT = 200
+
+
+@query("run_execution_summary")
+def run_execution_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R149: the latest-run execution rollup — run row, EXECUTED /
+    REJECTED status census with executed-only confidence and
+    expected-return means, and the ranked rejection-reason table.
+    Bounded: the event window is a 200-row top-k (TakeOrderedAndProject),
+    every aggregate downstream operates on ≤200 rows."""
+    d = _ptg_decisions(spark, sf_dir).withColumn("d", F.to_date("ts"))
+    mx = d.agg(F.max("d").alias("run_date"))
+    ev = (
+        d.join(F.broadcast(mx), d["d"] == mx["run_date"])
+        .orderBy(F.col("ts").desc(), F.col("user_id").asc(),
+                 F.col("rn").desc())
+        .limit(_RES_LIMIT)
+    )
+    reason = (
+        F.when(F.col("passed"), F.lit(None).cast("string"))
+        .when(~F.col("conf_ok"), "low_confidence")
+        .when(~F.col("cash_ok"), "insufficient_margin")
+        .when(~F.col("pos_ok"), "position_risk_cap")
+        .when(~F.col("daily_ok"), "daily_trade_limit")
+        .otherwise("risk_manager_block")
+    )
+    lab = ev.select(
+        "run_date", "passed", "confidence", "er", reason.alias("reason")
+    )
+    tot = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.first("run_date").alias("run_date"),
+        F.sum((~F.col("passed")).cast("int")).cast("long").alias("n_rej"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_i = F.lit(None).cast("int")
+    run_row = tot.select(
+        F.lit("run").alias("kind"),
+        F.col("run_date").cast("string").alias("label"),
+        F.col("n_ev").alias("n"),
+        null_d.alias("share"),
+        null_d.alias("avg_confidence"),
+        null_d.alias("avg_expected_return"),
+        null_i.alias("rnk"),
+    )
+    status = (
+        lab.groupBy(
+            F.when(F.col("passed"), "EXECUTED")
+            .otherwise("REJECTED")
+            .alias("label")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(F.when(F.col("passed"), F.col("confidence"))).alias(
+                "c_raw"
+            ),
+            F.avg(F.when(F.col("passed"), F.col("er"))).alias("e_raw"),
+        )
+        .crossJoin(F.broadcast(tot.select("n_ev")))
+        .select(
+            F.lit("status").alias("kind"),
+            "label",
+            "n",
+            r6(F.col("n").cast("double") / F.col("n_ev")).alias("share"),
+            F.when(F.col("label") == "EXECUTED", r6(F.col("c_raw"))).alias(
+                "avg_confidence"
+            ),
+            F.when(F.col("label") == "EXECUTED", r6(F.col("e_raw"))).alias(
+                "avg_expected_return"
+            ),
+            null_i.alias("rnk"),
+        )
+    )
+    reasons = (
+        lab.filter(~F.col("passed"))
+        .groupBy(F.col("reason").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot.select("n_rej")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("label").asc())
+            ).cast("int"),
+        )
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.lit("rejection_reason").alias("kind"),
+            "label",
+            "n",
+            r6(F.col("n").cast("double")
+               / F.greatest(F.col("n_rej"), F.lit(1))).alias("share"),
+            null_d.alias("avg_confidence"),
+            null_d.alias("avg_expected_return"),
+            "rnk",
+        )
+    )
+    return run_row.unionByName(status).unionByName(reasons)
+
+
+ORACLE["run_execution_summary"] = f"""
+    {_PTG_SQL},
+    ev0 AS (
+      SELECT k.*, CAST(ts AS DATE) AS d,
+             conf_ok AND cash_ok AND pos_ok AND risk_ok AND daily_ok
+               AS passed
+      FROM k
+    ),
+    mx AS (SELECT MAX(d) AS run_date FROM ev0),
+    ev AS (
+      SELECT * FROM (
+        SELECT e.*, m.run_date,
+               ROW_NUMBER() OVER (ORDER BY e.ts DESC, e.user_id ASC,
+                                  e.rn DESC) AS gr
+        FROM ev0 e JOIN mx m ON e.d = m.run_date)
+      WHERE gr <= {_RES_LIMIT}
+    ),
+    lab AS (
+      SELECT run_date, passed, confidence, er,
+             CASE WHEN passed THEN NULL
+                  WHEN NOT conf_ok THEN 'low_confidence'
+                  WHEN NOT cash_ok THEN 'insufficient_margin'
+                  WHEN NOT pos_ok THEN 'position_risk_cap'
+                  WHEN NOT daily_ok THEN 'daily_trade_limit'
+                  ELSE 'risk_manager_block' END AS reason
+      FROM ev
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ev,
+             ANY_VALUE(run_date) AS run_date,
+             CAST(SUM(CASE WHEN NOT passed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rej
+      FROM lab
+    )
+    SELECT 'run' AS kind, CAST(run_date AS VARCHAR) AS label,
+           n_ev AS n, CAST(NULL AS DOUBLE) AS share,
+           CAST(NULL AS DOUBLE) AS avg_confidence,
+           CAST(NULL AS DOUBLE) AS avg_expected_return,
+           CAST(NULL AS INT) AS rnk
+    FROM tot
+    UNION ALL
+    SELECT 'status',
+           CASE WHEN passed THEN 'EXECUTED' ELSE 'REJECTED' END,
+           CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_ev), 6),
+           CASE WHEN passed
+                THEN ROUND(AVG(CASE WHEN passed THEN confidence END), 6)
+                END,
+           CASE WHEN passed
+                THEN ROUND(AVG(CASE WHEN passed THEN er END), 6) END,
+           CAST(NULL AS INT)
+    FROM lab CROSS JOIN tot t
+    GROUP BY passed
+    UNION ALL
+    SELECT 'rejection_reason', label, n,
+           ROUND(CAST(n AS DOUBLE) / GREATEST(n_rej, 1), 6),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(rnk AS INT)
+    FROM (
+      SELECT l.reason AS label, CAST(COUNT(*) AS BIGINT) AS n,
+             ANY_VALUE(t.n_rej) AS n_rej,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l.reason ASC)
+               AS rnk
+      FROM lab l CROSS JOIN tot t
+      WHERE NOT l.passed
+      GROUP BY l.reason)
+    WHERE rnk <= 5
+"""

@@ -586,3 +586,30 @@ def test_cluster_silhouette_invariants(spark):
         # under exact re-derivation — misassignment share must be zero
         assert r["misassigned_share"] == 0.0
         assert r["min_silhouette"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Run execution summary (R149) — cross-grain consistency
+# ---------------------------------------------------------------------------
+
+
+def test_run_execution_summary_consistency(spark):
+    rows = QUERIES["run_execution_summary"](spark, SF).collect()
+    kinds = {}
+    for r in rows:
+        kinds.setdefault(r["kind"], []).append(r)
+    assert len(kinds["run"]) == 1
+    run = kinds["run"][0]
+    statuses = {r["label"]: r for r in kinds.get("status", [])}
+    n_status = sum(r["n"] for r in statuses.values())
+    assert n_status == run["n"] <= 200
+    if "EXECUTED" in statuses:
+        assert statuses["EXECUTED"]["avg_confidence"] is not None
+    if "REJECTED" in statuses:
+        reasons = kinds.get("rejection_reason", [])
+        assert sum(r["n"] for r in reasons) == statuses["REJECTED"]["n"]
+        ranks = [r["rnk"] for r in reasons]
+        assert ranks == sorted(ranks) and max(ranks) <= 5
+        # ranked by count descending
+        ns = [r["n"] for r in sorted(reasons, key=lambda x: x["rnk"])]
+        assert ns == sorted(ns, reverse=True)
