@@ -3853,7 +3853,11 @@ _GFD_MIN_RATIO = 0.80
 )
 def gate_failure_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-gate failure decomposition — reference
-    `scripts/gate_failure_decomposition.py:309-503`: the
+    `scripts/gate_failure_decomposition.py:309-503`; the combined gate
+    runner's own waterfall/lifecycle arithmetic is the same algebra
+    (`scripts/production_audit_gate.py:801-830` `_build_linkage_
+    waterfall`, `:893-965` `_compute_lifecycle_integrity`, `:653-678`
+    warmup window — served here and by the R18/R54 queries): the
     (component, metric, value, threshold, pass) table across the
     PERFORMANCE / LINKAGE / HYGIENE blockers, the linkage waterfall
     stages, per-component status and the phase-3 strict verdict whose
