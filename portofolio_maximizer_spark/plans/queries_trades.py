@@ -6303,3 +6303,210 @@ _TOB_ORACLE["trading_objective_report"] = f"""
            err_upper > {_TOB_TARGET_ERR} AS lim_error_bound
     FROM w3
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted-average-cost position reconstruction (dashboard_db_bridge.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/dashboard_db_bridge.py:578-689`
+# (`_positions_from_executions`): replay the execution stream in time
+# order through the average-cost state machine — flat → open at trade
+# price; same-side add → weighted-average blend; partial close → shares
+# shrink, AVERAGE UNCHANGED (so partial closes never distort entry
+# price, the function's stated purpose); exact close → flat with the
+# average cleared; over-close → position flips to the remainder at the
+# NEW trade price — then mark the surviving position against the latest
+# close (market value, unrealized PnL, sign-adjusted percentage). This
+# is WAC inventory accounting, the complement of the FIFO lot matcher
+# (J8 `fifo_lot_allocation`); the blend depends on the add/close
+# interleaving, so the recursion is genuinely sequential per key.
+#
+# Engine stream: one execution per series bar — qty 1+(event_id mod 5)
+# (integer, so the exact-close branch compares exactly), BUY unless
+# event_id mod 3 = 0, price = the bar's value. Spark replays per key in
+# an Arrow kernel; the oracle replays the SAME recursion in a recursive
+# CTE — every state transition differentially checked.
+
+
+def _wac_kernel(pdf):
+    import pandas as _pd
+
+    pdf = pdf.sort_values("rn")
+    key = pdf["user_id"].iloc[0]
+    pos, avg = 0.0, None
+    flips = closes = 0
+    for q, p in zip(pdf["signed_qty"], pdf["price"]):
+        q, p = float(q), float(p)
+        if pos == 0.0:
+            pos, avg = q, p
+            continue
+        same = (pos > 0) == (q > 0)
+        if same:
+            tot = abs(pos) + abs(q)
+            avg = (abs(pos) * avg + abs(q) * p) / tot
+            pos += q
+        elif abs(q) < abs(pos):
+            pos += q
+        elif abs(q) == abs(pos):
+            pos, avg = 0.0, None
+            closes += 1
+        else:
+            pos += q
+            avg = p
+            flips += 1
+    return _pd.DataFrame(
+        {
+            "user_id": [key],
+            "n_trades": [len(pdf)],
+            "shares": [pos],
+            "entry_price": [avg],
+            "n_flips": [flips],
+            "n_full_closes": [closes],
+        }
+    )
+
+
+@query("wac_position_reconstruction")
+def wac_position_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R150: per-key WAC position replay + mark-to-latest-close block.
+    Arrow-batched per-key kernel (sequential by construction); the
+    marking joins are key-grain. Linear at any key count."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        (
+            F.when(F.col("event_id") % 3 == 0, -1).otherwise(1)
+            * (1 + F.col("event_id") % 5)
+        ).cast("double").alias("signed_qty"),
+        F.col("value").alias("price"),
+    )
+    state = tr.groupBy("user_id").applyInPandas(
+        _wac_kernel,
+        "user_id long, n_trades long, shares double, entry_price double,"
+        " n_flips long, n_full_closes long",
+    )
+    last = (
+        ev.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("value").alias("current_price"))
+    )
+    j = state.join(last, "user_id")
+    active = F.abs(F.col("shares")) >= 1e-6
+    upnl = F.when(
+        active & F.col("entry_price").isNotNull(),
+        (F.col("current_price") - F.col("entry_price")) * F.col("shares"),
+    )
+    upct = F.when(
+        active & F.col("entry_price").isNotNull(),
+        (F.col("current_price") / F.col("entry_price") - 1.0)
+        * F.when(F.col("shares") > 0, 1.0).otherwise(-1.0),
+    )
+    return j.select(
+        "user_id",
+        "n_trades",
+        r6(F.col("shares")).alias("shares"),
+        r6(F.col("entry_price")).alias("entry_price"),
+        "n_flips",
+        "n_full_closes",
+        r6(F.col("current_price")).alias("current_price"),
+        r6(
+            F.when(active, F.col("current_price") * F.col("shares"))
+        ).alias("market_value"),
+        r6(upnl).alias("unrealized_pnl"),
+        r6(upct).alias("unrealized_pnl_pct"),
+        F.when(active, "ACTIVE").otherwise("FLAT").alias("status"),
+    )
+
+
+_TOB_ORACLE["wac_position_reconstruction"] = """
+    WITH RECURSIVE tr AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END
+                  * (1 + event_id % 5) AS DOUBLE) AS q,
+             value AS p
+      FROM events WHERE value > 0
+    ),
+    keys AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_tr
+      FROM tr GROUP BY user_id
+    ),
+    rec AS (
+      SELECT user_id, 0 AS step,
+             CAST(0.0 AS DOUBLE) AS pos,
+             CAST(NULL AS DOUBLE) AS avg,
+             CAST(0 AS BIGINT) AS flips,
+             CAST(0 AS BIGINT) AS closes,
+             n_tr
+      FROM keys
+      UNION ALL
+      SELECT r.user_id, r.step + 1,
+             CASE WHEN r.pos = 0.0 THEN t.q
+                  WHEN (r.pos > 0) = (t.q > 0) THEN r.pos + t.q
+                  WHEN ABS(t.q) < ABS(r.pos) THEN r.pos + t.q
+                  WHEN ABS(t.q) = ABS(r.pos) THEN 0.0
+                  ELSE r.pos + t.q END,
+             CASE WHEN r.pos = 0.0 THEN t.p
+                  WHEN (r.pos > 0) = (t.q > 0)
+                    THEN (ABS(r.pos) * r.avg + ABS(t.q) * t.p)
+                         / (ABS(r.pos) + ABS(t.q))
+                  WHEN ABS(t.q) < ABS(r.pos) THEN r.avg
+                  WHEN ABS(t.q) = ABS(r.pos) THEN CAST(NULL AS DOUBLE)
+                  ELSE t.p END,
+             r.flips + CASE WHEN r.pos <> 0.0
+                             AND (r.pos > 0) <> (t.q > 0)
+                             AND ABS(t.q) > ABS(r.pos)
+                            THEN 1 ELSE 0 END,
+             r.closes + CASE WHEN r.pos <> 0.0
+                              AND (r.pos > 0) <> (t.q > 0)
+                              AND ABS(t.q) = ABS(r.pos)
+                             THEN 1 ELSE 0 END,
+             r.n_tr
+      FROM rec r
+      JOIN tr t ON t.user_id = r.user_id AND t.rn = r.step + 1
+      WHERE r.step < r.n_tr
+    ),
+    fin AS (
+      SELECT user_id, n_tr AS n_trades, pos AS shares,
+             avg AS entry_price, flips AS n_flips,
+             closes AS n_full_closes
+      FROM rec WHERE step = n_tr
+    ),
+    last AS (
+      SELECT user_id, value AS current_price FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events WHERE value > 0)
+      WHERE rk = 1
+    )
+    SELECT f.user_id, f.n_trades,
+           ROUND(f.shares, 6) AS shares,
+           ROUND(f.entry_price, 6) AS entry_price,
+           f.n_flips, f.n_full_closes,
+           ROUND(l.current_price, 6) AS current_price,
+           CASE WHEN ABS(f.shares) >= 1e-6
+                THEN ROUND(l.current_price * f.shares, 6) END
+             AS market_value,
+           CASE WHEN ABS(f.shares) >= 1e-6 AND f.entry_price IS NOT NULL
+                THEN ROUND((l.current_price - f.entry_price) * f.shares, 6)
+                END AS unrealized_pnl,
+           CASE WHEN ABS(f.shares) >= 1e-6 AND f.entry_price IS NOT NULL
+                THEN ROUND((l.current_price / f.entry_price - 1.0)
+                     * CASE WHEN f.shares > 0 THEN 1.0 ELSE -1.0 END, 6)
+                END AS unrealized_pnl_pct,
+           CASE WHEN ABS(f.shares) >= 1e-6 THEN 'ACTIVE'
+                ELSE 'FLAT' END AS status
+    FROM fin f JOIN last l ON l.user_id = f.user_id
+"""

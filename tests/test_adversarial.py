@@ -613,3 +613,61 @@ def test_run_execution_summary_consistency(spark):
         # ranked by count descending
         ns = [r["n"] for r in sorted(reasons, key=lambda x: x["rnk"])]
         assert ns == sorted(ns, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# WAC position reconstruction (R150) — planted branch fixture
+# ---------------------------------------------------------------------------
+
+
+def test_wac_kernel_branches():
+    from portofolio_maximizer_spark.plans.queries_trades import _wac_kernel
+
+    # open +10@100, add +10@120 (blend->110), partial close -5 (avg
+    # unchanged), exact close -15 (flat), flip: +4@50 then -10@60
+    # (over-close -> short 6 @ NEW price 60)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 6,
+            "rn": range(1, 7),
+            "signed_qty": [10.0, 10.0, -5.0, -15.0, 4.0, -10.0],
+            "price": [100.0, 120.0, 90.0, 95.0, 50.0, 60.0],
+        }
+    )
+    out = _wac_kernel(pdf).iloc[0]
+    assert out["shares"] == -6.0
+    assert out["entry_price"] == 60.0
+    assert out["n_full_closes"] == 1
+    assert out["n_flips"] == 1
+
+    # partial close must NOT move the average
+    pdf2 = pd.DataFrame(
+        {
+            "user_id": [2] * 3,
+            "rn": [1, 2, 3],
+            "signed_qty": [10.0, 10.0, -5.0],
+            "price": [100.0, 120.0, 999.0],
+        }
+    )
+    out2 = _wac_kernel(pdf2).iloc[0]
+    assert out2["shares"] == 15.0
+    assert out2["entry_price"] == pytest.approx(110.0)
+
+
+def test_wac_reconstruction_marking(spark):
+    rows = QUERIES["wac_position_reconstruction"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["status"] == "ACTIVE":
+            assert r["market_value"] == pytest.approx(
+                r["current_price"] * r["shares"], abs=2e-5
+            )
+            if r["entry_price"]:
+                expect = (r["current_price"] / r["entry_price"] - 1.0) * (
+                    1.0 if r["shares"] > 0 else -1.0
+                )
+                assert r["unrealized_pnl_pct"] == pytest.approx(
+                    expect, abs=2e-6
+                )
+        else:
+            assert r["market_value"] is None
