@@ -233,3 +233,90 @@ def test_bounded_weight_qp_enumeration(seed):
                     cands.append(w)
     best_enum = min(obj(w) for w in cands)
     assert best_enum <= best_grid + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# WAC position kernel (R150) — conservation + bound properties
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    qtys=st.lists(
+        st.integers(min_value=-8, max_value=8).filter(lambda q: q != 0),
+        min_size=1,
+        max_size=40,
+    ),
+    prices=st.lists(
+        st.floats(min_value=0.5, max_value=500, allow_nan=False),
+        min_size=40,
+        max_size=40,
+    ),
+)
+def test_wac_kernel_properties(qtys, prices):
+    """Share conservation (final position == Σ signed qty in EVERY branch
+    of the state machine) and entry-price boundedness (the WAC blend can
+    never leave the [min, max] envelope of trade prices)."""
+    import pandas as pd
+
+    from portofolio_maximizer_spark.plans.queries_trades import _wac_kernel
+
+    n = len(qtys)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [0] * n,
+            "rn": range(1, n + 1),
+            "signed_qty": [float(q) for q in qtys],
+            "price": prices[:n],
+        }
+    )
+    out = _wac_kernel(pdf).iloc[0]
+    assert out["shares"] == float(sum(qtys))
+    if out["entry_price"] is not None and not np.isnan(out["entry_price"]):
+        assert min(prices[:n]) - 1e-9 <= out["entry_price"] <= max(
+            prices[:n]
+        ) + 1e-9
+    else:
+        # flat positions carry no entry price
+        assert out["shares"] == 0.0
+    assert 0 <= out["n_flips"] + out["n_full_closes"] <= n
+
+
+# ---------------------------------------------------------------------------
+# L36 token-budget allocation — cap / conservation properties
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    avail=st.lists(
+        st.integers(min_value=100, max_value=100000), min_size=1, max_size=12
+    ),
+    budget_x=st.floats(min_value=0.5, max_value=12.0, allow_nan=False),
+)
+def test_token_budget_allocation_properties(avail, budget_x):
+    """Pure-numpy replica of the L36 allocation: the epoch cap is never
+    exceeded, total allocation never exceeds the budget, and the
+    redistribution pass only raises uncapped domains."""
+    a = np.array(avail, dtype=float)
+    total = a.sum()
+    w = a**2.0 / (a**2.0).sum()
+    budget = budget_x * total
+    desired = w * budget
+    emax = 4.0
+    capped = desired > emax * a
+    alloc1 = np.minimum(desired, emax * a)
+    deficit = (desired - alloc1).sum()
+    w_un = w[~capped].sum()
+    alloc2 = alloc1.copy()
+    if deficit > 0 and w_un > 0:
+        alloc2[~capped] = np.minimum(
+            alloc1[~capped] + deficit * w[~capped] / w_un,
+            emax * a[~capped],
+        )
+    assert (alloc2 <= emax * a + 1e-6).all()
+    assert alloc2.sum() <= budget + 1e-6 * max(budget, 1.0)
+    assert (alloc2 + 1e-9 >= alloc1).all()
+    # when nothing caps, allocation is exactly the demand
+    if not capped.any():
+        np.testing.assert_allclose(alloc2, desired, rtol=1e-12)
