@@ -8890,3 +8890,229 @@ def audit_sanitization_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return susp.unionAll(ro)
+
+
+# ---------------------------------------------------------------------------
+# Read-only quality-pipeline status contract (run_quality_pipeline.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/run_quality_pipeline.py:64-232`: chain the five
+# read-only quality steps and fold per-step PASS/WARN/ERROR statuses into
+# one contract — eligibility (warn on no_tickers_found /
+# zero_healthy_tickers, `:86-90`), the eligibility gate application
+# (lab-only census, always gate_written, `apply_ticker_eligibility_gates
+# .py:44-67`), context quality (partial_data warn, `:139`), data
+# sufficiency (insufficient_data warn / data_error, `:160-168`), chart
+# generation (error when nothing to chart), then overall ERROR > WARN >
+# PASS (`:205-210`). Statuses derive from the engine's own component
+# frames (R62/R71/R63/chart-data queries).
+_QPS_VERSION = "2026.03.03.2"
+
+
+@query("quality_pipeline_status")
+def quality_pipeline_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R151: the one-JSON quality-pipeline contract as six rows (five
+    steps + the overall fold) with deterministic warning-code strings.
+    Composition of four bounded component aggregates."""
+    from .queries import QUERIES as _Q
+
+    el = _Q["ticker_eligibility_classification"](spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tickers"),
+        F.sum((F.col("status") == "HEALTHY").cast("int"))
+        .cast("long")
+        .alias("n_healthy"),
+        F.sum((F.col("status") == "LAB_ONLY").cast("int"))
+        .cast("long")
+        .alias("n_lab_only"),
+    )
+    ds = _Q["data_sufficiency_report"](spark, sf_dir).select(
+        F.col("status").alias("ds_status")
+    )
+    cq = _Q["context_quality_report"](spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("cq_rows")
+    )
+    pc = _Q["performance_chart_data"](spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("pc_rows")
+    )
+    base = (
+        el.crossJoin(F.broadcast(ds))
+        .crossJoin(F.broadcast(cq))
+        .crossJoin(F.broadcast(pc))
+    )
+    w_el = F.concat_ws(
+        ",",
+        F.when(F.col("n_tickers") == 0, "no_tickers_found"),
+        F.when(F.col("n_healthy") == 0, "zero_healthy_tickers"),
+    )
+    n_w_el = (
+        (F.col("n_tickers") == 0).cast("int")
+        + (F.col("n_healthy") == 0).cast("int")
+    ).cast("long")
+    w_ds = F.when(F.col("ds_status") != "SUFFICIENT", "insufficient_data")
+    ds_err = F.col("ds_status") == "DATA_ERROR"
+    w_cq = F.when(F.col("cq_rows") == 0, "partial_data")
+    pc_err = F.col("pc_rows") == 0
+
+    def _status(warn_n, err):
+        return (
+            F.when(err, "ERROR").when(warn_n > 0, "WARN").otherwise("PASS")
+        )
+
+    rows = []
+    rows.append(
+        base.select(
+            F.lit("compute_ticker_eligibility").alias("step"),
+            _status(n_w_el, F.lit(False)).alias("status"),
+            n_w_el.alias("n_warnings"),
+            w_el.alias("warning_codes"),
+            F.concat(
+                F.lit("n_tickers="),
+                F.col("n_tickers").cast("string"),
+                F.lit(" healthy="),
+                F.col("n_healthy").cast("string"),
+            ).alias("detail"),
+        )
+    )
+    rows.append(
+        base.select(
+            F.lit("apply_ticker_eligibility_gates").alias("step"),
+            F.lit("PASS").alias("status"),
+            F.lit(0).cast("long").alias("n_warnings"),
+            F.lit("").alias("warning_codes"),
+            F.concat(
+                F.lit("lab_only="),
+                F.col("n_lab_only").cast("string"),
+                F.lit(" gate_written=true"),
+            ).alias("detail"),
+        )
+    )
+    rows.append(
+        base.select(
+            F.lit("compute_context_quality").alias("step"),
+            _status(
+                (F.col("cq_rows") == 0).cast("long"), F.lit(False)
+            ).alias("status"),
+            (F.col("cq_rows") == 0).cast("long").alias("n_warnings"),
+            F.coalesce(w_cq, F.lit("")).alias("warning_codes"),
+            F.concat(F.lit("rows="), F.col("cq_rows").cast("string")).alias(
+                "detail"
+            ),
+        )
+    )
+    rows.append(
+        base.select(
+            F.lit("data_sufficiency_monitor").alias("step"),
+            _status(
+                (F.col("ds_status") != "SUFFICIENT").cast("long"), ds_err
+            ).alias("status"),
+            (F.col("ds_status") != "SUFFICIENT").cast("long").alias(
+                "n_warnings"
+            ),
+            F.coalesce(w_ds, F.lit("")).alias("warning_codes"),
+            F.col("ds_status").alias("detail"),
+        )
+    )
+    rows.append(
+        base.select(
+            F.lit("generate_performance_charts").alias("step"),
+            _status(F.lit(0), pc_err).alias("status"),
+            F.lit(0).cast("long").alias("n_warnings"),
+            F.lit("").alias("warning_codes"),
+            F.concat(F.lit("rows="), F.col("pc_rows").cast("string")).alias(
+                "detail"
+            ),
+        )
+    )
+    steps = rows[0]
+    for r in rows[1:]:
+        steps = steps.unionByName(r)
+    overall = steps.agg(
+        F.sum((F.col("status") == "ERROR").cast("int")).alias("n_err"),
+        F.sum((F.col("status") == "WARN").cast("int")).alias("n_warn"),
+        F.sum("n_warnings").cast("long").alias("tot_w"),
+    ).select(
+        F.lit("overall").alias("step"),
+        F.when(F.col("n_err") > 0, "ERROR")
+        .when(F.col("n_warn") > 0, "WARN")
+        .otherwise("PASS")
+        .alias("status"),
+        F.col("tot_w").alias("n_warnings"),
+        F.lit("").alias("warning_codes"),
+        F.lit(f"pipeline_version={_QPS_VERSION} steps=5").alias("detail"),
+    )
+    return steps.unionByName(overall)
+
+
+ORACLE["quality_pipeline_status"] = f"""
+    WITH el0 AS ({ORACLE["ticker_eligibility_classification"]}),
+    el AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tickers,
+             CAST(SUM(CASE WHEN status = 'HEALTHY' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_healthy,
+             CAST(SUM(CASE WHEN status = 'LAB_ONLY' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_lab_only
+      FROM el0
+    ),
+    ds0 AS ({ORACLE["data_sufficiency_report"]}),
+    ds AS (SELECT status AS ds_status FROM ds0),
+    cq0 AS ({ORACLE["context_quality_report"]}),
+    cq AS (SELECT CAST(COUNT(*) AS BIGINT) AS cq_rows FROM cq0),
+    pc0 AS ({ORACLE["performance_chart_data"]}),
+    pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS pc_rows FROM pc0),
+    base AS (SELECT * FROM el CROSS JOIN ds CROSS JOIN cq CROSS JOIN pc),
+    steps AS (
+      SELECT 'compute_ticker_eligibility' AS step,
+             CASE WHEN n_tickers = 0 OR n_healthy = 0
+                  THEN 'WARN' ELSE 'PASS' END AS status,
+             CAST((CASE WHEN n_tickers = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_healthy = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_warnings,
+             CONCAT_WS(',',
+               CASE WHEN n_tickers = 0 THEN 'no_tickers_found' END,
+               CASE WHEN n_healthy = 0 THEN 'zero_healthy_tickers' END)
+               AS warning_codes,
+             'n_tickers=' || CAST(n_tickers AS VARCHAR)
+               || ' healthy=' || CAST(n_healthy AS VARCHAR) AS detail
+      FROM base
+      UNION ALL
+      SELECT 'apply_ticker_eligibility_gates', 'PASS',
+             CAST(0 AS BIGINT), '',
+             'lab_only=' || CAST(n_lab_only AS VARCHAR)
+               || ' gate_written=true'
+      FROM base
+      UNION ALL
+      SELECT 'compute_context_quality',
+             CASE WHEN cq_rows = 0 THEN 'WARN' ELSE 'PASS' END,
+             CAST(CASE WHEN cq_rows = 0 THEN 1 ELSE 0 END AS BIGINT),
+             CASE WHEN cq_rows = 0 THEN 'partial_data' ELSE '' END,
+             'rows=' || CAST(cq_rows AS VARCHAR)
+      FROM base
+      UNION ALL
+      SELECT 'data_sufficiency_monitor',
+             CASE WHEN ds_status = 'DATA_ERROR' THEN 'ERROR'
+                  WHEN ds_status <> 'SUFFICIENT' THEN 'WARN'
+                  ELSE 'PASS' END,
+             CAST(CASE WHEN ds_status <> 'SUFFICIENT' THEN 1 ELSE 0 END
+                  AS BIGINT),
+             CASE WHEN ds_status <> 'SUFFICIENT' THEN 'insufficient_data'
+                  ELSE '' END,
+             ds_status
+      FROM base
+      UNION ALL
+      SELECT 'generate_performance_charts',
+             CASE WHEN pc_rows = 0 THEN 'ERROR' ELSE 'PASS' END,
+             CAST(0 AS BIGINT), '',
+             'rows=' || CAST(pc_rows AS VARCHAR)
+      FROM base
+    )
+    SELECT step, status, n_warnings, warning_codes, detail FROM steps
+    UNION ALL
+    SELECT 'overall',
+           CASE WHEN SUM(CASE WHEN status = 'ERROR' THEN 1 ELSE 0 END) > 0
+                THEN 'ERROR'
+                WHEN SUM(CASE WHEN status = 'WARN' THEN 1 ELSE 0 END) > 0
+                THEN 'WARN' ELSE 'PASS' END,
+           CAST(SUM(n_warnings) AS BIGINT), '',
+           'pipeline_version={_QPS_VERSION} steps=5'
+    FROM steps
+"""

@@ -671,3 +671,32 @@ def test_wac_reconstruction_marking(spark):
                 )
         else:
             assert r["market_value"] is None
+
+
+# ---------------------------------------------------------------------------
+# Quality-pipeline contract (R151)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_pipeline_contract(spark):
+    rows = {
+        r["step"]: r
+        for r in QUERIES["quality_pipeline_status"](spark, SF).collect()
+    }
+    assert set(rows) == {
+        "compute_ticker_eligibility", "apply_ticker_eligibility_gates",
+        "compute_context_quality", "data_sufficiency_monitor",
+        "generate_performance_charts", "overall",
+    }
+    steps = [v for k, v in rows.items() if k != "overall"]
+    any_err = any(r["status"] == "ERROR" for r in steps)
+    any_warn = any(r["status"] == "WARN" for r in steps)
+    expect = "ERROR" if any_err else ("WARN" if any_warn else "PASS")
+    assert rows["overall"]["status"] == expect
+    assert rows["overall"]["n_warnings"] == sum(
+        r["n_warnings"] for r in steps
+    )
+    for r in steps:
+        assert (r["n_warnings"] > 0) == (r["warning_codes"] != "") or r[
+            "status"
+        ] == "ERROR"
