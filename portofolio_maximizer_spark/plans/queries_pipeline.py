@@ -1590,3 +1590,152 @@ def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_unallocated"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# L38 — corpus shard plan (dataloader sharding with skew census)
+# ---------------------------------------------------------------------------
+
+# Beyond the reference per the charter's training-data mandate: the write
+# plan for a sharded training corpus. Two strategies side by side —
+# id-mod round-robin (the naive hash-sharding stand-in; doc-count
+# balanced, token-UNbalanced when lengths skew) and token-balanced
+# contiguous sharding (exclusive prefix sum of tokens cut at
+# ceil(total/N) boundaries — the streaming-writer plan whose worst shard
+# overshoots by at most one document). Per (strategy, shard): doc/token/
+# byte censuses, token share, and the strategy's max/mean token skew so
+# the imbalance is a first-class output, not a surprise at training time.
+_CSP_SHARDS = 8
+
+
+@query(
+    "corpus_shard_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(LENGTH(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+               AS BIGINT) AS n_tokens,
+             n_chars
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS t_tokens,
+             CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE)
+                       / {_CSP_SHARDS}) AS BIGINT) AS width
+      FROM toks
+    ),
+    a AS (
+      SELECT t.doc_id, t.n_tokens, t.n_chars,
+             CAST(t.doc_id % {_CSP_SHARDS} AS INT) AS shard_mod,
+             CAST(LEAST(FLOOR(CAST(COALESCE(SUM(t.n_tokens) OVER (
+                 ORDER BY t.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) / x.width), {_CSP_SHARDS - 1}) AS INT)
+               AS shard_bal
+      FROM toks t CROSS JOIN tot x
+    ),
+    longf AS (
+      SELECT 'id_mod' AS strategy, shard_mod AS shard,
+             n_tokens, n_chars FROM a
+      UNION ALL
+      SELECT 'token_balanced', shard_bal, n_tokens, n_chars FROM a
+    ),
+    g AS (
+      SELECT strategy, shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+      FROM longf GROUP BY strategy, shard
+    )
+    SELECT g.strategy, g.shard, g.n_docs, g.tokens, g.n_bytes,
+           ROUND(CAST(g.tokens AS DOUBLE) / x.t_tokens, 6) AS token_share,
+           ROUND(CAST(MAX(g.tokens) OVER ws AS DOUBLE)
+                 / (CAST(x.t_tokens AS DOUBLE) / {_CSP_SHARDS}), 6)
+             AS strategy_max_skew,
+           ROUND(CAST(g.tokens AS DOUBLE)
+                 / (CAST(x.t_tokens AS DOUBLE) / {_CSP_SHARDS}), 6)
+             AS shard_skew
+    FROM g CROSS JOIN tot x
+    WINDOW ws AS (PARTITION BY g.strategy)
+    """,
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38 corpus shard plan — both strategies' shard censuses with the
+    max-skew diagnostic.
+
+    Scale: the prefix sum is one global ordering of (doc_id, n_tokens)
+    pairs — at 100 TB that is a sort of doc-grain METADATA (two longs
+    per doc), not documents; the censuses are map-side-combinable
+    groupBys on 2N rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+        "n_chars",
+    )
+    tot = toks.agg(
+        F.sum("n_tokens").alias("t_tokens"),
+        F.ceil(
+            F.sum("n_tokens").cast("double") / _CSP_SHARDS
+        ).cast("long").alias("width"),
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    a = toks.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "t_tokens",
+        (F.col("doc_id") % _CSP_SHARDS).cast("int").alias("shard_mod"),
+        F.least(
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(wcum), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("width")
+            ),
+            F.lit(_CSP_SHARDS - 1),
+        ).cast("int").alias("shard_bal"),
+    )
+    longf = a.select(
+        F.lit("id_mod").alias("strategy"),
+        F.col("shard_mod").alias("shard"),
+        "n_tokens",
+        "n_chars",
+        "t_tokens",
+    ).unionByName(
+        a.select(
+            F.lit("token_balanced").alias("strategy"),
+            F.col("shard_bal").alias("shard"),
+            "n_tokens",
+            "n_chars",
+            "t_tokens",
+        )
+    )
+    g = longf.groupBy("strategy", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+        F.first("t_tokens").alias("t_tokens"),
+    )
+    ws = Window.partitionBy("strategy")
+    mean_tok = F.col("t_tokens").cast("double") / _CSP_SHARDS
+    return g.select(
+        "strategy",
+        "shard",
+        "n_docs",
+        "tokens",
+        "n_bytes",
+        r6(F.col("tokens").cast("double") / F.col("t_tokens")).alias(
+            "token_share"
+        ),
+        r6(F.max("tokens").over(ws).cast("double") / mean_tok).alias(
+            "strategy_max_skew"
+        ),
+        r6(F.col("tokens").cast("double") / mean_tok).alias("shard_skew"),
+    )

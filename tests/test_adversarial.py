@@ -700,3 +700,33 @@ def test_quality_pipeline_contract(spark):
         assert (r["n_warnings"] > 0) == (r["warning_codes"] != "") or r[
             "status"
         ] == "ERROR"
+
+
+# ---------------------------------------------------------------------------
+# Corpus shard plan (L38) — partition and balance invariants
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_shard_plan_invariants(spark, duck):
+    rows = QUERIES["corpus_shard_plan"](spark, SF).collect()
+    by_strat = {}
+    for r in rows:
+        by_strat.setdefault(r["strategy"], []).append(r)
+    assert set(by_strat) == {"id_mod", "token_balanced"}
+    total_docs = duck.execute(
+        "SELECT COUNT(*) FROM documents WHERE TRIM(text) <> ''"
+    ).fetchone()[0]
+    for strat, rs in by_strat.items():
+        # shards partition the corpus
+        assert sum(r["n_docs"] for r in rs) == total_docs
+        assert sum(r["token_share"] for r in rs) == pytest.approx(
+            1.0, abs=1e-4
+        )
+        assert len({r["shard"] for r in rs}) == len(rs) <= 8
+        mx = max(r["shard_skew"] for r in rs)
+        assert rs[0]["strategy_max_skew"] == pytest.approx(mx, abs=1e-6)
+    # token-balanced must not be WORSE than id-mod on max skew: its
+    # worst shard overshoots the ideal width by at most one document
+    bal = by_strat["token_balanced"][0]["strategy_max_skew"]
+    mod = by_strat["id_mod"][0]["strategy_max_skew"]
+    assert bal <= mod + 1e-6
