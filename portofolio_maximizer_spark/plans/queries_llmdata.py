@@ -2876,3 +2876,124 @@ ORACLE["cluster_silhouette_report"] = """
            ROUND(AVG(CASE WHEN s < 0 THEN 1.0 ELSE 0.0 END), 6)
     FROM sil
 """
+
+
+# ---------------------------------------------------------------------------
+# L39 — dedup savings curve (threshold sweep over the exact-Jaccard pairs)
+# ---------------------------------------------------------------------------
+
+# Beyond the reference per the charter's training-data mandate: before
+# committing to a near-dup threshold, sweep it. For each candidate τ over
+# the L4 exact-Jaccard pair frame, apply the keep-lowest-id greedy rule
+# (a doc is removable when it is the HIGHER id of any pair at ≥ τ — the
+# standard keep-first convention; greedy, like every large-scale dedup
+# pass) and report pairs, removable docs, tokens removed and the corpus
+# saving fraction — the cost/recall curve that decides τ.
+_DSC_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.8)
+
+
+@query(
+    "dedup_savings_curve",
+    oracle=f"""
+    WITH pr AS ({{NGJ}}),
+    th AS (SELECT UNNEST([{", ".join(str(t) for t in _DSC_THRESHOLDS)}])
+             AS tau),
+    toks AS (
+      SELECT doc_id,
+             CAST(LENGTH(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+               AS BIGINT) AS n_tokens
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t_tokens FROM toks),
+    hit AS (
+      SELECT t.tau, p.d1, p.d2
+      FROM pr p JOIN th t ON p.jaccard >= t.tau
+    ),
+    rem AS (
+      SELECT DISTINCT tau, d2 AS doc_id FROM hit
+    ),
+    g AS (
+      SELECT t.tau,
+             COALESCE(h.n_pairs, 0) AS n_pairs,
+             COALESCE(r.n_docs, 0) AS n_removable_docs,
+             COALESCE(r.tokens, 0) AS tokens_removed
+      FROM th t
+      LEFT JOIN (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                 FROM hit GROUP BY tau) h ON h.tau = t.tau
+      LEFT JOIN (SELECT rem.tau, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(k.n_tokens) AS BIGINT) AS tokens
+                 FROM rem JOIN toks k ON k.doc_id = rem.doc_id
+                 GROUP BY rem.tau) r ON r.tau = t.tau
+    )
+    SELECT ROUND(g.tau, 6) AS threshold,
+           CAST(g.n_pairs AS BIGINT) AS n_pairs,
+           CAST(g.n_removable_docs AS BIGINT) AS n_removable_docs,
+           CAST(g.tokens_removed AS BIGINT) AS tokens_removed,
+           CAST(x.t_tokens AS BIGINT) AS corpus_tokens,
+           ROUND(CAST(g.tokens_removed AS DOUBLE) / x.t_tokens, 6)
+             AS saving_fraction
+    FROM g CROSS JOIN tot x
+    """,
+)
+def dedup_savings_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L39 dedup savings curve — threshold sweep with the keep-lowest-id
+    greedy removal rule over the df-pruned exact-Jaccard pairs.
+
+    Scale: the pair frame is the L4 query's (bounded by the MAXDF
+    pruning); the sweep is a 5-row broadcast dimension against it, the
+    token join is doc-grain. Nothing here re-reads the corpus."""
+    p = ngram_jaccard_neardups(spark, sf_dir).select("d1", "d2", "jaccard")
+    th = spark.createDataFrame(
+        [(t,) for t in _DSC_THRESHOLDS], "tau double"
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = toks.agg(F.sum("n_tokens").alias("t_tokens"))
+    hit = p.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("tau")
+    )
+    pairs = hit.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    rem = (
+        hit.select("tau", F.col("d2").alias("doc_id"))
+        .distinct()
+        .join(toks, "doc_id")
+        .groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_removable_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_removed"),
+        )
+    )
+    g = (
+        th.join(pairs, "tau", "left")
+        .join(rem, "tau", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    return g.select(
+        F.round(F.col("tau"), 6).alias("threshold"),
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+        F.coalesce(F.col("n_removable_docs"), F.lit(0).cast("long")).alias(
+            "n_removable_docs"
+        ),
+        F.coalesce(F.col("tokens_removed"), F.lit(0).cast("long")).alias(
+            "tokens_removed"
+        ),
+        F.col("t_tokens").cast("long").alias("corpus_tokens"),
+        r6(
+            F.coalesce(F.col("tokens_removed"), F.lit(0)).cast("double")
+            / F.col("t_tokens")
+        ).alias("saving_fraction"),
+    )
+
+
+ORACLE["dedup_savings_curve"] = ORACLE["dedup_savings_curve"].replace(
+    "{NGJ}", ORACLE["ngram_jaccard_neardups"]
+)

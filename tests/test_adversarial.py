@@ -730,3 +730,24 @@ def test_corpus_shard_plan_invariants(spark, duck):
     bal = by_strat["token_balanced"][0]["strategy_max_skew"]
     mod = by_strat["id_mod"][0]["strategy_max_skew"]
     assert bal <= mod + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings curve (L39) — monotonicity
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_savings_curve_monotone(spark):
+    rows = sorted(
+        QUERIES["dedup_savings_curve"](spark, SF).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [0.3, 0.4, 0.5, 0.6, 0.8]
+    # raising the threshold can only shrink pairs, removals and savings
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_pairs"] <= a["n_pairs"]
+        assert b["n_removable_docs"] <= a["n_removable_docs"]
+        assert b["tokens_removed"] <= a["tokens_removed"]
+        assert b["saving_fraction"] <= a["saving_fraction"] + 1e-9
+    assert all(r["corpus_tokens"] == rows[0]["corpus_tokens"] for r in rows)
+    assert rows[0]["n_pairs"] > 0  # the 0.3 floor matches the L4 frame
