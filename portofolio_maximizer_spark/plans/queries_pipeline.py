@@ -1739,3 +1739,121 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         r6(F.col("tokens").cast("double") / mean_tok).alias("shard_skew"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L40 — context-length sweep (truncation waste + packing bound per L)
+# ---------------------------------------------------------------------------
+
+# Beyond the reference per the charter's training-data mandate: choosing
+# the training context length is a data decision — for each candidate L,
+# report how much of the corpus survives single-document truncation
+# (docs over L lose their tail), the one-doc-per-context padding waste,
+# and the dense concat-packing lower bound (ceil(total/L) contexts) the
+# L29 chunker realizes. Complements L23 (padding waste at a fixed
+# bucketing) and L29 (the chunker itself) with the ACROSS-L comparison.
+_CLS_LENGTHS = (64, 128, 256, 512)
+
+
+@query(
+    "context_length_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(LENGTH(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+               AS BIGINT) AS n_tokens
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    ls AS (SELECT UNNEST([{", ".join(str(x) for x in _CLS_LENGTHS)}])
+             AS ctx_len),
+    j AS (
+      SELECT l.ctx_len, t.doc_id, t.n_tokens,
+             LEAST(t.n_tokens, l.ctx_len) AS kept
+      FROM toks t CROSS JOIN ls l
+    ),
+    g AS (
+      SELECT ctx_len,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(SUM(CASE WHEN n_tokens > ctx_len THEN 1 ELSE 0 END)
+                  AS BIGINT) AS truncated_docs,
+             CAST(SUM(n_tokens - kept) AS BIGINT) AS tokens_truncated,
+             CAST(SUM(kept) AS BIGINT) AS kept_tokens
+      FROM j GROUP BY ctx_len
+    )
+    SELECT CAST(ctx_len AS INT) AS ctx_len, n_docs, corpus_tokens,
+           truncated_docs,
+           ROUND(CAST(truncated_docs AS DOUBLE) / n_docs, 6)
+             AS truncated_share,
+           tokens_truncated,
+           ROUND(CAST(tokens_truncated AS DOUBLE) / corpus_tokens, 6)
+             AS truncation_loss,
+           ROUND(CAST(kept_tokens AS DOUBLE) / (n_docs * ctx_len), 6)
+             AS one_doc_utilization,
+           CAST(CEIL(CAST(corpus_tokens AS DOUBLE) / ctx_len) AS BIGINT)
+             AS packed_contexts,
+           ROUND(CAST(corpus_tokens AS DOUBLE)
+                 / (CEIL(CAST(corpus_tokens AS DOUBLE) / ctx_len)
+                    * ctx_len), 6) AS packed_utilization
+    FROM g
+    """,
+)
+def context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L40 context-length sweep — one corpus pass, a 4-row broadcast
+    length dimension, one map-side-combinable groupBy. The packed bound
+    assumes dense concat packing (no padding between docs), the regime
+    the L29 sliding-window chunker produces."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    ls = spark.createDataFrame(
+        [(x,) for x in _CLS_LENGTHS], "ctx_len long"
+    )
+    j = toks.crossJoin(F.broadcast(ls)).select(
+        "ctx_len",
+        "n_tokens",
+        F.least(F.col("n_tokens"), F.col("ctx_len")).alias("kept"),
+    )
+    g = j.groupBy("ctx_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("corpus_tokens"),
+        F.sum((F.col("n_tokens") > F.col("ctx_len")).cast("int"))
+        .cast("long")
+        .alias("truncated_docs"),
+        F.sum(F.col("n_tokens") - F.col("kept")).cast("long").alias(
+            "tokens_truncated"
+        ),
+        F.sum("kept").cast("long").alias("kept_tokens"),
+    )
+    packed = F.ceil(
+        F.col("corpus_tokens").cast("double") / F.col("ctx_len")
+    ).cast("long")
+    return g.select(
+        F.col("ctx_len").cast("int").alias("ctx_len"),
+        "n_docs",
+        "corpus_tokens",
+        "truncated_docs",
+        r6(F.col("truncated_docs").cast("double") / F.col("n_docs")).alias(
+            "truncated_share"
+        ),
+        "tokens_truncated",
+        r6(
+            F.col("tokens_truncated").cast("double")
+            / F.col("corpus_tokens")
+        ).alias("truncation_loss"),
+        r6(
+            F.col("kept_tokens").cast("double")
+            / (F.col("n_docs") * F.col("ctx_len"))
+        ).alias("one_doc_utilization"),
+        packed.alias("packed_contexts"),
+        r6(
+            F.col("corpus_tokens").cast("double")
+            / (packed * F.col("ctx_len")).cast("double")
+        ).alias("packed_utilization"),
+    )

@@ -751,3 +751,29 @@ def test_dedup_savings_curve_monotone(spark):
         assert b["saving_fraction"] <= a["saving_fraction"] + 1e-9
     assert all(r["corpus_tokens"] == rows[0]["corpus_tokens"] for r in rows)
     assert rows[0]["n_pairs"] > 0  # the 0.3 floor matches the L4 frame
+
+
+# ---------------------------------------------------------------------------
+# Context-length sweep (L40) — bound invariants
+# ---------------------------------------------------------------------------
+
+
+def test_context_length_sweep_invariants(spark):
+    rows = sorted(
+        QUERIES["context_length_sweep"](spark, SF).collect(),
+        key=lambda r: r["ctx_len"],
+    )
+    assert [r["ctx_len"] for r in rows] == [64, 128, 256, 512]
+    for a, b in zip(rows, rows[1:]):
+        # longer contexts truncate less
+        assert b["truncation_loss"] <= a["truncation_loss"] + 1e-9
+        assert b["truncated_docs"] <= a["truncated_docs"]
+        # but waste more padding in the one-doc regime
+        assert b["one_doc_utilization"] <= a["one_doc_utilization"] + 1e-9
+    for r in rows:
+        assert 0.0 <= r["truncation_loss"] < 1.0
+        # dense packing wastes less than one context of padding
+        assert r["packed_utilization"] > 1.0 - r["ctx_len"] / (
+            r["packed_contexts"] * r["ctx_len"]
+        ) - 1e-9
+        assert r["packed_contexts"] * r["ctx_len"] >= r["corpus_tokens"]
