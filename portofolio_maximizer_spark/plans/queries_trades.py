@@ -6510,3 +6510,151 @@ _TOB_ORACLE["wac_position_reconstruction"] = """
                 ELSE 'FLAT' END AS status
     FROM fin f JOIN last l ON l.user_id = f.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Trade-event feed with the dashboard classify ladder (dashboard_db_bridge)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/dashboard_db_bridge.py:689-705`
+# (`_classify_trade_event`) + the bounded trade-event feed
+# (`_trade_events_filtered`, `:808-...`): BUY → ENTRY; SELL classified by
+# realized PnL sign (EXIT_PROFIT / EXIT_LOSS / EXIT_FLAT, unparseable →
+# EXIT_FLAT); the dashboard shows the most recent N events. Engine
+# mapping: each round-trip order contributes its opening leg as a BUY
+# ENTRY at the open ship date and its closing leg as a SELL exit at the
+# close ship date, classified by the round trip's gross PnL (open leg
+# disqualified → NULL PnL → EXIT_FLAT). Same aggregated-lot leg rules as
+# `round_trips` (J1).
+_TEF_LIMIT = 50
+
+
+@query(
+    "trade_event_feed",
+    oracle="""
+    WITH mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             MAX(l.l_shipdate) AS cship
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet,
+             MIN(l_shipdate) AS oship
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    ev AS (
+      SELECT o.l_orderkey AS orderkey, 'BUY' AS action,
+             o.oship AS ts, CAST(NULL AS DOUBLE) AS pnl
+      FROM opens o JOIN closes c ON c.l_orderkey = o.l_orderkey
+      WHERE o.l_orderkey < 3000
+      UNION ALL
+      SELECT c.l_orderkey, 'SELL', c.cship, c.cnet - oo.onet
+      FROM closes c LEFT JOIN opens oo ON oo.l_orderkey = c.l_orderkey
+      WHERE c.l_orderkey < 3000
+    ),
+    feed AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ts DESC, orderkey DESC,
+                                   action DESC) AS rnk
+      FROM ev
+    )
+    SELECT CAST(rnk AS INT) AS rnk, orderkey, action,
+           EPOCH_MS(ts) AS event_ms,
+           ROUND(pnl, 6) AS realized_pnl,
+           CASE WHEN action = 'BUY' THEN 'ENTRY'
+                WHEN pnl IS NULL THEN 'EXIT_FLAT'
+                WHEN pnl > 0 THEN 'EXIT_PROFIT'
+                WHEN pnl < 0 THEN 'EXIT_LOSS'
+                ELSE 'EXIT_FLAT' END AS event_class
+    FROM feed WHERE rnk <= 50
+    """,
+)
+def trade_event_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R152: the dashboard's bounded trade-event feed — ENTRY rows from
+    opening legs, SELL exits classified by round-trip PnL, most-recent-50
+    by ship date (TakeOrderedAndProject; bounded at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 3000
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
+    closes = (
+        li.join(
+            mx,
+            (li["l_orderkey"] == mx["l_orderkey"])
+            & (li["l_linenumber"] == mx["maxline"]),
+        )
+        .drop(mx["l_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(net).alias("cnet"),
+            F.max("l_shipdate").alias("cship"),
+        )
+    )
+    opens = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(net).alias("onet"),
+            F.min("l_shipdate").alias("oship"),
+        )
+    )
+    entries = opens.join(
+        closes.select("l_orderkey"), "l_orderkey"
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.lit("BUY").alias("action"),
+        F.col("oship").alias("ts"),
+        F.lit(None).cast("double").alias("pnl"),
+    )
+    exits = closes.join(
+        opens.select("l_orderkey", "onet"), "l_orderkey", "left"
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.lit("SELL").alias("action"),
+        F.col("cship").alias("ts"),
+        (F.col("cnet") - F.col("onet")).alias("pnl"),
+    )
+    ev = entries.unionByName(exits)
+    feed = (
+        ev.orderBy(
+            F.col("ts").desc(), F.col("orderkey").desc(),
+            F.col("action").desc(),
+        )
+        .limit(_TEF_LIMIT)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("ts").desc(), F.col("orderkey").desc(),
+                    F.col("action").desc(),
+                )
+            ).cast("int"),
+        )
+    )
+    pnl = F.col("pnl")
+    return feed.select(
+        "rnk",
+        "orderkey",
+        "action",
+        F.unix_millis(F.col("ts")).alias("event_ms"),
+        r6(pnl).alias("realized_pnl"),
+        F.when(F.col("action") == "BUY", "ENTRY")
+        .when(pnl.isNull(), "EXIT_FLAT")
+        .when(pnl > 0, "EXIT_PROFIT")
+        .when(pnl < 0, "EXIT_LOSS")
+        .otherwise("EXIT_FLAT")
+        .alias("event_class"),
+    )

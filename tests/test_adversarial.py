@@ -777,3 +777,28 @@ def test_context_length_sweep_invariants(spark):
             r["packed_contexts"] * r["ctx_len"]
         ) - 1e-9
         assert r["packed_contexts"] * r["ctx_len"] >= r["corpus_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# Trade event feed (R152) — ladder and bound
+# ---------------------------------------------------------------------------
+
+
+def test_trade_event_feed_ladder(spark):
+    rows = QUERIES["trade_event_feed"](spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    assert [r["rnk"] for r in rows] == sorted(r["rnk"] for r in rows)
+    ts = [r["event_ms"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert ts == sorted(ts, reverse=True)
+    for r in rows:
+        if r["action"] == "BUY":
+            assert r["event_class"] == "ENTRY"
+            assert r["realized_pnl"] is None
+        elif r["realized_pnl"] is None:
+            assert r["event_class"] == "EXIT_FLAT"
+        elif r["realized_pnl"] > 0:
+            assert r["event_class"] == "EXIT_PROFIT"
+        elif r["realized_pnl"] < 0:
+            assert r["event_class"] == "EXIT_LOSS"
+        else:
+            assert r["event_class"] == "EXIT_FLAT"
