@@ -167,18 +167,23 @@ def forward_return(value: Column, w: WindowSpec, n: int) -> Column:
     return F.lead(value, n).over(w) / value - 1
 
 
-def scalable_running_sum(
+def _order_exprs(order_cols: Sequence) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def scalable_prefix_sums(
     df: DataFrame,
-    order_cols: Sequence[str],
-    value_col: str,
-    out_col: str = "running_sum",
+    order_cols: Sequence,
+    value_cols: dict[str, Column | str],
     num_partitions: int = 32,
-) -> DataFrame:
-    """Globally-ordered running sum WITHOUT a single-partition window.
+    with_totals: bool = False,
+):
+    """Globally-ordered running sums WITHOUT a single-partition window.
 
     ``SUM(x) OVER (ORDER BY ...)`` funnels the whole table through one
     task — fine at sf0.1, fatal at 100 TB. This is the classic two-pass
-    prefix sum instead:
+    prefix sum instead, for any number of integral value columns in ONE
+    repartition:
 
     1. range-repartition on the order keys (partition i holds a contiguous
        key range, ranges ascend with partition id — the contract
@@ -192,35 +197,155 @@ def scalable_running_sum(
        broadcast back as exclusive prefix offsets.
 
     ``offset(pid) + local_cum`` equals the global running sum exactly for
-    integral ``value_col`` regardless of where the range boundaries fall.
-    Ties across partition boundaries are impossible when ``order_cols``
-    ends in a unique tiebreaker (every caller here orders by a key suffix
-    that is unique).
+    integral values regardless of where the range boundaries fall. Ties
+    across partition boundaries are impossible when ``order_cols`` ends in
+    a unique tiebreaker (every caller here orders by a key suffix that is
+    unique). ``order_cols`` entries may be Columns (e.g. ``desc()``) —
+    ``repartitionByRange`` honors the sort direction.
+
+    ``value_cols`` maps output column name → input column/expression
+    (inclusive running sum). With ``with_totals`` also returns the grand
+    totals dict {out_col: total} computed from the already-collected
+    per-partition sums (no extra action).
     """
+    oexp = _order_exprs(order_cols)
+    proj = df.select(
+        "*", *[
+            (F.col(v) if isinstance(v, str) else v).alias(f"_v_{out}")
+            for out, v in value_cols.items()
+        ]
+    )
     part = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        proj.repartitionByRange(num_partitions, *oexp)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    vnames = [f"_v_{out}" for out in value_cols]
     totals = (
-        part.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+        part.groupBy("_pid")
+        .agg(*[F.sum(v).alias(v) for v in vnames])
+        .collect()
     )
-    offsets = {}
-    acc = 0
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(vnames)
     for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["_tot"]
+        offsets[row["_pid"]] = list(acc)
+        for i, v in enumerate(vnames):
+            acc[i] += row[v]
     spark = df.sparkSession
+    off_schema = ", ".join(
+        ["_pid int"] + [f"_off_{out} long" for out in value_cols]
+    )
     off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        [(pid, *offs) for pid, offs in offsets.items()], off_schema
     )
     w_local = (
         Window.partitionBy("_pid")
-        .orderBy(*order_cols)
+        .orderBy(*oexp)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    out_df = part.join(F.broadcast(off_df), "_pid")
+    for out in value_cols:
+        out_df = out_df.withColumn(
+            out, F.col(f"_off_{out}") + F.sum(f"_v_{out}").over(w_local)
+        )
+    out_df = out_df.drop(
+        "_pid", *[f"_off_{o}" for o in value_cols], *vnames
+    )
+    if with_totals:
+        return out_df, dict(zip(value_cols, acc))
+    return out_df
+
+
+def scalable_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Single-column convenience wrapper over ``scalable_prefix_sums``."""
+    return scalable_prefix_sums(
+        df, order_cols, {out_col: value_col}, num_partitions
+    )
+
+
+def scalable_row_number(
+    df: DataFrame,
+    order_cols: Sequence,
+    out_col: str = "rn",
+    num_partitions: int = 32,
+    with_total: bool = False,
+):
+    """Globally-ordered ``row_number`` without a single-partition window —
+    an inclusive two-pass prefix sum of ones. With ``with_total`` also
+    returns the total row count (free: the last driver-side offset)."""
+    res = scalable_prefix_sums(
+        df,
+        order_cols,
+        {out_col: F.lit(1).cast("long")},
+        num_partitions,
+        with_totals=with_total,
+    )
+    if with_total:
+        out_df, totals = res
+        return out_df, totals[out_col]
+    return res
+
+
+def scalable_lag(
+    df: DataFrame,
+    order_cols: Sequence,
+    value_col: str,
+    out_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Globally-ordered ``LAG(value) OVER (ORDER BY ...)`` without a
+    single-partition window — the two-pass partition-boundary exchange:
+
+    1. range-repartition on the order keys + ``localCheckpoint`` (one
+       partition = one contiguous key range, ascending with pid);
+    2. collect each partition's LAST value in order (a ``num_partitions``-
+       row ``max_by`` aggregate) and carry it across empty partitions on
+       the driver so pid *i* knows the value preceding its first row;
+    3. local per-partition lag; the first row of each partition coalesces
+       to the carried boundary value.
+
+    Exact for any value type; the global first row stays NULL. Requires
+    ``order_cols`` to end in a unique tiebreaker (total order)."""
+    if not all(isinstance(c, str) for c in order_cols):
+        raise ValueError("scalable_lag requires plain ascending order cols")
+    oexp = _order_exprs(order_cols)
+    part = (
+        df.repartitionByRange(num_partitions, *oexp)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    order_plain = list(order_cols)
+    last_rows = (
+        part.groupBy("_pid")
+        .agg(
+            F.max_by(value_col, F.struct(*order_plain)).alias("_last")
+        )
+        .collect()
+    )
+    prev: dict[int, object] = {}
+    carried = None
+    for row in sorted(last_rows, key=lambda r: r["_pid"]):
+        prev[row["_pid"]] = carried
+        carried = row["_last"]
+    spark = df.sparkSession
+    vtype = dict(part.dtypes)[value_col]
+    off_df = spark.createDataFrame(
+        [(pid, pv) for pid, pv in prev.items()],
+        f"_pid int, _prev {vtype}",
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*oexp)
     return (
-        part.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.col("_offset") + F.sum(value_col).over(w_local))
-        .drop("_pid", "_offset")
+        part.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.lag(value_col).over(w_local), F.col("_prev")),
+        )
+        .drop("_pid", "_prev")
     )

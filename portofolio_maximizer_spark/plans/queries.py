@@ -1257,16 +1257,32 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5/W15 variant: customer lifetime-spend deciles via NTILE with a
-    deterministic tiebreak, per-decile envelope stats. The NTILE window
-    is global but runs on the customer-level aggregate (≪ fact table);
-    exact-decimal spends keep the decile cuts engine-identical."""
+    deterministic tiebreak, per-decile envelope stats. The global decile
+    rank is a two-pass `scalable_row_number` (range-partitioned on
+    (spend DESC, o_custkey), local ranks + broadcast boundary offsets);
+    NTILE's bucket boundaries are then closed-form from the driver-known
+    total — first ``total%10`` buckets hold ``total//10 + 1`` rows (the
+    SQL-standard definition both engines share). No single-partition
+    window; exact-decimal spends keep the cuts engine-identical."""
+    from ..operators.windows import scalable_row_number
+
     o = load_table(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
     )
-    d = s.withColumn(
+    ranked, total = scalable_row_number(
+        s,
+        [F.col("spend").desc(), F.col("o_custkey")],
+        out_col="rk",
+        with_total=True,
+    )
+    q, r = divmod(total, 10)
+    rn0 = F.col("rk") - 1
+    d = ranked.withColumn(
         "decile",
-        F.ntile(10).over(Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))),
+        F.when(rn0 < r * (q + 1), F.floor(rn0 / (q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((rn0 - r * (q + 1)) / F.greatest(F.lit(q), F.lit(1))) + 1)
+        .cast("int"),
     )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

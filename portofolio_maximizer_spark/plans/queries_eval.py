@@ -5587,7 +5587,7 @@ def _olh_frames(spark: SparkSession, sf_dir: str):
         .when(F.col("user_id") % 4 == 2, "SAMOSSA")
         .otherwise("MSSA_RL")
     )
-    fits = a.select(
+    base = a.select(
         "user_id",
         model.alias("model_type"),
         "audit_id",
@@ -5595,7 +5595,11 @@ def _olh_frames(spark: SparkSession, sf_dir: str):
         (
             (F.col("r_n") <= F.col("r_3")) & (F.col("r_n") <= F.col("r_10"))
         ).alias("fallback_used"),
-        F.max("audit_id").over(Window.partitionBy()).alias("global_max_aid"),
+    ).localCheckpoint()
+    # global max as a one-row broadcast scalar, not Window.partitionBy()
+    # (which would funnel the whole fits frame through one task)
+    fits = base.crossJoin(
+        F.broadcast(base.agg(F.max("audit_id").alias("global_max_aid")))
     )
     cache = fits.groupBy("user_id", "model_type").agg(
         F.count(F.lit(1)).alias("n_fits"),

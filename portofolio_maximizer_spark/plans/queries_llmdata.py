@@ -2593,17 +2593,23 @@ def llm_finetune_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: redaction and key hashing are JVM-side column ops; dedupe is
     a per-key window (shuffle on record_key, no skew — keys are
-    hashes). The tail cap is the only global rank; at 100 TB replace
-    with a count + per-partition boundary offset (the reference
-    semantics is a tail slice of an ordered scan, inherently global)."""
+    hashes). The `deduped[-max:]` tail cap is a two-pass
+    `scalable_row_number` (range-repartition on (ts, event_id), local
+    row numbers, driver-broadcast boundary offsets + the free total) —
+    rows with ascending rank > total − max ARE the tail slice, with no
+    single-partition window."""
+    from ..operators.windows import scalable_row_number
+
     ext = _ftd_ext(_ftd_src(spark, sf_dir))
     wkey = Window.partitionBy("record_key").orderBy("ts", "event_id")
-    wtail = Window.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    deduped = ext.withColumn("rn", F.row_number().over(wkey)).filter(
+        F.col("rn") == 1
+    )
+    ranked, total = scalable_row_number(
+        deduped, ["ts", "event_id"], out_col="rasc", with_total=True
+    )
     return (
-        ext.withColumn("rn", F.row_number().over(wkey))
-        .filter(F.col("rn") == 1)
-        .withColumn("rtail", F.row_number().over(wtail))
-        .filter(F.col("rtail") <= _FTD_MAX)
+        ranked.filter(F.col("rasc") > F.lit(total - _FTD_MAX))
         .select(
             "record_key",
             "source",

@@ -5891,12 +5891,13 @@ def performance_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed trades in (trade_date, id) order
     (`_load_wr_over_time:131-160`).
 
-    Scale: one ticker groupBy plus one global ordered running window —
-    the walk is the reference's own single-sequence semantics; at fleet
-    scale it would shard per ticker like the engine's
-    `scalable_running_sum` two-pass pattern (documented trade-off, the
-    chart is one global line)."""
-    from pyspark.sql import Window
+    Scale: one ticker groupBy plus the cumulative walk — the walk is the
+    reference's single global sequence, computed here WITHOUT a
+    single-partition window: one `scalable_prefix_sums` two-pass
+    (range-repartition on (close_d, orderkey), local cumulative wins +
+    row counts, driver-broadcast boundary offsets) yields exact integer
+    running counts at any scale."""
+    from ..operators.windows import scalable_prefix_sums
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -5962,26 +5963,27 @@ def performance_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "profit_factor",
         "total_pnl",
     )
-    wwalk = Window.orderBy("close_d", "orderkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = scalable_prefix_sums(
+        trades,
+        ["close_d", "orderkey"],
+        {
+            "cum_n": F.lit(1).cast("long"),
+            "cum_wins": F.when(F.col("pnl") > 0, 1)
+            .otherwise(0)
+            .cast("long"),
+        },
     )
-    walk = trades.select(
+    walk = cum.select(
         F.lit("wr_over_time").alias("section"),
         F.concat(
             F.col("close_d").cast("string"),
             F.lit("#"),
             F.col("orderkey").cast("string"),
         ).alias("key"),
-        F.row_number()
-        .over(Window.orderBy("close_d", "orderkey"))
-        .cast("long")
-        .alias("n"),
-        r6(
-            F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0))
-            .over(wwalk)
-            .cast("double")
-            / F.row_number().over(Window.orderBy("close_d", "orderkey"))
-        ).alias("win_rate"),
+        F.col("cum_n").alias("n"),
+        r6(F.col("cum_wins").cast("double") / F.col("cum_n")).alias(
+            "win_rate"
+        ),
         F.lit(None).cast("double").alias("profit_factor"),
         F.lit(None).cast("double").alias("total_pnl"),
     )

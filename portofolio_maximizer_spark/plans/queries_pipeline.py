@@ -1663,9 +1663,10 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L38 corpus shard plan — both strategies' shard censuses with the
     max-skew diagnostic.
 
-    Scale: the prefix sum is one global ordering of (doc_id, n_tokens)
-    pairs — at 100 TB that is a sort of doc-grain METADATA (two longs
-    per doc), not documents; the censuses are map-side-combinable
+    Scale: the token prefix sum uses the `scalable_prefix_sums` two-pass
+    (range-repartition on doc_id, parallel local cumsums, broadcast
+    boundary offsets) — doc-grain metadata sharded across tasks, never a
+    single-partition window; the censuses are map-side-combinable
     groupBys on 2N rows."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.trim(F.col("text")) != ""
@@ -1683,10 +1684,10 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("double") / _CSP_SHARDS
         ).cast("long").alias("width"),
     )
-    wcum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    cum = OW.scalable_prefix_sums(
+        toks, ["doc_id"], {"cum_tokens": "n_tokens"}
     )
-    a = toks.crossJoin(F.broadcast(tot)).select(
+    a = cum.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "n_tokens",
         "n_chars",
@@ -1694,9 +1695,7 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _CSP_SHARDS).cast("int").alias("shard_mod"),
         F.least(
             F.floor(
-                F.coalesce(F.sum("n_tokens").over(wcum), F.lit(0)).cast(
-                    "double"
-                )
+                (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
                 / F.col("width")
             ),
             F.lit(_CSP_SHARDS - 1),

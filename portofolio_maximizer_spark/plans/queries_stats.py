@@ -3612,19 +3612,21 @@ def dataset_temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the time-span block and the 1 - sd/mean regularity score. Diffs are
     integer MICROSECONDS so modal grouping is exact on both engines.
 
-    Scale: the lag-diff is the one global-order window (inherently
-    sequential — at 100 TB swap in the two-pass partition-boundary
-    exchange used by `scalable_running_sum`); everything downstream is
-    a bounded groupBy over distinct diffs + broadcast scalars."""
+    Scale: the lag-diff runs through `scalable_lag`'s two-pass
+    partition-boundary exchange (range-repartition on (tus, event_id),
+    local lags, partition-boundary values carried via a broadcast) — no
+    single-partition window; everything downstream is a bounded groupBy
+    over distinct diffs + broadcast scalars."""
+    from ..operators.windows import scalable_lag
+
     ev = load_table(spark, sf_dir, "events")
     ts_us = ev.select(
         F.unix_micros(F.col("ts")).cast("bigint").alias("tus"), "event_id"
     )
-    w = Window.orderBy("tus", "event_id")
     dd = (
-        ts_us.select(
-            (F.col("tus") - F.lag("tus").over(w)).alias("d")
-        ).filter(F.col("d").isNotNull())
+        scalable_lag(ts_us, ["tus", "event_id"], "tus", out_col="prev_tus")
+        .select((F.col("tus") - F.col("prev_tus")).alias("d"))
+        .filter(F.col("d").isNotNull())
     ).localCheckpoint()
     modal = (
         dd.groupBy("d")

@@ -8,7 +8,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from portofolio_maximizer_spark.llmdata.dedup import connected_components
-from portofolio_maximizer_spark.operators.windows import scalable_running_sum
+from portofolio_maximizer_spark.operators.windows import (
+    scalable_lag,
+    scalable_prefix_sums,
+    scalable_row_number,
+    scalable_running_sum,
+)
 from portofolio_maximizer_spark.plans.queries_pipeline import (
     quality_filter_funnel,
     sequence_packing_stats,
@@ -46,6 +51,69 @@ def test_scalable_running_sum_partition_invariant(spark):
     assert sorted(a.select("id", "running_sum").collect()) == sorted(
         b.select("id", "running_sum").collect()
     )
+
+
+def test_scalable_prefix_sums_multi_and_totals(spark):
+    df = spark.range(0, 503).select(
+        F.col("id"),
+        ((F.col("id") * 7) % 19).alias("v"),
+        (F.col("id") % 2).alias("w"),
+    )
+    got, totals = scalable_prefix_sums(
+        df,
+        ["id"],
+        {"cv": "v", "cw": F.col("w")},
+        num_partitions=9,
+        with_totals=True,
+    )
+    win = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cv", F.sum("v").over(win)).withColumn(
+        "cw", F.sum("w").over(win)
+    )
+    assert (
+        got.select("id", "cv", "cw")
+        .exceptAll(want.select("id", "cv", "cw"))
+        .count()
+        == 0
+    )
+    agg = df.agg(F.sum("v"), F.sum("w")).first()
+    assert totals == {"cv": agg[0], "cw": agg[1]}
+
+
+def test_scalable_row_number_desc_order(spark):
+    df = spark.range(0, 301).select(
+        F.col("id"), ((F.col("id") * 13) % 97).alias("s")
+    )
+    got, total = scalable_row_number(
+        df,
+        [F.col("s").desc(), F.col("id")],
+        out_col="rn",
+        num_partitions=8,
+        with_total=True,
+    )
+    want = df.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("s").desc(), F.col("id"))),
+    )
+    assert total == 301
+    assert (
+        got.select("id", "rn").exceptAll(want.select("id", "rn")).count() == 0
+    )
+
+
+def test_scalable_lag_matches_global_window(spark):
+    df = spark.range(0, 400).select(
+        F.col("id"), ((F.col("id") * 31) % 211).alias("v")
+    )
+    got = scalable_lag(df, ["v", "id"], "v", out_col="pv", num_partitions=13)
+    want = df.withColumn(
+        "pv", F.lag("v").over(Window.orderBy("v", "id"))
+    )
+    assert (
+        got.select("id", "pv").exceptAll(want.select("id", "pv")).count()
+        == 0
+    )
+    assert got.filter(F.col("pv").isNull()).count() == 1
 
 
 def test_connected_components_fixture_graph(spark):
