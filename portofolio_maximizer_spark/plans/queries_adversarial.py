@@ -6,20 +6,26 @@ stack and folds the per-run metrics into (a) legacy RMSE threshold checks
 and (b) the primary barbell-objective gate (omega at the NGN hurdle,
 terminal directional accuracy, CI coverage, profit factor). The engine
 equivalent keeps the exact matrix (10 scenarios × 5 seeds, 320 points,
-horizon 20, `numpy.default_rng` per cell) and the exact metric/gate
-algebra, with the engine's closed-form proxy forecasters standing in for
-the SARIMAX/GARCH/SAMoSSA stack (the same stand-in convention as the
-ensemble-health pack): drift, MA(10)-flat and seasonal-naive(14) single
-models, their mean as the ensemble, ±1.96·σ₁·√h CI from the train
-one-step residual std, and the last-train-value random walk as baseline.
+horizon 20, `numpy.default_rng` per cell), the exact metric/gate algebra,
+and — round 7 — the engine's REAL forecasting kernels under the
+reference's own adversarial config (`mk_cfg`, `:264-277`): the
+Hannan–Rissanen ARIMA grid (the suite pins SARIMAX non-seasonal/compact),
+the full skew-t GARCH(p,q) ladder with the R38 price-path enrichment, and
+SAMoSSA's SSA R-forecast + residual AR (`forecast/adversarial.py:
+kernel_forecast_table`). The ensemble is the equal-weight mean of the
+three kernel forecasts with the mean of their CIs (the reference's
+no-validation-scores fallback weighting); the random-walk baseline stays
+the last train value.
 
-STAGED-VERIFICATION oracle: the generated series matrix is staged at full
-precision once per (code version, dataset); every downstream value —
-forecasts, RMSEs, ratios, terminal DA, synthetic trade returns, drawdowns,
-omega, profit factor, every gate verdict — is re-derived independently by
-DuckDB from the staged rows. The suite is a bounded diagnostic (16 000
-rows end to end) by construction, exactly like the reference's: its cost
-is invariant to data scale.
+STAGED-VERIFICATION oracle: the generated series matrix AND the kernel
+forecasts are staged once per (code version, dataset); every downstream
+value — ensemble blend, RMSEs, ratios, terminal DA, synthetic trade
+returns, drawdowns, omega, profit factor, every gate verdict — is
+re-derived independently by DuckDB from the staged rows
+(`tests/test_adversarial.py` pins the staged forecasts against the
+kernels run directly). The suite is a bounded diagnostic (17 000 rows end
+to end) by construction, exactly like the reference's: its cost is
+invariant to data scale.
 """
 
 from __future__ import annotations
@@ -27,10 +33,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..forecast.adversarial import HORIZON, TRAIN_N, scenario_series_table
+from ..forecast.adversarial import (
+    HORIZON,
+    TRAIN_N,
+    kernel_forecast_table,
+    scenario_series_table,
+)
 from .queries import query, r6, stage_cached
 
-_CI_Z = 1.96
 #: daily NGN hurdle — (1 + 28% inflation + 3% P2P friction)^(1/252) − 1,
 #: reference `etl/portfolio_math.py:530-537`
 _TAU = (1.0 + 0.28 + 0.03) ** (1.0 / 252.0) - 1.0
@@ -44,59 +54,37 @@ _MIN_CI_COVERAGE = 0.25
 _MIN_PROFIT_FACTOR = 0.8
 
 _LAST = TRAIN_N - 1
-_SEAS_P = 14
-_SEAS0 = TRAIN_N - _SEAS_P
 _HN = HORIZON - 1
 
 # Shared oracle prelude: per-run metric frame re-derived from the staged
-# series. Window-in-window splits (logc → peak) follow the DuckDB CTE
-# convention.
+# series + staged kernel forecasts. Window-in-window splits (logc → peak)
+# follow the DuckDB CTE convention.
 _ADV_SQL = f"""
     ser AS (
       SELECT scenario, CAST(seed AS INT) AS seed, CAST(t AS INT) AS t, y
       FROM read_parquet('__ORACLE_STAGE__/adversarial_series/*.parquet')
     ),
-    trd AS (
-      SELECT scenario, seed, t, y,
-             y - LAG(y) OVER (PARTITION BY scenario, seed ORDER BY t) AS dy
-      FROM ser WHERE t < {TRAIN_N}
+    fc AS (
+      SELECT scenario, CAST(seed AS INT) AS seed, CAST(h AS INT) AS h,
+             p_sarimax, p_garch, p_samossa,
+             (p_sarimax + p_garch + p_samossa) / 3.0 AS p_ens,
+             (lo_sarimax + lo_garch + lo_samossa) / 3.0 AS lo,
+             (hi_sarimax + hi_garch + hi_samossa) / 3.0 AS hi
+      FROM read_parquet('__ORACLE_STAGE__/adversarial_forecasts/*.parquet')
     ),
     tr AS (
       SELECT scenario, seed,
-             MAX(CASE WHEN t = {_LAST} THEN y END) AS y_last,
-             MAX(CASE WHEN t = 0 THEN y END) AS y_first,
-             AVG(CASE WHEN t >= {TRAIN_N - 10} THEN y END) AS ma10,
-             STDDEV_SAMP(dy) AS sd1
-      FROM trd GROUP BY scenario, seed
-    ),
-    seas AS (
-      SELECT scenario, seed, t - {_SEAS0} AS sidx, y AS seas_y
-      FROM ser WHERE t >= {_SEAS0} AND t < {TRAIN_N}
-    ),
-    te AS (
-      SELECT s.scenario, s.seed, s.t - {TRAIN_N} AS h, s.y,
-             tr.y_last, tr.y_first, tr.ma10, tr.sd1, se.seas_y
-      FROM ser s
-      JOIN tr ON tr.scenario = s.scenario AND tr.seed = s.seed
-      JOIN seas se ON se.scenario = s.scenario AND se.seed = s.seed
-                  AND se.sidx = (s.t - {TRAIN_N}) % {_SEAS_P}
-      WHERE s.t >= {TRAIN_N}
-    ),
-    p1 AS (
-      SELECT *,
-             y_last + (y_last - y_first) / {float(_LAST)} * (h + 1)
-               AS p_drift,
-             ma10 AS p_ma10, seas_y AS p_seas
-      FROM te
-    ),
-    p2 AS (
-      SELECT *, (p_drift + p_ma10 + p_seas) / 3.0 AS p_ens FROM p1
+             MAX(CASE WHEN t = {_LAST} THEN y END) AS y_last
+      FROM ser WHERE t < {TRAIN_N} GROUP BY scenario, seed
     ),
     p3 AS (
-      SELECT *,
-             p_ens - {_CI_Z} * sd1 * SQRT(CAST(h + 1 AS DOUBLE)) AS lo,
-             p_ens + {_CI_Z} * sd1 * SQRT(CAST(h + 1 AS DOUBLE)) AS hi
-      FROM p2
+      SELECT s.scenario, s.seed, s.t - {TRAIN_N} AS h, s.y, tr.y_last,
+             f.p_sarimax, f.p_garch, f.p_samossa, f.p_ens, f.lo, f.hi
+      FROM ser s
+      JOIN tr ON tr.scenario = s.scenario AND tr.seed = s.seed
+      JOIN fc f ON f.scenario = s.scenario AND f.seed = s.seed
+               AND f.h = s.t - {TRAIN_N} + 1
+      WHERE s.t >= {TRAIN_N}
     ),
     dd1 AS (
       SELECT scenario, seed, h,
@@ -122,11 +110,11 @@ _ADV_SQL = f"""
     ),
     ra AS (
       SELECT scenario, seed,
-             SQRT(AVG(POWER(y - p_drift, 2))) AS rmse_drift,
-             SQRT(AVG(POWER(y - p_ma10, 2)))  AS rmse_ma10,
-             SQRT(AVG(POWER(y - p_seas, 2)))  AS rmse_seas,
-             SQRT(AVG(POWER(y - p_ens, 2)))   AS rmse_ens,
-             SQRT(AVG(POWER(y - y_last, 2)))  AS rmse_rw,
+             SQRT(AVG(POWER(y - p_sarimax, 2))) AS rmse_sarimax,
+             SQRT(AVG(POWER(y - p_garch, 2)))   AS rmse_garch,
+             SQRT(AVG(POWER(y - p_samossa, 2))) AS rmse_samossa,
+             SQRT(AVG(POWER(y - p_ens, 2)))     AS rmse_ens,
+             SQRT(AVG(POWER(y - y_last, 2)))    AS rmse_rw,
              MAX(CASE WHEN h = 0 THEN y END)      AS y_t0,
              MAX(CASE WHEN h = {_HN} THEN y END)  AS y_tn,
              MAX(CASE WHEN h = 0 THEN p_ens END)  AS fc0,
@@ -138,8 +126,9 @@ _ADV_SQL = f"""
     ),
     runs AS (
       SELECT ra.*, m.max_dd,
-             LEAST(rmse_drift, rmse_ma10, rmse_seas) AS best_single,
-             rmse_ens / LEAST(rmse_drift, rmse_ma10, rmse_seas) AS ratio,
+             LEAST(rmse_sarimax, rmse_garch, rmse_samossa) AS best_single,
+             rmse_ens / LEAST(rmse_sarimax, rmse_garch, rmse_samossa)
+               AS ratio,
              (y_tn - entry) / entry AS actual_return,
              CASE WHEN SIGN(fcn - fc0) = 0 OR SIGN(y_tn - y_t0) = 0
                   THEN 0.0
@@ -155,58 +144,53 @@ _ADV_SQL = f"""
 
 def _adv_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-run metric frame (one row per scenario × seed) over the staged
-    series — the Spark mirror of the oracle's ``runs`` CTE.
+    series + staged kernel forecasts — the Spark mirror of the oracle's
+    ``runs`` CTE.
 
-    Plan shape: the staged scan shuffles once on (scenario, seed) for the
-    train/window math; every aggregate is map-side combinable; the three
-    frame joins are keyed on the 50-cell matrix so AQE broadcasts them.
+    Plan shape: the staged scans shuffle once on (scenario, seed) for the
+    window math; every aggregate is map-side combinable; the frame joins
+    are keyed on the 50-cell matrix so AQE broadcasts them.
     """
     ser = stage_cached(
         spark, sf_dir, "adversarial_series",
         lambda: scenario_series_table(spark),
     )
-    wts = Window.partitionBy("scenario", "seed").orderBy("t")
-    trd = ser.filter(F.col("t") < TRAIN_N).withColumn(
-        "dy", F.col("y") - F.lag("y").over(wts)
+    fc_raw = stage_cached(
+        spark, sf_dir, "adversarial_forecasts",
+        lambda: kernel_forecast_table(spark),
     )
-    tr = trd.groupBy("scenario", "seed").agg(
-        F.max(F.when(F.col("t") == _LAST, F.col("y"))).alias("y_last"),
-        F.max(F.when(F.col("t") == 0, F.col("y"))).alias("y_first"),
-        F.avg(F.when(F.col("t") >= TRAIN_N - 10, F.col("y"))).alias("ma10"),
-        F.stddev_samp("dy").alias("sd1"),
+    fc = fc_raw.select(
+        "scenario", "seed", "h",
+        "p_sarimax", "p_garch", "p_samossa",
+        (
+            (F.col("p_sarimax") + F.col("p_garch") + F.col("p_samossa"))
+            / 3.0
+        ).alias("p_ens"),
+        (
+            (F.col("lo_sarimax") + F.col("lo_garch") + F.col("lo_samossa"))
+            / 3.0
+        ).alias("lo"),
+        (
+            (F.col("hi_sarimax") + F.col("hi_garch") + F.col("hi_samossa"))
+            / 3.0
+        ).alias("hi"),
     )
-    seas = ser.filter(
-        (F.col("t") >= _SEAS0) & (F.col("t") < TRAIN_N)
-    ).select(
-        "scenario", "seed",
-        (F.col("t") - _SEAS0).alias("sidx"),
-        F.col("y").alias("seas_y"),
+    tr = (
+        ser.filter(F.col("t") < TRAIN_N)
+        .groupBy("scenario", "seed")
+        .agg(F.max(F.when(F.col("t") == _LAST, F.col("y"))).alias("y_last"))
     )
-    te = (
+    p3 = (
         ser.filter(F.col("t") >= TRAIN_N)
-        .withColumn("h", F.col("t") - TRAIN_N)
-        .withColumn("sidx", F.col("h") % _SEAS_P)
+        .withColumn("h", F.col("t") - TRAIN_N + 1)
         .join(tr, ["scenario", "seed"])
-        .join(seas, ["scenario", "seed", "sidx"])
-    )
-    hh = F.col("h") + 1
-    p_drift = (
-        F.col("y_last")
-        + (F.col("y_last") - F.col("y_first")) / float(_LAST) * hh
-    )
-    p3 = te.select(
-        "scenario", "seed", "h", "y", "y_last",
-        p_drift.alias("p_drift"),
-        F.col("ma10").alias("p_ma10"),
-        F.col("seas_y").alias("p_seas"),
-        ((p_drift + F.col("ma10") + F.col("seas_y")) / 3.0).alias("p_ens"),
-        (F.lit(_CI_Z) * F.col("sd1") * F.sqrt(hh.cast("double"))).alias(
-            "half"
-        ),
-    ).select(
-        "*",
-        (F.col("p_ens") - F.col("half")).alias("lo"),
-        (F.col("p_ens") + F.col("half")).alias("hi"),
+        .join(fc, ["scenario", "seed", "h"])
+        .select(
+            "scenario", "seed",
+            (F.col("h") - 1).alias("h"),
+            "y", "y_last",
+            "p_sarimax", "p_garch", "p_samossa", "p_ens", "lo", "hi",
+        )
     )
     wh = Window.partitionBy("scenario", "seed").orderBy("h")
     dd1 = p3.select(
@@ -229,9 +213,9 @@ def _adv_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sqrt(F.avg(F.pow(F.col("y") - pred, 2)))
 
     ra = p3.groupBy("scenario", "seed").agg(
-        _rmse(F.col("p_drift")).alias("rmse_drift"),
-        _rmse(F.col("p_ma10")).alias("rmse_ma10"),
-        _rmse(F.col("p_seas")).alias("rmse_seas"),
+        _rmse(F.col("p_sarimax")).alias("rmse_sarimax"),
+        _rmse(F.col("p_garch")).alias("rmse_garch"),
+        _rmse(F.col("p_samossa")).alias("rmse_samossa"),
         _rmse(F.col("p_ens")).alias("rmse_ens"),
         _rmse(F.col("y_last")).alias("rmse_rw"),
         F.max(F.when(F.col("h") == 0, F.col("y"))).alias("y_t0"),
@@ -242,7 +226,7 @@ def _adv_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("h") == _HN, F.col("hi"))).alias("hi_n"),
         F.max("y_last").alias("entry"),
     )
-    best = F.least("rmse_drift", "rmse_ma10", "rmse_seas")
+    best = F.least("rmse_sarimax", "rmse_garch", "rmse_samossa")
     p_dir = F.signum(F.col("fcn") - F.col("fc0"))
     a_dir = F.signum(F.col("y_tn") - F.col("y_t0"))
     aret = (F.col("y_tn") - F.col("entry")) / F.col("entry")
@@ -271,11 +255,11 @@ def _adv_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_ADV_SQL}
     SELECT scenario, seed,
-           ROUND(rmse_drift, 6) AS rmse_drift,
-           ROUND(rmse_ma10, 6)  AS rmse_ma10,
-           ROUND(rmse_seas, 6)  AS rmse_seas,
-           ROUND(rmse_ens, 6)   AS rmse_ens,
-           ROUND(rmse_rw, 6)    AS rmse_rw,
+           ROUND(rmse_sarimax, 6) AS rmse_sarimax,
+           ROUND(rmse_garch, 6)   AS rmse_garch,
+           ROUND(rmse_samossa, 6) AS rmse_samossa,
+           ROUND(rmse_ens, 6)     AS rmse_ens,
+           ROUND(rmse_rw, 6)      AS rmse_rw,
            ROUND(ratio, 6)      AS ratio_vs_best,
            ratio > 1.0          AS under_best,
            rmse_ens > rmse_rw   AS worse_than_rw,
@@ -290,14 +274,15 @@ def _adv_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def adversarial_scenario_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R135: one row per (scenario, seed) stress run — the reference's
     per-run record (`run_adversarial_forecaster_suite.py:365-460`:
-    model RMSEs + `compute_barbell_per_run`'s terminal DA, synthetic
-    trade return, terminal CI coverage and test-path max drawdown)."""
+    model RMSEs for the REAL kernel stack + `compute_barbell_per_run`'s
+    terminal DA, synthetic trade return, terminal CI coverage and
+    test-path max drawdown)."""
     runs = _adv_runs(spark, sf_dir)
     return runs.select(
         "scenario", "seed",
-        r6(F.col("rmse_drift")).alias("rmse_drift"),
-        r6(F.col("rmse_ma10")).alias("rmse_ma10"),
-        r6(F.col("rmse_seas")).alias("rmse_seas"),
+        r6(F.col("rmse_sarimax")).alias("rmse_sarimax"),
+        r6(F.col("rmse_garch")).alias("rmse_garch"),
+        r6(F.col("rmse_samossa")).alias("rmse_samossa"),
         r6(F.col("rmse_ens")).alias("rmse_ens"),
         r6(F.col("rmse_rw")).alias("rmse_rw"),
         r6(F.col("ratio")).alias("ratio_vs_best"),

@@ -2445,10 +2445,14 @@ def confidence_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFr
         F.when(F.col("dir") * F.col("actual") > 0, 1).otherwise(0).alias("win"),
         (F.col("dir") * F.col("actual")).alias("pnl"),
     )
+    from ..operators.windows import scalable_row_number
+
     cnt = tr.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ranked = tr.select(
-        "conf", F.row_number().over(W.orderBy("conf", "user_id")).alias("rk")
-    )
+    # global order statistics WITHOUT a single-partition window: the
+    # two-pass range-partitioned rank (signals scale with the key universe)
+    ranked = scalable_row_number(
+        tr.select("conf", "user_id"), ["conf", "user_id"], out_col="rk"
+    ).select("conf", "rk")
     qs = s.sparkSession.createDataFrame(
         [(q,) for q in (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)], "q double"
     )

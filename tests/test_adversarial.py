@@ -57,43 +57,128 @@ def test_crisis_recovery_recovers():
         assert (y >= 1.0).all()
 
 
-def test_trend_seasonal_favors_seasonal_model(spark):
-    rows = {
-        (r["scenario"], r["seed"]): r
-        for r in QUERIES["adversarial_scenario_matrix"](spark, SF).collect()
+def test_staged_forecasts_match_kernels_run_directly(spark):
+    """Round-7 pin: the staged adversarial forecasts ARE the real kernels'
+    output — re-run `arima_hr_forecast` / `samossa_forecast` directly on
+    one cell's series and replay the GARCH price-path recipe from
+    `garch_grid_fit` parameters; every staged value must match."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from portofolio_maximizer_spark.forecast.adversarial import (
+        kernel_forecast_table,
+    )
+    from portofolio_maximizer_spark.forecast.models import (
+        arima_hr_forecast,
+        garch_grid_fit,
+        samossa_forecast,
+    )
+    from portofolio_maximizer_spark.plans.queries import stage_cached
+
+    kind, seed = "random_walk", 202
+    staged = {
+        r["h"]: r
+        for r in stage_cached(
+            spark, SF, "adversarial_forecasts",
+            lambda: kernel_forecast_table(spark),
+        )
+        .filter((F.col("scenario") == kind) & (F.col("seed") == seed))
+        .collect()
     }
-    assert len(rows) == len(SCENARIOS) * len(SEEDS)
-    seas = [rows[("trend_seasonal", s)]["rmse_seas"] for s in SEEDS]
-    drift = [rows[("trend_seasonal", s)]["rmse_drift"] for s in SEEDS]
-    ma10 = [rows[("trend_seasonal", s)]["rmse_ma10"] for s in SEEDS]
-    # the period-14 seasonal proxy captures the planted seasonality the
-    # trendless flat models can't; ma10 is comparable (the +0.18/day
-    # trend makes the stale season drift over the horizon), so the pinned
-    # ordering is seasonal-vs-drift only
-    assert np.mean(seas) < np.mean(drift)
-    assert np.mean(ma10) < np.mean(drift)
-    # and the mean-of-three ensemble must beat the RW baseline here
-    for s in SEEDS:
-        assert rows[("trend_seasonal", s)]["rmse_ens"] < rows[
-            ("trend_seasonal", s)
-        ]["rmse_rw"]
+    assert len(staged) == HORIZON
+
+    y = gen_scenario(kind, N_POINTS, seed)
+    tr = spark.createDataFrame(
+        [(7, int(t), float(v)) for t, v in enumerate(y[:TRAIN_N])],
+        "user_id long, rn int, value double",
+    )
+    sar = {
+        r["horizon_step"]: r
+        for r in arima_hr_forecast(tr, horizon=HORIZON).collect()
+    }
+    ssa = {
+        r["horizon_step"]: r
+        for r in samossa_forecast(tr, horizon=HORIZON).collect()
+    }
+    for h in range(1, HORIZON + 1):
+        assert staged[h]["p_sarimax"] == pytest.approx(
+            sar[h]["yhat"], abs=1e-9
+        )
+        assert staged[h]["lo_sarimax"] == pytest.approx(
+            sar[h]["lo"], abs=1e-9
+        )
+        assert staged[h]["hi_sarimax"] == pytest.approx(
+            sar[h]["hi"], abs=1e-9
+        )
+        assert staged[h]["p_samossa"] == pytest.approx(
+            ssa[h]["yhat"], abs=1e-9
+        )
+        band = 1.96 * ssa[h]["sigma"] * np.sqrt(h)
+        assert staged[h]["lo_samossa"] == pytest.approx(
+            ssa[h]["yhat"] - band, abs=1e-6
+        )
+
+    # GARCH: the R38 price-path recipe from the grid-fit parameters
+    wo = Window.partitionBy("user_id").orderBy("rn")
+    ret = tr.select(
+        "user_id", "rn",
+        (F.col("value") / F.lag("value").over(wo) - 1.0).alias("lr"),
+    ).filter(F.col("lr").isNotNull())
+    g = garch_grid_fit(ret, round_out=False).collect()[0]
+    r = pd.Series(y[:TRAIN_N]).pct_change().dropna().to_numpy()
+    x_last = float(r[-1]) if g["dd"] == 0 else float(r[-1] - r[-2])
+    s2 = g["sigma_next"] ** 2
+    cur, xh = float(y[TRAIN_N - 1]), x_last
+    for h in range(1, HORIZON + 1):
+        xh = g["mu"] + g["rho"] * xh
+        cur *= 1.0 + xh
+        sig = np.sqrt(s2)
+        assert staged[h]["p_garch"] == pytest.approx(cur, rel=1e-9)
+        assert staged[h]["lo_garch"] == pytest.approx(
+            max(cur * (1 - 1.96 * sig), 0.0), rel=1e-9
+        )
+        assert staged[h]["hi_garch"] == pytest.approx(
+            cur * (1 + 1.96 * sig), rel=1e-9
+        )
+        s2 = g["omega"] + g["persistence"] * s2
 
 
 def test_run_row_numpy_replica(spark):
-    # one cell re-derived entirely outside Spark/DuckDB
+    # one cell's metric algebra re-derived outside Spark/DuckDB from the
+    # staged kernel forecasts + the regenerated series
+    from pyspark.sql import functions as F
+
+    from portofolio_maximizer_spark.forecast.adversarial import (
+        kernel_forecast_table,
+    )
+    from portofolio_maximizer_spark.plans.queries import stage_cached
+
     kind, seed = "random_walk", 202
     y = gen_scenario(kind, N_POINTS, seed)
     train, test = y[:TRAIN_N], y[TRAIN_N:]
-    h = np.arange(HORIZON, dtype=float)
-    last, first = train[-1], train[0]
-    p_drift = last + (last - first) / (TRAIN_N - 1) * (h + 1)
-    p_ma10 = np.full(HORIZON, train[-10:].mean())
-    season = train[TRAIN_N - 14:]
-    p_seas = season[(np.arange(HORIZON) % 14)]
-    p_ens = (p_drift + p_ma10 + p_seas) / 3.0
-    sd1 = np.std(np.diff(train), ddof=1)
-    lo = p_ens - 1.96 * sd1 * np.sqrt(h + 1)
-    hi = p_ens + 1.96 * sd1 * np.sqrt(h + 1)
+    fcr = (
+        stage_cached(
+            spark, SF, "adversarial_forecasts",
+            lambda: kernel_forecast_table(spark),
+        )
+        .filter((F.col("scenario") == kind) & (F.col("seed") == seed))
+        .orderBy("h")
+        .collect()
+    )
+    p_sar = np.array([r["p_sarimax"] for r in fcr])
+    p_gar = np.array([r["p_garch"] for r in fcr])
+    p_ssa = np.array([r["p_samossa"] for r in fcr])
+    p_ens = (p_sar + p_gar + p_ssa) / 3.0
+    lo = (
+        np.array([r["lo_sarimax"] for r in fcr])
+        + np.array([r["lo_garch"] for r in fcr])
+        + np.array([r["lo_samossa"] for r in fcr])
+    ) / 3.0
+    hi = (
+        np.array([r["hi_sarimax"] for r in fcr])
+        + np.array([r["hi_garch"] for r in fcr])
+        + np.array([r["hi_samossa"] for r in fcr])
+    ) / 3.0
 
     def rmse(p):
         return float(np.sqrt(np.mean((test - p) ** 2)))
@@ -103,14 +188,14 @@ def test_run_row_numpy_replica(spark):
         for r in QUERIES["adversarial_scenario_matrix"](spark, SF).collect()
         if r["scenario"] == kind and r["seed"] == seed
     )
-    assert row["rmse_drift"] == pytest.approx(rmse(p_drift), abs=2e-6)
-    assert row["rmse_ma10"] == pytest.approx(rmse(p_ma10), abs=2e-6)
-    assert row["rmse_seas"] == pytest.approx(rmse(p_seas), abs=2e-6)
+    assert row["rmse_sarimax"] == pytest.approx(rmse(p_sar), abs=2e-6)
+    assert row["rmse_garch"] == pytest.approx(rmse(p_gar), abs=2e-6)
+    assert row["rmse_samossa"] == pytest.approx(rmse(p_ssa), abs=2e-6)
     assert row["rmse_ens"] == pytest.approx(rmse(p_ens), abs=2e-6)
     assert row["rmse_rw"] == pytest.approx(
-        rmse(np.full(HORIZON, last)), abs=2e-6
+        rmse(np.full(HORIZON, train[-1])), abs=2e-6
     )
-    best = min(rmse(p_drift), rmse(p_ma10), rmse(p_seas))
+    best = min(rmse(p_sar), rmse(p_gar), rmse(p_ssa))
     assert row["ratio_vs_best"] == pytest.approx(rmse(p_ens) / best, abs=2e-6)
 
     entry, exit_ = train[-1], test[-1]

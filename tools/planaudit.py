@@ -26,6 +26,13 @@ anti-patterns that break at 100 TB even when sf0.1 results are correct:
   reviewer judgment. ``localCheckpoint``-truncated lineage (``LogicalRDD``)
   is matched by its column list against the same sf-scaling markers, so
   checkpointed big data cannot hide a forced broadcast;
+- ``SINGLE_PARTITION_WINDOW`` (HARD): a ``Window`` with an empty partition
+  spec over a subtree that scans an sf-scaling table — Spark funnels the
+  whole frame through ONE task. Bounded subtrees (Limit / scalar aggregate /
+  constant-keyed aggregate / constant id-range filter) are exempt, the same
+  whitelist the broadcast rule uses; a subtree whose only shrink is a
+  high-cardinality keyed aggregate flags soft
+  (``SINGLE_PARTITION_WINDOW_KEYED``) for reviewer judgment;
 - parquet scans with empty ``PushedFilters`` under a query that filters;
 - ``ReadSchema`` wider than ~12 columns (no column pruning);
 - more than a soft cap of ``Exchange`` nodes (shuffle storms).
@@ -162,6 +169,79 @@ def _bounded(side: str) -> tuple[bool, bool]:
     return False, keyed_only
 
 
+def _top_level_brackets(s: str) -> list[str]:
+    """Split the argument tail of a logical-plan node into its top-level
+    ``[...]`` groups (bracket-depth aware — expressions inside may nest)."""
+    groups: list[str] = []
+    depth = 0
+    start = -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start + 1 : i])
+                start = -1
+    return groups
+
+
+def single_partition_window_flags(opt_plan: str) -> list[str]:
+    """Flag ``Window`` nodes with an EMPTY partition spec whose subtree
+    scans an sf-scaling table — Spark moves the entire frame to ONE task
+    (``WindowExec: No Partition Defined``), the classic 100 TB killer.
+
+    A logical Window prints ``Window [exprs], [partSpec], [ordSpec]``
+    with EMPTY specs omitted, so the unpartitioned form is either one
+    top-level bracket group (``Window.partitionBy()`` global aggregates)
+    or two where the trailing group is an ORDER spec (``ASC``/``DESC``
+    markers); two groups whose tail is a plain column list are
+    partition-only windows (grouped stats) and do not flag. Same
+    bounded-cardinality whitelist as the broadcast rule: a subtree that
+    shrinks through a Limit / scalar aggregate / constant-keyed
+    aggregate / constant id-range filter is bounded (no flag); one whose
+    only shrink is a HIGH-cardinality keyed aggregate (vocab ranks,
+    entity grains) is a soft ``SINGLE_PARTITION_WINDOW_KEYED`` for
+    reviewer judgment; anything else is HARD."""
+    flags: list[str] = []
+    lines = opt_plan.splitlines()
+    for i, ln in enumerate(lines):
+        m = re.search(r"\bWindow (\[.*)$", ln)
+        if not m:
+            continue
+        groups = _top_level_brackets(m.group(1))
+        ordered_tail = bool(
+            groups and re.search(r"\b(ASC|DESC)\b", groups[-1])
+        )
+        unpartitioned = len(groups) == 1 or (
+            len(groups) == 2 and ordered_tail
+        )
+        if not unpartitioned:
+            continue
+        p = _node_col(ln)
+        sub: list[str] = []
+        j = i + 1
+        while j < len(lines) and _node_col(lines[j]) > p:
+            sub.append(lines[j])
+            j += 1
+        subtree = "\n".join(sub)
+        tables = _scan_tables(subtree)
+        if not tables:
+            continue
+        bounded, keyed_only = _bounded(subtree)
+        if bounded:
+            continue
+        kind = (
+            "SINGLE_PARTITION_WINDOW_KEYED"
+            if keyed_only
+            else "SINGLE_PARTITION_WINDOW"
+        )
+        flags.append(f"{kind}[{','.join(sorted(tables))}]")
+    return sorted(set(flags))
+
+
 def forced_broadcast_flags(opt_plan: str) -> list[str]:
     """Flag hand-written broadcast hints on unbounded sf-scaling scans.
     FORCED_BROADCAST is HARD; FORCED_BROADCAST_KEYED_AGG (the build side
@@ -249,12 +329,19 @@ def main() -> None:
         try:
             df = fn(spark, sf_dir)
             flags = audit(plan_text(df))
-            flags += forced_broadcast_flags(optimized_plan_text(df))
+            opt = optimized_plan_text(df)
+            flags += forced_broadcast_flags(opt)
+            flags += single_partition_window_flags(opt)
         except Exception as exc:  # noqa: BLE001
             print(f"ERR   {name}: {exc}")
             hard += 1
             continue
-        if any(f == "CARTESIAN" or f.startswith("FORCED_BROADCAST[") for f in flags):
+        if any(
+            f == "CARTESIAN"
+            or f.startswith("FORCED_BROADCAST[")
+            or f.startswith("SINGLE_PARTITION_WINDOW[")
+            for f in flags
+        ):
             hard += 1
         print(f"{'FLAG' if flags else 'ok  '}  {name}: {', '.join(flags) or 'clean'}")
     print(f"\n{len(queries)} plans audited, {hard} hard failures")
