@@ -2112,59 +2112,10 @@ def samossa_forecast(
         order = np.argsort(cols[order_col], kind="stable")
         x = cols[value_col][order].astype(float)
         uid = int(cols[key][0])
-        n = len(x)
-        L = min(window, n // 2)
-        if L < 3 or n < 40:
+        parts = samossa_path(x, window, evr_target, horizon)
+        if parts is None:
             return []
-        K = n - L + 1
-        H = np.column_stack([x[i : i + L] for i in range(K)])
-        U, s, Vt = np.linalg.svd(H, full_matrices=False)
-        total = float(np.sum(s**2))
-        if total == 0:
-            return []
-        evr = np.cumsum(s**2) / total
-        r = min(int(np.searchsorted(evr, evr_target) + 1), len(s))
-        Hr = (U[:, :r] * s[:r]) @ Vt[:r]
-        recon = np.zeros(n)
-        counts = np.zeros(n)
-        for i in range(K):
-            recon[i : i + L] += Hr[:, i]
-            counts[i : i + L] += 1
-        recon /= counts
-
-        # SSA linear recurrence (R-forecast) from the signal subspace
-        pi = U[L - 1, :r]
-        nu2 = float(pi @ pi)
-        if nu2 >= 0.999:
-            trend_fc = np.full(horizon, recon[-1])
-        else:
-            R = (U[: L - 1, :r] @ pi) / (1.0 - nu2)  # R_j multiplies x_{t-(L-1-j)}
-            hist = list(recon)
-            trend_fc = np.zeros(horizon)
-            for h in range(horizon):
-                v = float(np.dot(R, hist[-(L - 1) :]))
-                hist.append(v)
-                trend_fc[h] = v
-
-        # AR grid on the stochastic residual (SAMoSSA's second stage)
-        resid = x - recon
-        best = None
-        for p in (1, 2, 3):
-            if len(resid) < p + 10:
-                continue
-            beta, sigma, aic = _fit_ar(resid, p)
-            if best is None or aic < best[0]:
-                best = (aic, p, beta, sigma)
-        if best is None:
-            return []
-        _, p, beta, sigma = best
-        rhist = list(resid)
-        resid_fc = np.zeros(horizon)
-        for h in range(horizon):
-            v = beta[0] + sum(beta[k + 1] * rhist[-k - 1] for k in range(p))
-            rhist.append(v)
-            resid_fc[h] = v
-
+        r, trend_fc, resid_fc, sigma = parts
         return [
             (
                 uid,
@@ -2179,6 +2130,67 @@ def samossa_forecast(
         ]
 
     return grouped_numpy(series, [key], SAMOSSA_SCHEMA, fc)
+
+
+def samossa_path(
+    x: np.ndarray, window: int, evr_target: float, horizon: int
+):
+    """Array-level SAMoSSA core shared by ``samossa_forecast`` and the
+    per-fold rolling-CV refits: SSA R-forecast + residual-AR paths.
+    Returns (rank, trend_fc, resid_fc, sigma) or None (degenerate)."""
+    n = len(x)
+    L = min(window, n // 2)
+    if L < 3 or n < 40:
+        return None
+    K = n - L + 1
+    H = np.column_stack([x[i : i + L] for i in range(K)])
+    U, s, Vt = np.linalg.svd(H, full_matrices=False)
+    total = float(np.sum(s**2))
+    if total == 0:
+        return None
+    evr = np.cumsum(s**2) / total
+    r = min(int(np.searchsorted(evr, evr_target) + 1), len(s))
+    Hr = (U[:, :r] * s[:r]) @ Vt[:r]
+    recon = np.zeros(n)
+    counts = np.zeros(n)
+    for i in range(K):
+        recon[i : i + L] += Hr[:, i]
+        counts[i : i + L] += 1
+    recon /= counts
+
+    # SSA linear recurrence (R-forecast) from the signal subspace
+    pi = U[L - 1, :r]
+    nu2 = float(pi @ pi)
+    if nu2 >= 0.999:
+        trend_fc = np.full(horizon, recon[-1])
+    else:
+        R = (U[: L - 1, :r] @ pi) / (1.0 - nu2)  # R_j multiplies x_{t-(L-1-j)}
+        hist = list(recon)
+        trend_fc = np.zeros(horizon)
+        for h in range(horizon):
+            v = float(np.dot(R, hist[-(L - 1) :]))
+            hist.append(v)
+            trend_fc[h] = v
+
+    # AR grid on the stochastic residual (SAMoSSA's second stage)
+    resid = x - recon
+    best = None
+    for p in (1, 2, 3):
+        if len(resid) < p + 10:
+            continue
+        beta, sigma, aic = _fit_ar(resid, p)
+        if best is None or aic < best[0]:
+            best = (aic, p, beta, sigma)
+    if best is None:
+        return None
+    _, p, beta, sigma = best
+    rhist = list(resid)
+    resid_fc = np.zeros(horizon)
+    for h in range(horizon):
+        v = beta[0] + sum(beta[k + 1] * rhist[-k - 1] for k in range(p))
+        rhist.append(v)
+        resid_fc[h] = v
+    return r, trend_fc, resid_fc, sigma
 
 
 def samossa_components(

@@ -1,0 +1,152 @@
+"""Per-fold REAL-KERNEL refits for the rolling-window CV (R146) —
+reference `forcester_ts/cross_validation.py:47-148` (RollingWindowValidator
+refits the actual forecaster stack on each expanding train window and
+evaluates the next `horizon` bars).
+
+Round 7 replaces the naive/MA(3)/drift stand-ins with the engine's real
+kernels, refit per (key, fold) exactly like the reference:
+
+- ``sarimax``: `_arima_rows`' Hannan–Rissanen grid (p,q ∈ {0,1,2}², d by
+  ADF) — the same kernel the adversarial suite stresses (the reference's
+  CV inherits the compact non-seasonal config on short windows);
+- ``garch``: the GARCH kernel's AR(1) conditional-mean price path
+  (`garch_grid_fit`'s exact mean-equation OLS + the R38 blind
+  ``cur *= (1+r̂)`` compounding, `forcester_ts/forecaster.py:1768-1775`).
+  The variance ladder only widens CIs, which the CV metric bundle never
+  reads, so the point path IS the kernel's garch price forecast;
+- ``samossa``: `samossa_path`'s SSA R-forecast + residual AR.
+
+Scale: one Arrow task per key; the per-key cost is O(folds × fit) — the
+reference's own refit-per-fold cost, sharded across the key universe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .models import (
+    _ADF_CRIT_5PCT,
+    _ARIMA_PQ_GRID,
+    _adf_tau,
+    _arima_rows,
+    _clip_return_tails,
+    samossa_path,
+)
+
+ROLLING_CV_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("fold_id", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("p_sarimax", DoubleType()),
+        StructField("p_garch", DoubleType()),
+        StructField("p_samossa", DoubleType()),
+    ]
+)
+
+
+def garch_mean_path(x: np.ndarray, horizon: int):
+    """The GARCH kernel's conditional-mean price path: pct-change
+    returns, the kernel's ADF dd decision (`models.py:1619`), the exact
+    AR(1) SUM-form OLS (`models.py:1624-1637`), recursive mean forecasts
+    compounded from the last observed price (R38's enrichment recipe).
+    Returns the horizon-length price array or None (degenerate)."""
+    r = np.diff(x) / x[:-1]
+    if len(r) < 10:
+        return None
+    # the kernel's exact input pipeline (`models.py:1611-1622`): 99.5-pct
+    # tail clip, THEN the ADF dd decision, THEN the AR(1) mean OLS
+    r = _clip_return_tails(r)
+    dd = 1 if _adf_tau(r) > _ADF_CRIT_5PCT else 0
+    rf = np.diff(r) if dd else r
+    x0, x1 = rf[1:], rf[:-1]
+    m = float(len(x0))
+    den = float(np.sum(x1 * x1) - np.sum(x1) * np.sum(x1) / m)
+    rho = (
+        float(np.sum(x0 * x1) - np.sum(x0) * np.sum(x1) / m) / den
+        if den > 0
+        else 0.0
+    )
+    mu = float(np.mean(x0)) - rho * float(np.mean(x1))
+    xh = float(rf[-1])
+    cur = float(x[-1])
+    out = np.zeros(horizon)
+    for h in range(horizon):
+        xh = mu + rho * xh
+        cur *= 1.0 + xh
+        out[h] = cur
+    return out
+
+
+def rolling_cv_forecast_table(
+    series: DataFrame,
+    key: str = "user_id",
+    order_col: str = "rn",
+    value_col: str = "value",
+    min_train: int = 40,
+    horizon: int = 5,
+) -> DataFrame:
+    """One row per (key, fold, h): the three kernels refit on the
+    expanding train window x[:min_train + fold·horizon] and forecast the
+    next `horizon` bars. Folds where any kernel degenerates are skipped
+    whole (the reference fold carries every model or none).
+
+    Every forecast passes the engine's P9 price-sanity clamp relative to
+    the last train price (band [last/1000, last·1000]) — the reference
+    guards model outputs before consumption the same way
+    (`functions/scalars.py:37`, P2 positivity + sanity ladder), and the
+    clamp keeps recursive kernels fit on pathological folds (|φ| > 1 OLS
+    solutions on 40-bar windows) from emitting astronomically-scaled
+    paths that only measure float noise in the downstream metric means.
+    """
+    from ..operators.arrowgroup import grouped_numpy
+
+    def fit(cols: dict) -> list[tuple]:
+        order = np.argsort(cols[order_col], kind="stable")
+        x = cols[value_col][order].astype(float)
+        uid = int(cols[key][0])
+        n = len(x)
+        rows: list[tuple] = []
+        fold_id = 0
+        anchor = min_train
+        while anchor + horizon <= n:
+            tr = x[:anchor]
+            ar = _arima_rows(uid, tr, list(_ARIMA_PQ_GRID), horizon)
+            sp = samossa_path(tr, 12, 0.9, horizon)
+            gp = garch_mean_path(tr, horizon)
+            if ar and sp is not None and gp is not None:
+                _, tfc, rfc, _sigma = sp
+                lo_b, hi_b = tr[-1] / 1e3, tr[-1] * 1e3
+
+                def clamp(v: float) -> float:
+                    return float(min(max(v, lo_b), hi_b))
+
+                for h in range(horizon):
+                    rows.append(
+                        (
+                            uid,
+                            fold_id,
+                            h + 1,
+                            clamp(float(ar[h][6])),
+                            clamp(float(gp[h])),
+                            clamp(round(float(tfc[h] + rfc[h]), 6)),
+                        )
+                    )
+            fold_id += 1
+            anchor += horizon
+        return rows
+
+    return grouped_numpy(
+        series.select(key, order_col, value_col),
+        [key],
+        ROLLING_CV_SCHEMA,
+        fit,
+    )

@@ -1662,16 +1662,19 @@ def series_calibration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Reference `forcester_ts/cross_validation.py` (RollingWindowValidator):
 # expanding-train folds from min_train_size at step_size stride, each
-# evaluated on the next `horizon` bars with the full
-# `compute_regression_metrics` bundle (`forcester_ts/metrics.py:39-107`:
-# rmse, eps-guarded smape, tracking error = population std of residuals,
-# one-step directional accuracy with zero-zero counted correct, terminal
-# DA with the flat-forecast-is-wrong rule), then mean-aggregated per
-# (model, metric) across folds (`_aggregate_metrics`, `:134-148`).
-# Constants rescaled 180/5/5 → 30/5/5 for the engine's 49-88-bar series;
-# the model set is the engine's stand-in convention (naive / MA(3) flat
-# holds + the drift line, so terminal DA has one non-degenerate arm).
-_CV_MIN_TRAIN = 30
+# REFIT with the real forecaster stack and evaluated on the next
+# `horizon` bars with the full `compute_regression_metrics` bundle
+# (`forcester_ts/metrics.py:39-107`: rmse, eps-guarded smape, tracking
+# error = population std of residuals, one-step directional accuracy
+# with zero-zero counted correct, terminal DA with the
+# flat-forecast-is-wrong rule), then mean-aggregated per (model, metric)
+# across folds (`_aggregate_metrics`, `:134-148`). Constants rescaled
+# 180/5/5 → 40/5/5 for the engine's 49-88-bar series (40 = the kernels'
+# minimum fit window); the model set is the REAL kernel stack refit per
+# fold (`forecast/rollingcv.py`: HR-ARIMA grid, GARCH AR(1) mean path,
+# SAMoSSA) plus their equal-weight ensemble, staged once per
+# (code version, dataset) and re-read by the oracle.
+_CV_MIN_TRAIN = 40
 _CV_HORIZON = 5
 _CV_EPS = 1e-9
 
@@ -1683,16 +1686,11 @@ _RCV_SQL = f"""
              COUNT(*) OVER (PARTITION BY user_id) AS n
       FROM events WHERE value > 0
     ),
-    anch AS (
-      SELECT user_id, bar AS a_bar, x AS p_naive,
-             AVG(x) OVER w3 AS p_ma3,
-             (x - MAX(CASE WHEN bar = 0 THEN x END)
-                    OVER (PARTITION BY user_id)) / bar AS slope
-      FROM s
-      WINDOW w3 AS (PARTITION BY user_id ORDER BY bar
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-      QUALIFY bar >= {_CV_MIN_TRAIN - 1}
-         AND (bar - {_CV_MIN_TRAIN - 1}) % {_CV_HORIZON} = 0
+    fcs AS (
+      SELECT user_id, CAST(fold_id AS INT) AS fold_id, CAST(h AS INT) AS h,
+             p_sarimax, p_garch, p_samossa
+      FROM read_parquet(
+        '__ORACLE_STAGE__/rolling_cv_forecasts/*.parquet')
     ),
     te AS (
       SELECT s.user_id, s.bar, s.x,
@@ -1707,17 +1705,18 @@ _RCV_SQL = f"""
             * (FLOOR((s.bar - {_CV_MIN_TRAIN}) / {_CV_HORIZON}) + 1) <= s.n
     ),
     pr AS (
-      SELECT t.user_id, t.fold_id, t.bar, t.x, m.model, m.model_ord,
+      SELECT t.user_id, t.fold_id, t.bar, t.x, m.model,
              CASE m.model
-               WHEN 'naive' THEN a.p_naive
-               WHEN 'ma3' THEN a.p_ma3
-               ELSE a.p_naive + a.slope * (t.h + 1) END AS pred
+               WHEN 'sarimax' THEN f.p_sarimax
+               WHEN 'garch' THEN f.p_garch
+               WHEN 'samossa' THEN f.p_samossa
+               ELSE (f.p_sarimax + f.p_garch + f.p_samossa) / 3.0
+               END AS pred
       FROM te t
-      JOIN anch a ON a.user_id = t.user_id
-                 AND a.a_bar = {_CV_MIN_TRAIN} - 1
-                               + {_CV_HORIZON} * t.fold_id
-      CROSS JOIN (VALUES ('naive', 0), ('ma3', 1), ('drift', 2))
-        AS m(model, model_ord)
+      JOIN fcs f ON f.user_id = t.user_id AND f.fold_id = t.fold_id
+                AND f.h = t.h + 1
+      CROSS JOIN (VALUES ('sarimax'), ('garch'), ('samossa'),
+                         ('ensemble')) AS m(model)
     ),
     lg AS (
       SELECT *, LAG(x) OVER wf AS a_prev, LAG(pred) OVER wf AS p_prev
@@ -1725,7 +1724,7 @@ _RCV_SQL = f"""
                             ORDER BY bar)
     ),
     fm AS (
-      SELECT user_id, fold_id, model, model_ord,
+      SELECT user_id, fold_id, model,
              SQRT(AVG(POWER(pred - x, 2))) AS f_rmse,
              2.0 * AVG(ABS(pred - x)
                    / GREATEST(ABS(x) + ABS(pred), {_CV_EPS})) AS f_smape,
@@ -1744,7 +1743,7 @@ _RCV_SQL = f"""
               bar = MAX(bar) OVER (PARTITION BY user_id, fold_id, model)
                 AS h_last
             FROM lg)
-      GROUP BY user_id, fold_id, model, model_ord
+      GROUP BY user_id, fold_id, model
       HAVING COUNT(*) = {_CV_HORIZON}
     ),
     fm2 AS (
@@ -1775,11 +1774,17 @@ _RCV_SQL = f"""
     """,
 )
 def rolling_cv_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R146: the RollingWindowValidator collapsed into window algebra —
-    expanding-train fold grid, per-fold regression-metric bundle per
-    model, cross-fold means per (key, model). The reference refits per
-    fold (O(folds × fit)); the engine's fold anchors are one window pass
-    and the metric bundle one fine-grained groupBy — linear."""
+    """R146: the RollingWindowValidator with REAL per-fold kernel refits
+    — expanding-train fold grid, the staged `rolling_cv_forecasts`
+    kernel fan-out (HR-ARIMA grid / GARCH AR(1) mean path / SAMoSSA,
+    refit per (key, fold), `forecast/rollingcv.py`), the equal-weight
+    ensemble arm, per-fold regression-metric bundle per model,
+    cross-fold means per (key, model). The refits run once per
+    (code version, dataset) behind the stage cache; the metric bundle is
+    one fine-grained groupBy — linear."""
+    from ..forecast.rollingcv import rolling_cv_forecast_table
+    from .queries import stage_cached
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wp = Window.partitionBy("user_id")
@@ -1788,28 +1793,19 @@ def rolling_cv_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("x"),
         (F.row_number().over(wk) - 1).alias("bar"),
     ).withColumn("n", F.count(F.lit(1)).over(wp))
-    wb = Window.partitionBy("user_id").orderBy("bar")
-    anch = (
-        s.select(
-            "user_id",
-            "bar",
-            "x",
-            F.avg("x").over(wb.rowsBetween(-2, 0)).alias("p_ma3"),
-            F.max(F.when(F.col("bar") == 0, F.col("x"))).over(wp).alias(
-                "x0"
+    fcs = stage_cached(
+        spark,
+        sf_dir,
+        "rolling_cv_forecasts",
+        lambda: rolling_cv_forecast_table(
+            ev.select(
+                "user_id",
+                (F.row_number().over(wk) - 1).alias("rn"),
+                "value",
             ),
-        )
-        .filter(
-            (F.col("bar") >= _CV_MIN_TRAIN - 1)
-            & ((F.col("bar") - (_CV_MIN_TRAIN - 1)) % _CV_HORIZON == 0)
-        )
-        .select(
-            "user_id",
-            F.col("bar").alias("a_bar"),
-            F.col("x").alias("p_naive"),
-            "p_ma3",
-            ((F.col("x") - F.col("x0")) / F.col("bar")).alias("slope"),
-        )
+            min_train=_CV_MIN_TRAIN,
+            horizon=_CV_HORIZON,
+        ),
     )
     fold_id = F.floor(
         (F.col("bar") - _CV_MIN_TRAIN) / _CV_HORIZON
@@ -1835,15 +1831,22 @@ def rolling_cv_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     models = spark.createDataFrame(
-        [("naive", 0), ("ma3", 1), ("drift", 2)],
-        "model string, model_ord int",
+        [("sarimax",), ("garch",), ("samossa",), ("ensemble",)],
+        "model string",
     )
     pr = (
-        te.withColumn(
-            "a_bar",
-            F.lit(_CV_MIN_TRAIN - 1) + _CV_HORIZON * F.col("fold_id"),
+        te.withColumn("h1", F.col("h") + 1)
+        .join(
+            fcs.select(
+                "user_id",
+                "fold_id",
+                F.col("h").alias("h1"),
+                "p_sarimax",
+                "p_garch",
+                "p_samossa",
+            ),
+            ["user_id", "fold_id", "h1"],
         )
-        .join(anch, ["user_id", "a_bar"])
         .crossJoin(F.broadcast(models))
         .select(
             "user_id",
@@ -1851,9 +1854,17 @@ def rolling_cv_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bar",
             "x",
             "model",
-            F.when(F.col("model") == "naive", F.col("p_naive"))
-            .when(F.col("model") == "ma3", F.col("p_ma3"))
-            .otherwise(F.col("p_naive") + F.col("slope") * (F.col("h") + 1))
+            F.when(F.col("model") == "sarimax", F.col("p_sarimax"))
+            .when(F.col("model") == "garch", F.col("p_garch"))
+            .when(F.col("model") == "samossa", F.col("p_samossa"))
+            .otherwise(
+                (
+                    F.col("p_sarimax")
+                    + F.col("p_garch")
+                    + F.col("p_samossa")
+                )
+                / 3.0
+            )
             .alias("pred"),
         )
     )

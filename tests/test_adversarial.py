@@ -490,6 +490,25 @@ def test_ta_features_match_pandas(spark, duck):
 
 
 def test_rolling_cv_pandas_replica(spark, duck):
+    """R146 metric-bundle replica over the STAGED kernel forecasts, plus
+    a direct-kernel pin: one fold's staged sarimax path must equal
+    `_arima_rows` run on the fold's train slice, the garch path the
+    `garch_mean_path` recipe, the samossa path `samossa_path` — the real
+    kernels, refit per fold."""
+    from pyspark.sql import functions as F
+
+    from portofolio_maximizer_spark.forecast.models import (
+        _ARIMA_PQ_GRID,
+        _arima_rows,
+        samossa_path,
+    )
+    from portofolio_maximizer_spark.forecast.rollingcv import (
+        garch_mean_path,
+        rolling_cv_forecast_table,
+    )
+    from portofolio_maximizer_spark.plans.queries import stage_cached
+    from portofolio_maximizer_spark.plans.queries_stats import _series
+
     rows = QUERIES["rolling_cv_aggregate"](spark, SF).collect()
     key = rows[0]["user_id"]
     close = duck.execute(
@@ -498,41 +517,75 @@ def test_rolling_cv_pandas_replica(spark, duck):
         [key],
     ).fetchdf()["value"].astype(float).reset_index(drop=True)
     n = len(close)
-    MIN_T, H = 30, 5
+    MIN_T, H = 40, 5
+    staged = (
+        stage_cached(
+            spark, SF, "rolling_cv_forecasts",
+            lambda: rolling_cv_forecast_table(
+                _series(spark, SF).select(
+                    "user_id", (F.col("rn") - 1).alias("rn"), "value"
+                ),
+                min_train=MIN_T,
+                horizon=H,
+            ),
+        )
+        .filter(F.col("user_id") == key)
+        .collect()
+    )
+    fc = {(r["fold_id"], r["h"]): r for r in staged}
+
+    # direct-kernel pin on fold 0
+    tr = close.iloc[:MIN_T].values
+    ar = _arima_rows(int(key), tr, list(_ARIMA_PQ_GRID), H)
+    sp = samossa_path(tr, 12, 0.9, H)
+    gp = garch_mean_path(tr, H)
+    assert ar and sp is not None and gp is not None
+    lo_b, hi_b = tr[-1] / 1e3, tr[-1] * 1e3
+    for h in range(1, H + 1):
+        r = fc[(0, h)]
+        assert r["p_sarimax"] == pytest.approx(
+            min(max(ar[h - 1][6], lo_b), hi_b), abs=1e-9
+        )
+        assert r["p_garch"] == pytest.approx(
+            min(max(float(gp[h - 1]), lo_b), hi_b), rel=1e-12
+        )
+        assert r["p_samossa"] == pytest.approx(
+            min(max(round(float(sp[1][h - 1] + sp[2][h - 1]), 6), lo_b), hi_b),
+            abs=1e-9,
+        )
+
+    # metric-bundle replica over every complete fold with staged preds
+    per_model = {"sarimax": [], "garch": [], "samossa": [], "ensemble": []}
     folds = []
-    f = MIN_T
+    f, fold_id = MIN_T, 0
     while f + H <= n:
-        folds.append(f)
-        f += H
-    per_model = {"naive": [], "ma3": [], "drift": []}
-    for f in folds:
-        test = close.iloc[f: f + H].values
-        anchor = close.iloc[f - 1]
-        preds = {
-            "naive": np.full(H, anchor),
-            "ma3": np.full(H, close.iloc[f - 3: f].mean()),
-            "drift": anchor
-            + (anchor - close.iloc[0]) / (f - 1) * (np.arange(H) + 1),
-        }
-        for m, p in preds.items():
-            resid = p - test
-            den = np.maximum(np.abs(test) + np.abs(p), 1e-9)
-            da = np.mean(
-                np.sign(np.diff(test)) == np.sign(np.diff(p))
-            )
-            pdir, adir = np.sign(p[-1] - p[0]), np.sign(test[-1] - test[0])
-            tda = (
-                0.0 if (pdir == 0 or adir == 0) else float(pdir == adir)
-            )
-            per_model[m].append(
-                (
-                    np.sqrt(np.mean(resid**2)),
-                    2.0 * np.mean(np.abs(resid) / den),
-                    np.std(resid),
-                    da,
-                    tda,
+        test = close.iloc[f : f + H].values
+        if (fold_id, 1) in fc:
+            preds = {
+                m: np.array([fc[(fold_id, h)]["p_" + m] for h in range(1, H + 1)])
+                for m in ("sarimax", "garch", "samossa")
+            }
+            preds["ensemble"] = (
+                preds["sarimax"] + preds["garch"] + preds["samossa"]
+            ) / 3.0
+            folds.append(fold_id)
+            for m, p in preds.items():
+                resid = p - test
+                den = np.maximum(np.abs(test) + np.abs(p), 1e-9)
+                da = np.mean(np.sign(np.diff(test)) == np.sign(np.diff(p)))
+                pdir, adir = np.sign(p[-1] - p[0]), np.sign(test[-1] - test[0])
+                tda = 0.0 if (pdir == 0 or adir == 0) else float(pdir == adir)
+                per_model[m].append(
+                    (
+                        np.sqrt(np.mean(resid**2)),
+                        2.0 * np.mean(np.abs(resid) / den),
+                        np.std(resid),
+                        da,
+                        tda,
+                    )
                 )
-            )
+        f += H
+        fold_id += 1
     got = {(r["user_id"], r["model"]): r for r in rows}
     for m, vals in per_model.items():
         r = got[(key, m)]
