@@ -5896,51 +5896,16 @@ def performance_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window: one `scalable_prefix_sums` two-pass
     (range-repartition on (close_d, orderkey), local cumulative wins +
     row counts, driver-broadcast boundary offsets) yields exact integer
-    running counts at any scale."""
+    running counts at any scale. The trade frame is the family-shared
+    `canonical_legs_frame` materialization."""
     from ..operators.windows import scalable_prefix_sums
+    from .queries_trades import canonical_legs_frame
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
-    closes = (
-        li.join(
-            mx,
-            (li.l_orderkey == mx.l_orderkey)
-            & (li.l_linenumber == mx.maxline),
-        )
-        .drop(mx.l_orderkey)
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum("l_quantity").alias("cq"),
-            F.sum(net).alias("cnet"),
-            F.to_date(F.max("l_shipdate")).alias("close_d"),
-        )
-    )
-    opens = (
-        li.filter(
-            (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
-        )
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
-    )
-    c, op = closes.alias("c"), opens.alias("op")
-    trades = (
-        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
-        .join(
-            o.filter(F.col("o_orderstatus") == "F"),
-            F.col("o_orderkey") == F.col("c.l_orderkey"),
-        )
-        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
-        .select(
-            F.concat(
-                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
-            ).alias("ticker"),
-            F.col("c.l_orderkey").alias("orderkey"),
-            "close_d",
-            (F.col("cnet") - F.col("onet")).alias("pnl"),
-        )
-        .localCheckpoint()
+    trades = canonical_legs_frame(spark, sf_dir).select(
+        "ticker",
+        "orderkey",
+        F.to_date(F.col("cship")).alias("close_d"),
+        (F.col("cnet") - F.col("onet")).alias("pnl"),
     )
     gw = F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
     gl = F.sum(F.when(F.col("pnl") <= 0, F.abs(F.col("pnl"))).otherwise(0.0))
@@ -6112,28 +6077,15 @@ def canonical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     |price−stop|/|target−stop| using the ticker's last close against
     the ±5%/+10% stop/target band (`_exit_proximity_fraction:284-297`).
 
-    Scale: bounded folds over the closed-trade frame plus one
-    per-ticker open-lot groupBy joined to the last-close window."""
+    Scale: bounded folds over the family-shared closed-trade frame plus
+    one per-ticker open-lot groupBy joined to the last-close window."""
     from pyspark.sql import Window
+
+    from .queries_trades import canonical_legs_frame
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
-    closes = (
-        li.join(
-            mx,
-            (li.l_orderkey == mx.l_orderkey)
-            & (li.l_linenumber == mx.maxline),
-        )
-        .drop(mx.l_orderkey)
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum("l_quantity").alias("cq"),
-            F.sum(net).alias("cnet"),
-            F.to_date(F.max("l_shipdate")).alias("close_d"),
-        )
-    )
     opens = (
         li.filter(
             (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
@@ -6141,24 +6093,13 @@ def canonical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
     )
-    c, op = closes.alias("c"), opens.alias("op")
-    trades = (
-        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
-        .join(
-            o.filter(F.col("o_orderstatus") == "F"),
-            F.col("o_orderkey") == F.col("c.l_orderkey"),
-        )
-        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
-        .select(
-            F.concat(
-                F.lit("T"), (F.col("o_custkey") % 25).cast("string")
-            ).alias("ticker"),
-            F.col("c.l_orderkey").alias("orderkey"),
-            "close_d",
-            (F.col("cnet") - F.col("onet")).alias("pnl"),
-            (F.col("cnet") / F.col("cq")).alias("px"),
-        )
-        .localCheckpoint()
+    op = opens.alias("op")
+    trades = canonical_legs_frame(spark, sf_dir).select(
+        "ticker",
+        "orderkey",
+        F.to_date(F.col("cship")).alias("close_d"),
+        (F.col("cnet") - F.col("onet")).alias("pnl"),
+        (F.col("cnet") / F.col("cq")).alias("px"),
     )
     as_of = F.lit(_CSN_AS_OF).cast("date")
     cr = trades.filter(F.col("close_d") >= F.date_sub(as_of, 14)).agg(

@@ -1441,8 +1441,33 @@ def exit_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exit_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared production round-trip frame with exit-quality columns."""
+#: per-(application, sf_dir) registry of the ONE materialized canonical
+#: round-trip legs frame the report family shares (round 7: the
+#: eligibility / sufficiency / context / chart / pipeline-status queries
+#: each re-derived the same two lineitem aggregations + orders join;
+#: the `zombie_open_retirement` localCheckpoint fix applied family-wide)
+_CANONICAL_LEGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def canonical_legs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical closed round-trip superset — one row per
+    'F'-status order with both legs (open line 1 non-returned, close =
+    max linenumber), carrying every column the report family projects:
+    close aggregates (cq/cnet/cship/ctax/bar extremes), open aggregates
+    (oq/onet/oship/ostatus), and the order dims (sid/ticker/priority).
+
+    Materialized ONCE per (Spark application, sf_dir) via
+    ``localCheckpoint`` and registered in a module cache, so the five
+    consumers (`_exit_trades_frame`, `_sleeve_trades_frame`,
+    `ticker_eligibility_classification`, `context_quality_report`,
+    `performance_chart_data` — and `quality_pipeline_status`, which
+    composes them) share one lineitem scan pair instead of re-deriving
+    it per query. At cluster scale the checkpoint is an order-grain
+    frame (≪ lineitem) partitioned by the shuffle that built it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CANONICAL_LEGS_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1478,7 +1503,8 @@ def _exit_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c, op = closes.alias("c"), opens.alias("op")
-    raw = (
+    sid = F.col("o_custkey") % 25
+    legs = (
         c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
         .join(
             o.filter(F.col("o_orderstatus") == "F"),
@@ -1487,9 +1513,26 @@ def _exit_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("oq") > 0) & (F.col("cq") > 0))
         .select(
             F.col("c.l_orderkey").alias("orderkey"),
-            F.when(F.col("ostatus") == "O", "BUY").otherwise("SELL").alias(
-                "action"
-            ),
+            sid.alias("sid"),
+            F.concat(F.lit("T"), sid.cast("string")).alias("ticker"),
+            "o_orderpriority",
+            "cq", "cnet", "cship", "ctax", "bar_high", "bar_low",
+            "oq", "onet", "oship", "ostatus",
+        )
+        .localCheckpoint(eager=True)
+    )
+    _CANONICAL_LEGS_CACHE[key] = legs
+    return legs
+
+
+def _exit_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared production round-trip frame with exit-quality columns —
+    a projection of the family-shared ``canonical_legs_frame``."""
+    raw = canonical_legs_frame(spark, sf_dir).select(
+        "orderkey",
+        F.when(F.col("ostatus") == "O", "BUY").otherwise("SELL").alias(
+            "action"
+        ),
             F.when(F.col("ctax") < 0.015, "stop_loss")
             .when(F.col("ctax") < 0.045, "time_exit")
             .when(F.col("ctax") < 0.075, "signal_exit")
@@ -1503,7 +1546,6 @@ def _exit_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("cship"), F.to_date("oship")).alias(
                 "holding_days"
             ),
-        )
     )
     atr = (
         F.when(
@@ -2089,53 +2131,21 @@ def ticker_eligibility_classification(
     weak-reason exists — mirroring the reference's empty-weak_reasons
     branch.
 
-    Scale: per-order lot aggregation, two per-ticker rank windows for
-    the trimmed tails, key-cardinality joins. No UDF, no collect."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
-    closes = (
-        li.join(
-            mx,
-            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
-        )
-        .drop(mx.l_orderkey)
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum("l_quantity").alias("cq"),
-            F.sum(net).alias("cnet"),
-            F.min("l_tax").alias("ctax"),
-        )
-    )
-    opens = (
-        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
-    )
-    c, op = closes.alias("c"), opens.alias("op")
+    Scale: per-order lot aggregation (shared via
+    ``canonical_legs_frame``), two per-ticker rank windows for the
+    trimmed tails, key-cardinality joins. No UDF, no collect."""
     pnl = F.round(F.col("cnet") - F.col("onet"), 6)
     capital = F.abs(F.col("onet") / F.col("oq")) * F.col("cq")
-    trades = (
-        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
-        .join(
-            o.filter(F.col("o_orderstatus") == "F"),
-            F.col("o_orderkey") == F.col("c.l_orderkey"),
-        )
-        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
-        .select(
-            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
-                "ticker"
-            ),
-            F.col("c.l_orderkey").alias("orderkey"),
-            pnl.alias("pnl"),
-            F.when(F.col("ctax") < 0.015, "STOP_LOSS")
-            .when(F.col("ctax") < 0.045, "TIME_EXIT")
-            .when(F.col("ctax") < 0.075, "TAKE_PROFIT")
-            .otherwise("OTHER")
-            .alias("exit_reason"),
-            F.when(capital > 1e-9, pnl / capital).alias("r"),
-        )
+    trades = canonical_legs_frame(spark, sf_dir).select(
+        "ticker",
+        "orderkey",
+        pnl.alias("pnl"),
+        F.when(F.col("ctax") < 0.015, "STOP_LOSS")
+        .when(F.col("ctax") < 0.045, "TIME_EXIT")
+        .when(F.col("ctax") < 0.075, "TAKE_PROFIT")
+        .otherwise("OTHER")
+        .alias("exit_reason"),
+        F.when(capital > 1e-9, pnl / capital).alias("r"),
     )
     t = trades.groupBy("ticker").agg(
         F.count(F.lit(1)).alias("n_trades"),
@@ -2686,42 +2696,16 @@ def sleeve_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sleeve_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production round-trips tagged with (sleeve, ticker)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
-    closes = (
-        li.join(
-            mx,
-            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
-        )
-        .drop(mx.l_orderkey)
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("cq"), F.sum(net).alias("cnet"))
-    )
-    opens = (
-        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
-    )
-    c, op = closes.alias("c"), opens.alias("op")
-    sid = F.col("o_custkey") % 25
-    return (
-        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
-        .join(
-            o.filter(F.col("o_orderstatus") == "F"),
-            F.col("o_orderkey") == F.col("c.l_orderkey"),
-        )
-        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
-        .select(
-            F.when(sid < 8, "safe")
-            .when(sid < 17, "core")
-            .otherwise("speculative")
-            .alias("sleeve"),
-            F.concat(F.lit("T"), sid.cast("string")).alias("ticker"),
-            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
-        )
+    """Production round-trips tagged with (sleeve, ticker) — a
+    projection of the family-shared ``canonical_legs_frame``."""
+    sid = F.col("sid")
+    return canonical_legs_frame(spark, sf_dir).select(
+        F.when(sid < 8, "safe")
+        .when(sid < 17, "core")
+        .otherwise("speculative")
+        .alias("sleeve"),
+        "ticker",
+        F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
     )
 
 
@@ -2962,51 +2946,20 @@ def context_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are top-1 selections over the tiny summary frame."""
     from ..functions.scalars import hash_unit_interval
 
-    tr = _sleeve_trades_frame(spark, sf_dir)
-    # _sleeve_trades_frame lacks orderkey/priority; rebuild the join here
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
-    closes = (
-        li.join(
-            mx,
-            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
-        )
-        .drop(mx.l_orderkey)
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("cq"), F.sum(net).alias("cnet"))
-    )
-    opens = (
-        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
-    )
-    c, op = closes.alias("c"), opens.alias("op")
-    u = hash_unit_interval(F.lit("conf"), F.col("c.l_orderkey"))
-    ctx = (
-        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
-        .join(
-            o.filter(F.col("o_orderstatus") == "F"),
-            F.col("o_orderkey") == F.col("c.l_orderkey"),
-        )
-        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
-        .select(
-            F.concat(F.lit("T"), (F.col("o_custkey") % 25).cast("string")).alias(
-                "ticker"
-            ),
-            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
-            F.when(F.col("o_orderpriority") == "1-URGENT", "VOLATILE")
-            .when(F.col("o_orderpriority") == "2-HIGH", "TRENDING")
-            .when(F.col("o_orderpriority") == "3-MEDIUM", "RANGING")
-            .when(F.col("o_orderpriority") == "5-LOW", "RANGING")
-            .otherwise("UNKNOWN")
-            .alias("regime"),
-            F.when(u < 0.08, F.lit(None).cast("double"))
-            .when(u > 0.95, 1.0 + u)
-            .otherwise(0.5 + u / 2)
-            .alias("confidence"),
-        )
+    u = hash_unit_interval(F.lit("conf"), F.col("orderkey"))
+    ctx = canonical_legs_frame(spark, sf_dir).select(
+        "ticker",
+        F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "VOLATILE")
+        .when(F.col("o_orderpriority") == "2-HIGH", "TRENDING")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "RANGING")
+        .when(F.col("o_orderpriority") == "5-LOW", "RANGING")
+        .otherwise("UNKNOWN")
+        .alias("regime"),
+        F.when(u < 0.08, F.lit(None).cast("double"))
+        .when(u > 0.95, 1.0 + u)
+        .otherwise(0.5 + u / 2)
+        .alias("confidence"),
     )
     conf = F.col("confidence")
     # eight downstream consumers (3-way stack + censuses + 3 advisory
