@@ -61,10 +61,16 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check).
 
     Staged-verification oracles reference the per-sf staging area via a
-    template token; the driver runs this contract at sf=0.01, so the
-    static strings render for that scale factor. Tools that run at other
+    template token. The driver runs this contract at sf=0.01 — the
+    documented default — but the render root is overridable via
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` so a driver run at another scale
+    factor or data root renders matching staging paths instead of
+    silently diffing against sf0.01 artifacts. Tools that run at other
     SFs (tests at sf0.001, diffcheck at any) render the templates
     themselves via ``plans.queries.render_oracle``."""
     from portofolio_maximizer_spark.plans.queries import render_oracle
 
-    return {k: render_oracle(v, "/root/testdata/sf0.01") for k, v in ORACLE.items()}
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    return {k: render_oracle(v, sf_dir) for k, v in ORACLE.items()}

@@ -32,16 +32,36 @@ def main() -> None:
     # warmup: flagship query once to pay JVM/codegen startup
     queries["q1_pricing_summary"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    t_all = time.time()
-    for name, fn in queries.items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception:  # noqa: BLE001
-            timings[name] = -1.0
-    total = round(time.time() - t_all, 3)
+    # The streaming drains run in a dedicated EARLY slot: after 300+
+    # queries in one JVM their numbers inflate ~2x from session
+    # aging/contention, not query cost (round-6 verdict, What's wrong
+    # #3). Early placement keeps their timings attributable; per-query
+    # pack positions are recorded so future deltas stay interpretable.
+    ordered = sorted(
+        queries.items(),
+        key=lambda kv: (0 if kv[0].startswith("streaming_") else 1,),
+    )
+
+    def run_pass() -> tuple[dict[str, float], float]:
+        t: dict[str, float] = {}
+        t_all = time.time()
+        for name, fn in ordered:
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).count()
+                t[name] = round(time.time() - t0, 3)
+            except Exception:  # noqa: BLE001
+                t[name] = -1.0
+        return t, round(time.time() - t_all, 3)
+
+    timings, total = run_pass()
+    # optional warm second pass (stage caches hot, codegen compiled):
+    # SPARK_GRAFT_WARM_PASS=1 — off by default to keep the driver's
+    # per-round bench single-pass
+    warm: dict[str, float] | None = None
+    warm_total = None
+    if os.environ.get("SPARK_GRAFT_WARM_PASS"):
+        warm, warm_total = run_pass()
 
     # The driver captures only the tail of stdout (~4000 chars) and parses
     # the JSON line from it. Keep the line compact: total + the 20 slowest
@@ -52,10 +72,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "pack_position": {name: i for i, (name, _) in enumerate(ordered)},
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": sum(1 for v in timings.values() if v < 0),
     }
+    if warm is not None:
+        full["warm_value"] = warm_total
+        full["warm_queries"] = warm
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
@@ -71,6 +95,7 @@ def main() -> None:
             "n_queries": len(timings),
             "n_errors": full["n_errors"],
             "full": "BENCH_FULL.json",
+            **({"warm_value": warm_total} if warm is not None else {}),
         },
         separators=(",", ":"),
     )

@@ -66,13 +66,99 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """REAL DECODE STUB — requires an imaging library not present in this
-    container. The Spark plumbing around it (batching, schema, partition
-    parallelism) is exercised with `fake_features` instead."""
+    """PIXEL decode stub — the raster decode requires an imaging library
+    not present in this container. HEADER metadata (format, width,
+    height, channels) is parsed for real by ``parse_image_header`` —
+    PNG/GIF/BMP dimensions live at fixed offsets and need no codec."""
     raise NotImplementedError(
-        "image decode requires an imaging library (e.g. Pillow); "
-        "not available in this environment"
+        "image PIXEL decode requires an imaging library (e.g. Pillow); "
+        "not available in this environment — header metadata is parsed "
+        "by parse_image_header"
     )
+
+
+# PNG color type → sample channels (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes):
+    """REAL pure-Python image-header parse — no imaging libs needed:
+
+    - PNG: 8-byte signature, then the IHDR chunk (length+type+13 fixed
+      bytes): width/height big-endian u32 at offsets 16/20, bit depth at
+      24, color type at 25 (channels per the spec's color-type table);
+    - GIF: 'GIF87a'/'GIF89a', logical-screen width/height little-endian
+      u16 at offsets 6/8; palette-indexed RGB → 3 channels;
+    - BMP: 'BM', BITMAPINFOHEADER width s32 LE at 18, height s32 LE at
+      22 (absolute value — negative = top-down rows), bit count u16 at
+      28 → channels = max(bits // 8, 1).
+
+    Returns (format, width, height, channels) or None when the payload
+    is not a recognized image — the reference pipeline treats those rows
+    as non-image media and carries NULL dimensions."""
+    import struct
+
+    if (
+        len(payload) >= 26
+        and payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        return ("png", int(w), int(h), _PNG_CHANNELS.get(color_type, 0))
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", int(w), int(h), 3)
+    if len(payload) >= 30 and payload[:2] == b"BM":
+        w = struct.unpack("<i", payload[18:22])[0]
+        h = struct.unpack("<i", payload[22:26])[0]
+        bits = struct.unpack("<H", payload[28:30])[0]
+        return ("bmp", int(w), abs(int(h)), max(bits // 8, 1))
+    return None
+
+
+def synth_image_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic PLANTED payloads for the header-decode oracle: real
+    PNG/GIF/BMP header bytes (correct signatures, byte order and
+    offsets) whose dimensions derive from doc_id arithmetic the DuckDB
+    oracle can replay — parse(synth(doc_id)) must invert the plant.
+    doc_id % 4 == 3 plants a non-image payload (raw UTF-8 text)."""
+    import struct
+
+    kind = doc_id % 4
+    w = 16 + (doc_id * 7) % 2000
+    h = 16 + (doc_id * 13) % 1200
+    body = text.encode("utf-8")[:64]
+    if kind == 0:
+        color_type = (0, 2, 4, 6)[(doc_id // 4) % 4]
+        ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"
+            + body
+        )
+    if kind == 1:
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", w % 65536, h % 65536)
+            + b"\xf7\x00\x00"
+            + body
+        )
+    if kind == 2:
+        bits = (8, 24, 32)[(doc_id // 4) % 3]
+        # negative height for every other BMP: top-down row order, the
+        # parser must take the absolute value
+        hh = -h if (doc_id // 8) % 2 else h
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 0, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, hh, 1, bits)
+        )
+        return header + body
+    return text.encode("utf-8") or b"\x00"
 
 
 def fake_features(payload: bytes) -> tuple[int, int, int]:
@@ -105,6 +191,76 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+HEADER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("payload_bytes", LongType()),
+    ]
+)
+
+
+def attach_planted_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize REAL image-header payloads (PNG/GIF/BMP byte layouts,
+    `synth_image_payload`) from doc identity — the testdata carries no
+    media, so the plant is the deterministic stand-in for the landed
+    bytes column; in production this stage is the raw payload as
+    ingested."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synth_image_payload(int(d), str(t))
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+def extract_image_headers(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header decode over binary payloads: one
+    `mapInPandas` pass parses PNG/GIF/BMP dimensions+channels from the
+    fixed-offset header bytes (`parse_image_header`); unrecognized
+    payloads emit NULL metadata. Same partition/batch shape as the full
+    pixel-decode stage would use — at 100 TB the payload column streams
+    through Arrow once, metadata-only consumers never touch it again."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                parse_image_header(bytes(p)) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [p[0] if p else None for p in parsed],
+                    "width": pd.array(
+                        [p[1] if p else None for p in parsed],
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        [p[2] if p else None for p in parsed],
+                        dtype="Int32",
+                    ),
+                    "channels": pd.array(
+                        [p[3] if p else None for p in parsed],
+                        dtype="Int32",
+                    ),
+                    "payload_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=HEADER_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(

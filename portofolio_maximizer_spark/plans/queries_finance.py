@@ -1930,3 +1930,201 @@ def rolling_cv_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_n_observations"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# R154 — ensemble-weights verification (scripts/check_ensemble_weights.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/check_ensemble_weights.py:21-150`: per-ticker
+# ensemble-weight report from stored forecasts — the weights dict sorted
+# descending, the GARCH-weight band ladder (>=60% dominant / 40-60%
+# balanced / <40% under-weighted / absent), per-model RMSE with forecast
+# counts, the best single model (ensemble excluded), the ensemble/best
+# RMSE ratio and its EXCELLENT (<1.1) / GOOD (<1.2) / ACCEPTABLE (<1.5) /
+# POOR verdict ladder. Engine mapping: per-key model RMSEs come from the
+# rolling-CV kernel refits (the staged `rolling_cv_forecasts` real-kernel
+# fan-out), weights are the engine's inverse-RMSE rule over the three
+# component kernels, confidence = each model's inverse-RMSE share.
+_EWC_SQL = f"""
+    WITH {_RCV_SQL},
+    mr AS (
+      SELECT user_id, model, AVG(f_rmse) AS rmse,
+             CAST(COUNT(*) AS BIGINT) AS n_folds
+      FROM fm2 GROUP BY user_id, model
+    ),
+    wide AS (
+      SELECT user_id,
+             MAX(CASE WHEN model = 'sarimax' THEN rmse END) AS r_sar,
+             MAX(CASE WHEN model = 'garch' THEN rmse END) AS r_gar,
+             MAX(CASE WHEN model = 'samossa' THEN rmse END) AS r_ssa,
+             MAX(CASE WHEN model = 'ensemble' THEN rmse END) AS r_ens,
+             MAX(n_folds) AS n_folds
+      FROM mr GROUP BY user_id
+    ),
+    wts AS (
+      SELECT *,
+             1.0 / r_sar + 1.0 / r_gar + 1.0 / r_ssa AS z,
+             LEAST(r_sar, r_gar, r_ssa) AS best_rmse,
+             CASE WHEN r_sar <= r_gar AND r_sar <= r_ssa THEN 'sarimax'
+                  WHEN r_gar <= r_ssa THEN 'garch'
+                  ELSE 'samossa' END AS best_model
+      FROM wide
+    )
+    SELECT user_id,
+           ROUND((1.0 / r_sar) / z, 6) AS w_sarimax,
+           ROUND((1.0 / r_gar) / z, 6) AS w_garch,
+           ROUND((1.0 / r_ssa) / z, 6) AS w_samossa,
+           CASE WHEN (1.0 / r_gar) / z >= 0.60 THEN 'garch_dominant'
+                WHEN (1.0 / r_gar) / z >= 0.40 THEN 'garch_balanced'
+                ELSE 'garch_underweighted' END AS garch_band,
+           ROUND(r_sar, 6) AS rmse_sarimax,
+           ROUND(r_gar, 6) AS rmse_garch,
+           ROUND(r_ssa, 6) AS rmse_samossa,
+           ROUND(r_ens, 6) AS rmse_ensemble,
+           n_folds,
+           best_model,
+           ROUND(best_rmse, 6) AS best_rmse,
+           ROUND(r_ens / best_rmse, 6) AS rmse_ratio,
+           CASE WHEN r_ens / best_rmse < 1.1 THEN 'EXCELLENT'
+                WHEN r_ens / best_rmse < 1.2 THEN 'GOOD'
+                WHEN r_ens / best_rmse < 1.5 THEN 'ACCEPTABLE'
+                ELSE 'POOR' END AS rmse_verdict
+    FROM wts
+"""
+
+
+@query("ensemble_weights_check", oracle=_EWC_SQL)
+def ensemble_weights_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R154: the ensemble-weights verification report — reference
+    `scripts/check_ensemble_weights.py:21-150` (see `_EWC_SQL` mapping
+    note). One row per key with the inverse-RMSE component weights, the
+    GARCH-band ladder, per-model rolling-CV RMSEs, best single model and
+    the ensemble/best ratio verdict.
+
+    Scale: a per-(key, model) aggregate over the staged kernel-refit
+    folds, pivoted key-grain. No new fits — the staged rolling-CV
+    artifact is shared with R146."""
+    from pyspark.sql import functions as F
+
+    from ..forecast.rollingcv import rolling_cv_forecast_table
+    from .queries import stage_cached
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        F.col("value").alias("x"),
+        (F.row_number().over(wk) - 1).alias("bar"),
+    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    fcs = stage_cached(
+        spark,
+        sf_dir,
+        "rolling_cv_forecasts",
+        lambda: rolling_cv_forecast_table(
+            ev.select(
+                "user_id",
+                (F.row_number().over(wk) - 1).alias("rn"),
+                "value",
+            ),
+            min_train=_CV_MIN_TRAIN,
+            horizon=_CV_HORIZON,
+        ),
+    )
+    fold_id = F.floor(
+        (F.col("bar") - _CV_MIN_TRAIN) / _CV_HORIZON
+    ).cast("int")
+    te = s.filter(
+        (F.col("bar") >= _CV_MIN_TRAIN)
+        & (
+            _CV_MIN_TRAIN
+            + _CV_HORIZON
+            * (F.floor((F.col("bar") - _CV_MIN_TRAIN) / _CV_HORIZON) + 1)
+            <= F.col("n")
+        )
+    ).select(
+        "user_id",
+        "bar",
+        "x",
+        fold_id.alias("fold_id"),
+        (
+            F.col("bar")
+            - _CV_MIN_TRAIN
+            - _CV_HORIZON
+            * F.floor((F.col("bar") - _CV_MIN_TRAIN) / _CV_HORIZON)
+            + 1
+        ).alias("h1"),
+    )
+    pr = te.join(
+        fcs.select(
+            "user_id", "fold_id", F.col("h").alias("h1"),
+            "p_sarimax", "p_garch", "p_samossa",
+        ),
+        ["user_id", "fold_id", "h1"],
+    ).select(
+        "user_id", "fold_id", "x",
+        "p_sarimax", "p_garch", "p_samossa",
+        (
+            (F.col("p_sarimax") + F.col("p_garch") + F.col("p_samossa"))
+            / 3.0
+        ).alias("p_ens"),
+    )
+
+    def rmse(pred):
+        return F.sqrt(F.avg(F.pow(pred - F.col("x"), 2)))
+
+    fold_rmse = (
+        pr.groupBy("user_id", "fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            rmse(F.col("p_sarimax")).alias("f_sar"),
+            rmse(F.col("p_garch")).alias("f_gar"),
+            rmse(F.col("p_samossa")).alias("f_ssa"),
+            rmse(F.col("p_ens")).alias("f_ens"),
+        )
+        .filter(F.col("n_obs") == _CV_HORIZON)
+    )
+    wide = fold_rmse.groupBy("user_id").agg(
+        F.avg("f_sar").alias("r_sar"),
+        F.avg("f_gar").alias("r_gar"),
+        F.avg("f_ssa").alias("r_ssa"),
+        F.avg("f_ens").alias("r_ens"),
+        F.count(F.lit(1)).cast("long").alias("n_folds"),
+    )
+    z = 1.0 / F.col("r_sar") + 1.0 / F.col("r_gar") + 1.0 / F.col("r_ssa")
+    w_gar = (1.0 / F.col("r_gar")) / z
+    best_rmse = F.least("r_sar", "r_gar", "r_ssa")
+    best_model = (
+        F.when(
+            (F.col("r_sar") <= F.col("r_gar"))
+            & (F.col("r_sar") <= F.col("r_ssa")),
+            "sarimax",
+        )
+        .when(F.col("r_gar") <= F.col("r_ssa"), "garch")
+        .otherwise("samossa")
+    )
+    ratio = F.col("r_ens") / best_rmse
+    return wide.select(
+        "user_id",
+        r6((1.0 / F.col("r_sar")) / z).alias("w_sarimax"),
+        r6(w_gar).alias("w_garch"),
+        r6((1.0 / F.col("r_ssa")) / z).alias("w_samossa"),
+        F.when(w_gar >= 0.60, "garch_dominant")
+        .when(w_gar >= 0.40, "garch_balanced")
+        .otherwise("garch_underweighted")
+        .alias("garch_band"),
+        r6(F.col("r_sar")).alias("rmse_sarimax"),
+        r6(F.col("r_gar")).alias("rmse_garch"),
+        r6(F.col("r_ssa")).alias("rmse_samossa"),
+        r6(F.col("r_ens")).alias("rmse_ensemble"),
+        "n_folds",
+        best_model.alias("best_model"),
+        r6(best_rmse).alias("best_rmse"),
+        r6(ratio).alias("rmse_ratio"),
+        F.when(ratio < 1.1, "EXCELLENT")
+        .when(ratio < 1.2, "GOOD")
+        .when(ratio < 1.5, "ACCEPTABLE")
+        .otherwise("POOR")
+        .alias("rmse_verdict"),
+    )

@@ -477,6 +477,81 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_header_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                  WHEN 2 THEN 'bmp' ELSE 'raw' END AS format,
+             16 + (doc_id * 7) % 2000 AS w,
+             16 + (doc_id * 13) % 1200 AS h,
+             OCTET_LENGTH(ENCODE(text)) AS tb
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, format,
+             CASE WHEN format = 'raw' THEN NULL
+                  WHEN format = 'gif' THEN w % 65536 ELSE w END AS width,
+             CASE WHEN format = 'raw' THEN NULL
+                  WHEN format = 'gif' THEN h % 65536 ELSE h END AS height,
+             CASE format
+               WHEN 'png' THEN CASE (doc_id // 4) % 4
+                 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END
+               WHEN 'gif' THEN 3
+               WHEN 'bmp' THEN GREATEST(
+                 (CASE (doc_id // 4) % 3
+                  WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 32 END) // 8, 1)
+               END AS channels,
+             CASE format
+               WHEN 'png' THEN 33 + LEAST(tb, 64)
+               WHEN 'gif' THEN 13 + LEAST(tb, 64)
+               WHEN 'bmp' THEN 30 + LEAST(tb, 64)
+               ELSE GREATEST(tb, 1) END AS pb
+      FROM p
+    )
+    SELECT format,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(width) AS BIGINT) AS n_parsed,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height,
+           CAST(SUM(channels) AS BIGINT) AS sum_channels,
+           ROUND(AVG(width), 6) AS avg_width,
+           CAST(SUM(pb) AS BIGINT) AS total_bytes
+    FROM m GROUP BY format
+    """,
+)
+def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19 full — REAL image-metadata decode, no imaging libs: planted
+    PNG/GIF/BMP payloads (correct signatures/byte layouts,
+    `llmdata/multimodal.py:synth_image_payload`) stream through the
+    Arrow `mapInPandas` header parser (`extract_image_headers`: PNG IHDR
+    big-endian u32 dims + color-type channel table, GIF little-endian
+    logical screen, BMP BITMAPINFOHEADER with negative-height top-down
+    handling), then a per-format census. The oracle replays the PLANT
+    arithmetic from doc_id — parse(synth(doc_id)) must invert the plant
+    byte-for-byte, so the parser itself is what the hash checks. Raw
+    (non-image) payloads must come back NULL-dimensioned.
+
+    Scale: one Arrow pass over payload bytes, metadata-only groupBy
+    after — the pixel-decode stage (`decode_image`) stays stubbed
+    (environment: no codec libs), but metadata extraction is real."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_planted_payload(docs)
+    hdr = multimodal.extract_image_headers(media)
+    return hdr.groupBy(
+        F.coalesce(F.col("format"), F.lit("raw")).alias("format")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("width").cast("long").alias("n_parsed"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("channels").cast("long").alias("sum_channels"),
+        r6(F.avg("width")).alias("avg_width"),
+        F.sum("payload_bytes").cast("long").alias("total_bytes"),
+    )
+
+
+@query(
     "embedding_cosine_neardups",
     oracle=f"""
     WITH norms AS ({_NORMS_SQL}),

@@ -27,9 +27,58 @@ def test_multimodal_feature_extraction(spark, sf_dir):
         )
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_pixel_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_image_header_parse_roundtrip():
+    """parse_image_header must invert synth_image_payload byte-for-byte
+    across every planted branch (PNG color types, GIF, BMP bit counts
+    incl. negative top-down heights, raw fallback)."""
+    for doc_id in range(0, 64):
+        payload = multimodal.synth_image_payload(doc_id, "hello world " * 9)
+        parsed = multimodal.parse_image_header(payload)
+        kind = doc_id % 4
+        if kind == 3:
+            assert parsed is None
+            continue
+        fmt, w, h, ch = parsed
+        assert fmt == ("png", "gif", "bmp")[kind]
+        assert w == 16 + (doc_id * 7) % 2000
+        assert h == 16 + (doc_id * 13) % 1200
+        if kind == 0:
+            assert ch == {0: 1, 2: 3, 4: 2, 6: 4}[(0, 2, 4, 6)[(doc_id // 4) % 4]]
+        elif kind == 1:
+            assert ch == 3
+        else:
+            assert ch == max((8, 24, 32)[(doc_id // 4) % 3] // 8, 1)
+
+
+def test_image_header_parse_rejects_garbage_and_truncation():
+    assert multimodal.parse_image_header(b"") is None
+    assert multimodal.parse_image_header(b"\x89PNG\r\n\x1a\n") is None
+    assert multimodal.parse_image_header(b"GIF89a\x01") is None
+    assert multimodal.parse_image_header(b"BM" + b"\x00" * 10) is None
+    assert multimodal.parse_image_header(b"not an image at all, ever") is None
+
+
+def test_real_pngs_and_bmps_parse():
+    """Hand-built minimal real headers (independent of the plant)."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + bytes([8, 6, 0, 0, 0]) + b"crc0"
+    )
+    assert multimodal.parse_image_header(png) == ("png", 640, 480, 4)
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    assert multimodal.parse_image_header(gif) == ("gif", 320, 200, 3)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 800, -600, 1, 24) + b"\x00" * 8
+    )
+    assert multimodal.parse_image_header(bmp) == ("bmp", 800, 600, 3)
 
 
 def test_metadata_query_prunes_payload(spark, sf_dir):
