@@ -9059,3 +9059,426 @@ ORACLE["quality_pipeline_status"] = f"""
            'pipeline_version={_QPS_VERSION} steps=5'
     FROM steps
 """
+
+
+# ---------------------------------------------------------------------------
+# R153 — pipeline-run analysis (scripts/analyze_pipeline_run.py)
+# ---------------------------------------------------------------------------
+
+# Reference `scripts/analyze_pipeline_run.py:17-257`: the post-run
+# diagnosis report — (1) ensemble policy-decision censuses from the run
+# log (APPROVED / RESEARCH_ONLY / DISABLE_DEFAULT, `analyze_pipeline_log:
+# 66-95`), (2) the today-only quant-validation rollup (total/pass/fail,
+# per-run failure-criteria counter, `analyze_quant_validation:17-64`),
+# (3) today's trade counts incl. the production view (`check_database_
+# trades:97-131`), and (4) the diagnosis ladder (`main:203-254`: all
+# forecasts policy-blocked when blocked>0 and approved=0; signals
+# generated but not validated; no signals at all). Engine mapping:
+# policy decisions derive per key from the governance rules the report's
+# own root-cause text names (promotion_margin 2% RMSE lift, regression
+# when error > 1.1x baseline) over the one-step ensemble-vs-best frames;
+# "today" = the latest close date in the ledger; a validation entry =
+# one (ticker, day) of closed trades with the production thresholds
+# (PF 1.3 / WR 0.45 / AnnRet 0) as the failure criteria; production
+# trades = the non-synthetic channel (orderkey % 4 <> 0).
+_PRA_MARGIN = 0.02
+_PRA_REGRESSION = 1.1
+_PRA_MIN_PF = 1.3
+_PRA_MIN_WR = 0.45
+_PRA_CAPITAL = 1_000_000.0
+
+_PRA_SQL = f"""
+    WITH s AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value > 0
+    ),
+    f AS (
+      SELECT user_id, value,
+             LAG(value) OVER wp AS prev,
+             AVG(value) OVER (wp ROWS BETWEEN 3 PRECEDING
+                              AND 1 PRECEDING) AS f_ma3,
+             AVG(value) OVER (wp ROWS BETWEEN 10 PRECEDING
+                              AND 1 PRECEDING) AS f_ma10,
+             rn
+      FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    pol0 AS (
+      SELECT user_id,
+             SQRT(AVG(POWER(value - prev, 2))) AS r_n,
+             SQRT(AVG(POWER(value - f_ma3, 2))) AS r_3,
+             SQRT(AVG(POWER(value - f_ma10, 2))) AS r_10,
+             SQRT(AVG(POWER(value - (prev + f_ma3 + f_ma10) / 3.0, 2)))
+               AS r_e
+      FROM f WHERE rn >= 11 GROUP BY user_id
+    ),
+    pol AS (
+      SELECT user_id, r_e / LEAST(r_n, r_3, r_10) AS ratio FROM pol0
+    ),
+    dec AS (
+      SELECT CASE WHEN ratio > {_PRA_REGRESSION} THEN 'DISABLE_DEFAULT'
+                  WHEN 1.0 - ratio >= {_PRA_MARGIN} THEN 'APPROVED'
+                  ELSE 'RESEARCH_ONLY' END AS decision
+      FROM pol
+    ),
+    mx AS (
+      SELECT l_orderkey, MAX(l_linenumber) AS maxline
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closes AS (
+      SELECT l.l_orderkey, SUM(l.l_quantity) AS cq,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS cnet,
+             CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+      FROM lineitem l
+      JOIN mx ON mx.l_orderkey = l.l_orderkey
+             AND l.l_linenumber = mx.maxline
+      GROUP BY l.l_orderkey
+    ),
+    opens AS (
+      SELECT l_orderkey, SUM(l_quantity) AS oq,
+             SUM(l_extendedprice * (1 - l_discount)) AS onet
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    ),
+    trades AS (
+      SELECT 'T' || CAST(o.o_custkey % 25 AS VARCHAR) AS ticker,
+             c.l_orderkey AS orderkey, c.close_d,
+             ROUND(c.cnet - o2.onet, 6) AS pnl
+      FROM closes c
+      JOIN opens o2 ON o2.l_orderkey = c.l_orderkey
+      JOIN orders o ON o.o_orderkey = c.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND o2.oq > 0 AND c.cq > 0
+    ),
+    aso AS (SELECT MAX(close_d) AS d FROM trades),
+    entries AS (
+      SELECT t.ticker,
+             AVG(CASE WHEN t.pnl > 0 THEN 1.0 ELSE 0.0 END) AS wr,
+             CASE WHEN SUM(CASE WHEN t.pnl < 0 THEN ABS(t.pnl)
+                          ELSE 0 END) > 0
+                  THEN SUM(CASE WHEN t.pnl > 0 THEN t.pnl ELSE 0 END)
+                       / SUM(CASE WHEN t.pnl < 0 THEN ABS(t.pnl)
+                             ELSE 0 END)
+                  WHEN SUM(CASE WHEN t.pnl > 0 THEN t.pnl ELSE 0 END) > 0
+                  THEN 1e6 ELSE 0.0 END AS pf,
+             SUM(t.pnl) / {_PRA_CAPITAL} * 365.0 AS ar,
+             CASE WHEN SUM(t.pnl) > 0 THEN 'PASS' ELSE 'FAIL' END
+               AS status
+      FROM trades t CROSS JOIN aso
+      WHERE t.close_d = aso.d
+      GROUP BY t.ticker
+    ),
+    qv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN status = 'PASS' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pass_n,
+             CAST(SUM(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_n
+      FROM entries
+    ),
+    reasons AS (
+      SELECT reason, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT UNNEST(LIST_FILTER([
+          CASE WHEN pf < {_PRA_MIN_PF} THEN 'profit_factor_below_min' END,
+          CASE WHEN wr < {_PRA_MIN_WR} THEN 'win_rate_below_min' END,
+          CASE WHEN ar < 0 THEN 'annual_return_negative' END],
+          x -> x IS NOT NULL)) AS reason
+        FROM entries WHERE status = 'FAIL'
+      ) GROUP BY reason
+    ),
+    db AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_trades,
+             CAST(SUM(CASE WHEN t.orderkey % 4 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS production_trades
+      FROM trades t CROSS JOIN aso WHERE t.close_d = aso.d
+    ),
+    polc AS (
+      SELECT CAST(SUM(CASE WHEN decision = 'APPROVED'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS approved,
+             CAST(SUM(CASE WHEN decision <> 'APPROVED'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS blocked,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM dec
+    ),
+    outp AS (
+      SELECT 'policy' AS section, decision AS key,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT n_keys FROM polc), 6) AS rate,
+             CAST(NULL AS VARCHAR) AS note
+      FROM dec GROUP BY decision
+      UNION ALL
+      SELECT 'llm_signals', 'generated', total,
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR) FROM qv
+      UNION ALL
+      SELECT 'quant_validation', 'total', total, CAST(NULL AS DOUBLE),
+             CAST(NULL AS VARCHAR) FROM qv
+      UNION ALL
+      SELECT 'quant_validation', 'pass', pass_n,
+             ROUND(CASE WHEN total > 0
+                   THEN CAST(pass_n AS DOUBLE) / total END, 6),
+             CAST(NULL AS VARCHAR) FROM qv
+      UNION ALL
+      SELECT 'quant_validation', 'fail', fail_n,
+             ROUND(CASE WHEN total > 0
+                   THEN CAST(fail_n AS DOUBLE) / total END, 6),
+             CAST(NULL AS VARCHAR) FROM qv
+      UNION ALL
+      SELECT 'failure_reason', reason, n,
+             ROUND(CAST(n AS DOUBLE)
+                   / GREATEST((SELECT fail_n FROM qv), 1), 6),
+             CAST(NULL AS VARCHAR)
+      FROM reasons
+      UNION ALL
+      SELECT 'database', 'total_trades', total_trades,
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR) FROM db
+      UNION ALL
+      SELECT 'database', 'production_trades', production_trades,
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR) FROM db
+      UNION ALL
+      SELECT 'diagnosis',
+             CASE WHEN p.blocked > 0 AND p.approved = 0
+                  THEN 'all_forecasts_policy_blocked'
+                  WHEN q.total = 0 THEN 'no_signals_validated'
+                  ELSE 'ok' END,
+             CASE WHEN p.blocked > 0 AND p.approved = 0
+                  THEN p.blocked
+                  WHEN q.total = 0 THEN 0 ELSE q.total END,
+             CAST(NULL AS DOUBLE),
+             CASE WHEN p.blocked > 0 AND p.approved = 0
+                  THEN 'review_governance_thresholds'
+                  WHEN q.total = 0 THEN 'check_signal_generation_stage'
+                  ELSE NULL END
+      FROM polc p CROSS JOIN qv q
+    )
+    SELECT * FROM outp
+"""
+
+
+@query("pipeline_run_analysis", oracle=_PRA_SQL)
+def pipeline_run_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R153: the post-run pipeline diagnosis report — reference
+    `scripts/analyze_pipeline_run.py` (see `_PRA_SQL` mapping note):
+    policy-decision censuses, today-only quant-validation rollup with
+    the failure-criteria counter, today's total/production trade counts
+    and the diagnosis ladder, as (section, key, n, rate, note) rows.
+
+    Scale: one window pass over the per-key series for the policy arm
+    (map-side combinable RMSE aggregates), the shared canonical legs
+    frame filtered to the as-of day (a one-row broadcast scalar), and
+    bounded censuses."""
+    from .queries_trades import canonical_legs_frame
+
+    s = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr_ = Window.partitionBy("user_id").orderBy("rn")
+    base = s.select(
+        "user_id", "value", F.row_number().over(wk).alias("rn")
+    )
+    f = base.select(
+        "user_id",
+        "value",
+        "rn",
+        F.lag("value").over(wr_).alias("prev"),
+        F.avg("value").over(wr_.rowsBetween(-3, -1)).alias("f_ma3"),
+        F.avg("value").over(wr_.rowsBetween(-10, -1)).alias("f_ma10"),
+    ).filter(F.col("rn") >= 11)
+
+    def _rmse(pred):
+        return F.sqrt(F.avg(F.pow(F.col("value") - pred, 2)))
+
+    pol = f.groupBy("user_id").agg(
+        _rmse(F.col("prev")).alias("r_n"),
+        _rmse(F.col("f_ma3")).alias("r_3"),
+        _rmse(F.col("f_ma10")).alias("r_10"),
+        _rmse(
+            (F.col("prev") + F.col("f_ma3") + F.col("f_ma10")) / 3.0
+        ).alias("r_e"),
+    ).select(
+        "user_id",
+        (F.col("r_e") / F.least("r_n", "r_3", "r_10")).alias("ratio"),
+    )
+    dec = pol.select(
+        F.when(F.col("ratio") > _PRA_REGRESSION, "DISABLE_DEFAULT")
+        .when(1.0 - F.col("ratio") >= _PRA_MARGIN, "APPROVED")
+        .otherwise("RESEARCH_ONLY")
+        .alias("decision")
+    ).localCheckpoint()
+    polc = dec.agg(
+        F.sum((F.col("decision") == "APPROVED").cast("int"))
+        .cast("long")
+        .alias("approved"),
+        F.sum((F.col("decision") != "APPROVED").cast("int"))
+        .cast("long")
+        .alias("blocked"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    trades = canonical_legs_frame(spark, sf_dir).select(
+        "ticker",
+        "orderkey",
+        F.to_date(F.col("cship")).alias("close_d"),
+        F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
+    )
+    asof = trades.agg(F.max("close_d").alias("d"))
+    today = trades.join(
+        F.broadcast(asof), F.col("close_d") == F.col("d")
+    ).localCheckpoint()
+    gp = F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
+    gl = F.sum(F.when(F.col("pnl") < 0, F.abs(F.col("pnl"))).otherwise(0.0))
+    tot = F.sum("pnl")
+    entries = today.groupBy("ticker").agg(
+        F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias("wr"),
+        F.when(gl > 0, gp / gl).when(gp > 0, 1e6).otherwise(0.0).alias("pf"),
+        (tot / _PRA_CAPITAL * 365.0).alias("ar"),
+        F.when(tot > 0, "PASS").otherwise("FAIL").alias("status"),
+    ).localCheckpoint()
+    qv = entries.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum((F.col("status") == "PASS").cast("int"))
+        .cast("long")
+        .alias("pass_n"),
+        F.sum((F.col("status") == "FAIL").cast("int"))
+        .cast("long")
+        .alias("fail_n"),
+    )
+    reasons = (
+        entries.filter(F.col("status") == "FAIL")
+        .select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(
+                            F.col("pf") < _PRA_MIN_PF,
+                            "profit_factor_below_min",
+                        ),
+                        F.when(
+                            F.col("wr") < _PRA_MIN_WR,
+                            "win_rate_below_min",
+                        ),
+                        F.when(F.col("ar") < 0, "annual_return_negative"),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("reason")
+        )
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    db = today.agg(
+        F.count(F.lit(1)).cast("long").alias("total_trades"),
+        F.sum((F.col("orderkey") % 4 != 0).cast("int"))
+        .cast("long")
+        .alias("production_trades"),
+    )
+
+    nul_d = F.lit(None).cast("double")
+    nul_s = F.lit(None).cast("string")
+    pol_rows = (
+        dec.groupBy("decision")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(polc.select("n_keys")))
+        .select(
+            F.lit("policy").alias("section"),
+            F.col("decision").alias("key"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_keys"), 6).alias(
+                "rate"
+            ),
+            nul_s.alias("note"),
+        )
+    )
+    qv_rows = qv.select(
+        F.lit("llm_signals").alias("section"),
+        F.lit("generated").alias("key"),
+        F.col("total").alias("n"),
+        nul_d.alias("rate"),
+        nul_s.alias("note"),
+    ).unionByName(
+        qv.select(
+            F.lit("quant_validation").alias("section"),
+            F.lit("total").alias("key"),
+            F.col("total").alias("n"),
+            nul_d.alias("rate"),
+            nul_s.alias("note"),
+        )
+    ).unionByName(
+        qv.select(
+            F.lit("quant_validation").alias("section"),
+            F.lit("pass").alias("key"),
+            F.col("pass_n").alias("n"),
+            F.round(
+                F.when(
+                    F.col("total") > 0,
+                    F.col("pass_n").cast("double") / F.col("total"),
+                ),
+                6,
+            ).alias("rate"),
+            nul_s.alias("note"),
+        )
+    ).unionByName(
+        qv.select(
+            F.lit("quant_validation").alias("section"),
+            F.lit("fail").alias("key"),
+            F.col("fail_n").alias("n"),
+            F.round(
+                F.when(
+                    F.col("total") > 0,
+                    F.col("fail_n").cast("double") / F.col("total"),
+                ),
+                6,
+            ).alias("rate"),
+            nul_s.alias("note"),
+        )
+    )
+    reason_rows = reasons.crossJoin(
+        F.broadcast(qv.select("fail_n"))
+    ).select(
+        F.lit("failure_reason").alias("section"),
+        F.col("reason").alias("key"),
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.greatest(F.col("fail_n"), F.lit(1)),
+            6,
+        ).alias("rate"),
+        nul_s.alias("note"),
+    )
+    db_rows = db.select(
+        F.lit("database").alias("section"),
+        F.lit("total_trades").alias("key"),
+        F.col("total_trades").alias("n"),
+        nul_d.alias("rate"),
+        nul_s.alias("note"),
+    ).unionByName(
+        db.select(
+            F.lit("database").alias("section"),
+            F.lit("production_trades").alias("key"),
+            F.col("production_trades").alias("n"),
+            nul_d.alias("rate"),
+            nul_s.alias("note"),
+        )
+    )
+    blocked_all = (F.col("blocked") > 0) & (F.col("approved") == 0)
+    diag = polc.crossJoin(F.broadcast(qv)).select(
+        F.lit("diagnosis").alias("section"),
+        F.when(blocked_all, "all_forecasts_policy_blocked")
+        .when(F.col("total") == 0, "no_signals_validated")
+        .otherwise("ok")
+        .alias("key"),
+        F.when(blocked_all, F.col("blocked"))
+        .when(F.col("total") == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("total"))
+        .alias("n"),
+        nul_d.alias("rate"),
+        F.when(blocked_all, "review_governance_thresholds")
+        .when(F.col("total") == 0, "check_signal_generation_stage")
+        .otherwise(nul_s)
+        .alias("note"),
+    )
+    return (
+        pol_rows.unionByName(qv_rows)
+        .unionByName(reason_rows)
+        .unionByName(db_rows)
+        .unionByName(diag)
+    )
