@@ -331,12 +331,16 @@ def pnl_canonical_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor, avg/largest win/loss, payoff ratio, worst-decile expected
     shortfall — reference `integrity/pnl_integrity_enforcer.py:365-480`.
 
-    The decile tail uses a deterministic row_number over (pnl, key) —
-    NOT ntile on raw floats — and pnl is rounded to 6 before ranking, so
+    The decile tail uses a deterministic rank over (pnl, key) — NOT
+    ntile on raw floats — and pnl is rounded to 6 before ranking, so
     Spark and DuckDB rank the exact same numbers (SURVEY §7.3 item 6).
-    The global window is one row per closed ORDER (not per line), small at
-    any scale; at 100 TB the per-order pre-agg does the heavy lifting
-    map-side."""
+    The frame is one row per closed ORDER, which still scales with the
+    data, so the rank is the two-pass `scalable_row_number`
+    (range-partitioned local ranks + broadcast boundary offsets) and the
+    census total is a driver-known literal — no single-partition
+    window anywhere."""
+    from ..operators.windows import scalable_row_number
+
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     signed = F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.when(
@@ -348,10 +352,11 @@ def pnl_canonical_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(r6(F.sum(signed)).alias("pnl"))
     )
-    ranked = pnl.select(
-        "pnl",
-        F.row_number().over(Window.orderBy("pnl", "o_orderkey")).alias("rn_asc"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked_df, total = scalable_row_number(
+        pnl, ["pnl", "o_orderkey"], out_col="rn_asc", with_total=True
+    )
+    ranked = ranked_df.select(
+        "pnl", "rn_asc", F.lit(total).cast("long").alias("n")
     )
     p = F.col("pnl")
     pos = F.when(p > 0, p)

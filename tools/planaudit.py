@@ -109,6 +109,13 @@ _CONST_CARD_COLS = {
     "label",
     "cmp_label",
     "dim",
+    # quality-rule identifiers: cardinality fixed by the rule set
+    "first_fail",
+    "rule_id",
+    # calendar-date keys: cardinality bounded by the time SPAN (days of
+    # history), not the row count — a distinct-dates frame stays tiny at
+    # any data volume
+    "dt",
     "r_name",
     "n_name",
     "verdict",
