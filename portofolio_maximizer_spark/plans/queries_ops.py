@@ -8877,11 +8877,14 @@ def quality_pipeline_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = _Q["performance_chart_data"](spark, sf_dir).agg(
         F.count(F.lit(1)).cast("long").alias("pc_rows")
     )
+    # one-row fold of the four component aggregates; localCheckpoint so
+    # the six downstream step rows reuse it instead of replaying the
+    # whole component plan per row (plan hygiene: EXCHANGES 169 → ~6)
     base = (
         el.crossJoin(F.broadcast(ds))
         .crossJoin(F.broadcast(cq))
         .crossJoin(F.broadcast(pc))
-    )
+    ).localCheckpoint()
     w_el = F.concat_ws(
         ",",
         F.when(F.col("n_tickers") == 0, "no_tickers_found"),
