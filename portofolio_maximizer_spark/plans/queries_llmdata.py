@@ -3078,3 +3078,283 @@ def dedup_savings_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["dedup_savings_curve"] = ORACLE["dedup_savings_curve"].replace(
     "{NGJ}", ORACLE["ngram_jaccard_neardups"]
 )
+
+
+# ---------------------------------------------------------------------------
+# L43 — Bloom-filter decontamination (fixed-size membership at 100 TB)
+# ---------------------------------------------------------------------------
+
+# The scale path for benchmark decontamination when even the eval-side
+# distinct-gram set is too big to ship: fold the eval 5-grams into a
+# FIXED-SIZE Bloom filter (m bits × k hashes — here the bit array is the
+# relational set of occupied (seed, position) pairs, ≤ k·m rows no matter
+# how large the eval set grows), broadcast it, and flag any training doc
+# with a gram whose k positions are all occupied. No false negatives by
+# construction (every true member's positions are occupied); false
+# positives are the price, and this query MEASURES them against the
+# exact semi-join (L13's machinery) per source plus the gram-level FP
+# rate vs the analytic (1 − e^{−kn/m})^k expectation.
+_BLM_M = 65536
+_BLM_K = 3
+_BLM_SEEDS = list(range(_BLM_K))
+
+_BLM_POS_SQL = (
+    "(('0x' || SUBSTR(MD5(CAST({s} AS VARCHAR) || '|' || gram), 1, 12))"
+    f"::BIGINT % {_BLM_M})"
+)
+
+
+@query(
+    "bloom_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] AS gram
+      FROM toks, UNNEST(RANGE(1, LEN(t) - 3)) AS u(i)
+    ),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval FROM eg),
+    bits AS (
+      SELECT DISTINCT s.s AS s, {_BLM_POS_SQL.format(s='s.s')} AS pos
+      FROM eg CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS s) s
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id, source, gram FROM g WHERE doc_id % 20 != 0
+    ),
+    hits AS (
+      SELECT t.doc_id, t.source, t.gram, COUNT(*) AS k_hit
+      FROM (SELECT tg.*, s.s AS s, {_BLM_POS_SQL.format(s='s.s')} AS pos
+            FROM tg CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS s) s) t
+      JOIN bits b ON b.s = t.s AND b.pos = t.pos
+      GROUP BY t.doc_id, t.source, t.gram
+    ),
+    gramdec AS (
+      SELECT t.doc_id, t.source, t.gram,
+             COALESCE(h.k_hit, 0) = {_BLM_K} AS bloom_hit,
+             e.gram IS NOT NULL AS exact_hit
+      FROM tg t
+      LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.gram = t.gram
+      LEFT JOIN eg e ON e.gram = t.gram
+    ),
+    per AS (
+      SELECT doc_id, source,
+             MAX(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS d_bloom,
+             MAX(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS d_exact,
+             SUM(CASE WHEN bloom_hit AND NOT exact_hit
+                 THEN 1 ELSE 0 END) AS g_fp,
+             SUM(CASE WHEN exact_hit AND NOT bloom_hit
+                 THEN 1 ELSE 0 END) AS g_fn,
+             SUM(CASE WHEN NOT exact_hit THEN 1 ELSE 0 END) AS g_neg,
+             COUNT(*) AS g_all
+      FROM gramdec GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d_bloom) AS BIGINT) AS n_flagged_bloom,
+           CAST(SUM(d_exact) AS BIGINT) AS n_flagged_exact,
+           CAST(SUM(CASE WHEN d_bloom = 1 AND d_exact = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos_docs,
+           CAST(SUM(g_fn) AS BIGINT) AS n_false_negative_grams,
+           ROUND(CAST(SUM(g_fp) AS DOUBLE)
+                 / GREATEST(SUM(g_neg), 1), 6) AS gram_fp_rate,
+           ROUND(POWER(1.0 - EXP(-{_BLM_K}.0 * en.n_eval / {_BLM_M}.0),
+                       {_BLM_K}.0), 6) AS fp_rate_theory,
+           CAST(SUM(g_fp) AS DOUBLE) / GREATEST(SUM(g_neg), 1)
+             <= 3.0 * POWER(1.0 - EXP(-{_BLM_K}.0 * en.n_eval
+                                      / {_BLM_M}.0), {_BLM_K}.0)
+             + 0.001 AS fp_within_bound
+    FROM per CROSS JOIN en
+    GROUP BY source, en.n_eval
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43: Bloom-filter decontamination — the fixed-size membership
+    scale path (see module note above the oracle). Per source: doc-level
+    bloom vs exact flag censuses, the structural no-false-negative
+    count (must be 0), the observed gram-level FP rate and the analytic
+    (1 − e^{−kn/m})^k expectation with a 3×+0.001 bound verdict.
+
+    Scale: the bit array is ≤ k·m = 196 608 (seed, position) rows
+    REGARDLESS of eval size — a guaranteed broadcast; the train side
+    streams through one join against it. The exact arm here exists to
+    grade the filter and shares L13's semi-join shape; production at
+    100 TB would run the bloom arm alone."""
+    from ..functions.scalars import stable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.explode(dedup.shingles(F.col("text"), 5)).alias("gram"),
+    ).distinct()
+    eg = g.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    en = eg.agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
+    seeds = spark.createDataFrame(
+        [(s,) for s in _BLM_SEEDS], "bloom_seed int"
+    )
+
+    def pos(seed_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            seed_col.cast("string"),
+                            F.lit("|"),
+                            F.col("gram"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLM_M
+        )
+
+    bits = (
+        eg.crossJoin(seeds)
+        .select("bloom_seed", pos(F.col("bloom_seed")).alias("bloom_pos"))
+        .distinct()
+    )
+    tg = g.filter(F.col("doc_id") % 20 != 0)
+    hits = (
+        tg.crossJoin(seeds)
+        .select(
+            "doc_id", "source", "gram", "bloom_seed",
+            pos(F.col("bloom_seed")).alias("bloom_pos"),
+        )
+        .join(F.broadcast(bits), ["bloom_seed", "bloom_pos"], "left_semi")
+        .groupBy("doc_id", "source", "gram")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+    )
+    gramdec = (
+        tg.join(hits.select("doc_id", "gram", "k_hit"), ["doc_id", "gram"], "left")
+        .join(
+            eg.select(F.col("gram"), F.lit(1).alias("e_hit")),
+            "gram",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.coalesce(F.col("k_hit"), F.lit(0)) == _BLM_K).alias(
+                "bloom_hit"
+            ),
+            F.col("e_hit").isNotNull().alias("exact_hit"),
+        )
+    )
+    per = gramdec.groupBy("doc_id", "source").agg(
+        F.max(F.col("bloom_hit").cast("int")).alias("d_bloom"),
+        F.max(F.col("exact_hit").cast("int")).alias("d_exact"),
+        F.sum(
+            (F.col("bloom_hit") & ~F.col("exact_hit")).cast("int")
+        ).alias("g_fp"),
+        F.sum(
+            (F.col("exact_hit") & ~F.col("bloom_hit")).cast("int")
+        ).alias("g_fn"),
+        F.sum((~F.col("exact_hit")).cast("int")).alias("g_neg"),
+    )
+    theory = F.pow(
+        1.0 - F.exp(-float(_BLM_K) * F.col("n_eval") / float(_BLM_M)),
+        float(_BLM_K),
+    )
+    obs = F.sum("g_fp").cast("double") / F.greatest(
+        F.sum("g_neg"), F.lit(1)
+    )
+    return (
+        per.crossJoin(F.broadcast(en))
+        .groupBy("source", "n_eval")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("d_bloom").cast("long").alias("n_flagged_bloom"),
+            F.sum("d_exact").cast("long").alias("n_flagged_exact"),
+            F.sum(
+                F.when((F.col("d_bloom") == 1) & (F.col("d_exact") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos_docs"),
+            F.sum("g_fn").cast("long").alias("n_false_negative_grams"),
+            r6(obs).alias("gram_fp_rate"),
+            r6(theory).alias("fp_rate_theory"),
+            (obs <= 3.0 * theory + 0.001).alias("fp_within_bound"),
+        )
+        .drop("n_eval")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L44 — normalization-sensitivity dedup audit
+# ---------------------------------------------------------------------------
+
+# Text canonicalization (lowercase, punctuation strip, whitespace
+# collapse) runs before exact dedup in every serious pipeline; this
+# audit measures what it buys — per source: distinct docs under the raw
+# fingerprint vs the normalized fingerprint, the duplicate counts each
+# implies, and the normalization gain (docs that become duplicates only
+# after canonicalization).
+
+
+@query(
+    "normalization_dedup_impact",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             MD5(text) AS raw_fp,
+             MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_distinct_raw,
+           CAST(COUNT(DISTINCT norm_fp) AS BIGINT) AS n_distinct_norm,
+           CAST(COUNT(*) - COUNT(DISTINCT raw_fp) AS BIGINT) AS dup_raw,
+           CAST(COUNT(*) - COUNT(DISTINCT norm_fp) AS BIGINT) AS dup_norm,
+           CAST(COUNT(DISTINCT raw_fp) - COUNT(DISTINCT norm_fp)
+             AS BIGINT) AS normalization_gain
+    FROM n GROUP BY source
+    """,
+)
+def normalization_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L44: normalization-sensitivity audit — exact-dup counts under the
+    raw md5 fingerprint vs the canonicalized fingerprint (lowercase →
+    strip non-alphanumerics → collapse runs of spaces → trim), per
+    source, with the dedup gain canonicalization buys.
+
+    Scale: two hash aggregations per source — the same map-side-
+    combinable shape as L1 exact dedup; normalization is JVM-side
+    regexp_replace, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    n = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("raw_fp"),
+        F.md5(norm).alias("norm_fp"),
+    )
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("raw_fp").cast("long").alias("n_distinct_raw"),
+        F.countDistinct("norm_fp").cast("long").alias("n_distinct_norm"),
+        (F.count(F.lit(1)) - F.countDistinct("raw_fp"))
+        .cast("long")
+        .alias("dup_raw"),
+        (F.count(F.lit(1)) - F.countDistinct("norm_fp"))
+        .cast("long")
+        .alias("dup_norm"),
+        (F.countDistinct("raw_fp") - F.countDistinct("norm_fp"))
+        .cast("long")
+        .alias("normalization_gain"),
+    )

@@ -1856,3 +1856,290 @@ def context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (packed * F.col("ctx_len")).cast("double")
         ).alias("packed_utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L41 — URL/domain filtering census
+# ---------------------------------------------------------------------------
+
+# Domain-level filtering is a first-class pretraining-pipeline stage
+# (C4/RefinedWeb-style): parse the landing URL, extract the registrable
+# domain and TLD, then drop blocklisted domains and suspicious TLDs. The
+# testdata carries no URLs, so deterministic URLs are PLANTED from doc
+# identity (pool index (doc_id*11)%8) — the operator under test is the
+# real parse (regex domain/TLD extraction) + the filter ladder; the
+# oracle replays the plant arithmetic AND the parse independently.
+_DFC_POOL = [
+    "arxiv.org", "en.wikipedia.org", "github.com", "blog.example.com",
+    "news.site.org", "spam-mill.biz", "content-farm.net",
+    "casino-spam.win",
+]
+_DFC_BLOCKLIST = ["spam-mill.biz", "content-farm.net"]
+_DFC_BAD_TLDS = ["biz", "win"]
+
+_DFC_POOL_SQL = "[" + ", ".join(f"'{d}'" for d in _DFC_POOL) + "]"
+_DFC_BLOCK_SQL = ", ".join(f"'{d}'" for d in _DFC_BLOCKLIST)
+_DFC_TLD_SQL = ", ".join(f"'{t}'" for t in _DFC_BAD_TLDS)
+
+
+@query(
+    "domain_filter_census",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             'https://' || ({_DFC_POOL_SQL})[CAST((doc_id * 11) % 8 AS INT) + 1]
+               || '/' || CAST(doc_id AS VARCHAR) || '/' || lang || '.html'
+               AS url
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_chars,
+             REGEXP_EXTRACT(url, 'https://([^/]+)/', 1) AS domain
+      FROM u
+    ),
+    d AS (
+      SELECT doc_id, n_chars, domain,
+             REGEXP_EXTRACT(domain, '\\.([a-z]+)$', 1) AS tld
+      FROM p
+    ),
+    lab AS (
+      SELECT *,
+             CASE WHEN domain IN ({_DFC_BLOCK_SQL}) THEN 'blocklisted_domain'
+                  WHEN tld IN ({_DFC_TLD_SQL}) THEN 'suspicious_tld'
+                  ELSE NULL END AS reason
+      FROM d
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   SUM(n_chars) AS chars_total FROM lab)
+    SELECT domain, tld,
+           CASE WHEN reason IS NULL THEN 'KEEP' ELSE 'DROP' END AS decision,
+           reason,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(l.n_chars) AS BIGINT) AS n_chars,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_total, 6) AS doc_share,
+           ROUND(CAST(SUM(l.n_chars) AS DOUBLE) / t.chars_total, 6)
+             AS chars_share
+    FROM lab l CROSS JOIN tot t
+    GROUP BY domain, tld, reason, t.n_total, t.chars_total
+    """,
+)
+def domain_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L41: URL/domain filtering census — planted URLs parsed back with
+    the REAL regex extraction (registrable domain, TLD), the
+    blocklist-then-TLD decision ladder, per-domain doc/byte censuses and
+    corpus shares.
+
+    Scale: pure column algebra + a domain-grain groupBy (domain universe
+    ≪ corpus; the real-world heavy hitter is the same bounded census);
+    the corpus total is a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    pool = F.array(*[F.lit(d) for d in _DFC_POOL])
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(pool, ((F.col("doc_id") * 11) % 8).cast("int") + 1),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit(".html"),
+    )
+    d = docs.select("doc_id", "n_chars", url.alias("url")).select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract(F.col("url"), r"https://([^/]+)/", 1).alias(
+            "domain"
+        ),
+    ).select(
+        "*",
+        F.regexp_extract(F.col("domain"), r"\.([a-z]+)$", 1).alias("tld"),
+    )
+    reason = (
+        F.when(
+            F.col("domain").isin(*_DFC_BLOCKLIST), "blocklisted_domain"
+        )
+        .when(F.col("tld").isin(*_DFC_BAD_TLDS), "suspicious_tld")
+    )
+    lab = d.select("*", reason.alias("reason"))
+    tot = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+    return (
+        lab.groupBy("domain", "tld", "reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "tld",
+            F.when(F.col("reason").isNull(), "KEEP")
+            .otherwise("DROP")
+            .alias("decision"),
+            "reason",
+            "n_docs",
+            "n_chars",
+            r6(F.col("n_docs").cast("double") / F.col("n_total")).alias(
+                "doc_share"
+            ),
+            r6(
+                F.col("n_chars").cast("double") / F.col("chars_total")
+            ).alias("chars_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L42 — corpus snapshot drift (PSI between crawl halves)
+# ---------------------------------------------------------------------------
+
+# "Did the new crawl shift the mixture?" — the between-snapshot drift
+# audit a recurring ingestion pipeline runs before blending a new crawl
+# into the training mix: language-share PSI and length-distribution PSI
+# between snapshot A (doc_id even) and snapshot B (doc_id odd), with the
+# standard 0.1 / 0.25 PSI verdict rungs. Length buckets are log2 bins
+# (scale-free, no global quantile pass needed).
+_CSD_EPS = 1e-6
+_CSD_STABLE = 0.1
+_CSD_MODERATE = 0.25
+
+
+@query(
+    "corpus_snapshot_drift",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END AS snap,
+             lang,
+             'len_2e' || CAST(LEAST(CAST(FLOOR(LOG2(n_chars + 1)) AS INT),
+                                    12) AS VARCHAR) AS len_bucket
+      FROM documents
+    ),
+    dims AS (
+      SELECT 'lang' AS dimension, lang AS bucket, snap FROM lab
+      UNION ALL
+      SELECT 'length', len_bucket, snap FROM lab
+    ),
+    cnt AS (
+      SELECT dimension, bucket,
+             SUM(CASE WHEN snap = 'A' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN snap = 'B' THEN 1 ELSE 0 END) AS nb
+      FROM dims GROUP BY dimension, bucket
+    ),
+    tots AS (
+      SELECT dimension, SUM(na) AS ta, SUM(nb) AS tb
+      FROM cnt GROUP BY dimension
+    ),
+    shares AS (
+      SELECT c.dimension, c.bucket,
+             GREATEST(CAST(c.na AS DOUBLE) / t.ta, {_CSD_EPS!r}) AS pa,
+             GREATEST(CAST(c.nb AS DOUBLE) / t.tb, {_CSD_EPS!r}) AS pb
+      FROM cnt c JOIN tots t ON t.dimension = c.dimension
+    ),
+    terms AS (
+      SELECT dimension, bucket, pa, pb,
+             (pa - pb) * LN(pa / pb) AS psi_term
+      FROM shares
+    ),
+    total AS (
+      SELECT dimension, 'TOTAL' AS bucket,
+             CAST(NULL AS DOUBLE) AS share_a,
+             CAST(NULL AS DOUBLE) AS share_b,
+             ROUND(SUM(psi_term), 6) AS psi,
+             CASE WHEN SUM(psi_term) < {_CSD_STABLE} THEN 'stable'
+                  WHEN SUM(psi_term) < {_CSD_MODERATE}
+                  THEN 'moderate_shift'
+                  ELSE 'major_shift' END AS verdict
+      FROM terms GROUP BY dimension
+    )
+    SELECT dimension, bucket,
+           ROUND(pa, 6) AS share_a, ROUND(pb, 6) AS share_b,
+           ROUND(psi_term, 6) AS psi, CAST(NULL AS VARCHAR) AS verdict
+    FROM terms
+    UNION ALL
+    SELECT * FROM total
+    """,
+)
+def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L42: between-snapshot mixture-drift audit — per-bucket population
+    shares of the two crawl halves across the language and log2-length
+    dimensions, the PSI contribution per bucket, and per-dimension PSI
+    totals with the standard stable/moderate/major verdict rungs.
+
+    Scale: one map-side-combinable groupBy per dimension (bucket
+    universes are lang- and log-scale-bounded); per-dimension totals are
+    a bounded second aggregate. No windows, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "A").otherwise("B").alias("snap"),
+        "lang",
+        F.concat(
+            F.lit("len_2e"),
+            F.least(
+                F.floor(F.log2(F.col("n_chars") + 1)).cast("int"),
+                F.lit(12),
+            ).cast("string"),
+        ).alias("len_bucket"),
+    )
+    dims = lab.select(
+        F.lit("lang").alias("dimension"),
+        F.col("lang").alias("bucket"),
+        "snap",
+    ).unionByName(
+        lab.select(
+            F.lit("length").alias("dimension"),
+            F.col("len_bucket").alias("bucket"),
+            "snap",
+        )
+    )
+    cnt = dims.groupBy("dimension", "bucket").agg(
+        F.sum((F.col("snap") == "A").cast("int")).alias("na"),
+        F.sum((F.col("snap") == "B").cast("int")).alias("nb"),
+    )
+    tots = cnt.groupBy("dimension").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    # no broadcast hint: tots is 2 rows, AQE broadcasts it unaided (the
+    # L13 dehinting policy — hints on subtrees that scan sf-scaled
+    # tables are planaudit's FORCED_BROADCAST class)
+    shares = cnt.join(tots, "dimension").select(
+        "dimension",
+        "bucket",
+        F.greatest(
+            F.col("na").cast("double") / F.col("ta"), F.lit(_CSD_EPS)
+        ).alias("pa"),
+        F.greatest(
+            F.col("nb").cast("double") / F.col("tb"), F.lit(_CSD_EPS)
+        ).alias("pb"),
+    )
+    terms = shares.select(
+        "dimension",
+        "bucket",
+        "pa",
+        "pb",
+        (
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+        ).alias("psi_term"),
+    )
+    total = terms.groupBy("dimension").agg(
+        F.sum("psi_term").alias("psi_raw")
+    ).select(
+        "dimension",
+        F.lit("TOTAL").alias("bucket"),
+        F.lit(None).cast("double").alias("share_a"),
+        F.lit(None).cast("double").alias("share_b"),
+        r6(F.col("psi_raw")).alias("psi"),
+        F.when(F.col("psi_raw") < _CSD_STABLE, "stable")
+        .when(F.col("psi_raw") < _CSD_MODERATE, "moderate_shift")
+        .otherwise("major_shift")
+        .alias("verdict"),
+    )
+    per = terms.select(
+        "dimension",
+        "bucket",
+        r6(F.col("pa")).alias("share_a"),
+        r6(F.col("pb")).alias("share_b"),
+        r6(F.col("psi_term")).alias("psi"),
+        F.lit(None).cast("string").alias("verdict"),
+    )
+    return per.unionByName(total)

@@ -112,6 +112,11 @@ _CONST_CARD_COLS = {
     # quality-rule identifiers: cardinality fixed by the rule set
     "first_fail",
     "rule_id",
+    # Bloom-filter bit-array coordinates: seed ∈ [0, k), position =
+    # hash % m — cardinality capped at k·m by CONSTRUCTION, never by
+    # data volume (that cap is the whole point of the structure)
+    "bloom_seed",
+    "bloom_pos",
     # calendar-date keys: cardinality bounded by the time SPAN (days of
     # history), not the row count — a distinct-dates frame stays tiny at
     # any data volume
