@@ -250,12 +250,39 @@ def kernel_forecast_table(spark: SparkSession) -> DataFrame:
         (F.col("value") / F.lag("value").over(wo) - 1.0).alias("lr"),
     ).filter(F.col("lr").isNotNull())
     gpar = garch_grid_fit(ret, round_out=False)
-    ret_d = ret.withColumn("dlr", F.col("lr") - F.lag("lr").over(wo))
+    # the AR(1) recursion seeds from the LAST VALUE ON THE FIT SCALE:
+    # the kernel clips |r| at max(p99.5, 10·median) BEFORE the dd
+    # decision (`models.py:1611-1622`), so the seed must be the clipped
+    # return (dd=0) or the diff of clipped returns (dd=1) — the same
+    # exact-percentile cap recipe the R38 oracle replays
+    capv = ret.groupBy("user_id").agg(
+        F.expr("percentile(abs(lr), 0.995)").alias("q995"),
+        F.expr("percentile(abs(lr), 0.5)").alias("med"),
+    ).select(
+        "user_id",
+        F.when(
+            F.col("med") > 0,
+            F.greatest(F.col("q995"), 10 * F.col("med")),
+        )
+        .otherwise(F.col("q995"))
+        .alias("cap"),
+    )
+    rc = ret.join(capv, "user_id").select(
+        "user_id",
+        "rn",
+        F.when(
+            F.col("cap") > 0,
+            F.least(F.greatest(F.col("lr"), -F.col("cap")), F.col("cap")),
+        )
+        .otherwise(F.col("lr"))
+        .alias("lr"),
+    )
+    rc_d = rc.withColumn("dlr", F.col("lr") - F.lag("lr").over(wo))
     lasts = (
         tr.groupBy("user_id")
         .agg(F.max_by("value", "rn").alias("y_last"))
         .join(
-            ret_d.groupBy("user_id").agg(
+            rc_d.groupBy("user_id").agg(
                 F.max_by("lr", "rn").alias("r_last"),
                 F.max_by("dlr", "rn").alias("dr_last"),
             ),

@@ -126,7 +126,13 @@ def test_staged_forecasts_match_kernels_run_directly(spark):
     ).filter(F.col("lr").isNotNull())
     g = garch_grid_fit(ret, round_out=False).collect()[0]
     r = pd.Series(y[:TRAIN_N]).pct_change().dropna().to_numpy()
-    x_last = float(r[-1]) if g["dd"] == 0 else float(r[-1] - r[-2])
+    # fit-scale seed: the kernel's 99.5-pct/10-median tail clip first
+    ar = np.abs(r)
+    cap = max(
+        float(np.percentile(ar, 99.5)), 10.0 * float(np.median(ar))
+    )
+    rc = np.clip(r, -cap, cap)
+    x_last = float(rc[-1]) if g["dd"] == 0 else float(rc[-1] - rc[-2])
     s2 = g["sigma_next"] ** 2
     cur, xh = float(y[TRAIN_N - 1]), x_last
     for h in range(1, HORIZON + 1):
