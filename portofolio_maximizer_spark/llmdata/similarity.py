@@ -356,3 +356,174 @@ def ivf_probe(
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "list_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codebook-compressed ANN
+# ---------------------------------------------------------------------------
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance between two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    n_blocks: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The OFFLINE half of product quantization: per block, fit a seeded
+    KMeans codebook over the block's subvectors, then encode every
+    corpus vector as ``n_blocks`` one-byte codes (nearest codebook entry
+    per block, Euclidean, (d2, code) tie-break).
+
+    Returns (codes, codebooks): codes is the COMPRESSED index — one row
+    per (vec_id, blk) with a small-int code, n_blocks·log2(n_codes) bits
+    per vector instead of dim·64 — and codebooks is the
+    n_blocks × n_codes × (dim/n_blocks) table (KBs, broadcastable
+    forever). The classic memory-bound ANN scale path (Jégou et al.,
+    IEEE TPAMI 2011): at 100 TB the float vectors stay in cold storage
+    and search runs entirely on the codes."""
+    sub_dim = dim // n_blocks
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("de")
+    )
+    spark = corpus.sparkSession
+    books = []
+    for m in range(n_blocks):
+        blockvecs = c.select(
+            "vec_id",
+            F.slice(F.col("de"), m * sub_dim + 1, sub_dim).alias("de"),
+        )
+        _model, _feats, cent = fit_coarse_quantizer(
+            blockvecs, n_codes, seed + m
+        )
+        books.append(
+            cent.select(
+                F.lit(m).alias("blk"),
+                F.col("list_id").alias("code"),
+                "ce",
+            )
+        )
+    codebooks = books[0]
+    for b in books[1:]:
+        codebooks = codebooks.unionByName(b)
+    codebooks = codebooks.localCheckpoint(eager=True)
+    blocks = spark.createDataFrame([(m,) for m in range(n_blocks)], "blk int")
+    subs = c.crossJoin(F.broadcast(blocks)).select(
+        "vec_id",
+        "blk",
+        F.slice(
+            F.col("de"), F.col("blk") * sub_dim + 1, F.lit(sub_dim)
+        ).alias("sub"),
+    )
+    codes = (
+        subs.join(F.broadcast(codebooks), "blk")
+        .select(
+            "vec_id",
+            "blk",
+            "code",
+            _sq_dist(F.col("sub"), F.col("ce")).alias("d2"),
+        )
+        .groupBy("vec_id", "blk")
+        .agg(
+            F.min_by("code", F.struct("d2", "code")).alias("code")
+        )
+    )
+    return codes, codebooks
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_blocks: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ONLINE half: asymmetric distance computation. Each query
+    builds its per-(block, code) partial-distance table against the
+    broadcast codebooks (queries × n_blocks × n_codes rows — tiny), then
+    one equi-join on (blk, code) + a (qid, vec_id) sum scores every
+    compressed vector WITHOUT touching a single corpus float. Top-k by
+    approximate squared distance, (d2, vec_id) tie-break."""
+    sub_dim = dim // n_blocks
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
+    )
+    dtab = q.crossJoin(F.broadcast(codebooks)).select(
+        "qid",
+        "blk",
+        "code",
+        _sq_dist(
+            F.slice(F.col("qe"), F.col("blk") * sub_dim + 1, F.lit(sub_dim)),
+            F.col("ce"),
+        ).alias("pd2"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["blk", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pd2").alias("adc_d2"), F.count(F.lit(1)).alias("nb"))
+        .filter((F.col("nb") == n_blocks) & (F.col("vec_id") != F.col("qid")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "adc_d2", "rnk")
+    )
+
+
+def pq_rerank_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 64,
+    n_blocks: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full production PQ pipeline: ADC over the compressed index
+    selects a ``shortlist`` per query (never touching corpus floats),
+    then ONLY the shortlist members' raw vectors are read back for an
+    exact Euclidean rerank → top-k. The float reads drop from |corpus|
+    to queries × shortlist — the standard IVF-ADC+rerank recall fix
+    (quantization distortion caps ADC-only recall on isotropic data)."""
+    sl = pq_adc_topk(
+        codes, codebooks, queries, shortlist, n_blocks, dim, vec_col, id_col
+    ).select("qid", "vec_id", F.col("rnk").alias("adc_rank"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("de")
+    )
+    exact = (
+        sl.join(c, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "adc_rank",
+            _sq_dist(F.col("qe"), F.col("de")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "d2", "adc_rank", "rnk")
+    )

@@ -3358,3 +3358,125 @@ def normalization_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("normalization_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L45 — product-quantization ANN (codebook-compressed search)
+# ---------------------------------------------------------------------------
+
+
+def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L45: PQ/ADC approximate nearest neighbour — the memory-bound ANN
+    scale path beside LSH (hash-bucketed) and IVF (list-pruned): 4
+    seeded per-block KMeans codebooks compress each 64-dim vector to 4
+    codes; queries score the ENTIRE corpus through one (blk, code)
+    equi-join against their 64-entry partial-distance tables without
+    reading a single corpus float (asymmetric distance computation,
+    Jégou et al. 2011), then ONLY the 64-deep ADC shortlist is reranked
+    with exact distances — float reads drop from |corpus| to
+    queries × 64 (the production recall fix: ADC-only recall on
+    isotropic vectors is quantization-bounded; rerank recovers it,
+    pytest-pinned ≥ 0.6 recall@5 here).
+
+    Staged-verification oracle: the per-block KMeans fits are the only
+    non-SQL steps; their codebooks are staged and DuckDB independently
+    replays block slicing, nearest-code assignment (the ENCODING is
+    re-derived, not trusted), the ADC tables, the 64-deep shortlist
+    AND the exact rerank to top-5 — so the compressed index itself is
+    what the hash checks.
+
+    Scale: codebooks are n_blocks·n_codes rows (KBs, broadcast); the
+    compressed index carries 4 small ints per vector; search never
+    shuffles the corpus — the same build-once/probe-many staging shape
+    as the IVF index."""
+    from .queries import stage_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    built: dict = {}
+
+    def _index():
+        if not built:
+            built["codes"], built["books"] = similarity.pq_build_index(emb)
+        return built
+
+    books = stage_cached(
+        spark, sf_dir, "pq_codebooks", lambda: _index()["books"]
+    )
+    codes = stage_cached(
+        spark, sf_dir, "pq_codes", lambda: _index()["codes"]
+    )
+    out = similarity.pq_rerank_topk(
+        codes, books, emb, emb.filter(F.col("vec_id") < 5),
+        k=5, shortlist=64,
+    )
+    return out.select(
+        "qid", "vec_id", r6("d2").alias("d2"), "adc_rank", "rnk"
+    )
+
+
+query("embedding_pq_ann", oracle="""
+    WITH cb AS (
+      SELECT blk, code, ce FROM read_parquet(
+        '__ORACLE_STAGE__/pq_codebooks/*.parquet')
+    ),
+    subs AS (
+      SELECT e.vec_id, b.blk,
+             LIST_TRANSFORM(RANGE(1, 17),
+               i -> CAST(e.embedding[CAST(b.blk * 16 + i AS INT)]
+                    AS DOUBLE)) AS sub
+      FROM embeddings e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS blk) b
+    ),
+    asg AS (
+      SELECT vec_id, blk, code FROM (
+        SELECT s.vec_id, s.blk, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.blk
+                 ORDER BY LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                   i -> POWER(s.sub[CAST(i AS INT)]
+                              - cb.ce[CAST(i AS INT)], 2))), cb.code
+               ) AS rn
+        FROM subs s JOIN cb ON cb.blk = s.blk
+      ) WHERE rn = 1
+    ),
+    dtab AS (
+      SELECT q.vec_id AS qid, cb.blk, cb.code,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+               i -> POWER(CAST(q.embedding[CAST(cb.blk * 16 + i AS INT)]
+                          AS DOUBLE) - cb.ce[CAST(i AS INT)], 2))) AS pd2
+      FROM embeddings q CROSS JOIN cb
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT d.qid, a.vec_id, SUM(d.pd2) AS adc_d2
+      FROM asg a JOIN dtab d ON d.blk = a.blk AND d.code = a.code
+      WHERE a.vec_id <> d.qid
+      GROUP BY d.qid, a.vec_id
+      HAVING COUNT(*) = 4
+    ),
+    sl AS (
+      SELECT qid, vec_id, adc_rank FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_d2, vec_id) AS adc_rank
+        FROM scored
+      ) WHERE adc_rank <= 64
+    ),
+    rer AS (
+      SELECT s.qid, s.vec_id, s.adc_rank,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+               i -> POWER(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                          - CAST(e.embedding[CAST(i AS INT)] AS DOUBLE),
+                          2))) AS d2
+      FROM sl s
+      JOIN embeddings q ON q.vec_id = s.qid
+      JOIN embeddings e ON e.vec_id = s.vec_id
+    )
+    SELECT qid, vec_id, ROUND(d2, 6) AS d2,
+           CAST(adc_rank AS INT) AS adc_rank, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT qid, vec_id, d2, adc_rank,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY d2, vec_id) AS rnk
+      FROM rer
+    ) WHERE rnk <= 5
+    """)(embedding_pq_ann)

@@ -396,3 +396,55 @@ def test_semantic_dedup_per_cluster_pairs_bounded(spark, sf_dir):
 
     mean_pop = sum(pops.values()) / len(pops)
     assert mean_pop <= _SEMDEDUP_TARGET_POP
+
+
+def test_pq_rerank_recall_and_determinism(spark, sf_dir):
+    """L45: the PQ+rerank pipeline must (a) be run-to-run deterministic,
+    (b) recover ≥ 0.6 mean recall@5 vs exact Euclidean top-5 after the
+    64-deep rerank (ADC-only recall on isotropic vectors is
+    quantization-bounded; rerank is the production fix)."""
+    from pyspark.sql import Window
+
+    from portofolio_maximizer_spark.llmdata import similarity
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    codes1, books1 = similarity.pq_build_index(emb)
+    codes2, books2 = similarity.pq_build_index(emb)
+    a = similarity.pq_rerank_topk(codes1, books1, emb, q, k=5).collect()
+    b = similarity.pq_rerank_topk(codes2, books2, emb, q, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    e = emb.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("de")
+    )
+    qq = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("de").alias("qe")
+    )
+    d = (
+        qq.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qe", "de", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    exact = d.withColumn("r", F.row_number().over(w)).filter("r<=5").collect()
+    exs: dict = {}
+    got: dict = {}
+    for r in exact:
+        exs.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in a:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recall = [len(exs[k] & got[k]) / 5 for k in exs]
+    assert sum(recall) / len(recall) >= 0.6
+    # codes really are compressed: 4 small-int codes per vector
+    assert codes1.groupBy("vec_id").count().filter("count != 4").count() == 0
+    assert books1.count() == 4 * 16
