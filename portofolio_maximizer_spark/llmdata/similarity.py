@@ -371,6 +371,42 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _lloyd_kmeans(
+    x, k: int, seed: int, iters: int = 20
+):
+    """Deterministic numpy k-means (k-means++ init from a seeded rng,
+    Lloyd iterations, empty clusters reseeded to the farthest point) —
+    the PQ codebook trainer. PQ codebooks train on a bounded SAMPLE by
+    recipe (Jégou et al. §V), so the fit is a driver-side array job: no
+    per-fit Spark job overhead, bitwise-reproducible across runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    # k-means++ seeding
+    cents = [x[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((x - c) ** 2).sum(axis=1) for c in cents], axis=0
+        )
+        tot = float(d2.sum())
+        if tot <= 0:
+            cents.append(x[int(rng.integers(n))])
+            continue
+        cents.append(x[int(np.searchsorted(np.cumsum(d2 / tot), rng.random()))])
+    C = np.array(cents)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = x[m].mean(axis=0)
+            else:
+                C[j] = x[int(d2.min(axis=1).argmax())]
+    return C
+
+
 def pq_build_index(
     corpus: DataFrame,
     n_blocks: int = 4,
@@ -379,6 +415,7 @@ def pq_build_index(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_sample: int = 65536,
 ) -> tuple[DataFrame, DataFrame]:
     """The OFFLINE half of product quantization: per block, fit a seeded
     KMeans codebook over the block's subvectors, then encode every
@@ -392,31 +429,33 @@ def pq_build_index(
     forever). The classic memory-bound ANN scale path (Jégou et al.,
     IEEE TPAMI 2011): at 100 TB the float vectors stay in cold storage
     and search runs entirely on the codes."""
+    import numpy as np
+
     sub_dim = dim // n_blocks
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("de")
-    )
+    ).localCheckpoint(eager=True)
     spark = corpus.sparkSession
-    books = []
+    # deterministic bounded training sample (smallest ids — a distributed
+    # top-k, never a full collect): PQ codebooks train on a sample by
+    # recipe, so the driver-side Lloyd fit is O(sample · k) regardless of
+    # corpus size
+    sample = np.array(
+        [
+            r["de"]
+            for r in c.orderBy("vec_id").limit(train_sample).collect()
+        ]
+    )
+    rows = []
     for m in range(n_blocks):
-        blockvecs = c.select(
-            "vec_id",
-            F.slice(F.col("de"), m * sub_dim + 1, sub_dim).alias("de"),
+        block = sample[:, m * sub_dim : (m + 1) * sub_dim]
+        C = _lloyd_kmeans(block, n_codes, seed + m)
+        rows.extend(
+            (m, j, [float(v) for v in C[j]]) for j in range(n_codes)
         )
-        _model, _feats, cent = fit_coarse_quantizer(
-            blockvecs, n_codes, seed + m
-        )
-        books.append(
-            cent.select(
-                F.lit(m).alias("blk"),
-                F.col("list_id").alias("code"),
-                "ce",
-            )
-        )
-    codebooks = books[0]
-    for b in books[1:]:
-        codebooks = codebooks.unionByName(b)
-    codebooks = codebooks.localCheckpoint(eager=True)
+    codebooks = spark.createDataFrame(
+        rows, "blk int, code int, ce array<double>"
+    ).localCheckpoint(eager=True)
     blocks = spark.createDataFrame([(m,) for m in range(n_blocks)], "blk int")
     subs = c.crossJoin(F.broadcast(blocks)).select(
         "vec_id",
@@ -470,11 +509,23 @@ def pq_adc_topk(
             F.col("ce"),
         ).alias("pd2"),
     )
+    # per-block partial distances pivot into FIXED-ORDER addition: a
+    # plain SUM over the 4 joined rows would merge partials in
+    # partition order, and last-ulp float differences near ties make
+    # ranks run-to-run nondeterministic
+    blk_sums = [
+        F.sum(F.when(F.col("blk") == m, F.col("pd2"))).alias(f"pd_{m}")
+        for m in range(n_blocks)
+    ]
+    adc = F.col("pd_0")
+    for m in range(1, n_blocks):
+        adc = adc + F.col(f"pd_{m}")
     scored = (
         codes.join(F.broadcast(dtab), ["blk", "code"])
         .groupBy("qid", "vec_id")
-        .agg(F.sum("pd2").alias("adc_d2"), F.count(F.lit(1)).alias("nb"))
+        .agg(*blk_sums, F.count(F.lit(1)).alias("nb"))
         .filter((F.col("nb") == n_blocks) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", adc.alias("adc_d2"))
     )
     w = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
     return (
@@ -490,7 +541,7 @@ def pq_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    shortlist: int = 64,
+    shortlist: int = 128,
     n_blocks: int = 4,
     dim: int = 64,
     vec_col: str = "embedding",
