@@ -2143,3 +2143,133 @@ def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("verdict"),
     )
     return per.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# L46 — mergeable quantile sketch with an exact error-bound oracle
+# ---------------------------------------------------------------------------
+
+# Exact quantiles need a global sort; a 100 TB length/score distribution
+# is profiled with a MERGEABLE sketch instead (Spark's percentile_approx
+# = Greenwald–Khanna summaries, one pass, map-side mergeable, rank error
+# ≤ 1/accuracy). Like the L18 HLL row, the sketch output is STAGED and
+# the oracle verifies the GUARANTEE exactly: for every staged estimate,
+# the exact rank interval [#<est, #≤est] must intersect
+# [(q−ε)·n, (q+ε)·n].
+_LQS_QS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+_LQS_ACC = 100  # ε = 1/accuracy = 0.01 rank error
+_LQS_QS_SQL = ", ".join(str(q) for q in _LQS_QS)
+
+
+@query(
+    "length_quantile_sketch",
+    oracle=f"""
+    WITH est AS (
+      SELECT source, q, est FROM read_parquet(
+        '__ORACLE_STAGE__/length_quantiles/*.parquet')
+    ),
+    ranks AS (
+      SELECT e.source, e.q, e.est,
+             CAST(SUM(CASE WHEN d.n_chars < e.est THEN 1 ELSE 0 END)
+               AS BIGINT) AS rank_lo,
+             CAST(SUM(CASE WHEN d.n_chars <= e.est THEN 1 ELSE 0 END)
+               AS BIGINT) AS rank_le,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM est e JOIN documents d ON d.source = e.source
+      GROUP BY e.source, e.q, e.est
+    ),
+    ex AS (
+      SELECT source, UNNEST([{_LQS_QS_SQL}]) AS q,
+             UNNEST([{", ".join(f"QUANTILE_CONT(n_chars, {q})" for q in _LQS_QS)}])
+               AS exact_q
+      FROM documents GROUP BY source
+    )
+    SELECT r.source, r.q, ROUND(r.est, 6) AS est,
+           ROUND(ex.exact_q, 6) AS exact_quantile,
+           r.n,
+           ROUND(CAST(r.rank_le AS DOUBLE) / r.n, 6) AS rank_frac,
+           {1.0 / _LQS_ACC!r} AS eps,
+           r.rank_lo <= CEIL((r.q + {1.0 / _LQS_ACC!r}) * r.n)
+             AND r.rank_le >= FLOOR((r.q - {1.0 / _LQS_ACC!r}) * r.n)
+             AS within_bound
+    FROM ranks r
+    JOIN ex ON ex.source = r.source AND ex.q = r.q
+    """,
+)
+def length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L46: one-pass mergeable quantile profile of the corpus length
+    distribution (Greenwald–Khanna `percentile_approx`, the 100 TB
+    replacement for a global sort) with the sketch's rank-error
+    GUARANTEE verified exactly: per (source, q), the exact rank interval
+    of the staged estimate must intersect [(q−ε)n, (q+ε)n], ε = 1/acc.
+    The exact QUANTILE_CONT value rides along for reviewers.
+
+    Scale: the sketch is a map-side-mergeable aggregate (one corpus
+    pass, KB-scale state per source); the verification arm's exact rank
+    counts are one more map-side aggregate — only the TEST needs them,
+    production reads the sketch alone."""
+    from .queries import stage_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build():
+        est = docs.groupBy("source").agg(
+            F.percentile_approx(
+                F.col("n_chars").cast("double"), _LQS_QS, _LQS_ACC
+            ).alias("ests")
+        )
+        qarr = F.array(*[F.lit(q) for q in _LQS_QS])
+        return est.select(
+            "source",
+            F.explode(F.arrays_zip(qarr.alias("q"), F.col("ests").alias("est"))).alias(
+                "z"
+            ),
+        ).select("source", F.col("z.q").alias("q"), F.col("z.est").alias("est"))
+
+    est = stage_cached(spark, sf_dir, "length_quantiles", _build)
+    ranks = (
+        est.join(docs.select("source", "n_chars"), "source")
+        .groupBy("source", "q", "est")
+        .agg(
+            F.sum((F.col("n_chars") < F.col("est")).cast("int"))
+            .cast("long")
+            .alias("rank_lo"),
+            F.sum((F.col("n_chars") <= F.col("est")).cast("int"))
+            .cast("long")
+            .alias("rank_le"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    exact = docs.groupBy("source").agg(
+        *[
+            F.percentile(F.col("n_chars").cast("double"), F.lit(q)).alias(
+                f"x_{i}"
+            )
+            for i, q in enumerate(_LQS_QS)
+        ]
+    )
+    ex_long = exact.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in _LQS_QS]).alias("q"),
+                F.array(*[F.col(f"x_{i}") for i in range(len(_LQS_QS))]).alias(
+                    "exact_q"
+                ),
+            )
+        ).alias("z"),
+    ).select("source", F.col("z.q").alias("q"), F.col("z.exact_q").alias("exact_q"))
+    eps = 1.0 / _LQS_ACC
+    return ranks.join(ex_long, ["source", "q"]).select(
+        "source",
+        "q",
+        r6(F.col("est")).alias("est"),
+        r6(F.col("exact_q")).alias("exact_quantile"),
+        "n",
+        r6(F.col("rank_le").cast("double") / F.col("n")).alias("rank_frac"),
+        F.lit(eps).alias("eps"),
+        (
+            (F.col("rank_lo") <= F.ceil((F.col("q") + eps) * F.col("n")))
+            & (F.col("rank_le") >= F.floor((F.col("q") - eps) * F.col("n")))
+        ).alias("within_bound"),
+    )
