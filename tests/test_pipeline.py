@@ -210,3 +210,44 @@ def test_heavy_hitters_equal_exact(spark):
         if r["n"] * 50 >= total
     }
     assert got == want
+
+
+def test_scalable_primitives_hypothesis_style(spark):
+    """Randomized-but-seeded equivalence sweep for the two-pass
+    primitives vs their single-partition-window definitions: several
+    (size, partitions, value-range) combinations incl. duplicate order
+    keys ahead of the unique tiebreaker and negative values."""
+    import random
+
+    rnd = random.Random(20260815)
+    for trial in range(4):
+        n = rnd.choice([3, 17, 101, 463])
+        parts = rnd.choice([1, 3, 8, 19])
+        rows = [
+            (i, rnd.randrange(0, max(2, n // 5)), rnd.randrange(-50, 50))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, k long, v long")
+        got = scalable_prefix_sums(
+            df, ["k", "id"], {"cv": "v"}, num_partitions=parts
+        )
+        w = Window.orderBy("k", "id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        want = df.withColumn("cv", F.sum("v").over(w))
+        assert (
+            got.select("id", "cv").exceptAll(want.select("id", "cv")).count()
+            == 0
+        ), (trial, n, parts)
+        lag_got = scalable_lag(
+            df, ["k", "id"], "v", out_col="pv", num_partitions=parts
+        )
+        lag_want = df.withColumn(
+            "pv", F.lag("v").over(Window.orderBy("k", "id"))
+        )
+        assert (
+            lag_got.select("id", "pv")
+            .exceptAll(lag_want.select("id", "pv"))
+            .count()
+            == 0
+        ), (trial, n, parts)
