@@ -3529,3 +3529,55 @@ def garch_price_forecast_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"hi_h{h}")
         )
     return mp.select(*out)
+
+
+@query(
+    "streaming_dedup_census",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) + SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_delivered,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dups_removed
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5 end-to-end: the duplicate-bar guard run as a REAL streaming
+    job — a planted re-delivery stream (every event_id % 3 == 0 event
+    arrives twice, the reference's poll-loop re-fetch failure mode,
+    `scripts/run_auto_trader.py:461-515`) flows through
+    `dropDuplicates(user_id, event_id)` under a 30-minute watermark
+    (state for ids older than the watermark is evicted — bounded state
+    at any stream length), drained via availableNow, then a per-type
+    census: delivered vs unique vs removed.
+
+    Oracle: dedup of exact re-deliveries is set semantics — unique =
+    the batch row count, removed = the planted duplicate count, both
+    re-derived from the raw events table."""
+    from ..streaming import dedupe_within_watermark, events_stream, run_to_memory
+
+    st = events_stream(spark, sf_dir)
+    redelivered = st.unionByName(st.filter(F.col("event_id") % 3 == 0))
+    out = run_to_memory(
+        dedupe_within_watermark(redelivered), "q_stream_dedup"
+    )
+    per = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique")
+    )
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("event_id") % 3 == 0).cast("int"))
+            .cast("long")
+            .alias("n_dups_removed")
+        )
+    )
+    return per.join(raw, "event_type").select(
+        "event_type",
+        (F.col("n_unique") + F.col("n_dups_removed")).alias("n_delivered"),
+        "n_unique",
+        "n_dups_removed",
+    )
