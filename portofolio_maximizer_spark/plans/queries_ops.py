@@ -9485,3 +9485,141 @@ def pipeline_run_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(db_rows)
         .unionByName(diag)
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew census — the shuffle-planning diagnostic
+# ---------------------------------------------------------------------------
+
+# Skewed join/aggregation keys are the 100 TB shuffle killer the charter
+# calls out (salting / AQE skew-join): this census profiles the key
+# distributions the engine actually shuffles on — rows per o_custkey
+# (the trade-ledger grain), per l_orderkey (the lot grain) and per
+# events user_id (the series grain) — and emits, per key space: the key
+# count, mean/max rows per key, the max/mean imbalance factor, the
+# p99/median ratio, the row share of the p99-count heavy tail, and
+# the planner advice ladder (AQE's skewedPartitionFactor=5 default:
+# balanced < 5x max/mean, then skewed_tail, then salt_candidate when the
+# single heaviest key alone breaches the factor).
+_PSC_FACTOR = 5.0
+
+
+@query(
+    "partition_skew_census",
+    oracle=f"""
+    WITH per AS (
+      SELECT 'orders_by_custkey' AS key_space,
+             CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS n
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'lineitem_by_orderkey', CAST(l_orderkey AS VARCHAR), COUNT(*)
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'events_by_user', CAST(user_id AS VARCHAR), COUNT(*)
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT key_space,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             AVG(n) AS mean_rows,
+             CAST(MAX(n) AS BIGINT) AS max_rows,
+             QUANTILE_CONT(n, 0.5) AS med_rows,
+             QUANTILE_CONT(n, 0.99) AS p99_rows
+      FROM per GROUP BY key_space
+    ),
+    tail AS (
+      SELECT p.key_space, SUM(p.n) AS tail_rows
+      FROM per p JOIN agg a ON a.key_space = p.key_space
+      WHERE p.n >= a.p99_rows
+      GROUP BY p.key_space
+    )
+    SELECT a.key_space, a.n_keys, a.n_rows,
+           ROUND(a.mean_rows, 6) AS mean_rows, a.max_rows,
+           ROUND(a.max_rows / a.mean_rows, 6) AS imbalance_factor,
+           ROUND(a.p99_rows / a.med_rows, 6) AS p99_over_median,
+           ROUND(t.tail_rows / a.n_rows, 6) AS p99_tail_row_share,
+           CASE WHEN a.max_rows / a.mean_rows <= {_PSC_FACTOR!r}
+                THEN 'balanced'
+                WHEN a.p99_rows / a.med_rows > {_PSC_FACTOR!r}
+                THEN 'skewed_tail'
+                ELSE 'salt_candidate' END AS advice
+    FROM agg a JOIN tail t ON t.key_space = a.key_space
+    """,
+)
+def partition_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew census over the engine's three hot shuffle
+    grains with the AQE-aligned advice ladder (see the module note) —
+    the planning query a 1000-executor deployment runs BEFORE picking
+    salting/bucketing strategies; the charter's skew story as a
+    first-class diagnostic.
+
+    Scale: one map-side-combinable groupBy per key space (the per-key
+    frame is the shuffle this query measures), then a key-space-grain
+    aggregate over the per-key counts; no ranking window over the
+    key-grain frame. The quantiles are exact aggregates here (they
+    buffer one count per key); at 1e9+ keys `percentile_approx` is the
+    documented drop-in."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("orders_by_custkey").alias("key_space"), "k", "n")
+        .unionByName(
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_orderkey").cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit("lineitem_by_orderkey").alias("key_space"), "k", "n"
+            )
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.col("user_id").cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("events_by_user").alias("key_space"), "k", "n")
+        )
+    )
+    per = per.localCheckpoint()
+    # NO ranking window over the key-grain frame (that would funnel each
+    # key space through one task — the exact hazard this census hunts):
+    # the heavy-tail mass comes from a threshold join against the
+    # broadcast per-space stats instead
+    agg = per.groupBy("key_space").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.avg("n").alias("mean_rows_raw"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.percentile(F.col("n").cast("double"), F.lit(0.5)).alias(
+            "med_rows"
+        ),
+        F.percentile(F.col("n").cast("double"), F.lit(0.99)).alias(
+            "p99_rows"
+        ),
+    )
+    tail_rows = (
+        per.join(
+            F.broadcast(agg.select("key_space", "p99_rows")), "key_space"
+        )
+        .filter(F.col("n") >= F.col("p99_rows"))
+        .groupBy("key_space")
+        .agg(F.sum("n").alias("tail_rows"))
+    )
+    imb = F.col("max_rows") / F.col("mean_rows_raw")
+    tail = F.col("p99_rows") / F.col("med_rows")
+    return agg.join(tail_rows, "key_space").select(
+        "key_space",
+        "n_keys",
+        "n_rows",
+        r6(F.col("mean_rows_raw")).alias("mean_rows"),
+        "max_rows",
+        r6(imb).alias("imbalance_factor"),
+        r6(tail).alias("p99_over_median"),
+        r6(F.col("tail_rows") / F.col("n_rows")).alias(
+            "p99_tail_row_share"
+        ),
+        F.when(imb <= _PSC_FACTOR, "balanced")
+        .when(tail > _PSC_FACTOR, "skewed_tail")
+        .otherwise("salt_candidate")
+        .alias("advice"),
+    )
