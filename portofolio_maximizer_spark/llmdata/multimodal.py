@@ -109,7 +109,15 @@ def parse_image_header(payload: bytes):
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return ("gif", int(w), int(h), 3)
-    if len(payload) >= 30 and payload[:2] == b"BM":
+    if (
+        len(payload) >= 30
+        and payload[:2] == b"BM"
+        # 'BM' alone is two printable ASCII bytes — any text payload
+        # starting with "BM..." would false-positive. Require the
+        # BITMAPINFOHEADER size field (biSize == 40 at offset 14) too,
+        # which real BMP writers always emit.
+        and struct.unpack("<I", payload[14:18])[0] == 40
+    ):
         w = struct.unpack("<i", payload[18:22])[0]
         h = struct.unpack("<i", payload[22:26])[0]
         bits = struct.unpack("<H", payload[28:30])[0]

@@ -207,11 +207,20 @@ def scalable_prefix_sums(
     (inclusive running sum). With ``with_totals`` also returns the grand
     totals dict {out_col: total} computed from the already-collected
     per-partition sums (no extra action).
+
+    NULL handling: NULL values count as 0 in the running sum (the value
+    expressions are coalesced to 0 up front, so an all-NULL partition
+    contributes a 0 offset instead of crashing the driver fold). This
+    diverges from ``SUM() OVER`` — which stays NULL until the first
+    non-null — only on frames that contain NULL values; every caller
+    here feeds non-null counts/amounts.
     """
     oexp = _order_exprs(order_cols)
     proj = df.select(
         "*", *[
-            (F.col(v) if isinstance(v, str) else v).alias(f"_v_{out}")
+            F.coalesce(
+                (F.col(v) if isinstance(v, str) else v), F.lit(0)
+            ).alias(f"_v_{out}")
             for out, v in value_cols.items()
         ]
     )
@@ -306,13 +315,18 @@ def scalable_lag(
     1. range-repartition on the order keys + ``localCheckpoint`` (one
        partition = one contiguous key range, ascending with pid);
     2. collect each partition's LAST value in order (a ``num_partitions``-
-       row ``max_by`` aggregate) and carry it across empty partitions on
-       the driver so pid *i* knows the value preceding its first row;
-    3. local per-partition lag; the first row of each partition coalesces
-       to the carried boundary value.
+       row ``max_by`` aggregate over a struct wrapper, so a NULL last
+       value is carried as NULL rather than skipped) and carry it across
+       empty partitions on the driver so pid *i* knows the value
+       preceding its first row;
+    3. local per-partition lag; ONLY the first row of each partition
+       (``row_number() == 1``) takes the carried boundary value — a
+       mid-partition row whose true predecessor value is NULL keeps
+       NULL, exactly like ``LAG``.
 
-    Exact for any value type; the global first row stays NULL. Requires
-    ``order_cols`` to end in a unique tiebreaker (total order)."""
+    Exact for any value type, including NULL values; the global first
+    row stays NULL. Requires ``order_cols`` to end in a unique
+    tiebreaker (total order)."""
     if not all(isinstance(c, str) for c in order_cols):
         raise ValueError("scalable_lag requires plain ascending order cols")
     oexp = _order_exprs(order_cols)
@@ -325,7 +339,10 @@ def scalable_lag(
     last_rows = (
         part.groupBy("_pid")
         .agg(
-            F.max_by(value_col, F.struct(*order_plain)).alias("_last")
+            F.max_by(
+                F.struct(F.col(value_col).alias("v")),
+                F.struct(*order_plain),
+            ).alias("_last")
         )
         .collect()
     )
@@ -333,7 +350,7 @@ def scalable_lag(
     carried = None
     for row in sorted(last_rows, key=lambda r: r["_pid"]):
         prev[row["_pid"]] = carried
-        carried = row["_last"]
+        carried = row["_last"]["v"] if row["_last"] is not None else None
     spark = df.sparkSession
     vtype = dict(part.dtypes)[value_col]
     off_df = spark.createDataFrame(
@@ -345,7 +362,9 @@ def scalable_lag(
         part.join(F.broadcast(off_df), "_pid", "left")
         .withColumn(
             out_col,
-            F.coalesce(F.lag(value_col).over(w_local), F.col("_prev")),
+            F.when(
+                F.row_number().over(w_local) == 1, F.col("_prev")
+            ).otherwise(F.lag(value_col).over(w_local)),
         )
         .drop("_pid", "_prev")
     )

@@ -1470,9 +1470,21 @@ def canonical_legs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     it per query. At cluster scale the checkpoint is an order-grain
     frame (≪ lineitem) partitioned by the shuffle that built it."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    # entries from prior SparkSessions are dead weight — evict them so
+    # the registry stays bounded to the live application's sf_dirs
+    for stale in [k for k in _CANONICAL_LEGS_CACHE if k[0] != key[0]]:
+        _CANONICAL_LEGS_CACHE.pop(stale, None)
     cached = _CANONICAL_LEGS_CACHE.get(key)
     if cached is not None:
-        return cached
+        try:
+            # localCheckpoint is NON-reliable: after an executor loss the
+            # checkpointed blocks are gone and every consumer would fail
+            # for the rest of the app. Probe one partition (cached-block
+            # read, ~ms) and rebuild on any failure instead.
+            cached.take(1)
+            return cached
+        except Exception:
+            _CANONICAL_LEGS_CACHE.pop(key, None)
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))

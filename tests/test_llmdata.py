@@ -61,6 +61,19 @@ def test_image_header_parse_rejects_garbage_and_truncation():
     assert multimodal.parse_image_header(b"GIF89a\x01") is None
     assert multimodal.parse_image_header(b"BM" + b"\x00" * 10) is None
     assert multimodal.parse_image_header(b"not an image at all, ever") is None
+    # a raw TEXT payload that happens to start with "BM" must NOT parse
+    # as a bogus BMP (the synth raw branch emits document text verbatim;
+    # biSize==40 at offset 14 is now required)
+    assert (
+        multimodal.parse_image_header(b"BMW dealers reported strong sales")
+        is None
+    )
+    assert (
+        multimodal.parse_image_header(
+            multimodal.synth_image_payload(3, "BM prefix text " * 5)
+        )
+        is None
+    )
 
 
 def test_real_pngs_and_bmps_parse():

@@ -116,6 +116,41 @@ def test_scalable_lag_matches_global_window(spark):
     assert got.filter(F.col("pv").isNull()).count() == 1
 
 
+def test_scalable_lag_null_values_exact(spark):
+    # NULL values mid-stream must lag as NULL (not the partition-boundary
+    # value), and a NULL last-value must carry NULL into the next
+    # partition — the round-7 coalesce backfilled both wrongly.
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, F.col("id") * 2).alias("v"),
+    )
+    got = scalable_lag(df, ["id"], "v", out_col="pv", num_partitions=7)
+    want = df.withColumn("pv", F.lag("v").over(Window.orderBy("id")))
+    assert (
+        got.select("id", "pv").exceptAll(want.select("id", "pv")).count()
+        == 0
+    )
+    # 2 of 3 values are NULL → roughly two-thirds of lags are NULL
+    assert got.filter(F.col("pv").isNull()).count() == want.filter(
+        F.col("pv").isNull()
+    ).count()
+
+
+def test_scalable_prefix_sums_all_null_partition(spark):
+    # an all-NULL value range used to crash the driver fold with a
+    # TypeError (None += int); NULLs now count as 0 in the running sum
+    df = spark.range(0, 90).select(
+        F.col("id"),
+        F.when(F.col("id") >= 60, F.lit(1)).cast("long").alias("v"),
+    )
+    got, totals = scalable_prefix_sums(
+        df, ["id"], {"cv": "v"}, num_partitions=9, with_totals=True
+    )
+    assert totals == {"cv": 30}
+    rows = {r["id"]: r["cv"] for r in got.collect()}
+    assert rows[0] == 0 and rows[59] == 0 and rows[89] == 30
+
+
 def test_connected_components_fixture_graph(spark):
     # chain 1-2-3-4, triangle 10-11-12, pair 20-21
     edges = spark.createDataFrame(
