@@ -385,26 +385,36 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides a vocab-size cutoff ("top-k tokens cover 99.5% of the
     corpus") before training a tokenizer.
 
-    Scale: the corpus-wide explode+count shrinks to vocabulary
-    cardinality FIRST (map-side combined groupBy); the single-partition
-    ranking windows then run over vocab-sized data (≪ corpus — a few
-    hundred thousand rows even web-scale), which is the standard shape.
-    """
+    Scale: the corpus-wide explode+count shrinks to DISTINCT-token
+    cardinality first (map-side combined groupBy) — but by Heaps' law
+    the distinct whitespace/regex tokens of a 100 TB web corpus still
+    land at 10⁸–10⁹ rows (typos, URLs, numerals), far too many for a
+    single-partition ranking window. The Zipf rank AND the cumulative
+    occurrence sum are therefore ONE `scalable_prefix_sums` two-pass
+    (range-repartition on (n DESC, token), local window sums + broadcast
+    boundary offsets), and the coverage denominator is the driver-known
+    grand total that pass already computed (`with_totals`) — no
+    `Window.partitionBy()` grand-total scan either."""
+    from ..operators.windows import scalable_prefix_sums
+
     docs = load_table(spark, sf_dir, "documents")
     c = (
         docs.select(F.explode(textstats.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w_rank = Window.orderBy(F.col("n").desc(), "token")
-    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    return c.select(
+    ranked, totals = scalable_prefix_sums(
+        c,
+        [F.col("n").desc(), "token"],
+        {"token_rank": F.lit(1).cast("long"), "cum_n": "n"},
+        with_totals=True,
+    )
+    return ranked.select(
         "token",
         F.col("n").alias("n_occurrences"),
-        F.row_number().over(w_rank).alias("token_rank"),
+        F.col("token_rank").cast("int").alias("token_rank"),
         r6(
-            F.sum("n").over(w_cum) * F.lit(1.0) / F.sum("n").over(w_all)
+            F.col("cum_n") * F.lit(1.0) / F.lit(int(totals["cum_n"]))
         ).alias("cum_frac"),
     )
 
