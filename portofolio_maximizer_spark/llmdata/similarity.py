@@ -164,6 +164,7 @@ def blocked_cosine_pairs(
     id_col: str = "vec_id",
     block: int = 256,
     threshold: float = 0.5,
+    max_rows: int | None = 200_000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via BLOCKED Gram matrices.
 
@@ -174,7 +175,24 @@ def blocked_cosine_pairs(
     compute is dense BLAS — versus shipping both vectors for every one of
     the N²/2 pairs (the naive join), a ~block× traffic reduction. This is
     the exactness baseline; hyperplane-LSH (`lsh_topk`) is the scale path.
-    """
+
+    GUARD: this is the declared O(N²) CORRECTNESS baseline, never a
+    production path — pointed at a corpus-scale table it would silently
+    become a cross-join of Gram blocks. It therefore refuses inputs
+    above ``max_rows`` (one count() action up front; set ``None`` only
+    in tests that deliberately exercise the baseline at scale)."""
+    if max_rows is not None:
+        n_vecs = emb.count()
+        if n_vecs > max_rows:
+            raise ValueError(
+                f"blocked_cosine_pairs is the O(N^2) correctness baseline "
+                f"and refuses {n_vecs:,} vectors (max_rows={max_rows:,}). "
+                "Use the scale paths instead: MinHash-LSH "
+                "(minhash_lsh_neardups, L2), centroid semantic dedup "
+                "(semantic_dedup_keeplist, L28), or bucketed ANN "
+                "(embedding_lsh_ann / embedding_ivf_ann / "
+                "embedding_pq_ann, L7)."
+            )
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (

@@ -411,6 +411,24 @@ def test_semantic_dedup_per_cluster_pairs_bounded(spark, sf_dir):
     assert mean_pop <= _SEMDEDUP_TARGET_POP
 
 
+def test_blocked_cosine_guard_fires(spark, sf_dir):
+    """L6's O(N²) baseline must refuse corpus-scale inputs with a
+    message naming the scale paths (it is a correctness baseline, not a
+    production path)."""
+    import pytest as _pytest
+
+    from portofolio_maximizer_spark.llmdata import similarity
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="scale paths"):
+        similarity.blocked_cosine_pairs(emb, max_rows=10).count()
+    # under the cap (and with the guard disabled) it still runs
+    small = emb.limit(12)
+    assert similarity.blocked_cosine_pairs(small, max_rows=50).count() >= 0
+    assert similarity.blocked_cosine_pairs(small, max_rows=None).count() >= 0
+
+
 def test_pq_rerank_recall_and_determinism(spark, sf_dir):
     """L45: the PQ+rerank pipeline must (a) be run-to-run deterministic,
     (b) recover ≥ 0.5 mean recall@5 vs exact Euclidean top-5 after the
