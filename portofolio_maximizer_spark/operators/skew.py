@@ -38,16 +38,21 @@ def salted_aggregate(
     keys: Sequence[str],
     salt_by: Sequence[str],
     n_salts: int = 16,
+    value: Column | str = "value",
 ) -> DataFrame:
     """Two-phase skew-safe aggregation producing per-key
     sum(value)/count/min/max — the partial pass groups on (keys, salt),
-    the final pass merges partials on keys alone."""
+    the final pass merges partials on keys alone. ``value`` may be any
+    column expression; pass a DECIMAL cast when the two-phase sum must
+    be bit-identical to a one-phase sum (float partials drift a ulp
+    under reassociation)."""
+    vcol = F.col(value) if isinstance(value, str) else value
     salted = df.withColumn("_salt", _salt(salt_by, n_salts))
     partial = salted.groupBy(*keys, "_salt").agg(
-        F.sum("value").alias("_s"),
+        F.sum(vcol).alias("_s"),
         F.count(F.lit(1)).alias("_c"),
-        F.min("value").alias("_mn"),
-        F.max("value").alias("_mx"),
+        F.min(vcol).alias("_mn"),
+        F.max(vcol).alias("_mx"),
     )
     return partial.groupBy(*keys).agg(
         F.sum("_s").alias("sum_value"),

@@ -9623,3 +9623,77 @@ def partition_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("salt_candidate")
         .alias("advice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew rollup — R155's advice ladder EXECUTED, not just diagnosed
+# ---------------------------------------------------------------------------
+
+#: salt fan-out for the hot-key mitigation below. 16 splits a
+#: 5x-imbalanced hot key into sub-mean shards at AQE's default
+#: skewedPartitionFactor; a deployment tunes it to max_rows/mean_rows
+#: from `partition_skew_census`.
+_SKEW_SALTS = 16
+
+
+@query(
+    "skew_salted_rollup",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+    FROM events GROUP BY user_id
+    """,
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R155's `salt_candidate` advice executed end-to-end: the
+    events-by-user rollup computed the way a 1000-executor job handles a
+    hot user key — salt each row with ``pmod(event_id, 16)``, aggregate
+    at the (user_id, salt) grain (the hot key spreads across 16 tasks),
+    then FOLD the salt shards into the final per-user aggregates with a
+    second, now-balanced shuffle. Distinct event types use the sibling
+    two-stage pattern: shuffle on (user_id, event_type) first (the
+    distinct dissolves the hot key across its value space), then count
+    at the user grain.
+
+    The ORACLE is the plain unsalted ``GROUP BY user_id`` — the hash
+    match IS the proof that salting preserves results exactly. The value
+    sum rides DECIMAL(18,6) on both sides so the salt-shard fold is
+    order-independent (float partial sums would drift a ulp).
+
+    Scale: every aggregate here is algebraic (count/sum/min/max fold
+    losslessly); both shuffles are map-side combined; no window, no
+    driver state. The salted leg is the library helper
+    `operators/skew.py:salted_aggregate` (deterministic xxhash64 salt);
+    `tests/test_skew_bucketing.py` pins the two-stage exchange structure
+    and result-equality with the unsalted plan. min/max commute with the
+    monotone 6-dp rounding, so ROUND(MIN(value), 6) on the oracle side
+    equals MIN over the decimal-cast values here."""
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = salted_aggregate(
+        ev,
+        keys=["user_id"],
+        salt_by=["event_id"],
+        n_salts=_SKEW_SALTS,
+        value=F.col("value").cast("decimal(18,6)"),
+    )
+    folded = agg.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        r6(F.col("sum_value").cast("double")).alias("total_value"),
+        r6(F.col("min_value").cast("double")).alias("min_value"),
+        r6(F.col("max_value").cast("double")).alias("max_value"),
+    )
+    types = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_event_types"))
+    )
+    return folded.join(types, "user_id")

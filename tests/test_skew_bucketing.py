@@ -105,3 +105,38 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucketed_tables):
         F.col("o_custkey") == F.col("c_custkey"),
     )
     assert joined.count() == plain.count()
+
+
+def test_skew_salted_rollup_structure_and_equality(spark, sf_dir):
+    """R155's advice ladder EXECUTED: the oracle-backed
+    `skew_salted_rollup` must (a) equal the plain unsalted GROUP BY
+    exactly, and (b) actually carry the two-stage shuffle structure —
+    one exchange keyed (user_id, _salt) for the partial pass, then a
+    user_id-only exchange for the fold."""
+    import re
+
+    from portofolio_maximizer_spark.plans.queries_ops import (
+        skew_salted_rollup,
+    )
+
+    got = skew_salted_rollup(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.countDistinct("event_type").cast("long").alias("n_event_types"),
+    )
+    cols = [
+        "user_id", "n_events", "total_value",
+        "min_value", "max_value", "n_event_types",
+    ]
+    assert _rows(got, cols) == _rows(plain, cols)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, _salt#", plan), plan
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan), plan
