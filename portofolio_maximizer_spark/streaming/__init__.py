@@ -1,5 +1,6 @@
 from .stream import (
     dedupe_within_watermark,
+    drain_session,
     enriched_stream,
     events_stream,
     run_to_memory,
@@ -13,6 +14,7 @@ from .stream import (
 
 __all__ = [
     "dedupe_within_watermark",
+    "drain_session",
     "enriched_stream",
     "events_stream",
     "run_to_memory",

@@ -261,22 +261,82 @@ def vol_spike_alerts(stream: DataFrame) -> DataFrame:
     )
 
 
+#: per-(application, queryName, cache_key) registry of drained batch
+#: results. An availableNow drain over a fixed input directory is
+#: deterministic, so each consumer after the first should not re-pay the
+#: micro-batch harness floor (~2.5–5.6 s per drain on local[32]) — the
+#: same memoization rationale as `canonical_legs_frame`.
+_DRAIN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def memoize_drain(spark, name: str, cache_key: str, build) -> DataFrame:
+    """Memoize a deterministic drain: ``build()`` runs once per
+    (application, name, cache_key) and its result is pinned with
+    ``localCheckpoint``. Reuse is probed (one cached-block read) and
+    rebuilt on failure — localCheckpoint is non-reliable after executor
+    loss; entries from dead SparkSessions are evicted."""
+    key = (spark.sparkContext.applicationId, name, cache_key)
+    for stale in [k for k in _DRAIN_CACHE if k[0] != key[0]]:
+        _DRAIN_CACHE.pop(stale, None)
+    hit = _DRAIN_CACHE.get(key)
+    if hit is not None:
+        try:
+            hit.take(1)
+            return hit
+        except Exception:
+            _DRAIN_CACHE.pop(key, None)
+    out = build().localCheckpoint(eager=True)
+    _DRAIN_CACHE[key] = out
+    return out
+
+
+def drain_session(spark, partitions: int = 8):
+    """Child session (shared SparkContext, isolated SQLConf) sized for an
+    availableNow drain: every stateful streaming operator bootstraps one
+    state store per shuffle partition, so at test volumes 32 partitions
+    of setup dominate the drain wall (the work is ~100k rows). A
+    production deployment sizes the partition count to stream volume;
+    the operators are partition-count agnostic and the drained RESULTS
+    are partition-count invariant (aggregations/session merges don't
+    depend on the shuffle layout). Isolated conf means concurrent family
+    drains can't race each other's settings."""
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    return child
+
+
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Drain a stream with ``availableNow`` into an in-memory table and
     return it as a batch DataFrame — the test/driver harness for every
     operator above (processes all available input, then stops, exactly
-    once)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    once).
+
+    With ``cache_key`` (callers pass the input directory) the drained
+    result is memoized per (application, name, cache_key): the drain is
+    deterministic for a fixed input, so repeat consumers read the pinned
+    batch frame instead of re-running the micro-batch. Watermark/state
+    semantics are untouched — the first drain is a real streaming job.
+    Tests that deliberately re-drain (determinism pins) omit the key."""
+
+    def _drain() -> DataFrame:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return stream_df.sparkSession.table(name)
+
+    if cache_key is None:
+        return _drain()
+    return memoize_drain(stream_df.sparkSession, name, cache_key, _drain)
 
 
 def enriched_stream(stream: DataFrame, dim: DataFrame) -> DataFrame:
