@@ -23,6 +23,7 @@ from portofolio_maximizer_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    load_start = os.getloadavg()
     spark = get_spark("bench")
     # OFF, not ERROR: Spark 4 structured logging writes JSON error lines to
     # stdout, which would corrupt this script's one-JSON-line contract.
@@ -67,6 +68,14 @@ def main() -> None:
     # the JSON line from it. Keep the line compact: total + the 20 slowest
     # queries at 2dp stays well under 2500 chars; the full per-query map
     # goes to a sidecar file next to this script.
+    # self-describing profile (round-7 verdict What's wrong #3): which
+    # staged artifacts were warm (hit) vs fit in-run (miss), and the
+    # host's ambient load — so cross-round wall comparisons can separate
+    # cold/warm staging and co-tenant noise mechanically.
+    from portofolio_maximizer_spark.plans.queries import STAGE_EVENTS
+
+    n_hit = sum(1 for v in STAGE_EVENTS.values() if v == "hit")
+    n_miss = sum(1 for v in STAGE_EVENTS.values() if v == "miss")
     full = {
         "metric": "query_pack_wall_seconds",
         "value": total,
@@ -76,6 +85,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": sum(1 for v in timings.values() if v < 0),
+        "stage_hits": n_hit,
+        "stage_misses": n_miss,
+        "stage_events": dict(sorted(STAGE_EVENTS.items())),
+        "load_avg_start": list(load_start),
+        "load_avg_end": list(os.getloadavg()),
     }
     if warm is not None:
         full["warm_value"] = warm_total
@@ -94,6 +108,8 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "n_errors": full["n_errors"],
+            "stage": f"{n_hit}h/{n_miss}m",
+            "load1": round(load_start[0], 1),
             "full": "BENCH_FULL.json",
             **({"warm_value": warm_total} if warm is not None else {}),
         },

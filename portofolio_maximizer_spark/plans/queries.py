@@ -156,6 +156,14 @@ class _stage_lock:
         self._fh.close()
 
 
+#: telemetry: FIRST stage-cache outcome per artifact in this process
+#: ("hit" = a fresh marker skipped the build, "miss" = the fit ran).
+#: bench.py copies this into BENCH_FULL.json so cold-vs-warm staging is
+#: machine-readable instead of a prose caveat — a bench wall with
+#: misses includes fit time; one with all hits is the warm profile.
+STAGE_EVENTS: dict[str, str] = {}
+
+
 def _ensure_staged(df_or_build, name: str, sf_dir: str) -> str:
     """Write the artifact unless a fresh fingerprint marker says a prior
     run (this or any other process, same code + data) already did."""
@@ -163,15 +171,20 @@ def _ensure_staged(df_or_build, name: str, sf_dir: str) -> str:
     import os
 
     path = os.path.join(stage_root(sf_dir), name)
+    ev_key = os.path.basename(sf_dir.rstrip("/")) + "/" + name
     fp = _fingerprint(sf_dir)
     if _stage_fresh(path, fp):
+        STAGE_EVENTS.setdefault(ev_key, "hit")
         return path
     with _stage_lock(path):
         if not _stage_fresh(path, fp):  # re-check under the lock
+            STAGE_EVENTS.setdefault(ev_key, "miss")
             df = df_or_build() if callable(df_or_build) else df_or_build
             df.write.mode("overwrite").parquet(path)
             with open(os.path.join(path, _MARKER), "w") as f:
                 json.dump(fp, f)
+        else:
+            STAGE_EVENTS.setdefault(ev_key, "hit")
     return path
 
 

@@ -2119,16 +2119,16 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), r"\s+").alias("arr"),
         F.when(F.col("n_chars") >= _NBQ_LABEL_CHARS, 1)
         .otherwise(0)
-        .alias("y"),
+        .alias("label"),
         (F.col("doc_id") % 5 == 0).alias("is_test"),
     )
     toks = (
         base.select(
-            "doc_id", "y", "is_test", F.explode(F.col("arr")).alias("tok")
+            "doc_id", "label", "is_test", F.explode(F.col("arr")).alias("tok")
         )
         .select(
             "doc_id",
-            "y",
+            "label",
             "is_test",
             (
                 F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10)
@@ -2136,57 +2136,57 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % _NBQ_BUCKETS
             )
             .cast("int")
-            .alias("b"),
+            .alias("hash_bucket64"),
         )
         .localCheckpoint()
     )
     train = toks.filter(~F.col("is_test"))
-    cls = train.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("tot"))
-    cnt = train.groupBy("y", "b").agg(
+    cls = train.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    cnt = train.groupBy("label", "hash_bucket64").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     grid = (
         spark.range(_NBQ_BUCKETS)
-        .select(F.col("id").cast("int").alias("b"))
+        .select(F.col("id").cast("int").alias("hash_bucket64"))
         .crossJoin(F.broadcast(cls))
-        .join(cnt, ["b", "y"], "left")
+        .join(cnt, ["hash_bucket64", "label"], "left")
         .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
     )
     lsm = F.log((F.col("c") + 1.0) / (F.col("tot") + _NBQ_BUCKETS))
-    w = grid.groupBy("b").agg(
+    w = grid.groupBy("hash_bucket64").agg(
         (
-            F.max(F.when(F.col("y") == 1, lsm))
-            - F.max(F.when(F.col("y") == 0, lsm))
+            F.max(F.when(F.col("label") == 1, lsm))
+            - F.max(F.when(F.col("label") == 0, lsm))
         ).alias("lw")
     )
     prior = base.filter(~F.col("is_test")).agg(
         F.log(
-            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("double")
-            / F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+            F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
         ).alias("lp")
     )
     scored = (
         toks.filter(F.col("is_test"))
-        .join(F.broadcast(w), "b")
+        .join(F.broadcast(w), "hash_bucket64")
         .crossJoin(F.broadcast(prior))
         .groupBy("doc_id")
         .agg(
-            F.any_value("y").alias("y"),
+            F.any_value("label").alias("label"),
             F.round(F.sum("lw") + F.any_value("lp"), 6).alias("score"),
         )
     )
     pred_pos = F.col("score") > 0
     conf = scored.agg(
-        F.sum(F.when((F.col("y") == 1) & pred_pos, 1).otherwise(0))
+        F.sum(F.when((F.col("label") == 1) & pred_pos, 1).otherwise(0))
         .cast("long")
         .alias("tp"),
-        F.sum(F.when((F.col("y") == 0) & pred_pos, 1).otherwise(0))
+        F.sum(F.when((F.col("label") == 0) & pred_pos, 1).otherwise(0))
         .cast("long")
         .alias("fp"),
-        F.sum(F.when((F.col("y") == 0) & ~pred_pos, 1).otherwise(0))
+        F.sum(F.when((F.col("label") == 0) & ~pred_pos, 1).otherwise(0))
         .cast("long")
         .alias("tn"),
-        F.sum(F.when((F.col("y") == 1) & ~pred_pos, 1).otherwise(0))
+        F.sum(F.when((F.col("label") == 1) & ~pred_pos, 1).otherwise(0))
         .cast("long")
         .alias("fn"),
     )

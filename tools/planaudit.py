@@ -112,6 +112,10 @@ _CONST_CARD_COLS = {
     # quality-rule identifiers: cardinality fixed by the rule set
     "first_fail",
     "rule_id",
+    # the NB classifier's hashed bag-of-words bucket: cardinality fixed
+    # by the modulo constant in its definition (pmod(md5(tok), 64) —
+    # 64 buckets at any sf), named uniquely so the bound is auditable
+    "hash_bucket64",
     # Bloom-filter bit-array coordinates: seed ∈ [0, k), position =
     # hash % m — cardinality capped at k·m by CONSTRUCTION, never by
     # data volume (that cap is the whole point of the structure)
