@@ -3485,3 +3485,166 @@ query("embedding_pq_ann", oracle="""
       FROM rer
     ) WHERE rnk <= 5
     """)(embedding_pq_ann)
+
+
+# ---------------------------------------------------------------------------
+# L49 — unigram entropy / cross-entropy census per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_entropy_census",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+    s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM st GROUP BY source),
+    g AS (SELECT tok, SUM(c) AS cg FROM st GROUP BY tok),
+    n AS (SELECT SUM(cg) AS big_n FROM g),
+    terms AS (
+      SELECT st.source,
+             (st.c * 1.0 / s.ns) AS p_s,
+             (g.cg * 1.0 / n.big_n) AS p_g
+      FROM st JOIN s ON s.source = st.source
+              JOIN g ON g.tok = st.tok, n
+    )
+    SELECT source,
+           ANY_VALUE(s.ns) AS n_tokens,
+           ANY_VALUE(s.vocab) AS vocab_size,
+           ROUND(-SUM(p_s * LN(p_s)), 6) AS entropy,
+           ROUND(-SUM(p_s * LN(p_g)), 6) AS cross_entropy,
+           ROUND(SUM(p_s * (LN(p_s) - LN(p_g))), 6) AS kl_vs_global
+    FROM terms JOIN s USING (source) GROUP BY source
+    """,
+)
+def corpus_entropy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49: information-theoretic corpus drift census — per source, the
+    unigram entropy of its token distribution, the cross-entropy of that
+    distribution against the GLOBAL unigram model, and their difference
+    (the KL divergence). This is the standard "which slice of my corpus
+    stopped looking like the rest" quality monitor — a source whose KL
+    jumps between snapshots changed its content mix (complementing
+    L42's PSI drift on metadata features with a token-level signal).
+
+    Scale: one (source, token) map-side-combined aggregate; the global
+    model is a token-grain aggregate SHUFFLE-joined back on token (never
+    broadcast — vocabulary grows with the corpus by Heaps' law); the
+    per-source fold is a bounded-cardinality groupBy. The corpus-total
+    scalar rides a broadcast one-row crossJoin (the documented
+    broadcast-scalar class)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(textstats.tokens(F.col("text"))).alias("tok")
+    )
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    s = st.groupBy("source").agg(
+        F.sum("c").cast("long").alias("ns"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    g = st.groupBy("tok").agg(F.sum("c").alias("cg"))
+    big_n = g.agg(F.sum("cg").alias("big_n"))
+    terms = (
+        st.join(F.broadcast(s), "source")
+        .join(g, "tok")
+        .crossJoin(F.broadcast(big_n))
+        .select(
+            "source",
+            "ns",
+            "vocab",
+            (F.col("c") * F.lit(1.0) / F.col("ns")).alias("p_s"),
+            (F.col("cg") * F.lit(1.0) / F.col("big_n")).alias("p_g"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.any_value("ns").alias("n_tokens"),
+        F.any_value("vocab").alias("vocab_size"),
+        r6(-F.sum(F.col("p_s") * F.log("p_s"))).alias("entropy"),
+        r6(-F.sum(F.col("p_s") * F.log("p_g"))).alias("cross_entropy"),
+        r6(
+            F.sum(F.col("p_s") * (F.log("p_s") - F.log("p_g")))
+        ).alias("kl_vs_global"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L50 — blocklist phrase filtering census
+# ---------------------------------------------------------------------------
+
+#: phrase blocklist: one severe phrase (any hit drops the document) and
+#: four mild phrases (two or more distinct hits drop it) — the standard
+#: two-tier bad-content filter shape; swap for a real list in production
+_BLOCK_SEVERE = "slow scan"
+_BLOCK_MILD = ("big table", "fast merge", "hash join", "sort hash")
+
+
+@query(
+    "blocklist_filter_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             (text LIKE '%{_BLOCK_SEVERE}%') AS severe,
+             ((CASE WHEN text LIKE '%{_BLOCK_MILD[0]}%' THEN 1 ELSE 0 END)
+            + (CASE WHEN text LIKE '%{_BLOCK_MILD[1]}%' THEN 1 ELSE 0 END)
+            + (CASE WHEN text LIKE '%{_BLOCK_MILD[2]}%' THEN 1 ELSE 0 END)
+            + (CASE WHEN text LIKE '%{_BLOCK_MILD[3]}%' THEN 1 ELSE 0 END))
+               AS mild_hits
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN severe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_severe,
+           CAST(SUM(CASE WHEN mild_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mild_flagged,
+           CAST(SUM(CASE WHEN severe OR mild_hits >= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           ROUND(SUM(CASE WHEN severe OR mild_hits >= 2
+                     THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS drop_rate
+    FROM d GROUP BY source
+    """,
+)
+def blocklist_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L50: two-tier phrase-blocklist filtering — the bad-content /
+    boilerplate screen every web-corpus ingest runs before tokenization:
+    a severe phrase drops the document outright, two or more distinct
+    mild-phrase hits drop it too, and the census reports per-source
+    flag and drop rates (the dashboards that catch a crawler suddenly
+    pulling in a spam-heavy domain).
+
+    Scale: pure per-row predicate work (substring containment fused
+    into the scan, whole-stage codegen) followed by a bounded
+    source-grain aggregate — embarrassingly parallel, zero shuffles
+    beyond the final 20-row fold. A production list swaps the literals
+    for a broadcast Aho-Corasick automaton inside a Pandas UDF; the
+    census algebra is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    severe = F.col("text").contains(_BLOCK_SEVERE)
+    mild_hits = sum(
+        F.when(F.col("text").contains(p), 1).otherwise(0)
+        for p in _BLOCK_MILD
+    )
+    d = docs.select(
+        "source",
+        severe.alias("severe"),
+        mild_hits.alias("mild_hits"),
+    )
+    dropped = F.col("severe") | (F.col("mild_hits") >= 2)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("severe"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_severe"),
+        F.sum(F.when(F.col("mild_hits") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mild_flagged"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias(
+            "n_dropped"
+        ),
+        r6(
+            F.sum(F.when(dropped, 1).otherwise(0)) * F.lit(1.0)
+            / F.count(F.lit(1))
+        ).alias("drop_rate"),
+    )

@@ -2283,3 +2283,171 @@ def length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rank_le") >= F.floor((F.col("q") - eps) * F.col("n")))
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L47 — subword vocabulary induction (tokenizer-prep beyond raw tokens)
+# ---------------------------------------------------------------------------
+
+#: induced vocabulary size and rank-bucket width for the coverage table
+_SVI_VOCAB = 200
+_SVI_BUCKET = 20
+
+
+@query(
+    "subword_vocab_induction",
+    oracle=f"""
+    WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                 FROM documents),
+    m AS (SELECT '_' || tok AS m FROM tok WHERE LENGTH(tok) >= 2),
+    tri AS (
+      SELECT SUBSTR(m, CAST(i AS INTEGER), 3) AS gram
+      FROM m, UNNEST(GENERATE_SERIES(1, LENGTH(m) - 2)) AS u(i)
+    ),
+    c AS (SELECT gram, COUNT(*) AS n FROM tri GROUP BY gram),
+    r AS (SELECT gram, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rk
+          FROM c),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+    SELECT CASE WHEN rk <= {_SVI_VOCAB}
+                THEN CAST((rk - 1) // {_SVI_BUCKET} + 1 AS INTEGER)
+                ELSE 0 END AS rank_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(n) AS BIGINT) AS n_occurrences,
+           ROUND(SUM(n) * 1.0 / ANY_VALUE(tot), 6) AS frac_occurrences
+    FROM r, t GROUP BY 1
+    """,
+)
+def subword_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L47: frequency-based subword vocabulary induction — the
+    WordPiece-style first pass a tokenizer-training pipeline runs: every
+    token contributes its boundary-marked character trigrams
+    ('_' + token, window 3), the corpus-wide trigram frequencies are
+    ranked, the top ``_SVI_VOCAB`` become the induced vocabulary, and
+    the output is the rank-bucketed coverage table (20-wide buckets,
+    bucket 0 = everything beyond the vocabulary) that tells you how much
+    of the corpus the induced subwords explain before byte-fallback.
+
+    Scale: the trigram table is vocabulary-shaped but, like L16, Heaps'
+    law keeps DISTINCT grams growing with corpus size — so the global
+    rank is the `scalable_prefix_sums` two-pass (range-partition on
+    (n DESC, gram)) with the coverage denominator from the driver-known
+    grand total; the double explode (tokens, then trigram windows) is
+    repartitioned to the session parallelism first."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par)
+        .select(F.explode(textstats.tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+    )
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring('_' || tok, i, 3))"
+            )
+        ).alias("gram")
+    )
+    c = tri.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    ranked, totals = OW.scalable_prefix_sums(
+        c,
+        [F.col("n").desc(), "gram"],
+        {"rk": F.lit(1).cast("long")},
+        with_totals=True,
+    )
+    tot_occ = c.agg(F.sum("n")).first()[0]
+    bucket = (
+        F.when(
+            F.col("rk") <= _SVI_VOCAB,
+            (F.floor((F.col("rk") - 1) / _SVI_BUCKET) + 1).cast("int"),
+        )
+        .otherwise(0)
+        .alias("rank_bucket")
+    )
+    return ranked.groupBy(bucket).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+        r6(F.sum("n") * F.lit(1.0) / F.lit(int(tot_occ))).alias(
+            "frac_occurrences"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L48 — curriculum schedule (quality-ordered training stages)
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_STAGES = 3
+
+
+@query(
+    "curriculum_schedule",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_toks,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+             MD5(CAST(doc_id AS VARCHAR)) AS shuf
+      FROM documents
+    ),
+    r AS (SELECT *,
+                 NTILE({_CURRICULUM_STAGES})
+                   OVER (ORDER BY ttr, doc_id) AS stage
+          FROM d)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           ROUND(AVG(ttr), 6) AS mean_ttr,
+           MIN_BY(doc_id, shuf) AS first_doc_id
+    FROM r GROUP BY stage
+    """,
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48: quality-curriculum staging — order the corpus by a lexical
+    quality proxy (type-token ratio), cut it into
+    ``_CURRICULUM_STAGES`` equal stages (low-diversity first, the
+    easy-to-hard curriculum), and give each stage a DETERMINISTIC
+    within-stage shuffle key (md5 of doc_id — replayable, seedless).
+    Output: per-stage doc/token budgets, mean quality, and the shuffle
+    head (the first document a trainer would read).
+
+    Scale: the stage cut is the exact-NTILE two-pass —
+    `scalable_row_number` over (ttr, doc_id) plus the SQL-standard
+    divmod bucket rule from the driver-known total — so no
+    single-partition ranking window; everything after is a 3-group
+    aggregate. The shuffle head is `min_by` (no per-stage sort)."""
+    from ..operators.windows import scalable_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        (
+            F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+        ).alias("ttr"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuf"),
+    )
+    ranked, total = scalable_row_number(
+        d, ["ttr", "doc_id"], out_col="rk", with_total=True
+    )
+    q, rem = divmod(total, _CURRICULUM_STAGES)
+    rn0 = F.col("rk") - 1
+    stage = (
+        F.when(rn0 < rem * (q + 1), F.floor(rn0 / (q + 1)) + 1)
+        .otherwise(
+            F.lit(rem)
+            + F.floor((rn0 - rem * (q + 1)) / F.greatest(F.lit(q), F.lit(1)))
+            + 1
+        )
+        .cast("int")
+        .alias("stage")
+    )
+    return ranked.groupBy(stage).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        r6(F.avg("ttr")).alias("mean_ttr"),
+        F.min_by("doc_id", "shuf").alias("first_doc_id"),
+    )

@@ -45,19 +45,25 @@ from pyspark.sql.types import (
 
 
 def _stream_dir(sf_dir: str) -> str:
-    """The parquet streaming source lists a DIRECTORY; the testdata keeps
-    all tables in one dir. Stage a per-sf_dir symlink directory holding
-    only events.parquet (testdata itself is read-only)."""
+    """The parquet streaming source lists a DIRECTORY. When the events
+    table is itself a directory of part files (every multi-file table at
+    real scale — and Spark-written replicas), stream it directly; the
+    single-file testdata layout (all tables in one read-only dir) gets a
+    per-sf_dir symlink directory holding only events.parquet, because
+    the source must not list the sibling tables."""
     import hashlib
     import os
     import tempfile
 
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        return src
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"spark_events_stream_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(src, link)
     return d
 
 
