@@ -140,3 +140,17 @@ def test_skew_salted_rollup_structure_and_equality(spark, sf_dir):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(user_id#\d+L?, _salt#", plan), plan
     assert re.search(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan), plan
+
+
+def test_bucketed_colocated_join_query_plan(spark, sf_dir):
+    """R157: the oracle-backed bucketed-join query must actually be
+    shuffle-free under the join — the ONLY exchange in the plan is the
+    final bounded mktsegment rollup."""
+    from portofolio_maximizer_spark.plans.queries_ops import (
+        bucketed_colocated_join,
+    )
+
+    df = bucketed_colocated_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
