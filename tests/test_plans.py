@@ -62,3 +62,30 @@ def test_audit_clean_on_headliners(spark):
     for name in ("q1_pricing_summary", "q5_region_revenue", "events_hourly_rollup"):
         flags = audit(_plan(spark, name))
         assert not flags, (name, flags)
+
+
+def test_nested_loop_adjudicator(spark):
+    """The r8 BNLJ classifier: a crossJoin(broadcast(<scalar agg>)) is
+    the documented scalar-attach pattern (no flag); a cross join of two
+    sf-scaling frames still flags; the declared O(N²) cosine baseline
+    keeps its flag."""
+    from pyspark.sql import functions as F
+
+    from planaudit import nested_loop_flags, optimized_plan_text
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    scalar = ev.agg(F.sum("value").alias("tot"))
+    good = ev.crossJoin(F.broadcast(scalar))
+    assert nested_loop_flags(plan_text(good), optimized_plan_text(good)) == []
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    bad = ev.crossJoin(F.broadcast(docs))
+    assert nested_loop_flags(plan_text(bad), optimized_plan_text(bad)) == [
+        "NESTED_LOOP_JOIN"
+    ]
+
+    baseline = QUERIES["embedding_cosine_neardups"](spark, SF)
+    assert nested_loop_flags(
+        plan_text(baseline), optimized_plan_text(baseline)
+    ) == ["NESTED_LOOP_JOIN"]

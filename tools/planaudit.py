@@ -4,11 +4,17 @@ Captures ``explain("formatted")`` for every registered query and flags the
 anti-patterns that break at 100 TB even when sf0.1 results are correct:
 
 - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` anywhere (all-pairs);
-  CARTESIAN is a HARD failure. BNLJ is flagged soft because it is
-  the *correct* plan when one side is a broadcast scalar/tiny aggregate
-  (``crossJoin(broadcast(agg))`` — bootstrap CI, mixing-rate, threshold
-  scalars all plan this way) and a bug only when both sides scale with
-  the data — the reviewer decides from the side cardinalities;
+  CARTESIAN is a HARD failure. BNLJ is the *correct* plan when one side
+  is a broadcast scalar/tiny aggregate (``crossJoin(broadcast(agg))`` —
+  bootstrap CI, mixing-rate, threshold scalars all plan this way) and a
+  bug only when both sides scale with the data. Since round 8 the tool
+  adjudicates this itself: a physical BNLJ whose optimized-plan cross
+  joins ALL carry a BOUNDED side (scalar aggregate / constant-keyed
+  aggregate / Limit / constant id-range filter — the same whitelist the
+  broadcast rule uses) is the documented scalar-attach pattern and does
+  not flag; it flags soft only when some cross join has NO bounded side
+  (or the BNLJ came from a conditioned non-equi join, which the logical
+  scan cannot classify);
 - ``FORCED_BROADCAST`` (HARD): a hand-written ``F.broadcast()`` hint whose
   build side scans an sf-scaling base table (lineitem/orders/customer/
   supplier/part/events/documents/embeddings) without anything that bounds
@@ -170,6 +176,29 @@ def _bounded(side: str) -> tuple[bool, bool]:
     KEYED_AGG flag rather than silently allowed."""
     if re.search(r"\b(GlobalLimit|LocalLimit)\b", side) or _ID_BOUND_RE.search(side):
         return True, False
+    # a side with NO sf-scaling leaf anywhere is a literal dimension —
+    # Range bin/replica enumerations, LocalRelation lookup rows,
+    # region/nation reference tables. A LogicalRDD leaf (checkpoint-
+    # truncated lineage) only qualifies when every column is
+    # constant-cardinality BY NAME (e.g. the Bloom bit set's
+    # (bloom_seed, bloom_pos) — k·m-capped by construction); an
+    # unrecognized checkpointed frame stays unbounded (safe default).
+    leaves = re.findall(
+        r"\b(?:Relation|LogicalRDD|Range \(|LocalRelation|OneRowRelation)",
+        side,
+    )
+    if leaves and not _scan_tables(side):
+        rdd_ok = True
+        for m in re.finditer(r"LogicalRDD \[([^\]]*)\]", side):
+            cols = {
+                re.sub(r"#\d+L?$", "", c.strip())
+                for c in m.group(1).split(",")
+                if c.strip()
+            }
+            if not cols <= _CONST_CARD_COLS:
+                rdd_ok = False
+        if rdd_ok:
+            return True, False
     keyed_only = False
     for m in _AGG_KEYS_RE.finditer(side):
         if m.group(1) == "Aggregate" and not m.group(3):
@@ -293,12 +322,44 @@ def forced_broadcast_flags(opt_plan: str) -> list[str]:
     return flags
 
 
+def nested_loop_flags(phys_plan: str, opt_plan: str) -> list[str]:
+    """Adjudicate BroadcastNestedLoopJoin: the physical BNLJ is the
+    documented broadcast-scalar pattern when EVERY condition-less join
+    in the optimized plan carries a bounded side (same whitelist as the
+    broadcast rule); it flags soft only when some cross join has no
+    bounded side, or when the BNLJ came from a conditioned non-equi
+    join the logical scan cannot see (conservative)."""
+    if "BroadcastNestedLoopJoin" not in phys_plan:
+        return []
+    lines = opt_plan.splitlines()
+    crosses = 0
+    bounded_crosses = 0
+    for i, ln in enumerate(lines):
+        if "Join Cross" not in ln:
+            continue
+        crosses += 1
+        p = _node_col(ln)
+        sub: list[str] = []
+        j = i + 1
+        while j < len(lines) and _node_col(lines[j]) > p:
+            sub.append(lines[j])
+            j += 1
+        starts = [k for k, l in enumerate(sub) if _node_col(l) == p + 3]
+        sides = [
+            "\n".join(sub[a:b])
+            for a, b in zip(starts, starts[1:] + [len(sub)])
+        ]
+        if sides and any(_bounded(side)[0] for side in sides):
+            bounded_crosses += 1
+    if crosses and crosses == bounded_crosses:
+        return []
+    return ["NESTED_LOOP_JOIN"]
+
+
 def audit(plan: str) -> list[str]:
     flags: list[str] = []
     if "CartesianProduct" in plan:
         flags.append("CARTESIAN")
-    if "BroadcastNestedLoopJoin" in plan:
-        flags.append("NESTED_LOOP_JOIN")
     # formatted mode prints each node twice (tree + details); count the
     # numbered detail entries only
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
@@ -344,8 +405,10 @@ def main() -> None:
     for name, fn in queries.items():
         try:
             df = fn(spark, sf_dir)
-            flags = audit(plan_text(df))
+            phys = plan_text(df)
+            flags = audit(phys)
             opt = optimized_plan_text(df)
+            flags += nested_loop_flags(phys, opt)
             flags += forced_broadcast_flags(opt)
             flags += single_partition_window_flags(opt)
         except Exception as exc:  # noqa: BLE001
