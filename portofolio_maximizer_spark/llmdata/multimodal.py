@@ -113,10 +113,11 @@ def parse_image_header(payload: bytes):
         len(payload) >= 30
         and payload[:2] == b"BM"
         # 'BM' alone is two printable ASCII bytes — any text payload
-        # starting with "BM..." would false-positive. Require the
-        # BITMAPINFOHEADER size field (biSize == 40 at offset 14) too,
-        # which real BMP writers always emit.
-        and struct.unpack("<I", payload[14:18])[0] == 40
+        # starting with "BM..." would false-positive. Require a valid
+        # INFO-family header size at offset 14 too (BITMAPINFOHEADER=40,
+        # V2=52, V3=56, V4=108, V5=124 — the width/height/bitcount
+        # offsets below are identical across the family).
+        and struct.unpack("<I", payload[14:18])[0] in (40, 52, 56, 108, 124)
     ):
         w = struct.unpack("<i", payload[18:22])[0]
         h = struct.unpack("<i", payload[22:26])[0]

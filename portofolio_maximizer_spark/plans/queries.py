@@ -171,7 +171,10 @@ def _ensure_staged(df_or_build, name: str, sf_dir: str) -> str:
     import os
 
     path = os.path.join(stage_root(sf_dir), name)
-    ev_key = os.path.basename(sf_dir.rstrip("/")) + "/" + name
+    # full path, not basename: two data roots with the same leaf name
+    # (testdata sf0.1 vs a scalecheck replica's sf0.1) must not merge
+    # their hit/miss records
+    ev_key = sf_dir.rstrip("/") + "/" + name
     fp = _fingerprint(sf_dir)
     if _stage_fresh(path, fp):
         STAGE_EVENTS.setdefault(ev_key, "hit")

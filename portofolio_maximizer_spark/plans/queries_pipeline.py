@@ -2350,13 +2350,16 @@ def subword_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram")
     )
     c = tri.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    # the coverage denominator rides the SAME two-pass (one extra value
+    # column) — a separate c.agg() action would re-run the double
+    # explode + gram aggregate from scratch
     ranked, totals = OW.scalable_prefix_sums(
         c,
         [F.col("n").desc(), "gram"],
-        {"rk": F.lit(1).cast("long")},
+        {"rk": F.lit(1).cast("long"), "cum_n": "n"},
         with_totals=True,
     )
-    tot_occ = c.agg(F.sum("n")).first()[0]
+    tot_occ = totals["cum_n"]
     bucket = (
         F.when(
             F.col("rk") <= _SVI_VOCAB,

@@ -1446,14 +1446,6 @@ def exit_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: per-(application, sf_dir) registry of the ONE materialized canonical
-#: round-trip legs frame the report family shares (round 7: the
-#: eligibility / sufficiency / context / chart / pipeline-status queries
-#: each re-derived the same two lineitem aggregations + orders join;
-#: the `zombie_open_retirement` localCheckpoint fix applied family-wide)
-_CANONICAL_LEGS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def canonical_legs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical closed round-trip superset — one row per
     'F'-status order with both legs (open line 1 non-returned, close =
@@ -1461,30 +1453,25 @@ def canonical_legs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     close aggregates (cq/cnet/cship/ctax/bar extremes), open aggregates
     (oq/onet/oship/ostatus), and the order dims (sid/ticker/priority).
 
-    Materialized ONCE per (Spark application, sf_dir) via
-    ``localCheckpoint`` and registered in a module cache, so the five
-    consumers (`_exit_trades_frame`, `_sleeve_trades_frame`,
-    `ticker_eligibility_classification`, `context_quality_report`,
-    `performance_chart_data` — and `quality_pipeline_status`, which
-    composes them) share one lineitem scan pair instead of re-deriving
-    it per query. At cluster scale the checkpoint is an order-grain
-    frame (≪ lineitem) partitioned by the shuffle that built it."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    # entries from prior SparkSessions are dead weight — evict them so
-    # the registry stays bounded to the live application's sf_dirs
-    for stale in [k for k in _CANONICAL_LEGS_CACHE if k[0] != key[0]]:
-        _CANONICAL_LEGS_CACHE.pop(stale, None)
-    cached = _CANONICAL_LEGS_CACHE.get(key)
-    if cached is not None:
-        try:
-            # localCheckpoint is NON-reliable: after an executor loss the
-            # checkpointed blocks are gone and every consumer would fail
-            # for the rest of the app. Probe one partition (cached-block
-            # read, ~ms) and rebuild on any failure instead.
-            cached.take(1)
-            return cached
-        except Exception:
-            _CANONICAL_LEGS_CACHE.pop(key, None)
+    Materialized ONCE per (Spark application, sf_dir) through the shared
+    probed-localCheckpoint registry (``operators/memo.py``: evicts dead
+    sessions, probes the non-reliable checkpoint, rebuilds on block
+    loss), so the five consumers (`_exit_trades_frame`,
+    `_sleeve_trades_frame`, `ticker_eligibility_classification`,
+    `context_quality_report`, `performance_chart_data` — and
+    `quality_pipeline_status`, which composes them) share one lineitem
+    scan pair instead of re-deriving it per query. At cluster scale the
+    checkpoint is an order-grain frame (≪ lineitem) partitioned by the
+    shuffle that built it."""
+    from ..operators.memo import memoize_checkpoint
+
+    return memoize_checkpoint(
+        spark, "canonical_legs_frame", sf_dir,
+        lambda: _build_canonical_legs(spark, sf_dir),
+    )
+
+
+def _build_canonical_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1536,9 +1523,7 @@ def canonical_legs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cq", "cnet", "cship", "ctax", "bar_high", "bar_low",
             "oq", "onet", "oship", "ostatus",
         )
-        .localCheckpoint(eager=True)
     )
-    _CANONICAL_LEGS_CACHE[key] = legs
     return legs
 
 

@@ -267,33 +267,15 @@ def vol_spike_alerts(stream: DataFrame) -> DataFrame:
     )
 
 
-#: per-(application, queryName, cache_key) registry of drained batch
-#: results. An availableNow drain over a fixed input directory is
-#: deterministic, so each consumer after the first should not re-pay the
-#: micro-batch harness floor (~2.5–5.6 s per drain on local[32]) — the
-#: same memoization rationale as `canonical_legs_frame`.
-_DRAIN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-
-
-def memoize_drain(spark, name: str, cache_key: str, build) -> DataFrame:
-    """Memoize a deterministic drain: ``build()`` runs once per
-    (application, name, cache_key) and its result is pinned with
-    ``localCheckpoint``. Reuse is probed (one cached-block read) and
-    rebuilt on failure — localCheckpoint is non-reliable after executor
-    loss; entries from dead SparkSessions are evicted."""
-    key = (spark.sparkContext.applicationId, name, cache_key)
-    for stale in [k for k in _DRAIN_CACHE if k[0] != key[0]]:
-        _DRAIN_CACHE.pop(stale, None)
-    hit = _DRAIN_CACHE.get(key)
-    if hit is not None:
-        try:
-            hit.take(1)
-            return hit
-        except Exception:
-            _DRAIN_CACHE.pop(key, None)
-    out = build().localCheckpoint(eager=True)
-    _DRAIN_CACHE[key] = out
-    return out
+# Drained batch results are memoized through the shared probed-
+# localCheckpoint registry (operators/memo.py): an availableNow drain
+# over a fixed input directory is deterministic, so each consumer after
+# the first should not re-pay the micro-batch harness floor
+# (~2.5–5.6 s per drain on local[32]) — the same memoization the report
+# family's `canonical_legs_frame` uses. The aliases keep this module's
+# historical names for tests and callers.
+from ..operators.memo import _CHECKPOINT_CACHE as _DRAIN_CACHE  # noqa: E402
+from ..operators.memo import memoize_checkpoint as memoize_drain  # noqa: E402
 
 
 def drain_session(spark, partitions: int = 8):

@@ -92,6 +92,13 @@ def test_real_pngs_and_bmps_parse():
         + struct.pack("<IiiHH", 40, 800, -600, 1, 24) + b"\x00" * 8
     )
     assert multimodal.parse_image_header(bmp) == ("bmp", 800, 600, 3)
+    # the INFO family shares the dim/bitcount offsets: a V5 header
+    # (biSize=124, alpha-capable — GIMP/Photoshop exports) must parse too
+    bmp_v5 = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 138)
+        + struct.pack("<IiiHH", 124, 1024, 768, 1, 32) + b"\x00" * 8
+    )
+    assert multimodal.parse_image_header(bmp_v5) == ("bmp", 1024, 768, 4)
 
 
 def test_metadata_query_prunes_payload(spark, sf_dir):

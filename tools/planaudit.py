@@ -139,6 +139,17 @@ _CONST_CARD_COLS = {
     "bucket",
     "side",
 }
+# Reference-dimension schema columns: region (5 rows) and nation (25 rows)
+# are constant-size at any sf, so leaves made ONLY of their columns are
+# bounded by table identity.
+_BOUNDED_DIM_COLS = {
+    "r_regionkey",
+    "r_comment",
+    "n_nationkey",
+    "n_regionkey",
+    "n_comment",
+}
+
 # grouped Aggregate prints TWO lists (`Aggregate [keys], [outputs]`);
 # scalar prints one (`Aggregate [outputs]`) — or, fully column-pruned,
 # none at all (bare `Aggregate`). Deduplicate's single list IS its keys.
@@ -178,26 +189,31 @@ def _bounded(side: str) -> tuple[bool, bool]:
         return True, False
     # a side with NO sf-scaling leaf anywhere is a literal dimension —
     # Range bin/replica enumerations, LocalRelation lookup rows,
-    # region/nation reference tables. A LogicalRDD leaf (checkpoint-
-    # truncated lineage) only qualifies when every column is
-    # constant-cardinality BY NAME (e.g. the Bloom bit set's
-    # (bloom_seed, bloom_pos) — k·m-capped by construction); an
-    # unrecognized checkpointed frame stays unbounded (safe default).
+    # region/nation reference tables. Relation AND LogicalRDD leaves
+    # (checkpoint-truncated lineage, staged-artifact reads) only qualify
+    # when every column is constant-cardinality BY NAME (e.g. the Bloom
+    # bit set's (bloom_seed, bloom_pos) — k·m-capped by construction, or
+    # region/nation's schema columns); an unrecognized frame stays
+    # unbounded (safe default) — a corpus-scale staged artifact without
+    # marker columns must NOT auto-qualify just because _scan_tables
+    # does not recognize it.
     leaves = re.findall(
         r"\b(?:Relation|LogicalRDD|Range \(|LocalRelation|OneRowRelation)",
         side,
     )
     if leaves and not _scan_tables(side):
-        rdd_ok = True
-        for m in re.finditer(r"LogicalRDD \[([^\]]*)\]", side):
+        leaf_ok = True
+        for m in re.finditer(
+            r"(?:Relation|LogicalRDD) \[([^\]]*)\]", side
+        ):
             cols = {
                 re.sub(r"#\d+L?$", "", c.strip())
                 for c in m.group(1).split(",")
                 if c.strip()
             }
-            if not cols <= _CONST_CARD_COLS:
-                rdd_ok = False
-        if rdd_ok:
+            if not cols <= (_CONST_CARD_COLS | _BOUNDED_DIM_COLS):
+                leaf_ok = False
+        if leaf_ok:
             return True, False
     keyed_only = False
     for m in _AGG_KEYS_RE.finditer(side):

@@ -75,6 +75,17 @@ def build_sf1(spark) -> None:
 
     def tile(table: str, offsets: dict[str, int], extra=None):
         df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+        # the honesty notes are enforced, not assumed: a regenerated
+        # testdata with larger key ranges would make replicas overlap
+        # (hot keys + broken referential integrity) silently
+        maxes = df.agg(
+            *[F.max(c).alias(c) for c in offsets]
+        ).first()
+        for col, width in offsets.items():
+            assert maxes[col] < width, (
+                f"{table}.{col} max {maxes[col]} >= tile width {width}; "
+                "regenerated testdata — update the offsets"
+            )
         out = df.crossJoin(reps)
         for col, width in offsets.items():
             out = out.withColumn(
@@ -113,6 +124,9 @@ def build_sf1(spark) -> None:
     tile("embeddings", {"vec_id": 2_000})
     for t in ("region", "nation", "part", "supplier"):
         copy(t)
+    # done-marker LAST: an interrupted build must trigger a full rebuild,
+    # not run queries against a partial/inconsistent replica
+    open(os.path.join(DST, "_BUILD_DONE"), "w").write("ok")
 
 
 def main() -> None:
@@ -121,7 +135,7 @@ def main() -> None:
     spark = get_spark("scalecheck")
     spark.sparkContext.setLogLevel("OFF")
     if "--rebuild" in sys.argv or not os.path.exists(
-        os.path.join(DST, "events.parquet")
+        os.path.join(DST, "_BUILD_DONE")
     ):
         t0 = time.time()
         build_sf1(spark)
