@@ -3648,3 +3648,87 @@ def blocklist_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("drop_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L51 — LSH tuning curve: theory vs observed candidates per Jaccard bin
+# ---------------------------------------------------------------------------
+
+#: the L2 configuration this census audits: 16 minhashes as 4 bands × 4
+#: rows → detection probability p(s) = 1 − (1 − s⁴)⁴
+_LSH_BANDS = 4
+_LSH_ROWS = 4
+
+
+@query(
+    "lsh_tuning_curve",
+    oracle=f"""
+    WITH {_NEARDUP_CTES},
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(jaccard * 10) AS INTEGER), 9) AS jaccard_bin,
+             jaccard
+      FROM verified
+    ),
+    agg AS (
+      SELECT jaccard_bin,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             FLOOR(AVG(jaccard) * 1e6 + 0.5) / 1e6 AS mj
+      FROM binned GROUP BY jaccard_bin
+    )
+    SELECT jaccard_bin, n_candidates,
+           mj AS mean_jaccard,
+           ROUND(1 - POWER(1 - POWER(mj, {_LSH_ROWS}), {_LSH_BANDS}), 6)
+             AS detect_prob,
+           ROUND(n_candidates
+                 / (1 - POWER(1 - POWER(mj, {_LSH_ROWS}), {_LSH_BANDS})), 6)
+             AS est_total_pairs,
+           ROUND(n_candidates
+                 / (1 - POWER(1 - POWER(mj, {_LSH_ROWS}), {_LSH_BANDS}))
+                 - n_candidates, 6) AS est_missed_pairs
+    FROM agg
+    """,
+)
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L51: the band/row tuning diagnostic for MinHash-LSH — per exact-
+    Jaccard bin over the CANDIDATE pairs, the observed candidate count
+    against the analytic detection probability p(s) = 1 − (1 − s^r)^b of
+    the configured (b=4, r=4) scheme, plus the implied total/missed pair
+    estimates (n/p and n/p − n). This is how a deployment decides
+    whether its band/row split recalls enough of the similarity range it
+    cares about before re-hashing a 100 TB corpus: a bin whose
+    est_missed is material at the target threshold means more bands
+    (higher recall, more candidates), fewer means cheaper.
+
+    Scale: rides the SAME shingle→signature→band pipeline as L2 (no
+    all-pairs anywhere; candidates only); the census is a 10-row
+    aggregate. The tie-prone mean rides the explicit FLOOR(x·1e6+0.5)
+    rounding on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    verified = dedup.exact_jaccard(docs, pairs)
+    # the oracle's `verified` CTE carries 6dp-ROUNDED jaccards; average
+    # the same 6dp values here or the bin means drift by up to 5e-7
+    # (binning itself is boundary-safe: shingle-union rationals p/q with
+    # q ≪ 1e5 are either exactly on a 0.1 boundary or ≥ 1/(10q) away)
+    binned = verified.select(
+        F.least(
+            F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)
+        ).alias("jaccard_bin"),
+        r6(F.col("jaccard")).alias("jaccard"),
+    )
+    agg = binned.groupBy("jaccard_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        (F.floor(F.avg("jaccard") * 1e6 + 0.5) / 1e6).alias("mj"),
+    )
+    p = 1 - F.pow(1 - F.pow(F.col("mj"), _LSH_ROWS), _LSH_BANDS)
+    return agg.select(
+        "jaccard_bin",
+        "n_candidates",
+        F.col("mj").alias("mean_jaccard"),
+        r6(p).alias("detect_prob"),
+        r6(F.col("n_candidates") / p).alias("est_total_pairs"),
+        r6(F.col("n_candidates") / p - F.col("n_candidates")).alias(
+            "est_missed_pairs"
+        ),
+    )
