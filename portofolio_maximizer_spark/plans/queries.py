@@ -199,6 +199,38 @@ def stage_for_oracle(df: DataFrame, name: str, sf_dir: str) -> str:
     return os.path.join(_ensure_staged(df, name, sf_dir), "*.parquet")
 
 
+def literal_grid(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A small literal parameter grid as a PLAN-VISIBLE literal.
+
+    ``createDataFrame`` routes Python lists through Arrow and plans as a
+    ``LogicalRDD`` — indistinguishable, to a plan audit, from
+    checkpoint-truncated big data. Building the same rows by exploding
+    an array-of-structs literal keeps the grid's boundedness visible in
+    the plan (a Generate over a literal array on a 1-row Range), so
+    ``tools/planaudit.py`` can PROVE the broadcast side of a
+    scalar-attach crossJoin is bounded instead of soft-flagging it for
+    reviewer adjudication. Row/value semantics identical to
+    ``spark.createDataFrame(rows, schema)`` for literal rows; use only
+    for config-sized grids (the array literal lives in the plan)."""
+    fields = [f.strip() for f in schema.split(",")]
+    names = [f.split()[0] for f in fields]
+    types = [f.split(None, 1)[1] for f in fields]
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(n)
+                for v, n, t in zip(row, names, types)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_g"))
+        .select("_g.*")
+    )
+
+
 def stage_cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     """Stage ``build()`` (skipping the build entirely on a fresh marker)
     and return the READ-BACK DataFrame — the parquet scan both feeds the

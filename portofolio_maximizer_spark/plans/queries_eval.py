@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import ORACLE, query, r6
+from .queries import ORACLE, literal_grid, query, r6
 from .queries_stats import _S_SQL, _series, _w
 
 
@@ -752,8 +752,8 @@ def blocked_cv_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         F.avg("value").over(wkey.orderBy("seq").rowsBetween(-4, 0)).alias("ma5"),
     )
-    models = s.sparkSession.createDataFrame(
-        [("naive",), ("ma5",)], "model string"
+    models = literal_grid(
+        s.sparkSession, [("naive",), ("ma5",)], "model string"
     )
     lt = base.select(
         F.col("user_id").alias("u1"), F.col("seq").alias("lt_seq"), F.col("value").alias("last_train")
@@ -952,7 +952,7 @@ def forecast_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").over(wp.rowsBetween(-5, -1)).alias("p_ma5"),
         F.count("value").over(wp.rowsBetween(-5, -1)).alias("ma_n"),
     )
-    models = s.sparkSession.createDataFrame([("naive",), ("ma5",)], "model string")
+    models = literal_grid(s.sparkSession, [("naive",), ("ma5",)], "model string")
     long = pred.crossJoin(F.broadcast(models)).select(
         "user_id",
         "seq",
@@ -1618,8 +1618,8 @@ def retrain_decision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
     )
-    cp = spark.createDataFrame(
-        [("stale",), ("fresh",)], "checkpoint STRING"
+    cp = literal_grid(
+        spark, [("stale",), ("fresh",)], "checkpoint STRING"
     )
     cuts = (
         s.select("user_id", "n")
@@ -1890,7 +1890,7 @@ def feature_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_rows"),
         F.greatest(F.count(F.lit(1)) - 20, F.lit(0)).alias("output_rows"),
     )
-    modes = spark.createDataFrame([("single",), ("cross",)], "build_mode STRING")
+    modes = literal_grid(spark, [("single",), ("cross",)], "build_mode STRING")
     j = base.crossJoin(F.broadcast(modes)).select(
         "user_id",
         "build_mode",
@@ -5874,7 +5874,8 @@ def _eh_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             "p_ens"
         ),
     )
-    models = spark.createDataFrame(
+    models = literal_grid(
+        spark,
         [("naive", 0), ("ma3", 1), ("ma10", 2), ("ens", 3)],
         "model string, model_ord int",
     )
@@ -6366,7 +6367,8 @@ def ensemble_lift_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift_win_fraction"
         ),
     )
-    params = spark.createDataFrame(
+    params = literal_grid(
+        spark,
         [(r, a, b) for r, (a, b) in enumerate(_BOOT_PARAMS)],
         "rep int, a long, b long",
     )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..operators import joins as OJ
 from ..operators import windows as OW
 from ..sources.catalog import load_table
-from .queries import query, r6
+from .queries import literal_grid, query, r6
 
 PI = 3.141592653589793
 
@@ -709,7 +709,8 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _BOOT_P
     )
     base = ev.select("value", x.alias("x"))
-    params = ev.sparkSession.createDataFrame(
+    params = literal_grid(
+        ev.sparkSession,
         [(r, a, b) for r, (a, b) in enumerate(_BOOT_PARAMS)],
         "rep int, a long, b long",
     )
@@ -1830,7 +1831,8 @@ def rolling_cv_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.floor((F.col("bar") - _CV_MIN_TRAIN) / _CV_HORIZON)
         ).alias("h"),
     )
-    models = spark.createDataFrame(
+    models = literal_grid(
+        spark,
         [("sarimax",), ("garch",), ("samossa",), ("ensemble",)],
         "model string",
     )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..llmdata import dedup, multimodal, similarity, textstats
 from ..sources.catalog import load_table
-from .queries import ORACLE, query, r6
+from .queries import ORACLE, literal_grid, query, r6
 
 # The MinHash→LSH→verify→components chain is the most expensive dedup
 # kernel and two queries consume its output (neardup_components,
@@ -3024,8 +3024,8 @@ def dedup_savings_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning); the sweep is a 5-row broadcast dimension against it, the
     token join is doc-grain. Nothing here re-reads the corpus."""
     p = ngram_jaccard_neardups(spark, sf_dir).select("d1", "d2", "jaccard")
-    th = spark.createDataFrame(
-        [(t,) for t in _DSC_THRESHOLDS], "tau double"
+    th = literal_grid(
+        spark, [(t,) for t in _DSC_THRESHOLDS], "tau double"
     )
     docs = load_table(spark, sf_dir, "documents").filter(
         F.trim(F.col("text")) != ""
@@ -3193,8 +3193,8 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     eg = g.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
     en = eg.agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
-    seeds = spark.createDataFrame(
-        [(s,) for s in _BLM_SEEDS], "bloom_seed int"
+    seeds = literal_grid(
+        spark, [(s,) for s in _BLM_SEEDS], "bloom_seed int"
     )
 
     def pos(seed_col):

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..forecast import ar_grid_forecast_fanout, ewma_vol_forecast, ssa_reconstruct
 from ..sources.catalog import load_table
-from .queries import ORACLE, query, r6
+from .queries import ORACLE, literal_grid, query, r6
 from .queries_stats import _S_SQL, _series
 
 
@@ -2318,8 +2318,10 @@ def model_profile_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal_vol")
         .alias("regime"),
     )
-    profiles = regime.sparkSession.createDataFrame(
-        _PROFILES, "profile string, priority int, sleeves string, regimes string"
+    profiles = literal_grid(
+        regime.sparkSession,
+        _PROFILES,
+        "profile string, priority int, sleeves string, regimes string",
     )
     elig = regime.join(
         F.broadcast(profiles),

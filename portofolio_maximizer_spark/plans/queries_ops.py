@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import ORACLE, QUERIES, query, r6
+from .queries import ORACLE, QUERIES, literal_grid, query, r6
 
 # ---------------------------------------------------------------------------
 # Platt outcome reconciliation — reference scripts/update_platt_outcomes.py
@@ -1594,8 +1594,8 @@ def directional_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    tgrid = spark.createDataFrame(
-        [(t,) for t in _DCE_THRESH], "thresh double"
+    tgrid = literal_grid(
+        spark, [(t,) for t in _DCE_THRESH], "thresh double"
     )
     sweep = (
         tgrid.crossJoin(pairs)
@@ -7617,14 +7617,20 @@ def baseline_snapshot_metric_diff(
             "total_return",
             "max_drawdown",
         )
-        .localCheckpoint()
     )
     ab = armx.filter(F.col("arm") == "a")
     bb = armx.filter(F.col("arm") == "b")
     cols = [c for c in armx.columns if c != "arm"]
-    joined = ab.select(
-        *[F.col(c).alias(f"a_{c}") for c in cols]
-    ).crossJoin(bb.select(*[F.col(c).alias(f"b_{c}") for c in cols]))
+    # checkpoint AFTER the A/B cross: the 14 metric rows below then read
+    # one pinned 1-row frame (instead of re-crossing a checkpointed armx
+    # whose boundedness the plan audit cannot see), and the cross's
+    # sides keep their arm-keyed Aggregate visible — a 2-value label
+    # grain the audit recognizes as bounded
+    joined = (
+        ab.select(*[F.col(c).alias(f"a_{c}") for c in cols])
+        .crossJoin(bb.select(*[F.col(c).alias(f"b_{c}") for c in cols]))
+        .localCheckpoint()
+    )
     out = None
     for key, col in _BSD_METRICS:
         a_c, b_c = F.col(f"a_{col}"), F.col(f"b_{col}")

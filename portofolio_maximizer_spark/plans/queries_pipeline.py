@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..llmdata import dedup, textstats
 from ..operators import windows as OW
 from ..sources.catalog import load_table
-from .queries import query, r6
+from .queries import literal_grid, query, r6
 
 # ---------------------------------------------------------------------------
 # Quality-filter funnel (C4-style cascade)
@@ -103,7 +103,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = s.withColumn("keep_id", keep).select(first_fail.alias("first_fail"))
     counts = f.groupBy("first_fail").agg(F.count(F.lit(1)).alias("c"))
-    rules = spark.createDataFrame(_FUNNEL_RULES, "rule_id int, rule string")
+    rules = literal_grid(spark, _FUNNEL_RULES, "rule_id int, rule string")
     j = (
         rules.join(counts, rules.rule_id == counts.first_fail, "left")
         .select(
@@ -1821,8 +1821,8 @@ def context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    ls = spark.createDataFrame(
-        [(x,) for x in _CLS_LENGTHS], "ctx_len long"
+    ls = literal_grid(
+        spark, [(x,) for x in _CLS_LENGTHS], "ctx_len long"
     )
     j = toks.crossJoin(F.broadcast(ls)).select(
         "ctx_len",

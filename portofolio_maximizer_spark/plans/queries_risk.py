@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..operators import risk as R
 from ..sources.catalog import load_table
-from .queries import ORACLE, query, r6
+from .queries import ORACLE, literal_grid, query, r6
 from .queries_stats import _S_SQL, _series, _w
 
 # ---------------------------------------------------------------------------
@@ -1541,7 +1541,8 @@ def omega_bootstrap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("lr").alias("n"), omega_agg().alias("omega_point"))
         .filter(F.col("n") >= 10)
     )
-    params = spark.createDataFrame(
+    params = literal_grid(
+        spark,
         [(r, a, b) for r, (a, b) in enumerate(_BOOT_PARAMS)],
         "rep int, a long, b long",
     )
@@ -1916,8 +1917,8 @@ def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt((s2_ - s1_ * s1_ / n_) / (n_ - 1)).alias("sd"),
     )
     bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
-    splits = spark.createDataFrame(
-        [("train",), ("validation",), ("test",)], "split string"
+    splits = literal_grid(
+        spark, [("train",), ("validation",), ("test",)], "split string"
     )
     dense = (
         splits.crossJoin(bins)
@@ -2052,8 +2053,8 @@ def stress_test_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported. The scenario dimension is a broadcast literal table; the
     facts shuffle once on (key, scenario)."""
     s = _series(spark, sf_dir).filter(F.col("lr").isNotNull())
-    scen = spark.createDataFrame(
-        list(R.STRESS_SCENARIOS.items()), "scenario string, shock double"
+    scen = literal_grid(
+        spark, list(R.STRESS_SCENARIOS.items()), "scenario string, shock double"
     )
     x = s.crossJoin(F.broadcast(scen)).select(
         "user_id",

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import chi2_sf1, chi2_sf1_sql, epoch_seconds
 from ..sources.catalog import load_table
-from .queries import query, r6
+from .queries import literal_grid, query, r6
 from .queries_stats import _S_SQL, _series, _w
 
 
@@ -459,8 +459,8 @@ def omega_ratio_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     robustness summary). The 4-row threshold table fans out as a
     broadcast nested loop; partial aggregation collapses it map-side."""
     s = _series(spark, sf_dir)
-    thr = spark.createDataFrame(
-        [(0.0,), (0.0005,), (0.001,), (0.002,)], "tau double"
+    thr = literal_grid(
+        spark, [(0.0,), (0.0005,), (0.001,), (0.002,)], "tau double"
     )
     lr, tau = F.col("lr"), F.col("tau")
     return (
@@ -1696,7 +1696,8 @@ def ensemble_diversified_selection(spark: SparkSession, sf_dir: str) -> DataFram
         ((1 / F.col("r_3")) / z).alias("c_3"),
         ((1 / F.col("r_10")) / z).alias("c_10"),
     )
-    cand = spark.createDataFrame(
+    cand = literal_grid(
+        spark,
         [
             (1, "equal", 1.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0),
             (2, "momentum", 0.6, 0.2, 0.2),
@@ -2453,8 +2454,10 @@ def confidence_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFr
     ranked = scalable_row_number(
         tr.select("conf", "user_id"), ["conf", "user_id"], out_col="rk"
     ).select("conf", "rk")
-    qs = s.sparkSession.createDataFrame(
-        [(q,) for q in (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)], "q double"
+    qs = literal_grid(
+        s.sparkSession,
+        [(q,) for q in (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)],
+        "q double",
     )
     pos = (F.col("n") - 1) * F.col("q")
     edges0 = (
@@ -3411,7 +3414,8 @@ def llm_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("acc") >= _LLM_MIN_ACC)
         & (F.col("sr") >= _LLM_MIN_SUCCESS)
     )
-    usecases = spark.createDataFrame(
+    usecases = literal_grid(
+        spark,
         [("fast",), ("accurate",), ("real_time",), ("balanced",)],
         "use_case STRING",
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import query, r6
+from .queries import literal_grid, query, r6
 
 
 # ---------------------------------------------------------------------------
@@ -3878,9 +3878,10 @@ def ts_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     wend = tr2.agg(F.max("close_d").alias("window_end"))
-    grid = spark.createDataFrame(
+    grid = literal_grid(
+        spark,
         [(c_, r_) for c_ in _TSW_GRID_CONF for r_ in _TSW_GRID_RET],
-        ["conf_thr", "ret_thr"],
+        "conf_thr double, ret_thr double",
     )
     dec = "decimal(28,6)"
     gp = (

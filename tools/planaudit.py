@@ -135,6 +135,8 @@ _CONST_CARD_COLS = {
     "n_name",
     "verdict",
     "reason",
+    # A/B snapshot-arm label: two values by construction
+    "arm",
     "model",
     "bucket",
     "side",
@@ -338,22 +340,62 @@ def forced_broadcast_flags(opt_plan: str) -> list[str]:
     return flags
 
 
+_PURE_EQ_RE = re.compile(r"^\(*\s*\w+#\d+L?\s*=\s*\w+#\d+L?\s*\)*$")
+
+
+def _top_level_conjuncts(cond: str) -> list[str]:
+    """Split a join condition on depth-0 ' AND ' only."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and cond.startswith(" AND ", i):
+            parts.append(cond[start:i])
+            start = i + 5
+            i += 5
+            continue
+        i += 1
+    parts.append(cond[start:])
+    return parts
+
+
 def nested_loop_flags(phys_plan: str, opt_plan: str) -> list[str]:
-    """Adjudicate BroadcastNestedLoopJoin: the physical BNLJ is the
-    documented broadcast-scalar pattern when EVERY condition-less join
-    in the optimized plan carries a bounded side (same whitelist as the
-    broadcast rule); it flags soft only when some cross join has no
-    bounded side, or when the BNLJ came from a conditioned non-equi
-    join the logical scan cannot see (conservative)."""
+    """Adjudicate BroadcastNestedLoopJoin against the optimized plan.
+
+    BNLJ-prone joins are cross joins plus conditioned joins with no
+    top-level pure attribute-equality conjunct (an OR of equalities, a
+    pure range predicate — Spark has no hash keys for those). The BNLJ
+    is the documented scalar/dim-attach pattern — no flag — when every
+    prone join carries a BOUNDED side (same whitelist as the broadcast
+    rule). It flags soft when some prone join has no bounded side, or
+    when no prone join can be found at all for a physical BNLJ
+    (attribution failed — conservative)."""
     if "BroadcastNestedLoopJoin" not in phys_plan:
         return []
     lines = opt_plan.splitlines()
-    crosses = 0
-    bounded_crosses = 0
+    prone = 0
+    bounded_prone = 0
     for i, ln in enumerate(lines):
-        if "Join Cross" not in ln:
+        m = re.search(r"\bJoin (\w+)(?:, (.*))?$", ln.strip())
+        if not m:
             continue
-        crosses += 1
+        jtype, tail = m.group(1), m.group(2) or ""
+        cond = re.sub(r",? ?(?:left|right)Hint=.*$", "", tail)
+        if jtype != "Cross":
+            if not cond:
+                continue  # condition-less non-cross: analyzer artifact
+            if any(
+                _PURE_EQ_RE.match(c.strip())
+                for c in _top_level_conjuncts(cond)
+            ):
+                continue  # hash-joinable: not the BNLJ
+        prone += 1
         p = _node_col(ln)
         sub: list[str] = []
         j = i + 1
@@ -366,8 +408,8 @@ def nested_loop_flags(phys_plan: str, opt_plan: str) -> list[str]:
             for a, b in zip(starts, starts[1:] + [len(sub)])
         ]
         if sides and any(_bounded(side)[0] for side in sides):
-            bounded_crosses += 1
-    if crosses and crosses == bounded_crosses:
+            bounded_prone += 1
+    if prone and prone == bounded_prone:
         return []
     return ["NESTED_LOOP_JOIN"]
 
