@@ -127,6 +127,12 @@ _CONST_CARD_COLS = {
     # data volume (that cap is the whole point of the structure)
     "bloom_seed",
     "bloom_pos",
+    # IVF inverted-list index + its per-list centroid vector: one row
+    # per list, nlist-bounded by construction (the centroid TABLE is
+    # tiny at any sf; the vec-grain ASSIGNMENTS carry vec_id and stay
+    # recognized as scaling)
+    "list_id",
+    "ce",
     # calendar-date keys: cardinality bounded by the time SPAN (days of
     # history), not the row count — a distinct-dates frame stays tiny at
     # any data volume
@@ -189,6 +195,16 @@ def _bounded(side: str) -> tuple[bool, bool]:
     KEYED_AGG flag rather than silently allowed."""
     if re.search(r"\b(GlobalLimit|LocalLimit)\b", side) or _ID_BOUND_RE.search(side):
         return True, False
+    # a rank-limit pushdown partitioned on constant-cardinality keys
+    # (top-k per use_case/model/...) emits at most limit x |keys| rows
+    for m in re.finditer(r"WindowGroupLimit \[([^\]]*)\]", side):
+        keys = {
+            re.sub(r"#\d+L?$", "", c.strip())
+            for c in m.group(1).split(",")
+            if c.strip()
+        }
+        if keys and keys <= _CONST_CARD_COLS:
+            return True, False
     # a side with NO sf-scaling leaf anywhere is a literal dimension —
     # Range bin/replica enumerations, LocalRelation lookup rows,
     # region/nation reference tables. Relation AND LogicalRDD leaves
@@ -340,11 +356,68 @@ def forced_broadcast_flags(opt_plan: str) -> list[str]:
     return flags
 
 
-_PURE_EQ_RE = re.compile(r"^\(*\s*\w+#\d+L?\s*=\s*\w+#\d+L?\s*\)*$")
+def _is_equi_conjunct(conj: str) -> bool:
+    """True when a conjunct is a single attribute-to-attribute equality
+    (cast/normalize wrappers allowed — Spark hash-joins those), i.e. the
+    join has hash keys and will NOT plan as BNLJ. Negations, OR groups
+    and inequalities are not equi."""
+    c = _strip_outer_parens(conj)
+    if c.startswith("NOT "):
+        return False
+    depth = 0
+    eq_pos = []
+    i = 0
+    while i < len(c):
+        ch = c[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and c.startswith(" = ", i):
+            eq_pos.append(i)
+        i += 1
+    if len(eq_pos) != 1:
+        return False
+    left, right = c[: eq_pos[0]], c[eq_pos[0] + 3 :]
+    if re.search(r" OR | AND ", left) or re.search(r" OR | AND ", right):
+        return False
+    return bool(re.search(r"#\d+", left)) and bool(re.search(r"#\d+", right))
+
+
+def _flatten_conjuncts(cond: str) -> list[str]:
+    """Recursively flatten nested depth-0 AND groups:
+    '((A AND B)) AND C' -> [A, B, C]."""
+    out: list[str] = []
+    for part in _top_level_conjuncts(cond):
+        sp = _strip_outer_parens(part)
+        subs = _top_level_conjuncts(sp)
+        if len(subs) > 1:
+            out.extend(_flatten_conjuncts(sp))
+        else:
+            out.append(sp)
+    return out
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Remove balanced wrapping parens: '((A) AND (B))' -> '(A) AND (B)'."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return s  # first paren closes early: no outer wrap
+        s = s[1:-1].strip()
+    return s
 
 
 def _top_level_conjuncts(cond: str) -> list[str]:
-    """Split a join condition on depth-0 ' AND ' only."""
+    """Split a join condition on depth-0 ' AND ' (outer wrap stripped —
+    Spark prints '((A) AND (B))', which would otherwise never split)."""
+    cond = _strip_outer_parens(cond)
     parts: list[str] = []
     depth = 0
     start = 0
@@ -391,8 +464,7 @@ def nested_loop_flags(phys_plan: str, opt_plan: str) -> list[str]:
             if not cond:
                 continue  # condition-less non-cross: analyzer artifact
             if any(
-                _PURE_EQ_RE.match(c.strip())
-                for c in _top_level_conjuncts(cond)
+                _is_equi_conjunct(c) for c in _flatten_conjuncts(cond)
             ):
                 continue  # hash-joinable: not the BNLJ
         prone += 1
