@@ -1,0 +1,49 @@
+"""AQE runtime re-plan evidence — the charter's fourth partition lever
+("AQE for runtime re-plan") pinned with concrete plans, alongside the
+salting (test_skew_bucketing), bucketing (same file) and two-pass window
+(test_pipeline) pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from portofolio_maximizer_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _final_plan(df) -> str:
+    # AQE finalizes the plan only after execution
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """A tiny aggregate shuffled at an oversized partition count must be
+    coalesced by AQE at runtime (AQEShuffleRead coalesced) — the
+    mechanism that keeps a fixed spark.sql.shuffle.partitions setting
+    from fragmenting small intermediate frames at any scale."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        ev = load_table(spark, SF, "events")
+        agg = ev.groupBy("event_type").agg(F.sum("value").alias("s"))
+        plan = _final_plan(agg)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_aqe_runtime_broadcast_without_hint(spark):
+    """A join whose build side AQE discovers to be small at runtime must
+    be converted to a broadcast join WITHOUT any hand-written hint —
+    the reason the engine's queries leave join strategy to Catalyst
+    (planaudit treats a hand-forced broadcast of scaling data as a HARD
+    flag; this is the runtime mechanism that makes that policy safe)."""
+    ev = load_table(spark, SF, "events")
+    # statically unknown small side: an aggregate (5 event types)
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("m"))
+    joined = ev.join(dim, "event_type")
+    plan = _final_plan(joined)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "strategy=broadcast" not in plan  # no hand hint anywhere
