@@ -1763,6 +1763,9 @@ def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _STREAM_PREFETCHED:
         return
+    _STREAM_PREFETCHED.difference_update(
+        {k for k in _STREAM_PREFETCHED if k[0] != key[0]}
+    )
     _STREAM_PREFETCHED.add(key)
     import threading
 

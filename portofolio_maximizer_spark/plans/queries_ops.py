@@ -9729,6 +9729,9 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BUCKETED_READY and spark.catalog.tableExists(ot):
         return ot, ct
+    _BUCKETED_READY.difference_update(
+        {k for k in _BUCKETED_READY if k[0] != key[0]}
+    )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     # the in-memory catalog forgets tables across processes but their
     # warehouse directories persist — clear leftovers so saveAsTable
