@@ -3732,3 +3732,117 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_missed_pairs"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# L52 — incremental dedup: a new crawl batch against the staged corpus index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_dedup_census",
+    oracle=f"""
+    WITH {_NEARDUP_CTES},
+    typed AS (
+      SELECT v.d1, v.d2, v.jaccard,
+             (v.d1 % 5 = 4) AS new1, (v.d2 % 5 = 4) AS new2
+      FROM verified v
+      WHERE v.jaccard >= 0.3 AND ((v.d1 % 5 = 4) OR (v.d2 % 5 = 4))
+    ),
+    pairc AS (
+      SELECT CASE WHEN new1 AND new2 THEN 'within_batch'
+                  ELSE 'vs_index' END AS pair_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(AVG(jaccard), 6) AS mean_jaccard
+      FROM typed GROUP BY 1
+    ),
+    dup AS (
+      SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_new_dups FROM (
+        SELECT d1 AS d FROM typed WHERE new1
+        UNION ALL SELECT d2 FROM typed WHERE new2
+      )
+    ),
+    newc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_new
+             FROM documents WHERE doc_id % 5 = 4)
+    SELECT p.pair_type, p.n_pairs, p.mean_jaccard, n.n_new, d.n_new_dups,
+           ROUND(d.n_new_dups * 1.0 / n.n_new, 6) AS batch_dup_rate
+    FROM pairc p, newc n, dup d
+    """,
+)
+def incremental_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L52: INCREMENTAL near-dup screening — the daily-crawl shape: the
+    existing corpus's MinHash signatures are a staged index
+    (`stage_cached`, computed once per (code, dataset) like a production
+    signature store), only the NEW batch (doc_id%5==4 plays the fresh
+    crawl) is shingled live, and banding runs over index ∪ batch with
+    candidates RESTRICTED to pairs touching the batch before the verify
+    explode. Census: near-dup pairs split within-batch vs vs-index, the
+    distinct new docs that duplicate anything, and the batch dup rate —
+    the number an ingest pipeline alerts on when a crawler starts
+    re-fetching known content.
+
+    Scale: the index side pays NO shingling at steady state (read-back
+    of the staged signature table); the verify explode touches only
+    docs in batch-touching candidate pairs. The oracle recomputes the
+    whole signature/band/verify pipeline from raw text, so a stale or
+    corrupt index surfaces as a hash mismatch."""
+    from .queries import stage_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    index_sig = stage_cached(
+        spark,
+        sf_dir,
+        "minhash_index",
+        lambda: dedup.minhash_signatures(docs.filter(~is_new)),
+    )
+    new_sig = dedup.minhash_signatures(docs.filter(is_new))
+    sig = index_sig.unionByName(new_sig).localCheckpoint(eager=True)
+    pairs = (
+        dedup.lsh_candidate_pairs(sig)
+        .filter((F.col("d1") % 5 == 4) | (F.col("d2") % 5 == 4))
+        .localCheckpoint(eager=True)
+    )
+    typed = (
+        dedup.exact_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= 0.3)
+        .select(
+            "d1",
+            "d2",
+            r6(F.col("jaccard")).alias("jaccard"),
+            (F.col("d1") % 5 == 4).alias("new1"),
+            (F.col("d2") % 5 == 4).alias("new2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairc = typed.groupBy(
+        F.when(F.col("new1") & F.col("new2"), "within_batch")
+        .otherwise("vs_index")
+        .alias("pair_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        r6(F.avg("jaccard")).alias("mean_jaccard"),
+    )
+    dup = (
+        typed.filter("new1")
+        .select(F.col("d1").alias("d"))
+        .unionAll(typed.filter("new2").select(F.col("d2").alias("d")))
+        .agg(F.countDistinct("d").cast("long").alias("n_new_dups"))
+    )
+    newc = docs.filter(is_new).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    return (
+        pairc.crossJoin(F.broadcast(newc))
+        .crossJoin(F.broadcast(dup))
+        .select(
+            "pair_type",
+            "n_pairs",
+            "mean_jaccard",
+            "n_new",
+            "n_new_dups",
+            r6(F.col("n_new_dups") * F.lit(1.0) / F.col("n_new")).alias(
+                "batch_dup_rate"
+            ),
+        )
+    )
