@@ -58,6 +58,18 @@ LOB_TRADES_SCHEMA = StructType(
     ]
 )
 
+# ``with_raw=True`` appends the full-precision per-trade state the
+# staged-verification oracle's induction consumes (see
+# plans/queries_models.paper_trading_trades): given these raws for
+# EARLIER trades, every output column of the CURRENT trade is
+# re-derivable from the raw bar series alone.
+RAW_STATE_FIELDS = [
+    StructField("shares_raw", DoubleType()),
+    StructField("entry_fill_raw", DoubleType()),
+    StructField("exit_fill_raw", DoubleType()),
+    StructField("cash_before_raw", DoubleType()),
+]
+
 
 @dataclass(frozen=True)
 class BacktestConfig:
@@ -142,6 +154,7 @@ def simulate_trades(
     value_col: str = "value",
     half_spread_col: str | None = None,
     depth_col: str | None = None,
+    with_raw: bool = False,
 ) -> DataFrame:
     """Run the stateful per-key simulation; returns the trades table.
 
@@ -152,10 +165,17 @@ def simulate_trades(
     TRIGGERS (stop/target/ratchet) still evaluate on the mid, as the
     reference does. The output then carries ``entry_mid``/``exit_mid``
     so slippage is auditable per trade.
+
+    ``with_raw=True`` appends ``RAW_STATE_FIELDS`` — the UNROUNDED
+    shares / entry fill / exit fill / cash-before values — so a
+    staged-verification oracle can unroll the per-key cash recursion
+    (each trade's sizing depends only on strictly-earlier trades' raws).
     """
     cfg = config or BacktestConfig()
     lob = half_spread_col is not None and depth_col is not None
     schema = LOB_TRADES_SCHEMA if lob else TRADES_SCHEMA
+    if with_raw:
+        schema = StructType(list(schema.fields) + RAW_STATE_FIELDS)
 
     def run(cols_np: dict) -> list[tuple]:
         order = np.argsort(cols_np[order_col], kind="stable")
@@ -196,8 +216,18 @@ def simulate_trades(
         pos_shares = 0.0
         entry_i = -1
         entry_px = stop = target = 0.0
+        entry_cash_before = cfg.initial_cash
         ratchets = 0
         trades = []
+
+        import math
+
+        def r6half(x: float) -> float:
+            # explicit half-up at 6dp: fills are tie-PRONE (6dp-quantized
+            # mids × finite-decimal spread factors land on exact .5e-6
+            # midpoints), where Python round (half-even) and SQL ROUND
+            # (half-away) disagree — the oracle uses the same formula
+            return math.floor(x * 1e6 + 0.5) / 1e6
 
         def close(i: int, reason: str) -> None:
             nonlocal cash, pos_shares, entry_i, ratchets
@@ -208,8 +238,8 @@ def simulate_trades(
                 uid,
                 int(rn[entry_i]),
                 int(rn[i]),
-                round(entry_px, 6),
-                round(exit_px, 6),
+                r6half(entry_px),
+                r6half(exit_px),
                 round(pos_shares, 6),
                 round(float(pnl), 6),
                 reason,
@@ -218,6 +248,13 @@ def simulate_trades(
             )
             if lob:
                 row = row + (round(float(px[entry_i]), 6), round(float(px[i]), 6))
+            if with_raw:
+                row = row + (
+                    float(pos_shares),
+                    float(entry_px),
+                    float(exit_px),
+                    float(entry_cash_before),
+                )
             trades.append(row)
             pos_shares = 0.0
             entry_i = -1
@@ -251,6 +288,7 @@ def simulate_trades(
                     # requested shares priced at mid (reference order_value
                     # semantics); the fill VWAP walks the ladder, so the
                     # cash outlay exceeds `spend` by exactly the slippage
+                    entry_cash_before = cash
                     pos_shares = spend / px[i]
                     entry_px = fill(i, pos_shares, +1)
                     cash -= pos_shares * entry_px

@@ -1550,8 +1550,75 @@ def _build_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro["depth"].alias("depth_notional"),
     )
     return simulate_trades(
-        s, half_spread_col="half_spread", depth_col="depth_notional"
+        s,
+        half_spread_col="half_spread",
+        depth_col="depth_notional",
+        with_raw=True,
     )
+
+
+def _lob_w_values() -> str:
+    """The LOB ladder weights e^(-alpha*j)/sum as EXACT double literals —
+    computed by the same numpy ops the kernel uses, repr'd at full
+    round-trip precision, so the oracle's closed-form VWAP reproduces
+    ``lob_vwap_fill`` bit-for-bit instead of re-deriving EXP (numpy's
+    vectorized exp and libm may differ by 1 ulp)."""
+    import numpy as np
+
+    w = np.exp(-0.8 * np.arange(10))
+    w = w / w.sum()
+    return ", ".join(f"({j}, {float(x)!r})" for j, x in enumerate(w))
+
+
+def _lob_fill_sql(src: str, side: int, out: str) -> str:
+    """SQL fragment (two CTEs ``{out}_lv``/``{out}``) computing the
+    10-level exponential-ladder VWAP of `operators/backtest.lob_vwap_fill`
+    for every row of ``src`` (columns: user_id, d_entry_rn, mid, hs,
+    depth, req). Op-for-op the numpy kernel: tick = mid*1.0/1e4,
+    start = max(mid + side*hs, tick), level prices start + (side*j)*tick
+    floored at tick, avail = depth*w_j/px_j, greedy clip fill in level
+    order, residual at the 25-tick exhaust tail."""
+    sf = f"{side}.0"
+    return f"""
+    {out}_lv AS (
+      SELECT s.user_id, s.d_entry_rn, s.req, s.depth,
+             GREATEST(s.mid + ({sf}) * s.hs, (s.mid * 1.0) / 10000.0)
+               AS start0,
+             (s.mid * 1.0) / 10000.0 AS tick0,
+             w.j, w.wj
+      FROM {src} s CROSS JOIN (VALUES {_lob_w_values()}) AS w(j, wj)
+    ),
+    {out}_lv2 AS (
+      SELECT *,
+             (depth * wj) / pxl AS avail
+      FROM (
+        SELECT *,
+               GREATEST(start0 + (CAST(({side}) * j AS DOUBLE)) * tick0,
+                        tick0) AS pxl
+        FROM {out}_lv
+      )
+    ),
+    {out}_lv3 AS (
+      SELECT *,
+             LEAST(GREATEST(req - COALESCE(SUM(avail) OVER (
+               PARTITION BY user_id, d_entry_rn ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0),
+               0.0), avail) AS filled
+      FROM {out}_lv2
+    ),
+    {out} AS (
+      SELECT user_id, d_entry_rn,
+             CASE WHEN ANY_VALUE(depth) > 0 THEN
+               (SUM(filled * pxl)
+                + GREATEST(ANY_VALUE(req) - SUM(filled), 0.0)
+                  * GREATEST(ANY_VALUE(start0)
+                             + (CAST(({side}) * 25 AS DOUBLE))
+                               * ANY_VALUE(tick0),
+                             ANY_VALUE(tick0)))
+               / ANY_VALUE(req)
+             ELSE ANY_VALUE(start0) END AS vwap
+      FROM {out}_lv3 GROUP BY user_id, d_entry_rn
+    )"""
 
 
 @query("paper_trading_trades")
@@ -1559,8 +1626,189 @@ def paper_trading_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15: stateful paper-trading simulation per key — momentum entries,
     ATR stops with the W22 trailing ratchet, target/time/liquidation
     exits (`execution/paper_trading_engine.py:486-1767`). Sequential per
-    key inside applyInPandas, parallel across keys."""
-    return _simulated_trades(spark, sf_dir)
+    key inside applyInPandas, parallel across keys.
+
+    Staged-verification oracle (upgraded from rows-only in r9): the
+    kernel stages its full-precision per-trade raws (shares, both LOB
+    fills, cash before entry). The oracle then re-derives EVERY output
+    column of EVERY trade independently from the raw bar series given
+    only strictly-earlier trades' staged raws: the entry bar is the
+    first momentum crossing at/after the previous staged exit, cash
+    before entry is the 10k seed plus earlier staged fill flows (checked
+    against the staged value at 6dp — the induction link), shares =
+    staged_cash*0.25/mid bit-exactly, both fills replay the 10-level
+    LOB ladder closed-form with exact weight literals, and the exit
+    bar/reason/ratchet-count re-run the trailing-stop scan as a bounded
+    20-bar window query (running-max stop, strict-record ratchets,
+    stop>target>time>liquidation priority). ``has_next`` (does a later
+    entry exist?) closes the dropped-final-trade hole: Spark computes it
+    from its own output, the oracle from raw crossings. Residual
+    declared gap: a user whose trades are ALL missing has no staged rows
+    to check (n<21 guard users legitimately have none)."""
+    t = _simulated_trades(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("entry_rn")
+    return t.select(
+        "user_id",
+        "entry_rn",
+        "exit_rn",
+        "entry_price",
+        "exit_price",
+        "shares",
+        "realized_pnl",
+        "exit_reason",
+        "bars_held",
+        "stop_ratchets",
+        "entry_mid",
+        "exit_mid",
+        F.round("cash_before_raw", 6).alias("cash_before"),
+        F.lead("entry_rn").over(w).isNotNull().cast("int").alias("has_next"),
+    )
+
+
+ORACLE["paper_trading_trades"] = f"""
+    WITH tr AS (
+      SELECT user_id, entry_rn, exit_rn,
+             shares_raw, entry_fill_raw, exit_fill_raw, cash_before_raw,
+             LAG(exit_rn) OVER (PARTITION BY user_id ORDER BY entry_rn)
+               AS prev_exit_rn
+      FROM read_parquet('__ORACLE_STAGE__/paper_trades/*.parquet')
+    ),
+    s AS ({_S_SQL}),
+    b0 AS (
+      SELECT user_id, rn, value AS px,
+             COALESCE(LEAST(GREATEST(
+               value / LAG(value) OVER w - 1, -1.0), 10.0), 0.0) AS ret,
+             ABS(value - COALESCE(LAG(value) OVER w, value)) AS adiff,
+             (value / LAG(value, 5) OVER w) - 1 AS mom,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    b AS (
+      SELECT user_id, rn, px, mom, n,
+             AVG(adiff) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr,
+             ((px * 0.0005)
+              * (1.0 + 20.0 * GREATEST(ABS(ret), 0.02))) / 2.0 AS hs,
+             GREATEST(1000000.0 * (1.0 - 15.0 * GREATEST(ABS(ret), 0.02)),
+                      50000.0) AS depth
+      FROM b0
+    ),
+    ent AS (
+      SELECT tr.*,
+             (SELECT MIN(b2.rn) FROM b b2
+              WHERE b2.user_id = tr.user_id
+                AND b2.rn >= GREATEST(COALESCE(tr.prev_exit_rn, 1), 6)
+                AND b2.rn <= b2.n - 1
+                AND b2.mom > 0.02) AS d_entry_rn
+      FROM tr
+    ),
+    cash AS (
+      SELECT e.*,
+             10000.0 + COALESCE((
+               SELECT SUM(p.shares_raw * p.exit_fill_raw
+                          - p.shares_raw * p.entry_fill_raw)
+               FROM tr p
+               WHERE p.user_id = e.user_id AND p.entry_rn < e.entry_rn
+             ), 0.0) AS cash_check
+      FROM ent e
+    ),
+    eb AS (
+      SELECT c.user_id, c.d_entry_rn, c.cash_check, c.cash_before_raw,
+             be.px AS mid, be.hs, be.depth, be.atr AS atr_e, be.n,
+             (c.cash_before_raw * 0.25) / be.px AS req
+      FROM cash c
+      JOIN b be ON be.user_id = c.user_id AND be.rn = c.d_entry_rn
+    ),
+    {_lob_fill_sql('eb', 1, 'ef')},
+    efx AS (
+      SELECT eb.*, ef.vwap AS d_efill
+      FROM eb JOIN ef ON ef.user_id = eb.user_id
+                     AND ef.d_entry_rn = eb.d_entry_rn
+    ),
+    scan AS (
+      SELECT t.user_id, t.d_entry_rn, bj.rn, bj.px, bj.n,
+             t.d_efill - (1.5 * t.atr_e) AS stop0,
+             t.d_efill + (3.0 * t.atr_e) AS target,
+             CASE WHEN bj.px - t.d_efill >= 1.0 * t.atr_e
+                  THEN bj.px - (1.0 * t.atr_e) END AS v
+      FROM efx t
+      JOIN b bj ON bj.user_id = t.user_id
+               AND bj.rn > t.d_entry_rn
+               AND bj.rn <= LEAST(t.d_entry_rn + 20, t.n)
+    ),
+    scan2 AS (
+      SELECT *,
+        GREATEST(stop0, COALESCE(MAX(v) OVER (
+          PARTITION BY user_id, d_entry_rn ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), stop0))
+          AS stop_used,
+        GREATEST(stop0, COALESCE(MAX(v) OVER (
+          PARTITION BY user_id, d_entry_rn ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), stop0))
+          AS stop_before
+      FROM scan
+    ),
+    trig AS (
+      SELECT *,
+        CASE WHEN px <= stop_used THEN 'stop'
+             WHEN px >= target THEN 'target'
+             WHEN rn - d_entry_rn >= 20 THEN 'time'
+             WHEN rn = n THEN 'liquidation' END AS reason
+      FROM scan2
+    ),
+    ex AS (
+      SELECT user_id, d_entry_rn,
+             MIN(rn) FILTER (WHERE reason IS NOT NULL) AS d_exit_rn
+      FROM trig GROUP BY 1, 2
+    ),
+    exr AS (
+      SELECT t.user_id, t.d_entry_rn, t.rn AS d_exit_rn, t.reason,
+             t.px AS exit_mid_px
+      FROM trig t
+      JOIN ex ON ex.user_id = t.user_id AND ex.d_entry_rn = t.d_entry_rn
+             AND ex.d_exit_rn = t.rn
+    ),
+    rat AS (
+      SELECT s2.user_id, s2.d_entry_rn,
+             COUNT(*) FILTER (WHERE s2.v IS NOT NULL
+                              AND s2.v > s2.stop_before) AS ratchets
+      FROM scan2 s2
+      JOIN ex ON ex.user_id = s2.user_id AND ex.d_entry_rn = s2.d_entry_rn
+      WHERE s2.rn <= ex.d_exit_rn
+      GROUP BY 1, 2
+    ),
+    xb AS (
+      SELECT f.user_id, f.d_entry_rn, f.req,
+             bx.px AS mid, bx.hs, bx.depth
+      FROM efx f
+      JOIN exr x ON x.user_id = f.user_id AND x.d_entry_rn = f.d_entry_rn
+      JOIN b bx ON bx.user_id = f.user_id AND bx.rn = x.d_exit_rn
+    ),
+    {_lob_fill_sql('xb', -1, 'xf')}
+    SELECT f.user_id,
+           CAST(f.d_entry_rn AS INT) AS entry_rn,
+           CAST(x.d_exit_rn AS INT) AS exit_rn,
+           FLOOR(f.d_efill * 1e6 + 0.5) / 1e6 AS entry_price,
+           FLOOR(xf.vwap * 1e6 + 0.5) / 1e6 AS exit_price,
+           ROUND(f.req, 6) AS shares,
+           ROUND((xf.vwap - f.d_efill) * f.req, 6) AS realized_pnl,
+           x.reason AS exit_reason,
+           CAST(x.d_exit_rn - f.d_entry_rn AS INT) AS bars_held,
+           CAST(r.ratchets AS INT) AS stop_ratchets,
+           ROUND(f.mid, 6) AS entry_mid,
+           ROUND(x.exit_mid_px, 6) AS exit_mid,
+           ROUND(f.cash_check, 6) AS cash_before,
+           CAST(EXISTS(SELECT 1 FROM b b3
+                       WHERE b3.user_id = f.user_id
+                         AND b3.rn >= GREATEST(x.d_exit_rn, 6)
+                         AND b3.rn <= b3.n - 1
+                         AND b3.mom > 0.02) AS INT) AS has_next
+    FROM efx f
+    JOIN exr x ON x.user_id = f.user_id AND x.d_entry_rn = f.d_entry_rn
+    JOIN rat r ON r.user_id = f.user_id AND r.d_entry_rn = f.d_entry_rn
+    JOIN xf ON xf.user_id = f.user_id AND xf.d_entry_rn = f.d_entry_rn
+"""
 
 
 @query(
