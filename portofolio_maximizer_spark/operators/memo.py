@@ -2,35 +2,77 @@
 
 A deterministic expensive frame (a drained stream, the report family's
 canonical legs superset) is built once per (application, name,
-cache_key) and pinned with ``localCheckpoint``. Reuse is PROBED — one
-cached-block ``take(1)`` — because localCheckpoint is non-reliable:
-after an executor loss the blocks are gone and every consumer would
-fail for the rest of the application; the probe turns that into a
-transparent rebuild. Entries from dead SparkSessions are evicted so the
-registry stays bounded to the live application's keys.
+cache_key) and pinned with ``localCheckpoint``. Reuse is PROBED with a
+FULL scan — ``count()`` touches every cached partition — because
+localCheckpoint is non-reliable: after an executor loss some or all
+blocks are gone and every consumer would fail for the rest of the
+application. A first-block-only probe (``take(1)``) passes on PARTIAL
+block loss (possible on any multi-executor cluster; invisible on
+single-executor local where loss is all-or-nothing), which is exactly
+the failure the probe exists to prevent — so the probe is the full
+no-Python-worker scan. Entries from dead SparkSessions are evicted so
+the registry stays bounded to the live application's keys.
+
+The registry is shared by concurrent callers (the streaming family
+prefetches six drains from daemon threads), so every read/evict/insert
+holds a module lock; ``build()`` and the probe run OUTSIDE the lock
+(they launch Spark jobs), and per-key in-flight events make concurrent
+misses on the SAME key build once and share the result.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _CHECKPOINT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_INFLIGHT: dict[tuple[str, str, str], threading.Event] = {}
+_LOCK = threading.Lock()
+
+
+def _probe(df: DataFrame) -> bool:
+    """True iff EVERY cached partition is still alive. ``count()`` is a
+    JVM-only full scan of the checkpointed blocks (no Python workers),
+    cheap on local blocks, and fails on partial loss where ``take(1)``
+    would pass."""
+    try:
+        df.count()
+        return True
+    except Exception:
+        return False
 
 
 def memoize_checkpoint(spark, name: str, cache_key: str, build) -> DataFrame:
     """Run ``build()`` once per (application, name, cache_key); return
     the pinned (eager ``localCheckpoint``) result on every later call,
-    probing validity and rebuilding on block loss."""
+    probing validity (full scan) and rebuilding on any block loss."""
     key = (spark.sparkContext.applicationId, name, cache_key)
-    for stale in [k for k in _CHECKPOINT_CACHE if k[0] != key[0]]:
-        _CHECKPOINT_CACHE.pop(stale, None)
-    hit = _CHECKPOINT_CACHE.get(key)
-    if hit is not None:
-        try:
-            hit.take(1)
-            return hit
-        except Exception:
-            _CHECKPOINT_CACHE.pop(key, None)
-    out = build().localCheckpoint(eager=True)
-    _CHECKPOINT_CACHE[key] = out
-    return out
+    while True:
+        with _LOCK:
+            for stale in [k for k in _CHECKPOINT_CACHE if k[0] != key[0]]:
+                _CHECKPOINT_CACHE.pop(stale, None)
+            hit = _CHECKPOINT_CACHE.get(key)
+            pending = None if hit is not None else _INFLIGHT.get(key)
+            if hit is None and pending is None:
+                pending = threading.Event()
+                _INFLIGHT[key] = pending
+                break  # this thread builds
+        if hit is not None:
+            if _probe(hit):
+                return hit
+            with _LOCK:  # blocks lost: drop only if nobody replaced it
+                if _CHECKPOINT_CACHE.get(key) is hit:
+                    _CHECKPOINT_CACHE.pop(key, None)
+            continue
+        pending.wait()
+        continue  # builder finished (or failed) — re-read the registry
+    try:
+        out = build().localCheckpoint(eager=True)
+        with _LOCK:
+            _CHECKPOINT_CACHE[key] = out
+        return out
+    finally:
+        with _LOCK:
+            _INFLIGHT.pop(key, None)
+        pending.set()

@@ -62,6 +62,15 @@ def salted_aggregate(
     )
 
 
+# joins whose result is row-for-row equal to the plain join under dim
+# replication: every fact row meets exactly ONE replica of its dim match
+# (the one sharing its salt), and unmatched FACT rows surface once.
+_SALTED_JOIN_HOWS = frozenset(
+    {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+     "semi", "left_anti", "leftanti", "anti"}
+)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -71,7 +80,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: dim replicated per salt, fact salted by a
-    deterministic row hash; result equals ``fact.join(dim, key, how)``."""
+    deterministic row hash; result equals ``fact.join(dim, key, how)``
+    for ``how`` in {inner, left, left_semi, left_anti} (and aliases).
+
+    Right/full outer are REJECTED: an unmatched dim row exists in all
+    ``n_salts`` replicas, so the replicated join would surface it once
+    per replica where the plain join yields it once — a silent
+    duplication, not a skew optimization. (A dim-preserving skew join
+    would need to collapse unmatched replicas afterwards, at which point
+    the unskewed ``dim.join(broadcast-or-plain fact)`` is the better
+    plan — dim sides are small by definition here.)"""
+    if how not in _SALTED_JOIN_HOWS:
+        raise ValueError(
+            f"salted_join: how={how!r} is not replica-safe — unmatched dim "
+            f"rows would appear n_salts={n_salts} times (once per replica). "
+            "Use one of: inner, left, left_semi, left_anti."
+        )
     dim_rep = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))

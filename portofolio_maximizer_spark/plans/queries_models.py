@@ -2029,8 +2029,17 @@ def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
     def _run(fn) -> None:
         try:
             fn(spark, sf_dir)
-        except Exception:  # noqa: BLE001 — retried serially by the owner
-            pass
+        except Exception as exc:  # noqa: BLE001 — retried serially by owner
+            # a family-wide drain failure (bad conf, missing dir) must be
+            # observable without changing the serial-retry attribution
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "streaming prefetch drain failed: %s: %s.%s",
+                fn.__name__,
+                type(exc).__module__,
+                type(exc).__name__,
+            )
 
     threads = [
         threading.Thread(target=_run, args=(f,), daemon=True) for f in fns

@@ -48,6 +48,48 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert _rows(plain, cols) == _rows(salted, cols)
 
 
+@pytest.mark.parametrize(
+    "how", ["inner", "left", "left_semi", "left_anti"]
+)
+def test_salted_join_matches_plain_per_how(spark, sf_dir, how):
+    """Property sweep over every replica-safe ``how``: the salted join
+    must equal the plain join row-for-row — including unmatched FACT
+    rows (left: NULL dim cols once) and the anti complement. The dim
+    deliberately misses one key ('purchase') and carries one key absent
+    from the fact ('zzz_ghost') so every how exercises its asymmetry."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .filter(F.col("event_type") != "purchase")
+        .withColumn("type_tag", F.upper("event_type"))
+        .unionByName(
+            spark.createDataFrame(
+                [("zzz_ghost", "ZZZ_GHOST")], ["event_type", "type_tag"]
+            )
+        )
+    )
+    plain = ev.join(dim, "event_type", how)
+    salted = salted_join(
+        ev, dim, key="event_type", salt_by=["event_id"], n_salts=8, how=how
+    )
+    cols = ["event_id", "event_type"]
+    if how in ("inner", "left"):
+        cols.append("type_tag")
+    assert _rows(plain, cols) == _rows(salted, cols)
+
+
+@pytest.mark.parametrize("how", ["right", "full", "outer", "right_outer"])
+def test_salted_join_rejects_dim_preserving_hows(spark, sf_dir, how):
+    """right/full outer would surface an unmatched dim row once PER
+    REPLICA (n_salts times) — the helper must refuse, not silently
+    duplicate."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct()
+    with pytest.raises(ValueError, match="replica-safe"):
+        salted_join(ev, dim, key="event_type", salt_by=["event_id"], how=how)
+
+
 def test_salt_is_deterministic(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     a = salted_aggregate(ev, ["event_type"], ["event_id"], 8).collect()
