@@ -81,6 +81,46 @@ def decode_image(payload: bytes) -> object:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _parse_jpeg_sof(payload: bytes):
+    """Walk the JPEG marker stream to the first SOFn frame header (pure
+    byte arithmetic, no codec): segments are FF <marker> <u16 BE length
+    incl. the 2 length bytes> <payload>; standalone markers (TEM, RSTn)
+    carry no length; fill FF bytes may pad between segments. SOFn
+    (C0–CF except DHT C4 / JPG C8 / DAC CC) holds precision u8, height
+    u16 BE, width u16 BE, component count u8. Every read is
+    bounds-checked — a truncated or malformed stream returns None
+    instead of scanning past the buffer."""
+    import struct
+
+    n = len(payload)
+    i = 2  # past SOI
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            return None  # desynchronized marker stream
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte: resynchronize on the next FF
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM/RSTn/SOI
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF: no dims
+            return None
+        if i + 4 > n:
+            return None  # length bytes would overrun
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if seglen < 2 or i + 2 + seglen > n:
+            return None  # malformed / truncated segment
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seglen < 8:
+                return None
+            h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+            ncomp = payload[i + 9]
+            return ("jpeg", int(w), int(h), int(ncomp))
+        i += 2 + seglen
+    return None
+
+
 def parse_image_header(payload: bytes):
     """REAL pure-Python image-header parse — no imaging libs needed:
 
@@ -91,13 +131,19 @@ def parse_image_header(payload: bytes):
       u16 at offsets 6/8; palette-indexed RGB → 3 channels;
     - BMP: 'BM', BITMAPINFOHEADER width s32 LE at 18, height s32 LE at
       22 (absolute value — negative = top-down rows), bit count u16 at
-      28 → channels = max(bits // 8, 1).
+      28 → channels = max(bits // 8, 1);
+    - JPEG: SOI then a marker WALK to the first SOFn segment (dims are
+      not at a fixed offset — APPn/COM/DQT segments precede the frame
+      header): height/width u16 BE at SOF+3/+5, channels = component
+      count (`_parse_jpeg_sof`, overrun-guarded).
 
     Returns (format, width, height, channels) or None when the payload
     is not a recognized image — the reference pipeline treats those rows
     as non-image media and carries NULL dimensions."""
     import struct
 
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        return _parse_jpeg_sof(payload)
     if (
         len(payload) >= 26
         and payload[:8] == b"\x89PNG\r\n\x1a\n"
@@ -128,13 +174,16 @@ def parse_image_header(payload: bytes):
 
 def synth_image_payload(doc_id: int, text: str) -> bytes:
     """Deterministic PLANTED payloads for the header-decode oracle: real
-    PNG/GIF/BMP header bytes (correct signatures, byte order and
+    PNG/GIF/BMP/JPEG header bytes (correct signatures, byte order and
     offsets) whose dimensions derive from doc_id arithmetic the DuckDB
     oracle can replay — parse(synth(doc_id)) must invert the plant.
-    doc_id % 4 == 3 plants a non-image payload (raw UTF-8 text)."""
+    doc_id % 5 == 4 plants a non-image payload (raw UTF-8 text). The
+    JPEG plant puts APP0 and a VARIABLE-length COM segment before the
+    SOF frame header, so the parser's marker walk (not a fixed offset)
+    is what the oracle checks; SOF0/SOF2 and 1/3 components alternate."""
     import struct
 
-    kind = doc_id % 4
+    kind = doc_id % 5
     w = 16 + (doc_id * 7) % 2000
     h = 16 + (doc_id * 13) % 1200
     body = text.encode("utf-8")[:64]
@@ -167,6 +216,24 @@ def synth_image_payload(doc_id: int, text: str) -> bytes:
             + struct.pack("<IiiHH", 40, w, hh, 1, bits)
         )
         return header + body
+    if kind == 3:
+        sof_marker = 0xC0 if (doc_id // 5) % 2 == 0 else 0xC2
+        ncomp = 3 if (doc_id // 10) % 2 == 0 else 1
+        com_body = bytes((doc_id + k) % 256 for k in range(doc_id % 7))
+        comps = b"".join(
+            struct.pack(">BBB", c + 1, 0x11, 0) for c in range(ncomp)
+        )
+        return (
+            b"\xff\xd8"  # SOI
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes(9)  # APP0, len 16 (14 payload bytes)
+            + b"\xff\xfe" + struct.pack(">H", 2 + len(com_body))
+            + com_body  # COM: variable length forces a real marker walk
+            + bytes([0xFF, sof_marker])
+            + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+            + comps
+            + body
+        )
     return text.encode("utf-8") or b"\x00"
 
 

@@ -212,9 +212,19 @@ def literal_grid(spark: SparkSession, rows, schema: str) -> DataFrame:
     reviewer adjudication. Row/value semantics identical to
     ``spark.createDataFrame(rows, schema)`` for literal rows; use only
     for config-sized grids (the array literal lives in the plan)."""
-    fields = [f.strip() for f in schema.split(",")]
-    names = [f.split()[0] for f in fields]
-    types = [f.split(None, 1)[1] for f in fields]
+    # parse via the real DDL parser: a naive split-on-comma mis-parses
+    # parameterized types with commas (decimal(18,6), map<k,v>)
+    from pyspark.sql.types import _parse_datatype_string
+
+    struct = _parse_datatype_string(schema)
+    names = [f.name for f in struct.fields]
+    types = [f.dataType for f in struct.fields]
+    for row in rows:
+        if len(row) != len(names):
+            raise ValueError(
+                f"literal_grid: row arity {len(row)} != schema arity "
+                f"{len(names)} ({schema!r})"
+            )
     structs = [
         F.struct(
             *[

@@ -481,10 +481,12 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT doc_id,
-             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                  WHEN 2 THEN 'bmp' ELSE 'raw' END AS format,
+             CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                  WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg'
+                  ELSE 'raw' END AS format,
              16 + (doc_id * 7) % 2000 AS w,
              16 + (doc_id * 13) % 1200 AS h,
+             CASE WHEN (doc_id // 10) % 2 = 0 THEN 3 ELSE 1 END AS ncomp,
              OCTET_LENGTH(ENCODE(text)) AS tb
       FROM documents
     ),
@@ -501,11 +503,14 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN 'bmp' THEN GREATEST(
                  (CASE (doc_id // 4) % 3
                   WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 32 END) // 8, 1)
+               WHEN 'jpeg' THEN ncomp
                END AS channels,
              CASE format
                WHEN 'png' THEN 33 + LEAST(tb, 64)
                WHEN 'gif' THEN 13 + LEAST(tb, 64)
                WHEN 'bmp' THEN 30 + LEAST(tb, 64)
+               WHEN 'jpeg' THEN 34 + doc_id % 7 + 3 * ncomp
+                               + LEAST(tb, 64)
                ELSE GREATEST(tb, 1) END AS pb
       FROM p
     )
@@ -522,15 +527,17 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L19 full — REAL image-metadata decode, no imaging libs: planted
-    PNG/GIF/BMP payloads (correct signatures/byte layouts,
+    PNG/GIF/BMP/JPEG payloads (correct signatures/byte layouts,
     `llmdata/multimodal.py:synth_image_payload`) stream through the
     Arrow `mapInPandas` header parser (`extract_image_headers`: PNG IHDR
     big-endian u32 dims + color-type channel table, GIF little-endian
     logical screen, BMP BITMAPINFOHEADER with negative-height top-down
-    handling), then a per-format census. The oracle replays the PLANT
-    arithmetic from doc_id — parse(synth(doc_id)) must invert the plant
-    byte-for-byte, so the parser itself is what the hash checks. Raw
-    (non-image) payloads must come back NULL-dimensioned.
+    handling, JPEG SOF via an overrun-guarded marker WALK past APP0 and
+    a variable-length COM segment), then a per-format census. The oracle
+    replays the PLANT arithmetic from doc_id — parse(synth(doc_id)) must
+    invert the plant byte-for-byte, so the parser itself is what the
+    hash checks. Raw (non-image) payloads must come back
+    NULL-dimensioned.
 
     Scale: one Arrow pass over payload bytes, metadata-only groupBy
     after — the pixel-decode stage (`decode_image`) stays stubbed

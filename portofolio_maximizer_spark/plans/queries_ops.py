@@ -9715,6 +9715,32 @@ _BKT_N = 8
 _BUCKETED_READY: set[tuple[str, str]] = set()
 
 
+def _evict_dead_bucket_dbs(wh: str, live_tag: str) -> None:
+    """The in-memory catalog dies with the process but ``bkt_*`` database
+    DIRECTORIES persist in the warehouse; each sf_dir (including
+    scalecheck's temporary replica roots) mints its own md5 tag, so dead
+    data roots would accumulate dirs forever. Every dir records its
+    originating sf_dir in a marker; a dir whose data root no longer
+    exists (or that predates markers) is swept — repeated cross-process
+    runs leave at most one live dir per live sf."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    for d in glob.glob(os.path.join(wh, "bkt_*.db")):
+        tag = os.path.basename(d)[len("bkt_") : -len(".db")]
+        if tag == live_tag:
+            continue
+        try:
+            with open(os.path.join(d, "_origin.json")) as f:
+                origin = json.load(f).get("sf_dir", "")
+        except (OSError, ValueError):
+            origin = ""
+        if not origin or not os.path.isdir(origin):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders+customer co-bucketed on the join key ONCE per
     (application, sf_dir) into a per-sf database (the in-memory catalog
@@ -9722,6 +9748,7 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     production analog is a one-time table layout decision, not a
     per-query cost)."""
     import hashlib
+    import json
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     db = f"bkt_{tag}"
@@ -9735,17 +9762,22 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     # the in-memory catalog forgets tables across processes but their
     # warehouse directories persist — clear leftovers so saveAsTable
-    # does not refuse the location (LOCATION_ALREADY_EXISTS)
+    # does not refuse the location (LOCATION_ALREADY_EXISTS), and sweep
+    # whole databases whose originating data root is gone
     import os
     import shutil
 
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    _evict_dead_bucket_dbs(wh, tag)
     for tbl in (ot, ct):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
         loc = os.path.join(wh, f"{db}.db", tbl.split(".")[1])
         shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(os.path.join(wh, f"{db}.db"), exist_ok=True)
+    with open(os.path.join(wh, f"{db}.db", "_origin.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir}, f)
     (
         load_table(spark, sf_dir, "orders")
         .write.mode("overwrite")

@@ -35,24 +35,27 @@ def test_multimodal_pixel_decode_is_stubbed():
 def test_image_header_parse_roundtrip():
     """parse_image_header must invert synth_image_payload byte-for-byte
     across every planted branch (PNG color types, GIF, BMP bit counts
-    incl. negative top-down heights, raw fallback)."""
-    for doc_id in range(0, 64):
+    incl. negative top-down heights, JPEG SOF0/SOF2 with variable-length
+    COM segments and 1/3 components, raw fallback)."""
+    for doc_id in range(0, 160):
         payload = multimodal.synth_image_payload(doc_id, "hello world " * 9)
         parsed = multimodal.parse_image_header(payload)
-        kind = doc_id % 4
-        if kind == 3:
+        kind = doc_id % 5
+        if kind == 4:
             assert parsed is None
             continue
         fmt, w, h, ch = parsed
-        assert fmt == ("png", "gif", "bmp")[kind]
+        assert fmt == ("png", "gif", "bmp", "jpeg")[kind]
         assert w == 16 + (doc_id * 7) % 2000
         assert h == 16 + (doc_id * 13) % 1200
         if kind == 0:
             assert ch == {0: 1, 2: 3, 4: 2, 6: 4}[(0, 2, 4, 6)[(doc_id // 4) % 4]]
         elif kind == 1:
             assert ch == 3
-        else:
+        elif kind == 2:
             assert ch == max((8, 24, 32)[(doc_id // 4) % 3] // 8, 1)
+        else:
+            assert ch == (3 if (doc_id // 10) % 2 == 0 else 1)
 
 
 def test_image_header_parse_rejects_garbage_and_truncation():
@@ -70,10 +73,41 @@ def test_image_header_parse_rejects_garbage_and_truncation():
     )
     assert (
         multimodal.parse_image_header(
-            multimodal.synth_image_payload(3, "BM prefix text " * 5)
+            multimodal.synth_image_payload(9, "BM prefix text " * 5)
         )
         is None
     )
+
+
+def test_jpeg_sof_walk_and_overrun_guards():
+    """The JPEG parse is a marker WALK, not a fixed offset: SOF must be
+    found past APPn/COM segments; truncated or malformed streams must
+    return None instead of reading past the buffer; SOS/EOI before any
+    SOF means no dimensions."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x11\x00" * 3)
+    jpg = b"\xff\xd8" + seg(0xE0, b"JFIF\x00" + bytes(9)) + seg(0xFE, b"a comment") + sof
+    assert multimodal.parse_image_header(jpg) == ("jpeg", 640, 480, 3)
+    # fill bytes between segments are legal
+    jpg_fill = b"\xff\xd8" + b"\xff" + sof
+    assert multimodal.parse_image_header(jpg_fill) == ("jpeg", 640, 480, 3)
+    # truncated mid-segment: the declared COM length overruns the buffer
+    trunc = b"\xff\xd8" + bytes([0xFF, 0xFE]) + struct.pack(">H", 500) + b"xx"
+    assert multimodal.parse_image_header(trunc) is None
+    # truncated before the length bytes
+    assert multimodal.parse_image_header(b"\xff\xd8\xff\xe0") is None
+    # SOS before any SOF: no frame header to read
+    sos_first = b"\xff\xd8" + seg(0xDA, b"\x01\x01\x00") + sof
+    assert multimodal.parse_image_header(sos_first) is None
+    # desynchronized stream (non-FF where a marker must start)
+    assert multimodal.parse_image_header(b"\xff\xd8zzzz") is None
+    # declared segment length < 2 is malformed
+    bad_len = b"\xff\xd8" + bytes([0xFF, 0xFE]) + struct.pack(">H", 1) + sof
+    assert multimodal.parse_image_header(bad_len) is None
 
 
 def test_real_pngs_and_bmps_parse():

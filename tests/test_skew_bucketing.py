@@ -184,6 +184,37 @@ def test_skew_salted_rollup_structure_and_equality(spark, sf_dir):
     assert re.search(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan), plan
 
 
+def test_bucket_db_eviction_sweeps_dead_data_roots(spark, sf_dir):
+    """bkt_* warehouse dirs from DEAD data roots (scalecheck replicas,
+    deleted sf dirs) must be swept on the next ensure; the live sf's dir
+    survives. Cross-process analog: registries evict, dirs must too."""
+    import json
+    import os
+
+    from portofolio_maximizer_spark.plans.queries_ops import (
+        _ensure_bucketed_pair,
+    )
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    dead = os.path.join(wh, "bkt_deadbeef.db")
+    os.makedirs(dead, exist_ok=True)
+    with open(os.path.join(dead, "_origin.json"), "w") as f:
+        json.dump({"sf_dir": "/nonexistent/replica/sf1"}, f)
+    unmarked = os.path.join(wh, "bkt_feedface.db")
+    os.makedirs(unmarked, exist_ok=True)
+
+    ot, _ = _ensure_bucketed_pair(spark, sf_dir)
+    live_db = ot.split(".")[0]
+    assert not os.path.exists(dead), "dead-origin dir must be swept"
+    assert not os.path.exists(unmarked), "marker-less dir must be swept"
+    assert os.path.isdir(os.path.join(wh, f"{live_db}.db"))
+    # a SECOND ensure must keep the live dir (its origin exists)
+    _ensure_bucketed_pair(spark, sf_dir)
+    assert os.path.isdir(os.path.join(wh, f"{live_db}.db"))
+
+
 def test_bucketed_colocated_join_query_plan(spark, sf_dir):
     """R157: the oracle-backed bucketed-join query must actually be
     shuffle-free under the join — the ONLY exchange in the plan is the

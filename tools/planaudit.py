@@ -92,6 +92,10 @@ _SF_SCALING_MARKERS = {
 
 # constant id-range predicate => fixed-size query set regardless of sf
 _ID_BOUND_RE = re.compile(r"Filter [^\n]*\w*id#\d+L? (?:<=?|=) \d+")
+# a Range leaf qualifies as a literal dimension only below this many rows:
+# parameter grids / salt replicas / calendar enumerations sit orders of
+# magnitude under it, a data-sized spark.range far above
+_RANGE_CAP = 100_000
 # Grouping keys with CONSTANT cardinality regardless of sf — the only keys
 # whose Aggregate/Deduplicate bounds its subtree. Everything else (unknown
 # keys included: chunk hashes, grams, component ids all scale with the
@@ -207,10 +211,13 @@ def _bounded(side: str) -> tuple[bool, bool]:
             return True, False
     # a side with NO sf-scaling leaf anywhere is a literal dimension —
     # Range bin/replica enumerations, LocalRelation lookup rows,
-    # region/nation reference tables. Relation AND LogicalRDD leaves
-    # (checkpoint-truncated lineage, staged-artifact reads) only qualify
-    # when every column is constant-cardinality BY NAME (e.g. the Bloom
-    # bit set's (bloom_seed, bloom_pos) — k·m-capped by construction, or
+    # region/nation reference tables. Range leaves only qualify when the
+    # PRINTED end value is under a constant cap (a data-sized
+    # spark.range(n_rows) must not auto-qualify just for being a Range).
+    # Relation AND LogicalRDD leaves (checkpoint-truncated lineage,
+    # staged-artifact reads) only qualify when every column is
+    # constant-cardinality BY NAME (e.g. the Bloom bit set's
+    # (bloom_seed, bloom_pos) — k·m-capped by construction, or
     # region/nation's schema columns); an unrecognized frame stays
     # unbounded (safe default) — a corpus-scale staged artifact without
     # marker columns must NOT auto-qualify just because _scan_tables
@@ -221,6 +228,9 @@ def _bounded(side: str) -> tuple[bool, bool]:
     )
     if leaves and not _scan_tables(side):
         leaf_ok = True
+        for m in re.finditer(r"\bRange \((-?\d+), (-?\d+)", side):
+            if abs(int(m.group(2)) - int(m.group(1))) > _RANGE_CAP:
+                leaf_ok = False
         for m in re.finditer(
             r"(?:Relation|LogicalRDD) \[([^\]]*)\]", side
         ):
@@ -356,11 +366,23 @@ def forced_broadcast_flags(opt_plan: str) -> list[str]:
     return flags
 
 
-def _is_equi_conjunct(conj: str) -> bool:
+def _attr_ids(s: str) -> set[str]:
+    """All attribute ids (#NNN) appearing in a plan fragment."""
+    return set(re.findall(r"#(\d+)", s))
+
+
+def _is_equi_conjunct(
+    conj: str,
+    left_ids: set[str] | None = None,
+    right_ids: set[str] | None = None,
+) -> bool:
     """True when a conjunct is a single attribute-to-attribute equality
     (cast/normalize wrappers allowed — Spark hash-joins those), i.e. the
     join has hash keys and will NOT plan as BNLJ. Negations, OR groups
-    and inequalities are not equi."""
+    and inequalities are not equi. When the join children's attribute-id
+    sets are supplied, the equality must SPAN them: ``a.x = a.y`` (both
+    sides from one child) gives Spark no hash keys and must not
+    adjudicate the join as hash-joinable."""
     c = _strip_outer_parens(conj)
     if c.startswith("NOT "):
         return False
@@ -381,7 +403,15 @@ def _is_equi_conjunct(conj: str) -> bool:
     left, right = c[: eq_pos[0]], c[eq_pos[0] + 3 :]
     if re.search(r" OR | AND ", left) or re.search(r" OR | AND ", right):
         return False
-    return bool(re.search(r"#\d+", left)) and bool(re.search(r"#\d+", right))
+    lids, rids = _attr_ids(left), _attr_ids(right)
+    if not lids or not rids:
+        return False
+    if left_ids is not None and right_ids is not None:
+        return bool(
+            (lids & left_ids and rids & right_ids)
+            or (lids & right_ids and rids & left_ids)
+        )
+    return True
 
 
 def _flatten_conjuncts(cond: str) -> list[str]:
@@ -460,14 +490,6 @@ def nested_loop_flags(phys_plan: str, opt_plan: str) -> list[str]:
             continue
         jtype, tail = m.group(1), m.group(2) or ""
         cond = re.sub(r",? ?(?:left|right)Hint=.*$", "", tail)
-        if jtype != "Cross":
-            if not cond:
-                continue  # condition-less non-cross: analyzer artifact
-            if any(
-                _is_equi_conjunct(c) for c in _flatten_conjuncts(cond)
-            ):
-                continue  # hash-joinable: not the BNLJ
-        prone += 1
         p = _node_col(ln)
         sub: list[str] = []
         j = i + 1
@@ -479,6 +501,19 @@ def nested_loop_flags(phys_plan: str, opt_plan: str) -> list[str]:
             "\n".join(sub[a:b])
             for a, b in zip(starts, starts[1:] + [len(sub)])
         ]
+        if jtype != "Cross":
+            if not cond:
+                continue  # condition-less non-cross: analyzer artifact
+            # the equality must span BOTH children: a same-side a.x = a.y
+            # gives Spark no hash keys (resolve ids against the subtrees)
+            lids = _attr_ids(sides[0]) if len(sides) == 2 else None
+            rids = _attr_ids(sides[1]) if len(sides) == 2 else None
+            if any(
+                _is_equi_conjunct(c, lids, rids)
+                for c in _flatten_conjuncts(cond)
+            ):
+                continue  # hash-joinable: not the BNLJ
+        prone += 1
         if sides and any(_bounded(side)[0] for side in sides):
             bounded_prone += 1
     if prone and prone == bounded_prone:
