@@ -3853,3 +3853,227 @@ def incremental_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L53 — Jaccard-containment census (asymmetric near-dup: doc ⊂ doc)
+# ---------------------------------------------------------------------------
+
+# Containment C(A→B) = |Sh(A) ∩ Sh(B)| / |Sh(A)| catches the dup class
+# symmetric Jaccard misses when sizes differ: quotes, excerpt pages,
+# boilerplate-wrapped copies. The candidate rule is the L4 rare-shingle
+# join (df ∈ [2, MAXDF]) — pairs sharing only stop-shingles are the
+# MinHash path's job; this is the exact complement for rare overlap.
+_CTM_TAU = 0.5
+
+
+@query(
+    "containment_dup_census",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
+           FROM toks, UNNEST(RANGE(1, LEN(t))) AS u(i)),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    rare AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+      WHERE d.df BETWEEN 2 AND {_NGJ_MAXDF}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d, b.doc_id AS c
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.d, p.c, COUNT(*) AS ni
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.d
+      JOIN sh b ON b.doc_id = p.c AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i.d, i.c, sd.n AS nd, i.ni,
+             i.ni * 1.0 / sd.n AS containment
+      FROM inter i
+      JOIN sizes sd ON i.d = sd.doc_id
+      JOIN sizes sc ON i.c = sc.doc_id
+      WHERE sc.n >= sd.n AND i.ni * 1.0 / sd.n >= {_CTM_TAU}
+    )
+    SELECT d AS doc_id, c AS container_id,
+           CAST(nd AS BIGINT) AS n_shingles,
+           CAST(ni AS BIGINT) AS n_shared,
+           ROUND(containment, 6) AS containment
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY d ORDER BY containment DESC, c) AS rnk
+      FROM scored
+    ) WHERE rnk = 1
+    """,
+)
+def containment_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 containment dedup census: for every document whose word-bigram
+    shingle set is ≥ 50% contained in a LARGER-OR-EQUAL document's set,
+    report its best container (max containment, tie → lowest id).
+    Reference dedup intent per `etl/database_manager.py` UNIQUE-constraint
+    dedup, extended to the asymmetric subset-dup class symmetric Jaccard
+    (L4) under-scores when |A| ≪ |B|.
+
+    Scale: identical candidate discipline to `ngram_jaccard_neardups` —
+    only df-pruned rare shingles generate pairs (fan-out ≤ MAXDF² per
+    shingle), the verify intersection runs on candidate docs only
+    (semi-join pushdown), and the best-container pick is a keyed window
+    on the pair frame, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"))).alias("shingle")
+    ).localCheckpoint(eager=True)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        dfreq.filter(F.col("df").between(2, _NGJ_MAXDF)), "shingle"
+    ).select("doc_id", "shingle")
+    a, b = rare.alias("a"), rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d"), F.col("b.doc_id").alias("c"))
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; read 3x below
+    )
+    cand_docs = (
+        pairs.select(F.col("d").alias("doc_id"))
+        .union(pairs.select(F.col("c").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb2 = shc.alias("sa"), shc.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("d") == F.col("sa.doc_id"))
+        .join(
+            sb2,
+            (F.col("c") == F.col("sb.doc_id"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("d", "c")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    zd, zc = sizes.alias("zd"), sizes.alias("zc")
+    scored = (
+        inter.join(zd, F.col("d") == F.col("zd.doc_id"))
+        .join(zc, F.col("c") == F.col("zc.doc_id"))
+        .filter(F.col("zc.n") >= F.col("zd.n"))
+        .select(
+            "d",
+            "c",
+            F.col("zd.n").alias("nd"),
+            "ni",
+            (F.col("ni") * 1.0 / F.col("zd.n")).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CTM_TAU)
+    )
+    w = Window.partitionBy("d").orderBy(
+        F.desc("containment"), F.asc("c")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("c").alias("container_id"),
+            F.col("nd").cast("bigint").alias("n_shingles"),
+            F.col("ni").cast("bigint").alias("n_shared"),
+            r6("containment").alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L55 — hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH norms AS ({_NORMS_SQL}),
+    q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qe
+          FROM embeddings WHERE vec_id < 20),
+    dots AS (
+      SELECT q.qid, q.q_label, e.vec_id, e.label,
+             SUM(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dp
+      FROM q, embeddings e, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE e.label <> q.q_label
+      GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+      SELECT d.qid, d.q_label, d.vec_id, d.label,
+             d.dp / (nq.nrm * nd.nrm) AS cosine
+      FROM dots d
+      JOIN norms nq ON d.qid = nq.vec_id
+      JOIN norms nd ON d.vec_id = nd.vec_id
+    )
+    SELECT qid, q_label, vec_id AS neg_id, label AS neg_label,
+           ROUND(cosine, 6) AS cosine, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L55 hard-negative mining: for each anchor vector, the top-3 most
+    cosine-similar vectors with a DIFFERENT label — the negatives a
+    contrastive/embedding fine-tune wants (near the anchor, wrong class).
+    Random negatives are trivially separable; these carry the gradient.
+    Companion to `embedding_label_separation` (L22): L22 audits whether
+    labels separate, this materializes the training pairs.
+
+    Scale: same shape as `embedding_knn` — anchors broadcast, the corpus
+    scores partition-locally (zip_with dot fold, JVM-side) and never
+    shuffles; per-anchor top-k is a keyed window on the scored frame. At
+    corpus scale the candidate set routes through the staged IVF lists
+    (`embedding_ivf_ann`) with the label filter applied post-probe —
+    exactly the ANN-then-filter pattern; this query is the exact
+    baseline its recall is judged against (the L32 convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        similarity.as_double(F.col("embedding")).alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        similarity.as_double(F.col("embedding")).alias("de"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("q_label"))
+        .select(
+            "qid",
+            "q_label",
+            "neg_id",
+            "neg_label",
+            (
+                similarity.dot(F.col("qe"), F.col("de"))
+                / (
+                    similarity.norm(F.col("qe"))
+                    * similarity.norm(F.col("de"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "qid", "q_label", "neg_id", "neg_label",
+            r6("cosine").alias("cosine"), "rnk",
+        )
+    )

@@ -2454,3 +2454,132 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg("ttr")).alias("mean_ttr"),
         F.min_by("doc_id", "shuf").alias("first_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L54 — vocabulary growth curve (Heaps'-law corpus profile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_growth_curve",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+    tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM d),
+    fs AS (SELECT tok, MIN(doc_id) AS fdoc FROM tk GROUP BY tok),
+    newc AS (SELECT fdoc AS doc_id, COUNT(*) AS n_new FROM fs GROUP BY fdoc),
+    pd AS (
+      SELECT d.doc_id,
+             LEN(STRING_SPLIT(d.text, ' ')) AS n_tokens,
+             COALESCE(n.n_new, 0) AS n_new
+      FROM d LEFT JOIN newc n USING (doc_id)
+    ),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+                  COUNT(*) OVER () AS tot
+           FROM pd),
+    dc AS (SELECT CAST(LEAST(9, FLOOR((rn - 1) * 10.0 / tot)) AS INT)
+                    AS decile,
+                  n_tokens, n_new
+           FROM rk),
+    per AS (SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+                   CAST(SUM(n_new) AS BIGINT) AS new_sum
+            FROM dc GROUP BY decile),
+    cum AS (SELECT u.od AS decile,
+                   CAST(SUM(p.n_docs) AS BIGINT) AS cum_docs,
+                   CAST(SUM(p.tok_sum) AS BIGINT) AS cum_tokens,
+                   CAST(SUM(p.new_sum) AS BIGINT) AS cum_distinct_tokens
+            FROM per p, UNNEST(RANGE(p.decile, 10)) AS u(od)
+            GROUP BY u.od)
+    SELECT CAST(p.decile AS INT) AS decile,
+           p.n_docs,
+           c.cum_docs,
+           c.cum_tokens,
+           c.cum_distinct_tokens,
+           ROUND(LN(c.cum_distinct_tokens)
+                 / NULLIF(LN(c.cum_tokens), 0), 6) AS heaps_beta
+    FROM per p JOIN cum c ON p.decile = c.decile
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L54 vocabulary growth curve: cumulative distinct tokens vs
+    cumulative token count at corpus-order decile checkpoints, with the
+    running Heaps'-law exponent estimate β ≈ ln V / ln N. The curve
+    answers the tokenizer-prep questions L16/L47 (reference vocabulary
+    intent per `forcester_ts/feature_engineering.py` vocabulary builds)
+    leave open: is the corpus's vocabulary still growing, and at what
+    rate would 100× more data grow it?
+
+    Scale: "distinct tokens seen by prefix P" is re-expressed as a
+    first-occurrence aggregation — MIN(doc_id) per token (one shuffle on
+    token, the same shape as the L16 rank) — so NO prefix ever holds a
+    distinct-set; the decile rank is `scalable_row_number` (two-pass, no
+    single-partition window) and the 10-row cumulative fold is an
+    explode(sequence) re-key, not an unpartitioned window."""
+    from ..operators.windows import scalable_row_number
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    tk = docs.select(
+        "doc_id", F.explode(textstats.tokens(F.col("text"))).alias("tok")
+    )
+    newc = (
+        tk.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    pd = (
+        docs.select(
+            "doc_id",
+            F.size(textstats.tokens(F.col("text"))).alias("n_tokens"),
+        )
+        .join(newc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    ranked, total = scalable_row_number(
+        pd, ["doc_id"], out_col="rn", with_total=True
+    )
+    dec = ranked.select(
+        F.least(
+            F.lit(9), F.floor((F.col("rn") - 1) * 10.0 / F.lit(total))
+        )
+        .cast("int")
+        .alias("decile"),
+        "n_tokens",
+        "n_new",
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tok_sum"),
+        F.sum("n_new").cast("long").alias("new_sum"),
+    )
+    cum = (
+        per.select(
+            F.explode(F.sequence(F.col("decile"), F.lit(9))).alias("od"),
+            "n_docs",
+            "tok_sum",
+            "new_sum",
+        )
+        .groupBy("od")
+        .agg(
+            F.sum("n_docs").cast("long").alias("cum_docs"),
+            F.sum("tok_sum").cast("long").alias("cum_tokens"),
+            F.sum("new_sum").cast("long").alias("cum_distinct_tokens"),
+        )
+    )
+    return per.join(cum, per.decile == cum.od).select(
+        per.decile.cast("int").alias("decile"),
+        "n_docs",
+        "cum_docs",
+        "cum_tokens",
+        "cum_distinct_tokens",
+        r6(
+            F.log("cum_distinct_tokens")
+            / F.nullif(F.log("cum_tokens"), F.lit(0.0))
+        ).alias("heaps_beta"),
+    )

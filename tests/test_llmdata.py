@@ -520,3 +520,75 @@ def test_pq_rerank_recall_and_determinism(spark, sf_dir):
     # codes really are compressed: 4 small-int codes per vector
     assert codes1.groupBy("vec_id").count().filter("count != 4").count() == 0
     assert books1.count() == 4 * 16
+
+
+def test_containment_census_contract(spark, sf_dir):
+    """L53: every reported containment is in (0, 1]; the container is
+    never the doc itself; exactly one row per contained doc (best
+    container); container shingle-set is >= the doc's."""
+    from portofolio_maximizer_spark.plans.queries_llmdata import (
+        containment_dup_census,
+    )
+
+    rows = containment_dup_census(spark, sf_dir).collect()
+    assert rows, "planted corpus must surface at least one containment dup"
+    seen = set()
+    for r in rows:
+        assert r.doc_id != r.container_id
+        assert 0.5 <= r.containment <= 1.0
+        assert r.n_shared <= r.n_shingles
+        assert r.doc_id not in seen  # rnk=1 → one best container per doc
+        seen.add(r.doc_id)
+
+
+def test_vocab_growth_curve_monotone(spark, sf_dir):
+    """L54: cumulative series are strictly non-decreasing over deciles,
+    the last decile's cumulative counts equal the corpus totals, and the
+    Heaps exponent stays in (0, 1] (V <= N always)."""
+    from pyspark.sql import functions as F
+
+    from portofolio_maximizer_spark.plans.queries_pipeline import (
+        vocab_growth_curve,
+    )
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    rows = sorted(
+        vocab_growth_curve(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_docs > a.cum_docs
+        assert b.cum_tokens > a.cum_tokens
+        assert b.cum_distinct_tokens >= a.cum_distinct_tokens
+        assert b.heaps_beta <= a.heaps_beta + 1e-9  # V/N ratio only decays
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    tot = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+    ).first()
+    last = rows[-1]
+    assert last.cum_docs == tot.n
+    assert last.cum_tokens == tot.toks
+    assert 0.0 < last.heaps_beta <= 1.0
+
+
+def test_hard_negative_mining_contract(spark, sf_dir):
+    """L55: negatives always carry a different label than the anchor,
+    ranks are dense 1..3 per anchor, and the top negative's cosine
+    lower-bounds every later rank."""
+    from collections import defaultdict
+
+    from portofolio_maximizer_spark.plans.queries_llmdata import (
+        hard_negative_mining,
+    )
+
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    per = defaultdict(list)
+    for r in rows:
+        assert r.neg_label != r.q_label
+        assert r.neg_id != r.qid
+        per[r.qid].append(r)
+    for qid, rs in per.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.cosine >= b.cosine for a, b in zip(rs, rs[1:]))

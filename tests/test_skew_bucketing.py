@@ -191,10 +191,15 @@ def test_bucket_db_eviction_sweeps_dead_data_roots(spark, sf_dir):
     import json
     import os
 
+    from portofolio_maximizer_spark.plans import queries_ops
     from portofolio_maximizer_spark.plans.queries_ops import (
         _ensure_bucketed_pair,
     )
 
+    # the sweep runs on the first ensure of a PROCESS; an earlier test in
+    # the same session may have warmed the registry (fast path skips the
+    # sweep by design) — clear it to simulate the fresh-process entry
+    queries_ops._BUCKETED_READY.clear()
     wh = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
