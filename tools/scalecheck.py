@@ -1,16 +1,23 @@
-"""Empirical scaling spot-check: one measured decade of scale-up.
+"""Empirical scaling spot-check: measured decades of scale-up, with
+shuffle-byte evidence.
 
 The plan audit argues 100x structurally; this tool makes the claim
-falsifiable at one decade: it tiles the sf0.1 testdata 10x into a local
-sf1 directory (key-offset replication, so KEY CARDINALITY scales while
-per-key series length and referential integrity are preserved — the
-cluster-growth model the engine is designed for), then times a
-shape-diverse query set at both SFs and prints t(sf1)/t(sf0.1).
+falsifiable: it tiles the sf0.1 testdata 10x into a local sf1 directory
+(key-offset replication, so KEY CARDINALITY scales while per-key series
+length and referential integrity are preserved — the cluster-growth
+model the engine is designed for), then times a shape-diverse query set
+at both SFs and prints t(sf1)/t(sf0.1). ``--decade2`` tiles a SECOND
+decade (sf10 ≈ 60M lineitem rows) and times the cheapest shape-diverse
+subset across sf1 → sf10, so the extrapolation rests on two measured
+decades, not one.
 
-Linear work with fixed parallelism should show a ratio near 10 for
-scan-bound queries and below 10 for floor-dominated ones (streaming
-drains, fixed-size model grids); a super-linear outlier is a scaling
-bug to explain or fix. Results go into BENCH_NOTES.md by hand.
+Every timed run also records per-query SHUFFLE READ/WRITE BYTES and
+spill (Spark UI REST stage metrics, scoped by job group): wall ratios
+alone can hide a shuffle that grows super-linearly while the wall stays
+flat behind idle cores — bytes make the 100x extrapolation bankable.
+Linear work should show bytes scaling ~linearly with the data and wall
+ratios at or below the data ratio for floor-dominated queries; a
+super-linear BYTE outlier is a scaling bug even when the wall looks fine.
 
 Tiling rules (honesty notes):
 - fact keys (event/user/order/cust/doc/vec ids) offset by replica *
@@ -25,7 +32,8 @@ Tiling rules (honesty notes):
 - dims (region/nation/part/supplier) are copied once — they are
   bounded reference data at any sf.
 
-Usage: python tools/scalecheck.py [--rebuild]
+Usage: python tools/scalecheck.py [--rebuild] [--decade2]
+Results go into BENCH_NOTES.md by hand.
 """
 
 from __future__ import annotations
@@ -39,11 +47,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".scalecheck",
-    "sf1",
+_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scalecheck"
 )
+DST = os.path.join(_ROOT, "sf1")
+DST2 = os.path.join(_ROOT, "sf10")
 REPLICAS = 10
 
 #: shape-diverse timed set: scan+agg, join+topk, window families, the
@@ -65,22 +73,52 @@ QUERIES = [
     "partition_skew_census",
 ]
 
+#: decade-2 subset: the cheapest SHAPE-DIVERSE queries (scan+agg,
+#: join+topk, per-key windows, two-pass rank, salted two-phase agg) that
+#: touch only the tiled fact tables and use no staged model artifacts
+QUERIES2 = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "user_return_metrics",
+    "customer_spend_deciles",
+    "skew_salted_rollup",
+]
+#: tables the decade-2 set reads (documents/embeddings are skipped at
+#: sf10 — none of QUERIES2 touch them, and the near-dup caveat above
+#: would apply anyway)
+TILE2_TABLES = ("events", "orders", "lineitem", "customer")
 
-def build_sf1(spark) -> None:
+# key widths = max_key + 1 at sf0.1 (enforced, not assumed — see tile())
+KEY_WIDTHS = {
+    "events": {"event_id": 100_000, "user_id": 1_500},
+    "orders": {"o_orderkey": 150_000, "o_custkey": 15_000},
+    "lineitem": {"l_orderkey": 150_000},
+    "customer": {"c_custkey": 15_000},
+    "documents": {"doc_id": 5_000},
+    "embeddings": {"vec_id": 2_000},
+}
+
+
+def build_tiled(
+    spark,
+    src: str,
+    dst: str,
+    replicas: int,
+    tables: tuple[str, ...],
+    out_partitions: int = 32,
+) -> None:
     from pyspark.sql import functions as F
 
-    shutil.rmtree(DST, ignore_errors=True)
-    os.makedirs(DST, exist_ok=True)
-    reps = spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+    reps = spark.range(replicas).select(F.col("id").alias("_rep"))
 
     def tile(table: str, offsets: dict[str, int], extra=None):
-        df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+        df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
         # the honesty notes are enforced, not assumed: a regenerated
         # testdata with larger key ranges would make replicas overlap
         # (hot keys + broken referential integrity) silently
-        maxes = df.agg(
-            *[F.max(c).alias(c) for c in offsets]
-        ).first()
+        maxes = df.agg(*[F.max(c).alias(c) for c in offsets]).first()
         for col, width in offsets.items():
             assert maxes[col] < width, (
                 f"{table}.{col} max {maxes[col]} >= tile width {width}; "
@@ -95,22 +133,10 @@ def build_sf1(spark) -> None:
             out = extra(out)
         (
             out.drop("_rep")
-            .repartition(32)
+            .repartition(out_partitions)
             .write.mode("overwrite")
-            .parquet(os.path.join(DST, f"{table}.parquet"))
+            .parquet(os.path.join(dst, f"{table}.parquet"))
         )
-
-    def copy(table: str):
-        shutil.copy(
-            os.path.join(SRC, f"{table}.parquet"),
-            os.path.join(DST, f"{table}.parquet"),
-        )
-
-    # key widths = max_key + 1 at sf0.1 (see module docstring)
-    tile("events", {"event_id": 100_000, "user_id": 1_500})
-    tile("orders", {"o_orderkey": 150_000, "o_custkey": 15_000})
-    tile("lineitem", {"l_orderkey": 150_000})
-    tile("customer", {"c_custkey": 15_000})
 
     def retext(out):
         return out.withColumn(
@@ -120,13 +146,97 @@ def build_sf1(spark) -> None:
             ),
         ).withColumn("n_chars", F.length("text"))
 
-    tile("documents", {"doc_id": 5_000}, extra=retext)
-    tile("embeddings", {"vec_id": 2_000})
+    for t in tables:
+        tile(t, KEY_WIDTHS[t], extra=retext if t == "documents" else None)
     for t in ("region", "nation", "part", "supplier"):
-        copy(t)
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+        )
     # done-marker LAST: an interrupted build must trigger a full rebuild,
     # not run queries against a partial/inconsistent replica
-    open(os.path.join(DST, "_BUILD_DONE"), "w").write("ok")
+    open(os.path.join(dst, "_BUILD_DONE"), "w").write("ok")
+
+
+def build_sf1(spark) -> None:
+    build_tiled(
+        spark,
+        SRC,
+        DST,
+        REPLICAS,
+        ("events", "orders", "lineitem", "customer", "documents", "embeddings"),
+    )
+
+
+def _stage_metrics(spark, stage_ids: set[int]) -> dict:
+    """Sum shuffle read/write and spill bytes over the given stages via
+    the JVM AppStatusStore (the Python statusTracker does not expose
+    byte metrics, and the session runs with the UI/REST disabled).
+    Skipped stages (reused exchanges) return an empty seq — fine, their
+    bytes were paid by the stage that produced the exchange."""
+    time.sleep(0.5)  # status-listener bus is async; let task events land
+    store = spark.sparkContext._jsc.sc().statusStore()
+    # Scala default args surface as $default$N accessors through py4j
+    defaults = [
+        getattr(store, f"stageData$default${i}")() for i in (2, 3, 4, 5)
+    ]
+    tot = {"shuffle_read_mb": 0.0, "shuffle_write_mb": 0.0, "spill_mb": 0.0}
+    for sid in sorted(stage_ids):
+        try:
+            seq = store.stageData(sid, *defaults)
+            for i in range(seq.size()):
+                att = seq.apply(i)
+                tot["shuffle_read_mb"] += (att.shuffleReadBytes() or 0) / 1e6
+                tot["shuffle_write_mb"] += (att.shuffleWriteBytes() or 0) / 1e6
+                tot["spill_mb"] += (
+                    (att.memoryBytesSpilled() or 0)
+                    + (att.diskBytesSpilled() or 0)
+                ) / 1e6
+        except Exception:  # noqa: BLE001 — stage evicted from the store
+            continue
+    return {k: round(v, 2) for k, v in tot.items()}
+
+
+def _timed(spark, fn, name: str, sf_dir: str, label: str) -> dict:
+    """Run one query under its own job group; return wall + byte metrics."""
+    sc = spark.sparkContext
+    group = f"scalecheck:{name}:{label}"
+    sc.setJobGroup(group, name)
+    t0 = time.time()
+    fn(spark, sf_dir).count()
+    wall = time.time() - t0
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    tracker = sc.statusTracker()
+    stage_ids: set[int] = set()
+    for jid in tracker.getJobIdsForGroup(group) or []:
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            stage_ids.update(info.stageIds)
+    return {"t": round(wall, 2), **_stage_metrics(spark, stage_ids)}
+
+
+def run_decade(spark, qs, names, small: str, big: str, label: str) -> list[dict]:
+    rows = []
+    for name in names:
+        a = _timed(spark, qs[name], name, small, f"{label}-small")
+        b = _timed(spark, qs[name], name, big, f"{label}-big")
+        rows.append(
+            {
+                "query": name,
+                f"t_{label}_small": a["t"],
+                f"t_{label}_big": b["t"],
+                "ratio": round(b["t"] / max(a["t"], 1e-9), 2),
+                "shuffle_rw_mb_small": [
+                    a["shuffle_read_mb"], a["shuffle_write_mb"]
+                ],
+                "shuffle_rw_mb_big": [
+                    b["shuffle_read_mb"], b["shuffle_write_mb"]
+                ],
+                "spill_mb_big": b["spill_mb"],
+            }
+        )
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    return rows
 
 
 def main() -> None:
@@ -134,44 +244,41 @@ def main() -> None:
 
     spark = get_spark("scalecheck")
     spark.sparkContext.setLogLevel("OFF")
+    decade2 = "--decade2" in sys.argv
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(DST, "_BUILD_DONE")
     ):
         t0 = time.time()
         build_sf1(spark)
         print(f"built {DST} in {time.time() - t0:.1f}s", file=sys.stderr)
+    if decade2 and (
+        "--rebuild" in sys.argv
+        or not os.path.exists(os.path.join(DST2, "_BUILD_DONE"))
+    ):
+        t0 = time.time()
+        build_tiled(spark, SRC, DST2, 100, TILE2_TABLES, out_partitions=64)
+        print(f"built {DST2} in {time.time() - t0:.1f}s", file=sys.stderr)
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     # warmup (JVM/codegen) outside the timed set, plus one count() of
-    # every table at BOTH SFs so parquet footers/page cache are warm on
-    # both sides — otherwise the sf0.1 pass absorbs all first-touch
+    # every table at ALL SFs so parquet footers/page cache are warm on
+    # every side — otherwise the small pass absorbs all first-touch
     # costs and ratios read artificially low
     qs["q1_pricing_summary"](spark, SRC).count()
-    for base in (SRC, DST):
+    for base in (SRC, DST) + ((DST2,) if decade2 else ()):
         for f in sorted(os.listdir(base)):
             if f.endswith(".parquet"):
                 spark.read.parquet(os.path.join(base, f)).count()
 
-    rows = []
-    for name in QUERIES:
-        t0 = time.time()
-        qs[name](spark, SRC).count()
-        t_small = time.time() - t0
-        t0 = time.time()
-        qs[name](spark, DST).count()
-        t_big = time.time() - t0
-        rows.append(
-            {
-                "query": name,
-                "t_sf0.1": round(t_small, 2),
-                "t_sf1": round(t_big, 2),
-                "ratio": round(t_big / max(t_small, 1e-9), 2),
-            }
+    out = {"replicas": REPLICAS}
+    out["scalecheck"] = run_decade(spark, qs, QUERIES, SRC, DST, "d1")
+    if decade2:
+        out["scalecheck_decade2"] = run_decade(
+            spark, qs, QUERIES2, DST, DST2, "d2"
         )
-        print(json.dumps(rows[-1]), file=sys.stderr)
-    print(json.dumps({"scalecheck": rows, "replicas": REPLICAS}))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
