@@ -592,3 +592,26 @@ def test_hard_negative_mining_contract(spark, sf_dir):
         rs.sort(key=lambda r: r.rnk)
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         assert all(a.cosine >= b.cosine for a, b in zip(rs, rs[1:]))
+
+
+def test_neardup_labels_survive_block_loss(spark, sf_dir):
+    """The component-label cache must PROBE its checkpoint and rebuild on
+    block loss (executor death on a cluster; anything unpersisting in a
+    shared session). Through round 8 this was a bespoke unprobed dict —
+    every consumer failed with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND for the
+    application's lifetime once blocks vanished."""
+    from portofolio_maximizer_spark.plans.queries_llmdata import (
+        _neardup_labels,
+        invalidate_neardup_cache,
+    )
+
+    invalidate_neardup_cache()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    labels = _neardup_labels(spark, sf_dir)
+    expected = sorted(map(tuple, labels.collect()))
+    # kill the fresh build's blocks (scoped: other frames stay alive)
+    persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in set(persistent.keySet()) - before:
+        persistent.get(rid).unpersist(True)
+    rebuilt = _neardup_labels(spark, sf_dir)
+    assert sorted(map(tuple, rebuilt.collect())) == expected

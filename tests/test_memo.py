@@ -45,13 +45,18 @@ def test_memoize_rebuilds_on_full_block_loss(spark):
         calls.append(1)
         return spark.range(50)
 
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     a = memoize_checkpoint(spark, "t_loss", "k", build)
-    # kill every cached block: unpersist the checkpointed RDDs out from
-    # under the frame (localCheckpoint truncates lineage, so the blocks
-    # cannot be recomputed — exactly the executor-loss failure mode).
+    # kill THIS frame's cached blocks: unpersist the checkpoint RDDs the
+    # build created out from under it (localCheckpoint truncates lineage,
+    # so the blocks cannot be recomputed — exactly the executor-loss
+    # failure mode). Scoped to the new RDD ids: a shared test session
+    # holds other frames' checkpoints and a blanket unpersist-all would
+    # sabotage them instead of testing the memoizer.
     # blocking=True so the loss is visible to the very next probe.
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(True)
+    persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in set(persistent.keySet()) - before:
+        persistent.get(rid).unpersist(True)
     b = memoize_checkpoint(spark, "t_loss", "k", build)
     assert len(calls) == 2
     assert b.count() == 50
