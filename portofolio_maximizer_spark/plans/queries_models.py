@@ -3933,3 +3933,89 @@ def streaming_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         "n_dups_removed",
     )
+
+
+@query(
+    "streaming_pyds_incremental_tail",
+    oracle="""
+    SELECT ticker,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST(COUNT(DISTINCT bar_id) AS BIGINT) AS n_distinct_bars,
+           ROUND(ARG_MIN(close, bar_id), 6) AS first_close,
+           ROUND(ARG_MAX(close, bar_id), 6) AS last_close,
+           ROUND(SUM(CAST(volume AS DOUBLE)), 6) AS total_volume
+    FROM read_parquet(
+      '__ORACLE_STAGE__/pyds_stream_tail/*.parquet')
+    GROUP BY ticker
+    """,
+)
+def streaming_pyds_incremental_tail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S9/S12 through the Python DataSource STREAM reader: the provider
+    tail drained as a Structured Streaming source in TWO availableNow
+    runs through ONE checkpoint — first the 120-bar prefix, then a
+    restart after the provider "publishes" the full 300-bar history, so
+    the second drain lands exactly the 180-bar delta (the reference's
+    daily incremental fetch, `etl/yfinance_extractor.py:73-121`, as a
+    Spark checkpoint contract instead of a bespoke state file).
+
+    The landed union is staged; the oracle re-derives the per-ticker
+    summary from the raw landed rows, and the paired n_bars /
+    n_distinct_bars columns make ANY duplicate or gap from the offset
+    handoff a value mismatch, not just a row-count drift. Per-ticker
+    first/last closes differentially pin the generator across the
+    restart boundary.
+
+    Scale: one generation task per (ticker, <=64-bar chunk) fans the
+    window across executors (`sources/pydatasource.py`
+    SyntheticBarsStreamReader.partitions); the drain is append-only with
+    no shuffle; the staged read-back is what every rerun plans against
+    (the stage is the once-per-(code,data) cost)."""
+    from ..sources import pydatasource
+    from .queries import stage_cached
+
+    def build() -> DataFrame:
+        import shutil
+        import tempfile
+
+        pydatasource.register(spark)
+        work = tempfile.mkdtemp(prefix="pyds_tail_")
+        ckpt = f"{work}/ck"
+        sink = f"{work}/out"
+        try:
+            for published_bars in (120, 300):
+                q = (
+                    spark.readStream.format("synthetic_bars")
+                    .option(
+                        "tickers", ",".join(f"SYM{i}" for i in range(6))
+                    )
+                    .option("n_bars", published_bars)
+                    .option("seed", 11)
+                    .option("batch_bars", 64)
+                    .load()
+                    .writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+                if q.exception():
+                    raise q.exception()
+            # materialize off the tmp sink before it is removed; the
+            # staged write (stage_cached) consumes this frame
+            return spark.read.parquet(sink).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    bars = stage_cached(spark, sf_dir, "pyds_stream_tail", build)
+    return bars.groupBy("ticker").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bars"),
+        F.countDistinct("bar_id").cast("long").alias("n_distinct_bars"),
+        F.round(F.min_by("close", "bar_id"), 6).alias("first_close"),
+        F.round(F.max_by("close", "bar_id"), 6).alias("last_close"),
+        F.round(F.sum(F.col("volume").cast("double")), 6).alias(
+            "total_volume"
+        ),
+    )

@@ -48,3 +48,77 @@ def test_matches_native_generator(spark):
         )
     ).count()
     assert bad == 0
+
+
+def _drain(spark, sink, ckpt, n_bars, tickers="AAA,BBB,CCC", batch_bars=32):
+    q = (
+        spark.readStream.format("synthetic_bars")
+        .option("tickers", tickers)
+        .option("n_bars", n_bars)
+        .option("seed", 42)
+        .option("batch_bars", batch_bars)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    if q.exception():
+        raise q.exception()
+
+
+def test_stream_incremental_tail_lands_delta_only(spark, tmp_path):
+    """Two availableNow drains through one checkpoint: the restart after
+    the provider grows its tail lands exactly the unseen suffix — no
+    duplicates, no gaps (S12 through the streaming Python DataSource)."""
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, sink, ckpt, n_bars=50)
+    first = spark.read.parquet(sink)
+    assert first.count() == 150
+    assert first.agg(F.max("bar_id")).first()[0] == 49
+    _drain(spark, sink, ckpt, n_bars=80)
+    both = spark.read.parquet(sink)
+    assert both.count() == 240  # 3 tickers x 80 bars, delta appended once
+    assert both.select("ticker", "bar_id").distinct().count() == 240
+
+
+def test_stream_drain_bit_compatible_with_batch(spark, tmp_path):
+    """The streamed rows are the batch reader's rows exactly (same
+    deterministic generator → offset replay is exactly-once by
+    construction)."""
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, sink, ckpt, n_bars=60)
+    streamed = spark.read.parquet(sink)
+    batch = _read(spark, n_bars=60)
+    cols = batch.columns
+    assert streamed.select(cols).exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed.select(cols)).count() == 0
+
+
+def test_stream_partitions_chunk_per_ticker():
+    """partitions(start, end) fans out one task per (ticker, <=chunk)
+    window and replays any window deterministically."""
+    from portofolio_maximizer_spark.sources.pydatasource import (
+        SyntheticBarsStreamReader,
+    )
+
+    r = SyntheticBarsStreamReader(
+        {"tickers": "AAA,BBB", "n_bars": "100", "batch_bars": "40", "seed": "42"}
+    )
+    assert r.initialOffset() == {"bar": 0}
+    assert r.latestOffset() == {"bar": 100}
+    parts = r.partitions({"bar": 0}, {"bar": 100})
+    assert len(parts) == 6  # 2 tickers x ceil(100/40)
+    spans = sorted((p.ticker, p.start, p.end) for p in parts)
+    assert spans == [
+        ("AAA", 0, 40), ("AAA", 40, 80), ("AAA", 80, 100),
+        ("BBB", 0, 40), ("BBB", 40, 80), ("BBB", 80, 100),
+    ]
+    window = [row for p in parts if p.ticker == "AAA" and p.start == 40
+              for row in r.read(p)]
+    assert [row[1] for row in window] == list(range(40, 80))
+    replay = [row for p in r.partitions({"bar": 40}, {"bar": 80})
+              if p.ticker == "AAA" for row in r.read(p)]
+    assert replay == window
