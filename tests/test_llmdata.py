@@ -615,3 +615,73 @@ def test_neardup_labels_survive_block_loss(spark, sf_dir):
         persistent.get(rid).unpersist(True)
     rebuilt = _neardup_labels(spark, sf_dir)
     assert sorted(map(tuple, rebuilt.collect())) == expected
+
+
+def test_containment_census_planted(spark, tmp_path):
+    """Planted subset docs must surface with exact containments: doc 1's
+    bigrams are a strict subset of doc 2's (containment 1.0); doc 4 is
+    contained in BOTH 1 and 2 and must pick the lowest-id container on
+    the tie; the larger doc and the disjoint doc never appear."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "web", 22),
+        (2, "alpha beta gamma delta epsilon zeta eta", "en", "web", 39),
+        (3, "one two three four", "en", "web", 18),
+        (4, "alpha beta gamma", "en", "web", 16),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf_ctm")
+    docs.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    out = {
+        r.doc_id: r
+        for r in QUERIES["containment_dup_census"](spark, d).collect()
+    }
+    assert set(out) == {1, 4}
+    assert out[1].container_id == 2
+    assert (out[1].n_shingles, out[1].n_shared) == (3, 3)
+    assert out[1].containment == 1.0
+    assert out[4].container_id == 1  # tie at 1.0 with doc 2 → lowest id
+    assert (out[4].n_shingles, out[4].n_shared) == (2, 2)
+    assert out[4].containment == 1.0
+
+
+def test_vocab_growth_curve_planted(spark, tmp_path):
+    """Five hand-computed docs: deciles land at 0/2/4/6/8 and the
+    cumulative token/distinct series match exact arithmetic."""
+    import math
+
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    rows = [
+        (1, "a b a", "en", "web", 5),
+        (2, "b c", "en", "web", 3),
+        (3, "c d e", "en", "web", 5),
+        (4, "a e", "en", "web", 3),
+        (5, "f", "en", "web", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf_vgc")
+    docs.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    out = sorted(
+        QUERIES["vocab_growth_curve"](spark, d).collect(),
+        key=lambda r: r.decile,
+    )
+    got = [
+        (r.decile, r.n_docs, r.cum_docs, r.cum_tokens, r.cum_distinct_tokens)
+        for r in out
+    ]
+    assert got == [
+        (0, 1, 1, 3, 2),
+        (2, 1, 2, 5, 3),
+        (4, 1, 3, 8, 5),
+        (6, 1, 4, 10, 5),
+        (8, 1, 5, 11, 6),
+    ]
+    assert abs(out[-1].heaps_beta - round(math.log(6) / math.log(11), 6)) < 1e-9
