@@ -43,6 +43,15 @@ def _probe(df: DataFrame) -> bool:
         return False
 
 
+def invalidate_name(name: str) -> None:
+    """Drop every cached entry for ``name`` across applications and cache
+    keys — for callers whose inputs changed under a live session (e.g. a
+    test regenerating the parquet a memoized frame was derived from)."""
+    with _LOCK:
+        for k in [k for k in _CHECKPOINT_CACHE if k[1] == name]:
+            _CHECKPOINT_CACHE.pop(k, None)
+
+
 def memoize_checkpoint(spark, name: str, cache_key: str, build) -> DataFrame:
     """Run ``build()`` once per (application, name, cache_key); return
     the pinned (eager ``localCheckpoint``) result on every later call,

@@ -36,13 +36,9 @@ from .queries import ORACLE, literal_grid, query, r6
 def invalidate_neardup_cache() -> None:
     """Drop cached near-dup component labels (call after regenerating the
     documents parquet within a live session)."""
-    from ..operators import memo
+    from ..operators.memo import invalidate_name
 
-    with memo._LOCK:
-        for k in [
-            k for k in memo._CHECKPOINT_CACHE if k[1] == "neardup_labels"
-        ]:
-            memo._CHECKPOINT_CACHE.pop(k, None)
+    invalidate_name("neardup_labels")
 
 
 def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4006,9 +4006,15 @@ def streaming_pyds_incremental_tail(
                     .trigger(availableNow=True)
                     .start()
                 )
-                q.awaitTermination(300)
+                finished = q.awaitTermination(300)
                 if q.exception():
                     raise q.exception()
+                if not finished:  # hung drain: fail loudly, not with a
+                    q.stop()  # partial sink the oracle would then chase
+                    raise TimeoutError(
+                        "pyds tail drain exceeded 300s "
+                        f"(published_bars={published_bars})"
+                    )
             # materialize off the tmp sink before it is removed; the
             # staged write (stage_cached) consumes this frame
             return spark.read.parquet(sink).localCheckpoint(eager=True)
