@@ -4031,3 +4031,106 @@ def streaming_pyds_incremental_tail(
             "total_volume"
         ),
     )
+
+
+@query(
+    "paper_trading_coverage",
+    oracle=f"""
+    WITH s AS ({{_S_SQL}}),
+    b AS (
+      SELECT user_id, rn,
+             (value / LAG(value, 5) OVER w) - 1 AS mom,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    u AS (
+      SELECT user_id, ANY_VALUE(n) AS n,
+             MIN(CASE WHEN rn >= 6 AND rn <= n - 1 AND mom > 0.02
+                      THEN rn END) AS first_cross
+      FROM b GROUP BY user_id
+    ),
+    t AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_trades
+      FROM read_parquet('__ORACLE_STAGE__/paper_trades/*.parquet')
+      GROUP BY user_id
+    ),
+    j AS (
+      SELECT u.user_id,
+             (u.n >= 21 AND u.first_cross IS NOT NULL) AS eligible,
+             COALESCE(t.n_trades, 0) > 0 AS has_trades
+      FROM u LEFT JOIN t ON t.user_id = u.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eligible,
+           CAST(SUM(CASE WHEN has_trades THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_trades,
+           CAST(SUM(CASE WHEN eligible <> has_trades THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_coverage_violations,
+           MIN(CASE WHEN eligible <> has_trades THEN user_id END)
+             AS first_violating_user
+    FROM j
+    """,
+)
+def paper_trading_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 coverage census — closes `paper_trading_trades`'s declared
+    residual gap ("a user whose trades are ALL missing has no staged
+    rows to check"): eligibility is re-derived RELATIONALLY from the raw
+    bar series — the kernel's exact guard (n ≥ momentum_k + atr_k + 2 =
+    21) and first-entry rule (∃ rn ∈ [6, n−1] with 5-bar momentum >
+    0.02, `operators/backtest.py:207,282-288`) — and cross-checked
+    against which users actually have staged trades. A kernel that
+    silently dropped an eligible user (or invented trades for an
+    ineligible one) shows up as a nonzero violation count, which the
+    oracle hash pins and a pytest invariant asserts is zero.
+
+    Scale: one keyed window pass over the series (mom + partition-only
+    count), a user-grain fold, and a user-grain left join against the
+    staged trades — no per-trade work at all."""
+    from .queries_stats import _series
+
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("rn")
+    b = s.select(
+        "user_id",
+        "rn",
+        (F.col("value") / F.lag("value", 5).over(w) - 1).alias("mom"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    u = b.groupBy("user_id").agg(
+        F.first("n").alias("n"),
+        F.min(
+            F.when(
+                (F.col("rn") >= 6)
+                & (F.col("rn") <= F.col("n") - 1)
+                & (F.col("mom") > 0.02),
+                F.col("rn"),
+            )
+        ).alias("first_cross"),
+    )
+    t = _simulated_trades(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades")
+    )
+    j = u.join(t, "user_id", "left").select(
+        "user_id",
+        (
+            (F.col("n") >= 21) & F.col("first_cross").isNotNull()
+        ).alias("eligible"),
+        (F.coalesce("n_trades", F.lit(0)) > 0).alias("has_trades"),
+    )
+    viol = F.col("eligible") != F.col("has_trades")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("eligible").cast("int")).cast("long").alias("n_eligible"),
+        F.sum(F.col("has_trades").cast("int"))
+        .cast("long")
+        .alias("n_with_trades"),
+        F.sum(viol.cast("int")).cast("long").alias("n_coverage_violations"),
+        F.min(F.when(viol, F.col("user_id"))).alias("first_violating_user"),
+    )
+
+
+ORACLE["paper_trading_coverage"] = ORACLE["paper_trading_coverage"].replace(
+    "{_S_SQL}", _S_SQL
+)

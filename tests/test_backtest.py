@@ -320,3 +320,18 @@ def test_lob_sub_bps_tick_honored_and_zero_depth_fills_at_start():
     start = mid[0] + hs[0]
     v_dry = lob_vwap_fill(mid, hs, np.array([0.0]), shares, side=1)
     assert np.isclose(v_dry[0], start)
+
+
+def test_paper_trading_coverage_no_violations(spark, sf_dir):
+    """The F15 kernel must produce >=1 trade for EVERY eligible user
+    (n >= 21 with a momentum crossing in [6, n-1]) and none for the
+    ineligible — the coverage census's violation count pins the
+    residual gap the per-trade induction oracle cannot see (a user
+    whose trades are ALL missing has no staged rows to check)."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    row = QUERIES["paper_trading_coverage"](spark, sf_dir).first()
+    assert row.n_users > 0 and row.n_eligible > 0
+    assert row.n_coverage_violations == 0, row
+    assert row.first_violating_user is None
+    assert row.n_with_trades == row.n_eligible
