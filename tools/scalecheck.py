@@ -80,6 +80,8 @@ QUERIES2 = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "user_return_metrics",
+    "rolling_quantile_tail",
+    "hourly_bars_atr",
     "customer_spend_deciles",
     "skew_salted_rollup",
 ]
