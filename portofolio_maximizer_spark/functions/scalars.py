@@ -12,6 +12,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round6_half_up(x: float) -> float:
+    """Plain-float HALF-UP rounding at 6 dp — the cross-engine tie
+    contract: 6dp-quantized values × finite-decimal factors land on
+    exact .5e-6 midpoints, where Python ``round`` (half-even) and SQL
+    ``ROUND`` (half-away) disagree. Every Python kernel and the oracle
+    SQL (``FLOOR(x*1e6 + 0.5)/1e6``) must use THIS formula — it is the
+    single source of truth; do not re-derive it locally."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def epoch_seconds(ts: Column) -> Column:
     """Epoch seconds (fractional) from any timestamp flavor.
 

@@ -34,6 +34,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.scalars import round6_half_up
+
 TRADES_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -220,14 +222,10 @@ def simulate_trades(
         ratchets = 0
         trades = []
 
-        import math
-
-        def r6half(x: float) -> float:
-            # explicit half-up at 6dp: fills are tie-PRONE (6dp-quantized
-            # mids × finite-decimal spread factors land on exact .5e-6
-            # midpoints), where Python round (half-even) and SQL ROUND
-            # (half-away) disagree — the oracle uses the same formula
-            return math.floor(x * 1e6 + 0.5) / 1e6
+        # fills are tie-PRONE (6dp-quantized mids × finite-decimal spread
+        # factors land on exact .5e-6 midpoints) — the shared half-up
+        # helper is the same formula the oracle SQL uses
+        r6half = round6_half_up
 
         def close(i: int, reason: str) -> None:
             nonlocal cash, pos_shares, entry_i, ratchets

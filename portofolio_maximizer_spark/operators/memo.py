@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame
 
 _CHECKPOINT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _INFLIGHT: dict[tuple[str, str, str], threading.Event] = {}
+# per-name invalidation generation: a build records the generation when
+# it starts; an insert is skipped when invalidate_name bumped it since,
+# so a build that raced an input rewrite cannot pin its stale frame
+_NAME_GEN: dict[str, int] = {}
 _LOCK = threading.Lock()
 
 
@@ -46,8 +50,13 @@ def _probe(df: DataFrame) -> bool:
 def invalidate_name(name: str) -> None:
     """Drop every cached entry for ``name`` across applications and cache
     keys — for callers whose inputs changed under a live session (e.g. a
-    test regenerating the parquet a memoized frame was derived from)."""
+    test regenerating the parquet a memoized frame was derived from).
+    Also FENCES in-flight builds: a build that started before the
+    invalidation (and so may have read the old inputs) finds the
+    generation bumped and skips its cache insert — its waiters re-enter,
+    miss, and rebuild against the new inputs."""
     with _LOCK:
+        _NAME_GEN[name] = _NAME_GEN.get(name, 0) + 1
         for k in [k for k in _CHECKPOINT_CACHE if k[1] == name]:
             _CHECKPOINT_CACHE.pop(k, None)
 
@@ -66,6 +75,7 @@ def memoize_checkpoint(spark, name: str, cache_key: str, build) -> DataFrame:
             if hit is None and pending is None:
                 pending = threading.Event()
                 _INFLIGHT[key] = pending
+                gen = _NAME_GEN.get(name, 0)
                 break  # this thread builds
         if hit is not None:
             if _probe(hit):
@@ -79,7 +89,12 @@ def memoize_checkpoint(spark, name: str, cache_key: str, build) -> DataFrame:
     try:
         out = build().localCheckpoint(eager=True)
         with _LOCK:
-            _CHECKPOINT_CACHE[key] = out
+            # skip the insert when invalidate_name fenced this build:
+            # the frame may derive from since-rewritten inputs. The
+            # builder still returns it (the race resolves as if the
+            # invalidation happened a moment later), but nothing pins it.
+            if _NAME_GEN.get(name, 0) == gen:
+                _CHECKPOINT_CACHE[key] = out
         return out
     finally:
         with _LOCK:

@@ -1577,7 +1577,19 @@ def _lob_fill_sql(src: str, side: int, out: str) -> str:
     depth, req). Op-for-op the numpy kernel: tick = mid*1.0/1e4,
     start = max(mid + side*hs, tick), level prices start + (side*j)*tick
     floored at tick, avail = depth*w_j/px_j, greedy clip fill in level
-    order, residual at the 25-tick exhaust tail."""
+    order, residual at the 25-tick exhaust tail.
+
+    PRECONDITION for bit-exactness: the order must fill WITHIN LADDER
+    LEVEL 0. Multi-level fills sum (filled*px) terms, and numpy's
+    pairwise summation / cumsum can differ from SQL windowed+grouped
+    summation by ~1 ulp — enough to flip the half-up rounding on a
+    tie-prone .5e-6 midpoint. At current corpus scale every fill clears
+    level 0 with ~10× headroom (spend ≈ cash·0.25 ≈ 2.5k notional vs
+    ≈27k level-0 capacity), and
+    ``tests/test_backtest.py::test_lob_fills_clear_level_zero`` pins the
+    precondition so a scale change trips a test instead of an
+    intermittent oracle hash mismatch. If fills ever need to walk
+    levels, make the oracle's summation order-identical first."""
     sf = f"{side}.0"
     return f"""
     {out}_lv AS (
@@ -2031,10 +2043,12 @@ def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
             fn(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 — retried serially by owner
             # a family-wide drain failure (bad conf, missing dir) must be
-            # observable without changing the serial-retry attribution
+            # observable without changing the serial-retry attribution —
+            # at WARNING: the default Spark-driver root logger suppresses
+            # DEBUG/INFO, which would make the swallow silent again
             import logging
 
-            logging.getLogger(__name__).debug(
+            logging.getLogger(__name__).warning(
                 "streaming prefetch drain failed: %s: %s.%s",
                 fn.__name__,
                 type(exc).__module__,

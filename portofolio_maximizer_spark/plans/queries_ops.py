@@ -9759,25 +9759,33 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     _BUCKETED_READY.difference_update(
         {k for k in _BUCKETED_READY if k[0] != key[0]}
     )
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     # the in-memory catalog forgets tables across processes but their
     # warehouse directories persist — clear leftovers so saveAsTable
     # does not refuse the location (LOCATION_ALREADY_EXISTS), and sweep
-    # whole databases whose originating data root is gone
+    # whole databases whose originating data root is gone. The sweep is
+    # DESTRUCTIVE and other processes (a concurrent different-sf run)
+    # create their dirs in the same warehouse, so the
+    # create→marker→sweep section holds a cross-process fcntl lock and
+    # the marker is written BEFORE any sweep can run — a dir is never
+    # observable marker-less by a peer's sweep.
     import os
     import shutil
+
+    from .queries import _stage_lock
 
     wh = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    _evict_dead_bucket_dbs(wh, tag)
+    with _stage_lock(os.path.join(wh, "bkt_ensure")):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        os.makedirs(os.path.join(wh, f"{db}.db"), exist_ok=True)
+        with open(os.path.join(wh, f"{db}.db", "_origin.json"), "w") as f:
+            json.dump({"sf_dir": sf_dir}, f)
+        _evict_dead_bucket_dbs(wh, tag)
     for tbl in (ot, ct):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         loc = os.path.join(wh, f"{db}.db", tbl.split(".")[1])
         shutil.rmtree(loc, ignore_errors=True)
-    os.makedirs(os.path.join(wh, f"{db}.db"), exist_ok=True)
-    with open(os.path.join(wh, f"{db}.db", "_origin.json"), "w") as f:
-        json.dump({"sf_dir": sf_dir}, f)
     (
         load_table(spark, sf_dir, "orders")
         .write.mode("overwrite")

@@ -47,7 +47,12 @@ def _hash_unit(*parts) -> float:
 
 
 def _round6(x: float) -> float:
-    return math.floor(x * 1e6 + 0.5) / 1e6
+    # thin local alias: the canonical half-up-6dp contract lives in
+    # functions/scalars.round6_half_up; kept as a module-level def so the
+    # generator's executor pickle stays self-contained
+    from ..functions.scalars import round6_half_up
+
+    return round6_half_up(x)
 
 
 def _bars_for_ticker(

@@ -335,3 +335,62 @@ def test_paper_trading_coverage_no_violations(spark, sf_dir):
     assert row.n_coverage_violations == 0, row
     assert row.first_violating_user is None
     assert row.n_with_trades == row.n_eligible
+
+
+def test_lob_fills_clear_level_zero(spark, sf_dir):
+    """_lob_fill_sql is bit-exact with lob_vwap_fill only for orders that
+    fill within ladder level 0 (multi-level walks expose numpy-pairwise
+    vs SQL-windowed summation ulps on tie-prone .5e-6 midpoints). Pin
+    the precondition: every staged trade's requested shares fit within
+    level-0 capacity on BOTH the entry (buy) and exit (sell) fill."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from portofolio_maximizer_spark.plans.queries_models import (
+        _simulated_trades,
+    )
+    from portofolio_maximizer_spark.plans.queries_stats import _series
+
+    w0 = 1.0 / sum(math.exp(-0.8 * j) for j in range(10))
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("rn")
+    ret = F.coalesce(
+        F.least(
+            F.greatest(F.col("value") / F.lag("value").over(w) - 1, F.lit(-1.0)),
+            F.lit(10.0),
+        ),
+        F.lit(0.0),
+    )
+    shock = F.greatest(F.abs(ret), F.lit(0.02))
+    b = s.select(
+        "user_id",
+        "rn",
+        F.col("value").alias("mid"),
+        ((F.col("value") * 0.0005) * (1.0 + 20.0 * shock) / 2.0).alias("hs"),
+        F.greatest(
+            F.lit(1000000.0) * (1.0 - 15.0 * shock), F.lit(50000.0)
+        ).alias("depth"),
+    )
+    t = _simulated_trades(spark, sf_dir).select(
+        "user_id", "entry_rn", "exit_rn", "shares_raw"
+    )
+
+    def headroom(bar_rn, side):
+        bb = b.alias("b")
+        j = t.join(
+            bb,
+            (F.col("b.user_id") == t.user_id) & (F.col("b.rn") == bar_rn),
+        )
+        tick = F.col("b.mid") * 1.0 / 1e4
+        start = F.greatest(F.col("b.mid") + side * F.col("b.hs"), tick)
+        avail0 = F.col("b.depth") * w0 / start
+        return j.select((avail0 / F.col("shares_raw")).alias("m")).agg(
+            F.min("m")
+        ).first()[0]
+
+    entry_margin = headroom(t.entry_rn, +1)
+    exit_margin = headroom(t.exit_rn, -1)
+    assert entry_margin is not None and entry_margin > 1.0, entry_margin
+    assert exit_margin is not None and exit_margin > 1.0, exit_margin

@@ -125,3 +125,38 @@ def test_memoize_concurrent_misses_build_once_per_key(spark):
     assert not errors, errors
     assert all(v == 10 for v in results.values())
     assert calls.count("same") == 1, calls
+
+
+def test_invalidate_fences_inflight_build(spark):
+    """A build that STARTED before invalidate_name (so may have read the
+    old inputs) must not pin its frame: the insert is generation-fenced,
+    and the next call rebuilds."""
+    import time
+
+    from portofolio_maximizer_spark.operators.memo import invalidate_name
+
+    _fresh(spark)
+    started = threading.Event()
+
+    def slow_build():
+        started.set()
+        time.sleep(1.0)  # keep the build in flight across the invalidate
+        return spark.range(5)
+
+    t = threading.Thread(
+        target=lambda: memoize_checkpoint(spark, "t_fence", "k", slow_build)
+    )
+    t.start()
+    assert started.wait(30)
+    invalidate_name("t_fence")
+    t.join(60)
+    appid = spark.sparkContext.applicationId
+    assert (appid, "t_fence", "k") not in _CHECKPOINT_CACHE
+    calls = []
+
+    def build2():
+        calls.append(1)
+        return spark.range(7)
+
+    assert memoize_checkpoint(spark, "t_fence", "k", build2).count() == 7
+    assert calls == [1]
