@@ -372,6 +372,197 @@ def resize_plan(features: DataFrame, target: int = 224) -> DataFrame:
     )
 
 
+AUDIO_HEADER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("data_bytes", LongType()),
+        StructField("truncated", IntegerType()),
+        StructField("payload_bytes", LongType()),
+    ]
+)
+
+_WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+_WAV_BITS = (8, 16, 24, 32)
+
+
+def parse_wav_header(payload: bytes):
+    """REAL pure-Python WAV (RIFF) header parse — no audio libs: 'RIFF'
+    <u32 LE riff size> 'WAVE', then a CHUNK WALK (chunks are not at fixed
+    offsets — LIST/bext/JUNK may precede 'fmt '): each chunk is a 4-byte
+    id + u32 LE size + payload, padded to even length (RIFF spec word
+    alignment). 'fmt ' holds format tag u16, channels u16, sample rate
+    u32, byte rate u32, block align u16, bits u16; WAVE_FORMAT_EXTENSIBLE
+    (tag 0xFFFE, ≥40-byte fmt) carries the REAL format tag in the first
+    u16 of the SubFormat GUID at fmt body offset 24. 'data' contributes
+    its DECLARED size — a payload shorter than the declaration (tail not
+    landed / headers-only scan) is reported with ``truncated=1`` rather
+    than rejected, which is how duration comes from a header-only read
+    at 100 TB. Every read is bounds-checked.
+
+    Returns (codec, channels, sample_rate, bits, data_size, truncated)
+    or None when the payload is not a parseable WAV (non-RIFF, missing
+    fmt/data chunk, or a malformed chunk stream)."""
+    import struct
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_size = None
+    truncated = 0
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = i + 8
+        if cid == b"fmt ":
+            if csize < 16 or body + 16 > n:
+                return None
+            tag, ch, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[body : body + 16]
+            )
+            codec = {1: "pcm", 3: "float"}.get(tag, "other")
+            if tag == 0xFFFE:
+                # extensible: real tag is the GUID's first u16
+                if csize < 40 or body + 26 > n:
+                    return None
+                (real_tag,) = struct.unpack(
+                    "<H", payload[body + 24 : body + 26]
+                )
+                codec = {1: "pcm-ext", 3: "float-ext"}.get(
+                    real_tag, "other-ext"
+                )
+            fmt = (codec, int(ch), int(sr), int(bits))
+        elif cid == b"data":
+            data_size = int(csize)
+            if body + csize > n:
+                truncated = 1
+                break  # declared data overruns the landed bytes: stop
+        i = body + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    return (*fmt, data_size, truncated)
+
+
+def synth_audio_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic PLANTED audio payloads for the header-decode oracle:
+    real RIFF/WAVE byte layouts whose parameters derive from doc_id
+    arithmetic the DuckDB oracle can replay — parse(synth(doc_id)) must
+    invert the plant. doc_id % 4 picks the variant: 0 = canonical PCM
+    WAV; 1 = an odd-length LIST chunk BEFORE 'fmt ' (forces the chunk
+    walk + the word-alignment pad); 2 = WAVE_FORMAT_EXTENSIBLE (40-byte
+    fmt, real tag inside the SubFormat GUID); 3 = a non-audio raw
+    payload. The data chunk declares the full PCM size but lands at most
+    64 body bytes — headers-only scans must still report duration, via
+    the declared size + ``truncated``."""
+    import struct
+
+    kind = doc_id % 4
+    if kind == 3:
+        return text.encode("utf-8") or b"\x00"
+    sr = _WAV_RATES[doc_id % 5]
+    channels = 1 + (doc_id // 3) % 2
+    bits = _WAV_BITS[(doc_id // 4) % 4]
+    n_frames = 100 + (doc_id * 11) % 4000
+    block_align = channels * bits // 8
+    data_size = n_frames * block_align
+    # land the full data body only when small (≤256 B): the census must
+    # see BOTH truncated and complete payloads, on a data-derived split
+    # the oracle replays as data_size > 256
+    landed = data_size if data_size <= 256 else 64
+    tb = text.encode("utf-8") or b"\x00"
+    body = (tb * (landed // len(tb) + 1))[:landed]
+    if kind == 2:
+        fmt_body = struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE,
+            channels,
+            sr,
+            sr * block_align,
+            block_align,
+            bits,
+            22,  # cbSize
+            bits,  # valid bits
+            (1 << channels) - 1,  # channel mask
+        ) + struct.pack("<H", 1) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH", 1, channels, sr, sr * block_align, block_align, bits
+        )
+    chunks = b""
+    if kind == 1:
+        # odd-size LIST chunk: the walker must skip size + 1 pad byte
+        lst = b"INFO" + bytes((doc_id + k) % 256 for k in range(doc_id % 6))
+        if len(lst) % 2 == 0:
+            lst += b"\x00"  # force odd declared size
+        chunks += b"LIST" + struct.pack("<I", len(lst)) + lst + b"\x00"
+    chunks += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    # RIFF size declares the FULL file (as the writer intended), even
+    # when the landed body is truncated — real headers-only scans see
+    # exactly this shape
+    riff_size = 4 + len(chunks) + 8 + data_size
+    chunks += b"data" + struct.pack("<I", data_size) + body
+    return b"RIFF" + struct.pack("<I", riff_size) + b"WAVE" + chunks
+
+
+def attach_planted_audio_payload(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL WAV payloads (`synth_audio_payload`) from doc
+    identity — the stand-in for the landed audio bytes column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synth_audio_payload(int(d), str(t))
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+def extract_audio_headers(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV header decode: one `mapInPandas` pass walks
+    the RIFF chunk stream (`parse_wav_header`); non-audio payloads emit
+    NULL metadata. Same shape as `extract_image_headers` — payload bytes
+    stream through Arrow once, every census after is metadata-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav_header(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "codec": [p[0] if p else None for p in parsed],
+                    "channels": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "bits": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "data_bytes": pd.array(
+                        [p[4] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "truncated": pd.array(
+                        [p[5] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "payload_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_HEADER_SCHEMA)
+
+
 def sample_frames(features: DataFrame, k: int = 4) -> DataFrame:
     """Frame sampling (charter: video frame-sample): emit up to ``k``
     evenly-spaced frame indices per media row — `explode(sequence)` over

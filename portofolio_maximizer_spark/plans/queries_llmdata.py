@@ -561,6 +561,116 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_header_census",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 4 AS kind,
+             CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                  ELSE 48000 END AS sr,
+             1 + (doc_id // 3) % 2 AS ch,
+             CASE (doc_id // 4) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+                  WHEN 2 THEN 24 ELSE 32 END AS bits,
+             100 + (doc_id * 11) % 4000 AS nf,
+             doc_id % 6 AS lm,
+             OCTET_LENGTH(ENCODE(text)) AS tb
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, kind, sr, ch, bits, nf, lm, tb,
+             CASE WHEN kind = 3 THEN 'raw'
+                  WHEN kind = 2 THEN 'pcm-ext' ELSE 'pcm' END AS codec,
+             nf * ch * bits // 8 AS ds
+      FROM p
+    ),
+    b AS (
+      SELECT codec,
+             CASE WHEN kind = 3 THEN -1 ELSE sr END AS sample_rate,
+             CASE WHEN kind = 3 THEN NULL ELSE ch END AS ch,
+             CASE WHEN kind = 3 THEN NULL ELSE bits END AS bits,
+             CASE WHEN kind = 3 THEN NULL ELSE nf END AS nf,
+             CASE WHEN kind = 3 THEN NULL ELSE ds END AS ds,
+             CASE WHEN kind = 3 THEN NULL
+                  WHEN ds > 256 THEN 1 ELSE 0 END AS trunc,
+             CASE WHEN kind = 3 THEN NULL
+                  ELSE nf * 1000 // sr END AS dur_ms,
+             CASE WHEN kind = 3 THEN GREATEST(tb, 1)
+                  ELSE 12
+                       + CASE WHEN kind = 1
+                              THEN 8 + 4 + lm
+                                   + CASE WHEN lm % 2 = 0 THEN 1 ELSE 0 END
+                                   + 1
+                              ELSE 0 END
+                       + 8 + CASE WHEN kind = 2 THEN 40 ELSE 16 END
+                       + 8 + CASE WHEN ds <= 256 THEN ds ELSE 64 END
+                  END AS pb
+      FROM m
+    )
+    SELECT codec, sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ch) AS BIGINT) AS sum_channels,
+           CAST(SUM(bits) AS BIGINT) AS sum_bits,
+           CAST(SUM(nf) AS BIGINT) AS total_frames,
+           CAST(SUM(dur_ms) AS BIGINT) AS sum_duration_ms,
+           CAST(SUM(trunc) AS BIGINT) AS n_truncated,
+           CAST(SUM(ds) AS BIGINT) AS total_data_bytes,
+           CAST(SUM(pb) AS BIGINT) AS total_payload_bytes
+    FROM b GROUP BY codec, sample_rate
+    """,
+)
+def audio_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L56 — REAL audio-metadata decode, no audio libs (the charter's
+    image/audio/video trio's third leg): planted RIFF/WAVE payloads
+    (`llmdata/multimodal.py:synth_audio_payload` — canonical PCM, an
+    odd-length LIST chunk forcing the word-aligned chunk walk, and
+    WAVE_FORMAT_EXTENSIBLE with the real tag inside the SubFormat GUID)
+    stream through the Arrow `mapInPandas` parser
+    (`extract_audio_headers`), then a per-(codec, sample-rate) census:
+    channel/bit-depth mass, total frames, duration from DECLARED data
+    size (headers-only scans on truncated landings report
+    ``truncated``), byte totals. The oracle replays the plant arithmetic
+    from doc_id — parse(synth(doc_id)) must invert the plant
+    byte-for-byte. Non-audio payloads come back NULL-dimensioned.
+
+    Scale: one Arrow pass over payload bytes; the census after is
+    metadata-only (parquet pruning never touches the blob). Reference
+    anchor: the standardize-and-census shape of
+    etl/base_extractor.py:203-270 applied to the charter's multimodal
+    column mandate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_planted_audio_payload(docs)
+    hdr = multimodal.extract_audio_headers(media)
+    block = F.col("channels") * F.col("bits") / F.lit(8)
+    frames = (F.col("data_bytes") / block).cast("long")
+    return (
+        hdr.select(
+            F.coalesce(F.col("codec"), F.lit("raw")).alias("codec"),
+            F.coalesce(F.col("sample_rate"), F.lit(-1)).alias("sample_rate"),
+            "channels",
+            "bits",
+            frames.alias("frames"),
+            F.floor(frames * 1000 / F.col("sample_rate"))
+            .cast("long")
+            .alias("dur_ms"),
+            "truncated",
+            "data_bytes",
+            "payload_bytes",
+        )
+        .groupBy("codec", "sample_rate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("channels").cast("long").alias("sum_channels"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.sum("frames").cast("long").alias("total_frames"),
+            F.sum("dur_ms").cast("long").alias("sum_duration_ms"),
+            F.sum("truncated").cast("long").alias("n_truncated"),
+            F.sum("data_bytes").cast("long").alias("total_data_bytes"),
+            F.sum("payload_bytes").cast("long").alias("total_payload_bytes"),
+        )
+    )
+
+
+@query(
     "embedding_cosine_neardups",
     oracle=f"""
     WITH norms AS ({_NORMS_SQL}),

@@ -685,3 +685,77 @@ def test_vocab_growth_curve_planted(spark, tmp_path):
         (8, 1, 5, 11, 6),
     ]
     assert abs(out[-1].heaps_beta - round(math.log(6) / math.log(11), 6)) < 1e-9
+
+
+def test_wav_header_parse_roundtrip():
+    """parse_wav_header must invert synth_audio_payload across every
+    planted branch (canonical PCM, LIST-chunk walk with word-alignment
+    pad, WAVE_FORMAT_EXTENSIBLE with the real tag inside the SubFormat
+    GUID, raw fallback), including the declared-vs-landed truncation
+    split at data_size > 256."""
+    for doc_id in range(0, 240):
+        payload = multimodal.synth_audio_payload(doc_id, f"doc {doc_id} " * 7)
+        parsed = multimodal.parse_wav_header(payload)
+        kind = doc_id % 4
+        if kind == 3:
+            assert parsed is None
+            continue
+        codec, ch, sr, bits, ds, trunc = parsed
+        assert codec == ("pcm-ext" if kind == 2 else "pcm")
+        assert sr == (8000, 16000, 22050, 44100, 48000)[doc_id % 5]
+        assert ch == 1 + (doc_id // 3) % 2
+        assert bits == (8, 16, 24, 32)[(doc_id // 4) % 4]
+        n_frames = 100 + (doc_id * 11) % 4000
+        assert ds == n_frames * ch * bits // 8
+        assert trunc == (1 if ds > 256 else 0)
+
+
+def test_wav_header_parse_rejects_garbage_and_truncation():
+    import struct
+
+    assert multimodal.parse_wav_header(b"") is None
+    assert multimodal.parse_wav_header(b"RIFF") is None
+    # RIFF but not WAVE (an AVI container) must not parse
+    assert (
+        multimodal.parse_wav_header(b"RIFF\x10\x00\x00\x00AVI LIST") is None
+    )
+    # WAVE with a data chunk but NO fmt chunk: unparseable
+    assert (
+        multimodal.parse_wav_header(
+            b"RIFF\x14\x00\x00\x00WAVEdata\x04\x00\x00\x00abcd"
+        )
+        is None
+    )
+    # fmt chunk declaring 16 bytes but truncated mid-header: None, no
+    # out-of-bounds read
+    assert (
+        multimodal.parse_wav_header(
+            b"RIFF\x14\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"
+        )
+        is None
+    )
+    # extensible tag (0xFFFE) with a too-short fmt chunk must not read
+    # the GUID past the buffer
+    short_ext = (
+        b"RIFF\x28\x00\x00\x00WAVEfmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 0xFFFE, 2, 8000, 32000, 4, 16)
+    )
+    assert multimodal.parse_wav_header(short_ext) is None
+
+
+def test_wav_chunk_walk_skips_unknown_and_pads():
+    """The parser is a chunk WALK: unknown chunks (odd-length → +1 pad)
+    before fmt/data must be skipped, and a float-PCM tag maps to the
+    'float' codec."""
+    import struct
+
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 3, 2, 48000, 48000 * 8, 8, 32
+    )
+    data = b"data" + struct.pack("<I", 800) + b"\x00" * 800
+    payload = b"RIFF" + struct.pack("<I", 4 + len(junk + fmt + data)) + b"WAVE" + junk + fmt + data
+    assert multimodal.parse_wav_header(payload) == (
+        "float", 2, 48000, 32, 800, 0
+    )
