@@ -1,4 +1,5 @@
 from .stream import (
+    DRAIN_PROGRESS,
     dedupe_within_watermark,
     drain_session,
     enriched_stream,
@@ -13,6 +14,7 @@ from .stream import (
 )
 
 __all__ = [
+    "DRAIN_PROGRESS",
     "dedupe_within_watermark",
     "drain_session",
     "enriched_stream",

@@ -24,6 +24,7 @@ reference's imperative loop cannot make.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -293,6 +294,43 @@ def drain_session(spark, partitions: int = 8):
     return child
 
 
+#: per-drain StreamingQueryProgress evidence, keyed by (query name,
+#: cache_key): input rows, micro-batch count, peak state rows, summed
+#: trigger wall. Structured Streaming runs micro-batches under its own
+#: job group, so job-group-scoped stage metrics (tools/scalecheck.py)
+#: cannot see them — this registry is the honest attribution channel:
+#: the SOURCE-side row/batch evidence straight from the engine's
+#: progress events. Best-effort: a metrics failure never fails a drain.
+DRAIN_PROGRESS: dict[tuple[str, str | None], dict] = {}
+
+
+def _record_drain_progress(q, name: str, cache_key: str | None) -> None:
+    import json as _json
+
+    try:
+        progress = [_json.loads(p.json) for p in q.recentProgress]
+        state_rows = 0
+        for p in progress:
+            state_rows = max(
+                state_rows,
+                sum(
+                    op.get("numRowsTotal", 0) or 0
+                    for op in p.get("stateOperators", [])
+                ),
+            )
+        DRAIN_PROGRESS[(name, cache_key)] = {
+            "n_batches": len(progress),
+            "input_rows": sum(p.get("numInputRows", 0) or 0 for p in progress),
+            "state_rows_peak": state_rows,
+            "trigger_ms": sum(
+                (p.get("durationMs", {}) or {}).get("triggerExecution", 0) or 0
+                for p in progress
+            ),
+        }
+    except Exception:  # noqa: BLE001 — evidence only, never fail the drain
+        pass
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -320,6 +358,7 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        _record_drain_progress(q, name, cache_key)
         return stream_df.sparkSession.table(name)
 
     if cache_key is None:
@@ -367,6 +406,7 @@ def run_upsert_sink(
         .start()
     )
     q.awaitTermination()
+    _record_drain_progress(q, f"upsert_sink:{os.path.basename(path)}", path)
 
 
 def view_purchase_interval_join(stream: DataFrame, horizon: str = "6 hours") -> DataFrame:

@@ -331,3 +331,24 @@ def test_drain_memoization_identical_and_probed(spark, sf_dir):
     c = sorted(map(tuple, qs["streaming_vol_alerts"](spark, sf_dir).collect()))
     assert c == a
     assert st._DRAIN_CACHE[key].__class__.__name__ != "_Poison"
+
+
+def test_drain_progress_evidence_recorded(spark, sf_dir, batch_events):
+    """Every keyed drain must land its StreamingQueryProgress summary in
+    DRAIN_PROGRESS — the attribution channel scalecheck uses because
+    micro-batches run outside the caller's job group. Input rows must
+    equal the events table (one availableNow pass over all input)."""
+    key = ("t_prog_evidence", str(sf_dir))
+    ST.DRAIN_PROGRESS.pop(key, None)
+    out = ST.run_to_memory(
+        ST.tumbling_value_rollup(ST.events_stream(spark, sf_dir)),
+        "t_prog_evidence",
+        output_mode="append",
+        cache_key=str(sf_dir),
+    )
+    assert out.count() > 0
+    rec = ST.DRAIN_PROGRESS[key]
+    assert rec["n_batches"] >= 1
+    assert rec["input_rows"] == batch_events.count()
+    assert rec["state_rows_peak"] > 0  # windowed agg carries state
+    assert rec["trigger_ms"] > 0

@@ -200,9 +200,19 @@ def _stage_metrics(spark, stage_ids: set[int]) -> dict:
 
 
 def _timed(spark, fn, name: str, sf_dir: str, label: str) -> dict:
-    """Run one query under its own job group; return wall + byte metrics."""
+    """Run one query under its own job group; return wall + byte metrics.
+
+    Streaming attribution: Structured Streaming micro-batches run under
+    the engine's own job group, invisible to the group-scoped stage
+    metrics below — so any drain that lands during this query's window
+    is attributed from the engine's OWN progress events instead
+    (`streaming.stream.DRAIN_PROGRESS`: input rows, batch count, peak
+    state rows, trigger wall), filtered to this sf_dir's cache key."""
+    from portofolio_maximizer_spark.streaming.stream import DRAIN_PROGRESS
+
     sc = spark.sparkContext
     group = f"scalecheck:{name}:{label}"
+    drains_before = set(DRAIN_PROGRESS)
     sc.setJobGroup(group, name)
     t0 = time.time()
     fn(spark, sf_dir).count()
@@ -214,7 +224,15 @@ def _timed(spark, fn, name: str, sf_dir: str, label: str) -> dict:
         info = tracker.getJobInfo(jid)
         if info is not None:
             stage_ids.update(info.stageIds)
-    return {"t": round(wall, 2), **_stage_metrics(spark, stage_ids)}
+    res = {"t": round(wall, 2), **_stage_metrics(spark, stage_ids)}
+    drains = {
+        k[0]: v
+        for k, v in DRAIN_PROGRESS.items()
+        if k not in drains_before and k[1] is not None and sf_dir in str(k[1])
+    }
+    if drains:
+        res["stream_drains"] = drains
+    return res
 
 
 def run_decade(spark, qs, names, small: str, big: str, label: str) -> list[dict]:
@@ -222,21 +240,23 @@ def run_decade(spark, qs, names, small: str, big: str, label: str) -> list[dict]
     for name in names:
         a = _timed(spark, qs[name], name, small, f"{label}-small")
         b = _timed(spark, qs[name], name, big, f"{label}-big")
-        rows.append(
-            {
-                "query": name,
-                f"t_{label}_small": a["t"],
-                f"t_{label}_big": b["t"],
-                "ratio": round(b["t"] / max(a["t"], 1e-9), 2),
-                "shuffle_rw_mb_small": [
-                    a["shuffle_read_mb"], a["shuffle_write_mb"]
-                ],
-                "shuffle_rw_mb_big": [
-                    b["shuffle_read_mb"], b["shuffle_write_mb"]
-                ],
-                "spill_mb_big": b["spill_mb"],
-            }
-        )
+        row = {
+            "query": name,
+            f"t_{label}_small": a["t"],
+            f"t_{label}_big": b["t"],
+            "ratio": round(b["t"] / max(a["t"], 1e-9), 2),
+            "shuffle_rw_mb_small": [
+                a["shuffle_read_mb"], a["shuffle_write_mb"]
+            ],
+            "shuffle_rw_mb_big": [
+                b["shuffle_read_mb"], b["shuffle_write_mb"]
+            ],
+            "spill_mb_big": b["spill_mb"],
+        }
+        if "stream_drains" in a or "stream_drains" in b:
+            row["stream_drains_small"] = a.get("stream_drains", {})
+            row["stream_drains_big"] = b.get("stream_drains", {})
+        rows.append(row)
         print(json.dumps(rows[-1]), file=sys.stderr)
     return rows
 
