@@ -9846,3 +9846,69 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("total_price"),
     )
+
+
+@query(
+    "bloom_filtered_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R158: runtime Bloom-filter join — the third partition-strategy
+    mechanism demo (R156 salting, R157 bucketing, R158 runtime filter
+    pushdown). A selective dim-side predicate (urgent orders) seeds a
+    Bloom filter that Catalyst injects into the FACT-side scan
+    (`might_contain` over `xxhash64(l_orderkey)`), so
+    lineitem rows that cannot join are dropped AT THE SCAN, before the
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling only the ~1/5 that survives the
+    filter. Broadcast is disabled (at real scale neither side fits) and
+    the injection thresholds are set on an isolated child session the
+    way a 100 TB deployment would tune them
+    (applicationSideScanSizeThreshold=0 stands in for "the fact side is
+    huge"; the local testdata is far below the 10 GB default). The
+    ORACLE is the plain join+filter: the hash match proves the injected
+    filter is semantics-free (a Bloom filter admits false positives,
+    never false negatives — the join itself removes the former).
+
+    Plan contract (pinned in tests/test_skew_bucketing.py): the
+    optimized plan carries a might_contain predicate on the
+    lineitem side fed by a bloom_filter_agg over the filtered orders
+    keys."""
+    child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    child.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    child.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    child.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    o = load_table(child, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(child, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+    )

@@ -232,3 +232,32 @@ def test_bucketed_colocated_join_query_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bloom_filtered_join_plan_structure(spark, sf_dir):
+    """R158's plan contract: the runtime Bloom filter must actually be
+    INJECTED — the optimized plan carries a bloom_filter_might_contain
+    predicate on the lineitem (application) side fed by a
+    bloom_filter_agg over the filtered orders keys — and the join must
+    be a shuffle join (broadcast disabled: the pattern exists for the
+    case where neither side fits)."""
+    from portofolio_maximizer_spark.plans.queries_ops import (
+        bloom_filtered_join,
+    )
+
+    df = bloom_filtered_join(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in optimized, optimized
+    assert "bloom_filter_agg" in optimized, optimized
+    assert "might_contain" in physical, physical
+    assert "BroadcastHashJoin" not in physical, physical
+    # and the filter is semantics-free: equals the plain join+filter
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert (
+        df.agg(F.sum("n_items").cast("long")).first()[0]
+        == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    )
