@@ -281,17 +281,20 @@ HEADER_SCHEMA = StructType(
 )
 
 
-def attach_planted_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Synthesize REAL image-header payloads (PNG/GIF/BMP byte layouts,
-    `synth_image_payload`) from doc identity — the testdata carries no
-    media, so the plant is the deterministic stand-in for the landed
-    bytes column; in production this stage is the raw payload as
-    ingested."""
+def attach_planted_payload(
+    docs: DataFrame, text_col: str = "text", synth=None
+) -> DataFrame:
+    """Synthesize REAL media payloads from doc identity via ``synth``
+    (default `synth_image_payload`; the audio plant passes
+    `synth_audio_payload`) — the testdata carries no media, so the plant
+    is the deterministic stand-in for the landed bytes column; in
+    production this stage is the raw payload as ingested."""
+    synth_fn = synth or synth_image_payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                synth_image_payload(int(d), str(t))
+                synth_fn(int(d), str(t))
                 for d, t in zip(pdf["doc_id"], pdf[text_col])
             ]
             yield pd.DataFrame(
@@ -313,9 +316,8 @@ def extract_image_headers(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [
-                parse_image_header(bytes(p)) for p in pdf["payload"]
-            ]
+            bufs = [bytes(p) for p in pdf["payload"]]
+            parsed = [parse_image_header(b) for b in bufs]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -332,7 +334,7 @@ def extract_image_headers(media: DataFrame) -> DataFrame:
                         [p[3] if p else None for p in parsed],
                         dtype="Int32",
                     ),
-                    "payload_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "payload_bytes": [len(b) for b in bufs],
                 }
             )
 
@@ -514,18 +516,7 @@ def attach_planted_audio_payload(
 ) -> DataFrame:
     """Synthesize REAL WAV payloads (`synth_audio_payload`) from doc
     identity — the stand-in for the landed audio bytes column."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
-                synth_audio_payload(int(d), str(t))
-                for d, t in zip(pdf["doc_id"], pdf[text_col])
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        run, schema="doc_id long, payload binary"
-    )
+    return attach_planted_payload(docs, text_col, synth=synth_audio_payload)
 
 
 def extract_audio_headers(media: DataFrame) -> DataFrame:
@@ -536,7 +527,8 @@ def extract_audio_headers(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_wav_header(bytes(p)) for p in pdf["payload"]]
+            bufs = [bytes(p) for p in pdf["payload"]]
+            parsed = [parse_wav_header(b) for b in bufs]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -556,7 +548,7 @@ def extract_audio_headers(media: DataFrame) -> DataFrame:
                     "truncated": pd.array(
                         [p[5] if p else None for p in parsed], dtype="Int32"
                     ),
-                    "payload_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "payload_bytes": [len(b) for b in bufs],
                 }
             )
 

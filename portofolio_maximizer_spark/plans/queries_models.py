@@ -2294,6 +2294,7 @@ def streaming_upsert_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=["event_id"],
             partition_col="event_type",
             checkpoint_dir=os.path.join(root, "ck"),
+            cache_key=sf_dir,
         )
         landed = spark.read.parquet(os.path.join(root, "table"))
         from .queries import stage_for_oracle

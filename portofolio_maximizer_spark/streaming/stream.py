@@ -304,11 +304,26 @@ def drain_session(spark, partitions: int = 8):
 DRAIN_PROGRESS: dict[tuple[str, str | None], dict] = {}
 
 
-def _record_drain_progress(q, name: str, cache_key: str | None) -> None:
+def _record_drain_progress(
+    q, name: str, cache_key: str | None, session=None
+) -> None:
     import json as _json
 
     try:
         progress = [_json.loads(p.json) for p in q.recentProgress]
+        # recentProgress is a ring buffer (numRecentProgressUpdates,
+        # default 100): the drain paths raise it, but a capped read must
+        # say so rather than undercount silently
+        cap = 100
+        if session is not None:
+            try:
+                cap = int(
+                    session.conf.get(
+                        "spark.sql.streaming.numRecentProgressUpdates"
+                    )
+                )
+            except Exception:  # noqa: BLE001 — default stands
+                pass
         state_rows = 0
         for p in progress:
             state_rows = max(
@@ -326,6 +341,7 @@ def _record_drain_progress(q, name: str, cache_key: str | None) -> None:
                 (p.get("durationMs", {}) or {}).get("triggerExecution", 0) or 0
                 for p in progress
             ),
+            "progress_capped": len(progress) >= cap,
         }
     except Exception:  # noqa: BLE001 — evidence only, never fail the drain
         pass
@@ -350,6 +366,11 @@ def run_to_memory(
     Tests that deliberately re-drain (determinism pins) omit the key."""
 
     def _drain() -> DataFrame:
+        sess = stream_df.sparkSession
+        # keep the full progress history for the evidence summary — an
+        # availableNow drain at a large SF can exceed the 100-entry
+        # recentProgress ring buffer
+        sess.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -358,8 +379,8 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-        _record_drain_progress(q, name, cache_key)
-        return stream_df.sparkSession.table(name)
+        _record_drain_progress(q, name, cache_key, sess)
+        return sess.table(name)
 
     if cache_key is None:
         return _drain()
@@ -380,6 +401,7 @@ def run_upsert_sink(
     keys: list[str],
     partition_col: str,
     checkpoint_dir: str,
+    cache_key: str | None = None,
 ) -> None:
     """T1+S7: stream into a partitioned parquet table via foreachBatch
     keyed upsert — the canonical streaming-ingest sink. Each micro-batch
@@ -399,6 +421,8 @@ def run_upsert_sink(
             partition_col=partition_col,
         )
 
+    sess = stream_df.sparkSession
+    sess.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     q = (
         stream_df.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_dir)
@@ -406,7 +430,11 @@ def run_upsert_sink(
         .start()
     )
     q.awaitTermination()
-    _record_drain_progress(q, f"upsert_sink:{os.path.basename(path)}", path)
+    # cache_key carries the caller's attribution key (sf_dir) — the sink
+    # path is a temp dir that no evidence consumer could match on
+    _record_drain_progress(
+        q, f"upsert_sink:{os.path.basename(path)}", cache_key or path, sess
+    )
 
 
 def view_purchase_interval_join(stream: DataFrame, horizon: str = "6 hours") -> DataFrame:

@@ -212,7 +212,9 @@ def _timed(spark, fn, name: str, sf_dir: str, label: str) -> dict:
 
     sc = spark.sparkContext
     group = f"scalecheck:{name}:{label}"
-    drains_before = set(DRAIN_PROGRESS)
+    # snapshot VALUES, not just keys: a drain that re-runs (memo
+    # invalidation) overwrites its slot and must still be attributed
+    drains_before = dict(DRAIN_PROGRESS)
     sc.setJobGroup(group, name)
     t0 = time.time()
     fn(spark, sf_dir).count()
@@ -225,10 +227,12 @@ def _timed(spark, fn, name: str, sf_dir: str, label: str) -> dict:
         if info is not None:
             stage_ids.update(info.stageIds)
     res = {"t": round(wall, 2), **_stage_metrics(spark, stage_ids)}
+    # exact-key match (cache_key IS the sf_dir for every drain caller):
+    # substring matching would cross-attribute .../sf1 vs .../sf10
     drains = {
         k[0]: v
         for k, v in DRAIN_PROGRESS.items()
-        if k not in drains_before and k[1] is not None and sf_dir in str(k[1])
+        if drains_before.get(k) != v and str(k[1]) == sf_dir
     }
     if drains:
         res["stream_drains"] = drains
