@@ -94,6 +94,15 @@ def main() -> None:
     if warm is not None:
         full["warm_value"] = warm_total
         full["warm_queries"] = warm
+    # per-drain StreamingQueryProgress evidence (input rows, batches,
+    # peak state rows, trigger wall): the streaming family's work runs
+    # under the engine's own job group, so this registry — not stage
+    # metrics — is the honest attribution of what the drains processed
+    from portofolio_maximizer_spark.streaming.stream import DRAIN_PROGRESS
+
+    full["stream_drains"] = {
+        f"{k[0]}": v for k, v in sorted(DRAIN_PROGRESS.items())
+    }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
