@@ -9912,3 +9912,108 @@ def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_qty"),
         F.sum(price * (1 - disc)).cast("double").alias("revenue"),
     )
+
+
+def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events PARTITIONED BY event_type once per (code, data)
+    fingerprint — the one-time directory layout a 100 TB deployment
+    gives a big fact table so selective joins can skip whole partitions
+    at runtime. Same fingerprint/lock/telemetry contract as
+    `queries._ensure_staged`, with a partitionBy write (which that
+    helper does not do)."""
+    import json
+    import os
+
+    from .queries import (
+        _MARKER,
+        _fingerprint,
+        _stage_fresh,
+        _stage_lock,
+        STAGE_EVENTS,
+        stage_root,
+    )
+
+    path = os.path.join(stage_root(sf_dir), "events_by_type")
+    ev_key = sf_dir.rstrip("/") + "/events_by_type"
+    fp = _fingerprint(sf_dir)
+    if _stage_fresh(path, fp):
+        STAGE_EVENTS.setdefault(ev_key, "hit")
+        return path
+    with _stage_lock(path):
+        if not _stage_fresh(path, fp):  # re-check under the lock
+            STAGE_EVENTS.setdefault(ev_key, "miss")
+            (
+                load_table(spark, sf_dir, "events")
+                .write.mode("overwrite")
+                .partitionBy("event_type")
+                .parquet(path)
+            )
+            with open(os.path.join(path, _MARKER), "w") as f:
+                json.dump(fp, f)
+        else:
+            STAGE_EVENTS.setdefault(ev_key, "hit")
+    return path
+
+
+@query(
+    "dpp_pruned_rollup",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type,
+             SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*) AS avg_value
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.avg_value > 50
+    GROUP BY e.event_type
+    """,
+)
+def dpp_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R159: DYNAMIC partition pruning — the fourth partition-strategy
+    mechanism demo (R156 salting, R157 bucketing, R158 runtime Bloom
+    filter, R159 DPP). The fact side reads the events table staged
+    PARTITIONED BY event_type; the dim side is a DATA-DEPENDENT
+    selection (per-type exact-decimal mean value > 50) that no static
+    optimizer can fold into a partition predicate — so Catalyst injects
+    a `dynamicpruningexpression` into the fact scan's PartitionFilters
+    and the pruning decision executes AT RUNTIME, after the dim
+    aggregate: partitions whose type fails the filter are never read.
+    At 100 TB this is the mechanism that turns a selective dim filter
+    into fact-side IO elimination when the partition column carries the
+    join key. (A derivable filter — e.g. a CASE over event_type — folds
+    STATICALLY instead; the data-dependent dim is what makes this demo
+    genuinely dynamic, verified by the plan pin in
+    tests/test_skew_bucketing.py.)
+
+    The ORACLE is the plain unpartitioned join: the hash match proves
+    the partitioned layout + runtime pruning are semantics-free. The
+    dim mean uses exact DECIMAL sums on both sides, so the >50 gate
+    cannot flip on float summation order (min observed margin 0.067
+    across the test SFs)."""
+    root = _ensure_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(root)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                / F.count(F.lit(1))
+            ).alias("avg_value")
+        )
+        .filter(F.col("avg_value") > 50)
+    )
+    return (
+        ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            r6(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            ).alias("sum_value"),
+        )
+    )

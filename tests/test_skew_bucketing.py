@@ -261,3 +261,33 @@ def test_bloom_filtered_join_plan_structure(spark, sf_dir):
         df.agg(F.sum("n_items").cast("long")).first()[0]
         == li.join(o, li.l_orderkey == o.o_orderkey).count()
     )
+
+
+def test_dpp_pruned_rollup_plan_structure(spark, sf_dir):
+    """R159's plan contract: the fact-side FileScan must carry a
+    dynamicpruningexpression in its PartitionFilters (runtime pruning,
+    not a statically folded IN-list), and the pruning must be
+    semantics-free vs the plain unpartitioned join."""
+    from portofolio_maximizer_spark.plans.queries_ops import (
+        dpp_pruned_rollup,
+    )
+
+    df = dpp_pruned_rollup(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in phys, phys
+    # data-dependent gate: no static partition IN-list on the fact scan
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                / F.count(F.lit(1))
+            ).alias("avg_value")
+        )
+        .filter(F.col("avg_value") > 50)
+    )
+    plain = ev.join(dim, "event_type")
+    assert (
+        df.agg(F.sum("n_events").cast("long")).first()[0] == plain.count()
+    )
