@@ -4189,3 +4189,141 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6("cosine").alias("cosine"), "rnk",
         )
     )
+
+
+_DSIR_BUCKETS = 64
+
+
+@query(
+    "dsir_importance_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             CAST(('0x' || SUBSTR(MD5(UNNEST(STRING_SPLIT_REGEX(text,
+               '\\s+'))), 1, 6))::BIGINT % {_DSIR_BUCKETS} AS INTEGER) AS b
+      FROM documents
+    ),
+    tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM toks
+      WHERE lang = 'en' GROUP BY b
+    ),
+    raw AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY b
+    ),
+    tots AS (
+      SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tot_t,
+             CAST(COUNT(*) AS BIGINT) AS tot_r
+      FROM toks
+    ),
+    w AS (
+      SELECT g.b,
+             LN((COALESCE(t.ct, 0) + 1.0) / (tots.tot_t + {_DSIR_BUCKETS}))
+             - LN((COALESCE(r.cr, 0) + 1.0) / (tots.tot_r + {_DSIR_BUCKETS}))
+               AS lr
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, {_DSIR_BUCKETS - 1})) AS b) g
+      LEFT JOIN tgt t ON t.b = g.b
+      LEFT JOIN raw r ON r.b = g.b
+      CROSS JOIN tots
+    ),
+    scored AS (
+      SELECT tk.doc_id, ANY_VALUE(tk.source) AS source,
+             AVG(w.lr) AS weight
+      FROM toks tk JOIN w ON w.b = tk.b
+      GROUP BY tk.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           ROUND(CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS sel_rate,
+           ROUND(AVG(weight), 6) AS mean_weight
+    FROM scored GROUP BY source
+    """,
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L57 — DSIR-style importance resampling for domain-targeted data
+    selection (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): estimate target (lang='en') and raw
+    (whole-corpus) token distributions over a 64-bucket
+    hashed feature space, weight every document by its tokens' MEAN
+    log importance ratio ln(p_tgt/p_raw) (mean, not sum — length-
+    normalized so selection ranks domain character, not document
+    length; both estimates Laplace-smoothed), and census per source:
+    how much of each source the target-conditioned selection (weight >
+    0 = more target-like than corpus-average) would keep. The whole
+    estimate/weight/select pipeline is one declarative plan with an
+    exact SQL oracle — no iterative fit.
+
+    Scale: two bounded (bucket) aggregates, a 64-row broadcast weight
+    table joined map-side onto tokens, one per-doc mean — linear in
+    corpus tokens, one token shuffle. Charter training-data mandate,
+    beyond the reference; same hashed-BoW discipline as
+    `nb_quality_classifier` (L33)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        )
+        .cast("int")
+        .alias("hash_bucket64"),
+    )
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("hash_bucket64")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    raw = toks.groupBy("hash_bucket64").agg(
+        F.count(F.lit(1)).cast("long").alias("cr")
+    )
+    tots = toks.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("tot_t"),
+        F.count(F.lit(1)).cast("long").alias("tot_r"),
+    )
+    grid = (
+        spark.range(_DSIR_BUCKETS)
+        .select(F.col("id").cast("int").alias("hash_bucket64"))
+        .join(tgt, "hash_bucket64", "left")
+        .join(raw, "hash_bucket64", "left")
+        .crossJoin(F.broadcast(tots))
+    )
+    w = grid.select(
+        "hash_bucket64",
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                / (F.col("tot_t") + _DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+                / (F.col("tot_r") + _DSIR_BUCKETS)
+            )
+        ).alias("lr"),
+    )
+    scored = (
+        toks.join(F.broadcast(w), "hash_bucket64")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.avg("lr").alias("weight"),
+        )
+    )
+    sel = F.when(F.col("weight") > 0, 1).otherwise(0)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(sel).cast("long").alias("n_selected"),
+        r6(F.sum(sel).cast("double") / F.count(F.lit(1))).alias("sel_rate"),
+        r6(F.avg("weight")).alias("mean_weight"),
+    )
