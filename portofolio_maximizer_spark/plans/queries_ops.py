@@ -10017,3 +10017,127 @@ def dpp_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+def _z_interleave_sql(u: str, h: str, bits: int = 10) -> str:
+    """The Morton/Z-order bit interleave as portable SQL (DuckDB and
+    Spark SQL share <<, >>, & on integers): u takes odd bit positions,
+    h even."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({u} >> {k}) & 1) << {2 * k + 1})")
+        terms.append(f"((({h} >> {k}) & 1) << {2 * k})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_skipping_census",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id,
+             user_id % 1024 AS u,
+             (EPOCH_MS(ts::TIMESTAMP) // 3600000) % 1024 AS h,
+             ts
+      FROM events
+    ),
+    z AS (SELECT *, {_z_interleave_sql('u', 'h')} AS zval FROM e),
+    tiled AS (
+      SELECT 'zorder' AS layout, u, h,
+             NTILE(32) OVER (ORDER BY zval, event_id) AS tile
+      FROM z
+      UNION ALL
+      SELECT 'time' AS layout, u, h,
+             NTILE(32) OVER (ORDER BY ts, event_id) AS tile
+      FROM z
+    ),
+    spans AS (
+      SELECT layout, tile,
+             MAX(u) - MIN(u) + 1 AS u_span,
+             MAX(h) - MIN(h) + 1 AS h_span
+      FROM tiled GROUP BY layout, tile
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           ROUND(AVG(u_span), 6) AS avg_user_span,
+           ROUND(AVG(h_span), 6) AS avg_hour_span,
+           ROUND(SUM(u_span) / 1024.0, 6) AS est_tiles_point_user,
+           ROUND(SUM(h_span) / 1024.0, 6) AS est_tiles_point_hour
+    FROM spans GROUP BY layout
+    """,
+)
+def zorder_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R160: Z-order (Morton) clustering effectiveness — the
+    multi-dimensional data-skipping layout decision a lakehouse makes
+    for its biggest fact tables (Delta OPTIMIZE ZORDER / Iceberg
+    sort-order), expressed as a measurable census: interleave the low
+    10 bits of (user_id, hour) into a Morton key, cut BOTH the z-order
+    and the plain time order into 32 equal tiles (files), and compare
+    per-tile min/max bounding boxes — the exact statistics row-group /
+    file skipping prunes on. `est_tiles_point_*` is the expected number
+    of tiles a point predicate on that dimension must read under
+    uniform queries (sum of per-tile span / domain): time layout gives
+    near-perfect hour pruning but NO user pruning; z-order bounds BOTH
+    dimensions at once — the quantified tradeoff that justifies the
+    layout at 100 TB.
+
+    Both global tile ranks are the two-pass `scalable_row_number` +
+    closed-form SQL-standard NTILE boundaries (no single-partition
+    window — the same discipline as `customer_spend_deciles`); the bit
+    interleave is pure column algebra on both engines."""
+    from ..operators.windows import scalable_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id") % 1024
+    h = (
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(3600000)).cast("long")
+        % 1024
+    )
+    z = F.lit(0).cast("long")
+    for k in range(10):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(u, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+            + F.shiftleft(F.shiftright(h, k).bitwiseAND(F.lit(1)), 2 * k)
+        )
+    base = ev.select(
+        "event_id", "ts", u.alias("u"), h.alias("h"), z.alias("zval")
+    )
+
+    def tiles(df: DataFrame, order_cols, label: str) -> DataFrame:
+        ranked, total = scalable_row_number(
+            df, order_cols, out_col="rk", with_total=True
+        )
+        q, r = divmod(total, 32)
+        rn0 = F.col("rk") - 1
+        tile = (
+            F.when(rn0 < r * (q + 1), F.floor(rn0 / (q + 1)) + 1)
+            .otherwise(
+                F.lit(r)
+                + F.floor(
+                    (rn0 - r * (q + 1)) / F.greatest(F.lit(q), F.lit(1))
+                )
+                + 1
+            )
+            .cast("int")
+        )
+        return ranked.select(
+            F.lit(label).alias("layout"),
+            "u",
+            "h",
+            tile.alias("tile"),
+        )
+
+    tiled = tiles(base, [F.col("zval"), F.col("event_id")], "zorder").unionByName(
+        tiles(base, [F.col("ts"), F.col("event_id")], "time")
+    )
+    spans = tiled.groupBy("layout", "tile").agg(
+        (F.max("u") - F.min("u") + 1).alias("u_span"),
+        (F.max("h") - F.min("h") + 1).alias("h_span"),
+    )
+    return spans.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        r6(F.avg("u_span")).alias("avg_user_span"),
+        r6(F.avg("h_span")).alias("avg_hour_span"),
+        r6(F.sum("u_span") / 1024.0).alias("est_tiles_point_user"),
+        r6(F.sum("h_span") / 1024.0).alias("est_tiles_point_hour"),
+    )
