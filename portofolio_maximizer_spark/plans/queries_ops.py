@@ -10141,3 +10141,109 @@ def zorder_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum("u_span") / 1024.0).alias("est_tiles_point_user"),
         r6(F.sum("h_span") / 1024.0).alias("est_tiles_point_hour"),
     )
+
+
+_COMPACT_TARGET = 256 * 1024  # bytes; test-data scale stand-in for 128 MB
+
+
+@query(
+    "compaction_plan_census",
+    oracle=f"""
+    WITH f AS (
+      SELECT part, file, bytes,
+             SUM(bytes) OVER (PARTITION BY part
+                              ORDER BY bytes DESC, file
+                              ROWS UNBOUNDED PRECEDING) AS cumb
+      FROM read_parquet(
+        '__ORACLE_STAGE__/events_file_inventory/*.parquet')
+    ),
+    b AS (
+      SELECT part, bytes,
+             CAST(FLOOR((cumb - bytes) / {_COMPACT_TARGET}.0) AS BIGINT)
+               AS bin
+      FROM f
+    ),
+    bins AS (
+      SELECT part, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+      FROM b GROUP BY part, bin
+    )
+    SELECT part,
+           CAST(SUM(n_files) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_bytes) AS BIGINT) AS total_bytes,
+           ROUND(AVG(bin_bytes), 6) AS avg_bin_bytes,
+           ROUND(CAST(SUM(n_files) AS DOUBLE) / COUNT(*), 6)
+             AS files_per_bin
+    FROM bins GROUP BY part
+    """,
+)
+def compaction_plan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R161: small-files compaction planning — the standing operational
+    job of any 100 TB parquet lake (every micro-batch/streaming sink
+    and over-parallel write leaves files far below the optimal scan
+    size; compaction bin-packs them back to a target). The staged
+    partitioned events table's ACTUAL file inventory (partition, file,
+    bytes — driver-side listing of the bounded file census, staged so
+    the oracle reads the identical inventory) is bin-packed
+    deterministically: files sorted by size descending within each
+    partition, next-fit by running total into
+    target-sized bins (256 KiB here — the test-scale stand-in for a
+    production 128 MB target), then a per-partition census: file count,
+    bin count, byte totals, files-per-bin (the compaction ratio). The
+    plan is declarative end-to-end — one per-partition window for the
+    running total, no single-partition window (partitioned by the
+    table's own partition column).
+
+    Reference anchor: the retention/cleanup maintenance shape of
+    etl/data_storage.py:150-176 applied to layout upkeep rather than
+    deletion."""
+    import os
+
+    from .queries import stage_for_oracle, stage_root
+
+    root = _ensure_partitioned_events(spark, sf_dir)
+    rows = []
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("event_type="):
+            continue
+        part = d.split("=", 1)[1]
+        pdir = os.path.join(root, d)
+        for fn in sorted(os.listdir(pdir)):
+            if fn.endswith(".parquet"):
+                rows.append(
+                    (part, fn, os.path.getsize(os.path.join(pdir, fn)))
+                )
+    inv = spark.createDataFrame(rows, "part string, file string, bytes long")
+    stage_for_oracle(inv, "events_file_inventory", sf_dir)
+    staged = spark.read.parquet(
+        os.path.join(stage_root(sf_dir), "events_file_inventory")
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.col("bytes").desc(), "file")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = staged.select(
+        "part",
+        "bytes",
+        (
+            F.floor(
+                (F.sum("bytes").over(w) - F.col("bytes"))
+                / F.lit(float(_COMPACT_TARGET))
+            )
+        ).alias("bin"),
+    )
+    bins = b.groupBy("part", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+    )
+    return bins.groupBy("part").agg(
+        F.sum("n_files").cast("long").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("bin_bytes").cast("long").alias("total_bytes"),
+        r6(F.avg("bin_bytes")).alias("avg_bin_bytes"),
+        r6(F.sum("n_files").cast("double") / F.count(F.lit(1))).alias(
+            "files_per_bin"
+        ),
+    )
