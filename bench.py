@@ -100,9 +100,15 @@ def main() -> None:
     # metrics — is the honest attribution of what the drains processed
     from portofolio_maximizer_spark.streaming.stream import DRAIN_PROGRESS
 
-    full["stream_drains"] = {
-        f"{k[0]}": v for k, v in sorted(DRAIN_PROGRESS.items())
-    }
+    # registry keys are (name, cache_key); a None cache_key must not
+    # crash the sort and a same-name second key must not silently
+    # overwrite the first — disambiguate with the cache key on collision
+    drains: dict[str, dict] = {}
+    for k, v in sorted(
+        DRAIN_PROGRESS.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
+    ):
+        drains[k[0] if k[0] not in drains else f"{k[0]}|{k[1]}"] = v
+    full["stream_drains"] = drains
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)

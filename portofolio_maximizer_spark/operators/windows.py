@@ -302,6 +302,26 @@ def scalable_row_number(
     return res
 
 
+def closed_form_ntile(rk_col, total: int, n: int):
+    """SQL-standard ``NTILE(n)`` bucket (1-based) from a global 1-based
+    row-number column and the driver-known total: the first ``total % n``
+    buckets hold ``total // n + 1`` rows. Pairs with
+    ``scalable_row_number`` so no single-partition window is ever
+    needed for a global NTILE — both engines share this definition, so
+    oracle NTILEs match exactly."""
+    q, r = divmod(total, n)
+    rn0 = rk_col - 1
+    return (
+        F.when(rn0 < r * (q + 1), F.floor(rn0 / (q + 1)) + 1)
+        .otherwise(
+            F.lit(r)
+            + F.floor((rn0 - r * (q + 1)) / F.greatest(F.lit(q), F.lit(1)))
+            + 1
+        )
+        .cast("int")
+    )
+
+
 def scalable_lag(
     df: DataFrame,
     order_cols: Sequence,

@@ -164,9 +164,14 @@ class _stage_lock:
 STAGE_EVENTS: dict[str, str] = {}
 
 
-def _ensure_staged(df_or_build, name: str, sf_dir: str) -> str:
+def _ensure_staged(
+    df_or_build, name: str, sf_dir: str, partition_by: str | None = None
+) -> str:
     """Write the artifact unless a fresh fingerprint marker says a prior
-    run (this or any other process, same code + data) already did."""
+    run (this or any other process, same code + data) already did.
+    ``partition_by`` gives the artifact a partitioned directory layout
+    (one staging protocol — fingerprint, lock, double-check, marker,
+    telemetry — for flat and partitioned writes alike)."""
     import json
     import os
 
@@ -183,7 +188,10 @@ def _ensure_staged(df_or_build, name: str, sf_dir: str) -> str:
         if not _stage_fresh(path, fp):  # re-check under the lock
             STAGE_EVENTS.setdefault(ev_key, "miss")
             df = df_or_build() if callable(df_or_build) else df_or_build
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            if partition_by is not None:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(path)
             with open(os.path.join(path, _MARKER), "w") as f:
                 json.dump(fp, f)
         else:
@@ -1322,7 +1330,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — first ``total%10`` buckets hold ``total//10 + 1`` rows (the
     SQL-standard definition both engines share). No single-partition
     window; exact-decimal spends keep the cuts engine-identical."""
-    from ..operators.windows import scalable_row_number
+    from ..operators.windows import closed_form_ntile, scalable_row_number
 
     o = load_table(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
@@ -1334,13 +1342,8 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="rk",
         with_total=True,
     )
-    q, r = divmod(total, 10)
-    rn0 = F.col("rk") - 1
     d = ranked.withColumn(
-        "decile",
-        F.when(rn0 < r * (q + 1), F.floor(rn0 / (q + 1)) + 1)
-        .otherwise(F.lit(r) + F.floor((rn0 - r * (q + 1)) / F.greatest(F.lit(q), F.lit(1))) + 1)
-        .cast("int"),
+        "decile", closed_form_ntile(F.col("rk"), total, 10)
     )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -4258,7 +4258,9 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two bounded (bucket) aggregates, a 64-row broadcast weight
     table joined map-side onto tokens, one per-doc mean — linear in
-    corpus tokens, one token shuffle. Charter training-data mandate,
+    corpus tokens, one token shuffle; the exploded/hashed token frame
+    feeds FOUR aggregates, so it is pinned once (localCheckpoint) rather
+    than re-hashing the corpus per consumer. Charter training-data mandate,
     beyond the reference; same hashed-BoW discipline as
     `nb_quality_classifier` (L33)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -4277,7 +4279,7 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("hash_bucket64"),
-    )
+    ).localCheckpoint()
     tgt = (
         toks.filter(F.col("lang") == "en")
         .groupBy("hash_bucket64")

@@ -9918,41 +9918,17 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage events PARTITIONED BY event_type once per (code, data)
     fingerprint — the one-time directory layout a 100 TB deployment
     gives a big fact table so selective joins can skip whole partitions
-    at runtime. Same fingerprint/lock/telemetry contract as
-    `queries._ensure_staged`, with a partitionBy write (which that
-    helper does not do)."""
-    import json
-    import os
+    at runtime. Delegates to the shared staging protocol
+    (`queries._ensure_staged`) with a partitioned write — one
+    fingerprint/lock/marker/telemetry implementation, not two."""
+    from .queries import _ensure_staged
 
-    from .queries import (
-        _MARKER,
-        _fingerprint,
-        _stage_fresh,
-        _stage_lock,
-        STAGE_EVENTS,
-        stage_root,
+    return _ensure_staged(
+        lambda: load_table(spark, sf_dir, "events"),
+        "events_by_type",
+        sf_dir,
+        partition_by="event_type",
     )
-
-    path = os.path.join(stage_root(sf_dir), "events_by_type")
-    ev_key = sf_dir.rstrip("/") + "/events_by_type"
-    fp = _fingerprint(sf_dir)
-    if _stage_fresh(path, fp):
-        STAGE_EVENTS.setdefault(ev_key, "hit")
-        return path
-    with _stage_lock(path):
-        if not _stage_fresh(path, fp):  # re-check under the lock
-            STAGE_EVENTS.setdefault(ev_key, "miss")
-            (
-                load_table(spark, sf_dir, "events")
-                .write.mode("overwrite")
-                .partitionBy("event_type")
-                .parquet(path)
-            )
-            with open(os.path.join(path, _MARKER), "w") as f:
-                json.dump(fp, f)
-        else:
-            STAGE_EVENTS.setdefault(ev_key, "hit")
-    return path
 
 
 @query(
@@ -10035,8 +10011,9 @@ def _z_interleave_sql(u: str, h: str, bits: int = 10) -> str:
     oracle=f"""
     WITH e AS (
       SELECT event_id,
-             user_id % 1024 AS u,
-             (EPOCH_MS(ts::TIMESTAMP) // 3600000) % 1024 AS h,
+             ((user_id % 1024) + 1024) % 1024 AS u,
+             ((CAST(FLOOR(EPOCH_MS(ts::TIMESTAMP) / 3600000.0) AS BIGINT)
+               % 1024) + 1024) % 1024 AS h,
              ts
       FROM events
     ),
@@ -10084,13 +10061,15 @@ def zorder_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form SQL-standard NTILE boundaries (no single-partition
     window — the same discipline as `customer_spend_deciles`); the bit
     interleave is pure column algebra on both engines."""
-    from ..operators.windows import scalable_row_number
+    from ..operators.windows import closed_form_ntile, scalable_row_number
 
     ev = load_table(spark, sf_dir, "events")
-    u = F.col("user_id") % 1024
-    h = (
-        F.floor(F.unix_millis(F.col("ts")) / F.lit(3600000)).cast("long")
-        % 1024
+    # pmod + floor on BOTH engines: '//'-style truncation and plain %
+    # diverge from floor/pmod for pre-1970 timestamps or negative keys
+    u = F.pmod(F.col("user_id"), F.lit(1024))
+    h = F.pmod(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(3600000)).cast("long"),
+        F.lit(1024),
     )
     z = F.lit(0).cast("long")
     for k in range(10):
@@ -10107,19 +10086,7 @@ def zorder_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked, total = scalable_row_number(
             df, order_cols, out_col="rk", with_total=True
         )
-        q, r = divmod(total, 32)
-        rn0 = F.col("rk") - 1
-        tile = (
-            F.when(rn0 < r * (q + 1), F.floor(rn0 / (q + 1)) + 1)
-            .otherwise(
-                F.lit(r)
-                + F.floor(
-                    (rn0 - r * (q + 1)) / F.greatest(F.lit(q), F.lit(1))
-                )
-                + 1
-            )
-            .cast("int")
-        )
+        tile = closed_form_ntile(F.col("rk"), total, 32)
         return ranked.select(
             F.lit(label).alias("layout"),
             "u",
@@ -10200,7 +10167,7 @@ def compaction_plan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletion."""
     import os
 
-    from .queries import stage_for_oracle, stage_root
+    from .queries import stage_for_oracle
 
     root = _ensure_partitioned_events(spark, sf_dir)
     rows = []
@@ -10215,10 +10182,8 @@ def compaction_plan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (part, fn, os.path.getsize(os.path.join(pdir, fn)))
                 )
     inv = spark.createDataFrame(rows, "part string, file string, bytes long")
-    stage_for_oracle(inv, "events_file_inventory", sf_dir)
-    staged = spark.read.parquet(
-        os.path.join(stage_root(sf_dir), "events_file_inventory")
-    )
+    staged_glob = stage_for_oracle(inv, "events_file_inventory", sf_dir)
+    staged = spark.read.parquet(staged_glob)
     w = (
         Window.partitionBy("part")
         .orderBy(F.col("bytes").desc(), "file")

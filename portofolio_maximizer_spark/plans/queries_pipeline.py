@@ -2436,18 +2436,11 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, total = scalable_row_number(
         d, ["ttr", "doc_id"], out_col="rk", with_total=True
     )
-    q, rem = divmod(total, _CURRICULUM_STAGES)
-    rn0 = F.col("rk") - 1
-    stage = (
-        F.when(rn0 < rem * (q + 1), F.floor(rn0 / (q + 1)) + 1)
-        .otherwise(
-            F.lit(rem)
-            + F.floor((rn0 - rem * (q + 1)) / F.greatest(F.lit(q), F.lit(1)))
-            + 1
-        )
-        .cast("int")
-        .alias("stage")
-    )
+    from ..operators.windows import closed_form_ntile
+
+    stage = closed_form_ntile(
+        F.col("rk"), total, _CURRICULUM_STAGES
+    ).alias("stage")
     return ranked.groupBy(stage).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
