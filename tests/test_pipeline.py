@@ -286,3 +286,27 @@ def test_scalable_primitives_hypothesis_style(spark):
             .count()
             == 0
         ), (trial, n, parts)
+
+
+def test_closed_form_ntile_matches_spark_ntile(spark):
+    """The shared closed-form NTILE (three query families rank through
+    it) must equal Spark's own NTILE for every (total, n) shape class:
+    total < n, total % n == 0, and a ragged remainder."""
+    from pyspark.sql import Window
+
+    from portofolio_maximizer_spark.operators.windows import (
+        closed_form_ntile,
+    )
+
+    for total, n in [(5, 32), (64, 32), (100, 7), (1, 3), (97, 10)]:
+        df = spark.range(1, total + 1).select(F.col("id").alias("rk"))
+        got = df.select(
+            "rk", closed_form_ntile(F.col("rk"), total, n).alias("tile")
+        )
+        want = df.select(
+            "rk",
+            F.ntile(n).over(Window.orderBy("rk")).alias("tile"),
+        )
+        g = {r.rk: r.tile for r in got.collect()}
+        w = {r.rk: r.tile for r in want.collect()}
+        assert g == w, (total, n)
