@@ -33,6 +33,51 @@ def main() -> None:
     # warmup: flagship query once to pay JVM/codegen startup
     queries["q1_pricing_summary"](spark, sf_dir).count()
 
+    # Host-capacity canary (round-9 verdict, Next round #1): a fixed
+    # 3-query probe timed at pack start / middle / end. If the host
+    # slows under co-tenant load mid-run, the SAME queries get slower at
+    # the later checkpoints, and the wall delta decomposes mechanically
+    # into ambient drift vs real regression — no prose needed. Probes
+    # are warmed once below so they measure host capacity, not codegen.
+    canary_names = (
+        "q1_pricing_summary",
+        "user_return_metrics",
+        "rolling_quantile_tail",
+    )
+    for _name in canary_names:
+        queries[_name](spark, sf_dir).count()
+
+    def probe() -> dict:
+        out: dict = {}
+        for name in canary_names:
+            t0 = time.time()
+            try:
+                queries[name](spark, sf_dir).count()
+                out[name] = round(time.time() - t0, 3)
+            except Exception:  # noqa: BLE001
+                out[name] = -1.0
+        out["load1"] = round(os.getloadavg()[0], 2)
+        return out
+
+    def drift_factor(canary: dict) -> float:
+        """Mean probe slowdown across the three checkpoints relative to
+        the start checkpoint — ~1.0 on a quiet host, >1 when capacity
+        degraded mid-run. Approximates the average capacity loss the
+        pack executed under, so wall/drift estimates the quiet-host
+        wall."""
+        start = canary.get("start", {})
+        phases = []
+        for ph in ("start", "mid", "end"):
+            p = canary.get(ph, {})
+            rs = [
+                p[q] / start[q]
+                for q in canary_names
+                if start.get(q, 0) > 0 and p.get(q, 0) > 0
+            ]
+            if rs:
+                phases.append(sum(rs) / len(rs))
+        return round(sum(phases) / len(phases), 4) if phases else 1.0
+
     # The streaming drains run in a dedicated EARLY slot: after 300+
     # queries in one JVM their numbers inflate ~2x from session
     # aging/contention, not query cost (round-6 verdict, What's wrong
@@ -43,26 +88,41 @@ def main() -> None:
         key=lambda kv: (0 if kv[0].startswith("streaming_") else 1,),
     )
 
-    def run_pass() -> tuple[dict[str, float], float]:
+    def run_pass() -> tuple[dict[str, float], float, dict]:
         t: dict[str, float] = {}
+        canary: dict = {}
+        half = len(ordered) // 2
         t_all = time.time()
-        for name, fn in ordered:
+        probe_wall = 0.0
+        p0 = time.time()
+        canary["start"] = probe()
+        probe_wall += time.time() - p0
+        for i, (name, fn) in enumerate(ordered):
+            if i == half:
+                p0 = time.time()
+                canary["mid"] = probe()
+                probe_wall += time.time() - p0
             t0 = time.time()
             try:
                 fn(spark, sf_dir).count()
                 t[name] = round(time.time() - t0, 3)
             except Exception:  # noqa: BLE001
                 t[name] = -1.0
-        return t, round(time.time() - t_all, 3)
+        p0 = time.time()
+        canary["end"] = probe()
+        probe_wall += time.time() - p0
+        # total excludes canary probe time: it remains the pack wall
+        return t, round(time.time() - t_all - probe_wall, 3), canary
 
-    timings, total = run_pass()
+    timings, total, canary = run_pass()
     # optional warm second pass (stage caches hot, codegen compiled):
     # SPARK_GRAFT_WARM_PASS=1 — off by default to keep the driver's
     # per-round bench single-pass
     warm: dict[str, float] | None = None
     warm_total = None
+    warm_canary: dict | None = None
     if os.environ.get("SPARK_GRAFT_WARM_PASS"):
-        warm, warm_total = run_pass()
+        warm, warm_total, warm_canary = run_pass()
 
     # The driver captures only the tail of stdout (~4000 chars) and parses
     # the JSON line from it. Keep the line compact: total + the 20 slowest
@@ -90,10 +150,15 @@ def main() -> None:
         "stage_events": dict(sorted(STAGE_EVENTS.items())),
         "load_avg_start": list(load_start),
         "load_avg_end": list(os.getloadavg()),
+        "canary": canary,
+        "canary_drift": drift_factor(canary),
+        "wall_canary_adjusted": round(total / max(drift_factor(canary), 1e-9), 3),
     }
     if warm is not None:
         full["warm_value"] = warm_total
         full["warm_queries"] = warm
+        full["warm_canary"] = warm_canary
+        full["warm_canary_drift"] = drift_factor(warm_canary)
     # per-drain StreamingQueryProgress evidence (input rows, batches,
     # peak state rows, trigger wall): the streaming family's work runs
     # under the engine's own job group, so this registry — not stage
@@ -102,12 +167,21 @@ def main() -> None:
 
     # registry keys are (name, cache_key); a None cache_key must not
     # crash the sort and a same-name second key must not silently
-    # overwrite the first — disambiguate with the cache key on collision
-    drains: dict[str, dict] = {}
+    # overwrite the first. On collision EVERY colliding entry — the
+    # first included — is re-keyed to "name|cache_key" so each drain in
+    # BENCH_FULL.json says which cache key (sf_dir) it belongs to.
+    by_name: dict[str, list] = {}
     for k, v in sorted(
         DRAIN_PROGRESS.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
     ):
-        drains[k[0] if k[0] not in drains else f"{k[0]}|{k[1]}"] = v
+        by_name.setdefault(k[0], []).append((k, v))
+    drains: dict[str, dict] = {}
+    for name, entries in by_name.items():
+        if len(entries) == 1:
+            drains[name] = entries[0][1]
+        else:
+            for k, v in entries:
+                drains[f"{name}|{k[1]}"] = v
     full["stream_drains"] = drains
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
@@ -125,6 +199,8 @@ def main() -> None:
             "n_errors": full["n_errors"],
             "stage": f"{n_hit}h/{n_miss}m",
             "load1": round(load_start[0], 1),
+            "canary_drift": full["canary_drift"],
+            "wall_canary_adjusted": full["wall_canary_adjusted"],
             "full": "BENCH_FULL.json",
             **({"warm_value": warm_total} if warm is not None else {}),
         },

@@ -66,14 +66,18 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """PIXEL decode stub — the raster decode requires an imaging library
-    not present in this container. HEADER metadata (format, width,
-    height, channels) is parsed for real by ``parse_image_header`` —
-    PNG/GIF/BMP dimensions live at fixed offsets and need no codec."""
+    """COMPRESSED-raster decode stub — PNG/GIF/JPEG (and paletted/RLE
+    BMP) rasters require a codec library not present in this container.
+    HEADER metadata (format, width, height, channels) is parsed for
+    real by ``parse_image_header``, and UNCOMPRESSED rasters (24-bit
+    BI_RGB BMP, binary PGM) are pixel-decoded for real by
+    ``decode_pixel_stats`` — a pure-Python row-stride walk needs no
+    codec."""
     raise NotImplementedError(
-        "image PIXEL decode requires an imaging library (e.g. Pillow); "
-        "not available in this environment — header metadata is parsed "
-        "by parse_image_header"
+        "compressed image decode requires a codec library (e.g. "
+        "Pillow); not available in this environment — headers are "
+        "parsed by parse_image_header, uncompressed rasters by "
+        "decode_pixel_stats"
     )
 
 
@@ -570,3 +574,264 @@ def sample_frames(features: DataFrame, k: int = 4) -> DataFrame:
         .cast("int")
         .alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode — uncompressed formats need no codec library
+# ---------------------------------------------------------------------------
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("min_val", IntegerType()),
+        StructField("max_val", IntegerType()),
+        StructField("top_row_sum", LongType()),
+    ]
+)
+
+
+def _pgm_header(payload: bytes):
+    """Tokenize a binary-PGM (P5) header: whitespace-separated width /
+    height / maxval tokens, '#' comments running to end-of-line, raster
+    starting exactly ONE whitespace byte after the maxval token (PNM
+    spec). Returns (w, h, maxval, data_offset) or None."""
+    i, toks = 2, []
+    n = len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i]
+        if c in b" \t\r\n":
+            i += 1
+            continue
+        if c == ord("#"):
+            while i < n and payload[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j] not in b" \t\r\n":
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    if len(toks) < 3 or i >= n:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
+    return w, h, maxval, i + 1  # one whitespace byte after maxval
+
+
+def decode_pixel_stats(payload: bytes):
+    """REAL pixel decode for the uncompressed raster formats — no codec
+    library needed, a pure-Python row-stride walk:
+
+    - BMP, 24-bit uncompressed (BI_RGB): pixel-array offset from the
+      file header (u32 LE at 10), rows padded to 4-byte multiples
+      (stride = ceil(3w/4)*4), stored bottom-up when the
+      BITMAPINFOHEADER height is positive and top-down when negative,
+      B,G,R byte order within a pixel;
+    - PGM (P5): tokenized header (comments allowed), 8-bit raster.
+
+    Compressed formats (PNG/GIF/JPEG, paletted/RLE BMP) stay declared
+    in `decode_image` — their rasters need a codec library this
+    environment lacks; headers are still parsed for real by
+    `parse_image_header`.
+
+    Returns (format, w, h, n_pixels, sum_r, sum_g, sum_b, min_val,
+    max_val, top_row_sum) or None when the payload is not a decodable
+    uncompressed raster. ``top_row_sum`` (channel sum over the TOP
+    logical row, y=0) is deliberately row-order-sensitive: a decoder
+    that ignored the bottom-up/top-down distinction would still get
+    order-invariant sums right and THIS column wrong."""
+    import struct
+
+    n = len(payload)
+    if (
+        n >= 54
+        and payload[:2] == b"BM"
+        and struct.unpack("<I", payload[14:18])[0]
+        in (40, 52, 56, 108, 124)
+    ):
+        offset = struct.unpack("<I", payload[10:14])[0]
+        w = struct.unpack("<i", payload[18:22])[0]
+        h_signed = struct.unpack("<i", payload[22:26])[0]
+        bits = struct.unpack("<H", payload[28:30])[0]
+        comp = struct.unpack("<I", payload[30:34])[0]
+        if bits != 24 or comp != 0 or w <= 0 or h_signed == 0:
+            return None  # paletted/RLE/odd geometry: not this decoder
+        h = abs(h_signed)
+        stride = (3 * w + 3) // 4 * 4
+        if offset + stride * h > n:
+            return None  # truncated raster
+        sr = sg = sb = 0
+        mn, mx = 255, 0
+        top_row_sum = 0
+        for row in range(h):
+            # logical y: bottom-up files store the top row LAST
+            y = (h - 1 - row) if h_signed > 0 else row
+            base = offset + row * stride
+            row_sum = 0
+            for x in range(w):
+                b = payload[base + 3 * x]
+                g = payload[base + 3 * x + 1]
+                r = payload[base + 3 * x + 2]
+                sr += r
+                sg += g
+                sb += b
+                lo = min(r, g, b)
+                hi = max(r, g, b)
+                if lo < mn:
+                    mn = lo
+                if hi > mx:
+                    mx = hi
+                row_sum += r + g + b
+            if y == 0:
+                top_row_sum = row_sum
+        return ("bmp24", w, h, w * h, sr, sg, sb, mn, mx, top_row_sum)
+    if payload[:2] == b"P5":
+        hdr = _pgm_header(payload)
+        if hdr is None:
+            return None
+        w, h, _maxval, off = hdr
+        if off + w * h > n:
+            return None
+        s = 0
+        mn, mx = 255, 0
+        top_row_sum = 0
+        for y in range(h):
+            base = off + y * w
+            row_sum = 0
+            for x in range(w):
+                v = payload[base + x]
+                s += v
+                if v < mn:
+                    mn = v
+                if v > mx:
+                    mx = v
+                row_sum += v
+            if y == 0:
+                top_row_sum = row_sum
+        return ("pgm", w, h, w * h, s, s, s, mn, mx, top_row_sum)
+    return None
+
+
+def synth_pixel_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic COMPLETE-raster plants for the pixel-decode oracle:
+    value(x, y, c) = (doc_id*7 + y*31 + x*13 + c*5) % 256 with c = 0/1/2
+    for R/G/B (PGM gray uses c=0), y counted from the TOP row. doc_id%4
+    picks the variant: 0 = 24-bit BMP bottom-up (file rows reversed,
+    stride-padded), 1 = 24-bit BMP top-down (negative height), 2 = PGM
+    P5 with a comment line (forces real header tokenization), 3 = raw
+    non-image text. Dimensions 3–8 × 2–6 sweep every stride-padding
+    remainder (3w % 4 ∈ {0,1,2,3}). decode(synth(doc_id)) must invert
+    the plant byte-for-byte — the decoder's stride/row-order/channel
+    walk is what the oracle checks."""
+    import struct
+
+    kind = doc_id % 4
+    if kind == 3:
+        return text.encode("utf-8") or b"\x00"
+    w = 3 + doc_id % 6
+    h = 2 + doc_id % 5
+
+    def val(x: int, y: int, c: int) -> int:
+        return (doc_id * 7 + y * 31 + x * 13 + c * 5) % 256
+
+    if kind == 2:
+        header = b"P5\n# plant %d\n%d %d\n255\n" % (doc_id, w, h)
+        data = bytes(val(x, y, 0) for y in range(h) for x in range(w))
+        return header + data
+    topdown = kind == 1
+    stride = (3 * w + 3) // 4 * 4
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes((val(x, y, 2), val(x, y, 1), val(x, y, 0)))  # BGR
+        row += b"\x00" * (stride - 3 * w)
+        rows.append(bytes(row))
+    if not topdown:
+        rows.reverse()  # bottom-up: bottom logical row stored first
+    raster = b"".join(rows)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40,
+            w,
+            -h if topdown else h,
+            1,
+            24,
+            0,  # BI_RGB
+            len(raster),
+            2835,
+            2835,
+            0,
+            0,
+        )
+    )
+    return header + raster
+
+
+def attach_planted_pixel_payload(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize COMPLETE uncompressed rasters (`synth_pixel_payload`)
+    from doc identity — the stand-in for the landed image bytes."""
+    return attach_planted_payload(docs, text_col, synth=synth_pixel_payload)
+
+
+def extract_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel decode: one `mapInPandas` pass walks the
+    raster bytes of every uncompressed payload (`decode_pixel_stats`);
+    non-decodable payloads emit NULL metrics. Integer channel sums (not
+    float means) cross the Arrow boundary so the downstream census is
+    exact-arithmetic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [decode_pixel_stats(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [p[0] if p else None for p in parsed],
+                    "width": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "n_pixels": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "sum_r": pd.array(
+                        [p[4] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "sum_g": pd.array(
+                        [p[5] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "sum_b": pd.array(
+                        [p[6] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "min_val": pd.array(
+                        [p[7] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "max_val": pd.array(
+                        [p[8] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "top_row_sum": pd.array(
+                        [p[9] if p else None for p in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PIXEL_SCHEMA)

@@ -4234,9 +4234,10 @@ _DSIR_BUCKETS = 64
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_selected,
-           ROUND(CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           CAST(SUM(CASE WHEN ROUND(weight, 6) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           ROUND(CAST(SUM(CASE WHEN ROUND(weight, 6) > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
                  / COUNT(*), 6) AS sel_rate,
            ROUND(AVG(weight), 6) AS mean_weight
     FROM scored GROUP BY source
@@ -4251,8 +4252,10 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     log importance ratio ln(p_tgt/p_raw) (mean, not sum — length-
     normalized so selection ranks domain character, not document
     length; both estimates Laplace-smoothed), and census per source:
-    how much of each source the target-conditioned selection (weight >
-    0 = more target-like than corpus-average) would keep. The whole
+    how much of each source the target-conditioned selection
+    (round(weight, 6) > 0 = more target-like than corpus-average; the
+    gate is quantized to 6dp so both engines threshold identically)
+    would keep. The whole
     estimate/weight/select pipeline is one declarative plan with an
     exact SQL oracle — no iterative fit.
 
@@ -4322,10 +4325,119 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("lr").alias("weight"),
         )
     )
-    sel = F.when(F.col("weight") > 0, 1).otherwise(0)
+    # Gate on the 6dp-quantized weight so both engines apply the SAME
+    # threshold: the raw mean of log-ratios differs in libm/order of
+    # summation between Spark and the oracle, and a doc whose true mean
+    # sits at ~0 would otherwise flip n_selected between engines.
+    sel = F.when(F.round(F.col("weight"), 6) > 0, 1).otherwise(0)
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(sel).cast("long").alias("n_selected"),
         r6(F.sum(sel).cast("double") / F.count(F.lit(1))).alias("sel_rate"),
         r6(F.avg("weight")).alias("mean_weight"),
+    )
+
+
+@query(
+    "multimodal_pixel_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 4 AS kind,
+             3 + doc_id % 6 AS w,
+             2 + doc_id % 5 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.kind, p.w, p.h, gx.x, gy.y,
+             (p.doc_id * 7 + gy.y * 31 + gx.x * 13) % 256 AS v0,
+             (p.doc_id * 7 + gy.y * 31 + gx.x * 13 + 5) % 256 AS v1,
+             (p.doc_id * 7 + gy.y * 31 + gx.x * 13 + 10) % 256 AS v2
+      FROM p,
+           UNNEST(GENERATE_SERIES(0, p.w - 1)) AS gx(x),
+           UNNEST(GENERATE_SERIES(0, p.h - 1)) AS gy(y)
+      WHERE p.kind <> 3
+    ),
+    d AS (
+      SELECT doc_id, kind, w, h,
+             SUM(v0) AS s0, SUM(v1) AS s1, SUM(v2) AS s2,
+             LEAST(MIN(v0), MIN(v1), MIN(v2)) AS mn3,
+             GREATEST(MAX(v0), MAX(v1), MAX(v2)) AS mx3,
+             MIN(v0) AS mn1, MAX(v0) AS mx1,
+             SUM(CASE WHEN y = 0 THEN v0 + v1 + v2 ELSE 0 END) AS tr3,
+             SUM(CASE WHEN y = 0 THEN v0 ELSE 0 END) AS tr1
+      FROM px GROUP BY doc_id, kind, w, h
+    ),
+    m AS (
+      SELECT CASE WHEN kind = 2 THEN 'pgm' ELSE 'bmp24' END AS format,
+             w * h AS npix,
+             s0 AS sr,
+             CASE WHEN kind = 2 THEN s0 ELSE s1 END AS sg,
+             CASE WHEN kind = 2 THEN s0 ELSE s2 END AS sb,
+             CASE WHEN kind = 2 THEN mn1 ELSE mn3 END AS mn,
+             CASE WHEN kind = 2 THEN mx1 ELSE mx3 END AS mx,
+             CASE WHEN kind = 2 THEN tr1 ELSE tr3 END AS trs
+      FROM d
+      UNION ALL
+      SELECT 'raw', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      FROM p WHERE kind = 3
+    )
+    SELECT format,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(npix) AS BIGINT) AS n_decoded,
+           CAST(SUM(npix) AS BIGINT) AS total_pixels,
+           CAST(SUM(sr) AS BIGINT) AS pixel_sum_r,
+           CAST(SUM(sg) AS BIGINT) AS pixel_sum_g,
+           CAST(SUM(sb) AS BIGINT) AS pixel_sum_b,
+           ROUND(CAST(SUM(sr) AS DOUBLE) / SUM(npix), 6) AS mean_r,
+           ROUND(CAST(SUM(sg) AS DOUBLE) / SUM(npix), 6) AS mean_g,
+           ROUND(CAST(SUM(sb) AS DOUBLE) / SUM(npix), 6) AS mean_b,
+           CAST(MIN(mn) AS INTEGER) AS min_val,
+           CAST(MAX(mx) AS INTEGER) AS max_val,
+           CAST(SUM(trs) AS BIGINT) AS top_row_sum
+    FROM m GROUP BY format
+    """,
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19 pixel leg (round-10 directive #4) — REAL pixel decode, no
+    codec libs: uncompressed rasters need only byte arithmetic, so the
+    one remaining `NotImplementedError` in the multimodal trio becomes
+    a real decode for two formats. Planted 24-bit BI_RGB BMPs (both
+    bottom-up and top-down row order, stride padded to 4-byte
+    multiples, B,G,R byte order) and binary PGMs (tokenized header with
+    a comment line) stream through the Arrow `mapInPandas` decoder
+    (`llmdata/multimodal.py:decode_pixel_stats` — a pure-Python
+    row-stride walk), then a per-format census of EXACT integer channel
+    sums, extrema and pixel-weighted channel means. ``top_row_sum``
+    (channel sum over the TOP logical row) is row-order-sensitive: it
+    pins the bottom-up/top-down handling that order-invariant sums
+    cannot. The oracle replays the plant arithmetic
+    value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256 on a generated
+    pixel grid — decode(synth(doc_id)) must invert the plant
+    byte-for-byte. Compressed formats (PNG/GIF/JPEG) stay declared in
+    `decode_image`; raw payloads come back NULL-metric.
+
+    Scale: one Arrow pass over payload bytes, integer sums (not per-doc
+    float means) cross the boundary, and the census after is
+    metadata-only — identical shape to the header-decode siblings.
+    Reference anchor: the standardize-and-census shape of
+    etl/base_extractor.py:203-270 applied to the charter's multimodal
+    column mandate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_planted_pixel_payload(docs)
+    px = multimodal.extract_pixel_stats(media)
+    return px.groupBy(
+        F.coalesce(F.col("format"), F.lit("raw")).alias("format")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("n_pixels").cast("long").alias("n_decoded"),
+        F.sum("n_pixels").cast("long").alias("total_pixels"),
+        F.sum("sum_r").cast("long").alias("pixel_sum_r"),
+        F.sum("sum_g").cast("long").alias("pixel_sum_g"),
+        F.sum("sum_b").cast("long").alias("pixel_sum_b"),
+        r6(F.sum("sum_r").cast("double") / F.sum("n_pixels")).alias("mean_r"),
+        r6(F.sum("sum_g").cast("double") / F.sum("n_pixels")).alias("mean_g"),
+        r6(F.sum("sum_b").cast("double") / F.sum("n_pixels")).alias("mean_b"),
+        F.min("min_val").cast("int").alias("min_val"),
+        F.max("max_val").cast("int").alias("max_val"),
+        F.sum("top_row_sum").cast("long").alias("top_row_sum"),
     )

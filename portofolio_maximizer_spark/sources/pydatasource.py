@@ -119,13 +119,34 @@ class SyntheticBarsReader(DataSourceReader):
         self.s0 = float(options.get("s0", 100.0))
         self.mu = float(options.get("mu", 0.0002))
         self.sigma = float(options.get("sigma", 0.02))
+        # fault-injection + retry surface (round-10 directive #5): the
+        # executor-side read goes through the SAME retry loop a live
+        # provider would use; `transient_failures` injects N failures
+        # per ticker ahead of the plant so tests exercise the loop
+        # through a real Spark read. base delay defaults to 0 here (no
+        # sleeping in tests); a live adapter configures the reference's
+        # 2s/30s schedule.
+        self.transient_failures = int(options.get("transient_failures", 0))
+        self.max_retries = int(options.get("max_retries", 3))
+        self.retry_base_delay = float(options.get("retry_base_delay", 0.0))
 
     def partitions(self) -> list[InputPartition]:
         return [InputPartition(t) for t in self.tickers]
 
+    def _transport(self):
+        transport = SyntheticTransport(
+            self.n_bars, self.seed, self.s0, self.mu, self.sigma
+        )
+        if self.transient_failures:
+            transport = FlakyTransport(transport, self.transient_failures)
+        return transport
+
     def read(self, partition: InputPartition):
-        yield from _bars_for_ticker(
-            partition.value, self.n_bars, self.seed, self.s0, self.mu, self.sigma
+        yield from fetch_with_retry(
+            self._transport(),
+            partition.value,
+            max_retries=self.max_retries,
+            base_delay=self.retry_base_delay,
         )
 
 
@@ -200,3 +221,134 @@ class SyntheticBarsStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Injectable transport + retry/backoff — the reference's fetch loop
+# algebra, testable offline (round-10 directive #5)
+# ---------------------------------------------------------------------------
+
+
+class TransientFetchError(Exception):
+    """Network-class failure (reference: ConnectionError/TimeoutError in
+    `etl/yfinance_extractor.py:110-114`) — re-raised to the retry loop."""
+
+
+class UnrecoverableTickerError(Exception):
+    """Permanent per-ticker failure (reference
+    `_is_unrecoverable_ticker_error`: delisted/stale symbol) — the fetch
+    returns EMPTY immediately, no retry."""
+
+
+class SyntheticTransport:
+    """The plant behind the transport seam: serves the deterministic GBM
+    walk. A live provider implements the same one-method surface with an
+    HTTP fetch — retry/backoff/failover above it are provider-agnostic."""
+
+    def __init__(self, n_bars: int, seed: int, s0: float, mu: float, sigma: float):
+        self.n_bars, self.seed = n_bars, seed
+        self.s0, self.mu, self.sigma = s0, mu, sigma
+
+    def fetch(self, ticker: str) -> list:
+        return list(
+            _bars_for_ticker(
+                ticker, self.n_bars, self.seed, self.s0, self.mu, self.sigma
+            )
+        )
+
+
+class FlakyTransport:
+    """Fault-injection wrapper: fail the first ``fail_times`` fetches of
+    each ticker with ``error``, then delegate to ``inner``. Deterministic
+    — the offline stand-in for a provider that times out N times before
+    serving (how the retry/backoff algebra is pinned without a socket)."""
+
+    def __init__(self, inner, fail_times: int, error=TransientFetchError):
+        self.inner, self.fail_times, self.error = inner, fail_times, error
+        self._calls: dict[str, int] = {}
+
+    def fetch(self, ticker: str) -> list:
+        n = self._calls.get(ticker, 0)
+        self._calls[ticker] = n + 1
+        if n < self.fail_times:
+            raise self.error(f"injected failure {n + 1} for {ticker}")
+        return self.inner.fetch(ticker)
+
+
+def backoff_schedule(
+    max_retries: int = 3, base_delay: float = 2.0, max_delay: float = 30.0
+) -> list[float]:
+    """The reference's exponential schedule (`yfinance_extractor.py:54-70`):
+    delay before retry k (0-based attempt k failing, k < max_retries-1)
+    is min(base * 2^k, max_delay). Exposed as data so tests pin the
+    schedule itself, not a sleep side effect."""
+    return [
+        min(base_delay * (2.0 ** k), max_delay)
+        for k in range(max_retries - 1)
+    ]
+
+
+def fetch_with_retry(
+    transport,
+    ticker: str,
+    max_retries: int = 3,
+    base_delay: float = 2.0,
+    max_delay: float = 30.0,
+    sleep=None,
+) -> list:
+    """The reference's retry decorator as a plain function over the
+    transport seam (`etl/yfinance_extractor.py:54-70` + `:73-121`):
+
+    - ``TransientFetchError`` → retried up to ``max_retries`` attempts
+      with the exponential `backoff_schedule`; the LAST attempt's
+      failure propagates (the failover layer treats it as provider-down);
+    - ``UnrecoverableTickerError`` → empty result immediately, NO retry
+      (delisted symbol: retrying cannot help);
+    - success → the rows, first try or not.
+
+    ``sleep`` is injectable (tests pass a recorder; the default real
+    sleep only runs when a delay is actually scheduled)."""
+    if sleep is None:
+        import time as _time
+
+        sleep = _time.sleep
+    delays = backoff_schedule(max_retries, base_delay, max_delay)
+    for attempt in range(max_retries):
+        try:
+            return transport.fetch(ticker)
+        except TransientFetchError:
+            if attempt == max_retries - 1:
+                raise
+            if delays[attempt] > 0:
+                sleep(delays[attempt])
+        except UnrecoverableTickerError:
+            return []
+    return []  # not reached: kept for clarity
+
+
+def fetch_with_failover(
+    providers: list,
+    ticker: str,
+    max_retries: int = 3,
+    base_delay: float = 2.0,
+    max_delay: float = 30.0,
+    sleep=None,
+) -> tuple:
+    """The reference's `_failover_extraction`
+    (`etl/data_source_manager.py:369-437`) over the transport seam:
+    ``providers`` is [(name, priority, transport), ...]; try in
+    ascending priority order, each under `fetch_with_retry`; the first
+    provider that YIELDS ROWS wins (a provider that exhausts retries OR
+    returns empty falls through — the reference advances on both).
+    Returns (winning_name, rows) or (None, []) when every provider
+    fails — the caller decides whether that is an error."""
+    for name, _pr, transport in sorted(providers, key=lambda p: (p[1], p[0])):
+        try:
+            rows = fetch_with_retry(
+                transport, ticker, max_retries, base_delay, max_delay, sleep
+            )
+        except TransientFetchError:
+            continue  # provider down after full retry: next priority
+        if rows:
+            return name, rows
+    return None, []

@@ -24,6 +24,8 @@ reference's imperative loop cannot make.
 
 from __future__ import annotations
 
+import contextlib
+import itertools
 import os
 from typing import Iterator
 
@@ -303,6 +305,13 @@ def drain_session(spark, partitions: int = 8):
 #: progress events. Best-effort: a metrics failure never fails a drain.
 DRAIN_PROGRESS: dict[tuple[str, str | None], dict] = {}
 
+#: monotonic record stamp: a memo-invalidated re-drain that happens to
+#: reproduce identical metrics (same rows/batches/state, repeated
+#: trigger_ms) would otherwise compare EQUAL to the pre-query snapshot
+#: in tools/scalecheck.py and go unattributed — the seq makes any
+#: re-record compare unequal regardless of metric values
+_DRAIN_SEQ = itertools.count()
+
 
 def _record_drain_progress(
     q, name: str, cache_key: str | None, session=None
@@ -334,6 +343,7 @@ def _record_drain_progress(
                 ),
             )
         DRAIN_PROGRESS[(name, cache_key)] = {
+            "seq": next(_DRAIN_SEQ),
             "n_batches": len(progress),
             "input_rows": sum(p.get("numInputRows", 0) or 0 for p in progress),
             "state_rows_peak": state_rows,
@@ -345,6 +355,31 @@ def _record_drain_progress(
         }
     except Exception:  # noqa: BLE001 — evidence only, never fail the drain
         pass
+
+
+@contextlib.contextmanager
+def _progress_history(sess, n: str = "10000"):
+    """Temporarily raise the recentProgress ring-buffer cap on ``sess``
+    and restore the prior value on exit — the drain paths need the full
+    progress history for the evidence summary, but callers may pass a
+    SHARED session where a lasting 10k-entry cap would retain progress
+    JSON for every later streaming query."""
+    key = "spark.sql.streaming.numRecentProgressUpdates"
+    try:
+        prior = sess.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset with no default
+        prior = None
+    sess.conf.set(key, n)
+    try:
+        yield sess
+    finally:
+        try:
+            if prior is None:
+                sess.conf.unset(key)
+            else:
+                sess.conf.set(key, prior)
+        except Exception:  # noqa: BLE001 — restore is best-effort
+            pass
 
 
 def run_to_memory(
@@ -369,17 +404,20 @@ def run_to_memory(
         sess = stream_df.sparkSession
         # keep the full progress history for the evidence summary — an
         # availableNow drain at a large SF can exceed the 100-entry
-        # recentProgress ring buffer
-        sess.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        _record_drain_progress(q, name, cache_key, sess)
+        # recentProgress ring buffer. Restored after the drain: the
+        # caller may pass a SHARED session, and leaving the conf set
+        # would retain up to 10k progress JSON objects per streaming
+        # query session-wide.
+        with _progress_history(sess) as cap_sess:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            _record_drain_progress(q, name, cache_key, cap_sess)
         return sess.table(name)
 
     if cache_key is None:
@@ -422,19 +460,22 @@ def run_upsert_sink(
         )
 
     sess = stream_df.sparkSession
-    sess.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
-    q = (
-        stream_df.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # cache_key carries the caller's attribution key (sf_dir) — the sink
-    # path is a temp dir that no evidence consumer could match on
-    _record_drain_progress(
-        q, f"upsert_sink:{os.path.basename(path)}", cache_key or path, sess
-    )
+    with _progress_history(sess) as cap_sess:
+        q = (
+            stream_df.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # cache_key carries the caller's attribution key (sf_dir) — the
+        # sink path is a temp dir no evidence consumer could match on
+        _record_drain_progress(
+            q,
+            f"upsert_sink:{os.path.basename(path)}",
+            cache_key or path,
+            cap_sess,
+        )
 
 
 def view_purchase_interval_join(stream: DataFrame, horizon: str = "6 hours") -> DataFrame:

@@ -28,6 +28,8 @@ def test_multimodal_feature_extraction(spark, sf_dir):
 
 
 def test_multimodal_pixel_decode_is_stubbed():
+    """Only COMPRESSED-raster decode stays declared; uncompressed
+    rasters decode for real (test_pixel_decode_*)."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
 
@@ -759,3 +761,94 @@ def test_wav_chunk_walk_skips_unknown_and_pads():
     assert multimodal.parse_wav_header(payload) == (
         "float", 2, 48000, 32, 800, 0
     )
+
+
+def test_pixel_decode_inverts_plant_sweep():
+    """decode_pixel_stats must invert synth_pixel_payload byte-for-byte
+    across every (variant, stride-padding, row-order) combination in
+    the plant's period."""
+    for d in range(0, 240):
+        out = multimodal.decode_pixel_stats(
+            multimodal.synth_pixel_payload(d, "sample text payload")
+        )
+        kind = d % 4
+        if kind == 3:
+            assert out is None
+            continue
+        w, h = 3 + d % 6, 2 + d % 5
+
+        def val(x, y, c):
+            return (d * 7 + y * 31 + x * 13 + c * 5) % 256
+
+        if kind == 2:
+            vs = [val(x, y, 0) for y in range(h) for x in range(w)]
+            assert out == (
+                "pgm", w, h, w * h, sum(vs), sum(vs), sum(vs),
+                min(vs), max(vs), sum(val(x, 0, 0) for x in range(w)),
+            )
+        else:
+            flat = [
+                val(x, y, c)
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            ]
+            assert out == (
+                "bmp24", w, h, w * h,
+                sum(val(x, y, 0) for y in range(h) for x in range(w)),
+                sum(val(x, y, 1) for y in range(h) for x in range(w)),
+                sum(val(x, y, 2) for y in range(h) for x in range(w)),
+                min(flat), max(flat),
+                sum(val(x, 0, c) for x in range(w) for c in range(3)),
+            )
+
+
+def test_pixel_decode_row_order_is_real():
+    """top_row_sum must differ between the bottom-up and top-down
+    encodings of the SAME logical image only if the decoder ignored the
+    height sign — i.e. both encodings must yield IDENTICAL stats. A
+    decoder that read file rows as logical rows would get
+    top_row_sum wrong on exactly one of the two."""
+    # doc_ids 0 and 1 share no dims; craft both orders from one plant
+    # by re-encoding: use two ids with equal (w, h) but different kinds
+    # kind = id % 4, w = 3 + id % 6, h = 2 + id % 5 → ids 12 (kind 0,
+    # bottom-up, w=9? no w=3+0=3... compute: 12%6=0→w=3, 12%5=2→h=4)
+    # and 13 (kind 1, top-down, w=4, h=5) differ in dims, so instead
+    # flip the height sign of a bottom-up plant WITHOUT reversing rows:
+    import struct
+
+    p = bytearray(multimodal.synth_pixel_payload(12, "t"))  # bottom-up
+    good = multimodal.decode_pixel_stats(bytes(p))
+    h = struct.unpack("<i", p[22:26])[0]
+    p[22:26] = struct.pack("<i", -h)  # claim top-down, rows unchanged
+    flipped = multimodal.decode_pixel_stats(bytes(p))
+    assert good is not None and flipped is not None
+    # order-invariant metrics agree; the row-order-sensitive one differs
+    assert flipped[:9] == good[:9]
+    assert flipped[9] != good[9]
+
+
+def test_pixel_decode_rejects_truncation_and_malformed():
+    import struct
+
+    full = multimodal.synth_pixel_payload(12, "text")  # bmp24 bottom-up
+    assert multimodal.decode_pixel_stats(full) is not None
+    # truncated raster: declared dims overrun the landed bytes
+    assert multimodal.decode_pixel_stats(full[:-4]) is None
+    # paletted (8-bit) BMP: not this decoder's format
+    pal = bytearray(full)
+    pal[28:30] = struct.pack("<H", 8)
+    assert multimodal.decode_pixel_stats(bytes(pal)) is None
+    # compressed BMP (BI_RLE8)
+    rle = bytearray(full)
+    rle[30:34] = struct.pack("<I", 1)
+    assert multimodal.decode_pixel_stats(bytes(rle)) is None
+    # PGM: truncated raster, bad maxval, header-only
+    pgm = multimodal.synth_pixel_payload(14, "text")  # kind 2
+    assert multimodal.decode_pixel_stats(pgm) is not None
+    assert multimodal.decode_pixel_stats(pgm[:-2]) is None
+    assert multimodal.decode_pixel_stats(b"P5\n3 2\n65535\n" + b"\x00" * 6) is None
+    assert multimodal.decode_pixel_stats(b"P5\n# only a comment") is None
+    # non-image
+    assert multimodal.decode_pixel_stats(b"plain text") is None
+    assert multimodal.decode_pixel_stats(b"") is None

@@ -122,3 +122,110 @@ def test_stream_partitions_chunk_per_ticker():
     replay = [row for p in r.partitions({"bar": 40}, {"bar": 80})
               if p.ticker == "AAA" for row in r.read(p)]
     assert replay == window
+
+
+# ---------------------------------------------------------------------------
+# Retry / backoff / failover algebra over the injectable transport
+# (round-10 directive #5 — reference etl/yfinance_extractor.py:54-121,
+# etl/data_source_manager.py:369-437, previously the only §2 logic with
+# zero test coverage)
+# ---------------------------------------------------------------------------
+
+
+def _plant(n_bars=8):
+    return pydatasource.SyntheticTransport(n_bars, 42, 100.0, 0.0002, 0.02)
+
+
+def test_backoff_schedule_matches_reference():
+    """delay before retry k = min(base * 2^k, cap) — the reference's
+    exact decorator arithmetic (base 2.0, cap 30.0, 3 retries)."""
+    assert pydatasource.backoff_schedule(3, 2.0, 30.0) == [2.0, 4.0]
+    assert pydatasource.backoff_schedule(6, 2.0, 30.0) == [
+        2.0, 4.0, 8.0, 16.0, 30.0
+    ]
+    assert pydatasource.backoff_schedule(1, 2.0, 30.0) == []
+
+
+def test_retry_recovers_within_budget_and_sleeps_schedule():
+    slept = []
+    t = pydatasource.FlakyTransport(_plant(), fail_times=2)
+    rows = pydatasource.fetch_with_retry(
+        t, "AAA", max_retries=3, base_delay=2.0, sleep=slept.append
+    )
+    assert len(rows) == 8
+    assert slept == [2.0, 4.0]
+    # and the recovered rows are bit-identical to a failure-free fetch
+    assert rows == _plant().fetch("AAA")
+
+
+def test_retry_exhaustion_raises_transient():
+    import pytest
+
+    slept = []
+    t = pydatasource.FlakyTransport(_plant(), fail_times=3)
+    with pytest.raises(pydatasource.TransientFetchError):
+        pydatasource.fetch_with_retry(
+            t, "AAA", max_retries=3, base_delay=2.0, sleep=slept.append
+        )
+    assert slept == [2.0, 4.0]  # last attempt's failure propagates
+
+
+def test_unrecoverable_skips_without_retry():
+    slept = []
+    t = pydatasource.FlakyTransport(
+        _plant(), fail_times=99,
+        error=pydatasource.UnrecoverableTickerError,
+    )
+    rows = pydatasource.fetch_with_retry(
+        t, "GONE", max_retries=3, base_delay=2.0, sleep=slept.append
+    )
+    assert rows == []
+    assert slept == []  # delisted: retrying cannot help
+    assert t._calls["GONE"] == 1
+
+
+def test_failover_order_and_winner_tag():
+    slept = []
+    down = pydatasource.FlakyTransport(_plant(), fail_times=99)
+    up = _plant()
+    name, rows = pydatasource.fetch_with_failover(
+        [("yahoo", 1, down), ("alpha_vantage", 2, up)],
+        "AAA", base_delay=2.0, sleep=slept.append,
+    )
+    assert name == "alpha_vantage"
+    assert rows == up.fetch("AAA")
+    assert slept == [2.0, 4.0]  # primary exhausted its schedule first
+    # empty (not erroring) providers also fall through
+    class Empty:
+        def fetch(self, ticker):
+            return []
+
+    name2, rows2 = pydatasource.fetch_with_failover(
+        [("empty", 1, Empty()), ("alpha_vantage", 2, _plant())], "AAA",
+        sleep=slept.append,
+    )
+    assert name2 == "alpha_vantage" and len(rows2) == 8
+    # all providers down → (None, []), caller's decision
+    assert pydatasource.fetch_with_failover(
+        [("a", 1, pydatasource.FlakyTransport(_plant(), 99))], "AAA",
+        base_delay=0.0,
+    ) == (None, [])
+
+
+def test_retry_is_transparent_through_spark_read(spark):
+    """End-to-end: a Spark read whose executor-side fetches fail twice
+    per ticker before serving must land the SAME frame as a
+    failure-free read — the retry loop runs inside the DataSource."""
+    pydatasource.register(spark)
+    base = _read(spark).orderBy("ticker", "bar_id").collect()
+    flaky = (
+        spark.read.format("synthetic_bars")
+        .option("tickers", "AAA,BBB,CCC")
+        .option("n_bars", 40)
+        .option("seed", 42)
+        .option("transient_failures", 2)
+        .load()
+        .orderBy("ticker", "bar_id")
+        .collect()
+    )
+    assert flaky == base

@@ -291,3 +291,31 @@ def test_dpp_pruned_rollup_plan_structure(spark, sf_dir):
     assert (
         df.agg(F.sum("n_events").cast("long")).first()[0] == plain.count()
     )
+
+
+def test_conf_child_sessions_are_pooled(spark, sf_dir):
+    """Round-10 directive #3: repeated invocations of the conf-isolated
+    queries (R157 bucketed join, R158 Bloom join) must NOT spawn a new
+    child session each time — one pooled session per (application,
+    conf-profile), so repeated bench passes accumulate no short-lived
+    session state in the JVM."""
+    from portofolio_maximizer_spark.plans import queries_ops as ops
+
+    ops._CHILD_SESSIONS.clear()
+    ops.bucketed_colocated_join(spark, sf_dir).count()
+    ops.bloom_filtered_join(spark, sf_dir).count()
+    assert len(ops._CHILD_SESSIONS) == 2
+    first = dict(ops._CHILD_SESSIONS)
+    # repeat invocations: the pool neither grows nor replaces entries
+    ops.bucketed_colocated_join(spark, sf_dir).count()
+    ops.bloom_filtered_join(spark, sf_dir).count()
+    assert len(ops._CHILD_SESSIONS) == 2
+    for k, v in ops._CHILD_SESSIONS.items():
+        assert first[k] is v
+    # profiles are genuinely isolated from the parent session
+    app = spark.sparkContext.applicationId
+    child = ops._CHILD_SESSIONS[(app, "no-broadcast")]
+    assert child.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    assert (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    )

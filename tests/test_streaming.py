@@ -352,3 +352,26 @@ def test_drain_progress_evidence_recorded(spark, sf_dir, batch_events):
     assert rec["input_rows"] == batch_events.count()
     assert rec["state_rows_peak"] > 0  # windowed agg carries state
     assert rec["trigger_ms"] > 0
+
+
+def test_drain_restores_progress_conf_and_stamps_seq(spark, sf_dir):
+    """ADVICE r9: run_to_memory must not leave the 10k-entry
+    numRecentProgressUpdates cap set on the caller's session (a shared
+    session would retain progress JSON for every later streaming
+    query), and every drain record carries a monotonic seq stamp so a
+    metric-identical re-drain still compares unequal in scalecheck."""
+    key = "spark.sql.streaming.numRecentProgressUpdates"
+    before = spark.conf.get(key)
+    stream = ST.events_stream(spark, sf_dir)
+    ST.run_to_memory(
+        ST.tumbling_value_rollup(stream), "t_conf_restore_probe"
+    )
+    assert spark.conf.get(key) == before
+    rec = ST.DRAIN_PROGRESS[("t_conf_restore_probe", None)]
+    assert "seq" in rec
+    ST.run_to_memory(
+        ST.tumbling_value_rollup(ST.events_stream(spark, sf_dir)),
+        "t_conf_restore_probe",
+    )
+    rec2 = ST.DRAIN_PROGRESS[("t_conf_restore_probe", None)]
+    assert rec2["seq"] > rec["seq"]

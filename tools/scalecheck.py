@@ -175,14 +175,24 @@ def _stage_metrics(spark, stage_ids: set[int]) -> dict:
     the JVM AppStatusStore (the Python statusTracker does not expose
     byte metrics, and the session runs with the UI/REST disabled).
     Skipped stages (reused exchanges) return an empty seq — fine, their
-    bytes were paid by the stage that produced the exchange."""
+    bytes were paid by the stage that produced the exchange.
+
+    Also records the MAX single-task peak execution memory across the
+    query's stages (task-summary max quantile): a flat-bytes query whose
+    per-task peak memory grows with SF is still a 100x hazard (e.g. a
+    broadcast or accumulator growing with the data) that byte totals
+    alone would miss."""
     time.sleep(0.5)  # status-listener bus is async; let task events land
     store = spark.sparkContext._jsc.sc().statusStore()
     # Scala default args surface as $default$N accessors through py4j
     defaults = [
         getattr(store, f"stageData$default${i}")() for i in (2, 3, 4, 5)
     ]
+    gw = spark.sparkContext._gateway
+    qmax = gw.new_array(gw.jvm.double, 1)
+    qmax[0] = 1.0  # the 1.0 quantile of per-task metrics == max task
     tot = {"shuffle_read_mb": 0.0, "shuffle_write_mb": 0.0, "spill_mb": 0.0}
+    peak_task = 0.0
     for sid in sorted(stage_ids):
         try:
             seq = store.stageData(sid, *defaults)
@@ -194,9 +204,21 @@ def _stage_metrics(spark, stage_ids: set[int]) -> dict:
                     (att.memoryBytesSpilled() or 0)
                     + (att.diskBytesSpilled() or 0)
                 ) / 1e6
+                try:
+                    opt = store.taskSummary(sid, att.attemptId(), qmax)
+                    if opt.isDefined():
+                        peak_task = max(
+                            peak_task,
+                            (opt.get().peakExecutionMemory().apply(0) or 0)
+                            / 1e6,
+                        )
+                except Exception:  # noqa: BLE001 — task data evicted
+                    pass
         except Exception:  # noqa: BLE001 — stage evicted from the store
             continue
-    return {k: round(v, 2) for k, v in tot.items()}
+    out = {k: round(v, 2) for k, v in tot.items()}
+    out["peak_task_mem_mb"] = round(peak_task, 2)
+    return out
 
 
 def _timed(spark, fn, name: str, sf_dir: str, label: str) -> dict:
@@ -213,7 +235,9 @@ def _timed(spark, fn, name: str, sf_dir: str, label: str) -> dict:
     sc = spark.sparkContext
     group = f"scalecheck:{name}:{label}"
     # snapshot VALUES, not just keys: a drain that re-runs (memo
-    # invalidation) overwrites its slot and must still be attributed
+    # invalidation) overwrites its slot and must still be attributed.
+    # Each record carries a monotonic `seq` stamp, so a re-drain that
+    # reproduces byte-identical metrics still compares unequal here.
     drains_before = dict(DRAIN_PROGRESS)
     sc.setJobGroup(group, name)
     t0 = time.time()
@@ -256,6 +280,8 @@ def run_decade(spark, qs, names, small: str, big: str, label: str) -> list[dict]
                 b["shuffle_read_mb"], b["shuffle_write_mb"]
             ],
             "spill_mb_big": b["spill_mb"],
+            "peak_task_mem_mb_small": a["peak_task_mem_mb"],
+            "peak_task_mem_mb_big": b["peak_task_mem_mb"],
         }
         if "stream_drains" in a or "stream_drains" in b:
             row["stream_drains_small"] = a.get("stream_drains", {})
