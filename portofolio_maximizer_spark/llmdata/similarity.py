@@ -258,7 +258,7 @@ def fit_coarse_quantizer(
 ):
     """Seeded MLlib KMeans coarse quantizer shared by the IVF index and
     SemDeDup: returns (model, centroid DataFrame with the staging schema
-    ``list_id int, ce array<double>``). One definition so quantizer
+    ``ivf_list_id int, centroid_vec array<double>``). One definition so quantizer
     params / centroid schema cannot drift between consumers."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -271,7 +271,7 @@ def fit_coarse_quantizer(
         (i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())
     ]
     cent_df = vectors.sparkSession.createDataFrame(
-        cents, "list_id int, ce array<double>"
+        cents, "ivf_list_id int, centroid_vec array<double>"
     )
     return model, feats, cent_df
 
@@ -295,7 +295,7 @@ def ivf_topk(
 
     100 TB shape: centroids are a driver-side array (n_lists × dim — KBs),
     probes broadcast with the queries; the corpus is scored in place via
-    an equi-join on list_id and never shuffles. Training samples the
+    an equi-join on ivf_list_id and never shuffles. Training samples the
     corpus once; at real scale the quantizer trains on a sample and the
     model is a broadcast artifact, exactly like the reference's offline
     policy artifacts."""
@@ -325,7 +325,7 @@ def ivf_build_index(
     )
     model, with_feats, cent_df = fit_coarse_quantizer(c, n_lists, seed)
     assigned = model.transform(with_feats).select(
-        "vec_id", "de", F.col("prediction").cast("int").alias("list_id")
+        "vec_id", "de", F.col("prediction").cast("int").alias("ivf_list_id")
     )
     return assigned, cent_df
 
@@ -347,23 +347,23 @@ def ivf_probe(
     qc = q.crossJoin(F.broadcast(cent_df)).select(
         "qid",
         "qe",
-        "list_id",
-        (dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))))
+        "ivf_list_id",
+        (dot(F.col("qe"), F.col("centroid_vec")) / (norm(F.col("qe")) * norm(F.col("centroid_vec"))))
         .alias("csim"),
     )
-    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("list_id"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("ivf_list_id"))
     probes = (
         qc.withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= n_probe)
-        .select("qid", "qe", "list_id")
+        .select("qid", "qe", "ivf_list_id")
     )
     scored = (
-        assigned.join(F.broadcast(probes), "list_id")
+        assigned.join(F.broadcast(probes), "ivf_list_id")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            "list_id",
+            "ivf_list_id",
             (dot(F.col("qe"), F.col("de")) / (norm(F.col("qe")) * norm(F.col("de"))))
             .alias("cosine"),
         )
@@ -372,7 +372,7 @@ def ivf_probe(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("qid", "vec_id", "list_id", "cosine", "rnk")
+        .select("qid", "vec_id", "ivf_list_id", "cosine", "rnk")
     )
 
 
@@ -472,7 +472,7 @@ def pq_build_index(
             (m, j, [float(v) for v in C[j]]) for j in range(n_codes)
         )
     codebooks = spark.createDataFrame(
-        rows, "blk int, code int, ce array<double>"
+        rows, "blk int, code int, centroid_vec array<double>"
     ).localCheckpoint(eager=True)
     blocks = spark.createDataFrame([(m,) for m in range(n_blocks)], "blk int")
     subs = c.crossJoin(F.broadcast(blocks)).select(
@@ -488,7 +488,7 @@ def pq_build_index(
             "vec_id",
             "blk",
             "code",
-            _sq_dist(F.col("sub"), F.col("ce")).alias("d2"),
+            _sq_dist(F.col("sub"), F.col("centroid_vec")).alias("d2"),
         )
         .groupBy("vec_id", "blk")
         .agg(
@@ -524,7 +524,7 @@ def pq_adc_topk(
         "code",
         _sq_dist(
             F.slice(F.col("qe"), F.col("blk") * sub_dim + 1, F.lit(sub_dim)),
-            F.col("ce"),
+            F.col("centroid_vec"),
         ).alias("pd2"),
     )
     # per-block partial distances pivot into FIXED-ORDER addition: a

@@ -53,12 +53,12 @@ def cv_fold_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries). The distinct-date set is tiny at any scale, so fold
     assignment is a near-free single-partition window."""
     o = load_table(spark, sf_dir, "orders")
-    d = o.select(F.to_date("o_orderdate").alias("dt")).distinct()
-    folds = d.select("dt", F.ntile(5).over(Window.orderBy("dt")).alias("fold"))
+    d = o.select(F.to_date("o_orderdate").alias("cal_date")).distinct()
+    folds = d.select("cal_date", F.ntile(5).over(Window.orderBy("cal_date")).alias("fold"))
     b = folds.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n_dates"),
-        F.min("dt").cast("string").alias("test_start"),
-        F.max("dt").cast("string").alias("test_end"),
+        F.min("cal_date").cast("string").alias("test_start"),
+        F.max("cal_date").cast("string").alias("test_end"),
     )
     return b.select(
         "fold",

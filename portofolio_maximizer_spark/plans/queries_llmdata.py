@@ -914,24 +914,24 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ivf_assigned", lambda: _index()["a"]
     )
     out = similarity.ivf_probe(assigned, cent, emb.filter(F.col("vec_id") < 5), k=5)
-    return out.select("qid", "vec_id", "list_id", r6("cosine").alias("cosine"), "rnk")
+    return out.select("qid", "vec_id", "ivf_list_id", r6("cosine").alias("cosine"), "rnk")
 
 
 ORACLE["embedding_ivf_ann"] = """
     WITH c AS (
-      SELECT list_id, ce FROM read_parquet(
+      SELECT ivf_list_id, centroid_vec FROM read_parquet(
         '__ORACLE_STAGE__/ivf_centroids/*.parquet')
     ),
     d AS (
-      SELECT e.vec_id, c.list_id,
-             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.ce[i], 2)) AS d2
+      SELECT e.vec_id, c.ivf_list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.centroid_vec[i], 2)) AS d2
       FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
-      GROUP BY e.vec_id, c.list_id
+      GROUP BY e.vec_id, c.ivf_list_id
     ),
     a AS (
-      SELECT vec_id, list_id FROM (
+      SELECT vec_id, ivf_list_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY d2, list_id) AS rn
+                                     ORDER BY d2, ivf_list_id) AS rn
         FROM d) WHERE rn = 1
     ),
     nrm AS (
@@ -941,41 +941,41 @@ ORACLE["embedding_ivf_ann"] = """
       GROUP BY vec_id
     ),
     cn AS (
-      SELECT list_id, SQRT(SUM(POWER(ce[i], 2))) AS cnv
-      FROM c, UNNEST(RANGE(1, 65)) AS u(i) GROUP BY list_id
+      SELECT ivf_list_id, SQRT(SUM(POWER(centroid_vec[i], 2))) AS cnv
+      FROM c, UNNEST(RANGE(1, 65)) AS u(i) GROUP BY ivf_list_id
     ),
     qc AS (
-      SELECT q.vec_id AS qid, c.list_id,
-             SUM(CAST(q.embedding[i] AS DOUBLE) * c.ce[i]) AS qcdot
+      SELECT q.vec_id AS qid, c.ivf_list_id,
+             SUM(CAST(q.embedding[i] AS DOUBLE) * c.centroid_vec[i]) AS qcdot
       FROM embeddings q, c, UNNEST(RANGE(1, 65)) AS u(i)
       WHERE q.vec_id < 5
-      GROUP BY q.vec_id, c.list_id
+      GROUP BY q.vec_id, c.ivf_list_id
     ),
     probes AS (
-      SELECT qid, list_id FROM (
-        SELECT qc.qid, qc.list_id,
+      SELECT qid, ivf_list_id FROM (
+        SELECT qc.qid, qc.ivf_list_id,
                ROW_NUMBER() OVER (
                  PARTITION BY qc.qid
-                 ORDER BY qc.qcdot / (nq.nv * cn.cnv) DESC, qc.list_id) AS pr
+                 ORDER BY qc.qcdot / (nq.nv * cn.cnv) DESC, qc.ivf_list_id) AS pr
         FROM qc JOIN nrm nq ON nq.vec_id = qc.qid
-                JOIN cn ON cn.list_id = qc.list_id
+                JOIN cn ON cn.ivf_list_id = qc.ivf_list_id
       ) WHERE pr <= 4
     ),
     scored AS (
-      SELECT p.qid, a.vec_id, a.list_id,
+      SELECT p.qid, a.vec_id, a.ivf_list_id,
              SUM(CAST(q.embedding[i] AS DOUBLE)
                  * CAST(e.embedding[i] AS DOUBLE)) AS dp
       FROM probes p
-      JOIN a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+      JOIN a ON a.ivf_list_id = p.ivf_list_id AND a.vec_id <> p.qid
       JOIN embeddings q ON q.vec_id = p.qid
       JOIN embeddings e ON e.vec_id = a.vec_id,
       UNNEST(RANGE(1, 65)) AS u(i)
-      GROUP BY p.qid, a.vec_id, a.list_id
+      GROUP BY p.qid, a.vec_id, a.ivf_list_id
     )
-    SELECT qid, vec_id, list_id,
+    SELECT qid, vec_id, ivf_list_id,
            ROUND(cosine, 6) AS cosine, CAST(rnk AS INT) AS rnk
     FROM (
-      SELECT s.qid, s.vec_id, s.list_id,
+      SELECT s.qid, s.vec_id, s.ivf_list_id,
              s.dp / (nq.nv * nv.nv) AS cosine,
              ROW_NUMBER() OVER (
                PARTITION BY s.qid
@@ -1092,15 +1092,15 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "label",
-        (F.col("pos") + 1).alias("dim"),
+        (F.col("pos") + 1).alias("vec_dim64"),
         F.col("valf").cast("double").alias("val"),
     )
     c = (
-        v.groupBy(F.col("label").alias("cmp_label"), "dim")
+        v.groupBy(F.col("label").alias("cmp_label"), "vec_dim64")
         .agg(F.avg("val").alias("cv"))
     )
     dots = (
-        v.join(F.broadcast(c), "dim")
+        v.join(F.broadcast(c), "vec_dim64")
         .groupBy(F.col("vec_id"), F.col("label").alias("own_label"), "cmp_label")
         .agg(
             F.sum(F.col("val") * F.col("cv")).alias("dot"),
@@ -1696,19 +1696,19 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["semantic_dedup_keeplist"] = f"""
     WITH c AS (
-      SELECT list_id, ce FROM read_parquet(
+      SELECT ivf_list_id, centroid_vec FROM read_parquet(
         '__ORACLE_STAGE__/semdedup_centroids/*.parquet')
     ),
     d AS (
-      SELECT e.vec_id, c.list_id,
-             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.ce[i], 2)) AS d2
+      SELECT e.vec_id, c.ivf_list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.centroid_vec[i], 2)) AS d2
       FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
-      GROUP BY e.vec_id, c.list_id
+      GROUP BY e.vec_id, c.ivf_list_id
     ),
     a AS (
-      SELECT vec_id, list_id AS cluster FROM (
+      SELECT vec_id, ivf_list_id AS cluster FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY d2, list_id) AS rn
+                                     ORDER BY d2, ivf_list_id) AS rn
         FROM d) WHERE rn = 1
     ),
     nrm AS (
@@ -2057,40 +2057,40 @@ ORACLE["ann_recall_eval"] = """
       ) WHERE rnk <= 5
     ),
     c AS (
-      SELECT list_id, ce FROM read_parquet(
+      SELECT ivf_list_id, centroid_vec FROM read_parquet(
         '__ORACLE_STAGE__/ivf_centroids/*.parquet')
     ),
     d AS (
-      SELECT e.vec_id, c.list_id,
-             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.ce[i], 2)) AS d2
+      SELECT e.vec_id, c.ivf_list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.centroid_vec[i], 2)) AS d2
       FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
-      GROUP BY e.vec_id, c.list_id
+      GROUP BY e.vec_id, c.ivf_list_id
     ),
     a AS (
-      SELECT vec_id, list_id FROM (
+      SELECT vec_id, ivf_list_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY d2, list_id) AS rn
+                                     ORDER BY d2, ivf_list_id) AS rn
         FROM d) WHERE rn = 1
     ),
     cn AS (
-      SELECT list_id, SQRT(SUM(POWER(ce[i], 2))) AS cnv
-      FROM c, UNNEST(RANGE(1, 65)) AS u(i) GROUP BY list_id
+      SELECT ivf_list_id, SQRT(SUM(POWER(centroid_vec[i], 2))) AS cnv
+      FROM c, UNNEST(RANGE(1, 65)) AS u(i) GROUP BY ivf_list_id
     ),
     qc AS (
-      SELECT q.qid, c.list_id,
-             SUM(CAST(q.qe[i] AS DOUBLE) * c.ce[i]) AS qcdot
+      SELECT q.qid, c.ivf_list_id,
+             SUM(CAST(q.qe[i] AS DOUBLE) * c.centroid_vec[i]) AS qcdot
       FROM q, c, UNNEST(RANGE(1, 65)) AS u(i)
-      GROUP BY q.qid, c.list_id
+      GROUP BY q.qid, c.ivf_list_id
     ),
     probes AS (
-      SELECT qid, list_id FROM (
-        SELECT qc.qid, qc.list_id,
+      SELECT qid, ivf_list_id FROM (
+        SELECT qc.qid, qc.ivf_list_id,
                ROW_NUMBER() OVER (
                  PARTITION BY qc.qid
-                 ORDER BY qc.qcdot / (nq.nv * cn.cnv) DESC, qc.list_id)
+                 ORDER BY qc.qcdot / (nq.nv * cn.cnv) DESC, qc.ivf_list_id)
                  AS pr
         FROM qc JOIN nrm nq ON nq.vec_id = qc.qid
-                JOIN cn ON cn.list_id = qc.list_id
+                JOIN cn ON cn.ivf_list_id = qc.ivf_list_id
       ) WHERE pr <= 4
     ),
     iscored AS (
@@ -2098,7 +2098,7 @@ ORACLE["ann_recall_eval"] = """
              SUM(CAST(qq.qe[i] AS DOUBLE)
                  * CAST(e.embedding[i] AS DOUBLE)) AS dp
       FROM probes p
-      JOIN a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+      JOIN a ON a.ivf_list_id = p.ivf_list_id AND a.vec_id <> p.qid
       JOIN q qq ON qq.qid = p.qid
       JOIN embeddings e ON e.vec_id = a.vec_id,
       UNNEST(RANGE(1, 65)) AS u(i)
@@ -2966,22 +2966,22 @@ def cluster_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ivf_assigned", lambda: _index()["a"]
     )
     d2 = F.aggregate(
-        F.zip_with(F.col("de"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.zip_with(F.col("de"), F.col("centroid_vec"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     pairs = assigned.select(
-        "vec_id", F.col("list_id").alias("own_list"), "de"
+        "vec_id", F.col("ivf_list_id").alias("own_list"), "de"
     ).crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "own_list",
-        "list_id",
+        "ivf_list_id",
         d2.alias("d2"),
     )
     per = pairs.groupBy("vec_id", "own_list").agg(
-        F.sqrt(F.min(F.when(F.col("list_id") == F.col("own_list"),
+        F.sqrt(F.min(F.when(F.col("ivf_list_id") == F.col("own_list"),
                             F.col("d2")))).alias("a_dist"),
-        F.sqrt(F.min(F.when(F.col("list_id") != F.col("own_list"),
+        F.sqrt(F.min(F.when(F.col("ivf_list_id") != F.col("own_list"),
                             F.col("d2")))).alias("b_dist"),
     )
     mx = F.greatest(F.col("a_dist"), F.col("b_dist"))
@@ -3027,26 +3027,26 @@ def cluster_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["cluster_silhouette_report"] = """
     WITH c AS (
-      SELECT list_id, ce FROM read_parquet(
+      SELECT ivf_list_id, centroid_vec FROM read_parquet(
         '__ORACLE_STAGE__/ivf_centroids/*.parquet')
     ),
     d AS (
-      SELECT e.vec_id, c.list_id,
-             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.ce[i], 2)) AS d2
+      SELECT e.vec_id, c.ivf_list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.centroid_vec[i], 2)) AS d2
       FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
-      GROUP BY e.vec_id, c.list_id
+      GROUP BY e.vec_id, c.ivf_list_id
     ),
     a AS (
-      SELECT vec_id, list_id AS own_list FROM (
+      SELECT vec_id, ivf_list_id AS own_list FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY d2, list_id) AS rn
+                                     ORDER BY d2, ivf_list_id) AS rn
         FROM d) WHERE rn = 1
     ),
     per AS (
       SELECT d.vec_id, a.own_list,
-             SQRT(MIN(CASE WHEN d.list_id = a.own_list THEN d.d2 END))
+             SQRT(MIN(CASE WHEN d.ivf_list_id = a.own_list THEN d.d2 END))
                AS a_dist,
-             SQRT(MIN(CASE WHEN d.list_id <> a.own_list THEN d.d2 END))
+             SQRT(MIN(CASE WHEN d.ivf_list_id <> a.own_list THEN d.d2 END))
                AS b_dist
       FROM d JOIN a ON a.vec_id = d.vec_id
       GROUP BY d.vec_id, a.own_list
@@ -3536,7 +3536,7 @@ def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 query("embedding_pq_ann", oracle="""
     WITH cb AS (
-      SELECT blk, code, ce FROM read_parquet(
+      SELECT blk, code, centroid_vec FROM read_parquet(
         '__ORACLE_STAGE__/pq_codebooks/*.parquet')
     ),
     subs AS (
@@ -3553,7 +3553,7 @@ query("embedding_pq_ann", oracle="""
                  PARTITION BY s.vec_id, s.blk
                  ORDER BY LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
                    i -> POWER(s.sub[CAST(i AS INT)]
-                              - cb.ce[CAST(i AS INT)], 2))), cb.code
+                              - cb.centroid_vec[CAST(i AS INT)], 2))), cb.code
                ) AS rn
         FROM subs s JOIN cb ON cb.blk = s.blk
       ) WHERE rn = 1
@@ -3562,7 +3562,7 @@ query("embedding_pq_ann", oracle="""
       SELECT q.vec_id AS qid, cb.blk, cb.code,
              LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
                i -> POWER(CAST(q.embedding[CAST(cb.blk * 16 + i AS INT)]
-                          AS DOUBLE) - cb.ce[CAST(i AS INT)], 2))) AS pd2
+                          AS DOUBLE) - cb.centroid_vec[CAST(i AS INT)], 2))) AS pd2
       FROM embeddings q CROSS JOIN cb
       WHERE q.vec_id < 5
     ),

@@ -2036,6 +2036,7 @@ def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
         streaming_upsert_landed,
         streaming_view_purchase_join,
         streaming_dedup_census,
+        streaming_outer_attribution,
     ]
 
     def _run(fn) -> None:
@@ -2377,6 +2378,118 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             FF.countDistinct("buy_id").alias("n_purchases"),
             FF.round(FF.sum("view_value"), 6).alias("sum_view_value"),
         )
+    )
+
+
+@query(
+    "streaming_outer_attribution",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view' AND user_id < 50
+    ),
+    b AS (
+      SELECT user_id, event_id AS buy_id, ts AS buy_ts
+      FROM events WHERE event_type = 'purchase' AND user_id < 50
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(buy_id) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN buy_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           ROUND(SUM(view_value), 6) AS sum_view_value
+    FROM v LEFT JOIN b ON v.user_id = b.user_id
+                      AND buy_ts >= view_ts
+                      AND buy_ts <= view_ts + INTERVAL 2 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T: stream-stream LEFT OUTER interval join run as a real streaming
+    job — every view joins the same user's purchases in the FOLLOWING
+    2 hours, and views that never convert EMIT ANYWAY with NULL purchase
+    columns once the watermark passes their interval upper bound and
+    their join state is evicted (`streaming/stream.py:
+    view_purchase_outer_join`). This exercises the outer-emission state
+    machine the inner sibling (`streaming_view_purchase_join`) never
+    does: unmatched left rows are held until
+    watermark > view_ts + horizon, then emitted-with-NULLs and DROPPED —
+    bounded state and complete output at once.
+
+    Harness note (and why the oracle is the plain batch LEFT JOIN): the
+    source stages the filtered events plus two far-future SENTINEL rows
+    (one per side, user_id < 0, max_ts + 10 days — the stand-in for the
+    continuous arrival that keeps watermarks advancing in production).
+    After the data batch, the engine's no-data flush batch carries the
+    sentinel-advanced watermark past every real view's eviction time, so
+    ALL real unmatched views emit exactly once; the sentinels themselves
+    never emit (nothing outruns their own eviction time) and are fenced
+    from the rollup by user_id >= 0. Exact batch-equality of the drained
+    rows is additionally pinned in tests/test_streaming.py.
+
+    Scale: join state is keyed and watermark-bounded on both sides (the
+    buffered-rows evidence channel of the inner join applies — state
+    flat in data volume, linear in the live window)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from ..sources.catalog import load_table
+    from ..streaming import drain_session, run_to_memory
+    from ..streaming.stream import memoize_drain, view_purchase_outer_join
+
+    def _drain() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").filter(
+            FF.col("user_id") < 50
+        ).select("event_id", "user_id", "event_type", "ts", "value")
+        mx = ev.agg(FF.max("ts")).first()[0]
+        sent_ts = FF.lit(mx) + FF.expr("INTERVAL 10 DAYS")
+        sent = (
+            spark.range(2)
+            .select(
+                (-F.col("id") - 1).alias("event_id"),
+                (-F.col("id") - 1).alias("user_id"),
+                FF.when(F.col("id") == 0, "view")
+                .otherwise("purchase")
+                .alias("event_type"),
+                sent_ts.alias("ts"),
+                FF.lit(0.0).alias("value"),
+            )
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_outer_attr_{tag}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        ev.unionByName(sent).repartition(1).write.parquet(src)
+        child = drain_session(spark, partitions=1)
+        schema = child.read.parquet(src).schema
+        raw = child.readStream.schema(schema).parquet(src)
+        joined = view_purchase_outer_join(raw, horizon="2 hours")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("q_stream_outer_attr")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return child.table("q_stream_outer_attr").filter(
+            FF.col("v_user") >= 0
+        )
+
+    out = memoize_drain(spark, "q_stream_outer_attr", sf_dir, _drain)
+    return out.groupBy(FF.col("v_user").alias("user_id")).agg(
+        FF.count(FF.lit(1)).cast("long").alias("n_rows"),
+        FF.count("buy_id").cast("long").alias("n_matched"),
+        FF.sum(FF.col("buy_id").isNull().cast("int"))
+        .cast("long")
+        .alias("n_unmatched"),
+        FF.round(FF.sum("view_value"), 6).alias("sum_view_value"),
     )
 
 

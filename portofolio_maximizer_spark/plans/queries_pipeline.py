@@ -2576,3 +2576,94 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.log("cum_tokens"), F.lit(0.0))
         ).alias("heaps_beta"),
     )
+
+
+_QUOTA_CAP = 60  # docs per source the deterministic quota sample keeps
+
+
+@query(
+    "domain_quota_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    rated AS (
+      SELECT source, n_docs,
+             LEAST(1.0, {_QUOTA_CAP}.0 / n_docs) AS quota_rate
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.source, d.n_chars,
+             CASE WHEN ('0x' || SUBSTR(MD5(CONCAT_WS('|', 'quota',
+                          CAST(d.doc_id AS VARCHAR))), 1, 6))::BIGINT
+                       / 16777216.0 < r.quota_rate
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN rated r ON d.source = r.source
+    )
+    SELECT k.source, r.n_docs,
+           ROUND(r.quota_rate, 6) AS quota_rate,
+           CAST(SUM(k.keep) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(k.keep) AS DOUBLE) / r.n_docs, 6) AS sel_rate,
+           CAST(SUM(CASE WHEN k.keep = 1 THEN k.n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM kept k JOIN rated r ON k.source = r.source
+    GROUP BY k.source, r.n_docs, r.quota_rate
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L58: deterministic per-domain quota sampling — the cap every
+    web-scale corpus pipeline applies so no single domain dominates the
+    training mix (CCNet/RefinedWeb-style "max N docs per domain"). The
+    SCALABLE form is rate-based, not rank-based: exact top-K per domain
+    needs a per-domain sort, but a Bernoulli keep at rate
+    min(1, cap / n_domain) against a deterministic hash coin
+    (`functions/scalars.hash_unit_interval` — portable md5, so both
+    engines flip the SAME coins) needs only (1) one BOUNDED per-source
+    count, (2) a broadcast of the rate table, (3) a map-side keep
+    decision — no sort, no per-domain shuffle, linear in the corpus,
+    reproducible across runs and engines. The census reports per source:
+    corpus size, quota rate, kept count, realized selection rate, kept
+    character mass. Expected-size (not exact-size) quotas are the
+    documented tradeoff of the sort-free plan; the coin threshold
+    compares IDENTICAL doubles on both engines (same md5, same one
+    division), so the gate cannot flip.
+
+    Charter training-data mandate (domain mixing family, with L15/L31);
+    reference anchor: the per-ticker batch cap shape of
+    etl/yfinance_extractor.py:275-318 applied to corpus curation."""
+    from ..functions.scalars import hash_unit_interval
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    rated = counts.select(
+        "source",
+        "n_docs",
+        F.least(F.lit(1.0), F.lit(float(_QUOTA_CAP)) / F.col("n_docs")).alias(
+            "quota_rate"
+        ),
+    )
+    coin = hash_unit_interval(F.lit("quota"), F.col("doc_id"))
+    kept = docs.join(F.broadcast(rated), "source").select(
+        "source",
+        "n_docs",
+        "quota_rate",
+        "n_chars",
+        (coin < F.col("quota_rate")).cast("int").alias("keep"),
+    )
+    return kept.groupBy("source", "n_docs", "quota_rate").agg(
+        F.sum("keep").cast("long").alias("n_kept"),
+        r6(F.sum("keep").cast("double") / F.col("n_docs")).alias("sel_rate"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    ).select(
+        "source",
+        "n_docs",
+        r6(F.col("quota_rate")).alias("quota_rate"),
+        "n_kept",
+        "sel_rate",
+        "kept_chars",
+    )

@@ -515,6 +515,47 @@ def view_purchase_interval_join(stream: DataFrame, horizon: str = "6 hours") -> 
     )
 
 
+def view_purchase_outer_join(stream: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """T-coverage: stream-STREAM LEFT OUTER interval join — every view
+    joins the same user's purchases in the FOLLOWING ``horizon``, and a
+    view that never converts EMITS ANYWAY (NULL purchase columns) once
+    the watermark passes its interval upper bound and its join state is
+    evicted. This is the outer-emission state-machine the inner variant
+    (`view_purchase_interval_join`) never exercises: an unmatched left
+    row is held in the state store exactly until
+    watermark > view_ts + horizon, then emitted-with-NULLs and dropped —
+    bounded state AND complete output, the streaming form of the batch
+    left join + attribution-gap census (J1/J2). At 100 TB/day this is
+    how "sessions that never converted" leave the stream as first-class
+    rows instead of requiring a second batch pass."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+    )
+    return views.join(
+        buys,
+        F.expr(
+            f"v_user = b_user AND buy_ts >= view_ts "
+            f"AND buy_ts <= view_ts + INTERVAL {horizon}"
+        ),
+        "leftOuter",
+    )
+
+
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 

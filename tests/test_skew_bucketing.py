@@ -319,3 +319,41 @@ def test_conf_child_sessions_are_pooled(spark, sf_dir):
     assert (
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
     )
+
+
+def test_aqe_skew_join_plan_splits_hot_partition(spark, sf_dir):
+    """R162's plan contract: after execution, the adaptive final plan
+    must carry a sort-merge join marked `skew=true` — the runtime split
+    of the manufactured hot partition actually happened — and the
+    result must equal the plain-join rollup."""
+    from portofolio_maximizer_spark.plans.queries_ops import (
+        aqe_skew_join_rollup,
+    )
+
+    df = aqe_skew_join_rollup(spark, sf_dir)
+    rows = {r["is_hot"]: (r["n_rows"], r["n_keys"]) for r in df.collect()}
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final, final
+    # semantics-free: plain join on the parent session agrees (the query
+    # replicates the fact to a constant ~100k rows; mirror that here)
+    ev = load_table(spark, sf_dir, "events")
+    nrep = max(1, -(-100_000 // ev.count()))
+    k = F.when(F.pmod(F.col("user_id"), 3) < 2, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    f = ev.select(k.cast("long").alias("k")).crossJoin(
+        F.broadcast(spark.range(nrep).select(F.lit(1).alias("_i")))
+    ).drop("_i")
+    d = ev.select(k.cast("long").alias("k")).distinct()
+    j = f.join(d, "k")
+    plain = {
+        r["is_hot"]: (r["n_rows"], r["n_keys"])
+        for r in j.groupBy((F.col("k") == 0).cast("int").alias("is_hot"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_keys"),
+        )
+        .collect()
+    }
+    assert rows == plain
+    assert rows[1][1] == 1  # the hot side is exactly one key

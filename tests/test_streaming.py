@@ -375,3 +375,50 @@ def test_drain_restores_progress_conf_and_stamps_seq(spark, sf_dir):
     )
     rec2 = ST.DRAIN_PROGRESS[("t_conf_restore_probe", None)]
     assert rec2["seq"] > rec["seq"]
+
+
+def test_outer_join_drain_equals_batch_left_join(spark, sf_dir):
+    """The left-outer stream-stream drain (sentinel-advanced watermark +
+    no-data flush batch) must land EXACTLY the batch LEFT OUTER interval
+    join — every unmatched view emitted once with NULL purchase columns,
+    no sentinel rows leaking into the output."""
+    from portofolio_maximizer_spark.plans.queries_models import (
+        streaming_outer_attribution,
+    )
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    got = {
+        r["user_id"]: (r["n_rows"], r["n_matched"], r["n_unmatched"])
+        for r in streaming_outer_attribution(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    ref = v.join(
+        b,
+        F.expr(
+            "v_user = b_user AND buy_ts >= view_ts "
+            "AND buy_ts <= view_ts + INTERVAL 2 hours"
+        ),
+        "leftOuter",
+    )
+    want = {
+        r["v_user"]: (r["n_rows"], r["n_matched"], r["n_unmatched"])
+        for r in ref.groupBy("v_user")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("buy_id").alias("n_matched"),
+            F.sum(F.col("buy_id").isNull().cast("int")).alias("n_unmatched"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert all(u >= 0 for u in got)  # sentinels fenced
+    assert sum(n for _, _, n in got.values()) > 0  # outer rows really emit

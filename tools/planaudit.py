@@ -113,12 +113,11 @@ _CONST_CARD_COLS = {
     "action",
     "l_returnflag",
     "l_linestatus",
-    # class labels and vector-dimension indexes: cardinality fixed by the
-    # schema (10 classes, 64 dims), not by the data volume — a (label, dim)
-    # centroid table is a KB-scale broadcast at any sf
+    # class labels: cardinality fixed by the embeddings TABLE SCHEMA
+    # (10 classes — a dataset-spec fact like l_returnflag, not an
+    # engine-minted name); cmp_label is its derived comparison copy
     "label",
     "cmp_label",
-    "dim",
     # quality-rule identifiers: cardinality fixed by the rule set
     "first_fail",
     "rule_id",
@@ -126,6 +125,9 @@ _CONST_CARD_COLS = {
     # by the modulo constant in its definition (pmod(md5(tok), 64) —
     # 64 buckets at any sf), named uniquely so the bound is auditable
     "hash_bucket64",
+    # vector-dimension index: 64 dims by schema; unique marker name
+    # (round-10 directive #6 — was the generic 'dim')
+    "vec_dim64",
     # Bloom-filter bit-array coordinates: seed ∈ [0, k), position =
     # hash % m — cardinality capped at k·m by CONSTRUCTION, never by
     # data volume (that cap is the whole point of the structure)
@@ -134,22 +136,22 @@ _CONST_CARD_COLS = {
     # IVF inverted-list index + its per-list centroid vector: one row
     # per list, nlist-bounded by construction (the centroid TABLE is
     # tiny at any sf; the vec-grain ASSIGNMENTS carry vec_id and stay
-    # recognized as scaling)
-    "list_id",
-    "ce",
-    # calendar-date keys: cardinality bounded by the time SPAN (days of
-    # history), not the row count — a distinct-dates frame stays tiny at
-    # any data volume
-    "dt",
+    # recognized as scaling). Unique marker names (were 'list_id'/'ce')
+    "ivf_list_id",
+    "centroid_vec",
+    # the CV splitter's distinct-calendar-date key: cardinality bounded
+    # by the time SPAN (days of history), not the row count. Unique
+    # marker name (was the generic 'dt')
+    "cal_date",
     "r_name",
     "n_name",
-    "verdict",
-    "reason",
-    # A/B snapshot-arm label: two values by construction
-    "arm",
-    "model",
-    "bucket",
-    "side",
+    # Round-10 directive #6: every other formerly-whitelisted generic
+    # name ('model', 'arm', 'bucket', 'side', 'stage', 'regime', 'fold',
+    # 'split', 'action', 'verdict', 'reason', 'dt', 'dim', 'ce',
+    # 'list_id') was REMOVED — measured per-entry: no audited plan's
+    # boundedness depends on them (the four that did were renamed to the
+    # collision-proof markers above), so a coincidental corpus column
+    # with one of those names can no longer self-qualify as bounded.
 }
 # Reference-dimension schema columns: region (5 rows) and nation (25 rows)
 # are constant-size at any sf, so leaves made ONLY of their columns are
