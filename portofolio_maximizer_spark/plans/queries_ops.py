@@ -10434,3 +10434,104 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("mn_all")).alias("min_value"),
         r6(F.col("mx_all")).alias("max_value"),
     )
+
+
+#: (applicationId, sf_dir) whose catalog triple is saved + ANALYZEd
+_ANALYZED_READY: set[tuple[str, str]] = set()
+
+
+def _ensure_analyzed_triple(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """orders/customer (the R157 bucketed pair, reused) plus a saved
+    nation table, each ``ANALYZE TABLE ... COMPUTE STATISTICS`` — the
+    table-level rowCount/sizeInBytes statistics the cost-based optimizer
+    prices join orders with. Stats live in the in-memory catalog, so
+    each process pays one ANALYZE pass (seconds at test scale; a
+    production metastore persists them)."""
+    import os
+    import shutil
+
+    ot, ct = _ensure_bucketed_pair(spark, sf_dir)
+    db = ot.split(".")[0]
+    nt = f"{db}.nation_st"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ANALYZED_READY and spark.catalog.tableExists(nt):
+        return ot, ct, nt
+    _ANALYZED_READY.difference_update(
+        {k for k in _ANALYZED_READY if k[0] != key[0]}
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {nt}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(
+        os.path.join(wh, f"{db}.db", "nation_st"), ignore_errors=True
+    )
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        nt
+    )
+    for t in (ot, ct, nt):
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+    _ANALYZED_READY.add(key)
+    return ot, ct, nt
+
+
+@query(
+    "cbo_join_reorder_rollup",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                 6) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY c_mktsegment
+    """,
+)
+def cbo_join_reorder_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R164: statistics-driven join reordering — the sixth
+    partition-strategy/optimizer mechanism demo (salting, bucketing,
+    runtime Bloom filter, DPP, AQE skew split, CBO reorder). The query
+    is WRITTEN in the worst order — orders ⋈ customer first, the
+    selective nation filter last — and the cost-based optimizer,
+    priced on ANALYZE'd table statistics, REORDERS it so the
+    1-row-filtered nation joins customer before the big orders fact is
+    touched: at 100 TB the difference between shuffling the whole
+    orders⋈customer product and shuffling only the one filtered nation's customers.
+    This is the "let Catalyst optimize" pillar made measurable: the
+    developer states the joins declaratively; statistics pick the
+    order. Broadcast is disabled on the pooled child session so the
+    order genuinely matters (with broadcast on, tiny sides mask it).
+
+    The ORACLE is the same join written plainly — the hash match proves
+    the reorder semantics-free. Plan contract pinned in
+    tests/test_skew_bucketing.py: with CBO on, the optimized plan's
+    INNER join is customer⋈nation and orders joins OUTERMOST; with CBO
+    off the syntactic order stands."""
+    ot, ct, nt = _ensure_analyzed_triple(spark, sf_dir)
+    child = _conf_child_session(
+        spark,
+        "cbo-reorder",
+        {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    o, c, n = child.table(ot), child.table(ct), child.table(nt)
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .filter(n.n_name == "NATION_7")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        r6(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        ).alias("total_price"),
+    )

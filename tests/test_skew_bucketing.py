@@ -357,3 +357,37 @@ def test_aqe_skew_join_plan_splits_hot_partition(spark, sf_dir):
     }
     assert rows == plain
     assert rows[1][1] == 1  # the hot side is exactly one key
+
+
+def test_cbo_join_reorder_plan(spark, sf_dir):
+    """R164's plan contract: with CBO + joinReorder on (and stats
+    ANALYZEd), the optimized plan joins customer⋈nation INNERMOST and
+    orders OUTERMOST despite the query being written orders-first; the
+    same query without CBO keeps the syntactic order."""
+    from portofolio_maximizer_spark.plans.queries_ops import (
+        _ensure_analyzed_triple,
+        cbo_join_reorder_rollup,
+    )
+
+    df = cbo_join_reorder_rollup(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    joins = [ln for ln in opt.splitlines() if "Join Inner" in ln]
+    assert len(joins) == 2, opt
+    # outermost join (first in tree print) is on the customer key; the
+    # nation join sits inside it
+    assert "o_custkey" in joins[0], joins
+    assert "n_nationkey" in joins[1], joins
+    # control: CBO off keeps the written order (nation join outermost)
+    ot, ct, nt = _ensure_analyzed_triple(spark, sf_dir)
+    plain = spark.newSession()
+    plain.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o, c, n = plain.table(ot), plain.table(ct), plain.table(nt)
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .filter(n.n_name == "NATION_7")
+    )
+    opt2 = j._jdf.queryExecution().optimizedPlan().toString()
+    joins2 = [ln for ln in opt2.splitlines() if "Join Inner" in ln]
+    assert "n_nationkey" in joins2[0], joins2
+    assert "o_custkey" in joins2[1], joins2
