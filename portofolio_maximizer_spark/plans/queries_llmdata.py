@@ -4441,3 +4441,130 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_val").cast("int").alias("max_val"),
         F.sum("top_row_sum").cast("long").alias("top_row_sum"),
     )
+
+
+_BP_MIN_DOCS = 3  # a chunk is boilerplate when it appears in >= this many
+#                   distinct docs (test-scale stand-in for the production
+#                   doc-share threshold)
+_BP_CHUNK = 8  # tokens per line-chunk
+
+
+@query(
+    "boilerplate_line_census",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, STRING_SPLIT(text, ' ') AS toks
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= {_BP_CHUNK}
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             ARRAY_TO_STRING(LIST_SLICE(toks, g.cid * {_BP_CHUNK} + 1,
+                                        (g.cid + 1) * {_BP_CHUNK}), ' ')
+               AS ln
+      FROM base,
+           UNNEST(GENERATE_SERIES(0, CAST(LEN(toks) // {_BP_CHUNK} AS BIGINT)
+                                     - 1)) AS g(cid)
+    ),
+    docln AS (SELECT DISTINCT doc_id, source, ln FROM chunks),
+    freq AS (
+      SELECT ln, CAST(COUNT(*) AS BIGINT) AS n_docs_with
+      FROM docln GROUP BY ln
+    ),
+    bp AS (SELECT ln FROM freq WHERE n_docs_with >= {_BP_MIN_DOCS}),
+    hit AS (
+      SELECT d.source, d.doc_id, d.ln FROM docln d JOIN bp USING (ln)
+    ),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_chunk_instances,
+             CAST(COUNT(DISTINCT ln) AS BIGINT) AS n_distinct_chunks
+      FROM docln GROUP BY source
+    ),
+    perhit AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT ln) AS BIGINT) AS n_boilerplate_chunks,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_affected_docs,
+             CAST(SUM(LENGTH(ln)) AS BIGINT) AS removable_chars
+      FROM hit GROUP BY source
+    )
+    SELECT p.source, p.n_chunk_instances, p.n_distinct_chunks,
+           COALESCE(h.n_boilerplate_chunks, CAST(0 AS BIGINT))
+             AS n_boilerplate_chunks,
+           COALESCE(h.n_affected_docs, CAST(0 AS BIGINT))
+             AS n_affected_docs,
+           COALESCE(h.removable_chars, CAST(0 AS BIGINT))
+             AS removable_chars
+    FROM per p LEFT JOIN perhit h ON h.source = p.source
+    """,
+)
+def boilerplate_line_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60: line/template boilerplate detection — the CCNet/RefinedWeb
+    template-removal pass: a text span that recurs across MANY documents
+    (cookie banners, navigation chrome, license footers, mirror-site
+    templates) is chrome, not content, and is stripped before training.
+    Documents are cut into fixed {_BP_CHUNK}-token chunks (pure array
+    algebra — split once, `slice` per chunk index, no per-token
+    explode), deduped to (doc, chunk) grain so an intra-doc repeat
+    counts once, then a CORPUS-GLOBAL document-frequency census per
+    chunk; chunks present in >= {_BP_MIN_DOCS} distinct docs are
+    boilerplate (cross-source on purpose — mirror sites share templates
+    across domains). Census per source: chunk instances, distinct
+    chunks, boilerplate chunks, affected docs, removable char mass —
+    the inputs to the strip decision.
+
+    Scale: one (chunk) shuffle with map-side combine — the same
+    gram-hash discipline as the dedup family; the boilerplate winners'
+    table is small by construction (templates are few) so the optimizer
+    broadcasts the strip join on its own — never forced. At 100 TB the shuffle key is
+    xxhash64(chunk) with the string carried only to the winners' table.
+    Charter training-data mandate; reference anchor: the rule-cascade
+    shape of L12's quality funnel applied at sub-document grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= _BP_CHUNK
+    )
+    n_full = F.floor(F.size("toks") / _BP_CHUNK).cast("int")
+    chunks = base.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_full - 1)).alias("cid"),
+        "toks",
+    ).select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", F.slice("toks", F.col("cid") * _BP_CHUNK + 1, _BP_CHUNK)
+        ).alias("ln"),
+    )
+    docln = chunks.distinct()
+    freq = docln.groupBy("ln").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_with")
+    )
+    bp = freq.filter(F.col("n_docs_with") >= _BP_MIN_DOCS).select("ln")
+    # NOT a forced broadcast: the winners' table is small whenever the
+    # corpus is sane (templates are few), so the optimizer/AQE broadcasts
+    # it on its own — and a pathological corpus where half the chunks
+    # qualify degrades to a shuffle join instead of an executor OOM
+    hit = docln.join(bp, "ln")
+    per = docln.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunk_instances"),
+        F.countDistinct("ln").cast("long").alias("n_distinct_chunks"),
+    )
+    perhit = hit.groupBy("source").agg(
+        F.countDistinct("ln").cast("long").alias("n_boilerplate_chunks"),
+        F.countDistinct("doc_id").cast("long").alias("n_affected_docs"),
+        F.sum(F.length("ln")).cast("long").alias("removable_chars"),
+    )
+    zero = F.lit(0).cast("long")
+    return per.join(perhit, "source", "left").select(
+        "source",
+        "n_chunk_instances",
+        "n_distinct_chunks",
+        F.coalesce("n_boilerplate_chunks", zero).alias(
+            "n_boilerplate_chunks"
+        ),
+        F.coalesce("n_affected_docs", zero).alias("n_affected_docs"),
+        F.coalesce("removable_chars", zero).alias("removable_chars"),
+    )

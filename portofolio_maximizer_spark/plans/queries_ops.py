@@ -9836,6 +9836,10 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .saveAsTable(ct)
     )
     _BUCKETED_READY.add(key)
+    # a rewrite drops catalog statistics with the tables — the analyzed
+    # registry (R164) must not survive it, or the CBO demo would read
+    # stats that no longer exist
+    _ANALYZED_READY.discard(key)
     return ot, ct
 
 

@@ -2667,3 +2667,115 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sel_rate",
         "kept_chars",
     )
+
+
+@query(
+    "domain_quota_exact_trim",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    rated AS (
+      SELECT source, n_docs,
+             LEAST(1.0, 2.0 * {_QUOTA_CAP} / n_docs) AS cand_rate
+      FROM counts
+    ),
+    cands AS (
+      SELECT d.source, d.doc_id, d.n_chars,
+             ('0x' || SUBSTR(MD5(CONCAT_WS('|', 'quota',
+                CAST(d.doc_id AS VARCHAR))), 1, 6))::BIGINT
+               / 16777216.0 AS coin
+      FROM documents d JOIN rated r ON d.source = r.source
+      WHERE ('0x' || SUBSTR(MD5(CONCAT_WS('|', 'quota',
+               CAST(d.doc_id AS VARCHAR))), 1, 6))::BIGINT
+              / 16777216.0 < r.cand_rate
+    ),
+    ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY coin, doc_id) AS rk
+      FROM cands
+    ),
+    kept AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN rk <= {_QUOTA_CAP} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN rk <= {_QUOTA_CAP} THEN n_chars ELSE 0 END)
+                  AS BIGINT) AS kept_chars
+      FROM ranked GROUP BY source
+    )
+    SELECT r.source, r.n_docs, k.n_candidates, k.n_kept, k.kept_chars,
+           CAST(CASE WHEN k.n_kept >= LEAST(r.n_docs, {_QUOTA_CAP})
+                     THEN 1 ELSE 0 END AS INTEGER) AS quota_met
+    FROM rated r JOIN kept k ON k.source = r.source
+    """,
+)
+def domain_quota_exact_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L59: EXACT per-domain quota via oversample-then-trim — the scale
+    pattern that recovers exact top-K semantics without L58's
+    expected-size compromise OR a full per-domain sort: (1) map-side
+    candidate pruning at 2x the quota rate (the deterministic md5 coin,
+    as L58), (2) an exact rank WITHIN the candidate set only — the
+    window partitioned per source now runs over O(cap) candidate rows
+    per domain, not the domain's whole corpus, so the sort the naive
+    plan would pay on billions of rows is paid on thousands. The census
+    reports per source: corpus size, candidate count, exactly-kept
+    count, kept char mass, and `quota_met` — the completeness check
+    (candidates >= cap unless the whole domain is smaller): a 2x
+    oversample misses the true quota only with Chernoff-small
+    probability, and a production run re-pulls at a higher rate for any
+    source with quota_met = 0 (none at the test SFs; the flag makes the
+    bound observable rather than assumed). Keep-set is deterministic
+    (coin, doc_id) order, identical across engines and runs.
+
+    Charter training-data mandate; the exact-quota complement of L58's
+    rate-based Bernoulli cap."""
+    from ..functions.scalars import hash_unit_interval
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    rated = counts.select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0), F.lit(2.0 * _QUOTA_CAP) / F.col("n_docs")
+        ).alias("cand_rate"),
+    )
+    coin = hash_unit_interval(F.lit("quota"), F.col("doc_id"))
+    cands = (
+        docs.join(F.broadcast(rated), "source")
+        .withColumn("coin", coin)
+        .filter(F.col("coin") < F.col("cand_rate"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("coin", "doc_id")
+    )
+    ranked = cands.select("source", "n_docs", "n_chars", rk.alias("rk"))
+    kept = ranked.groupBy("source", "n_docs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("rk") <= _QUOTA_CAP).cast("int"))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("rk") <= _QUOTA_CAP, F.col("n_chars")).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_chars"),
+    )
+    return kept.select(
+        "source",
+        "n_docs",
+        "n_candidates",
+        "n_kept",
+        "kept_chars",
+        (
+            F.col("n_kept")
+            >= F.least(F.col("n_docs"), F.lit(_QUOTA_CAP).cast("long"))
+        )
+        .cast("int")
+        .alias("quota_met"),
+    )
