@@ -4568,3 +4568,95 @@ def boilerplate_line_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_affected_docs", zero).alias("n_affected_docs"),
         F.coalesce("removable_chars", zero).alias("removable_chars"),
     )
+
+
+@query(
+    "semantic_decontamination_census",
+    oracle=f"""
+    WITH norms AS ({_NORMS_SQL}),
+    dots AS (
+      SELECT c.vec_id AS cid, e.vec_id AS eid,
+             SUM(CAST(c.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)) AS dp
+      FROM embeddings c
+      JOIN embeddings e ON e.vec_id < 40 AND c.vec_id >= 40,
+      UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY c.vec_id, e.vec_id
+    ),
+    cos AS (
+      SELECT d.cid, MAX(d.dp / (nc.nrm * ne.nrm)) AS max_cos
+      FROM dots d
+      JOIN norms nc ON nc.vec_id = d.cid
+      JOIN norms ne ON ne.vec_id = d.eid
+      GROUP BY d.cid
+    )
+    SELECT l.label,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           CAST(SUM(CASE WHEN c.max_cos >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           ROUND(CAST(SUM(CASE WHEN c.max_cos >= 0.5 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS flag_rate,
+           ROUND(MAX(c.max_cos), 6) AS max_cosine
+    FROM cos c JOIN embeddings l ON l.vec_id = c.cid
+    GROUP BY l.label
+    """,
+)
+def semantic_decontamination_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L61: SEMANTIC decontamination — the embedding-space leg of the
+    eval-leakage family (L13 n-gram overlap, L43 Bloom membership catch
+    verbatim/near-verbatim leaks; paraphrased eval items evade both and
+    are caught only in embedding space). The benchmark set (vec_id < 40
+    — fixed-size by construction: a production eval suite is a constant
+    few thousand items regardless of corpus size) broadcasts to every
+    partition; each corpus vector's max cosine against ANY eval item is
+    computed partition-locally with the JVM-side zip_with dot fold — the
+    corpus NEVER shuffles, the plan is one broadcast join + one
+    per-vector aggregate, linear in corpus size. Census per corpus
+    label: vectors, flagged (max cos >= 0.5), flag rate, hottest
+    similarity — the report a training run reviews before freezing the
+    data mix.
+
+    Scale note: for corpora where even the per-vector eval sweep is too
+    hot, the IVF route (L7) prunes eval comparisons to the probed lists;
+    this query is that path's exact baseline, same contract as
+    L32 ann_recall_eval. Threshold compare follows the L6 precedent
+    (identical-input doubles on both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("eid"),
+        similarity.as_double(F.col("embedding")).alias("ee"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 40).select(
+        F.col("vec_id").alias("cid"),
+        "label",
+        similarity.as_double(F.col("embedding")).alias("de"),
+    )
+    cos = (
+        corpus.crossJoin(F.broadcast(ev))
+        .select(
+            "cid",
+            "label",
+            (
+                similarity.dot(F.col("de"), F.col("ee"))
+                / (
+                    similarity.norm(F.col("de"))
+                    * similarity.norm(F.col("ee"))
+                )
+            ).alias("cosv"),
+        )
+        .groupBy("cid", "label")
+        .agg(F.max("cosv").alias("max_cos"))
+    )
+    return cos.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+        F.sum((F.col("max_cos") >= 0.5).cast("int"))
+        .cast("long")
+        .alias("n_flagged"),
+        r6(
+            F.sum((F.col("max_cos") >= 0.5).cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("flag_rate"),
+        r6(F.max("max_cos")).alias("max_cosine"),
+    )
