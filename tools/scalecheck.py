@@ -71,6 +71,11 @@ QUERIES = [
     "llm_signal_backtest",
     "skew_salted_rollup",
     "partition_skew_census",
+    # round-10 mechanism additions: the AQE runtime skew split (the
+    # split must keep triggering as the hot partition grows 10x) and
+    # the mergeable-rollup refresh (map-side-combining sub-aggregates)
+    "aqe_skew_join_rollup",
+    "incremental_rollup_merge",
 ]
 
 #: decade-2 subset: the cheapest SHAPE-DIVERSE queries (scan+agg,
