@@ -2037,6 +2037,7 @@ def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
         streaming_view_purchase_join,
         streaming_dedup_census,
         streaming_outer_attribution,
+        streaming_observed_ingest,
     ]
 
     def _run(fn) -> None:
@@ -2490,6 +2491,58 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unmatched"),
         FF.round(FF.sum("view_value"), 6).alias("sum_view_value"),
+    )
+
+
+@query(
+    "streaming_observed_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: observable metrics on a streaming ingest —
+    ``df.observe("ingest", count, sum(value))`` plants a CollectMetrics
+    node whose aggregates the engine computes over the EXACT rows each
+    micro-batch processes and reports in
+    ``StreamingQueryProgress.observedMetrics``; the drain evidence
+    channel (`streaming/stream.py:_record_drain_progress`) sums them
+    into ``DRAIN_PROGRESS[...]["observed"]``. This is the
+    plan-side row-accounting a production ingest self-audits with
+    (zero extra passes, immune to source-metric quirks), and the test
+    pins the three-way agreement: observed rows == source numInputRows
+    == the drained rollup's total. The QUERY result is the per-type
+    ingest rollup with the plain batch GROUP BY as oracle (availableNow
+    drain of a static source == batch semantics).
+
+    Scale: the observe node is a map-side running aggregate — no
+    shuffle, no state store; the rollup after is the standard
+    watermarkless global-agg drain in complete mode."""
+    from pyspark.sql import functions as FF
+
+    from ..streaming import drain_session, events_stream, run_to_memory
+    from ..streaming.stream import observed_ingest
+
+    _prefetch_streaming_family(spark, sf_dir)
+    child = drain_session(spark)
+    stream = observed_ingest(events_stream(child, sf_dir))
+    rolled = stream.groupBy("event_type").agg(
+        FF.count(FF.lit(1)).cast("long").alias("n_events"),
+        FF.sum("value").alias("sum_value_raw"),
+    )
+    out = run_to_memory(
+        rolled,
+        "q_stream_observed_ingest",
+        output_mode="complete",
+        cache_key=sf_dir,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        FF.round("sum_value_raw", 6).alias("sum_value"),
     )
 
 

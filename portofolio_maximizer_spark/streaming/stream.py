@@ -342,7 +342,7 @@ def _record_drain_progress(
                     for op in p.get("stateOperators", [])
                 ),
             )
-        DRAIN_PROGRESS[(name, cache_key)] = {
+        rec = {
             "seq": next(_DRAIN_SEQ),
             "n_batches": len(progress),
             "input_rows": sum(p.get("numInputRows", 0) or 0 for p in progress),
@@ -353,6 +353,24 @@ def _record_drain_progress(
             ),
             "progress_capped": len(progress) >= cap,
         }
+        # observable metrics (df.observe + CollectMetrics): per-batch
+        # engine-computed aggregates of the ACTUAL rows that flowed —
+        # summed across batches per numeric key. A second, independent
+        # row-accounting channel beside the source-side numInputRows.
+        observed: dict[str, float] = {}
+        for p in progress:
+            for mname, row in (p.get("observedMetrics") or {}).items():
+                for k, v in (row or {}).items():
+                    if isinstance(v, (int, float)):
+                        observed[f"{mname}.{k}"] = (
+                            observed.get(f"{mname}.{k}", 0) + v
+                        )
+        if observed:
+            rec["observed"] = {
+                k: round(v, 6) if isinstance(v, float) else v
+                for k, v in observed.items()
+            }
+        DRAIN_PROGRESS[(name, cache_key)] = rec
     except Exception:  # noqa: BLE001 — evidence only, never fail the drain
         pass
 
@@ -512,6 +530,23 @@ def view_purchase_interval_join(stream: DataFrame, horizon: str = "6 hours") -> 
             f"AND view_ts >= buy_ts - INTERVAL {horizon}"
         ),
         "inner",
+    )
+
+
+def observed_ingest(stream: DataFrame) -> DataFrame:
+    """T9: observable metrics — ``df.observe`` plants a CollectMetrics
+    node whose aggregates the ENGINE computes over the exact rows that
+    flow through each micro-batch (surfaced per batch in
+    ``StreamingQueryProgress.observedMetrics`` and summed into
+    ``DRAIN_PROGRESS[...]["observed"]``). The accounting-side complement
+    of the source-side ``numInputRows``: rows counted by the PLAN
+    itself, which is how a production ingest job self-audits (row
+    counts, value mass) with zero extra passes. Only ADDITIVE metrics
+    belong here — the evidence channel sums them across batches."""
+    return stream.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("value").alias("value_mass"),
     )
 
 

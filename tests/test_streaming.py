@@ -422,3 +422,26 @@ def test_outer_join_drain_equals_batch_left_join(spark, sf_dir):
     assert got == want
     assert all(u >= 0 for u in got)  # sentinels fenced
     assert sum(n for _, _, n in got.values()) > 0  # outer rows really emit
+
+
+def test_observed_metrics_three_way_agreement(spark, sf_dir):
+    """T9: the observe() channel, the source-side numInputRows and the
+    drained rollup must all account for the SAME rows — the plan-side
+    self-audit a production ingest relies on."""
+    from portofolio_maximizer_spark.plans.queries_models import (
+        streaming_observed_ingest,
+    )
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    out = streaming_observed_ingest(spark, sf_dir)
+    total = out.agg(F.sum("n_events")).first()[0]
+    rec = ST.DRAIN_PROGRESS[("q_stream_observed_ingest", sf_dir)]
+    assert rec["observed"]["ingest.rows"] == total
+    assert rec["input_rows"] == total
+    ev = load_table(spark, sf_dir, "events")
+    assert total == ev.count()
+    # value mass agrees with the batch sum to float tolerance
+    batch_mass = ev.agg(F.sum("value")).first()[0]
+    assert abs(rec["observed"]["ingest.value_mass"] - batch_mass) < 1e-6 * max(
+        1.0, abs(batch_mass)
+    )
