@@ -32,7 +32,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _EPOCH0 = 1704067200  # 2024-01-01, matches sources/synthetic.py
@@ -352,3 +354,141 @@ def fetch_with_failover(
         if rows:
             return name, rows
     return None, []
+
+
+# ---------------------------------------------------------------------------
+# S5W — the WRITE half of the Python DataSource adapter: a manifest-commit
+# JSONL sink (atomic visibility via the commit manifest)
+# ---------------------------------------------------------------------------
+
+
+class _PartCommit(WriterCommitMessage):
+    """WriterCommitMessage carrying one task's part file + row count."""
+
+    def __init__(self, part: str, rows: int):
+        self.part, self.rows = part, rows
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    """Per-task executor half: stream the partition's rows to a
+    uniquely-named JSONL part file under ``path`` and return its name +
+    row count as the commit message. Files are written eagerly but are
+    INVISIBLE until the driver-side commit publishes the manifest —
+    readers trust only manifest-listed parts, so a failed/retried task's
+    orphan file can never be read (the same visibility protocol as
+    `sources/io.py:write_parquet`'s job-commit atomicity, expressed
+    through the public DataSourceWriter API). Each commit REPLACES the
+    dataset (snapshot semantics): the manifest lists exactly this
+    write's parts, so a reader always sees one consistent write."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path") or options.get("sink_path")
+        if not self.path:
+            raise ValueError("manifest_jsonl sink requires a path option")
+        self.overwrite = overwrite
+        self.fail_partition = int(options.get("fail_partition", -1))
+
+    def write(self, iterator):
+        import json
+        import os
+        import socket
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        if pid == self.fail_partition:
+            raise RuntimeError(f"injected write failure in partition {pid}")
+        part = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.jsonl"
+        rows = 0
+        with open(os.path.join(self.path, part), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                rows += 1
+        _ = socket  # imported for parity with real sinks; unused locally
+        return _PartCommit(part, rows)
+
+    def commit(self, messages) -> None:
+        """Driver-side publish: ONE atomic rename of the manifest makes
+        every part visible at once. Runs only when ALL tasks succeeded."""
+        import json
+        import os
+
+        manifest = {
+            "parts": [
+                {"file": m.part, "rows": m.rows}
+                for m in messages
+                if m is not None
+            ],
+            "total_rows": sum(m.rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        """Driver-side cleanup on ANY task failure: sweep every part
+        file NOT listed in the last published manifest. Sweeping by
+        directory listing, not by ``messages``, is deliberate — a task
+        that finishes after the job is already cancelled never delivers
+        its commit message, so message-based cleanup would leak its
+        orphan file. No manifest is published, so the sink stays in its
+        pre-write visible state for readers."""
+        import json
+        import os
+
+        if not os.path.isdir(self.path):
+            return
+        visible: set[str] = set()
+        mpath = os.path.join(self.path, "_MANIFEST.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                visible = {p["file"] for p in json.load(f)["parts"]}
+        for fn in os.listdir(self.path):
+            if fn.endswith(".jsonl") and fn not in visible:
+                try:
+                    os.remove(os.path.join(self.path, fn))
+                except OSError:
+                    pass
+
+
+class ManifestJsonlDataSource(DataSource):
+    """``df.write.format("manifest_jsonl").option("path", ...)`` — the
+    write half of the Python DataSource surface (the read half is
+    `SyntheticBarsDataSource`). Visibility protocol: parts land eagerly,
+    the manifest publishes atomically on commit, aborted writes leave no
+    visible state."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def schema(self) -> str:  # not used for writes; required override
+        return "placeholder string"
+
+    def writer(self, schema, overwrite: bool) -> "ManifestJsonlWriter":
+        return ManifestJsonlWriter(self.options, overwrite)
+
+
+def read_manifest_jsonl(spark, path: str):
+    """Read back ONLY the manifest-listed parts (the reader half of the
+    visibility protocol). Returns None when no manifest was published —
+    an aborted write is indistinguishable from no write."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, p["file"]) for p in manifest["parts"]]
+    if not files:
+        return spark.range(0).select()
+    return spark.read.json(files)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(ManifestJsonlDataSource)

@@ -229,3 +229,66 @@ def test_retry_is_transparent_through_spark_read(spark):
         .collect()
     )
     assert flaky == base
+
+
+# ---------------------------------------------------------------------------
+# S5W — the Python DataSource WRITE half (manifest-commit JSONL sink)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_sink_commit_roundtrip(spark, tmp_path):
+    """A successful write publishes a manifest listing every part with
+    exact row counts, and reading back only manifest-listed parts
+    reproduces the frame."""
+    import json
+    import os
+
+    pydatasource.register_sink(spark)
+    df = _read(spark).select("ticker", "bar_id", "close")
+    path = str(tmp_path / "sink")
+    (
+        df.write.format("manifest_jsonl")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == df.count() == 120
+    assert sum(p["rows"] for p in manifest["parts"]) == 120
+    # every listed part exists; no orphan data files beyond the manifest
+    files = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    assert files == {p["file"] for p in manifest["parts"]}
+    back = pydatasource.read_manifest_jsonl(spark, path)
+    got = sorted(
+        (r["ticker"], r["bar_id"]) for r in back.collect()
+    )
+    want = sorted((r["ticker"], r["bar_id"]) for r in df.collect())
+    assert got == want
+
+
+def test_manifest_sink_abort_leaves_no_visible_state(spark, tmp_path):
+    """An injected mid-job task failure must abort the write: no
+    manifest is published and the successful tasks' landed parts are
+    swept — the sink reads as if the write never happened."""
+    import os
+
+    import pytest
+
+    pydatasource.register_sink(spark)
+    df = _read(spark).select("ticker", "bar_id", "close")
+    path = str(tmp_path / "sink_abort")
+    with pytest.raises(Exception):
+        (
+            df.write.format("manifest_jsonl")
+            .option("path", path)
+            .option("fail_partition", 1)
+            .mode("append")
+            .save()
+        )
+    assert not os.path.exists(os.path.join(path, "_MANIFEST.json"))
+    leftover = [
+        f for f in os.listdir(path) if f.endswith(".jsonl")
+    ] if os.path.exists(path) else []
+    assert leftover == []
+    assert pydatasource.read_manifest_jsonl(spark, path) is None
