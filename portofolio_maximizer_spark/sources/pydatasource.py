@@ -391,7 +391,6 @@ class ManifestJsonlWriter(DataSourceWriter):
     def write(self, iterator):
         import json
         import os
-        import socket
         import uuid
 
         from pyspark import TaskContext
@@ -406,7 +405,6 @@ class ManifestJsonlWriter(DataSourceWriter):
             for row in iterator:
                 f.write(json.dumps(row.asDict(), default=str) + "\n")
                 rows += 1
-        _ = socket  # imported for parity with real sinks; unused locally
         return _PartCommit(part, rows)
 
     def commit(self, messages) -> None:
