@@ -2147,10 +2147,12 @@ _NBQ_BUCKETS = 64
 _NBQ_LABEL_CHARS = 250
 
 
-@query(
-    "nb_quality_classifier",
-    oracle=f"""
-    WITH base AS (
+
+
+#: shared oracle CTE chain producing the NB classifier's held-out scored
+#: frame (doc_id, y, score) — used by L33's confusion matrix AND L62's
+#: calibration curve, so the two can never drift
+_NBQ_SCORED_SQL = f"""base AS (
       SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS arr,
              CASE WHEN n_chars >= {_NBQ_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
              (doc_id % 5 = 0) AS is_test
@@ -2198,40 +2200,14 @@ _NBQ_LABEL_CHARS = 250
       CROSS JOIN prior p
       WHERE t.is_test
       GROUP BY t.doc_id
-    ),
-    confm AS (
-      SELECT CAST(SUM(CASE WHEN y = 1 AND score > 0
-                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-             CAST(SUM(CASE WHEN y = 0 AND score > 0
-                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-             CAST(SUM(CASE WHEN y = 0 AND score <= 0
-                      THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-             CAST(SUM(CASE WHEN y = 1 AND score <= 0
-                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
-      FROM scored
-    )
-    SELECT tp, fp, tn, fn,
-           ROUND(CAST(tp + tn AS DOUBLE)
-                 / GREATEST(tp + fp + tn + fn, 1), 6) AS accuracy,
-           ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 6)
-             AS precision,
-           ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fn, 1), 6) AS recall
-    FROM confm
-    """,
-)
-def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L33 closed-form quality classifier — the fastText-style ingest
-    filter reduced to multinomial Naive Bayes over a 64-bucket hashed
-    bag-of-words with Laplace smoothing, trained on the 80% hash split
-    and evaluated on the held-out 20% (confusion matrix + accuracy /
-    precision / recall). No iterative fit anywhere, so the WHOLE
-    train/score/eval pipeline is one declarative plan with an exact
-    SQL oracle. Beyond the reference per the charter's training-data
-    mandate.
+    )"""
 
-    Scale: training is one (class, bucket) aggregate (128 rows); the
-    weight table is a broadcast map-side join onto test tokens; scoring
-    is a per-doc sum. Linear in corpus tokens, one shuffle."""
+
+def _nbq_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NB quality classifier's held-out scored frame
+    (doc_id, label, score) — the shared plan behind L33's confusion
+    matrix and L62's calibration curve (`_NBQ_SCORED_SQL` is the same
+    chain on the oracle side)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -2294,6 +2270,47 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lw") + F.any_value("lp"), 6).alias("score"),
         )
     )
+    return scored
+
+
+@query(
+    "nb_quality_classifier",
+    oracle=f"""
+    WITH {_NBQ_SCORED_SQL},
+    confm AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 AND score > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND score > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN y = 0 AND score <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN y = 1 AND score <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored
+    )
+    SELECT tp, fp, tn, fn,
+           ROUND(CAST(tp + tn AS DOUBLE)
+                 / GREATEST(tp + fp + tn + fn, 1), 6) AS accuracy,
+           ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 6)
+             AS precision,
+           ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fn, 1), 6) AS recall
+    FROM confm
+    """,
+)
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33 closed-form quality classifier — the fastText-style ingest
+    filter reduced to multinomial Naive Bayes over a 64-bucket hashed
+    bag-of-words with Laplace smoothing, trained on the 80% hash split
+    and evaluated on the held-out 20% (confusion matrix + accuracy /
+    precision / recall). No iterative fit anywhere, so the WHOLE
+    train/score/eval pipeline is one declarative plan with an exact
+    SQL oracle. Beyond the reference per the charter's training-data
+    mandate.
+
+    Scale: training is one (class, bucket) aggregate (128 rows); the
+    weight table is a broadcast map-side join onto test tokens; scoring
+    is a per-doc sum. Linear in corpus tokens, one shuffle."""
+    scored = _nbq_scored_frame(spark, sf_dir)
     pred_pos = F.col("score") > 0
     conf = scored.agg(
         F.sum(F.when((F.col("label") == 1) & pred_pos, 1).otherwise(0))
@@ -4659,4 +4676,85 @@ def semantic_decontamination_census(
             / F.count(F.lit(1))
         ).alias("flag_rate"),
         r6(F.max("max_cos")).alias("max_cosine"),
+    )
+
+
+@query(
+    "quality_classifier_calibration",
+    oracle=f"""
+    WITH {_NBQ_SCORED_SQL},
+    probs AS (
+      SELECT doc_id, y, 1.0 / (1.0 + EXP(-score)) AS p FROM scored
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bin, y, p
+      FROM probs
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                   SUM((p - y) * (p - y)) AS brier_sum
+            FROM binned)
+    SELECT b.bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(b.p), 6) AS avg_conf,
+           ROUND(AVG(CAST(b.y AS DOUBLE)), 6) AS pos_rate,
+           ROUND(AVG(b.p) - AVG(CAST(b.y AS DOUBLE)), 6) AS gap,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_all
+                 * ABS(AVG(b.p) - AVG(CAST(b.y AS DOUBLE))), 6)
+             AS ece_part,
+           ROUND(t.brier_sum / t.n_all, 6) AS brier_all
+    FROM binned b CROSS JOIN tot t
+    GROUP BY b.bin, t.n_all, t.brier_sum
+    """,
+)
+def quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L62: calibration curve of the L33 quality classifier — before a
+    corpus filter's scores gate billions of documents (or weight a
+    mixture), the pipeline must know whether score 0.9 MEANS 90%: the
+    held-out scored frame (`_nbq_scored_frame`, byte-identical to
+    L33's) is mapped through the sigmoid to a confidence, cut into ten
+    fixed-width reliability bins, and each bin reports predicted
+    confidence vs realized positive rate, the signed gap, its ECE
+    contribution (n_bin/n * |gap|), and the global Brier score — the
+    same 10-bin ECE decomposition discipline as the trading side's
+    R91 `directional_classifier_eval`, applied to the data-curation
+    classifier. Sigmoid/bin edges operate on the 6dp-rounded score both
+    engines already share, so binning cannot flip between engines.
+
+    Scale: everything after the shared scored frame is one bounded
+    (10-bin) aggregate plus a broadcast one-row total."""
+    scored = _nbq_scored_frame(spark, sf_dir)
+    probs = scored.select(
+        "label",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))).alias("p"),
+    )
+    binned = probs.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "label",
+        "p",
+    )
+    tot = binned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(
+            (F.col("p") - F.col("label")) * (F.col("p") - F.col("label"))
+        ).alias("brier_sum"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("p").alias("avg_p"),
+        F.avg(F.col("label").cast("double")).alias("pr"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_docs",
+        r6(F.col("avg_p")).alias("avg_conf"),
+        r6(F.col("pr")).alias("pos_rate"),
+        r6(F.col("avg_p") - F.col("pr")).alias("gap"),
+        r6(
+            F.col("n_docs").cast("double")
+            / F.col("n_all")
+            * F.abs(F.col("avg_p") - F.col("pr"))
+        ).alias("ece_part"),
+        r6(F.col("brier_sum") / F.col("n_all")).alias("brier_all"),
     )

@@ -4315,3 +4315,80 @@ def paper_trading_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["paper_trading_coverage"] = ORACLE["paper_trading_coverage"].replace(
     "{_S_SQL}", _S_SQL
 )
+
+
+@query(
+    "hierarchical_forecast_reconciliation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,6))) AS mass
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_active_days,
+             CAST(SUM(mass) AS DOUBLE) / COUNT(*) AS base_fc,
+             CAST(SUM(mass) AS DOUBLE) AS hist_mass
+      FROM daily GROUP BY event_type
+    ),
+    totf AS (
+      SELECT CAST(SUM(mass) AS DOUBLE) / COUNT(DISTINCT d) AS total_fc,
+             CAST(SUM(mass) AS DOUBLE) AS total_mass
+      FROM daily
+    )
+    SELECT b.event_type, b.n_active_days,
+           ROUND(b.base_fc, 6) AS base_fc,
+           ROUND(b.hist_mass / t.total_mass, 6) AS share,
+           ROUND(t.total_fc * (b.hist_mass / t.total_mass), 6) AS td_fc,
+           ROUND(t.total_fc * (b.hist_mass / t.total_mass)
+                 - b.base_fc, 6) AS delta
+    FROM base b CROSS JOIN totf t
+    """,
+)
+def hierarchical_forecast_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F-extension (R166): hierarchical forecast reconciliation —
+    independent per-leaf forecasts do not add up to the independent
+    total forecast, and a reporting/allocation pipeline must publish ONE
+    coherent set (Hyndman et al., "Optimal combination forecasts for
+    hierarchical time series"; the proportional top-down member of that
+    family). The incoherence here is the real-world one: each leaf's
+    naive forecast is its mean daily mass over ITS OWN active days,
+    while the total forecast is the mean over ALL days — leaves missing
+    on some days therefore over-forecast, and the column `delta`
+    measures exactly how much coherence costs each leaf. Reconciled
+    leaf = total_fc x historical mass share, which sums to total_fc by
+    construction (top-down proportional). Exact-decimal history sums,
+    double division only at the end — both engines derive identical
+    doubles.
+
+    Scale: one (type, day) keyed aggregate, one bounded per-type fold,
+    one one-row broadcast. Reference anchor: the ensemble
+    blending/weighting family (F5/F6) applied across an AGGREGATION
+    hierarchy instead of across models."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("mass"))
+    base = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        (F.sum("mass").cast("double") / F.count(F.lit(1))).alias("base_fc"),
+        F.sum("mass").cast("double").alias("hist_mass"),
+    )
+    totf = daily.agg(
+        (F.sum("mass").cast("double") / F.countDistinct("d")).alias(
+            "total_fc"
+        ),
+        F.sum("mass").cast("double").alias("total_mass"),
+    )
+    share = F.col("hist_mass") / F.col("total_mass")
+    return base.crossJoin(F.broadcast(totf)).select(
+        "event_type",
+        "n_active_days",
+        r6(F.col("base_fc")).alias("base_fc"),
+        r6(share).alias("share"),
+        r6(F.col("total_fc") * share).alias("td_fc"),
+        r6(F.col("total_fc") * share - F.col("base_fc")).alias("delta"),
+    )

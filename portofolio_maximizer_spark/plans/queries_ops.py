@@ -10539,3 +10539,59 @@ def cbo_join_reorder_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
         ).alias("total_price"),
     )
+
+
+@query(
+    "partition_readiness_gate",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT CAST(FLOOR(EPOCH_MS(ts::TIMESTAMP)
+                    / 3600000.0) AS BIGINT)) AS BIGINT) AS hours_covered,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    g AS (SELECT MAX(CAST(ts AS DATE)) AS max_landed_date FROM events)
+    SELECT CAST(d.event_date AS VARCHAR) AS event_date,
+           d.n_events, d.hours_covered,
+           CAST(CASE WHEN d.event_date < g.max_landed_date
+                     THEN 1 ELSE 0 END AS INTEGER) AS ready
+    FROM d CROSS JOIN g
+    """,
+)
+def partition_readiness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R165: partition-completeness readiness gate — the standing
+    scheduling contract of a date-partitioned lake: a downstream job may
+    read day D only once D is COMPLETE, and the only landed-data-derivable
+    completeness signal is that ingestion has moved past it (some event
+    with a LATER date has landed — the batch analog of a streaming
+    watermark passing the day boundary). Per day: event count, distinct
+    hour buckets covered (the coverage diagnostic for gap alerts), and
+    the READY verdict; the newest landed day is always OPEN. Downstream
+    jobs filter `ready = 1` — the same day never flips back, so reads
+    are repeatable.
+
+    Scale: one keyed date aggregate (map-side combined) plus a one-row
+    global max broadcast — linear scan, bounded output (days of
+    history). Reference anchor: the freshness/staleness gates of
+    etl/data_storage.py:179-301 and R103's per-store coverage floor,
+    recast as the partition-grain scheduling contract."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(
+            F.floor(F.unix_millis("ts") / F.lit(3600000.0)).cast("long")
+        )
+        .cast("long")
+        .alias("hours_covered"),
+    )
+    g = ev.agg(F.max(F.to_date("ts")).alias("max_landed_date"))
+    return d.crossJoin(F.broadcast(g)).select(
+        F.col("event_date").cast("string").alias("event_date"),
+        "n_events",
+        "hours_covered",
+        (F.col("event_date") < F.col("max_landed_date"))
+        .cast("int")
+        .alias("ready"),
+    )
