@@ -4684,7 +4684,8 @@ def semantic_decontamination_census(
     oracle=f"""
     WITH {_NBQ_SCORED_SQL},
     probs AS (
-      SELECT doc_id, y, 1.0 / (1.0 + EXP(-score)) AS p FROM scored
+      SELECT doc_id, y, ROUND(1.0 / (1.0 + EXP(-score)), 6) AS p
+      FROM scored
     ),
     binned AS (
       SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bin, y, p
@@ -4719,15 +4720,23 @@ def quality_classifier_calibration(
     contribution (n_bin/n * |gap|), and the global Brier score — the
     same 10-bin ECE decomposition discipline as the trading side's
     R91 `directional_classifier_eval`, applied to the data-curation
-    classifier. Sigmoid/bin edges operate on the 6dp-rounded score both
-    engines already share, so binning cannot flip between engines.
+    classifier. The sigmoid input is the 6dp-rounded score both engines
+    share, and p ITSELF is re-rounded to 6dp on both engines before any
+    binning or averaging (round-10 ADVICE: each engine evaluates EXP
+    with its own libm, so a last-ulp difference on identical inputs
+    could otherwise flip floor(p*10) at a bin edge or the 6dp ROUND of
+    avg_conf/brier) — downstream arithmetic starts from bit-identical
+    doubles, the same quantized-gate discipline as the L57 DSIR
+    weight gate.
 
     Scale: everything after the shared scored frame is one bounded
     (10-bin) aggregate plus a broadcast one-row total."""
     scored = _nbq_scored_frame(spark, sf_dir)
     probs = scored.select(
         "label",
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))).alias("p"),
+        r6(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
+        ).alias("p"),
     )
     binned = probs.select(
         F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),

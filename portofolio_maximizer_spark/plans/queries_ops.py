@@ -16,6 +16,8 @@ ticker = 'T' || o_custkey % 25; pnl = close net - open net.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -9717,7 +9719,13 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bench passes — the pool makes repeat invocations of the
 #: conf-isolated queries (R157/R158) reuse ONE child per profile.
 _CHILD_SESSIONS: dict[tuple[str, str], SparkSession] = {}
-_CHILD_SESSIONS_LOCK = None  # created lazily to avoid import-time threading
+#: created unconditionally at module import — a lazily-created lock is
+#: itself a race (two first callers can each observe None and mint
+#: separate locks, letting both into the critical section and minting
+#: duplicate child sessions for one profile — exactly the accumulation
+#: the pool exists to prevent; the streaming family runs queries on
+#: daemon threads, so concurrent first calls are real here)
+_CHILD_SESSIONS_LOCK = threading.Lock()
 
 
 def _conf_child_session(
@@ -9727,11 +9735,6 @@ def _conf_child_session(
     creating and configuring it on first use. Entries belonging to dead
     applications are evicted so cross-process test runs can't grow the
     pool unboundedly."""
-    global _CHILD_SESSIONS_LOCK
-    import threading
-
-    if _CHILD_SESSIONS_LOCK is None:
-        _CHILD_SESSIONS_LOCK = threading.Lock()
     key = (spark.sparkContext.applicationId, profile)
     with _CHILD_SESSIONS_LOCK:
         child = _CHILD_SESSIONS.get(key)

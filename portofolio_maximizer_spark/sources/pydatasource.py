@@ -309,7 +309,18 @@ def fetch_with_retry(
     - success → the rows, first try or not.
 
     ``sleep`` is injectable (tests pass a recorder; the default real
-    sleep only runs when a delay is actually scheduled)."""
+    sleep only runs when a delay is actually scheduled).
+
+    ``max_retries`` must be >= 1: with 0 (or negative) the attempt loop
+    would never run and the function would return [] without ever
+    calling ``transport.fetch`` — silently indistinguishable from an
+    unrecoverable-ticker empty result, so it is rejected loudly
+    (round-10 ADVICE)."""
+    if max_retries < 1:
+        raise ValueError(
+            f"max_retries must be >= 1 (got {max_retries}): 0 attempts "
+            "would silently return [] without ever calling the transport"
+        )
     if sleep is None:
         import time as _time
 
@@ -325,7 +336,7 @@ def fetch_with_retry(
                 sleep(delays[attempt])
         except UnrecoverableTickerError:
             return []
-    return []  # not reached: kept for clarity
+    raise AssertionError("unreachable: the last attempt raises or returns")
 
 
 def fetch_with_failover(

@@ -1,0 +1,77 @@
+"""The soft-flag inventory pin (round-10 directive #5).
+
+planaudit's 16 soft flags were previously documented only in prose
+(VERDICT/BENCH_NOTES) — a new query adding an unexplained soft flag
+changed no gate. This module carries the inventory as a TEST: the
+full-registry audit (`tools/planaudit.py <sf_dir>`) now exits 1 on any
+drift from `planaudit.EXPECTED_SOFT_FLAGS`, and this test asserts that
+pin equals the justified inventory below. Adding (or removing) a soft
+flag therefore requires editing BOTH files — the pin to make the audit
+pass, and this mirror with a written justification to make pytest pass.
+
+Every entry's justification:
+
+- The 15 EXCHANGES entries are bounded-composition report folds: each is
+  a multi-facet operational report whose every Exchange shuffles on a
+  BOUNDED key (rule ids, scenario grid, provider names, the fixed
+  25-ticker ladder, 10 calibration bins, ...) — per-exchange
+  adjudication lives in BENCH_NOTES.md ("soft-flag adjudication",
+  carried since round 9). The >12-exchange threshold exists to catch
+  sf-scaling shuffle chains; these plans' exchange COUNT is fixed by the
+  report's facet count, not by data volume.
+- embedding_cosine_neardups is the ONE declared NESTED_LOOP: L6's exact
+  all-pairs cosine baseline, kept as the recall oracle for the L2/L28/L7
+  scale paths; it refuses corpora >200k vectors by contract.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "tools")
+
+from planaudit import EXPECTED_SOFT_FLAGS  # noqa: E402
+
+JUSTIFIED_SOFT_FLAGS = {
+    # -- bounded-composition EXCHANGES reports (see module docstring) --
+    "unlinked_close_repair_plan": "EXCHANGES",
+    "dashboard_snapshot": "EXCHANGES",
+    "classifier_label_accumulation": "EXCHANGES",
+    "split_drift_psi": "EXCHANGES",
+    "token_budget_epoch_plan": "EXCHANGES",
+    "run_execution_summary": "EXCHANGES",
+    "nav_rebalance_plan": "EXCHANGES",
+    "capital_readiness_check": "EXCHANGES",
+    "barbell_pnl_evaluation": "EXCHANGES",
+    "platt_contract_audit": "EXCHANGES",
+    "order_learner_health_check": "EXCHANGES",
+    "attribution_multiway_table": "EXCHANGES",
+    "dedup_savings_curve": "EXCHANGES",
+    "llm_system_health_report": "EXCHANGES",
+    "ticker_universe_summary": "EXCHANGES",
+    # -- the one declared O(N^2) correctness baseline --
+    "embedding_cosine_neardups": "NESTED_LOOP_JOIN",
+}
+
+
+def test_soft_flag_pin_matches_justified_inventory():
+    assert EXPECTED_SOFT_FLAGS == JUSTIFIED_SOFT_FLAGS, (
+        "planaudit's EXPECTED_SOFT_FLAGS drifted from the justified "
+        "inventory — if a soft flag was deliberately added/removed, "
+        "update tests/test_planaudit_pin.py with a justification"
+    )
+
+
+def test_soft_flag_pin_shape():
+    # exactly the documented composition: 15 EXCHANGES + 1 NESTED_LOOP
+    kinds = sorted(EXPECTED_SOFT_FLAGS.values())
+    assert kinds.count("EXCHANGES") == 15
+    assert kinds.count("NESTED_LOOP_JOIN") == 1
+    assert len(EXPECTED_SOFT_FLAGS) == 16
+
+
+def test_pinned_queries_exist_in_registry():
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    missing = set(EXPECTED_SOFT_FLAGS) - set(QUERIES)
+    assert not missing, f"pinned queries not in registry: {missing}"

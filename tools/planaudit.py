@@ -106,11 +106,6 @@ _CONST_CARD_COLS = {
     "lang",
     "event_type",
     "event_type_clean",
-    "stage",
-    "regime",
-    "fold",
-    "split",
-    "action",
     "l_returnflag",
     "l_linestatus",
     # class labels: cardinality fixed by the embeddings TABLE SCHEMA
@@ -145,13 +140,17 @@ _CONST_CARD_COLS = {
     "cal_date",
     "r_name",
     "n_name",
-    # Round-10 directive #6: every other formerly-whitelisted generic
-    # name ('model', 'arm', 'bucket', 'side', 'stage', 'regime', 'fold',
-    # 'split', 'action', 'verdict', 'reason', 'dt', 'dim', 'ce',
-    # 'list_id') was REMOVED — measured per-entry: no audited plan's
-    # boundedness depends on them (the four that did were renamed to the
-    # collision-proof markers above), so a coincidental corpus column
-    # with one of those names can no longer self-qualify as bounded.
+    # Round-10 directive #6 + round-11 ADVICE sweep: every
+    # formerly-whitelisted generic name ('model', 'arm', 'bucket',
+    # 'side', 'stage', 'regime', 'fold', 'split', 'action', 'verdict',
+    # 'reason', 'dt', 'dim', 'ce', 'list_id') is REMOVED — measured
+    # per-entry by removal: no audited plan's boundedness depends on
+    # them (the ones that did were renamed to the collision-proof
+    # markers above), so a coincidental corpus column with one of those
+    # names can no longer self-qualify as bounded. The round-10 sweep
+    # missed 'stage'/'regime'/'fold'/'split'/'action' (the comment
+    # claimed removal while the entries survived — round-10 ADVICE);
+    # this round actually removed them and re-measured the full audit.
 }
 # Reference-dimension schema columns: region (5 rows) and nation (25 rows)
 # are constant-size at any sf, so leaves made ONLY of their columns are
@@ -555,6 +554,41 @@ def audit(plan: str) -> list[str]:
     return flags
 
 
+#: The PINNED soft-flag inventory (round-10 directive: documented-only
+#: prose is not a gate — a new query adding an unexplained soft flag must
+#: fail LOUDLY). Maps query name → flag KIND (EXCHANGES counts are
+#: structural but can shift ±1 with sf-dependent broadcast decisions, so
+#: the kind is pinned, not the count). A full-registry audit whose
+#: soft-flagged set differs from this pin exits 1; changing the set
+#: requires editing BOTH this dict and the mirror inventory in
+#: tests/test_planaudit_pin.py (which carries the per-query
+#: justifications) — the two are asserted equal by pytest.
+EXPECTED_SOFT_FLAGS: dict[str, str] = {
+    # 15 bounded-composition EXCHANGES reports: multi-facet report folds
+    # whose every exchange is over a bounded (dim/rule/scenario) key —
+    # adjudicated individually in BENCH_NOTES.md, carried since round 9
+    "unlinked_close_repair_plan": "EXCHANGES",
+    "dashboard_snapshot": "EXCHANGES",
+    "classifier_label_accumulation": "EXCHANGES",
+    "split_drift_psi": "EXCHANGES",
+    "token_budget_epoch_plan": "EXCHANGES",
+    "run_execution_summary": "EXCHANGES",
+    "nav_rebalance_plan": "EXCHANGES",
+    "capital_readiness_check": "EXCHANGES",
+    "barbell_pnl_evaluation": "EXCHANGES",
+    "platt_contract_audit": "EXCHANGES",
+    "order_learner_health_check": "EXCHANGES",
+    "attribution_multiway_table": "EXCHANGES",
+    "dedup_savings_curve": "EXCHANGES",
+    "llm_system_health_report": "EXCHANGES",
+    "ticker_universe_summary": "EXCHANGES",
+    # the ONE declared O(N²): L6's exact-cosine correctness baseline,
+    # which refuses corpora >200k vectors and names L2/L28/L7 as the
+    # scale paths in its docstring
+    "embedding_cosine_neardups": "NESTED_LOOP_JOIN",
+}
+
+
 def main() -> None:
     from portofolio_maximizer_spark.session import get_spark
 
@@ -569,6 +603,7 @@ def main() -> None:
     if names:
         queries = {n: queries[n] for n in names}
     hard = 0
+    soft_seen: dict[str, str] = {}
     for name, fn in queries.items():
         try:
             df = fn(spark, sf_dir)
@@ -589,9 +624,28 @@ def main() -> None:
             for f in flags
         ):
             hard += 1
+        if flags:
+            soft_seen[name] = flags[0].split("=")[0].split("[")[0]
         print(f"{'FLAG' if flags else 'ok  '}  {name}: {', '.join(flags) or 'clean'}")
-    print(f"\n{len(queries)} plans audited, {hard} hard failures")
-    sys.exit(1 if hard else 0)
+    drift = 0
+    if not names:  # the pin is defined over the FULL registry only
+        for q in sorted(set(soft_seen) - set(EXPECTED_SOFT_FLAGS)):
+            print(f"DRIFT unpinned soft flag: {q}: {soft_seen[q]}")
+            drift += 1
+        for q in sorted(set(EXPECTED_SOFT_FLAGS) - set(soft_seen)):
+            print(f"DRIFT pinned flag no longer observed: {q}: "
+                  f"{EXPECTED_SOFT_FLAGS[q]}")
+            drift += 1
+        for q in sorted(set(soft_seen) & set(EXPECTED_SOFT_FLAGS)):
+            if soft_seen[q] != EXPECTED_SOFT_FLAGS[q]:
+                print(f"DRIFT flag kind changed: {q}: "
+                      f"{EXPECTED_SOFT_FLAGS[q]} -> {soft_seen[q]}")
+                drift += 1
+    print(
+        f"\n{len(queries)} plans audited, {hard} hard failures, "
+        f"{len(soft_seen)} soft flags ({drift} drift vs pin)"
+    )
+    sys.exit(1 if hard or drift else 0)
 
 
 if __name__ == "__main__":
