@@ -292,3 +292,64 @@ def test_manifest_sink_abort_leaves_no_visible_state(spark, tmp_path):
     ] if os.path.exists(path) else []
     assert leftover == []
     assert pydatasource.read_manifest_jsonl(spark, path) is None
+
+
+def test_manifest_sink_rewrite_sweeps_superseded_parts(spark, tmp_path):
+    """Snapshot semantics across REPEATED successful writes: the second
+    commit's manifest lists only its own parts, and the first write's
+    parts are swept at commit time (round-10 ADVICE: abort-side sweep
+    only ran on failure, so re-writes leaked orphans forever)."""
+    import json
+    import os
+
+    pydatasource.register_sink(spark)
+    df = _read(spark).select("ticker", "bar_id", "close")
+    path = str(tmp_path / "sink_rewrite")
+    for _ in range(2):
+        (
+            df.write.format("manifest_jsonl")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    on_disk = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    # exactly the second snapshot's parts — no orphans from write #1
+    assert on_disk == {p["file"] for p in manifest["parts"]}
+    back = pydatasource.read_manifest_jsonl(spark, path)
+    assert back.count() == df.count() == 120
+
+
+def test_manifest_sink_file_uri_scheme(spark, tmp_path):
+    """The sink resolves scheme URIs through the same filesystem API the
+    bare-path case uses (the cluster-portability seam): a file:// URI
+    writes, commits, sweeps, and reads back identically."""
+    import os
+
+    pydatasource.register_sink(spark)
+    df = _read(spark).select("ticker", "bar_id", "close")
+    local = str(tmp_path / "sink_uri")
+    uri = "file://" + local
+    (
+        df.write.format("manifest_jsonl")
+        .option("path", uri)
+        .mode("append")
+        .save()
+    )
+    assert os.path.exists(os.path.join(local, "_MANIFEST.json"))
+    back = pydatasource.read_manifest_jsonl(spark, uri)
+    assert back.count() == 120
+
+
+def test_retry_rejects_zero_attempts():
+    """max_retries < 1 would return [] without ever touching the
+    transport — indistinguishable from an unrecoverable-ticker empty
+    result — so it is rejected loudly (round-10 ADVICE)."""
+    import pytest
+
+    t = pydatasource.SyntheticTransport(5, 7, 100.0, 0.0, 0.1)
+    with pytest.raises(ValueError, match="max_retries"):
+        pydatasource.fetch_with_retry(t, "AAA", max_retries=0)
+    with pytest.raises(ValueError, match="max_retries"):
+        pydatasource.fetch_with_retry(t, "AAA", max_retries=-3)
