@@ -66,18 +66,18 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """COMPRESSED-raster decode stub — PNG/GIF/JPEG (and paletted/RLE
-    BMP) rasters require a codec library not present in this container.
-    HEADER metadata (format, width, height, channels) is parsed for
-    real by ``parse_image_header``, and UNCOMPRESSED rasters (24-bit
-    BI_RGB BMP, binary PGM) are pixel-decoded for real by
-    ``decode_pixel_stats`` — a pure-Python row-stride walk needs no
-    codec."""
+    """Entropy-coded-raster decode stub — JPEG/GIF (and paletted/RLE
+    BMP) rasters require codec libraries (DCT / LZW) not present in
+    this container. HEADER metadata (format, width, height, channels)
+    is parsed for real by ``parse_image_header``; UNCOMPRESSED rasters
+    (24-bit BI_RGB BMP, binary PGM) AND non-interlaced 8-bit PNG
+    (grayscale/truecolor — DEFLATE ships in the stdlib ``zlib``, the
+    five scanline filters are pure byte arithmetic) are pixel-decoded
+    for real by ``decode_pixel_stats``."""
     raise NotImplementedError(
-        "compressed image decode requires a codec library (e.g. "
-        "Pillow); not available in this environment — headers are "
-        "parsed by parse_image_header, uncompressed rasters by "
-        "decode_pixel_stats"
+        "JPEG/GIF decode requires a codec library (e.g. Pillow); not "
+        "available in this environment — headers are parsed by "
+        "parse_image_header; BMP/PGM/PNG rasters by decode_pixel_stats"
     )
 
 
@@ -629,6 +629,201 @@ def _pgm_header(payload: bytes):
     return w, h, maxval, i + 1  # one whitespace byte after maxval
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): pick whichever of left /
+    up / upper-left is closest to p = a + b - c, ties broken
+    left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    """One PNG chunk: u32 BE length, tag, body, CRC32 over tag+body."""
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_decode(payload: bytes):
+    """REAL PNG pixel decode for non-interlaced 8-bit grayscale (color
+    type 0) and truecolor (color type 2) — the one compressed format
+    whose codec ships with Python: the IDAT stream is DEFLATE
+    (stdlib ``zlib``), and the five scanline filters
+    (None/Sub/Up/Average/Paeth, spec §9) are pure byte arithmetic.
+    Chunk CRCs are verified (a corrupt chunk rejects the payload, it
+    cannot silently skew a channel sum); truncated chunks, a missing
+    IEND, bad IHDR geometry, interlace, palettes, alpha, and 16-bit
+    depth all return None — those either need entropy codecs this
+    container lacks (none do here) or are simply out of this decoder's
+    declared scope (interlace/palette/alpha/16-bit).
+
+    Returns (format, w, h, raster_rows) with format 'png_rgb8' or
+    'png_gray8', or None."""
+    import struct
+    import zlib
+
+    n = len(payload)
+    if n < 8 or payload[:8] != _PNG_SIG:
+        return None
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while i + 12 <= n:
+        ln = struct.unpack(">I", payload[i : i + 4])[0]
+        if i + 12 + ln > n:
+            return None  # truncated chunk
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        crc = struct.unpack(">I", payload[i + 8 + ln : i + 12 + ln])[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk: reject, never skew sums
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        i += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not seen_iend or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if (
+        depth != 8
+        or ctype not in (0, 2)
+        or comp != 0
+        or filt != 0
+        or inter != 0
+        or w <= 0
+        or h <= 0
+    ):
+        return None
+    bpp = 3 if ctype == 2 else 1
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * bpp
+    if len(raw) != (stride + 1) * h:
+        return None  # inflated size must match geometry exactly
+    rows: list[bytes] = []
+    prior = bytes(stride)
+    pos = 0
+    for _y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for k in range(bpp, stride):
+                line[k] = (line[k] + line[k - bpp]) & 255
+        elif ftype == 2:  # Up
+            for k in range(stride):
+                line[k] = (line[k] + prior[k]) & 255
+        elif ftype == 3:  # Average
+            for k in range(stride):
+                left = line[k - bpp] if k >= bpp else 0
+                line[k] = (line[k] + ((left + prior[k]) >> 1)) & 255
+        elif ftype == 4:  # Paeth
+            for k in range(stride):
+                left = line[k - bpp] if k >= bpp else 0
+                ul = prior[k - bpp] if k >= bpp else 0
+                line[k] = (line[k] + _paeth(left, prior[k], ul)) & 255
+        else:
+            return None  # unknown filter type
+        prior = bytes(line)
+        rows.append(prior)
+    return ("png_rgb8" if ctype == 2 else "png_gray8", w, h, rows)
+
+
+def synth_png_payload(
+    doc_id: int, w: int, h: int, gray: bool, filter_heavy: bool
+) -> bytes:
+    """Encode the plant value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256
+    as a real PNG: IHDR + one DEFLATE IDAT + IEND, scanlines FORWARD-
+    filtered before compression — filter id (doc_id + y) % 5 when
+    ``filter_heavy`` (every decode-side unfilter path exercised within
+    one plant period), filter 0 everywhere otherwise. The decoder must
+    invert both the DEFLATE stream and the filter chain byte-for-byte."""
+    import struct
+    import zlib
+
+    bpp = 1 if gray else 3
+    stride = w * bpp
+
+    def val(x: int, y: int, c: int) -> int:
+        return (doc_id * 7 + y * 31 + x * 13 + c * 5) % 256
+
+    raws = [
+        bytes(
+            val(x, y, c) for x in range(w) for c in range(bpp)
+        )
+        for y in range(h)
+    ]
+    filtered = bytearray()
+    prior = bytes(stride)
+    for y, raw in enumerate(raws):
+        f = (doc_id + y) % 5 if filter_heavy else 0
+        filtered.append(f)
+        if f == 0:
+            filtered += raw
+        elif f == 1:
+            filtered += bytes(
+                (raw[k] - (raw[k - bpp] if k >= bpp else 0)) & 255
+                for k in range(stride)
+            )
+        elif f == 2:
+            filtered += bytes(
+                (raw[k] - prior[k]) & 255 for k in range(stride)
+            )
+        elif f == 3:
+            filtered += bytes(
+                (
+                    raw[k]
+                    - (((raw[k - bpp] if k >= bpp else 0) + prior[k]) >> 1)
+                )
+                & 255
+                for k in range(stride)
+            )
+        else:
+            filtered += bytes(
+                (
+                    raw[k]
+                    - _paeth(
+                        raw[k - bpp] if k >= bpp else 0,
+                        prior[k],
+                        prior[k - bpp] if k >= bpp else 0,
+                    )
+                )
+                & 255
+                for k in range(stride)
+            )
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_pixel_stats(payload: bytes):
     """REAL pixel decode for the uncompressed raster formats — no codec
     library needed, a pure-Python row-stride walk:
@@ -638,10 +833,14 @@ def decode_pixel_stats(payload: bytes):
       (stride = ceil(3w/4)*4), stored bottom-up when the
       BITMAPINFOHEADER height is positive and top-down when negative,
       B,G,R byte order within a pixel;
-    - PGM (P5): tokenized header (comments allowed), 8-bit raster.
+    - PGM (P5): tokenized header (comments allowed), 8-bit raster;
+    - PNG, non-interlaced 8-bit grayscale/truecolor: the one COMPRESSED
+      format decodable with the stdlib alone — IDAT inflated with
+      ``zlib``, the five scanline filters unapplied by `_png_decode`
+      (round-10 directive #1).
 
-    Compressed formats (PNG/GIF/JPEG, paletted/RLE BMP) stay declared
-    in `decode_image` — their rasters need a codec library this
+    Entropy-coded formats (JPEG/GIF, paletted/RLE BMP) stay declared in
+    `decode_image` — their rasters need codec libraries this
     environment lacks; headers are still parsed for real by
     `parse_image_header`.
 
@@ -653,6 +852,48 @@ def decode_pixel_stats(payload: bytes):
     order-invariant sums right and THIS column wrong."""
     import struct
 
+    png = _png_decode(payload)
+    if png is not None:
+        fmt, w, h, rows = png
+        if fmt == "png_rgb8":
+            sr = sg = sb = 0
+            mn, mx = 255, 0
+            top_row_sum = 0
+            for y in range(h):
+                row = rows[y]
+                row_sum = 0
+                for x in range(w):
+                    r, g, b = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                    sr += r
+                    sg += g
+                    sb += b
+                    lo = min(r, g, b)
+                    hi = max(r, g, b)
+                    if lo < mn:
+                        mn = lo
+                    if hi > mx:
+                        mx = hi
+                    row_sum += r + g + b
+                if y == 0:
+                    top_row_sum = row_sum
+            return (fmt, w, h, w * h, sr, sg, sb, mn, mx, top_row_sum)
+        s = 0
+        mn, mx = 255, 0
+        top_row_sum = 0
+        for y in range(h):
+            row = rows[y]
+            row_sum = 0
+            for x in range(w):
+                v = row[x]
+                s += v
+                if v < mn:
+                    mn = v
+                if v > mx:
+                    mx = v
+                row_sum += v
+            if y == 0:
+                top_row_sum = row_sum
+        return (fmt, w, h, w * h, s, s, s, mn, mx, top_row_sum)
     n = len(payload)
     if (
         n >= 54
@@ -726,25 +967,38 @@ def decode_pixel_stats(payload: bytes):
 def synth_pixel_payload(doc_id: int, text: str) -> bytes:
     """Deterministic COMPLETE-raster plants for the pixel-decode oracle:
     value(x, y, c) = (doc_id*7 + y*31 + x*13 + c*5) % 256 with c = 0/1/2
-    for R/G/B (PGM gray uses c=0), y counted from the TOP row. doc_id%4
-    picks the variant: 0 = 24-bit BMP bottom-up (file rows reversed,
-    stride-padded), 1 = 24-bit BMP top-down (negative height), 2 = PGM
-    P5 with a comment line (forces real header tokenization), 3 = raw
-    non-image text. Dimensions 3–8 × 2–6 sweep every stride-padding
-    remainder (3w % 4 ∈ {0,1,2,3}). decode(synth(doc_id)) must invert
-    the plant byte-for-byte — the decoder's stride/row-order/channel
-    walk is what the oracle checks."""
+    for R/G/B (grayscale formats use c=0), y counted from the TOP row.
+    doc_id % 6 picks the variant: 0 = 24-bit BMP bottom-up (file rows
+    reversed, stride-padded), 1 = 24-bit BMP top-down (negative height),
+    2 = PGM P5 with a comment line (forces real header tokenization),
+    3 = raw non-image text, 4 = PNG 8-bit truecolor with per-row
+    CYCLING scanline filters ((doc_id+y) % 5 — every unfilter path),
+    5 = PNG 8-bit grayscale, alternating all-filter-0 / filter-heavy by
+    plant period (round-10 directive #1: filter-0 AND filter-heavy).
+    Dimensions derive from q = doc_id // 6 (w = 3 + q%6, h = 2 + q%5) —
+    DECOUPLED from the kind selector so each variant still sweeps every
+    stride-padding remainder (3w % 4 ∈ {0,1,2,3}) and every filter id.
+    decode(synth(doc_id)) must invert the plant byte-for-byte — the
+    decoder's stride/row-order/channel/filter walk is what the oracle
+    checks."""
     import struct
 
-    kind = doc_id % 4
+    kind = doc_id % 6
     if kind == 3:
         return text.encode("utf-8") or b"\x00"
-    w = 3 + doc_id % 6
-    h = 2 + doc_id % 5
+    q = doc_id // 6
+    w = 3 + q % 6
+    h = 2 + q % 5
 
     def val(x: int, y: int, c: int) -> int:
         return (doc_id * 7 + y * 31 + x * 13 + c * 5) % 256
 
+    if kind == 4:
+        return synth_png_payload(doc_id, w, h, gray=False, filter_heavy=True)
+    if kind == 5:
+        return synth_png_payload(
+            doc_id, w, h, gray=True, filter_heavy=q % 2 == 1
+        )
     if kind == 2:
         header = b"P5\n# plant %d\n%d %d\n255\n" % (doc_id, w, h)
         data = bytes(val(x, y, 0) for y in range(h) for x in range(w))

@@ -4359,9 +4359,9 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_pixel_stats",
     oracle="""
     WITH p AS (
-      SELECT doc_id, doc_id % 4 AS kind,
-             3 + doc_id % 6 AS w,
-             2 + doc_id % 5 AS h
+      SELECT doc_id, doc_id % 6 AS kind,
+             3 + (doc_id // 6) % 6 AS w,
+             2 + (doc_id // 6) % 5 AS h
       FROM documents
     ),
     px AS (
@@ -4385,14 +4385,17 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM px GROUP BY doc_id, kind, w, h
     ),
     m AS (
-      SELECT CASE WHEN kind = 2 THEN 'pgm' ELSE 'bmp24' END AS format,
+      SELECT CASE WHEN kind = 2 THEN 'pgm'
+                  WHEN kind = 4 THEN 'png_rgb8'
+                  WHEN kind = 5 THEN 'png_gray8'
+                  ELSE 'bmp24' END AS format,
              w * h AS npix,
              s0 AS sr,
-             CASE WHEN kind = 2 THEN s0 ELSE s1 END AS sg,
-             CASE WHEN kind = 2 THEN s0 ELSE s2 END AS sb,
-             CASE WHEN kind = 2 THEN mn1 ELSE mn3 END AS mn,
-             CASE WHEN kind = 2 THEN mx1 ELSE mx3 END AS mx,
-             CASE WHEN kind = 2 THEN tr1 ELSE tr3 END AS trs
+             CASE WHEN kind IN (2, 5) THEN s0 ELSE s1 END AS sg,
+             CASE WHEN kind IN (2, 5) THEN s0 ELSE s2 END AS sb,
+             CASE WHEN kind IN (2, 5) THEN mn1 ELSE mn3 END AS mn,
+             CASE WHEN kind IN (2, 5) THEN mx1 ELSE mx3 END AS mx,
+             CASE WHEN kind IN (2, 5) THEN tr1 ELSE tr3 END AS trs
       FROM d
       UNION ALL
       SELECT 'raw', NULL, NULL, NULL, NULL, NULL, NULL, NULL
@@ -4415,23 +4418,28 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L19 pixel leg (round-10 directive #4) — REAL pixel decode, no
-    codec libs: uncompressed rasters need only byte arithmetic, so the
-    one remaining `NotImplementedError` in the multimodal trio becomes
-    a real decode for two formats. Planted 24-bit BI_RGB BMPs (both
+    """L19 pixel leg (round-9 directive #4 + round-10 directive #1) —
+    REAL pixel decode, no codec libs: uncompressed rasters need only
+    byte arithmetic, and PNG's codec (DEFLATE) ships in the stdlib, so
+    FOUR formats decode for real. Planted 24-bit BI_RGB BMPs (both
     bottom-up and top-down row order, stride padded to 4-byte
-    multiples, B,G,R byte order) and binary PGMs (tokenized header with
-    a comment line) stream through the Arrow `mapInPandas` decoder
-    (`llmdata/multimodal.py:decode_pixel_stats` — a pure-Python
-    row-stride walk), then a per-format census of EXACT integer channel
-    sums, extrema and pixel-weighted channel means. ``top_row_sum``
-    (channel sum over the TOP logical row) is row-order-sensitive: it
-    pins the bottom-up/top-down handling that order-invariant sums
-    cannot. The oracle replays the plant arithmetic
-    value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256 on a generated
-    pixel grid — decode(synth(doc_id)) must invert the plant
-    byte-for-byte. Compressed formats (PNG/GIF/JPEG) stay declared in
-    `decode_image`; raw payloads come back NULL-metric.
+    multiples, B,G,R byte order), binary PGMs (tokenized header with a
+    comment line), and non-interlaced 8-bit PNGs — truecolor with
+    CYCLING scanline filters ((doc_id+y) % 5, every
+    None/Sub/Up/Average/Paeth unfilter path exercised) and grayscale
+    alternating filter-0/filter-heavy — stream through the Arrow
+    `mapInPandas` decoder (`llmdata/multimodal.py:decode_pixel_stats`;
+    PNG via `_png_decode`: CRC-verified chunk walk, zlib inflate,
+    filter inversion), then a per-format census of EXACT integer
+    channel sums, extrema and pixel-weighted channel means.
+    ``top_row_sum`` (channel sum over the TOP logical row) is
+    row-order-sensitive: it pins the bottom-up/top-down handling that
+    order-invariant sums cannot. The oracle replays the plant
+    arithmetic value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256 on a
+    generated pixel grid — decode(synth(doc_id)) must invert BOTH the
+    DEFLATE stream and the filter chain byte-for-byte. Entropy-coded
+    formats (JPEG/GIF) stay declared in `decode_image`; raw payloads
+    come back NULL-metric.
 
     Scale: one Arrow pass over payload bytes, integer sums (not per-doc
     float means) cross the boundary, and the census after is

@@ -765,28 +765,33 @@ def test_wav_chunk_walk_skips_unknown_and_pads():
 
 def test_pixel_decode_inverts_plant_sweep():
     """decode_pixel_stats must invert synth_pixel_payload byte-for-byte
-    across every (variant, stride-padding, row-order) combination in
-    the plant's period."""
-    for d in range(0, 240):
+    across every (variant, stride-padding, row-order, PNG-filter)
+    combination in the plant's period — 360 ids covers two full periods
+    of the (kind % 6, q % 30) grid, so every BMP stride remainder and
+    every PNG filter id appears under every variant."""
+    for d in range(0, 360):
         out = multimodal.decode_pixel_stats(
             multimodal.synth_pixel_payload(d, "sample text payload")
         )
-        kind = d % 4
+        kind = d % 6
         if kind == 3:
             assert out is None
             continue
-        w, h = 3 + d % 6, 2 + d % 5
+        q = d // 6
+        w, h = 3 + q % 6, 2 + q % 5
 
         def val(x, y, c):
             return (d * 7 + y * 31 + x * 13 + c * 5) % 256
 
-        if kind == 2:
+        if kind in (2, 5):  # the grayscale formats: PGM and PNG gray8
+            fmt = "pgm" if kind == 2 else "png_gray8"
             vs = [val(x, y, 0) for y in range(h) for x in range(w)]
             assert out == (
-                "pgm", w, h, w * h, sum(vs), sum(vs), sum(vs),
+                fmt, w, h, w * h, sum(vs), sum(vs), sum(vs),
                 min(vs), max(vs), sum(val(x, 0, 0) for x in range(w)),
             )
-        else:
+        else:  # the 3-channel formats: BMP (both orders) and PNG rgb8
+            fmt = "png_rgb8" if kind == 4 else "bmp24"
             flat = [
                 val(x, y, c)
                 for y in range(h)
@@ -794,7 +799,7 @@ def test_pixel_decode_inverts_plant_sweep():
                 for c in range(3)
             ]
             assert out == (
-                "bmp24", w, h, w * h,
+                fmt, w, h, w * h,
                 sum(val(x, y, 0) for y in range(h) for x in range(w)),
                 sum(val(x, y, 1) for y in range(h) for x in range(w)),
                 sum(val(x, y, 2) for y in range(h) for x in range(w)),
@@ -803,18 +808,76 @@ def test_pixel_decode_inverts_plant_sweep():
             )
 
 
+def test_png_decode_filter_paths_are_real():
+    """Filter-heavy and filter-0 encodings of the SAME logical image
+    must decode identically — if any unfilter path (Sub/Up/Average/
+    Paeth) were wrong, the two would disagree somewhere in the sweep;
+    pinning equality across encodings isolates the filter algebra from
+    the plant arithmetic."""
+    for d in (4, 10, 46, 100, 154, 208):  # kind-4 ids, varied (w, h)
+        q = d // 6
+        w, h = 3 + q % 6, 2 + q % 5
+        heavy = multimodal.synth_png_payload(
+            d, w, h, gray=False, filter_heavy=True
+        )
+        plain = multimodal.synth_png_payload(
+            d, w, h, gray=False, filter_heavy=False
+        )
+        assert heavy != plain  # genuinely different byte streams
+        assert multimodal.decode_pixel_stats(
+            heavy
+        ) == multimodal.decode_pixel_stats(plain)
+    # grayscale too
+    g_heavy = multimodal.synth_png_payload(11, 6, 4, True, True)
+    g_plain = multimodal.synth_png_payload(11, 6, 4, True, False)
+    assert g_heavy != g_plain
+    assert multimodal.decode_pixel_stats(
+        g_heavy
+    ) == multimodal.decode_pixel_stats(g_plain)
+
+
+def test_png_decode_rejects_corruption_and_out_of_scope():
+    """CRC verification and scope gates: a flipped raster byte, a
+    truncated IDAT, a missing IEND, interlace, 16-bit depth, and
+    palette color all return None — corruption can never silently skew
+    a channel sum."""
+    import struct
+    import zlib
+
+    good = multimodal.synth_png_payload(4, 5, 3, gray=False, filter_heavy=True)
+    assert multimodal.decode_pixel_stats(good) is not None
+    # flip one byte inside the IDAT body → CRC mismatch → reject
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 6] ^= 0xFF
+    assert multimodal.decode_pixel_stats(bytes(bad)) is None
+    # truncation anywhere in the chunk stream
+    assert multimodal.decode_pixel_stats(good[:-8]) is None
+    # IHDR variants out of the declared scope: rebuild with the same
+    # helper so CRCs are VALID and only the gate under test rejects
+    def rebuild(depth=8, ctype=2, inter=0):
+        ihdr = struct.pack(">IIBBBBB", 5, 3, depth, ctype, 0, 0, inter)
+        raw = bytes(16 * ((5 * (3 if ctype == 2 else 1) + 1) * 3 // 16 + 1))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+
+    assert multimodal.decode_pixel_stats(rebuild(depth=16)) is None
+    assert multimodal.decode_pixel_stats(rebuild(ctype=3)) is None
+    assert multimodal.decode_pixel_stats(rebuild(inter=1)) is None
+
+
 def test_pixel_decode_row_order_is_real():
     """top_row_sum must differ between the bottom-up and top-down
     encodings of the SAME logical image only if the decoder ignored the
     height sign — i.e. both encodings must yield IDENTICAL stats. A
     decoder that read file rows as logical rows would get
     top_row_sum wrong on exactly one of the two."""
-    # doc_ids 0 and 1 share no dims; craft both orders from one plant
-    # by re-encoding: use two ids with equal (w, h) but different kinds
-    # kind = id % 4, w = 3 + id % 6, h = 2 + id % 5 → ids 12 (kind 0,
-    # bottom-up, w=9? no w=3+0=3... compute: 12%6=0→w=3, 12%5=2→h=4)
-    # and 13 (kind 1, top-down, w=4, h=5) differ in dims, so instead
-    # flip the height sign of a bottom-up plant WITHOUT reversing rows:
+    # flip the height sign of a bottom-up plant WITHOUT reversing rows
+    # (id 12: kind = 12 % 6 = 0 → bottom-up BMP, q=2 → w=5, h=4):
     import struct
 
     p = bytearray(multimodal.synth_pixel_payload(12, "t"))  # bottom-up
