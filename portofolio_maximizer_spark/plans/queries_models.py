@@ -2101,7 +2101,14 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py), so the batch gap-session SQL IS the
     expected output: Spark merges sessions whose [ts, ts+gap) windows
     overlap, i.e. a new session starts exactly when the gap to the
-    previous event is >= the 30-minute gap."""
+    previous event is >= the 30-minute gap.
+
+    State store: drains on the bundled ROCKSDB provider (round-10
+    directive #3; see streaming_dedup_census for the rationale) — the
+    session-window merge state lives on local disk instead of executor
+    heap, results provider-invariant by the oracle + the equality pin
+    in tests/test_streaming.py, provider + rocksdb custom metrics
+    recorded in DRAIN_PROGRESS['q_stream_sessions']."""
     from ..streaming import (
         drain_session,
         events_stream,
@@ -2110,7 +2117,7 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _prefetch_streaming_family(spark, sf_dir)
-    child = drain_session(spark)
+    child = drain_session(spark, state_provider="rocksdb")
     out = run_to_memory(
         session_rollup(events_stream(child, sf_dir), gap="30 minutes"),
         "q_stream_sessions",
@@ -4086,7 +4093,17 @@ def streaming_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: dedup of exact re-deliveries is set semantics — unique =
     the batch row count, removed = the planted duplicate count, both
-    re-derived from the raw events table."""
+    re-derived from the raw events table.
+
+    State store: this drain runs on the bundled ROCKSDB provider
+    (round-10 directive #3) — dedup state is the family's largest
+    (one row per in-watermark event id), and the default HDFS-backed
+    provider holds all of it in executor heap; RocksDB keeps it on
+    local disk with bounded memory, the provider a production-scale
+    stream would run. The oracle (and the provider-equality pin in
+    tests/test_streaming.py) shows results are provider-invariant;
+    DRAIN_PROGRESS['q_stream_dedup'] records the provider + the
+    engine's rocksdb custom metrics as proof it actually served."""
     from ..streaming import (
         dedupe_within_watermark,
         drain_session,
@@ -4095,7 +4112,9 @@ def streaming_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _prefetch_streaming_family(spark, sf_dir)
-    st = events_stream(drain_session(spark), sf_dir)
+    st = events_stream(
+        drain_session(spark, state_provider="rocksdb"), sf_dir
+    )
     redelivered = st.unionByName(st.filter(F.col("event_id") % 3 == 0))
     out = run_to_memory(
         dedupe_within_watermark(redelivered),

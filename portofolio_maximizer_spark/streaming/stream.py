@@ -281,7 +281,14 @@ from ..operators.memo import _CHECKPOINT_CACHE as _DRAIN_CACHE  # noqa: E402
 from ..operators.memo import memoize_checkpoint as memoize_drain  # noqa: E402
 
 
-def drain_session(spark, partitions: int = 8):
+#: the RocksDB state-store provider bundled with Spark — no extra jars
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def drain_session(spark, partitions: int = 8, state_provider: str | None = None):
     """Child session (shared SparkContext, isolated SQLConf) sized for an
     availableNow drain: every stateful streaming operator bootstraps one
     state store per shuffle partition, so at test volumes 32 partitions
@@ -290,9 +297,29 @@ def drain_session(spark, partitions: int = 8):
     the operators are partition-count agnostic and the drained RESULTS
     are partition-count invariant (aggregations/session merges don't
     depend on the shuffle layout). Isolated conf means concurrent family
-    drains can't race each other's settings."""
+    drains can't race each other's settings.
+
+    ``state_provider="rocksdb"`` switches the child to Spark's bundled
+    RocksDB state store (round-10 directive #3): the default
+    HDFS-backed provider keeps every state row in EXECUTOR HEAP — the
+    known scale ceiling for the 1M-row dedup/session states already
+    measured in the decade tables — while RocksDB spills state to local
+    disk with bounded memory, which is the provider a 100 TB deployment
+    would run. Results are provider-invariant (the store is a KV layer
+    under the same operators — equality is pinned in
+    tests/test_streaming.py and by the dedup/session oracles);
+    `DRAIN_PROGRESS` records which provider served each drain plus
+    engine-side proof (rocksdb custom metrics in the progress events)."""
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    if state_provider == "rocksdb":
+        child.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+    elif state_provider is not None:
+        child.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", state_provider
+        )
     return child
 
 
@@ -342,6 +369,25 @@ def _record_drain_progress(
                     for op in p.get("stateOperators", [])
                 ),
             )
+        # which state-store provider served this drain: the session conf
+        # names it, and the progress events carry engine-side PROOF —
+        # RocksDB's stateOperators emit rocksdb* custom metrics the
+        # HDFS-backed provider never does (round-10 directive #3's
+        # evidence channel)
+        provider = "HDFSBackedStateStoreProvider"
+        if session is not None:
+            try:
+                provider = session.conf.get(
+                    "spark.sql.streaming.stateStore.providerClass"
+                ).rsplit(".", 1)[-1]
+            except Exception:  # noqa: BLE001 — unset = default provider
+                pass
+        rocksdb_seen = any(
+            "rocksdb" in k.lower()
+            for p in progress
+            for op in p.get("stateOperators", [])
+            for k in (op.get("customMetrics") or {})
+        )
         rec = {
             "seq": next(_DRAIN_SEQ),
             "n_batches": len(progress),
@@ -352,6 +398,8 @@ def _record_drain_progress(
                 for p in progress
             ),
             "progress_capped": len(progress) >= cap,
+            "state_provider": provider,
+            "rocksdb_metrics_seen": rocksdb_seen,
         }
         # observable metrics (df.observe + CollectMetrics): per-batch
         # engine-computed aggregates of the ACTUAL rows that flowed —

@@ -445,3 +445,89 @@ def test_observed_metrics_three_way_agreement(spark, sf_dir):
     assert abs(rec["observed"]["ingest.value_mass"] - batch_mass) < 1e-6 * max(
         1.0, abs(batch_mass)
     )
+
+
+def test_rocksdb_state_store_provider_equality(spark, sf_dir):
+    """Round-10 directive #3: the dedup drain on the bundled RocksDB
+    state-store provider must produce EXACTLY the default
+    (HDFS-backed, executor-heap) provider's rows, and the evidence
+    channel must say which provider served — including engine-side
+    proof (rocksdb custom metrics appear in the progress events only
+    when RocksDB actually ran the state)."""
+
+    def drain(provider, qname):
+        child = ST.drain_session(spark, state_provider=provider)
+        st = ST.events_stream(child, sf_dir)
+        redelivered = st.unionByName(st.filter(F.col("event_id") % 3 == 0))
+        out = ST.run_to_memory(
+            ST.dedupe_within_watermark(redelivered), qname
+        )  # no cache_key: both drains must really run
+        return sorted(
+            (r.user_id, r.event_id) for r in out.collect()
+        )
+
+    default_rows = drain(None, "t_rocks_default")
+    rocks_rows = drain("rocksdb", "t_rocks_rocksdb")
+    assert rocks_rows == default_rows
+    assert len(rocks_rows) > 0
+    d_rec = ST.DRAIN_PROGRESS[("t_rocks_default", None)]
+    r_rec = ST.DRAIN_PROGRESS[("t_rocks_rocksdb", None)]
+    assert d_rec["state_provider"] == "HDFSBackedStateStoreProvider"
+    assert d_rec["rocksdb_metrics_seen"] is False
+    assert r_rec["state_provider"] == "RocksDBStateStoreProvider"
+    assert r_rec["rocksdb_metrics_seen"] is True
+    # both providers saw the same stream and carried real state
+    assert r_rec["input_rows"] == d_rec["input_rows"] > 0
+    assert r_rec["state_rows_peak"] > 0
+
+
+def test_session_rollup_rocksdb_matches_batch(spark, sf_dir, batch_events):
+    """The session-window drain on RocksDB equals the batch
+    sessionization — the second oracle-backed streaming shape pinned
+    provider-invariant (state here is merge-heavy RANGE state, a
+    different access pattern from dedup's point lookups)."""
+    child = ST.drain_session(spark, state_provider="rocksdb")
+    out = ST.run_to_memory(
+        ST.session_rollup(ST.events_stream(child, sf_dir), gap="30 minutes"),
+        "t_rocks_sessions",
+    )
+    rec = ST.DRAIN_PROGRESS[("t_rocks_sessions", None)]
+    assert rec["state_provider"] == "RocksDBStateStoreProvider"
+    assert rec["rocksdb_metrics_seen"] is True
+    from pyspark.sql import Window
+
+    gap_ms = 30 * 60 * 1000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = batch_events.withColumn(
+        "gap_ms",
+        F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)),
+    ).withColumn(
+        "sid",
+        F.sum(
+            (
+                F.col("gap_ms").isNull() | (F.col("gap_ms") >= gap_ms)
+            ).cast("int")
+        ).over(w),
+    )
+    wm = batch_events.agg(
+        (F.unix_millis(F.max("ts")) - gap_ms).alias("wm")
+    ).collect()[0].wm
+    batch = (
+        e.groupBy("user_id", "sid")
+        .agg(
+            F.unix_millis(F.min("ts")).alias("start_ms"),
+            F.count(F.lit(1)).alias("n"),
+            F.unix_millis(F.max("ts")).alias("end_ms"),
+        )
+        .filter(F.col("end_ms") + gap_ms <= wm)
+    )
+    got = sorted(
+        (r.user_id, r.start_ms, r.n_events)
+        for r in out.select(
+            "user_id",
+            F.unix_millis("session_start").alias("start_ms"),
+            "n_events",
+        ).collect()
+    )
+    want = sorted((r.user_id, r.start_ms, r.n) for r in batch.collect())
+    assert got == want and len(got) > 0
