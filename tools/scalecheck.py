@@ -23,12 +23,26 @@ Tiling rules (honesty notes):
 - fact keys (event/user/order/cust/doc/vec ids) offset by replica *
   (max_key + 1) consistently across tables, so joins stay valid and
   per-key row counts are UNCHANGED — 10x keys, not 10x-hot keys;
-- document text gets a per-replica suffix token and n_chars is
-  recomputed, so exact-dup structure is preserved (each replica is a
-  distinct text) without creating cross-replica exact duplicates;
-  near-dup-family queries are deliberately NOT in the timed set (the
-  replicas ARE near-duplicates of each other — that would measure a
-  data-character change, not scale);
+- document text: every TOKEN gets a per-replica prefix (a bijective
+  token renaming applied uniformly within each replica). Within a
+  replica, every token/shingle/gram relation — and therefore the
+  exact-dup, near-dup, and substring-dup structure — is EXACTLY the
+  original corpus's; across replicas the token sets are disjoint, so
+  dup DENSITY is preserved at 10x volume (each replica contributes the
+  original corpus's dup pairs; totals scale linearly). This is the
+  honest scale model for dedup: 10x more corpus with the same
+  duplication rate — the round-10 suffix-token tiling instead made
+  every replica a near-duplicate of its siblings, which is why the
+  dedup family could not be timed before (a 10-doc cross-replica
+  clique per original doc is a DATA-CHARACTER change: candidate pairs
+  grow 45x when the data grows 10x);
+- embeddings: per-replica deterministic SIGN FLIP (element i negated
+  when xxhash64(i, replica) is odd). A shared sign pattern is an
+  isometry — every within-replica dot product, norm, and cosine is
+  bit-preserved — while cross-replica cosines of identical source
+  vectors become sign-randomized sums that land far below the
+  semantic-dup tau, so semantic-dup density is preserved at 10x
+  volume (same argument as the token renaming);
 - dims (region/nation/part/supplier) are copied once — they are
   bounded reference data at any sf.
 
@@ -76,6 +90,14 @@ QUERIES = [
     # the mergeable-rollup refresh (map-side-combining sub-aggregates)
     "aqe_skew_join_rollup",
     "incremental_rollup_merge",
+    # round-11 (round-10 directive #4): the heavy dedup/ANN paths —
+    # timeable now that the tiling preserves dup DENSITY (see honesty
+    # notes): the gram-hash shuffle (linear, no pairwise stage), the
+    # MinHash/LSH band shuffle with candidate verification, and the
+    # cluster-confined semantic pairwise stage
+    "substring_dedup_spans",
+    "minhash_lsh_neardups",
+    "semantic_dedup_keeplist",
 ]
 
 #: decade-2 subset: the cheapest SHAPE-DIVERSE queries (scan+agg,
@@ -89,6 +111,14 @@ QUERIES2 = [
     "hourly_bars_atr",
     "customer_spend_deciles",
     "skew_salted_rollup",
+    # round-11 (round-10 directive #6): the round-10 mechanisms at the
+    # second decade. Both read only events. At sf1/sf10 the R162
+    # replication factor is 1 (nrep = ceil(100k/n)), so the hot key is
+    # the ORGANIC 2/3 of events — 6.7M rows at sf10, a true 100x of the
+    # sf0.1 hot partition; the flat-peak claim is re-demonstrated where
+    # it matters
+    "aqe_skew_join_rollup",
+    "incremental_rollup_merge",
 ]
 #: tables the decade-2 set reads (documents/embeddings are skipped at
 #: sf10 — none of QUERIES2 touch them, and the near-dup caveat above
@@ -146,15 +176,44 @@ def build_tiled(
         )
 
     def retext(out):
+        # bijective per-replica token renaming: prefix every token with
+        # q<rep>z. Uniform within a replica → all token/shingle/gram
+        # structure (exact/near/substring dup relations) is EXACTLY the
+        # original corpus's; disjoint across replicas → dup density
+        # preserved at 10x volume (see module honesty notes)
+        prefix = F.concat(
+            F.lit("q"), F.col("_rep").cast("string"), F.lit("z")
+        )
         return out.withColumn(
             "text",
-            F.concat(
-                F.col("text"), F.lit(" zqrep"), F.col("_rep").cast("string")
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.when(
+                        t == "", t
+                    ).otherwise(F.concat(prefix, t)),
+                ),
+                " ",
             ),
         ).withColumn("n_chars", F.length("text"))
 
+    def reembed(out):
+        # per-replica deterministic sign flip: an isometry within each
+        # replica (dot products/norms/cosines bit-preserved), cross-
+        # replica cosines sign-randomized (see module honesty notes)
+        return out.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(i, F.col("_rep")), F.lit(2)) == 0, x
+                ).otherwise(-x),
+            ),
+        )
+
+    extras = {"documents": retext, "embeddings": reembed}
     for t in tables:
-        tile(t, KEY_WIDTHS[t], extra=retext if t == "documents" else None)
+        tile(t, KEY_WIDTHS[t], extra=extras.get(t))
     for t in ("region", "nation", "part", "supplier"):
         shutil.copy(
             os.path.join(src, f"{t}.parquet"),
