@@ -2328,6 +2328,94 @@ def streaming_upsert_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_manifest_sink_census",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_manifest_sink_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T10/S5W-stream: the STREAMING half of the manifest-commit sink —
+    the events stream drained through
+    ``writeStream.format("manifest_jsonl")`` (the public Python
+    DataSourceStreamWriter API, `sources/pydatasource.py:
+    ManifestJsonlStreamWriter`): per-task JSONL parts, a per-epoch
+    ``_BATCH_<id>.json`` manifest committed atomically per micro-batch,
+    and the union ``_MANIFEST.json`` readers trust. The census reads
+    BACK only manifest-listed parts and must reproduce the raw events
+    table exactly — any part lost, duplicated (a replayed epoch's
+    superseded attempt not swept), or double-listed surfaces as a count
+    or value-sum mismatch. Exactly-once-under-replay and
+    abort-preserves-prior-epochs are pinned protocol-level in
+    tests/test_pydatasource.py; the sum crosses the JSON round trip as
+    per-row DECIMAL(18,6) so both engines add identical quantized
+    values. Reference anchor: the poll-loop landing of
+    etl/real_time_extractor.py expressed as an engine-visible sink
+    contract instead of a bespoke file protocol."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from ..sources import pydatasource
+    from ..streaming import events_stream
+    from ..streaming.stream import memoize_drain
+
+    _prefetch_streaming_family(spark, sf_dir)
+
+    def _drain_and_census() -> DataFrame:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_manifest_sink_{tag}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        # ROOT session throughout (the S12 stream-reader precedent):
+        # Python DataSource resolution mixes a shared JVM registry with
+        # per-session Python state — registering on root but draining on
+        # a child fails at micro-batch execution (measured:
+        # DATA_SOURCE_NOT_EXIST mid-stream). The drain is STATELESS
+        # (source→sink passthrough, no aggregation), so the child
+        # session's state-store-per-partition sizing would buy nothing
+        pydatasource.register_sink(spark)
+        stream = events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        q = (
+            stream.writeStream.format("manifest_jsonl")
+            .option("path", os.path.join(root, "sink"))
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = pydatasource.read_manifest_jsonl(
+            spark, os.path.join(root, "sink")
+        )
+        return back.groupBy("event_type").agg(
+            FF.count(FF.lit(1)).cast("long").alias("n_rows"),
+            FF.countDistinct("user_id").cast("long").alias("n_users"),
+            FF.round(
+                FF.sum(FF.col("value").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_value"),
+        )
+
+    return memoize_drain(
+        spark, "q_manifest_sink_census", sf_dir, _drain_and_census
+    )
+
+
+@query(
     "streaming_view_purchase_join",
     oracle="""
     WITH v AS (

@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -544,12 +545,152 @@ class ManifestJsonlWriter(DataSourceWriter):
                     pass
 
 
+def _list_batch_manifests(fs, base: str) -> list[str]:
+    """Base names of the per-epoch ``_BATCH_*.json`` manifests."""
+    from pyarrow import fs as pafs
+
+    infos = fs.get_file_info(pafs.FileSelector(base, allow_not_found=True))
+    return [
+        info.base_name
+        for info in infos
+        if info.type == pafs.FileType.File
+        and info.base_name.startswith("_BATCH_")
+        and info.base_name.endswith(".json")
+    ]
+
+
+class ManifestJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the manifest-commit sink (T10): per-task part
+    files exactly like the batch writer, but visibility is committed
+    PER EPOCH — ``commit(messages, batchId)`` publishes
+    ``_BATCH_<id>.json`` for the epoch, then rebuilds ``_MANIFEST.json``
+    as the union of every batch manifest (same atomic same-store rename
+    as the batch half, same `_sink_fs` filesystem resolution, so the
+    cluster-portability story is shared).
+
+    EXACTLY-ONCE is manifest idempotence: after a failure the engine
+    restarts from the checkpoint and RE-RUNS the last epoch, delivering
+    a second commit for an already-committed batchId with fresh
+    (differently-named) parts. The re-commit REPLACES the epoch's batch
+    manifest and the superseded attempt's parts are swept with the
+    orphan sweep — a reader can never see rows from two attempts of one
+    epoch, which is precisely the foreachBatch-idempotence contract
+    (`streaming/stream.py:run_upsert_sink`) expressed through the
+    public DataSourceStreamWriter API. ``abort(messages, batchId)``
+    sweeps everything not reachable from the PUBLISHED batch manifests:
+    prior epochs stay visible, the failed epoch vanishes."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path") or options.get("sink_path")
+        if not self.path:
+            raise ValueError("manifest_jsonl sink requires a path option")
+        self.fail_partition = int(options.get("fail_partition", -1))
+
+    # executor half — identical protocol to the batch writer
+    def write(self, iterator):
+        import json
+        import uuid
+
+        from pyspark import TaskContext
+
+        fs, base = _sink_fs(self.path)
+        fs.create_dir(base, recursive=True)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        if pid == self.fail_partition:
+            raise RuntimeError(f"injected write failure in partition {pid}")
+        part = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.jsonl"
+        rows = 0
+        with fs.open_output_stream(f"{base}/{part}") as f:
+            for row in iterator:
+                f.write(
+                    (json.dumps(row.asDict(), default=str) + "\n").encode(
+                        "utf-8"
+                    )
+                )
+                rows += 1
+        return _PartCommit(part, rows)
+
+    def _visible_parts(self, fs, base: str) -> set[str]:
+        """Every part listed by a published batch manifest."""
+        import json
+
+        visible: set[str] = set()
+        for bm in _list_batch_manifests(fs, base):
+            with fs.open_input_stream(f"{base}/{bm}") as f:
+                visible |= {
+                    p["file"]
+                    for p in json.loads(f.read().decode("utf-8"))["parts"]
+                }
+        return visible
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        fs, base = _sink_fs(self.path)
+        fs.create_dir(base, recursive=True)
+        parts = [
+            {"file": m.part, "rows": m.rows}
+            for m in messages
+            if m is not None
+        ]
+        bman = {
+            "batch_id": batchId,
+            "parts": parts,
+            "total_rows": sum(p["rows"] for p in parts),
+        }
+        tmp = f"{base}/_BATCH_{batchId}.json.tmp"
+        with fs.open_output_stream(tmp) as f:
+            f.write(json.dumps(bman).encode("utf-8"))
+        # the rename REPLACES any prior attempt's manifest for this epoch
+        fs.move(tmp, f"{base}/_BATCH_{batchId}.json")
+        # rebuild the union manifest (the batch reader's entry point)
+        visible = self._visible_parts(fs, base)
+        union_parts = []
+        total = 0
+        for bm in sorted(_list_batch_manifests(fs, base)):
+            with fs.open_input_stream(f"{base}/{bm}") as f:
+                b = json.loads(f.read().decode("utf-8"))
+            union_parts += b["parts"]
+            total += b["total_rows"]
+        tmp = f"{base}/_MANIFEST.json.tmp"
+        with fs.open_output_stream(tmp) as f:
+            f.write(
+                json.dumps(
+                    {"parts": union_parts, "total_rows": total}
+                ).encode("utf-8")
+            )
+        fs.move(tmp, f"{base}/_MANIFEST.json")
+        # sweep parts no batch manifest lists: a REPLAYED epoch's
+        # superseded attempt, or a cancelled task's orphan
+        for fn in _list_jsonl(fs, base):
+            if fn not in visible:
+                try:
+                    fs.delete_file(f"{base}/{fn}")
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        fs, base = _sink_fs(self.path)
+        visible = self._visible_parts(fs, base)
+        for fn in _list_jsonl(fs, base):
+            if fn not in visible:
+                try:
+                    fs.delete_file(f"{base}/{fn}")
+                except OSError:
+                    pass
+
+
 class ManifestJsonlDataSource(DataSource):
     """``df.write.format("manifest_jsonl").option("path", ...)`` — the
     write half of the Python DataSource surface (the read half is
     `SyntheticBarsDataSource`). Visibility protocol: parts land eagerly,
     the manifest publishes atomically on commit, aborted writes leave no
-    visible state."""
+    visible state. Batch writes get snapshot semantics
+    (`ManifestJsonlWriter`); streaming writes commit per epoch with
+    replay idempotence (`ManifestJsonlStreamWriter`). One MODE per
+    directory: the batch commit's snapshot sweep would collect a
+    streaming directory's other epochs (and vice versa), so a sink path
+    belongs to one writer kind for its lifetime."""
 
     @classmethod
     def name(cls) -> str:
@@ -560,6 +701,11 @@ class ManifestJsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "ManifestJsonlWriter":
         return ManifestJsonlWriter(self.options, overwrite)
+
+    def streamWriter(
+        self, schema, overwrite: bool
+    ) -> "ManifestJsonlStreamWriter":
+        return ManifestJsonlStreamWriter(self.options)
 
 
 def read_manifest_jsonl(spark, path: str):
@@ -580,4 +726,11 @@ def read_manifest_jsonl(spark, path: str):
 
 
 def register_sink(spark) -> None:
-    spark.dataSource.register(ManifestJsonlDataSource)
+    """Idempotent: re-registering the same name on a session (or on a
+    child whose registry is shared with its root) raises
+    DATA_SOURCE_ALREADY_EXISTS — already-registered IS the goal state."""
+    try:
+        spark.dataSource.register(ManifestJsonlDataSource)
+    except Exception as exc:  # noqa: BLE001
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise

@@ -353,3 +353,109 @@ def test_retry_rejects_zero_attempts():
         pydatasource.fetch_with_retry(t, "AAA", max_retries=0)
     with pytest.raises(ValueError, match="max_retries"):
         pydatasource.fetch_with_retry(t, "AAA", max_retries=-3)
+
+
+# ---------------------------------------------------------------------------
+# T10 — the STREAMING half of the manifest sink (per-epoch commit protocol)
+# ---------------------------------------------------------------------------
+
+
+def _mk_part(base, name, rows):
+    import json
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    with open(os.path.join(base, name), "w") as f:
+        for r in range(rows):
+            f.write(json.dumps({"r": r}) + "\n")
+
+
+def _msgs(names_rows):
+    return [pydatasource._PartCommit(n, r) for n, r in names_rows]
+
+
+def test_stream_sink_commit_accumulates_epochs(tmp_path):
+    """Each epoch's commit publishes its batch manifest and the union
+    manifest readers trust; prior epochs stay visible."""
+    import json
+    import os
+
+    base = str(tmp_path / "s")
+    w = pydatasource.ManifestJsonlStreamWriter({"path": base})
+    _mk_part(base, "part-a.jsonl", 3)
+    w.commit(_msgs([("part-a.jsonl", 3)]), batchId=0)
+    _mk_part(base, "part-b.jsonl", 2)
+    w.commit(_msgs([("part-b.jsonl", 2)]), batchId=1)
+    man = json.load(open(os.path.join(base, "_MANIFEST.json")))
+    assert {p["file"] for p in man["parts"]} == {
+        "part-a.jsonl", "part-b.jsonl"
+    }
+    assert man["total_rows"] == 5
+    assert os.path.exists(os.path.join(base, "_BATCH_0.json"))
+    assert os.path.exists(os.path.join(base, "_BATCH_1.json"))
+
+
+def test_stream_sink_replayed_epoch_is_exactly_once(tmp_path):
+    """A restarted stream RE-RUNS its last epoch with fresh part names:
+    the re-commit must REPLACE the epoch's manifest and sweep the
+    superseded attempt's parts — a reader can never see rows from two
+    attempts of one epoch (the exactly-once contract)."""
+    import json
+    import os
+
+    base = str(tmp_path / "s")
+    w = pydatasource.ManifestJsonlStreamWriter({"path": base})
+    _mk_part(base, "part-e0.jsonl", 3)
+    w.commit(_msgs([("part-e0.jsonl", 3)]), batchId=0)
+    _mk_part(base, "part-e1-try1.jsonl", 4)
+    w.commit(_msgs([("part-e1-try1.jsonl", 4)]), batchId=1)
+    # replay of epoch 1 after a simulated restart: new attempt, new part
+    _mk_part(base, "part-e1-try2.jsonl", 4)
+    w.commit(_msgs([("part-e1-try2.jsonl", 4)]), batchId=1)
+    man = json.load(open(os.path.join(base, "_MANIFEST.json")))
+    assert {p["file"] for p in man["parts"]} == {
+        "part-e0.jsonl", "part-e1-try2.jsonl"
+    }
+    assert man["total_rows"] == 7
+    # the superseded attempt's bytes are GONE, not just unlisted
+    assert not os.path.exists(os.path.join(base, "part-e1-try1.jsonl"))
+
+
+def test_stream_sink_abort_keeps_prior_epochs(tmp_path):
+    """abort sweeps only parts no published batch manifest lists: the
+    failed epoch vanishes, every committed epoch stays readable."""
+    import json
+    import os
+
+    base = str(tmp_path / "s")
+    w = pydatasource.ManifestJsonlStreamWriter({"path": base})
+    _mk_part(base, "part-ok.jsonl", 5)
+    w.commit(_msgs([("part-ok.jsonl", 5)]), batchId=0)
+    _mk_part(base, "part-doomed.jsonl", 9)  # epoch 1 task output, no commit
+    w.abort(_msgs([("part-doomed.jsonl", 9)]), batchId=1)
+    assert not os.path.exists(os.path.join(base, "part-doomed.jsonl"))
+    man = json.load(open(os.path.join(base, "_MANIFEST.json")))
+    assert {p["file"] for p in man["parts"]} == {"part-ok.jsonl"}
+
+
+def test_stream_sink_end_to_end_roundtrip(spark, tmp_path):
+    """writeStream.format('manifest_jsonl') through the engine: the
+    drained sink read back via the manifest reproduces the frame."""
+    src = str(tmp_path / "src")
+    df = _read(spark).select("ticker", "bar_id", "close")
+    df.write.mode("overwrite").parquet(src)
+    pydatasource.register_sink(spark)
+    q = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .writeStream.format("manifest_jsonl")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = pydatasource.read_manifest_jsonl(spark, str(tmp_path / "sink"))
+    got = sorted((r["ticker"], r["bar_id"]) for r in back.collect())
+    want = sorted((r["ticker"], r["bar_id"]) for r in df.collect())
+    assert got == want
