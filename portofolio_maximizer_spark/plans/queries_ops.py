@@ -10312,10 +10312,26 @@ def aqe_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim rows — same multiset). Plan contract pinned in
     tests/test_skew_bucketing.py: the post-execution adaptive plan
     carries a `skew=true` sort-merge join."""
+    # reducer count scales with fact volume (~50k rows per reducer,
+    # floor 32 — bytes-per-reducer sizing, the production defense this
+    # repo's decade notes state): OptimizeSkewedJoin's split target is
+    # max(advisoryPartitionSize, MEDIAN reduce-partition size), so with
+    # a FIXED reducer count the median — and therefore every split
+    # sub-partition, and the per-task peak — grows linearly with data
+    # (measured: 42→218 MB across sf1→sf10 at 32 reducers). Sizing
+    # reducers by volume holds the median constant and the split's
+    # per-task peak flat at any hot-key size. The pool profile carries
+    # the count (per-sf conf on a shared profile would race); unchanged
+    # at the oracle-gate SFs (floor applies there).
+    _probe = load_table(spark, sf_dir, "events")
+    n_events = _probe.count()
+    nrep = max(1, -(-100_000 // int(n_events)))
+    nshuf = max(32, -(-int(n_events) * nrep // 50_000))
     child = _conf_child_session(
         spark,
-        "aqe-skew",
+        f"aqe-skew-{nshuf}",
         {
+            "spark.sql.shuffle.partitions": str(nshuf),
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -10348,13 +10364,17 @@ def aqe_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic data-derived scalar the oracle replays), so the demo
     # triggers identically at every test scale while the rollup algebra
     # stays exact (every sum scales by nrep).
-    n_events = ev.count()
-    nrep = max(1, -(-100_000 // int(n_events)))
+    # mapper count scales with the same budget (a reduce partition
+    # splits at MAP-OUTPUT boundaries — on a real cluster mappers are
+    # input splits and scale with the data automatically; a fixed
+    # mapper count would put a linearly-growing floor under every
+    # sub-partition)
+    nmap = nshuf
     f = (
         ev.select(k.cast("long").alias("k"), "value")
         .crossJoin(F.broadcast(child.range(1, nrep + 1).select(F.lit(1).alias("_i"))))
         .drop("_i")
-        .repartition(32)
+        .repartition(nmap)
     )
     # dim = the key DOMAIN as a generated range (one-row driver scalar
     # for the bound — the repo's accepted pattern), NOT a dedup of the
