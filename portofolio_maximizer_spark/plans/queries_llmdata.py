@@ -2134,6 +2134,262 @@ ORACLE["ann_recall_eval"] = """
 """
 
 
+_NPROBE_LADDER = (1, 2, 4, 8, 16)
+
+
+@query("ivf_nprobe_recall_curve")
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L63: the IVF tuning curve — recall@5 AND candidates-scanned per
+    query at every nprobe in {1,2,4,8,16}. nprobe is THE serving knob of
+    an IVF deployment: more probed lists buy recall linearly in scan
+    cost, and the production decision ("which nprobe clears the recall
+    gate cheapest?") needs BOTH axes measured together — L32 pins one
+    operating point (4 probes), this query pins the whole frontier.
+
+    Shape: candidates in ALL 16 lists are scored ONCE, each carrying its
+    list's probe rank for the query; the per-nprobe top-5 is then a
+    filter (probe rank <= n) + window over the SAME scored frame — one
+    scoring pass, five cheap rank passes, never five probe pipelines.
+    At 100 TB the scored frame is (query sample x reachable candidates),
+    bounded by the EVAL sample exactly like L32; the serving path stays
+    `similarity.ivf_probe`.
+
+    Staged-verification oracle: same staged centroids as L7/L32 (shared
+    stage-cache key — the fit runs once per dataset); the oracle replays
+    assignment, the full 16-list probe ranking, candidate scoring, and
+    every nprobe's top-5 independently from the raw embeddings."""
+    from .queries import stage_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, q, k=5).select(
+        "qid", F.col("vec_id").alias("evid")
+    )
+    built: dict = {}
+
+    def _index():
+        if not built:
+            built["a"], built["c"] = similarity.ivf_build_index(emb)
+        return built
+
+    cent = stage_cached(
+        spark, sf_dir, "ivf_centroids", lambda: _index()["c"]
+    )
+    assigned = stage_cached(
+        spark, sf_dir, "ivf_assigned", lambda: _index()["a"]
+    )
+    qe = q.select(
+        F.col("vec_id").alias("qid"),
+        similarity.as_double(F.col("embedding")).alias("qe"),
+    )
+    qc = qe.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "qe",
+        "ivf_list_id",
+        (
+            similarity.dot(F.col("qe"), F.col("centroid_vec"))
+            / (
+                similarity.norm(F.col("qe"))
+                * similarity.norm(F.col("centroid_vec"))
+            )
+        ).alias("csim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("csim"), F.asc("ivf_list_id")
+    )
+    probes_all = qc.withColumn("pr", F.row_number().over(wq)).select(
+        "qid", "qe", "ivf_list_id", "pr"
+    )
+    scored = (
+        probes_all.join(assigned, "ivf_list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "pr",
+            (
+                similarity.dot(F.col("qe"), F.col("de"))
+                / (
+                    similarity.norm(F.col("qe"))
+                    * similarity.norm(F.col("de"))
+                )
+            ).alias("cosv"),
+        )
+        .localCheckpoint(eager=True)  # one scoring pass, five rank passes
+    )
+    ex_tot = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.countDistinct("qid").cast("long").alias("n_queries"),
+    )
+    # ONE pass for the whole ladder: each scored candidate explodes to
+    # the nprobe settings that can reach it (pr <= n), then a single
+    # (nprobe, qid) window ranks and a single aggregate folds the curve
+    # — a union of 5 per-setting branches would rebuild the probe
+    # pipeline 5x (40 exchanges, measured) for the same answer
+    sel = scored.select(
+        "qid",
+        "vec_id",
+        "pr",
+        "cosv",
+        F.explode(
+            F.array(*[F.lit(n).cast("int") for n in _NPROBE_LADDER])
+        ).alias("nprobe"),
+    ).filter(F.col("pr") <= F.col("nprobe"))
+    w5 = Window.partitionBy("nprobe", "qid").orderBy(
+        F.desc("cosv"), F.asc("vec_id")
+    )
+    ranked = sel.withColumn("rnk", F.row_number().over(w5))
+    hits = (
+        ranked.filter(F.col("rnk") <= 5)
+        .join(
+            exact.withColumnRenamed("evid", "vec_id"),
+            ["qid", "vec_id"],
+            "left_semi",
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    cands = sel.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        cands.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(ex_tot))
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            r6(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+            r6(
+                F.col("n_candidates").cast("double") / F.col("n_queries")
+            ).alias("avg_candidates"),
+        )
+    )
+
+
+ORACLE["ivf_nprobe_recall_curve"] = """
+    WITH nrm AS (
+      SELECT vec_id,
+             SQRT(SUM(POWER(CAST(embedding[i] AS DOUBLE), 2))) AS nv
+      FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe
+          FROM embeddings WHERE vec_id < 20),
+    xdots AS (
+      SELECT q.qid, e.vec_id,
+             SUM(CAST(q.qe[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)) AS dp
+      FROM q, embeddings e, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE e.vec_id <> q.qid
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT d.qid, d.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY d.qid
+                 ORDER BY d.dp / (nq.nv * nd.nv) DESC, d.vec_id) AS rnk
+        FROM xdots d
+        JOIN nrm nq ON d.qid = nq.vec_id
+        JOIN nrm nd ON d.vec_id = nd.vec_id
+      ) WHERE rnk <= 5
+    ),
+    c AS (
+      SELECT ivf_list_id, centroid_vec FROM read_parquet(
+        '__ORACLE_STAGE__/ivf_centroids/*.parquet')
+    ),
+    d AS (
+      SELECT e.vec_id, c.ivf_list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE)
+                       - c.centroid_vec[i], 2)) AS d2
+      FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY e.vec_id, c.ivf_list_id
+    ),
+    a AS (
+      SELECT vec_id, ivf_list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, ivf_list_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    cn AS (
+      SELECT ivf_list_id, SQRT(SUM(POWER(centroid_vec[i], 2))) AS cnv
+      FROM c, UNNEST(RANGE(1, 65)) AS u(i) GROUP BY ivf_list_id
+    ),
+    qc AS (
+      SELECT q.qid, c.ivf_list_id,
+             SUM(CAST(q.qe[i] AS DOUBLE) * c.centroid_vec[i]) AS qcdot
+      FROM q, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY q.qid, c.ivf_list_id
+    ),
+    prall AS (
+      SELECT qc.qid, qc.ivf_list_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qc.qid
+               ORDER BY qc.qcdot / (nq.nv * cn.cnv) DESC, qc.ivf_list_id)
+               AS pr
+      FROM qc JOIN nrm nq ON nq.vec_id = qc.qid
+              JOIN cn ON cn.ivf_list_id = qc.ivf_list_id
+    ),
+    iscored AS (
+      SELECT p.qid, a.vec_id, p.pr,
+             SUM(CAST(qq.qe[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)) AS dp
+      FROM prall p
+      JOIN a ON a.ivf_list_id = p.ivf_list_id AND a.vec_id <> p.qid
+      JOIN q qq ON qq.qid = p.qid
+      JOIN embeddings e ON e.vec_id = a.vec_id,
+      UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY p.qid, a.vec_id, p.pr
+    ),
+    cosd AS (
+      SELECT s.qid, s.vec_id, s.pr,
+             s.dp / (nq.nv * nv.nv) AS cosv
+      FROM iscored s JOIN nrm nq ON nq.vec_id = s.qid
+                     JOIN nrm nv ON nv.vec_id = s.vec_id
+    ),
+    ns AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS nprobe),
+    ranked AS (
+      SELECT ns.nprobe, c.qid, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY ns.nprobe, c.qid
+                                ORDER BY c.cosv DESC, c.vec_id) AS rnk
+      FROM ns JOIN cosd c ON c.pr <= ns.nprobe
+    ),
+    hits AS (
+      SELECT r.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ranked r
+      JOIN exact x ON x.qid = r.qid AND x.vec_id = r.vec_id
+      WHERE r.rnk <= 5
+      GROUP BY r.nprobe
+    ),
+    cands AS (
+      SELECT ns.nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM ns JOIN cosd c ON c.pr <= ns.nprobe
+      GROUP BY ns.nprobe
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+            FROM exact)
+    SELECT CAST(ns.nprobe AS INTEGER) AS nprobe,
+           t.n_queries,
+           t.n_exact,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_exact, 6)
+             AS recall,
+           ROUND(CAST(cd.n_candidates AS DOUBLE) / t.n_queries, 6)
+             AS avg_candidates
+    FROM ns
+    JOIN cands cd ON cd.nprobe = ns.nprobe
+    LEFT JOIN hits h ON h.nprobe = ns.nprobe
+    CROSS JOIN tot t
+"""
+
+
 # ---------------------------------------------------------------------------
 # L33 — Naive Bayes document-quality classifier (train/score/eval in one
 # declarative plan — no iterative fit, so the oracle is exact SQL)
@@ -4774,4 +5030,122 @@ def quality_classifier_calibration(
             * F.abs(F.col("avg_p") - F.col("pr"))
         ).alias("ece_part"),
         r6(F.col("brier_sum") / F.col("n_all")).alias("brier_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L65 — shard-local vs global dedup (why dedup must shuffle on content)
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 32
+
+
+@query(
+    "shard_dedup_miss_census",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, MD5(text) AS fph FROM documents
+    ),
+    gtot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) - COUNT(DISTINCT fph) AS BIGINT) AS n_global_dups
+      FROM fp
+    ),
+    by_id AS (
+      SELECT CAST(SUM(n - d) AS BIGINT) AS n_shard_dups FROM (
+        SELECT doc_id % {_SHARD_N} AS shard,
+               COUNT(*) AS n, COUNT(DISTINCT fph) AS d
+        FROM fp GROUP BY 1)
+    ),
+    by_hash AS (
+      SELECT CAST(SUM(n - d) AS BIGINT) AS n_shard_dups FROM (
+        SELECT ('0x' || SUBSTR(fph, 1, 8))::BIGINT % {_SHARD_N} AS shard,
+               COUNT(*) AS n, COUNT(DISTINCT fph) AS d
+        FROM fp GROUP BY 1)
+    ),
+    m AS (
+      SELECT 'by_doc_id' AS shard_mode, n_shard_dups FROM by_id
+      UNION ALL
+      SELECT 'by_content_hash', n_shard_dups FROM by_hash
+    )
+    SELECT m.shard_mode,
+           CAST({_SHARD_N} AS INTEGER) AS n_shards,
+           g.n_docs,
+           g.n_global_dups,
+           m.n_shard_dups,
+           g.n_global_dups - m.n_shard_dups AS n_missed,
+           ROUND(CASE WHEN g.n_global_dups = 0 THEN 0.0
+                      ELSE CAST(g.n_global_dups - m.n_shard_dups AS DOUBLE)
+                           / g.n_global_dups END, 6) AS miss_rate
+    FROM m CROSS JOIN gtot g
+    """,
+)
+def shard_dedup_miss_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L65: shard-local vs global exact dedup — the measurement behind
+    THE core dedup partitioning rule: a pipeline that dedups within
+    storage shards (by doc id, crawl segment, date...) silently keeps
+    every cross-shard duplicate, while sharding BY CONTENT HASH
+    co-locates all copies of a text by construction and loses nothing.
+    Both modes are computed against the global truth: `by_doc_id`
+    reports the duplicates an id-sharded pass misses (its miss_rate is
+    the cost of skipping the content shuffle); `by_content_hash` must
+    report n_missed = 0 at ANY shard count — the invariant that makes
+    hash-sharded dedup embarrassingly parallel at 100 TB (each shard
+    dedups independently, no cross-shard reconciliation pass, and the
+    one shuffle on md5(text) is the entire network cost).
+
+    Scale: two keyed aggregates over (shard, fingerprint) — linear, one
+    shuffle each; the global truth is a scalar aggregate broadcast onto
+    two result rows. Portable md5-prefix arithmetic (the repo's
+    established `('0x'||substr)::bigint` ↔ `conv(substring)` idiom) so
+    both engines shard identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("fph")
+    )
+    glob = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fph"))
+        .cast("long")
+        .alias("n_global_dups"),
+    )
+
+    def shard_dups(shard_col, mode: str) -> DataFrame:
+        per = (
+            fp.groupBy(shard_col.alias("shard"))
+            .agg(
+                (F.count(F.lit(1)) - F.countDistinct("fph"))
+                .cast("long")
+                .alias("dups")
+            )
+            .agg(F.sum("dups").cast("long").alias("n_shard_dups"))
+        )
+        return per.select(
+            F.lit(mode).alias("shard_mode"), "n_shard_dups"
+        )
+
+    modes = shard_dups(
+        F.col("doc_id") % _SHARD_N, "by_doc_id"
+    ).unionByName(
+        shard_dups(
+            F.conv(F.substring("fph", 1, 8), 16, 10).cast("long")
+            % _SHARD_N,
+            "by_content_hash",
+        )
+    )
+    return modes.crossJoin(F.broadcast(glob)).select(
+        "shard_mode",
+        F.lit(_SHARD_N).cast("int").alias("n_shards"),
+        "n_docs",
+        "n_global_dups",
+        "n_shard_dups",
+        (F.col("n_global_dups") - F.col("n_shard_dups")).alias("n_missed"),
+        r6(
+            F.when(F.col("n_global_dups") == 0, F.lit(0.0)).otherwise(
+                (
+                    F.col("n_global_dups") - F.col("n_shard_dups")
+                ).cast("double")
+                / F.col("n_global_dups")
+            )
+        ).alias("miss_rate"),
     )

@@ -2779,3 +2779,275 @@ def domain_quota_exact_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("quota_met"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L64 — Zipf rank-frequency fit (corpus-health diagnostic)
+# ---------------------------------------------------------------------------
+
+_ZIPF_FIT_K = 500  # ranks entering the log-log OLS fit
+
+
+@query(
+    "zipf_slope_census",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    top AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+      FROM freq QUALIFY r <= {_ZIPF_FIT_K}
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(LN(r)) AS sx, SUM(LN(f)) AS sy,
+             SUM(LN(r) * LN(f)) AS sxy,
+             SUM(LN(r) * LN(r)) AS sxx,
+             SUM(LN(f) * LN(f)) AS syy
+      FROM top
+    ),
+    tot AS (
+      SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             CAST(MAX(f) AS BIGINT) AS top1_n
+      FROM freq
+    )
+    SELECT t.n_tokens, t.n_vocab, CAST(fit.n AS BIGINT) AS n_fit,
+           ROUND((fit.n * fit.sxy - fit.sx * fit.sy)
+                 / (fit.n * fit.sxx - fit.sx * fit.sx), 6) AS zipf_slope,
+           ROUND((fit.sy - (fit.n * fit.sxy - fit.sx * fit.sy)
+                           / (fit.n * fit.sxx - fit.sx * fit.sx) * fit.sx)
+                 / fit.n, 6) AS zipf_intercept,
+           ROUND(POWER(fit.n * fit.sxy - fit.sx * fit.sy, 2)
+                 / ((fit.n * fit.sxx - fit.sx * fit.sx)
+                    * (fit.n * fit.syy - fit.sy * fit.sy)), 6) AS r2,
+           ROUND(CAST(t.top1_n AS DOUBLE) / t.n_tokens, 6) AS top1_share
+    FROM fit CROSS JOIN tot t
+    """,
+)
+def zipf_slope_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L64: Zipf rank-frequency fit — the corpus-health diagnostic every
+    large text pipeline runs after ingest/dedup changes: natural text
+    follows freq ∝ rank^s with s ≈ -1 in log-log space, and a corpus
+    whose fitted slope drifts (boilerplate flooding flattens the head,
+    over-aggressive dedup steepens it) or whose r² collapses (template
+    corpora) is flagged before training sees it. OLS of ln(freq) on
+    ln(rank) over the top-500 ranks, plus the head-mass share of the
+    rank-1 token.
+
+    Tie-robust by construction: only the (rank, frequency) PAIRS enter
+    the fit, and equal-frequency tokens permuted differently by the two
+    engines contribute identical pairs — token identity never reaches
+    the regression. Scale: one token-frequency aggregate (linear, one
+    shuffle), a TakeOrderedAndProject top-500 (never a global sort),
+    and the rank window runs AFTER the limit on a 500-row bounded
+    frame; the totals are scalar aggregates. Reference anchor: the
+    distributional-health gate shape of etl/data_validator.py applied
+    to the charter's corpus mandate."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), F.asc("tok")).limit(_ZIPF_FIT_K)
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))
+    lr = (
+        top.withColumn("r", F.row_number().over(w))
+        .select(
+            F.log(F.col("r").cast("double")).alias("lx"),
+            F.log(F.col("f").cast("double")).alias("ly"),
+        )
+    )
+    fit = lr.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    tot = freq.agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.max("f").cast("long").alias("top1_n"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return fit.crossJoin(F.broadcast(tot)).select(
+        "n_tokens",
+        "n_vocab",
+        F.col("n").cast("long").alias("n_fit"),
+        r6(slope).alias("zipf_slope"),
+        r6(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n")
+        ).alias("zipf_intercept"),
+        r6(
+            F.pow(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                F.lit(2),
+            )
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+        r6(
+            F.col("top1_n").cast("double") / F.col("n_tokens")
+        ).alias("top1_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L66 — count-min sketch frequency estimation (mergeable heavy-hitter path)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # buckets per row
+_CMS_PROBE_K = 20  # exact heavy hitters probed against the sketch
+
+
+@query(
+    "cms_frequency_estimates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS tok FROM documents
+    ),
+    occ AS (SELECT tok FROM toks WHERE tok <> ''),
+    cells AS (
+      SELECT s.s AS cms_seed,
+             ('0x' || SUBSTR(MD5(CAST(s.s AS VARCHAR) || '|' || tok), 1, 8))
+               ::BIGINT % {_CMS_W} AS cms_cell
+      FROM occ, (SELECT UNNEST(RANGE(0, {_CMS_D})) AS s) s
+    ),
+    sketch AS (
+      SELECT cms_seed, cms_cell, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY 1, 2
+    ),
+    freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM occ GROUP BY tok
+    ),
+    probe AS (
+      SELECT tok, true_n,
+             ROW_NUMBER() OVER (ORDER BY true_n DESC, tok) AS r
+      FROM freq QUALIFY r <= {_CMS_PROBE_K}
+    ),
+    pcells AS (
+      SELECT p.tok, p.true_n, s.s AS cms_seed,
+             ('0x' || SUBSTR(MD5(CAST(s.s AS VARCHAR) || '|' || p.tok),
+                             1, 8))::BIGINT % {_CMS_W} AS cms_cell
+      FROM probe p, (SELECT UNNEST(RANGE(0, {_CMS_D})) AS s) s
+    ),
+    est AS (
+      SELECT pc.tok, pc.true_n, MIN(sk.cnt) AS est_n
+      FROM pcells pc
+      JOIN sketch sk ON sk.cms_seed = pc.cms_seed
+                    AND sk.cms_cell = pc.cms_cell
+      GROUP BY pc.tok, pc.true_n
+    )
+    SELECT tok, true_n, est_n,
+           est_n - true_n AS overestimate,
+           ROUND(CAST(est_n - true_n AS DOUBLE) / true_n, 6) AS rel_error
+    FROM est
+    """,
+)
+def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66: count-min sketch ({_CMS_D}x{_CMS_W}) frequency estimation —
+    the MERGEABLE heavy-hitter path beside L17's exact census and L46's
+    quantile sketch: the sketch is a fixed 4x64 grid of counters whose
+    merge is cell-wise addition, so map-side partial sketches combine
+    with network cost INDEPENDENT of corpus size (the same
+    constant-state shape as R163's mergeable rollup, applied to token
+    frequencies). The exact top-20 tokens are then probed against the
+    sketch: est = min over the 4 rows of the token's cell counts, and
+    the census reports the per-token overestimate — the CMS guarantee
+    (est >= true ALWAYS; collisions only inflate) is an output
+    invariant both engines must reproduce cell-exactly, since the
+    md5-derived cell arithmetic is the repo's portable hashing idiom.
+
+    Scale: one linear pass fans each occurrence to 4 (seed, cell)
+    pairs; the aggregate is bounded at 256 cells by CONSTRUCTION (the
+    whole point of the sketch); the probe join attaches a 256-row frame
+    to 20 tokens. At 100 TB the sketch is the only thing that crosses
+    the network."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+
+    def cell(tok_col, s: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(s)), tok_col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cells = occ.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("cms_seed"),
+                        cell(F.col("tok"), s).alias("cms_cell"),
+                    )
+                    for s in range(_CMS_D)
+                ]
+            )
+        ).alias("sc")
+    ).select("sc.cms_seed", "sc.cms_cell")
+    sketch = cells.groupBy("cms_seed", "cms_cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    probe = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("tok"))
+        .limit(_CMS_PROBE_K)
+    )
+    pcells = probe.select(
+        "tok",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("cms_seed"),
+                        cell(F.col("tok"), s).alias("cms_cell"),
+                    )
+                    for s in range(_CMS_D)
+                ]
+            )
+        ).alias("sc"),
+    ).select("tok", "true_n", "sc.cms_seed", "sc.cms_cell")
+    est = (
+        pcells.join(sketch, ["cms_seed", "cms_cell"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        "tok",
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overestimate"),
+        r6(
+            (F.col("est_n") - F.col("true_n")).cast("double")
+            / F.col("true_n")
+        ).alias("rel_error"),
+    )
