@@ -10618,3 +10618,71 @@ def partition_readiness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("ready"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R167 — AQE runtime SMJ→BHJ conversion (the SEVENTH partition-strategy
+# mechanism: R156 salting, R157 bucketing, R158 Bloom, R159 DPP, R162
+# skew split, R163 mergeable rollup, R167 runtime join-strategy re-plan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "aqe_bhj_conversion_rollup",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_custkey % 97 = 0
+    GROUP BY c.c_mktsegment
+    """,
+)
+def aqe_bhj_conversion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R167: AQE runtime sort-merge→broadcast-hash conversion — the other
+    headline adaptive re-plan beside R162's skew split. The planner must
+    commit to a join strategy from PRE-execution size estimates, and a
+    selective dim-side filter is exactly where those estimates fail:
+    without CBO column stats a Filter's size estimate passes through
+    unchanged, so the static plan sees "customer = whole file" and picks
+    a sort-merge join. At runtime the filtered side MATERIALIZES a few
+    KB in its shuffle stage; AQE reads the real size and re-plans the
+    join to broadcast-hash with a LOCAL shuffle read on the fact side —
+    the fact rows never cross the network. At 100 TB this is the defense
+    for every "small after filter" dim the optimizer cannot see in
+    advance.
+
+    Conf pair IS the mechanism: static `autoBroadcastJoinThreshold=-1`
+    (the planner can never broadcast) + runtime
+    `adaptive.autoBroadcastJoinThreshold=64KB` (the re-planner converts
+    when the MEASURED size clears it). The plan contract — initial plan
+    SortMergeJoin, final adaptive plan BroadcastHashJoin — is pinned in
+    tests/test_aqe.py; the ORACLE (the plain join) proves the conversion
+    is semantics-free. Reference anchor: the engine-mechanism family of
+    BENCH_NOTES' partition-strategy charter (beyond the reference)."""
+    child = _conf_child_session(
+        spark,
+        "aqe-bhj-convert",
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "64KB",
+            "spark.sql.adaptive.localShuffleReader.enabled": "true",
+        },
+    )
+    ev = load_table(child, sf_dir, "events").select("user_id", "value")
+    cust = (
+        load_table(child, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    j = ev.join(cust, ev.user_id == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        r6(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        ).alias("sum_value"),
+    )

@@ -47,3 +47,21 @@ def test_aqe_runtime_broadcast_without_hint(spark):
     plan = _final_plan(joined)
     assert "BroadcastHashJoin" in plan, plan
     assert "strategy=broadcast" not in plan  # no hand hint anywhere
+
+
+def test_bhj_conversion_rollup_plan_contract(spark):
+    """R167's full contract: the STATIC plan commits to a sort-merge
+    join (broadcast disabled at planning time), and the FINAL adaptive
+    plan carries a BroadcastHashJoin — the runtime measured the filtered
+    dim's real size and re-planned. Both halves asserted on the same
+    query instance so the pin can't drift from the shipped conf pair."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    df = QUERIES["aqe_bhj_conversion_rollup"](spark, SF)
+    initial = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in initial, initial  # static commitment
+    final = _final_plan(df)
+    assert "isFinalPlan=true" in final, final
+    assert "BroadcastHashJoin" in final, final  # runtime conversion
+    assert "SortMergeJoin" not in final.split("isFinalPlan=true")[-1] or \
+        "BroadcastHashJoin" in final, final
