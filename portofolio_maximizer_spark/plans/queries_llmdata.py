@@ -5149,3 +5149,107 @@ def shard_dedup_miss_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("miss_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L67 — IVF index-quality census (the third leg: build → probe → QUALITY)
+# ---------------------------------------------------------------------------
+
+
+@query("ivf_index_quality_census")
+def ivf_index_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L67: IVF index-quality census — the health check a similarity
+    service runs on its index BEFORE trusting the recall curve: per
+    inverted list, the population (imbalance → hot lists dominate probe
+    latency; empties → wasted centroids) and the mean squared distance
+    of members to their centroid (quantization distortion — the k-means
+    objective, reported instead of trusted). The fleet row (-1) carries
+    the global distortion and the population extremes; a retrained
+    quantizer is accepted when distortion improves WITHOUT the max/min
+    population ratio degenerating.
+
+    Scale: one broadcast of the nlist-bounded centroid table, one linear
+    assignment pass (shared stage-cache key with L7/L32/L63 — the fit
+    and assignment run once per dataset), one nlist-bounded aggregate.
+    Staged-verification oracle: re-derives assignment and every
+    distance from the raw embeddings + staged centroids."""
+    from .queries import stage_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    built: dict = {}
+
+    def _index():
+        if not built:
+            built["a"], built["c"] = similarity.ivf_build_index(emb)
+        return built
+
+    cent = stage_cached(
+        spark, sf_dir, "ivf_centroids", lambda: _index()["c"]
+    )
+    assigned = stage_cached(
+        spark, sf_dir, "ivf_assigned", lambda: _index()["a"]
+    )
+    d2 = (
+        assigned.join(F.broadcast(cent), "ivf_list_id")
+        .select(
+            "ivf_list_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("de"),
+                    F.col("centroid_vec"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sqd"),
+        )
+    )
+    per = d2.groupBy("ivf_list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        r6(F.avg("sqd")).alias("mean_sq_dist"),
+        r6(F.max("sqd")).alias("max_sq_dist"),
+    )
+    fleet = d2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        r6(F.avg("sqd")).alias("mean_sq_dist"),
+        r6(F.max("sqd")).alias("max_sq_dist"),
+    ).select(
+        F.lit(-1).cast("int").alias("ivf_list_id"),
+        "n_vecs",
+        "mean_sq_dist",
+        "max_sq_dist",
+    )
+    return per.unionByName(fleet)
+
+
+ORACLE["ivf_index_quality_census"] = """
+    WITH c AS (
+      SELECT ivf_list_id, centroid_vec FROM read_parquet(
+        '__ORACLE_STAGE__/ivf_centroids/*.parquet')
+    ),
+    d AS (
+      SELECT e.vec_id, c.ivf_list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE)
+                       - c.centroid_vec[i], 2)) AS d2
+      FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY e.vec_id, c.ivf_list_id
+    ),
+    a AS (
+      SELECT vec_id, ivf_list_id, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, ivf_list_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    per AS (
+      SELECT CAST(ivf_list_id AS INTEGER) AS ivf_list_id,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             ROUND(AVG(d2), 6) AS mean_sq_dist,
+             ROUND(MAX(d2), 6) AS max_sq_dist
+      FROM a GROUP BY 1
+    )
+    SELECT * FROM per
+    UNION ALL
+    SELECT -1, CAST(COUNT(*) AS BIGINT),
+           ROUND(AVG(d2), 6), ROUND(MAX(d2), 6)
+    FROM a
+"""

@@ -708,14 +708,42 @@ class ManifestJsonlDataSource(DataSource):
         return ManifestJsonlStreamWriter(self.options)
 
 
-def read_manifest_jsonl(spark, path: str):
+def read_manifest_jsonl(spark, path: str, as_of_batch: int | None = None):
     """Read back ONLY the manifest-listed parts (the reader half of the
     visibility protocol). Returns None when no manifest was published —
     an aborted write is indistinguishable from no write. The manifest is
     read through the same URI-resolved filesystem as the writer; the
     part paths handed to ``spark.read.json`` keep the caller's original
-    scheme so Spark's own Hadoop layer resolves the same store."""
+    scheme so Spark's own Hadoop layer resolves the same store.
+
+    ``as_of_batch`` (streaming sinks only) is snapshot TIME TRAVEL: the
+    per-epoch ``_BATCH_<id>.json`` manifests double as a retained
+    snapshot log, so reading the union of batch manifests with id <= N
+    reconstructs exactly the dataset a reader saw after epoch N
+    committed — the lakehouse as-of read, falling out of the commit
+    protocol with no extra bookkeeping. Returns None when no epoch
+    <= N was ever committed."""
+    import json
+
     fs, base = _sink_fs(path)
+    if as_of_batch is not None:
+        picked = [
+            bm
+            for bm in _list_batch_manifests(fs, base)
+            if int(bm[len("_BATCH_") : -len(".json")]) <= as_of_batch
+        ]
+        if not picked:
+            return None
+        files = []
+        for bm in sorted(picked):
+            with fs.open_input_stream(f"{base}/{bm}") as f:
+                b = json.loads(f.read().decode("utf-8"))
+            files += [
+                f"{path.rstrip('/')}/{p['file']}" for p in b["parts"]
+            ]
+        if not files:
+            return spark.range(0).select()
+        return spark.read.json(files)
     manifest = _read_manifest(fs, base)
     if manifest is None:
         return None

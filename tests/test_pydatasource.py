@@ -459,3 +459,33 @@ def test_stream_sink_end_to_end_roundtrip(spark, tmp_path):
     got = sorted((r["ticker"], r["bar_id"]) for r in back.collect())
     want = sorted((r["ticker"], r["bar_id"]) for r in df.collect())
     assert got == want
+
+
+def test_stream_sink_as_of_batch_time_travel(spark, tmp_path):
+    """The per-epoch manifests double as a snapshot log: as_of_batch=N
+    reconstructs exactly the dataset visible after epoch N committed —
+    including seeing THROUGH a later epoch's replay (the replayed
+    epoch's snapshot is its final attempt)."""
+    base = str(tmp_path / "s")
+    w = pydatasource.ManifestJsonlStreamWriter({"path": base})
+    _mk_part(base, "p0.jsonl", 2)
+    w.commit(_msgs([("p0.jsonl", 2)]), batchId=0)
+    _mk_part(base, "p1.jsonl", 3)
+    w.commit(_msgs([("p1.jsonl", 3)]), batchId=1)
+    _mk_part(base, "p2.jsonl", 4)
+    w.commit(_msgs([("p2.jsonl", 4)]), batchId=2)
+    assert pydatasource.read_manifest_jsonl(spark, base).count() == 9
+    assert (
+        pydatasource.read_manifest_jsonl(spark, base, as_of_batch=0).count()
+        == 2
+    )
+    assert (
+        pydatasource.read_manifest_jsonl(spark, base, as_of_batch=1).count()
+        == 5
+    )
+    # a replay of epoch 1 replaces its snapshot everywhere, as-of included
+    _mk_part(base, "p1b.jsonl", 3)
+    w.commit(_msgs([("p1b.jsonl", 3)]), batchId=1)
+    back = pydatasource.read_manifest_jsonl(spark, base, as_of_batch=1)
+    assert back.count() == 5
+    assert pydatasource.read_manifest_jsonl(spark, base, as_of_batch=-1) is None
