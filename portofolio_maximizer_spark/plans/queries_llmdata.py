@@ -5253,3 +5253,92 @@ ORACLE["ivf_index_quality_census"] = """
            ROUND(AVG(d2), 6), ROUND(MAX(d2), 6)
     FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# L68 — cross-source near-duplication matrix (who syndicates whom)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH {_NEARDUP_CTES}
+    , edges AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.3),
+    srcd AS (SELECT doc_id, source FROM documents),
+    m AS (
+      SELECT LEAST(sa.source, sb.source) AS source_a,
+             GREATEST(sa.source, sb.source) AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+      FROM edges e
+      JOIN srcd sa ON sa.doc_id = e.d1
+      JOIN srcd sb ON sb.doc_id = e.d2
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_dup_pairs) AS BIGINT) AS all_pairs FROM m)
+    SELECT m.source_a, m.source_b, m.n_dup_pairs,
+           CAST(m.source_a = m.source_b AS INTEGER) AS within_source,
+           ROUND(CAST(m.n_dup_pairs AS DOUBLE) / t.all_pairs, 6)
+             AS pair_share
+    FROM m CROSS JOIN tot t
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68: the cross-source duplication matrix — L2's VERIFIED near-dup
+    pairs bucketed by the (unordered) source pair they straddle.
+    WITHIN-source duplication is an ingest artifact (the same feed
+    landing twice); CROSS-source duplication is syndication (mirrors,
+    wire copy, aggregator re-posts) and decides dedup ORDER in a
+    multi-source pipeline: dedup sources independently only if the
+    off-diagonal mass is negligible, else the corpus-global pass must
+    run before any per-source quota (L58) or mixing weight (L15) is
+    computed — this matrix is the measurement that choice reads.
+
+    Scale: reuses L2's signature→band→verify pipeline EXACTLY (same
+    shingle/minhash constants, same 0.3 gate; the oracle reuses the same
+    CTE fragment so the two can never drift); the matrix on top is two
+    broadcast-sized id→source joins and a (sources x sources)-bounded
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    edges = (
+        dedup.exact_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("d1", "d2")
+        # same cut L2/L5 make: the verified-pair table is the tiny
+        # intermediate a cluster would persist before downstream joins
+        .localCheckpoint(eager=True)
+    )
+    srcd = docs.select("doc_id", "source")
+    m = (
+        edges.join(
+            srcd.select(
+                F.col("doc_id").alias("d1"), F.col("source").alias("sa")
+            ),
+            "d1",
+        )
+        .join(
+            srcd.select(
+                F.col("doc_id").alias("d2"), F.col("source").alias("sb")
+            ),
+            "d2",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+    tot = m.agg(F.sum("n_dup_pairs").cast("long").alias("all_pairs"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "source_a",
+        "source_b",
+        "n_dup_pairs",
+        (F.col("source_a") == F.col("source_b"))
+        .cast("int")
+        .alias("within_source"),
+        r6(
+            F.col("n_dup_pairs").cast("double") / F.col("all_pairs")
+        ).alias("pair_share"),
+    )
