@@ -2416,6 +2416,165 @@ def streaming_manifest_sink_census(
 
 
 @query(
+    "streaming_late_drop_census",
+    oracle="""
+    WITH w0 AS (
+      SELECT (CAST(FLOOR(EPOCH_US(MAX(ts)) / 1000.0) AS BIGINT)
+              - 1800000) * 1000 AS w0_us
+      FROM events WHERE event_id % 2 = 0
+    ),
+    kept AS (
+      SELECT e.* FROM events e, w0
+      WHERE e.event_id % 2 = 0
+         OR (CAST(FLOOR(EPOCH_US(e.ts) / 3600000000.0) AS BIGINT) + 1)
+            * 3600000000 >= w0.w0_us
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_delivered,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_odd_kept,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM kept GROUP BY event_type
+    """,
+)
+def streaming_late_drop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: watermark LATE-DATA accounting — the second half of the
+    watermark contract (T4/T5/T7 pin state EVICTION and finalization;
+    this pins input REFUSAL, the engine counting refusals in
+    numRowsDroppedByWatermark → ``rows_dropped_late`` in
+    DRAIN_PROGRESS, reconciled in tests/test_streaming.py).
+
+    Measured semantics first (three probe harnesses, this round): a
+    late row whose (window, key) state is STILL LIVE merges — late
+    filtering is NOT a pure input-timestamp gate; refusal happens
+    exactly when the row's window state is absent/evicted. The staging
+    therefore makes every planted late row unambiguous: file A (even
+    event_ids) lands first and defines W0 = floor_ms(max even ts) -
+    30min; file B (odd rows whose 1h-tumbling window END >= W0) lands
+    second — every B row either merges into live A-state or has
+    window_end above every candidate threshold, so it is KEPT under
+    any variant; file C (odd rows with window_end STRICTLY below W0)
+    lands third — its windows were evicted at the end of batch 1 under
+    the lagged watermark AND sit below the batch-2 input threshold, so
+    every C row is REFUSED under any variant. A far-future sentinel
+    file flushes every real window (the T8 trick); its own window
+    stays open so it never reaches output. Expected census: evens +
+    the B odds — replayed by the oracle with the SAME ms-floor
+    watermark and hour-aligned window arithmetic in EPOCH_US
+    (sub-millisecond boundary handling is the difference between a
+    hash match and an off-by-one).
+
+    Scale: one windowed aggregate per (1h window, event_type) with
+    bounded state; the census re-aggregates the emitted windows."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from ..streaming import drain_session
+    from ..streaming.stream import memoize_drain, run_to_memory
+
+    _prefetch_streaming_family(spark, sf_dir)
+
+    def _drain_and_census() -> DataFrame:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_late_census_{tag}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        evens = ev.filter(F.col("event_id") % 2 == 0)
+        w0_us = (
+            evens.agg(
+                (
+                    F.floor(F.unix_millis(F.max("ts"))) - F.lit(1800000)
+                ).alias("w0_ms")
+            ).first()[0]
+        ) * 1000
+        wend_us = (
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000.0))
+            .cast("long")
+            + 1
+        ) * F.lit(3600000000).cast("long")
+        odds = ev.filter(F.col("event_id") % 2 == 1)
+        b_keep = odds.filter(wend_us >= F.lit(w0_us))
+        c_late = odds.filter(wend_us < F.lit(w0_us))
+        sentinel = spark.createDataFrame(
+            [(-1, -1, "zz_sentinel", 0.0)],
+            "event_id long, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.to_timestamp(F.lit("2030-01-01 00:00:00"))).alias("ts"),
+            "value",
+        ).select("event_id", "user_id", "event_type", "ts", "value")
+        t0 = 1_700_000_000
+        for i, (name, half) in enumerate(
+            (
+                ("batch-a", evens),
+                ("batch-b", b_keep),
+                ("batch-c", c_late),
+                ("batch-d", sentinel),
+            )
+        ):
+            tmp = os.path.join(root, f"tmp_{name}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            # FileStreamSource orders by (modified time, path): pin it
+            os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+        child = drain_session(spark)
+        stream = child.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(
+                FF.window("ts", "1 hour").alias("win"),
+                "event_type",
+                (FF.col("event_id") % 2 == 1).alias("is_odd"),
+            )
+            .agg(
+                FF.count(FF.lit(1)).alias("n"),
+                FF.sum(FF.col("value").cast("decimal(18,6)")).alias("sv"),
+            )
+        )
+        out = run_to_memory(
+            agg, "q_stream_late_drop", cache_key=sf_dir
+        )
+        return (
+            out.filter(FF.col("event_type") != "zz_sentinel")
+            .groupBy("event_type")
+            .agg(
+                FF.sum("n").cast("long").alias("n_delivered"),
+                FF.sum(
+                    FF.when(FF.col("is_odd"), FF.col("n")).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_odd_kept"),
+                FF.round(FF.sum("sv").cast("double"), 6).alias(
+                    "sum_value"
+                ),
+            )
+        )
+
+    return memoize_drain(
+        spark, "q_late_drop_census", sf_dir, _drain_and_census
+    )
+
+
+@query(
     "streaming_view_purchase_join",
     oracle="""
     WITH v AS (

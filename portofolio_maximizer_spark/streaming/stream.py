@@ -361,6 +361,7 @@ def _record_drain_progress(
             except Exception:  # noqa: BLE001 — default stands
                 pass
         state_rows = 0
+        dropped_late = 0
         for p in progress:
             state_rows = max(
                 state_rows,
@@ -368,6 +369,10 @@ def _record_drain_progress(
                     op.get("numRowsTotal", 0) or 0
                     for op in p.get("stateOperators", [])
                 ),
+            )
+            dropped_late += sum(
+                op.get("numRowsDroppedByWatermark", 0) or 0
+                for op in p.get("stateOperators", [])
             )
         # which state-store provider served this drain: the session conf
         # names it, and the progress events carry engine-side PROOF —
@@ -400,6 +405,12 @@ def _record_drain_progress(
             "progress_capped": len(progress) >= cap,
             "state_provider": provider,
             "rocksdb_metrics_seen": rocksdb_seen,
+            # engine-side late-data accounting: rows the stateful
+            # operators REFUSED because their event time fell behind the
+            # watermark — the second half of the watermark contract
+            # (state eviction is the first), reconciled against the
+            # batch-computed lateness census in T11
+            "rows_dropped_late": dropped_late,
         }
         # observable metrics (df.observe + CollectMetrics): per-batch
         # engine-computed aggregates of the ACTUAL rows that flowed —

@@ -531,3 +531,49 @@ def test_session_rollup_rocksdb_matches_batch(spark, sf_dir, batch_events):
     )
     want = sorted((r.user_id, r.start_ms, r.n) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_late_drop_counter_reconciles_with_batch_census(spark, sf_dir):
+    """T11's engine-side evidence: after the late-drop drain, the
+    summed numRowsDroppedByWatermark (DRAIN_PROGRESS.rows_dropped_late)
+    must equal the batch-computed planted-late count — odd event_ids
+    whose 1h tumbling window closes strictly below W0 = floor_ms(max
+    even ts) - 30min. Output-side equality is the query's oracle; this
+    pins the COUNTER so the evidence channel cannot silently decay into
+    zeros (the failure mode the first T11 draft had: an operator that
+    never refuses anything still produces a green-looking census)."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    census = QUERIES["streaming_late_drop_census"](spark, sf_dir)
+    delivered = census.agg(F.sum("n_delivered")).first()[0]
+    rec = ST.DRAIN_PROGRESS[("q_stream_late_drop", sf_dir)]
+    ev = load_table(spark, sf_dir, "events")
+    w0_us = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .agg((F.floor(F.unix_millis(F.max("ts"))) - F.lit(1800000)))
+        .first()[0]
+    ) * 1000
+    wend_us = (
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000.0)).cast(
+            "long"
+        )
+        + 1
+    ) * F.lit(3600000000).cast("long")
+    expected_late = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .filter(wend_us < F.lit(w0_us))
+        .count()
+    )
+    assert expected_late > 0  # the plant is non-vacuous at test SFs
+    # FULL accounting: input = delivered + refused + the sentinel's
+    # still-open window. Delivered-side equality is the query's oracle;
+    # here the drop side must close the books exactly.
+    assert rec["input_rows"] == ev.count() + 1  # + the sentinel
+    assert rec["input_rows"] - delivered - 1 == expected_late
+    # the ENGINE's counter moves, but undercounts: rows so old they fall
+    # behind the pre-state watermark filter are dropped WITHOUT touching
+    # numRowsDroppedByWatermark (measured: 480 counted of 498 refused at
+    # sf0.01) — which is exactly why the output-side oracle, not the
+    # counter, is the correctness gate; the counter is evidence that the
+    # stateful refusal path really ran
+    assert 0 < rec["rows_dropped_late"] <= expected_late
