@@ -2388,13 +2388,30 @@ def streaming_manifest_sink_census(
         stream = events_stream(spark, sf_dir).select(
             "event_id", "user_id", "event_type", "value"
         )
-        q = (
-            stream.writeStream.format("manifest_jsonl")
-            .option("path", os.path.join(root, "sink"))
-            .option("checkpointLocation", os.path.join(root, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
+
+        def _start():
+            return (
+                stream.writeStream.format("manifest_jsonl")
+                .option("path", os.path.join(root, "sink"))
+                .option("checkpointLocation", os.path.join(root, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # under the full battery the streaming-family prefetch threads
+        # register Python data sources concurrently; a lookup can land
+        # in the registry's check-then-put window — re-register and
+        # retry once rather than fail a deterministic drain on a race
+        try:
+            q = _start()
+        except Exception as exc:  # noqa: BLE001
+            if "DATA_SOURCE_NOT_FOUND" not in str(exc):
+                raise
+            import time as _time
+
+            _time.sleep(1.0)
+            pydatasource.register_sink(spark)
+            q = _start()
         q.awaitTermination()
         back = pydatasource.read_manifest_jsonl(
             spark, os.path.join(root, "sink")

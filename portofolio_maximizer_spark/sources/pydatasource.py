@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import threading
 from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
@@ -153,8 +154,25 @@ class SyntheticBarsReader(DataSourceReader):
         )
 
 
+#: one lock for every Python DataSource registration on this driver —
+#: the streaming family prefetch runs queries on daemon threads, and two
+#: threads registering concurrently can interleave the session's
+#: DataSourceManager check-then-put (one thread's lookup can miss while
+#: the other's put is in flight)
+_REGISTER_LOCK = threading.Lock()
+
+
+def _register_locked(spark, cls) -> None:
+    with _REGISTER_LOCK:
+        try:
+            spark.dataSource.register(cls)
+        except Exception as exc:  # noqa: BLE001
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+                raise
+
+
 def register(spark) -> None:
-    spark.dataSource.register(SyntheticBarsDataSource)
+    _register_locked(spark, SyntheticBarsDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -754,11 +772,9 @@ def read_manifest_jsonl(spark, path: str, as_of_batch: int | None = None):
 
 
 def register_sink(spark) -> None:
-    """Idempotent: re-registering the same name on a session (or on a
-    child whose registry is shared with its root) raises
-    DATA_SOURCE_ALREADY_EXISTS — already-registered IS the goal state."""
-    try:
-        spark.dataSource.register(ManifestJsonlDataSource)
-    except Exception as exc:  # noqa: BLE001
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
-            raise
+    """Idempotent and thread-safe: re-registering the same name on a
+    session (or on a child whose registry is shared with its root)
+    raises DATA_SOURCE_ALREADY_EXISTS — already-registered IS the goal
+    state — and concurrent first registrations from the streaming
+    family's prefetch threads serialize through `_REGISTER_LOCK`."""
+    _register_locked(spark, ManifestJsonlDataSource)
