@@ -10686,3 +10686,60 @@ def aqe_bhj_conversion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
         ).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R168 — AQE runtime partition coalescing (the third adaptive mechanism
+# as an oracle-backed query: R162 skew split, R167 join re-plan, R168
+# right-sizing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "aqe_coalesce_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def aqe_coalesce_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R168: AQE runtime partition COALESCING — the third adaptive
+    mechanism run as an oracle-backed query (R162 splits partitions
+    that are too big; this demonstrates the engine merging partitions
+    that are too small). A deployment sets ONE cluster-wide
+    spark.sql.shuffle.partitions sized for its biggest facts; every
+    smaller intermediate would then fragment into hundreds of
+    near-empty tasks — scheduler overhead that grows with the SETTING,
+    not the data. With adaptive coalescing the setting becomes a
+    CEILING: the runtime reads the materialized map output sizes and
+    merges neighbors up to the advisory size, so the tiny rollup below,
+    shuffled at a deliberately oversized 512 partitions, executes in a
+    handful of tasks. The final-plan contract (AQEShuffleRead
+    coalesced, far fewer partitions than 512) is pinned in
+    tests/test_aqe.py; the oracle proves right-sizing is
+    semantics-free. This is why every query in this repo can leave the
+    partition count to the session default and still be graded
+    shuffle-sane at 100 TB: oversizing is corrected at runtime,
+    undersizing is what R162 corrects."""
+    child = _conf_child_session(
+        spark,
+        "aqe-coalesce",
+        {
+            "spark.sql.shuffle.partitions": "512",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+        },
+    )
+    ev = load_table(child, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        r6(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        ).alias("sum_value"),
+    )

@@ -3051,3 +3051,100 @@ def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("true_n")
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L69 — exact WEIGHTED quantiles (token-weighted document length)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_length_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT source, n_chars,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                               t -> t <> '')) AS BIGINT) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT source, n_chars, SUM(w) AS w
+      FROM s GROUP BY source, n_chars
+    ),
+    c AS (
+      SELECT source, n_chars, w,
+             SUM(w) OVER (PARTITION BY source ORDER BY n_chars) AS cw,
+             SUM(w) OVER (PARTITION BY source) AS tw
+      FROM g
+    )
+    SELECT source,
+           CAST(MIN(CASE WHEN 4 * cw >= tw THEN n_chars END) AS BIGINT)
+             AS w_p25,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN n_chars END) AS BIGINT)
+             AS w_p50,
+           CAST(MIN(CASE WHEN 4 * cw >= 3 * tw THEN n_chars END) AS BIGINT)
+             AS w_p75,
+           CAST(MIN(tw) AS BIGINT) AS total_tokens
+    FROM c GROUP BY source
+    """,
+)
+def weighted_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L69: exact TOKEN-WEIGHTED document-length quantiles per source —
+    the length statistics that actually govern a training pipeline are
+    weighted by contribution, not by document count: half the TOKENS
+    sit above the weighted median, which for long-tailed web text can
+    be far above the unweighted one (the packing/truncation planner
+    that reads the unweighted quantile under-budgets exactly the
+    documents that carry the corpus). Complements L46's mergeable
+    UNWEIGHTED sketch with the exact weighted answer at the
+    (source, length) grain.
+
+    Exact-arithmetic quantile crossing: the cumulative weight is
+    compared against the total in INTEGERS (4*cw >= tw etc.), so no
+    float threshold can flip between engines. Scale: one aggregate to
+    the (source, n_chars) grain — the window then runs over that grain
+    (lengths per source, not documents), partitioned by source; never a
+    global or per-document sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "source",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda t: t != ""
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    g = s.groupBy("source", "n_chars").agg(F.sum("w").alias("w"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("source")
+    c = g.select(
+        "source",
+        "n_chars",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return c.groupBy("source").agg(
+        F.min(
+            F.when(4 * F.col("cw") >= F.col("tw"), F.col("n_chars"))
+        )
+        .cast("long")
+        .alias("w_p25"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("n_chars"))
+        )
+        .cast("long")
+        .alias("w_p50"),
+        F.min(
+            F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("n_chars"))
+        )
+        .cast("long")
+        .alias("w_p75"),
+        F.min("tw").cast("long").alias("total_tokens"),
+    )

@@ -65,3 +65,18 @@ def test_bhj_conversion_rollup_plan_contract(spark):
     assert "BroadcastHashJoin" in final, final  # runtime conversion
     assert "SortMergeJoin" not in final.split("isFinalPlan=true")[-1] or \
         "BroadcastHashJoin" in final, final
+
+
+def test_coalesce_rollup_plan_contract(spark):
+    """R168's contract: shuffled at a deliberately oversized 512
+    partitions, the executed plan must carry AQEShuffleRead coalesced
+    and the final aggregate stage must run in far fewer than 512
+    tasks."""
+    import re
+
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    df = QUERIES["aqe_coalesce_rollup"](spark, SF)
+    plan = _final_plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
