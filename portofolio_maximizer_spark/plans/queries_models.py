@@ -2398,18 +2398,17 @@ def streaming_manifest_sink_census(
                 .start()
             )
 
-        # under the full battery the streaming-family prefetch threads
-        # register Python data sources concurrently; a lookup can land
-        # in the registry's check-then-put window — re-register and
-        # retry once rather than fail a deterministic drain on a race
+        # register_sink pins the ROOT session active on this thread (a
+        # stale child session left active by an earlier query shadows
+        # the root's Python data source registry at start() — root
+        # cause reproduced + fixed in sources/pydatasource._activate);
+        # the retry stays as a belt for anything that re-flips the
+        # active session between the two calls
         try:
             q = _start()
         except Exception as exc:  # noqa: BLE001
             if "DATA_SOURCE_NOT_FOUND" not in str(exc):
                 raise
-            import time as _time
-
-            _time.sleep(1.0)
             pydatasource.register_sink(spark)
             q = _start()
         q.awaitTermination()

@@ -162,8 +162,32 @@ class SyntheticBarsReader(DataSourceReader):
 _REGISTER_LOCK = threading.Lock()
 
 
+def _activate(spark) -> None:
+    """Pin ``spark`` as the JVM thread-local ACTIVE session for this
+    Python thread. Root cause of the battery-only DATA_SOURCE_NOT_FOUND
+    (reproduced deterministically this round): ``lookupDataSource`` at
+    stream start resolves Python data sources through the ACTIVE
+    session, whose DataSourceManager is CLONED at session creation — a
+    child session minted BEFORE the registration and left active on
+    this JVM thread by an earlier query's action shadows the root's
+    registry. py4j pins one JVM thread per Python thread, so activating
+    here covers the ``.start()`` that follows on the same thread."""
+    try:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:  # noqa: BLE001 — class moved: fall back, best-effort
+        try:
+            spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def _register_locked(spark, cls) -> None:
     with _REGISTER_LOCK:
+        _activate(spark)
         try:
             spark.dataSource.register(cls)
         except Exception as exc:  # noqa: BLE001
