@@ -489,3 +489,38 @@ def test_stream_sink_as_of_batch_time_travel(spark, tmp_path):
     back = pydatasource.read_manifest_jsonl(spark, base, as_of_batch=1)
     assert back.count() == 5
     assert pydatasource.read_manifest_jsonl(spark, base, as_of_batch=-1) is None
+
+
+def test_stream_sink_survives_stale_active_child_session(spark, tmp_path):
+    """Root-cause regression for the battery-only DATA_SOURCE_NOT_FOUND:
+    lookupDataSource at stream start resolves Python sources through the
+    JVM thread-local ACTIVE session, whose registry is cloned at session
+    creation — a child minted BEFORE registration and left active by an
+    earlier query's action shadows the root's registry. Registration now
+    pins the root active; this test sets the stale child active first
+    and the start must still succeed."""
+    child = spark.newSession()  # stale clone: lacks the registration
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        child._jsparkSession
+    )
+    try:
+        src = str(tmp_path / "src")
+        df = _read(spark).select("ticker", "bar_id")
+        df.write.mode("overwrite").parquet(src)
+        pydatasource.register_sink(spark)
+        q = (
+            spark.readStream.schema(df.schema)
+            .parquet(src)
+            .writeStream.format("manifest_jsonl")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = pydatasource.read_manifest_jsonl(spark, str(tmp_path / "sink"))
+        assert back.count() == 120
+    finally:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
