@@ -4948,27 +4948,52 @@ def semantic_decontamination_census(
     oracle=f"""
     WITH {_NBQ_SCORED_SQL},
     probs AS (
-      SELECT doc_id, y, ROUND(1.0 / (1.0 + EXP(-score)), 6) AS p
+      SELECT doc_id, y,
+             CAST(ROUND(ROUND(1.0 / (1.0 + EXP(-score)), 6) * 1000000)
+               AS BIGINT) AS pi
       FROM scored
     ),
     binned AS (
-      SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bin, y, p
+      SELECT LEAST(CAST(FLOOR(pi / 100000.0) AS INTEGER), 9) AS bin,
+             y, pi
       FROM probs
     ),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
-                   SUM((p - y) * (p - y)) AS brier_sum
-            FROM binned)
-    SELECT b.bin,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(b.p), 6) AS avg_conf,
-           ROUND(AVG(CAST(b.y AS DOUBLE)), 6) AS pos_rate,
-           ROUND(AVG(b.p) - AVG(CAST(b.y AS DOUBLE)), 6) AS gap,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_all
-                 * ABS(AVG(b.p) - AVG(CAST(b.y AS DOUBLE))), 6)
+                   SUM((pi - y * 1000000) * (pi - y * 1000000))
+                     AS brier_int
+            FROM binned),
+    per AS (
+      SELECT b.bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(b.pi) AS BIGINT) AS sum_pi,
+             CAST(SUM(b.y) AS BIGINT) AS sum_y,
+             t.n_all, t.brier_int
+      FROM binned b CROSS JOIN tot t
+      GROUP BY b.bin, t.n_all, t.brier_int
+    ),
+    -- every 6dp value is rounded HALF-AWAY in EXACT integer arithmetic
+    -- ((2a + b) // (2b) on non-negative operands): no double ever sits
+    -- near a tie, so the two engines cannot disagree by one ulp
+    u AS (
+      SELECT bin, n_docs,
+             (2 * sum_pi + n_docs) // (2 * n_docs) AS conf_u,
+             (2 * sum_y * 1000000 + n_docs) // (2 * n_docs) AS pos_u,
+             sum_pi - sum_y * 1000000 AS gnum,
+             n_all, brier_int
+      FROM per
+    )
+    SELECT bin, n_docs,
+           conf_u / 1000000.0 AS avg_conf,
+           pos_u / 1000000.0 AS pos_rate,
+           (CASE WHEN gnum >= 0
+                 THEN (2 * gnum + n_docs) // (2 * n_docs)
+                 ELSE -((2 * (-gnum) + n_docs) // (2 * n_docs)) END)
+             / 1000000.0 AS gap,
+           ((2 * ABS(gnum) + n_all) // (2 * n_all)) / 1000000.0
              AS ece_part,
-           ROUND(t.brier_sum / t.n_all, 6) AS brier_all
-    FROM binned b CROSS JOIN tot t
-    GROUP BY b.bin, t.n_all, t.brier_sum
+           ((2 * brier_int + 1000000 * n_all)
+            // (2 * 1000000 * n_all)) / 1000000.0 AS brier_all
+    FROM u
     """,
 )
 def quality_classifier_calibration(
@@ -4984,52 +5009,84 @@ def quality_classifier_calibration(
     contribution (n_bin/n * |gap|), and the global Brier score — the
     same 10-bin ECE decomposition discipline as the trading side's
     R91 `directional_classifier_eval`, applied to the data-curation
-    classifier. The sigmoid input is the 6dp-rounded score both engines
-    share, and p ITSELF is re-rounded to 6dp on both engines before any
-    binning or averaging (round-10 ADVICE: each engine evaluates EXP
-    with its own libm, so a last-ulp difference on identical inputs
-    could otherwise flip floor(p*10) at a bin edge or the 6dp ROUND of
-    avg_conf/brier) — downstream arithmetic starts from bit-identical
-    doubles, the same quantized-gate discipline as the L57 DSIR
-    weight gate.
+    classifier. Numeric determinism, hardened twice this round: (1) the
+    sigmoid output is quantized to 6dp and carried as the INTEGER
+    p*1e6, so every aggregate is an exact integer sum — immune to the
+    double-summation order Spark's partial aggregation varies run to
+    run (round-10 ADVICE + a live battery catch: avg(p) as doubles put
+    `gap` one ulp across a rounding boundary between runs); (2) the
+    6dp rounding itself is HALF-AWAY integer division ((2a + b) div
+    (2b)) on both engines — a double-space ROUND near a 7th-digit tie
+    can differ between Spark (BigDecimal exact-decimal) and DuckDB
+    (multiply-based) by one output ulp even on bit-identical inputs
+    (observed: gap -0.638972 vs -0.638973). No knife edges remain: the
+    only doubles in the plan are final exact-integer / 1e6 divisions.
 
     Scale: everything after the shared scored frame is one bounded
     (10-bin) aggregate plus a broadcast one-row total."""
     scored = _nbq_scored_frame(spark, sf_dir)
+    # p quantized to 6dp and carried as the INTEGER pi = p*1e6: every
+    # aggregate below is then an exact integer sum, immune to the
+    # double-summation ORDER Spark's partial aggregation varies run to
+    # run (the round-11 battery caught gap's 6dp round flipping one ulp
+    # between runs when avg(p) was summed as doubles); each reported
+    # double is one deterministic division/round from exact integers,
+    # sequenced identically in the oracle
     probs = scored.select(
         "label",
-        r6(
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
-        ).alias("p"),
+        F.round(
+            r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("pi"),
     )
     binned = probs.select(
-        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.least(
+            F.floor(F.col("pi") / F.lit(100000.0)).cast("int"), F.lit(9)
+        ).alias("bin"),
         "label",
-        "p",
+        "pi",
+    )
+    dev = F.col("pi") - F.col("label").cast("long") * F.lit(1000000).cast(
+        "long"
     )
     tot = binned.agg(
         F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.sum(
-            (F.col("p") - F.col("label")) * (F.col("p") - F.col("label"))
-        ).alias("brier_sum"),
+        F.sum(dev * dev).alias("brier_int"),
     )
     per = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.avg("p").alias("avg_p"),
-        F.avg(F.col("label").cast("double")).alias("pr"),
+        F.sum("pi").alias("sum_pi"),
+        F.sum("label").cast("long").alias("sum_y"),
     )
-    return per.crossJoin(F.broadcast(tot)).select(
+    # 6dp rounding done HALF-AWAY in EXACT integer arithmetic (Spark SQL
+    # DIV; (2a + b) div (2b) on non-negative operands) — a double-space
+    # ROUND near a 7th-digit tie can differ between engines by one ulp
+    # of the INPUT (caught by the round-11 battery on `gap`), an
+    # integer division cannot
+    u = per.crossJoin(F.broadcast(tot)).selectExpr(
         "bin",
         "n_docs",
-        r6(F.col("avg_p")).alias("avg_conf"),
-        r6(F.col("pr")).alias("pos_rate"),
-        r6(F.col("avg_p") - F.col("pr")).alias("gap"),
-        r6(
-            F.col("n_docs").cast("double")
-            / F.col("n_all")
-            * F.abs(F.col("avg_p") - F.col("pr"))
-        ).alias("ece_part"),
-        r6(F.col("brier_sum") / F.col("n_all")).alias("brier_all"),
+        "(2 * sum_pi + n_docs) div (2 * n_docs) as conf_u",
+        "(2 * sum_y * 1000000L + n_docs) div (2 * n_docs) as pos_u",
+        "sum_pi - sum_y * 1000000L as gnum",
+        "n_all",
+        "brier_int",
+    )
+    return u.selectExpr(
+        "bin",
+        "n_docs",
+        "cast(conf_u as double) / 1e6 as avg_conf",
+        "cast(pos_u as double) / 1e6 as pos_rate",
+        "cast((case when gnum >= 0"
+        " then (2 * gnum + n_docs) div (2 * n_docs)"
+        " else -((2 * (-gnum) + n_docs) div (2 * n_docs)) end)"
+        " as double) / 1e6 as gap",
+        "cast((2 * abs(gnum) + n_all) div (2 * n_all) as double) / 1e6"
+        " as ece_part",
+        "cast((2 * brier_int + 1000000L * n_all)"
+        " div (2 * 1000000L * n_all) as double) / 1e6 as brier_all",
     )
 
 
