@@ -5399,3 +5399,162 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_pairs").cast("double") / F.col("all_pairs")
         ).alias("pair_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L70 — PQ reconstruction-distortion census (the PQ index health gate)
+# ---------------------------------------------------------------------------
+
+
+@query("pq_distortion_census")
+def pq_distortion_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70: product-quantization distortion census — the health gate for
+    the PQ scale path (L45), the same discipline L67 applies to IVF:
+    per block, the codebook utilization (16 codes available; unused
+    codes mean a wasted training budget, one dominant code means the
+    block's subspace collapsed) and the reconstruction error
+    ||sub - codebook[blk, code]||² whose corpus mean IS the quantity PQ
+    search quality degrades with (Jégou et al. 2011 eq. 2 — ADC error
+    is bounded by quantization distortion). The fleet row (-1) carries
+    the per-VECTOR reconstruction MSE (block errors summed per vector),
+    the number every retrain is accepted or rejected on.
+
+    Scale: the staged codes (shared stage-cache key with L45 — the
+    codebook fit and encoding run once per dataset) join the KB-scale
+    broadcast codebooks; errors are one linear zip_with fold; the
+    census is (n_blocks)-bounded. Staged-verification oracle: re-derives
+    the per-block argmin assignment and every squared error from raw
+    embeddings + staged codebooks, exactly the L45 replay."""
+    from .queries import stage_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    built: dict = {}
+
+    def _index():
+        if not built:
+            built["codes"], built["books"] = similarity.pq_build_index(emb)
+        return built
+
+    books = stage_cached(
+        spark, sf_dir, "pq_codebooks", lambda: _index()["books"]
+    )
+    codes = stage_cached(
+        spark, sf_dir, "pq_codes", lambda: _index()["codes"]
+    )
+    sub_dim = 16
+    # block fan-out as a GENERATOR (explode of a 4-literal array), not a
+    # crossJoin — same rows, no join node for the audit to adjudicate
+    subs = (
+        emb.select(
+            "vec_id",
+            similarity.as_double(F.col("embedding")).alias("de"),
+        )
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(*[F.lit(m).cast("int") for m in range(4)])
+            ).alias("blk"),
+            "de",
+        )
+        .select(
+            "vec_id",
+            "blk",
+            F.slice(
+                F.col("de"), F.col("blk") * sub_dim + 1, F.lit(sub_dim)
+            ).alias("sub"),
+        )
+    )
+    err = (
+        codes.join(subs, ["vec_id", "blk"])
+        .join(F.broadcast(books), ["blk", "code"])
+        .select(
+            "vec_id",
+            "blk",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.col("sub"),
+                    F.col("centroid_vec"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sqe"),
+        )
+    )
+    per = err.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.countDistinct("code").cast("long").alias("n_codes_used"),
+        r6(F.avg("sqe")).alias("mean_sq_err"),
+        r6(F.max("sqe")).alias("max_sq_err"),
+    )
+    fleet = (
+        err.groupBy("vec_id")
+        .agg(F.sum("sqe").alias("vse"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.lit(None).cast("long").alias("n_codes_used"),
+            r6(F.avg("vse")).alias("mean_sq_err"),
+            r6(F.max("vse")).alias("max_sq_err"),
+        )
+        .select(
+            F.lit(-1).cast("int").alias("blk"),
+            "n_vecs",
+            "n_codes_used",
+            "mean_sq_err",
+            "max_sq_err",
+        )
+    )
+    return per.select(
+        F.col("blk").cast("int").alias("blk"),
+        "n_vecs",
+        "n_codes_used",
+        "mean_sq_err",
+        "max_sq_err",
+    ).unionByName(fleet)
+
+
+ORACLE["pq_distortion_census"] = """
+    WITH cb AS (
+      SELECT blk, code, centroid_vec FROM read_parquet(
+        '__ORACLE_STAGE__/pq_codebooks/*.parquet')
+    ),
+    subs AS (
+      SELECT e.vec_id, b.blk,
+             LIST_TRANSFORM(RANGE(1, 17),
+               i -> CAST(e.embedding[CAST(b.blk * 16 + i AS INT)]
+                    AS DOUBLE)) AS sub
+      FROM embeddings e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS blk) b
+    ),
+    asg AS (
+      SELECT vec_id, blk, sub, code, sqe FROM (
+        SELECT s.vec_id, s.blk, s.sub, cb.code,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                 i -> POWER(s.sub[CAST(i AS INT)]
+                            - cb.centroid_vec[CAST(i AS INT)], 2))) AS sqe,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.blk
+                 ORDER BY LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                   i -> POWER(s.sub[CAST(i AS INT)]
+                              - cb.centroid_vec[CAST(i AS INT)], 2))), cb.code
+               ) AS rn
+        FROM subs s JOIN cb ON cb.blk = s.blk
+      ) WHERE rn = 1
+    ),
+    per AS (
+      SELECT CAST(blk AS INTEGER) AS blk,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes_used,
+             ROUND(AVG(sqe), 6) AS mean_sq_err,
+             ROUND(MAX(sqe), 6) AS max_sq_err
+      FROM asg GROUP BY 1
+    ),
+    vec AS (
+      SELECT vec_id, SUM(sqe) AS vse FROM asg GROUP BY vec_id
+    )
+    SELECT * FROM per
+    UNION ALL
+    SELECT -1, CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT),
+           ROUND(AVG(vse), 6), ROUND(MAX(vse), 6)
+    FROM vec
+"""
