@@ -711,16 +711,27 @@ def _png_decode(payload: bytes):
         or inter != 0
         or w <= 0
         or h <= 0
+        # Decompression-bomb guard: IHDR w/h are u32 (up to ~4e9 each)
+        # and a crafted payload in an untrusted corpus could otherwise
+        # force multi-GB allocations inside the Arrow worker. This
+        # stats path has no business decoding beyond a few megapixels.
+        or w * h > 16_000_000
     ):
         return None
     bpp = 3 if ctype == 2 else 1
+    stride = w * bpp
+    expect = (stride + 1) * h
+    # Bounded inflate: never allocate more than the geometry implies
+    # (+1 sentinel byte to detect oversized streams), and reject any
+    # stream with unconsumed input or a trailing tail — the inflated
+    # size must match the IHDR geometry exactly.
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = d.decompress(bytes(idat), expect + 1)
     except zlib.error:
         return None
-    stride = w * bpp
-    if len(raw) != (stride + 1) * h:
-        return None  # inflated size must match geometry exactly
+    if len(raw) != expect or d.unconsumed_tail or not d.eof or d.unused_data:
+        return None
     rows: list[bytes] = []
     prior = bytes(stride)
     pos = 0

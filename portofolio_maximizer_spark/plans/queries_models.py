@@ -2443,7 +2443,7 @@ def streaming_manifest_sink_census(
       SELECT e.* FROM events e, w0
       WHERE e.event_id % 2 = 0
          OR (CAST(FLOOR(EPOCH_US(e.ts) / 3600000000.0) AS BIGINT) + 1)
-            * 3600000000 >= w0.w0_us
+            * 3600000000 > w0.w0_us
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_delivered,
@@ -2467,12 +2467,15 @@ def streaming_late_drop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly when the row's window state is absent/evicted. The staging
     therefore makes every planted late row unambiguous: file A (even
     event_ids) lands first and defines W0 = floor_ms(max even ts) -
-    30min; file B (odd rows whose 1h-tumbling window END >= W0) lands
-    second — every B row either merges into live A-state or has
-    window_end above every candidate threshold, so it is KEPT under
-    any variant; file C (odd rows with window_end STRICTLY below W0)
-    lands third — its windows were evicted at the end of batch 1 under
-    the lagged watermark AND sit below the batch-2 input threshold, so
+    30min; file B (odd rows whose 1h-tumbling window END is STRICTLY
+    ABOVE W0) lands second — window end is EXCLUSIVE (the engine drops
+    rows with window.end <= watermark: a window ending exactly at the
+    watermark is already finalized), and the grouping key includes
+    is_odd so odd rows can never merge into live even-row state, so
+    every B row is KEPT under any variant; file C (odd rows with
+    window_end <= W0, INCLUDING the exact-boundary case) lands third —
+    its windows were evicted at the end of batch 1 under the lagged
+    watermark AND sit at-or-below the batch-2 input threshold, so
     every C row is REFUSED under any variant. A far-future sentinel
     file flushes every real window (the T8 trick); its own window
     stays open so it never reaches output. Expected census: evens +
@@ -2520,8 +2523,17 @@ def streaming_late_drop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ) * F.lit(3600000000).cast("long")
         odds = ev.filter(F.col("event_id") % 2 == 1)
-        b_keep = odds.filter(wend_us >= F.lit(w0_us))
-        c_late = odds.filter(wend_us < F.lit(w0_us))
+        # STRICT > for keep (round-11 ADVICE #1): Spark's late filter
+        # drops rows with window.end <= watermark — window end is
+        # EXCLUSIVE, a window ending exactly at the watermark is
+        # already finalized. The grouping key includes is_odd, so an
+        # odd row can never merge into live even-row state; a boundary
+        # row (wend == W0) therefore belongs on the DROP side, and the
+        # oracle keeps strictly-above rows only. No tested SF lands a
+        # row exactly on the boundary, but the staging no longer
+        # depends on that.
+        b_keep = odds.filter(wend_us > F.lit(w0_us))
+        c_late = odds.filter(wend_us <= F.lit(w0_us))
         sentinel = spark.createDataFrame(
             [(-1, -1, "zz_sentinel", 0.0)],
             "event_id long, user_id long, event_type string, value double",

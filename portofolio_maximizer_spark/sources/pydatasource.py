@@ -437,7 +437,14 @@ def _sink_fs(path: str):
     orphan sweeps therefore all live on ONE store resolved from the sink
     URI, which is what makes the sink cluster-portable (round-10
     VERDICT "What's wrong #1": plain ``open()``/``os.listdir`` put parts
-    on executor-LOCAL disks a real cluster's driver cannot see)."""
+    on executor-LOCAL disks a real cluster's driver cannot see).
+
+    Portability caveat: ``s3://`` and ``gs://`` are self-contained in
+    the pyarrow wheel, but ``hdfs://`` goes through libhdfs (JNI) —
+    that native library must be present on every PYTHON worker host
+    (not just the JVM side) for the executor half to resolve the
+    store. Deployments without it should front HDFS with a mount or
+    use an object-store sink path."""
     from pyarrow import fs as pafs
 
     if "://" in path:
@@ -445,6 +452,27 @@ def _sink_fs(path: str):
     import os
 
     return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def _sweep_stale_tmp(fs, base: str) -> None:
+    """Delete leftover ``*.json.tmp`` staging files. A crash between
+    ``open_output_stream`` and ``fs.move`` strands the tmp file, and the
+    part sweeps only match ``*.jsonl`` — invisible to readers, but
+    permanent garbage unless some later commit/abort collects it. Tmp
+    files are never legitimately long-lived (the writer renames them
+    within the same driver call), so any tmp found at the START of a
+    commit/abort is by definition stale."""
+    from pyarrow import fs as pafs
+
+    infos = fs.get_file_info(pafs.FileSelector(base, allow_not_found=True))
+    for info in infos:
+        if info.type == pafs.FileType.File and info.base_name.endswith(
+            ".json.tmp"
+        ):
+            try:
+                fs.delete_file(f"{base}/{info.base_name}")
+            except OSError:
+                pass
 
 
 def _list_jsonl(fs, base: str) -> list[str]:
@@ -545,6 +573,7 @@ class ManifestJsonlWriter(DataSourceWriter):
         import json
 
         fs, base = _sink_fs(self.path)
+        _sweep_stale_tmp(fs, base)
         parts = [
             {"file": m.part, "rows": m.rows}
             for m in messages
@@ -575,6 +604,7 @@ class ManifestJsonlWriter(DataSourceWriter):
         orphan file. No manifest is published, so the sink stays in its
         pre-write visible state for readers."""
         fs, base = _sink_fs(self.path)
+        _sweep_stale_tmp(fs, base)
         manifest = _read_manifest(fs, base)
         visible = (
             {p["file"] for p in manifest["parts"]} if manifest else set()
@@ -670,6 +700,7 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
 
         fs, base = _sink_fs(self.path)
         fs.create_dir(base, recursive=True)
+        _sweep_stale_tmp(fs, base)
         parts = [
             {"file": m.part, "rows": m.rows}
             for m in messages
@@ -713,6 +744,7 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         fs, base = _sink_fs(self.path)
+        _sweep_stale_tmp(fs, base)
         visible = self._visible_parts(fs, base)
         for fn in _list_jsonl(fs, base):
             if fn not in visible:

@@ -9,6 +9,12 @@ pin equals the justified inventory below. Adding (or removing) a soft
 flag therefore requires editing BOTH files — the pin to make the audit
 pass, and this mirror with a written justification to make pytest pass.
 
+Since round 12 each pin value is the query's full sorted "+"-joined
+soft-flag KIND-SET (e.g. a query emitting both EXCHANGES and WIDE_SCAN
+would pin "EXCHANGES+WIDE_SCAN"), so a pinned query silently gaining a
+second flag kind drifts loudly (round-11 ADVICE #3). Every current
+entry happens to emit exactly one kind.
+
 Every entry's justification:
 
 - The 15 EXCHANGES entries are bounded-composition report folds: each is

@@ -558,7 +558,10 @@ def audit(plan: str) -> list[str]:
 #: prose is not a gate — a new query adding an unexplained soft flag must
 #: fail LOUDLY). Maps query name → flag KIND (EXCHANGES counts are
 #: structural but can shift ±1 with sf-dependent broadcast decisions, so
-#: the kind is pinned, not the count). A full-registry audit whose
+#: the kind is pinned, not the count). Each value is the FULL sorted
+#: "+"-joined KIND-SET the query's plan emits — not just the first flag —
+#: so a pinned query gaining an additional soft flag of another kind
+#: drifts loudly (round-11 ADVICE #3). A full-registry audit whose
 #: soft-flagged set differs from this pin exits 1; changing the set
 #: requires editing BOTH this dict and the mirror inventory in
 #: tests/test_planaudit_pin.py (which carries the per-query
@@ -625,7 +628,12 @@ def main() -> None:
         ):
             hard += 1
         if flags:
-            soft_seen[name] = flags[0].split("=")[0].split("[")[0]
+            # pin the FULL kind-set, not flags[0]: a query that keeps
+            # its pinned first flag but gains a second flag of another
+            # kind must fail the drift gate loudly (round-11 ADVICE)
+            soft_seen[name] = "+".join(
+                sorted({f.split("=")[0].split("[")[0] for f in flags})
+            )
         print(f"{'FLAG' if flags else 'ok  '}  {name}: {', '.join(flags) or 'clean'}")
     drift = 0
     if not names:  # the pin is defined over the FULL registry only
