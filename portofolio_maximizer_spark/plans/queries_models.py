@@ -2603,6 +2603,128 @@ def streaming_late_drop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_idle_expiry_census",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(TRUNC(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_value_micros,
+           CAST(EPOCH_US(MAX(ts)) // 1000 AS BIGINT) AS last_ts_ms,
+           CAST(EPOCH_US(MAX(ts)) // 1000 + 3888000000 AS BIGINT)
+             AS expired_at_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_idle_expiry_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 (round-11 directive #2): idle-key TTL expiry on
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-state API with
+    EVENT-TIME TIMERS, run end-to-end through the repo's stdlib protobuf
+    wire shim (``google/``; the TWS Python↔JVM state protocol needs a
+    protobuf runtime this container doesn't ship).
+
+    The operator keeps per-user running totals in a typed ValueState and
+    (re-)registers an event-time timer at ``last_seen + 45 days`` — each
+    later batch that sees the key DELETES the stale timer and registers
+    the new expiry. Output rows are produced ONLY by
+    ``handleExpiredTimer``: when the watermark passes a key's expiry the
+    processor emits that key's census row (totals + the firing
+    timestamp) and clears its state — semantics the old
+    ``applyInPandasWithState`` cannot express (its timeouts piggyback on
+    group scheduling; a TWS timer fires from the watermark alone, and on
+    expiry the key leaves the store entirely).
+
+    Staging: events split time-wise into two files (keys spanning the
+    midpoint exercise the delete+re-register path), then a far-future
+    sentinel advances the watermark past every ``last_ts + TTL`` so ALL
+    timers fire in the availableNow flush batch. The TTL (45 d) exceeds
+    the table's 30-day span + watermark delay, so no key can expire
+    before the sentinel — every key emits EXACTLY ONE row carrying its
+    complete totals, which reduces the oracle to a plain GROUP BY.
+    Integer-exact across engines: value mass as truncated micro-units
+    (one IEEE multiply then trunc-toward-zero on both sides), timestamps
+    as epoch ms.
+
+    Scale: state is one 3-long tuple + one timer per ACTIVE key (RocksDB
+    provider — the only one TWS supports; on-disk state, bounded heap),
+    and expired keys free their state. DRAIN_PROGRESS records the
+    engine-named operator (transformWithStateInPandasExec) as API proof.
+    Reference anchor: the stale-ticker sweep of
+    etl/real_time_extractor.py:115-350, as an engine-managed timer."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stream import (
+        drain_session,
+        idle_user_census_tws,
+        memoize_drain,
+        run_to_memory,
+    )
+
+    _prefetch_streaming_family(spark, sf_dir)
+
+    def _drain_and_census() -> DataFrame:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_idle_census_{tag}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        mid = "2024-01-16 00:00:00"
+        sentinel = spark.createDataFrame(
+            [(-1, -1, "zz_sentinel", 0.0)],
+            "event_id long, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+            "value",
+        )
+        t0 = 1_700_000_000
+        for i, (name, half) in enumerate(
+            (
+                ("batch-a", ev.filter(F.col("ts") <= F.lit(mid))),
+                ("batch-b", ev.filter(F.col("ts") > F.lit(mid))),
+                ("batch-c", sentinel),
+            )
+        ):
+            tmp = os.path.join(root, f"tmp_{name}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+        # TWS supports ONLY the RocksDB provider (the HDFS-backed store
+        # cannot create the column families TWS state needs — the error
+        # contract is pinned in tests/test_streaming.py)
+        child = drain_session(spark, state_provider="rocksdb")
+        stream = child.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = run_to_memory(
+            idle_user_census_tws(stream),
+            "q_stream_idle_census",
+            cache_key=sf_dir,
+        )
+        # the sentinel's own key (-1) never expires (its window stays
+        # open past the final watermark), so no filter is needed — but
+        # keep it explicit so a staging change cannot leak the sentinel
+        return out.filter(F.col("user_id") >= 0)
+
+    return memoize_drain(
+        spark, "q_idle_expiry_census", sf_dir, _drain_and_census
+    )
+
+
+@query(
     "streaming_view_purchase_join",
     oracle="""
     WITH v AS (

@@ -393,6 +393,19 @@ def _record_drain_progress(
             for op in p.get("stateOperators", [])
             for k in (op.get("customMetrics") or {})
         )
+        # which stateful API served the drain — the engine names its
+        # operator in every progress event (e.g.
+        # transformWithStateInPandasExec vs applyInPandasWithStateExec),
+        # so the evidence channel proves WHICH state API ran, not just
+        # that state ran (round-11 directive #2)
+        op_names = sorted(
+            {
+                op.get("operatorName", "")
+                for p in progress
+                for op in p.get("stateOperators", [])
+                if op.get("operatorName")
+            }
+        )
         rec = {
             "seq": next(_DRAIN_SEQ),
             "n_batches": len(progress),
@@ -405,6 +418,7 @@ def _record_drain_progress(
             "progress_capped": len(progress) >= cap,
             "state_provider": provider,
             "rocksdb_metrics_seen": rocksdb_seen,
+            "state_operator_names": op_names,
             # engine-side late-data accounting: rows the stateful
             # operators REFUSED because their event time fell behind the
             # watermark — the second half of the watermark contract
@@ -718,12 +732,12 @@ class _VolSpikeProcessor(StatefulProcessor):
 
 def vol_spike_alerts_tws(stream: DataFrame) -> DataFrame:
     """T2 circuit breaker on ``transformWithStateInPandas``. Requires the
-    RocksDB state store (set by the caller/session) and ``google.protobuf``
-    in the Python env (Spark's TWS wire protocol — absent in this
-    container, so the equivalence test self-skips; the classic
-    ``applyInPandasWithState`` operator remains the executed path). Same
-    sharding story as the classic operator — keys partition across state
-    stores."""
+    RocksDB state store (set by the caller/session) and a protobuf
+    runtime for Spark's TWS wire protocol — served since round 12 by the
+    repo's stdlib wire shim (``google/``), so the equivalence test
+    actually RUNS: TWS output == classic ``applyInPandasWithState``
+    output on the same drained input. Same sharding story as the classic
+    operator — keys partition across state stores."""
     return (
         stream.withWatermark("ts", "30 minutes")
         .groupBy("user_id")
@@ -732,5 +746,132 @@ def vol_spike_alerts_tws(stream: DataFrame) -> DataFrame:
             outputStructType=ALERT_SCHEMA,
             outputMode="append",
             timeMode="None",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T12 — timer-driven idle-key expiry census (transformWithStateInPandas)
+# ---------------------------------------------------------------------------
+
+IDLE_CENSUS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_micros", LongType()),
+        StructField("last_ts_ms", LongType()),
+        StructField("expired_at_ms", LongType()),
+    ]
+)
+
+#: idle TTL for the expiry census — chosen LARGER than the events
+#: table's full 30-day span (+ watermark delay), so under the staged
+#: two-file landing no key can expire before the sentinel batch: every
+#: key emits exactly ONE census row carrying its complete totals, which
+#: is what makes the operator oracle-equatable to a plain GROUP BY
+_IDLE_TTL_MS = 45 * 24 * 3600 * 1000
+
+
+class _IdleUserCensusProcessor(StatefulProcessor):
+    """T12: per-key running totals in a typed ``ValueState`` plus an
+    EVENT-TIME TIMER per key at ``last_seen + TTL`` — the semantics the
+    old ``applyInPandasWithState`` API cannot express (its timeouts fire
+    only when the key's group is scheduled; a TWS timer fires from the
+    watermark alone, input or not). The timer DOES the work here: output
+    rows exist ONLY via ``handleExpiredTimer`` — a key's census row is
+    emitted exactly once, when the watermark passes its expiry, with the
+    state cleared on the way out (the idle-ticker retirement shape of
+    the reference's real-time monitor, etl/real_time_extractor.py's
+    stale-ticker sweep, as an engine-managed timer instead of a poll).
+
+    Re-registration discipline: each batch that advances a key's
+    ``last_ts`` DELETES the previously registered timer and registers
+    the new expiry — so the delete-timer protocol path is exercised
+    whenever a key spans multiple micro-batches.
+
+    Exact arithmetic: values cross into state as TRUNCATED micro-units
+    (``int(v * 1e6)``, toward zero) and timestamps as epoch ms, so the
+    census is integer-exact and the DuckDB oracle replays it with
+    ``TRUNC(value * 1e6)`` / ``EPOCH_US // 1000`` — no float-sum order
+    anywhere."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._agg = handle.getValueState(
+            "agg", "n_events long, sum_micros long, last_ts_ms long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        got = self._agg.get() if self._agg.exists() else None
+        n, sv, lt = got if got else (0, 0, -1)
+        prev_lt = lt
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += int(len(pdf))
+            # truncation toward zero on the SAME double both engines
+            # compute (v * 1e6 is one IEEE multiply) — exact cross-engine
+            sv += int(sum(int(float(v) * 1_000_000.0) for v in pdf["value"]))
+            lt = max(lt, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000))
+        if lt > prev_lt:
+            if prev_lt >= 0:
+                self._handle.deleteTimer(prev_lt + _IDLE_TTL_MS)
+            self._handle.registerTimer(lt + _IDLE_TTL_MS)
+        self._agg.update((n, sv, lt))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        got = self._agg.get() if self._agg.exists() else None
+        if got is None:
+            return iter(())
+        n, sv, lt = got
+        self._agg.clear()
+        return iter(
+            [
+                pd.DataFrame(
+                    [
+                        [
+                            int(key[0]),
+                            int(n),
+                            int(sv),
+                            int(lt),
+                            int(expiredTimerInfo.getExpiryTimeInMs()),
+                        ]
+                    ],
+                    columns=[
+                        "user_id",
+                        "n_events",
+                        "sum_value_micros",
+                        "last_ts_ms",
+                        "expired_at_ms",
+                    ],
+                )
+            ]
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def idle_user_census_tws(stream: DataFrame) -> DataFrame:
+    """T12 idle-key expiry census on ``transformWithStateInPandas`` in
+    EVENT-TIME mode. Requires the RocksDB state-store provider (the TWS
+    operator's JVM side supports no other — set by the caller's drain
+    session) and the repo's stdlib protobuf wire shim (``google/``) for
+    the Python↔JVM state protocol. Keys shard across state stores like
+    every other stateful operator; at 100 TB the state is one (long,
+    long, long) row + one timer per ACTIVE key, and expired keys leave
+    the store entirely."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_IdleUserCensusProcessor(),
+            outputStructType=IDLE_CENSUS_SCHEMA,
+            outputMode="append",
+            timeMode="EventTime",
         )
     )

@@ -559,9 +559,11 @@ def test_late_drop_counter_reconciles_with_batch_census(spark, sf_dir):
         )
         + 1
     ) * F.lit(3600000000).cast("long")
+    # <= mirrors the query's file-C routing (round-11 ADVICE #1): a row
+    # whose window END equals W0 is already finalized (exclusive end)
     expected_late = (
         ev.filter(F.col("event_id") % 2 == 1)
-        .filter(wend_us < F.lit(w0_us))
+        .filter(wend_us <= F.lit(w0_us))
         .count()
     )
     assert expected_late > 0  # the plant is non-vacuous at test SFs
@@ -577,3 +579,77 @@ def test_late_drop_counter_reconciles_with_batch_census(spark, sf_dir):
     # counter, is the correctness gate; the counter is evidence that the
     # stateful refusal path really ran
     assert 0 < rec["rows_dropped_late"] <= expected_late
+
+
+# ---------------------------------------------------------------------------
+# T12 — transformWithStateInPandas timers (round-11 directive #2)
+# ---------------------------------------------------------------------------
+
+
+def test_tws_idle_census_timer_only_output_and_api_evidence(spark, sf_dir):
+    """The idle-expiry census emits rows ONLY from handleExpiredTimer —
+    output equals the batch GROUP BY exactly (the query's oracle at the
+    driver; re-asserted here against Spark batch), and DRAIN_PROGRESS
+    names the TWS operator + RocksDB provider as engine-side proof of
+    which API served the drain."""
+    from portofolio_maximizer_spark.plans import QUERIES
+    from portofolio_maximizer_spark.streaming.stream import _IDLE_TTL_MS
+
+    out = QUERIES["streaming_idle_expiry_census"](spark, sf_dir)
+    got = sorted(map(tuple, out.collect()))
+    ev = load_table(spark, sf_dir, "events")
+    truth = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("value") * 1e6).cast("long"))
+            .cast("long")
+            .alias("sum_value_micros"),
+            F.floor(F.unix_millis(F.max("ts")))
+            .cast("long")
+            .alias("last_ts_ms"),
+        )
+        .withColumn(
+            "expired_at_ms",
+            (F.col("last_ts_ms") + F.lit(_IDLE_TTL_MS)).cast("long"),
+        )
+    )
+    assert got == sorted(map(tuple, truth.collect()))
+    assert len(got) > 0
+    rec = ST.DRAIN_PROGRESS[("q_stream_idle_census", sf_dir)]
+    assert rec["state_operator_names"] == ["transformWithStateInPandasExec"]
+    assert rec["state_provider"] == "RocksDBStateStoreProvider"
+    assert rec["rocksdb_metrics_seen"] is True
+    # timers fired for every key: each emitted row exists only because
+    # the watermark passed its expiry in the flush batch
+    assert all(row[4] == row[3] + _IDLE_TTL_MS for row in got)
+
+
+def test_tws_rejects_hdfs_state_provider(spark, sf_dir):
+    """Provider contract: transformWithStateInPandas supports ONLY the
+    RocksDB state store — the HDFS-backed provider cannot create the
+    column families TWS state needs, and the engine refuses with
+    STATE_STORE_MULTIPLE_COLUMN_FAMILIES (measured, pinned here). The
+    both-provider equality story therefore runs through the CLASSIC
+    operator (test_rocksdb_state_store_provider_equality pins classic
+    HDFS == classic RocksDB; test_transform_with_state_matches_classic
+    pins TWS(RocksDB) == classic)."""
+    import os
+    import tempfile
+
+    from portofolio_maximizer_spark.streaming.stream import (
+        drain_session,
+        idle_user_census_tws,
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="tws_hdfs_probe_"), "src")
+    os.makedirs(src, exist_ok=True)
+    ev.limit(50).coalesce(1).write.mode("overwrite").parquet(src)
+    child = drain_session(spark)  # default = HDFS-backed provider
+    stream = child.readStream.schema(ev.schema).parquet(src)
+    with pytest.raises(Exception, match="MULTIPLE_COLUMN_FAMILIES"):
+        run_to_memory(idle_user_census_tws(stream), "t_idle_hdfs_probe")
