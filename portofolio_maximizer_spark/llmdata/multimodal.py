@@ -66,18 +66,20 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Entropy-coded-raster decode stub — JPEG/GIF (and paletted/RLE
-    BMP) rasters require codec libraries (DCT / LZW) not present in
-    this container. HEADER metadata (format, width, height, channels)
-    is parsed for real by ``parse_image_header``; UNCOMPRESSED rasters
-    (24-bit BI_RGB BMP, binary PGM) AND non-interlaced 8-bit PNG
-    (grayscale/truecolor — DEFLATE ships in the stdlib ``zlib``, the
-    five scanline filters are pure byte arithmetic) are pixel-decoded
-    for real by ``decode_pixel_stats``."""
+    """Declared-raster decode stub — what remains UNDECODED after round
+    12: JPEG (Huffman+DCT entropy coding — a codec library problem with
+    no oracle payoff), interlaced GIF/PNG, and 16-bit PNG. Everything
+    else decodes for real in ``decode_pixel_stats``: 24-bit BI_RGB BMP
+    and binary PGM (raw rasters), non-interlaced 8-bit PNG (stdlib zlib
+    inflate + the five scanline filters), non-interlaced global/local-
+    palette GIF (pure-Python GIF-variant LZW, `_gif_lzw_decode`), and
+    BI_RLE8 BMP (run/absolute/EOL/EOB decode). HEADER metadata for ALL
+    formats incl. JPEG is parsed for real by ``parse_image_header``."""
     raise NotImplementedError(
-        "JPEG/GIF decode requires a codec library (e.g. Pillow); not "
-        "available in this environment — headers are parsed by "
-        "parse_image_header; BMP/PGM/PNG rasters by decode_pixel_stats"
+        "JPEG (Huffman+DCT), interlaced GIF/PNG and 16-bit PNG decode "
+        "require codec machinery out of this stats path's declared "
+        "scope — headers are parsed by parse_image_header; BMP/PGM/PNG/"
+        "GIF/RLE8 rasters by decode_pixel_stats"
     )
 
 
@@ -763,6 +765,377 @@ def _png_decode(payload: bytes):
     return ("png_rgb8" if ctype == 2 else "png_gray8", w, h, rows)
 
 
+def _gif_lzw_decode(mcs: int, data: bytes):
+    """GIF-variant LZW decompression (GIF89a spec Appendix F) — pure
+    stdlib bit arithmetic, the second compressed codec this module
+    decodes for real (DEFLATE via zlib being the first).
+
+    Variable-width codes, LSB-first bit packing: width starts at
+    ``mcs + 1`` and bumps to at most 12 as the table grows. The width
+    bump fires when ``next_code`` reaches ``1 << width`` (after the
+    table gains entry ``(1 << width) - 1`` the encoder may emit the
+    KwKwK code == next_code, which needs the wider field) — the
+    convention real encoders use, validated in tests against GIFs this
+    repo did not produce (the stdlib idlelib icons). Handles clear
+    codes, the KwKwK case (code == next_code), a full table (4096:
+    stop adding, keep decoding — deferred clear), and rejects
+    out-of-range codes / truncation by returning None.
+
+    Returns (indices, max_width_used) or None."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    nbits = len(data) * 8
+    out = bytearray()
+    bitpos = 0
+    max_width = mcs + 1
+
+    table: list[bytes] = []
+    next_code = 0
+    width = 0
+    prefix = b""
+
+    def reset() -> None:
+        nonlocal table, next_code, width, prefix
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        next_code = clear + 2
+        width = mcs + 1
+        prefix = b""
+
+    reset()
+    while True:
+        if bitpos + width > nbits:
+            return None  # ran out of bits before EOI
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        max_width = max(max_width, width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return list(out), max_width
+        if not prefix:  # first code after (re)set must be a root
+            if code >= clear:
+                return None
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+                addition = prefix + entry[:1]
+            elif code == next_code:  # KwKwK
+                entry = addition = prefix + prefix[:1]
+            else:
+                return None  # desynchronized stream
+            if next_code < 4096:
+                table.append(addition)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prefix = entry
+
+
+def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
+    """GIF-variant LZW compression — the plant-side inverse of
+    `_gif_lzw_decode`. Width bumps one table entry EARLIER than the
+    decoder's rule (after adding entry ``1 << width``): the decoder
+    learns each table entry one code later than the encoder creates it,
+    so the conventions land both sides on the same bit boundaries (the
+    giflib pairing, re-derived in the round-12 notes)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += width
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    book = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    emit(clear)
+    w = bytes([indices[0]])
+    for k in indices[1:]:
+        wk = w + bytes([k])
+        if wk in book:
+            w = wk
+            continue
+        emit(book[w])
+        if next_code < 4096:
+            book[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([k])
+    emit(book[w])
+    emit(eoi)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_decode(payload: bytes):
+    """REAL GIF pixel decode — global/local color table, non-interlaced
+    (round-11 directive #3): header + logical-screen descriptor walk,
+    extension blocks skipped by their sub-block framing, image
+    descriptor, then the LZW-compressed index stream
+    (`_gif_lzw_decode`) mapped through the active color table.
+    Interlaced images, multi-image animations beyond the first frame,
+    and malformed/truncated streams return None (the stats path
+    declares them, never guesses).
+
+    Returns (w, h, rows-of-index-bytes, palette) with palette a list of
+    (r, g, b) tuples, or None."""
+    import struct
+
+    n = len(payload)
+    if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 7)
+        if i + 3 * size > n:
+            return None
+        gct = [
+            (payload[i + 3 * k], payload[i + 3 * k + 1], payload[i + 3 * k + 2])
+            for k in range(size)
+        ]
+        i += 3 * size
+    if w <= 0 or h <= 0 or w * h > 16_000_000:  # same bomb guard as PNG
+        return None
+    while i < n:
+        block = payload[i]
+        i += 1
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension: label + sub-blocks
+            if i >= n:
+                return None
+            i += 1
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1  # the 0 terminator
+            continue
+        if block != 0x2C:
+            return None  # unknown block type
+        if i + 9 > n:
+            return None
+        left, top, iw, ih = struct.unpack("<HHHH", payload[i : i + 8])
+        ipacked = payload[i + 8]
+        i += 9
+        if ipacked & 0x40:
+            return None  # interlaced: declared out of scope
+        palette = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 7)
+            if i + 3 * size > n:
+                return None
+            palette = [
+                (
+                    payload[i + 3 * k],
+                    payload[i + 3 * k + 1],
+                    payload[i + 3 * k + 2],
+                )
+                for k in range(size)
+            ]
+            i += 3 * size
+        if palette is None or i >= n:
+            return None
+        mcs = payload[i]
+        i += 1
+        if not 2 <= mcs <= 8:
+            return None
+        lzw = bytearray()
+        while i < n and payload[i] != 0:
+            ln = payload[i]
+            if i + 1 + ln > n:
+                return None
+            lzw += payload[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        if i >= n:
+            return None
+        i += 1  # data terminator
+        decoded = _gif_lzw_decode(mcs, bytes(lzw))
+        if decoded is None:
+            return None
+        indices, _ = decoded
+        if len(indices) != iw * ih or left or top or (iw, ih) != (w, h):
+            # stats scope: one full-screen frame (the plant shape); a
+            # sub-rectangle frame would need compositing semantics
+            return None
+        if any(ix >= len(palette) for ix in indices):
+            return None
+        rows = [
+            bytes(indices[y * iw : (y + 1) * iw]) for y in range(ih)
+        ]
+        return (w, h, rows, palette)
+    return None
+
+
+def synth_gif_payload(doc_id: int, w: int, h: int) -> bytes:
+    """Plant encoder: a real GIF89a — 256-entry global color table
+    palette[i] = (i, (i+5)%256, (i+10)%256), pixel INDEX(x, y) =
+    (doc_id*7 + 31y + 13x) % 256, LZW-compressed by `_gif_lzw_encode`
+    and framed in ≤255-byte sub-blocks. Because the palette maps index
+    i to channels (i, i+5, i+10) mod 256, the decoded channel values
+    equal the truecolor plant arithmetic exactly — one oracle replays
+    both. The decoder must invert the LZW stream, the sub-block
+    framing, AND the palette indirection byte-for-byte."""
+    import struct
+
+    gct = bytearray()
+    for k in range(256):
+        gct += bytes((k, (k + 5) % 256, (k + 10) % 256))
+    indices = bytes(
+        (doc_id * 7 + y * 31 + x * 13) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    lzw = _gif_lzw_encode(8, indices)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes((0xF7, 0, 0))  # GCT present, 256 entries
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + b"\x00"  # no LCT, not interlaced
+        + bytes([8])  # LZW min code size
+        + blocks
+        + b"\x3b"
+    )
+
+
+def _bmp_rle8_decode(payload: bytes):
+    """REAL RLE8 BMP pixel decode (round-11 directive #3's ~30-line
+    sibling): 8-bit palette-indexed raster, BI_RLE8 compression —
+    encoded runs (count, index), absolute mode (00, n>=3, n indices,
+    word-aligned pad), end-of-line (00 00) and end-of-bitmap (00 01)
+    escapes. The delta escape (00 02) leaves pixels undefined, so a
+    payload using it returns None rather than guessing. RLE8 bitmaps
+    are bottom-up by spec (top-down RLE is invalid); rows are returned
+    in LOGICAL order (top first).
+
+    Returns (w, h, rows-of-index-bytes, palette) or None."""
+    import struct
+
+    n = len(payload)
+    if n < 54 or payload[:2] != b"BM":
+        return None
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size not in (40, 52, 56, 108, 124):
+        return None
+    offset = struct.unpack("<I", payload[10:14])[0]
+    w = struct.unpack("<i", payload[18:22])[0]
+    h = struct.unpack("<i", payload[22:26])[0]
+    bits = struct.unpack("<H", payload[28:30])[0]
+    comp = struct.unpack("<I", payload[30:34])[0]
+    clr_used = struct.unpack("<I", payload[46:50])[0] if n >= 50 else 0
+    if bits != 8 or comp != 1 or w <= 0 or h <= 0:
+        return None  # RLE8 is 8-bit and bottom-up (positive height) only
+    n_colors = clr_used or 256
+    pal_off = 14 + hdr_size
+    if pal_off + 4 * n_colors > n:
+        return None
+    palette = [
+        (
+            payload[pal_off + 4 * k + 2],  # R (stored B,G,R,reserved)
+            payload[pal_off + 4 * k + 1],
+            payload[pal_off + 4 * k],
+        )
+        for k in range(n_colors)
+    ]
+    rows = [bytearray(w) for _ in range(h)]
+    i = offset
+    x, file_row = 0, 0  # file rows run bottom-up
+    while True:
+        if i + 2 > n:
+            return None  # truncated before end-of-bitmap
+        b0, b1 = payload[i], payload[i + 1]
+        i += 2
+        if b0:  # encoded run
+            if x + b0 > w or file_row >= h:
+                return None
+            rows[h - 1 - file_row][x : x + b0] = bytes([b1]) * b0
+            x += b0
+            continue
+        if b1 == 0:  # end of line
+            file_row += 1
+            x = 0
+            continue
+        if b1 == 1:  # end of bitmap
+            break
+        if b1 == 2:  # delta: undefined pixels — declared out
+            return None
+        # absolute mode, count b1 >= 3
+        if x + b1 > w or i + b1 > n or file_row >= h:
+            return None
+        rows[h - 1 - file_row][x : x + b1] = payload[i : i + b1]
+        x += b1
+        i += b1 + (b1 & 1)  # word-aligned pad
+    if any(ix >= n_colors for row in rows for ix in row):
+        return None
+    return (w, h, [bytes(r) for r in rows], palette)
+
+
+def synth_rle8_payload(doc_id: int, w: int, h: int) -> bytes:
+    """Plant encoder: a real BI_RLE8 BMP with the 256-entry palette
+    palette[i] = (i, (i+5)%256, (i+10)%256). EVEN logical rows are one
+    encoded RUN of the row-constant index (doc_id*7 + 31y) % 256 — the
+    multi-pixel run path; ODD rows use ABSOLUTE mode with per-pixel
+    index (doc_id*7 + 31y + 13x) % 256 (word-aligned pad when w is
+    odd) — so both RLE modes are exercised in every plant. Rows are
+    stored bottom-up with EOL escapes and a final EOB."""
+    import struct
+
+    pal = bytearray()
+    for k in range(256):
+        pal += bytes(((k + 10) % 256, (k + 5) % 256, k, 0))  # B,G,R,0
+    data = bytearray()
+    for file_row in range(h):  # bottom-up: file row 0 = logical h-1
+        y = h - 1 - file_row
+        if y % 2 == 0:
+            data += bytes((w, (doc_id * 7 + y * 31) % 256))
+        else:
+            data.append(0)
+            data.append(w)  # absolute mode needs w >= 3 (plants: w >= 3)
+            data += bytes(
+                (doc_id * 7 + y * 31 + x * 13) % 256 for x in range(w)
+            )
+            if w & 1:
+                data.append(0)  # word-aligned pad
+        data += b"\x00\x00"  # end of line
+    data += b"\x00\x01"  # end of bitmap
+    offset = 14 + 40 + len(pal)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, 256, 0
+        )
+        + pal
+        + data
+    )
+
+
 def synth_png_payload(
     doc_id: int, w: int, h: int, gray: bool, filter_heavy: bool
 ) -> bytes:
@@ -845,14 +1218,17 @@ def decode_pixel_stats(payload: bytes):
       BITMAPINFOHEADER height is positive and top-down when negative,
       B,G,R byte order within a pixel;
     - PGM (P5): tokenized header (comments allowed), 8-bit raster;
-    - PNG, non-interlaced 8-bit grayscale/truecolor: the one COMPRESSED
-      format decodable with the stdlib alone — IDAT inflated with
-      ``zlib``, the five scanline filters unapplied by `_png_decode`
-      (round-10 directive #1).
+    - PNG, non-interlaced 8-bit grayscale/truecolor: IDAT inflated with
+      stdlib ``zlib``, the five scanline filters unapplied by
+      `_png_decode` (round-10 directive #1);
+    - GIF, non-interlaced, global or local color table: the LZW stream
+      decoded by the pure-Python `_gif_lzw_decode` (round-11 directive
+      #3), indices mapped through the palette;
+    - BMP, 8-bit BI_RLE8: run/absolute/EOL/EOB decode by
+      `_bmp_rle8_decode` (same directive).
 
-    Entropy-coded formats (JPEG/GIF, paletted/RLE BMP) stay declared in
-    `decode_image` — their rasters need codec libraries this
-    environment lacks; headers are still parsed for real by
+    Only JPEG (Huffman+DCT), interlaced GIF/PNG and 16-bit PNG stay
+    declared in `decode_image`; headers are still parsed for real by
     `parse_image_header`.
 
     Returns (format, w, h, n_pixels, sum_r, sum_g, sum_b, min_val,
@@ -863,6 +1239,38 @@ def decode_pixel_stats(payload: bytes):
     order-invariant sums right and THIS column wrong."""
     import struct
 
+    def _palette_stats(fmt, w, h, rows, palette):
+        """Shared census over palette-indexed rows (GIF / RLE8 BMP)."""
+        sr = sg = sb = 0
+        mn, mx = 255, 0
+        top_row_sum = 0
+        for y in range(h):
+            row = rows[y]
+            row_sum = 0
+            for x in range(w):
+                r, g, b = palette[row[x]]
+                sr += r
+                sg += g
+                sb += b
+                lo = min(r, g, b)
+                hi = max(r, g, b)
+                if lo < mn:
+                    mn = lo
+                if hi > mx:
+                    mx = hi
+                row_sum += r + g + b
+            if y == 0:
+                top_row_sum = row_sum
+        return (fmt, w, h, w * h, sr, sg, sb, mn, mx, top_row_sum)
+
+    gif = _gif_decode(payload)
+    if gif is not None:
+        w, h, rows, palette = gif
+        return _palette_stats("gif_lzw8", w, h, rows, palette)
+    rle = _bmp_rle8_decode(payload)
+    if rle is not None:
+        w, h, rows, palette = rle
+        return _palette_stats("bmp_rle8", w, h, rows, palette)
     png = _png_decode(payload)
     if png is not None:
         fmt, w, h, rows = png
@@ -979,25 +1387,31 @@ def synth_pixel_payload(doc_id: int, text: str) -> bytes:
     """Deterministic COMPLETE-raster plants for the pixel-decode oracle:
     value(x, y, c) = (doc_id*7 + y*31 + x*13 + c*5) % 256 with c = 0/1/2
     for R/G/B (grayscale formats use c=0), y counted from the TOP row.
-    doc_id % 6 picks the variant: 0 = 24-bit BMP bottom-up (file rows
+    doc_id % 8 picks the variant: 0 = 24-bit BMP bottom-up (file rows
     reversed, stride-padded), 1 = 24-bit BMP top-down (negative height),
     2 = PGM P5 with a comment line (forces real header tokenization),
     3 = raw non-image text, 4 = PNG 8-bit truecolor with per-row
     CYCLING scanline filters ((doc_id+y) % 5 — every unfilter path),
     5 = PNG 8-bit grayscale, alternating all-filter-0 / filter-heavy by
-    plant period (round-10 directive #1: filter-0 AND filter-heavy).
-    Dimensions derive from q = doc_id // 6 (w = 3 + q%6, h = 2 + q%5) —
-    DECOUPLED from the kind selector so each variant still sweeps every
-    stride-padding remainder (3w % 4 ∈ {0,1,2,3}) and every filter id.
-    decode(synth(doc_id)) must invert the plant byte-for-byte — the
-    decoder's stride/row-order/channel/filter walk is what the oracle
-    checks."""
+    plant period (round-10 directive #1: filter-0 AND filter-heavy),
+    6 = GIF89a, 256-entry global palette[i] = (i, i+5, i+10) mod 256
+    with pixel index = the c=0 value, LZW-compressed — the palette
+    indirection makes decoded channels equal the truecolor arithmetic
+    (round-11 directive #3), 7 = BI_RLE8 BMP with the same palette:
+    even logical rows one encoded RUN of the row-constant index (the
+    x*13 term dropped), odd rows ABSOLUTE mode per-pixel — both RLE
+    modes in every plant. Dimensions derive from q = doc_id // 8
+    (w = 3 + q%6, h = 2 + q%5) — DECOUPLED from the kind selector so
+    each variant still sweeps every stride-padding remainder
+    (3w % 4 ∈ {0,1,2,3}) and every filter id. decode(synth(doc_id))
+    must invert the plant byte-for-byte — the decoder's stride/
+    row-order/channel/filter/LZW/RLE walk is what the oracle checks."""
     import struct
 
-    kind = doc_id % 6
+    kind = doc_id % 8
     if kind == 3:
         return text.encode("utf-8") or b"\x00"
-    q = doc_id // 6
+    q = doc_id // 8
     w = 3 + q % 6
     h = 2 + q % 5
 
@@ -1010,6 +1424,10 @@ def synth_pixel_payload(doc_id: int, text: str) -> bytes:
         return synth_png_payload(
             doc_id, w, h, gray=True, filter_heavy=q % 2 == 1
         )
+    if kind == 6:
+        return synth_gif_payload(doc_id, w, h)
+    if kind == 7:
+        return synth_rle8_payload(doc_id, w, h)
     if kind == 2:
         header = b"P5\n# plant %d\n%d %d\n255\n" % (doc_id, w, h)
         data = bytes(val(x, y, 0) for y in range(h) for x in range(w))

@@ -4615,16 +4615,25 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_pixel_stats",
     oracle="""
     WITH p AS (
-      SELECT doc_id, doc_id % 6 AS kind,
-             3 + (doc_id // 6) % 6 AS w,
-             2 + (doc_id // 6) % 5 AS h
+      SELECT doc_id, doc_id % 8 AS kind,
+             3 + (doc_id // 8) % 6 AS w,
+             2 + (doc_id // 8) % 5 AS h
       FROM documents
     ),
     px AS (
+      -- kind 7 (RLE8): even logical rows are one encoded RUN of the
+      -- row-constant index (the x*13 term dropped); all other kinds
+      -- use the full per-pixel arithmetic
       SELECT p.doc_id, p.kind, p.w, p.h, gx.x, gy.y,
-             (p.doc_id * 7 + gy.y * 31 + gx.x * 13) % 256 AS v0,
-             (p.doc_id * 7 + gy.y * 31 + gx.x * 13 + 5) % 256 AS v1,
-             (p.doc_id * 7 + gy.y * 31 + gx.x * 13 + 10) % 256 AS v2
+             (p.doc_id * 7 + gy.y * 31
+              + CASE WHEN p.kind = 7 AND gy.y % 2 = 0
+                     THEN 0 ELSE gx.x * 13 END) % 256 AS v0,
+             (p.doc_id * 7 + gy.y * 31
+              + CASE WHEN p.kind = 7 AND gy.y % 2 = 0
+                     THEN 0 ELSE gx.x * 13 END + 5) % 256 AS v1,
+             (p.doc_id * 7 + gy.y * 31
+              + CASE WHEN p.kind = 7 AND gy.y % 2 = 0
+                     THEN 0 ELSE gx.x * 13 END + 10) % 256 AS v2
       FROM p,
            UNNEST(GENERATE_SERIES(0, p.w - 1)) AS gx(x),
            UNNEST(GENERATE_SERIES(0, p.h - 1)) AS gy(y)
@@ -4644,6 +4653,8 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE WHEN kind = 2 THEN 'pgm'
                   WHEN kind = 4 THEN 'png_rgb8'
                   WHEN kind = 5 THEN 'png_gray8'
+                  WHEN kind = 6 THEN 'gif_lzw8'
+                  WHEN kind = 7 THEN 'bmp_rle8'
                   ELSE 'bmp24' END AS format,
              w * h AS npix,
              s0 AS sr,
@@ -4674,28 +4685,33 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L19 pixel leg (round-9 directive #4 + round-10 directive #1) —
-    REAL pixel decode, no codec libs: uncompressed rasters need only
-    byte arithmetic, and PNG's codec (DEFLATE) ships in the stdlib, so
-    FOUR formats decode for real. Planted 24-bit BI_RGB BMPs (both
+    """L19 pixel leg (round-9 directive #4, round-10 directive #1,
+    round-11 directive #3) — REAL pixel decode, no codec libs: SIX
+    formats decode for real. Planted 24-bit BI_RGB BMPs (both
     bottom-up and top-down row order, stride padded to 4-byte
     multiples, B,G,R byte order), binary PGMs (tokenized header with a
-    comment line), and non-interlaced 8-bit PNGs — truecolor with
-    CYCLING scanline filters ((doc_id+y) % 5, every
-    None/Sub/Up/Average/Paeth unfilter path exercised) and grayscale
-    alternating filter-0/filter-heavy — stream through the Arrow
-    `mapInPandas` decoder (`llmdata/multimodal.py:decode_pixel_stats`;
-    PNG via `_png_decode`: CRC-verified chunk walk, zlib inflate,
-    filter inversion), then a per-format census of EXACT integer
-    channel sums, extrema and pixel-weighted channel means.
-    ``top_row_sum`` (channel sum over the TOP logical row) is
-    row-order-sensitive: it pins the bottom-up/top-down handling that
-    order-invariant sums cannot. The oracle replays the plant
-    arithmetic value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256 on a
-    generated pixel grid — decode(synth(doc_id)) must invert BOTH the
-    DEFLATE stream and the filter chain byte-for-byte. Entropy-coded
-    formats (JPEG/GIF) stay declared in `decode_image`; raw payloads
-    come back NULL-metric.
+    comment line), non-interlaced 8-bit PNGs — truecolor with CYCLING
+    scanline filters ((doc_id+y) % 5, every None/Sub/Up/Average/Paeth
+    unfilter path exercised) and grayscale alternating
+    filter-0/filter-heavy — plus, since round 12, GIF89a (pure-Python
+    GIF-variant LZW with variable code widths, `_gif_lzw_decode`,
+    validated against real-encoder GIFs the repo did not produce) and
+    BI_RLE8 BMPs (encoded-run AND absolute-mode rows in every plant).
+    All stream through the Arrow `mapInPandas` decoder
+    (`llmdata/multimodal.py:decode_pixel_stats`), then a per-format
+    census of EXACT integer channel sums, extrema and pixel-weighted
+    channel means. ``top_row_sum`` (channel sum over the TOP logical
+    row) is row-order-sensitive: it pins the bottom-up/top-down
+    handling that order-invariant sums cannot. The oracle replays the
+    plant arithmetic value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256
+    on a generated pixel grid — the GIF/RLE8 palettes map index i to
+    (i, i+5, i+10) mod 256, so the palette indirection lands on the
+    SAME arithmetic (RLE8 even rows drop the 13x term: one encoded run
+    per row). decode(synth(doc_id)) must invert DEFLATE, the filter
+    chain, the LZW stream, the sub-block framing, and the RLE escapes
+    byte-for-byte. Only JPEG (Huffman+DCT), interlaced GIF/PNG and
+    16-bit PNG stay declared in `decode_image`; raw payloads come back
+    NULL-metric.
 
     Scale: one Arrow pass over payload bytes, integer sums (not per-doc
     float means) cross the boundary, and the census after is

@@ -765,22 +765,27 @@ def test_wav_chunk_walk_skips_unknown_and_pads():
 
 def test_pixel_decode_inverts_plant_sweep():
     """decode_pixel_stats must invert synth_pixel_payload byte-for-byte
-    across every (variant, stride-padding, row-order, PNG-filter)
-    combination in the plant's period — 360 ids covers two full periods
-    of the (kind % 6, q % 30) grid, so every BMP stride remainder and
-    every PNG filter id appears under every variant."""
-    for d in range(0, 360):
+    across every (variant, stride-padding, row-order, PNG-filter,
+    LZW/RLE shape) combination in the plant's period — 480 ids covers
+    two full periods of the (kind % 8, q % 30) grid, so every BMP
+    stride remainder and every PNG filter id appears under every
+    variant, and every GIF/RLE8 geometry is exercised."""
+    for d in range(0, 480):
         out = multimodal.decode_pixel_stats(
             multimodal.synth_pixel_payload(d, "sample text payload")
         )
-        kind = d % 6
+        kind = d % 8
         if kind == 3:
             assert out is None
             continue
-        q = d // 6
+        q = d // 8
         w, h = 3 + q % 6, 2 + q % 5
 
         def val(x, y, c):
+            # RLE8 (kind 7) plants drop the x term on even rows: one
+            # encoded RUN per row — the multi-pixel run path
+            if kind == 7 and y % 2 == 0:
+                return (d * 7 + y * 31 + c * 5) % 256
             return (d * 7 + y * 31 + x * 13 + c * 5) % 256
 
         if kind in (2, 5):  # the grayscale formats: PGM and PNG gray8
@@ -790,8 +795,9 @@ def test_pixel_decode_inverts_plant_sweep():
                 fmt, w, h, w * h, sum(vs), sum(vs), sum(vs),
                 min(vs), max(vs), sum(val(x, 0, 0) for x in range(w)),
             )
-        else:  # the 3-channel formats: BMP (both orders) and PNG rgb8
-            fmt = "png_rgb8" if kind == 4 else "bmp24"
+        else:  # the 3-channel formats: BMP24/RLE8 (palette), PNG, GIF
+            fmt = {0: "bmp24", 1: "bmp24", 4: "png_rgb8",
+                   6: "gif_lzw8", 7: "bmp_rle8"}[kind]
             flat = [
                 val(x, y, c)
                 for y in range(h)
@@ -805,7 +811,7 @@ def test_pixel_decode_inverts_plant_sweep():
                 sum(val(x, y, 2) for y in range(h) for x in range(w)),
                 min(flat), max(flat),
                 sum(val(x, 0, c) for x in range(w) for c in range(3)),
-            )
+            ), (d, kind)
 
 
 def test_png_decode_filter_paths_are_real():
@@ -877,10 +883,10 @@ def test_pixel_decode_row_order_is_real():
     decoder that read file rows as logical rows would get
     top_row_sum wrong on exactly one of the two."""
     # flip the height sign of a bottom-up plant WITHOUT reversing rows
-    # (id 12: kind = 12 % 6 = 0 → bottom-up BMP, q=2 → w=5, h=4):
+    # (id 16: kind = 16 % 8 = 0 → bottom-up BMP, q=2 → w=5, h=4):
     import struct
 
-    p = bytearray(multimodal.synth_pixel_payload(12, "t"))  # bottom-up
+    p = bytearray(multimodal.synth_pixel_payload(16, "t"))  # bottom-up
     good = multimodal.decode_pixel_stats(bytes(p))
     h = struct.unpack("<i", p[22:26])[0]
     p[22:26] = struct.pack("<i", -h)  # claim top-down, rows unchanged
@@ -894,7 +900,7 @@ def test_pixel_decode_row_order_is_real():
 def test_pixel_decode_rejects_truncation_and_malformed():
     import struct
 
-    full = multimodal.synth_pixel_payload(12, "text")  # bmp24 bottom-up
+    full = multimodal.synth_pixel_payload(16, "text")  # bmp24 bottom-up
     assert multimodal.decode_pixel_stats(full) is not None
     # truncated raster: declared dims overrun the landed bytes
     assert multimodal.decode_pixel_stats(full[:-4]) is None
@@ -907,7 +913,7 @@ def test_pixel_decode_rejects_truncation_and_malformed():
     rle[30:34] = struct.pack("<I", 1)
     assert multimodal.decode_pixel_stats(bytes(rle)) is None
     # PGM: truncated raster, bad maxval, header-only
-    pgm = multimodal.synth_pixel_payload(14, "text")  # kind 2
+    pgm = multimodal.synth_pixel_payload(18, "text")  # kind 2
     assert multimodal.decode_pixel_stats(pgm) is not None
     assert multimodal.decode_pixel_stats(pgm[:-2]) is None
     assert multimodal.decode_pixel_stats(b"P5\n3 2\n65535\n" + b"\x00" * 6) is None
@@ -915,3 +921,153 @@ def test_pixel_decode_rejects_truncation_and_malformed():
     # non-image
     assert multimodal.decode_pixel_stats(b"plain text") is None
     assert multimodal.decode_pixel_stats(b"") is None
+
+
+def test_gif_lzw_roundtrip_and_width_growth():
+    """The LZW pair must round-trip streams long enough to grow the
+    code width to 12 bits and to hit the KwKwK special case."""
+    import random
+
+    rng = random.Random(7)
+    for n in (1, 2, 255, 256, 700, 3000, 60000):
+        idx = bytes(rng.randrange(256) for _ in range(n))
+        enc = multimodal._gif_lzw_encode(8, idx)
+        dec = multimodal._gif_lzw_decode(8, enc)
+        assert dec is not None and bytes(dec[0]) == idx
+    # low-entropy stream: long runs force KwKwK (code == next_code)
+    idx = bytes([5] * 10000 + [7, 5, 5, 7] * 500)
+    out, max_width = multimodal._gif_lzw_decode(
+        8, multimodal._gif_lzw_encode(8, idx)
+    )
+    assert bytes(out) == idx
+    assert max_width > 9  # the width actually grew
+
+
+def test_gif_decoder_against_real_encoders():
+    """Ground truth the repo did NOT produce: the stdlib idlelib GIF
+    icons were written by real-world encoders; decoding them pins the
+    width-bump convention (a wrong convention desynchronizes the bit
+    stream within a few hundred codes — geometry would not survive).
+    At least one icon must cross into >9-bit codes for the check to
+    have teeth."""
+    import glob
+    import struct
+
+    icons = sorted(
+        glob.glob(
+            "/root/.pyenv/versions/3.11.7/lib/python3.11/idlelib/"
+            "Icons/*.gif"
+        )
+    )
+    if not icons:  # environment without idlelib data
+        pytest.skip("no stdlib GIFs available")
+    decoded = 0
+    for p in icons:
+        payload = open(p, "rb").read()
+        r = multimodal._gif_decode(payload)
+        if r is None:  # out-of-scope variants (e.g. sub-rect frames)
+            continue
+        w, h, rows, pal = r
+        ww, hh = struct.unpack("<HH", payload[6:10])
+        assert (w, h) == (ww, hh)
+        assert len(rows) == h and all(len(row) == w for row in rows)
+        assert all(ix < len(pal) for row in rows for ix in row)
+        decoded += 1
+    assert decoded >= 3  # several real-encoder files fully decoded
+    # teeth: the 48x48 icon's stream must have used >9-bit codes
+    big = [p for p in icons if p.endswith("idle_48.gif")]
+    if big:
+        payload = open(big[0], "rb").read()
+        # re-extract its LZW stream through the decoder plumbing by
+        # decoding and checking the reported max width
+        i = 13 + 3 * (2 << (payload[10] & 7))
+        while payload[i] == 0x21:  # skip extensions
+            j = i + 2
+            while payload[j]:
+                j += 1 + payload[j]
+            i = j + 1
+        assert payload[i] == 0x2C
+        i += 1 + 9  # the 0x2C separator + the 9-byte descriptor
+        mcs = payload[i]
+        i += 1
+        lzw = bytearray()
+        while payload[i]:
+            ln = payload[i]
+            lzw += payload[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        out, max_width = multimodal._gif_lzw_decode(mcs, bytes(lzw))
+        assert len(out) == 48 * 48
+        assert max_width > mcs + 1
+
+
+def test_gif_decode_rejections():
+    good = multimodal.synth_gif_payload(11, 5, 4)
+    assert multimodal._gif_decode(good) is not None
+    # truncation anywhere must reject, never mis-sum
+    for cut in (8, 20, 200, len(good) - 2):
+        assert multimodal._gif_decode(good[:cut]) is None
+    # interlace flag (image-descriptor packed bit 6) is declared out
+    bad = bytearray(good)
+    idesc = 13 + 3 * 256  # header+LSD then the 256-entry GCT
+    assert bad[idesc] == 0x2C
+    bad[idesc + 9] |= 0x40
+    assert multimodal._gif_decode(bytes(bad)) is None
+    # a desynchronized LZW stream (flip a mid-stream byte) must reject
+    # or still account for every pixel — never silently skew
+    bad2 = bytearray(good)
+    bad2[-10] ^= 0xFF
+    r = multimodal._gif_decode(bytes(bad2))
+    assert r is None or len(r[2]) == r[1]
+
+
+def test_rle8_decode_rejections():
+    good = multimodal.synth_rle8_payload(9, 5, 4)
+    assert multimodal._bmp_rle8_decode(good) is not None
+    for cut in (20, 60, len(good) - 2):
+        assert multimodal._bmp_rle8_decode(good[:cut]) is None
+    # a run overrunning the row width must reject
+    bad = bytearray(good)
+    pix_off = int.from_bytes(good[10:14], "little")
+    bad[pix_off] = 250  # count 250 > w
+    assert multimodal._bmp_rle8_decode(bytes(bad)) is None
+    # the delta escape leaves pixels undefined: declared out
+    bad2 = bytearray(good)
+    bad2[pix_off : pix_off + 2] = b"\x00\x02"
+    assert multimodal._bmp_rle8_decode(bytes(bad2)) is None
+    # negative height (top-down) is invalid for RLE8 by spec
+    bad3 = bytearray(good)
+    h = int.from_bytes(good[22:26], "little")
+    bad3[22:26] = (-h % 2**32).to_bytes(4, "little")
+    assert multimodal._bmp_rle8_decode(bytes(bad3)) is None
+
+
+def test_png_decompression_bomb_guard():
+    """Round-11 ADVICE #2: a crafted IHDR claiming ~16 GB of raster
+    must be rejected BEFORE inflating (bounded decompressobj + the
+    megapixel cap), not after a multi-GB allocation."""
+    import struct
+    import time
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 70000, 70000, 8, 2, 0, 0, 0)
+    # a tiny zlib stream that would inflate far beyond the geometry
+    idat = zlib.compress(b"\x00" * 1024)
+    payload = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", idat)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    t0 = time.monotonic()
+    assert multimodal._png_decode(payload) is None
+    assert time.monotonic() - t0 < 1.0
+    # oversized inflation vs geometry rejects too (stream > expected)
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    idat2 = zlib.compress(b"\x00" * 1000)  # expect (2*1+1)*2 = 6 bytes
+    payload2 = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr2)
+        + multimodal._png_chunk(b"IDAT", idat2)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert multimodal._png_decode(payload2) is None
