@@ -561,6 +561,218 @@ def extract_audio_headers(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_HEADER_SCHEMA)
 
 
+AUDIO_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_ch0", LongType()),
+        StructField("sum_ch1", LongType()),
+        StructField("peak_abs", LongType()),
+    ]
+)
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL WAV PCM SAMPLE decode (round-11 directive #4 — the audio
+    parity of the pixel path): the RIFF chunk walk of
+    `parse_wav_header`, then the 'data' payload itself decoded with
+    stdlib ``struct`` — interleaved frames, 8-bit unsigned or 16-bit
+    signed little-endian, 1–2 channels, plain PCM (tag 1) or
+    WAVE_FORMAT_EXTENSIBLE wrapping PCM. Truncated payloads (declared
+    data overruns the landed bytes — the HEADER census's bread and
+    butter) return None here: a sample census over half-landed clips
+    would silently under-sum, so this path insists on complete bodies.
+
+    Returns (codec, channels, sample_rate, bits, n_frames, sum_ch0,
+    sum_ch1, peak_abs): per-channel RAW integer sample sums (unsigned
+    byte values for 8-bit, signed for 16-bit; mono clips report
+    sum_ch1 = 0) and peak amplitude = max |centered sample| (8-bit
+    centers at 128; 16-bit is already signed) — all exact integers."""
+    import struct
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = i + 8
+        if cid == b"fmt ":
+            if csize < 16 or body + 16 > n:
+                return None
+            tag, ch, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[body : body + 16]
+            )
+            codec = "pcm" if tag == 1 else None
+            if tag == 0xFFFE:
+                if csize < 40 or body + 26 > n:
+                    return None
+                (real_tag,) = struct.unpack(
+                    "<H", payload[body + 24 : body + 26]
+                )
+                codec = "pcm-ext" if real_tag == 1 else None
+            fmt = (codec, int(ch), int(sr), int(bits))
+        elif cid == b"data":
+            if body + csize > n:
+                return None  # truncated body: no exact census possible
+            data = payload[body : body + csize]
+        i = body + csize + (csize & 1)
+    if fmt is None or data is None:
+        return None
+    codec, ch, sr, bits = fmt
+    if codec is None or ch not in (1, 2) or bits not in (8, 16):
+        return None  # non-PCM / exotic layouts: header-census territory
+    frame_bytes = ch * bits // 8
+    if frame_bytes == 0 or len(data) % frame_bytes:
+        return None  # partial trailing frame: malformed
+    n_frames = len(data) // frame_bytes
+    sums = [0, 0]
+    peak = 0
+    if bits == 8:
+        for t in range(n_frames):
+            base = t * ch
+            for c in range(ch):
+                v = data[base + c]
+                sums[c] += v
+                a = v - 128 if v >= 128 else 128 - v
+                if a > peak:
+                    peak = a
+    else:
+        vals = struct.unpack(f"<{n_frames * ch}h", data)
+        for t in range(n_frames):
+            base = t * ch
+            for c in range(ch):
+                v = vals[base + c]
+                sums[c] += v
+                a = -v if v < 0 else v
+                if a > peak:
+                    peak = a
+    return (codec, ch, sr, bits, n_frames, sums[0], sums[1], peak)
+
+
+def synth_audio_sample_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic COMPLETE-PCM plants for the sample-decode oracle
+    (the audio analog of `synth_pixel_payload`): doc_id % 4 picks the
+    variant — 0 = 8-bit unsigned PCM, 1 = 16-bit signed PCM,
+    2 = WAVE_FORMAT_EXTENSIBLE wrapping 16-bit PCM (the real tag lives
+    in the SubFormat GUID), 3 = raw non-audio text. channels =
+    1 + (doc_id // 4) % 2 and sample_rate = _WAV_RATES[(doc_id // 8) %
+    5] are DECOUPLED from the kind selector so every codec sweeps mono
+    and stereo at every rate. Sample plant arithmetic the oracle replays:
+    8-bit  s(t, c) = (doc_id*3 + t*5 + c*11) % 256,
+    16-bit s(t, c) = ((doc_id*131 + t*17 + c*23) % 65536) - 32768,
+    t = frame index, c = channel; n_frames = 40 + (doc_id * 7) % 120.
+    The data chunk lands COMPLETE — decode(synth(doc_id)) must invert
+    the interleaving and the signedness byte-for-byte."""
+    import struct
+
+    kind = doc_id % 4
+    if kind == 3:
+        return text.encode("utf-8") or b"\x00"
+    channels = 1 + (doc_id // 4) % 2
+    sr = _WAV_RATES[(doc_id // 8) % 5]
+    bits = 8 if kind == 0 else 16
+    n_frames = 40 + (doc_id * 7) % 120
+    block_align = channels * bits // 8
+    if bits == 8:
+        data = bytes(
+            (doc_id * 3 + t * 5 + c * 11) % 256
+            for t in range(n_frames)
+            for c in range(channels)
+        )
+    else:
+        data = struct.pack(
+            f"<{n_frames * channels}h",
+            *(
+                ((doc_id * 131 + t * 17 + c * 23) % 65536) - 32768
+                for t in range(n_frames)
+                for c in range(channels)
+            ),
+        )
+    if kind == 2:
+        fmt_body = struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE,
+            channels,
+            sr,
+            sr * block_align,
+            block_align,
+            bits,
+            22,
+            bits,
+            (1 << channels) - 1,
+        ) + struct.pack("<H", 1) + (
+            b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        )
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH", 1, channels, sr, sr * block_align, block_align, bits
+        )
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"  # word-alignment pad after an odd data chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def attach_planted_audio_sample_payload(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize COMPLETE-PCM WAV payloads
+    (`synth_audio_sample_payload`) from doc identity."""
+    return attach_planted_payload(
+        docs, text_col, synth=synth_audio_sample_payload
+    )
+
+
+def extract_audio_samples(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PCM sample decode: one `mapInPandas` pass
+    walks every payload's data chunk (`decode_wav_samples`);
+    non-decodable payloads emit NULL metrics. Integer sample sums (not
+    float means) cross the Arrow boundary — the census downstream is
+    exact-arithmetic, the same discipline as the pixel leg."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [decode_wav_samples(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "codec": [p[0] if p else None for p in parsed],
+                    "sample_rate": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "bits": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [p[4] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "sum_ch0": pd.array(
+                        [p[5] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "sum_ch1": pd.array(
+                        [p[6] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "peak_abs": pd.array(
+                        [p[7] if p else None for p in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_SAMPLE_SCHEMA)
+
+
 def sample_frames(features: DataFrame, k: int = 4) -> DataFrame:
     """Frame sampling (charter: video frame-sample): emit up to ``k``
     evenly-spaced frame indices per media row — `explode(sequence)` over

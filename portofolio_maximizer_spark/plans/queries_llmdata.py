@@ -671,6 +671,95 @@ def audio_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_sample_census",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 4 AS kind,
+             1 + (doc_id // 4) % 2 AS ch,
+             CASE (doc_id // 8) % 5
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                  WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+             40 + (doc_id * 7) % 120 AS nf
+      FROM documents
+    ),
+    s AS (
+      SELECT p.doc_id, p.kind, p.ch, p.sr, p.nf, gc.c,
+             CASE WHEN p.kind = 0
+                  THEN (p.doc_id * 3 + gt.t * 5 + gc.c * 11) % 256
+                  ELSE ((p.doc_id * 131 + gt.t * 17 + gc.c * 23) % 65536)
+                       - 32768
+             END AS v
+      FROM p,
+           UNNEST(GENERATE_SERIES(0, p.nf - 1)) AS gt(t),
+           UNNEST(GENERATE_SERIES(0, p.ch - 1)) AS gc(c)
+      WHERE p.kind <> 3
+    ),
+    d AS (
+      SELECT doc_id, sr, nf,
+             CASE WHEN kind = 0 THEN 8 ELSE 16 END AS bits,
+             CASE WHEN kind = 2 THEN 'pcm-ext' ELSE 'pcm' END AS codec,
+             SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS s0,
+             SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS s1,
+             MAX(CASE WHEN kind = 0 THEN ABS(v - 128) ELSE ABS(v) END)
+               AS pk
+      FROM s GROUP BY doc_id, sr, nf, kind
+    ),
+    m AS (
+      SELECT codec, sr, bits, nf, s0, s1, pk FROM d
+      UNION ALL
+      SELECT 'raw', NULL, NULL, NULL, NULL, NULL, NULL
+      FROM p WHERE kind = 3
+    )
+    SELECT codec,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(bits AS INTEGER) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(nf) AS BIGINT) AS total_frames,
+           CAST(SUM(s0) AS BIGINT) AS sum_ch0,
+           CAST(SUM(s1) AS BIGINT) AS sum_ch1,
+           CAST(MAX(pk) AS BIGINT) AS peak_abs
+    FROM m GROUP BY codec, sr, bits
+    """,
+)
+def audio_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L56 sample leg (round-11 directive #4) — REAL WAV PCM SAMPLE
+    decode, audio parity with the pixel path: `audio_header_census`
+    stops at the fmt/data chunk headers; this decodes the planted
+    8-bit-unsigned and 16-bit-signed PCM payloads themselves (stdlib
+    ``struct``, interleaved frames, mono and stereo, plain PCM and
+    WAVE_FORMAT_EXTENSIBLE) into exact per-channel integer sample sums
+    + peak amplitude (max |centered sample|), then a per-(codec,
+    sample_rate, bits) census. One Arrow `mapInPandas` pass
+    (`llmdata/multimodal.py:extract_audio_samples` /
+    `decode_wav_samples`), like the pixel leg. The oracle replays the
+    plant arithmetic s(t, c) from doc_id on a generated (frame,
+    channel) grid — decode(synth(doc_id)) must invert the interleaving
+    and the signedness byte-for-byte; raw payloads come back
+    NULL-metric. Truncated bodies are REJECTED here (a half-landed
+    clip would silently under-sum) — header-grain duration for those
+    stays `audio_header_census`'s job.
+
+    Scale: one Arrow pass over payload bytes; integer sums cross the
+    boundary; the census after is metadata-only. Reference anchor: the
+    standardize-and-census shape of etl/base_extractor.py:203-270
+    applied to the charter's multimodal column mandate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_planted_audio_sample_payload(docs)
+    aud = multimodal.extract_audio_samples(media)
+    return aud.groupBy(
+        F.coalesce(F.col("codec"), F.lit("raw")).alias("codec"),
+        "sample_rate",
+        "bits",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.sum("sum_ch0").cast("long").alias("sum_ch0"),
+        F.sum("sum_ch1").cast("long").alias("sum_ch1"),
+        F.max("peak_abs").cast("long").alias("peak_abs"),
+    )
+
+
+@query(
     "embedding_cosine_neardups",
     oracle=f"""
     WITH norms AS ({_NORMS_SQL}),

@@ -1071,3 +1071,66 @@ def test_png_decompression_bomb_guard():
         + multimodal._png_chunk(b"IEND", b"")
     )
     assert multimodal._png_decode(payload2) is None
+
+
+def test_wav_sample_decode_inverts_plant_sweep():
+    """decode_wav_samples must invert synth_audio_sample_payload across
+    two full periods of the (kind, channels, rate, frames) grid —
+    per-channel sums, frame counts, and peak amplitude all exact."""
+    for d in range(0, 320):
+        out = multimodal.decode_wav_samples(
+            multimodal.synth_audio_sample_payload(d, "sample text")
+        )
+        kind = d % 4
+        if kind == 3:
+            assert out is None
+            continue
+        ch = 1 + (d // 4) % 2
+        nf = 40 + (d * 7) % 120
+        bits = 8 if kind == 0 else 16
+        codec = "pcm-ext" if kind == 2 else "pcm"
+
+        def s(t, c):
+            if bits == 8:
+                return (d * 3 + t * 5 + c * 11) % 256
+            return ((d * 131 + t * 17 + c * 23) % 65536) - 32768
+
+        sums = [sum(s(t, c) for t in range(nf)) for c in range(ch)] + [0]
+        center = 128 if bits == 8 else 0
+        peak = max(
+            abs(s(t, c) - center) for t in range(nf) for c in range(ch)
+        )
+        assert out == (
+            codec,
+            ch,
+            multimodal._WAV_RATES[(d // 8) % 5],
+            bits,
+            nf,
+            sums[0],
+            sums[1],
+            peak,
+        ), d
+
+
+def test_wav_sample_decode_rejections():
+    import struct
+
+    good = multimodal.synth_audio_sample_payload(1, "t")
+    assert multimodal.decode_wav_samples(good) is not None
+    # truncated data body: an exact census is impossible — reject
+    assert multimodal.decode_wav_samples(good[:-3]) is None
+    # a partial trailing frame (data size not a frame multiple) rejects
+    bad = bytearray(good)
+    di = bytes(good).index(b"data")
+    size = struct.unpack("<I", good[di + 4 : di + 8])[0]
+    bad[di + 4 : di + 8] = struct.pack("<I", size - 1)
+    assert multimodal.decode_wav_samples(bytes(bad)) is None
+    # non-PCM format tag (e.g. mu-law, 7): header census territory
+    bad2 = bytearray(good)
+    fi = bytes(good).index(b"fmt ")
+    bad2[fi + 8 : fi + 10] = struct.pack("<H", 7)
+    assert multimodal.decode_wav_samples(bytes(bad2)) is None
+    # the HEADER parser still reads all of these (truncation reported,
+    # exotic codecs labeled) — the two legs split the job
+    assert multimodal.parse_wav_header(good[:-3]) is not None
+    assert multimodal.parse_wav_header(bytes(bad2))[0] == "other"
