@@ -330,17 +330,16 @@ def ivf_build_index(
     return assigned, cent_df
 
 
-def ivf_probe(
-    assigned: DataFrame,
+def ivf_query_probes(
     cent_df: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """The ONLINE half of IVF: select each query's ``n_probe`` nearest
-    centroids by cosine, score only those lists' members, keep top-k."""
+    """Probe selection shared by `ivf_probe` and `ivfadc_topk`: each
+    query's ``n_probe`` nearest centroids by cosine, (csim desc,
+    ivf_list_id) tie-break. Returns (qid, qe, ivf_list_id)."""
     q = queries.select(
         F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
     )
@@ -352,11 +351,25 @@ def ivf_probe(
         .alias("csim"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("ivf_list_id"))
-    probes = (
+    return (
         qc.withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= n_probe)
         .select("qid", "qe", "ivf_list_id")
     )
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ONLINE half of IVF: select each query's ``n_probe`` nearest
+    centroids by cosine, score only those lists' members, keep top-k."""
+    probes = ivf_query_probes(cent_df, queries, n_probe, vec_col, id_col)
     scored = (
         assigned.join(F.broadcast(probes), "ivf_list_id")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -595,4 +608,121 @@ def pq_rerank_topk(
         exact.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "d2", "adc_rank", "rnk")
+    )
+
+
+def ivfadc_candidates(
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVFADC candidate set: the IVF router's probed lists' members
+    (vec_id != qid) per query — (qid, vec_id, ivf_list_id). Shared by
+    `ivfadc_topk` and the scan-cost frontier so the two can never
+    disagree about what was scanned."""
+    probes = ivf_query_probes(cent_df, queries, n_probe, vec_col, id_col)
+    return (
+        assigned.join(
+            F.broadcast(probes.select("qid", "ivf_list_id")), "ivf_list_id"
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "ivf_list_id")
+    )
+
+
+def ivfadc_topk(
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 64,
+    n_blocks: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC — the FAISS-style serving index (Jégou et al. 2011 §IV):
+    the IVF coarse quantizer routes each query to its ``n_probe``
+    nearest lists, ONLY those lists' PQ codes are ADC-scored against
+    the query's broadcast distance tables, and only the ADC
+    ``shortlist`` members' raw floats are read back for the exact-L2
+    rerank → top-k. The composition of the two staged indexes this
+    repo already serves separately: L7's router scored exact vectors
+    for whole lists; L45's ADC scanned the whole corpus' codes — here
+    float reads drop to queries × shortlist AND code reads drop to the
+    probed fraction, which is the production memory/IO point.
+
+    All arithmetic matches the parents so their oracles compose: probe
+    selection = cosine with (csim desc, list) tie-break (`ivf_probe`),
+    ADC = fixed-order per-block partial sums with (adc_d2, vec_id)
+    tie-break (`pq_adc_topk`), rerank = exact squared Euclidean with
+    (d2, vec_id) tie-break (`pq_rerank_topk`).
+
+    100 TB shape: centroids + codebooks + per-query tables broadcast
+    (KBs); the candidate join is codes ⋈ broadcast(candidates) — the
+    compressed index never shuffles; raw floats are touched only for
+    the shortlist."""
+    sub_dim = dim // n_blocks
+    cand = ivfadc_candidates(
+        assigned, cent_df, queries, n_probe, vec_col, id_col
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
+    )
+    dtab = q.crossJoin(F.broadcast(codebooks)).select(
+        "qid",
+        "blk",
+        "code",
+        _sq_dist(
+            F.slice(F.col("qe"), F.col("blk") * sub_dim + 1, F.lit(sub_dim)),
+            F.col("centroid_vec"),
+        ).alias("pd2"),
+    )
+    blk_sums = [
+        F.sum(F.when(F.col("blk") == m, F.col("pd2"))).alias(f"pd_{m}")
+        for m in range(n_blocks)
+    ]
+    adc = F.col("pd_0")
+    for m in range(1, n_blocks):
+        adc = adc + F.col(f"pd_{m}")
+    scored = (
+        codes.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(dtab), ["qid", "blk", "code"])
+        .groupBy("qid", "vec_id", "ivf_list_id")
+        .agg(*blk_sums, F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") == n_blocks)
+        .select("qid", "vec_id", "ivf_list_id", adc.alias("adc_d2"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    sl = (
+        scored.withColumn("adc_rank", F.row_number().over(ws))
+        .filter(F.col("adc_rank") <= shortlist)
+        .select("qid", "vec_id", "ivf_list_id", "adc_rank")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("de")
+    )
+    exact = (
+        c.join(F.broadcast(sl), "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "ivf_list_id",
+            "adc_rank",
+            _sq_dist(F.col("qe"), F.col("de")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "ivf_list_id", "d2", "adc_rank", "rnk")
     )

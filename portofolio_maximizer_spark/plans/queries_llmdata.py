@@ -3968,6 +3968,492 @@ query("embedding_pq_ann", oracle="""
     """)(embedding_pq_ann)
 
 
+def embedding_ivfadc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72 (round-11 directive #1): IVFADC — the IVF router COMPOSED
+    with the PQ codes into the FAISS-style serving index (Jégou et al.
+    2011 §IV). L7 routes to lists but scores exact vectors; L45
+    ADC-scans the whole corpus' codes; the production shape is both:
+    coarse-quantize each query to its 4 probed lists, ADC-score ONLY
+    those lists' PQ codes via the broadcast distance tables, then
+    exact-rerank the 64-deep shortlist. Float reads drop to
+    queries × 64 AND code reads drop to the probed ~4/16 of the
+    corpus.
+
+    Shares ALL FOUR staged artifacts through the stage cache —
+    ivf_centroids/ivf_assigned (L7's) and pq_codebooks/pq_codes
+    (L45's): one index fleet, three serving paths, no duplicate
+    training anywhere.
+
+    Staged-verification oracle: the two KMeans fits are the only
+    non-SQL steps; DuckDB re-derives the list ASSIGNMENT (Euclidean,
+    (d2, list) tie-break) and the code ENCODING (per-block nearest,
+    (d2, code) tie-break) from the raw embeddings + staged
+    centroids/codebooks, replays cosine probe selection, the
+    candidate-restricted ADC, the 64-deep shortlist and the exact
+    rerank — the full composed pipeline is what the hash checks.
+
+    Scan-cost-vs-recall evidence lives in `ivfadc_scan_frontier`
+    (the L63-style row comparing IVF-exact against IVFADC)."""
+    from .queries import stage_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_built: dict = {}
+    pq_built: dict = {}
+
+    def _ivf():
+        if not ivf_built:
+            ivf_built["a"], ivf_built["c"] = similarity.ivf_build_index(emb)
+        return ivf_built
+
+    def _pq():
+        if not pq_built:
+            pq_built["codes"], pq_built["books"] = similarity.pq_build_index(
+                emb
+            )
+        return pq_built
+
+    cent = stage_cached(
+        spark, sf_dir, "ivf_centroids", lambda: _ivf()["c"]
+    )
+    assigned = stage_cached(
+        spark, sf_dir, "ivf_assigned", lambda: _ivf()["a"]
+    )
+    books = stage_cached(
+        spark, sf_dir, "pq_codebooks", lambda: _pq()["books"]
+    )
+    codes = stage_cached(
+        spark, sf_dir, "pq_codes", lambda: _pq()["codes"]
+    )
+    out = similarity.ivfadc_topk(
+        assigned,
+        cent,
+        codes,
+        books,
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=4,
+        shortlist=64,
+    )
+    return out.select(
+        "qid",
+        "vec_id",
+        "ivf_list_id",
+        r6("d2").alias("d2"),
+        "adc_rank",
+        "rnk",
+    )
+
+
+query("embedding_ivfadc_ann", oracle="""
+    WITH c AS (
+      SELECT ivf_list_id, centroid_vec FROM read_parquet(
+        '__ORACLE_STAGE__/ivf_centroids/*.parquet')
+    ),
+    cb AS (
+      SELECT blk, code, centroid_vec FROM read_parquet(
+        '__ORACLE_STAGE__/pq_codebooks/*.parquet')
+    ),
+    d AS (
+      SELECT e.vec_id, c.ivf_list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.centroid_vec[i], 2)) AS d2
+      FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY e.vec_id, c.ivf_list_id
+    ),
+    a AS (
+      SELECT vec_id, ivf_list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, ivf_list_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    subs AS (
+      SELECT e.vec_id, b.blk,
+             LIST_TRANSFORM(RANGE(1, 17),
+               i -> CAST(e.embedding[CAST(b.blk * 16 + i AS INT)]
+                    AS DOUBLE)) AS sub
+      FROM embeddings e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS blk) b
+    ),
+    asg AS (
+      SELECT vec_id, blk, code FROM (
+        SELECT s.vec_id, s.blk, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.blk
+                 ORDER BY LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                   i -> POWER(s.sub[CAST(i AS INT)]
+                              - cb.centroid_vec[CAST(i AS INT)], 2))), cb.code
+               ) AS rn
+        FROM subs s JOIN cb ON cb.blk = s.blk
+      ) WHERE rn = 1
+    ),
+    nrm AS (
+      SELECT vec_id,
+             SQRT(SUM(POWER(CAST(embedding[i] AS DOUBLE), 2))) AS nv
+      FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY vec_id
+    ),
+    cn AS (
+      SELECT ivf_list_id, SQRT(SUM(POWER(centroid_vec[i], 2))) AS cnv
+      FROM c, UNNEST(RANGE(1, 65)) AS u(i) GROUP BY ivf_list_id
+    ),
+    qc AS (
+      SELECT q.vec_id AS qid, c.ivf_list_id,
+             SUM(CAST(q.embedding[i] AS DOUBLE) * c.centroid_vec[i]) AS qcdot
+      FROM embeddings q, c, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.ivf_list_id
+    ),
+    probes AS (
+      SELECT qid, ivf_list_id FROM (
+        SELECT qc.qid, qc.ivf_list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qc.qid
+                 ORDER BY qc.qcdot / (nq.nv * cn.cnv) DESC, qc.ivf_list_id) AS pr
+        FROM qc JOIN nrm nq ON nq.vec_id = qc.qid
+                JOIN cn ON cn.ivf_list_id = qc.ivf_list_id
+      ) WHERE pr <= 4
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id, a.ivf_list_id
+      FROM probes p JOIN a ON a.ivf_list_id = p.ivf_list_id
+      WHERE a.vec_id <> p.qid
+    ),
+    dtab AS (
+      SELECT q.vec_id AS qid, cb.blk, cb.code,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+               i -> POWER(CAST(q.embedding[CAST(cb.blk * 16 + i AS INT)]
+                          AS DOUBLE) - cb.centroid_vec[CAST(i AS INT)], 2))) AS pd2
+      FROM embeddings q CROSS JOIN cb
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT cd.qid, cd.vec_id, cd.ivf_list_id,
+             SUM(CASE WHEN dt.blk = 0 THEN dt.pd2 END)
+             + SUM(CASE WHEN dt.blk = 1 THEN dt.pd2 END)
+             + SUM(CASE WHEN dt.blk = 2 THEN dt.pd2 END)
+             + SUM(CASE WHEN dt.blk = 3 THEN dt.pd2 END) AS adc_d2
+      FROM cand cd
+      JOIN asg ag ON ag.vec_id = cd.vec_id
+      JOIN dtab dt ON dt.qid = cd.qid AND dt.blk = ag.blk
+                  AND dt.code = ag.code
+      GROUP BY cd.qid, cd.vec_id, cd.ivf_list_id
+      HAVING COUNT(*) = 4
+    ),
+    sl AS (
+      SELECT qid, vec_id, ivf_list_id, adc_rank FROM (
+        SELECT qid, vec_id, ivf_list_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_d2, vec_id) AS adc_rank
+        FROM scored
+      ) WHERE adc_rank <= 64
+    ),
+    rer AS (
+      SELECT s.qid, s.vec_id, s.ivf_list_id, s.adc_rank,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+               i -> POWER(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                          - CAST(e.embedding[CAST(i AS INT)] AS DOUBLE),
+                          2))) AS d2
+      FROM sl s
+      JOIN embeddings q ON q.vec_id = s.qid
+      JOIN embeddings e ON e.vec_id = s.vec_id
+    )
+    SELECT qid, vec_id, ivf_list_id, ROUND(d2, 6) AS d2,
+           CAST(adc_rank AS INT) AS adc_rank, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT qid, vec_id, ivf_list_id, d2, adc_rank,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY d2, vec_id) AS rnk
+      FROM rer
+    ) WHERE rnk <= 5
+    """)(embedding_ivfadc_ann)
+
+
+def ivfadc_scan_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72's frontier row (round-11 directive #1's second half, the
+    L63 shape): IVF-exact vs IVFADC scan cost AT THE SAME probes, both
+    graded against the global exact-L2 top-5 truth. The two variants
+    share the EXACT SAME candidate set (`ivfadc_candidates` — the
+    router's 4 probed lists), so the comparison isolates what ADC
+    buys/costs: IVF-exact reads 64 floats per candidate; IVFADC reads
+    4 one-byte codes per candidate plus 64 floats for only the 64-deep
+    rerank shortlist. recall_at5 = matched truth pairs / (5 · queries)
+    — IVFADC's recall is bounded above by IVF-exact's (same
+    candidates, quantized pre-ranking), and the scan-cost columns show
+    the float-read collapse that pays for it.
+
+    Oracle: the composed staged-index replay (assignment, probes,
+    encoding, ADC, shortlist, rerank) plus the brute-force truth —
+    every column integer or a 6dp ratio of integers."""
+    from .queries import stage_cached
+    from ..llmdata.similarity import _sq_dist, as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf_built: dict = {}
+    pq_built: dict = {}
+
+    def _ivf():
+        if not ivf_built:
+            ivf_built["a"], ivf_built["c"] = similarity.ivf_build_index(emb)
+        return ivf_built
+
+    def _pq():
+        if not pq_built:
+            pq_built["codes"], pq_built["books"] = similarity.pq_build_index(
+                emb
+            )
+        return pq_built
+
+    cent = stage_cached(
+        spark, sf_dir, "ivf_centroids", lambda: _ivf()["c"]
+    )
+    assigned = stage_cached(
+        spark, sf_dir, "ivf_assigned", lambda: _ivf()["a"]
+    )
+    books = stage_cached(
+        spark, sf_dir, "pq_codebooks", lambda: _pq()["books"]
+    )
+    codes = stage_cached(
+        spark, sf_dir, "pq_codes", lambda: _pq()["codes"]
+    )
+    q = queries.select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qe")
+    )
+    c = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("de")
+    )
+    # global exact-L2 truth (the recall denominator's top-5 set)
+    wt = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    truth5 = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _sq_dist(F.col("qe"), F.col("de")).alias("d2"))
+        .withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id")
+    )
+    cand = similarity.ivfadc_candidates(assigned, cent, queries)
+    ncand = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    # variant 1: IVF-exact — exact L2 over every candidate float
+    ivf5 = (
+        cand.join(c, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id", _sq_dist(F.col("qe"), F.col("de")).alias("d2"))
+        .withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id")
+    )
+    # variant 2: IVFADC — ADC over candidate codes, 64-deep exact rerank
+    adc5 = similarity.ivfadc_topk(
+        assigned, cent, codes, books, emb, queries,
+        k=5, n_probe=4, shortlist=64,
+    ).select("qid", "vec_id")
+
+    def _leg(top5: DataFrame, variant: str, codes_per_cand: int,
+             floats_expr) -> DataFrame:
+        matched = top5.join(truth5, ["qid", "vec_id"]).count()
+        nq = q.count()
+        stats = ncand.agg(
+            F.sum("n_cand").cast("long").alias("total_candidates"),
+            F.sum(F.col("n_cand") * codes_per_cand)
+            .cast("long")
+            .alias("codes_read"),
+            F.sum(floats_expr).cast("long").alias("floats_read"),
+        ).first()
+        return spark.createDataFrame(
+            [
+                (
+                    variant,
+                    int(nq),
+                    int(stats["total_candidates"]),
+                    int(stats["codes_read"]),
+                    int(stats["floats_read"]),
+                    int(matched),
+                    round(matched / (5.0 * nq), 6),
+                )
+            ],
+            "variant string, n_queries long, total_candidates long, "
+            "codes_read long, floats_read long, matched_at5 long, "
+            "recall_at5 double",
+        )
+
+    ivf_leg = _leg(
+        ivf5, "ivf_exact", 0, F.col("n_cand") * 64
+    )
+    adc_leg = _leg(
+        adc5, "ivfadc", 4, F.least(F.lit(64), F.col("n_cand")) * 64
+    )
+    return ivf_leg.unionByName(adc_leg)
+
+
+query("ivfadc_scan_frontier", oracle="""
+    WITH c AS (
+      SELECT ivf_list_id, centroid_vec FROM read_parquet(
+        '__ORACLE_STAGE__/ivf_centroids/*.parquet')
+    ),
+    cb AS (
+      SELECT blk, code, centroid_vec FROM read_parquet(
+        '__ORACLE_STAGE__/pq_codebooks/*.parquet')
+    ),
+    d AS (
+      SELECT e.vec_id, c.ivf_list_id,
+             SUM(POWER(CAST(e.embedding[i] AS DOUBLE) - c.centroid_vec[i], 2)) AS d2
+      FROM embeddings e, c, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY e.vec_id, c.ivf_list_id
+    ),
+    a AS (
+      SELECT vec_id, ivf_list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, ivf_list_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    subs AS (
+      SELECT e.vec_id, b.blk,
+             LIST_TRANSFORM(RANGE(1, 17),
+               i -> CAST(e.embedding[CAST(b.blk * 16 + i AS INT)]
+                    AS DOUBLE)) AS sub
+      FROM embeddings e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS blk) b
+    ),
+    asg AS (
+      SELECT vec_id, blk, code FROM (
+        SELECT s.vec_id, s.blk, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.blk
+                 ORDER BY LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                   i -> POWER(s.sub[CAST(i AS INT)]
+                              - cb.centroid_vec[CAST(i AS INT)], 2))), cb.code
+               ) AS rn
+        FROM subs s JOIN cb ON cb.blk = s.blk
+      ) WHERE rn = 1
+    ),
+    nrm AS (
+      SELECT vec_id,
+             SQRT(SUM(POWER(CAST(embedding[i] AS DOUBLE), 2))) AS nv
+      FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)
+      GROUP BY vec_id
+    ),
+    cn AS (
+      SELECT ivf_list_id, SQRT(SUM(POWER(centroid_vec[i], 2))) AS cnv
+      FROM c, UNNEST(RANGE(1, 65)) AS u(i) GROUP BY ivf_list_id
+    ),
+    qc AS (
+      SELECT q.vec_id AS qid, c.ivf_list_id,
+             SUM(CAST(q.embedding[i] AS DOUBLE) * c.centroid_vec[i]) AS qcdot
+      FROM embeddings q, c, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.ivf_list_id
+    ),
+    probes AS (
+      SELECT qid, ivf_list_id FROM (
+        SELECT qc.qid, qc.ivf_list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qc.qid
+                 ORDER BY qc.qcdot / (nq.nv * cn.cnv) DESC, qc.ivf_list_id) AS pr
+        FROM qc JOIN nrm nq ON nq.vec_id = qc.qid
+                JOIN cn ON cn.ivf_list_id = qc.ivf_list_id
+      ) WHERE pr <= 4
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id, a.ivf_list_id
+      FROM probes p JOIN a ON a.ivf_list_id = p.ivf_list_id
+      WHERE a.vec_id <> p.qid
+    ),
+    nc AS (
+      SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid
+    ),
+    exd AS (
+      SELECT q.vec_id AS qid, e.vec_id,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+               i -> POWER(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                          - CAST(e.embedding[CAST(i AS INT)] AS DOUBLE),
+                          2))) AS d2
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    truth5 AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d2, vec_id) AS rnk
+        FROM exd) WHERE rnk <= 5
+    ),
+    ivf5 AS (
+      SELECT qid, vec_id FROM (
+        SELECT x.qid, x.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY x.qid
+                                  ORDER BY x.d2, x.vec_id) AS rnk
+        FROM exd x JOIN cand cd ON cd.qid = x.qid
+                               AND cd.vec_id = x.vec_id
+      ) WHERE rnk <= 5
+    ),
+    dtab AS (
+      SELECT q.vec_id AS qid, cb.blk, cb.code,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+               i -> POWER(CAST(q.embedding[CAST(cb.blk * 16 + i AS INT)]
+                          AS DOUBLE) - cb.centroid_vec[CAST(i AS INT)], 2))) AS pd2
+      FROM embeddings q CROSS JOIN cb
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT cd.qid, cd.vec_id,
+             SUM(CASE WHEN dt.blk = 0 THEN dt.pd2 END)
+             + SUM(CASE WHEN dt.blk = 1 THEN dt.pd2 END)
+             + SUM(CASE WHEN dt.blk = 2 THEN dt.pd2 END)
+             + SUM(CASE WHEN dt.blk = 3 THEN dt.pd2 END) AS adc_d2
+      FROM cand cd
+      JOIN asg ag ON ag.vec_id = cd.vec_id
+      JOIN dtab dt ON dt.qid = cd.qid AND dt.blk = ag.blk
+                  AND dt.code = ag.code
+      GROUP BY cd.qid, cd.vec_id
+      HAVING COUNT(*) = 4
+    ),
+    sl AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_d2, vec_id) AS adc_rank
+        FROM scored
+      ) WHERE adc_rank <= 64
+    ),
+    adc5 AS (
+      SELECT qid, vec_id FROM (
+        SELECT x.qid, x.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY x.qid
+                                  ORDER BY x.d2, x.vec_id) AS rnk
+        FROM exd x JOIN sl s ON s.qid = x.qid AND s.vec_id = x.vec_id
+      ) WHERE rnk <= 5
+    ),
+    nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 5),
+    legs AS (
+      SELECT 'ivf_exact' AS variant,
+             (SELECT n FROM nq) AS n_queries,
+             (SELECT SUM(n_cand) FROM nc) AS total_candidates,
+             0 AS codes_read,
+             (SELECT SUM(n_cand) * 64 FROM nc) AS floats_read,
+             (SELECT COUNT(*) FROM ivf5 v JOIN truth5 t
+                ON t.qid = v.qid AND t.vec_id = v.vec_id) AS matched_at5
+      UNION ALL
+      SELECT 'ivfadc',
+             (SELECT n FROM nq),
+             (SELECT SUM(n_cand) FROM nc),
+             (SELECT SUM(n_cand) * 4 FROM nc),
+             (SELECT SUM(LEAST(64, n_cand)) * 64 FROM nc),
+             (SELECT COUNT(*) FROM adc5 v JOIN truth5 t
+                ON t.qid = v.qid AND t.vec_id = v.vec_id)
+    )
+    SELECT variant,
+           CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(total_candidates AS BIGINT) AS total_candidates,
+           CAST(codes_read AS BIGINT) AS codes_read,
+           CAST(floats_read AS BIGINT) AS floats_read,
+           CAST(matched_at5 AS BIGINT) AS matched_at5,
+           ROUND(CAST(matched_at5 AS DOUBLE) / (5.0 * n_queries), 6)
+             AS recall_at5
+    FROM legs
+    """)(ivfadc_scan_frontier)
+
+
 # ---------------------------------------------------------------------------
 # L49 — unigram entropy / cross-entropy census per source
 # ---------------------------------------------------------------------------

@@ -1134,3 +1134,29 @@ def test_wav_sample_decode_rejections():
     # exotic codecs labeled) — the two legs split the job
     assert multimodal.parse_wav_header(good[:-3]) is not None
     assert multimodal.parse_wav_header(bytes(bad2))[0] == "other"
+
+
+def test_ivfadc_recall_and_scan_cost(spark, sf_dir):
+    """L72: IVFADC must land useful recall at a fraction of the float
+    reads — and its recall can never exceed IVF-exact's (identical
+    candidate set, quantized pre-ranking)."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    rows = {
+        r["variant"]: r
+        for r in QUERIES["ivfadc_scan_frontier"](spark, sf_dir).collect()
+    }
+    ivf, adc = rows["ivf_exact"], rows["ivfadc"]
+    # absolute floor + the relative bound: rerank depth 64 recovers
+    # most of what the probing kept (ADC distortion costs the rest)
+    assert adc["recall_at5"] >= 0.4
+    assert adc["recall_at5"] >= 0.7 * ivf["recall_at5"]
+    assert adc["recall_at5"] <= ivf["recall_at5"]
+    assert adc["floats_read"] < ivf["floats_read"]
+    assert adc["codes_read"] == 4 * adc["total_candidates"]
+    assert ivf["codes_read"] == 0
+    assert adc["total_candidates"] == ivf["total_candidates"]
+    # the serving query agrees with the frontier's ivfadc leg
+    top = QUERIES["embedding_ivfadc_ann"](spark, sf_dir)
+    assert top.count() == 5 * ivf["n_queries"]
+    assert top.filter(F.col("adc_rank") > 64).count() == 0
