@@ -5538,11 +5538,26 @@ def semantic_decontamination_census(
     "quality_classifier_calibration",
     oracle=f"""
     WITH {_NBQ_SCORED_SQL},
-    probs AS (
+    own AS (
       SELECT doc_id, y,
              CAST(ROUND(ROUND(1.0 / (1.0 + EXP(-score)), 6) * 1000000)
                AS BIGINT) AS pi
       FROM scored
+    ),
+    staged AS (
+      SELECT doc_id, y, pi FROM read_parquet(
+        '__ORACLE_STAGE__/nbq_quantized_pi/*.parquet')
+    ),
+    -- both engines READ the staged quantized pi (round-11 directive
+    -- #7): no engine-local EXP sits upstream of the integer pipeline.
+    -- The join keeps verification teeth: every staged pi must agree
+    -- with this engine's own sigmoid to within one micro-unit (libm
+    -- ulp tolerance) and carry the same label, or the row drops and
+    -- the census hash mismatches loudly
+    probs AS (
+      SELECT s.doc_id, s.y, s.pi
+      FROM staged s JOIN own o ON o.doc_id = s.doc_id
+      WHERE ABS(s.pi - o.pi) <= 1 AND s.y = o.y
     ),
     binned AS (
       SELECT LEAST(CAST(FLOOR(pi / 100000.0) AS INTEGER), 9) AS bin,
@@ -5610,33 +5625,51 @@ def quality_classifier_calibration(
     (2b)) on both engines — a double-space ROUND near a 7th-digit tie
     can differ between Spark (BigDecimal exact-decimal) and DuckDB
     (multiply-based) by one output ulp even on bit-identical inputs
-    (observed: gap -0.638972 vs -0.638973). No knife edges remain: the
-    only doubles in the plan are final exact-integer / 1e6 divisions.
+    (observed: gap -0.638972 vs -0.638973). Round 12 closed the LAST
+    residual (round-11 directive #7): the quantized pi itself is now a
+    STAGED parquet artifact both engines READ — no engine-local libm
+    exp upstream of the integer pipeline — while the oracle re-derives
+    its own sigmoid and drops any staged row off by more than one
+    micro-unit, so staging cannot hide an arithmetic drift. The only
+    doubles in the plan are final exact-integer / 1e6 divisions.
 
     Scale: everything after the shared scored frame is one bounded
     (10-bin) aggregate plus a broadcast one-row total."""
-    scored = _nbq_scored_frame(spark, sf_dir)
+    from .queries import stage_cached
+
     # p quantized to 6dp and carried as the INTEGER pi = p*1e6: every
     # aggregate below is then an exact integer sum, immune to the
     # double-summation ORDER Spark's partial aggregation varies run to
     # run (the round-11 battery caught gap's 6dp round flipping one ulp
     # between runs when avg(p) was summed as doubles); each reported
     # double is one deterministic division/round from exact integers,
-    # sequenced identically in the oracle
-    probs = scored.select(
-        "label",
-        F.round(
-            r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))))
-            * F.lit(1000000.0)
+    # sequenced identically in the oracle. Round 12 (directive #7):
+    # the quantized pi is a STAGED parquet artifact BOTH engines read,
+    # so no engine-local libm exp sits upstream of the integer
+    # pipeline at all — the last residual (a sigmoid landing within an
+    # ulp of a 7th-digit tie flipping the 6dp round between engines)
+    # is gone; the oracle still re-derives its own sigmoid and drops
+    # any staged row disagreeing by more than one micro-unit, so the
+    # staged value cannot silently drift from the arithmetic.
+    def _pi() -> DataFrame:
+        scored = _nbq_scored_frame(spark, sf_dir)
+        return scored.select(
+            "doc_id",
+            F.col("label").cast("int").alias("y"),
+            F.round(
+                r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("pi"),
         )
-        .cast("long")
-        .alias("pi"),
-    )
+
+    probs = stage_cached(spark, sf_dir, "nbq_quantized_pi", _pi)
     binned = probs.select(
         F.least(
             F.floor(F.col("pi") / F.lit(100000.0)).cast("int"), F.lit(9)
         ).alias("bin"),
-        "label",
+        F.col("y").alias("label"),
         "pi",
     )
     dev = F.col("pi") - F.col("label").cast("long") * F.lit(1000000).cast(
