@@ -44,6 +44,26 @@ def main() -> None:
         "user_return_metrics",
         "rolling_quantile_tail",
     )
+    # Pinned QUIET-BOX baseline for the canary probes (round-11
+    # directive #6): the intra-run drift factor compares later probes
+    # to the START probe, so a run whose start landed on a loaded box
+    # reads mid-run recovery as sub-1.0 "drift" (the r11 driver
+    # artifact: drift 0.9224 while load1 read 5.5). Ratios against this
+    # ABSOLUTE baseline make that case auditable from the JSON alone:
+    # probe/baseline >> 1 at the start says "the box was loaded from
+    # the first probe", independent of how the run evolved. Baseline is
+    # sf0.1-specific; ratios are emitted only at that SF.
+    canary_baseline = {
+        "q1_pricing_summary": 0.412,
+        "user_return_metrics": 0.884,
+        "rolling_quantile_tail": 0.454,
+    }
+    canary_baseline_provenance = {
+        "sf_dir": "/root/testdata/sf0.1",
+        "method": "median of 7 warmed repetitions per probe",
+        "box": "build sandbox local[32], load1 1.14 at measurement",
+        "session": "round 12 (2026-08-16), post-L72 tree",
+    }
     # two warmup rounds: the r10 cold run showed a single warmup leaves
     # residual JIT/page-cache cost in the START probe (q1 0.55 -> 0.42
     # by mid-pack on an idle box), which reads as negative drift
@@ -61,6 +81,52 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 out[name] = -1.0
         out["load1"] = round(os.getloadavg()[0], 2)
+        return out
+
+    def baseline_ratios(canary: dict) -> dict | None:
+        """Per-(phase, probe) ratios against the PINNED quiet-box
+        baseline, plus min/median/max — the drift factor's auditable
+        complement (sub-1.0 intra-run drift + start ratios >> 1 reads
+        as 'loaded at start, recovered later'; all ratios ~1 reads as
+        'quiet box throughout'). None off the baseline's SF."""
+        if abs(sf - 0.1) > 1e-9:
+            return None
+        per: dict[str, dict[str, float]] = {}
+        flat: list[float] = []
+        for ph in ("start", "mid", "end"):
+            p = canary.get(ph, {})
+            row = {
+                q: round(p[q] / canary_baseline[q], 4)
+                for q in canary_names
+                if p.get(q, 0) > 0
+            }
+            if row:
+                per[ph] = row
+                flat += list(row.values())
+        if not flat:
+            return None
+        flat.sort()
+        return {
+            "per_probe": per,
+            "min": flat[0],
+            "median": flat[len(flat) // 2],
+            "max": flat[-1],
+        }
+
+    def drift_per_probe(canary: dict) -> dict:
+        """The intra-run drift decomposed per (phase, probe) — the
+        scalar canary_drift's auditable complement."""
+        start = canary.get("start", {})
+        out: dict[str, dict[str, float]] = {}
+        for ph in ("mid", "end"):
+            p = canary.get(ph, {})
+            row = {
+                q: round(p[q] / start[q], 4)
+                for q in canary_names
+                if start.get(q, 0) > 0 and p.get(q, 0) > 0
+            }
+            if row:
+                out[ph] = row
         return out
 
     def drift_factor(canary: dict) -> float:
@@ -156,6 +222,10 @@ def main() -> None:
         "load_avg_end": list(os.getloadavg()),
         "canary": canary,
         "canary_drift": drift_factor(canary),
+        "canary_drift_per_probe": drift_per_probe(canary),
+        "canary_baseline": canary_baseline,
+        "canary_baseline_provenance": canary_baseline_provenance,
+        "canary_vs_baseline": baseline_ratios(canary),
         "wall_canary_adjusted": round(total / max(drift_factor(canary), 1e-9), 3),
     }
     if warm is not None:
@@ -163,6 +233,7 @@ def main() -> None:
         full["warm_queries"] = warm
         full["warm_canary"] = warm_canary
         full["warm_canary_drift"] = drift_factor(warm_canary)
+        full["warm_canary_vs_baseline"] = baseline_ratios(warm_canary)
     # per-drain StreamingQueryProgress evidence (input rows, batches,
     # peak state rows, trigger wall): the streaming family's work runs
     # under the engine's own job group, so this registry — not stage
@@ -204,6 +275,9 @@ def main() -> None:
             "stage": f"{n_hit}h/{n_miss}m",
             "load1": round(load_start[0], 1),
             "canary_drift": full["canary_drift"],
+            "canary_vs_base": (
+                (full["canary_vs_baseline"] or {}).get("median")
+            ),
             "wall_canary_adjusted": full["wall_canary_adjusted"],
             "full": "BENCH_FULL.json",
             **({"warm_value": warm_total} if warm is not None else {}),

@@ -362,17 +362,47 @@ def _record_drain_progress(
                 pass
         state_rows = 0
         dropped_late = 0
+        state_mem = 0
+        rocksdb_mem = 0
+        rocksdb_sst = 0
         for p in progress:
+            ops = p.get("stateOperators", [])
             state_rows = max(
                 state_rows,
-                sum(
-                    op.get("numRowsTotal", 0) or 0
-                    for op in p.get("stateOperators", [])
-                ),
+                sum(op.get("numRowsTotal", 0) or 0 for op in ops),
             )
             dropped_late += sum(
-                op.get("numRowsDroppedByWatermark", 0) or 0
-                for op in p.get("stateOperators", [])
+                op.get("numRowsDroppedByWatermark", 0) or 0 for op in ops
+            )
+            # provider-memory evidence (round-11 directive #5): the
+            # HDFS-backed provider's memoryUsedBytes is state resident
+            # in EXECUTOR HEAP (grows with state rows); RocksDB reports
+            # bounded block-cache/memtable memory plus SST bytes pushed
+            # to local DISK — the decade contrast tools/streamdecade.py
+            # measures
+            state_mem = max(
+                state_mem,
+                sum(op.get("memoryUsedBytes", 0) or 0 for op in ops),
+            )
+            rocksdb_mem = max(
+                rocksdb_mem,
+                sum(
+                    (op.get("customMetrics") or {}).get(
+                        "rocksdbTotalMemoryUsage", 0
+                    )
+                    or 0
+                    for op in ops
+                ),
+            )
+            rocksdb_sst = max(
+                rocksdb_sst,
+                sum(
+                    (op.get("customMetrics") or {}).get(
+                        "rocksdbSstFileSize", 0
+                    )
+                    or 0
+                    for op in ops
+                ),
             )
         # which state-store provider served this drain: the session conf
         # names it, and the progress events carry engine-side PROOF —
@@ -419,6 +449,9 @@ def _record_drain_progress(
             "state_provider": provider,
             "rocksdb_metrics_seen": rocksdb_seen,
             "state_operator_names": op_names,
+            "state_mem_peak_bytes": state_mem,
+            "rocksdb_mem_peak_bytes": rocksdb_mem,
+            "rocksdb_sst_peak_bytes": rocksdb_sst,
             # engine-side late-data accounting: rows the stateful
             # operators REFUSED because their event time fell behind the
             # watermark — the second half of the watermark contract
