@@ -65,7 +65,8 @@ def drain_metrics(spark, sf_dir: str, provider: str, which: str) -> dict:
         op = ST.dedupe_within_watermark(stream)
     else:
         op = ST.session_rollup(stream)
-    name = f"decade_{which}_{provider}_{os.path.basename(sf_dir.rstrip('/'))}"
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"decade_{which}_{provider}_{tag}"
     t0 = time.time()
     out = run_to_memory(op, name)
     n = out.count()
