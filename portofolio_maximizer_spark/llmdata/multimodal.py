@@ -68,15 +68,16 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image(payload: bytes) -> object:
     """Declared-raster decode stub — what remains UNDECODED after round
     12: JPEG (Huffman+DCT entropy coding — a codec library problem with
-    no oracle payoff), interlaced GIF/PNG, and 16-bit PNG. Everything
-    else decodes for real in ``decode_pixel_stats``: 24-bit BI_RGB BMP
-    and binary PGM (raw rasters), non-interlaced 8-bit PNG (stdlib zlib
-    inflate + the five scanline filters), non-interlaced global/local-
-    palette GIF (pure-Python GIF-variant LZW, `_gif_lzw_decode`), and
-    BI_RLE8 BMP (run/absolute/EOL/EOB decode). HEADER metadata for ALL
-    formats incl. JPEG is parsed for real by ``parse_image_header``."""
+    no oracle payoff), interlaced GIF, and 16-bit PNG. Everything else
+    decodes for real in ``decode_pixel_stats``: 24-bit BI_RGB BMP and
+    binary PGM (raw rasters), 8-bit PNG both sequential AND
+    Adam7-interlaced (stdlib zlib inflate + the five scanline filters +
+    the seven-pass scatter), non-interlaced global/local-palette GIF
+    (pure-Python GIF-variant LZW, `_gif_lzw_decode`), and BI_RLE8 BMP
+    (run/absolute/EOL/EOB decode). HEADER metadata for ALL formats
+    incl. JPEG is parsed for real by ``parse_image_header``."""
     raise NotImplementedError(
-        "JPEG (Huffman+DCT), interlaced GIF/PNG and 16-bit PNG decode "
+        "JPEG (Huffman+DCT), interlaced GIF and 16-bit PNG decode "
         "require codec machinery out of this stats path's declared "
         "scope — headers are parsed by parse_image_header; BMP/PGM/PNG/"
         "GIF/RLE8 rasters by decode_pixel_stats"
@@ -872,6 +873,56 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
+#: Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, bpp: int):
+    """Unfilter ``h`` scanlines of ``w`` pixels starting at ``pos`` —
+    the shared core of the sequential and per-Adam7-pass paths (each
+    pass filters independently: its first scanline's prior is zeros).
+    Returns (rows, new_pos) or None on a bad filter id / truncation."""
+    stride = w * bpp
+    if pos + (stride + 1) * h > len(raw):
+        return None
+    rows: list[bytes] = []
+    prior = bytes(stride)
+    for _y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for k in range(bpp, stride):
+                line[k] = (line[k] + line[k - bpp]) & 255
+        elif ftype == 2:  # Up
+            for k in range(stride):
+                line[k] = (line[k] + prior[k]) & 255
+        elif ftype == 3:  # Average
+            for k in range(stride):
+                left = line[k - bpp] if k >= bpp else 0
+                line[k] = (line[k] + ((left + prior[k]) >> 1)) & 255
+        elif ftype == 4:  # Paeth
+            for k in range(stride):
+                left = line[k - bpp] if k >= bpp else 0
+                ul = prior[k - bpp] if k >= bpp else 0
+                line[k] = (line[k] + _paeth(left, prior[k], ul)) & 255
+        else:
+            return None  # unknown filter type
+        prior = bytes(line)
+        rows.append(prior)
+    return rows, pos
+
+
 def _png_decode(payload: bytes):
     """REAL PNG pixel decode for non-interlaced 8-bit grayscale (color
     type 0) and truecolor (color type 2) — the one compressed format
@@ -922,7 +973,7 @@ def _png_decode(payload: bytes):
         or ctype not in (0, 2)
         or comp != 0
         or filt != 0
-        or inter != 0
+        or inter not in (0, 1)
         or w <= 0
         or h <= 0
         # Decompression-bomb guard: IHDR w/h are u32 (up to ~4e9 each)
@@ -934,7 +985,19 @@ def _png_decode(payload: bytes):
         return None
     bpp = 3 if ctype == 2 else 1
     stride = w * bpp
-    expect = (stride + 1) * h
+    # expected inflated size from the IHDR geometry: one filter byte
+    # per scanline — sequentially h scanlines of w pixels; interlaced
+    # (Adam7, round-12) the per-pass reduced images' scanlines, empty
+    # passes contributing nothing (spec §8.2)
+    if inter == 0:
+        expect = (stride + 1) * h
+    else:
+        expect = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw and ph:
+                expect += (pw * bpp + 1) * ph
     # Bounded inflate: never allocate more than the geometry implies
     # (+1 sentinel byte to detect oversized streams), and reject any
     # stream with unconsumed input or a trailing tail — the inflated
@@ -946,35 +1009,34 @@ def _png_decode(payload: bytes):
         return None
     if len(raw) != expect or d.unconsumed_tail or not d.eof or d.unused_data:
         return None
-    rows: list[bytes] = []
-    prior = bytes(stride)
+    fmt = "png_rgb8" if ctype == 2 else "png_gray8"
+    if inter == 0:
+        got = _png_unfilter(raw, 0, w, h, bpp)
+        if got is None:
+            return None
+        return (fmt, w, h, got[0])
+    # Adam7: unfilter each pass's reduced image independently (its
+    # first scanline's prior is zeros), then scatter pixels to their
+    # (x0 + i·dx, y0 + j·dy) logical positions
+    out = [bytearray(stride) for _ in range(h)]
     pos = 0
-    for _y in range(h):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for k in range(bpp, stride):
-                line[k] = (line[k] + line[k - bpp]) & 255
-        elif ftype == 2:  # Up
-            for k in range(stride):
-                line[k] = (line[k] + prior[k]) & 255
-        elif ftype == 3:  # Average
-            for k in range(stride):
-                left = line[k - bpp] if k >= bpp else 0
-                line[k] = (line[k] + ((left + prior[k]) >> 1)) & 255
-        elif ftype == 4:  # Paeth
-            for k in range(stride):
-                left = line[k - bpp] if k >= bpp else 0
-                ul = prior[k - bpp] if k >= bpp else 0
-                line[k] = (line[k] + _paeth(left, prior[k], ul)) & 255
-        else:
-            return None  # unknown filter type
-        prior = bytes(line)
-        rows.append(prior)
-    return ("png_rgb8" if ctype == 2 else "png_gray8", w, h, rows)
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if not pw or not ph:
+            continue
+        got = _png_unfilter(raw, pos, pw, ph, bpp)
+        if got is None:
+            return None
+        prows, pos = got
+        for j, prow in enumerate(prows):
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                out[y][x * bpp : (x + 1) * bpp] = prow[
+                    i * bpp : (i + 1) * bpp
+                ]
+    return (fmt, w, h, [bytes(r) for r in out])
 
 
 def _gif_lzw_decode(mcs: int, data: bytes):
@@ -1348,34 +1410,18 @@ def synth_rle8_payload(doc_id: int, w: int, h: int) -> bytes:
     )
 
 
-def synth_png_payload(
-    doc_id: int, w: int, h: int, gray: bool, filter_heavy: bool
-) -> bytes:
-    """Encode the plant value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256
-    as a real PNG: IHDR + one DEFLATE IDAT + IEND, scanlines FORWARD-
-    filtered before compression — filter id (doc_id + y) % 5 when
-    ``filter_heavy`` (every decode-side unfilter path exercised within
-    one plant period), filter 0 everywhere otherwise. The decoder must
-    invert both the DEFLATE stream and the filter chain byte-for-byte."""
-    import struct
-    import zlib
-
-    bpp = 1 if gray else 3
-    stride = w * bpp
-
-    def val(x: int, y: int, c: int) -> int:
-        return (doc_id * 7 + y * 31 + x * 13 + c * 5) % 256
-
-    raws = [
-        bytes(
-            val(x, y, c) for x in range(w) for c in range(bpp)
-        )
-        for y in range(h)
-    ]
+def _png_forward_filter(
+    raws: list[bytes], bpp: int, fsel
+) -> bytearray:
+    """FORWARD-filter scanlines before compression: ``fsel(j)`` picks
+    the filter id for scanline j; the prior row resets to zeros at the
+    start (callers invoke this once per Adam7 pass, matching the
+    decoder's per-pass prior reset)."""
+    stride = len(raws[0]) if raws else 0
     filtered = bytearray()
     prior = bytes(stride)
-    for y, raw in enumerate(raws):
-        f = (doc_id + y) % 5 if filter_heavy else 0
+    for j, raw in enumerate(raws):
+        f = fsel(j)
         filtered.append(f)
         if f == 0:
             filtered += raw
@@ -1411,7 +1457,65 @@ def synth_png_payload(
                 for k in range(stride)
             )
         prior = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return filtered
+
+
+def synth_png_payload(
+    doc_id: int,
+    w: int,
+    h: int,
+    gray: bool,
+    filter_heavy: bool,
+    interlace: bool = False,
+) -> bytes:
+    """Encode the plant value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256
+    as a real PNG: IHDR + one DEFLATE IDAT + IEND, scanlines FORWARD-
+    filtered before compression — filter id (doc_id + y) % 5 when
+    ``filter_heavy`` (every decode-side unfilter path exercised within
+    one plant period), filter 0 everywhere otherwise. With
+    ``interlace`` the image is stored ADAM7 (round 12): the seven
+    reduced pass images are extracted, each pass filtered independently
+    (filter id (doc_id + pass + j) % 5 when filter_heavy), and the
+    decoder must additionally invert the pass structure and the pixel
+    scatter — tiny plants exercise the empty-pass edge cases (several
+    passes are empty below 8x8). The logical pixel VALUES are storage-
+    order-independent, so the census oracle is untouched."""
+    import struct
+    import zlib
+
+    bpp = 1 if gray else 3
+
+    def val(x: int, y: int, c: int) -> int:
+        return (doc_id * 7 + y * 31 + x * 13 + c * 5) % 256
+
+    def row_bytes(xs: list[int], y: int) -> bytes:
+        return bytes(val(x, y, c) for x in xs for c in range(bpp))
+
+    if not interlace:
+        raws = [row_bytes(list(range(w)), y) for y in range(h)]
+        filtered = _png_forward_filter(
+            raws, bpp, (lambda j: (doc_id + j) % 5 if filter_heavy else 0)
+        )
+    else:
+        filtered = bytearray()
+        for pno, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            xs = list(range(x0, w, dx))
+            ys = list(range(y0, h, dy))
+            if not xs or not ys:
+                continue
+            raws = [row_bytes(xs, y) for y in ys]
+            filtered += _png_forward_filter(
+                raws,
+                bpp,
+                (
+                    lambda j, _p=pno: (doc_id + _p + j) % 5
+                    if filter_heavy
+                    else 0
+                ),
+            )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -1430,16 +1534,17 @@ def decode_pixel_stats(payload: bytes):
       BITMAPINFOHEADER height is positive and top-down when negative,
       B,G,R byte order within a pixel;
     - PGM (P5): tokenized header (comments allowed), 8-bit raster;
-    - PNG, non-interlaced 8-bit grayscale/truecolor: IDAT inflated with
-      stdlib ``zlib``, the five scanline filters unapplied by
-      `_png_decode` (round-10 directive #1);
+    - PNG, 8-bit grayscale/truecolor, sequential AND Adam7-interlaced
+      (round 12): IDAT inflated with stdlib ``zlib``, the five scanline
+      filters unapplied per pass, interlaced pixels scattered back to
+      their logical positions by `_png_decode`;
     - GIF, non-interlaced, global or local color table: the LZW stream
       decoded by the pure-Python `_gif_lzw_decode` (round-11 directive
       #3), indices mapped through the palette;
     - BMP, 8-bit BI_RLE8: run/absolute/EOL/EOB decode by
       `_bmp_rle8_decode` (same directive).
 
-    Only JPEG (Huffman+DCT), interlaced GIF/PNG and 16-bit PNG stay
+    Only JPEG (Huffman+DCT), interlaced GIF and 16-bit PNG stay
     declared in `decode_image`; headers are still parsed for real by
     `parse_image_header`.
 
@@ -1604,8 +1709,10 @@ def synth_pixel_payload(doc_id: int, text: str) -> bytes:
     2 = PGM P5 with a comment line (forces real header tokenization),
     3 = raw non-image text, 4 = PNG 8-bit truecolor with per-row
     CYCLING scanline filters ((doc_id+y) % 5 — every unfilter path),
+    ADAM7-interlaced every third plant period (round 12),
     5 = PNG 8-bit grayscale, alternating all-filter-0 / filter-heavy by
     plant period (round-10 directive #1: filter-0 AND filter-heavy),
+    Adam7-interlaced on a different period stride,
     6 = GIF89a, 256-entry global palette[i] = (i, i+5, i+10) mod 256
     with pixel index = the c=0 value, LZW-compressed — the palette
     indirection makes decoded channels equal the truecolor arithmetic
@@ -1631,10 +1738,18 @@ def synth_pixel_payload(doc_id: int, text: str) -> bytes:
         return (doc_id * 7 + y * 31 + x * 13 + c * 5) % 256
 
     if kind == 4:
-        return synth_png_payload(doc_id, w, h, gray=False, filter_heavy=True)
+        # every third truecolor plant stores ADAM7-interlaced (round
+        # 12): same logical pixels, different storage order — the
+        # oracle arithmetic is unchanged, only the decoder's pass walk
+        # is on trial
+        return synth_png_payload(
+            doc_id, w, h, gray=False, filter_heavy=True,
+            interlace=q % 3 == 2,
+        )
     if kind == 5:
         return synth_png_payload(
-            doc_id, w, h, gray=True, filter_heavy=q % 2 == 1
+            doc_id, w, h, gray=True, filter_heavy=q % 2 == 1,
+            interlace=q % 3 == 1,
         )
     if kind == 6:
         return synth_gif_payload(doc_id, w, h)

@@ -5265,10 +5265,13 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     formats decode for real. Planted 24-bit BI_RGB BMPs (both
     bottom-up and top-down row order, stride padded to 4-byte
     multiples, B,G,R byte order), binary PGMs (tokenized header with a
-    comment line), non-interlaced 8-bit PNGs — truecolor with CYCLING
+    comment line), 8-bit PNGs — truecolor with CYCLING
     scanline filters ((doc_id+y) % 5, every None/Sub/Up/Average/Paeth
     unfilter path exercised) and grayscale alternating
-    filter-0/filter-heavy — plus, since round 12, GIF89a (pure-Python
+    filter-0/filter-heavy, BOTH storage orders since round 12
+    (sequential and Adam7-interlaced: the seven reduced pass images
+    unfiltered independently and scattered back; tiny plants exercise
+    the empty-pass edges) — plus, since round 12, GIF89a (pure-Python
     GIF-variant LZW with variable code widths, `_gif_lzw_decode`,
     validated against real-encoder GIFs the repo did not produce) and
     BI_RLE8 BMPs (encoded-run AND absolute-mode rows in every plant).

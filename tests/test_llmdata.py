@@ -844,9 +844,12 @@ def test_png_decode_filter_paths_are_real():
 
 def test_png_decode_rejects_corruption_and_out_of_scope():
     """CRC verification and scope gates: a flipped raster byte, a
-    truncated IDAT, a missing IEND, interlace, 16-bit depth, and
-    palette color all return None — corruption can never silently skew
-    a channel sum."""
+    truncated IDAT, a missing IEND, a geometry-inconsistent interlace
+    flag, 16-bit depth, and palette color all return None — corruption
+    can never silently skew a channel sum. (Interlace itself decodes
+    for real since round 12 — the inter=1 case below rejects because
+    the stream's LAYOUT is sequential while the flag claims Adam7, so
+    the inflated size no longer matches the pass geometry.)"""
     import struct
     import zlib
 
@@ -1160,3 +1163,28 @@ def test_ivfadc_recall_and_scan_cost(spark, sf_dir):
     top = QUERIES["embedding_ivfadc_ann"](spark, sf_dir)
     assert top.count() == 5 * ivf["n_queries"]
     assert top.filter(F.col("adc_rank") > 64).count() == 0
+
+
+def test_png_adam7_interlaced_decode_is_real():
+    """Adam7 storage must invert to the SAME logical pixels as the
+    sequential encoding of the same plant — including images large
+    enough that all seven passes are non-empty, and the tiny plants
+    where several passes ARE empty."""
+    for doc, w, h in [(4, 5, 3), (11, 9, 9), (2, 16, 12), (7, 1, 1)]:
+        seq = multimodal._png_decode(
+            multimodal.synth_png_payload(
+                doc, w, h, gray=False, filter_heavy=True, interlace=False
+            )
+        )
+        il = multimodal._png_decode(
+            multimodal.synth_png_payload(
+                doc, w, h, gray=False, filter_heavy=True, interlace=True
+            )
+        )
+        assert seq is not None and il is not None
+        assert seq == il  # same format, dims, and every raster row
+    # an interlaced stream whose bytes were truncated rejects
+    p = multimodal.synth_png_payload(
+        3, 9, 9, gray=False, filter_heavy=True, interlace=True
+    )
+    assert multimodal._png_decode(p[:-6]) is None
