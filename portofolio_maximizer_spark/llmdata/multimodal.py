@@ -68,19 +68,19 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image(payload: bytes) -> object:
     """Declared-raster decode stub — what remains UNDECODED after round
     12: JPEG (Huffman+DCT entropy coding — a codec library problem with
-    no oracle payoff), interlaced GIF, and 16-bit PNG. Everything else
-    decodes for real in ``decode_pixel_stats``: 24-bit BI_RGB BMP and
-    binary PGM (raw rasters), 8-bit PNG both sequential AND
-    Adam7-interlaced (stdlib zlib inflate + the five scanline filters +
-    the seven-pass scatter), non-interlaced global/local-palette GIF
-    (pure-Python GIF-variant LZW, `_gif_lzw_decode`), and BI_RLE8 BMP
-    (run/absolute/EOL/EOB decode). HEADER metadata for ALL formats
-    incl. JPEG is parsed for real by ``parse_image_header``."""
+    no oracle payoff) and 16-bit PNG. Everything else decodes for real
+    in ``decode_pixel_stats``: 24-bit BI_RGB BMP and binary PGM (raw
+    rasters), 8-bit PNG both sequential AND Adam7-interlaced (stdlib
+    zlib inflate + the five scanline filters + the seven-pass scatter),
+    global/local-palette GIF both sequential AND interlaced
+    (pure-Python GIF-variant LZW + the 4-pass row permutation), and
+    BI_RLE8 BMP (run/absolute/EOL/EOB decode). HEADER metadata for ALL
+    formats incl. JPEG is parsed for real by ``parse_image_header``."""
     raise NotImplementedError(
-        "JPEG (Huffman+DCT), interlaced GIF and 16-bit PNG decode "
-        "require codec machinery out of this stats path's declared "
-        "scope — headers are parsed by parse_image_header; BMP/PGM/PNG/"
-        "GIF/RLE8 rasters by decode_pixel_stats"
+        "JPEG (Huffman+DCT) and 16-bit PNG decode require codec "
+        "machinery out of this stats path's declared scope — headers "
+        "are parsed by parse_image_header; BMP/PGM/PNG/GIF/RLE8 "
+        "rasters by decode_pixel_stats"
     )
 
 
@@ -1158,14 +1158,16 @@ def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
 
 
 def _gif_decode(payload: bytes):
-    """REAL GIF pixel decode — global/local color table, non-interlaced
-    (round-11 directive #3): header + logical-screen descriptor walk,
-    extension blocks skipped by their sub-block framing, image
-    descriptor, then the LZW-compressed index stream
-    (`_gif_lzw_decode`) mapped through the active color table.
-    Interlaced images, multi-image animations beyond the first frame,
-    and malformed/truncated streams return None (the stats path
-    declares them, never guesses).
+    """REAL GIF pixel decode — global/local color table, sequential OR
+    interlaced (round-11 directive #3 + the round-12 interlace leg):
+    header + logical-screen descriptor walk, extension blocks skipped
+    by their sub-block framing, image descriptor, then the
+    LZW-compressed index stream (`_gif_lzw_decode`) mapped through the
+    active color table; interlaced streams carry the same LZW content
+    with rows permuted by the 4-pass order (`_gif_row_order`), inverted
+    here. Multi-image animations beyond the first frame and
+    malformed/truncated streams return None (the stats path declares
+    them, never guesses).
 
     Returns (w, h, rows-of-index-bytes, palette) with palette a list of
     (r, g, b) tuples, or None."""
@@ -1209,8 +1211,7 @@ def _gif_decode(payload: bytes):
         left, top, iw, ih = struct.unpack("<HHHH", payload[i : i + 8])
         ipacked = payload[i + 8]
         i += 9
-        if ipacked & 0x40:
-            return None  # interlaced: declared out of scope
+        interlaced = bool(ipacked & 0x40)
         palette = gct
         if ipacked & 0x80:
             size = 2 << (ipacked & 7)
@@ -1254,11 +1255,31 @@ def _gif_decode(payload: bytes):
         rows = [
             bytes(indices[y * iw : (y + 1) * iw]) for y in range(ih)
         ]
+        if interlaced:
+            # GIF interlacing (spec appendix E) permutes ROWS only —
+            # the LZW stream is identical; stream row r belongs at
+            # logical row _GIF_ROW_ORDER(ih)[r] (round 12)
+            logical = [None] * ih
+            for r, y in enumerate(_gif_row_order(ih)):
+                logical[y] = rows[r]
+            rows = logical
         return (w, h, rows, palette)
     return None
 
 
-def synth_gif_payload(doc_id: int, w: int, h: int) -> bytes:
+def _gif_row_order(h: int) -> list[int]:
+    """The four-pass GIF interlace row sequence (GIF89a appendix E):
+    rows 0,8,16,... then 4,12,..., then 2,6,10,..., then 1,3,5,... —
+    the order interlaced stream rows map to logical rows."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def synth_gif_payload(
+    doc_id: int, w: int, h: int, interlace: bool = False
+) -> bytes:
     """Plant encoder: a real GIF89a — 256-entry global color table
     palette[i] = (i, (i+5)%256, (i+10)%256), pixel INDEX(x, y) =
     (doc_id*7 + 31y + 13x) % 256, LZW-compressed by `_gif_lzw_encode`
@@ -1272,9 +1293,10 @@ def synth_gif_payload(doc_id: int, w: int, h: int) -> bytes:
     gct = bytearray()
     for k in range(256):
         gct += bytes((k, (k + 5) % 256, (k + 10) % 256))
+    ys = _gif_row_order(h) if interlace else range(h)
     indices = bytes(
         (doc_id * 7 + y * 31 + x * 13) % 256
-        for y in range(h)
+        for y in ys
         for x in range(w)
     )
     lzw = _gif_lzw_encode(8, indices)
@@ -1291,7 +1313,7 @@ def synth_gif_payload(doc_id: int, w: int, h: int) -> bytes:
         + gct
         + b"\x2c"
         + struct.pack("<HHHH", 0, 0, w, h)
-        + b"\x00"  # no LCT, not interlaced
+        + (b"\x40" if interlace else b"\x00")  # no LCT; interlace bit
         + bytes([8])  # LZW min code size
         + blocks
         + b"\x3b"
@@ -1538,14 +1560,15 @@ def decode_pixel_stats(payload: bytes):
       (round 12): IDAT inflated with stdlib ``zlib``, the five scanline
       filters unapplied per pass, interlaced pixels scattered back to
       their logical positions by `_png_decode`;
-    - GIF, non-interlaced, global or local color table: the LZW stream
-      decoded by the pure-Python `_gif_lzw_decode` (round-11 directive
-      #3), indices mapped through the palette;
+    - GIF, sequential or interlaced, global or local color table: the
+      LZW stream decoded by the pure-Python `_gif_lzw_decode`
+      (round-11 directive #3), indices mapped through the palette,
+      interlaced rows un-permuted (round 12);
     - BMP, 8-bit BI_RLE8: run/absolute/EOL/EOB decode by
       `_bmp_rle8_decode` (same directive).
 
-    Only JPEG (Huffman+DCT), interlaced GIF and 16-bit PNG stay
-    declared in `decode_image`; headers are still parsed for real by
+    Only JPEG (Huffman+DCT) and 16-bit PNG stay declared in
+    `decode_image`; headers are still parsed for real by
     `parse_image_header`.
 
     Returns (format, w, h, n_pixels, sum_r, sum_g, sum_b, min_val,
@@ -1752,7 +1775,9 @@ def synth_pixel_payload(doc_id: int, text: str) -> bytes:
             interlace=q % 3 == 1,
         )
     if kind == 6:
-        return synth_gif_payload(doc_id, w, h)
+        # every third GIF plant period stores INTERLACED (round 12):
+        # same LZW stream content, rows permuted by the 4-pass order
+        return synth_gif_payload(doc_id, w, h, interlace=q % 3 == 2)
     if kind == 7:
         return synth_rle8_payload(doc_id, w, h)
     if kind == 2:

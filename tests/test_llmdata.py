@@ -1009,12 +1009,21 @@ def test_gif_decode_rejections():
     # truncation anywhere must reject, never mis-sum
     for cut in (8, 20, 200, len(good) - 2):
         assert multimodal._gif_decode(good[:cut]) is None
-    # interlace flag (image-descriptor packed bit 6) is declared out
+    # interlace decodes for REAL since round 12: flipping the bit on a
+    # sequentially-encoded stream yields a structurally valid decode
+    # whose ROWS are permuted (GIF row order is not checksummed — this
+    # is inherent to the format, and exactly why the census carries the
+    # row-order-sensitive top_row_sum pin). Same pixels as a multiset,
+    # different row order.
     bad = bytearray(good)
     idesc = 13 + 3 * 256  # header+LSD then the 256-entry GCT
     assert bad[idesc] == 0x2C
     bad[idesc + 9] |= 0x40
-    assert multimodal._gif_decode(bytes(bad)) is None
+    flipped = multimodal._gif_decode(bytes(bad))
+    orig = multimodal._gif_decode(good)
+    assert flipped is not None and orig is not None
+    assert sorted(flipped[2]) == sorted(orig[2])  # same row multiset
+    assert flipped[2] != orig[2]  # but permuted
     # a desynchronized LZW stream (flip a mid-stream byte) must reject
     # or still account for every pixel — never silently skew
     bad2 = bytearray(good)
