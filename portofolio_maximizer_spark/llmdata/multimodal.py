@@ -67,20 +67,21 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def decode_image(payload: bytes) -> object:
     """Declared-raster decode stub — what remains UNDECODED after round
-    12: JPEG (Huffman+DCT entropy coding — a codec library problem with
-    no oracle payoff) and 16-bit PNG. Everything else decodes for real
-    in ``decode_pixel_stats``: 24-bit BI_RGB BMP and binary PGM (raw
-    rasters), 8-bit PNG both sequential AND Adam7-interlaced (stdlib
-    zlib inflate + the five scanline filters + the seven-pass scatter),
-    global/local-palette GIF both sequential AND interlaced
+    12: JPEG only (Huffman+DCT entropy coding — a codec library problem
+    with no oracle payoff). Everything else decodes for real in
+    ``decode_pixel_stats``: 24-bit BI_RGB BMP and binary PGM (raw
+    rasters), PNG grayscale/truecolor at both non-palette depths
+    (8-bit AND 16-bit big-endian), sequential AND Adam7-interlaced
+    (stdlib zlib inflate + the five scanline filters + the seven-pass
+    scatter), global/local-palette GIF both sequential AND interlaced
     (pure-Python GIF-variant LZW + the 4-pass row permutation), and
     BI_RLE8 BMP (run/absolute/EOL/EOB decode). HEADER metadata for ALL
     formats incl. JPEG is parsed for real by ``parse_image_header``."""
     raise NotImplementedError(
-        "JPEG (Huffman+DCT) and 16-bit PNG decode require codec "
-        "machinery out of this stats path's declared scope — headers "
-        "are parsed by parse_image_header; BMP/PGM/PNG/GIF/RLE8 "
-        "rasters by decode_pixel_stats"
+        "JPEG (Huffman+DCT) decode requires codec machinery out of "
+        "this stats path's declared scope — headers are parsed by "
+        "parse_image_header; BMP/PGM/PNG(8+16-bit)/GIF/RLE8 rasters "
+        "by decode_pixel_stats"
     )
 
 
@@ -924,20 +925,26 @@ def _png_unfilter(raw: bytes, pos: int, w: int, h: int, bpp: int):
 
 
 def _png_decode(payload: bytes):
-    """REAL PNG pixel decode for non-interlaced 8-bit grayscale (color
-    type 0) and truecolor (color type 2) — the one compressed format
-    whose codec ships with Python: the IDAT stream is DEFLATE
-    (stdlib ``zlib``), and the five scanline filters
-    (None/Sub/Up/Average/Paeth, spec §9) are pure byte arithmetic.
+    """REAL PNG pixel decode for grayscale (color type 0) and truecolor
+    (color type 2) at BOTH legal non-palette depths, 8 and 16 bits per
+    sample — the one compressed format whose codec ships with Python:
+    the IDAT stream is DEFLATE (stdlib ``zlib``), and the five scanline
+    filters (None/Sub/Up/Average/Paeth, spec §9) are pure byte
+    arithmetic. The filters operate on BYTES at distance bpp =
+    channels · depth/8 regardless of sample width (spec §9: "the
+    filter is applied to bytes, not to pixels"), so the shared
+    `_png_unfilter` core covers 16-bit unchanged — only the sample
+    reassembly (big-endian u16 pairs, spec §7.1) differs downstream.
     Chunk CRCs are verified (a corrupt chunk rejects the payload, it
     cannot silently skew a channel sum); truncated chunks, a missing
-    IEND, bad IHDR geometry, interlace, palettes, alpha, and 16-bit
-    depth all return None — those either need entropy codecs this
-    container lacks (none do here) or are simply out of this decoder's
-    declared scope (interlace/palette/alpha/16-bit).
+    IEND, bad IHDR geometry, palettes, and alpha all return None —
+    out of this decoder's declared scope (palette indirection is the
+    GIF/RLE8 path; alpha has no planted semantics here).
 
-    Returns (format, w, h, raster_rows) with format 'png_rgb8' or
-    'png_gray8', or None."""
+    Returns (format, w, h, raster_rows) with format 'png_rgb8',
+    'png_gray8', 'png_rgb16' or 'png_gray16', or None; raster_rows
+    stay raw filtered-out byte rows (16-bit rows hold big-endian
+    sample pairs)."""
     import struct
     import zlib
 
@@ -969,7 +976,7 @@ def _png_decode(payload: bytes):
         return None
     w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
     if (
-        depth != 8
+        depth not in (8, 16)
         or ctype not in (0, 2)
         or comp != 0
         or filt != 0
@@ -983,7 +990,7 @@ def _png_decode(payload: bytes):
         or w * h > 16_000_000
     ):
         return None
-    bpp = 3 if ctype == 2 else 1
+    bpp = (3 if ctype == 2 else 1) * (depth // 8)
     stride = w * bpp
     # expected inflated size from the IHDR geometry: one filter byte
     # per scanline — sequentially h scanlines of w pixels; interlaced
@@ -1009,7 +1016,7 @@ def _png_decode(payload: bytes):
         return None
     if len(raw) != expect or d.unconsumed_tail or not d.eof or d.unused_data:
         return None
-    fmt = "png_rgb8" if ctype == 2 else "png_gray8"
+    fmt = ("png_rgb%d" if ctype == 2 else "png_gray%d") % depth
     if inter == 0:
         got = _png_unfilter(raw, 0, w, h, bpp)
         if got is None:
@@ -1489,6 +1496,7 @@ def synth_png_payload(
     gray: bool,
     filter_heavy: bool,
     interlace: bool = False,
+    depth16: bool = False,
 ) -> bytes:
     """Encode the plant value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256
     as a real PNG: IHDR + one DEFLATE IDAT + IEND, scanlines FORWARD-
@@ -1500,18 +1508,34 @@ def synth_png_payload(
     (filter id (doc_id + pass + j) % 5 when filter_heavy), and the
     decoder must additionally invert the pass structure and the pixel
     scatter — tiny plants exercise the empty-pass edge cases (several
-    passes are empty below 8x8). The logical pixel VALUES are storage-
-    order-independent, so the census oracle is untouched."""
+    passes are empty below 8x8). With ``depth16`` samples are 16-bit
+    value16(x,y,c) = (doc_id*4099 + 977y + 313x + 101c) % 65536 stored
+    as big-endian pairs (spec §7.1), and the scanline filters apply to
+    the BYTES at distance bpp = channels·2 (spec §9) — a deliberately
+    different modulus so an 8-bit decoder misreading a 16-bit stream
+    can never land the right sums by accident. The logical pixel
+    VALUES are storage-order-independent, so the census oracle is
+    untouched by filter/interlace choices."""
     import struct
     import zlib
 
-    bpp = 1 if gray else 3
+    ch = 1 if gray else 3
+    bpp = ch * (2 if depth16 else 1)
 
     def val(x: int, y: int, c: int) -> int:
         return (doc_id * 7 + y * 31 + x * 13 + c * 5) % 256
 
+    def val16(x: int, y: int, c: int) -> int:
+        return (doc_id * 4099 + y * 977 + x * 313 + c * 101) % 65536
+
     def row_bytes(xs: list[int], y: int) -> bytes:
-        return bytes(val(x, y, c) for x in xs for c in range(bpp))
+        if depth16:
+            return b"".join(
+                struct.pack(">H", val16(x, y, c))
+                for x in xs
+                for c in range(ch)
+            )
+        return bytes(val(x, y, c) for x in xs for c in range(ch))
 
     if not interlace:
         raws = [row_bytes(list(range(w)), y) for y in range(h)]
@@ -1536,7 +1560,14 @@ def synth_png_payload(
                 ),
             )
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 1 if interlace else 0
+        ">IIBBBBB",
+        w,
+        h,
+        16 if depth16 else 8,
+        0 if gray else 2,
+        0,
+        0,
+        1 if interlace else 0,
     )
     return (
         _PNG_SIG
@@ -1556,10 +1587,12 @@ def decode_pixel_stats(payload: bytes):
       BITMAPINFOHEADER height is positive and top-down when negative,
       B,G,R byte order within a pixel;
     - PGM (P5): tokenized header (comments allowed), 8-bit raster;
-    - PNG, 8-bit grayscale/truecolor, sequential AND Adam7-interlaced
-      (round 12): IDAT inflated with stdlib ``zlib``, the five scanline
-      filters unapplied per pass, interlaced pixels scattered back to
-      their logical positions by `_png_decode`;
+    - PNG, grayscale/truecolor at BOTH non-palette depths (8-bit and
+      16-bit big-endian, round 12), sequential AND Adam7-interlaced:
+      IDAT inflated with stdlib ``zlib``, the five scanline filters
+      unapplied per pass (byte-wise at distance channels·depth/8,
+      spec §9), interlaced pixels scattered back to their logical
+      positions by `_png_decode`;
     - GIF, sequential or interlaced, global or local color table: the
       LZW stream decoded by the pure-Python `_gif_lzw_decode`
       (round-11 directive #3), indices mapped through the palette,
@@ -1567,9 +1600,8 @@ def decode_pixel_stats(payload: bytes):
     - BMP, 8-bit BI_RLE8: run/absolute/EOL/EOB decode by
       `_bmp_rle8_decode` (same directive).
 
-    Only JPEG (Huffman+DCT) and 16-bit PNG stay declared in
-    `decode_image`; headers are still parsed for real by
-    `parse_image_header`.
+    Only JPEG (Huffman+DCT) stays declared in `decode_image`; headers
+    are still parsed for real by `parse_image_header`.
 
     Returns (format, w, h, n_pixels, sum_r, sum_g, sum_b, min_val,
     max_val, top_row_sum) or None when the payload is not a decodable
@@ -1614,15 +1646,26 @@ def decode_pixel_stats(payload: bytes):
     png = _png_decode(payload)
     if png is not None:
         fmt, w, h, rows = png
-        if fmt == "png_rgb8":
+        # 16-bit rows hold big-endian u16 sample PAIRS (PNG spec §7.1);
+        # the census runs over sample VALUES, so reassemble here — the
+        # filter algebra upstream stayed byte-wise either way
+        wide = fmt.endswith("16")
+        full = 65535 if wide else 255
+
+        def sample(row: bytes, i: int) -> int:
+            return (row[2 * i] << 8) | row[2 * i + 1] if wide else row[i]
+
+        if fmt.startswith("png_rgb"):
             sr = sg = sb = 0
-            mn, mx = 255, 0
+            mn, mx = full, 0
             top_row_sum = 0
             for y in range(h):
                 row = rows[y]
                 row_sum = 0
                 for x in range(w):
-                    r, g, b = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                    r = sample(row, 3 * x)
+                    g = sample(row, 3 * x + 1)
+                    b = sample(row, 3 * x + 2)
                     sr += r
                     sg += g
                     sb += b
@@ -1637,13 +1680,13 @@ def decode_pixel_stats(payload: bytes):
                     top_row_sum = row_sum
             return (fmt, w, h, w * h, sr, sg, sb, mn, mx, top_row_sum)
         s = 0
-        mn, mx = 255, 0
+        mn, mx = full, 0
         top_row_sum = 0
         for y in range(h):
             row = rows[y]
             row_sum = 0
             for x in range(w):
-                v = row[x]
+                v = sample(row, x)
                 s += v
                 if v < mn:
                     mn = v
@@ -1730,12 +1773,16 @@ def synth_pixel_payload(doc_id: int, text: str) -> bytes:
     doc_id % 8 picks the variant: 0 = 24-bit BMP bottom-up (file rows
     reversed, stride-padded), 1 = 24-bit BMP top-down (negative height),
     2 = PGM P5 with a comment line (forces real header tokenization),
-    3 = raw non-image text, 4 = PNG 8-bit truecolor with per-row
+    3 = raw non-image text, 4 = PNG truecolor with per-row
     CYCLING scanline filters ((doc_id+y) % 5 — every unfilter path),
-    ADAM7-interlaced every third plant period (round 12),
-    5 = PNG 8-bit grayscale, alternating all-filter-0 / filter-heavy by
+    ADAM7-interlaced every third plant period (round 12) and 16-BIT
+    (big-endian sample pairs, value16 = (doc_id*4099 + 977y + 313x
+    + 101c) % 65536) every seventh (round-12 close-out — q%7 is
+    coprime with every other period stride, so depth sweeps all
+    geometries and both storage orders),
+    5 = PNG grayscale, alternating all-filter-0 / filter-heavy by
     plant period (round-10 directive #1: filter-0 AND filter-heavy),
-    Adam7-interlaced on a different period stride,
+    Adam7-interlaced and 16-bit on offset period strides,
     6 = GIF89a, 256-entry global palette[i] = (i, i+5, i+10) mod 256
     with pixel index = the c=0 value, LZW-compressed — the palette
     indirection makes decoded channels equal the truecolor arithmetic
@@ -1764,15 +1811,18 @@ def synth_pixel_payload(doc_id: int, text: str) -> bytes:
         # every third truecolor plant stores ADAM7-interlaced (round
         # 12): same logical pixels, different storage order — the
         # oracle arithmetic is unchanged, only the decoder's pass walk
-        # is on trial
+        # is on trial; every seventh plant period stores 16-BIT samples
+        # (round 12 close-out: the q%7 stride is coprime with the w/h/
+        # interlace/filter periods, so 16-bit sweeps every geometry AND
+        # both storage orders) with its own mod-65536 arithmetic
         return synth_png_payload(
             doc_id, w, h, gray=False, filter_heavy=True,
-            interlace=q % 3 == 2,
+            interlace=q % 3 == 2, depth16=q % 7 == 3,
         )
     if kind == 5:
         return synth_png_payload(
             doc_id, w, h, gray=True, filter_heavy=q % 2 == 1,
-            interlace=q % 3 == 1,
+            interlace=q % 3 == 1, depth16=q % 7 == 2,
         )
     if kind == 6:
         # every third GIF plant period stores INTERLACED (round 12):

@@ -5192,41 +5192,60 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT doc_id, doc_id % 8 AS kind,
              3 + (doc_id // 8) % 6 AS w,
-             2 + (doc_id // 8) % 5 AS h
+             2 + (doc_id // 8) % 5 AS h,
+             -- 16-bit PNG sub-variants (round 12): every 7th plant
+             -- period of the truecolor/grayscale PNG kinds stores
+             -- big-endian u16 samples with their own modulus
+             (doc_id % 8 = 4 AND (doc_id // 8) % 7 = 3)
+             OR (doc_id % 8 = 5 AND (doc_id // 8) % 7 = 2) AS d16
       FROM documents
     ),
     px AS (
       -- kind 7 (RLE8): even logical rows are one encoded RUN of the
       -- row-constant index (the x*13 term dropped); all other kinds
-      -- use the full per-pixel arithmetic
-      SELECT p.doc_id, p.kind, p.w, p.h, gx.x, gy.y,
-             (p.doc_id * 7 + gy.y * 31
-              + CASE WHEN p.kind = 7 AND gy.y % 2 = 0
-                     THEN 0 ELSE gx.x * 13 END) % 256 AS v0,
-             (p.doc_id * 7 + gy.y * 31
-              + CASE WHEN p.kind = 7 AND gy.y % 2 = 0
-                     THEN 0 ELSE gx.x * 13 END + 5) % 256 AS v1,
-             (p.doc_id * 7 + gy.y * 31
-              + CASE WHEN p.kind = 7 AND gy.y % 2 = 0
-                     THEN 0 ELSE gx.x * 13 END + 10) % 256 AS v2
+      -- use the full per-pixel arithmetic; d16 plants use
+      -- value16(x,y,c) = (doc_id*4099 + 977y + 313x + 101c) % 65536
+      SELECT p.doc_id, p.kind, p.w, p.h, p.d16, gx.x, gy.y,
+             CASE WHEN p.d16
+                  THEN (p.doc_id * 4099 + gy.y * 977 + gx.x * 313) % 65536
+                  ELSE (p.doc_id * 7 + gy.y * 31
+                        + CASE WHEN p.kind = 7 AND gy.y % 2 = 0
+                               THEN 0 ELSE gx.x * 13 END) % 256
+             END AS v0,
+             CASE WHEN p.d16
+                  THEN (p.doc_id * 4099 + gy.y * 977 + gx.x * 313
+                        + 101) % 65536
+                  ELSE (p.doc_id * 7 + gy.y * 31
+                        + CASE WHEN p.kind = 7 AND gy.y % 2 = 0
+                               THEN 0 ELSE gx.x * 13 END + 5) % 256
+             END AS v1,
+             CASE WHEN p.d16
+                  THEN (p.doc_id * 4099 + gy.y * 977 + gx.x * 313
+                        + 202) % 65536
+                  ELSE (p.doc_id * 7 + gy.y * 31
+                        + CASE WHEN p.kind = 7 AND gy.y % 2 = 0
+                               THEN 0 ELSE gx.x * 13 END + 10) % 256
+             END AS v2
       FROM p,
            UNNEST(GENERATE_SERIES(0, p.w - 1)) AS gx(x),
            UNNEST(GENERATE_SERIES(0, p.h - 1)) AS gy(y)
       WHERE p.kind <> 3
     ),
     d AS (
-      SELECT doc_id, kind, w, h,
+      SELECT doc_id, kind, w, h, d16,
              SUM(v0) AS s0, SUM(v1) AS s1, SUM(v2) AS s2,
              LEAST(MIN(v0), MIN(v1), MIN(v2)) AS mn3,
              GREATEST(MAX(v0), MAX(v1), MAX(v2)) AS mx3,
              MIN(v0) AS mn1, MAX(v0) AS mx1,
              SUM(CASE WHEN y = 0 THEN v0 + v1 + v2 ELSE 0 END) AS tr3,
              SUM(CASE WHEN y = 0 THEN v0 ELSE 0 END) AS tr1
-      FROM px GROUP BY doc_id, kind, w, h
+      FROM px GROUP BY doc_id, kind, w, h, d16
     ),
     m AS (
       SELECT CASE WHEN kind = 2 THEN 'pgm'
+                  WHEN kind = 4 AND d16 THEN 'png_rgb16'
                   WHEN kind = 4 THEN 'png_rgb8'
+                  WHEN kind = 5 AND d16 THEN 'png_gray16'
                   WHEN kind = 5 THEN 'png_gray8'
                   WHEN kind = 6 THEN 'gif_lzw8'
                   WHEN kind = 7 THEN 'bmp_rle8'
@@ -5261,17 +5280,22 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L19 pixel leg (round-9 directive #4, round-10 directive #1,
-    round-11 directive #3) — REAL pixel decode, no codec libs: SIX
+    round-11 directive #3) — REAL pixel decode, no codec libs: EIGHT
     formats decode for real. Planted 24-bit BI_RGB BMPs (both
     bottom-up and top-down row order, stride padded to 4-byte
     multiples, B,G,R byte order), binary PGMs (tokenized header with a
-    comment line), 8-bit PNGs — truecolor with CYCLING
-    scanline filters ((doc_id+y) % 5, every None/Sub/Up/Average/Paeth
-    unfilter path exercised) and grayscale alternating
-    filter-0/filter-heavy, BOTH storage orders since round 12
-    (sequential and Adam7-interlaced: the seven reduced pass images
-    unfiltered independently and scattered back; tiny plants exercise
-    the empty-pass edges) — plus, since round 12, GIF89a (pure-Python
+    comment line), PNGs at BOTH non-palette depths — 8-bit truecolor
+    with CYCLING scanline filters ((doc_id+y) % 5, every
+    None/Sub/Up/Average/Paeth unfilter path exercised), 8-bit
+    grayscale alternating filter-0/filter-heavy, and since the round-12
+    close-out 16-BIT truecolor/grayscale (big-endian sample pairs with
+    a deliberately different modulus, value16 = (doc_id*4099 + 977y +
+    313x + 101c) % 65536, on a period stride coprime with every other
+    plant period — an 8-bit misread can never land the right sums),
+    BOTH storage orders since round 12 (sequential and
+    Adam7-interlaced: the seven reduced pass images unfiltered
+    independently and scattered back; tiny plants exercise the
+    empty-pass edges) — plus, since round 12, GIF89a (pure-Python
     GIF-variant LZW with variable code widths, `_gif_lzw_decode`,
     validated against real-encoder GIFs the repo did not produce) and
     BI_RLE8 BMPs (encoded-run AND absolute-mode rows in every plant).
@@ -5282,14 +5306,14 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row) is row-order-sensitive: it pins the bottom-up/top-down
     handling that order-invariant sums cannot. The oracle replays the
     plant arithmetic value(x,y,c) = (doc_id*7 + 31y + 13x + 5c) % 256
-    on a generated pixel grid — the GIF/RLE8 palettes map index i to
+    (mod-65536 on the 16-bit sub-variants) on a generated pixel grid —
+    the GIF/RLE8 palettes map index i to
     (i, i+5, i+10) mod 256, so the palette indirection lands on the
     SAME arithmetic (RLE8 even rows drop the 13x term: one encoded run
     per row). decode(synth(doc_id)) must invert DEFLATE, the filter
     chain, the LZW stream, the sub-block framing, and the RLE escapes
-    byte-for-byte. Only JPEG (Huffman+DCT), interlaced GIF/PNG and
-    16-bit PNG stay declared in `decode_image`; raw payloads come back
-    NULL-metric.
+    byte-for-byte. Only JPEG (Huffman+DCT) stays declared in
+    `decode_image`; raw payloads come back NULL-metric.
 
     Scale: one Arrow pass over payload bytes, integer sums (not per-doc
     float means) cross the boundary, and the census after is

@@ -10743,3 +10743,86 @@ def aqe_coalesce_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
         ).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R169 — optimizer-INJECTED runtime Bloom filter (the automatic sibling
+# of R158's hand-built Bloom join: R156 salting, R157 bucketing, R158
+# manual Bloom, R159 DPP, R162 skew split, R163 mergeable rollup, R167
+# join re-plan, R168 coalescing, R169 injected row-level runtime filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "runtime_bloom_join_rollup",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                      AS DOUBLE), 6) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 2
+    GROUP BY p.p_brand
+    """,
+)
+def runtime_bloom_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R169: optimizer-INJECTED runtime Bloom filter — the automatic
+    sibling of R158's hand-built Bloom join, closing the runtime-filter
+    family. The dim filter here (`p_size <= 2`, ~4% of parts) is on a
+    NON-key column, so constraint inference can derive NO exact fact-side
+    predicate from it (contrast R167, where a key-modulus filter transfers
+    through the join equality); without a runtime filter every lineitem
+    row crosses the shuffle just to be discarded by the join. With
+    `spark.sql.optimizer.runtime.bloomFilter.enabled` the InjectRuntimeFilter
+    rule rewrites the fact side to
+    `Filter(might_contain(scalar-subquery, xxhash64(l_partkey)))` where
+    the subquery is a `bloom_filter_agg` over the FILTERED dim's join
+    keys — the fact scan probes the Bloom sketch BEFORE its shuffle, so
+    ~96% of fact rows never leave their map task. At 100 TB this is the
+    default defense for selective dim filters the planner cannot
+    transfer exactly: semi-join reduction at Bloom-sketch cost (8 MB
+    default bitmap, one extra dim-side pass), no hand-built sketch join
+    to maintain. Broadcast is disabled on BOTH the static and adaptive
+    planner so the shuffle join — the plan the filter exists to protect
+    — is what executes; the plan contract (SMJ + might_contain +
+    bloom_filter_agg on the probe side) is pinned in tests/test_aqe.py,
+    and the ORACLE (the plain join) proves injection is semantics-free.
+    Reference anchor: the engine-mechanism family of BENCH_NOTES'
+    partition-strategy charter (beyond the reference)."""
+    child = _conf_child_session(
+        spark,
+        "runtime-bloom",
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            # the fact side is tiny at test SFs; the production default
+            # (10 GB) gates application to real fact volumes
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold": "100MB",
+        },
+    )
+    li = load_table(child, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(child, sf_dir, "part")
+        .filter(F.col("p_size") <= 2)
+        .select("p_partkey", "p_brand")
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        r6(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double")
+        ).alias("revenue"),
+    )

@@ -80,3 +80,23 @@ def test_coalesce_rollup_plan_contract(spark):
     plan = _final_plan(df)
     assert "isFinalPlan=true" in plan, plan
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_runtime_bloom_join_plan_contract(spark):
+    """R169's contract: the dim filter is on a NON-key column, so no
+    exact predicate can transfer to the fact side — yet the executed
+    plan must carry a might_contain probe over xxhash64(l_partkey) fed
+    by a bloom_filter_agg scalar subquery on the FILTERED dim, applied
+    BEFORE the fact side's shuffle, under the shuffle join the filter
+    exists to protect (broadcast disabled on both planners)."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    df = QUERIES["runtime_bloom_join_rollup"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in optimized, optimized
+    assert "bloom_filter_agg" in optimized, optimized
+    final = _final_plan(df)
+    assert "SortMergeJoin" in final, final  # the protected shuffle join
+    assert "BroadcastHashJoin" not in final, final
+    # the probe sits on the fact (lineitem) side of the join, pre-shuffle
+    assert "might_contain" in final, final

@@ -766,11 +766,13 @@ def test_wav_chunk_walk_skips_unknown_and_pads():
 def test_pixel_decode_inverts_plant_sweep():
     """decode_pixel_stats must invert synth_pixel_payload byte-for-byte
     across every (variant, stride-padding, row-order, PNG-filter,
-    LZW/RLE shape) combination in the plant's period — 480 ids covers
-    two full periods of the (kind % 8, q % 30) grid, so every BMP
-    stride remainder and every PNG filter id appears under every
-    variant, and every GIF/RLE8 geometry is exercised."""
-    for d in range(0, 480):
+    PNG-depth, LZW/RLE shape) combination in the plant's period —
+    1680 ids covers one full period of the (kind % 8, q % 210) grid
+    (210 = lcm of the w/h/interlace/filter/depth strides 6·5·2·3·7),
+    so every BMP stride remainder, every PNG filter id, BOTH PNG
+    sample depths (incl. 16-bit × {sequential, Adam7}) appear under
+    every variant, and every GIF/RLE8 geometry is exercised."""
+    for d in range(0, 1680):
         out = multimodal.decode_pixel_stats(
             multimodal.synth_pixel_payload(d, "sample text payload")
         )
@@ -780,23 +782,33 @@ def test_pixel_decode_inverts_plant_sweep():
             continue
         q = d // 8
         w, h = 3 + q % 6, 2 + q % 5
+        # 16-bit PNG sub-variants (round-12 close-out): every 7th plant
+        # period of kinds 4/5 stores big-endian u16 samples with their
+        # own modulus — the sweep must expect THAT arithmetic there
+        d16 = (kind == 4 and q % 7 == 3) or (kind == 5 and q % 7 == 2)
 
         def val(x, y, c):
+            if d16:
+                return (d * 4099 + y * 977 + x * 313 + c * 101) % 65536
             # RLE8 (kind 7) plants drop the x term on even rows: one
             # encoded RUN per row — the multi-pixel run path
             if kind == 7 and y % 2 == 0:
                 return (d * 7 + y * 31 + c * 5) % 256
             return (d * 7 + y * 31 + x * 13 + c * 5) % 256
 
-        if kind in (2, 5):  # the grayscale formats: PGM and PNG gray8
-            fmt = "pgm" if kind == 2 else "png_gray8"
+        if kind in (2, 5):  # the grayscale formats: PGM and PNG gray
+            fmt = (
+                "pgm" if kind == 2
+                else ("png_gray16" if d16 else "png_gray8")
+            )
             vs = [val(x, y, 0) for y in range(h) for x in range(w)]
             assert out == (
                 fmt, w, h, w * h, sum(vs), sum(vs), sum(vs),
                 min(vs), max(vs), sum(val(x, 0, 0) for x in range(w)),
             )
         else:  # the 3-channel formats: BMP24/RLE8 (palette), PNG, GIF
-            fmt = {0: "bmp24", 1: "bmp24", 4: "png_rgb8",
+            fmt = {0: "bmp24", 1: "bmp24",
+                   4: "png_rgb16" if d16 else "png_rgb8",
                    6: "gif_lzw8", 7: "bmp_rle8"}[kind]
             flat = [
                 val(x, y, c)
@@ -845,11 +857,12 @@ def test_png_decode_filter_paths_are_real():
 def test_png_decode_rejects_corruption_and_out_of_scope():
     """CRC verification and scope gates: a flipped raster byte, a
     truncated IDAT, a missing IEND, a geometry-inconsistent interlace
-    flag, 16-bit depth, and palette color all return None — corruption
-    can never silently skew a channel sum. (Interlace itself decodes
-    for real since round 12 — the inter=1 case below rejects because
-    the stream's LAYOUT is sequential while the flag claims Adam7, so
-    the inflated size no longer matches the pass geometry.)"""
+    flag, a sub-byte depth, and palette color all return None —
+    corruption can never silently skew a channel sum. (Interlace AND
+    16-bit depth decode for real since round 12 — the inter=1 and
+    depth=16 cases below reject because the stream's LAYOUT is
+    sequential 8-bit while the flag claims otherwise, so the inflated
+    size no longer matches the declared geometry.)"""
     import struct
     import zlib
 
@@ -875,8 +888,52 @@ def test_png_decode_rejects_corruption_and_out_of_scope():
         )
 
     assert multimodal.decode_pixel_stats(rebuild(depth=16)) is None
+    assert multimodal.decode_pixel_stats(rebuild(depth=4)) is None
     assert multimodal.decode_pixel_stats(rebuild(ctype=3)) is None
     assert multimodal.decode_pixel_stats(rebuild(inter=1)) is None
+
+
+def test_png16_decode_is_real():
+    """16-bit PNG (round-12 close-out): filter-heavy vs filter-0 and
+    sequential vs Adam7 encodings of the SAME logical 16-bit image
+    must decode identically (isolates the byte-wise filter algebra at
+    bpp = channels·2 and the pass scatter from the plant arithmetic),
+    and the decoded census must land the analytic mod-65536 sums —
+    including values above 255, which an 8-bit misread cannot
+    produce."""
+    for d, gray in ((21, False), (38, True)):
+        w, h = 9, 6  # big enough that all seven Adam7 passes are live
+        variants = [
+            multimodal.synth_png_payload(
+                d, w, h, gray=gray, filter_heavy=fh,
+                interlace=il, depth16=True,
+            )
+            for fh in (False, True)
+            for il in (False, True)
+        ]
+        outs = [multimodal.decode_pixel_stats(v) for v in variants]
+        assert len(set(variants)) == 4  # genuinely different streams
+        assert outs[0] is not None and all(o == outs[0] for o in outs)
+        ch = 1 if gray else 3
+
+        def v16(x, y, c):
+            return (d * 4099 + y * 977 + x * 313 + c * 101) % 65536
+
+        vs = [
+            v16(x, y, c)
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        ]
+        assert outs[0] == (
+            "png_gray16" if gray else "png_rgb16", w, h, w * h,
+            sum(v16(x, y, 0) for y in range(h) for x in range(w)),
+            sum(v16(x, y, min(1, ch - 1)) for y in range(h) for x in range(w)),
+            sum(v16(x, y, ch - 1) for y in range(h) for x in range(w)),
+            min(vs), max(vs),
+            sum(v16(x, 0, c) for x in range(w) for c in range(ch)),
+        )
+        assert max(vs) > 255  # the u16 reassembly is on trial
 
 
 def test_pixel_decode_row_order_is_real():
