@@ -2725,6 +2725,154 @@ def streaming_idle_expiry_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_topk_leaderboard_census",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM events GROUP BY user_id, event_type
+    ),
+    u AS (
+      SELECT user_id, CAST(SUM(ct) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(MAX(ct) AS BIGINT) AS mode_ct
+      FROM c GROUP BY user_id
+    ),
+    md AS (
+      SELECT c.user_id, MIN(c.event_type) AS mode_type
+      FROM c JOIN u ON u.user_id = c.user_id AND c.ct = u.mode_ct
+      GROUP BY c.user_id
+    ),
+    r AS (
+      SELECT user_id, event_id,
+             CAST(TRUNC(value * 1000000.0) AS BIGINT) AS vm,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(TRUNC(value * 1000000.0) AS BIGINT) DESC,
+                        event_id ASC) AS rn
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS topk_n,
+             CAST(SUM(vm) AS BIGINT) AS topk_sum_micros,
+             CAST(MAX(CASE WHEN rn = 1 THEN vm END) AS BIGINT)
+               AS top1_value_micros,
+             CAST(MAX(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+               AS top1_event_id
+      FROM r WHERE rn <= 5 GROUP BY user_id
+    ),
+    lts AS (
+      SELECT user_id,
+             CAST(EPOCH_US(MAX(ts)) // 1000 AS BIGINT) AS last_ts_ms
+      FROM events GROUP BY user_id
+    )
+    SELECT u.user_id, u.n_events, u.n_types, md.mode_type, u.mode_ct,
+           t.topk_n, t.topk_sum_micros, t.top1_value_micros,
+           t.top1_event_id,
+           CAST(lts.last_ts_ms + 3888000000 AS BIGINT) AS expired_at_ms
+    FROM u
+    JOIN md ON md.user_id = u.user_id
+    JOIN t ON t.user_id = u.user_id
+    JOIN lts ON lts.user_id = u.user_id
+    """,
+)
+def streaming_topk_leaderboard_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T13 (round 12): bounded per-key TOP-K leaderboard + per-type
+    counters on ``transformWithStateInPandas`` — the two TWS state
+    primitives T12 doesn't touch, ``ListState`` and ``MapState``, in
+    one processor with T12's timer-driven emission discipline. The
+    ListState holds each user's current top-5 ``(value_micros,
+    event_id)`` entries under the total order (value DESC, event_id
+    ASC); because top-K under a total order is a semilattice merge
+    (merge, sort, truncate), the maintained set is landing-order
+    independent and the oracle replays it as a plain ROW_NUMBER ≤ K.
+    The MapState counts events per type with point read-modify-writes
+    (``getValue``/``updateValue`` — never a full-map rewrite) and the
+    expiry path folds it via ``iterator()`` into total events, distinct
+    types, and the modal type (lexicographic-min tie-break). Same
+    staged three-file landing as T12 (keys spanning the midpoint
+    exercise cross-batch list merge and map accumulation; the
+    far-future sentinel fires every timer in the flush batch), same
+    integer-exact micro-unit convention.
+
+    Scale: per-key state is FIVE list entries + one map row per
+    distinct type + one timer — bounded no matter how many events
+    stream through a key (the property that makes per-key leaderboards
+    safe at 100 TB key cardinalities); expired keys leave the store.
+    RocksDB provider (the only one TWS supports), state on disk.
+    Reference anchor: the reference's per-ticker best-N tracking in its
+    real-time monitor, as engine-managed list/map state instead of an
+    in-process dict."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stream import (
+        drain_session,
+        memoize_drain,
+        run_to_memory,
+        topk_leaderboard_tws,
+    )
+
+    _prefetch_streaming_family(spark, sf_dir)
+
+    def _drain_and_census() -> DataFrame:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_topk_census_{tag}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        mid = "2024-01-16 00:00:00"
+        sentinel = spark.createDataFrame(
+            [(-1, -1, "zz_sentinel", 0.0)],
+            "event_id long, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+            "value",
+        )
+        t0 = 1_700_000_000
+        for i, (name, half) in enumerate(
+            (
+                ("batch-a", ev.filter(F.col("ts") <= F.lit(mid))),
+                ("batch-b", ev.filter(F.col("ts") > F.lit(mid))),
+                ("batch-c", sentinel),
+            )
+        ):
+            tmp = os.path.join(root, f"tmp_{name}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+        child = drain_session(spark, state_provider="rocksdb")
+        stream = child.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = run_to_memory(
+            topk_leaderboard_tws(stream),
+            "q_stream_topk",
+            cache_key=sf_dir,
+        )
+        return out.filter(F.col("user_id") >= 0)
+
+    return memoize_drain(
+        spark, "q_topk_leaderboard_census", sf_dir, _drain_and_census
+    )
+
+
+@query(
     "streaming_view_purchase_join",
     oracle="""
     WITH v AS (

@@ -908,3 +908,181 @@ def idle_user_census_tws(stream: DataFrame) -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T13 — bounded top-K leaderboard + per-type counters on ListState/MapState
+# (transformWithStateInPandas; completes the TWS state-primitive surface:
+# T2-on-TWS = ValueState, T12 = ValueState + event-time timers,
+# T13 = ListState + MapState + timers in one processor)
+# ---------------------------------------------------------------------------
+
+LEADERBOARD_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_types", LongType()),
+        StructField("mode_type", StringType()),
+        StructField("mode_ct", LongType()),
+        StructField("topk_n", LongType()),
+        StructField("topk_sum_micros", LongType()),
+        StructField("top1_value_micros", LongType()),
+        StructField("top1_event_id", LongType()),
+        StructField("expired_at_ms", LongType()),
+    ]
+)
+
+#: leaderboard depth — small by design: the WHOLE point of the ListState
+#: top-K is that per-key state stays K entries no matter how many events
+#: stream through the key
+_TOPK_K = 5
+
+
+class _TopKLeaderboardProcessor(StatefulProcessor):
+    """T13: per-key bounded TOP-K leaderboard in a typed ``ListState``
+    plus per-event-type counters in a typed ``MapState`` — the two TWS
+    state primitives T2/T12 don't touch, in one processor with the same
+    timer-driven emission discipline as T12 (output only via
+    ``handleExpiredTimer``; TTL past the staged span ⇒ every key emits
+    exactly once with complete totals ⇒ a plain-SQL oracle).
+
+    The ListState holds the key's current top-K ``(value_micros,
+    event_id)`` entries under the total order (value DESC, event_id
+    ASC). Because top-K under a total order is a semilattice merge
+    (merge, sort, truncate), the maintained set is landing-order
+    INDEPENDENT — any batch interleaving lands the same K rows, which
+    is what makes the census exactly SQL-replayable (ROW_NUMBER ≤ K).
+    State stays K entries per key no matter how many events stream
+    through — the bounded-replay-buffer discipline of T3, but in the
+    engine-managed list cell instead of a JSON blob in a value cell.
+
+    The MapState keys on ``event_type`` and counts occurrences; each
+    batch read-modify-writes only the types it saw (``getValue`` +
+    ``updateValue`` — point lookups, not a full-map rewrite), and the
+    expiry path walks ``iterator()`` to fold the map into the census
+    row (total events, distinct types, and the modal type with
+    lexicographic-min tie-break). Values cross as truncated micro-units
+    and epoch-ms, identical to T12's integer-exact convention."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._topk = handle.getListState(
+            "topk", "value_micros long, event_id long"
+        )
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "ct long"
+        )
+        self._last = handle.getValueState("last", "last_ts_ms long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        entries = (
+            [(int(v), int(e)) for v, e in self._topk.get()]
+            if self._topk.exists()
+            else []
+        )
+        got = self._last.get() if self._last.exists() else None
+        prev_lt = got[0] if got else -1
+        lt = prev_lt
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            # same one-IEEE-multiply truncation as T12: exact cross-engine
+            entries.extend(
+                (int(float(v) * 1_000_000.0), int(e))
+                for v, e in zip(pdf["value"], pdf["event_id"], strict=True)
+            )
+            lt = max(
+                lt, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
+            )
+            for etype, ct in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._counts.getValue((etype,))
+                    if self._counts.containsKey((etype,))
+                    else None
+                )
+                self._counts.updateValue(
+                    (etype,), (int(ct) + (int(prev[0]) if prev else 0),)
+                )
+        # merge-sort-truncate: the semilattice step that keeps state at K
+        entries.sort(key=lambda t: (-t[0], t[1]))
+        self._topk.put(entries[:_TOPK_K])
+        if lt > prev_lt:
+            if prev_lt >= 0:
+                self._handle.deleteTimer(prev_lt + _IDLE_TTL_MS)
+            self._handle.registerTimer(lt + _IDLE_TTL_MS)
+            self._last.update((lt,))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        entries = (
+            [(int(v), int(e)) for v, e in self._topk.get()]
+            if self._topk.exists()
+            else []
+        )
+        counts = {
+            k[0]: int(v[0]) for k, v in self._counts.iterator()
+        }
+        self._topk.clear()
+        self._counts.clear()
+        self._last.clear()
+        if not entries and not counts:
+            return iter(())
+        mode_ct = max(counts.values())
+        mode_type = min(t for t, c in counts.items() if c == mode_ct)
+        return iter(
+            [
+                pd.DataFrame(
+                    [
+                        [
+                            int(key[0]),
+                            int(sum(counts.values())),
+                            int(len(counts)),
+                            mode_type,
+                            int(mode_ct),
+                            int(len(entries)),
+                            int(sum(v for v, _ in entries)),
+                            int(entries[0][0]),
+                            int(entries[0][1]),
+                            int(expiredTimerInfo.getExpiryTimeInMs()),
+                        ]
+                    ],
+                    columns=[
+                        "user_id",
+                        "n_events",
+                        "n_types",
+                        "mode_type",
+                        "mode_ct",
+                        "topk_n",
+                        "topk_sum_micros",
+                        "top1_value_micros",
+                        "top1_event_id",
+                        "expired_at_ms",
+                    ],
+                )
+            ]
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def topk_leaderboard_tws(stream: DataFrame) -> DataFrame:
+    """T13 bounded top-K leaderboard + per-type counters on
+    ``transformWithStateInPandas`` in EVENT-TIME mode. RocksDB provider
+    only (TWS contract); per-key state is K list entries + one map row
+    per DISTINCT type + one timer — bounded regardless of events
+    per key, the property that makes a per-key leaderboard safe at
+    100 TB key cardinalities."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_TopKLeaderboardProcessor(),
+            outputStructType=LEADERBOARD_SCHEMA,
+            outputMode="append",
+            timeMode="EventTime",
+        )
+    )

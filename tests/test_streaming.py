@@ -653,3 +653,89 @@ def test_tws_rejects_hdfs_state_provider(spark, sf_dir):
     stream = child.readStream.schema(ev.schema).parquet(src)
     with pytest.raises(Exception, match="MULTIPLE_COLUMN_FAMILIES"):
         run_to_memory(idle_user_census_tws(stream), "t_idle_hdfs_probe")
+
+
+# ---------------------------------------------------------------------------
+# T13 — ListState + MapState leaderboard (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_tws_topk_leaderboard_list_and_map_state(spark, sf_dir):
+    """T13's contract: the ListState-maintained top-5 and the
+    MapState-maintained per-type counters, folded at timer expiry, must
+    equal the batch window-function truth exactly (landing order cannot
+    matter — top-K under a total order is a semilattice merge), and
+    DRAIN_PROGRESS must name the TWS operator + RocksDB provider."""
+    from pyspark.sql import Window
+
+    from portofolio_maximizer_spark.plans import QUERIES
+    from portofolio_maximizer_spark.streaming.stream import _IDLE_TTL_MS
+
+    out = QUERIES["streaming_topk_leaderboard_census"](spark, sf_dir)
+    got = sorted(map(tuple, out.collect()))
+    assert len(got) > 0
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("ct").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.max("ct").cast("long").alias("mode_ct"),
+    )
+    md = (
+        c.join(u, ["user_id"])
+        .filter(F.col("ct") == F.col("mode_ct"))
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("mode_type"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("vm").desc(), F.col("event_id").asc()
+    )
+    t = (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.col("value") * 1e6).cast("long").alias("vm"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("topk_n"),
+            F.sum("vm").cast("long").alias("topk_sum_micros"),
+            F.max(F.when(F.col("rn") == 1, F.col("vm")))
+            .cast("long")
+            .alias("top1_value_micros"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_id")))
+            .cast("long")
+            .alias("top1_event_id"),
+        )
+    )
+    lts = ev.groupBy("user_id").agg(
+        F.floor(F.unix_millis(F.max("ts"))).cast("long").alias("last_ts_ms")
+    )
+    truth = (
+        u.join(md, "user_id")
+        .join(t, "user_id")
+        .join(lts, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "mode_type",
+            "mode_ct",
+            "topk_n",
+            "topk_sum_micros",
+            "top1_value_micros",
+            "top1_event_id",
+            (F.col("last_ts_ms") + F.lit(_IDLE_TTL_MS))
+            .cast("long")
+            .alias("expired_at_ms"),
+        )
+    )
+    assert got == sorted(map(tuple, truth.collect()))
+    rec = ST.DRAIN_PROGRESS[("q_stream_topk", sf_dir)]
+    assert rec["state_operator_names"] == ["transformWithStateInPandasExec"]
+    assert rec["state_provider"] == "RocksDBStateStoreProvider"
+    assert rec["rocksdb_metrics_seen"] is True
