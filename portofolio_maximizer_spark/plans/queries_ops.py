@@ -10826,3 +10826,145 @@ def runtime_bloom_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R170 — shuffled-hash-join selection (the static planner's third join
+# strategy, and the size algebra that gates it)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shuffled_hash_join_rollup",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 6) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def shuffled_hash_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R170: SHUFFLED-HASH-JOIN selection — the static planner's third
+    equi-join strategy beside broadcast-hash and sort-merge, and the
+    size algebra that gates it. SMJ sorts BOTH shuffled sides before
+    merging (per-partition O(n log n) plus sort-spill machinery); SHJ
+    skips the sorts entirely and builds an in-memory hash map from the
+    smaller side per partition — but an under-estimated build side now
+    OOMs instead of spilling gracefully, which is WHY Spark prefers SMJ
+    unless ALL THREE planner conditions hold: (1)
+    ``preferSortMergeJoin=false``, (2) `canBuildLocalHashMapBySize` —
+    build-side estimate < autoBroadcastJoinThreshold × shuffle
+    partitions, i.e. roughly one threshold's worth of build rows PER
+    TASK, and (3) `muchSmaller` — build side ≤ other side / 3. This
+    query makes the inequality visible instead of hand-tuning it: it
+    READS the dim's own optimizer estimate (the number the planner will
+    compare) and sets the threshold to HALF of it — broadcast is
+    therefore disqualified (estimate > threshold) while the SHJ bound
+    (threshold × 32 partitions = 16× the dim) passes at EVERY sf, and
+    orders ≥ 3× customers keeps muchSmaller true. The SHJ-not-SMJ plan
+    contract is pinned in tests/test_aqe.py; the plain-join oracle
+    proves strategy choice is semantics-free. At 100 TB this is the
+    dim-side pattern for joins where the build side is known-bounded
+    but too big to broadcast: one shuffle, zero sorts.
+    Reference anchor: the engine-mechanism family of BENCH_NOTES'
+    partition-strategy charter (beyond the reference)."""
+    import hashlib
+
+    probe = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    est = int(
+        probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    # half the measured estimate: strictly below est (disqualifies
+    # broadcast) at every sf — the floor only guards degenerate stats
+    # and stays below the smallest real dim estimate (sf0.001 ≈ 3.7 KB)
+    thr = max(1024, est // 2)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    child = _conf_child_session(
+        spark,
+        f"shj-select-{tag}",
+        {
+            "spark.sql.join.preferSortMergeJoin": "false",
+            "spark.sql.autoBroadcastJoinThreshold": str(thr),
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.shuffle.partitions": "32",
+        },
+    )
+    o = load_table(child, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = load_table(child, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        r6(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        ).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R171 — WindowGroupLimit: rank-filter pushdown (partial top-k per map
+# task BEFORE the shuffle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_group_limit_topn",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey,
+           ROUND(o_totalprice, 6) AS total_price
+    FROM r WHERE rn <= 3
+    """,
+)
+def window_group_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R171: WindowGroupLimit — the optimizer mechanism behind every
+    "top-N per key" query in this repo. A naive plan for
+    ``ROW_NUMBER() ... WHERE rn <= 3`` shuffles EVERY order to its
+    key's reducer, sorts, numbers, then throws away all but three rows
+    per key; Spark's InferWindowGroupLimit rewrite (3.5+) recognizes a
+    rank-function filter and inserts a WindowGroupLimit node in
+    PARTIAL mode on the map side — each map task keeps only its own
+    top-3 per key (a bounded per-key heap walk over the locally sorted
+    run), so the shuffle carries at most 3 × keys-per-map-task rows no
+    matter how many orders a customer has, and the FINAL-mode node
+    re-applies the limit after the merge. The Partial+Final pair is
+    pinned in tests/test_aqe.py; the ROW_NUMBER oracle proves the
+    rewrite is semantics-free. This is why O3-style latest-N and O2
+    leaderboards stay shuffle-sane at 100 TB: pre-shuffle pruning falls
+    out of declaring the filter on the rank column, with no hand-built
+    per-partition top-k. (The deterministic ORDER BY — price desc, then
+    key — makes the row SET unique, so rn ≤ 3 selects identical rows on
+    both engines.)
+    Reference anchor: the engine-mechanism family of BENCH_NOTES'
+    partition-strategy charter (beyond the reference)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            F.col("rn").cast("int").alias("rn"),
+            "o_orderkey",
+            r6(F.col("o_totalprice")).alias("total_price"),
+        )
+    )

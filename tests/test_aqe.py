@@ -100,3 +100,31 @@ def test_runtime_bloom_join_plan_contract(spark):
     assert "BroadcastHashJoin" not in final, final
     # the probe sits on the fact (lineitem) side of the join, pre-shuffle
     assert "might_contain" in final, final
+
+
+def test_shuffled_hash_join_plan_contract(spark):
+    """R170's contract: with the threshold derived from the dim's own
+    optimizer estimate (half of it), broadcast is disqualified while
+    the SHJ size algebra passes — the executed plan must carry a
+    ShuffledHashJoin and NO sort under it (the strategy's whole point),
+    and neither SortMergeJoin nor BroadcastHashJoin."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    df = QUERIES["shuffled_hash_join_rollup"](spark, SF)
+    plan = _final_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_window_group_limit_plan_contract(spark):
+    """R171's contract: the rank filter must execute as a
+    WindowGroupLimit pair — PARTIAL mode on the map side (each task
+    ships at most k rows per key into the shuffle) and FINAL mode after
+    the merge — not as a full Window followed by a Filter."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    df = QUERIES["window_group_limit_topn"](spark, SF)
+    plan = _final_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan and "Final" in plan, plan
