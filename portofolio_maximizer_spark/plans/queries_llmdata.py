@@ -6209,3 +6209,291 @@ ORACLE["pq_distortion_census"] = """
            ROUND(AVG(vse), 6), ROUND(MAX(vse), 6)
     FROM vec
 """
+
+
+# ---------------------------------------------------------------------------
+# L73 — KMV/theta vocabulary sketches with set operations (round 12)
+# ---------------------------------------------------------------------------
+
+#: KMV sketch depth: per-source state is the K smallest distinct token
+#: hashes, no matter how many tokens stream through the source. 16 is
+#: deliberately BELOW the ~30-token per-source vocabularies of the
+#: testdata corpus so the sketches actually FILL and the estimator
+#: branch ((K-1)·M/h_K, theta-scaled intersection) is what the oracle
+#: certifies — K=64 would degenerate to exact counting at every test sf
+_KMV_K = 16
+#: hash space: first 12 hex digits of md5 = 48 bits
+_KMV_M = 1 << 48
+
+
+@query(
+    "vocab_theta_sketch_pairs",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || SUBSTR(MD5(tok), 1, 12)) AS BIGINT) AS h
+      FROM (
+        SELECT source, UNNEST(LIST_FILTER(
+                 STRING_SPLIT_REGEX(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents
+      )
+    ),
+    cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM dh GROUP BY source
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM dh
+      ) WHERE rn <= {_KMV_K}
+    ),
+    th AS (
+      SELECT sk.source, CAST(COUNT(*) AS BIGINT) AS k_eff,
+             CASE WHEN COUNT(*) >= {_KMV_K} THEN MAX(sk.h)
+                  ELSE {_KMV_M} END AS theta
+      FROM sk GROUP BY sk.source
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb,
+             a.nd AS nd_a, b.nd AS nd_b,
+             LEAST(ta.theta, tb.theta) AS theta
+      FROM cnt a JOIN cnt b ON a.source < b.source
+      JOIN th ta ON ta.source = a.source
+      JOIN th tb ON tb.source = b.source
+    ),
+    merged AS (
+      SELECT DISTINCT p.sa, p.sb, s.h
+      FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+    ),
+    mk AS (
+      SELECT sa, sb, h FROM (
+        SELECT sa, sb, h,
+               ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        FROM merged
+      ) WHERE rn <= {_KMV_K}
+    ),
+    uest AS (
+      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS mu,
+             CASE WHEN COUNT(*) >= {_KMV_K}
+                  THEN ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / MAX(h)
+                  ELSE CAST(COUNT(*) AS DOUBLE) END AS est_union
+      FROM mk GROUP BY sa, sb
+    ),
+    common AS (
+      SELECT p.sa, p.sb,
+             CAST(COUNT(*) AS BIGINT) AS n_common_below
+      FROM pairs p
+      JOIN sk x ON x.source = p.sa AND x.h < p.theta
+      JOIN sk y ON y.source = p.sb AND y.h = x.h
+      GROUP BY p.sa, p.sb
+    ),
+    truth AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(COUNT(*) AS BIGINT) AS true_inter
+      FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           p.nd_a AS true_vocab_a, p.nd_b AS true_vocab_b,
+           COALESCE(t.true_inter, 0) AS true_inter,
+           p.nd_a + p.nd_b - COALESCE(t.true_inter, 0) AS true_union,
+           ROUND(u.est_union, 6) AS est_union,
+           ROUND(COALESCE(c.n_common_below, 0)
+                 * CAST({_KMV_M} AS DOUBLE) / p.theta, 6) AS est_inter,
+           ROUND(COALESCE(c.n_common_below, 0)
+                 * CAST({_KMV_M} AS DOUBLE) / p.theta / u.est_union, 6)
+             AS est_jaccard,
+           ROUND(ABS(u.est_union
+                     - (p.nd_a + p.nd_b - COALESCE(t.true_inter, 0)))
+                 / (p.nd_a + p.nd_b - COALESCE(t.true_inter, 0)), 6)
+             AS rel_err_union
+    FROM pairs p
+    JOIN uest u ON u.sa = p.sa AND u.sb = p.sb
+    LEFT JOIN common c ON c.sa = p.sa AND c.sb = p.sb
+    LEFT JOIN truth t ON t.sa = p.sa AND t.sb = p.sb
+    """,
+)
+def vocab_theta_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L73 — KMV/theta vocabulary sketches with SET OPERATIONS: the
+    mergeable-sketch family member HLL (L38) and count-min (L66) can't
+    provide. A K-minimum-values sketch (Bar-Yossef et al. 2002; theta
+    intersection per Dasgupta et al. 2016, the DataSketches theta
+    formulation) keeps each source's K smallest distinct token hashes;
+    the k-th smallest value θ doubles as a sampling threshold, so
+    sketches COMPOSE: union = K smallest of the merged entry sets
+    (estimate (K-1)·M/h_K when full, exact when not — a not-full sketch
+    IS its hash set), intersection = common entries below min(θ_a, θ_b)
+    scaled by M/θ, and Jaccard falls out as their ratio. Per source
+    pair: true vocabulary sizes, true union/intersection (exact at test
+    sf — the eval framing of `ann_recall_eval`), the three estimates,
+    and the union's relative error. Every estimate is derived from
+    INTEGER hash arithmetic both engines replay bit-identically (first
+    12 md5 hex digits = 48-bit space; (K-1)·M and count·M stay ≤ 6
+    significant bits × 2^48, exactly representable as doubles, and the
+    division trees are written in identical shape on both engines
+    before one final 6dp rounding).
+
+    Scale: per-source state is K=64 longs regardless of token volume —
+    the distinct-(source,hash) shuffle is the only corpus-sized stage
+    (one pass; the rank≤K prune executes as R171's WindowGroupLimit,
+    so at most K rows per source leave each map task); everything
+    after operates on S·K-row frames. Cross-source overlap at 100 TB
+    without ever co-shuffling two sources' token sets: ship the 64-entry
+    sketches, not the vocabularies. The truth columns are the test-sf
+    eval harness, not part of the production sketch path.
+    Reference anchor: charter training-data mandate (domain-overlap
+    census for mixture planning), beyond the reference."""
+    docs = load_table(spark, sf_dir, "documents")
+    dh = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()  # one corpus pass feeds sketch + counts + truth
+    )
+    cnt = (
+        dh.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+        .localCheckpoint()  # S rows; feeds pair frame twice + output
+    )
+    wsk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        dh.withColumn("rn", F.row_number().over(wsk))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+        .localCheckpoint()  # S·K rows; consumed by merge + intersect + theta
+    )
+    th = sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.when(F.count(F.lit(1)) >= _KMV_K, F.max("h"))
+        .otherwise(F.lit(_KMV_M))
+        .alias("theta"),
+    ).localCheckpoint()  # S rows; consumed by both pair-side joins
+    a = cnt.select(
+        F.col("source").alias("sa"), F.col("nd").alias("nd_a")
+    )
+    b = cnt.select(
+        F.col("source").alias("sb"), F.col("nd").alias("nd_b")
+    )
+    pairs = (
+        a.join(b, F.col("sa") < F.col("sb"))
+        .join(
+            th.select(
+                F.col("source").alias("sa"), F.col("theta").alias("th_a")
+            ),
+            "sa",
+        )
+        .join(
+            th.select(
+                F.col("source").alias("sb"), F.col("theta").alias("th_b")
+            ),
+            "sb",
+        )
+        .select(
+            "sa",
+            "sb",
+            "nd_a",
+            "nd_b",
+            F.least("th_a", "th_b").alias("theta"),
+        )
+        .localCheckpoint()  # S^2/2 rows; fans out to merge/common/output
+    )
+    m1 = pairs.select("sa", "sb").join(
+        sk.select(F.col("source").alias("sa"), "h"), "sa"
+    )
+    m2 = pairs.select("sa", "sb").join(
+        sk.select(F.col("source").alias("sb"), "h"), "sb"
+    )
+    merged = m1.select("sa", "sb", "h").unionByName(
+        m2.select("sa", "sb", "h")
+    ).distinct()
+    wmk = Window.partitionBy("sa", "sb").orderBy("h")
+    mk = (
+        merged.withColumn("rn", F.row_number().over(wmk))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    uest = mk.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("mu"),
+        F.when(
+            F.count(F.lit(1)) >= _KMV_K,
+            (_KMV_K - 1) * F.lit(float(_KMV_M)) / F.max("h"),
+        )
+        .otherwise(F.count(F.lit(1)).cast("double"))
+        .alias("est_union"),
+    )
+    common = (
+        pairs.select("sa", "sb", "theta")
+        .join(sk.select(F.col("source").alias("sa"), "h"), "sa")
+        .filter(F.col("h") < F.col("theta"))
+        .join(
+            sk.select(F.col("source").alias("sb"), "h"),
+            ["sb", "h"],
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common_below"))
+    )
+    truth = (
+        dh.select(F.col("source").alias("sa"), "h")
+        .join(dh.select(F.col("source").alias("sb"), "h"), "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_inter"))
+    )
+    out = (
+        pairs.join(uest, ["sa", "sb"])
+        .join(common, ["sa", "sb"], "left")
+        .join(truth, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("nd_a").alias("true_vocab_a"),
+            F.col("nd_b").alias("true_vocab_b"),
+            F.coalesce(F.col("true_inter"), F.lit(0))
+            .cast("long")
+            .alias("true_inter"),
+            (
+                F.col("nd_a")
+                + F.col("nd_b")
+                - F.coalesce(F.col("true_inter"), F.lit(0))
+            )
+            .cast("long")
+            .alias("true_union"),
+            r6(F.col("est_union")).alias("est_union"),
+            r6(
+                F.coalesce(F.col("n_common_below"), F.lit(0))
+                * F.lit(float(_KMV_M))
+                / F.col("theta")
+            ).alias("est_inter"),
+            r6(
+                F.coalesce(F.col("n_common_below"), F.lit(0))
+                * F.lit(float(_KMV_M))
+                / F.col("theta")
+                / F.col("est_union")
+            ).alias("est_jaccard"),
+            r6(
+                F.abs(
+                    F.col("est_union")
+                    - (
+                        F.col("nd_a")
+                        + F.col("nd_b")
+                        - F.coalesce(F.col("true_inter"), F.lit(0))
+                    )
+                )
+                / (
+                    F.col("nd_a")
+                    + F.col("nd_b")
+                    - F.coalesce(F.col("true_inter"), F.lit(0))
+                )
+            ).alias("rel_err_union"),
+        )
+    )
+    return out
