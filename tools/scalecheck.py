@@ -98,6 +98,20 @@ QUERIES = [
     "substring_dedup_spans",
     "minhash_lsh_neardups",
     "semantic_dedup_keeplist",
+    # round-12 mechanism additions: the injected runtime Bloom filter
+    # (pre-shuffle fact pruning must keep shuffle bytes ~dim-selective
+    # as the fact side grows 10x), the SHJ selection (threshold derived
+    # from the dim's own estimate, so the algebra re-derives at sf1),
+    # the WindowGroupLimit pushdown (shuffle carries <= k rows per key
+    # per map task at any volume), the KMV sketch pipeline (everything
+    # after the one distinct-(source,hash) shuffle is S*K-bounded), and
+    # the T13 TWS drain (ListState/MapState on RocksDB: bounded per-key
+    # state while input grows 10x; drain metrics via DRAIN_PROGRESS)
+    "runtime_bloom_join_rollup",
+    "shuffled_hash_join_rollup",
+    "window_group_limit_topn",
+    "vocab_theta_sketch_pairs",
+    "streaming_topk_leaderboard_census",
 ]
 
 #: decade-2 subset: the cheapest SHAPE-DIVERSE queries (scan+agg,
