@@ -10968,3 +10968,78 @@ def window_group_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("o_totalprice")).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R172 — null-aware anti join: NOT IN executed as a single-key NAAJ
+# broadcast hash join instead of a nested loop
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_aware_anti_join_census",
+    oracle="""
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM (SELECT event_type, value, NULLIF(user_id, 0) AS uk
+          FROM events) e
+    WHERE e.uk NOT IN (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING')
+    GROUP BY e.event_type
+    """,
+)
+def null_aware_anti_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R172: NULL-AWARE anti join — the planner mechanism behind ANSI
+    ``NOT IN``, whose three-valued logic is the classic SQL trap: a row
+    whose key is NULL can never satisfy NOT IN (NULL <> anything is
+    UNKNOWN), and ONE NULL in the subquery empties the whole result.
+    Here user_id 0 is treated as the anonymous sentinel and mapped to
+    NULL (NULLIF), so the null path is LIVE in the data: anonymous
+    events are excluded by the semantics, not by an explicit filter —
+    which both engines must agree on. Naively these semantics need a
+    nested-loop join (every left row tested against every right row
+    plus the null checks); Spark's OptimizeOneRowRelationSubquery/
+    ExtractSingleColumnNullAwareAntiJoin rewrite recognizes the
+    single-key case and executes a BroadcastHashJoin in LeftAnti mode
+    with the ``isNullAwareAntiJoin`` flag — one hash probe per fact
+    row, with the engine checking the build side's null/empty cases up
+    front. The plan contract (BHJ LeftAnti + the NAAJ flag, and the
+    BroadcastNestedLoopJoin it replaces when the rewrite is disabled)
+    is pinned in tests/test_aqe.py; the oracle is the same NOT IN in
+    DuckDB — identical three-valued logic or the census differs.
+
+    Scale: NAAJ REQUIRES the subquery side to broadcast (the rewrite is
+    broadcast-only by construction — per-partition null-awareness needs
+    the whole build side everywhere). That is the honest operating
+    envelope: a NOT IN against a frame that scales with the data should
+    be rewritten as a null-safe NOT EXISTS (anti join on <=> — J2's
+    shape), which shuffles instead of broadcasting. This query's
+    subquery is a selective dim slice, the intended NAAJ shape.
+    Reference anchor: the engine-mechanism family of BENCH_NOTES'
+    partition-strategy charter (beyond the reference)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.nullif(F.col("user_id"), F.lit(0)).alias("uk"),
+    )
+    blocked = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ev.createOrReplaceTempView("naaj_events")
+    blocked.createOrReplaceTempView("naaj_blocked")
+    j = spark.sql(
+        """
+        SELECT event_type, value FROM naaj_events
+        WHERE uk NOT IN (SELECT c_custkey FROM naaj_blocked)
+        """
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        r6(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        ).alias("sum_value"),
+    )

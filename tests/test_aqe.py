@@ -128,3 +128,37 @@ def test_window_group_limit_plan_contract(spark):
     plan = _final_plan(df)
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan and "Final" in plan, plan
+
+
+def test_null_aware_anti_join_plan_contract(spark):
+    """R172's contract: the single-column NOT IN executes as a
+    BroadcastHashJoin LeftAnti carrying the isNullAwareAntiJoin flag
+    (the trailing `true` in the node's argument list), NOT as a
+    BroadcastNestedLoopJoin — and disabling the rewrite degrades the
+    SAME query to the nested loop it replaces. Also pins the live null
+    path: anonymous (user 0) events are excluded by NOT IN's
+    three-valued logic alone."""
+    import re
+
+    from portofolio_maximizer_spark.plans import QUERIES
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    df = QUERIES["null_aware_anti_join_census"](spark, SF)
+    plan = _final_plan(df)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the rewrite, disabled, degrades to the nested loop NAAJ replaces
+    prev = spark.conf.get("spark.sql.optimizeNullAwareAntiJoin")
+    spark.conf.set("spark.sql.optimizeNullAwareAntiJoin", "false")
+    try:
+        df2 = QUERIES["null_aware_anti_join_census"](spark, SF)
+        plan2 = _final_plan(df2)
+    finally:
+        spark.conf.set("spark.sql.optimizeNullAwareAntiJoin", prev)
+    assert "BroadcastNestedLoopJoin" in plan2, plan2
+    # live null path: no anonymous (NULL-key) event survives NOT IN
+    ev = load_table(spark, SF, "events")
+    n_total = ev.count()
+    n_anon = ev.filter(F.col("user_id") == 0).count()
+    n_out = df.agg(F.sum("n_events")).collect()[0][0]
+    assert n_anon > 0 and n_out <= n_total - n_anon
