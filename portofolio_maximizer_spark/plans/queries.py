@@ -1849,3 +1849,166 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: the customer-distribution query — how many
+    customers placed exactly N qualifying orders (the filter lives in
+    the JOIN CONDITION of a left outer join, so customers with zero
+    qualifying orders are retained and land in the N=0 bucket — the
+    shape that separates an outer join from a WHERE filter), then the
+    distribution of those counts [J1 outer join + A14 double
+    aggregation, §2.3/2.4].
+
+    Scale: one key-partitioned outer join (orders shuffled on custkey,
+    COUNT is map-side-combinable), then a second aggregate over a frame
+    that is one row per customer with a bounded-cardinality count key —
+    the second shuffle carries |distinct counts| rows per partition.
+    Reference anchor: the reference's order-frequency report shape
+    (analysis/ report family), via the classic Q13 formulation."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH co AS (
+          SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM co GROUP BY c_count
+        """
+    )
+
+
+@query(
+    "q15_top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(r.total_revenue AS DOUBLE), 6) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the top supplier by quarterly shipped revenue —
+    a derived revenue aggregate consumed TWICE (once as the join input,
+    once reduced to its max in a scalar subquery), with the winner
+    selected by EQUALITY on the aggregate [O2 argmax via scalar
+    subquery, §2.6]. The equality is evaluated in EXACT DECIMAL on both
+    engines (the sum of price·(1−discount) products never touches a
+    float until the display rounding), so "ties" mean genuinely equal
+    rational revenue — the formulation's classic float trap, closed the
+    same way the repo's other money arithmetic is.
+
+    Scale: one lineitem aggregate keyed on suppkey (map-side
+    combinable, date filter pushed to the scan), a one-row max
+    broadcast back over the bounded supplier-revenue frame, and a dim
+    join — no shuffle touches lineitem twice.
+    Reference anchor: the reference's per-venue revenue ranking shape,
+    via the classic Q15 view formulation."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               ROUND(CAST(r.total_revenue AS DOUBLE), 6) AS total_revenue
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS order_date,
+           ROUND(o.o_totalprice, 6) AS total_price,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: large-volume orders — customers whose single
+    orders aggregate more than 250 units (top ~1% of orders by total
+    quantity at every test sf), listed with the order's full quantity
+    [U-family IN-subquery semi join over a grouped HAVING, §2.3 J3/J9].
+    The HAVING threshold is evaluated in exact decimal on both engines;
+    the IN decorrelates to a semi join on orderkey, so lineitem is
+    aggregated once to find qualifying orders and joined once to
+    re-aggregate their detail — the classic double-touch the
+    formulation forces, kept to two key-partitioned passes.
+
+    Scale: both lineitem passes shuffle on l_orderkey (map-side
+    combined); the semi join and the detail join are equi-joins on the
+    same key, so AQE can co-locate the whole right side of the plan on
+    one partitioning. Reference anchor: the reference's
+    large-position audit shape, via the classic Q18 formulation."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS STRING) AS order_date,
+               ROUND(o.o_totalprice, 6) AS total_price,
+               ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE), 6) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+        )
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        """
+    )
