@@ -3047,6 +3047,130 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_full_outer_census",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view' AND user_id < 50
+    ),
+    b AS (
+      SELECT user_id, event_id AS buy_id, ts AS buy_ts
+      FROM events WHERE event_type = 'purchase' AND user_id < 50
+    )
+    SELECT COALESCE(v.user_id, b.user_id) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN buy_id IS NOT NULL
+                          AND view_ts IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN buy_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_only,
+           CAST(SUM(CASE WHEN view_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buy_only,
+           ROUND(SUM(COALESCE(view_value, 0.0)), 6) AS sum_view_value
+    FROM v FULL JOIN b ON v.user_id = b.user_id
+                      AND buy_ts >= view_ts
+                      AND buy_ts <= view_ts + INTERVAL 2 HOUR
+    GROUP BY COALESCE(v.user_id, b.user_id)
+    """,
+)
+def streaming_full_outer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 (round 12): stream-stream FULL OUTER interval join — the
+    symmetric completion of T8. Every view emits (matched or
+    NULL-purchase once the watermark passes its interval upper bound),
+    AND every purchase with no attributable view in its trailing 2 h
+    emits with NULL view columns once the watermark reaches it — the
+    orphan-conversion census (paid conversions with no recorded
+    touchpoint) that a left-outer stream can only produce via a second
+    swapped-side pass over the same data. Same sentinel staging as T8
+    (one far-future row per side keeps both watermarks advancing; the
+    engine's no-data flush batch under availableNow lands every
+    outer emission; sentinels fenced by user_id >= 0), so the drained
+    rows equal the batch FULL JOIN exactly and the plain-SQL census is
+    the oracle. Rolled up per COALESCEd user: matched pairs, view-only,
+    buy-only, and the null-safe view-value mass.
+
+    Scale: both join states are keyed and watermark-bounded — a view
+    held at most horizon past its event time, a purchase only until
+    the watermark reaches it (its candidate views are strictly
+    earlier). The orphan census at 100 TB/day is ONE pass over the
+    stream instead of a join plus a swapped-side anti join.
+    Reference anchor: T8's attribution shape
+    (etl/real_time_extractor.py's signal↔outcome linker), completed to
+    the bidirectional audit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from ..sources.catalog import load_table
+    from ..streaming import drain_session
+    from ..streaming.stream import memoize_drain, view_purchase_full_outer_join
+
+    def _drain() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").filter(
+            FF.col("user_id") < 50
+        ).select("event_id", "user_id", "event_type", "ts", "value")
+        mx = ev.agg(FF.max("ts")).first()[0]
+        sent_ts = FF.lit(mx) + FF.expr("INTERVAL 10 DAYS")
+        sent = (
+            spark.range(2)
+            .select(
+                (-F.col("id") - 1).alias("event_id"),
+                (-F.col("id") - 1).alias("user_id"),
+                FF.when(F.col("id") == 0, "view")
+                .otherwise("purchase")
+                .alias("event_type"),
+                sent_ts.alias("ts"),
+                FF.lit(0.0).alias("value"),
+            )
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_full_outer_{tag}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        ev.unionByName(sent).repartition(1).write.parquet(src)
+        child = drain_session(spark, partitions=1)
+        schema = child.read.parquet(src).schema
+        raw = child.readStream.schema(schema).parquet(src)
+        joined = view_purchase_full_outer_join(raw, horizon="2 hours")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("q_stream_full_outer")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # fence BOTH sides' sentinels: an outer row carries exactly one
+        # live key, the other is NULL
+        return child.table("q_stream_full_outer").filter(
+            FF.coalesce(FF.col("v_user"), FF.col("b_user")) >= 0
+        )
+
+    out = memoize_drain(spark, "q_stream_full_outer", sf_dir, _drain)
+    matched = FF.col("buy_id").isNotNull() & FF.col("view_ts").isNotNull()
+    return out.groupBy(
+        FF.coalesce(FF.col("v_user"), FF.col("b_user")).alias("user_id")
+    ).agg(
+        FF.count(FF.lit(1)).cast("long").alias("n_rows"),
+        FF.sum(matched.cast("int")).cast("long").alias("n_matched"),
+        FF.sum(FF.col("buy_id").isNull().cast("int"))
+        .cast("long")
+        .alias("n_view_only"),
+        FF.sum(FF.col("view_ts").isNull().cast("int"))
+        .cast("long")
+        .alias("n_buy_only"),
+        FF.round(
+            FF.sum(FF.coalesce(FF.col("view_value"), FF.lit(0.0))), 6
+        ).alias("sum_view_value"),
+    )
+
+
+@query(
     "streaming_observed_ingest",
     oracle="""
     SELECT event_type,

@@ -1086,3 +1086,46 @@ def topk_leaderboard_tws(stream: DataFrame) -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+def view_purchase_full_outer_join(
+    stream: DataFrame, horizon: str = "2 hours"
+) -> DataFrame:
+    """T14: stream-stream FULL OUTER interval join — the symmetric
+    completion of T8's left-outer. Both unmatched populations leave the
+    stream as first-class rows: a view that never converts emits with
+    NULL purchase columns once the watermark passes ``view_ts +
+    horizon`` (T8's state machine), AND a purchase with no attributable
+    view in its trailing window emits with NULL view columns once the
+    watermark passes ``buy_ts`` — the orphan-conversion census a
+    left-outer can only get from a second pass with the sides swapped.
+    State on both sides stays watermark-bounded: a view is held at most
+    ``horizon`` past its timestamp, a purchase only until the watermark
+    reaches it (its candidate views are all earlier, so eviction is
+    immediate on watermark passage)."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+    )
+    return views.join(
+        buys,
+        F.expr(
+            f"v_user = b_user AND buy_ts >= view_ts "
+            f"AND buy_ts <= view_ts + INTERVAL {horizon}"
+        ),
+        "fullOuter",
+    )

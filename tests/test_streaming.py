@@ -739,3 +739,63 @@ def test_tws_topk_leaderboard_list_and_map_state(spark, sf_dir):
     assert rec["state_operator_names"] == ["transformWithStateInPandasExec"]
     assert rec["state_provider"] == "RocksDBStateStoreProvider"
     assert rec["rocksdb_metrics_seen"] is True
+
+
+# ---------------------------------------------------------------------------
+# T14 — full-outer stream-stream interval join (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_full_outer_census_books_close_and_both_populations(spark, sf_dir):
+    """T14's books: every drained row is exactly one of matched /
+    view-only / buy-only (n_rows = sum of the three per user), BOTH
+    outer populations are live at the tested sf (so the symmetric
+    emission path is actually exercised, not vacuously green), and the
+    drained result equals the batch FULL JOIN census exactly."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    out = QUERIES["streaming_full_outer_census"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert all(
+        r["n_rows"] == r["n_matched"] + r["n_view_only"] + r["n_buy_only"]
+        for r in rows
+    )
+    assert sum(r["n_view_only"] for r in rows) > 0
+    assert sum(r["n_buy_only"] for r in rows) > 0
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    j = v.join(
+        b,
+        F.expr(
+            "vu = bu AND buy_ts >= view_ts "
+            "AND buy_ts <= view_ts + INTERVAL 2 HOURS"
+        ),
+        "fullOuter",
+    )
+    matched = F.col("buy_id").isNotNull() & F.col("view_ts").isNotNull()
+    truth = j.groupBy(
+        F.coalesce(F.col("vu"), F.col("bu")).alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(matched.cast("int")).cast("long").alias("n_matched"),
+        F.sum(F.col("buy_id").isNull().cast("int"))
+        .cast("long")
+        .alias("n_view_only"),
+        F.sum(F.col("view_ts").isNull().cast("int"))
+        .cast("long")
+        .alias("n_buy_only"),
+        F.round(
+            F.sum(F.coalesce(F.col("view_value"), F.lit(0.0))), 6
+        ).alias("sum_view_value"),
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, truth.collect()))
