@@ -2873,6 +2873,147 @@ def streaming_topk_leaderboard_census(
 
 
 @query(
+    "streaming_warmstart_handoff_census",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN ts <= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_backfill,
+           CAST(SUM(CASE WHEN ts > TIMESTAMP '2024-01-16 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stream,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(TRUNC(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_value_micros,
+           CAST(EPOCH_US(MAX(ts)) // 1000 AS BIGINT) AS last_ts_ms,
+           CAST(EPOCH_US(MAX(ts)) // 1000 + 3888000000 AS BIGINT)
+             AS expired_at_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_warmstart_handoff_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T15 (round 12): batch→streaming WARM-START handoff via TWS
+    initial state — the `transformWithStateInPandas` entry point
+    T12/T13 never touch (`handleInitialState`), and the production
+    pattern it exists for: a batch backfill computes per-key aggregates
+    over the historical range ONCE, the streaming job seeds its state
+    stores from that grouped frame in its first micro-batch, and only
+    post-cutover events ever flow through the stream. The processor
+    seeds (counts, micro-unit mass, last-seen) AND the key's expiry
+    timer from the batch row — a key with backfill but no streamed
+    increments still emits when the watermark passes its TTL (the
+    handoff must not strand cold keys) — then folds increments with
+    T12's delete-then-re-register timer discipline and emits each key's
+    complete census exactly once at expiry.
+
+    The census SEPARATES the two contributions (n_backfill from the
+    seeded state, n_stream counted by the stream) while the oracle
+    recomputes both from the raw table with the same cutover literal —
+    so equality certifies the handoff arithmetic: the stream never saw
+    the backfilled rows, and the seeded state must contribute exactly
+    the missing mass. Staging: post-cutover events split into two
+    landings (increments fold onto seeded state across batches) plus
+    the far-future sentinel that fires every timer in the flush batch.
+
+    Scale: the backfill is one batch aggregate (map-side combined); the
+    stream starts with state proportional to ACTIVE keys, not to
+    history length — the alternative (replaying 100 TB of history
+    through the stream to rebuild state) is exactly what initial state
+    exists to avoid. RocksDB provider (TWS contract).
+    Reference anchor: the reference's warm-started incremental loaders
+    (etl/data_storage.py backfill-then-tail), as engine-managed state
+    seeding."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stream import (
+        drain_session,
+        memoize_drain,
+        run_to_memory,
+        warmstart_census_tws,
+    )
+
+    _prefetch_streaming_family(spark, sf_dir)
+    mid = "2024-01-16 00:00:00"
+    mid2 = "2024-01-23 00:00:00"
+
+    def _drain_and_census() -> DataFrame:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_warmstart_{tag}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        backfill = (
+            ev.filter(F.col("ts") <= F.lit(mid))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n0"),
+                F.sum((F.col("value") * 1e6).cast("long"))
+                .cast("long")
+                .alias("sv0"),
+                F.floor(F.unix_millis(F.max("ts")))
+                .cast("long")
+                .alias("lt0"),
+            )
+        )
+        inc = ev.filter(F.col("ts") > F.lit(mid))
+        sentinel = spark.createDataFrame(
+            [(-1, -1, "zz_sentinel", 0.0)],
+            "event_id long, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+            "value",
+        )
+        t0 = 1_700_000_000
+        for i, (name, half) in enumerate(
+            (
+                ("batch-a", inc.filter(F.col("ts") <= F.lit(mid2))),
+                ("batch-b", inc.filter(F.col("ts") > F.lit(mid2))),
+                ("batch-c", sentinel),
+            )
+        ):
+            tmp = os.path.join(root, f"tmp_{name}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+        child = drain_session(spark, state_provider="rocksdb")
+        stream = child.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = run_to_memory(
+            warmstart_census_tws(
+                stream,
+                # re-ground the backfill on the DRAIN session so the
+                # initial-state plan and the stream share one session
+                child.createDataFrame(
+                    backfill.collect(), schema=backfill.schema
+                ).groupBy("user_id"),
+            ),
+            "q_stream_warmstart",
+            cache_key=sf_dir,
+        )
+        return out.filter(F.col("user_id") >= 0)
+
+    return memoize_drain(
+        spark, "q_warmstart_handoff_census", sf_dir, _drain_and_census
+    )
+
+
+@query(
     "streaming_view_purchase_join",
     oracle="""
     WITH v AS (

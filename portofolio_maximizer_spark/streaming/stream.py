@@ -1129,3 +1129,129 @@ def view_purchase_full_outer_join(
         ),
         "fullOuter",
     )
+
+
+# ---------------------------------------------------------------------------
+# T15 — batch→streaming warm-start handoff via TWS initial state
+# ---------------------------------------------------------------------------
+
+WARMSTART_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_backfill", LongType()),
+        StructField("n_stream", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_micros", LongType()),
+        StructField("last_ts_ms", LongType()),
+        StructField("expired_at_ms", LongType()),
+    ]
+)
+
+
+class _WarmStartCensusProcessor(StatefulProcessor):
+    """T15: per-key state BOOTSTRAPPED from a batch frame via
+    ``handleInitialState`` — the TWS entry point T12/T13 never touch,
+    and the production batch→streaming handoff: a backfill job computes
+    per-key aggregates once, the streaming job seeds its state from
+    them and continues incrementally, and nothing reprocesses the
+    backfilled range. The processor keeps (n_backfill, n_stream,
+    sum_micros, last_ts_ms) in one ValueState: ``handleInitialState``
+    seeds it from the batch row AND registers the key's expiry timer
+    (so a key with backfill but NO streamed increments still emits —
+    the handoff must not strand cold keys), ``handleInputRows`` folds
+    increments with T12's delete-then-re-register timer discipline, and
+    ``handleExpiredTimer`` emits the complete census exactly once.
+    Output equality with the plain GROUP BY over ALL events (backfill +
+    increments) is what certifies the handoff: the stream never saw the
+    backfilled rows, so equality forces the seeded state to have
+    contributed exactly the missing mass."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._agg = handle.getValueState(
+            "agg", "n0 long, n1 long, sv long, lt long"
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        n0 = int(initialState["n0"].iloc[0])
+        sv = int(initialState["sv0"].iloc[0])
+        lt = int(initialState["lt0"].iloc[0])
+        self._agg.update((n0, 0, sv, lt))
+        # seed the expiry timer too: a key with no streamed increments
+        # must still emit when the watermark passes its backfill TTL
+        self._handle.registerTimer(lt + _IDLE_TTL_MS)
+
+    def handleInputRows(self, key, rows, timerValues):
+        got = self._agg.get() if self._agg.exists() else None
+        n0, n1, sv, lt = got if got else (0, 0, 0, -1)
+        prev_lt = lt
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n1 += int(len(pdf))
+            sv += int(
+                sum(int(float(v) * 1_000_000.0) for v in pdf["value"])
+            )
+            lt = max(
+                lt, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
+            )
+        if lt > prev_lt:
+            if prev_lt >= 0:
+                self._handle.deleteTimer(prev_lt + _IDLE_TTL_MS)
+            self._handle.registerTimer(lt + _IDLE_TTL_MS)
+        self._agg.update((n0, n1, sv, lt))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        got = self._agg.get() if self._agg.exists() else None
+        if got is None:
+            return iter(())
+        n0, n1, sv, lt = got
+        self._agg.clear()
+        return iter(
+            [
+                pd.DataFrame(
+                    [
+                        [
+                            int(key[0]),
+                            int(n0),
+                            int(n1),
+                            int(n0 + n1),
+                            int(sv),
+                            int(lt),
+                            int(expiredTimerInfo.getExpiryTimeInMs()),
+                        ]
+                    ],
+                    columns=[
+                        "user_id",
+                        "n_backfill",
+                        "n_stream",
+                        "n_events",
+                        "sum_value_micros",
+                        "last_ts_ms",
+                        "expired_at_ms",
+                    ],
+                )
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def warmstart_census_tws(stream: DataFrame, initial) -> DataFrame:
+    """T15 warm-start census: ``initial`` is the GROUPED backfill frame
+    (`.groupBy(key)` of a batch aggregate with columns n0/sv0/lt0).
+    RocksDB provider only (TWS contract); the initial-state pass runs
+    once in the first micro-batch, per key, before any input rows."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_WarmStartCensusProcessor(),
+            outputStructType=WARMSTART_SCHEMA,
+            outputMode="append",
+            timeMode="EventTime",
+            initialState=initial,
+        )
+    )

@@ -799,3 +799,43 @@ def test_full_outer_census_books_close_and_both_populations(spark, sf_dir):
         ).alias("sum_view_value"),
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, truth.collect()))
+
+
+# ---------------------------------------------------------------------------
+# T15 — TWS initial-state warm start (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_tws_warmstart_seeds_state_and_books_close(spark, sf_dir):
+    """T15's contract: the drained census equals the batch GROUP BY over
+    ALL events even though the stream only ever saw post-cutover rows —
+    the seeded state must contribute exactly the backfilled mass. Both
+    contributions are live (n_backfill > 0 AND n_stream > 0 in
+    aggregate), books close per key, and DRAIN_PROGRESS names the TWS
+    operator + RocksDB provider."""
+    from portofolio_maximizer_spark.plans import QUERIES
+
+    out = QUERIES["streaming_warmstart_handoff_census"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert all(
+        r["n_events"] == r["n_backfill"] + r["n_stream"] for r in rows
+    )
+    assert sum(r["n_backfill"] for r in rows) > 0
+    assert sum(r["n_stream"] for r in rows) > 0
+    ev = load_table(spark, sf_dir, "events")
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("value") * 1e6).cast("long"))
+        .cast("long")
+        .alias("sum_value_micros"),
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value_micros"]) for r in rows}
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value_micros"])
+        for r in truth.collect()
+    }
+    assert got == want
+    rec = ST.DRAIN_PROGRESS[("q_stream_warmstart", sf_dir)]
+    assert rec["state_operator_names"] == ["transformWithStateInPandasExec"]
+    assert rec["state_provider"] == "RocksDBStateStoreProvider"
