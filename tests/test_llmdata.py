@@ -1254,3 +1254,34 @@ def test_png_adam7_interlaced_decode_is_real():
         3, 9, 9, gray=False, filter_heavy=True, interlace=True
     )
     assert multimodal._png_decode(p[:-6]) is None
+
+
+def test_simhash_pigeonhole_complete_at_radius_3(spark):
+    """L74's guarantee, pinned empirically: every pair within hamming
+    distance 3 of the 16-bit signatures must be found by the 4-block
+    pigeonhole candidate join — compare against the brute-force
+    all-pairs truth at sf0.001 (60 docs, 1770 pairs). Also checks the
+    census only ever counts verified (hd <= 3) pairs."""
+    from itertools import combinations
+
+    from portofolio_maximizer_spark.llmdata import dedup
+    from portofolio_maximizer_spark.plans import QUERIES
+    from portofolio_maximizer_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    sigs = dict(
+        load_table(spark, sf, "documents")
+        .select("doc_id", dedup.simhash16(F.col("text")))
+        .collect()
+    )
+    truth = {}
+    for d1, d2 in combinations(sorted(sigs), 2):
+        hd = bin(sigs[d1] ^ sigs[d2]).count("1")
+        if hd <= 3:
+            truth[hd] = truth.get(hd, 0) + 1
+    got = {
+        r["hd"]: r["n_pairs"]
+        for r in QUERIES["simhash_hamming_neardups"](spark, sf).collect()
+    }
+    assert got == truth
+    assert truth  # the radius-3 population is live at this sf
