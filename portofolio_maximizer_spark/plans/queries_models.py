@@ -2990,6 +2990,14 @@ def streaming_warmstart_handoff_census(
             dst = os.path.join(src, f"{name}.parquet")
             shutil.move(os.path.join(tmp, part), dst)
             os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+        # land the backfill as a parquet handoff artifact — the real
+        # batch→stream interface (and what keeps the seed DISTRIBUTED:
+        # a driver-side collect here would cap the pattern at
+        # driver-memory key cardinalities, the opposite of its point) —
+        # then re-ground it on the DRAIN session so the initial-state
+        # plan and the stream share one session
+        back_dir = os.path.join(root, "backfill")
+        backfill.write.mode("overwrite").parquet(back_dir)
         child = drain_session(spark, state_provider="rocksdb")
         stream = child.readStream.schema(ev.schema).option(
             "maxFilesPerTrigger", "1"
@@ -2997,11 +3005,7 @@ def streaming_warmstart_handoff_census(
         out = run_to_memory(
             warmstart_census_tws(
                 stream,
-                # re-ground the backfill on the DRAIN session so the
-                # initial-state plan and the stream share one session
-                child.createDataFrame(
-                    backfill.collect(), schema=backfill.schema
-                ).groupBy("user_id"),
+                child.read.parquet(back_dir).groupBy("user_id"),
             ),
             "q_stream_warmstart",
             cache_key=sf_dir,
