@@ -165,6 +165,7 @@ class FieldDescriptorMini:
         "type_name",
         "message_type",
         "enum_type",
+        "tag_bytes",
     )
 
     def __init__(self, name="", number=0, label=L_OPTIONAL, ftype=0,
@@ -176,6 +177,11 @@ class FieldDescriptorMini:
         self.type_name = type_name
         self.message_type = None  # resolved MessageDescriptorMini
         self.enum_type = None
+        # lazily cached encoded (number << 3 | wire_type) varint — the
+        # tag is a per-field constant, so serializers append cached
+        # bytes instead of re-encoding it per message (hot path: one
+        # message per TWS state round-trip)
+        self.tag_bytes = None
 
     @property
     def is_repeated(self) -> bool:
@@ -470,20 +476,45 @@ class ShimMessage:
     # -- wire ------------------------------------------------------------
 
     def SerializeToString(self) -> bytes:  # noqa: N802 (protobuf API name)
+        # Hot path (one message per TWS state round-trip): iterate only
+        # the fields PRESENT in _values — every emittable field is there
+        # (explicit assignment and lazy message/repeated creation both
+        # populate it), so walking the full descriptor and re-sorting it
+        # per call is pure overhead. Emission set and field order
+        # (ascending field number) are identical to the previous
+        # walk-all-fields form.
+        values = self._values
+        if not values:
+            return b""
+        fbn = self.DESCRIPTOR.fields_by_name
+        explicit = self._explicit
+        if len(values) > 1:
+            items = sorted(values.items(), key=lambda kv: fbn[kv[0]].number)
+        else:
+            items = values.items()
         out = bytearray()
-        for fd in sorted(self.DESCRIPTOR.fields, key=lambda f: f.number):
-            if not self._should_emit(fd):
+        for name, value in items:
+            fd = fbn[name]
+            if fd.label == L_REPEATED:
+                for item in value:
+                    self._encode_one(out, fd, item)
                 continue
-            value = self._values.get(fd.name)
-            items = value if fd.is_repeated else [value]
-            for item in items:
-                self._encode_one(out, fd, item)
+            if name not in explicit and (
+                fd.type != T_MESSAGE or not value._is_nonempty()
+            ):
+                continue
+            self._encode_one(out, fd, value)
         return bytes(out)
 
     @staticmethod
     def _encode_one(out: bytearray, fd: FieldDescriptorMini, value) -> None:
         t = fd.type
-        encode_tag(out, fd.number, wire_type_for(t))
+        tb = fd.tag_bytes
+        if tb is None:
+            tag = bytearray()
+            encode_tag(tag, fd.number, wire_type_for(t))
+            tb = fd.tag_bytes = bytes(tag)
+        out += tb
         if t in (T_INT32, T_INT64, T_ENUM):
             encode_signed_as_varint(out, int(value))
         elif t in (T_UINT32, T_UINT64):

@@ -267,6 +267,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # carry a per-row "changed" flag through the update instead of
+        # re-joining new labels against old ones afterwards: the old
+        # component is already on the row, so convergence detection is a
+        # filter over the checkpointed frame (one join + one cheap scan
+        # per round instead of two joins + a shuffled count — round-12
+        # optimization; labels/values identical)
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
@@ -274,16 +280,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_component", F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
-    return labels
+    return labels.select("node", "component")

@@ -6588,22 +6588,40 @@ def simhash_hamming_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
         "blk_val",
     )
+    # A pair that agrees on k of the 4 blocks is generated k times by
+    # the block join; the oracle's DISTINCT keeps it once. Instead of a
+    # distinct() — a full exchange + dedup of the O(sum n_i²) candidate
+    # stream — keep the pair only at its FIRST agreeing block: block j
+    # agrees iff nibble j of sig_a XOR sig_b is zero, so the first
+    # agreeing block is a 4-way CASE over the xor and the keep filter is
+    # pure bit arithmetic on columns already in hand (each distinct pair
+    # survives exactly once; candidates only exist where block `blk`
+    # agrees, so the CASE is total on kept rows).
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    first_agree = (
+        F.when(xor.bitwiseAND(F.lit(15)) == 0, 0)
+        .when(F.shiftright(xor, 4).bitwiseAND(F.lit(15)) == 0, 1)
+        .when(F.shiftright(xor, 8).bitwiseAND(F.lit(15)) == 0, 2)
+        .otherwise(3)
+    )
     cand = (
         a.join(b, ["blk", "blk_val"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "sig_a", "sig_b")
-        .distinct()
+        .filter((F.col("d1") < F.col("d2")) & (F.col("blk") == first_agree))
     )
-    v = cand.select(
-        F.bit_count(
-            F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-        ).cast("int").alias("hd")
-    ).localCheckpoint()  # verified distances feed census + total
-    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
-    return (
-        v.filter(F.col("hd") <= 3)
+    # census + total from ONE pass: the per-distance histogram is ≤17
+    # rows after map-side partial aggregation, so checkpoint THAT (not
+    # the multi-million-row candidate stream) for the two consumers
+    hist = (
+        cand.select(F.bit_count(xor).cast("int").alias("hd"))
         .groupBy("hd")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .localCheckpoint(eager=True)  # ≤17 rows; feeds census + total
+    )
+    tot = hist.agg(
+        F.sum("n_pairs").cast("long").alias("n_candidate_pairs")
+    )
+    return (
+        hist.filter(F.col("hd") <= 3)
         .crossJoin(F.broadcast(tot))
         .select("hd", "n_pairs", "n_candidate_pairs")
     )

@@ -2038,6 +2038,20 @@ def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
         streaming_dedup_census,
         streaming_outer_attribution,
         streaming_observed_ingest,
+        # round-12 optimization: the seven drains added after the family
+        # was first built ran SERIALLY inside their own queries — at the
+        # bench they summed to ~75 s of mostly-idle micro-batch floors
+        # (4-landing stagings, RocksDB bootstraps, TWS protocol waits).
+        # They are independent deterministic jobs like the rest of the
+        # family (own tmp dirs keyed on sf_dir, own child sessions), so
+        # they overlap the same way; results are bit-identical.
+        streaming_manifest_sink_census,
+        streaming_late_drop_census,
+        streaming_idle_expiry_census,
+        streaming_topk_leaderboard_census,
+        streaming_warmstart_handoff_census,
+        streaming_full_outer_census,
+        streaming_pyds_incremental_tail,
     ]
 
     def _run(fn) -> None:
@@ -3128,6 +3142,7 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: join state is keyed and watermark-bounded on both sides (the
     buffered-rows evidence channel of the inner join applies — state
     flat in data volume, linear in the live window)."""
+    _prefetch_streaming_family(spark, sf_dir)
     import hashlib
     import os
     import shutil
@@ -3242,6 +3257,7 @@ def streaming_full_outer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: T8's attribution shape
     (etl/real_time_extractor.py's signal↔outcome linker), completed to
     the bidirectional audit."""
+    _prefetch_streaming_family(spark, sf_dir)
     import hashlib
     import os
     import shutil
@@ -3652,7 +3668,17 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
     derivation the DuckDB oracle replays, so the least-squares fit runs
     ONCE (in the components kernel) instead of twice, and both engines
     re-compute every emitted value independently from the staged
-    artifacts."""
+    artifacts.
+
+    Plan-size discipline (optimization round 12): the intermediate
+    frames here (``par``, ``yd``, ``resid``) each feed SEVERAL
+    downstream branches; every DataFrame re-reference embeds a full
+    copy of its lineage into the logical plan, so the un-truncated
+    replay plan grew multiplicatively (the SARIMAX twin measured 4,144
+    plan lines / 242 Exchanges, ~12 s of analysis alone). Eager
+    ``localCheckpoint`` at each fan-out point pins the (tiny:
+    ≤ rows-per-key × keys) frame once and truncates the lineage —
+    values unchanged, one copy of each upstream stage."""
     from pyspark.sql import Window as W
 
     par = (
@@ -3666,6 +3692,7 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
                 )
             ]
         )
+        .localCheckpoint(eager=True)  # one row per key; feeds 4 branches
     )
     wp = W.partitionBy("user_id").orderBy("i")
     obs = s.select(
@@ -3693,6 +3720,7 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             .alias("t"),
         )
         .filter((F.col("t") >= 0) & F.col("y").isNotNull())
+        .localCheckpoint(eager=True)  # fans out to lag/seasonal branches
     )
     el = comp.filter(F.col("kind") == 1).select(
         "user_id", (F.col("idx") - 1).alias("t"), F.col("val").alias("e")
@@ -3722,6 +3750,8 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
                 + F.col("th2") * F.col("e2")
             ),
         )
+        .select("user_id", "t", "y", "r")
+        .localCheckpoint(eager=True)  # feeds sigma/AIC + state branches
     )
     k = F.col("p") + F.col("q") + 1
     sig = (
@@ -3859,6 +3889,7 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
                 for i, name in enumerate(names, 1)
             ]
         )
+        .localCheckpoint(eager=True)  # one row per key; feeds 6 branches
     )
     wp = W.partitionBy("user_id").orderBy("i")
     obs = s.select(
@@ -3884,6 +3915,7 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             .alias("t"),
         )
         .filter((F.col("t") >= 0) & F.col("y").isNotNull())
+        .localCheckpoint(eager=True)  # fans out to lag/seasonal branches
     )
     # modeling target z: the winner's seasonal difference of y
     wt = W.partitionBy("user_id").orderBy("t")
@@ -3910,6 +3942,7 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             .otherwise(F.col("y"))
             .alias("z"),
         )
+        .localCheckpoint(eager=True)  # feeds lag join, seasonal join, efit
     )
     el = comp.filter(F.col("kind") == 1).select(
         "user_id", (F.col("idx") - 1).alias("t"), F.col("val").alias("e")
@@ -3964,22 +3997,27 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .withColumn("e_s2", F.lag("e_s", 2).over(ws))
     )
     zf = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
-    resid = seasoned.filter(F.col("t") >= F.col("t0")).withColumn(
-        "r",
-        F.col("z")
-        - (
-            F.col("c")
-            + F.col("phi1") * F.col("z1")
-            + F.col("phi2") * F.col("z2")
-            + F.col("phis") * zf("z_s")
-            - F.col("phis")
-            * (F.col("phi1") * zf("z_s1") + F.col("phi2") * zf("z_s2"))
-            + F.col("th1") * F.col("e1")
-            + F.col("th2") * F.col("e2")
-            + F.col("ths") * zf("e_s")
-            + F.col("ths")
-            * (F.col("th1") * zf("e_s1") + F.col("th2") * zf("e_s2"))
-        ),
+    resid = (
+        seasoned.filter(F.col("t") >= F.col("t0"))
+        .withColumn(
+            "r",
+            F.col("z")
+            - (
+                F.col("c")
+                + F.col("phi1") * F.col("z1")
+                + F.col("phi2") * F.col("z2")
+                + F.col("phis") * zf("z_s")
+                - F.col("phis")
+                * (F.col("phi1") * zf("z_s1") + F.col("phi2") * zf("z_s2"))
+                + F.col("th1") * F.col("e1")
+                + F.col("th2") * F.col("e2")
+                + F.col("ths") * zf("e_s")
+                + F.col("ths")
+                * (F.col("th1") * zf("e_s1") + F.col("th2") * zf("e_s2"))
+            ),
+        )
+        .select("user_id", "t", "r")
+        .localCheckpoint(eager=True)  # feeds sigma/AIC + the errs vector
     )
     k = F.col("p") + F.col("q") + F.col("sp") + F.col("sq") + 1
     sig = (
@@ -4992,6 +5030,7 @@ def streaming_pyds_incremental_tail(
     SyntheticBarsStreamReader.partitions); the drain is append-only with
     no shuffle; the staged read-back is what every rerun plans against
     (the stage is the once-per-(code,data) cost)."""
+    _prefetch_streaming_family(spark, sf_dir)
     from ..sources import pydatasource
     from .queries import stage_cached
 

@@ -29,6 +29,7 @@ import itertools
 import os
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -717,7 +718,7 @@ class _VolSpikeProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        got = self._hist.get() if self._hist.exists() else None
+        got = self._hist.get()  # None when absent (probed; saves an exists() round-trip)
         history = json.loads(got[0]) if got else []
         alerts = []
         # same chunk-order guard as _vol_spike_fn: concat all chunks,
@@ -835,7 +836,7 @@ class _IdleUserCensusProcessor(StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        got = self._agg.get() if self._agg.exists() else None
+        got = self._agg.get()  # None when absent (probed; saves an exists() round-trip)
         n, sv, lt = got if got else (0, 0, -1)
         prev_lt = lt
         for pdf in rows:
@@ -844,7 +845,13 @@ class _IdleUserCensusProcessor(StatefulProcessor):
             n += int(len(pdf))
             # truncation toward zero on the SAME double both engines
             # compute (v * 1e6 is one IEEE multiply) — exact cross-engine
-            sv += int(sum(int(float(v) * 1_000_000.0) for v in pdf["value"]))
+            # vectorized: np.trunc(v * 1e6) is the same one-IEEE-multiply
+            # + truncation-toward-zero per element as int(float(v) * 1e6)
+            sv += int(
+                np.trunc(
+                    pdf["value"].to_numpy(dtype=np.float64) * 1_000_000.0
+                ).astype(np.int64).sum()
+            )
             lt = max(lt, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000))
         if lt > prev_lt:
             if prev_lt >= 0:
@@ -854,7 +861,7 @@ class _IdleUserCensusProcessor(StatefulProcessor):
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        got = self._agg.get() if self._agg.exists() else None
+        got = self._agg.get()  # None when absent (probed; saves an exists() round-trip)
         if got is None:
             return iter(())
         n, sv, lt = got
@@ -975,12 +982,11 @@ class _TopKLeaderboardProcessor(StatefulProcessor):
         self._last = handle.getValueState("last", "last_ts_ms long")
 
     def handleInputRows(self, key, rows, timerValues):
-        entries = (
-            [(int(v), int(e)) for v, e in self._topk.get()]
-            if self._topk.exists()
-            else []
-        )
-        got = self._last.get() if self._last.exists() else None
+        entries = [
+            # empty iterator when absent (probed) — no exists() round-trip
+            (int(v), int(e)) for v, e in self._topk.get()
+        ]
+        got = self._last.get()  # None when absent (probed; saves an exists() round-trip)
         prev_lt = got[0] if got else -1
         lt = prev_lt
         for pdf in rows:
@@ -995,11 +1001,9 @@ class _TopKLeaderboardProcessor(StatefulProcessor):
                 lt, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
             )
             for etype, ct in pdf["event_type"].value_counts().items():
-                prev = (
-                    self._counts.getValue((etype,))
-                    if self._counts.containsKey((etype,))
-                    else None
-                )
+                # None when absent (probed) — still a point lookup, one
+                # round-trip instead of containsKey + getValue
+                prev = self._counts.getValue((etype,))
                 self._counts.updateValue(
                     (etype,), (int(ct) + (int(prev[0]) if prev else 0),)
                 )
@@ -1014,11 +1018,10 @@ class _TopKLeaderboardProcessor(StatefulProcessor):
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        entries = (
-            [(int(v), int(e)) for v, e in self._topk.get()]
-            if self._topk.exists()
-            else []
-        )
+        entries = [
+            # empty iterator when absent (probed) — no exists() round-trip
+            (int(v), int(e)) for v, e in self._topk.get()
+        ]
         counts = {
             k[0]: int(v[0]) for k, v in self._counts.iterator()
         }
@@ -1182,7 +1185,7 @@ class _WarmStartCensusProcessor(StatefulProcessor):
         self._handle.registerTimer(lt + _IDLE_TTL_MS)
 
     def handleInputRows(self, key, rows, timerValues):
-        got = self._agg.get() if self._agg.exists() else None
+        got = self._agg.get()  # None when absent (probed; saves an exists() round-trip)
         n0, n1, sv, lt = got if got else (0, 0, 0, -1)
         prev_lt = lt
         for pdf in rows:
@@ -1190,7 +1193,9 @@ class _WarmStartCensusProcessor(StatefulProcessor):
                 continue
             n1 += int(len(pdf))
             sv += int(
-                sum(int(float(v) * 1_000_000.0) for v in pdf["value"])
+                np.trunc(
+                    pdf["value"].to_numpy(dtype=np.float64) * 1_000_000.0
+                ).astype(np.int64).sum()
             )
             lt = max(
                 lt, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
@@ -1203,7 +1208,7 @@ class _WarmStartCensusProcessor(StatefulProcessor):
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        got = self._agg.get() if self._agg.exists() else None
+        got = self._agg.get()  # None when absent (probed; saves an exists() round-trip)
         if got is None:
             return iter(())
         n0, n1, sv, lt = got
