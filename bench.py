@@ -202,7 +202,10 @@ def main() -> None:
     # staged artifacts were warm (hit) vs fit in-run (miss), and the
     # host's ambient load — so cross-round wall comparisons can separate
     # cold/warm staging and co-tenant noise mechanically.
-    from portofolio_maximizer_spark.plans.queries import STAGE_EVENTS
+    from portofolio_maximizer_spark.plans.queries import (
+        STAGE_EVENTS,
+        STAGE_TIMES,
+    )
 
     n_hit = sum(1 for v in STAGE_EVENTS.values() if v == "hit")
     n_miss = sum(1 for v in STAGE_EVENTS.values() if v == "miss")
@@ -218,6 +221,10 @@ def main() -> None:
         "stage_hits": n_hit,
         "stage_misses": n_miss,
         "stage_events": dict(sorted(STAGE_EVENTS.items())),
+        # per-artifact COLD build wall (fit + parquet write), empty when
+        # every stage was warm — attributes stage_misses' cost to the
+        # artifact instead of to whichever query touched it first
+        "stage_times": dict(sorted(STAGE_TIMES.items())),
         "load_avg_start": list(load_start),
         "load_avg_end": list(os.getloadavg()),
         "canary": canary,

@@ -291,12 +291,23 @@ def ewma_vol_forecast(
         rv, rnv = r[mask], rn[mask]
         if len(rv) < 2:
             return []
-        var = rv[0] ** 2
-        out = []
+        # bit-identical fast path (optimization round 12): squares and
+        # sqrts are elementwise IEEE ops, so vectorizing them leaves
+        # every double unchanged; the inherently-sequential recursion
+        # itself runs on Python floats (same IEEE add/mul as numpy
+        # scalars, ~6x less interpreter overhead per step)
+        r2 = (rv * rv).tolist()
+        lam1 = 1.0 - lam
+        var = r2[0]
+        vars_ = []
         for t in range(1, len(rv)):
-            var = lam * var + (1 - lam) * rv[t - 1] ** 2
-            out.append((uid, int(rnv[t]), round(float(np.sqrt(var)), 6)))
-        return out
+            var = lam * var + lam1 * r2[t - 1]
+            vars_.append(var)
+        sig = np.sqrt(np.asarray(vars_))
+        return [
+            (uid, int(b), round(s, 6))
+            for b, s in zip(rnv[1:].tolist(), sig.tolist())
+        ]
 
     return grouped_numpy(returns, [key], EWMA_VOL_SCHEMA, recurse)
 
@@ -428,17 +439,32 @@ def _arima_rows(uid, x, pq_grid, horizon):
     # when pq_grid is a warm-start singleton
     t0_common = _ARIMA_T0_COMMON
     best = None
+    # the long-AR innovation proxy depends on (p, q) only through
+    # m_long = min(max(8, p+q+4), n//4), which is the SAME value for
+    # every grid candidate whenever n >= 32 (p+q <= 4 so max(8, p+q+4)
+    # == 8) — cache per m_long instead of recomputing the identical
+    # n x (m_long+1) OLS for all 8 candidates (bit-identical: same ops
+    # on the same floats, computed once)
+    y = np.diff(x, d) if d else x
+    n = len(y)
+    e_long_cache: dict = {}
+
+    def _e_long(m_long: int):
+        got = e_long_cache.get(m_long)
+        if got is None:
+            bl, _, _ = _fit_ar(y, m_long)
+            e = np.zeros(n)
+            Xl = np.column_stack(
+                [np.ones(n - m_long)]
+                + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+            )
+            e[m_long:] = y[m_long:] - Xl @ bl
+            got = e_long_cache[m_long] = e
+        return got
+
     for p, q in pq_grid:
-        y = np.diff(x, d) if d else x
-        n = len(y)
         m_long = min(max(8, p + q + 4), n // 4)
-        bl, _, _ = _fit_ar(y, m_long)
-        e_long = np.zeros(n)
-        Xl = np.column_stack(
-            [np.ones(n - m_long)]
-            + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
-        )
-        e_long[m_long:] = y[m_long:] - Xl @ bl
+        e_long = _e_long(m_long)
         r = _fit_arma_hr(y, p, q, e_long, t0_min=t0_common)
         if r is None:
             continue

@@ -163,6 +163,13 @@ class _stage_lock:
 #: misses includes fit time; one with all hits is the warm profile.
 STAGE_EVENTS: dict[str, str] = {}
 
+#: telemetry: wall seconds of each COLD stage build (fit + parquet
+#: write) in this process, keyed like STAGE_EVENTS. bench.py copies
+#: this into BENCH_FULL.json so the cold bench attributes its staging
+#: cost per artifact instead of per first-touching query (optimization
+#: round 12, guide §1 "measure first").
+STAGE_TIMES: dict[str, float] = {}
+
 
 def _ensure_staged(
     df_or_build, name: str, sf_dir: str, partition_by: str | None = None
@@ -187,11 +194,15 @@ def _ensure_staged(
     with _stage_lock(path):
         if not _stage_fresh(path, fp):  # re-check under the lock
             STAGE_EVENTS.setdefault(ev_key, "miss")
+            import time as _time
+
+            _t0 = _time.time()
             df = df_or_build() if callable(df_or_build) else df_or_build
             writer = df.write.mode("overwrite")
             if partition_by is not None:
                 writer = writer.partitionBy(partition_by)
             writer.parquet(path)
+            STAGE_TIMES[ev_key] = round(_time.time() - _t0, 3)
             with open(os.path.join(path, _MARKER), "w") as f:
                 json.dump(fp, f)
         else:
@@ -247,6 +258,57 @@ def literal_grid(spark: SparkSession, rows, schema: str) -> DataFrame:
         .select(F.explode(F.array(*structs)).alias("_g"))
         .select("_g.*")
     )
+
+
+#: per-(application, sf_dir) memo of shared helper frames — see
+#: session_frame_cache. Entries from stopped applications are pruned on
+#: the next cache touch (appIds are unique per SparkContext).
+_FRAME_CACHE: dict = {}
+_FRAME_CACHE_LOCK = None  # created lazily (threading imported on use)
+
+
+def session_frame_cache(fn):
+    """Memoize a shared per-pack helper frame for the lifetime of the
+    Spark application (optimization round 12, guide §2.4 "two operations
+    keyed the same way can share one exchange" generalised to whole
+    shared subtrees).
+
+    Several query packs build the SAME intermediate frame in a private
+    helper (e.g. the attribution record frame ``_ola_recf``) and every
+    member query re-computed it — 3–4 identical eager builds per bench.
+    The first caller builds (and, where the helper does so, eagerly
+    checkpoints) the frame; later callers in the same application reuse
+    it. Keyed on (applicationId, helper, sf_dir): a new session rebuilds
+    from the parquet inputs, so every bench/diffcheck invocation still
+    computes from raw data — this memo only removes within-run
+    duplication, exactly like the streaming drain memo. Helpers must be
+    pure functions of (code, sf_dir); results are identical by
+    construction."""
+    import functools
+    import threading
+
+    global _FRAME_CACHE_LOCK
+    if _FRAME_CACHE_LOCK is None:
+        _FRAME_CACHE_LOCK = threading.Lock()
+
+    @functools.wraps(fn)
+    def wrap(spark: SparkSession, sf_dir: str):
+        app = spark.sparkContext.applicationId
+        key = (app, fn.__module__, fn.__qualname__, sf_dir)
+        with _FRAME_CACHE_LOCK:
+            if key in _FRAME_CACHE:
+                return _FRAME_CACHE[key]
+        # build OUTSIDE the lock (concurrent prefetch threads must not
+        # serialize on an unrelated helper's multi-second build); a rare
+        # double build is value-identical and the second wins
+        built = fn(spark, sf_dir)
+        with _FRAME_CACHE_LOCK:
+            for k in [k for k in _FRAME_CACHE if k[0] != app]:
+                del _FRAME_CACHE[k]
+            _FRAME_CACHE.setdefault(key, built)
+            return _FRAME_CACHE[key]
+
+    return wrap
 
 
 def stage_cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import ORACLE, literal_grid, query, r6
+from .queries import ORACLE, literal_grid, query, r6, session_frame_cache
 from .queries_stats import _S_SQL, _series, _w
 
 
@@ -2150,6 +2150,7 @@ def ensemble_monitor_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@session_frame_cache
 def _monitor_tick_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared per-ticker stat block for the two monitor queries."""
     from .queries_stats import _series, _w
@@ -5549,6 +5550,7 @@ def order_learner_health_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@session_frame_cache
 def _olh_frames(spark: SparkSession, sf_dir: str):
     """(cache, fits) frames shared by the learner-health and budget checks."""
     s = _series(spark, sf_dir)
@@ -5839,6 +5841,7 @@ _EH_SQL = f"""
 """
 
 
+@session_frame_cache
 def _eh_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(wts, win) — the ensemble-health audit-window frames.
 

@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import ORACLE, QUERIES, literal_grid, query, r6
+from .queries import (
+    ORACLE,
+    QUERIES,
+    literal_grid,
+    query,
+    r6,
+    session_frame_cache,
+)
 
 # ---------------------------------------------------------------------------
 # Platt outcome reconciliation — reference scripts/update_platt_outcomes.py
@@ -872,6 +879,7 @@ _UCR_SQL = f"""
 """
 
 
+@session_frame_cache
 def _ucr_frames(spark: SparkSession, sf_dir: str):
     """Shared ledger frames for the unlinked-close repair: legs with
     derived position state, the orphan open-lot inventory, and the
@@ -8556,6 +8564,7 @@ def _san_hash_sql(salt: str, mod: int) -> str:
     )
 
 
+@session_frame_cache
 def _san_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-audit classification frame for the sanitization queries."""
     o = load_table(spark, sf_dir, "orders")

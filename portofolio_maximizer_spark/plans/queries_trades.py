@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import literal_grid, query, r6
+from .queries import literal_grid, query, r6, session_frame_cache
 
 
 # ---------------------------------------------------------------------------
@@ -1527,6 +1527,7 @@ def _build_canonical_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legs
 
 
+@session_frame_cache
 def _exit_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared production round-trip frame with exit-quality columns —
     a projection of the family-shared ``canonical_legs_frame``."""
@@ -2697,6 +2698,7 @@ def sleeve_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@session_frame_cache
 def _sleeve_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production round-trips tagged with (sleeve, ticker) — a
     projection of the family-shared ``canonical_legs_frame``."""
@@ -4727,6 +4729,7 @@ _OLA_SQL = """
 """
 
 
+@session_frame_cache
 def _ola_recf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared attribution record frame (the ``recf`` CTE of `_OLA_SQL`)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -5672,6 +5675,7 @@ _TCU_SQL = f"""
 """
 
 
+@session_frame_cache
 def _tcu_healthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEALTHY ticker set from the eligibility classification artifact.
 
@@ -5686,6 +5690,7 @@ def _tcu_healthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@session_frame_cache
 def _tcu_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation trade source frame (the ``ctr`` CTE of `_TCU_SQL`)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -5768,6 +5773,7 @@ def _tcu_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@session_frame_cache
 def _tcu_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-audit source frame (the ``aud_raw`` CTE of `_TCU_SQL`)."""
     o = load_table(spark, sf_dir, "orders")
