@@ -2190,6 +2190,7 @@ def _monitor_tick_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratio = F.col("r_e") / F.least("r_n", "r_3", "r_10")
     wts = a.select("user_id", "audit_id", w10.alias("w10"), ratio.alias("ratio"))
+    # 2 member queries; per-key grain — materialize once (opt r12, §2.4)
     return wts.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("forecast_count"),
         F.avg("w10").alias("avg_gw"),
@@ -2197,7 +2198,7 @@ def _monitor_tick_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("ratio").alias("avg_ratio"),
         F.min("ratio").alias("min_ratio"),
         F.max("ratio").alias("max_ratio"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 @query(
@@ -5994,7 +5995,12 @@ def _eh_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .otherwise(1.0 / 3.0)
         .alias("weight"),
     )
-    return wts, win
+    # the memo shares the frame OBJECTS but each of the six member
+    # queries still executed the whole window pipeline at its action —
+    # materialize both frames once (they are (key, window[, model])
+    # grain, orders of magnitude smaller than the series; optimization
+    # round 12, guide §2.4)
+    return wts.localCheckpoint(eager=False), win.localCheckpoint(eager=False)
 
 
 @query(

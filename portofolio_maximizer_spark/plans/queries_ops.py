@@ -5681,7 +5681,7 @@ def llm_signal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").alias("price"),
         F.row_number().over(w).alias("rn"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def u(ch):
         return (
@@ -5715,7 +5715,7 @@ def llm_signal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _llb_states,
         "user_id long, rn long, cap double, pos long, executed int,"
         " action string",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # carry the post-trade state forward across bars (as-of by rn)
     st = states.select(
@@ -8624,7 +8624,9 @@ def _san_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("close_source_present"), "atr_exit").alias(
             "close_source"
         ),
-    )
+        # 2 member queries; md5-ladder projections over orders —
+        # materialize once (optimization round 12, guide §2.4)
+    ).localCheckpoint(eager=False)
 
 
 _SAN_FRAME_SQL = f"""

@@ -453,9 +453,6 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown before the shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(textstats.tokens(F.col("text"))).alias("token"))
-    tok = tok.localCheckpoint(eager=True)  # one source pass feeds sketch+verify
-    total = tok.count()
-    threshold_num = total  # heavy ⇔ n * 50 >= total (integer compare)
 
     def cms_idx(row: int) -> F.Column:
         return (
@@ -483,27 +480,45 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell.row", "cell.idx")
         .groupBy("row", "idx")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # ≤ d*w = 1,024 rows — lazily pin the sketch so the estimate
+        # joins and the total read one materialization inside the single
+        # action job (no corpus-sized checkpoint, no separate build job;
+        # optimization round 12, guide §2.3/§6: the corpus is read
+        # exactly twice — sketch pass + verify pass — never materialized)
+        .persist()
     )
-    # estimate per distinct token: min over its d cells (broadcast the 1k cells)
-    vocab = tok.distinct()
-    est = vocab
+    # stream length from the sketch itself: every CMS row's cells sum to
+    # the total occurrence count, so row 0's sum IS tok.count(); carried
+    # as a broadcast scalar column, not a driver collect
+    total = F.broadcast(
+        cells.filter(F.col("row") == 0).agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("total")
+        )
+    )
+    # estimate per OCCURRENCE (same est for every occurrence of a token,
+    # so the kept set is identical to the per-vocab formulation — without
+    # the full-vocabulary distinct() exchange the old shape paid): 4
+    # broadcast joins against the 256-cell slices, map-side only
+    occ = tok
     for j in range(_CMS_DEPTH):
         cj = cells.filter(F.col("row") == j).select(
             F.col("idx").alias(f"idx{j}"), F.col("cnt").alias(f"cnt{j}")
         )
-        est = est.withColumn(f"idx{j}", cms_idx(j)).join(
+        occ = occ.withColumn(f"idx{j}", cms_idx(j)).join(
             F.broadcast(cj), f"idx{j}"
         )
-    est = est.withColumn(
+    occ = occ.withColumn(
         "cms_est", F.least(*[F.col(f"cnt{j}") for j in range(_CMS_DEPTH)])
-    )
-    candidates = est.filter(F.col("cms_est") * 50 >= threshold_num).select("token")
-    # exact verify of candidates only
+    ).crossJoin(total)
+    # exact verify: CMS never underestimates, so candidate occurrences
+    # are a superset of true heavy hitters; the groupBy shuffles only
+    # candidate-token occurrences and the final filter is exact
     return (
-        tok.join(F.broadcast(candidates), "token", "left_semi")
-        .groupBy("token")
+        occ.filter(F.col("cms_est") * 50 >= F.col("total"))
+        .groupBy("token", "total")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") * 50 >= threshold_num)
+        .filter(F.col("n_occurrences") * 50 >= F.col("total"))
+        .select("token", "n_occurrences")
     )
 
 

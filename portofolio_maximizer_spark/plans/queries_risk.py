@@ -2765,9 +2765,13 @@ def run_execution_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~F.col("daily_ok"), "daily_trade_limit")
         .otherwise("risk_manager_block")
     )
+    # ≤200 rows after the top-k; four downstream branches (run row,
+    # status census, reason table, and tot's two crossJoin consumers)
+    # each re-executed the whole _ptg_decisions + TakeOrdered pipeline —
+    # materialize the window once (optimization round 12, guide §2.4)
     lab = ev.select(
         "run_date", "passed", "confidence", "er", reason.alias("reason")
-    )
+    ).localCheckpoint()
     tot = lab.agg(
         F.count(F.lit(1)).cast("long").alias("n_ev"),
         F.first("run_date").alias("run_date"),

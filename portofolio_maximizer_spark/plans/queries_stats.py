@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import chi2_sf1, chi2_sf1_sql
 from ..sources.catalog import load_table
-from .queries import ORACLE, query, r6
+from .queries import ORACLE, query, r6, session_frame_cache
 
 # ---------------------------------------------------------------------------
 # Shared base: events as per-user series with row_number + log return.
@@ -2178,8 +2178,14 @@ def mssa_policy_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ACF_NLAGS = 20
 
 
+@session_frame_cache
 def _acf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key biased ACF at lags 1.._ACF_NLAGS: (user_id, lag, rho, n)."""
+    """Per-key biased ACF at lags 1.._ACF_NLAGS: (user_id, lag, rho, n).
+
+    Memoized + materialized (keys x 20 lags rows): the ACF pipeline (the
+    lag self-join + per-key stats) previously re-executed inside BOTH
+    consumers (acf_significant_lags, pacf_durbin_levinson); now it runs
+    once per session (optimization round 12, guide §2.4)."""
     s = _series(spark, sf_dir).select("user_id", "rn", "value")
     st = s.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2211,6 +2217,7 @@ def _acf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rho"),
             F.max("n").alias("n"),
         )
+        .localCheckpoint(eager=False)
     )
 
 

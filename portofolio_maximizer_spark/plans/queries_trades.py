@@ -1575,10 +1575,11 @@ def _exit_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         atr.alias("atr_proxy"),
         F.when(dir_neg, 1).otherwise(0).alias("correct_dir_neg_pnl"),
     )
+    # 4 member queries; materialize once (optimization round 12, §2.4)
     return trades.withColumn(
         "r_multiple",
         F.col("pnl") / F.nullif(F.col("atr_proxy") * 1.5, F.lit(0.0)),
-    )
+    ).localCheckpoint(eager=False)
 
 
 @query(
@@ -4963,7 +4964,10 @@ def _ola_recf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("snr_tercile"),
         )
     )
-    return rec4.join(bins, "close_id", "left")
+    # 4 member queries share this frame via the session memo but each
+    # still executed the full build at its action; materialize once
+    # (trades-grain; optimization round 12, guide §2.4)
+    return rec4.join(bins, "close_id", "left").localCheckpoint(eager=False)
 
 
 @query(
@@ -6298,6 +6302,7 @@ def _wac_kernel(pdf):
     key = pdf["user_id"].iloc[0]
     pos, avg = 0.0, None
     flips = closes = 0
+    p = None
     for q, p in zip(pdf["signed_qty"], pdf["price"]):
         q, p = float(q), float(p)
         if pos == 0.0:
@@ -6325,6 +6330,11 @@ def _wac_kernel(pdf):
             "entry_price": [avg],
             "n_flips": [flips],
             "n_full_closes": [closes],
+            # last price in (ts, event_id) order — the kernel already
+            # holds the sorted sequence, so the marking price rides along
+            # instead of costing a second full window pass + join
+            # (optimization round 12, guide §2.2: one shuffle, not three)
+            "current_price": [None if p is None else float(p)],
         }
     )
 
@@ -6345,24 +6355,11 @@ def wac_position_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("signed_qty"),
         F.col("value").alias("price"),
     )
-    state = tr.groupBy("user_id").applyInPandas(
+    j = tr.groupBy("user_id").applyInPandas(
         _wac_kernel,
         "user_id long, n_trades long, shares double, entry_price double,"
-        " n_flips long, n_full_closes long",
+        " n_flips long, n_full_closes long, current_price double",
     )
-    last = (
-        ev.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy(
-                    F.col("ts").desc(), F.col("event_id").desc()
-                )
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("user_id", F.col("value").alias("current_price"))
-    )
-    j = state.join(last, "user_id")
     active = F.abs(F.col("shares")) >= 1e-6
     upnl = F.when(
         active & F.col("entry_price").isNotNull(),
