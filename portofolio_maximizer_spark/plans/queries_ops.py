@@ -293,7 +293,10 @@ def platt_outcome_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date_add(coalesce(smax, CAST(o_orderdate AS DATE)),"
             " CAST((o_orderkey div 3) % 3 - 1 AS INT))"
         ).alias("ecd"),
-    )
+        # entry-grain; THREE consumers (mode-A pend, mode-B grid, the
+        # final reconciliation join) each re-executed the orders ⋈
+        # shipmax build — materialize once (opt r12 batch 5, guide §2.4)
+    ).localCheckpoint(eager=False)
 
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
@@ -349,8 +352,11 @@ def platt_outcome_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.col("cnet") - F.col("onet")) / F.col("onet"), 6
             ).alias("pnl_pct"),
+            # trade-grain; BOTH candidate modes join against this frame
+            # — materialize the closes ⋈ opens ⋈ orders build once
+            # (opt r12 batch 5, guide §2.4)
         )
-    )
+    ).localCheckpoint(eager=False)
 
     open_ids = (
         o.filter((F.col("o_orderstatus") == "O") & (ok % 2 == 0))

@@ -729,13 +729,17 @@ def integrity_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.coalesce(F.max(arith_diff), F.lit(0.0))).alias("c8_m"),
         csum(dup_cond, F.lit(1)).cast("long").alias("c9_n"),
         r6(csum(dup_cond, F.col("close_qty") - F.col("open_qty"))).alias("c9_m"),
+        # production totals folded into the SAME aggregation pass (opt
+        # r12 batch 5, guide §2.4 "share one exchange"): count/sum over
+        # the is_final subset == conditional sums over j, so the 9-check
+        # agg and METRICS_DRIFT's historical arm cost ONE compute of j
+        # instead of two (a checkpoint measured slower: materializing
+        # the wide order-grain frame cost more than one recompute)
+        csum(is_final, F.lit(1)).cast("long").alias("n"),
+        csum(is_final & (F.col("pnl") > 0), F.lit(1)).cast("long").alias("wins"),
     )
     prod = j.filter(is_final).select("pnl", "o_orderdate", "l_orderkey")
     win = F.when(F.col("pnl") > 0, 1).otherwise(0)
-    tot = prod.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum(win), F.lit(0)).cast("long").alias("wins"),
-    )
     roll = (
         prod.orderBy(F.desc("o_orderdate"), F.desc("l_orderkey"))
         .limit(_DRIFT_W)
@@ -744,20 +748,17 @@ def integrity_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(win), F.lit(0)).cast("long").alias("roll_wins"),
         )
     )
-    dd = (
-        tot.crossJoin(roll)
-        .select(
-            F.when(
-                (F.col("n") >= _DRIFT_MIN + _DRIFT_W)
-                & (F.col("roll_n") > 0)
-                & (F.col("n") - F.col("roll_n") > 0),
-                (F.col("wins") - F.col("roll_wins")).cast("double")
-                / (F.col("n") - F.col("roll_n"))
-                - F.col("roll_wins").cast("double") / F.col("roll_n"),
-            )
-            .otherwise(0.0)
-            .alias("drift")
+    drift_expr = (
+        F.when(
+            (F.col("n") >= _DRIFT_MIN + _DRIFT_W)
+            & (F.col("roll_n") > 0)
+            & (F.col("n") - F.col("roll_n") > 0),
+            (F.col("wins") - F.col("roll_wins")).cast("double")
+            / (F.col("n") - F.col("roll_n"))
+            - F.col("roll_wins").cast("double") / F.col("roll_n"),
         )
+        .otherwise(0.0)
+        .alias("drift")
     )
 
     def chk(name: str, sev: str, n_col, m_col):
@@ -770,7 +771,8 @@ def integrity_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     zero = F.lit(0.0)
     report = (
-        s.crossJoin(dd)
+        s.crossJoin(roll)
+        .withColumn("drift", drift_expr)
         .select(
             F.explode(
                 F.array(
