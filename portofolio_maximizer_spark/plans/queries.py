@@ -311,6 +311,28 @@ def session_frame_cache(fn):
     return wrap
 
 
+def shared_small_frame(fn):
+    """``session_frame_cache`` + lazy ``localCheckpoint`` for registered
+    queries that OTHER queries compose (optimization round 12, guide
+    §2.4/§5 — the batch-4 helper-materialization pattern applied one
+    level up, to the registry). Only for frames at a BOUNDED grain
+    (ticker/model/rule/bin — orders of magnitude smaller than their
+    inputs at any scale): the first consumer's action materializes the
+    small frame once; every later consumer in the same session —
+    including the query's own standalone bench entry — scans the
+    materialized partitions instead of re-executing the pipeline.
+    Results are identical (the checkpoint is a materialization barrier,
+    not a computation change) and a new session still computes the
+    frame from the parquet inputs."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark, sf_dir).localCheckpoint(eager=False)
+
+    return session_frame_cache(wrap)
+
+
 def stage_cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     """Stage ``build()`` (skipping the build entirely on a fresh marker)
     and return the READ-BACK DataFrame — the parquet scan both feeds the

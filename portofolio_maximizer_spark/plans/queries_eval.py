@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import ORACLE, literal_grid, query, r6, session_frame_cache
+from .queries import ORACLE, literal_grid, query, r6, session_frame_cache, shared_small_frame
 from .queries_stats import _S_SQL, _series, _w
 
 
@@ -2669,6 +2669,7 @@ _ADM_LADDER_SQL = f"""
     FROM adm
     """,
 )
+@session_frame_cache
 def audit_admission_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-grain semantic-admission ladder — reference
     `scripts/check_forecast_audits.py:486-631` (legacy-derived branch):
@@ -3494,6 +3495,7 @@ _DSM_WEAK_N = 3
     FROM rec
     """,
 )
+@shared_small_frame
 def data_sufficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-sufficiency monitor — reference
     `scripts/data_sufficiency_monitor.py:124-247`: fleet trade stats
@@ -6889,6 +6891,7 @@ _DL_REGIME = """
     FROM lab
     """,
 )
+@session_frame_cache
 def directional_training_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R138: forward-price directional labels generated straight from the
     price series at a fixed stride — reference

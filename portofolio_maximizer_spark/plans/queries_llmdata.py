@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..llmdata import dedup, multimodal, similarity, textstats
 from ..sources.catalog import load_table
-from .queries import ORACLE, literal_grid, query, r6
+from .queries import ORACLE, literal_grid, query, r6, shared_small_frame
 
 # The MinHash→LSH→verify→components chain is the most expensive dedup
 # kernel and several queries consume its output (neardup_components,
@@ -896,6 +896,7 @@ _NGJ_MAXDF = 5  # shingles appearing in more docs generate no candidates
     ) WHERE jaccard >= 0.3
     """,
 )
+@shared_small_frame
 def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charter dedup op: word-bigram Jaccard near-duplicates with
     document-frequency-pruned candidate generation — reference dedup

@@ -29,6 +29,7 @@ from .queries import (
     query,
     r6,
     session_frame_cache,
+    shared_small_frame,
 )
 
 # ---------------------------------------------------------------------------
@@ -244,6 +245,7 @@ _PLT_SQL = f"""
     SELECT * FROM recon
     """,
 )
+@session_frame_cache
 def platt_outcome_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-grain Platt outcome reconciliation — reference
     `scripts/update_platt_outcomes.py:899-1300` (`reconcile`): each
@@ -2199,6 +2201,7 @@ _LST_SQL = """
     FROM final
     """,
 )
+@session_frame_cache
 def llm_signal_tracking_validation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2361,7 +2364,11 @@ def llm_signal_tracking_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-series key).
 
     Scale: three bounded groupBys over the validation frame."""
-    final = llm_signal_tracking_validation(spark, sf_dir).localCheckpoint()
+    # lazy: the fan-out materialization folds into the timed action
+    # instead of running as a build-time job (B4.3 pattern)
+    final = llm_signal_tracking_validation(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     tick = final.groupBy((F.col("user_id") % 25).alias("b")).agg(
         F.count(F.lit(1)).cast("long").alias("total"),
         F.sum("passed").cast("long").alias("validated"),
@@ -5899,6 +5906,7 @@ _PCD_SQL = f"""
 
 
 @query("performance_chart_data", oracle=_PCD_SQL)
+@session_frame_cache
 def performance_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard chart data frames — reference
     `scripts/generate_performance_charts.py`: the per-ticker WR / PF /
@@ -7757,6 +7765,7 @@ _TUV_SQL = """
     FROM finalu
     """,
 )
+@shared_small_frame
 def ticker_universe_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolved ticker universe — reference
     `etl/data_universe.py:47-70` + `etl/frontier_markets.py:91-110`:
@@ -7927,7 +7936,10 @@ def ticker_universe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: counts over the bounded symbol dimension; the note is a
     sorted string_agg over the blocked subset (nation-bounded)."""
-    res = ticker_universe_resolution(spark, sf_dir).localCheckpoint()
+    # the resolution frame is already a lazily-materialized shared frame
+    # (shared_small_frame); no second eager checkpoint needed — the old
+    # one ran the whole resolution pipeline as a build-time job
+    res = ticker_universe_resolution(spark, sf_dir)
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     braw = o.filter(F.col("o_orderkey") % 10 < 3).agg(
@@ -8905,11 +8917,14 @@ def quality_pipeline_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row fold of the four component aggregates; localCheckpoint so
     # the six downstream step rows reuse it instead of replaying the
     # whole component plan per row (plan hygiene: EXCHANGES 169 → ~6)
+    # lazy: the one-row fold materializes inside the timed action (the
+    # eager variant ran the whole component plan as a build-time job —
+    # optimization round 12, same finding as llm_signal_backtest B4.3)
     base = (
         el.crossJoin(F.broadcast(ds))
         .crossJoin(F.broadcast(cq))
         .crossJoin(F.broadcast(pc))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     w_el = F.concat_ws(
         ",",
         F.when(F.col("n_tickers") == 0, "no_tickers_found"),

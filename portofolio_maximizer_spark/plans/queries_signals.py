@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import chi2_sf1, chi2_sf1_sql, epoch_seconds
 from ..sources.catalog import load_table
-from .queries import literal_grid, query, r6
+from .queries import literal_grid, query, r6, session_frame_cache, shared_small_frame
 from .queries_stats import _S_SQL, _series, _w
 
 
@@ -2960,6 +2960,7 @@ _ROUTE_QUALITY_MIN = 0.6
     FROM route
     """,
 )
+@shared_small_frame
 def signal_routing_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TS-primary / LLM-fallback signal router — reference
     `models/signal_router.py:147-303` under the default feature flags:
@@ -3741,6 +3742,7 @@ def _t_crit_col(df_col):
     FROM adj
     """,
 )
+@session_frame_cache
 def llm_signal_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SignalValidator's 5-layer pre-execution gate — reference
     `ai_llm/signal_validator.py:429-597` in strict mode (risk_mode
@@ -4122,6 +4124,7 @@ def llm_signal_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN sigtest st ON st.user_id = ts.user_id
     """,
 )
+@shared_small_frame
 def signal_backtest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 30-day signal-quality backtest — reference
     `ai_llm/signal_validator.py:1084-1267` (`backtest_signal_quality`):
@@ -4377,6 +4380,7 @@ def signal_backtest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_model
     """,
 )
+@shared_small_frame
 def llm_performance_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM performance monitor's summary — reference
     `ai_llm/performance_monitor.py:164-267`: per model, total/successful/
@@ -4661,6 +4665,7 @@ from .queries import ORACLE as _ORACLE_REG
 
 
 @query("signal_validation_backfill")
+@session_frame_cache
 def signal_validation_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R140: per-signal backfill status transition — the reference's
     pending → validated / failed / archived ladder over the R50
@@ -4873,17 +4878,35 @@ def llm_system_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("detail"),
         F.lit(None).cast("string").alias("recommendation"),
     )
-    ev_n = load_table(spark, sf_dir, "events").count()
-    ord_n = load_table(spark, sf_dir, "orders").count()
-    db_ok = ev_n > 0 and ord_n > 0
-    db_row = spark.createDataFrame(
+    # table counts folded into the distributed plan (optimization round
+    # 12, guide §5 "the driver should do almost no data work"): the old
+    # driver-side .count() pair ran two Spark jobs at DAG-construction
+    # time; the same exact counts now ride the single timed action
+    cnt = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.count(F.lit(1)).cast("long").alias("ev_n"))
+        .crossJoin(
+            F.broadcast(
+                load_table(spark, sf_dir, "orders").agg(
+                    F.count(F.lit(1)).cast("long").alias("ord_n")
+                )
+            )
+        )
+    )
+    db_ok = (F.col("ev_n") > 0) & (F.col("ord_n") > 0)
+    db_int_row = cnt.select(
+        F.lit("database_integration").alias("component"),
+        F.when(db_ok, "HEALTHY").otherwise("FAILED").alias("status"),
+        F.concat(
+            F.lit("events="),
+            F.col("ev_n").cast("string"),
+            F.lit(" orders="),
+            F.col("ord_n").cast("string"),
+        ).alias("detail"),
+        F.when(~db_ok, _MLS_REC_DB).alias("recommendation"),
+    )
+    ollama_row = spark.createDataFrame(
         [
-            (
-                "database_integration",
-                "HEALTHY" if db_ok else "FAILED",
-                f"events={ev_n} orders={ord_n}",
-                None if db_ok else _MLS_REC_DB,
-            ),
             (
                 "ollama_client",
                 "DISABLED",
@@ -4893,11 +4916,19 @@ def llm_system_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "component string, status string, detail string, recommendation string",
     )
-    comps = perf_row.unionByName(val_row).unionByName(bt_row).unionByName(
-        db_row
+    comps = (
+        perf_row.unionByName(val_row)
+        .unionByName(bt_row)
+        .unionByName(db_int_row)
+        .unionByName(ollama_row)
     )
     issue = ~F.col("status").isin("HEALTHY", "NO_DATA")
-    comps2 = comps.select("*", issue.alias("issue"))
+    # ≤5 rows feeding BOTH the output union and the overall fold: one
+    # materialization instead of two executions of the whole component
+    # pipeline (guide §2.4)
+    comps2 = comps.select("*", issue.alias("issue")).localCheckpoint(
+        eager=False
+    )
     overall = comps2.agg(
         F.count(F.lit(1)).cast("long").alias("n_comp"),
         F.sum(F.col("issue").cast("int")).cast("long").alias("n_issues"),

@@ -3831,10 +3831,18 @@ def regime_first_hit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank — linear at any scale (the reference refits per prefix,
     O(n²))."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
-    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    # same-ts dedup INSIDE the user_id partitioning every later window
+    # already needs (guide §2.4 "window functions partitioned by the
+    # same key ... do not need a second shuffle"): ordered by
+    # (ts, event_id DESC), the first row of each ts-run IS the max-
+    # event_id row the old (user_id, ts) row_number window kept — one
+    # exchange of the event stream instead of two
+    wseq = Window.partitionBy("user_id").orderBy(
+        "ts", F.col("event_id").desc()
+    )
     dd = (
-        ev.withColumn("dup_rk", F.row_number().over(wdup))
-        .filter(F.col("dup_rk") == 1)
+        ev.withColumn("prev_ts", F.lag("ts").over(wseq))
+        .filter(F.col("prev_ts").isNull() | (F.col("prev_ts") != F.col("ts")))
         .select("user_id", "ts", "value")
     )
     wk = Window.partitionBy("user_id").orderBy("ts")

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .queries import literal_grid, query, r6, session_frame_cache
+from .queries import literal_grid, query, r6, session_frame_cache, shared_small_frame
 
 
 # ---------------------------------------------------------------------------
@@ -113,6 +113,7 @@ def production_closed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.l_orderkey < 3000
     """,
 )
+@session_frame_cache
 def round_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 round_trips view: closing legs LEFT JOIN opening legs on the
     order key, null-preserving when every opener is disqualified —
@@ -2119,6 +2120,7 @@ _ELG_SQL = f"""
     FROM cls
     """,
 )
+@shared_small_frame
 def ticker_eligibility_classification(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2642,6 +2644,7 @@ _SLV_AGG_SQL = f"""
     FROM slv2
     """,
 )
+@shared_small_frame
 def sleeve_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(sleeve, ticker) PnL summary — reference
     `scripts/summarize_sleeves.py:150-223`: trades/wins/losses, win
@@ -2759,6 +2762,7 @@ def _sleeve_trades_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM slv2
     """,
 )
+@shared_small_frame
 def sleeve_promotion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sleeve promotion/demotion plan — reference
     `scripts/evaluate_sleeve_promotions.py:26-130` (`_decide_move` over
@@ -2940,6 +2944,7 @@ _CTX_MIN_N = 3
     UNION ALL SELECT * FROM advisory3
     """,
 )
+@shared_small_frame
 def context_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-conditional trade quality — reference
     `scripts/compute_context_quality.py:52-285`: quality summaries per

@@ -1570,6 +1570,17 @@ def test_rolling_skew_closed_form_property():
                 ref = (n * n / ((n - 1) * (n - 2))) * ((c**3).mean()) / cvar1**1.5
             else:
                 ref = 0.0
+            # the property is only meaningful where the window's
+            # variance is resolvable in double precision: when the
+            # relative variance is near eps (e.g. [1e4+2e-12, 1e4, 1e4])
+            # the raw-moment gate (s2 - s1^2/n > 0) can flip to <= 0 by
+            # cancellation while the centered form still computes — BOTH
+            # values are then numeric noise, and the engine + oracle use
+            # the SAME raw-moment gate anyway (their equality is what
+            # diffcheck pins). Guard: centered relative variance must
+            # clear a 1e-10 floor (double eps is ~2.2e-16).
+            if mean > 0 and cvar1 <= 1e-10 * mean * mean:
+                continue
             # raw-moment third-moment cancellation scales with (mean/sd)^3
             cond = (mean * mean / var1) ** 1.5 if var1 > 0 else 0.0
             tol = max(1e-7, 1e-12 * cond, 1e-7 * abs(ref))

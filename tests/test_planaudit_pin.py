@@ -40,20 +40,29 @@ from planaudit import EXPECTED_SOFT_FLAGS  # noqa: E402
 
 JUSTIFIED_SOFT_FLAGS = {
     # -- bounded-composition EXCHANGES reports (see module docstring) --
+    # Optimization round 12 removed five of the original 15 entries by
+    # removing the exchanges themselves (OPTIMIZATION_r12.md):
+    #   run_execution_summary     — B4.2 materialized the <=200-row
+    #     top-k window once; the four downstream branches scan it.
+    #   attribution_multiway_table — B4.1 materialized the shared
+    #     _ola_recf helper frame once per session.
+    #   dedup_savings_curve / llm_system_health_report /
+    #   nav_rebalance_plan        — B6.1 shared-frame composition: the
+    #     sub-query frames they re-planned inline (ngram_jaccard_
+    #     neardups; llm_performance_summary + llm_signal_validation +
+    #     signal_backtest_report; ticker_eligibility_classification +
+    #     sleeve_promotion_plan) are built once per session and
+    #     materialized at the first consumer's action, so the composite
+    #     plans no longer carry the sub-pipelines' exchanges.
     "unlinked_close_repair_plan": "EXCHANGES",
     "dashboard_snapshot": "EXCHANGES",
     "classifier_label_accumulation": "EXCHANGES",
     "split_drift_psi": "EXCHANGES",
     "token_budget_epoch_plan": "EXCHANGES",
-    "run_execution_summary": "EXCHANGES",
-    "nav_rebalance_plan": "EXCHANGES",
     "capital_readiness_check": "EXCHANGES",
     "barbell_pnl_evaluation": "EXCHANGES",
     "platt_contract_audit": "EXCHANGES",
     "order_learner_health_check": "EXCHANGES",
-    "attribution_multiway_table": "EXCHANGES",
-    "dedup_savings_curve": "EXCHANGES",
-    "llm_system_health_report": "EXCHANGES",
     "ticker_universe_summary": "EXCHANGES",
     # -- the one declared O(N^2) correctness baseline --
     "embedding_cosine_neardups": "NESTED_LOOP_JOIN",
@@ -69,11 +78,13 @@ def test_soft_flag_pin_matches_justified_inventory():
 
 
 def test_soft_flag_pin_shape():
-    # exactly the documented composition: 15 EXCHANGES + 1 NESTED_LOOP
+    # exactly the documented composition: 10 EXCHANGES + 1 NESTED_LOOP
+    # (15 EXCHANGES before optimization round 12 removed five — see
+    # JUSTIFIED_SOFT_FLAGS comments)
     kinds = sorted(EXPECTED_SOFT_FLAGS.values())
-    assert kinds.count("EXCHANGES") == 15
+    assert kinds.count("EXCHANGES") == 10
     assert kinds.count("NESTED_LOOP_JOIN") == 1
-    assert len(EXPECTED_SOFT_FLAGS) == 16
+    assert len(EXPECTED_SOFT_FLAGS) == 11
 
 
 def test_pinned_queries_exist_in_registry():

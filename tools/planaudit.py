@@ -567,23 +567,26 @@ def audit(plan: str) -> list[str]:
 #: tests/test_planaudit_pin.py (which carries the per-query
 #: justifications) — the two are asserted equal by pytest.
 EXPECTED_SOFT_FLAGS: dict[str, str] = {
-    # 15 bounded-composition EXCHANGES reports: multi-facet report folds
+    # 10 bounded-composition EXCHANGES reports: multi-facet report folds
     # whose every exchange is over a bounded (dim/rule/scenario) key —
-    # adjudicated individually in BENCH_NOTES.md, carried since round 9
+    # adjudicated individually in BENCH_NOTES.md, carried since round 9.
+    # Optimization round 12 REMOVED five long-pinned entries by actually
+    # removing the exchanges the pin documented: run_execution_summary
+    # (B4.2 top-k materialization), attribution_multiway_table (B4.1
+    # shared-helper materialization), and dedup_savings_curve /
+    # llm_system_health_report / nav_rebalance_plan (B6.1 shared-frame
+    # composition: the sub-query frames they re-planned inline are now
+    # built once per session and materialized at the first consumer's
+    # action).
     "unlinked_close_repair_plan": "EXCHANGES",
     "dashboard_snapshot": "EXCHANGES",
     "classifier_label_accumulation": "EXCHANGES",
     "split_drift_psi": "EXCHANGES",
     "token_budget_epoch_plan": "EXCHANGES",
-    "run_execution_summary": "EXCHANGES",
-    "nav_rebalance_plan": "EXCHANGES",
     "capital_readiness_check": "EXCHANGES",
     "barbell_pnl_evaluation": "EXCHANGES",
     "platt_contract_audit": "EXCHANGES",
     "order_learner_health_check": "EXCHANGES",
-    "attribution_multiway_table": "EXCHANGES",
-    "dedup_savings_curve": "EXCHANGES",
-    "llm_system_health_report": "EXCHANGES",
     "ticker_universe_summary": "EXCHANGES",
     # the ONE declared O(N²): L6's exact-cosine correctness baseline,
     # which refuses corpora >200k vectors and names L2/L28/L7 as the
