@@ -161,37 +161,6 @@ def main() -> None:
     # The old EARLY slot existed so drain timings stayed attributable
     # before that telemetry existed (round-6 verdict What's wrong #3);
     # pack positions remain recorded so deltas stay interpretable.
-    ordered = sorted(
-        queries.items(),
-        key=lambda kv: (1 if kv[0].startswith("streaming_") else 0,),
-    )
-
-    def kickoff_stream_prefetch() -> None:
-        import threading
-
-        from portofolio_maximizer_spark.plans.queries_models import (
-            _prefetch_streaming_family,
-        )
-
-        threading.Thread(
-            target=_prefetch_streaming_family,
-            args=(spark, sf_dir),
-            daemon=True,
-        ).start()
-
-    # Staging prefetch (same guide §2.6 overlap, applied to the staged
-    # artifacts): the cold pack pays ~119 s of once-per-(code,data)
-    # artifact fits (stage_times) serially inside whichever query
-    # first touches each artifact. The fits are independent jobs behind
-    # a per-artifact fcntl lock (_ensure_staged: a concurrent timed
-    # query either sees the fresh marker or blocks on the lock until
-    # the fit lands), so a small background pool builds them while the
-    # pack runs the batch block — every fit still computes from the
-    # parquet inputs inside this same run, and stage_events/stage_times
-    # still record each artifact's cold fit honestly. The pool walks
-    # the heavy stagers in pack order so artifacts tend to be staged
-    # before their first timed toucher arrives; a timed query that
-    # outruns the pool just stages synchronously as before.
     _heavy_stagers = [
         "adversarial_scenario_matrix",
         "rolling_cv_aggregate",
@@ -221,7 +190,67 @@ def main() -> None:
         "ssa_reconstruction",
         "quality_classifier_calibration",
         "embedding_pq_ann",
+        # family-first-payers: these queries' builds populate a shared
+        # session_frame_cache helper (eager materializations included) —
+        # building them on the background pool overlaps the one-time
+        # family build with the batch block exactly like the artifact
+        # fits above; the build wall stays attributed per helper in
+        # frame_builds (BENCH_FULL.json)
+        "unlinked_close_repair_plan",
+        "ensemble_health_model_summary",
+        "ensemble_ci_diagnostics",
+        "directional_classifier_eval",
+        "order_learner_health_check",
+        "attribution_linkage_summary",
+        "llm_system_health_report",
+        "date_fallback_slo_gate",
+        "zombie_open_retirement",
     ]
+
+    # Heavy-STAGING queries are also ordered late (optimization round 12,
+    # same §2.6 rationale): their once-per-(code,data) artifact fits run
+    # on the background prefetch pool, but a timed query that reaches its
+    # artifact before the background fit lands blocks on the staging lock
+    # and absorbs the whole fit (the r12 cold run charged 14.5 s of the
+    # adversarial fits to pack position 1). With the stagers at the end
+    # of the batch block the pool has the whole pack to land them; every
+    # fit still computes from the parquet inputs inside this run and
+    # stage_times still attributes each cold fit honestly.
+    ordered = sorted(
+        queries.items(),
+        key=lambda kv: (
+            2
+            if kv[0].startswith("streaming_")
+            else (1 if kv[0] in _heavy_stagers else 0),
+        ),
+    )
+
+    def kickoff_stream_prefetch() -> None:
+        import threading
+
+        from portofolio_maximizer_spark.plans.queries_models import (
+            _prefetch_streaming_family,
+        )
+
+        threading.Thread(
+            target=_prefetch_streaming_family,
+            args=(spark, sf_dir),
+            daemon=True,
+        ).start()
+
+    # Staging prefetch (same guide §2.6 overlap, applied to the staged
+    # artifacts): the cold pack pays ~119 s of once-per-(code,data)
+    # artifact fits (stage_times) serially inside whichever query
+    # first touches each artifact. The fits are independent jobs behind
+    # a per-artifact fcntl lock (_ensure_staged: a concurrent timed
+    # query either sees the fresh marker or blocks on the lock until
+    # the fit lands), so a small background pool builds them while the
+    # pack runs the batch block — every fit still computes from the
+    # parquet inputs inside this same run, and stage_events/stage_times
+    # still record each artifact's cold fit honestly. The pool walks
+    # the heavy stagers in pack order so artifacts tend to be staged
+    # before their first timed toucher arrives; a timed query that
+    # outruns the pool just stages synchronously as before.
 
     def kickoff_stage_prefetch() -> None:
         import threading
@@ -296,6 +325,7 @@ def main() -> None:
     # host's ambient load — so cross-round wall comparisons can separate
     # cold/warm staging and co-tenant noise mechanically.
     from portofolio_maximizer_spark.plans.queries import (
+        FRAME_BUILDS,
         STAGE_EVENTS,
         STAGE_TIMES,
     )
@@ -318,6 +348,10 @@ def main() -> None:
         # every stage was warm — attributes stage_misses' cost to the
         # artifact instead of to whichever query touched it first
         "stage_times": dict(sorted(STAGE_TIMES.items())),
+        # first-build wall per shared helper frame (memoized via
+        # session_frame_cache) — attributes the family builds that the
+        # background pool overlaps with the batch block
+        "frame_builds": dict(sorted(FRAME_BUILDS.items())),
         "load_avg_start": list(load_start),
         "load_avg_end": list(os.getloadavg()),
         "canary": canary,

@@ -265,6 +265,9 @@ def literal_grid(spark: SparkSession, rows, schema: str) -> DataFrame:
 #: the next cache touch (appIds are unique per SparkContext).
 _FRAME_CACHE: dict = {}
 _FRAME_CACHE_LOCK = None  # created lazily (threading imported on use)
+#: first-build wall seconds per "helper|sf" — measurement only, so the
+#: within-run overlap of shared-frame builds stays attributable
+FRAME_BUILDS: dict[str, float] = {}
 
 
 def session_frame_cache(fn):
@@ -301,7 +304,18 @@ def session_frame_cache(fn):
         # build OUTSIDE the lock (concurrent prefetch threads must not
         # serialize on an unrelated helper's multi-second build); a rare
         # double build is value-identical and the second wins
+        import os as _os
+        import time as _time
+
+        _t0 = _time.time()
         built = fn(spark, sf_dir)
+        # first-build wall per (helper, sf_dir): the honest attribution
+        # of where a shared frame's one-time build cost was paid (the
+        # bench publishes this as frame_builds in BENCH_FULL.json)
+        FRAME_BUILDS.setdefault(
+            f"{fn.__qualname__}|{_os.path.basename(sf_dir.rstrip('/'))}",
+            round(_time.time() - _t0, 3),
+        )
         with _FRAME_CACHE_LOCK:
             for k in [k for k in _FRAME_CACHE if k[0] != app]:
                 del _FRAME_CACHE[k]

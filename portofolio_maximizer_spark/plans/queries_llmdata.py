@@ -1282,10 +1282,17 @@ def cdc_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pos.filter(
         F.conv(F.substring(F.md5(wnd), 1, 8), 16, 10).cast("long") % 32 == 0
     ).select("doc_id", "i")
+    # no distinct needed (guide §2.4 "a distinct on data that is already
+    # unique"): explode yields each (doc_id, i) once and the start/end
+    # markers are unique per doc — the only possible collision is a
+    # boundary at i == 1 duplicating the start marker, removed by the
+    # i > 1 filter instead of a full exchange + dedup of the boundary
+    # stream. Same (doc_id, i) set, one exchange (the spans window)
+    # instead of two.
     bb = (
-        b.unionByName(docs.select("doc_id", F.lit(1).alias("i")))
+        b.filter(F.col("i") > 1)
+        .unionByName(docs.select("doc_id", F.lit(1).alias("i")))
         .unionByName(docs.select("doc_id", (F.length("text") + 1).alias("i")))
-        .distinct()
     )
     w = Window.partitionBy("doc_id").orderBy("i")
     spans = bb.select(

@@ -896,10 +896,17 @@ def _ucr_frames(spark: SparkSession, sf_dir: str):
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
     ok = F.col("l_orderkey")
+    # maxline as a window over the SAME key the groupBy below needs
+    # (guide §2.4): replaces the old aggregate+self-join pass over
+    # lineitem, and the (l_orderkey, l_linenumber) groupBy reuses the
+    # window's hash(l_orderkey) partitioning (a subset of the grouping
+    # key), so the leg frame costs one exchange of the stream, not three
     legs0 = (
-        li.join(mx, "l_orderkey")
+        li.withColumn(
+            "maxline",
+            F.max("l_linenumber").over(Window.partitionBy("l_orderkey")),
+        )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_linenumber")
         .agg(
@@ -7518,29 +7525,33 @@ def baseline_snapshot_metric_diff(
     net = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(5,2)")
-    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("maxline"))
-    closes = (
-        li.join(
-            mx,
-            (li.l_orderkey == mx.l_orderkey) & (li.l_linenumber == mx.maxline),
-        )
-        .drop(mx.l_orderkey)
+    # ONE pass over lineitem (guide §2.4): the old shape aggregated the
+    # table three times (maxline, closes-after-join, opens) and joined
+    # the pieces back together. The close legs are the rows at the
+    # order's max linenumber (NOT unique in this data — tie rows are
+    # summed exactly as the old join+groupBy did) and the open legs are
+    # a conditional sum, so one window (maxline) + one groupBy on the
+    # SAME key — a single exchange of the lineitem stream — produces the
+    # identical (cq, cnet, cship, oq, onet) per order. Orders without a
+    # qualifying open leg yield NULL oq/onet and are dropped by the same
+    # filter that dropped them via the old inner join.
+    wl = Window.partitionBy("l_orderkey")
+    is_close_leg = F.col("l_linenumber") == F.max("l_linenumber").over(wl)
+    is_open_leg = (F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R")
+    legs = (
+        li.withColumn("is_cl", is_close_leg)
         .groupBy("l_orderkey")
         .agg(
-            F.sum("l_quantity").alias("cq"),
-            F.sum(net).alias("cnet"),
-            F.max("l_shipdate").alias("cship"),
+            F.sum(F.when(F.col("is_cl"), F.col("l_quantity"))).alias("cq"),
+            F.sum(F.when(F.col("is_cl"), net)).alias("cnet"),
+            F.max(F.when(F.col("is_cl"), F.col("l_shipdate"))).alias("cship"),
+            F.sum(F.when(is_open_leg, F.col("l_quantity"))).alias("oq"),
+            F.sum(F.when(is_open_leg, net)).alias("onet"),
         )
     )
-    opens = (
-        li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") != "R"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("oq"), F.sum(net).alias("onet"))
-    )
-    c, op = closes.alias("c"), opens.alias("op")
+    c = legs.alias("c")
     tr = (
-        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
-        .join(
+        c.join(
             o.filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("c.l_orderkey"),
         )
