@@ -9794,6 +9794,12 @@ def _conf_child_session(
 _BKT_N = 8
 #: (applicationId, sf_dir) pairs whose bucketed pair is already written
 _BUCKETED_READY: set[tuple[str, str]] = set()
+#: serializes the catalog-table ensure helpers across THREADS of this
+#: process (the flock below only covers the sweep section, and flock
+#: alone cannot protect the DROP->saveAsTable window once query builds
+#: run concurrently — bench prebuilder / staging pool). RLock because
+#: _ensure_analyzed_triple calls _ensure_bucketed_pair.
+_CATALOG_ENSURE_LOCK = threading.RLock()
 
 
 def _evict_dead_bucket_dbs(wh: str, live_tag: str) -> None:
@@ -9835,6 +9841,20 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     db = f"bkt_{tag}"
     ot, ct = f"{db}.orders_bk", f"{db}.customer_bk"
     key = (spark.sparkContext.applicationId, sf_dir)
+    with _CATALOG_ENSURE_LOCK:
+        return _ensure_bucketed_pair_locked(spark, sf_dir, db, ot, ct, key)
+
+
+def _ensure_bucketed_pair_locked(
+    spark: SparkSession,
+    sf_dir: str,
+    db: str,
+    ot: str,
+    ct: str,
+    key: tuple[str, str],
+) -> tuple[str, str]:
+    import json
+
     if key in _BUCKETED_READY and spark.catalog.tableExists(ot):
         return ot, ct
     _BUCKETED_READY.difference_update(
@@ -9862,7 +9882,7 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         os.makedirs(os.path.join(wh, f"{db}.db"), exist_ok=True)
         with open(os.path.join(wh, f"{db}.db", "_origin.json"), "w") as f:
             json.dump({"sf_dir": sf_dir}, f)
-        _evict_dead_bucket_dbs(wh, tag)
+        _evict_dead_bucket_dbs(wh, db.removeprefix("bkt_"))
     for tbl in (ot, ct):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         loc = os.path.join(wh, f"{db}.db", tbl.split(".")[1])
@@ -10526,6 +10546,22 @@ def _ensure_analyzed_triple(
     db = ot.split(".")[0]
     nt = f"{db}.nation_st"
     key = (spark.sparkContext.applicationId, sf_dir)
+    with _CATALOG_ENSURE_LOCK:
+        return _ensure_analyzed_triple_locked(spark, sf_dir, ot, ct, nt, key)
+
+
+def _ensure_analyzed_triple_locked(
+    spark: SparkSession,
+    sf_dir: str,
+    ot: str,
+    ct: str,
+    nt: str,
+    key: tuple[str, str],
+) -> tuple[str, str, str]:
+    import os
+    import shutil
+
+    db = ot.split(".")[0]
     if key in _ANALYZED_READY and spark.catalog.tableExists(nt):
         return ot, ct, nt
     _ANALYZED_READY.difference_update(
