@@ -291,16 +291,39 @@ def main() -> None:
     # so every query's driver-side DAG construction (py4j expression
     # traffic, staging probes — a 0.3-1 s floor per query, ~3 min over
     # the pack) ran while the executors sat idle, and every action ran
-    # while the driver sat idle. A single background thread walks the
-    # pack in order and pre-builds each query's DataFrame (the same
-    # concurrent-build pattern the staging pool has exercised since
-    # batch 3); the timed loop consumes the prebuilt frame when ready
-    # and builds inline otherwise. Every frame is still built inside
-    # this run from the parquet inputs, the timed action still executes
-    # the full plan, and per-query prebuild walls are published as
-    # prebuild_s in BENCH_FULL.json so the overlapped driver work stays
-    # attributed per query (a query's headline number is its BLOCKING
-    # wall; prebuild_s carries the construction cost when overlapped).
+    # while the driver sat idle. A small pool of background threads
+    # walks the pack in order and pre-builds each query's DataFrame
+    # (the same concurrent-build pattern the staging pool has exercised
+    # since batch 3); the timed loop consumes the prebuilt frame when
+    # ready and builds inline otherwise. Every frame is still built
+    # inside this run from the parquet inputs, the timed action still
+    # executes the full plan, and per-query prebuild walls are
+    # published as prebuild_s in BENCH_FULL.json so the overlapped
+    # driver work stays attributed per query (a query's headline number
+    # is its BLOCKING wall; prebuild_s carries the construction cost
+    # when overlapped).
+    #
+    # Pool width (batch 9): the batch-8 single-thread run measured
+    # prebuild SIGMA 341 s vs 339 s wall — the build lane had become
+    # the pack's critical path (the timed loop spent most of its wall
+    # waiting for in-flight builds). DataFrame construction is
+    # Python-side expression building (GIL-held) around py4j
+    # round-trips (GIL-released), so the pool saturates fast: the
+    # sf0.001 warm-stage ablation on one box measured 0 threads 569 s /
+    # 1 thread 383 s / 2 threads 261 s / 3 threads 332 s / 4 threads
+    # 353 s — past two workers GIL contention inflates every in-flight
+    # build (and with it the timed loop's blocking waits). Width is 2,
+    # dropping to 1 on the driver's lower-core scaling runs (<16
+    # cores, i.e. the batch-8 behavior); SPARK_GRAFT_PREBUILD_THREADS
+    # overrides for isolation work. Builds remain bounded to a fixed
+    # look-ahead so eagerly-materialized frames don't stack far ahead
+    # of the timed loop.
+    _cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
+    _pb_threads = int(os.environ.get("SPARK_GRAFT_PREBUILD_THREADS") or 0) or (
+        2 if _cpus >= 16 else 1
+    )
+    _pb_lookahead = 64
+
     def run_pass() -> tuple[dict[str, float], float, dict, dict]:
         import threading
 
@@ -321,28 +344,46 @@ def main() -> None:
         prebuilt: dict[str, object] = {}
         pb_times: dict[str, float] = {}
         claimed: set[str] = set()
-        in_flight: list = [None]
+        in_flight: set[str] = set()
+        done: set[str] = set()
+        next_ix: list[int] = [0]
         cv = threading.Condition()
 
         def prebuild() -> None:
-            for name, fn in ordered:
+            while True:
                 with cv:
-                    if name in claimed or name in prebuilt:
-                        continue
-                    in_flight[0] = name
+                    # bound the look-ahead: don't stack materialized
+                    # frames far beyond where the timed loop is
+                    while len(prebuilt) >= _pb_lookahead:
+                        cv.wait()
+                    while next_ix[0] < len(ordered):
+                        name, fn = ordered[next_ix[0]]
+                        next_ix[0] += 1
+                        if (
+                            name not in claimed
+                            and name not in prebuilt
+                            and name not in in_flight
+                            and name not in done
+                        ):
+                            break
+                    else:
+                        return
+                    in_flight.add(name)
                 b0 = time.time()
                 try:
                     f = fn(spark, sf_dir)
                 except Exception:  # noqa: BLE001 — timed owner rebuilds
                     f = None
                 with cv:
-                    in_flight[0] = None
+                    in_flight.discard(name)
+                    done.add(name)
                     if f is not None:
                         prebuilt[name] = f
                         pb_times[name] = round(time.time() - b0, 3)
                     cv.notify_all()
 
-        threading.Thread(target=prebuild, daemon=True).start()
+        for _ in range(_pb_threads):
+            threading.Thread(target=prebuild, daemon=True).start()
 
         for i, (name, fn) in enumerate(ordered):
             if i == half:
@@ -350,7 +391,7 @@ def main() -> None:
                 canary["mid"] = probe()
                 probe_wall += time.time() - p0
             t0 = time.time()
-            # never build the same query on two threads: if the
+            # never build the same query on two threads: if a
             # prebuilder is mid-build on THIS query, wait for it (the
             # wait is part of this query's wall — the build happens
             # exactly once either way). Builds with catalog side
@@ -358,9 +399,10 @@ def main() -> None:
             # serialized by _CATALOG_ENSURE_LOCK in the query pack.
             with cv:
                 claimed.add(name)
-                while in_flight[0] == name:
+                while name in in_flight:
                     cv.wait()
                 df = prebuilt.pop(name, None)
+                cv.notify_all()
             try:
                 (df if df is not None else fn(spark, sf_dir)).count()
                 t[name] = round(time.time() - t0, 3)

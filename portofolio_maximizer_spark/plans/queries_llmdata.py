@@ -34,29 +34,50 @@ from .queries import ORACLE, literal_grid, query, r6, shared_small_frame
 
 
 def invalidate_neardup_cache() -> None:
-    """Drop cached near-dup component labels (call after regenerating the
-    documents parquet within a live session)."""
+    """Drop cached near-dup component labels AND the shared verified-pair
+    frame (call after regenerating the documents parquet within a live
+    session)."""
     from ..operators.memo import invalidate_name
 
     invalidate_name("neardup_labels")
+    invalidate_name("neardup_verified")
 
 
-def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L2 shingle→signature→band→exact-verify pipeline, built ONCE
+    per (application, sf_dir) and shared by every consumer of the
+    verified candidate-pair frame (optimization round 12 batch 9, guide
+    §2.4 "share one exchange" generalised to the whole sub-pipeline):
+    ``minhash_lsh_neardups``, ``lsh_tuning_curve``,
+    ``cross_source_dup_matrix`` and ``_neardup_labels`` each rebuilt the
+    identical corpus-wide shingle/signature pass — 4 full corpus scans
+    per bench where one suffices. The frame is candidate-pair grain
+    (candidates ≪ corpus after banding), so the probed localCheckpoint
+    that ``memoize_checkpoint`` pins is bounded at any scale; a new
+    session still computes it from the parquet inputs."""
     from ..operators.memo import memoize_checkpoint
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
         pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+        return dedup.exact_jaccard(docs, pairs)
+
+    return memoize_checkpoint(spark, "neardup_verified", sf_dir, build)
+
+
+def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.memo import memoize_checkpoint
+
+    def build() -> DataFrame:
         edges = (
-            dedup.exact_jaccard(docs, pairs)
+            _neardup_verified(spark, sf_dir)
             .filter(F.col("jaccard") >= 0.3)
             .select("d1", "d2")
             .localCheckpoint(eager=True)
         )
-        # the build's intermediates above are consumed only inside this
-        # function; the returned frame is checkpointed (and probed on
-        # every reuse) by memoize_checkpoint itself
+        # the returned frame is checkpointed (and probed on every reuse)
+        # by memoize_checkpoint itself
         return dedup.connected_components(edges)
 
     return memoize_checkpoint(spark, "neardup_labels", sf_dir, build)
@@ -249,11 +270,11 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage references it twice (semi-join doc filter + the pair
     join): without the cut, the whole shingle→signature→band pipeline
     re-executes per reference — on a cluster this is a tiny intermediate
-    table you'd persist anyway."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
-    verified = dedup.exact_jaccard(docs, pairs)
+    table you'd persist anyway. The verified frame itself is the shared
+    per-session ``_neardup_verified`` build (one corpus pass feeds this
+    query, the tuning curve, the source matrix and the component
+    labels)."""
+    verified = _neardup_verified(spark, sf_dir)
     return verified.filter(F.col("jaccard") >= 0.3).select(
         "d1",
         "d2",
@@ -4674,14 +4695,13 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_missed is material at the target threshold means more bands
     (higher recall, more candidates), fewer means cheaper.
 
-    Scale: rides the SAME shingle→signature→band pipeline as L2 (no
-    all-pairs anywhere; candidates only); the census is a 10-row
-    aggregate. The tie-prone mean rides the explicit FLOOR(x·1e6+0.5)
-    rounding on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
-    verified = dedup.exact_jaccard(docs, pairs)
+    Scale: rides the SAME shingle→signature→band pipeline as L2 — the
+    shared per-session ``_neardup_verified`` frame, so the corpus is
+    shingled once per run, not once per consumer (no all-pairs
+    anywhere; candidates only); the census is a 10-row aggregate. The
+    tie-prone mean rides the explicit FLOOR(x·1e6+0.5) rounding on both
+    engines."""
+    verified = _neardup_verified(spark, sf_dir)
     # the oracle's `verified` CTE carries 6dp-ROUNDED jaccards; average
     # the same 6dp values here or the bin means drift by up to 5e-7
     # (binning itself is boundary-safe: shingle-union rationals p/q with
@@ -6010,21 +6030,16 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     run before any per-source quota (L58) or mixing weight (L15) is
     computed — this matrix is the measurement that choice reads.
 
-    Scale: reuses L2's signature→band→verify pipeline EXACTLY (same
-    shingle/minhash constants, same 0.3 gate; the oracle reuses the same
-    CTE fragment so the two can never drift); the matrix on top is two
-    broadcast-sized id→source joins and a (sources x sources)-bounded
-    aggregate."""
+    Scale: reuses L2's signature→band→verify pipeline EXACTLY — the
+    shared per-session ``_neardup_verified`` frame (same shingle/minhash
+    constants, same 0.3 gate; the oracle reuses the same CTE fragment so
+    the two can never drift); the matrix on top is two broadcast-sized
+    id→source joins and a (sources x sources)-bounded aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = dedup.lsh_candidate_pairs(sig).localCheckpoint(eager=True)
     edges = (
-        dedup.exact_jaccard(docs, pairs)
+        _neardup_verified(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.3)
         .select("d1", "d2")
-        # same cut L2/L5 make: the verified-pair table is the tiny
-        # intermediate a cluster would persist before downstream joins
-        .localCheckpoint(eager=True)
     )
     srcd = docs.select("doc_id", "source")
     m = (

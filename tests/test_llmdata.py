@@ -619,6 +619,49 @@ def test_neardup_labels_survive_block_loss(spark, sf_dir):
     assert sorted(map(tuple, rebuilt.collect())) == expected
 
 
+def test_neardup_verified_shared_and_invalidated(spark, tmp_path):
+    """The round-12 shared verified-pair frame: every consumer of the
+    L2 signature→band→verify pipeline reads ONE per-(session, sf_dir)
+    memoized build (the corpus is shingled once per run, not once per
+    consumer), and ``invalidate_neardup_cache`` drops it alongside the
+    component labels so a rewritten documents parquet is re-verified,
+    not served stale."""
+    from portofolio_maximizer_spark.plans import QUERIES
+    from portofolio_maximizer_spark.plans.queries_llmdata import (
+        _neardup_verified,
+        invalidate_neardup_cache,
+    )
+
+    d = str(tmp_path / "sf_nv")
+    dup_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46),
+        (3, "one two three four five six seven eight", "en", "web", 39),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(dup_rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+
+    pairs = QUERIES["minhash_lsh_neardups"](spark, d).collect()
+    assert [(r.d1, r.d2) for r in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+    # the memo is shared: a second consumer gets the SAME frame object
+    assert _neardup_verified(spark, d) is _neardup_verified(spark, d)
+
+    # rewrite the corpus with no duplicates; after invalidation every
+    # consumer must re-verify against the new parquet
+    nodup_rows = [
+        (1, "red orange yellow green blue indigo violet pink", "en", "web", 48),
+        (2, "one two three four five six seven eight", "en", "web", 39),
+    ]
+    spark.createDataFrame(nodup_rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+    invalidate_neardup_cache()
+    assert QUERIES["minhash_lsh_neardups"](spark, d).count() == 0
+
+
 def test_containment_census_planted(spark, tmp_path):
     """Planted subset docs must surface with exact containments: doc 1's
     bigrams are a strict subset of doc 2's (containment 1.0); doc 4 is
