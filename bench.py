@@ -243,9 +243,17 @@ def main() -> None:
             _prefetch_streaming_family,
         )
 
+        # max_concurrency=4 (batch 10): 15 simultaneous drain STARTUPS
+        # (4-landing stagings, RocksDB bootstraps, pure-Python TWS
+        # protocol shims) GIL-thrash the first timed pack positions;
+        # bounded to 4 the family stretches to ~Sigma/4 of drain wall —
+        # still finishing long before the streaming queries at pack end
+        # — while the early batch block runs against a far quieter
+        # driver. Scheduling-only: same drains, same inputs, results
+        # identical (inline callers keep the all-at-once default).
         threading.Thread(
             target=_prefetch_streaming_family,
-            args=(spark, sf_dir),
+            args=(spark, sf_dir, 4),
             daemon=True,
         ).start()
 

@@ -2006,7 +2006,9 @@ def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_PREFETCHED: set[tuple[str, str]] = set()
 
 
-def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
+def _prefetch_streaming_family(
+    spark: SparkSession, sf_dir: str, max_concurrency: int | None = None
+) -> None:
     """Drain the WHOLE streaming family concurrently on first touch.
 
     Each availableNow drain is a fixed-floor micro-batch job (~2.5–5.6 s
@@ -2019,7 +2021,17 @@ def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
     memoized (`memoize_drain`) result. Thread errors are swallowed here:
     the owning query's own (serial, cache-missing) call re-raises them
     attributably. Results are bit-identical to serial drains — each
-    drain is an independent deterministic job; only scheduling overlaps."""
+    drain is an independent deterministic job; only scheduling overlaps.
+
+    ``max_concurrency`` (optimization round 12 batch 10) bounds how many
+    drains START at once: the bench kicks this family off at pack start,
+    and 15 simultaneous drain startups (4-landing stagings, RocksDB
+    bootstraps, pure-Python TWS protocol shims) GIL-thrash the timed
+    loop's first positions. The bench passes a small bound — the drains
+    still finish long before the streaming queries run at pack end —
+    while inline callers (diffcheck, the first streaming query of a
+    plain session) keep the all-at-once default. Scheduling-only either
+    way: the same drains run from the same inputs, results identical."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _STREAM_PREFETCHED:
         return
@@ -2054,7 +2066,13 @@ def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
         streaming_pyds_incremental_tail,
     ]
 
+    sem = (
+        threading.Semaphore(max_concurrency) if max_concurrency else None
+    )
+
     def _run(fn) -> None:
+        if sem is not None:
+            sem.acquire()
         try:
             fn(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 — retried serially by owner
@@ -2070,6 +2088,9 @@ def _prefetch_streaming_family(spark: SparkSession, sf_dir: str) -> None:
                 type(exc).__module__,
                 type(exc).__name__,
             )
+        finally:
+            if sem is not None:
+                sem.release()
 
     threads = [
         threading.Thread(target=_run, args=(f,), daemon=True) for f in fns
