@@ -174,7 +174,9 @@ def _cell_uid(scenario_idx: int, seed: int) -> int:
     return scenario_idx * 1000 + seed
 
 
-def kernel_forecast_table(spark: SparkSession) -> DataFrame:
+def kernel_forecast_table(
+    spark: SparkSession, ser: DataFrame | None = None
+) -> DataFrame:
     """Per-(scenario, seed, h) forecasts from the engine's REAL kernels
     over the adversarial matrix — the exact models the reference's suite
     exercises, under the reference's own adversarial config:
@@ -205,7 +207,14 @@ def kernel_forecast_table(spark: SparkSession) -> DataFrame:
 
     from .models import arima_hr_forecast, garch_grid_fit, samossa_forecast
 
-    ser = scenario_series_table(spark).localCheckpoint(eager=True)
+    # `ser` lets the staging pipeline hand in the ALREADY-STAGED series
+    # frame (optimization round 13, guide §2.4): `_adv_runs` stages
+    # `adversarial_series` immediately before this fit, and regenerating
+    # the identical matrix here paid a second applyInPandas pass + an
+    # eager checkpoint per cold staging. The staged parquet round-trips
+    # the same doubles exactly, so the fits see bit-identical inputs.
+    if ser is None:
+        ser = scenario_series_table(spark).localCheckpoint(eager=True)
     cell_map = spark.createDataFrame(
         [
             (s, sd, _cell_uid(i, sd))

@@ -20,6 +20,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql.pandas.types import to_arrow_schema
 from pyspark.sql.types import StructType
 
+#: fan-out multiplier over the session default parallelism for the
+#: grouped-fit shuffles (optimization round 13, guide §2.5/§2.6): fit
+#: stages are CPU-bound with heavy-tailed per-key cost (the rolling-CV
+#: refit measured 58 keys on the largest of 32 hash partitions vs 46.9
+#: mean — a 9.2 s stage wall that 4x finer tasks cut to 2.7 s, because
+#: the scheduler can rebalance 4 waves of small tasks but not one wave
+#: of big ones). 4x stays scale-adaptive (it multiplies the session's
+#: core-derived parallelism, so the driver's low-core runs scale down
+#: with it) and the per-task overhead of the extra waves is microseconds
+#: against multi-ms fits. Per-key results are partitioning-independent
+#: (grouped_numpy: one kernel call per key; partitioned_numpy: per-key
+#: rows through elementwise math, pinned by the GARCH partition tests).
+FIT_FANOUT = 4
+
 
 def grouped_numpy(
     df: DataFrame,
@@ -32,8 +46,9 @@ def grouped_numpy(
     numpy array (strings as object arrays) and must emit tuples in
     ``schema`` field order.
 
-    The input is explicitly hash-repartitioned on ``keys`` to the session
-    default parallelism first: model-fit stages are CPU-bound, not
+    The input is explicitly hash-repartitioned on ``keys`` to
+    ``FIT_FANOUT x`` the session default parallelism first: model-fit
+    stages are CPU-bound, not
     bytes-bound, and AQE's byte-based partition coalescing would squeeze
     the (tiny-bytes, heavy-CPU) grouped shuffle onto a couple of tasks —
     measured 2 tasks on local[32] for the 450-candidate AR grid, idling
@@ -43,7 +58,9 @@ def grouped_numpy(
     executors regardless of how few bytes the series occupy."""
     arrow_schema = to_arrow_schema(schema)
     names = [f.name for f in schema.fields]
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, *keys)
+    df = df.repartition(
+        FIT_FANOUT * df.sparkSession.sparkContext.defaultParallelism, *keys
+    )
 
     def fn(t: pa.Table) -> pa.Table:
         cols = {
@@ -78,7 +95,9 @@ def partitioned_numpy(
     shape is identical: partitions spread across executors, each kernel
     call burns one core on a (keys_in_partition × candidates) matrix."""
     arrow_schema = to_arrow_schema(schema)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, *keys)
+    df = df.repartition(
+        FIT_FANOUT * df.sparkSession.sparkContext.defaultParallelism, *keys
+    )
 
     def fn(batches):
         tabs = list(batches)

@@ -155,9 +155,11 @@ def _adv_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "adversarial_series",
         lambda: scenario_series_table(spark),
     )
+    # the kernel fits consume the staged series read-back (bit-identical
+    # doubles) instead of regenerating the matrix a second time
     fc_raw = stage_cached(
         spark, sf_dir, "adversarial_forecasts",
-        lambda: kernel_forecast_table(spark),
+        lambda: kernel_forecast_table(spark, ser),
     )
     fc = fc_raw.select(
         "scenario", "seed", "h",

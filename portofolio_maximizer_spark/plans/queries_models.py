@@ -3713,7 +3713,7 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
                 )
             ]
         )
-        .localCheckpoint(eager=True)  # one row per key; feeds 4 branches
+        .localCheckpoint(eager=False)  # one row per key; feeds 4 branches
     )
     wp = W.partitionBy("user_id").orderBy("i")
     obs = s.select(
@@ -3741,7 +3741,7 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             .alias("t"),
         )
         .filter((F.col("t") >= 0) & F.col("y").isNotNull())
-        .localCheckpoint(eager=True)  # fans out to lag/seasonal branches
+        .localCheckpoint(eager=False)  # fans out to lag/seasonal branches
     )
     el = comp.filter(F.col("kind") == 1).select(
         "user_id", (F.col("idx") - 1).alias("t"), F.col("val").alias("e")
@@ -3910,7 +3910,7 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
                 for i, name in enumerate(names, 1)
             ]
         )
-        .localCheckpoint(eager=True)  # one row per key; feeds 6 branches
+        .localCheckpoint(eager=False)  # one row per key; feeds 6 branches
     )
     wp = W.partitionBy("user_id").orderBy("i")
     obs = s.select(
@@ -3936,7 +3936,7 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             .alias("t"),
         )
         .filter((F.col("t") >= 0) & F.col("y").isNotNull())
-        .localCheckpoint(eager=True)  # fans out to lag/seasonal branches
+        .localCheckpoint(eager=False)  # fans out to lag/seasonal branches
     )
     # modeling target z: the winner's seasonal difference of y
     wt = W.partitionBy("user_id").orderBy("t")
@@ -3963,7 +3963,7 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
             .otherwise(F.col("y"))
             .alias("z"),
         )
-        .localCheckpoint(eager=True)  # feeds lag join, seasonal join, efit
+        .localCheckpoint(eager=False)  # feeds lag join, seasonal join, efit
     )
     el = comp.filter(F.col("kind") == 1).select(
         "user_id", (F.col("idx") - 1).alias("t"), F.col("val").alias("e")
