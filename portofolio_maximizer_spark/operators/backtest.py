@@ -422,10 +422,22 @@ def backtest_summary(trades: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     p = F.col("realized_pnl")
+    # Money sums through DECIMAL(28,6) (SURVEY §7.3 item 6, the
+    # q1/q3/q5 convention): realized_pnl is 6-dp by construction
+    # (np.round(..., 6) in the simulation kernel), so the decimal sum is
+    # EXACT and order-independent. The double formulation was partial-
+    # aggregation-order dependent and sat on a 6th-decimal rounding
+    # boundary at sf0.01 (avg_pnl 18559.1995565): any change to the
+    # staged file layout — like the round-13 fit fan-out — re-rolled the
+    # merge order and flipped the rounding vs the oracle. The oracle SQL
+    # carries the same decimal sums, so both engines now compute the
+    # identical double before rounding.
+    pdec = p.cast("decimal(28,6)")
+    n = F.count(F.lit(1))
     return trades.groupBy("exit_reason").agg(
-        F.count(F.lit(1)).alias("n_trades"),
-        F.round(F.sum(p), 6).alias("total_pnl"),
-        F.round(F.avg(p), 6).alias("avg_pnl"),
+        n.alias("n_trades"),
+        F.round(F.sum(pdec).cast("double"), 6).alias("total_pnl"),
+        F.round(F.sum(pdec).cast("double") / n, 6).alias("avg_pnl"),
         F.round(F.avg((p > 0).cast("double")), 6).alias("win_rate"),
         F.round(F.avg("bars_held"), 6).alias("avg_bars_held"),
         F.sum("stop_ratchets").alias("total_ratchets"),

@@ -329,36 +329,35 @@ def rank_preservation_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rnk"),
     )
-    r0 = ranked.filter(F.col("fold") == 0)
-    r1 = ranked.filter(F.col("fold") == 1)
-    a0, b0 = r0.alias("a0"), r0.alias("b0")
-    a1, b1 = r1.alias("a1"), r1.alias("b1")
-    pairs = (
-        a0.join(
-            b0,
-            (F.col("a0.user_id") == F.col("b0.user_id"))
-            & (F.col("a0.event_type") < F.col("b0.event_type")),
+    # Pivot the two folds wide BEFORE pairing (optimization round 13,
+    # guide §2.4): the previous 4-way self-join of `ranked` re-executed
+    # the whole events->window->agg->rank pipeline once per join leg
+    # (14 Exchanges, 4 full passes of the events table). One pivot
+    # aggregate rides the rank window's (user_id, fold) partitioning, and
+    # a single self-join of the (user_id, event_type)-grain wide frame
+    # produces the identical pairs: the old inner joins kept exactly the
+    # types ranked in BOTH folds, which is the r0/r1 not-null filter here.
+    wide = (
+        ranked.groupBy("user_id", "event_type")
+        .agg(
+            F.max(F.when(F.col("fold") == 0, F.col("rnk"))).alias("r0"),
+            F.max(F.when(F.col("fold") == 1, F.col("rnk"))).alias("r1"),
         )
-        .join(
-            a1,
-            (F.col("a1.user_id") == F.col("a0.user_id"))
-            & (F.col("a1.event_type") == F.col("a0.event_type")),
+        .filter(F.col("r0").isNotNull() & F.col("r1").isNotNull())
+    )
+    a, b = wide.alias("a"), wide.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.when(
+            (F.col("a.r0") < F.col("b.r0")) == (F.col("a.r1") < F.col("b.r1")),
+            1.0,
         )
-        .join(
-            b1,
-            (F.col("b1.user_id") == F.col("a0.user_id"))
-            & (F.col("b1.event_type") == F.col("b0.event_type")),
-        )
-        .select(
-            F.col("a0.user_id").alias("user_id"),
-            F.when(
-                (F.col("a0.rnk") < F.col("b0.rnk"))
-                == (F.col("a1.rnk") < F.col("b1.rnk")),
-                1.0,
-            )
-            .otherwise(0.0)
-            .alias("preserved"),
-        )
+        .otherwise(0.0)
+        .alias("preserved"),
     )
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -4406,50 +4405,52 @@ def capital_readiness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_shipdate").alias("oship"),
         )
     )
-    c, op = pcloses.alias("c"), popens.alias("op")
     of = o.filter(F.col("o_orderstatus") == "F")
-    ptr = (
-        c.join(op, F.col("op.l_orderkey") == F.col("c.l_orderkey"))
-        .join(of, F.col("o_orderkey") == F.col("c.l_orderkey"))
-        .filter((F.col("oq") > 0) & (F.col("cq") > 0))
-        .select(
-            F.round(F.col("cnet") - F.col("onet"), 6).alias("pnl"),
-            (F.to_date("cship") < F.to_date("oship")).alias(
-                "close_before_entry"
-            ),
-        )
+    # R3 and the R6 orphan census share one closes-side pass
+    # (optimization round 13, guide §2.4): the previous inner-join ptr +
+    # separate anti-join re-embedded the lineitem maxline/opens subtrees
+    # twice. One LEFT join against the oq>0 opens classifies each close
+    # as trade (matched, cq>0 — the old inner-join row set) or orphan
+    # (no qualifying open — the old anti-join row set); both aggregates
+    # become when()-guarded columns of a single pass with identical
+    # per-row values.
+    j6 = pcloses.join(of, F.col("o_orderkey") == F.col("l_orderkey")).join(
+        popens.filter(F.col("oq") > 0), "l_orderkey", "left"
     )
+    matched = F.col("oq").isNotNull() & (F.col("cq") > 0)
+    pnl = F.round(F.col("cnet") - F.col("onet"), 6)
     dec = "decimal(28,6)"
-    r3 = ptr.agg(
-        F.count(F.lit(1)).alias("n_trades"),
-        F.avg(F.when(F.col("pnl") > 0, 1.0).otherwise(0.0)).alias("win_rate"),
+    r3 = j6.agg(
+        F.count(F.when(matched, F.lit(1))).alias("n_trades"),
+        F.avg(
+            F.when(matched, F.when(pnl > 0, 1.0).otherwise(0.0))
+        ).alias("win_rate"),
         (
             F.sum(
-                F.when(F.col("pnl") > 0, F.col("pnl").cast(dec)).otherwise(
-                    F.lit(0).cast(dec)
+                F.when(matched & (pnl > 0), pnl.cast(dec)).otherwise(
+                    F.when(matched, F.lit(0).cast(dec))
                 )
             ).cast("double")
             / F.nullif(
                 F.sum(
-                    F.when(F.col("pnl") < 0, (-F.col("pnl")).cast(dec)).otherwise(
-                        F.lit(0).cast(dec)
+                    F.when(matched & (pnl < 0), (-pnl).cast(dec)).otherwise(
+                        F.when(matched, F.lit(0).cast(dec))
                     )
                 ).cast("double"),
                 F.lit(0.0),
             )
         ).alias("profit_factor"),
-        F.sum(F.col("close_before_entry").cast("int"))
+        F.sum(
+            F.when(
+                matched,
+                (F.to_date("cship") < F.to_date("oship")).cast("int"),
+            )
+        )
         .cast("bigint")
         .alias("close_before_entry_count"),
-    )
-    orphan = (
-        pcloses.join(of, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(
-            popens.filter(F.col("oq") > 0).select("l_orderkey"),
-            "l_orderkey",
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("orphan_close_count"))
+        F.count(F.when(F.col("oq").isNull(), F.lit(1)))
+        .cast("bigint")
+        .alias("orphan_close_count"),
     )
 
     # R1 — duplicate-close overlap census (the adversarial HIGH class)
@@ -4525,7 +4526,6 @@ def capital_readiness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         r1.crossJoin(F.broadcast(r2))
         .crossJoin(r3)
-        .crossJoin(F.broadcast(orphan))
         .crossJoin(r4)
         .crossJoin(r5)
         .withColumn(
@@ -4785,7 +4785,24 @@ def platt_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conf"),
         "exit_value",
     )
-    hold = joined.agg(
+    # ONE conditional-aggregate pass for the hold census AND the pair
+    # quality (optimization round 13, guide §2.4): these were separate
+    # aggregates over the same signal-outcome join, and together with the
+    # ece/db crossJoins the join subtree was embedded 4x in the plan
+    # (1,433 lines / 24 Exchanges). The pair predicate moves into
+    # when()-guards (null-skipping aggregates see the identical row set
+    # in the identical scan order); the <=10-row aggregates are pinned
+    # with lazy checkpoints so every downstream reference is a scan.
+    pair_cond = (
+        (F.col("event_type") == "click")
+        & F.col("exit_value").isNotNull()
+        & F.col("conf").isNotNull()
+    )
+    conf6 = F.round("conf", 6)
+    win = F.when(F.col("exit_value") > F.col("entry_value"), 1.0).otherwise(
+        0.0
+    )
+    stats1 = joined.agg(
         F.sum(F.col("exit_value").isNull().cast("int"))
         .cast("bigint")
         .alias("n_pending"),
@@ -4795,29 +4812,26 @@ def platt_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_hold"),
-    )
-    pairs = joined.filter(
-        (F.col("event_type") == "click")
-        & F.col("exit_value").isNotNull()
-        & F.col("conf").isNotNull()
-    ).select(
-        F.round("conf", 6).alias("conf"),
-        F.when(F.col("exit_value") > F.col("entry_value"), 1.0)
-        .otherwise(0.0)
-        .alias("win"),
-    )
-    quality = pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(pair_cond, F.lit(1))).alias("n_pairs"),
         F.avg(
-            (F.col("conf") - F.col("win")) * (F.col("conf") - F.col("win"))
+            F.when(pair_cond, (conf6 - win) * (conf6 - win))
         ).alias("brier"),
-    )
-    bins = pairs.groupBy(
-        F.least(F.floor(F.col("conf") * 10).cast("int"), F.lit(9)).alias("bin")
-    ).agg(
-        F.count(F.lit(1)).alias("bn"),
-        F.avg("conf").alias("mean_conf"),
-        F.avg("win").alias("win_rate"),
+    ).localCheckpoint(eager=False)
+    quality = stats1.select("n_pairs", "brier")
+    bins = (
+        joined.filter(pair_cond)
+        .select(conf6.alias("conf"), win.alias("win"))
+        .groupBy(
+            F.least(F.floor(F.col("conf") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.avg("conf").alias("mean_conf"),
+            F.avg("win").alias("win_rate"),
+        )
+        .localCheckpoint(eager=False)
     )
     ece = bins.crossJoin(F.broadcast(quality.select("n_pairs"))).agg(
         F.sum(
@@ -4842,10 +4856,10 @@ def platt_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_db"))
+        .localCheckpoint(eager=False)  # 1 row; referenced via g twice
     )
     g = (
-        hold.crossJoin(quality)
-        .crossJoin(F.broadcast(ece))
+        stats1.crossJoin(F.broadcast(ece))
         .crossJoin(F.broadcast(db_pairs))
         .withColumn(
             "hold_pct",
@@ -5238,6 +5252,13 @@ def order_cache_replay_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_aic_before"
         ),
         F.min("aic_proxy").alias("best_aic_after"),
+        # post-cutoff fit events ride the same pass (optimization round
+        # 13, guide §2.4): the separate model_type aggregate re-embedded
+        # the whole (key, window) subtree; summing these exact integer
+        # partials per model_type below is the identical count
+        F.sum(F.when(F.col("audit_id") > cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fits_post"),
     )
     per = snap.groupBy("model_type").agg(
         F.sum(F.when(F.col("n_fits_before") > 0, 1).otherwise(0))
@@ -5283,13 +5304,9 @@ def order_cache_replay_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("touched_rows"),
+        F.sum("n_fits_post").cast("bigint").alias("actual_fit_events"),
     )
-    ev2 = fits.groupBy("model_type").agg(
-        F.sum(F.when(F.col("audit_id") > cutoff, 1).otherwise(0))
-        .cast("bigint")
-        .alias("actual_fit_events")
-    )
-    j = per.join(ev2, "model_type").withColumn(
+    j = per.withColumn(
         "actual_without_cache_write",
         F.greatest(
             F.lit(0).cast("bigint"),

@@ -94,9 +94,17 @@ def user_return_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6/A7 portfolio metrics suite per series [§2.4] — reference
     `etl/portfolio_math.py:84-264` (Sharpe/Sortino/VaR/CVaR/omega/Kelly).
 
-    One groupBy pass for the moments + exact 5% quantile, then a join-back
-    for CVaR (mean of the tail past VaR) — two shuffles total on user_id;
-    at 100 TB the second pass rides the first's partitioning.
+    ONE groupBy pass for everything (optimization round 13, guide §2.4):
+    the CVaR tail mean used to be a second full scan of the events table
+    joined back on the VaR cutoff — two extra Exchanges and a repeated
+    source pass. The exact 5% quantile already buffers every return per
+    key inside the sort-based percentile aggregate, so collecting the
+    same values as a sorted array costs the same order of state and lets
+    the tail mean (mean of lr <= var_95) fold into the one aggregation
+    as array algebra. The old inner join dropped keys with no returns
+    (no cvar group); the var_95-not-null filter keeps that row set
+    identical — a non-null var_95 always has a non-empty tail (min <=
+    any percentile).
     """
     s = _user_series(spark, sf_dir)
     lr = F.col("lr")
@@ -111,14 +119,16 @@ def user_return_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "omega"
         ),
         F.least(F.avg(lr) / F.var_samp(lr), F.lit(0.25)).alias("kelly"),
+        F.sort_array(F.collect_list(lr)).alias("_lrs"),
     )
-    cvar = (
-        s.join(base.select("user_id", "var_95"), "user_id")
-        .filter(lr <= F.col("var_95"))
-        .groupBy("user_id")
-        .agg(F.avg(lr).alias("cvar_95"))
+    tail = F.filter(F.col("_lrs"), lambda x: x <= F.col("var_95"))
+    cvar_95 = F.aggregate(
+        tail, F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(tail)
+    base = base.filter(F.col("var_95").isNotNull()).withColumn(
+        "cvar_95", cvar_95
     )
-    return base.join(cvar, "user_id").select(
+    return base.select(
         "user_id",
         "n_rets",
         r6("mean_lr").alias("mean_lr"),

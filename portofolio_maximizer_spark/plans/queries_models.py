@@ -1828,8 +1828,10 @@ ORACLE["paper_trading_trades"] = f"""
     oracle="""
     SELECT exit_reason,
            COUNT(*) AS n_trades,
-           ROUND(SUM(realized_pnl), 6) AS total_pnl,
-           ROUND(AVG(realized_pnl), 6) AS avg_pnl,
+           ROUND(CAST(SUM(CAST(realized_pnl AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS total_pnl,
+           ROUND(CAST(SUM(CAST(realized_pnl AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_pnl,
            ROUND(AVG(CASE WHEN realized_pnl > 0 THEN 1.0 ELSE 0.0 END), 6)
              AS win_rate,
            ROUND(AVG(bars_held), 6) AS avg_bars_held,

@@ -7984,13 +7984,15 @@ def ticker_universe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderkey") % 10 < 3)
         .select(F.upper(F.trim(raw)).alias("sym"))
         .filter(F.col("sym") != "")
-    ).localCheckpoint()
-    bnorm = base_norm.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_base_normalized")
-    )
-    bd = base_norm.select("sym").distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_base_deduped")
-    )
+    ).localCheckpoint(eager=False)
+    # one pass for the normalized and deduped counts (exact integer
+    # counts of the same sets the two separate aggregates counted)
+    bstats = base_norm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base_normalized"),
+        F.count_distinct(F.col("sym")).cast("bigint").alias("n_base_deduped"),
+    ).localCheckpoint(eager=False)
+    bnorm = bstats.select("n_base_normalized")
+    bd = bstats.select("n_base_deduped")
     ft = n.crossJoin(
         o.sparkSession.range(1, 3)
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_frontier_total"))
@@ -8011,7 +8013,7 @@ def ticker_universe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("i").cast("string"),
             ).alias("sym")
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merged_syms = base_norm.select("sym").distinct().unionByName(
         n.crossJoin(
             F.broadcast(
@@ -8029,7 +8031,7 @@ def ticker_universe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sym")
         )
         .join(base_norm.select("sym").distinct(), "sym", "left_anti")
-    )
+    ).localCheckpoint(eager=False)  # symbol grain; feeds blk + fapp
     blk = (
         merged_syms.join(F.broadcast(blocked_syms), "sym", "left_semi")
         .agg(

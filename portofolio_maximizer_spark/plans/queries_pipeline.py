@@ -1045,8 +1045,11 @@ def classifier_label_accumulation(
         .alias("n_skipped_duplicate"),
     )
 
-    def crow(key, col):
-        return census.select(
+    # the four census rows explode from ONE reference of the aggregate
+    # (optimization round 13, guide §2.4): unioning four selects of
+    # `census` re-embedded the signal-outcome join subtree once per row
+    def crow(key):
+        return F.struct(
             F.lit("census").alias("record_type"),
             F.lit(None).cast("bigint").alias("ts_signal_id"),
             F.lit(key).alias("ticker"),
@@ -1055,15 +1058,20 @@ def classifier_label_accumulation(
             F.lit(None).cast("int").alias("y_take_profit"),
             F.lit(None).cast("string").alias("exit_reason"),
             F.lit(None).cast("string").alias("ticker_status_snapshot"),
-            F.col(col).alias("census_value"),
+            F.col(key).alias("census_value"),
         )
 
-    return (
-        new_rows.unionByName(crow("n_candidates", "n_candidates"))
-        .unionByName(crow("n_matched", "n_matched"))
-        .unionByName(crow("n_skipped_no_outcome", "n_skipped_no_outcome"))
-        .unionByName(crow("n_skipped_duplicate", "n_skipped_duplicate"))
-    )
+    census_rows = census.select(
+        F.explode(
+            F.array(
+                crow("n_candidates"),
+                crow("n_matched"),
+                crow("n_skipped_no_outcome"),
+                crow("n_skipped_duplicate"),
+            )
+        ).alias("_c")
+    ).select("_c.*")
+    return new_rows.unionByName(census_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1552,9 +1560,16 @@ def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    dom = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("avail"),
+    # |domains| rows feeding the totals/demand/redistribution chain —
+    # pin once (optimization round 13, guide §2.4): each crossJoin stage
+    # re-embedded the corpus tokenize+groupBy subtree (584-line plan)
+    dom = (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("avail"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = dom.agg(
         F.sum("avail").cast("double").alias("t_tokens"),

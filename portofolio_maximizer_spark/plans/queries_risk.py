@@ -1905,10 +1905,18 @@ def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass over the binned fact yields both the histogram and the
     # moment sums; per-split stats re-aggregate the 10-bin partials, so
     # events is scanned twice total (cuts + binning), not three times.
-    counts = binned.groupBy("split", "bin").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum("lr").alias("s1"),
-        F.sum(F.col("lr") * F.col("lr")).alias("s2"),
+    # <=30 rows (split x bin) feeding FIVE downstream references — pin it
+    # once (optimization round 13, guide §2.4/§3.3): without the barrier
+    # every reference re-embedded the events scan + percentile crossJoin
+    # subtree (1,113-line / 28-Exchange plan)
+    counts = (
+        binned.groupBy("split", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("lr").alias("s1"),
+            F.sum(F.col("lr") * F.col("lr")).alias("s2"),
+        )
+        .localCheckpoint(eager=False)
     )
     n_, s1_, s2_ = F.sum("c"), F.sum("s1"), F.sum("s2")
     stats = counts.groupBy("split").agg(

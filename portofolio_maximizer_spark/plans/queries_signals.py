@@ -1323,26 +1323,34 @@ def regime_weight_frames(
     def rmse(c):
         return F.sqrt(F.avg(F.pow(F.col("value") - F.col(c), 2)))
 
+    # per-regime AND per-key-global weights from ONE rollup pass
+    # (optimization round 13, guide §2.4): the separate groupBys each
+    # re-embedded the full two-window feature subtree; ROLLUP(user_id,
+    # regime) computes both grains on one exchange, and the
+    # (key x regime)-grain result is pinned so the weight tables don't
+    # re-execute it per join. Global rows are the rollup's regime-null
+    # level (regime itself is never null: it's a 0/1/2 CASE).
     train = lab.filter(F.col("is_train") == 1)
-    rw = train.groupBy("user_id", "regime").agg(
-        rmse("f_naive").alias("r_n"),
-        rmse("f_ma3").alias("r_3"),
-        rmse("f_ma10").alias("r_10"),
+    rollagg = (
+        train.rollup("user_id", "regime")
+        .agg(
+            rmse("f_naive").alias("r_n"),
+            rmse("f_ma3").alias("r_3"),
+            rmse("f_ma10").alias("r_10"),
+            F.grouping_id().alias("gid"),
+        )
+        .filter(F.col("gid") < 2)  # drop the grand-total row
+        .localCheckpoint(eager=False)  # (key x regime) grain
     )
     z = 1 / F.col("r_n") + 1 / F.col("r_3") + 1 / F.col("r_10")
-    rwn = rw.select(
+    rwn = rollagg.filter(F.col("gid") == 0).select(
         "user_id",
         "regime",
         r6((1 / F.col("r_n")) / z).alias("wr_n"),
         r6((1 / F.col("r_3")) / z).alias("wr_3"),
         r6((1 / F.col("r_10")) / z).alias("wr_10"),
     )
-    gw = train.groupBy("user_id").agg(
-        rmse("f_naive").alias("r_n"),
-        rmse("f_ma3").alias("r_3"),
-        rmse("f_ma10").alias("r_10"),
-    )
-    gwn = gw.select(
+    gwn = rollagg.filter(F.col("gid") == 1).select(
         "user_id",
         r6((1 / F.col("r_n")) / z).alias("wg_n"),
         r6((1 / F.col("r_3")) / z).alias("wg_3"),

@@ -1141,24 +1141,43 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d"))
         .agg(r6(F.sum(signed)).alias("pnl"))
     )
+    # DAY-grain partials once, everything else from the bounded frame
+    # (optimization round 13, guide §2.4): perf and the equity curve each
+    # re-embedded the order-grain lineitem join; every per-trade stat the
+    # snapshot needs decomposes over day partials (win counts and trade
+    # counts are exact integer sums; the money sums are the same r6'd
+    # trade values regrouped), so one pass + a <=lookback-days checkpoint
+    # replaces two full passes and the 1,394-line plan.
     p = F.col("pnl")
-    perf = pnl.agg(
-        F.count(F.lit(1)).cast("long").alias("total_trades"),
-        F.avg(F.when(p > 0, 1.0).otherwise(0.0)).alias("win_rate"),
+    day_stats = (
+        pnl.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_t"),
+            F.sum(F.when(p > 0, 1).otherwise(0)).alias("n_win"),
+            F.sum(F.when(p > 0, p).otherwise(0.0)).alias("s_pos"),
+            F.sum(F.when(p < 0, -p).otherwise(0.0)).alias("s_neg"),
+            F.sum(p).alias("day_pnl"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    perf = day_stats.agg(
+        F.sum("n_t").cast("long").alias("total_trades"),
         (
-            F.sum(F.when(p > 0, p).otherwise(0.0))
-            / F.nullif(F.sum(F.when(p < 0, -p).otherwise(0.0)), F.lit(0.0))
+            F.sum("n_win").cast("double") / F.sum("n_t").cast("double")
+        ).alias("win_rate"),
+        (
+            F.sum("s_pos") / F.nullif(F.sum("s_neg"), F.lit(0.0))
         ).alias("profit_factor"),
-        F.sum(p).alias("total_profit"),
-        F.avg(p).alias("avg_profit"),
+        F.sum("day_pnl").alias("total_profit"),
+        (F.sum("day_pnl") / F.sum("n_t").cast("double")).alias("avg_profit"),
     )
     wd = W.orderBy("d")
-    eq = (
-        pnl.groupBy("d")
-        .agg(F.sum("pnl").alias("day_pnl"))
-        .select(
-            "d", (100000.0 + F.sum("day_pnl").over(wd.rowsBetween(W.unboundedPreceding, 0))).alias("equity")
-        )
+    eq = day_stats.select(
+        "d",
+        (
+            100000.0
+            + F.sum("day_pnl").over(wd.rowsBetween(W.unboundedPreceding, 0))
+        ).alias("equity"),
     )
     eqx = eq.select(
         "d",
@@ -1166,7 +1185,7 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("equity").over(wd.rowsBetween(W.unboundedPreceding, 0)).alias("runmax"),
         F.lag("equity").over(wd).alias("prev"),
         F.row_number().over(W.orderBy(F.desc("d"))).alias("rdesc"),
-    )
+    ).localCheckpoint(eager=False)  # day grain; feeds pm/mdd/rk/v95
     rets = eqx.filter(F.col("prev").isNotNull()).select(
         "d",
         F.when(F.col("prev") != 0, (F.col("equity") - F.col("prev")) / F.col("prev")).alias("ret"),
@@ -1260,7 +1279,9 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(correct, 1.0).otherwise(0.0)).alias("signal_accuracy"),
         F.avg("conf").alias("avg_confidence"),
     )
-    dq = ev.agg(
+    # one events pass for quality + latency (same conditional aggregates,
+    # previously two separate scans crossJoined back together)
+    dqlat = ev.agg(
         F.avg(
             F.when(F.col("value").isNotNull() & (F.col("value") > 0), 1.0).otherwise(
                 0.0
@@ -1269,8 +1290,6 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(F.col("value").isNull(), 1.0).otherwise(0.0)).alias(
             "avg_missing_pct"
         ),
-    )
-    lat = ev.agg(
         F.avg(F.when(F.col("event_type") == "view", F.col("value"))).alias(
             "avg_ts_ms"
         ),
@@ -1283,8 +1302,7 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(mdd)
         .crossJoin(v95)
         .crossJoin(sacc)
-        .crossJoin(dq)
-        .crossJoin(lat)
+        .crossJoin(dqlat)
     )
     total_lat = F.col("avg_ts_ms") + F.col("avg_llm_ms")
     n_alerts = (
@@ -4402,16 +4420,28 @@ def barbell_pnl_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mult"),
         )
     )
+    # one pass, not a self-union (optimization round 13, guide §2.4): the
+    # union embedded tr3's whole closes/opens/orders subtree twice in the
+    # plan; exploding each trade into its two arm rows keeps one subtree
+    # (rows and values identical, order irrelevant to the sorted hash)
     arms = tr3.select(
-        F.lit("baseline").alias("arm"), "ticker", "orderkey", "close_d", "pnl"
-    ).unionByName(
-        tr3.select(
-            F.lit("barbell_sized").alias("arm"),
-            "ticker",
-            "orderkey",
-            "close_d",
-            F.round(F.col("pnl") * F.col("mult"), 6).alias("pnl"),
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("baseline").alias("arm"), F.col("pnl").alias("pnl")
+                ),
+                F.struct(
+                    F.lit("barbell_sized").alias("arm"),
+                    F.round(F.col("pnl") * F.col("mult"), 6).alias("pnl"),
+                ),
+            )
+        ).alias("_a"),
+        "ticker",
+        "orderkey",
+        "close_d",
+    ).select(
+        F.col("_a.arm").alias("arm"), "ticker", "orderkey", "close_d",
+        F.col("_a.pnl").alias("pnl"),
     )
     w = (
         Window.partitionBy("arm")
@@ -4526,35 +4556,52 @@ def barbell_pnl_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("es_raw")).alias("expected_shortfall"),
     )
 
+    # delta row WITHOUT a union of m with an aggregate of m (optimization
+    # round 13, guide §2.4): that union re-embedded the full two-arm
+    # pipeline a second time (the 1,910-line plan). One pivot aggregate
+    # references m once; the three output rows (two arms + delta) explode
+    # from the single wide row with identical values.
+    metrics = [
+        "total_trades",
+        "win_rate",
+        "total_profit",
+        "total_return_pct",
+        "profit_factor",
+        "max_drawdown",
+        "omega_ratio",
+        "payoff_asymmetry",
+        "expected_shortfall",
+    ]
+
     def pick(arm, col):
         return F.max(F.when(F.col("arm") == arm, F.col(col)))
 
-    delta = m.agg(
-        *[
-            (
-                F.round(
-                    pick("barbell_sized", cname) - pick("baseline", cname),
-                    2 if cname == "total_profit" else 6,
-                ).alias(cname)
-                if cname != "total_trades"
-                else (
-                    pick("barbell_sized", cname) - pick("baseline", cname)
-                ).alias(cname)
+    wide = m.agg(
+        *[pick("baseline", c).alias(f"b_{c}") for c in metrics],
+        *[pick("barbell_sized", c).alias(f"s_{c}") for c in metrics],
+    )
+
+    def row(arm_name, val):
+        return F.struct(
+            F.lit(arm_name).alias("arm"),
+            *[val(c).alias(c) for c in metrics],
+        )
+
+    def dval(c):
+        d = F.col(f"s_{c}") - F.col(f"b_{c}")
+        if c == "total_trades":
+            return d
+        return F.round(d, 2 if c == "total_profit" else 6)
+
+    return wide.select(
+        F.explode(
+            F.array(
+                row("baseline", lambda c: F.col(f"b_{c}")),
+                row("barbell_sized", lambda c: F.col(f"s_{c}")),
+                row("delta", dval),
             )
-            for cname in [
-                "total_trades",
-                "win_rate",
-                "total_profit",
-                "total_return_pct",
-                "profit_factor",
-                "max_drawdown",
-                "omega_ratio",
-                "payoff_asymmetry",
-                "expected_shortfall",
-            ]
-        ]
-    ).select(F.lit("delta").alias("arm"), "*")
-    return m.unionByName(delta.select(m.columns))
+        ).alias("_r")
+    ).select("_r.*")
 
 
 # ---------------------------------------------------------------------------

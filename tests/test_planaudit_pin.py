@@ -54,16 +54,38 @@ JUSTIFIED_SOFT_FLAGS = {
     #     sleeve_promotion_plan) are built once per session and
     #     materialized at the first consumer's action, so the composite
     #     plans no longer carry the sub-pipelines' exchanges.
+    # Optimization round 13 removed six MORE by removing the exchanges
+    # themselves (OPTIMIZATION_r13.md, plan captures in plans/r13/):
+    #   barbell_pnl_evaluation    — the baseline/barbell arm union and
+    #     the metrics/delta union each re-embedded the full trade
+    #     pipeline; one explode + one pivot-then-explode keep a single
+    #     subtree (1,910 -> 590 plan lines, 29 -> 9 Exchanges).
+    #   dashboard_snapshot        — per-trade stats regrouped through a
+    #     day-grain checkpointed partial; quality+latency merged into
+    #     one events pass (1,394 -> 474 lines).
+    #   classifier_label_accumulation — the four census rows explode
+    #     from one reference of the census aggregate instead of four
+    #     unions (860 -> 356 lines).
+    #   ticker_universe_summary   — normalized/deduped counts in one
+    #     pass; merged_syms pinned once (634 -> 333 lines).
+    #   token_budget_epoch_plan   — the |domains|-row frame pinned once
+    #     under the totals/demand/redistribution chain (584 -> 355).
+    #   capital_readiness_check   — R3 trade stats + R6 orphan census
+    #     fold into one when()-guarded pass over a single closes-side
+    #     left join (845 -> 613 lines).
     "unlinked_close_repair_plan": "EXCHANGES",
-    "dashboard_snapshot": "EXCHANGES",
-    "classifier_label_accumulation": "EXCHANGES",
-    "split_drift_psi": "EXCHANGES",
-    "token_budget_epoch_plan": "EXCHANGES",
-    "capital_readiness_check": "EXCHANGES",
-    "barbell_pnl_evaluation": "EXCHANGES",
-    "platt_contract_audit": "EXCHANGES",
     "order_learner_health_check": "EXCHANGES",
-    "ticker_universe_summary": "EXCHANGES",
+    # -- 1-row-scalar crossJoin chains behind a checkpoint (round 13) --
+    # split_drift_psi / platt_contract_audit now pin NESTED_LOOP_JOIN
+    # instead of EXCHANGES: their restructures checkpoint 1-row global
+    # aggregates (split: the 30-row split x bin counts feeding five
+    # branches; platt: the merged hold+quality aggregate) and the
+    # checkpoint's LogicalRDD hides the Aggregate node the auditor's
+    # BNLJ exemption uses to prove a crossJoin side bounded. The frames
+    # are single-row (global aggregates) / <=30-row by construction, so
+    # every flagged join is a 1xN broadcast scalar attach at any scale.
+    "split_drift_psi": "NESTED_LOOP_JOIN",
+    "platt_contract_audit": "NESTED_LOOP_JOIN",
     # -- the one declared O(N^2) correctness baseline --
     "embedding_cosine_neardups": "NESTED_LOOP_JOIN",
 }
@@ -78,13 +100,13 @@ def test_soft_flag_pin_matches_justified_inventory():
 
 
 def test_soft_flag_pin_shape():
-    # exactly the documented composition: 10 EXCHANGES + 1 NESTED_LOOP
-    # (15 EXCHANGES before optimization round 12 removed five — see
-    # JUSTIFIED_SOFT_FLAGS comments)
+    # exactly the documented composition: 2 EXCHANGES + 3 NESTED_LOOP
+    # (15 EXCHANGES before optimization round 12 removed five and round
+    # 13 removed six more / re-kinded two — see JUSTIFIED_SOFT_FLAGS)
     kinds = sorted(EXPECTED_SOFT_FLAGS.values())
-    assert kinds.count("EXCHANGES") == 10
-    assert kinds.count("NESTED_LOOP_JOIN") == 1
-    assert len(EXPECTED_SOFT_FLAGS) == 11
+    assert kinds.count("EXCHANGES") == 2
+    assert kinds.count("NESTED_LOOP_JOIN") == 3
+    assert len(EXPECTED_SOFT_FLAGS) == 5
 
 
 def test_pinned_queries_exist_in_registry():

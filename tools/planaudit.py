@@ -578,16 +578,23 @@ EXPECTED_SOFT_FLAGS: dict[str, str] = {
     # composition: the sub-query frames they re-planned inline are now
     # built once per session and materialized at the first consumer's
     # action).
+    # Optimization round 13 removed six MORE by removing the exchanges
+    # (plan restructures, see OPTIMIZATION_r13.md): barbell_pnl_
+    # evaluation (arm/delta unions -> explode + pivot), dashboard_
+    # snapshot (day-grain partials), classifier_label_accumulation
+    # (census explode), ticker_universe_summary / token_budget_epoch_
+    # plan (bounded-frame checkpoints), capital_readiness_check (R3+R6
+    # one-pass fold).
     "unlinked_close_repair_plan": "EXCHANGES",
-    "dashboard_snapshot": "EXCHANGES",
-    "classifier_label_accumulation": "EXCHANGES",
-    "split_drift_psi": "EXCHANGES",
-    "token_budget_epoch_plan": "EXCHANGES",
-    "capital_readiness_check": "EXCHANGES",
-    "barbell_pnl_evaluation": "EXCHANGES",
-    "platt_contract_audit": "EXCHANGES",
     "order_learner_health_check": "EXCHANGES",
-    "ticker_universe_summary": "EXCHANGES",
+    # round-13 restructures left these two with a NESTED_LOOP_JOIN flag
+    # instead: their scalar crossJoin chains now attach 1-row aggregates
+    # that are localCheckpoint-pinned, and the checkpoint (a LogicalRDD)
+    # hides the Aggregate-boundedness proof the auditor's BNLJ exemption
+    # looks for — the frames are single-row by construction (global
+    # aggregates), so the joins stay 1xN broadcast attaches at any scale
+    "split_drift_psi": "NESTED_LOOP_JOIN",
+    "platt_contract_audit": "NESTED_LOOP_JOIN",
     # the ONE declared O(N²): L6's exact-cosine correctness baseline,
     # which refuses corpora >200k vectors and names L2/L28/L7 as the
     # scale paths in its docstring
