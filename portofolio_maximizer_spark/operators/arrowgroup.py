@@ -20,19 +20,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql.pandas.types import to_arrow_schema
 from pyspark.sql.types import StructType
 
-#: fan-out multiplier over the session default parallelism for the
-#: grouped-fit shuffles (optimization round 13, guide §2.5/§2.6): fit
-#: stages are CPU-bound with heavy-tailed per-key cost (the rolling-CV
-#: refit measured 58 keys on the largest of 32 hash partitions vs 46.9
-#: mean — a 9.2 s stage wall that 4x finer tasks cut to 2.7 s, because
+#: default fan-out multiplier over the session default parallelism for
+#: the grouped-fit shuffles (optimization round 13, guide §2.5/§2.6).
+#: Callers whose per-key cost is HEAVY-TAILED pass ``fanout=4``: the
+#: rolling-CV refit measured 58 keys on the largest of 32 hash
+#: partitions vs 46.9 mean — a 9.2 s stage wall that 4x finer tasks cut
+#: to 2.7 s serially and 7.4 -> 2.8 s inside the full bench, because
 #: the scheduler can rebalance 4 waves of small tasks but not one wave
-#: of big ones). 4x stays scale-adaptive (it multiplies the session's
-#: core-derived parallelism, so the driver's low-core runs scale down
-#: with it) and the per-task overhead of the extra waves is microseconds
-#: against multi-ms fits. Per-key results are partitioning-independent
+#: of big ones. The DEFAULT stays 1x: a blanket 4x was measured SLOWER
+#: for the uniform-cost fit family under the bench's concurrent pools
+#: (arima_components 2.8 -> 8.1 s, garch_grid_params 4.8 -> 7.6 s in
+#: the full cold bench) — 4x the applyInArrow tasks means 4x the
+#: per-task Arrow/worker handoff, which concurrent jobs amplify.
+#: Per-key results are partitioning-independent either way
 #: (grouped_numpy: one kernel call per key; partitioned_numpy: per-key
 #: rows through elementwise math, pinned by the GARCH partition tests).
-FIT_FANOUT = 4
+FIT_FANOUT = 1
 
 
 def grouped_numpy(
@@ -40,6 +43,7 @@ def grouped_numpy(
     keys: list[str],
     schema: StructType,
     kernel: Callable[[dict[str, np.ndarray]], list[tuple]],
+    fanout: int = FIT_FANOUT,
 ) -> DataFrame:
     """Run ``kernel`` once per group on numpy columns; rows it returns
     become the output table. The kernel sees every input column as a
@@ -59,7 +63,7 @@ def grouped_numpy(
     arrow_schema = to_arrow_schema(schema)
     names = [f.name for f in schema.fields]
     df = df.repartition(
-        FIT_FANOUT * df.sparkSession.sparkContext.defaultParallelism, *keys
+        fanout * df.sparkSession.sparkContext.defaultParallelism, *keys
     )
 
     def fn(t: pa.Table) -> pa.Table:
