@@ -589,17 +589,31 @@ def _arima_component_rows(uid, x, pq_grid):
     d = 1 if _adf_tau(x) > _ADF_CRIT_5PCT else 0
     t0_common = _ARIMA_T0_COMMON
     best = None
+    # same per-m_long step-1 cache as `_arima_rows` (optimization round
+    # 13): y and the long-AR innovation proxy depend on (p, q) only
+    # through m_long, which is identical for every grid candidate when
+    # n >= 32 — compute the n x (m_long+1) OLS once, not once per
+    # candidate (bit-identical: same ops on the same floats)
+    y = np.diff(x, d) if d else x
+    n = len(y)
+    e_long_cache: dict = {}
+
+    def _e_long(m_long: int):
+        got = e_long_cache.get(m_long)
+        if got is None:
+            bl, _, _ = _fit_ar(y, m_long)
+            e = np.zeros(n)
+            Xl = np.column_stack(
+                [np.ones(n - m_long)]
+                + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
+            )
+            e[m_long:] = y[m_long:] - Xl @ bl
+            got = e_long_cache[m_long] = e
+        return got
+
     for p_, q_ in pq_grid:
-        y = np.diff(x, d) if d else x
-        n = len(y)
         m_long = min(max(8, p_ + q_ + 4), n // 4)
-        bl, _, _ = _fit_ar(y, m_long)
-        e_long = np.zeros(n)
-        Xl = np.column_stack(
-            [np.ones(n - m_long)]
-            + [y[m_long - k - 1 : n - k - 1] for k in range(m_long)]
-        )
-        e_long[m_long:] = y[m_long:] - Xl @ bl
+        e_long = _e_long(m_long)
         r = _fit_arma_hr(y, p_, q_, e_long, t0_min=t0_common)
         if r is None:
             continue

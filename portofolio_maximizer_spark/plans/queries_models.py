@@ -3812,75 +3812,69 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         )
     )
     base = st.join(par, "user_id").join(sig, "user_id").join(lastx, "user_id")
-    # unrolled 5-step recursion: each step materializes its prediction as
-    # a column, the state advances by name (linear expression tree)
+    # Unrolled 5-step recursion, psi ladder and CI bands composed as ONE
+    # parenthesized SQL string per output struct (optimization round 13,
+    # guide §7.3 "planning time itself can become the bottleneck"): the
+    # Column-API chain here cost thousands of py4j round-trips per build
+    # (~3-5 s of driver wall per cold staging, amplified under the
+    # bench's concurrent pools). CollapseProject inlines the old
+    # withColumn aliases into exactly these duplicated subtrees, so the
+    # parsed tree — and every double operation in it — is unchanged
+    # (pinned bit-identical against the Column-API reference in
+    # tests/test_replay_textual.py).
     h1, h2, e1, e2 = "s_h1", "s_h2", "s_e1", "s_e2"
+    pred = {}
     for h in range(1, 6):
-        base = base.withColumn(
-            f"pred{h}",
-            F.col("c")
-            + F.col("phi1") * F.col(h1)
-            + F.col("phi2") * F.col(h2)
-            + F.col("th1") * F.col(e1)
-            + F.col("th2") * F.col(e2),
+        pred[h] = (
+            f"((((c + (phi1 * {h1})) + (phi2 * {h2}))"
+            f" + (th1 * {e1})) + (th2 * {e2}))"
         )
         if h < 5:
-            base = base.withColumn(f"z{h}", F.lit(0.0))
-            h2, h1 = h1, f"pred{h}"
-            e2, e1 = e1, f"z{h}"
+            h2, h1 = h1, pred[h]
+            e2, e1 = e1, "0.0D"
     # cumulative predictions (d = 1 integration)
-    cum = F.lit(0.0)
+    cpred = {}
+    cum = "0.0D"
     for h in range(1, 6):
-        cum = cum + F.col(f"pred{h}")
-        base = base.withColumn(f"cpred{h}", cum)
+        cum = f"({cum} + {pred[h]})"
+        cpred[h] = cum
     # psi ladder (seasonal-free: only phi1/phi2/th1/th2 enter psi_1..4)
-    base = (
-        base.withColumn("psi0", F.lit(1.0))
-        .withColumn("psi1", F.col("phi1") + F.col("th1"))
-        .withColumn(
-            "psi2", F.col("phi1") * F.col("psi1") + F.col("phi2") + F.col("th2")
-        )
-        .withColumn(
-            "psi3",
-            F.col("phi1") * F.col("psi2") + F.col("phi2") * F.col("psi1"),
-        )
-        .withColumn(
-            "psi4",
-            F.col("phi1") * F.col("psi3") + F.col("phi2") * F.col("psi2"),
-        )
-    )
-    pis = []
+    psi = ["1.0D", "(phi1 + th1)"]
+    psi.append(f"(((phi1 * {psi[1]}) + phi2) + th2)")
+    psi.append(f"((phi1 * {psi[2]}) + (phi2 * {psi[1]}))")
+    psi.append(f"((phi1 * {psi[3]}) + (phi2 * {psi[2]}))")
+    pi = []
     acc = None
     for j in range(5):
-        acc = F.col(f"psi{j}") if acc is None else acc + F.col(f"psi{j}")
-        base = base.withColumn(f"pi{j}", acc)
-        acc = F.col(f"pi{j}")
-    def vfac(h):
-        d0 = sum((F.col(f"psi{j}") * F.col(f"psi{j}") for j in range(h)), F.lit(0.0))
-        d1 = sum((F.col(f"pi{j}") * F.col(f"pi{j}") for j in range(h)), F.lit(0.0))
-        return F.when(F.col("d") == 1, d1).otherwise(d0)
+        acc = psi[j] if acc is None else f"({acc} + {psi[j]})"
+        pi.append(acc)
 
-    rows = []
+    def vfac(h):
+        d0, d1 = "0.0D", "0.0D"
+        for j in range(h):
+            d0 = f"({d0} + ({psi[j]} * {psi[j]}))"
+            d1 = f"({d1} + ({pi[j]} * {pi[j]}))"
+        return f"(CASE WHEN (d = 1) THEN {d1} ELSE {d0} END)"
+
+    structs = []
     for h in range(1, 6):
-        yhat = F.when(
-            F.col("d") == 1, F.col("last_x") + F.col(f"cpred{h}")
-        ).otherwise(F.col(f"pred{h}"))
-        band = 1.96 * F.sqrt(F.col("sigma") * F.col("sigma") * vfac(h))
-        rows.append(
-            F.struct(
-                F.col("p").cast("int").alias("p"),
-                F.col("d").cast("int").alias("d"),
-                F.col("q").cast("int").alias("q"),
-                F.round(F.col("aic"), 6).alias("aic"),
-                F.lit(h).cast("int").alias("horizon_step"),
-                F.round(yhat, 6).alias("yhat"),
-                F.round(yhat - band, 6).alias("lo"),
-                F.round(yhat + band, 6).alias("hi"),
-                F.round(F.col("sigma"), 6).alias("sigma"),
-            )
+        yhat = (
+            f"(CASE WHEN (d = 1) THEN (last_x + {cpred[h]})"
+            f" ELSE {pred[h]} END)"
         )
-    return base.select(
-        "user_id", F.explode(F.array(*rows)).alias("v")
+        band = f"(1.96D * SQRT(((sigma * sigma) * {vfac(h)})))"
+        structs.append(
+            "named_struct("
+            "'p', CAST(p AS INT), 'd', CAST(d AS INT), 'q', CAST(q AS INT), "
+            "'aic', ROUND(aic, 6), "
+            f"'horizon_step', CAST({h} AS INT), "
+            f"'yhat', ROUND({yhat}, 6), "
+            f"'lo', ROUND(({yhat} - {band}), 6), "
+            f"'hi', ROUND(({yhat} + {band}), 6), "
+            "'sigma', ROUND(sigma, 6))"
+        )
+    return base.selectExpr(
+        "user_id", f"explode(array({', '.join(structs)})) AS v"
     ).select("user_id", "v.*")
 
 
@@ -3906,8 +3900,8 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(
             *[
-                F.coalesce(
-                    F.max(F.when(F.col("idx") == i, F.col("val"))), F.lit(0.0)
+                F.expr(
+                    f"coalesce(max(CASE WHEN (idx = {i}) THEN val END), 0.0D)"
                 ).alias(name)
                 for i, name in enumerate(names, 1)
             ]
@@ -4019,24 +4013,20 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .withColumn("e_s1", F.lag("e_s", 1).over(ws))
         .withColumn("e_s2", F.lag("e_s", 2).over(ws))
     )
-    zf = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
+    zf = lambda c: f"coalesce({c}, 0.0D)"  # noqa: E731
     resid = (
         seasoned.filter(F.col("t") >= F.col("t0"))
         .withColumn(
             "r",
-            F.col("z")
-            - (
-                F.col("c")
-                + F.col("phi1") * F.col("z1")
-                + F.col("phi2") * F.col("z2")
-                + F.col("phis") * zf("z_s")
-                - F.col("phis")
-                * (F.col("phi1") * zf("z_s1") + F.col("phi2") * zf("z_s2"))
-                + F.col("th1") * F.col("e1")
-                + F.col("th2") * F.col("e2")
-                + F.col("ths") * zf("e_s")
-                + F.col("ths")
-                * (F.col("th1") * zf("e_s1") + F.col("th2") * zf("e_s2"))
+            F.expr(
+                "(z - ((((((((c + (phi1 * z1)) + (phi2 * z2))"
+                f" + (phis * {zf('z_s')}))"
+                f" - (phis * ((phi1 * {zf('z_s1')})"
+                f" + (phi2 * {zf('z_s2')}))))"
+                " + (th1 * e1)) + (th2 * e2))"
+                f" + (ths * {zf('e_s')}))"
+                f" + (ths * ((th1 * {zf('e_s1')})"
+                f" + (th2 * {zf('e_s2')})))))"
             ),
         )
         .select("user_id", "t", "r")
@@ -4120,21 +4110,10 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(
             *[
-                F.coalesce(
-                    F.max(F.when(F.col("j") == j, F.col("ysv"))), F.lit(0.0)
-                ).alias(f"syj{j}")
-                for j in range(0, 7)
-            ],
-            *[
-                F.coalesce(
-                    F.max(F.when(F.col("j") == j, F.col("esv"))), F.lit(0.0)
-                ).alias(f"sej{j}")
-                for j in range(0, 7)
-            ],
-            *[
-                F.coalesce(
-                    F.max(F.when(F.col("j") == j, F.col("yiv"))), F.lit(0.0)
-                ).alias(f"yij{j}")
+                F.expr(
+                    f"coalesce(max(CASE WHEN (j = {j}) THEN {src} END), 0.0D)"
+                ).alias(f"{pre}{j}")
+                for pre, src in (("syj", "ysv"), ("sej", "esv"), ("yij", "yiv"))
                 for j in range(0, 7)
             ],
         )
@@ -4145,97 +4124,77 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .join(lastx, "user_id")
         .join(seas, "user_id")
     )
+    # Unrolled recursion + psi ladder + CI bands as ONE parenthesized SQL
+    # string per output struct (optimization round 13): same textual
+    # composition as `_arima_replay` — CollapseProject inlined the old
+    # withColumn aliases into exactly these duplicated subtrees, so the
+    # parsed tree and every double op in it are unchanged (pinned
+    # bit-identical against the Column-API reference in
+    # tests/test_replay_textual.py); the ~10k py4j round-trips of the old
+    # Column chain become one selectExpr call.
     h1, h2, e1, e2 = "s_h1", "s_h2", "s_e1", "s_e2"
+    predz, pred = {}, {}
     for h in range(1, 6):
         # the recursion runs on the z scale; predz feeds the state,
         # predy adds the observed seasonal-integration offset
-        base = base.withColumn(
-            f"predz{h}",
-            F.col("c")
-            + F.col("phi1") * F.col(h1)
-            + F.col("phi2") * F.col(h2)
-            + F.col("phis") * F.col(f"syj{h + 1}")
-            - F.col("phis")
-            * (
-                F.col("phi1") * F.col(f"syj{h}")
-                + F.col("phi2") * F.col(f"syj{h - 1}")
-            )
-            + F.col("th1") * F.col(e1)
-            + F.col("th2") * F.col(e2)
-            + F.col("ths") * F.col(f"sej{h + 1}")
-            + F.col("ths")
-            * (
-                F.col("th1") * F.col(f"sej{h}")
-                + F.col("th2") * F.col(f"sej{h - 1}")
-            ),
-        ).withColumn(
-            f"pred{h}",
-            F.col(f"predz{h}")
-            + F.when(F.col("sd") == 1, F.col(f"yij{h + 1}")).otherwise(0.0),
+        predz[h] = (
+            f"((((((((c + (phi1 * {h1})) + (phi2 * {h2}))"
+            f" + (phis * syj{h + 1}))"
+            f" - (phis * ((phi1 * syj{h}) + (phi2 * syj{h - 1}))))"
+            f" + (th1 * {e1})) + (th2 * {e2}))"
+            f" + (ths * sej{h + 1}))"
+            f" + (ths * ((th1 * sej{h}) + (th2 * sej{h - 1}))))"
+        )
+        pred[h] = (
+            f"({predz[h]} + (CASE WHEN (sd = 1)"
+            f" THEN yij{h + 1} ELSE 0.0D END))"
         )
         if h < 5:
-            base = base.withColumn(f"zz{h}", F.lit(0.0))
-            h2, h1 = h1, f"predz{h}"
-            e2, e1 = e1, f"zz{h}"
-    cum = F.lit(0.0)
+            h2, h1 = h1, predz[h]
+            e2, e1 = e1, "0.0D"
+    cpred = {}
+    cum = "0.0D"
     for h in range(1, 6):
-        cum = cum + F.col(f"pred{h}")
-        base = base.withColumn(f"cpred{h}", cum)
-    base = (
-        base.withColumn("psi0", F.lit(1.0))
-        .withColumn("psi1", F.col("phi1") + F.col("th1"))
-        .withColumn(
-            "psi2", F.col("phi1") * F.col("psi1") + F.col("phi2") + F.col("th2")
-        )
-        .withColumn(
-            "psi3",
-            F.col("phi1") * F.col("psi2") + F.col("phi2") * F.col("psi1"),
-        )
-        .withColumn(
-            "psi4",
-            F.col("phi1") * F.col("psi3") + F.col("phi2") * F.col("psi2"),
-        )
-    )
+        cum = f"({cum} + {pred[h]})"
+        cpred[h] = cum
+    psi = ["1.0D", "(phi1 + th1)"]
+    psi.append(f"(((phi1 * {psi[1]}) + phi2) + th2)")
+    psi.append(f"((phi1 * {psi[2]}) + (phi2 * {psi[1]}))")
+    psi.append(f"((phi1 * {psi[3]}) + (phi2 * {psi[2]}))")
+    pi = []
     acc = None
     for j in range(5):
-        acc = F.col(f"psi{j}") if acc is None else acc + F.col(f"psi{j}")
-        base = base.withColumn(f"pi{j}", acc)
-        acc = F.col(f"pi{j}")
+        acc = psi[j] if acc is None else f"({acc} + {psi[j]})"
+        pi.append(acc)
 
     def vfac(h):
-        d0 = sum(
-            (F.col(f"psi{j}") * F.col(f"psi{j}") for j in range(h)), F.lit(0.0)
-        )
-        d1 = sum(
-            (F.col(f"pi{j}") * F.col(f"pi{j}") for j in range(h)), F.lit(0.0)
-        )
-        return F.when(F.col("d") == 1, d1).otherwise(d0)
+        d0, d1 = "0.0D", "0.0D"
+        for j in range(h):
+            d0 = f"({d0} + ({psi[j]} * {psi[j]}))"
+            d1 = f"({d1} + ({pi[j]} * {pi[j]}))"
+        return f"(CASE WHEN (d = 1) THEN {d1} ELSE {d0} END)"
 
-    rows = []
+    structs = []
     for h in range(1, 6):
-        yhat = F.when(
-            F.col("d") == 1, F.col("last_x") + F.col(f"cpred{h}")
-        ).otherwise(F.col(f"pred{h}"))
-        band = 1.96 * F.sqrt(F.col("sigma") * F.col("sigma") * vfac(h))
-        rows.append(
-            F.struct(
-                F.col("p").cast("int").alias("p"),
-                F.col("d").cast("int").alias("d"),
-                F.col("q").cast("int").alias("q"),
-                F.col("sp").cast("int").alias("sp"),
-                F.col("sq").cast("int").alias("sq"),
-                F.col("sd").cast("int").alias("sd"),
-                F.col("s_per").cast("int").alias("s"),
-                F.round(F.col("aic"), 6).alias("aic"),
-                F.lit(h).cast("int").alias("horizon_step"),
-                F.round(yhat, 6).alias("yhat"),
-                F.round(yhat - band, 6).alias("lo"),
-                F.round(yhat + band, 6).alias("hi"),
-                F.round(F.col("sigma"), 6).alias("sigma"),
-            )
+        yhat = (
+            f"(CASE WHEN (d = 1) THEN (last_x + {cpred[h]})"
+            f" ELSE {pred[h]} END)"
         )
-    return base.select(
-        "user_id", F.explode(F.array(*rows)).alias("v")
+        band = f"(1.96D * SQRT(((sigma * sigma) * {vfac(h)})))"
+        structs.append(
+            "named_struct("
+            "'p', CAST(p AS INT), 'd', CAST(d AS INT), 'q', CAST(q AS INT), "
+            "'sp', CAST(sp AS INT), 'sq', CAST(sq AS INT), "
+            "'sd', CAST(sd AS INT), 's', CAST(s_per AS INT), "
+            "'aic', ROUND(aic, 6), "
+            f"'horizon_step', CAST({h} AS INT), "
+            f"'yhat', ROUND({yhat}, 6), "
+            f"'lo', ROUND(({yhat} - {band}), 6), "
+            f"'hi', ROUND(({yhat} + {band}), 6), "
+            "'sigma', ROUND(sigma, 6))"
+        )
+    return base.selectExpr(
+        "user_id", f"explode(array({', '.join(structs)})) AS v"
     ).select("user_id", "v.*")
 
 
@@ -4381,47 +4340,40 @@ def _samossa_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .join(sig, "user_id")
         .join(rlast, "user_id")
     )
-    # trend recursion (R-forecast) unrolled: state = last four predictions
+    # Trend + residual recursions and output structs composed textually
+    # (optimization round 13) — same scheme as `_arima_replay`: the
+    # parsed tree is what CollapseProject produced from the old
+    # withColumn chain (pinned bit-identical in tests/test_replay_textual.py),
+    # built in one selectExpr call instead of ~2k py4j round-trips.
+    trend, rfc = {}, {}
     t1 = t2 = t3 = t4 = None
     for h in range(1, 6):
-        pred_part = F.lit(0.0)
+        pred_part = "0.0D"
         for coef, state in (("r10", t1), ("r9", t2), ("r8", t3), ("r7", t4)):
             if state is not None:
-                pred_part = pred_part + F.col(coef) * F.col(state)
-        base = base.withColumn(
-            f"trend{h}",
-            F.when(F.col("nu2") >= 0.999, F.col("rec_last")).otherwise(
-                F.col(f"obs{h}") + pred_part
-            ),
+                pred_part = f"({pred_part} + ({coef} * {state}))"
+        trend[h] = (
+            f"(CASE WHEN (nu2 >= 0.999D) THEN rec_last"
+            f" ELSE (obs{h} + {pred_part}) END)"
         )
-        t4, t3, t2, t1 = t3, t2, t1, f"trend{h}"
-    # residual AR recursion unrolled: state = last three values
+        t4, t3, t2, t1 = t3, t2, t1, trend[h]
     x1, x2, x3 = "x1", "x2", "x3"
     for h in range(1, 6):
-        base = base.withColumn(
-            f"rfc{h}",
-            F.col("b0")
-            + F.col("b1") * F.col(x1)
-            + F.col("b2") * F.col(x2)
-            + F.col("b3") * F.col(x3),
-        )
-        x3, x2, x1 = x2, x1, f"rfc{h}"
-    rows = []
+        rfc[h] = f"(((b0 + (b1 * {x1})) + (b2 * {x2})) + (b3 * {x3}))"
+        x3, x2, x1 = x2, x1, rfc[h]
+    structs = []
     for h in range(1, 6):
-        rows.append(
-            F.struct(
-                F.col("rank_used").cast("int").alias("rank_used"),
-                F.lit(h).cast("int").alias("horizon_step"),
-                F.round(F.col(f"trend{h}") + F.col(f"rfc{h}"), 6).alias(
-                    "yhat"
-                ),
-                F.round(F.col(f"trend{h}"), 6).alias("trend_part"),
-                F.round(F.col(f"rfc{h}"), 6).alias("resid_part"),
-                F.round(F.col("sigma"), 6).alias("sigma"),
-            )
+        structs.append(
+            "named_struct("
+            "'rank_used', CAST(rank_used AS INT), "
+            f"'horizon_step', CAST({h} AS INT), "
+            f"'yhat', ROUND(({trend[h]} + {rfc[h]}), 6), "
+            f"'trend_part', ROUND({trend[h]}, 6), "
+            f"'resid_part', ROUND({rfc[h]}, 6), "
+            "'sigma', ROUND(sigma, 6))"
         )
-    return base.select(
-        "user_id", F.explode(F.array(*rows)).alias("v")
+    return base.selectExpr(
+        "user_id", f"explode(array({', '.join(structs)})) AS v"
     ).select("user_id", "v.*")
 
 
