@@ -184,7 +184,17 @@ def ar_candidate_fits(
             )
         return rows
 
-    return grouped_numpy(fanned, [key, "p"], AR_CANDIDATE_SCHEMA, fit_one)
+    # fanout=4 (optimization round 13, guide §2.5): the (key, order)
+    # candidate table is the same heavy-tailed grouped-fit shape as the
+    # rolling-CV refit — 4,500 groups hashed onto one wave of
+    # parallelism-sized tasks left the stage wall at the largest bucket
+    # (ar_grid_winner staged fit 10.3 s in-bench); 4 waves of smaller
+    # tasks let the scheduler rebalance (measured 7.5 -> 3.0 s serial in
+    # the round-13 batch-1 A/B). Per-key results are partitioning-
+    # independent (one kernel call per (key, p) group).
+    return grouped_numpy(
+        fanned, [key, "p"], AR_CANDIDATE_SCHEMA, fit_one, fanout=4
+    )
 
 
 def ar_grid_winner_table(
