@@ -3964,6 +3964,19 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
     el = comp.filter(F.col("kind") == 1).select(
         "user_id", (F.col("idx") - 1).alias("t"), F.col("val").alias("e")
     )
+    # Seasonal lag-s (and cross-product s+1, s+2) terms as CONSTANT-offset
+    # window lags instead of two (user_id, t−s) equi-joins (optimization
+    # round 13, guide §2.4): t is DENSE per key in this frame (yd emits
+    # consecutive t; the inner join with el matches every t — e_long
+    # covers exactly the modeling range), so row-distance == t-distance
+    # and lag(z, s) IS z_{t−s}; the detected period is one of {7,12,24,
+    # 52}, so one window pass computes every candidate offset and the
+    # winner is selected per key by s_per after the par broadcast join.
+    # Values identical to the join form (same fetch, nulls coincide:
+    # both miss exactly when t−s precedes the frame), pinned by the
+    # Column-API reference test; the zs/es join exchanges (+ their
+    # sorts) are gone from the plan.
+    _SEAS_PERIODS = (7, 12, 24, 52)
     je = zd.join(el, ["user_id", "t"]).select(
         "user_id",
         "t",
@@ -3973,45 +3986,33 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         F.lag("z", 2).over(wt).alias("z2"),
         F.lag("e", 1).over(wt).alias("e1"),
         F.lag("e", 2).over(wt).alias("e2"),
+        *[
+            F.lag(col, sp + off).over(wt).alias(f"_{col}l{sp + off}")
+            for col in ("z", "e")
+            for sp in _SEAS_PERIODS
+            for off in (0, 1, 2)
+        ],
     )
-    jp = je.join(par, "user_id").withColumn(
-        "ts_key", F.col("t") - F.col("s_per").cast("long")
-    )
-    zs = zd.select(
-        F.col("user_id").alias("u_ys"),
-        F.col("t").alias("t_ys"),
-        F.col("z").alias("z_s"),
-    )
-    es = el.select(
-        F.col("user_id").alias("u_es"),
-        F.col("t").alias("t_es"),
-        F.col("e").alias("e_s"),
-    )
+    jp = je.join(par, "user_id")
+
+    def _by_period(col: str, off: int):
+        c = None
+        for sp in _SEAS_PERIODS:
+            branch = F.col(f"_{col}l{sp + off}")
+            c = (
+                F.when(F.col("s_per") == sp, branch)
+                if c is None
+                else c.when(F.col("s_per") == sp, branch)
+            )
+        return c
+
     seasoned = (
-        jp.join(
-            zs,
-            (F.col("user_id") == F.col("u_ys"))
-            & (F.col("s_per") > 0)
-            & (F.col("ts_key") == F.col("t_ys")),
-            "left",
-        )
-        .join(
-            es,
-            (F.col("user_id") == F.col("u_es"))
-            & (F.col("s_per") > 0)
-            & (F.col("ts_key") == F.col("t_es")),
-            "left",
-        )
-        .drop("u_ys", "t_ys", "u_es", "t_es")
-    )
-    # multiplicative cross-product lags s+1, s+2: with t dense per key,
-    # z_{t-s-1} is just lag(z_{t-s}) — no extra joins
-    ws = W.partitionBy("user_id").orderBy("t")
-    seasoned = (
-        seasoned.withColumn("z_s1", F.lag("z_s", 1).over(ws))
-        .withColumn("z_s2", F.lag("z_s", 2).over(ws))
-        .withColumn("e_s1", F.lag("e_s", 1).over(ws))
-        .withColumn("e_s2", F.lag("e_s", 2).over(ws))
+        jp.withColumn("z_s", _by_period("z", 0))
+        .withColumn("z_s1", _by_period("z", 1))
+        .withColumn("z_s2", _by_period("z", 2))
+        .withColumn("e_s", _by_period("e", 0))
+        .withColumn("e_s1", _by_period("e", 1))
+        .withColumn("e_s2", _by_period("e", 2))
     )
     zf = lambda c: f"coalesce({c}, 0.0D)"  # noqa: E731
     resid = (
