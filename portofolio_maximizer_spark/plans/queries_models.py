@@ -3934,28 +3934,34 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .filter((F.col("t") >= 0) & F.col("y").isNotNull())
         .localCheckpoint(eager=False)  # fans out to lag/seasonal branches
     )
-    # modeling target z: the winner's seasonal difference of y
+    # modeling target z: the winner's seasonal difference of y — y_{t−s}
+    # fetched as a CONSTANT-offset window lag selected by the per-key
+    # period, not a (user_id, t−s) self-join (optimization round 13,
+    # guide §2.4, same argument as the resid-subtree lags below: yd's t
+    # is dense per key, kept rows have t ≥ s so the lag always exists
+    # exactly where the old LEFT join matched)
     wt = W.partitionBy("user_id").orderBy("t")
+    wy = W.partitionBy("user_id").orderBy("t")
     pz = par.select("user_id", "sd", F.col("s_per").cast("long").alias("sl"))
-    yoff = yd.select(
-        F.col("user_id").alias("u_o"),
-        F.col("t").alias("t_o"),
-        F.col("y").alias("y_off"),
-    )
+    y_off = None
+    for sp in (7, 12, 24, 52):
+        branch = F.lag("y", sp).over(wy)
+        y_off = (
+            F.when(F.col("sl") == sp, branch)
+            if y_off is None
+            else y_off.when(F.col("sl") == sp, branch)
+        )
     zd = (
         yd.join(pz, "user_id")
-        .join(
-            yoff,
-            (F.col("user_id") == F.col("u_o"))
-            & (F.col("sd") == 1)
-            & (F.col("t") - F.col("sl") == F.col("t_o")),
-            "left",
-        )
+        # the lag must be materialized BEFORE the t >= sl filter so the
+        # window sees the full series (the filter references t/sd/sl, so
+        # the optimizer cannot push it below the Window node)
+        .withColumn("_y_off", y_off)
         .filter((F.col("sd") == 0) | (F.col("t") >= F.col("sl")))
         .select(
             "user_id",
             "t",
-            F.when(F.col("sd") == 1, F.col("y") - F.col("y_off"))
+            F.when(F.col("sd") == 1, F.col("y") - F.col("_y_off"))
             .otherwise(F.col("y"))
             .alias("z"),
         )
