@@ -3812,42 +3812,50 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         )
     )
     base = st.join(par, "user_id").join(sig, "user_id").join(lastx, "user_id")
-    # Unrolled 5-step recursion, psi ladder and CI bands composed as ONE
-    # parenthesized SQL string per output struct (optimization round 13,
-    # guide §7.3 "planning time itself can become the bottleneck"): the
-    # Column-API chain here cost thousands of py4j round-trips per build
-    # (~3-5 s of driver wall per cold staging, amplified under the
-    # bench's concurrent pools). CollapseProject inlines the old
-    # withColumn aliases into exactly these duplicated subtrees, so the
-    # parsed tree — and every double operation in it — is unchanged
-    # (pinned bit-identical against the Column-API reference in
-    # tests/test_replay_textual.py).
+    # Unrolled 5-step recursion, psi ladder and CI bands composed as
+    # LAYERED SQL strings (optimization round 13, guide §7.3 "planning
+    # time itself can become the bottleneck"): the Column-API chain here
+    # cost thousands of py4j round-trips per DAG build (~3-5 s of driver
+    # wall per cold staging, amplified under the bench's concurrent
+    # pools); each recursion depth is now ONE selectExpr call. The
+    # intermediate predictions / psi terms stay NAMED columns — Catalyst
+    # deliberately does not inline a non-cheap alias referenced more
+    # than once (each pred/psi is evaluated ONCE per row, exactly the
+    # old physical plan; a fully-inlined single-string variant measured
+    # +1.5 s of duplicated per-row evaluation on the final exec).
+    # Bit-identical to the Column-API reference — pinned in
+    # tests/test_replay_textual.py.
     h1, h2, e1, e2 = "s_h1", "s_h2", "s_e1", "s_e2"
-    pred = {}
+    psi_src = {
+        1: "(phi1 + th1)",
+        2: "(((phi1 * psi1) + phi2) + th2)",
+        3: "((phi1 * psi2) + (phi2 * psi1))",
+        4: "((phi1 * psi3) + (phi2 * psi2))",
+    }
     for h in range(1, 6):
-        pred[h] = (
+        layer = [
             f"((((c + (phi1 * {h1})) + (phi2 * {h2}))"
-            f" + (th1 * {e1})) + (th2 * {e2}))"
-        )
+            f" + (th1 * {e1})) + (th2 * {e2})) AS pred{h}"
+        ]
+        if h <= 4:  # psi ladder rides the same layers (psi_h needs psi_{h-1})
+            layer.append(f"{psi_src[h]} AS psi{h}")
+        base = base.selectExpr("*", *layer)
         if h < 5:
-            h2, h1 = h1, pred[h]
+            h2, h1 = h1, f"pred{h}"
             e2, e1 = e1, "0.0D"
-    # cumulative predictions (d = 1 integration)
-    cpred = {}
-    cum = "0.0D"
-    for h in range(1, 6):
-        cum = f"({cum} + {pred[h]})"
-        cpred[h] = cum
-    # psi ladder (seasonal-free: only phi1/phi2/th1/th2 enter psi_1..4)
-    psi = ["1.0D", "(phi1 + th1)"]
-    psi.append(f"(((phi1 * {psi[1]}) + phi2) + th2)")
-    psi.append(f"((phi1 * {psi[2]}) + (phi2 * {psi[1]}))")
-    psi.append(f"((phi1 * {psi[3]}) + (phi2 * {psi[2]}))")
-    pi = []
-    acc = None
+    # cumulative predictions (d = 1 integration) + cumulated-psi terms:
+    # sums of the NAMED columns above, all in one layer (psi0/pi0 are
+    # the literal 1.0 the old code aliased — cheap aliases inline away)
+    psi = ["1.0D"] + [f"psi{j}" for j in range(1, 5)]
+    pi, acc = [], None
     for j in range(5):
         acc = psi[j] if acc is None else f"({acc} + {psi[j]})"
         pi.append(acc)
+    cpred_layer, cum = [], "0.0D"
+    for h in range(1, 6):
+        cum = f"({cum} + pred{h})"
+        cpred_layer.append(f"{cum} AS cpred{h}")
+    base = base.selectExpr("*", *cpred_layer)
 
     def vfac(h):
         d0, d1 = "0.0D", "0.0D"
@@ -3859,8 +3867,8 @@ def _arima_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
     structs = []
     for h in range(1, 6):
         yhat = (
-            f"(CASE WHEN (d = 1) THEN (last_x + {cpred[h]})"
-            f" ELSE {pred[h]} END)"
+            f"(CASE WHEN (d = 1) THEN (last_x + cpred{h})"
+            f" ELSE pred{h} END)"
         )
         band = f"(1.96D * SQRT(((sigma * sigma) * {vfac(h)})))"
         structs.append(
@@ -4131,48 +4139,53 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .join(lastx, "user_id")
         .join(seas, "user_id")
     )
-    # Unrolled recursion + psi ladder + CI bands as ONE parenthesized SQL
-    # string per output struct (optimization round 13): same textual
-    # composition as `_arima_replay` — CollapseProject inlined the old
-    # withColumn aliases into exactly these duplicated subtrees, so the
-    # parsed tree and every double op in it are unchanged (pinned
-    # bit-identical against the Column-API reference in
-    # tests/test_replay_textual.py); the ~10k py4j round-trips of the old
-    # Column chain become one selectExpr call.
+    # Unrolled recursion + psi ladder + CI bands as LAYERED SQL strings
+    # (optimization round 13): same scheme as `_arima_replay` — one
+    # selectExpr call per recursion depth, intermediate predz/pred/psi
+    # kept as NAMED columns so each is evaluated once per row exactly
+    # like the old withColumn chain (a fully-inlined variant measured
+    # +1.5 s of duplicated per-row evaluation on this replay's exec).
+    # Bit-identical — pinned against the Column-API reference in
+    # tests/test_replay_textual.py.
     h1, h2, e1, e2 = "s_h1", "s_h2", "s_e1", "s_e2"
-    predz, pred = {}, {}
+    psi_src = {
+        1: "(phi1 + th1)",
+        2: "(((phi1 * psi1) + phi2) + th2)",
+        3: "((phi1 * psi2) + (phi2 * psi1))",
+        4: "((phi1 * psi3) + (phi2 * psi2))",
+    }
     for h in range(1, 6):
         # the recursion runs on the z scale; predz feeds the state,
         # predy adds the observed seasonal-integration offset
-        predz[h] = (
+        layer = [
             f"((((((((c + (phi1 * {h1})) + (phi2 * {h2}))"
             f" + (phis * syj{h + 1}))"
             f" - (phis * ((phi1 * syj{h}) + (phi2 * syj{h - 1}))))"
             f" + (th1 * {e1})) + (th2 * {e2}))"
             f" + (ths * sej{h + 1}))"
             f" + (ths * ((th1 * sej{h}) + (th2 * sej{h - 1}))))"
-        )
-        pred[h] = (
-            f"({predz[h]} + (CASE WHEN (sd = 1)"
-            f" THEN yij{h + 1} ELSE 0.0D END))"
+            f" AS predz{h}"
+        ]
+        if h <= 4:
+            layer.append(f"{psi_src[h]} AS psi{h}")
+        base = base.selectExpr("*", *layer).selectExpr(
+            "*",
+            f"(predz{h} + (CASE WHEN (sd = 1)"
+            f" THEN yij{h + 1} ELSE 0.0D END)) AS pred{h}",
         )
         if h < 5:
-            h2, h1 = h1, predz[h]
+            h2, h1 = h1, f"predz{h}"
             e2, e1 = e1, "0.0D"
-    cpred = {}
-    cum = "0.0D"
-    for h in range(1, 6):
-        cum = f"({cum} + {pred[h]})"
-        cpred[h] = cum
-    psi = ["1.0D", "(phi1 + th1)"]
-    psi.append(f"(((phi1 * {psi[1]}) + phi2) + th2)")
-    psi.append(f"((phi1 * {psi[2]}) + (phi2 * {psi[1]}))")
-    psi.append(f"((phi1 * {psi[3]}) + (phi2 * {psi[2]}))")
-    pi = []
-    acc = None
+    psi = ["1.0D"] + [f"psi{j}" for j in range(1, 5)]
+    pi, acc = [], None
     for j in range(5):
         acc = psi[j] if acc is None else f"({acc} + {psi[j]})"
         pi.append(acc)
+    cpred_layer, cum = [], "0.0D"
+    for h in range(1, 6):
+        cum = f"({cum} + pred{h})"
+        cpred_layer.append(f"{cum} AS cpred{h}")
+    base = base.selectExpr("*", *cpred_layer)
 
     def vfac(h):
         d0, d1 = "0.0D", "0.0D"
@@ -4184,8 +4197,8 @@ def _sarimax_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
     structs = []
     for h in range(1, 6):
         yhat = (
-            f"(CASE WHEN (d = 1) THEN (last_x + {cpred[h]})"
-            f" ELSE {pred[h]} END)"
+            f"(CASE WHEN (d = 1) THEN (last_x + cpred{h})"
+            f" ELSE pred{h} END)"
         )
         band = f"(1.96D * SQRT(((sigma * sigma) * {vfac(h)})))"
         structs.append(
@@ -4347,36 +4360,36 @@ def _samossa_replay(s: DataFrame, comp: DataFrame) -> DataFrame:
         .join(sig, "user_id")
         .join(rlast, "user_id")
     )
-    # Trend + residual recursions and output structs composed textually
-    # (optimization round 13) — same scheme as `_arima_replay`: the
-    # parsed tree is what CollapseProject produced from the old
-    # withColumn chain (pinned bit-identical in tests/test_replay_textual.py),
-    # built in one selectExpr call instead of ~2k py4j round-trips.
-    trend, rfc = {}, {}
+    # Trend + residual recursions and output structs composed as LAYERED
+    # SQL strings (optimization round 13) — same scheme as
+    # `_arima_replay`: one selectExpr call per recursion depth, trend/rfc
+    # kept as NAMED columns (single evaluation per row, the old physical
+    # plan) instead of ~2k py4j round-trips or a fully-inlined string.
+    # Bit-identical — pinned in tests/test_replay_textual.py.
     t1 = t2 = t3 = t4 = None
+    x1, x2, x3 = "x1", "x2", "x3"
     for h in range(1, 6):
         pred_part = "0.0D"
         for coef, state in (("r10", t1), ("r9", t2), ("r8", t3), ("r7", t4)):
             if state is not None:
                 pred_part = f"({pred_part} + ({coef} * {state}))"
-        trend[h] = (
+        base = base.selectExpr(
+            "*",
             f"(CASE WHEN (nu2 >= 0.999D) THEN rec_last"
-            f" ELSE (obs{h} + {pred_part}) END)"
+            f" ELSE (obs{h} + {pred_part}) END) AS trend{h}",
+            f"(((b0 + (b1 * {x1})) + (b2 * {x2})) + (b3 * {x3})) AS rfc{h}",
         )
-        t4, t3, t2, t1 = t3, t2, t1, trend[h]
-    x1, x2, x3 = "x1", "x2", "x3"
-    for h in range(1, 6):
-        rfc[h] = f"(((b0 + (b1 * {x1})) + (b2 * {x2})) + (b3 * {x3}))"
-        x3, x2, x1 = x2, x1, rfc[h]
+        t4, t3, t2, t1 = t3, t2, t1, f"trend{h}"
+        x3, x2, x1 = x2, x1, f"rfc{h}"
     structs = []
     for h in range(1, 6):
         structs.append(
             "named_struct("
             "'rank_used', CAST(rank_used AS INT), "
             f"'horizon_step', CAST({h} AS INT), "
-            f"'yhat', ROUND(({trend[h]} + {rfc[h]}), 6), "
-            f"'trend_part', ROUND({trend[h]}, 6), "
-            f"'resid_part', ROUND({rfc[h]}, 6), "
+            f"'yhat', ROUND((trend{h} + rfc{h}), 6), "
+            f"'trend_part', ROUND(trend{h}, 6), "
+            f"'resid_part', ROUND(rfc{h}, 6), "
             "'sigma', ROUND(sigma, 6))"
         )
     return base.selectExpr(
